@@ -1,0 +1,22 @@
+"""lucene_solr_ray — a Ray-Data-native full-text index + BM25 query engine.
+
+A from-scratch rebuild of the indexing/search capabilities of Apache
+Lucene/Solr 6.0.0 (reference: areek/lucene-solr) expressed in idiomatic
+Ray Data: ``ray.data.Dataset`` pipelines of zero-copy Arrow batches,
+actor pools for stateful stages, explicit shuffles only where the
+semantics require them (term merge, global statistics).
+
+Layout
+------
+- ``analysis``  — StandardAnalyzer-equivalent tokenizer chain (vectorized)
+- ``index``     — segment build (map_batches → postings), codec
+                  (delta+varint+block-max), manifest/checkpoint, merge
+- ``search``    — BM25 scorer (Lucene float32 semantics), block-max WAND,
+                  distributed top-k with TopDocs.merge tie-break rules
+- ``ops``       — the wider Solr operator surface: aggregations, facets,
+                  grouping, joins, dedup (exact/MinHash/SimHash), text
+                  quality/langid, ANN similarity search, multimodal stubs
+- ``pipelines`` — driver-facing query registry (queries()/oracle_sql())
+"""
+
+__version__ = "0.1.0"

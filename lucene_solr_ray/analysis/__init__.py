@@ -1,0 +1,21 @@
+from .analyzer import (
+    MAX_TOKEN_LENGTH,
+    TOKENIZE_SQL_TEMPLATE,
+    AnalyzedBatch,
+    analyze_batch,
+    token_terms,
+    tokenize,
+)
+from .stopwords import ENGLISH_STOP_WORDS, ENGLISH_STOP_WORDS_SET, stopwords_sql_list
+
+__all__ = [
+    "MAX_TOKEN_LENGTH",
+    "TOKENIZE_SQL_TEMPLATE",
+    "AnalyzedBatch",
+    "analyze_batch",
+    "token_terms",
+    "tokenize",
+    "ENGLISH_STOP_WORDS",
+    "ENGLISH_STOP_WORDS_SET",
+    "stopwords_sql_list",
+]

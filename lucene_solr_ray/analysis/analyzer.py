@@ -1,0 +1,147 @@
+"""StandardAnalyzer-equivalent analysis chain, vectorized for Arrow batches.
+
+Reference semantics (areek/lucene-solr):
+- StandardAnalyzer = StandardTokenizer → LowerCaseFilter → StopFilter(33
+  English stopwords), maxTokenLength=255
+  (lucene/analysis/common/.../standard/StandardAnalyzer.java:83-97).
+- Tokens longer than maxTokenLength are SKIPPED, not truncated
+  (standard/StandardTokenizer.java:166-171); a skipped token consumes no
+  position.
+- StopFilter accumulates skipped positions into the next token's position
+  increment (core/StopFilter.java:107, util/FilteringTokenFilter.java:53-58),
+  so a surviving token keeps its serial index in the pre-stop token stream.
+- Document length for norms = number of tokens that reach the indexing chain,
+  i.e. post-stop survivors (core:index/DefaultIndexingChain.java:611-619).
+
+Documented deviation from the reference: instead of the JFlex UAX#29 DFA we
+define a token as a maximal run of ASCII alphanumerics ``[A-Za-z0-9]+``
+(split on everything else, including ``_`` and non-ASCII). This keeps the
+tokenizer bit-identical between the engine (pyarrow's RE2-based
+``split_pattern_regex``) and the DuckDB oracle (RE2-based
+``regexp_extract_all``), which is what the correctness gate compares. The
+corpus is source code / ASCII token soup, where the two tokenizations agree
+on all content that matters for ranking.
+
+Hot path: `analyze_batch` is fully vectorized — Arrow C++ kernels for
+lowercase/split/length/stopword-membership, numpy for position arithmetic.
+No Python loop over rows or tokens.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .stopwords import ENGLISH_STOP_WORDS, ENGLISH_STOP_WORDS_SET
+
+MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.java:39 DEFAULT_MAX_TOKEN_LENGTH
+
+_TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
+_SPLIT_PATTERN = "[^a-z0-9]+"  # applied to lowercased text
+_STOPWORDS_PA = pa.array(ENGLISH_STOP_WORDS, type=pa.string())
+
+# SQL fragment producing the identical token list from a text column in
+# DuckDB (RE2 regex engine, same as pyarrow):
+#   list_filter(regexp_extract_all(lower(col), '[a-z0-9]+'),
+#               t -> length(t) <= 255)
+TOKENIZE_SQL_TEMPLATE = (
+    "list_filter(regexp_extract_all(lower({col}), '[a-z0-9]+'), "
+    "t -> length(t) <= 255)"
+)
+
+
+@dataclass
+class AnalyzedBatch:
+    """Flattened token stream for a batch of documents (post-stop tokens).
+
+    Arrays are parallel; tokens are grouped by document in input order.
+    ``positions`` are Lucene positions (serial index in the pre-stop,
+    post-length-filter token stream). ``doc_lengths`` has one entry per
+    input document: the number of surviving tokens (the norms length).
+    """
+
+    doc_idx: np.ndarray      # int64, index of the source row within the batch
+    terms: pa.Array          # string, lowercased surviving tokens
+    positions: np.ndarray    # int32 Lucene positions
+    doc_lengths: np.ndarray  # int64, per input row
+
+
+def _per_doc_serial_positions(doc_idx: np.ndarray) -> np.ndarray:
+    """Serial index of each element within its (already grouped) doc run."""
+    n = len(doc_idx)
+    if n == 0:
+        return np.empty(0, dtype=np.int32)
+    idx = np.arange(n, dtype=np.int64)
+    boundaries = np.flatnonzero(np.diff(doc_idx)) + 1
+    starts = np.concatenate(([0], boundaries))
+    counts = np.diff(np.concatenate((starts, [n])))
+    return (idx - np.repeat(starts, counts)).astype(np.int32)
+
+
+def analyze_batch(texts: pa.Array | pa.ChunkedArray, *, keep_stopwords: bool = False) -> AnalyzedBatch:
+    """Tokenize a column of documents into a flat (doc, term, position) stream.
+
+    Vectorized StandardAnalyzer-equivalent: lowercase → split on
+    non-alphanumeric → drop empties and >255-char tokens → assign serial
+    positions → drop stopwords (keeping positions).
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_docs = len(texts)
+    lower = pc.utf8_lower(texts)
+    token_lists = pc.split_pattern_regex(lower, pattern=_SPLIT_PATTERN)
+    if isinstance(token_lists, pa.ChunkedArray):
+        token_lists = token_lists.combine_chunks()
+    flat = token_lists.flatten()
+    # doc index of every raw token from the list offsets
+    offsets = np.asarray(token_lists.offsets)
+    counts = np.diff(offsets)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+
+    lengths = np.asarray(pc.binary_length(flat))  # byte length; tokens are ASCII
+    valid = (lengths > 0) & (lengths <= MAX_TOKEN_LENGTH)
+    valid_pa = pa.array(valid)
+    flat = flat.filter(valid_pa)
+    doc_idx = doc_idx[valid]
+
+    positions = _per_doc_serial_positions(doc_idx)
+
+    if not keep_stopwords:
+        is_stop = np.asarray(pc.is_in(flat, value_set=_STOPWORDS_PA))
+        keep = ~is_stop
+        keep_pa = pa.array(keep)
+        flat = flat.filter(keep_pa)
+        doc_idx = doc_idx[keep]
+        positions = positions[keep]
+
+    doc_lengths = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
+    return AnalyzedBatch(doc_idx=doc_idx, terms=flat, positions=positions,
+                         doc_lengths=doc_lengths)
+
+
+def tokenize(text: str) -> list[tuple[str, int, int, int]]:
+    """Reference (slow, per-string) tokenizer used for golden tests and the
+    exhaustive oracle: returns ``(term, position, start_offset, end_offset)``
+    for every surviving token. Semantics identical to `analyze_batch`.
+    """
+    raw: list[tuple[str, int, int]] = []
+    for m in _TOKEN_RE.finditer(text):
+        tok = m.group(0)
+        if len(tok) > MAX_TOKEN_LENGTH:
+            continue  # skip-not-truncate, no position consumed
+        raw.append((tok.lower(), m.start(), m.end()))
+    out = []
+    for pos, (term, s, e) in enumerate(raw):
+        if term in ENGLISH_STOP_WORDS_SET:
+            continue  # position increment accumulates into the next token
+        out.append((term, pos, s, e))
+    return out
+
+
+def token_terms(text: str) -> list[str]:
+    """Just the surviving terms of a document (convenience for tests)."""
+    return [t for (t, _, _, _) in tokenize(text)]

@@ -1,0 +1,23 @@
+"""The exact 33-word English stopword set of Lucene's StandardAnalyzer.
+
+Reference: lucene/analysis/common/src/java/org/apache/lucene/analysis/core/
+StopAnalyzer.java:42-48 (ENGLISH_STOP_WORDS_SET), used by StandardAnalyzer
+(standard/StandardAnalyzer.java:83-97) via StopFilter.
+"""
+
+ENGLISH_STOP_WORDS: tuple[str, ...] = (
+    "a", "an", "and", "are", "as", "at", "be", "but", "by",
+    "for", "if", "in", "into", "is", "it",
+    "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these",
+    "they", "this", "to", "was", "will", "with",
+)
+
+ENGLISH_STOP_WORDS_SET = frozenset(ENGLISH_STOP_WORDS)
+
+assert len(ENGLISH_STOP_WORDS) == 33
+
+
+def stopwords_sql_list() -> str:
+    """The stopword set as a SQL IN-list literal (for DuckDB oracles)."""
+    return "(" + ", ".join(f"'{w}'" for w in ENGLISH_STOP_WORDS) + ")"

@@ -1,0 +1,133 @@
+"""Golden + property tests for the StandardAnalyzer-equivalent chain.
+
+Mirrors the reference's BaseTokenStreamTestCase.assertTokenStreamContents
+style (lucene/test-framework/.../analysis/BaseTokenStreamTestCase.java).
+"""
+
+import numpy as np
+import pyarrow as pa
+
+from lucene_solr_ray.analysis import (
+    ENGLISH_STOP_WORDS,
+    analyze_batch,
+    token_terms,
+    tokenize,
+)
+
+
+def test_stopword_set_is_the_lucene_33():
+    # core/StopAnalyzer.java:42-48
+    assert len(ENGLISH_STOP_WORDS) == 33
+    assert "the" in ENGLISH_STOP_WORDS and "with" in ENGLISH_STOP_WORDS
+    assert "i" not in ENGLISH_STOP_WORDS
+
+
+def test_basic_tokens_and_positions():
+    toks = tokenize("The Quick brown-fox jumped")
+    # "the" is a stopword at position 0; survivors keep serial positions
+    assert toks == [
+        ("quick", 1, 4, 9),
+        ("brown", 2, 10, 15),
+        ("fox", 3, 16, 19),
+        ("jumped", 4, 20, 26),
+    ]
+
+
+def test_snake_case_splits_camel_case_does_not():
+    assert token_terms("snake_case camelCase") == ["snake", "case", "camelcase"]
+
+
+def test_numbers_and_mixed():
+    assert token_terms("v1.2.3 0xFF abc123") == ["v1", "2", "3", "0xff", "abc123"]
+
+
+def test_stop_position_increment_accumulates():
+    toks = tokenize("to be or not to be quick")
+    # every token except "quick" is a stopword; quick keeps position 6
+    assert toks == [("quick", 6, 19, 24)]
+
+
+def test_max_token_length_skip_not_truncate():
+    long_tok = "a" * 256
+    ok_tok = "b" * 255
+    toks = tokenize(f"x {long_tok} y {ok_tok}")
+    # the 256-char token is skipped entirely and consumes NO position
+    assert [(t, p) for (t, p, _, _) in toks] == [("x", 0), ("y", 1), (ok_tok, 2)]
+
+
+def test_unicode_is_delimiter():
+    # documented deviation: non-ASCII splits (café → caf, é dropped)
+    assert token_terms("café naïve 東京") == ["caf", "na", "ve"]
+
+
+def test_empty_and_punct_only():
+    assert token_terms("") == []
+    assert token_terms("!!! ---") == []
+
+
+def test_analyze_batch_matches_reference_tokenizer():
+    docs = [
+        "The Quick brown-fox jumped",
+        "to be or not to be quick",
+        "",
+        "snake_case camelCase v1.2.3",
+        "x " + "a" * 256 + " y",
+        "!!! ---",
+        "repeat repeat repeat the repeat",
+    ]
+    out = analyze_batch(pa.array(docs))
+    flat_ref = []
+    for i, d in enumerate(docs):
+        for (t, p, _, _) in tokenize(d):
+            flat_ref.append((i, t, p))
+    got = list(zip(out.doc_idx.tolist(), out.terms.to_pylist(),
+                   out.positions.tolist()))
+    assert got == flat_ref
+    ref_lens = [len(tokenize(d)) for d in docs]
+    assert out.doc_lengths.tolist() == ref_lens
+
+
+def test_analyze_batch_randomized_roundtrip():
+    rng = np.random.default_rng(42)
+    vocab = ["the", "quick", "fox", "a1", "B2", "Zot", "and", "x" * 300,
+             "under_score", "café"]
+    docs = []
+    for _ in range(200):
+        n = int(rng.integers(0, 30))
+        docs.append(" ".join(rng.choice(vocab, size=n)))
+    out = analyze_batch(pa.array(docs))
+    flat_ref = [(i, t, p) for i, d in enumerate(docs)
+                for (t, p, _, _) in tokenize(d)]
+    got = list(zip(out.doc_idx.tolist(), out.terms.to_pylist(),
+                   out.positions.tolist()))
+    assert got == flat_ref
+
+
+def test_analyze_batch_duckdb_parity():
+    """The engine tokenizer must agree bit-for-bit with the DuckDB oracle
+    expression used by oracle_sql() (both RE2-based)."""
+    import duckdb
+
+    docs = [
+        "The Quick brown-fox jumped over 2 Lazy_dogs",
+        "to be or not to be",
+        "café 0xFF v1.2.3 " + "q" * 256,
+        "",
+    ]
+    con = duckdb.connect()
+    con.register("t", pa.table({"doc_id": list(range(len(docs))), "text": docs}))
+    rows = con.execute(
+        """
+        SELECT doc_id, unnest(toks) AS term,
+               unnest(range(len(toks))) AS pos
+        FROM (SELECT doc_id,
+                     list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                                 t -> length(t) <= 255) AS toks
+              FROM t)
+        """
+    ).fetchall()
+    sql_stream = [(d, t, p) for (d, t, p) in rows]
+    out = analyze_batch(pa.array(docs), keep_stopwords=True)
+    got = list(zip(out.doc_idx.tolist(), out.terms.to_pylist(),
+                   out.positions.tolist()))
+    assert sorted(got) == sorted(sql_stream)
