@@ -1,0 +1,1 @@
+from .smallfloat import NORM_TABLE, byte315_to_float, encode_norm, float_to_byte315

@@ -1,0 +1,178 @@
+"""Postings codec: delta + variable-byte encoding with block-max skip data.
+
+Models the Lucene50 postings format's structure (reference:
+core:codecs/lucene50/Lucene50PostingsWriter.java:200-345 — docID d-gaps,
+128-doc blocks, skip entries per block; Lucene50SkipWriter.java:46,132) with
+an Arrow/numpy-native realization:
+
+- doc IDs per term are strictly ascending (Lucene50PostingsWriter.java:224-226
+  enforces this); we store ``first, gaps...`` varint-encoded.
+- term frequencies varint-encoded; norms one raw byte per posting (our
+  format inlines the norm byte next to the posting — it is exactly the
+  impact pair (freq, norm) Lucene's block-max metadata carries).
+- positions per (term, doc) ascending (DefaultIndexingChain.java:611-619);
+  delta-encoded within each doc, flat varint stream, counts given by tf.
+- per 128-posting block: last_doc (skip pointer), max_tf and max_norm_byte
+  (the score-maximizing impact bound used by block-max WAND).
+
+All encode/decode paths are numpy-vectorized — no Python loop over
+postings; loops run only over the ≤10 byte positions of a varint.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128  # Lucene50PostingsFormat.java:398 BLOCK_SIZE
+
+
+# ---------------------------------------------------------------------------
+# varint (LEB128, 7 bits per byte, MSB = continuation) — vectorized
+# ---------------------------------------------------------------------------
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """Encode a non-negative int array as a packed varint byte stream."""
+    v = np.asarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return b""
+    nb = np.ones(n, dtype=np.int64)
+    for k in range(1, 10):
+        nb += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    total = int(nb.sum())
+    out = np.empty(total, dtype=np.uint8)
+    pos = np.concatenate(([0], np.cumsum(nb)[:-1]))
+    for k in range(10):
+        mask = nb > k
+        if not mask.any():
+            break
+        byte = (v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        cont = (nb[mask] > k + 1).astype(np.uint64) << np.uint64(7)
+        out[pos[mask] + k] = (byte | cont).astype(np.uint8)
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes | np.ndarray) -> np.ndarray:
+    """Decode a packed varint stream to uint64 values."""
+    data = np.frombuffer(buf, dtype=np.uint8) if isinstance(buf, (bytes, bytearray, memoryview)) else np.asarray(buf, dtype=np.uint8)
+    if len(data) == 0:
+        return np.empty(0, dtype=np.uint64)
+    ends = np.flatnonzero((data & 0x80) == 0)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    lengths = ends - starts + 1
+    values = np.zeros(len(ends), dtype=np.uint64)
+    for k in range(int(lengths.max())):
+        mask = lengths > k
+        values[mask] |= (data[starts[mask] + k].astype(np.uint64) & np.uint64(0x7F)) << np.uint64(7 * k)
+    return values
+
+
+# ---------------------------------------------------------------------------
+# grouped delta helpers
+# ---------------------------------------------------------------------------
+
+def delta_encode(sorted_vals: np.ndarray) -> np.ndarray:
+    """first value then gaps; input must be ascending."""
+    v = np.asarray(sorted_vals, dtype=np.int64)
+    if len(v) == 0:
+        return v
+    out = np.empty_like(v)
+    out[0] = v[0]
+    np.subtract(v[1:], v[:-1], out=out[1:])
+    return out
+
+
+def delta_decode(deltas: np.ndarray) -> np.ndarray:
+    return np.cumsum(np.asarray(deltas, dtype=np.int64))
+
+
+def grouped_delta_encode(flat: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Delta-encode ``flat`` within consecutive groups of sizes ``counts``
+    (each group ascending); the first element of each group is stored raw."""
+    flat = np.asarray(flat, dtype=np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    if len(flat) == 0:
+        return flat
+    out = np.empty_like(flat)
+    out[0] = flat[0]
+    np.subtract(flat[1:], flat[:-1], out=out[1:])
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    starts = starts[counts > 0]
+    out[starts] = flat[starts]
+    return out
+
+
+def grouped_delta_decode(deltas: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    deltas = np.asarray(deltas, dtype=np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    if len(deltas) == 0:
+        return deltas
+    cs = np.cumsum(deltas)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    nz = counts > 0
+    base = np.zeros(len(counts), dtype=np.int64)
+    base[nz] = cs[starts[nz]] - deltas[starts[nz]]
+    return cs - np.repeat(base, counts)
+
+
+# ---------------------------------------------------------------------------
+# per-term postings encode/decode
+# ---------------------------------------------------------------------------
+
+def encode_postings(docs: np.ndarray, tfs: np.ndarray, norms: np.ndarray,
+                    positions: np.ndarray | None = None) -> dict:
+    """Encode one term's postings. ``docs`` ascending int64, ``tfs`` int,
+    ``norms`` uint8 (one per doc), ``positions`` flat ascending-within-doc
+    int array with group sizes ``tfs`` (or None when positions are off).
+    """
+    docs = np.asarray(docs, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    norms = np.asarray(norms, dtype=np.uint8)
+    n = len(docs)
+    assert len(tfs) == n and len(norms) == n
+    if n > 1 and not np.all(docs[1:] > docs[:-1]):
+        raise ValueError("postings doc ids must be strictly ascending")
+
+    doc_data = varint_encode(delta_encode(docs))
+    tf_data = varint_encode(tfs)
+    norm_data = norms.tobytes()
+    pos_data = b""
+    if positions is not None:
+        positions = np.asarray(positions, dtype=np.int64)
+        assert len(positions) == int(tfs.sum())
+        pos_data = varint_encode(grouped_delta_encode(positions, tfs))
+
+    # block-max skip metadata per BLOCK_SIZE postings
+    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    pad = nblocks * BLOCK_SIZE - n
+    def blockify(a, fill):
+        return np.concatenate([a, np.full(pad, fill, dtype=a.dtype)]).reshape(nblocks, BLOCK_SIZE)
+    block_last_doc = blockify(docs, docs[-1] if n else 0).max(axis=1)
+    block_max_tf = blockify(tfs, 0).max(axis=1)
+    block_max_norm = blockify(norms, 0).max(axis=1)
+
+    return {
+        "df": n,
+        "ttf": int(tfs.sum()),
+        "doc_data": doc_data,
+        "tf_data": tf_data,
+        "norm_data": norm_data,
+        "pos_data": pos_data,
+        "block_last_doc": block_last_doc.astype(np.int64),
+        "block_max_tf": block_max_tf.astype(np.int32),
+        "block_max_norm": block_max_norm.astype(np.uint8),
+    }
+
+
+def decode_postings(enc: dict, *, with_positions: bool = False):
+    """Inverse of :func:`encode_postings`.
+
+    Returns ``(docs, tfs, norms[, positions])`` numpy arrays.
+    """
+    docs = delta_decode(varint_decode(enc["doc_data"]).astype(np.int64))
+    tfs = varint_decode(enc["tf_data"]).astype(np.int64)
+    norms = np.frombuffer(enc["norm_data"], dtype=np.uint8)
+    if not with_positions:
+        return docs, tfs, norms
+    pos = grouped_delta_decode(varint_decode(enc["pos_data"]).astype(np.int64), tfs)
+    return docs, tfs, norms, pos

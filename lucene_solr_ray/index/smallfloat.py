@@ -1,0 +1,61 @@
+"""Lucene SmallFloat 3.15 encoding (norms quantization), vectorized.
+
+Reference: lucene/core/src/java/org/apache/lucene/util/SmallFloat.java:78-85
+(`floatToByte315` / `byte315ToFloat`): a float32 is mapped to one byte with a
+3-bit mantissa, 5-bit exponent, exponent bias 15 — the quantization Lucene
+applies to `1/sqrt(fieldLength)` when writing norms
+(BM25Similarity.encodeNormValue, core:search/similarities/BM25Similarity.java:97-99).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_FLOOR = (63 - 15) << 3  # 384
+
+
+def float_to_byte315(x) -> np.ndarray:
+    """Vectorized SmallFloat.floatToByte315 over float32 input."""
+    x32 = np.atleast_1d(np.asarray(x, dtype=np.float32))
+    bits = x32.view(np.int32)
+    smallfloat = bits >> (24 - 3)  # arithmetic shift, same as Java int >>
+    mid = (smallfloat - _FLOOR).astype(np.int32) & 0xFF
+    out = np.where(
+        smallfloat <= _FLOOR,
+        np.where(bits <= 0, 0, 1),
+        np.where(smallfloat >= _FLOOR + 0x100, 0xFF, mid),
+    )
+    return out.astype(np.uint8)
+
+
+def byte315_to_float(b) -> np.ndarray:
+    """Vectorized SmallFloat.byte315ToFloat."""
+    bv = np.atleast_1d(np.asarray(b, dtype=np.int64)) & 0xFF
+    bits = (bv << (24 - 3)) + ((63 - 15) << 24)
+    out = bits.astype(np.int32).view(np.float32).copy()
+    out[bv == 0] = 0.0
+    return out
+
+
+def encode_norm(field_length) -> np.ndarray:
+    """BM25Similarity.encodeNormValue(boost=1, fieldLength): the stored norm
+    byte = floatToByte315(1 / sqrt(fieldLength)) computed in float32
+    (BM25Similarity.java:140-143)."""
+    fl = np.atleast_1d(np.asarray(field_length, dtype=np.float32))
+    with np.errstate(divide="ignore"):
+        val = np.float32(1.0) / np.sqrt(fl, dtype=np.float32)
+    return float_to_byte315(val)
+
+
+# NORM_TABLE: decoded approximate field length per norm byte
+# (BM25Similarity.java static block: NORM_TABLE[i] = 1/(f*f),
+#  NORM_TABLE[0] = 1/NORM_TABLE[255] "otherwise inf")
+def _build_norm_table() -> np.ndarray:
+    t = np.zeros(256, dtype=np.float32)
+    f = byte315_to_float(np.arange(1, 256))
+    t[1:] = np.float32(1.0) / (f * f)
+    t[0] = np.float32(1.0) / t[255]
+    return t
+
+
+NORM_TABLE: np.ndarray = _build_norm_table()

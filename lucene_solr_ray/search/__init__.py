@@ -1,0 +1,10 @@
+from .bm25 import (
+    B_DEFAULT,
+    K1_DEFAULT,
+    BM25Float32,
+    combine_clause_scores,
+    idf_exact64,
+    idf_float32,
+    quantize_score,
+    score_exact64,
+)

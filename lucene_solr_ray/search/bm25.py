@@ -1,0 +1,118 @@
+"""BM25 scoring with Lucene 6.0 float32 semantics, vectorized.
+
+Reference: core:search/similarities/BM25Similarity.java —
+- ``idf = (float) Math.log(1 + (docCount - docFreq + 0.5)/(docFreq + 0.5))``
+  (:66-68, computed in double, cast to float32)
+- ``avgdl = (float)(sumTotalTermFreq / (double) docCount)`` (:72-76)
+- per-(k1,b,avgdl) cache of 256 floats:
+  ``cache[i] = k1 * ((1-b) + b * NORM_TABLE[i] / avgdl)`` (:200-212)
+- doc score = ``weight * (k1+1) * freq / (freq + cache[normByte])`` with
+  ``weight = idf * boost`` (:234-238), all float32 arithmetic.
+- Multi-clause scores (BooleanQuery) accumulate per-clause float32 scores in
+  a double and cast the sum to float32 (core:search/ConjunctionScorer /
+  DisjunctionSumScorer semantics).
+
+Two modes are provided:
+- :class:`BM25Float32` — bit-faithful to the reference (used by the engine
+  and checked against the in-repo exhaustive oracle).
+- :func:`score_exact64` — unquantized float64 BM25 with a documented exact
+  evaluation order, reproducible in ANSI SQL for the DuckDB correctness
+  oracle (no norm-byte quantization; ``ln`` via libm ``math.log``).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..index.smallfloat import NORM_TABLE
+
+K1_DEFAULT = 1.2
+B_DEFAULT = 0.75
+
+
+def idf_float32(doc_freq: int, doc_count: int) -> np.float32:
+    """Lucene BM25 idf: double math, float32 result."""
+    return np.float32(math.log(1 + (doc_count - doc_freq + 0.5) / (doc_freq + 0.5)))
+
+
+def avgdl_float32(sum_total_term_freq: int, doc_count: int) -> np.float32:
+    if sum_total_term_freq <= 0:
+        return np.float32(1.0)
+    return np.float32(sum_total_term_freq / float(doc_count))
+
+
+class BM25Float32:
+    """Per-field BM25 scorer state (the BM25Stats + BM25DocScorer pair)."""
+
+    def __init__(self, doc_count: int, sum_total_term_freq: int,
+                 k1: float = K1_DEFAULT, b: float = B_DEFAULT):
+        self.doc_count = int(doc_count)
+        self.sum_ttf = int(sum_total_term_freq)
+        self.k1 = np.float32(k1)
+        self.b = np.float32(b)
+        self.avgdl = avgdl_float32(sum_total_term_freq, doc_count)
+        # cache[i] = k1 * ((1-b) + b * NORM_TABLE[i] / avgdl), float32
+        one = np.float32(1.0)
+        self.cache = (self.k1 * ((one - self.b) +
+                                 self.b * NORM_TABLE / self.avgdl)).astype(np.float32)
+
+    def idf(self, doc_freq: int) -> np.float32:
+        return idf_float32(doc_freq, self.doc_count)
+
+    def score_term(self, tf: np.ndarray, norm_bytes: np.ndarray,
+                   doc_freq: int, boost: float = 1.0) -> np.ndarray:
+        """Vectorized BM25DocScorer.score over postings of one term.
+
+        tf: int array of term frequencies; norm_bytes: uint8 norm per doc.
+        Returns float32 scores.
+        """
+        weight_value = (self.idf(doc_freq) * np.float32(boost)) * (self.k1 + np.float32(1.0))
+        tf32 = tf.astype(np.float32)
+        norm = self.cache[np.asarray(norm_bytes, dtype=np.int64)]
+        return (weight_value * tf32 / (tf32 + norm)).astype(np.float32)
+
+
+def combine_clause_scores(per_clause: list[np.ndarray]) -> np.ndarray:
+    """Sum clause float32 scores in double, cast to float32 — the
+    ConjunctionScorer/DisjunctionSumScorer accumulation contract."""
+    acc = np.zeros(per_clause[0].shape, dtype=np.float64)
+    for s in per_clause:
+        acc += s.astype(np.float64)
+    return acc.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Exact float64 variant (DuckDB-oracle parity mode)
+# ---------------------------------------------------------------------------
+
+def idf_exact64(doc_freq: int, doc_count: int) -> float:
+    return math.log(1 + (doc_count - doc_freq + 0.5) / (doc_freq + 0.5))
+
+
+def score_exact64(tf: np.ndarray, dl: np.ndarray, doc_freq: int,
+                  doc_count: int, avgdl: float,
+                  k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> np.ndarray:
+    """Unquantized BM25 in float64 with a fixed evaluation order that the
+    oracle SQL reproduces verbatim:
+
+        idf * (tf * (k1 + 1)) / (tf + k1 * ((1 - b) + (b * dl) / avgdl))
+
+    ``avgdl`` must be ``sum(dl) / doc_count`` in float64.
+    """
+    idf = idf_exact64(doc_freq, doc_count)
+    tf64 = tf.astype(np.float64)
+    dl64 = dl.astype(np.float64)
+    return idf * (tf64 * (k1 + 1)) / (tf64 + k1 * ((1 - b) + (b * dl64) / avgdl))
+
+
+def quantize_score(scores: np.ndarray, decimals: int = 4) -> np.ndarray:
+    """Deterministic score quantization shared with the SQL oracle:
+    ``floor(score * 10^d + 0.5)`` as int64 (DuckDB: the same expression).
+    Used so float64 hash comparisons are stable across engines."""
+    scale = 10.0 ** decimals
+    return np.floor(scores * scale + 0.5).astype(np.int64)
+
+
+SCORE_QUANT_SQL = "CAST(floor({expr} * 10000 + 0.5) AS BIGINT)"

@@ -1,0 +1,122 @@
+"""SmallFloat + BM25 float32 fidelity tests.
+
+Fixture values derived by hand from the reference bit layouts
+(core:util/SmallFloat.java:78-85, BM25Similarity.java:66-76,200-238).
+"""
+
+import math
+
+import numpy as np
+
+from lucene_solr_ray.index.smallfloat import (
+    NORM_TABLE,
+    byte315_to_float,
+    encode_norm,
+    float_to_byte315,
+)
+from lucene_solr_ray.search.bm25 import (
+    BM25Float32,
+    combine_clause_scores,
+    idf_float32,
+    quantize_score,
+    score_exact64,
+)
+
+
+def test_float_to_byte315_known_values():
+    # 1.0f has bits 0x3F800000 -> smallfloat 508 -> byte 124
+    assert float_to_byte315(1.0)[0] == 124
+    assert byte315_to_float(124)[0] == np.float32(1.0)
+    # zero / negative / tiny map to 0; subnormal-small positive to 1
+    assert float_to_byte315(0.0)[0] == 0
+    assert float_to_byte315(-1.0)[0] == 0
+    assert float_to_byte315(1e-40)[0] == 1
+    # huge saturates to 255
+    assert float_to_byte315(1e30)[0] == 255
+    assert byte315_to_float(0)[0] == 0.0
+
+
+def test_smallfloat_roundtrip_monotone():
+    # decode(encode(x)) <= x-ish and monotone non-decreasing in byte space
+    f = byte315_to_float(np.arange(256))
+    assert np.all(np.diff(f[1:]) > 0)
+    # round trip: encode(decode(b)) == b for b >= 1
+    b = np.arange(1, 256, dtype=np.uint8)
+    assert np.array_equal(float_to_byte315(byte315_to_float(b)), b)
+
+
+def test_encode_norm_matches_reference_expression():
+    # norm byte = floatToByte315(1/sqrt(len)) in float32
+    for dl in [1, 2, 3, 7, 100, 10000]:
+        expected = float_to_byte315(np.float32(1.0) / np.sqrt(np.float32(dl)))[0]
+        assert encode_norm(dl)[0] == expected
+    assert encode_norm(1)[0] == 124  # 1/sqrt(1) = 1.0
+
+
+def test_norm_table_semantics():
+    assert NORM_TABLE[124] == np.float32(1.0)
+    assert NORM_TABLE[0] == np.float32(1.0) / NORM_TABLE[255]
+    # a larger byte encodes a larger 1/sqrt(dl), i.e. a SHORTER doc:
+    # decoded lengths strictly decrease with the byte
+    assert np.all(np.diff(NORM_TABLE[1:]) < 0)
+
+
+def test_idf_float32_formula():
+    v = idf_float32(3, 100)
+    assert v == np.float32(math.log(1 + (100 - 3 + 0.5) / (3 + 0.5)))
+    assert v.dtype == np.float32
+
+
+def test_score_term_float32_chain():
+    sim = BM25Float32(doc_count=100, sum_total_term_freq=5000)
+    assert sim.avgdl == np.float32(5000 / 100.0)
+    tf = np.array([1, 2, 10], dtype=np.int32)
+    norms = encode_norm(np.array([50, 50, 50]))
+    scores = sim.score_term(tf, norms, doc_freq=3)
+    assert scores.dtype == np.float32
+    # manual reference computation, float32 step by step
+    idf = idf_float32(3, 100)
+    w = (idf * np.float32(1.0)) * (np.float32(1.2) + np.float32(1.0))
+    cache_val = sim.cache[norms[0]]
+    expect0 = np.float32(w * np.float32(1.0) / (np.float32(1.0) + cache_val))
+    assert scores[0] == expect0
+    # monotone in tf
+    assert scores[0] < scores[1] < scores[2]
+
+
+def test_combine_clause_scores_double_accumulate():
+    a = np.array([0.1], dtype=np.float32)
+    b = np.array([0.2], dtype=np.float32)
+    c = np.array([0.3], dtype=np.float32)
+    out = combine_clause_scores([a, b, c])
+    expect = np.float32(float(a[0]) + float(b[0]) + float(c[0]))
+    assert out.dtype == np.float32 and out[0] == expect
+
+
+def test_score_exact64_matches_duckdb_expression():
+    import duckdb
+
+    tf = np.array([1, 2, 5], dtype=np.int64)
+    dl = np.array([10, 20, 30], dtype=np.int64)
+    N, df, avgdl = 100, 3, 25.0
+    got = score_exact64(tf, dl, df, N, avgdl)
+    rows = duckdb.sql(
+        f"""
+        SELECT ln(1 + (100 - 3 + 0.5)/(3 + 0.5))
+               * (tf * (1.2 + 1)) / (tf + 1.2 * ((1 - 0.75) + (0.75 * dl) / 25.0))
+        FROM (VALUES (1,10),(2,20),(5,30)) AS t(tf, dl)
+        """
+    ).fetchall()
+    sql_vals = np.array([r[0] for r in rows])
+    # bit-identical float64 between numpy expression and DuckDB
+    assert np.array_equal(got, sql_vals)
+    q = quantize_score(got)
+    q_sql = duckdb.sql(
+        f"""
+        SELECT CAST(floor(ln(1 + (100 - 3 + 0.5)/(3 + 0.5))
+               * (tf * (1.2 + 1)) / (tf + 1.2 * ((1 - 0.75) + (0.75 * dl) / 25.0))
+               * 10000 + 0.5) AS BIGINT)
+        FROM (VALUES (1,10),(2,20),(5,30)) AS t(tf, dl)
+        """
+    ).fetchall()
+    assert q.tolist() == [r[0] for r in q_sql]

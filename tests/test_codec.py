@@ -1,0 +1,101 @@
+"""Codec round-trip + block metadata tests (BasePostingsFormatTestCase
+analogue: random postings, full equivalence after round-trip)."""
+
+import numpy as np
+import pytest
+
+from lucene_solr_ray.index.encode import (
+    BLOCK_SIZE,
+    decode_postings,
+    delta_decode,
+    delta_encode,
+    encode_postings,
+    grouped_delta_decode,
+    grouped_delta_encode,
+    varint_decode,
+    varint_encode,
+)
+
+
+def test_varint_roundtrip_edges():
+    vals = np.array([0, 1, 127, 128, 129, 16383, 16384, 2**31 - 1, 2**40,
+                     2**63 - 1], dtype=np.uint64)
+    assert np.array_equal(varint_decode(varint_encode(vals)), vals)
+    assert varint_encode(np.array([], dtype=np.uint64)) == b""
+    assert len(varint_decode(b"")) == 0
+    # 127 fits one byte, 128 needs two
+    assert len(varint_encode(np.array([127]))) == 1
+    assert len(varint_encode(np.array([128]))) == 2
+
+
+def test_varint_roundtrip_random():
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 2**50, size=10000).astype(np.uint64)
+    assert np.array_equal(varint_decode(varint_encode(vals)), vals)
+
+
+def test_delta_roundtrip():
+    docs = np.sort(np.random.default_rng(3).choice(10**9, 5000, replace=False))
+    assert np.array_equal(delta_decode(delta_encode(docs)), docs)
+
+
+def test_grouped_delta_roundtrip():
+    rng = np.random.default_rng(11)
+    counts = rng.integers(0, 8, size=300)
+    flat = np.concatenate([np.sort(rng.choice(1000, size=c, replace=False))
+                           for c in counts]) if counts.sum() else np.array([], dtype=np.int64)
+    enc = grouped_delta_encode(flat, counts)
+    assert np.array_equal(grouped_delta_decode(enc, counts), flat)
+
+
+def _random_postings(rng, n_docs=1000, universe=10**7):
+    docs = np.sort(rng.choice(universe, size=n_docs, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 20, size=n_docs).astype(np.int64)
+    norms = rng.integers(0, 256, size=n_docs).astype(np.uint8)
+    positions = np.concatenate(
+        [np.sort(rng.choice(5000, size=t, replace=False)) for t in tfs]
+    ).astype(np.int64)
+    return docs, tfs, norms, positions
+
+
+def test_postings_roundtrip_with_positions():
+    rng = np.random.default_rng(42)
+    docs, tfs, norms, positions = _random_postings(rng)
+    enc = encode_postings(docs, tfs, norms, positions)
+    assert enc["df"] == len(docs)
+    assert enc["ttf"] == int(tfs.sum())
+    d, t, n, p = decode_postings(enc, with_positions=True)
+    assert np.array_equal(d, docs)
+    assert np.array_equal(t, tfs)
+    assert np.array_equal(n, norms)
+    assert np.array_equal(p, positions)
+
+
+def test_block_metadata_consistency():
+    rng = np.random.default_rng(5)
+    docs, tfs, norms, positions = _random_postings(rng, n_docs=1000)
+    enc = encode_postings(docs, tfs, norms, positions)
+    nblocks = (len(docs) + BLOCK_SIZE - 1) // BLOCK_SIZE
+    assert len(enc["block_last_doc"]) == nblocks
+    for i in range(nblocks):
+        lo, hi = i * BLOCK_SIZE, min((i + 1) * BLOCK_SIZE, len(docs))
+        assert enc["block_last_doc"][i] == docs[lo:hi].max()
+        assert enc["block_max_tf"][i] == tfs[lo:hi].max()
+        assert enc["block_max_norm"][i] == norms[lo:hi].max()
+    # skip pointers ascending (CheckIndex-style invariant)
+    assert np.all(np.diff(enc["block_last_doc"]) > 0)
+
+
+def test_unsorted_docs_rejected():
+    with pytest.raises(ValueError):
+        encode_postings(np.array([3, 1]), np.array([1, 1]),
+                        np.array([1, 1], dtype=np.uint8))
+
+
+def test_singleton_and_empty():
+    enc = encode_postings(np.array([42]), np.array([7]),
+                          np.array([3], dtype=np.uint8),
+                          np.array([1, 2, 3, 5, 8, 13, 21]))
+    d, t, n, p = decode_postings(enc, with_positions=True)
+    assert d.tolist() == [42] and t.tolist() == [7] and n.tolist() == [3]
+    assert p.tolist() == [1, 2, 3, 5, 8, 13, 21]
