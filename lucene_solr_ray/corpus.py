@@ -1,0 +1,172 @@
+"""Deterministic synthetic source-code corpus matching the input hint schema
+``(repo:string, path:string, commit:string, lang:string, content:string)``.
+
+Analogue of the reference's seed-reproducible corpora
+(lucene/test-framework/.../util/LineFileDocs.java:50, LuceneTestCase
+randomized seeds): generation is chunked — chunk ``c`` of a run is produced
+by an RNG seeded with ``(seed, c)`` — so the corpus is bit-identical
+regardless of how many Ray tasks generate it or how blocks are split.
+
+Content properties (per FIXTURES.md §1):
+- Zipf-distributed vocabulary of identifiers (camelCase / snake_case),
+  per-language keywords, numbers and punctuation → some terms are
+  stopword-hot (df ≈ N), some are singletons (``uniq_<row>`` markers).
+- comment blocks carry English prose including Lucene stopwords.
+- file sizes log-normal roughly 200 B – 64 KB with rare ~1 MB outliers.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+SEED_DEFAULT = 42
+CHUNK_ROWS = 1000
+
+_LANGS = ["py", "java", "js", "go", "rs", "c", "md"]
+_LANG_W = np.array([0.25, 0.2, 0.15, 0.12, 0.1, 0.1, 0.08])
+_EXT = {"py": "py", "java": "java", "js": "js", "go": "go", "rs": "rs",
+        "c": "c", "md": "md"}
+
+_KEYWORDS = ("def class return import if else for while try except lambda "
+             "public static void int string new null this super final "
+             "function var let const async await struct impl fn match "
+             "package interface map chan go defer printf include sizeof").split()
+
+_PROSE = ("the quick brown fox jumps over a lazy dog and it was not clear "
+          "that this implementation will be used by their tests if there "
+          "are no such cases then these values can be computed on demand "
+          "with an optional cache for performance reasons").split()
+
+_SYLLABLES = ["get", "set", "run", "fix", "map", "buf", "idx", "doc", "term",
+              "post", "read", "write", "merge", "flush", "seg", "query",
+              "score", "hash", "node", "tree", "list", "util", "data", "text"]
+
+
+def _build_vocab(rng: np.random.Generator, size: int = 2000) -> np.ndarray:
+    vocab = []
+    for i in range(size):
+        parts = rng.choice(_SYLLABLES, size=rng.integers(1, 4))
+        if rng.random() < 0.5:
+            name = parts[0] + "".join(p.capitalize() for p in parts[1:])
+        else:
+            name = "_".join(parts)
+        if rng.random() < 0.15:
+            name += str(rng.integers(0, 100))
+        vocab.append(name)
+    return np.array(vocab)
+
+
+# module-level, built once per process from a fixed seed (part of the spec,
+# not of the per-chunk randomness)
+_VOCAB = _build_vocab(np.random.default_rng(12345))
+_ZIPF_P = 1.0 / np.arange(1, len(_VOCAB) + 1) ** 1.1
+_ZIPF_P /= _ZIPF_P.sum()
+
+
+def generate_chunk(chunk_id: int, n_rows: int, seed: int = SEED_DEFAULT) -> pa.Table:
+    """Generate one deterministic chunk of the corpus (pure function).
+
+    All random draws are sized to the FULL chunk (CHUNK_ROWS) and sliced to
+    ``n_rows``, so a partial final chunk is a strict prefix of the full
+    chunk — the corpus at n rows is a prefix of the corpus at m>n rows.
+    """
+    rng = np.random.default_rng((seed, chunk_id))
+    base = chunk_id * CHUNK_ROWS
+    full = CHUNK_ROWS
+    idx = np.arange(base, base + n_rows)
+
+    repos = [f"org{i % 7}/proj{i % 23}" for i in idx]
+    langs = rng.choice(_LANGS, size=full, p=_LANG_W)[:n_rows]
+    dirs_full = rng.choice(_SYLLABLES, size=full)
+    names_full = rng.choice(_SYLLABLES, size=full)
+    paths = [f"src/{d}/{n}_{i}.{_EXT[l]}"
+             for i, (d, n, l) in enumerate(zip(
+                 dirs_full[:n_rows], names_full[:n_rows], langs), start=base)]
+    commits = [hashlib.sha256(f"commit-{i}".encode()).hexdigest()[:40] for i in idx]
+
+    # token counts: log-normal, clipped; rare large outliers
+    n_tokens_full = np.clip(rng.lognormal(mean=4.6, sigma=1.0, size=full),
+                            30, 8000).astype(np.int64)
+    outliers = rng.random(full) < 0.0005
+    n_tokens_full[outliers] = 150_000
+    n_tokens = n_tokens_full[:n_rows]
+
+    total = int(n_tokens_full.sum())
+    ident = _VOCAB[rng.choice(len(_VOCAB), size=total, p=_ZIPF_P)]
+    kinds = rng.random(total)
+    kw = np.array(_KEYWORDS)[rng.integers(0, len(_KEYWORDS), size=total)]
+    prose = np.array(_PROSE)[rng.integers(0, len(_PROSE), size=total)]
+    nums = rng.integers(0, 10_000, size=total).astype(str)
+    toks = np.where(kinds < 0.55, ident,
+                    np.where(kinds < 0.75, kw,
+                             np.where(kinds < 0.93, prose, nums)))
+    seps = np.where(rng.random(total) < 0.12, "\n", " ")
+
+    contents = []
+    offs = np.concatenate(([0], np.cumsum(n_tokens)))
+    for j in range(n_rows):
+        body = "".join(x for pair in zip(toks[offs[j]:offs[j + 1]],
+                                         seps[offs[j]:offs[j + 1]]) for x in pair)
+        # guaranteed singleton term + a stopword-bearing comment header
+        contents.append(f"// file {idx[j]} of the corpus\nuniq_{idx[j]}\n{body}")
+
+    return pa.table({
+        "repo": pa.array(repos, type=pa.string()),
+        "path": pa.array(paths, type=pa.string()),
+        "commit": pa.array(commits, type=pa.string()),
+        "lang": pa.array(langs.tolist(), type=pa.string()),
+        "content": pa.array(contents, type=pa.large_string()),
+    })
+
+
+def corpus_table(n_rows: int, seed: int = SEED_DEFAULT) -> pa.Table:
+    """Driver-side corpus for tests (small n)."""
+    tables = []
+    for c in range((n_rows + CHUNK_ROWS - 1) // CHUNK_ROWS):
+        take = min(CHUNK_ROWS, n_rows - c * CHUNK_ROWS)
+        tables.append(generate_chunk(c, take, seed))
+    return pa.concat_tables(tables)
+
+
+def corpus_dataset(n_rows: int, seed: int = SEED_DEFAULT):
+    """Ray Data pipeline generating the corpus in parallel (deterministic:
+    one chunk per descriptor row, chunk RNG keyed by (seed, chunk_id))."""
+    import ray.data
+
+    n_chunks = (n_rows + CHUNK_ROWS - 1) // CHUNK_ROWS
+    descs = [{"chunk_id": c,
+              "n_rows": min(CHUNK_ROWS, n_rows - c * CHUNK_ROWS),
+              "seed": seed}
+             for c in range(n_chunks)]
+
+    def gen(batch: pa.Table) -> pa.Table:
+        parts = [generate_chunk(int(c), int(n), int(s))
+                 for c, n, s in zip(batch["chunk_id"].to_pylist(),
+                                    batch["n_rows"].to_pylist(),
+                                    batch["seed"].to_pylist())]
+        return pa.concat_tables(parts)
+
+    return ray.data.from_items(descs).map_batches(
+        gen, batch_format="pyarrow", batch_size=4)
+
+
+def write_corpus(out_dir: str, n_rows: int, seed: int = SEED_DEFAULT,
+                 min_rows_per_file: int = 10_000) -> str:
+    """Materialize the corpus to parquet (bench input cache)."""
+    ds = corpus_dataset(n_rows, seed)
+    try:
+        ds.write_parquet(out_dir, min_rows_per_file=min_rows_per_file)
+    except TypeError:  # older Ray releases
+        ds.write_parquet(out_dir, num_rows_per_file=min_rows_per_file)
+    return out_dir
+
+
+def doc_key_from_identity(repo: str, path: str, commit: str) -> int:
+    """Deterministic positive int63 doc key from the document identity —
+    stable under any partitioning / ordering (replaces Lucene's
+    insertion-order docIDs; see index.build docs)."""
+    h = hashlib.sha256(f"{repo}\x00{path}\x00{commit}".encode()).digest()
+    return int.from_bytes(h[:8], "big") & 0x7FFF_FFFF_FFFF_FFFF

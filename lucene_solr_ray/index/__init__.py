@@ -1,1 +1,9 @@
+from .build import (
+    add_doc_keys,
+    build_index,
+    build_index_resumable,
+    plan_partitions,
+)
+from .manifest import commit_manifest, load_manifest
+from .segment import build_postings_table, write_segment
 from .smallfloat import NORM_TABLE, byte315_to_float, encode_norm, float_to_byte315

@@ -1,0 +1,232 @@
+"""Index build pipelines — Ray-Data-first.
+
+Two build paths share the segment-writer core (index.segment):
+
+1. :func:`build_index` — pure ``Dataset`` streaming path. The corpus
+   Dataset flows through ``map_batches(SegmentWriterStage,
+   batch_format="pyarrow")``; each Arrow batch becomes one immutable
+   segment (batch size ≈ Lucene's DWPT flush-by-RAM threshold,
+   IndexWriterConfig.java:87). Only tiny stats rows flow downstream — the
+   postings are written to storage by the stage itself, so nothing large is
+   ever materialized (streaming end-to-end with backpressure). Which rows
+   land in which segment depends on Ray's block layout, but query results
+   are invariant to it: doc ids are content-derived, global stats are sums
+   over segments, and tie-breaks use (score desc, doc_id asc).
+
+2. :func:`build_index_resumable` — partition-aligned path (the
+   MapReduceIndexerTool shape, solr/contrib/map-reduce/.../
+   MapReduceIndexerTool.java:95): input parquet files are grouped into
+   deterministic partitions; a descriptor Dataset fans out one segment
+   build per partition; completed partitions are skipped on rerun (their
+   segment dir + meta.json already exist — the done-marker). The final
+   manifest commit is atomic (index.manifest), so a crashed build resumes
+   by rerunning the same command.
+
+Doc identity: an int64 ``doc_id`` column. For the source-code corpus it is
+derived from sha256(repo, path, commit) (corpus.doc_key_from_identity) via
+:func:`add_doc_keys` — deterministic under any partitioning, replacing
+Lucene's insertion-order docIDs + docBase prefix sums.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from .manifest import commit_manifest
+from .segment import write_segment
+
+SEGMENTS_DIRNAME = "segments"
+DEFAULT_BATCH_ROWS = 4096
+
+
+def add_doc_keys(batch: pa.Table) -> pa.Table:
+    """map_batches stage: add content-derived int64 doc_id from
+    (repo, path, commit)."""
+    repos = batch["repo"].to_pylist()
+    paths = batch["path"].to_pylist()
+    commits = batch["commit"].to_pylist()
+    keys = np.empty(len(repos), dtype=np.int64)
+    for i, (r, p, c) in enumerate(zip(repos, paths, commits)):
+        h = hashlib.sha256(f"{r}\x00{p}\x00{c}".encode()).digest()
+        keys[i] = int.from_bytes(h[:8], "big") & 0x7FFF_FFFF_FFFF_FFFF
+    return batch.append_column("doc_id", pa.array(keys, type=pa.int64()))
+
+
+class SegmentWriterStage:
+    """Actor-pool map_batches stage: one Arrow batch in → one segment on
+    disk, one stats row out (the DWPT: accumulate → flush, here flush ==
+    batch boundary so the streaming executor handles backpressure)."""
+
+    def __init__(self, segments_root: str, *, content_col: str = "content",
+                 id_col: str = "doc_id", store_cols: tuple[str, ...] = (),
+                 with_positions: bool = True):
+        self.segments_root = segments_root
+        self.content_col = content_col
+        self.id_col = id_col
+        self.store_cols = tuple(store_cols)
+        self.with_positions = with_positions
+        os.makedirs(segments_root, exist_ok=True)
+
+    def _seg_name(self, table: pa.Table) -> str:
+        # deterministic per doc-set: digest of the sorted doc ids
+        ids = np.sort(np.asarray(table[self.id_col], dtype=np.int64))
+        h = hashlib.sha256(ids.tobytes()).hexdigest()[:16]
+        return f"seg-{h}"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"segment": pa.array([], type=pa.string()),
+                             "num_docs": pa.array([], type=pa.int64()),
+                             "sum_dl": pa.array([], type=pa.int64()),
+                             "num_terms": pa.array([], type=pa.int64())})
+        meta = write_segment(batch, self.segments_root, self._seg_name(batch),
+                             content_col=self.content_col, id_col=self.id_col,
+                             store_cols=self.store_cols,
+                             with_positions=self.with_positions)
+        return pa.table({"segment": [meta["segment"]],
+                         "num_docs": [meta["num_docs"]],
+                         "sum_dl": [meta["sum_dl"]],
+                         "num_terms": [meta["num_terms"]]})
+
+
+def _collect_metas(segments_root: str, names: list[str]) -> list[dict]:
+    import json
+
+    metas = []
+    for n in names:
+        with open(os.path.join(segments_root, n, "meta.json")) as f:
+            metas.append(json.load(f))
+    return metas
+
+
+def build_index(ds, out_dir: str, *, content_col: str = "content",
+                id_col: str = "doc_id", store_cols: tuple[str, ...] = (),
+                with_positions: bool = True, batch_rows: int = DEFAULT_BATCH_ROWS,
+                concurrency: int | None = None, derive_doc_keys: bool = False) -> dict:
+    """Streaming Dataset build: corpus → analyze+segment-write → manifest.
+
+    ``ds`` is a ray.data.Dataset (or a pyarrow Table, wrapped for tests).
+    Returns the committed manifest.
+    """
+    import ray.data
+
+    if isinstance(ds, pa.Table):
+        ds = ray.data.from_arrow(ds)
+    if derive_doc_keys:
+        ds = ds.map_batches(add_doc_keys, batch_format="pyarrow")
+
+    segments_root = os.path.join(out_dir, SEGMENTS_DIRNAME)
+    if concurrency is None:
+        # autoscaling pool: never reserve every CPU (a fixed pool equal to
+        # the CPU count starves the upstream read stage and can deadlock)
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        concurrency = (1, max(2, cpus - 1))
+    stats = ds.map_batches(
+        SegmentWriterStage, fn_constructor_kwargs={
+            "segments_root": segments_root, "content_col": content_col,
+            "id_col": id_col, "store_cols": store_cols,
+            "with_positions": with_positions},
+        batch_format="pyarrow", batch_size=batch_rows,
+        concurrency=concurrency,
+    ).take_all()  # tiny stats stream: one row per segment
+
+    names = [r["segment"] for r in stats]
+    metas = _collect_metas(segments_root, names)
+    return commit_manifest(out_dir, metas)
+
+
+# ---------------------------------------------------------------------------
+# Partition-aligned resumable build
+# ---------------------------------------------------------------------------
+
+def plan_partitions(input_files: list[str], files_per_partition: int = 1) -> list[dict]:
+    """Deterministic partition plan: sorted files, fixed-size groups."""
+    files = sorted(input_files)
+    parts = []
+    for i in range(0, len(files), files_per_partition):
+        pid = i // files_per_partition
+        parts.append({"partition_id": pid,
+                      "files": files[i:i + files_per_partition]})
+    return parts
+
+
+class PartitionBuilder:
+    """Actor-pool stage over partition descriptors: reads its files with
+    pyarrow (streaming row groups), writes one segment per partition named
+    ``part-<id>``; skips work whose segment already exists (the
+    done-marker → resume)."""
+
+    def __init__(self, segments_root: str, *, content_col: str = "content",
+                 id_col: str = "doc_id", store_cols: tuple[str, ...] = (),
+                 with_positions: bool = True, derive_doc_keys: bool = False):
+        self.segments_root = segments_root
+        self.content_col = content_col
+        self.id_col = id_col
+        self.store_cols = tuple(store_cols)
+        self.with_positions = with_positions
+        self.derive_doc_keys = derive_doc_keys
+        os.makedirs(segments_root, exist_ok=True)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import json
+
+        import pyarrow.parquet as pq
+
+        out = {"segment": [], "num_docs": [], "sum_dl": [], "resumed": []}
+        for pid, files in zip(batch["partition_id"].to_pylist(),
+                              batch["files"].to_pylist()):
+            name = f"part-{pid:06d}"
+            meta_path = os.path.join(self.segments_root, name, "meta.json")
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    meta = json.load(f)
+                resumed = True
+            else:
+                cols = None
+                table = pa.concat_tables([pq.read_table(f, columns=cols)
+                                          for f in files])
+                if self.derive_doc_keys:
+                    table = add_doc_keys(table)
+                meta = write_segment(table, self.segments_root, name,
+                                     content_col=self.content_col,
+                                     id_col=self.id_col,
+                                     store_cols=self.store_cols,
+                                     with_positions=self.with_positions)
+                resumed = False
+            out["segment"].append(meta["segment"])
+            out["num_docs"].append(meta["num_docs"])
+            out["sum_dl"].append(meta["sum_dl"])
+            out["resumed"].append(resumed)
+        return pa.table(out)
+
+
+def build_index_resumable(input_files: list[str], out_dir: str, *,
+                          files_per_partition: int = 1,
+                          content_col: str = "content", id_col: str = "doc_id",
+                          store_cols: tuple[str, ...] = (),
+                          with_positions: bool = True,
+                          derive_doc_keys: bool = False,
+                          concurrency: int = 4) -> dict:
+    """Deterministic, checkpointed build over explicit parquet files."""
+    import ray.data
+
+    parts = plan_partitions(input_files, files_per_partition)
+    segments_root = os.path.join(out_dir, SEGMENTS_DIRNAME)
+    stats = ray.data.from_items(parts).map_batches(
+        PartitionBuilder, fn_constructor_kwargs={
+            "segments_root": segments_root, "content_col": content_col,
+            "id_col": id_col, "store_cols": store_cols,
+            "with_positions": with_positions,
+            "derive_doc_keys": derive_doc_keys},
+        batch_format="pyarrow", batch_size=1, concurrency=concurrency,
+    ).take_all()
+    names = [r["segment"] for r in stats]
+    metas = _collect_metas(segments_root, names)
+    return commit_manifest(out_dir, metas, extra={
+        "resumed_partitions": int(sum(1 for r in stats if r["resumed"]))})

@@ -1,0 +1,58 @@
+"""Generation-numbered index manifest — the segments_N analogue.
+
+Reference: core:index/SegmentInfos.java:54-139 (two-phase commit:
+pending_segments_N → fsync → rename; highest generation wins) and
+IndexWriter.prepareCommitInternal (IndexWriter.java:2767-2928). Here a
+manifest is a JSON file ``segments_<gen>.json`` listing segment metas plus
+collection totals; it is written to a temp name and atomically renamed, and
+readers always open the highest generation present.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+_GEN_RE = re.compile(r"segments_(\d+)\.json$")
+
+
+def list_generations(index_dir: str) -> list[int]:
+    gens = []
+    for p in glob.glob(os.path.join(index_dir, "segments_*.json")):
+        m = _GEN_RE.search(p)
+        if m:
+            gens.append(int(m.group(1)))
+    return sorted(gens)
+
+
+def commit_manifest(index_dir: str, segments: list[dict], extra: dict | None = None) -> dict:
+    """Write the next-generation manifest atomically and return it."""
+    os.makedirs(index_dir, exist_ok=True)
+    gens = list_generations(index_dir)
+    gen = (gens[-1] + 1) if gens else 1
+    manifest = {
+        "generation": gen,
+        "num_docs": sum(s["num_docs"] for s in segments),
+        "sum_dl": sum(s["sum_dl"] for s in segments),
+        "num_segments": len(segments),
+        "segments": sorted(segments, key=lambda s: s["segment"]),
+    }
+    if extra:
+        manifest.update(extra)
+    tmp = os.path.join(index_dir, f"pending_segments_{gen}.json")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, os.path.join(index_dir, f"segments_{gen}.json"))
+    return manifest
+
+
+def load_manifest(index_dir: str) -> dict:
+    gens = list_generations(index_dir)
+    if not gens:
+        raise FileNotFoundError(f"no committed manifest in {index_dir}")
+    with open(os.path.join(index_dir, f"segments_{gens[-1]}.json")) as f:
+        return json.load(f)

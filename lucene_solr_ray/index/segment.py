@@ -1,0 +1,278 @@
+"""Segment writer — the DWPT flush analogue, fully vectorized.
+
+A segment is an immutable directory holding, per field (v1: one indexed
+field), the same logical structures a Lucene segment holds (reference:
+core:index/DocumentsWriterPerThread.java:390 flush path,
+FreqProxTermsWriter.java:82-98 sorted-term walk,
+codecs/lucene50/Lucene50PostingsWriter.java:200-345 postings encode):
+
+``postings.parquet``  — one row per term, sorted by term:
+    term, df, ttf, doc_data / tf_data / norm_data / pos_data (delta+varint
+    binary blobs, see index.encode), block_last_doc / block_max_tf /
+    block_max_norm (128-posting block-max skip metadata).
+``docs.parquet``      — one row per document, sorted by doc_id:
+    doc_id, dl (post-stop token count), norm (SmallFloat byte),
+    sha256 (content lineage, the input_hint per-row invariant),
+    plus passthrough stored columns.
+``meta.json``         — segment stats (num_docs, sum_dl, num_terms).
+
+Unlike Lucene's dense per-segment docIDs + docBase, documents are keyed by
+a content-derived int64 ``doc_id`` (stable under any partitioning — see
+corpus.doc_key_from_identity). Postings are doc_id-ascending per term;
+ties at query time break (score desc, doc_id asc) exactly like
+HitQueue.java:76-81 breaks on docID.
+
+The postings assembly is a single numpy pass over the flat token stream:
+dictionary-encode → lexsort (term, doc, position) → run-length postings →
+grouped delta + one varint blob per structure, sliced zero-copy into an
+Arrow large_binary column. No Python loop over tokens, postings or terms.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..analysis.analyzer import analyze_batch
+from .encode import BLOCK_SIZE, grouped_delta_encode, varint_encode
+from .smallfloat import encode_norm
+
+POSTINGS_FILE = "postings.parquet"
+DOCS_FILE = "docs.parquet"
+META_FILE = "meta.json"
+
+
+def _varint_nbytes(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.uint64)
+    nb = np.ones(len(v), dtype=np.int64)
+    for k in range(1, 10):
+        nb += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    return nb
+
+
+def _large_binary_from_tiling(blob: bytes, boundaries: np.ndarray) -> pa.Array:
+    """Build a large_binary array whose values tile ``blob`` contiguously;
+    ``boundaries`` = int64 offsets of length n+1 (0 .. len(blob))."""
+    offsets = pa.py_buffer(boundaries.astype(np.int64).tobytes())
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), len(boundaries) - 1,
+        [None, offsets, pa.py_buffer(blob)])
+
+
+def _list_array(values: np.ndarray, counts: np.ndarray, typ) -> pa.Array:
+    offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+    return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
+                                    pa.array(values, type=typ))
+
+
+def build_postings_table(doc_ids_flat: np.ndarray, terms_flat: pa.Array,
+                         positions_flat: np.ndarray,
+                         doc_norm_lookup_ids: np.ndarray,
+                         doc_norm_bytes: np.ndarray,
+                         *, with_positions: bool = True) -> tuple[pa.Table, dict]:
+    """Assemble the sorted-term postings table from a flat token stream.
+
+    doc_ids_flat: int64 global doc id per token
+    terms_flat:   string per token
+    positions_flat: int32 Lucene position per token
+    doc_norm_lookup_ids / doc_norm_bytes: sorted doc ids + their norm bytes
+    Returns (postings table, stats dict).
+    """
+    n_tok = len(doc_ids_flat)
+    if n_tok == 0:
+        empty = pa.table({
+            "term": pa.array([], type=pa.string()),
+            "df": pa.array([], type=pa.int64()),
+            "ttf": pa.array([], type=pa.int64()),
+            "doc_data": pa.array([], type=pa.large_binary()),
+            "tf_data": pa.array([], type=pa.large_binary()),
+            "norm_data": pa.array([], type=pa.large_binary()),
+            "pos_data": pa.array([], type=pa.large_binary()),
+            "block_last_doc": pa.array([], type=pa.list_(pa.int64())),
+            "block_max_tf": pa.array([], type=pa.list_(pa.int32())),
+            "block_max_norm": pa.array([], type=pa.list_(pa.uint8())),
+        })
+        return empty, {"num_terms": 0}
+
+    if isinstance(terms_flat, pa.ChunkedArray):
+        terms_flat = terms_flat.combine_chunks()
+    dict_arr = terms_flat.dictionary_encode()
+    codes = np.asarray(dict_arr.indices)
+    vocab = dict_arr.dictionary
+    sort_idx = np.asarray(pc.sort_indices(vocab))
+    rank = np.empty(len(vocab), dtype=np.int64)
+    rank[sort_idx] = np.arange(len(vocab))
+    term_rank = rank[codes]
+
+    perm = np.lexsort((positions_flat, doc_ids_flat, term_rank))
+    tr = term_rank[perm]
+    dc = doc_ids_flat[perm]
+    ps = positions_flat[perm].astype(np.int64)
+
+    # (term, doc) run lengths -> postings
+    change = np.empty(n_tok, dtype=bool)
+    change[0] = True
+    np.not_equal(tr[1:], tr[:-1], out=change[1:])
+    dchange = dc[1:] != dc[:-1]
+    change[1:] |= dchange
+    p_starts = np.flatnonzero(change)
+    tfs = np.diff(np.concatenate((p_starts, [n_tok])))
+    p_docs = dc[p_starts]
+    p_terms = tr[p_starts]
+    n_post = len(p_starts)
+
+    # per-term runs over postings
+    t_change = np.empty(n_post, dtype=bool)
+    t_change[0] = True
+    np.not_equal(p_terms[1:], p_terms[:-1], out=t_change[1:])
+    t_starts = np.flatnonzero(t_change)            # into postings arrays
+    dfs = np.diff(np.concatenate((t_starts, [n_post])))
+    term_ranks_present = p_terms[t_starts]
+    n_terms = len(t_starts)
+    ttfs = np.add.reduceat(tfs, t_starts)
+
+    # norms per posting via sorted doc-id lookup
+    li = np.searchsorted(doc_norm_lookup_ids, p_docs)
+    p_norms = doc_norm_bytes[li]
+
+    # ---- encode blobs + per-term byte boundaries ----
+    doc_deltas = grouped_delta_encode(p_docs, dfs)
+    doc_blob = varint_encode(doc_deltas)
+    doc_nb = _varint_nbytes(doc_deltas)
+    doc_cum = np.concatenate(([0], np.cumsum(doc_nb)))
+    doc_bounds = doc_cum[np.concatenate((t_starts, [n_post]))]
+
+    tf_blob = varint_encode(tfs)
+    tf_nb = _varint_nbytes(tfs)
+    tf_cum = np.concatenate(([0], np.cumsum(tf_nb)))
+    tf_bounds = tf_cum[np.concatenate((t_starts, [n_post]))]
+
+    norm_blob = p_norms.astype(np.uint8).tobytes()
+    norm_bounds = np.concatenate((t_starts, [n_post])).astype(np.int64)
+
+    if with_positions:
+        pos_deltas = grouped_delta_encode(ps, tfs)
+        pos_blob = varint_encode(pos_deltas)
+        pos_nb = _varint_nbytes(pos_deltas)
+        pos_cum = np.concatenate(([0], np.cumsum(pos_nb)))
+        # positions offset of each term = token offset at its first posting
+        tok_offsets = np.concatenate(([0], np.cumsum(tfs)))
+        term_tok_bounds = tok_offsets[np.concatenate((t_starts, [n_post]))]
+        pos_bounds = pos_cum[term_tok_bounds]
+    else:
+        pos_blob = b""
+        pos_bounds = np.zeros(n_terms + 1, dtype=np.int64)
+
+    # ---- block-max metadata (tiles the postings arrays) ----
+    nblocks = (dfs + BLOCK_SIZE - 1) // BLOCK_SIZE
+    total_blocks = int(nblocks.sum())
+    first_block = np.concatenate(([0], np.cumsum(nblocks)[:-1]))
+    within = np.arange(total_blocks) - np.repeat(first_block, nblocks)
+    b_starts = np.repeat(t_starts, nblocks) + within * BLOCK_SIZE
+    t_ends = np.concatenate((t_starts[1:], [n_post]))
+    b_ends = np.minimum(b_starts + BLOCK_SIZE, np.repeat(t_ends, nblocks))
+    block_last_doc = p_docs[b_ends - 1]
+    block_max_tf = np.maximum.reduceat(tfs, b_starts)
+    block_max_norm = np.maximum.reduceat(p_norms, b_starts)
+
+    table = pa.table({
+        # term_ranks_present are sorted ranks; map rank -> original vocab index
+        "term": vocab.take(pa.array(sort_idx[term_ranks_present])),
+        "df": pa.array(dfs, type=pa.int64()),
+        "ttf": pa.array(ttfs, type=pa.int64()),
+        "doc_data": _large_binary_from_tiling(doc_blob, doc_bounds),
+        "tf_data": _large_binary_from_tiling(tf_blob, tf_bounds),
+        "norm_data": _large_binary_from_tiling(norm_blob, norm_bounds),
+        "pos_data": _large_binary_from_tiling(pos_blob, pos_bounds),
+        "block_last_doc": _list_array(block_last_doc, nblocks, pa.int64()),
+        "block_max_tf": _list_array(block_max_tf.astype(np.int32), nblocks, pa.int32()),
+        "block_max_norm": _list_array(block_max_norm.astype(np.uint8), nblocks, pa.uint8()),
+    })
+    stats = {"num_terms": n_terms, "num_postings": int(n_post),
+             "num_tokens": int(n_tok)}
+    return table, stats
+
+
+def sha256_hex_column(texts: pa.Array) -> pa.Array:
+    """Per-row sha256(content) lineage column (input_hint invariant)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    # hashlib releases the GIL-bound loop to C; rows are few per batch
+    return pa.array([hashlib.sha256(s.encode()).hexdigest() if s is not None else None
+                     for s in texts.to_pylist()], type=pa.string())
+
+
+def write_segment(table: pa.Table, segments_root: str, seg_name: str, *,
+                  content_col: str = "content", id_col: str = "doc_id",
+                  store_cols: tuple[str, ...] = (),
+                  with_positions: bool = True) -> dict:
+    """Analyze one Arrow table of documents and write it as a segment.
+
+    Returns the segment meta dict (also persisted as meta.json). The segment
+    directory is written to ``<segments_root>/<seg_name>.tmp`` and atomically
+    renamed — a crashed write never yields a half-visible segment (the
+    pending_segments_N → rename discipline of IndexWriter.java:2767-2928).
+    """
+    doc_ids = np.asarray(table[id_col].combine_chunks()
+                         if isinstance(table[id_col], pa.ChunkedArray)
+                         else table[id_col], dtype=np.int64)
+    if len(np.unique(doc_ids)) != len(doc_ids):
+        raise ValueError("duplicate doc_id within a segment")
+
+    analyzed = analyze_batch(table[content_col])
+    dl = analyzed.doc_lengths
+    norms = encode_norm(dl.astype(np.float64))
+
+    order = np.argsort(doc_ids, kind="stable")
+    sorted_ids = doc_ids[order]
+    sorted_norms = norms[order]
+
+    doc_ids_flat = doc_ids[analyzed.doc_idx]
+    postings, pstats = build_postings_table(
+        doc_ids_flat, analyzed.terms, analyzed.positions,
+        sorted_ids, sorted_norms, with_positions=with_positions)
+
+    docs_cols = {
+        "doc_id": pa.array(sorted_ids, type=pa.int64()),
+        "dl": pa.array(dl[order], type=pa.int64()),
+        "norm": pa.array(sorted_norms, type=pa.uint8()),
+        "sha256": sha256_hex_column(table[content_col]).take(pa.array(order)),
+    }
+    for c in store_cols:
+        col = table[c]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        docs_cols[c] = col.take(pa.array(order))
+    docs_table = pa.table(docs_cols)
+
+    meta = {
+        "segment": seg_name,
+        "num_docs": int(len(doc_ids)),
+        "sum_dl": int(dl.sum()),
+        "num_terms": pstats["num_terms"],
+        "num_postings": pstats.get("num_postings", 0),
+        "with_positions": with_positions,
+        "min_doc_id": int(sorted_ids[0]) if len(sorted_ids) else None,
+        "max_doc_id": int(sorted_ids[-1]) if len(sorted_ids) else None,
+    }
+
+    tmp = os.path.join(segments_root, seg_name + ".tmp")
+    final = os.path.join(segments_root, seg_name)
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(postings, os.path.join(tmp, POSTINGS_FILE),
+                   row_group_size=4096)
+    pq.write_table(docs_table, os.path.join(tmp, DOCS_FILE),
+                   row_group_size=65536)
+    with open(os.path.join(tmp, META_FILE), "w") as f:
+        json.dump(meta, f)
+    if os.path.exists(final):
+        import shutil
+        shutil.rmtree(final)
+    os.rename(tmp, final)
+    return meta

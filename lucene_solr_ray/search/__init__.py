@@ -1,3 +1,5 @@
+from .oracle import ExhaustiveOracle
+from .searcher import IndexSearcher, SegmentReader, topk_merge
 from .bm25 import (
     B_DEFAULT,
     K1_DEFAULT,

@@ -1,0 +1,144 @@
+"""Exhaustive in-memory oracle for rank-identity tests.
+
+An independent, naive implementation (Python dicts, per-doc loops) of the
+same query semantics the engine implements — the control side of a
+distributed-vs-control diff (reference test style:
+solr/test-framework/.../BaseDistributedSearchTestCase.java:607-629,
+TestTopDocsMerge.java). Shares ONLY the tokenizer spec and the float32
+primitives (SmallFloat table, idf), not the engine's index structures or
+vectorized kernels.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..analysis.analyzer import tokenize
+from ..index.smallfloat import NORM_TABLE, encode_norm
+from .bm25 import idf_exact64, idf_float32
+
+
+class ExhaustiveOracle:
+    def __init__(self, doc_ids: list[int], texts: list[str], *,
+                 k1: float = 1.2, b: float = 0.75):
+        self.k1, self.b = k1, b
+        self.docs: dict[int, dict] = {}
+        for did, text in zip(doc_ids, texts):
+            toks = tokenize(text)
+            tfs: dict[str, int] = {}
+            pos: dict[str, list[int]] = {}
+            for (t, p, _, _) in toks:
+                tfs[t] = tfs.get(t, 0) + 1
+                pos.setdefault(t, []).append(p)
+            self.docs[did] = {"tf": tfs, "pos": pos, "dl": len(toks),
+                              "norm": int(encode_norm(len(toks))[0])}
+        self.N = len(self.docs)
+        self.sum_dl = sum(d["dl"] for d in self.docs.values())
+        self.df: dict[str, int] = {}
+        for d in self.docs.values():
+            for t in d["tf"]:
+                self.df[t] = self.df.get(t, 0) + 1
+
+    # ---- float32 Lucene scoring, computed scalar-by-scalar ----
+    def _score32(self, tf: int, norm_byte: int, idf: np.float32) -> np.float32:
+        k1 = np.float32(self.k1)
+        b = np.float32(self.b)
+        avgdl = np.float32(self.sum_dl / float(self.N))
+        cache = k1 * ((np.float32(1.0) - b) + b * NORM_TABLE[norm_byte] / avgdl)
+        w = (idf * np.float32(1.0)) * (k1 + np.float32(1.0))
+        tf32 = np.float32(tf)
+        return np.float32(w * tf32 / (tf32 + cache))
+
+    def _score64(self, tf: float, dl: int, idf: float) -> float:
+        k1, b = self.k1, self.b
+        avgdl = self.sum_dl / self.N
+        return idf * (tf * (k1 + 1)) / (tf + k1 * ((1 - b) + (b * dl) / avgdl))
+
+    def _topk(self, scored: dict[int, float], k: int):
+        items = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return [(d, s) for d, s in items]
+
+    def search_term(self, term: str, k: int = 10, mode: str = "lucene32"):
+        df = self.df.get(term, 0)
+        if df == 0:
+            return []
+        scored = {}
+        for did, d in self.docs.items():
+            tf = d["tf"].get(term)
+            if tf:
+                if mode == "lucene32":
+                    idf = idf_float32(df, self.N)
+                    scored[did] = float(self._score32(tf, d["norm"], idf))
+                else:
+                    scored[did] = self._score64(tf, d["dl"], idf_exact64(df, self.N))
+        return self._topk(scored, k)
+
+    def search_bool(self, *, must=(), should=(), must_not=(),
+                    min_should_match: int = 0, k: int = 10,
+                    mode: str = "lucene32"):
+        scoring = list(must) + list(should)
+        scored = {}
+        for did, d in self.docs.items():
+            if any(t not in d["tf"] for t in must):
+                continue
+            n_should = sum(1 for t in should if t in d["tf"])
+            if not must and n_should == 0:
+                continue
+            if should and min_should_match > 0 and n_should < min_should_match:
+                continue
+            if any(t in d["tf"] for t in must_not):
+                continue
+            acc = 0.0
+            for t in scoring:
+                tf = d["tf"].get(t)
+                if not tf:
+                    continue
+                df = self.df[t]
+                if mode == "lucene32":
+                    acc += float(self._score32(tf, d["norm"], idf_float32(df, self.N)))
+                else:
+                    acc += self._score64(tf, d["dl"], idf_exact64(df, self.N))
+            scored[did] = float(np.float32(acc)) if mode == "lucene32" else acc
+        return self._topk(scored, k)
+
+    def search_phrase(self, terms: list[str], k: int = 10,
+                      mode: str = "lucene32"):
+        if any(self.df.get(t, 0) == 0 for t in terms):
+            return []
+        if mode == "lucene32":
+            idf = np.float32(0.0)
+            for t in terms:
+                idf = np.float32(idf + idf_float32(self.df[t], self.N))
+        else:
+            idf = sum(idf_exact64(self.df[t], self.N) for t in terms)
+        scored = {}
+        for did, d in self.docs.items():
+            if any(t not in d["pos"] for t in terms):
+                continue
+            base = set(d["pos"][terms[0]])
+            for off, t in enumerate(terms[1:], start=1):
+                base &= {p - off for p in d["pos"][t]}
+            pf = len(base)
+            if pf == 0:
+                continue
+            if mode == "lucene32":
+                scored[did] = float(self._score32(pf, d["norm"], np.float32(idf)))
+            else:
+                scored[did] = self._score64(pf, d["dl"], float(idf))
+        return self._topk(scored, k)
+
+    def search(self, query: dict, k: int = 10, mode: str = "lucene32"):
+        qt = query["type"]
+        if qt == "term":
+            return self.search_term(query["term"], k, mode)
+        if qt == "bool":
+            return self.search_bool(
+                must=query.get("must", []), should=query.get("should", []),
+                must_not=query.get("must_not", []),
+                min_should_match=query.get("min_should_match", 0),
+                k=k, mode=mode)
+        if qt == "phrase":
+            return self.search_phrase(query["terms"], k, mode)
+        raise ValueError(qt)

@@ -1,0 +1,317 @@
+"""Query engine: per-segment posting-list algebra + distributed top-k.
+
+Mirrors the reference's query execution (core:search/IndexSearcher.java:411):
+- Weights are built from GLOBAL statistics aggregated across segments before
+  scoring (TermQuery.java:63-73 pulls searcher-level collectionStatistics /
+  termStatistics; distributed analogue: solr:search/stats/ExactStatsCache.java:55-94).
+- Per-segment scorers walk postings (TermScorer.java:64-85) — here decoded
+  into numpy arrays and scored vectorized.
+- Boolean algebra: conjunction = sorted-array intersection
+  (ConjunctionDISI.java:33-84), disjunction = union with per-doc clause
+  accumulation (BooleanScorer.java:32-147), minShouldMatch = presence-count
+  filter (MinShouldMatchSumScorer.java:38-86), MUST_NOT = difference
+  (ReqExclScorer.java). Clause scores accumulate in double and cast to
+  float32 (ConjunctionScorer/DisjunctionSumScorer contract).
+- Phrase = conjunction + position-delta verification; freq = number of
+  phrase occurrences, scored with phraseFreq (ExactPhraseScorer.java:27-84);
+  the phrase weight's idf is the SUM of per-term idfs
+  (BM25Similarity.idfExplain for multiple terms).
+- Top-k: per-segment heaps merged by (score desc, doc_id asc) — the
+  HitQueue.java:76-81 tie-break with content-derived doc ids standing in
+  for (shardIndex, hitIndex) of TopDocs.merge (TopDocs.java:199-208).
+
+Scoring modes:
+- ``lucene32`` — bit-faithful Lucene 6.0 float32 BM25 with SmallFloat
+  norm quantization (the engine default).
+- ``exact64``  — unquantized float64 BM25 (documented evaluation order)
+  whose results are reproducible in ANSI SQL; used by the DuckDB
+  correctness oracle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..index.encode import decode_postings
+from ..index.manifest import load_manifest
+from ..index.segment import DOCS_FILE, META_FILE, POSTINGS_FILE
+from .bm25 import BM25Float32, idf_exact64, idf_float32
+
+POSTING_COLS = ["term", "df", "ttf", "doc_data", "tf_data", "norm_data"]
+POSTING_COLS_POS = POSTING_COLS + ["pos_data"]
+
+
+class SegmentReader:
+    """Lazy reader over one segment directory (mmap'd parquet reads with
+    term-predicate pushdown onto the sorted term column)."""
+
+    def __init__(self, seg_dir: str):
+        self.seg_dir = seg_dir
+        with open(os.path.join(seg_dir, META_FILE)) as f:
+            self.meta = json.load(f)
+        self._dl = None  # (sorted doc_ids, dls)
+
+    def term_rows(self, terms: list[str], *, positions: bool = False) -> dict[str, dict]:
+        cols = POSTING_COLS_POS if positions else POSTING_COLS
+        tbl = pq.read_table(
+            os.path.join(self.seg_dir, POSTINGS_FILE), columns=cols,
+            filters=pc.field("term").isin(terms), memory_map=True)
+        out = {}
+        for i in range(tbl.num_rows):
+            row = {c: tbl[c][i].as_py() for c in cols}
+            out[row["term"]] = row
+        return out
+
+    def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        tbl = pq.read_table(
+            os.path.join(self.seg_dir, POSTINGS_FILE),
+            columns=["term", "df", "ttf"],
+            filters=pc.field("term").isin(terms), memory_map=True)
+        return {t: (d, f) for t, d, f in
+                zip(tbl["term"].to_pylist(), tbl["df"].to_pylist(),
+                    tbl["ttf"].to_pylist())}
+
+    def doc_lengths(self) -> tuple[np.ndarray, np.ndarray]:
+        if self._dl is None:
+            t = pq.read_table(os.path.join(self.seg_dir, DOCS_FILE),
+                              columns=["doc_id", "dl"], memory_map=True)
+            self._dl = (np.asarray(t["doc_id"], dtype=np.int64),
+                        np.asarray(t["dl"], dtype=np.int64))
+        return self._dl
+
+
+def topk_merge(doc_ids: np.ndarray, scores: np.ndarray, k: int):
+    """Top-k by (score desc, doc_id asc) — HitQueue/TopDocs.merge ordering."""
+    n = len(doc_ids)
+    if n == 0:
+        return doc_ids[:0], scores[:0]
+    if n > k:
+        # tie-safe pre-cut: keep EVERY candidate scoring >= the k-th largest
+        # score, so doc_id tie-breaking at the boundary stays exact
+        kth = np.partition(scores, n - k)[n - k]
+        keep = scores >= kth
+        doc_ids, scores = doc_ids[keep], scores[keep]
+    order = np.lexsort((doc_ids, -scores.astype(np.float64)))[:k]
+    return doc_ids[order], scores[order]
+
+
+class IndexSearcher:
+    """Single-process searcher over all segments of an index directory."""
+
+    def __init__(self, index_dir: str, *, mode: str = "lucene32",
+                 k1: float = 1.2, b: float = 0.75):
+        self.index_dir = index_dir
+        self.manifest = load_manifest(index_dir)
+        self.mode = mode
+        self.k1, self.b = k1, b
+        root = os.path.join(index_dir, "segments")
+        self.segments = [SegmentReader(os.path.join(root, s["segment"]))
+                         for s in self.manifest["segments"]]
+        self.num_docs = self.manifest["num_docs"]
+        self.sum_dl = self.manifest["sum_dl"]
+        if mode == "lucene32":
+            self.sim = BM25Float32(self.num_docs, self.sum_dl, k1=k1, b=b)
+        self.avgdl64 = self.sum_dl / self.num_docs if self.num_docs else 1.0
+
+    # ---- global stats (ExactStatsCache analogue) ----
+    def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        agg: dict[str, list[int]] = {t: [0, 0] for t in terms}
+        for seg in self.segments:
+            for t, (df, ttf) in seg.term_stats(terms).items():
+                agg[t][0] += df
+                agg[t][1] += ttf
+        return {t: (v[0], v[1]) for t, v in agg.items()}
+
+    # ---- per-clause scoring ----
+    def _clause_postings(self, seg: SegmentReader, rows: dict, term: str,
+                         positions: bool = False):
+        row = rows.get(term)
+        if row is None:
+            return None
+        return decode_postings(row, with_positions=positions)
+
+    def _score_arrays(self, seg: SegmentReader, docs, tfs, norms, df_global: int,
+                      tf_override: np.ndarray | None = None,
+                      idf_override: float | None = None) -> np.ndarray:
+        tf = tf_override if tf_override is not None else tfs
+        if self.mode == "lucene32":
+            if idf_override is not None:
+                w = (np.float32(idf_override)) * (np.float32(self.k1) + np.float32(1.0))
+                tf32 = tf.astype(np.float32)
+                norm = self.sim.cache[np.asarray(norms, dtype=np.int64)]
+                return (w * tf32 / (tf32 + norm)).astype(np.float32)
+            return self.sim.score_term(tf, norms, df_global)
+        # exact64: dl from the docs table
+        ids, dls = seg.doc_lengths()
+        dl = dls[np.searchsorted(ids, docs)]
+        idf = idf_override if idf_override is not None else idf_exact64(df_global, self.num_docs)
+        tf64 = tf.astype(np.float64)
+        dl64 = dl.astype(np.float64)
+        k1, b = self.k1, self.b
+        return idf * (tf64 * (k1 + 1)) / (tf64 + k1 * ((1 - b) + (b * dl64) / self.avgdl64))
+
+    # ---- queries ----
+    def search_term(self, term: str, k: int = 10) -> pa.Table:
+        stats = self.term_stats([term])
+        df_g = stats[term][0]
+        all_docs, all_scores = [], []
+        if df_g > 0:
+            for seg in self.segments:
+                rows = seg.term_rows([term])
+                p = self._clause_postings(seg, rows, term)
+                if p is None:
+                    continue
+                docs, tfs, norms = p
+                scores = self._score_arrays(seg, docs, tfs, norms, df_g)
+                d, s = topk_merge(docs, scores, k)
+                all_docs.append(d)
+                all_scores.append(s)
+        return self._finalize(all_docs, all_scores, k)
+
+    def search_bool(self, *, must: list[str] = (), should: list[str] = (),
+                    must_not: list[str] = (), min_should_match: int = 0,
+                    k: int = 10) -> pa.Table:
+        must, should, must_not = list(must), list(should), list(must_not)
+        scoring_terms = must + should
+        stats = self.term_stats(scoring_terms + must_not)
+        all_docs, all_scores = [], []
+        for seg in self.segments:
+            rows = seg.term_rows(scoring_terms + must_not)
+            # gather clause postings
+            clause = {}
+            for t in scoring_terms + must_not:
+                p = self._clause_postings(seg, rows, t)
+                if p is not None:
+                    clause[t] = p
+            # candidate docs
+            if must:
+                if any(t not in clause for t in must):
+                    continue
+                cand = clause[must[0]][0]
+                for t in must[1:]:
+                    cand = np.intersect1d(cand, clause[t][0], assume_unique=True)
+            else:
+                arrays = [clause[t][0] for t in should if t in clause]
+                if not arrays:
+                    continue
+                cand = np.unique(np.concatenate(arrays))
+            if len(cand) == 0:
+                continue
+            if should and min_should_match > 0:
+                cnt = np.zeros(len(cand), dtype=np.int64)
+                for t in should:
+                    if t in clause:
+                        cnt += np.isin(cand, clause[t][0], assume_unique=True)
+                cand = cand[cnt >= min_should_match]
+            for t in must_not:
+                if t in clause:
+                    cand = cand[~np.isin(cand, clause[t][0], assume_unique=True)]
+            if len(cand) == 0:
+                continue
+            # accumulate clause scores in declared order, double accumulator
+            acc = np.zeros(len(cand), dtype=np.float64)
+            for t in scoring_terms:
+                if t not in clause:
+                    continue
+                docs, tfs, norms = clause[t]
+                pos_in_clause = np.searchsorted(docs, cand)
+                pos_in_clause = np.clip(pos_in_clause, 0, len(docs) - 1)
+                present = docs[pos_in_clause] == cand
+                idx = pos_in_clause[present]
+                s = self._score_arrays(seg, docs[idx], tfs[idx], norms[idx],
+                                       stats[t][0])
+                acc[present] += s.astype(np.float64)
+            scores = acc.astype(np.float32) if self.mode == "lucene32" else acc
+            d, s = topk_merge(cand, scores, k)
+            all_docs.append(d)
+            all_scores.append(s)
+        return self._finalize(all_docs, all_scores, k)
+
+    def search_phrase(self, terms: list[str], k: int = 10) -> pa.Table:
+        stats = self.term_stats(terms)
+        if any(stats[t][0] == 0 for t in terms):
+            return self._finalize([], [], k)
+        # phrase idf = sum of per-term idfs, accumulated in float32 step by
+        # step (BM25Similarity.idfExplain)
+        if self.mode == "lucene32":
+            idf = np.float32(0.0)
+            for t in terms:
+                idf = np.float32(idf + idf_float32(stats[t][0], self.num_docs))
+        else:
+            idf = sum(idf_exact64(stats[t][0], self.num_docs) for t in terms)
+        all_docs, all_scores = [], []
+        for seg in self.segments:
+            rows = seg.term_rows(terms, positions=True)
+            posting = {}
+            for t in terms:
+                p = self._clause_postings(seg, rows, t, positions=True)
+                if p is not None:
+                    posting[t] = p
+            if any(t not in posting for t in terms):
+                continue
+            cand = posting[terms[0]][0]
+            for t in terms[1:]:
+                cand = np.intersect1d(cand, posting[t][0], assume_unique=True)
+            if len(cand) == 0:
+                continue
+            pf = np.zeros(len(cand), dtype=np.int64)
+            norms_c = np.zeros(len(cand), dtype=np.uint8)
+            for ci, d in enumerate(cand):
+                common = None
+                for off, t in enumerate(terms):
+                    docs, tfs, norms, pos = posting[t]
+                    j = int(np.searchsorted(docs, d))
+                    starts = np.concatenate(([0], np.cumsum(tfs)))
+                    p_doc = pos[starts[j]:starts[j + 1]] - off
+                    common = p_doc if common is None else \
+                        np.intersect1d(common, p_doc, assume_unique=True)
+                    if off == 0:
+                        norms_c[ci] = norms[j]
+                    if len(common) == 0:
+                        break
+                pf[ci] = len(common)
+            hit = pf > 0
+            cand, pf, norms_c = cand[hit], pf[hit], norms_c[hit]
+            if len(cand) == 0:
+                continue
+            scores = self._score_arrays(None if self.mode == "lucene32" else seg,
+                                        cand, pf, norms_c, 0,
+                                        tf_override=pf, idf_override=float(idf))
+            d, s = topk_merge(cand, scores, k)
+            all_docs.append(d)
+            all_scores.append(s)
+        return self._finalize(all_docs, all_scores, k)
+
+    def search(self, query: dict, k: int = 10) -> pa.Table:
+        qt = query["type"]
+        if qt == "term":
+            return self.search_term(query["term"], k)
+        if qt == "bool":
+            return self.search_bool(
+                must=query.get("must", []), should=query.get("should", []),
+                must_not=query.get("must_not", []),
+                min_should_match=query.get("min_should_match", 0), k=k)
+        if qt == "phrase":
+            return self.search_phrase(query["terms"], k)
+        raise ValueError(f"unknown query type {qt}")
+
+    def _finalize(self, all_docs, all_scores, k: int) -> pa.Table:
+        if all_docs:
+            docs = np.concatenate(all_docs)
+            scores = np.concatenate(all_scores)
+            d, s = topk_merge(docs, scores, k)
+        else:
+            d = np.empty(0, dtype=np.int64)
+            s = np.empty(0, dtype=np.float32 if self.mode == "lucene32" else np.float64)
+        score_type = pa.float32() if self.mode == "lucene32" else pa.float64()
+        return pa.table({
+            "doc_id": pa.array(d, type=pa.int64()),
+            "score": pa.array(s, type=score_type),
+            "rank": pa.array(np.arange(1, len(d) + 1), type=pa.int64()),
+        })

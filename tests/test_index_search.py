@@ -1,0 +1,144 @@
+"""End-to-end: build index via Ray Data, search, diff against the exhaustive
+oracle (the distributed-vs-control discipline of
+BaseDistributedSearchTestCase / TestTopDocsMerge)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_solr_ray.corpus import corpus_table
+from lucene_solr_ray.index import build_index, load_manifest
+from lucene_solr_ray.search import ExhaustiveOracle, IndexSearcher
+from lucene_solr_ray.analysis import token_terms
+
+N_DOCS = 400
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    t = corpus_table(N_DOCS)
+    from lucene_solr_ray.index.build import add_doc_keys
+
+    return add_doc_keys(t)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return ExhaustiveOracle(corpus["doc_id"].to_pylist(),
+                            corpus["content"].to_pylist())
+
+
+@pytest.fixture(scope="module")
+def index_dir(tmp_path_factory, corpus, ray_session):
+    out = str(tmp_path_factory.mktemp("idx"))
+    build_index(corpus, out, batch_rows=64)  # force many segments
+    return out
+
+
+def _queries(oracle):
+    dfs = sorted(oracle.df.items(), key=lambda kv: (-kv[1], kv[0]))
+    hot = dfs[0][0]
+    mid = dfs[len(dfs) // 3][0]
+    rare = dfs[-1][0]
+    qs = [
+        {"type": "term", "term": hot},
+        {"type": "term", "term": mid},
+        {"type": "term", "term": rare},
+        {"type": "term", "term": "zzz_does_not_exist"},
+        {"type": "bool", "should": [hot, mid], "min_should_match": 0},
+        {"type": "bool", "should": [hot, mid, rare], "min_should_match": 2},
+        {"type": "bool", "must": [hot, mid]},
+        {"type": "bool", "must": [mid], "must_not": [rare]},
+        {"type": "phrase", "terms": [hot, hot]},
+    ]
+    return qs
+
+
+def test_manifest_totals(index_dir, corpus, oracle):
+    m = load_manifest(index_dir)
+    assert m["num_docs"] == N_DOCS
+    assert m["sum_dl"] == oracle.sum_dl
+    assert m["num_segments"] > 1  # small batch_rows → many segments
+
+
+def test_global_term_stats_match_oracle(index_dir, oracle):
+    s = IndexSearcher(index_dir)
+    terms = list(oracle.df)[:50] + ["zzz_does_not_exist"]
+    stats = s.term_stats(terms)
+    for t in terms:
+        assert stats[t][0] == oracle.df.get(t, 0), t
+
+
+@pytest.mark.parametrize("mode", ["lucene32", "exact64"])
+def test_rank_identity_vs_oracle(index_dir, oracle, mode):
+    s = IndexSearcher(index_dir, mode=mode)
+    for q in _queries(oracle):
+        for k in (1, 10, 100):
+            got = s.search(q, k=k)
+            exp = oracle.search(q, k=k, mode=mode)
+            assert got["doc_id"].to_pylist() == [d for d, _ in exp], (q, k)
+            g = np.asarray(got["score"])
+            e = np.array([sc for _, sc in exp],
+                         dtype=np.float32 if mode == "lucene32" else np.float64)
+            if mode == "lucene32":
+                # float32 bit equality
+                assert np.array_equal(g.view(np.int32),
+                                      e.view(np.int32)), (q, k)
+            else:
+                assert np.allclose(g, e, rtol=0, atol=0), (q, k)
+
+
+def test_partitioning_invariance(tmp_path, corpus, oracle, ray_session):
+    """1-segment and many-segment builds give identical stats and top-k
+    (the TestTopDocsMerge property)."""
+    one = str(tmp_path / "one")
+    build_index(corpus, one, batch_rows=10**6)
+    s1 = IndexSearcher(one)
+    m1 = load_manifest(one)
+    assert m1["num_segments"] == 1
+
+    many = str(tmp_path / "many")
+    build_index(corpus, many, batch_rows=37)
+    s2 = IndexSearcher(many)
+
+    for q in _queries(oracle):
+        a = s1.search(q, k=50)
+        b = s2.search(q, k=50)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+        assert np.array_equal(np.asarray(a["score"]).view(np.int32),
+                              np.asarray(b["score"]).view(np.int32)), q
+
+
+def test_lineage_sha256_invariant(index_dir, corpus):
+    """Per-row content sha256 must round-trip through the index
+    (input_hint invariant)."""
+    import hashlib
+    import os
+    import pyarrow.parquet as pq
+
+    root = os.path.join(index_dir, "segments")
+    got = {}
+    for seg in os.listdir(root):
+        t = pq.read_table(os.path.join(root, seg, "docs.parquet"),
+                          columns=["doc_id", "sha256"])
+        got.update(zip(t["doc_id"].to_pylist(), t["sha256"].to_pylist()))
+    assert len(got) == corpus.num_rows
+    for did, content in zip(corpus["doc_id"].to_pylist(),
+                            corpus["content"].to_pylist()):
+        assert got[did] == hashlib.sha256(content.encode()).hexdigest()
+
+
+def test_corpus_determinism():
+    a = corpus_table(150)
+    b = corpus_table(150)
+    assert a.equals(b)
+    # chunked generation == whole generation prefix
+    big = corpus_table(250)
+    assert big.slice(0, 150).equals(a)
+
+
+def test_corpus_has_singletons_and_hot_terms(oracle):
+    dfs = list(oracle.df.values())
+    assert max(dfs) > N_DOCS * 0.5  # hot terms
+    singles = [t for t, d in oracle.df.items() if d == 1]
+    assert len(singles) >= N_DOCS * 0.9  # uniq_<i> markers
