@@ -1,0 +1,1 @@
+from .queries import build_queries, build_oracle_sql, flagship_entry

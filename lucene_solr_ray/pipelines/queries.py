@@ -1,0 +1,348 @@
+"""Driver-facing query registry: Ray pipelines + matching DuckDB oracle SQL.
+
+Each entry runs the REAL engine (Ray Data index build → searcher) over the
+driver's parquet tables and has an ANSI-SQL twin that DuckDB executes over
+the same tables. Fulltext scoring uses the engine's ``exact64`` mode whose
+float64 evaluation order is reproduced verbatim in the SQL (see
+search.bm25.score_exact64); scores are quantized identically on both sides
+(``floor(score*10000+0.5)`` as BIGINT) so value hashes match bit-for-bit.
+
+The tokenizer parity contract (engine `analysis.analyzer` ⟷ SQL
+``regexp_extract_all(lower(text), '[a-z0-9]+')`` + length/stopword filters)
+is tested in tests/test_analyzer.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from ..analysis.stopwords import stopwords_sql_list
+from ..search.bm25 import quantize_score
+
+INDEX_CACHE_ROOT = "/tmp/lsr_index_cache"
+FORMAT_VERSION = 1  # bump when the on-disk index format changes
+
+K1_SQL = "1.2"
+B_SQL = "0.75"
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+# ---------------------------------------------------------------------------
+
+_STOPLIST = stopwords_sql_list()
+
+
+def _tok_ctes(table: str = "documents", text_col: str = "text") -> str:
+    """CTEs: tok (term+position per doc), clean (post-stop), dl, stats.
+    Positions are indices in the pre-stop, post-length-filter stream —
+    identical to the engine's Lucene position semantics."""
+    return f"""
+tok AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(range(len(toks))) AS pos
+  FROM (SELECT doc_id,
+               list_filter(regexp_extract_all(lower({text_col}), '[a-z0-9]+'),
+                           t -> length(t) <= 255) AS toks
+        FROM {table})
+),
+clean AS (SELECT doc_id, term, pos FROM tok WHERE term NOT IN {_STOPLIST}),
+dl AS (SELECT doc_id, count(*) AS dl FROM clean GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM {table}) AS n_docs,
+                 (SELECT count(*) FROM clean) AS sum_dl)
+"""
+
+
+def _bm25_expr(tf: str, dl: str, df: str, n: str = "s.n_docs",
+               sumdl: str = "s.sum_dl") -> str:
+    """The exact64 BM25 expression — same shape/associativity as
+    search.bm25.score_exact64."""
+    return (f"ln(1 + ({n} - {df} + 0.5) / ({df} + 0.5)) "
+            f"* ({tf} * ({K1_SQL} + 1)) "
+            f"/ ({tf} + {K1_SQL} * ((1 - {B_SQL}) + ({B_SQL} * {dl}) "
+            f"/ (CAST({sumdl} AS DOUBLE) / {n})))")
+
+
+_QUANT = "CAST(floor({expr} * 10000 + 0.5) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# index cache
+# ---------------------------------------------------------------------------
+
+_memo: dict[str, str] = {}
+
+
+def documents_index(sf_dir: str) -> str:
+    """Build (once) the fulltext index over <sf_dir>/documents.parquet via
+    the Ray Data pipeline; cached on disk keyed by path + format version."""
+    from ..index.build import build_index
+    from ..index.manifest import load_manifest
+
+    key = hashlib.sha256(f"{sf_dir}|v{FORMAT_VERSION}".encode()).hexdigest()[:12]
+    out = os.path.join(INDEX_CACHE_ROOT, f"docs-{key}")
+    if out in _memo:
+        return out
+    try:
+        load_manifest(out)
+        _memo[out] = out
+        return out
+    except FileNotFoundError:
+        pass
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    build_index(ds, out, content_col="text", batch_rows=256)
+    _memo[out] = out
+    return out
+
+
+def _searcher(sf_dir: str):
+    from ..search.searcher import IndexSearcher
+
+    return IndexSearcher(documents_index(sf_dir), mode="exact64")
+
+
+def _topk_table(result: pa.Table) -> pa.Table:
+    scores = np.asarray(result["score"], dtype=np.float64)
+    return pa.table({
+        "doc_id": result["doc_id"],
+        "score_q": pa.array(quantize_score(scores), type=pa.int64()),
+        "rank": result["rank"],
+    })
+
+
+# ---------------------------------------------------------------------------
+# fulltext query family (engine + SQL twins)
+# ---------------------------------------------------------------------------
+
+def _sql_topk(scored_cte: str, k: int) -> str:
+    return f"""
+SELECT doc_id,
+       {_QUANT.format(expr='score')} AS score_q,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+FROM {scored_cte}
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def ft_term_sql(term: str, k: int) -> str:
+    return f"""
+WITH {_tok_ctes()},
+tf AS (SELECT doc_id, count(*) AS tf FROM clean WHERE term = '{term}'
+       GROUP BY doc_id),
+dfx AS (SELECT count(*) AS df FROM tf),
+scored AS (
+  SELECT tf.doc_id AS doc_id,
+         {_bm25_expr('tf.tf', 'dl.dl', 'dfx.df')} AS score
+  FROM tf JOIN dl USING (doc_id), dfx, stats s
+)
+{_sql_topk('scored', k)}
+"""
+
+
+def ft_bool_sql(must: list[str], should: list[str], must_not: list[str],
+                msm: int, k: int) -> str:
+    scoring = list(must) + list(should)
+    inlist = ", ".join(f"'{t}'" for t in scoring)
+    add_terms = " + ".join(
+        f"COALESCE(max(CASE WHEN term = '{t}' THEN sc END), 0)"
+        for t in scoring)
+    must_cnt = (" AND ".join(
+        f"COALESCE(max(CASE WHEN term = '{t}' THEN 1 END), 0) = 1"
+        for t in must) or "TRUE")
+    should_cnt = ("+".join(
+        f"COALESCE(max(CASE WHEN term = '{t}' THEN 1 END), 0)"
+        for t in should) or "0")
+    notp = ""
+    if must_not:
+        nl = ", ".join(f"'{t}'" for t in must_not)
+        notp = (f"AND doc_id NOT IN (SELECT DISTINCT doc_id FROM clean "
+                f"WHERE term IN ({nl}))")
+    msm_pred = f"AND ({should_cnt}) >= {msm}" if (should and msm > 0) else ""
+    return f"""
+WITH {_tok_ctes()},
+per AS (SELECT doc_id, term, count(*) AS tf FROM clean
+        WHERE term IN ({inlist}) GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM per GROUP BY term),
+cs AS (SELECT per.doc_id, per.term,
+              {_bm25_expr('per.tf', 'dl.dl', 'dfs.df')} AS sc
+       FROM per JOIN dfs USING (term) JOIN dl USING (doc_id), stats s),
+scored AS (
+  SELECT doc_id, {add_terms} AS score
+  FROM cs
+  GROUP BY doc_id
+  HAVING {must_cnt} {msm_pred}
+),
+scored2 AS (SELECT * FROM scored WHERE TRUE {notp})
+{_sql_topk('scored2', k)}
+"""
+
+
+def ft_phrase_sql(t1: str, t2: str, k: int) -> str:
+    return f"""
+WITH {_tok_ctes()},
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM clean
+        WHERE term IN ('{t1}', '{t2}') GROUP BY term),
+pf AS (SELECT a.doc_id, count(*) AS pf
+       FROM clean a JOIN clean b
+         ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       WHERE a.term = '{t1}' AND b.term = '{t2}'
+       GROUP BY a.doc_id),
+idf AS (SELECT ln(1 + (s.n_docs - d1.df + 0.5) / (d1.df + 0.5))
+             + ln(1 + (s.n_docs - d2.df + 0.5) / (d2.df + 0.5)) AS v
+        FROM stats s,
+             (SELECT df FROM dfs WHERE term = '{t1}') d1,
+             (SELECT df FROM dfs WHERE term = '{t2}') d2),
+scored AS (
+  SELECT pf.doc_id AS doc_id,
+         idf.v * (pf.pf * ({K1_SQL} + 1))
+           / (pf.pf + {K1_SQL} * ((1 - {B_SQL}) + ({B_SQL} * dl.dl)
+              / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))) AS score
+  FROM pf JOIN dl USING (doc_id), idf, stats s
+)
+{_sql_topk('scored', k)}
+"""
+
+
+def ft_term_stats_sql(terms: list[str]) -> str:
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_tok_ctes()}
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+FROM clean WHERE term IN ({inlist})
+GROUP BY term ORDER BY term
+"""
+
+
+def ft_collection_stats_sql() -> str:
+    return f"""
+WITH {_tok_ctes()}
+SELECT n_docs, sum_dl FROM stats
+"""
+
+
+def ft_top_terms_sql(n: int) -> str:
+    return f"""
+WITH {_tok_ctes()}
+SELECT term, count(DISTINCT doc_id) AS df
+FROM clean GROUP BY term
+ORDER BY df DESC, term ASC LIMIT {n}
+"""
+
+
+# ---------------------------------------------------------------------------
+# engine callables
+# ---------------------------------------------------------------------------
+
+HOT, HOT2, MID, RARE, ABSENT = "table", "customer", "vector", "dup", "zzzmissing"
+STATS_TERMS = ["table", "customer", "vector", "dup", "stream", "window"]
+
+
+def _q_term(term, k=10):
+    def run(sf_dir):
+        return _topk_table(_searcher(sf_dir).search(
+            {"type": "term", "term": term}, k=k))
+    return run
+
+
+def _q_bool(must=(), should=(), must_not=(), msm=0, k=10):
+    def run(sf_dir):
+        return _topk_table(_searcher(sf_dir).search(
+            {"type": "bool", "must": list(must), "should": list(should),
+             "must_not": list(must_not), "min_should_match": msm}, k=k))
+    return run
+
+
+def _q_phrase(t1, t2, k=10):
+    def run(sf_dir):
+        return _topk_table(_searcher(sf_dir).search(
+            {"type": "phrase", "terms": [t1, t2]}, k=k))
+    return run
+
+
+def _q_term_stats(terms):
+    def run(sf_dir):
+        s = _searcher(sf_dir)
+        st = s.term_stats(terms)
+        rows = sorted((t, v[0], v[1]) for t, v in st.items() if v[0] > 0)
+        return pa.table({
+            "term": pa.array([r[0] for r in rows], type=pa.string()),
+            "df": pa.array([r[1] for r in rows], type=pa.int64()),
+            "ttf": pa.array([r[2] for r in rows], type=pa.int64()),
+        })
+    return run
+
+
+def _q_collection_stats():
+    def run(sf_dir):
+        s = _searcher(sf_dir)
+        return pa.table({"n_docs": pa.array([s.num_docs], type=pa.int64()),
+                         "sum_dl": pa.array([s.sum_dl], type=pa.int64())})
+    return run
+
+
+def _q_top_terms(n=20):
+    def run(sf_dir):
+        """HighFreqTerms analogue as a Ray Data pipeline over segment term
+        dictionaries (lucene/misc/.../HighFreqTerms.java): read only
+        (term, df) columns, partial-aggregate per segment file, then a tiny
+        groupby-sum + sort + limit."""
+        import glob
+
+        import ray.data as rd
+
+        idx = documents_index(sf_dir)
+        files = glob.glob(os.path.join(idx, "segments", "*", "postings.parquet"))
+        ds = rd.read_parquet(files, columns=["term", "df"])
+        agg = ds.groupby("term").sum("df")
+        out = agg.sort(["sum(df)", "term"], descending=[True, False]).limit(n)
+        t = out.to_pandas()
+        return pa.table({"term": pa.array(t["term"], type=pa.string()),
+                         "df": pa.array(t["sum(df)"], type=pa.int64())})
+    return run
+
+
+def build_queries() -> dict:
+    return {
+        "ft_term_hot": _q_term(HOT),
+        "ft_term_mid": _q_term(MID),
+        "ft_term_rare": _q_term(RARE, k=100),
+        "ft_bool_and": _q_bool(must=[HOT, HOT2]),
+        "ft_bool_or_msm": _q_bool(should=[HOT, MID, RARE], msm=2),
+        "ft_bool_not": _q_bool(must=[MID], must_not=[RARE]),
+        "ft_phrase": _q_phrase("fast", "table"),
+        "ft_term_stats": _q_term_stats(STATS_TERMS),
+        "ft_collection_stats": _q_collection_stats(),
+        "ft_top_terms": _q_top_terms(20),
+    }
+
+
+def build_oracle_sql() -> dict:
+    return {
+        "ft_term_hot": ft_term_sql(HOT, 10),
+        "ft_term_mid": ft_term_sql(MID, 10),
+        "ft_term_rare": ft_term_sql(RARE, 100),
+        "ft_bool_and": ft_bool_sql([HOT, HOT2], [], [], 0, 10),
+        "ft_bool_or_msm": ft_bool_sql([], [HOT, MID, RARE], [], 2, 10),
+        "ft_bool_not": ft_bool_sql([MID], [], [RARE], 0, 10),
+        "ft_phrase": ft_phrase_sql("fast", "table", 10),
+        "ft_term_stats": ft_term_stats_sql(STATS_TERMS),
+        "ft_collection_stats": ft_collection_stats_sql(),
+        "ft_top_terms": ft_top_terms_sql(20),
+    }
+
+
+def flagship_entry():
+    """Flagship pipeline on sf0.001: build the fulltext index via Ray Data,
+    run a representative query mix, return the merged top-k table."""
+    sf = "/root/testdata/sf0.001"
+    tables = []
+    for name in ("ft_term_hot", "ft_bool_and", "ft_phrase"):
+        t = build_queries()[name](sf)
+        tables.append(t.append_column("query", pa.array([name] * t.num_rows)))
+    return pa.concat_tables(tables)

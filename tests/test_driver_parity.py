@@ -1,0 +1,79 @@
+"""Replicates the driver's correctness gate: run every queries() entry at
+sf0.01 and diff against its oracle_sql() twin in DuckDB — row count, column
+names, and order-insensitive values."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def _to_df(x) -> pd.DataFrame:
+    if isinstance(x, pa.Table):
+        return x.to_pandas()
+    if isinstance(x, pd.DataFrame):
+        return x
+    return x.to_pandas()  # ray Dataset
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def _compare(name, engine_df, sql_df):
+    assert sorted(engine_df.columns) == sorted(sql_df.columns), \
+        (name, engine_df.columns, sql_df.columns)
+    assert len(engine_df) == len(sql_df), \
+        (name, len(engine_df), len(sql_df))
+    a, b = _canon(engine_df), _canon(sql_df)
+    for col in a.columns:
+        av, bv = a[col].tolist(), b[col].tolist()
+        if a[col].dtype.kind == "f":
+            for x, y in zip(av, bv):
+                assert (math.isnan(x) and math.isnan(y)) or x == y, \
+                    (name, col, x, y)
+        else:
+            assert av == bv, (name, col, av[:5], bv[:5])
+
+
+def _pairs():
+    import __ray_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    assert set(o) <= set(q)
+    return q, o
+
+
+def test_all_queries_have_oracles_or_are_documented():
+    q, o = _pairs()
+    assert len(q) >= 10
+
+
+@pytest.mark.parametrize("name", [
+    "ft_term_hot", "ft_term_mid", "ft_term_rare", "ft_bool_and",
+    "ft_bool_or_msm", "ft_bool_not", "ft_phrase", "ft_term_stats",
+    "ft_collection_stats", "ft_top_terms",
+])
+def test_query_matches_oracle(name, con, ray_session):
+    q, o = _pairs()
+    engine_df = _to_df(q[name](SF_DIR))
+    sql_df = con.execute(o[name]).fetchdf()
+    _compare(name, engine_df, sql_df)
