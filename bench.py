@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Headline benchmark: fulltext index build + BM25 query latency.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, ...extras}
+
+Inputs: $GRAFT_SF_DIR (default /root/testdata/sf0.1) for the documents
+table; a deterministic synthetic source-code corpus (corpus.py, seed=42)
+cached under /tmp for the build-throughput job.
+
+--scaling: runs the same bench in two fresh processes at num_cpus=8 and 32
+and reports both throughputs + scaling efficiency (the N→4N two-cluster
+criterion evidenced at two parallelism levels; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+CORPUS_ROWS = int(os.environ.get("LSR_BENCH_CORPUS_ROWS", "100000"))
+CORPUS_DIR = f"/tmp/lsr_bench_corpus_{CORPUS_ROWS}"
+QUERY_REPEATS = int(os.environ.get("LSR_BENCH_QUERY_REPEATS", "20"))
+
+
+def _ensure_corpus():
+    import glob
+
+    if glob.glob(os.path.join(CORPUS_DIR, "*.parquet")):
+        return
+    from lucene_solr_ray.corpus import write_corpus
+
+    tmp = CORPUS_DIR + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_corpus(tmp, CORPUS_ROWS)
+    os.rename(tmp, CORPUS_DIR)
+
+
+def run_bench() -> dict:
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from lucene_solr_ray.util import export_allocator_env, tune_allocator
+
+    export_allocator_env()  # workers inherit; see util.py
+    tune_allocator()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import ray.data as rd
+
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.search.searcher import IndexSearcher
+
+    results: dict[str, float] = {}
+
+    # ---------- build throughput over the synthetic code corpus ----------
+    _ensure_corpus()
+    # warm the page cache (untimed) so we measure compute+shuffle, not
+    # first-touch disk reads
+    rd.read_parquet(CORPUS_DIR).count()
+
+    idx_dir = f"/tmp/lsr_bench_index_{num_cpus}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    manifest = build_index(
+        rd.read_parquet(CORPUS_DIR), idx_dir,
+        content_col="content", derive_doc_keys=True,
+        batch_rows=4096)
+    build_sec = time.perf_counter() - t0
+    n_docs = manifest["num_docs"]
+    results["build_corpus"] = round(build_sec, 3)
+
+    # ---------- query latency over the built corpus index ----------
+    s = IndexSearcher(idx_dir)
+    qset = {
+        "q_term_hot": {"type": "term", "term": "data"},
+        "q_term_mid": {"type": "term", "term": "runmergeflush"},
+        "q_term_rare": {"type": "term", "term": "queryscore"},
+        "q_bool_and": {"type": "bool", "must": ["data", "query"]},
+        "q_bool_or": {"type": "bool", "should": ["merge", "flush", "score"],
+                      "min_should_match": 2},
+        "q_phrase": {"type": "phrase", "terms": ["quick", "brown"]},
+    }
+    lat: dict[str, list[float]] = {k: [] for k in qset}
+    for _ in range(QUERY_REPEATS):
+        for name, q in qset.items():
+            t = time.perf_counter()
+            s.search(q, k=10)
+            lat[name].append(time.perf_counter() - t)
+    import numpy as np
+
+    for name, xs in lat.items():
+        results[name] = round(float(np.percentile(xs, 50)), 4)
+    all_lat = np.concatenate([np.array(v) for v in lat.values()])
+    p50 = float(np.percentile(all_lat, 50))
+    p99 = float(np.percentile(all_lat, 99))
+
+    # ---------- documents-table pipeline at the requested sf ----------
+    docs_idx = f"/tmp/lsr_bench_docs_idx_{num_cpus}"
+    shutil.rmtree(docs_idx, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_index(rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                columns=["doc_id", "text"]),
+                docs_idx, content_col="text", batch_rows=1024)
+    results["build_documents"] = round(time.perf_counter() - t0, 3)
+
+    headline = build_sec
+    out = {
+        "metric": "fulltext index build + BM25 query (headline: corpus build sec)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": results,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "corpus_rows": n_docs,
+        "files_per_sec": round(n_docs / build_sec, 1),
+        "query_p50_ms": round(p50 * 1000, 2),
+        "query_p99_ms": round(p99 * 1000, 2),
+    }
+    return out
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    thr_lo = r_lo["files_per_sec"]
+    thr_hi = r_hi["files_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (files/sec at 8 vs 32 cpus)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "cpus_lo": lo, "cpus_hi": hi,
+        "files_per_sec_lo": thr_lo, "files_per_sec_hi": thr_hi,
+        "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+        "corpus_rows": r_lo["corpus_rows"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        res = run_bench()
+        print(json.dumps(res))
+        import ray
+
+        ray.shutdown()

@@ -64,6 +64,9 @@ class SegmentWriterStage:
     def __init__(self, segments_root: str, *, content_col: str = "content",
                  id_col: str = "doc_id", store_cols: tuple[str, ...] = (),
                  with_positions: bool = True):
+        from ..util import tune_allocator
+
+        tune_allocator()  # keep pages resident; see util.py
         self.segments_root = segments_root
         self.content_col = content_col
         self.id_col = id_col
@@ -165,6 +168,9 @@ class PartitionBuilder:
     def __init__(self, segments_root: str, *, content_col: str = "content",
                  id_col: str = "doc_id", store_cols: tuple[str, ...] = (),
                  with_positions: bool = True, derive_doc_keys: bool = False):
+        from ..util import tune_allocator
+
+        tune_allocator()
         self.segments_root = segments_root
         self.content_col = content_col
         self.id_col = id_col

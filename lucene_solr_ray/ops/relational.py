@@ -1,0 +1,319 @@
+"""Relational / aggregation / join operators — the Solr component surface
+re-expressed as Ray Data pipelines (SURVEY.md §2.4-2.7).
+
+Each function takes ``sf_dir`` and returns an Arrow table; each has a
+DuckDB-oracle SQL twin in pipelines.relational_sql. Money aggregates are
+summed as integer cents (values have 2 decimals; integer sums are exact in
+any order, so Ray's partial-aggregate merge order can't perturb hashes).
+
+Reference components cited per function.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                           columns=columns)
+
+
+def _cents(batch: pa.Table, src: str, dst: str) -> pa.Table:
+    v = pc.cast(pc.round(pc.multiply(batch[src], pa.scalar(100.0))), pa.int64())
+    return batch.append_column(dst, v)
+
+
+# ---------------------------------------------------------------------------
+
+
+def rollup_pricing_summary(sf_dir: str) -> pa.Table:
+    """RollupStream / StatsComponent analogue (TPC-H Q1 shape):
+    groupby(returnflag, linestatus) with Sum/Count metrics
+    (solr/solrj/.../io/stream/RollupStream.java:44-51,
+    solr:handler/component/StatsValuesFactory.java:91-216).
+    Partial aggregation happens inside map_batches (cents ints), the
+    groupby merges tiny partials — the pre-aggregate discipline."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = _cents(batch, "l_extendedprice", "price_c")
+        df = batch.to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_price_cents=("price_c", "sum"),
+            count_order=("l_quantity", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = (partials.groupby(["l_returnflag", "l_linestatus"])
+           .sum(["sum_qty", "sum_price_cents", "count_order"]))
+    df = agg.to_pandas()
+    df = df.rename(columns={"sum(sum_qty)": "sum_qty",
+                            "sum(sum_price_cents)": "sum_price_cents",
+                            "sum(count_order)": "count_order"})
+    df["sum_qty"] = df["sum_qty"].astype("int64")
+    df["avg_qty"] = df["sum_qty"] / df["count_order"]
+    df = df.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def facet_counts(sf_dir: str) -> pa.Table:
+    """Field facet: counts per event_type (solr:request/SimpleFacets.java:367,
+    FacetComponent) = groupby().count()."""
+    ds = _read(sf_dir, "events", ["event_type"])
+    df = ds.groupby("event_type").count().to_pandas()
+    df = df.rename(columns={"count()": "cnt"}).sort_values("event_type")
+    df["cnt"] = df["cnt"].astype("int64")
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+
+def range_facet(sf_dir: str) -> pa.Table:
+    """Range facet over l_quantity in buckets of 10
+    (solr:handler/component/RangeFacetProcessor.java,
+    lucene/facet/.../range/LongRangeFacetCounts.java): bucket map inside
+    map_batches then a tiny groupby."""
+    ds = _read(sf_dir, "lineitem", ["l_quantity"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor(pc.divide(batch["l_quantity"], pa.scalar(10.0))),
+                    pa.int64())
+        return pa.table({"bucket": pc.multiply(b, pa.scalar(10, type=pa.int64()))})
+
+    df = (ds.map_batches(bucket, batch_format="pyarrow")
+          .groupby("bucket").count().to_pandas())
+    df = df.rename(columns={"count()": "cnt"}).sort_values("bucket")
+    df["cnt"] = df["cnt"].astype("int64")
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+
+def pivot_facet(sf_dir: str) -> pa.Table:
+    """Pivot facet (two-level: mktsegment × nation count)
+    (solr:handler/component/PivotFacetProcessor.java) = multi-key groupby."""
+    ds = _read(sf_dir, "customer", ["c_mktsegment", "c_nationkey"])
+    df = (ds.groupby(["c_mktsegment", "c_nationkey"]).count().to_pandas())
+    df = df.rename(columns={"count()": "cnt"})
+    df["cnt"] = df["cnt"].astype("int64")
+    df = df.sort_values(["c_mktsegment", "c_nationkey"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def stats_component(sf_dir: str) -> pa.Table:
+    """StatsComponent: min/max/sum/count/sumOfSquares over l_quantity
+    (solr:handler/component/StatsValuesFactory.java:91-216). Integer-exact
+    partials merged associatively; mean derived from exact ints."""
+    ds = _read(sf_dir, "lineitem", ["l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = np.asarray(batch["l_quantity"], dtype=np.float64).astype(np.int64)
+        return pa.table({
+            "min_q": [int(q.min()) if len(q) else 2**62],
+            "max_q": [int(q.max()) if len(q) else -2**62],
+            "sum_q": [int(q.sum())],
+            "sumsq_q": [int((q * q).sum())],
+            "cnt": [len(q)],
+        })
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = pd.DataFrame({
+        "min_q": [int(p["min_q"].min())],
+        "max_q": [int(p["max_q"].max())],
+        "sum_q": [int(p["sum_q"].sum())],
+        "sumsq_q": [int(p["sumsq_q"].sum())],
+        "cnt": [int(p["cnt"].sum())],
+    })
+    out["mean_q"] = out["sum_q"] / out["cnt"]
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def semi_join(sf_dir: str) -> pa.Table:
+    """JoinUtil.createJoinQuery semi-join (lucene/join/.../JoinUtil.java:36):
+    orders whose customer is in the BUILDING segment. Small side broadcast
+    via ray.put, probe inside map_batches — no shuffle."""
+    import ray
+    import ray.data as rd
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    keys = set()
+    for b in cust.iter_batches(batch_format="pyarrow", batch_size=65536):
+        m = pc.equal(b["c_mktsegment"], pa.scalar("BUILDING"))
+        keys.update(b.filter(m)["c_custkey"].to_pylist())
+    key_ref = ray.put(np.array(sorted(keys), dtype=np.int64))
+
+    class Probe:
+        def __init__(self, ref):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = np.asarray(batch["o_custkey"], dtype=np.int64)
+            idx = np.searchsorted(self.keys, ck)
+            idx = np.clip(idx, 0, len(self.keys) - 1)
+            mask = self.keys[idx] == ck
+            return batch.filter(pa.array(mask))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                      "o_totalprice"])
+    hits = orders.map_batches(Probe, fn_constructor_kwargs={"ref": key_ref},
+                              batch_format="pyarrow", concurrency=(1, 4))
+
+    def pt(b: pa.Table) -> pa.Table:
+        return _cents(b, "o_totalprice", "price_c").select(
+            ["o_orderkey", "o_custkey", "price_c"])
+
+    df = hits.map_batches(pt, batch_format="pyarrow").to_pandas()
+    return pa.Table.from_pandas(
+        df.sort_values("o_orderkey").reset_index(drop=True),
+        preserve_index=False)
+
+
+def anti_join(sf_dir: str) -> pa.Table:
+    """MUST_NOT / ReqExclScorer difference (core:search/ReqExclScorer.java):
+    customers with no order above 250k. Broadcast the excluded key set,
+    filter with a negated membership test."""
+    import ray
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    keys = np.unique(np.concatenate(
+        [np.asarray(b.filter(pc.greater(b["o_totalprice"],
+                                        pa.scalar(250000.0)))["o_custkey"],
+                    dtype=np.int64)
+         for b in orders.iter_batches(batch_format="pyarrow",
+                                      batch_size=65536)]))
+    key_ref = ray.put(keys)
+
+    class Probe:
+        def __init__(self, ref):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = np.asarray(batch["c_custkey"], dtype=np.int64)
+            idx = np.clip(np.searchsorted(self.keys, ck), 0, len(self.keys) - 1)
+            mask = self.keys[idx] != ck
+            return batch.filter(pa.array(mask))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    df = (cust.map_batches(Probe, fn_constructor_kwargs={"ref": key_ref},
+                           batch_format="pyarrow", concurrency=(1, 4))
+          .to_pandas())
+    if df.empty:  # keep the schema even when every customer has orders
+        return pa.table({"c_custkey": pa.array([], type=pa.int64()),
+                         "c_name": pa.array([], type=pa.string())})
+    df = df.sort_values("c_custkey").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def grouping_top_k(sf_dir: str) -> pa.Table:
+    """Grouped top-k: top-2 orders per customer by totalprice
+    (lucene/grouping/.../GroupingSearch.java two-pass collectors;
+    solr CollapsingQParserPlugin for k=1) = groupby().map_groups(head)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True]).head(2)
+        return g
+
+    df = (ds.groupby("o_custkey").map_groups(top2, batch_format="pandas")
+          .to_pandas())
+    df["price_c"] = (df["o_totalprice"] * 100).round().astype("int64")
+    df = df[["o_custkey", "o_orderkey", "price_c"]].sort_values(
+        ["o_custkey", "o_orderkey"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def sorted_export_top(sf_dir: str) -> pa.Table:
+    """/export sorted stream + RankStream top-N
+    (solr:search/ExportQParserPlugin.java:35, RankStream.java:43):
+    ds.sort(...).limit(N) — a distributed sort, consumed as a stream."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = ds.sort(["ts", "event_id"]).limit(1000)
+    df = out.to_pandas()
+    df["value_c"] = (df["value"] * 100).round().astype("int64")
+    return pa.Table.from_pandas(
+        df[["event_id", "ts", "user_id", "value_c"]], preserve_index=False)
+
+
+def cursor_page(sf_dir: str) -> pa.Table:
+    """CursorMark keyset pagination (solr:search/CursorMark.java:49;
+    IndexSearcher.searchAfter :373-387): filter past the cursor totem then
+    take the next page in sort order."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    cutoff = pd.Timestamp("2024-01-20")
+
+    def after(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["ts"], pa.scalar(cutoff)))
+
+    out = (ds.map_batches(after, batch_format="pyarrow")
+           .sort(["ts", "event_id"]).limit(100))
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def unique_stream(sf_dir: str) -> pa.Table:
+    """UniqueStream over a sorted stream (solr/solrj/.../io/stream/
+    UniqueStream.java:45) = distinct + sort."""
+    ds = _read(sf_dir, "events", ["event_type"])
+    vals = sorted(ds.unique("event_type"))
+    return pa.table({"event_type": pa.array(vals, type=pa.string())})
+
+
+def windowed_rollup(sf_dir: str) -> pa.Table:
+    """Streaming windowed aggregate analogue (ReducerStream over a stream
+    sorted/partitioned by key, RollupStream buckets — solr/solrj/.../io/
+    stream/ReducerStream.java:37-46): tumbling 1-day windows per event_type.
+    Ordering assumption: window key derived per row, so no cross-batch
+    state is needed; the groupby is the shuffle."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def win(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch["ts"], unit="day")
+        v = pc.cast(pc.round(pc.multiply(batch["value"], pa.scalar(100.0))),
+                    pa.int64())
+        return pa.table({"event_type": batch["event_type"], "day": day,
+                         "value_c": v})
+
+    df = (ds.map_batches(win, batch_format="pyarrow")
+          .groupby(["event_type", "day"]).sum("value_c").to_pandas())
+    df = df.rename(columns={"sum(value_c)": "sum_value_c"})
+    df["sum_value_c"] = df["sum_value_c"].astype("int64")
+    df = df.sort_values(["event_type", "day"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def join_rollup(sf_dir: str) -> pa.Table:
+    """Two-large-sides join via key-partitioned shuffle: revenue per
+    mktsegment = orders ⋈ customer → groupby(segment). The dimension side
+    here is small enough to broadcast (GlobalOrdinalsQuery-style dictionary
+    join, lucene/join/.../GlobalOrdinalsQuery.java)."""
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    lookup_ref = ray.put(cust.set_index("c_custkey")["c_mktsegment"])
+
+    class Enrich:
+        def __init__(self, ref):
+            self.seg = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["seg"] = df["o_custkey"].map(self.seg)
+            df["price_c"] = (df["o_totalprice"] * 100).round().astype("int64")
+            return df.groupby("seg", as_index=False)["price_c"].sum() \
+                     .rename(columns={"price_c": "revenue_c"})
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    partials = orders.map_batches(Enrich, fn_constructor_kwargs={"ref": lookup_ref},
+                                  batch_format="pandas", concurrency=(1, 4))
+    df = partials.groupby("seg").sum("revenue_c").to_pandas()
+    df = df.rename(columns={"sum(revenue_c)": "revenue_c"})
+    df["revenue_c"] = df["revenue_c"].astype("int64")
+    df = df.sort_values("seg").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)

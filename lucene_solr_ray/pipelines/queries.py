@@ -308,7 +308,24 @@ def _q_top_terms(n=20):
 
 
 def build_queries() -> dict:
-    return {
+    from ..ops import relational as R
+
+    rel = {
+        "rel_rollup_pricing": R.rollup_pricing_summary,
+        "rel_facet_counts": R.facet_counts,
+        "rel_range_facet": R.range_facet,
+        "rel_pivot_facet": R.pivot_facet,
+        "rel_stats_component": R.stats_component,
+        "rel_semi_join": R.semi_join,
+        "rel_anti_join": R.anti_join,
+        "rel_grouping_topk": R.grouping_top_k,
+        "rel_sorted_export": R.sorted_export_top,
+        "rel_cursor_page": R.cursor_page,
+        "rel_unique_stream": R.unique_stream,
+        "rel_windowed_rollup": R.windowed_rollup,
+        "rel_join_rollup": R.join_rollup,
+    }
+    return rel | {
         "ft_term_hot": _q_term(HOT),
         "ft_term_mid": _q_term(MID),
         "ft_term_rare": _q_term(RARE, k=100),
@@ -323,7 +340,24 @@ def build_queries() -> dict:
 
 
 def build_oracle_sql() -> dict:
-    return {
+    from . import relational_sql as RS
+
+    rel = {
+        "rel_rollup_pricing": RS.ROLLUP_PRICING_SUMMARY,
+        "rel_facet_counts": RS.FACET_COUNTS,
+        "rel_range_facet": RS.RANGE_FACET,
+        "rel_pivot_facet": RS.PIVOT_FACET,
+        "rel_stats_component": RS.STATS_COMPONENT,
+        "rel_semi_join": RS.SEMI_JOIN,
+        "rel_anti_join": RS.ANTI_JOIN,
+        "rel_grouping_topk": RS.GROUPING_TOP_K,
+        "rel_sorted_export": RS.SORTED_EXPORT_TOP,
+        "rel_cursor_page": RS.CURSOR_PAGE,
+        "rel_unique_stream": RS.UNIQUE_STREAM,
+        "rel_windowed_rollup": RS.WINDOWED_ROLLUP,
+        "rel_join_rollup": RS.JOIN_ROLLUP,
+    }
+    return rel | {
         "ft_term_hot": ft_term_sql(HOT, 10),
         "ft_term_mid": ft_term_sql(MID, 10),
         "ft_term_rare": ft_term_sql(RARE, 100),

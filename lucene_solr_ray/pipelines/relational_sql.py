@@ -1,0 +1,101 @@
+"""DuckDB oracle SQL twins for ops.relational (see that module for the
+reference components each query models). Money values are aggregated as
+integer cents on both sides so sums are order-independent and hash-stable.
+"""
+
+ROLLUP_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents,
+       count(*) AS count_order,
+       CAST(sum(l_quantity) AS BIGINT) / CAST(count(*) AS DOUBLE) AS avg_qty
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+FACET_COUNTS = """
+SELECT event_type, count(*) AS cnt FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+RANGE_FACET = """
+SELECT CAST(floor(l_quantity / 10) AS BIGINT) * 10 AS bucket, count(*) AS cnt
+FROM lineitem GROUP BY 1 ORDER BY bucket
+"""
+
+PIVOT_FACET = """
+SELECT c_mktsegment, c_nationkey, count(*) AS cnt
+FROM customer GROUP BY c_mktsegment, c_nationkey
+ORDER BY c_mktsegment, c_nationkey
+"""
+
+STATS_COMPONENT = """
+SELECT CAST(min(l_quantity) AS BIGINT) AS min_q,
+       CAST(max(l_quantity) AS BIGINT) AS max_q,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_q,
+       CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+            AS BIGINT) AS sumsq_q,
+       count(*) AS cnt,
+       CAST(sum(l_quantity) AS BIGINT) / CAST(count(*) AS DOUBLE) AS mean_q
+FROM lineitem
+"""
+
+SEMI_JOIN = """
+SELECT o_orderkey, o_custkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'BUILDING')
+ORDER BY o_orderkey
+"""
+
+ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_totalprice > 250000)
+ORDER BY c_custkey
+"""
+
+GROUPING_TOP_K = """
+SELECT o_custkey, o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey ASC)
+              AS rn
+      FROM orders)
+WHERE rn <= 2
+ORDER BY o_custkey, o_orderkey
+"""
+
+SORTED_EXPORT_TOP = """
+SELECT event_id, ts, user_id,
+       CAST(round(value * 100) AS BIGINT) AS value_c
+FROM events ORDER BY ts, event_id LIMIT 1000
+"""
+
+CURSOR_PAGE = """
+SELECT event_id, ts, user_id FROM events
+WHERE ts > TIMESTAMP '2024-01-20'
+ORDER BY ts, event_id LIMIT 100
+"""
+
+UNIQUE_STREAM = """
+SELECT DISTINCT event_type FROM events ORDER BY event_type
+"""
+
+WINDOWED_ROLLUP = """
+SELECT event_type, date_trunc('day', ts) AS day,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+FROM events GROUP BY event_type, day
+ORDER BY event_type, day
+"""
+
+JOIN_ROLLUP = """
+SELECT c_mktsegment AS seg,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_c
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY seg ORDER BY seg
+"""

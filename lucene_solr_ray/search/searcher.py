@@ -48,34 +48,88 @@ POSTING_COLS_POS = POSTING_COLS + ["pos_data"]
 
 
 class SegmentReader:
-    """Lazy reader over one segment directory (mmap'd parquet reads with
-    term-predicate pushdown onto the sorted term column)."""
+    """Lazy reader over one segment directory.
+
+    Residency model mirrors Lucene's: the term dictionary (sorted term
+    column + df/ttf, the .tim/.tip analogue) is loaded once per reader and
+    kept hot; postings rows are fetched on demand by exact row position —
+    binary-search the cached term dictionary, decode only the parquet row
+    group containing that row (the skip-to-block discipline of
+    BlockTreeTermsReader + Lucene50PostingsReader), then memoize the
+    decoded row (SolrIndexSearcher-cache analogue)."""
 
     def __init__(self, seg_dir: str):
         self.seg_dir = seg_dir
         with open(os.path.join(seg_dir, META_FILE)) as f:
             self.meta = json.load(f)
-        self._dl = None  # (sorted doc_ids, dls)
+        self._dl = None           # (sorted doc_ids, dls)
+        self._pf = None           # pq.ParquetFile
+        self._terms = None        # np array of terms (sorted)
+        self._df = None
+        self._ttf = None
+        self._rg_cum = None       # cumulative row counts per row group
+        self._row_cache: dict[tuple[str, bool], dict | None] = {}
+
+    def _file(self) -> pq.ParquetFile:
+        if self._pf is None:
+            self._pf = pq.ParquetFile(os.path.join(self.seg_dir, POSTINGS_FILE),
+                                      memory_map=True)
+            md = self._pf.metadata
+            counts = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+            self._rg_cum = np.cumsum([0] + counts)
+        return self._pf
+
+    def _term_dict(self):
+        if self._terms is None:
+            t = pq.read_table(os.path.join(self.seg_dir, POSTINGS_FILE),
+                              columns=["term", "df", "ttf"], memory_map=True)
+            self._terms = np.asarray(t["term"])
+            self._df = np.asarray(t["df"], dtype=np.int64)
+            self._ttf = np.asarray(t["ttf"], dtype=np.int64)
+        return self._terms
+
+    def _term_index(self, term: str) -> int:
+        terms = self._term_dict()
+        if len(terms) == 0:
+            return -1
+        i = int(np.searchsorted(terms, term))
+        if i >= len(terms) or terms[i] != term:
+            return -1
+        return i
+
+    def term_row(self, term: str, *, positions: bool = False) -> dict | None:
+        key = (term, positions)
+        if key in self._row_cache:
+            return self._row_cache[key]
+        i = self._term_index(term)
+        if i < 0:
+            self._row_cache[key] = None
+            return None
+        pf = self._file()
+        g = int(np.searchsorted(self._rg_cum, i, side="right") - 1)
+        cols = POSTING_COLS_POS if positions else POSTING_COLS
+        tbl = pf.read_row_group(g, columns=cols)
+        j = i - int(self._rg_cum[g])
+        row = {c: tbl[c][j].as_py() for c in cols}
+        self._row_cache[key] = row
+        return row
 
     def term_rows(self, terms: list[str], *, positions: bool = False) -> dict[str, dict]:
-        cols = POSTING_COLS_POS if positions else POSTING_COLS
-        tbl = pq.read_table(
-            os.path.join(self.seg_dir, POSTINGS_FILE), columns=cols,
-            filters=pc.field("term").isin(terms), memory_map=True)
         out = {}
-        for i in range(tbl.num_rows):
-            row = {c: tbl[c][i].as_py() for c in cols}
-            out[row["term"]] = row
+        for t in terms:
+            row = self.term_row(t, positions=positions)
+            if row is not None:
+                out[t] = row
         return out
 
     def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
-        tbl = pq.read_table(
-            os.path.join(self.seg_dir, POSTINGS_FILE),
-            columns=["term", "df", "ttf"],
-            filters=pc.field("term").isin(terms), memory_map=True)
-        return {t: (d, f) for t, d, f in
-                zip(tbl["term"].to_pylist(), tbl["df"].to_pylist(),
-                    tbl["ttf"].to_pylist())}
+        self._term_dict()
+        out = {}
+        for t in terms:
+            i = self._term_index(t)
+            if i >= 0:
+                out[t] = (int(self._df[i]), int(self._ttf[i]))
+        return out
 
     def doc_lengths(self) -> tuple[np.ndarray, np.ndarray]:
         if self._dl is None:

@@ -1,0 +1,52 @@
+"""Process-level performance knobs.
+
+First-touch page faults are extraordinarily expensive in this sandbox's
+micro-VM (measured ~45µs/page under concurrency — touching 2 GB took ~3
+minutes across 4 fresh workers). glibc's default behavior of mmap()ing
+every allocation ≥32 MB and munmap()ing it on free makes each large numpy
+temporary re-fault its pages on every batch. :func:`tune_allocator` routes
+large allocations through the main arena and disables trimming, so a
+worker's working set faults in once and stays resident — steady-state
+batch cost dropped ~5× in measurements (see BASELINE.md).
+
+Call it from every stateful stage constructor (it is idempotent and a
+no-op off-glibc). Drivers should also export ``MALLOC_MMAP_THRESHOLD_`` /
+``MALLOC_TRIM_THRESHOLD_`` before ``ray.init`` so workers inherit it from
+process start (bench.py does).
+"""
+
+from __future__ import annotations
+
+import os
+
+_TUNED = False
+
+M_TRIM_THRESHOLD = -1
+M_MMAP_THRESHOLD = -3
+
+
+def tune_allocator(threshold: int = 1 << 30) -> None:
+    global _TUNED
+    if _TUNED:
+        return
+    _TUNED = True
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6")
+        libc.mallopt(M_TRIM_THRESHOLD, threshold)
+        libc.mallopt(M_MMAP_THRESHOLD, threshold)
+    except Exception:
+        pass
+
+
+def allocator_env(threshold: int = 1 << 30) -> dict[str, str]:
+    """Env vars with the same effect, applied from process start — set
+    these before ray.init so every worker inherits them."""
+    return {"MALLOC_TRIM_THRESHOLD_": str(threshold),
+            "MALLOC_MMAP_THRESHOLD_": str(threshold)}
+
+
+def export_allocator_env() -> None:
+    for k, v in allocator_env().items():
+        os.environ.setdefault(k, v)

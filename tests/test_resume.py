@@ -1,0 +1,95 @@
+"""Checkpoint/resume: partition-aligned build skips completed partitions on
+rerun and converges to identical stats (the 'resume equality' metamorphic
+invariant of FIXTURES.md §5; reference discipline: two-phase commit +
+tlog replay, IndexWriter.java:2767-2928 / UpdateLog.java:106,667)."""
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_ray.corpus import corpus_table
+from lucene_solr_ray.index import (
+    build_index,
+    build_index_resumable,
+    load_manifest,
+)
+from lucene_solr_ray.index.build import add_doc_keys
+from lucene_solr_ray.search import IndexSearcher
+
+
+@pytest.fixture(scope="module")
+def input_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("parts")
+    t = add_doc_keys(corpus_table(200))
+    files = []
+    for i in range(4):
+        f = str(d / f"part{i}.parquet")
+        pq.write_table(t.slice(i * 50, 50), f)
+        files.append(f)
+    return files
+
+
+def _seg_mtimes(out):
+    root = os.path.join(out, "segments")
+    return {s: os.path.getmtime(os.path.join(root, s, "meta.json"))
+            for s in os.listdir(root) if not s.endswith(".tmp")}
+
+
+def test_resume_skips_completed_partitions(tmp_path, input_files, ray_session):
+    out = str(tmp_path / "idx")
+    m1 = build_index_resumable(input_files, out)
+    assert m1["num_docs"] == 200
+    assert m1["num_segments"] == 4
+    assert m1["resumed_partitions"] == 0
+    mt1 = _seg_mtimes(out)
+
+    # rerun: everything is a checkpoint hit
+    m2 = build_index_resumable(input_files, out)
+    assert m2["resumed_partitions"] == 4
+    assert m2["generation"] == m1["generation"] + 1
+    assert _seg_mtimes(out) == mt1  # nothing rewritten
+    assert m2["num_docs"] == m1["num_docs"]
+    assert m2["sum_dl"] == m1["sum_dl"]
+
+
+def test_crash_recovery_rebuilds_only_missing(tmp_path, input_files, ray_session):
+    out = str(tmp_path / "idx2")
+    m1 = build_index_resumable(input_files, out)
+    mt1 = _seg_mtimes(out)
+    # simulate a crash that lost one partition's segment + the manifest
+    shutil.rmtree(os.path.join(out, "segments", "part-000002"))
+    for f in os.listdir(out):
+        if f.startswith("segments_"):
+            os.remove(os.path.join(out, f))
+    m2 = build_index_resumable(input_files, out)
+    assert m2["resumed_partitions"] == 3
+    mt2 = _seg_mtimes(out)
+    for s in mt1:
+        if s != "part-000002":
+            assert mt2[s] == mt1[s], s
+    assert m2["num_docs"] == m1["num_docs"]
+    assert m2["sum_dl"] == m1["sum_dl"]
+
+
+def test_resumable_equals_streaming_build(tmp_path, input_files, ray_session):
+    """Build-path invariance: the partition-aligned build and the streaming
+    Dataset build answer queries identically."""
+    import numpy as np
+    import ray.data as rd
+
+    a = str(tmp_path / "a")
+    build_index_resumable(input_files, a)
+    b = str(tmp_path / "b")
+    build_index(rd.read_parquet(input_files), b, batch_rows=33)
+
+    sa, sb = IndexSearcher(a), IndexSearcher(b)
+    assert load_manifest(a)["sum_dl"] == load_manifest(b)["sum_dl"]
+    for q in [{"type": "term", "term": "data"},
+              {"type": "bool", "must": ["merge", "data"]},
+              {"type": "phrase", "terms": ["quick", "brown"]}]:
+        ra, rb = sa.search(q, k=30), sb.search(q, k=30)
+        assert ra["doc_id"].to_pylist() == rb["doc_id"].to_pylist()
+        assert np.array_equal(np.asarray(ra["score"]).view(np.int32),
+                              np.asarray(rb["score"]).view(np.int32))
