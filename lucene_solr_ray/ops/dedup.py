@@ -1,0 +1,331 @@
+"""Deduplication operators over the documents table (SURVEY.md §2.7 and the
+training-data-pipeline extensions).
+
+- exact dedup: content-hash groupby keep-first — the unique-key upsert /
+  SignatureUpdateProcessor discipline (solr:update/processor/
+  SignatureUpdateProcessorFactory.java, MD5Signature.java;
+  core:index/IndexWriter.java:1456 updateDocument).
+- MinHash+LSH near-dup: shingle → 64 minhash perms → 16 bands × 4 rows →
+  band-bucket groupby → candidate pairs → EXACT Jaccard verification.
+  The TextProfileSignature analogue generalized to the standard
+  MinHash/LSH construction (Broder '97; solr:update/processor/
+  TextProfileSignature.java:49-78 is the reference's coarser variant).
+- SimHash near-dup: 64-bit Charikar simhash + pigeonhole banding on 16-bit
+  chunks for Hamming-distance candidates.
+
+Shingling contract (shared with the DuckDB oracle): tokens =
+``regexp_extract_all(lower(text), '[a-z0-9]+')`` (≤255 chars, stopwords
+KEPT), shingles = distinct space-joined word 3-grams. Jaccard is computed
+on 64-bit blake2b shingle hashes (collision-free at these scales) as a
+ratio of exact ints, so engine and SQL agree bit-for-bit after the shared
+``floor(j*10000+0.5)`` quantization.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+SHINGLE_K = 3
+N_PERM = 64
+BANDS = 16
+ROWS_PER_BAND = 4
+JACCARD_THRESHOLD = 0.9
+
+_P31 = (1 << 31) - 1
+
+
+def _perm_params(seed: int = 42):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _P31, size=N_PERM, dtype=np.uint64)
+    b = rng.integers(0, _P31, size=N_PERM, dtype=np.uint64)
+    return a, b
+
+
+_A, _B = _perm_params()
+
+
+def _tokenize_keep_stops(texts: pa.Array):
+    from ..analysis.analyzer import analyze_batch
+
+    return analyze_batch(texts, keep_stopwords=True)
+
+
+def shingle_hashes(texts: pa.Array) -> list[np.ndarray]:
+    """Per doc: sorted distinct uint64 hashes of word 3-shingles."""
+    ab = _tokenize_keep_stops(texts)
+    toks = ab.terms.to_pylist()
+    out: list[np.ndarray] = []
+    n_docs = int(ab.doc_lengths.shape[0])
+    starts = np.concatenate(([0], np.cumsum(ab.doc_lengths)))
+    for d in range(n_docs):
+        ws = toks[starts[d]:starts[d + 1]]
+        if len(ws) < SHINGLE_K:
+            out.append(np.empty(0, dtype=np.uint64))
+            continue
+        hs = {
+            int.from_bytes(hashlib.blake2b(
+                " ".join(ws[i:i + SHINGLE_K]).encode(),
+                digest_size=8).digest(), "big")
+            for i in range(len(ws) - SHINGLE_K + 1)
+        }
+        out.append(np.array(sorted(hs), dtype=np.uint64))
+    return out
+
+
+def minhash_signature(sh: np.ndarray) -> np.ndarray:
+    """64 minhash values of one doc's shingle-hash set (31-bit reduction
+    for exact modular arithmetic in uint64)."""
+    if len(sh) == 0:
+        return np.full(N_PERM, _P31, dtype=np.uint64)
+    x = (sh & np.uint64(_P31)).astype(np.uint64)
+    # (N_PERM, n) = (a[:,None] * x[None,:] + b[:,None]) % p
+    hv = (_A[:, None] * x[None, :] + _B[:, None]) % np.uint64(_P31)
+    return hv.min(axis=1)
+
+
+def _band_hashes(sig: np.ndarray) -> np.ndarray:
+    """Combine each band's ROWS_PER_BAND minhashes into one uint64."""
+    C = np.uint64(0x9E3779B97F4A7C15)
+    bands = sig.reshape(BANDS, ROWS_PER_BAND)
+    out = np.zeros(BANDS, dtype=np.uint64)
+    for r in range(ROWS_PER_BAND):
+        out = out * C + bands[:, r]
+    return out
+
+
+def _jaccard_q(a: np.ndarray, b: np.ndarray) -> tuple[float, int]:
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    union = len(a) + len(b) - inter
+    j = inter / union if union else 0.0
+    return j, int(np.floor(j * 10000 + 0.5))
+
+
+def exact_dedup(sf_dir: str) -> pa.Table:
+    """Exact dedup by content hash: keep the minimum doc_id per distinct
+    text (groupby(signature).first)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+
+    def sig(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.sha256(t.encode()).hexdigest()
+              for t in batch["text"].to_pylist()]
+        return pa.table({"sig": pa.array(hs), "doc_id": batch["doc_id"]})
+
+    agg = (ds.map_batches(sig, batch_format="pyarrow")
+           .groupby("sig").min("doc_id"))
+    cnt = (ds.map_batches(sig, batch_format="pyarrow")
+           .groupby("sig").count())
+    a = agg.to_pandas().rename(columns={"min(doc_id)": "keep_id"})
+    c = cnt.to_pandas().rename(columns={"count()": "n"})
+    df = a.merge(c, on="sig")[["keep_id", "n"]].sort_values("keep_id")
+    df["keep_id"] = df["keep_id"].astype("int64")
+    df["n"] = df["n"].astype("int64")
+    return pa.Table.from_pandas(df.reset_index(drop=True),
+                                preserve_index=False)
+
+
+def minhash_lsh_pairs(sf_dir: str) -> pa.Table:
+    """Near-duplicate pairs via MinHash+LSH with exact-Jaccard verification.
+
+    Ray pipeline: map_batches computes signatures and emits
+    (band, band_hash, doc_id) rows; groupby((band, band_hash)) buckets
+    candidates; pairs are verified with exact Jaccard on the shingle sets.
+    With 16 bands × 4 rows the miss probability at J=0.9 is (1-0.9⁴)¹⁶ ≈
+    4e-8, so the verified output equals the exhaustive-pair oracle.
+    Verification here broadcasts the (small) shingle-set dict via ray.put;
+    at scale it would join candidate pairs back to a shingle-set table
+    partitioned by doc_id."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+
+    # stage 1: signatures + shingle sets (collected for verification)
+    shingle_store: dict[int, np.ndarray] = {}
+    band_rows = {"band": [], "bh": [], "doc_id": []}
+    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=1024):
+        ids = batch["doc_id"].to_pylist()
+        shs = shingle_hashes(batch["text"])
+        for did, sh in zip(ids, shs):
+            shingle_store[did] = sh
+            bh = _band_hashes(minhash_signature(sh))
+            band_rows["band"].extend(range(BANDS))
+            band_rows["bh"].extend(bh.tolist())
+            band_rows["doc_id"].extend([did] * BANDS)
+
+    store_ref = ray.put(shingle_store)
+    bands_ds = rd.from_arrow(pa.table({
+        "band": pa.array(band_rows["band"], type=pa.int32()),
+        "bh": pa.array(band_rows["bh"], type=pa.uint64()),
+        "doc_id": pa.array(band_rows["doc_id"], type=pa.int64()),
+    }))
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].tolist())
+        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+        if not out:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        return pd.DataFrame(out, columns=["a", "b"])
+
+    cand = (bands_ds.groupby(["band", "bh"])
+            .map_groups(emit_pairs, batch_format="pandas"))
+
+    class Verify:
+        def __init__(self, ref):
+            self.store = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            rows = []
+            seen = set()
+            for a, b in zip(df["a"], df["b"]):
+                if (a, b) in seen:
+                    continue
+                seen.add((a, b))
+                j, jq = _jaccard_q(self.store[a], self.store[b])
+                if j >= JACCARD_THRESHOLD:
+                    rows.append((a, b, jq))
+            return pd.DataFrame(rows, columns=["a", "b", "j_q"]) if rows else \
+                pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64"),
+                              "j_q": pd.Series([], dtype="int64")})
+
+    ver = cand.map_batches(Verify, fn_constructor_kwargs={"ref": store_ref},
+                           batch_format="pandas", concurrency=(1, 4))
+    df = ver.to_pandas().drop_duplicates(["a", "b"]).sort_values(["a", "b"])
+    for c in ("a", "b", "j_q"):
+        df[c] = df[c].astype("int64")
+    return pa.Table.from_pandas(df.reset_index(drop=True),
+                                preserve_index=False)
+
+
+def simhash64(texts: pa.Array) -> np.ndarray:
+    """64-bit Charikar simhash over token frequencies."""
+    from ..analysis.analyzer import analyze_batch
+
+    ab = analyze_batch(texts, keep_stopwords=True)
+    toks = ab.terms.to_pylist()
+    starts = np.concatenate(([0], np.cumsum(ab.doc_lengths)))
+    out = np.zeros(len(ab.doc_lengths), dtype=np.uint64)
+    bitcols = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    for d in range(len(ab.doc_lengths)):
+        ws = toks[starts[d]:starts[d + 1]]
+        if not ws:
+            continue
+        uniq, counts = np.unique(ws, return_counts=True)
+        hs = np.array([int.from_bytes(hashlib.blake2b(
+            w.encode(), digest_size=8).digest(), "big") for w in uniq],
+            dtype=np.uint64)
+        bits = ((hs[:, None] & bitcols[None, :]) != 0).astype(np.int64)
+        acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+        out[d] = np.bitwise_or.reduce(bitcols[acc > 0]) if (acc > 0).any() else 0
+    return out
+
+
+def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
+    """Near-dup pairs by simhash Hamming distance ≤ 3 using pigeonhole
+    banding on four 16-bit chunks (any pair within distance 3 shares at
+    least one exact chunk)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    ids, sigs = [], []
+    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=1024):
+        ids.extend(batch["doc_id"].to_pylist())
+        sigs.append(simhash64(batch["text"]))
+    ids = np.array(ids, dtype=np.int64)
+    sigs = np.concatenate(sigs) if sigs else np.empty(0, dtype=np.uint64)
+
+    rows = {"chunk": [], "val": [], "doc_id": []}
+    for c in range(4):
+        rows["chunk"].extend([c] * len(ids))
+        rows["val"].extend(((sigs >> np.uint64(16 * c)) &
+                            np.uint64(0xFFFF)).tolist())
+        rows["doc_id"].extend(ids.tolist())
+    cand_ds = rd.from_arrow(pa.table({
+        "chunk": pa.array(rows["chunk"], type=pa.int32()),
+        "val": pa.array(rows["val"], type=pa.int64()),
+        "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+    }))
+
+    sig_of = dict(zip(ids.tolist(), sigs.tolist()))
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        ds_ = sorted(g["doc_id"].tolist())
+        out = []
+        for i, a in enumerate(ds_):
+            for b in ds_[i + 1:]:
+                d = bin(sig_of[a] ^ sig_of[b]).count("1")
+                if d <= max_hamming:
+                    out.append((a, b, d))
+        return pd.DataFrame(out, columns=["a", "b", "hamming"]) if out else \
+            pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                          "b": pd.Series([], dtype="int64"),
+                          "hamming": pd.Series([], dtype="int64")})
+
+    df = (cand_ds.groupby(["chunk", "val"])
+          .map_groups(emit, batch_format="pandas")
+          .to_pandas().drop_duplicates(["a", "b"]).sort_values(["a", "b"]))
+    for c in ("a", "b", "hamming"):
+        df[c] = df[c].astype("int64")
+    return pa.Table.from_pandas(df.reset_index(drop=True),
+                                preserve_index=False)
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> pa.Table:
+    """Exhaustive n-gram Jaccard pairs (the exact-dedup oracle semantics,
+    distributed as broadcast + per-batch pairwise — O(n²/p))."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    store: dict[int, np.ndarray] = {}
+    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=1024):
+        for did, sh in zip(batch["doc_id"].to_pylist(),
+                           shingle_hashes(batch["text"])):
+            store[did] = sh
+    store_ref = ray.put(store)
+    all_ids = sorted(store)
+
+    class Pairwise:
+        def __init__(self, ref):
+            import ray as _r
+
+            self.store = _r.get(ref)
+            self.all_ids = sorted(self.store)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rows = []
+            for a in batch["doc_id"].to_pylist():
+                sa = self.store[a]
+                for b in self.all_ids:
+                    if b <= a:
+                        continue
+                    j, jq = _jaccard_q(sa, self.store[b])
+                    if j >= threshold:
+                        rows.append((a, b, jq))
+            if not rows:
+                return pa.table({"a": pa.array([], type=pa.int64()),
+                                 "b": pa.array([], type=pa.int64()),
+                                 "j_q": pa.array([], type=pa.int64())})
+            a_, b_, q_ = zip(*rows)
+            return pa.table({"a": pa.array(a_, type=pa.int64()),
+                             "b": pa.array(b_, type=pa.int64()),
+                             "j_q": pa.array(q_, type=pa.int64())})
+
+    df = (ds.select_columns(["doc_id"])
+          .map_batches(Pairwise, fn_constructor_kwargs={"ref": store_ref},
+                       batch_format="pyarrow", batch_size=64,
+                       concurrency=(1, 4))
+          .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)

@@ -1,0 +1,143 @@
+"""Text-analysis operators for training-data pipelines: language id,
+quality scoring, token counting, document fingerprinting (SURVEY.md
+extensions; reference analogues: solr/contrib/langid/ for language id,
+update processors for field stats).
+
+All per-doc metrics are computed from the shared tokenizer contract
+(stopwords KEPT where noted) so the DuckDB twins match exactly; ratios are
+quantized with the shared floor(x*10000+0.5) rule.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from ..analysis.analyzer import analyze_batch
+from ..analysis.stopwords import ENGLISH_STOP_WORDS
+
+_STOP_PA = pa.array(ENGLISH_STOP_WORDS, type=pa.string())
+
+
+def _read_docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+
+def _q4(x: np.ndarray) -> np.ndarray:
+    return np.floor(x * 10000 + 0.5).astype(np.int64)
+
+
+def lang_id(sf_dir: str, threshold: float = 0.05) -> pa.Table:
+    """N-gram-free heuristic language id: ratio of English stopword tokens
+    (solr/contrib/langid analogue). is_en = ratio >= threshold."""
+
+    def score(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ab = analyze_batch(batch["text"], keep_stopwords=True)
+        n = len(batch)
+        total = np.bincount(ab.doc_idx, minlength=n).astype(np.int64)
+        is_stop = np.asarray(pc.is_in(ab.terms, value_set=_STOP_PA))
+        stops = np.bincount(ab.doc_idx[is_stop], minlength=n).astype(np.int64)
+        ratio = np.divide(stops, total, out=np.zeros(n), where=total > 0)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(total, type=pa.int64()),
+            "n_stop": pa.array(stops, type=pa.int64()),
+            "stop_ratio_q": pa.array(_q4(ratio), type=pa.int64()),
+            "is_en": pa.array(ratio >= threshold),
+        })
+
+    df = (_read_docs(sf_dir).map_batches(score, batch_format="pyarrow")
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def quality_score(sf_dir: str) -> pa.Table:
+    """Quality metrics per doc: token count, distinct terms, mean token
+    length (quantized), type-token ratio (quantized). Stopwords kept."""
+
+    def score(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ab = analyze_batch(batch["text"], keep_stopwords=True)
+        n = len(batch)
+        total = np.bincount(ab.doc_idx, minlength=n).astype(np.int64)
+        lens = np.asarray(pa.compute.binary_length(ab.terms), dtype=np.int64)
+        sum_len = np.bincount(ab.doc_idx, weights=lens,
+                              minlength=n).astype(np.int64)
+        dfp = pd.DataFrame({"d": ab.doc_idx, "t": ab.terms.to_pylist()})
+        uniq = dfp.groupby("d")["t"].nunique()
+        n_unique = np.zeros(n, dtype=np.int64)
+        n_unique[uniq.index.to_numpy()] = uniq.to_numpy()
+        mean_len = np.divide(sum_len, total, out=np.zeros(n), where=total > 0)
+        ttr = np.divide(n_unique, total, out=np.zeros(n), where=total > 0)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(total, type=pa.int64()),
+            "n_unique": pa.array(n_unique, type=pa.int64()),
+            "mean_len_q": pa.array(_q4(mean_len), type=pa.int64()),
+            "ttr_q": pa.array(_q4(ttr), type=pa.int64()),
+        })
+
+    df = (_read_docs(sf_dir).map_batches(score, batch_format="pyarrow")
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def token_totals(sf_dir: str) -> pa.Table:
+    """Corpus-level token accounting: total tokens, distinct terms
+    (stopwords kept) — partial counts per batch, tiny final merge."""
+    ds = _read_docs(sf_dir)
+
+    def partial2(batch: pa.Table) -> pa.Table:
+        ab = analyze_batch(batch["text"], keep_stopwords=True)
+        terms = ab.terms.unique()
+        return pa.table({
+            "term": terms,
+            "n_tok_batch": pa.array(
+                [len(ab.doc_idx)] + [0] * (len(terms) - 1)
+                if len(terms) else [], type=pa.int64()),
+        })
+
+    parts = ds.map_batches(partial2, batch_format="pyarrow")
+    n_unique = parts.unique("term")
+    total = parts.sum("n_tok_batch")
+    return pa.table({"total_tokens": pa.array([int(total)], type=pa.int64()),
+                     "distinct_terms": pa.array([len(n_unique)],
+                                                type=pa.int64())})
+
+
+FP_BASE = 1000003
+FP_MOD = (1 << 61) - 1
+
+
+def fingerprint(sf_dir: str) -> pa.Table:
+    """Rolling polynomial fingerprint of the post-stop token stream
+    (document-level content signature; no SQL twin — rows-only check).
+    fp(doc) = Σ h(term_i)·B^i mod (2^61-1), h = blake2b-64."""
+    import hashlib
+
+    def fp(batch: pa.Table) -> pa.Table:
+        ab = analyze_batch(batch["text"])
+        toks = ab.terms.to_pylist()
+        starts = np.concatenate(([0], np.cumsum(ab.doc_lengths)))
+        out = []
+        for d in range(len(batch)):
+            acc = 0
+            for w in toks[starts[d]:starts[d + 1]]:
+                h = int.from_bytes(hashlib.blake2b(
+                    w.encode(), digest_size=8).digest(), "big")
+                acc = (acc * FP_BASE + h) % FP_MOD
+            out.append(acc)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "fp": pa.array(out, type=pa.int64())})
+
+    df = (_read_docs(sf_dir).map_batches(fp, batch_format="pyarrow")
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)

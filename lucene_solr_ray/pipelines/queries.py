@@ -307,8 +307,110 @@ def _q_top_terms(n=20):
     return run
 
 
+def ft_dedup_exact_sql() -> str:
+    return """
+SELECT min(doc_id) AS keep_id, count(*) AS n
+FROM documents GROUP BY text ORDER BY keep_id
+"""
+
+
+def ft_jaccard_pairs_sql(threshold: float) -> str:
+    """Exhaustive-pair oracle for both the MinHash-LSH and the exact
+    n-gram-Jaccard engines (shingle contract documented in ops.dedup)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                             t -> length(t) <= 255) AS tk
+  FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                             for i in range(1, len(tk) - 1)]) AS s
+       FROM toks WHERE len(tk) >= 3),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         len(list_intersect(a.s, b.s)) AS inter,
+         len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT a, b,
+       CAST(floor(CAST(inter AS DOUBLE) / uni * 10000 + 0.5) AS BIGINT) AS j_q
+FROM pairs WHERE CAST(inter AS DOUBLE) / uni >= {threshold}
+ORDER BY a, b
+"""
+
+
+_TOK_KEEPSTOP_CTE = """
+tok AS (
+  SELECT doc_id, unnest(toks) AS term
+  FROM (SELECT doc_id,
+               list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                           t -> length(t) <= 255) AS toks
+        FROM documents)
+)
+"""
+
+
+def text_langid_sql(threshold: float = 0.05) -> str:
+    return f"""
+WITH {_TOK_KEEPSTOP_CTE},
+agg AS (SELECT doc_id, count(*) AS n,
+               count(*) FILTER (term IN {_STOPLIST}) AS ns
+        FROM tok GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(agg.n, 0) AS n_tokens,
+       COALESCE(agg.ns, 0) AS n_stop,
+       CAST(floor(COALESCE(CAST(agg.ns AS DOUBLE) / agg.n, 0) * 10000 + 0.5)
+            AS BIGINT) AS stop_ratio_q,
+       COALESCE(CAST(agg.ns AS DOUBLE) / agg.n >= {threshold}, FALSE) AS is_en
+FROM documents d LEFT JOIN agg USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def text_quality_sql() -> str:
+    return f"""
+WITH {_TOK_KEEPSTOP_CTE},
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_unique,
+         CAST(floor(CAST(sum(length(term)) AS DOUBLE) / count(*) * 10000 + 0.5)
+              AS BIGINT) AS mean_len_q,
+         CAST(floor(CAST(count(DISTINCT term) AS DOUBLE) / count(*) * 10000
+                    + 0.5) AS BIGINT) AS ttr_q
+  FROM tok GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(agg.n_tokens, 0) AS n_tokens,
+       COALESCE(agg.n_unique, 0) AS n_unique,
+       COALESCE(agg.mean_len_q, 0) AS mean_len_q,
+       COALESCE(agg.ttr_q, 0) AS ttr_q
+FROM documents d LEFT JOIN agg USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def text_token_totals_sql() -> str:
+    return f"""
+WITH {_TOK_KEEPSTOP_CTE}
+SELECT count(*) AS total_tokens, count(DISTINCT term) AS distinct_terms
+FROM tok
+"""
+
+
 def build_queries() -> dict:
+    from ..ops import ann as A
+    from ..ops import dedup as D
     from ..ops import relational as R
+    from ..ops import text as T
+
+    training = {
+        "dedup_exact": D.exact_dedup,
+        "dedup_minhash_lsh": D.minhash_lsh_pairs,
+        "dedup_ngram_jaccard": D.ngram_jaccard_pairs,
+        "dedup_simhash": D.simhash_pairs,          # rows-only (no SQL twin)
+        "text_langid": T.lang_id,
+        "text_quality": T.quality_score,
+        "text_token_totals": T.token_totals,
+        "text_fingerprint": T.fingerprint,         # rows-only (no SQL twin)
+        "ann_brute_cosine": A.ann_brute_topk,
+        "ann_ivf_cosine": A.ann_ivf_topk,          # approximate (no SQL twin)
+    }
 
     rel = {
         "rel_rollup_pricing": R.rollup_pricing_summary,
@@ -325,7 +427,7 @@ def build_queries() -> dict:
         "rel_windowed_rollup": R.windowed_rollup,
         "rel_join_rollup": R.join_rollup,
     }
-    return rel | {
+    return training | rel | {
         "ft_term_hot": _q_term(HOT),
         "ft_term_mid": _q_term(MID),
         "ft_term_rare": _q_term(RARE, k=100),
@@ -340,6 +442,20 @@ def build_queries() -> dict:
 
 
 def build_oracle_sql() -> dict:
+    from ..ops.ann import ann_brute_sql
+    from ..ops.dedup import JACCARD_THRESHOLD
+
+    training = {
+        "dedup_exact": ft_dedup_exact_sql(),
+        "dedup_minhash_lsh": ft_jaccard_pairs_sql(JACCARD_THRESHOLD),
+        "dedup_ngram_jaccard": ft_jaccard_pairs_sql(JACCARD_THRESHOLD),
+        "text_langid": text_langid_sql(),
+        "text_quality": text_quality_sql(),
+        "text_token_totals": text_token_totals_sql(),
+        "ann_brute_cosine": ann_brute_sql(),
+        # dedup_simhash / text_fingerprint / ann_ivf_cosine: deliberately no
+        # SQL twin (approximate or non-SQL-expressible) → rows-only check
+    }
     from . import relational_sql as RS
 
     rel = {
@@ -357,7 +473,7 @@ def build_oracle_sql() -> dict:
         "rel_windowed_rollup": RS.WINDOWED_ROLLUP,
         "rel_join_rollup": RS.JOIN_ROLLUP,
     }
-    return rel | {
+    return training | rel | {
         "ft_term_hot": ft_term_sql(HOT, 10),
         "ft_term_mid": ft_term_sql(MID, 10),
         "ft_term_rare": ft_term_sql(RARE, 100),

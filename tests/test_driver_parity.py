@@ -76,6 +76,9 @@ def test_all_queries_have_oracles_or_are_documented():
     "rel_anti_join", "rel_grouping_topk", "rel_sorted_export",
     "rel_cursor_page", "rel_unique_stream", "rel_windowed_rollup",
     "rel_join_rollup",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "text_langid", "text_quality", "text_token_totals",
+    "ann_brute_cosine",
 ])
 def test_query_matches_oracle(name, con, ray_session):
     q, o = _pairs()

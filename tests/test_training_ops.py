@@ -1,0 +1,62 @@
+"""Unit tests for the approximate / non-SQL-expressible training-data ops
+(simhash, fingerprint, IVF-ANN) — checked against exact counterparts."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_simhash_deterministic_and_near_dup_sensitive():
+    from lucene_solr_ray.ops.dedup import simhash64
+
+    texts = pa.array([
+        "the quick brown fox jumps over the lazy dog " * 10,
+        "the quick brown fox jumps over the lazy dog " * 10 + " extra token",
+        "completely different content about databases and queries",
+    ])
+    a = simhash64(texts)
+    b = simhash64(texts)
+    assert np.array_equal(a, b)
+    ham01 = bin(int(a[0]) ^ int(a[1])).count("1")
+    ham02 = bin(int(a[0]) ^ int(a[2])).count("1")
+    assert ham01 < ham02
+    assert ham01 <= 3
+
+
+def test_simhash_pairs_finds_planted_dups(ray_session):
+    from lucene_solr_ray.ops.dedup import minhash_lsh_pairs, simhash_pairs
+
+    sp = simhash_pairs(SF).to_pandas()
+    mp = minhash_lsh_pairs(SF).to_pandas()
+    assert len(mp) > 0  # the documents table has planted near-dups
+    sim_pairs = set(zip(sp["a"], sp["b"]))
+    mh_pairs = set(zip(mp["a"], mp["b"]))
+    # simhash(hamming<=3) is a different similarity measure; it should
+    # still recover a solid majority of the J>=0.9 pairs
+    assert len(mh_pairs & sim_pairs) >= int(0.6 * len(mh_pairs))
+
+
+def test_fingerprint_is_content_sensitive(ray_session):
+    from lucene_solr_ray.ops.text import fingerprint
+
+    t = fingerprint(SF).to_pandas()
+    assert t["doc_id"].is_unique
+    # overwhelmingly distinct fps for distinct docs
+    assert t["fp"].nunique() > 0.99 * len(t)
+    t2 = fingerprint(SF).to_pandas()
+    assert t["fp"].tolist() == t2["fp"].tolist()
+
+
+def test_ann_ivf_recall_vs_brute(ray_session):
+    from lucene_solr_ray.ops.ann import ann_brute_topk, ann_ivf_topk
+
+    brute = ann_brute_topk(SF).to_pandas()
+    ivf = ann_ivf_topk(SF, nprobe=4).to_pandas()
+    recalls = []
+    for qid, g in brute.groupby("qid"):
+        truth = set(g["nid"])
+        got = set(ivf[ivf["qid"] == qid]["nid"])
+        recalls.append(len(truth & got) / len(truth))
+    assert np.mean(recalls) >= 0.5  # nprobe=4 of nlist=8 buckets
