@@ -116,8 +116,31 @@ def grouped_delta_decode(deltas: np.ndarray, counts: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# per-term postings encode/decode
+# per-term postings encode/decode (block-skippable layout)
 # ---------------------------------------------------------------------------
+#
+# Doc-id deltas RESET at every 128-posting block boundary (the first doc of
+# each block is stored absolute), and per-block byte offsets into the doc/tf
+# varint streams are kept alongside the block-max metadata. That makes each
+# block independently decodable — the skip-pointer discipline of
+# Lucene50SkipWriter.java:46,132 — so block-max WAND can skip both the
+# scoring AND the decode of pruned blocks.
+
+
+def block_sizes(df: int) -> np.ndarray:
+    """Per-block posting counts for a df-long postings list."""
+    n_full, rem = divmod(int(df), BLOCK_SIZE)
+    sizes = [BLOCK_SIZE] * n_full + ([rem] if rem else [])
+    return np.array(sizes, dtype=np.int64)
+
+
+def _varint_nbytes(v: np.ndarray) -> np.ndarray:
+    v = np.asarray(v).astype(np.uint64)
+    nb = np.ones(len(v), dtype=np.int64)
+    for k in range(1, 10):
+        nb += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    return nb
+
 
 def encode_postings(docs: np.ndarray, tfs: np.ndarray, norms: np.ndarray,
                     positions: np.ndarray | None = None) -> dict:
@@ -133,8 +156,15 @@ def encode_postings(docs: np.ndarray, tfs: np.ndarray, norms: np.ndarray,
     if n > 1 and not np.all(docs[1:] > docs[:-1]):
         raise ValueError("postings doc ids must be strictly ascending")
 
-    doc_data = varint_encode(delta_encode(docs))
+    bl = block_sizes(n)
+    b_starts = np.concatenate(([0], np.cumsum(bl)[:-1])).astype(np.int64) \
+        if len(bl) else np.empty(0, dtype=np.int64)
+
+    doc_deltas = grouped_delta_encode(docs, bl)
+    doc_data = varint_encode(doc_deltas)
+    doc_cum = np.concatenate(([0], np.cumsum(_varint_nbytes(doc_deltas))))
     tf_data = varint_encode(tfs)
+    tf_cum = np.concatenate(([0], np.cumsum(_varint_nbytes(tfs))))
     norm_data = norms.tobytes()
     pos_data = b""
     if positions is not None:
@@ -142,14 +172,13 @@ def encode_postings(docs: np.ndarray, tfs: np.ndarray, norms: np.ndarray,
         assert len(positions) == int(tfs.sum())
         pos_data = varint_encode(grouped_delta_encode(positions, tfs))
 
-    # block-max skip metadata per BLOCK_SIZE postings
-    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
-    pad = nblocks * BLOCK_SIZE - n
-    def blockify(a, fill):
-        return np.concatenate([a, np.full(pad, fill, dtype=a.dtype)]).reshape(nblocks, BLOCK_SIZE)
-    block_last_doc = blockify(docs, docs[-1] if n else 0).max(axis=1)
-    block_max_tf = blockify(tfs, 0).max(axis=1)
-    block_max_norm = blockify(norms, 0).max(axis=1)
+    nblocks = len(bl)
+    b_ends = b_starts + bl
+    block_last_doc = docs[b_ends - 1] if n else np.empty(0, dtype=np.int64)
+    block_max_tf = np.maximum.reduceat(tfs, b_starts) if n else \
+        np.empty(0, dtype=np.int64)
+    block_max_norm = np.maximum.reduceat(norms, b_starts) if n else \
+        np.empty(0, dtype=np.uint8)
 
     return {
         "df": n,
@@ -161,6 +190,8 @@ def encode_postings(docs: np.ndarray, tfs: np.ndarray, norms: np.ndarray,
         "block_last_doc": block_last_doc.astype(np.int64),
         "block_max_tf": block_max_tf.astype(np.int32),
         "block_max_norm": block_max_norm.astype(np.uint8),
+        "block_doc_off": doc_cum[b_starts].astype(np.int64),
+        "block_tf_off": tf_cum[b_starts].astype(np.int64),
     }
 
 
@@ -169,10 +200,43 @@ def decode_postings(enc: dict, *, with_positions: bool = False):
 
     Returns ``(docs, tfs, norms[, positions])`` numpy arrays.
     """
-    docs = delta_decode(varint_decode(enc["doc_data"]).astype(np.int64))
+    df = int(enc["df"])
+    bl = block_sizes(df)
+    docs = grouped_delta_decode(varint_decode(enc["doc_data"]).astype(np.int64), bl)
     tfs = varint_decode(enc["tf_data"]).astype(np.int64)
     norms = np.frombuffer(enc["norm_data"], dtype=np.uint8)
     if not with_positions:
         return docs, tfs, norms
     pos = grouped_delta_decode(varint_decode(enc["pos_data"]).astype(np.int64), tfs)
     return docs, tfs, norms, pos
+
+
+def decode_blocks(enc: dict, sel: np.ndarray):
+    """Decode only the selected blocks of one term's postings.
+
+    ``sel``: ascending block indices. Returns ``(docs, tfs, norms,
+    posting_offsets)`` where posting_offsets[i] is the global posting index
+    of the first entry of selected block i.
+    """
+    df = int(enc["df"])
+    bl = block_sizes(df)
+    sel = np.asarray(sel, dtype=np.int64)
+    if len(sel) == 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64))
+    p_starts = np.concatenate(([0], np.cumsum(bl)[:-1]))
+    doc_off = np.asarray(enc["block_doc_off"], dtype=np.int64)
+    tf_off = np.asarray(enc["block_tf_off"], dtype=np.int64)
+    doc_end = np.concatenate((doc_off[1:], [len(enc["doc_data"])]))
+    tf_end = np.concatenate((tf_off[1:], [len(enc["tf_data"])]))
+
+    doc_buf = b"".join(bytes(enc["doc_data"][doc_off[b]:doc_end[b]])
+                       for b in sel)
+    tf_buf = b"".join(bytes(enc["tf_data"][tf_off[b]:tf_end[b]]) for b in sel)
+    sizes = bl[sel]
+    docs = grouped_delta_decode(varint_decode(doc_buf).astype(np.int64), sizes)
+    tfs = varint_decode(tf_buf).astype(np.int64)
+    norm_all = np.frombuffer(enc["norm_data"], dtype=np.uint8)
+    norms = np.concatenate([norm_all[p_starts[b]:p_starts[b] + bl[b]]
+                            for b in sel])
+    return docs, tfs, norms, p_starts[sel]

@@ -1,0 +1,210 @@
+"""Segment merge — the groupby(term) shuffle with hot-term salting.
+
+Models Lucene's merge (core:index/SegmentMerger.java:74-127 mergeTerms) and
+the reference's distributed mtree merge (solr/contrib/map-reduce/.../
+TreeMergeOutputFormat.java:138-153) as a Ray Data exchange:
+
+1. a tiny stats pass (``read_parquet(columns=["term","df"])`` — column
+   pruning — → groupby(term).sum) finds HOT terms (global df above
+   threshold; stopword-class postings);
+2. a split stage re-buckets each hot term's postings rows into fixed
+   doc-id VALUE ranges (``salt = doc_id * B >> 63``) so no reduce task ever
+   materializes a full hot posting list — the salted repartition the north
+   rule requires. Doc-range buckets keep global doc order: bucket b's docs
+   all precede bucket b+1's;
+3. ``groupby((term, salt)).map_groups`` merge-sorts each group's postings
+   (docs strictly ascending across source segments — doc ids are unique),
+   re-encodes blocks, and emits one merged row;
+4. the merged rows are range-sorted by (term, salt) and written as
+   term-partitioned postings shards; the original segments remain in the
+   new manifest generation as ``docs_only`` entries (their docs.parquet —
+   dl/norm/lineage — stays authoritative; their postings are superseded).
+
+The searcher reads postings from ``kind="postings"`` segments and document
+tables from any segment carrying docs.parquet, so a merged index answers
+queries identically to the unmerged one (tested in tests/test_merge.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .encode import decode_postings, encode_postings
+from .manifest import commit_manifest, load_manifest
+from .segment import POSTINGS_FILE
+
+HOT_DF_THRESHOLD = 32_768
+BUCKET_POSTINGS = 65_536
+SHARD_ROWS = 65_536
+
+
+def _permute_grouped(flat: np.ndarray, counts: np.ndarray,
+                     perm: np.ndarray) -> np.ndarray:
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    new_counts = counts[perm]
+    total = int(new_counts.sum())
+    new_starts = np.concatenate(([0], np.cumsum(new_counts)[:-1]))
+    idx = (np.repeat(starts[perm], new_counts)
+           + (np.arange(total) - np.repeat(new_starts, new_counts)))
+    return flat[idx]
+
+
+def _row_to_enc(row: dict) -> dict:
+    """A parquet row (python values) is already a valid codec dict."""
+    return row
+
+
+def _encode_row(term: str, salt: int, docs, tfs, norms, pos) -> dict:
+    enc = encode_postings(docs, tfs, norms, pos)
+    return {
+        "term": term, "salt": salt, "df": enc["df"], "ttf": enc["ttf"],
+        "doc_data": enc["doc_data"], "tf_data": enc["tf_data"],
+        "norm_data": enc["norm_data"], "pos_data": enc["pos_data"],
+        "block_last_doc": enc["block_last_doc"].tolist(),
+        "block_max_tf": enc["block_max_tf"].tolist(),
+        "block_max_norm": enc["block_max_norm"].tolist(),
+        "block_doc_off": enc["block_doc_off"].tolist(),
+        "block_tf_off": enc["block_tf_off"].tolist(),
+    }
+
+
+class SplitStage:
+    """map_batches stage: assign salt buckets; split hot-term rows into
+    doc-range sub-rows so the downstream groupby key is (term, salt)."""
+
+    def __init__(self, hot_ref):
+        import ray
+
+        from ..util import tune_allocator
+
+        tune_allocator()
+        self.hot: dict[str, int] = ray.get(hot_ref)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for row in df.to_dict("records"):
+            n_buckets = self.hot.get(row["term"], 1)
+            if n_buckets <= 1:
+                row["salt"] = 0
+                out.append(row)
+                continue
+            docs, tfs, norms, pos = decode_postings(row, with_positions=True)
+            salt = ((docs.astype(np.uint64) * np.uint64(n_buckets))
+                    >> np.uint64(63)).astype(np.int64)
+            pos_starts = np.concatenate(([0], np.cumsum(tfs)))
+            for s in np.unique(salt):
+                m = salt == s
+                idx = np.flatnonzero(m)
+                p = _permute_grouped(pos, tfs, idx) if len(pos) else pos
+                out.append(_encode_row(row["term"], int(s), docs[m], tfs[m],
+                                       norms[m], p))
+        return pd.DataFrame(out)
+
+
+def _merge_group(g: pd.DataFrame) -> pd.DataFrame:
+    """Merge one (term, salt) group's rows into a single doc-sorted row."""
+    rows = g.to_dict("records")
+    if len(rows) == 1:
+        return pd.DataFrame(rows)
+    parts = [decode_postings(r, with_positions=True) for r in rows]
+    docs = np.concatenate([p[0] for p in parts])
+    tfs = np.concatenate([p[1] for p in parts])
+    norms = np.concatenate([p[2] for p in parts])
+    pos = np.concatenate([p[3] for p in parts])
+    perm = np.argsort(docs, kind="stable")
+    pos = _permute_grouped(pos, tfs, perm)
+    merged = _encode_row(rows[0]["term"], int(rows[0]["salt"]),
+                         docs[perm], tfs[perm], norms[perm], pos)
+    return pd.DataFrame([merged])
+
+
+def merge_segments(index_dir: str, *, hot_df_threshold: int = HOT_DF_THRESHOLD,
+                   bucket_postings: int = BUCKET_POSTINGS,
+                   shard_rows: int = SHARD_ROWS) -> dict:
+    """Merge all postings segments of ``index_dir`` into term-partitioned
+    shards; commit a new manifest generation. Returns the manifest."""
+    import ray
+    import ray.data as rd
+
+    man = load_manifest(index_dir)
+    root = os.path.join(index_dir, "segments")
+    source = [s for s in man["segments"]
+              if s.get("kind", "postings") != "docs_only"]
+    files = [os.path.join(root, s["segment"], POSTINGS_FILE) for s in source]
+
+    # pass 1: global df per term (column-pruned read, tiny aggregate)
+    stats = rd.read_parquet(files, columns=["term", "df"]) \
+        .groupby("term").sum("df").to_pandas()
+    hot = {r["term"]: int(np.ceil(r["sum(df)"] / bucket_postings))
+           for _, r in stats.iterrows() if r["sum(df)"] > hot_df_threshold}
+    hot_ref = ray.put(hot)
+
+    # pass 2: split + shuffle-merge
+    ds = rd.read_parquet(files)
+    split = ds.map_batches(SplitStage, fn_constructor_kwargs={"hot_ref": hot_ref},
+                           batch_format="pandas", concurrency=(1, 4))
+    merged = split.groupby(["term", "salt"]).map_groups(
+        _merge_group, batch_format="pandas")
+    ordered = merged.sort(["term", "salt"])
+
+    # pass 3: write term-partitioned shards in sorted order
+    shard_metas = []
+    buf: list[pa.Table] = []
+    buf_rows = 0
+    shard_id = 0
+
+    def flush():
+        nonlocal buf, buf_rows, shard_id
+        if not buf:
+            return
+        name = f"merged-{man['generation']:03d}-{shard_id:05d}"
+        tbl = pa.concat_tables(buf)
+        cols = [c for c in ["term", "df", "ttf", "doc_data", "tf_data",
+                            "norm_data", "pos_data", "block_last_doc",
+                            "block_max_tf", "block_max_norm",
+                            "block_doc_off", "block_tf_off"]]
+        tbl = tbl.select(cols)
+        tmp = os.path.join(root, name + ".tmp")
+        os.makedirs(tmp, exist_ok=True)
+        import json
+
+        import pyarrow.parquet as pq
+
+        pq.write_table(tbl, os.path.join(tmp, POSTINGS_FILE),
+                       row_group_size=4096)
+        meta = {"segment": name, "kind": "postings", "num_docs": 0,
+                "sum_dl": 0, "num_terms": tbl.num_rows,
+                "with_positions": True}
+        with open(os.path.join(tmp, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        final = os.path.join(root, name)
+        if os.path.exists(final):
+            import shutil
+
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        shard_metas.append(meta)
+        buf, buf_rows = [], 0
+        shard_id += 1
+
+    for batch in ordered.iter_batches(batch_format="pyarrow",
+                                      batch_size=shard_rows):
+        buf.append(batch)
+        buf_rows += batch.num_rows
+        if buf_rows >= shard_rows:
+            flush()
+    flush()
+
+    docs_only = []
+    for s in man["segments"]:
+        e = dict(s)
+        if e.get("kind", "postings") != "docs_only":
+            e["kind"] = "docs_only"
+        docs_only.append(e)
+    return commit_manifest(index_dir, shard_metas + docs_only,
+                           extra={"merged_from_generation": man["generation"],
+                                  "hot_terms": len(hot)})

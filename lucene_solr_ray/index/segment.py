@@ -97,6 +97,8 @@ def build_postings_table(doc_ids_flat: np.ndarray, terms_flat: pa.Array,
             "block_last_doc": pa.array([], type=pa.list_(pa.int64())),
             "block_max_tf": pa.array([], type=pa.list_(pa.int32())),
             "block_max_norm": pa.array([], type=pa.list_(pa.uint8())),
+            "block_doc_off": pa.array([], type=pa.list_(pa.int64())),
+            "block_tf_off": pa.array([], type=pa.list_(pa.int64())),
         })
         return empty, {"num_terms": 0}
 
@@ -141,8 +143,19 @@ def build_postings_table(doc_ids_flat: np.ndarray, terms_flat: pa.Array,
     li = np.searchsorted(doc_norm_lookup_ids, p_docs)
     p_norms = doc_norm_bytes[li]
 
+    # ---- block structure (tiles the postings arrays; blocks never span
+    # terms) — computed FIRST because doc deltas reset per block ----
+    nblocks = (dfs + BLOCK_SIZE - 1) // BLOCK_SIZE
+    total_blocks = int(nblocks.sum())
+    first_block = np.concatenate(([0], np.cumsum(nblocks)[:-1]))
+    within = np.arange(total_blocks) - np.repeat(first_block, nblocks)
+    b_starts = np.repeat(t_starts, nblocks) + within * BLOCK_SIZE
+    t_ends = np.concatenate((t_starts[1:], [n_post]))
+    b_ends = np.minimum(b_starts + BLOCK_SIZE, np.repeat(t_ends, nblocks))
+    block_len = b_ends - b_starts
+
     # ---- encode blobs + per-term byte boundaries ----
-    doc_deltas = grouped_delta_encode(p_docs, dfs)
+    doc_deltas = grouped_delta_encode(p_docs, block_len)  # reset per block
     doc_blob = varint_encode(doc_deltas)
     doc_nb = _varint_nbytes(doc_deltas)
     doc_cum = np.concatenate(([0], np.cumsum(doc_nb)))
@@ -155,6 +168,12 @@ def build_postings_table(doc_ids_flat: np.ndarray, terms_flat: pa.Array,
 
     norm_blob = p_norms.astype(np.uint8).tobytes()
     norm_bounds = np.concatenate((t_starts, [n_post])).astype(np.int64)
+
+    # per-block byte offsets RELATIVE to the term's blob slice
+    term_doc_base = np.repeat(doc_cum[t_starts], nblocks)
+    block_doc_off = doc_cum[b_starts] - term_doc_base
+    term_tf_base = np.repeat(tf_cum[t_starts], nblocks)
+    block_tf_off = tf_cum[b_starts] - term_tf_base
 
     if with_positions:
         pos_deltas = grouped_delta_encode(ps, tfs)
@@ -169,14 +188,7 @@ def build_postings_table(doc_ids_flat: np.ndarray, terms_flat: pa.Array,
         pos_blob = b""
         pos_bounds = np.zeros(n_terms + 1, dtype=np.int64)
 
-    # ---- block-max metadata (tiles the postings arrays) ----
-    nblocks = (dfs + BLOCK_SIZE - 1) // BLOCK_SIZE
-    total_blocks = int(nblocks.sum())
-    first_block = np.concatenate(([0], np.cumsum(nblocks)[:-1]))
-    within = np.arange(total_blocks) - np.repeat(first_block, nblocks)
-    b_starts = np.repeat(t_starts, nblocks) + within * BLOCK_SIZE
-    t_ends = np.concatenate((t_starts[1:], [n_post]))
-    b_ends = np.minimum(b_starts + BLOCK_SIZE, np.repeat(t_ends, nblocks))
+    # ---- block-max skip metadata ----
     block_last_doc = p_docs[b_ends - 1]
     block_max_tf = np.maximum.reduceat(tfs, b_starts)
     block_max_norm = np.maximum.reduceat(p_norms, b_starts)
@@ -193,6 +205,8 @@ def build_postings_table(doc_ids_flat: np.ndarray, terms_flat: pa.Array,
         "block_last_doc": _list_array(block_last_doc, nblocks, pa.int64()),
         "block_max_tf": _list_array(block_max_tf.astype(np.int32), nblocks, pa.int32()),
         "block_max_norm": _list_array(block_max_norm.astype(np.uint8), nblocks, pa.uint8()),
+        "block_doc_off": _list_array(block_doc_off.astype(np.int64), nblocks, pa.int64()),
+        "block_tf_off": _list_array(block_tf_off.astype(np.int64), nblocks, pa.int64()),
     })
     stats = {"num_terms": n_terms, "num_postings": int(n_post),
              "num_tokens": int(n_tok)}

@@ -24,7 +24,7 @@ from ..analysis.stopwords import stopwords_sql_list
 from ..search.bm25 import quantize_score
 
 INDEX_CACHE_ROOT = "/tmp/lsr_index_cache"
-FORMAT_VERSION = 1  # bump when the on-disk index format changes
+FORMAT_VERSION = 2  # bump when the on-disk index format changes
 
 K1_SQL = "1.2"
 B_SQL = "0.75"

@@ -1,0 +1,117 @@
+"""Distributed query execution: an actor pool of query shards + driver-side
+TopDocs.merge.
+
+Models the reference's two-phase scatter-gather
+(solr:handler/component/QueryComponent.java:308-314,692-721) with the
+global-IDF stats phase (solr:search/stats/ExactStatsCache.java:55-94):
+
+1. STATS phase: every shard reports local (df, ttf) for the query terms;
+   the driver sums them into global statistics.
+2. QUERY phase: shards score with the GLOBAL stats (rank-identical to a
+   single index) and return their local top-k.
+3. The driver merges by (score desc, doc_id asc) — TopDocs.merge
+   (core:search/TopDocs.java:64-110) with content-derived doc ids as the
+   tie key.
+
+Each shard actor holds an IndexSearcher over a subset of postings segments
+(mmap'd parquet + hot term dictionaries — the SolrIndexSearcher residency
+model). The caller owns the Ray session; this module never calls
+ray.init().
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..index.manifest import load_manifest
+from .searcher import IndexSearcher, topk_merge
+
+
+class QueryShard:
+    """Plain class; wrapped with ray.remote by DistributedSearcher."""
+
+    def __init__(self, index_dir: str, segment_names: list[str],
+                 mode: str = "lucene32", method: str = "auto"):
+        from ..util import tune_allocator
+
+        tune_allocator()
+        self.searcher = IndexSearcher(index_dir, mode=mode, method=method,
+                                      segment_filter=set(segment_names))
+
+    def term_stats(self, terms: list[str]) -> dict:
+        return self.searcher.local_term_stats(terms)
+
+    def search(self, query: dict, k: int, stats: dict):
+        self.searcher.stats_override = stats
+        t = self.searcher.search(query, k=k)
+        return (np.asarray(t["doc_id"], dtype=np.int64),
+                np.asarray(t["score"]))
+
+
+def _query_terms(query: dict) -> list[str]:
+    qt = query["type"]
+    if qt == "term":
+        return [query["term"]]
+    if qt == "bool":
+        return (list(query.get("must", [])) + list(query.get("should", []))
+                + list(query.get("must_not", [])))
+    if qt == "phrase":
+        return list(query["terms"])
+    raise ValueError(qt)
+
+
+class DistributedSearcher:
+    def __init__(self, index_dir: str, *, num_shards: int = 4,
+                 mode: str = "lucene32", method: str = "auto",
+                 num_cpus_per_shard: float = 1.0):
+        import ray
+
+        self.mode = mode
+        man = load_manifest(index_dir)
+        post = [s["segment"] for s in man["segments"]
+                if s.get("kind", "postings") == "postings"]
+        num_shards = max(1, min(num_shards, len(post)))
+        groups: list[list[str]] = [[] for _ in range(num_shards)]
+        for i, name in enumerate(sorted(post)):
+            groups[i % num_shards].append(name)
+        Actor = ray.remote(num_cpus=num_cpus_per_shard)(QueryShard)
+        self.shards = [Actor.remote(index_dir, g, mode, method)
+                       for g in groups if g]
+
+    def term_stats(self, terms: list[str]) -> dict:
+        import ray
+
+        parts = ray.get([s.term_stats.remote(terms) for s in self.shards])
+        agg: dict[str, list[int]] = {}
+        for p in parts:
+            for t, (df, ttf) in p.items():
+                a = agg.setdefault(t, [0, 0])
+                a[0] += df
+                a[1] += ttf
+        return {t: (v[0], v[1]) for t, v in agg.items()}
+
+    def search(self, query: dict, k: int = 10) -> pa.Table:
+        import ray
+
+        stats = self.term_stats(_query_terms(query))
+        parts = ray.get([s.search.remote(query, k, stats)
+                         for s in self.shards])
+        docs = np.concatenate([p[0] for p in parts]) if parts else \
+            np.empty(0, dtype=np.int64)
+        scores = np.concatenate([p[1] for p in parts]) if parts else \
+            np.empty(0, dtype=np.float32)
+        d, s = topk_merge(docs, scores, k)
+        score_type = pa.float32() if self.mode == "lucene32" else pa.float64()
+        return pa.table({
+            "doc_id": pa.array(d, type=pa.int64()),
+            "score": pa.array(s, type=score_type),
+            "rank": pa.array(np.arange(1, len(d) + 1), type=pa.int64()),
+        })
+
+    def close(self):
+        import ray
+
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []

@@ -1,31 +1,32 @@
-"""Query engine: per-segment posting-list algebra + distributed top-k.
+"""Query engine: posting-list algebra over global per-term postings +
+distributed top-k.
 
 Mirrors the reference's query execution (core:search/IndexSearcher.java:411):
 - Weights are built from GLOBAL statistics aggregated across segments before
   scoring (TermQuery.java:63-73 pulls searcher-level collectionStatistics /
   termStatistics; distributed analogue: solr:search/stats/ExactStatsCache.java:55-94).
-- Per-segment scorers walk postings (TermScorer.java:64-85) — here decoded
-  into numpy arrays and scored vectorized.
+- A term's postings may live in several segments (doc-partitioned build) and
+  in several rows per segment (salted hot-term merge, doc-range buckets) —
+  the searcher gathers all pieces and operates on one doc-sorted array per
+  term, so any segment layout (doc-partitioned, term-partitioned, salted)
+  answers identically.
 - Boolean algebra: conjunction = sorted-array intersection
-  (ConjunctionDISI.java:33-84), disjunction = union with per-doc clause
-  accumulation (BooleanScorer.java:32-147), minShouldMatch = presence-count
-  filter (MinShouldMatchSumScorer.java:38-86), MUST_NOT = difference
+  (ConjunctionDISI.java:33-84), disjunction = union + per-doc accumulation
+  (BooleanScorer.java:32-147), minShouldMatch presence-count filter
+  (MinShouldMatchSumScorer.java:38-86), MUST_NOT difference
   (ReqExclScorer.java). Clause scores accumulate in double and cast to
   float32 (ConjunctionScorer/DisjunctionSumScorer contract).
-- Phrase = conjunction + position-delta verification; freq = number of
-  phrase occurrences, scored with phraseFreq (ExactPhraseScorer.java:27-84);
-  the phrase weight's idf is the SUM of per-term idfs
-  (BM25Similarity.idfExplain for multiple terms).
-- Top-k: per-segment heaps merged by (score desc, doc_id asc) — the
-  HitQueue.java:76-81 tie-break with content-derived doc ids standing in
-  for (shardIndex, hitIndex) of TopDocs.merge (TopDocs.java:199-208).
+- Phrase = conjunction + position-delta verification, freq = #occurrences,
+  scored with phraseFreq (ExactPhraseScorer.java:27-84); phrase idf = the
+  float32-accumulated sum of per-term idfs (BM25Similarity.idfExplain).
+- Top-k: (score desc, doc_id asc) — HitQueue.java:76-81 / TopDocs.merge
+  (TopDocs.java:199-208) with content-derived doc ids as the tie key.
+- Block-max pruning (search.wand) is used for lucene32 term/OR queries;
+  equivalence with exhaustive scoring is property-tested.
 
-Scoring modes:
-- ``lucene32`` — bit-faithful Lucene 6.0 float32 BM25 with SmallFloat
-  norm quantization (the engine default).
-- ``exact64``  — unquantized float64 BM25 (documented evaluation order)
-  whose results are reproducible in ANSI SQL; used by the DuckDB
-  correctness oracle.
+Scoring modes: ``lucene32`` (bit-faithful Lucene 6.0 float32 BM25, engine
+default) and ``exact64`` (unquantized float64, reproducible in ANSI SQL for
+the DuckDB oracle).
 """
 
 from __future__ import annotations
@@ -35,7 +36,6 @@ import os
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..index.encode import decode_postings
@@ -43,7 +43,9 @@ from ..index.manifest import load_manifest
 from ..index.segment import DOCS_FILE, META_FILE, POSTINGS_FILE
 from .bm25 import BM25Float32, idf_exact64, idf_float32
 
-POSTING_COLS = ["term", "df", "ttf", "doc_data", "tf_data", "norm_data"]
+POSTING_COLS = ["term", "df", "ttf", "doc_data", "tf_data", "norm_data",
+                "block_last_doc", "block_max_tf", "block_max_norm",
+                "block_doc_off", "block_tf_off"]
 POSTING_COLS_POS = POSTING_COLS + ["pos_data"]
 
 
@@ -54,9 +56,10 @@ class SegmentReader:
     column + df/ttf, the .tim/.tip analogue) is loaded once per reader and
     kept hot; postings rows are fetched on demand by exact row position —
     binary-search the cached term dictionary, decode only the parquet row
-    group containing that row (the skip-to-block discipline of
+    group containing the row(s) (the skip-to-block discipline of
     BlockTreeTermsReader + Lucene50PostingsReader), then memoize the
-    decoded row (SolrIndexSearcher-cache analogue)."""
+    decoded rows (SolrIndexSearcher-cache analogue). A term may own several
+    consecutive rows (salted hot-term buckets in doc-range order)."""
 
     def __init__(self, seg_dir: str):
         self.seg_dir = seg_dir
@@ -68,7 +71,7 @@ class SegmentReader:
         self._df = None
         self._ttf = None
         self._rg_cum = None       # cumulative row counts per row group
-        self._row_cache: dict[tuple[str, bool], dict | None] = {}
+        self._row_cache: dict[tuple[str, bool], list[dict]] = {}
 
     def _file(self) -> pq.ParquetFile:
         if self._pf is None:
@@ -88,47 +91,39 @@ class SegmentReader:
             self._ttf = np.asarray(t["ttf"], dtype=np.int64)
         return self._terms
 
-    def _term_index(self, term: str) -> int:
+    def _term_range(self, term: str) -> tuple[int, int]:
         terms = self._term_dict()
         if len(terms) == 0:
-            return -1
-        i = int(np.searchsorted(terms, term))
-        if i >= len(terms) or terms[i] != term:
-            return -1
-        return i
+            return (0, 0)
+        lo = int(np.searchsorted(terms, term, side="left"))
+        hi = int(np.searchsorted(terms, term, side="right"))
+        return (lo, hi)
 
-    def term_row(self, term: str, *, positions: bool = False) -> dict | None:
+    def _read_row(self, i: int, cols: list[str]) -> dict:
+        pf = self._file()
+        g = int(np.searchsorted(self._rg_cum, i, side="right") - 1)
+        tbl = pf.read_row_group(g, columns=cols)
+        j = i - int(self._rg_cum[g])
+        return {c: tbl[c][j].as_py() for c in cols}
+
+    def term_row_list(self, term: str, *, positions: bool = False) -> list[dict]:
         key = (term, positions)
         if key in self._row_cache:
             return self._row_cache[key]
-        i = self._term_index(term)
-        if i < 0:
-            self._row_cache[key] = None
-            return None
-        pf = self._file()
-        g = int(np.searchsorted(self._rg_cum, i, side="right") - 1)
+        lo, hi = self._term_range(term)
         cols = POSTING_COLS_POS if positions else POSTING_COLS
-        tbl = pf.read_row_group(g, columns=cols)
-        j = i - int(self._rg_cum[g])
-        row = {c: tbl[c][j].as_py() for c in cols}
-        self._row_cache[key] = row
-        return row
-
-    def term_rows(self, terms: list[str], *, positions: bool = False) -> dict[str, dict]:
-        out = {}
-        for t in terms:
-            row = self.term_row(t, positions=positions)
-            if row is not None:
-                out[t] = row
-        return out
+        rows = [self._read_row(i, cols) for i in range(lo, hi)]
+        self._row_cache[key] = rows
+        return rows
 
     def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
         self._term_dict()
         out = {}
         for t in terms:
-            i = self._term_index(t)
-            if i >= 0:
-                out[t] = (int(self._df[i]), int(self._ttf[i]))
+            lo, hi = self._term_range(t)
+            if hi > lo:
+                out[t] = (int(self._df[lo:hi].sum()),
+                          int(self._ttf[lo:hi].sum()))
         return out
 
     def doc_lengths(self) -> tuple[np.ndarray, np.ndarray]:
@@ -155,26 +150,65 @@ def topk_merge(doc_ids: np.ndarray, scores: np.ndarray, k: int):
     return doc_ids[order], scores[order]
 
 
+def _permute_grouped(flat: np.ndarray, counts: np.ndarray,
+                     perm: np.ndarray) -> np.ndarray:
+    """Reorder a flat grouped array (group sizes ``counts``) by a group
+    permutation ``perm`` — vectorized."""
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    new_counts = counts[perm]
+    total = int(new_counts.sum())
+    new_starts = np.concatenate(([0], np.cumsum(new_counts)[:-1]))
+    idx = (np.repeat(starts[perm], new_counts)
+           + (np.arange(total) - np.repeat(new_starts, new_counts)))
+    return flat[idx]
+
+
 class IndexSearcher:
     """Single-process searcher over all segments of an index directory."""
 
     def __init__(self, index_dir: str, *, mode: str = "lucene32",
-                 k1: float = 1.2, b: float = 0.75):
+                 k1: float = 1.2, b: float = 0.75, method: str = "auto",
+                 segment_filter: set[str] | None = None):
+        # method: "auto" → block-max pruning for lucene32 term/OR queries,
+        # exhaustive otherwise; "exhaustive" / "blockmax" force a path.
+        # segment_filter: restrict postings to these segment names (a query
+        # shard of a DistributedSearcher); stats_override then supplies the
+        # global term statistics (the SET_TERM_STATS phase of
+        # solr:search/stats/ExactStatsCache.java:94).
+        self.method = method
         self.index_dir = index_dir
+        self.stats_override: dict[str, tuple[int, int]] | None = None
         self.manifest = load_manifest(index_dir)
+        if segment_filter is not None:
+            self.manifest = dict(self.manifest)
+            self.manifest["segments"] = [
+                s for s in self.manifest["segments"]
+                if s["segment"] in segment_filter
+                or s.get("kind", "postings") == "docs_only"]
         self.mode = mode
         self.k1, self.b = k1, b
         root = os.path.join(index_dir, "segments")
-        self.segments = [SegmentReader(os.path.join(root, s["segment"]))
-                         for s in self.manifest["segments"]]
+        # kind comes from the MANIFEST entry (the current generation's
+        # view), not the immutable segment dir: a merged generation marks
+        # superseded originals docs_only while their dirs stay unchanged
+        all_readers = []
+        for s in self.manifest["segments"]:
+            r = SegmentReader(os.path.join(root, s["segment"]))
+            r.kind = s.get("kind", "postings")
+            all_readers.append(r)
+        self.segments = [r for r in all_readers if r.kind == "postings"]
+        self.doc_segments = [r for r in all_readers
+                             if os.path.exists(os.path.join(r.seg_dir,
+                                                            DOCS_FILE))]
         self.num_docs = self.manifest["num_docs"]
         self.sum_dl = self.manifest["sum_dl"]
         if mode == "lucene32":
             self.sim = BM25Float32(self.num_docs, self.sum_dl, k1=k1, b=b)
         self.avgdl64 = self.sum_dl / self.num_docs if self.num_docs else 1.0
+        self._dl_global = None
 
     # ---- global stats (ExactStatsCache analogue) ----
-    def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+    def local_term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
         agg: dict[str, list[int]] = {t: [0, 0] for t in terms}
         for seg in self.segments:
             for t, (df, ttf) in seg.term_stats(terms).items():
@@ -182,50 +216,93 @@ class IndexSearcher:
                 agg[t][1] += ttf
         return {t: (v[0], v[1]) for t, v in agg.items()}
 
-    # ---- per-clause scoring ----
-    def _clause_postings(self, seg: SegmentReader, rows: dict, term: str,
-                         positions: bool = False):
-        row = rows.get(term)
-        if row is None:
-            return None
-        return decode_postings(row, with_positions=positions)
+    def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        if self.stats_override is not None:
+            return {t: self.stats_override.get(t, (0, 0)) for t in terms}
+        return self.local_term_stats(terms)
 
-    def _score_arrays(self, seg: SegmentReader, docs, tfs, norms, df_global: int,
-                      tf_override: np.ndarray | None = None,
-                      idf_override: float | None = None) -> np.ndarray:
+    # ---- postings gathering ----
+    def _collect_rows(self, term: str, *, positions: bool = False) -> list[dict]:
+        rows = []
+        for seg in self.segments:
+            rows.extend(seg.term_row_list(term, positions=positions))
+        return rows
+
+    def _decode_term_global(self, term: str, *, positions: bool = False):
+        """One doc-sorted postings array set for a term across all segments
+        and salt buckets; None if absent."""
+        rows = self._collect_rows(term, positions=positions)
+        if not rows:
+            return None
+        parts = [decode_postings(r, with_positions=positions) for r in rows]
+        docs = np.concatenate([p[0] for p in parts])
+        tfs = np.concatenate([p[1] for p in parts])
+        norms = np.concatenate([p[2] for p in parts])
+        perm = np.argsort(docs, kind="stable")
+        sorted_docs = docs[perm]
+        if positions:
+            pos = np.concatenate([p[3] for p in parts])
+            pos = _permute_grouped(pos, tfs, perm)
+            return sorted_docs, tfs[perm], norms[perm], pos
+        return sorted_docs, tfs[perm], norms[perm]
+
+    def _global_dl(self):
+        if self._dl_global is None:
+            ids = np.concatenate([s.doc_lengths()[0]
+                                  for s in self.doc_segments])
+            dls = np.concatenate([s.doc_lengths()[1]
+                                  for s in self.doc_segments])
+            o = np.argsort(ids)
+            self._dl_global = (ids[o], dls[o])
+        return self._dl_global
+
+    # ---- scoring ----
+    def _score(self, docs, tfs, norms, df_global: int,
+               tf_override: np.ndarray | None = None,
+               idf_override: float | None = None) -> np.ndarray:
         tf = tf_override if tf_override is not None else tfs
         if self.mode == "lucene32":
             if idf_override is not None:
-                w = (np.float32(idf_override)) * (np.float32(self.k1) + np.float32(1.0))
+                w = np.float32(idf_override) * (np.float32(self.k1) + np.float32(1.0))
                 tf32 = tf.astype(np.float32)
                 norm = self.sim.cache[np.asarray(norms, dtype=np.int64)]
                 return (w * tf32 / (tf32 + norm)).astype(np.float32)
             return self.sim.score_term(tf, norms, df_global)
-        # exact64: dl from the docs table
-        ids, dls = seg.doc_lengths()
+        ids, dls = self._global_dl()
         dl = dls[np.searchsorted(ids, docs)]
-        idf = idf_override if idf_override is not None else idf_exact64(df_global, self.num_docs)
+        idf = idf_override if idf_override is not None else \
+            idf_exact64(df_global, self.num_docs)
         tf64 = tf.astype(np.float64)
         dl64 = dl.astype(np.float64)
         k1, b = self.k1, self.b
         return idf * (tf64 * (k1 + 1)) / (tf64 + k1 * ((1 - b) + (b * dl64) / self.avgdl64))
 
     # ---- queries ----
+    def _use_blockmax(self) -> bool:
+        return (self.mode == "lucene32" and
+                self.method in ("auto", "blockmax"))
+
     def search_term(self, term: str, k: int = 10) -> pa.Table:
         stats = self.term_stats([term])
-        df_g = stats[term][0]
+        df_g = stats.get(term, (0, 0))[0]
         all_docs, all_scores = [], []
         if df_g > 0:
-            for seg in self.segments:
-                rows = seg.term_rows([term])
-                p = self._clause_postings(seg, rows, term)
-                if p is None:
-                    continue
-                docs, tfs, norms = p
-                scores = self._score_arrays(seg, docs, tfs, norms, df_g)
-                d, s = topk_merge(docs, scores, k)
-                all_docs.append(d)
-                all_scores.append(s)
+            if self._use_blockmax():
+                from .wand import term_topk_blockmax
+
+                for row in self._collect_rows(term):
+                    docs, scores, _ = term_topk_blockmax(row, self.sim, df_g, k)
+                    d, s = topk_merge(docs, scores, k)
+                    all_docs.append(d)
+                    all_scores.append(s)
+            else:
+                p = self._decode_term_global(term)
+                if p is not None:
+                    docs, tfs, norms = p
+                    scores = self._score(docs, tfs, norms, df_g)
+                    d, s = topk_merge(docs, scores, k)
+                    all_docs.append(d)
+                    all_scores.append(s)
         return self._finalize(all_docs, all_scores, k)
 
     def search_bool(self, *, must: list[str] = (), should: list[str] = (),
@@ -234,113 +311,111 @@ class IndexSearcher:
         must, should, must_not = list(must), list(should), list(must_not)
         scoring_terms = must + should
         stats = self.term_stats(scoring_terms + must_not)
-        all_docs, all_scores = [], []
-        for seg in self.segments:
-            rows = seg.term_rows(scoring_terms + must_not)
-            # gather clause postings
-            clause = {}
-            for t in scoring_terms + must_not:
-                p = self._clause_postings(seg, rows, t)
-                if p is not None:
-                    clause[t] = p
-            # candidate docs
-            if must:
-                if any(t not in clause for t in must):
-                    continue
-                cand = clause[must[0]][0]
-                for t in must[1:]:
-                    cand = np.intersect1d(cand, clause[t][0], assume_unique=True)
-            else:
-                arrays = [clause[t][0] for t in should if t in clause]
-                if not arrays:
-                    continue
-                cand = np.unique(np.concatenate(arrays))
-            if len(cand) == 0:
-                continue
-            if should and min_should_match > 0:
-                cnt = np.zeros(len(cand), dtype=np.int64)
-                for t in should:
-                    if t in clause:
-                        cnt += np.isin(cand, clause[t][0], assume_unique=True)
-                cand = cand[cnt >= min_should_match]
-            for t in must_not:
+        for t in scoring_terms + must_not:
+            stats.setdefault(t, (0, 0))
+
+        # MaxScore pruning is only sound when the θ bootstrap docs are all
+        # valid results — msm>1 filters candidates, invalidating θ
+        if (self._use_blockmax() and should and not must and not must_not
+                and min_should_match <= 1):
+            from .wand import bool_or_topk_maxscore
+
+            rows = {t: self._collect_rows(t) for t in should}
+            rows = {t: r for t, r in rows.items() if r}
+            docs, scores, _ = bool_or_topk_maxscore(
+                rows, should, stats, self.sim, k,
+                min_should_match=min_should_match)
+            d, s = topk_merge(docs, scores, k)
+            return self._finalize([d], [s], k)
+
+        clause = {}
+        for t in scoring_terms + must_not:
+            p = self._decode_term_global(t)
+            if p is not None:
+                clause[t] = p
+        if must and any(t not in clause for t in must):
+            return self._finalize([], [], k)
+        if must:
+            cand = clause[must[0]][0]
+            for t in must[1:]:
+                cand = np.intersect1d(cand, clause[t][0], assume_unique=True)
+        else:
+            arrays = [clause[t][0] for t in should if t in clause]
+            if not arrays:
+                return self._finalize([], [], k)
+            cand = np.unique(np.concatenate(arrays))
+        if should and min_should_match > 0:
+            cnt = np.zeros(len(cand), dtype=np.int64)
+            for t in should:
                 if t in clause:
-                    cand = cand[~np.isin(cand, clause[t][0], assume_unique=True)]
-            if len(cand) == 0:
+                    cnt += np.isin(cand, clause[t][0], assume_unique=True)
+            cand = cand[cnt >= min_should_match]
+        for t in must_not:
+            if t in clause:
+                cand = cand[~np.isin(cand, clause[t][0], assume_unique=True)]
+        if len(cand) == 0:
+            return self._finalize([], [], k)
+        acc = np.zeros(len(cand), dtype=np.float64)
+        for t in scoring_terms:
+            if t not in clause:
                 continue
-            # accumulate clause scores in declared order, double accumulator
-            acc = np.zeros(len(cand), dtype=np.float64)
-            for t in scoring_terms:
-                if t not in clause:
-                    continue
-                docs, tfs, norms = clause[t]
-                pos_in_clause = np.searchsorted(docs, cand)
-                pos_in_clause = np.clip(pos_in_clause, 0, len(docs) - 1)
-                present = docs[pos_in_clause] == cand
-                idx = pos_in_clause[present]
-                s = self._score_arrays(seg, docs[idx], tfs[idx], norms[idx],
-                                       stats[t][0])
-                acc[present] += s.astype(np.float64)
-            scores = acc.astype(np.float32) if self.mode == "lucene32" else acc
-            d, s = topk_merge(cand, scores, k)
-            all_docs.append(d)
-            all_scores.append(s)
-        return self._finalize(all_docs, all_scores, k)
+            docs, tfs, norms = clause[t]
+            pos = np.clip(np.searchsorted(docs, cand), 0, len(docs) - 1)
+            present = docs[pos] == cand
+            idx = pos[present]
+            s = self._score(docs[idx], tfs[idx], norms[idx], stats[t][0])
+            acc[present] += s.astype(np.float64)
+        scores = acc.astype(np.float32) if self.mode == "lucene32" else acc
+        d, s = topk_merge(cand, scores, k)
+        return self._finalize([d], [s], k)
 
     def search_phrase(self, terms: list[str], k: int = 10) -> pa.Table:
         stats = self.term_stats(terms)
-        if any(stats[t][0] == 0 for t in terms):
+        if any(stats.get(t, (0, 0))[0] == 0 for t in terms):
             return self._finalize([], [], k)
-        # phrase idf = sum of per-term idfs, accumulated in float32 step by
-        # step (BM25Similarity.idfExplain)
         if self.mode == "lucene32":
             idf = np.float32(0.0)
             for t in terms:
                 idf = np.float32(idf + idf_float32(stats[t][0], self.num_docs))
         else:
             idf = sum(idf_exact64(stats[t][0], self.num_docs) for t in terms)
-        all_docs, all_scores = [], []
-        for seg in self.segments:
-            rows = seg.term_rows(terms, positions=True)
-            posting = {}
-            for t in terms:
-                p = self._clause_postings(seg, rows, t, positions=True)
-                if p is not None:
-                    posting[t] = p
-            if any(t not in posting for t in terms):
-                continue
-            cand = posting[terms[0]][0]
-            for t in terms[1:]:
-                cand = np.intersect1d(cand, posting[t][0], assume_unique=True)
-            if len(cand) == 0:
-                continue
-            pf = np.zeros(len(cand), dtype=np.int64)
-            norms_c = np.zeros(len(cand), dtype=np.uint8)
-            for ci, d in enumerate(cand):
-                common = None
-                for off, t in enumerate(terms):
-                    docs, tfs, norms, pos = posting[t]
-                    j = int(np.searchsorted(docs, d))
-                    starts = np.concatenate(([0], np.cumsum(tfs)))
-                    p_doc = pos[starts[j]:starts[j + 1]] - off
-                    common = p_doc if common is None else \
-                        np.intersect1d(common, p_doc, assume_unique=True)
-                    if off == 0:
-                        norms_c[ci] = norms[j]
-                    if len(common) == 0:
-                        break
-                pf[ci] = len(common)
-            hit = pf > 0
-            cand, pf, norms_c = cand[hit], pf[hit], norms_c[hit]
-            if len(cand) == 0:
-                continue
-            scores = self._score_arrays(None if self.mode == "lucene32" else seg,
-                                        cand, pf, norms_c, 0,
-                                        tf_override=pf, idf_override=float(idf))
-            d, s = topk_merge(cand, scores, k)
-            all_docs.append(d)
-            all_scores.append(s)
-        return self._finalize(all_docs, all_scores, k)
+        posting = {}
+        for t in terms:
+            p = self._decode_term_global(t, positions=True)
+            if p is None:
+                return self._finalize([], [], k)
+            posting[t] = p
+        cand = posting[terms[0]][0]
+        for t in terms[1:]:
+            cand = np.intersect1d(cand, posting[t][0], assume_unique=True)
+        if len(cand) == 0:
+            return self._finalize([], [], k)
+        pf = np.zeros(len(cand), dtype=np.int64)
+        norms_c = np.zeros(len(cand), dtype=np.uint8)
+        pos_starts = {t: np.concatenate(([0], np.cumsum(posting[t][1])))
+                      for t in terms}
+        for ci, d in enumerate(cand):
+            common = None
+            for off, t in enumerate(terms):
+                docs, tfs, norms, pos = posting[t]
+                j = int(np.searchsorted(docs, d))
+                starts = pos_starts[t]
+                p_doc = pos[starts[j]:starts[j + 1]] - off
+                common = p_doc if common is None else \
+                    np.intersect1d(common, p_doc, assume_unique=True)
+                if off == 0:
+                    norms_c[ci] = norms[j]
+                if len(common) == 0:
+                    break
+            pf[ci] = len(common)
+        hit = pf > 0
+        cand, pf, norms_c = cand[hit], pf[hit], norms_c[hit]
+        if len(cand) == 0:
+            return self._finalize([], [], k)
+        scores = self._score(cand, pf, norms_c, 0,
+                             tf_override=pf, idf_override=float(idf))
+        d, s = topk_merge(cand, scores, k)
+        return self._finalize([d], [s], k)
 
     def search(self, query: dict, k: int = 10) -> pa.Table:
         qt = query["type"]

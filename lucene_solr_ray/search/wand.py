@@ -1,0 +1,177 @@
+"""Block-max pruned top-k scoring (the block-max WAND / MaxScore family).
+
+Reference semantics: Lucene's block-max metadata (impact pairs per 128-doc
+block, Lucene50SkipWriter.java:46,132) lets a scorer skip whole blocks whose
+score upper bound cannot enter the current top-k. Classic WAND walks
+doc-at-a-time; in a vectorized engine the winning realization is
+**block-granular MaxScore**:
+
+- term query: score blocks in DESCENDING upper-bound order, keep a running
+  k-th-best threshold θ, stop as soon as the next block's bound < θ. Blocks
+  are independently decodable (delta reset per block + per-block byte
+  offsets), so pruned blocks are neither decoded nor scored.
+- boolean OR (+ optional minShouldMatch): MaxScore term partitioning
+  (Turtle & Flood '95): with terms ordered by global upper bound U_t and θ
+  the running threshold, candidates can only come from "essential" terms
+  (the prefix where the remaining suffix Σ U < θ); within an essential
+  term, a block is skipped for candidate generation when
+  ub_block + Σ_{t'≠t} U_{t'} < θ. Non-essential terms (and skipped blocks)
+  still contribute to ACCUMULATION for docs that are candidates via some
+  other block — those blocks are decoded on demand by binary-searching
+  block_last_doc (the skip list walk).
+
+Upper bounds use the same float32 BM25 expression as real scoring with the
+block's (max tf, max norm-byte) impact pair — tf/(tf+norm) is increasing in
+tf and decreasing in the norm cache value, and cache decreases as the norm
+byte grows, so (max tf, max norm) bounds every posting in the block.
+
+Only the ``lucene32`` scoring mode is supported (the engine default); the
+``exact64`` oracle-parity mode always scores exhaustively. Equivalence
+with exhaustive scoring (identical doc ids AND bit-identical float32
+scores) is property-tested in tests/test_wand.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..index.encode import decode_blocks
+from .bm25 import BM25Float32
+
+
+def _block_bounds(row: dict, sim: BM25Float32, df_global: int) -> np.ndarray:
+    """Float32 upper bound of each block's per-posting score."""
+    btf = np.asarray(row["block_max_tf"], dtype=np.int64)
+    bnorm = np.asarray(row["block_max_norm"], dtype=np.int64)
+    w = (sim.idf(df_global) * np.float32(1.0)) * (sim.k1 + np.float32(1.0))
+    tf32 = btf.astype(np.float32)
+    cache = sim.cache[bnorm]
+    return (w * tf32 / (tf32 + cache)).astype(np.float32)
+
+
+def term_topk_blockmax(row: dict, sim: BM25Float32, df_global: int,
+                       k: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Single-term top-k with block pruning.
+
+    Returns (docs, float32 scores, n_blocks_scored). Result is the FULL
+    candidate set scoring ≥ θ (caller applies the (score desc, doc asc)
+    cut), identical to exhaustive scoring's top-k.
+    """
+    ub = _block_bounds(row, sim, df_global)
+    order = np.argsort(-ub, kind="stable")
+    got_docs, got_scores = [], []
+    theta = -np.inf
+    count = 0
+    scored = 0
+    for b in order:
+        if count >= k and ub[b] < theta:
+            break
+        docs, tfs, norms, _ = decode_blocks(row, np.array([b]))
+        s = sim.score_term(tfs, norms, df_global)
+        got_docs.append(docs)
+        got_scores.append(s)
+        count += len(docs)
+        scored += 1
+        if count >= k:
+            all_s = np.concatenate(got_scores)
+            theta = np.partition(all_s, len(all_s) - k)[len(all_s) - k]
+    if not got_docs:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32), 0)
+    return np.concatenate(got_docs), np.concatenate(got_scores), scored
+
+
+def _gather_term_scores(row: dict, cand: np.ndarray, sim: BM25Float32,
+                        df_global: int) -> np.ndarray:
+    """Scores of this term for exactly the candidate docs (0 when absent),
+    decoding only the blocks that can contain a candidate (binary search
+    over block_last_doc — the skip-list walk)."""
+    bl_last = np.asarray(row["block_last_doc"], dtype=np.int64)
+    need = np.unique(np.searchsorted(bl_last, cand))
+    need = need[need < len(bl_last)]
+    out = np.zeros(len(cand), dtype=np.float32)
+    if len(need) == 0:
+        return out
+    docs, tfs, norms, _ = decode_blocks(row, need)
+    pos = np.searchsorted(docs, cand)
+    pos_c = np.clip(pos, 0, len(docs) - 1)
+    hit = docs[pos_c] == cand
+    if hit.any():
+        out[hit] = sim.score_term(tfs[pos_c[hit]], norms[pos_c[hit]], df_global)
+    return out
+
+
+def bool_or_topk_maxscore(rows: dict[str, list[dict]], terms: list[str],
+                          stats: dict[str, tuple[int, int]],
+                          sim: BM25Float32, k: int,
+                          min_should_match: int = 0):
+    """Boolean-OR top-k via block-granular MaxScore. ``rows[t]`` is the
+    list of postings rows for term t (several segments and/or salted
+    doc-range buckets; each doc appears in exactly one row of a term).
+    Returns (docs, float32 scores, stats dict)."""
+    present = [t for t in terms if rows.get(t)]
+    if not present:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32),
+                {"blocks_scored": 0, "blocks_total": 0})
+    U = {}
+    for t in present:
+        ubs = [_block_bounds(r, sim, stats[t][0]) for r in rows[t]]
+        U[t] = (ubs, max((float(u.max()) for u in ubs if len(u)), default=0.0))
+    order = sorted(present, key=lambda t: -U[t][1])
+    suffix = np.cumsum([U[t][1] for t in order][::-1])[::-1]
+    # suffix[i] = sum of U for order[i:]
+
+    # Phase A: candidate generation with a growing θ
+    theta = -np.inf
+    cand_parts = []
+    blocks_scored = 0
+    blocks_total = sum(len(u) for t in present for u in U[t][0])
+    for i, t in enumerate(order):
+        rest = suffix[i + 1] if i + 1 < len(order) else 0.0
+        if theta > -np.inf and U[t][1] + rest < theta and len(cand_parts) > 0:
+            break  # t and everything after is non-essential
+        t_docs, t_tfs, t_norms = [], [], []
+        for r, ub in zip(rows[t], U[t][0]):
+            sel = np.flatnonzero(
+                ub.astype(np.float64) + rest >=
+                (theta if theta > -np.inf else -np.inf))
+            if len(sel) == 0:
+                continue
+            docs, tfs, norms, _ = decode_blocks(r, sel)
+            blocks_scored += len(sel)
+            t_docs.append(docs)
+            t_tfs.append(tfs)
+            t_norms.append(norms)
+        if not t_docs:
+            continue
+        docs = np.concatenate(t_docs)
+        cand_parts.append(docs)
+        # opportunistic θ bootstrap from this term alone
+        if len(docs) >= k and theta == -np.inf:
+            s = sim.score_term(np.concatenate(t_tfs),
+                               np.concatenate(t_norms), stats[t][0])
+            theta = float(np.partition(s, len(s) - k)[len(s) - k])
+
+    cand = np.unique(np.concatenate(cand_parts)) if cand_parts else \
+        np.empty(0, dtype=np.int64)
+    if len(cand) == 0:
+        return (cand, np.empty(0, dtype=np.float32),
+                {"blocks_scored": blocks_scored, "blocks_total": blocks_total})
+
+    # Phase B: exact accumulation over ALL terms for the candidates,
+    # in declared clause order (double accumulator → float32 cast)
+    acc = np.zeros(len(cand), dtype=np.float64)
+    n_present = np.zeros(len(cand), dtype=np.int64)
+    for t in terms:
+        if not rows.get(t):
+            continue
+        s = np.zeros(len(cand), dtype=np.float32)
+        for r in rows[t]:
+            s = s + _gather_term_scores(r, cand, sim, stats[t][0])
+        acc += s.astype(np.float64)
+        n_present += (s > 0)
+    scores = acc.astype(np.float32)
+    if min_should_match > 0:
+        keep = n_present >= min_should_match
+        cand, scores = cand[keep], scores[keep]
+    return cand, scores, {"blocks_scored": blocks_scored,
+                          "blocks_total": blocks_total}

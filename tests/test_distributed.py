@@ -1,0 +1,50 @@
+"""Distributed scatter-gather query == single-process searcher (the
+BaseDistributedSearchTestCase control diff + TestTopDocsMerge)."""
+
+import numpy as np
+import pytest
+
+from lucene_solr_ray.corpus import corpus_table
+from lucene_solr_ray.index import build_index
+from lucene_solr_ray.index.build import add_doc_keys
+from lucene_solr_ray.search import IndexSearcher
+from lucene_solr_ray.search.distributed import DistributedSearcher
+
+
+@pytest.fixture(scope="module")
+def dist_index(tmp_path_factory, ray_session):
+    t = add_doc_keys(corpus_table(500))
+    out = str(tmp_path_factory.mktemp("dist"))
+    build_index(t, out, batch_rows=80)  # several segments
+    return out
+
+
+def test_distributed_matches_local(dist_index):
+    local = IndexSearcher(dist_index)
+    dist = DistributedSearcher(dist_index, num_shards=3)
+    try:
+        for q in [
+            {"type": "term", "term": "data"},
+            {"type": "term", "term": "queryscore"},
+            {"type": "bool", "must": ["data", "merge"]},
+            {"type": "bool", "should": ["merge", "flush", "score"],
+             "min_should_match": 2},
+            {"type": "phrase", "terms": ["quick", "brown"]},
+        ]:
+            a = local.search(q, k=25)
+            b = dist.search(q, k=25)
+            assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+            assert np.asarray(a["score"]).tobytes() == \
+                np.asarray(b["score"]).tobytes(), q
+    finally:
+        dist.close()
+
+
+def test_distributed_global_stats(dist_index):
+    local = IndexSearcher(dist_index)
+    dist = DistributedSearcher(dist_index, num_shards=3)
+    try:
+        terms = ["data", "doc", "queryscore"]
+        assert dist.term_stats(terms) == local.local_term_stats(terms)
+    finally:
+        dist.close()

@@ -1,0 +1,76 @@
+"""Segment merge: merged (term-partitioned, hot-term-salted) index answers
+identically to the unmerged index — the merge-order-invariance metamorphic
+check (FIXTURES.md §5; reference: SegmentMerger + mtree merge)."""
+
+import numpy as np
+import pytest
+
+from lucene_solr_ray.corpus import corpus_table
+from lucene_solr_ray.index import build_index, load_manifest
+from lucene_solr_ray.index.build import add_doc_keys
+from lucene_solr_ray.index.merge import merge_segments
+from lucene_solr_ray.search import IndexSearcher
+
+
+@pytest.fixture(scope="module")
+def merged_pair(tmp_path_factory, ray_session):
+    t = add_doc_keys(corpus_table(600))
+    plain = str(tmp_path_factory.mktemp("plain"))
+    build_index(t, plain, batch_rows=100)  # 6 segments
+    merged = str(tmp_path_factory.mktemp("merged"))
+    build_index(t, merged, batch_rows=100)
+    # tiny thresholds so hot terms REALLY get salted
+    man = merge_segments(merged, hot_df_threshold=50, bucket_postings=64)
+    return plain, merged, man
+
+
+def _queries():
+    return [
+        {"type": "term", "term": "data"},
+        {"type": "term", "term": "doc"},
+        {"type": "term", "term": "queryscore"},
+        {"type": "bool", "must": ["data", "merge"]},
+        {"type": "bool", "should": ["merge", "flush", "score"],
+         "min_should_match": 2},
+        {"type": "bool", "must": ["data"], "must_not": ["queryscore"]},
+        {"type": "phrase", "terms": ["quick", "brown"]},
+    ]
+
+
+def test_merge_creates_salted_shards(merged_pair):
+    _, merged, man = merged_pair
+    assert man["hot_terms"] > 0
+    kinds = {s.get("kind", "postings") for s in man["segments"]}
+    assert kinds == {"postings", "docs_only"}
+    assert man["num_docs"] == 600  # docs_only entries keep doc counts
+
+
+def test_merged_equals_plain_all_modes(merged_pair):
+    plain, merged, _ = merged_pair
+    for mode in ("lucene32", "exact64"):
+        sp = IndexSearcher(plain, mode=mode)
+        sm = IndexSearcher(merged, mode=mode)
+        assert sp.num_docs == sm.num_docs and sp.sum_dl == sm.sum_dl
+        for q in _queries():
+            a, b = sp.search(q, k=50), sm.search(q, k=50)
+            assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+            assert np.asarray(a["score"]).tobytes() == \
+                np.asarray(b["score"]).tobytes(), q
+
+
+def test_merged_blockmax_equals_exhaustive(merged_pair):
+    _, merged, _ = merged_pair
+    s_bm = IndexSearcher(merged, method="blockmax")
+    s_ex = IndexSearcher(merged, method="exhaustive")
+    for q in _queries()[:5]:
+        a, b = s_bm.search(q, k=20), s_ex.search(q, k=20)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+        assert np.asarray(a["score"]).tobytes() == \
+            np.asarray(b["score"]).tobytes(), q
+
+
+def test_merged_term_stats_match(merged_pair):
+    plain, merged, _ = merged_pair
+    sp, sm = IndexSearcher(plain), IndexSearcher(merged)
+    terms = ["data", "doc", "merge", "queryscore", "nosuchterm"]
+    assert sp.term_stats(terms) == sm.term_stats(terms)

@@ -1,0 +1,110 @@
+"""Block-max WAND / MaxScore equivalence: pruned top-k must equal
+exhaustive top-k exactly — docIDs and bit-identical float32 scores
+(FIXTURES.md §5 'BMW equivalence'; reference cross-check style:
+TestBoolean2.java BooleanScorer-vs-DAAT)."""
+
+import numpy as np
+import pytest
+
+from lucene_solr_ray.corpus import corpus_table
+from lucene_solr_ray.index import build_index
+from lucene_solr_ray.index.build import add_doc_keys
+from lucene_solr_ray.index.encode import (
+    block_sizes,
+    decode_blocks,
+    decode_postings,
+    encode_postings,
+)
+from lucene_solr_ray.search import IndexSearcher
+
+
+def test_decode_blocks_roundtrip():
+    rng = np.random.default_rng(9)
+    docs = np.sort(rng.choice(10**6, 1000, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 30, 1000).astype(np.int64)
+    norms = rng.integers(0, 256, 1000).astype(np.uint8)
+    enc = encode_postings(docs, tfs, norms)
+    # full decode
+    d, t, n = decode_postings(enc)
+    assert np.array_equal(d, docs) and np.array_equal(t, tfs)
+    # every single block decodes independently
+    bl = block_sizes(1000)
+    starts = np.concatenate(([0], np.cumsum(bl)[:-1]))
+    for b in range(len(bl)):
+        db, tb, nb, off = decode_blocks(enc, np.array([b]))
+        lo = starts[b]
+        assert np.array_equal(db, docs[lo:lo + bl[b]])
+        assert np.array_equal(tb, tfs[lo:lo + bl[b]])
+        assert np.array_equal(nb, norms[lo:lo + bl[b]])
+        assert off[0] == lo
+    # arbitrary block subsets
+    sel = np.array([0, 3, 7])
+    db, tb, nb, off = decode_blocks(enc, sel)
+    expect = np.concatenate([docs[starts[b]:starts[b] + bl[b]] for b in sel])
+    assert np.array_equal(db, expect)
+
+
+@pytest.fixture(scope="module")
+def wand_index(tmp_path_factory, ray_session):
+    t = add_doc_keys(corpus_table(1500))
+    out = str(tmp_path_factory.mktemp("wandidx"))
+    build_index(t, out, batch_rows=400)
+    return out
+
+
+def _query_mix():
+    return [
+        ({"type": "term", "term": "data"}, 10),
+        ({"type": "term", "term": "doc"}, 1),
+        ({"type": "term", "term": "queryscore"}, 10),
+        ({"type": "term", "term": "data"}, 100),
+        ({"type": "bool", "should": ["merge", "flush", "score"]}, 10),
+        ({"type": "bool", "should": ["data", "queryscore"]}, 5),
+        ({"type": "bool", "should": ["quick", "brown", "lazy"],
+          "min_should_match": 1}, 20),
+    ]
+
+
+def test_blockmax_equals_exhaustive(wand_index):
+    s_bm = IndexSearcher(wand_index, method="blockmax")
+    s_ex = IndexSearcher(wand_index, method="exhaustive")
+    for q, k in _query_mix():
+        a = s_bm.search(q, k=k)
+        b = s_ex.search(q, k=k)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+        assert np.array_equal(np.asarray(a["score"]).view(np.int32),
+                              np.asarray(b["score"]).view(np.int32)), q
+
+
+def test_blockmax_actually_skips():
+    """With one clearly dominant block, pruning must skip the rest — and
+    still return the exact exhaustive top-k."""
+    from lucene_solr_ray.index.smallfloat import encode_norm
+    from lucene_solr_ray.search.bm25 import BM25Float32
+    from lucene_solr_ray.search.searcher import topk_merge
+    from lucene_solr_ray.search.wand import term_topk_blockmax
+
+    n = 128 * 16
+    docs = np.arange(n, dtype=np.int64) * 3 + 1
+    tfs = np.ones(n, dtype=np.int64)
+    tfs[5 * 128: 6 * 128] = 40  # one high-impact block
+    norms = encode_norm(np.full(n, 100.0))
+    enc = encode_postings(docs, tfs, norms)
+    sim = BM25Float32(doc_count=10 * n, sum_total_term_freq=100 * n)
+    d_bm, s_bm, scored = term_topk_blockmax(enc, sim, df_global=n, k=10)
+    assert scored < 16  # most blocks pruned
+    d_bm, s_bm = topk_merge(d_bm, s_bm, 10)
+    # exhaustive reference
+    s_all = sim.score_term(tfs, norms, n)
+    d_ex, s_ex = topk_merge(docs, s_all, 10)
+    assert np.array_equal(d_bm, d_ex)
+    assert np.array_equal(s_bm.view(np.int32), s_ex.view(np.int32))
+
+
+def test_blockmax_msm_gt1_falls_back_correct(wand_index):
+    s_bm = IndexSearcher(wand_index, method="blockmax")
+    s_ex = IndexSearcher(wand_index, method="exhaustive")
+    q = {"type": "bool", "should": ["merge", "flush", "score"],
+         "min_should_match": 2}
+    a, b = s_bm.search(q, k=10), s_ex.search(q, k=10)
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
