@@ -1,0 +1,92 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+decoded / featurized by actor-pool map_batches stages.
+
+The image/audio/video codec libraries are not available in this
+environment, so the DECODE step is stubbed: ``codec="raw"`` is a real,
+deterministic payload format (the fake used by tests and bench), every
+other codec raises NotImplementedError at the decode call. Everything
+around the stub — schema (binary column + metadata struct), Arrow
+batch handling, actor signature, batch sizing for large payloads, output
+layout — is real and tested, so swapping in a real decoder is a one-line
+change inside ``DecodeStage._decode_one``.
+
+Scale notes: payload batches are BYTES-bounded (small ``batch_size``), the
+stage is an actor pool (model loaded once per actor in ``__init__``), and
+outputs keep the payload column dropped so only features flow downstream.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+FEATURE_DIM = 32
+
+
+def synth_payload_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic fake media table: (item_id, codec, payload, width,
+    height). Payload bytes derive from sha256 so they look opaque."""
+    rng = np.random.default_rng(seed)
+    ids = np.arange(n, dtype=np.int64)
+    sizes = rng.integers(256, 4096, size=n)
+    payloads = []
+    for i, sz in zip(ids, sizes):
+        seed_bytes = hashlib.sha256(f"payload-{seed}-{i}".encode()).digest()
+        reps = int(sz) // len(seed_bytes) + 1
+        payloads.append((seed_bytes * reps)[:int(sz)])
+    return pa.table({
+        "item_id": pa.array(ids, type=pa.int64()),
+        "codec": pa.array(["raw"] * n, type=pa.string()),
+        "payload": pa.array(payloads, type=pa.large_binary()),
+        "width": pa.array(rng.integers(16, 256, size=n), type=pa.int32()),
+        "height": pa.array(rng.integers(16, 256, size=n), type=pa.int32()),
+    })
+
+
+class DecodeStage:
+    """Actor-pool stage: binary payload → fixed-dim feature vector.
+
+    __init__ = once-per-actor setup (the model-load slot); __call__ = per
+    Arrow batch, vectorized over rows.
+    """
+
+    def __init__(self, codec_whitelist: tuple[str, ...] = ("raw",)):
+        from ..util import tune_allocator
+
+        tune_allocator()
+        self.codec_whitelist = codec_whitelist
+        # the "model": a fixed random projection, loaded once per actor
+        rng = np.random.default_rng(1234)
+        self.projection = rng.standard_normal((256, FEATURE_DIM)).astype(np.float32)
+
+    def _decode_one(self, codec: str, payload: bytes) -> np.ndarray:
+        if codec == "raw":
+            # deterministic fake decode: byte histogram as the "pixels"
+            hist = np.bincount(np.frombuffer(payload, dtype=np.uint8),
+                               minlength=256).astype(np.float32)
+            return hist / max(1.0, hist.sum())
+        raise NotImplementedError(
+            f"codec {codec!r}: real decoders (PIL/ffmpeg/soundfile) are not "
+            f"available in this environment — plug one in here")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        codecs = batch["codec"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        feats = np.empty((len(codecs), FEATURE_DIM), dtype=np.float32)
+        for i, (c, p) in enumerate(zip(codecs, payloads)):
+            feats[i] = self._decode_one(c, p) @ self.projection
+        out = batch.drop_columns(["payload"])
+        flat = pa.array(feats.reshape(-1), type=pa.float32())
+        offsets = pa.array(np.arange(0, (len(codecs) + 1) * FEATURE_DIM,
+                                     FEATURE_DIM, dtype=np.int32))
+        return out.append_column(
+            "features", pa.ListArray.from_arrays(offsets, flat))
+
+
+def featurize(ds, *, batch_size: int = 64, concurrency=(1, 4)):
+    """media Dataset → features Dataset (payloads dropped). Small
+    batch_size: payload batches are bytes-bounded, not row-bounded."""
+    return ds.map_batches(DecodeStage, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)

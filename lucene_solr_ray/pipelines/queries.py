@@ -393,6 +393,127 @@ FROM tok
 """
 
 
+def _q_multiterm(qtype, param, k=10, **extra):
+    def run(sf_dir):
+        q = {"type": qtype, "param": param} | extra
+        return _topk_table(_searcher(sf_dir).search(q, k=k))
+    return run
+
+
+def _q_dismax(terms, tiebreaker, k=10):
+    def run(sf_dir):
+        return _topk_table(_searcher(sf_dir).search(
+            {"type": "dismax", "terms": terms, "tiebreaker": tiebreaker}, k=k))
+    return run
+
+
+def _q_span_near(terms, slop, k=20):
+    def run(sf_dir):
+        return _topk_table(_searcher(sf_dir).search(
+            {"type": "span_near", "terms": terms, "slop": slop}, k=k))
+    return run
+
+
+def _q_suggest(prefix, n=10):
+    def run(sf_dir):
+        return _searcher(sf_dir).suggest_prefix(prefix, n)
+    return run
+
+
+def _q_function_boost(term, a=100.0, k=10):
+    """FunctionQuery boost (solr ValueSourceParser `recip`/`boost`):
+    score = bm25(term) · a/(a + dl)."""
+    def run(sf_dir):
+        s = _searcher(sf_dir)
+        t = s.search({"type": "term", "term": term}, k=s.num_docs)
+        docs = np.asarray(t["doc_id"], dtype=np.int64)
+        base = np.asarray(t["score"], dtype=np.float64)
+        ids, dls = s._global_dl()
+        dl = dls[np.searchsorted(ids, docs)].astype(np.float64)
+        score = base * (a / (a + dl))
+        order = np.lexsort((docs, -score))[:k]
+        return pa.table({
+            "doc_id": pa.array(docs[order], type=pa.int64()),
+            "score_q": pa.array(quantize_score(score[order]), type=pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1), type=pa.int64()),
+        })
+    return run
+
+
+def _multiterm_sql(term_pred: str, k: int) -> str:
+    """CONSTANT_SCORE_REWRITE twin: matching docs score 1.0, rank by
+    doc_id asc."""
+    return f"""
+WITH {_tok_ctes()},
+matched AS (SELECT DISTINCT doc_id FROM clean WHERE {term_pred})
+SELECT doc_id, CAST(10000 AS BIGINT) AS score_q,
+       CAST(row_number() OVER (ORDER BY doc_id ASC) AS BIGINT) AS rank
+FROM matched ORDER BY doc_id ASC LIMIT {k}
+"""
+
+
+def _dismax_sql(terms: list[str], tiebreaker: float, k: int) -> str:
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    cols = ", ".join(
+        f"COALESCE(max(CASE WHEN term = '{t}' THEN sc END), 0) AS s{i}"
+        for i, t in enumerate(terms))
+    greatest = "GREATEST(" + ", ".join(f"s{i}" for i in range(len(terms))) + ")"
+    total = " + ".join(f"s{i}" for i in range(len(terms)))
+    return f"""
+WITH {_tok_ctes()},
+per AS (SELECT doc_id, term, count(*) AS tf FROM clean
+        WHERE term IN ({inlist}) GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM per GROUP BY term),
+cs AS (SELECT per.doc_id, per.term,
+              {_bm25_expr('per.tf', 'dl.dl', 'dfs.df')} AS sc
+       FROM per JOIN dfs USING (term) JOIN dl USING (doc_id), stats s),
+piv AS (SELECT doc_id, {cols} FROM cs GROUP BY doc_id),
+scored AS (SELECT doc_id,
+                  {greatest} + {tiebreaker} * (({total}) - {greatest}) AS score
+           FROM piv)
+{_sql_topk('scored', k)}
+"""
+
+
+def _span_near_sql(t1: str, t2: str, slop: int, k: int) -> str:
+    return f"""
+WITH {_tok_ctes()},
+spans AS (
+  SELECT a.doc_id, count(*) AS n
+  FROM clean a JOIN clean b
+    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + {slop}
+  WHERE a.term = '{t1}' AND b.term = '{t2}'
+  GROUP BY a.doc_id),
+scored AS (SELECT doc_id, CAST(n AS DOUBLE) AS score FROM spans)
+{_sql_topk('scored', k)}
+"""
+
+
+def _suggest_sql(prefix: str, n: int) -> str:
+    return f"""
+WITH {_tok_ctes()}
+SELECT term, count(*) AS weight FROM clean
+WHERE term LIKE '{prefix}%'
+GROUP BY term ORDER BY weight DESC, term ASC LIMIT {n}
+"""
+
+
+def _function_boost_sql(term: str, a: float, k: int) -> str:
+    return f"""
+WITH {_tok_ctes()},
+tf AS (SELECT doc_id, count(*) AS tf FROM clean WHERE term = '{term}'
+       GROUP BY doc_id),
+dfx AS (SELECT count(*) AS df FROM tf),
+scored AS (
+  SELECT tf.doc_id AS doc_id,
+         {_bm25_expr('tf.tf', 'dl.dl', 'dfx.df')} * ({a} / ({a} + dl.dl))
+           AS score
+  FROM tf JOIN dl USING (doc_id), dfx, stats s
+)
+{_sql_topk('scored', k)}
+"""
+
+
 def build_queries() -> dict:
     from ..ops import ann as A
     from ..ops import dedup as D
@@ -438,6 +559,15 @@ def build_queries() -> dict:
         "ft_term_stats": _q_term_stats(STATS_TERMS),
         "ft_collection_stats": _q_collection_stats(),
         "ft_top_terms": _q_top_terms(20),
+        "ft_prefix": _q_multiterm("prefix", "s"),
+        "ft_wildcard": _q_multiterm("wildcard", "s*m"),
+        "ft_regexp": _q_multiterm("regexp", "^(ba|cu)"),
+        "ft_term_range": _q_multiterm("range", ("batch", "customer")),
+        "ft_fuzzy": _q_multiterm("fuzzy", "tble", max_edits=1),
+        "ft_dismax": _q_dismax(["table", "customer", "vector"], 0.3),
+        "ft_span_near": _q_span_near(["fast", "table"], 3),
+        "ft_suggest": _q_suggest("s"),
+        "ft_function_boost": _q_function_boost("table"),
     }
 
 
@@ -484,6 +614,16 @@ def build_oracle_sql() -> dict:
         "ft_term_stats": ft_term_stats_sql(STATS_TERMS),
         "ft_collection_stats": ft_collection_stats_sql(),
         "ft_top_terms": ft_top_terms_sql(20),
+        "ft_prefix": _multiterm_sql("term LIKE 's%'", 10),
+        "ft_wildcard": _multiterm_sql("term LIKE 's%m'", 10),
+        "ft_regexp": _multiterm_sql("regexp_matches(term, '^(ba|cu)')", 10),
+        "ft_term_range": _multiterm_sql(
+            "term >= 'batch' AND term < 'customer'", 10),
+        "ft_fuzzy": _multiterm_sql("levenshtein('tble', term) <= 1", 10),
+        "ft_dismax": _dismax_sql(["table", "customer", "vector"], 0.3, 10),
+        "ft_span_near": _span_near_sql("fast", "table", 3, 20),
+        "ft_suggest": _suggest_sql("s", 10),
+        "ft_function_boost": _function_boost_sql("table", 100.0, 10),
     }
 
 

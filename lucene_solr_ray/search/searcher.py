@@ -126,6 +126,11 @@ class SegmentReader:
                           int(self._ttf[lo:hi].sum()))
         return out
 
+    def term_dict_arrays(self):
+        """(terms, df, ttf) numpy views of the cached term dictionary."""
+        self._term_dict()
+        return self._terms, self._df, self._ttf
+
     def doc_lengths(self) -> tuple[np.ndarray, np.ndarray]:
         if self._dl is None:
             t = pq.read_table(os.path.join(self.seg_dir, DOCS_FILE),
@@ -133,6 +138,29 @@ class SegmentReader:
             self._dl = (np.asarray(t["doc_id"], dtype=np.int64),
                         np.asarray(t["dl"], dtype=np.int64))
         return self._dl
+
+
+def _levenshtein_leq(a: str, b: str, k: int) -> bool:
+    """Banded edit distance ≤ k (FuzzyQuery's Levenshtein automaton
+    semantics, core:search/FuzzyQuery.java:54-74, maxEdits ≤ 2)."""
+    if abs(len(a) - len(b)) > k:
+        return False
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        lo = max(1, i - k)
+        hi = min(len(b), i + k)
+        if lo > 1:
+            cur[lo - 1] = k + 1
+        for j in range(lo, hi + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (ca != b[j - 1]))
+        if hi < len(b):
+            cur[hi + 1:] = [k + 1] * (len(b) - hi)
+        if min(cur[lo - 1: hi + 1]) > k:
+            return False
+        prev = cur
+    return prev[len(b)] <= k
 
 
 def topk_merge(doc_ids: np.ndarray, scores: np.ndarray, k: int):
@@ -417,6 +445,149 @@ class IndexSearcher:
         d, s = topk_merge(cand, scores, k)
         return self._finalize([d], [s], k)
 
+    # ---- multi-term queries (automaton-family, §2.9) ----
+    def expand_terms(self, kind: str, param, max_edits: int = 1) -> list[str]:
+        """Term-dictionary expansion for Prefix/Wildcard/Regexp/TermRange/
+        Fuzzy queries (core:search/MultiTermQuery.java:68-94; the automaton
+        intersect against the sorted term dict, here realized over the
+        cached per-segment dictionaries)."""
+        import fnmatch
+        import re as _re
+
+        out: set[str] = set()
+        for seg in self.segments:
+            terms, _, _ = seg.term_dict_arrays()
+            if len(terms) == 0:
+                continue
+            if kind == "prefix":
+                lo = int(np.searchsorted(terms, param, side="left"))
+                hi = int(np.searchsorted(terms, param + "￿", side="right"))
+                out.update(terms[lo:hi].tolist())
+            elif kind == "range":
+                lo_t, hi_t = param  # [lo, hi) lexicographic
+                lo = int(np.searchsorted(terms, lo_t, side="left"))
+                hi = int(np.searchsorted(terms, hi_t, side="left"))
+                out.update(terms[lo:hi].tolist())
+            elif kind == "wildcard":
+                out.update(t for t in terms.tolist()
+                           if fnmatch.fnmatchcase(t, param))
+            elif kind == "regexp":
+                rx = _re.compile(param)
+                out.update(t for t in terms.tolist() if rx.search(t))
+            elif kind == "fuzzy":
+                out.update(t for t in terms.tolist()
+                           if _levenshtein_leq(param, t, max_edits))
+            else:
+                raise ValueError(kind)
+        return sorted(out)
+
+    def search_constant(self, terms: list[str], k: int = 10,
+                        boost: float = 1.0) -> pa.Table:
+        """CONSTANT_SCORE_REWRITE (MultiTermQuery.java:68-94 default):
+        every matching doc scores boost; ties resolve doc_id asc, so the
+        top-k are the k lowest matching doc ids."""
+        arrays = []
+        for t in terms:
+            p = self._decode_term_global(t)
+            if p is not None:
+                arrays.append(p[0])
+        if not arrays:
+            return self._finalize([], [], k)
+        docs = np.unique(np.concatenate(arrays))[: max(k, 0)]
+        dtype = np.float32 if self.mode == "lucene32" else np.float64
+        scores = np.full(len(docs), boost, dtype=dtype)
+        return self._finalize([docs], [scores], k)
+
+    def search_dismax(self, terms: list[str], k: int = 10,
+                      tiebreaker: float = 0.0) -> pa.Table:
+        """DisjunctionMaxQuery: score = max(clauses) + tiebreaker ·
+        (sum(clauses) − max) (core:search/DisjunctionMaxScorer.java)."""
+        stats = self.term_stats(terms)
+        clause = {t: self._decode_term_global(t) for t in terms}
+        clause = {t: p for t, p in clause.items() if p is not None}
+        if not clause:
+            return self._finalize([], [], k)
+        cand = np.unique(np.concatenate([p[0] for p in clause.values()]))
+        mx = np.full(len(cand), -np.inf)
+        sm = np.zeros(len(cand), dtype=np.float64)
+        for t in terms:
+            if t not in clause:
+                continue
+            docs, tfs, norms = clause[t]
+            pos = np.clip(np.searchsorted(docs, cand), 0, len(docs) - 1)
+            present = docs[pos] == cand
+            idx = pos[present]
+            s = self._score(docs[idx], tfs[idx], norms[idx],
+                            stats[t][0]).astype(np.float64)
+            cur = np.full(len(cand), 0.0)
+            cur[present] = s
+            sm += cur
+            mx = np.maximum(mx, np.where(present, cur, -np.inf))
+        score = mx + tiebreaker * (sm - mx)
+        score = score.astype(np.float32) if self.mode == "lucene32" else score
+        d, s = topk_merge(cand, score, k)
+        return self._finalize([d], [s], k)
+
+    def search_span_near(self, terms: list[str], slop: int,
+                         k: int = 10) -> pa.Table:
+        """Ordered proximity: per doc, count position pairs of consecutive
+        terms with 0 < Δpos ≤ slop (SpanNearQuery-family semantics,
+        core:search/spans/SpanNearQuery.java, simplified to pair counts —
+        documented deviation from minimal-interval enumeration). Result
+        ranked by (matches desc, doc asc); score = match count."""
+        posting = {}
+        for t in terms:
+            p = self._decode_term_global(t, positions=True)
+            if p is None:
+                return self._finalize([], [], k)
+            posting[t] = p
+        cand = posting[terms[0]][0]
+        for t in terms[1:]:
+            cand = np.intersect1d(cand, posting[t][0], assume_unique=True)
+        if len(cand) == 0:
+            return self._finalize([], [], k)
+        pos_starts = {t: np.concatenate(([0], np.cumsum(posting[t][1])))
+                      for t in terms}
+        counts = np.zeros(len(cand), dtype=np.int64)
+        for ci, d in enumerate(cand):
+            total = 0
+            for a, b in zip(terms[:-1], terms[1:]):
+                docs_a, tfs_a, _, pos_a = posting[a]
+                docs_b, tfs_b, _, pos_b = posting[b]
+                ja = int(np.searchsorted(docs_a, d))
+                jb = int(np.searchsorted(docs_b, d))
+                pa_ = pos_a[pos_starts[a][ja]:pos_starts[a][ja + 1]]
+                pb_ = pos_b[pos_starts[b][jb]:pos_starts[b][jb + 1]]
+                lo = np.searchsorted(pb_, pa_ + 1, side="left")
+                hi = np.searchsorted(pb_, pa_ + slop, side="right")
+                total += int((hi - lo).sum())
+            counts[ci] = total
+        hit = counts > 0
+        cand, counts = cand[hit], counts[hit]
+        dtype = np.float32 if self.mode == "lucene32" else np.float64
+        d, s = topk_merge(cand, counts.astype(dtype), k)
+        return self._finalize([d], [s], k)
+
+    def suggest_prefix(self, prefix: str, n: int = 10) -> pa.Table:
+        """Completion suggester (the reference fork's signature feature:
+        lucene/suggest/.../document/NRTSuggester.java, CompletionQuery):
+        top-n dictionary terms with the prefix, weighted by total term
+        frequency, ties term asc."""
+        agg: dict[str, int] = {}
+        for seg in self.segments:
+            terms, _, ttf = seg.term_dict_arrays()
+            if len(terms) == 0:
+                continue
+            lo = int(np.searchsorted(terms, prefix, side="left"))
+            hi = int(np.searchsorted(terms, prefix + "￿", side="right"))
+            for t, w in zip(terms[lo:hi].tolist(), ttf[lo:hi].tolist()):
+                agg[t] = agg.get(t, 0) + int(w)
+        top = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[:n]
+        return pa.table({
+            "term": pa.array([t for t, _ in top], type=pa.string()),
+            "weight": pa.array([w for _, w in top], type=pa.int64()),
+        })
+
     def search(self, query: dict, k: int = 10) -> pa.Table:
         qt = query["type"]
         if qt == "term":
@@ -428,6 +599,15 @@ class IndexSearcher:
                 min_should_match=query.get("min_should_match", 0), k=k)
         if qt == "phrase":
             return self.search_phrase(query["terms"], k)
+        if qt in ("prefix", "wildcard", "regexp", "range", "fuzzy"):
+            terms = self.expand_terms(qt, query["param"],
+                                      max_edits=query.get("max_edits", 1))
+            return self.search_constant(terms, k)
+        if qt == "dismax":
+            return self.search_dismax(query["terms"], k,
+                                      tiebreaker=query.get("tiebreaker", 0.0))
+        if qt == "span_near":
+            return self.search_span_near(query["terms"], query.get("slop", 1), k)
         raise ValueError(f"unknown query type {qt}")
 
     def _finalize(self, all_docs, all_scores, k: int) -> pa.Table:

@@ -79,6 +79,8 @@ def test_all_queries_have_oracles_or_are_documented():
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "text_langid", "text_quality", "text_token_totals",
     "ann_brute_cosine",
+    "ft_prefix", "ft_wildcard", "ft_regexp", "ft_term_range", "ft_fuzzy",
+    "ft_dismax", "ft_span_near", "ft_suggest", "ft_function_boost",
 ])
 def test_query_matches_oracle(name, con, ray_session):
     q, o = _pairs()

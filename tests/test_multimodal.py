@@ -1,0 +1,54 @@
+"""Multimodal plumbing tests: binary payload column → actor-pool decode →
+features; unsupported codecs fail loudly at the decode stub."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_solr_ray.ops.multimodal import (
+    FEATURE_DIM,
+    DecodeStage,
+    featurize,
+    synth_payload_table,
+)
+
+
+def test_synth_payload_deterministic():
+    a = synth_payload_table(50)
+    b = synth_payload_table(50)
+    assert a.equals(b)
+    assert a.schema.field("payload").type == pa.large_binary()
+
+
+def test_decode_stage_direct():
+    stage = DecodeStage()
+    t = synth_payload_table(10)
+    out = stage(t)
+    assert "payload" not in out.column_names
+    feats = np.array(out["features"].to_pylist(), dtype=np.float32)
+    assert feats.shape == (10, FEATURE_DIM)
+    # deterministic across calls / actors
+    out2 = DecodeStage()(t)
+    assert np.array_equal(feats,
+                          np.array(out2["features"].to_pylist(),
+                                   dtype=np.float32))
+
+
+def test_decode_unsupported_codec_raises():
+    stage = DecodeStage()
+    t = pa.table({"item_id": [1], "codec": ["jpeg"],
+                  "payload": pa.array([b"\xff\xd8"], type=pa.large_binary()),
+                  "width": pa.array([8], type=pa.int32()),
+                  "height": pa.array([8], type=pa.int32())})
+    with pytest.raises(NotImplementedError, match="jpeg"):
+        stage(t)
+
+
+def test_featurize_pipeline(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(synth_payload_table(200))
+    out = featurize(ds, batch_size=32)
+    df = out.to_pandas().sort_values("item_id")
+    assert len(df) == 200
+    assert len(df["features"].iloc[0]) == FEATURE_DIM
