@@ -56,6 +56,36 @@ def add_doc_keys(batch: pa.Table) -> pa.Table:
     return batch.append_column("doc_id", pa.array(keys, type=pa.int64()))
 
 
+def write_segment_batch(batch: pa.Table, *, segments_root: str,
+                        content_col: str = "content", id_col: str = "doc_id",
+                        store_cols: tuple[str, ...] = (),
+                        with_positions: bool = True) -> pa.Table:
+    """Task-form segment writer (one Arrow batch → one segment → one stats
+    row). Used via ``functools.partial`` in plain-task map_batches: Ray
+    REUSES its general worker pool across tasks and executions, so the
+    micro-VM's expensive first-touch page faults (util.py) are paid once
+    per worker process, not once per actor. The stage holds no state, so
+    the actor-pool form (SegmentWriterStage) is only needed when setup is
+    expensive."""
+    from ..util import tune_allocator
+
+    tune_allocator()
+    if batch.num_rows == 0:
+        return pa.table({"segment": pa.array([], type=pa.string()),
+                         "num_docs": pa.array([], type=pa.int64()),
+                         "sum_dl": pa.array([], type=pa.int64()),
+                         "num_terms": pa.array([], type=pa.int64())})
+    ids = np.sort(np.asarray(batch[id_col], dtype=np.int64))
+    name = "seg-" + hashlib.sha256(ids.tobytes()).hexdigest()[:16]
+    meta = write_segment(batch, segments_root, name,
+                         content_col=content_col, id_col=id_col,
+                         store_cols=store_cols, with_positions=with_positions)
+    return pa.table({"segment": [meta["segment"]],
+                     "num_docs": [meta["num_docs"]],
+                     "sum_dl": [meta["sum_dl"]],
+                     "num_terms": [meta["num_terms"]]})
+
+
 class SegmentWriterStage:
     """Actor-pool map_batches stage: one Arrow batch in → one segment on
     disk, one stats row out (the DWPT: accumulate → flush, here flush ==
@@ -109,12 +139,21 @@ def _collect_metas(segments_root: str, names: list[str]) -> list[dict]:
 def build_index(ds, out_dir: str, *, content_col: str = "content",
                 id_col: str = "doc_id", store_cols: tuple[str, ...] = (),
                 with_positions: bool = True, batch_rows: int = DEFAULT_BATCH_ROWS,
-                concurrency: int | None = None, derive_doc_keys: bool = False) -> dict:
+                concurrency=None, derive_doc_keys: bool = False,
+                use_actors: bool = False) -> dict:
     """Streaming Dataset build: corpus → analyze+segment-write → manifest.
 
     ``ds`` is a ray.data.Dataset (or a pyarrow Table, wrapped for tests).
     Returns the committed manifest.
+
+    Default is plain-TASK map_batches: the writer is stateless, and Ray's
+    reusable worker pool amortizes the (very expensive in this micro-VM,
+    see util.py) per-process first-touch cost across tasks and executions.
+    ``use_actors=True`` switches to the actor-pool form for environments
+    where per-worker setup is the dominant cost.
     """
+    import functools
+
     import ray.data
 
     if isinstance(ds, pa.Table):
@@ -123,21 +162,32 @@ def build_index(ds, out_dir: str, *, content_col: str = "content",
         ds = ds.map_batches(add_doc_keys, batch_format="pyarrow")
 
     segments_root = os.path.join(out_dir, SEGMENTS_DIRNAME)
-    if concurrency is None:
-        # autoscaling pool: never reserve every CPU (a fixed pool equal to
-        # the CPU count starves the upstream read stage and can deadlock)
-        import ray
+    os.makedirs(segments_root, exist_ok=True)
+    if use_actors:
+        if concurrency is None:
+            # autoscaling pool: never reserve every CPU (a fixed pool equal
+            # to the CPU count starves the upstream read and can deadlock)
+            import ray
 
-        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-        concurrency = (1, max(2, cpus - 1))
-    stats = ds.map_batches(
-        SegmentWriterStage, fn_constructor_kwargs={
-            "segments_root": segments_root, "content_col": content_col,
-            "id_col": id_col, "store_cols": store_cols,
-            "with_positions": with_positions},
-        batch_format="pyarrow", batch_size=batch_rows,
-        concurrency=concurrency,
-    ).take_all()  # tiny stats stream: one row per segment
+            cpus = int(ray.cluster_resources().get("CPU", 4)) \
+                if ray.is_initialized() else 4
+            concurrency = (1, max(2, cpus - 1))
+        stage = ds.map_batches(
+            SegmentWriterStage, fn_constructor_kwargs={
+                "segments_root": segments_root, "content_col": content_col,
+                "id_col": id_col, "store_cols": store_cols,
+                "with_positions": with_positions},
+            batch_format="pyarrow", batch_size=batch_rows,
+            concurrency=concurrency)
+    else:
+        fn = functools.partial(
+            write_segment_batch, segments_root=segments_root,
+            content_col=content_col, id_col=id_col, store_cols=store_cols,
+            with_positions=with_positions)
+        kwargs = {"concurrency": concurrency} if concurrency is not None else {}
+        stage = ds.map_batches(fn, batch_format="pyarrow",
+                               batch_size=batch_rows, **kwargs)
+    stats = stage.take_all()  # tiny stats stream: one row per segment
 
     names = [r["segment"] for r in stats]
     metas = _collect_metas(segments_root, names)

@@ -10,36 +10,51 @@ TreeMergeOutputFormat.java:138-153) as a Ray Data exchange:
 2. a split stage re-buckets each hot term's postings rows into fixed
    doc-id VALUE ranges (``salt = doc_id * B >> 63``) so no reduce task ever
    materializes a full hot posting list — the salted repartition the north
-   rule requires. Doc-range buckets keep global doc order: bucket b's docs
-   all precede bucket b+1's;
-3. ``groupby((term, salt)).map_groups`` merge-sorts each group's postings
-   (docs strictly ascending across source segments — doc ids are unique),
-   re-encodes blocks, and emits one merged row;
-4. the merged rows are range-sorted by (term, salt) and written as
-   term-partitioned postings shards; the original segments remain in the
-   new manifest generation as ``docs_only`` entries (their docs.parquet —
+   rule requires — and assigns every (term, salt) to a reduce partition by
+   hash;
+3. ``groupby(part).map_groups`` runs ONE VECTORIZED reducer per partition:
+   all source rows of the partition are decoded in a handful of batched
+   varint passes, merge-sorted by (term, doc) with a single lexsort, and
+   re-encoded through the same vectorized path the fresh build uses
+   (segment.encode_sorted_postings). Each reducer writes its own
+   term-partitioned shard directory atomically — a fully distributed
+   write, no driver-side funnel;
+4. the new manifest generation lists the postings shards and keeps the
+   original segments as ``docs_only`` entries (their docs.parquet —
    dl/norm/lineage — stays authoritative; their postings are superseded).
 
 The searcher reads postings from ``kind="postings"`` segments and document
-tables from any segment carrying docs.parquet, so a merged index answers
-queries identically to the unmerged one (tested in tests/test_merge.py).
+tables from any segment carrying docs.parquet, and it gathers a term's
+rows across all segments, so a merged index (including hot terms whose
+salt buckets land in different shards) answers identically to the unmerged
+one (tested in tests/test_merge.py).
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
-from .encode import decode_postings, encode_postings
+from .encode import (
+    block_sizes,
+    decode_postings,
+    encode_postings,
+    grouped_delta_decode,
+    varint_decode,
+)
 from .manifest import commit_manifest, load_manifest
-from .segment import POSTINGS_FILE
+from .segment import POSTINGS_FILE, encode_sorted_postings
 
 HOT_DF_THRESHOLD = 32_768
 BUCKET_POSTINGS = 65_536
-SHARD_ROWS = 65_536
+DEFAULT_NUM_SHARDS = 16
 
 
 def _permute_grouped(flat: np.ndarray, counts: np.ndarray,
@@ -53,78 +68,151 @@ def _permute_grouped(flat: np.ndarray, counts: np.ndarray,
     return flat[idx]
 
 
-def _row_to_enc(row: dict) -> dict:
-    """A parquet row (python values) is already a valid codec dict."""
-    return row
+def _part_of(term: str, salt: int, nparts: int) -> int:
+    h = hashlib.blake2b(f"{term}\x00{salt}".encode(), digest_size=8).digest()
+    return int.from_bytes(h, "big") % nparts
 
 
-def _encode_row(term: str, salt: int, docs, tfs, norms, pos) -> dict:
+def _encode_row(term: str, salt: int, part: int, docs, tfs, norms, pos) -> dict:
     enc = encode_postings(docs, tfs, norms, pos)
     return {
-        "term": term, "salt": salt, "df": enc["df"], "ttf": enc["ttf"],
+        "term": term, "salt": salt, "part": part,
+        "df": enc["df"], "ttf": enc["ttf"],
         "doc_data": enc["doc_data"], "tf_data": enc["tf_data"],
         "norm_data": enc["norm_data"], "pos_data": enc["pos_data"],
-        "block_last_doc": enc["block_last_doc"].tolist(),
-        "block_max_tf": enc["block_max_tf"].tolist(),
-        "block_max_norm": enc["block_max_norm"].tolist(),
-        "block_doc_off": enc["block_doc_off"].tolist(),
-        "block_tf_off": enc["block_tf_off"].tolist(),
     }
 
 
 class SplitStage:
-    """map_batches stage: assign salt buckets; split hot-term rows into
-    doc-range sub-rows so the downstream groupby key is (term, salt)."""
+    """map_batches stage: salt hot terms by doc range, assign reduce
+    partitions. Emits only the payload the reducer needs (term, salt,
+    part, df, blobs) — block metadata is rebuilt at re-encode."""
 
-    def __init__(self, hot_ref):
+    def __init__(self, hot_ref, nparts: int):
         import ray
 
         from ..util import tune_allocator
 
         tune_allocator()
         self.hot: dict[str, int] = ray.get(hot_ref)
+        self.nparts = nparts
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["term", "salt", "part", "df", "ttf",
+                "doc_data", "tf_data", "norm_data", "pos_data"]
+        terms = df["term"].to_numpy()
+        is_hot = np.array([t in self.hot for t in terms]) if self.hot \
+            else np.zeros(len(terms), dtype=bool)
+
+        # cold rows (the vast majority): pure column ops, no decode
+        cold = df[~is_hot]
+        uniq = pd.unique(cold["term"])
+        part_of = {t: _part_of(t, 0, self.nparts) for t in uniq}
+        cold_out = pd.DataFrame({
+            "term": cold["term"].to_numpy(),
+            "salt": np.zeros(len(cold), dtype=np.int64),
+            "part": cold["term"].map(part_of).to_numpy(dtype=np.int64),
+            "df": cold["df"].to_numpy(dtype=np.int64),
+            "ttf": cold["ttf"].to_numpy(dtype=np.int64),
+            "doc_data": cold["doc_data"].to_numpy(),
+            "tf_data": cold["tf_data"].to_numpy(),
+            "norm_data": cold["norm_data"].to_numpy(),
+            "pos_data": cold["pos_data"].to_numpy(),
+        })
+
         out = []
-        for row in df.to_dict("records"):
-            n_buckets = self.hot.get(row["term"], 1)
-            if n_buckets <= 1:
-                row["salt"] = 0
-                out.append(row)
-                continue
+        for row in df[is_hot].to_dict("records"):
+            term = row["term"]
+            n_buckets = self.hot[term]
             docs, tfs, norms, pos = decode_postings(row, with_positions=True)
             salt = ((docs.astype(np.uint64) * np.uint64(n_buckets))
                     >> np.uint64(63)).astype(np.int64)
-            pos_starts = np.concatenate(([0], np.cumsum(tfs)))
             for s in np.unique(salt):
                 m = salt == s
                 idx = np.flatnonzero(m)
                 p = _permute_grouped(pos, tfs, idx) if len(pos) else pos
-                out.append(_encode_row(row["term"], int(s), docs[m], tfs[m],
-                                       norms[m], p))
-        return pd.DataFrame(out)
+                out.append(_encode_row(term, int(s),
+                                       _part_of(term, int(s), self.nparts),
+                                       docs[m], tfs[m], norms[m], p))
+        hot_out = pd.DataFrame(out, columns=cols) if out else \
+            pd.DataFrame({c: [] for c in cols})
+        return pd.concat([cold_out, hot_out], ignore_index=True) \
+            if len(hot_out) else cold_out
 
 
-def _merge_group(g: pd.DataFrame) -> pd.DataFrame:
-    """Merge one (term, salt) group's rows into a single doc-sorted row."""
-    rows = g.to_dict("records")
-    if len(rows) == 1:
-        return pd.DataFrame(rows)
-    parts = [decode_postings(r, with_positions=True) for r in rows]
-    docs = np.concatenate([p[0] for p in parts])
-    tfs = np.concatenate([p[1] for p in parts])
-    norms = np.concatenate([p[2] for p in parts])
-    pos = np.concatenate([p[3] for p in parts])
-    perm = np.argsort(docs, kind="stable")
-    pos = _permute_grouped(pos, tfs, perm)
-    merged = _encode_row(rows[0]["term"], int(rows[0]["salt"]),
-                         docs[perm], tfs[perm], norms[perm], pos)
-    return pd.DataFrame([merged])
+def _make_reducer(segments_root: str, generation: int):
+    def reduce_partition(g: pd.DataFrame) -> pd.DataFrame:
+        """One VECTORIZED merge per reduce partition: batched varint decode
+        of every source row, one lexsort by (term, salt, doc), re-encode,
+        write the shard, emit its meta."""
+        from ..util import tune_allocator
+
+        tune_allocator()
+        part = int(g["part"].iloc[0])
+        g = g.sort_values(["term", "salt"], kind="stable")
+        dfs_rows = g["df"].to_numpy(dtype=np.int64)
+        n_rows = len(g)
+
+        # batched decode: concatenate blobs, decode once, split by counts
+        doc_blob = b"".join(g["doc_data"])
+        tf_blob = b"".join(g["tf_data"])
+        norm_blob = b"".join(g["norm_data"])
+        pos_blob = b"".join(g["pos_data"])
+        blk_counts = np.concatenate([block_sizes(d) for d in dfs_rows]) \
+            if n_rows else np.empty(0, dtype=np.int64)
+        docs = grouped_delta_decode(
+            varint_decode(doc_blob).astype(np.int64), blk_counts)
+        tfs = varint_decode(tf_blob).astype(np.int64)
+        norms = np.frombuffer(norm_blob, dtype=np.uint8)
+        pos = grouped_delta_decode(
+            varint_decode(pos_blob).astype(np.int64), tfs)
+
+        # (term, salt) group codes per source row — g is sorted, so
+        # factorize yields ascending codes; one output row per (term, salt).
+        # separator '|' cannot occur in [a-z0-9]+ tokens (and pandas string
+        # concat silently DROPS NUL bytes, so never use "\x00" here)
+        keys = g["term"] + "|" + g["salt"].astype(str)
+        row_codes, uniques = pd.factorize(keys, sort=False)
+        row_codes = row_codes.astype(np.int64)
+        code_terms = [u.rsplit("|", 1)[0] for u in uniques]
+
+        p_codes = np.repeat(row_codes, dfs_rows)
+        perm = np.lexsort((docs, p_codes))
+        p_codes = p_codes[perm]
+        p_docs = docs[perm]
+        p_norms = norms[perm]
+        p_tfs_sorted = tfs[perm]
+        p_pos = _permute_grouped(pos, tfs, perm)
+
+        table, stats = encode_sorted_postings(
+            p_codes, pa.array(code_terms, type=pa.string()),
+            p_docs, p_tfs_sorted, p_norms, p_pos, with_positions=True)
+
+        name = f"merged-{generation:03d}-{part:05d}"
+        tmp = os.path.join(segments_root, name + ".tmp")
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(table, os.path.join(tmp, POSTINGS_FILE),
+                       row_group_size=4096)
+        meta = {"segment": name, "kind": "postings", "num_docs": 0,
+                "sum_dl": 0, "num_terms": int(table.num_rows),
+                "with_positions": True}
+        with open(os.path.join(tmp, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        final = os.path.join(segments_root, name)
+        if os.path.exists(final):
+            import shutil
+
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        return pd.DataFrame([{"segment": name,
+                              "num_terms": int(table.num_rows)}])
+
+    return reduce_partition
 
 
 def merge_segments(index_dir: str, *, hot_df_threshold: int = HOT_DF_THRESHOLD,
                    bucket_postings: int = BUCKET_POSTINGS,
-                   shard_rows: int = SHARD_ROWS) -> dict:
+                   num_shards: int = DEFAULT_NUM_SHARDS) -> dict:
     """Merge all postings segments of ``index_dir`` into term-partitioned
     shards; commit a new manifest generation. Returns the manifest."""
     import ray
@@ -143,61 +231,20 @@ def merge_segments(index_dir: str, *, hot_df_threshold: int = HOT_DF_THRESHOLD,
            for _, r in stats.iterrows() if r["sum(df)"] > hot_df_threshold}
     hot_ref = ray.put(hot)
 
-    # pass 2: split + shuffle-merge
+    # pass 2: split + hash-partitioned vectorized shuffle-merge
     ds = rd.read_parquet(files)
-    split = ds.map_batches(SplitStage, fn_constructor_kwargs={"hot_ref": hot_ref},
+    split = ds.map_batches(SplitStage,
+                           fn_constructor_kwargs={"hot_ref": hot_ref,
+                                                  "nparts": num_shards},
                            batch_format="pandas", concurrency=(1, 4))
-    merged = split.groupby(["term", "salt"]).map_groups(
-        _merge_group, batch_format="pandas")
-    ordered = merged.sort(["term", "salt"])
+    reducer = _make_reducer(root, man["generation"])
+    metas_df = split.groupby("part").map_groups(
+        reducer, batch_format="pandas").to_pandas()
 
-    # pass 3: write term-partitioned shards in sorted order
     shard_metas = []
-    buf: list[pa.Table] = []
-    buf_rows = 0
-    shard_id = 0
-
-    def flush():
-        nonlocal buf, buf_rows, shard_id
-        if not buf:
-            return
-        name = f"merged-{man['generation']:03d}-{shard_id:05d}"
-        tbl = pa.concat_tables(buf)
-        cols = [c for c in ["term", "df", "ttf", "doc_data", "tf_data",
-                            "norm_data", "pos_data", "block_last_doc",
-                            "block_max_tf", "block_max_norm",
-                            "block_doc_off", "block_tf_off"]]
-        tbl = tbl.select(cols)
-        tmp = os.path.join(root, name + ".tmp")
-        os.makedirs(tmp, exist_ok=True)
-        import json
-
-        import pyarrow.parquet as pq
-
-        pq.write_table(tbl, os.path.join(tmp, POSTINGS_FILE),
-                       row_group_size=4096)
-        meta = {"segment": name, "kind": "postings", "num_docs": 0,
-                "sum_dl": 0, "num_terms": tbl.num_rows,
-                "with_positions": True}
-        with open(os.path.join(tmp, "meta.json"), "w") as f:
-            json.dump(meta, f)
-        final = os.path.join(root, name)
-        if os.path.exists(final):
-            import shutil
-
-            shutil.rmtree(final)
-        os.rename(tmp, final)
-        shard_metas.append(meta)
-        buf, buf_rows = [], 0
-        shard_id += 1
-
-    for batch in ordered.iter_batches(batch_format="pyarrow",
-                                      batch_size=shard_rows):
-        buf.append(batch)
-        buf_rows += batch.num_rows
-        if buf_rows >= shard_rows:
-            flush()
-    flush()
+    for name in metas_df["segment"]:
+        with open(os.path.join(root, name, "meta.json")) as f:
+            shard_metas.append(json.load(f))
 
     docs_only = []
     for s in man["segments"]:

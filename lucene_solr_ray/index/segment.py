@@ -71,20 +71,32 @@ def _list_array(values: np.ndarray, counts: np.ndarray, typ) -> pa.Array:
                                     pa.array(values, type=typ))
 
 
-def build_postings_table(doc_ids_flat: np.ndarray, terms_flat: pa.Array,
+_DOC_BITS = 20   # ≤ 1M docs per segment batch
+_POS_BITS = 22   # ≤ 4M token positions per doc
+
+
+def build_postings_table(doc_rank_flat: np.ndarray, terms_flat: pa.Array,
                          positions_flat: np.ndarray,
-                         doc_norm_lookup_ids: np.ndarray,
-                         doc_norm_bytes: np.ndarray,
+                         sorted_doc_ids: np.ndarray,
+                         sorted_doc_norms: np.ndarray,
                          *, with_positions: bool = True) -> tuple[pa.Table, dict]:
     """Assemble the sorted-term postings table from a flat token stream.
 
-    doc_ids_flat: int64 global doc id per token
-    terms_flat:   string per token
+    doc_rank_flat: per-token index into ``sorted_doc_ids`` (the rank of the
+                   token's doc id among the batch's docs)
+    terms_flat:    string per token
     positions_flat: int32 Lucene position per token
-    doc_norm_lookup_ids / doc_norm_bytes: sorted doc ids + their norm bytes
+    sorted_doc_ids / sorted_doc_norms: ascending doc ids + norm bytes
+
+    The (term, doc, position) sort — the FreqProxTermsWriter sorted flush —
+    runs on ONE packed uint64 key (term_rank:22 | doc_rank:20 | pos:22)
+    instead of a 3-array int64 lexsort: this box's serialized page-fault
+    path makes memory traffic the build bottleneck (see util.py), so fewer
+    and narrower temporaries directly buy throughput.
+
     Returns (postings table, stats dict).
     """
-    n_tok = len(doc_ids_flat)
+    n_tok = len(doc_rank_flat)
     if n_tok == 0:
         empty = pa.table({
             "term": pa.array([], type=pa.string()),
@@ -108,26 +120,57 @@ def build_postings_table(doc_ids_flat: np.ndarray, terms_flat: pa.Array,
     codes = np.asarray(dict_arr.indices)
     vocab = dict_arr.dictionary
     sort_idx = np.asarray(pc.sort_indices(vocab))
-    rank = np.empty(len(vocab), dtype=np.int64)
-    rank[sort_idx] = np.arange(len(vocab))
-    term_rank = rank[codes]
+    n_vocab = len(vocab)
+    if (n_vocab >= (1 << 22) or len(sorted_doc_ids) >= (1 << _DOC_BITS)
+            or (len(positions_flat) and
+                int(positions_flat.max()) >= (1 << _POS_BITS))):
+        raise ValueError("batch exceeds packed-key limits; lower batch_rows")
+    rank = np.empty(n_vocab, dtype=np.uint64)
+    rank[sort_idx] = np.arange(n_vocab, dtype=np.uint64)
 
-    perm = np.lexsort((positions_flat, doc_ids_flat, term_rank))
-    tr = term_rank[perm]
-    dc = doc_ids_flat[perm]
-    ps = positions_flat[perm].astype(np.int64)
+    key = rank[codes] << np.uint64(_DOC_BITS + _POS_BITS)
+    key |= doc_rank_flat.astype(np.uint64) << np.uint64(_POS_BITS)
+    key |= positions_flat.astype(np.uint64)
+    key.sort()
+    td = key >> np.uint64(_POS_BITS)            # (term_rank, doc_rank)
+    ps = (key & np.uint64((1 << _POS_BITS) - 1)).astype(np.int64)
 
-    # (term, doc) run lengths -> postings
+    # (term, doc) run lengths -> postings (one comparison on the packed key)
     change = np.empty(n_tok, dtype=bool)
     change[0] = True
-    np.not_equal(tr[1:], tr[:-1], out=change[1:])
-    dchange = dc[1:] != dc[:-1]
-    change[1:] |= dchange
+    np.not_equal(td[1:], td[:-1], out=change[1:])
     p_starts = np.flatnonzero(change)
     tfs = np.diff(np.concatenate((p_starts, [n_tok])))
-    p_docs = dc[p_starts]
-    p_terms = tr[p_starts]
+    td_p = td[p_starts]
+    p_dr = (td_p & np.uint64((1 << _DOC_BITS) - 1)).astype(np.int64)
+    p_terms = (td_p >> np.uint64(_DOC_BITS)).astype(np.int64)
+    p_docs = sorted_doc_ids[p_dr]
+    p_norms = sorted_doc_norms[p_dr]
     n_post = len(p_starts)
+
+    table, stats = encode_sorted_postings(
+        p_terms, vocab.take(pa.array(sort_idx)), p_docs, tfs, p_norms,
+        ps if with_positions else None, with_positions=with_positions)
+    stats["num_tokens"] = int(n_tok)
+    return table, stats
+
+
+def encode_sorted_postings(p_term_codes: np.ndarray, code_terms: pa.Array,
+                           p_docs: np.ndarray, tfs: np.ndarray,
+                           p_norms: np.ndarray,
+                           pos_flat: np.ndarray | None,
+                           *, with_positions: bool = True) -> tuple[pa.Table, dict]:
+    """Encode POSTINGS-level arrays (already sorted by (term, doc), term
+    runs contiguous with ascending codes) into the postings table. Shared
+    by the fresh-segment build (from a token stream) and the vectorized
+    segment merge (from decoded source postings).
+
+    p_term_codes: int code per posting; code_terms[code] = term string.
+    pos_flat: flat positions grouped by posting with sizes ``tfs``.
+    """
+    n_post = len(p_docs)
+    p_terms = np.asarray(p_term_codes, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
 
     # per-term runs over postings
     t_change = np.empty(n_post, dtype=bool)
@@ -135,13 +178,10 @@ def build_postings_table(doc_ids_flat: np.ndarray, terms_flat: pa.Array,
     np.not_equal(p_terms[1:], p_terms[:-1], out=t_change[1:])
     t_starts = np.flatnonzero(t_change)            # into postings arrays
     dfs = np.diff(np.concatenate((t_starts, [n_post])))
-    term_ranks_present = p_terms[t_starts]
+    term_codes_present = p_terms[t_starts]
     n_terms = len(t_starts)
     ttfs = np.add.reduceat(tfs, t_starts)
-
-    # norms per posting via sorted doc-id lookup
-    li = np.searchsorted(doc_norm_lookup_ids, p_docs)
-    p_norms = doc_norm_bytes[li]
+    ps = pos_flat
 
     # ---- block structure (tiles the postings arrays; blocks never span
     # terms) — computed FIRST because doc deltas reset per block ----
@@ -194,8 +234,7 @@ def build_postings_table(doc_ids_flat: np.ndarray, terms_flat: pa.Array,
     block_max_norm = np.maximum.reduceat(p_norms, b_starts)
 
     table = pa.table({
-        # term_ranks_present are sorted ranks; map rank -> original vocab index
-        "term": vocab.take(pa.array(sort_idx[term_ranks_present])),
+        "term": code_terms.take(pa.array(term_codes_present)),
         "df": pa.array(dfs, type=pa.int64()),
         "ttf": pa.array(ttfs, type=pa.int64()),
         "doc_data": _large_binary_from_tiling(doc_blob, doc_bounds),
@@ -208,8 +247,7 @@ def build_postings_table(doc_ids_flat: np.ndarray, terms_flat: pa.Array,
         "block_doc_off": _list_array(block_doc_off.astype(np.int64), nblocks, pa.int64()),
         "block_tf_off": _list_array(block_tf_off.astype(np.int64), nblocks, pa.int64()),
     })
-    stats = {"num_terms": n_terms, "num_postings": int(n_post),
-             "num_tokens": int(n_tok)}
+    stats = {"num_terms": n_terms, "num_postings": int(n_post)}
     return table, stats
 
 
@@ -246,10 +284,11 @@ def write_segment(table: pa.Table, segments_root: str, seg_name: str, *,
     order = np.argsort(doc_ids, kind="stable")
     sorted_ids = doc_ids[order]
     sorted_norms = norms[order]
+    doc_rank = np.empty(len(doc_ids), dtype=np.int64)
+    doc_rank[order] = np.arange(len(doc_ids))
 
-    doc_ids_flat = doc_ids[analyzed.doc_idx]
     postings, pstats = build_postings_table(
-        doc_ids_flat, analyzed.terms, analyzed.positions,
+        doc_rank[analyzed.doc_idx], analyzed.terms, analyzed.positions,
         sorted_ids, sorted_norms, with_positions=with_positions)
 
     docs_cols = {

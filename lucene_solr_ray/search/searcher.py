@@ -418,26 +418,33 @@ class IndexSearcher:
             cand = np.intersect1d(cand, posting[t][0], assume_unique=True)
         if len(cand) == 0:
             return self._finalize([], [], k)
-        pf = np.zeros(len(cand), dtype=np.int64)
-        norms_c = np.zeros(len(cand), dtype=np.uint8)
-        pos_starts = {t: np.concatenate(([0], np.cumsum(posting[t][1])))
-                      for t in terms}
-        for ci, d in enumerate(cand):
-            common = None
-            for off, t in enumerate(terms):
-                docs, tfs, norms, pos = posting[t]
-                j = int(np.searchsorted(docs, d))
-                starts = pos_starts[t]
-                p_doc = pos[starts[j]:starts[j + 1]] - off
-                common = p_doc if common is None else \
-                    np.intersect1d(common, p_doc, assume_unique=True)
-                if off == 0:
-                    norms_c[ci] = norms[j]
-                if len(common) == 0:
-                    break
-            pf[ci] = len(common)
-        hit = pf > 0
-        cand, pf, norms_c = cand[hit], pf[hit], norms_c[hit]
+        # vectorized phrase verification: pack (candidate-doc-rank, position
+        # − term-offset) into one key per token and intersect across terms;
+        # surviving keys are phrase start positions (ExactPhraseScorer's
+        # position-delta check, vectorized)
+        SHIFT = np.int64(1) << np.int64(24)
+        keys = None
+        for off, t in enumerate(terms):
+            docs, tfs, norms, pos = posting[t]
+            doc_rep = np.repeat(docs, tfs)
+            tok_rank = np.searchsorted(cand, doc_rep)
+            tok_rank_c = np.clip(tok_rank, 0, len(cand) - 1)
+            in_cand = cand[tok_rank_c] == doc_rep
+            kk = (tok_rank_c[in_cand] * SHIFT
+                  + (pos[in_cand] - np.int64(off) + np.int64(len(terms))))
+            keys = kk if keys is None else \
+                np.intersect1d(keys, kk, assume_unique=True)
+            if len(keys) == 0:
+                break
+        if keys is None or len(keys) == 0:
+            return self._finalize([], [], k)
+        pf_all = np.bincount((keys // SHIFT).astype(np.int64),
+                             minlength=len(cand))
+        docs0 = posting[terms[0]][0]
+        norms0 = posting[terms[0]][2]
+        norms_all = norms0[np.searchsorted(docs0, cand)]
+        hit = pf_all > 0
+        cand, pf, norms_c = cand[hit], pf_all[hit], norms_all[hit]
         if len(cand) == 0:
             return self._finalize([], [], k)
         scores = self._score(cand, pf, norms_c, 0,
@@ -546,22 +553,28 @@ class IndexSearcher:
             cand = np.intersect1d(cand, posting[t][0], assume_unique=True)
         if len(cand) == 0:
             return self._finalize([], [], k)
-        pos_starts = {t: np.concatenate(([0], np.cumsum(posting[t][1])))
-                      for t in terms}
+        # vectorized: pack (candidate-doc-rank, pos); for each consecutive
+        # term pair count b-tokens in (pos_a, pos_a+slop] by searchsorted
+        # over the packed key space (windows never cross doc boundaries
+        # because slop << the rank shift)
+        SHIFT = np.int64(1) << np.int64(24)
+
+        def packed(t):
+            docs, tfs, _, pos = posting[t]
+            doc_rep = np.repeat(docs, tfs)
+            r = np.searchsorted(cand, doc_rep)
+            rc = np.clip(r, 0, len(cand) - 1)
+            m = cand[rc] == doc_rep
+            return rc[m] * SHIFT + pos[m]
+
         counts = np.zeros(len(cand), dtype=np.int64)
-        for ci, d in enumerate(cand):
-            total = 0
-            for a, b in zip(terms[:-1], terms[1:]):
-                docs_a, tfs_a, _, pos_a = posting[a]
-                docs_b, tfs_b, _, pos_b = posting[b]
-                ja = int(np.searchsorted(docs_a, d))
-                jb = int(np.searchsorted(docs_b, d))
-                pa_ = pos_a[pos_starts[a][ja]:pos_starts[a][ja + 1]]
-                pb_ = pos_b[pos_starts[b][jb]:pos_starts[b][jb + 1]]
-                lo = np.searchsorted(pb_, pa_ + 1, side="left")
-                hi = np.searchsorted(pb_, pa_ + slop, side="right")
-                total += int((hi - lo).sum())
-            counts[ci] = total
+        for a, b in zip(terms[:-1], terms[1:]):
+            ka = packed(a)
+            kb = packed(b)
+            lo = np.searchsorted(kb, ka + 1, side="left")
+            hi = np.searchsorted(kb, ka + slop, side="right")
+            n_hits = hi - lo
+            np.add.at(counts, (ka // SHIFT).astype(np.int64), n_hits)
         hit = counts > 0
         cand, counts = cand[hit], counts[hit]
         dtype = np.float32 if self.mode == "lucene32" else np.float64

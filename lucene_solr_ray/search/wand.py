@@ -63,15 +63,27 @@ def term_topk_blockmax(row: dict, sim: BM25Float32, df_global: int,
     theta = -np.inf
     count = 0
     scored = 0
-    for b in order:
-        if count >= k and ub[b] < theta:
-            break
-        docs, tfs, norms, _ = decode_blocks(row, np.array([b]))
+    # decode blocks in geometrically growing chunks: one vectorized pass
+    # per chunk, while the first chunks stay small enough to establish θ
+    # and prune cheaply
+    from ..index.encode import BLOCK_SIZE
+
+    chunk_size = max(1, -(-k // BLOCK_SIZE))
+    lo = 0
+    while lo < len(order):
+        chunk = order[lo:lo + chunk_size]
+        lo += chunk_size
+        chunk_size = min(chunk_size * 4, 512)
+        if count >= k:
+            chunk = chunk[ub[chunk] >= theta]
+            if len(chunk) == 0:
+                break
+        docs, tfs, norms, _ = decode_blocks(row, np.sort(chunk))
         s = sim.score_term(tfs, norms, df_global)
         got_docs.append(docs)
         got_scores.append(s)
         count += len(docs)
-        scored += 1
+        scored += len(chunk)
         if count >= k:
             all_s = np.concatenate(got_scores)
             theta = np.partition(all_s, len(all_s) - k)[len(all_s) - k]
