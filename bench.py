@@ -173,27 +173,140 @@ def run_bench() -> dict:
     return out
 
 
+_BUILD_ONLY_SNIPPET = r'''
+import sys; sys.path.insert(0, {repo!r})
+import os, time, shutil, json
+from lucene_solr_ray.util import export_allocator_env
+export_allocator_env()
+import ray
+ray.init(address="local", num_cpus={ncpu}, include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+import ray.data as rd
+from lucene_solr_ray.index.build import build_index
+rd.read_parquet({corpus!r}).count()
+def one(tag):
+    out = f"/tmp/lsr_scale_{ncpu}_" + tag
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_index(rd.read_parquet({corpus!r},
+                                override_num_blocks=max(8, 2 * {ncpu})),
+                out, content_col="content", derive_doc_keys=True,
+                batch_rows=4096)
+    return time.perf_counter() - t0
+one("warm")
+print(json.dumps({{"secs": [round(one(f"timed{{i}}"), 2) for i in range(3)]}}))
+ray.shutdown()
+'''
+
+_PROBE_SNIPPET = r'''
+import ray, time, json, numpy as np
+ray.init(address="local", num_cpus={ncpu}, include_dashboard=False,
+         logging_level="ERROR")
+@ray.remote(num_cpus=1)
+def job(i):
+    rng = np.random.default_rng(i)
+    a = rng.integers(0, 1 << 60, size=12_500_000)
+    a.sort()
+    return int(a[::4096].sum())
+ray.get([job.remote(i) for i in range({ncpu})])
+secs = []
+for r in range(3):
+    t0 = time.perf_counter()
+    ray.get([job.remote(100 * r + i) for i in range(24)])
+    secs.append(round(time.perf_counter() - t0, 2))
+print(json.dumps({{"secs": secs}}))
+ray.shutdown()
+'''
+
+
+_STAGE_SNIPPET = r'''
+import sys; sys.path.insert(0, {repo!r})
+import ray, time, json
+from lucene_solr_ray.util import export_allocator_env
+export_allocator_env()
+ray.init(address="local", num_cpus={ncpu}, include_dashboard=False,
+         logging_level="ERROR")
+from lucene_solr_ray.corpus import corpus_table
+from lucene_solr_ray.index.build import add_doc_keys
+t = add_doc_keys(corpus_table(4096))
+@ray.remote(num_cpus=1)
+def work(tbl, reps, tag):
+    import tempfile
+    from lucene_solr_ray.index.segment import write_segment
+    write_segment(tbl, tempfile.mkdtemp(), "warm")
+    import time as _t
+    t0 = _t.perf_counter()
+    for i in range(reps):
+        write_segment(tbl, tempfile.mkdtemp(), f"s{{i}}")
+    return _t.perf_counter() - t0
+secs = []
+for r in range(3):
+    t0 = time.perf_counter()
+    ray.get([work.remote(t, 3, f"{{r}}-{{i}}") for i in range({ncpu})])
+    secs.append(round(time.perf_counter() - t0, 2))
+print(json.dumps({{"secs": secs, "segs": 3 * {ncpu}}}))
+ray.shutdown()
+'''
+
+
+def _run_snippet(snippet: str, **fmt) -> dict:
+    code = snippet.format(**fmt)
+    out = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True, check=True).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
 def run_scaling() -> dict:
-    def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, capture_output=True, text=True,
-                             check=True).stdout
-        return json.loads(out.strip().splitlines()[-1])
+    """Interleaved median-of-3 at the two parallelism levels, plus a
+    perfectly-parallel memory-heavy probe run the same way — the probe
+    measures what an ideal job achieves on this host at this moment, so
+    the build's efficiency can be judged against the environment ceiling
+    (this sandbox's host contention is strongly time-varying)."""
+    import numpy as np
+
+    _ensure_corpus()
+    repo = os.path.dirname(os.path.abspath(__file__))
     lo, hi = SCALE_LO, SCALE_HI
-    r_lo = one(lo)
-    r_hi = one(hi)
-    thr_lo = r_lo["files_per_sec"]
-    thr_hi = r_hi["files_per_sec"]
+    build = {}
+    probe = {}
+    stage = {}
+    for n in (lo, hi):
+        build[n] = _run_snippet(_BUILD_ONLY_SNIPPET, repo=repo,
+                                ncpu=n, corpus=CORPUS_DIR)["secs"]
+        probe[n] = _run_snippet(_PROBE_SNIPPET, ncpu=n)["secs"]
+        stage[n] = _run_snippet(_STAGE_SNIPPET, repo=repo, ncpu=n)
+    b_lo, b_hi = float(np.median(build[lo])), float(np.median(build[hi]))
+    p_lo, p_hi = float(np.median(probe[lo])), float(np.median(probe[hi]))
+    thr_lo, thr_hi = CORPUS_ROWS / b_lo, CORPUS_ROWS / b_hi
     eff = (thr_hi / thr_lo) / (hi / lo)
+    probe_speedup = p_lo / p_hi
+    probe_eff = probe_speedup / (hi / lo)
+    # stage probe: throughput test (work scales with cpus)
+    st_lo = stage[lo]["segs"] / float(np.median(stage[lo]["secs"]))
+    st_hi = stage[hi]["segs"] / float(np.median(stage[hi]["secs"]))
+    stage_eff = (st_hi / st_lo) / (hi / lo)
     return {
-        "metric": "scaling efficiency (files/sec at 8 vs 32 cpus)",
+        "metric": f"scaling efficiency (files/sec at {lo} vs {hi} cpus, "
+                  f"median of 3)",
         "value": round(eff, 3),
         "unit": "efficiency",
         "cpus_lo": lo, "cpus_hi": hi,
-        "files_per_sec_lo": thr_lo, "files_per_sec_hi": thr_hi,
-        "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
-        "corpus_rows": r_lo["corpus_rows"],
+        "files_per_sec_lo": round(thr_lo, 1),
+        "files_per_sec_hi": round(thr_hi, 1),
+        "sec_lo": round(b_lo, 2), "sec_hi": round(b_hi, 2),
+        "build_runs_lo": [round(x, 2) for x in build[lo]],
+        "build_runs_hi": [round(x, 2) for x in build[hi]],
+        "probe_efficiency": round(probe_eff, 3),
+        "probe_runs_lo": [round(x, 2) for x in probe[lo]],
+        "probe_runs_hi": [round(x, 2) for x in probe[hi]],
+        "stage_scaling_efficiency": round(stage_eff, 3),
+        "stage_segs_per_sec_lo": round(st_lo, 2),
+        "stage_segs_per_sec_hi": round(st_hi, 2),
+        "efficiency_vs_env_ceiling": round(min(1.0, eff / probe_eff), 3)
+        if probe_eff > 0 else None,
+        "corpus_rows": CORPUS_ROWS,
     }
 
 

@@ -155,8 +155,11 @@ def corpus_dataset(n_rows: int, seed: int = SEED_DEFAULT):
 
 def write_corpus(out_dir: str, n_rows: int, seed: int = SEED_DEFAULT,
                  min_rows_per_file: int = 10_000) -> str:
-    """Materialize the corpus to parquet (bench input cache)."""
+    """Materialize the corpus to parquet (bench input cache). Repartition
+    so the output is MANY files — downstream reads parallelize per file."""
     ds = corpus_dataset(n_rows, seed)
+    n_files = max(1, n_rows // min_rows_per_file)
+    ds = ds.repartition(n_files)
     try:
         ds.write_parquet(out_dir, min_rows_per_file=min_rows_per_file)
     except TypeError:  # older Ray releases

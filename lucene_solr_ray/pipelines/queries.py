@@ -414,6 +414,43 @@ def _q_span_near(terms, slop, k=20):
     return run
 
 
+def _doc_text(sf_dir: str, doc_id: int) -> str:
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(os.path.join(sf_dir, "documents.parquet"))
+    t = dset.to_table(filter=pads.field("doc_id") == doc_id,
+                      columns=["text"])
+    return t["text"][0].as_py()
+
+
+def _q_more_like_this(doc_id=0, k=10, max_terms=5):
+    """MoreLikeThis over the documents table (rows-only check — term
+    selection involves float tf·idf ranking not replicated in SQL)."""
+    def run(sf_dir):
+        s = _searcher(sf_dir)
+        text = _doc_text(sf_dir, doc_id)
+        return _topk_table(s.search_more_like_this(text, k=k,
+                                                   max_terms=max_terms))
+    return run
+
+
+def _q_highlight(term="table", k=3):
+    """Top-k hits with a highlighted snippet (rows-only check)."""
+    def run(sf_dir):
+        from ..search.highlight import highlight
+
+        s = _searcher(sf_dir)
+        t = s.search({"type": "term", "term": term}, k=k)
+        snips = [highlight(_doc_text(sf_dir, d), [term])
+                 for d in t["doc_id"].to_pylist()]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "rank": t["rank"],
+            "snippet": pa.array(snips, type=pa.string()),
+        })
+    return run
+
+
 def _q_suggest(prefix, n=10):
     def run(sf_dir):
         return _searcher(sf_dir).suggest_prefix(prefix, n)
@@ -568,6 +605,8 @@ def build_queries() -> dict:
         "ft_span_near": _q_span_near(["fast", "table"], 3),
         "ft_suggest": _q_suggest("s"),
         "ft_function_boost": _q_function_boost("table"),
+        "ft_more_like_this": _q_more_like_this(0),   # rows-only
+        "ft_highlight": _q_highlight("table"),       # rows-only
     }
 
 

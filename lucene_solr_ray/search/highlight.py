@@ -1,0 +1,23 @@
+"""Snippet highlighter (the lucene/highlighter module's role, minimal):
+locate the first match of any query term in the stored text via the
+reference tokenizer's offsets and return a ``...prefix <em>term</em>
+suffix...`` window. Deterministic; used for result presentation, not
+scoring."""
+
+from __future__ import annotations
+
+from ..analysis.analyzer import tokenize
+
+
+def highlight(text: str, terms: list[str], *, window: int = 40,
+              pre: str = "<em>", post: str = "</em>") -> str | None:
+    """Snippet around the first occurrence of any term (None if absent)."""
+    tset = set(terms)
+    for (term, _pos, start, end) in tokenize(text):
+        if term in tset:
+            lo = max(0, start - window)
+            hi = min(len(text), end + window)
+            prefix = ("..." if lo > 0 else "") + text[lo:start]
+            suffix = text[end:hi] + ("..." if hi < len(text) else "")
+            return f"{prefix}{pre}{text[start:end]}{post}{suffix}"
+    return None

@@ -581,6 +581,37 @@ class IndexSearcher:
         d, s = topk_merge(cand, counts.astype(dtype), k)
         return self._finalize([d], [s], k)
 
+    def more_like_this_terms(self, text: str, max_terms: int = 5) -> list[str]:
+        """MoreLikeThis term selection (lucene/queries/.../mlt/
+        MoreLikeThis.java): rank the document's terms by tf·idf against
+        the index's global stats, keep the top ``max_terms`` (ties: term
+        asc)."""
+        from ..analysis.analyzer import token_terms
+
+        toks = token_terms(text)
+        if not toks:
+            return []
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        stats = self.term_stats(sorted(tf))
+        scored = []
+        for t, f in tf.items():
+            df = stats.get(t, (0, 0))[0]
+            if df == 0:
+                continue
+            scored.append((-f * idf_exact64(df, self.num_docs), t))
+        scored.sort()
+        return [t for _, t in scored[:max_terms]]
+
+    def search_more_like_this(self, text: str, k: int = 10,
+                              max_terms: int = 5) -> pa.Table:
+        """MoreLikeThisQuery: boolean OR over the selected terms."""
+        terms = self.more_like_this_terms(text, max_terms)
+        if not terms:
+            return self._finalize([], [], k)
+        return self.search_bool(should=terms, k=k)
+
     def suggest_prefix(self, prefix: str, n: int = 10) -> pa.Table:
         """Completion suggester (the reference fork's signature feature:
         lucene/suggest/.../document/NRTSuggester.java, CompletionQuery):

@@ -38,13 +38,24 @@ def tune_allocator(threshold: int = 1 << 30) -> None:
         libc.mallopt(M_MMAP_THRESHOLD, threshold)
     except Exception:
         pass
+    # Arrow's jemalloc pool purges dirty pages back to the OS, so every
+    # batch's Arrow allocations (tokenizer output, parquet buffers) re-fault
+    # through the slow path; keep them resident instead.
+    try:
+        import pyarrow as _pa
+
+        _pa.jemalloc_set_decay_ms(-1)
+    except Exception:
+        pass
 
 
 def allocator_env(threshold: int = 1 << 30) -> dict[str, str]:
     """Env vars with the same effect, applied from process start — set
-    these before ray.init so every worker inherits them."""
+    these before ray.init so every worker inherits them. Routing Arrow to
+    the system pool puts its allocations under the tuned glibc arena."""
     return {"MALLOC_TRIM_THRESHOLD_": str(threshold),
-            "MALLOC_MMAP_THRESHOLD_": str(threshold)}
+            "MALLOC_MMAP_THRESHOLD_": str(threshold),
+            "ARROW_DEFAULT_MEMORY_POOL": "system"}
 
 
 def export_allocator_env() -> None:

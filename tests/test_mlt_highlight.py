@@ -1,0 +1,63 @@
+"""MoreLikeThis + highlighter tests."""
+
+import pytest
+
+from lucene_solr_ray.corpus import corpus_table
+from lucene_solr_ray.index import build_index
+from lucene_solr_ray.index.build import add_doc_keys
+from lucene_solr_ray.search import IndexSearcher
+from lucene_solr_ray.search.highlight import highlight
+
+
+@pytest.fixture(scope="module")
+def idx(tmp_path_factory, ray_session):
+    t = add_doc_keys(corpus_table(300))
+    out = str(tmp_path_factory.mktemp("mlt"))
+    build_index(t, out, batch_rows=100)
+    return out, t
+
+
+def test_mlt_retrieves_source_doc_first(idx):
+    out, t = idx
+    s = IndexSearcher(out)
+    text = t["content"][5].as_py()
+    src_id = t["doc_id"][5].as_py()
+    r = s.search_more_like_this(text, k=5)
+    assert r.num_rows > 0
+    # the document itself contains its own distinctive terms
+    assert src_id in r["doc_id"].to_pylist()[:3]
+
+
+def test_mlt_term_selection_prefers_rare(idx):
+    out, t = idx
+    s = IndexSearcher(out)
+    text = t["content"][7].as_py()
+    terms = s.more_like_this_terms(text, max_terms=5)
+    assert len(terms) == 5
+    # tf·idf selection must prefer rarer-than-average terms of the doc
+    from lucene_solr_ray.analysis import token_terms
+
+    doc_terms = sorted(set(token_terms(text)))
+    stats = s.term_stats(doc_terms)
+    sel_df = [stats[x][0] for x in terms]
+    all_df = [stats[x][0] for x in doc_terms]
+    import numpy as np
+
+    assert np.mean(sel_df) < np.mean(all_df)
+
+
+def test_highlight_basic():
+    out = highlight("the quick brown fox jumps", ["fox"], window=6)
+    assert out == "...brown <em>fox</em> jumps"
+    assert highlight("nothing here", ["fox"]) is None
+    # stopwords never match (they are not in the token stream)
+    assert highlight("the the the", ["the"]) is None
+
+
+def test_highlight_first_occurrence_and_bounds():
+    text = "alpha beta gamma " * 10
+    out = highlight(text, ["gamma"], window=5)
+    assert out.startswith("...") or out.startswith("alpha")
+    assert "<em>gamma</em>" in out
+    out2 = highlight("fox", ["fox"], window=10)
+    assert out2 == "<em>fox</em>"
