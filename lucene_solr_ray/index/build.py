@@ -59,6 +59,7 @@ def add_doc_keys(batch: pa.Table) -> pa.Table:
 def write_segment_batch(batch: pa.Table, *, segments_root: str,
                         content_col: str = "content", id_col: str = "doc_id",
                         store_cols: tuple[str, ...] = (),
+                        keyword_cols: tuple[str, ...] = (),
                         with_positions: bool = True) -> pa.Table:
     """Task-form segment writer (one Arrow batch → one segment → one stats
     row). Used via ``functools.partial`` in plain-task map_batches: Ray
@@ -79,7 +80,8 @@ def write_segment_batch(batch: pa.Table, *, segments_root: str,
     name = "seg-" + hashlib.sha256(ids.tobytes()).hexdigest()[:16]
     meta = write_segment(batch, segments_root, name,
                          content_col=content_col, id_col=id_col,
-                         store_cols=store_cols, with_positions=with_positions)
+                         store_cols=store_cols, keyword_cols=keyword_cols,
+                         with_positions=with_positions)
     return pa.table({"segment": [meta["segment"]],
                      "num_docs": [meta["num_docs"]],
                      "sum_dl": [meta["sum_dl"]],
@@ -138,6 +140,7 @@ def _collect_metas(segments_root: str, names: list[str]) -> list[dict]:
 
 def build_index(ds, out_dir: str, *, content_col: str = "content",
                 id_col: str = "doc_id", store_cols: tuple[str, ...] = (),
+                keyword_cols: tuple[str, ...] = (),
                 with_positions: bool = True, batch_rows: int = DEFAULT_BATCH_ROWS,
                 concurrency=None, derive_doc_keys: bool = False,
                 use_actors: bool = False) -> dict:
@@ -183,7 +186,7 @@ def build_index(ds, out_dir: str, *, content_col: str = "content",
         fn = functools.partial(
             write_segment_batch, segments_root=segments_root,
             content_col=content_col, id_col=id_col, store_cols=store_cols,
-            with_positions=with_positions)
+            keyword_cols=keyword_cols, with_positions=with_positions)
         kwargs = {"concurrency": concurrency} if concurrency is not None else {}
         stage = ds.map_batches(fn, batch_format="pyarrow",
                                batch_size=batch_rows, **kwargs)

@@ -263,8 +263,17 @@ def sha256_hex_column(texts: pa.Array) -> pa.Array:
 def write_segment(table: pa.Table, segments_root: str, seg_name: str, *,
                   content_col: str = "content", id_col: str = "doc_id",
                   store_cols: tuple[str, ...] = (),
+                  keyword_cols: tuple[str, ...] = (),
                   with_positions: bool = True) -> dict:
     """Analyze one Arrow table of documents and write it as a segment.
+
+    ``keyword_cols`` are indexed as untokenized single-token fields — the
+    StringField discipline (core:document/StringField, omitNorms, a single
+    position) — as field-prefixed terms ``"<col>:<value>"`` in the same
+    postings table (':' cannot occur in analyzed tokens, so the namespaces
+    are disjoint and per-field statistics fall out of per-term stats).
+    They serve FILTER clauses and result facets; their postings' norm
+    bytes carry the doc's content norm and are not used for scoring.
 
     Returns the segment meta dict (also persisted as meta.json). The segment
     directory is written to ``<segments_root>/<seg_name>.tmp`` and atomically
@@ -287,8 +296,34 @@ def write_segment(table: pa.Table, segments_root: str, seg_name: str, *,
     doc_rank = np.empty(len(doc_ids), dtype=np.int64)
     doc_rank[order] = np.arange(len(doc_ids))
 
+    flat_rank = doc_rank[analyzed.doc_idx]
+    flat_terms = analyzed.terms
+    flat_pos = analyzed.positions
+    if keyword_cols:
+        extra_terms = [flat_terms]
+        extra_rank = [flat_rank]
+        extra_pos = [flat_pos]
+        n = len(doc_ids)
+        for c in keyword_cols:
+            col = table[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            kw = pc.binary_join_element_wise(
+                pa.array([c] * n, type=pa.string()), pc.cast(col, pa.string()),
+                ":")
+            # binary_join_element_wise joins with separator LAST arg:
+            # produces "<col>:<value>"
+            extra_terms.append(kw)
+            extra_rank.append(doc_rank)
+            extra_pos.append(np.zeros(n, dtype=np.int32))
+        flat_terms = pa.concat_arrays(
+            [t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t
+             for t in extra_terms])
+        flat_rank = np.concatenate(extra_rank)
+        flat_pos = np.concatenate(extra_pos)
+
     postings, pstats = build_postings_table(
-        doc_rank[analyzed.doc_idx], analyzed.terms, analyzed.positions,
+        flat_rank, flat_terms, flat_pos,
         sorted_ids, sorted_norms, with_positions=with_positions)
 
     docs_cols = {

@@ -98,6 +98,40 @@ def _band_hashes(sig: np.ndarray) -> np.ndarray:
     return out
 
 
+def _shingle_stage(batch: pa.Table) -> pa.Table:
+    """map_batches stage: per-doc sorted distinct shingle hashes as a
+    list<uint64> column (runs inside Ray tasks — no driver loop)."""
+    shs = shingle_hashes(batch["text"])
+    counts = np.array([len(s) for s in shs], dtype=np.int32)
+    flat = np.concatenate(shs) if shs else np.empty(0, dtype=np.uint64)
+    offsets = pa.array(np.concatenate(([0], np.cumsum(counts))).astype(np.int32))
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "shingles": pa.ListArray.from_arrays(
+            offsets, pa.array(flat, type=pa.uint64())),
+    })
+
+
+def _band_stage(batch: pa.Table) -> pa.Table:
+    """map_batches stage: (band, band_hash, doc_id) rows per doc."""
+    col = batch["shingles"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offs = np.asarray(col.offsets)
+    vals = np.asarray(col.values, dtype=np.uint64)
+    bands, bhs, dids = [], [], []
+    for i, did in enumerate(batch["doc_id"].to_pylist()):
+        bh = _band_hashes(minhash_signature(vals[offs[i]:offs[i + 1]]))
+        bands.extend(range(BANDS))
+        bhs.extend(bh.tolist())
+        dids.extend([did] * BANDS)
+    return pa.table({
+        "band": pa.array(bands, type=pa.int32()),
+        "bh": pa.array(bhs, type=pa.uint64()),
+        "doc_id": pa.array(dids, type=pa.int64()),
+    })
+
+
 def _jaccard_q(a: np.ndarray, b: np.ndarray) -> tuple[float, int]:
     inter = len(np.intersect1d(a, b, assume_unique=True))
     union = len(a) + len(b) - inter
@@ -148,25 +182,27 @@ def minhash_lsh_pairs(sf_dir: str) -> pa.Table:
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
 
-    # stage 1: signatures + shingle sets (collected for verification)
-    shingle_store: dict[int, np.ndarray] = {}
-    band_rows = {"band": [], "bh": [], "doc_id": []}
-    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=1024):
-        ids = batch["doc_id"].to_pylist()
-        shs = shingle_hashes(batch["text"])
-        for did, sh in zip(ids, shs):
-            shingle_store[did] = sh
-            bh = _band_hashes(minhash_signature(sh))
-            band_rows["band"].extend(range(BANDS))
-            band_rows["bh"].extend(bh.tolist())
-            band_rows["doc_id"].extend([did] * BANDS)
+    # stage 1 (distributed): shingle sets per doc, materialized for reuse
+    # by both the banding stage and verification
+    sh_ds = ds.map_batches(_shingle_stage, batch_format="pyarrow",
+                           batch_size=1024).materialize()
+    # stage 2 (distributed): minhash → band hash rows
+    bands_ds = sh_ds.map_batches(_band_stage, batch_format="pyarrow")
 
+    # verification side: broadcast the shingle store (hash sets are ~8 B ×
+    # shingles — fine to ≈1M docs; at larger scale replace with a
+    # hash-partitioned join of candidate pairs against sh_ds on a, then b)
+    shingle_store: dict[int, np.ndarray] = {}
+    for batch in sh_ds.iter_batches(batch_format="pyarrow",
+                                    batch_size=4096):
+        col = batch["shingles"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offs = np.asarray(col.offsets)
+        vals = np.asarray(col.values, dtype=np.uint64)
+        for i, did in enumerate(batch["doc_id"].to_pylist()):
+            shingle_store[did] = vals[offs[i]:offs[i + 1]]
     store_ref = ray.put(shingle_store)
-    bands_ds = rd.from_arrow(pa.table({
-        "band": pa.array(band_rows["band"], type=pa.int32()),
-        "bh": pa.array(band_rows["bh"], type=pa.uint64()),
-        "doc_id": pa.array(band_rows["doc_id"], type=pa.int64()),
-    }))
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(g["doc_id"].tolist())
@@ -238,12 +274,17 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
-    ids, sigs = [], []
-    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=1024):
-        ids.extend(batch["doc_id"].to_pylist())
-        sigs.append(simhash64(batch["text"]))
-    ids = np.array(ids, dtype=np.int64)
-    sigs = np.concatenate(sigs) if sigs else np.empty(0, dtype=np.uint64)
+
+    def sig_stage(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["doc_id"],
+                         "sig": pa.array(simhash64(batch["text"]),
+                                         type=pa.uint64())})
+
+    sig_tbl = pa.concat_tables(
+        ds.map_batches(sig_stage, batch_format="pyarrow", batch_size=1024)
+        .iter_batches(batch_format="pyarrow", batch_size=65536))
+    ids = np.asarray(sig_tbl["doc_id"], dtype=np.int64)
+    sigs = np.asarray(sig_tbl["sig"], dtype=np.uint64)
 
     rows = {"chunk": [], "val": [], "doc_id": []}
     for c in range(4):
@@ -289,11 +330,20 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> pa
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
+    # distributed shingling; broadcast the resulting hash sets for the
+    # O(n²/p) pairwise stage
+    sh_ds = ds.map_batches(_shingle_stage, batch_format="pyarrow",
+                           batch_size=1024)
     store: dict[int, np.ndarray] = {}
-    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=1024):
-        for did, sh in zip(batch["doc_id"].to_pylist(),
-                           shingle_hashes(batch["text"])):
-            store[did] = sh
+    for batch in sh_ds.iter_batches(batch_format="pyarrow",
+                                    batch_size=4096):
+        col = batch["shingles"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offs = np.asarray(col.offsets)
+        vals = np.asarray(col.values, dtype=np.uint64)
+        for i, did in enumerate(batch["doc_id"].to_pylist()):
+            store[did] = vals[offs[i]:offs[i + 1]]
     store_ref = ray.put(store)
     all_ids = sorted(store)
 

@@ -24,7 +24,7 @@ from ..analysis.stopwords import stopwords_sql_list
 from ..search.bm25 import quantize_score
 
 INDEX_CACHE_ROOT = "/tmp/lsr_index_cache"
-FORMAT_VERSION = 2  # bump when the on-disk index format changes
+FORMAT_VERSION = 3  # bump when the on-disk index format changes
 
 K1_SQL = "1.2"
 B_SQL = "0.75"
@@ -94,8 +94,9 @@ def documents_index(sf_dir: str) -> str:
     import ray.data as rd
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text"])
-    build_index(ds, out, content_col="text", batch_rows=256)
+                         columns=["doc_id", "text", "lang", "source"])
+    build_index(ds, out, content_col="text", batch_rows=256,
+                keyword_cols=("lang", "source"))
     _memo[out] = out
     return out
 
@@ -296,9 +297,15 @@ def _q_top_terms(n=20):
 
         import ray.data as rd
 
+        import pyarrow.compute as _pc
+
         idx = documents_index(sf_dir)
         files = glob.glob(os.path.join(idx, "segments", "*", "postings.parquet"))
         ds = rd.read_parquet(files, columns=["term", "df"])
+        # keyword-field terms ("lang:en") are not corpus terms
+        ds = ds.map_batches(
+            lambda t: t.filter(_pc.invert(_pc.match_substring(t["term"], ":"))),
+            batch_format="pyarrow")
         agg = ds.groupby("term").sum("df")
         out = agg.sort(["sum(df)", "term"], descending=[True, False]).limit(n)
         t = out.to_pandas()
@@ -449,6 +456,51 @@ def _q_highlight(term="table", k=3):
             "snippet": pa.array(snips, type=pa.string()),
         })
     return run
+
+
+def _q_filtered(term, field, value, k=10):
+    """Scored query + keyword-field FILTER clause (StringField +
+    BooleanClause.FILTER: restricts matches, contributes no score)."""
+    def run(sf_dir):
+        return _topk_table(_searcher(sf_dir).search(
+            {"type": "bool", "must": [term], "filters": [(field, value)]},
+            k=k))
+    return run
+
+
+def _q_result_facet(term, field):
+    """Facet counts over a query's result set (SimpleFacets)."""
+    def run(sf_dir):
+        return _searcher(sf_dir).facet_counts_for_query(
+            {"type": "term", "term": term}, field)
+    return run
+
+
+def _filtered_sql(term: str, field: str, value: str, k: int) -> str:
+    return f"""
+WITH {_tok_ctes()},
+tf AS (SELECT doc_id, count(*) AS tf FROM clean WHERE term = '{term}'
+       GROUP BY doc_id),
+dfx AS (SELECT count(*) AS df FROM tf),
+scored AS (
+  SELECT tf.doc_id AS doc_id,
+         {_bm25_expr('tf.tf', 'dl.dl', 'dfx.df')} AS score
+  FROM tf JOIN dl USING (doc_id) JOIN documents d USING (doc_id),
+       dfx, stats s
+  WHERE d.{field} = '{value}'
+)
+{_sql_topk('scored', k)}
+"""
+
+
+def _result_facet_sql(term: str, field: str) -> str:
+    return f"""
+WITH {_tok_ctes()},
+matched AS (SELECT DISTINCT doc_id FROM clean WHERE term = '{term}')
+SELECT d.{field} AS {field}, count(*) AS cnt
+FROM matched JOIN documents d USING (doc_id)
+GROUP BY d.{field} ORDER BY d.{field}
+"""
 
 
 def _q_suggest(prefix, n=10):
@@ -607,6 +659,8 @@ def build_queries() -> dict:
         "ft_function_boost": _q_function_boost("table"),
         "ft_more_like_this": _q_more_like_this(0),   # rows-only
         "ft_highlight": _q_highlight("table"),       # rows-only
+        "ft_filter_lang": _q_filtered("table", "lang", "en"),
+        "ft_facet_lang": _q_result_facet("table", "lang"),
     }
 
 
@@ -663,6 +717,8 @@ def build_oracle_sql() -> dict:
         "ft_span_near": _span_near_sql("fast", "table", 3, 20),
         "ft_suggest": _suggest_sql("s", 10),
         "ft_function_boost": _function_boost_sql("table", 100.0, 10),
+        "ft_filter_lang": _filtered_sql("table", "lang", "en", 10),
+        "ft_facet_lang": _result_facet_sql("table", "lang"),
     }
 
 

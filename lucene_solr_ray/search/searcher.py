@@ -333,14 +333,56 @@ class IndexSearcher:
                     all_scores.append(s)
         return self._finalize(all_docs, all_scores, k)
 
+    def filter_docs(self, field: str, value: str) -> np.ndarray:
+        """Matching doc ids of a keyword-field FILTER term (StringField +
+        BooleanClause.FILTER: matches without contributing score)."""
+        p = self._decode_term_global(f"{field}:{value}")
+        return p[0] if p is not None else np.empty(0, dtype=np.int64)
+
+    def facet_counts_for_query(self, query: dict, field: str) -> pa.Table:
+        """SimpleFacets over a query's result set: counts of each keyword
+        field value among matching docs (solr:request/SimpleFacets.java)."""
+        matching = self.search(query, k=self.num_docs)
+        docs = np.sort(np.asarray(matching["doc_id"], dtype=np.int64))
+        values = sorted({t.split(":", 1)[1]
+                         for t in self.expand_terms("prefix", f"{field}:")})
+        out_v, out_c = [], []
+        for v in values:
+            fd = self.filter_docs(field, v)
+            cnt = int(np.isin(fd, docs, assume_unique=True).sum())
+            if cnt:
+                out_v.append(v)
+                out_c.append(cnt)
+        return pa.table({field: pa.array(out_v, type=pa.string()),
+                         "cnt": pa.array(out_c, type=pa.int64())})
+
     def search_bool(self, *, must: list[str] = (), should: list[str] = (),
                     must_not: list[str] = (), min_should_match: int = 0,
+                    filters: list[tuple[str, str]] = (),
                     k: int = 10) -> pa.Table:
         must, should, must_not = list(must), list(should), list(must_not)
         scoring_terms = must + should
         stats = self.term_stats(scoring_terms + must_not)
         for t in scoring_terms + must_not:
             stats.setdefault(t, (0, 0))
+
+        if filters:
+            # FILTER clauses restrict candidates without scoring; realized
+            # by post-intersecting (cheap: keyword postings are doc lists)
+            base = self.search_bool(must=must, should=should,
+                                    must_not=must_not,
+                                    min_should_match=min_should_match,
+                                    k=self.num_docs)
+            cand = np.asarray(base["doc_id"], dtype=np.int64)
+            scores = np.asarray(base["score"])
+            order = np.argsort(cand, kind="stable")
+            cand, scores = cand[order], scores[order]
+            for f, v in filters:
+                keep = np.isin(cand, self.filter_docs(f, v),
+                               assume_unique=True)
+                cand, scores = cand[keep], scores[keep]
+            d, s = topk_merge(cand, scores, k)
+            return self._finalize([d], [s], k)
 
         # MaxScore pruning is only sound when the θ bootstrap docs are all
         # valid results — msm>1 filters candidates, invalidating θ
@@ -486,6 +528,11 @@ class IndexSearcher:
                            if _levenshtein_leq(param, t, max_edits))
             else:
                 raise ValueError(kind)
+        # keyword-field terms ("lang:en") live in a separate namespace;
+        # only match them when the pattern addresses it explicitly
+        pat = param if isinstance(param, str) else ""
+        if ":" not in pat:
+            out = {t for t in out if ":" not in t}
         return sorted(out)
 
     def search_constant(self, terms: list[str], k: int = 10,
@@ -625,6 +672,8 @@ class IndexSearcher:
             lo = int(np.searchsorted(terms, prefix, side="left"))
             hi = int(np.searchsorted(terms, prefix + "￿", side="right"))
             for t, w in zip(terms[lo:hi].tolist(), ttf[lo:hi].tolist()):
+                if ":" in t and ":" not in prefix:
+                    continue  # keyword-field namespace
                 agg[t] = agg.get(t, 0) + int(w)
         top = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[:n]
         return pa.table({
@@ -640,7 +689,8 @@ class IndexSearcher:
             return self.search_bool(
                 must=query.get("must", []), should=query.get("should", []),
                 must_not=query.get("must_not", []),
-                min_should_match=query.get("min_should_match", 0), k=k)
+                min_should_match=query.get("min_should_match", 0),
+                filters=query.get("filters", []), k=k)
         if qt == "phrase":
             return self.search_phrase(query["terms"], k)
         if qt in ("prefix", "wildcard", "regexp", "range", "fuzzy"):
