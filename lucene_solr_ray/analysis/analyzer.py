@@ -82,12 +82,18 @@ def _per_doc_serial_positions(doc_idx: np.ndarray) -> np.ndarray:
     return (idx - np.repeat(starts, counts)).astype(np.int32)
 
 
-def analyze_batch(texts: pa.Array | pa.ChunkedArray, *, keep_stopwords: bool = False) -> AnalyzedBatch:
+def analyze_batch(texts: pa.Array | pa.ChunkedArray, *,
+                  keep_stopwords: bool = False,
+                  stopwords=None) -> AnalyzedBatch:
     """Tokenize a column of documents into a flat (doc, term, position) stream.
 
     Vectorized StandardAnalyzer-equivalent: lowercase → split on
     non-alphanumeric → drop empties and >255-char tokens → assign serial
     positions → drop stopwords (keeping positions).
+
+    ``stopwords`` overrides the Lucene 33-word English set (the
+    StopFilter/Analyzer factory extension point, §2.11 — e.g. an empty set
+    reproduces StandardAnalyzer(CharArraySet.EMPTY_SET)).
     """
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
@@ -111,7 +117,9 @@ def analyze_batch(texts: pa.Array | pa.ChunkedArray, *, keep_stopwords: bool = F
     positions = _per_doc_serial_positions(doc_idx)
 
     if not keep_stopwords:
-        is_stop = np.asarray(pc.is_in(flat, value_set=_STOPWORDS_PA))
+        stop_set = _STOPWORDS_PA if stopwords is None else \
+            pa.array(sorted(stopwords), type=pa.string())
+        is_stop = np.asarray(pc.is_in(flat, value_set=stop_set))
         keep = ~is_stop
         keep_pa = pa.array(keep)
         flat = flat.filter(keep_pa)

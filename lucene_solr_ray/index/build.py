@@ -143,7 +143,7 @@ def build_index(ds, out_dir: str, *, content_col: str = "content",
                 keyword_cols: tuple[str, ...] = (),
                 with_positions: bool = True, batch_rows: int = DEFAULT_BATCH_ROWS,
                 concurrency=None, derive_doc_keys: bool = False,
-                use_actors: bool = False) -> dict:
+                use_actors: bool = False, _commit: bool = True):
     """Streaming Dataset build: corpus → analyze+segment-write → manifest.
 
     ``ds`` is a ray.data.Dataset (or a pyarrow Table, wrapped for tests).
@@ -194,7 +194,24 @@ def build_index(ds, out_dir: str, *, content_col: str = "content",
 
     names = [r["segment"] for r in stats]
     metas = _collect_metas(segments_root, names)
+    if not _commit:
+        return metas
     return commit_manifest(out_dir, metas)
+
+
+def append_documents(ds, index_dir: str, **build_kwargs) -> dict:
+    """Near-real-time incremental indexing: build NEW segments for ``ds``
+    and commit ONE manifest generation unioning them with the current
+    segments — the soft-commit / cheap-reopen discipline (core:search/
+    SearcherManager.java; publishFlushedSegment, IndexWriter.java:2331).
+    A new IndexSearcher(index_dir) sees old + new documents; readers open
+    on the previous generation are unaffected (immutable segments)."""
+    from .manifest import load_manifest
+
+    current = load_manifest(index_dir)["segments"]
+    fresh = build_index(ds, index_dir, _commit=False, **build_kwargs)
+    return commit_manifest(index_dir, current + fresh,
+                           extra={"appended_segments": len(fresh)})
 
 
 # ---------------------------------------------------------------------------

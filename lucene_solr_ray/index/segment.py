@@ -312,7 +312,9 @@ def write_segment(table: pa.Table, segments_root: str, seg_name: str, *,
                 pa.array([c] * n, type=pa.string()), pc.cast(col, pa.string()),
                 ":")
             # binary_join_element_wise joins with separator LAST arg:
-            # produces "<col>:<value>"
+            # produces "<col>:<value>"; match the analyzer's term type
+            # (large_string content → large_string tokens)
+            kw = pc.cast(kw, flat_terms.type)
             extra_terms.append(kw)
             extra_rank.append(doc_rank)
             extra_pos.append(np.zeros(n, dtype=np.int32))

@@ -73,6 +73,15 @@ class BM25Float32:
         norm = self.cache[np.asarray(norm_bytes, dtype=np.int64)]
         return (weight_value * tf32 / (tf32 + norm)).astype(np.float32)
 
+    def score_with_idf(self, tf: np.ndarray, norm_bytes: np.ndarray,
+                       idf: float) -> np.ndarray:
+        """Score with an externally supplied idf (phrase/multi-term
+        weights)."""
+        w = np.float32(idf) * (self.k1 + np.float32(1.0))
+        tf32 = tf.astype(np.float32)
+        norm = self.cache[np.asarray(norm_bytes, dtype=np.int64)]
+        return (w * tf32 / (tf32 + norm)).astype(np.float32)
+
 
 def combine_clause_scores(per_clause: list[np.ndarray]) -> np.ndarray:
     """Sum clause float32 scores in double, cast to float32 — the

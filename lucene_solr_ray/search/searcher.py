@@ -196,6 +196,7 @@ class IndexSearcher:
 
     def __init__(self, index_dir: str, *, mode: str = "lucene32",
                  k1: float = 1.2, b: float = 0.75, method: str = "auto",
+                 similarity: str = "bm25",
                  segment_filter: set[str] | None = None):
         # method: "auto" → block-max pruning for lucene32 term/OR queries,
         # exhaustive otherwise; "exhaustive" / "blockmax" force a path.
@@ -231,7 +232,14 @@ class IndexSearcher:
         self.num_docs = self.manifest["num_docs"]
         self.sum_dl = self.manifest["sum_dl"]
         if mode == "lucene32":
-            self.sim = BM25Float32(self.num_docs, self.sum_dl, k1=k1, b=b)
+            if similarity == "bm25":
+                self.sim = BM25Float32(self.num_docs, self.sum_dl, k1=k1, b=b)
+            else:
+                from .similarity import SIMILARITIES
+
+                cls = SIMILARITIES[similarity]
+                self.sim = cls(self.num_docs, self.sum_dl)
+                self.method = "exhaustive"  # block-max bounds assume BM25
         self.avgdl64 = self.sum_dl / self.num_docs if self.num_docs else 1.0
         self._dl_global = None
 
@@ -291,10 +299,7 @@ class IndexSearcher:
         tf = tf_override if tf_override is not None else tfs
         if self.mode == "lucene32":
             if idf_override is not None:
-                w = np.float32(idf_override) * (np.float32(self.k1) + np.float32(1.0))
-                tf32 = tf.astype(np.float32)
-                norm = self.sim.cache[np.asarray(norms, dtype=np.int64)]
-                return (w * tf32 / (tf32 + norm)).astype(np.float32)
+                return self.sim.score_with_idf(tf, norms, idf_override)
             return self.sim.score_term(tf, norms, df_global)
         ids, dls = self._global_dl()
         dl = dls[np.searchsorted(ids, docs)]
@@ -446,7 +451,7 @@ class IndexSearcher:
         if self.mode == "lucene32":
             idf = np.float32(0.0)
             for t in terms:
-                idf = np.float32(idf + idf_float32(stats[t][0], self.num_docs))
+                idf = np.float32(idf + self.sim.idf(stats[t][0]))
         else:
             idf = sum(idf_exact64(stats[t][0], self.num_docs) for t in terms)
         posting = {}

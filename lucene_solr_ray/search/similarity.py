@@ -1,0 +1,58 @@
+"""Pluggable similarities — the Similarity extension point (§2.11;
+core:search/similarities/Similarity.java, selected per field via
+PerFieldSimilarityWrapper in the reference).
+
+Besides the default :class:`..search.bm25.BM25Float32`, this module ships
+:class:`ClassicSimilarity` — Lucene's pre-6 TF-IDF default
+(core:search/similarities/ClassicSimilarity.java):
+
+    score(t, d) = sqrt(tf) · idf(t)² · norm(d)
+    idf = 1 + ln(docCount / (docFreq + 1))
+    norm(d) = decoded SmallFloat byte of 1/sqrt(dl)
+
+(queryNorm and coord() are omitted: constants per query in Lucene 6's
+usage, they do not affect ranking.) Float32 arithmetic throughout, so the
+same bit-equality test style applies.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..index.smallfloat import byte315_to_float
+
+
+class ClassicSimilarity:
+    """TF-IDF scorer with the BM25Float32-compatible interface."""
+
+    def __init__(self, doc_count: int, sum_total_term_freq: int, **_):
+        self.doc_count = int(doc_count)
+        self.sum_ttf = int(sum_total_term_freq)
+        # decoded norm per byte: byte315ToFloat(b) ≈ 1/sqrt(dl)
+        self.norm_table = byte315_to_float(np.arange(256))
+
+    def idf(self, doc_freq: int) -> np.float32:
+        return np.float32(1.0 + math.log(self.doc_count / (doc_freq + 1.0)))
+
+    def score_term(self, tf: np.ndarray, norm_bytes: np.ndarray,
+                   doc_freq: int, boost: float = 1.0) -> np.ndarray:
+        idf = self.idf(doc_freq)
+        w = np.float32(boost) * idf * idf
+        tf32 = np.sqrt(tf.astype(np.float32), dtype=np.float32)
+        norm = self.norm_table[np.asarray(norm_bytes, dtype=np.int64)]
+        return (w * tf32 * norm).astype(np.float32)
+
+    def score_with_idf(self, tf: np.ndarray, norm_bytes: np.ndarray,
+                       idf: float) -> np.ndarray:
+        w = np.float32(idf) * np.float32(idf)
+        tf32 = np.sqrt(tf.astype(np.float32), dtype=np.float32)
+        norm = self.norm_table[np.asarray(norm_bytes, dtype=np.int64)]
+        return (w * tf32 * norm).astype(np.float32)
+
+
+SIMILARITIES = {
+    "bm25": None,       # resolved to BM25Float32 by the searcher
+    "classic": ClassicSimilarity,
+}

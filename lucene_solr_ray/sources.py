@@ -1,0 +1,73 @@
+"""Document sources — the loader surface (SURVEY.md §2.1).
+
+- :func:`read_documents_json` / :func:`read_documents_csv` — the Solr
+  JsonLoader / CSVLoader analogues (solr:handler/loader/{JsonLoader,
+  CSVLoader}.java): load rows with a text column into a Dataset ready for
+  ``index.build_index``.
+- :func:`read_code_tree` — the demo IndexFiles walk
+  (lucene/demo/.../IndexFiles.java:149-199): a directory tree of source
+  files → the input-hint corpus shape (repo, path, commit, lang, content)
+  via ``ray.data.read_binary_files(include_paths=True)``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+_EXT_LANG = {".py": "py", ".java": "java", ".js": "js", ".go": "go",
+             ".rs": "rs", ".c": "c", ".h": "c", ".md": "md",
+             ".txt": "md"}
+
+
+def read_documents_json(paths, *, text_col: str = "text"):
+    import ray.data as rd
+
+    ds = rd.read_json(paths)
+    if text_col != "text":
+        ds = ds.map_batches(
+            lambda t: t.rename_columns(
+                [("text" if c == text_col else c) for c in t.column_names]),
+            batch_format="pyarrow")
+    return ds
+
+
+def read_documents_csv(paths, *, text_col: str = "text"):
+    import ray.data as rd
+
+    ds = rd.read_csv(paths)
+    if text_col != "text":
+        ds = ds.map_batches(
+            lambda t: t.rename_columns(
+                [("text" if c == text_col else c) for c in t.column_names]),
+            batch_format="pyarrow")
+    return ds
+
+
+def read_code_tree(root: str, *, repo: str = "local", commit: str = "HEAD"):
+    """Walk a source tree into the corpus schema. Binary payloads are
+    decoded as UTF-8 with replacement (IndexFiles skips unreadable files;
+    we keep them with lossy decode, documented deviation)."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(root, include_paths=True)
+
+    def to_docs(batch: pa.Table) -> pa.Table:
+        paths = batch["path"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        rel = [os.path.relpath(p, root) if os.path.isabs(p) else p
+               for p in paths]
+        langs = [_EXT_LANG.get(os.path.splitext(p)[1].lower(), "txt")
+                 for p in rel]
+        texts = [b.decode("utf-8", errors="replace") for b in blobs]
+        n = len(rel)
+        return pa.table({
+            "repo": pa.array([repo] * n, type=pa.string()),
+            "path": pa.array(rel, type=pa.string()),
+            "commit": pa.array([commit] * n, type=pa.string()),
+            "lang": pa.array(langs, type=pa.string()),
+            "content": pa.array(texts, type=pa.large_string()),
+        })
+
+    return ds.map_batches(to_docs, batch_format="pyarrow")

@@ -1,0 +1,120 @@
+"""Extension-surface tests: sources, NRT append, pluggable similarity,
+analyzer configuration (SURVEY.md §2.1 / §2.10 / §2.11)."""
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_solr_ray.corpus import corpus_table
+from lucene_solr_ray.index import build_index, load_manifest
+from lucene_solr_ray.index.build import add_doc_keys, append_documents
+from lucene_solr_ray.search import IndexSearcher
+
+
+def test_analyzer_custom_stopwords():
+    from lucene_solr_ray.analysis import analyze_batch
+
+    texts = pa.array(["the quick fox", "quick stop words"])
+    default = analyze_batch(texts)
+    assert "the" not in default.terms.to_pylist()
+    none = analyze_batch(texts, stopwords=())
+    assert "the" in none.terms.to_pylist()
+    custom = analyze_batch(texts, stopwords={"quick"})
+    toks = custom.terms.to_pylist()
+    assert "quick" not in toks and "the" in toks
+
+
+def test_sources_json_csv(tmp_path, ray_session):
+    rows = [{"doc_id": i, "text": f"alpha beta doc{i}"} for i in range(20)]
+    jp = tmp_path / "docs.json"
+    jp.write_text("\n".join(json.dumps(r) for r in rows))
+    cp = tmp_path / "docs.csv"
+    cp.write_text("doc_id,body\n" +
+                  "\n".join(f"{i},gamma delta doc{i}" for i in range(20)))
+    from lucene_solr_ray.sources import read_documents_csv, read_documents_json
+
+    dj = read_documents_json(str(jp))
+    assert dj.count() == 20
+    dc = read_documents_csv(str(cp), text_col="body")
+    assert "text" in dc.schema().names
+
+    out = str(tmp_path / "jidx")
+    build_index(dj, out, content_col="text")
+    s = IndexSearcher(out)
+    assert s.search({"type": "term", "term": "alpha"}, k=5).num_rows == 5
+
+
+def test_read_code_tree(tmp_path, ray_session):
+    (tmp_path / "src").mkdir()
+    (tmp_path / "src" / "a.py").write_text("def main(): return 42")
+    (tmp_path / "src" / "b.md").write_text("# readme\nhello world")
+    from lucene_solr_ray.sources import read_code_tree
+
+    ds = read_code_tree(str(tmp_path))
+    t = ds.to_pandas().sort_values("path")
+    assert list(t["lang"]) == ["py", "md"]
+    assert t.iloc[0]["content"].startswith("def main")
+    assert set(t.columns) == {"repo", "path", "commit", "lang", "content"}
+
+
+def test_nrt_append_documents(tmp_path, ray_session):
+    t = add_doc_keys(corpus_table(300))
+    out = str(tmp_path / "nrt")
+    build_index(t.slice(0, 200), out, batch_rows=100)
+    s1 = IndexSearcher(out)
+    n1 = s1.num_docs
+    gen1 = s1.manifest["generation"]
+
+    man = append_documents(t.slice(200, 100), out, batch_rows=100)
+    assert man["appended_segments"] >= 1
+    assert man["num_docs"] == 300
+    s2 = IndexSearcher(out)
+    assert s2.manifest["generation"] == gen1 + 1
+    assert s2.num_docs == n1 + 100
+    # old reader keeps answering on its generation (immutable segments)
+    assert s1.search({"type": "term", "term": "data"}, k=5).num_rows == 5
+    # new docs are visible to the reopened reader
+    new_ids = set(t.slice(200, 100)["doc_id"].to_pylist())
+    r = s2.search({"type": "term", "term": "data"}, k=300)
+    assert set(r["doc_id"].to_pylist()) & new_ids
+
+
+def test_classic_similarity(tmp_path, ray_session):
+    t = add_doc_keys(corpus_table(200))
+    out = str(tmp_path / "cls")
+    build_index(t, out, batch_rows=100)
+    sb = IndexSearcher(out, similarity="bm25")
+    sc = IndexSearcher(out, similarity="classic")
+    rb = sb.search({"type": "term", "term": "data"}, k=20)
+    rc = sc.search({"type": "term", "term": "data"}, k=20)
+    assert rb.num_rows == rc.num_rows == 20
+    # same match set semantics, different ranking formula
+    assert rb["score"].to_pylist() != rc["score"].to_pylist()
+    # classic: sqrt(tf)·idf²·norm — hand-check the top hit
+    from lucene_solr_ray.search.similarity import ClassicSimilarity
+
+    sim = ClassicSimilarity(sc.num_docs, sc.sum_dl)
+    p = sc._decode_term_global("data")
+    docs, tfs, norms = p
+    expect = sim.score_term(tfs, norms, sc.term_stats(["data"])["data"][0])
+    top_doc = rc["doc_id"][0].as_py()
+    i = int(np.searchsorted(docs, top_doc))
+    assert np.float32(rc["score"][0].as_py()) == expect[i]
+    # phrase + dismax run under classic too
+    assert sc.search({"type": "phrase", "terms": ["quick", "brown"]},
+                     k=5).num_rows > 0
+
+
+def test_keyword_cols_with_large_string_content(tmp_path, ray_session):
+    """Regression: corpus content is large_string; keyword terms must cast
+    to the analyzer's term type."""
+    t = add_doc_keys(corpus_table(50))
+    assert t.schema.field("content").type == pa.large_string()
+    out = str(tmp_path / "ls")
+    build_index(t, out, keyword_cols=("lang",), batch_rows=25)
+    s = IndexSearcher(out)
+    r = s.search({"type": "bool", "must": ["data"],
+                  "filters": [("lang", "py")]}, k=5)
+    assert r.num_rows > 0
