@@ -72,6 +72,15 @@ def run_bench() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    # cap Ray Data's global parallelism at the host's effective stream
+    # count (BASELINE.md "environment ceiling") — applies to every stage
+    # incl. the merge shuffle, where an uncapped 32-wide cold-fault storm
+    # is strictly slower than 8-wide
+    try:
+        ctx.execution_options.resource_limits.cpu = min(
+            8, int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    except Exception:
+        pass
 
     import ray.data as rd
 
@@ -86,9 +95,14 @@ def run_bench() -> dict:
     # first-touch disk reads
     rd.read_parquet(CORPUS_DIR).count()
 
+    # the host sustains ~8 concurrent memory-heavy streams (BASELINE.md
+    # "environment ceiling"); running 32-wide triggers a serialized
+    # cold-fault storm that is strictly slower, so cap pipeline width
+    eff_par = min(8, num_cpus)
+
     def corpus_ds():
         return rd.read_parquet(CORPUS_DIR,
-                               override_num_blocks=max(8, 2 * num_cpus))
+                               override_num_blocks=max(8, 2 * eff_par))
 
     # warm-up build (untimed): Ray reuses its worker pool across
     # executions, and this micro-VM charges an extreme one-time
@@ -97,7 +111,7 @@ def run_bench() -> dict:
     warm_dir = f"/tmp/lsr_bench_warm_{num_cpus}"
     shutil.rmtree(warm_dir, ignore_errors=True)
     build_index(corpus_ds(), warm_dir, content_col="content",
-                derive_doc_keys=True, batch_rows=4096)
+                derive_doc_keys=True, batch_rows=4096, concurrency=eff_par)
 
     import numpy as np
 
@@ -109,7 +123,7 @@ def run_bench() -> dict:
         t0 = time.perf_counter()
         manifest = build_index(
             corpus_ds(), idx_dir, content_col="content",
-            derive_doc_keys=True, batch_rows=4096)
+            derive_doc_keys=True, batch_rows=4096, concurrency=eff_par)
         times.append(time.perf_counter() - t0)
     build_sec = float(np.median(times))
     n_docs = manifest["num_docs"]
@@ -154,7 +168,8 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     build_index(rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                 columns=["doc_id", "text"]),
-                docs_idx, content_col="text", batch_rows=1024)
+                docs_idx, content_col="text", batch_rows=1024,
+                concurrency=eff_par)
     results["build_documents"] = round(time.perf_counter() - t0, 3)
 
     headline = build_sec
