@@ -1,0 +1,161 @@
+"""CheckIndex — whole-index structural validation.
+
+The reference's CheckIndex (core:index/CheckIndex.java:75,457,1624-1632
+testPostings) walks every segment structure and asserts the format
+invariants; this is the same battery for our segments:
+
+per term row:
+  - decoded docs strictly ascending; len(docs) == df; Σtf == ttf
+  - positions ascending within each (term, doc); counts match tf
+  - block metadata consistent with decoded content (last_doc, max tf,
+    max norm-byte) and per-block byte offsets decode independently
+per segment:
+  - terms sorted ascending; per-doc dl/norm consistent
+    (norm == floatToByte315(1/sqrt(dl))) where the docs table exists
+index level:
+  - manifest totals == Σ segment metas; doc ids unique across
+    doc-carrying segments
+
+Returns a report dict; raises CheckIndexError on the first violation when
+``raise_on_error`` (the default) — usable as a library, like the
+reference's.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from .encode import block_sizes, decode_blocks, decode_postings
+from .manifest import load_manifest
+from .segment import DOCS_FILE, POSTINGS_FILE
+from .smallfloat import encode_norm
+
+
+class CheckIndexError(AssertionError):
+    pass
+
+
+def _check(cond, msg, raise_on_error, report):
+    if cond:
+        return True
+    report["errors"].append(msg)
+    if raise_on_error:
+        raise CheckIndexError(msg)
+    return False
+
+
+def check_index(index_dir: str, *, raise_on_error: bool = True,
+                sample_terms: int | None = None) -> dict:
+    man = load_manifest(index_dir)
+    root = os.path.join(index_dir, "segments")
+    report = {"segments": 0, "terms": 0, "postings": 0, "docs": 0,
+              "errors": []}
+    sum_docs = 0
+    sum_dl = 0
+    all_doc_ids = []
+
+    for seg in man["segments"]:
+        name = seg["segment"]
+        seg_dir = os.path.join(root, name)
+        kind = seg.get("kind", "postings")
+        report["segments"] += 1
+
+        if kind != "docs_only":
+            t = pq.read_table(os.path.join(seg_dir, POSTINGS_FILE))
+            terms = np.asarray(t["term"])
+            _check(bool(np.all(terms[:-1] <= terms[1:])),
+                   f"{name}: term column not sorted", raise_on_error, report)
+            n_rows = t.num_rows
+            idxs = range(n_rows) if sample_terms is None else \
+                np.linspace(0, n_rows - 1, min(sample_terms, n_rows),
+                            dtype=int)
+            for i in idxs:
+                row = {c: t[c][int(i)].as_py() for c in t.column_names}
+                try:
+                    docs, tfs, norms, pos = decode_postings(
+                        row, with_positions=True)
+                except Exception as ex:  # corrupt blobs / inconsistent df
+                    _check(False,
+                           f"{name}:{row['term']}: decode failed: {ex}",
+                           raise_on_error, report)
+                    continue
+                df, ttf = row["df"], row["ttf"]
+                _check(len(docs) == df,
+                       f"{name}:{row['term']}: len(docs) != df",
+                       raise_on_error, report)
+                _check(int(tfs.sum()) == ttf,
+                       f"{name}:{row['term']}: sum(tf) != ttf",
+                       raise_on_error, report)
+                _check(len(docs) < 2 or bool(np.all(np.diff(docs) > 0)),
+                       f"{name}:{row['term']}: docs not strictly ascending",
+                       raise_on_error, report)
+                _check(bool(np.all(tfs >= 1)),
+                       f"{name}:{row['term']}: tf < 1", raise_on_error,
+                       report)
+                # positions ascending within each doc
+                starts = np.concatenate(([0], np.cumsum(tfs)))
+                _check(len(pos) == int(tfs.sum()),
+                       f"{name}:{row['term']}: position count != ttf",
+                       raise_on_error, report)
+                for j in range(len(docs)):
+                    p = pos[starts[j]:starts[j + 1]]
+                    _check(len(p) < 2 or bool(np.all(np.diff(p) > 0)),
+                           f"{name}:{row['term']}: positions not ascending",
+                           raise_on_error, report)
+                # block metadata
+                bl = block_sizes(df)
+                bstarts = np.concatenate(([0], np.cumsum(bl)[:-1]))
+                _check(len(row["block_last_doc"]) == len(bl),
+                       f"{name}:{row['term']}: block count mismatch",
+                       raise_on_error, report)
+                for b in range(len(bl)):
+                    lo, hi = bstarts[b], bstarts[b] + bl[b]
+                    _check(row["block_last_doc"][b] == int(docs[hi - 1]),
+                           f"{name}:{row['term']}: block_last_doc wrong",
+                           raise_on_error, report)
+                    _check(row["block_max_tf"][b] == int(tfs[lo:hi].max()),
+                           f"{name}:{row['term']}: block_max_tf wrong",
+                           raise_on_error, report)
+                    _check(row["block_max_norm"][b] == int(norms[lo:hi].max()),
+                           f"{name}:{row['term']}: block_max_norm wrong",
+                           raise_on_error, report)
+                    db, tb, nb, _ = decode_blocks(row, np.array([b]))
+                    _check(bool(np.array_equal(db, docs[lo:hi])),
+                           f"{name}:{row['term']}: block {b} decode mismatch",
+                           raise_on_error, report)
+                report["terms"] += 1
+                report["postings"] += int(df)
+
+        docs_path = os.path.join(seg_dir, DOCS_FILE)
+        if os.path.exists(docs_path) and seg.get("num_docs", 0) > 0:
+            d = pq.read_table(docs_path, columns=["doc_id", "dl", "norm"])
+            ids = np.asarray(d["doc_id"], dtype=np.int64)
+            dls = np.asarray(d["dl"], dtype=np.int64)
+            nb = np.asarray(d["norm"], dtype=np.uint8)
+            _check(len(ids) < 2 or bool(np.all(np.diff(ids) > 0)),
+                   f"{name}: doc ids not sorted/unique", raise_on_error,
+                   report)
+            _check(bool(np.array_equal(encode_norm(dls.astype(np.float64)),
+                                       nb)),
+                   f"{name}: norm bytes inconsistent with dl",
+                   raise_on_error, report)
+            report["docs"] += len(ids)
+            sum_docs += len(ids)
+            sum_dl += int(dls.sum())
+            all_doc_ids.append(ids)
+
+    _check(sum_docs == man["num_docs"],
+           f"manifest num_docs {man['num_docs']} != Σ segments {sum_docs}",
+           raise_on_error, report)
+    _check(sum_dl == man["sum_dl"],
+           f"manifest sum_dl {man['sum_dl']} != Σ segments {sum_dl}",
+           raise_on_error, report)
+    if all_doc_ids:
+        cat = np.concatenate(all_doc_ids)
+        _check(len(np.unique(cat)) == len(cat),
+               "doc ids not unique across segments", raise_on_error, report)
+    report["ok"] = not report["errors"]
+    return report

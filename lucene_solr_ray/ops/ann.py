@@ -127,6 +127,59 @@ ORDER BY qid, rank
 """
 
 
+def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.45) -> pa.Table:
+    """Embedding-cosine near-duplicate pairs: all (a < b) with
+    cos(a, b) ≥ threshold — the dense-vector sibling of the MinHash
+    near-dup op. Distributed as broadcast matrix + per-batch matmul
+    (O(n²/p)); at larger scale the IVF bucketing above bounds the pair
+    space."""
+    import ray
+
+    ds = _read_emb(sf_dir)
+    full = pa.concat_tables(
+        b for b in ds.iter_batches(batch_format="pyarrow", batch_size=4096))
+    ids_all, E_all = _emb_matrix(full)
+    ref = ray.put((ids_all, E_all))
+
+    class Pairs:
+        def __init__(self, r):
+            self.ids, self.E = ray.get(r)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, B = _emb_matrix(batch)
+            S = _cosine(B, self.E)
+            rows_a, rows_b, rows_q = [], [], []
+            for i, a in enumerate(ids):
+                hit = np.flatnonzero((S[i] >= threshold) & (self.ids > a))
+                for j in hit:
+                    rows_a.append(int(a))
+                    rows_b.append(int(self.ids[j]))
+                    rows_q.append(int(np.floor(S[i][j] * 1_000_000 + 0.5)))
+            return pa.table({"a": pa.array(rows_a, type=pa.int64()),
+                             "b": pa.array(rows_b, type=pa.int64()),
+                             "score_q": pa.array(rows_q, type=pa.int64())})
+
+    df = (ds.map_batches(Pairs, fn_constructor_kwargs={"r": ref},
+                         batch_format="pyarrow", batch_size=256,
+                         concurrency=(1, 4))
+          .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def embedding_near_dup_sql(threshold: float = 0.45) -> str:
+    return f"""
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       CAST(floor(list_cosine_similarity(a.v, b.v) * 1000000 + 0.5)
+            AS BIGINT) AS score_q
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= {threshold}
+ORDER BY a, b
+"""
+
+
 def kmeans_centroids(E: np.ndarray, nlist: int, seed: int = 42,
                      iters: int = 1) -> np.ndarray:
     """Deterministic coarse quantizer: seeded sample init + `iters` Lloyd

@@ -620,6 +620,7 @@ def build_queries() -> dict:
         "text_fingerprint": T.fingerprint,         # rows-only (no SQL twin)
         "ann_brute_cosine": A.ann_brute_topk,
         "ann_ivf_cosine": A.ann_ivf_topk,          # approximate (no SQL twin)
+        "dedup_embedding_cosine": A.embedding_near_dup_pairs,
     }
 
     rel = {
@@ -665,7 +666,7 @@ def build_queries() -> dict:
 
 
 def build_oracle_sql() -> dict:
-    from ..ops.ann import ann_brute_sql
+    from ..ops.ann import ann_brute_sql, embedding_near_dup_sql
     from ..ops.dedup import JACCARD_THRESHOLD
 
     training = {
@@ -676,6 +677,7 @@ def build_oracle_sql() -> dict:
         "text_quality": text_quality_sql(),
         "text_token_totals": text_token_totals_sql(),
         "ann_brute_cosine": ann_brute_sql(),
+        "dedup_embedding_cosine": embedding_near_dup_sql(),
         # dedup_simhash / text_fingerprint / ann_ivf_cosine: deliberately no
         # SQL twin (approximate or non-SQL-expressible) → rows-only check
     }

@@ -1,0 +1,95 @@
+"""CheckIndex validator + hypothesis property tests (the reference's
+randomized-conformance discipline: BasePostingsFormatTestCase.testRandom,
+CheckIndex.testPostings)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lucene_solr_ray.corpus import corpus_table
+from lucene_solr_ray.index import build_index
+from lucene_solr_ray.index.build import add_doc_keys
+from lucene_solr_ray.index.check import CheckIndexError, check_index
+from lucene_solr_ray.index.encode import decode_postings, encode_postings
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory, ray_session):
+    t = add_doc_keys(corpus_table(250))
+    out = str(tmp_path_factory.mktemp("chk"))
+    build_index(t, out, batch_rows=80)
+    return out
+
+
+def test_check_index_passes_on_fresh_build(built):
+    r = check_index(built)
+    assert r["ok"]
+    assert r["terms"] > 0 and r["postings"] > 0 and r["docs"] == 250
+
+
+def test_check_index_passes_after_merge(built, ray_session):
+    from lucene_solr_ray.index.merge import merge_segments
+
+    merge_segments(built, hot_df_threshold=50, bucket_postings=64)
+    r = check_index(built, sample_terms=300)
+    assert r["ok"]
+
+
+def test_check_index_detects_corruption(built, tmp_path):
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    bad = str(tmp_path / "bad")
+    shutil.copytree(built, bad)
+    # corrupt one segment's postings df column
+    seg = next(s for s in os.listdir(os.path.join(bad, "segments"))
+               if not s.endswith(".tmp"))
+    p = os.path.join(bad, "segments", seg, "postings.parquet")
+    t = pq.read_table(p)
+    df = t["df"].to_pylist()
+    df[0] = df[0] + 1
+    import pyarrow as pa
+
+    t = t.set_column(t.schema.get_field_index("df"), "df",
+                     pa.array(df, type=pa.int64()))
+    pq.write_table(t, p, row_group_size=4096)
+    with pytest.raises(CheckIndexError):
+        check_index(bad)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_codec_roundtrip_hypothesis(data):
+    n = data.draw(st.integers(min_value=1, max_value=400))
+    universe = data.draw(st.integers(min_value=n, max_value=10**9))
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**32 - 1)))
+    docs = np.sort(rng.choice(universe, size=n, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 50, size=n).astype(np.int64)
+    norms = rng.integers(0, 256, size=n).astype(np.uint8)
+    pos = np.concatenate([
+        np.sort(rng.choice(10**6, size=t, replace=False)) for t in tfs
+    ]).astype(np.int64)
+    enc = encode_postings(docs, tfs, norms, pos)
+    d, t, nn, p = decode_postings(enc, with_positions=True)
+    assert np.array_equal(d, docs) and np.array_equal(t, tfs)
+    assert np.array_equal(nn, norms) and np.array_equal(p, pos)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.text(
+    alphabet="abcdefghij0123456789 _.,!THE", min_size=0, max_size=80),
+    min_size=1, max_size=30))
+def test_analyzer_batch_equals_reference_hypothesis(texts):
+    import pyarrow as pa
+
+    from lucene_solr_ray.analysis import analyze_batch, tokenize
+
+    out = analyze_batch(pa.array(texts, type=pa.string()))
+    ref = [(i, t, p) for i, d in enumerate(texts)
+           for (t, p, _, _) in tokenize(d)]
+    got = list(zip(out.doc_idx.tolist(), out.terms.to_pylist(),
+                   out.positions.tolist()))
+    assert got == ref
