@@ -165,7 +165,59 @@ def exact_dedup(sf_dir: str) -> pa.Table:
                                 preserve_index=False)
 
 
-def minhash_lsh_pairs(sf_dir: str) -> pa.Table:
+def _verify_pairs_join(cand, sh_ds, threshold: float) -> pd.DataFrame:
+    """Scale-path verification: hash-partitioned joins of candidate pairs
+    against the shingle table on each side (no broadcast; Ray Dataset.join
+    — the two-large-sides pattern). Each join moves only candidate rows +
+    the shingle sets they reference."""
+    import numpy as np
+
+    def to_bin(batch: pa.Table) -> pa.Table:
+        # Arrow hash joins reject list payload columns; carry the shingle
+        # set as a binary blob instead
+        col = batch["shingles"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offs = np.asarray(col.offsets)
+        vals = np.asarray(col.values, dtype=np.uint64)
+        blobs = [vals[offs[i]:offs[i + 1]].tobytes()
+                 for i in range(len(batch))]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "sh_bin": pa.array(blobs, type=pa.large_binary())})
+
+    sh_bin = sh_ds.map_batches(to_bin, batch_format="pyarrow")
+    j1 = cand.join(sh_bin, join_type="inner", num_partitions=8,
+                   on=("a",), right_on=("doc_id",), right_suffix="_a")
+    j2 = j1.join(sh_bin, join_type="inner", num_partitions=8,
+                 on=("b",), right_on=("doc_id",), right_suffix="_b")
+
+    def verify(batch: pa.Table) -> pa.Table:
+        cols = batch.column_names
+        sa_col = "sh_bin" if "sh_bin" in cols else "sh_bin_a"
+        sb_col = "sh_bin_b"
+        rows = []
+        sa_list = batch[sa_col].to_pylist()
+        sb_list = batch[sb_col].to_pylist()
+        for a, b, sa, sb in zip(batch["a"].to_pylist(),
+                                batch["b"].to_pylist(), sa_list, sb_list):
+            j, jq = _jaccard_q(np.frombuffer(sa, dtype=np.uint64),
+                               np.frombuffer(sb, dtype=np.uint64))
+            if j >= threshold:
+                rows.append((a, b, jq))
+        if not rows:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64()),
+                             "j_q": pa.array([], type=pa.int64())})
+        a_, b_, q_ = zip(*rows)
+        return pa.table({"a": pa.array(a_, type=pa.int64()),
+                         "b": pa.array(b_, type=pa.int64()),
+                         "j_q": pa.array(q_, type=pa.int64())})
+
+    return (j2.map_batches(verify, batch_format="pyarrow")
+            .to_pandas().drop_duplicates(["a", "b"]))
+
+
+def minhash_lsh_pairs(sf_dir: str, *, verify: str = "broadcast") -> pa.Table:
     """Near-duplicate pairs via MinHash+LSH with exact-Jaccard verification.
 
     Ray pipeline: map_batches computes signatures and emits
@@ -173,9 +225,14 @@ def minhash_lsh_pairs(sf_dir: str) -> pa.Table:
     candidates; pairs are verified with exact Jaccard on the shingle sets.
     With 16 bands × 4 rows the miss probability at J=0.9 is (1-0.9⁴)¹⁶ ≈
     4e-8, so the verified output equals the exhaustive-pair oracle.
-    Verification here broadcasts the (small) shingle-set dict via ray.put;
-    at scale it would join candidate pairs back to a shingle-set table
-    partitioned by doc_id."""
+
+    ``verify``:
+    - ``"broadcast"`` (default): ship the shingle-set dict via ray.put —
+      the small-side pattern, fine to ≈1M docs;
+    - ``"join"``: hash-partitioned Dataset.join of candidate pairs against
+      the shingle table on each side — the 100 TB path, nothing is ever
+      materialized on the driver. Both modes return identical results
+      (tested)."""
     import ray
     import ray.data as rd
 
@@ -189,9 +246,29 @@ def minhash_lsh_pairs(sf_dir: str) -> pa.Table:
     # stage 2 (distributed): minhash → band hash rows
     bands_ds = sh_ds.map_batches(_band_stage, batch_format="pyarrow")
 
-    # verification side: broadcast the shingle store (hash sets are ~8 B ×
-    # shingles — fine to ≈1M docs; at larger scale replace with a
-    # hash-partitioned join of candidate pairs against sh_ds on a, then b)
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].tolist())
+        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+        if not out:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        return pd.DataFrame(out, columns=["a", "b"])
+
+    cand = (bands_ds.groupby(["band", "bh"])
+            .map_groups(emit_pairs, batch_format="pandas"))
+
+    if verify == "join":
+        # dedup candidate pairs via a tiny groupby, then two hash joins
+        uniq = cand.groupby(["a", "b"]).count().map_batches(
+            lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+        df = _verify_pairs_join(uniq, sh_ds, JACCARD_THRESHOLD)
+        df = df.sort_values(["a", "b"])
+        for c in ("a", "b", "j_q"):
+            df[c] = df[c].astype("int64")
+        return pa.Table.from_pandas(df.reset_index(drop=True),
+                                    preserve_index=False)
+
+    # broadcast verification
     shingle_store: dict[int, np.ndarray] = {}
     for batch in sh_ds.iter_batches(batch_format="pyarrow",
                                     batch_size=4096):
@@ -203,17 +280,6 @@ def minhash_lsh_pairs(sf_dir: str) -> pa.Table:
         for i, did in enumerate(batch["doc_id"].to_pylist()):
             shingle_store[did] = vals[offs[i]:offs[i + 1]]
     store_ref = ray.put(shingle_store)
-
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].tolist())
-        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
-        if not out:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64")})
-        return pd.DataFrame(out, columns=["a", "b"])
-
-    cand = (bands_ds.groupby(["band", "bh"])
-            .map_groups(emit_pairs, batch_format="pandas"))
 
     class Verify:
         def __init__(self, ref):

@@ -60,3 +60,13 @@ def test_ann_ivf_recall_vs_brute(ray_session):
         got = set(ivf[ivf["qid"] == qid]["nid"])
         recalls.append(len(truth & got) / len(truth))
     assert np.mean(recalls) >= 0.5  # nprobe=4 of nlist=8 buckets
+
+
+def test_minhash_join_verification_equals_broadcast(ray_session):
+    """The 100TB-path hash-join verification must return exactly the
+    broadcast-path result."""
+    from lucene_solr_ray.ops.dedup import minhash_lsh_pairs
+
+    a = minhash_lsh_pairs(SF).to_pandas()
+    b = minhash_lsh_pairs(SF, verify="join").to_pandas()
+    assert a.values.tolist() == b.values.tolist()
