@@ -503,6 +503,23 @@ GROUP BY d.{field} ORDER BY d.{field}
 """
 
 
+def _q_terms_set(terms, k=10):
+    """TermsQuery: constant-score set membership over many exact terms."""
+    def run(sf_dir):
+        return _topk_table(_searcher(sf_dir).search(
+            {"type": "terms_set", "terms": terms}, k=k))
+    return run
+
+
+def _q_common_terms(terms, k=10):
+    """CommonTermsQuery: df-split required/optional clauses (rows-only —
+    the df-dependent split is not replicated in SQL)."""
+    def run(sf_dir):
+        return _topk_table(_searcher(sf_dir).search(
+            {"type": "common_terms", "terms": terms}, k=k))
+    return run
+
+
 def _q_suggest(prefix, n=10):
     def run(sf_dir):
         return _searcher(sf_dir).suggest_prefix(prefix, n)
@@ -662,6 +679,8 @@ def build_queries() -> dict:
         "ft_highlight": _q_highlight("table"),       # rows-only
         "ft_filter_lang": _q_filtered("table", "lang", "en"),
         "ft_facet_lang": _q_result_facet("table", "lang"),
+        "ft_terms_set": _q_terms_set(["dup", "vector", "stream"]),
+        "ft_common_terms": _q_common_terms(["table", "dup"]),  # rows-only
     }
 
 
@@ -721,6 +740,8 @@ def build_oracle_sql() -> dict:
         "ft_function_boost": _function_boost_sql("table", 100.0, 10),
         "ft_filter_lang": _filtered_sql("table", "lang", "en", 10),
         "ft_facet_lang": _result_facet_sql("table", "lang"),
+        "ft_terms_set": _multiterm_sql(
+            "term IN ('dup', 'vector', 'stream')", 10),
     }
 
 

@@ -557,6 +557,25 @@ class IndexSearcher:
         scores = np.full(len(docs), boost, dtype=dtype)
         return self._finalize([docs], [scores], k)
 
+    def search_terms_set(self, terms: list[str], k: int = 10) -> pa.Table:
+        """TermsQuery — large OR of exact terms as set membership,
+        constant-score rewrite (lucene/queries/.../TermsQuery.java)."""
+        return self.search_constant(list(terms), k)
+
+    def search_common_terms(self, terms: list[str], k: int = 10,
+                            max_df_ratio: float = 0.5) -> pa.Table:
+        """CommonTermsQuery (lucene/queries/.../CommonTermsQuery.java):
+        split terms by document frequency — low-df terms become MUST,
+        stopword-class high-df terms (df > max_df_ratio·N) only SHOULD —
+        so common words refine rather than dominate."""
+        stats = self.term_stats(terms)
+        cutoff = max_df_ratio * self.num_docs
+        must = [t for t in terms if stats.get(t, (0, 0))[0] <= cutoff]
+        should = [t for t in terms if stats.get(t, (0, 0))[0] > cutoff]
+        if not must:
+            return self.search_bool(should=should, k=k)
+        return self.search_bool(must=must, should=should, k=k)
+
     def search_dismax(self, terms: list[str], k: int = 10,
                       tiebreaker: float = 0.0) -> pa.Table:
         """DisjunctionMaxQuery: score = max(clauses) + tiebreaker ·
@@ -702,6 +721,11 @@ class IndexSearcher:
             terms = self.expand_terms(qt, query["param"],
                                       max_edits=query.get("max_edits", 1))
             return self.search_constant(terms, k)
+        if qt == "terms_set":
+            return self.search_terms_set(query["terms"], k)
+        if qt == "common_terms":
+            return self.search_common_terms(
+                query["terms"], k, query.get("max_df_ratio", 0.5))
         if qt == "dismax":
             return self.search_dismax(query["terms"], k,
                                       tiebreaker=query.get("tiebreaker", 0.0))
