@@ -7,18 +7,23 @@ TreeMergeOutputFormat.java:138-153) as a Ray Data exchange:
 1. a tiny stats pass (``read_parquet(columns=["term","df"])`` — column
    pruning — → groupby(term).sum) finds HOT terms (global df above
    threshold; stopword-class postings);
-2. a split stage re-buckets each hot term's postings rows into fixed
-   doc-id VALUE ranges (``salt = doc_id * B >> 63``) so no reduce task ever
-   materializes a full hot posting list — the salted repartition the north
-   rule requires — and assigns every (term, salt) to a reduce partition by
-   hash;
+2. an ARROW-NATIVE split stage re-buckets each hot term's postings rows
+   into fixed doc-id VALUE ranges (integer floor-division of the int63 key
+   space) so no reduce task ever materializes a full hot posting list —
+   the salted repartition the north rule requires — and assigns every
+   (term, salt) to a reduce partition by hash. Cold rows (the vast
+   majority) pass through as zero-copy Arrow column selections — no
+   pandas object conversion, no blob copies;
 3. ``groupby(part).map_groups`` runs ONE VECTORIZED reducer per partition:
    all source rows of the partition are decoded in a handful of batched
-   varint passes, merge-sorted by (term, doc) with a single lexsort, and
-   re-encoded through the same vectorized path the fresh build uses
+   varint passes (blobs sliced zero-copy out of the Arrow buffers),
+   merge-sorted by (term, doc) with a single lexsort, and re-encoded
+   through the same vectorized path the fresh build uses
    (segment.encode_sorted_postings). Each reducer writes its own
    term-partitioned shard directory atomically — a fully distributed
-   write, no driver-side funnel;
+   write, no driver-side funnel. The number of reduce partitions scales
+   with input bytes (TARGET_SHARD_BYTES of parquet per shard), so reducer
+   memory stays bounded at any corpus size;
 4. the new manifest generation lists the postings shards and keeps the
    original segments as ``docs_only`` entries (their docs.parquet —
    dl/norm/lineage — stays authoritative; their postings are superseded).
@@ -37,7 +42,6 @@ import json
 import os
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -54,7 +58,130 @@ from .segment import POSTINGS_FILE, encode_sorted_postings
 
 HOT_DF_THRESHOLD = 32_768
 BUCKET_POSTINGS = 65_536
-DEFAULT_NUM_SHARDS = 16
+TARGET_SHARD_BYTES = 64 << 20   # parquet input bytes per reduce partition
+MIN_NUM_SHARDS = 8
+MAX_NUM_SHARDS = 4096
+
+# only the columns the reducer re-encodes travel through the shuffle —
+# block skip metadata is rebuilt from scratch at re-encode time
+SHUFFLE_COLS = ["term", "df", "ttf",
+                "doc_data", "tf_data", "norm_data", "pos_data"]
+
+
+def _salt_of(docs: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Doc-range bucket of each doc id: floor-divide the int63 key space
+    into ``n_buckets`` equal ranges. Integer division (not a 64-bit
+    multiply+shift, which overflows for n_buckets > 2) so every bucket is
+    actually reachable and each reducer holds ≤ ~bucket_postings postings
+    of a hot term."""
+    if n_buckets <= 1:
+        return np.zeros(len(docs), dtype=np.int64)
+    width = (2**63 + n_buckets - 1) // n_buckets  # fits int64 for B >= 2
+    return docs // np.int64(width)
+
+
+def _part_of(term: str, salt: int, nparts: int) -> int:
+    h = hashlib.blake2b(f"{term}\x00{salt}".encode(), digest_size=8).digest()
+    return int.from_bytes(h, "big") % nparts
+
+
+def _binary_blob(col) -> tuple[memoryview, np.ndarray]:
+    """(concatenated bytes, per-row int64 bounds) of a large_binary column,
+    sliced zero-copy out of the Arrow buffers."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    off = np.frombuffer(col.buffers()[1], dtype=np.int64,
+                        count=len(col) + 1 + col.offset)[col.offset:]
+    data = memoryview(col.buffers()[2])[off[0]:off[-1]]
+    return data, off - off[0]
+
+
+def make_split_fn(hot_ref, nparts: int):
+    """Arrow-native map_batches stage (stateless task fn — Ray reuses
+    worker processes, amortizing page-fault cost; see CLAUDE.md): salt hot
+    terms by doc range, assign reduce partitions. Emits only the payload
+    the reducer needs (SHUFFLE_COLS + salt + part)."""
+
+    def split(batch: pa.Table) -> pa.Table:
+        import ray
+
+        from ..util import tune_allocator
+
+        tune_allocator()
+        hot: dict[str, int] = ray.get(hot_ref)
+
+        terms = batch["term"]
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        if hot:
+            hot_mask = np.asarray(pc.is_in(
+                terms, value_set=pa.array(sorted(hot), type=terms.type)))
+        else:
+            hot_mask = np.zeros(len(batch), dtype=bool)
+
+        # cold rows: zero-copy column selection + two small int columns.
+        # part-of-term via the dictionary (one blake2b per UNIQUE term)
+        cold = batch.filter(pa.array(~hot_mask))
+        cold_terms = cold["term"]
+        if isinstance(cold_terms, pa.ChunkedArray):
+            cold_terms = cold_terms.combine_chunks()
+        denc = cold_terms.dictionary_encode()
+        codes = np.asarray(denc.indices) if len(cold) else \
+            np.empty(0, dtype=np.int64)
+        part_by_code = np.array(
+            [_part_of(t, 0, nparts) for t in denc.dictionary.to_pylist()],
+            dtype=np.int64)
+        cold_out = pa.table({
+            "term": cold["term"],
+            "salt": pa.array(np.zeros(len(cold), dtype=np.int64)),
+            "part": pa.array(part_by_code[codes] if len(cold)
+                             else np.empty(0, dtype=np.int64)),
+            "df": cold["df"], "ttf": cold["ttf"],
+            "doc_data": cold["doc_data"], "tf_data": cold["tf_data"],
+            "norm_data": cold["norm_data"], "pos_data": cold["pos_data"],
+        })
+        if not hot_mask.any():
+            return cold_out
+
+        out_rows = []
+        hot_tbl = batch.filter(pa.array(hot_mask))
+        for row in hot_tbl.to_pylist():
+            term = row["term"]
+            n_buckets = hot[term]
+            docs, tfs, norms, pos = decode_postings(row, with_positions=True)
+            salt = _salt_of(docs, n_buckets)
+            for s in np.unique(salt):
+                m = salt == s
+                idx = np.flatnonzero(m)
+                p = _permute_grouped(pos, tfs, idx) if len(pos) else pos
+                enc = encode_postings(docs[m], tfs[m], norms[m], p)
+                out_rows.append({
+                    "term": term, "salt": int(s),
+                    "part": _part_of(term, int(s), nparts),
+                    "df": enc["df"], "ttf": enc["ttf"],
+                    "doc_data": enc["doc_data"], "tf_data": enc["tf_data"],
+                    "norm_data": enc["norm_data"],
+                    "pos_data": enc["pos_data"],
+                })
+        hot_out = pa.table({
+            "term": pa.array([r["term"] for r in out_rows],
+                             type=cold_out["term"].type),
+            "salt": pa.array([r["salt"] for r in out_rows], type=pa.int64()),
+            "part": pa.array([r["part"] for r in out_rows], type=pa.int64()),
+            "df": pa.array([r["df"] for r in out_rows], type=pa.int64()),
+            "ttf": pa.array([r["ttf"] for r in out_rows], type=pa.int64()),
+            "doc_data": pa.array([r["doc_data"] for r in out_rows],
+                                 type=pa.large_binary()),
+            "tf_data": pa.array([r["tf_data"] for r in out_rows],
+                                type=pa.large_binary()),
+            "norm_data": pa.array([r["norm_data"] for r in out_rows],
+                                  type=pa.large_binary()),
+            "pos_data": pa.array([r["pos_data"] for r in out_rows],
+                                 type=pa.large_binary()),
+        })
+        return pa.concat_tables([cold_out, hot_out])
+
+    return split
 
 
 def _permute_grouped(flat: np.ndarray, counts: np.ndarray,
@@ -68,96 +195,26 @@ def _permute_grouped(flat: np.ndarray, counts: np.ndarray,
     return flat[idx]
 
 
-def _part_of(term: str, salt: int, nparts: int) -> int:
-    h = hashlib.blake2b(f"{term}\x00{salt}".encode(), digest_size=8).digest()
-    return int.from_bytes(h, "big") % nparts
-
-
-def _encode_row(term: str, salt: int, part: int, docs, tfs, norms, pos) -> dict:
-    enc = encode_postings(docs, tfs, norms, pos)
-    return {
-        "term": term, "salt": salt, "part": part,
-        "df": enc["df"], "ttf": enc["ttf"],
-        "doc_data": enc["doc_data"], "tf_data": enc["tf_data"],
-        "norm_data": enc["norm_data"], "pos_data": enc["pos_data"],
-    }
-
-
-class SplitStage:
-    """map_batches stage: salt hot terms by doc range, assign reduce
-    partitions. Emits only the payload the reducer needs (term, salt,
-    part, df, blobs) — block metadata is rebuilt at re-encode."""
-
-    def __init__(self, hot_ref, nparts: int):
-        import ray
-
-        from ..util import tune_allocator
-
-        tune_allocator()
-        self.hot: dict[str, int] = ray.get(hot_ref)
-        self.nparts = nparts
-
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        cols = ["term", "salt", "part", "df", "ttf",
-                "doc_data", "tf_data", "norm_data", "pos_data"]
-        terms = df["term"].to_numpy()
-        is_hot = np.array([t in self.hot for t in terms]) if self.hot \
-            else np.zeros(len(terms), dtype=bool)
-
-        # cold rows (the vast majority): pure column ops, no decode
-        cold = df[~is_hot]
-        uniq = pd.unique(cold["term"])
-        part_of = {t: _part_of(t, 0, self.nparts) for t in uniq}
-        cold_out = pd.DataFrame({
-            "term": cold["term"].to_numpy(),
-            "salt": np.zeros(len(cold), dtype=np.int64),
-            "part": cold["term"].map(part_of).to_numpy(dtype=np.int64),
-            "df": cold["df"].to_numpy(dtype=np.int64),
-            "ttf": cold["ttf"].to_numpy(dtype=np.int64),
-            "doc_data": cold["doc_data"].to_numpy(),
-            "tf_data": cold["tf_data"].to_numpy(),
-            "norm_data": cold["norm_data"].to_numpy(),
-            "pos_data": cold["pos_data"].to_numpy(),
-        })
-
-        out = []
-        for row in df[is_hot].to_dict("records"):
-            term = row["term"]
-            n_buckets = self.hot[term]
-            docs, tfs, norms, pos = decode_postings(row, with_positions=True)
-            salt = ((docs.astype(np.uint64) * np.uint64(n_buckets))
-                    >> np.uint64(63)).astype(np.int64)
-            for s in np.unique(salt):
-                m = salt == s
-                idx = np.flatnonzero(m)
-                p = _permute_grouped(pos, tfs, idx) if len(pos) else pos
-                out.append(_encode_row(term, int(s),
-                                       _part_of(term, int(s), self.nparts),
-                                       docs[m], tfs[m], norms[m], p))
-        hot_out = pd.DataFrame(out, columns=cols) if out else \
-            pd.DataFrame({c: [] for c in cols})
-        return pd.concat([cold_out, hot_out], ignore_index=True) \
-            if len(hot_out) else cold_out
-
-
 def _make_reducer(segments_root: str, generation: int):
-    def reduce_partition(g: pd.DataFrame) -> pd.DataFrame:
-        """One VECTORIZED merge per reduce partition: batched varint decode
-        of every source row, one lexsort by (term, salt, doc), re-encode,
-        write the shard, emit its meta."""
+    def reduce_partition(g: pa.Table) -> pa.Table:
+        """One VECTORIZED merge per reduce partition, Arrow end-to-end:
+        blobs sliced zero-copy from the column buffers, batched varint
+        decode of every source row, one lexsort by (term, salt, doc),
+        re-encode, write the shard, emit its meta."""
         from ..util import tune_allocator
 
         tune_allocator()
-        part = int(g["part"].iloc[0])
-        g = g.sort_values(["term", "salt"], kind="stable")
-        dfs_rows = g["df"].to_numpy(dtype=np.int64)
-        n_rows = len(g)
+        part = int(g["part"][0].as_py())
+        g = g.sort_by([("term", "ascending"), ("salt", "ascending")])
+        dfs_rows = np.asarray(g["df"], dtype=np.int64)
+        n_rows = g.num_rows
 
-        # batched decode: concatenate blobs, decode once, split by counts
-        doc_blob = b"".join(g["doc_data"])
-        tf_blob = b"".join(g["tf_data"])
-        norm_blob = b"".join(g["norm_data"])
-        pos_blob = b"".join(g["pos_data"])
+        # batched decode: blobs are contiguous after sort_by's take —
+        # slice them straight out of the Arrow buffers (no Python join)
+        doc_blob, _ = _binary_blob(g["doc_data"])
+        tf_blob, _ = _binary_blob(g["tf_data"])
+        norm_blob, _ = _binary_blob(g["norm_data"])
+        pos_blob, _ = _binary_blob(g["pos_data"])
         blk_counts = np.concatenate([block_sizes(d) for d in dfs_rows]) \
             if n_rows else np.empty(0, dtype=np.int64)
         docs = grouped_delta_decode(
@@ -167,14 +224,22 @@ def _make_reducer(segments_root: str, generation: int):
         pos = grouped_delta_decode(
             varint_decode(pos_blob).astype(np.int64), tfs)
 
-        # (term, salt) group codes per source row — g is sorted, so
-        # factorize yields ascending codes; one output row per (term, salt).
-        # separator '|' cannot occur in [a-z0-9]+ tokens (and pandas string
-        # concat silently DROPS NUL bytes, so never use "\x00" here)
-        keys = g["term"] + "|" + g["salt"].astype(str)
-        row_codes, uniques = pd.factorize(keys, sort=False)
-        row_codes = row_codes.astype(np.int64)
-        code_terms = [u.rsplit("|", 1)[0] for u in uniques]
+        # (term, salt) run codes per source row — g is sorted, so runs are
+        # contiguous; boundaries via dictionary codes + salt, no string
+        # concatenation (pandas string concat silently drops NUL bytes)
+        term_col = g["term"]
+        if isinstance(term_col, pa.ChunkedArray):
+            term_col = term_col.combine_chunks()
+        denc = term_col.dictionary_encode()
+        t_codes = np.asarray(denc.indices).astype(np.int64)
+        salts = np.asarray(g["salt"], dtype=np.int64)
+        change = np.empty(n_rows, dtype=bool)
+        change[0] = True
+        np.not_equal(t_codes[1:], t_codes[:-1], out=change[1:])
+        change[1:] |= salts[1:] != salts[:-1]
+        row_codes = np.cumsum(change) - 1
+        run_starts = np.flatnonzero(change)
+        code_terms = term_col.take(pa.array(run_starts))
 
         p_codes = np.repeat(row_codes, dfs_rows)
         perm = np.lexsort((docs, p_codes))
@@ -185,7 +250,7 @@ def _make_reducer(segments_root: str, generation: int):
         p_pos = _permute_grouped(pos, tfs, perm)
 
         table, stats = encode_sorted_postings(
-            p_codes, pa.array(code_terms, type=pa.string()),
+            p_codes, pc.cast(code_terms, pa.string()),
             p_docs, p_tfs_sorted, p_norms, p_pos, with_positions=True)
 
         name = f"merged-{generation:03d}-{part:05d}"
@@ -204,15 +269,26 @@ def _make_reducer(segments_root: str, generation: int):
 
             shutil.rmtree(final)
         os.rename(tmp, final)
-        return pd.DataFrame([{"segment": name,
-                              "num_terms": int(table.num_rows)}])
+        return pa.table({"segment": pa.array([name], type=pa.string()),
+                         "num_terms": pa.array([int(table.num_rows)],
+                                               type=pa.int64())})
 
     return reduce_partition
 
 
+def choose_num_shards(files: list[str], *,
+                      target_bytes: int = TARGET_SHARD_BYTES) -> int:
+    """Reduce-partition count scaled to input size so each reducer holds a
+    bounded slice of the postings (the TreeMergeOutputFormat fanout sized
+    by data, not a fixed constant)."""
+    total = sum(os.path.getsize(f) for f in files)
+    n = (total + target_bytes - 1) // target_bytes
+    return int(min(MAX_NUM_SHARDS, max(MIN_NUM_SHARDS, n)))
+
+
 def merge_segments(index_dir: str, *, hot_df_threshold: int = HOT_DF_THRESHOLD,
                    bucket_postings: int = BUCKET_POSTINGS,
-                   num_shards: int = DEFAULT_NUM_SHARDS) -> dict:
+                   num_shards: int | None = None) -> dict:
     """Merge all postings segments of ``index_dir`` into term-partitioned
     shards; commit a new manifest generation. Returns the manifest."""
     import ray
@@ -223,23 +299,28 @@ def merge_segments(index_dir: str, *, hot_df_threshold: int = HOT_DF_THRESHOLD,
     source = [s for s in man["segments"]
               if s.get("kind", "postings") != "docs_only"]
     files = [os.path.join(root, s["segment"], POSTINGS_FILE) for s in source]
+    if num_shards is None:
+        num_shards = choose_num_shards(files)
 
     # pass 1: global df per term (column-pruned read, tiny aggregate)
     stats = rd.read_parquet(files, columns=["term", "df"]) \
         .groupby("term").sum("df").to_pandas()
-    hot = {r["term"]: int(np.ceil(r["sum(df)"] / bucket_postings))
-           for _, r in stats.iterrows() if r["sum(df)"] > hot_df_threshold}
+    big = stats[stats["sum(df)"] > hot_df_threshold]
+    hot = dict(zip(big["term"].tolist(),
+                   np.ceil(big["sum(df)"].to_numpy()
+                           / bucket_postings).astype(int).tolist()))
     hot_ref = ray.put(hot)
 
-    # pass 2: split + hash-partitioned vectorized shuffle-merge
-    ds = rd.read_parquet(files)
-    split = ds.map_batches(SplitStage,
-                           fn_constructor_kwargs={"hot_ref": hot_ref,
-                                                  "nparts": num_shards},
-                           batch_format="pandas", concurrency=(1, 4))
+    # pass 2: split + hash-partitioned vectorized shuffle-merge. The read
+    # is pruned to the shuffle payload; block metadata never moves.
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    ds = rd.read_parquet(files, columns=SHUFFLE_COLS,
+                         override_num_blocks=max(2 * ncpu, len(files)))
+    split = ds.map_batches(make_split_fn(hot_ref, num_shards),
+                           batch_format="pyarrow")
     reducer = _make_reducer(root, man["generation"])
     metas_df = split.groupby("part").map_groups(
-        reducer, batch_format="pandas").to_pandas()
+        reducer, batch_format="pyarrow").to_pandas()
 
     shard_metas = []
     for name in metas_df["segment"]:

@@ -23,6 +23,7 @@ import pyarrow as pa
 
 N_QUERIES = 10
 TOP_K = 5
+KMEANS_SAMPLE = 65_536  # coarse-quantizer training set bound (scale path)
 
 
 def _read_emb(sf_dir: str):
@@ -54,17 +55,38 @@ def _quant6(x: np.ndarray) -> np.ndarray:
     return np.floor(x * 1_000_000 + 0.5).astype(np.int64)
 
 
+def _topk_keep_ties(scores: np.ndarray, kk: int) -> np.ndarray:
+    """Per-batch candidate cut that keeps EVERY row whose QUANTIZED score
+    ties the kk-th largest — the final/oracle ranking is (score_q desc,
+    nid asc), so cutting by raw-float argpartition could drop the
+    lowest-nid member of a quantized tie at the boundary (duplicate
+    embeddings, expected in a near-dup corpus)."""
+    n = len(scores)
+    if n <= kk:
+        return np.arange(n)
+    sq = _quant6(scores)
+    thr = np.partition(sq, n - kk)[n - kk]
+    return np.flatnonzero(sq >= thr)
+
+
+def _load_query_vectors(sf_dir: str, n_queries: int):
+    """The n_queries query vectors via parquet predicate pushdown
+    (vec_id < n_queries) — only the matching row groups leave storage,
+    never the whole embeddings table."""
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(os.path.join(sf_dir, "embeddings.parquet"))
+    t = dset.to_table(filter=pads.field("vec_id") < n_queries,
+                      columns=["vec_id", "embedding"])
+    return _emb_matrix(t)
+
+
 def ann_brute_topk(sf_dir: str, k: int = TOP_K,
                    n_queries: int = N_QUERIES) -> pa.Table:
     import ray
 
     ds = _read_emb(sf_dir)
-    # query side: the first n_queries vectors (vec_id < n_queries)
-    qtbl = pa.concat_tables(
-        b for b in ds.iter_batches(batch_format="pyarrow", batch_size=4096))
-    qids_all, E_all = _emb_matrix(qtbl)
-    sel = qids_all < n_queries
-    qids, Q = qids_all[sel], E_all[sel]
+    qids, Q = _load_query_vectors(sf_dir, n_queries)
     q_ref = ray.put((qids, Q))
 
     class Score:
@@ -77,7 +99,7 @@ def ann_brute_topk(sf_dir: str, k: int = TOP_K,
             rows_q, rows_n, rows_s = [], [], []
             kk = min(k + 1, S.shape[1])  # +1: self may be in this batch
             for qi in range(len(self.qids)):
-                part = np.argpartition(-S[qi], kk - 1)[:kk]
+                part = _topk_keep_ties(S[qi], kk)
                 rows_q.extend([int(self.qids[qi])] * len(part))
                 rows_n.extend(ids[part].tolist())
                 rows_s.extend(S[qi][part].tolist())
@@ -133,11 +155,17 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.45) -> pa.Table:
     near-dup op. Distributed as broadcast matrix + per-batch matmul
     (O(n²/p)); at larger scale the IVF bucketing above bounds the pair
     space."""
+    import pyarrow.dataset as pads
+
     import ray
 
     ds = _read_emb(sf_dir)
-    full = pa.concat_tables(
-        b for b in ds.iter_batches(batch_format="pyarrow", batch_size=4096))
+    # the O(n²) exact-pair semantics need the full matrix on the compare
+    # side — load it once with a direct columnar read and broadcast via
+    # ray.put (read once, shipped once per node). At 100 TB this op must
+    # route through IVF/LSH buckets instead (ann_ivf_topk's bucketing).
+    full = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")) \
+        .to_table(columns=["vec_id", "embedding"])
     ids_all, E_all = _emb_matrix(full)
     ref = ray.put((ids_all, E_all))
 
@@ -204,13 +232,17 @@ def ann_ivf_topk(sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES,
     partition; here buckets live in one pass."""
     import ray
 
+    import pyarrow.dataset as pads
+
     ds = _read_emb(sf_dir)
-    sample = pa.concat_tables(
-        b for b in ds.iter_batches(batch_format="pyarrow", batch_size=4096))
-    ids_all, E_all = _emb_matrix(sample)
-    C = kmeans_centroids(E_all, nlist)
-    sel = ids_all < n_queries
-    qids, Q = ids_all[sel], E_all[sel]
+    # train the coarse quantizer on a BOUNDED sample (first KMEANS_SAMPLE
+    # rows via a head scan — deterministic, never the full table), and
+    # select query vectors by predicate pushdown
+    sample = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")) \
+        .head(KMEANS_SAMPLE, columns=["vec_id", "embedding"])
+    _, E_sample = _emb_matrix(sample)
+    C = kmeans_centroids(E_sample, nlist)
+    qids, Q = _load_query_vectors(sf_dir, n_queries)
     probe = np.argsort(-_cosine(Q, C), axis=1)[:, :nprobe]
     c_ref = ray.put((C, qids, Q, probe))
 
@@ -229,7 +261,7 @@ def ann_ivf_topk(sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES,
                 S = _cosine(self.Q[qi:qi + 1], B[mask])[0]
                 cand_ids = ids[mask]
                 kk = min(k + 1, len(S))
-                part = np.argpartition(-S, kk - 1)[:kk]
+                part = _topk_keep_ties(S, kk)
                 rows_q.extend([int(self.qids[qi])] * len(part))
                 rows_n.extend(cand_ids[part].tolist())
                 rows_s.extend(S[part].tolist())

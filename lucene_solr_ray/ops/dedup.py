@@ -121,6 +121,12 @@ def _band_stage(batch: pa.Table) -> pa.Table:
     vals = np.asarray(col.values, dtype=np.uint64)
     bands, bhs, dids = [], [], []
     for i, did in enumerate(batch["doc_id"].to_pylist()):
+        if offs[i + 1] == offs[i]:
+            # empty shingle set (doc shorter than SHINGLE_K tokens): its
+            # Jaccard with anything is 0, but its all-identical signature
+            # would bucket EVERY such doc together and emit O(n²) doomed
+            # candidate pairs — emit no band rows instead
+            continue
         bh = _band_hashes(minhash_signature(vals[offs[i]:offs[i + 1]]))
         bands.extend(range(BANDS))
         bhs.extend(bh.tolist())
@@ -141,8 +147,10 @@ def _jaccard_q(a: np.ndarray, b: np.ndarray) -> tuple[float, int]:
 
 def exact_dedup(sf_dir: str) -> pa.Table:
     """Exact dedup by content hash: keep the minimum doc_id per distinct
-    text (groupby(signature).first)."""
+    text (groupby(signature).first). ONE corpus scan: both aggregates
+    (min doc_id, group count) ride the same groupby."""
     import ray.data as rd
+    from ray.data.aggregate import Count, Min
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
@@ -153,12 +161,10 @@ def exact_dedup(sf_dir: str) -> pa.Table:
         return pa.table({"sig": pa.array(hs), "doc_id": batch["doc_id"]})
 
     agg = (ds.map_batches(sig, batch_format="pyarrow")
-           .groupby("sig").min("doc_id"))
-    cnt = (ds.map_batches(sig, batch_format="pyarrow")
-           .groupby("sig").count())
-    a = agg.to_pandas().rename(columns={"min(doc_id)": "keep_id"})
-    c = cnt.to_pandas().rename(columns={"count()": "n"})
-    df = a.merge(c, on="sig")[["keep_id", "n"]].sort_values("keep_id")
+           .groupby("sig").aggregate(Min("doc_id"), Count()))
+    df = agg.to_pandas().rename(columns={"min(doc_id)": "keep_id",
+                                         "count()": "n"})
+    df = df[["keep_id", "n"]].sort_values("keep_id")
     df["keep_id"] = df["keep_id"].astype("int64")
     df["n"] = df["n"].astype("int64")
     return pa.Table.from_pandas(df.reset_index(drop=True),
@@ -217,7 +223,7 @@ def _verify_pairs_join(cand, sh_ds, threshold: float) -> pd.DataFrame:
             .to_pandas().drop_duplicates(["a", "b"]))
 
 
-def minhash_lsh_pairs(sf_dir: str, *, verify: str = "broadcast") -> pa.Table:
+def minhash_lsh_pairs(sf_dir: str, *, verify: str = "join") -> pa.Table:
     """Near-duplicate pairs via MinHash+LSH with exact-Jaccard verification.
 
     Ray pipeline: map_batches computes signatures and emits
@@ -227,12 +233,12 @@ def minhash_lsh_pairs(sf_dir: str, *, verify: str = "broadcast") -> pa.Table:
     4e-8, so the verified output equals the exhaustive-pair oracle.
 
     ``verify``:
-    - ``"broadcast"`` (default): ship the shingle-set dict via ray.put —
-      the small-side pattern, fine to ≈1M docs;
-    - ``"join"``: hash-partitioned Dataset.join of candidate pairs against
-      the shingle table on each side — the 100 TB path, nothing is ever
-      materialized on the driver. Both modes return identical results
-      (tested)."""
+    - ``"join"`` (default — the 100 TB path): hash-partitioned
+      Dataset.join of candidate pairs against the shingle table on each
+      side; nothing is ever materialized on the driver.
+    - ``"broadcast"``: ship the shingle-set dict via ray.put — the
+      small-side pattern, acceptable only ≤ ≈1M docs. Both modes return
+      identical results (tested)."""
     import ray
     import ray.data as rd
 
@@ -335,45 +341,46 @@ def simhash64(texts: pa.Array) -> np.ndarray:
 def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
     """Near-dup pairs by simhash Hamming distance ≤ 3 using pigeonhole
     banding on four 16-bit chunks (any pair within distance 3 shares at
-    least one exact chunk)."""
+    least one exact chunk).
+
+    Fully dataset-side: the signature stage emits the four (chunk, val)
+    band rows per doc WITH the doc's own signature, so the banding
+    groupby's group payload already carries everything the pairwise
+    Hamming check needs — no driver-side signature table, no broadcast
+    dict (the 100 TB shape)."""
     import ray.data as rd
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
 
-    def sig_stage(batch: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": batch["doc_id"],
-                         "sig": pa.array(simhash64(batch["text"]),
-                                         type=pa.uint64())})
+    def band_stage(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        sigs = simhash64(batch["text"])
+        n = len(ids)
+        chunk = np.repeat(np.arange(4, dtype=np.int32), n)
+        val = np.concatenate([
+            ((sigs >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+            for c in range(4)])
+        return pa.table({
+            "chunk": pa.array(chunk, type=pa.int32()),
+            "val": pa.array(val, type=pa.int64()),
+            "doc_id": pa.array(np.tile(ids, 4), type=pa.int64()),
+            "sig": pa.array(np.tile(sigs, 4), type=pa.uint64()),
+        })
 
-    sig_tbl = pa.concat_tables(
-        ds.map_batches(sig_stage, batch_format="pyarrow", batch_size=1024)
-        .iter_batches(batch_format="pyarrow", batch_size=65536))
-    ids = np.asarray(sig_tbl["doc_id"], dtype=np.int64)
-    sigs = np.asarray(sig_tbl["sig"], dtype=np.uint64)
-
-    rows = {"chunk": [], "val": [], "doc_id": []}
-    for c in range(4):
-        rows["chunk"].extend([c] * len(ids))
-        rows["val"].extend(((sigs >> np.uint64(16 * c)) &
-                            np.uint64(0xFFFF)).tolist())
-        rows["doc_id"].extend(ids.tolist())
-    cand_ds = rd.from_arrow(pa.table({
-        "chunk": pa.array(rows["chunk"], type=pa.int32()),
-        "val": pa.array(rows["val"], type=pa.int64()),
-        "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
-    }))
-
-    sig_of = dict(zip(ids.tolist(), sigs.tolist()))
+    cand_ds = ds.map_batches(band_stage, batch_format="pyarrow",
+                             batch_size=1024)
 
     def emit(g: pd.DataFrame) -> pd.DataFrame:
-        ds_ = sorted(g["doc_id"].tolist())
+        order = np.argsort(g["doc_id"].to_numpy())
+        ids_ = g["doc_id"].to_numpy()[order]
+        sigs_ = g["sig"].to_numpy().astype(np.uint64)[order]
         out = []
-        for i, a in enumerate(ds_):
-            for b in ds_[i + 1:]:
-                d = bin(sig_of[a] ^ sig_of[b]).count("1")
+        for i in range(len(ids_)):
+            for jj in range(i + 1, len(ids_)):
+                d = int(bin(int(sigs_[i]) ^ int(sigs_[jj])).count("1"))
                 if d <= max_hamming:
-                    out.append((a, b, d))
+                    out.append((int(ids_[i]), int(ids_[jj]), d))
         return pd.DataFrame(out, columns=["a", "b", "hamming"]) if out else \
             pd.DataFrame({"a": pd.Series([], dtype="int64"),
                           "b": pd.Series([], dtype="int64"),

@@ -69,8 +69,19 @@ class DistributedSearcher:
 
         self.mode = mode
         man = load_manifest(index_dir)
-        post = [s["segment"] for s in man["segments"]
-                if s.get("kind", "postings") == "postings"]
+        post_entries = [s for s in man["segments"]
+                        if s.get("kind", "postings") == "postings"]
+        post = [s["segment"] for s in post_entries]
+        # Round-robin sharding assumes DOC-partitioned segments: every
+        # shard must see ALL of a doc's terms or MUST/phrase intersections
+        # silently drop matches and OR double-counts. Merged generations
+        # emit TERM-partitioned shards (num_docs == 0 in their meta), where
+        # a doc's terms span segments — collapse to a single query shard
+        # there (the scatter protocol for term-partitioned layouts would
+        # need term-at-a-time gathering, not doc scatter-gather).
+        term_partitioned = any(s.get("num_docs", 1) == 0 for s in post_entries)
+        if term_partitioned:
+            num_shards = 1
         num_shards = max(1, min(num_shards, len(post)))
         groups: list[list[str]] = [[] for _ in range(num_shards)]
         for i, name in enumerate(sorted(post)):
