@@ -138,7 +138,19 @@ def run_bench() -> dict:
     results["merge_corpus"] = round(time.perf_counter() - t0, 3)
 
     # ---------- query latency over the MERGED corpus index ----------
+    # cold/warm split: the FIRST query on a fresh searcher pays the lazy
+    # term-dictionary loads (reader-open cost); report it separately from
+    # steady-state latency, and time the explicit warm() path
+    s_cold = IndexSearcher(idx_dir)
+    t0 = time.perf_counter()
+    s_cold.search({"type": "term", "term": "data"}, k=10)
+    results["query_cold_first_ms"] = round(
+        (time.perf_counter() - t0) * 1000, 1)
+    del s_cold
     s = IndexSearcher(idx_dir)
+    t0 = time.perf_counter()
+    s.warm()
+    results["searcher_warm_sec"] = round(time.perf_counter() - t0, 3)
     qset = {
         "q_term_hot": {"type": "term", "term": "data"},
         "q_term_mid": {"type": "term", "term": "runmergeflush"},

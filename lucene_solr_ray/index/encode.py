@@ -30,26 +30,48 @@ BLOCK_SIZE = 128  # Lucene50PostingsFormat.java:398 BLOCK_SIZE
 # varint (LEB128, 7 bits per byte, MSB = continuation) — vectorized
 # ---------------------------------------------------------------------------
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """Encode a non-negative int array as a packed varint byte stream."""
+def _nbytes_of(v: np.ndarray) -> tuple[np.ndarray, int]:
+    """Per-value varint byte counts, with the compare-pass loop bounded by
+    the array maximum (postings deltas/tfs are overwhelmingly 1-2 bytes;
+    nine full-array uint64 passes would be pure memory traffic — the
+    dominant cost on a page-fault-limited host)."""
+    n = len(v)
+    nb = np.ones(n, dtype=np.int64)
+    if n == 0:
+        return nb, 0
+    vmax = int(v.max())
+    kmax = 1
+    for k in range(1, 10):
+        if vmax < (1 << (7 * k)):
+            break
+        nb += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+        kmax = k + 1
+    return nb, kmax
+
+
+def varint_encode_with_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode a non-negative int array as a packed varint byte stream and
+    return (bytes, per-value byte counts) — one nb computation shared by
+    the encoder and the callers that need byte boundaries."""
     v = np.asarray(values, dtype=np.uint64)
     n = len(v)
     if n == 0:
-        return b""
-    nb = np.ones(n, dtype=np.int64)
-    for k in range(1, 10):
-        nb += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+        return b"", np.ones(0, dtype=np.int64)
+    nb, kmax = _nbytes_of(v)
     total = int(nb.sum())
     out = np.empty(total, dtype=np.uint8)
     pos = np.concatenate(([0], np.cumsum(nb)[:-1]))
-    for k in range(10):
+    for k in range(kmax):
         mask = nb > k
-        if not mask.any():
-            break
         byte = (v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
         cont = (nb[mask] > k + 1).astype(np.uint64) << np.uint64(7)
         out[pos[mask] + k] = (byte | cont).astype(np.uint8)
-    return out.tobytes()
+    return out.tobytes(), nb
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """Encode a non-negative int array as a packed varint byte stream."""
+    return varint_encode_with_sizes(values)[0]
 
 
 def varint_decode(buf: bytes | np.ndarray) -> np.ndarray:
@@ -135,11 +157,7 @@ def block_sizes(df: int) -> np.ndarray:
 
 
 def _varint_nbytes(v: np.ndarray) -> np.ndarray:
-    v = np.asarray(v).astype(np.uint64)
-    nb = np.ones(len(v), dtype=np.int64)
-    for k in range(1, 10):
-        nb += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
-    return nb
+    return _nbytes_of(np.asarray(v).astype(np.uint64))[0]
 
 
 def encode_postings(docs: np.ndarray, tfs: np.ndarray, norms: np.ndarray,

@@ -59,7 +59,9 @@ from .segment import POSTINGS_FILE, encode_sorted_postings
 HOT_DF_THRESHOLD = 32_768
 BUCKET_POSTINGS = 65_536
 TARGET_SHARD_BYTES = 64 << 20   # parquet input bytes per reduce partition
-MIN_NUM_SHARDS = 8
+# shard floor > typical worker count: several sequential reduce tasks per
+# reused worker amortize per-process warm-up and smooth skew
+MIN_NUM_SHARDS = 32
 MAX_NUM_SHARDS = 4096
 
 # only the columns the reducer re-encodes travel through the shuffle —
@@ -195,12 +197,20 @@ def _permute_grouped(flat: np.ndarray, counts: np.ndarray,
     return flat[idx]
 
 
+CHUNK_POSTINGS = 262_144  # per-chunk decode/sort/encode working set bound
+
+
 def _make_reducer(segments_root: str, generation: int):
     def reduce_partition(g: pa.Table) -> pa.Table:
         """One VECTORIZED merge per reduce partition, Arrow end-to-end:
-        blobs sliced zero-copy from the column buffers, batched varint
-        decode of every source row, one lexsort by (term, salt, doc),
-        re-encode, write the shard, emit its meta."""
+        blobs sliced zero-copy from the column buffers, then the partition
+        is processed in TERM-RANGE CHUNKS of ~CHUNK_POSTINGS postings —
+        batched varint decode, one lexsort by (term, salt, doc), re-encode
+        — so the decode/sort temporaries stay a few MB regardless of
+        partition size (bounded reducer memory; on this host, small
+        working sets also stay inside the already-faulted-in allocator
+        arena — see util.tune_allocator). Each reducer writes its own
+        shard and emits its meta."""
         from ..util import tune_allocator
 
         tune_allocator()
@@ -209,20 +219,12 @@ def _make_reducer(segments_root: str, generation: int):
         dfs_rows = np.asarray(g["df"], dtype=np.int64)
         n_rows = g.num_rows
 
-        # batched decode: blobs are contiguous after sort_by's take —
-        # slice them straight out of the Arrow buffers (no Python join)
-        doc_blob, _ = _binary_blob(g["doc_data"])
-        tf_blob, _ = _binary_blob(g["tf_data"])
-        norm_blob, _ = _binary_blob(g["norm_data"])
-        pos_blob, _ = _binary_blob(g["pos_data"])
-        blk_counts = np.concatenate([block_sizes(d) for d in dfs_rows]) \
-            if n_rows else np.empty(0, dtype=np.int64)
-        docs = grouped_delta_decode(
-            varint_decode(doc_blob).astype(np.int64), blk_counts)
-        tfs = varint_decode(tf_blob).astype(np.int64)
-        norms = np.frombuffer(norm_blob, dtype=np.uint8)
-        pos = grouped_delta_decode(
-            varint_decode(pos_blob).astype(np.int64), tfs)
+        # blobs are contiguous after sort_by's take — slice them straight
+        # out of the Arrow buffers (no Python join), with per-row bounds
+        doc_blob, doc_off = _binary_blob(g["doc_data"])
+        tf_blob, tf_off = _binary_blob(g["tf_data"])
+        norm_blob, norm_off = _binary_blob(g["norm_data"])
+        pos_blob, pos_off = _binary_blob(g["pos_data"])
 
         # (term, salt) run codes per source row — g is sorted, so runs are
         # contiguous; boundaries via dictionary codes + salt, no string
@@ -239,19 +241,48 @@ def _make_reducer(segments_root: str, generation: int):
         change[1:] |= salts[1:] != salts[:-1]
         row_codes = np.cumsum(change) - 1
         run_starts = np.flatnonzero(change)
-        code_terms = term_col.take(pa.array(run_starts))
 
-        p_codes = np.repeat(row_codes, dfs_rows)
-        perm = np.lexsort((docs, p_codes))
-        p_codes = p_codes[perm]
-        p_docs = docs[perm]
-        p_norms = norms[perm]
-        p_tfs_sorted = tfs[perm]
-        p_pos = _permute_grouped(pos, tfs, perm)
+        # chunk boundaries: walk (term,salt) runs, cut when the chunk
+        # reaches CHUNK_POSTINGS; a run never spans chunks
+        df_cum = np.concatenate(([0], np.cumsum(dfs_rows)))
+        run_ends = np.concatenate((run_starts[1:], [n_rows]))
+        chunk_bounds = [0]
+        acc = 0
+        for ri in range(len(run_starts)):
+            acc += int(df_cum[run_ends[ri]] - df_cum[run_starts[ri]])
+            if acc >= CHUNK_POSTINGS:
+                chunk_bounds.append(int(run_ends[ri]))
+                acc = 0
+        if chunk_bounds[-1] != n_rows:
+            chunk_bounds.append(n_rows)
 
-        table, stats = encode_sorted_postings(
-            p_codes, pc.cast(code_terms, pa.string()),
-            p_docs, p_tfs_sorted, p_norms, p_pos, with_positions=True)
+        tables = []
+        for rs, re_ in zip(chunk_bounds[:-1], chunk_bounds[1:]):
+            c_dfs = dfs_rows[rs:re_]
+            blk_counts = np.concatenate([block_sizes(d) for d in c_dfs])
+            docs = grouped_delta_decode(
+                varint_decode(doc_blob[doc_off[rs]:doc_off[re_]])
+                .astype(np.int64), blk_counts)
+            tfs = varint_decode(tf_blob[tf_off[rs]:tf_off[re_]]) \
+                .astype(np.int64)
+            norms = np.frombuffer(
+                norm_blob[norm_off[rs]:norm_off[re_]], dtype=np.uint8)
+            pos = grouped_delta_decode(
+                varint_decode(pos_blob[pos_off[rs]:pos_off[re_]])
+                .astype(np.int64), tfs)
+
+            codes_chunk = row_codes[rs:re_] - row_codes[rs]
+            p_codes = np.repeat(codes_chunk, c_dfs)
+            perm = np.lexsort((docs, p_codes))
+            runs_in = run_starts[(run_starts >= rs) & (run_starts < re_)]
+            code_terms = term_col.take(pa.array(runs_in))
+            tbl, _ = encode_sorted_postings(
+                p_codes[perm], pc.cast(code_terms, pa.string()),
+                docs[perm], tfs[perm], norms[perm],
+                _permute_grouped(pos, tfs, perm), with_positions=True)
+            tables.append(tbl)
+
+        table = pa.concat_tables(tables)
 
         name = f"merged-{generation:03d}-{part:05d}"
         tmp = os.path.join(segments_root, name + ".tmp")
@@ -302,13 +333,20 @@ def merge_segments(index_dir: str, *, hot_df_threshold: int = HOT_DF_THRESHOLD,
     if num_shards is None:
         num_shards = choose_num_shards(files)
 
-    # pass 1: global df per term (column-pruned read, tiny aggregate)
-    stats = rd.read_parquet(files, columns=["term", "df"]) \
-        .groupby("term").sum("df").to_pandas()
-    big = stats[stats["sum(df)"] > hot_df_threshold]
-    hot = dict(zip(big["term"].tolist(),
-                   np.ceil(big["sum(df)"].to_numpy()
-                           / bucket_postings).astype(int).tolist()))
+    # pass 1: global df per term (column-pruned read, tiny aggregate).
+    # The hot-term filter runs DISTRIBUTED so only the handful of
+    # stopword-class terms ever reach the driver — never the full vocab.
+    big = (rd.read_parquet(files, columns=["term", "df"])
+           .groupby("term").sum("df")
+           .map_batches(
+               lambda t: t.filter(pc.greater(t["sum(df)"],
+                                             hot_df_threshold)),
+               batch_format="pyarrow")
+           .to_pandas())
+    hot = {} if len(big) == 0 or "term" not in big.columns else \
+        dict(zip(big["term"].tolist(),
+                 np.ceil(big["sum(df)"].to_numpy()
+                         / bucket_postings).astype(int).tolist()))
     hot_ref = ray.put(hot)
 
     # pass 2: split + hash-partitioned vectorized shuffle-merge. The read

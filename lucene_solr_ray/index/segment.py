@@ -40,7 +40,12 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..analysis.analyzer import analyze_batch
-from .encode import BLOCK_SIZE, grouped_delta_encode, varint_encode
+from .encode import (
+    BLOCK_SIZE,
+    grouped_delta_encode,
+    varint_encode,
+    varint_encode_with_sizes,
+)
 from .smallfloat import encode_norm
 
 POSTINGS_FILE = "postings.parquet"
@@ -194,15 +199,14 @@ def encode_sorted_postings(p_term_codes: np.ndarray, code_terms: pa.Array,
     b_ends = np.minimum(b_starts + BLOCK_SIZE, np.repeat(t_ends, nblocks))
     block_len = b_ends - b_starts
 
-    # ---- encode blobs + per-term byte boundaries ----
+    # ---- encode blobs + per-term byte boundaries (one fused pass each:
+    # the byte-size computation is shared with the encoder) ----
     doc_deltas = grouped_delta_encode(p_docs, block_len)  # reset per block
-    doc_blob = varint_encode(doc_deltas)
-    doc_nb = _varint_nbytes(doc_deltas)
+    doc_blob, doc_nb = varint_encode_with_sizes(doc_deltas)
     doc_cum = np.concatenate(([0], np.cumsum(doc_nb)))
     doc_bounds = doc_cum[np.concatenate((t_starts, [n_post]))]
 
-    tf_blob = varint_encode(tfs)
-    tf_nb = _varint_nbytes(tfs)
+    tf_blob, tf_nb = varint_encode_with_sizes(tfs)
     tf_cum = np.concatenate(([0], np.cumsum(tf_nb)))
     tf_bounds = tf_cum[np.concatenate((t_starts, [n_post]))]
 
@@ -217,8 +221,7 @@ def encode_sorted_postings(p_term_codes: np.ndarray, code_terms: pa.Array,
 
     if with_positions:
         pos_deltas = grouped_delta_encode(ps, tfs)
-        pos_blob = varint_encode(pos_deltas)
-        pos_nb = _varint_nbytes(pos_deltas)
+        pos_blob, pos_nb = varint_encode_with_sizes(pos_deltas)
         pos_cum = np.concatenate(([0], np.cumsum(pos_nb)))
         # positions offset of each term = token offset at its first posting
         tok_offsets = np.concatenate(([0], np.cumsum(tfs)))

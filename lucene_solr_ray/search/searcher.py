@@ -243,6 +243,20 @@ class IndexSearcher:
         self.avgdl64 = self.sum_dl / self.num_docs if self.num_docs else 1.0
         self._dl_global = None
 
+    def warm(self) -> "IndexSearcher":
+        """Eagerly load every segment's term dictionary and doc-length
+        table, in parallel (parquet reads release the GIL). The
+        SolrIndexSearcher warming discipline (solr:search/
+        SolrIndexSearcher.java warm/firstSearcher): reader open cost is
+        paid once at startup, not by the first unlucky query — essential
+        when a merged index has many term-partitioned shards."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            list(ex.map(lambda r: r._term_dict(), self.segments))
+            list(ex.map(lambda r: r.doc_lengths(), self.doc_segments))
+        return self
+
     # ---- global stats (ExactStatsCache analogue) ----
     def local_term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
         agg: dict[str, list[int]] = {t: [0, 0] for t in terms}
