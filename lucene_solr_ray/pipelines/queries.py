@@ -620,6 +620,158 @@ scored AS (
 """
 
 
+# ---------------------------------------------------------------------------
+# parsed-query family (classic QueryParser front door) + sloppy phrase
+# ---------------------------------------------------------------------------
+
+def _q_parsed(qstr, k=10, default_operator="OR"):
+    """Classic-syntax query string through search.queryparser → the tree
+    evaluator (QueryParserBase.java:60-65 semantics)."""
+    def run(sf_dir):
+        return _topk_table(_searcher(sf_dir).search_parsed(
+            qstr, k=k, default_operator=default_operator))
+    return run
+
+
+def _q_phrase_slop(t1, t2, slop, k=10):
+    def run(sf_dir):
+        return _topk_table(_searcher(sf_dir).search(
+            {"type": "phrase", "terms": [t1, t2], "slop": slop}, k=k))
+    return run
+
+
+def ft_phrase_slop_sql(t1: str, t2: str, slop: int, k: int) -> str:
+    """Sloppy-phrase twin: phraseFreq = Σ 1/(|Δpos−1|+1) over in-window
+    pairs, computed as an integer numerator over L = lcm(1..slop+1) so
+    both sides do ONE float division (bit-identical; see
+    searcher._sloppy_phrase_all)."""
+    import math
+
+    L = math.lcm(*range(1, slop + 2))
+    return f"""
+WITH {_tok_ctes()},
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM clean
+        WHERE term IN ('{t1}', '{t2}') GROUP BY term),
+pairs AS (SELECT a.doc_id, abs(b.pos - a.pos - 1) AS dist
+          FROM clean a JOIN clean b ON a.doc_id = b.doc_id
+          WHERE a.term = '{t1}' AND b.term = '{t2}'
+            AND abs(b.pos - a.pos - 1) <= {slop}),
+num AS (SELECT doc_id, sum({L} // (dist + 1)) AS numq
+        FROM pairs GROUP BY doc_id),
+idf AS (SELECT ln(1 + (s.n_docs - d1.df + 0.5) / (d1.df + 0.5))
+             + ln(1 + (s.n_docs - d2.df + 0.5) / (d2.df + 0.5)) AS v
+        FROM stats s,
+             (SELECT df FROM dfs WHERE term = '{t1}') d1,
+             (SELECT df FROM dfs WHERE term = '{t2}') d2),
+scored AS (
+  SELECT num.doc_id AS doc_id,
+         idf.v * ((CAST(numq AS DOUBLE) / {L}) * ({K1_SQL} + 1))
+           / ((CAST(numq AS DOUBLE) / {L}) + {K1_SQL} * ((1 - {B_SQL})
+              + ({B_SQL} * dl.dl)
+              / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))) AS score
+  FROM num JOIN dl USING (doc_id), idf, stats s
+)
+{_sql_topk('scored', k)}
+"""
+
+
+def _parsed_grouped_sql(k: int) -> str:
+    """Twin of 'table AND (vector OR customer)': summation parenthesized
+    exactly as the nested bool evaluates it — s_table + (s_vector +
+    s_customer)."""
+    return f"""
+WITH {_tok_ctes()},
+per AS (SELECT doc_id, term, count(*) AS tf FROM clean
+        WHERE term IN ('table', 'vector', 'customer')
+        GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM per GROUP BY term),
+cs AS (SELECT per.doc_id, per.term,
+              {_bm25_expr('per.tf', 'dl.dl', 'dfs.df')} AS sc
+       FROM per JOIN dfs USING (term) JOIN dl USING (doc_id), stats s),
+piv AS (SELECT doc_id,
+               COALESCE(max(CASE WHEN term = 'table' THEN sc END), 0) AS s_t,
+               COALESCE(max(CASE WHEN term = 'vector' THEN sc END), 0) AS s_v,
+               COALESCE(max(CASE WHEN term = 'customer' THEN sc END), 0) AS s_c,
+               max(CASE WHEN term = 'table' THEN 1 ELSE 0 END) AS p_t,
+               max(CASE WHEN term = 'vector' THEN 1 ELSE 0 END) AS p_v,
+               max(CASE WHEN term = 'customer' THEN 1 ELSE 0 END) AS p_c
+        FROM cs GROUP BY doc_id),
+scored AS (SELECT doc_id, s_t + (s_v + s_c) AS score FROM piv
+           WHERE p_t = 1 AND (p_v = 1 OR p_c = 1))
+{_sql_topk('scored', k)}
+"""
+
+
+def _parsed_phrase_prefix_sql(k: int) -> str:
+    """Twin of 'cust* OR \"fast table\"': constant-score prefix clause +
+    exact-phrase BM25, summed in clause order."""
+    return f"""
+WITH {_tok_ctes()},
+pre AS (SELECT DISTINCT doc_id FROM clean WHERE term LIKE 'cust%'),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM clean
+        WHERE term IN ('fast', 'table') GROUP BY term),
+pf AS (SELECT a.doc_id, count(*) AS pf
+       FROM clean a JOIN clean b
+         ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       WHERE a.term = 'fast' AND b.term = 'table'
+       GROUP BY a.doc_id),
+idf AS (SELECT ln(1 + (s.n_docs - d1.df + 0.5) / (d1.df + 0.5))
+             + ln(1 + (s.n_docs - d2.df + 0.5) / (d2.df + 0.5)) AS v
+        FROM stats s,
+             (SELECT df FROM dfs WHERE term = 'fast') d1,
+             (SELECT df FROM dfs WHERE term = 'table') d2),
+ph AS (SELECT pf.doc_id,
+              idf.v * (pf.pf * ({K1_SQL} + 1))
+                / (pf.pf + {K1_SQL} * ((1 - {B_SQL}) + ({B_SQL} * dl.dl)
+                   / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))) AS psc
+       FROM pf JOIN dl USING (doc_id), idf, stats s),
+cand AS (SELECT doc_id FROM pre UNION SELECT doc_id FROM ph),
+scored AS (
+  SELECT c.doc_id,
+         (CASE WHEN pre.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END)
+           + COALESCE(ph.psc, 0.0) AS score
+  FROM cand c LEFT JOIN pre USING (doc_id) LEFT JOIN ph USING (doc_id))
+{_sql_topk('scored', k)}
+"""
+
+
+def _parsed_field_sql(term: str, field: str, value: str, k: int) -> str:
+    """Twin of '{field}:{value} AND {term}': keyword clause scores a
+    constant 1.0 (the engine's StringField discipline), added before the
+    BM25 term score."""
+    return f"""
+WITH {_tok_ctes()},
+tf AS (SELECT doc_id, count(*) AS tf FROM clean WHERE term = '{term}'
+       GROUP BY doc_id),
+dfx AS (SELECT count(*) AS df FROM tf),
+scored AS (
+  SELECT tf.doc_id AS doc_id,
+         1.0 + ({_bm25_expr('tf.tf', 'dl.dl', 'dfx.df')}) AS score
+  FROM tf JOIN dl USING (doc_id) JOIN documents d USING (doc_id),
+       dfx, stats s
+  WHERE d.{field} = '{value}'
+)
+{_sql_topk('scored', k)}
+"""
+
+
+def _parsed_not_sql(term: str, not_term: str, k: int) -> str:
+    return f"""
+WITH {_tok_ctes()},
+tf AS (SELECT doc_id, count(*) AS tf FROM clean WHERE term = '{term}'
+       GROUP BY doc_id),
+dfx AS (SELECT count(*) AS df FROM tf),
+scored AS (
+  SELECT tf.doc_id AS doc_id,
+         {_bm25_expr('tf.tf', 'dl.dl', 'dfx.df')} AS score
+  FROM tf JOIN dl USING (doc_id), dfx, stats s
+  WHERE tf.doc_id NOT IN (SELECT DISTINCT doc_id FROM clean
+                          WHERE term = '{not_term}')
+)
+{_sql_topk('scored', k)}
+"""
+
+
 def build_queries() -> dict:
     from ..ops import ann as A
     from ..ops import dedup as D
@@ -681,6 +833,12 @@ def build_queries() -> dict:
         "ft_facet_lang": _q_result_facet("table", "lang"),
         "ft_terms_set": _q_terms_set(["dup", "vector", "stream"]),
         "ft_common_terms": _q_common_terms(["table", "dup"]),  # rows-only
+        "ft_parsed_bool": _q_parsed("+table +customer vector"),
+        "ft_parsed_grouped": _q_parsed("table AND (vector OR customer)"),
+        "ft_parsed_phrase_prefix": _q_parsed('cust* OR "fast table"'),
+        "ft_parsed_field": _q_parsed("lang:en AND table"),
+        "ft_parsed_not": _q_parsed("table -dup"),
+        "ft_phrase_slop": _q_phrase_slop("fast", "table", 2),
     }
 
 
@@ -742,6 +900,13 @@ def build_oracle_sql() -> dict:
         "ft_facet_lang": _result_facet_sql("table", "lang"),
         "ft_terms_set": _multiterm_sql(
             "term IN ('dup', 'vector', 'stream')", 10),
+        "ft_parsed_bool": ft_bool_sql(["table", "customer"], ["vector"],
+                                      [], 0, 10),
+        "ft_parsed_grouped": _parsed_grouped_sql(10),
+        "ft_parsed_phrase_prefix": _parsed_phrase_prefix_sql(10),
+        "ft_parsed_field": _parsed_field_sql("table", "lang", "en", 10),
+        "ft_parsed_not": _parsed_not_sql("table", "dup", 10),
+        "ft_phrase_slop": ft_phrase_slop_sql("fast", "table", 2, 10),
     }
 
 

@@ -1,0 +1,249 @@
+"""Classic Lucene query parser → engine query trees.
+
+Implements the user-facing syntax of the reference's classic QueryParser
+(lucene/queryparser/src/java/org/apache/lucene/queryparser/classic/
+QueryParserBase.java:60-65 — default operator, field syntax; QueryParser.jj
+grammar) over this engine's structured query model:
+
+    clause   := [ '+' | '-' | NOT ] [ field ':' ] atom [ '~' n ] [ '^' boost ]
+    atom     := term | "phrase" | wildcard | [lo TO hi] | {lo TO hi} | ( query )
+    query    := clause ( (AND | OR | '&&' | '||')? clause )*
+
+Supported, matching the reference's semantics:
+- default operator OR (configurable to AND), with Lucene's quirky
+  left-to-right conjunction marking: ``a AND b OR c`` requires a and b,
+  c optional (QueryParserBase.addClause: the operator affects the
+  PREVIOUS and current clause).
+- '+' = MUST, '-'/NOT = MUST_NOT (modifiers beat operators, as in the
+  reference).
+- "a b" phrase, "a b"~n sloppy phrase.
+- trailing-* prefix, '*'/'?' wildcards, term~n fuzzy (default 2, the
+  FuzzyQuery default), [lo TO hi] inclusive / {lo TO hi} exclusive range.
+- ^boost multiplies the clause score (BoostQuery).
+- field:value — on a KEYWORD field this engine scores it as a
+  constant-score term (the StringField/filter discipline; documented
+  deviation: the reference would BM25-score the field's own statistics).
+
+Documented deviations (this engine's analysis chain is ASCII [a-z0-9]+):
+- an unquoted term that analyzes to multiple tokens is treated as a
+  phrase (the reference builds a multi-token graph query);
+- range endpoints compare lexicographically on the analyzed form.
+
+The output is a tree of plain dicts understood by
+``IndexSearcher.search_tree`` / ``search({"type": "parsed", ...})``:
+    {"type": "term", "term": t}
+    {"type": "phrase", "terms": [...], "slop": n}
+    {"type": "prefix"/"wildcard"/"range"/"fuzzy", "param": ...}
+    {"type": "field_term", "field": f, "value": v}
+    {"type": "boost", "query": node, "boost": b}
+    {"type": "bool", "clauses": [(occur, node), ...]}  occur ∈ MUST/SHOULD/MUST_NOT
+"""
+
+from __future__ import annotations
+
+import re
+
+MUST, SHOULD, MUST_NOT = "MUST", "SHOULD", "MUST_NOT"
+
+_TOKEN_RE = re.compile(r"""
+    (?P<space>\s+)
+  | (?P<lparen>\() | (?P<rparen>\))
+  | (?P<and>AND\b|&&) | (?P<or>OR\b|\|\|) | (?P<not>NOT\b)
+  | (?P<plus>\+) | (?P<minus>-)
+  | (?P<phrase>"(?P<phrase_body>[^"]*)"(~(?P<phrase_slop>\d+))?)
+  | (?P<range>[\[{]\s*(?P<lo>[^\s\]}]+)\s+TO\s+(?P<hi>[^\s\]}]+)\s*[\]}])
+  | (?P<word>[^\s()+\-"^~]+)(~(?P<fuzz>\d*))?(\^(?P<boost>\d+(\.\d+)?))?
+""", re.VERBOSE)
+
+
+class QueryParseError(ValueError):
+    pass
+
+
+def _lex(s: str) -> list[dict]:
+    out, i = [], 0
+    while i < len(s):
+        m = _TOKEN_RE.match(s, i)
+        if not m:
+            raise QueryParseError(f"cannot lex query at {s[i:]!r}")
+        i = m.end()
+        kind = m.lastgroup if m.lastgroup in (
+            "space", "lparen", "rparen", "and", "or", "not",
+            "plus", "minus") else None
+        if m.group("space"):
+            continue
+        if m.group("phrase") is not None:
+            out.append({"k": "phrase", "body": m.group("phrase_body"),
+                        "slop": int(m.group("phrase_slop") or 0)})
+        elif m.group("range") is not None:
+            tok = m.group("range")
+            out.append({"k": "range", "lo": m.group("lo"),
+                        "hi": m.group("hi"),
+                        "incl": tok[0] == "[" and tok[-1] == "]"})
+        elif m.group("word") is not None:
+            out.append({"k": "word", "w": m.group("word"),
+                        "fuzz": m.group("fuzz"),
+                        "boost": m.group("boost")})
+        elif kind in ("lparen", "rparen", "and", "or", "not",
+                      "plus", "minus"):
+            out.append({"k": kind})
+        else:  # pragma: no cover
+            raise QueryParseError(f"unhandled token {m.group(0)!r}")
+    return out
+
+
+def _analyze_word(word: str) -> list[str]:
+    from ..analysis.analyzer import token_terms
+
+    return token_terms(word)
+
+
+def _word_atom(tok: dict, field: str | None) -> dict:
+    w = tok["w"]
+    if tok["fuzz"] is not None:
+        base = _analyze_word(w)
+        if len(base) != 1:
+            raise QueryParseError(f"fuzzy needs a single term: {w!r}")
+        max_e = int(tok["fuzz"]) if tok["fuzz"] != "" else 2
+        return {"type": "fuzzy", "param": base[0],
+                "max_edits": min(max_e, 2)}
+    if "*" in w or "?" in w:
+        lw = w.lower()
+        if lw.endswith("*") and "*" not in lw[:-1] and "?" not in lw:
+            return {"type": "prefix", "param": lw[:-1]}
+        return {"type": "wildcard", "param": lw}
+    terms = _analyze_word(w)
+    if field is not None:
+        return {"type": "field_term", "field": field, "value": w}
+    if not terms:
+        return {"type": "match_none"}
+    if len(terms) == 1:
+        return {"type": "term", "term": terms[0]}
+    return {"type": "phrase", "terms": terms, "slop": 0}
+
+
+def _finish_clause(node: dict, boost: str | None) -> dict:
+    if boost is not None:
+        return {"type": "boost", "query": node, "boost": float(boost)}
+    return node
+
+
+class _Parser:
+    def __init__(self, tokens: list[dict], default_operator: str):
+        self.toks = tokens
+        self.i = 0
+        self.default_occur = MUST if default_operator == "AND" else SHOULD
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self):
+        t = self.peek()
+        if t is None:
+            raise QueryParseError("unexpected end of query")
+        self.i += 1
+        return t
+
+    def parse_query(self) -> dict:
+        """The reference's addClause loop: conjunction operators retroact
+        on the previous clause (QueryParserBase.java:60-65 operators
+        doc)."""
+        clauses: list[list] = []   # [occur, node, explicit_modifier]
+        pending_conj = None        # None | "and" | "or"
+        while True:
+            t = self.peek()
+            if t is None or t["k"] == "rparen":
+                break
+            if t["k"] in ("and", "or"):
+                self.next()
+                pending_conj = t["k"]
+                continue
+            occur, node, explicit = self.parse_clause()
+            if pending_conj == "and":
+                if clauses and not clauses[-1][2]:
+                    clauses[-1][0] = MUST if clauses[-1][0] != MUST_NOT \
+                        else MUST_NOT
+                if not explicit:
+                    occur = MUST
+            elif pending_conj == "or":
+                if clauses and not clauses[-1][2] \
+                        and clauses[-1][0] == MUST:
+                    clauses[-1][0] = SHOULD
+                if not explicit and occur == MUST_NOT:
+                    pass
+                elif not explicit:
+                    occur = SHOULD
+            # a clause whose analysis produced nothing (e.g. a stopword)
+            # is DROPPED, as QueryParserBase does with null queries
+            inner = node
+            while inner.get("type") == "boost":
+                inner = inner["query"]
+            if inner.get("type") != "match_none":
+                clauses.append([occur, node,
+                                explicit or pending_conj is not None])
+            pending_conj = None
+        if not clauses:
+            return {"type": "match_none"}
+        if len(clauses) == 1 and clauses[0][0] == SHOULD:
+            return clauses[0][1]
+        return {"type": "bool",
+                "clauses": [(occ, node) for occ, node, _ in clauses]}
+
+    def parse_clause(self):
+        """Returns (occur, node, had_explicit_modifier)."""
+        occur = self.default_occur
+        explicit = False
+        t = self.peek()
+        if t["k"] == "plus":
+            self.next()
+            occur, explicit = MUST, True
+        elif t["k"] in ("minus", "not"):
+            self.next()
+            occur, explicit = MUST_NOT, True
+        t = self.next()
+        field = None
+        if t["k"] == "word" and ":" in t["w"] and t["boost"] is None \
+                and t["fuzz"] is None and "*" not in t["w"]:
+            f, rest = t["w"].split(":", 1)
+            if rest == "":
+                nxt = self.next()
+                field, t = f, nxt
+            else:
+                field = f
+                t = dict(t, w=rest)
+        if t["k"] == "lparen":
+            node = self.parse_query()
+            if self.peek() is None or self.next()["k"] != "rparen":
+                raise QueryParseError("unbalanced parenthesis")
+            boost = None
+        elif t["k"] == "phrase":
+            terms = _analyze_word(t["body"])
+            if not terms:
+                node = {"type": "match_none"}
+            elif len(terms) == 1:
+                node = {"type": "term", "term": terms[0]}
+            else:
+                node = {"type": "phrase", "terms": terms,
+                        "slop": t["slop"]}
+            boost = None
+        elif t["k"] == "range":
+            lo = t["lo"].lower()
+            hi = t["hi"].lower()
+            # engine ranges are [lo, hi): inclusive hi extends by a
+            # max-codepoint sentinel, exclusive lo steps past the term
+            if t["incl"]:
+                node = {"type": "range", "param": (lo, hi + "\x00")}
+            else:
+                node = {"type": "range", "param": (lo + "\x00", hi)}
+            boost = None
+        elif t["k"] == "word":
+            node = _word_atom(t, field)
+            boost = t["boost"]
+        else:
+            raise QueryParseError(f"unexpected token {t!r}")
+        return occur, _finish_clause(node, boost), explicit
+
+
+def parse_query(s: str, *, default_operator: str = "OR") -> dict:
+    """Parse a classic-syntax query string into an engine query tree."""
+    return _Parser(_lex(s), default_operator).parse_query()

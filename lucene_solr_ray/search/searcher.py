@@ -458,27 +458,52 @@ class IndexSearcher:
         d, s = topk_merge(cand, scores, k)
         return self._finalize([d], [s], k)
 
-    def search_phrase(self, terms: list[str], k: int = 10) -> pa.Table:
-        stats = self.term_stats(terms)
-        if any(stats.get(t, (0, 0))[0] == 0 for t in terms):
+    def search_phrase(self, terms: list[str], k: int = 10,
+                      slop: int = 0) -> pa.Table:
+        if slop > 0:
+            cand, pf, norms_c, idf = self._sloppy_phrase_all(terms, slop)
+            if len(cand) == 0:
+                return self._finalize([], [], k)
+            scores = self._score(cand, pf, norms_c, 0,
+                                 tf_override=pf, idf_override=float(idf))
+            d, s = topk_merge(cand, scores, k)
+            return self._finalize([d], [s], k)
+        cand, pf, norms_c, idf = self._exact_phrase_all(terms)
+        if len(cand) == 0:
             return self._finalize([], [], k)
+        scores = self._score(cand, pf, norms_c, 0,
+                             tf_override=pf, idf_override=float(idf))
+        d, s = topk_merge(cand, scores, k)
+        return self._finalize([d], [s], k)
+
+    def _phrase_idf(self, terms: list[str], stats) -> float:
+        """Sum of per-term idfs (BM25Similarity.idfExplain for phrases)."""
         if self.mode == "lucene32":
             idf = np.float32(0.0)
             for t in terms:
                 idf = np.float32(idf + self.sim.idf(stats[t][0]))
-        else:
-            idf = sum(idf_exact64(stats[t][0], self.num_docs) for t in terms)
+            return idf
+        return sum(idf_exact64(stats[t][0], self.num_docs) for t in terms)
+
+    def _exact_phrase_all(self, terms: list[str]):
+        """All docs matching the exact phrase: (cand, phrase_freq, norms,
+        idf). Empty cand when any term is absent."""
+        empty = (np.empty(0, dtype=np.int64),) * 3 + (0.0,)
+        stats = self.term_stats(terms)
+        if any(stats.get(t, (0, 0))[0] == 0 for t in terms):
+            return empty
+        idf = self._phrase_idf(terms, stats)
         posting = {}
         for t in terms:
             p = self._decode_term_global(t, positions=True)
             if p is None:
-                return self._finalize([], [], k)
+                return empty
             posting[t] = p
         cand = posting[terms[0]][0]
         for t in terms[1:]:
             cand = np.intersect1d(cand, posting[t][0], assume_unique=True)
         if len(cand) == 0:
-            return self._finalize([], [], k)
+            return empty
         # vectorized phrase verification: pack (candidate-doc-rank, position
         # − term-offset) into one key per token and intersect across terms;
         # surviving keys are phrase start positions (ExactPhraseScorer's
@@ -498,7 +523,7 @@ class IndexSearcher:
             if len(keys) == 0:
                 break
         if keys is None or len(keys) == 0:
-            return self._finalize([], [], k)
+            return empty
         pf_all = np.bincount((keys // SHIFT).astype(np.int64),
                              minlength=len(cand))
         docs0 = posting[terms[0]][0]
@@ -507,11 +532,69 @@ class IndexSearcher:
         hit = pf_all > 0
         cand, pf, norms_c = cand[hit], pf_all[hit], norms_all[hit]
         if len(cand) == 0:
-            return self._finalize([], [], k)
-        scores = self._score(cand, pf, norms_c, 0,
-                             tf_override=pf, idf_override=float(idf))
-        d, s = topk_merge(cand, scores, k)
-        return self._finalize([d], [s], k)
+            return empty
+        return cand, pf, norms_c, idf
+
+    # ---- sloppy phrase (SloppyPhraseScorer.java:32-61 semantics over
+    # 2-term phrases; sloppyFreq = 1/(distance+1), BM25Similarity.java:
+    # 72-74). DOCUMENTED DEVIATION from the reference's queue-based match
+    # enumeration: phraseFreq sums 1/(|Δpos−1|+1) over ALL position pairs
+    # within the slop window (both orders, as the reference's slop≥2
+    # reordering allows), which the DuckDB twin reproduces exactly: the
+    # weight sum is computed as an INTEGER numerator over a common
+    # denominator L = lcm(1..slop+1), so engine and SQL agree
+    # bit-for-bit after one shared float division. ----
+    def _sloppy_phrase_all(self, terms: list[str], slop: int):
+        import math
+
+        if len(terms) != 2:
+            raise ValueError("sloppy phrase supports 2 terms")
+        t1, t2 = terms
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64),
+                 np.empty(0, dtype=np.int64), 0.0)
+        stats = self.term_stats(terms)
+        if any(stats.get(t, (0, 0))[0] == 0 for t in terms):
+            return empty
+        idf = self._phrase_idf(terms, stats)
+        p1 = self._decode_term_global(t1, positions=True)
+        p2 = self._decode_term_global(t2, positions=True)
+        if p1 is None or p2 is None:
+            return empty
+        cand = np.intersect1d(p1[0], p2[0], assume_unique=True)
+        if len(cand) == 0:
+            return empty
+        SHIFT = np.int64(1) << np.int64(24)
+
+        def packed(p):
+            docs, tfs, _, pos = p
+            doc_rep = np.repeat(docs, tfs)
+            r = np.searchsorted(cand, doc_rep)
+            rc = np.clip(r, 0, len(cand) - 1)
+            m = cand[rc] == doc_rep
+            return rc[m] * SHIFT + pos[m]
+
+        ka = packed(p1)
+        kb = np.sort(packed(p2))
+        L = math.lcm(*range(1, slop + 2))
+        num = np.zeros(len(cand), dtype=np.int64)
+        # Δ = pos2 − pos1 ∈ [1−slop, 1+slop]; distance = |Δ − 1|.
+        # positions are < 2^22 ≪ 2^24, so ka+Δ cannot alias another doc
+        for delta in range(1 - slop, 1 + slop + 1):
+            if delta == 0:
+                continue  # distinct terms can't share a position
+            idx = np.searchsorted(kb, ka + delta)
+            idx_c = np.clip(idx, 0, len(kb) - 1)
+            found = kb[idx_c] == ka + delta
+            w = L // (abs(delta - 1) + 1)
+            np.add.at(num, (ka[found] // SHIFT).astype(np.int64), w)
+        hit = num > 0
+        cand = cand[hit]
+        if len(cand) == 0:
+            return empty
+        pf = num[hit].astype(np.float64) / np.float64(L)
+        docs0, _, norms0, _ = p1
+        norms_c = norms0[np.searchsorted(docs0, cand)]
+        return cand, pf, norms_c, idf
 
     # ---- multi-term queries (automaton-family, §2.9) ----
     def expand_terms(self, kind: str, param, max_edits: int = 1) -> list[str]:
@@ -719,6 +802,104 @@ class IndexSearcher:
             "weight": pa.array([w for _, w in top], type=pa.int64()),
         })
 
+    # ---- query-tree evaluation (the BooleanQuery-of-anything path the
+    # classic query parser produces; core:search/BooleanWeight.java
+    # clause combination, scores accumulated in double) ----
+    def eval_node(self, node: dict):
+        """Evaluate a parsed query node to (sorted doc_ids, scores) over
+        ALL matching docs (no top-k cut — callers compose then cut)."""
+        nt = node["type"]
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        if nt == "match_none":
+            return empty
+        if nt == "term":
+            p = self._decode_term_global(node["term"])
+            if p is None:
+                return empty
+            docs, tfs, norms = p
+            df_g = self.term_stats([node["term"]]).get(
+                node["term"], (0, 0))[0]
+            return docs, self._score(docs, tfs, norms,
+                                     df_g).astype(np.float64)
+        if nt == "phrase":
+            slop = node.get("slop", 0)
+            if slop > 0:
+                cand, pf, norms_c, idf = self._sloppy_phrase_all(
+                    node["terms"], slop)
+            else:
+                cand, pf, norms_c, idf = self._exact_phrase_all(
+                    node["terms"])
+            if len(cand) == 0:
+                return empty
+            return cand, self._score(cand, pf, norms_c, 0, tf_override=pf,
+                                     idf_override=float(idf)) \
+                .astype(np.float64)
+        if nt in ("prefix", "wildcard", "regexp", "range", "fuzzy"):
+            terms = self.expand_terms(nt, node["param"],
+                                      max_edits=node.get("max_edits", 2))
+            arrays = [p[0] for p in (self._decode_term_global(t)
+                                     for t in terms) if p is not None]
+            if not arrays:
+                return empty
+            docs = np.unique(np.concatenate(arrays))
+            return docs, np.full(len(docs), 1.0)  # CONSTANT_SCORE_REWRITE
+        if nt == "field_term":
+            docs = self.filter_docs(node["field"], node["value"])
+            # keyword fields score as a constant (StringField/filter
+            # discipline — documented deviation from reference BM25 on
+            # the field's own statistics)
+            return docs, np.full(len(docs), 1.0)
+        if nt == "boost":
+            docs, scores = self.eval_node(node["query"])
+            return docs, scores * float(node["boost"])
+        if nt == "bool":
+            return self._eval_bool(node["clauses"])
+        raise ValueError(f"unknown node type {nt}")
+
+    def _eval_bool(self, clauses):
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        must = [self.eval_node(n) for occ, n in clauses if occ == "MUST"]
+        should = [self.eval_node(n) for occ, n in clauses
+                  if occ == "SHOULD"]
+        must_not = [self.eval_node(n) for occ, n in clauses
+                    if occ == "MUST_NOT"]
+        if must:
+            cand = must[0][0]
+            for d, _ in must[1:]:
+                cand = np.intersect1d(cand, d, assume_unique=True)
+        elif should:
+            cand = np.unique(np.concatenate([d for d, _ in should])) \
+                if any(len(d) for d, _ in should) else empty[0]
+        else:
+            return empty  # pure-negative boolean matches nothing
+        for d, _ in must_not:
+            cand = cand[~np.isin(cand, d, assume_unique=True)]
+        if len(cand) == 0:
+            return empty
+        acc = np.zeros(len(cand), dtype=np.float64)
+        for d, s in must + should:
+            pos = np.clip(np.searchsorted(d, cand), 0, max(len(d) - 1, 0))
+            present = d[pos] == cand if len(d) else np.zeros(len(cand),
+                                                             dtype=bool)
+            acc[present] += s[pos[present]]
+        return cand, acc
+
+    def search_tree(self, node: dict, k: int = 10) -> pa.Table:
+        docs, scores = self.eval_node(node)
+        if self.mode == "lucene32":
+            scores = scores.astype(np.float32)
+        d, s = topk_merge(docs, scores, k)
+        return self._finalize([d], [s], k)
+
+    def search_parsed(self, query_string: str, k: int = 10,
+                      default_operator: str = "OR") -> pa.Table:
+        """Classic-syntax query string → parse → evaluate (the
+        QueryParser front door of the reference)."""
+        from .queryparser import parse_query
+
+        return self.search_tree(
+            parse_query(query_string, default_operator=default_operator), k)
+
     def search(self, query: dict, k: int = 10) -> pa.Table:
         qt = query["type"]
         if qt == "term":
@@ -730,7 +911,14 @@ class IndexSearcher:
                 min_should_match=query.get("min_should_match", 0),
                 filters=query.get("filters", []), k=k)
         if qt == "phrase":
-            return self.search_phrase(query["terms"], k)
+            return self.search_phrase(query["terms"], k,
+                                      slop=query.get("slop", 0))
+        if qt == "parsed":
+            return self.search_parsed(
+                query["q"], k,
+                default_operator=query.get("default_operator", "OR"))
+        if qt == "tree":
+            return self.search_tree(query["node"], k)
         if qt in ("prefix", "wildcard", "regexp", "range", "fuzzy"):
             terms = self.expand_terms(qt, query["param"],
                                       max_edits=query.get("max_edits", 1))

@@ -1,0 +1,198 @@
+"""Classic query parser: golden parse trees + evaluator invariances.
+
+Reference semantics: lucene/queryparser/.../classic/QueryParserBase.java
+(default operator, +/- modifiers, AND/OR retroaction, field syntax,
+phrases, wildcards, fuzzy, ranges, boosts).
+"""
+
+import numpy as np
+import pytest
+
+from lucene_solr_ray.search.queryparser import (
+    MUST,
+    MUST_NOT,
+    SHOULD,
+    QueryParseError,
+    parse_query,
+)
+
+
+def clauses(tree):
+    assert tree["type"] == "bool"
+    return tree["clauses"]
+
+
+def test_default_or_two_terms():
+    t = parse_query("fast table")
+    assert clauses(t) == [
+        (SHOULD, {"type": "term", "term": "fast"}),
+        (SHOULD, {"type": "term", "term": "table"}),
+    ]
+
+
+def test_default_operator_and():
+    t = parse_query("fast table", default_operator="AND")
+    assert [occ for occ, _ in clauses(t)] == [MUST, MUST]
+
+
+def test_modifiers_beat_operators():
+    t = parse_query("+table +customer vector")
+    assert [occ for occ, _ in clauses(t)] == [MUST, MUST, SHOULD]
+
+
+def test_and_retroacts_on_previous_clause():
+    # "a AND b OR c" → +a +b c (QueryParserBase addClause behavior)
+    t = parse_query("x AND y OR z")
+    assert [(occ, n["term"]) for occ, n in clauses(t)] == [
+        (MUST, "x"), (MUST, "y"), (SHOULD, "z")]
+
+
+def test_not_and_minus():
+    for q in ("table -dup", "table NOT dup"):
+        t = parse_query(q)
+        assert [occ for occ, _ in clauses(t)] == [SHOULD, MUST_NOT]
+
+
+def test_grouping():
+    t = parse_query("table AND (vector OR customer)")
+    occs = [occ for occ, _ in clauses(t)]
+    assert occs == [MUST, MUST]
+    inner = clauses(t)[1][1]
+    assert inner["type"] == "bool"
+    assert [occ for occ, _ in inner["clauses"]] == [SHOULD, SHOULD]
+
+
+def test_phrase_and_slop():
+    assert parse_query('"fast table"') == {
+        "type": "phrase", "terms": ["fast", "table"], "slop": 0}
+    assert parse_query('"fast table"~2')["slop"] == 2
+
+
+def test_single_term_unwraps():
+    assert parse_query("table") == {"type": "term", "term": "table"}
+
+
+def test_multiterm_atoms():
+    assert parse_query("cust*") == {"type": "prefix", "param": "cust"}
+    assert parse_query("s*m") == {"type": "wildcard", "param": "s*m"}
+    assert parse_query("tble~1") == {
+        "type": "fuzzy", "param": "tble", "max_edits": 1}
+    assert parse_query("tble~")["max_edits"] == 2  # FuzzyQuery default
+    assert parse_query("[batch TO customer]") == {
+        "type": "range", "param": ("batch", "customer\x00")}
+    assert parse_query("{batch TO customer}") == {
+        "type": "range", "param": ("batch\x00", "customer")}
+
+
+def test_field_syntax():
+    t = parse_query("lang:en AND table")
+    assert clauses(t)[0] == (
+        MUST, {"type": "field_term", "field": "lang", "value": "en"})
+
+
+def test_boost():
+    t = parse_query("table^2 customer")
+    b = clauses(t)[0][1]
+    assert b["type"] == "boost" and b["boost"] == 2.0
+    assert b["query"] == {"type": "term", "term": "table"}
+
+
+def test_stopword_clause_dropped():
+    # 'a' analyzes to nothing (stopword): clause disappears entirely
+    t = parse_query("a AND table OR vector")
+    assert all(n["type"] == "term" for _, n in clauses(t))
+
+
+def test_unbalanced_paren_raises():
+    with pytest.raises(QueryParseError):
+        parse_query("(table OR vector")
+
+
+def test_analysis_lowercases():
+    assert parse_query("TaBLe") == {"type": "term", "term": "table"}
+
+
+# ---- evaluator invariances over a real index ----
+
+@pytest.fixture(scope="module")
+def searcher(ray_session):
+    from lucene_solr_ray.pipelines.queries import _searcher
+
+    return _searcher("/root/testdata/sf0.001")
+
+
+def test_parsed_bool_equals_structured(searcher):
+    a = searcher.search_parsed("+table +customer vector", k=10)
+    b = searcher.search({"type": "bool", "must": ["table", "customer"],
+                         "should": ["vector"]}, k=10)
+    assert a.equals(b)
+
+
+def test_parsed_term_equals_term_query(searcher):
+    a = searcher.search_parsed("table", k=10)
+    b = searcher.search({"type": "term", "term": "table"}, k=10)
+    assert a.equals(b)
+
+
+def test_parsed_phrase_equals_phrase_query(searcher):
+    a = searcher.search_parsed('"fast table"', k=10)
+    b = searcher.search({"type": "phrase", "terms": ["fast", "table"]},
+                        k=10)
+    assert a.equals(b)
+
+
+def test_sloppy_slop0_equals_exact_phrase_matches(searcher):
+    # slop=0 sloppy semantics: only distance-0 pairs, weight 1 → the
+    # matching DOC SET equals the exact phrase's (scores equal too:
+    # pf identical)
+    a = searcher.search({"type": "phrase", "terms": ["fast", "table"],
+                         "slop": 0}, k=1000)
+    b = searcher.search_tree({"type": "phrase",
+                              "terms": ["fast", "table"], "slop": 0},
+                             k=1000)
+    assert a.equals(b)
+
+
+def test_sloppy_monotone_in_slop(searcher):
+    prev = set()
+    for slop in (1, 2, 3):
+        t = searcher.search({"type": "phrase", "terms": ["fast", "table"],
+                             "slop": slop}, k=10_000)
+        cur = set(t["doc_id"].to_pylist())
+        assert prev <= cur
+        prev = cur
+
+
+def test_sloppy_brute_force_small(searcher):
+    import math
+
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.analysis.analyzer import tokenize
+
+    slop = 2
+    L = math.lcm(1, 2, 3)
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    exp = {}
+    for did, text in zip(docs["doc_id"].to_pylist(),
+                         docs["text"].to_pylist()):
+        toks = tokenize(text)
+        p1 = [p for t, p, _, _ in toks if t == "fast"]
+        p2 = [p for t, p, _, _ in toks if t == "table"]
+        num = sum(L // (abs(b - a - 1) + 1) for a in p1 for b in p2
+                  if abs(b - a - 1) <= slop)
+        if num:
+            exp[did] = num
+    t = searcher.search({"type": "phrase", "terms": ["fast", "table"],
+                         "slop": slop}, k=100_000)
+    assert set(t["doc_id"].to_pylist()) == set(exp)
+
+
+def test_boost_scales_scores(searcher):
+    base = searcher.search_parsed("table", k=5)
+    boosted = searcher.search_parsed("table^2", k=5)
+    assert boosted["doc_id"].to_pylist() == base["doc_id"].to_pylist()
+    bs = np.asarray(base["score"], dtype=np.float64)
+    xs = np.asarray(boosted["score"], dtype=np.float64)
+    assert np.allclose(xs, 2.0 * bs)
