@@ -1,0 +1,172 @@
+"""Deletes and updates — the liveDocs / updateDocument discipline.
+
+Reference: core:index/IndexWriter.java:1456 (updateDocument =
+delete-by-term + add), codecs/lucene50/Lucene50LiveDocsFormat.java:49
+(generational delete bitsets applied at read time), SegmentMerger dropping
+deleted docs at merge.
+
+Realization here: a delete commit writes a sorted
+``deletes-<hash>.parquet`` (columns ``doc_id:int64, del_gen:int64``) at
+the index root and commits a new manifest generation carrying
+``deletes_file`` + the deleted doc/length totals; segments are UNTOUCHED
+(immutable, like Lucene's generational .liv files). A delete applies to a
+segment iff the segment existed when the delete was committed
+(``segment.added_gen <= del_gen`` — the sequence-number discipline of
+IndexWriter's docid streams), which is what lets updateDocument re-add a
+doc under the SAME content-derived id: the re-added segment is newer than
+the delete. The searcher filters deleted docs out of every decoded
+postings list and recomputes term statistics over survivors, so queries
+against a deleted-but-unmerged index score bit-identically to a fresh
+build of the survivors (tested). ``merge_segments`` purges deleted
+postings physically and clears the delete state.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .manifest import commit_manifest, load_manifest
+
+DELETES_PREFIX = "deletes-"
+
+
+def load_deletes(index_dir: str, manifest: dict | None = None):
+    """(sorted doc_ids, del_gens) arrays, or None when no deletes exist."""
+    man = manifest or load_manifest(index_dir)
+    name = man.get("deletes_file")
+    if not name:
+        return None
+    t = pq.read_table(os.path.join(index_dir, name),
+                      columns=["doc_id", "del_gen"])
+    return (np.asarray(t["doc_id"], dtype=np.int64),
+            np.asarray(t["del_gen"], dtype=np.int64))
+
+
+def delete_docs(index_dir: str, doc_ids) -> dict:
+    """Delete documents by id: union with any existing delete set (keeping
+    the EARLIEST delete generation per id), write the new deletes file,
+    commit a manifest generation carrying the effective collection-stat
+    adjustments."""
+    man = load_manifest(index_dir)
+    gen = man["generation"] + 1  # the generation this delete commits as
+    new_ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+
+    ids, dls = _global_dl(index_dir, man)
+    pos = np.searchsorted(ids, new_ids)
+    pos_c = np.clip(pos, 0, max(len(ids) - 1, 0))
+    present = ids[pos_c] == new_ids if len(ids) else \
+        np.zeros(len(new_ids), dtype=bool)
+    new_ids = new_ids[present]          # ignore ids not in the index
+    new_gens = np.full(len(new_ids), gen, dtype=np.int64)
+
+    prev = load_deletes(index_dir, man)
+    if prev is not None:
+        all_ids = np.concatenate([prev[0], new_ids])
+        all_gens = np.concatenate([prev[1], new_gens])
+        order = np.lexsort((all_gens, all_ids))
+        all_ids, all_gens = all_ids[order], all_gens[order]
+        first = np.concatenate(([True], all_ids[1:] != all_ids[:-1]))
+        all_ids, all_gens = all_ids[first], all_gens[first]  # earliest gen
+    else:
+        all_ids, all_gens = new_ids, new_gens
+
+    n_inst, del_sum_dl = _applied_stats(index_dir, man, all_ids, all_gens)
+
+    name = DELETES_PREFIX + hashlib.sha256(
+        all_ids.tobytes() + all_gens.tobytes()).hexdigest()[:16] + ".parquet"
+    pq.write_table(
+        pa.table({"doc_id": pa.array(all_ids, type=pa.int64()),
+                  "del_gen": pa.array(all_gens, type=pa.int64())}),
+        os.path.join(index_dir, name))
+    return commit_manifest(
+        index_dir, man["segments"],
+        extra={"deletes_file": name,
+               "deleted_docs": n_inst,
+               "deleted_sum_dl": del_sum_dl})
+
+
+def _applied_stats(index_dir: str, man: dict, all_ids: np.ndarray,
+                   all_gens: np.ndarray) -> tuple[int, int]:
+    """(deleted doc instances, their summed dl) counted PER SEGMENT the
+    delete applies to — exact even when a doc id exists in several
+    segments (the update-then-delete case)."""
+    from .segment import DOCS_FILE
+
+    root = os.path.join(index_dir, "segments")
+    n = 0
+    sdl = 0
+    for seg in man["segments"]:
+        p = os.path.join(root, seg["segment"], DOCS_FILE)
+        if not os.path.exists(p):
+            continue
+        appl = all_ids[all_gens >= seg.get("added_gen", 1)]
+        if not len(appl):
+            continue
+        t = pq.read_table(p, columns=["doc_id", "dl"])
+        ids_s = np.asarray(t["doc_id"], dtype=np.int64)
+        mask = np.isin(ids_s, appl, assume_unique=True)
+        n += int(mask.sum())
+        sdl += int(np.asarray(t["dl"], dtype=np.int64)[mask].sum())
+    return n, sdl
+
+
+def delete_by_term(index_dir: str, field: str, value: str) -> dict:
+    """Delete every doc whose keyword field equals ``value`` (the
+    delete-by-term form of IndexWriter.deleteDocuments)."""
+    from ..search.searcher import IndexSearcher
+
+    s = IndexSearcher(index_dir)
+    docs = s.filter_docs(field, value)
+    return delete_docs(index_dir, docs)
+
+
+def update_documents(table: pa.Table, index_dir: str, *,
+                     id_col: str = "doc_id", **build_kwargs) -> dict:
+    """updateDocument: delete any existing docs with the incoming ids,
+    then append the new docs as fresh segments (IndexWriter.java:1456 —
+    delete-then-add per unique key; the new segment's added_gen is newer
+    than the delete's del_gen, so the re-added doc survives)."""
+    from .build import append_documents
+
+    ids = np.asarray(table[id_col], dtype=np.int64)
+    man = load_manifest(index_dir)
+    exist, _ = _global_dl(index_dir, man)
+    hit = ids[np.isin(ids, exist)]
+    if len(hit):
+        man = delete_docs(index_dir, hit)
+    man2 = append_documents(table, index_dir, **build_kwargs)
+    # append_documents' commit drops the delete extras — re-carry them
+    if man.get("deletes_file"):
+        return commit_manifest(
+            index_dir, man2["segments"],
+            extra={"deletes_file": man["deletes_file"],
+                   "deleted_docs": man["deleted_docs"],
+                   "deleted_sum_dl": man["deleted_sum_dl"],
+                   "appended_segments": man2.get("appended_segments", 0)})
+    return man2
+
+
+def _global_dl(index_dir: str, man: dict):
+    """(sorted doc_ids, dls) across all doc segments of a manifest."""
+    from .segment import DOCS_FILE
+
+    root = os.path.join(index_dir, "segments")
+    ids_l, dls_l = [], []
+    for seg in man["segments"]:
+        p = os.path.join(root, seg["segment"], DOCS_FILE)
+        if not os.path.exists(p):
+            continue
+        t = pq.read_table(p, columns=["doc_id", "dl"])
+        ids_l.append(np.asarray(t["doc_id"], dtype=np.int64))
+        dls_l.append(np.asarray(t["dl"], dtype=np.int64))
+    if not ids_l:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    ids = np.concatenate(ids_l)
+    dls = np.concatenate(dls_l)
+    o = np.argsort(ids)
+    return ids[o], dls[o]

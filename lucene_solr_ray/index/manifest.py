@@ -32,6 +32,10 @@ def commit_manifest(index_dir: str, segments: list[dict], extra: dict | None = N
     os.makedirs(index_dir, exist_ok=True)
     gens = list_generations(index_dir)
     gen = (gens[-1] + 1) if gens else 1
+    # stamp NEW segments with the generation that first committed them
+    # (the sequence-number scope generational deletes check against)
+    segments = [s if "added_gen" in s else {**s, "added_gen": gen}
+                for s in segments]
     manifest = {
         "generation": gen,
         "num_docs": sum(s["num_docs"] for s in segments),

@@ -54,7 +54,7 @@ from .encode import (
     varint_decode,
 )
 from .manifest import commit_manifest, load_manifest
-from .segment import POSTINGS_FILE, encode_sorted_postings
+from .segment import DOCS_FILE, POSTINGS_FILE, encode_sorted_postings
 
 HOT_DF_THRESHOLD = 32_768
 BUCKET_POSTINGS = 65_536
@@ -317,13 +317,97 @@ def choose_num_shards(files: list[str], *,
     return int(min(MAX_NUM_SHARDS, max(MIN_NUM_SHARDS, n)))
 
 
+def make_purge_fn(dels_ref):
+    """map_batches stage applied to one source segment's postings when
+    unmerged deletes cover it: decode each row, drop the segment's deleted
+    docs, re-encode (SegmentMerger dropping liveDocs-dead docs)."""
+
+    def purge(batch: pa.Table) -> pa.Table:
+        import ray
+
+        from ..util import tune_allocator
+
+        tune_allocator()
+        dels = ray.get(dels_ref)
+        out = {c: [] for c in SHUFFLE_COLS}
+        for row in batch.to_pylist():
+            docs, tfs, norms, pos = decode_postings(row,
+                                                    with_positions=True)
+            keep = ~np.isin(docs, dels, assume_unique=True)
+            if not keep.any():
+                continue  # the whole row was deleted docs
+            if not keep.all():
+                pos = pos[np.repeat(keep, tfs)]
+                docs, tfs, norms = docs[keep], tfs[keep], norms[keep]
+                enc = encode_postings(docs, tfs, norms, pos)
+                row = {"term": row["term"], "df": enc["df"],
+                       "ttf": enc["ttf"], "doc_data": enc["doc_data"],
+                       "tf_data": enc["tf_data"],
+                       "norm_data": enc["norm_data"],
+                       "pos_data": enc["pos_data"]}
+            for c in SHUFFLE_COLS:
+                out[c].append(row[c])
+        return pa.table({
+            "term": pa.array(out["term"], type=pa.string()),
+            "df": pa.array(out["df"], type=pa.int64()),
+            "ttf": pa.array(out["ttf"], type=pa.int64()),
+            "doc_data": pa.array(out["doc_data"], type=pa.large_binary()),
+            "tf_data": pa.array(out["tf_data"], type=pa.large_binary()),
+            "norm_data": pa.array(out["norm_data"],
+                                  type=pa.large_binary()),
+            "pos_data": pa.array(out["pos_data"], type=pa.large_binary()),
+        })
+
+    return purge
+
+
+def _rewrite_docs_segment(root: str, seg: dict, dels: np.ndarray,
+                          generation: int) -> dict:
+    """Write a deletes-purged copy of a doc segment's docs.parquet as a
+    NEW immutable segment dir; returns its manifest entry. (At cluster
+    scale each rewrite is an independent task — one per segment.)"""
+    import pyarrow.parquet as _pq
+
+    from .segment import DOCS_FILE, META_FILE
+
+    src = os.path.join(root, seg["segment"])
+    t = _pq.read_table(os.path.join(src, DOCS_FILE))
+    ids = np.asarray(t["doc_id"], dtype=np.int64)
+    keep = ~np.isin(ids, dels, assume_unique=True)
+    t2 = t.filter(pa.array(keep))
+    name = f"{seg['segment']}-purged-{generation:03d}"
+    tmp = os.path.join(root, name + ".tmp")
+    os.makedirs(tmp, exist_ok=True)
+    _pq.write_table(t2, os.path.join(tmp, DOCS_FILE), row_group_size=65536)
+    dls = np.asarray(t2["dl"], dtype=np.int64)
+    meta = {"segment": name, "kind": "docs_only",
+            "num_docs": int(t2.num_rows), "sum_dl": int(dls.sum()),
+            "num_terms": 0, "with_positions": seg.get("with_positions",
+                                                      True)}
+    with open(os.path.join(tmp, META_FILE), "w") as f:
+        json.dump(meta, f)
+    final = os.path.join(root, name)
+    if os.path.exists(final):
+        import shutil
+
+        shutil.rmtree(final)
+    os.rename(tmp, final)
+    meta["added_gen"] = seg.get("added_gen", 1)  # keep delete scoping
+    return meta
+
+
 def merge_segments(index_dir: str, *, hot_df_threshold: int = HOT_DF_THRESHOLD,
                    bucket_postings: int = BUCKET_POSTINGS,
                    num_shards: int | None = None) -> dict:
     """Merge all postings segments of ``index_dir`` into term-partitioned
-    shards; commit a new manifest generation. Returns the manifest."""
+    shards; commit a new manifest generation. Unmerged deletes are purged
+    physically (postings re-encoded without dead docs, doc tables
+    rewritten) and the delete state cleared — the SegmentMerger
+    discipline. Returns the manifest."""
     import ray
     import ray.data as rd
+
+    from .deletes import load_deletes
 
     man = load_manifest(index_dir)
     root = os.path.join(index_dir, "segments")
@@ -332,6 +416,7 @@ def merge_segments(index_dir: str, *, hot_df_threshold: int = HOT_DF_THRESHOLD,
     files = [os.path.join(root, s["segment"], POSTINGS_FILE) for s in source]
     if num_shards is None:
         num_shards = choose_num_shards(files)
+    del_state = load_deletes(index_dir, man)
 
     # pass 1: global df per term (column-pruned read, tiny aggregate).
     # The hot-term filter runs DISTRIBUTED so only the handful of
@@ -350,10 +435,24 @@ def merge_segments(index_dir: str, *, hot_df_threshold: int = HOT_DF_THRESHOLD,
     hot_ref = ray.put(hot)
 
     # pass 2: split + hash-partitioned vectorized shuffle-merge. The read
-    # is pruned to the shuffle payload; block metadata never moves.
+    # is pruned to the shuffle payload; block metadata never moves. With
+    # unmerged deletes, each source segment's read gets its own purge
+    # stage (deletes are segment-scoped by added_gen).
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    ds = rd.read_parquet(files, columns=SHUFFLE_COLS,
-                         override_num_blocks=max(2 * ncpu, len(files)))
+    if del_state is None:
+        ds = rd.read_parquet(files, columns=SHUFFLE_COLS,
+                             override_num_blocks=max(2 * ncpu, len(files)))
+    else:
+        del_ids, del_gens = del_state
+        parts = []
+        for s, f in zip(source, files):
+            d = rd.read_parquet([f], columns=SHUFFLE_COLS)
+            appl = del_ids[del_gens >= s.get("added_gen", 1)]
+            if len(appl):
+                d = d.map_batches(make_purge_fn(ray.put(np.sort(appl))),
+                                  batch_format="pyarrow")
+            parts.append(d)
+        ds = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
     split = ds.map_batches(make_split_fn(hot_ref, num_shards),
                            batch_format="pyarrow")
     reducer = _make_reducer(root, man["generation"])
@@ -370,7 +469,17 @@ def merge_segments(index_dir: str, *, hot_df_threshold: int = HOT_DF_THRESHOLD,
         e = dict(s)
         if e.get("kind", "postings") != "docs_only":
             e["kind"] = "docs_only"
+        if del_state is not None:
+            appl = del_ids[del_gens >= s.get("added_gen", 1)]
+            if len(appl) and os.path.exists(
+                    os.path.join(root, s["segment"], DOCS_FILE)):
+                # purge the doc table too: rewritten entry replaces the
+                # original (whose dir stays on disk, unreferenced)
+                e = _rewrite_docs_segment(root, s, np.sort(appl),
+                                          man["generation"])
         docs_only.append(e)
-    return commit_manifest(index_dir, shard_metas + docs_only,
-                           extra={"merged_from_generation": man["generation"],
-                                  "hot_terms": len(hot)})
+    extra = {"merged_from_generation": man["generation"],
+             "hot_terms": len(hot)}
+    if del_state is not None:
+        extra["purged_deletes"] = int(len(del_state[0]))
+    return commit_manifest(index_dir, shard_metas + docs_only, extra=extra)

