@@ -84,16 +84,22 @@ def _per_doc_serial_positions(doc_idx: np.ndarray) -> np.ndarray:
 
 def analyze_batch(texts: pa.Array | pa.ChunkedArray, *,
                   keep_stopwords: bool = False,
-                  stopwords=None) -> AnalyzedBatch:
+                  stopwords=None,
+                  term_transform=None) -> AnalyzedBatch:
     """Tokenize a column of documents into a flat (doc, term, position) stream.
 
     Vectorized StandardAnalyzer-equivalent: lowercase → split on
     non-alphanumeric → drop empties and >255-char tokens → assign serial
-    positions → drop stopwords (keeping positions).
+    positions → drop stopwords (keeping positions) → optional term
+    transform (stemmer / synonym stages, analysis.filters).
 
     ``stopwords`` overrides the Lucene 33-word English set (the
     StopFilter/Analyzer factory extension point, §2.11 — e.g. an empty set
     reproduces StandardAnalyzer(CharArraySet.EMPTY_SET)).
+    ``term_transform`` is a str→str callable applied to each DISTINCT
+    surviving term once per batch (vectorized via dictionary encoding) —
+    the TokenFilter chain extension point (PorterStemFilter,
+    SynonymFilter; see analysis.filters).
     """
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
@@ -125,6 +131,11 @@ def analyze_batch(texts: pa.Array | pa.ChunkedArray, *,
         flat = flat.filter(keep_pa)
         doc_idx = doc_idx[keep]
         positions = positions[keep]
+
+    if term_transform is not None and len(flat):
+        denc = flat.dictionary_encode()
+        vocab = [term_transform(t) for t in denc.dictionary.to_pylist()]
+        flat = pa.array(vocab, type=flat.type).take(denc.indices)
 
     doc_lengths = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
     return AnalyzedBatch(doc_idx=doc_idx, terms=flat, positions=positions,

@@ -1,0 +1,169 @@
+"""TokenFilter library: Porter stemmer + synonym map as configurable
+analyzer stages (reference: lucene/analysis/common/.../en/
+PorterStemFilter.java + tartarus/PorterStemmer (the classic Porter 1980
+algorithm), synonym/SynonymFilter.java).
+
+Filters here are TERM TRANSFORMS: a callable str -> str applied to the
+analyzer's unique-term dictionary per batch (vectorized via Arrow
+dictionary encoding — each distinct term is transformed once per batch,
+not once per token). Composition order matches the reference's chain
+order: synonym map first, then stemmer, mirroring a typical
+Solr fieldType chain.
+
+Documented deviation: SynonymFilter REPLACES a token with its canonical
+form (single-output map) rather than injecting additional tokens at the
+same position — the common normalize-to-canonical configuration; the
+multi-expansion graph output of the reference is out of scope.
+"""
+
+from __future__ import annotations
+
+_VOWELS = set("aeiou")
+
+
+def _is_cons(word: str, i: int) -> bool:
+    c = word[i]
+    if c in _VOWELS:
+        return False
+    if c == "y":
+        return i == 0 or not _is_cons(word, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """Porter's m: number of VC sequences in the stem."""
+    m = 0
+    prev_vowel = False
+    for i in range(len(stem)):
+        cons = _is_cons(stem, i)
+        if cons and prev_vowel:
+            m += 1
+        prev_vowel = not cons
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_cons(word: str) -> bool:
+    return (len(word) >= 2 and word[-1] == word[-2]
+            and _is_cons(word, len(word) - 1))
+
+
+def _cvc(word: str) -> bool:
+    """*o: stem ends cvc where the final c is not w, x or y."""
+    if len(word) < 3:
+        return False
+    return (_is_cons(word, len(word) - 3)
+            and not _is_cons(word, len(word) - 2)
+            and _is_cons(word, len(word) - 1)
+            and word[-1] not in "wxy")
+
+
+def porter_stem(word: str) -> str:
+    """The Porter stemming algorithm (Porter 1980), steps 1-5."""
+    if len(word) <= 2 or not word.isalpha():
+        return word
+    w = word
+
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+
+    # step 1b
+    flag_1b = False
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif w.endswith("ed"):
+        if _has_vowel(w[:-2]):
+            w = w[:-2]
+            flag_1b = True
+    elif w.endswith("ing"):
+        if _has_vowel(w[:-3]):
+            w = w[:-3]
+            flag_1b = True
+    if flag_1b:
+        if w.endswith(("at", "bl", "iz")):
+            w += "e"
+        elif _ends_double_cons(w) and w[-1] not in "lsz":
+            w = w[:-1]
+        elif _measure(w) == 1 and _cvc(w):
+            w += "e"
+
+    # step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+
+    # step 2
+    _STEP2 = [("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+              ("anci", "ance"), ("izer", "ize"), ("abli", "able"),
+              ("alli", "al"), ("entli", "ent"), ("eli", "e"),
+              ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+              ("ator", "ate"), ("alism", "al"), ("iveness", "ive"),
+              ("fulness", "ful"), ("ousness", "ous"), ("aliti", "al"),
+              ("iviti", "ive"), ("biliti", "ble")]
+    for suf, rep in _STEP2:
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+
+    # step 3
+    _STEP3 = [("icate", "ic"), ("ative", ""), ("alize", "al"),
+              ("iciti", "ic"), ("ical", "ic"), ("ful", ""), ("ness", "")]
+    for suf, rep in _STEP3:
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+
+    # step 4
+    _STEP4 = ["al", "ance", "ence", "er", "ic", "able", "ible", "ant",
+              "ement", "ment", "ent", "ou", "ism", "ate", "iti", "ous",
+              "ive", "ize"]
+    matched4 = False
+    for suf in sorted(_STEP4, key=len, reverse=True):
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _measure(stem) > 1:
+                w = stem
+            matched4 = True
+            break
+    if not matched4 and w.endswith("ion") and len(w) > 4 \
+            and w[-4] in "st" and _measure(w[:-3]) > 1:
+        w = w[:-3]
+
+    # step 5a
+    if w.endswith("e"):
+        m = _measure(w[:-1])
+        if m > 1 or (m == 1 and not _cvc(w[:-1])):
+            w = w[:-1]
+    # step 5b
+    if _ends_double_cons(w) and w[-1] == "l" and _measure(w) > 1:
+        w = w[:-1]
+    return w
+
+
+def make_synonym_transform(mapping: dict[str, str]):
+    """Canonical-form synonym map (SynonymFilter.java configured with
+    single-output rules)."""
+    def transform(term: str) -> str:
+        return mapping.get(term, term)
+    return transform
+
+
+def compose(*transforms):
+    """Chain term transforms left-to-right (analyzer chain order)."""
+    def transform(term: str) -> str:
+        for t in transforms:
+            term = t(term)
+        return term
+    return transform

@@ -267,7 +267,8 @@ def write_segment(table: pa.Table, segments_root: str, seg_name: str, *,
                   content_col: str = "content", id_col: str = "doc_id",
                   store_cols: tuple[str, ...] = (),
                   keyword_cols: tuple[str, ...] = (),
-                  with_positions: bool = True) -> dict:
+                  with_positions: bool = True,
+                  term_transform=None) -> dict:
     """Analyze one Arrow table of documents and write it as a segment.
 
     ``keyword_cols`` are indexed as untokenized single-token fields — the
@@ -289,7 +290,8 @@ def write_segment(table: pa.Table, segments_root: str, seg_name: str, *,
     if len(np.unique(doc_ids)) != len(doc_ids):
         raise ValueError("duplicate doc_id within a segment")
 
-    analyzed = analyze_batch(table[content_col])
+    analyzed = analyze_batch(table[content_col],
+                            term_transform=term_transform)
     dl = analyzed.doc_lengths
     norms = encode_norm(dl.astype(np.float64))
 

@@ -775,6 +775,110 @@ scored AS (
 
 
 # ---------------------------------------------------------------------------
+# analyzer-chain variants (stemmer / synonyms) + spellcheck
+# ---------------------------------------------------------------------------
+
+SYNONYMS = {"group": "batch"}  # canonical-form map (SynonymFilter)
+
+
+def documents_index_variant(sf_dir: str, tag: str, term_transform) -> str:
+    """A documents index built with a configured analyzer chain
+    (PorterStemFilter / SynonymFilter stages); cached per variant."""
+    from ..index.build import build_index
+    from ..index.manifest import load_manifest
+
+    key = hashlib.sha256(
+        f"{sf_dir}|{tag}|v{FORMAT_VERSION}".encode()).hexdigest()[:12]
+    out = os.path.join(INDEX_CACHE_ROOT, f"docs-{tag}-{key}")
+    if out in _memo:
+        return out
+    try:
+        load_manifest(out)
+        _memo[out] = out
+        return out
+    except FileNotFoundError:
+        pass
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    build_index(ds, out, content_col="text", batch_rows=256,
+                term_transform=term_transform)
+    _memo[out] = out
+    return out
+
+
+def _q_synonym_term(term, k=10):
+    """Term query over an index whose analyzer maps synonyms to their
+    canonical form (synonym/SynonymFilter.java as a chain stage)."""
+    def run(sf_dir):
+        from ..analysis.filters import make_synonym_transform
+        from ..search.searcher import IndexSearcher
+
+        idx = documents_index_variant(
+            sf_dir, "syn", make_synonym_transform(SYNONYMS))
+        s = IndexSearcher(idx, mode="exact64")
+        return _topk_table(s.search({"type": "term", "term": term}, k=k))
+    return run
+
+
+def _q_stemmed_term(word, k=10):
+    """Term query over a Porter-stemmed index (PorterStemFilter); the
+    query word is stemmed with the same chain. Rows-only (no SQL stem)."""
+    def run(sf_dir):
+        from ..analysis.filters import porter_stem
+        from ..search.searcher import IndexSearcher
+
+        idx = documents_index_variant(sf_dir, "stem", porter_stem)
+        s = IndexSearcher(idx, mode="exact64")
+        return _topk_table(s.search(
+            {"type": "term", "term": porter_stem(word)}, k=k))
+    return run
+
+
+def _synonym_term_sql(term: str, k: int) -> str:
+    """Twin: the synonym map applied as a CASE rewrite inside the token
+    CTE, then the ordinary one-term BM25."""
+    cases = " ".join(f"WHEN term = '{a}' THEN '{b}'"
+                     for a, b in SYNONYMS.items())
+    return f"""
+WITH {_tok_ctes()},
+syn AS (SELECT doc_id, CASE {cases} ELSE term END AS term, pos
+        FROM clean),
+tf AS (SELECT doc_id, count(*) AS tf FROM syn WHERE term = '{term}'
+       GROUP BY doc_id),
+dfx AS (SELECT count(*) AS df FROM tf),
+scored AS (
+  SELECT tf.doc_id AS doc_id,
+         {_bm25_expr('tf.tf', 'dl.dl', 'dfx.df')} AS score
+  FROM tf JOIN dl USING (doc_id), dfx, stats s
+)
+{_sql_topk('scored', k)}
+"""
+
+
+def _q_spellcheck(word, n=5):
+    def run(sf_dir):
+        return _searcher(sf_dir).spellcheck(word, n=n)
+    return run
+
+
+def _spellcheck_sql(word: str, max_edits: int, n: int) -> str:
+    return f"""
+WITH {_tok_ctes()},
+cand AS (SELECT term, count(DISTINCT doc_id) AS df FROM clean
+         GROUP BY term),
+scored AS (SELECT term AS suggestion,
+                  levenshtein(term, '{word}') AS dist, df
+           FROM cand
+           WHERE levenshtein(term, '{word}') <= {max_edits}
+             AND term <> '{word}')
+SELECT suggestion, CAST(dist AS BIGINT) AS dist, CAST(df AS BIGINT) AS df
+FROM scored ORDER BY dist ASC, df DESC, suggestion ASC LIMIT {n}
+"""
+
+
+# ---------------------------------------------------------------------------
 # numeric doc values: range filter + sort-by-field
 # ---------------------------------------------------------------------------
 
@@ -889,6 +993,9 @@ def build_queries() -> dict:
         "ft_phrase_slop": _q_phrase_slop("fast", "table", 2),
         "ft_numeric_range": _q_numeric_range("n_chars", 250, 350),
         "ft_sort_by_field": _q_sort_by_field("table", "n_chars"),
+        "ft_spellcheck": _q_spellcheck("ort"),
+        "ft_synonym_term": _q_synonym_term("batch"),
+        "ft_stemmed_term": _q_stemmed_term("query"),   # rows-only
     }
 
 
@@ -959,6 +1066,10 @@ def build_oracle_sql() -> dict:
         "ft_phrase_slop": ft_phrase_slop_sql("fast", "table", 2, 10),
         "ft_numeric_range": _numeric_range_sql("n_chars", 250, 350, 10),
         "ft_sort_by_field": _sort_by_field_sql("table", "n_chars", 10),
+        "ft_spellcheck": _spellcheck_sql("ort", 2, 5),
+        "ft_synonym_term": _synonym_term_sql("batch", 10),
+        # ft_stemmed_term: no SQL twin (Porter is not SQL-expressible);
+        # golden-vector + round-trip coverage in tests/test_filters.py
     }
 
 

@@ -176,6 +176,24 @@ def _levenshtein_leq(a: str, b: str, k: int) -> bool:
     return prev[len(b)] <= k
 
 
+def _levenshtein_dist(a: str, b: str, k: int) -> int:
+    """Exact edit distance, or k+1 when it exceeds k (banded)."""
+    if abs(len(a) - len(b)) > k:
+        return k + 1
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [k + 1] * len(b)
+        lo = max(1, i - k)
+        hi = min(len(b), i + k)
+        for j in range(lo, hi + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (ca != b[j - 1]))
+        if min(cur[max(lo - 1, 0): hi + 1]) > k:
+            return k + 1
+        prev = cur
+    return prev[len(b)] if prev[len(b)] <= k else k + 1
+
+
 def topk_merge(doc_ids: np.ndarray, scores: np.ndarray, k: int):
     """Top-k by (score desc, doc_id asc) — HitQueue/TopDocs.merge ordering."""
     n = len(doc_ids)
@@ -1023,6 +1041,33 @@ class IndexSearcher:
 
         return self.search_tree(
             parse_query(query_string, default_operator=default_operator), k)
+
+    def spellcheck(self, term: str, *, max_edits: int = 2,
+                   n: int = 5) -> pa.Table:
+        """DirectSpellChecker (lucene/suggest/.../spell/
+        DirectSpellChecker.java:59): dictionary terms within ``max_edits``
+        of the input, ranked (distance asc, doc-frequency desc, term asc).
+        The input term itself is excluded; keyword-namespace terms are
+        not candidates."""
+        agg: dict[str, int] = {}
+        for seg in self.segments:
+            terms, df, _ = seg.term_dict_arrays()
+            for t, d in zip(terms.tolist(), df.tolist()):
+                if t == term or ":" in t:
+                    continue
+                if _levenshtein_leq(term, t, max_edits):
+                    agg[t] = agg.get(t, 0) + int(d)
+        rows = sorted(
+            ((_levenshtein_dist(term, t, max_edits), -df_, t)
+             for t, df_ in agg.items()))
+        rows = rows[:n]
+        return pa.table({
+            "suggestion": pa.array([t for _, _, t in rows],
+                                   type=pa.string()),
+            "dist": pa.array([d for d, _, _ in rows], type=pa.int64()),
+            "df": pa.array([-df_ for _, df_, _ in rows],
+                           type=pa.int64()),
+        })
 
     def search(self, query: dict, k: int = 10) -> pa.Table:
         qt = query["type"]

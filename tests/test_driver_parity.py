@@ -84,6 +84,8 @@ def test_all_queries_have_oracles_or_are_documented():
     "ft_filter_lang", "ft_facet_lang", "dedup_embedding_cosine", "ft_terms_set",
     "ft_parsed_bool", "ft_parsed_grouped", "ft_parsed_phrase_prefix",
     "ft_parsed_field", "ft_parsed_not", "ft_phrase_slop",
+    "ft_numeric_range", "ft_sort_by_field", "ft_spellcheck",
+    "ft_synonym_term",
 ])
 def test_query_matches_oracle(name, con, ray_session):
     q, o = _pairs()

@@ -1,0 +1,122 @@
+"""TokenFilter chain (Porter stemmer, synonyms) + DirectSpellChecker.
+
+References: lucene/analysis/common/.../en/PorterStemFilter.java (the
+Porter 1980 algorithm), synonym/SynonymFilter.java,
+lucene/suggest/.../spell/DirectSpellChecker.java:59.
+"""
+
+import pyarrow as pa
+import pytest
+
+from lucene_solr_ray.analysis.analyzer import analyze_batch
+from lucene_solr_ray.analysis.filters import (
+    compose,
+    make_synonym_transform,
+    porter_stem,
+)
+
+# canonical Porter vectors (from the published voc/output word lists)
+PORTER_GOLDEN = {
+    "caresses": "caress", "ponies": "poni", "ties": "ti", "cats": "cat",
+    "feed": "feed", "agreed": "agre", "plastered": "plaster",
+    "motoring": "motor", "sing": "sing", "conflated": "conflat",
+    "hopping": "hop", "falling": "fall", "filing": "file",
+    "happy": "happi", "sky": "sky", "relational": "relat",
+    "conditional": "condit", "rational": "ration",
+    "digitizer": "digit", "operator": "oper", "feudalism": "feudal",
+    "decisiveness": "decis", "hopefulness": "hope",
+    "formaliti": "formal", "formative": "form", "formalize": "formal",
+    "electriciti": "electr", "electrical": "electr", "hopeful": "hope",
+    "goodness": "good", "revival": "reviv", "allowance": "allow",
+    "inference": "infer", "airliner": "airlin", "adjustable": "adjust",
+    "defensible": "defens", "replacement": "replac",
+    "adjustment": "adjust", "dependent": "depend", "adoption": "adopt",
+    "communism": "commun", "activate": "activ", "effective": "effect",
+    "probate": "probat", "rate": "rate", "cease": "ceas",
+    "controll": "control", "roll": "roll",
+    "query": "queri", "queries": "queri", "table": "tabl",
+    "merge": "merg", "customer": "custom",
+}
+
+
+def test_porter_golden_vectors():
+    bad = {w: (porter_stem(w), want)
+           for w, want in PORTER_GOLDEN.items() if porter_stem(w) != want}
+    assert not bad, bad
+
+
+def test_porter_idempotent_on_short():
+    for w in ("a", "is", "be", "x1", "42"):
+        assert porter_stem(w) == w
+
+
+def test_synonym_transform():
+    t = make_synonym_transform({"group": "batch"})
+    assert t("group") == "batch"
+    assert t("table") == "table"
+
+
+def test_compose_order():
+    syn = make_synonym_transform({"grouped": "batched"})
+    chain = compose(syn, porter_stem)
+    # synonym first, then stem: grouped -> batched -> batch
+    assert chain("grouped") == "batch"
+    assert chain("running") == "run"
+
+
+def test_analyze_batch_with_transform():
+    texts = pa.array(["Queries and tables merged", "the group runs"])
+    ab = analyze_batch(texts, term_transform=porter_stem)
+    assert ab.terms.to_pylist() == ["queri", "tabl", "merg", "group",
+                                    "run"]
+    # positions/doc lengths unchanged by the transform
+    plain = analyze_batch(texts)
+    assert ab.positions.tolist() == plain.positions.tolist()
+    assert ab.doc_lengths.tolist() == plain.doc_lengths.tolist()
+
+
+@pytest.fixture(scope="module")
+def stem_index(tmp_path_factory, ray_session):
+    from lucene_solr_ray.index.build import build_index
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["queries over tables", "a query of the table",
+                          "merging merged merges"], type=pa.string()),
+    })
+    out = str(tmp_path_factory.mktemp("stem") / "idx")
+    build_index(t, out, content_col="text", batch_rows=2,
+                term_transform=porter_stem)
+    return out
+
+
+def test_stemmed_index_unifies_variants(stem_index):
+    from lucene_solr_ray.search.searcher import IndexSearcher
+
+    s = IndexSearcher(stem_index)
+    hits = s.search({"type": "term", "term": porter_stem("queries")}, k=5)
+    assert sorted(hits["doc_id"].to_pylist()) == [1, 2]
+    hits = s.search({"type": "term", "term": porter_stem("merge")}, k=5)
+    assert hits["doc_id"].to_pylist() == [3]
+
+
+def test_spellcheck_ranking(ray_session, tmp_path):
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.search.searcher import IndexSearcher
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array(["sort sort sort", "part", "sort part",
+                          "chart"], type=pa.string()),
+    })
+    out = str(tmp_path / "sp")
+    build_index(t, out, content_col="text", batch_rows=2)
+    s = IndexSearcher(out)
+    r = s.spellcheck("ort", n=5)
+    # distance asc (sort=1 beats part=2); chart is distance 3 — excluded
+    assert r["suggestion"].to_pylist() == ["sort", "part"]
+    assert r["dist"].to_pylist() == [1, 2]
+    assert r["df"].to_pylist() == [2, 2]
+    r2 = s.spellcheck("parl", n=5)
+    # equal distance (part=1) vs (chart? no) — df desc then term asc
+    assert r2["suggestion"].to_pylist()[0] == "part"
