@@ -135,6 +135,122 @@ def stats_component(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def hierarchical_facet(sf_dir: str) -> pa.Table:
+    """Taxonomy facet counts over the region/nation hierarchy
+    (lucene/facet/.../taxonomy/FastTaxonomyFacetCounts.java,
+    TaxonomyReader ordinal tree): every customer contributes to its
+    nation's path AND all ancestor paths. The dimension tables (region,
+    nation) are tiny and broadcast; the fact scan pre-aggregates counts
+    per nation ordinal inside map_batches, and the rollup to ancestors
+    happens on the driver over the tiny ordinal histogram — the
+    aggregate-then-rollup discipline of taxonomy counting."""
+    import ray
+
+    nation = _read(sf_dir, "nation",
+                   ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nation = nation.merge(region, left_on="n_regionkey",
+                          right_on="r_regionkey")
+    path_of = dict(zip(nation["n_nationkey"],
+                       nation["r_name"] + "/" + nation["n_name"]))
+    region_of = dict(zip(nation["n_nationkey"], nation["r_name"]))
+    ref = ray.put(path_of)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nk = np.asarray(batch["c_nationkey"], dtype=np.int64)
+        keys, counts = np.unique(nk, return_counts=True)
+        return pa.table({"n_nationkey": pa.array(keys, type=pa.int64()),
+                         "cnt": pa.array(counts, type=pa.int64())})
+
+    cust = _read(sf_dir, "customer", ["c_nationkey"])
+    hist = (cust.map_batches(partial, batch_format="pyarrow")
+            .groupby("n_nationkey").sum("cnt").to_pandas())
+    hist = hist.rename(columns={"sum(cnt)": "cnt"})
+
+    rows = []
+    for _, r in hist.iterrows():
+        nk, cnt = int(r["n_nationkey"]), int(r["cnt"])
+        rows.append((path_of[nk], 1, cnt))
+    agg_region: dict[str, int] = {}
+    for _, r in hist.iterrows():
+        agg_region[region_of[int(r["n_nationkey"])]] = \
+            agg_region.get(region_of[int(r["n_nationkey"])], 0) \
+            + int(r["cnt"])
+    rows += [(p, 0, c) for p, c in agg_region.items()]
+    rows.sort()
+    return pa.table({
+        "path": pa.array([p for p, _, _ in rows], type=pa.string()),
+        "depth": pa.array([d for _, d, _ in rows], type=pa.int64()),
+        "cnt": pa.array([c for _, _, c in rows], type=pa.int64()),
+    })
+
+
+def percentiles(sf_dir: str) -> pa.Table:
+    """Percentile aggregate over events.value (solr:search/facet/
+    PercentileAgg.java semantics; the reference uses t-digest — here the
+    value domain is exact cents, so a bounded-cardinality distributed
+    histogram (groupby(value_c).count) yields EXACT percentiles and an
+    exact SQL twin). Quantile definition: smallest v with
+    cum_count >= ceil(q·n) (inverted CDF)."""
+    ds = _read(sf_dir, "events", ["value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(batch["value"],
+                                         pa.scalar(100.0))), pa.int64())
+        return pa.table({"v": v})
+
+    hist = (ds.map_batches(cents, batch_format="pyarrow")
+            .groupby("v").count().to_pandas()
+            .rename(columns={"count()": "c"}).sort_values("v"))
+    v = hist["v"].to_numpy(dtype=np.int64)
+    c = hist["c"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(c)
+    n = int(cum[-1])
+    out = {}
+    for q, name in ((0.5, "p50_c"), (0.9, "p90_c"), (0.99, "p99_c")):
+        target = int(np.ceil(q * n))
+        out[name] = [int(v[np.searchsorted(cum, target)])]
+    out["n"] = [n]
+    return pa.table({k: pa.array(vs, type=pa.int64())
+                     for k, vs in out.items()})
+
+
+def stats_extended(sf_dir: str) -> pa.Table:
+    """StatsComponent extended: stddev + exact cardinality on top of the
+    integer-exact moment partials (solr:handler/component/
+    StatsValuesFactory.java:91-216 stddev; cardinality exact here —
+    the HLL approximation lives in ops.sketches)."""
+    ds = _read(sf_dir, "lineitem", ["l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = np.asarray(batch["l_quantity"], dtype=np.float64) \
+            .astype(np.int64)
+        u = np.unique(q)
+        return pa.table({
+            "kind": pa.array(["m"] + ["u"] * len(u)),
+            "sum_q": pa.array([int(q.sum())] + u.tolist(),
+                              type=pa.int64()),
+            "sumsq_q": pa.array([int((q * q).sum())] + [0] * len(u),
+                                type=pa.int64()),
+            "cnt": pa.array([len(q)] + [0] * len(u), type=pa.int64()),
+        })
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    m = p[p["kind"] == "m"]
+    s, ss, n = (int(m["sum_q"].sum()), int(m["sumsq_q"].sum()),
+                int(m["cnt"].sum()))
+    card = int(p[p["kind"] == "u"]["sum_q"].nunique())
+    var = (ss - float(s) * s / n) / (n - 1)
+    import math
+
+    stddev_q = int(np.floor(math.sqrt(var) * 10000 + 0.5))
+    return pa.table({
+        "cnt": pa.array([n], type=pa.int64()),
+        "cardinality": pa.array([card], type=pa.int64()),
+        "stddev_q": pa.array([stddev_q], type=pa.int64()),
+    })
+
+
 def semi_join(sf_dir: str) -> pa.Table:
     """JoinUtil.createJoinQuery semi-join (lucene/join/.../JoinUtil.java:36):
     orders whose customer is in the BUILDING segment. Small side broadcast

@@ -1,0 +1,107 @@
+"""Sketch aggregates — HyperLogLog cardinality with distributed
+partial+final register merge (solr:search/facet/HLLAgg.java,
+solr/core/src/java/org/apache/solr/util/hll/HLL.java semantics: each
+shard accumulates a register array, the coordinator merges by
+element-wise max, one estimate at the end).
+
+Ray Data shape: ``map_batches`` emits one serialized register array per
+batch (a single m-byte binary cell — the canonical partial sketch);
+the driver folds the tiny partials (np.maximum) and runs the standard
+HLL estimator with small-range correction. Nothing per-row ever reaches
+the driver, so the op is scale-safe: 100 TB of user ids still reduces to
+``num_batches`` 4 KiB rows.
+
+The exact-percentile aggregate (PercentileAgg.java's role) lives in
+ops.relational.percentiles as a bounded-cardinality distributed
+histogram — exact, hence oracle-paired; this module holds the
+approximate sketches (rows-only, pytest error-bounded).
+
+Hashing is splitmix64 (public-domain mix constants) so the sketch is
+deterministic across runs and partitionings.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+P = 12                 # 2^12 = 4096 registers -> ~1.6% standard error
+M = 1 << P
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64."""
+    with np.errstate(over="ignore"):
+        z = x + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _registers_of(values: np.ndarray) -> np.ndarray:
+    """HLL register array (uint8[M]) for a batch of int64/uint64 keys."""
+    h = _splitmix64(values.astype(np.uint64))
+    idx = (h >> np.uint64(64 - P)).astype(np.int64)
+    w = h & np.uint64((1 << (64 - P)) - 1)
+    # rank = leading-zero count of the low 64-P bits + 1. 64-P = 52 bits
+    # fits float64's 53-bit mantissa exactly, so log2 is exact.
+    rho = np.full(len(h), 64 - P + 1, dtype=np.uint8)
+    nz = w != 0
+    rho[nz] = (64 - P) - np.floor(np.log2(w[nz].astype(np.float64))).astype(
+        np.int64)
+    regs = np.zeros(M, dtype=np.uint8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def _estimate(regs: np.ndarray) -> int:
+    """Standard HLL estimator (Flajolet et al. 2007) with the
+    small-range linear-counting correction HLL.java applies."""
+    alpha = 0.7213 / (1.0 + 1.079 / M)
+    est = alpha * M * M / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int(np.sum(regs == 0))
+    if est <= 2.5 * M and zeros > 0:
+        est = M * np.log(M / zeros)
+    return int(est + 0.5)
+
+
+def hll_partials(ds, column: str):
+    """``map_batches`` stage: one partial-sketch row per batch.
+
+    Returns a Dataset with a single ``regs`` binary column (m bytes per
+    row) — the mergeable partial, exactly what a shard would ship to the
+    coordinator in distributed StatsComponent cardinality.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = np.asarray(batch[column], dtype=np.int64)
+        return pa.table({"regs": pa.array([_registers_of(vals).tobytes()],
+                                          type=pa.binary())})
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def merge_partials(partials: list[bytes]) -> np.ndarray:
+    """Final merge: element-wise register max (HLL union)."""
+    regs = np.zeros(M, dtype=np.uint8)
+    for blob in partials:
+        regs = np.maximum(regs, np.frombuffer(blob, dtype=np.uint8))
+    return regs
+
+
+def hll_count_distinct(sf_dir: str, table: str = "events",
+                       column: str = "user_id") -> pa.Table:
+    """Approximate distinct count of ``table.column`` — the HLLAgg /
+    cardinality=true path of StatsComponent. Rows-only (approximate by
+    construction; tests/test_sketches.py bounds the error vs the exact
+    count)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                         columns=[column])
+    parts = hll_partials(ds, column).take_all()
+    regs = merge_partials([r["regs"] for r in parts])
+    return pa.table({
+        "approx_distinct": pa.array([_estimate(regs)], type=pa.int64()),
+    })

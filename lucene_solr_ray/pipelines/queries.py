@@ -924,6 +924,14 @@ ORDER BY d.{field} DESC, d.doc_id ASC LIMIT {k}
 """
 
 
+def _sketch_hll(sf_dir: str) -> pa.Table:
+    """HLL cardinality of events.user_id (solr HLLAgg; partial register
+    sketches merged element-wise — see ops.sketches)."""
+    from ..ops.sketches import hll_count_distinct
+
+    return hll_count_distinct(sf_dir, "events", "user_id")
+
+
 def build_queries() -> dict:
     from ..ops import ann as A
     from ..ops import dedup as D
@@ -958,6 +966,10 @@ def build_queries() -> dict:
         "rel_unique_stream": R.unique_stream,
         "rel_windowed_rollup": R.windowed_rollup,
         "rel_join_rollup": R.join_rollup,
+        "rel_hierarchical_facet": R.hierarchical_facet,
+        "rel_percentiles": R.percentiles,
+        "rel_stats_extended": R.stats_extended,
+        "sketch_hll_users": _sketch_hll,           # rows-only (approximate)
     }
     return training | rel | {
         "ft_term_hot": _q_term(HOT),
@@ -1031,6 +1043,11 @@ def build_oracle_sql() -> dict:
         "rel_unique_stream": RS.UNIQUE_STREAM,
         "rel_windowed_rollup": RS.WINDOWED_ROLLUP,
         "rel_join_rollup": RS.JOIN_ROLLUP,
+        "rel_hierarchical_facet": RS.HIERARCHICAL_FACET,
+        "rel_percentiles": RS.PERCENTILES,
+        "rel_stats_extended": RS.STATS_EXTENDED,
+        # sketch_hll_users: no SQL twin (HLL approximate by construction);
+        # tests/test_sketches.py bounds the error vs the exact count
     }
     return training | rel | {
         "ft_term_hot": ft_term_sql(HOT, 10),

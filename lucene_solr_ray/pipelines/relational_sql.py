@@ -42,6 +42,48 @@ SELECT CAST(min(l_quantity) AS BIGINT) AS min_q,
 FROM lineitem
 """
 
+HIERARCHICAL_FACET = """
+WITH j AS (
+  SELECT r.r_name, n.n_name, count(*) AS cnt
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name)
+SELECT r_name || '/' || n_name AS path, CAST(1 AS BIGINT) AS depth,
+       CAST(cnt AS BIGINT) AS cnt
+FROM j
+UNION ALL
+SELECT r_name AS path, CAST(0 AS BIGINT) AS depth,
+       CAST(sum(cnt) AS BIGINT) AS cnt
+FROM j GROUP BY r_name
+ORDER BY path, depth
+"""
+
+PERCENTILES = """
+WITH h AS (SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+             count(*) OVER () AS n
+      FROM h)
+SELECT min(CASE WHEN rn >= CAST(ceil(0.5 * n) AS BIGINT) THEN v END) AS p50_c,
+       min(CASE WHEN rn >= CAST(ceil(0.9 * n) AS BIGINT) THEN v END) AS p90_c,
+       min(CASE WHEN rn >= CAST(ceil(0.99 * n) AS BIGINT) THEN v END) AS p99_c,
+       CAST(max(n) AS BIGINT) AS n
+FROM r
+"""
+
+STATS_EXTENDED = """
+WITH s AS (SELECT CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+                  CAST(sum(CAST(l_quantity AS BIGINT)
+                           * CAST(l_quantity AS BIGINT)) AS BIGINT) AS ss,
+                  count(*) AS n,
+                  count(DISTINCT CAST(l_quantity AS BIGINT)) AS card
+           FROM lineitem)
+SELECT n AS cnt, CAST(card AS BIGINT) AS cardinality,
+       CAST(floor(sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                       / (n - 1)) * 10000 + 0.5) AS BIGINT) AS stddev_q
+FROM s
+"""
+
 SEMI_JOIN = """
 SELECT o_orderkey, o_custkey,
        CAST(round(o_totalprice * 100) AS BIGINT) AS price_c

@@ -86,6 +86,7 @@ def test_all_queries_have_oracles_or_are_documented():
     "ft_parsed_field", "ft_parsed_not", "ft_phrase_slop",
     "ft_numeric_range", "ft_sort_by_field", "ft_spellcheck",
     "ft_synonym_term",
+    "rel_hierarchical_facet", "rel_percentiles", "rel_stats_extended",
 ])
 def test_query_matches_oracle(name, con, ray_session):
     q, o = _pairs()

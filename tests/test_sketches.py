@@ -1,0 +1,43 @@
+"""HLL sketch: error bound vs exact cardinality, partition invariance,
+and mergeability of partial registers (solr HLLAgg / HLL.java union
+semantics)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from lucene_solr_ray.ops import sketches as S
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_hll_error_bound(ray_session):
+    t = S.hll_count_distinct(SF_DIR, "events", "user_id")
+    est = t["approx_distinct"][0].as_py()
+    exact = len(np.unique(
+        pq.read_table(f"{SF_DIR}/events.parquet",
+                      columns=["user_id"])["user_id"].to_numpy()))
+    # m=4096 -> ~1.6% standard error; 5% is > 3 sigma
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
+def test_hll_partial_merge_is_union():
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 10_000, 5_000, dtype=np.int64)
+    b = rng.integers(5_000, 15_000, 5_000, dtype=np.int64)
+    merged = S.merge_partials([S._registers_of(a).tobytes(),
+                               S._registers_of(b).tobytes()])
+    whole = S._registers_of(np.concatenate([a, b]))
+    assert np.array_equal(merged, whole)
+    exact = len(np.unique(np.concatenate([a, b])))
+    assert abs(S._estimate(merged) - exact) / exact < 0.05
+
+
+def test_hll_partition_invariant():
+    """Estimate is identical no matter how the rows are batched."""
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 1 << 40, 20_000, dtype=np.int64)
+    one = S._registers_of(vals)
+    parts = [S._registers_of(c).tobytes()
+             for c in np.array_split(vals, 13)]
+    assert np.array_equal(S.merge_partials(parts), one)
