@@ -1,0 +1,199 @@
+"""Join-family operators beyond semi/anti: block join (parent/child),
+score-carrying join, collapse+expand (SURVEY.md §2.4 #30/#32, §2.5 #44).
+
+Lucene's block join (lucene/join/.../ToParentBlockJoinQuery.java:82-110)
+relies on parent/child docs being index-adjacent so the parent scorer can
+walk child hits in doc order. Ray-Data-first, that adjacency trick is
+unnecessary: the child table is grouped by parent key with a partial
+aggregate inside ``map_batches`` (combiner) and one small ``groupby`` —
+the same ScoreMode fold, minus the index layout constraint. At 100 TB the
+only all-to-all is over the pre-aggregated (parent_key, partial) rows.
+
+Broadcast sides are tiny and shipped once with ``ray.put``; where a match
+set could grow with data (block_join_child's parent filter) the docstring
+notes the hash-partitioned join fallback (the dedup verify="join" path
+shows the pattern).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .relational import _cents, _read
+
+
+def _topk_scored(ds, key_col: str, score_col: str, k: int,
+                 extra_cols=()) -> pd.DataFrame:
+    """Final top-k by (score desc, key asc): per-batch partial top-k in
+    map_batches (TopDocs per segment), tiny driver merge (TopDocs.merge)."""
+    cols = [key_col, score_col, *extra_cols]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(cols).to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values([score_col, key_col],
+                           ascending=[False, True]).head(k),
+            preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return (parts.sort_values([score_col, key_col],
+                              ascending=[False, True])
+            .head(k).reset_index(drop=True))
+
+
+def block_join_parent(sf_dir: str, min_qty: float = 45.0,
+                      k: int = 10) -> pa.Table:
+    """ToParentBlockJoinQuery, ScoreMode.Total
+    (lucene/join/.../ToParentBlockJoinQuery.java:82-110, ScoreMode.java):
+    child query ``l_quantity >= min_qty`` over lineitem, each child scores
+    its quantity; parents (orders) ranked by the summed child score, with
+    the matched-child count carried (Lucene exposes it via the scorer's
+    freq). Partial per-batch combiner → groupby(parent).sum → partial
+    top-k — no raw child rows cross the shuffle."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.greater_equal(batch["l_quantity"], pa.scalar(min_qty))
+        b = batch.filter(m)
+        ok = np.asarray(b["l_orderkey"], dtype=np.int64)
+        q = np.asarray(b["l_quantity"], dtype=np.float64).astype(np.int64)
+        keys, inv = np.unique(ok, return_inverse=True)
+        return pa.table({
+            "o_orderkey": pa.array(keys, type=pa.int64()),
+            "score_qty": pa.array(np.bincount(inv, weights=q).astype(
+                np.int64), type=pa.int64()),
+            "n_child": pa.array(np.bincount(inv).astype(np.int64),
+                                type=pa.int64()),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("o_orderkey").sum(["score_qty", "n_child"]))
+    agg = agg.map_batches(
+        lambda b: b.rename_columns(["o_orderkey", "score_qty", "n_child"]),
+        batch_format="pyarrow")
+    top = _topk_scored(agg, "o_orderkey", "score_qty", k,
+                       extra_cols=("n_child",))
+    return pa.Table.from_pandas(
+        top[["o_orderkey", "score_qty", "n_child"]], preserve_index=False)
+
+
+def block_join_child(sf_dir: str, priority: str = "1-URGENT",
+                     limit: int = 100) -> pa.Table:
+    """ToChildBlockJoinQuery (lucene/join/.../ToChildBlockJoinQuery.java:41):
+    parent filter selects orders, result rows are their children
+    (lineitems). Parent key set broadcast once via ray.put (at 100 TB,
+    when the parent match set no longer fits, switch to the
+    hash-partitioned Dataset join used by dedup verify="join")."""
+    import ray
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    keys = np.unique(np.concatenate(
+        [np.asarray(b.filter(pc.equal(b["o_orderpriority"],
+                                      pa.scalar(priority)))["o_orderkey"],
+                    dtype=np.int64)
+         for b in orders.iter_batches(batch_format="pyarrow",
+                                      batch_size=65536)]
+        or [np.empty(0, dtype=np.int64)]))
+    key_ref = ray.put(keys)
+
+    class Probe:
+        def __init__(self, ref):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ok = np.asarray(batch["l_orderkey"], dtype=np.int64)
+            idx = np.clip(np.searchsorted(self.keys, ok),
+                          0, max(len(self.keys) - 1, 0))
+            mask = (self.keys[idx] == ok) if len(self.keys) else \
+                np.zeros(len(ok), dtype=bool)
+            return batch.filter(pa.array(mask))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    hits = li.map_batches(Probe, fn_constructor_kwargs={"ref": key_ref},
+                          batch_format="pyarrow", concurrency=(1, 4))
+    out = (hits.map_batches(
+        lambda b: _cents(b, "l_extendedprice", "price_c").select(
+            ["l_orderkey", "l_linenumber", "price_c"]),
+        batch_format="pyarrow")
+        .sort(["l_orderkey", "l_linenumber"]).limit(limit))
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def terms_including_score(sf_dir: str, k: int = 20) -> pa.Table:
+    """TermsIncludingScoreQuery / JoinUtil ScoreMode.Max
+    (lucene/join/.../TermsIncludingScoreQuery.java:47, JoinUtil.java:36):
+    the "from" side (orders) contributes a score per join term (custkey =
+    max order price); "to" side docs (customers) are ranked by that
+    carried score. Partial max per batch → groupby(max) → top-k; the
+    tiny winner set is broadcast to fetch the to-side fields."""
+    import ray
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = _cents(batch, "o_totalprice", "score_c")
+        ck = np.asarray(b["o_custkey"], dtype=np.int64)
+        sc = np.asarray(b["score_c"], dtype=np.int64)
+        keys, inv = np.unique(ck, return_inverse=True)
+        mx = np.full(len(keys), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(mx, inv, sc)
+        return pa.table({"o_custkey": pa.array(keys, type=pa.int64()),
+                         "score_c": pa.array(mx, type=pa.int64())})
+
+    agg = (orders.map_batches(partial, batch_format="pyarrow")
+           .groupby("o_custkey").max("score_c"))
+    agg = agg.map_batches(
+        lambda b: b.rename_columns(["o_custkey", "score_c"]),
+        batch_format="pyarrow")
+    top = _topk_scored(agg, "o_custkey", "score_c", k)
+    score_of = dict(zip(top["o_custkey"], top["score_c"]))
+    want_ref = ray.put(np.array(sorted(score_of), dtype=np.int64))
+
+    class Fetch:
+        def __init__(self, ref):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = np.asarray(batch["c_custkey"], dtype=np.int64)
+            idx = np.clip(np.searchsorted(self.keys, ck),
+                          0, len(self.keys) - 1)
+            return batch.filter(pa.array(self.keys[idx] == ck))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    names = (cust.map_batches(Fetch, fn_constructor_kwargs={"ref": want_ref},
+                              batch_format="pyarrow", concurrency=(1, 4))
+             .to_pandas())
+    names["score_c"] = names["c_custkey"].map(score_of).astype("int64")
+    names = names.sort_values(["score_c", "c_custkey"],
+                              ascending=[False, True]).reset_index(drop=True)
+    return pa.Table.from_pandas(names[["c_custkey", "c_name", "score_c"]],
+                                preserve_index=False)
+
+
+def collapse_expand(sf_dir: str, n_expand: int = 2) -> pa.Table:
+    """CollapsingQParserPlugin + ExpandComponent
+    (solr:search/CollapsingQParserPlugin.java:91,
+    solr:handler/component/ExpandComponent.java:66): collapse orders on
+    o_custkey keeping the top order per customer ('head'), and expand
+    each collapsed group with its next ``n_expand`` orders ('expand').
+    One groupby + per-group head, exactly the grouping shuffle."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def head_expand(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True]).head(1 + n_expand)
+        g = g.assign(role=np.where(np.arange(len(g)) == 0,
+                                   "head", "expand"))
+        return g
+
+    df = (ds.groupby("o_custkey").map_groups(head_expand,
+                                             batch_format="pandas")
+          .to_pandas())
+    df["price_c"] = (df["o_totalprice"] * 100).round().astype("int64")
+    df = df[["o_custkey", "o_orderkey", "price_c", "role"]].sort_values(
+        ["o_custkey", "o_orderkey"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)

@@ -935,6 +935,7 @@ def _sketch_hll(sf_dir: str) -> pa.Table:
 def build_queries() -> dict:
     from ..ops import ann as A
     from ..ops import dedup as D
+    from ..ops import joins as J
     from ..ops import relational as R
     from ..ops import text as T
 
@@ -970,6 +971,10 @@ def build_queries() -> dict:
         "rel_percentiles": R.percentiles,
         "rel_stats_extended": R.stats_extended,
         "sketch_hll_users": _sketch_hll,           # rows-only (approximate)
+        "rel_block_join_parent": J.block_join_parent,
+        "rel_block_join_child": J.block_join_child,
+        "rel_join_score": J.terms_including_score,
+        "rel_collapse_expand": J.collapse_expand,
     }
     return training | rel | {
         "ft_term_hot": _q_term(HOT),
@@ -1046,6 +1051,10 @@ def build_oracle_sql() -> dict:
         "rel_hierarchical_facet": RS.HIERARCHICAL_FACET,
         "rel_percentiles": RS.PERCENTILES,
         "rel_stats_extended": RS.STATS_EXTENDED,
+        "rel_block_join_parent": RS.BLOCK_JOIN_PARENT,
+        "rel_block_join_child": RS.BLOCK_JOIN_CHILD,
+        "rel_join_score": RS.TERMS_INCLUDING_SCORE,
+        "rel_collapse_expand": RS.COLLAPSE_EXPAND,
         # sketch_hll_users: no SQL twin (HLL approximate by construction);
         # tests/test_sketches.py bounds the error vs the exact count
     }

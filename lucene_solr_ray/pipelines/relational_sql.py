@@ -84,6 +84,46 @@ SELECT n AS cnt, CAST(card AS BIGINT) AS cardinality,
 FROM s
 """
 
+BLOCK_JOIN_PARENT = """
+SELECT l_orderkey AS o_orderkey,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS score_qty,
+       count(*) AS n_child
+FROM lineitem WHERE l_quantity >= 45
+GROUP BY l_orderkey
+ORDER BY score_qty DESC, o_orderkey ASC LIMIT 10
+"""
+
+BLOCK_JOIN_CHILD = """
+SELECT l_orderkey, l_linenumber,
+       CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')
+ORDER BY l_orderkey, l_linenumber LIMIT 100
+"""
+
+TERMS_INCLUDING_SCORE = """
+WITH s AS (SELECT o_custkey,
+                  max(CAST(round(o_totalprice * 100) AS BIGINT)) AS score_c
+           FROM orders GROUP BY o_custkey
+           ORDER BY score_c DESC, o_custkey ASC LIMIT 20)
+SELECT c_custkey, c_name, score_c
+FROM s JOIN customer ON c_custkey = o_custkey
+ORDER BY score_c DESC, c_custkey ASC
+"""
+
+COLLAPSE_EXPAND = """
+SELECT o_custkey, o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+       CASE WHEN rn = 1 THEN 'head' ELSE 'expand' END AS role
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC,
+                                            o_orderkey ASC) AS rn
+      FROM orders)
+WHERE rn <= 3
+ORDER BY o_custkey, o_orderkey
+"""
+
 SEMI_JOIN = """
 SELECT o_orderkey, o_custkey,
        CAST(round(o_totalprice * 100) AS BIGINT) AS price_c

@@ -87,6 +87,8 @@ def test_all_queries_have_oracles_or_are_documented():
     "ft_numeric_range", "ft_sort_by_field", "ft_spellcheck",
     "ft_synonym_term",
     "rel_hierarchical_facet", "rel_percentiles", "rel_stats_extended",
+    "rel_block_join_parent", "rel_block_join_child", "rel_join_score",
+    "rel_collapse_expand",
 ])
 def test_query_matches_oracle(name, con, ray_session):
     q, o = _pairs()
