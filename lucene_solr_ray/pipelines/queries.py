@@ -597,6 +597,130 @@ scored AS (SELECT doc_id, CAST(n AS DOUBLE) AS score FROM spans)
 """
 
 
+def _q_multi_phrase(slots, k=10):
+    def run(sf_dir):
+        return _topk_table(_searcher(sf_dir).search_multi_phrase(slots, k=k))
+    return run
+
+
+def _multi_phrase_sql(slots, k: int) -> str:
+    """Twin of search_multi_phrase for 2-position multi-phrases: start
+    positions where slot-0 ∋ token(p) and slot-1 ∋ token(p+1); idf summed
+    over the flattened term list in engine order (scalar subqueries keep
+    the float addition order identical)."""
+    assert len(slots) == 2
+    flat = [t for s in slots for t in s]
+
+    def df_sub(t: str) -> str:
+        return f"(SELECT count(DISTINCT doc_id) FROM clean WHERE term = '{t}')"
+
+    idf = " + ".join(
+        f"ln(1 + (s.n_docs - {df_sub(t)} + 0.5) / ({df_sub(t)} + 0.5))"
+        for t in flat)
+    in0 = ", ".join(f"'{t}'" for t in slots[0])
+    in1 = ", ".join(f"'{t}'" for t in slots[1])
+    return f"""
+WITH {_tok_ctes()},
+pf AS (SELECT a.doc_id, count(*) AS pf
+       FROM clean a JOIN clean b
+         ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       WHERE a.term IN ({in0}) AND b.term IN ({in1})
+       GROUP BY a.doc_id),
+scored AS (
+  SELECT pf.doc_id AS doc_id,
+         ({idf}) * (pf.pf * ({K1_SQL} + 1))
+           / (pf.pf + {K1_SQL} * ((1 - {B_SQL}) + ({B_SQL} * dl.dl)
+              / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))) AS score
+  FROM pf JOIN dl USING (doc_id), stats s
+)
+{_sql_topk('scored', k)}
+"""
+
+
+def _q_span_first(term, end, k=20):
+    def run(sf_dir):
+        return _topk_table(_searcher(sf_dir).search_span_first(term, end, k=k))
+    return run
+
+
+def _span_first_sql(term: str, end: int, k: int) -> str:
+    return f"""
+WITH {_tok_ctes()},
+spans AS (SELECT doc_id, count(*) AS n FROM clean
+          WHERE term = '{term}' AND pos < {end} GROUP BY doc_id),
+scored AS (SELECT doc_id, CAST(n AS DOUBLE) AS score FROM spans)
+{_sql_topk('scored', k)}
+"""
+
+
+def _q_span_not(include, exclude, dist, k=20):
+    def run(sf_dir):
+        return _topk_table(
+            _searcher(sf_dir).search_span_not(include, exclude, dist, k=k))
+    return run
+
+
+def _span_not_sql(include: str, exclude: str, dist: int, k: int) -> str:
+    return f"""
+WITH {_tok_ctes()},
+spans AS (
+  SELECT a.doc_id, count(*) AS n FROM clean a
+  WHERE a.term = '{include}' AND NOT EXISTS (
+    SELECT 1 FROM clean b
+    WHERE b.doc_id = a.doc_id AND b.term = '{exclude}'
+      AND abs(b.pos - a.pos) <= {dist})
+  GROUP BY a.doc_id),
+scored AS (SELECT doc_id, CAST(n AS DOUBLE) AS score FROM spans)
+{_sql_topk('scored', k)}
+"""
+
+
+def _q_span_or(terms, k=20):
+    def run(sf_dir):
+        return _topk_table(_searcher(sf_dir).search_span_or(terms, k=k))
+    return run
+
+
+def _span_or_sql(terms: list[str], k: int) -> str:
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_tok_ctes()},
+spans AS (SELECT doc_id, count(*) AS n FROM clean
+          WHERE term IN ({inlist}) GROUP BY doc_id),
+scored AS (SELECT doc_id, CAST(n AS DOUBLE) AS score FROM spans)
+{_sql_topk('scored', k)}
+"""
+
+
+def _q_blended(terms, k=10):
+    def run(sf_dir):
+        return _topk_table(_searcher(sf_dir).search_blended(terms, k=k))
+    return run
+
+
+def _blended_sql(terms: list[str], k: int) -> str:
+    """Twin of search_blended: every clause scored against the blended
+    (max) df, summed per doc in term order via an explicit pivot."""
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    cols = ", ".join(
+        f"COALESCE(max(CASE WHEN term = '{t}' THEN sc END), 0) AS s{i}"
+        for i, t in enumerate(terms))
+    total = " + ".join(f"s{i}" for i in range(len(terms)))
+    return f"""
+WITH {_tok_ctes()},
+per AS (SELECT doc_id, term, count(*) AS tf FROM clean
+        WHERE term IN ({inlist}) GROUP BY doc_id, term),
+dfb AS (SELECT max(df) AS df
+        FROM (SELECT term, count(*) AS df FROM per GROUP BY term)),
+cs AS (SELECT per.doc_id, per.term,
+              {_bm25_expr('per.tf', 'dl.dl', 'dfb.df')} AS sc
+       FROM per JOIN dl USING (doc_id), dfb, stats s),
+piv AS (SELECT doc_id, {cols} FROM cs GROUP BY doc_id),
+scored AS (SELECT doc_id, {total} AS score FROM piv)
+{_sql_topk('scored', k)}
+"""
+
+
 def _suggest_sql(prefix: str, n: int) -> str:
     return f"""
 WITH {_tok_ctes()}
@@ -1013,6 +1137,11 @@ def build_queries() -> dict:
         "ft_spellcheck": _q_spellcheck("ort"),
         "ft_synonym_term": _q_synonym_term("batch"),
         "ft_stemmed_term": _q_stemmed_term("query"),   # rows-only
+        "ft_multi_phrase": _q_multi_phrase([["fast", "slow"], ["table"]]),
+        "ft_span_first": _q_span_first("scan", 20),
+        "ft_span_not": _q_span_not("table", "slow", 2),
+        "ft_span_or": _q_span_or(["fast", "slow"]),
+        "ft_blended_term": _q_blended(["fast", "slow", "rapid"]),
     }
 
 
@@ -1094,6 +1223,12 @@ def build_oracle_sql() -> dict:
         "ft_sort_by_field": _sort_by_field_sql("table", "n_chars", 10),
         "ft_spellcheck": _spellcheck_sql("ort", 2, 5),
         "ft_synonym_term": _synonym_term_sql("batch", 10),
+        "ft_multi_phrase": _multi_phrase_sql([["fast", "slow"], ["table"]],
+                                             10),
+        "ft_span_first": _span_first_sql("scan", 20, 20),
+        "ft_span_not": _span_not_sql("table", "slow", 2, 20),
+        "ft_span_or": _span_or_sql(["fast", "slow"], 20),
+        "ft_blended_term": _blended_sql(["fast", "slow", "rapid"], 10),
         # ft_stemmed_term: no SQL twin (Porter is not SQL-expressible);
         # golden-vector + round-trip coverage in tests/test_filters.py
     }

@@ -846,6 +846,172 @@ class IndexSearcher:
         d, s = topk_merge(cand, counts.astype(dtype), k)
         return self._finalize([d], [s], k)
 
+    def search_multi_phrase(self, slots: list[list[str]],
+                            k: int = 10) -> pa.Table:
+        """MultiPhraseQuery (core:search/MultiPhraseQuery.java:57): each
+        position holds a SET of alternative terms; a doc matches where
+        some combination forms the phrase. phraseFreq counts matching
+        start positions; idf sums over ALL query terms in slot order
+        (MultiPhraseQuery builds TermStates for every term and
+        BM25Similarity.idfExplain sums them — absent terms contribute
+        their df=0 idf)."""
+        flat = [t for slot in slots for t in slot]
+        got = self.term_stats(flat)
+        stats = {t: got.get(t, (0, 0)) for t in flat}
+        idf = self._phrase_idf(flat, stats)
+        postings = {t: self._decode_term_global(t, positions=True)
+                    for t in set(flat)}
+        slot_docs = []
+        for slot in slots:
+            ds = [postings[t][0] for t in slot if postings[t] is not None]
+            if not ds:
+                return self._finalize([], [], k)
+            slot_docs.append(np.unique(np.concatenate(ds)))
+        cand = slot_docs[0]
+        for d in slot_docs[1:]:
+            cand = np.intersect1d(cand, d, assume_unique=True)
+        if len(cand) == 0:
+            return self._finalize([], [], k)
+        SHIFT = np.int64(1) << np.int64(24)
+        keys = None
+        for off, slot in enumerate(slots):
+            kks = []
+            for t in slot:
+                p = postings[t]
+                if p is None:
+                    continue
+                docs, tfs, _, pos = p
+                doc_rep = np.repeat(docs, tfs)
+                r = np.clip(np.searchsorted(cand, doc_rep),
+                            0, len(cand) - 1)
+                m = cand[r] == doc_rep
+                kks.append(r[m] * SHIFT
+                           + (pos[m] - np.int64(off)
+                              + np.int64(len(slots))))
+            kk = np.unique(np.concatenate(kks))  # alternatives can't share
+            keys = kk if keys is None else \
+                np.intersect1d(keys, kk, assume_unique=True)
+            if len(keys) == 0:
+                return self._finalize([], [], k)
+        pf_all = np.bincount((keys // SHIFT).astype(np.int64),
+                             minlength=len(cand))
+        all_docs = np.concatenate([postings[t][0] for t in set(flat)
+                                   if postings[t] is not None])
+        all_norms = np.concatenate([postings[t][2] for t in set(flat)
+                                    if postings[t] is not None])
+        ud, ui = np.unique(all_docs, return_index=True)
+        norms_all = all_norms[ui][np.searchsorted(ud, cand)]
+        hit = pf_all > 0
+        cand, pf, norms_c = cand[hit], pf_all[hit], norms_all[hit]
+        if len(cand) == 0:
+            return self._finalize([], [], k)
+        scores = self._score(cand, pf, norms_c, 0,
+                             tf_override=pf, idf_override=float(idf))
+        d, s = topk_merge(cand, scores, k)
+        return self._finalize([d], [s], k)
+
+    # ---- remaining spans family; like span_near, scored by match count
+    # (documented deviation from Lucene's sloppyFreq span scoring,
+    # core:search/spans/SpanScorer.java) ----
+    def search_span_first(self, term: str, end: int,
+                          k: int = 10) -> pa.Table:
+        """SpanFirstQuery (core:search/spans/SpanFirstQuery.java:37):
+        occurrences with position < end; score = surviving count."""
+        p = self._decode_term_global(term, positions=True)
+        if p is None:
+            return self._finalize([], [], k)
+        docs, tfs, _, pos = p
+        doc_rep = np.repeat(docs, tfs)
+        early = pos < end
+        counts = np.bincount(
+            np.searchsorted(docs, doc_rep[early]), minlength=len(docs))
+        hit = counts > 0
+        dtype = np.float32 if self.mode == "lucene32" else np.float64
+        d, s = topk_merge(docs[hit], counts[hit].astype(dtype), k)
+        return self._finalize([d], [s], k)
+
+    def search_span_not(self, include: str, exclude: str, dist: int,
+                        k: int = 10) -> pa.Table:
+        """SpanNotQuery with pre/post window (core:search/spans/
+        SpanNotQuery.java:40): include-term occurrences with no
+        exclude-term token within ±dist positions; score = count."""
+        pi = self._decode_term_global(include, positions=True)
+        if pi is None:
+            return self._finalize([], [], k)
+        docs, tfs, _, pos = pi
+        doc_rep = np.repeat(docs, tfs)
+        pe = self._decode_term_global(exclude, positions=True)
+        SHIFT = np.int64(1) << np.int64(24)
+        ka = np.searchsorted(docs, doc_rep) * SHIFT + pos
+        keep = np.ones(len(ka), dtype=bool)
+        if pe is not None:
+            edocs, etfs, _, epos = pe
+            e_rep = np.repeat(edocs, etfs)
+            r = np.clip(np.searchsorted(docs, e_rep), 0, len(docs) - 1)
+            m = docs[r] == e_rep
+            kb = np.sort(r[m] * SHIFT + epos[m])
+            # any exclude token in [pos-dist, pos+dist] kills the span
+            lo = np.searchsorted(kb, ka - dist, side="left")
+            hi = np.searchsorted(kb, ka + dist, side="right")
+            keep = hi == lo
+        counts = np.bincount((ka[keep] // SHIFT).astype(np.int64),
+                             minlength=len(docs))
+        hit = counts > 0
+        dtype = np.float32 if self.mode == "lucene32" else np.float64
+        d, s = topk_merge(docs[hit], counts[hit].astype(dtype), k)
+        return self._finalize([d], [s], k)
+
+    def search_span_or(self, terms: list[str], k: int = 10) -> pa.Table:
+        """SpanOrQuery (core:search/spans/SpanOrQuery.java:39): union of
+        the clause spans; score = total span count per doc."""
+        parts = [self._decode_term_global(t) for t in terms]
+        parts = [p for p in parts if p is not None]
+        if not parts:
+            return self._finalize([], [], k)
+        all_docs = np.concatenate([p[0] for p in parts])
+        all_tfs = np.concatenate([p[1] for p in parts])
+        ud, inv = np.unique(all_docs, return_inverse=True)
+        counts = np.bincount(inv, weights=all_tfs).astype(np.int64)
+        dtype = np.float32 if self.mode == "lucene32" else np.float64
+        d, s = topk_merge(ud, counts.astype(dtype), k)
+        return self._finalize([d], [s], k)
+
+    def search_blended(self, terms: list[str], k: int = 10) -> pa.Table:
+        """BlendedTermQuery (core:search/BlendedTermQuery.java:39,
+        DisjunctionMaxRewrite default replaced by the SHOULD-sum rewrite
+        of BooleanQueryRewrite): every term is scored against the same
+        BLENDED df (the max across terms, :232-246 adjustTermFrequencies)
+        so rare variants aren't over-rewarded; per-doc score is the sum
+        over clauses in term order."""
+        stats = self.term_stats(terms)
+        df_blend = max((stats.get(t, (0, 0))[0] for t in terms), default=0)
+        if df_blend == 0:
+            return self._finalize([], [], k)
+        idfb = (float(self.sim.idf(df_blend)) if self.mode == "lucene32"
+                else idf_exact64(df_blend, self.num_docs))
+        clause = {t: self._decode_term_global(t) for t in terms}
+        clause = {t: p for t, p in clause.items() if p is not None}
+        if not clause:
+            return self._finalize([], [], k)
+        cand = np.unique(np.concatenate([p[0] for p in clause.values()]))
+        total = np.zeros(len(cand), dtype=np.float64)
+        for t in terms:
+            if t not in clause:
+                continue
+            docs, tfs, norms = clause[t]
+            r = np.clip(np.searchsorted(docs, cand), 0, len(docs) - 1)
+            present = docs[r] == cand
+            idx = r[present]
+            s = self._score(docs[idx], tfs[idx], norms[idx], 0,
+                            idf_override=idfb).astype(np.float64)
+            cur = np.zeros(len(cand), dtype=np.float64)
+            cur[present] = s
+            total = total + cur
+        score = total.astype(np.float32) if self.mode == "lucene32" \
+            else total
+        d, s = topk_merge(cand, score, k)
+        return self._finalize([d], [s], k)
+
     def more_like_this_terms(self, text: str, max_terms: int = 5) -> list[str]:
         """MoreLikeThis term selection (lucene/queries/.../mlt/
         MoreLikeThis.java): rank the document's terms by tf·idf against

@@ -89,6 +89,8 @@ def test_all_queries_have_oracles_or_are_documented():
     "rel_hierarchical_facet", "rel_percentiles", "rel_stats_extended",
     "rel_block_join_parent", "rel_block_join_child", "rel_join_score",
     "rel_collapse_expand",
+    "ft_multi_phrase", "ft_span_first", "ft_span_not", "ft_span_or",
+    "ft_blended_term",
 ])
 def test_query_matches_oracle(name, con, ray_session):
     q, o = _pairs()

@@ -142,3 +142,41 @@ def test_corpus_has_singletons_and_hot_terms(oracle):
     assert max(dfs) > N_DOCS * 0.5  # hot terms
     singles = [t for t, d in oracle.df.items() if d == 1]
     assert len(singles) >= N_DOCS * 0.9  # uniq_<i> markers
+
+
+def _hot(oracle):
+    return max(oracle.df.items(), key=lambda kv: (kv[1], kv[0]))[0]
+
+
+def test_multi_phrase_degenerates_to_exact_phrase(index_dir, oracle):
+    """Single-alternative slots == PhraseQuery, scores bit-equal."""
+    s = IndexSearcher(index_dir, mode="exact64")
+    hot = _hot(oracle)
+    a = s.search_phrase([hot, hot], k=10)
+    b = s.search_multi_phrase([[hot], [hot]], k=10)
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    assert a["score"].to_pylist() == b["score"].to_pylist()
+
+
+def test_span_variants_degenerate_to_occurrence_counts(index_dir, oracle):
+    """span_first with an unbounded window and span_not with an absent
+    exclude both equal the plain occurrence count (span_or of one)."""
+    s = IndexSearcher(index_dir, mode="exact64")
+    hot = _hot(oracle)
+    base = s.search_span_or([hot], k=50)
+    first = s.search_span_first(hot, 1 << 22, k=50)
+    note = s.search_span_not(hot, "zzz_does_not_exist", 3, k=50)
+    for other in (first, note):
+        assert base["doc_id"].to_pylist() == other["doc_id"].to_pylist()
+        assert base["score"].to_pylist() == other["score"].to_pylist()
+
+
+def test_blended_single_term_equals_term_query(index_dir, oracle):
+    """One-term blend: blended df == the term's own df, so scores match
+    TermQuery bit-for-bit in exact64 mode."""
+    s = IndexSearcher(index_dir, mode="exact64")
+    hot = _hot(oracle)
+    a = s.search_term(hot, k=10)
+    b = s.search_blended([hot], k=10)
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    assert a["score"].to_pylist() == b["score"].to_pylist()
