@@ -85,7 +85,8 @@ def _per_doc_serial_positions(doc_idx: np.ndarray) -> np.ndarray:
 def analyze_batch(texts: pa.Array | pa.ChunkedArray, *,
                   keep_stopwords: bool = False,
                   stopwords=None,
-                  term_transform=None) -> AnalyzedBatch:
+                  term_transform=None,
+                  stream_transform=None) -> AnalyzedBatch:
     """Tokenize a column of documents into a flat (doc, term, position) stream.
 
     Vectorized StandardAnalyzer-equivalent: lowercase → split on
@@ -100,6 +101,11 @@ def analyze_batch(texts: pa.Array | pa.ChunkedArray, *,
     surviving term once per batch (vectorized via dictionary encoding) —
     the TokenFilter chain extension point (PorterStemFilter,
     SynonymFilter; see analysis.filters).
+    ``stream_transform`` is a one→many token-stream stage
+    ``(terms, doc_idx, positions) -> (terms, doc_idx, positions)``
+    applied last (NGram/Shingle/RemoveDuplicates; see analysis.filters).
+    Doc lengths (norms) count the tokens it EMITS — the indexing chain
+    sees the post-filter stream, exactly as in Lucene.
     """
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
@@ -136,6 +142,9 @@ def analyze_batch(texts: pa.Array | pa.ChunkedArray, *,
         denc = flat.dictionary_encode()
         vocab = [term_transform(t) for t in denc.dictionary.to_pylist()]
         flat = pa.array(vocab, type=flat.type).take(denc.indices)
+
+    if stream_transform is not None:
+        flat, doc_idx, positions = stream_transform(flat, doc_idx, positions)
 
     doc_lengths = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
     return AnalyzedBatch(doc_idx=doc_idx, terms=flat, positions=positions,

@@ -167,3 +167,124 @@ def compose(*transforms):
             term = t(term)
         return term
     return transform
+
+
+# ---------------------------------------------------------------------------
+# stream filters (one→many token stages; the analyze_batch
+# ``stream_transform`` hook). Vectorized: per gram-length Arrow slice
+# kernels, never a Python loop over tokens.
+# ---------------------------------------------------------------------------
+
+def _as_array(terms):
+    import pyarrow as pa
+
+    return terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) \
+        else terms
+
+
+def edge_ngram_stream(min_gram: int = 2, max_gram: int = 4):
+    """EdgeNGramTokenFilter (lucene/analysis/common/.../ngram/
+    EdgeNGramTokenFilter.java:35): each token emits its prefixes of
+    length min_gram..max_gram; every gram keeps the origin token's
+    position (first gram posInc=1, rest 0 — net: same position)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def transform(terms, doc_idx, positions):
+        terms = _as_array(terms)
+        lens = np.asarray(pc.binary_length(terms))
+        ts, ds, ps, gs = [], [], [], []
+        for g in range(min_gram, max_gram + 1):
+            sel = lens >= g
+            if not sel.any():
+                continue
+            sel_pa = pa.array(sel)
+            ts.append(pc.utf8_slice_codeunits(terms.filter(sel_pa), 0, g))
+            ds.append(doc_idx[sel])
+            ps.append(positions[sel])
+            gs.append(np.full(int(sel.sum()), g, dtype=np.int64))
+        if not ts:
+            return (pa.array([], type=pa.string()),
+                    np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.int32))
+        t = pa.concat_arrays([_as_array(x) for x in ts])
+        d = np.concatenate(ds)
+        p = np.concatenate(ps)
+        g = np.concatenate(gs)
+        order = np.lexsort((g, p, d))  # doc-grouped, position order kept
+        return t.take(pa.array(order)), d[order], p[order].astype(np.int32)
+
+    return transform
+
+
+def shingle_stream(sep: str = " "):
+    """ShingleFilter, maxShingleSize=2, outputUnigrams=true
+    (lucene/analysis/common/.../shingle/ShingleFilter.java:39): emits
+    each token plus a 2-gram joining it with the NEXT token at the
+    adjacent position. Adjacency is positional (pos+1), so use it over a
+    chain without stopword gaps (stopwords=set()) — the reference fills
+    gaps with '_' filler tokens instead, a documented deviation."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def transform(terms, doc_idx, positions):
+        terms = _as_array(terms)
+        n = len(doc_idx)
+        if n < 2:
+            return terms, doc_idx, positions
+        adj = (doc_idx[1:] == doc_idx[:-1]) & \
+            (positions[1:] == positions[:-1] + 1)
+        adj_pa = pa.array(adj)
+        a = terms.slice(0, n - 1).filter(adj_pa)
+        b = terms.slice(1, n - 1).filter(adj_pa)
+        sh = pc.binary_join_element_wise(a, b, sep)
+        t = pa.concat_arrays([terms, _as_array(sh)])
+        d = np.concatenate([doc_idx, doc_idx[:-1][adj]])
+        p = np.concatenate([positions, positions[:-1][adj]])
+        flag = np.concatenate([np.zeros(n, dtype=np.int64),
+                               np.ones(int(adj.sum()), dtype=np.int64)])
+        order = np.lexsort((flag, p, d))  # unigram before its shingle
+        return t.take(pa.array(order)), d[order], p[order].astype(np.int32)
+
+    return transform
+
+
+def remove_duplicates_stream():
+    """RemoveDuplicatesTokenFilter (lucene/analysis/common/.../miscellaneous/
+    RemoveDuplicatesTokenFilter.java:28). The reference drops a token
+    equal to a previous one AT THE SAME POSITION (posInc=0, i.e. synonym
+    injection); this chain never emits same-position duplicates, so the
+    practical configuration implemented here drops a token identical to
+    its immediate predecessor within the doc (documented deviation)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def transform(terms, doc_idx, positions):
+        terms = _as_array(terms)
+        n = len(doc_idx)
+        if n < 2:
+            return terms, doc_idx, positions
+        same_doc = doc_idx[1:] == doc_idx[:-1]
+        eq_prev = np.asarray(pc.equal(terms.slice(1, n - 1),
+                                      terms.slice(0, n - 1)))
+        keep = np.concatenate(([True], ~(same_doc & eq_prev)))
+        return (terms.filter(pa.array(keep)), doc_idx[keep],
+                positions[keep])
+
+    return transform
+
+
+def ascii_fold(term: str) -> str:
+    """ASCIIFoldingFilter (lucene/analysis/common/.../miscellaneous/
+    ASCIIFoldingFilter.java:57) as a term transform: NFKD-decompose and
+    drop non-ASCII marks (café → cafe). NOTE: this chain's tokenizer is
+    ASCII-only, so folding matters for keyword fields and for callers
+    that fold BEFORE tokenization; kept for chain parity."""
+    import unicodedata
+
+    folded = unicodedata.normalize("NFKD", term) \
+        .encode("ascii", "ignore").decode()
+    return folded or term

@@ -268,7 +268,8 @@ def write_segment(table: pa.Table, segments_root: str, seg_name: str, *,
                   store_cols: tuple[str, ...] = (),
                   keyword_cols: tuple[str, ...] = (),
                   with_positions: bool = True,
-                  term_transform=None) -> dict:
+                  term_transform=None, stream_transform=None,
+                  stopwords=None) -> dict:
     """Analyze one Arrow table of documents and write it as a segment.
 
     ``keyword_cols`` are indexed as untokenized single-token fields — the
@@ -291,7 +292,9 @@ def write_segment(table: pa.Table, segments_root: str, seg_name: str, *,
         raise ValueError("duplicate doc_id within a segment")
 
     analyzed = analyze_batch(table[content_col],
-                            term_transform=term_transform)
+                            term_transform=term_transform,
+                            stream_transform=stream_transform,
+                            stopwords=stopwords)
     dl = analyzed.doc_lengths
     norms = encode_norm(dl.astype(np.float64))
 

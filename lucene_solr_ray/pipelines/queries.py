@@ -905,9 +905,11 @@ scored AS (
 SYNONYMS = {"group": "batch"}  # canonical-form map (SynonymFilter)
 
 
-def documents_index_variant(sf_dir: str, tag: str, term_transform) -> str:
+def documents_index_variant(sf_dir: str, tag: str, term_transform=None,
+                            stream_transform=None, stopwords=None) -> str:
     """A documents index built with a configured analyzer chain
-    (PorterStemFilter / SynonymFilter stages); cached per variant."""
+    (PorterStemFilter / SynonymFilter term stages, NGram/Shingle stream
+    stages); cached per variant."""
     from ..index.build import build_index
     from ..index.manifest import load_manifest
 
@@ -927,7 +929,8 @@ def documents_index_variant(sf_dir: str, tag: str, term_transform) -> str:
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
     build_index(ds, out, content_col="text", batch_rows=256,
-                term_transform=term_transform)
+                term_transform=term_transform,
+                stream_transform=stream_transform, stopwords=stopwords)
     _memo[out] = out
     return out
 
@@ -958,6 +961,92 @@ def _q_stemmed_term(word, k=10):
         return _topk_table(s.search(
             {"type": "term", "term": porter_stem(word)}, k=k))
     return run
+
+
+def _q_edge_ngram(gram, k=10, min_gram=2, max_gram=4):
+    """Term query over an edge-ngram index (ngram/EdgeNGramTokenFilter):
+    the query gram matches every token it prefixes; dl/norms count the
+    expanded gram stream, exactly as the post-filter indexing chain."""
+    def run(sf_dir):
+        from ..analysis.filters import edge_ngram_stream
+        from ..search.searcher import IndexSearcher
+
+        idx = documents_index_variant(
+            sf_dir, "edge", stream_transform=edge_ngram_stream(min_gram,
+                                                               max_gram))
+        s = IndexSearcher(idx, mode="exact64")
+        return _topk_table(s.search({"type": "term", "term": gram}, k=k))
+    return run
+
+
+def _edge_ngram_sql(gram: str, k: int, min_gram: int, max_gram: int) -> str:
+    """Twin: tf('g') = tokens with prefix g and length >= |g|; dl = total
+    gram count per doc; collection stats over the expanded stream."""
+    g = len(gram)
+    return f"""
+WITH {_tok_ctes()},
+dle AS (SELECT doc_id,
+               sum(CASE WHEN length(term) >= {min_gram}
+                   THEN least(length(term), {max_gram}) - {min_gram} + 1
+                   ELSE 0 END) AS dl
+        FROM clean GROUP BY doc_id),
+statse AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                  (SELECT sum(dl) FROM dle) AS sum_dl),
+tf AS (SELECT doc_id, count(*) AS tf FROM clean
+       WHERE length(term) >= {g} AND substr(term, 1, {g}) = '{gram}'
+       GROUP BY doc_id),
+dfx AS (SELECT count(*) AS df FROM tf),
+scored AS (
+  SELECT tf.doc_id AS doc_id,
+         {_bm25_expr('tf.tf', 'dle.dl', 'dfx.df', 's.n_docs', 's.sum_dl')}
+           AS score
+  FROM tf JOIN dle USING (doc_id), dfx, statse s
+)
+{_sql_topk('scored', k)}
+"""
+
+
+def _q_shingle(t1, t2, k=10):
+    """Term query for the 2-shingle "<t1> <t2>" over a shingle index
+    (shingle/ShingleFilter, outputUnigrams=true) built WITHOUT stopwords
+    so positional adjacency has no gaps (see shingle_stream docstring)."""
+    def run(sf_dir):
+        from ..analysis.filters import shingle_stream
+        from ..search.searcher import IndexSearcher
+
+        idx = documents_index_variant(
+            sf_dir, "shingle", stream_transform=shingle_stream(),
+            stopwords=frozenset())
+        s = IndexSearcher(idx, mode="exact64")
+        return _topk_table(s.search(
+            {"type": "term", "term": f"{t1} {t2}"}, k=k))
+    return run
+
+
+def _shingle_sql(t1: str, t2: str, k: int) -> str:
+    """Twin over the no-stopword stream: dl = unigrams + adjacent pairs;
+    tf = count of (t1, t2) adjacent pairs."""
+    return f"""
+WITH {_tok_ctes()},
+cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+dle AS (SELECT doc_id, n + CASE WHEN n > 0 THEN n - 1 ELSE 0 END AS dl
+        FROM cnt),
+statse AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                  (SELECT sum(dl) FROM dle) AS sum_dl),
+tf AS (SELECT a.doc_id, count(*) AS tf
+       FROM tok a JOIN tok b
+         ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       WHERE a.term = '{t1}' AND b.term = '{t2}'
+       GROUP BY a.doc_id),
+dfx AS (SELECT count(*) AS df FROM tf),
+scored AS (
+  SELECT tf.doc_id AS doc_id,
+         {_bm25_expr('tf.tf', 'dle.dl', 'dfx.df', 's.n_docs', 's.sum_dl')}
+           AS score
+  FROM tf JOIN dle USING (doc_id), dfx, statse s
+)
+{_sql_topk('scored', k)}
+"""
 
 
 def _synonym_term_sql(term: str, k: int) -> str:
@@ -1142,6 +1231,8 @@ def build_queries() -> dict:
         "ft_span_not": _q_span_not("table", "slow", 2),
         "ft_span_or": _q_span_or(["fast", "slow"]),
         "ft_blended_term": _q_blended(["fast", "slow", "rapid"]),
+        "ft_edge_ngram": _q_edge_ngram("tab"),
+        "ft_shingle": _q_shingle("fast", "table"),
     }
 
 
@@ -1229,6 +1320,8 @@ def build_oracle_sql() -> dict:
         "ft_span_not": _span_not_sql("table", "slow", 2, 20),
         "ft_span_or": _span_or_sql(["fast", "slow"], 20),
         "ft_blended_term": _blended_sql(["fast", "slow", "rapid"], 10),
+        "ft_edge_ngram": _edge_ngram_sql("tab", 10, 2, 4),
+        "ft_shingle": _shingle_sql("fast", "table", 10),
         # ft_stemmed_term: no SQL twin (Porter is not SQL-expressible);
         # golden-vector + round-trip coverage in tests/test_filters.py
     }

@@ -90,7 +90,7 @@ def test_all_queries_have_oracles_or_are_documented():
     "rel_block_join_parent", "rel_block_join_child", "rel_join_score",
     "rel_collapse_expand",
     "ft_multi_phrase", "ft_span_first", "ft_span_not", "ft_span_or",
-    "ft_blended_term",
+    "ft_blended_term", "ft_edge_ngram", "ft_shingle",
 ])
 def test_query_matches_oracle(name, con, ray_session):
     q, o = _pairs()

@@ -120,3 +120,48 @@ def test_spellcheck_ranking(ray_session, tmp_path):
     r2 = s.spellcheck("parl", n=5)
     # equal distance (part=1) vs (chart? no) — df desc then term asc
     assert r2["suggestion"].to_pylist()[0] == "part"
+
+
+def test_edge_ngram_stream_golden():
+    from lucene_solr_ray.analysis import analyze_batch
+    from lucene_solr_ray.analysis.filters import edge_ngram_stream
+
+    r = analyze_batch(pa.array(["table cat"]),
+                      stream_transform=edge_ngram_stream(2, 4))
+    # table -> ta tab tabl; cat -> ca cat (position of origin token kept)
+    assert r.terms.to_pylist() == ["ta", "tab", "tabl", "ca", "cat"]
+    assert list(r.positions) == [0, 0, 0, 1, 1]
+    assert list(r.doc_lengths) == [5]
+
+
+def test_shingle_stream_golden():
+    from lucene_solr_ray.analysis import analyze_batch
+    from lucene_solr_ray.analysis.filters import shingle_stream
+
+    r = analyze_batch(pa.array(["fast table scan"]),
+                      stream_transform=shingle_stream(),
+                      stopwords=frozenset())
+    assert r.terms.to_pylist() == ["fast", "fast table", "table",
+                                   "table scan", "scan"]
+    assert list(r.positions) == [0, 0, 1, 1, 2]
+    assert list(r.doc_lengths) == [5]
+
+
+def test_remove_duplicates_stream():
+    from lucene_solr_ray.analysis import analyze_batch
+    from lucene_solr_ray.analysis.filters import remove_duplicates_stream
+
+    r = analyze_batch(pa.array(["go go gadget go", "go go"]),
+                      stream_transform=remove_duplicates_stream(),
+                      stopwords=frozenset())
+    assert r.terms.to_pylist() == ["go", "gadget", "go", "go"]
+    assert list(r.doc_lengths) == [3, 1]
+
+
+def test_ascii_fold():
+    from lucene_solr_ray.analysis.filters import ascii_fold
+
+    assert ascii_fold("café") == "cafe"
+    assert ascii_fold("naïve") == "naive"
+    assert ascii_fold("plain") == "plain"
+    assert ascii_fold("ﬀ") == "ff"  # NFKD compatibility ligature
