@@ -548,6 +548,179 @@ def _q_function_boost(term, a=100.0, k=10):
     return run
 
 
+def _q_expr_boost(term, expr_str, k=10):
+    """Compiled ValueSource expression boost (lucene/expressions
+    JavascriptCompiler + solr ValueSourceParser registry): score =
+    bm25(term) · expr(doc values). The SAME parsed AST evaluates in
+    numpy here and emits the DuckDB twin (search/functionquery.py)."""
+    def run(sf_dir):
+        from ..search.functionquery import evaluate, expr_fields, parse_expr
+
+        node = parse_expr(expr_str)
+        s = _searcher(sf_dir)
+        t = s.search({"type": "term", "term": term}, k=s.num_docs)
+        docs = np.asarray(t["doc_id"], dtype=np.int64)
+        base = np.asarray(t["score"], dtype=np.float64)
+        fields = {}
+        for f in expr_fields(node):
+            ids, vals = (s._global_dl() if f == "dl"
+                         else s.global_doc_values(f))
+            fields[f] = vals[np.searchsorted(ids, docs)].astype(np.float64)
+        score = base * evaluate(node, fields)
+        order = np.lexsort((docs, -score))[:k]
+        return pa.table({
+            "doc_id": pa.array(docs[order], type=pa.int64()),
+            "score_q": pa.array(quantize_score(score[order]),
+                                type=pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1), type=pa.int64()),
+        })
+    return run
+
+
+def _expr_boost_sql(term: str, expr_str: str, k: int) -> str:
+    from ..search.functionquery import parse_expr, to_sql
+
+    expr_sql = to_sql(parse_expr(expr_str),
+                      {"dl": "dl.dl", "n_chars": "d.n_chars"})
+    return f"""
+WITH {_tok_ctes()},
+tf AS (SELECT doc_id, count(*) AS tf FROM clean WHERE term = '{term}'
+       GROUP BY doc_id),
+dfx AS (SELECT count(*) AS df FROM tf),
+scored AS (
+  SELECT tf.doc_id AS doc_id,
+         {_bm25_expr('tf.tf', 'dl.dl', 'dfx.df')} * {expr_sql} AS score
+  FROM tf JOIN dl USING (doc_id)
+          JOIN documents d ON d.doc_id = tf.doc_id, dfx, stats s
+)
+{_sql_topk('scored', k)}
+"""
+
+
+def _external_boost_file(sf_dir: str) -> str:
+    """ExternalFileField source (solr:schema/ExternalFileField.java:43,
+    FileFloatSource): per-doc floats living OUTSIDE the index, reloaded
+    without reindexing. Derived deterministically from doc_id and
+    materialized as a real sidecar parquet so the engine path actually
+    exercises file-based lookup."""
+    import pyarrow.parquet as pq
+
+    key = hashlib.sha256(f"{sf_dir}|extff|v{FORMAT_VERSION}".encode()) \
+        .hexdigest()[:12]
+    path = os.path.join(INDEX_CACHE_ROOT, f"extff-{key}.parquet")
+    if not os.path.exists(path):
+        src = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id"])
+        d = np.sort(np.asarray(src["doc_id"], dtype=np.int64))
+        boost = 1.0 + (d % 7).astype(np.float64) / 10.0
+        os.makedirs(INDEX_CACHE_ROOT, exist_ok=True)
+        pq.write_table(pa.table({"doc_id": pa.array(d, type=pa.int64()),
+                                 "boost": pa.array(boost,
+                                                   type=pa.float64())}),
+                       path)
+    return path
+
+
+def _q_external_boost(term, k=10):
+    """score = bm25(term) · boost(doc) with boosts read from the external
+    sidecar file (missing docs default to 1.0, FileFloatSource
+    semantics)."""
+    def run(sf_dir):
+        import pyarrow.parquet as pq
+
+        s = _searcher(sf_dir)
+        t = s.search({"type": "term", "term": term}, k=s.num_docs)
+        docs = np.asarray(t["doc_id"], dtype=np.int64)
+        base = np.asarray(t["score"], dtype=np.float64)
+        ext = pq.read_table(_external_boost_file(sf_dir))
+        eids = np.asarray(ext["doc_id"], dtype=np.int64)
+        eb = np.asarray(ext["boost"], dtype=np.float64)
+        idx = np.clip(np.searchsorted(eids, docs), 0, len(eids) - 1)
+        boost = np.where(eids[idx] == docs, eb[idx], 1.0)
+        score = base * boost
+        order = np.lexsort((docs, -score))[:k]
+        return pa.table({
+            "doc_id": pa.array(docs[order], type=pa.int64()),
+            "score_q": pa.array(quantize_score(score[order]),
+                                type=pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1), type=pa.int64()),
+        })
+    return run
+
+
+def _external_boost_sql(term: str, k: int) -> str:
+    """Twin recomputes the sidecar formula inline (the file itself is
+    derived from doc_id, so the algebra is identical)."""
+    return f"""
+WITH {_tok_ctes()},
+tf AS (SELECT doc_id, count(*) AS tf FROM clean WHERE term = '{term}'
+       GROUP BY doc_id),
+dfx AS (SELECT count(*) AS df FROM tf),
+scored AS (
+  SELECT tf.doc_id AS doc_id,
+         {_bm25_expr('tf.tf', 'dl.dl', 'dfx.df')}
+           * (1.0 + (tf.doc_id % 7) / 10.0) AS score
+  FROM tf JOIN dl USING (doc_id), dfx, stats s
+)
+{_sql_topk('scored', k)}
+"""
+
+
+def _q_elevation(term, n_elevated=2, k=10):
+    """QueryElevationComponent (solr:handler/component/
+    QueryElevationComponent.java:74): configured docs pin to the top in
+    config order (here: the n lowest matching doc ids — a deterministic
+    stand-in for elevate.xml), organic BM25 order follows."""
+    def run(sf_dir):
+        s = _searcher(sf_dir)
+        t = s.search({"type": "term", "term": term}, k=s.num_docs)
+        docs = np.asarray(t["doc_id"], dtype=np.int64)
+        scores = np.asarray(t["score"], dtype=np.float64)
+        elev = np.sort(docs)[:n_elevated]
+        is_e = np.isin(docs, elev)
+        e_order = np.argsort(docs[is_e])
+        o_idx = np.flatnonzero(~is_e)
+        o_order = o_idx[np.lexsort((docs[o_idx], -scores[o_idx]))]
+        order = np.concatenate(
+            [np.flatnonzero(is_e)[e_order], o_order])[:k]
+        return pa.table({
+            "doc_id": pa.array(docs[order], type=pa.int64()),
+            "score_q": pa.array(quantize_score(scores[order]),
+                                type=pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1), type=pa.int64()),
+        })
+    return run
+
+
+def _elevation_sql(term: str, n_elevated: int, k: int) -> str:
+    return f"""
+WITH {_tok_ctes()},
+tf AS (SELECT doc_id, count(*) AS tf FROM clean WHERE term = '{term}'
+       GROUP BY doc_id),
+dfx AS (SELECT count(*) AS df FROM tf),
+scored AS (
+  SELECT tf.doc_id AS doc_id,
+         {_bm25_expr('tf.tf', 'dl.dl', 'dfx.df')} AS score
+  FROM tf JOIN dl USING (doc_id), dfx, stats s
+),
+elev AS (SELECT doc_id FROM scored ORDER BY doc_id ASC LIMIT {n_elevated}),
+ranked AS (
+  SELECT s.doc_id, s.score,
+         CASE WHEN s.doc_id IN (SELECT doc_id FROM elev)
+              THEN 1 ELSE 0 END AS is_e
+  FROM scored s)
+SELECT doc_id, {_QUANT.format(expr='score')} AS score_q,
+       CAST(row_number() OVER (
+         ORDER BY is_e DESC,
+                  CASE WHEN is_e = 1 THEN doc_id END ASC,
+                  score DESC, doc_id ASC) AS BIGINT) AS rank
+FROM ranked
+ORDER BY is_e DESC, CASE WHEN is_e = 1 THEN doc_id END ASC,
+         score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def _multiterm_sql(term_pred: str, k: int) -> str:
     """CONSTANT_SCORE_REWRITE twin: matching docs score 1.0, rank by
     doc_id asc."""
@@ -1233,6 +1406,10 @@ def build_queries() -> dict:
         "ft_blended_term": _q_blended(["fast", "slow", "rapid"]),
         "ft_edge_ngram": _q_edge_ngram("tab"),
         "ft_shingle": _q_shingle("fast", "table"),
+        "ft_expr_boost": _q_expr_boost(
+            "table", "product(recip(dl,1,100,100),sqrt(n_chars))"),
+        "ft_external_boost": _q_external_boost("table"),
+        "ft_elevation": _q_elevation("table"),
     }
 
 
@@ -1322,6 +1499,10 @@ def build_oracle_sql() -> dict:
         "ft_blended_term": _blended_sql(["fast", "slow", "rapid"], 10),
         "ft_edge_ngram": _edge_ngram_sql("tab", 10, 2, 4),
         "ft_shingle": _shingle_sql("fast", "table", 10),
+        "ft_expr_boost": _expr_boost_sql(
+            "table", "product(recip(dl,1,100,100),sqrt(n_chars))", 10),
+        "ft_external_boost": _external_boost_sql("table", 10),
+        "ft_elevation": _elevation_sql("table", 2, 10),
         # ft_stemmed_term: no SQL twin (Porter is not SQL-expressible);
         # golden-vector + round-trip coverage in tests/test_filters.py
     }

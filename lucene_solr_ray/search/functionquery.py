@@ -1,0 +1,175 @@
+"""ValueSource expression layer — compiled function queries
+(lucene/queries/.../function/ValueSource.java registry,
+lucene/expressions/.../js/JavascriptCompiler.java compiled exprs,
+solr:search/ValueSourceParser.java:60+ function registry).
+
+One expression string compiles to ONE AST with two emitters:
+- ``evaluate(fields)``: vectorized numpy over per-doc value arrays
+  (doc values / dl), IEEE-754 left-fold shapes;
+- ``to_sql(col_of)``: the same tree as a DuckDB scalar expression with
+  identical association order — so an oracle query can be generated
+  from the very expression the engine runs (the correctness gate then
+  checks the compiler itself).
+
+Functions (ValueSourceParser names): sum, product, sub, div, recip,
+linear, max, min, sqrt, abs, pow, const literals and field refs.
+``log``/``ln`` is implemented for parity of surface but is NOT used in
+oracle-paired expressions: numpy's SIMD log differs from libm's in the
+last bit on some inputs (see CLAUDE.md), which would break hash
+equality.
+
+Grammar:  expr := NUMBER | IDENT | IDENT '(' expr (',' expr)* ')'
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+_TOKEN = re.compile(r"\s*([A-Za-z_][A-Za-z_0-9]*|-?\d+(?:\.\d+)?|[(),])")
+
+
+class ExprNode:
+    __slots__ = ("kind", "value", "args")
+
+    def __init__(self, kind: str, value=None, args=()):
+        self.kind = kind       # "num" | "field" | "call"
+        self.value = value
+        self.args = list(args)
+
+
+def parse_expr(s: str) -> ExprNode:
+    toks = _TOKEN.findall(s)
+    if "".join(_TOKEN.findall(s)).replace(" ", "") != \
+            re.sub(r"\s+", "", s):
+        raise ValueError(f"unparseable expression: {s!r}")
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        if pos >= len(toks):
+            raise ValueError(f"unexpected end of expression: {s!r}")
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def expr() -> ExprNode:
+        t = take()
+        if re.fullmatch(r"-?\d+(?:\.\d+)?", t):
+            return ExprNode("num", float(t))
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", t):
+            raise ValueError(f"unexpected token {t!r} in {s!r}")
+        if peek() == "(":
+            take()
+            args = [expr()]
+            while peek() == ",":
+                take()
+                args.append(expr())
+            if take() != ")":
+                raise ValueError(f"missing ')' in {s!r}")
+            return ExprNode("call", t, args)
+        return ExprNode("field", t)
+
+    node = expr()
+    if pos != len(toks):
+        raise ValueError(f"trailing tokens in {s!r}")
+    return node
+
+
+def _fold(op, parts):
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = op(acc, p)
+    return acc
+
+
+def evaluate(node: ExprNode, fields: dict[str, np.ndarray]) -> np.ndarray:
+    """Vectorized evaluation; left-fold for n-ary sum/product so the SQL
+    twin's ``a + b + c`` associates identically."""
+    if node.kind == "num":
+        return np.float64(node.value)
+    if node.kind == "field":
+        if node.value not in fields:
+            raise KeyError(f"unknown field {node.value!r}")
+        return fields[node.value].astype(np.float64)
+    args = [evaluate(a, fields) for a in node.args]
+    f = node.value
+    if f == "sum":
+        return _fold(lambda a, b: a + b, args)
+    if f == "product":
+        return _fold(lambda a, b: a * b, args)
+    if f == "sub":
+        return args[0] - args[1]
+    if f == "div":
+        return args[0] / args[1]
+    if f == "recip":      # recip(x,m,a,b) = a/(m*x+b)  ReciprocalFloatFunction
+        x, m, a, b = args
+        return a / (m * x + b)
+    if f == "linear":     # linear(x,m,c) = m*x+c  LinearFloatFunction
+        x, m, c = args
+        return m * x + c
+    if f == "max":
+        return _fold(np.maximum, args)
+    if f == "min":
+        return _fold(np.minimum, args)
+    if f == "sqrt":
+        return np.sqrt(args[0])
+    if f == "abs":
+        return np.abs(args[0])
+    if f == "pow":
+        return np.power(args[0], args[1])
+    if f in ("log", "ln"):
+        return np.log(args[0])   # NOT oracle-safe; see module docstring
+    raise ValueError(f"unknown function {f!r}")
+
+
+def to_sql(node: ExprNode, col_of: dict[str, str]) -> str:
+    """Emit the identical expression as DuckDB SQL. ``col_of`` maps field
+    names to SQL column references."""
+    if node.kind == "num":
+        v = node.value
+        return repr(int(v)) if float(v).is_integer() else repr(v)
+    if node.kind == "field":
+        return f"CAST({col_of[node.value]} AS DOUBLE)"
+    args = [to_sql(a, col_of) for a in node.args]
+    f = node.value
+    if f == "sum":
+        return "(" + " + ".join(args) + ")"
+    if f == "product":
+        return "(" + " * ".join(args) + ")"
+    if f == "sub":
+        return f"({args[0]} - {args[1]})"
+    if f == "div":
+        return f"({args[0]} / {args[1]})"
+    if f == "recip":
+        x, m, a, b = args
+        return f"({a} / ({m} * {x} + {b}))"
+    if f == "linear":
+        x, m, c = args
+        return f"({m} * {x} + {c})"
+    if f == "max":
+        return _fold(lambda a, b: f"GREATEST({a}, {b})", args)
+    if f == "min":
+        return _fold(lambda a, b: f"LEAST({a}, {b})", args)
+    if f == "sqrt":
+        return f"sqrt({args[0]})"
+    if f == "abs":
+        return f"abs({args[0]})"
+    if f == "pow":
+        return f"pow({args[0]}, {args[1]})"
+    if f in ("log", "ln"):
+        return f"ln({args[0]})"
+    raise ValueError(f"unknown function {f!r}")
+
+
+def expr_fields(node: ExprNode) -> set[str]:
+    if node.kind == "field":
+        return {node.value}
+    out: set[str] = set()
+    for a in node.args:
+        out |= expr_fields(a)
+    return out

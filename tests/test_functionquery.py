@@ -1,0 +1,54 @@
+"""ValueSource expression compiler: parse/eval goldens and
+numpy-vs-DuckDB emitter agreement on the same AST."""
+
+import duckdb
+import numpy as np
+import pytest
+
+from lucene_solr_ray.search.functionquery import (evaluate, expr_fields,
+                                                  parse_expr, to_sql)
+
+
+def test_parse_and_eval_golden():
+    node = parse_expr("product(recip(dl,1,100,100),sqrt(n_chars))")
+    assert expr_fields(node) == {"dl", "n_chars"}
+    out = evaluate(node, {"dl": np.array([100.0]),
+                          "n_chars": np.array([4.0])})
+    assert out[0] == (100.0 / 200.0) * 2.0
+
+
+def test_nary_fold_is_left_assoc():
+    node = parse_expr("sum(1,2,3,4)")
+    assert float(evaluate(node, {})) == 10.0
+    assert to_sql(node, {}) == "(1 + 2 + 3 + 4)"
+
+
+def test_eval_matches_duckdb_bitwise():
+    expr = "product(recip(x,1,100,100),sqrt(y),linear(x,2,1))"
+    node = parse_expr(expr)
+    rng = np.random.default_rng(3)
+    x = rng.integers(1, 1000, 200).astype(np.float64)
+    y = rng.integers(1, 5000, 200).astype(np.float64)
+    mine = evaluate(node, {"x": x, "y": y})
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+                + ", ".join(f"({a!r}, {b!r})" for a, b in zip(x, y))
+                + ") v(x, y)")
+    sql = to_sql(node, {"x": "x", "y": "y"})
+    theirs = con.execute(f"SELECT {sql} FROM t").fetchnumpy()
+    vals = next(iter(theirs.values()))
+    assert np.array_equal(mine, vals)  # bit-for-bit
+
+
+def test_parse_errors():
+    for bad in ("recip(", "1 2", "foo(1,)", "nope(1)@"):
+        with pytest.raises(ValueError):
+            node = parse_expr(bad)
+            evaluate(node, {})
+
+
+def test_unknown_field_and_function():
+    with pytest.raises(KeyError):
+        evaluate(parse_expr("missing"), {})
+    with pytest.raises(ValueError):
+        evaluate(parse_expr("nosuchfn(1)"), {})
