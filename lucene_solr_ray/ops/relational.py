@@ -251,6 +251,32 @@ def stats_extended(sf_dir: str) -> pa.Table:
     })
 
 
+def sampled_facet(sf_dir: str, mod: int = 10) -> pa.Table:
+    """Sampled facet counts (lucene/facet/.../RandomSamplingFacetsCollector
+    .java:48): facet over a document sample instead of the full result
+    set. The reference samples with a seeded XORShift; here the sample is
+    a deterministic key-mod (documented deviation) so the DuckDB twin is
+    exact. Sample selection + partial counts fold inside map_batches; the
+    groupby only moves (priority, partial-count) rows."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key = np.asarray(batch["o_orderkey"], dtype=np.int64)
+        sel = (key % mod) == 0
+        pr = np.asarray(batch["o_orderpriority"])[sel]
+        keys, counts = np.unique(pr, return_counts=True)
+        return pa.table({
+            "o_orderpriority": pa.array(keys.tolist(), type=pa.string()),
+            "cnt": pa.array(counts, type=pa.int64()),
+        })
+
+    df = (ds.map_batches(partial, batch_format="pyarrow")
+          .groupby("o_orderpriority").sum("cnt").to_pandas()
+          .rename(columns={"sum(cnt)": "cnt"})
+          .sort_values("o_orderpriority").reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def semi_join(sf_dir: str) -> pa.Table:
     """JoinUtil.createJoinQuery semi-join (lucene/join/.../JoinUtil.java:36):
     orders whose customer is in the BUILDING segment. Small side broadcast

@@ -894,6 +894,30 @@ scored AS (SELECT doc_id, {total} AS score FROM piv)
 """
 
 
+def _q_suggest_weighted(prefix, n=10, context=("lang", "en")):
+    """NRTSuggester with per-doc weights (n_chars doc value) and a
+    context filter — the fork's signature completion surface."""
+    def run(sf_dir):
+        return _searcher(sf_dir).suggest_completion(
+            prefix, n=n, weight_field="n_chars",
+            context_field=context[0], context_value=context[1])
+    return run
+
+
+def _suggest_weighted_sql(prefix: str, n: int, field: str,
+                          value: str) -> str:
+    return f"""
+WITH {_tok_ctes()},
+cand AS (SELECT DISTINCT doc_id, term FROM clean
+         WHERE term LIKE '{prefix}%'),
+j AS (SELECT cand.term, cand.doc_id, d.n_chars AS weight
+      FROM cand JOIN documents d USING (doc_id)
+      WHERE d.{field} = '{value}')
+SELECT term, doc_id, CAST(weight AS BIGINT) AS weight FROM j
+ORDER BY weight DESC, term ASC, doc_id ASC LIMIT {n}
+"""
+
+
 def _suggest_sql(prefix: str, n: int) -> str:
     return f"""
 WITH {_tok_ctes()}
@@ -1357,6 +1381,7 @@ def build_queries() -> dict:
         "rel_percentiles": R.percentiles,
         "rel_stats_extended": R.stats_extended,
         "sketch_hll_users": _sketch_hll,           # rows-only (approximate)
+        "rel_sampled_facet": R.sampled_facet,
         "rel_block_join_parent": J.block_join_parent,
         "rel_block_join_child": J.block_join_child,
         "rel_join_score": J.terms_including_score,
@@ -1410,6 +1435,7 @@ def build_queries() -> dict:
             "table", "product(recip(dl,1,100,100),sqrt(n_chars))"),
         "ft_external_boost": _q_external_boost("table"),
         "ft_elevation": _q_elevation("table"),
+        "ft_suggest_weighted": _q_suggest_weighted("s"),
     }
 
 
@@ -1448,6 +1474,7 @@ def build_oracle_sql() -> dict:
         "rel_hierarchical_facet": RS.HIERARCHICAL_FACET,
         "rel_percentiles": RS.PERCENTILES,
         "rel_stats_extended": RS.STATS_EXTENDED,
+        "rel_sampled_facet": RS.SAMPLED_FACET,
         "rel_block_join_parent": RS.BLOCK_JOIN_PARENT,
         "rel_block_join_child": RS.BLOCK_JOIN_CHILD,
         "rel_join_score": RS.TERMS_INCLUDING_SCORE,
@@ -1503,6 +1530,7 @@ def build_oracle_sql() -> dict:
             "table", "product(recip(dl,1,100,100),sqrt(n_chars))", 10),
         "ft_external_boost": _external_boost_sql("table", 10),
         "ft_elevation": _elevation_sql("table", 2, 10),
+        "ft_suggest_weighted": _suggest_weighted_sql("s", 10, "lang", "en"),
         # ft_stemmed_term: no SQL twin (Porter is not SQL-expressible);
         # golden-vector + round-trip coverage in tests/test_filters.py
     }

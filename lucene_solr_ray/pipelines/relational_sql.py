@@ -84,6 +84,12 @@ SELECT n AS cnt, CAST(card AS BIGINT) AS cardinality,
 FROM s
 """
 
+SAMPLED_FACET = """
+SELECT o_orderpriority, count(*) AS cnt
+FROM orders WHERE o_orderkey % 10 = 0
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
 BLOCK_JOIN_PARENT = """
 SELECT l_orderkey AS o_orderkey,
        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS score_qty,

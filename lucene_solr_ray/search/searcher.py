@@ -1065,6 +1065,54 @@ class IndexSearcher:
             "weight": pa.array([w for _, w in top], type=pa.int64()),
         })
 
+    def suggest_completion(self, prefix: str, n: int = 10, *,
+                           weight_field: str = "n_chars",
+                           context_field: str | None = None,
+                           context_value: str | None = None) -> pa.Table:
+        """Document-based completion with PER-DOC weights and contexts —
+        the full NRTSuggester surface (lucene/suggest/.../document/
+        NRTSuggester.java:66 weight-ordered traversal,
+        ContextSuggestField/ContextQuery for the context filter,
+        SuggestField weight = per-doc long). Each (term, doc) entry is a
+        suggestion weighted by the doc's ``weight_field`` doc value and
+        filtered by a keyword context. The sorted term dictionary plays
+        the FST's role (shared-prefix ordered traversal); ranking is
+        (weight desc, term asc, doc asc)."""
+        terms = self.expand_terms("prefix", prefix)
+        terms = [t for t in terms if ":" not in t or ":" in prefix]
+        ids, weights = self.global_doc_values(weight_field)
+        ctx_docs = None
+        if context_field is not None:
+            ctx_docs = self.filter_docs(context_field, context_value)
+        out_t, out_d, out_w = [], [], []
+        for t in terms:
+            p = self._decode_term_global(t)
+            if p is None:
+                continue
+            docs = p[0]
+            if ctx_docs is not None:
+                docs = np.intersect1d(docs, ctx_docs, assume_unique=True)
+            if len(docs) == 0:
+                continue
+            w = weights[np.searchsorted(ids, docs)]
+            out_t.append(np.full(len(docs), t, dtype=object))
+            out_d.append(docs)
+            out_w.append(w)
+        if not out_t:
+            return pa.table({"term": pa.array([], type=pa.string()),
+                             "doc_id": pa.array([], type=pa.int64()),
+                             "weight": pa.array([], type=pa.int64())})
+        tt = np.concatenate(out_t)
+        dd = np.concatenate(out_d)
+        ww = np.concatenate(out_w)
+        order = np.lexsort((dd, tt, -ww))[:n]
+        return pa.table({
+            "term": pa.array(tt[order].tolist(), type=pa.string()),
+            "doc_id": pa.array(dd[order], type=pa.int64()),
+            "weight": pa.array(ww[order].astype(np.int64),
+                               type=pa.int64()),
+        })
+
     # ---- numeric doc values: range filter + sort-by-field ----
     def global_doc_values(self, field: str) -> tuple[np.ndarray, np.ndarray]:
         """(sorted doc_ids, values) across all doc segments."""
@@ -1109,6 +1157,71 @@ class IndexSearcher:
             "rank": pa.array(np.arange(1, len(order) + 1),
                              type=pa.int64()),
         })
+
+    def sorted_topk_early(self, field: str, k: int = 10, *,
+                          descending: bool = True):
+        """Early termination on a field-sorted index
+        (core:search/EarlyTerminatingSortingCollector.java:51,
+        IndexWriterConfig.setIndexSort): when segments are sorted by the
+        sort field, each segment's collector stops after k docs. The
+        value-sorted per-segment view (built once, cached — the index
+        sort) yields k candidates per segment; the merge is over
+        ``segments·k`` rows instead of every doc. Returns
+        ``(table, docs_examined)`` so tests can assert the termination
+        actually happened."""
+        if not hasattr(self, "_field_sorted"):
+            self._field_sorted = {}
+        examined = 0
+        parts_d, parts_v = [], []
+        for si, seg in enumerate(self.doc_segments):
+            ck = (si, field, descending)
+            if ck not in self._field_sorted:
+                ids, vals = seg.doc_values(field)
+                dels = self._seg_deletes(seg)
+                if dels is not None and len(ids):
+                    keep = ~np.isin(ids, dels, assume_unique=True)
+                    ids, vals = ids[keep], vals[keep]
+                key = -vals.astype(np.float64) if descending \
+                    else vals.astype(np.float64)
+                order = np.lexsort((ids, key))
+                self._field_sorted[ck] = (ids[order], vals[order])
+            sids, svals = self._field_sorted[ck]
+            take = min(k, len(sids))
+            examined += take
+            parts_d.append(sids[:take])
+            parts_v.append(svals[:take])
+        dd = np.concatenate(parts_d) if parts_d else \
+            np.empty(0, dtype=np.int64)
+        vv = np.concatenate(parts_v) if parts_v else np.empty(0)
+        key = -vv.astype(np.float64) if descending \
+            else vv.astype(np.float64)
+        order = np.lexsort((dd, key))[:k]
+        t = pa.table({
+            "doc_id": pa.array(dd[order], type=pa.int64()),
+            field: pa.array(vv[order]),
+            "rank": pa.array(np.arange(1, len(order) + 1),
+                             type=pa.int64()),
+        })
+        return t, examined
+
+    def search_term_limited(self, term: str, k: int = 10, *,
+                            max_docs: int):
+        """Doc-count limit — the TimeLimitingCollector /
+        solr timeAllowed partial-results discipline
+        (core:search/TimeLimitingCollector.java:38, a deterministic
+        doc-count budget instead of a wall clock): scores only the first
+        ``max_docs`` postings in doc order, and reports whether the
+        collection was cut short. Returns ``(table, partial)``."""
+        p = self._decode_term_global(term)
+        if p is None:
+            return self._finalize([], [], k), False
+        docs, tfs, norms = p
+        df_g = len(docs)
+        partial = df_g > max_docs
+        docs, tfs, norms = docs[:max_docs], tfs[:max_docs], norms[:max_docs]
+        scores = self._score(docs, tfs, norms, df_g)
+        d, s = topk_merge(docs, scores, k)
+        return self._finalize([d], [s], k), partial
 
     # ---- query-tree evaluation (the BooleanQuery-of-anything path the
     # classic query parser produces; core:search/BooleanWeight.java

@@ -180,3 +180,36 @@ def test_blended_single_term_equals_term_query(index_dir, oracle):
     b = s.search_blended([hot], k=10)
     assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
     assert a["score"].to_pylist() == b["score"].to_pylist()
+
+
+def test_early_termination_matches_full_sort(index_dir):
+    """Per-segment early termination returns the identical top-k as the
+    full sort, while examining only segments*k docs."""
+    s = IndexSearcher(index_dir, mode="exact64")
+    t, examined = s.sorted_topk_early("dl", k=10)
+    # full reference: global argsort of the doc-length column
+    ids, vals = s._global_dl()
+    order = np.lexsort((ids, -vals.astype(np.float64)))[:10]
+    assert t["doc_id"].to_pylist() == ids[order].tolist()
+    assert t["dl"].to_pylist() == vals[order].tolist()
+    assert examined <= 10 * len(s.doc_segments)
+    assert examined < s.num_docs  # actually terminated early
+
+
+def test_doc_limit_partial_results(index_dir, oracle):
+    s = IndexSearcher(index_dir, mode="exact64")
+    hot = _hot(oracle)
+    df = oracle.df[hot]
+    full, partial = s.search_term_limited(hot, k=10, max_docs=s.num_docs)
+    assert not partial
+    ref = s.search_term(hot, k=10)
+    assert full["doc_id"].to_pylist() == ref["doc_id"].to_pylist()
+    assert full["score"].to_pylist() == ref["score"].to_pylist()
+    cut, partial2 = s.search_term_limited(hot, k=10, max_docs=df // 2)
+    assert partial2
+    assert cut.num_rows <= 10
+    # the limited collector only saw the first half of the postings,
+    # so every hit must come from the low-doc-id half
+    all_docs = s._decode_term_global(hot)[0]
+    assert set(cut["doc_id"].to_pylist()) <= set(
+        all_docs[: df // 2].tolist())
