@@ -894,6 +894,42 @@ scored AS (SELECT doc_id, {total} AS score FROM piv)
 """
 
 
+def _q_dv_numbers(field, values, k=10):
+    """DocValuesNumbersQuery: numeric doc-values set membership."""
+    def run(sf_dir):
+        return _topk_table(_searcher(sf_dir).search_dv_numbers(
+            field, values, k=k))
+    return run
+
+
+def _dv_numbers_sql(field: str, values, k: int) -> str:
+    inlist = ", ".join(str(v) for v in values)
+    return f"""
+SELECT doc_id, CAST(10000 AS BIGINT) AS score_q,
+       CAST(row_number() OVER (ORDER BY doc_id ASC) AS BIGINT) AS rank
+FROM documents WHERE {field} IN ({inlist})
+ORDER BY doc_id ASC LIMIT {k}
+"""
+
+
+def _q_dv_terms(field, values, k=10):
+    """DocValuesTermsQuery: keyword doc-values set membership."""
+    def run(sf_dir):
+        return _topk_table(_searcher(sf_dir).search_dv_terms(
+            field, values, k=k))
+    return run
+
+
+def _dv_terms_sql(field: str, values, k: int) -> str:
+    inlist = ", ".join(f"'{v}'" for v in values)
+    return f"""
+SELECT doc_id, CAST(10000 AS BIGINT) AS score_q,
+       CAST(row_number() OVER (ORDER BY doc_id ASC) AS BIGINT) AS rank
+FROM documents WHERE {field} IN ({inlist})
+ORDER BY doc_id ASC LIMIT {k}
+"""
+
+
 def _q_suggest_weighted(prefix, n=10, context=("lang", "en")):
     """NRTSuggester with per-doc weights (n_chars doc value) and a
     context filter — the fork's signature completion surface."""
@@ -1436,6 +1472,8 @@ def build_queries() -> dict:
         "ft_external_boost": _q_external_boost("table"),
         "ft_elevation": _q_elevation("table"),
         "ft_suggest_weighted": _q_suggest_weighted("s"),
+        "ft_dv_numbers": _q_dv_numbers("n_chars", [250, 300, 350]),
+        "ft_dv_terms": _q_dv_terms("lang", ["de", "fr"]),
     }
 
 
@@ -1531,6 +1569,8 @@ def build_oracle_sql() -> dict:
         "ft_external_boost": _external_boost_sql("table", 10),
         "ft_elevation": _elevation_sql("table", 2, 10),
         "ft_suggest_weighted": _suggest_weighted_sql("s", 10, "lang", "en"),
+        "ft_dv_numbers": _dv_numbers_sql("n_chars", [250, 300, 350], 10),
+        "ft_dv_terms": _dv_terms_sql("lang", ["de", "fr"], 10),
         # ft_stemmed_term: no SQL twin (Porter is not SQL-expressible);
         # golden-vector + round-trip coverage in tests/test_filters.py
     }

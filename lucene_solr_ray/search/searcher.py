@@ -1140,6 +1140,31 @@ class IndexSearcher:
         return self._finalize([docs], [np.full(len(docs), 1.0,
                                                dtype=dtype)], k)
 
+    def search_dv_numbers(self, field: str, values, k: int = 10) -> pa.Table:
+        """DocValuesNumbersQuery (core:search/DocValuesNumbersQuery.java:40):
+        docs whose numeric doc value is in the given set; constant-score,
+        ties doc_id asc."""
+        ids, vals = self.global_doc_values(field)
+        want = np.asarray(sorted(values))
+        m = np.isin(vals, want)
+        docs = ids[m][: max(k, 0)]
+        dtype = np.float32 if self.mode == "lucene32" else np.float64
+        return self._finalize([docs], [np.full(len(docs), 1.0,
+                                               dtype=dtype)], k)
+
+    def search_dv_terms(self, field: str, values, k: int = 10) -> pa.Table:
+        """DocValuesTermsQuery (core:search/DocValuesTermsQuery.java:55)
+        over keyword doc values: membership in a string set, constant
+        score."""
+        arrays = [self.filter_docs(field, v) for v in values]
+        arrays = [a for a in arrays if len(a)]
+        if not arrays:
+            return self._finalize([], [], k)
+        docs = np.unique(np.concatenate(arrays))[: max(k, 0)]
+        dtype = np.float32 if self.mode == "lucene32" else np.float64
+        return self._finalize([docs], [np.full(len(docs), 1.0,
+                                               dtype=dtype)], k)
+
     def search_sort_by_field(self, query: dict, field: str, k: int = 10,
                              *, descending: bool = True) -> pa.Table:
         """Sort / TopFieldCollector (core:search/SortField.java:38-89):

@@ -71,3 +71,74 @@ def read_code_tree(root: str, *, repo: str = "local", commit: str = "HEAD"):
         })
 
     return ds.map_batches(to_docs, batch_format="pyarrow")
+
+
+def read_documents_xml(paths):
+    """Solr XMLLoader (solr:handler/loader/XMLLoader.java:63 — the
+    ``<add><doc><field name=...>`` update format): parse each XML file
+    into one row per ``<doc>``, columns from field names. Files are
+    parsed inside ``map_batches`` over ``read_binary_files`` so the
+    parse distributes with the read; one XML file per task (Solr posts
+    are file-granular)."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(paths)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        import xml.etree.ElementTree as ET
+
+        rows: list[dict] = []
+        cols: list[str] = []
+        for blob in batch["bytes"].to_pylist():
+            root = ET.fromstring(blob.decode("utf-8"))
+            docs = root.iter("doc") if root.tag == "add" else \
+                ([root] if root.tag == "doc" else root.iter("doc"))
+            for doc in docs:
+                row = {}
+                for f in doc.findall("field"):
+                    name = f.get("name")
+                    if name is None:
+                        continue
+                    row[name] = f.text or ""
+                    if name not in cols:
+                        cols.append(name)
+                rows.append(row)
+        return pa.table({c: pa.array([r.get(c) for r in rows],
+                                     type=pa.string()) for c in cols})
+
+    return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def read_trec_feed(paths):
+    """TREC benchmark content feed (lucene/benchmark/.../feeds/
+    TrecContentSource.java:63 — ``<DOC><DOCNO>…</DOCNO>…<TEXT>…``
+    concatenated records): split each file on <DOC> boundaries inside
+    map_batches; one row per record with (doc_no, title, text)."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(paths)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        import re
+
+        doc_re = re.compile(r"<DOC>(.*?)</DOC>", re.S)
+
+        def tag(body: str, name: str) -> str:
+            m = re.search(rf"<{name}>(.*?)</{name}>", body, re.S)
+            return m.group(1).strip() if m else ""
+
+        nos, titles, texts = [], [], []
+        for blob in batch["bytes"].to_pylist():
+            for m in doc_re.finditer(blob.decode("utf-8",
+                                                 errors="replace")):
+                body = m.group(1)
+                nos.append(tag(body, "DOCNO"))
+                titles.append(tag(body, "TITLE"))
+                texts.append(tag(body, "TEXT"))
+        return pa.table({
+            "doc_no": pa.array(nos, type=pa.string()),
+            "title": pa.array(titles, type=pa.string()),
+            "text": pa.array(texts, type=pa.string()),
+        })
+
+    return ds.map_batches(parse, batch_format="pyarrow")

@@ -118,3 +118,38 @@ def test_keyword_cols_with_large_string_content(tmp_path, ray_session):
     r = s.search({"type": "bool", "must": ["data"],
                   "filters": [("lang", "py")]}, k=5)
     assert r.num_rows > 0
+
+
+def test_xml_loader(ray_session, tmp_path):
+    """Solr <add><doc> XML update format → Dataset rows."""
+    from lucene_solr_ray.sources import read_documents_xml
+
+    f = tmp_path / "add.xml"
+    f.write_text(
+        "<add>"
+        "<doc><field name='id'>1</field><field name='text'>fast table"
+        "</field></doc>"
+        "<doc><field name='id'>2</field><field name='text'>slow scan"
+        "</field></doc>"
+        "</add>")
+    rows = sorted(read_documents_xml(str(f)).take_all(),
+                  key=lambda r: r["id"])
+    assert [r["id"] for r in rows] == ["1", "2"]
+    assert rows[0]["text"] == "fast table"
+
+
+def test_trec_feed(ray_session, tmp_path):
+    """TREC <DOC><DOCNO>…<TEXT> concatenated records → rows."""
+    from lucene_solr_ray.sources import read_trec_feed
+
+    f = tmp_path / "feed.trec"
+    f.write_text(
+        "<DOC><DOCNO>T-1</DOCNO><TITLE>alpha</TITLE>"
+        "<TEXT>fast table scan</TEXT></DOC>\n"
+        "<DOC><DOCNO>T-2</DOCNO><TITLE>beta</TITLE>"
+        "<TEXT>merge sort</TEXT></DOC>")
+    rows = sorted(read_trec_feed(str(f)).take_all(),
+                  key=lambda r: r["doc_no"])
+    assert [r["doc_no"] for r in rows] == ["T-1", "T-2"]
+    assert rows[1]["text"] == "merge sort"
+    assert rows[0]["title"] == "alpha"
