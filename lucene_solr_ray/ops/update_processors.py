@@ -1,0 +1,129 @@
+"""Field-mutating update processors (SURVEY.md §2.2 #15) — the Solr
+UpdateRequestProcessor chain (solr:update/processor/*.java, ~45
+field mutators) re-expressed as composable Arrow batch transforms for
+``map_batches``.
+
+Each factory returns ``pa.Table -> pa.Table``; ``chain(...)`` composes
+them in document-flow order exactly like processor chain config. All
+mutations are vectorized Arrow kernels — a chain of N processors is N
+kernel passes over the batch, no Python per-row loops.
+
+Usage::
+
+    ds = ds.map_batches(chain(
+        trim_fields("title"),
+        lower_fields("lang"),
+        regex_replace("text", r"\\s+", " "),
+        clone_field("text", "text_orig"),
+        default_value("lang", "en"),
+        concat_fields("repo_path", ["repo", "path"], sep="/"),
+    ), batch_format="pyarrow")
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def chain(*procs):
+    """UpdateRequestProcessorChain (solr:update/processor/
+    UpdateRequestProcessorChain.java:60): left-to-right composition."""
+    def run(batch: pa.Table) -> pa.Table:
+        for p in procs:
+            batch = p(batch)
+        return batch
+    return run
+
+
+def _replace(batch: pa.Table, field: str, arr) -> pa.Table:
+    i = batch.schema.get_field_index(field)
+    return batch.set_column(i, field, arr)
+
+
+def trim_fields(*fields):
+    """TrimFieldUpdateProcessorFactory."""
+    def run(batch: pa.Table) -> pa.Table:
+        for f in fields:
+            batch = _replace(batch, f, pc.utf8_trim_whitespace(batch[f]))
+        return batch
+    return run
+
+
+def lower_fields(*fields):
+    """LowerCaseFieldUpdateProcessorFactory (FieldMutatingUpdate
+    ProcessorFactory family)."""
+    def run(batch: pa.Table) -> pa.Table:
+        for f in fields:
+            batch = _replace(batch, f, pc.utf8_lower(batch[f]))
+        return batch
+    return run
+
+
+def regex_replace(field: str, pattern: str, replacement: str):
+    """RegexReplaceProcessorFactory (RE2 via Arrow)."""
+    def run(batch: pa.Table) -> pa.Table:
+        return _replace(batch, field, pc.replace_substring_regex(
+            batch[field], pattern=pattern, replacement=replacement))
+    return run
+
+
+def clone_field(src: str, dst: str):
+    """CloneFieldUpdateProcessorFactory."""
+    def run(batch: pa.Table) -> pa.Table:
+        if dst in batch.column_names:
+            return _replace(batch, dst, batch[src])
+        return batch.append_column(dst, batch[src])
+    return run
+
+
+def default_value(field: str, value):
+    """DefaultValueUpdateProcessorFactory: fill nulls (and create the
+    column if absent)."""
+    def run(batch: pa.Table) -> pa.Table:
+        if field not in batch.column_names:
+            return batch.append_column(
+                field, pa.array([value] * batch.num_rows))
+        return _replace(batch, field,
+                        pc.fill_null(batch[field], value))
+    return run
+
+
+def concat_fields(dst: str, srcs: list[str], sep: str = " "):
+    """ConcatFieldUpdateProcessorFactory."""
+    def run(batch: pa.Table) -> pa.Table:
+        arr = pc.binary_join_element_wise(
+            *[pc.cast(batch[s], pa.string()) for s in srcs], sep)
+        if dst in batch.column_names:
+            return _replace(batch, dst, arr)
+        return batch.append_column(dst, arr)
+    return run
+
+
+def truncate_field(field: str, max_chars: int):
+    """TruncateFieldUpdateProcessorFactory."""
+    def run(batch: pa.Table) -> pa.Table:
+        return _replace(batch, field, pc.utf8_slice_codeunits(
+            batch[field], 0, max_chars))
+    return run
+
+
+def remove_blank_fields(field: str):
+    """RemoveBlankFieldUpdateProcessorFactory: empty string → null."""
+    def run(batch: pa.Table) -> pa.Table:
+        blank = pc.equal(batch[field], pa.scalar(""))
+        return _replace(batch, field, pc.if_else(
+            blank, pa.scalar(None, type=pa.string()), batch[field]))
+    return run
+
+
+def count_field_values(src: str, dst: str, pattern: str = "[a-z0-9]+"):
+    """CountFieldValuesUpdateProcessorFactory analogue: token count of a
+    text field into an int column (useful as a doc-values source)."""
+    def run(batch: pa.Table) -> pa.Table:
+        arr = pc.cast(pc.count_substring_regex(
+            pc.utf8_lower(batch[src]), pattern=pattern), pa.int64())
+        if dst in batch.column_names:
+            return _replace(batch, dst, arr)
+        return batch.append_column(dst, arr)
+    return run

@@ -1,0 +1,6 @@
+"""Shared mutable state held in Ray actors — the narrow class of
+components the Dataset API genuinely can't express (a concurrently
+written ordinal registry). Everything else in this repo is a Dataset
+transform; keep it that way."""
+
+from .taxonomy import TaxonomyWriter, TaxonomyWriterActor  # noqa: F401

@@ -1,0 +1,88 @@
+"""Taxonomy writer — the facet label → ordinal registry
+(lucene/facet/.../taxonomy/directory/DirectoryTaxonomyWriter.java:77:
+each distinct category path gets a stable ordinal, parents created
+before children, ordinals dense in creation order; TaxonomyReader
+exposes the parent array for ancestor rollups).
+
+This is THE legitimate raw-actor case: ordinal assignment is a shared
+mutable index that every indexing task must agree on, which a Dataset
+transform cannot express. The actor serializes `add_path` calls;
+batched lookups (`add_paths`) keep the per-call overhead amortized —
+an indexing stage ships each batch's DISTINCT paths once, not one RPC
+per doc.
+
+At 100 TB the registry stays small (ordinal count = taxonomy size, not
+corpus size), so a single actor with batched calls is the right shape;
+shard by top-level dimension only if a taxonomy itself grows past
+~10^7 nodes.
+"""
+
+from __future__ import annotations
+
+PATH_SEP = "/"
+
+
+class TaxonomyWriter:
+    """In-process core (also usable directly in tests / single-node)."""
+
+    def __init__(self):
+        self._ord: dict[str, int] = {"": 0}   # root ordinal 0
+        self._parent: list[int] = [-1]
+        self._label: list[str] = [""]
+
+    def add_path(self, path: str) -> int:
+        """Ordinal of ``a/b/c``, creating ancestors first (the
+        internalAddCategory recursion, DirectoryTaxonomyWriter.java:460)."""
+        got = self._ord.get(path)
+        if got is not None:
+            return got
+        parent_path = path.rsplit(PATH_SEP, 1)[0] if PATH_SEP in path else ""
+        parent = self.add_path(parent_path) if path else 0
+        ordinal = len(self._label)
+        self._ord[path] = ordinal
+        self._parent.append(parent)
+        self._label.append(path)
+        return ordinal
+
+    def add_paths(self, paths: list[str]) -> list[int]:
+        return [self.add_path(p) for p in paths]
+
+    def ordinal(self, path: str) -> int:
+        return self._ord.get(path, -1)
+
+    def parent(self, ordinal: int) -> int:
+        return self._parent[ordinal]
+
+    def label(self, ordinal: int) -> str:
+        return self._label[ordinal]
+
+    def size(self) -> int:
+        return len(self._label)
+
+    def parents(self) -> list[int]:
+        """The TaxonomyReader parent array (ancestor rollup input)."""
+        return list(self._parent)
+
+    def ancestors(self, ordinal: int) -> list[int]:
+        out = []
+        while ordinal > 0:
+            ordinal = self._parent[ordinal]
+            out.append(ordinal)
+        return out
+
+
+def TaxonomyWriterActor(**ray_options):
+    """The shared registry as a Ray actor. Usage::
+
+        tw = TaxonomyWriterActor(name="taxo")
+        ords = ray.get(tw.add_paths.remote(distinct_paths))
+
+    Indexing stages resolve each batch's distinct paths through one
+    remote call and attach the returned ordinals as a column.
+    """
+    import ray
+
+    cls = ray.remote(TaxonomyWriter)
+    if ray_options:
+        cls = cls.options(**ray_options)
+    return cls.remote()

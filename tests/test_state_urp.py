@@ -1,0 +1,88 @@
+"""Taxonomy writer (shared-ordinal actor) and the update-processor
+chain."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_solr_ray.ops import update_processors as U
+from lucene_solr_ray.state import TaxonomyWriter, TaxonomyWriterActor
+
+
+def test_taxonomy_ordinals_dense_and_parented():
+    tw = TaxonomyWriter()
+    a = tw.add_path("EUROPE/FRANCE")
+    b = tw.add_path("EUROPE/GERMANY")
+    c = tw.add_path("EUROPE")
+    assert tw.ordinal("EUROPE") == c
+    assert tw.parent(a) == c and tw.parent(b) == c
+    assert tw.parent(c) == 0  # root
+    # creation-dense: EUROPE was auto-created before FRANCE
+    assert c < a < b
+    assert tw.add_path("EUROPE/FRANCE") == a  # idempotent
+    assert tw.ancestors(a) == [c, 0]
+    assert tw.size() == 4  # root + 3
+
+
+def test_taxonomy_actor_shared_across_callers(ray_session):
+    import ray
+
+    tw = TaxonomyWriterActor()
+    o1 = ray.get(tw.add_paths.remote(["A/X", "A/Y"]))
+    o2 = ray.get(tw.add_paths.remote(["A/Y", "B"]))
+    assert o1[1] == o2[0]  # same ordinal from a different caller
+    parents = ray.get(tw.parents.remote())
+    assert parents[o1[0]] == parents[o1[1]]  # both under A
+
+
+def test_taxonomy_rollup_matches_hierarchical_facet():
+    """Counting through the ordinal tree reproduces the path-string
+    rollup of ops.relational.hierarchical_facet."""
+    tw = TaxonomyWriter()
+    paths = ["EU/FR", "EU/FR", "EU/DE", "US/CA"]
+    ords = tw.add_paths(paths)
+    counts = np.zeros(tw.size(), dtype=np.int64)
+    for o in ords:
+        counts[o] += 1
+        for a in tw.ancestors(o):
+            counts[a] += 1
+    assert counts[tw.ordinal("EU")] == 3
+    assert counts[tw.ordinal("US")] == 1
+    assert counts[tw.ordinal("EU/FR")] == 2
+    assert counts[0] == 4  # root sees every doc
+
+
+def test_update_processor_chain():
+    t = pa.table({
+        "title": pa.array(["  Hello ", "x", ""]),
+        "lang": pa.array(["EN", None, "FR"]),
+        "text": pa.array(["a  b   c", "one two", ""]),
+    })
+    out = U.chain(
+        U.trim_fields("title"),
+        U.lower_fields("lang"),
+        U.regex_replace("text", r"\s+", " "),
+        U.clone_field("text", "text_orig"),
+        U.default_value("lang", "en"),
+        U.concat_fields("key", ["lang", "title"], sep="|"),
+        U.truncate_field("title", 3),
+        U.remove_blank_fields("title"),
+        U.count_field_values("text", "n_tokens"),
+    )(t)
+    assert out["title"].to_pylist() == ["Hel", "x", None]
+    assert out["lang"].to_pylist() == ["en", "en", "fr"]
+    assert out["text"].to_pylist() == ["a b c", "one two", ""]
+    # clone runs after the regex stage, so it sees the collapsed text
+    assert out["text_orig"].to_pylist() == ["a b c", "one two", ""]
+    assert out["key"].to_pylist() == ["en|Hello", "en|x", "fr|"]
+    assert out["n_tokens"].to_pylist() == [3, 2, 0]
+
+
+def test_urp_chain_in_map_batches(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"text": pa.array(["  A B ", "c"])}))
+    out = ds.map_batches(U.chain(U.trim_fields("text"),
+                                 U.lower_fields("text")),
+                         batch_format="pyarrow").take_all()
+    assert sorted(r["text"] for r in out) == ["a b", "c"]
