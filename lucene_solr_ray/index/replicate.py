@@ -1,0 +1,90 @@
+"""Segment replication — the IndexFetcher pull protocol
+(solr:handler/IndexFetcher.java:178 fetchLatestIndex: compare
+generations, fetch only files the replica lacks, activate the new
+commit point last; ReplicationHandler.java:60 master side is just
+"serve the committed file list", which here is the manifest itself).
+
+The commit activation is atomic by construction: segment files are
+copied BEFORE the generation manifest, and readers only open segments
+referenced by the highest committed manifest — a crashed fetch leaves
+the replica serving its previous generation (the same pending → rename
+discipline as the writer, manifest.py).
+
+Scale shape: a replica fetch moves only the segment files added since
+its generation (incremental NRT publish ships one small segment), and
+file comparison is by (name, size) like IndexFetcher's
+``filesToDownload`` diff — no content hashing of unchanged files.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from .build import SEGMENTS_DIRNAME
+from .manifest import list_generations, load_manifest
+
+
+def _referenced_files(index_dir: str, manifest: dict) -> list[str]:
+    """Relative paths of every file the commit point references:
+    all files of each listed segment, plus deletes sidecars."""
+    out = []
+    for seg in manifest["segments"]:
+        seg_dir = os.path.join(index_dir, SEGMENTS_DIRNAME, seg["segment"])
+        for p in sorted(glob.glob(os.path.join(seg_dir, "*"))):
+            out.append(os.path.relpath(p, index_dir))
+    for p in sorted(glob.glob(os.path.join(index_dir, "deletes-*.parquet"))):
+        out.append(os.path.relpath(p, index_dir))
+    return out
+
+
+def fetch_index(master_dir: str, replica_dir: str) -> dict:
+    """Pull the master's latest commit into ``replica_dir``. Returns
+    ``{generation, fetched, skipped, up_to_date}``."""
+    m = load_manifest(master_dir)
+    try:
+        r = load_manifest(replica_dir)
+        if r["generation"] >= m["generation"]:
+            return {"generation": r["generation"], "fetched": 0,
+                    "skipped": 0, "up_to_date": True}
+    except FileNotFoundError:
+        pass
+
+    os.makedirs(replica_dir, exist_ok=True)
+    fetched = skipped = 0
+    for rel in _referenced_files(master_dir, m):
+        src = os.path.join(master_dir, rel)
+        dst = os.path.join(replica_dir, rel)
+        if os.path.exists(dst) and \
+                os.path.getsize(dst) == os.path.getsize(src):
+            skipped += 1
+            continue
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        tmp = dst + ".fetch"
+        shutil.copyfile(src, tmp)
+        os.replace(tmp, dst)
+        fetched += 1
+
+    # activate: copy every manifest generation up to the master's, the
+    # newest LAST (readers pick the highest; a crash before this line
+    # leaves the previous commit live)
+    for gen in list_generations(master_dir):
+        name = f"segments_{gen}.json"
+        dst = os.path.join(replica_dir, name)
+        if not os.path.exists(dst):
+            tmp = dst + ".fetch"
+            shutil.copyfile(os.path.join(master_dir, name), tmp)
+            os.replace(tmp, dst)
+
+    # cleanup: drop replica segments the new commit no longer references
+    live = {s["segment"] for s in m["segments"]}
+    seg_root = os.path.join(replica_dir, SEGMENTS_DIRNAME)
+    if os.path.isdir(seg_root):
+        for name in os.listdir(seg_root):
+            if name not in live:
+                shutil.rmtree(os.path.join(seg_root, name),
+                              ignore_errors=True)
+
+    return {"generation": m["generation"], "fetched": fetched,
+            "skipped": skipped, "up_to_date": False}
