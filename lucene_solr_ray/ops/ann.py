@@ -282,3 +282,120 @@ def ann_ivf_topk(sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES,
     out["rank"] = out.groupby("qid").cumcount() + 1
     out = out[["qid", "nid", "score_q", "rank"]].reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def build_ivf_partitions(sf_dir: str, nlist: int = 8,
+                         cache_root: str = "/tmp/lsr_index_cache") -> str:
+    """Materialize the IVF inverted file as PERSISTED bucket partitions:
+    hive-partitioned parquet (``bucket=<i>/``) so a query pass reads
+    ONLY its probed buckets from storage — the missing piece noted in
+    the round-1 review (in-pass bucketing re-scanned every batch).
+    The coarse quantizer trains on a bounded head sample; assignment is
+    a streamed map_batches; ``write_parquet(partition_cols=["bucket"])``
+    lays each list out as its own directory (resumable, per-partition).
+    Cached per (sf_dir, nlist); returns the index directory."""
+    import hashlib
+    import json
+
+    import ray
+    import pyarrow.dataset as pads
+
+    key = hashlib.sha256(f"{sf_dir}|ivf|{nlist}".encode()).hexdigest()[:12]
+    out = os.path.join(cache_root, f"ivf-{key}")
+    marker = os.path.join(out, "ivf_meta.json")
+    if os.path.exists(marker):
+        return out
+    sample = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")) \
+        .head(KMEANS_SAMPLE, columns=["vec_id", "embedding"])
+    _, E_sample = _emb_matrix(sample)
+    C = kmeans_centroids(E_sample, nlist)
+    os.makedirs(out, exist_ok=True)
+    np.save(os.path.join(out, "centroids.npy"), C)
+    c_ref = ray.put(C)
+
+    class Assign:
+        def __init__(self, ref):
+            self.C = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, B = _emb_matrix(batch)
+            assign = np.argmax(_cosine(B, self.C), axis=1)
+            b = pa.array(assign.astype(np.int64), type=pa.int64())
+            # "bucket" becomes the hive partition directory; "bucket_id"
+            # stays inside the files so readers of explicit partition
+            # paths don't depend on hive-column inference
+            return batch.append_column("bucket", b) \
+                .append_column("bucket_id", b)
+
+    (_read_emb(sf_dir)
+     .map_batches(Assign, fn_constructor_kwargs={"ref": c_ref},
+                  batch_format="pyarrow", batch_size=4096,
+                  concurrency=(1, 4))
+     .write_parquet(os.path.join(out, "data"),
+                    partition_cols=["bucket"]))
+    with open(marker, "w") as f:
+        json.dump({"nlist": nlist, "sf_dir": sf_dir}, f)
+    return out
+
+
+def ann_ivf_persisted_topk(sf_dir: str, k: int = TOP_K,
+                           n_queries: int = N_QUERIES, nlist: int = 8,
+                           nprobe: int = 3) -> pa.Table:
+    """IVF query over the persisted partitions: compute each query's
+    nprobe buckets, then ``read_parquet`` ONLY those partition
+    directories — the other (nlist − nprobe)/nlist of the corpus never
+    leaves storage. Same centroids/probes as :func:`ann_ivf_topk`, so
+    results are identical (asserted in tests)."""
+    import ray
+    import ray.data as rd
+
+    idx = build_ivf_partitions(sf_dir, nlist)
+    C = np.load(os.path.join(idx, "centroids.npy"))
+    qids, Q = _load_query_vectors(sf_dir, n_queries)
+    probe = np.argsort(-_cosine(Q, C), axis=1)[:, :nprobe]
+    needed = sorted({int(b) for row in probe for b in row})
+    # explicit partition pruning: list only the probed bucket
+    # directories' files — the rest of the corpus never leaves storage
+    import glob as _glob
+
+    files = [f for b in needed for f in sorted(_glob.glob(
+        os.path.join(idx, "data", f"bucket={b}", "*.parquet")))]
+    q_ref = ray.put((qids, Q, probe))
+
+    class Score:
+        def __init__(self, ref):
+            self.qids, self.Q, self.probe = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, B = _emb_matrix(batch)
+            buckets = np.asarray(batch["bucket_id"], dtype=np.int64)
+            rows_q, rows_n, rows_s = [], [], []
+            for qi in range(len(self.qids)):
+                mask = np.isin(buckets, self.probe[qi])
+                if not mask.any():
+                    continue
+                S = _cosine(self.Q[qi:qi + 1], B[mask])[0]
+                cand_ids = ids[mask]
+                kk = min(k + 1, len(S))
+                part = _topk_keep_ties(S, kk)
+                rows_q.extend([int(self.qids[qi])] * len(part))
+                rows_n.extend(cand_ids[part].tolist())
+                rows_s.extend(S[part].tolist())
+            return pa.table({
+                "qid": pa.array(rows_q, type=pa.int64()),
+                "nid": pa.array(rows_n, type=pa.int64()),
+                "score": pa.array(rows_s, type=pa.float64()),
+            })
+
+    parts = (rd.read_parquet(files)
+             .map_batches(Score, fn_constructor_kwargs={"ref": q_ref},
+                          batch_format="pyarrow", batch_size=4096,
+                          concurrency=(1, 4)).to_pandas())
+    parts = parts[parts["qid"] != parts["nid"]]
+    parts["score_q"] = _quant6(parts["score"].to_numpy())
+    parts = parts.sort_values(["qid", "score_q", "nid"],
+                              ascending=[True, False, True])
+    out = parts.groupby("qid", as_index=False).head(k).copy()
+    out["rank"] = out.groupby("qid").cumcount() + 1
+    out = out[["qid", "nid", "score_q", "rank"]].reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

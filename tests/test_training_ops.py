@@ -70,3 +70,22 @@ def test_minhash_join_verification_equals_broadcast(ray_session):
     a = minhash_lsh_pairs(SF).to_pandas()
     b = minhash_lsh_pairs(SF, verify="join").to_pandas()
     assert a.values.tolist() == b.values.tolist()
+
+
+def test_ivf_persisted_matches_inpass(ray_session, tmp_path):
+    """Persisted bucket partitions answer identically to the in-pass
+    IVF, and the layout really is one directory per bucket."""
+    import os
+
+    from lucene_solr_ray.ops.ann import (ann_ivf_persisted_topk,
+                                         ann_ivf_topk,
+                                         build_ivf_partitions)
+
+    sf = "/root/testdata/sf0.001"
+    a = ann_ivf_topk(sf)
+    b = ann_ivf_persisted_topk(sf)
+    assert a.equals(b)
+    idx = build_ivf_partitions(sf)
+    buckets = [d for d in os.listdir(os.path.join(idx, "data"))
+               if d.startswith("bucket=")]
+    assert len(buckets) >= 2  # partitioned, not one blob
