@@ -1,0 +1,198 @@
+"""Streaming expression language (SURVEY.md §2.10 #93) — the Solr
+/stream front door (solr/solrj/.../io/stream/expr/StreamExpressionParser
+.java:40, StreamFactory.java function registry): expressions like::
+
+    rollup(search(lineitem, q="*:*", fl="l_returnflag,l_quantity"),
+           over="l_returnflag", sum("l_quantity"))
+
+parse into a stream tree and compile onto Ray Data: ``search`` leaves
+are column-pruned ``read_parquet`` (+ pushed-down equality filter),
+``rollup``/``unique`` are groupbys, ``top``/``sort`` are
+sort+limit, ``innerJoin`` is the hash-partitioned ``Dataset.join``.
+Decorator streams stay lazy — the pipeline executes once at the sink,
+exactly like TupleStream.open()/read() pull iteration.
+
+Supported functions (the DecoratorStream subset the reference ships in
+solrj/io/stream): search, select, rollup(sum|count), unique, top,
+sort, innerJoin, merge, limit.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+
+_TOK = re.compile(r'''\s*(\(|\)|,|"[^"]*"|[^\s(),"]+)''')
+
+
+class Stream:
+    __slots__ = ("name", "args", "kwargs")
+
+    def __init__(self, name, args, kwargs):
+        self.name = name
+        self.args = args      # positional: nested Streams or literals
+        self.kwargs = kwargs  # key=value pairs (values are strings)
+
+
+def parse_stream_expr(s: str) -> Stream:
+    toks = _TOK.findall(s)
+    pos = 0
+
+    def take():
+        nonlocal pos
+        if pos >= len(toks):
+            raise ValueError(f"unexpected end of expression: {s!r}")
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def unquote(t: str) -> str:
+        return t[1:-1] if t.startswith('"') else t
+
+    def expr():
+        name = take()
+        if peek() != "(":
+            return unquote(name)  # bare literal
+        take()
+        args, kwargs = [], {}
+        nonlocal pos
+        while peek() != ")":
+            t = take()
+            if peek() == "(":  # nested stream/aggregate: push back, recurse
+                pos -= 1
+                args.append(expr())
+            elif t.endswith("=") and t != "=":
+                kwargs[t[:-1]] = unquote(take())
+            elif not t.startswith('"') and "=" in t:
+                key, v = t.split("=", 1)
+                kwargs[key] = unquote(v)
+            else:
+                args.append(unquote(t))
+            if peek() == ",":
+                take()
+        take()  # ')'
+        return Stream(name, args, kwargs)
+
+    node = expr()
+    if pos != len(toks) or not isinstance(node, Stream):
+        raise ValueError(f"unparseable stream expression: {s!r}")
+    return node
+
+
+def _parse_sort(spec: str):
+    parts = spec.split()
+    return parts[0], (len(parts) < 2 or parts[1].lower() != "desc")
+
+
+def compile_stream(node: Stream, sf_dir: str):
+    """Stream tree → ray.data.Dataset (lazy until consumed)."""
+    import ray.data as rd
+
+    f = node.name
+    if f == "search":
+        table = node.args[0]
+        cols = node.kwargs.get("fl")
+        columns = [c.strip() for c in cols.split(",")] if cols else None
+        q = node.kwargs.get("q", "*:*")
+        read_cols = list(columns) if columns else None
+        filt_field = filt_value = None
+        if q != "*:*":
+            filt_field, filt_value = q.split(":", 1)
+            if read_cols is not None and filt_field not in read_cols:
+                read_cols.append(filt_field)
+        ds = rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                             columns=read_cols)
+        if filt_field is not None:
+            field, value = filt_field, filt_value
+
+            def flt(batch: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                col = batch[field]
+                v = value
+                if pa.types.is_integer(col.type):
+                    v = int(value)
+                elif pa.types.is_floating(col.type):
+                    v = float(value)
+                out = batch.filter(pc.equal(col, pa.scalar(v)))
+                return out.select(columns) if columns else out
+
+            ds = ds.map_batches(flt, batch_format="pyarrow")
+        return ds
+    if f == "select":
+        inner = compile_stream(node.args[0], sf_dir)
+        cols = [c.strip() for c in node.args[1:]]
+        return inner.map_batches(lambda b: b.select(cols),
+                                 batch_format="pyarrow")
+    if f == "unique":
+        inner = compile_stream(node.args[0], sf_dir)
+        over = node.kwargs["over"]
+        return inner.groupby(over).count().map_batches(
+            lambda b: b.select([over]), batch_format="pyarrow")
+    if f == "rollup":
+        inner = compile_stream(node.args[0], sf_dir)
+        over = node.kwargs["over"]
+        sum_cols, has_count = [], False
+        for a in node.args[1:]:
+            if a.name == "sum":
+                sum_cols.append(a.args[0])
+            elif a.name == "count":
+                has_count = True
+            else:
+                raise ValueError(f"unsupported aggregate {a.name!r}")
+        out_names = [over] + [f"sum_{c}" for c in sum_cols] + \
+            (["count_rows"] if has_count else [])
+        if sum_cols and has_count:
+            # ONE groupby carrying both metrics: count = sum of ones
+            def add_one(b: pa.Table) -> pa.Table:
+                return b.append_column(
+                    "__one", pa.array(np.ones(b.num_rows, dtype=np.int64)))
+
+            ds = (inner.map_batches(add_one, batch_format="pyarrow")
+                  .groupby(over).sum(sum_cols + ["__one"]))
+        elif sum_cols:
+            ds = inner.groupby(over).sum(sum_cols)
+        else:
+            ds = inner.groupby(over).count()
+        return ds.map_batches(lambda b: b.rename_columns(out_names),
+                              batch_format="pyarrow")
+    if f in ("top", "sort"):
+        inner = compile_stream(node.args[0], sf_dir)
+        col, asc = _parse_sort(node.kwargs["sort"])
+        ds = inner.sort(col, descending=not asc)
+        if f == "top":
+            ds = ds.limit(int(node.kwargs["n"]))
+        return ds
+    if f == "limit":
+        inner = compile_stream(node.args[0], sf_dir)
+        return inner.limit(int(node.kwargs["n"]))
+    if f == "innerJoin":
+        left = compile_stream(node.args[0], sf_dir)
+        right = compile_stream(node.args[1], sf_dir)
+        on = node.kwargs["on"]
+        lkey, rkey = (on.split("=", 1) + [on])[:2] if "=" in on \
+            else (on, on)
+        return left.join(right, join_type="inner", num_partitions=8,
+                         on=(lkey,), right_on=(rkey,))
+    if f == "merge":
+        left = compile_stream(node.args[0], sf_dir)
+        right = compile_stream(node.args[1], sf_dir)
+        col, asc = _parse_sort(node.kwargs["on"])
+        return left.union(right).sort(col, descending=not asc)
+    raise ValueError(f"unknown stream function {node.name!r}")
+
+
+def run_stream_expr(expr: str, sf_dir: str) -> pa.Table:
+    """Parse + compile + execute; small results land as one Arrow table
+    (the /stream response)."""
+    import pandas as pd
+
+    ds = compile_stream(parse_stream_expr(expr), sf_dir)
+    df = ds.to_pandas()
+    return pa.Table.from_pandas(df, preserve_index=False)

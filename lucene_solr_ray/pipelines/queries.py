@@ -1378,6 +1378,48 @@ def _sketch_hll(sf_dir: str) -> pa.Table:
     return hll_count_distinct(sf_dir, "events", "user_id")
 
 
+STREAM_ROLLUP_EXPR = ('rollup(search(lineitem, q="*:*", '
+                      'fl="l_returnflag,l_quantity"), '
+                      'over="l_returnflag", sum(l_quantity), count(*))')
+STREAM_JOIN_EXPR = ('top(n=10, select(innerJoin('
+                    'search(orders, q="*:*", '
+                    'fl="o_orderkey,o_custkey,o_totalprice"), '
+                    'search(customer, q="c_mktsegment:BUILDING", '
+                    'fl="c_custkey,c_mktsegment"), '
+                    'on="o_custkey=c_custkey"), '
+                    '"o_orderkey", "o_custkey", "o_totalprice"), '
+                    'sort="o_orderkey asc")')
+
+
+def _q_stream_expr(expr):
+    """Solr streaming expression front door (/stream) compiled onto Ray
+    Data (ops.streaming_expr)."""
+    def run(sf_dir):
+        from ..ops.streaming_expr import run_stream_expr
+
+        t = run_stream_expr(expr, sf_dir)
+        import pandas as pd
+
+        df = t.to_pandas().sort_values(t.column_names[0]) \
+            .reset_index(drop=True)
+        return pa.Table.from_pandas(df, preserve_index=False)
+    return run
+
+
+STREAM_ROLLUP_SQL = """
+SELECT l_returnflag, CAST(sum(l_quantity) AS DOUBLE) AS sum_l_quantity,
+       count(*) AS count_rows
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+STREAM_JOIN_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+ORDER BY o_orderkey ASC LIMIT 10
+"""
+
+
 def build_queries() -> dict:
     from ..ops import ann as A
     from ..ops import dedup as D
@@ -1419,6 +1461,8 @@ def build_queries() -> dict:
         "rel_stats_extended": R.stats_extended,
         "sketch_hll_users": _sketch_hll,           # rows-only (approximate)
         "rel_sampled_facet": R.sampled_facet,
+        "stream_expr_rollup": _q_stream_expr(STREAM_ROLLUP_EXPR),
+        "stream_expr_join_top": _q_stream_expr(STREAM_JOIN_EXPR),
         "rel_block_join_parent": J.block_join_parent,
         "rel_block_join_child": J.block_join_child,
         "rel_join_score": J.terms_including_score,
@@ -1514,6 +1558,8 @@ def build_oracle_sql() -> dict:
         "rel_percentiles": RS.PERCENTILES,
         "rel_stats_extended": RS.STATS_EXTENDED,
         "rel_sampled_facet": RS.SAMPLED_FACET,
+        "stream_expr_rollup": STREAM_ROLLUP_SQL,
+        "stream_expr_join_top": STREAM_JOIN_SQL,
         "rel_block_join_parent": RS.BLOCK_JOIN_PARENT,
         "rel_block_join_child": RS.BLOCK_JOIN_CHILD,
         "rel_join_score": RS.TERMS_INCLUDING_SCORE,

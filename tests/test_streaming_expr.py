@@ -1,0 +1,66 @@
+"""Streaming expression parser + compiler (Solr /stream subset)."""
+
+import pytest
+
+from lucene_solr_ray.ops.streaming_expr import (parse_stream_expr,
+                                                run_stream_expr)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_parse_shapes():
+    n = parse_stream_expr(
+        'rollup(search(lineitem, q="*:*", fl="a,b"), over="a", '
+        'sum(b), count(*))')
+    assert n.name == "rollup" and n.kwargs["over"] == "a"
+    assert n.args[0].name == "search"
+    assert n.args[0].kwargs == {"q": "*:*", "fl": "a,b"}
+    assert [a.name for a in n.args[1:]] == ["sum", "count"]
+    top = parse_stream_expr('top(n=5, search(t), sort="x desc")')
+    assert top.kwargs == {"n": "5", "sort": "x desc"}
+
+
+def test_parse_errors():
+    for bad in ("rollup(", "just a sentence", "f(a=)"):
+        with pytest.raises(ValueError):
+            parse_stream_expr(bad)
+
+
+def test_unique_and_sort(ray_session):
+    t = run_stream_expr(
+        'sort(unique(search(events, fl="event_type"), '
+        'over="event_type"), sort="event_type asc")', SF)
+    vals = t["event_type"].to_pylist()
+    assert vals == sorted(set(vals)) and len(vals) >= 2
+
+
+def test_rollup_and_join_match_duckdb(ray_session):
+    import duckdb
+
+    con = duckdb.connect()
+    for tbl in ("lineitem", "orders", "customer"):
+        con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{tbl}.parquet')")
+    got = run_stream_expr(
+        'rollup(search(lineitem, q="*:*", fl="l_returnflag,l_quantity"),'
+        ' over="l_returnflag", sum(l_quantity), count(*))', SF) \
+        .to_pandas().sort_values("l_returnflag").reset_index(drop=True)
+    want = con.execute(
+        "SELECT l_returnflag, CAST(sum(l_quantity) AS DOUBLE) AS "
+        "sum_l_quantity, count(*) AS count_rows FROM lineitem "
+        "GROUP BY 1 ORDER BY 1").fetchdf()
+    assert got.equals(want)
+    j = run_stream_expr(
+        'top(n=5, select(innerJoin(search(orders, q="*:*", '
+        'fl="o_orderkey,o_custkey,o_totalprice"), '
+        'search(customer, q="c_mktsegment:BUILDING", '
+        'fl="c_custkey,c_mktsegment"), on="o_custkey=c_custkey"), '
+        '"o_orderkey", "o_custkey", "o_totalprice"), '
+        'sort="o_orderkey asc")', SF).to_pandas() \
+        .sort_values("o_orderkey").reset_index(drop=True)
+    wj = con.execute(
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+        "JOIN customer ON o_custkey = c_custkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "ORDER BY o_orderkey LIMIT 5").fetchdf()
+    assert j.equals(wj)
