@@ -930,6 +930,29 @@ ORDER BY doc_id ASC LIMIT {k}
 """
 
 
+def _q_classify(method, n_docs=20):
+    """KNN / NaiveBayes classifier over the index (lucene/classification):
+    predict each probe doc's lang from index stats alone. Rows-only
+    (accuracy-bounded in tests/test_classify.py)."""
+    def run(sf_dir):
+        import pyarrow.parquet as pq
+
+        from ..search.classify import classify_table
+
+        s = _searcher(sf_dir)
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text", "lang"])
+        order = np.argsort(np.asarray(t["doc_id"], dtype=np.int64))
+        t = t.take(pa.array(order[:n_docs]))
+        pred = classify_table(s, t["text"].to_pylist(), method=method)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "lang": t["lang"],
+            "predicted": pred["predicted"],
+        })
+    return run
+
+
 def _q_suggest_weighted(prefix, n=10, context=("lang", "en")):
     """NRTSuggester with per-doc weights (n_chars doc value) and a
     context filter — the fork's signature completion surface."""
@@ -1519,6 +1542,8 @@ def build_queries() -> dict:
         "ft_suggest_weighted": _q_suggest_weighted("s"),
         "ft_dv_numbers": _q_dv_numbers("n_chars", [250, 300, 350]),
         "ft_dv_terms": _q_dv_terms("lang", ["de", "fr"]),
+        "ft_classify_knn": _q_classify("knn"),      # rows-only
+        "ft_classify_nb": _q_classify("nb"),        # rows-only
     }
 
 

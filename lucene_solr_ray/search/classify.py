@@ -1,0 +1,99 @@
+"""Classifiers over the index (SURVEY.md §2.3 #24 —
+lucene/classification/src/java/org/apache/lucene/classification/
+{KNearestNeighborClassifier.java:45, SimpleNaiveBayesClassifier.java:50}):
+both classify unseen text using nothing but index statistics, exactly
+as the reference does — no external model.
+
+- KNN: MoreLikeThis query from the input text, majority class among the
+  top-k neighbors (ties: class asc), the reference's assignClass flow.
+- Naive Bayes: argmax_c [ log P(c) + Σ_w log P(w|c) ] with add-one
+  (Laplace) smoothing over per-class token counts, computed from
+  postings intersected with the class's keyword-field doc set
+  (getWordFreqForClass / getTextTermFreqForClass).
+
+Class membership comes from a keyword field (``lang`` by default) whose
+values are enumerated from the term dictionary — no side tables.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+
+def _class_values(searcher, class_field: str) -> list[str]:
+    return sorted({t.split(":", 1)[1]
+                   for t in searcher.expand_terms("prefix",
+                                                  f"{class_field}:")})
+
+
+def knn_classify(searcher, text: str, *, class_field: str = "lang",
+                 k: int = 10, max_terms: int = 5) -> str | None:
+    """KNearestNeighborClassifier.assignClass: MLT top-k neighbors →
+    majority vote of their class values (ties: class asc)."""
+    hits = searcher.search_more_like_this(text, k=k, max_terms=max_terms)
+    docs = np.asarray(hits["doc_id"], dtype=np.int64)
+    if len(docs) == 0:
+        return None
+    votes: dict[str, int] = {}
+    for v in _class_values(searcher, class_field):
+        members = searcher.filter_docs(class_field, v)
+        n = int(np.isin(docs, members, assume_unique=True).sum())
+        if n:
+            votes[v] = n
+    if not votes:
+        return None
+    return max(sorted(votes), key=lambda v: votes[v])
+
+
+def naive_bayes_classify(searcher, text: str, *,
+                         class_field: str = "lang") -> str | None:
+    """SimpleNaiveBayesClassifier: per class c,
+    score(c) = ln(docCount(c)/N) + Σ_w tf_w(text) · ln P(w|c),
+    P(w|c) = (tf(w, c) + 1) / (tokens(c) + V)   [add-one smoothing]."""
+    from ..analysis.analyzer import token_terms
+
+    toks = token_terms(text)
+    if not toks:
+        return None
+    tf_text: dict[str, int] = {}
+    for t in toks:
+        tf_text[t] = tf_text.get(t, 0) + 1
+
+    ids, dls = searcher._global_dl()
+    # vocabulary size: analyzed terms only (keyword namespace excluded)
+    vocab = sum(1 for t in searcher.expand_terms("prefix", "")
+                if ":" not in t)
+    best = None
+    for v in _class_values(searcher, class_field):
+        members = searcher.filter_docs(class_field, v)
+        if len(members) == 0:
+            continue
+        n_tokens_c = int(dls[np.searchsorted(ids, members)].sum())
+        score = math.log(len(members) / searcher.num_docs)
+        for w, f in sorted(tf_text.items()):
+            p = searcher._decode_term_global(w)
+            tf_wc = 0
+            if p is not None:
+                docs, tfs, _ = p
+                idx = np.clip(np.searchsorted(docs, members),
+                              0, len(docs) - 1)
+                hit = docs[idx] == members
+                tf_wc = int(tfs[idx[hit]].sum())
+            score += f * math.log((tf_wc + 1) / (n_tokens_c + vocab))
+        if best is None or score > best[0] or \
+                (score == best[0] and v < best[1]):
+            best = (score, v)
+    return best[1] if best else None
+
+
+def classify_table(searcher, texts: list[str], *, method: str = "knn",
+                   class_field: str = "lang") -> pa.Table:
+    fn = knn_classify if method == "knn" else naive_bayes_classify
+    out = [fn(searcher, t, class_field=class_field) for t in texts]
+    return pa.table({
+        "text_idx": pa.array(range(len(texts)), type=pa.int64()),
+        "predicted": pa.array(out, type=pa.string()),
+    })

@@ -1,0 +1,73 @@
+"""KNN and Naive Bayes classifiers (lucene/classification): correctness
+on a purpose-built separable corpus, and determinism on the synthetic
+documents table (whose vocabulary is deliberately shared across langs,
+so the driver query is rows-only — there is no real class signal to
+score accuracy against)."""
+
+import pyarrow as pa
+import pytest
+
+from lucene_solr_ray.index.build import build_index
+from lucene_solr_ray.search.classify import (classify_table, knn_classify,
+                                             naive_bayes_classify)
+from lucene_solr_ray.search.searcher import IndexSearcher
+
+
+@pytest.fixture(scope="module")
+def sep_index(tmp_path_factory, ray_session):
+    """Two clearly separable classes: 'db' docs speak joins/indexes,
+    'net' docs speak sockets/packets."""
+    db = ["btree index join merge scan rows",
+          "query planner join index statistics scan",
+          "vacuum analyze index btree pages rows",
+          "join hash merge sort rows buffer"]
+    net = ["socket packet tcp retransmit ack window",
+           "packet loss congestion tcp socket buffer",
+           "dns lookup socket packet roundtrip",
+           "tcp handshake ack socket packet"]
+    t = pa.table({
+        "doc_id": pa.array(range(1, 9), type=pa.int64()),
+        "text": pa.array(db + net),
+        "cls": pa.array(["db"] * 4 + ["net"] * 4),
+    })
+    out = str(tmp_path_factory.mktemp("cls"))
+    build_index(t, out, content_col="text", batch_rows=4,
+                keyword_cols=("cls",))
+    return out
+
+
+@pytest.mark.parametrize("fn,kwargs", [
+    (knn_classify, {"k": 3, "max_terms": 4}),
+    (naive_bayes_classify, {}),
+])
+def test_classifiers_separate_classes(sep_index, fn, kwargs):
+    s = IndexSearcher(sep_index, mode="exact64")
+    assert fn(s, "merge join index scan", class_field="cls",
+              **kwargs) == "db"
+    assert fn(s, "tcp packet socket ack", class_field="cls",
+              **kwargs) == "net"
+
+
+def test_nb_prior_decides_unseen_text(sep_index):
+    """All-unknown tokens: smoothing leaves only the class prior and
+    token-mass denominator; result is deterministic (ties class asc)."""
+    s = IndexSearcher(sep_index, mode="exact64")
+    got = naive_bayes_classify(s, "zzz qqq www", class_field="cls")
+    assert got in ("db", "net")
+    assert got == naive_bayes_classify(s, "zzz qqq www",
+                                       class_field="cls")
+
+
+def test_classify_table_deterministic_on_corpus(ray_session):
+    from lucene_solr_ray.pipelines.queries import _searcher
+
+    s = _searcher("/root/testdata/sf0.001")
+    import pyarrow.parquet as pq
+
+    texts = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                          columns=["text"])["text"].to_pylist()[:5]
+    a = classify_table(s, texts, method="nb")
+    b = classify_table(s, texts, method="nb")
+    assert a.equals(b)
+    assert set(a["predicted"].to_pylist()) <= {"en", "de", "fr", "es",
+                                               "zh", None}
