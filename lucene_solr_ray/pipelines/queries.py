@@ -810,6 +810,53 @@ scored AS (
 """
 
 
+def _q_automaton(steps, k=10):
+    def run(sf_dir):
+        return _topk_table(
+            _searcher(sf_dir).search_term_automaton(steps, k=k))
+    return run
+
+
+def _automaton_sql(steps, k: int) -> str:
+    """Twin of search_term_automaton for linear step lists: a join chain
+    over the concrete steps' position offsets; idf summed over the
+    flattened concrete terms in engine order."""
+    concrete = [(off, slot) for off, slot in enumerate(steps)
+                if slot != "*"]
+    flat = [t for _, slot in concrete for t in slot]
+
+    def df_sub(t: str) -> str:
+        return f"(SELECT count(DISTINCT doc_id) FROM clean WHERE term = '{t}')"
+
+    idf = " + ".join(
+        f"ln(1 + (s.n_docs - {df_sub(t)} + 0.5) / ({df_sub(t)} + 0.5))"
+        for t in flat)
+    base_off = concrete[0][0]
+    joins, conds = [], []
+    for i, (off, slot) in enumerate(concrete):
+        inlist = ", ".join(f"'{t}'" for t in slot)
+        conds.append(f"t{i}.term IN ({inlist})")
+        if i > 0:
+            joins.append(
+                f"JOIN clean t{i} ON t{i}.doc_id = t0.doc_id "
+                f"AND t{i}.pos = t0.pos + {off - base_off}")
+    return f"""
+WITH {_tok_ctes()},
+pf AS (SELECT t0.doc_id, count(*) AS pf
+       FROM clean t0 {' '.join(joins)}
+       WHERE {' AND '.join(conds)}
+       GROUP BY t0.doc_id),
+scored AS (
+  SELECT pf.doc_id AS doc_id,
+         ({idf}) * (pf.pf * ({K1_SQL} + 1))
+           / (pf.pf + {K1_SQL} * ((1 - {B_SQL}) + ({B_SQL} * dl.dl)
+              / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))) AS score
+  FROM pf JOIN dl USING (doc_id), stats s
+)
+{_sql_topk('scored', k)}
+"""
+
+
 def _q_span_first(term, end, k=20):
     def run(sf_dir):
         return _topk_table(_searcher(sf_dir).search_span_first(term, end, k=k))
@@ -1544,6 +1591,8 @@ def build_queries() -> dict:
         "ft_dv_terms": _q_dv_terms("lang", ["de", "fr"]),
         "ft_classify_knn": _q_classify("knn"),      # rows-only
         "ft_classify_nb": _q_classify("nb"),        # rows-only
+        "ft_term_automaton": _q_automaton([["fast", "slow"], "*",
+                                           ["scan"]]),
     }
 
 
@@ -1643,6 +1692,8 @@ def build_oracle_sql() -> dict:
         "ft_suggest_weighted": _suggest_weighted_sql("s", 10, "lang", "en"),
         "ft_dv_numbers": _dv_numbers_sql("n_chars", [250, 300, 350], 10),
         "ft_dv_terms": _dv_terms_sql("lang", ["de", "fr"], 10),
+        "ft_term_automaton": _automaton_sql([["fast", "slow"], "*",
+                                             ["scan"]], 10),
         # ft_stemmed_term: no SQL twin (Porter is not SQL-expressible);
         # golden-vector + round-trip coverage in tests/test_filters.py
     }

@@ -910,6 +910,75 @@ class IndexSearcher:
         d, s = topk_merge(cand, scores, k)
         return self._finalize([d], [s], k)
 
+    def search_term_automaton(self, steps: list, k: int = 10) -> pa.Table:
+        """TermAutomatonQuery (core:search/TermAutomatonQuery.java:60)
+        for linear automatons: each step is a list of accepted terms or
+        the wildcard "*" (the ANY transition, :75-82 — here a gap of
+        exactly one position, with no token-existence requirement, so
+        stopword holes satisfy it; documented deviation). A doc matches
+        where some path through its positions accepts; freq = accepted
+        start positions; idf sums over the concrete terms (wildcard
+        transitions carry no stats), scored like MultiPhraseQuery.
+        Arbitrary NFAs are out of scope — union-of-alternatives + ANY
+        gaps cover the graph queries the reference's tests exercise."""
+        concrete = [(off, slot) for off, slot in enumerate(steps)
+                    if slot != "*"]
+        if not concrete:
+            return self._finalize([], [], k)
+        flat = [t for _, slot in concrete for t in slot]
+        got = self.term_stats(flat)
+        idf = self._phrase_idf(flat, {t: got.get(t, (0, 0)) for t in flat})
+        postings = {t: self._decode_term_global(t, positions=True)
+                    for t in set(flat)}
+        cand = None
+        for _, slot in concrete:
+            ds = [postings[t][0] for t in slot if postings[t] is not None]
+            if not ds:
+                return self._finalize([], [], k)
+            u = np.unique(np.concatenate(ds))
+            cand = u if cand is None else \
+                np.intersect1d(cand, u, assume_unique=True)
+        if cand is None or len(cand) == 0:
+            return self._finalize([], [], k)
+        SHIFT = np.int64(1) << np.int64(24)
+        keys = None
+        for off, slot in concrete:
+            kks = []
+            for t in slot:
+                p = postings[t]
+                if p is None:
+                    continue
+                docs, tfs, _, pos = p
+                doc_rep = np.repeat(docs, tfs)
+                r = np.clip(np.searchsorted(cand, doc_rep),
+                            0, len(cand) - 1)
+                m = cand[r] == doc_rep
+                kks.append(r[m] * SHIFT
+                           + (pos[m] - np.int64(off)
+                              + np.int64(len(steps))))
+            kk = np.unique(np.concatenate(kks))
+            keys = kk if keys is None else \
+                np.intersect1d(keys, kk, assume_unique=True)
+            if len(keys) == 0:
+                return self._finalize([], [], k)
+        # a "*" step is a gap of exactly one POSITION (no token-existence
+        # requirement — positions between survivors can be stopword
+        # holes), so only the concrete steps constrain the key set
+        pf_all = np.bincount((keys // SHIFT).astype(np.int64),
+                             minlength=len(cand))
+        all_docs = np.concatenate([postings[t][0] for t in set(flat)
+                                   if postings[t] is not None])
+        all_norms = np.concatenate([postings[t][2] for t in set(flat)
+                                    if postings[t] is not None])
+        ud, ui = np.unique(all_docs, return_index=True)
+        norms_all = all_norms[ui][np.searchsorted(ud, cand)]
+        hit = pf_all > 0
+        cand, pf, norms_c = cand[hit], pf_all[hit], norms_all[hit]
+        scores = self._score(cand, pf, norms_c, 0,
+                             tf_override=pf, idf_override=float(idf))
+        d, s = topk_merge(cand, scores, k)
+        return self._finalize([d], [s], k)
+
     # ---- remaining spans family; like span_near, scored by match count
     # (documented deviation from Lucene's sloppyFreq span scoring,
     # core:search/spans/SpanScorer.java) ----

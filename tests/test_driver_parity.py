@@ -94,7 +94,7 @@ def test_all_queries_have_oracles_or_are_documented():
     "ft_expr_boost", "ft_external_boost", "ft_elevation",
     "ft_suggest_weighted", "rel_sampled_facet",
     "ft_dv_numbers", "ft_dv_terms",
-    "stream_expr_rollup", "stream_expr_join_top",
+    "stream_expr_rollup", "stream_expr_join_top", "ft_term_automaton",
 ])
 def test_query_matches_oracle(name, con, ray_session):
     q, o = _pairs()

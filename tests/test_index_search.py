@@ -213,3 +213,22 @@ def test_doc_limit_partial_results(index_dir, oracle):
     all_docs = s._decode_term_global(hot)[0]
     assert set(cut["doc_id"].to_pylist()) <= set(
         all_docs[: df // 2].tolist())
+
+
+def test_automaton_degenerates_to_phrase(index_dir, oracle):
+    """No wildcards + single alternatives == PhraseQuery bit-for-bit."""
+    s = IndexSearcher(index_dir, mode="exact64")
+    hot = _hot(oracle)
+    a = s.search_phrase([hot, hot], k=10)
+    b = s.search_term_automaton([[hot], [hot]], k=10)
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    assert a["score"].to_pylist() == b["score"].to_pylist()
+    # wildcard gap: matching docs are exactly those with two hot-term
+    # positions at distance 2 (computed from the raw token stream)
+    c = s.search_term_automaton([[hot], "*", [hot]], k=N_DOCS)
+    want = set()
+    for did, d in oracle.docs.items():
+        pos = set(d["pos"].get(hot, ()))
+        if any(p + 2 in pos for p in pos):
+            want.add(did)
+    assert set(c["doc_id"].to_pylist()) == want
