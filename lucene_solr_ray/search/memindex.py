@@ -1,0 +1,95 @@
+"""MemoryIndex — the single-document in-memory index
+(lucene/memory/src/java/org/apache/lucene/index/memory/MemoryIndex.java:90):
+analyze one document once, then run many queries against it (the
+percolator / alerting pattern: match a stored query set against each
+incoming doc inside a ``map_batches`` stage, no disk index involved).
+
+Scoring matches the engine's exact64 BM25 with a 1-doc collection
+(N=1, sum_dl=dl) — asserted bit-for-bit against a real one-doc index
+in tests/test_memindex.py. ``matches`` is the boolean fast path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..analysis.analyzer import tokenize
+from .bm25 import idf_exact64
+
+
+class MemoryIndex:
+    def __init__(self, text: str, k1: float = 1.2, b: float = 0.75):
+        self.k1, self.b = k1, b
+        self.tf: dict[str, int] = {}
+        self.pos: dict[str, list[int]] = {}
+        for t, p, _, _ in tokenize(text):
+            self.tf[t] = self.tf.get(t, 0) + 1
+            self.pos.setdefault(t, []).append(p)
+        self.dl = sum(self.tf.values())
+
+    # ---- matching ----
+    def _phrase_freq(self, terms: list[str]) -> int:
+        if any(t not in self.pos for t in terms):
+            return 0
+        starts = set(self.pos[terms[0]])
+        for off, t in enumerate(terms[1:], 1):
+            starts &= {p - off for p in self.pos[t]}
+        return len(starts)
+
+    def matches(self, query: dict) -> bool:
+        qt = query["type"]
+        if qt == "term":
+            return query["term"] in self.tf
+        if qt == "phrase":
+            return self._phrase_freq(query["terms"]) > 0
+        if qt == "bool":
+            must = query.get("must", [])
+            should = query.get("should", [])
+            must_not = query.get("must_not", [])
+            msm = query.get("min_should_match", 0)
+            if any(t not in self.tf for t in must):
+                return False
+            if any(t in self.tf for t in must_not):
+                return False
+            n_should = sum(t in self.tf for t in should)
+            if should and n_should < max(msm, 0 if must else 1):
+                return False
+            return True
+        raise ValueError(f"unsupported query type {qt!r}")
+
+    # ---- scoring (1-doc collection stats, exact64 shape) ----
+    def _bm25(self, tf: int, df: int = 1) -> float:
+        idf = idf_exact64(df, 1)
+        tf64 = float(tf)
+        avgdl = float(self.dl) / 1 if self.dl else 1.0
+        return idf * (tf64 * (self.k1 + 1)) / (
+            tf64 + self.k1 * ((1 - self.b) + (self.b * self.dl) / avgdl))
+
+    def score(self, query: dict) -> float:
+        if not self.matches(query):
+            return 0.0
+        qt = query["type"]
+        if qt == "term":
+            return self._bm25(self.tf[query["term"]])
+        if qt == "phrase":
+            pf = self._phrase_freq(query["terms"])
+            idf = sum(idf_exact64(1, 1) for _ in query["terms"])
+            tf64 = float(pf)
+            avgdl = float(self.dl) / 1 if self.dl else 1.0
+            return idf * (tf64 * (self.k1 + 1)) / (
+                tf64 + self.k1 * ((1 - self.b)
+                                  + (self.b * self.dl) / avgdl))
+        if qt == "bool":
+            total = 0.0
+            for t in query.get("must", []) + query.get("should", []):
+                if t in self.tf:
+                    total += self._bm25(self.tf[t])
+            return total
+        raise ValueError(f"unsupported query type {qt!r}")
+
+
+def percolate(queries: dict[str, dict], text: str) -> list[str]:
+    """Names of the stored queries matching ``text`` (the alerting
+    pattern: call inside map_batches with the query set broadcast)."""
+    mi = MemoryIndex(text)
+    return sorted(name for name, q in queries.items() if mi.matches(q))

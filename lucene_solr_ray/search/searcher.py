@@ -194,6 +194,39 @@ def _levenshtein_dist(a: str, b: str, k: int) -> int:
     return prev[len(b)] if prev[len(b)] <= k else k + 1
 
 
+class LRUCache:
+    """Solr cache analogue (solrconfig <filterCache>/<queryResultCache>,
+    solr:util/ConcurrentLRUCache.java semantics minus concurrency —
+    one searcher instance is single-threaded here): bounded LRU with
+    hit/miss/eviction stats."""
+
+    def __init__(self, capacity: int):
+        from collections import OrderedDict
+
+        self.capacity = capacity
+        self._d = OrderedDict()
+        self.hits = self.misses = self.evictions = 0
+
+    def get(self, key):
+        if key in self._d:
+            self._d.move_to_end(key)
+            self.hits += 1
+            return self._d[key]
+        self.misses += 1
+        return None
+
+    def put(self, key, value):
+        self._d[key] = value
+        self._d.move_to_end(key)
+        if len(self._d) > self.capacity:
+            self._d.popitem(last=False)
+            self.evictions += 1
+
+    def stats(self) -> dict:
+        return {"hits": self.hits, "misses": self.misses,
+                "evictions": self.evictions, "size": len(self._d)}
+
+
 def topk_merge(doc_ids: np.ndarray, scores: np.ndarray, k: int):
     """Top-k by (score desc, doc_id asc) — HitQueue/TopDocs.merge ordering."""
     n = len(doc_ids)
@@ -266,6 +299,9 @@ class IndexSearcher:
         from ..index.deletes import load_deletes
 
         self.deletes = load_deletes(index_dir, self.manifest)
+        # Solr caches (§2.3 #26): sized like solrconfig defaults
+        self._filter_cache = LRUCache(512)
+        self._query_cache = LRUCache(512)
         self._seg_del_cache: dict[str, np.ndarray | None] = {}
         self.num_docs = self.manifest["num_docs"] \
             - self.manifest.get("deleted_docs", 0)
@@ -451,9 +487,23 @@ class IndexSearcher:
 
     def filter_docs(self, field: str, value: str) -> np.ndarray:
         """Matching doc ids of a keyword-field FILTER term (StringField +
-        BooleanClause.FILTER: matches without contributing score)."""
+        BooleanClause.FILTER: matches without contributing score).
+        Backed by the filterCache (solrconfig <filterCache>,
+        solr:search/SolrIndexSearcher.java:121 getDocSet): repeated
+        FILTER clauses and facet passes reuse the decoded doc set."""
+        key = (field, value)
+        got = self._filter_cache.get(key)
+        if got is not None:
+            return got
         p = self._decode_term_global(f"{field}:{value}")
-        return p[0] if p is not None else np.empty(0, dtype=np.int64)
+        out = p[0] if p is not None else np.empty(0, dtype=np.int64)
+        self._filter_cache.put(key, out)
+        return out
+
+    def cache_stats(self) -> dict:
+        """(hits, misses, size) per cache — the Solr cache MBean view."""
+        return {"filter_cache": self._filter_cache.stats(),
+                "query_result_cache": self._query_cache.stats()}
 
     def facet_counts_for_query(self, query: dict, field: str) -> pa.Table:
         """SimpleFacets over a query's result set: counts of each keyword
@@ -1443,6 +1493,20 @@ class IndexSearcher:
         })
 
     def search(self, query: dict, k: int = 10) -> pa.Table:
+        """Dispatch + queryResultCache (solrconfig <queryResultCache>;
+        results are deterministic, so repeated (query, k) pairs are
+        served from the cache — SolrIndexSearcher.getDocListC)."""
+        import json
+
+        ck = (json.dumps(query, sort_keys=True), k)
+        got = self._query_cache.get(ck)
+        if got is not None:
+            return got
+        out = self._search_uncached(query, k)
+        self._query_cache.put(ck, out)
+        return out
+
+    def _search_uncached(self, query: dict, k: int = 10) -> pa.Table:
         qt = query["type"]
         if qt == "term":
             return self.search_term(query["term"], k)

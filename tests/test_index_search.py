@@ -232,3 +232,28 @@ def test_automaton_degenerates_to_phrase(index_dir, oracle):
         if any(p + 2 in pos for p in pos):
             want.add(did)
     assert set(c["doc_id"].to_pylist()) == want
+
+
+def test_solr_caches(index_dir, oracle):
+    """filterCache + queryResultCache: identical results, counted hits,
+    bounded size with LRU eviction."""
+    s = IndexSearcher(index_dir, mode="exact64")
+    hot = _hot(oracle)
+    q = {"type": "term", "term": hot}
+    a = s.search(q, k=10)
+    b = s.search(q, k=10)
+    assert a.equals(b)
+    st = s.cache_stats()
+    assert st["query_result_cache"]["hits"] == 1
+    assert st["query_result_cache"]["misses"] >= 1
+    # LRU eviction bound
+    from lucene_solr_ray.search.searcher import LRUCache
+
+    c = LRUCache(2)
+    c.put("a", 1)
+    c.put("b", 2)
+    assert c.get("a") == 1     # refreshes "a"
+    c.put("c", 3)              # evicts "b" (LRU)
+    assert c.get("b") is None
+    assert c.get("a") == 1 and c.get("c") == 3
+    assert c.stats()["evictions"] == 1

@@ -1,0 +1,79 @@
+"""MemoryIndex: matching semantics, score parity with a real one-doc
+index, and the percolate pattern inside map_batches."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_solr_ray.search.memindex import MemoryIndex, percolate
+
+TEXT = "fast table scan beats slow table scan on fast disks"
+
+
+def test_matching():
+    mi = MemoryIndex(TEXT)
+    assert mi.matches({"type": "term", "term": "table"})
+    assert not mi.matches({"type": "term", "term": "zebra"})
+    assert mi.matches({"type": "phrase", "terms": ["fast", "table"]})
+    assert mi.matches({"type": "phrase", "terms": ["slow", "table",
+                                                   "scan"]})
+    assert not mi.matches({"type": "phrase", "terms": ["table", "fast"]})
+    assert mi.matches({"type": "bool", "must": ["fast", "slow"],
+                       "must_not": ["zebra"]})
+    assert not mi.matches({"type": "bool", "must": ["fast"],
+                           "must_not": ["slow"]})
+    assert mi.matches({"type": "bool",
+                       "should": ["zebra", "table", "scan"],
+                       "min_should_match": 2})
+    assert not mi.matches({"type": "bool",
+                           "should": ["zebra", "yak", "scan"],
+                           "min_should_match": 2})
+
+
+def test_score_parity_with_one_doc_index(tmp_path, ray_session):
+    from lucene_solr_ray.index.build import add_doc_keys, build_index
+    from lucene_solr_ray.search.searcher import IndexSearcher
+
+    t = add_doc_keys(pa.table({
+        "repo": ["r"], "path": ["p"], "commit": ["c"], "lang": ["md"],
+        "content": pa.array([TEXT], type=pa.large_string()),
+    }))
+    out = str(tmp_path / "one")
+    build_index(t, out)
+    s = IndexSearcher(out, mode="exact64")
+    mi = MemoryIndex(TEXT)
+    for q in ({"type": "term", "term": "table"},
+              {"type": "term", "term": "scan"},
+              {"type": "bool", "must": ["fast", "slow"]},
+              {"type": "phrase", "terms": ["fast", "table"]}):
+        got = mi.score(q)
+        ref = s.search(q, k=1)
+        assert ref.num_rows == 1, q
+        assert got == ref["score"][0].as_py(), q
+
+
+def test_percolate_in_map_batches(ray_session):
+    import ray
+    import ray.data as rd
+
+    stored = {
+        "wants_fast_table": {"type": "phrase", "terms": ["fast", "table"]},
+        "wants_zebra": {"type": "term", "term": "zebra"},
+        "wants_scan": {"type": "term", "term": "scan"},
+    }
+    ref = ray.put(stored)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        qs = ray.get(ref)
+        hits = [",".join(percolate(qs, t))
+                for t in batch["text"].to_pylist()]
+        return batch.append_column("matched", pa.array(hits))
+
+    ds = rd.from_arrow(pa.table({"text": pa.array(
+        [TEXT, "zebra crossing", "nothing here"])}))
+    rows = {r["text"]: r["matched"]
+            for r in ds.map_batches(stage,
+                                    batch_format="pyarrow").take_all()}
+    assert rows[TEXT] == "wants_fast_table,wants_scan"
+    assert rows["zebra crossing"] == "wants_zebra"
+    assert rows["nothing here"] == ""
