@@ -1,0 +1,102 @@
+"""Transaction log + RealTimeGet (SURVEY.md §2.10 #94 —
+solr:update/TransactionLog.java:62 append-only record file,
+solr:handler/component/RealTimeGetComponent.java:85: a /get by id is
+answered from the UNCOMMITTED tlog first, falling back to the latest
+committed searcher view).
+
+The log is an append-only directory of fsynced parquet records
+(``tlog/ops-<seq>.parquet``, columns op/doc payload), replayed in
+sequence order. ``soft_commit`` drains the pending adds into an NRT
+segment generation (append_documents) and truncates the log — the
+reference's commit + log rollover. Crash before commit: the log is
+still on disk and ``pending()`` replays it (durability test below).
+
+Scale shape: the tlog is a per-writer sidecar for the freshest docs
+only; bulk data always flows through the Dataset build path. One
+writer per index directory, as in the reference.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_SEQ_RE = re.compile(r"ops-(\d+)\.parquet$")
+
+
+class TransactionLog:
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.dir = os.path.join(index_dir, "tlog")
+        os.makedirs(self.dir, exist_ok=True)
+
+    def _next_seq(self) -> int:
+        seqs = [int(m.group(1)) for p in glob.glob(
+            os.path.join(self.dir, "ops-*.parquet"))
+            if (m := _SEQ_RE.search(p))]
+        return (max(seqs) + 1) if seqs else 1
+
+    def log_add(self, table: pa.Table) -> int:
+        """Append an add/update record batch (fsynced before visible —
+        TransactionLog.writeCommit durability)."""
+        seq = self._next_seq()
+        tmp = os.path.join(self.dir, f"pending-{seq}.parquet")
+        pq.write_table(table, tmp)
+        with open(tmp, "rb") as f:
+            os.fsync(f.fileno())
+        os.rename(tmp, os.path.join(self.dir, f"ops-{seq}.parquet"))
+        return seq
+
+    def pending(self) -> pa.Table | None:
+        """All uncommitted docs in sequence order, LAST write per doc_id
+        wins (the update-in-place view RealTimeGet must serve)."""
+        paths = sorted(glob.glob(os.path.join(self.dir, "ops-*.parquet")),
+                       key=lambda p: int(_SEQ_RE.search(p).group(1)))
+        if not paths:
+            return None
+        t = pa.concat_tables([pq.read_table(p) for p in paths],
+                             promote_options="default")
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        # keep the LAST occurrence of each doc_id
+        last = {}
+        for i, d in enumerate(ids):
+            last[int(d)] = i
+        keep = sorted(last.values())
+        return t.take(pa.array(keep, type=pa.int64()))
+
+    def realtime_get(self, doc_id: int, searcher=None) -> dict | None:
+        """/get by id: tlog first, then the committed index view."""
+        p = self.pending()
+        if p is not None:
+            ids = np.asarray(p["doc_id"], dtype=np.int64)
+            hit = np.flatnonzero(ids == doc_id)
+            if len(hit):
+                return {c: p[c][int(hit[-1])].as_py()
+                        for c in p.column_names}
+        if searcher is not None:
+            for seg in searcher.doc_segments:
+                t = pq.read_table(os.path.join(seg.seg_dir, "docs.parquet"))
+                ids = np.asarray(t["doc_id"], dtype=np.int64)
+                hit = np.flatnonzero(ids == doc_id)
+                if len(hit):
+                    return {c: t[c][int(hit[0])].as_py()
+                            for c in t.column_names}
+        return None
+
+    def soft_commit(self, **build_kwargs) -> dict | None:
+        """Drain pending adds into an NRT segment generation and
+        truncate the log (commit + log rollover)."""
+        from .build import append_documents
+
+        p = self.pending()
+        if p is None:
+            return None
+        manifest = append_documents(p, self.index_dir, **build_kwargs)
+        for path in glob.glob(os.path.join(self.dir, "ops-*.parquet")):
+            os.remove(path)
+        return manifest

@@ -1,0 +1,102 @@
+"""Plugin registries (SURVEY.md §2.11 #95) — the named extension points
+of the reference: Codec (core:codecs/Codec.java:49 NamedSPILoader),
+Similarity (solr schema <similarity class=...>), Analyzer chains
+(solr fieldType), QParser plugins (solr:search/QParserPlugin.java:31
+standardPlugins). Registration by name with a decorator; lookup
+raises with the known names, as NamedSPILoader does.
+
+Defaults are registered at import so `lookup("similarity", "bm25")`
+works out of the box; user code adds its own with::
+
+    @register("similarity", "mine")
+    def make(): return MySimilarity()
+"""
+
+from __future__ import annotations
+
+_REGISTRIES: dict[str, dict[str, object]] = {
+    "similarity": {},
+    "analyzer": {},
+    "qparser": {},
+    "codec": {},
+}
+
+
+def register(kind: str, name: str):
+    """Decorator: register a factory under (kind, name)."""
+    if kind not in _REGISTRIES:
+        raise ValueError(f"unknown registry {kind!r}; "
+                         f"have {sorted(_REGISTRIES)}")
+
+    def deco(factory):
+        _REGISTRIES[kind][name] = factory
+        return factory
+    return deco
+
+
+def lookup(kind: str, name: str):
+    """NamedSPILoader.lookup: the factory, or a helpful error listing
+    the available names (Codec.java:79-85)."""
+    try:
+        reg = _REGISTRIES[kind]
+    except KeyError:
+        raise ValueError(f"unknown registry {kind!r}; "
+                         f"have {sorted(_REGISTRIES)}") from None
+    if name not in reg:
+        raise ValueError(
+            f"no {kind} registered under {name!r}; "
+            f"available: {sorted(reg)}")
+    return reg[name]
+
+
+def names(kind: str) -> list[str]:
+    return sorted(_REGISTRIES[kind])
+
+
+# ---------------------------------------------------------------------------
+# built-ins (the reference's default SPI entries)
+# ---------------------------------------------------------------------------
+
+@register("similarity", "bm25")
+def _bm25_sim():
+    from .search.bm25 import BM25Float32
+
+    return BM25Float32
+
+
+@register("similarity", "classic")
+def _classic_sim():
+    from .search.similarity import ClassicSimilarity
+
+    return ClassicSimilarity
+
+
+@register("analyzer", "standard")
+def _standard_chain():
+    from .analysis import analyze_batch
+
+    return analyze_batch
+
+
+@register("analyzer", "english_porter")
+def _porter_chain():
+    import functools
+
+    from .analysis import analyze_batch
+    from .analysis.filters import porter_stem
+
+    return functools.partial(analyze_batch, term_transform=porter_stem)
+
+
+@register("qparser", "classic")
+def _classic_parser():
+    from .search.queryparser import parse_query
+
+    return parse_query
+
+
+@register("codec", "parquet_varint_v2")
+def _default_codec():
+    from .index import encode
+
+    return encode

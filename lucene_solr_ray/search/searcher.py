@@ -1259,6 +1259,43 @@ class IndexSearcher:
         return self._finalize([docs], [np.full(len(docs), 1.0,
                                                dtype=dtype)], k)
 
+    def search_geo_distance(self, lat_field: str, lon_field: str,
+                            lat: float, lon: float, radius_km: float,
+                            k: int = 10) -> pa.Table:
+        """LatLonPoint.newDistanceQuery + distance sort
+        (core:document/LatLonPoint.java:181, sandbox
+        LatLonPointDistanceQuery, haversine per
+        core:util/SloppyMath.java:67 haversinMeters): docs whose
+        (lat, lon) doc values lie within ``radius_km``, ranked by
+        distance asc (ties doc_id asc). No BKD tree — doc values are
+        columnar here, so the distance scan IS the vectorized path; a
+        bounding-box pre-filter prunes the trig like the reference's
+        2-phase box-then-haversine check."""
+        ids_a, lats = self.global_doc_values(lat_field)
+        ids_b, lons = self.global_doc_values(lon_field)
+        assert np.array_equal(ids_a, ids_b)
+        lat_r = np.radians(lats.astype(np.float64))
+        lon_r = np.radians(lons.astype(np.float64))
+        q_lat, q_lon = np.radians(lat), np.radians(lon)
+        # bounding-box prune (cheap compares before trig)
+        dlat_max = radius_km / 111.2
+        box = np.abs(lats.astype(np.float64) - lat) <= dlat_max * 1.05
+        d = np.full(len(ids_a), np.inf)
+        if box.any():
+            s1 = np.sin((lat_r[box] - q_lat) / 2)
+            s2 = np.sin((lon_r[box] - q_lon) / 2)
+            a = s1 * s1 + np.cos(q_lat) * np.cos(lat_r[box]) * s2 * s2
+            d[box] = 2 * 6371.0088 * np.arcsin(np.sqrt(a))
+        hit = d <= radius_km
+        docs, dist = ids_a[hit], d[hit]
+        order = np.lexsort((docs, dist))[:k]
+        return pa.table({
+            "doc_id": pa.array(docs[order], type=pa.int64()),
+            "dist_km": pa.array(dist[order], type=pa.float64()),
+            "rank": pa.array(np.arange(1, len(order) + 1),
+                             type=pa.int64()),
+        })
+
     def search_dv_numbers(self, field: str, values, k: int = 10) -> pa.Table:
         """DocValuesNumbersQuery (core:search/DocValuesNumbersQuery.java:40):
         docs whose numeric doc value is in the given set; constant-score,

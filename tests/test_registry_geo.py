@@ -1,0 +1,72 @@
+"""Plugin registries and the geo distance query (fixture-tested — the
+corpus shape has no spatial columns, so geo has no driver query)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_solr_ray import registry
+from lucene_solr_ray.index.build import build_index
+from lucene_solr_ray.search.searcher import IndexSearcher
+
+
+def test_registry_defaults_and_errors():
+    assert "bm25" in registry.names("similarity")
+    assert "classic" in registry.names("similarity")
+    parse = registry.lookup("qparser", "classic")()
+    assert parse("a AND b")["type"] in ("bool", "tree")
+    with pytest.raises(ValueError, match="available"):
+        registry.lookup("similarity", "nope")
+    with pytest.raises(ValueError, match="unknown registry"):
+        registry.lookup("nosuchkind", "x")
+
+
+def test_registry_user_extension():
+    @registry.register("similarity", "constant_one")
+    def make():
+        return "stub"
+
+    assert registry.lookup("similarity", "constant_one")() == "stub"
+
+
+def test_registered_analyzer_chain_runs():
+    chain = registry.lookup("analyzer", "english_porter")()
+    out = chain(pa.array(["running queries"]))
+    assert out.terms.to_pylist() == ["run", "queri"]
+
+
+CITIES = [  # (name-ish text, lat, lon)
+    ("paris point", 48.8566, 2.3522),
+    ("london point", 51.5074, -0.1278),
+    ("berlin point", 52.5200, 13.4050),
+    ("madrid point", 40.4168, -3.7038),
+    ("sydney point", -33.8688, 151.2093),
+]
+
+
+@pytest.fixture(scope="module")
+def geo_index(tmp_path_factory, ray_session):
+    t = pa.table({
+        "doc_id": pa.array(range(1, len(CITIES) + 1), type=pa.int64()),
+        "text": pa.array([c[0] for c in CITIES]),
+        "lat": pa.array([c[1] for c in CITIES], type=pa.float64()),
+        "lon": pa.array([c[2] for c in CITIES], type=pa.float64()),
+    })
+    out = str(tmp_path_factory.mktemp("geo"))
+    build_index(t, out, content_col="text",
+                store_cols=("lat", "lon"))
+    return out
+
+
+def test_geo_distance_query(geo_index):
+    s = IndexSearcher(geo_index)
+    # from Paris: London ~344 km, Berlin ~878 km, Madrid ~1053 km
+    r = s.search_geo_distance("lat", "lon", 48.8566, 2.3522, 1000.0, k=10)
+    assert r["doc_id"].to_pylist() == [1, 2, 3]  # self, london, berlin
+    d = r["dist_km"].to_pylist()
+    assert d[0] < 1e-6
+    assert 330 < d[1] < 360 and 860 < d[2] < 900
+    # radius excludes sydney even with a huge k
+    far = s.search_geo_distance("lat", "lon", 48.8566, 2.3522,
+                                20000.0, k=10)
+    assert far["doc_id"].to_pylist()[-1] == 5  # sydney is farthest

@@ -1,0 +1,65 @@
+"""Transaction log: RealTimeGet before commit, last-write-wins,
+crash durability (new TransactionLog object sees the old log), and
+soft-commit visibility through a fresh searcher."""
+
+import pyarrow as pa
+import pytest
+
+from lucene_solr_ray.corpus import corpus_table
+from lucene_solr_ray.index.build import add_doc_keys, build_index
+from lucene_solr_ray.index.tlog import TransactionLog
+from lucene_solr_ray.search.searcher import IndexSearcher
+
+
+@pytest.fixture()
+def idx(tmp_path, ray_session):
+    out = str(tmp_path / "idx")
+    build_index(add_doc_keys(corpus_table(50)), out, batch_rows=25)
+    return out
+
+
+def _docs(rows):
+    # corpus schema with the given contents; doc keys re-derived
+    base = corpus_table(len(rows))
+    t = base.set_column(base.schema.get_field_index("content"),
+                        "content",
+                        pa.array(rows, type=pa.large_string()))
+    return add_doc_keys(t)
+
+
+def test_realtime_get_prefers_tlog(idx, ray_session):
+    tl = TransactionLog(idx)
+    d = _docs(["tlog pending doc zqxzq one"])
+    tl.log_add(d)
+    did = d["doc_id"][0].as_py()
+    s = IndexSearcher(idx)
+    got = tl.realtime_get(did, searcher=s)
+    assert got is not None and "zqxzq" in got["content"]
+    # not yet searchable (uncommitted)
+    assert s.search({"type": "term", "term": "zqxzq"}, k=5).num_rows == 0
+
+
+def test_last_write_wins_and_durability(idx):
+    tl = TransactionLog(idx)
+    a = _docs(["version one vvv"])
+    tl.log_add(a)
+    b = a.set_column(a.schema.get_field_index("content"), "content",
+                     pa.array(["version two www"], type=pa.large_string()))
+    tl.log_add(b)
+    did = a["doc_id"][0].as_py()
+    # a NEW TransactionLog object (crash + restart) replays the same log
+    tl2 = TransactionLog(idx)
+    got = tl2.realtime_get(did)
+    assert got["content"] == "version two www"
+    p = tl2.pending()
+    assert p.num_rows == 1  # deduped to last write
+
+
+def test_soft_commit_makes_docs_searchable(idx, ray_session):
+    tl = TransactionLog(idx)
+    tl.log_add(_docs(["commit me qqzzt now"]))
+    m = tl.soft_commit()
+    assert m is not None and tl.pending() is None
+    s = IndexSearcher(idx)
+    assert s.search({"type": "term", "term": "qqzzt"}, k=5).num_rows == 1
+    assert tl.soft_commit() is None  # empty log is a no-op
