@@ -134,20 +134,20 @@ def run_bench() -> dict:
     from lucene_solr_ray.index.merge import merge_segments
 
     t0 = time.perf_counter()
-    merge_man = merge_segments(idx_dir)
+    merge_man = merge_segments(idx_dir, max_parallelism=eff_par)
     results["merge_corpus"] = round(time.perf_counter() - t0, 3)
 
     # ---------- query latency over the MERGED corpus index ----------
     # cold/warm split: the FIRST query on a fresh searcher pays the lazy
     # term-dictionary loads (reader-open cost); report it separately from
     # steady-state latency, and time the explicit warm() path
-    s_cold = IndexSearcher(idx_dir)
+    s_cold = IndexSearcher(idx_dir, enable_caches=False)
     t0 = time.perf_counter()
     s_cold.search({"type": "term", "term": "data"}, k=10)
     results["query_cold_first_ms"] = round(
         (time.perf_counter() - t0) * 1000, 1)
     del s_cold
-    s = IndexSearcher(idx_dir)
+    s = IndexSearcher(idx_dir, enable_caches=False)
     t0 = time.perf_counter()
     s.warm()
     results["searcher_warm_sec"] = round(time.perf_counter() - t0, 3)

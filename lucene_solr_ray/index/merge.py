@@ -398,7 +398,8 @@ def _rewrite_docs_segment(root: str, seg: dict, dels: np.ndarray,
 
 def merge_segments(index_dir: str, *, hot_df_threshold: int = HOT_DF_THRESHOLD,
                    bucket_postings: int = BUCKET_POSTINGS,
-                   num_shards: int | None = None) -> dict:
+                   num_shards: int | None = None,
+                   max_parallelism: int | None = None) -> dict:
     """Merge all postings segments of ``index_dir`` into term-partitioned
     shards; commit a new manifest generation. Unmerged deletes are purged
     physically (postings re-encoded without dead docs, doc tables
@@ -439,6 +440,12 @@ def merge_segments(index_dir: str, *, hot_df_threshold: int = HOT_DF_THRESHOLD,
     # unmerged deletes, each source segment's read gets its own purge
     # stage (deletes are segment-scoped by added_gen).
     ncpu = int(ray.cluster_resources().get("CPU", 8))
+    if max_parallelism is not None:
+        # shuffle width cap: the all-to-all bypasses DataContext's
+        # resource_limits, so the block count is the only effective
+        # throttle (this micro-VM's page faults serialize past ~8
+        # concurrent memory-heavy streams — see BASELINE.md)
+        ncpu = min(ncpu, max_parallelism)
     if del_state is None:
         ds = rd.read_parquet(files, columns=SHUFFLE_COLS,
                              override_num_blocks=max(2 * ncpu, len(files)))

@@ -123,20 +123,45 @@ def fingerprint(sf_dir: str) -> pa.Table:
     fp(doc) = Σ h(term_i)·B^i mod (2^61-1), h = blake2b-64."""
     import hashlib
 
+    M = np.uint64(FP_MOD)
+    B = np.uint64(FP_BASE)  # < 2^20, enabling the split multiply below
+
+    def _fold(y: np.ndarray) -> np.ndarray:
+        """y mod M for y < 2^62, Mersenne reduction (2^61 ≡ 1 mod M)."""
+        y = (y & M) + (y >> np.uint64(61))
+        y = (y & M) + (y >> np.uint64(61))
+        return np.where(y >= M, y - M, y)
+
     def fp(batch: pa.Table) -> pa.Table:
         ab = analyze_batch(batch["text"])
-        toks = ab.terms.to_pylist()
-        starts = np.concatenate(([0], np.cumsum(ab.doc_lengths)))
-        out = []
-        for d in range(len(batch)):
-            acc = 0
-            for w in toks[starts[d]:starts[d + 1]]:
-                h = int.from_bytes(hashlib.blake2b(
-                    w.encode(), digest_size=8).digest(), "big")
-                acc = (acc * FP_BASE + h) % FP_MOD
-            out.append(acc)
+        # hash each DISTINCT term once per batch (the only Python loop
+        # is over the batch vocabulary), then a masked vectorized Horner
+        # pass per position across all docs — bit-identical to the
+        # per-token (acc*B + h) % M recurrence
+        denc = ab.terms.dictionary_encode()
+        vh = np.array([int.from_bytes(hashlib.blake2b(
+            w.encode(), digest_size=8).digest(), "big")
+            for w in denc.dictionary.to_pylist()], dtype=np.uint64)
+        h_all = _fold(vh)[np.asarray(denc.indices, dtype=np.int64)] \
+            if len(vh) else np.empty(0, dtype=np.uint64)
+        lens = ab.doc_lengths
+        starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        acc = np.zeros(len(lens), dtype=np.uint64)
+        for j in range(int(lens.max()) if len(lens) else 0):
+            active = lens > j
+            a = acc[active]
+            # a*B mod M via 41/20-bit split (every product fits uint64)
+            a_hi = a >> np.uint64(41)
+            a_lo = a & np.uint64((1 << 41) - 1)
+            x = a_hi * B
+            t1 = _fold(((x & np.uint64((1 << 20) - 1)) << np.uint64(41))
+                       + (x >> np.uint64(20)))
+            t2 = _fold(a_lo * B)
+            prod = _fold(t1 + t2)
+            acc[active] = _fold(prod + h_all[starts[active] + j])
         return pa.table({"doc_id": batch["doc_id"],
-                         "fp": pa.array(out, type=pa.int64())})
+                         "fp": pa.array(acc.astype(np.int64),
+                                        type=pa.int64())})
 
     df = (_read_docs(sf_dir).map_batches(fp, batch_format="pyarrow")
           .to_pandas().sort_values("doc_id").reset_index(drop=True))

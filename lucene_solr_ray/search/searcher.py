@@ -261,7 +261,8 @@ class IndexSearcher:
     def __init__(self, index_dir: str, *, mode: str = "lucene32",
                  k1: float = 1.2, b: float = 0.75, method: str = "auto",
                  similarity: str = "bm25",
-                 segment_filter: set[str] | None = None):
+                 segment_filter: set[str] | None = None,
+                 enable_caches: bool = True):
         # method: "auto" → block-max pruning for lucene32 term/OR queries,
         # exhaustive otherwise; "exhaustive" / "blockmax" force a path.
         # segment_filter: restrict postings to these segment names (a query
@@ -299,7 +300,10 @@ class IndexSearcher:
         from ..index.deletes import load_deletes
 
         self.deletes = load_deletes(index_dir, self.manifest)
-        # Solr caches (§2.3 #26): sized like solrconfig defaults
+        # Solr caches (§2.3 #26): sized like solrconfig defaults;
+        # enable_caches=False gives the uncached path (benchmarking, or
+        # a solrconfig with the caches turned off)
+        self.caches_enabled = enable_caches
         self._filter_cache = LRUCache(512)
         self._query_cache = LRUCache(512)
         self._seg_del_cache: dict[str, np.ndarray | None] = {}
@@ -492,12 +496,14 @@ class IndexSearcher:
         solr:search/SolrIndexSearcher.java:121 getDocSet): repeated
         FILTER clauses and facet passes reuse the decoded doc set."""
         key = (field, value)
-        got = self._filter_cache.get(key)
-        if got is not None:
-            return got
+        if self.caches_enabled:
+            got = self._filter_cache.get(key)
+            if got is not None:
+                return got
         p = self._decode_term_global(f"{field}:{value}")
         out = p[0] if p is not None else np.empty(0, dtype=np.int64)
-        self._filter_cache.put(key, out)
+        if self.caches_enabled:
+            self._filter_cache.put(key, out)
         return out
 
     def cache_stats(self) -> dict:
@@ -1533,6 +1539,8 @@ class IndexSearcher:
         """Dispatch + queryResultCache (solrconfig <queryResultCache>;
         results are deterministic, so repeated (query, k) pairs are
         served from the cache — SolrIndexSearcher.getDocListC)."""
+        if not self.caches_enabled:
+            return self._search_uncached(query, k)
         import json
 
         ck = (json.dumps(query, sort_keys=True), k)
