@@ -423,13 +423,19 @@ def _q_span_near(terms, slop, k=20):
     return run
 
 
-def _doc_text(sf_dir: str, doc_id: int) -> str:
+def _doc_texts(sf_dir: str, doc_ids: list[int]) -> dict[int, str]:
+    """ONE batched id-filter scan for all requested docs (stored-field
+    fetch; never a scan per doc)."""
     import pyarrow.dataset as pads
 
     dset = pads.dataset(os.path.join(sf_dir, "documents.parquet"))
-    t = dset.to_table(filter=pads.field("doc_id") == doc_id,
-                      columns=["text"])
-    return t["text"][0].as_py()
+    t = dset.to_table(filter=pads.field("doc_id").isin(doc_ids),
+                      columns=["doc_id", "text"])
+    return dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+
+
+def _doc_text(sf_dir: str, doc_id: int) -> str:
+    return _doc_texts(sf_dir, [doc_id])[doc_id]
 
 
 def _q_more_like_this(doc_id=0, k=10, max_terms=5):
@@ -450,7 +456,8 @@ def _q_highlight(term="table", k=3):
 
         s = _searcher(sf_dir)
         t = s.search({"type": "term", "term": term}, k=k)
-        snips = [highlight(_doc_text(sf_dir, d), [term])
+        texts = _doc_texts(sf_dir, t["doc_id"].to_pylist())
+        snips = [highlight(texts[d], [term])
                  for d in t["doc_id"].to_pylist()]
         return pa.table({
             "doc_id": t["doc_id"],
