@@ -419,10 +419,19 @@ def merge_segments(index_dir: str, *, hot_df_threshold: int = HOT_DF_THRESHOLD,
         num_shards = choose_num_shards(files)
     del_state = load_deletes(index_dir, man)
 
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    if max_parallelism is not None:
+        # shuffle width cap: the all-to-alls bypass DataContext's
+        # resource_limits, so the block count is the only effective
+        # throttle (this micro-VM's page faults serialize past ~8
+        # concurrent memory-heavy streams — see BASELINE.md)
+        ncpu = min(ncpu, max_parallelism)
+
     # pass 1: global df per term (column-pruned read, tiny aggregate).
     # The hot-term filter runs DISTRIBUTED so only the handful of
     # stopword-class terms ever reach the driver — never the full vocab.
-    big = (rd.read_parquet(files, columns=["term", "df"])
+    big = (rd.read_parquet(files, columns=["term", "df"],
+                           override_num_blocks=max(2 * ncpu, len(files)))
            .groupby("term").sum("df")
            .map_batches(
                lambda t: t.filter(pc.greater(t["sum(df)"],
@@ -439,13 +448,6 @@ def merge_segments(index_dir: str, *, hot_df_threshold: int = HOT_DF_THRESHOLD,
     # is pruned to the shuffle payload; block metadata never moves. With
     # unmerged deletes, each source segment's read gets its own purge
     # stage (deletes are segment-scoped by added_gen).
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    if max_parallelism is not None:
-        # shuffle width cap: the all-to-all bypasses DataContext's
-        # resource_limits, so the block count is the only effective
-        # throttle (this micro-VM's page faults serialize past ~8
-        # concurrent memory-heavy streams — see BASELINE.md)
-        ncpu = min(ncpu, max_parallelism)
     if del_state is None:
         ds = rd.read_parquet(files, columns=SHUFFLE_COLS,
                              override_num_blocks=max(2 * ncpu, len(files)))
