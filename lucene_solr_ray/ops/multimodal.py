@@ -90,3 +90,117 @@ def featurize(ds, *, batch_size: int = 64, concurrency=(1, 4)):
     batch_size: payload batches are bytes-bounded, not row-bounded."""
     return ds.map_batches(DecodeStage, batch_format="pyarrow",
                           batch_size=batch_size, concurrency=concurrency)
+
+
+# ---------------------------------------------------------------------------
+# REAL raw-format operators. Compressed codecs (jpeg/mp3/h264) still
+# raise in DecodeStage — those need external libraries — but raw RGB /
+# PCM / concatenated-frame payloads are fully decodable with numpy, so
+# resize, audio features, and frame sampling below are real
+# implementations, not stubs.
+# ---------------------------------------------------------------------------
+
+def decode_rgb8(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Raw 8-bit interleaved RGB → (h, w, 3) array (zero-copy view)."""
+    a = np.frombuffer(payload, dtype=np.uint8)
+    if len(a) != width * height * 3:
+        raise ValueError(f"payload is {len(a)} bytes, expected "
+                         f"{width}x{height}x3")
+    return a.reshape(height, width, 3)
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize via integer index maps (pure numpy)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).astype(np.int64)
+    xs = (np.arange(out_w) * w // out_w).astype(np.int64)
+    return img[ys][:, xs]
+
+
+class ResizeStage:
+    """Actor-pool image resize over raw RGB payloads: emits the resized
+    payload + updated metadata (the thumbnailing step of a training-data
+    pipeline). Bytes-bounded batches; payload replaced in place."""
+
+    def __init__(self, out_w: int = 64, out_h: int = 64):
+        from ..util import tune_allocator
+
+        tune_allocator()
+        self.out_w, self.out_h = out_w, out_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = []
+        for codec, payload, w, h in zip(batch["codec"].to_pylist(),
+                                        batch["payload"].to_pylist(),
+                                        batch["width"].to_pylist(),
+                                        batch["height"].to_pylist()):
+            if codec != "rgb8":
+                raise NotImplementedError(
+                    f"codec {codec!r}: only raw rgb8 resizes without "
+                    f"external image libraries")
+            img = decode_rgb8(payload, w, h)
+            outs.append(resize_nearest(img, self.out_w,
+                                       self.out_h).tobytes())
+        n = len(outs)
+        batch = batch.drop_columns(["payload", "width", "height"])
+        return (batch
+                .append_column("payload", pa.array(outs,
+                                                   type=pa.large_binary()))
+                .append_column("width", pa.array([self.out_w] * n,
+                                                 type=pa.int32()))
+                .append_column("height", pa.array([self.out_h] * n,
+                                                  type=pa.int32())))
+
+
+def pcm_features(payload: bytes, sample_rate: int = 16_000,
+                 n_bands: int = 8) -> np.ndarray:
+    """Real audio features over raw int16 mono PCM: [rms, zero-crossing
+    rate, spectral centroid (Hz), n_bands log band energies] — the
+    featurize step of an audio pipeline, all numpy FFT."""
+    x = np.frombuffer(payload, dtype=np.int16).astype(np.float64)
+    if len(x) == 0:
+        return np.zeros(3 + n_bands, dtype=np.float32)
+    x = x / 32768.0
+    rms = float(np.sqrt(np.mean(x * x)))
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+    spec = np.abs(np.fft.rfft(x))
+    freqs = np.fft.rfftfreq(len(x), d=1.0 / sample_rate)
+    centroid = float((spec * freqs).sum() / spec.sum()) if spec.sum() \
+        else 0.0
+    bands = np.array_split(spec ** 2, n_bands)
+    band_e = np.log1p(np.array([b.sum() for b in bands]))
+    return np.concatenate(([rms, zcr, centroid],
+                           band_e)).astype(np.float32)
+
+
+class AudioFeatureStage:
+    """Actor-pool stage: raw PCM payloads → feature vectors, payload
+    dropped downstream."""
+
+    def __init__(self, sample_rate: int = 16_000):
+        from ..util import tune_allocator
+
+        tune_allocator()
+        self.sample_rate = sample_rate
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [pcm_features(p, self.sample_rate)
+                 for p in batch["payload"].to_pylist()]
+        dim = len(feats[0]) if feats else 11
+        flat = pa.array(np.concatenate(feats) if feats else [],
+                        type=pa.float32())
+        offsets = pa.array(np.arange(0, (len(feats) + 1) * dim, dim,
+                                     dtype=np.int32))
+        return (batch.drop_columns(["payload"])
+                .append_column("features",
+                               pa.ListArray.from_arrays(offsets, flat)))
+
+
+def sample_frames(payload: bytes, width: int, height: int,
+                  every: int = 2) -> list[bytes]:
+    """Video as concatenated raw rgb8 frames → every ``every``-th frame
+    (the frame-sampling step; real slicing, no codec needed)."""
+    frame_bytes = width * height * 3
+    n = len(payload) // frame_bytes
+    return [payload[i * frame_bytes:(i + 1) * frame_bytes]
+            for i in range(0, n, every)]

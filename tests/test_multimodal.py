@@ -52,3 +52,66 @@ def test_featurize_pipeline(ray_session):
     df = out.to_pandas().sort_values("item_id")
     assert len(df) == 200
     assert len(df["features"].iloc[0]) == FEATURE_DIM
+
+
+def test_rgb8_resize_real(ray_session):
+    """Raw RGB resize is a REAL operator: a horizontal gradient stays a
+    gradient after nearest-neighbor downscale, through the Ray stage."""
+    import numpy as np
+    import ray.data as rd
+
+    from lucene_solr_ray.ops.multimodal import ResizeStage, decode_rgb8
+
+    w, h = 32, 16
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[:, :, 0] = np.arange(w, dtype=np.uint8) * 8  # red gradient
+    t = pa.table({
+        "item_id": pa.array([1], type=pa.int64()),
+        "codec": pa.array(["rgb8"]),
+        "payload": pa.array([img.tobytes()], type=pa.large_binary()),
+        "width": pa.array([w], type=pa.int32()),
+        "height": pa.array([h], type=pa.int32()),
+    })
+    out = (rd.from_arrow(t)
+           .map_batches(ResizeStage, fn_constructor_kwargs={
+               "out_w": 8, "out_h": 4},
+               batch_format="pyarrow", concurrency=1)
+           .take_all())[0]
+    small = decode_rgb8(out["payload"], out["width"], out["height"])
+    assert small.shape == (4, 8, 3)
+    red = small[0, :, 0].astype(int)
+    assert all(np.diff(red) > 0)  # gradient preserved
+    assert red[0] == 0 and red[-1] == 28 * 8
+
+
+def test_pcm_features_real():
+    """A pure sine's spectral centroid lands near its frequency; silence
+    is all-zero."""
+    import numpy as np
+
+    from lucene_solr_ray.ops.multimodal import pcm_features
+
+    sr, f = 16_000, 440.0
+    t = np.arange(sr) / sr
+    pcm = (np.sin(2 * np.pi * f * t) * 20000).astype(np.int16).tobytes()
+    feats = pcm_features(pcm, sample_rate=sr)
+    rms, zcr, centroid = feats[0], feats[1], feats[2]
+    expected_rms = (20000 / 32768) / np.sqrt(2)  # sine rms = A/sqrt(2)
+    assert 0.95 < rms / expected_rms < 1.05
+    assert abs(centroid - f) < 15          # centroid ≈ tone frequency
+    silent = pcm_features(b"\x00\x00" * sr, sample_rate=sr)
+    assert silent[0] == 0.0 and silent[2] == 0.0
+
+
+def test_frame_sampling_real():
+    import numpy as np
+
+    from lucene_solr_ray.ops.multimodal import sample_frames
+
+    w, h, n = 4, 2, 10
+    frames = [np.full((h, w, 3), i, dtype=np.uint8).tobytes()
+              for i in range(n)]
+    video = b"".join(frames)
+    picked = sample_frames(video, w, h, every=3)
+    assert len(picked) == 4  # frames 0, 3, 6, 9
+    assert [p[0] for p in picked] == [0, 3, 6, 9]
