@@ -465,8 +465,14 @@ def merge_segments(index_dir: str, *, hot_df_threshold: int = HOT_DF_THRESHOLD,
     split = ds.map_batches(make_split_fn(hot_ref, num_shards),
                            batch_format="pyarrow")
     reducer = _make_reducer(root, man["generation"])
+    # reduce concurrency cap: the shuffle's reduce tasks don't honor the
+    # data context's resource limits, so oversize each task's CPU claim
+    # to keep at most ``ncpu`` memory-heavy reducers running at once
+    total_cpus = int(ray.cluster_resources().get("CPU", ncpu))
+    reduce_cpus = max(1, total_cpus // max(ncpu, 1))
     metas_df = split.groupby("part").map_groups(
-        reducer, batch_format="pyarrow").to_pandas()
+        reducer, batch_format="pyarrow",
+        num_cpus=reduce_cpus).to_pandas()
 
     shard_metas = []
     for name in metas_df["segment"]:

@@ -52,3 +52,55 @@ def test_unknown_field_and_function():
         evaluate(parse_expr("missing"), {})
     with pytest.raises(ValueError):
         evaluate(parse_expr("nosuchfn(1)"), {})
+
+
+# ---------------------------------------------------------------------------
+# randomized conformance: any generated AST evaluates bit-identically in
+# numpy and DuckDB (the compiler's two emitters agree by construction)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _expr_strategy(depth=0):
+    leaf = st.one_of(
+        st.sampled_from(["x", "y"]),
+        st.integers(min_value=1, max_value=50).map(str),
+    )
+    if depth >= 2:
+        return leaf
+    sub = st.deferred(lambda: _expr_strategy(depth + 1))
+    call = st.one_of(
+        st.tuples(sub, sub).map(lambda t: f"sum({t[0]},{t[1]})"),
+        st.tuples(sub, sub).map(lambda t: f"product({t[0]},{t[1]})"),
+        st.tuples(sub, sub).map(lambda t: f"max({t[0]},{t[1]})"),
+        st.tuples(sub, sub).map(lambda t: f"min({t[0]},{t[1]})"),
+        sub.map(lambda a: f"sqrt({a})"),
+        sub.map(lambda a: f"abs({a})"),
+        st.tuples(sub, st.integers(1, 9), st.integers(1, 99),
+                  st.integers(1, 99)).map(
+            lambda t: f"recip({t[0]},{t[1]},{t[2]},{t[3]})"),
+        st.tuples(sub, st.integers(1, 9), st.integers(0, 9)).map(
+            lambda t: f"linear({t[0]},{t[1]},{t[2]})"),
+    )
+    return st.one_of(leaf, call)
+
+
+@settings(max_examples=40, deadline=None)
+@given(expr=_expr_strategy(), seed=st.integers(0, 2**16))
+def test_random_expr_numpy_duckdb_bitwise(expr, seed):
+    node = parse_expr(expr)
+    rng = np.random.default_rng(seed)
+    x = rng.integers(1, 1000, 50).astype(np.float64)
+    y = rng.integers(1, 1000, 50).astype(np.float64)
+    mine = np.broadcast_to(evaluate(node, {"x": x, "y": y}), 50)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+                + ", ".join(f"({a!r}, {b!r})" for a, b in zip(x, y))
+                + ") v(x, y)")
+    sql = to_sql(node, {"x": "x", "y": "y"})
+    got = next(iter(con.execute(
+        f"SELECT {sql} FROM t").fetchnumpy().values()))
+    assert np.array_equal(np.asarray(mine, dtype=np.float64),
+                          np.asarray(got, dtype=np.float64)), (expr,)
