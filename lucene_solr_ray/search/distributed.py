@@ -31,15 +31,23 @@ from .searcher import IndexSearcher, topk_merge
 class QueryShard:
     """Plain class; wrapped with ray.remote by DistributedSearcher."""
 
-    def __init__(self, index_dir: str, segment_names: list[str],
-                 mode: str = "lucene32", method: str = "auto"):
+    def __init__(self, index_dir: str, segment_names: list[str] | None,
+                 mode: str = "lucene32", method: str = "auto",
+                 doc_range: tuple[int, int] | None = None):
         from ..util import tune_allocator
 
         tune_allocator()
-        self.searcher = IndexSearcher(index_dir, mode=mode, method=method,
-                                      segment_filter=set(segment_names))
+        self.doc_range = doc_range
+        self.searcher = IndexSearcher(
+            index_dir, mode=mode, method=method,
+            segment_filter=set(segment_names) if segment_names else None,
+            doc_range=doc_range)
 
     def term_stats(self, terms: list[str]) -> dict:
+        # local_term_stats, never term_stats: the latter would echo a
+        # stale stats_override left by the previous query. For a
+        # doc-range shard (which sees every segment) the "local" stats
+        # ARE the global ones and the driver takes one shard's report.
         return self.searcher.local_term_stats(terms)
 
     def search(self, query: dict, k: int, stats: dict):
@@ -72,27 +80,39 @@ class DistributedSearcher:
         post_entries = [s for s in man["segments"]
                         if s.get("kind", "postings") == "postings"]
         post = [s["segment"] for s in post_entries]
-        # Round-robin sharding assumes DOC-partitioned segments: every
-        # shard must see ALL of a doc's terms or MUST/phrase intersections
-        # silently drop matches and OR double-counts. Merged generations
-        # emit TERM-partitioned shards (num_docs == 0 in their meta), where
-        # a doc's terms span segments — collapse to a single query shard
-        # there (the scatter protocol for term-partitioned layouts would
-        # need term-at-a-time gathering, not doc scatter-gather).
-        term_partitioned = any(s.get("num_docs", 1) == 0 for s in post_entries)
-        if term_partitioned:
-            num_shards = 1
-        num_shards = max(1, min(num_shards, len(post)))
-        groups: list[list[str]] = [[] for _ in range(num_shards)]
-        for i, name in enumerate(sorted(post)):
-            groups[i % num_shards].append(name)
+        # Round-robin segment sharding assumes DOC-partitioned segments:
+        # every shard must see ALL of a doc's terms or MUST/phrase
+        # intersections silently drop matches and OR double-counts.
+        # Merged generations emit TERM-partitioned shards (num_docs == 0
+        # in their meta), where a doc's terms span segments — there the
+        # shards split the DOC-ID space instead: each sees every segment
+        # but scores only its id range (solr's route-by-id sharding), so
+        # bool/phrase semantics hold and the union is exactly one copy
+        # of every doc.
+        self.term_partitioned = any(s.get("num_docs", 1) == 0
+                                    for s in post_entries)
         Actor = ray.remote(num_cpus=num_cpus_per_shard)(QueryShard)
-        self.shards = [Actor.remote(index_dir, g, mode, method)
-                       for g in groups if g]
+        if self.term_partitioned:
+            num_shards = max(1, num_shards)
+            width = (2**63 + num_shards - 1) // num_shards
+            self.shards = [
+                Actor.remote(index_dir, None, mode, method,
+                             (i * width, min((i + 1) * width, 2**63)))
+                for i in range(num_shards)]
+        else:
+            num_shards = max(1, min(num_shards, len(post)))
+            groups: list[list[str]] = [[] for _ in range(num_shards)]
+            for i, name in enumerate(sorted(post)):
+                groups[i % num_shards].append(name)
+            self.shards = [Actor.remote(index_dir, g, mode, method)
+                           for g in groups if g]
 
     def term_stats(self, terms: list[str]) -> dict:
         import ray
 
+        if self.term_partitioned:
+            # every doc-range shard reports GLOBAL stats; take one
+            return ray.get(self.shards[0].term_stats.remote(terms))
         parts = ray.get([s.term_stats.remote(terms) for s in self.shards])
         agg: dict[str, list[int]] = {}
         for p in parts:

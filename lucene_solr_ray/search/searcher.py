@@ -262,7 +262,8 @@ class IndexSearcher:
                  k1: float = 1.2, b: float = 0.75, method: str = "auto",
                  similarity: str = "bm25",
                  segment_filter: set[str] | None = None,
-                 enable_caches: bool = True):
+                 enable_caches: bool = True,
+                 doc_range: tuple[int, int] | None = None):
         # method: "auto" → block-max pruning for lucene32 term/OR queries,
         # exhaustive otherwise; "exhaustive" / "blockmax" force a path.
         # segment_filter: restrict postings to these segment names (a query
@@ -281,6 +282,7 @@ class IndexSearcher:
                 or s.get("kind", "postings") == "docs_only"]
         self.mode = mode
         self.k1, self.b = k1, b
+        self.doc_range = doc_range
         root = os.path.join(index_dir, "segments")
         # kind comes from the MANIFEST entry (the current generation's
         # view), not the immutable segment dir: a merged generation marks
@@ -356,13 +358,19 @@ class IndexSearcher:
         if self.deletes is not None:
             # statistics over SURVIVORS (a fresh build of the live docs
             # must score identically — stricter than Lucene, whose df
-            # stays stale until merge)
-            out: dict[str, tuple[int, int]] = {}
-            for t in terms:
-                p = self._decode_term_global(t)
-                if p is not None and len(p[0]):
-                    out[t] = (int(len(p[0])), int(p[1].sum()))
-            return out
+            # stays stale until merge). Collection stats are GLOBAL even
+            # for a doc-range shard view, so lift the range while
+            # counting.
+            saved, self.doc_range = self.doc_range, None
+            try:
+                out: dict[str, tuple[int, int]] = {}
+                for t in terms:
+                    p = self._decode_term_global(t)
+                    if p is not None and len(p[0]):
+                        out[t] = (int(len(p[0])), int(p[1].sum()))
+                return out
+            finally:
+                self.doc_range = saved
         agg: dict[str, list[int]] = {t: [0, 0] for t in terms}
         for seg in self.segments:
             for t, (df, ttf) in seg.term_stats(terms).items():
@@ -410,11 +418,27 @@ class IndexSearcher:
         norms = np.concatenate([p[2] for p in parts])
         perm = np.argsort(docs, kind="stable")
         sorted_docs = docs[perm]
+        tfs_s, norms_s = tfs[perm], norms[perm]
         if positions:
             pos = np.concatenate([p[3] for p in parts])
             pos = _permute_grouped(pos, tfs, perm)
-            return sorted_docs, tfs[perm], norms[perm], pos
-        return sorted_docs, tfs[perm], norms[perm]
+        if self.doc_range is not None:
+            # doc-range shard view (term-partitioned distributed query):
+            # this shard scores only its id range; collection stats stay
+            # GLOBAL so ranks match the single-searcher run. The mask is
+            # post-decode — at scale the per-block doc bounds in the skip
+            # metadata would prune whole blocks first.
+            lo, hi = self.doc_range
+            m = (sorted_docs >= lo) & (sorted_docs < hi)
+            if not m.any():
+                return None
+            if positions:
+                pos = pos[np.repeat(m, tfs_s)]
+            sorted_docs, tfs_s, norms_s = (sorted_docs[m], tfs_s[m],
+                                           norms_s[m])
+        if positions:
+            return sorted_docs, tfs_s, norms_s, pos
+        return sorted_docs, tfs_s, norms_s
 
     def _gather_doc_column(self, getter):
         """(sorted doc_ids, values) across doc segments, with each
@@ -464,6 +488,7 @@ class IndexSearcher:
         # fall back to exhaustive while unmerged deletes exist (Lucene
         # scores through a liveDocs-filtered iterator instead)
         return (self.mode == "lucene32" and self.deletes is None and
+                self.doc_range is None and
                 self.method in ("auto", "blockmax"))
 
     def search_term(self, term: str, k: int = 10) -> pa.Table:

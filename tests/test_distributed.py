@@ -48,3 +48,40 @@ def test_distributed_global_stats(dist_index):
         assert dist.term_stats(terms) == local.local_term_stats(terms)
     finally:
         dist.close()
+
+
+@pytest.fixture(scope="module")
+def merged_index(tmp_path_factory, ray_session):
+    from lucene_solr_ray.index.merge import merge_segments
+
+    t = add_doc_keys(corpus_table(500))
+    out = str(tmp_path_factory.mktemp("distm"))
+    build_index(t, out, batch_rows=80)
+    merge_segments(out)
+    return out
+
+
+def test_doc_range_shards_on_merged_index(merged_index):
+    """A merged (term-partitioned) index now queries distributed via
+    doc-id-range shards: bool/phrase semantics hold, no duplicate docs,
+    ranks and scores bit-match the single searcher."""
+    local = IndexSearcher(merged_index)
+    dist = DistributedSearcher(merged_index, num_shards=3)
+    try:
+        assert dist.term_partitioned
+        assert len(dist.shards) == 3
+        for q in [
+            {"type": "term", "term": "data"},
+            {"type": "bool", "must": ["data", "merge"]},
+            {"type": "bool", "should": ["merge", "flush", "score"],
+             "min_should_match": 2},
+            {"type": "phrase", "terms": ["quick", "brown"]},
+        ]:
+            a = local.search(q, k=30)
+            b = dist.search(q, k=30)
+            assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+            assert np.asarray(a["score"]).tobytes() == \
+                np.asarray(b["score"]).tobytes(), q
+            assert len(set(b["doc_id"].to_pylist())) == b.num_rows
+    finally:
+        dist.close()
