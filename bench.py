@@ -196,6 +196,8 @@ def run_bench() -> dict:
         "files_per_sec": round(n_docs / build_sec, 1),
         "query_p50_ms": round(p50 * 1000, 2),
         "query_p99_ms": round(p99 * 1000, 2),
+        # the round-1 review's headline criterion: merge ≤ ~2× build
+        "merge_over_build": round(results["merge_corpus"] / build_sec, 2),
     }
     return out
 
