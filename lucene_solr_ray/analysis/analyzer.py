@@ -86,7 +86,8 @@ def analyze_batch(texts: pa.Array | pa.ChunkedArray, *,
                   keep_stopwords: bool = False,
                   stopwords=None,
                   term_transform=None,
-                  stream_transform=None) -> AnalyzedBatch:
+                  stream_transform=None,
+                  tokenizer: str = "ascii") -> AnalyzedBatch:
     """Tokenize a column of documents into a flat (doc, term, position) stream.
 
     Vectorized StandardAnalyzer-equivalent: lowercase → split on
@@ -111,7 +112,19 @@ def analyze_batch(texts: pa.Array | pa.ChunkedArray, *,
         texts = texts.combine_chunks()
     n_docs = len(texts)
     lower = pc.utf8_lower(texts)
-    token_lists = pc.split_pattern_regex(lower, pattern=_SPLIT_PATTERN)
+    if tokenizer == "unicode":
+        # UAX#29 approximation closer to the reference's JFlex DFA:
+        # tokens are Unicode letter/number runs; Han ideographs emit
+        # one token each (StandardTokenizer's IDEOGRAPHIC class). Not
+        # the oracle-paired default — DuckDB's regexp_extract_all and
+        # RE2 agree, but the sf corpora are ASCII so parity rides the
+        # ascii tokenizer.
+        lower = pc.replace_substring_regex(
+            lower, pattern=r"([\p{Han}])", replacement=r" \1 ")
+        split_pattern = r"[^\p{L}\p{N}]+"
+    else:
+        split_pattern = _SPLIT_PATTERN
+    token_lists = pc.split_pattern_regex(lower, pattern=split_pattern)
     if isinstance(token_lists, pa.ChunkedArray):
         token_lists = token_lists.combine_chunks()
     flat = token_lists.flatten()
@@ -120,7 +133,8 @@ def analyze_batch(texts: pa.Array | pa.ChunkedArray, *,
     counts = np.diff(offsets)
     doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
 
-    lengths = np.asarray(pc.binary_length(flat))  # byte length; tokens are ASCII
+    lengths = np.asarray(pc.utf8_length(flat) if tokenizer == "unicode"
+                          else pc.binary_length(flat))  # cp vs byte len
     valid = (lengths > 0) & (lengths <= MAX_TOKEN_LENGTH)
     valid_pa = pa.array(valid)
     flat = flat.filter(valid_pa)

@@ -62,7 +62,7 @@ def write_segment_batch(batch: pa.Table, *, segments_root: str,
                         keyword_cols: tuple[str, ...] = (),
                         with_positions: bool = True,
                         term_transform=None, stream_transform=None,
-                        stopwords=None) -> pa.Table:
+                        stopwords=None, tokenizer: str = "ascii") -> pa.Table:
     """Task-form segment writer (one Arrow batch → one segment → one stats
     row). Used via ``functools.partial`` in plain-task map_batches: Ray
     REUSES its general worker pool across tasks and executions, so the
@@ -86,7 +86,7 @@ def write_segment_batch(batch: pa.Table, *, segments_root: str,
                          with_positions=with_positions,
                          term_transform=term_transform,
                          stream_transform=stream_transform,
-                         stopwords=stopwords)
+                         stopwords=stopwords, tokenizer=tokenizer)
     return pa.table({"segment": [meta["segment"]],
                      "num_docs": [meta["num_docs"]],
                      "sum_dl": [meta["sum_dl"]],
@@ -148,6 +148,7 @@ def build_index(ds, out_dir: str, *, content_col: str = "content",
                 keyword_cols: tuple[str, ...] = (),
                 with_positions: bool = True, term_transform=None,
                 stream_transform=None, stopwords=None,
+                tokenizer: str = "ascii",
                 batch_rows: int = DEFAULT_BATCH_ROWS,
                 concurrency=None, derive_doc_keys: bool = False,
                 use_actors: bool = False, _commit: bool = True):
@@ -195,7 +196,7 @@ def build_index(ds, out_dir: str, *, content_col: str = "content",
             content_col=content_col, id_col=id_col, store_cols=store_cols,
             keyword_cols=keyword_cols, with_positions=with_positions,
             term_transform=term_transform, stream_transform=stream_transform,
-            stopwords=stopwords)
+            stopwords=stopwords, tokenizer=tokenizer)
         kwargs = {"concurrency": concurrency} if concurrency is not None else {}
         stage = ds.map_batches(fn, batch_format="pyarrow",
                                batch_size=batch_rows, **kwargs)

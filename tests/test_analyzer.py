@@ -131,3 +131,42 @@ def test_analyze_batch_duckdb_parity():
     got = list(zip(out.doc_idx.tolist(), out.terms.to_pylist(),
                    out.positions.tolist()))
     assert sorted(got) == sorted(sql_stream)
+
+
+def test_unicode_tokenizer_mode():
+    """UAX#29-approximation mode: unicode letter/number runs, one token
+    per Han ideograph, codepoint length filter; default stays ascii."""
+    import pyarrow as pa
+
+    from lucene_solr_ray.analysis import analyze_batch
+
+    r = analyze_batch(pa.array(["Café au lait 中文测试 naïve the x86"]),
+                      tokenizer="unicode")
+    assert r.terms.to_pylist() == ["café", "au", "lait", "中", "文",
+                                   "测", "试", "naïve", "x86"]
+    # "the" (position 8) was stopped; x86 keeps its pre-stop position
+    assert list(r.positions) == [0, 1, 2, 3, 4, 5, 6, 7, 9]
+    assert list(r.doc_lengths) == [9]
+    # ascii default drops the non-ascii runs entirely
+    a = analyze_batch(pa.array(["café 中文"]))
+    assert a.terms.to_pylist() == ["caf"]
+
+
+def test_unicode_index_end_to_end(tmp_path, ray_session):
+    import pyarrow as pa
+
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.search.searcher import IndexSearcher
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["café 中文 data", "plain data only"]),
+    })
+    out = str(tmp_path / "uni")
+    build_index(t, out, content_col="text", tokenizer="unicode")
+    s = IndexSearcher(out, mode="exact64")
+    assert s.search({"type": "term", "term": "café"},
+                    k=5)["doc_id"].to_pylist() == [1]
+    assert s.search({"type": "term", "term": "中"},
+                    k=5)["doc_id"].to_pylist() == [1]
+    assert s.search({"type": "term", "term": "data"}, k=5).num_rows == 2
