@@ -1,0 +1,316 @@
+"""DataImportHandler analogue over DuckDB (SURVEY.md §2.1 #5).
+
+Solr's DIH (solr/contrib/dataimporthandler) pulls documents from an
+RDBMS through a ``SqlEntityProcessor``: a full-import ``query`` plus
+the incremental trio ``deltaQuery`` (pks changed since
+``${dih.last_index_time}``), ``deltaImportQuery`` (re-fetch a changed
+row by ``${dih.delta.<pk>}``) and ``deletedPkQuery`` — see
+DocBuilder.java:224-344 (doFullDump/doDelta), collectDelta:774,
+SqlEntityProcessor.java:80-121,161-167, and the ``last_index_time``
+persisted to ``dataimport.properties`` (DocBuilder.java:122-126,984).
+
+This environment's SQL engine is DuckDB, so the source is a DuckDB
+database file. The Ray-first shape differs deliberately from DIH's
+single JDBC cursor:
+
+- **full import** splits the source query into N independent scan
+  tasks — numeric range predicates when ``partition_col`` is given
+  (the Sqoop / Spark-JDBC ``partitionColumn`` pattern), otherwise
+  deterministic ``hash(pk) % N`` buckets — and every task opens the
+  database READ-ONLY and fetches Arrow. Nothing but bounds probing
+  touches the driver, so import parallelism scales with the cluster
+  while DIH streams one row at a time.
+- **delta import** runs ``deltaQuery`` on the driver (its result is
+  small by construction — it returns only changed pks), then
+  re-fetches the changed rows with a *batched* IN-list form of
+  ``deltaImportQuery`` distributed over pk chunks. DIH runs
+  deltaImportQuery once per pk; the result set is identical.
+
+Variable substitution handles the two DIH namespaces actually used by
+SqlEntityProcessor: ``${dih.last_index_time}`` and
+``${dih.delta.<pk>}`` (VariableResolver.replaceTokens analogue).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+_PROPS_FILE = "dataimport.properties"
+
+
+@dataclass
+class SqlEntity:
+    """The attribute set of a ``<entity processor="SqlEntityProcessor">``
+    element (SqlEntityProcessor.java:161-167)."""
+
+    query: str
+    pk: str = "id"
+    delta_query: str | None = None
+    delta_import_query: str | None = None
+    deleted_pk_query: str | None = None
+
+
+def substitute(sql: str, variables: dict[str, object]) -> str:
+    """``${dih.x}`` token replacement (VariableResolver.replaceTokens).
+    String values are SQL-quoted; everything else is rendered bare."""
+    out = sql
+    for key, val in variables.items():
+        if isinstance(val, str):
+            rep = "'" + val.replace("'", "''") + "'"
+        else:
+            rep = str(val)
+        out = out.replace("${" + key + "}", rep)
+    return out
+
+
+def _connect(db_path: str):
+    import duckdb
+
+    return duckdb.connect(db_path, read_only=True)
+
+
+def _scan_sqls(db_path: str, entity: SqlEntity, *,
+               partition_col: str | None, num_partitions: int) -> list[str]:
+    """One SQL string per scan task. Range predicates over
+    ``partition_col`` when numeric bounds exist, else hash-mod buckets
+    on the pk (both deterministic, both cover every row exactly once)."""
+    base = f"SELECT * FROM ({entity.query}) __dih_e"
+    if num_partitions <= 1:
+        return [base]
+    if partition_col is not None:
+        con = _connect(db_path)
+        try:
+            lo, hi = con.execute(
+                f"SELECT min({partition_col}), max({partition_col}) "
+                f"FROM ({entity.query}) __dih_b").fetchone()
+        finally:
+            con.close()
+        if lo is None:
+            return [base]
+        lo, hi = int(lo), int(hi)
+        width = max(1, (hi - lo + num_partitions) // num_partitions)
+        sqls = []
+        for i in range(num_partitions):
+            a, b = lo + i * width, lo + (i + 1) * width
+            if a > hi:
+                break
+            pred = (f"{partition_col} >= {a} AND {partition_col} < {b}"
+                    if b <= hi else f"{partition_col} >= {a}")
+            sqls.append(f"{base} WHERE {pred}")
+        return sqls
+    n = num_partitions
+    return [f"{base} WHERE (hash({entity.pk}) % {n} + {n}) % {n} = {i}"
+            for i in range(n)]
+
+
+def read_sql_entity(db_path: str, entity: SqlEntity | str, *,
+                    partition_col: str | None = None,
+                    num_partitions: int = 8,
+                    variables: dict | None = None):
+    """Full import (DocBuilder.doFullDump): the entity query as a
+    Dataset of source rows, fetched by parallel read-only scan tasks."""
+    import ray.data as rd
+
+    if isinstance(entity, str):
+        entity = SqlEntity(query=entity)
+    query = substitute(entity.query, variables or {})
+    sqls = _scan_sqls(db_path, SqlEntity(query=query, pk=entity.pk),
+                      partition_col=partition_col,
+                      num_partitions=num_partitions)
+    parts = rd.from_items([{"sql": s} for s in sqls],
+                          override_num_blocks=len(sqls))
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        from .util import tune_allocator
+
+        tune_allocator()
+        import duckdb
+
+        tabs = []
+        for sql in batch["sql"].to_pylist():
+            con = duckdb.connect(db_path, read_only=True)
+            try:
+                tabs.append(con.execute(sql).fetch_arrow_table())
+            finally:
+                con.close()
+        return pa.concat_tables(tabs)
+
+    return parts.map_batches(fetch, batch_format="pyarrow", batch_size=1)
+
+
+def collect_delta(db_path: str, entity: SqlEntity, *,
+                  last_index_time) -> tuple[list, list]:
+    """DocBuilder.collectDelta:774 — run deltaQuery / deletedPkQuery
+    with ``${dih.last_index_time}`` bound; return (changed_pks,
+    deleted_pks). Changed pks that also appear deleted are dropped from
+    the deleted set (DIH applies the modification, not the delete, when
+    both match — DocBuilder keeps deletedRows separate and adds
+    modified rows afterwards)."""
+    vars_ = {"dih.last_index_time": last_index_time}
+    con = _connect(db_path)
+    try:
+        changed = [r[0] for r in con.execute(
+            substitute(entity.delta_query, vars_)).fetchall()] \
+            if entity.delta_query else []
+        deleted = [r[0] for r in con.execute(
+            substitute(entity.deleted_pk_query, vars_)).fetchall()] \
+            if entity.deleted_pk_query else []
+    finally:
+        con.close()
+    changed_set = set(changed)
+    deleted = [p for p in deleted if p not in changed_set]
+    return changed, deleted
+
+
+def fetch_delta_rows(db_path: str, entity: SqlEntity, changed_pks: list, *,
+                     chunk: int = 1024, variables: dict | None = None):
+    """The deltaImportQuery phase as a Dataset: changed pks are split
+    into chunks and each task fetches its chunk with one IN-list query
+    (DIH: one query per pk via ``${dih.delta.<pk>}`` — same rows). If
+    the entity declares no deltaImportQuery the full query is filtered
+    by pk (SqlEntityProcessor.java:118-121 falls back similarly)."""
+    import ray.data as rd
+
+    if not changed_pks:
+        return None
+    base = entity.delta_import_query or \
+        f"SELECT * FROM ({entity.query}) __dih_e WHERE " + \
+        "${dih.delta." + entity.pk + "}"
+    if variables:
+        base = substitute(base, variables)
+    chunks = [changed_pks[i:i + chunk]
+              for i in range(0, len(changed_pks), chunk)]
+
+    def in_list(pks: list) -> str:
+        vals = ", ".join(
+            ("'" + p.replace("'", "''") + "'") if isinstance(p, str)
+            else str(p) for p in pks)
+        return f"{entity.pk} IN ({vals})"
+
+    # ${dih.delta.<pk>} in user SQL usually appears as "pk = ${...}";
+    # the batched form rewrites the equality into the IN predicate.
+    sqls = []
+    token = "${dih.delta." + entity.pk + "}"
+    for pks in chunks:
+        s = base
+        eq = f"{entity.pk} = {token}"
+        if eq in s:
+            s = s.replace(eq, in_list(pks))
+        else:
+            s = s.replace(token, "(" + ", ".join(
+                ("'" + p.replace("'", "''") + "'") if isinstance(p, str)
+                else str(p) for p in pks) + ")")
+        sqls.append(s)
+    parts = rd.from_items([{"sql": s} for s in sqls],
+                          override_num_blocks=len(sqls))
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        from .util import tune_allocator
+
+        tune_allocator()
+        import duckdb
+
+        tabs = []
+        for sql in batch["sql"].to_pylist():
+            con = duckdb.connect(db_path, read_only=True)
+            try:
+                tabs.append(con.execute(sql).fetch_arrow_table())
+            finally:
+                con.close()
+        return pa.concat_tables(tabs)
+
+    return parts.map_batches(fetch, batch_format="pyarrow", batch_size=1)
+
+
+def pk_doc_ids(pks) -> np.ndarray:
+    """Stable int63 doc id per pk (sha256, like build.add_doc_keys) so a
+    delta re-import of the same pk lands on the same doc id and
+    update_documents replaces instead of duplicating."""
+    out = np.empty(len(pks), dtype=np.int64)
+    for i, p in enumerate(pks):
+        h = hashlib.sha256(str(p).encode()).digest()
+        out[i] = int.from_bytes(h[:8], "big") & 0x7FFF_FFFF_FFFF_FFFF
+    return out
+
+
+def add_pk_doc_ids(batch: pa.Table, *, pk: str) -> pa.Table:
+    ids = pk_doc_ids(batch[pk].to_pylist())
+    if "doc_id" in batch.column_names:
+        batch = batch.drop_columns(["doc_id"])
+    return batch.append_column("doc_id", pa.array(ids, type=pa.int64()))
+
+
+def load_properties(index_dir: str) -> dict:
+    """dataimport.properties (DocBuilder.java:122-126): holds
+    last_index_time between runs."""
+    path = os.path.join(index_dir, _PROPS_FILE)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
+def store_properties(index_dir: str, props: dict) -> None:
+    path = os.path.join(index_dir, _PROPS_FILE)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(props, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def full_import_to_index(db_path: str, entity: SqlEntity, index_dir: str, *,
+                         index_time, partition_col: str | None = None,
+                         num_partitions: int = 8, **build_kwargs) -> dict:
+    """command=full-import: scan → pk-derived doc ids → build_index;
+    record last_index_time. ``index_time`` is caller-supplied (the
+    DocBuilder stamps it before the import starts so rows modified
+    mid-import are re-seen by the next delta)."""
+    from .index.build import build_index
+
+    ds = read_sql_entity(db_path, entity, partition_col=partition_col,
+                         num_partitions=num_partitions)
+    ds = ds.map_batches(lambda t: add_pk_doc_ids(t, pk=entity.pk),
+                        batch_format="pyarrow")
+    man = build_index(ds, index_dir, **build_kwargs)
+    store_properties(index_dir, {"last_index_time": index_time})
+    return man
+
+
+def delta_import_to_index(db_path: str, entity: SqlEntity, index_dir: str, *,
+                          index_time, last_index_time=None,
+                          **build_kwargs) -> dict:
+    """command=delta-import (DocBuilder.doDelta:333): collect changed +
+    deleted pks since last_index_time, apply deletes, upsert changed
+    rows, advance last_index_time. Returns a summary dict."""
+    from .index.deletes import delete_docs, update_documents
+
+    if last_index_time is None:
+        last_index_time = load_properties(index_dir).get("last_index_time", 0)
+    changed, deleted = collect_delta(db_path, entity,
+                                     last_index_time=last_index_time)
+    n_del = 0
+    if deleted:
+        delete_docs(index_dir, pk_doc_ids(deleted))
+        n_del = len(deleted)
+    n_upd = 0
+    if changed:
+        ds = fetch_delta_rows(db_path, entity, changed)
+        # the changed set is small by construction (deltaQuery returns
+        # only pks modified since the last run) — driver collection here
+        # is bounded by the delta, not the corpus
+        rows = pa.concat_tables(
+            list(ds.iter_batches(batch_format="pyarrow")))
+        rows = add_pk_doc_ids(rows, pk=entity.pk)
+        update_documents(rows, index_dir, **build_kwargs)
+        n_upd = rows.num_rows
+    store_properties(index_dir, {"last_index_time": index_time})
+    return {"updated": n_upd, "deleted": n_del,
+            "last_index_time": index_time}

@@ -1455,6 +1455,46 @@ def _sketch_hll(sf_dir: str) -> pa.Table:
     return hll_count_distinct(sf_dir, "events", "user_id")
 
 
+def _q_dih_full_import(sf_dir: str) -> pa.Table:
+    """DataImportHandler full-import (solr/contrib/dataimporthandler,
+    DocBuilder.doFullDump) from a DuckDB source database: stage the
+    documents table into a .duckdb file, run the partitioned
+    SqlEntityProcessor scan (range predicates on doc_id, every task a
+    read-only Arrow fetch), then roll the imported Dataset up per lang
+    — row-exactness of the import is what the oracle checks."""
+    import os
+
+    import duckdb
+
+    from ..dataimport import SqlEntity, read_sql_entity
+
+    db = os.path.join("/tmp", "dih_src_" +
+                      os.path.basename(os.path.normpath(sf_dir)) + ".duckdb")
+    if os.path.exists(db):
+        os.remove(db)
+    con = duckdb.connect(db)
+    src = os.path.join(sf_dir, "documents.parquet")
+    con.execute("CREATE TABLE docs AS SELECT doc_id, lang, source, n_chars "
+                f"FROM read_parquet('{src}')")
+    con.close()
+    ent = SqlEntity(query="SELECT * FROM docs", pk="doc_id")
+    ds = read_sql_entity(db, ent, partition_col="doc_id", num_partitions=8)
+    from ray.data.aggregate import Count, Sum
+
+    df = ds.groupby("lang").aggregate(Count(), Sum("n_chars")).to_pandas()
+    df = df.rename(columns={"count()": "cnt", "sum(n_chars)": "chars"})
+    df["cnt"] = df["cnt"].astype("int64")
+    df["chars"] = df["chars"].astype("int64")
+    return pa.Table.from_pandas(
+        df.sort_values("lang").reset_index(drop=True), preserve_index=False)
+
+
+DIH_FULL_IMPORT_SQL = """
+SELECT lang, COUNT(*) AS cnt, SUM(n_chars) AS chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 STREAM_ROLLUP_EXPR = ('rollup(search(lineitem, q="*:*", '
                       'fl="l_returnflag,l_quantity"), '
                       'over="l_returnflag", sum(l_quantity), count(*))')
@@ -1540,6 +1580,7 @@ def build_queries() -> dict:
         "rel_sampled_facet": R.sampled_facet,
         "stream_expr_rollup": _q_stream_expr(STREAM_ROLLUP_EXPR),
         "stream_expr_join_top": _q_stream_expr(STREAM_JOIN_EXPR),
+        "dih_full_import": _q_dih_full_import,
         "rel_block_join_parent": J.block_join_parent,
         "rel_block_join_child": J.block_join_child,
         "rel_join_score": J.terms_including_score,
@@ -1641,6 +1682,7 @@ def build_oracle_sql() -> dict:
         "rel_sampled_facet": RS.SAMPLED_FACET,
         "stream_expr_rollup": STREAM_ROLLUP_SQL,
         "stream_expr_join_top": STREAM_JOIN_SQL,
+        "dih_full_import": DIH_FULL_IMPORT_SQL,
         "rel_block_join_parent": RS.BLOCK_JOIN_PARENT,
         "rel_block_join_child": RS.BLOCK_JOIN_CHILD,
         "rel_join_score": RS.TERMS_INCLUDING_SCORE,

@@ -1,0 +1,158 @@
+"""DataImportHandler analogue (SURVEY.md §2.1 #5) over a DuckDB file.
+
+Semantics mirrored from solr/contrib/dataimporthandler:
+DocBuilder.doFullDump/doDelta (DocBuilder.java:224-344), collectDelta
+(:774), SqlEntityProcessor deltaQuery/deltaImportQuery/deletedPkQuery
+(SqlEntityProcessor.java:80-121), last_index_time persistence
+(DocBuilder.java:122-126,984).
+
+Invariants:
+- partitioned full import (range and hash bucketing) returns exactly
+  the source rows, once each;
+- delta import applied to the full-import index answers queries
+  identically to a fresh full import of the current source state
+  (the delta == rebuild identity, stronger than DIH which lets
+  collection stats go stale);
+- last_index_time round-trips through dataimport.properties.
+"""
+
+import os
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+from lucene_solr_ray.dataimport import (
+    SqlEntity,
+    collect_delta,
+    delta_import_to_index,
+    full_import_to_index,
+    load_properties,
+    read_sql_entity,
+    substitute,
+)
+from lucene_solr_ray.search.searcher import IndexSearcher
+
+ROWS = [
+    # (id, version, lang, content)
+    (1, 10, "py", "quick brown fox jumps over the lazy dog"),
+    (2, 10, "py", "fast brown table stands near the window"),
+    (3, 10, "java", "quick queries scan the fast table index"),
+    (4, 10, "java", "merge flush commit segment postings table"),
+    (5, 10, "go", "vector search and brown embeddings"),
+    (6, 10, "go", "unique marker zebrahippo content here"),
+]
+
+ENTITY = SqlEntity(
+    query="SELECT id, version, lang, content FROM docs",
+    pk="id",
+    delta_query=("SELECT id FROM docs "
+                 "WHERE version > ${dih.last_index_time}"),
+    delta_import_query=("SELECT id, version, lang, content FROM docs "
+                        "WHERE id = ${dih.delta.id}"),
+    deleted_pk_query=("SELECT id FROM deleted_docs "
+                      "WHERE deleted_at > ${dih.last_index_time}"),
+)
+
+
+@pytest.fixture()
+def db(tmp_path):
+    path = str(tmp_path / "source.duckdb")
+    con = duckdb.connect(path)
+    con.execute("CREATE TABLE docs (id BIGINT, version BIGINT, "
+                "lang VARCHAR, content VARCHAR)")
+    con.execute("CREATE TABLE deleted_docs (id BIGINT, deleted_at BIGINT)")
+    con.executemany("INSERT INTO docs VALUES (?, ?, ?, ?)", ROWS)
+    con.close()
+    return path
+
+
+def _rows(ds):
+    tab = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    return sorted(zip(tab["id"].to_pylist(), tab["version"].to_pylist(),
+                      tab["lang"].to_pylist(), tab["content"].to_pylist()))
+
+
+def test_substitute_quotes_strings():
+    assert substitute("WHERE t > ${dih.last_index_time}",
+                      {"dih.last_index_time": "2016-01-01 00:00:00"}) == \
+        "WHERE t > '2016-01-01 00:00:00'"
+    assert substitute("WHERE v > ${dih.last_index_time}",
+                      {"dih.last_index_time": 42}) == "WHERE v > 42"
+
+
+def test_full_import_range_partitioned(ray_session, db):
+    ds = read_sql_entity(db, ENTITY, partition_col="id", num_partitions=3)
+    assert _rows(ds) == sorted(ROWS)
+
+
+def test_full_import_hash_partitioned(ray_session, db):
+    ds = read_sql_entity(db, ENTITY, num_partitions=4)
+    assert _rows(ds) == sorted(ROWS)
+
+
+def test_full_import_single_partition(ray_session, db):
+    ds = read_sql_entity(db, ENTITY, num_partitions=1)
+    assert _rows(ds) == sorted(ROWS)
+
+
+def test_collect_delta_separates_changed_and_deleted(db):
+    con = duckdb.connect(db)
+    con.execute("UPDATE docs SET version = 20, content = 'rewritten "
+                "zebrahippo story' WHERE id = 2")
+    con.execute("INSERT INTO deleted_docs VALUES (5, 20), (2, 20)")
+    con.close()
+    changed, deleted = collect_delta(db, ENTITY, last_index_time=10)
+    # id=2 is both modified and deleted-listed: the modification wins
+    assert changed == [2]
+    assert deleted == [5]
+
+
+def _probe(idx, term):
+    t = IndexSearcher(idx, mode="exact64").search_term(term, k=10)
+    return list(zip(t["doc_id"].to_pylist(), t["score"].to_pylist()))
+
+
+def test_delta_import_equals_fresh_rebuild(ray_session, db, tmp_path):
+    idx = str(tmp_path / "idx")
+    full_import_to_index(db, ENTITY, idx, index_time=10,
+                         partition_col="id", num_partitions=2,
+                         batch_rows=3, keyword_cols=("lang",))
+    assert load_properties(idx)["last_index_time"] == 10
+    assert len(_probe(idx, "brown")) == 3
+
+    # source mutates: one update, one insert, one delete
+    con = duckdb.connect(db)
+    con.execute("UPDATE docs SET version = 20, content = 'rewritten "
+                "glowfish story table' WHERE id = 2")
+    con.execute("INSERT INTO docs VALUES (7, 20, 'rs', "
+                "'new glowfish document about windows')")
+    con.execute("DELETE FROM docs WHERE id = 5")
+    con.execute("INSERT INTO deleted_docs VALUES (5, 20)")
+    con.close()
+
+    summary = delta_import_to_index(db, ENTITY, idx, index_time=20,
+                                    batch_rows=3, keyword_cols=("lang",))
+    assert summary == {"updated": 2, "deleted": 1, "last_index_time": 20}
+    assert load_properties(idx)["last_index_time"] == 20
+
+    fresh = str(tmp_path / "fresh")
+    full_import_to_index(db, ENTITY, fresh, index_time=20,
+                         partition_col="id", num_partitions=2,
+                         batch_rows=3, keyword_cols=("lang",))
+    for term in ("brown", "glowfish", "table", "zebrahippo"):
+        assert _probe(idx, term) == _probe(fresh, term), term
+    # the old content of doc 2 and the deleted doc 5 are gone
+    assert _probe(idx, "embeddings") == []
+    assert len(_probe(idx, "glowfish")) == 2
+
+
+def test_delta_import_noop_when_nothing_changed(ray_session, db, tmp_path):
+    idx = str(tmp_path / "idx")
+    full_import_to_index(db, ENTITY, idx, index_time=10, batch_rows=3)
+    before = _probe(idx, "table")
+    summary = delta_import_to_index(db, ENTITY, idx, index_time=11)
+    assert summary["updated"] == 0 and summary["deleted"] == 0
+    assert _probe(idx, "table") == before
+    assert load_properties(idx)["last_index_time"] == 11
+    assert os.path.exists(os.path.join(idx, "dataimport.properties"))
