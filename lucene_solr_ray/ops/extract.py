@@ -1,0 +1,183 @@
+"""Rich-document text extraction — the Tika/ExtractingRequestHandler
+analogue (SURVEY.md §2.1 #6; solr/contrib/extraction).
+
+The reference pipes uploaded binaries through Tika: a detector picks a
+parser by content type, a SAX handler concatenates all character
+content into a catch-all ``content`` field, and document metadata
+(title, content-type, stream name) becomes extra fields, optionally
+lower-cased/underscored via ``lowernames``
+(SolrContentHandler.java:59-196 — catchAllBuilder + addMetadata;
+ExtractingParams.java:29 LOWERNAMES, :147 UNKNOWN_FIELD_PREFIX;
+ExtractingDocumentLoader ignoreTikaException).
+
+This environment ships no Tika and no PDF/Office codec libraries, so
+the format matrix is honest about what is real:
+
+- **text/html** — real: a stdlib ``HTMLParser`` subclass that skips
+  ``<script>``/``<style>``, captures ``<title>`` and ``<meta
+  name=… content=…>`` pairs, and whitespace-joins the rest (the
+  ToTextContentHandler role).
+- **application/xml** — real: ``ElementTree`` itertext.
+- **text/plain** — real: lossy UTF-8 decode.
+- **application/pdf / zip-based Office / unknown binary** — detected
+  (magic bytes) but extraction raises ``NotImplementedError``; with
+  ``on_error="skip"`` (the ignoreTikaException analogue, the default)
+  such rows are dropped and counted instead.
+
+Ray shape: ``read_rich_documents`` = ``read_binary_files(include_paths
+=True)`` → one vectorized ``map_batches`` parse stage; metadata rides
+in a JSON string column (Arrow needs a fixed schema where Solr has
+dynamic fields — documented deviation).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from html.parser import HTMLParser
+
+import pyarrow as pa
+
+_WS = re.compile(r"\s+")
+
+
+def detect_content_type(data: bytes, path: str | None = None) -> str:
+    """Magic-byte + extension detection (the Tika Detector role)."""
+    head = data[:512].lstrip()
+    if data[:5] == b"%PDF-":
+        return "application/pdf"
+    if data[:4] == b"PK\x03\x04":
+        return "application/zip"
+    low = head[:256].lower()
+    if low.startswith(b"<!doctype html") or b"<html" in low:
+        return "text/html"
+    if head.startswith(b"<?xml"):
+        if b"<html" in low:
+            return "text/html"
+        return "application/xml"
+    if path and path.lower().endswith((".html", ".htm")):
+        return "text/html"
+    if path and path.lower().endswith(".xml"):
+        return "application/xml"
+    if b"\x00" in data[:4096]:
+        return "application/octet-stream"
+    return "text/plain"
+
+
+class _TextHandler(HTMLParser):
+    """catchAllBuilder analogue: concatenate character content outside
+    script/style; capture <title> and <meta name=… content=…>."""
+
+    _SKIP = {"script", "style"}
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.parts: list[str] = []
+        self.title_parts: list[str] = []
+        self.meta: dict[str, str] = {}
+        self._skip_depth = 0
+        self._in_title = False
+
+    def handle_starttag(self, tag, attrs):
+        if tag in self._SKIP:
+            self._skip_depth += 1
+        elif tag == "title":
+            self._in_title = True
+        elif tag == "meta":
+            a = dict(attrs)
+            name = a.get("name") or a.get("property")
+            if name and a.get("content") is not None:
+                self.meta[name] = a["content"]
+
+    def handle_endtag(self, tag):
+        if tag in self._SKIP and self._skip_depth:
+            self._skip_depth -= 1
+        elif tag == "title":
+            self._in_title = False
+
+    def handle_data(self, data):
+        if self._skip_depth:
+            return
+        if self._in_title:
+            self.title_parts.append(data)
+        else:
+            self.parts.append(data)
+
+
+def lowername(name: str) -> str:
+    """ExtractingParams.LOWERNAMES mapping: lowercase, non-alphanumeric
+    runs become underscores (SolrContentHandler uses this to make Tika
+    metadata names schema-safe)."""
+    return re.sub(r"[^a-z0-9]+", "_", name.lower()).strip("_")
+
+
+def extract_document(data: bytes, path: str | None = None) -> dict:
+    """One document → {content, title, content_type, metadata}.
+    Raises NotImplementedError for formats whose codecs don't exist in
+    this environment (PDF, zip-based Office, unknown binary)."""
+    ctype = detect_content_type(data, path)
+    if ctype == "text/html":
+        h = _TextHandler()
+        h.feed(data.decode("utf-8", errors="replace"))
+        h.close()
+        return {
+            "content": _WS.sub(" ", " ".join(h.parts)).strip(),
+            "title": _WS.sub(" ", " ".join(h.title_parts)).strip(),
+            "content_type": ctype,
+            "metadata": {lowername(k): v for k, v in h.meta.items()},
+        }
+    if ctype == "application/xml":
+        import xml.etree.ElementTree as ET
+
+        root = ET.fromstring(data.decode("utf-8", errors="replace"))
+        text = _WS.sub(" ", " ".join(root.itertext())).strip()
+        return {"content": text, "title": root.get("title") or "",
+                "content_type": ctype, "metadata": {"root_tag": root.tag}}
+    if ctype == "text/plain":
+        return {"content": data.decode("utf-8", errors="replace").strip(),
+                "title": "", "content_type": ctype, "metadata": {}}
+    raise NotImplementedError(
+        f"no parser for {ctype} in this environment (PDF/Office codecs "
+        "are not installed; reference delegates these to Tika)")
+
+
+def extract_batch(batch: pa.Table, *, on_error: str = "skip") -> pa.Table:
+    """map_batches stage over read_binary_files(include_paths=True)
+    blocks. ``on_error="skip"`` drops failing docs (the
+    ignoreTikaException analogue); ``"raise"`` propagates."""
+    from ..util import tune_allocator
+
+    tune_allocator()
+    paths = batch["path"].to_pylist()
+    blobs = batch["bytes"].to_pylist()
+    names, contents, titles, ctypes, metas = [], [], [], [], []
+    for p, b in zip(paths, blobs):
+        try:
+            d = extract_document(b, p)
+        except Exception:
+            if on_error == "raise":
+                raise
+            continue
+        names.append(p)
+        contents.append(d["content"])
+        titles.append(d["title"])
+        ctypes.append(d["content_type"])
+        metas.append(json.dumps(d["metadata"], sort_keys=True))
+    return pa.table({
+        "stream_name": pa.array(names, type=pa.string()),
+        "title": pa.array(titles, type=pa.string()),
+        "content_type": pa.array(ctypes, type=pa.string()),
+        "metadata_json": pa.array(metas, type=pa.string()),
+        "content": pa.array(contents, type=pa.large_string()),
+    })
+
+
+def read_rich_documents(paths, *, on_error: str = "skip"):
+    """ExtractingRequestHandler front door as a Dataset pipeline:
+    binary files → extracted text rows ready for index.build_index
+    (content_col="content")."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(paths, include_paths=True)
+    return ds.map_batches(lambda t: extract_batch(t, on_error=on_error),
+                          batch_format="pyarrow")

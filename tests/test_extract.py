@@ -1,0 +1,113 @@
+"""Tika/ExtractingRequestHandler analogue (SURVEY.md §2.1 #6).
+
+Mirrored semantics: catch-all content concatenation + title/metadata
+capture (SolrContentHandler.java:59-196), lowernames field mapping
+(ExtractingParams.java:29), skip-on-parse-failure
+(ExtractingDocumentLoader ignoreTikaException). PDF/Office extraction
+is honestly NotImplemented in this environment (no codec libraries) —
+detection still classifies them and the skip path drops them.
+"""
+
+import pyarrow as pa
+import pytest
+
+from lucene_solr_ray.ops.extract import (
+    detect_content_type,
+    extract_batch,
+    extract_document,
+    lowername,
+    read_rich_documents,
+)
+
+HTML = b"""<!DOCTYPE html>
+<html><head>
+  <title>The  Zebrahippo\n Report</title>
+  <meta name="Author" content="jane doe">
+  <meta name="Content-Encoding" content="utf-8">
+  <script>var hidden = "scriptnoise";</script>
+  <style>.x { color: red }</style>
+</head>
+<body><h1>Quarterly brown fox figures</h1>
+<p>Revenue &amp; costs grew 10%.</p></body></html>
+"""
+
+XML = b"""<?xml version="1.0"?>
+<report title="q3"><section>vector embeddings</section>
+<section>postings merge</section></report>"""
+
+
+def test_detection():
+    assert detect_content_type(b"%PDF-1.7 rest") == "application/pdf"
+    assert detect_content_type(b"PK\x03\x04zipzip") == "application/zip"
+    assert detect_content_type(HTML) == "text/html"
+    assert detect_content_type(XML) == "application/xml"
+    assert detect_content_type(b"plain words here") == "text/plain"
+    assert detect_content_type(b"bin\x00ary") == "application/octet-stream"
+    assert detect_content_type(b"x", "f.html") == "text/html"
+
+
+def test_html_extraction_skips_script_and_captures_meta():
+    d = extract_document(HTML)
+    assert d["title"] == "The Zebrahippo Report"
+    assert "scriptnoise" not in d["content"]
+    assert "color" not in d["content"]
+    assert "Quarterly brown fox figures" in d["content"]
+    assert "Revenue & costs grew 10%." in d["content"]
+    assert d["metadata"] == {"author": "jane doe",
+                             "content_encoding": "utf-8"}
+
+
+def test_xml_and_plain():
+    d = extract_document(XML)
+    assert d["content"] == "vector embeddings postings merge"
+    assert d["metadata"]["root_tag"] == "report"
+    t = extract_document(b"  hello world \n")
+    assert t["content"] == "hello world"
+
+
+def test_unsupported_raises_and_lowername():
+    with pytest.raises(NotImplementedError):
+        extract_document(b"%PDF-1.4 binary pdf body")
+    assert lowername("X-Parsed-By") == "x_parsed_by"
+    assert lowername("Content Type") == "content_type"
+
+
+def test_batch_skips_failures_but_raise_mode_raises():
+    batch = pa.table({
+        "path": ["a.html", "b.pdf", "c.txt"],
+        "bytes": [HTML, b"%PDF-1.4 stuff", b"plain text doc"],
+    })
+    out = extract_batch(batch, on_error="skip")
+    assert out["stream_name"].to_pylist() == ["a.html", "c.txt"]
+    with pytest.raises(NotImplementedError):
+        extract_batch(batch, on_error="raise")
+
+
+def test_read_rich_documents_to_index(ray_session, tmp_path):
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "report.html").write_bytes(HTML)
+    (src / "notes.txt").write_text("the quick brown fox digest")
+    (src / "data.xml").write_bytes(XML)
+    (src / "scan.pdf").write_bytes(b"%PDF-1.4 opaque")
+    ds = read_rich_documents(str(src))
+    tab = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    assert tab.num_rows == 3  # pdf skipped
+    assert set(tab["content_type"].to_pylist()) == \
+        {"text/html", "text/plain", "application/xml"}
+
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.search.searcher import IndexSearcher
+
+    idx = str(tmp_path / "idx")
+    from lucene_solr_ray.dataimport import add_pk_doc_ids
+
+    ds2 = read_rich_documents(str(src)).map_batches(
+        lambda t: add_pk_doc_ids(t, pk="stream_name"),
+        batch_format="pyarrow")
+    build_index(ds2, idx, content_col="content",
+                keyword_cols=("content_type",))
+    s = IndexSearcher(idx)
+    assert s.search_term("fox", k=10).num_rows == 2   # html + txt
+    assert s.search_term("embeddings", k=10).num_rows == 1
+    assert s.search_term("scriptnoise", k=10).num_rows == 0
