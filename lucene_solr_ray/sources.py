@@ -109,6 +109,78 @@ def read_documents_xml(paths):
     return ds.map_batches(parse, batch_format="pyarrow")
 
 
+def read_reuters_feed(root):
+    """Reuters benchmark content feed (lucene/benchmark/.../feeds/
+    ReutersContentSource.java:122-135): one extracted Reuters-21578
+    file per doc — line 1 = date string, blank line, line 3 = title,
+    blank line, remaining lines = body joined by spaces."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(root, include_paths=True)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        names, dates, titles, bodies = [], [], [], []
+        for path, blob in zip(batch["path"].to_pylist(),
+                              batch["bytes"].to_pylist()):
+            lines = blob.decode("utf-8", errors="replace").splitlines()
+            names.append(os.path.basename(path))
+            dates.append(lines[0].strip() if lines else "")
+            titles.append(lines[2].strip() if len(lines) > 2 else "")
+            bodies.append(" ".join(line for line in lines[4:]))
+        return pa.table({
+            "name": pa.array(names, type=pa.string()),
+            "date": pa.array(dates, type=pa.string()),
+            "title": pa.array(titles, type=pa.string()),
+            "body": pa.array(bodies, type=pa.large_string()),
+        })
+
+    return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def read_enwiki_feed(paths):
+    """Wikipedia-dump benchmark content feed (lucene/benchmark/.../
+    feeds/EnwikiContentSource.java:124-160,251-268): one row per
+    ``<page>`` with title, page id, revision timestamp as the date,
+    and the ``<text>`` body with tabs/newlines flattened to spaces
+    (the reference's replaceAll at :131). The reference SAX-streams
+    one giant dump; here each input file is one task, so the dump is
+    assumed pre-split into bounded files (the standard multistream /
+    wikiextractor layout) — that split IS the parallelism."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(paths)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        import re
+
+        page_re = re.compile(r"<page>(.*?)</page>", re.S)
+        flat = re.compile(r"[\t\n]")
+
+        def first(body: str, pat: str) -> str:
+            m = re.search(pat, body, re.S)
+            return m.group(1) if m else ""
+
+        titles, ids, dates, bodies = [], [], [], []
+        for blob in batch["bytes"].to_pylist():
+            text = blob.decode("utf-8", errors="replace")
+            for m in page_re.finditer(text):
+                page = m.group(1)
+                titles.append(
+                    first(page, r"<title>(.*?)</title>").replace("\t", " "))
+                ids.append(first(page, r"<id>(.*?)</id>"))
+                dates.append(first(page, r"<timestamp>(.*?)</timestamp>"))
+                bodies.append(flat.sub(
+                    " ", first(page, r"<text[^>]*>(.*?)</text>")))
+        return pa.table({
+            "title": pa.array(titles, type=pa.string()),
+            "id": pa.array(ids, type=pa.string()),
+            "date": pa.array(dates, type=pa.string()),
+            "body": pa.array(bodies, type=pa.large_string()),
+        })
+
+    return ds.map_batches(parse, batch_format="pyarrow")
+
+
 def read_trec_feed(paths):
     """TREC benchmark content feed (lucene/benchmark/.../feeds/
     TrecContentSource.java:63 — ``<DOC><DOCNO>…</DOCNO>…<TEXT>…``

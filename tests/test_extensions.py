@@ -153,3 +153,47 @@ def test_trec_feed(ray_session, tmp_path):
     assert [r["doc_no"] for r in rows] == ["T-1", "T-2"]
     assert rows[1]["text"] == "merge sort"
     assert rows[0]["title"] == "alpha"
+
+
+def test_reuters_feed(ray_session, tmp_path):
+    """ReutersContentSource.java:122-135 layout: date / blank / title /
+    blank / body lines."""
+    from lucene_solr_ray.sources import read_reuters_feed
+
+    d = tmp_path / "reuters"
+    d.mkdir()
+    (d / "reut-001.txt").write_text(
+        "30-MAR-1987 14:22:36.87\n\nOIL PRICES RISE\n\n"
+        "crude oil prices rose\nsharply on tuesday\n")
+    (d / "reut-002.txt").write_text(
+        "31-MAR-1987 09:01:00.00\n\nGRAIN EXPORTS\n\nwheat shipments fell\n")
+    rows = sorted(read_reuters_feed(str(d)).take_all(),
+                  key=lambda r: r["name"])
+    assert rows[0]["date"] == "30-MAR-1987 14:22:36.87"
+    assert rows[0]["title"] == "OIL PRICES RISE"
+    assert rows[0]["body"] == "crude oil prices rose sharply on tuesday"
+    assert rows[1]["title"] == "GRAIN EXPORTS"
+
+
+def test_enwiki_feed(ray_session, tmp_path):
+    """EnwikiContentSource.java:124-160: one row per <page>, tabs and
+    newlines in the body flattened to spaces."""
+    from lucene_solr_ray.sources import read_enwiki_feed
+
+    f = tmp_path / "dump.xml"
+    f.write_text(
+        "<mediawiki><page><title>Lucene</title><id>42</id>"
+        "<revision><id>900</id>"
+        "<timestamp>2016-01-01T00:00:00Z</timestamp>"
+        '<text xml:space="preserve">inverted\nindex\tlibrary</text>'
+        "</revision></page>"
+        "<page><title>Solr</title><id>43</id>"
+        "<revision><timestamp>2016-02-01T00:00:00Z</timestamp>"
+        "<text>search server</text></revision></page></mediawiki>")
+    rows = sorted(read_enwiki_feed(str(f)).take_all(),
+                  key=lambda r: r["id"])
+    assert [r["title"] for r in rows] == ["Lucene", "Solr"]
+    assert rows[0]["id"] == "42"  # page id, not the revision id
+    assert rows[0]["date"] == "2016-01-01T00:00:00Z"
+    assert rows[0]["body"] == "inverted index library"
+    assert rows[1]["body"] == "search server"
