@@ -1,0 +1,399 @@
+"""javabin — Solr's binary wire/marshalling format (SURVEY.md §2.1 #4).
+
+A Python implementation of JavaBinCodec
+(solr/solrj/.../common/util/JavaBinCodec.java): version byte 2, then a
+tagged value tree. Low tags (NULL..MAP_ENTRY, :45-68) are plain bytes;
+the high-3-bit tags (STR/SINT/SLONG/ARR/ORDERED_MAP/NAMED_LST/
+EXTERN_STRING, :69-78) pack a 5-bit size with 0x1f + vint overflow
+(writeTag :317-329). Numbers use the small-positive packing of
+writeInt/writeLong (:648-692); repeated field names are
+dictionary-coded via EXTERN_STRING (writeExternString). Layouts:
+SolrDocument = SOLRDOC + ORDERED_MAP of fields (:345-376),
+SolrInputDocument = SOLRINPUTDOC size + boost float + (name, value)
+pairs (:450-467), SolrDocumentList = SOLRDOCLST +
+[numFound, start, maxScore] + docs array (:416-427), ITERATOR streams
+values until END (readIterator).
+
+Byte-compatibility with the Java reference is the point: bytes written
+here parse with solrj and vice versa (big-endian primitives, UTF-8
+string sizes). The loader (:func:`read_documents_javabin`) is the
+JavabinLoader analogue: each file is one marshalled value holding the
+documents, parsed inside ``map_batches`` so the decode distributes
+with the read.
+"""
+
+from __future__ import annotations
+
+import struct
+from datetime import datetime, timezone
+
+import pyarrow as pa
+
+NULL, BOOL_TRUE, BOOL_FALSE, BYTE, SHORT, DOUBLE, INT, LONG, FLOAT, \
+    DATE, MAP, SOLRDOC, SOLRDOCLST, BYTEARR, ITERATOR, END = range(16)
+SOLRINPUTDOC, SOLRINPUTDOC_CHILDS, ENUM_FIELD_VALUE, MAP_ENTRY = range(16, 20)
+STR, SINT, SLONG, ARR, ORDERED_MAP, NAMED_LST, EXTERN_STRING = \
+    (i << 5 for i in range(1, 8))
+
+VERSION = 2
+
+
+class NamedList(list):
+    """Ordered (name, value) pairs, duplicate names allowed
+    (org.apache.solr.common.util.NamedList)."""
+
+    ordered = False  # True → SimpleOrderedMap → ORDERED_MAP tag
+
+    def to_dict(self) -> dict:
+        return dict(self)
+
+
+class SolrDocument(dict):
+    pass
+
+
+class SolrInputDocument(dict):
+    boost = 1.0
+
+
+class SolrDocumentList(list):
+    num_found = 0
+    start = 0
+    max_score = None
+
+
+class _END:
+    pass
+
+
+class JavaBinCodec:
+    # ---- marshal ----
+
+    def marshal(self, obj) -> bytes:
+        self._out = bytearray([VERSION])
+        self._strings: dict[str, int] = {}
+        self._write_val(obj)
+        return bytes(self._out)
+
+    def _w(self, *bs):
+        self._out.extend(bs)
+
+    def _vint(self, i: int):
+        while i & ~0x7F:
+            self._w((i & 0x7F) | 0x80)
+            i >>= 7
+        self._w(i)
+
+    def _tag(self, tag: int, size: int):
+        # writeTag(byte, int) :317-329
+        if tag & 0xE0:
+            if size < 0x1F:
+                self._w(tag | size)
+            else:
+                self._w(tag | 0x1F)
+                self._vint(size - 0x1F)
+        else:
+            self._w(tag)
+            self._vint(size)
+
+    def _str(self, s: str):
+        b = s.encode("utf-8")
+        self._tag(STR, len(b))
+        self._out.extend(b)
+
+    def _extern(self, s: str):
+        # writeExternString: 0 = inline definition, else 1-based back-ref
+        idx = self._strings.get(s, 0)
+        self._tag(EXTERN_STRING, idx)
+        if idx == 0:
+            self._str(s)
+            self._strings[s] = len(self._strings) + 1
+
+    def _write_val(self, v):
+        if v is None:
+            self._w(NULL)
+        elif v is True:
+            self._w(BOOL_TRUE)
+        elif v is False:
+            self._w(BOOL_FALSE)
+        elif isinstance(v, str):
+            self._str(v)
+        elif isinstance(v, int):
+            # writeLong :675-689: small-positive packing, else 8-byte BE
+            if 0 <= v and not (v & 0xFF00000000000000):
+                b = SLONG | (v & 0x0F)
+                if v >= 0x0F:
+                    self._w(b | 0x10)
+                    self._vint(v >> 4)
+                else:
+                    self._w(b)
+            else:
+                self._w(LONG)
+                self._out.extend(struct.pack(">q", v))
+        elif isinstance(v, float):
+            self._w(DOUBLE)
+            self._out.extend(struct.pack(">d", v))
+        elif isinstance(v, datetime):
+            self._w(DATE)
+            ms = int(v.timestamp() * 1000)
+            self._out.extend(struct.pack(">q", ms))
+        elif isinstance(v, (bytes, bytearray)):
+            self._tag(BYTEARR, len(v))
+            self._out.extend(v)
+        elif isinstance(v, SolrInputDocument):
+            # writeSolrInputDocument :450-467: size counts fields +
+            # children; children follow the fields
+            children = v.get("_childDocuments_") or []
+            fields = {k: x for k, x in v.items() if k != "_childDocuments_"}
+            self._tag(SOLRINPUTDOC, len(fields) + len(children))
+            self._w(FLOAT)
+            self._out.extend(struct.pack(">f", v.boost))
+            for k, val in fields.items():
+                self._extern(k)
+                self._write_val(val)
+            for child in children:
+                self._write_val(child)
+        elif isinstance(v, SolrDocument):
+            children = v.get("_childDocuments_") or []
+            fields = {k: x for k, x in v.items() if k != "_childDocuments_"}
+            self._w(SOLRDOC)
+            self._tag(ORDERED_MAP, len(fields) + len(children))
+            for k, val in fields.items():
+                self._extern(k)
+                self._write_val(val)
+            for child in children:
+                self._write_val(child)
+        elif isinstance(v, SolrDocumentList):
+            self._w(SOLRDOCLST)
+            self._write_val([int(v.num_found), int(v.start),
+                             _Float32(v.max_score)
+                             if v.max_score is not None else None])
+            self._write_val(list(v))
+        elif isinstance(v, NamedList):
+            self._tag(ORDERED_MAP if v.ordered else NAMED_LST, len(v))
+            for k, val in v:
+                self._extern(k)
+                self._write_val(val)
+        elif isinstance(v, dict):
+            self._tag(MAP, len(v))
+            for k, val in v.items():
+                if isinstance(k, str):
+                    self._extern(k)
+                else:
+                    self._write_val(k)
+                self._write_val(val)
+        elif isinstance(v, (list, tuple)):
+            self._tag(ARR, len(v))
+            for x in v:
+                self._write_val(x)
+        elif isinstance(v, _Float32):
+            self._w(FLOAT)
+            self._out.extend(struct.pack(">f", v.v))
+        elif hasattr(v, "__iter__"):
+            self._w(ITERATOR)
+            for x in v:
+                self._write_val(x)
+            self._w(END)
+        else:
+            # writeVal fallback :188 — class name + toString
+            self._str(f"{type(v).__name__}:{v}")
+
+    # ---- unmarshal ----
+
+    def unmarshal(self, data: bytes):
+        self._in = memoryview(data)
+        self._pos = 0
+        self._rstrings: list[str] = []
+        ver = self._rb()
+        if ver != VERSION:
+            raise ValueError(f"invalid javabin version {ver}")
+        return self._read_val()
+
+    def _rb(self) -> int:
+        b = self._in[self._pos]
+        self._pos += 1
+        return b
+
+    def _rn(self, n: int) -> bytes:
+        b = bytes(self._in[self._pos:self._pos + n])
+        if len(b) != n:
+            raise ValueError("truncated javabin stream")
+        self._pos += n
+        return b
+
+    def _rvint(self) -> int:
+        b = self._rb()
+        i = b & 0x7F
+        shift = 7
+        while b & 0x80:
+            b = self._rb()
+            i |= (b & 0x7F) << shift
+            shift += 7
+        return i
+
+    def _rsize(self, tag: int) -> int:
+        sz = tag & 0x1F
+        if sz == 0x1F:
+            sz += self._rvint()
+        return sz
+
+    def _read_val(self):
+        tag = self._rb()
+        high = tag >> 5
+        if high == STR >> 5:
+            return self._rn(self._rsize(tag)).decode("utf-8")
+        if high == SINT >> 5:
+            v = tag & 0x0F
+            if tag & 0x10:
+                v |= self._rvint() << 4
+            return v
+        if high == SLONG >> 5:
+            v = tag & 0x0F
+            if tag & 0x10:
+                v |= self._rvint() << 4
+            return v
+        if high == ARR >> 5:
+            return [self._read_val() for _ in range(self._rsize(tag))]
+        if high in (ORDERED_MAP >> 5, NAMED_LST >> 5):
+            nl = NamedList((self._read_extern_or_val(), self._read_val())
+                           for _ in range(self._rsize(tag)))
+            nl.ordered = high == ORDERED_MAP >> 5
+            return nl
+        if high == EXTERN_STRING >> 5:
+            return self._read_extern(tag)
+        if tag == NULL:
+            return None
+        if tag == BOOL_TRUE:
+            return True
+        if tag == BOOL_FALSE:
+            return False
+        if tag == BYTE:
+            return struct.unpack(">b", self._rn(1))[0]
+        if tag == SHORT:
+            return struct.unpack(">h", self._rn(2))[0]
+        if tag == INT:
+            return struct.unpack(">i", self._rn(4))[0]
+        if tag == LONG:
+            return struct.unpack(">q", self._rn(8))[0]
+        if tag == FLOAT:
+            return struct.unpack(">f", self._rn(4))[0]
+        if tag == DOUBLE:
+            return struct.unpack(">d", self._rn(8))[0]
+        if tag == DATE:
+            ms = struct.unpack(">q", self._rn(8))[0]
+            return datetime.fromtimestamp(ms / 1000.0, tz=timezone.utc)
+        if tag == BYTEARR:
+            return self._rn(self._rvint())
+        if tag == MAP:
+            return {self._read_extern_or_val(): self._read_val()
+                    for _ in range(self._rvint())}
+        if tag == SOLRDOC:
+            # readSolrDocument :382-399: the inner ORDERED_MAP's items are
+            # each either (name, value) or a whole child SolrDocument, so
+            # it cannot be parsed as a generic pair map
+            inner_tag = self._rb()
+            size = self._rsize(inner_tag)
+            doc = SolrDocument()
+            children = []
+            for _ in range(size):
+                obj = self._read_val()
+                if isinstance(obj, SolrDocument):
+                    children.append(obj)
+                    continue
+                doc[obj] = self._read_val()
+            if children:
+                doc["_childDocuments_"] = children
+            return doc
+        if tag == SOLRDOCLST:
+            header = self._read_val()
+            docs = SolrDocumentList(self._read_val())
+            docs.num_found, docs.start, docs.max_score = header
+            return docs
+        if tag == SOLRINPUTDOC:
+            sz = self._rvint()
+            boost = self._read_val()
+            doc = SolrInputDocument()
+            doc.boost = boost
+            children = []
+            for _ in range(sz):
+                k = self._read_val()
+                if isinstance(k, float):  # per-field boost precedes name
+                    k = self._read_val()
+                elif isinstance(k, SolrInputDocument):  # child doc
+                    children.append(k)
+                    continue
+                doc[k] = self._read_val()
+            if children:
+                doc["_childDocuments_"] = children
+            return doc
+        if tag == ITERATOR:
+            out = []
+            while True:
+                v = self._read_val()
+                if v is _END:
+                    return out
+                out.append(v)
+        if tag == END:
+            return _END
+        if tag == MAP_ENTRY:
+            return (self._read_val(), self._read_val())
+        raise ValueError(f"unknown javabin tag {tag}")
+
+    def _read_extern(self, tag: int) -> str:
+        idx = self._rsize(tag)
+        if idx:
+            return self._rstrings[idx - 1]
+        s = self._read_val()
+        self._rstrings.append(s)
+        return s
+
+    def _read_extern_or_val(self):
+        return self._read_val()
+
+
+class _Float32:
+    """Marker for values that must serialize as 4-byte FLOAT (maxScore
+    in SolrDocumentList headers)."""
+
+    def __init__(self, v: float):
+        self.v = float(v)
+
+
+def dumps(obj) -> bytes:
+    return JavaBinCodec().marshal(obj)
+
+
+def loads(data: bytes):
+    return JavaBinCodec().unmarshal(data)
+
+
+def read_documents_javabin(paths):
+    """JavabinLoader analogue (solr:handler/loader/JavabinLoader.java):
+    each input file is one marshalled javabin value containing the
+    documents — a list/iterator of SolrInputDocument (update-request
+    style) or plain maps. Decoded inside map_batches; one row per doc,
+    columns = union of field names."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(paths)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        cols: list[str] = []
+        for blob in batch["bytes"].to_pylist():
+            val = loads(blob)
+            if isinstance(val, (SolrInputDocument, SolrDocument)):
+                val = [val]
+            if isinstance(val, NamedList):
+                val = [v for _, v in val
+                       if isinstance(v, (SolrInputDocument, SolrDocument))]
+            for doc in val:
+                row = dict(doc.to_dict() if isinstance(doc, NamedList)
+                           else doc)
+                rows.append(row)
+                for c in row:
+                    if c not in cols:
+                        cols.append(c)
+        return pa.table({c: [r.get(c) for r in rows] for c in cols})
+
+    return ds.map_batches(parse, batch_format="pyarrow")

@@ -1,0 +1,133 @@
+"""javabin codec (SURVEY.md §2.1 #4; JavaBinCodec.java).
+
+The golden byte strings below are hand-derived from the Java encoder's
+spec (writeTag :317-329, writeStr :611, writeLong :675, writeExternString)
+— they pin wire compatibility since no JVM exists in this environment.
+Round-trips exercise every tag family plus the extern-string
+dictionary, child documents, and the JavabinLoader path into an index.
+"""
+
+from datetime import datetime, timezone
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lucene_solr_ray.javabin import (
+    NamedList,
+    SolrDocument,
+    SolrDocumentList,
+    SolrInputDocument,
+    dumps,
+    loads,
+    read_documents_javabin,
+)
+
+
+def test_golden_bytes():
+    assert dumps(None) == bytes([2, 0])
+    assert dumps(True) == bytes([2, 1])
+    assert dumps(False) == bytes([2, 2])
+    assert dumps("ab") == bytes([2, 0x20 | 2, 0x61, 0x62])
+    assert dumps(5) == bytes([2, 0x60 | 5])            # small long
+    assert dumps(20) == bytes([2, 0x60 | 0x10 | 0x4, 0x01])
+    assert dumps(-3) == bytes([2, 7]) + (-3).to_bytes(8, "big", signed=True)
+    assert dumps(1.5) == bytes([2, 5]) + bytes.fromhex("3ff8000000000000")
+    assert dumps(b"\x01\x02") == bytes([2, 13, 2, 1, 2])
+    assert dumps(["a"]) == bytes([2, 0x80 | 1, 0x20 | 1, 0x61])
+    # MAP: plain tag + vint size, string key via extern (idx 0 + STR)
+    assert dumps({"a": 1}) == bytes(
+        [2, 10, 1, 0xE0, 0x20 | 1, 0x61, 0x60 | 1])
+
+
+def test_extern_string_back_references():
+    docs = [SolrInputDocument(id=1, body="x"),
+            SolrInputDocument(id=2, body="y")]
+    raw = dumps(docs)
+    # field names 'id' and 'body' must appear exactly once each
+    assert raw.count(b"id") == 1
+    assert raw.count(b"body") == 1
+    back = loads(raw)
+    assert [dict(d) for d in back] == [{"id": 1, "body": "x"},
+                                       {"id": 2, "body": "y"}]
+
+
+def test_long_string_and_big_sizes():
+    s = "z" * 1000                       # size > 0x1f → 0x1f + vint spill
+    assert loads(dumps(s)) == s
+    arr = list(range(100))
+    assert loads(dumps(arr)) == arr
+    assert loads(dumps(2 ** 62)) == 2 ** 62
+    assert loads(dumps(-(2 ** 62))) == -(2 ** 62)
+
+
+def test_named_list_and_date():
+    nl = NamedList([("status", 0), ("status", 1)])   # duplicate names
+    out = loads(dumps(nl))
+    assert isinstance(out, NamedList) and list(out) == list(nl)
+    d = datetime(2016, 4, 1, 12, 0, 0, tzinfo=timezone.utc)
+    assert loads(dumps(d)) == d
+
+
+def test_solr_document_list_and_children():
+    child = SolrDocument(id=11)
+    parent = SolrDocument(id=1, _childDocuments_=[child])
+    lst = SolrDocumentList([parent])
+    lst.num_found, lst.start, lst.max_score = 42, 10, 1.25
+    out = loads(dumps(lst))
+    assert out.num_found == 42 and out.start == 10
+    assert out.max_score == pytest.approx(1.25)
+    assert out[0]["id"] == 1
+    assert out[0]["_childDocuments_"][0]["id"] == 11
+
+    ip = SolrInputDocument(id=1, _childDocuments_=[SolrInputDocument(id=9)])
+    rt = loads(dumps(ip))
+    assert rt["id"] == 1 and rt["_childDocuments_"][0]["id"] == 9
+
+
+def test_unicode_and_iterator():
+    assert loads(dumps("café 中文")) == "café 中文"
+    assert loads(dumps(iter([1, "a", None]))) == [1, "a", None]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.recursive(
+    st.none() | st.booleans() |
+    st.integers(min_value=-2**63, max_value=2**63 - 1) |
+    st.floats(allow_nan=False) | st.text(max_size=40) |
+    st.binary(max_size=20),
+    lambda leaf: st.lists(leaf, max_size=5) |
+    st.dictionaries(st.text(max_size=8), leaf, max_size=5),
+    max_leaves=12))
+def test_roundtrip_property(v):
+    assert loads(dumps(v)) == v
+
+
+def test_javabin_loader_to_index(ray_session, tmp_path):
+    f1 = tmp_path / "batch1.javabin"
+    f1.write_bytes(dumps([
+        SolrInputDocument(id=1, content="quick brown fox", lang="py"),
+        SolrInputDocument(id=2, content="fast table merge", lang="go"),
+    ]))
+    f2 = tmp_path / "batch2.javabin"
+    f2.write_bytes(dumps([
+        SolrInputDocument(id=3, content="brown table postings", lang="py"),
+    ]))
+    ds = read_documents_javabin([str(f1), str(f2)])
+    rows = sorted(ds.take_all(), key=lambda r: r["id"])
+    assert [r["id"] for r in rows] == [1, 2, 3]
+    assert rows[2]["content"] == "brown table postings"
+
+    import pyarrow as pa
+
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.search.searcher import IndexSearcher
+
+    idx = str(tmp_path / "idx")
+    ds2 = read_documents_javabin([str(f1), str(f2)]).map_batches(
+        lambda t: t.append_column("doc_id", t["id"].cast(pa.int64())),
+        batch_format="pyarrow")
+    build_index(ds2, idx, content_col="content", keyword_cols=("lang",))
+    s = IndexSearcher(idx)
+    assert s.search_term("brown", k=10).num_rows == 2
+    assert s.search_term("postings", k=10).num_rows == 1
