@@ -63,18 +63,19 @@ def quality_score(sf_dir: str) -> pa.Table:
     length (quantized), type-token ratio (quantized). Stopwords kept."""
 
     def score(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
         ab = analyze_batch(batch["text"], keep_stopwords=True)
         n = len(batch)
         total = np.bincount(ab.doc_idx, minlength=n).astype(np.int64)
         lens = np.asarray(pa.compute.binary_length(ab.terms), dtype=np.int64)
         sum_len = np.bincount(ab.doc_idx, weights=lens,
                               minlength=n).astype(np.int64)
-        dfp = pd.DataFrame({"d": ab.doc_idx, "t": ab.terms.to_pylist()})
-        uniq = dfp.groupby("d")["t"].nunique()
-        n_unique = np.zeros(n, dtype=np.int64)
-        n_unique[uniq.index.to_numpy()] = uniq.to_numpy()
+        # distinct terms per doc, vectorized: dictionary-encode terms to
+        # int codes, pack (doc, code) into one int64 key, count unique
+        codes = np.asarray(
+            pa.chunked_array([ab.terms]).combine_chunks()
+            .dictionary_encode().indices, dtype=np.int64)
+        keys = np.unique(ab.doc_idx.astype(np.int64) << 32 | codes)
+        n_unique = np.bincount(keys >> 32, minlength=n).astype(np.int64)
         mean_len = np.divide(sum_len, total, out=np.zeros(n), where=total > 0)
         ttr = np.divide(n_unique, total, out=np.zeros(n), where=total > 0)
         return pa.table({
