@@ -1641,6 +1641,10 @@ def build_queries() -> dict:
         "ft_classify_nb": _q_classify("nb"),        # rows-only
         "ft_term_automaton": _q_automaton([["fast", "slow"], "*",
                                            ["scan"]]),
+        "ft_edismax": _q_edismax(
+            "spark src13 merge scan -window",
+            qf=(("text", 1.0), ("source", 1.5)),
+            mm="2<75%", tie=0.3, pf=0.5),
     }
 
 
@@ -1743,9 +1747,98 @@ def build_oracle_sql() -> dict:
         "ft_dv_terms": _dv_terms_sql("lang", ["de", "fr"], 10),
         "ft_term_automaton": _automaton_sql([["fast", "slow"], "*",
                                              ["scan"]], 10),
+        "ft_edismax": _edismax_sql(
+            ["spark", "src13", "merge", "scan"], "window",
+            "source", 1.5, "2<75%", 0.3, 0.5, 10),
         # ft_stemmed_term: no SQL twin (Porter is not SQL-expressible);
         # golden-vector + round-trip coverage in tests/test_filters.py
     }
+
+
+def _q_edismax(q, qf, mm, tie, pf, k=10):
+    """ExtendedDisMax front door (solr:search/ExtendedDismaxQParser.java):
+    lenient parse, per-word DisMax across qf (text BM25 ⊕ keyword
+    constant-score), mm spec, bigram (pf2) phrase boosts."""
+    def run(sf_dir):
+        return _topk_table(_searcher(sf_dir).search_edismax(
+            q, qf=qf, mm=mm, tie=tie, pf_boost=pf, k=k))
+    return run
+
+
+def _edismax_sql(words, not_word, kw_field, kw_boost, mm_spec, tie,
+                 pf_boost, k):
+    """DuckDB twin of the edismax driver query: per-word DisMax
+    greatest/sum over 0-defaulted field scores, mm count over matched
+    clauses, left-to-right clause-sum + bigram phrase boosts — the same
+    float64 shapes as search/edismax.py (see its parity contract)."""
+    from ..search.edismax import calculate_min_should_match
+
+    mm_n = calculate_min_should_match(mm_spec, len(words))
+    all_terms = ", ".join(f"'{w}'" for w in (list(words) + [not_word]))
+    c_cols = ",\n        ".join(
+        f"COALESCE(max(CASE WHEN term = '{w}' THEN sc END), 0) AS c{i}"
+        for i, w in enumerate(words))
+    kw = {i: f"(CASE WHEN d.{kw_field} = '{w}' THEN {kw_boost} "
+            f"ELSE 0 END)" for i, w in enumerate(words)}
+    clause_cols = ",\n         ".join(
+        f"greatest(COALESCE(b.c{i}, 0), {kw[i]}) + {tie} * "
+        f"((COALESCE(b.c{i}, 0) + {kw[i]}) "
+        f"- greatest(COALESCE(b.c{i}, 0), {kw[i]})) AS s{i},\n         "
+        f"(COALESCE(b.c{i}, 0) > 0 OR {kw[i]} > 0) AS m{i}"
+        for i in range(len(words)))
+    m_sum = " + ".join(f"CAST(m{i} AS BIGINT)" for i in range(len(words)))
+    s_sum = " + ".join(f"s{i}" for i in range(len(words)))
+    # bigram phrase-boost CTEs (pf2); a bigram with an unindexed term
+    # yields zero rows and COALESCEs to 0
+    pf_ctes, pf_adds, pf_joins = [], [], []
+    for i, (w1, w2) in enumerate(zip(words, words[1:])):
+        pf_ctes.append(f"""
+pfc{i} AS (SELECT a.doc_id, count(*) AS pfreq
+           FROM clean a JOIN clean b
+             ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+           WHERE a.term = '{w1}' AND b.term = '{w2}'
+           GROUP BY a.doc_id),
+pfi{i} AS (SELECT ln(1 + (s.n_docs - d1.df + 0.5) / (d1.df + 0.5))
+                + ln(1 + (s.n_docs - d2.df + 0.5) / (d2.df + 0.5)) AS v
+           FROM stats s,
+                (SELECT count(DISTINCT doc_id) AS df FROM clean
+                 WHERE term = '{w1}' HAVING count(*) > 0) d1,
+                (SELECT count(DISTINCT doc_id) AS df FROM clean
+                 WHERE term = '{w2}' HAVING count(*) > 0) d2),
+pfs{i} AS (SELECT p.doc_id,
+                  i.v * (p.pfreq * ({K1_SQL} + 1))
+                    / (p.pfreq + {K1_SQL} * ((1 - {B_SQL})
+                       + ({B_SQL} * dl.dl)
+                       / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))) AS ph
+           FROM pfc{i} p JOIN dl USING (doc_id), pfi{i} i, stats s)""")
+        pf_adds.append(f"{pf_boost} * COALESCE(pfs{i}.ph, 0)")
+        pf_joins.append(f"LEFT JOIN pfs{i} ON pfs{i}.doc_id = cl.doc_id")
+    pf_block = ("," + ",".join(pf_ctes)) if pf_ctes else ""
+    return f"""
+WITH {_tok_ctes()},
+per AS (SELECT doc_id, term, count(*) AS tf FROM clean
+        WHERE term IN ({all_terms}) GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM per GROUP BY term),
+cs AS (SELECT per.doc_id, per.term,
+              {_bm25_expr('per.tf', 'dl.dl', 'dfs.df')} AS sc
+       FROM per JOIN dfs USING (term) JOIN dl USING (doc_id), stats s),
+byc AS (SELECT doc_id,
+        {c_cols},
+        COALESCE(max(CASE WHEN term = '{not_word}' THEN 1 END), 0) = 1
+          AS text_not
+        FROM cs GROUP BY doc_id),
+cl AS (SELECT d.doc_id,
+         {clause_cols},
+         (COALESCE(b.text_not, FALSE) OR d.{kw_field} = '{not_word}')
+           AS has_not
+       FROM documents d LEFT JOIN byc b ON b.doc_id = d.doc_id){pf_block},
+scored AS (
+  SELECT cl.doc_id, ({s_sum}){"".join(" + " + a for a in pf_adds)} AS score
+  FROM cl {" ".join(pf_joins)}
+  WHERE NOT cl.has_not AND ({m_sum}) >= {mm_n}
+)
+{_sql_topk('scored', k)}
+"""
 
 
 def flagship_entry():

@@ -1,0 +1,318 @@
+"""ExtendedDisMax (edismax) — Solr's default search front door.
+
+Reference semantics: solr/core/src/java/org/apache/solr/search/
+ExtendedDismaxQParser.java (lenient user-query parsing, per-word DisMax
+across the ``qf`` fields, ``mm``/``tie``/``pf``/``ps``/``bq``/``bf``
+params) and solr/core/src/java/org/apache/solr/util/SolrPluginUtils.java
+``calculateMinShouldMatch`` (the full mm spec grammar: "3", "-2", "75%",
+"-25%" and conditional "2<-25% 9<3" lists).
+
+Mapping onto this engine:
+
+- **qf fields**: the indexed text field scores per-word BM25; keyword
+  (StringField) fields score a CONSTANT 1.0 on match (the engine's
+  StringField/filter discipline, same documented deviation as the
+  classic parser's ``field:value``). Each word clause combines its
+  per-field scores DisMax-style: ``max + tie * (sum - max)``
+  (core:search/DisjunctionMaxScorer.java) with absent fields
+  contributing 0 — sound because every field score is positive.
+- **mm** applies to the count of matched SHOULD word clauses (a clause
+  matches when ANY qf field matches), after MUST intersection — Lucene
+  BooleanQuery.setMinimumNumberShouldMatch semantics.
+- **pf/ps**: the positive word sequence is phrase-boosted as adjacent
+  BIGRAMS (Solr's ``pf2``; for a two-word query pf2 ≡ pf), each bigram
+  an exact (ps=0) or sloppy (ps>0) phrase whose score is added
+  ``pf_boost ×`` to matching candidates. Boosts never add documents —
+  they only re-rank the main query's matches, as in the reference.
+- **bq**: an additive boost query in classic-parser syntax.
+- **bf**: an additive function boost through the compiled expression
+  layer (search/functionquery.py) over numeric doc values.
+- **leniency** (edismax's signature): metacharacters the simplified
+  grammar can't place are STRIPPED from words rather than raising —
+  the analogue of ExtendedDismaxQParser's escape-everything re-parse
+  fallback. Quoted phrases ("..."~slop), +/- modifiers, AND/OR/NOT
+  keywords, ``field:value`` and trailing-``*`` prefixes are honored.
+
+Float parity contract (for the DuckDB oracle twin): all accumulation is
+float64 in clause order — per-word dismax uses greatest/sum over
+0-defaulted field scores, the total is the left-to-right sum of clause
+scores, then ``+ pf_boost*bigram + bq + bf`` in that order.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from .queryparser import MUST, MUST_NOT, SHOULD, parse_query
+
+__all__ = ["calculate_min_should_match", "parse_user_query",
+           "search_edismax"]
+
+
+# ---------------------------------------------------------------------------
+# mm spec (SolrPluginUtils.calculateMinShouldMatch)
+# ---------------------------------------------------------------------------
+
+def calculate_min_should_match(spec: str, n_optional: int) -> int:
+    """Number of optional clauses required by an mm spec, per
+    SolrPluginUtils.calculateMinShouldMatch: plain int, negative int
+    (n - x), percentage (truncated toward zero), negative percentage,
+    or space-separated conditional ``upperBound<spec`` pairs where the
+    entry with the largest upperBound < n applies and n at-or-below
+    every bound requires ALL optional clauses."""
+    spec = (spec or "").strip()
+    if not spec:
+        return 0
+    if "<" in spec:
+        conds = []
+        for part in spec.split():
+            ub, _, sub = part.partition("<")
+            if not _ or not ub.lstrip("-").isdigit():
+                continue  # lenient: malformed conditional part ignored
+            conds.append((int(ub), sub))
+        conds.sort(key=lambda c: c[0])
+        chosen = None
+        for ub, sub in conds:
+            if n_optional > ub:
+                chosen = sub
+        if chosen is None:
+            return n_optional  # all optional clauses required
+        spec = chosen
+    try:
+        if spec.endswith("%"):
+            # Java branches on the FLOAT sign, then truncates toward zero:
+            # result = calc < 0 ? n + (int)calc : (int)calc
+            calc = n_optional * float(spec[:-1]) / 100.0
+        else:
+            calc = int(spec)
+    except ValueError:
+        return 0  # lenient
+    result = n_optional + int(calc) if calc < 0 else int(calc)
+    return max(0, min(result, n_optional))
+
+
+# ---------------------------------------------------------------------------
+# lenient user-query parsing
+# ---------------------------------------------------------------------------
+
+_TOK = re.compile(r'''
+    (?P<phrase>"(?P<body>[^"]*)"(~(?P<slop>\d+))?)
+  | (?P<word>[^\s"]+)
+''', re.VERBOSE)
+
+# characters the simplified grammar has no place for — stripped, never
+# an error (the edismax leniency contract)
+_STRIP = re.compile(r'[(){}\[\]^~\\]')
+
+_FIELDED = re.compile(r'^([A-Za-z_][A-Za-z0-9_]*):(.+)$')
+
+
+def _analyze(word: str) -> list[str]:
+    from ..analysis.analyzer import token_terms
+
+    return token_terms(word)
+
+
+def parse_user_query(q: str) -> list[tuple[str, dict, str | None]]:
+    """Lenient parse → list of (occur, node, raw_word). ``raw_word`` is
+    set only for plain word clauses (the per-field DisMax candidates and
+    the pf bigram sequence); phrase/wildcard/fielded clauses carry None
+    and evaluate on the main text field / keyword postings directly."""
+    clauses: list[tuple[str, dict, str | None]] = []
+    pending_occur: str | None = None
+
+    def push(occur, node, raw=None):
+        clauses.append((occur, node, raw))
+
+    for m in _TOK.finditer(q):
+        if m.group("phrase") is not None:
+            occur, pending_occur = pending_occur or SHOULD, None
+            terms = _analyze(m.group("body"))
+            if not terms:
+                continue
+            node = ({"type": "term", "term": terms[0]} if len(terms) == 1
+                    else {"type": "phrase", "terms": terms,
+                          "slop": int(m.group("slop") or 0)})
+            push(occur, node)
+            continue
+        w = m.group("word")
+        if w in ("AND", "&&"):
+            # Lucene's left-to-right conjunction marking: promote the
+            # previous clause and require the next one
+            if clauses and clauses[-1][0] == SHOULD:
+                occ, node, raw = clauses[-1]
+                clauses[-1] = (MUST, node, raw)
+            pending_occur = pending_occur or MUST
+            continue
+        if w in ("OR", "||"):
+            continue
+        if w in ("NOT", "!"):
+            pending_occur = MUST_NOT
+            continue
+        occur = pending_occur
+        pending_occur = None
+        if w.startswith("+"):
+            occur, w = MUST, w[1:]
+        elif w.startswith("-"):
+            occur, w = MUST_NOT, w[1:]
+        occur = occur or SHOULD
+        fm = _FIELDED.match(w)
+        if fm:
+            push(occur, {"type": "field_term", "field": fm.group(1),
+                         "value": _STRIP.sub("", fm.group(2))})
+            continue
+        w = _STRIP.sub("", w)
+        if not w:
+            continue
+        if w.endswith("*") and "*" not in w[:-1] and "?" not in w:
+            push(occur, {"type": "prefix", "param": w[:-1].lower()})
+            continue
+        if "*" in w or "?" in w:
+            push(occur, {"type": "wildcard", "param": w.lower()})
+            continue
+        terms = _analyze(w)
+        if not terms:
+            continue  # stopword / non-token: dropped, like the analyzer
+        if len(terms) == 1:
+            push(occur, {"type": "term", "term": terms[0]}, terms[0])
+        else:
+            push(occur, {"type": "phrase", "terms": terms, "slop": 0})
+    return clauses
+
+
+# ---------------------------------------------------------------------------
+# evaluation
+# ---------------------------------------------------------------------------
+
+def _eval_word_dismax(searcher, term: str, qf, tie: float,
+                      content_field: str):
+    """(docs, float64 scores) of one word clause DisMax-combined across
+    the qf fields in order: text field → BM25, keyword field → constant
+    1.0 on match; each × its field boost; absent fields count 0 (every
+    field score is positive, so greatest/sum over 0-defaults equals the
+    true DisMax)."""
+    parts = []  # (sorted docs, scores) per field, in qf order
+    for field, boost in qf:
+        if field == content_field:
+            d, s = searcher.eval_node({"type": "term", "term": term})
+        else:
+            d = searcher.filter_docs(field, term)
+            s = np.ones(len(d), dtype=np.float64)
+        parts.append((d, s * float(boost)))
+    live = [p for p in parts if len(p[0])]
+    if not live:
+        return (np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.float64))
+    cand = np.unique(np.concatenate([d for d, _ in live]))
+    mx = np.zeros(len(cand), dtype=np.float64)
+    sm = np.zeros(len(cand), dtype=np.float64)
+    for d, s in parts:
+        if not len(d):
+            continue
+        pos = np.clip(np.searchsorted(d, cand), 0, len(d) - 1)
+        present = d[pos] == cand
+        cur = np.zeros(len(cand), dtype=np.float64)
+        cur[present] = s[pos[present]]
+        np.maximum(mx, cur, out=mx)
+        sm += cur
+    return cand, mx + float(tie) * (sm - mx)
+
+
+def _add_at(cand: np.ndarray, acc: np.ndarray, d: np.ndarray,
+            s: np.ndarray, weight: float = 1.0) -> None:
+    if not len(d) or not len(cand):
+        return
+    pos = np.clip(np.searchsorted(d, cand), 0, len(d) - 1)
+    present = d[pos] == cand
+    acc[present] += weight * s[pos[present]]
+
+
+def search_edismax(searcher, q: str, *, qf=(("text", 1.0),),
+                   mm: str = "1", tie: float = 0.0,
+                   pf_boost: float = 0.0, ps: int = 0,
+                   bq: str | None = None, bf: str | None = None,
+                   k: int = 10, content_field: str = "text") -> pa.Table:
+    """Run an edismax query against an IndexSearcher; returns the
+    engine-standard (doc_id, score, rank) top-k table."""
+    from .searcher import topk_merge
+
+    clauses = parse_user_query(q)
+    evaluated = []  # (occur, docs, scores)
+    for occur, node, raw in clauses:
+        if raw is not None:
+            d, s = _eval_word_dismax(searcher, raw, qf, tie, content_field)
+        else:
+            d, s = searcher.eval_node(node)
+            s = s.astype(np.float64)
+        evaluated.append((occur, d, s))
+
+    musts = [(d, s) for occ, d, s in evaluated if occ == MUST]
+    shoulds = [(d, s) for occ, d, s in evaluated if occ == SHOULD]
+    nots = [(d, s) for occ, d, s in evaluated if occ == MUST_NOT]
+    empty = searcher._finalize([], [], k)
+
+    if musts:
+        cand = musts[0][0]
+        for d, _ in musts[1:]:
+            cand = np.intersect1d(cand, d, assume_unique=True)
+    elif shoulds:
+        arrays = [d for d, _ in shoulds if len(d)]
+        if not arrays:
+            return empty
+        cand = np.unique(np.concatenate(arrays))
+    else:
+        return empty  # pure-negative query matches nothing
+    if shoulds:
+        mm_n = calculate_min_should_match(mm, len(shoulds))
+        if mm_n > 0 and len(cand):
+            cnt = np.zeros(len(cand), dtype=np.int64)
+            for d, _ in shoulds:
+                if len(d):
+                    cnt += np.isin(cand, d, assume_unique=True)
+            cand = cand[cnt >= mm_n]
+    for d, _ in nots:
+        if len(d) and len(cand):
+            cand = cand[~np.isin(cand, d, assume_unique=True)]
+    if not len(cand):
+        return empty
+
+    acc = np.zeros(len(cand), dtype=np.float64)
+    for occ, d, s in evaluated:
+        if occ != MUST_NOT:
+            _add_at(cand, acc, d, s)
+
+    # pf: adjacent bigrams of the positive word sequence (pf2)
+    if pf_boost:
+        words = [raw for occ, _, raw in clauses
+                 if raw is not None and occ != MUST_NOT]
+        for w1, w2 in zip(words, words[1:]):
+            d, s = searcher.eval_node(
+                {"type": "phrase", "terms": [w1, w2], "slop": ps})
+            _add_at(cand, acc, d, s.astype(np.float64), float(pf_boost))
+
+    if bq:
+        d, s = searcher.eval_node(parse_query(bq))
+        _add_at(cand, acc, d, s)
+
+    if bf:
+        from .functionquery import evaluate, expr_fields, parse_expr
+
+        ast = parse_expr(bf)
+        fields = {}
+        for f in sorted(expr_fields(ast)):
+            ids, vals = (searcher._global_dl() if f == "dl"
+                         else searcher.global_doc_values(f))
+            pos = np.clip(np.searchsorted(ids, cand), 0, len(ids) - 1)
+            v = np.zeros(len(cand), dtype=np.float64)
+            present = ids[pos] == cand if len(ids) else \
+                np.zeros(len(cand), dtype=bool)
+            v[present] = vals[pos[present]]
+            fields[f] = v
+        acc = acc + evaluate(ast, fields)
+
+    scores = acc.astype(np.float32) if searcher.mode == "lucene32" else acc
+    d, s = topk_merge(cand, scores, k)
+    return searcher._finalize([d], [s], k)

@@ -1533,6 +1533,20 @@ class IndexSearcher:
         return self.search_tree(
             parse_query(query_string, default_operator=default_operator), k)
 
+    def search_edismax(self, q: str, *, qf=(("text", 1.0),),
+                       mm: str = "1", tie: float = 0.0,
+                       pf_boost: float = 0.0, ps: int = 0,
+                       bq: str | None = None, bf: str | None = None,
+                       k: int = 10, content_field: str = "text") -> pa.Table:
+        """ExtendedDisMax front door (solr:search/ExtendedDismaxQParser.
+        java): lenient parse, per-word DisMax across qf fields, mm spec,
+        bigram phrase boosts, bq/bf additive boosts."""
+        from .edismax import search_edismax
+
+        return search_edismax(self, q, qf=qf, mm=mm, tie=tie,
+                              pf_boost=pf_boost, ps=ps, bq=bq, bf=bf,
+                              k=k, content_field=content_field)
+
     def spellcheck(self, term: str, *, max_edits: int = 2,
                    n: int = 5) -> pa.Table:
         """DirectSpellChecker (lucene/suggest/.../spell/
@@ -1593,6 +1607,14 @@ class IndexSearcher:
             return self.search_parsed(
                 query["q"], k,
                 default_operator=query.get("default_operator", "OR"))
+        if qt == "edismax":
+            return self.search_edismax(
+                query["q"], k=k,
+                qf=tuple(tuple(p) for p in query.get("qf",
+                                                     (("text", 1.0),))),
+                mm=query.get("mm", "1"), tie=query.get("tie", 0.0),
+                pf_boost=query.get("pf", 0.0), ps=query.get("ps", 0),
+                bq=query.get("bq"), bf=query.get("bf"))
         if qt == "tree":
             return self.search_tree(query["node"], k)
         if qt in ("prefix", "wildcard", "regexp", "range", "fuzzy"):

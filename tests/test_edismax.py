@@ -1,0 +1,215 @@
+"""ExtendedDisMax parser + evaluator.
+
+Reference semantics: solr/core/src/java/org/apache/solr/search/
+ExtendedDismaxQParser.java (lenient parsing, qf DisMax, pf/ps boosts)
+and solr/core/src/java/org/apache/solr/util/SolrPluginUtils.java
+calculateMinShouldMatch (the mm spec grammar — the golden cases below
+mirror that method's javadoc examples).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_solr_ray.search.edismax import (
+    calculate_min_should_match,
+    parse_user_query,
+)
+from lucene_solr_ray.search.queryparser import MUST, MUST_NOT, SHOULD
+
+
+# ---------------------------------------------------------------------------
+# mm spec grammar
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("spec,n,expected", [
+    ("3", 5, 3),
+    ("3", 2, 2),            # clamped to n_optional
+    ("-2", 5, 3),
+    ("-6", 5, 0),           # clamped to 0
+    ("75%", 4, 3),
+    ("75%", 5, 3),          # 3.75 truncates toward zero
+    ("-25%", 4, 3),
+    ("-25%", 9, 7),         # 9 + trunc(-2.25) = 9 - 2
+    ("2<75%", 2, 2),        # n <= every bound → all required
+    ("2<75%", 4, 3),
+    ("2<-25% 9<-3", 3, 3),  # n above 2 → -25%: 3 + trunc(-0.75) = 3
+    ("2<-25% 9<-3", 8, 6),  # 8 - 2
+    ("2<-25% 9<-3", 12, 9),  # largest bound < n wins → -3
+    ("", 5, 0),
+    ("junk", 5, 0),         # lenient
+])
+def test_min_should_match_spec(spec, n, expected):
+    assert calculate_min_should_match(spec, n) == expected
+
+
+# ---------------------------------------------------------------------------
+# lenient parsing
+# ---------------------------------------------------------------------------
+
+def test_parse_words_and_modifiers():
+    cs = parse_user_query("+fast table -dup")
+    assert [(o, n["term"]) for o, n, _ in cs] == [
+        (MUST, "fast"), (SHOULD, "table"), (MUST_NOT, "dup")]
+    # raw word carried for per-field dismax on plain words only
+    assert [r for _, _, r in cs] == ["fast", "table", "dup"]
+
+
+def test_parse_operators_and_not():
+    cs = parse_user_query("fast AND table OR scan NOT dup")
+    assert [(o, n["term"]) for o, n, _ in cs] == [
+        (MUST, "fast"), (MUST, "table"), (SHOULD, "scan"),
+        (MUST_NOT, "dup")]
+
+
+def test_parse_phrase_and_slop():
+    cs = parse_user_query('"fast table"~2 scan')
+    assert cs[0][0] == SHOULD
+    assert cs[0][1] == {"type": "phrase", "terms": ["fast", "table"],
+                       "slop": 2}
+    assert cs[0][2] is None
+
+
+def test_parse_fielded_prefix_wildcard():
+    cs = parse_user_query("lang:en cust* s*m")
+    assert cs[0][1] == {"type": "field_term", "field": "lang",
+                       "value": "en"}
+    assert cs[1][1] == {"type": "prefix", "param": "cust"}
+    assert cs[2][1] == {"type": "wildcard", "param": "s*m"}
+
+
+def test_parse_is_lenient_never_raises():
+    # unbalanced parens/quotes/brackets, stray operators, junk
+    # metacharacters: stripped, not an error (the edismax contract)
+    for q in ('((fast table', 'fast "unclosed', 'AND OR NOT',
+              'fa^st ta~ble', '{[()]}', '-', '+', ''):
+        cs = parse_user_query(q)  # must not raise
+        for _, node, _ in cs:
+            assert node["type"] in ("term", "phrase", "prefix",
+                                    "wildcard", "field_term")
+    assert [n["term"] for _, n, _ in parse_user_query("fa^st ta~ble")] \
+        == ["fast", "table"]
+
+
+# ---------------------------------------------------------------------------
+# evaluation over a real index
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def idx(tmp_path_factory, ray_session):
+    from lucene_solr_ray.index.build import build_index
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(1, 7)), type=pa.int64()),
+        "text": pa.array([
+            "fast table scan",            # 1
+            "fast merge",                 # 2
+            "table merge scan",           # 3
+            "slow scan",                  # 4
+            "fast table merge scan dup",  # 5
+            "unrelated words here",       # 6
+        ], type=pa.string()),
+        "src": pa.array(["a", "b", "fast", "a", "b", "fast"],
+                        type=pa.string()),
+        "w": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+                      type=pa.float64()),
+    })
+    out = str(tmp_path_factory.mktemp("edismax") / "idx")
+    build_index(t, out, content_col="text", batch_rows=3,
+                keyword_cols=("src",), store_cols=("w",))
+    from lucene_solr_ray.search.searcher import IndexSearcher
+
+    return IndexSearcher(out, mode="exact64")
+
+
+def test_mm_filters_matches(idx):
+    # mm=1: every doc containing any of the three words
+    r1 = idx.search_edismax("fast table scan", mm="1", k=10)
+    assert set(r1["doc_id"].to_pylist()) == {1, 2, 3, 4, 5}
+    # mm=3: all three words required
+    r3 = idx.search_edismax("fast table scan", mm="3", k=10)
+    assert set(r3["doc_id"].to_pylist()) == {1, 5}
+    # mm="67%": trunc(3*0.67)=2 of 3
+    r2 = idx.search_edismax("fast table scan", mm="67%", k=10)
+    assert set(r2["doc_id"].to_pylist()) == {1, 3, 5}
+
+
+def test_must_not_and_must(idx):
+    r = idx.search_edismax("+table -dup", k=10)
+    assert set(r["doc_id"].to_pylist()) == {1, 3}
+
+
+def test_keyword_field_dismax_and_tie(idx):
+    qf = (("text", 1.0), ("src", 2.0))
+    # "fast" matches text of 1,2,5 and src of 3,6
+    r = idx.search_edismax("fast", qf=qf, mm="1", k=10)
+    assert set(r["doc_id"].to_pylist()) == {1, 2, 3, 5, 6}
+    by = dict(zip(r["doc_id"].to_pylist(), r["score"].to_pylist()))
+    # keyword-only docs score exactly the constant × boost with tie=0
+    assert by[3] == pytest.approx(2.0) and by[6] == pytest.approx(2.0)
+    # tie>0 can only increase docs matching BOTH fields; none here match
+    # both, so scores are identical
+    r_tie = idx.search_edismax("fast", qf=qf, mm="1", tie=0.5, k=10)
+    by_tie = dict(zip(r_tie["doc_id"].to_pylist(),
+                      r_tie["score"].to_pylist()))
+    assert by_tie == by
+
+
+def test_pf_bigram_boost_reranks(idx):
+    base = idx.search_edismax("fast table", mm="1", k=10)
+    boosted = idx.search_edismax("fast table", mm="1", pf_boost=2.0,
+                                 k=10)
+    b0 = dict(zip(base["doc_id"].to_pylist(), base["score"].to_pylist()))
+    b1 = dict(zip(boosted["doc_id"].to_pylist(),
+                  boosted["score"].to_pylist()))
+    # docs 1 and 5 contain the exact bigram "fast table" → boosted;
+    # phrase-boost equals 2 × the engine's own phrase score
+    ph = idx.search({"type": "phrase", "terms": ["fast", "table"],
+                     "slop": 0}, k=10)
+    pscore = dict(zip(ph["doc_id"].to_pylist(),
+                      ph["score"].to_pylist()))
+    for d in (1, 5):
+        assert b1[d] == pytest.approx(b0[d] + 2.0 * pscore[d])
+    for d in b0:
+        if d not in (1, 5):
+            assert b1[d] == pytest.approx(b0[d])
+
+
+def test_ps_slop_uses_sloppy_phrase(idx):
+    # doc 5 "fast table merge scan": bigram (table, scan) at distance 2
+    # only matches with ps >= 2
+    exact = idx.search_edismax("table scan", mm="2", pf_boost=1.0, ps=0,
+                               k=10)
+    sloppy = idx.search_edismax("table scan", mm="2", pf_boost=1.0,
+                                ps=2, k=10)
+    e = dict(zip(exact["doc_id"].to_pylist(),
+                 exact["score"].to_pylist()))
+    s = dict(zip(sloppy["doc_id"].to_pylist(),
+                 sloppy["score"].to_pylist()))
+    assert s[5] > e[5]  # doc 5 gains the sloppy bigram
+    assert s[1] == pytest.approx(e[1])  # doc 1 "table scan" adjacent in both
+
+
+def test_bq_and_bf_additive_boosts(idx):
+    base = idx.search_edismax("table", mm="1", k=10)
+    bq = idx.search_edismax("table", mm="1", bq="merge", k=10)
+    b0 = dict(zip(base["doc_id"].to_pylist(), base["score"].to_pylist()))
+    bT = dict(zip(bq["doc_id"].to_pylist(), bq["score"].to_pylist()))
+    tm = idx.search({"type": "term", "term": "merge"}, k=10)
+    ms = dict(zip(tm["doc_id"].to_pylist(), tm["score"].to_pylist()))
+    for d in b0:
+        assert bT[d] == pytest.approx(b0[d] + ms.get(d, 0.0))
+    # bf: additive function boost over the stored numeric column
+    bf = idx.search_edismax("table", mm="1", bf="sum(w,0)", k=10)
+    bF = dict(zip(bf["doc_id"].to_pylist(), bf["score"].to_pylist()))
+    w = {1: 1.0, 3: 3.0, 5: 5.0}
+    for d in b0:
+        assert bF[d] == pytest.approx(b0[d] + w[d])
+
+
+def test_dispatch_and_pure_negative(idx):
+    r = idx.search({"type": "edismax", "q": "fast merge", "mm": "2"},
+                   k=5)
+    assert set(r["doc_id"].to_pylist()) == {2, 5}
+    assert idx.search_edismax("-fast", k=5).num_rows == 0
+    assert idx.search_edismax("", k=5).num_rows == 0
