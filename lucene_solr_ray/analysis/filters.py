@@ -277,6 +277,61 @@ def remove_duplicates_stream():
     return transform
 
 
+def word_delimiter_stream():
+    """WordDelimiterFilter (lucene/analysis/common/.../miscellaneous/
+    WordDelimiterFilter.java:64, GENERATE_WORD_PARTS |
+    GENERATE_NUMBER_PARTS): split each token at letter↔digit boundaries
+    ("src13" → "src", "13"). Each part after the first carries posInc=1,
+    shifting every subsequent position in the doc — exactly the
+    reference's stream semantics (catenate/preserveOriginal options and
+    intra-token case transitions are out of scope: this chain's
+    tokenizer has already lowercased).
+
+    Vectorized via dictionary encoding: each DISTINCT term is split
+    once per batch; the token stream is then expanded with numpy
+    repeat/offset arithmetic — no per-token Python in the hot path."""
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+
+    _PARTS = re.compile(r"[a-z]+|[0-9]+")
+
+    def transform(terms, doc_idx, positions):
+        terms = _as_array(terms)
+        if len(terms) == 0:
+            return terms, doc_idx, positions
+        enc = terms.dictionary_encode()
+        vocab = enc.dictionary.to_pylist()
+        parts_per = [_PARTS.findall(t) or [t] for t in vocab]
+        counts_vocab = np.array([len(p) for p in parts_per],
+                                dtype=np.int64)
+        if (counts_vocab <= 1).all():
+            return terms, doc_idx, positions
+        idx = np.asarray(enc.indices, dtype=np.int64)
+        c = counts_vocab[idx]
+        offs = np.concatenate(([0], np.cumsum(counts_vocab)))
+        flat_parts = pa.array([p for ps in parts_per for p in ps],
+                              type=pa.string())
+        total = int(c.sum())
+        # within-token part ordinal 0..c_i-1 for every emitted part
+        within = np.arange(total) - np.repeat(np.cumsum(c) - c, c)
+        out_terms = flat_parts.take(pa.array(np.repeat(offs[idx], c)
+                                             + within))
+        out_doc = np.repeat(doc_idx, c)
+        # posInc bookkeeping: token i's parts start at
+        # orig_pos_i + (extra parts emitted earlier in the same doc)
+        extra = c - 1
+        cs = np.cumsum(extra) - extra            # global exclusive cumsum
+        doc_change = np.concatenate(([True], doc_idx[1:] != doc_idx[:-1]))
+        doc_base = np.maximum.accumulate(np.where(doc_change, cs, -1))
+        out_pos = np.repeat(positions.astype(np.int64) + (cs - doc_base),
+                            c) + within
+        return out_terms, out_doc, out_pos.astype(np.int32)
+
+    return transform
+
+
 def ascii_fold(term: str) -> str:
     """ASCIIFoldingFilter (lucene/analysis/common/.../miscellaneous/
     ASCIIFoldingFilter.java:57) as a term transform: NFKD-decompose and

@@ -1380,6 +1380,80 @@ scored AS (
 """
 
 
+def _wd_index(sf_dir: str) -> str:
+    """Index over ``text || ' ' || source`` with WordDelimiterFilter
+    (miscellaneous/WordDelimiterFilter.java): the srcNN source tags are
+    the corpus's only mixed alnum tokens, so appending them to the text
+    stream exercises real letter↔digit splitting."""
+    from ..analysis.filters import word_delimiter_stream
+    from ..index.build import build_index
+    from ..index.manifest import load_manifest
+
+    key = hashlib.sha256(
+        f"{sf_dir}|wd|v{FORMAT_VERSION}".encode()).hexdigest()[:12]
+    out = os.path.join(INDEX_CACHE_ROOT, f"docs-wd-{key}")
+    if out in _memo:
+        return out
+    try:
+        load_manifest(out)
+        _memo[out] = out
+        return out
+    except FileNotFoundError:
+        pass
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    def combine(b: pa.Table) -> pa.Table:
+        wd = pc.binary_join_element_wise(b["text"], b["source"], " ")
+        return pa.table({"doc_id": b["doc_id"], "wd_text": wd})
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text", "source"])
+    ds = ds.map_batches(combine, batch_format="pyarrow")
+    build_index(ds, out, content_col="wd_text", batch_rows=256,
+                stream_transform=word_delimiter_stream())
+    _memo[out] = out
+    return out
+
+
+def _q_word_delimiter(term, k=10):
+    """Term query over the WordDelimiterFilter index: number/word parts
+    of mixed tokens are independently searchable ("13" hits src13)."""
+    def run(sf_dir):
+        from ..search.searcher import IndexSearcher
+
+        s = IndexSearcher(_wd_index(sf_dir), mode="exact64")
+        return _topk_table(s.search({"type": "term", "term": term}, k=k))
+    return run
+
+
+def _word_delimiter_sql(term: str, k: int) -> str:
+    """Twin: tokenize ``text || ' ' || source``, stop-filter the ORIGINAL
+    tokens (parts never reintroduce a stopword), then explode each token
+    into its letter/digit runs; dl and collection stats count the
+    exploded stream."""
+    return f"""
+WITH {_tok_ctes(text_col="text || ' ' || source")},
+parts AS (SELECT doc_id,
+                 unnest(regexp_extract_all(term, '[a-z]+|[0-9]+'))
+                   AS part
+          FROM clean),
+dle AS (SELECT doc_id, count(*) AS dl FROM parts GROUP BY doc_id),
+statse AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                  (SELECT count(*) FROM parts) AS sum_dl),
+tf AS (SELECT doc_id, count(*) AS tf FROM parts WHERE part = '{term}'
+       GROUP BY doc_id),
+dfx AS (SELECT count(*) AS df FROM tf),
+scored AS (
+  SELECT tf.doc_id AS doc_id,
+         {_bm25_expr('tf.tf', 'dle.dl', 'dfx.df', 's.n_docs', 's.sum_dl')}
+           AS score
+  FROM tf JOIN dle USING (doc_id), dfx, statse s
+)
+{_sql_topk('scored', k)}
+"""
+
+
 def _q_spellcheck(word, n=5):
     def run(sf_dir):
         return _searcher(sf_dir).spellcheck(word, n=n)
@@ -1645,6 +1719,7 @@ def build_queries() -> dict:
             "spark src13 merge scan -window",
             qf=(("text", 1.0), ("source", 1.5)),
             mm="2<75%", tie=0.3, pf=0.5),
+        "ft_word_delimiter": _q_word_delimiter("13"),
     }
 
 
@@ -1750,6 +1825,7 @@ def build_oracle_sql() -> dict:
         "ft_edismax": _edismax_sql(
             ["spark", "src13", "merge", "scan"], "window",
             "source", 1.5, "2<75%", 0.3, 0.5, 10),
+        "ft_word_delimiter": _word_delimiter_sql("13", 10),
         # ft_stemmed_term: no SQL twin (Porter is not SQL-expressible);
         # golden-vector + round-trip coverage in tests/test_filters.py
     }

@@ -165,3 +165,32 @@ def test_ascii_fold():
     assert ascii_fold("naïve") == "naive"
     assert ascii_fold("plain") == "plain"
     assert ascii_fold("ﬀ") == "ff"  # NFKD compatibility ligature
+
+
+def test_word_delimiter_stream_golden():
+    from lucene_solr_ray.analysis import analyze_batch
+    from lucene_solr_ray.analysis.filters import word_delimiter_stream
+
+    r = analyze_batch(pa.array(["src13 fast x1y2 scan", "plain words"]),
+                      stream_transform=word_delimiter_stream(),
+                      stopwords=frozenset())
+    # splits at letter<->digit boundaries; parts carry posInc=1, so
+    # every subsequent token in the doc shifts right
+    assert r.terms.to_pylist() == ["src", "13", "fast", "x", "1", "y",
+                                   "2", "scan", "plain", "words"]
+    assert list(r.positions) == [0, 1, 2, 3, 4, 5, 6, 7, 0, 1]
+    assert list(r.doc_lengths) == [8, 2]
+
+
+def test_word_delimiter_stream_passthrough():
+    from lucene_solr_ray.analysis import analyze_batch
+    from lucene_solr_ray.analysis.filters import word_delimiter_stream
+
+    texts = pa.array(["fast table scan", "merge sort"])
+    wd = analyze_batch(texts, stream_transform=word_delimiter_stream(),
+                       stopwords=frozenset())
+    plain = analyze_batch(texts, stopwords=frozenset())
+    # a stream with no mixed tokens is returned untouched
+    assert wd.terms.to_pylist() == plain.terms.to_pylist()
+    assert list(wd.positions) == list(plain.positions)
+    assert list(wd.doc_lengths) == list(plain.doc_lengths)
