@@ -1069,6 +1069,14 @@ def _q_parsed(qstr, k=10, default_operator="OR"):
     return run
 
 
+def _q_simple(qstr, k=10):
+    """SimpleQueryParser syntax through search.simpleparser → the tree
+    evaluator (simple/SimpleQueryParser.java never-throwing grammar)."""
+    def run(sf_dir):
+        return _topk_table(_searcher(sf_dir).search_simple(qstr, k=k))
+    return run
+
+
 def _q_phrase_slop(t1, t2, slop, k=10):
     def run(sf_dir):
         return _topk_table(_searcher(sf_dir).search(
@@ -1720,6 +1728,8 @@ def build_queries() -> dict:
             qf=(("text", 1.0), ("source", 1.5)),
             mm="2<75%", tie=0.3, pf=0.5),
         "ft_word_delimiter": _q_word_delimiter("13"),
+        "ft_simple_parsed": _q_simple("table + (vector | customer)"),
+        "ft_simple_not": _q_simple("table -dup"),
     }
 
 
@@ -1826,6 +1836,8 @@ def build_oracle_sql() -> dict:
             ["spark", "src13", "merge", "scan"], "window",
             "source", 1.5, "2<75%", 0.3, 0.5, 10),
         "ft_word_delimiter": _word_delimiter_sql("13", 10),
+        "ft_simple_parsed": _parsed_grouped_sql(10),
+        "ft_simple_not": _parsed_not_sql("table", "dup", 10),
         # ft_stemmed_term: no SQL twin (Porter is not SQL-expressible);
         # golden-vector + round-trip coverage in tests/test_filters.py
     }

@@ -1533,6 +1533,15 @@ class IndexSearcher:
         return self.search_tree(
             parse_query(query_string, default_operator=default_operator), k)
 
+    def search_simple(self, q: str, k: int = 10,
+                      default_operator: str = "OR") -> pa.Table:
+        """SimpleQueryParser syntax (+ | - "" * ~n parens), never throws
+        (lucene/queryparser/.../simple/SimpleQueryParser.java:40-87)."""
+        from .simpleparser import parse_simple
+
+        return self.search_tree(
+            parse_simple(q, default_operator=default_operator), k)
+
     def search_edismax(self, q: str, *, qf=(("text", 1.0),),
                        mm: str = "1", tie: float = 0.0,
                        pf_boost: float = 0.0, ps: int = 0,
@@ -1605,6 +1614,10 @@ class IndexSearcher:
                                       slop=query.get("slop", 0))
         if qt == "parsed":
             return self.search_parsed(
+                query["q"], k,
+                default_operator=query.get("default_operator", "OR"))
+        if qt == "simple":
+            return self.search_simple(
                 query["q"], k,
                 default_operator=query.get("default_operator", "OR"))
         if qt == "edismax":

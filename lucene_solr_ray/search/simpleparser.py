@@ -1,0 +1,122 @@
+"""SimpleQueryParser — the never-throwing end-user syntax.
+
+Reference: lucene/queryparser/src/java/org/apache/lucene/queryparser/
+simple/SimpleQueryParser.java:40-87. Operators: ``+`` (AND), ``|``
+(OR), ``-`` (NOT, prefixing a token), ``"..."`` phrase (with ``~n``
+slop), trailing ``*`` prefix, ``~n`` fuzzy on a term, ``( )`` grouping.
+Combination is LEFT-ASSOCIATIVE with no precedence between + and |
+(SimpleQueryParser consumes tokens in order, joining each onto the
+running result with the most recent operator). Anything the grammar
+cannot place is degraded, never an error — the class's documented
+contract ("designed to be tolerant of errors").
+
+Output: the same plain-dict query trees as search/queryparser.py,
+evaluated by ``IndexSearcher.search_tree``.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .queryparser import MUST, MUST_NOT, SHOULD
+
+_TOK = re.compile(r'''
+    (?P<lparen>\() | (?P<rparen>\))
+  | (?P<and>\+) | (?P<or>\|)
+  | (?P<not>-)
+  | (?P<phrase>"(?P<body>[^"]*)"(~(?P<slop>\d+))?)
+  | (?P<word>[^\s()+|"\-]+)
+''', re.VERBOSE)
+
+
+def _analyze(word: str) -> list[str]:
+    from ..analysis.analyzer import token_terms
+
+    return token_terms(word)
+
+
+def _word_node(w: str) -> dict | None:
+    m = re.match(r"^(.*?)~(\d+)$", w)
+    if m and m.group(1):
+        base = _analyze(m.group(1))
+        if len(base) == 1:
+            return {"type": "fuzzy", "param": base[0],
+                    "max_edits": min(int(m.group(2)), 2)}
+        w = m.group(1)  # degrade: drop the fuzzy marker
+    if w.endswith("*") and "*" not in w[:-1] and "?" not in w:
+        p = w[:-1].lower()
+        return {"type": "prefix", "param": p} if p else None
+    w = w.replace("*", "").replace("?", "")
+    terms = _analyze(w)
+    if not terms:
+        return None
+    if len(terms) == 1:
+        return {"type": "term", "term": terms[0]}
+    return {"type": "phrase", "terms": terms, "slop": 0}
+
+
+def _combine(left: dict | None, right: dict, op: str,
+             negate: bool) -> dict | None:
+    """Left-associative join; negation attaches the right operand as
+    MUST_NOT of the running result (SimpleQueryParser.negate)."""
+    if negate:
+        if left is None:
+            # leading "-x" alone: pure-negative matches nothing
+            return {"type": "bool", "clauses": [(MUST_NOT, right)]}
+        return {"type": "bool", "clauses": [(MUST, left),
+                                            (MUST_NOT, right)]}
+    if left is None:
+        return right
+    occ = MUST if op == "AND" else SHOULD
+    return {"type": "bool", "clauses": [(occ, left), (occ, right)]}
+
+
+def parse_simple(q: str, *, default_operator: str = "OR") -> dict:
+    """Parse; returns ``{"type": "match_none"}`` for an empty result.
+    Unbalanced parens and stray operators degrade silently."""
+    node, _ = _parse_tokens(list(_TOK.finditer(q or "")), 0,
+                            default_operator, depth=0)
+    return node if node is not None else {"type": "match_none"}
+
+
+def _parse_tokens(toks, i: int, default_op: str, depth: int = 1):
+    result = None
+    op = default_op
+    negate = False
+    while i < len(toks):
+        m = toks[i]
+        i += 1
+        if m.group("lparen"):
+            sub, i = _parse_tokens(toks, i, default_op)
+            if sub is not None:
+                result = _combine(result, sub, op, negate)
+                op, negate = default_op, False
+            continue
+        if m.group("rparen"):
+            if depth > 0:
+                return result, i
+            continue  # stray ')' at top level: ignored, not an error
+        if m.group("and"):
+            op = "AND"
+            continue
+        if m.group("or"):
+            op = "OR"
+            continue
+        if m.group("not"):
+            negate = True
+            continue
+        if m.group("phrase") is not None:
+            terms = _analyze(m.group("body"))
+            if terms:
+                node = ({"type": "term", "term": terms[0]}
+                        if len(terms) == 1 else
+                        {"type": "phrase", "terms": terms,
+                         "slop": int(m.group("slop") or 0)})
+                result = _combine(result, node, op, negate)
+                op, negate = default_op, False
+            continue
+        node = _word_node(m.group("word"))
+        if node is not None:
+            result = _combine(result, node, op, negate)
+            op, negate = default_op, False
+    return result, len(toks)

@@ -95,7 +95,8 @@ def test_all_queries_have_oracles_or_are_documented():
     "ft_suggest_weighted", "rel_sampled_facet",
     "ft_dv_numbers", "ft_dv_terms",
     "stream_expr_rollup", "stream_expr_join_top", "ft_term_automaton",
-    "ft_edismax", "ft_word_delimiter",
+    "ft_edismax", "ft_word_delimiter", "ft_simple_parsed",
+    "ft_simple_not",
     "dih_full_import",
 ])
 def test_query_matches_oracle(name, con, ray_session):

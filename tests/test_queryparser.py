@@ -196,3 +196,51 @@ def test_boost_scales_scores(searcher):
     bs = np.asarray(base["score"], dtype=np.float64)
     xs = np.asarray(boosted["score"], dtype=np.float64)
     assert np.allclose(xs, 2.0 * bs)
+
+
+# ---------------------------------------------------------------------------
+# SimpleQueryParser (simple/SimpleQueryParser.java — never throws)
+# ---------------------------------------------------------------------------
+
+def test_simple_default_or():
+    from lucene_solr_ray.search.simpleparser import parse_simple
+
+    t = parse_simple("fast table")
+    assert t == {"type": "bool", "clauses": [
+        (SHOULD, {"type": "term", "term": "fast"}),
+        (SHOULD, {"type": "term", "term": "table"})]}
+
+
+def test_simple_plus_and_pipe_left_assoc():
+    from lucene_solr_ray.search.simpleparser import parse_simple
+
+    # a + b | c → ((a AND b) OR c): left-associative, no precedence
+    t = parse_simple("a1 + b2 | c3")
+    assert t["clauses"][0][0] == SHOULD
+    inner = t["clauses"][0][1]
+    assert [o for o, _ in inner["clauses"]] == [MUST, MUST]
+    assert t["clauses"][1] == (SHOULD, {"type": "term", "term": "c3"})
+
+
+def test_simple_group_negate_phrase_prefix_fuzzy():
+    from lucene_solr_ray.search.simpleparser import parse_simple
+
+    t = parse_simple("table + (vector | customer)")
+    assert [o for o, _ in t["clauses"]] == [MUST, MUST]
+    t = parse_simple("table -dup")
+    assert t["clauses"] == [
+        (MUST, {"type": "term", "term": "table"}),
+        (MUST_NOT, {"type": "term", "term": "dup"})]
+    assert parse_simple('"fast table"~2')["slop"] == 2
+    assert parse_simple("cust*") == {"type": "prefix", "param": "cust"}
+    assert parse_simple("tble~1") == {"type": "fuzzy", "param": "tble",
+                                      "max_edits": 1}
+
+
+def test_simple_is_lenient():
+    from lucene_solr_ray.search.simpleparser import parse_simple
+
+    # unbalanced parens / quotes / stray operators never raise
+    for q in ("((a", 'a "unclosed', "+ | -", ")", "", "   ", "-"):
+        parse_simple(q)
+    assert parse_simple(")table(")["type"] == "term"  # stray parens ignored
