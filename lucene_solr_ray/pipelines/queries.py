@@ -1069,6 +1069,15 @@ def _q_parsed(qstr, k=10, default_operator="OR"):
     return run
 
 
+def _q_complex_phrase(body, k=10):
+    """Phrase with embedded wildcards/alternations through
+    search.complexphrase (ComplexPhraseQueryParser.java:47-70)."""
+    def run(sf_dir):
+        return _topk_table(
+            _searcher(sf_dir).search_complex_phrase(body, k=k))
+    return run
+
+
 def _q_simple(qstr, k=10):
     """SimpleQueryParser syntax through search.simpleparser → the tree
     evaluator (simple/SimpleQueryParser.java never-throwing grammar)."""
@@ -1730,6 +1739,7 @@ def build_queries() -> dict:
         "ft_word_delimiter": _q_word_delimiter("13"),
         "ft_simple_parsed": _q_simple("table + (vector | customer)"),
         "ft_simple_not": _q_simple("table -dup"),
+        "ft_complex_phrase": _q_complex_phrase("(fast slow) tab*"),
     }
 
 
@@ -1838,6 +1848,10 @@ def build_oracle_sql() -> dict:
         "ft_word_delimiter": _word_delimiter_sql("13", 10),
         "ft_simple_parsed": _parsed_grouped_sql(10),
         "ft_simple_not": _parsed_not_sql("table", "dup", 10),
+        # the wildcard slot expands to exactly {table} over this corpus,
+        # so the MultiPhrase twin is the oracle
+        "ft_complex_phrase": _multi_phrase_sql([["fast", "slow"],
+                                                ["table"]], 10),
         # ft_stemmed_term: no SQL twin (Porter is not SQL-expressible);
         # golden-vector + round-trip coverage in tests/test_filters.py
     }

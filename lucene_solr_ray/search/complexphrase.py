@@ -1,0 +1,75 @@
+"""ComplexPhraseQueryParser — phrases with embedded wildcards, fuzzy
+terms, and alternations.
+
+Reference: lucene/queryparser/src/java/org/apache/lucene/queryparser/
+complexPhrase/ComplexPhraseQueryParser.java:47-70 — inside quotes,
+``"(john jon) smyth~"`` or ``"foo ba*"`` rewrites each position to the
+set of matching index terms and requires them in phrase order.
+
+Mapping: each phrase position becomes a MultiPhraseQuery slot
+(searcher.search_multi_phrase): alternations list their terms in
+written order; wildcard/prefix/fuzzy tokens expand against the term
+dictionary in sorted order (expand_terms). Scoring is therefore
+MultiPhraseQuery's (phraseFreq over slot combinations, idf summed over
+the flattened slot terms) — a documented deviation from the reference's
+SpanNearQuery rewrite, which scores by span count; match SETS agree for
+the in-order, slop=0 grammar implemented here.
+"""
+
+from __future__ import annotations
+
+import re
+
+_TOK = re.compile(r'''
+    \((?P<alts>[^)]*)\)
+  | (?P<word>[^\s()]+)
+''', re.VERBOSE)
+
+
+def _analyze(word: str) -> list[str]:
+    from ..analysis.analyzer import token_terms
+
+    return token_terms(word)
+
+
+def parse_complex_phrase(searcher, phrase: str) -> list[list[str]] | None:
+    """Phrase body (without the outer quotes) → MultiPhrase slots, or
+    None when any position expands to nothing (no possible match)."""
+    slots: list[list[str]] = []
+    for m in _TOK.finditer(phrase or ""):
+        if m.group("alts") is not None:
+            terms: list[str] = []
+            for w in m.group("alts").split():
+                terms.extend(_analyze(w))
+            if not terms:
+                return None
+            slots.append(terms)
+            continue
+        w = m.group("word")
+        fz = re.match(r"^(.*?)~(\d*)$", w)
+        if fz and fz.group(1):
+            base = _analyze(fz.group(1))
+            if len(base) != 1:
+                return None
+            max_e = int(fz.group(2)) if fz.group(2) else 2
+            terms = searcher.expand_terms("fuzzy", base[0],
+                                          max_edits=min(max_e, 2))
+        elif "*" in w or "?" in w:
+            lw = w.lower()
+            if lw.endswith("*") and "*" not in lw[:-1] and "?" not in lw:
+                terms = searcher.expand_terms("prefix", lw[:-1])
+            else:
+                terms = searcher.expand_terms("wildcard", lw)
+        else:
+            terms = _analyze(w)
+        if not terms:
+            return None
+        slots.append(terms)
+    return slots or None
+
+
+def search_complex_phrase(searcher, phrase: str, k: int = 10):
+    slots = parse_complex_phrase(searcher, phrase)
+    if slots is None:
+        return searcher._finalize([], [], k)
+    return searcher.search_multi_phrase(slots, k=k)

@@ -1542,6 +1542,15 @@ class IndexSearcher:
         return self.search_tree(
             parse_simple(q, default_operator=default_operator), k)
 
+    def search_complex_phrase(self, phrase: str, k: int = 10) -> pa.Table:
+        """ComplexPhraseQueryParser: phrases with embedded wildcards /
+        fuzzy / alternations, each position expanded to a MultiPhrase
+        slot (queryparser/.../complexPhrase/ComplexPhraseQueryParser.
+        java:47-70)."""
+        from .complexphrase import search_complex_phrase
+
+        return search_complex_phrase(self, phrase, k=k)
+
     def search_edismax(self, q: str, *, qf=(("text", 1.0),),
                        mm: str = "1", tie: float = 0.0,
                        pf_boost: float = 0.0, ps: int = 0,
@@ -1616,6 +1625,8 @@ class IndexSearcher:
             return self.search_parsed(
                 query["q"], k,
                 default_operator=query.get("default_operator", "OR"))
+        if qt == "complex_phrase":
+            return self.search_complex_phrase(query["q"], k)
         if qt == "simple":
             return self.search_simple(
                 query["q"], k,

@@ -213,3 +213,32 @@ def test_dispatch_and_pure_negative(idx):
     assert set(r["doc_id"].to_pylist()) == {2, 5}
     assert idx.search_edismax("-fast", k=5).num_rows == 0
     assert idx.search_edismax("", k=5).num_rows == 0
+
+
+# ---------------------------------------------------------------------------
+# ComplexPhraseQueryParser (complexPhrase/ComplexPhraseQueryParser.java)
+# ---------------------------------------------------------------------------
+
+def test_complex_phrase_alternation(idx):
+    r = idx.search_complex_phrase("(fast slow) scan", k=10)
+    assert set(r["doc_id"].to_pylist()) == {4}  # "slow scan" adjacent
+
+
+def test_complex_phrase_wildcard_and_fuzzy(idx):
+    r = idx.search_complex_phrase("fa* table", k=10)
+    assert set(r["doc_id"].to_pylist()) == {1, 5}
+    rf = idx.search_complex_phrase("fasd~1 table", k=10)
+    assert set(rf["doc_id"].to_pylist()) == {1, 5}
+
+
+def test_complex_phrase_matches_multi_phrase_scoring(idx):
+    a = idx.search_complex_phrase("(fast slow) scan", k=10)
+    b = idx.search_multi_phrase([["fast", "slow"], ["scan"]], k=10)
+    assert a.to_pydict() == b.to_pydict()
+
+
+def test_complex_phrase_empty_expansion(idx):
+    assert idx.search_complex_phrase("zzz* table", k=10).num_rows == 0
+    assert idx.search_complex_phrase("", k=10).num_rows == 0
+    r = idx.search({"type": "complex_phrase", "q": "fast tab*"}, k=10)
+    assert set(r["doc_id"].to_pylist()) == {1, 5}
