@@ -777,6 +777,31 @@ scored AS (SELECT doc_id, CAST(n AS DOUBLE) AS score FROM spans)
 """
 
 
+def _q_surround(qstr, k=20):
+    """Surround-parser query (W/N distance operators + AND/OR/NOT,
+    lucene/queryparser/.../surround/)."""
+    def run(sf_dir):
+        return _topk_table(_searcher(sf_dir).search_surround(qstr, k=k))
+    return run
+
+
+def _span_near_unordered_sql(t1: str, t2: str, slop: int, k: int) -> str:
+    """Twin of the surround N operator: pairs within the window in
+    EITHER order (1 ≤ |Δpos| ≤ slop), counted once per t1 occurrence."""
+    return f"""
+WITH {_tok_ctes()},
+spans AS (
+  SELECT a.doc_id, count(*) AS n
+  FROM clean a JOIN clean b
+    ON a.doc_id = b.doc_id AND b.pos <> a.pos
+   AND b.pos >= a.pos - {slop} AND b.pos <= a.pos + {slop}
+  WHERE a.term = '{t1}' AND b.term = '{t2}'
+  GROUP BY a.doc_id),
+scored AS (SELECT doc_id, CAST(n AS DOUBLE) AS score FROM spans)
+{_sql_topk('scored', k)}
+"""
+
+
 def _q_multi_phrase(slots, k=10):
     def run(sf_dir):
         return _topk_table(_searcher(sf_dir).search_multi_phrase(slots, k=k))
@@ -1740,6 +1765,8 @@ def build_queries() -> dict:
         "ft_simple_parsed": _q_simple("table + (vector | customer)"),
         "ft_simple_not": _q_simple("table -dup"),
         "ft_complex_phrase": _q_complex_phrase("(fast slow) tab*"),
+        "ft_surround_w": _q_surround("key 2w order"),
+        "ft_surround_n": _q_surround("fast 3n table"),
     }
 
 
@@ -1852,6 +1879,8 @@ def build_oracle_sql() -> dict:
         # so the MultiPhrase twin is the oracle
         "ft_complex_phrase": _multi_phrase_sql([["fast", "slow"],
                                                 ["table"]], 10),
+        "ft_surround_w": _span_near_sql("key", "order", 2, 20),
+        "ft_surround_n": _span_near_unordered_sql("fast", "table", 3, 20),
         # ft_stemmed_term: no SQL twin (Porter is not SQL-expressible);
         # golden-vector + round-trip coverage in tests/test_filters.py
     }

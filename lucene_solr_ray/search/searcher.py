@@ -881,28 +881,28 @@ class IndexSearcher:
         d, s = topk_merge(cand, score, k)
         return self._finalize([d], [s], k)
 
-    def search_span_near(self, terms: list[str], slop: int,
-                         k: int = 10) -> pa.Table:
-        """Ordered proximity: per doc, count position pairs of consecutive
-        terms with 0 < Δpos ≤ slop (SpanNearQuery-family semantics,
-        core:search/spans/SpanNearQuery.java, simplified to pair counts —
-        documented deviation from minimal-interval enumeration). Result
-        ranked by (matches desc, doc asc); score = match count."""
+    def _span_near_all(self, terms: list[str], slop: int,
+                       ordered: bool = True):
+        """All docs with proximity matches: per doc, count position pairs
+        of consecutive terms with 0 < Δpos ≤ slop (ordered) or
+        1 ≤ |Δpos| ≤ slop (unordered, the surround parser's N operator).
+        Returns (docs, int64 counts)."""
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
         posting = {}
         for t in terms:
             p = self._decode_term_global(t, positions=True)
             if p is None:
-                return self._finalize([], [], k)
+                return empty
             posting[t] = p
         cand = posting[terms[0]][0]
         for t in terms[1:]:
             cand = np.intersect1d(cand, posting[t][0], assume_unique=True)
         if len(cand) == 0:
-            return self._finalize([], [], k)
+            return empty
         # vectorized: pack (candidate-doc-rank, pos); for each consecutive
-        # term pair count b-tokens in (pos_a, pos_a+slop] by searchsorted
-        # over the packed key space (windows never cross doc boundaries
-        # because slop << the rank shift)
+        # term pair count b-tokens in the window by searchsorted over the
+        # packed key space (windows never cross doc boundaries because
+        # slop << the rank shift)
         SHIFT = np.int64(1) << np.int64(24)
 
         def packed(t):
@@ -917,12 +917,24 @@ class IndexSearcher:
         for a, b in zip(terms[:-1], terms[1:]):
             ka = packed(a)
             kb = packed(b)
-            lo = np.searchsorted(kb, ka + 1, side="left")
+            start = ka - slop if not ordered else ka + 1
+            lo = np.searchsorted(kb, start, side="left")
             hi = np.searchsorted(kb, ka + slop, side="right")
             n_hits = hi - lo
+            # distinct terms never share a position, so Δ=0 can't occur
             np.add.at(counts, (ka // SHIFT).astype(np.int64), n_hits)
         hit = counts > 0
-        cand, counts = cand[hit], counts[hit]
+        return cand[hit], counts[hit]
+
+    def search_span_near(self, terms: list[str], slop: int,
+                         k: int = 10, ordered: bool = True) -> pa.Table:
+        """Proximity query (SpanNearQuery-family semantics,
+        core:search/spans/SpanNearQuery.java, simplified to pair counts —
+        documented deviation from minimal-interval enumeration). Result
+        ranked by (matches desc, doc asc); score = match count."""
+        cand, counts = self._span_near_all(terms, slop, ordered=ordered)
+        if len(cand) == 0:
+            return self._finalize([], [], k)
         dtype = np.float32 if self.mode == "lucene32" else np.float64
         d, s = topk_merge(cand, counts.astype(dtype), k)
         return self._finalize([d], [s], k)
@@ -1476,6 +1488,10 @@ class IndexSearcher:
                 return empty
             docs = np.unique(np.concatenate(arrays))
             return docs, np.full(len(docs), 1.0)  # CONSTANT_SCORE_REWRITE
+        if nt == "span_near":
+            d, c = self._span_near_all(node["terms"], node.get("slop", 1),
+                                       ordered=node.get("ordered", True))
+            return d, c.astype(np.float64)  # score = match count
         if nt == "field_term":
             docs = self.filter_docs(node["field"], node["value"])
             # keyword fields score as a constant (StringField/filter
@@ -1541,6 +1557,13 @@ class IndexSearcher:
 
         return self.search_tree(
             parse_simple(q, default_operator=default_operator), k)
+
+    def search_surround(self, q: str, k: int = 10) -> pa.Table:
+        """Surround parser: W/N span distance operators composed with
+        AND/OR/NOT (lucene/queryparser/.../surround/)."""
+        from .surround import parse_surround
+
+        return self.search_tree(parse_surround(q), k)
 
     def search_complex_phrase(self, phrase: str, k: int = 10) -> pa.Table:
         """ComplexPhraseQueryParser: phrases with embedded wildcards /
@@ -1654,7 +1677,12 @@ class IndexSearcher:
             return self.search_dismax(query["terms"], k,
                                       tiebreaker=query.get("tiebreaker", 0.0))
         if qt == "span_near":
-            return self.search_span_near(query["terms"], query.get("slop", 1), k)
+            return self.search_span_near(query["terms"],
+                                         query.get("slop", 1), k,
+                                         ordered=query.get("ordered",
+                                                           True))
+        if qt == "surround":
+            return self.search_surround(query["q"], k)
         if qt == "numeric_range":
             return self.search_numeric_range(
                 query["field"], query.get("lo"), query.get("hi"), k,

@@ -1,0 +1,156 @@
+"""Surround query parser — span proximity with W/N distance operators.
+
+Reference: lucene/queryparser/src/java/org/apache/lucene/queryparser/
+surround/parser/QueryParser.jj and surround/query/ (DistanceQuery,
+OrQuery, AndQuery, NotQuery): ``a 3w b`` = ordered within 3,
+``a 3n b`` = unordered within 3, ``w``/``n`` alone = distance 1,
+combined with AND/OR/NOT and parentheses; trailing-``*`` prefixes and
+``?``/``*`` wildcards as atoms.
+
+Precedence (surround's grammar): distance operators bind tightest,
+then NOT, then AND, then OR. Distance chains (``a w b w c``) become one
+multi-term span. Distance operands must be single terms here (the
+reference allows nested OR inside a distance query — out of scope,
+documented).
+
+Scoring: distance nodes score by pair count (the engine's span family);
+AND/OR/NOT combine through the boolean tree evaluator. The reference
+scores spans via SpanScorer payloads — a documented deviation shared
+with the rest of this engine's span family.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .queryparser import MUST, MUST_NOT, SHOULD
+
+_TOK = re.compile(r'''
+    (?P<lparen>\() | (?P<rparen>\))
+  | (?P<dist>(?P<dn>\d*)(?P<dk>[wWnN])\b)
+  | (?P<and>AND\b) | (?P<or>OR\b) | (?P<not>NOT\b)
+  | (?P<word>[^\s()]+)
+''', re.VERBOSE)
+
+
+class SurroundParseError(ValueError):
+    pass
+
+
+def _analyze(word: str) -> list[str]:
+    from ..analysis.analyzer import token_terms
+
+    return token_terms(word)
+
+
+def _atom_node(w: str) -> dict | None:
+    if w.endswith("*") and "*" not in w[:-1] and "?" not in w:
+        return {"type": "prefix", "param": w[:-1].lower()}
+    if "*" in w or "?" in w:
+        return {"type": "wildcard", "param": w.lower()}
+    terms = _analyze(w)
+    if not terms:
+        return None
+    if len(terms) == 1:
+        return {"type": "term", "term": terms[0]}
+    return {"type": "phrase", "terms": terms, "slop": 0}
+
+
+class _Parser:
+    def __init__(self, toks):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def take(self):
+        m = self.peek()
+        self.i += 1
+        return m
+
+    # or_expr := and_expr (OR and_expr)*
+    def or_expr(self):
+        left = self.and_expr()
+        while (m := self.peek()) is not None and m.group("or"):
+            self.take()
+            right = self.and_expr()
+            left = {"type": "bool", "clauses": [(SHOULD, left),
+                                                (SHOULD, right)]}
+        return left
+
+    # and_expr := not_expr (AND not_expr)*
+    def and_expr(self):
+        left = self.not_expr()
+        while (m := self.peek()) is not None and m.group("and"):
+            self.take()
+            right = self.not_expr()
+            left = {"type": "bool", "clauses": [(MUST, left),
+                                                (MUST, right)]}
+        return left
+
+    # not_expr := dist_expr (NOT dist_expr)*
+    def not_expr(self):
+        left = self.dist_expr()
+        while (m := self.peek()) is not None and m.group("not"):
+            self.take()
+            right = self.dist_expr()
+            left = {"type": "bool", "clauses": [(MUST, left),
+                                                (MUST_NOT, right)]}
+        return left
+
+    # dist_expr := atom ((nW|nN) atom)*  — one span node per chain;
+    # mixing W and N in a chain or widening the distance re-labels the
+    # whole chain (the reference builds one DistanceQuery per chain)
+    def dist_expr(self):
+        left = self.atom()
+        terms = None
+        slop = 1
+        ordered = True
+        while (m := self.peek()) is not None and m.group("dist"):
+            self.take()
+            n = int(m.group("dn")) if m.group("dn") else 1
+            kind = m.group("dk").lower()
+            nxt = self.atom()
+            check = [nxt] if terms is not None else [left, nxt]
+            for node in check:
+                if node["type"] != "term":
+                    raise SurroundParseError(
+                        "distance operands must be single terms")
+            if terms is None:
+                terms = [left["term"]]
+            terms.append(nxt["term"])
+            slop = max(slop, n)
+            ordered = ordered and (kind == "w")
+            left = {"type": "span_near", "terms": terms, "slop": slop,
+                    "ordered": ordered}
+        return left
+
+    def atom(self):
+        m = self.take()
+        if m is None:
+            raise SurroundParseError("unexpected end of query")
+        if m.group("lparen"):
+            node = self.or_expr()
+            m2 = self.take()
+            if m2 is None or not m2.group("rparen"):
+                raise SurroundParseError("unbalanced parenthesis")
+            return node
+        if m.group("word"):
+            node = _atom_node(m.group("word"))
+            if node is None:
+                return {"type": "match_none"}
+            return node
+        raise SurroundParseError(f"unexpected token {m.group(0)!r}")
+
+
+def parse_surround(q: str) -> dict:
+    toks = list(_TOK.finditer(q or ""))
+    if not toks:
+        return {"type": "match_none"}
+    p = _Parser(toks)
+    node = p.or_expr()
+    if p.peek() is not None:
+        raise SurroundParseError(
+            f"trailing input at {p.peek().group(0)!r}")
+    return node

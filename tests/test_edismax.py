@@ -242,3 +242,51 @@ def test_complex_phrase_empty_expansion(idx):
     assert idx.search_complex_phrase("", k=10).num_rows == 0
     r = idx.search({"type": "complex_phrase", "q": "fast tab*"}, k=10)
     assert set(r["doc_id"].to_pylist()) == {1, 5}
+
+
+# ---------------------------------------------------------------------------
+# surround parser (queryparser/surround: W/N distance + AND/OR/NOT)
+# ---------------------------------------------------------------------------
+
+def test_surround_parse_golden():
+    from lucene_solr_ray.search.surround import parse_surround
+
+    t = parse_surround("fast 3w table")
+    assert t == {"type": "span_near", "terms": ["fast", "table"],
+                 "slop": 3, "ordered": True}
+    t = parse_surround("fast 3n table")
+    assert t["ordered"] is False
+    t = parse_surround("a1 w b2 w c3")  # chain, default distance 1
+    assert t["terms"] == ["a1", "b2", "c3"] and t["slop"] == 1
+    t = parse_surround("(fast w table) AND scan NOT dup")
+    assert [o for o, _ in t["clauses"]] == [MUST, MUST]
+    inner = t["clauses"][1][1]
+    assert [o for o, _ in inner["clauses"]] == [MUST, MUST_NOT]
+
+
+def test_surround_w_vs_n(idx):
+    # doc 1 "fast table scan": (scan, fast) only matches unordered
+    w = idx.search_surround("scan 3w fast", k=10)
+    n = idx.search_surround("scan 3n fast", k=10)
+    assert 1 not in w["doc_id"].to_pylist()
+    assert 1 in n["doc_id"].to_pylist()
+    # ordered chain equals the span_near query type
+    a = idx.search_surround("fast 2w scan", k=10)
+    b = idx.search({"type": "span_near", "terms": ["fast", "scan"],
+                    "slop": 2}, k=10)
+    assert a.to_pydict() == b.to_pydict()
+
+
+def test_surround_boolean_composition(idx):
+    r = idx.search_surround("(fast w table) AND merge", k=10)
+    assert set(r["doc_id"].to_pylist()) == {5}
+    r = idx.search_surround("(fast w table) NOT dup", k=10)
+    assert set(r["doc_id"].to_pylist()) == {1}
+    # prefix atoms work in boolean context; in a distance op they are a
+    # documented restriction and raise
+    r = idx.search_surround("fa* AND table", k=10)
+    assert set(r["doc_id"].to_pylist()) == {1, 5}
+    from lucene_solr_ray.search.surround import SurroundParseError
+
+    with pytest.raises(SurroundParseError):
+        idx.search_surround("fa* w table", k=10)
