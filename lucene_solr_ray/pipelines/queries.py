@@ -777,6 +777,14 @@ scored AS (SELECT doc_id, CAST(n AS DOUBLE) AS score FROM spans)
 """
 
 
+def _q_xml(xml_str, k=10):
+    """XML query DSL through search.xmlparser (queryparser/xml/
+    CoreParser.java builder registry)."""
+    def run(sf_dir):
+        return _topk_table(_searcher(sf_dir).search_xml(xml_str, k=k))
+    return run
+
+
 def _q_surround(qstr, k=20):
     """Surround-parser query (W/N distance operators + AND/OR/NOT,
     lucene/queryparser/.../surround/)."""
@@ -1767,6 +1775,12 @@ def build_queries() -> dict:
         "ft_complex_phrase": _q_complex_phrase("(fast slow) tab*"),
         "ft_surround_w": _q_surround("key 2w order"),
         "ft_surround_n": _q_surround("fast 3n table"),
+        "ft_xml_parsed": _q_xml(
+            '<BooleanQuery>'
+            '<Clause occurs="must"><TermQuery>table</TermQuery></Clause>'
+            '<Clause occurs="must"><TermQuery>customer</TermQuery></Clause>'
+            '<Clause occurs="should"><TermQuery>vector</TermQuery></Clause>'
+            '</BooleanQuery>'),
     }
 
 
@@ -1881,6 +1895,9 @@ def build_oracle_sql() -> dict:
                                                 ["table"]], 10),
         "ft_surround_w": _span_near_sql("key", "order", 2, 20),
         "ft_surround_n": _span_near_unordered_sql("fast", "table", 3, 20),
+        # the XML DSL reduces to the same tree as "+table +customer vector"
+        "ft_xml_parsed": ft_bool_sql(["table", "customer"], ["vector"],
+                                     [], 0, 10),
         # ft_stemmed_term: no SQL twin (Porter is not SQL-expressible);
         # golden-vector + round-trip coverage in tests/test_filters.py
     }

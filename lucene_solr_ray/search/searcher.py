@@ -1492,6 +1492,9 @@ class IndexSearcher:
             d, c = self._span_near_all(node["terms"], node.get("slop", 1),
                                        ordered=node.get("ordered", True))
             return d, c.astype(np.float64)  # score = match count
+        if nt == "match_all":
+            ids, _ = self._global_dl()
+            return ids, np.full(len(ids), 1.0)  # MatchAllDocsQuery
         if nt == "field_term":
             docs = self.filter_docs(node["field"], node["value"])
             # keyword fields score as a constant (StringField/filter
@@ -1557,6 +1560,12 @@ class IndexSearcher:
 
         return self.search_tree(
             parse_simple(q, default_operator=default_operator), k)
+
+    def search_xml(self, xml_str: str, k: int = 10) -> pa.Table:
+        """XML query DSL (queryparser/xml/CoreParser.java builders)."""
+        from .xmlparser import parse_xml_query
+
+        return self.search_tree(parse_xml_query(xml_str), k)
 
     def search_surround(self, q: str, k: int = 10) -> pa.Table:
         """Surround parser: W/N span distance operators composed with
@@ -1683,6 +1692,8 @@ class IndexSearcher:
                                                            True))
         if qt == "surround":
             return self.search_surround(query["q"], k)
+        if qt == "xml":
+            return self.search_xml(query["q"], k)
         if qt == "numeric_range":
             return self.search_numeric_range(
                 query["field"], query.get("lo"), query.get("hi"), k,

@@ -1,0 +1,112 @@
+"""XML query parser — the CoreParser query DSL.
+
+Reference: lucene/queryparser/src/java/org/apache/lucene/queryparser/
+xml/CoreParser.java:40-80 and its builders/ directory: queries arrive
+as an XML tree (``<BooleanQuery>``, ``<Clause occurs=..>``,
+``<TermQuery>``, ``<PhraseQuery>``, ``<PrefixQuery>``,
+``<WildcardQuery>``, ``<SpanNear slop= inOrder=>``,
+``<MatchAllDocsQuery/>``), each element handled by a registered
+builder. ``boost`` attributes multiply the sub-query score
+(CoreParser applies them uniformly).
+
+Implemented element set: the core builders above, mapped onto this
+engine's plain-dict query trees (search_tree evaluation). Out of
+scope (documented): the Lucene-XML contrib builders that need external
+state (CachedFilter, DuplicateFilter, BoostingTermQuery payloads,
+LegacyNumericRangeQuery's per-field trie config).
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+from .queryparser import MUST, MUST_NOT, SHOULD
+
+_OCCURS = {"must": MUST, "mustnot": MUST_NOT, "should": SHOULD,
+           "filter": MUST}
+
+
+class XmlQueryParseError(ValueError):
+    pass
+
+
+def _analyze(text: str) -> list[str]:
+    from ..analysis.analyzer import token_terms
+
+    return token_terms(text or "")
+
+
+def _boosted(node: dict, el: ET.Element) -> dict:
+    b = el.get("boost")
+    if b is None:
+        return node
+    return {"type": "boost", "query": node, "boost": float(b)}
+
+
+def _build(el: ET.Element) -> dict:
+    tag = el.tag
+    if tag == "TermQuery":
+        terms = _analyze(el.text)
+        if len(terms) != 1:
+            raise XmlQueryParseError(
+                f"TermQuery needs one analyzed term: {el.text!r}")
+        return _boosted({"type": "term", "term": terms[0]}, el)
+    if tag == "PhraseQuery":
+        terms = _analyze(el.text)
+        if not terms:
+            raise XmlQueryParseError("empty PhraseQuery")
+        node = ({"type": "term", "term": terms[0]} if len(terms) == 1
+                else {"type": "phrase", "terms": terms,
+                      "slop": int(el.get("slop", "0"))})
+        return _boosted(node, el)
+    if tag == "PrefixQuery":
+        return _boosted({"type": "prefix",
+                         "param": (el.text or "").strip().lower()}, el)
+    if tag == "WildcardQuery":
+        return _boosted({"type": "wildcard",
+                         "param": (el.text or "").strip().lower()}, el)
+    if tag == "MatchAllDocsQuery":
+        return _boosted({"type": "match_all"}, el)
+    if tag == "SpanNear":
+        slop = int(el.get("slop", "1"))
+        ordered = el.get("inOrder", "true").lower() != "false"
+        terms: list[str] = []
+        for child in el:
+            if child.tag != "SpanTerm":
+                raise XmlQueryParseError(
+                    f"SpanNear child {child.tag} unsupported")
+            t = _analyze(child.text)
+            if len(t) != 1:
+                raise XmlQueryParseError(
+                    f"SpanTerm needs one analyzed term: {child.text!r}")
+            terms.append(t[0])
+        if len(terms) < 2:
+            raise XmlQueryParseError("SpanNear needs >= 2 SpanTerms")
+        return _boosted({"type": "span_near", "terms": terms,
+                         "slop": slop, "ordered": ordered}, el)
+    if tag == "BooleanQuery":
+        clauses = []
+        for child in el:
+            if child.tag != "Clause":
+                raise XmlQueryParseError(
+                    f"BooleanQuery child {child.tag} unsupported")
+            occ = _OCCURS.get((child.get("occurs") or "should").lower())
+            if occ is None:
+                raise XmlQueryParseError(
+                    f"unknown occurs {child.get('occurs')!r}")
+            sub = [c for c in child]
+            if len(sub) != 1:
+                raise XmlQueryParseError("Clause needs one sub-query")
+            clauses.append((occ, _build(sub[0])))
+        if not clauses:
+            raise XmlQueryParseError("empty BooleanQuery")
+        return _boosted({"type": "bool", "clauses": clauses}, el)
+    raise XmlQueryParseError(f"unsupported query element {tag!r}")
+
+
+def parse_xml_query(xml_str: str) -> dict:
+    try:
+        root = ET.fromstring(xml_str)
+    except ET.ParseError as ex:
+        raise XmlQueryParseError(f"malformed query XML: {ex}") from ex
+    return _build(root)

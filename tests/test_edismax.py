@@ -290,3 +290,46 @@ def test_surround_boolean_composition(idx):
 
     with pytest.raises(SurroundParseError):
         idx.search_surround("fa* w table", k=10)
+
+
+# ---------------------------------------------------------------------------
+# XML query parser (queryparser/xml/CoreParser.java builders)
+# ---------------------------------------------------------------------------
+
+def test_xml_parse_golden():
+    from lucene_solr_ray.search.xmlparser import (
+        XmlQueryParseError,
+        parse_xml_query,
+    )
+
+    t = parse_xml_query("<TermQuery>Fast</TermQuery>")
+    assert t == {"type": "term", "term": "fast"}
+    t = parse_xml_query('<TermQuery boost="2.5">fast</TermQuery>')
+    assert t == {"type": "boost", "boost": 2.5,
+                 "query": {"type": "term", "term": "fast"}}
+    t = parse_xml_query('<PhraseQuery slop="1">fast table</PhraseQuery>')
+    assert t == {"type": "phrase", "terms": ["fast", "table"], "slop": 1}
+    t = parse_xml_query(
+        '<SpanNear slop="3" inOrder="false">'
+        "<SpanTerm>fast</SpanTerm><SpanTerm>scan</SpanTerm></SpanNear>")
+    assert t["ordered"] is False and t["slop"] == 3
+    assert parse_xml_query("<MatchAllDocsQuery/>") == {"type": "match_all"}
+    for bad in ("<TermQuery></TermQuery>", "<Unknown>x</Unknown>",
+                "not xml at all",
+                "<BooleanQuery><TermQuery>x</TermQuery></BooleanQuery>"):
+        with pytest.raises(XmlQueryParseError):
+            parse_xml_query(bad)
+
+
+def test_xml_evaluation(idx):
+    xml = ('<BooleanQuery>'
+           '<Clause occurs="must"><TermQuery>table</TermQuery></Clause>'
+           '<Clause occurs="mustNot"><TermQuery>dup</TermQuery></Clause>'
+           '</BooleanQuery>')
+    r = idx.search_xml(xml, k=10)
+    assert set(r["doc_id"].to_pylist()) == {1, 3}
+    # identical tree → identical scores vs the classic parser
+    c = idx.search({"type": "parsed", "q": "+table -dup"}, k=10)
+    assert r.to_pydict() == c.to_pydict()
+    m = idx.search_xml("<MatchAllDocsQuery/>", k=10)
+    assert m.num_rows == 6 and set(m["score"].to_pylist()) == {1.0}
