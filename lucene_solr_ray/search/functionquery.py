@@ -12,7 +12,13 @@ One expression string compiles to ONE AST with two emitters:
   checks the compiler itself).
 
 Functions (ValueSourceParser names): sum, product, sub, div, recip,
-linear, max, min, sqrt, abs, pow, const literals and field refs.
+linear, max, min, sqrt, abs, pow, floor, ceil, map, scale, const
+literals and field refs. ``map(x,min,max,target)`` is
+MapFloatFunction; ``scale(x,minTo,maxTo)`` is ScaleFloatFunction,
+normalizing over the EVALUATED doc set (the reference scales over all
+docs — identical when the expression runs over a full-corpus CTE, a
+documented deviation otherwise; min/max reductions are order-exact so
+bit-parity holds).
 ``log``/``ln`` is implemented for parity of surface but is NOT used in
 oracle-paired expressions: numpy's SIMD log differs from libm's in the
 last bit on some inputs (see CLAUDE.md), which would break hash
@@ -122,6 +128,17 @@ def evaluate(node: ExprNode, fields: dict[str, np.ndarray]) -> np.ndarray:
         return np.abs(args[0])
     if f == "pow":
         return np.power(args[0], args[1])
+    if f == "floor":
+        return np.floor(args[0])
+    if f == "ceil":
+        return np.ceil(args[0])
+    if f == "map":        # map(x,min,max,target)  MapFloatFunction
+        x, lo, hi, tgt = args
+        return np.where((x >= lo) & (x <= hi), tgt, x)
+    if f == "scale":      # scale(x,minTo,maxTo)  ScaleFloatFunction
+        x, lo, hi = args
+        xmin, xmax = np.min(x), np.max(x)
+        return (x - xmin) * (hi - lo) / (xmax - xmin) + lo
     if f in ("log", "ln"):
         return np.log(args[0])   # NOT oracle-safe; see module docstring
     raise ValueError(f"unknown function {f!r}")
@@ -161,6 +178,18 @@ def to_sql(node: ExprNode, col_of: dict[str, str]) -> str:
         return f"abs({args[0]})"
     if f == "pow":
         return f"pow({args[0]}, {args[1]})"
+    if f == "floor":
+        return f"floor({args[0]})"
+    if f == "ceil":
+        return f"ceil({args[0]})"
+    if f == "map":
+        x, lo, hi, tgt = args
+        return (f"(CASE WHEN {x} >= {lo} AND {x} <= {hi} "
+                f"THEN {tgt} ELSE {x} END)")
+    if f == "scale":
+        x, lo, hi = args
+        return (f"(({x} - min({x}) OVER ()) * ({hi} - {lo}) "
+                f"/ (max({x}) OVER () - min({x}) OVER ()) + {lo})")
     if f in ("log", "ln"):
         return f"ln({args[0]})"
     raise ValueError(f"unknown function {f!r}")

@@ -40,6 +40,40 @@ def test_eval_matches_duckdb_bitwise():
     assert np.array_equal(mine, vals)  # bit-for-bit
 
 
+def test_map_scale_floor_ceil_golden():
+    x = np.array([1.0, 5.0, 9.0])
+    assert np.array_equal(
+        evaluate(parse_expr("map(x,4,6,0)"), {"x": x}),
+        np.array([1.0, 0.0, 9.0]))
+    assert np.array_equal(
+        evaluate(parse_expr("scale(x,0,1)"), {"x": x}),
+        np.array([0.0, 0.5, 1.0]))
+    assert np.array_equal(
+        evaluate(parse_expr("floor(div(x,2))"), {"x": x}),
+        np.array([0.0, 2.0, 4.0]))
+    assert np.array_equal(
+        evaluate(parse_expr("ceil(div(x,2))"), {"x": x}),
+        np.array([1.0, 3.0, 5.0]))
+
+
+def test_scale_matches_duckdb_bitwise():
+    # scale() emits window functions; pin output order with a rowid col.
+    node = parse_expr("scale(product(x,y),1,100)")
+    rng = np.random.default_rng(11)
+    x = rng.integers(1, 1000, 100).astype(np.float64)
+    y = rng.integers(1, 1000, 100).astype(np.float64)
+    mine = evaluate(node, {"x": x, "y": y})
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+                + ", ".join(f"({i}, {a!r}, {b!r})"
+                            for i, (a, b) in enumerate(zip(x, y)))
+                + ") v(i, x, y)")
+    sql = to_sql(node, {"x": "x", "y": "y"})
+    got = next(iter(con.execute(
+        f"SELECT {sql} FROM t ORDER BY i").fetchnumpy().values()))
+    assert np.array_equal(mine, got)  # bit-for-bit
+
+
 def test_parse_errors():
     for bad in ("recip(", "1 2", "foo(1,)", "nope(1)@"):
         with pytest.raises(ValueError):
@@ -78,6 +112,11 @@ def _expr_strategy(depth=0):
         st.tuples(sub, sub).map(lambda t: f"min({t[0]},{t[1]})"),
         sub.map(lambda a: f"sqrt({a})"),
         sub.map(lambda a: f"abs({a})"),
+        sub.map(lambda a: f"floor({a})"),
+        sub.map(lambda a: f"ceil({a})"),
+        st.tuples(sub, st.integers(1, 9), st.integers(10, 99),
+                  st.integers(0, 9)).map(
+            lambda t: f"map({t[0]},{t[1]},{t[2]},{t[3]})"),
         st.tuples(sub, st.integers(1, 9), st.integers(1, 99),
                   st.integers(1, 99)).map(
             lambda t: f"recip({t[0]},{t[1]},{t[2]},{t[3]})"),
