@@ -1,7 +1,12 @@
-"""TokenFilter library: Porter stemmer + synonym map as configurable
-analyzer stages (reference: lucene/analysis/common/.../en/
-PorterStemFilter.java + tartarus/PorterStemmer (the classic Porter 1980
-algorithm), synonym/SynonymFilter.java).
+"""TokenFilter library: configurable analyzer stages (reference:
+lucene/analysis/common — PorterStemFilter + tartarus/PorterStemmer,
+SynonymFilter, EnglishMinimalStemFilter, TruncateTokenFilter,
+ReverseStringFilter, StemmerOverrideFilter, KeywordMarkerFilter,
+PatternReplaceFilter, LengthFilter, KeepWordFilter,
+LimitTokenCountFilter, NGramTokenFilter, EdgeNGramTokenFilter,
+ShingleFilter, CommonGramsFilter, FingerprintFilter,
+RemoveDuplicatesTokenFilter, WordDelimiterFilter,
+ASCIIFoldingFilter).
 
 Filters here are TERM TRANSFORMS: a callable str -> str applied to the
 analyzer's unique-term dictionary per batch (vectorized via Arrow
@@ -157,6 +162,78 @@ def make_synonym_transform(mapping: dict[str, str]):
     single-output rules)."""
     def transform(term: str) -> str:
         return mapping.get(term, term)
+    return transform
+
+
+def english_minimal_stem(word: str) -> str:
+    """EnglishMinimalStemFilter (lucene/analysis/common/.../en/
+    EnglishMinimalStemmer.java:24): S-stemmer plural removal only
+    (Harman 1991). Exact port of the reference's switch logic."""
+    n = len(word)
+    if n < 3 or word[-1] != "s":
+        return word
+    c = word[-2]
+    if c in ("u", "s"):
+        return word
+    if c == "e":
+        if n > 3 and word[-3] == "i" and word[-4] not in ("a", "e"):
+            return word[:-3] + "y"
+        if word[-3] in ("i", "a", "o", "e"):
+            return word
+    return word[:-1]
+
+
+def truncate_transform(length: int = 10):
+    """TruncateTokenFilter (lucene/analysis/common/.../miscellaneous/
+    TruncateTokenFilter.java:30): cut every token to a fixed prefix."""
+    def transform(term: str) -> str:
+        return term[:length]
+    return transform
+
+
+def reverse_string(term: str) -> str:
+    """ReverseStringFilter (lucene/analysis/common/.../reverse/
+    ReverseStringFilter.java:43), without the leading-edge marker
+    char variant (used by the reference for leading-wildcard support)."""
+    return term[::-1]
+
+
+def make_stem_override(overrides: dict[str, str], inner=None):
+    """StemmerOverrideFilter (lucene/analysis/common/.../miscellaneous/
+    StemmerOverrideFilter.java:39): dictionary of exact-term stems that
+    both replaces the term and marks it keyword so the downstream
+    stemmer (``inner``) leaves it alone."""
+    def transform(term: str) -> str:
+        if term in overrides:
+            return overrides[term]
+        return inner(term) if inner is not None else term
+    return transform
+
+
+def make_keyword_marker(keywords, inner):
+    """KeywordMarkerFilter (lucene/analysis/common/.../miscellaneous/
+    SetKeywordMarkerFilter.java:29) composed with a stemmer: protected
+    terms bypass ``inner`` untouched."""
+    kw = frozenset(keywords)
+
+    def transform(term: str) -> str:
+        return term if term in kw else inner(term)
+    return transform
+
+
+def make_pattern_replace(pattern: str, replacement: str,
+                         replace_all: bool = True):
+    """PatternReplaceFilter (lucene/analysis/common/.../pattern/
+    PatternReplaceFilter.java:34): regex replace within each token
+    (all occurrences by default, first-only like replaceFirst when
+    ``replace_all=False``). The compiled pattern is closure state —
+    built once, reused for every distinct term."""
+    import re as _re
+
+    rx = _re.compile(pattern)
+
+    def transform(term: str) -> str:
+        return rx.sub(replacement, term, count=0 if replace_all else 1)
     return transform
 
 
@@ -328,6 +405,205 @@ def word_delimiter_stream():
         out_pos = np.repeat(positions.astype(np.int64) + (cs - doc_base),
                             c) + within
         return out_terms, out_doc, out_pos.astype(np.int32)
+
+    return transform
+
+
+def compose_stream(*stream_transforms):
+    """Chain one→many stream stages left-to-right (the reference's
+    TokenFilter chain order for stream-level filters)."""
+    def transform(terms, doc_idx, positions):
+        for t in stream_transforms:
+            terms, doc_idx, positions = t(terms, doc_idx, positions)
+        return terms, doc_idx, positions
+    return transform
+
+
+def _filter_stream(terms, doc_idx, positions, keep):
+    import pyarrow as pa
+
+    keep_pa = pa.array(keep)
+    return terms.filter(keep_pa), doc_idx[keep], positions[keep]
+
+
+def length_stream(min_len: int = 1, max_len: int = 255):
+    """LengthFilter (lucene/analysis/common/.../miscellaneous/
+    LengthFilter.java:33): drop tokens outside [min_len, max_len].
+    FilteringTokenFilter semantics — dropped tokens leave position
+    holes (positions of survivors are unchanged), exactly like the
+    stop filter."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def transform(terms, doc_idx, positions):
+        terms = _as_array(terms)
+        lens = np.asarray(pc.utf8_length(terms))
+        keep = (lens >= min_len) & (lens <= max_len)
+        return _filter_stream(terms, doc_idx, positions, keep)
+
+    return transform
+
+
+def keep_word_stream(words):
+    """KeepWordFilter (lucene/analysis/common/.../miscellaneous/
+    KeepWordFilter.java:32): keep ONLY tokens in the given set
+    (the inverse of a stop filter), position holes preserved."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    value_set = pa.array(sorted(set(words)), type=pa.string())
+
+    def transform(terms, doc_idx, positions):
+        terms = _as_array(terms)
+        keep = np.asarray(pc.is_in(terms, value_set=value_set))
+        return _filter_stream(terms, doc_idx, positions, keep)
+
+    return transform
+
+
+def limit_token_count_stream(max_count: int):
+    """LimitTokenCountFilter (lucene/analysis/common/.../miscellaneous/
+    LimitTokenCountFilter.java:35, consumeAllTokens=false): keep only
+    the first ``max_count`` tokens of each document's stream."""
+    import numpy as np
+
+    def transform(terms, doc_idx, positions):
+        terms = _as_array(terms)
+        n = len(doc_idx)
+        if n == 0:
+            return terms, doc_idx, positions
+        # serial index within each doc run (stream is doc-grouped)
+        idx = np.arange(n, dtype=np.int64)
+        starts_mask = np.concatenate(
+            ([True], doc_idx[1:] != doc_idx[:-1]))
+        run_start = np.maximum.accumulate(np.where(starts_mask, idx, 0))
+        keep = (idx - run_start) < max_count
+        return _filter_stream(terms, doc_idx, positions, keep)
+
+    return transform
+
+
+def ngram_stream(min_gram: int = 1, max_gram: int = 2):
+    """NGramTokenFilter (lucene/analysis/common/.../ngram/
+    NGramTokenFilter.java:47): every token is replaced by ALL its
+    substrings of length min_gram..max_gram, ordered by start offset
+    then gram size; every gram keeps the origin token's position
+    (first gram posInc=orig, rest 0). Vectorized: one Arrow slice
+    kernel per (start, gram) pair — bounded by the longest token in
+    the batch, not the token count."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def transform(terms, doc_idx, positions):
+        terms = _as_array(terms)
+        if len(terms) == 0:
+            return terms, doc_idx, positions
+        lens = np.asarray(pc.utf8_length(terms))
+        longest = int(lens.max())
+        ts, ds, ps, starts, grams = [], [], [], [], []
+        for s in range(0, max(longest - min_gram + 1, 0)):
+            for g in range(min_gram, max_gram + 1):
+                sel = lens >= s + g
+                if not sel.any():
+                    break
+                sel_pa = pa.array(sel)
+                ts.append(pc.utf8_slice_codeunits(
+                    terms.filter(sel_pa), s, s + g))
+                ds.append(doc_idx[sel])
+                ps.append(positions[sel])
+                k = int(sel.sum())
+                starts.append(np.full(k, s, dtype=np.int64))
+                grams.append(np.full(k, g, dtype=np.int64))
+        if not ts:
+            return (pa.array([], type=pa.string()),
+                    np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.int32))
+        t = pa.concat_arrays([_as_array(x) for x in ts])
+        d = np.concatenate(ds)
+        p = np.concatenate(ps)
+        s_ = np.concatenate(starts)
+        g_ = np.concatenate(grams)
+        order = np.lexsort((g_, s_, p, d))
+        return t.take(pa.array(order)), d[order], p[order].astype(np.int32)
+
+    return transform
+
+
+def fingerprint_stream(sep: str = " ", max_output_token_size: int = 1024):
+    """FingerprintFilter (lucene/analysis/common/.../miscellaneous/
+    FingerprintFilter.java:43): collapse each document's token stream
+    into ONE token — the sorted, deduplicated terms joined by ``sep``
+    (the OpenRefine fingerprint used for clustering near-identical
+    records). A fingerprint longer than ``max_output_token_size`` is
+    discarded, as in the reference. Fully vectorized: one Arrow
+    table sort + adjacent-dedup + list binary_join per batch."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def transform(terms, doc_idx, positions):
+        terms = _as_array(terms)
+        n = len(doc_idx)
+        if n == 0:
+            return terms, doc_idx, positions
+        order = pc.sort_indices(
+            pa.table({"d": doc_idx, "t": terms}),
+            sort_keys=[("d", "ascending"), ("t", "ascending")])
+        t = terms.take(order)
+        d = doc_idx[np.asarray(order)]
+        dup = np.concatenate(
+            ([False], (d[1:] == d[:-1])
+             & np.asarray(pc.equal(t.slice(1, n - 1),
+                                   t.slice(0, n - 1)))))
+        t = t.filter(pa.array(~dup))
+        d = d[~dup]
+        uniq_docs, counts = np.unique(d, return_counts=True)
+        offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets), t), sep)
+        ok = np.asarray(pc.utf8_length(joined)) <= max_output_token_size
+        return (joined.filter(pa.array(ok)), uniq_docs[ok],
+                np.zeros(int(ok.sum()), dtype=np.int32))
+
+    return transform
+
+
+def common_grams_stream(common_words, sep: str = "_"):
+    """CommonGramsFilter (lucene/analysis/common/.../commongrams/
+    CommonGramsFilter.java:53): alongside each unigram, emit a bigram
+    joining positionally-adjacent tokens whenever EITHER side is a
+    common word (the high-df terms a stop filter would have dropped),
+    bigram at the first token's position with posInc=0. The reference
+    joins with '_'; use over a chain with stopwords=set() so common
+    words are still present."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    value_set = pa.array(sorted(set(common_words)), type=pa.string())
+
+    def transform(terms, doc_idx, positions):
+        terms = _as_array(terms)
+        n = len(doc_idx)
+        if n < 2:
+            return terms, doc_idx, positions
+        is_common = np.asarray(pc.is_in(terms, value_set=value_set))
+        adj = ((doc_idx[1:] == doc_idx[:-1])
+               & (positions[1:] == positions[:-1] + 1)
+               & (is_common[1:] | is_common[:-1]))
+        adj_pa = pa.array(adj)
+        a = terms.slice(0, n - 1).filter(adj_pa)
+        b = terms.slice(1, n - 1).filter(adj_pa)
+        bi = pc.binary_join_element_wise(a, b, sep)
+        t = pa.concat_arrays([terms, _as_array(bi)])
+        d = np.concatenate([doc_idx, doc_idx[:-1][adj]])
+        p = np.concatenate([positions, positions[:-1][adj]])
+        flag = np.concatenate([np.zeros(n, dtype=np.int64),
+                               np.ones(int(adj.sum()), dtype=np.int64)])
+        order = np.lexsort((flag, p, d))
+        return t.take(pa.array(order)), d[order], p[order].astype(np.int32)
 
     return transform
 

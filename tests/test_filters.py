@@ -182,6 +182,129 @@ def test_word_delimiter_stream_golden():
     assert list(r.doc_lengths) == [8, 2]
 
 
+def test_english_minimal_stem():
+    from lucene_solr_ray.analysis.filters import english_minimal_stem
+
+    # exact EnglishMinimalStemmer.java switch semantics
+    cases = {"cats": "cat", "ponies": "pony", "ties": "ty",
+             "kiss": "kiss", "bus": "bus", "apples": "apple",
+             "is": "is", "gas": "ga", "queries": "query",
+             "tables": "table", "caress": "caress"}
+    bad = {w: (english_minimal_stem(w), want)
+           for w, want in cases.items() if english_minimal_stem(w) != want}
+    assert not bad, bad
+
+
+def test_truncate_reverse_pattern_override():
+    from lucene_solr_ray.analysis.filters import (
+        make_keyword_marker, make_pattern_replace, make_stem_override,
+        reverse_string, truncate_transform)
+
+    assert truncate_transform(3)("elephant") == "ele"
+    assert truncate_transform(3)("ox") == "ox"
+    assert reverse_string("abc") == "cba"
+    pr = make_pattern_replace(r"0+$", "")
+    assert pr("v100") == "v1" and pr("x0y") == "x0y"
+    pr1 = make_pattern_replace("a", "b", replace_all=False)
+    assert pr1("banana") == "bbnana"
+    ov = make_stem_override({"running": "sprint"}, porter_stem)
+    assert ov("running") == "sprint"       # override wins, no stemming
+    assert ov("jumping") == "jump"         # others fall through to inner
+    km = make_keyword_marker({"openssl"}, porter_stem)
+    assert km("openssl") == "openssl"      # protected from the stemmer
+    assert km("queries") == "queri"
+
+
+def test_length_and_keepword_streams():
+    from lucene_solr_ray.analysis import analyze_batch
+    from lucene_solr_ray.analysis.filters import (keep_word_stream,
+                                                  length_stream)
+
+    texts = pa.array(["a bb ccc dddd"])
+    r = analyze_batch(texts, stream_transform=length_stream(2, 3),
+                      stopwords=frozenset())
+    assert r.terms.to_pylist() == ["bb", "ccc"]
+    assert list(r.positions) == [1, 2]     # holes preserved
+    assert list(r.doc_lengths) == [2]
+    r2 = analyze_batch(texts, stream_transform=keep_word_stream({"a",
+                                                                 "dddd"}),
+                       stopwords=frozenset())
+    assert r2.terms.to_pylist() == ["a", "dddd"]
+    assert list(r2.positions) == [0, 3]
+
+
+def test_limit_token_count_stream():
+    from lucene_solr_ray.analysis import analyze_batch
+    from lucene_solr_ray.analysis.filters import limit_token_count_stream
+
+    r = analyze_batch(pa.array(["one two three four", "five six"]),
+                      stream_transform=limit_token_count_stream(2),
+                      stopwords=frozenset())
+    assert r.terms.to_pylist() == ["one", "two", "five", "six"]
+    assert list(r.doc_lengths) == [2, 2]
+
+
+def test_ngram_stream_golden():
+    from lucene_solr_ray.analysis import analyze_batch
+    from lucene_solr_ray.analysis.filters import ngram_stream
+
+    r = analyze_batch(pa.array(["abc de"]),
+                      stream_transform=ngram_stream(1, 2),
+                      stopwords=frozenset())
+    # abc -> a ab b bc c ; de -> d de e  (start offset, then gram size;
+    # every gram at the origin token's position)
+    assert r.terms.to_pylist() == ["a", "ab", "b", "bc", "c",
+                                   "d", "de", "e"]
+    assert list(r.positions) == [0, 0, 0, 0, 0, 1, 1, 1]
+    assert list(r.doc_lengths) == [8]
+
+
+def test_fingerprint_stream_golden():
+    from lucene_solr_ray.analysis import analyze_batch
+    from lucene_solr_ray.analysis.filters import fingerprint_stream
+
+    r = analyze_batch(pa.array(["b a c b a", "z y", ""]),
+                      stream_transform=fingerprint_stream(),
+                      stopwords=frozenset())
+    # sorted unique terms joined — one token per non-empty doc
+    assert r.terms.to_pylist() == ["a b c", "y z"]
+    assert list(r.positions) == [0, 0]
+    assert list(r.doc_lengths) == [1, 1, 0]
+    # over-long fingerprints are discarded like the reference
+    r2 = analyze_batch(pa.array(["b a c"]),
+                       stream_transform=fingerprint_stream(
+                           max_output_token_size=4),
+                       stopwords=frozenset())
+    assert r2.terms.to_pylist() == []
+
+
+def test_common_grams_stream_golden():
+    from lucene_solr_ray.analysis import analyze_batch
+    from lucene_solr_ray.analysis.filters import common_grams_stream
+
+    r = analyze_batch(pa.array(["the quick fox"]),
+                      stream_transform=common_grams_stream({"the"}),
+                      stopwords=frozenset())
+    # bigram emitted only where a side is a common word
+    assert r.terms.to_pylist() == ["the", "the_quick", "quick", "fox"]
+    assert list(r.positions) == [0, 0, 1, 2]
+
+
+def test_compose_stream_chains_in_order():
+    from lucene_solr_ray.analysis import analyze_batch
+    from lucene_solr_ray.analysis.filters import (compose_stream,
+                                                  length_stream,
+                                                  limit_token_count_stream)
+
+    r = analyze_batch(pa.array(["a bb ccc dddd eee"]),
+                      stream_transform=compose_stream(
+                          length_stream(2, 4),
+                          limit_token_count_stream(2)),
+                      stopwords=frozenset())
+    # length filter first (drops 'a'), then first-2 cut
+    assert r.terms.to_pylist() == ["bb", "ccc"]
+
+
 def test_word_delimiter_stream_passthrough():
     from lucene_solr_ray.analysis import analyze_batch
     from lucene_solr_ray.analysis.filters import word_delimiter_stream
