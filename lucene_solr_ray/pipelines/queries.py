@@ -555,11 +555,48 @@ def _q_function_boost(term, a=100.0, k=10):
     return run
 
 
+class _ExprCtx:
+    """Index-backed value-source context (solr ValueSourceParser
+    termfreq/docfreq/totaltermfreq/numdocs/maxdoc) bound to a searcher
+    and the candidate doc array — postings decode via the same
+    liveDocs-aware path every query uses."""
+
+    def __init__(self, searcher, docs: np.ndarray):
+        self.s, self.docs = searcher, docs
+
+    def _postings(self, term: str):
+        return self.s._decode_term_global(term)
+
+    def termfreq(self, field: str, term: str) -> np.ndarray:
+        p = self._postings(term)
+        if p is None:
+            return np.zeros(len(self.docs), dtype=np.float64)
+        d, tf = p[0], p[1]
+        idx = np.clip(np.searchsorted(d, self.docs), 0, len(d) - 1)
+        return np.where(d[idx] == self.docs, tf[idx], 0) \
+            .astype(np.float64)
+
+    def docfreq(self, field: str, term: str) -> int:
+        p = self._postings(term)
+        return 0 if p is None else len(p[0])
+
+    def totaltermfreq(self, field: str, term: str) -> int:
+        p = self._postings(term)
+        return 0 if p is None else int(p[1].sum())
+
+    def numdocs(self) -> int:
+        return self.s.num_docs
+
+    def maxdoc(self) -> int:
+        return self.s.num_docs
+
+
 def _q_expr_boost(term, expr_str, k=10):
     """Compiled ValueSource expression boost (lucene/expressions
     JavascriptCompiler + solr ValueSourceParser registry): score =
-    bm25(term) · expr(doc values). The SAME parsed AST evaluates in
-    numpy here and emits the DuckDB twin (search/functionquery.py)."""
+    bm25(term) · expr(doc values, index stats). The SAME parsed AST
+    evaluates in numpy here and emits the DuckDB twin
+    (search/functionquery.py)."""
     def run(sf_dir):
         from ..search.functionquery import evaluate, expr_fields, parse_expr
 
@@ -573,7 +610,7 @@ def _q_expr_boost(term, expr_str, k=10):
             ids, vals = (s._global_dl() if f == "dl"
                          else s.global_doc_values(f))
             fields[f] = vals[np.searchsorted(ids, docs)].astype(np.float64)
-        score = base * evaluate(node, fields)
+        score = base * evaluate(node, fields, _ExprCtx(s, docs))
         order = np.lexsort((docs, -score))[:k]
         return pa.table({
             "doc_id": pa.array(docs[order], type=pa.int64()),
@@ -585,10 +622,37 @@ def _q_expr_boost(term, expr_str, k=10):
 
 
 def _expr_boost_sql(term: str, expr_str: str, k: int) -> str:
-    from ..search.functionquery import parse_expr, to_sql
+    from ..search.functionquery import (canonical, expr_index_calls,
+                                        parse_expr, to_sql)
 
-    expr_sql = to_sql(parse_expr(expr_str),
-                      {"dl": "dl.dl", "n_chars": "d.n_chars"})
+    node = parse_expr(expr_str)
+    col_of = {"dl": "dl.dl", "n_chars": "d.n_chars"}
+    joins, seen = [], {}
+    for call in expr_index_calls(node):
+        key = canonical(call)
+        if key in seen:
+            continue
+        f = call.value
+        if f in ("numdocs", "maxdoc"):
+            col_of[key] = "s.n_docs"
+        elif f == "termfreq":
+            alias = f"tfq{len(joins)}"
+            t2 = call.args[1].value
+            joins.append(
+                f"LEFT JOIN (SELECT doc_id, count(*) AS tf FROM clean "
+                f"WHERE term = '{t2}' GROUP BY doc_id) {alias} "
+                f"ON {alias}.doc_id = tf.doc_id")
+            col_of[key] = f"COALESCE({alias}.tf, 0)"
+        elif f == "docfreq":
+            t2 = call.args[1].value
+            col_of[key] = (f"(SELECT count(DISTINCT doc_id) FROM clean "
+                           f"WHERE term = '{t2}')")
+        else:   # totaltermfreq / ttf
+            t2 = call.args[1].value
+            col_of[key] = (f"(SELECT count(*) FROM clean "
+                           f"WHERE term = '{t2}')")
+        seen[key] = True
+    expr_sql = to_sql(node, col_of)
     return f"""
 WITH {_tok_ctes()},
 tf AS (SELECT doc_id, count(*) AS tf FROM clean WHERE term = '{term}'
@@ -598,7 +662,8 @@ scored AS (
   SELECT tf.doc_id AS doc_id,
          {_bm25_expr('tf.tf', 'dl.dl', 'dfx.df')} * {expr_sql} AS score
   FROM tf JOIN dl USING (doc_id)
-          JOIN documents d ON d.doc_id = tf.doc_id, dfx, stats s
+          JOIN documents d ON d.doc_id = tf.doc_id
+          {' '.join(joins)}, dfx, stats s
 )
 {_sql_topk('scored', k)}
 """
@@ -1756,6 +1821,14 @@ def build_queries() -> dict:
         "ft_shingle": _q_shingle("fast", "table"),
         "ft_expr_boost": _q_expr_boost(
             "table", "product(recip(dl,1,100,100),sqrt(n_chars))"),
+        "ft_expr_math": _q_expr_boost(
+            "customer",
+            "if(mod(n_chars,2),sqrt(dl),recip(dl,1,50,50))"),
+        "ft_expr_dist": _q_expr_boost(
+            "vector", "recip(dist(1,dl,n_chars,40,300),1,500,500)"),
+        "ft_expr_termfreq": _q_expr_boost(
+            "table",
+            "product(sum(1,termfreq(text,'vector')),recip(dl,1,100,100))"),
         "ft_external_boost": _q_external_boost("table"),
         "ft_elevation": _q_elevation("table"),
         "ft_suggest_weighted": _q_suggest_weighted("s"),
@@ -1876,6 +1949,15 @@ def build_oracle_sql() -> dict:
         "ft_shingle": _shingle_sql("fast", "table", 10),
         "ft_expr_boost": _expr_boost_sql(
             "table", "product(recip(dl,1,100,100),sqrt(n_chars))", 10),
+        "ft_expr_math": _expr_boost_sql(
+            "customer",
+            "if(mod(n_chars,2),sqrt(dl),recip(dl,1,50,50))", 10),
+        "ft_expr_dist": _expr_boost_sql(
+            "vector", "recip(dist(1,dl,n_chars,40,300),1,500,500)", 10),
+        "ft_expr_termfreq": _expr_boost_sql(
+            "table",
+            "product(sum(1,termfreq(text,'vector')),recip(dl,1,100,100))",
+            10),
         "ft_external_boost": _external_boost_sql("table", 10),
         "ft_elevation": _elevation_sql("table", 2, 10),
         "ft_suggest_weighted": _suggest_weighted_sql("s", 10, "lang", "en"),

@@ -12,19 +12,35 @@ One expression string compiles to ONE AST with two emitters:
   checks the compiler itself).
 
 Functions (ValueSourceParser names): sum, product, sub, div, recip,
-linear, max, min, sqrt, abs, pow, floor, ceil, map, scale, const
-literals and field refs. ``map(x,min,max,target)`` is
-MapFloatFunction; ``scale(x,minTo,maxTo)`` is ScaleFloatFunction,
-normalizing over the EVALUATED doc set (the reference scales over all
-docs — identical when the expression runs over a full-corpus CTE, a
-documented deviation otherwise; min/max reductions are order-exact so
-bit-parity holds).
+linear, max, min, sqrt, abs, pow, floor, ceil, map, scale, mod, if,
+def, exists, sqedist, dist, const literals and field refs.
+``map(x,min,max,target)`` is MapFloatFunction;
+``scale(x,minTo,maxTo)`` is ScaleFloatFunction, normalizing over the
+EVALUATED doc set (the reference scales over all docs — identical
+when the expression runs over a full-corpus CTE, a documented
+deviation otherwise; min/max reductions are order-exact so
+bit-parity holds). ``mod`` is IEEE fmod on both sides; ``if(t,a,b)``
+treats nonzero as true (solr IfFunction over a numeric test);
+``def(x,d)``/``exists(x)`` read missing as NaN on the numpy side and
+NULL on the SQL side; ``sqedist(a1,..,b1,..)``/``dist(p,a1,..,b1,..)``
+are SquaredEuclideanFunction / VectorDistanceFunction with the first
+half of the coordinates point A and the second half point B (p ∈
+{1, 2}), left-folded so both emitters associate identically.
+
+Index-backed value sources (solr ValueSourceParser `termfreq`,
+`docfreq`, `totaltermfreq`, `numdocs`, `maxdoc`) read postings via a
+``ctx`` — see ``SearcherContext`` duck type in ``evaluate`` — and take
+a quoted term: ``termfreq(content,'data')``. Their SQL twins cannot
+be emitted locally (they need the caller's tokenization CTEs), so
+``to_sql`` resolves them through ``col_of`` keyed by the CANONICAL
+call string (``canonical(node)``), e.g. col_of["termfreq(content,
+'data')"] = "COALESCE(tf2.tf, 0)".
 ``log``/``ln`` is implemented for parity of surface but is NOT used in
 oracle-paired expressions: numpy's SIMD log differs from libm's in the
 last bit on some inputs (see CLAUDE.md), which would break hash
 equality.
 
-Grammar:  expr := NUMBER | IDENT | IDENT '(' expr (',' expr)* ')'
+Grammar:  expr := NUMBER | STRING | IDENT | IDENT '(' [expr (',' expr)*] ')'
 """
 
 from __future__ import annotations
@@ -33,14 +49,15 @@ import re
 
 import numpy as np
 
-_TOKEN = re.compile(r"\s*([A-Za-z_][A-Za-z_0-9]*|-?\d+(?:\.\d+)?|[(),])")
+_TOKEN = re.compile(
+    r"\s*([A-Za-z_][A-Za-z_0-9]*|-?\d+(?:\.\d+)?|'[^']*'|[(),])")
 
 
 class ExprNode:
     __slots__ = ("kind", "value", "args")
 
     def __init__(self, kind: str, value=None, args=()):
-        self.kind = kind       # "num" | "field" | "call"
+        self.kind = kind       # "num" | "str" | "field" | "call"
         self.value = value
         self.args = list(args)
 
@@ -67,10 +84,15 @@ def parse_expr(s: str) -> ExprNode:
         t = take()
         if re.fullmatch(r"-?\d+(?:\.\d+)?", t):
             return ExprNode("num", float(t))
+        if t.startswith("'") and t.endswith("'"):
+            return ExprNode("str", t[1:-1])
         if not re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", t):
             raise ValueError(f"unexpected token {t!r} in {s!r}")
         if peek() == "(":
             take()
+            if peek() == ")":        # zero-arg call: numdocs(), maxdoc()
+                take()
+                return ExprNode("call", t, [])
             args = [expr()]
             while peek() == ",":
                 take()
@@ -93,16 +115,63 @@ def _fold(op, parts):
     return acc
 
 
-def evaluate(node: ExprNode, fields: dict[str, np.ndarray]) -> np.ndarray:
+#: functions whose first (or only) argument is an index FIELD name and
+#: whose optional second is a quoted term — resolved via ``ctx``, not
+#: the numeric ``fields`` map.
+INDEX_FUNCS = frozenset(
+    {"termfreq", "docfreq", "totaltermfreq", "ttf", "numdocs", "maxdoc"})
+
+
+def canonical(node: ExprNode) -> str:
+    """Canonical source form of a (sub)expression — the ``col_of`` key
+    for index-backed value sources in ``to_sql``."""
+    if node.kind == "num":
+        v = node.value
+        return repr(int(v)) if float(v).is_integer() else repr(v)
+    if node.kind == "str":
+        return f"'{node.value}'"
+    if node.kind == "field":
+        return node.value
+    return f"{node.value}(" + ",".join(canonical(a)
+                                       for a in node.args) + ")"
+
+
+def _eval_index_func(node: ExprNode, ctx) -> np.ndarray:
+    f = node.value
+    if ctx is None:
+        raise ValueError(f"{f}() needs an index context (ctx=)")
+    if f in ("numdocs", "maxdoc"):
+        return np.float64(getattr(ctx, f)())
+    field = node.args[0].value     # bare field ident, not evaluated
+    term = node.args[1].value      # quoted term literal
+    if f == "termfreq":
+        return ctx.termfreq(field, term).astype(np.float64)
+    if f == "docfreq":
+        return np.float64(ctx.docfreq(field, term))
+    return np.float64(ctx.totaltermfreq(field, term))   # ttf alias
+
+
+def evaluate(node: ExprNode, fields: dict[str, np.ndarray],
+             ctx=None) -> np.ndarray:
     """Vectorized evaluation; left-fold for n-ary sum/product so the SQL
-    twin's ``a + b + c`` associates identically."""
+    twin's ``a + b + c`` associates identically.
+
+    ``ctx`` (optional) resolves index-backed sources; duck type:
+    ``termfreq(field, term) -> np.ndarray`` aligned to the candidate
+    docs, ``docfreq/totaltermfreq(field, term) -> int``,
+    ``numdocs()/maxdoc() -> int``.
+    """
     if node.kind == "num":
         return np.float64(node.value)
+    if node.kind == "str":
+        raise ValueError("string literal outside an index function")
     if node.kind == "field":
         if node.value not in fields:
             raise KeyError(f"unknown field {node.value!r}")
         return fields[node.value].astype(np.float64)
-    args = [evaluate(a, fields) for a in node.args]
+    if node.value in INDEX_FUNCS:
+        return _eval_index_func(node, ctx)
+    args = [evaluate(a, fields, ctx) for a in node.args]
     f = node.value
     if f == "sum":
         return _fold(lambda a, b: a + b, args)
@@ -139,6 +208,38 @@ def evaluate(node: ExprNode, fields: dict[str, np.ndarray]) -> np.ndarray:
         x, lo, hi = args
         xmin, xmax = np.min(x), np.max(x)
         return (x - xmin) * (hi - lo) / (xmax - xmin) + lo
+    if f == "mod":        # ModFloatFunction — IEEE fmod both sides
+        return np.fmod(args[0], args[1])
+    if f == "if":         # IfFunction: nonzero test picks arg1
+        t, a, b = args
+        return np.where(np.asarray(t) != 0, a, b).astype(np.float64) \
+            if np.ndim(t) or np.ndim(a) or np.ndim(b) \
+            else np.float64(a if t != 0 else b)
+    if f == "def":        # DefFunction: default where missing (NaN)
+        x, d = args
+        return np.where(np.isnan(x), d, x) if np.ndim(x) \
+            else (d if np.isnan(x) else x)
+    if f == "exists":     # ExistsFunction
+        x = args[0]
+        return (~np.isnan(x)).astype(np.float64) if np.ndim(x) \
+            else np.float64(0.0 if np.isnan(x) else 1.0)
+    if f == "sqedist":    # SquaredEuclideanFunction: A=first half, B=rest
+        h = len(args) // 2
+        parts = [(args[i] - args[h + i]) * (args[i] - args[h + i])
+                 for i in range(h)]
+        return _fold(lambda a, b: a + b, parts)
+    if f == "dist":       # VectorDistanceFunction, p in {1, 2}
+        p = int(args[0])
+        rest = args[1:]
+        h = len(rest) // 2
+        if p == 1:
+            parts = [np.abs(rest[i] - rest[h + i]) for i in range(h)]
+            return _fold(lambda a, b: a + b, parts)
+        if p == 2:
+            parts = [(rest[i] - rest[h + i]) * (rest[i] - rest[h + i])
+                     for i in range(h)]
+            return np.sqrt(_fold(lambda a, b: a + b, parts))
+        raise ValueError("dist(): only p=1 and p=2 are supported")
     if f in ("log", "ln"):
         return np.log(args[0])   # NOT oracle-safe; see module docstring
     raise ValueError(f"unknown function {f!r}")
@@ -146,12 +247,22 @@ def evaluate(node: ExprNode, fields: dict[str, np.ndarray]) -> np.ndarray:
 
 def to_sql(node: ExprNode, col_of: dict[str, str]) -> str:
     """Emit the identical expression as DuckDB SQL. ``col_of`` maps field
-    names to SQL column references."""
+    names to SQL column references; index-backed calls (termfreq, …)
+    are resolved by their CANONICAL call string — the caller supplies
+    the CTE-backed rendering."""
     if node.kind == "num":
         v = node.value
         return repr(int(v)) if float(v).is_integer() else repr(v)
+    if node.kind == "str":
+        raise ValueError("string literal outside an index function")
     if node.kind == "field":
         return f"CAST({col_of[node.value]} AS DOUBLE)"
+    if node.value in INDEX_FUNCS:
+        key = canonical(node)
+        if key not in col_of:
+            raise KeyError(
+                f"no SQL rendering supplied for index source {key!r}")
+        return f"CAST({col_of[key]} AS DOUBLE)"
     args = [to_sql(a, col_of) for a in node.args]
     f = node.value
     if f == "sum":
@@ -190,6 +301,32 @@ def to_sql(node: ExprNode, col_of: dict[str, str]) -> str:
         x, lo, hi = args
         return (f"(({x} - min({x}) OVER ()) * ({hi} - {lo}) "
                 f"/ (max({x}) OVER () - min({x}) OVER ()) + {lo})")
+    if f == "mod":
+        return f"fmod({args[0]}, {args[1]})"
+    if f == "if":
+        return (f"(CASE WHEN {args[0]} <> 0 THEN {args[1]} "
+                f"ELSE {args[2]} END)")
+    if f == "def":
+        return f"COALESCE({args[0]}, {args[1]})"
+    if f == "exists":
+        return f"(CASE WHEN {args[0]} IS NOT NULL THEN 1.0 ELSE 0.0 END)"
+    if f == "sqedist":
+        h = len(args) // 2
+        parts = [f"({args[i]} - {args[h + i]}) * ({args[i]} - {args[h + i]})"
+                 for i in range(h)]
+        return "(" + " + ".join(parts) + ")"
+    if f == "dist":
+        p = node.args[0]
+        if p.kind != "num" or int(p.value) not in (1, 2):
+            raise ValueError("dist(): only literal p=1 / p=2")
+        rest = args[1:]
+        h = len(rest) // 2
+        if int(p.value) == 1:
+            parts = [f"abs({rest[i]} - {rest[h + i]})" for i in range(h)]
+            return "(" + " + ".join(parts) + ")"
+        parts = [f"({rest[i]} - {rest[h + i]}) * ({rest[i]} - {rest[h + i]})"
+                 for i in range(h)]
+        return "sqrt((" + " + ".join(parts) + "))"
     if f in ("log", "ln"):
         return f"ln({args[0]})"
     raise ValueError(f"unknown function {f!r}")
@@ -198,7 +335,21 @@ def to_sql(node: ExprNode, col_of: dict[str, str]) -> str:
 def expr_fields(node: ExprNode) -> set[str]:
     if node.kind == "field":
         return {node.value}
+    if node.kind == "call" and node.value in INDEX_FUNCS:
+        return set()     # field arg is an index field, not doc values
     out: set[str] = set()
     for a in node.args:
         out |= expr_fields(a)
+    return out
+
+
+def expr_index_calls(node: ExprNode) -> list[ExprNode]:
+    """All index-backed call nodes in the tree (for callers building
+    the SQL CTEs that back them)."""
+    if node.kind == "call" and node.value in INDEX_FUNCS:
+        return [node]
+    out: list[ExprNode] = []
+    if node.kind == "call":
+        for a in node.args:
+            out.extend(expr_index_calls(a))
     return out

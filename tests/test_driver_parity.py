@@ -91,7 +91,8 @@ def test_all_queries_have_oracles_or_are_documented():
     "rel_collapse_expand",
     "ft_multi_phrase", "ft_span_first", "ft_span_not", "ft_span_or",
     "ft_blended_term", "ft_edge_ngram", "ft_shingle",
-    "ft_expr_boost", "ft_external_boost", "ft_elevation",
+    "ft_expr_boost", "ft_expr_math", "ft_expr_dist", "ft_expr_termfreq",
+    "ft_external_boost", "ft_elevation",
     "ft_suggest_weighted", "rel_sampled_facet",
     "ft_dv_numbers", "ft_dv_terms",
     "stream_expr_rollup", "stream_expr_join_top", "ft_term_automaton",

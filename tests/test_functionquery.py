@@ -74,6 +74,65 @@ def test_scale_matches_duckdb_bitwise():
     assert np.array_equal(mine, got)  # bit-for-bit
 
 
+def test_index_backed_sources_golden():
+    """termfreq/docfreq/totaltermfreq/numdocs resolved through a ctx;
+    to_sql renders them via canonical-keyed col_of."""
+    from lucene_solr_ray.search.functionquery import (canonical,
+                                                      expr_index_calls)
+
+    class Ctx:
+        def termfreq(self, f, t):
+            assert (f, t) == ("text", "data")
+            return np.array([3.0, 0.0, 7.0])
+
+        def docfreq(self, f, t):
+            return 10
+
+        def totaltermfreq(self, f, t):
+            return 40
+
+        def numdocs(self):
+            return 100
+
+        def maxdoc(self):
+            return 100
+
+    n = parse_expr("product(sum(1,termfreq(text,'data')),"
+                   "div(numdocs(),docfreq(text,'data')))")
+    assert expr_fields(n) == set()       # index args aren't doc values
+    assert [canonical(c) for c in expr_index_calls(n)] == \
+        ["termfreq(text,'data')", "numdocs()", "docfreq(text,'data')"]
+    out = evaluate(n, {}, Ctx())
+    assert list(out) == [40.0, 10.0, 80.0]
+    sql = to_sql(n, {"termfreq(text,'data')": "COALESCE(tf2.tf, 0)",
+                     "numdocs()": "s.n_docs",
+                     "docfreq(text,'data')": "dfx.df2"})
+    assert "COALESCE(tf2.tf, 0)" in sql and "dfx.df2" in sql
+    with pytest.raises(ValueError):      # no ctx supplied
+        evaluate(parse_expr("termfreq(text,'data')"), {})
+    with pytest.raises(KeyError):        # no SQL rendering supplied
+        to_sql(parse_expr("numdocs()"), {})
+
+
+def test_new_scalar_functions_golden():
+    x = np.array([1.0, 2.0, 3.0, 4.0])
+    assert list(evaluate(parse_expr("mod(x,3)"), {"x": x})) == \
+        [1.0, 2.0, 0.0, 1.0]
+    assert list(evaluate(parse_expr("if(mod(x,2),10,20)"), {"x": x})) == \
+        [10.0, 20.0, 10.0, 20.0]
+    nanx = np.array([1.0, np.nan])
+    assert list(evaluate(parse_expr("def(x,9)"), {"x": nanx})) == [1.0, 9.0]
+    assert list(evaluate(parse_expr("exists(x)"), {"x": nanx})) == [1.0, 0.0]
+    assert list(evaluate(parse_expr("sqedist(x,x,0,0)"), {"x": x})) == \
+        [2.0, 8.0, 18.0, 32.0]
+    assert list(evaluate(parse_expr("dist(1,x,x,0,0)"), {"x": x})) == \
+        [2.0, 4.0, 6.0, 8.0]
+    assert list(evaluate(parse_expr("dist(2,x,0,3,0)"), {"x": x})) == \
+        [2.0, 1.0, 0.0, 1.0]
+    with pytest.raises(ValueError):
+        evaluate(parse_expr("dist(3,x,0)"), {"x": x})
+
+
 def test_parse_errors():
     for bad in ("recip(", "1 2", "foo(1,)", "nope(1)@"):
         with pytest.raises(ValueError):
@@ -122,6 +181,17 @@ def _expr_strategy(depth=0):
             lambda t: f"recip({t[0]},{t[1]},{t[2]},{t[3]})"),
         st.tuples(sub, st.integers(1, 9), st.integers(0, 9)).map(
             lambda t: f"linear({t[0]},{t[1]},{t[2]})"),
+        st.tuples(sub, st.integers(2, 13)).map(
+            lambda t: f"mod({t[0]},{t[1]})"),
+        st.tuples(sub, sub, sub).map(
+            lambda t: f"if({t[0]},{t[1]},{t[2]})"),
+        st.tuples(sub, st.integers(0, 99)).map(
+            lambda t: f"def({t[0]},{t[1]})"),
+        st.tuples(sub, sub, st.integers(0, 99), st.integers(0, 99)).map(
+            lambda t: f"sqedist({t[0]},{t[1]},{t[2]},{t[3]})"),
+        st.tuples(st.sampled_from([1, 2]), sub, sub,
+                  st.integers(0, 99), st.integers(0, 99)).map(
+            lambda t: f"dist({t[0]},{t[1]},{t[2]},{t[3]},{t[4]})"),
     )
     return st.one_of(leaf, call)
 
