@@ -875,6 +875,35 @@ scored AS (SELECT doc_id, CAST(n AS DOUBLE) AS score FROM spans)
 """
 
 
+def _surround_expand_sql(op1: str, op2: str, slop: int, k: int,
+                         ordered: bool = True) -> str:
+    """Twin of a surround distance op with multi-expansion operands
+    (prefix/wildcard SimpleTerms inside a DistanceQuery): each operand
+    becomes a LIKE predicate over the token stream — the same match set
+    as the engine's term-dictionary expansion."""
+    def cond(alias: str, op: str) -> str:
+        if op.endswith("*") and "*" not in op[:-1] and "?" not in op:
+            return f"{alias}.term LIKE '{op[:-1]}%'"
+        if "*" in op or "?" in op:
+            pat = op.replace("*", "%").replace("?", "_")
+            return f"{alias}.term LIKE '{pat}'"
+        return f"{alias}.term = '{op}'"
+    win = (f"b.pos > a.pos AND b.pos <= a.pos + {slop}" if ordered else
+           f"b.pos <> a.pos AND b.pos >= a.pos - {slop} "
+           f"AND b.pos <= a.pos + {slop}")
+    return f"""
+WITH {_tok_ctes()},
+spans AS (
+  SELECT a.doc_id, count(*) AS n
+  FROM clean a JOIN clean b
+    ON a.doc_id = b.doc_id AND {win}
+  WHERE {cond('a', op1)} AND {cond('b', op2)}
+  GROUP BY a.doc_id),
+scored AS (SELECT doc_id, CAST(n AS DOUBLE) AS score FROM spans)
+{_sql_topk('scored', k)}
+"""
+
+
 def _q_multi_phrase(slots, k=10):
     def run(sf_dir):
         return _topk_table(_searcher(sf_dir).search_multi_phrase(slots, k=k))
@@ -1848,6 +1877,8 @@ def build_queries() -> dict:
         "ft_complex_phrase": _q_complex_phrase("(fast slow) tab*"),
         "ft_surround_w": _q_surround("key 2w order"),
         "ft_surround_n": _q_surround("fast 3n table"),
+        "ft_surround_expand": _q_surround("key 2w ord*"),
+        "ft_surround_expand_n": _q_surround("ta* 3n scan"),
         "ft_xml_parsed": _q_xml(
             '<BooleanQuery>'
             '<Clause occurs="must"><TermQuery>table</TermQuery></Clause>'
@@ -1977,6 +2008,10 @@ def build_oracle_sql() -> dict:
                                                 ["table"]], 10),
         "ft_surround_w": _span_near_sql("key", "order", 2, 20),
         "ft_surround_n": _span_near_unordered_sql("fast", "table", 3, 20),
+        "ft_surround_expand": _surround_expand_sql("key", "ord*", 2, 20,
+                                                   ordered=True),
+        "ft_surround_expand_n": _surround_expand_sql("ta*", "scan", 3, 20,
+                                                     ordered=False),
         # the XML DSL reduces to the same tree as "+table +customer vector"
         "ft_xml_parsed": ft_bool_sql(["table", "customer"], ["vector"],
                                      [], 0, 10),

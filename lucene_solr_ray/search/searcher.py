@@ -887,41 +887,74 @@ class IndexSearcher:
         of consecutive terms with 0 < Δpos ≤ slop (ordered) or
         1 ≤ |Δpos| ≤ slop (unordered, the surround parser's N operator).
         Returns (docs, int64 counts)."""
+        return self._span_near_slots([[t] for t in terms], slop,
+                                     ordered=ordered)
+
+    def _span_near_slots(self, slots: list[list[str]], slop: int,
+                         ordered: bool = True):
+        """Generalized span-near over per-position term SETS (the
+        surround parser's multi-expansion operands — a prefix/wildcard
+        operand inside a DistanceQuery expands to a SpanOr of terms,
+        surround/query/DistanceQuery.java + SimpleTerm): per doc, count
+        position pairs between CONSECUTIVE slots where the pair's
+        Δpos satisfies the window. A slot matches at a position if ANY
+        of its alternative terms does."""
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
         posting = {}
-        for t in terms:
-            p = self._decode_term_global(t, positions=True)
-            if p is None:
+        for slot in slots:
+            for t in slot:
+                if t not in posting:
+                    posting[t] = self._decode_term_global(t, positions=True)
+        slot_docs = []
+        for slot in slots:
+            ds = [posting[t][0] for t in slot if posting[t] is not None]
+            if not ds:
                 return empty
-            posting[t] = p
-        cand = posting[terms[0]][0]
-        for t in terms[1:]:
-            cand = np.intersect1d(cand, posting[t][0], assume_unique=True)
+            slot_docs.append(np.unique(np.concatenate(ds))
+                             if len(ds) > 1 else ds[0])
+        cand = slot_docs[0]
+        for d in slot_docs[1:]:
+            cand = np.intersect1d(cand, d, assume_unique=True)
         if len(cand) == 0:
             return empty
         # vectorized: pack (candidate-doc-rank, pos); for each consecutive
-        # term pair count b-tokens in the window by searchsorted over the
+        # slot pair count b-tokens in the window by searchsorted over the
         # packed key space (windows never cross doc boundaries because
         # slop << the rank shift)
         SHIFT = np.int64(1) << np.int64(24)
 
-        def packed(t):
-            docs, tfs, _, pos = posting[t]
-            doc_rep = np.repeat(docs, tfs)
-            r = np.searchsorted(cand, doc_rep)
-            rc = np.clip(r, 0, len(cand) - 1)
-            m = cand[rc] == doc_rep
-            return rc[m] * SHIFT + pos[m]
+        def packed(slot):
+            kks = []
+            for t in slot:
+                p = posting[t]
+                if p is None:
+                    continue
+                docs, tfs, _, pos = p
+                doc_rep = np.repeat(docs, tfs)
+                r = np.searchsorted(cand, doc_rep)
+                rc = np.clip(r, 0, len(cand) - 1)
+                m = cand[rc] == doc_rep
+                kks.append(rc[m] * SHIFT + pos[m])
+            # alternatives never share a (doc, pos): one token per position
+            k = np.concatenate(kks)
+            if len(kks) > 1:
+                k = np.unique(k)
+            return k
 
         counts = np.zeros(len(cand), dtype=np.int64)
-        for a, b in zip(terms[:-1], terms[1:]):
+        for a, b in zip(slots[:-1], slots[1:]):
             ka = packed(a)
             kb = packed(b)
             start = ka - slop if not ordered else ka + 1
             lo = np.searchsorted(kb, start, side="left")
             hi = np.searchsorted(kb, ka + slop, side="right")
             n_hits = hi - lo
-            # distinct terms never share a position, so Δ=0 can't occur
+            if not ordered and set(a) & set(b):
+                # overlapping slot vocabularies can self-match at Δ=0;
+                # a span never pairs a token with itself
+                eq = (np.searchsorted(kb, ka, side="right")
+                      - np.searchsorted(kb, ka, side="left"))
+                n_hits = n_hits - eq
             np.add.at(counts, (ka // SHIFT).astype(np.int64), n_hits)
         hit = counts > 0
         return cand[hit], counts[hit]
@@ -1492,6 +1525,20 @@ class IndexSearcher:
             d, c = self._span_near_all(node["terms"], node.get("slop", 1),
                                        ordered=node.get("ordered", True))
             return d, c.astype(np.float64)  # score = match count
+        if nt == "span_near_multi":
+            # distance op with multi-expansion operands (surround
+            # DistanceQuery over SimpleTerm prefix/wildcard): expand each
+            # operand against the term dictionary, then span over slots
+            slots = []
+            for atom in node["slots"]:
+                if atom["type"] == "term":
+                    slots.append([atom["term"]])
+                else:
+                    slots.append(self.expand_terms(atom["type"],
+                                                   atom["param"]))
+            d, c = self._span_near_slots(slots, node.get("slop", 1),
+                                         ordered=node.get("ordered", True))
+            return d, c.astype(np.float64)
         if nt == "match_all":
             ids, _ = self._global_dl()
             return ids, np.full(len(ids), 1.0)  # MatchAllDocsQuery

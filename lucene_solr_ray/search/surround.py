@@ -9,9 +9,11 @@ combined with AND/OR/NOT and parentheses; trailing-``*`` prefixes and
 
 Precedence (surround's grammar): distance operators bind tightest,
 then NOT, then AND, then OR. Distance chains (``a w b w c``) become one
-multi-term span. Distance operands must be single terms here (the
-reference allows nested OR inside a distance query — out of scope,
-documented).
+multi-term span. Distance operands may be single terms, trailing-``*``
+prefixes, or ``?``/``*`` wildcards (SimpleTerm subqueries of the
+reference's DistanceQuery — each expands against the term dictionary
+to a per-position alternative set at search time). Nested OR inside a
+distance query remains out of scope, documented.
 
 Scoring: distance nodes score by pair count (the engine's span family);
 AND/OR/NOT combine through the boolean tree evaluator. The reference
@@ -104,7 +106,7 @@ class _Parser:
     # whole chain (the reference builds one DistanceQuery per chain)
     def dist_expr(self):
         left = self.atom()
-        terms = None
+        slots = None
         slop = 1
         ordered = True
         while (m := self.peek()) is not None and m.group("dist"):
@@ -112,18 +114,24 @@ class _Parser:
             n = int(m.group("dn")) if m.group("dn") else 1
             kind = m.group("dk").lower()
             nxt = self.atom()
-            check = [nxt] if terms is not None else [left, nxt]
+            check = [nxt] if slots is not None else [left, nxt]
             for node in check:
-                if node["type"] != "term":
+                if node["type"] not in ("term", "prefix", "wildcard"):
                     raise SurroundParseError(
-                        "distance operands must be single terms")
-            if terms is None:
-                terms = [left["term"]]
-            terms.append(nxt["term"])
+                        "distance operands must be terms, prefixes or "
+                        "wildcards")
+            if slots is None:
+                slots = [left]
+            slots.append(nxt)
             slop = max(slop, n)
             ordered = ordered and (kind == "w")
-            left = {"type": "span_near", "terms": terms, "slop": slop,
-                    "ordered": ordered}
+            if all(a["type"] == "term" for a in slots):
+                left = {"type": "span_near",
+                        "terms": [a["term"] for a in slots],
+                        "slop": slop, "ordered": ordered}
+            else:
+                left = {"type": "span_near_multi", "slots": list(slots),
+                        "slop": slop, "ordered": ordered}
         return left
 
     def atom(self):

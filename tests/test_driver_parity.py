@@ -98,7 +98,8 @@ def test_all_queries_have_oracles_or_are_documented():
     "stream_expr_rollup", "stream_expr_join_top", "ft_term_automaton",
     "ft_edismax", "ft_word_delimiter", "ft_simple_parsed",
     "ft_simple_not", "ft_complex_phrase", "ft_surround_w",
-    "ft_surround_n", "ft_xml_parsed",
+    "ft_surround_n", "ft_surround_expand", "ft_surround_expand_n",
+    "ft_xml_parsed",
     "dih_full_import",
 ])
 def test_query_matches_oracle(name, con, ray_session):

@@ -282,14 +282,42 @@ def test_surround_boolean_composition(idx):
     assert set(r["doc_id"].to_pylist()) == {5}
     r = idx.search_surround("(fast w table) NOT dup", k=10)
     assert set(r["doc_id"].to_pylist()) == {1}
-    # prefix atoms work in boolean context; in a distance op they are a
-    # documented restriction and raise
+    # prefix atoms work in boolean context
     r = idx.search_surround("fa* AND table", k=10)
     assert set(r["doc_id"].to_pylist()) == {1, 5}
+    # phrases (multi-token words) still can't be distance operands
     from lucene_solr_ray.search.surround import SurroundParseError
 
     with pytest.raises(SurroundParseError):
-        idx.search_surround("fa* w table", k=10)
+        idx.search_surround("(fast AND slow) w table", k=10)
+
+
+def test_surround_multi_expansion_operands(idx):
+    from lucene_solr_ray.search.surround import parse_surround
+
+    t = parse_surround("fa* w table")
+    assert t["type"] == "span_near_multi" and t["slop"] == 1
+    assert t["slots"][0] == {"type": "prefix", "param": "fa"}
+    # prefix operand expands against the term dict: fa* → fast
+    a = idx.search_surround("fa* w table", k=10)
+    b = idx.search_surround("fast w table", k=10)
+    assert a.to_pydict() == b.to_pydict()
+    assert set(a["doc_id"].to_pylist()) == {1, 5}
+    # wildcard operand on the right side, unordered
+    n = idx.search_surround("scan 3n fas?", k=10)
+    assert 1 in n["doc_id"].to_pylist()
+    # expansion that matches several terms: s* near table hits scan AND
+    # slow docs, same counts as the union semantics
+    r = idx.search_surround("ta* 2w s*", k=10)
+    assert set(r["doc_id"].to_pylist()) >= {1, 3}
+    # self-overlapping unordered slots never pair a token with itself
+    r2 = idx.search_surround("fast 2n fast", k=10)
+    assert r2.num_rows == 0
+    # empty expansion matches nothing
+    assert idx.search_surround("zzz* w table", k=10).num_rows == 0
+    # chains mixing terms and expansions
+    c = parse_surround("fast w ta* w scan")
+    assert c["type"] == "span_near_multi" and len(c["slots"]) == 3
 
 
 # ---------------------------------------------------------------------------
