@@ -590,6 +590,18 @@ class _ExprCtx:
     def maxdoc(self) -> int:
         return self.s.num_docs
 
+    def query(self, term: str) -> np.ndarray:
+        """QueryValueSource (lucene/queries/.../function/valuesource/
+        QueryValueSource.java): the subquery's score per candidate doc,
+        0 where it doesn't match. Term subqueries only — the quoted
+        string is analyzed as one term."""
+        d, sc = self.s.eval_node({"type": "term", "term": term})
+        if len(d) == 0:
+            return np.zeros(len(self.docs), dtype=np.float64)
+        idx = np.clip(np.searchsorted(d, self.docs), 0, len(d) - 1)
+        return np.where(d[idx] == self.docs, sc[idx], 0.0) \
+            .astype(np.float64)
+
 
 def _q_expr_boost(term, expr_str, k=10):
     """Compiled ValueSource expression boost (lucene/expressions
@@ -643,6 +655,19 @@ def _expr_boost_sql(term: str, expr_str: str, k: int) -> str:
                 f"WHERE term = '{t2}' GROUP BY doc_id) {alias} "
                 f"ON {alias}.doc_id = tf.doc_id")
             col_of[key] = f"COALESCE({alias}.tf, 0)"
+        elif f == "query":
+            alias = f"qj{len(joins)}"
+            t2 = call.args[0].value
+            joins.append(
+                f"LEFT JOIN (SELECT t2.doc_id, "
+                f"{_bm25_expr('t2.tf', 'dl.dl', 'df2.df')} AS score "
+                f"FROM (SELECT doc_id, count(*) AS tf FROM clean "
+                f"WHERE term = '{t2}' GROUP BY doc_id) t2 "
+                f"JOIN dl USING (doc_id), "
+                f"(SELECT count(DISTINCT doc_id) AS df FROM clean "
+                f"WHERE term = '{t2}') df2, stats s) {alias} "
+                f"ON {alias}.doc_id = tf.doc_id")
+            col_of[key] = f"COALESCE({alias}.score, 0)"
         elif f == "docfreq":
             t2 = call.args[1].value
             col_of[key] = (f"(SELECT count(DISTINCT doc_id) FROM clean "
@@ -1858,6 +1883,8 @@ def build_queries() -> dict:
         "ft_expr_termfreq": _q_expr_boost(
             "table",
             "product(sum(1,termfreq(text,'vector')),recip(dl,1,100,100))"),
+        "ft_expr_query": _q_expr_boost(
+            "table", "sum(1,query('vector'))"),
         "ft_external_boost": _q_external_boost("table"),
         "ft_elevation": _q_elevation("table"),
         "ft_suggest_weighted": _q_suggest_weighted("s"),
@@ -1989,6 +2016,8 @@ def build_oracle_sql() -> dict:
             "table",
             "product(sum(1,termfreq(text,'vector')),recip(dl,1,100,100))",
             10),
+        "ft_expr_query": _expr_boost_sql(
+            "table", "sum(1,query('vector'))", 10),
         "ft_external_boost": _external_boost_sql("table", 10),
         "ft_elevation": _elevation_sql("table", 2, 10),
         "ft_suggest_weighted": _suggest_weighted_sql("s", 10, "lang", "en"),

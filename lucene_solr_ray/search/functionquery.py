@@ -28,7 +28,9 @@ half of the coordinates point A and the second half point B (p ∈
 {1, 2}), left-folded so both emitters associate identically.
 
 Index-backed value sources (solr ValueSourceParser `termfreq`,
-`docfreq`, `totaltermfreq`, `numdocs`, `maxdoc`) read postings via a
+`docfreq`, `totaltermfreq`, `numdocs`, `maxdoc`, and `query('t')` —
+QueryValueSource: the subquery's BM25 score, 0 where the doc doesn't
+match) read postings via a
 ``ctx`` — see ``SearcherContext`` duck type in ``evaluate`` — and take
 a quoted term: ``termfreq(content,'data')``. Their SQL twins cannot
 be emitted locally (they need the caller's tokenization CTEs), so
@@ -119,7 +121,8 @@ def _fold(op, parts):
 #: whose optional second is a quoted term — resolved via ``ctx``, not
 #: the numeric ``fields`` map.
 INDEX_FUNCS = frozenset(
-    {"termfreq", "docfreq", "totaltermfreq", "ttf", "numdocs", "maxdoc"})
+    {"termfreq", "docfreq", "totaltermfreq", "ttf", "numdocs", "maxdoc",
+     "query"})
 
 
 def canonical(node: ExprNode) -> str:
@@ -142,6 +145,8 @@ def _eval_index_func(node: ExprNode, ctx) -> np.ndarray:
         raise ValueError(f"{f}() needs an index context (ctx=)")
     if f in ("numdocs", "maxdoc"):
         return np.float64(getattr(ctx, f)())
+    if f == "query":               # QueryValueSource: subquery score, 0 if
+        return ctx.query(node.args[0].value)   # the doc doesn't match
     field = node.args[0].value     # bare field ident, not evaluated
     term = node.args[1].value      # quoted term literal
     if f == "termfreq":
