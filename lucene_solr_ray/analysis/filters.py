@@ -619,3 +619,444 @@ def ascii_fold(term: str) -> str:
     folded = unicodedata.normalize("NFKD", term) \
         .encode("ascii", "ignore").decode()
     return folded or term
+
+
+# ---------------------------------------------------------------------------
+# batch 2: language/normalization term transforms
+# (lucene/analysis/common — ElisionFilter, EnglishPossessiveFilter,
+# ClassicFilter, CapitalizationFilter, TrimFilter, DecimalDigitFilter,
+# ApostropheFilter, ScandinavianFoldingFilter, German/French/Spanish
+# LightStemmer)
+# ---------------------------------------------------------------------------
+
+#: FrenchAnalyzer.DEFAULT_ARTICLES (fr/FrenchAnalyzer.java:60)
+FRENCH_ARTICLES = frozenset(
+    ["l", "m", "t", "qu", "n", "s", "j", "d", "c",
+     "jusqu", "quoiqu", "lorsqu", "puisqu"])
+
+
+def make_elision(articles=FRENCH_ARTICLES):
+    """ElisionFilter (lucene/analysis/common/.../util/ElisionFilter.java:
+    52-75): if the token starts with <article>'<rest> (apostrophe U+27 or
+    U+2019) and the prefix is in the article set, strip prefix+apostrophe
+    (l'avion → avion)."""
+    arts = frozenset(articles)
+
+    def transform(term: str) -> str:
+        for i, ch in enumerate(term):
+            if ch in ("'", "’"):
+                if term[:i] in arts:
+                    return term[i + 1:]
+                return term
+        return term
+    return transform
+
+
+def english_possessive(term: str) -> str:
+    """EnglishPossessiveFilter (en/EnglishPossessiveFilter.java:43-55):
+    strip a trailing 's / ’s / ＇s."""
+    if (len(term) >= 2 and term[-2] in ("'", "’", "＇")
+            and term[-1] in ("s", "S")):
+        return term[:-2]
+    return term
+
+
+def classic_transform(term: str) -> str:
+    """ClassicFilter (standard/ClassicFilter.java:33-45): remove trailing
+    's and dots from acronyms (I.B.M. → IBM) — the ClassicTokenizer
+    ACRONYM type approximated by the dotted-single-letters shape."""
+    if term.endswith("'s") or term.endswith("’s"):
+        term = term[:-2]
+    core = term[:-1] if term.endswith(".") else term
+    parts = core.split(".")
+    if len(parts) > 1 and all(len(p) == 1 for p in parts):
+        return "".join(parts)
+    return term
+
+
+def capitalize_transform(term: str) -> str:
+    """CapitalizationFilter (miscellaneous/CapitalizationFilter.java:35)
+    default config: uppercase the first letter, lowercase the rest."""
+    return term[:1].upper() + term[1:].lower() if term else term
+
+
+def trim_transform(term: str) -> str:
+    """TrimFilter (miscellaneous/TrimFilter.java:28): strip leading and
+    trailing whitespace (tokenizers that keep it, e.g. keyword)."""
+    return term.strip()
+
+
+def decimal_digit(term: str) -> str:
+    """DecimalDigitFilter (core/DecimalDigitFilter.java:31): fold any
+    Unicode decimal digit (Nd) to its ASCII 0-9 form (٣ → 3)."""
+    import unicodedata
+
+    out = []
+    for ch in term:
+        d = unicodedata.decimal(ch, None)
+        out.append(str(d) if d is not None else ch)
+    return "".join(out)
+
+
+def apostrophe_transform(term: str) -> str:
+    """ApostropheFilter (tr/ApostropheFilter.java:33): drop everything
+    after (and including) the first apostrophe — Turkish possessive
+    suffixes (Türkiye'nin → Türkiye)."""
+    for i, ch in enumerate(term):
+        if ch in ("'", "’"):
+            return term[:i]
+    return term
+
+
+def scandinavian_fold(term: str) -> str:
+    """ScandinavianFoldingFilter (miscellaneous/
+    ScandinavianFoldingFilter.java:70-130): å/ä/æ→a, ö/ø→o, and a
+    one-pass collapse of the double vowels aa/ae/ao and oe/oo to the
+    first letter (same in-place scan order as the reference, so
+    'aaa' → 'aa')."""
+    buf = list(term)
+    i = 0
+    while i < len(buf):
+        c = buf[i]
+        if c in ("å", "ä", "æ"):
+            buf[i] = "a"
+        elif c in ("Å", "Ä", "Æ"):
+            buf[i] = "A"
+        elif c in ("ø", "ö"):
+            buf[i] = "o"
+        elif c in ("Ø", "Ö"):
+            buf[i] = "O"
+        elif i + 1 < len(buf):
+            nxt = buf[i + 1]
+            if c in ("a", "A") and nxt in ("a", "A", "e", "E", "o", "O"):
+                del buf[i + 1]
+            elif c in ("o", "O") and nxt in ("e", "E", "o", "O"):
+                del buf[i + 1]
+        i += 1
+    return "".join(buf)
+
+
+def scandinavian_normalize(term: str) -> str:
+    """ScandinavianNormalizationFilter (miscellaneous/
+    ScandinavianNormalizationFilter.java): normalize the interchangeable
+    spellings to the Norwegian/Danish letters — ä→æ, ö→ø, and the
+    digraphs aa→å, ae→æ, ao→å, oe→ø, oo→ø (one pass, keep-first)."""
+    buf = list(term)
+    i = 0
+    while i < len(buf):
+        c = buf[i]
+        if c == "ä":
+            buf[i] = "æ"
+        elif c == "Ä":
+            buf[i] = "Æ"
+        elif c == "ö":
+            buf[i] = "ø"
+        elif c == "Ö":
+            buf[i] = "Ø"
+        elif i + 1 < len(buf):
+            nxt = buf[i + 1]
+            if c == "a" and nxt in ("a", "o"):
+                buf[i] = "å"
+                del buf[i + 1]
+            elif c == "A" and nxt in ("a", "A", "o", "O"):
+                buf[i] = "Å"
+                del buf[i + 1]
+            elif c == "a" and nxt == "e":
+                buf[i] = "æ"
+                del buf[i + 1]
+            elif c == "A" and nxt in ("e", "E"):
+                buf[i] = "Æ"
+                del buf[i + 1]
+            elif c == "o" and nxt in ("e", "o"):
+                buf[i] = "ø"
+                del buf[i + 1]
+            elif c == "O" and nxt in ("e", "E", "o", "O"):
+                buf[i] = "Ø"
+                del buf[i + 1]
+        i += 1
+    return "".join(buf)
+
+
+_DE_FOLD = str.maketrans("äàáâöòóô"
+                         "ïìíîüùúû",
+                         "aaaaoooo" "iiii" "uuuu")
+_DE_ST = frozenset("bdfghklmnt")
+
+
+def german_light_stem(word: str) -> str:
+    """GermanLightStemmer (de/GermanLightStemmer.java:64-135, the UniNE
+    light algorithm, Savoy): fold umlauts/accents, then two
+    suffix-removal steps."""
+    s = word.translate(_DE_FOLD)
+    n = len(s)
+    # step 1
+    if n > 5 and s.endswith("ern"):
+        n -= 3
+    elif n > 4 and s[n - 2] == "e" and s[n - 1] in "mnrs":
+        n -= 2
+    elif n > 3 and s[n - 1] == "e":
+        n -= 1
+    elif n > 3 and s[n - 1] == "s" and s[n - 2] in _DE_ST:
+        n -= 1
+    # step 2
+    if n > 5 and s[n - 3:n] == "est":
+        n -= 3
+    elif n > 4 and s[n - 2] == "e" and s[n - 1] in "rn":
+        n -= 2
+    elif n > 4 and s[n - 2:n] == "st" and s[n - 3] in _DE_ST:
+        n -= 2
+    return s[:n]
+
+
+def spanish_light_stem(word: str) -> str:
+    """SpanishLightStemmer (es/SpanishLightStemmer.java:62-105, Savoy
+    CLEF-2001): fold accents; strip final o/a/e; -es/-os/-as → -s too;
+    -ces → -z."""
+    if len(word) < 5:
+        return word
+    s = word.translate(str.maketrans(
+        "àáâäòóôö"
+        "èéêëùúûü"
+        "ìíîï",
+        "aaaaoooo" "eeee" "uuuu" "iiii"))
+    last = s[-1]
+    if last in "oae":
+        return s[:-1]
+    if last == "s" and len(s) >= 4:
+        if s[-4:-1] == "ese":
+            return s[:-2]
+        if s[-3:-1] == "ce":
+            return s[:-3] + "z"
+        if s[-2] in "oae":
+            return s[:-2]
+    return s
+
+
+def _fr_norm(buf: list) -> str:
+    """FrenchLightStemmer.norm (fr/FrenchLightStemmer.java:229-265):
+    fold accents, collapse letter runs, strip -ie, trailing r/e/e and a
+    final doubled letter."""
+    n = len(buf)
+    if n > 4:
+        fold = {"à": "a", "á": "a", "â": "a",
+                "ô": "o", "è": "e", "é": "e",
+                "ê": "e", "ù": "u", "û": "u",
+                "î": "i", "ç": "c"}
+        buf = [fold.get(c, c) for c in buf]
+        out = [buf[0]]
+        for c in buf[1:]:
+            if c == out[-1] and c.isalpha():
+                continue
+            out.append(c)
+        buf = out
+    s = "".join(buf)
+    if len(s) > 4 and s.endswith("ie"):
+        s = s[:-2]
+    if len(s) > 4:
+        if s[-1] == "r":
+            s = s[:-1]
+        if s[-1] == "e":
+            s = s[:-1]
+        if s[-1] == "e":
+            s = s[:-1]
+        if len(s) >= 2 and s[-1] == s[-2] and s[-1].isalpha():
+            s = s[:-1]
+    return s
+
+
+def french_light_stem(word: str) -> str:
+    """FrenchLightStemmer (fr/FrenchLightStemmer.java:66-227, the UniNE
+    light algorithm, Savoy) — faithful rule-order port."""
+    s = list(word)
+    n = len(s)
+    if n > 5 and s[n - 1] == "x":
+        if s[n - 3] == "a" and s[n - 2] == "u" and s[n - 4] != "e":
+            s[n - 2] = "l"
+        n -= 1
+        s = s[:n]
+    if n > 3 and s and s[n - 1] == "x":
+        n -= 1
+        s = s[:n]
+    if n > 3 and s and s[n - 1] == "s":
+        n -= 1
+        s = s[:n]
+    w = "".join(s)
+
+    def repl(w, cut, patch=""):
+        return list(w[:len(w) - cut] + patch)
+
+    if len(w) > 9 and w.endswith("issement"):
+        return _fr_norm(repl(w, 6)[:-1] + ["r"])
+    if len(w) > 8 and w.endswith("issant"):
+        return _fr_norm(repl(w, 4)[:-1] + ["r"])
+    if len(w) > 6 and w.endswith("ement"):
+        s = repl(w, 4)
+        if len(s) > 3 and "".join(s).endswith("ive"):
+            s = s[:-1]
+            s[-1] = "f"
+        return _fr_norm(s)
+    if len(w) > 11 and w.endswith("ficatrice"):
+        s = repl(w, 5)
+        s[-2], s[-1] = "e", "r"
+        return _fr_norm(s)
+    if len(w) > 10 and w.endswith("ficateur"):
+        s = repl(w, 4)
+        s[-2], s[-1] = "e", "r"
+        return _fr_norm(s)
+    if len(w) > 9 and w.endswith("catrice"):
+        s = repl(w, 3)
+        s[-4], s[-3], s[-2] = "q", "u", "e"
+        return _fr_norm(s)
+    if len(w) > 8 and w.endswith("cateur"):
+        s = repl(w, 2)
+        s[-4], s[-3], s[-2], s[-1] = "q", "u", "e", "r"
+        return _fr_norm(s)
+    if len(w) > 8 and w.endswith("atrice"):
+        s = repl(w, 4)
+        s[-2], s[-1] = "e", "r"
+        return _fr_norm(s)
+    if len(w) > 7 and w.endswith("ateur"):
+        s = repl(w, 3)
+        s[-2], s[-1] = "e", "r"
+        return _fr_norm(s)
+    if len(w) > 6 and w.endswith("trice"):
+        s = list(w[:-1])
+        s[-3], s[-2], s[-1] = "e", "u", "r"
+        w = "".join(s)
+    if len(w) > 5 and w.endswith("ième"):
+        return _fr_norm(list(w[:-4]))
+    if len(w) > 7 and w.endswith("teuse"):
+        s = repl(w, 2)
+        s[-1] = "r"
+        return _fr_norm(s)
+    if len(w) > 6 and w.endswith("teur"):
+        s = list(w[:-1])
+        s[-1] = "r"
+        return _fr_norm(s)
+    if len(w) > 5 and w.endswith("euse"):
+        return _fr_norm(list(w[:-2]))
+    if len(w) > 8 and w.endswith("ère"):
+        s = list(w[:-1])
+        s[-2] = "e"
+        return _fr_norm(s)
+    if len(w) > 7 and w.endswith("ive"):
+        s = list(w[:-1])
+        s[-1] = "f"
+        return _fr_norm(s)
+    if len(w) > 4 and (w.endswith("folle") or w.endswith("molle")):
+        s = repl(w, 2)
+        s[-1] = "u"
+        return _fr_norm(s)
+    if len(w) > 9 and w.endswith("nnelle"):
+        return _fr_norm(list(w[:-5]))
+    if len(w) > 9 and w.endswith("nnel"):
+        return _fr_norm(list(w[:-3]))
+    if len(w) > 4 and w.endswith("ète"):
+        s = list(w[:-1])
+        s[-2] = "e"
+        w = "".join(s)
+    if len(w) > 8 and w.endswith("ique"):
+        w = w[:-4]
+    if len(w) > 8 and w.endswith("esse"):
+        return _fr_norm(list(w[:-3]))
+    if len(w) > 7 and w.endswith("inage"):
+        return _fr_norm(list(w[:-3]))
+    if len(w) > 9 and w.endswith("isation"):
+        s = list(w[:-7])
+        if len(s) > 5 and "".join(s).endswith("ual"):
+            s[-2] = "e"
+        return _fr_norm(s)
+    if len(w) > 9 and w.endswith("isateur"):
+        return _fr_norm(list(w[:-7]))
+    if len(w) > 8 and w.endswith("ation"):
+        return _fr_norm(list(w[:-5]))
+    if len(w) > 8 and w.endswith("ition"):
+        return _fr_norm(list(w[:-5]))
+    return _fr_norm(list(w))
+
+
+# ---------------------------------------------------------------------------
+# batch 2: stream filters
+# ---------------------------------------------------------------------------
+
+def keyword_repeat_stream(stem):
+    """KeywordRepeatFilter + stemmer (miscellaneous/
+    KeywordRepeatFilter.java:30): at each position emit the ORIGINAL
+    token and, when different, its stemmed form at the same position
+    (posInc 0) — search matches both surface and stem. The trailing
+    RemoveDuplicatesTokenFilter of the reference chain is implicit:
+    identical stems are not re-emitted."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def transform(terms, doc_idx, positions):
+        terms = _as_array(terms)
+        if len(terms) == 0:
+            return terms, doc_idx, positions
+        # stem each DISTINCT term once (dictionary encoding)
+        d = terms.dictionary_encode()
+        uniq = d.dictionary.to_pylist()
+        stemmed = pa.array([stem(u) for u in uniq], type=pa.string())
+        st = stemmed.take(d.indices)
+        diff = np.asarray(pc.not_equal(st, terms))
+        t = pa.concat_arrays([terms, st.filter(pa.array(diff))])
+        dx = np.concatenate([doc_idx, doc_idx[diff]])
+        p = np.concatenate([positions, positions[diff]])
+        flag = np.concatenate([np.zeros(len(terms), dtype=np.int64),
+                               np.ones(int(diff.sum()), dtype=np.int64)])
+        order = np.lexsort((flag, p, dx))
+        return t.take(pa.array(order)), dx[order], \
+            p[order].astype(np.int32)
+
+    return transform
+
+
+def cjk_bigram_stream():
+    """CJKBigramFilter (cjk/CJKBigramFilter.java:51, han only,
+    outputUnigrams=false): adjacent single-Han-character tokens (from
+    the unicode tokenizer's IDEOGRAPHIC class) combine into overlapping
+    bigrams at the first char's position; a Han char with no Han
+    neighbour stays a unigram; non-Han tokens pass through."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _is_han(u: str) -> bool:
+        return len(u) == 1 and (
+            0x4E00 <= ord(u) <= 0x9FFF or 0x3400 <= ord(u) <= 0x4DBF)
+
+    def transform(terms, doc_idx, positions):
+        terms = _as_array(terms)
+        n = len(terms)
+        if n == 0:
+            return terms, doc_idx, positions
+        d = terms.dictionary_encode()
+        han_u = np.array([_is_han(u) for u in d.dictionary.to_pylist()],
+                         dtype=bool)
+        han = han_u[np.asarray(d.indices)]
+        adj = np.zeros(n - 1, dtype=bool) if n > 1 else \
+            np.zeros(0, dtype=bool)
+        if n > 1:
+            adj = (han[:-1] & han[1:]
+                   & (doc_idx[1:] == doc_idx[:-1])
+                   & (positions[1:] == positions[:-1] + 1))
+        adj_pa = pa.array(adj)
+        a = terms.slice(0, n - 1).filter(adj_pa)
+        b = terms.slice(1, n - 1).filter(adj_pa)
+        bi = pc.binary_join_element_wise(a, b, "")
+        # a han token survives as a unigram only with no han neighbour
+        in_bigram = np.zeros(n, dtype=bool)
+        if n > 1:
+            in_bigram[:-1] |= adj
+            in_bigram[1:] |= adj
+        keep = ~(han & in_bigram)
+        keep_pa = pa.array(keep)
+        t = pa.concat_arrays([terms.filter(keep_pa), _as_array(bi)])
+        dx = np.concatenate([doc_idx[keep], doc_idx[:-1][adj]])
+        p = np.concatenate([positions[keep], positions[:-1][adj]])
+        order = np.lexsort((p, dx))
+        return t.take(pa.array(order)), dx[order], \
+            p[order].astype(np.int32)
+
+    return transform

@@ -317,3 +317,116 @@ def test_word_delimiter_stream_passthrough():
     assert wd.terms.to_pylist() == plain.terms.to_pylist()
     assert list(wd.positions) == list(plain.positions)
     assert list(wd.doc_lengths) == list(plain.doc_lengths)
+
+
+# ---------------------------------------------------------------------------
+# batch 2: language/normalization transforms + streams
+# ---------------------------------------------------------------------------
+
+def test_elision_and_possessive():
+    from lucene_solr_ray.analysis.filters import (apostrophe_transform,
+                                                  english_possessive,
+                                                  make_elision)
+
+    el = make_elision()
+    assert el("l'avion") == "avion"
+    assert el("qu'il") == "il"
+    assert el("d’une") == "une"          # U+2019 apostrophe
+    assert el("xyz'abc") == "xyz'abc"    # prefix not an article
+    assert el("avion") == "avion"
+    assert english_possessive("dog's") == "dog"
+    assert english_possessive("dogs’s") == "dogs"
+    assert english_possessive("dogs") == "dogs"
+    assert english_possessive("'s") == ""
+    assert apostrophe_transform("türkiye'nin") == "türkiye"
+    assert apostrophe_transform("plain") == "plain"
+
+
+def test_classic_capitalize_trim_decimal():
+    from lucene_solr_ray.analysis.filters import (capitalize_transform,
+                                                  classic_transform,
+                                                  decimal_digit,
+                                                  trim_transform)
+
+    assert classic_transform("i.b.m.") == "ibm"
+    assert classic_transform("lucene's") == "lucene"
+    assert classic_transform("a.b") == "ab"
+    assert classic_transform("e.g.rest") == "e.g.rest"  # not an acronym
+    assert capitalize_transform("hello") == "Hello"
+    assert capitalize_transform("WORLD") == "World"
+    assert trim_transform("  pad  ") == "pad"
+    assert decimal_digit("٣٤foo٥") == "34foo5"   # Arabic-Indic digits
+    assert decimal_digit("42") == "42"
+
+
+def test_scandinavian_filters():
+    from lucene_solr_ray.analysis.filters import (scandinavian_fold,
+                                                  scandinavian_normalize)
+
+    # the reference class doc's own equivalence examples
+    for v in ("blåbærsyltetøj", "blåbärsyltetöj", "blaabaarsyltetoej",
+              "blabarsyltetoj"):
+        assert scandinavian_fold(v) == "blabarsyltetoj", v
+    for v in ("räksmörgås", "ræksmørgås", "raeksmoergaas"):
+        assert scandinavian_fold(v) == "raksmorgas", v
+    assert scandinavian_fold("aaa") == "aa"     # reference scan order
+    assert scandinavian_normalize("blaabaersyltetoej") == \
+        "blåbærsyltetøj"
+    assert scandinavian_normalize("räksmörgås") == "ræksmørgås"
+
+
+def test_light_stemmers_golden():
+    from lucene_solr_ray.analysis.filters import (french_light_stem,
+                                                  german_light_stem,
+                                                  spanish_light_stem)
+
+    # GermanLightStemmer.java:64 rule walk
+    de = {"häuser": "haus", "bücher": "buch", "katzen": "katz",
+          "hunde": "hund", "kindern": "kind", "schönste": "schon",
+          "tags": "tag", "fix": "fix"}
+    bad = {w: (german_light_stem(w), want) for w, want in de.items()
+           if german_light_stem(w) != want}
+    assert not bad, bad
+    # SpanishLightStemmer.java:62
+    es = {"casas": "cas", "caso": "caso", "ciudades": "ciudad",
+          "veces": "vez", "corto": "cort", "azul": "azul"}
+    bad = {w: (spanish_light_stem(w), want) for w, want in es.items()
+           if spanish_light_stem(w) != want}
+    assert not bad, bad
+    # FrenchLightStemmer.java:66 — chevaux→cheval is the canonical case
+    fr = {"chevaux": "cheval", "cheval": "cheval",
+          "administration": "administ", "nationale": "national"}
+    bad = {w: (french_light_stem(w), want) for w, want in fr.items()
+           if french_light_stem(w) != want}
+    assert not bad, bad
+
+
+def test_keyword_repeat_stream():
+    from lucene_solr_ray.analysis import analyze_batch
+    from lucene_solr_ray.analysis.filters import (keyword_repeat_stream,
+                                                  porter_stem)
+
+    r = analyze_batch(pa.array(["running jumps fix"]),
+                      stream_transform=keyword_repeat_stream(porter_stem),
+                      stopwords=frozenset())
+    # original + stem at the same position; unchanged terms not doubled
+    assert r.terms.to_pylist() == ["running", "run", "jumps", "jump",
+                                   "fix"]
+    assert list(r.positions) == [0, 0, 1, 1, 2]
+    assert list(r.doc_lengths) == [5]
+
+
+def test_cjk_bigram_stream():
+    from lucene_solr_ray.analysis import analyze_batch
+    from lucene_solr_ray.analysis.filters import cjk_bigram_stream
+
+    r = analyze_batch(pa.array(["一二三 abc 四"]),
+                      stream_transform=cjk_bigram_stream(),
+                      stopwords=frozenset(), tokenizer="unicode")
+    assert r.terms.to_pylist() == ["一二", "二三", "abc", "四"]
+    assert list(r.positions) == [0, 1, 3, 4]
+    # pure-ASCII stream passes through untouched
+    r2 = analyze_batch(pa.array(["plain text"]),
+                       stream_transform=cjk_bigram_stream(),
+                       stopwords=frozenset(), tokenizer="unicode")
+    assert r2.terms.to_pylist() == ["plain", "text"]
