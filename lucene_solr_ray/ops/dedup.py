@@ -452,3 +452,93 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> pa
                        concurrency=(1, 4))
           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def connected_components(pairs, *, max_iters: int = 64,
+                         num_partitions: int = 8):
+    """Connected components over a near-duplicate pair list by
+    distributed MIN-LABEL PROPAGATION: every node starts labeled with
+    the smallest id among itself and its direct neighbors; each round
+    is one hash join (edge.nbr → current label) plus one groupby-min,
+    until the label sum stops changing (labels are monotone
+    nonincreasing, so the cheap sum aggregate detects fixpoint
+    exactly). Rounds needed = graph diameter — near-dup clusters are
+    shallow, so this converges in a handful of shuffles even at scale;
+    no driver-side union-find, nothing materialized beyond the final
+    (doc_id, cluster) table. The classic MapReduce CC formulation
+    (Kang et al., HADI/PEGASUS) on Ray Data groupby/join.
+
+    ``pairs``: pa.Table or ray Dataset with int64 columns a, b.
+    Returns (doc_id, cluster) for every node that appears in a pair,
+    cluster = min doc_id of its component.
+    """
+    import ray.data as rd
+
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "cluster": pa.array([], type=pa.int64())})
+    if isinstance(pairs, pa.Table):
+        if pairs.num_rows == 0:
+            return empty
+        pairs_ds = rd.from_arrow(pairs.select(["a", "b"]))
+    else:
+        pairs_ds = pairs
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["a"], dtype=np.int64)
+        b = np.asarray(t["b"], dtype=np.int64)
+        return pa.table({"node": np.concatenate([a, b]),
+                         "nbr": np.concatenate([b, a])})
+
+    edges = pairs_ds.map_batches(both_dirs,
+                                 batch_format="pyarrow").materialize()
+
+    def init_label(t: pa.Table) -> pa.Table:
+        node = np.asarray(t["node"], dtype=np.int64)
+        nbr = np.asarray(t["min(nbr)"], dtype=np.int64)
+        return pa.table({"node": node, "label": np.minimum(node, nbr)})
+
+    labels = (edges.groupby("node").min("nbr")
+              .map_batches(init_label, batch_format="pyarrow")
+              .materialize())
+    label_sum = labels.sum("label")
+
+    def strip(t: pa.Table) -> pa.Table:
+        return t.select(["node", "label"])
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"],
+                         "label": t["min(label)"]})
+
+    for _ in range(max_iters):
+        prop = edges.join(labels, join_type="inner",
+                          num_partitions=num_partitions,
+                          on=("nbr",), right_on=("node",),
+                          right_suffix="_l")
+        prop = prop.map_batches(strip, batch_format="pyarrow")
+        # repartition scrubs the 0-row empty-SCHEMA blocks that hash
+        # shuffles emit for empty partitions — those blocks poison the
+        # next round's join ("no match for FieldRef node")
+        new_labels = (prop.union(labels).groupby("node").min("label")
+                      .map_batches(fin, batch_format="pyarrow")
+                      .repartition(num_partitions)
+                      .materialize())
+        new_sum = new_labels.sum("label")
+        labels = new_labels
+        if new_sum == label_sum:
+            break
+        label_sum = new_sum
+
+    out = labels.to_pandas().sort_values("node").reset_index(drop=True)
+    return pa.table({"doc_id": pa.array(out["node"], type=pa.int64()),
+                     "cluster": pa.array(out["label"], type=pa.int64())})
+
+
+def dedup_clusters(sf_dir: str) -> pa.Table:
+    """Near-duplicate CLUSTERS: MinHash-LSH verified pairs →
+    connected components → (doc_id, cluster) with cluster = the
+    component's smallest doc_id (the survivor a keep-one-per-cluster
+    dedup would retain). The end-to-end shape of a production
+    dedup: candidate generation, verification, and transitive
+    closure are all groupby/join stages."""
+    pairs = minhash_lsh_pairs(sf_dir, verify="join")
+    return connected_components(pairs)

@@ -347,6 +347,37 @@ ORDER BY a, b
 """
 
 
+def dedup_clusters_sql(threshold: float) -> str:
+    """Oracle twin of ops.dedup.dedup_clusters: the exhaustive Jaccard
+    pair list (same contract as the minhash oracle) closed transitively
+    with a recursive CTE; cluster = min doc_id of the component."""
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                             t -> length(t) <= 255) AS tk
+  FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                             for i in range(1, len(tk) - 1)]) AS s
+       FROM toks WHERE len(tk) >= 3),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        >= {threshold}),
+edges AS (SELECT a AS u, b AS v FROM pairs
+          UNION SELECT b, a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+closure AS (SELECT u, v FROM reach UNION SELECT u, u FROM edges)
+SELECT u AS doc_id, CAST(min(v) AS BIGINT) AS cluster
+FROM closure GROUP BY u ORDER BY doc_id
+"""
+
+
 _TOK_KEEPSTOP_CTE = """
 tok AS (
   SELECT doc_id, unnest(toks) AS term
@@ -1792,6 +1823,7 @@ def build_queries() -> dict:
         "dedup_minhash_lsh": D.minhash_lsh_pairs,
         "dedup_ngram_jaccard": D.ngram_jaccard_pairs,
         "dedup_simhash": D.simhash_pairs,          # rows-only (no SQL twin)
+        "dedup_clusters": D.dedup_clusters,
         "text_langid": T.lang_id,
         "text_quality": T.quality_score,
         "text_token_totals": T.token_totals,
@@ -1923,6 +1955,7 @@ def build_oracle_sql() -> dict:
         "dedup_exact": ft_dedup_exact_sql(),
         "dedup_minhash_lsh": ft_jaccard_pairs_sql(JACCARD_THRESHOLD),
         "dedup_ngram_jaccard": ft_jaccard_pairs_sql(JACCARD_THRESHOLD),
+        "dedup_clusters": dedup_clusters_sql(JACCARD_THRESHOLD),
         "text_langid": text_langid_sql(),
         "text_quality": text_quality_sql(),
         "text_token_totals": text_token_totals_sql(),

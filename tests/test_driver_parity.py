@@ -77,6 +77,7 @@ def test_all_queries_have_oracles_or_are_documented():
     "rel_cursor_page", "rel_unique_stream", "rel_windowed_rollup",
     "rel_join_rollup",
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_clusters",
     "text_langid", "text_quality", "text_token_totals",
     "ann_brute_cosine",
     "ft_prefix", "ft_wildcard", "ft_regexp", "ft_term_range", "ft_fuzzy",

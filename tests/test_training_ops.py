@@ -89,3 +89,24 @@ def test_ivf_persisted_matches_inpass(ray_session, tmp_path):
     buckets = [d for d in os.listdir(os.path.join(idx, "data"))
                if d.startswith("bucket=")]
     assert len(buckets) >= 2  # partitioned, not one blob
+
+
+def test_connected_components_multihop(ray_session):
+    """Label propagation must cross multi-hop chains (a path graph needs
+    diameter rounds, not one) and keep separate components apart."""
+    import pyarrow as pa
+
+    from lucene_solr_ray.ops.dedup import connected_components
+
+    pairs = pa.table({
+        "a": pa.array([2, 3, 4, 10, 99], type=pa.int64()),
+        "b": pa.array([3, 4, 5, 11, 98], type=pa.int64()),
+    })
+    out = connected_components(pairs).to_pandas().set_index("doc_id")
+    assert out.loc[[2, 3, 4, 5], "cluster"].tolist() == [2, 2, 2, 2]
+    assert out.loc[[10, 11], "cluster"].tolist() == [10, 10]
+    assert out.loc[[98, 99], "cluster"].tolist() == [98, 98]
+    # empty input
+    empty = pa.table({"a": pa.array([], type=pa.int64()),
+                      "b": pa.array([], type=pa.int64())})
+    assert connected_components(empty).num_rows == 0
