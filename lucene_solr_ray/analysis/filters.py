@@ -1060,3 +1060,73 @@ def cjk_bigram_stream():
             p[order].astype(np.int32)
 
     return transform
+
+
+def multiword_synonym_stream(rules: dict, keep_orig: bool = True):
+    """Multi-token SynonymFilter (synonym/SynonymFilter.java:49 — the
+    FST phrase-match side; single-token rules belong in
+    make_synonym_transform): ``rules`` maps token TUPLES to a single
+    replacement token, e.g. {("new", "york"): "ny"}. Matches are
+    emitted at the FIRST matched token's position (posInc 0, like the
+    reference's synonym insertion); with ``keep_orig=False`` the
+    matched tokens are dropped instead (position holes preserved, the
+    FilteringTokenFilter discipline). Matching is vectorized per rule
+    LENGTH: one joined-window is_in pass per distinct L, not per rule."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    by_len: dict[int, dict[str, str]] = {}
+    for seq, rep in rules.items():
+        by_len.setdefault(len(seq), {})[" ".join(seq)] = rep
+
+    def transform(terms, doc_idx, positions):
+        terms = _as_array(terms)
+        n = len(terms)
+        if n == 0 or not by_len:
+            return terms, doc_idx, positions
+        syn_t, syn_d, syn_p = [], [], []
+        drop = np.zeros(n, dtype=bool)
+        for L, table in sorted(by_len.items()):
+            if n < L:
+                continue
+            # window key = L consecutive tokens joined; valid only when
+            # the whole window is one doc at consecutive positions
+            parts = [terms.slice(i, n - L + 1) for i in range(L)]
+            keys = parts[0]
+            for p in parts[1:]:
+                keys = pc.binary_join_element_wise(keys, p, " ")
+            ok = np.ones(n - L + 1, dtype=bool)
+            for i in range(1, L):
+                ok &= (doc_idx[i:n - L + 1 + i]
+                       == doc_idx[:n - L + 1])
+                ok &= (positions[i:n - L + 1 + i]
+                       == positions[:n - L + 1] + i)
+            vs = pa.array(sorted(table), type=pa.string())
+            hit = np.asarray(pc.is_in(keys, value_set=vs)) & ok
+            starts = np.nonzero(hit)[0]
+            if len(starts) == 0:
+                continue
+            matched = keys.take(pa.array(starts)).to_pylist()
+            syn_t.extend(table[m] for m in matched)
+            syn_d.extend(doc_idx[starts])
+            syn_p.extend(positions[starts])
+            if not keep_orig:
+                for off in range(L):
+                    drop[starts + off] = True
+        if not syn_t:
+            return terms, doc_idx, positions
+        keep = ~drop
+        keep_pa = pa.array(keep)
+        t = pa.concat_arrays([terms.filter(keep_pa),
+                              pa.array(syn_t, type=pa.string())])
+        d = np.concatenate([doc_idx[keep],
+                            np.asarray(syn_d, dtype=np.int64)])
+        p = np.concatenate([positions[keep],
+                            np.asarray(syn_p, dtype=positions.dtype)])
+        flag = np.concatenate([np.zeros(int(keep.sum()), dtype=np.int64),
+                               np.ones(len(syn_t), dtype=np.int64)])
+        order = np.lexsort((flag, p, d))
+        return t.take(pa.array(order)), d[order], p[order].astype(np.int32)
+
+    return transform

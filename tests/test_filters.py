@@ -430,3 +430,31 @@ def test_cjk_bigram_stream():
                        stream_transform=cjk_bigram_stream(),
                        stopwords=frozenset(), tokenizer="unicode")
     assert r2.terms.to_pylist() == ["plain", "text"]
+
+
+def test_multiword_synonym_stream():
+    from lucene_solr_ray.analysis import analyze_batch
+    from lucene_solr_ray.analysis.filters import multiword_synonym_stream
+
+    rules = {("new", "york"): "ny", ("big", "red", "dog"): "brd"}
+    r = analyze_batch(pa.array(["new york city", "big red dog runs",
+                                "new jersey"]),
+                      stream_transform=multiword_synonym_stream(rules),
+                      stopwords=frozenset())
+    # synonym inserted at the first matched token's position
+    assert r.terms.to_pylist() == ["new", "ny", "york", "city",
+                                   "big", "brd", "red", "dog", "runs",
+                                   "new", "jersey"]
+    assert list(r.positions) == [0, 0, 1, 2, 0, 0, 1, 2, 3, 0, 1]
+    # replacement mode: originals dropped, holes preserved
+    r2 = analyze_batch(pa.array(["new york city"]),
+                       stream_transform=multiword_synonym_stream(
+                           rules, keep_orig=False),
+                       stopwords=frozenset())
+    assert r2.terms.to_pylist() == ["ny", "city"]
+    assert list(r2.positions) == [0, 2]
+    # a match never crosses doc boundaries
+    r3 = analyze_batch(pa.array(["ends with new", "york starts"]),
+                       stream_transform=multiword_synonym_stream(rules),
+                       stopwords=frozenset())
+    assert "ny" not in r3.terms.to_pylist()
