@@ -1473,6 +1473,57 @@ def _q_stemmed_term(word, k=10):
     return run
 
 
+def _q_minimal_stem(word, k=10):
+    """Term query over an EnglishMinimalStem index (en/
+    EnglishMinimalStemFilter.java — the Harman S-stemmer): the query
+    word is stemmed with the same chain. Unlike Porter, the S-stemmer
+    is small enough to express in SQL, so this one is oracle-paired."""
+    def run(sf_dir):
+        from ..analysis.filters import english_minimal_stem
+        from ..search.searcher import IndexSearcher
+
+        idx = documents_index_variant(sf_dir, "mstem",
+                                      english_minimal_stem)
+        s = IndexSearcher(idx, mode="exact64")
+        return _topk_table(s.search(
+            {"type": "term", "term": english_minimal_stem(word)}, k=k))
+    return run
+
+
+#: EnglishMinimalStemmer.java:24 as one SQL CASE over a token column
+_SSTEM_CASE = """CASE
+  WHEN length({t}) < 3 OR substr({t}, length({t}), 1) <> 's' THEN {t}
+  WHEN substr({t}, length({t})-1, 1) IN ('u', 's') THEN {t}
+  WHEN substr({t}, length({t})-1, 1) = 'e' THEN
+    CASE WHEN length({t}) > 3 AND substr({t}, length({t})-2, 1) = 'i'
+              AND substr({t}, length({t})-3, 1) NOT IN ('a', 'e')
+         THEN substr({t}, 1, length({t})-3) || 'y'
+         WHEN substr({t}, length({t})-2, 1) IN ('i', 'a', 'o', 'e')
+         THEN {t}
+         ELSE substr({t}, 1, length({t})-1) END
+  ELSE substr({t}, 1, length({t})-1) END"""
+
+
+def _minimal_stem_sql(word: str, k: int) -> str:
+    from ..analysis.filters import english_minimal_stem
+
+    q = english_minimal_stem(word)
+    stem = _SSTEM_CASE.format(t="term")
+    return f"""
+WITH {_tok_ctes()},
+stemmed AS (SELECT doc_id, {stem} AS term FROM clean),
+tf AS (SELECT doc_id, count(*) AS tf FROM stemmed WHERE term = '{q}'
+       GROUP BY doc_id),
+dfx AS (SELECT count(*) AS df FROM tf),
+scored AS (
+  SELECT tf.doc_id AS doc_id,
+         {_bm25_expr('tf.tf', 'dl.dl', 'dfx.df')} AS score
+  FROM tf JOIN dl USING (doc_id), dfx, stats s
+)
+{_sql_topk('scored', k)}
+"""
+
+
 def _q_edge_ngram(gram, k=10, min_gram=2, max_gram=4):
     """Term query over an edge-ngram index (ngram/EdgeNGramTokenFilter):
     the query gram matches every token it prefixes; dl/norms count the
@@ -1897,6 +1948,7 @@ def build_queries() -> dict:
         "ft_sort_by_field": _q_sort_by_field("table", "n_chars"),
         "ft_spellcheck": _q_spellcheck("ort"),
         "ft_synonym_term": _q_synonym_term("batch"),
+        "ft_minimal_stem": _q_minimal_stem("tables"),
         "ft_stemmed_term": _q_stemmed_term("query"),   # rows-only
         "ft_multi_phrase": _q_multi_phrase([["fast", "slow"], ["table"]]),
         "ft_span_first": _q_span_first("scan", 20),
@@ -2030,6 +2082,7 @@ def build_oracle_sql() -> dict:
         "ft_sort_by_field": _sort_by_field_sql("table", "n_chars", 10),
         "ft_spellcheck": _spellcheck_sql("ort", 2, 5),
         "ft_synonym_term": _synonym_term_sql("batch", 10),
+        "ft_minimal_stem": _minimal_stem_sql("tables", 10),
         "ft_multi_phrase": _multi_phrase_sql([["fast", "slow"], ["table"]],
                                              10),
         "ft_span_first": _span_first_sql("scan", 20, 20),
