@@ -633,6 +633,24 @@ class _ExprCtx:
         return np.where(d[idx] == self.docs, sc[idx], 0.0) \
             .astype(np.float64)
 
+    def _ordinals(self, field: str):
+        ids, vals = self.s.global_doc_values(field)
+        uniq = np.unique(vals)
+        pos = np.searchsorted(ids, self.docs)
+        return uniq, (np.searchsorted(uniq, vals[pos]) + 1)
+
+    def ord(self, field: str) -> np.ndarray:
+        """OrdFieldSource (lucene/queries/.../valuesource/
+        OrdFieldSource.java): 1-based ordinal of the doc's value in the
+        sorted DISTINCT value set (dense rank)."""
+        _, o = self._ordinals(field)
+        return o.astype(np.float64)
+
+    def rord(self, field: str) -> np.ndarray:
+        """ReverseOrdFieldSource — the reverse ordinal."""
+        uniq, o = self._ordinals(field)
+        return (len(uniq) - o + 1).astype(np.float64)
+
 
 def _q_expr_boost(term, expr_str, k=10):
     """Compiled ValueSource expression boost (lucene/expressions
@@ -686,6 +704,15 @@ def _expr_boost_sql(term: str, expr_str: str, k: int) -> str:
                 f"WHERE term = '{t2}' GROUP BY doc_id) {alias} "
                 f"ON {alias}.doc_id = tf.doc_id")
             col_of[key] = f"COALESCE({alias}.tf, 0)"
+        elif f in ("ord", "rord"):
+            alias = f"ordj{len(joins)}"
+            fld = call.args[0].value
+            direc = "" if f == "ord" else " DESC"
+            joins.append(
+                f"LEFT JOIN (SELECT doc_id, dense_rank() OVER "
+                f"(ORDER BY {fld}{direc}) AS v FROM documents) {alias} "
+                f"ON {alias}.doc_id = tf.doc_id")
+            col_of[key] = f"{alias}.v"
         elif f == "query":
             alias = f"qj{len(joins)}"
             t2 = call.args[0].value
@@ -1969,6 +1996,8 @@ def build_queries() -> dict:
             "product(sum(1,termfreq(text,'vector')),recip(dl,1,100,100))"),
         "ft_expr_query": _q_expr_boost(
             "table", "sum(1,query('vector'))"),
+        "ft_expr_ord": _q_expr_boost(
+            "customer", "div(ord(n_chars),sum(rord(n_chars),1))"),
         "ft_external_boost": _q_external_boost("table"),
         "ft_elevation": _q_elevation("table"),
         "ft_suggest_weighted": _q_suggest_weighted("s"),
@@ -2104,6 +2133,8 @@ def build_oracle_sql() -> dict:
             10),
         "ft_expr_query": _expr_boost_sql(
             "table", "sum(1,query('vector'))", 10),
+        "ft_expr_ord": _expr_boost_sql(
+            "customer", "div(ord(n_chars),sum(rord(n_chars),1))", 10),
         "ft_external_boost": _external_boost_sql("table", 10),
         "ft_elevation": _elevation_sql("table", 2, 10),
         "ft_suggest_weighted": _suggest_weighted_sql("s", 10, "lang", "en"),

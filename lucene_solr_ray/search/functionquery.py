@@ -122,7 +122,7 @@ def _fold(op, parts):
 #: the numeric ``fields`` map.
 INDEX_FUNCS = frozenset(
     {"termfreq", "docfreq", "totaltermfreq", "ttf", "numdocs", "maxdoc",
-     "query"})
+     "query", "ord", "rord"})
 
 
 def canonical(node: ExprNode) -> str:
@@ -147,6 +147,8 @@ def _eval_index_func(node: ExprNode, ctx) -> np.ndarray:
         return np.float64(getattr(ctx, f)())
     if f == "query":               # QueryValueSource: subquery score, 0 if
         return ctx.query(node.args[0].value)   # the doc doesn't match
+    if f in ("ord", "rord"):       # Ord/ReverseOrdFieldSource: 1-based
+        return getattr(ctx, f)(node.args[0].value)   # dense value rank
     field = node.args[0].value     # bare field ident, not evaluated
     term = node.args[1].value      # quoted term literal
     if f == "termfreq":

@@ -93,7 +93,7 @@ def test_all_queries_have_oracles_or_are_documented():
     "ft_multi_phrase", "ft_span_first", "ft_span_not", "ft_span_or",
     "ft_blended_term", "ft_edge_ngram", "ft_shingle",
     "ft_expr_boost", "ft_expr_math", "ft_expr_dist", "ft_expr_termfreq",
-    "ft_expr_query",
+    "ft_expr_query", "ft_expr_ord",
     "ft_external_boost", "ft_elevation",
     "ft_suggest_weighted", "rel_sampled_facet",
     "ft_dv_numbers", "ft_dv_terms",
