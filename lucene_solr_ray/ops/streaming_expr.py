@@ -13,8 +13,10 @@ Decorator streams stay lazy — the pipeline executes once at the sink,
 exactly like TupleStream.open()/read() pull iteration.
 
 Supported functions (the DecoratorStream subset the reference ships in
-solrj/io/stream): search, select, rollup(sum|count), unique, top,
-sort, innerJoin, merge, limit.
+solrj/io/stream): search, select, rollup(sum|count|min|max|avg),
+unique, top, sort, innerJoin, hashJoin, leftOuterJoin, merge, limit,
+intersect, complement, having(eq|gt|lt|gteq|lteq|and|or|not), stats,
+fetch.
 """
 
 from __future__ import annotations
@@ -138,28 +140,30 @@ def compile_stream(node: Stream, sf_dir: str):
     if f == "rollup":
         inner = compile_stream(node.args[0], sf_dir)
         over = node.kwargs["over"]
-        sum_cols, has_count = [], False
+        from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+        aggs, out_names = [], [over]
         for a in node.args[1:]:
             if a.name == "sum":
-                sum_cols.append(a.args[0])
+                aggs.append(Sum(a.args[0]))
+                out_names.append(f"sum_{a.args[0]}")
             elif a.name == "count":
-                has_count = True
+                aggs.append(Count())
+                out_names.append("count_rows")
+            elif a.name == "min":
+                aggs.append(Min(a.args[0]))
+                out_names.append(f"min_{a.args[0]}")
+            elif a.name == "max":
+                aggs.append(Max(a.args[0]))
+                out_names.append(f"max_{a.args[0]}")
+            elif a.name == "avg":
+                aggs.append(Mean(a.args[0]))
+                out_names.append(f"avg_{a.args[0]}")
             else:
                 raise ValueError(f"unsupported aggregate {a.name!r}")
-        out_names = [over] + [f"sum_{c}" for c in sum_cols] + \
-            (["count_rows"] if has_count else [])
-        if sum_cols and has_count:
-            # ONE groupby carrying both metrics: count = sum of ones
-            def add_one(b: pa.Table) -> pa.Table:
-                return b.append_column(
-                    "__one", pa.array(np.ones(b.num_rows, dtype=np.int64)))
-
-            ds = (inner.map_batches(add_one, batch_format="pyarrow")
-                  .groupby(over).sum(sum_cols + ["__one"]))
-        elif sum_cols:
-            ds = inner.groupby(over).sum(sum_cols)
-        else:
-            ds = inner.groupby(over).count()
+        if not aggs:
+            aggs, out_names = [Count()], [over, "count_rows"]
+        ds = inner.groupby(over).aggregate(*aggs)
         return ds.map_batches(lambda b: b.rename_columns(out_names),
                               batch_format="pyarrow")
     if f in ("top", "sort"):
@@ -172,14 +176,61 @@ def compile_stream(node: Stream, sf_dir: str):
     if f == "limit":
         inner = compile_stream(node.args[0], sf_dir)
         return inner.limit(int(node.kwargs["n"]))
-    if f == "innerJoin":
+    if f in ("innerJoin", "hashJoin", "leftOuterJoin",
+             "intersect", "complement"):
+        # hashJoin is innerJoin with the right side hashed — one
+        # Dataset.join either way; intersect/complement are the sorted
+        # set streams of the reference, here the native semi/anti join
         left = compile_stream(node.args[0], sf_dir)
         right = compile_stream(node.args[1], sf_dir)
         on = node.kwargs["on"]
         lkey, rkey = (on.split("=", 1) + [on])[:2] if "=" in on \
             else (on, on)
-        return left.join(right, join_type="inner", num_partitions=8,
+        jt = {"innerJoin": "inner", "hashJoin": "inner",
+              "leftOuterJoin": "left_outer", "intersect": "left_semi",
+              "complement": "left_anti"}[f]
+        return left.join(right, join_type=jt, num_partitions=8,
                          on=(lkey,), right_on=(rkey,))
+    if f == "fetch":
+        # fetch(collection, stream, on="k=rk", fl="a,b"): enrich each
+        # tuple with fields from the collection (solrj/io/stream/
+        # FetchStream.java) — a left join pruned to on+fl
+        table, inner = node.args[0], compile_stream(node.args[1], sf_dir)
+        on = node.kwargs["on"]
+        lkey, rkey = (on.split("=", 1) + [on])[:2] if "=" in on \
+            else (on, on)
+        fl = [c.strip() for c in node.kwargs["fl"].split(",")]
+        right = rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                                columns=[rkey] + fl)
+        return inner.join(right, join_type="left_outer", num_partitions=8,
+                          on=(lkey,), right_on=(rkey,))
+    if f == "having":
+        inner = compile_stream(node.args[0], sf_dir)
+        pred = _compile_bool_eval(node.args[1])
+
+        def flt(batch: pa.Table) -> pa.Table:
+            return batch.filter(pred(batch))
+
+        return inner.map_batches(flt, batch_format="pyarrow")
+    if f == "stats":
+        from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+        inner = compile_stream(node.args[0], sf_dir)
+        aggs, names = [], []
+        for a in node.args[1:]:
+            kind = {"sum": Sum, "min": Min, "max": Max,
+                    "avg": Mean}.get(a.name)
+            if kind is not None:
+                aggs.append(kind(a.args[0]))
+                names.append(f"{a.name}_{a.args[0]}")
+            elif a.name == "count":
+                aggs.append(Count())
+                names.append("count_rows")
+            else:
+                raise ValueError(f"unsupported metric {a.name!r}")
+        row = inner.aggregate(*aggs)
+        return rd.from_arrow(pa.table(
+            {n: [row[k]] for n, k in zip(names, row.keys())}))
     if f == "merge":
         left = compile_stream(node.args[0], sf_dir)
         right = compile_stream(node.args[1], sf_dir)
@@ -188,11 +239,50 @@ def compile_stream(node: Stream, sf_dir: str):
     raise ValueError(f"unknown stream function {node.name!r}")
 
 
+def _compile_bool_eval(ev: Stream):
+    """Boolean evaluator tree (solrj/io/eval: EqualToEvaluator,
+    GreaterThanEvaluator, And/Or/NotEvaluator) → a pyarrow predicate
+    over a batch."""
+    import pyarrow.compute as pc
+
+    name = ev.name
+    if name in ("eq", "gt", "lt", "gteq", "lteq"):
+        field, raw = ev.args
+
+        def leaf(batch: pa.Table):
+            col = batch[field]
+            v = raw
+            if pa.types.is_integer(col.type):
+                v = int(raw)
+            elif pa.types.is_floating(col.type):
+                v = float(raw)
+            fn = {"eq": pc.equal, "gt": pc.greater, "lt": pc.less,
+                  "gteq": pc.greater_equal, "lteq": pc.less_equal}[name]
+            return fn(col, pa.scalar(v))
+        return leaf
+    if name in ("and", "or"):
+        subs = [_compile_bool_eval(a) for a in ev.args]
+        import functools
+        op = pc.and_ if name == "and" else pc.or_
+
+        def combo(batch: pa.Table):
+            return functools.reduce(op, (s(batch) for s in subs))
+        return combo
+    if name == "not":
+        sub = _compile_bool_eval(ev.args[0])
+        return lambda batch: pc.invert(sub(batch))
+    raise ValueError(f"unknown boolean evaluator {name!r}")
+
+
 def run_stream_expr(expr: str, sf_dir: str) -> pa.Table:
     """Parse + compile + execute; small results land as one Arrow table
-    (the /stream response)."""
-    import pandas as pd
-
+    (the /stream response). Zero-row blocks are dropped before the
+    concat — Ray hash shuffles emit them with an EMPTY schema, which
+    would otherwise erase the result's columns."""
     ds = compile_stream(parse_stream_expr(expr), sf_dir)
-    df = ds.to_pandas()
-    return pa.Table.from_pandas(df, preserve_index=False)
+    parts = [b for b in ds.iter_batches(batch_format="pyarrow",
+                                        batch_size=None)
+             if b.num_rows > 0]
+    if not parts:
+        return pa.table({})
+    return pa.concat_tables(parts, promote_options="default")

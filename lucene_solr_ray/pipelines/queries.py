@@ -1867,8 +1867,8 @@ def _q_stream_expr(expr):
         from ..ops.streaming_expr import run_stream_expr
 
         t = run_stream_expr(expr, sf_dir)
-        import pandas as pd
-
+        if t.num_columns == 0:
+            return t
         df = t.to_pandas().sort_values(t.column_names[0]) \
             .reset_index(drop=True)
         return pa.Table.from_pandas(df, preserve_index=False)
@@ -1886,6 +1886,46 @@ SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING'
 ORDER BY o_orderkey ASC LIMIT 10
+"""
+
+STREAM_HAVING_EXPR = ('having(rollup(search(lineitem, q="*:*", '
+                      'fl="l_returnflag,l_quantity"), '
+                      'over="l_returnflag", sum(l_quantity), count(*)), '
+                      'and(gt(count_rows, 100), '
+                      'not(eq(l_returnflag, "N"))))')
+
+STREAM_HAVING_SQL = """
+SELECT l_returnflag, CAST(sum(l_quantity) AS DOUBLE) AS sum_l_quantity,
+       count(*) AS count_rows
+FROM lineitem GROUP BY l_returnflag
+HAVING count(*) > 100 AND l_returnflag <> 'N'
+ORDER BY l_returnflag
+"""
+
+STREAM_COMPLEMENT_EXPR = ('complement(search(customer, q="*:*", '
+                          'fl="c_custkey"), search(orders, '
+                          'q="o_orderpriority:1-URGENT", '
+                          'fl="o_custkey"), on="c_custkey=o_custkey")')
+
+STREAM_COMPLEMENT_SQL = """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+"""
+
+STREAM_STATS_EXPR = ('stats(search(lineitem, q="*:*", '
+                     'fl="l_quantity"), sum(l_quantity), '
+                     'min(l_quantity), max(l_quantity), '
+                     'avg(l_quantity), count(*))')
+
+STREAM_STATS_SQL = """
+SELECT CAST(sum(l_quantity) AS DOUBLE) AS sum_l_quantity,
+       CAST(min(l_quantity) AS DOUBLE) AS min_l_quantity,
+       CAST(max(l_quantity) AS DOUBLE) AS max_l_quantity,
+       CAST(avg(l_quantity) AS DOUBLE) AS avg_l_quantity,
+       count(*) AS count_rows
+FROM lineitem
 """
 
 
@@ -1933,6 +1973,9 @@ def build_queries() -> dict:
         "rel_sampled_facet": R.sampled_facet,
         "stream_expr_rollup": _q_stream_expr(STREAM_ROLLUP_EXPR),
         "stream_expr_join_top": _q_stream_expr(STREAM_JOIN_EXPR),
+        "stream_expr_having": _q_stream_expr(STREAM_HAVING_EXPR),
+        "stream_expr_complement": _q_stream_expr(STREAM_COMPLEMENT_EXPR),
+        "stream_expr_stats": _q_stream_expr(STREAM_STATS_EXPR),
         "dih_full_import": _q_dih_full_import,
         "rel_block_join_parent": J.block_join_parent,
         "rel_block_join_child": J.block_join_child,
@@ -2067,6 +2110,9 @@ def build_oracle_sql() -> dict:
         "rel_sampled_facet": RS.SAMPLED_FACET,
         "stream_expr_rollup": STREAM_ROLLUP_SQL,
         "stream_expr_join_top": STREAM_JOIN_SQL,
+        "stream_expr_having": STREAM_HAVING_SQL,
+        "stream_expr_complement": STREAM_COMPLEMENT_SQL,
+        "stream_expr_stats": STREAM_STATS_SQL,
         "dih_full_import": DIH_FULL_IMPORT_SQL,
         "rel_block_join_parent": RS.BLOCK_JOIN_PARENT,
         "rel_block_join_child": RS.BLOCK_JOIN_CHILD,

@@ -97,7 +97,8 @@ def test_all_queries_have_oracles_or_are_documented():
     "ft_external_boost", "ft_elevation",
     "ft_suggest_weighted", "rel_sampled_facet",
     "ft_dv_numbers", "ft_dv_terms",
-    "stream_expr_rollup", "stream_expr_join_top", "ft_term_automaton",
+    "stream_expr_rollup", "stream_expr_join_top", "stream_expr_having",
+    "stream_expr_complement", "stream_expr_stats", "ft_term_automaton",
     "ft_edismax", "ft_word_delimiter", "ft_simple_parsed",
     "ft_simple_not", "ft_complex_phrase", "ft_surround_w",
     "ft_surround_n", "ft_surround_expand", "ft_surround_expand_n",

@@ -64,3 +64,57 @@ def test_rollup_and_join_match_duckdb(ray_session):
         "WHERE c_mktsegment = 'BUILDING' "
         "ORDER BY o_orderkey LIMIT 5").fetchdf()
     assert j.equals(wj)
+
+
+def test_having_intersect_complement_fetch(ray_session):
+    import duckdb
+
+    from lucene_solr_ray.ops.streaming_expr import run_stream_expr
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    # intersect = left_semi: customers WITH urgent orders
+    got = run_stream_expr(
+        'sort(intersect(search(customer, q="*:*", fl="c_custkey"), '
+        'search(orders, q="o_orderpriority:1-URGENT", fl="o_custkey"), '
+        'on="c_custkey=o_custkey"), sort="c_custkey asc")', sf)
+    want = con.execute(
+        "SELECT c_custkey FROM customer WHERE c_custkey IN "
+        "(SELECT o_custkey FROM orders WHERE o_orderpriority = "
+        "'1-URGENT') ORDER BY c_custkey").fetchdf()
+    assert got["c_custkey"].to_pylist() == want["c_custkey"].tolist()
+    # fetch enriches tuples with fields from another collection
+    got = run_stream_expr(
+        'top(n=5, fetch(customer, search(orders, q="*:*", '
+        'fl="o_orderkey,o_custkey"), on="o_custkey=c_custkey", '
+        'fl="c_mktsegment"), sort="o_orderkey asc")', sf)
+    want = con.execute(
+        "SELECT o_orderkey, o_custkey, c_mktsegment FROM orders "
+        "JOIN customer ON o_custkey = c_custkey "
+        "ORDER BY o_orderkey LIMIT 5").fetchdf()
+    assert sorted(got.column_names) >= ["c_custkey", "c_mktsegment",
+                                        "o_custkey", "o_orderkey"][:3]
+    assert got["o_orderkey"].to_pylist() == want["o_orderkey"].tolist()
+    assert got["c_mktsegment"].to_pylist() == want["c_mktsegment"].tolist()
+    # rollup with min/max/avg metrics
+    got = run_stream_expr(
+        'rollup(search(orders, q="*:*", fl="o_orderpriority,'
+        'o_totalprice"), over="o_orderpriority", min(o_totalprice), '
+        'max(o_totalprice), avg(o_totalprice))', sf).to_pandas() \
+        .sort_values("o_orderpriority").reset_index(drop=True)
+    want = con.execute(
+        "SELECT o_orderpriority, min(o_totalprice) mn, "
+        "max(o_totalprice) mx, avg(o_totalprice) av FROM orders "
+        "GROUP BY 1 ORDER BY 1").fetchdf()
+    assert got["min_o_totalprice"].tolist() == want["mn"].tolist()
+    assert got["max_o_totalprice"].tolist() == want["mx"].tolist()
+    # avg over non-integral doubles: summation ORDER differs from
+    # DuckDB's, so exactness is rel-tol here (integral columns — the
+    # oracle-paired stream_expr_stats — stay bit-exact)
+    import math
+
+    for a, b in zip(got["avg_o_totalprice"], want["av"]):
+        assert math.isclose(a, b, rel_tol=1e-12)
