@@ -1500,6 +1500,114 @@ def _q_stemmed_term(word, k=10):
     return run
 
 
+def _q_lm_dirichlet(term, mu=2000.0, k=10):
+    """Term query scored with LMDirichletSimilarity (Dirichlet-smoothed
+    language model, core:search/similarities/LMDirichletSimilarity.java)
+    over exact doc lengths; float64 end-to-end so the SQL twin is
+    bit-equal."""
+    def run(sf_dir):
+        from ..search.similarity import lm_dirichlet_scores
+
+        s = _searcher(sf_dir)
+        p = s._decode_term_global(term)
+        if p is None:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "score_q": pa.array([], type=pa.int64()),
+                             "rank": pa.array([], type=pa.int64())})
+        docs, tfs = p[0], p[1]
+        ids, dls = s._global_dl()
+        dl = dls[np.searchsorted(ids, docs)]
+        ttf = s.term_stats([term])[term][1]
+        score = lm_dirichlet_scores(tfs, dl, ttf, s.sum_dl, mu=mu)
+        order = np.lexsort((docs, -score))[:k]
+        return pa.table({
+            "doc_id": pa.array(docs[order], type=pa.int64()),
+            "score_q": pa.array(quantize_score(score[order]),
+                                type=pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1),
+                             type=pa.int64()),
+        })
+    return run
+
+
+def _lm_dirichlet_sql(term: str, mu: float, k: int) -> str:
+    return f"""
+WITH {_tok_ctes()},
+tf AS (SELECT doc_id, count(*) AS tf FROM clean WHERE term = '{term}'
+       GROUP BY doc_id),
+ttfx AS (SELECT count(*) AS ttf FROM clean WHERE term = '{term}'),
+scored AS (
+  SELECT tf.doc_id AS doc_id,
+         ln(1 + tf.tf / ({mu!r} * (ttfx.ttf
+                                   / CAST(s.sum_dl AS DOUBLE))))
+         + ln({mu!r} / (dl.dl + {mu!r})) AS score
+  FROM tf JOIN dl USING (doc_id), ttfx, stats s
+)
+{_sql_topk('scored', k)}
+"""
+
+
+def _q_rerank(base_term, rerank_term, rerank_docs=50, weight=2.0, k=10):
+    """ReRankQuery (solr:search/ReRankQParserPlugin.java:48,
+    ReRankCollector): run the base query, take its top ``rerank_docs``
+    by (score desc, doc asc), add weight · rerank-query score to those,
+    then return the final top-k."""
+    def run(sf_dir):
+        s = _searcher(sf_dir)
+        t = s.search({"type": "term", "term": base_term}, k=s.num_docs)
+        docs = np.asarray(t["doc_id"], dtype=np.int64)
+        base = np.asarray(t["score"], dtype=np.float64)
+        cut = np.lexsort((docs, -base))[:rerank_docs]
+        docs, base = docs[cut], base[cut]
+        order0 = np.argsort(docs)
+        docs, base = docs[order0], base[order0]
+        d2, s2 = s.eval_node({"type": "term", "term": rerank_term})
+        if len(d2):
+            idx = np.clip(np.searchsorted(d2, docs), 0, len(d2) - 1)
+            add = np.where(d2[idx] == docs, s2[idx], 0.0)
+        else:
+            add = np.zeros(len(docs))
+        score = base + weight * add
+        order = np.lexsort((docs, -score))[:k]
+        return pa.table({
+            "doc_id": pa.array(docs[order], type=pa.int64()),
+            "score_q": pa.array(quantize_score(score[order]),
+                                type=pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1),
+                             type=pa.int64()),
+        })
+    return run
+
+
+def _rerank_sql(base_term: str, rerank_term: str, rerank_docs: int,
+                weight: float, k: int) -> str:
+    return f"""
+WITH {_tok_ctes()},
+tf AS (SELECT doc_id, count(*) AS tf FROM clean
+       WHERE term = '{base_term}' GROUP BY doc_id),
+dfx AS (SELECT count(*) AS df FROM tf),
+base AS (
+  SELECT tf.doc_id AS doc_id,
+         {_bm25_expr('tf.tf', 'dl.dl', 'dfx.df')} AS score
+  FROM tf JOIN dl USING (doc_id), dfx, stats s),
+topn AS (SELECT doc_id, score FROM base
+         ORDER BY score DESC, doc_id ASC LIMIT {rerank_docs}),
+tf2 AS (SELECT doc_id, count(*) AS tf FROM clean
+        WHERE term = '{rerank_term}' GROUP BY doc_id),
+df2 AS (SELECT count(*) AS df FROM tf2),
+re AS (
+  SELECT tf2.doc_id AS doc_id,
+         {_bm25_expr('tf2.tf', 'dl.dl', 'df2.df')} AS score
+  FROM tf2 JOIN dl USING (doc_id), df2, stats s),
+scored AS (
+  SELECT topn.doc_id AS doc_id,
+         topn.score + {weight!r} * COALESCE(re.score, 0) AS score
+  FROM topn LEFT JOIN re ON re.doc_id = topn.doc_id
+)
+{_sql_topk('scored', k)}
+"""
+
+
 def _q_minimal_stem(word, k=10):
     """Term query over an EnglishMinimalStem index (en/
     EnglishMinimalStemFilter.java — the Harman S-stemmer): the query
@@ -2019,6 +2127,8 @@ def build_queries() -> dict:
         "ft_spellcheck": _q_spellcheck("ort"),
         "ft_synonym_term": _q_synonym_term("batch"),
         "ft_minimal_stem": _q_minimal_stem("tables"),
+        "ft_lm_dirichlet": _q_lm_dirichlet("table"),
+        "ft_rerank": _q_rerank("table", "vector"),
         "ft_stemmed_term": _q_stemmed_term("query"),   # rows-only
         "ft_multi_phrase": _q_multi_phrase([["fast", "slow"], ["table"]]),
         "ft_span_first": _q_span_first("scan", 20),
@@ -2158,6 +2268,8 @@ def build_oracle_sql() -> dict:
         "ft_spellcheck": _spellcheck_sql("ort", 2, 5),
         "ft_synonym_term": _synonym_term_sql("batch", 10),
         "ft_minimal_stem": _minimal_stem_sql("tables", 10),
+        "ft_lm_dirichlet": _lm_dirichlet_sql("table", 2000.0, 10),
+        "ft_rerank": _rerank_sql("table", "vector", 50, 2.0, 10),
         "ft_multi_phrase": _multi_phrase_sql([["fast", "slow"], ["table"]],
                                              10),
         "ft_span_first": _span_first_sql("scan", 20, 20),

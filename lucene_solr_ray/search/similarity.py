@@ -56,3 +56,28 @@ SIMILARITIES = {
     "bm25": None,       # resolved to BM25Float32 by the searcher
     "classic": ClassicSimilarity,
 }
+
+
+def lm_dirichlet_scores(tf: np.ndarray, dl: np.ndarray,
+                        ttf: int, sum_dl: int,
+                        mu: float = 2000.0) -> np.ndarray:
+    """LMDirichletSimilarity (core:search/similarities/
+    LMDirichletSimilarity.java:55-70): Bayesian smoothing with Dirichlet
+    priors,
+
+        score = ln(1 + tf/(µ·p(t|C))) + ln(µ/(dl+µ)),
+        p(t|C) = ttf / sumTotalTermFreq
+
+    over EXACT doc lengths (docs.parquet dl) rather than the reference's
+    lossy norm-byte decode — the float64 oracle mode discipline. Scalar
+    math.log per element (np.log's SIMD path differs from libm in the
+    last bit on some inputs — see CLAUDE.md), bounded by the candidate
+    set so this stays a query-time cost."""
+    p = ttf / float(sum_dl)
+    out = np.empty(len(tf), dtype=np.float64)
+    tf64 = tf.astype(np.float64)
+    dl64 = dl.astype(np.float64)
+    for i in range(len(out)):
+        out[i] = (math.log(1.0 + tf64[i] / (mu * p))
+                  + math.log(mu / (dl64[i] + mu)))
+    return out
