@@ -399,3 +399,92 @@ def ann_ivf_persisted_topk(sf_dir: str, k: int = TOP_K,
     out["rank"] = out.groupby("qid").cumcount() + 1
     out = out[["qid", "nid", "score_q", "rank"]].reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _lsh_planes(dim: int, n_bits: int, n_tables: int,
+                seed: int = 42) -> np.ndarray:
+    """Random hyperplanes for sign-LSH (Charikar SimHash for cosine):
+    (n_tables, n_bits, dim), seeded — every worker derives the same
+    planes."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, n_bits, dim))
+
+
+def _lsh_keys(E: np.ndarray, H: np.ndarray) -> np.ndarray:
+    """Bucket key per (row, table): pack the sign bits of the
+    hyperplane projections — (n, n_tables) int64."""
+    pow2 = 1 << np.arange(H.shape[1], dtype=np.int64)
+    keys = np.empty((E.shape[0], H.shape[0]), dtype=np.int64)
+    for t in range(H.shape[0]):
+        bits = (E @ H[t].T) >= 0.0
+        keys[:, t] = bits @ pow2
+    return keys
+
+
+def ann_lsh_topk(sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES,
+                 n_bits: int = 8, n_tables: int = 10,
+                 multiprobe: int = 1) -> pa.Table:
+    """LSH-bucketed ANN — the second scale path next to IVF: sign-LSH
+    over ``n_tables`` independent hyperplane sets buckets the base
+    vectors; a query probes its own bucket per table plus every
+    single-bit-flip neighbour (``multiprobe=1``, the standard
+    multi-probe trick). Candidates are scored exactly; recall is
+    pytest-bounded against brute force (approximate by design — no SQL
+    oracle). At 100 TB the (table, key) pairs are hive partitions like
+    build_ivf_partitions; here buckets are filtered in-pass."""
+    import ray
+
+    qids, Q = _load_query_vectors(sf_dir, n_queries)
+    H = _lsh_planes(Q.shape[1], n_bits, n_tables)
+    qk = _lsh_keys(Q, H)                      # (nq, n_tables)
+    # probe sets: exact key + single-bit flips per table
+    probes = []
+    for qi in range(len(qids)):
+        per_t = []
+        for t in range(n_tables):
+            ks = {int(qk[qi, t])}
+            if multiprobe >= 1:
+                ks |= {int(qk[qi, t]) ^ (1 << b) for b in range(n_bits)}
+            per_t.append(np.fromiter(ks, dtype=np.int64))
+        probes.append(per_t)
+    ref = ray.put((H, qids, Q, probes))
+
+    class Score:
+        def __init__(self, r):
+            self.H, self.qids, self.Q, self.probes = ray.get(r)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, B = _emb_matrix(batch)
+            keys = _lsh_keys(B, self.H)
+            rows_q, rows_n, rows_s = [], [], []
+            for qi in range(len(self.qids)):
+                mask = np.zeros(len(ids), dtype=bool)
+                for t in range(self.H.shape[0]):
+                    mask |= np.isin(keys[:, t], self.probes[qi][t])
+                if not mask.any():
+                    continue
+                S = _cosine(self.Q[qi:qi + 1], B[mask])[0]
+                cand_ids = ids[mask]
+                kk = min(k + 1, len(S))
+                part = _topk_keep_ties(S, kk)
+                rows_q.extend([int(self.qids[qi])] * len(part))
+                rows_n.extend(cand_ids[part].tolist())
+                rows_s.extend(S[part].tolist())
+            return pa.table({
+                "qid": pa.array(rows_q, type=pa.int64()),
+                "nid": pa.array(rows_n, type=pa.int64()),
+                "score": pa.array(rows_s, type=pa.float64()),
+            })
+
+    parts = (_read_emb(sf_dir)
+             .map_batches(Score, fn_constructor_kwargs={"r": ref},
+                          batch_format="pyarrow", batch_size=4096,
+                          concurrency=(1, 4)).to_pandas())
+    parts = parts[parts["qid"] != parts["nid"]]
+    parts["score_q"] = _quant6(parts["score"].to_numpy())
+    parts = parts.sort_values(["qid", "score_q", "nid"],
+                              ascending=[True, False, True])
+    out = parts.groupby("qid", as_index=False).head(k).copy()
+    out["rank"] = out.groupby("qid").cumcount() + 1
+    out = out[["qid", "nid", "score_q", "rank"]].reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -2056,6 +2056,7 @@ def build_queries() -> dict:
         "text_fingerprint": T.fingerprint,         # rows-only (no SQL twin)
         "ann_brute_cosine": A.ann_brute_topk,
         "ann_ivf_cosine": A.ann_ivf_topk,          # approximate (no SQL twin)
+        "ann_lsh_cosine": A.ann_lsh_topk,          # approximate (no SQL twin)
         "ann_ivf_persisted": A.ann_ivf_persisted_topk,  # rows-only; ==ivf
         "dedup_embedding_cosine": A.embedding_near_dup_pairs,
     }

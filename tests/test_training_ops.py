@@ -110,3 +110,19 @@ def test_connected_components_multihop(ray_session):
     empty = pa.table({"a": pa.array([], type=pa.int64()),
                       "b": pa.array([], type=pa.int64())})
     assert connected_components(empty).num_rows == 0
+
+
+def test_ann_lsh_recall_vs_brute(ray_session):
+    import numpy as np
+
+    from lucene_solr_ray.ops.ann import ann_brute_topk, ann_lsh_topk
+
+    sf = "/root/testdata/sf0.001"
+    brute = ann_brute_topk(sf).to_pandas()
+    lsh = ann_lsh_topk(sf).to_pandas()
+    recalls = []
+    for qid, g in brute.groupby("qid"):
+        truth = set(g["nid"])
+        got = set(lsh[lsh["qid"] == qid]["nid"])
+        recalls.append(len(truth & got) / len(truth))
+    assert np.mean(recalls) >= 0.5  # 10 tables × 8 bits, multiprobe 1
