@@ -459,3 +459,75 @@ def join_rollup(sf_dir: str) -> pa.Table:
     df["revenue_c"] = df["revenue_c"].astype("int64")
     df = df.sort_values("seg").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def query_facets(sf_dir: str) -> pa.Table:
+    """facet.query (solr:request/SimpleFacets.java:340 getFacetQueryCounts):
+    a count per ARBITRARY predicate, all computed in ONE pass — each
+    batch contributes partial counts per named query, summed in a tiny
+    groupby. Queries here are the classic Solr examples: price bands
+    and a priority flag over orders."""
+    ds = _read(sf_dir, "orders", ["o_totalprice", "o_orderpriority"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price = batch["o_totalprice"]
+        prio = batch["o_orderpriority"]
+        rows = {
+            "price_lt_50k": int(pc.sum(
+                pc.cast(pc.less(price, pa.scalar(50_000.0)),
+                        pa.int64())).as_py() or 0),
+            "price_50k_150k": int(pc.sum(pc.cast(pc.and_(
+                pc.greater_equal(price, pa.scalar(50_000.0)),
+                pc.less(price, pa.scalar(150_000.0))),
+                pa.int64())).as_py() or 0),
+            "price_gte_150k": int(pc.sum(
+                pc.cast(pc.greater_equal(price, pa.scalar(150_000.0)),
+                        pa.int64())).as_py() or 0),
+            "urgent": int(pc.sum(
+                pc.cast(pc.equal(prio, pa.scalar("1-URGENT")),
+                        pa.int64())).as_py() or 0),
+        }
+        return pa.table({"facet_query": list(rows),
+                         "cnt": pa.array(list(rows.values()),
+                                         type=pa.int64())})
+
+    df = (ds.map_batches(partial, batch_format="pyarrow")
+          .groupby("facet_query").sum("cnt").to_pandas())
+    df = df.rename(columns={"sum(cnt)": "cnt"}).sort_values("facet_query")
+    df["cnt"] = df["cnt"].astype("int64")
+    return pa.Table.from_pandas(df.reset_index(drop=True),
+                                preserve_index=False)
+
+
+def interval_facet(sf_dir: str) -> pa.Table:
+    """Interval faceting (solr:request/IntervalFacets.java:60): counts
+    per explicit interval with open/closed endpoint syntax — intervals
+    may overlap, so each is its own predicate (not a range-facet bucket
+    map). Intervals over l_quantity: [0,10), [10,25], (25,*]."""
+    ds = _read(sf_dir, "lineitem", ["l_quantity"])
+    intervals = [
+        ("[0,10)", lambda q: pc.and_(
+            pc.greater_equal(q, pa.scalar(0.0)),
+            pc.less(q, pa.scalar(10.0)))),
+        ("[10,25]", lambda q: pc.and_(
+            pc.greater_equal(q, pa.scalar(10.0)),
+            pc.less_equal(q, pa.scalar(25.0)))),
+        ("(25,*]", lambda q: pc.greater(q, pa.scalar(25.0))),
+    ]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"]
+        names, cnts = [], []
+        for name, pred in intervals:
+            names.append(name)
+            cnts.append(int(pc.sum(pc.cast(pred(q),
+                                           pa.int64())).as_py() or 0))
+        return pa.table({"interval": names,
+                         "cnt": pa.array(cnts, type=pa.int64())})
+
+    df = (ds.map_batches(partial, batch_format="pyarrow")
+          .groupby("interval").sum("cnt").to_pandas())
+    df = df.rename(columns={"sum(cnt)": "cnt"}).sort_values("interval")
+    df["cnt"] = df["cnt"].astype("int64")
+    return pa.Table.from_pandas(df.reset_index(drop=True),
+                                preserve_index=False)

@@ -2064,6 +2064,8 @@ def build_queries() -> dict:
     rel = {
         "rel_rollup_pricing": R.rollup_pricing_summary,
         "rel_facet_counts": R.facet_counts,
+        "rel_query_facets": R.query_facets,
+        "rel_interval_facet": R.interval_facet,
         "rel_range_facet": R.range_facet,
         "rel_pivot_facet": R.pivot_facet,
         "rel_stats_component": R.stats_component,
@@ -2204,6 +2206,8 @@ def build_oracle_sql() -> dict:
     rel = {
         "rel_rollup_pricing": RS.ROLLUP_PRICING_SUMMARY,
         "rel_facet_counts": RS.FACET_COUNTS,
+        "rel_query_facets": RS.QUERY_FACETS,
+        "rel_interval_facet": RS.INTERVAL_FACET,
         "rel_range_facet": RS.RANGE_FACET,
         "rel_pivot_facet": RS.PIVOT_FACET,
         "rel_stats_component": RS.STATS_COMPONENT,

@@ -187,3 +187,34 @@ SELECT c_mktsegment AS seg,
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY seg ORDER BY seg
 """
+
+QUERY_FACETS = """
+SELECT facet_query, cnt FROM (
+  SELECT 'price_lt_50k' AS facet_query,
+         count(*) FILTER (o_totalprice < 50000) AS cnt FROM orders
+  UNION ALL
+  SELECT 'price_50k_150k',
+         count(*) FILTER (o_totalprice >= 50000 AND o_totalprice < 150000)
+  FROM orders
+  UNION ALL
+  SELECT 'price_gte_150k', count(*) FILTER (o_totalprice >= 150000)
+  FROM orders
+  UNION ALL
+  SELECT 'urgent', count(*) FILTER (o_orderpriority = '1-URGENT')
+  FROM orders
+) ORDER BY facet_query
+"""
+
+INTERVAL_FACET = """
+SELECT interval, cnt FROM (
+  SELECT '[0,10)' AS interval,
+         count(*) FILTER (l_quantity >= 0 AND l_quantity < 10) AS cnt
+  FROM lineitem
+  UNION ALL
+  SELECT '[10,25]',
+         count(*) FILTER (l_quantity >= 10 AND l_quantity <= 25)
+  FROM lineitem
+  UNION ALL
+  SELECT '(25,*]', count(*) FILTER (l_quantity > 25) FROM lineitem
+) ORDER BY interval
+"""
