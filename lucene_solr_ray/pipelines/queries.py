@@ -1250,6 +1250,29 @@ GROUP BY term ORDER BY weight DESC, term ASC LIMIT {n}
 """
 
 
+def _q_suggest_fuzzy(prefix, n=10, max_edits=1):
+    """FuzzySuggester (lucene/suggest/.../analyzing/FuzzySuggester.java):
+    typo-tolerant completion — dictionary terms whose prefix is within
+    max_edits of the typed prefix, ttf-weighted."""
+    def run(sf_dir):
+        return _searcher(sf_dir).suggest_fuzzy(prefix, n=n,
+                                               max_edits=max_edits)
+    return run
+
+
+def _suggest_fuzzy_sql(prefix: str, n: int, max_edits: int) -> str:
+    plen = len(prefix)
+    cuts = range(max(1, plen - max_edits), plen + max_edits + 1)
+    lev = ", ".join(f"levenshtein('{prefix}', substr(term, 1, {L}))"
+                    for L in cuts)
+    return f"""
+WITH {_tok_ctes()}
+SELECT term, count(*) AS weight FROM clean
+GROUP BY term HAVING least({lev}) <= {max_edits}
+ORDER BY weight DESC, term ASC LIMIT {n}
+"""
+
+
 def _function_boost_sql(term: str, a: float, k: int) -> str:
     return f"""
 WITH {_tok_ctes()},
@@ -2112,6 +2135,7 @@ def build_queries() -> dict:
         "ft_dismax": _q_dismax(["table", "customer", "vector"], 0.3),
         "ft_span_near": _q_span_near(["fast", "table"], 3),
         "ft_suggest": _q_suggest("s"),
+        "ft_suggest_fuzzy": _q_suggest_fuzzy("vectr"),
         "ft_function_boost": _q_function_boost("table"),
         "ft_more_like_this": _q_more_like_this(0),   # rows-only
         "ft_highlight": _q_highlight("table"),       # rows-only
@@ -2256,6 +2280,7 @@ def build_oracle_sql() -> dict:
         "ft_dismax": _dismax_sql(["table", "customer", "vector"], 0.3, 10),
         "ft_span_near": _span_near_sql("fast", "table", 3, 20),
         "ft_suggest": _suggest_sql("s", 10),
+        "ft_suggest_fuzzy": _suggest_fuzzy_sql("vectr", 10, 1),
         "ft_function_boost": _function_boost_sql("table", 100.0, 10),
         "ft_filter_lang": _filtered_sql("table", "lang", "en", 10),
         "ft_facet_lang": _result_facet_sql("table", "lang"),

@@ -1260,6 +1260,32 @@ class IndexSearcher:
             "weight": pa.array([w for _, w in top], type=pa.int64()),
         })
 
+    def suggest_fuzzy(self, prefix: str, n: int = 10, *,
+                      max_edits: int = 1) -> pa.Table:
+        """FuzzySuggester (lucene/suggest/.../analyzing/FuzzySuggester.
+        java:60): completions whose PREFIX is within ``max_edits`` of
+        the typed prefix. The automaton intersection is approximated by
+        banded edit distance against the three candidate cut lengths
+        |p|-1, |p|, |p|+1 of every dictionary term (the only cuts a
+        ≤1-edit prefix can have; for max_edits=2 the band widens to
+        ±2). Weight = total term frequency, ties term asc."""
+        plen = len(prefix)
+        cuts = range(max(1, plen - max_edits), plen + max_edits + 1)
+        agg: dict[str, int] = {}
+        for seg in self.segments:
+            terms, _, ttf = seg.term_dict_arrays()
+            for t, w in zip(terms.tolist(), ttf.tolist()):
+                if ":" in t and ":" not in prefix:
+                    continue
+                if min(_levenshtein_dist(prefix, t[:L], max_edits)
+                       for L in cuts) <= max_edits:
+                    agg[t] = agg.get(t, 0) + int(w)
+        top = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[:n]
+        return pa.table({
+            "term": pa.array([t for t, _ in top], type=pa.string()),
+            "weight": pa.array([w for _, w in top], type=pa.int64()),
+        })
+
     def suggest_completion(self, prefix: str, n: int = 10, *,
                            weight_field: str = "n_chars",
                            context_field: str | None = None,

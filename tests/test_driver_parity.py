@@ -82,7 +82,8 @@ def test_all_queries_have_oracles_or_are_documented():
     "text_langid", "text_quality", "text_token_totals",
     "ann_brute_cosine",
     "ft_prefix", "ft_wildcard", "ft_regexp", "ft_term_range", "ft_fuzzy",
-    "ft_dismax", "ft_span_near", "ft_suggest", "ft_function_boost",
+    "ft_dismax", "ft_span_near", "ft_suggest", "ft_suggest_fuzzy",
+    "ft_function_boost",
     "ft_filter_lang", "ft_facet_lang", "dedup_embedding_cosine", "ft_terms_set",
     "ft_parsed_bool", "ft_parsed_grouped", "ft_parsed_phrase_prefix",
     "ft_parsed_field", "ft_parsed_not", "ft_phrase_slop",
