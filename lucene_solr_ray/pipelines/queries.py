@@ -469,6 +469,37 @@ def _doc_text(sf_dir: str, doc_id: int) -> str:
     return _doc_texts(sf_dir, [doc_id])[doc_id]
 
 
+def _q_term_vector(doc_id=0):
+    """TermVectorsComponent (solr:handler/component/
+    TermVectorComponent.java:60; core:index/TermVectorsReader): the
+    per-doc term→tf vector. Computed by re-analyzing the stored field
+    with the index analyzer — the reference's fallback when vectors
+    aren't stored — so it is exactly the postings' view of the doc."""
+    def run(sf_dir):
+        from ..analysis.analyzer import analyze_batch
+
+        text = _doc_text(sf_dir, doc_id)
+        r = analyze_batch(pa.array([text]))
+        terms = r.terms.to_pylist()
+        import collections
+
+        tf = collections.Counter(terms)
+        keys = sorted(tf)
+        return pa.table({
+            "term": pa.array(keys, type=pa.string()),
+            "tf": pa.array([tf[t] for t in keys], type=pa.int64()),
+        })
+    return run
+
+
+def _term_vector_sql(doc_id: int) -> str:
+    return f"""
+WITH {_tok_ctes()}
+SELECT term, count(*) AS tf FROM clean WHERE doc_id = {doc_id}
+GROUP BY term ORDER BY term
+"""
+
+
 def _q_more_like_this(doc_id=0, k=10, max_terms=5):
     """MoreLikeThis over the documents table (rows-only check — term
     selection involves float tf·idf ranking not replicated in SQL)."""
@@ -2138,6 +2169,7 @@ def build_queries() -> dict:
         "ft_suggest_fuzzy": _q_suggest_fuzzy("vectr"),
         "ft_function_boost": _q_function_boost("table"),
         "ft_more_like_this": _q_more_like_this(0),   # rows-only
+        "ft_term_vector": _q_term_vector(0),
         "ft_highlight": _q_highlight("table"),       # rows-only
         "ft_filter_lang": _q_filtered("table", "lang", "en"),
         "ft_facet_lang": _q_result_facet("table", "lang"),
@@ -2282,6 +2314,7 @@ def build_oracle_sql() -> dict:
         "ft_suggest": _suggest_sql("s", 10),
         "ft_suggest_fuzzy": _suggest_fuzzy_sql("vectr", 10, 1),
         "ft_function_boost": _function_boost_sql("table", 100.0, 10),
+        "ft_term_vector": _term_vector_sql(0),
         "ft_filter_lang": _filtered_sql("table", "lang", "en", 10),
         "ft_facet_lang": _result_facet_sql("table", "lang"),
         "ft_terms_set": _multiterm_sql(
