@@ -42,6 +42,12 @@ MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.java:39 DEFAULT_MAX_TOKEN_LENGTH
 
 _TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
 _SPLIT_PATTERN = "[^a-z0-9]+"  # applied to lowercased text
+#: UAX29URLEmailTokenizer classes (ordered alternation: URL beats EMAIL
+#: beats word run) — RE2-compatible so a DuckDB twin can reuse it
+_URLEMAIL_RE = re.compile(
+    r"https?://[a-z0-9.-]+(?::\d+)?(?:/[^\s<>\"']*)?"
+    r"|[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    r"|[a-z0-9]+")
 _STOPWORDS_PA = pa.array(ENGLISH_STOP_WORDS, type=pa.string())
 
 # SQL fragment producing the identical token list from a text column in
@@ -112,7 +118,16 @@ def analyze_batch(texts: pa.Array | pa.ChunkedArray, *,
         texts = texts.combine_chunks()
     n_docs = len(texts)
     lower = pc.utf8_lower(texts)
-    if tokenizer == "unicode":
+    if tokenizer == "urlemail":
+        # UAX29URLEmailTokenizer (lucene/analysis/common/.../standard/
+        # UAX29URLEmailTokenizer.java:47): URLs and emails survive as
+        # SINGLE tokens; everything else splits like the ascii
+        # tokenizer. Ordered alternation findall per doc (C-level re;
+        # opt-in mode for web corpora, not the oracle-paired default).
+        toks = [_URLEMAIL_RE.findall(t) if t is not None else []
+                for t in lower.to_pylist()]
+        token_lists = pa.array(toks, type=pa.list_(pa.string()))
+    elif tokenizer == "unicode":
         # UAX#29 approximation closer to the reference's JFlex DFA:
         # tokens are Unicode letter/number runs; Han ideographs emit
         # one token each (StandardTokenizer's IDEOGRAPHIC class). Not
@@ -124,7 +139,8 @@ def analyze_batch(texts: pa.Array | pa.ChunkedArray, *,
         split_pattern = r"[^\p{L}\p{N}]+"
     else:
         split_pattern = _SPLIT_PATTERN
-    token_lists = pc.split_pattern_regex(lower, pattern=split_pattern)
+    if tokenizer != "urlemail":
+        token_lists = pc.split_pattern_regex(lower, pattern=split_pattern)
     if isinstance(token_lists, pa.ChunkedArray):
         token_lists = token_lists.combine_chunks()
     flat = token_lists.flatten()

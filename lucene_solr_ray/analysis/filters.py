@@ -1130,3 +1130,44 @@ def multiword_synonym_stream(rules: dict, keep_orig: bool = True):
         return t.take(pa.array(order)), d[order], p[order].astype(np.int32)
 
     return transform
+
+
+_SOUNDEX_CODE = str.maketrans({
+    "b": "1", "f": "1", "p": "1", "v": "1",
+    "c": "2", "g": "2", "j": "2", "k": "2", "q": "2", "s": "2",
+    "x": "2", "z": "2",
+    "d": "3", "t": "3",
+    "l": "4",
+    "m": "5", "n": "5",
+    "r": "6",
+})
+
+
+def soundex(term: str) -> str:
+    """PhoneticFilter with the Soundex encoder (lucene/analysis/
+    phonetic/.../PhoneticFilter.java over commons-codec Soundex — the
+    classic American Soundex): first letter + 3 digits, H/W transparent
+    between same-coded consonants, A/E/I/O/U/Y break runs. Non-alpha
+    terms pass through unchanged."""
+    w = term.lower()
+    if not w or not w[0].isalpha():
+        return term
+    first = w[0].upper()
+    out = [first]
+    prev = w[0].translate(_SOUNDEX_CODE)
+    prev = prev if prev.isdigit() else ""
+    for ch in w[1:]:
+        if not ch.isalpha():
+            continue
+        if ch in "hw":
+            continue               # transparent: keeps prev code alive
+        code = ch.translate(_SOUNDEX_CODE)
+        if not code.isdigit():     # vowel: breaks the run
+            prev = ""
+            continue
+        if code != prev:
+            out.append(code)
+            if len(out) == 4:
+                break
+        prev = code
+    return "".join(out).ljust(4, "0")

@@ -170,3 +170,33 @@ def test_unicode_index_end_to_end(tmp_path, ray_session):
     assert s.search({"type": "term", "term": "中"},
                     k=5)["doc_id"].to_pylist() == [1]
     assert s.search({"type": "term", "term": "data"}, k=5).num_rows == 2
+
+
+def test_urlemail_tokenizer():
+    """UAX29URLEmailTokenizer mode: URLs/emails survive as single
+    tokens; plain text splits like the ascii tokenizer."""
+    from lucene_solr_ray.analysis import analyze_batch
+
+    r = analyze_batch(
+        pa.array(["Mail me at Bob.Smith+tag@example.co.uk today",
+                  "see https://sub.example.com:8080/a/b?q=1 for more",
+                  "no urls here"]),
+        tokenizer="urlemail", stopwords=frozenset())
+    assert r.terms.to_pylist() == [
+        "mail", "me", "at", "bob.smith+tag@example.co.uk", "today",
+        "see", "https://sub.example.com:8080/a/b?q=1", "for", "more",
+        "no", "urls", "here"]
+    assert list(r.doc_lengths) == [5, 4, 3]
+    # positions are serial per doc
+    assert list(r.positions[:5]) == [0, 1, 2, 3, 4]
+    # DuckDB regexp_extract_all with the same pattern agrees (RE2 twin)
+    import duckdb
+
+    from lucene_solr_ray.analysis.analyzer import _URLEMAIL_RE
+
+    got = duckdb.connect().execute(
+        "SELECT regexp_extract_all(lower('see https://x.io/a b@c.de!'), "
+        "?)", [_URLEMAIL_RE.pattern]).fetchone()[0]
+    r2 = analyze_batch(pa.array(["see https://x.io/a b@c.de!"]),
+                       tokenizer="urlemail", stopwords=frozenset())
+    assert got == r2.terms.to_pylist()

@@ -458,3 +458,18 @@ def test_multiword_synonym_stream():
                        stream_transform=multiword_synonym_stream(rules),
                        stopwords=frozenset())
     assert "ny" not in r3.terms.to_pylist()
+
+
+def test_soundex_golden():
+    from lucene_solr_ray.analysis.filters import soundex
+
+    # the canonical commons-codec / NARA test vectors
+    cases = {"robert": "R163", "rupert": "R163", "ashcraft": "A261",
+             "ashcroft": "A261", "tymczak": "T522", "pfister": "P236",
+             "honeyman": "H555", "smith": "S530", "smyth": "S530",
+             "washington": "W252", "lee": "L000", "gutierrez": "G362",
+             "jackson": "J250", "a": "A000"}
+    bad = {w: (soundex(w), want) for w, want in cases.items()
+           if soundex(w) != want}
+    assert not bad, bad
+    assert soundex("42") == "42"   # non-alpha passthrough
