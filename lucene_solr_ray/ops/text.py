@@ -167,3 +167,85 @@ def fingerprint(sf_dir: str) -> pa.Table:
     df = (_read_docs(sf_dir).map_batches(fp, batch_format="pyarrow")
           .to_pandas().sort_values("doc_id").reset_index(drop=True))
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def significant_terms(sf_dir: str, fg_term: str = "vector",
+                      n: int = 20, min_fg: int = 3) -> pa.Table:
+    """significantTerms (solr/solrj/.../io/stream/SignificantTermsStream
+    .java:63; the relatedness() JSON facet aggregate): terms
+    over-represented in the FOREGROUND set (docs containing
+    ``fg_term``) relative to the whole corpus. One distributed pass:
+    each batch re-analyzes its docs, emits distinct (term, in_fg) rows
+    plus a per-doc sentinel row; one groupby-sum yields fg_df/bg_df per
+    term and the totals; score = (fg_df·bg_total)/(bg_df·fg_total) —
+    integer products with ONE float64 division, so the SQL twin is
+    bit-equal. Ranked (score desc, term asc), fg_df ≥ ``min_fg``."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    SENTINEL = "\x00docs"
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ab = analyze_batch(batch["text"])
+        df = pd.DataFrame({"d": ab.doc_idx,
+                           "term": ab.terms.to_pandas()})
+        df = df.drop_duplicates()
+        fg_docs = set(df.loc[df["term"] == fg_term, "d"])
+        df["fg"] = df["d"].isin(fg_docs).astype("int64")
+        sent = pd.DataFrame({
+            "d": np.arange(batch.num_rows, dtype=np.int64),
+            "term": SENTINEL,
+            "fg": np.isin(np.arange(batch.num_rows),
+                          np.fromiter(fg_docs, dtype=np.int64,
+                                      count=len(fg_docs)))
+            .astype("int64"),
+        })
+        out = pd.concat([df, sent], ignore_index=True)
+        out["one"] = np.int64(1)
+        return pa.Table.from_pandas(out[["term", "fg", "one"]],
+                                    preserve_index=False)
+
+    # vocabulary-sized aggregate STAYS a Dataset; only the sentinel row
+    # (totals) and the final top-n ever reach the driver
+    agg_ds = (ds.map_batches(pairs, batch_format="pyarrow")
+              .groupby("term").sum(["fg", "one"]).materialize())
+
+    def only_sentinel(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t["term"], pa.scalar(SENTINEL)))
+
+    sent = (agg_ds.map_batches(only_sentinel, batch_format="pyarrow")
+            .to_pandas())
+    fg_total = int(sent["sum(fg)"].iloc[0])
+    bg_total = int(sent["sum(one)"].iloc[0])
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.and_(pc.not_equal(t["term"], pa.scalar(SENTINEL)),
+                       pc.greater_equal(t["sum(fg)"],
+                                        pa.scalar(min_fg,
+                                                  type=pa.int64())))
+        t = t.filter(keep)
+        fg_df = np.asarray(t["sum(fg)"], dtype=np.int64)
+        bg_df = np.asarray(t["sum(one)"], dtype=np.int64)
+        score = (fg_df * np.float64(bg_total)) \
+            / (bg_df * np.float64(fg_total))
+        return pa.table({
+            "term": t["term"],
+            "fg_df": pa.array(fg_df, type=pa.int64()),
+            "bg_df": pa.array(bg_df, type=pa.int64()),
+            "score_q": pa.array(
+                np.floor(score * 10000 + 0.5).astype(np.int64),
+                type=pa.int64()),
+        })
+
+    top = (agg_ds.map_batches(score_batch, batch_format="pyarrow")
+           .sort(["score_q", "term"], descending=[True, False])
+           .limit(n).to_pandas())
+    return pa.Table.from_pandas(top, preserve_index=False)

@@ -347,6 +347,29 @@ ORDER BY a, b
 """
 
 
+def significant_terms_sql(fg_term: str, n: int, min_fg: int) -> str:
+    """Twin of ops.text.significant_terms: distinct (doc, term) pairs,
+    foreground = docs containing fg_term, score = one float64 division
+    of integer products (same shape as the engine)."""
+    return f"""
+WITH {_tok_ctes()},
+dt AS (SELECT DISTINCT doc_id, term FROM clean),
+fg AS (SELECT DISTINCT doc_id FROM dt WHERE term = '{fg_term}'),
+tot AS (SELECT (SELECT count(*) FROM fg) AS fg_total,
+               (SELECT count(*) FROM documents) AS bg_total),
+per AS (SELECT term, count(*) AS bg_df,
+               count(*) FILTER (doc_id IN (SELECT doc_id FROM fg))
+                 AS fg_df
+        FROM dt GROUP BY term)
+SELECT term, fg_df, bg_df,
+       CAST(floor((fg_df * CAST(t.bg_total AS DOUBLE))
+                  / (bg_df * CAST(t.fg_total AS DOUBLE))
+                  * 10000 + 0.5) AS BIGINT) AS score_q
+FROM per, tot t WHERE fg_df >= {min_fg}
+ORDER BY score_q DESC, term ASC LIMIT {n}
+"""
+
+
 def dedup_clusters_sql(threshold: float) -> str:
     """Oracle twin of ops.dedup.dedup_clusters: the exhaustive Jaccard
     pair list (same contract as the minhash oracle) closed transitively
@@ -2106,6 +2129,7 @@ def build_queries() -> dict:
         "dedup_clusters": D.dedup_clusters,
         "text_langid": T.lang_id,
         "text_quality": T.quality_score,
+        "text_significant_terms": T.significant_terms,
         "text_token_totals": T.token_totals,
         "text_fingerprint": T.fingerprint,         # rows-only (no SQL twin)
         "ann_brute_cosine": A.ann_brute_topk,
@@ -2251,6 +2275,7 @@ def build_oracle_sql() -> dict:
         "dedup_clusters": dedup_clusters_sql(JACCARD_THRESHOLD),
         "text_langid": text_langid_sql(),
         "text_quality": text_quality_sql(),
+        "text_significant_terms": significant_terms_sql("vector", 20, 3),
         "text_token_totals": text_token_totals_sql(),
         "ann_brute_cosine": ann_brute_sql(),
         "dedup_embedding_cosine": embedding_near_dup_sql(),
