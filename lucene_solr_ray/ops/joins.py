@@ -197,3 +197,32 @@ def collapse_expand(sf_dir: str, n_expand: int = 2) -> pa.Table:
     df = df[["o_custkey", "o_orderkey", "price_c", "role"]].sort_values(
         ["o_custkey", "o_orderkey"]).reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def block_join_facet(sf_dir: str, min_qty: float = 45.0) -> pa.Table:
+    """BlockJoinFacetComponent (solr:search/join/
+    BlockJoinFacetComponent.java:43): facet counts computed over the
+    PARENTS matched by a child query — children filter → distinct
+    parent keys (per-batch combiner + groupby), native left_semi join
+    against the parent table, then the facet groupby. No child rows
+    cross the second shuffle."""
+    children = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def keys(batch: pa.Table) -> pa.Table:
+        m = pc.greater_equal(batch["l_quantity"], pa.scalar(min_qty))
+        ok = np.unique(np.asarray(batch.filter(m)["l_orderkey"],
+                                  dtype=np.int64))
+        return pa.table({"l_orderkey": pa.array(ok, type=pa.int64())})
+
+    matched = (children.map_batches(keys, batch_format="pyarrow")
+               .groupby("l_orderkey").count().map_batches(
+                   lambda t: t.select(["l_orderkey"]),
+                   batch_format="pyarrow"))
+    parents = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    hit = parents.join(matched, join_type="left_semi", num_partitions=8,
+                       on=("o_orderkey",), right_on=("l_orderkey",))
+    df = (hit.groupby("o_orderpriority").count().to_pandas()
+          .rename(columns={"count()": "cnt"})
+          .sort_values("o_orderpriority").reset_index(drop=True))
+    df["cnt"] = df["cnt"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)

@@ -2167,6 +2167,7 @@ def build_queries() -> dict:
         "stream_expr_stats": _q_stream_expr(STREAM_STATS_EXPR),
         "dih_full_import": _q_dih_full_import,
         "rel_block_join_parent": J.block_join_parent,
+        "rel_block_join_facet": J.block_join_facet,
         "rel_block_join_child": J.block_join_child,
         "rel_join_score": J.terms_including_score,
         "rel_collapse_expand": J.collapse_expand,
@@ -2311,6 +2312,7 @@ def build_oracle_sql() -> dict:
         "stream_expr_stats": STREAM_STATS_SQL,
         "dih_full_import": DIH_FULL_IMPORT_SQL,
         "rel_block_join_parent": RS.BLOCK_JOIN_PARENT,
+        "rel_block_join_facet": RS.BLOCK_JOIN_FACET,
         "rel_block_join_child": RS.BLOCK_JOIN_CHILD,
         "rel_join_score": RS.TERMS_INCLUDING_SCORE,
         "rel_collapse_expand": RS.COLLAPSE_EXPAND,

@@ -218,3 +218,11 @@ SELECT interval, cnt FROM (
   SELECT '(25,*]', count(*) FILTER (l_quantity > 25) FROM lineitem
 ) ORDER BY interval
 """
+
+BLOCK_JOIN_FACET = """
+SELECT o_orderpriority, count(*) AS cnt
+FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     WHERE l_quantity >= 45)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""

@@ -91,7 +91,8 @@ def test_all_queries_have_oracles_or_are_documented():
     "ft_numeric_range", "ft_sort_by_field", "ft_spellcheck",
     "ft_synonym_term", "ft_minimal_stem", "ft_lm_dirichlet", "ft_rerank",
     "rel_hierarchical_facet", "rel_percentiles", "rel_stats_extended",
-    "rel_block_join_parent", "rel_block_join_child", "rel_join_score",
+    "rel_block_join_parent", "rel_block_join_child", "rel_block_join_facet",
+    "rel_join_score",
     "rel_collapse_expand",
     "ft_multi_phrase", "ft_span_first", "ft_span_not", "ft_span_or",
     "ft_blended_term", "ft_edge_ngram", "ft_shingle",
