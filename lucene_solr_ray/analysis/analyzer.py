@@ -93,6 +93,7 @@ def analyze_batch(texts: pa.Array | pa.ChunkedArray, *,
                   stopwords=None,
                   term_transform=None,
                   stream_transform=None,
+                  char_filter=None,
                   tokenizer: str = "ascii") -> AnalyzedBatch:
     """Tokenize a column of documents into a flat (doc, term, position) stream.
 
@@ -117,6 +118,15 @@ def analyze_batch(texts: pa.Array | pa.ChunkedArray, *,
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     n_docs = len(texts)
+    if char_filter is not None:
+        # CharFilter stage (lucene/analysis/.../CharFilter.java): a
+        # vectorized pa.Array -> pa.Array text transform BEFORE the
+        # tokenizer (HTMLStrip / Mapping / PatternReplace,
+        # analysis.filters.*_chars). Offsets are not correction-mapped
+        # (no offset attribute in this engine — documented deviation).
+        texts = char_filter(texts)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
     lower = pc.utf8_lower(texts)
     if tokenizer == "urlemail":
         # UAX29URLEmailTokenizer (lucene/analysis/common/.../standard/

@@ -1171,3 +1171,63 @@ def soundex(term: str) -> str:
                 break
         prev = code
     return "".join(out).ljust(4, "0")
+
+
+# ---------------------------------------------------------------------------
+# CharFilters: vectorized pa.Array -> pa.Array text transforms applied
+# BEFORE the tokenizer (lucene/analysis/.../charfilter/)
+# ---------------------------------------------------------------------------
+
+def html_strip_chars():
+    """HTMLStripCharFilter (charfilter/HTMLStripCharFilter.java):
+    remove tags/comments and decode the common entities, leaving plain
+    text for the tokenizer. Script/style elements drop their content
+    entirely, like the reference."""
+    import pyarrow.compute as pc
+
+    ENTITIES = [("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                ("&quot;", '"'), ("&apos;", "'"), ("&nbsp;", " ")]
+
+    def run(texts):
+        t = pc.replace_substring_regex(
+            texts, pattern=r"(?is)<(script|style)\b[^>]*>.*?</\1>",
+            replacement=" ")
+        t = pc.replace_substring_regex(t, pattern=r"(?s)<!--.*?-->",
+                                       replacement=" ")
+        t = pc.replace_substring_regex(t, pattern=r"(?s)<[^>]*>",
+                                       replacement=" ")
+        for ent, rep in ENTITIES:
+            t = pc.replace_substring(t, pattern=ent, replacement=rep)
+        t = pc.replace_substring_regex(
+            t, pattern=r"&#(\d+);", replacement=" ")  # numeric: dropped
+        return t
+
+    return run
+
+
+def make_mapping_chars(mapping: dict[str, str]):
+    """MappingCharFilter (charfilter/MappingCharFilter.java): literal
+    string→string rewrites applied longest-pattern-first."""
+    import pyarrow.compute as pc
+
+    items = sorted(mapping.items(), key=lambda kv: -len(kv[0]))
+
+    def run(texts):
+        t = texts
+        for pat, rep in items:
+            t = pc.replace_substring(t, pattern=pat, replacement=rep)
+        return t
+
+    return run
+
+
+def make_pattern_replace_chars(pattern: str, replacement: str):
+    """PatternReplaceCharFilter (pattern/PatternReplaceCharFilter.java):
+    regex rewrite of the raw text before tokenization."""
+    import pyarrow.compute as pc
+
+    def run(texts):
+        return pc.replace_substring_regex(texts, pattern=pattern,
+                                          replacement=replacement)
+
+    return run

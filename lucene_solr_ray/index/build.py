@@ -62,7 +62,8 @@ def write_segment_batch(batch: pa.Table, *, segments_root: str,
                         keyword_cols: tuple[str, ...] = (),
                         with_positions: bool = True,
                         term_transform=None, stream_transform=None,
-                        stopwords=None, tokenizer: str = "ascii") -> pa.Table:
+                        stopwords=None, char_filter=None,
+                        tokenizer: str = "ascii") -> pa.Table:
     """Task-form segment writer (one Arrow batch → one segment → one stats
     row). Used via ``functools.partial`` in plain-task map_batches: Ray
     REUSES its general worker pool across tasks and executions, so the
@@ -86,7 +87,8 @@ def write_segment_batch(batch: pa.Table, *, segments_root: str,
                          with_positions=with_positions,
                          term_transform=term_transform,
                          stream_transform=stream_transform,
-                         stopwords=stopwords, tokenizer=tokenizer)
+                         stopwords=stopwords, char_filter=char_filter,
+                         tokenizer=tokenizer)
     return pa.table({"segment": [meta["segment"]],
                      "num_docs": [meta["num_docs"]],
                      "sum_dl": [meta["sum_dl"]],
@@ -147,7 +149,7 @@ def build_index(ds, out_dir: str, *, content_col: str = "content",
                 id_col: str = "doc_id", store_cols: tuple[str, ...] = (),
                 keyword_cols: tuple[str, ...] = (),
                 with_positions: bool = True, term_transform=None,
-                stream_transform=None, stopwords=None,
+                stream_transform=None, stopwords=None, char_filter=None,
                 tokenizer: str = "ascii",
                 batch_rows: int = DEFAULT_BATCH_ROWS,
                 concurrency=None, derive_doc_keys: bool = False,
@@ -196,7 +198,8 @@ def build_index(ds, out_dir: str, *, content_col: str = "content",
             content_col=content_col, id_col=id_col, store_cols=store_cols,
             keyword_cols=keyword_cols, with_positions=with_positions,
             term_transform=term_transform, stream_transform=stream_transform,
-            stopwords=stopwords, tokenizer=tokenizer)
+            stopwords=stopwords, char_filter=char_filter,
+            tokenizer=tokenizer)
         kwargs = {"concurrency": concurrency} if concurrency is not None else {}
         stage = ds.map_batches(fn, batch_format="pyarrow",
                                batch_size=batch_rows, **kwargs)

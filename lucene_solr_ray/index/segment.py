@@ -269,7 +269,8 @@ def write_segment(table: pa.Table, segments_root: str, seg_name: str, *,
                   keyword_cols: tuple[str, ...] = (),
                   with_positions: bool = True,
                   term_transform=None, stream_transform=None,
-                  stopwords=None, tokenizer: str = "ascii") -> dict:
+                  stopwords=None, char_filter=None,
+                  tokenizer: str = "ascii") -> dict:
     """Analyze one Arrow table of documents and write it as a segment.
 
     ``keyword_cols`` are indexed as untokenized single-token fields — the
@@ -294,7 +295,8 @@ def write_segment(table: pa.Table, segments_root: str, seg_name: str, *,
     analyzed = analyze_batch(table[content_col],
                             term_transform=term_transform,
                             stream_transform=stream_transform,
-                            stopwords=stopwords, tokenizer=tokenizer)
+                            stopwords=stopwords, char_filter=char_filter,
+                            tokenizer=tokenizer)
     dl = analyzed.doc_lengths
     norms = encode_norm(dl.astype(np.float64))
 

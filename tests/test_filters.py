@@ -473,3 +473,47 @@ def test_soundex_golden():
            if soundex(w) != want}
     assert not bad, bad
     assert soundex("42") == "42"   # non-alpha passthrough
+
+
+def test_char_filters():
+    from lucene_solr_ray.analysis import analyze_batch
+    from lucene_solr_ray.analysis.filters import (html_strip_chars,
+                                                  make_mapping_chars,
+                                                  make_pattern_replace_chars)
+
+    r = analyze_batch(pa.array(
+        ["<p>Hello <b>world</b></p><script>var x=1;</script>"
+         " fish &amp; chips <!-- note --> done"]),
+        char_filter=html_strip_chars(), stopwords=frozenset())
+    assert r.terms.to_pylist() == ["hello", "world", "fish", "chips",
+                                   "done"]
+    m = make_mapping_chars({"ph": "f", "qu": "kw"})
+    r2 = analyze_batch(pa.array(["phone quest"]), char_filter=m,
+                       stopwords=frozenset())
+    assert r2.terms.to_pylist() == ["fone", "kwest"]
+    p = make_pattern_replace_chars(r"(\d+)-(\d+)", r"\1\2")
+    r3 = analyze_batch(pa.array(["call 555-1234 now"]), char_filter=p,
+                       stopwords=frozenset())
+    assert r3.terms.to_pylist() == ["call", "5551234", "now"]
+
+
+def test_char_filter_through_index(ray_session, tmp_path):
+    from lucene_solr_ray.analysis.filters import html_strip_chars
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.search.searcher import IndexSearcher
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["<h1>Spark &amp; Ray</h1><script>x</script>",
+                          "plain spark text"], type=pa.string()),
+    })
+    out = str(tmp_path / "cf")
+    build_index(t, out, content_col="text",
+                char_filter=html_strip_chars(), stopwords=frozenset())
+    s = IndexSearcher(out)
+    assert sorted(s.search({"type": "term", "term": "spark"},
+                           k=5)["doc_id"].to_pylist()) == [1, 2]
+    # tag names and script bodies never became tokens
+    assert s.search({"type": "term", "term": "h1"}, k=5).num_rows == 0
+    assert s.search({"type": "term", "term": "script"},
+                    k=5).num_rows == 0
