@@ -1189,8 +1189,12 @@ def html_strip_chars():
                 ("&quot;", '"'), ("&apos;", "'"), ("&nbsp;", " ")]
 
     def run(texts):
+        # RE2 (no backreferences): one pattern per dropped element
         t = pc.replace_substring_regex(
-            texts, pattern=r"(?is)<(script|style)\b[^>]*>.*?</\1>",
+            texts, pattern=r"(?is)<script\b[^>]*>.*?</script>",
+            replacement=" ")
+        t = pc.replace_substring_regex(
+            t, pattern=r"(?is)<style\b[^>]*>.*?</style>",
             replacement=" ")
         t = pc.replace_substring_regex(t, pattern=r"(?s)<!--.*?-->",
                                        replacement=" ")
