@@ -249,3 +249,91 @@ def significant_terms(sf_dir: str, fg_term: str = "vector",
            .sort(["score_q", "term"], descending=[True, False])
            .limit(n).to_pandas())
     return pa.Table.from_pandas(top, preserve_index=False)
+
+
+#: PII patterns (RE2-safe, shared verbatim with the DuckDB twin)
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+)
+
+
+def redact_batch(batch: pa.Table) -> pa.Table:
+    """One PII pass over a (doc_id, text) batch — counts are taken on
+    the progressively-redacted text, same order as the SQL twin."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    t = batch["text"]
+    total = np.zeros(batch.num_rows, dtype=np.int64)
+    for name, pat in PII_PATTERNS:
+        hits = pc.count_substring_regex(t, pattern=pat)
+        total += np.asarray(hits, dtype=np.int64)
+        t = pc.replace_substring_regex(t, pattern=pat,
+                                       replacement=f"<{name}>")
+    shas = [hashlib.sha256(x.encode()).hexdigest()
+            for x in t.to_pylist()]
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_redactions": pa.array(total, type=pa.int64()),
+        "clean_sha": pa.array(shas, type=pa.string()),
+    })
+
+
+def pii_redact(sf_dir: str) -> pa.Table:
+    """PII scrubbing — the redaction pass every training-data pipeline
+    runs before tokenization: emails/phones/SSNs/IPs replaced by typed
+    placeholders, vectorized Arrow regex per batch (compiled once, RE2).
+    Returns (doc_id, n_redactions, clean_sha) — the redacted text's
+    sha256, so the oracle can hash-match the full output without
+    shipping the text."""
+    df = (_read_docs(sf_dir).map_batches(redact_batch,
+                                          batch_format="pyarrow")
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def stratified_sample(sf_dir: str, rate_pct: int = 20) -> pa.Table:
+    """Deterministic stratified sampling — per-language proportional
+    subsample (the data-mixing step of corpus construction): a doc
+    survives iff ``hash(doc_id) % 100 < rate_pct`` WITHIN its language
+    stratum, so every worker decides locally with no coordination and
+    reruns are reproducible. The hash is a splitmix-style integer mix
+    written identically in SQL. Returns per-language kept/total counts
+    (the mixing report)."""
+    import pandas as pd
+
+    # the stratum is the langid signal (en / other by stopword ratio) —
+    # the column every real pipeline already has; here derived in the
+    # same pass
+    def sample(batch: pa.Table) -> pa.Table:
+        ab = analyze_batch(batch["text"], keep_stopwords=True)
+        stop_set = set(ENGLISH_STOP_WORDS)
+        tdf = pd.DataFrame({"d": ab.doc_idx,
+                            "s": pd.Series(ab.terms.to_pandas())
+                            .isin(stop_set).astype("int64")})
+        g = tdf.groupby("d")["s"].agg(["sum", "count"])
+        ratio = np.zeros(batch.num_rows, dtype=np.float64)
+        ratio[g.index.to_numpy()] = g["sum"].to_numpy() \
+            / np.maximum(g["count"].to_numpy(), 1)
+        lang = np.where(ratio >= 0.05, "en", "other")
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        # splitmix-ish mix, identical in SQL (all ops fit int64/uint64)
+        h = ids.astype(np.uint64)
+        h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        h = h ^ (h >> np.uint64(33))
+        keep = (h % np.uint64(100)) < rate_pct
+        out = pd.DataFrame({"lang": lang, "kept": keep.astype("int64"),
+                            "one": np.int64(1)})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = (_read_docs(sf_dir).map_batches(sample, batch_format="pyarrow")
+           .groupby("lang").sum(["kept", "one"]).to_pandas())
+    agg = agg.rename(columns={"sum(kept)": "kept", "sum(one)": "total"})
+    agg = agg.sort_values("lang").reset_index(drop=True)
+    for c in ("kept", "total"):
+        agg[c] = agg[c].astype("int64")
+    return pa.Table.from_pandas(agg, preserve_index=False)

@@ -370,6 +370,59 @@ ORDER BY score_q DESC, term ASC LIMIT {n}
 """
 
 
+def pii_redact_sql() -> str:
+    """Twin of ops.text.pii_redact: the SAME RE2 patterns applied in the
+    same order (counts taken on the progressively-redacted text, exactly
+    like the engine), sha256 of the final text."""
+    from ..ops.text import PII_PATTERNS
+
+    prev = "s0"
+    ctes = ["s0 AS (SELECT doc_id, text AS t, 0 AS c FROM documents)"]
+    for i, (name, pat) in enumerate(PII_PATTERNS, 1):
+        ctes.append(
+            f"s{i} AS (SELECT doc_id, "
+            f"regexp_replace(t, '{pat}', '<{name}>', 'g') AS t, "
+            f"c + length(regexp_extract_all(t, '{pat}')) AS c "
+            f"FROM {prev})")
+        prev = f"s{i}"
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT doc_id, CAST(c AS BIGINT) AS n_redactions,
+       sha256(t) AS clean_sha
+FROM {prev} ORDER BY doc_id
+""")
+
+
+def stratified_sample_sql(rate_pct: int, threshold: float = 0.05) -> str:
+    """Twin of ops.text.stratified_sample: the same splitmix-style mix
+    (128-bit intermediate for the wrapping multiply) and the same
+    stopword-ratio stratum."""
+    mul = 0xFF51AFD7ED558CCD
+    return f"""
+WITH {_TOK_KEEPSTOP_CTE},
+agg AS (SELECT doc_id, count(*) AS n,
+               count(*) FILTER (term IN {_STOPLIST}) AS ns
+        FROM tok GROUP BY doc_id),
+lang AS (SELECT d.doc_id,
+                CASE WHEN COALESCE(CAST(a.ns AS DOUBLE) / a.n, 0)
+                          >= {threshold}
+                     THEN 'en' ELSE 'other' END AS lang
+         FROM documents d LEFT JOIN agg a USING (doc_id)),
+mixed AS (SELECT doc_id, lang,
+          xor(CAST((CAST(xor(CAST(doc_id AS UBIGINT),
+                             CAST(doc_id AS UBIGINT) >> 33) AS HUGEINT)
+                    * {mul}) % 18446744073709551616 AS UBIGINT),
+              CAST((CAST(xor(CAST(doc_id AS UBIGINT),
+                             CAST(doc_id AS UBIGINT) >> 33) AS HUGEINT)
+                    * {mul}) % 18446744073709551616 AS UBIGINT) >> 33)
+            AS h
+          FROM lang)
+SELECT lang,
+       CAST(count(*) FILTER (h % 100 < {rate_pct}) AS BIGINT) AS kept,
+       count(*) AS total
+FROM mixed GROUP BY lang ORDER BY lang
+"""
+
+
 def dedup_clusters_sql(threshold: float) -> str:
     """Oracle twin of ops.dedup.dedup_clusters: the exhaustive Jaccard
     pair list (same contract as the minhash oracle) closed transitively
@@ -2130,6 +2183,8 @@ def build_queries() -> dict:
         "text_langid": T.lang_id,
         "text_quality": T.quality_score,
         "text_significant_terms": T.significant_terms,
+        "text_pii_redact": T.pii_redact,
+        "text_stratified_sample": T.stratified_sample,
         "text_token_totals": T.token_totals,
         "text_fingerprint": T.fingerprint,         # rows-only (no SQL twin)
         "ann_brute_cosine": A.ann_brute_topk,
@@ -2277,6 +2332,8 @@ def build_oracle_sql() -> dict:
         "text_langid": text_langid_sql(),
         "text_quality": text_quality_sql(),
         "text_significant_terms": significant_terms_sql("vector", 20, 3),
+        "text_pii_redact": pii_redact_sql(),
+        "text_stratified_sample": stratified_sample_sql(20),
         "text_token_totals": text_token_totals_sql(),
         "ann_brute_cosine": ann_brute_sql(),
         "dedup_embedding_cosine": embedding_near_dup_sql(),

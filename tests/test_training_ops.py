@@ -126,3 +126,49 @@ def test_ann_lsh_recall_vs_brute(ray_session):
         got = set(lsh[lsh["qid"] == qid]["nid"])
         recalls.append(len(truth & got) / len(truth))
     assert np.mean(recalls) >= 0.5  # 10 tables × 8 bits, multiprobe 1
+
+
+def test_pii_redact_batch_golden():
+    """Synthetic PII (the corpus has none): every pattern class fires,
+    counts follow the progressive-redaction order, and the sha matches
+    DuckDB's regexp_replace chain on the same text."""
+    import hashlib
+
+    import duckdb
+    import pyarrow as pa
+
+    from lucene_solr_ray.ops.text import PII_PATTERNS, redact_batch
+
+    rows = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            "mail a.b@x.co.uk or call 555-123-4567 ssn 123-45-6789",
+            "server at 10.0.0.1 and 192.168.1.255, no mail",
+            "clean text only",
+        ], type=pa.string()),
+    })
+    out = redact_batch(rows)
+    assert out["n_redactions"].to_pylist() == [3, 2, 0]
+    # clean doc's sha is the sha of the unchanged text
+    assert out["clean_sha"].to_pylist()[2] == \
+        hashlib.sha256(b"clean text only").hexdigest()
+    # DuckDB chain agrees on the redacted text
+    con = duckdb.connect()
+    expr = "text"
+    for name, pat in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '<{name}>', 'g')"
+    got = con.execute(
+        f"SELECT sha256({expr}) FROM (SELECT ? AS text)",
+        [rows["text"][0].as_py()]).fetchone()[0]
+    assert got == out["clean_sha"].to_pylist()[0]
+
+
+def test_stratified_sample_deterministic(ray_session):
+    from lucene_solr_ray.ops.text import stratified_sample
+
+    a = stratified_sample("/root/testdata/sf0.001")
+    b = stratified_sample("/root/testdata/sf0.001")
+    assert a.equals(b)       # hash-based: reruns identical
+    t = a.to_pandas()
+    assert (t["kept"] <= t["total"]).all()
+    assert set(t["lang"]) <= {"en", "other"}
