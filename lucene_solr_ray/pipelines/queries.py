@@ -1380,6 +1380,43 @@ ORDER BY weight DESC, term ASC LIMIT {n}
 """
 
 
+def _q_spellcheck_collate(query, max_edits=2):
+    """SpellCheckCollator: corrected full query + verification hits."""
+    def run(sf_dir):
+        return _searcher(sf_dir).spellcheck_collate(query,
+                                                    max_edits=max_edits)
+    return run
+
+
+def _spellcheck_collate_sql(words: list[str], bad: str,
+                            max_edits: int) -> str:
+    """Twin for a query with exactly ONE out-of-vocabulary word
+    (``bad``): top suggestion by (distance asc, df desc, term asc),
+    then the collated conjunction's hit count."""
+    kept = [w for w in words if w != bad]
+    before = " ".join(words[:words.index(bad)])
+    after = " ".join(words[words.index(bad) + 1:])
+    pre = f"'{before} ' || " if before else ""
+    post = f" || ' {after}'" if after else ""
+    in_list = ", ".join(f"'{w}'" for w in kept)
+    return f"""
+WITH {_tok_ctes()},
+tdict AS (SELECT term, count(DISTINCT doc_id) AS df FROM clean
+          GROUP BY term),
+sug AS (SELECT term FROM tdict
+        WHERE term <> '{bad}' AND levenshtein('{bad}', term)
+              <= {max_edits}
+        ORDER BY levenshtein('{bad}', term) ASC, df DESC, term ASC
+        LIMIT 1),
+hits AS (SELECT count(*) AS h FROM (
+  SELECT doc_id FROM clean
+  WHERE term IN ({in_list}) OR term = (SELECT term FROM sug)
+  GROUP BY doc_id HAVING count(DISTINCT term) = {len(words)}))
+SELECT {pre}(SELECT term FROM sug){post} AS collation,
+       (SELECT CAST(h AS BIGINT) FROM hits) AS hits
+"""
+
+
 def _function_boost_sql(term: str, a: float, k: int) -> str:
     return f"""
 WITH {_tok_ctes()},
@@ -2264,6 +2301,7 @@ def build_queries() -> dict:
         "ft_numeric_range": _q_numeric_range("n_chars", 250, 350),
         "ft_sort_by_field": _q_sort_by_field("table", "n_chars"),
         "ft_spellcheck": _q_spellcheck("ort"),
+        "ft_spellcheck_collate": _q_spellcheck_collate("fast tble scan"),
         "ft_synonym_term": _q_synonym_term("batch"),
         "ft_minimal_stem": _q_minimal_stem("tables"),
         "ft_lm_dirichlet": _q_lm_dirichlet("table"),
@@ -2413,6 +2451,8 @@ def build_oracle_sql() -> dict:
         "ft_numeric_range": _numeric_range_sql("n_chars", 250, 350, 10),
         "ft_sort_by_field": _sort_by_field_sql("table", "n_chars", 10),
         "ft_spellcheck": _spellcheck_sql("ort", 2, 5),
+        "ft_spellcheck_collate": _spellcheck_collate_sql(
+            ["fast", "tble", "scan"], "tble", 2),
         "ft_synonym_term": _synonym_term_sql("batch", 10),
         "ft_minimal_stem": _minimal_stem_sql("tables", 10),
         "ft_lm_dirichlet": _lm_dirichlet_sql("table", 2000.0, 10),

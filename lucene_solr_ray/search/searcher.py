@@ -1697,6 +1697,32 @@ class IndexSearcher:
                            type=pa.int64()),
         })
 
+    def spellcheck_collate(self, query: str, *,
+                           max_edits: int = 2) -> pa.Table:
+        """Spellcheck collation (solr:spelling/SpellCheckCollator.java:48):
+        rewrite the query replacing each term ABSENT from the index with
+        its top spellcheck suggestion, then verify by running the
+        collated conjunction — the returned hit count is what makes a
+        collation trustworthy. One row: (collation, hits)."""
+        from ..analysis.analyzer import token_terms
+
+        words = token_terms(query)
+        stats = self.term_stats(words)
+        out = []
+        for w in words:
+            if stats.get(w, (0, 0))[0] > 0:
+                out.append(w)
+                continue
+            sug = self.spellcheck(w, max_edits=max_edits, n=1)
+            out.append(sug["suggestion"][0].as_py() if sug.num_rows
+                       else w)
+        docs, _ = self._eval_bool([("MUST", {"type": "term", "term": w})
+                                   for w in out])
+        return pa.table({
+            "collation": pa.array([" ".join(out)], type=pa.string()),
+            "hits": pa.array([len(docs)], type=pa.int64()),
+        })
+
     def search(self, query: dict, k: int = 10) -> pa.Table:
         """Dispatch + queryResultCache (solrconfig <queryResultCache>;
         results are deterministic, so repeated (query, k) pairs are
