@@ -531,3 +531,42 @@ def interval_facet(sf_dir: str) -> pa.Table:
     df["cnt"] = df["cnt"].astype("int64")
     return pa.Table.from_pandas(df.reset_index(drop=True),
                                 preserve_index=False)
+
+
+def json_facet_nested(sf_dir: str) -> pa.Table:
+    """JSON Facet API analogue (solr:search/facet/FacetModule.java,
+    FacetRequest nested buckets): per c_mktsegment bucket — count,
+    sum(acctbal, in cents), and the TOP NATION sub-bucket (highest
+    count, ties nation asc) with its count. ONE fact-table pass
+    pre-aggregated per (segment, nation) inside map_batches; the
+    parent rollup and sub-bucket argmax run over the tiny
+    (segment × nation) histogram."""
+    cust = _read(sf_dir, "customer",
+                 ["c_mktsegment", "c_nationkey", "c_acctbal"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = _cents(batch, "c_acctbal", "bal_c")
+        seg = t["c_mktsegment"].to_pandas()
+        nk = np.asarray(t["c_nationkey"], dtype=np.int64)
+        bal = np.asarray(t["bal_c"], dtype=np.int64)
+        df = pd.DataFrame({"seg": seg, "nk": nk, "bal": bal})
+        g = df.groupby(["seg", "nk"], as_index=False).agg(
+            cnt=("bal", "size"), bal_c=("bal", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (cust.map_batches(partial, batch_format="pyarrow")
+            .groupby(["seg", "nk"]).sum(["cnt", "bal_c"]).to_pandas()
+            .rename(columns={"sum(cnt)": "cnt", "sum(bal_c)": "bal_c"}))
+    parent = hist.groupby("seg", as_index=False).agg(
+        cnt=("cnt", "sum"), sum_acctbal_cents=("bal_c", "sum"))
+    top = hist.sort_values(["seg", "cnt", "nk"],
+                           ascending=[True, False, True]) \
+        .groupby("seg", as_index=False).head(1) \
+        .rename(columns={"nk": "top_nation", "cnt": "top_nation_cnt"})
+    out = parent.merge(top[["seg", "top_nation", "top_nation_cnt"]],
+                       on="seg").sort_values("seg").reset_index(drop=True)
+    out = out.rename(columns={"seg": "c_mktsegment"})
+    for c in ("cnt", "sum_acctbal_cents", "top_nation",
+              "top_nation_cnt"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)

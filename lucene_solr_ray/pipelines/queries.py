@@ -2236,6 +2236,7 @@ def build_queries() -> dict:
         "rel_facet_counts": R.facet_counts,
         "rel_query_facets": R.query_facets,
         "rel_interval_facet": R.interval_facet,
+        "rel_json_facet": R.json_facet_nested,
         "rel_range_facet": R.range_facet,
         "rel_pivot_facet": R.pivot_facet,
         "rel_stats_component": R.stats_component,
@@ -2385,6 +2386,7 @@ def build_oracle_sql() -> dict:
         "rel_facet_counts": RS.FACET_COUNTS,
         "rel_query_facets": RS.QUERY_FACETS,
         "rel_interval_facet": RS.INTERVAL_FACET,
+        "rel_json_facet": RS.JSON_FACET_NESTED,
         "rel_range_facet": RS.RANGE_FACET,
         "rel_pivot_facet": RS.PIVOT_FACET,
         "rel_stats_component": RS.STATS_COMPONENT,

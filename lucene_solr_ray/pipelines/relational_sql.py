@@ -226,3 +226,21 @@ WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
                      WHERE l_quantity >= 45)
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
+
+JSON_FACET_NESTED = """
+WITH hist AS (
+  SELECT c_mktsegment AS seg, c_nationkey AS nk, count(*) AS cnt,
+         sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS bal_c
+  FROM customer GROUP BY 1, 2),
+parent AS (SELECT seg, sum(cnt) AS cnt, sum(bal_c) AS sum_acctbal_cents
+           FROM hist GROUP BY seg),
+top AS (SELECT seg, nk AS top_nation, cnt AS top_nation_cnt,
+               row_number() OVER (PARTITION BY seg
+                                  ORDER BY cnt DESC, nk ASC) AS rn
+        FROM hist)
+SELECT p.seg AS c_mktsegment, CAST(p.cnt AS BIGINT) AS cnt,
+       CAST(p.sum_acctbal_cents AS BIGINT) AS sum_acctbal_cents,
+       t.top_nation, CAST(t.top_nation_cnt AS BIGINT) AS top_nation_cnt
+FROM parent p JOIN top t ON t.seg = p.seg AND t.rn = 1
+ORDER BY c_mktsegment
+"""

@@ -72,7 +72,7 @@ def test_all_queries_have_oracles_or_are_documented():
     "ft_bool_or_msm", "ft_bool_not", "ft_phrase", "ft_term_stats",
     "ft_collection_stats", "ft_top_terms", "ft_term_vector",
     "rel_rollup_pricing", "rel_facet_counts", "rel_range_facet",
-    "rel_query_facets", "rel_interval_facet",
+    "rel_query_facets", "rel_interval_facet", "rel_json_facet",
     "rel_pivot_facet", "rel_stats_component", "rel_semi_join",
     "rel_anti_join", "rel_grouping_topk", "rel_sorted_export",
     "rel_cursor_page", "rel_unique_stream", "rel_windowed_rollup",
