@@ -1235,3 +1235,26 @@ def make_pattern_replace_chars(pattern: str, replacement: str):
                                           replacement=replacement)
 
     return run
+
+
+def swedish_light_stem(word: str) -> str:
+    """SwedishLightStemmer (sv/SwedishLightStemmer.java:66-108, Savoy
+    CLEF-2003): possessive -s, then one longest-match ending removal."""
+    s = word
+    n = len(s)
+    if n > 4 and s[n - 1] == "s":
+        n -= 1
+    w = s[:n]
+    if len(w) > 7 and (w.endswith("elser") or w.endswith("heten")):
+        return w[:-5]
+    if len(w) > 6 and w[-4:] in ("arne", "erna", "ande", "else",
+                                 "aste", "orna", "aren"):
+        return w[:-4]
+    if len(w) > 5 and w[-3:] in ("are", "ast", "het"):
+        return w[:-3]
+    if len(w) > 4 and w[-2:] in ("ar", "er", "or", "en", "at", "te",
+                                 "et"):
+        return w[:-2]
+    if len(w) > 3 and w[-1] in "taen":
+        return w[:-1]
+    return w

@@ -517,3 +517,17 @@ def test_char_filter_through_index(ray_session, tmp_path):
     assert s.search({"type": "term", "term": "h1"}, k=5).num_rows == 0
     assert s.search({"type": "term", "term": "script"},
                     k=5).num_rows == 0
+
+
+def test_swedish_light_stem():
+    from lucene_solr_ray.analysis.filters import swedish_light_stem
+
+    # SwedishLightStemmer.java rule walk
+    cases = {"bilens": "bil", "bilarna": "bilarn", "bilarne": "bil",
+             "bastraste": "bastr",
+             "upplevelser": "upplev", "friheten": "fri",
+             "starkare": "stark", "jobbet": "jobb", "huset": "hus",
+             "fin": "fin"}
+    bad = {w: (swedish_light_stem(w), want) for w, want in cases.items()
+           if swedish_light_stem(w) != want}
+    assert not bad, bad
