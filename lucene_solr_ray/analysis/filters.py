@@ -1258,3 +1258,120 @@ def swedish_light_stem(word: str) -> str:
     if len(w) > 3 and w[-1] in "taen":
         return w[:-1]
     return w
+
+
+def norwegian_light_stem(word: str, *, bokmaal: bool = True,
+                         nynorsk: bool = False) -> str:
+    """NorwegianLightStemmer (no/NorwegianLightStemmer.java:86-174):
+    possessive -s, then one longest-match pass over the hand-crafted
+    Bokmål/Nynorsk ending sets (flags mirror the reference's
+    BOKMAAL/NYNORSK)."""
+    s = word
+    n = len(s)
+    if n > 4 and s[-1] == "s":
+        n -= 1
+        s = s[:n]
+    if n > 7 and ((s.endswith("heter") and bokmaal)
+                  or (s.endswith("heten") and bokmaal)
+                  or (s.endswith("heita") and nynorsk)):
+        return s[:-5]
+    if n > 8 and nynorsk and s[-6:] in ("heiter", "leiken", "leikar"):
+        return s[:-6]
+    if n > 5 and (s.endswith("dom") or (s.endswith("het") and bokmaal)):
+        return s[:-3]
+    if n > 6 and nynorsk and s[-4:] in ("heit", "semd", "leik"):
+        return s[:-4]
+    if n > 7 and s[-5:] in ("elser", "elsen"):
+        return s[:-5]
+    if n > 6 and ((s.endswith("ende") and bokmaal)
+                  or (s.endswith("ande") and nynorsk)
+                  or s.endswith("else")
+                  or (s.endswith("este") and bokmaal)
+                  or (s.endswith("aste") and nynorsk)
+                  or (s.endswith("eren") and bokmaal)
+                  or (s.endswith("aren") and nynorsk)):
+        return s[:-4]
+    if n > 5 and ((s.endswith("ere") and bokmaal)
+                  or (s.endswith("are") and nynorsk)
+                  or (s.endswith("est") and bokmaal)
+                  or (s.endswith("ast") and nynorsk)
+                  or s.endswith("ene")
+                  or (s.endswith("ane") and nynorsk)):
+        return s[:-3]
+    if n > 4 and (s[-2:] in ("er", "en", "et", "te")
+                  or (s[-2:] == "ar" and nynorsk)
+                  or (s[-2:] == "st" and bokmaal)):
+        return s[:-2]
+    if n > 3 and s[-1] in "aen":
+        return s[:-1]
+    return s
+
+
+_PT_FOLD = str.maketrans("àáâäã" "òóôöõ" "èéêë" "ùúûü" "ìíîï" "ç",
+                         "aaaaa" "ooooo" "eeee" "uuuu" "iiii" "c")
+
+
+def portuguese_light_stem(word: str) -> str:
+    """PortugueseLightStemmer (pt/PortugueseLightStemmer.java:66-205,
+    the UniNE light algorithm, Savoy): plural/adverb suffix removal,
+    feminine normalization, final-vowel strip, accent fold — faithful
+    rule-order port."""
+    if len(word) < 4:
+        return word
+    s = list(word)
+
+    def ends(suf):
+        return "".join(s).endswith(suf)
+
+    # removeSuffix
+    if len(s) > 4 and ends("es") and s[-3] in "rslz":
+        s = s[:-2]
+    elif len(s) > 3 and ends("ns"):
+        s[-2] = "m"
+        s = s[:-1]
+    elif len(s) > 4 and (ends("eis") or ends("éis")):
+        s[-3] = "e"
+        s[-2] = "l"
+        s = s[:-1]
+    elif len(s) > 4 and ends("ais"):
+        s[-2] = "l"
+        s = s[:-1]
+    elif len(s) > 4 and ends("óis"):
+        s[-3] = "o"
+        s[-2] = "l"
+        s = s[:-1]
+    elif len(s) > 4 and ends("is"):
+        s[-1] = "l"
+    elif len(s) > 3 and (ends("ões") or ends("ães")):
+        s = s[:-1]
+        s[-2] = "ã"
+        s[-1] = "o"
+    elif len(s) > 6 and ends("mente"):
+        s = s[:-5]
+    elif len(s) > 3 and s[-1] == "s":
+        s = s[:-1]
+
+    # normFeminine
+    if len(s) > 3 and s[-1] == "a":
+        if len(s) > 7 and ("".join(s[-4:]) in ("inha", "iaca", "eira")):
+            s[-1] = "o"
+        elif len(s) > 6:
+            tail3 = "".join(s[-3:])
+            if tail3 in ("osa", "ica", "ida", "ada", "iva", "ama"):
+                s[-1] = "o"
+            elif tail3 == "ona":
+                s[-3] = "ã"
+                s[-2] = "o"
+                s = s[:-1]
+            elif tail3 == "ora":
+                s = s[:-1]
+            elif tail3 == "esa":
+                s[-3] = "ê"
+                s = s[:-1]
+            elif "".join(s[-2:]) == "na":
+                s[-1] = "o"
+
+    if len(s) > 4 and s[-1] in "eao":
+        s = s[:-1]
+
+    return "".join(s).translate(_PT_FOLD)

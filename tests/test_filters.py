@@ -531,3 +531,31 @@ def test_swedish_light_stem():
     bad = {w: (swedish_light_stem(w), want) for w, want in cases.items()
            if swedish_light_stem(w) != want}
     assert not bad, bad
+
+
+def test_norwegian_portuguese_light_stem():
+    from lucene_solr_ray.analysis.filters import (norwegian_light_stem,
+                                                  portuguese_light_stem)
+
+    # NorwegianLightStemmer.java rule walk (Bokmål defaults; the
+    # comments' own examples)
+    no = {"hemmeligheter": "hemmelig", "hemmeligheten": "hemmelig",
+          "kristendom": "kristen", "følelser": "føl", "sovende": "sov",
+          "fineste": "fin", "husene": "hus", "bilens": "bil",
+          "huset": "hus", "kaker": "kak", "kake": "kak"}
+    bad = {w: (norwegian_light_stem(w), want) for w, want in no.items()
+           if norwegian_light_stem(w) != want}
+    assert not bad, bad
+    # nynorsk endings only fire with the flag
+    assert norwegian_light_stem("hemmelegheita") == "hemmelegheita"[:-1]
+    assert norwegian_light_stem("hemmelegheita",
+                                nynorsk=True) == "hemmeleg"
+    # PortugueseLightStemmer.java rule walk
+    pt = {"bons": "bom", "papéis": "papel", "normais": "normal",
+          "lençóis": "lencol", "barris": "barril",
+          "corações": "coraca", "felizmente": "feliz",
+          "casas": "casa", "bonita": "bonit", "vendedora": "vendedor",
+          "chinesa": "chines", "menina": "menin"}
+    bad = {w: (portuguese_light_stem(w), want) for w, want in pt.items()
+           if portuguese_light_stem(w) != want}
+    assert not bad, bad
