@@ -1375,3 +1375,55 @@ def portuguese_light_stem(word: str) -> str:
         s = s[:-1]
 
     return "".join(s).translate(_PT_FOLD)
+
+
+_IT_FOLD = str.maketrans("àáâä" "òóôö" "èéêë" "ùúûü" "ìíîï",
+                         "aaaa" "oooo" "eeee" "uuuu" "iiii")
+
+
+def italian_light_stem(word: str) -> str:
+    """ItalianLightStemmer (it/ItalianLightStemmer.java:62-115, Savoy
+    CLEF-2001): accent fold, then final-vowel removal with the
+    i/h-digraph doubling rules."""
+    if len(word) < 6:
+        return word
+    s = word.translate(_IT_FOLD)
+    last, prev = s[-1], s[-2]
+    if last == "e":
+        return s[:-2] if prev in ("i", "h") else s[:-1]
+    if last == "i":
+        return s[:-2] if prev in ("h", "i") else s[:-1]
+    if last in ("a", "o"):
+        return s[:-2] if prev == "i" else s[:-1]
+    return s
+
+
+_RU_CASE3PLUS = ("иям", "иях", "оях", "ями", "оям", "оьв", "ами",
+                 "его", "ему", "ери", "ими", "ого", "ому", "ыми",
+                 "оев")
+_RU_CASE2 = ("ая", "яя", "ях", "юю", "ах", "ею", "их", "ия", "ию",
+             "ьв", "ою", "ую", "ям", "ых", "ея", "ам", "ем", "ей",
+             "ём", "ев", "ий", "им", "ое", "ой", "ом", "ов", "ые",
+             "ый", "ым", "ми")
+
+
+def russian_light_stem(word: str) -> str:
+    """RussianLightStemmer (ru/RussianLightStemmer.java:66-152,
+    Dolamic & Savoy): case-ending removal then normalization."""
+    s = word
+    # removeCase
+    if len(s) > 6 and s[-4:] in ("иями", "оями"):
+        s = s[:-4]
+    elif len(s) > 5 and s[-3:] in _RU_CASE3PLUS:
+        s = s[:-3]
+    elif len(s) > 4 and s[-2:] in _RU_CASE2:
+        s = s[:-2]
+    elif len(s) > 3 and s[-1] in "аеиоуйыяь":
+        s = s[:-1]
+    # normalize
+    if len(s) > 3:
+        if s[-1] in ("ь", "и"):
+            s = s[:-1]
+        elif s[-1] == "н" and s[-2] == "н":
+            s = s[:-1]
+    return s

@@ -559,3 +559,24 @@ def test_norwegian_portuguese_light_stem():
     bad = {w: (portuguese_light_stem(w), want) for w, want in pt.items()
            if portuguese_light_stem(w) != want}
     assert not bad, bad
+
+
+def test_italian_russian_light_stem():
+    from lucene_solr_ray.analysis.filters import (italian_light_stem,
+                                                  russian_light_stem)
+
+    # words under 6 chars pass through untouched (the reference's
+    # len < 6 guard): amici, libro, corto, città, casa
+    it = {"ragazze": "ragazz", "ragazzi": "ragazz", "amiche": "amic",
+          "nemici": "nemic", "quadro": "quadr", "storia": "stor",
+          "amici": "amici", "libro": "libro", "corto": "corto",
+          "città": "città", "casa": "casa"}
+    bad = {w: (italian_light_stem(w), want) for w, want in it.items()
+           if italian_light_stem(w) != want}
+    assert not bad, bad
+    ru = {"книгами": "книг", "книгах": "книг", "красного": "красн",
+          "синий": "син", "окно": "окн", "ночь": "ноч",
+          "осенний": "осен"}
+    bad = {w: (russian_light_stem(w), want) for w, want in ru.items()
+           if russian_light_stem(w) != want}
+    assert not bad, bad
