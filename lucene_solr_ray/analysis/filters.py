@@ -1427,3 +1427,87 @@ def russian_light_stem(word: str) -> str:
         elif s[-1] == "н" and s[-2] == "н":
             s = s[:-1]
     return s
+
+
+_HU_FOLD = str.maketrans("á" "ëé" "í" "óőõö" "úűũûü",
+                         "a" "ee" "i" "oooo" "uuuuu")
+_HU_VOWELS = frozenset("aeiouy")
+
+
+def hungarian_light_stem(word: str) -> str:
+    """HungarianLightStemmer (hu/HungarianLightStemmer.java:64-238, the
+    UniNE algorithm, Savoy — completing the paper's FR/PT/DE/HU set):
+    accent fold → case suffix → possessive → plural → final-vowel
+    normalize, faithful rule-order port including the plural rule's
+    intentional fallthrough."""
+    s = word.translate(_HU_FOLD)
+
+    def vowel(c: str) -> bool:
+        return c in _HU_VOWELS
+
+    # removeCase
+    n = len(s)
+    if n > 6 and s.endswith("kent"):
+        s = s[:-4]
+    else:
+        done = False
+        if n > 5:
+            if s[-3:] in ("nak", "nek", "val", "vel", "ert", "rol",
+                          "ban", "ben", "bol", "nal", "nel", "hoz",
+                          "hez", "tol"):
+                s = s[:-3]
+                done = True
+            elif s[-2:] in ("al", "el") and not vowel(s[-3]) \
+                    and s[-3] == s[-4]:
+                s = s[:-3]
+                done = True
+        if not done and n > 4:
+            if s[-2:] in ("at", "et", "ot", "va", "ve", "ra", "re",
+                          "ba", "be", "ul", "ig"):
+                s = s[:-2]
+            elif s[-2:] in ("on", "en") and not vowel(s[-3]):
+                s = s[:-2]
+            elif s[-1] in ("t", "n"):
+                s = s[:-1]
+            elif s[-1] in ("a", "e") and s[-2] == s[-3] \
+                    and not vowel(s[-2]):
+                s = s[:-2]
+
+    # removePossessive
+    n = len(s)
+    if n > 6 and ((not vowel(s[-5])
+                   and s[-4:] in ("atok", "otok", "etek"))
+                  or s[-4:] in ("itek", "itok")):
+        s = s[:-4]
+    elif n > 5 and ((not vowel(s[-4])
+                     and s[-3:] in ("unk", "tok", "tek"))
+                    or (vowel(s[-4]) and s[-3:] == "juk")
+                    or s[-3:] == "ink"):
+        s = s[:-3]
+    elif n > 4 and ((not vowel(s[-3])
+                     and s[-2:] in ("am", "em", "om", "ad", "ed",
+                                    "od", "uk"))
+                    or (vowel(s[-3]) and s[-2:] in ("nk", "ja", "je"))
+                    or s[-2:] in ("im", "id", "ik")):
+        s = s[:-2]
+    elif n > 3:
+        if s[-1] in ("a", "e") and not vowel(s[-2]):
+            s = s[:-1]
+        elif s[-1] in ("m", "d") and vowel(s[-2]):
+            s = s[:-1]
+        elif s[-1] == "i":
+            s = s[:-1]
+
+    # removePlural (reference's intentional fallthrough: aek + len>4
+    # drops two, any other -k drops one)
+    n = len(s)
+    if n > 3 and s[-1] == "k":
+        if s[-2] in ("a", "o", "e") and n > 4:
+            s = s[:-2]
+        else:
+            s = s[:-1]
+
+    # normalize
+    if len(s) > 3 and s[-1] in "aeio":
+        s = s[:-1]
+    return s

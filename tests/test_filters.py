@@ -580,3 +580,25 @@ def test_italian_russian_light_stem():
     bad = {w: (russian_light_stem(w), want) for w, want in ru.items()
            if russian_light_stem(w) != want}
     assert not bad, bad
+
+
+def test_hungarian_light_stem():
+    from lucene_solr_ray.analysis.filters import hungarian_light_stem
+
+    # HungarianLightStemmer.java rule walk
+    cases = {
+        "házakként": "haz",     # fold + kent + plural + normalize
+        "házaknak": "haz",      # nak case, then plural
+        "házakban": "haz",
+        "házak": "haz",         # plural -ak
+        "házat": "haz",         # case -at
+        "ház": "haz",
+        "kertemben": "kert",    # ben case then possessive -em
+        "barátaim": "barat",    # possessive im then normalize a
+        "kutyák": "kuty",       # plural after fold
+        "alma": "alm",          # possessive -a after consonant
+    }
+    bad = {w: (hungarian_light_stem(w), want)
+           for w, want in cases.items()
+           if hungarian_light_stem(w) != want}
+    assert not bad, bad
