@@ -5,8 +5,14 @@ ReverseStringFilter, StemmerOverrideFilter, KeywordMarkerFilter,
 PatternReplaceFilter, LengthFilter, KeepWordFilter,
 LimitTokenCountFilter, NGramTokenFilter, EdgeNGramTokenFilter,
 ShingleFilter, CommonGramsFilter, FingerprintFilter,
-RemoveDuplicatesTokenFilter, WordDelimiterFilter,
-ASCIIFoldingFilter).
+RemoveDuplicatesTokenFilter, WordDelimiterFilter, ASCIIFoldingFilter,
+ElisionFilter, EnglishPossessiveFilter, ClassicFilter,
+CapitalizationFilter, TrimFilter, DecimalDigitFilter,
+ApostropheFilter, ScandinavianFolding/NormalizationFilter,
+German/French/Spanish/Swedish/Norwegian/Portuguese/Italian/Russian/
+Hungarian light stemmers, KeywordRepeatFilter, CJKBigramFilter,
+multi-word SynonymFilter, Soundex PhoneticFilter, and the CharFilter
+stage: HTMLStrip/Mapping/PatternReplace).
 
 Filters here are TERM TRANSFORMS: a callable str -> str applied to the
 analyzer's unique-term dictionary per batch (vectorized via Arrow
