@@ -1517,3 +1517,98 @@ def hungarian_light_stem(word: str) -> str:
     if len(s) > 3 and s[-1] in "aeio":
         s = s[:-1]
     return s
+
+
+_FI_VOWELS = frozenset("aeiouy")
+
+
+def finnish_light_stem(word: str) -> str:
+    """FinnishLightStemmer (fi/FinnishLightStemmer.java:66-245, Savoy
+    CLEF-2003): fold ä/å/ö, then the particle / case / possessive
+    steps and the two normalization passes (incl. the k/p/t run
+    collapse), faithful rule-order port."""
+    if len(word) < 4:
+        return word
+    s = word.translate(str.maketrans("äåö", "aao"))
+
+    def vowel(c: str) -> bool:
+        return c in _FI_VOWELS
+
+    # step1 (recursive particle strip)
+    def step1(w: str) -> str:
+        if len(w) > 8:
+            if w.endswith("kin"):
+                return step1(w[:-3])
+            if w.endswith("ko"):
+                return step1(w[:-2])
+        if len(w) > 11:
+            if w.endswith("dellinen"):
+                return w[:-8]
+            if w.endswith("dellisuus"):
+                return w[:-9]
+        return w
+
+    s = step1(s)
+    # step2
+    if len(s) > 5:
+        if s[-3:] in ("lla", "tse", "sti"):
+            s = s[:-3]
+        elif s.endswith("ni"):
+            s = s[:-2]
+        elif s.endswith("aa"):
+            s = s[:-1]
+    # step3
+    n = len(s)
+    if n > 8 and s.endswith("nnen"):
+        s = s[:-4] + "s"
+    elif n > 8 and s.endswith("ntena"):
+        s = s[:-5] + "s"
+    elif n > 8 and s.endswith("tten"):
+        s = s[:-4]
+    elif n > 8 and s.endswith("eiden"):
+        s = s[:-5]
+    elif n > 6 and s[-4:] in ("neen", "niin", "seen", "teen", "inen"):
+        s = s[:-4]
+    elif n > 6 and s[-3] == "h" and vowel(s[-2]) and s[-1] == "n":
+        s = s[:-3]
+    elif n > 6 and s.endswith("den"):
+        s = s[:-3] + "s"
+    elif n > 6 and s.endswith("ksen"):
+        s = s[:-4] + "s"
+    elif n > 6 and s[-3:] in ("ssa", "sta", "lla", "lta", "tta",
+                              "ksi", "lle"):
+        s = s[:-3]
+    elif n > 5 and s[-2:] in ("na", "ne"):
+        s = s[:-2]
+    elif n > 5 and s.endswith("nei"):
+        s = s[:-3]
+    elif n > 4:
+        if s[-2:] in ("ja", "ta"):
+            s = s[:-2]
+        elif s[-1] == "a":
+            s = s[:-1]
+        elif s[-1] == "n" and vowel(s[-2]):
+            s = s[:-2]
+        elif s[-1] == "n":
+            s = s[:-1]
+    # norm1
+    if len(s) > 5 and s.endswith("hde"):
+        s = s[:-3] + "ksi"
+    if len(s) > 4 and (s.endswith("ei") or s.endswith("at")):
+        s = s[:-2]
+    elif len(s) > 3 and s[-1] in "tsjeai":
+        s = s[:-1]
+    # norm2
+    if len(s) > 8 and s[-1] in "eou":
+        s = s[:-1]
+    if len(s) > 4:
+        if s[-1] == "i":
+            s = s[:-1]
+        if len(s) > 4:
+            buf = [s[0]]
+            for c in s[1:]:
+                if c == buf[-1] and c in "kpt":
+                    continue
+                buf.append(c)
+            s = "".join(buf)
+    return s

@@ -602,3 +602,21 @@ def test_hungarian_light_stem():
            for w, want in cases.items()
            if hungarian_light_stem(w) != want}
     assert not bad, bad
+
+
+def test_finnish_light_stem():
+    from lucene_solr_ray.analysis.filters import finnish_light_stem
+
+    # FinnishLightStemmer.java rule walk
+    cases = {
+        "taloissa": "talo",     # ssa case, then norm1 strips the i
+        "kirjasta": "kirj",     # sta case, then norm1 strips the a
+        "taloja": "talo",       # ja partitive
+        "talon": "tal",         # vowel+n genitive strips two
+        "yhteiskunnallinen": "yhteiskunnallin",
+        "kaksi": "kaks",        # norm1 i
+        "talo": "talo",
+    }
+    got = {w: finnish_light_stem(w) for w in cases}
+    bad = {w: (g, cases[w]) for w, g in got.items() if g != cases[w]}
+    assert not bad, bad
