@@ -613,7 +613,7 @@ def test_finnish_light_stem():
         "kirjasta": "kirj",     # sta case, then norm1 strips the a
         "taloja": "talo",       # ja partitive
         "talon": "tal",         # vowel+n genitive strips two
-        "yhteiskunnallinen": "yhteiskunnallin",
+        "yhteiskunnallinen": "yhteiskunnall",  # -inen strip
         "kaksi": "kaks",        # norm1 i
         "talo": "talo",
     }
