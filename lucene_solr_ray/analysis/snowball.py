@@ -1,0 +1,309 @@
+"""Snowball stemmers, implemented from the published specifications at
+snowballstem.org (public algorithms by M.F. Porter).
+
+Reference surface: lucene/analysis/common/src/java/org/apache/lucene/
+analysis/snowball/SnowballFilter.java wraps machine-generated stemmer
+classes (EnglishStemmer, GermanStemmer, ...). This module re-implements
+the algorithms directly from the specs — nothing is derived from the
+generated Java.
+
+`snowball_english` is Porter2 (the "english" Snowball algorithm) — a
+different, more aggressive algorithm than the original 1980 Porter in
+`filters.porter_stem`. `snowball_german` is the "german" algorithm.
+Both are plain term transforms pluggable into
+``analyze_batch(term_transform=...)``.
+"""
+
+from __future__ import annotations
+
+# ---------------------------------------------------------------- english
+
+_VOWELS = frozenset("aeiouy")  # marked consonant-y is 'Y', not in the set
+_DOUBLES = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+_LI_END = frozenset("cdeghkmnrt")
+
+_EXCEPTIONS = {
+    "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+    "tying": "tie", "idly": "idl", "gently": "gentl", "ugly": "ugli",
+    "early": "earli", "only": "onli", "singly": "singl",
+    # invariant forms
+    "sky": "sky", "news": "news", "howe": "howe", "atlas": "atlas",
+    "cosmos": "cosmos", "bias": "bias", "andes": "andes",
+}
+_EXC_AFTER_1A = frozenset(
+    ["inning", "outing", "canning", "herring", "earring",
+     "proceed", "exceed", "succeed"])
+
+# step tables, longest suffix first (Snowball longest-match semantics)
+_STEP2 = (
+    ("ization", "ize"), ("ational", "ate"), ("fulness", "ful"),
+    ("ousness", "ous"), ("iveness", "ive"), ("tional", "tion"),
+    ("biliti", "ble"), ("lessli", "less"), ("entli", "ent"),
+    ("ation", "ate"), ("alism", "al"), ("aliti", "al"), ("ousli", "ous"),
+    ("iviti", "ive"), ("fulli", "ful"), ("enci", "ence"),
+    ("anci", "ance"), ("abli", "able"), ("izer", "ize"), ("ator", "ate"),
+    ("alli", "al"), ("bli", "ble"), ("ogi", "og"), ("li", ""),
+)
+_STEP3 = (
+    ("ational", "ate"), ("tional", "tion"), ("alize", "al"),
+    ("icate", "ic"), ("iciti", "ic"), ("ative", ""), ("ical", "ic"),
+    ("ness", ""), ("ful", ""),
+)
+_STEP4 = ("ement", "ance", "ence", "able", "ible", "ment", "ant", "ent",
+          "ism", "ate", "iti", "ous", "ive", "ize", "ion", "al", "er",
+          "ic")
+
+
+def _regions(w: str) -> tuple[int, int]:
+    """R1/R2 start offsets: R1 = after the first non-vowel that follows a
+    vowel (with the gener/commun/arsen prefix exceptions), R2 = the same
+    within R1."""
+    r1 = len(w)
+    for p in ("gener", "commun", "arsen"):
+        if w.startswith(p):
+            r1 = len(p)
+            break
+    else:
+        for i in range(1, len(w)):
+            if w[i] not in _VOWELS and w[i - 1] in _VOWELS:
+                r1 = i + 1
+                break
+    r2 = len(w)
+    for i in range(r1 + 1, len(w)):
+        if w[i] not in _VOWELS and w[i - 1] in _VOWELS:
+            r2 = i + 1
+            break
+    return r1, r2
+
+
+def _ends_short_syllable(w: str) -> bool:
+    if len(w) == 2:
+        return w[0] in _VOWELS and w[1] not in _VOWELS
+    if len(w) >= 3:
+        a, b, c = w[-3], w[-2], w[-1]
+        return (a not in _VOWELS and b in _VOWELS
+                and c not in _VOWELS and c not in "wxY")
+    return False
+
+
+def _has_vowel(s: str) -> bool:
+    return any(c in _VOWELS for c in s)
+
+
+def snowball_english(word: str) -> str:
+    """Porter2 / Snowball "english" stemmer (full spec, incl. exceptional
+    forms, y-marking, R1 prefix exceptions and the short-word rule)."""
+    w = word.lower()
+    if w and w[0] == "'":
+        w = w[1:]
+    if len(w) <= 2:
+        return w
+    if w in _EXCEPTIONS:
+        return _EXCEPTIONS[w]
+
+    # mark consonant-y as Y
+    cs = list(w)
+    if cs[0] == "y":
+        cs[0] = "Y"
+    for i in range(1, len(cs)):
+        if cs[i] == "y" and cs[i - 1] in _VOWELS:
+            cs[i] = "Y"
+    w = "".join(cs)
+    r1, r2 = _regions(w)
+
+    # step 0: longest of 's' 's  '
+    for suf in ("'s'", "'s", "'"):
+        if w.endswith(suf):
+            w = w[: -len(suf)]
+            break
+
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ied") or w.endswith("ies"):
+        w = w[:-3] + ("i" if len(w) > 4 else "ie")
+    elif w.endswith("us") or w.endswith("ss"):
+        pass
+    elif w.endswith("s") and _has_vowel(w[:-2]):
+        w = w[:-1]
+    if w in _EXC_AFTER_1A:
+        return w
+
+    # step 1b: longest of eedly eed / ingly edly ing ed
+    if w.endswith("eedly"):
+        if len(w) - 5 >= r1:
+            w = w[:-5] + "ee"
+    elif w.endswith("eed"):
+        if len(w) - 3 >= r1:
+            w = w[:-3] + "ee"
+    else:
+        for suf in ("ingly", "edly", "ing", "ed"):
+            if w.endswith(suf):
+                stem = w[: -len(suf)]
+                if _has_vowel(stem):
+                    w = stem
+                    if w.endswith(("at", "bl", "iz")):
+                        w += "e"
+                    elif w.endswith(_DOUBLES):
+                        w = w[:-1]
+                    elif r1 >= len(w) and _ends_short_syllable(w):
+                        w += "e"
+                break
+
+    # step 1c: y/Y -> i after a non-vowel that isn't the first letter
+    if len(w) > 2 and w[-1] in "yY" and w[-2] not in _VOWELS:
+        w = w[:-1] + "i"
+
+    # step 2 (in R1)
+    for suf, rep in _STEP2:
+        if w.endswith(suf):
+            if len(w) - len(suf) >= r1:
+                if suf == "ogi":
+                    if w.endswith("logi"):
+                        w = w[:-1]
+                elif suf == "li":
+                    if len(w) >= 3 and w[-3] in _LI_END:
+                        w = w[:-2]
+                else:
+                    w = w[: -len(suf)] + rep
+            break
+
+    # step 3 (in R1; 'ative' needs R2)
+    for suf, rep in _STEP3:
+        if w.endswith(suf):
+            if len(w) - len(suf) >= r1:
+                if suf == "ative":
+                    if len(w) - 5 >= r2:
+                        w = w[:-5]
+                else:
+                    w = w[: -len(suf)] + rep
+            break
+
+    # step 4 (in R2)
+    for suf in _STEP4:
+        if w.endswith(suf):
+            if len(w) - len(suf) >= r2:
+                if suf == "ion":
+                    if len(w) >= 4 and w[-4] in "st":
+                        w = w[:-3]
+                else:
+                    w = w[: -len(suf)]
+            break
+
+    # step 5
+    if w.endswith("e"):
+        if len(w) - 1 >= r2 or (len(w) - 1 >= r1
+                                and not _ends_short_syllable(w[:-1])):
+            w = w[:-1]
+    elif w.endswith("ll") and len(w) - 1 >= r2:
+        w = w[:-1]
+
+    return w.replace("Y", "y")
+
+
+# ----------------------------------------------------------------- german
+
+_DE_VOWELS = frozenset("aeiouyäöü")
+_DE_ST_END = frozenset("bdfghklmnt")  # valid s-ending ∪ extras for -st
+_DE_S_END = frozenset("bdfghklmnrt")
+
+
+def _de_regions(w: str) -> tuple[int, int]:
+    r1 = len(w)
+    for i in range(1, len(w)):
+        if w[i] not in _DE_VOWELS and w[i - 1] in _DE_VOWELS:
+            r1 = i + 1
+            break
+    # spec: R1 is adjusted so that the region before it is at least 3
+    # letters long
+    r1 = max(r1, min(3, len(w)))
+    r2 = len(w)
+    for i in range(r1 + 1, len(w)):
+        if w[i] not in _DE_VOWELS and w[i - 1] in _DE_VOWELS:
+            r2 = i + 1
+            break
+    return r1, r2
+
+
+def snowball_german(word: str) -> str:
+    """Snowball "german" stemmer (spec at snowballstem.org): ß→ss, u/y
+    between vowels marked, three suffix steps in R1/R2, umlaut fold."""
+    w = word.lower().replace("ß", "ss")
+    if len(w) <= 2:
+        return w
+
+    # mark u and y between vowels (protects them from being treated as
+    # vowels when computing regions / endings)
+    cs = list(w)
+    for i in range(1, len(cs) - 1):
+        if cs[i] in "uy" and cs[i - 1] in _DE_VOWELS \
+                and cs[i + 1] in _DE_VOWELS:
+            cs[i] = cs[i].upper()
+        # (capital U/Y are not in _DE_VOWELS, so marking is stable)
+    w = "".join(cs)
+    r1, r2 = _de_regions(w)
+
+    def in_r1(n: int) -> bool:
+        return len(w) - n >= r1
+
+    def in_r2(n: int) -> bool:
+        return len(w) - n >= r2
+
+    # step 1: longest of em ern er / e en es / s (s-ending)
+    if w.endswith(("em", "ern", "er")):
+        suf = "ern" if w.endswith("ern") else w[-2:]
+        if in_r1(len(suf)):
+            w = w[: -len(suf)]
+    elif w.endswith(("en", "es", "e")):
+        suf = w[-2:] if w.endswith(("en", "es")) else "e"
+        if in_r1(len(suf)):
+            w = w[: -len(suf)]
+            # spec: if the word ends "niss", delete the final s
+            if w.endswith("niss"):
+                w = w[:-1]
+    elif w.endswith("s"):
+        if in_r1(1) and len(w) >= 2 and w[-2] in _DE_S_END:
+            w = w[:-1]
+
+    # step 2: longest of est / er en / st (st-ending, preceded by >=3)
+    if w.endswith("est"):
+        if in_r1(3):
+            w = w[:-3]
+    elif w.endswith(("er", "en")):
+        if in_r1(2):
+            w = w[:-2]
+    elif w.endswith("st"):
+        if in_r1(2) and len(w) >= 6 and w[-3] in _DE_ST_END:
+            w = w[:-2]
+
+    # step 3: d-suffixes
+    if w.endswith(("end", "ung")):
+        if in_r2(3):
+            cut = w[:-3]
+            if cut.endswith("ig") and len(cut) - 2 >= r2 \
+                    and not cut.endswith("eig"):
+                cut = cut[:-2]
+            w = cut
+    elif w.endswith(("ig", "ik", "isch")):
+        suf = "isch" if w.endswith("isch") else w[-2:]
+        if in_r2(len(suf)) and w[-len(suf) - 1] != "e":
+            w = w[: -len(suf)]
+    elif w.endswith(("lich", "heit")):
+        if in_r2(4):
+            cut = w[:-4]
+            if cut.endswith(("er", "en")) and len(cut) - 2 >= r1:
+                cut = cut[:-2]
+            w = cut
+    elif w.endswith("keit"):
+        if in_r2(4):
+            cut = w[:-4]
+            if cut.endswith("lich") and len(cut) - 4 >= r2:
+                cut = cut[:-4]
+            elif cut.endswith("ig") and len(cut) - 2 >= r2:
+                cut = cut[:-2]
+            w = cut
+
+    # finally: unmark, fold umlauts
+    return (w.replace("U", "u").replace("Y", "y")
+            .replace("ä", "a").replace("ö", "o")
+            .replace("ü", "u"))

@@ -1667,6 +1667,21 @@ def _q_stemmed_term(word, k=10):
     return run
 
 
+def _q_snowball_term(word, k=10):
+    """Term query over a Snowball-English (Porter2) stemmed index
+    (snowball/SnowballFilter.java + EnglishStemmer); the query word is
+    stemmed with the same chain. Rows-only (no SQL stem)."""
+    def run(sf_dir):
+        from ..analysis.snowball import snowball_english
+        from ..search.searcher import IndexSearcher
+
+        idx = documents_index_variant(sf_dir, "snow", snowball_english)
+        s = IndexSearcher(idx, mode="exact64")
+        return _topk_table(s.search(
+            {"type": "term", "term": snowball_english(word)}, k=k))
+    return run
+
+
 def _q_lm_dirichlet(term, mu=2000.0, k=10):
     """Term query scored with LMDirichletSimilarity (Dirichlet-smoothed
     language model, core:search/similarities/LMDirichletSimilarity.java)
@@ -2308,6 +2323,7 @@ def build_queries() -> dict:
         "ft_lm_dirichlet": _q_lm_dirichlet("table"),
         "ft_rerank": _q_rerank("table", "vector"),
         "ft_stemmed_term": _q_stemmed_term("query"),   # rows-only
+        "ft_snowball_term": _q_snowball_term("queries"),   # rows-only
         "ft_multi_phrase": _q_multi_phrase([["fast", "slow"], ["table"]]),
         "ft_span_first": _q_span_first("scan", 20),
         "ft_span_not": _q_span_not("table", "slow", 2),
@@ -2508,8 +2524,9 @@ def build_oracle_sql() -> dict:
         # the XML DSL reduces to the same tree as "+table +customer vector"
         "ft_xml_parsed": ft_bool_sql(["table", "customer"], ["vector"],
                                      [], 0, 10),
-        # ft_stemmed_term: no SQL twin (Porter is not SQL-expressible);
-        # golden-vector + round-trip coverage in tests/test_filters.py
+        # ft_stemmed_term / ft_snowball_term: no SQL twin (Porter and
+        # Porter2 are not SQL-expressible); golden-vector + round-trip
+        # coverage in tests/test_filters.py and tests/test_snowball.py
     }
 
 

