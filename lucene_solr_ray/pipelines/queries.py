@@ -1639,6 +1639,104 @@ def documents_index_variant(sf_dir: str, tag: str, term_transform=None,
     return out
 
 
+def payload_store_for(sf_dir: str) -> str:
+    """The payload-store sidecar (the .pay-file analogue) over the
+    documents corpus; built once per sf_dir, hive-bucketed by term."""
+    from ..search.payload import build_payload_store
+
+    key = hashlib.sha256(
+        f"{sf_dir}|payload|v{FORMAT_VERSION}".encode()).hexdigest()[:12]
+    out = os.path.join(INDEX_CACHE_ROOT, f"payload-{key}")
+    if out in _memo:
+        return out
+    if os.path.exists(os.path.join(out, "payload_meta.done")):
+        _memo[out] = out
+        return out
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    build_payload_store(ds, out)
+    _memo[out] = out
+    return out
+
+
+def _payload_topk(t: pa.Table, k: int) -> pa.Table:
+    scores = np.asarray(t["score"], dtype=np.float64)
+    docs = np.asarray(t["doc_id"], dtype=np.int64)
+    order = np.lexsort((docs, -scores))[:k]
+    return pa.table({
+        "doc_id": pa.array(docs[order], type=pa.int64()),
+        "score_q": pa.array(quantize_score(scores[order]),
+                            type=pa.int64()),
+        "rank": pa.array(np.arange(1, len(order) + 1), type=pa.int64()),
+    })
+
+
+def _q_payload_score(term, func="sum", k=10):
+    """PayloadScoreQuery(SpanTermQuery, PayloadFunction,
+    includeSpanScore=false): per-doc fold of the payloads at the term's
+    positions (queries/.../payloads/PayloadScoreQuery.java,
+    SumPayloadFunction). Payloads enter through the
+    DelimitedPayloadTokenFilter rendering round-trip."""
+    def run(sf_dir):
+        from ..search.payload import payload_score
+
+        store = payload_store_for(sf_dir)
+        return _payload_topk(payload_score(store, term, func), k)
+    return run
+
+
+def _q_payload_span(term, func="avg", k=10):
+    """PayloadScoreQuery with includeSpanScore=true: exact64 BM25 span
+    score × the payload fold (a single-term span's sloppyFreq == tf)."""
+    def run(sf_dir):
+        from ..search.payload import payload_score
+
+        store = payload_store_for(sf_dir)
+        s = _searcher(sf_dir)
+        return _payload_topk(
+            payload_score(store, term, func, searcher=s,
+                          include_span_score=True), k)
+    return run
+
+
+def _payload_score_sql(term: str, func: str, k: int) -> str:
+    from ..search.payload import demo_payload_expr
+
+    agg = {"sum": "sum({e})", "min": "min({e})", "max": "max({e})",
+           "avg": "sum({e}) / count(*)"}[func].format(
+               e=demo_payload_expr("pos"))
+    return f"""
+WITH {_tok_ctes()},
+scored AS (SELECT doc_id, {agg} AS score FROM tok
+           WHERE term = '{term}' GROUP BY doc_id)
+{_sql_topk('scored', k)}
+"""
+
+
+def _payload_span_sql(term: str, func: str, k: int) -> str:
+    from ..search.payload import demo_payload_expr
+
+    agg = {"sum": "sum({e})", "min": "min({e})", "max": "max({e})",
+           "avg": "sum({e}) / count(*)"}[func].format(
+               e=demo_payload_expr("pos"))
+    return f"""
+WITH {_tok_ctes()},
+tf AS (SELECT doc_id, count(*) AS tf FROM clean WHERE term = '{term}'
+       GROUP BY doc_id),
+dfx AS (SELECT count(*) AS df FROM tf),
+pay AS (SELECT doc_id, {agg} AS pay FROM tok WHERE term = '{term}'
+        GROUP BY doc_id),
+scored AS (
+  SELECT tf.doc_id AS doc_id,
+         ({_bm25_expr('tf.tf', 'dl.dl', 'dfx.df')}) * pay.pay AS score
+  FROM tf JOIN dl USING (doc_id) JOIN pay USING (doc_id), dfx, stats s
+)
+{_sql_topk('scored', k)}
+"""
+
+
 def _q_synonym_term(term, k=10):
     """Term query over an index whose analyzer maps synonyms to their
     canonical form (synonym/SynonymFilter.java as a chain stage)."""
@@ -2324,6 +2422,8 @@ def build_queries() -> dict:
         "ft_rerank": _q_rerank("table", "vector"),
         "ft_stemmed_term": _q_stemmed_term("query"),   # rows-only
         "ft_snowball_term": _q_snowball_term("queries"),   # rows-only
+        "ft_payload_sum": _q_payload_score("table", "sum"),
+        "ft_payload_span": _q_payload_span("table", "avg"),
         "ft_multi_phrase": _q_multi_phrase([["fast", "slow"], ["table"]]),
         "ft_span_first": _q_span_first("scan", 20),
         "ft_span_not": _q_span_not("table", "slow", 2),
@@ -2473,6 +2573,8 @@ def build_oracle_sql() -> dict:
             ["fast", "tble", "scan"], "tble", 2),
         "ft_synonym_term": _synonym_term_sql("batch", 10),
         "ft_minimal_stem": _minimal_stem_sql("tables", 10),
+        "ft_payload_sum": _payload_score_sql("table", "sum", 10),
+        "ft_payload_span": _payload_span_sql("table", "avg", 10),
         "ft_lm_dirichlet": _lm_dirichlet_sql("table", 2000.0, 10),
         "ft_rerank": _rerank_sql("table", "vector", 50, 2.0, 10),
         "ft_multi_phrase": _multi_phrase_sql([["fast", "slow"], ["table"]],

@@ -1,0 +1,235 @@
+"""Payloads: per-position metadata attached at analysis time and scored
+at query time.
+
+Reference surface:
+- analysis/common payloads/DelimitedPayloadTokenFilter.java — splits
+  each token at the last delimiter, decodes the tail as the payload
+  (FloatEncoder), emits the clean term.
+- core queries/.../payloads/PayloadScoreQuery.java + PayloadFunction
+  (Min/Max/Average/SumPayloadFunction) — per doc, fold the payloads at
+  the matching span positions; optionally multiply by the span score.
+- The Lucene50 codec stores payloads in their own .pay file, SEPARATE
+  from .doc/.pos — mirrored here as a payload-store parquet sidecar,
+  hive-partitioned by a term-hash bucket so a query reads exactly one
+  bucket directory (predicate pushdown), never the whole store.
+
+Scale shape: the store build is one streaming map_batches pass over the
+corpus (token parse + payload decode vectorized per batch, no driver
+loop); `write_parquet(partition_cols=["bucket"])` keeps the layout
+resumable. A term's score pass reads bucket(term) only, and the result
+is bounded by the term's df.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+N_BUCKETS = 16
+DEFAULT_PAYLOAD = 1.0
+
+_FUNCS = ("sum", "min", "max", "avg")
+
+
+def term_bucket(term: str, n_buckets: int = N_BUCKETS) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(term.encode(), digest_size=8).digest(),
+        "big") % n_buckets
+
+
+def demo_payload_expr(pos_col: str = "pos") -> str:
+    """The deterministic demo payload as SQL, for the DuckDB twin:
+    exactly-representable halves so float accumulation is bit-stable."""
+    return f"(({pos_col} % 5 + 1) * 0.5)"
+
+
+def _demo_payload(pos: np.ndarray) -> np.ndarray:
+    return ((pos % 5 + 1) * 0.5).astype(np.float64)
+
+
+def delimit_batch(batch: pa.Table, *, text_col: str = "text",
+                  delimiter: str = "|") -> pa.Table:
+    """Dataset stage: render each doc's analyzed token stream as
+    ``tok<delim>payload`` text (the input format DelimitedPayloadTokenFilter
+    consumes). Payload = demo function of the Lucene position."""
+    from ..analysis import analyze_batch
+
+    ab = analyze_batch(batch[text_col], keep_stopwords=True)
+    toks = ab.terms.to_pylist()
+    pays = _demo_payload(ab.positions)
+    starts = np.concatenate(([0], np.cumsum(ab.doc_lengths)))
+    pos = ab.positions
+    out = []
+    for d in range(len(batch)):
+        lo, hi = int(starts[d]), int(starts[d + 1])
+        out.append(" ".join(
+            f"{toks[i]}{delimiter}{float(pays[i])}" for i in range(lo, hi)))
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "text": pa.array(out, type=pa.string()),
+    })
+
+
+def parse_delimited_batch(batch: pa.Table, *, text_col: str = "text",
+                          delimiter: str = "|",
+                          n_buckets: int = N_BUCKETS) -> pa.Table:
+    """Dataset stage — the DelimitedPayloadTokenFilter itself: whitespace
+    tokens, split at the LAST delimiter, float-decode the payload (the
+    FloatEncoder), default when absent. Emits one row per position:
+    (bucket, term, doc_id, pos, payload)."""
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.split_pattern_regex(texts, pattern=r"\s+")
+    flat = toks.flatten()
+    counts = np.asarray(toks.value_lengths()).astype(np.int64) \
+        if len(batch) else np.zeros(0, dtype=np.int64)
+    # empty docs split to one empty token; drop those rows
+    nonempty = pc.greater(pc.utf8_length(flat), 0) if len(flat) \
+        else pa.array([], type=pa.bool_())
+    ids = np.asarray(batch["doc_id"]).astype(np.int64)
+    doc_of = np.repeat(ids, counts)
+    pos = np.arange(len(flat), dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)))
+    pos -= np.repeat(starts[:-1], counts)
+    keep = np.asarray(nonempty, dtype=bool) if len(flat) else \
+        np.empty(0, dtype=bool)
+    flat = flat.filter(pa.array(keep)) if len(flat) else flat
+    doc_of, pos = doc_of[keep], pos[keep]
+    # vectorized DelimitedPayload split: at the LAST delimiter
+    parts = pc.split_pattern(flat, pattern=delimiter, max_splits=1,
+                             reverse=True)
+    nparts = np.asarray(pc.list_value_length(parts), dtype=np.int64)
+    if (nparts == 2).all() and len(nparts):
+        term_arr = pc.list_element(parts, 0)
+        tail = pc.list_element(parts, 1)
+        try:
+            pays = np.asarray(pc.cast(tail, pa.float64()),
+                              dtype=np.float64)
+        except pa.ArrowInvalid:
+            pays = np.array([_float_or_default(s)
+                             for s in tail.to_pylist()])
+    else:  # tokens without a delimiter → default payload (slow path)
+        terms, pays_l = [], []
+        for w in flat.to_pylist():
+            j = w.rfind(delimiter)
+            if j < 0:
+                terms.append(w)
+                pays_l.append(DEFAULT_PAYLOAD)
+            else:
+                terms.append(w[:j])
+                pays_l.append(_float_or_default(w[j + 1:]))
+        term_arr = pa.array(terms, type=pa.string())
+        pays = np.asarray(pays_l, dtype=np.float64)
+    bucket = np.array([term_bucket(t, n_buckets)
+                       for t in term_arr.to_pylist()], dtype=np.int64)
+    return pa.table({
+        "bucket": pa.array(bucket),
+        "term": term_arr,
+        "doc_id": pa.array(doc_of),
+        "pos": pa.array(pos),
+        "payload": pa.array(pays, type=pa.float64()),
+    })
+
+
+def _float_or_default(s: str) -> float:
+    try:
+        return float(s)
+    except ValueError:
+        return DEFAULT_PAYLOAD
+
+
+def build_payload_store(ds, out_dir: str, *, text_col: str = "text",
+                        delimiter: str = "|",
+                        n_buckets: int = N_BUCKETS) -> str:
+    """Corpus → delimited rendering → DelimitedPayload parse → hive
+    bucket-partitioned payload store. Both stages stream; nothing
+    materializes on the driver."""
+    import ray.data  # noqa: F401
+
+    marker = os.path.join(out_dir, "payload_meta.done")
+    if os.path.exists(marker):
+        return out_dir
+    (ds.map_batches(lambda b: delimit_batch(b, text_col=text_col,
+                                            delimiter=delimiter),
+                    batch_format="pyarrow")
+       .map_batches(lambda b: parse_delimited_batch(b, delimiter=delimiter,
+                                                    n_buckets=n_buckets),
+                    batch_format="pyarrow")
+       .write_parquet(os.path.join(out_dir, "data"),
+                      partition_cols=["bucket"]))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def payload_rows_for_term(store_dir: str, term: str,
+                          n_buckets: int = N_BUCKETS) -> pa.Table:
+    """Read the term's rows from its ONE bucket directory with a parquet
+    predicate — the .pay-file seek analogue."""
+    import pyarrow.dataset as pads
+
+    b = term_bucket(term, n_buckets)
+    part = os.path.join(store_dir, "data", f"bucket={b}")
+    dset = pads.dataset(part)
+    return dset.to_table(filter=pads.field("term") == term,
+                         columns=["doc_id", "pos", "payload"])
+
+
+def fold_payloads(t: pa.Table, func: str) -> pa.Table:
+    """PayloadFunction fold per doc: sum/min/max/avg in float64, the
+    same associativity the SQL twin uses (DuckDB aggregates)."""
+    if func not in _FUNCS:
+        raise ValueError(f"unknown payload function {func!r}")
+    gb = t.group_by("doc_id")
+    if func == "avg":
+        agg = gb.aggregate([("payload", "sum"), ("payload", "count")])
+        s = np.asarray(agg["payload_sum"], dtype=np.float64)
+        c = np.asarray(agg["payload_count"], dtype=np.float64)
+        val = s / c
+    else:
+        agg = gb.aggregate([("payload", func)])
+        val = np.asarray(agg[f"payload_{func}"], dtype=np.float64)
+    return pa.table({
+        "doc_id": pa.array(np.asarray(agg["doc_id"], dtype=np.int64)),
+        "pay_score": pa.array(val, type=pa.float64()),
+    })
+
+
+def payload_score(store_dir: str, term: str, func: str = "sum", *,
+                  searcher=None, include_span_score: bool = False,
+                  n_buckets: int = N_BUCKETS) -> pa.Table:
+    """PayloadScoreQuery(SpanTermQuery(term), func, includeSpanScore):
+    per-doc payload fold, optionally × the exact64 BM25 span score (a
+    single-term span's sloppyFreq == tf, so the span score IS the BM25
+    term score — core:payloads/PayloadScoreQuery.java:210)."""
+    folded = fold_payloads(
+        payload_rows_for_term(store_dir, term, n_buckets), func)
+    if not include_span_score:
+        return pa.table({"doc_id": folded["doc_id"],
+                         "score": folded["pay_score"]})
+    from .bm25 import score_exact64
+
+    p = searcher._decode_term_global(term)
+    if p is None:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "score": pa.array([], type=pa.float64())})
+    docs, tfs = p[0], p[1]
+    ids, dls = searcher._global_dl()
+    dl = dls[np.searchsorted(ids, docs)]
+    n_docs = searcher.num_docs
+    avgdl = float(searcher.sum_dl) / n_docs
+    span = score_exact64(tfs, dl, len(docs), n_docs, avgdl)
+    # align folded payload docs to the postings docs
+    fd = np.asarray(folded["doc_id"], dtype=np.int64)
+    fs = np.asarray(folded["pay_score"], dtype=np.float64)
+    lookup = {int(d): float(s) for d, s in zip(fd, fs)}
+    pay = np.array([lookup.get(int(d), 0.0) for d in docs])
+    return pa.table({
+        "doc_id": pa.array(docs, type=pa.int64()),
+        "score": pa.array(span * pay, type=pa.float64()),
+    })

@@ -1,0 +1,109 @@
+"""Payload store + PayloadScoreQuery (search/payload.py).
+
+Reference: analysis DelimitedPayloadTokenFilter.java (split at the LAST
+delimiter, FloatEncoder, default when absent) and queries/.../payloads/
+PayloadScoreQuery.java with Min/Max/Average/SumPayloadFunction.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from lucene_solr_ray.search.payload import (
+    build_payload_store, delimit_batch, fold_payloads,
+    parse_delimited_batch, payload_rows_for_term, payload_score,
+    term_bucket)
+
+
+def test_delimiter_round_trip_and_default():
+    t = pa.table({"doc_id": pa.array([7], type=pa.int64()),
+                  "text": pa.array(["bare a|b|2.5 bad|x"])})
+    p = parse_delimited_batch(t)
+    assert p["term"].to_pylist() == ["bare", "a|b", "bad"]
+    # bare -> default 1.0; a|b|2.5 splits at the LAST delimiter;
+    # non-float tail -> default (FloatEncoder would throw; we default,
+    # documented deviation for robustness)
+    assert p["payload"].to_pylist() == [1.0, 2.5, 1.0]
+    assert p["pos"].to_pylist() == [0, 1, 2]
+
+
+def test_fold_functions():
+    t = pa.table({"doc_id": pa.array([1, 1, 1, 2], type=pa.int64()),
+                  "payload": pa.array([0.5, 2.0, 3.5, 4.0])})
+    assert dict(zip(*[fold_payloads(t, "sum")[c].to_pylist()
+                      for c in ("doc_id", "pay_score")])) == \
+        {1: 6.0, 2: 4.0}
+    assert dict(zip(*[fold_payloads(t, "min")[c].to_pylist()
+                      for c in ("doc_id", "pay_score")])) == \
+        {1: 0.5, 2: 4.0}
+    assert dict(zip(*[fold_payloads(t, "max")[c].to_pylist()
+                      for c in ("doc_id", "pay_score")])) == \
+        {1: 3.5, 2: 4.0}
+    assert dict(zip(*[fold_payloads(t, "avg")[c].to_pylist()
+                      for c in ("doc_id", "pay_score")])) == \
+        {1: 2.0, 2: 4.0}
+    with pytest.raises(ValueError):
+        fold_payloads(t, "median")
+
+
+def test_store_round_trip_and_bucket_pushdown(ray_session, tmp_path):
+    """Build a store from a tiny corpus; a term read touches only its
+    bucket and returns exactly its positions/payloads."""
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["the fast table", "table table scan", ""]),
+    })
+    import ray.data as rd
+
+    store = build_payload_store(rd.from_arrow(docs),
+                                str(tmp_path / "pay"))
+    rows = payload_rows_for_term(store, "table")
+    got = sorted(zip(rows["doc_id"].to_pylist(), rows["pos"].to_pylist(),
+                     rows["payload"].to_pylist()))
+    # positions are pre-stop Lucene positions; payload = (pos%5+1)*0.5
+    assert got == [(1, 2, 1.5), (2, 0, 0.5), (2, 1, 1.0)]
+    # idempotent rebuild (done marker)
+    assert build_payload_store(None, store) == store
+
+
+def test_payload_score_span_alignment(ray_session, tmp_path):
+    """includeSpanScore multiplies the BM25 term score by the fold, doc
+    for doc — verified against an independently built index."""
+    import ray.data as rd
+
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.search.bm25 import score_exact64
+    from lucene_solr_ray.search.searcher import IndexSearcher
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "content": pa.array(["fast table", "table table table",
+                             "fast scan", "table at the end"]),
+    })
+    idx = str(tmp_path / "idx")
+    build_index(docs, idx)
+    store = build_payload_store(
+        rd.from_arrow(docs.rename_columns(["doc_id", "text"])),
+        str(tmp_path / "pay"))
+    s = IndexSearcher(idx, mode="exact64")
+    t = payload_score(store, "table", "sum", searcher=s,
+                      include_span_score=True)
+    by_doc = dict(zip(t["doc_id"].to_pylist(), t["score"].to_pylist()))
+    # doc 2: payload sum at pos 0,1,2 = 0.5+1.0+1.5 = 3.0
+    p = s._decode_term_global("table")
+    docs_arr, tfs = p[0], p[1]
+    ids, dls = s._global_dl()
+    dl = dls[np.searchsorted(ids, docs_arr)]
+    span = score_exact64(tfs, dl, len(docs_arr), s.num_docs,
+                         s.sum_dl / s.num_docs)
+    want = dict(zip(docs_arr.tolist(), span.tolist()))
+    assert by_doc[2] == want[2] * 3.0
+    # doc 4: "table at the end" -> payload at pos 0 = 0.5
+    assert by_doc[4] == want[4] * 0.5
+    assert set(by_doc) == {1, 2, 4}
+
+
+def test_bucket_is_stable():
+    assert term_bucket("table") == term_bucket("table")
+    assert 0 <= term_bucket("anything") < 16
