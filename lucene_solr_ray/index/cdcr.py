@@ -1,0 +1,188 @@
+"""CDCR — cross-data-center replication (SURVEY §2.10 tail;
+solr:handler/CdcrRequestHandler.java, CdcrReplicator.java,
+CdcrUpdateLog.java).
+
+Shape of the reference protocol, mirrored here:
+
+- the SOURCE keeps its transaction log around until every TARGET has
+  acknowledged the records (CdcrUpdateLog defers cleanup past commit);
+- a replicator thread forwards tlog records in order to each target,
+  tracking a persisted per-target CHECKPOINT (last forwarded seq);
+- a new target is seeded by BOOTSTRAP = full index replication
+  (IndexFetcher), after which forwarding resumes from the bootstrap
+  point;
+- forwarding is at-least-once + last-write-wins per unique key, so a
+  crash between apply and checkpoint write re-sends one batch
+  harmlessly (the reference's CdcrReplicator offers the same
+  guarantee).
+
+Scale shape: records move as whole parquet batches (no per-doc RPC);
+the checkpoint file is O(1); bootstrap reuses the size-diff fetch of
+`replicate.fetch_index`. One replicator per (source, target) pair, as
+in the reference.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pyarrow.parquet as pq
+
+from .tlog import _SEQ_RE, TransactionLog
+
+
+class CdcrUpdateLog(TransactionLog):
+    """A TransactionLog whose cleanup is gated on target acknowledgement
+    (solr:update/CdcrUpdateLog.java — 'the logs are only removed once
+    all the targets have processed them').
+
+    A committed-watermark file marks how far the local index has
+    drained the log, so retained-but-committed records are neither
+    re-committed locally nor lost for forwarding."""
+
+    def __init__(self, index_dir: str, targets: tuple[str, ...] = ()):
+        super().__init__(index_dir)
+        self.targets = tuple(targets)
+        self._wm_path = os.path.join(self.dir, "committed_seq.json")
+
+    # -- watermarks -------------------------------------------------
+
+    def committed_seq(self) -> int:
+        try:
+            with open(self._wm_path) as f:
+                return json.load(f)["committed_seq"]
+        except FileNotFoundError:
+            return 0
+
+    def _write_committed(self, seq: int) -> None:
+        tmp = self._wm_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"committed_seq": seq}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, self._wm_path)
+
+    def min_acked_seq(self) -> int:
+        """The lowest checkpoint across registered targets — records at
+        or below it may be cleaned. No targets ⇒ nothing is retained
+        beyond the local commit (plain tlog behavior)."""
+        if not self.targets:
+            return self.committed_seq()
+        return min(CdcrReplicator.read_checkpoint(t) for t in self.targets)
+
+    # -- TransactionLog overrides ------------------------------------
+
+    def _ops(self, lo: int = 0) -> list[tuple[int, str]]:
+        out = [(int(m.group(1)), p) for p in glob.glob(
+            os.path.join(self.dir, "ops-*.parquet"))
+            if (m := _SEQ_RE.search(p))]
+        return sorted((s, p) for s, p in out if s > lo)
+
+    def pending(self):
+        """Only records past the committed watermark count as pending —
+        retained (unacked) records must not re-commit locally."""
+        import pyarrow as pa
+
+        paths = [p for _, p in self._ops(self.committed_seq())]
+        if not paths:
+            return None
+        t = pa.concat_tables([pq.read_table(p) for p in paths],
+                             promote_options="default")
+        import numpy as np
+
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        last = {}
+        for i, d in enumerate(ids):
+            last[int(d)] = i
+        keep = sorted(last.values())
+        return t.take(pa.array(keep, type=pa.int64()))
+
+    def soft_commit(self, **build_kwargs):
+        """Commit pending records, advance the watermark, and clean ONLY
+        records every target has acknowledged."""
+        from .build import append_documents
+
+        p = self.pending()
+        if p is None:
+            return None
+        high = max((s for s, _ in self._ops()), default=0)
+        manifest = append_documents(p, self.index_dir, **build_kwargs)
+        self._write_committed(high)
+        low = min(self.min_acked_seq(), high)
+        for s, path in self._ops():
+            if s <= low:
+                os.remove(path)
+        return manifest
+
+
+class CdcrReplicator:
+    """Forwards a source CdcrUpdateLog to one target index directory."""
+
+    def __init__(self, source_dir: str, target_dir: str):
+        self.source = CdcrUpdateLog(source_dir)
+        self.target_dir = target_dir
+        self.target_tlog = TransactionLog(target_dir)
+        self._ckpt = self._ckpt_path(target_dir)
+
+    # -- checkpoint ---------------------------------------------------
+
+    @staticmethod
+    def _ckpt_path(target_dir: str) -> str:
+        return os.path.join(target_dir, "cdcr_checkpoint.json")
+
+    @classmethod
+    def read_checkpoint(cls, target_dir: str) -> int:
+        try:
+            with open(cls._ckpt_path(target_dir)) as f:
+                return json.load(f)["last_seq"]
+        except FileNotFoundError:
+            return 0
+
+    def _write_checkpoint(self, seq: int) -> None:
+        tmp = self._ckpt + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"last_seq": seq}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, self._ckpt)
+
+    # -- protocol ----------------------------------------------------
+
+    def bootstrap(self) -> dict:
+        """Seed the target with a full index replication, then mark the
+        source's committed records as already present (forwarding picks
+        up everything after the bootstrap point)."""
+        from .replicate import fetch_index
+
+        report = fetch_index(self.source.index_dir, self.target_dir)
+        self._write_checkpoint(self.source.committed_seq())
+        return report
+
+    def forward(self) -> int:
+        """One replicator pass: ship every source record past the
+        checkpoint to the target tlog, in sequence order, batch by
+        batch; checkpoint after each batch (at-least-once)."""
+        n = 0
+        for seq, path in self.source._ops(
+                self.read_checkpoint(self.target_dir)):
+            self.target_tlog.log_add(pq.read_table(path))
+            self._write_checkpoint(seq)
+            n += 1
+        return n
+
+    def commit_target(self, **build_kwargs):
+        """Drain the target tlog with UPDATE semantics (delete-then-add
+        per unique key) so re-forwarded batches are idempotent across
+        commits."""
+        from .deletes import update_documents
+
+        p = self.target_tlog.pending()
+        if p is None:
+            return None
+        manifest = update_documents(p, self.target_dir, **build_kwargs)
+        for path in glob.glob(os.path.join(self.target_tlog.dir,
+                                           "ops-*.parquet")):
+            os.remove(path)
+        return manifest

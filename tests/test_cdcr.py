@@ -1,0 +1,93 @@
+"""CDCR protocol tests (index/cdcr.py): bootstrap, forward, retention
+gating, at-least-once idempotence. Mirrors solr:handler/Cdcr* semantics.
+"""
+
+import os
+
+import pyarrow as pa
+
+from lucene_solr_ray.index.build import build_index
+from lucene_solr_ray.index.cdcr import CdcrReplicator, CdcrUpdateLog
+from lucene_solr_ray.search.searcher import IndexSearcher
+
+
+def _docs(ids_texts):
+    return pa.table({
+        "doc_id": pa.array([i for i, _ in ids_texts], type=pa.int64()),
+        "content": pa.array([t for _, t in ids_texts]),
+    })
+
+
+def _search_ids(idx, term):
+    s = IndexSearcher(idx, mode="exact64")
+    return sorted(s.search({"type": "term", "term": term},
+                           k=100)["doc_id"].to_pylist())
+
+
+def test_bootstrap_then_forward(ray_session, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    build_index(_docs([(1, "alpha beta"), (2, "alpha gamma")]), src)
+    rep = CdcrReplicator(src, dst)
+    rep.bootstrap()
+    assert _search_ids(dst, "alpha") == [1, 2]
+
+    # source keeps writing after bootstrap
+    slog = CdcrUpdateLog(src, targets=(dst,))
+    slog.log_add(_docs([(3, "alpha delta")]))
+    assert rep.forward() == 1
+    # visible at the target via RealTimeGet before any commit
+    got = rep.target_tlog.realtime_get(3)
+    assert got is not None and got["content"] == "alpha delta"
+    rep.commit_target()
+    assert _search_ids(dst, "alpha") == [1, 2, 3]
+
+
+def test_retention_gated_on_ack(ray_session, tmp_path):
+    """Source soft_commit must NOT clean records an unacked target still
+    needs; after forwarding, cleanup proceeds."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    build_index(_docs([(1, "alpha")]), src)
+    rep = CdcrReplicator(src, dst)
+    rep.bootstrap()
+
+    slog = CdcrUpdateLog(src, targets=(dst,))
+    slog.log_add(_docs([(2, "alpha two")]))
+    slog.soft_commit()          # target has NOT consumed seq 1 yet
+    assert _search_ids(src, "alpha") == [1, 2]
+    retained = [p for p in os.listdir(slog.dir) if p.startswith("ops-")]
+    assert retained, "unacked tlog record was cleaned too early"
+    # the retained record must not re-commit locally
+    assert slog.pending() is None
+
+    assert rep.forward() == 1
+    rep.commit_target()
+    assert _search_ids(dst, "alpha") == [1, 2]
+    # next commit cycle cleans the acked record
+    slog.log_add(_docs([(3, "alpha three")]))
+    slog.soft_commit()
+    seqs = sorted(int(p.split("-")[1].split(".")[0])
+                  for p in os.listdir(slog.dir) if p.startswith("ops-"))
+    assert 1 not in seqs
+
+
+def test_forward_is_idempotent_across_checkpoint_loss(ray_session,
+                                                      tmp_path):
+    """Re-forwarding an already-applied batch (crash between apply and
+    checkpoint) converges via update semantics at target commit."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    build_index(_docs([(1, "alpha")]), src)
+    rep = CdcrReplicator(src, dst)
+    rep.bootstrap()
+
+    slog = CdcrUpdateLog(src, targets=(dst,))
+    slog.log_add(_docs([(5, "alpha five v1")]))
+    rep.forward()
+    # simulate checkpoint loss → the batch is re-sent, then updated
+    os.remove(rep._ckpt)
+    rep._write_checkpoint(rep.source.committed_seq())
+    slog.log_add(_docs([(5, "alpha five v2")]))
+    rep.forward()
+    rep.commit_target()
+    assert _search_ids(dst, "alpha") == [1, 5]
+    assert _search_ids(dst, "v2") == [5]
+    assert _search_ids(dst, "v1") == []
