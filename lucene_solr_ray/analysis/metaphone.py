@@ -1,0 +1,462 @@
+"""Double Metaphone phonetic encoder (Lawrence Philips, 2000 — the
+public algorithm behind analysis/phonetic DoubleMetaphoneFilter.java,
+which wraps commons-codec). Produces a primary and an alternate code of
+up to ``max_code_len`` symbols from {A P T K S F H J L M N R W X 0}.
+
+Implemented from the published algorithm description; original code.
+`double_metaphone(word)` returns (primary, alternate); the filter-chain
+transform `double_metaphone_transform` emits the primary code (the
+reference filter's default inject=false shape).
+"""
+
+from __future__ import annotations
+
+_VOWELS = frozenset("AEIOUY")
+_SILENT_START = ("GN", "KN", "PN", "WR", "PS")
+_L_R_N_M_B_H_F_V_W_SPACE = frozenset(
+    ["L", "R", "N", "M", "B", "H", "F", "V", "W", " "])
+
+
+def _slavo_germanic(s: str) -> bool:
+    return ("W" in s) or ("K" in s) or ("CZ" in s) or ("WITZ" in s)
+
+
+def _at(s: str, i: int) -> str:
+    return s[i] if 0 <= i < len(s) else ""
+
+
+def _contains(s: str, start: int, length: int, *any_of: str) -> bool:
+    if start < 0 or start + length > len(s):
+        return False
+    return s[start:start + length] in any_of
+
+
+def double_metaphone(word: str, max_code_len: int = 4) -> tuple[str, str]:
+    s = "".join(c for c in word.upper() if c.isalpha() or c == " ")
+    if not s:
+        return "", ""
+    length = len(s)
+    last = length - 1
+    primary: list[str] = []
+    secondary: list[str] = []
+
+    def add(p: str, a: str | None = None) -> None:
+        if len(primary) < max_code_len:
+            primary.append(p)
+        if len(secondary) < max_code_len:
+            secondary.append(p if a is None else a)
+
+    def add_alt(p: str, a: str) -> None:
+        if len(primary) < max_code_len:
+            primary.append(p)
+        if len(secondary) < max_code_len and a:
+            secondary.append(a)
+
+    i = 0
+    if s[:2] in _SILENT_START:
+        i = 1
+    if s[0] == "X":
+        add("S")
+        i = 1
+
+    while i < length and (len(primary) < max_code_len
+                          or len(secondary) < max_code_len):
+        c = s[i]
+
+        if c in "AEIOUY":
+            if i == 0:
+                add("A")
+            i += 1
+
+        elif c == "B":
+            add("P")
+            i += 2 if _at(s, i + 1) == "B" else 1
+
+        elif c == "Ç":
+            add("S")
+            i += 1
+
+        elif c == "C":
+            # various germanic
+            if (i > 1 and _at(s, i - 2) not in _VOWELS
+                    and _contains(s, i - 1, 3, "ACH")
+                    and _at(s, i + 2) != "I"
+                    and (_at(s, i + 2) != "E"
+                         or _contains(s, i - 2, 6, "BACHER", "MACHER"))):
+                add("K")
+                i += 2
+            elif i == 0 and _contains(s, i, 6, "CAESAR"):
+                add("S")
+                i += 2
+            elif _contains(s, i, 4, "CHIA"):  # italian 'chianti'
+                add("K")
+                i += 2
+            elif _contains(s, i, 2, "CH"):
+                if i > 0 and _contains(s, i, 4, "CHAE"):  # michael
+                    add_alt("K", "X")
+                    i += 2
+                elif (i == 0
+                      and (_contains(s, i + 1, 5, "HARAC", "HARIS")
+                           or _contains(s, i + 1, 3, "HOR", "HYM", "HIA",
+                                        "HEM"))
+                      and not _contains(s, 0, 5, "CHORE")):
+                    add("K")  # greek roots: chorus, chemistry...
+                    i += 2
+                elif ((_contains(s, 0, 4, "VAN ", "VON ")
+                       or _contains(s, 0, 3, "SCH"))
+                      or _contains(s, i - 2, 6, "ORCHES", "ARCHIT",
+                                   "ORCHID")
+                      or _contains(s, i + 2, 1, "T", "S")
+                      or ((i == 0 or _at(s, i - 1) in "AOUE")
+                          and (_at(s, i + 2) in
+                               _L_R_N_M_B_H_F_V_W_SPACE
+                               or i + 2 > last))):
+                    add("K")
+                    i += 2
+                else:
+                    if i > 0:
+                        if _contains(s, 0, 2, "MC"):
+                            add("K")
+                        else:
+                            add_alt("X", "K")
+                    else:
+                        add("X")
+                    i += 2
+            elif _contains(s, i, 2, "CZ") \
+                    and not _contains(s, i - 2, 4, "WICZ"):
+                add_alt("S", "X")
+                i += 2
+            elif _contains(s, i + 1, 3, "CIA"):  # focaccia
+                add("X")
+                i += 3
+            elif _contains(s, i, 2, "CC") \
+                    and not (i == 1 and s[0] == "M"):
+                if _contains(s, i + 2, 1, "I", "E", "H") \
+                        and not _contains(s, i + 2, 2, "HU"):
+                    if (i == 1 and _at(s, i - 1) == "A") \
+                            or _contains(s, i - 1, 5, "UCCEE", "UCCES"):
+                        add("KS")  # accident, success
+                    else:
+                        add("X")  # bacci
+                    i += 3
+                else:
+                    add("K")
+                    i += 2
+            elif _contains(s, i, 2, "CK", "CG", "CQ"):
+                add("K")
+                i += 2
+            elif _contains(s, i, 2, "CI", "CE", "CY"):
+                if _contains(s, i, 3, "CIO", "CIE", "CIA"):
+                    add_alt("S", "X")
+                else:
+                    add("S")
+                i += 2
+            else:
+                add("K")
+                if _contains(s, i + 1, 2, " C", " Q", " G"):
+                    i += 3
+                elif _at(s, i + 1) in "CKQ" \
+                        and not _contains(s, i + 1, 2, "CE", "CI"):
+                    i += 2
+                else:
+                    i += 1
+
+        elif c == "D":
+            if _contains(s, i, 2, "DG"):
+                if _at(s, i + 2) in "IEY":
+                    add("J")  # edge
+                    i += 3
+                else:
+                    add("TK")  # edgar
+                    i += 2
+            elif _contains(s, i, 2, "DT", "DD"):
+                add("T")
+                i += 2
+            else:
+                add("T")
+                i += 1
+
+        elif c == "F":
+            add("F")
+            i += 2 if _at(s, i + 1) == "F" else 1
+
+        elif c == "G":
+            if _at(s, i + 1) == "H":
+                if i > 0 and _at(s, i - 1) not in _VOWELS:
+                    add("K")
+                    i += 2
+                elif i == 0:
+                    if _at(s, i + 2) == "I":
+                        add("J")  # ghislane
+                    else:
+                        add("K")  # ghost
+                    i += 2
+                elif (i > 1 and _at(s, i - 2) in "BHD") \
+                        or (i > 2 and _at(s, i - 3) in "BHD") \
+                        or (i > 3 and _at(s, i - 4) in "BH"):
+                    i += 2  # silent: hugh, bough...
+                else:
+                    if i > 2 and _at(s, i - 1) == "U" \
+                            and _at(s, i - 3) in "CGLRT":
+                        add("F")  # laugh, cough...
+                    elif i > 0 and _at(s, i - 1) != "I":
+                        add("K")
+                    i += 2
+            elif _at(s, i + 1) == "N":
+                if i == 1 and s[0] in _VOWELS and not _slavo_germanic(s):
+                    add_alt("KN", "N")
+                elif not _contains(s, i + 2, 2, "EY") \
+                        and _at(s, i + 1) != "Y" \
+                        and not _slavo_germanic(s):
+                    add_alt("N", "KN")
+                else:
+                    add("KN")
+                i += 2
+            elif _contains(s, i + 1, 2, "LI") and not _slavo_germanic(s):
+                add_alt("KL", "L")  # tagliaro
+                i += 2
+            elif i == 0 and (_at(s, i + 1) == "Y"
+                             or _contains(s, i + 1, 2, "ES", "EP", "EB",
+                                          "EL", "EY", "IB", "IL", "IN",
+                                          "IE", "EI", "ER")):
+                add_alt("K", "J")
+                i += 2
+            elif (_contains(s, i + 1, 2, "ER") or _at(s, i + 1) == "Y") \
+                    and not _contains(s, 0, 6, "DANGER", "RANGER",
+                                      "MANGER") \
+                    and _at(s, i - 1) not in "EI" \
+                    and not _contains(s, i - 1, 3, "RGY", "OGY"):
+                add_alt("K", "J")
+                i += 2
+            elif _at(s, i + 1) in "EIY" \
+                    or _contains(s, i - 1, 4, "AGGI", "OGGI"):
+                if _contains(s, 0, 4, "VAN ", "VON ") \
+                        or _contains(s, 0, 3, "SCH") \
+                        or _contains(s, i + 1, 2, "ET"):
+                    add("K")
+                elif _contains(s, i + 1, 4, "IER "):
+                    add("J")
+                else:
+                    add_alt("J", "K")
+                i += 2
+            else:
+                add("K")
+                i += 2 if _at(s, i + 1) == "G" else 1
+
+        elif c == "H":
+            if (i == 0 or _at(s, i - 1) in _VOWELS) \
+                    and _at(s, i + 1) in _VOWELS:
+                add("H")
+                i += 2
+            else:
+                i += 1
+
+        elif c == "J":
+            if _contains(s, i, 4, "JOSE") or _contains(s, 0, 4, "SAN "):
+                if (i == 0 and (_at(s, i + 4) == " " or length == 4)) \
+                        or _contains(s, 0, 4, "SAN "):
+                    add("H")
+                else:
+                    add_alt("J", "H")
+                i += 1
+            else:
+                if i == 0 and not _contains(s, i, 4, "JOSE"):
+                    add_alt("J", "A")
+                elif _at(s, i - 1) in _VOWELS and not _slavo_germanic(s) \
+                        and _at(s, i + 1) in "AO":
+                    add_alt("J", "H")
+                elif i == last:
+                    add_alt("J", "")
+                elif _at(s, i + 1) not in "LTKSNMBZ" \
+                        and _at(s, i - 1) not in "SKL":
+                    add("J")
+                i += 2 if _at(s, i + 1) == "J" else 1
+
+        elif c == "K":
+            add("K")
+            i += 2 if _at(s, i + 1) == "K" else 1
+
+        elif c == "L":
+            if _at(s, i + 1) == "L":
+                if (i == length - 3
+                        and _contains(s, i - 1, 4, "ILLO", "ILLA", "ALLE")) \
+                        or ((_contains(s, last - 1, 2, "AS", "OS")
+                             or _at(s, last) in "AO")
+                            and _contains(s, i - 1, 4, "ALLE")):
+                    add_alt("L", "")  # spanish: cabrillo, gallegos
+                    i += 2
+                else:
+                    add("L")
+                    i += 2
+            else:
+                add("L")
+                i += 1
+
+        elif c == "M":
+            add("M")
+            if (_contains(s, i - 1, 3, "UMB")
+                    and (i + 1 == last or _contains(s, i + 2, 2, "ER"))) \
+                    or _at(s, i + 1) == "M":
+                i += 2
+            else:
+                i += 1
+
+        elif c == "N":
+            add("N")
+            i += 2 if _at(s, i + 1) == "N" else 1
+
+        elif c == "Ñ":
+            add("N")
+            i += 1
+
+        elif c == "P":
+            if _at(s, i + 1) == "H":
+                add("F")
+                i += 2
+            else:
+                add("P")
+                i += 2 if _at(s, i + 1) in "PB" else 1
+
+        elif c == "Q":
+            add("K")
+            i += 2 if _at(s, i + 1) == "Q" else 1
+
+        elif c == "R":
+            if i == last and not _slavo_germanic(s) \
+                    and _contains(s, i - 2, 2, "IE") \
+                    and not _contains(s, i - 4, 2, "ME", "MA"):
+                add_alt("", "R")  # french: rogier
+            else:
+                add("R")
+            i += 2 if _at(s, i + 1) == "R" else 1
+
+        elif c == "S":
+            if _contains(s, i - 1, 3, "ISL", "YSL"):
+                i += 1  # silent: island, isle
+            elif i == 0 and _contains(s, i, 5, "SUGAR"):
+                add_alt("X", "S")
+                i += 1
+            elif _contains(s, i, 2, "SH"):
+                if _contains(s, i + 1, 4, "HEIM", "HOEK", "HOLM",
+                             "HOLZ"):
+                    add("S")  # germanic
+                else:
+                    add("X")
+                i += 2
+            elif _contains(s, i, 3, "SIO", "SIA") \
+                    or _contains(s, i, 4, "SIAN"):
+                if _slavo_germanic(s):
+                    add("S")
+                else:
+                    add_alt("S", "X")
+                i += 3
+            elif (i == 0 and _at(s, i + 1) in "MNLW") \
+                    or _at(s, i + 1) == "Z":
+                add_alt("S", "X")  # germanic initial s
+                i += 2 if _at(s, i + 1) == "Z" else 1
+            elif _contains(s, i, 2, "SC"):
+                if _at(s, i + 2) == "H":
+                    if _contains(s, i + 3, 2, "OO", "ER", "EN", "UY",
+                                 "ED", "EM"):
+                        if _contains(s, i + 3, 2, "ER", "EN"):
+                            add_alt("X", "SK")  # schermerhorn
+                        else:
+                            add("SK")  # school, schooner
+                        i += 3
+                    else:
+                        if i == 0 and s[3:4] not in ("A", "E", "I",
+                                                     "O", "U", "Y") \
+                                and _at(s, 3) != "W":
+                            add_alt("X", "S")
+                        else:
+                            add("X")
+                        i += 3
+                elif _at(s, i + 2) in "IEY":
+                    add("S")
+                    i += 3
+                else:
+                    add("SK")
+                    i += 3
+            elif i == last and _contains(s, i - 2, 2, "AI", "OI"):
+                add_alt("", "S")  # french: resnais, artois
+                i += 1
+            else:
+                add("S")
+                i += 2 if _at(s, i + 1) in "SZ" else 1
+
+        elif c == "T":
+            if _contains(s, i, 4, "TION") \
+                    or _contains(s, i, 3, "TIA", "TCH"):
+                add("X")
+                i += 3
+            elif _contains(s, i, 2, "TH") or _contains(s, i, 3, "TTH"):
+                if _contains(s, i + 2, 2, "OM", "AM") \
+                        or _contains(s, 0, 4, "VAN ", "VON ") \
+                        or _contains(s, 0, 3, "SCH"):
+                    add("T")  # thomas, thames, germanic
+                else:
+                    add_alt("0", "T")
+                i += 2
+            else:
+                add("T")
+                i += 2 if _at(s, i + 1) in "TD" else 1
+
+        elif c == "V":
+            add("F")
+            i += 2 if _at(s, i + 1) == "V" else 1
+
+        elif c == "W":
+            if _contains(s, i, 2, "WR"):
+                add("R")
+                i += 2
+            else:
+                if i == 0 and (_at(s, i + 1) in _VOWELS
+                               or _contains(s, i, 2, "WH")):
+                    if _at(s, i + 1) in _VOWELS:
+                        add_alt("A", "F")  # wasserman
+                    else:
+                        add("A")  # uomo... wh-
+                if (i == last and _at(s, i - 1) in _VOWELS) \
+                        or _contains(s, i - 1, 5, "EWSKI", "EWSKY",
+                                     "OWSKI", "OWSKY") \
+                        or _contains(s, 0, 3, "SCH"):
+                    add_alt("", "F")
+                    i += 1
+                elif _contains(s, i, 4, "WICZ", "WITZ"):
+                    add_alt("TS", "FX")
+                    i += 4
+                else:
+                    i += 1
+
+        elif c == "X":
+            if not (i == last
+                    and (_contains(s, i - 3, 3, "IAU", "EAU")
+                         or _contains(s, i - 2, 2, "AU", "OU"))):
+                add("KS")  # not french
+            i += 2 if _at(s, i + 1) in "CX" else 1
+
+        elif c == "Z":
+            if _at(s, i + 1) == "H":
+                add("J")  # chinese pinyin: zhao
+                i += 2
+            else:
+                if _contains(s, i + 1, 2, "ZO", "ZI", "ZA") \
+                        or (_slavo_germanic(s)
+                            and i > 0 and _at(s, i - 1) != "T"):
+                    add_alt("S", "TS")
+                else:
+                    add("S")
+                i += 2 if _at(s, i + 1) == "Z" else 1
+
+        else:
+            i += 1
+
+    return ("".join(primary)[:max_code_len],
+            "".join(secondary)[:max_code_len])
+
+
+def double_metaphone_transform(term: str) -> str:
+    """Filter-chain term transform: the primary code (empty codes keep
+    the original term so pure digits survive the chain)."""
+    p, _ = double_metaphone(term)
+    return p if p else term

@@ -110,6 +110,17 @@ def _snowball_de_chain():
                              term_transform=snowball_german)
 
 
+@register("analyzer", "phonetic_double_metaphone")
+def _dm_chain():
+    import functools
+
+    from .analysis import analyze_batch
+    from .analysis.metaphone import double_metaphone_transform
+
+    return functools.partial(analyze_batch,
+                             term_transform=double_metaphone_transform)
+
+
 @register("qparser", "classic")
 def _classic_parser():
     from .search.queryparser import parse_query

@@ -1,0 +1,78 @@
+"""Double Metaphone golden vectors (analysis/metaphone.py) — the
+classic published test pairs for Lawrence Philips' 2000 algorithm
+(reference filter: phonetic/DoubleMetaphoneFilter.java)."""
+
+from lucene_solr_ray.analysis.metaphone import (double_metaphone,
+                                                double_metaphone_transform)
+
+
+GOLDEN = {
+    "smith": ("SM0", "XMT"),
+    "schmidt": ("XMT", "SMT"),
+    "snider": ("SNTR", "XNTR"),
+    "school": ("SKL", "SKL"),
+    "philips": ("FLPS", "FLPS"),
+    "thomas": ("TMS", "TMS"),
+    "gnome": ("NM", "NM"),
+    "knight": ("NT", "NT"),
+    "wright": ("RT", "RT"),
+    "caesar": ("SSR", "SSR"),
+    "chianti": ("KNT", "KNT"),
+    "michael": ("MKL", "MXL"),
+    "chemistry": ("KMST", "KMST"),
+    "ghost": ("KST", "KST"),
+    "jose": ("HS", "HS"),
+    "xavier": ("SF", "SFR"),
+    "sugar": ("XKR", "SKR"),
+    "island": ("ALNT", "ALNT"),
+    "accident": ("AKST", "AKST"),
+    "success": ("SKSS", "SKSS"),
+    "edge": ("AJ", "AJ"),
+    "edgar": ("ATKR", "ATKR"),
+    "jumped": ("JMPT", "AMPT"),
+    "dumb": ("TM", "TM"),
+    "thumb": ("0M", "TM"),
+    "catherine": ("K0RN", "KTRN"),
+    "katherine": ("K0RN", "KTRN"),
+    "focaccia": ("FKX", "FKX"),
+    "wasserman": ("ASRM", "FSRM"),
+    "vasserman": ("FSRM", "FSRM"),
+    "filipowicz": ("FLPT", "FLPF"),
+    "tough": ("TF", "TF"),
+    "laugh": ("LF", "LF"),
+    "cough": ("KF", "KF"),
+    "dough": ("T", "T"),
+    "hugh": ("H", "H"),
+    "cabrillo": ("KPRL", "KPR"),
+    "gallegos": ("KLKS", "KKS"),
+    "zhao": ("J", "J"),
+    "tagliaro": ("TKLR", "TLR"),
+    "ghislane": ("JLN", "JLN"),
+}
+
+
+def test_double_metaphone_golden():
+    got = {w: double_metaphone(w) for w in GOLDEN}
+    assert got == GOLDEN
+
+
+def test_phonetic_match_pairs():
+    """The filter's purpose: phonetically equal surnames share a code."""
+    assert double_metaphone("catherine")[0] == \
+        double_metaphone("katherine")[0]
+    assert double_metaphone("smith")[1] == double_metaphone("schmidt")[0]
+
+
+def test_transform_and_edges():
+    assert double_metaphone_transform("smith") == "SM0"
+    assert double_metaphone_transform("12345") == "12345"  # keeps digits
+    assert double_metaphone("") == ("", "")
+    assert double_metaphone("a") == ("A", "A")
+    assert double_metaphone("aaa") == ("A", "A")
+
+
+def test_max_code_len():
+    p, a = double_metaphone("encyclopedia", max_code_len=8)
+    assert len(p) <= 8 and p.startswith("ANSKLPT")
+    p4, _ = double_metaphone("encyclopedia")
+    assert p4 == p[:4]
