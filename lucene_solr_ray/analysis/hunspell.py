@@ -1,0 +1,164 @@
+"""Hunspell-dictionary stemming (analysis/common hunspell/
+Dictionary.java + HunspellStemFilter.java, re-implemented from the
+public hunspell .aff/.dic format documentation).
+
+Supported subset — the part the reference filter exercises for
+stemming: SFX/PFX rule groups (strip / append / condition), the
+cross-product flag, comment/blank skipping, and single-character flags
+(hunspell's default FLAG mode). Compound rules, REP/MAP suggestion
+tables and flag aliases are suggestion/spellcheck machinery the
+stem filter never uses; they are out of scope (documented deviation).
+
+No dictionary ships here: real .aff/.dic files are licensed data the
+user supplies (as with the reference, which loads them from a path at
+runtime)."""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class AffixRule:
+    flag: str
+    strip: str
+    affix: str
+    condition: re.Pattern
+    cross_product: bool
+
+
+class HunspellDictionary:
+    """Parsed .aff + .dic pair; `stem` reverses affix rules."""
+
+    def __init__(self, words: dict[str, frozenset[str]],
+                 suffixes: list[AffixRule], prefixes: list[AffixRule]):
+        self.words = words
+        self.suffixes = suffixes
+        self.prefixes = prefixes
+
+    # ------------------------------------------------------------- parse
+
+    @classmethod
+    def parse(cls, aff_text: str, dic_text: str) -> "HunspellDictionary":
+        suffixes: list[AffixRule] = []
+        prefixes: list[AffixRule] = []
+        cross: dict[tuple[str, str], bool] = {}
+        expect: dict[tuple[str, str], int] = {}
+        for raw in aff_text.splitlines():
+            line = raw.split("#", 1)[0].strip()
+            if not line:
+                continue
+            parts = line.split()
+            kind = parts[0]
+            if kind not in ("SFX", "PFX") or len(parts) < 4:
+                continue  # SET/TRY/REP/... — not stemming machinery
+            flag = parts[1]
+            key = (kind, flag)
+            if key not in cross:  # group header: SFX <flag> <Y|N> <count>
+                cross[key] = parts[2] == "Y"
+                expect[key] = int(parts[3]) if parts[3].isdigit() else 0
+                continue
+            strip = "" if parts[2] == "0" else parts[2]
+            affix = "" if parts[3] == "0" else parts[3]
+            cond_src = parts[4] if len(parts) > 4 else "."
+            if kind == "SFX":
+                cond = re.compile(f"(?:{cond_src})$")
+                suffixes.append(AffixRule(flag, strip, affix, cond,
+                                          cross[key]))
+            else:
+                cond = re.compile(f"^(?:{cond_src})")
+                prefixes.append(AffixRule(flag, strip, affix, cond,
+                                          cross[key]))
+        words: dict[str, frozenset[str]] = {}
+        lines = dic_text.splitlines()
+        start = 1 if lines and lines[0].strip().isdigit() else 0
+        for raw in lines[start:]:
+            line = raw.split("#", 1)[0].strip()
+            if not line:
+                continue
+            if "/" in line:
+                w, flags = line.split("/", 1)
+                words[w] = frozenset(flags)
+            else:
+                words[line] = frozenset()
+        return cls(words, suffixes, prefixes)
+
+    @classmethod
+    def load(cls, aff_path: str, dic_path: str) -> "HunspellDictionary":
+        with open(aff_path, encoding="utf-8", errors="replace") as f:
+            aff = f.read()
+        with open(dic_path, encoding="utf-8", errors="replace") as f:
+            dic = f.read()
+        return cls.parse(aff, dic)
+
+    # -------------------------------------------------------------- stem
+
+    def _base_ok(self, base: str, rule: AffixRule) -> bool:
+        flags = self.words.get(base)
+        return (flags is not None and rule.flag in flags
+                and rule.condition.search(base) is not None)
+
+    def _strip_suffix(self, word: str, rule: AffixRule) -> str | None:
+        if rule.affix and not word.endswith(rule.affix):
+            return None
+        base = word[: len(word) - len(rule.affix)] + rule.strip
+        return base if base else None
+
+    def _strip_prefix(self, word: str, rule: AffixRule) -> str | None:
+        if rule.affix and not word.startswith(rule.affix):
+            return None
+        base = rule.strip + word[len(rule.affix):]
+        return base if base else None
+
+    def stem(self, word: str) -> list[str]:
+        """All dictionary stems of ``word`` (HunspellStemFilter with
+        dedup=true): the word itself if listed, suffix-stripped bases,
+        prefix-stripped bases, and PFX+SFX cross-products."""
+        out: list[str] = []
+        seen: set[str] = set()
+
+        def emit(b: str) -> None:
+            if b not in seen:
+                seen.add(b)
+                out.append(b)
+
+        if word in self.words:
+            emit(word)
+        for sr in self.suffixes:
+            base = self._strip_suffix(word, sr)
+            if base is not None and self._base_ok(base, sr):
+                emit(base)
+        for pr in self.prefixes:
+            mid = self._strip_prefix(word, pr)
+            if mid is None:
+                continue
+            if self._base_ok(mid, pr):
+                emit(mid)
+            if not pr.cross_product:
+                continue
+            for sr in self.suffixes:
+                if not sr.cross_product:
+                    continue
+                base = self._strip_suffix(mid, sr)
+                if base is not None and self._base_ok(base, sr) \
+                        and pr.flag in self.words[base] \
+                        and pr.condition.search(base) is not None:
+                    emit(base)
+        return out
+
+    def longest_stem(self, word: str) -> str:
+        """The longestOnly=true filter shape: prefer the longest stem,
+        ties broken lexicographically; unknown words pass through."""
+        stems = self.stem(word)
+        if not stems:
+            return word
+        return sorted(stems, key=lambda s: (-len(s), s))[0]
+
+
+def hunspell_transform(dictionary: HunspellDictionary):
+    """Term transform for the analyzer chain (longest-only mode, the
+    deterministic single-token shape an index chain needs)."""
+    def transform(term: str) -> str:
+        return dictionary.longest_stem(term)
+    return transform

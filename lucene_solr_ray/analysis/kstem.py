@@ -1,0 +1,163 @@
+"""KStem — the Krovetz stemmer (analysis/common en/KStemFilter.java,
+KStemmer.java), re-implemented from the published algorithm (R.
+Krovetz, "Viewing Morphology as an Inference Process", SIGIR 1993).
+
+KStem's defining property: a suffix transformation is accepted ONLY if
+the resulting form is a real word (present in the lexicon); otherwise
+the word is returned unchanged. The reference ships a ~30k-entry
+built-in lexicon as data files; that data is not reproduced here — the
+lexicon is PLUGGABLE (a set of valid words + a direct-substitution
+map, the paper's "direct conflation" table), with a small built-in
+core so the filter is usable out of the box. Documented deviation:
+rules are the paper's, vocabulary is the caller's.
+"""
+
+from __future__ import annotations
+
+# a small core lexicon so the default chain does something sensible;
+# real deployments pass their own vocabulary (e.g. the corpus term
+# dictionary — see `lexicon_from_index`).
+CORE_LEXICON = frozenset("""
+move walk hop try play jump table index search query document term
+create creation state nation nature sane sanity happy big run stop
+use fast slow scan vector file store merge build agree decide decision
+""".split())
+
+_VOWELS = frozenset("aeiouy")
+
+
+class KStemmer:
+    def __init__(self, lexicon=CORE_LEXICON,
+                 direct: dict[str, str] | None = None):
+        self.lex = set(lexicon)
+        self.direct = dict(direct or {})
+
+    # ------------------------------------------------------------ helpers
+
+    def _ok(self, w: str) -> bool:
+        return w in self.lex
+
+    def _first(self, *cands: str) -> str | None:
+        for c in cands:
+            if c and self._ok(c):
+                return c
+        return None
+
+    @staticmethod
+    def _undouble(w: str) -> str:
+        if len(w) >= 2 and w[-1] == w[-2] and w[-1] not in _VOWELS:
+            return w[:-1]
+        return w
+
+    # -------------------------------------------------------------- steps
+
+    def _plural(self, w: str) -> str:
+        if not w.endswith("s") or w.endswith(("ss", "us")):
+            return w
+        if w.endswith("ies") and len(w) > 4:
+            return self._first(w[:-3] + "y", w[:-1]) or w
+        if w.endswith("es") and len(w) > 3:
+            return self._first(w[:-1], w[:-2]) or w
+        if len(w) > 3:
+            return self._first(w[:-1]) or w
+        return w
+
+    def _past(self, w: str) -> str:
+        if not w.endswith("ed") or len(w) <= 4:
+            return w
+        if w.endswith("ied"):
+            return self._first(w[:-3] + "y", w[:-1]) or w
+        base = w[:-2]
+        return self._first(w[:-1], base, self._undouble(base)) or w
+
+    def _aspect(self, w: str) -> str:
+        if not w.endswith("ing") or len(w) <= 5:
+            return w
+        base = w[:-3]
+        return self._first(base + "e", base, self._undouble(base)) or w
+
+    _ENDINGS = (
+        # (suffix, candidate templates applied to the stripped base)
+        ("ization", ("{b}ize", "{b}e", "{b}")),
+        ("ation", ("{b}ate", "{b}e", "{b}")),
+        ("ition", ("{b}ite", "{b}e", "{b}")),
+        ("ility", ("{b}le", "{b}ile", "{b}")),
+        ("ness", ("{b}",)),
+        ("ment", ("{b}", "{b}e")),
+        ("able", ("{b}", "{b}e")),
+        ("ible", ("{b}", "{b}e")),
+        ("ship", ("{b}",)),
+        ("hood", ("{b}",)),
+        ("ence", ("{b}e", "{b}", "{b}ent")),
+        ("ance", ("{b}e", "{b}", "{b}ant")),
+        ("ion", ("{b}e", "{b}")),
+        ("ity", ("{b}e", "{b}y", "{b}")),
+        ("ful", ("{b}",)),
+        ("ism", ("{b}", "{b}e")),
+        ("ive", ("{b}e", "{b}")),
+        ("ize", ("{b}e", "{b}")),
+        ("ous", ("{b}", "{b}e")),
+        ("ish", ("{b}",)),
+        ("al", ("{b}", "{b}e")),
+        ("ic", ("{b}", "{b}e")),
+        ("ly", ("{b}",)),
+        ("er", ("{b}", "{b}e")),
+    )
+
+    def _derivational(self, w: str) -> str:
+        for suf, templates in self._ENDINGS:
+            if w.endswith(suf) and len(w) - len(suf) >= 3:
+                b = w[: -len(suf)]
+                cands = [t.format(b=b) for t in templates]
+                # the -er/-ing style doubling undo applies generally
+                cands.append(self._undouble(b))
+                hit = self._first(*cands)
+                if hit:
+                    return hit
+        return w
+
+    # --------------------------------------------------------------- api
+
+    def stem(self, word: str) -> str:
+        w = word.lower()
+        if len(w) <= 2 or not w.isalpha():
+            return w
+        if w in self.direct:  # direct-conflation table
+            return self.direct[w]
+        if self._ok(w):  # real words are never modified
+            return w
+        for step in (self._plural, self._past, self._aspect):
+            w2 = step(w)
+            if w2 != w:
+                return w2 if self._ok(w2) else self._derivational(w2)
+            w = w2
+        return self._derivational(w)
+
+
+def kstem_transform(lexicon=CORE_LEXICON, direct=None):
+    """Analyzer-chain term transform (KStemFilter shape)."""
+    st = KStemmer(lexicon, direct)
+    return st.stem
+
+
+def lexicon_from_index(index_dir: str) -> set[str]:
+    """Build the validating lexicon from an existing index's term
+    dictionary — the corpus itself as vocabulary (a scale-honest stand-in
+    for the reference's bundled word list; one pruned-column read)."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    from ..index.manifest import load_manifest
+
+    man = load_manifest(index_dir)
+    terms: set[str] = set()
+    for seg in man["segments"]:
+        if seg.get("kind", "postings") != "postings":
+            continue
+        p = os.path.join(index_dir, "segments", seg["segment"],
+                         "postings.parquet")
+        if os.path.exists(p):
+            t = pads.dataset(p).to_table(columns=["term"])
+            terms.update(t["term"].to_pylist())
+    return terms

@@ -1,0 +1,82 @@
+"""Hunspell affix stemming (analysis/hunspell.py) over a small
+synthetic .aff/.dic pair — format per the public hunspell docs."""
+
+from lucene_solr_ray.analysis.hunspell import (HunspellDictionary,
+                                               hunspell_transform)
+
+AFF = """
+# synthetic english-like affix file
+SET UTF-8
+TRY esianrtolcdugmphbyfvkwz
+
+PFX A Y 1
+PFX A 0 re .
+
+SFX B Y 3
+SFX B 0 ed [^ey]
+SFX B 0 d e
+SFX B y ied y
+
+SFX C Y 1
+SFX C 0 ing [^e]
+
+SFX D N 1
+SFX D 0 s .
+"""
+
+DIC = """6
+walk/ABC
+try/BD
+play/ABCD
+move/B
+jump
+cat/D
+"""
+
+
+def _d():
+    return HunspellDictionary.parse(AFF, DIC)
+
+
+def test_plain_lookup_and_unknown():
+    d = _d()
+    assert d.stem("jump") == ["jump"]
+    assert d.stem("jumped") == []          # jump has no B flag
+    assert d.longest_stem("qqq") == "qqq"  # unknown passes through
+
+
+def test_suffix_rules():
+    d = _d()
+    assert d.stem("walked") == ["walk"]
+    assert d.stem("moved") == ["move"]     # strip 0 add d, cond e
+    assert d.stem("tried") == ["try"]      # strip y add ied, cond y
+    assert d.stem("plays") == ["play"]     # D flag
+    assert d.stem("cats") == ["cat"]
+    assert d.stem("walking") == ["walk"]
+    # condition blocks: 'ed' rule requires base not ending e/y
+    assert d.stem("tryed") == []
+
+
+def test_prefix_and_cross_product():
+    d = _d()
+    assert d.stem("rewalk") == ["walk"]
+    assert d.stem("rewalking") == ["walk"]   # PFX A × SFX C (both Y)
+    # D is cross_product=N: "replays" must NOT resolve through A×D
+    assert d.stem("replays") == []
+    assert d.stem("replay") == ["play"]
+
+
+def test_word_listed_and_derived():
+    d = _d()
+    # "try" both listed and derivable from nothing else
+    assert d.stem("try") == ["try"]
+    t = hunspell_transform(d)
+    assert t("walked") == "walk"
+    assert t("unknown") == "unknown"
+
+
+def test_dic_without_count_header_and_comments():
+    d = HunspellDictionary.parse("SFX B Y 1\nSFX B 0 ed .\n",
+                                 "walk/B  # a comment\n\nrun\n")
+    assert d.stem("walked") == ["walk"]
+    assert d.stem("run") == ["run"]

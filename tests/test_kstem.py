@@ -1,0 +1,90 @@
+"""KStem rule engine (analysis/kstem.py): lexicon-validated
+transformations per Krovetz 1993 — a change is kept only when it lands
+on a real word."""
+
+import pyarrow as pa
+
+from lucene_solr_ray.analysis.kstem import (KStemmer, kstem_transform,
+                                            lexicon_from_index)
+
+
+def test_real_words_never_change():
+    st = KStemmer()
+    for w in ("move", "state", "nation", "sane", "index"):
+        assert st.stem(w) == w
+
+
+def test_plural():
+    st = KStemmer()
+    assert st.stem("tables") == "table"
+    assert st.stem("queries") == "query"
+    assert st.stem("indexes") == "index"
+    assert st.stem("searches") == "search"
+    # no lexicon hit -> unchanged (the kstem property)
+    assert st.stem("zzzs") == "zzzs"
+    # -ss and -us are never plural-stripped
+    assert st.stem("glass") == "glass"
+    assert st.stem("status") == "status"
+
+
+def test_past_and_aspect():
+    st = KStemmer()
+    assert st.stem("moved") == "move"      # e-restoration via -d
+    assert st.stem("walked") == "walk"
+    assert st.stem("tried") == "try"
+    assert st.stem("hopped") == "hop"      # undouble
+    assert st.stem("moving") == "move"     # +e restoration
+    assert st.stem("running") == "run"
+    assert st.stem("jumping") == "jump"
+
+
+def test_derivational_endings():
+    st = KStemmer()
+    # words IN the lexicon stay (the kstem property): creation/sanity
+    # are listed as real words
+    assert st.stem("creation") == "creation"
+    assert st.stem("sanity") == "sanity"
+    assert st.stem("decisions") == "decision"
+    assert st.stem("agreeable") == "agree"
+    assert st.stem("mover") == "move"
+    assert st.stem("quickly") == "quickly"   # 'quick' not in core lexicon
+    # with a lexicon that lacks the derived forms, the rules fire
+    st2 = KStemmer(lexicon={"sane", "create", "happy", "decide"})
+    assert st2.stem("sanity") == "sane"
+    assert st2.stem("creation") == "create"
+    # irregular derivations (decision->decide) are the direct table's
+    # job, not a rule's: with no direct entry the word is unchanged
+    assert st2.stem("decision") == "decision"
+    assert KStemmer(lexicon=set(),
+                    direct={"decision": "decide"}).stem("decision") == \
+        "decide"
+    assert st2.stem("happiness") == "happiness"  # 'happi' not a word
+
+
+def test_direct_conflation_table():
+    st = KStemmer(direct={"children": "child", "happiness": "happy"})
+    assert st.stem("children") == "child"
+    assert st.stem("happiness") == "happy"
+
+
+def test_custom_lexicon_and_transform():
+    t = kstem_transform(lexicon={"quick", "brown", "fox"})
+    assert t("quicker") == "quick"
+    assert t("quickly") == "quick"
+    assert t("foxes") == "fox"
+    assert t("jumped") == "jumped"  # not in this lexicon
+
+
+def test_lexicon_from_index(ray_session, tmp_path):
+    from lucene_solr_ray.index.build import build_index
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "content": pa.array(["the quick brown fox", "fox den"]),
+    })
+    idx = str(tmp_path / "idx")
+    build_index(docs, idx)
+    lex = lexicon_from_index(idx)
+    assert {"quick", "brown", "fox", "den"} <= lex
+    st = KStemmer(lex)
+    assert st.stem("foxes") == "fox"
