@@ -1639,6 +1639,29 @@ def documents_index_variant(sf_dir: str, tag: str, term_transform=None,
     return out
 
 
+def _q_explain_term(term, k=10):
+    """IndexSearcher.explain parity: the top-k is re-scored DOC BY DOC
+    through the Explanation tree (search/explain.py) — the oracle pairs
+    against the plain BM25 SQL twin, so a hash match proves
+    explain(q, doc).value == score(q, doc) against an external engine
+    (Lucene's CheckHits.verifyExplanation as a driver check)."""
+    def run(sf_dir):
+        from ..search.explain import explain
+
+        s = _searcher(sf_dir)
+        t = s.search({"type": "term", "term": term}, k=k)
+        docs = t["doc_id"].to_pylist()
+        vals = np.array([explain(s, {"type": "term", "term": term},
+                                 d)["value"] for d in docs])
+        return pa.table({
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score_q": pa.array(quantize_score(vals), type=pa.int64()),
+            "rank": t["rank"] if "rank" in t.column_names else
+            pa.array(np.arange(1, len(docs) + 1), type=pa.int64()),
+        })
+    return run
+
+
 def payload_store_for(sf_dir: str) -> str:
     """The payload-store sidecar (the .pay-file analogue) over the
     documents corpus; built once per sf_dir, hive-bucketed by term."""
@@ -2424,6 +2447,7 @@ def build_queries() -> dict:
         "ft_snowball_term": _q_snowball_term("queries"),   # rows-only
         "ft_payload_sum": _q_payload_score("table", "sum"),
         "ft_payload_span": _q_payload_span("table", "avg"),
+        "ft_explain_term": _q_explain_term(MID),
         "ft_multi_phrase": _q_multi_phrase([["fast", "slow"], ["table"]]),
         "ft_span_first": _q_span_first("scan", 20),
         "ft_span_not": _q_span_not("table", "slow", 2),
@@ -2575,6 +2599,7 @@ def build_oracle_sql() -> dict:
         "ft_minimal_stem": _minimal_stem_sql("tables", 10),
         "ft_payload_sum": _payload_score_sql("table", "sum", 10),
         "ft_payload_span": _payload_span_sql("table", "avg", 10),
+        "ft_explain_term": ft_term_sql(MID, 10),
         "ft_lm_dirichlet": _lm_dirichlet_sql("table", 2000.0, 10),
         "ft_rerank": _rerank_sql("table", "vector", 50, 2.0, 10),
         "ft_multi_phrase": _multi_phrase_sql([["fast", "slow"], ["table"]],

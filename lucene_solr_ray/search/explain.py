@@ -1,0 +1,208 @@
+"""Explanation trees — IndexSearcher.explain (core:search/
+IndexSearcher.java:671, Explanation.java, BM25Similarity.explain).
+
+`explain(searcher, query, doc_id)` returns the nested
+{match, value, description, details} structure; `format_explanation`
+renders the classic indented toString. The top-level value is computed
+through the SAME scoring path as `search` (mode-faithful float32 or
+exact float64), so `explain(...)["value"] == score(doc)` bit for bit —
+the invariant Lucene's CheckHits.verifyExplanation enforces.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..index.smallfloat import NORM_TABLE
+from .bm25 import idf_exact64
+
+
+def _leaf(value: float, description: str, match: bool = True) -> dict:
+    return {"match": match, "value": float(value),
+            "description": description, "details": []}
+
+
+def _node(value: float, description: str, details: list[dict],
+          match: bool = True) -> dict:
+    return {"match": match, "value": float(value),
+            "description": description, "details": details}
+
+
+def _no_match(description: str) -> dict:
+    return {"match": False, "value": 0.0, "description": description,
+            "details": []}
+
+
+def _term_doc_state(searcher, term: str, doc_id: int):
+    """(tf, norm_byte, df_global, dl) of the term in the doc, or None."""
+    stats = searcher.term_stats([term])
+    df = stats.get(term, (0, 0))[0]
+    if df == 0:
+        return None
+    p = searcher._decode_term_global(term)
+    if p is None:
+        return None
+    docs, tfs, norms = p
+    i = np.searchsorted(docs, doc_id)
+    if i >= len(docs) or docs[i] != doc_id:
+        return None
+    return docs, tfs, norms, int(i), df
+
+
+def _explain_term(searcher, term: str, doc_id: int) -> dict:
+    st = _term_doc_state(searcher, term, doc_id)
+    if st is None:
+        return _no_match(f"no matching term text:{term}")
+    docs, tfs, norms, i, df = st
+    value = float(searcher._score(docs[i:i + 1], tfs[i:i + 1],
+                                  norms[i:i + 1], df)[0])
+    freq = int(tfs[i])
+    n_docs = searcher.num_docs
+    if searcher.mode == "lucene32":
+        idf = float(searcher.sim.idf(df))
+        dl = float(NORM_TABLE[int(norms[i])])
+        avgdl = float(searcher.sim.avgdl)
+        k1, b = float(searcher.sim.k1), float(searcher.sim.b)
+    else:
+        idf = idf_exact64(df, n_docs)
+        ids, dls = searcher._global_dl()
+        dl = float(dls[np.searchsorted(ids, doc_id)])
+        avgdl = searcher.avgdl64
+        k1, b = searcher.k1, searcher.b
+    tf_norm = value / idf if idf else 0.0
+    return _node(
+        value,
+        f"weight(text:{term} in {doc_id}) "
+        f"[{type(searcher.sim).__name__ if searcher.mode == 'lucene32' else 'BM25exact64'}], "
+        "product of:",
+        [
+            _node(idf,
+                  f"idf, computed as log(1 + (N - n + 0.5) / (n + 0.5))"
+                  " from:",
+                  [_leaf(df, "n, number of documents containing term"),
+                   _leaf(n_docs, "N, total number of documents")]),
+            _node(tf_norm,
+                  "tfNorm, computed as (freq * (k1 + 1)) / (freq + k1 * "
+                  "(1 - b + b * dl / avgdl)) from:",
+                  [_leaf(freq, "freq, occurrences of term within document"),
+                   _leaf(k1, "k1, term saturation parameter"),
+                   _leaf(b, "b, length normalization parameter"),
+                   _leaf(dl, "dl, length of field"
+                         + (" (approximated by SmallFloat norm)"
+                            if searcher.mode == "lucene32" else "")),
+                   _leaf(avgdl, "avgdl, average length of field")]),
+        ])
+
+
+def _explain_bool(searcher, query: dict, doc_id: int) -> dict:
+    must = list(query.get("must", []))
+    should = list(query.get("should", []))
+    must_not = list(query.get("must_not", []))
+    msm = query.get("min_should_match", 0)
+    filters = query.get("filters", [])
+
+    for f, v in filters:
+        if doc_id not in searcher.filter_docs(f, v):
+            return _no_match(
+                f"failure to match filter clause {f}:{v}")
+    for t in must_not:
+        if _term_doc_state(searcher, t, doc_id) is not None:
+            return _no_match(
+                f"match on prohibited clause (text:{t})")
+    details = []
+    for t in must:
+        e = _explain_term(searcher, t, doc_id)
+        if not e["match"]:
+            return _no_match(
+                f"failure to meet condition of required clause "
+                f"(text:{t})")
+        details.append(e)
+    n_should = 0
+    for t in should:
+        e = _explain_term(searcher, t, doc_id)
+        if e["match"]:
+            n_should += 1
+            details.append(e)
+    if should and msm > 0 and n_should < msm:
+        return _no_match(
+            f"failure to match minimum number of optional clauses: "
+            f"{msm}<{n_should}")
+    if not details:
+        return _no_match("no matching clause")
+    # ConjunctionScorer/DisjunctionSumScorer contract: accumulate in
+    # double, cast per mode (bm25.combine_clause_scores)
+    acc = float(np.sum(np.asarray([d["value"] for d in details],
+                                  dtype=np.float64)))
+    if searcher.mode == "lucene32":
+        acc = float(np.float32(acc))
+    return _node(acc, "sum of:", details)
+
+
+def _explain_phrase(searcher, terms: list[str], doc_id: int,
+                    slop: int = 0) -> dict:
+    if slop > 0:
+        cand, pf, norms_c, idf = searcher._sloppy_phrase_all(terms, slop)
+        what = f'text:"{" ".join(terms)}"~{slop}'
+    else:
+        cand, pf, norms_c, idf = searcher._exact_phrase_all(terms)
+        what = f'text:"{" ".join(terms)}"'
+    i = np.searchsorted(cand, doc_id) if len(cand) else 0
+    if len(cand) == 0 or i >= len(cand) or cand[i] != doc_id:
+        return _no_match(f"no matching phrase {what}")
+    value = float(searcher._score(cand[i:i + 1], pf[i:i + 1],
+                                  norms_c[i:i + 1], 0,
+                                  tf_override=pf[i:i + 1],
+                                  idf_override=float(idf))[0])
+    stats = searcher.term_stats(terms)
+    idf_details = [
+        _leaf(float(searcher.sim.idf(stats[t][0]))
+              if searcher.mode == "lucene32"
+              else idf_exact64(stats[t][0], searcher.num_docs),
+              f"idf(text:{t})") for t in terms]
+    return _node(
+        value, f"weight({what} in {doc_id}), product of:",
+        [_node(float(idf), "idf, sum of:", idf_details),
+         _leaf(float(pf[i]), "phraseFreq" if slop == 0
+               else "sloppyFreq, sum of 1/(distance+1)")])
+
+
+def _explain_constant(searcher, query: dict, doc_id: int) -> dict:
+    terms = searcher.expand_terms(query["type"], query["param"],
+                                  max_edits=query.get("max_edits", 1))
+    for t in terms:
+        st = _term_doc_state(searcher, t, doc_id)
+        if st is not None:
+            return _node(1.0, f"ConstantScore({query['type']}:"
+                         f"{query['param']}), product of:",
+                         [_leaf(1.0, "boost"),
+                          _leaf(1.0, f"queryNorm (match on text:{t})")])
+    return _no_match(
+        f"no matching term for {query['type']}:{query['param']}")
+
+
+def explain(searcher, query: dict, doc_id: int) -> dict:
+    """IndexSearcher.explain(query, doc): how doc_id scored against
+    query. The value is mode-faithful (equals the search() score)."""
+    qt = query["type"]
+    if qt == "term":
+        return _explain_term(searcher, query["term"], doc_id)
+    if qt == "bool":
+        return _explain_bool(searcher, query, doc_id)
+    if qt == "phrase":
+        return _explain_phrase(searcher, query["terms"], doc_id,
+                               slop=query.get("slop", 0))
+    if qt in ("prefix", "wildcard", "regexp", "range", "fuzzy"):
+        return _explain_constant(searcher, query, doc_id)
+    raise ValueError(f"explain: unsupported query type {qt!r}")
+
+
+def format_explanation(exp: dict, depth: int = 0) -> str:
+    """Explanation.toString(): '<value> = <description>' nested by
+    two-space indents."""
+    head = "  " * depth + f"{exp['value']} = {exp['description']}"
+    if not exp["match"] and depth == 0:
+        head = "  " * depth + f"0.0 = (NON-MATCH) {exp['description']}"
+    lines = [head]
+    for d in exp["details"]:
+        lines.append(format_explanation(d, depth + 1))
+    return "\n".join(lines)

@@ -1,0 +1,104 @@
+"""Explanation trees (search/explain.py): the CheckHits invariant —
+explain(q, doc).value is BIT-EQUAL to the score search(q) assigned, in
+both float32 (lucene32) and exact64 modes — plus structural checks."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_solr_ray.index.build import build_index
+from lucene_solr_ray.search.explain import explain, format_explanation
+from lucene_solr_ray.search.searcher import IndexSearcher
+
+DOCS = pa.table({
+    "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+    "content": pa.array([
+        "fast table scan on the fast path",
+        "table of contents",
+        "slow vector scan",
+        "fast fast fast",
+        "a table for the vector table",
+    ]),
+})
+
+
+@pytest.fixture(scope="module")
+def idx(ray_session, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("explain") / "idx")
+    build_index(DOCS, out)
+    return out
+
+
+@pytest.mark.parametrize("mode", ["lucene32", "exact64"])
+def test_term_explain_matches_score(idx, mode):
+    s = IndexSearcher(idx, mode=mode)
+    t = s.search({"type": "term", "term": "table"}, k=10)
+    for doc, score in zip(t["doc_id"].to_pylist(),
+                          t["score"].to_pylist()):
+        e = explain(s, {"type": "term", "term": "table"}, doc)
+        assert e["match"]
+        assert e["value"] == score  # bit-equal, CheckHits style
+    e = explain(s, {"type": "term", "term": "table"}, 4)
+    assert not e["match"] and e["value"] == 0.0
+
+
+@pytest.mark.parametrize("mode", ["lucene32", "exact64"])
+def test_bool_explain_matches_score(idx, mode):
+    s = IndexSearcher(idx, mode=mode)
+    q = {"type": "bool", "must": ["table"], "should": ["vector"],
+         "must_not": ["slow"]}
+    t = s.search(q, k=10)
+    got = dict(zip(t["doc_id"].to_pylist(), t["score"].to_pylist()))
+    assert got, "query must match"
+    for doc, score in got.items():
+        e = explain(s, q, doc)
+        assert e["match"] and e["value"] == score
+        assert e["description"] == "sum of:"
+    # prohibited clause
+    assert not explain(s, q, 3)["match"]
+    # missing required clause
+    assert not explain(s, q, 4)["match"]
+
+
+@pytest.mark.parametrize("mode", ["lucene32", "exact64"])
+def test_phrase_explain_matches_score(idx, mode):
+    s = IndexSearcher(idx, mode=mode)
+    q = {"type": "phrase", "terms": ["table", "scan"]}
+    t = s.search(q, k=10)
+    for doc, score in zip(t["doc_id"].to_pylist(),
+                          t["score"].to_pylist()):
+        e = explain(s, q, doc)
+        assert e["match"] and e["value"] == score
+    assert not explain(s, q, 2)["match"]
+
+
+def test_min_should_match_and_filters(idx):
+    s = IndexSearcher(idx, mode="exact64")
+    q = {"type": "bool", "should": ["fast", "vector"],
+         "min_should_match": 2}
+    t = s.search(q, k=10)
+    assert t.num_rows == 0  # no doc has both
+    assert not explain(s, q, 1)["match"]
+
+
+def test_constant_score_explain(idx):
+    s = IndexSearcher(idx, mode="exact64")
+    q = {"type": "prefix", "param": "tab"}
+    t = s.search(q, k=10)
+    for doc in t["doc_id"].to_pylist():
+        e = explain(s, q, doc)
+        assert e["match"] and e["value"] == 1.0
+    assert not explain(s, q, 4)["match"]
+
+
+def test_format_explanation(idx):
+    s = IndexSearcher(idx, mode="lucene32")
+    e = explain(s, {"type": "term", "term": "table"}, 2)
+    txt = format_explanation(e)
+    assert "product of:" in txt
+    assert "idf, computed as" in txt
+    assert "tfNorm" in txt
+    assert txt.splitlines()[1].startswith("  ")  # indentation
+    nm = format_explanation(explain(s, {"type": "term", "term": "table"},
+                                    4))
+    assert nm.startswith("0.0 = (NON-MATCH)")
