@@ -174,6 +174,92 @@ def terms_including_score(sf_dir: str, k: int = 20) -> pa.Table:
                                 preserve_index=False)
 
 
+def terms_including_score_mode(sf_dir: str, mode: str = "avg",
+                               k: int = 20) -> pa.Table:
+    """JoinUtil ScoreMode.{Avg,Total,Min} (lucene/join/.../ScoreMode.java,
+    JoinUtil.createJoinQuery scoreMode param) — the remaining folds
+    beside terms_including_score's Max. Same scale shape: commutative
+    partials inside map_batches (sum+count for Avg), one tiny groupby,
+    broadcast of the k winners to fetch the to-side."""
+    import ray
+
+    if mode not in ("avg", "total", "min"):
+        raise ValueError(f"unknown ScoreMode {mode!r}")
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = _cents(batch, "o_totalprice", "score_c")
+        ck = np.asarray(b["o_custkey"], dtype=np.int64)
+        sc = np.asarray(b["score_c"], dtype=np.int64)
+        keys, inv = np.unique(ck, return_inverse=True)
+        if mode == "min":
+            acc = np.full(len(keys), np.iinfo(np.int64).max,
+                          dtype=np.int64)
+            np.minimum.at(acc, inv, sc)
+            n = np.zeros(len(keys), dtype=np.int64)
+        else:
+            acc = np.zeros(len(keys), dtype=np.int64)
+            np.add.at(acc, inv, sc)
+            n = np.bincount(inv, minlength=len(keys)).astype(np.int64)
+        return pa.table({"o_custkey": pa.array(keys, type=pa.int64()),
+                         "acc": pa.array(acc, type=pa.int64()),
+                         "n": pa.array(n, type=pa.int64())})
+
+    g = orders.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_custkey")
+    agg = (g.min("acc") if mode == "min"
+           else g.aggregate(*_sum_aggs()))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        ck = np.asarray(batch["o_custkey"], dtype=np.int64)
+        if mode == "min":
+            score = np.asarray(batch["min(acc)"], dtype=np.int64)
+        else:
+            s = np.asarray(batch["sum(acc)"], dtype=np.int64)
+            if mode == "avg":
+                n = np.asarray(batch["sum(n)"], dtype=np.int64)
+                # floor of the float64 ratio — the SQL twin's shape
+                score = np.floor(s.astype(np.float64) / n) \
+                    .astype(np.int64)
+            else:
+                score = s
+        return pa.table({"o_custkey": pa.array(ck, type=pa.int64()),
+                         "score_c": pa.array(score, type=pa.int64())})
+
+    scored = agg.map_batches(finalize, batch_format="pyarrow")
+    top = _topk_scored(scored, "o_custkey", "score_c", k)
+    score_of = dict(zip(top["o_custkey"], top["score_c"]))
+    want_ref = ray.put(np.array(sorted(score_of), dtype=np.int64))
+
+    class Fetch:
+        def __init__(self, ref):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = np.asarray(batch["c_custkey"], dtype=np.int64)
+            idx = np.clip(np.searchsorted(self.keys, ck),
+                          0, len(self.keys) - 1)
+            return batch.filter(pa.array(self.keys[idx] == ck))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    names = (cust.map_batches(Fetch,
+                              fn_constructor_kwargs={"ref": want_ref},
+                              batch_format="pyarrow", concurrency=(1, 4))
+             .to_pandas())
+    names["score_c"] = names["c_custkey"].map(score_of).astype("int64")
+    names = names.sort_values(["score_c", "c_custkey"],
+                              ascending=[False, True]) \
+        .reset_index(drop=True)
+    return pa.Table.from_pandas(
+        names[["c_custkey", "c_name", "score_c"]], preserve_index=False)
+
+
+def _sum_aggs():
+    from ray.data.aggregate import Sum
+
+    return (Sum("acc"), Sum("n"))
+
+
 def collapse_expand(sf_dir: str, n_expand: int = 2) -> pa.Table:
     """CollapsingQParserPlugin + ExpandComponent
     (solr:search/CollapsingQParserPlugin.java:91,

@@ -19,6 +19,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..analysis.stopwords import stopwords_sql_list
 from ..search.bm25 import quantize_score
@@ -314,6 +315,84 @@ def _q_top_terms(n=20):
         return pa.table({"term": pa.array(t["term"], type=pa.string()),
                          "df": pa.array(t["sum(df)"], type=pa.int64())})
     return run
+
+
+def _q_terms_component(prefix: str | None = None,
+                       regex: str | None = None,
+                       mincount: int = 1, limit: int = 20):
+    """TermsComponent (solr:handler/component/TermsComponent.java):
+    field term enumeration with df counts, filtered by terms.prefix /
+    terms.regex / terms.mincount, sorted count desc then term asc. Same
+    distributed shape as HighFreqTerms: prune to (term, df) columns,
+    filter inside map_batches, tiny groupby-sum + sort + limit."""
+    def run(sf_dir):
+        import glob
+
+        import ray.data as rd
+
+        idx = documents_index(sf_dir)
+        files = glob.glob(os.path.join(idx, "segments", "*",
+                                       "postings.parquet"))
+        ds = rd.read_parquet(files, columns=["term", "df"])
+
+        def keep(t: pa.Table) -> pa.Table:
+            m = pc.invert(pc.match_substring(t["term"], ":"))
+            if prefix is not None:
+                m = pc.and_(m, pc.starts_with(t["term"], prefix))
+            if regex is not None:
+                m = pc.and_(m, pc.match_substring_regex(
+                    t["term"], f"^(?:{regex})$"))
+            return t.filter(m)
+
+        agg = (ds.map_batches(keep, batch_format="pyarrow")
+               .groupby("term").sum("df"))
+        if mincount > 1:
+            agg = agg.map_batches(
+                lambda t: t.filter(pc.greater_equal(t["sum(df)"],
+                                                    mincount)),
+                batch_format="pyarrow")
+        out = agg.sort(["sum(df)", "term"],
+                       descending=[True, False]).limit(limit)
+        t = out.to_pandas()
+        return pa.table({"term": pa.array(t["term"], type=pa.string()),
+                         "df": pa.array(t["sum(df)"], type=pa.int64())})
+    return run
+
+
+def _terms_component_sql(prefix: str | None, regex: str | None,
+                         mincount: int, limit: int) -> str:
+    conds = []
+    if prefix is not None:
+        conds.append(f"term LIKE '{prefix}%'")
+    if regex is not None:
+        conds.append(f"regexp_full_match(term, '{regex}')")
+    where = (" WHERE " + " AND ".join(conds)) if conds else ""
+    return f"""
+WITH {_tok_ctes()},
+t AS (SELECT term, count(DISTINCT doc_id) AS df FROM clean{where}
+      GROUP BY term HAVING count(DISTINCT doc_id) >= {mincount})
+SELECT term, df FROM t ORDER BY df DESC, term ASC LIMIT {limit}
+"""
+
+
+def _q_suggest_infix(fragment, n=10):
+    """AnalyzingInfixSuggester over the documents corpus: suggestions
+    keyed on any analyzed token starting with the fragment, weighted by
+    the n_chars doc value (per-doc suggestion weight)."""
+    def run(sf_dir):
+        s = _searcher(sf_dir)
+        return s.suggest_infix(fragment, n=n)
+    return run
+
+
+def _suggest_infix_sql(fragment: str, n: int) -> str:
+    return f"""
+WITH {_tok_ctes()},
+m AS (SELECT DISTINCT doc_id FROM clean WHERE term LIKE '{fragment}%')
+SELECT m.doc_id AS doc_id, d.n_chars AS weight
+FROM m JOIN documents d USING (doc_id)
+ORDER BY weight DESC, doc_id ASC LIMIT {n}
+"""
 
 
 def ft_dedup_exact_sql() -> str:
@@ -693,6 +772,23 @@ def _q_function_boost(term, a=100.0, k=10):
     return run
 
 
+def _lev_full(a: str, b: str) -> int:
+    """Plain full Levenshtein (no cutoff band — strdist needs the exact
+    distance, and it runs once per unique value)."""
+    if a == b:
+        return 0
+    if not a or not b:
+        return max(len(a), len(b))
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
 class _ExprCtx:
     """Index-backed value-source context (solr ValueSourceParser
     termfreq/docfreq/totaltermfreq/numdocs/maxdoc) bound to a searcher
@@ -739,6 +835,26 @@ class _ExprCtx:
         idx = np.clip(np.searchsorted(d, self.docs), 0, len(d) - 1)
         return np.where(d[idx] == self.docs, sc[idx], 0.0) \
             .astype(np.float64)
+
+    def strdist(self, field: str, const: str) -> np.ndarray:
+        """StrDistanceFunction 'edit': 1 - levenshtein/max(len), per
+        candidate doc. String fields are KEYWORD postings here, so the
+        values are UNINVERTED — enumerate the field's terms, one edit
+        distance per unique value, postings assign it to docs (Lucene's
+        UninvertingReader / FieldCache discipline). Docs without the
+        field keep similarity 0."""
+        sims = np.zeros(len(self.docs), dtype=np.float64)
+        for t in self.s.expand_terms("prefix", f"{field}:"):
+            v = t.split(":", 1)[1]
+            p = self.s._decode_term_global(t)
+            if p is None or not len(p[0]):
+                continue
+            sim = 1.0 - _lev_full(v, const) \
+                / float(max(len(v), len(const)) or 1)
+            idx = np.clip(np.searchsorted(p[0], self.docs),
+                          0, len(p[0]) - 1)
+            sims = np.where(p[0][idx] == self.docs, sim, sims)
+        return sims
 
     def _ordinals(self, field: str):
         ids, vals = self.s.global_doc_values(field)
@@ -833,6 +949,12 @@ def _expr_boost_sql(term: str, expr_str: str, k: int) -> str:
                 f"WHERE term = '{t2}') df2, stats s) {alias} "
                 f"ON {alias}.doc_id = tf.doc_id")
             col_of[key] = f"COALESCE({alias}.score, 0)"
+        elif f == "strdist":
+            fld = call.args[0].value
+            const = call.args[1].value
+            col_of[key] = (
+                f"(1 - CAST(levenshtein(d.{fld}, '{const}') AS DOUBLE) "
+                f"/ greatest(length(d.{fld}), length('{const}')))")
         elif f == "docfreq":
             t2 = call.args[1].value
             col_of[key] = (f"(SELECT count(DISTINCT doc_id) FROM clean "
@@ -2399,6 +2521,10 @@ def build_queries() -> dict:
         "rel_block_join_facet": J.block_join_facet,
         "rel_block_join_child": J.block_join_child,
         "rel_join_score": J.terms_including_score,
+        "rel_join_score_avg":
+            lambda sf: J.terms_including_score_mode(sf, "avg"),
+        "rel_join_score_total":
+            lambda sf: J.terms_including_score_mode(sf, "total"),
         "rel_collapse_expand": J.collapse_expand,
     }
     return training | rel | {
@@ -2448,6 +2574,9 @@ def build_queries() -> dict:
         "ft_payload_sum": _q_payload_score("table", "sum"),
         "ft_payload_span": _q_payload_span("table", "avg"),
         "ft_explain_term": _q_explain_term(MID),
+        "ft_terms_component": _q_terms_component(prefix="ta",
+                                                 mincount=2),
+        "ft_suggest_infix": _q_suggest_infix("tab"),
         "ft_multi_phrase": _q_multi_phrase([["fast", "slow"], ["table"]]),
         "ft_span_first": _q_span_first("scan", 20),
         "ft_span_not": _q_span_not("table", "slow", 2),
@@ -2469,6 +2598,8 @@ def build_queries() -> dict:
             "table", "sum(1,query('vector'))"),
         "ft_expr_ord": _q_expr_boost(
             "customer", "div(ord(n_chars),sum(rord(n_chars),1))"),
+        "ft_expr_strdist": _q_expr_boost(
+            "table", "sum(1,strdist(lang,'en',edit))"),
         "ft_external_boost": _q_external_boost("table"),
         "ft_elevation": _q_elevation("table"),
         "ft_suggest_weighted": _q_suggest_weighted("s"),
@@ -2552,6 +2683,8 @@ def build_oracle_sql() -> dict:
         "rel_block_join_facet": RS.BLOCK_JOIN_FACET,
         "rel_block_join_child": RS.BLOCK_JOIN_CHILD,
         "rel_join_score": RS.TERMS_INCLUDING_SCORE,
+        "rel_join_score_avg": RS.JOIN_SCORE_AVG,
+        "rel_join_score_total": RS.JOIN_SCORE_TOTAL,
         "rel_collapse_expand": RS.COLLAPSE_EXPAND,
         # sketch_hll_users: no SQL twin (HLL approximate by construction);
         # tests/test_sketches.py bounds the error vs the exact count
@@ -2600,6 +2733,8 @@ def build_oracle_sql() -> dict:
         "ft_payload_sum": _payload_score_sql("table", "sum", 10),
         "ft_payload_span": _payload_span_sql("table", "avg", 10),
         "ft_explain_term": ft_term_sql(MID, 10),
+        "ft_terms_component": _terms_component_sql("ta", None, 2, 20),
+        "ft_suggest_infix": _suggest_infix_sql("tab", 10),
         "ft_lm_dirichlet": _lm_dirichlet_sql("table", 2000.0, 10),
         "ft_rerank": _rerank_sql("table", "vector", 50, 2.0, 10),
         "ft_multi_phrase": _multi_phrase_sql([["fast", "slow"], ["table"]],
@@ -2625,6 +2760,8 @@ def build_oracle_sql() -> dict:
             "table", "sum(1,query('vector'))", 10),
         "ft_expr_ord": _expr_boost_sql(
             "customer", "div(ord(n_chars),sum(rord(n_chars),1))", 10),
+        "ft_expr_strdist": _expr_boost_sql(
+            "table", "sum(1,strdist(lang,'en',edit))", 10),
         "ft_external_boost": _external_boost_sql("table", 10),
         "ft_elevation": _elevation_sql("table", 2, 10),
         "ft_suggest_weighted": _suggest_weighted_sql("s", 10, "lang", "en"),

@@ -118,6 +118,29 @@ FROM s JOIN customer ON c_custkey = o_custkey
 ORDER BY score_c DESC, c_custkey ASC
 """
 
+JOIN_SCORE_AVG = """
+WITH s AS (SELECT o_custkey,
+                  CAST(floor(CAST(sum(CAST(round(o_totalprice * 100)
+                                           AS BIGINT)) AS DOUBLE)
+                             / count(*)) AS BIGINT) AS score_c
+           FROM orders GROUP BY o_custkey
+           ORDER BY score_c DESC, o_custkey ASC LIMIT 20)
+SELECT c_custkey, c_name, score_c
+FROM s JOIN customer ON c_custkey = o_custkey
+ORDER BY score_c DESC, c_custkey ASC
+"""
+
+JOIN_SCORE_TOTAL = """
+WITH s AS (SELECT o_custkey,
+                  sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS score_c
+           FROM orders GROUP BY o_custkey
+           ORDER BY score_c DESC, o_custkey ASC LIMIT 20)
+SELECT c_custkey, c_name, CAST(score_c AS BIGINT) AS score_c
+FROM s JOIN customer ON c_custkey = o_custkey
+ORDER BY score_c DESC, c_custkey ASC
+"""
+
 COLLAPSE_EXPAND = """
 SELECT o_custkey, o_orderkey,
        CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,

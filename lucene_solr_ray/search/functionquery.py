@@ -122,7 +122,7 @@ def _fold(op, parts):
 #: the numeric ``fields`` map.
 INDEX_FUNCS = frozenset(
     {"termfreq", "docfreq", "totaltermfreq", "ttf", "numdocs", "maxdoc",
-     "query", "ord", "rord"})
+     "query", "ord", "rord", "strdist"})
 
 
 def canonical(node: ExprNode) -> str:
@@ -149,6 +149,15 @@ def _eval_index_func(node: ExprNode, ctx) -> np.ndarray:
         return ctx.query(node.args[0].value)   # the doc doesn't match
     if f in ("ord", "rord"):       # Ord/ReverseOrdFieldSource: 1-based
         return getattr(ctx, f)(node.args[0].value)   # dense value rank
+    if f == "strdist":             # StrDistanceFunction (solr search/
+        # function/distance/StringDistanceFunction.java): similarity of
+        # a string field to a constant; 'edit' = 1 - lev/max(len), the
+        # LevensteinDistance.getDistance contract. Only 'edit' is
+        # supported (jarowinkler has no bit-stable SQL twin).
+        if len(node.args) > 2 and node.args[2].value != "edit":
+            raise ValueError("strdist: only the 'edit' measure is "
+                             "supported")
+        return ctx.strdist(node.args[0].value, node.args[1].value)
     field = node.args[0].value     # bare field ident, not evaluated
     term = node.args[1].value      # quoted term literal
     if f == "termfreq":

@@ -1260,6 +1260,32 @@ class IndexSearcher:
             "weight": pa.array([w for _, w in top], type=pa.int64()),
         })
 
+    def suggest_infix(self, fragment: str, n: int = 10, *,
+                      weight_field: str = "n_chars") -> pa.Table:
+        """AnalyzingInfixSuggester (lucene/suggest/.../analyzing/
+        AnalyzingInfixSuggester.java:52): a suggestion matches when ANY
+        of its analyzed tokens starts with the typed fragment (token-
+        level infix, not string infix), ranked by the suggestion's
+        weight (a numeric doc value), ties doc_id asc."""
+        terms = [t for t in self.expand_terms("prefix", fragment)
+                 if ":" not in t]
+        arrays = []
+        for t in terms:
+            p = self._decode_term_global(t)
+            if p is not None:
+                arrays.append(p[0])
+        if not arrays:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "weight": pa.array([], type=pa.int64())})
+        docs = np.unique(np.concatenate(arrays))
+        ids, w = self.global_doc_values(weight_field)
+        wv = w[np.searchsorted(ids, docs)].astype(np.int64)
+        order = np.lexsort((docs, -wv))[:n]
+        return pa.table({
+            "doc_id": pa.array(docs[order], type=pa.int64()),
+            "weight": pa.array(wv[order], type=pa.int64()),
+        })
+
     def suggest_fuzzy(self, prefix: str, n: int = 10, *,
                       max_edits: int = 1) -> pa.Table:
         """FuzzySuggester (lucene/suggest/.../analyzing/FuzzySuggester.

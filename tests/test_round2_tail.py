@@ -1,0 +1,87 @@
+"""Unit coverage for the third-pass additions that the driver parity
+suite doesn't fully exercise: suggest_infix edges, ScoreMode.Min,
+strdist evaluation, TermsComponent regex mode."""
+
+import numpy as np
+import pyarrow as pa
+
+from lucene_solr_ray.index.build import build_index
+from lucene_solr_ray.search.searcher import IndexSearcher
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_suggest_infix(ray_session, tmp_path):
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "content": pa.array(["unreachable tablet", "stable table",
+                             "nothing here"]),
+        "w": pa.array([5, 9, 1], type=pa.int64()),
+    })
+    idx = str(tmp_path / "idx")
+    build_index(docs, idx, store_cols=("w",))
+    s = IndexSearcher(idx, mode="exact64")
+    t = s.suggest_infix("tab", weight_field="w")
+    # doc2 has 'table' (startswith tab), doc1 has 'tablet'; 'stable'
+    # does NOT match (token-level prefix, not substring)
+    assert t["doc_id"].to_pylist() == [2, 1]
+    assert t["weight"].to_pylist() == [9, 5]
+    empty = s.suggest_infix("zzz", weight_field="w")
+    assert empty.num_rows == 0
+
+
+def test_join_score_mode_min(ray_session):
+    import duckdb
+
+    from lucene_solr_ray.ops.joins import terms_including_score_mode
+
+    got = terms_including_score_mode(SF, "min", k=20).to_pydict()
+    want = duckdb.sql(f"""
+WITH s AS (SELECT o_custkey,
+                  min(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS score_c
+           FROM read_parquet('{SF}/orders.parquet') GROUP BY o_custkey
+           ORDER BY score_c DESC, o_custkey ASC LIMIT 20)
+SELECT c_custkey, c_name, score_c
+FROM s JOIN read_parquet('{SF}/customer.parquet')
+       ON c_custkey = o_custkey
+ORDER BY score_c DESC, c_custkey ASC
+""").arrow().to_pydict()
+    assert got == {k: want[k] for k in got}
+
+
+def test_join_score_mode_rejects_unknown(ray_session):
+    import pytest
+
+    from lucene_solr_ray.ops.joins import terms_including_score_mode
+
+    with pytest.raises(ValueError):
+        terms_including_score_mode(SF, "median")
+
+
+def test_terms_component_regex(ray_session):
+    from lucene_solr_ray.pipelines.queries import _q_terms_component
+
+    t = _q_terms_component(regex="ta.*e", limit=10)(SF)
+    assert all(x.startswith("ta") and x.endswith("e")
+               for x in t["term"].to_pylist())
+    dfs = t["df"].to_pylist()
+    assert dfs == sorted(dfs, reverse=True)
+
+
+def test_strdist_eval_shape(ray_session):
+    from lucene_solr_ray.search.functionquery import evaluate, parse_expr
+
+    class Ctx:
+        def strdist(self, field, const):
+            assert (field, const) == ("lang", "en")
+            return np.array([1.0, 0.5])
+
+    node = parse_expr("sum(1,strdist(lang,'en',edit))")
+    out = evaluate(node, {}, Ctx())
+    assert out.tolist() == [2.0, 1.5]
+    # only 'edit' is supported
+    import pytest
+
+    with pytest.raises(ValueError):
+        evaluate(parse_expr("strdist(lang,'en',jw)"), {}, Ctx())
