@@ -395,6 +395,57 @@ ORDER BY weight DESC, doc_id ASC LIMIT {n}
 """
 
 
+def _q_word_breaks(word, min_part=2, n=5):
+    """WordBreakSpellChecker.suggestWordBreaks over the documents index:
+    all two-way splits of a run-on word whose halves are both dictionary
+    terms, ranked by combined df."""
+    def run(sf_dir):
+        return _searcher(sf_dir).suggest_word_breaks(
+            word, min_part=min_part, n=n)
+    return run
+
+
+def _word_breaks_sql(word: str, min_part: int, n: int) -> str:
+    return f"""
+WITH {_tok_ctes()},
+t AS (SELECT term, count(DISTINCT doc_id) AS df FROM clean
+      GROUP BY term),
+sp AS (SELECT i, substr('{word}', 1, CAST(i AS INT)) AS l,
+              substr('{word}', CAST(i AS INT) + 1) AS r
+       FROM generate_series({min_part},
+                            {len(word) - min_part}) g(i)),
+m AS (SELECT sp.i, sp.l, sp.r, tl.df + tr.df AS freq
+      FROM sp JOIN t tl ON tl.term = sp.l
+              JOIN t tr ON tr.term = sp.r)
+SELECT l AS "left", r AS "right", CAST(freq AS BIGINT) AS freq
+FROM m ORDER BY freq DESC, i ASC LIMIT {n}
+"""
+
+
+def _q_word_combos(words, n=5):
+    """WordBreakSpellChecker.suggestWordCombinations: adjacent query
+    words whose concatenation is a dictionary term."""
+    def run(sf_dir):
+        return _searcher(sf_dir).suggest_word_combinations(
+            list(words), n=n)
+    return run
+
+
+def _word_combos_sql(words: list[str], n: int) -> str:
+    vals = ", ".join(f"('{a}{b}', {i})"
+                     for i, (a, b) in enumerate(zip(words, words[1:])))
+    return f"""
+WITH {_tok_ctes()},
+t AS (SELECT term, count(DISTINCT doc_id) AS df FROM clean
+      GROUP BY term),
+c(comb, i) AS (VALUES {vals})
+SELECT comb AS combination, CAST(i AS BIGINT) AS at,
+       CAST(df AS BIGINT) AS df
+FROM c JOIN t ON t.term = c.comb
+ORDER BY df DESC, i ASC LIMIT {n}
+"""
+
+
 def ft_dedup_exact_sql() -> str:
     return """
 SELECT min(doc_id) AS keep_id, count(*) AS n
@@ -2577,6 +2628,8 @@ def build_queries() -> dict:
         "ft_terms_component": _q_terms_component(prefix="ta",
                                                  mincount=2),
         "ft_suggest_infix": _q_suggest_infix("tab"),
+        "ft_word_breaks": _q_word_breaks("fasttable"),
+        "ft_word_combos": _q_word_combos(["ta", "ble", "scan"]),
         "ft_multi_phrase": _q_multi_phrase([["fast", "slow"], ["table"]]),
         "ft_span_first": _q_span_first("scan", 20),
         "ft_span_not": _q_span_not("table", "slow", 2),
@@ -2735,6 +2788,8 @@ def build_oracle_sql() -> dict:
         "ft_explain_term": ft_term_sql(MID, 10),
         "ft_terms_component": _terms_component_sql("ta", None, 2, 20),
         "ft_suggest_infix": _suggest_infix_sql("tab", 10),
+        "ft_word_breaks": _word_breaks_sql("fasttable", 2, 5),
+        "ft_word_combos": _word_combos_sql(["ta", "ble", "scan"], 5),
         "ft_lm_dirichlet": _lm_dirichlet_sql("table", 2000.0, 10),
         "ft_rerank": _rerank_sql("table", "vector", 50, 2.0, 10),
         "ft_multi_phrase": _multi_phrase_sql([["fast", "slow"], ["table"]],

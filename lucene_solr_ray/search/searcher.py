@@ -1749,6 +1749,53 @@ class IndexSearcher:
             "hits": pa.array([len(docs)], type=pa.int64()),
         })
 
+    def suggest_word_breaks(self, term: str, *, min_part: int = 2,
+                            n: int = 5) -> pa.Table:
+        """WordBreakSpellChecker.suggestWordBreaks (lucene/suggest/.../
+        spell/WordBreakSpellChecker.java:47): split a run-on term into
+        two dictionary words (minBreakWordLength=min_part), ranked by
+        combined document frequency desc, then split point asc."""
+        stats_terms = set()
+        cand = []
+        for i in range(min_part, len(term) - min_part + 1):
+            cand.append((term[:i], term[i:]))
+            stats_terms.update(cand[-1])
+        stats = self.term_stats(sorted(stats_terms))
+        rows = []
+        for i, (left, right) in enumerate(cand):
+            dfl = stats.get(left, (0, 0))[0]
+            dfr = stats.get(right, (0, 0))[0]
+            if dfl > 0 and dfr > 0:
+                rows.append((-(dfl + dfr), i, left, right))
+        rows.sort()
+        rows = rows[:n]
+        return pa.table({
+            "left": pa.array([r[2] for r in rows], type=pa.string()),
+            "right": pa.array([r[3] for r in rows], type=pa.string()),
+            "freq": pa.array([-r[0] for r in rows], type=pa.int64()),
+        })
+
+    def suggest_word_combinations(self, words: list[str], *,
+                                  n: int = 5) -> pa.Table:
+        """WordBreakSpellChecker.suggestWordCombinations: adjacent query
+        terms whose CONCATENATION is a dictionary word (the inverse fix:
+        'data base' → 'database'), ranked by the combined word's df."""
+        stats = self.term_stats([a + b for a, b in
+                                 zip(words, words[1:])])
+        rows = []
+        for i, (a, b) in enumerate(zip(words, words[1:])):
+            df = stats.get(a + b, (0, 0))[0]
+            if df > 0:
+                rows.append((-df, i, a + b))
+        rows.sort()
+        rows = rows[:n]
+        return pa.table({
+            "combination": pa.array([r[2] for r in rows],
+                                    type=pa.string()),
+            "at": pa.array([r[1] for r in rows], type=pa.int64()),
+            "df": pa.array([-r[0] for r in rows], type=pa.int64()),
+        })
+
     def search(self, query: dict, k: int = 10) -> pa.Table:
         """Dispatch + queryResultCache (solrconfig <queryResultCache>;
         results are deterministic, so repeated (query, k) pairs are
