@@ -16,7 +16,8 @@ Supported functions (the DecoratorStream subset the reference ships in
 solrj/io/stream): search, select, rollup(sum|count|min|max|avg),
 unique, top, sort, innerJoin, hashJoin, leftOuterJoin, merge, limit,
 intersect, complement, having(eq|gt|lt|gteq|lteq|and|or|not), stats,
-fetch.
+fetch, facet(buckets/bucketSorts/bucketSizeLimit + metrics), update
+(parquet-collection sink reporting totalIndexed).
 """
 
 from __future__ import annotations
@@ -236,6 +237,65 @@ def compile_stream(node: Stream, sf_dir: str):
         right = compile_stream(node.args[1], sf_dir)
         col, asc = _parse_sort(node.kwargs["on"])
         return left.union(right).sort(col, descending=not asc)
+    if f == "facet":
+        # FacetStream (solrj/io/stream/FacetStream.java): bucket the
+        # collection by a field, compute metrics per bucket, order by
+        # bucketSorts, cap at bucketSizeLimit. Pure groupby — the
+        # reference pushes this to the JSON Facet API; here it IS the
+        # distributed aggregation.
+        from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+        table = node.args[0]
+        bucket = node.kwargs["buckets"]
+        q = node.kwargs.get("q", "*:*")
+        metrics = [a for a in node.args[1:] if isinstance(a, Stream)]
+        cols = {bucket}
+        for m in metrics:
+            if m.name != "count" and m.args:
+                cols.add(m.args[0])
+        inner = compile_stream(
+            Stream("search", [table],
+                   {"q": q, "fl": ",".join(sorted(cols))}), sf_dir)
+        aggs, names = [], [bucket]
+        for m in metrics:
+            if m.name == "count":
+                aggs.append(Count())
+                names.append("count_rows")
+            else:
+                kind = {"sum": Sum, "min": Min, "max": Max,
+                        "avg": Mean}[m.name]
+                aggs.append(kind(m.args[0]))
+                names.append(f"{m.name}_{m.args[0]}")
+        ds = inner.groupby(bucket).aggregate(*aggs).map_batches(
+            lambda b: b.rename_columns(names), batch_format="pyarrow")
+        spec = node.kwargs.get("bucketSorts", f"{bucket} asc")
+        col, asc = _parse_sort(spec.replace("count(*)", "count_rows"))
+        col = re.sub(r"^(sum|min|max|avg)\((.+)\)$", r"\1_\2", col)
+        ds = ds.sort(col, descending=not asc)
+        lim = node.kwargs.get("bucketSizeLimit")
+        return ds.limit(int(lim)) if lim else ds
+    if f == "update":
+        # UpdateStream (solrj/io/stream/UpdateStream.java): push every
+        # tuple of the inner stream into a destination collection; the
+        # response reports how many were indexed. The collection is a
+        # parquet directory (the engine's ingest format) — a streaming
+        # write, partitioned by block, resumable like every sink here.
+        dest = node.args[0]
+        inner = compile_stream(node.args[1], sf_dir)
+        if os.path.isabs(dest) and not dest.startswith("/tmp"):
+            raise ValueError("update(): destination must live under /tmp")
+        out_dir = dest if os.path.isabs(dest) \
+            else os.path.join("/tmp/lsr_collections", dest)
+        inner.write_parquet(out_dir)
+        import pyarrow.dataset as pads
+
+        n = pads.dataset(out_dir).count_rows()
+        import ray.data as _rd
+
+        return _rd.from_arrow(pa.table({
+            "totalIndexed": pa.array([n], type=pa.int64()),
+            "worker": pa.array([dest], type=pa.string()),
+        }))
     raise ValueError(f"unknown stream function {node.name!r}")
 
 

@@ -2459,6 +2459,19 @@ def _q_stream_expr(expr):
     return run
 
 
+STREAM_FACET_EXPR = ('facet(orders, q="*:*", buckets="o_orderpriority", '
+                     'bucketSorts="count(*) desc", bucketSizeLimit=10, '
+                     'count(*), max(o_totalprice))')
+
+STREAM_FACET_SQL = """
+WITH f AS (SELECT o_orderpriority, count(*) AS count_rows,
+                  max(o_totalprice) AS max_o_totalprice
+           FROM orders GROUP BY o_orderpriority
+           ORDER BY count_rows DESC LIMIT 10)
+SELECT o_orderpriority, count_rows, max_o_totalprice
+FROM f ORDER BY o_orderpriority
+"""
+
 STREAM_ROLLUP_SQL = """
 SELECT l_returnflag, CAST(sum(l_quantity) AS DOUBLE) AS sum_l_quantity,
        count(*) AS count_rows
@@ -2567,6 +2580,7 @@ def build_queries() -> dict:
         "stream_expr_having": _q_stream_expr(STREAM_HAVING_EXPR),
         "stream_expr_complement": _q_stream_expr(STREAM_COMPLEMENT_EXPR),
         "stream_expr_stats": _q_stream_expr(STREAM_STATS_EXPR),
+        "stream_expr_facet": _q_stream_expr(STREAM_FACET_EXPR),
         "dih_full_import": _q_dih_full_import,
         "rel_block_join_parent": J.block_join_parent,
         "rel_block_join_facet": J.block_join_facet,
@@ -2731,6 +2745,7 @@ def build_oracle_sql() -> dict:
         "stream_expr_having": STREAM_HAVING_SQL,
         "stream_expr_complement": STREAM_COMPLEMENT_SQL,
         "stream_expr_stats": STREAM_STATS_SQL,
+        "stream_expr_facet": STREAM_FACET_SQL,
         "dih_full_import": DIH_FULL_IMPORT_SQL,
         "rel_block_join_parent": RS.BLOCK_JOIN_PARENT,
         "rel_block_join_facet": RS.BLOCK_JOIN_FACET,

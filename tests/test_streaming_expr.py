@@ -118,3 +118,50 @@ def test_having_intersect_complement_fetch(ray_session):
 
     for a, b in zip(got["avg_o_totalprice"], want["av"]):
         assert math.isclose(a, b, rel_tol=1e-12)
+
+
+def test_facet_stream(ray_session):
+    """FacetStream: bucket metrics honor bucketSorts + bucketSizeLimit."""
+    import duckdb
+
+    got = run_stream_expr(
+        'facet(orders, q="*:*", buckets="o_orderpriority", '
+        'bucketSorts="count(*) desc", bucketSizeLimit=2, '
+        'count(*), max(o_totalprice))', SF).to_pandas()
+    want = duckdb.sql(
+        f"SELECT o_orderpriority, count(*) c, max(o_totalprice) m "
+        f"FROM read_parquet('{SF}/orders.parquet') GROUP BY 1 "
+        f"ORDER BY c DESC LIMIT 2").fetchdf()
+    assert sorted(got["count_rows"].tolist()) == sorted(want["c"].tolist())
+    assert set(got["o_orderpriority"]) == set(want["o_orderpriority"])
+    # filtered facet: q pushes an equality predicate into the read
+    got2 = run_stream_expr(
+        'facet(orders, q="o_orderpriority:1-URGENT", '
+        'buckets="o_orderpriority", count(*))', SF)
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/orders.parquet') "
+        f"WHERE o_orderpriority = '1-URGENT'").fetchone()[0]
+    assert got2["count_rows"].to_pylist() == [n]
+
+
+def test_update_stream(ray_session, tmp_path):
+    """UpdateStream: tuples land in the destination collection; the
+    response reports totalIndexed; the collection round-trips through
+    a search() leaf on the written parquet."""
+    import shutil
+
+    import pyarrow.dataset as pads
+
+    dest = "/tmp/lsr_collections/test_up"
+    shutil.rmtree(dest, ignore_errors=True)
+    t = run_stream_expr(
+        f'update({dest}, search(customer, q="*:*", '
+        f'fl="c_custkey,c_name"))', SF)
+    n = t["totalIndexed"][0].as_py()
+    assert n == pads.dataset(dest).count_rows() > 0
+    # destination is sandboxed to /tmp
+    import pytest
+
+    with pytest.raises(ValueError):
+        run_stream_expr('update(/root/testdata/nope, '
+                        'search(customer, q="*:*", fl="c_custkey"))', SF)
