@@ -152,6 +152,144 @@ class ResizeStage:
                                                   type=pa.int32())))
 
 
+def _dct2_32() -> np.ndarray:
+    """32-point DCT-II basis matrix (type-II, orthonormal scaling is
+    irrelevant for the median threshold)."""
+    n = 32
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    return np.cos(np.pi / n * (i + 0.5) * k)
+
+
+_DCT32 = _dct2_32()
+
+
+def phash64(img: np.ndarray) -> int:
+    """64-bit perceptual hash of an (h, w, 3) rgb8 image — the classic
+    pHash recipe (public algorithm: Zauner 2010 "Implementation and
+    Benchmarking of Perceptual Image Hash Functions"): grayscale →
+    32×32 resize → 2D DCT → 8×8 low-frequency block (DC dropped) →
+    median threshold. Robust to resizing and small edits — the image
+    near-dup key a training-data pipeline dedups on."""
+    gray = img.astype(np.float64).mean(axis=2)
+    small = resize_nearest(gray, 32, 32)
+    d = _DCT32 @ small @ _DCT32.T
+    block = d[:8, :8].flatten()
+    vals = block[1:]  # drop the DC coefficient
+    med = np.median(vals)
+    bits = vals > med
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out
+
+
+class ImagePHashStage:
+    """Actor-pool stage: raw rgb8 payloads → (item_id, phash uint64).
+    The payload column is dropped downstream — only 8 bytes per image
+    flow into the dedup shuffle."""
+
+    def __init__(self):
+        from ..util import tune_allocator
+
+        tune_allocator()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes = []
+        for codec, payload, w, h in zip(batch["codec"].to_pylist(),
+                                        batch["payload"].to_pylist(),
+                                        batch["width"].to_pylist(),
+                                        batch["height"].to_pylist()):
+            if codec != "rgb8":
+                raise NotImplementedError(
+                    f"codec {codec!r}: only raw rgb8 hashes without "
+                    f"external image libraries")
+            hashes.append(phash64(decode_rgb8(payload, w, h)))
+        return pa.table({
+            "item_id": batch["item_id"],
+            "phash": pa.array(np.array(hashes, dtype=np.uint64)),
+        })
+
+
+def phash_near_dup_pairs(ds, *, max_hamming: int = 6,
+                         batch_size: int = 64) -> pa.Table:
+    """Image near-dup pairs by pHash hamming distance ≤ max_hamming,
+    found with PIGEONHOLE BANDING (same scale shape as the SimHash text
+    path in ops.dedup): split the 64 bits into max_hamming+1 chunks —
+    any pair within the budget agrees EXACTLY on at least one chunk —
+    groupby (chunk, value) generates candidates, exact popcount
+    verifies. No all-pairs pass anywhere; the shuffle moves 8-byte
+    hashes, never payloads."""
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+
+    hashed = ds.map_batches(ImagePHashStage, batch_size=batch_size,
+                            batch_format="pyarrow", concurrency=(1, 4))
+
+    def bands(batch: pa.Table) -> pa.Table:
+        hv = np.asarray(batch["phash"], dtype=np.uint64)
+        ids = np.asarray(batch["item_id"], dtype=np.int64)
+        out_c, out_v, out_i, out_h = [], [], [], []
+        for c in range(n_chunks):
+            chunk = (hv >> np.uint64(c * width)) \
+                & np.uint64((1 << width) - 1)
+            out_c.append(np.full(len(hv), c, dtype=np.int32))
+            out_v.append(chunk)
+            out_i.append(ids)
+            out_h.append(hv)
+        return pa.table({
+            "chunk": pa.array(np.concatenate(out_c)),
+            "val": pa.array(np.concatenate(out_v)),
+            "item_id": pa.array(np.concatenate(out_i)),
+            "phash": pa.array(np.concatenate(out_h)),
+        })
+
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group["item_id"], dtype=np.int64)
+        hv = np.asarray(group["phash"], dtype=np.uint64)
+        order = np.argsort(ids)
+        ids, hv = ids[order], hv[order]
+        a_l, b_l, d_l = [], [], []
+        for i in range(len(ids)):
+            x = hv[i] ^ hv[i + 1:]
+            # vectorized popcount over the bucket's suffix
+            d = np.zeros(len(x), dtype=np.int64)
+            while x.any():
+                d += (x & np.uint64(1)).astype(np.int64)
+                x = x >> np.uint64(1)
+            hit = np.flatnonzero(d <= max_hamming)
+            a_l.extend([int(ids[i])] * len(hit))
+            b_l.extend(ids[i + 1 + hit].tolist())
+            d_l.extend(d[hit].tolist())
+        return pa.table({
+            "a": pa.array(a_l, type=pa.int64()),
+            "b": pa.array(b_l, type=pa.int64()),
+            "hamming": pa.array(d_l, type=pa.int64()),
+        })
+
+    pairs = (hashed.map_batches(bands, batch_format="pyarrow")
+             .groupby(["chunk", "val"])
+             .map_groups(emit_pairs, batch_format="pyarrow"))
+    parts = [b for b in pairs.iter_batches(batch_format="pyarrow",
+                                           batch_size=None)
+             if b.num_rows > 0]
+    if not parts:
+        return pa.table({"a": pa.array([], type=pa.int64()),
+                         "b": pa.array([], type=pa.int64()),
+                         "hamming": pa.array([], type=pa.int64())})
+    t = pa.concat_tables(parts, promote_options="default")
+    # candidates found via several chunks appear once per chunk — dedup
+    import pyarrow.compute as pc
+
+    key = pc.add(pc.multiply(pc.cast(t["a"], pa.int64()),
+                             pa.scalar(1 << 32, type=pa.int64())),
+                 pc.cast(t["b"], pa.int64()))
+    t = t.append_column("k", key)
+    df = t.to_pandas().drop_duplicates("k").sort_values(["a", "b"])
+    return pa.Table.from_pandas(df[["a", "b", "hamming"]],
+                                preserve_index=False)
+
+
 def pcm_features(payload: bytes, sample_rate: int = 16_000,
                  n_bands: int = 8) -> np.ndarray:
     """Real audio features over raw int16 mono PCM: [rms, zero-crossing

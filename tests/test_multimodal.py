@@ -115,3 +115,51 @@ def test_frame_sampling_real():
     picked = sample_frames(video, w, h, every=3)
     assert len(picked) == 4  # frames 0, 3, 6, 9
     assert [p[0] for p in picked] == [0, 3, 6, 9]
+
+
+def test_phash_invariance_and_near_dup(ray_session):
+    """pHash: identical under resize, near under small edits, far for
+    different images; the banded near-dup pipeline finds exactly the
+    near pairs."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucene_solr_ray.ops.multimodal import (decode_rgb8, phash64,
+                                                phash_near_dup_pairs,
+                                                resize_nearest)
+
+    rng = np.random.default_rng(7)
+    # structured image (gradient + blocks) so the DCT spectrum is rich
+    base = np.zeros((96, 96, 3), dtype=np.uint8)
+    base[:, :, 0] = np.linspace(0, 255, 96, dtype=np.uint8)[None, :]
+    base[20:60, 20:60, 1] = 200
+    base[70:90, 10:40, 2] = 140
+
+    resized = resize_nearest(base, 48, 48)
+    assert phash64(base) == phash64(resized)  # scale invariance
+
+    tweaked = base.copy()
+    tweaked[:4, :4, :] = 255  # small local edit
+    d = bin(phash64(base) ^ phash64(tweaked)).count("1")
+    assert d <= 6, f"small edit moved {d} bits"
+
+    noise = rng.integers(0, 256, size=(96, 96, 3)).astype(np.uint8)
+    far = bin(phash64(base) ^ phash64(noise)).count("1")
+    assert far > 6, f"unrelated images only {far} bits apart"
+
+    def row(item_id, img):
+        h, w = img.shape[:2]
+        return {"item_id": item_id, "codec": "rgb8",
+                "payload": img.tobytes(), "width": w, "height": h}
+
+    t = pa.Table.from_pylist([
+        row(1, base), row(2, resized), row(3, tweaked), row(4, noise),
+        row(5, rng.integers(0, 256, size=(32, 32, 3)).astype(np.uint8)),
+    ])
+    pairs = phash_near_dup_pairs(rd.from_arrow(t), max_hamming=6)
+    got = set(zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()))
+    assert (1, 2) in got and (1, 3) in got
+    assert all(a in (1, 2, 3) and b in (1, 2, 3) for a, b in got)
+    # round-trip sanity of the raw decoder used by the stage
+    assert np.array_equal(decode_rgb8(base.tobytes(), 96, 96), base)
