@@ -2444,6 +2444,16 @@ STREAM_JOIN_EXPR = ('top(n=10, select(innerJoin('
                     'sort="o_orderkey asc")')
 
 
+def _q_cluster_docs(k=8):
+    """Document clustering (solr/contrib/clustering ClusteringComponent
+    surface): k-means over the embedding column, term-salience labels."""
+    def run(sf_dir):
+        from ..ops.cluster import cluster_documents
+
+        return cluster_documents(sf_dir, k=k)
+    return run
+
+
 def _q_stream_expr(expr):
     """Solr streaming expression front door (/stream) compiled onto Ray
     Data (ops.streaming_expr)."""
@@ -2581,6 +2591,9 @@ def build_queries() -> dict:
         "stream_expr_complement": _q_stream_expr(STREAM_COMPLEMENT_EXPR),
         "stream_expr_stats": _q_stream_expr(STREAM_STATS_EXPR),
         "stream_expr_facet": _q_stream_expr(STREAM_FACET_EXPR),
+        # rows-only: k-means clustering (Carrot2 ClusteringComponent
+        # analogue) has no SQL twin; fixture-verified in test_cluster
+        "cluster_docs": _q_cluster_docs(),
         "dih_full_import": _q_dih_full_import,
         "rel_block_join_parent": J.block_join_parent,
         "rel_block_join_facet": J.block_join_facet,

@@ -1,0 +1,65 @@
+"""Document clustering (ops/cluster.py) on a separable fixture: two
+orthogonal embedding blobs with disjoint vocabularies must come back as
+two clusters labeled from their own vocabulary."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from lucene_solr_ray.ops.cluster import assign_clusters, cluster_documents
+
+
+def _fixture(tmp_path, n_per=30, dim=16):
+    rng = np.random.default_rng(3)
+    ids, embs, texts = [], [], []
+    for i in range(n_per):
+        v = np.zeros(dim)
+        v[:dim // 2] = 1.0 + rng.normal(0, 0.05, dim // 2)
+        embs.append(v)
+        ids.append(i)
+        texts.append("zebra quagga okapi")
+    for i in range(n_per):
+        v = np.zeros(dim)
+        v[dim // 2:] = 1.0 + rng.normal(0, 0.05, dim // 2)
+        embs.append(v)
+        ids.append(n_per + i)
+        texts.append("torus sphere cone")
+    pq.write_table(pa.table({
+        "vec_id": pa.array(ids, type=pa.int64()),
+        "embedding": pa.array([list(map(float, e)) for e in embs],
+                              type=pa.list_(pa.float32())),
+    }), os.path.join(tmp_path, "embeddings.parquet"))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "text": pa.array(texts),
+    }), os.path.join(tmp_path, "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_two_blob_recovery(ray_session, tmp_path):
+    sf = _fixture(tmp_path)
+    ds, C = assign_clusters(sf, k=2)
+    t = ds.to_pandas().sort_values("doc_id")
+    first = t["cluster"].to_numpy()[:30]
+    second = t["cluster"].to_numpy()[30:]
+    assert len(set(first)) == 1 and len(set(second)) == 1
+    assert first[0] != second[0]
+    assert C.shape == (2, 16)
+
+    out = cluster_documents(sf, k=2)
+    assert out["size"].to_pylist() == [30, 30]
+    labels = out["label"].to_pylist()
+    animal = {"zebra", "quagga", "okapi"}
+    shape = {"torus", "sphere", "cone"}
+    lsets = [set(lab.split()) for lab in labels]
+    assert any(s <= animal for s in lsets)
+    assert any(s <= shape for s in lsets)
+
+
+def test_cluster_documents_on_corpus(ray_session):
+    out = cluster_documents("/root/testdata/sf0.001", k=4)
+    assert out.num_rows == 4
+    assert sum(out["size"].to_pylist()) == 500  # every doc assigned
+    assert all(out["label"].to_pylist())
