@@ -88,6 +88,40 @@ def _per_doc_serial_positions(doc_idx: np.ndarray) -> np.ndarray:
     return (idx - np.repeat(starts, counts)).astype(np.int32)
 
 
+def analyze_debug(text: str, *, stopwords=None, term_transform=None,
+                  stream_transform=None, char_filter=None,
+                  tokenizer: str = "ascii") -> list[dict]:
+    """The /analysis handler (solr:handler/FieldAnalysisRequestHandler
+    .java): run one text through the chain and report EVERY stage's
+    output — char filter text, tokenizer stream, post-stop stream with
+    Lucene positions, post-filter stream. The debugging surface an
+    analyst uses to see why a query term didn't match."""
+    stages: list[dict] = []
+    arr = pa.array([text], type=pa.string())
+    if char_filter is not None:
+        filtered = char_filter(arr)
+        stages.append({"stage": "charFilter",
+                       "text": filtered[0].as_py()})
+        arr = filtered
+    tok = analyze_batch(arr, keep_stopwords=True, tokenizer=tokenizer)
+    stages.append({"stage": "tokenizer",
+                   "tokens": tok.terms.to_pylist(),
+                   "positions": tok.positions.tolist()})
+    stopped = analyze_batch(arr, stopwords=stopwords, tokenizer=tokenizer)
+    stages.append({"stage": "stopFilter",
+                   "tokens": stopped.terms.to_pylist(),
+                   "positions": stopped.positions.tolist()})
+    if term_transform is not None or stream_transform is not None:
+        full = analyze_batch(arr, stopwords=stopwords,
+                             term_transform=term_transform,
+                             stream_transform=stream_transform,
+                             tokenizer=tokenizer)
+        stages.append({"stage": "filters",
+                       "tokens": full.terms.to_pylist(),
+                       "positions": full.positions.tolist()})
+    return stages
+
+
 def analyze_batch(texts: pa.Array | pa.ChunkedArray, *,
                   keep_stopwords: bool = False,
                   stopwords=None,

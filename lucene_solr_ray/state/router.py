@@ -1,0 +1,107 @@
+"""Document routing — Solr's CompositeIdRouter / HashBasedRouter
+(solr:common/cloud/CompositeIdRouter.java, HashBasedRouter.java,
+solr:common/util/Hash.java murmurhash3_x86_32).
+
+Routing decides which shard ingests a document: the 32-bit murmur3 of
+the id, mapped onto contiguous hash ranges (one per shard). A composite
+id "tenant!doc" takes its HIGH 16 bits from the tenant hash and LOW 16
+from the doc hash, so one tenant's documents co-locate while spreading
+inside the tenant's range; "tenant/bits!doc" widens or narrows the
+tenant's slice (0..16 bits, Solr's route-bits syntax).
+
+Murmur3 here runs over UTF-8 bytes (the public x86_32 algorithm by
+Austin Appleby, verified against the SMHasher reference vectors); the
+reference hashes Java chars, identical for ASCII ids — documented
+deviation for non-ASCII ids.
+
+Scale use: `route_batch` is vectorizable inside map_batches at ingest
+(`partition_cols=["shard"]` writes each slice to its own directory),
+and the hash ranges are exactly resumable/splittable — shard splitting
+is a range split, as in the reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_C1 = 0xCC9E2D51
+_C2 = 0x1B873593
+_M32 = 0xFFFFFFFF
+
+
+def murmur3_x86_32(data: bytes, seed: int = 0) -> int:
+    h = seed & _M32
+    n = len(data) & ~3
+    for i in range(0, n, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * _C1) & _M32
+        k = ((k << 15) | (k >> 17)) & _M32
+        k = (k * _C2) & _M32
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & _M32
+        h = (h * 5 + 0xE6546B64) & _M32
+    tail = data[n:]
+    k = 0
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * _C1) & _M32
+        k = ((k << 15) | (k >> 17)) & _M32
+        k = (k * _C2) & _M32
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & _M32
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & _M32
+    h ^= h >> 16
+    return h
+
+
+def composite_hash(doc_id: str) -> int:
+    """CompositeIdRouter.sliceHash: 'tenant!doc' interleaves tenant/doc
+    hash bits (default 16/16; 'tenant/bits!doc' overrides); a plain id
+    is hashed whole."""
+    if "!" not in doc_id:
+        return murmur3_x86_32(doc_id.encode())
+    left, right = doc_id.split("!", 1)
+    bits = 16
+    if "/" in left:
+        left, b = left.rsplit("/", 1)
+        bits = int(b)
+        if not 0 <= bits <= 16:
+            raise ValueError(f"route bits out of range: {bits}")
+    hl = murmur3_x86_32(left.encode())
+    hr = murmur3_x86_32(right.encode())
+    if bits == 0:
+        return hr
+    mask_hi = (_M32 << (32 - bits)) & _M32
+    return (hl & mask_hi) | (hr & (~mask_hi & _M32))
+
+
+def shard_ranges(num_shards: int) -> list[tuple[int, int]]:
+    """Contiguous [lo, hi) ranges covering the unsigned 32-bit space —
+    DocRouter.partitionRange."""
+    step = (1 << 32) // num_shards
+    edges = [i * step for i in range(num_shards)] + [1 << 32]
+    return [(edges[i], edges[i + 1]) for i in range(num_shards)]
+
+
+def shard_of(doc_id: str, num_shards: int) -> int:
+    h = composite_hash(doc_id)
+    step = (1 << 32) // num_shards
+    return min(h // step, num_shards - 1)
+
+
+def route_batch(batch: pa.Table, *, id_col: str = "doc_id",
+                num_shards: int = 8) -> pa.Table:
+    """map_batches ingest stage: append the shard assignment column
+    (follow with write_parquet(partition_cols=['shard']))."""
+    ids = batch[id_col].to_pylist()
+    sh = np.array([shard_of(str(i), num_shards) for i in ids],
+                  dtype=np.int64)
+    return batch.append_column("shard", pa.array(sh))

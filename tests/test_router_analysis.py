@@ -1,0 +1,84 @@
+"""CompositeIdRouter + murmur3 (state/router.py) and the /analysis
+debug handler (analysis/analyzer.py analyze_debug)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_solr_ray.analysis.analyzer import analyze_debug
+from lucene_solr_ray.state.router import (composite_hash, murmur3_x86_32,
+                                          route_batch, shard_of,
+                                          shard_ranges)
+
+
+def test_murmur3_reference_vectors():
+    """The published SMHasher verification vectors for murmur3 x86_32."""
+    assert murmur3_x86_32(b"") == 0x00000000
+    assert murmur3_x86_32(b"", 1) == 0x514E28B7
+    assert murmur3_x86_32(b"", 0xFFFFFFFF) == 0x81F16F39
+    assert murmur3_x86_32(b"a") == 0x3C2569B2
+    assert murmur3_x86_32(b"abc") == 0xB3DD93FA
+    assert murmur3_x86_32(b"abcd") == 0x43ED676A
+    assert murmur3_x86_32(b"Hello, world!", 0x9747B28C) == 0x24884CBA
+    assert murmur3_x86_32(b"aaaa", 0x9747B28C) == 0x5A97808A
+    assert murmur3_x86_32(
+        b"The quick brown fox jumps over the lazy dog",
+        0x9747B28C) == 0x2FA826CD
+
+
+def test_composite_id_co_location():
+    """All of a tenant's docs land in the same shard (16 high bits)."""
+    shards = [shard_of(f"tenantA!doc{i}", 4) for i in range(50)]
+    assert len(set(shards)) == 1
+    # two tenants normally differ (these two do for murmur3)
+    assert shard_of("tenantA!x", 4) != shard_of("zzz-other!x", 4)
+    # plain ids spread over shards
+    spread = {shard_of(f"doc{i}", 4) for i in range(200)}
+    assert spread == {0, 1, 2, 3}
+
+
+def test_route_bits_syntax():
+    # bits=0: tenant ignored entirely
+    assert composite_hash("t/0!x") == murmur3_x86_32(b"x")
+    # bits=16 is the default composite
+    assert composite_hash("t/16!x") == composite_hash("t!x")
+    h = composite_hash("t/8!x")
+    assert (h >> 24) == (murmur3_x86_32(b"t") >> 24)
+    with pytest.raises(ValueError):
+        composite_hash("t/17!x")
+
+
+def test_ranges_cover_space_and_batch_routing():
+    rs = shard_ranges(3)
+    assert rs[0][0] == 0 and rs[-1][1] == 1 << 32
+    assert all(a[1] == b[0] for a, b in zip(rs, rs[1:]))
+    t = pa.table({"doc_id": pa.array(["a!1", "a!2", "b!1", "plain"],
+                                     type=pa.string())})
+    out = route_batch(t, num_shards=8)
+    sh = out["shard"].to_pylist()
+    assert sh[0] == sh[1]  # tenant co-location
+    assert all(0 <= s < 8 for s in sh)
+
+
+def test_analyze_debug_stages():
+    from lucene_solr_ray.analysis.filters import porter_stem
+
+    stages = analyze_debug("The Running <b>tables</b>",
+                           term_transform=porter_stem)
+    names = [s["stage"] for s in stages]
+    assert names == ["tokenizer", "stopFilter", "filters"]
+    tok = stages[0]
+    assert tok["tokens"] == ["the", "running", "b", "tables", "b"]
+    stop = stages[1]
+    assert "the" not in stop["tokens"]
+    # positions keep the pre-stop gaps
+    assert stop["tokens"][0] == "running"
+    assert stop["positions"][0] == 1
+    assert stages[2]["tokens"][0] == "run"
+
+    from lucene_solr_ray.analysis.filters import html_strip_chars
+
+    st2 = analyze_debug("<p>Hi there</p>", char_filter=html_strip_chars())
+    assert st2[0]["stage"] == "charFilter"
+    assert "<p>" not in st2[0]["text"]
+    assert st2[1]["tokens"] == ["hi", "there"]
