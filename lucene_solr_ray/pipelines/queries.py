@@ -956,7 +956,12 @@ def _q_expr_boost(term, expr_str, k=10):
     return run
 
 
-def _expr_boost_sql(term: str, expr_str: str, k: int) -> str:
+def _expr_boost_sql(term: str, expr_str: str, k: int,
+                    combine: str = "product") -> str:
+    """SQL twin for expression scoring over the candidates of a term
+    query: ``combine="product"`` = bm25 × expr (function boost);
+    ``combine="expr_only"`` = the expression IS the score (the LTR
+    linear-model shape)."""
     from ..search.functionquery import (canonical, expr_index_calls,
                                         parse_expr, to_sql)
 
@@ -1016,6 +1021,8 @@ def _expr_boost_sql(term: str, expr_str: str, k: int) -> str:
                            f"WHERE term = '{t2}')")
         seen[key] = True
     expr_sql = to_sql(node, col_of)
+    score_sql = f"{_bm25_expr('tf.tf', 'dl.dl', 'dfx.df')} * {expr_sql}" \
+        if combine == "product" else expr_sql
     return f"""
 WITH {_tok_ctes()},
 tf AS (SELECT doc_id, count(*) AS tf FROM clean WHERE term = '{term}'
@@ -1023,7 +1030,7 @@ tf AS (SELECT doc_id, count(*) AS tf FROM clean WHERE term = '{term}'
 dfx AS (SELECT count(*) AS df FROM tf),
 scored AS (
   SELECT tf.doc_id AS doc_id,
-         {_bm25_expr('tf.tf', 'dl.dl', 'dfx.df')} * {expr_sql} AS score
+         {score_sql} AS score
   FROM tf JOIN dl USING (doc_id)
           JOIN documents d ON d.doc_id = tf.doc_id
           {' '.join(joins)}, dfx, stats s
@@ -2444,6 +2451,49 @@ STREAM_JOIN_EXPR = ('top(n=10, select(innerJoin('
                     'sort="o_orderkey asc")')
 
 
+_LTR_FEATURES = {
+    "originalScore": None,  # filled per first-pass term below
+    "docLenBoost": "recip(dl,1,100,100)",
+    "lengthNorm": "div(n_chars,1000)",
+}
+_LTR_WEIGHTS = {"originalScore": 0.7, "docLenBoost": 0.2,
+                "lengthNorm": 0.1}
+
+
+def _ltr_model(term: str):
+    from ..search.ltr import LTRModel
+
+    feats = dict(_LTR_FEATURES)
+    feats["originalScore"] = f"query('{term}')"
+    return LTRModel("demo_linear", feats, _LTR_WEIGHTS)
+
+
+def _q_ltr_rerank(term, k=10, rerank_docs=100_000):
+    """LTR two-pass rerank (solr/contrib/ltr LinearModel): first-pass
+    BM25, linear feature model rescoring the candidates. The model
+    round-trips through its JSON store form before scoring — the
+    managed-resource path is exercised, not just the math."""
+    def run(sf_dir):
+        from ..search.ltr import LTRModel, ltr_rerank
+
+        model = LTRModel.from_json(_ltr_model(term).to_json())
+        s = _searcher(sf_dir)
+        docs, score = ltr_rerank(s, term, model, _ExprCtx,
+                                 rerank_docs=rerank_docs, k=k)
+        return pa.table({
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score_q": pa.array(quantize_score(score), type=pa.int64()),
+            "rank": pa.array(np.arange(1, len(docs) + 1),
+                             type=pa.int64()),
+        })
+    return run
+
+
+def _ltr_rerank_sql(term: str, k: int) -> str:
+    return _expr_boost_sql(term, _ltr_model(term).scoring_expr(), k,
+                           combine="expr_only")
+
+
 def _q_cluster_docs(k=8):
     """Document clustering (solr/contrib/clustering ClusteringComponent
     surface): k-means over the embedding column, term-salience labels."""
@@ -2657,6 +2707,7 @@ def build_queries() -> dict:
         "ft_suggest_infix": _q_suggest_infix("tab"),
         "ft_word_breaks": _q_word_breaks("fasttable"),
         "ft_word_combos": _q_word_combos(["ta", "ble", "scan"]),
+        "ft_ltr_rerank": _q_ltr_rerank("table"),
         "ft_multi_phrase": _q_multi_phrase([["fast", "slow"], ["table"]]),
         "ft_span_first": _q_span_first("scan", 20),
         "ft_span_not": _q_span_not("table", "slow", 2),
@@ -2818,6 +2869,7 @@ def build_oracle_sql() -> dict:
         "ft_suggest_infix": _suggest_infix_sql("tab", 10),
         "ft_word_breaks": _word_breaks_sql("fasttable", 2, 5),
         "ft_word_combos": _word_combos_sql(["ta", "ble", "scan"], 5),
+        "ft_ltr_rerank": _ltr_rerank_sql("table", 10),
         "ft_lm_dirichlet": _lm_dirichlet_sql("table", 2000.0, 10),
         "ft_rerank": _rerank_sql("table", "vector", 50, 2.0, 10),
         "ft_multi_phrase": _multi_phrase_sql([["fast", "slow"], ["table"]],

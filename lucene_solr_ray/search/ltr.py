@@ -1,0 +1,100 @@
+"""LTR — the Solr learning-to-rank contrib re-expressed on the
+expression layer (solr/contrib/ltr: LTRScoringQuery, LinearModel,
+feature store: SolrFeature / FieldValueFeature / OriginalScoreFeature).
+
+A model is (features, weights): each feature is a ValueSource
+expression (the same AST `search/functionquery.py` evaluates in numpy
+and emits as SQL), so the scoring function
+
+    score(doc) = Σ_i  w_i · f_i(doc)
+
+compiles to ONE expression — `query('t')` is the OriginalScoreFeature,
+doc-value fields are FieldValueFeatures, and anything the expression
+layer knows (recip, strdist, termfreq, …) is a SolrFeature. Reranking
+follows the reference's two-pass shape: first-pass BM25 retrieves
+`rerank_docs` candidates, the model rescores only those.
+
+The model (de)serializes as the reference's PUT /schema/model-store
+JSON shape: {"name", "class": "LinearModel", "features": [{name,
+params.expr}], "params": {"weights": {...}}}.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+
+
+class LTRModel:
+    def __init__(self, name: str, features: dict[str, str],
+                 weights: dict[str, float]):
+        if set(features) != set(weights):
+            raise ValueError("features and weights must name the same "
+                             "feature set")
+        self.name = name
+        self.features = dict(features)
+        self.weights = dict(weights)
+
+    def scoring_expr(self) -> str:
+        """The linear model as ONE expression-layer source string,
+        deterministic feature order (model declaration order)."""
+        parts = [f"product({self.weights[n]!r},{expr})"
+                 for n, expr in self.features.items()]
+        if len(parts) == 1:
+            return parts[0]
+        return "sum(" + ",".join(parts) + ")"
+
+    # -- model store (solr/contrib/ltr/.../store/rest/ManagedModelStore)
+
+    def to_json(self) -> str:
+        return json.dumps({
+            "name": self.name,
+            "class": "LinearModel",
+            "features": [{"name": n, "params": {"expr": e}}
+                         for n, e in self.features.items()],
+            "params": {"weights": self.weights},
+        }, indent=2)
+
+    @classmethod
+    def from_json(cls, s: str) -> "LTRModel":
+        d = json.loads(s)
+        if d.get("class") != "LinearModel":
+            raise ValueError(f"unsupported model class {d.get('class')!r}")
+        feats = {f["name"]: f["params"]["expr"] for f in d["features"]}
+        return cls(d["name"], feats, d["params"]["weights"])
+
+
+def ltr_rerank(searcher, first_pass_term: str, model: LTRModel,
+               ctx_factory, *, rerank_docs: int = 200,
+               k: int = 10) -> tuple[np.ndarray, np.ndarray]:
+    """Two-pass LTR query (LTRScoringQuery + the rerank plugin shape):
+    BM25 first pass bounded at `rerank_docs`, model rescoring of the
+    candidates only. Returns (doc_ids, model_scores) in (score desc,
+    doc asc) order, trimmed to k.
+
+    `ctx_factory(searcher, docs)` supplies the index-backed expression
+    context (termfreq/query/ord/strdist resolution)."""
+    from .functionquery import evaluate, expr_fields, parse_expr
+
+    node = parse_expr(model.scoring_expr())
+    t = searcher.search({"type": "term", "term": first_pass_term},
+                        k=rerank_docs)
+    docs = np.asarray(t["doc_id"], dtype=np.int64)
+    if len(docs) == 0:
+        return docs, np.empty(0, dtype=np.float64)
+    order0 = np.argsort(docs)
+    docs = docs[order0]
+    fields = {}
+    for f in expr_fields(node):
+        if f == "dl":
+            ids, vals = searcher._global_dl()
+        else:
+            ids, vals = searcher.global_doc_values(f)
+        fields[f] = vals[np.searchsorted(ids, docs)].astype(np.float64)
+    score = evaluate(node, fields, ctx_factory(searcher, docs))
+    score = np.broadcast_to(np.asarray(score, dtype=np.float64),
+                            docs.shape)
+    order = np.lexsort((docs, -score))[:k]
+    return docs[order], score[order]

@@ -1,0 +1,59 @@
+"""LTR linear model (search/ltr.py): model-store round-trip, scoring
+expression shape, and rerank ordering on a small index."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_solr_ray.search.ltr import LTRModel, ltr_rerank
+
+
+def test_model_store_round_trip():
+    m = LTRModel("m", {"a": "query('x')", "b": "div(n_chars,100)"},
+                 {"a": 0.5, "b": 0.5})
+    m2 = LTRModel.from_json(m.to_json())
+    assert m2.features == m.features and m2.weights == m.weights
+    assert m2.scoring_expr() == m.scoring_expr()
+    assert m.scoring_expr() == \
+        "sum(product(0.5,query('x')),product(0.5,div(n_chars,100)))"
+    with pytest.raises(ValueError):
+        LTRModel("m", {"a": "x"}, {"b": 1.0})
+    with pytest.raises(ValueError):
+        LTRModel.from_json('{"class": "NeuralModel", "features": [], '
+                           '"params": {"weights": {}}}')
+
+
+def test_single_feature_expr():
+    m = LTRModel("m", {"a": "query('x')"}, {"a": 2.0})
+    assert m.scoring_expr() == "product(2.0,query('x'))"
+
+
+def test_rerank_changes_order(ray_session, tmp_path):
+    """A length feature with dominant weight must reorder the BM25
+    first pass."""
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.pipelines.queries import _ExprCtx
+    from lucene_solr_ray.search.searcher import IndexSearcher
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "content": pa.array([
+            "table table table",          # high tf, short
+            "table plus lots of other words here making it long",
+            "no match here",
+        ]),
+        "n_chars": pa.array([17, 52, 13], type=pa.int64()),
+    })
+    idx = str(tmp_path / "idx")
+    build_index(docs, idx, store_cols=("n_chars",))
+    s = IndexSearcher(idx, mode="exact64")
+    bm25_first = s.search({"type": "term", "term": "table"},
+                          k=10)["doc_id"][0].as_py()
+    assert bm25_first == 1
+    m = LTRModel("len", {"len": "n_chars"}, {"len": 1.0})
+    docs_r, scores = ltr_rerank(s, "table", m, _ExprCtx, k=10)
+    assert docs_r.tolist() == [2, 1]       # length now dominates
+    assert scores.tolist() == [52.0, 17.0]
+    # no first-pass hits -> empty
+    d0, s0 = ltr_rerank(s, "zzz", m, _ExprCtx, k=10)
+    assert len(d0) == 0 and len(s0) == 0
