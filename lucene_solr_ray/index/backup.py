@@ -1,0 +1,112 @@
+"""Backup / restore — ReplicationHandler's backup command and
+RestoreCore (solr:handler/SnapShooter.java, RestoreCore.java).
+
+A backup is a self-contained directory holding the CURRENT commit
+point: every referenced file plus that one manifest generation and a
+`backup.properties` descriptor — exactly SnapShooter's snapshot.<name>
+shape. Restore replaces the target index wholesale (RestoreCore swaps
+the index dir), so it also recovers from corruption or unwanted
+commits, unlike replication which only ever moves forward.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from .build import SEGMENTS_DIRNAME
+from .manifest import load_manifest
+from .replicate import _referenced_files
+
+
+def create_backup(index_dir: str, backup_dir: str) -> dict:
+    """Snapshot the current commit point into ``backup_dir``."""
+    m = load_manifest(index_dir)
+    if os.path.exists(backup_dir) and os.listdir(backup_dir):
+        raise FileExistsError(f"backup dir not empty: {backup_dir}")
+    os.makedirs(backup_dir, exist_ok=True)
+    copied = 0
+    for rel in _referenced_files(index_dir, m):
+        dst = os.path.join(backup_dir, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copyfile(os.path.join(index_dir, rel), dst)
+        copied += 1
+    gen = m["generation"]
+    shutil.copyfile(os.path.join(index_dir, f"segments_{gen}.json"),
+                    os.path.join(backup_dir, f"segments_{gen}.json"))
+    props = {"generation": gen, "files": copied,
+             "source": os.path.abspath(index_dir)}
+    with open(os.path.join(backup_dir, "backup.properties"), "w") as f:
+        json.dump(props, f)
+        f.flush()
+        os.fsync(f.fileno())
+    return props
+
+
+def restore_backup(backup_dir: str, index_dir: str) -> dict:
+    """Replace ``index_dir`` with the backup's commit point (RestoreCore
+    semantics: the restored state WINS, even over a newer or corrupt
+    live index). Staged into a sibling dir + atomic rename, so a crash
+    mid-restore leaves either the old or the new index, never a mix."""
+    with open(os.path.join(backup_dir, "backup.properties")) as f:
+        props = json.load(f)
+    m = load_manifest(backup_dir)
+    staging = index_dir.rstrip("/") + ".restore"
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging)
+    for rel in _referenced_files(backup_dir, m):
+        dst = os.path.join(staging, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copyfile(os.path.join(backup_dir, rel), dst)
+    gen = props["generation"]
+    shutil.copyfile(os.path.join(backup_dir, f"segments_{gen}.json"),
+                    os.path.join(staging, f"segments_{gen}.json"))
+    old = index_dir.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(index_dir):
+        os.rename(index_dir, old)
+    os.rename(staging, index_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return {"generation": gen, "restored": True}
+
+
+def index_info(index_dir: str) -> dict:
+    """LukeRequestHandler's index overview (solr:handler/admin/
+    LukeRequestHandler.java): per-segment rows (name, kind, docs,
+    terms, bytes) + commit-point totals, all from manifest + parquet
+    FOOTER metadata — no data pages are read."""
+    import pyarrow.parquet as pq
+
+    m = load_manifest(index_dir)
+    segs = []
+    total_bytes = 0
+    total_terms = 0
+    for seg in m["segments"]:
+        seg_dir = os.path.join(index_dir, SEGMENTS_DIRNAME,
+                               seg["segment"])
+        nbytes = sum(os.path.getsize(os.path.join(seg_dir, f))
+                     for f in os.listdir(seg_dir))
+        post = os.path.join(seg_dir, "postings.parquet")
+        n_terms = pq.read_metadata(post).num_rows \
+            if os.path.exists(post) else 0
+        segs.append({
+            "segment": seg["segment"],
+            "kind": seg.get("kind", "postings"),
+            "num_docs": seg.get("num_docs", 0),
+            "terms": int(n_terms),
+            "bytes": int(nbytes),
+            "added_gen": seg.get("added_gen", 1),
+        })
+        total_bytes += nbytes
+        total_terms += int(n_terms)
+    return {
+        "generation": m["generation"],
+        "num_docs": m["num_docs"],
+        "deleted_docs": m.get("deleted_docs", 0),
+        "sum_dl": m["sum_dl"],
+        "num_segments": len(segs),
+        "total_terms": total_terms,
+        "total_bytes": total_bytes,
+        "segments": segs,
+    }

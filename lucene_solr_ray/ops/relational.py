@@ -77,6 +77,56 @@ def facet_counts(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
 
 
+def facet_prefix_counts(sf_dir: str, prefix: str = "p",
+                        missing: bool = True) -> pa.Table:
+    """facet.prefix + facet.missing (solr:request/SimpleFacets.java:369
+    getFacetTermEnumCounts prefix handling; the missing bucket counts
+    docs without a value). Prefix filter pushes into the map side —
+    only matching values reach the groupby."""
+    ds = _read(sf_dir, "events", ["event_type"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        col = batch["event_type"]
+        null_cnt = int(pc.sum(pc.is_null(col)).as_py() or 0)
+        t = pa.table({"event_type": pc.drop_null(col)})
+        t = t.filter(pc.starts_with(t["event_type"], prefix))
+        if missing and null_cnt:
+            t = pa.concat_tables([t, pa.table({
+                "event_type": pa.array(["(MISSING)"] * null_cnt)})])
+        return t
+
+    df = (ds.map_batches(keep, batch_format="pyarrow")
+          .groupby("event_type").count().to_pandas())
+    df = df.rename(columns={"count()": "cnt"}).sort_values("event_type")
+    df["cnt"] = df["cnt"].astype("int64")
+    return pa.Table.from_pandas(df.reset_index(drop=True),
+                                preserve_index=False)
+
+
+def group_ngroups(sf_dir: str, min_rows: int = 2) -> pa.Table:
+    """group.ngroups (solr:search/Grouping.java getNGroups): the total
+    number of groups, plus how many clear a row-count threshold — a
+    two-level aggregate (groupby count, then a count over the counts)."""
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+    counts = ds.groupby("o_custkey").count()
+
+    def fold(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["count()"], dtype=np.int64)
+        return pa.table({
+            "ngroups": pa.array([len(n)], type=pa.int64()),
+            "matching": pa.array([int((n >= min_rows).sum())],
+                                 type=pa.int64()),
+        })
+
+    parts = counts.map_batches(fold, batch_format="pyarrow").to_pandas()
+    return pa.table({
+        "ngroups": pa.array([int(parts["ngroups"].sum())],
+                            type=pa.int64()),
+        "matching": pa.array([int(parts["matching"].sum())],
+                             type=pa.int64()),
+    })
+
+
 def range_facet(sf_dir: str) -> pa.Table:
     """Range facet over l_quantity in buckets of 10
     (solr:handler/component/RangeFacetProcessor.java,

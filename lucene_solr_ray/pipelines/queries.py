@@ -446,6 +446,45 @@ ORDER BY df DESC, i ASC LIMIT {n}
 """
 
 
+def _q_suggest_blended(fragment, n=10):
+    """BlendedInfixSuggester: infix match, weight blended with the
+    reciprocal of the first match position."""
+    def run(sf_dir):
+        t = _searcher(sf_dir).suggest_blended_infix(fragment, n=n)
+        scores = np.asarray(t["score"], dtype=np.float64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "score_q": pa.array(quantize_score(scores), type=pa.int64()),
+            "rank": pa.array(np.arange(1, t.num_rows + 1),
+                             type=pa.int64()),
+        })
+    return run
+
+
+def _suggest_blended_sql(fragment: str, n: int) -> str:
+    return f"""
+WITH {_tok_ctes()},
+m AS (SELECT doc_id, min(pos) AS mp FROM clean
+      WHERE term LIKE '{fragment}%' GROUP BY doc_id),
+scored AS (SELECT m.doc_id AS doc_id,
+                  d.n_chars * (1.0 / (1.0 + mp)) AS score
+           FROM m JOIN documents d USING (doc_id))
+{_sql_topk('scored', n)}
+"""
+
+
+REL_FACET_PREFIX_SQL = """
+SELECT event_type, count(*) AS cnt FROM events
+WHERE event_type LIKE 'p%' GROUP BY event_type ORDER BY event_type
+"""
+
+REL_GROUP_NGROUPS_SQL = """
+SELECT count(*) AS ngroups,
+       CAST(count(*) FILTER (WHERE cnt >= 2) AS BIGINT) AS matching
+FROM (SELECT count(*) AS cnt FROM orders GROUP BY o_custkey)
+"""
+
+
 def ft_dedup_exact_sql() -> str:
     return """
 SELECT min(doc_id) AS keep_id, count(*) AS n
@@ -2708,6 +2747,9 @@ def build_queries() -> dict:
         "ft_word_breaks": _q_word_breaks("fasttable"),
         "ft_word_combos": _q_word_combos(["ta", "ble", "scan"]),
         "ft_ltr_rerank": _q_ltr_rerank("table"),
+        "ft_suggest_blended": _q_suggest_blended("tab"),
+        "rel_facet_prefix": R.facet_prefix_counts,
+        "rel_group_ngroups": R.group_ngroups,
         "ft_multi_phrase": _q_multi_phrase([["fast", "slow"], ["table"]]),
         "ft_span_first": _q_span_first("scan", 20),
         "ft_span_not": _q_span_not("table", "slow", 2),
@@ -2870,6 +2912,9 @@ def build_oracle_sql() -> dict:
         "ft_word_breaks": _word_breaks_sql("fasttable", 2, 5),
         "ft_word_combos": _word_combos_sql(["ta", "ble", "scan"], 5),
         "ft_ltr_rerank": _ltr_rerank_sql("table", 10),
+        "ft_suggest_blended": _suggest_blended_sql("tab", 10),
+        "rel_facet_prefix": REL_FACET_PREFIX_SQL,
+        "rel_group_ngroups": REL_GROUP_NGROUPS_SQL,
         "ft_lm_dirichlet": _lm_dirichlet_sql("table", 2000.0, 10),
         "ft_rerank": _rerank_sql("table", "vector", 50, 2.0, 10),
         "ft_multi_phrase": _multi_phrase_sql([["fast", "slow"], ["table"]],

@@ -1286,6 +1286,39 @@ class IndexSearcher:
             "weight": pa.array(wv[order], type=pa.int64()),
         })
 
+    def suggest_blended_infix(self, fragment: str, n: int = 10, *,
+                              weight_field: str = "n_chars") -> pa.Table:
+        """BlendedInfixSuggester (lucene/suggest/.../analyzing/
+        BlendedInfixSuggester.java, BlenderType.POSITION_RECIPROCAL):
+        infix matching like suggest_infix, but the weight is blended
+        with the FIRST match position — score = weight · 1/(1+minpos),
+        so suggestions whose match sits earlier rank higher."""
+        terms = [t for t in self.expand_terms("prefix", fragment)
+                 if ":" not in t]
+        minpos: dict[int, int] = {}
+        for t in terms:
+            p = self._decode_term_global(t, positions=True)
+            if p is None:
+                continue
+            docs, tfs, _, pos = p
+            first = pos[np.cumsum(tfs) - tfs]
+            for d, fp in zip(docs.tolist(), first.tolist()):
+                if d not in minpos or fp < minpos[d]:
+                    minpos[d] = fp
+        if not minpos:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.float64())})
+        docs = np.array(sorted(minpos), dtype=np.int64)
+        mp = np.array([minpos[int(d)] for d in docs], dtype=np.float64)
+        ids, w = self.global_doc_values(weight_field)
+        wv = w[np.searchsorted(ids, docs)].astype(np.float64)
+        score = wv * (1.0 / (1.0 + mp))
+        order = np.lexsort((docs, -score))[:n]
+        return pa.table({
+            "doc_id": pa.array(docs[order], type=pa.int64()),
+            "score": pa.array(score[order], type=pa.float64()),
+        })
+
     def suggest_fuzzy(self, prefix: str, n: int = 10, *,
                       max_edits: int = 1) -> pa.Table:
         """FuzzySuggester (lucene/suggest/.../analyzing/FuzzySuggester.

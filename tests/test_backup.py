@@ -1,0 +1,69 @@
+"""Backup / restore / Luke index info (index/backup.py)."""
+
+import os
+import shutil
+
+import pyarrow as pa
+import pytest
+
+from lucene_solr_ray.index.backup import (create_backup, index_info,
+                                          restore_backup)
+from lucene_solr_ray.index.build import append_documents, build_index
+from lucene_solr_ray.search.searcher import IndexSearcher
+
+
+def _docs(rows):
+    return pa.table({
+        "doc_id": pa.array([i for i, _ in rows], type=pa.int64()),
+        "content": pa.array([t for _, t in rows]),
+    })
+
+
+def _ids(idx, term):
+    s = IndexSearcher(idx, mode="exact64")
+    return sorted(s.search({"type": "term", "term": term},
+                           k=100)["doc_id"].to_pylist())
+
+
+def test_backup_restore_round_trip(ray_session, tmp_path):
+    idx = str(tmp_path / "idx")
+    bak = str(tmp_path / "bak")
+    build_index(_docs([(1, "alpha one"), (2, "alpha two")]), idx)
+    props = create_backup(idx, bak)
+    assert props["files"] > 0
+
+    # index moves on after the backup…
+    append_documents(_docs([(3, "alpha three")]), idx)
+    assert _ids(idx, "alpha") == [1, 2, 3]
+    # …restore rolls it back to the snapshot, even though the live
+    # generation is NEWER (RestoreCore semantics)
+    restore_backup(bak, idx)
+    assert _ids(idx, "alpha") == [1, 2]
+
+    # restore also recovers a corrupted index
+    for root, _, files in os.walk(os.path.join(idx, "segments")):
+        for f in files:
+            if f.endswith(".parquet"):
+                with open(os.path.join(root, f), "wb") as fh:
+                    fh.write(b"garbage")
+    restore_backup(bak, idx)
+    assert _ids(idx, "alpha") == [1, 2]
+
+    with pytest.raises(FileExistsError):
+        create_backup(idx, bak)  # non-empty target refused
+
+
+def test_index_info(ray_session, tmp_path):
+    idx = str(tmp_path / "idx")
+    build_index(_docs([(1, "one two three"), (2, "two three four")]),
+                idx)
+    info = index_info(idx)
+    assert info["num_docs"] == 2
+    assert info["num_segments"] >= 1
+    assert info["total_terms"] >= 4
+    assert info["total_bytes"] > 0
+    assert all(s["bytes"] > 0 for s in info["segments"])
+    g0 = info["generation"]
+    append_documents(_docs([(3, "five")]), idx)
+    info2 = index_info(idx)
+    assert info2["generation"] > g0 and info2["num_docs"] == 3
