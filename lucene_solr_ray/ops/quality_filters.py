@@ -1,0 +1,313 @@
+"""Training-data quality gates — the filter suite a 100-TB text
+pipeline runs before anything else (public recipes: C4 (Raffel et al.
+2020) and Gopher (Rae et al. 2021) rule filters, benchmark
+n-gram decontamination (GPT-3 appendix C / PaLM), and KenLM-style
+language-model quality scoring, here as an exact unigram LM).
+
+All three are single streaming passes over the documents table with
+vectorized per-batch math; the only shuffles are tiny (vocabulary
+counts, per-doc result rows). Each op is oracle-paired: the SQL twin
+reproduces the metric definitions token for token.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..analysis import analyze_batch
+from .text import _q4, _read_docs
+
+# Gopher-style thresholds, scaled to the synthetic corpus (docs are
+# ~40-80 words): the RULES are the reference recipe, the constants are
+# corpus-appropriate.
+MIN_WORDS = 30
+MAX_WORDS = 100_000
+MIN_MEAN_WORD_LEN = 3.0
+MAX_MEAN_WORD_LEN = 10.0
+MAX_SYMBOL_RATIO = 0.10
+STOP_SET = ("the", "be", "to", "of", "and")
+MIN_STOP_HITS = 2
+
+NGRAM_N = 4  # short synthetic docs; real decontamination uses 8-13
+EVAL_MOD = 100
+EVAL_REMAINDER = 7
+
+
+def gopher_rules(sf_dir: str) -> pa.Table:
+    """Per-doc rule metrics + the pass flag:
+
+    - n_words: whitespace-token count (C4's word count bound)
+    - mean word length in [3, 10] (Gopher)
+    - symbol ratio: non-alphanumeric, non-space chars / all chars < 0.1
+    - must contain ≥2 distinct common stopwords (Gopher's 'stop word'
+      gibberish gate)
+    """
+    stop_pa = pa.array(list(STOP_SET))
+
+    def score(batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n = len(batch)
+        words = pc.split_pattern_regex(texts, pattern=r"\s+")
+        wcounts = np.asarray(words.value_lengths(), dtype=np.int64)
+        # empty text splits to one empty token — correct to 0 words
+        flat = words.flatten()
+        empty_tok = np.asarray(pc.equal(pc.utf8_length(flat), 0)) \
+            if len(flat) else np.zeros(0, dtype=bool)
+        if empty_tok.any():
+            starts = np.concatenate(([0], np.cumsum(wcounts)))
+            per_doc_empty = np.add.reduceat(
+                empty_tok.astype(np.int64), starts[:-1]) \
+                * (wcounts > 0)
+            wcounts = wcounts - per_doc_empty
+        total_chars = np.asarray(pc.utf8_length(texts),
+                                 dtype=np.int64)
+        nonspace = np.asarray(pc.utf8_length(pc.replace_substring_regex(
+            texts, pattern=r"\s", replacement="")), dtype=np.int64)
+        alnum_space = np.asarray(pc.utf8_length(
+            pc.replace_substring_regex(
+                texts, pattern=r"[a-zA-Z0-9\s]", replacement="")),
+            dtype=np.int64)
+        mean_wl = np.divide(nonspace, wcounts,
+                            out=np.zeros(n), where=wcounts > 0)
+        sym_ratio = np.divide(alnum_space, total_chars,
+                              out=np.zeros(n), where=total_chars > 0)
+        ab = analyze_batch(batch["text"], keep_stopwords=True)
+        is_stop = np.asarray(pc.is_in(ab.terms, value_set=stop_pa))
+        codes = np.asarray(pc.index_in(ab.terms, value_set=stop_pa)
+                           .fill_null(-1), dtype=np.int64)
+        key = ab.doc_idx.astype(np.int64) * len(STOP_SET) + codes
+        distinct_stops = np.bincount(
+            (np.unique(key[is_stop]) // len(STOP_SET)).astype(np.int64),
+            minlength=n).astype(np.int64)
+        ok = ((wcounts >= MIN_WORDS) & (wcounts <= MAX_WORDS)
+              & (mean_wl >= MIN_MEAN_WORD_LEN)
+              & (mean_wl <= MAX_MEAN_WORD_LEN)
+              & (sym_ratio < MAX_SYMBOL_RATIO)
+              & (distinct_stops >= MIN_STOP_HITS))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(wcounts, type=pa.int64()),
+            "mean_word_len_q": pa.array(_q4(mean_wl), type=pa.int64()),
+            "symbol_ratio_q": pa.array(_q4(sym_ratio), type=pa.int64()),
+            "distinct_stops": pa.array(distinct_stops, type=pa.int64()),
+            "keep": pa.array(ok),
+        })
+
+    df = (_read_docs(sf_dir).map_batches(score, batch_format="pyarrow")
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def gopher_rules_sql() -> str:
+    stops = ", ".join(f"'{s}'" for s in STOP_SET)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         len(list_filter(regexp_extract_all(text, '\\S+'),
+                         w -> length(w) > 0)) AS n_words,
+         length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+           AS symbols,
+         length(text) AS total_chars
+  FROM documents),
+stops AS (
+  SELECT doc_id, count(DISTINCT term) AS distinct_stops
+  FROM (SELECT doc_id,
+               unnest(list_filter(regexp_extract_all(lower(text),
+                                                     '[a-z0-9]+'),
+                                  t -> length(t) <= 255)) AS term
+        FROM documents)
+  WHERE term IN ({stops}) GROUP BY doc_id),
+m AS (
+  SELECT b.doc_id, b.n_words,
+         CASE WHEN b.n_words > 0
+              THEN CAST(b.nonspace AS DOUBLE) / b.n_words
+              ELSE 0 END AS mean_wl,
+         CASE WHEN b.total_chars > 0
+              THEN CAST(b.symbols AS DOUBLE) / b.total_chars
+              ELSE 0 END AS sym_ratio,
+         COALESCE(s.distinct_stops, 0) AS distinct_stops
+  FROM base b LEFT JOIN stops s ON s.doc_id = b.doc_id)
+SELECT doc_id, n_words,
+       CAST(floor(mean_wl * 10000 + 0.5) AS BIGINT) AS mean_word_len_q,
+       CAST(floor(sym_ratio * 10000 + 0.5) AS BIGINT) AS symbol_ratio_q,
+       distinct_stops,
+       (n_words >= {MIN_WORDS} AND n_words <= {MAX_WORDS}
+        AND mean_wl >= {MIN_MEAN_WORD_LEN}
+        AND mean_wl <= {MAX_MEAN_WORD_LEN}
+        AND sym_ratio < {MAX_SYMBOL_RATIO}
+        AND distinct_stops >= {MIN_STOP_HITS}) AS keep
+FROM m ORDER BY doc_id
+"""
+
+
+def _doc_ngrams(ab, n_docs: int, n: int = NGRAM_N):
+    """Per-doc sets of n-gram strings from an analyzed batch (tokens in
+    stream order)."""
+    toks = ab.terms.to_pylist()
+    starts = np.concatenate(([0], np.cumsum(ab.doc_lengths)))
+    out = []
+    for d in range(n_docs):
+        lo, hi = int(starts[d]), int(starts[d + 1])
+        ws = toks[lo:hi]
+        out.append({" ".join(ws[i:i + n])
+                    for i in range(len(ws) - n + 1)})
+    return out
+
+
+def contamination_hits(sf_dir: str, n: int = NGRAM_N) -> pa.Table:
+    """Benchmark decontamination (the GPT-3/PaLM recipe): any training
+    doc sharing an n-gram with the EVAL SET is flagged with its
+    distinct-overlap count. The eval set here is the deterministic
+    doc_id % {EVAL_MOD} == {EVAL_REMAINDER} slice (benchmarks are small
+    by nature, so its n-gram hash set broadcasts once via ray.put —
+    the standard decontamination shape at any scale)."""
+    import ray
+
+    def eval_grams(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        m = (ids % EVAL_MOD) == EVAL_REMAINDER
+        if not m.any():
+            return pa.table({"gram": pa.array([], type=pa.string())})
+        sub = batch.filter(pa.array(m))
+        ab = analyze_batch(sub["text"], keep_stopwords=True)
+        grams = set().union(*_doc_ngrams(ab, len(sub), n)) \
+            if len(sub) else set()
+        return pa.table({"gram": pa.array(sorted(grams),
+                                          type=pa.string())})
+
+    ev = (_read_docs(sf_dir).map_batches(eval_grams,
+                                         batch_format="pyarrow")
+          .to_pandas())
+    eval_set = frozenset(ev["gram"].tolist())
+    ref = ray.put(eval_set)
+
+    def hits(batch: pa.Table) -> pa.Table:
+        es = ray.get(ref)
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        m = (ids % EVAL_MOD) != EVAL_REMAINDER
+        sub = batch.filter(pa.array(m))
+        if len(sub) == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "n_hits": pa.array([], type=pa.int64())})
+        ab = analyze_batch(sub["text"], keep_stopwords=True)
+        counts = [len(g & es) for g in _doc_ngrams(ab, len(sub), n)]
+        t = pa.table({
+            "doc_id": sub["doc_id"],
+            "n_hits": pa.array(np.asarray(counts, dtype=np.int64)),
+        })
+        return t.filter(pc.greater(t["n_hits"], 0))
+
+    ds = _read_docs(sf_dir).map_batches(hits, batch_format="pyarrow")
+    # filtered stages emit 0-row EMPTY-SCHEMA blocks that poison
+    # to_pandas (CLAUDE.md pitfall) — drop them at the sink
+    parts = [b for b in ds.iter_batches(batch_format="pyarrow",
+                                        batch_size=None)
+             if b.num_rows > 0]
+    if not parts:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "n_hits": pa.array([], type=pa.int64())})
+    df = pa.concat_tables(parts, promote_options="default") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def contamination_sql(n: int = NGRAM_N) -> str:
+    leads = " || ' ' || ".join(
+        ["term"] + [f"lead(term, {i}) OVER w" for i in range(1, n)])
+    return f"""
+WITH tokens AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                            t -> length(t) <= 255)) AS term,
+         unnest(range(len(list_filter(regexp_extract_all(lower(text),
+                                                         '[a-z0-9]+'),
+                                      t -> length(t) <= 255)))) AS pos
+  FROM documents),
+g AS (SELECT doc_id, {leads} AS gram,
+             lead(term, {n - 1}) OVER w IS NOT NULL AS ok
+      FROM tokens WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+ev AS (SELECT DISTINCT gram FROM g
+       WHERE ok AND doc_id % {EVAL_MOD} = {EVAL_REMAINDER})
+SELECT doc_id, count(DISTINCT gram) AS n_hits
+FROM g
+WHERE ok AND doc_id % {EVAL_MOD} <> {EVAL_REMAINDER}
+      AND gram IN (SELECT gram FROM ev)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def unigram_logprob(sf_dir: str) -> pa.Table:
+    """KenLM-style LM quality scoring, exact unigram form: per-term
+    log-prob quantized to int BEFORE the per-doc sum, so the doc score
+    (lp_sum, n_tokens) is integer-exact and order-independent — the
+    float-summation-order trap the oracle comparison would otherwise
+    hit. Pass 1: one distributed term count; pass 2: per-batch lookup
+    (vocabulary is sublinear in corpus size; the count table broadcasts
+    once via ray.put — at larger vocabularies this becomes a token⋈count
+    hash join, same as the SQL twin's shape)."""
+    import ray
+
+    def toks(batch: pa.Table) -> pa.Table:
+        ab = analyze_batch(batch["text"], keep_stopwords=True)
+        return pa.table({"term": ab.terms})
+
+    counts = (_read_docs(sf_dir).map_batches(toks, batch_format="pyarrow")
+              .groupby("term").count().to_pandas())
+    total = int(counts["count()"].sum())
+    terms = counts["term"].to_numpy()
+    order = np.argsort(terms)
+    terms = terms[order]
+    c = counts["count()"].to_numpy()[order].astype(np.int64)
+    # scalar math.log per UNIQUE term: libm log, bit-equal to DuckDB ln
+    lp = np.array([math.floor(math.log(int(x) / total) * 10000 + 0.5)
+                   for x in c], dtype=np.int64)
+    ref = ray.put((terms, lp))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ts, lps = ray.get(ref)
+        ab = analyze_batch(batch["text"], keep_stopwords=True)
+        n = len(batch)
+        tok = np.asarray(ab.terms)
+        idx = np.searchsorted(ts, tok)
+        idx = np.clip(idx, 0, len(ts) - 1)
+        val = lps[idx]
+        lp_sum = np.bincount(ab.doc_idx, weights=val,
+                             minlength=n).astype(np.int64)
+        ntok = np.bincount(ab.doc_idx, minlength=n).astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "lp_sum": pa.array(lp_sum, type=pa.int64()),
+            "n_tokens": pa.array(ntok, type=pa.int64()),
+        })
+
+    df = (_read_docs(sf_dir).map_batches(score, batch_format="pyarrow")
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def unigram_logprob_sql() -> str:
+    return """
+WITH tokens AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                            t -> length(t) <= 255)) AS term
+  FROM documents),
+cnt AS (SELECT term, count(*) AS c FROM tokens GROUP BY term),
+tot AS (SELECT count(*) AS t FROM tokens),
+q AS (SELECT term,
+             CAST(floor(ln(CAST(c AS DOUBLE) / t) * 10000 + 0.5)
+                  AS BIGINT) AS lp
+      FROM cnt, tot)
+SELECT doc_id, CAST(sum(lp) AS BIGINT) AS lp_sum,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM tokens JOIN q USING (term)
+GROUP BY doc_id ORDER BY doc_id
+"""

@@ -2629,6 +2629,7 @@ def build_queries() -> dict:
     from ..ops import ann as A
     from ..ops import dedup as D
     from ..ops import joins as J
+    from ..ops import quality_filters as QF
     from ..ops import relational as R
     from ..ops import text as T
 
@@ -2750,6 +2751,9 @@ def build_queries() -> dict:
         "ft_suggest_blended": _q_suggest_blended("tab"),
         "rel_facet_prefix": R.facet_prefix_counts,
         "rel_group_ngroups": R.group_ngroups,
+        "text_gopher_rules": QF.gopher_rules,
+        "text_contamination": QF.contamination_hits,
+        "text_unigram_lm": QF.unigram_logprob,
         "ft_multi_phrase": _q_multi_phrase([["fast", "slow"], ["table"]]),
         "ft_span_first": _q_span_first("scan", 20),
         "ft_span_not": _q_span_not("table", "slow", 2),
@@ -2804,6 +2808,7 @@ def build_queries() -> dict:
 
 
 def build_oracle_sql() -> dict:
+    from ..ops import quality_filters as QF
     from ..ops.ann import ann_brute_sql, embedding_near_dup_sql
     from ..ops.dedup import JACCARD_THRESHOLD
 
@@ -2915,6 +2920,9 @@ def build_oracle_sql() -> dict:
         "ft_suggest_blended": _suggest_blended_sql("tab", 10),
         "rel_facet_prefix": REL_FACET_PREFIX_SQL,
         "rel_group_ngroups": REL_GROUP_NGROUPS_SQL,
+        "text_gopher_rules": QF.gopher_rules_sql(),
+        "text_contamination": QF.contamination_sql(),
+        "text_unigram_lm": QF.unigram_logprob_sql(),
         "ft_lm_dirichlet": _lm_dirichlet_sql("table", 2000.0, 10),
         "ft_rerank": _rerank_sql("table", "vector", 50, 2.0, 10),
         "ft_multi_phrase": _multi_phrase_sql([["fast", "slow"], ["table"]],

@@ -1,0 +1,63 @@
+"""Training-data quality gates (ops/quality_filters.py): rule
+behavior on crafted docs; corpus parity lives in test_driver_parity."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from lucene_solr_ray.ops.quality_filters import (contamination_hits,
+                                                 gopher_rules,
+                                                 unigram_logprob)
+
+
+def _write_docs(tmp_path, rows):
+    pq.write_table(pa.table({
+        "doc_id": pa.array([i for i, _ in rows], type=pa.int64()),
+        "text": pa.array([t for _, t in rows]),
+    }), str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_gopher_rules_flags(ray_session, tmp_path):
+    good = ("the quick brown fox jumps over and over to the river of "
+            "words be calm ") * 3  # >30 words, normal lengths, stops
+    sf = _write_docs(tmp_path, [
+        (1, good),
+        (2, "too short to pass"),                      # < 30 words
+        (3, "@@ ## $$ %% ^^ && ** (( )) !! " * 5),     # symbol soup
+        (4, ("internationalization " * 40)),           # mean len > 10
+    ])
+    t = gopher_rules(sf)
+    by = dict(zip(t["doc_id"].to_pylist(), t["keep"].to_pylist()))
+    assert by == {1: True, 2: False, 3: False, 4: False}
+    row3 = t.filter(pa.compute.equal(t["doc_id"], 3)).to_pylist()[0]
+    assert row3["symbol_ratio_q"] > 1000  # >10% symbols
+
+
+def test_contamination_detects_copied_benchmark(ray_session, tmp_path):
+    bench = "alpha beta gamma delta epsilon zeta eta theta"
+    sf = _write_docs(tmp_path, [
+        (7, bench),                                  # 7 % 100 == 7: eval
+        (1, "training doc with " + bench + " copied inside"),
+        (2, "clean doc nothing shared with the benchmark text here"),
+        (107, "second eval member iota kappa lambda mu nu xi"),
+    ])
+    t = contamination_hits(sf)
+    got = dict(zip(t["doc_id"].to_pylist(), t["n_hits"].to_pylist()))
+    assert 1 in got and got[1] >= 4   # 8 tokens -> 5 shared 4-grams
+    assert 2 not in got
+    assert 7 not in got and 107 not in got  # eval docs never flagged
+
+
+def test_unigram_logprob_orders_rare_docs_lower(ray_session, tmp_path):
+    sf = _write_docs(tmp_path, [
+        (1, "common common common common"),
+        (2, "common common rareword otherrare"),
+    ])
+    t = unigram_logprob(sf)
+    d = {r["doc_id"]: r for r in t.to_pylist()}
+    # avg logprob: doc1 all common > doc2 with two singletons
+    avg1 = d[1]["lp_sum"] / d[1]["n_tokens"]
+    avg2 = d[2]["lp_sum"] / d[2]["n_tokens"]
+    assert avg1 > avg2
+    assert d[1]["n_tokens"] == 4 and d[2]["n_tokens"] == 4
