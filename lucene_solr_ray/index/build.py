@@ -221,10 +221,16 @@ def append_documents(ds, index_dir: str, **build_kwargs) -> dict:
     on the previous generation are unaffected (immutable segments)."""
     from .manifest import load_manifest
 
-    current = load_manifest(index_dir)["segments"]
+    man = load_manifest(index_dir)
+    current = man["segments"]
     fresh = build_index(ds, index_dir, _commit=False, **build_kwargs)
-    return commit_manifest(index_dir, current + fresh,
-                           extra={"appended_segments": len(fresh)})
+    # carry the live delete state forward — an append must never
+    # resurrect deleted docs (was silently dropped before; the NRT
+    # tlog soft-commit path rides this too)
+    extra = {k: man[k] for k in ("deletes_file", "deleted_docs",
+                                 "deleted_sum_dl") if k in man}
+    extra["appended_segments"] = len(fresh)
+    return commit_manifest(index_dir, current + fresh, extra=extra)
 
 
 # ---------------------------------------------------------------------------

@@ -139,16 +139,8 @@ def update_documents(table: pa.Table, index_dir: str, *,
     hit = ids[np.isin(ids, exist)]
     if len(hit):
         man = delete_docs(index_dir, hit)
-    man2 = append_documents(table, index_dir, **build_kwargs)
-    # append_documents' commit drops the delete extras — re-carry them
-    if man.get("deletes_file"):
-        return commit_manifest(
-            index_dir, man2["segments"],
-            extra={"deletes_file": man["deletes_file"],
-                   "deleted_docs": man["deleted_docs"],
-                   "deleted_sum_dl": man["deleted_sum_dl"],
-                   "appended_segments": man2.get("appended_segments", 0)})
-    return man2
+    # append_documents carries the live delete state forward itself
+    return append_documents(table, index_dir, **build_kwargs)
 
 
 def _global_dl(index_dir: str, man: dict):

@@ -1,0 +1,243 @@
+"""Tiered incremental merging — TieredMergePolicy
+(core:index/TieredMergePolicy.java:63) + the background-merge shape of
+ConcurrentMergeScheduler: instead of one big merge-everything pass
+(`merge.merge_segments`, the mtree bulk path), pick the overflowing
+size tier and fold its smallest `max_merge_at_once` members into ONE
+doc-partitioned segment, commit, repeat. Appended/NRT indexes stay
+searchable with a bounded segment count while paying only small
+incremental merge costs.
+
+Policy (the reference's core knobs, simplified where documented):
+segments are binned into size tiers (log base `max_merge_at_once` of
+bytes over `floor_bytes` — TieredMergePolicy's floorSize + tier
+levels); when a tier holds more than `segs_per_tier` members, the
+smallest `max_merge_at_once` of that tier merge. Deviation: Lucene
+scores candidate sets by skew/size/deletes; here the choice is
+smallest-first within the overflowing tier (deterministic, same
+convergence bound).
+
+Segments with pending deletes are left alone (the conservative choice;
+`merge.merge_segments` is the purge-everything path) — documented
+deviation from the reference, which prefers reclaiming deletes.
+
+Scale shape: one merge folds ≤ max_merge_at_once segment files through
+a term groupby (map_groups decode+concat+re-encode per term, postings
+only); the docs tables concatenate. Nothing outside the chosen subset
+is read or rewritten.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .build import SEGMENTS_DIRNAME
+from .encode import decode_postings, encode_postings
+from .manifest import commit_manifest, load_manifest
+
+POSTINGS_FILE = "postings.parquet"
+DOCS_FILE = "docs.parquet"
+META_FILE = "meta.json"
+
+SEGS_PER_TIER = 4
+MAX_MERGE_AT_ONCE = 4
+FLOOR_BYTES = 64 * 1024
+
+
+def _seg_bytes(index_dir: str, name: str) -> int:
+    d = os.path.join(index_dir, SEGMENTS_DIRNAME, name)
+    return sum(os.path.getsize(os.path.join(d, f))
+               for f in os.listdir(d))
+
+
+def _tier(nbytes: int, floor_bytes: int, base: int) -> int:
+    return int(math.floor(math.log(max(nbytes, floor_bytes)
+                                   / floor_bytes) / math.log(base))) \
+        if base > 1 else 0
+
+
+def plan_tiered_merge(index_dir: str, *,
+                      segs_per_tier: int = SEGS_PER_TIER,
+                      max_merge_at_once: int = MAX_MERGE_AT_ONCE,
+                      floor_bytes: int = FLOOR_BYTES) -> list[str] | None:
+    """The policy: names of the segments to merge next, or None when
+    the index is within budget (findMerges returning no MergeSpec)."""
+    from .deletes import load_deletes
+
+    man = load_manifest(index_dir)
+    dels = load_deletes(index_dir, man)
+    cand = []
+    for s in man["segments"]:
+        if s.get("kind", "postings") != "postings":
+            continue
+        if s.get("num_docs", 0) == 0:
+            continue  # term-partitioned merged shards: not tierable
+        if dels is not None:
+            ids, gens = dels
+            if (gens >= s.get("added_gen", 1)).any():
+                continue  # conservative: skip delete-carrying segments
+        cand.append((s["segment"], _seg_bytes(index_dir, s["segment"])))
+    if not cand:
+        return None
+    tiers: dict[int, list[tuple[str, int]]] = {}
+    for name, nbytes in cand:
+        tiers.setdefault(
+            _tier(nbytes, floor_bytes, max_merge_at_once), []) \
+            .append((name, nbytes))
+    for t in sorted(tiers):
+        members = tiers[t]
+        if len(members) > segs_per_tier:
+            members.sort(key=lambda x: (x[1], x[0]))  # smallest first
+            return [name for name, _ in members[:max_merge_at_once]]
+    return None
+
+
+def _merge_postings(index_dir: str, names: list[str], out_dir: str):
+    """Fold the named segments' postings term-wise: decode, concat in
+    doc order, re-encode — SegmentMerger's postings pass as a Ray
+    groupby(term).map_groups."""
+    import ray.data as rd
+
+    root = os.path.join(index_dir, SEGMENTS_DIRNAME)
+    with_pos = True
+    for n in names:
+        with open(os.path.join(root, n, META_FILE)) as f:
+            with_pos = with_pos and json.load(f).get("with_positions",
+                                                     True)
+    files = [os.path.join(root, n, POSTINGS_FILE) for n in names]
+
+    def fold(group: pa.Table) -> pa.Table:
+        rows = group.to_pylist()
+        parts = [decode_postings(r, with_positions=with_pos)
+                 for r in rows]
+        docs = np.concatenate([p[0] for p in parts])
+        tfs = np.concatenate([p[1] for p in parts])
+        norms = np.concatenate([p[2] for p in parts])
+        order = np.argsort(docs, kind="stable")
+        if with_pos:
+            pos = np.concatenate([p[3] for p in parts])
+            starts = np.concatenate(([0], np.cumsum(tfs)))[:-1]
+            pieces = [pos[starts[i]:starts[i] + tfs[i]]
+                      for i in order]
+            pos = np.concatenate(pieces) if pieces else pos
+        else:
+            pos = np.empty(0, dtype=np.int64)
+        enc = encode_postings(docs[order], tfs[order], norms[order],
+                              pos if with_pos else None)
+        return pa.table({
+            "term": pa.array([rows[0]["term"]], type=pa.string()),
+            "df": pa.array([enc["df"]], type=pa.int64()),
+            "ttf": pa.array([enc["ttf"]], type=pa.int64()),
+            "doc_data": pa.array([enc["doc_data"]],
+                                 type=pa.large_binary()),
+            "tf_data": pa.array([enc["tf_data"]],
+                                type=pa.large_binary()),
+            "norm_data": pa.array([enc["norm_data"]],
+                                  type=pa.large_binary()),
+            "pos_data": pa.array([enc["pos_data"]],
+                                 type=pa.large_binary()),
+            "block_last_doc": pa.array([enc["block_last_doc"]],
+                                       type=pa.list_(pa.int64())),
+            "block_max_tf": pa.array([enc["block_max_tf"]],
+                                     type=pa.list_(pa.int32())),
+            "block_max_norm": pa.array([enc["block_max_norm"]],
+                                       type=pa.list_(pa.uint8())),
+            "block_doc_off": pa.array([enc["block_doc_off"]],
+                                      type=pa.list_(pa.int64())),
+            "block_tf_off": pa.array([enc["block_tf_off"]],
+                                     type=pa.list_(pa.int64())),
+        })
+
+    merged = (rd.read_parquet(files)
+              .groupby("term").map_groups(fold, batch_format="pyarrow")
+              .sort("term"))
+    parts = [b for b in merged.iter_batches(batch_format="pyarrow",
+                                            batch_size=None)
+             if b.num_rows > 0]
+    t = pa.concat_tables(parts, promote_options="default")
+    pq.write_table(t, os.path.join(out_dir, POSTINGS_FILE),
+                   row_group_size=4096)
+    return t.num_rows, with_pos
+
+
+def merge_tier(index_dir: str, names: list[str]) -> dict:
+    """Physically merge `names` into one new segment and commit a
+    generation where it replaces them (OneMerge + commitMerge)."""
+    man = load_manifest(index_dir)
+    by_name = {s["segment"]: s for s in man["segments"]}
+    for n in names:
+        if n not in by_name:
+            raise ValueError(f"unknown segment {n!r}")
+    root = os.path.join(index_dir, SEGMENTS_DIRNAME)
+    seg_name = f"tiered-{man['generation'] + 1}-{len(names)}"
+    tmp = os.path.join(root, seg_name + ".tmp")
+    os.makedirs(tmp, exist_ok=True)
+
+    n_terms, with_pos = _merge_postings(index_dir, names, tmp)
+    docs = pa.concat_tables(
+        [pq.read_table(os.path.join(root, n, DOCS_FILE))
+         for n in names], promote_options="default")
+    order = pa.compute.sort_indices(docs["doc_id"])
+    docs = docs.take(order)
+    ids = np.asarray(docs["doc_id"], dtype=np.int64)
+    if len(np.unique(ids)) != len(ids):
+        raise ValueError("duplicate doc_id across merged segments")
+    pq.write_table(docs, os.path.join(tmp, DOCS_FILE),
+                   row_group_size=65536)
+    meta = {
+        "segment": seg_name,
+        "num_docs": int(sum(by_name[n]["num_docs"] for n in names)),
+        "sum_dl": int(sum(by_name[n]["sum_dl"] for n in names)),
+        "num_terms": int(n_terms),
+        "with_positions": with_pos,
+        "min_doc_id": int(ids[0]) if len(ids) else None,
+        "max_doc_id": int(ids[-1]) if len(ids) else None,
+    }
+    with open(os.path.join(tmp, META_FILE), "w") as f:
+        json.dump(meta, f)
+    final = os.path.join(root, seg_name)
+    os.rename(tmp, final)
+
+    # the merged segment must keep the OLDEST input's added_gen so any
+    # delete that applied to an input still applies to it (plan_tiered
+    # refuses delete-carrying inputs today, but the invariant is cheap)
+    entry = dict(meta)
+    entry["kind"] = "postings"
+    entry["added_gen"] = min(by_name[n].get("added_gen", 1)
+                             for n in names)
+    kept = [s for s in man["segments"] if s["segment"] not in names]
+    extra = {k: man[k] for k in ("deletes_file", "deleted_docs",
+                                 "deleted_sum_dl") if k in man}
+    manifest = commit_manifest(index_dir, kept + [entry],
+                               extra={**extra,
+                                      "tiered_merged": names})
+    import shutil
+
+    for n in names:
+        shutil.rmtree(os.path.join(root, n), ignore_errors=True)
+    return manifest
+
+
+def maybe_merge(index_dir: str, **policy) -> dict | None:
+    """One scheduler tick: plan, merge if needed (findMerges + merge).
+    Returns the new manifest or None when within budget."""
+    names = plan_tiered_merge(index_dir, **policy)
+    if not names:
+        return None
+    return merge_tier(index_dir, names)
+
+
+def merge_until_stable(index_dir: str, **policy) -> int:
+    """Run scheduler ticks until the policy is satisfied; returns the
+    number of merges performed."""
+    n = 0
+    while maybe_merge(index_dir, **policy) is not None:
+        n += 1
+        if n > 1000:
+            raise RuntimeError("tiered merge did not converge")
+    return n

@@ -1,0 +1,114 @@
+"""TieredMergePolicy incremental merging (index/tiered.py): search
+identity through merges, convergence to the tier budget, CheckIndex
+validity, delete-carrying segments left alone."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_solr_ray.index.build import append_documents, build_index
+from lucene_solr_ray.index.manifest import load_manifest
+from lucene_solr_ray.index.tiered import (maybe_merge, merge_until_stable,
+                                          plan_tiered_merge)
+from lucene_solr_ray.search.searcher import IndexSearcher
+
+WORDS = ["fast", "table", "scan", "vector", "join", "sort", "merge",
+         "query", "index", "stream"]
+
+
+def _docs(lo, n):
+    rng = np.random.default_rng(lo)
+    ids, texts = [], []
+    for i in range(lo, lo + n):
+        ids.append(i)
+        k = 5 + int(rng.integers(0, 8))
+        texts.append(" ".join(rng.choice(WORDS, size=k)))
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                     "content": pa.array(texts)})
+
+
+def _snapshot(idx):
+    s = IndexSearcher(idx, mode="lucene32")
+    out = {}
+    for q in ({"type": "term", "term": "table"},
+              {"type": "bool", "must": ["fast", "scan"]},
+              {"type": "phrase", "terms": ["fast", "table"]}):
+        t = s.search(q, k=50)
+        out[str(q)] = (t["doc_id"].to_pylist(), t["score"].to_pylist())
+    return out
+
+
+def test_merge_identity_and_convergence(ray_session, tmp_path):
+    idx = str(tmp_path / "idx")
+    build_index(_docs(0, 40), idx)
+    for i in range(1, 10):
+        append_documents(_docs(i * 40, 40), idx)
+    man0 = load_manifest(idx)
+    n0 = len([s for s in man0["segments"]
+              if s.get("kind", "postings") == "postings"])
+    assert n0 >= 10
+    before = _snapshot(idx)
+
+    merges = merge_until_stable(idx, segs_per_tier=3,
+                                max_merge_at_once=4)
+    assert merges >= 1
+    man1 = load_manifest(idx)
+    n1 = len([s for s in man1["segments"]
+              if s.get("kind", "postings") == "postings"])
+    assert n1 < n0
+    assert man1["num_docs"] == man0["num_docs"]
+    assert man1["sum_dl"] == man0["sum_dl"]
+    # bit-identical scores across every query family
+    assert _snapshot(idx) == before
+    # nothing more to do
+    assert plan_tiered_merge(idx, segs_per_tier=3,
+                             max_merge_at_once=4) is None
+    # the whole-index validator still passes
+    from lucene_solr_ray.index.check import check_index
+
+    report = check_index(idx)
+    assert report["errors"] == [], report
+
+
+def test_positions_survive_merge(ray_session, tmp_path):
+    idx = str(tmp_path / "idx")
+    build_index(pa.table({
+        "doc_id": pa.array([1], type=pa.int64()),
+        "content": pa.array(["fast table scan"]),
+    }), idx)
+    for i in range(2, 8):
+        append_documents(pa.table({
+            "doc_id": pa.array([i], type=pa.int64()),
+            "content": pa.array([f"fast table scan row {i}"]),
+        }), idx)
+    merge_until_stable(idx, segs_per_tier=2, max_merge_at_once=4,
+                       floor_bytes=1)
+    s = IndexSearcher(idx, mode="exact64")
+    t = s.search({"type": "phrase", "terms": ["fast", "table", "scan"]},
+                 k=20)
+    assert sorted(t["doc_id"].to_pylist()) == list(range(1, 8))
+
+
+def test_deletes_block_tiering(ray_session, tmp_path):
+    from lucene_solr_ray.index.deletes import delete_docs
+
+    idx = str(tmp_path / "idx")
+    build_index(_docs(0, 30), idx)
+    for i in range(1, 6):
+        append_documents(_docs(i * 30, 30), idx)
+    delete_docs(idx, [5, 35])
+    # every postings segment predates the delete -> all carry it -> no
+    # candidates
+    assert plan_tiered_merge(idx, segs_per_tier=2) is None
+    # a post-delete append IS mergeable once enough siblings exist
+    for i in range(6, 11):
+        append_documents(_docs(i * 30, 30), idx)
+    plan = plan_tiered_merge(idx, segs_per_tier=2, max_merge_at_once=3)
+    assert plan is not None and len(plan) == 3
+    man = maybe_merge(idx, segs_per_tier=2, max_merge_at_once=3)
+    assert man is not None
+    s = IndexSearcher(idx)
+    docs = s.search({"type": "bool",
+                     "should": WORDS,
+                     "min_should_match": 1}, k=1000)["doc_id"].to_pylist()
+    assert 5 not in docs and 35 not in docs  # deletes still honored
