@@ -162,3 +162,51 @@ def _global_dl(index_dir: str, man: dict):
     dls = np.concatenate(dls_l)
     o = np.argsort(ids)
     return ids[o], dls[o]
+
+
+def atomic_update(index_dir: str, doc_id: int, ops: dict[str, dict],
+                  *, tlog=None, content_col: str = "content",
+                  **build_kwargs) -> dict:
+    """Atomic update (solr:update/processor/
+    AtomicUpdateDocumentMerger.java): fetch the CURRENT stored document
+    (tlog first, then the committed index — the RealTimeGet discipline),
+    apply per-field operations, then updateDocument (delete-then-add).
+
+    Supported ops per field: {"set": value} and {"inc": number} — the
+    scalar-field subset (Solr's add/remove operate on multiValued
+    fields, which this schema does not use; documented deviation).
+
+    As in the reference, atomic updates REQUIRE stored fields: the
+    index must have been built with the content column in
+    ``store_cols`` so the unchanged fields can be reconstructed."""
+    from ..search.searcher import IndexSearcher
+    from .tlog import TransactionLog
+
+    log = tlog or TransactionLog(index_dir)
+    s = IndexSearcher(index_dir)
+    cur = log.realtime_get(doc_id, searcher=s)
+    if cur is None:
+        raise KeyError(f"doc {doc_id} not found")
+    if content_col not in cur:
+        raise ValueError(
+            f"atomic update needs stored fields: build the index with "
+            f"store_cols=({content_col!r}, ...)")
+    doc = {k: v for k, v in cur.items()
+           if k not in ("dl", "norm", "sha256")}  # derived fields
+    for field, op in ops.items():
+        if not isinstance(op, dict) or len(op) != 1:
+            raise ValueError(f"bad atomic op for {field!r}: {op!r}")
+        (kind, val), = op.items()
+        if kind == "set":
+            doc[field] = val
+        elif kind == "inc":
+            doc[field] = (doc.get(field) or 0) + val
+        else:
+            raise ValueError(
+                f"unsupported atomic op {kind!r} (set/inc only)")
+    table = pa.Table.from_pylist([doc])
+    # preserve int64 ids regardless of pylist inference
+    table = table.set_column(
+        table.schema.get_field_index("doc_id"), "doc_id",
+        pa.array([int(doc["doc_id"])], type=pa.int64()))
+    return update_documents(table, index_dir, **build_kwargs)

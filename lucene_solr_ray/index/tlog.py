@@ -79,13 +79,21 @@ class TransactionLog:
                 return {c: p[c][int(hit[-1])].as_py()
                         for c in p.column_names}
         if searcher is not None:
+            # an updated doc exists in several segments (the deleted old
+            # version + the re-add); the LIVE one is in the segment with
+            # the highest added_gen — the generational discipline
+            best = None
+            best_gen = -1
             for seg in searcher.doc_segments:
                 t = pq.read_table(os.path.join(seg.seg_dir, "docs.parquet"))
                 ids = np.asarray(t["doc_id"], dtype=np.int64)
                 hit = np.flatnonzero(ids == doc_id)
-                if len(hit):
-                    return {c: t[c][int(hit[0])].as_py()
+                gen = getattr(seg, "added_gen", 1)
+                if len(hit) and gen > best_gen:
+                    best = {c: t[c][int(hit[0])].as_py()
                             for c in t.column_names}
+                    best_gen = gen
+            return best
         return None
 
     def soft_commit(self, **build_kwargs) -> dict | None:

@@ -156,3 +156,48 @@ def test_update_then_merge_keeps_new_version(tmp_path, ray_session):
     rows["text"][i] = "replacement okapi giraffe table"
     fresh = build(tmp_path, "umfresh", pa.table(rows))
     assert_same_answers(idx, fresh)
+
+
+def test_atomic_update(ray_session, tmp_path):
+    """Atomic set/inc against a stored-fields index: unchanged fields
+    survive, the search view flips to the new content, derived stats
+    stay consistent."""
+    import pyarrow as pa
+    import pytest
+
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.index.deletes import atomic_update
+    from lucene_solr_ray.search.searcher import IndexSearcher
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "content": pa.array(["old words here", "other doc"]),
+        "views": pa.array([10, 20], type=pa.int64()),
+    })
+    idx = str(tmp_path / "idx")
+    build_index(docs, idx, store_cols=("content", "views"))
+
+    atomic_update(idx, 1, {"content": {"set": "fresh words now"},
+                           "views": {"inc": 5}},
+                  store_cols=("content", "views"))
+    s = IndexSearcher(idx, mode="exact64")
+    assert s.search({"type": "term", "term": "old"}, k=10).num_rows == 0
+    t = s.search({"type": "term", "term": "fresh"}, k=10)
+    assert t["doc_id"].to_pylist() == [1]
+    ids, views = s.global_doc_values("views")
+    got = dict(zip(ids.tolist(), views.tolist()))
+    assert got[1] == 15 and got[2] == 20
+
+    # inc on an untouched doc's field, twice (chained generations)
+    atomic_update(idx, 2, {"views": {"inc": 1}},
+                  store_cols=("content", "views"))
+    atomic_update(idx, 2, {"views": {"inc": 1}},
+                  store_cols=("content", "views"))
+    s2 = IndexSearcher(idx, mode="exact64")
+    ids, views = s2.global_doc_values("views")
+    assert dict(zip(ids.tolist(), views.tolist()))[2] == 22
+
+    with pytest.raises(KeyError):
+        atomic_update(idx, 99, {"views": {"inc": 1}})
+    with pytest.raises(ValueError):
+        atomic_update(idx, 1, {"views": {"add": 1}})
