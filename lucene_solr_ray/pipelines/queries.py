@@ -756,6 +756,39 @@ def _q_more_like_this(doc_id=0, k=10, max_terms=5):
     return run
 
 
+def _q_mlt_terms(doc_id=0, max_terms=5):
+    """mlt.interestingTerms=details: the MLT term selection itself,
+    exposed with boosts — oracle-paired (pure tf·idf_exact64, the same
+    ln shape as the BM25 twin)."""
+    def run(sf_dir):
+        s = _searcher(sf_dir)
+        return s.mlt_interesting_terms(_doc_text(sf_dir, doc_id),
+                                       max_terms=max_terms)
+    return run
+
+
+def _mlt_terms_sql(doc_id: int, max_terms: int) -> str:
+    return f"""
+WITH {_tok_ctes()},
+qt AS (SELECT unnest(list_filter(regexp_extract_all(lower(text),
+                                                    '[a-z0-9]+'),
+                                 t -> length(t) <= 255)) AS term
+       FROM documents WHERE doc_id = {doc_id}),
+qtf AS (SELECT term, count(*) AS f FROM qt
+        WHERE term NOT IN {_STOPLIST} GROUP BY term),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM clean
+        GROUP BY term),
+scored AS (SELECT q.term AS term,
+                  q.f * ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                    AS score,
+                  d.df AS df
+           FROM qtf q JOIN dfs d USING (term), stats s)
+SELECT term, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_q,
+       CAST(df AS BIGINT) AS df
+FROM scored ORDER BY score DESC, term ASC LIMIT {max_terms}
+"""
+
+
 def _q_highlight(term="table", k=3):
     """Top-k hits with a highlighted snippet (rows-only check)."""
     def run(sf_dir):
@@ -2717,6 +2750,7 @@ def build_queries() -> dict:
         "ft_suggest_fuzzy": _q_suggest_fuzzy("vectr"),
         "ft_function_boost": _q_function_boost("table"),
         "ft_more_like_this": _q_more_like_this(0),   # rows-only
+        "ft_mlt_terms": _q_mlt_terms(0),
         "ft_term_vector": _q_term_vector(0),
         "ft_highlight": _q_highlight("table"),       # rows-only
         "ft_filter_lang": _q_filtered("table", "lang", "en"),
@@ -2918,6 +2952,7 @@ def build_oracle_sql() -> dict:
         "ft_word_combos": _word_combos_sql(["ta", "ble", "scan"], 5),
         "ft_ltr_rerank": _ltr_rerank_sql("table", 10),
         "ft_suggest_blended": _suggest_blended_sql("tab", 10),
+        "ft_mlt_terms": _mlt_terms_sql(0, 5),
         "rel_facet_prefix": REL_FACET_PREFIX_SQL,
         "rel_group_ngroups": REL_GROUP_NGROUPS_SQL,
         "text_gopher_rules": QF.gopher_rules_sql(),

@@ -1230,6 +1230,38 @@ class IndexSearcher:
         scored.sort()
         return [t for _, t in scored[:max_terms]]
 
+    def mlt_interesting_terms(self, text: str,
+                              max_terms: int = 5) -> pa.Table:
+        """mlt.interestingTerms=details (solr:handler/
+        MoreLikeThisHandler.java:288, InterestingTerm): the selected
+        terms WITH their tf·idf boosts and dfs, score desc / term asc —
+        the debugging view of the MLT term selection."""
+        from ..analysis.analyzer import token_terms
+
+        toks = token_terms(text)
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        stats = self.term_stats(sorted(tf))
+        rows = []
+        for t, f in tf.items():
+            df = stats.get(t, (0, 0))[0]
+            if df == 0:
+                continue
+            score = f * idf_exact64(df, self.num_docs)
+            rows.append((-score, t, df, score))
+        rows.sort()
+        rows = rows[:max_terms]
+        from .bm25 import quantize_score as _qs
+
+        return pa.table({
+            "term": pa.array([r[1] for r in rows], type=pa.string()),
+            "score_q": pa.array(
+                _qs(np.array([r[3] for r in rows], dtype=np.float64)),
+                type=pa.int64()),
+            "df": pa.array([int(r[2]) for r in rows], type=pa.int64()),
+        })
+
     def search_more_like_this(self, text: str, k: int = 10,
                               max_terms: int = 5) -> pa.Table:
         """MoreLikeThisQuery: boolean OR over the selected terms."""
