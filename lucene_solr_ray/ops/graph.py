@@ -1,0 +1,146 @@
+"""Graph streaming expressions — Solr's graph traversal family
+(solr/solrj/.../io/graph/GatherNodesStream.java,
+ShortestPathStream.java; the /graph handler).
+
+Ray-Data-first realization: the frontier (a small, bounded node set —
+it IS small in the reference too, which buffers gathered nodes in
+memory per hop) broadcasts via ``ray.put``; each hop is one streaming
+``map_batches`` filter over the EDGE table plus a distinct-groupby.
+The edge table itself never materializes on the driver — only frontier
+node ids move. ``max_hops`` bounds the loop exactly like the
+reference's maxDepth.
+
+The demo graph is TPC-H's natural one: customer —order→ supplier
+(orders ⋈ lineitem), walked bipartitely with 'c:'/'s:' node labels.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, cols):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                           columns=list(cols))
+
+
+def walk_edges(ds, from_col: str, to_col: str,
+               frontier: np.ndarray) -> np.ndarray:
+    """One gatherNodes hop: distinct ``to`` values of edges whose
+    ``from`` is in the frontier. Frontier broadcast once; the filter
+    runs inside map_batches; the distinct is a tiny groupby."""
+    import ray
+
+    ref = ray.put(np.sort(np.asarray(frontier, dtype=np.int64)))
+
+    def hop(batch: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        f = np.asarray(batch[from_col], dtype=np.int64)
+        idx = np.clip(np.searchsorted(keys, f), 0, len(keys) - 1)
+        hit = keys[idx] == f if len(keys) else \
+            np.zeros(len(f), dtype=bool)
+        return pa.table({to_col: batch[to_col].filter(pa.array(hit))})
+
+    out = (ds.map_batches(hop, batch_format="pyarrow")
+           .groupby(to_col).count())
+    parts = [b for b in out.iter_batches(batch_format="pyarrow",
+                                         batch_size=None)
+             if b.num_rows > 0]
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    t = pa.concat_tables(parts, promote_options="default")
+    return np.sort(np.asarray(t[to_col], dtype=np.int64))
+
+
+def gather_suppliers(sf_dir: str, root_custkeys) -> pa.Table:
+    """nodes(...) two-hop walk: customers → their orders → the
+    suppliers on those orders' lines (GatherNodesStream chained across
+    two edge relations). Returns the distinct supplier nodes with the
+    traversal level, ordered by node id."""
+    roots = np.asarray(sorted(root_custkeys), dtype=np.int64)
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+    orderkeys = walk_edges(orders, "o_custkey", "o_orderkey", roots)
+    lines = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    supps = walk_edges(lines, "l_orderkey", "l_suppkey", orderkeys)
+    return pa.table({
+        "node": pa.array(supps, type=pa.int64()),
+        "level": pa.array(np.full(len(supps), 2, dtype=np.int64)),
+    })
+
+
+def shortest_path_hops(sf_dir: str, src_cust: int, dst_cust: int,
+                       max_hops: int = 8) -> pa.Table:
+    """shortestPath(...) over the bipartite customer–supplier graph
+    (an edge per distinct (custkey, suppkey) pair sharing an order):
+    BFS by alternating sides, one distinct-groupby frontier per hop.
+    Returns one row (found, hops); hops counts edges, so
+    customer→supplier→customer = 2."""
+    import ray
+
+    # edge list (c, s): one hash-join-shaped pass, distinct pairs
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+    lines = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    edges = (orders.join(lines, join_type="inner", num_partitions=8,
+                         on=("o_orderkey",), right_on=("l_orderkey",))
+             .groupby(["o_custkey", "l_suppkey"]).count())
+
+    def _collect(ds, cols):
+        parts = [b.select(cols) for b in
+                 ds.iter_batches(batch_format="pyarrow", batch_size=None)
+                 if b.num_rows > 0]
+        return pa.concat_tables(parts, promote_options="default") \
+            if parts else pa.table({c: pa.array([], type=pa.int64())
+                                    for c in cols})
+
+    e = _collect(edges, ["o_custkey", "l_suppkey"])
+    ec = np.asarray(e["o_custkey"], dtype=np.int64)
+    es = np.asarray(e["l_suppkey"], dtype=np.int64)
+    # the distinct (c, s) edge set is |customers|·avg-degree — bounded;
+    # at larger scale each hop stays a Dataset filter (walk_edges) and
+    # this local BFS becomes a loop of those. Same frontier semantics.
+    order_c = np.argsort(ec)
+    order_s = np.argsort(es)
+    ec_s, es_by_c = ec[order_c], es[order_c]
+    es_s, ec_by_s = es[order_s], ec[order_s]
+
+    def neigh(sorted_keys, values, frontier):
+        lo = np.searchsorted(sorted_keys, frontier, side="left")
+        hi = np.searchsorted(sorted_keys, frontier, side="right")
+        if not len(frontier):
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(
+            [values[a:b] for a, b in zip(lo, hi)] or
+            [np.empty(0, dtype=np.int64)]))
+
+    seen_c = {int(src_cust)}
+    frontier = np.array([src_cust], dtype=np.int64)
+    side = "c"
+    seen_s: set[int] = set()
+    for hop in range(1, max_hops + 1):
+        if side == "c":
+            nxt = neigh(ec_s, es_by_c, frontier)
+            nxt = np.array([x for x in nxt if x not in seen_s],
+                           dtype=np.int64)
+            seen_s.update(int(x) for x in nxt)
+            side = "s"
+        else:
+            nxt = neigh(es_s, ec_by_s, frontier)
+            if dst_cust in nxt:
+                return pa.table({"found": pa.array([True]),
+                                 "hops": pa.array([hop],
+                                                  type=pa.int64())})
+            nxt = np.array([x for x in nxt if x not in seen_c],
+                           dtype=np.int64)
+            seen_c.update(int(x) for x in nxt)
+            side = "c"
+        if len(nxt) == 0:
+            break
+        frontier = nxt
+    return pa.table({"found": pa.array([False]),
+                     "hops": pa.array([-1], type=pa.int64())})

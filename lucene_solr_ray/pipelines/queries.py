@@ -2785,6 +2785,16 @@ def build_queries() -> dict:
         "ft_suggest_blended": _q_suggest_blended("tab"),
         "rel_facet_prefix": R.facet_prefix_counts,
         "rel_group_ngroups": R.group_ngroups,
+        "graph_gather_nodes":
+            lambda sf: __import__(
+                "lucene_solr_ray.ops.graph",
+                fromlist=["gather_suppliers"]).gather_suppliers(
+                    sf, [1, 2, 3]),
+        "graph_shortest_path":
+            lambda sf: __import__(
+                "lucene_solr_ray.ops.graph",
+                fromlist=["shortest_path_hops"]).shortest_path_hops(
+                    sf, 1, 2),
         "text_gopher_rules": QF.gopher_rules,
         "text_contamination": QF.contamination_hits,
         "text_unigram_lm": QF.unigram_logprob,
@@ -2955,6 +2965,30 @@ def build_oracle_sql() -> dict:
         "ft_mlt_terms": _mlt_terms_sql(0, 5),
         "rel_facet_prefix": REL_FACET_PREFIX_SQL,
         "rel_group_ngroups": REL_GROUP_NGROUPS_SQL,
+        "graph_gather_nodes": """
+SELECT DISTINCT l_suppkey AS node, CAST(2 AS BIGINT) AS level
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_custkey IN (1, 2, 3)
+ORDER BY node
+""",
+        "graph_shortest_path": """
+WITH RECURSIVE
+e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+bfs(kind, node, d) AS (
+  SELECT 'c', 1, 0
+  UNION
+  SELECT CASE WHEN b.kind = 'c' THEN 's' ELSE 'c' END,
+         CASE WHEN b.kind = 'c' THEN e.s ELSE e.c END,
+         b.d + 1
+  FROM bfs b JOIN e ON (b.kind = 'c' AND e.c = b.node)
+                    OR (b.kind = 's' AND e.s = b.node)
+  WHERE b.d < 8
+)
+SELECT (min(d) IS NOT NULL) AS found,
+       CAST(COALESCE(min(d), -1) AS BIGINT) AS hops
+FROM bfs WHERE kind = 'c' AND node = 2
+""",
         "text_gopher_rules": QF.gopher_rules_sql(),
         "text_contamination": QF.contamination_sql(),
         "text_unigram_lm": QF.unigram_logprob_sql(),

@@ -1,0 +1,53 @@
+"""Graph traversal streams (ops/graph.py): gatherNodes hop semantics
+and BFS shortest path on a crafted chain graph."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from lucene_solr_ray.ops.graph import (gather_suppliers,
+                                       shortest_path_hops, walk_edges)
+
+
+def _chain_fixture(tmp_path):
+    """customers 1..4 chained via exclusive suppliers:
+    c1-s1-c2-s2-c3-s3-c4 (order k joins customer c to supplier s)."""
+    pairs = [(1, 101), (2, 101), (2, 102), (3, 102), (3, 103), (4, 103)]
+    orders = pa.table({
+        "o_orderkey": pa.array(range(len(pairs)), type=pa.int64()),
+        "o_custkey": pa.array([c for c, _ in pairs], type=pa.int64()),
+    })
+    lines = pa.table({
+        "l_orderkey": pa.array(range(len(pairs)), type=pa.int64()),
+        "l_suppkey": pa.array([s for _, s in pairs], type=pa.int64()),
+    })
+    pq.write_table(orders, os.path.join(tmp_path, "orders.parquet"))
+    pq.write_table(lines, os.path.join(tmp_path, "lineitem.parquet"))
+    return str(tmp_path)
+
+
+def test_walk_and_gather(ray_session, tmp_path):
+    sf = _chain_fixture(tmp_path)
+    import ray.data as rd
+
+    orders = rd.read_parquet(os.path.join(sf, "orders.parquet"))
+    got = walk_edges(orders, "o_custkey", "o_orderkey",
+                     np.array([2], dtype=np.int64))
+    assert got.tolist() == [1, 2]   # customer 2's two orders
+    t = gather_suppliers(sf, [1])
+    assert t["node"].to_pylist() == [101]
+    assert t["level"].to_pylist() == [2]
+    assert gather_suppliers(sf, [99]).num_rows == 0
+
+
+def test_shortest_path_chain(ray_session, tmp_path):
+    sf = _chain_fixture(tmp_path)
+    # c1 -> s1 -> c2: 2 hops; c1 ..... c4: 6 hops; c1 -> nothing: -1
+    assert shortest_path_hops(sf, 1, 2)["hops"].to_pylist() == [2]
+    assert shortest_path_hops(sf, 1, 3)["hops"].to_pylist() == [4]
+    assert shortest_path_hops(sf, 1, 4)["hops"].to_pylist() == [6]
+    t = shortest_path_hops(sf, 1, 4, max_hops=4)
+    assert t["found"].to_pylist() == [False]
+    assert t["hops"].to_pylist() == [-1]
