@@ -789,6 +789,61 @@ FROM scored ORDER BY score DESC, term ASC LIMIT {max_terms}
 """
 
 
+def _q_free_text_suggest(context, n=10):
+    """FreeTextSuggester (lucene/suggest/.../analyzing/
+    FreeTextSuggester.java): n-gram language-model completion — given
+    the typed context word, suggest next words by corpus BIGRAM
+    frequency (the separator-token bigram model; the reference's
+    backoff tiers collapse to one here because the context is a single
+    whole word). One streaming pair-emit pass + a tiny groupby."""
+    def run(sf_dir):
+        import ray.data as rd
+
+        from ..analysis import analyze_batch
+
+        def pairs(batch: pa.Table) -> pa.Table:
+            ab = analyze_batch(batch["text"], keep_stopwords=True)
+            toks = np.asarray(ab.terms)
+            if len(toks) < 2:
+                return pa.table({"nxt": pa.array([], type=pa.string())})
+            same_doc = ab.doc_idx[1:] == ab.doc_idx[:-1]
+            is_ctx = (toks[:-1] == context) & same_doc
+            return pa.table({"nxt": pa.array(toks[1:][is_ctx])})
+
+        ds = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+              .map_batches(pairs, batch_format="pyarrow")
+              .groupby("nxt").count())
+        parts = [b for b in ds.iter_batches(batch_format="pyarrow",
+                                            batch_size=None)
+                 if b.num_rows > 0]
+        if not parts:
+            return pa.table({"term": pa.array([], type=pa.string()),
+                             "weight": pa.array([], type=pa.int64())})
+        t = pa.concat_tables(parts, promote_options="default")
+        df = t.to_pandas().rename(columns={"nxt": "term",
+                                           "count()": "weight"})
+        df["weight"] = df["weight"].astype("int64")
+        df = df.sort_values(["weight", "term"],
+                            ascending=[False, True]).head(n)
+        return pa.Table.from_pandas(df.reset_index(drop=True),
+                                    preserve_index=False)
+    return run
+
+
+def _free_text_suggest_sql(context: str, n: int) -> str:
+    return f"""
+WITH {_tok_ctes()},
+nxt AS (SELECT doc_id, term,
+               lead(term, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS nx
+        FROM tok)
+SELECT nx AS term, count(*) AS weight
+FROM nxt WHERE term = '{context}' AND nx IS NOT NULL
+GROUP BY nx ORDER BY weight DESC, term ASC LIMIT {n}
+"""
+
+
 def _q_highlight(term="table", k=3):
     """Top-k hits with a highlighted snippet (rows-only check)."""
     def run(sf_dir):
@@ -2751,6 +2806,7 @@ def build_queries() -> dict:
         "ft_function_boost": _q_function_boost("table"),
         "ft_more_like_this": _q_more_like_this(0),   # rows-only
         "ft_mlt_terms": _q_mlt_terms(0),
+        "ft_suggest_free_text": _q_free_text_suggest("fast"),
         "ft_term_vector": _q_term_vector(0),
         "ft_highlight": _q_highlight("table"),       # rows-only
         "ft_filter_lang": _q_filtered("table", "lang", "en"),
@@ -2963,6 +3019,7 @@ def build_oracle_sql() -> dict:
         "ft_ltr_rerank": _ltr_rerank_sql("table", 10),
         "ft_suggest_blended": _suggest_blended_sql("tab", 10),
         "ft_mlt_terms": _mlt_terms_sql(0, 5),
+        "ft_suggest_free_text": _free_text_suggest_sql("fast", 10),
         "rel_facet_prefix": REL_FACET_PREFIX_SQL,
         "rel_group_ngroups": REL_GROUP_NGROUPS_SQL,
         "graph_gather_nodes": """
