@@ -2621,6 +2621,24 @@ def _ltr_rerank_sql(term: str, k: int) -> str:
                            combine="expr_only")
 
 
+def _q_gather_nodes(roots):
+    """nodes(...) graph stream: customers → orders → suppliers."""
+    def run(sf_dir):
+        from ..ops.graph import gather_suppliers
+
+        return gather_suppliers(sf_dir, roots)
+    return run
+
+
+def _q_shortest_path(src, dst):
+    """shortestPath(...) over the bipartite customer–supplier graph."""
+    def run(sf_dir):
+        from ..ops.graph import shortest_path_hops
+
+        return shortest_path_hops(sf_dir, src, dst)
+    return run
+
+
 def _q_cluster_docs(k=8):
     """Document clustering (solr/contrib/clustering ClusteringComponent
     surface): k-means over the embedding column, term-salience labels."""
@@ -2841,16 +2859,8 @@ def build_queries() -> dict:
         "ft_suggest_blended": _q_suggest_blended("tab"),
         "rel_facet_prefix": R.facet_prefix_counts,
         "rel_group_ngroups": R.group_ngroups,
-        "graph_gather_nodes":
-            lambda sf: __import__(
-                "lucene_solr_ray.ops.graph",
-                fromlist=["gather_suppliers"]).gather_suppliers(
-                    sf, [1, 2, 3]),
-        "graph_shortest_path":
-            lambda sf: __import__(
-                "lucene_solr_ray.ops.graph",
-                fromlist=["shortest_path_hops"]).shortest_path_hops(
-                    sf, 1, 2),
+        "graph_gather_nodes": _q_gather_nodes([1, 2, 3]),
+        "graph_shortest_path": _q_shortest_path(1, 2),
         "text_gopher_rules": QF.gopher_rules,
         "text_contamination": QF.contamination_hits,
         "text_unigram_lm": QF.unigram_logprob,
