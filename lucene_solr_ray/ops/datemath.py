@@ -1,0 +1,142 @@
+"""Date math + date range facets (solr:util/DateMathParser.java,
+solr:handler/component/RangeFacetProcessor date ranges).
+
+`parse_date_math("NOW/DAY-7DAYS+2HOURS", now=...)` implements the
+reference grammar: a NOW anchor, `/UNIT` rounding (floor), and
+`±N UNIT` arithmetic, applied LEFT TO RIGHT exactly as the reference
+parses it. Months clamp the day like java.time (Jan 31 + 1MONTH =
+Feb 28/29). NOW is an explicit parameter — the reference's NOW=
+request param — so pipelines are deterministic and testable.
+
+`date_range_facet` buckets a timestamp column into [start, end) gaps,
+all three ends given in date math; one vectorized bucketing pass +
+a tiny groupby, the numeric range facet's shape on timestamps.
+"""
+
+from __future__ import annotations
+
+import calendar
+import os
+import re
+from datetime import datetime, timedelta
+
+import numpy as np
+import pyarrow as pa
+
+_UNITS = {
+    "YEAR": "year", "YEARS": "year", "MONTH": "month", "MONTHS": "month",
+    "DAY": "day", "DAYS": "day", "DATE": "day",
+    "HOUR": "hour", "HOURS": "hour",
+    "MINUTE": "minute", "MINUTES": "minute",
+    "SECOND": "second", "SECONDS": "second",
+    "MILLI": "milli", "MILLIS": "milli",
+    "MILLISECOND": "milli", "MILLISECONDS": "milli",
+}
+
+_TOK = re.compile(r"([+\-/])|(\d+)|([A-Z]+)")
+
+
+def _round_down(dt: datetime, unit: str) -> datetime:
+    if unit == "year":
+        return dt.replace(month=1, day=1, hour=0, minute=0, second=0,
+                          microsecond=0)
+    if unit == "month":
+        return dt.replace(day=1, hour=0, minute=0, second=0,
+                          microsecond=0)
+    if unit == "day":
+        return dt.replace(hour=0, minute=0, second=0, microsecond=0)
+    if unit == "hour":
+        return dt.replace(minute=0, second=0, microsecond=0)
+    if unit == "minute":
+        return dt.replace(second=0, microsecond=0)
+    if unit == "second":
+        return dt.replace(microsecond=0)
+    if unit == "milli":
+        return dt.replace(microsecond=(dt.microsecond // 1000) * 1000)
+    raise ValueError(unit)
+
+
+def _add(dt: datetime, n: int, unit: str) -> datetime:
+    if unit == "year":
+        return _add(dt, 12 * n, "month")
+    if unit == "month":
+        total = dt.year * 12 + (dt.month - 1) + n
+        y, m = divmod(total, 12)
+        m += 1
+        day = min(dt.day, calendar.monthrange(y, m)[1])  # java clamp
+        return dt.replace(year=y, month=m, day=day)
+    delta = {"day": timedelta(days=n), "hour": timedelta(hours=n),
+             "minute": timedelta(minutes=n),
+             "second": timedelta(seconds=n),
+             "milli": timedelta(milliseconds=n)}[unit]
+    return dt + delta
+
+
+def parse_date_math(expr: str, *, now: datetime) -> datetime:
+    s = expr.strip()
+    if not s.startswith("NOW"):
+        raise ValueError(f"date math must start with NOW: {expr!r}")
+    dt = now
+    i = 3
+    s = s[3:]
+    pos = 0
+    while pos < len(s):
+        op = s[pos]
+        if op == "/":
+            m = re.match(r"/([A-Z]+)", s[pos:])
+            if not m or m.group(1) not in _UNITS:
+                raise ValueError(f"bad rounding unit at {expr!r}[{i+pos}]")
+            dt = _round_down(dt, _UNITS[m.group(1)])
+            pos += m.end()
+        elif op in "+-":
+            m = re.match(r"[+\-](\d+)([A-Z]+)", s[pos:])
+            if not m or m.group(2) not in _UNITS:
+                raise ValueError(f"bad offset at {expr!r}[{i+pos}]")
+            n = int(m.group(1)) * (1 if op == "+" else -1)
+            dt = _add(dt, n, _UNITS[m.group(2)])
+            pos += m.end()
+        else:
+            raise ValueError(f"unexpected {op!r} in {expr!r}")
+    return dt
+
+
+def date_range_facet(sf_dir: str, *, start: str, end: str, gap: str,
+                     now: datetime,
+                     table: str = "events",
+                     ts_col: str = "ts") -> pa.Table:
+    """facet.range over a timestamp column with date-math bounds:
+    buckets [start + k·gap, start + (k+1)·gap) for the [start, end)
+    window; counts out-of-window rows are dropped (the default
+    facet.range.other=none)."""
+    import ray.data as rd
+
+    t0 = parse_date_math(start, now=now)
+    t1 = parse_date_math(end, now=now)
+    # gap applies repeatedly from start; fixed-length gaps vectorize,
+    # month/year gaps walk the boundary list (bounded by bucket count)
+    bounds = [t0]
+    while bounds[-1] < t1:
+        bounds.append(parse_date_math(
+            "NOW" + gap, now=bounds[-1]))
+    edges = np.array([b.timestamp() for b in bounds], dtype=np.float64)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        secs = np.asarray(
+            pc.cast(batch[ts_col], pa.timestamp("us")).cast(pa.int64()),
+            dtype=np.int64) / 1e6
+        idx = np.searchsorted(edges, secs, side="right") - 1
+        ok = (idx >= 0) & (idx < len(edges) - 1) & (secs < edges[-1])
+        return pa.table({"bucket": pa.array(idx[ok].astype(np.int64))})
+
+    ds = rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                         columns=[ts_col])
+    df = (ds.map_batches(bucket, batch_format="pyarrow")
+          .groupby("bucket").count().to_pandas())
+    df = df.rename(columns={"count()": "cnt"}).sort_values("bucket")
+    starts = [bounds[int(b)].isoformat() for b in df["bucket"]]
+    return pa.table({
+        "bucket_start": pa.array(starts, type=pa.string()),
+        "cnt": pa.array(df["cnt"].astype("int64").to_numpy()),
+    })

@@ -2621,6 +2621,92 @@ def _ltr_rerank_sql(term: str, k: int) -> str:
                            combine="expr_only")
 
 
+def _q_frange(expr_str, lo, hi, k=10):
+    """{!frange} FunctionRangeQuery (solr:search/FunctionRangeQuery,
+    ValueSourceRangeFilter): match docs whose value-source value lies in
+    [lo, hi], constant score, doc order."""
+    def run(sf_dir):
+        from ..search.functionquery import evaluate, expr_fields, parse_expr
+
+        node = parse_expr(expr_str)
+        s = _searcher(sf_dir)
+        ids, dls = s._global_dl()
+        docs = ids
+        fields = {}
+        for f in expr_fields(node):
+            if f == "dl":
+                fields[f] = dls.astype(np.float64)
+            else:
+                fids, vals = s.global_doc_values(f)
+                fields[f] = vals[np.searchsorted(fids, docs)] \
+                    .astype(np.float64)
+        v = np.broadcast_to(
+            np.asarray(evaluate(node, fields, _ExprCtx(s, docs)),
+                       dtype=np.float64), docs.shape)
+        sel = docs[(v >= lo) & (v <= hi)]
+        sel = np.sort(sel)[:k]
+        return pa.table({
+            "doc_id": pa.array(sel, type=pa.int64()),
+            "score_q": pa.array(np.full(len(sel), 10000, dtype=np.int64)),
+            "rank": pa.array(np.arange(1, len(sel) + 1), type=pa.int64()),
+        })
+    return run
+
+
+def _frange_sql(expr_str: str, lo: float, hi: float, k: int) -> str:
+    from ..search.functionquery import parse_expr, to_sql
+
+    expr_sql = to_sql(parse_expr(expr_str),
+                      {"dl": "dl.dl", "n_chars": "d.n_chars"})
+    return f"""
+WITH {_tok_ctes()},
+scored AS (
+  SELECT d.doc_id AS doc_id, 1.0 AS score
+  FROM documents d JOIN dl ON dl.doc_id = d.doc_id
+  WHERE ({expr_sql}) >= {lo} AND ({expr_sql}) <= {hi}
+)
+{_sql_topk('scored', k)}
+"""
+
+
+_FACET_NOW = "2024-02-15T00:00:00"
+
+
+def _q_date_range_facet(start, end, gap):
+    """facet.range over a timestamp column with DateMathParser bounds
+    (solr:util/DateMathParser.java; NOW pinned for determinism)."""
+    def run(sf_dir):
+        from datetime import datetime
+
+        from ..ops.datemath import date_range_facet
+
+        return date_range_facet(sf_dir, start=start, end=end, gap=gap,
+                                now=datetime.fromisoformat(_FACET_NOW))
+    return run
+
+
+def _date_range_facet_sql(start: str, end: str, gap: str) -> str:
+    from datetime import datetime
+
+    from ..ops.datemath import parse_date_math
+
+    now = datetime.fromisoformat(_FACET_NOW)
+    t0 = parse_date_math(start, now=now)
+    t1 = parse_date_math(end, now=now)
+    bounds = [t0]
+    while bounds[-1] < t1:
+        bounds.append(parse_date_math("NOW" + gap, now=bounds[-1]))
+    vals = ", ".join(
+        f"('{a.isoformat()}', TIMESTAMP '{a}', TIMESTAMP '{b}')"
+        for a, b in zip(bounds, bounds[1:]))
+    return f"""
+WITH b(bucket_start, lo, hi) AS (VALUES {vals})
+SELECT bucket_start, count(*) AS cnt
+FROM b JOIN events e ON e.ts >= b.lo AND e.ts < b.hi
+GROUP BY bucket_start ORDER BY bucket_start
+"""
+
+
 def _q_gather_nodes(roots):
     """nodes(...) graph stream: customers → orders → suppliers."""
     def run(sf_dir):
@@ -2825,6 +2911,9 @@ def build_queries() -> dict:
         "ft_more_like_this": _q_more_like_this(0),   # rows-only
         "ft_mlt_terms": _q_mlt_terms(0),
         "ft_suggest_free_text": _q_free_text_suggest("fast"),
+        "ft_frange": _q_frange("recip(dl,1,100,100)", 0.6, 0.65),
+        "rel_date_range_facet": _q_date_range_facet(
+            "NOW/DAY-30DAYS", "NOW/DAY", "+5DAYS"),
         "ft_term_vector": _q_term_vector(0),
         "ft_highlight": _q_highlight("table"),       # rows-only
         "ft_filter_lang": _q_filtered("table", "lang", "en"),
@@ -3030,6 +3119,9 @@ def build_oracle_sql() -> dict:
         "ft_suggest_blended": _suggest_blended_sql("tab", 10),
         "ft_mlt_terms": _mlt_terms_sql(0, 5),
         "ft_suggest_free_text": _free_text_suggest_sql("fast", 10),
+        "ft_frange": _frange_sql("recip(dl,1,100,100)", 0.6, 0.65, 10),
+        "rel_date_range_facet": _date_range_facet_sql(
+            "NOW/DAY-30DAYS", "NOW/DAY", "+5DAYS"),
         "rel_facet_prefix": REL_FACET_PREFIX_SQL,
         "rel_group_ngroups": REL_GROUP_NGROUPS_SQL,
         "graph_gather_nodes": """

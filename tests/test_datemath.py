@@ -1,0 +1,51 @@
+"""DateMathParser golden vectors (ops/datemath.py) — the reference
+grammar: NOW anchor, /UNIT floor rounding, ±N UNIT arithmetic, left to
+right, java-style month clamping."""
+
+from datetime import datetime
+
+import pytest
+
+from lucene_solr_ray.ops.datemath import parse_date_math
+
+NOW = datetime(2024, 2, 15, 13, 45, 30, 123456)
+
+
+def _p(expr):
+    return parse_date_math(expr, now=NOW)
+
+
+def test_rounding():
+    assert _p("NOW/YEAR") == datetime(2024, 1, 1)
+    assert _p("NOW/MONTH") == datetime(2024, 2, 1)
+    assert _p("NOW/DAY") == datetime(2024, 2, 15)
+    assert _p("NOW/HOUR") == datetime(2024, 2, 15, 13)
+    assert _p("NOW/MINUTE") == datetime(2024, 2, 15, 13, 45)
+    assert _p("NOW/SECOND") == datetime(2024, 2, 15, 13, 45, 30)
+
+
+def test_arithmetic_left_to_right():
+    assert _p("NOW/DAY-7DAYS") == datetime(2024, 2, 8)
+    assert _p("NOW/DAY+2HOURS") == datetime(2024, 2, 15, 2)
+    # rounding AFTER arithmetic differs from before — order matters
+    assert _p("NOW-1DAY/DAY") == datetime(2024, 2, 14)
+    assert _p("NOW/DAY-1DAY") == datetime(2024, 2, 14)
+    assert _p("NOW+30MINUTES/HOUR") == datetime(2024, 2, 15, 14)
+
+
+def test_month_clamp_and_leap():
+    jan31 = datetime(2024, 1, 31)
+    assert parse_date_math("NOW+1MONTH", now=jan31) == \
+        datetime(2024, 2, 29)  # 2024 is a leap year
+    assert parse_date_math("NOW+1MONTH", now=datetime(2023, 1, 31)) == \
+        datetime(2023, 2, 28)
+    assert parse_date_math("NOW+1YEAR", now=datetime(2024, 2, 29)) == \
+        datetime(2025, 2, 28)
+    assert _p("NOW/MONTH+3MONTHS") == datetime(2024, 5, 1)
+
+
+def test_errors():
+    for bad in ("TOMORROW", "NOW/WEEKLY", "NOW+DAYS", "NOW*2",
+                "NOW+1FORTNIGHT"):
+        with pytest.raises(ValueError):
+            _p(bad)
