@@ -1612,3 +1612,40 @@ def finnish_light_stem(word: str) -> str:
                 buf.append(c)
             s = "".join(buf)
     return s
+
+
+def turkish_lowercase(term: str) -> str:
+    """TurkishLowerCaseFilter (analysis/common tr/TurkishLowerCaseFilter
+    .java): Turkic casing — dotted capital İ lowers to i, dotless
+    capital I lowers to ı; combining-dot-above after I is consumed (the
+    file-encoding artifact case)."""
+    out = []
+    i = 0
+    while i < len(term):
+        c = term[i]
+        if c == "İ":          # İ
+            out.append("i")
+        elif c == "I":
+            if i + 1 < len(term) and term[i + 1] == "̇":
+                out.append("i")    # I + combining dot above
+                i += 1
+            else:
+                out.append("ı")  # ı
+        else:
+            out.append(c.lower())
+        i += 1
+    return "".join(out)
+
+
+_GREEK_FOLD = str.maketrans({
+    # final sigma + diacritic folding per el/GreekLowerCaseFilter.java
+    "ς": "σ",
+    "ά": "α", "έ": "ε", "ή": "η", "ί": "ι", "ό": "ο", "ύ": "υ",
+    "ώ": "ω", "ϊ": "ι", "ΐ": "ι", "ϋ": "υ", "ΰ": "υ",
+})
+
+
+def greek_lowercase(term: str) -> str:
+    """GreekLowerCaseFilter: lowercase, fold final sigma to sigma and
+    strip the vowel diacritics so accented/unaccented forms unify."""
+    return term.lower().translate(_GREEK_FOLD)

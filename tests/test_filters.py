@@ -620,3 +620,22 @@ def test_finnish_light_stem():
     got = {w: finnish_light_stem(w) for w in cases}
     bad = {w: (g, cases[w]) for w, g in got.items() if g != cases[w]}
     assert not bad, bad
+
+
+def test_turkish_greek_lowercase():
+    from lucene_solr_ray.analysis.filters import (greek_lowercase,
+                                                  turkish_lowercase)
+
+    # Turkish: dotted/dotless pairs (the 'Istanbul' trap)
+    assert turkish_lowercase("I") == "ı"       # I -> dotless ı
+    assert turkish_lowercase("İ") == "i"       # İ -> i
+    assert turkish_lowercase("ISPARTA") == "ısparta"
+    assert turkish_lowercase("İstanbul") == "istanbul"
+    assert turkish_lowercase("İstanbul") == "istanbul"
+    assert turkish_lowercase("KEBAB") == "kebab"
+
+    # Greek: final sigma + accent folding
+    assert greek_lowercase("ΟΔΟΣ") == "οδοσ"
+    assert greek_lowercase("οδός") == "οδοσ"
+    assert greek_lowercase("ΜΑΪΟΣ") == "μαιοσ"
+    assert greek_lowercase("αέρας") == "αερασ"
