@@ -129,10 +129,30 @@ def compile_stream(node: Stream, sf_dir: str):
             ds = ds.map_batches(flt, batch_format="pyarrow")
         return ds
     if f == "select":
+        # SelectStream: projection with optional "field as alias"
         inner = compile_stream(node.args[0], sf_dir)
-        cols = [c.strip() for c in node.args[1:]]
-        return inner.map_batches(lambda b: b.select(cols),
-                                 batch_format="pyarrow")
+        raw = [str(c).strip() for c in node.args[1:]]
+        pairs = []
+        i2 = 0
+        while i2 < len(raw):
+            # "field as alias" arrives as three tokens from the parser
+            if i2 + 2 < len(raw) and raw[i2 + 1] == "as":
+                pairs.append((raw[i2], raw[i2 + 2]))
+                i2 += 3
+            elif " as " in raw[i2]:
+                src, alias = (p.strip()
+                              for p in raw[i2].split(" as ", 1))
+                pairs.append((src, alias))
+                i2 += 1
+            else:
+                pairs.append((raw[i2], raw[i2]))
+                i2 += 1
+
+        def proj(b: pa.Table) -> pa.Table:
+            t = b.select([src for src, _ in pairs])
+            return t.rename_columns([alias for _, alias in pairs])
+
+        return inner.map_batches(proj, batch_format="pyarrow")
     if f == "unique":
         inner = compile_stream(node.args[0], sf_dir)
         over = node.kwargs["over"]
@@ -140,10 +160,12 @@ def compile_stream(node: Stream, sf_dir: str):
             lambda b: b.select([over]), batch_format="pyarrow")
     if f == "rollup":
         inner = compile_stream(node.args[0], sf_dir)
-        over = node.kwargs["over"]
+        # over may name SEVERAL group fields (RollupStream buckets)
+        over_keys = [c.strip() for c in node.kwargs["over"].split(",")]
+        over = over_keys if len(over_keys) > 1 else over_keys[0]
         from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
-        aggs, out_names = [], [over]
+        aggs, out_names = [], list(over_keys)
         for a in node.args[1:]:
             if a.name == "sum":
                 aggs.append(Sum(a.args[0]))
@@ -163,7 +185,7 @@ def compile_stream(node: Stream, sf_dir: str):
             else:
                 raise ValueError(f"unsupported aggregate {a.name!r}")
         if not aggs:
-            aggs, out_names = [Count()], [over, "count_rows"]
+            aggs, out_names = [Count()], list(over_keys) + ["count_rows"]
         ds = inner.groupby(over).aggregate(*aggs)
         return ds.map_batches(lambda b: b.rename_columns(out_names),
                               batch_format="pyarrow")

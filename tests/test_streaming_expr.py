@@ -165,3 +165,25 @@ def test_update_stream(ray_session, tmp_path):
     with pytest.raises(ValueError):
         run_stream_expr('update(/root/testdata/nope, '
                         'search(customer, q="*:*", fl="c_custkey"))', SF)
+
+
+def test_select_alias_and_multikey_rollup(ray_session):
+    import duckdb
+
+    got = run_stream_expr(
+        'select(search(orders, q="*:*", fl="o_orderkey,o_custkey"), '
+        'o_orderkey as id, o_custkey as cust)', SF)
+    assert got.column_names == ["id", "cust"]
+
+    got = run_stream_expr(
+        'rollup(search(lineitem, q="*:*", '
+        'fl="l_returnflag,l_linestatus,l_quantity"), '
+        'over="l_returnflag,l_linestatus", sum(l_quantity), count(*))',
+        SF).to_pandas().sort_values(
+            ["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    want = duckdb.sql(
+        f"SELECT l_returnflag, l_linestatus, sum(l_quantity) s, "
+        f"count(*) c FROM read_parquet('{SF}/lineitem.parquet') "
+        f"GROUP BY 1, 2 ORDER BY 1, 2").fetchdf()
+    assert got["sum_l_quantity"].tolist() == want["s"].tolist()
+    assert got["count_rows"].tolist() == want["c"].tolist()
