@@ -745,6 +745,41 @@ GROUP BY term ORDER BY term
 """
 
 
+def _q_term_vector_positions(doc_id=0):
+    """tv.positions (TermVectorComponent with positions=true): the
+    per-doc term → ordered position list, the full stored-vector view.
+    Positions are the Lucene pre-stop stream indices, rendered as a
+    comma string so the value-hash comparison stays scalar."""
+    def run(sf_dir):
+        from ..analysis.analyzer import analyze_batch
+
+        text = _doc_text(sf_dir, doc_id)
+        r = analyze_batch(pa.array([text]))
+        by_term: dict[str, list[int]] = {}
+        for t, p in zip(r.terms.to_pylist(), r.positions.tolist()):
+            by_term.setdefault(t, []).append(int(p))
+        keys = sorted(by_term)
+        return pa.table({
+            "term": pa.array(keys, type=pa.string()),
+            "tf": pa.array([len(by_term[t]) for t in keys],
+                           type=pa.int64()),
+            "positions": pa.array(
+                [",".join(map(str, sorted(by_term[t]))) for t in keys],
+                type=pa.string()),
+        })
+    return run
+
+
+def _term_vector_positions_sql(doc_id: int) -> str:
+    return f"""
+WITH {_tok_ctes()}
+SELECT term, count(*) AS tf,
+       string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions
+FROM clean WHERE doc_id = {doc_id}
+GROUP BY term ORDER BY term
+"""
+
+
 def _q_more_like_this(doc_id=0, k=10, max_terms=5):
     """MoreLikeThis over the documents table (rows-only check — term
     selection involves float tf·idf ranking not replicated in SQL)."""
@@ -2915,6 +2950,7 @@ def build_queries() -> dict:
         "rel_date_range_facet": _q_date_range_facet(
             "NOW/DAY-30DAYS", "NOW/DAY", "+5DAYS"),
         "ft_term_vector": _q_term_vector(0),
+        "ft_term_vector_positions": _q_term_vector_positions(0),
         "ft_highlight": _q_highlight("table"),       # rows-only
         "ft_filter_lang": _q_filtered("table", "lang", "en"),
         "ft_facet_lang": _q_result_facet("table", "lang"),
@@ -3090,6 +3126,7 @@ def build_oracle_sql() -> dict:
         "ft_suggest_fuzzy": _suggest_fuzzy_sql("vectr", 10, 1),
         "ft_function_boost": _function_boost_sql("table", 100.0, 10),
         "ft_term_vector": _term_vector_sql(0),
+        "ft_term_vector_positions": _term_vector_positions_sql(0),
         "ft_filter_lang": _filtered_sql("table", "lang", "en", 10),
         "ft_facet_lang": _result_facet_sql("table", "lang"),
         "ft_terms_set": _multiterm_sql(
