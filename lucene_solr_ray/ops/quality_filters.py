@@ -311,3 +311,75 @@ SELECT doc_id, CAST(sum(lp) AS BIGINT) AS lp_sum,
 FROM tokens JOIN q USING (term)
 GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# target mixture for the demo corpus's `source` column (rates in %)
+MIXTURE_TARGETS = {"src0": 80, "src1": 40, "src2": 25}
+MIXTURE_DEFAULT = 10
+
+
+def mixture_rebalance(sf_dir: str,
+                      targets: dict[str, int] | None = None,
+                      default_pct: int = MIXTURE_DEFAULT) -> pa.Table:
+    """Domain-mixture rebalancing — the data-mixing step of corpus
+    construction (public recipes: The Pile / LLaMA per-source sampling
+    weights): each SOURCE gets its own deterministic keep rate, decided
+    locally per row by the same splitmix-style id hash the stratified
+    sampler uses (reproducible, coordination-free, resumable). Returns
+    the per-source kept/total mixing report."""
+    targets = MIXTURE_TARGETS if targets is None else targets
+
+    def sample(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        src = batch["source"].to_pylist()
+        rate = np.array([targets.get(s, default_pct) for s in src],
+                        dtype=np.uint64)
+        h = ids.astype(np.uint64)
+        h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        h = h ^ (h >> np.uint64(33))
+        keep = (h % np.uint64(100)) < rate
+        out = pd.DataFrame({"source": src,
+                            "kept": keep.astype("int64"),
+                            "one": np.int64(1)})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "source"])
+    agg = (ds.map_batches(sample, batch_format="pyarrow")
+           .groupby("source").sum(["kept", "one"]).to_pandas())
+    agg = agg.rename(columns={"sum(kept)": "kept", "sum(one)": "total"})
+    agg = agg.sort_values("source").reset_index(drop=True)
+    for c in ("kept", "total"):
+        agg[c] = agg[c].astype("int64")
+    return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+def mixture_rebalance_sql(targets: dict[str, int] | None = None,
+                          default_pct: int = MIXTURE_DEFAULT) -> str:
+    """Twin: the same splitmix-style mix as the stratified-sample twin
+    (xor() + HUGEINT intermediate for the wrapping 64-bit multiply)."""
+    targets = MIXTURE_TARGETS if targets is None else targets
+    cases = " ".join(f"WHEN source = '{s}' THEN {r}"
+                     for s, r in sorted(targets.items()))
+    mul = 0xFF51AFD7ED558CCD
+    return f"""
+WITH mixed AS (
+  SELECT source,
+         xor(CAST((CAST(xor(CAST(doc_id AS UBIGINT),
+                            CAST(doc_id AS UBIGINT) >> 33) AS HUGEINT)
+                   * {mul}) % 18446744073709551616 AS UBIGINT),
+             CAST((CAST(xor(CAST(doc_id AS UBIGINT),
+                            CAST(doc_id AS UBIGINT) >> 33) AS HUGEINT)
+                   * {mul}) % 18446744073709551616 AS UBIGINT) >> 33)
+           AS h
+  FROM documents)
+SELECT source,
+       CAST(count(*) FILTER (h % 100 <
+            (CASE {cases} ELSE {default_pct} END)) AS BIGINT) AS kept,
+       count(*) AS total
+FROM mixed GROUP BY source ORDER BY source
+"""

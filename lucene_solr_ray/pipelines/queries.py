@@ -2989,6 +2989,7 @@ def build_queries() -> dict:
         "text_gopher_rules": QF.gopher_rules,
         "text_contamination": QF.contamination_hits,
         "text_unigram_lm": QF.unigram_logprob,
+        "text_mixture_rebalance": QF.mixture_rebalance,
         "ft_multi_phrase": _q_multi_phrase([["fast", "slow"], ["table"]]),
         "ft_span_first": _q_span_first("scan", 20),
         "ft_span_not": _q_span_not("table", "slow", 2),
@@ -3188,6 +3189,7 @@ FROM bfs WHERE kind = 'c' AND node = 2
         "text_gopher_rules": QF.gopher_rules_sql(),
         "text_contamination": QF.contamination_sql(),
         "text_unigram_lm": QF.unigram_logprob_sql(),
+        "text_mixture_rebalance": QF.mixture_rebalance_sql(),
         "ft_lm_dirichlet": _lm_dirichlet_sql("table", 2000.0, 10),
         "ft_rerank": _rerank_sql("table", "vector", 50, 2.0, 10),
         "ft_multi_phrase": _multi_phrase_sql([["fast", "slow"], ["table"]],
