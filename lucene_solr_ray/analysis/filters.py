@@ -1649,3 +1649,52 @@ def greek_lowercase(term: str) -> str:
     """GreekLowerCaseFilter: lowercase, fold final sigma to sigma and
     strip the vowel diacritics so accented/unaccented forms unify."""
     return term.lower().translate(_GREEK_FOLD)
+
+
+_AR_DIACRITICS = set("ًٌٍَُِّْ")
+
+
+def arabic_normalize(term: str) -> str:
+    """ArabicNormalizationFilter (analysis/common ar/
+    ArabicNormalizer.java): fold alef variants to bare alef, alef
+    maksura to yeh, teh marbuta to heh, strip tatweel and the harakat
+    diacritics."""
+    out = []
+    for c in term:
+        if c in "أإآٱ":
+            out.append("ا")
+        elif c == "ى":
+            out.append("ي")
+        elif c == "ة":
+            out.append("ه")
+        elif c == "ـ" or c in _AR_DIACRITICS:
+            continue
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+_AR_PREFIXES = ("ال", "وال", "بال", "كال", "فال", "لل", "و")
+_AR_SUFFIXES = ("ها", "ان", "ات", "ون", "ين", "يه", "ية", "ه", "ة", "ي")
+
+
+def arabic_light_stem(term: str) -> str:
+    """ArabicStemFilter — the Light-10 stemmer (Larkey, Ballesteros &
+    Connell 2002, 'Improving Stemming for Arabic Information
+    Retrieval'): run normalization, strip ONE definite-article prefix
+    (waw first), then repeatedly strip the listed suffixes, keeping
+    stems of length ≥ 2 at every step."""
+    w = arabic_normalize(term)
+    for p in _AR_PREFIXES:
+        if w.startswith(p) and len(w) - len(p) >= 2:
+            w = w[len(p):]
+            break
+    changed = True
+    while changed:
+        changed = False
+        for s in _AR_SUFFIXES:
+            if w.endswith(s) and len(w) - len(s) >= 2:
+                w = w[: -len(s)]
+                changed = True
+                break
+    return w

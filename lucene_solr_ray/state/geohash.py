@@ -1,0 +1,87 @@
+"""Geohash + bounding-box utilities (lucene/spatial-extras
+GeohashUtils.java / the public Niemeyer geohash algorithm; bbox:
+solr's {!bbox} / LatLonPoint.newBoxQuery).
+
+Geohash is the spatial analogue of the term-hash bucket: encoding
+points at a fixed precision gives a PARTITIONING KEY, so spatial
+workloads shard by hash prefix the same way text shards by term — a
+`write_parquet(partition_cols=["geohash4"])` layout serves bbox
+queries with directory pruning.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+_DECODE = {c: i for i, c in enumerate(_BASE32)}
+
+
+def geohash_encode(lat: float, lon: float, precision: int = 12) -> str:
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    bits = []
+    even = True
+    while len(bits) < precision * 5:
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                bits.append(1)
+                lon_lo = mid
+            else:
+                bits.append(0)
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                bits.append(1)
+                lat_lo = mid
+            else:
+                bits.append(0)
+                lat_hi = mid
+        even = not even
+    out = []
+    for i in range(0, len(bits), 5):
+        v = 0
+        for b in bits[i:i + 5]:
+            v = (v << 1) | b
+        out.append(_BASE32[v])
+    return "".join(out)
+
+
+def geohash_decode(gh: str) -> tuple[float, float]:
+    """Cell-center (lat, lon) of a geohash."""
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    even = True
+    for c in gh:
+        v = _DECODE[c]
+        for shift in range(4, -1, -1):
+            bit = (v >> shift) & 1
+            if even:
+                mid = (lon_lo + lon_hi) / 2
+                if bit:
+                    lon_lo = mid
+                else:
+                    lon_hi = mid
+            else:
+                mid = (lat_lo + lat_hi) / 2
+                if bit:
+                    lat_lo = mid
+                else:
+                    lat_hi = mid
+            even = not even
+    return ((lat_lo + lat_hi) / 2, (lon_lo + lon_hi) / 2)
+
+
+def bbox_filter(lats: np.ndarray, lons: np.ndarray, *,
+                min_lat: float, max_lat: float,
+                min_lon: float, max_lon: float) -> np.ndarray:
+    """LatLonPoint.newBoxQuery semantics incl. dateline crossing
+    (min_lon > max_lon wraps)."""
+    lat_ok = (lats >= min_lat) & (lats <= max_lat)
+    if min_lon <= max_lon:
+        lon_ok = (lons >= min_lon) & (lons <= max_lon)
+    else:  # crosses the antimeridian
+        lon_ok = (lons >= min_lon) | (lons <= max_lon)
+    return lat_ok & lon_ok

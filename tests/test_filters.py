@@ -639,3 +639,21 @@ def test_turkish_greek_lowercase():
     assert greek_lowercase("οδός") == "οδοσ"
     assert greek_lowercase("ΜΑΪΟΣ") == "μαιοσ"
     assert greek_lowercase("αέρας") == "αερασ"
+
+
+def test_arabic_normalize_and_stem():
+    from lucene_solr_ray.analysis.filters import (arabic_light_stem,
+                                                  arabic_normalize)
+
+    # alef variants fold, teh marbuta -> heh, diacritics stripped
+    assert arabic_normalize("أحمد") == "احمد"
+    assert arabic_normalize("مكتبة") == "مكتبه"
+    assert arabic_normalize("كِتَاب") == "كتاب"
+    assert arabic_normalize("مـــد") == "مد"  # tatweel removed
+    # light-10: definite article + plural suffixes
+    assert arabic_light_stem("الكتاب") == "كتاب"
+    assert arabic_light_stem("والكتاب") == "كتاب"
+    assert arabic_light_stem("كتابها") == "كتاب"
+    assert arabic_light_stem("مدرسات") == "مدرس"
+    # stems never shrink below 2 chars
+    assert len(arabic_light_stem("اله")) >= 2

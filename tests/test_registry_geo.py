@@ -70,3 +70,30 @@ def test_geo_distance_query(geo_index):
     far = s.search_geo_distance("lat", "lon", 48.8566, 2.3522,
                                 20000.0, k=10)
     assert far["doc_id"].to_pylist()[-1] == 5  # sydney is farthest
+
+
+def test_geohash_golden_and_round_trip():
+    """Known public geohash vectors (Niemeyer's examples) + round-trip
+    accuracy + bbox semantics incl. the antimeridian."""
+    import numpy as np
+
+    from lucene_solr_ray.state.geohash import (bbox_filter,
+                                               geohash_decode,
+                                               geohash_encode)
+
+    # the canonical example: 57.64911, 10.40744 -> u4pruydqqvj
+    assert geohash_encode(57.64911, 10.40744, 11) == "u4pruydqqvj"
+    assert geohash_encode(42.6, -5.6, 5) == "ezs42"
+    lat, lon = geohash_decode("u4pruydqqvj")
+    assert abs(lat - 57.64911) < 1e-4 and abs(lon - 10.40744) < 1e-4
+    # prefix property: a longer hash refines, never moves, the cell
+    assert geohash_encode(57.64911, 10.40744, 5) == "u4pru"
+
+    lats = np.array([10.0, 20.0, 0.0])
+    lons = np.array([175.0, -175.0, 0.0])
+    m = bbox_filter(lats, lons, min_lat=-30, max_lat=30,
+                    min_lon=170, max_lon=-170)  # crosses dateline
+    assert m.tolist() == [True, True, False]
+    m2 = bbox_filter(lats, lons, min_lat=5, max_lat=15,
+                     min_lon=170, max_lon=180)
+    assert m2.tolist() == [True, False, False]
