@@ -1,0 +1,86 @@
+"""Solr local params — the `{!type param=value ...}rest` query prefix
+(solr:search/QParser.java getParser + LocalSolrQueryRequest parsing,
+solr:common/params/LocalParams). The front-door syntax that selects a
+QParser per clause: `{!term f=lang v=en}`, `{!prefix f=text}tab`,
+`{!frange l=0.6 u=0.65}recip(dl,1,100,100)`, `{!func}...`,
+`{!lucene}...` (the classic default).
+
+`parse_local_params` handles quoted values, `v=` taking precedence
+over the trailing body, and bare `{!type}` shorthand. `resolve_query`
+routes the parsed form onto the engine's structured query dicts /
+expression layer.
+"""
+
+from __future__ import annotations
+
+import re
+
+_HEAD = re.compile(r"^\{!\s*([a-zA-Z0-9_]+)?")
+_PARAM = re.compile(r"""\s*([a-zA-Z0-9_.]+)=("(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*'|[^\s}]+)""")
+
+
+def parse_local_params(q: str) -> tuple[str, dict[str, str], str]:
+    """(parser_type, params, body). Raises on malformed syntax; a query
+    without the prefix is the default parser ('lucene') with the whole
+    string as body."""
+    s = q.strip()
+    if not s.startswith("{!"):
+        return "lucene", {}, s
+    m = _HEAD.match(s)
+    ptype = m.group(1) or "lucene"
+    pos = m.end()
+    params: dict[str, str] = {}
+    while pos < len(s) and s[pos] != "}":
+        pm = _PARAM.match(s, pos)
+        if not pm:
+            if s[pos].isspace():
+                pos += 1
+                continue
+            raise ValueError(f"bad local params at {s[pos:]!r}")
+        val = pm.group(2)
+        if val and val[0] in "\"'":
+            val = val[1:-1].replace("\\" + val[0], val[0])
+        params[pm.group(1)] = val
+        pos = pm.end()
+    if pos >= len(s):
+        raise ValueError(f"unterminated local params: {q!r}")
+    body = s[pos + 1:].strip()
+    if "v" in params:  # v= wins over the trailing body
+        body = params["v"]
+    return ptype, params, body
+
+
+def resolve_query(q: str) -> dict:
+    """Local-params string → the engine's structured query dict
+    (QParser.getQuery). Supported types: lucene (classic), term,
+    prefix, func is handled by the caller via the expression layer,
+    frange likewise (they need scoring context, so they resolve to
+    marker dicts the pipeline layer executes)."""
+    ptype, params, body = parse_local_params(q)
+    if ptype in ("lucene", "edismax", "simple", "complexphrase",
+                 "surround"):
+        type_map = {"lucene": "parsed", "edismax": "edismax",
+                    "simple": "simple", "complexphrase": "complex_phrase",
+                    "surround": "surround"}
+        return {"type": type_map[ptype], "q": body}
+    if ptype == "term":
+        f = params.get("f", "text")
+        if f == "text":
+            return {"type": "term", "term": body}
+        return {"type": "bool", "must": [], "should": [],
+                "filters": [(f, body)]}
+    if ptype == "prefix":
+        f = params.get("f", "text")
+        if f != "text":
+            raise ValueError("{!prefix} on keyword fields: use filters")
+        return {"type": "prefix", "param": body}
+    if ptype == "func":
+        return {"type": "func", "expr": body}
+    if ptype == "frange":
+        return {"type": "frange", "expr": body,
+                "l": float(params.get("l", "-inf")),
+                "u": float(params.get("u", "inf"))}
+    if ptype == "join":
+        return {"type": "join", "from": params["from"],
+                "to": params["to"], "q": body}
+    raise ValueError(f"unknown query parser {ptype!r}")

@@ -1,0 +1,63 @@
+"""Local params parsing + routing (search/localparams.py)."""
+
+import pyarrow as pa
+import pytest
+
+from lucene_solr_ray.search.localparams import (parse_local_params,
+                                                resolve_query)
+
+
+def test_parse_shapes():
+    assert parse_local_params("plain query") == \
+        ("lucene", {}, "plain query")
+    t, p, b = parse_local_params("{!frange l=0.6 u=0.65}recip(dl,1,100,100)")
+    assert t == "frange" and p == {"l": "0.6", "u": "0.65"}
+    assert b == "recip(dl,1,100,100)"
+    t, p, b = parse_local_params('{!term f=lang v="en"}ignored')
+    assert (t, b) == ("term", "en")  # v= wins over the body
+    assert p["f"] == "lang"
+    t, p, b = parse_local_params("{!}bare default")
+    assert t == "lucene" and b == "bare default"
+    t, p, b = parse_local_params(
+        "{!join from=o_custkey to=c_custkey}priority:URGENT")
+    assert t == "join" and p == {"from": "o_custkey", "to": "c_custkey"}
+    with pytest.raises(ValueError):
+        parse_local_params("{!frange l=1")
+    with pytest.raises(ValueError):
+        parse_local_params("{!x ==}q")
+
+
+def test_resolve_routing():
+    assert resolve_query("table AND scan") == \
+        {"type": "parsed", "q": "table AND scan"}
+    assert resolve_query("{!term f=lang}en") == \
+        {"type": "bool", "must": [], "should": [],
+         "filters": [("lang", "en")]}
+    assert resolve_query("{!term}table") == \
+        {"type": "term", "term": "table"}
+    assert resolve_query("{!prefix}tab") == \
+        {"type": "prefix", "param": "tab"}
+    fr = resolve_query("{!frange l=0.6 u=0.65}recip(dl,1,100,100)")
+    assert fr["type"] == "frange" and fr["l"] == 0.6
+    assert resolve_query("{!edismax}fast table")["type"] == "edismax"
+    with pytest.raises(ValueError):
+        resolve_query("{!mysteryparser}x")
+
+
+def test_end_to_end_through_searcher(ray_session, tmp_path):
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.search.searcher import IndexSearcher
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "content": pa.array(["fast table", "table scan", "slow scan"]),
+    })
+    idx = str(tmp_path / "idx")
+    build_index(docs, idx)
+    s = IndexSearcher(idx, mode="exact64")
+    q = resolve_query("{!term}table")
+    assert sorted(s.search(q, k=10)["doc_id"].to_pylist()) == [1, 2]
+    q2 = resolve_query("{!lucene}fast AND table")
+    assert s.search(q2, k=10)["doc_id"].to_pylist() == [1]
+    q3 = resolve_query("{!prefix}sc")
+    assert sorted(s.search(q3, k=10)["doc_id"].to_pylist()) == [2, 3]
