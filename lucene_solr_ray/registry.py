@@ -128,6 +128,41 @@ def _classic_parser():
     return parse_query
 
 
+@register("qparser", "simple")
+def _simple_parser():
+    from .search.simpleparser import parse_simple
+
+    return parse_simple
+
+
+@register("qparser", "complexphrase")
+def _complexphrase_parser():
+    from .search.complexphrase import parse_complex_phrase
+
+    return parse_complex_phrase
+
+
+@register("qparser", "surround")
+def _surround_parser():
+    from .search.surround import parse_surround
+
+    return parse_surround
+
+
+@register("qparser", "xml")
+def _xml_parser():
+    from .search.xmlparser import parse_xml_query
+
+    return parse_xml_query
+
+
+@register("qparser", "localparams")
+def _localparams_parser():
+    from .search.localparams import resolve_query
+
+    return resolve_query
+
+
 @register("codec", "parquet_varint_v2")
 def _default_codec():
     from .index import encode
