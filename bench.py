@@ -117,14 +117,23 @@ def run_bench() -> dict:
 
     times = []
     manifest = None
+    want_stats = "--stats" in sys.argv
     for rep in range(BUILD_REPEATS):
         idx_dir = f"/tmp/lsr_bench_index_{num_cpus}"
         shutil.rmtree(idx_dir, ignore_errors=True)
+        stats_sink: list | None = \
+            [] if (want_stats and rep == BUILD_REPEATS - 1) else None
         t0 = time.perf_counter()
         manifest = build_index(
             corpus_ds(), idx_dir, content_col="content",
-            derive_doc_keys=True, batch_rows=4096, concurrency=eff_par)
+            derive_doc_keys=True, batch_rows=4096, concurrency=eff_par,
+            stats_out=stats_sink)
         times.append(time.perf_counter() - t0)
+        if stats_sink:
+            # the ds.stats() operator breakdown for the LAST build run
+            # (stderr so the stdout JSON contract stays one line)
+            print("=== build pipeline ds.stats() ===\n" + stats_sink[0],
+                  file=sys.stderr)
     build_sec = float(np.median(times))
     n_docs = manifest["num_docs"]
     results["build_corpus"] = round(build_sec, 3)

@@ -153,7 +153,8 @@ def build_index(ds, out_dir: str, *, content_col: str = "content",
                 tokenizer: str = "ascii",
                 batch_rows: int = DEFAULT_BATCH_ROWS,
                 concurrency=None, derive_doc_keys: bool = False,
-                use_actors: bool = False, _commit: bool = True):
+                use_actors: bool = False, _commit: bool = True,
+                stats_out: list | None = None):
     """Streaming Dataset build: corpus → analyze+segment-write → manifest.
 
     ``ds`` is a ray.data.Dataset (or a pyarrow Table, wrapped for tests).
@@ -204,6 +205,10 @@ def build_index(ds, out_dir: str, *, content_col: str = "content",
         stage = ds.map_batches(fn, batch_format="pyarrow",
                                batch_size=batch_rows, **kwargs)
     stats = stage.take_all()  # tiny stats stream: one row per segment
+    if stats_out is not None:
+        # the executed Dataset's per-operator wall/cpu breakdown —
+        # the ds.stats() evidence loop (bench.py --stats)
+        stats_out.append(stage.stats())
 
     names = [r["segment"] for r in stats]
     metas = _collect_metas(segments_root, names)
