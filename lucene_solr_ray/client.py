@@ -1,0 +1,143 @@
+"""Client facade — the SolrClient / SolrJ ergonomics
+(solr/solrj/.../impl/HttpSolrClient.java surface: add/commit/query/
+deleteBy*/getById) over one index directory. The switching-cost
+killer: a reference user's CRUD-and-query loop works verbatim:
+
+    c = Client("/tmp/myindex")
+    c.add([{"doc_id": 1, "content": "fast table scan"}])
+    c.commit()
+    c.query("fast AND table", rows=5)
+    c.get(1)
+    c.delete_by_id([1]); c.commit()
+
+Writes buffer in the transaction log (durable before visible, exactly
+the reference's update handler), `commit()` drains to an NRT segment
+generation, queries go through the local-params front door (so
+`{!term f=lang}en`, `{!frange ...}`, edismax etc. all work) and reopen
+the searcher only when the index generation changed."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from .index.manifest import load_manifest
+from .index.tlog import TransactionLog
+
+
+class Client:
+    def __init__(self, index_dir: str, *, mode: str = "lucene32"):
+        self.index_dir = index_dir
+        self.mode = mode
+        self.tlog = TransactionLog(index_dir)
+        self._searcher = None
+        self._searcher_gen = -1
+        self._pending_deletes: list[int] = []
+
+    # ------------------------------------------------------------ write
+
+    def add(self, docs: list[dict]) -> int:
+        """Buffer documents (fsynced tlog append; visible to get()
+        immediately, to query() after commit)."""
+        if not docs:
+            return 0
+        return self.tlog.log_add(pa.Table.from_pylist(docs))
+
+    def delete_by_id(self, doc_ids) -> None:
+        self._pending_deletes.extend(int(d) for d in doc_ids)
+
+    def delete_by_query(self, field: str, value: str) -> None:
+        """deleteByQuery, keyword-field form (the dominant shape)."""
+        ids = self._open().filter_docs(field, value)
+        self._pending_deletes.extend(int(d) for d in ids)
+
+    def commit(self, **build_kwargs) -> dict | None:
+        """Drain buffered deletes then adds into a new generation
+        (UpdateHandler.commit): deletes first so an add of the same id
+        in this batch survives (delete-then-add ordering)."""
+        from .index.deletes import delete_docs
+
+        man = None
+        if self._pending_deletes:
+            try:
+                man = delete_docs(self.index_dir, self._pending_deletes)
+            except FileNotFoundError:
+                pass  # empty index: nothing to delete
+            self._pending_deletes = []
+        pending = self.tlog.pending()
+        if pending is not None:
+            try:
+                load_manifest(self.index_dir)
+            except FileNotFoundError:
+                from .index.build import build_index
+
+                man = build_index(pending, self.index_dir)
+                for p in __import__("glob").glob(
+                        self.tlog.dir + "/ops-*.parquet"):
+                    __import__("os").remove(p)
+                return man
+            man = self.tlog.soft_commit(**build_kwargs)
+        return man
+
+    # ------------------------------------------------------------- read
+
+    def _open(self):
+        from .search.searcher import IndexSearcher
+
+        gen = load_manifest(self.index_dir)["generation"]
+        if self._searcher is None or gen != self._searcher_gen:
+            self._searcher = IndexSearcher(self.index_dir,
+                                           mode=self.mode)
+            self._searcher_gen = gen
+        return self._searcher
+
+    def get(self, doc_id: int) -> dict | None:
+        """RealTimeGet: uncommitted tlog first, then the index."""
+        try:
+            s = self._open()
+        except FileNotFoundError:
+            s = None
+        return self.tlog.realtime_get(doc_id, searcher=s)
+
+    def query(self, q: str, *, rows: int = 10,
+              fq: tuple[str, str] | None = None) -> pa.Table:
+        """q goes through the local-params front door; plain strings
+        hit the classic parser. fq = (field, value) keyword filter."""
+        from .search.localparams import resolve_query
+
+        node = resolve_query(q)
+        if fq is not None:
+            if node.get("type") == "parsed":
+                node = {"type": "bool",
+                        "should": [], "must": [],
+                        "filters": [fq], "_parsed": node["q"]}
+                # classic parse then filter: run parse, intersect
+                s = self._open()
+                base = s.search({"type": "parsed",
+                                 "q": node["_parsed"]}, k=rows * 10)
+                import numpy as np
+
+                keep = s.filter_docs(*fq)
+                ids = np.asarray(base["doc_id"], dtype=np.int64)
+                m = np.isin(ids, keep)
+                return base.filter(pa.array(m)).slice(0, rows)
+            raise ValueError("fq combines with plain/classic q only")
+        return self._open().search(node, k=rows)
+
+    def facet(self, field: str) -> pa.Table:
+        """Field facet over a keyword field, all docs."""
+        s = self._open()
+        import collections
+
+        import numpy as np
+
+        counts: collections.Counter = collections.Counter()
+        for t in s.expand_terms("prefix", f"{field}:"):
+            p = s._decode_term_global(t)
+            if p is not None and len(p[0]):
+                counts[t.split(":", 1)[1]] = int(len(p[0]))
+        keys = sorted(counts)
+        return pa.table({
+            field: pa.array(keys, type=pa.string()),
+            "count": pa.array([counts[k] for k in keys],
+                              type=pa.int64()),
+        })

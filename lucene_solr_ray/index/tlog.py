@@ -85,6 +85,12 @@ class TransactionLog:
             best = None
             best_gen = -1
             for seg in searcher.doc_segments:
+                # liveDocs: a delete applicable to this segment hides
+                # its copy (a newer re-add has added_gen > del_gen and
+                # stays visible)
+                dels = searcher._seg_deletes(seg)
+                if dels is not None and doc_id in dels:
+                    continue
                 t = pq.read_table(os.path.join(seg.seg_dir, "docs.parquet"))
                 ids = np.asarray(t["doc_id"], dtype=np.int64)
                 hit = np.flatnonzero(ids == doc_id)

@@ -1,0 +1,50 @@
+"""Client facade (client.py): the SolrJ-style CRUD-and-query loop."""
+
+import pyarrow as pa
+
+from lucene_solr_ray.client import Client
+
+
+def test_crud_and_query_loop(ray_session, tmp_path):
+    c = Client(str(tmp_path / "idx"), mode="exact64")
+    c.add([{"doc_id": 1, "content": "fast table scan"},
+           {"doc_id": 2, "content": "slow vector scan"}])
+    # visible to get() pre-commit (RealTimeGet), not to query()
+    assert c.get(1)["content"] == "fast table scan"
+    c.commit()
+    t = c.query("fast AND table")
+    assert t["doc_id"].to_pylist() == [1]
+
+    # incremental add + requery (searcher reopens on generation bump)
+    c.add([{"doc_id": 3, "content": "another fast table"}])
+    c.commit()
+    t = c.query("fast AND table", rows=5)
+    assert sorted(t["doc_id"].to_pylist()) == [1, 3]
+
+    # local-params front door
+    t = c.query("{!prefix}vec")
+    assert t["doc_id"].to_pylist() == [2]
+
+    # delete + commit
+    c.delete_by_id([1])
+    c.commit()
+    t = c.query("fast AND table", rows=5)
+    assert t["doc_id"].to_pylist() == [3]
+    assert c.get(1) is None or c.get(1)["doc_id"] != 1
+
+
+def test_keyword_filter_and_facet(ray_session, tmp_path):
+    from lucene_solr_ray.index.build import build_index
+
+    idx = str(tmp_path / "idx")
+    build_index(pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "content": pa.array(["fast table", "fast scan", "fast join"]),
+        "lang": pa.array(["en", "de", "en"]),
+    }), idx, keyword_cols=("lang",))
+    c = Client(idx, mode="exact64")
+    t = c.query("fast", fq=("lang", "en"), rows=10)
+    assert sorted(t["doc_id"].to_pylist()) == [1, 3]
+    f = c.facet("lang")
+    assert dict(zip(f["lang"].to_pylist(), f["count"].to_pylist())) == \
+        {"en": 2, "de": 1}
