@@ -68,12 +68,16 @@ class Client:
             try:
                 load_manifest(self.index_dir)
             except FileNotFoundError:
+                # very first commit: a fresh build IS the generation
+                import glob as _glob
+                import os as _os
+
                 from .index.build import build_index
 
-                man = build_index(pending, self.index_dir)
-                for p in __import__("glob").glob(
-                        self.tlog.dir + "/ops-*.parquet"):
-                    __import__("os").remove(p)
+                man = build_index(pending, self.index_dir,
+                                  **build_kwargs)
+                for p in _glob.glob(self.tlog.dir + "/ops-*.parquet"):
+                    _os.remove(p)
                 return man
             man = self.tlog.soft_commit(**build_kwargs)
         return man
@@ -106,21 +110,17 @@ class Client:
 
         node = resolve_query(q)
         if fq is not None:
-            if node.get("type") == "parsed":
-                node = {"type": "bool",
-                        "should": [], "must": [],
-                        "filters": [fq], "_parsed": node["q"]}
-                # classic parse then filter: run parse, intersect
-                s = self._open()
-                base = s.search({"type": "parsed",
-                                 "q": node["_parsed"]}, k=rows * 10)
-                import numpy as np
+            if node.get("type") != "parsed":
+                raise ValueError("fq combines with plain/classic q only")
+            import numpy as np
 
-                keep = s.filter_docs(*fq)
-                ids = np.asarray(base["doc_id"], dtype=np.int64)
-                m = np.isin(ids, keep)
-                return base.filter(pa.array(m)).slice(0, rows)
-            raise ValueError("fq combines with plain/classic q only")
+            # classic parse, then the keyword FILTER intersection
+            s = self._open()
+            base = s.search(node, k=rows * 10)
+            keep = s.filter_docs(*fq)
+            ids = np.asarray(base["doc_id"], dtype=np.int64)
+            return base.filter(pa.array(np.isin(ids, keep))) \
+                .slice(0, rows)
         return self._open().search(node, k=rows)
 
     def facet(self, field: str) -> pa.Table:
