@@ -2145,6 +2145,42 @@ def _q_snowball_term(word, k=10):
     return run
 
 
+def _q_phonetic_term(word, k=10):
+    """Term query over a Double-Metaphone phonetic index
+    (phonetic/DoubleMetaphoneFilter.java): the misspelled query word
+    matches docs spelling it right because both encode to the same
+    code ('tabel' and 'table' → TPL). Rows-only (no SQL metaphone)."""
+    def run(sf_dir):
+        from ..analysis.metaphone import double_metaphone_transform
+        from ..search.searcher import IndexSearcher
+
+        idx = documents_index_variant(sf_dir, "dmph",
+                                      double_metaphone_transform)
+        s = IndexSearcher(idx, mode="exact64")
+        return _topk_table(s.search(
+            {"type": "term", "term": double_metaphone_transform(word)},
+            k=k))
+    return run
+
+
+def _q_kstem_term(word, k=10):
+    """Term query over a KStem index whose validating lexicon is the
+    corpus's own term dictionary (en/KStemFilter.java with
+    lexicon_from_index — the honest stand-in for the bundled word
+    list). Rows-only (lexicon-gated rules are not SQL-expressible)."""
+    def run(sf_dir):
+        from ..analysis.kstem import kstem_transform, lexicon_from_index
+        from ..search.searcher import IndexSearcher
+
+        lex = lexicon_from_index(documents_index(sf_dir))
+        t = kstem_transform(lexicon=lex)
+        idx = documents_index_variant(sf_dir, "kstem", t)
+        s = IndexSearcher(idx, mode="exact64")
+        return _topk_table(s.search({"type": "term", "term": t(word)},
+                                    k=k))
+    return run
+
+
 def _q_lm_dirichlet(term, mu=2000.0, k=10):
     """Term query scored with LMDirichletSimilarity (Dirichlet-smoothed
     language model, core:search/similarities/LMDirichletSimilarity.java)
@@ -2972,6 +3008,8 @@ def build_queries() -> dict:
         "ft_rerank": _q_rerank("table", "vector"),
         "ft_stemmed_term": _q_stemmed_term("query"),   # rows-only
         "ft_snowball_term": _q_snowball_term("queries"),   # rows-only
+        "ft_phonetic_term": _q_phonetic_term("tabel"),     # rows-only
+        "ft_kstem_term": _q_kstem_term("tables"),          # rows-only
         "ft_payload_sum": _q_payload_score("table", "sum"),
         "ft_payload_span": _q_payload_span("table", "avg"),
         "ft_explain_term": _q_explain_term(MID),
@@ -3243,9 +3281,10 @@ FROM bfs WHERE kind = 'c' AND node = 2
         # the XML DSL reduces to the same tree as "+table +customer vector"
         "ft_xml_parsed": ft_bool_sql(["table", "customer"], ["vector"],
                                      [], 0, 10),
-        # ft_stemmed_term / ft_snowball_term: no SQL twin (Porter and
-        # Porter2 are not SQL-expressible); golden-vector + round-trip
-        # coverage in tests/test_filters.py and tests/test_snowball.py
+        # ft_stemmed_term / ft_snowball_term / ft_kstem_term /
+        # ft_phonetic_term: no SQL twin (Porter/Porter2/KStem/Double
+        # Metaphone are not SQL-expressible); golden-vector + round-trip
+        # coverage in tests/test_{filters,snowball,kstem,metaphone}.py
     }
 
 
