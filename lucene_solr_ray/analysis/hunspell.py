@@ -3,11 +3,16 @@ Dictionary.java + HunspellStemFilter.java, re-implemented from the
 public hunspell .aff/.dic format documentation).
 
 Supported subset — the part the reference filter exercises for
-stemming: SFX/PFX rule groups (strip / append / condition), the
-cross-product flag, comment/blank skipping, and single-character flags
-(hunspell's default FLAG mode). Compound rules, REP/MAP suggestion
-tables and flag aliases are suggestion/spellcheck machinery the
-stem filter never uses; they are out of scope (documented deviation).
+stemming: SFX/PFX rule groups (strip / append / condition, with
+continuation flags on the append), the cross-product flag,
+ONLYINCOMPOUND rejection (Stemmer.java:178-195 whole-word check,
+:340-355 and :424-438 affix append-flag checks), comment/blank
+skipping, and single-character flags (hunspell's default FLAG mode).
+Decompounding itself is absent from the reference too
+(Stemmer.java:552 "we aren't decompounding (yet)") — parity, not a
+deviation. REP/MAP suggestion tables and flag aliases are
+suggestion/spellcheck machinery the stem filter never uses; they are
+out of scope (documented deviation).
 
 No dictionary ships here: real .aff/.dic files are licensed data the
 user supplies (as with the reference, which loads them from a path at
@@ -26,16 +31,19 @@ class AffixRule:
     affix: str
     condition: re.Pattern
     cross_product: bool
+    append_flags: frozenset = frozenset()  # continuation flags on append
 
 
 class HunspellDictionary:
     """Parsed .aff + .dic pair; `stem` reverses affix rules."""
 
     def __init__(self, words: dict[str, frozenset[str]],
-                 suffixes: list[AffixRule], prefixes: list[AffixRule]):
+                 suffixes: list[AffixRule], prefixes: list[AffixRule],
+                 onlyincompound: str | None = None):
         self.words = words
         self.suffixes = suffixes
         self.prefixes = prefixes
+        self.onlyincompound = onlyincompound
 
     # ------------------------------------------------------------- parse
 
@@ -45,12 +53,16 @@ class HunspellDictionary:
         prefixes: list[AffixRule] = []
         cross: dict[tuple[str, str], bool] = {}
         expect: dict[tuple[str, str], int] = {}
+        onlyincompound: str | None = None
         for raw in aff_text.splitlines():
             line = raw.split("#", 1)[0].strip()
             if not line:
                 continue
             parts = line.split()
             kind = parts[0]
+            if kind == "ONLYINCOMPOUND" and len(parts) >= 2:
+                onlyincompound = parts[1]
+                continue
             if kind not in ("SFX", "PFX") or len(parts) < 4:
                 continue  # SET/TRY/REP/... — not stemming machinery
             flag = parts[1]
@@ -61,15 +73,21 @@ class HunspellDictionary:
                 continue
             strip = "" if parts[2] == "0" else parts[2]
             affix = "" if parts[3] == "0" else parts[3]
+            # append may carry continuation flags: "able/CD"
+            if "/" in affix:
+                affix, contsrc = affix.split("/", 1)
+                append_flags = frozenset(contsrc)
+            else:
+                append_flags = frozenset()
             cond_src = parts[4] if len(parts) > 4 else "."
             if kind == "SFX":
                 cond = re.compile(f"(?:{cond_src})$")
                 suffixes.append(AffixRule(flag, strip, affix, cond,
-                                          cross[key]))
+                                          cross[key], append_flags))
             else:
                 cond = re.compile(f"^(?:{cond_src})")
                 prefixes.append(AffixRule(flag, strip, affix, cond,
-                                          cross[key]))
+                                          cross[key], append_flags))
         words: dict[str, frozenset[str]] = {}
         lines = dic_text.splitlines()
         start = 1 if lines and lines[0].strip().isdigit() else 0
@@ -82,7 +100,8 @@ class HunspellDictionary:
                 words[w] = frozenset(flags)
             else:
                 words[line] = frozenset()
-        return cls(words, suffixes, prefixes)
+        return cls(words, suffixes, prefixes,
+                   onlyincompound=onlyincompound)
 
     @classmethod
     def load(cls, aff_path: str, dic_path: str) -> "HunspellDictionary":
@@ -123,13 +142,25 @@ class HunspellDictionary:
                 seen.add(b)
                 out.append(b)
 
-        if word in self.words:
-            emit(word)
+        oic = self.onlyincompound
+
+        def rule_ok(rule: AffixRule) -> bool:
+            # an affix whose append carries the onlyincompound flag only
+            # exists inside compounds (Stemmer.java:340-355, :424-438)
+            return oic is None or oic not in rule.append_flags
+
+        if word in self.words and (
+                oic is None or oic not in self.words[word]):
+            emit(word)  # Stemmer.java:190-192 whole-word check
         for sr in self.suffixes:
+            if not rule_ok(sr):
+                continue
             base = self._strip_suffix(word, sr)
             if base is not None and self._base_ok(base, sr):
                 emit(base)
         for pr in self.prefixes:
+            if not rule_ok(pr):
+                continue
             mid = self._strip_prefix(word, pr)
             if mid is None:
                 continue
@@ -138,7 +169,7 @@ class HunspellDictionary:
             if not pr.cross_product:
                 continue
             for sr in self.suffixes:
-                if not sr.cross_product:
+                if not sr.cross_product or not rule_ok(sr):
                     continue
                 base = self._strip_suffix(mid, sr)
                 if base is not None and self._base_ok(base, sr) \

@@ -75,6 +75,48 @@ def test_word_listed_and_derived():
     assert t("unknown") == "unknown"
 
 
+ONLYINCOMPOUND_AFF = """
+SET UTF-8
+ONLYINCOMPOUND O
+
+SFX B Y 1
+SFX B 0 ed .
+
+SFX C Y 1
+SFX C 0 s/O .
+"""
+
+ONLYINCOMPOUND_DIC = """3
+walk/BC
+fuge/O
+jump
+"""
+
+
+def test_onlyincompound_whole_word_rejected():
+    # Stemmer.java:190-192 — a word flagged ONLYINCOMPOUND never stands
+    # alone (e.g. German Fugenelement entries)
+    d = HunspellDictionary.parse(ONLYINCOMPOUND_AFF, ONLYINCOMPOUND_DIC)
+    assert d.stem("fuge") == []
+    assert d.stem("jump") == ["jump"]
+    assert d.stem("walked") == ["walk"]
+
+
+def test_onlyincompound_affix_rejected():
+    # Stemmer.java:340-355 — an affix whose append carries the
+    # ONLYINCOMPOUND continuation flag is compound-internal only
+    d = HunspellDictionary.parse(ONLYINCOMPOUND_AFF, ONLYINCOMPOUND_DIC)
+    assert d.stem("walks") == []          # SFX C append is /O
+    assert d.longest_stem("walks") == "walks"
+
+
+def test_append_continuation_flags_without_onlyincompound():
+    # continuation flags parse but are inert when ONLYINCOMPOUND unset
+    aff = "SFX C Y 1\nSFX C 0 s/O .\n"
+    d = HunspellDictionary.parse(aff, "2\nwalk/C\nrun\n")
+    assert d.stem("walks") == ["walk"]
+
+
 def test_dic_without_count_header_and_comments():
     d = HunspellDictionary.parse("SFX B Y 1\nSFX B 0 ed .\n",
                                  "walk/B  # a comment\n\nrun\n")
