@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -172,9 +173,14 @@ def atomic_update(index_dir: str, doc_id: int, ops: dict[str, dict],
     (tlog first, then the committed index — the RealTimeGet discipline),
     apply per-field operations, then updateDocument (delete-then-add).
 
-    Supported ops per field: {"set": value} and {"inc": number} — the
-    scalar-field subset (Solr's add/remove operate on multiValued
-    fields, which this schema does not use; documented deviation).
+    Supported ops per field — the full AtomicUpdateDocumentMerger set:
+    {"set": v}, {"inc": n}, and the multiValued ops {"add": v|[v...]},
+    {"add-distinct": v|[v...]}, {"remove": v|[v...]},
+    {"removeregex": pat|[pat...]} (whole-value match, Pattern.matches
+    style). MultiValued fields are list-typed Arrow columns; as with
+    Solr's schema, a field receiving add/remove should be list-typed
+    from the first build so the stored column type is stable across
+    generations.
 
     As in the reference, atomic updates REQUIRE stored fields: the
     index must have been built with the content column in
@@ -193,6 +199,11 @@ def atomic_update(index_dir: str, doc_id: int, ops: dict[str, dict],
             f"store_cols=({content_col!r}, ...)")
     doc = {k: v for k, v in cur.items()
            if k not in ("dl", "norm", "sha256")}  # derived fields
+    def as_list(v):
+        if v is None:
+            return []
+        return list(v) if isinstance(v, (list, tuple)) else [v]
+
     for field, op in ops.items():
         if not isinstance(op, dict) or len(op) != 1:
             raise ValueError(f"bad atomic op for {field!r}: {op!r}")
@@ -201,9 +212,29 @@ def atomic_update(index_dir: str, doc_id: int, ops: dict[str, dict],
             doc[field] = val
         elif kind == "inc":
             doc[field] = (doc.get(field) or 0) + val
+        elif kind in ("add", "add-distinct"):
+            cur = as_list(doc.get(field))
+            new = as_list(val)
+            if kind == "add-distinct":
+                merged = list(cur)
+                for x in new:
+                    if x not in merged:
+                        merged.append(x)
+                doc[field] = merged
+            else:
+                doc[field] = cur + new
+        elif kind == "remove":
+            rmv = as_list(val)
+            doc[field] = [x for x in as_list(doc.get(field))
+                          if x not in rmv]
+        elif kind == "removeregex":
+            pats = [re.compile(p) for p in as_list(val)]
+            doc[field] = [x for x in as_list(doc.get(field))
+                          if not any(p.fullmatch(str(x)) for p in pats)]
         else:
             raise ValueError(
-                f"unsupported atomic op {kind!r} (set/inc only)")
+                f"unsupported atomic op {kind!r} (set/inc/add/"
+                f"add-distinct/remove/removeregex)")
     table = pa.Table.from_pylist([doc])
     # preserve int64 ids regardless of pylist inference
     table = table.set_column(

@@ -16,9 +16,13 @@ scores candidate sets by skew/size/deletes; here the choice is
 smallest-first within the overflowing tier (deterministic, same
 convergence bound).
 
-Segments with pending deletes are left alone (the conservative choice;
-`merge.merge_segments` is the purge-everything path) — documented
-deviation from the reference, which prefers reclaiming deletes.
+Segments with pending deletes are merged like any other and the merge
+RECLAIMS their deletes (SegmentMerger dropping deleted docs;
+TieredMergePolicy.java favors delete reclamation): dead postings and
+stored rows are physically dropped, the merged segment is stamped with
+the new commit generation so no prior delete re-applies to it, and the
+manifest's applied-delete counters shrink by exactly the purged
+instances (dropping the deletes file once nothing applies anywhere).
 
 Scale shape: one merge folds ≤ max_merge_at_once segment files through
 a term groupby (map_groups decode+concat+re-encode per term, postings
@@ -44,6 +48,21 @@ POSTINGS_FILE = "postings.parquet"
 DOCS_FILE = "docs.parquet"
 META_FILE = "meta.json"
 
+_POSTINGS_EMPTY = pa.table({
+    "term": pa.array([], type=pa.string()),
+    "df": pa.array([], type=pa.int64()),
+    "ttf": pa.array([], type=pa.int64()),
+    "doc_data": pa.array([], type=pa.large_binary()),
+    "tf_data": pa.array([], type=pa.large_binary()),
+    "norm_data": pa.array([], type=pa.large_binary()),
+    "pos_data": pa.array([], type=pa.large_binary()),
+    "block_last_doc": pa.array([], type=pa.list_(pa.int64())),
+    "block_max_tf": pa.array([], type=pa.list_(pa.int32())),
+    "block_max_norm": pa.array([], type=pa.list_(pa.uint8())),
+    "block_doc_off": pa.array([], type=pa.list_(pa.int64())),
+    "block_tf_off": pa.array([], type=pa.list_(pa.int64())),
+})
+
 SEGS_PER_TIER = 4
 MAX_MERGE_AT_ONCE = 4
 FLOOR_BYTES = 64 * 1024
@@ -66,21 +85,16 @@ def plan_tiered_merge(index_dir: str, *,
                       max_merge_at_once: int = MAX_MERGE_AT_ONCE,
                       floor_bytes: int = FLOOR_BYTES) -> list[str] | None:
     """The policy: names of the segments to merge next, or None when
-    the index is within budget (findMerges returning no MergeSpec)."""
-    from .deletes import load_deletes
-
+    the index is within budget (findMerges returning no MergeSpec).
+    Delete-carrying segments are ordinary candidates — merging them
+    reclaims their deletes."""
     man = load_manifest(index_dir)
-    dels = load_deletes(index_dir, man)
     cand = []
     for s in man["segments"]:
         if s.get("kind", "postings") != "postings":
             continue
         if s.get("num_docs", 0) == 0:
             continue  # term-partitioned merged shards: not tierable
-        if dels is not None:
-            ids, gens = dels
-            if (gens >= s.get("added_gen", 1)).any():
-                continue  # conservative: skip delete-carrying segments
         cand.append((s["segment"], _seg_bytes(index_dir, s["segment"])))
     if not cand:
         return None
@@ -97,10 +111,15 @@ def plan_tiered_merge(index_dir: str, *,
     return None
 
 
-def _merge_postings(index_dir: str, names: list[str], out_dir: str):
-    """Fold the named segments' postings term-wise: decode, concat in
-    doc order, re-encode — SegmentMerger's postings pass as a Ray
-    groupby(term).map_groups."""
+def _merge_postings(index_dir: str, names: list[str], out_dir: str,
+                    dead_sets: dict[str, np.ndarray] | None = None):
+    """Fold the named segments' postings term-wise: decode, drop any
+    deleted docs of the owning segment, concat in doc order, re-encode
+    — SegmentMerger's postings pass as a Ray groupby(term).map_groups.
+
+    ``dead_sets`` maps a segment name to the sorted doc ids deleted in
+    THAT segment; filtering is per-part because the same doc id can be
+    dead in one segment and live in a newer one (the update case)."""
     import ray.data as rd
 
     root = os.path.join(index_dir, SEGMENTS_DIRNAME)
@@ -109,18 +128,53 @@ def _merge_postings(index_dir: str, names: list[str], out_dir: str):
         with open(os.path.join(root, n, META_FILE)) as f:
             with_pos = with_pos and json.load(f).get("with_positions",
                                                      True)
-    files = [os.path.join(root, n, POSTINGS_FILE) for n in names]
+    dead_sets = {k: v for k, v in (dead_sets or {}).items() if len(v)}
+
+    def tag(seg_name: str):
+        def add(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "seg", pa.array([seg_name] * b.num_rows,
+                                type=pa.string()))
+        return add
+
+    dsets = []
+    for n in names:
+        d = rd.read_parquet(os.path.join(root, n, POSTINGS_FILE))
+        if dead_sets:
+            d = d.map_batches(tag(n), batch_format="pyarrow")
+        dsets.append(d)
+    src = dsets[0].union(*dsets[1:]) if len(dsets) > 1 else dsets[0]
 
     def fold(group: pa.Table) -> pa.Table:
         rows = group.to_pylist()
-        parts = [decode_postings(r, with_positions=with_pos)
-                 for r in rows]
-        docs = np.concatenate([p[0] for p in parts])
-        tfs = np.concatenate([p[1] for p in parts])
-        norms = np.concatenate([p[2] for p in parts])
+        docs_l, tfs_l, norms_l, pos_l = [], [], [], []
+        for r in rows:
+            part = decode_postings(r, with_positions=with_pos)
+            d, t, nm = part[0], part[1], part[2]
+            p = part[3] if with_pos else None
+            dead = dead_sets.get(r.get("seg", ""))
+            if dead is not None:
+                alive = ~np.isin(d, dead)
+                if with_pos and not alive.all():
+                    starts = np.concatenate(([0], np.cumsum(t)))[:-1]
+                    pieces = [p[starts[i]:starts[i] + t[i]]
+                              for i in np.flatnonzero(alive)]
+                    p = (np.concatenate(pieces) if pieces
+                         else np.empty(0, dtype=np.int64))
+                d, t, nm = d[alive], t[alive], nm[alive]
+            docs_l.append(d)
+            tfs_l.append(t)
+            norms_l.append(nm)
+            if with_pos:
+                pos_l.append(p)
+        docs = np.concatenate(docs_l)
+        if docs.size == 0:
+            return _POSTINGS_EMPTY  # every posting of the term was dead
+        tfs = np.concatenate(tfs_l)
+        norms = np.concatenate(norms_l)
         order = np.argsort(docs, kind="stable")
         if with_pos:
-            pos = np.concatenate([p[3] for p in parts])
+            pos = np.concatenate(pos_l)
             starts = np.concatenate(([0], np.cumsum(tfs)))[:-1]
             pieces = [pos[starts[i]:starts[i] + tfs[i]]
                       for i in order]
@@ -153,7 +207,7 @@ def _merge_postings(index_dir: str, names: list[str], out_dir: str):
                                      type=pa.list_(pa.int64())),
         })
 
-    merged = (rd.read_parquet(files)
+    merged = (src
               .groupby("term").map_groups(fold, batch_format="pyarrow")
               .sort("term"))
     parts = [b for b in merged.iter_batches(batch_format="pyarrow",
@@ -167,7 +221,12 @@ def _merge_postings(index_dir: str, names: list[str], out_dir: str):
 
 def merge_tier(index_dir: str, names: list[str]) -> dict:
     """Physically merge `names` into one new segment and commit a
-    generation where it replaces them (OneMerge + commitMerge)."""
+    generation where it replaces them (OneMerge + commitMerge).
+    Deletes applying to the inputs are reclaimed: dead docs are dropped
+    from postings and stored rows, and the manifest's applied-delete
+    counters shrink by the purged instances."""
+    from .deletes import load_deletes
+
     man = load_manifest(index_dir)
     by_name = {s["segment"]: s for s in man["segments"]}
     for n in names:
@@ -178,10 +237,30 @@ def merge_tier(index_dir: str, names: list[str]) -> dict:
     tmp = os.path.join(root, seg_name + ".tmp")
     os.makedirs(tmp, exist_ok=True)
 
-    n_terms, with_pos = _merge_postings(index_dir, names, tmp)
-    docs = pa.concat_tables(
-        [pq.read_table(os.path.join(root, n, DOCS_FILE))
-         for n in names], promote_options="default")
+    dels = load_deletes(index_dir, man)
+    dead_sets: dict[str, np.ndarray] = {}
+    purged_docs = 0
+    purged_dl = 0
+    docs_parts = []
+    for n in names:
+        t = pq.read_table(os.path.join(root, n, DOCS_FILE))
+        if dels is not None:
+            del_ids, del_gens = dels
+            appl = del_ids[del_gens >= by_name[n].get("added_gen", 1)]
+            if len(appl):
+                seg_ids = np.asarray(t["doc_id"], dtype=np.int64)
+                dead_mask = np.isin(seg_ids, appl)
+                if dead_mask.any():
+                    dead_sets[n] = np.sort(seg_ids[dead_mask])
+                    purged_docs += int(dead_mask.sum())
+                    purged_dl += int(np.asarray(
+                        t["dl"], dtype=np.int64)[dead_mask].sum())
+                    t = t.filter(pa.array(~dead_mask))
+        docs_parts.append(t)
+
+    n_terms, with_pos = _merge_postings(index_dir, names, tmp,
+                                        dead_sets=dead_sets)
+    docs = pa.concat_tables(docs_parts, promote_options="default")
     order = pa.compute.sort_indices(docs["doc_id"])
     docs = docs.take(order)
     ids = np.asarray(docs["doc_id"], dtype=np.int64)
@@ -191,8 +270,10 @@ def merge_tier(index_dir: str, names: list[str]) -> dict:
                    row_group_size=65536)
     meta = {
         "segment": seg_name,
-        "num_docs": int(sum(by_name[n]["num_docs"] for n in names)),
-        "sum_dl": int(sum(by_name[n]["sum_dl"] for n in names)),
+        "num_docs": int(sum(by_name[n]["num_docs"] for n in names)
+                        - purged_docs),
+        "sum_dl": int(sum(by_name[n]["sum_dl"] for n in names)
+                      - purged_dl),
         "num_terms": int(n_terms),
         "with_positions": with_pos,
         "min_doc_id": int(ids[0]) if len(ids) else None,
@@ -203,16 +284,25 @@ def merge_tier(index_dir: str, names: list[str]) -> dict:
     final = os.path.join(root, seg_name)
     os.rename(tmp, final)
 
-    # the merged segment must keep the OLDEST input's added_gen so any
-    # delete that applied to an input still applies to it (plan_tiered
-    # refuses delete-carrying inputs today, but the invariant is cheap)
+    # every delete applying to the inputs was physically reclaimed, so
+    # the merged segment is stamped with the NEW commit generation
+    # (commit_manifest does this for entries without added_gen) — no
+    # prior delete may re-apply to it, exactly like a merged Lucene
+    # segment starting with no .liv file
     entry = dict(meta)
     entry["kind"] = "postings"
-    entry["added_gen"] = min(by_name[n].get("added_gen", 1)
-                             for n in names)
     kept = [s for s in man["segments"] if s["segment"] not in names]
     extra = {k: man[k] for k in ("deletes_file", "deleted_docs",
                                  "deleted_sum_dl") if k in man}
+    if purged_docs:
+        extra["deleted_docs"] = man.get("deleted_docs", 0) - purged_docs
+        extra["deleted_sum_dl"] = (man.get("deleted_sum_dl", 0)
+                                   - purged_dl)
+    if extra.get("deletes_file") and extra.get("deleted_docs", 0) <= 0:
+        # nothing applies anywhere anymore: drop the delete state
+        extra.pop("deletes_file", None)
+        extra.pop("deleted_docs", None)
+        extra.pop("deleted_sum_dl", None)
     manifest = commit_manifest(index_dir, kept + [entry],
                                extra={**extra,
                                       "tiered_merged": names})

@@ -3060,6 +3060,13 @@ def build_queries() -> dict:
         "ft_classify_nb": _q_classify("nb"),        # rows-only
         "ft_term_automaton": _q_automaton([["fast", "slow"], "*",
                                            ["scan"]]),
+        # rows-only: cyclic general NFA — "fast (scan fast)*", no SQL
+        # twin for unbounded repetition; pytest holds the positional
+        # oracle (test_term_automaton_general_nfa)
+        "ft_term_automaton_nfa": _q_automaton(
+            {"states": 3, "accept": [1],
+             "transitions": [[0, 1, "fast"], [1, 2, "scan"],
+                             [2, 1, "fast"]]}),
         "ft_edismax": _q_edismax(
             "spark src13 merge scan -window",
             qf=(("text", 1.0), ("source", 1.5)),

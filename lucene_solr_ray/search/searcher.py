@@ -1036,17 +1036,29 @@ class IndexSearcher:
         d, s = topk_merge(cand, scores, k)
         return self._finalize([d], [s], k)
 
-    def search_term_automaton(self, steps: list, k: int = 10) -> pa.Table:
-        """TermAutomatonQuery (core:search/TermAutomatonQuery.java:60)
-        for linear automatons: each step is a list of accepted terms or
-        the wildcard "*" (the ANY transition, :75-82 — here a gap of
-        exactly one position, with no token-existence requirement, so
-        stopword holes satisfy it; documented deviation). A doc matches
-        where some path through its positions accepts; freq = accepted
-        start positions; idf sums over the concrete terms (wildcard
-        transitions carry no stats), scored like MultiPhraseQuery.
-        Arbitrary NFAs are out of scope — union-of-alternatives + ANY
-        gaps cover the graph queries the reference's tests exercise."""
+    def search_term_automaton(self, steps, k: int = 10) -> pa.Table:
+        """TermAutomatonQuery (core:search/TermAutomatonQuery.java:60).
+
+        Two spec shapes:
+
+        * a LIST of steps — a linear automaton; each step is a list of
+          accepted terms or the wildcard "*" (the ANY transition,
+          :75-82 — here a gap of exactly one position, with no
+          token-existence requirement, so stopword holes satisfy it;
+          documented deviation). Vectorized fast path.
+        * a DICT — an arbitrary NFA, the general createState /
+          setAccept / addTransition / addAnyTransition surface:
+          ``{"states": n, "accept": [s...], "transitions":
+          [[from, to, term-or-"*"], ...]}`` with state 0 initial.
+          Cycles and epsilon-free branching are supported; evaluated
+          by a per-candidate suffix DP over positions.
+
+        A doc matches where some path through its positions accepts;
+        freq = accepting start positions; idf sums over the concrete
+        terms (wildcard transitions carry no stats), scored like
+        MultiPhraseQuery."""
+        if isinstance(steps, dict):
+            return self._term_automaton_nfa(steps, k)
         concrete = [(off, slot) for off, slot in enumerate(steps)
                     if slot != "*"]
         if not concrete:
@@ -1104,6 +1116,104 @@ class IndexSearcher:
                              tf_override=pf, idf_override=float(idf))
         d, s = topk_merge(cand, scores, k)
         return self._finalize([d], [s], k)
+
+    def _term_automaton_nfa(self, nfa: dict, k: int) -> pa.Table:
+        """General-NFA TermAutomatonQuery evaluation. Candidates are
+        the union of the concrete labels' doc sets (a doc reachable
+        only through all-ANY paths cannot match — enforced below), then
+        each candidate runs a backward suffix DP: ok(p, s) = some
+        accepting run exists from state s consuming the token at
+        position p onward. freq = #{p : ok(p, initial)}."""
+        n_states = int(nfa["states"])
+        accept = set(int(s) for s in nfa["accept"])
+        trans = [(int(a), int(b), lab) for a, b, lab in
+                 nfa["transitions"]]
+        for a, b, _ in trans:
+            if not (0 <= a < n_states and 0 <= b < n_states):
+                raise ValueError("transition state out of range")
+        # reject automatons accepting a concrete-free path: with the
+        # no-token-existence ANY semantics they'd match every position
+        # of every doc (and have no stats to score with)
+        star_reach = {0}
+        changed = True
+        while changed:
+            changed = False
+            for a, b, lab in trans:
+                if lab == "*" and a in star_reach \
+                        and b not in star_reach:
+                    star_reach.add(b)
+                    changed = True
+        if not accept.isdisjoint(star_reach):
+            raise ValueError(
+                "automaton accepts an all-wildcard path; at least one "
+                "concrete term is required on every accepting path")
+        terms = [lab for _, _, lab in trans if lab != "*"]
+        if not terms:
+            return self._finalize([], [], k)
+        got = self.term_stats(terms)
+        idf = self._phrase_idf(
+            terms, {t: got.get(t, (0, 0)) for t in terms})
+        postings = {t: self._decode_term_global(t, positions=True)
+                    for t in set(terms)}
+        live = {t: p for t, p in postings.items() if p is not None}
+        if not live:
+            return self._finalize([], [], k)
+        cand = np.unique(np.concatenate([p[0] for p in live.values()]))
+
+        # per-term positions per candidate doc (sets for the DP)
+        pos_of: dict[str, dict[int, set]] = {}
+        for t, (docs, tfs, _, pos) in live.items():
+            starts = np.concatenate(([0], np.cumsum(tfs)))
+            m: dict[int, set] = {}
+            for i, d in enumerate(docs.tolist()):
+                m[d] = set(pos[starts[i]:starts[i + 1]].tolist())
+            pos_of[t] = m
+
+        all_docs = np.concatenate([p[0] for p in live.values()])
+        all_norms = np.concatenate([p[2] for p in live.values()])
+        ud, ui = np.unique(all_docs, return_index=True)
+        norms_all = all_norms[ui][np.searchsorted(ud, cand)]
+
+        by_state: dict[int, list] = {}
+        for a, b, lab in trans:
+            by_state.setdefault(a, []).append((b, lab))
+
+        out_docs, out_freqs, out_norms = [], [], []
+        for ci, d in enumerate(cand.tolist()):
+            tpos = {t: m[d] for t, m in pos_of.items() if d in m}
+            if not tpos:
+                continue
+            max_pos = max(max(s) for s in tpos.values())
+            horizon = max_pos + n_states + 1
+            # ok[s] per position, built backward
+            ok_next = [False] * n_states
+            ok_by_p = [None] * horizon
+            for p in range(horizon - 1, -1, -1):
+                ok_p = [False] * n_states
+                for s, edges in by_state.items():
+                    for t_state, lab in edges:
+                        if lab != "*" and (lab not in tpos
+                                           or p not in tpos[lab]):
+                            continue
+                        if t_state in accept or ok_next[t_state]:
+                            ok_p[s] = True
+                            break
+                ok_by_p[p] = ok_p[0]
+                ok_next = ok_p
+            freq = sum(1 for v in ok_by_p if v)
+            if freq:
+                out_docs.append(d)
+                out_freqs.append(freq)
+                out_norms.append(norms_all[ci])
+        if not out_docs:
+            return self._finalize([], [], k)
+        cd = np.asarray(out_docs, dtype=np.int64)
+        pf = np.asarray(out_freqs, dtype=np.int64)
+        nm = np.asarray(out_norms, dtype=np.uint8)
+        scores = self._score(cd, pf, nm, 0,
+                             tf_override=pf, idf_override=float(idf))
+        d_, s_ = topk_merge(cd, scores, k)
+        return self._finalize([d_], [s_], k)
 
     # ---- remaining spans family; like span_near, scored by match count
     # (documented deviation from Lucene's sloppyFreq span scoring,

@@ -200,4 +200,65 @@ def test_atomic_update(ray_session, tmp_path):
     with pytest.raises(KeyError):
         atomic_update(idx, 99, {"views": {"inc": 1}})
     with pytest.raises(ValueError):
-        atomic_update(idx, 1, {"views": {"add": 1}})
+        atomic_update(idx, 1, {"views": {"frobnicate": 1}})
+
+
+def test_atomic_update_multivalued(ray_session, tmp_path):
+    """Atomic add / add-distinct / remove / removeregex over a
+    list-typed (multiValued) stored field — the full
+    AtomicUpdateDocumentMerger op set."""
+    import pyarrow as pa
+    import pytest
+
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.index.deletes import atomic_update
+    from lucene_solr_ray.index.tlog import TransactionLog
+    from lucene_solr_ray.search.searcher import IndexSearcher
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "content": pa.array(["alpha words", "beta words"]),
+        "tags": pa.array([["red", "blue"], []],
+                         type=pa.list_(pa.string())),
+    })
+    idx = str(tmp_path / "idx")
+    build_index(docs, idx, store_cols=("content", "tags"))
+
+    def tags_of(doc_id):
+        log = TransactionLog(idx)
+        s = IndexSearcher(idx)
+        return log.realtime_get(doc_id, searcher=s)["tags"]
+
+    atomic_update(idx, 1, {"tags": {"add": "green"}},
+                  store_cols=("content", "tags"))
+    assert tags_of(1) == ["red", "blue", "green"]
+
+    # add-distinct skips present values, dedupes the incoming list
+    atomic_update(idx, 1, {"tags": {"add-distinct":
+                                    ["blue", "teal", "teal"]}},
+                  store_cols=("content", "tags"))
+    assert tags_of(1) == ["red", "blue", "green", "teal"]
+
+    # plain add appends duplicates (Solr semantics)
+    atomic_update(idx, 1, {"tags": {"add": ["red"]}},
+                  store_cols=("content", "tags"))
+    assert tags_of(1) == ["red", "blue", "green", "teal", "red"]
+
+    # remove drops ALL occurrences of each named value
+    atomic_update(idx, 1, {"tags": {"remove": ["red", "absent"]}},
+                  store_cols=("content", "tags"))
+    assert tags_of(1) == ["blue", "green", "teal"]
+
+    # removeregex is a whole-value match
+    atomic_update(idx, 1, {"tags": {"removeregex": ".*ee.*"}},
+                  store_cols=("content", "tags"))
+    assert tags_of(1) == ["blue", "teal"]
+
+    # add onto an empty list-typed field
+    atomic_update(idx, 2, {"tags": {"add": "solo"}},
+                  store_cols=("content", "tags"))
+    assert tags_of(2) == ["solo"]
+    # untouched field of an updated doc survives
+    log = TransactionLog(idx)
+    s = IndexSearcher(idx)
+    assert log.realtime_get(2, searcher=s)["content"] == "beta words"

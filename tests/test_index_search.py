@@ -234,6 +234,56 @@ def test_automaton_degenerates_to_phrase(index_dir, oracle):
     assert set(c["doc_id"].to_pylist()) == want
 
 
+def test_term_automaton_general_nfa(index_dir, oracle):
+    """Dict-shaped arbitrary NFAs: bit-parity with the vectorized
+    linear path where they coincide, cyclic automatons verified against
+    a brute-force positional oracle, all-wildcard paths rejected."""
+    s = IndexSearcher(index_dir, mode="exact64")
+    dfs = sorted(oracle.df.items(), key=lambda kv: (-kv[1], kv[0]))
+    hot, mid = dfs[0][0], dfs[len(dfs) // 3][0]
+
+    # same language + same term multiset as the linear form -> the DP
+    # path must reproduce the vectorized path bit-for-bit (the ANY
+    # self-loop on the accept state changes nothing: same starts)
+    lin = s.search_term_automaton([[hot], [hot]], k=10)
+    nfa = s.search_term_automaton(
+        {"states": 3, "accept": [2],
+         "transitions": [[0, 1, hot], [1, 2, hot], [2, 2, "*"]]}, k=10)
+    assert lin["doc_id"].to_pylist() == nfa["doc_id"].to_pylist()
+    assert lin["score"].to_pylist() == nfa["score"].to_pylist()
+
+    # cyclic: hot (mid hot)* — doc set against a brute-force simulation
+    cyc = {"states": 3, "accept": [1],
+           "transitions": [[0, 1, hot], [1, 2, mid], [2, 1, hot]]}
+    got = set(s.search_term_automaton(cyc, k=N_DOCS)
+              ["doc_id"].to_pylist())
+    want = set()
+    for did, d in oracle.docs.items():
+        hp = set(d["pos"].get(hot, ()))
+        if hp:   # a single 'hot' accepts via state 1
+            want.add(did)
+    assert got == want
+
+    # a stricter cycle: (hot mid)+ — needs hot at p, mid at p+1
+    cyc2 = {"states": 3, "accept": [2],
+            "transitions": [[0, 1, hot], [1, 2, mid], [2, 1, hot]]}
+    got2 = set(s.search_term_automaton(cyc2, k=N_DOCS)
+               ["doc_id"].to_pylist())
+    want2 = set()
+    for did, d in oracle.docs.items():
+        hp = set(d["pos"].get(hot, ()))
+        mp = set(d["pos"].get(mid, ()))
+        if any(p + 1 in mp for p in hp):
+            want2.add(did)
+    assert got2 == want2
+
+    # automatons accepting a concrete-free path are rejected
+    with pytest.raises(ValueError):
+        s.search_term_automaton(
+            {"states": 2, "accept": [1],
+             "transitions": [[0, 1, "*"], [1, 1, hot]]}, k=5)
+
+
 def test_solr_caches(index_dir, oracle):
     """filterCache + queryResultCache: identical results, counted hits,
     bounded size with LRU eviction."""

@@ -1,6 +1,7 @@
 """TieredMergePolicy incremental merging (index/tiered.py): search
 identity through merges, convergence to the tier budget, CheckIndex
-validity, delete-carrying segments left alone."""
+validity, delete reclamation (merging a delete-carrying segment
+physically purges its dead docs, like SegmentMerger)."""
 
 import numpy as np
 import pyarrow as pa
@@ -8,7 +9,7 @@ import pytest
 
 from lucene_solr_ray.index.build import append_documents, build_index
 from lucene_solr_ray.index.manifest import load_manifest
-from lucene_solr_ray.index.tiered import (maybe_merge, merge_until_stable,
+from lucene_solr_ray.index.tiered import (merge_until_stable,
                                           plan_tiered_merge)
 from lucene_solr_ray.search.searcher import IndexSearcher
 
@@ -89,7 +90,7 @@ def test_positions_survive_merge(ray_session, tmp_path):
     assert sorted(t["doc_id"].to_pylist()) == list(range(1, 8))
 
 
-def test_deletes_block_tiering(ray_session, tmp_path):
+def test_tiered_merge_reclaims_deletes(ray_session, tmp_path):
     from lucene_solr_ray.index.deletes import delete_docs
 
     idx = str(tmp_path / "idx")
@@ -97,18 +98,81 @@ def test_deletes_block_tiering(ray_session, tmp_path):
     for i in range(1, 6):
         append_documents(_docs(i * 30, 30), idx)
     delete_docs(idx, [5, 35])
-    # every postings segment predates the delete -> all carry it -> no
-    # candidates
-    assert plan_tiered_merge(idx, segs_per_tier=2) is None
-    # a post-delete append IS mergeable once enough siblings exist
-    for i in range(6, 11):
-        append_documents(_docs(i * 30, 30), idx)
-    plan = plan_tiered_merge(idx, segs_per_tier=2, max_merge_at_once=3)
-    assert plan is not None and len(plan) == 3
-    man = maybe_merge(idx, segs_per_tier=2, max_merge_at_once=3)
-    assert man is not None
+    man_del = load_manifest(idx)
+    assert man_del.get("deleted_docs") == 2
+    before = _snapshot(idx)
+
+    # delete-carrying segments are candidates and merging reclaims
+    merges = merge_until_stable(idx, segs_per_tier=2,
+                                max_merge_at_once=3, floor_bytes=1)
+    assert merges >= 1
+    man = load_manifest(idx)
+    # everything applied got purged: the delete state is gone and the
+    # collection totals dropped by exactly the dead docs
+    assert "deletes_file" not in man
+    assert man.get("deleted_docs", 0) == 0
+    assert man["num_docs"] == man_del["num_docs"] - 2
+
     s = IndexSearcher(idx)
     docs = s.search({"type": "bool",
                      "should": WORDS,
                      "min_should_match": 1}, k=1000)["doc_id"].to_pylist()
-    assert 5 not in docs and 35 not in docs  # deletes still honored
+    assert 5 not in docs and 35 not in docs
+    # dead docs are physically absent from the stored rows too
+    import pyarrow.parquet as pq_
+    import os as os_
+    root = os_.path.join(idx, "segments")
+    for seg in man["segments"]:
+        p = os_.path.join(root, seg["segment"], "docs.parquet")
+        ids = pq_.read_table(p, columns=["doc_id"])["doc_id"].to_pylist()
+        assert 5 not in ids and 35 not in ids
+
+    # scores stay bit-identical through the reclaim...
+    assert _snapshot(idx) == before
+    # ...and equal a FRESH build of the survivors (global-stats parity)
+    fresh = str(tmp_path / "fresh")
+    surv = pa.concat_tables([_docs(i * 30, 30) for i in range(6)])
+    surv = surv.filter(pa.compute.invert(
+        pa.compute.is_in(surv["doc_id"], value_set=pa.array([5, 35]))))
+    build_index(surv, fresh)
+    assert _snapshot(fresh) == before
+
+    from lucene_solr_ray.index.check import check_index
+    report = check_index(idx)
+    assert report["errors"] == [], report
+
+
+def test_partial_reclaim_keeps_remaining_deletes(ray_session, tmp_path):
+    """A merge that covers only SOME delete-carrying segments keeps the
+    deletes file and counters for the rest."""
+    from lucene_solr_ray.index.deletes import delete_docs
+
+    idx = str(tmp_path / "idx")
+    build_index(_docs(0, 30), idx)
+    for i in range(1, 6):
+        append_documents(_docs(i * 30, 30), idx)
+    delete_docs(idx, [5, 95])  # doc 5 in segment 0, doc 95 in segment 3
+    man0 = load_manifest(idx)
+    assert man0.get("deleted_docs") == 2
+    # pick a subset holding doc 5 but not doc 95
+    from lucene_solr_ray.index.tiered import merge_tier
+    import pyarrow.parquet as pq_
+    import os as os_
+    root = os_.path.join(idx, "segments")
+    segs = [s["segment"] for s in man0["segments"]
+            if s.get("kind", "postings") == "postings"]
+    holds = {}
+    for n in segs:
+        ids = set(pq_.read_table(
+            os_.path.join(root, n, "docs.parquet"),
+            columns=["doc_id"])["doc_id"].to_pylist())
+        holds[n] = ids
+    with5 = next(n for n in segs if 5 in holds[n])
+    others = [n for n in segs if 95 not in holds[n] and n != with5]
+    man = merge_tier(idx, [with5, others[0]])
+    assert man.get("deleted_docs") == 1          # 95 still pending
+    assert man.get("deletes_file")
+    s = IndexSearcher(idx)
+    docs = s.search({"type": "bool", "should": WORDS,
+                     "min_should_match": 1}, k=1000)["doc_id"].to_pylist()
+    assert 5 not in docs and 95 not in docs
