@@ -1049,21 +1049,28 @@ class _ExprCtx:
         return np.where(d[idx] == self.docs, sc[idx], 0.0) \
             .astype(np.float64)
 
-    def strdist(self, field: str, const: str) -> np.ndarray:
-        """StrDistanceFunction 'edit': 1 - levenshtein/max(len), per
-        candidate doc. String fields are KEYWORD postings here, so the
-        values are UNINVERTED — enumerate the field's terms, one edit
+    def strdist(self, field: str, const: str, *,
+                measure: str = "edit") -> np.ndarray:
+        """StrDistanceFunction per candidate doc: 'edit' =
+        1 - levenshtein/max(len); 'jarowinkler' = the float32-exact
+        JaroWinklerDistance. String fields are KEYWORD postings here, so
+        the values are UNINVERTED — enumerate the field's terms, one
         distance per unique value, postings assign it to docs (Lucene's
         UninvertingReader / FieldCache discipline). Docs without the
         field keep similarity 0."""
+        from ..search.strdistance import jaro_winkler_distance
+
         sims = np.zeros(len(self.docs), dtype=np.float64)
         for t in self.s.expand_terms("prefix", f"{field}:"):
             v = t.split(":", 1)[1]
             p = self.s._decode_term_global(t)
             if p is None or not len(p[0]):
                 continue
-            sim = 1.0 - _lev_full(v, const) \
-                / float(max(len(v), len(const)) or 1)
+            if measure == "jarowinkler":
+                sim = jaro_winkler_distance(v, const)
+            else:
+                sim = 1.0 - _lev_full(v, const) \
+                    / float(max(len(v), len(const)) or 1)
             idx = np.clip(np.searchsorted(p[0], self.docs),
                           0, len(p[0]) - 1)
             sims = np.where(p[0][idx] == self.docs, sim, sims)
@@ -3051,6 +3058,12 @@ def build_queries() -> dict:
             "customer", "div(ord(n_chars),sum(rord(n_chars),1))"),
         "ft_expr_strdist": _q_expr_boost(
             "table", "sum(1,strdist(lang,'en',edit))"),
+        # rows-only: Lucene's JaroWinklerDistance is float32 with an
+        # uncapped prefix and min(0.1, 1/maxlen) scaling — DuckDB's
+        # standard jaro_winkler cannot twin it (goldens in
+        # test_functionquery)
+        "ft_expr_strdist_jw": _q_expr_boost(
+            "table", "sum(1,strdist(lang,'en',jarowinkler))"),
         "ft_external_boost": _q_external_boost("table"),
         "ft_elevation": _q_elevation("table"),
         "ft_suggest_weighted": _q_suggest_weighted("s"),

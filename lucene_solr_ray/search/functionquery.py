@@ -151,13 +151,16 @@ def _eval_index_func(node: ExprNode, ctx) -> np.ndarray:
         return getattr(ctx, f)(node.args[0].value)   # dense value rank
     if f == "strdist":             # StrDistanceFunction (solr search/
         # function/distance/StringDistanceFunction.java): similarity of
-        # a string field to a constant; 'edit' = 1 - lev/max(len), the
-        # LevensteinDistance.getDistance contract. Only 'edit' is
-        # supported (jarowinkler has no bit-stable SQL twin).
-        if len(node.args) > 2 and node.args[2].value != "edit":
-            raise ValueError("strdist: only the 'edit' measure is "
-                             "supported")
-        return ctx.strdist(node.args[0].value, node.args[1].value)
+        # a string field to a constant. 'edit' = 1 - lev/max(len) (the
+        # LevensteinDistance.getDistance contract, oracle-paired);
+        # 'jarowinkler' = the float32-exact JaroWinklerDistance
+        # (golden-tested — DuckDB's standard Winkler cannot twin it).
+        measure = node.args[2].value if len(node.args) > 2 else "edit"
+        if measure not in ("edit", "jarowinkler"):
+            raise ValueError("strdist: unsupported measure "
+                             f"{measure!r} (edit/jarowinkler)")
+        return ctx.strdist(node.args[0].value, node.args[1].value,
+                           measure=measure)
     field = node.args[0].value     # bare field ident, not evaluated
     term = node.args[1].value      # quoted term literal
     if f == "termfreq":

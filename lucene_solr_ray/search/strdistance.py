@@ -1,0 +1,66 @@
+"""String distances for StrDistanceFunction / spellcheck ranking.
+
+JaroWinklerDistance is a bit-faithful float32 re-derivation of
+lucene/suggest/.../spell/JaroWinklerDistance.java:38-105 — including
+its two deviations from Winkler's published form: the common prefix is
+NOT capped at 4, and the prefix scale is ``min(0.1f, 1f/maxlen)``
+instead of a constant 0.1. Every arithmetic step runs in numpy float32
+so the result is bit-equal to the Java float expression tree. There is
+no SQL twin (DuckDB implements standard Winkler), so strdist
+'jarowinkler' is golden-tested instead of oracle-paired.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_F32 = np.float32
+
+
+def _matches(s1: str, s2: str) -> tuple[int, int, int, int]:
+    """(matches, transpositions, prefix, max_len) — the int[] of
+    JaroWinklerDistance.matches (:38-93)."""
+    if len(s1) > len(s2):
+        mx, mn = s1, s2
+    else:
+        mx, mn = s2, s1
+    rng = max(len(mx) // 2 - 1, 0)
+    match_indexes = [-1] * len(mn)
+    match_flags = [False] * len(mx)
+    matches = 0
+    for mi, c1 in enumerate(mn):
+        for xi in range(max(mi - rng, 0), min(mi + rng + 1, len(mx))):
+            if not match_flags[xi] and c1 == mx[xi]:
+                match_indexes[mi] = xi
+                match_flags[xi] = True
+                matches += 1
+                break
+    ms1 = [mn[i] for i in range(len(mn)) if match_indexes[i] != -1]
+    ms2 = [mx[i] for i in range(len(mx)) if match_flags[i]]
+    transpositions = sum(1 for a, b in zip(ms1, ms2) if a != b)
+    prefix = 0
+    for mi in range(len(mn)):
+        if s1[mi] == s2[mi]:
+            prefix += 1
+        else:
+            break
+    return matches, transpositions // 2, prefix, len(mx)
+
+
+def jaro_winkler_distance(s1: str, s2: str,
+                          threshold: float = 0.7) -> float:
+    """getDistance (JaroWinklerDistance.java:96-105), float32-exact.
+    Returns a SIMILARITY in [0, 1] (1 = equal), as the Java class does
+    despite its name."""
+    m_i, t_i, p_i, maxlen = _matches(s1, s2)
+    if m_i == 0:
+        return 0.0
+    m = _F32(m_i)
+    j = (m / _F32(len(s1)) + m / _F32(len(s2))
+         + (m - _F32(t_i)) / m) / _F32(3)
+    if j < _F32(threshold):
+        jw = j
+    else:
+        jw = j + min(_F32(0.1), _F32(1) / _F32(maxlen)) \
+            * _F32(p_i) * (_F32(1) - j)
+    return float(jw)

@@ -213,3 +213,41 @@ def test_random_expr_numpy_duckdb_bitwise(expr, seed):
         f"SELECT {sql} FROM t").fetchnumpy().values()))
     assert np.array_equal(np.asarray(mine, dtype=np.float64),
                           np.asarray(got, dtype=np.float64)), (expr,)
+
+
+def test_jaro_winkler_reference_goldens():
+    """TestJaroWinklerDistance.java golden vectors — the float32
+    re-derivation must land in the reference's assert windows."""
+    from lucene_solr_ray.search.strdistance import jaro_winkler_distance as jw
+
+    assert jw("al", "al") == 1.0
+    assert 0.961 < jw("martha", "marhta") < 0.962
+    assert 0.832 < jw("jones", "johnson") < 0.833
+    assert 0.958 < jw("abcvwxyz", "cabvwxyz") < 0.959
+    assert 0.84 < jw("dwayne", "duane") < 0.841
+    assert 0.813 < jw("dixon", "dicksonx") < 0.814
+    assert jw("fvie", "ten") == 0.0
+    assert jw("zac ephron", "zac efron") > jw("zac ephron", "kai ephron")
+    assert jw("brittney spears", "britney spears") > \
+        jw("brittney spears", "brittney startzman")
+    # the two Lucene deviations from standard Winkler: uncapped prefix
+    # and min(0.1, 1/maxlen) scaling — a long shared prefix keeps
+    # gaining bonus past 4 chars
+    long_a, long_b = "abcdefghijkx", "abcdefghijky"
+    std_capped = jw(long_a[:5] + "x" * 7, long_b[:5] + "y" * 7)
+    assert jw(long_a, long_b) > std_capped
+
+
+def test_strdist_measure_dispatch():
+    node = parse_expr("strdist(lang,'en',jarowinkler)")
+
+    class Ctx:
+        def strdist(self, field, const, measure):
+            assert (field, const, measure) == ("lang", "en",
+                                               "jarowinkler")
+            return np.array([0.5])
+
+    assert evaluate(node, {}, ctx=Ctx())[0] == 0.5
+    with pytest.raises(ValueError):
+        evaluate(parse_expr("strdist(lang,'en',soundex)"), {},
+                 ctx=Ctx())
