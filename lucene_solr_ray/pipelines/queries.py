@@ -2235,6 +2235,108 @@ scored AS (
 """
 
 
+def _q_lm_jelinek_mercer(term, lam=0.7, k=10):
+    """Term query scored with LMJelinekMercerSimilarity
+    (core:search/similarities/LMJelinekMercerSimilarity.java); float64
+    over exact doc lengths, like the Dirichlet twin."""
+    def run(sf_dir):
+        from ..search.similarity import lm_jelinek_mercer_scores
+
+        s = _searcher(sf_dir)
+        p = s._decode_term_global(term)
+        if p is None:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "score_q": pa.array([], type=pa.int64()),
+                             "rank": pa.array([], type=pa.int64())})
+        docs, tfs = p[0], p[1]
+        ids, dls = s._global_dl()
+        dl = dls[np.searchsorted(ids, docs)]
+        ttf = s.term_stats([term])[term][1]
+        score = lm_jelinek_mercer_scores(tfs, dl, ttf, s.sum_dl,
+                                         lam=lam)
+        order = np.lexsort((docs, -score))[:k]
+        return pa.table({
+            "doc_id": pa.array(docs[order], type=pa.int64()),
+            "score_q": pa.array(quantize_score(score[order]),
+                                type=pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1),
+                             type=pa.int64()),
+        })
+    return run
+
+
+def _lm_jelinek_mercer_sql(term: str, lam: float, k: int) -> str:
+    return f"""
+WITH {_tok_ctes()},
+tf AS (SELECT doc_id, count(*) AS tf FROM clean WHERE term = '{term}'
+       GROUP BY doc_id),
+ttfx AS (SELECT count(*) AS ttf FROM clean WHERE term = '{term}'),
+scored AS (
+  SELECT tf.doc_id AS doc_id,
+         -- CAST: DuckDB parses bare 0.7 as DECIMAL, whose (1 - λ)
+         -- differs in the last bit from float64 1.0-0.7
+         ln(1 + ((1 - CAST({lam!r} AS DOUBLE)) * tf.tf / dl.dl)
+                / (CAST({lam!r} AS DOUBLE)
+                   * (ttfx.ttf / CAST(s.sum_dl AS DOUBLE)))) AS score
+  FROM tf JOIN dl USING (doc_id), ttfx, stats s
+)
+{_sql_topk('scored', k)}
+"""
+
+
+def _q_dfr_inl2(term, c=1.0, k=10):
+    """Term query scored with DFR I(n)L2 (DFRSimilarity with
+    BasicModelIn/AfterEffectL/NormalizationH2); float64 over exact doc
+    lengths."""
+    def run(sf_dir):
+        from ..search.similarity import dfr_inl2_scores
+
+        s = _searcher(sf_dir)
+        p = s._decode_term_global(term)
+        if p is None:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "score_q": pa.array([], type=pa.int64()),
+                             "rank": pa.array([], type=pa.int64())})
+        docs, tfs = p[0], p[1]
+        ids, dls = s._global_dl()
+        dl = dls[np.searchsorted(ids, docs)]
+        df = s.term_stats([term])[term][0]
+        score = dfr_inl2_scores(tfs, dl, df, s.num_docs, s.sum_dl, c=c)
+        order = np.lexsort((docs, -score))[:k]
+        return pa.table({
+            "doc_id": pa.array(docs[order], type=pa.int64()),
+            "score_q": pa.array(quantize_score(score[order]),
+                                type=pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1),
+                             type=pa.int64()),
+        })
+    return run
+
+
+def _dfr_inl2_sql(term: str, c: float, k: int) -> str:
+    return f"""
+WITH {_tok_ctes()},
+tf AS (SELECT doc_id, count(*) AS tf FROM clean WHERE term = '{term}'
+       GROUP BY doc_id),
+dfx AS (SELECT count(DISTINCT doc_id) AS df FROM clean
+        WHERE term = '{term}'),
+tfn AS (
+  SELECT tf.doc_id AS doc_id,
+         tf.tf * (ln(1 + {c!r} * (CAST(s.sum_dl AS DOUBLE) / s.n_docs)
+                     / dl.dl) / ln(2)) AS tfn,
+         s.n_docs AS n_docs
+  FROM tf JOIN dl USING (doc_id), stats s
+),
+scored AS (
+  SELECT doc_id,
+         (tfn * (ln((n_docs + 1) / (dfx.df + 0.5)) / ln(2)))
+           * (1 / (tfn + 1)) AS score
+  FROM tfn, dfx
+)
+{_sql_topk('scored', k)}
+"""
+
+
 def _q_rerank(base_term, rerank_term, rerank_docs=50, weight=2.0, k=10):
     """ReRankQuery (solr:search/ReRankQParserPlugin.java:48,
     ReRankCollector): run the base query, take its top ``rerank_docs``
@@ -3012,6 +3114,8 @@ def build_queries() -> dict:
         "ft_synonym_term": _q_synonym_term("batch"),
         "ft_minimal_stem": _q_minimal_stem("tables"),
         "ft_lm_dirichlet": _q_lm_dirichlet("table"),
+        "ft_lm_jelinek_mercer": _q_lm_jelinek_mercer("table"),
+        "ft_dfr_inl2": _q_dfr_inl2("table"),
         "ft_rerank": _q_rerank("table", "vector"),
         "ft_stemmed_term": _q_stemmed_term("query"),   # rows-only
         "ft_snowball_term": _q_snowball_term("queries"),   # rows-only
@@ -3249,6 +3353,8 @@ FROM bfs WHERE kind = 'c' AND node = 2
         "text_unigram_lm": QF.unigram_logprob_sql(),
         "text_mixture_rebalance": QF.mixture_rebalance_sql(),
         "ft_lm_dirichlet": _lm_dirichlet_sql("table", 2000.0, 10),
+        "ft_lm_jelinek_mercer": _lm_jelinek_mercer_sql("table", 0.7, 10),
+        "ft_dfr_inl2": _dfr_inl2_sql("table", 1.0, 10),
         "ft_rerank": _rerank_sql("table", "vector", 50, 2.0, 10),
         "ft_multi_phrase": _multi_phrase_sql([["fast", "slow"], ["table"]],
                                              10),

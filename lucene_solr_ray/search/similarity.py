@@ -81,3 +81,52 @@ def lm_dirichlet_scores(tf: np.ndarray, dl: np.ndarray,
         out[i] = (math.log(1.0 + tf64[i] / (mu * p))
                   + math.log(mu / (dl64[i] + mu)))
     return out
+
+
+def lm_jelinek_mercer_scores(tf: np.ndarray, dl: np.ndarray,
+                             ttf: int, sum_dl: int,
+                             lam: float = 0.7) -> np.ndarray:
+    """LMJelinekMercerSimilarity (core:search/similarities/
+    LMJelinekMercerSimilarity.java:53-59): linear interpolation of the
+    document and collection models,
+
+        score = ln(1 + ((1-λ)·tf/dl) / (λ·p(t|C))),
+        p(t|C) = ttf / sumTotalTermFreq
+
+    float64 over exact doc lengths, scalar math.log per element — the
+    same oracle-mode discipline as :func:`lm_dirichlet_scores`."""
+    p = ttf / float(sum_dl)
+    out = np.empty(len(tf), dtype=np.float64)
+    tf64 = tf.astype(np.float64)
+    dl64 = dl.astype(np.float64)
+    for i in range(len(out)):
+        out[i] = math.log(1.0 + ((1.0 - lam) * tf64[i] / dl64[i])
+                          / (lam * p))
+    return out
+
+
+def dfr_inl2_scores(tf: np.ndarray, dl: np.ndarray, df: int,
+                    num_docs: int, sum_dl: int,
+                    c: float = 1.0) -> np.ndarray:
+    """DFRSimilarity with BasicModelIn + AfterEffectL + NormalizationH2
+    — the I(n)L2 combination (core:search/similarities/
+    DFRSimilarity.java:110-114, BasicModelIn.java:33-37,
+    AfterEffectL.java:32-34, NormalizationH2.java:52-54):
+
+        tfn   = tf · log2(1 + c·avgdl/dl)
+        score = (tfn · log2((N+1)/(df+0.5))) · (1/(tfn+1))
+
+    One representative of the pluggable DFR family; other basic models
+    / after-effects / normalizations compose the same way. float64 with
+    log2 spelled ln(x)/ln(2) so the SQL twin's expression tree is
+    identical."""
+    avg = sum_dl / float(num_docs)
+    ln2 = math.log(2.0)
+    out = np.empty(len(tf), dtype=np.float64)
+    tf64 = tf.astype(np.float64)
+    dl64 = dl.astype(np.float64)
+    idf = math.log((num_docs + 1) / (df + 0.5)) / ln2
+    for i in range(len(out)):
+        tfn = tf64[i] * (math.log(1.0 + c * avg / dl64[i]) / ln2)
+        out[i] = (tfn * idf) * (1.0 / (tfn + 1.0))
+    return out
