@@ -187,6 +187,39 @@ scored2 AS (SELECT * FROM scored WHERE TRUE {notp})
 """
 
 
+def ft_common_terms_sql(terms: list[str], max_df_ratio: float,
+                        k: int) -> str:
+    """Twin of search_common_terms: the df split is DYNAMIC — a term is
+    exempt from the MUST requirement iff its df > ratio·N, computed in
+    the query itself, so the twin tracks the engine's split at any
+    scale factor."""
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    add_terms = " + ".join(
+        f"COALESCE(max(CASE WHEN term = '{t}' THEN sc END), 0)"
+        for t in terms)
+    must_pred = " AND ".join(
+        f"(COALESCE(max(CASE WHEN term = '{t}' THEN 1 END), 0) = 1 "
+        f"OR COALESCE((SELECT df FROM dfs WHERE term = '{t}'), 0) "
+        f"> {max_df_ratio!r} * (SELECT n_docs FROM stats))"
+        for t in terms)
+    return f"""
+WITH {_tok_ctes()},
+per AS (SELECT doc_id, term, count(*) AS tf FROM clean
+        WHERE term IN ({inlist}) GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM per GROUP BY term),
+cs AS (SELECT per.doc_id, per.term,
+              {_bm25_expr('per.tf', 'dl.dl', 'dfs.df')} AS sc
+       FROM per JOIN dfs USING (term) JOIN dl USING (doc_id), stats s),
+scored AS (
+  SELECT doc_id, {add_terms} AS score
+  FROM cs
+  GROUP BY doc_id
+  HAVING {must_pred}
+)
+{_sql_topk('scored', k)}
+"""
+
+
 def ft_phrase_sql(t1: str, t2: str, k: int) -> str:
     return f"""
 WITH {_tok_ctes()},
@@ -951,8 +984,8 @@ def _q_terms_set(terms, k=10):
 
 
 def _q_common_terms(terms, k=10):
-    """CommonTermsQuery: df-split required/optional clauses (rows-only —
-    the df-dependent split is not replicated in SQL)."""
+    """CommonTermsQuery: df-split required/optional clauses; the SQL
+    twin (ft_common_terms_sql) recomputes the split dynamically."""
     def run(sf_dir):
         return _topk_table(_searcher(sf_dir).search(
             {"type": "common_terms", "terms": terms}, k=k))
@@ -3100,7 +3133,7 @@ def build_queries() -> dict:
         "ft_filter_lang": _q_filtered("table", "lang", "en"),
         "ft_facet_lang": _q_result_facet("table", "lang"),
         "ft_terms_set": _q_terms_set(["dup", "vector", "stream"]),
-        "ft_common_terms": _q_common_terms(["table", "dup"]),  # rows-only
+        "ft_common_terms": _q_common_terms(["table", "dup"]),
         "ft_parsed_bool": _q_parsed("+table +customer vector"),
         "ft_parsed_grouped": _q_parsed("table AND (vector OR customer)"),
         "ft_parsed_phrase_prefix": _q_parsed('cust* OR "fast table"'),
@@ -3273,6 +3306,7 @@ def build_oracle_sql() -> dict:
         "ft_bool_and": ft_bool_sql([HOT, HOT2], [], [], 0, 10),
         "ft_bool_or_msm": ft_bool_sql([], [HOT, MID, RARE], [], 2, 10),
         "ft_bool_not": ft_bool_sql([MID], [], [RARE], 0, 10),
+        "ft_common_terms": ft_common_terms_sql(["table", "dup"], 0.5, 10),
         "ft_phrase": ft_phrase_sql("fast", "table", 10),
         "ft_term_stats": ft_term_stats_sql(STATS_TERMS),
         "ft_collection_stats": ft_collection_stats_sql(),

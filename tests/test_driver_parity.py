@@ -69,7 +69,8 @@ def test_all_queries_have_oracles_or_are_documented():
 
 @pytest.mark.parametrize("name", [
     "ft_term_hot", "ft_term_mid", "ft_term_rare", "ft_bool_and",
-    "ft_bool_or_msm", "ft_bool_not", "ft_phrase", "ft_term_stats",
+    "ft_bool_or_msm", "ft_bool_not", "ft_common_terms", "ft_phrase",
+    "ft_term_stats",
     "ft_collection_stats", "ft_top_terms", "ft_term_vector",
     "rel_rollup_pricing", "rel_facet_counts", "rel_range_facet",
     "rel_query_facets", "rel_interval_facet", "rel_json_facet",
