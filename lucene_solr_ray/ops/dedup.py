@@ -395,6 +395,77 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
                                 preserve_index=False)
 
 
+SUBSTRING_K = 8
+
+
+def substring_dup_pairs(sf_dir: str, k: int = SUBSTRING_K) -> pa.Table:
+    """Exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", arXiv:2107.06499): two docs are
+    exact-overlap duplicates iff they share a run of ``k`` consecutive
+    tokens; ``n_shared`` counts the distinct shared k-token windows.
+
+    Scale shape — the candidate generator the paper's suffix-array pass
+    reduces to at fixed k: per-batch distinct gram emission (map_batches,
+    same tokenizer contract as the shingle oracle) → groupby(gram) pair
+    emission (co-grouped docs only, never all-pairs) → pair rollup.
+    Only (gram, doc_id) rows enter the shuffle; payloads never move. A
+    gram shared by m docs emits m(m-1)/2 pairs — the hot-gram skew
+    consideration is the same as LSH banding's and is bounded by k being
+    long enough that ubiquitous short phrases never qualify."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+
+    def grams(batch: pa.Table) -> pa.Table:
+        ab = _tokenize_keep_stops(batch["text"])
+        toks = ab.terms.to_pylist()
+        starts = np.concatenate(([0], np.cumsum(ab.doc_lengths)))
+        out_doc: list[int] = []
+        out_gram: list[str] = []
+        for d, did in enumerate(batch["doc_id"].to_pylist()):
+            ws = toks[starts[d]:starts[d + 1]]
+            if len(ws) < k:
+                continue
+            seen = {" ".join(ws[i:i + k])
+                    for i in range(len(ws) - k + 1)}
+            out_doc.extend([did] * len(seen))
+            out_gram.extend(seen)
+        return pa.table({
+            "gram": pa.array(out_gram, type=pa.string()),
+            "doc_id": pa.array(out_doc, type=pa.int64()),
+        })
+
+    def emit(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group["doc_id"].to_pylist()))
+        if len(ids) < 2:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64())})
+        a_, b_ = zip(*[(x, y) for i, x in enumerate(ids)
+                       for y in ids[i + 1:]])
+        return pa.table({"a": pa.array(a_, type=pa.int64()),
+                         "b": pa.array(b_, type=pa.int64())})
+
+    pair_ds = (ds.map_batches(grams, batch_format="pyarrow",
+                              batch_size=1024)
+               .groupby("gram").map_groups(emit,
+                                           batch_format="pyarrow"))
+    # distributed pair rollup; only the final (a, b, n_shared) rows —
+    # the query's actual result — reach the driver
+    agg = pair_ds.groupby(["a", "b"]).count()
+    df = agg.to_pandas()
+    if len(df) == 0:
+        return pa.table({"a": pa.array([], type=pa.int64()),
+                         "b": pa.array([], type=pa.int64()),
+                         "n_shared": pa.array([], type=pa.int64())})
+    cnt = [c for c in df.columns if c not in ("a", "b")][0]
+    df = (df.rename(columns={cnt: "n_shared"})
+          .sort_values(["a", "b"]).reset_index(drop=True))
+    for c in ("a", "b", "n_shared"):
+        df[c] = df[c].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> pa.Table:
     """Exhaustive n-gram Jaccard pairs (the exact-dedup oracle semantics,
     distributed as broadcast + per-batch pairwise — O(n²/p))."""

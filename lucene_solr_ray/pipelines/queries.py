@@ -549,6 +549,29 @@ ORDER BY a, b
 """
 
 
+def substring_dup_sql(k: int) -> str:
+    """Twin of ops.dedup.substring_dup_pairs: distinct k-token windows
+    per doc (same tokenizer contract as the shingle oracle), pairs =
+    docs sharing a window, n_shared = distinct shared windows."""
+    gram = " || ' ' || ".join(f"tk[i+{j}]" for j in range(k)) \
+        .replace("tk[i+0]", "tk[i]")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                             t -> length(t) <= 255) AS tk
+  FROM documents),
+gr AS (SELECT doc_id,
+              list_distinct([{gram}
+                             for i in range(1, len(tk) - {k - 2})]) AS g
+       FROM toks WHERE len(tk) >= {k}),
+flat AS (SELECT doc_id, unnest(g) AS gram FROM gr)
+SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_shared
+FROM flat a JOIN flat b ON a.gram = b.gram AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+ORDER BY a, b
+"""
+
+
 def significant_terms_sql(fg_term: str, n: int, min_fg: int) -> str:
     """Twin of ops.text.significant_terms: distinct (doc, term) pairs,
     foreground = docs containing fg_term, score = one float64 division
@@ -3042,6 +3065,7 @@ def build_queries() -> dict:
         "dedup_exact": D.exact_dedup,
         "dedup_minhash_lsh": D.minhash_lsh_pairs,
         "dedup_ngram_jaccard": D.ngram_jaccard_pairs,
+        "dedup_substring": D.substring_dup_pairs,
         "dedup_simhash": D.simhash_pairs,          # rows-only (no SQL twin)
         "dedup_clusters": D.dedup_clusters,
         "text_langid": T.lang_id,
@@ -3247,6 +3271,7 @@ def build_oracle_sql() -> dict:
         "dedup_exact": ft_dedup_exact_sql(),
         "dedup_minhash_lsh": ft_jaccard_pairs_sql(JACCARD_THRESHOLD),
         "dedup_ngram_jaccard": ft_jaccard_pairs_sql(JACCARD_THRESHOLD),
+        "dedup_substring": substring_dup_sql(8),
         "dedup_clusters": dedup_clusters_sql(JACCARD_THRESHOLD),
         "text_langid": text_langid_sql(),
         "text_quality": text_quality_sql(),

@@ -172,3 +172,44 @@ def test_stratified_sample_deterministic(ray_session):
     t = a.to_pandas()
     assert (t["kept"] <= t["total"]).all()
     assert set(t["lang"]) <= {"en", "other"}
+
+
+def test_substring_dup_pairs_fixture(ray_session, tmp_path):
+    """Exact-substring dedup on a planted fixture: docs sharing an
+    8-token run pair up with the right window count; others don't."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.ops.dedup import substring_dup_pairs
+
+    run = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array([
+            f"intro words {run} tail one",
+            f"other opening {run} different tail",
+            "no shared window here at all just noise words",
+            f"prefix {run} iota suffix",   # 9-token overlap with 1,2
+        ]),
+    })
+    d = tmp_path / "fixture"
+    d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+    out = substring_dup_pairs(str(d)).to_pandas()
+    pairs = {(r.a, r.b): r.n_shared for r in out.itertuples()}
+    assert set(pairs) == {(1, 2), (1, 4), (2, 4)}
+    # exactly the one 8-token window is shared in each pair
+    assert pairs[(1, 2)] == 1 and pairs[(1, 4)] == 1 and pairs[(2, 4)] == 1
+
+
+def test_substring_dup_pairs_planted(ray_session):
+    """The corpus's planted near-dups share long exact runs: substring
+    pairs must substantially overlap the J>=0.9 MinHash pairs."""
+    from lucene_solr_ray.ops.dedup import (minhash_lsh_pairs,
+                                           substring_dup_pairs)
+
+    sub = substring_dup_pairs(SF).to_pandas()
+    mh = minhash_lsh_pairs(SF).to_pandas()
+    sub_pairs = set(zip(sub["a"], sub["b"]))
+    mh_pairs = set(zip(mh["a"], mh["b"]))
+    assert len(sub_pairs) > 0
+    assert len(mh_pairs & sub_pairs) >= int(0.6 * len(mh_pairs))
