@@ -73,8 +73,8 @@ def test_strdist_eval_shape(ray_session):
     from lucene_solr_ray.search.functionquery import evaluate, parse_expr
 
     class Ctx:
-        def strdist(self, field, const):
-            assert (field, const) == ("lang", "en")
+        def strdist(self, field, const, measure="edit"):
+            assert (field, const, measure) == ("lang", "en", "edit")
             return np.array([1.0, 0.5])
 
     node = parse_expr("sum(1,strdist(lang,'en',edit))")
