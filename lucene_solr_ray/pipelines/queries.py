@@ -2393,6 +2393,68 @@ scored AS (
 """
 
 
+def _q_ib(term, dist="ll", c=1.0, k=10):
+    """Term query scored with IBSimilarity — LL·DF·H2 or SPL·TTF·H2
+    (core:search/similarities/IBSimilarity.java); float64 over exact
+    doc lengths."""
+    def run(sf_dir):
+        from ..search.similarity import ib_ll_scores, ib_spl_scores
+
+        s = _searcher(sf_dir)
+        p = s._decode_term_global(term)
+        if p is None:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "score_q": pa.array([], type=pa.int64()),
+                             "rank": pa.array([], type=pa.int64())})
+        docs, tfs = p[0], p[1]
+        ids, dls = s._global_dl()
+        dl = dls[np.searchsorted(ids, docs)]
+        df, ttf = s.term_stats([term])[term]
+        if dist == "ll":
+            score = ib_ll_scores(tfs, dl, df, s.num_docs, s.sum_dl, c=c)
+        else:
+            score = ib_spl_scores(tfs, dl, ttf, s.num_docs, s.sum_dl,
+                                  c=c)
+        order = np.lexsort((docs, -score))[:k]
+        return pa.table({
+            "doc_id": pa.array(docs[order], type=pa.int64()),
+            "score_q": pa.array(quantize_score(score[order]),
+                                type=pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1),
+                             type=pa.int64()),
+        })
+    return run
+
+
+def _ib_sql(term: str, dist: str, c: float, k: int) -> str:
+    stat = ("(SELECT count(DISTINCT doc_id) FROM clean "
+            f"WHERE term = '{term}')") if dist == "ll" else \
+        f"(SELECT count(*) FROM clean WHERE term = '{term}')"
+    if dist == "ll":
+        score = "-ln((lam) / (tfn + (lam)))"
+    else:
+        # DistributionSPL.java:35-37 clamps λ == 1 to 0.99
+        score = ("-ln((pow(lam2, tfn / (tfn + 1)) - lam2) / (1 - lam2))")
+    return f"""
+WITH {_tok_ctes()},
+tf AS (SELECT doc_id, count(*) AS tf FROM clean WHERE term = '{term}'
+       GROUP BY doc_id),
+tfn AS (
+  SELECT tf.doc_id AS doc_id,
+         tf.tf * (ln(1 + {c!r} * (CAST(s.sum_dl AS DOUBLE) / s.n_docs)
+                     / dl.dl) / ln(2)) AS tfn,
+         ({stat} + 1) / (s.n_docs + 1) AS lam
+  FROM tf JOIN dl USING (doc_id), stats s
+),
+clamped AS (SELECT doc_id, tfn,
+                   CASE WHEN lam = 1 THEN CAST(0.99 AS DOUBLE)
+                        ELSE lam END AS lam2, lam
+            FROM tfn),
+scored AS (SELECT doc_id, {score} AS score FROM clamped)
+{_sql_topk('scored', k)}
+"""
+
+
 def _q_rerank(base_term, rerank_term, rerank_docs=50, weight=2.0, k=10):
     """ReRankQuery (solr:search/ReRankQParserPlugin.java:48,
     ReRankCollector): run the base query, take its top ``rerank_docs``
@@ -3173,6 +3235,8 @@ def build_queries() -> dict:
         "ft_lm_dirichlet": _q_lm_dirichlet("table"),
         "ft_lm_jelinek_mercer": _q_lm_jelinek_mercer("table"),
         "ft_dfr_inl2": _q_dfr_inl2("table"),
+        "ft_ib_ll": _q_ib("table", dist="ll"),
+        "ft_ib_spl": _q_ib("table", dist="spl"),
         "ft_rerank": _q_rerank("table", "vector"),
         "ft_stemmed_term": _q_stemmed_term("query"),   # rows-only
         "ft_snowball_term": _q_snowball_term("queries"),   # rows-only
@@ -3414,6 +3478,8 @@ FROM bfs WHERE kind = 'c' AND node = 2
         "ft_lm_dirichlet": _lm_dirichlet_sql("table", 2000.0, 10),
         "ft_lm_jelinek_mercer": _lm_jelinek_mercer_sql("table", 0.7, 10),
         "ft_dfr_inl2": _dfr_inl2_sql("table", 1.0, 10),
+        "ft_ib_ll": _ib_sql("table", "ll", 1.0, 10),
+        "ft_ib_spl": _ib_sql("table", "spl", 1.0, 10),
         "ft_rerank": _rerank_sql("table", "vector", 50, 2.0, 10),
         "ft_multi_phrase": _multi_phrase_sql([["fast", "slow"], ["table"]],
                                              10),

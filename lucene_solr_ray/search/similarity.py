@@ -130,3 +130,51 @@ def dfr_inl2_scores(tf: np.ndarray, dl: np.ndarray, df: int,
         tfn = tf64[i] * (math.log(1.0 + c * avg / dl64[i]) / ln2)
         out[i] = (tfn * idf) * (1.0 / (tfn + 1.0))
     return out
+
+
+def ib_ll_scores(tf: np.ndarray, dl: np.ndarray, df: int,
+                 num_docs: int, sum_dl: int,
+                 c: float = 1.0) -> np.ndarray:
+    """IBSimilarity with DistributionLL + LambdaDF + NormalizationH2
+    (core:search/similarities/IBSimilarity.java:98-104,
+    DistributionLL.java:33-35, LambdaDF.java:32-34):
+
+        tfn   = tf · log2(1 + c·avgdl/dl)
+        λ     = (df + 1) / (N + 1)
+        score = -ln(λ / (tfn + λ))
+    """
+    avg = sum_dl / float(num_docs)
+    ln2 = math.log(2.0)
+    lam = (df + 1) / (num_docs + 1)
+    out = np.empty(len(tf), dtype=np.float64)
+    tf64 = tf.astype(np.float64)
+    dl64 = dl.astype(np.float64)
+    for i in range(len(out)):
+        tfn = tf64[i] * (math.log(1.0 + c * avg / dl64[i]) / ln2)
+        out[i] = -math.log(lam / (tfn + lam))
+    return out
+
+
+def ib_spl_scores(tf: np.ndarray, dl: np.ndarray, ttf: int,
+                  num_docs: int, sum_dl: int,
+                  c: float = 1.0) -> np.ndarray:
+    """IBSimilarity with DistributionSPL + LambdaTTF + NormalizationH2
+    (DistributionSPL.java:34-40, LambdaTTF.java:32-34):
+
+        tfn   = tf · log2(1 + c·avgdl/dl)
+        λ     = (ttf + 1) / (N + 1)   (0.99 if exactly 1, per :35-37)
+        score = -ln((λ^(tfn/(tfn+1)) - λ) / (1 - λ))
+    """
+    avg = sum_dl / float(num_docs)
+    ln2 = math.log(2.0)
+    lam = (ttf + 1) / (num_docs + 1)
+    if lam == 1.0:
+        lam = 0.99
+    out = np.empty(len(tf), dtype=np.float64)
+    tf64 = tf.astype(np.float64)
+    dl64 = dl.astype(np.float64)
+    for i in range(len(out)):
+        tfn = tf64[i] * (math.log(1.0 + c * avg / dl64[i]) / ln2)
+        out[i] = -math.log((math.pow(lam, tfn / (tfn + 1.0)) - lam)
+                           / (1.0 - lam))
+    return out

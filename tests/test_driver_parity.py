@@ -92,7 +92,8 @@ def test_all_queries_have_oracles_or_are_documented():
     "ft_numeric_range", "ft_sort_by_field", "ft_spellcheck",
     "ft_spellcheck_collate",
     "ft_synonym_term", "ft_minimal_stem", "ft_lm_dirichlet",
-    "ft_lm_jelinek_mercer", "ft_dfr_inl2", "ft_rerank",
+    "ft_lm_jelinek_mercer", "ft_dfr_inl2", "ft_ib_ll", "ft_ib_spl",
+    "ft_rerank",
     "rel_hierarchical_facet", "rel_percentiles", "rel_stats_extended",
     "rel_block_join_parent", "rel_block_join_child", "rel_block_join_facet",
     "rel_join_score",
