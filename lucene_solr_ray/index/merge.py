@@ -430,14 +430,49 @@ def merge_segments(index_dir: str, *, hot_df_threshold: int = HOT_DF_THRESHOLD,
     # pass 1: global df per term (column-pruned read, tiny aggregate).
     # The hot-term filter runs DISTRIBUTED so only the handful of
     # stopword-class terms ever reach the driver — never the full vocab.
-    big = (rd.read_parquet(files, columns=["term", "df"],
-                           override_num_blocks=max(2 * ncpu, len(files)))
-           .groupby("term").sum("df")
-           .map_batches(
-               lambda t: t.filter(pc.greater(t["sum(df)"],
-                                             hot_df_threshold)),
-               batch_format="pyarrow")
-           .to_pandas())
+    #
+    # Pigeonhole prefilter: global df > T over n segments requires
+    # local df > T/n in at least one segment, so when that local floor
+    # is meaningful (≥ 2) we first collect the candidate term set (a
+    # handful of stopword-class terms) and shuffle ONLY their rows —
+    # the full-vocab groupby(term) all-to-all measured ~28% of the
+    # whole merge. With many tiny segments (T/n < 2) the floor filters
+    # nothing and the plain path runs unchanged.
+    nblocks = max(2 * ncpu, len(files))
+    floor_local = hot_df_threshold // max(len(files), 1)
+    df_ds = rd.read_parquet(files, columns=["term", "df"],
+                            override_num_blocks=nblocks)
+    if floor_local >= 2:
+        cand_pd = (df_ds.map_batches(
+            lambda t: t.filter(
+                pc.greater(t["df"], floor_local)).select(["term"]),
+            batch_format="pyarrow").to_pandas())
+        cands = sorted(set(cand_pd["term"].tolist())) \
+            if len(cand_pd) else []
+        if not cands:
+            big = cand_pd.iloc[:0]
+        else:
+            cset = pa.array(cands, type=pa.string())
+            big = (rd.read_parquet(files, columns=["term", "df"],
+                                   override_num_blocks=nblocks)
+                   .map_batches(
+                       lambda t, cs=cset: t.filter(
+                           pc.is_in(t["term"], value_set=cs)),
+                       batch_format="pyarrow")
+                   .groupby("term").sum("df")
+                   .map_batches(
+                       lambda t: t.filter(pc.greater(
+                           t["sum(df)"], hot_df_threshold)),
+                       batch_format="pyarrow")
+                   .to_pandas())
+    else:
+        big = (df_ds
+               .groupby("term").sum("df")
+               .map_batches(
+                   lambda t: t.filter(pc.greater(t["sum(df)"],
+                                                 hot_df_threshold)),
+                   batch_format="pyarrow")
+               .to_pandas())
     hot = {} if len(big) == 0 or "term" not in big.columns else \
         dict(zip(big["term"].tolist(),
                  np.ceil(big["sum(df)"].to_numpy()
