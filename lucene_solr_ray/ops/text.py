@@ -337,3 +337,52 @@ def stratified_sample(sf_dir: str, rate_pct: int = 20) -> pa.Table:
     for c in ("kept", "total"):
         agg[c] = agg[c].astype("int64")
     return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+def chunk_documents(sf_dir: str, chunk_tokens: int = 64,
+                    stride: int = 48) -> pa.Table:
+    """Context-window chunking — the training-data prep step that splits
+    every document into fixed-size token windows with overlap
+    (chunk_tokens − stride tokens shared between neighbours), e.g. for
+    LM pretraining sequences or embedding passages. Window j covers
+    tokens [j·stride, j·stride + chunk_tokens) and exists iff
+    j·stride < n_tokens, so tails are kept as short final chunks.
+
+    Runs as one flat map_batches emission (rows only grow by the chunk
+    factor; no shuffle). Returns (doc_id, chunk_id, n_tokens,
+    chunk_sha) where chunk_sha = sha256 of the space-joined window —
+    the same value DuckDB's sha256(array_to_string(...)) produces, so
+    the twin hashes the actual chunk contents."""
+    import hashlib
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        ab = analyze_batch(batch["text"], keep_stopwords=True)
+        toks = ab.terms.to_pylist()
+        starts = np.concatenate(([0], np.cumsum(ab.doc_lengths)))
+        o_doc: list[int] = []
+        o_cid: list[int] = []
+        o_n: list[int] = []
+        o_sha: list[str] = []
+        for d, did in enumerate(batch["doc_id"].to_pylist()):
+            ws = toks[starts[d]:starts[d + 1]]
+            j = 0
+            while j * stride < len(ws):
+                c = ws[j * stride:j * stride + chunk_tokens]
+                o_doc.append(did)
+                o_cid.append(j)
+                o_n.append(len(c))
+                o_sha.append(hashlib.sha256(
+                    " ".join(c).encode()).hexdigest())
+                j += 1
+        return pa.table({
+            "doc_id": pa.array(o_doc, type=pa.int64()),
+            "chunk_id": pa.array(o_cid, type=pa.int64()),
+            "n_tokens": pa.array(o_n, type=pa.int64()),
+            "chunk_sha": pa.array(o_sha, type=pa.string()),
+        })
+
+    df = (_read_docs(sf_dir)
+          .map_batches(chunks, batch_format="pyarrow", batch_size=1024)
+          .to_pandas().sort_values(["doc_id", "chunk_id"])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)

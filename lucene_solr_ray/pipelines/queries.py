@@ -572,6 +572,28 @@ ORDER BY a, b
 """
 
 
+def chunk_windows_sql(chunk_tokens: int, stride: int) -> str:
+    """Twin of ops.text.chunk_documents: window j covers tokens
+    [j·stride+1, j·stride+chunk] (1-based slice, inclusive), exists iff
+    j·stride < n_tokens; chunk_sha hashes the space-joined window."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                             t -> length(t) <= 255) AS tk
+  FROM documents),
+js AS (SELECT doc_id, tk,
+              unnest(range(0, len(tk), {stride})) AS start
+       FROM toks WHERE len(tk) > 0),
+ch AS (SELECT doc_id, start // {stride} AS chunk_id,
+              tk[start + 1 : least(start + {chunk_tokens}, len(tk))] AS c
+       FROM js)
+SELECT doc_id, chunk_id, len(c) AS n_tokens,
+       sha256(array_to_string(c, ' ')) AS chunk_sha
+FROM ch
+ORDER BY doc_id, chunk_id
+"""
+
+
 def significant_terms_sql(fg_term: str, n: int, min_fg: int) -> str:
     """Twin of ops.text.significant_terms: distinct (doc, term) pairs,
     foreground = docs containing fg_term, score = one float64 division
@@ -3135,6 +3157,7 @@ def build_queries() -> dict:
         "text_significant_terms": T.significant_terms,
         "text_pii_redact": T.pii_redact,
         "text_stratified_sample": T.stratified_sample,
+        "text_chunk_windows": T.chunk_documents,
         "text_token_totals": T.token_totals,
         "text_fingerprint": T.fingerprint,         # rows-only (no SQL twin)
         "ann_brute_cosine": A.ann_brute_topk,
@@ -3342,6 +3365,7 @@ def build_oracle_sql() -> dict:
         "text_significant_terms": significant_terms_sql("vector", 20, 3),
         "text_pii_redact": pii_redact_sql(),
         "text_stratified_sample": stratified_sample_sql(20),
+        "text_chunk_windows": chunk_windows_sql(64, 48),
         "text_token_totals": text_token_totals_sql(),
         "ann_brute_cosine": ann_brute_sql(),
         "dedup_embedding_cosine": embedding_near_dup_sql(),

@@ -213,3 +213,30 @@ def test_substring_dup_pairs_planted(ray_session):
     mh_pairs = set(zip(mh["a"], mh["b"]))
     assert len(sub_pairs) > 0
     assert len(mh_pairs & sub_pairs) >= int(0.6 * len(mh_pairs))
+
+
+def test_chunk_documents_windows(ray_session, tmp_path):
+    """Window arithmetic: a 100-token doc at chunk=64/stride=48 yields
+    chunks of 64, 52, 4 tokens starting at 0, 48, 96; short docs yield
+    one short chunk; empty docs yield none."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.ops.text import chunk_documents
+
+    toks = " ".join(f"w{i}" for i in range(100))
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array([toks, "just five little tokens here", ""]),
+    })
+    d = tmp_path / "fixture"
+    d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+    out = chunk_documents(str(d)).to_pandas()
+    got = {(r.doc_id, r.chunk_id): r.n_tokens for r in out.itertuples()}
+    assert got == {(1, 0): 64, (1, 1): 52, (1, 2): 4, (2, 0): 5}
+    # overlap: chunk 1 starts at token 48, inside chunk 0's window
+    import hashlib
+    ws = toks.split()
+    want_sha = hashlib.sha256(" ".join(ws[48:112]).encode()).hexdigest()
+    row = out[(out.doc_id == 1) & (out.chunk_id == 1)].iloc[0]
+    assert row.chunk_sha == want_sha
