@@ -383,3 +383,103 @@ SELECT source,
        count(*) AS total
 FROM mixed GROUP BY source ORDER BY source
 """
+
+
+# Gopher repetition thresholds (Rae et al. 2021, Table A1): most-common
+# 2-gram character fraction and duplicated 3-gram character fraction.
+MAX_TOP2GRAM_FRAC = 0.20
+MAX_DUP3GRAM_FRAC = 0.18
+
+
+def repetition_metrics(sf_dir: str) -> pa.Table:
+    """Gopher's repetition rules over token n-grams:
+
+    - top2gram_frac: characters covered by the MOST FREQUENT word
+      2-gram (ties broken lexicographically) / total token characters
+    - dup3gram_frac: characters covered by 3-grams occurring ≥ 2
+      times / total token characters
+
+    Both are integer counts until one final float64 division, so the
+    DuckDB twin is bit-equal after the shared quantization. Line-based
+    repetition rules are N/A on this single-line corpus (documented)."""
+    import pandas as pd
+
+    def score(batch: pa.Table) -> pa.Table:
+        ab = analyze_batch(batch["text"], keep_stopwords=True)
+        toks = ab.terms.to_pylist()
+        starts = np.concatenate(([0], np.cumsum(ab.doc_lengths)))
+        n = batch.num_rows
+        top2 = np.zeros(n, dtype=np.float64)
+        dup3 = np.zeros(n, dtype=np.float64)
+        for d in range(n):
+            ws = toks[starts[d]:starts[d + 1]]
+            tot = sum(len(w) for w in ws)
+            if tot == 0:
+                continue
+            if len(ws) >= 2:
+                c2: dict[str, int] = {}
+                for i in range(len(ws) - 1):
+                    g = ws[i] + " " + ws[i + 1]
+                    c2[g] = c2.get(g, 0) + 1
+                g, c = min(c2.items(), key=lambda kv: (-kv[1], kv[0]))
+                top2[d] = (c * (len(g) - 1)) / tot
+            if len(ws) >= 3:
+                c3: dict[str, int] = {}
+                for i in range(len(ws) - 2):
+                    g = " ".join(ws[i:i + 3])
+                    c3[g] = c3.get(g, 0) + 1
+                covered = sum(c * (len(g) - 2)
+                              for g, c in c3.items() if c >= 2)
+                dup3[d] = covered / tot
+        keep = (top2 <= MAX_TOP2GRAM_FRAC) & (dup3 <= MAX_DUP3GRAM_FRAC)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "top2gram_frac_q": pa.array(_q4(top2), type=pa.int64()),
+            "dup3gram_frac_q": pa.array(_q4(dup3), type=pa.int64()),
+            "keep": pa.array(keep),
+        })
+
+    df = (_read_docs(sf_dir).map_batches(score, batch_format="pyarrow")
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def repetition_metrics_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                             t -> length(t) <= 255) AS tk
+  FROM documents),
+tot AS (SELECT doc_id, length(array_to_string(tk, '')) AS tot FROM toks),
+g2 AS (SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1]
+                              for i in range(1, len(tk))]) AS g
+       FROM toks WHERE len(tk) >= 2),
+c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+top2 AS (SELECT doc_id, c * (length(g) - 1) AS covered
+         FROM (SELECT doc_id, g, c, row_number() OVER
+                 (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+               FROM c2)
+         WHERE rn = 1),
+g3 AS (SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                              for i in range(1, len(tk) - 1)]) AS g
+       FROM toks WHERE len(tk) >= 3),
+c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+dup3 AS (SELECT doc_id, sum(c * (length(g) - 2)) AS covered
+         FROM c3 WHERE c >= 2 GROUP BY doc_id),
+m AS (
+  SELECT t.doc_id,
+         CASE WHEN t.tot > 0
+              THEN CAST(COALESCE(a.covered, 0) AS DOUBLE) / t.tot
+              ELSE 0 END AS top2,
+         CASE WHEN t.tot > 0
+              THEN CAST(COALESCE(b.covered, 0) AS DOUBLE) / t.tot
+              ELSE 0 END AS dup3
+  FROM tot t LEFT JOIN top2 a ON a.doc_id = t.doc_id
+             LEFT JOIN dup3 b ON b.doc_id = t.doc_id)
+SELECT doc_id,
+       CAST(floor(top2 * 10000 + 0.5) AS BIGINT) AS top2gram_frac_q,
+       CAST(floor(dup3 * 10000 + 0.5) AS BIGINT) AS dup3gram_frac_q,
+       (top2 <= {MAX_TOP2GRAM_FRAC} AND dup3 <= {MAX_DUP3GRAM_FRAC})
+         AS keep
+FROM m ORDER BY doc_id
+"""

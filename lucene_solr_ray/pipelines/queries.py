@@ -3280,6 +3280,7 @@ def build_queries() -> dict:
         "graph_gather_nodes": _q_gather_nodes([1, 2, 3]),
         "graph_shortest_path": _q_shortest_path(1, 2),
         "text_gopher_rules": QF.gopher_rules,
+        "text_repetition": QF.repetition_metrics,
         "text_contamination": QF.contamination_hits,
         "text_unigram_lm": QF.unigram_logprob,
         "text_mixture_rebalance": QF.mixture_rebalance,
@@ -3496,6 +3497,7 @@ SELECT (min(d) IS NOT NULL) AS found,
 FROM bfs WHERE kind = 'c' AND node = 2
 """,
         "text_gopher_rules": QF.gopher_rules_sql(),
+        "text_repetition": QF.repetition_metrics_sql(),
         "text_contamination": QF.contamination_sql(),
         "text_unigram_lm": QF.unigram_logprob_sql(),
         "text_mixture_rebalance": QF.mixture_rebalance_sql(),

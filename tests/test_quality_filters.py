@@ -61,3 +61,27 @@ def test_unigram_logprob_orders_rare_docs_lower(ray_session, tmp_path):
     avg2 = d[2]["lp_sum"] / d[2]["n_tokens"]
     assert avg1 > avg2
     assert d[1]["n_tokens"] == 4 and d[2]["n_tokens"] == 4
+
+
+def test_repetition_metrics_flags(ray_session, tmp_path):
+    from lucene_solr_ray.ops.quality_filters import repetition_metrics
+
+    varied = ("the quick brown fox jumps over a lazy dog near the old "
+              "river bank watching silver fish swim past green reeds")
+    loop2 = "buy now " * 30            # one 2-gram dominates
+    loop3 = "click here today " * 20   # duplicated 3-grams everywhere
+    sf = _write_docs(tmp_path, [
+        (1, varied),
+        (2, loop2),
+        (3, loop3),
+        (4, ""),                        # empty: both fractions 0, keep
+    ])
+    t = repetition_metrics(sf)
+    rows = {r["doc_id"]: r for r in t.to_pylist()}
+    assert rows[1]["keep"] is True
+    assert rows[2]["keep"] is False
+    assert rows[2]["top2gram_frac_q"] > 5000    # >50% chars in top 2-gram
+    assert rows[3]["keep"] is False
+    assert rows[3]["dup3gram_frac_q"] > 5000
+    assert rows[4]["keep"] is True
+    assert rows[4]["top2gram_frac_q"] == 0
