@@ -613,3 +613,36 @@ def dedup_clusters(sf_dir: str) -> pa.Table:
     closure are all groupby/join stages."""
     pairs = minhash_lsh_pairs(sf_dir, verify="join")
     return connected_components(pairs)
+
+
+def dedup_apply(sf_dir: str) -> pa.Table:
+    """Apply the near-dup dedup to the corpus: keep one doc per cluster
+    (the smallest doc_id), drop the rest — the last stage of the
+    production pipeline. The cluster table is tiny relative to the
+    corpus (only docs inside components appear), so the dropped-id set
+    broadcasts via ray.put and every batch filters locally; the corpus
+    itself streams, never shuffles. Returns the survivors'
+    (doc_id, n_chars)."""
+    import ray
+    import ray.data as rd
+
+    clusters = dedup_clusters(sf_dir).to_pandas()
+    dropped = np.sort(clusters.loc[clusters["doc_id"]
+                                   != clusters["cluster"],
+                                   "doc_id"].to_numpy(dtype=np.int64))
+    dref = ray.put(dropped)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import ray as _r
+
+        dead = _r.get(dref)
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        return batch.filter(pa.array(~np.isin(ids, dead)))
+
+    df = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "n_chars"])
+          .map_batches(keep, batch_format="pyarrow")
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for c in ("doc_id", "n_chars"):
+        df[c] = df[c].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)

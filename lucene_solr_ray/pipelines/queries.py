@@ -549,6 +549,40 @@ ORDER BY a, b
 """
 
 
+def dedup_apply_sql(threshold: float) -> str:
+    """Twin of ops.dedup.dedup_apply: the clusters CTE (same as
+    dedup_clusters_sql), then the corpus minus every non-minimum
+    cluster member."""
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                             t -> length(t) <= 255) AS tk
+  FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                             for i in range(1, len(tk) - 1)]) AS s
+       FROM toks WHERE len(tk) >= 3),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        >= {threshold}),
+edges AS (SELECT a AS u, b AS v FROM pairs
+          UNION SELECT b, a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+closure AS (SELECT u, v FROM reach UNION SELECT u, u FROM edges),
+dropped AS (SELECT u AS doc_id FROM closure GROUP BY u
+            HAVING min(v) < u)
+SELECT doc_id, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+ORDER BY doc_id
+"""
+
+
 def substring_dup_sql(k: int) -> str:
     """Twin of ops.dedup.substring_dup_pairs: distinct k-token windows
     per doc (same tokenizer contract as the shingle oracle), pairs =
@@ -3150,6 +3184,7 @@ def build_queries() -> dict:
         "dedup_minhash_lsh": D.minhash_lsh_pairs,
         "dedup_ngram_jaccard": D.ngram_jaccard_pairs,
         "dedup_substring": D.substring_dup_pairs,
+        "dedup_apply": D.dedup_apply,
         "dedup_simhash": D.simhash_pairs,          # rows-only (no SQL twin)
         "dedup_clusters": D.dedup_clusters,
         "text_langid": T.lang_id,
@@ -3360,6 +3395,7 @@ def build_oracle_sql() -> dict:
         "dedup_minhash_lsh": ft_jaccard_pairs_sql(JACCARD_THRESHOLD),
         "dedup_ngram_jaccard": ft_jaccard_pairs_sql(JACCARD_THRESHOLD),
         "dedup_substring": substring_dup_sql(8),
+        "dedup_apply": dedup_apply_sql(JACCARD_THRESHOLD),
         "dedup_clusters": dedup_clusters_sql(JACCARD_THRESHOLD),
         "text_langid": text_langid_sql(),
         "text_quality": text_quality_sql(),

@@ -79,7 +79,7 @@ def test_all_queries_have_oracles_or_are_documented():
     "rel_cursor_page", "rel_unique_stream", "rel_windowed_rollup",
     "rel_join_rollup",
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_clusters", "dedup_substring",
+    "dedup_clusters", "dedup_substring", "dedup_apply",
     "text_langid", "text_quality", "text_token_totals",
     "text_significant_terms", "text_pii_redact", "text_stratified_sample",
     "text_chunk_windows", "text_repetition",
