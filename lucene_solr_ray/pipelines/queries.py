@@ -1009,6 +1009,26 @@ def _q_highlight(term="table", k=3):
     return run
 
 
+def _q_highlight_passages(terms, k=3):
+    """Top-k hits with PostingsHighlighter-style multi-passage
+    snippets (rows-only — presentation output)."""
+    def run(sf_dir):
+        from ..search.highlight import highlight_passages
+
+        s = _searcher(sf_dir)
+        t = s.search({"type": "bool", "should": terms,
+                      "min_should_match": 1}, k=k)
+        texts = _doc_texts(sf_dir, t["doc_id"].to_pylist())
+        snips = [highlight_passages(texts[d], terms)
+                 for d in t["doc_id"].to_pylist()]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "rank": t["rank"],
+            "snippet": pa.array(snips, type=pa.string()),
+        })
+    return run
+
+
 def _q_filtered(term, field, value, k=10):
     """Scored query + keyword-field FILTER clause (StringField +
     BooleanClause.FILTER: restricts matches, contributes no score)."""
@@ -3274,6 +3294,8 @@ def build_queries() -> dict:
         "ft_term_vector": _q_term_vector(0),
         "ft_term_vector_positions": _q_term_vector_positions(0),
         "ft_highlight": _q_highlight("table"),       # rows-only
+        "ft_highlight_passages": _q_highlight_passages(
+            ["table", "scan"]),                      # rows-only
         "ft_filter_lang": _q_filtered("table", "lang", "en"),
         "ft_facet_lang": _q_result_facet("table", "lang"),
         "ft_terms_set": _q_terms_set(["dup", "vector", "stream"]),

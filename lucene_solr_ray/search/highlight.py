@@ -21,3 +21,90 @@ def highlight(text: str, terms: list[str], *, window: int = 40,
             suffix = text[end:hi] + ("..." if hi < len(text) else "")
             return f"{prefix}{pre}{text[start:end]}{post}{suffix}"
     return None
+
+
+def highlight_passages(text: str, terms: list[str], *,
+                       max_passages: int = 3, k1: float = 1.2,
+                       b: float = 0.75, pivot: float = 87.0,
+                       pre: str = "<em>", post: str = "</em>") -> str | None:
+    """PostingsHighlighter-style multi-passage highlighting
+    (lucene/highlighter/.../postingshighlight/PostingsHighlighter.java +
+    PassageScorer.java:72-111): passages scored by
+
+        Σ_unique-matching-terms weight · tf_passage, then · norm(start)
+        weight(t) = (k1+1) · ln(1 + (numDocs + 0.5)/(ttf_doc + 0.5)),
+                    numDocs ≈ 1 + contentLength/pivot
+        tf(f, plen) = f / (f + k1·((1-b) + b·plen/pivot))
+        norm(s)     = 1 + 1/ln(pivot + s)
+
+    in float32 like the reference. Passage segmentation deviates where
+    the reference uses BreakIterator sentences: this corpus has no
+    sentence punctuation, so passages are token-aligned windows of
+    ~``pivot`` characters (documented analogue). Top passages are
+    re-ordered by offset for display and joined with "..."."""
+    import math
+
+    import numpy as np
+
+    F = np.float32
+    toks = list(tokenize(text))
+    if not toks:
+        return None
+    tset = set(terms)
+    ttf: dict[str, int] = {}
+    for (term, _p, _s, _e) in toks:
+        if term in tset:
+            ttf[term] = ttf.get(term, 0) + 1
+    if not ttf:
+        return None
+    content_len = len(text)
+    num_docs = F(1) + F(content_len) / F(pivot)
+    weight = {t: (F(k1) + F(1)) * F(math.log(
+        float(F(1) + (num_docs + F(0.5)) / (F(c) + F(0.5)))))
+        for t, c in ttf.items()}
+
+    # token-aligned ~pivot-char passages
+    passages = []  # (start, end, [(term, tok_start, tok_end), ...])
+    i = 0
+    while i < len(toks):
+        start = toks[i][2]
+        hits = []
+        j = i
+        while j < len(toks) and toks[j][3] - start < pivot:
+            if toks[j][0] in tset:
+                hits.append((toks[j][0], toks[j][2], toks[j][3]))
+            j += 1
+        end = toks[j - 1][3]
+        passages.append((start, end, hits))
+        i = j
+
+    scored = []
+    for (start, end, hits) in passages:
+        if not hits:
+            continue
+        freq: dict[str, int] = {}
+        for (t, _s, _e) in hits:
+            freq[t] = freq.get(t, 0) + 1
+        plen = end - start
+        score = F(0)
+        for t, f in sorted(freq.items()):
+            norm_t = F(k1) * ((F(1) - F(b)) + F(b) * (F(plen) / F(pivot)))
+            score = score + weight[t] * (F(f) / (F(f) + norm_t))
+        score = score * (F(1) + F(1) / F(math.log(pivot + start)))
+        scored.append((float(score), start, end, hits))
+    if not scored:
+        return None
+    top = sorted(scored, key=lambda x: (-x[0], x[1]))[:max_passages]
+    top.sort(key=lambda x: x[1])  # display in offset order
+
+    frags = []
+    for (_score, start, end, hits) in top:
+        out = []
+        cur = start
+        for (_t, hs, he) in hits:
+            out.append(text[cur:hs])
+            out.append(pre + text[hs:he] + post)
+            cur = he
+        out.append(text[cur:end])
+        frags.append("".join(out))
+    return "...".join(frags)

@@ -61,3 +61,31 @@ def test_highlight_first_occurrence_and_bounds():
     assert "<em>gamma</em>" in out
     out2 = highlight("fox", ["fox"], window=10)
     assert out2 == "<em>fox</em>"
+
+
+def test_highlight_passages_multi_fragment():
+    from lucene_solr_ray.search.highlight import highlight_passages
+
+    # three ~90-char regions; the middle one has no query terms
+    p1 = "table scan starts here with table again plus filler words aa bb cc dd ee ff gg hh ii jj"
+    p2 = "nothing relevant in this middle stretch just padding words kk ll mm nn oo pp qq rr ss tt"
+    p3 = "a final region mentioning table once more among other words uu vv ww xx yy zz a1 b2 c3 d4"
+    text = f"{p1} {p2} {p3}"
+    out = highlight_passages(text, ["table", "scan"], max_passages=2)
+    assert out is not None
+    # two fragments joined by "...", the unmatched middle dropped
+    assert out.count("...") == 1
+    assert out.count("<em>") >= 3          # table x2 + scan in frag 1, table in frag 3
+    assert "nothing relevant" not in out
+    frag1, frag3 = out.split("...")
+    assert "<em>table</em>" in frag1 and "<em>scan</em>" in frag1
+    assert "<em>table</em>" in frag3
+
+    # no matching terms -> None; empty text -> None
+    assert highlight_passages(text, ["absent"]) is None
+    assert highlight_passages("", ["table"]) is None
+
+    # max_passages=1 keeps only the best-scoring (two distinct terms
+    # beat one, norm favors the start)
+    one = highlight_passages(text, ["table", "scan"], max_passages=1)
+    assert "<em>scan</em>" in one and "..." not in one
