@@ -1,0 +1,168 @@
+"""Index splitting — PKIndexSplitter (lucene/misc/.../index/
+PKIndexSplitter.java) and the SolrCloud SPLITSHARD primitive: partition
+one index into two complete, independently-searchable indexes by a
+doc-id predicate (primary-key range, or compositeId murmur3 hash range
+via the router).
+
+Scale shape: every postings row (one term of one segment) filters
+INDEPENDENTLY — decode, mask, re-encode inside map_batches; no shuffle,
+no all-to-all. Docs tables filter the same way. Each side commits its
+own manifest, so the halves are immediately valid indexes (CheckIndex
+clean, searchable, and their result union equals the source's).
+
+Pending deletes must be merged/reclaimed first (the reference splits a
+committed reader view too); split_index raises on a live delete set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .build import SEGMENTS_DIRNAME
+from .encode import decode_postings, encode_postings
+from .manifest import commit_manifest, load_manifest
+
+POSTINGS_FILE = "postings.parquet"
+DOCS_FILE = "docs.parquet"
+META_FILE = "meta.json"
+
+
+def range_predicate(split_doc_id: int):
+    """Side selector: True = low side (doc_id < split)."""
+    def pred(ids: np.ndarray) -> np.ndarray:
+        return ids < split_doc_id
+    return pred
+
+
+def hash_range_predicate(lo: int, hi: int):
+    """compositeId hash-range selector (state/router murmur3): True for
+    docs whose ring position falls in [lo, hi] — the SPLITSHARD half."""
+    from ..state.router import composite_hash
+
+    def pred(ids: np.ndarray) -> np.ndarray:
+        h = np.array([composite_hash(str(int(i))) for i in ids],
+                     dtype=np.int64)
+        return (h >= lo) & (h <= hi)
+    return pred
+
+
+def _filter_postings(src: str, dst: str, pred, with_pos: bool) -> int:
+    """Re-encode one segment's postings keeping only predicate docs;
+    returns the term count written (rows with zero surviving postings
+    are dropped)."""
+    import ray.data as rd
+
+    def fx(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        out = {k: [] for k in batch.column_names}
+        for r in rows:
+            part = decode_postings(r, with_positions=with_pos)
+            d, t, nm = part[0], part[1], part[2]
+            keep = pred(d)
+            if not keep.any():
+                continue
+            if with_pos:
+                p = part[3]
+                starts = np.concatenate(([0], np.cumsum(t)))[:-1]
+                pieces = [p[starts[i]:starts[i] + t[i]]
+                          for i in np.flatnonzero(keep)]
+                p = (np.concatenate(pieces) if pieces
+                     else np.empty(0, dtype=np.int64))
+            d, t, nm = d[keep], t[keep], nm[keep]
+            enc = encode_postings(d, t, nm, p if with_pos else None)
+            out["term"].append(r["term"])
+            for k in ("df", "ttf", "doc_data", "tf_data", "norm_data",
+                      "pos_data", "block_last_doc", "block_max_tf",
+                      "block_max_norm", "block_doc_off", "block_tf_off"):
+                out[k].append(enc[k])
+        return pa.table({k: pa.array(v, type=batch.schema.field(k).type)
+                         for k, v in out.items()})
+
+    parts = [b for b in rd.read_parquet(src)
+             .map_batches(fx, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)
+             if b.num_rows > 0]
+    if not parts:
+        # every posting fell on the other side: keep a valid (empty)
+        # postings file so the segment stays a readable index member
+        t = pq.read_schema(src).empty_table()
+        pq.write_table(t, dst, row_group_size=4096)
+        return 0
+    t = pa.concat_tables(parts, promote_options="default")
+    t = t.take(pa.compute.sort_indices(t["term"]))
+    pq.write_table(t, dst, row_group_size=4096)
+    return t.num_rows
+
+
+def split_index(index_dir: str, out_lo: str, out_hi: str,
+                pred=None, *, split_doc_id: int | None = None) -> tuple:
+    """Split ``index_dir`` into two indexes: docs matching ``pred``
+    (or doc_id < split_doc_id) land in ``out_lo``, the rest in
+    ``out_hi``. Returns both manifests."""
+    if pred is None:
+        if split_doc_id is None:
+            raise ValueError("need pred or split_doc_id")
+        pred = range_predicate(split_doc_id)
+    man = load_manifest(index_dir)
+    if man.get("deletes_file"):
+        raise ValueError("split requires a fully-merged index: reclaim "
+                         "pending deletes first (merge_segments or "
+                         "tiered merge_until_stable)")
+    root = os.path.join(index_dir, SEGMENTS_DIRNAME)
+    manifests = []
+    for out_dir, side in ((out_lo, True), (out_hi, False)):
+        side_pred = pred if side else (lambda ids: ~pred(ids))
+        os.makedirs(os.path.join(out_dir, SEGMENTS_DIRNAME),
+                    exist_ok=True)
+        entries = []
+        for seg in man["segments"]:
+            sdir = os.path.join(root, seg["segment"])
+            ddir = os.path.join(out_dir, SEGMENTS_DIRNAME,
+                                seg["segment"])
+            os.makedirs(ddir, exist_ok=True)
+            with open(os.path.join(sdir, META_FILE)) as f:
+                smeta = json.load(f)
+            n_terms = 0
+            if os.path.exists(os.path.join(sdir, POSTINGS_FILE)):
+                n_terms = _filter_postings(
+                    os.path.join(sdir, POSTINGS_FILE),
+                    os.path.join(ddir, POSTINGS_FILE), side_pred,
+                    smeta.get("with_positions", True))
+            num_docs = 0
+            sum_dl = 0
+            ids = np.empty(0, dtype=np.int64)
+            if os.path.exists(os.path.join(sdir, DOCS_FILE)):
+                dt = pq.read_table(os.path.join(sdir, DOCS_FILE))
+                keep = side_pred(np.asarray(dt["doc_id"],
+                                            dtype=np.int64))
+                dt = dt.filter(pa.array(keep))
+                pq.write_table(dt, os.path.join(ddir, DOCS_FILE),
+                               row_group_size=65536)
+                ids = np.asarray(dt["doc_id"], dtype=np.int64)
+                num_docs = dt.num_rows
+                if "dl" in dt.column_names:
+                    sum_dl = int(np.asarray(dt["dl"],
+                                            dtype=np.int64).sum())
+            meta = dict(smeta)
+            meta.update({
+                "num_docs": int(num_docs),
+                "sum_dl": int(sum_dl),
+                "num_terms": int(n_terms),
+                "min_doc_id": int(ids.min()) if len(ids) else None,
+                "max_doc_id": int(ids.max()) if len(ids) else None,
+            })
+            with open(os.path.join(ddir, META_FILE), "w") as f:
+                json.dump(meta, f)
+            entry = {k: meta.get(k) for k in
+                     ("segment", "num_docs", "sum_dl", "num_terms",
+                      "with_positions", "min_doc_id", "max_doc_id")}
+            entry["kind"] = seg.get("kind", "postings")
+            entries.append(entry)
+        manifests.append(commit_manifest(
+            out_dir, entries, extra={"split_from": index_dir}))
+    return tuple(manifests)

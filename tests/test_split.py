@@ -1,0 +1,87 @@
+"""Index splitting (index/split.py): PKIndexSplitter / SPLITSHARD —
+halves are valid, independently-searchable indexes whose doc sets
+partition the source."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_solr_ray.index.build import build_index
+from lucene_solr_ray.index.manifest import load_manifest
+from lucene_solr_ray.index.split import (hash_range_predicate,
+                                         range_predicate, split_index)
+from lucene_solr_ray.search.searcher import IndexSearcher
+
+WORDS = ["fast", "table", "scan", "vector", "join", "sort", "merge"]
+
+
+def _docs(n):
+    rng = np.random.default_rng(11)
+    return pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "content": pa.array([" ".join(rng.choice(WORDS, size=8))
+                             for _ in range(n)]),
+    })
+
+
+def _all_docs(idx):
+    s = IndexSearcher(idx)
+    t = s.search({"type": "bool", "should": WORDS,
+                  "min_should_match": 1}, k=10_000)
+    return set(t["doc_id"].to_pylist())
+
+
+def test_range_split_partitions_docs(ray_session, tmp_path):
+    idx = str(tmp_path / "idx")
+    build_index(_docs(120), idx, batch_rows=32)  # several segments
+    lo, hi = str(tmp_path / "lo"), str(tmp_path / "hi")
+    m_lo, m_hi = split_index(idx, lo, hi, split_doc_id=60)
+
+    assert m_lo["num_docs"] == 60 and m_hi["num_docs"] == 60
+    assert m_lo["sum_dl"] + m_hi["sum_dl"] == load_manifest(idx)["sum_dl"]
+    d_lo, d_hi = _all_docs(lo), _all_docs(hi)
+    assert d_lo == set(range(60)) and d_hi == set(range(60, 120))
+    assert d_lo | d_hi == _all_docs(idx)
+
+    from lucene_solr_ray.index.check import check_index
+    assert check_index(lo)["errors"] == []
+    assert check_index(hi)["errors"] == []
+
+    # positional queries still work on the halves
+    s = IndexSearcher(lo, mode="exact64")
+    t = s.search({"type": "phrase", "terms": ["fast", "table"]}, k=100)
+    for d in t["doc_id"].to_pylist():
+        assert d < 60
+
+
+def test_hash_split_uses_router_ring(ray_session, tmp_path):
+    from lucene_solr_ray.state.router import composite_hash
+
+    idx = str(tmp_path / "idx")
+    build_index(_docs(80), idx)
+    lo, hi = str(tmp_path / "lo"), str(tmp_path / "hi")
+    pred = hash_range_predicate(-2**31, -1)
+    split_index(idx, lo, hi, pred)
+    d_lo = _all_docs(lo)
+    for d in range(80):
+        in_lo = -2**31 <= composite_hash(str(d)) <= -1
+        assert (d in d_lo) == in_lo
+
+
+def test_split_refuses_pending_deletes(ray_session, tmp_path):
+    from lucene_solr_ray.index.deletes import delete_docs
+
+    idx = str(tmp_path / "idx")
+    build_index(_docs(40), idx, batch_rows=8)  # several segments
+    delete_docs(idx, [3])
+    with pytest.raises(ValueError):
+        split_index(idx, str(tmp_path / "a"), str(tmp_path / "b"),
+                    split_doc_id=20)
+    # after a reclaim merge the split goes through
+    from lucene_solr_ray.index.tiered import merge_until_stable
+    merge_until_stable(idx, segs_per_tier=1, max_merge_at_once=8,
+                       floor_bytes=1)
+    assert not load_manifest(idx).get("deletes_file")
+    m_lo, m_hi = split_index(idx, str(tmp_path / "a"),
+                             str(tmp_path / "b"), split_doc_id=20)
+    assert m_lo["num_docs"] + m_hi["num_docs"] == 39  # doc 3 stays gone
