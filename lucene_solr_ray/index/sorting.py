@@ -1,0 +1,74 @@
+"""Index sorting — the SortingMergePolicy role (lucene/misc/.../index/
+SortingMergePolicy.java + Sorter.java, IndexWriterConfig.setIndexSort):
+persist each segment's field-sorted doc view so sorted-query early
+termination (EarlyTerminatingSortingCollector) never sorts at query
+time.
+
+Realization: doc ids here are content-derived and every docs table is
+doc_id-ordered (an invariant the delete, merge and doc-values paths
+rely on), so the "index sort" is a persisted PERMUTATION sidecar per
+segment — ``sort_<field>_<asc|desc>.parquet`` holding (doc_id, value)
+in sort order — rather than a physical rewrite. Query-time behavior is
+the reference's: segments are consumed in sorted order and each
+collector stops after k docs (searcher.sorted_topk_early loads the
+sidecar instead of sorting).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .build import SEGMENTS_DIRNAME
+from .manifest import load_manifest
+
+DOCS_FILE = "docs.parquet"
+
+
+def sort_sidecar_name(field: str, descending: bool) -> str:
+    return f"sort_{field}_{'desc' if descending else 'asc'}.parquet"
+
+
+def write_index_sort(index_dir: str, field: str, *,
+                     descending: bool = True) -> int:
+    """Persist the index sort for ``field`` in every doc-carrying
+    segment; returns the number of sidecars written. Idempotent
+    (existing sidecars are rewritten). Runs as independent per-segment
+    work — at scale, one task per segment."""
+    man = load_manifest(index_dir)
+    root = os.path.join(index_dir, SEGMENTS_DIRNAME)
+    n = 0
+    for seg in man["segments"]:
+        p = os.path.join(root, seg["segment"], DOCS_FILE)
+        if not os.path.exists(p):
+            continue
+        t = pq.read_table(p, columns=["doc_id", field])
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        vals = np.asarray(t[field])
+        key = -vals.astype(np.float64) if descending \
+            else vals.astype(np.float64)
+        order = np.lexsort((ids, key))
+        out = pa.table({
+            "doc_id": pa.array(ids[order], type=pa.int64()),
+            field: pa.array(vals[order]),
+        })
+        pq.write_table(out, os.path.join(
+            root, seg["segment"], sort_sidecar_name(field, descending)))
+        n += 1
+    return n
+
+
+def read_index_sort(index_dir: str, segment: str, field: str,
+                    descending: bool):
+    """(sorted doc_ids, sorted values) from a persisted sidecar, or
+    None when the segment was not index-sorted for this field."""
+    p = os.path.join(index_dir, SEGMENTS_DIRNAME, segment,
+                     sort_sidecar_name(field, descending))
+    if not os.path.exists(p):
+        return None
+    t = pq.read_table(p)
+    return (np.asarray(t["doc_id"], dtype=np.int64),
+            np.asarray(t[field]))

@@ -1655,20 +1655,38 @@ class IndexSearcher:
         actually happened."""
         if not hasattr(self, "_field_sorted"):
             self._field_sorted = {}
-        examined = 0
+        self.last_sort_from_disk = 0  # segments served by a persisted
+        examined = 0                  # index sort (SortingMergePolicy)
         parts_d, parts_v = [], []
         for si, seg in enumerate(self.doc_segments):
             ck = (si, field, descending)
             if ck not in self._field_sorted:
-                ids, vals = seg.doc_values(field)
-                dels = self._seg_deletes(seg)
-                if dels is not None and len(ids):
-                    keep = ~np.isin(ids, dels, assume_unique=True)
-                    ids, vals = ids[keep], vals[keep]
-                key = -vals.astype(np.float64) if descending \
-                    else vals.astype(np.float64)
-                order = np.lexsort((ids, key))
-                self._field_sorted[ck] = (ids[order], vals[order])
+                side = os.path.join(
+                    seg.seg_dir,
+                    f"sort_{field}_{'desc' if descending else 'asc'}"
+                    ".parquet")
+                if os.path.exists(side):
+                    # persisted index sort (index/sorting.py): already
+                    # in (value, doc_id) order — deletes mask in place
+                    st = pq.read_table(side)
+                    ids = np.asarray(st["doc_id"], dtype=np.int64)
+                    vals = np.asarray(st[field])
+                    dels = self._seg_deletes(seg)
+                    if dels is not None and len(ids):
+                        keep = ~np.isin(ids, dels)
+                        ids, vals = ids[keep], vals[keep]
+                    self._field_sorted[ck] = (ids, vals)
+                    self.last_sort_from_disk += 1
+                else:
+                    ids, vals = seg.doc_values(field)
+                    dels = self._seg_deletes(seg)
+                    if dels is not None and len(ids):
+                        keep = ~np.isin(ids, dels, assume_unique=True)
+                        ids, vals = ids[keep], vals[keep]
+                    key = -vals.astype(np.float64) if descending \
+                        else vals.astype(np.float64)
+                    order = np.lexsort((ids, key))
+                    self._field_sorted[ck] = (ids[order], vals[order])
             sids, svals = self._field_sorted[ck]
             take = min(k, len(sids))
             examined += take

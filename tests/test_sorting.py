@@ -1,0 +1,61 @@
+"""Persisted index sort (index/sorting.py — the SortingMergePolicy /
+setIndexSort role): sorted early termination served from the sidecar is
+identical to the query-time-sorted path and honors deletes."""
+
+import numpy as np
+import pyarrow as pa
+
+from lucene_solr_ray.index.build import build_index
+from lucene_solr_ray.index.sorting import read_index_sort, write_index_sort
+from lucene_solr_ray.search.searcher import IndexSearcher
+
+
+def _docs(n):
+    rng = np.random.default_rng(5)
+    return pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "content": pa.array([" ".join(rng.choice(
+            ["fast", "table", "scan"], size=6)) for _ in range(n)]),
+        "views": pa.array(rng.integers(0, 1000, n), type=pa.int64()),
+    })
+
+
+def test_index_sort_sidecar_identity(ray_session, tmp_path):
+    idx = str(tmp_path / "idx")
+    build_index(_docs(90), idx, store_cols=("views",), batch_rows=32)
+
+    s0 = IndexSearcher(idx)
+    want, ex0 = s0.sorted_topk_early("views", k=7)
+    assert s0.last_sort_from_disk == 0      # nothing persisted yet
+
+    n = write_index_sort(idx, "views", descending=True)
+    assert n >= 3                            # several segments
+    assert read_index_sort(idx, "seg-missing", "views", True) is None
+
+    s1 = IndexSearcher(idx)
+    got, ex1 = s1.sorted_topk_early("views", k=7)
+    assert s1.last_sort_from_disk == n       # served from sidecars
+    assert got.equals(want) and ex1 == ex0
+
+    # ascending needs its own sidecar; falls back to the sorting path
+    s2 = IndexSearcher(idx)
+    asc, _ = s2.sorted_topk_early("views", k=7, descending=False)
+    assert s2.last_sort_from_disk == 0
+    assert asc["views"].to_pylist() == sorted(asc["views"].to_pylist())
+
+
+def test_index_sort_sidecar_honors_deletes(ray_session, tmp_path):
+    from lucene_solr_ray.index.deletes import delete_docs
+
+    idx = str(tmp_path / "idx")
+    build_index(_docs(60), idx, store_cols=("views",), batch_rows=20)
+    write_index_sort(idx, "views", descending=True)
+    # delete the current top doc AFTER persisting the sort
+    s = IndexSearcher(idx)
+    top, _ = s.sorted_topk_early("views", k=1)
+    victim = top["doc_id"][0].as_py()
+    delete_docs(idx, [victim])
+    s2 = IndexSearcher(idx)
+    got, _ = s2.sorted_topk_early("views", k=5)
+    assert s2.last_sort_from_disk >= 1
+    assert victim not in got["doc_id"].to_pylist()
