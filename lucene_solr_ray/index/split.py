@@ -166,3 +166,83 @@ def split_index(index_dir: str, out_lo: str, out_hi: str,
         manifests.append(commit_manifest(
             out_dir, entries, extra={"split_from": index_dir}))
     return tuple(manifests)
+
+
+def extract_segments(index_dir: str, out_dir: str,
+                     segments: list[str]) -> dict:
+    """IndexSplitter.split (lucene/misc/.../index/IndexSplitter.java:133):
+    carve a new index holding WHOLE named segments — file copies plus a
+    fresh manifest, no decode/re-encode. The cheap administrative split
+    (the reference copies segment files and writes a new SegmentInfos
+    the same way)."""
+    import shutil
+
+    man = load_manifest(index_dir)
+    if man.get("deletes_file"):
+        raise ValueError("extract requires a fully-merged index: "
+                         "reclaim pending deletes first")
+    by_name = {s["segment"]: s for s in man["segments"]}
+    for n in segments:
+        if n not in by_name:
+            raise ValueError(f"unknown segment {n!r}")
+    root = os.path.join(index_dir, SEGMENTS_DIRNAME)
+    os.makedirs(os.path.join(out_dir, SEGMENTS_DIRNAME), exist_ok=True)
+    entries = []
+    for n in segments:
+        shutil.copytree(os.path.join(root, n),
+                        os.path.join(out_dir, SEGMENTS_DIRNAME, n),
+                        dirs_exist_ok=True)
+        entries.append(dict(by_name[n]))
+    return commit_manifest(out_dir, entries,
+                           extra={"split_from": index_dir})
+
+
+def split_index_n(index_dir: str, out_dirs: list[str], *,
+                  seq: bool = False) -> list:
+    """MultiPassIndexSplitter.split (lucene/misc/.../index/
+    MultiPassIndexSplitter.java:64): N-way split — ``seq=True`` gives
+    contiguous doc-id ranges, ``seq=False`` deterministic round-robin
+    by doc-id RANK (the reference round-robins by docID, which is the
+    rank in segment order; content-derived ids make rank = sorted
+    position here). One filtering pass per output, like the
+    reference's N passes."""
+    if len(out_dirs) < 2:
+        raise ValueError("need at least 2 outputs")
+    man = load_manifest(index_dir)
+    if man.get("deletes_file"):
+        raise ValueError("split requires a fully-merged index: "
+                         "reclaim pending deletes first")
+    root = os.path.join(index_dir, SEGMENTS_DIRNAME)
+    all_ids = []
+    for seg in man["segments"]:
+        p = os.path.join(root, seg["segment"], DOCS_FILE)
+        if os.path.exists(p):
+            all_ids.append(np.asarray(
+                pq.read_table(p, columns=["doc_id"])["doc_id"],
+                dtype=np.int64))
+    ids_sorted = np.sort(np.concatenate(all_ids)) if all_ids else \
+        np.empty(0, dtype=np.int64)
+    n = len(out_dirs)
+    manifests = []
+    for part, out_dir in enumerate(out_dirs):
+        if seq:
+            bounds = np.linspace(0, len(ids_sorted), n + 1).astype(int)
+            mine = ids_sorted[bounds[part]:bounds[part + 1]]
+        else:
+            mine = ids_sorted[part::n]
+        mset = mine  # sorted
+
+        def pred(ids: np.ndarray, m=mset) -> np.ndarray:
+            pos = np.searchsorted(m, ids)
+            pos_c = np.clip(pos, 0, max(len(m) - 1, 0))
+            return (m[pos_c] == ids) if len(m) else \
+                np.zeros(len(ids), dtype=bool)
+
+        # reuse the 2-way machinery's low side only
+        tmp_hi = out_dir + ".complement.tmp"
+        m_lo, _ = split_index(index_dir, out_dir, tmp_hi, pred)
+        import shutil as _sh
+
+        _sh.rmtree(tmp_hi, ignore_errors=True)
+        manifests.append(m_lo)
+    return manifests

@@ -85,3 +85,42 @@ def test_split_refuses_pending_deletes(ray_session, tmp_path):
     m_lo, m_hi = split_index(idx, str(tmp_path / "a"),
                              str(tmp_path / "b"), split_doc_id=20)
     assert m_lo["num_docs"] + m_hi["num_docs"] == 39  # doc 3 stays gone
+
+
+def test_extract_segments_whole_copy(ray_session, tmp_path):
+    from lucene_solr_ray.index.split import extract_segments
+
+    idx = str(tmp_path / "idx")
+    build_index(_docs(90), idx, batch_rows=30)  # 3 segments
+    man = load_manifest(idx)
+    segs = [s["segment"] for s in man["segments"]]
+    out = str(tmp_path / "one")
+    m = extract_segments(idx, out, segs[:1])
+    assert m["num_segments"] == 1
+    src = {s["segment"]: s for s in man["segments"]}[segs[0]]
+    assert m["num_docs"] == src["num_docs"]
+    d = _all_docs(out)
+    assert len(d) == src["num_docs"]
+    assert d <= _all_docs(idx)
+    with pytest.raises(ValueError):
+        extract_segments(idx, str(tmp_path / "x"), ["nope"])
+
+
+def test_multipass_split_round_robin_and_seq(ray_session, tmp_path):
+    from lucene_solr_ray.index.split import split_index_n
+
+    idx = str(tmp_path / "idx")
+    build_index(_docs(90), idx, batch_rows=30)
+    outs = [str(tmp_path / f"rr{i}") for i in range(3)]
+    mans = split_index_n(idx, outs)
+    sets = [_all_docs(o) for o in outs]
+    # deterministic round-robin by doc-id rank: part i gets ranks i::3
+    assert sets[0] == set(range(0, 90, 3))
+    assert sets[1] == set(range(1, 90, 3))
+    assert sets[2] == set(range(2, 90, 3))
+    assert sum(m["num_docs"] for m in mans) == 90
+
+    outs2 = [str(tmp_path / f"sq{i}") for i in range(3)]
+    split_index_n(idx, outs2, seq=True)
+    s2 = [_all_docs(o) for o in outs2]
+    assert s2[0] == set(range(30)) and s2[2] == set(range(60, 90))
