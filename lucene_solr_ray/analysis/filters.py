@@ -1698,3 +1698,45 @@ def arabic_light_stem(term: str) -> str:
                 changed = True
                 break
     return w
+
+
+def pattern_capture_group_stream(patterns, preserve_original=True):
+    """PatternCaptureGroupTokenFilter (lucene/analysis/common/.../
+    pattern/PatternCaptureGroupTokenFilter.java:30-66): emit one token
+    per capture group per match, each pattern matched repeatedly; the
+    original survives when preserveOriginal or nothing matched. Emitted
+    tokens share the original's position (posInc=0 extras), so
+    positional queries are unaffected."""
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+
+    pats = [re.compile(p) for p in (patterns if isinstance(
+        patterns, (list, tuple)) else [patterns])]
+
+    def transform(terms, doc_idx, positions):
+        tl = _as_array(terms).to_pylist()
+        # dictionary-encode: expand each DISTINCT term once
+        uniq: dict[str, list[str]] = {}
+        for t in tl:
+            if t in uniq:
+                continue
+            out = []
+            matched = False
+            for pat in pats:
+                for m in pat.finditer(t):
+                    for g in range(1, pat.groups + 1):
+                        if m.group(g) is not None:
+                            matched = True
+                            out.append(m.group(g))
+            if preserve_original or not matched:
+                out = [t] + out
+            uniq[t] = out
+        counts = np.array([len(uniq[t]) for t in tl], dtype=np.int64)
+        rep = np.repeat(np.arange(len(tl)), counts)
+        new_terms = pa.array([x for t in tl for x in uniq[t]],
+                             type=pa.string())
+        return (new_terms, doc_idx[rep], positions[rep])
+
+    return transform

@@ -657,3 +657,37 @@ def test_arabic_normalize_and_stem():
     assert arabic_light_stem("مدرسات") == "مدرس"
     # stems never shrink below 2 chars
     assert len(arabic_light_stem("اله")) >= 2
+
+
+def test_pattern_capture_group_stream():
+    """PatternCaptureGroupTokenFilter goldens — the reference javadoc's
+    own examples (PatternCaptureGroupTokenFilter.java:30-66)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_solr_ray.analysis.filters import \
+        pattern_capture_group_stream
+
+    t = pattern_capture_group_stream(r"(https?://([a-z0-9.\-]+))")
+    nt, di, po = t(pa.array(["http://www.foo.com/index"]),
+                   np.array([0]), np.array([0]))
+    assert nt.to_pylist() == ["http://www.foo.com/index",
+                              "http://www.foo.com", "www.foo.com"]
+    # all emissions share the original position (posInc=0 extras)
+    assert po.tolist() == [0, 0, 0] and di.tolist() == [0, 0, 0]
+
+    # "each pattern is matched as often as it can be"
+    t2 = pattern_capture_group_stream(r"(...)", preserve_original=False)
+    nt2, _, _ = t2(pa.array(["abcdefghi"]), np.array([0]), np.array([0]))
+    assert nt2.to_pylist() == ["abc", "def", "ghi"]
+
+    # no match + preserve_original=False keeps the original
+    nt3, _, _ = t2(pa.array(["xy"]), np.array([0]), np.array([0]))
+    assert nt3.to_pylist() == ["xy"]
+
+    # multiple patterns, positions of later tokens preserved
+    t3 = pattern_capture_group_stream([r"([a-z]+)", r"([0-9]+)"])
+    nt4, _, po4 = t3(pa.array(["src13", "plain"]),
+                     np.array([0, 0]), np.array([0, 1]))
+    assert nt4.to_pylist() == ["src13", "src", "13", "plain", "plain"]
+    assert po4.tolist() == [0, 0, 0, 1, 1]
