@@ -1029,6 +1029,64 @@ def _q_highlight_passages(terms, k=3):
     return run
 
 
+def _q_drill_sideways(term, drills):
+    """DrillSideways (lucene/facet/.../DrillSideways.java:63): facet
+    counts per dimension where each dimension's counts are computed
+    over the base query plus every OTHER dimension's drill-down filter
+    — so the UI can show what the user would get by switching this
+    dimension's selection. Dims are keyword fields; counts come from
+    keyword postings intersections (no stored-field scan)."""
+    def run(sf_dir):
+        s = _searcher(sf_dir)
+        p = s._decode_term_global(term)
+        base = p[0] if p is not None else np.empty(0, dtype=np.int64)
+        fdocs = {f: s.filter_docs(f, v) for f, v in drills.items()}
+        dims, vals, cnts = [], [], []
+        for dim in drills:
+            cand = base
+            for f in drills:
+                if f != dim:
+                    cand = np.intersect1d(cand, fdocs[f],
+                                          assume_unique=True)
+            for t in sorted(s.expand_terms("prefix", f"{dim}:")):
+                val = t.split(":", 1)[1]
+                pd_ = s._decode_term_global(t)
+                if pd_ is None:
+                    continue
+                c = len(np.intersect1d(cand, pd_[0],
+                                       assume_unique=True))
+                if c:
+                    dims.append(dim)
+                    vals.append(val)
+                    cnts.append(c)
+        return pa.table({
+            "dim": pa.array(dims, type=pa.string()),
+            "value": pa.array(vals, type=pa.string()),
+            "count_docs": pa.array(cnts, type=pa.int64()),
+        })
+    return run
+
+
+def _drill_sideways_sql(term, drills) -> str:
+    parts = []
+    for dim in drills:
+        others = " AND ".join(f"d.{f} = '{v}'"
+                              for f, v in drills.items() if f != dim)
+        where = f"AND {others}" if others else ""
+        parts.append(f"""
+  SELECT '{dim}' AS dim, d.{dim} AS value, count(*) AS count_docs
+  FROM documents d JOIN base USING (doc_id)
+  WHERE TRUE {where}
+  GROUP BY d.{dim}""")
+    union = "\nUNION ALL".join(parts)
+    return f"""
+WITH {_tok_ctes()},
+base AS (SELECT DISTINCT doc_id FROM clean WHERE term = '{term}')
+SELECT dim, value, count_docs FROM ({union})
+ORDER BY dim, value
+"""
+
+
 def _q_filtered(term, field, value, k=10):
     """Scored query + keyword-field FILTER clause (StringField +
     BooleanClause.FILTER: restricts matches, contributes no score)."""
@@ -1227,16 +1285,18 @@ class _ExprCtx:
         return (len(uniq) - o + 1).astype(np.float64)
 
 
-def _q_expr_boost(term, expr_str, k=10):
+def _q_expr_boost(term, expr_str, k=10, syntax="func"):
     """Compiled ValueSource expression boost (lucene/expressions
     JavascriptCompiler + solr ValueSourceParser registry): score =
     bm25(term) · expr(doc values, index stats). The SAME parsed AST
     evaluates in numpy here and emits the DuckDB twin
     (search/functionquery.py)."""
     def run(sf_dir):
-        from ..search.functionquery import evaluate, expr_fields, parse_expr
+        from ..search.functionquery import (evaluate, expr_fields,
+                                            parse_expr, parse_js_expr)
 
-        node = parse_expr(expr_str)
+        node = (parse_js_expr if syntax == "js" else
+                parse_expr)(expr_str)
         s = _searcher(sf_dir)
         t = s.search({"type": "term", "term": term}, k=s.num_docs)
         docs = np.asarray(t["doc_id"], dtype=np.int64)
@@ -1258,15 +1318,17 @@ def _q_expr_boost(term, expr_str, k=10):
 
 
 def _expr_boost_sql(term: str, expr_str: str, k: int,
-                    combine: str = "product") -> str:
+                    combine: str = "product",
+                    syntax: str = "func") -> str:
     """SQL twin for expression scoring over the candidates of a term
     query: ``combine="product"`` = bm25 × expr (function boost);
     ``combine="expr_only"`` = the expression IS the score (the LTR
     linear-model shape)."""
     from ..search.functionquery import (canonical, expr_index_calls,
-                                        parse_expr, to_sql)
+                                        parse_expr, parse_js_expr,
+                                        to_sql)
 
-    node = parse_expr(expr_str)
+    node = (parse_js_expr if syntax == "js" else parse_expr)(expr_str)
     col_of = {"dl": "dl.dl", "n_chars": "d.n_chars"}
     joins, seen = [], {}
     for call in expr_index_calls(node):
@@ -3000,9 +3062,11 @@ def _q_frange(expr_str, lo, hi, k=10):
     ValueSourceRangeFilter): match docs whose value-source value lies in
     [lo, hi], constant score, doc order."""
     def run(sf_dir):
-        from ..search.functionquery import evaluate, expr_fields, parse_expr
+        from ..search.functionquery import (evaluate, expr_fields,
+                                            parse_expr, parse_js_expr)
 
-        node = parse_expr(expr_str)
+        node = (parse_js_expr if syntax == "js" else
+                parse_expr)(expr_str)
         s = _searcher(sf_dir)
         ids, dls = s._global_dl()
         docs = ids
@@ -3298,6 +3362,8 @@ def build_queries() -> dict:
             ["table", "scan"]),                      # rows-only
         "ft_filter_lang": _q_filtered("table", "lang", "en"),
         "ft_facet_lang": _q_result_facet("table", "lang"),
+        "ft_drill_sideways": _q_drill_sideways(
+            "table", {"lang": "en", "source": "src5"}),
         "ft_terms_set": _q_terms_set(["dup", "vector", "stream"]),
         "ft_common_terms": _q_common_terms(["table", "dup"]),
         "ft_parsed_bool": _q_parsed("+table +customer vector"),
@@ -3370,6 +3436,10 @@ def build_queries() -> dict:
         # test_functionquery)
         "ft_expr_strdist_jw": _q_expr_boost(
             "table", "sum(1,strdist(lang,'en',jarowinkler))"),
+        # lucene/expressions JavascriptCompiler syntax — same AST,
+        # infix front-end
+        "ft_expr_js": _q_expr_boost(
+            "table", "1 + sqrt(n_chars) * 0.25 - dl % 7", syntax="js"),
         "ft_external_boost": _q_external_boost("table"),
         "ft_elevation": _q_elevation("table"),
         "ft_suggest_weighted": _q_suggest_weighted("s"),
@@ -3498,6 +3568,8 @@ def build_oracle_sql() -> dict:
         "ft_term_vector_positions": _term_vector_positions_sql(0),
         "ft_filter_lang": _filtered_sql("table", "lang", "en", 10),
         "ft_facet_lang": _result_facet_sql("table", "lang"),
+        "ft_drill_sideways": _drill_sideways_sql(
+            "table", {"lang": "en", "source": "src5"}),
         "ft_terms_set": _multiterm_sql(
             "term IN ('dup', 'vector', 'stream')", 10),
         "ft_parsed_bool": ft_bool_sql(["table", "customer"], ["vector"],
@@ -3590,6 +3662,9 @@ FROM bfs WHERE kind = 'c' AND node = 2
             "customer", "div(ord(n_chars),sum(rord(n_chars),1))", 10),
         "ft_expr_strdist": _expr_boost_sql(
             "table", "sum(1,strdist(lang,'en',edit))", 10),
+        "ft_expr_js": _expr_boost_sql(
+            "table", "1 + sqrt(n_chars) * 0.25 - dl % 7", 10,
+            syntax="js"),
         "ft_external_boost": _external_boost_sql("table", 10),
         "ft_elevation": _elevation_sql("table", 2, 10),
         "ft_suggest_weighted": _suggest_weighted_sql("s", 10, "lang", "en"),

@@ -372,3 +372,94 @@ def expr_index_calls(node: ExprNode) -> list[ExprNode]:
         for a in node.args:
             out.extend(expr_index_calls(a))
     return out
+
+
+_JS_TOKEN = re.compile(
+    r"\s*(\d+\.\d+|\d+|[A-Za-z_][A-Za-z_0-9]*|'[^']*'|[()+\-*/%,])")
+
+
+def parse_js_expr(s: str) -> ExprNode:
+    """The lucene/expressions JavascriptCompiler surface
+    (lucene/expressions/src/java/org/apache/lucene/expressions/js/
+    JavascriptCompiler.java): infix ``+ - * / %`` with C precedence,
+    unary minus, parentheses, function calls, identifiers. Pure syntax
+    — compiles onto the SAME AST as :func:`parse_expr`
+    (``a + b`` → sum, ``-`` → sub, ``*`` → product, ``/`` → div,
+    ``%`` → mod), so evaluation, field discovery and the SQL emitter
+    are shared verbatim; nested binary folds are bit-identical to the
+    n-ary left folds."""
+    toks: list[str] = []
+    i = 0
+    while i < len(s):
+        m = _JS_TOKEN.match(s, i)
+        if not m:
+            if s[i:].strip():
+                raise ValueError(f"unparseable expression: {s!r}")
+            break
+        toks.append(m.group(1))
+        i = m.end()
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        if pos >= len(toks):
+            raise ValueError(f"unexpected end of expression: {s!r}")
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def atom() -> ExprNode:
+        t = take()
+        if re.fullmatch(r"\d+(?:\.\d+)?", t):
+            return ExprNode("num", float(t))
+        if t.startswith("'"):
+            return ExprNode("str", t[1:-1])
+        if t == "(":
+            node = add_expr()
+            if take() != ")":
+                raise ValueError(f"missing ')' in {s!r}")
+            return node
+        if t == "-":
+            a = atom()
+            if a.kind == "num":
+                return ExprNode("num", -a.value)
+            return ExprNode("call", "sub", [ExprNode("num", 0.0), a])
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", t):
+            raise ValueError(f"unexpected token {t!r} in {s!r}")
+        if peek() == "(":
+            take()
+            args = []
+            if peek() != ")":
+                args.append(add_expr())
+                while peek() == ",":
+                    take()
+                    args.append(add_expr())
+            if take() != ")":
+                raise ValueError(f"missing ')' in {s!r}")
+            return ExprNode("call", t, args)
+        return ExprNode("field", t)
+
+    _MUL = {"*": "product", "/": "div", "%": "mod"}
+    _ADD = {"+": "sum", "-": "sub"}
+
+    def mul_expr() -> ExprNode:
+        node = atom()
+        while peek() in _MUL:
+            op = take()
+            node = ExprNode("call", _MUL[op], [node, atom()])
+        return node
+
+    def add_expr() -> ExprNode:
+        node = mul_expr()
+        while peek() in _ADD:
+            op = take()
+            node = ExprNode("call", _ADD[op], [node, mul_expr()])
+        return node
+
+    node = add_expr()
+    if pos != len(toks):
+        raise ValueError(f"trailing tokens in {s!r}")
+    return node

@@ -87,7 +87,8 @@ def test_all_queries_have_oracles_or_are_documented():
     "ft_prefix", "ft_wildcard", "ft_regexp", "ft_term_range", "ft_fuzzy",
     "ft_dismax", "ft_span_near", "ft_suggest", "ft_suggest_fuzzy",
     "ft_function_boost",
-    "ft_filter_lang", "ft_facet_lang", "dedup_embedding_cosine", "ft_terms_set",
+    "ft_filter_lang", "ft_facet_lang", "ft_drill_sideways",
+    "dedup_embedding_cosine", "ft_terms_set",
     "ft_parsed_bool", "ft_parsed_grouped", "ft_parsed_phrase_prefix",
     "ft_parsed_field", "ft_parsed_not", "ft_phrase_slop",
     "ft_numeric_range", "ft_sort_by_field", "ft_spellcheck",
@@ -102,7 +103,7 @@ def test_all_queries_have_oracles_or_are_documented():
     "ft_multi_phrase", "ft_span_first", "ft_span_not", "ft_span_or",
     "ft_blended_term", "ft_edge_ngram", "ft_shingle",
     "ft_expr_boost", "ft_expr_math", "ft_expr_dist", "ft_expr_termfreq",
-    "ft_expr_query", "ft_expr_ord",
+    "ft_expr_query", "ft_expr_ord", "ft_expr_js",
     "ft_external_boost", "ft_elevation",
     "ft_suggest_weighted", "rel_sampled_facet",
     "ft_dv_numbers", "ft_dv_terms",

@@ -251,3 +251,51 @@ def test_strdist_measure_dispatch():
     with pytest.raises(ValueError):
         evaluate(parse_expr("strdist(lang,'en',soundex)"), {},
                  ctx=Ctx())
+
+
+def test_js_infix_parser():
+    """lucene/expressions JavascriptCompiler syntax: precedence,
+    unary minus, parens, calls — compiled onto the shared AST."""
+    from lucene_solr_ray.search.functionquery import (canonical,
+                                                      parse_js_expr)
+
+    assert canonical(parse_js_expr("a + b * c")) == \
+        "sum(a,product(b,c))"
+    assert canonical(parse_js_expr("(a + b) * c")) == \
+        "product(sum(a,b),c)"
+    assert canonical(parse_js_expr("a - b - c")) == \
+        "sub(sub(a,b),c)"                      # left assoc
+    assert canonical(parse_js_expr("-x + 2")) == "sum(sub(0,x),2)"
+    assert canonical(parse_js_expr("-3 * x")) == "product(-3,x)"
+    assert canonical(parse_js_expr("ln(x) % min(2, y)")) == \
+        "mod(ln(x),min(2,y))"
+    assert canonical(parse_js_expr(
+        "termfreq(content,'data') / 2")) == \
+        "div(termfreq(content,'data'),2)"
+    with pytest.raises(ValueError):
+        parse_js_expr("a + ")
+    with pytest.raises(ValueError):
+        parse_js_expr("a ! b")
+    with pytest.raises(ValueError):
+        parse_js_expr("(a + b")
+
+
+def test_js_infix_eval_matches_duckdb_bitwise():
+    from lucene_solr_ray.search.functionquery import (evaluate,
+                                                      parse_js_expr,
+                                                      to_sql)
+
+    expr = "sqrt(x) * 0.5 + y / (x + 1) - y % 3"
+    node = parse_js_expr(expr)
+    rng = np.random.default_rng(9)
+    x = rng.integers(1, 500, 100).astype(np.float64)
+    y = rng.integers(1, 900, 100).astype(np.float64)
+    mine = evaluate(node, {"x": x, "y": y})
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+                + ", ".join(f"({a!r}, {b!r})" for a, b in zip(x, y))
+                + ") v(x, y)")
+    theirs = next(iter(con.execute(
+        f"SELECT {to_sql(node, {'x': 'x', 'y': 'y'})} FROM t")
+        .fetchnumpy().values()))
+    assert np.array_equal(mine, theirs)
