@@ -408,10 +408,13 @@ def substring_dup_pairs(sf_dir: str, k: int = SUBSTRING_K) -> pa.Table:
     reduces to at fixed k: per-batch distinct gram emission (map_batches,
     same tokenizer contract as the shingle oracle) → groupby(gram) pair
     emission (co-grouped docs only, never all-pairs) → pair rollup.
-    Only (gram, doc_id) rows enter the shuffle; payloads never move. A
-    gram shared by m docs emits m(m-1)/2 pairs — the hot-gram skew
-    consideration is the same as LSH banding's and is bounded by k being
-    long enough that ubiquitous short phrases never qualify."""
+    Grams enter the shuffle as 64-bit blake2b hashes, not strings (~8×
+    smaller exchange; collision-free at these scales, the same argument
+    the MinHash shingle contract documents — the string-joining DuckDB
+    twin stays value-identical). A gram shared by m docs emits m(m-1)/2
+    pairs — the hot-gram skew consideration is the same as LSH
+    banding's and is bounded by k being long enough that ubiquitous
+    short phrases never qualify."""
     import ray.data as rd
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
@@ -422,17 +425,19 @@ def substring_dup_pairs(sf_dir: str, k: int = SUBSTRING_K) -> pa.Table:
         toks = ab.terms.to_pylist()
         starts = np.concatenate(([0], np.cumsum(ab.doc_lengths)))
         out_doc: list[int] = []
-        out_gram: list[str] = []
+        out_gram: list[int] = []
         for d, did in enumerate(batch["doc_id"].to_pylist()):
             ws = toks[starts[d]:starts[d + 1]]
             if len(ws) < k:
                 continue
-            seen = {" ".join(ws[i:i + k])
-                    for i in range(len(ws) - k + 1)}
+            seen = {int.from_bytes(hashlib.blake2b(
+                " ".join(ws[i:i + k]).encode(),
+                digest_size=8).digest(), "big")
+                for i in range(len(ws) - k + 1)}
             out_doc.extend([did] * len(seen))
             out_gram.extend(seen)
         return pa.table({
-            "gram": pa.array(out_gram, type=pa.string()),
+            "gram": pa.array(out_gram, type=pa.uint64()),
             "doc_id": pa.array(out_doc, type=pa.int64()),
         })
 
