@@ -1,0 +1,112 @@
+"""The end-to-end pretraining-corpus pipeline — every quality gate this
+engine implements, composed the way a production data pipeline runs
+them (C4 / Gopher / GPT-3 recipes):
+
+    keep(doc) = not an eval-slice doc
+              ∧ Gopher/C4 rules (word count, word length, symbols,
+                stopword gate)
+              ∧ Gopher repetition rules (top-2-gram, duplicate-3-gram)
+              ∧ language id == English (stopword-ratio heuristic)
+              ∧ not benchmark-contaminated (zero shared n-grams with
+                the eval slice)
+              ∧ near-duplicate survivor (its cluster's smallest doc_id)
+
+Scale shape: two small broadcast artifacts are prepared first — the
+eval slice's n-gram set (benchmarks are small by nature) and the
+near-dup DROPPED-id set (only docs inside clusters appear) — then the
+corpus streams through ONE map_batches pass computing every per-doc
+gate locally, and a tiny groupby(source) aggregates the report. No
+per-doc state ever returns to the driver; the output is the per-source
+(kept, total) mixing report.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..analysis.analyzer import analyze_batch
+from ..analysis.stopwords import ENGLISH_STOP_WORDS
+from .quality_filters import (EVAL_MOD, EVAL_REMAINDER, NGRAM_N,
+                              _doc_ngrams, gopher_metrics,
+                              repetition_fracs)
+
+_STOP_PA = pa.array(ENGLISH_STOP_WORDS, type=pa.string())
+
+
+def pretrain_corpus_report(sf_dir: str, *,
+                           lang_threshold: float = 0.05,
+                           n: int = NGRAM_N) -> pa.Table:
+    """(source, kept, total) per source, sorted — the corpus-mixing
+    report after all gates."""
+    import ray
+    import ray.data as rd
+
+    from .dedup import dedup_clusters
+
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    # broadcast artifact 1: the eval slice's n-gram set
+    def eval_grams(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        m = (ids % EVAL_MOD) == EVAL_REMAINDER
+        if not m.any():
+            return pa.table({"gram": pa.array([], type=pa.string())})
+        sub = batch.filter(pa.array(m))
+        ab = analyze_batch(sub["text"], keep_stopwords=True)
+        grams = set().union(*_doc_ngrams(ab, len(sub), n)) \
+            if len(sub) else set()
+        return pa.table({"gram": pa.array(sorted(grams),
+                                          type=pa.string())})
+
+    ev = (rd.read_parquet(path, columns=["doc_id", "text"])
+          .map_batches(eval_grams, batch_format="pyarrow").to_pandas())
+    ev_ref = ray.put(frozenset(ev["gram"].tolist()))
+
+    # broadcast artifact 2: near-dup non-survivors
+    clusters = dedup_clusters(sf_dir).to_pandas()
+    dropped = np.sort(clusters.loc[clusters["doc_id"]
+                                   != clusters["cluster"],
+                                   "doc_id"].to_numpy(dtype=np.int64))
+    drop_ref = ray.put(dropped)
+
+    def flags(batch: pa.Table) -> pa.Table:
+        import ray as _r
+
+        es = _r.get(ev_ref)
+        dead = _r.get(drop_ref)
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        not_eval = (ids % EVAL_MOD) != EVAL_REMAINDER
+        _, _, _, _, gop = gopher_metrics(batch)
+        _, _, rep = repetition_fracs(batch)
+        ab = analyze_batch(batch["text"], keep_stopwords=True)
+        nrows = batch.num_rows
+        total = np.bincount(ab.doc_idx, minlength=nrows).astype(np.int64)
+        is_stop = np.asarray(pc.is_in(ab.terms, value_set=_STOP_PA))
+        stops = np.bincount(ab.doc_idx[is_stop],
+                            minlength=nrows).astype(np.int64)
+        ratio = np.divide(stops, total, out=np.zeros(nrows),
+                          where=total > 0)
+        is_en = ratio >= lang_threshold
+        clean = np.array([len(g & es) == 0
+                          for g in _doc_ngrams(ab, nrows, n)])
+        surv = ~np.isin(ids, dead)
+        keep = not_eval & gop & rep & is_en & clean & surv
+        return pa.table({
+            "source": batch["source"],
+            "kept": pa.array(keep.astype(np.int64), type=pa.int64()),
+            "one": pa.array(np.ones(nrows, dtype=np.int64),
+                            type=pa.int64()),
+        })
+
+    agg = (rd.read_parquet(path, columns=["doc_id", "text", "source"])
+           .map_batches(flags, batch_format="pyarrow")
+           .groupby("source").sum(["kept", "one"]).to_pandas())
+    agg = agg.rename(columns={"sum(kept)": "kept", "sum(one)": "total"})
+    agg = agg.sort_values("source").reset_index(drop=True)
+    for c in ("kept", "total"):
+        agg[c] = agg[c].astype("int64")
+    return pa.Table.from_pandas(agg, preserve_index=False)

@@ -30,12 +30,67 @@ MAX_WORDS = 100_000
 MIN_MEAN_WORD_LEN = 3.0
 MAX_MEAN_WORD_LEN = 10.0
 MAX_SYMBOL_RATIO = 0.10
-STOP_SET = ("the", "be", "to", "of", "and")
-MIN_STOP_HITS = 2
+# the synthetic corpus draws from a small vocabulary whose only common
+# function words are "the"/"a" — one distinct hit is the discriminative
+# gibberish gate here (Gopher's own list-of-8/2-hit rule would reject
+# every doc; the RULE shape is the recipe, the constants are
+# corpus-scaled)
+STOP_SET = ("the", "a", "be", "to", "of", "and")
+MIN_STOP_HITS = 1
 
 NGRAM_N = 4  # short synthetic docs; real decontamination uses 8-13
 EVAL_MOD = 100
 EVAL_REMAINDER = 7
+
+
+def gopher_metrics(batch: pa.Table):
+    """Per-batch Gopher/C4 rule metrics: (n_words, mean_word_len,
+    symbol_ratio, distinct_stops, keep) arrays — shared by the
+    standalone gopher_rules op and the composite pretraining
+    pipeline."""
+    stop_pa = pa.array(list(STOP_SET))
+    texts = batch["text"]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(batch)
+    words = pc.split_pattern_regex(texts, pattern=r"\s+")
+    wcounts = np.asarray(words.value_lengths(), dtype=np.int64)
+    # empty text splits to one empty token — correct to 0 words
+    flat = words.flatten()
+    empty_tok = np.asarray(pc.equal(pc.utf8_length(flat), 0)) \
+        if len(flat) else np.zeros(0, dtype=bool)
+    if empty_tok.any():
+        starts = np.concatenate(([0], np.cumsum(wcounts)))
+        per_doc_empty = np.add.reduceat(
+            empty_tok.astype(np.int64), starts[:-1]) \
+            * (wcounts > 0)
+        wcounts = wcounts - per_doc_empty
+    total_chars = np.asarray(pc.utf8_length(texts),
+                             dtype=np.int64)
+    nonspace = np.asarray(pc.utf8_length(pc.replace_substring_regex(
+        texts, pattern=r"\s", replacement="")), dtype=np.int64)
+    alnum_space = np.asarray(pc.utf8_length(
+        pc.replace_substring_regex(
+            texts, pattern=r"[a-zA-Z0-9\s]", replacement="")),
+        dtype=np.int64)
+    mean_wl = np.divide(nonspace, wcounts,
+                        out=np.zeros(n), where=wcounts > 0)
+    sym_ratio = np.divide(alnum_space, total_chars,
+                          out=np.zeros(n), where=total_chars > 0)
+    ab = analyze_batch(batch["text"], keep_stopwords=True)
+    is_stop = np.asarray(pc.is_in(ab.terms, value_set=stop_pa))
+    codes = np.asarray(pc.index_in(ab.terms, value_set=stop_pa)
+                       .fill_null(-1), dtype=np.int64)
+    key = ab.doc_idx.astype(np.int64) * len(STOP_SET) + codes
+    distinct_stops = np.bincount(
+        (np.unique(key[is_stop]) // len(STOP_SET)).astype(np.int64),
+        minlength=n).astype(np.int64)
+    ok = ((wcounts >= MIN_WORDS) & (wcounts <= MAX_WORDS)
+          & (mean_wl >= MIN_MEAN_WORD_LEN)
+          & (mean_wl <= MAX_MEAN_WORD_LEN)
+          & (sym_ratio < MAX_SYMBOL_RATIO)
+          & (distinct_stops >= MIN_STOP_HITS))
+    return wcounts, mean_wl, sym_ratio, distinct_stops, ok
 
 
 def gopher_rules(sf_dir: str) -> pa.Table:
@@ -47,50 +102,9 @@ def gopher_rules(sf_dir: str) -> pa.Table:
     - must contain ≥2 distinct common stopwords (Gopher's 'stop word'
       gibberish gate)
     """
-    stop_pa = pa.array(list(STOP_SET))
-
     def score(batch: pa.Table) -> pa.Table:
-        texts = batch["text"]
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        n = len(batch)
-        words = pc.split_pattern_regex(texts, pattern=r"\s+")
-        wcounts = np.asarray(words.value_lengths(), dtype=np.int64)
-        # empty text splits to one empty token — correct to 0 words
-        flat = words.flatten()
-        empty_tok = np.asarray(pc.equal(pc.utf8_length(flat), 0)) \
-            if len(flat) else np.zeros(0, dtype=bool)
-        if empty_tok.any():
-            starts = np.concatenate(([0], np.cumsum(wcounts)))
-            per_doc_empty = np.add.reduceat(
-                empty_tok.astype(np.int64), starts[:-1]) \
-                * (wcounts > 0)
-            wcounts = wcounts - per_doc_empty
-        total_chars = np.asarray(pc.utf8_length(texts),
-                                 dtype=np.int64)
-        nonspace = np.asarray(pc.utf8_length(pc.replace_substring_regex(
-            texts, pattern=r"\s", replacement="")), dtype=np.int64)
-        alnum_space = np.asarray(pc.utf8_length(
-            pc.replace_substring_regex(
-                texts, pattern=r"[a-zA-Z0-9\s]", replacement="")),
-            dtype=np.int64)
-        mean_wl = np.divide(nonspace, wcounts,
-                            out=np.zeros(n), where=wcounts > 0)
-        sym_ratio = np.divide(alnum_space, total_chars,
-                              out=np.zeros(n), where=total_chars > 0)
-        ab = analyze_batch(batch["text"], keep_stopwords=True)
-        is_stop = np.asarray(pc.is_in(ab.terms, value_set=stop_pa))
-        codes = np.asarray(pc.index_in(ab.terms, value_set=stop_pa)
-                           .fill_null(-1), dtype=np.int64)
-        key = ab.doc_idx.astype(np.int64) * len(STOP_SET) + codes
-        distinct_stops = np.bincount(
-            (np.unique(key[is_stop]) // len(STOP_SET)).astype(np.int64),
-            minlength=n).astype(np.int64)
-        ok = ((wcounts >= MIN_WORDS) & (wcounts <= MAX_WORDS)
-              & (mean_wl >= MIN_MEAN_WORD_LEN)
-              & (mean_wl <= MAX_MEAN_WORD_LEN)
-              & (sym_ratio < MAX_SYMBOL_RATIO)
-              & (distinct_stops >= MIN_STOP_HITS))
+        wcounts, mean_wl, sym_ratio, distinct_stops, ok = \
+            gopher_metrics(batch)
         return pa.table({
             "doc_id": batch["doc_id"],
             "n_words": pa.array(wcounts, type=pa.int64()),
@@ -391,6 +405,39 @@ MAX_TOP2GRAM_FRAC = 0.20
 MAX_DUP3GRAM_FRAC = 0.18
 
 
+def repetition_fracs(batch: pa.Table):
+    """Per-batch (top2gram_frac, dup3gram_frac, keep) arrays — shared
+    by the standalone op and the composite pretraining pipeline."""
+    ab = analyze_batch(batch["text"], keep_stopwords=True)
+    toks = ab.terms.to_pylist()
+    starts = np.concatenate(([0], np.cumsum(ab.doc_lengths)))
+    n = batch.num_rows
+    top2 = np.zeros(n, dtype=np.float64)
+    dup3 = np.zeros(n, dtype=np.float64)
+    for d in range(n):
+        ws = toks[starts[d]:starts[d + 1]]
+        tot = sum(len(w) for w in ws)
+        if tot == 0:
+            continue
+        if len(ws) >= 2:
+            c2: dict[str, int] = {}
+            for i in range(len(ws) - 1):
+                g = ws[i] + " " + ws[i + 1]
+                c2[g] = c2.get(g, 0) + 1
+            g, c = min(c2.items(), key=lambda kv: (-kv[1], kv[0]))
+            top2[d] = (c * (len(g) - 1)) / tot
+        if len(ws) >= 3:
+            c3: dict[str, int] = {}
+            for i in range(len(ws) - 2):
+                g = " ".join(ws[i:i + 3])
+                c3[g] = c3.get(g, 0) + 1
+            covered = sum(c * (len(g) - 2)
+                          for g, c in c3.items() if c >= 2)
+            dup3[d] = covered / tot
+    keep = (top2 <= MAX_TOP2GRAM_FRAC) & (dup3 <= MAX_DUP3GRAM_FRAC)
+    return top2, dup3, keep
+
+
 def repetition_metrics(sf_dir: str) -> pa.Table:
     """Gopher's repetition rules over token n-grams:
 
@@ -402,36 +449,8 @@ def repetition_metrics(sf_dir: str) -> pa.Table:
     Both are integer counts until one final float64 division, so the
     DuckDB twin is bit-equal after the shared quantization. Line-based
     repetition rules are N/A on this single-line corpus (documented)."""
-    import pandas as pd
-
     def score(batch: pa.Table) -> pa.Table:
-        ab = analyze_batch(batch["text"], keep_stopwords=True)
-        toks = ab.terms.to_pylist()
-        starts = np.concatenate(([0], np.cumsum(ab.doc_lengths)))
-        n = batch.num_rows
-        top2 = np.zeros(n, dtype=np.float64)
-        dup3 = np.zeros(n, dtype=np.float64)
-        for d in range(n):
-            ws = toks[starts[d]:starts[d + 1]]
-            tot = sum(len(w) for w in ws)
-            if tot == 0:
-                continue
-            if len(ws) >= 2:
-                c2: dict[str, int] = {}
-                for i in range(len(ws) - 1):
-                    g = ws[i] + " " + ws[i + 1]
-                    c2[g] = c2.get(g, 0) + 1
-                g, c = min(c2.items(), key=lambda kv: (-kv[1], kv[0]))
-                top2[d] = (c * (len(g) - 1)) / tot
-            if len(ws) >= 3:
-                c3: dict[str, int] = {}
-                for i in range(len(ws) - 2):
-                    g = " ".join(ws[i:i + 3])
-                    c3[g] = c3.get(g, 0) + 1
-                covered = sum(c * (len(g) - 2)
-                              for g, c in c3.items() if c >= 2)
-                dup3[d] = covered / tot
-        keep = (top2 <= MAX_TOP2GRAM_FRAC) & (dup3 <= MAX_DUP3GRAM_FRAC)
+        top2, dup3, keep = repetition_fracs(batch)
         return pa.table({
             "doc_id": batch["doc_id"],
             "top2gram_frac_q": pa.array(_q4(top2), type=pa.int64()),

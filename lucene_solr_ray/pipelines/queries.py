@@ -583,6 +583,132 @@ ORDER BY doc_id
 """
 
 
+def pretrain_report_sql(threshold: float, n: int,
+                        jaccard: float) -> str:
+    """Twin of ops.pretrain.pretrain_corpus_report: every gate's
+    existing twin logic composed into one conjunctive report."""
+    from ..ops.quality_filters import (EVAL_MOD, EVAL_REMAINDER,
+                                       MAX_DUP3GRAM_FRAC,
+                                       MAX_MEAN_WORD_LEN,
+                                       MAX_SYMBOL_RATIO,
+                                       MAX_TOP2GRAM_FRAC, MAX_WORDS,
+                                       MIN_MEAN_WORD_LEN,
+                                       MIN_STOP_HITS, MIN_WORDS,
+                                       STOP_SET)
+
+    gstops = ", ".join(f"'{s}'" for s in STOP_SET)
+    leads = " || ' ' || ".join(
+        ["term"] + [f"lead(term, {i}) OVER w" for i in range(1, n)])
+    return f"""
+WITH RECURSIVE toksl AS (
+  SELECT doc_id, list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                             t -> length(t) <= 255) AS tk
+  FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                             for i in range(1, len(tk) - 1)]) AS s
+       FROM toksl WHERE len(tk) >= 3),
+prs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        >= {jaccard}),
+edges AS (SELECT a AS u, b AS v FROM prs
+          UNION SELECT b, a FROM prs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+closure AS (SELECT u, v FROM reach UNION SELECT u, u FROM edges),
+dropped AS (SELECT u AS doc_id FROM closure GROUP BY u
+            HAVING min(v) < u),
+tokens AS (SELECT doc_id, unnest(tk) AS term,
+                  unnest(range(len(tk))) AS pos
+           FROM toksl),
+g AS (SELECT doc_id, {leads} AS gram,
+             lead(term, {n - 1}) OVER w IS NOT NULL AS ok
+      FROM tokens WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+ev AS (SELECT DISTINCT gram FROM g
+       WHERE ok AND doc_id % {EVAL_MOD} = {EVAL_REMAINDER}),
+contam AS (SELECT DISTINCT doc_id FROM g
+           WHERE ok AND doc_id % {EVAL_MOD} <> {EVAL_REMAINDER}
+                 AND gram IN (SELECT gram FROM ev)),
+gbase AS (
+  SELECT doc_id,
+         len(list_filter(regexp_extract_all(text, '\\S+'),
+                         w -> length(w) > 0)) AS n_words,
+         length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+           AS symbols,
+         length(text) AS total_chars
+  FROM documents),
+gst AS (SELECT doc_id, count(DISTINCT term) AS distinct_stops
+        FROM tokens WHERE term IN ({gstops}) GROUP BY doc_id),
+gm AS (
+  SELECT b.doc_id,
+         (b.n_words >= {MIN_WORDS} AND b.n_words <= {MAX_WORDS}
+          AND (CASE WHEN b.n_words > 0
+               THEN CAST(b.nonspace AS DOUBLE) / b.n_words
+               ELSE 0 END) >= {MIN_MEAN_WORD_LEN}
+          AND (CASE WHEN b.n_words > 0
+               THEN CAST(b.nonspace AS DOUBLE) / b.n_words
+               ELSE 0 END) <= {MAX_MEAN_WORD_LEN}
+          AND (CASE WHEN b.total_chars > 0
+               THEN CAST(b.symbols AS DOUBLE) / b.total_chars
+               ELSE 0 END) < {MAX_SYMBOL_RATIO}
+          AND COALESCE(s.distinct_stops, 0) >= {MIN_STOP_HITS})
+           AS gop
+  FROM gbase b LEFT JOIN gst s ON s.doc_id = b.doc_id),
+tot AS (SELECT doc_id, length(array_to_string(tk, '')) AS tot
+        FROM toksl),
+g2 AS (SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1]
+                              for i in range(1, len(tk))]) AS g
+       FROM toksl WHERE len(tk) >= 2),
+c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+top2 AS (SELECT doc_id, c * (length(g) - 1) AS covered
+         FROM (SELECT doc_id, g, c, row_number() OVER
+                 (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+               FROM c2)
+         WHERE rn = 1),
+g3 AS (SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                              for i in range(1, len(tk) - 1)]) AS g
+       FROM toksl WHERE len(tk) >= 3),
+c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+dup3 AS (SELECT doc_id, sum(c * (length(g) - 2)) AS covered
+         FROM c3 WHERE c >= 2 GROUP BY doc_id),
+rep AS (
+  SELECT t.doc_id,
+         ((CASE WHEN t.tot > 0
+            THEN CAST(COALESCE(a.covered, 0) AS DOUBLE) / t.tot
+            ELSE 0 END) <= {MAX_TOP2GRAM_FRAC}
+          AND (CASE WHEN t.tot > 0
+            THEN CAST(COALESCE(b.covered, 0) AS DOUBLE) / t.tot
+            ELSE 0 END) <= {MAX_DUP3GRAM_FRAC}) AS rep_ok
+  FROM tot t LEFT JOIN top2 a ON a.doc_id = t.doc_id
+             LEFT JOIN dup3 b ON b.doc_id = t.doc_id),
+lagg AS (SELECT doc_id, count(*) AS nt,
+                count(*) FILTER (term IN {_STOPLIST}) AS ns
+         FROM tokens GROUP BY doc_id)
+SELECT d.source,
+       count(*) FILTER (
+         d.doc_id % {EVAL_MOD} <> {EVAL_REMAINDER}
+         AND COALESCE(gm.gop, FALSE)
+         AND COALESCE(rep.rep_ok, FALSE)
+         AND COALESCE(CAST(l.ns AS DOUBLE) / l.nt >= {threshold}, FALSE)
+         AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+         AND d.doc_id NOT IN (SELECT doc_id FROM dropped)
+       ) AS kept,
+       count(*) AS total
+FROM documents d
+LEFT JOIN gm ON gm.doc_id = d.doc_id
+LEFT JOIN rep ON rep.doc_id = d.doc_id
+LEFT JOIN lagg l ON l.doc_id = d.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
 def substring_dup_sql(k: int) -> str:
     """Twin of ops.dedup.substring_dup_pairs: distinct k-token windows
     per doc (same tokenizer contract as the shingle oracle), pairs =
@@ -3262,6 +3388,7 @@ def build_queries() -> dict:
     from ..ops import quality_filters as QF
     from ..ops import relational as R
     from ..ops import text as T
+    from ..ops.pretrain import pretrain_corpus_report
 
     training = {
         "dedup_exact": D.exact_dedup,
@@ -3404,6 +3531,8 @@ def build_queries() -> dict:
         "graph_shortest_path": _q_shortest_path(1, 2),
         "text_gopher_rules": QF.gopher_rules,
         "text_repetition": QF.repetition_metrics,
+        # the composite: every gate + dedup in one streaming pass
+        "pipeline_pretrain": pretrain_corpus_report,
         "text_contamination": QF.contamination_hits,
         "text_unigram_lm": QF.unigram_logprob,
         "text_mixture_rebalance": QF.mixture_rebalance,
@@ -3628,6 +3757,8 @@ FROM bfs WHERE kind = 'c' AND node = 2
 """,
         "text_gopher_rules": QF.gopher_rules_sql(),
         "text_repetition": QF.repetition_metrics_sql(),
+        "pipeline_pretrain": pretrain_report_sql(
+            0.05, 4, JACCARD_THRESHOLD),
         "text_contamination": QF.contamination_sql(),
         "text_unigram_lm": QF.unigram_logprob_sql(),
         "text_mixture_rebalance": QF.mixture_rebalance_sql(),

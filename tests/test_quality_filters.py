@@ -85,3 +85,42 @@ def test_repetition_metrics_flags(ray_session, tmp_path):
     assert rows[3]["dup3gram_frac_q"] > 5000
     assert rows[4]["keep"] is True
     assert rows[4]["top2gram_frac_q"] == 0
+
+
+def test_pretrain_pipeline_gates(ray_session, tmp_path):
+    """The composite pipeline rejects exactly one doc per gate on a
+    crafted corpus and reports per-source counts."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.ops.pretrain import pretrain_corpus_report
+
+    good = ("the quick brown fox jumps over a lazy dog near the old "
+            "river bank watching silver fish swim past green reeds "
+            "while morning light spreads warm colors across quiet "
+            "water and soft wind moves through tall grass")  # ~40 words
+    near_dup = good + " extra"
+    rows = [
+        (1, good, "srcA"),
+        (2, "too short to pass the word gate", "srcA"),       # gopher
+        (3, "buy now " * 40, "srcA"),                          # repetition
+        (4, ("zzz qqq kkk vvv www " * 12), "srcB"),            # not en
+        (107, "the benchmark alpha beta gamma delta epsilon "
+              "zeta " * 6, "srcB"),                            # eval slice
+        (5, "training doc with the benchmark alpha beta gamma "
+            "delta epsilon zeta copied plus the filler words to "
+            "reach a plausible length for the word count gate "
+            "and some more padding words to clear thirty total",
+         "srcB"),                                              # contaminated
+        (6, near_dup, "srcB"),  # loses the near-dup cluster to doc 1?
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([i for i, _, _ in rows], type=pa.int64()),
+        "text": pa.array([t for _, t, _ in rows]),
+        "source": pa.array([s for _, _, s in rows]),
+    }), str(tmp_path / "documents.parquet"))
+    t = pretrain_corpus_report(str(tmp_path)).to_pandas()
+    got = {r.source: (r.kept, r.total) for r in t.itertuples()}
+    # srcA: doc 1 survives; 2 (short) and 3 (repetitive) fail
+    assert got["srcA"] == (1, 3)
+    # srcB: 4 not-english, 107 eval, 5 contaminated, 6 near-dup loser
+    assert got["srcB"] == (0, 4)
