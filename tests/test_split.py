@@ -124,3 +124,25 @@ def test_multipass_split_round_robin_and_seq(ray_session, tmp_path):
     split_index_n(idx, outs2, seq=True)
     s2 = [_all_docs(o) for o in outs2]
     assert s2[0] == set(range(30)) and s2[2] == set(range(60, 90))
+
+
+def test_split_of_merged_index(ray_session, tmp_path):
+    """SPLITSHARD's realistic input: a MERGED (term-partitioned) index
+    splits into two valid halves — shards and docs_only segments both
+    filter correctly."""
+    from lucene_solr_ray.index.merge import merge_segments
+
+    idx = str(tmp_path / "idx")
+    build_index(_docs(120), idx, batch_rows=40)
+    merge_segments(idx)
+    lo, hi = str(tmp_path / "lo"), str(tmp_path / "hi")
+    m_lo, m_hi = split_index(idx, lo, hi, split_doc_id=60)
+    assert m_lo["num_docs"] == 60 and m_hi["num_docs"] == 60
+    assert _all_docs(lo) == set(range(60))
+    assert _all_docs(hi) == set(range(60, 120))
+    t = IndexSearcher(lo, mode="exact64").search(
+        {"type": "phrase", "terms": ["fast", "table"]}, k=100)
+    assert all(d < 60 for d in t["doc_id"].to_pylist())
+    from lucene_solr_ray.index.check import check_index
+    assert check_index(lo)["errors"] == []
+    assert check_index(hi)["errors"] == []
