@@ -2544,13 +2544,17 @@ WITH {_tok_ctes()},
 tf AS (SELECT doc_id, count(*) AS tf FROM clean WHERE term = '{term}'
        GROUP BY doc_id),
 ttfx AS (SELECT count(*) AS ttf FROM clean WHERE term = '{term}'),
-scored AS (
+raw AS (
   SELECT tf.doc_id AS doc_id,
          ln(1 + tf.tf / ({mu!r} * (ttfx.ttf
                                    / CAST(s.sum_dl AS DOUBLE))))
          + ln({mu!r} / (dl.dl + {mu!r})) AS score
   FROM tf JOIN dl USING (doc_id), ttfx, stats s
-)
+),
+-- LMDirichletSimilarity.java:70 clamps the negative case to 0
+scored AS (SELECT doc_id,
+                  CASE WHEN score > 0 THEN score ELSE 0 END AS score
+           FROM raw)
 {_sql_topk('scored', k)}
 """
 

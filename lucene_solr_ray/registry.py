@@ -71,6 +71,20 @@ def _classic_sim():
     return ClassicSimilarity
 
 
+@register("similarity", "dfr_inl2")
+def _dfr_inl2_sim():
+    from .search.similarity import DFRInL2Similarity
+
+    return DFRInL2Similarity
+
+
+@register("similarity", "ib_ll")
+def _ib_ll_sim():
+    from .search.similarity import IBLLSimilarity
+
+    return IBLLSimilarity
+
+
 @register("analyzer", "standard")
 def _standard_chain():
     from .analysis import analyze_batch

@@ -52,9 +52,96 @@ class ClassicSimilarity:
         return (w * tf32 * norm).astype(np.float32)
 
 
+class _DFRBaseNorm:
+    """Shared state for searcher-integrated SimilarityBase subclasses:
+    docLen comes from the LOSSY norm byte (SimilarityBase.decodeNormValue
+    — NORM_TABLE[b] ≈ dl), float32 results — Lucene's actual scoring
+    mode, vs the float64 exact-dl query-level functions below which are
+    the oracle-paired twins. Only df-based members integrate here: the
+    score_term interface carries doc_freq, not ttf (LM Dirichlet/JM and
+    IB SPL need the term's totalTermFreq and stay query-level)."""
+
+    def __init__(self, doc_count: int, sum_total_term_freq: int,
+                 c: float = 1.0, **_):
+        from .bm25 import NORM_TABLE
+
+        self.doc_count = int(doc_count)
+        self.sum_ttf = int(sum_total_term_freq)
+        self.c = float(c)
+        self.avgdl = np.float32(sum_total_term_freq
+                                / float(max(doc_count, 1)))
+        self.dl_table = NORM_TABLE.astype(np.float64)
+
+    def _tfn(self, tf: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        """NormalizationH2.tfn (float32 result, double inside)."""
+        dl = self.dl_table[np.asarray(norm_bytes, dtype=np.int64)]
+        return (tf.astype(np.float64)
+                * np.log2(1.0 + self.c * np.float64(self.avgdl) / dl)
+                ).astype(np.float32)
+
+
+class DFRInL2Similarity(_DFRBaseNorm):
+    """DFR I(n)L2 integrated into the searcher (DFRSimilarity with
+    BasicModelIn/AfterEffectL/NormalizationH2 over norm-byte doc
+    lengths). score = boost · (tfn · log2((N+1)/(df+0.5))) · 1/(tfn+1),
+    float32 at the reference's cast points."""
+
+    def idf(self, doc_freq: int) -> np.float32:
+        return np.float32(math.log2((self.doc_count + 1)
+                                    / (doc_freq + 0.5)))
+
+    def score_term(self, tf: np.ndarray, norm_bytes: np.ndarray,
+                   doc_freq: int, boost: float = 1.0) -> np.ndarray:
+        tfn = self._tfn(tf, norm_bytes)
+        one = np.float32(1.0)
+        return (np.float32(boost) * (tfn * self.idf(doc_freq))
+                * (one / (tfn + one))).astype(np.float32)
+
+    def score_with_idf(self, tf: np.ndarray, norm_bytes: np.ndarray,
+                       idf: float) -> np.ndarray:
+        # phrase-family: the externally summed weight replaces the
+        # basic-model part (the MultiSimilarity-average analogue)
+        tfn = self._tfn(tf, norm_bytes)
+        one = np.float32(1.0)
+        return ((np.float32(idf) * tfn)
+                * (one / (tfn + one))).astype(np.float32)
+
+
+class IBLLSimilarity(_DFRBaseNorm):
+    """IB LL·DF·H2 integrated into the searcher (IBSimilarity with
+    DistributionLL/LambdaDF/NormalizationH2 over norm-byte doc
+    lengths). score = boost · -ln(λ/(tfn+λ)), λ = (df+1)/(N+1)."""
+
+    def _lam(self, doc_freq: int) -> np.float32:
+        return np.float32((doc_freq + 1.0) / (self.doc_count + 1.0))
+
+    def idf(self, doc_freq: int) -> np.float32:
+        # the tfn-independent growth scale: -ln(λ) (used only where a
+        # per-term additive weight is needed, e.g. phrase idf sums)
+        return np.float32(-math.log(float(self._lam(doc_freq))))
+
+    def score_term(self, tf: np.ndarray, norm_bytes: np.ndarray,
+                   doc_freq: int, boost: float = 1.0) -> np.ndarray:
+        tfn = self._tfn(tf, norm_bytes)
+        lam = self._lam(doc_freq).astype(np.float64)
+        s = -np.log(lam / (tfn.astype(np.float64) + lam))
+        return (np.float32(boost) * s.astype(np.float32)) \
+            .astype(np.float32)
+
+    def score_with_idf(self, tf: np.ndarray, norm_bytes: np.ndarray,
+                       idf: float) -> np.ndarray:
+        # treat exp(-idf) as the effective λ of the combined weight
+        lam = np.float64(math.exp(-float(idf)))
+        tfn = self._tfn(tf, norm_bytes)
+        s = -np.log(lam / (tfn.astype(np.float64) + lam))
+        return s.astype(np.float32)
+
+
 SIMILARITIES = {
     "bm25": None,       # resolved to BM25Float32 by the searcher
     "classic": ClassicSimilarity,
+    "dfr_inl2": DFRInL2Similarity,
+    "ib_ll": IBLLSimilarity,
 }
 
 
@@ -62,24 +149,27 @@ def lm_dirichlet_scores(tf: np.ndarray, dl: np.ndarray,
                         ttf: int, sum_dl: int,
                         mu: float = 2000.0) -> np.ndarray:
     """LMDirichletSimilarity (core:search/similarities/
-    LMDirichletSimilarity.java:55-70): Bayesian smoothing with Dirichlet
+    LMDirichletSimilarity.java:66-71): Bayesian smoothing with Dirichlet
     priors,
 
-        score = ln(1 + tf/(µ·p(t|C))) + ln(µ/(dl+µ)),
+        score = max(ln(1 + tf/(µ·p(t|C))) + ln(µ/(dl+µ)), 0),
         p(t|C) = ttf / sumTotalTermFreq
 
-    over EXACT doc lengths (docs.parquet dl) rather than the reference's
-    lossy norm-byte decode — the float64 oracle mode discipline. Scalar
-    math.log per element (np.log's SIMD path differs from libm in the
-    last bit on some inputs — see CLAUDE.md), bounded by the candidate
-    set so this stays a query-time cost."""
+    (the reference clamps the negative fewer-occurrences-than-predicted
+    case to 0 — :32-35, :70) over EXACT doc lengths (docs.parquet dl)
+    rather than the reference's lossy norm-byte decode — the float64
+    oracle mode discipline. Scalar math.log per element (np.log's SIMD
+    path differs from libm in the last bit on some inputs — see
+    CLAUDE.md), bounded by the candidate set so this stays a query-time
+    cost."""
     p = ttf / float(sum_dl)
     out = np.empty(len(tf), dtype=np.float64)
     tf64 = tf.astype(np.float64)
     dl64 = dl.astype(np.float64)
     for i in range(len(out)):
-        out[i] = (math.log(1.0 + tf64[i] / (mu * p))
-                  + math.log(mu / (dl64[i] + mu)))
+        s = (math.log(1.0 + tf64[i] / (mu * p))
+             + math.log(mu / (dl64[i] + mu)))
+        out[i] = s if s > 0.0 else 0.0
     return out
 
 

@@ -197,3 +197,41 @@ def test_enwiki_feed(ray_session, tmp_path):
     assert rows[0]["date"] == "2016-01-01T00:00:00Z"
     assert rows[0]["body"] == "inverted index library"
     assert rows[1]["body"] == "search server"
+
+
+def test_dfr_and_ib_similarities_integrated(tmp_path, ray_session):
+    """Searcher-integrated DFR I(n)L2 and IB LL: pluggable via the
+    registry name, sane rankings for every query family, and the
+    term-query scores hand-check against the class itself."""
+    t = add_doc_keys(corpus_table(200))
+    out = str(tmp_path / "dfr")
+    build_index(t, out, batch_rows=100)
+    from lucene_solr_ray.search.similarity import (DFRInL2Similarity,
+                                                   IBLLSimilarity)
+
+    for name, cls in (("dfr_inl2", DFRInL2Similarity),
+                      ("ib_ll", IBLLSimilarity)):
+        s = IndexSearcher(out, similarity=name)
+        r = s.search({"type": "term", "term": "data"}, k=20)
+        assert r.num_rows == 20
+        assert all(v > 0 for v in r["score"].to_pylist())
+        sim = cls(s.num_docs, s.sum_dl)
+        docs, tfs, norms = s._decode_term_global("data")
+        expect = sim.score_term(tfs, norms,
+                                s.term_stats(["data"])["data"][0])
+        top_doc = r["doc_id"][0].as_py()
+        i = int(np.searchsorted(docs, top_doc))
+        assert np.float32(r["score"][0].as_py()) == expect[i]
+        # bool + phrase run under the alternative similarity too
+        assert s.search({"type": "bool", "should": ["data", "line"],
+                         "min_should_match": 1},
+                        k=5).num_rows > 0
+        assert s.search({"type": "phrase",
+                         "terms": ["quick", "brown"]},
+                        k=5).num_rows > 0
+    # bm25 and the alternatives disagree on scores (different formulas)
+    sb = IndexSearcher(out, similarity="bm25")
+    sd = IndexSearcher(out, similarity="dfr_inl2")
+    q = {"type": "term", "term": "data"}
+    assert sb.search(q, k=5)["score"].to_pylist() != \
+        sd.search(q, k=5)["score"].to_pylist()
