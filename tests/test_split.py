@@ -146,3 +146,47 @@ def test_split_of_merged_index(ray_session, tmp_path):
     from lucene_solr_ray.index.check import check_index
     assert check_index(lo)["errors"] == []
     assert check_index(hi)["errors"] == []
+
+
+def test_randomized_reclaim_then_split_invariants(ray_session, tmp_path):
+    """Randomized end-to-end lifecycle: build with random segmentation,
+    delete a random subset, tiered-reclaim, split at a random point —
+    the halves must partition exactly the survivors and score
+    bit-identically to fresh builds of the same docs."""
+    from lucene_solr_ray.index.deletes import delete_docs
+    from lucene_solr_ray.index.tiered import merge_until_stable
+
+    rng = np.random.default_rng(20260818)
+    for trial in range(3):
+        n = int(rng.integers(60, 140))
+        batch = int(rng.integers(10, 40))
+        docs = _docs(n)
+        idx = str(tmp_path / f"idx{trial}")
+        build_index(docs, idx, batch_rows=batch)
+        dead = sorted(rng.choice(n, size=int(rng.integers(1, 6)),
+                                 replace=False).tolist())
+        delete_docs(idx, dead)
+        merge_until_stable(idx, segs_per_tier=1, max_merge_at_once=16,
+                           floor_bytes=1)
+        assert not load_manifest(idx).get("deletes_file")
+        cut = int(rng.integers(1, n - 1))
+        lo, hi = (str(tmp_path / f"lo{trial}"),
+                  str(tmp_path / f"hi{trial}"))
+        m_lo, m_hi = split_index(idx, lo, hi, split_doc_id=cut)
+        survivors = set(range(n)) - set(dead)
+        assert _all_docs(lo) == {d for d in survivors if d < cut}
+        assert _all_docs(hi) == {d for d in survivors if d >= cut}
+        assert m_lo["num_docs"] + m_hi["num_docs"] == len(survivors)
+
+        # bit-identity of the low half vs a fresh build of its docs
+        keep_lo = docs.filter(pa.compute.and_(
+            pa.compute.less(docs["doc_id"], cut),
+            pa.compute.invert(pa.compute.is_in(
+                docs["doc_id"], value_set=pa.array(dead)))))
+        fresh = str(tmp_path / f"fresh{trial}")
+        build_index(keep_lo, fresh)
+        q = {"type": "bool", "should": WORDS[:4], "min_should_match": 1}
+        a = IndexSearcher(lo, mode="lucene32").search(q, k=50)
+        b = IndexSearcher(fresh, mode="lucene32").search(q, k=50)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+        assert a["score"].to_pylist() == b["score"].to_pylist()
