@@ -307,3 +307,74 @@ def test_solr_caches(index_dir, oracle):
     assert c.get("b") is None
     assert c.get("a") == 1 and c.get("c") == 3
     assert c.stats()["evictions"] == 1
+
+
+def test_term_automaton_nfa_randomized(index_dir, oracle):
+    """Randomized NFAs vs an independent brute-force simulator over the
+    raw token streams: doc sets and per-doc accepting-start counts must
+    agree. The brute simulator walks FORWARD with memoized state sets —
+    a different algorithm from the engine's backward suffix DP."""
+    s = IndexSearcher(index_dir, mode="exact64")
+    dfs = sorted(oracle.df.items(), key=lambda kv: (-kv[1], kv[0]))
+    vocab = [dfs[0][0], dfs[len(dfs) // 4][0], dfs[len(dfs) // 2][0]]
+    rng = np.random.default_rng(42)
+
+    # invert per-doc positions: pos -> term (query terms only)
+    doc_term_at = {}
+    for did, d in oracle.docs.items():
+        at = {}
+        for t in vocab:
+            for p in d["pos"].get(t, ()):
+                at[p] = t
+        doc_term_at[did] = at
+
+    def brute(nfa, did):
+        at = doc_term_at[did]
+        if not at:
+            return 0
+        max_pos = max(at)
+        horizon = max_pos + nfa["states"] + 1
+        accept = set(nfa["accept"])
+        from functools import lru_cache
+
+        @lru_cache(maxsize=None)
+        def ok(p, st):
+            if p >= horizon:
+                return False
+            for a, b, lab in nfa["transitions"]:
+                if a != st:
+                    continue
+                if lab != "*" and at.get(p) != lab:
+                    continue
+                if b in accept or ok(p + 1, b):
+                    return True
+            return False
+
+        return sum(1 for p in range(horizon) if ok(p, 0))
+
+    trials = 0
+    while trials < 12:
+        ns = int(rng.integers(2, 5))
+        n_tr = int(rng.integers(2, 7))
+        trans = []
+        for _ in range(n_tr):
+            a = int(rng.integers(0, ns))
+            b = int(rng.integers(0, ns))
+            lab = "*" if rng.random() < 0.25 else \
+                vocab[int(rng.integers(0, len(vocab)))]
+            trans.append([a, b, lab])
+        accept = sorted(set(int(x) for x in
+                            rng.integers(0, ns,
+                                         size=int(rng.integers(1, ns + 1)))))
+        nfa = {"states": ns, "accept": accept, "transitions": trans}
+        try:
+            got = s.search_term_automaton(nfa, k=N_DOCS)
+        except ValueError:
+            continue  # all-wildcard accepting path: rejected by design
+        trials += 1
+        want = {}
+        for did in oracle.docs:
+            f = brute(nfa, did)
+            if f:
+                want[did] = f
+        assert set(got["doc_id"].to_pylist()) == set(want), nfa
