@@ -3193,10 +3193,9 @@ def _q_frange(expr_str, lo, hi, k=10):
     [lo, hi], constant score, doc order."""
     def run(sf_dir):
         from ..search.functionquery import (evaluate, expr_fields,
-                                            parse_expr, parse_js_expr)
+                                            parse_expr)
 
-        node = (parse_js_expr if syntax == "js" else
-                parse_expr)(expr_str)
+        node = parse_expr(expr_str)
         s = _searcher(sf_dir)
         ids, dls = s._global_dl()
         docs = ids
