@@ -2723,6 +2723,121 @@ scored AS (SELECT doc_id, {score} AS score FROM clamped)
 """
 
 
+# The DFR matrix combos exposed on the driver surface: together they
+# exercise basic models P/G/Ine/D/I(F) (In is ft_dfr_inl2), after-effects
+# L and B, and normalizations H1/H2/H3/Z (DFRSimilarity.java:110-114).
+# BasicModelBE is pytest-covered only — the reference's own javadoc warns
+# it is numerically unstable and recommends Ine instead.
+_DFR_COMBOS = {
+    "pl2":   dict(basic_model="p",   after_effect="l", normalization="h2"),
+    "gb1":   dict(basic_model="g",   after_effect="b", normalization="h1"),
+    "ineb3": dict(basic_model="ine", after_effect="b", normalization="h3"),
+    "dz":    dict(basic_model="d",   after_effect="l", normalization="z"),
+    "ifb2":  dict(basic_model="if",  after_effect="b", normalization="h2"),
+}
+
+
+def _q_dfr_matrix(term, combo, k=10):
+    """Term query scored through the pluggable DFR matrix
+    (core:search/similarities/DFRSimilarity.java, BasicModel*.java,
+    AfterEffect*.java, Normalization*.java); float64 over exact doc
+    lengths like the other similarity-family twins."""
+    def run(sf_dir):
+        from ..search.similarity import dfr_scores
+
+        s = _searcher(sf_dir)
+        p = s._decode_term_global(term)
+        if p is None:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "score_q": pa.array([], type=pa.int64()),
+                             "rank": pa.array([], type=pa.int64())})
+        docs, tfs = p[0], p[1]
+        ids, dls = s._global_dl()
+        dl = dls[np.searchsorted(ids, docs)]
+        df, ttf = s.term_stats([term])[term]
+        score = dfr_scores(tfs, dl, df, ttf, s.num_docs, s.sum_dl,
+                           **_DFR_COMBOS[combo])
+        order = np.lexsort((docs, -score))[:k]
+        return pa.table({
+            "doc_id": pa.array(docs[order], type=pa.int64()),
+            "score_q": pa.array(quantize_score(score[order]),
+                                type=pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1),
+                             type=pa.int64()),
+        })
+    return run
+
+
+def _dfr_matrix_sql(term: str, combo: str, k: int = 10) -> str:
+    """SQL twin of :func:`_q_dfr_matrix` — every sub-expression spelled
+    with the same shape/associativity as dfr_scores (log2 = ln/ln(2),
+    integer stats left to DuckDB's float `/`, fractional literals only
+    where float64-exact)."""
+    spec = _DFR_COMBOS[combo]
+    avg = "(CAST(sum_dl AS DOUBLE) / n_docs)"
+    norm = spec["normalization"]
+    if norm == "h1":
+        tfn = f"tf * {avg} / dl"
+    elif norm == "h2":
+        tfn = f"tf * (ln(1 + 1.0 * {avg} / dl) / ln(2))"
+    elif norm == "h3":
+        tfn = ("(tf + 800.0 * ((ttf + 1) / CAST(sum_dl + 1 AS DOUBLE)))"
+               " / (dl + 800.0) * 800.0")
+    elif norm == "z":
+        tfn = f"tf * pow({avg} / dl, CAST(0.30 AS DOUBLE))"
+    else:
+        tfn = "CAST(tf AS DOUBLE)"
+    bm_name = spec["basic_model"]
+    if bm_name == "in":
+        bm = "tfn * (ln((n_docs + 1) / (df + 0.5)) / ln(2))"
+    elif bm_name == "ine":
+        bm = ("tfn * (ln((n_docs + 1) / "
+              "((n_docs * (1 - pow((n_docs - 1) / CAST(n_docs AS DOUBLE),"
+              " ttf))) + 0.5)) / ln(2))")
+    elif bm_name == "if":
+        bm = "tfn * (ln(1 + (n_docs + 1) / (ttf + 0.5)) / ln(2))"
+    elif bm_name == "g":
+        lam = "((ttf + 1) / CAST(n_docs + ttf + 1 AS DOUBLE))"
+        bm = (f"(ln({lam} + 1) / ln(2))"
+              f" + tfn * (ln((1 + {lam}) / {lam}) / ln(2))")
+    elif bm_name == "p":
+        lam = "((ttf + 1) / CAST(n_docs + 1 AS DOUBLE))"
+        bm = (f"tfn * (ln(tfn / {lam}) / ln(2))"
+              f" + ({lam} + 1 / (12 * tfn) - tfn) * (1 / ln(2))"
+              f" + 0.5 * (ln(2 * pi() * tfn) / ln(2))")
+    elif bm_name == "d":
+        F = "(ttf + 1 + tfn)"
+        phi = f"(tfn / {F})"
+        p0 = "(1 / CAST(n_docs + 1 AS DOUBLE))"
+        bm = (f"(({phi} * (ln({phi} / {p0}) / ln(2))"
+              f" + (1 - {phi}) * (ln((1 - {phi}) / (1 - {p0})) / ln(2)))"
+              f" * {F})"
+              f" + 0.5 * (ln(1 + 2 * pi() * tfn * (1 - {phi})) / ln(2))")
+    else:
+        raise ValueError(f"no SQL twin for basic model {bm_name!r}")
+    ae_name = spec["after_effect"]
+    if ae_name == "l":
+        ae = "1 / (tfn + 1)"
+    else:
+        ae = "(ttf + 2) / ((df + 1) * (tfn + 1))"
+    return f"""
+WITH {_tok_ctes()},
+tf AS (SELECT doc_id, count(*) AS tf FROM clean WHERE term = '{term}'
+       GROUP BY doc_id),
+st AS (SELECT count(DISTINCT doc_id) AS df, count(*) AS ttf FROM clean
+       WHERE term = '{term}'),
+base AS (
+  SELECT tf.doc_id AS doc_id, tf.tf AS tf, dl.dl AS dl,
+         st.df AS df, st.ttf AS ttf, s.n_docs AS n_docs,
+         s.sum_dl AS sum_dl
+  FROM tf JOIN dl USING (doc_id), stats s, st
+),
+tfnx AS (SELECT doc_id, df, ttf, n_docs, sum_dl, {tfn} AS tfn FROM base),
+scored AS (SELECT doc_id, ({bm}) * ({ae}) AS score FROM tfnx)
+{_sql_topk('scored', k)}
+"""
+
+
 def _q_rerank(base_term, rerank_term, rerank_docs=50, weight=2.0, k=10):
     """ReRankQuery (solr:search/ReRankQParserPlugin.java:48,
     ReRankCollector): run the base query, take its top ``rerank_docs``
@@ -3511,6 +3626,11 @@ def build_queries() -> dict:
         "ft_lm_dirichlet": _q_lm_dirichlet("table"),
         "ft_lm_jelinek_mercer": _q_lm_jelinek_mercer("table"),
         "ft_dfr_inl2": _q_dfr_inl2("table"),
+        "ft_dfr_pl2": _q_dfr_matrix("table", "pl2"),
+        "ft_dfr_gb1": _q_dfr_matrix("table", "gb1"),
+        "ft_dfr_ineb3": _q_dfr_matrix("table", "ineb3"),
+        "ft_dfr_dz": _q_dfr_matrix("table", "dz"),
+        "ft_dfr_ifb2": _q_dfr_matrix("table", "ifb2"),
         "ft_ib_ll": _q_ib("table", dist="ll"),
         "ft_ib_spl": _q_ib("table", dist="spl"),
         "ft_rerank": _q_rerank("table", "vector"),
@@ -3768,6 +3888,11 @@ FROM bfs WHERE kind = 'c' AND node = 2
         "ft_lm_dirichlet": _lm_dirichlet_sql("table", 2000.0, 10),
         "ft_lm_jelinek_mercer": _lm_jelinek_mercer_sql("table", 0.7, 10),
         "ft_dfr_inl2": _dfr_inl2_sql("table", 1.0, 10),
+        "ft_dfr_pl2": _dfr_matrix_sql("table", "pl2"),
+        "ft_dfr_gb1": _dfr_matrix_sql("table", "gb1"),
+        "ft_dfr_ineb3": _dfr_matrix_sql("table", "ineb3"),
+        "ft_dfr_dz": _dfr_matrix_sql("table", "dz"),
+        "ft_dfr_ifb2": _dfr_matrix_sql("table", "ifb2"),
         "ft_ib_ll": _ib_sql("table", "ll", 1.0, 10),
         "ft_ib_spl": _ib_sql("table", "spl", 1.0, 10),
         "ft_rerank": _rerank_sql("table", "vector", 50, 2.0, 10),

@@ -245,6 +245,105 @@ def ib_ll_scores(tf: np.ndarray, dl: np.ndarray, df: int,
     return out
 
 
+def dfr_scores(tf: np.ndarray, dl: np.ndarray, df: int, ttf: int,
+               num_docs: int, sum_dl: int, *,
+               basic_model: str = "in", after_effect: str = "l",
+               normalization: str = "h2",
+               c: float = 1.0, mu: float = 800.0,
+               z: float = 0.30) -> np.ndarray:
+    """The full pluggable DFR matrix (core:search/similarities/
+    DFRSimilarity.java:110-114): score = basic_model(tfn) ·
+    after_effect(tfn) with tfn from the chosen normalization.
+
+    Basic models (BasicModel{BE,D,G,IF,In,Ine,P}.java):
+      be  -log2((N'-1)·e) + f(N'+F-1, N'+F-tfn-2) - f(F, F-tfn),
+          F = ttf+1+tfn, N' = F+N, f(n,m) = (m+0.5)·log2(n/m)+(n-m)·log2(n)
+      d   φ·log2(φ/p)+(1-φ)·log2((1-φ)/(1-p)) scaled: D·F + ½·log2(1+2πtfn(1-φ)),
+          F = ttf+1+tfn, φ = tfn/F, p = 1/(N+1)
+      g   log2(λ+1) + tfn·log2((1+λ)/λ), λ = (ttf+1)/(N+ttf+1)
+      if  tfn · log2(1 + (N+1)/(ttf+0.5))
+      in  tfn · log2((N+1)/(df+0.5))
+      ine tfn · log2((N+1)/(ne+0.5)), ne = N·(1-((N-1)/N)^ttf)
+      p   tfn·log2(tfn/λ) + (λ + 1/(12·tfn) - tfn)·log2(e) + ½·log2(2π·tfn),
+          λ = (ttf+1)/(N+1)
+    After-effects (AfterEffect{B,L}.java):
+      b (ttf+2)/((df+1)·(tfn+1));  l 1/(tfn+1);  none 1
+    Normalizations (NormalizationH{1,2,3}.java, NormalizationZ.java):
+      h1 tf·avgdl/dl (the 6.0 H1 ignores its c — NormalizationH1.java:50-51)
+      h2 tf·log2(1 + c·avgdl/dl);  h3 (tf + µ·(ttf+1)/(sum_dl+1))/(dl+µ)·µ
+      z  tf·(avgdl/dl)^z;  none tf
+
+    float64 over exact doc lengths with log2 spelled ln/ln(2) and scalar
+    math.log/math.pow — the oracle-mode discipline shared by
+    :func:`dfr_inl2_scores` (which equals basic_model="in",
+    after_effect="l", normalization="h2" bit-for-bit)."""
+    N = num_docs
+    avg = sum_dl / float(N)
+    ln2 = math.log(2.0)
+    out = np.empty(len(tf), dtype=np.float64)
+    tf64 = tf.astype(np.float64)
+    dl64 = dl.astype(np.float64)
+
+    def log2_(x: float) -> float:
+        return math.log(x) / ln2
+
+    for i in range(len(out)):
+        t, L = tf64[i], dl64[i]
+        if normalization == "h1":
+            tfn = t * avg / L
+        elif normalization == "h2":
+            tfn = t * (math.log(1.0 + c * avg / L) / ln2)
+        elif normalization == "h3":
+            tfn = (t + mu * ((ttf + 1.0) / (sum_dl + 1.0))) / (L + mu) * mu
+        elif normalization == "z":
+            tfn = t * math.pow(avg / L, z)
+        else:
+            tfn = t
+
+        if basic_model == "in":
+            bm = tfn * log2_((N + 1) / (df + 0.5))
+        elif basic_model == "ine":
+            ne = N * (1.0 - math.pow((N - 1) / float(N), ttf))
+            bm = tfn * log2_((N + 1) / (ne + 0.5))
+        elif basic_model == "if":
+            bm = tfn * log2_(1.0 + (N + 1) / (ttf + 0.5))
+        elif basic_model == "g":
+            lam = (ttf + 1.0) / (N + ttf + 1.0)
+            bm = log2_(lam + 1.0) + tfn * log2_((1.0 + lam) / lam)
+        elif basic_model == "p":
+            lam = (ttf + 1.0) / (N + 1.0)
+            bm = (tfn * log2_(tfn / lam)
+                  + (lam + 1.0 / (12.0 * tfn) - tfn) * (1.0 / ln2)
+                  + 0.5 * log2_(2.0 * math.pi * tfn))
+        elif basic_model == "d":
+            F = ttf + 1.0 + tfn
+            phi = tfn / F
+            nphi = 1.0 - phi
+            p0 = 1.0 / (N + 1.0)
+            D = (phi * log2_(phi / p0)
+                 + nphi * log2_(nphi / (1.0 - p0)))
+            bm = D * F + 0.5 * log2_(1.0 + 2.0 * math.pi * tfn * nphi)
+        elif basic_model == "be":
+            F = ttf + 1.0 + tfn
+            N2 = F + N
+            def f(n: float, m: float) -> float:
+                return (m + 0.5) * log2_(n / m) + (n - m) * log2_(n)
+            bm = (-log2_((N2 - 1.0) * math.e)
+                  + f(N2 + F - 1.0, N2 + F - tfn - 2.0)
+                  - f(F, F - tfn))
+        else:
+            raise ValueError(f"unknown basic model {basic_model!r}")
+
+        if after_effect == "l":
+            ae = 1.0 / (tfn + 1.0)
+        elif after_effect == "b":
+            ae = (ttf + 2.0) / ((df + 1.0) * (tfn + 1.0))
+        else:
+            ae = 1.0
+        out[i] = bm * ae
+    return out
+
+
 def ib_spl_scores(tf: np.ndarray, dl: np.ndarray, ttf: int,
                   num_docs: int, sum_dl: int,
                   c: float = 1.0) -> np.ndarray:

@@ -235,3 +235,45 @@ def test_dfr_and_ib_similarities_integrated(tmp_path, ray_session):
     q = {"type": "term", "term": "data"}
     assert sb.search(q, k=5)["score"].to_pylist() != \
         sd.search(q, k=5)["score"].to_pylist()
+
+
+def test_dfr_matrix_generic():
+    """The pluggable DFR matrix (dfr_scores): the In·L·H2 combination is
+    bit-identical to the dedicated dfr_inl2_scores; every basic model ×
+    after-effect × normalization combination yields finite scores that
+    are monotone in tf on realistic stats (BE excepted at the documented
+    instability edge — the reference's own javadoc steers to Ine)."""
+    from lucene_solr_ray.search.similarity import dfr_scores, dfr_inl2_scores
+
+    tf = np.array([1, 2, 3, 5, 8], dtype=np.int64)
+    dl = np.array([40, 55, 70, 90, 120], dtype=np.int64)
+    df, ttf, n_docs, sum_dl = 12, 31, 500, 30_000
+
+    a = dfr_scores(tf, dl, df, ttf, n_docs, sum_dl,
+                   basic_model="in", after_effect="l", normalization="h2")
+    b = dfr_inl2_scores(tf, dl, df, n_docs, sum_dl)
+    assert a.tolist() == b.tolist()  # bit-for-bit
+
+    const_dl = np.full(4, 60, dtype=np.int64)
+    rising_tf = np.array([1, 2, 4, 8], dtype=np.int64)
+    for bm in ("be", "d", "g", "if", "in", "ine", "p"):
+        for ae in ("l", "b", "none"):
+            for nz in ("h1", "h2", "h3", "z", "none"):
+                s = dfr_scores(rising_tf, const_dl, df, ttf, n_docs,
+                               sum_dl, basic_model=bm, after_effect=ae,
+                               normalization=nz)
+                assert np.all(np.isfinite(s)), (bm, ae, nz)
+                # informative-term scores grow with tf at fixed dl
+                # (after-effects damp but never invert the order)
+                assert np.all(np.diff(s) > 0), (bm, ae, nz, s)
+
+    # NormalizationH1 ignores its c parameter in this snapshot
+    # (NormalizationH1.java:50-51) — tfn is tf·avgdl/dl exactly
+    h1 = dfr_scores(tf, dl, df, ttf, n_docs, sum_dl,
+                    basic_model="in", after_effect="none",
+                    normalization="h1")
+    avg = sum_dl / n_docs
+    tfn = tf.astype(np.float64) * avg / dl.astype(np.float64)
+    import math as _m
+    idf = _m.log((n_docs + 1) / (df + 0.5)) / _m.log(2.0)
+    assert h1.tolist() == (tfn * idf).tolist()
