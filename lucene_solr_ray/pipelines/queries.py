@@ -1905,6 +1905,80 @@ scored AS (SELECT doc_id, CAST(n AS DOUBLE) AS score FROM spans)
 """
 
 
+def _q_span_containing(b1, b2, little, slop, k=20):
+    def run(sf_dir):
+        return _topk_table(_searcher(sf_dir).search_span_containing(
+            b1, b2, little, slop, k=k))
+    return run
+
+
+def _span_containing_sql(b1: str, b2: str, little: str, slop: int,
+                         k: int) -> str:
+    """Twin of search_span_containing: ordered (b1,b2) pairs within slop
+    that contain a little occurrence, counted per doc."""
+    return f"""
+WITH {_tok_ctes()},
+big AS (SELECT a.doc_id AS doc_id, a.pos AS p1, b.pos AS p2
+        FROM clean a JOIN clean b ON a.doc_id = b.doc_id
+        WHERE a.term = '{b1}' AND b.term = '{b2}'
+          AND b.pos - a.pos BETWEEN 1 AND {slop}),
+spans AS (SELECT doc_id, count(*) AS n FROM big
+          WHERE EXISTS (SELECT 1 FROM clean l
+                        WHERE l.doc_id = big.doc_id
+                          AND l.term = '{little}'
+                          AND l.pos BETWEEN big.p1 AND big.p2)
+          GROUP BY doc_id),
+scored AS (SELECT doc_id, CAST(n AS DOUBLE) AS score FROM spans)
+{_sql_topk('scored', k)}
+"""
+
+
+def _q_span_within(b1, b2, little, slop, k=20):
+    def run(sf_dir):
+        return _topk_table(_searcher(sf_dir).search_span_within(
+            b1, b2, little, slop, k=k))
+    return run
+
+
+def _span_within_sql(b1: str, b2: str, little: str, slop: int,
+                     k: int) -> str:
+    """Twin of search_span_within: little occurrences inside an ordered
+    (b1,b2) span, counted per doc."""
+    return f"""
+WITH {_tok_ctes()},
+lit AS (SELECT doc_id, pos FROM clean WHERE term = '{little}'),
+spans AS (SELECT doc_id, count(*) AS n FROM lit
+          WHERE EXISTS (SELECT 1 FROM clean a JOIN clean b
+                          ON a.doc_id = b.doc_id
+                        WHERE a.doc_id = lit.doc_id
+                          AND a.term = '{b1}' AND b.term = '{b2}'
+                          AND b.pos - a.pos BETWEEN 1 AND {slop}
+                          AND lit.pos BETWEEN a.pos AND b.pos)
+          GROUP BY doc_id),
+scored AS (SELECT doc_id, CAST(n AS DOUBLE) AS score FROM spans)
+{_sql_topk('scored', k)}
+"""
+
+
+def _q_span_position_range(term, start, end, k=20):
+    def run(sf_dir):
+        return _topk_table(_searcher(sf_dir).search_span_position_range(
+            term, start, end, k=k))
+    return run
+
+
+def _span_position_range_sql(term: str, start: int, end: int,
+                             k: int) -> str:
+    return f"""
+WITH {_tok_ctes()},
+spans AS (SELECT doc_id, count(*) AS n FROM clean
+          WHERE term = '{term}' AND pos >= {start} AND pos < {end}
+          GROUP BY doc_id),
+scored AS (SELECT doc_id, CAST(n AS DOUBLE) AS score FROM spans)
+{_sql_topk('scored', k)}
+"""
+
+
 def _q_blended(terms, k=10):
     def run(sf_dir):
         return _topk_table(_searcher(sf_dir).search_blended(terms, k=k))
@@ -3663,6 +3737,9 @@ def build_queries() -> dict:
         "ft_span_first": _q_span_first("scan", 20),
         "ft_span_not": _q_span_not("table", "slow", 2),
         "ft_span_or": _q_span_or(["fast", "slow"]),
+        "ft_span_containing": _q_span_containing("fast", "table", "scan", 6),
+        "ft_span_within": _q_span_within("fast", "table", "scan", 6),
+        "ft_span_position_range": _q_span_position_range("scan", 5, 15),
         "ft_blended_term": _q_blended(["fast", "slow", "rapid"]),
         "ft_edge_ngram": _q_edge_ngram("tab"),
         "ft_shingle": _q_shingle("fast", "table"),
@@ -3901,6 +3978,11 @@ FROM bfs WHERE kind = 'c' AND node = 2
         "ft_span_first": _span_first_sql("scan", 20, 20),
         "ft_span_not": _span_not_sql("table", "slow", 2, 20),
         "ft_span_or": _span_or_sql(["fast", "slow"], 20),
+        "ft_span_containing": _span_containing_sql("fast", "table", "scan",
+                                                   6, 20),
+        "ft_span_within": _span_within_sql("fast", "table", "scan", 6, 20),
+        "ft_span_position_range": _span_position_range_sql("scan", 5, 15,
+                                                           20),
         "ft_blended_term": _blended_sql(["fast", "slow", "rapid"], 10),
         "ft_edge_ngram": _edge_ngram_sql("tab", 10, 2, 4),
         "ft_shingle": _shingle_sql("fast", "table", 10),

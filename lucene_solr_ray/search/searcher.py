@@ -1281,6 +1281,130 @@ class IndexSearcher:
         d, s = topk_merge(ud, counts.astype(dtype), k)
         return self._finalize([d], [s], k)
 
+    def _packed_positions(self, term: str, cand: np.ndarray,
+                          SHIFT: np.int64) -> np.ndarray:
+        """Sorted (candidate-doc-rank · SHIFT + position) keys for one
+        term, restricted to the candidate doc set."""
+        p = self._decode_term_global(term, positions=True)
+        if p is None:
+            return np.empty(0, dtype=np.int64)
+        docs, tfs, _, pos = p
+        doc_rep = np.repeat(docs, tfs)
+        r = np.clip(np.searchsorted(cand, doc_rep), 0, len(cand) - 1)
+        m = cand[r] == doc_rep
+        return r[m] * SHIFT + pos[m]
+
+    def _big_spans(self, b1: str, b2: str, slop: int):
+        """Explicit ordered near-span intervals for the contain family
+        (core:search/spans/ContainSpans.java operands): all position
+        pairs (p1, p2) of b1 before b2 with 0 < p2-p1 ≤ slop — the same
+        pair rule as _span_near_all. Returns (cand_docs, packed_p1,
+        packed_p2) with one row per span."""
+        pa_ = self._decode_term_global(b1)
+        pb_ = self._decode_term_global(b2)
+        if pa_ is None or pb_ is None:
+            return None
+        cand = np.intersect1d(pa_[0], pb_[0], assume_unique=True)
+        if len(cand) == 0:
+            return None
+        SHIFT = np.int64(1) << np.int64(24)
+        ka = np.sort(self._packed_positions(b1, cand, SHIFT))
+        kb = np.sort(self._packed_positions(b2, cand, SHIFT))
+        lo = np.searchsorted(kb, ka + 1, side="left")
+        hi = np.searchsorted(kb, ka + slop, side="right")
+        n = hi - lo
+        total = int(n.sum())
+        if total == 0:
+            return None
+        rep_a = np.repeat(ka, n)
+        offs = np.arange(total, dtype=np.int64) \
+            - np.repeat(np.cumsum(n) - n, n)
+        rep_b = kb[np.repeat(lo, n) + offs]
+        return cand, rep_a, rep_b
+
+    def search_span_containing(self, b1: str, b2: str, little: str,
+                               slop: int, k: int = 10) -> pa.Table:
+        """SpanContainingQuery (core:search/spans/SpanContainingQuery
+        .java:33, ContainSpans.java): big spans — ordered (b1, b2) pairs
+        within slop — that contain an occurrence of ``little``
+        (big.start ≤ little ≤ big.end); score = qualifying big-span
+        count per doc (the family's match-count deviation)."""
+        spans = self._big_spans(b1, b2, slop)
+        if spans is None:
+            return self._finalize([], [], k)
+        cand, rep_a, rep_b = spans
+        SHIFT = np.int64(1) << np.int64(24)
+        kl = np.sort(self._packed_positions(little, cand, SHIFT))
+        # a little key between the packed endpoints is in the same doc
+        # by construction (SHIFT >> slop)
+        qual = (np.searchsorted(kl, rep_b, side="right")
+                - np.searchsorted(kl, rep_a, side="left")) > 0
+        counts = np.bincount((rep_a[qual] // SHIFT).astype(np.int64),
+                             minlength=len(cand))
+        hit = counts > 0
+        dtype = np.float32 if self.mode == "lucene32" else np.float64
+        d, s = topk_merge(cand[hit], counts[hit].astype(dtype), k)
+        return self._finalize([d], [s], k)
+
+    def search_span_within(self, b1: str, b2: str, little: str,
+                           slop: int, k: int = 10) -> pa.Table:
+        """SpanWithinQuery (core:search/spans/SpanWithinQuery.java:33):
+        occurrences of ``little`` that lie inside a big (b1, b2) span;
+        score = qualifying little-occurrence count per doc. For each
+        little position l the minimal witness is (largest b1 ≤ l,
+        smallest b2 ≥ l): if any containing span exists, that pair is
+        one (shrinking p2 only widens the feasible p1 window)."""
+        pa_ = self._decode_term_global(b1)
+        pb_ = self._decode_term_global(b2)
+        pl_ = self._decode_term_global(little)
+        if pa_ is None or pb_ is None or pl_ is None:
+            return self._finalize([], [], k)
+        cand = np.intersect1d(
+            np.intersect1d(pa_[0], pb_[0], assume_unique=True), pl_[0],
+            assume_unique=True)
+        if len(cand) == 0:
+            return self._finalize([], [], k)
+        SHIFT = np.int64(1) << np.int64(24)
+        ka = np.sort(self._packed_positions(b1, cand, SHIFT))
+        kb = np.sort(self._packed_positions(b2, cand, SHIFT))
+        kl = np.sort(self._packed_positions(little, cand, SHIFT))
+        i2 = np.searchsorted(kb, kl, side="left")
+        ok = i2 < len(kb)
+        p2 = kb[np.clip(i2, 0, len(kb) - 1)]
+        ok &= (p2 // SHIFT) == (kl // SHIFT)
+        # feasible b1 window: [p2 - slop, l]
+        hi = np.searchsorted(ka, kl, side="right")
+        lo = np.searchsorted(ka, p2 - slop, side="left")
+        ok &= hi > lo
+        p1 = ka[np.clip(hi - 1, 0, len(ka) - 1)]
+        ok &= (p1 // SHIFT) == (kl // SHIFT)  # doc-start underflow guard
+        counts = np.bincount((kl[ok] // SHIFT).astype(np.int64),
+                             minlength=len(cand))
+        hit = counts > 0
+        dtype = np.float32 if self.mode == "lucene32" else np.float64
+        d, s = topk_merge(cand[hit], counts[hit].astype(dtype), k)
+        return self._finalize([d], [s], k)
+
+    def search_span_position_range(self, term: str, start: int, end: int,
+                                   k: int = 10) -> pa.Table:
+        """SpanPositionRangeQuery (core:search/spans/
+        SpanPositionRangeQuery.java:35): term spans with start ≥ start
+        and end ≤ end — for a term span [p, p+1) that is
+        start ≤ p < end; score = surviving count (SpanFirstQuery is the
+        start=0 special case)."""
+        p = self._decode_term_global(term, positions=True)
+        if p is None:
+            return self._finalize([], [], k)
+        docs, tfs, _, pos = p
+        doc_rep = np.repeat(docs, tfs)
+        inside = (pos >= start) & (pos < end)
+        counts = np.bincount(
+            np.searchsorted(docs, doc_rep[inside]), minlength=len(docs))
+        hit = counts > 0
+        dtype = np.float32 if self.mode == "lucene32" else np.float64
+        d, s = topk_merge(docs[hit], counts[hit].astype(dtype), k)
+        return self._finalize([d], [s], k)
+
     def search_blended(self, terms: list[str], k: int = 10) -> pa.Table:
         """BlendedTermQuery (core:search/BlendedTermQuery.java:39,
         DisjunctionMaxRewrite default replaced by the SHOULD-sum rewrite

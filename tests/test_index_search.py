@@ -171,6 +171,52 @@ def test_span_variants_degenerate_to_occurrence_counts(index_dir, oracle):
         assert base["score"].to_pylist() == other["score"].to_pylist()
 
 
+def test_span_contain_family_hand_checked(tmp_path, ray_session):
+    """SpanContaining/SpanWithin/SpanPositionRange on a crafted corpus
+    with hand-derived span intervals (ContainSpans.java semantics over
+    ordered pair spans)."""
+    texts = [
+        "alpha beta gamma delta",            # span (0,3) contains gamma@2
+        "alpha delta gamma",                 # span (0,1); gamma@2 outside
+        "gamma alpha beta delta",            # span (1,3); gamma@0 outside
+        "alpha gamma delta alpha beta gamma delta",
+        # spans (0,2) and (3,6): gamma@1 and gamma@5 both contained
+    ]
+    t = pa.table({
+        "doc_id": pa.array([10, 20, 30, 40], type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    out = str(tmp_path / "spans")
+    build_index(t, out, content_col="text", batch_rows=4)
+    s = IndexSearcher(out, mode="exact64")
+
+    c = s.search_span_containing("alpha", "delta", "gamma", 3, k=10)
+    assert dict(zip(c["doc_id"].to_pylist(), c["score"].to_pylist())) \
+        == {10: 1.0, 40: 2.0}
+    w = s.search_span_within("alpha", "delta", "gamma", 3, k=10)
+    assert dict(zip(w["doc_id"].to_pylist(), w["score"].to_pylist())) \
+        == {10: 1.0, 40: 2.0}
+
+    # position range [1, 3): gamma@2 (doc 10), gamma@2 (doc 20),
+    # gamma@1 (doc 40); gamma@0 and gamma@5 fall outside
+    r = s.search_span_position_range("gamma", 1, 3, k=10)
+    assert dict(zip(r["doc_id"].to_pylist(), r["score"].to_pylist())) \
+        == {10: 1.0, 20: 1.0, 40: 1.0}
+    # span_first == the start=0 special case (SpanFirstQuery extends
+    # SpanPositionRangeQuery)
+    f = s.search_span_first("gamma", 3, k=10)
+    g = s.search_span_position_range("gamma", 0, 3, k=10)
+    assert f["doc_id"].to_pylist() == g["doc_id"].to_pylist()
+    assert f["score"].to_pylist() == g["score"].to_pylist()
+
+    # little == b1: every big span contains its own start, so
+    # span_containing degenerates to span_near's pair counts
+    near = s.search_span_near(["alpha", "delta"], 3, k=10)
+    cc = s.search_span_containing("alpha", "delta", "alpha", 3, k=10)
+    assert near["doc_id"].to_pylist() == cc["doc_id"].to_pylist()
+    assert near["score"].to_pylist() == cc["score"].to_pylist()
+
+
 def test_blended_single_term_equals_term_query(index_dir, oracle):
     """One-term blend: blended df == the term's own df, so scores match
     TermQuery bit-for-bit in exact64 mode."""
