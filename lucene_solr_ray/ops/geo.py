@@ -1,0 +1,209 @@
+"""Geo point queries — the sandbox GeoPoint family re-expressed as
+streaming Ray Data filters.
+
+Reference surfaces:
+  - GeoPointInBBoxQuery (sandbox:search/GeoPointInBBoxQuery.java) —
+    lat/lon box membership incl. dateline wrap.
+  - GeoPointDistanceQuery (sandbox:search/GeoPointDistanceQuery.java:48)
+    — the reference computes a bounding box around the circle first and
+    post-filters candidates by haversine; we mirror that two-phase
+    shape (vectorized numpy box prefilter, exact scalar haversine on
+    the survivors).
+  - GeoPointInPolygonQuery (sandbox:search/GeoPointInPolygonQuery.java)
+    — bbox prefilter + crossing-number point-in-polygon post-filter.
+
+Documented deviation: the reference's haversin rides on SloppyMath's
+table-approximated cos/asin and a latitude-dependent earth diameter
+(core:util/SloppyMath.java:44-55) — a Java-era speed hack with ~1e-15
+error. We use exact libm trig (scalar math.cos/asin, the float64
+oracle-mode discipline) and the IUGG mean radius, so the DuckDB twin
+can reproduce every bit.
+
+The synthetic tables carry no coordinates, so lat/lon are DERIVED
+deterministically from the integer key with the same splitmix-style
+mix the stratified sampler uses — written identically in SQL, so the
+twin sees bit-equal doubles.
+
+Scale note (100 TB): these are one-pass map_batches filters — no
+shuffle, no driver materialization; results are bounded by the
+predicate's selectivity. For repeated spatial queries at scale the
+corpus would be hive-partitioned by geohash prefix
+(state/geohash.py), turning the box prefilter into partition pruning.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+
+EARTH_RADIUS_M = 6371008.7714  # IUGG mean radius (meters)
+
+MIX_MUL = np.uint64(0xFF51AFD7ED558CCD)
+
+
+def derive_latlon(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic synthetic coordinates from int64 keys: the
+    stratified-sample splitmix-style mix, then milli-degree grids
+    (lat = (h % 180000)/1000 - 90, lon = ((h >> 20) % 360000)/1000
+    - 180). Every arithmetic step is exact in float64 and spelled
+    identically in the SQL twin."""
+    h = keys.astype(np.uint64)
+    h = (h ^ (h >> np.uint64(33))) * MIX_MUL
+    h = h ^ (h >> np.uint64(33))
+    lat = (h % np.uint64(180000)).astype(np.float64) / 1000.0 - 90.0
+    lon = ((h >> np.uint64(20)) % np.uint64(360000)).astype(np.float64) \
+        / 1000.0 - 180.0
+    return lat, lon
+
+
+def latlon_sql(key: str = "c_custkey") -> str:
+    """SQL fragment computing the identical derived (lat, lon)."""
+    mul = 0xFF51AFD7ED558CCD
+    h = (f"xor(CAST((CAST(xor(CAST({key} AS UBIGINT), "
+         f"CAST({key} AS UBIGINT) >> 33) AS HUGEINT) * {mul}) "
+         f"% 18446744073709551616 AS UBIGINT), "
+         f"CAST((CAST(xor(CAST({key} AS UBIGINT), "
+         f"CAST({key} AS UBIGINT) >> 33) AS HUGEINT) * {mul}) "
+         f"% 18446744073709551616 AS UBIGINT) >> 33)")
+    return (f"SELECT {key} AS key, "
+            f"CAST(h % 180000 AS DOUBLE) / 1000 - 90 AS lat, "
+            f"CAST((h >> 20) % 360000 AS DOUBLE) / 1000 - 180 AS lon "
+            f"FROM (SELECT {key}, {h} AS h FROM customer)")
+
+
+def haversine_m(lat1: float, lon1: float, lat2: float, lon2: float) -> float:
+    """Exact float64 haversine in meters — the same expression shape as
+    the SQL twin (lat * pi() / 180, never a radians() builtin whose
+    constant association could differ)."""
+    x1 = lat1 * math.pi / 180.0
+    x2 = lat2 * math.pi / 180.0
+    h1 = 1.0 - math.cos(x1 - x2)
+    h2 = 1.0 - math.cos((lon1 - lon2) * math.pi / 180.0)
+    h = (h1 + math.cos(x1) * math.cos(x2) * h2) / 2.0
+    return 2.0 * EARTH_RADIUS_M * math.asin(min(1.0, math.sqrt(h)))
+
+
+def _read_keys(sf_dir: str, table: str, key: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                           columns=[key])
+
+
+def geo_bbox(sf_dir: str, *, min_lat: float, max_lat: float,
+             min_lon: float, max_lon: float, table: str = "customer",
+             key: str = "c_custkey", limit: int = 50) -> pa.Table:
+    """GeoPointInBBoxQuery: keys whose derived point falls in the box
+    (dateline-aware), with milli-degree-quantized coordinates."""
+    from ..state.geohash import bbox_filter
+
+    def f(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch[key], dtype=np.int64)
+        lat, lon = derive_latlon(keys)
+        m = bbox_filter(lat, lon, min_lat=min_lat, max_lat=max_lat,
+                        min_lon=min_lon, max_lon=max_lon)
+        return pa.table({
+            "key": pa.array(keys[m], type=pa.int64()),
+            "lat_md": pa.array(np.floor(lat[m] * 1000 + 0.5).astype(np.int64)),
+            "lon_md": pa.array(np.floor(lon[m] * 1000 + 0.5).astype(np.int64)),
+        })
+
+    t = (_read_keys(sf_dir, table, key)
+         .map_batches(f, batch_format="pyarrow")
+         .sort("key").limit(limit).to_arrow_refs())
+    import ray
+    parts = [ray.get(r) for r in t]
+    return pa.concat_tables([p for p in parts if p.num_rows]) \
+        if any(p.num_rows for p in parts) else parts[0]
+
+
+def geo_distance(sf_dir: str, *, center_lat: float, center_lon: float,
+                 radius_m: float, table: str = "customer",
+                 key: str = "c_custkey", limit: int = 50) -> pa.Table:
+    """GeoPointDistanceQuery: keys within radius_m of the center,
+    nearest first. Two-phase like the reference (:48 bounding-box then
+    post-filter): a numpy degree-window prefilter (conservative: lon
+    window widened by the worst-case latitude in the circle), then the
+    exact scalar haversine on candidates only. Distance is returned
+    centimeter-quantized; ordering is (dist_cm, key) so quantization
+    also pins the tie order."""
+    # conservative box: 1 deg lat >= 110.567 km everywhere
+    dlat = radius_m / 110_567.0
+    lat_lo, lat_hi = center_lat - dlat, center_lat + dlat
+    worst = min(90.0, max(abs(lat_lo), abs(lat_hi)))
+    coslat = math.cos(worst * math.pi / 180.0)
+    dlon = 180.0 if coslat <= 1e-9 else radius_m / (110_567.0 * coslat)
+
+    def f(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch[key], dtype=np.int64)
+        lat, lon = derive_latlon(keys)
+        m = (lat >= lat_lo) & (lat <= lat_hi)
+        if dlon < 180.0:
+            lo, hi = center_lon - dlon, center_lon + dlon
+            if lo >= -180.0 and hi <= 180.0:
+                m &= (lon >= lo) & (lon <= hi)
+            else:  # circle crosses the antimeridian: wrap
+                m &= (lon >= ((lo + 540.0) % 360.0) - 180.0) \
+                    | (lon <= ((hi + 540.0) % 360.0) - 180.0)
+        idx = np.flatnonzero(m)
+        out_k, out_d = [], []
+        for i in idx:
+            d = haversine_m(float(lat[i]), float(lon[i]),
+                            center_lat, center_lon)
+            if d <= radius_m:
+                out_k.append(int(keys[i]))
+                out_d.append(int(math.floor(d * 100.0 + 0.5)))
+        return pa.table({
+            "key": pa.array(out_k, type=pa.int64()),
+            "dist_cm": pa.array(out_d, type=pa.int64()),
+        })
+
+    ds = (_read_keys(sf_dir, table, key)
+          .map_batches(f, batch_format="pyarrow"))
+    df = ds.to_pandas()  # bounded by radius selectivity
+    df = df.sort_values(["dist_cm", "key"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df.head(limit), preserve_index=False)
+
+
+def geo_polygon(sf_dir: str, polygon: list[tuple[float, float]], *,
+                table: str = "customer", key: str = "c_custkey",
+                limit: int = 50) -> pa.Table:
+    """GeoPointInPolygonQuery: crossing-number point-in-polygon after a
+    numpy polygon-bbox prefilter. The edge rule — (yi > y) != (yj > y)
+    and x < (xj-xi)·(y-yi)/(yj-yi) + xi — is spelled identically in
+    the SQL twin (one CASE per edge, odd crossing parity)."""
+    ys = [p[0] for p in polygon]
+    xs = [p[1] for p in polygon]
+    lat_lo, lat_hi, lon_lo, lon_hi = min(ys), max(ys), min(xs), max(xs)
+
+    def f(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch[key], dtype=np.int64)
+        lat, lon = derive_latlon(keys)
+        m = (lat >= lat_lo) & (lat <= lat_hi) \
+            & (lon >= lon_lo) & (lon <= lon_hi)
+        idx = np.flatnonzero(m)
+        out = []
+        n = len(polygon)
+        for i in idx:
+            y, x = float(lat[i]), float(lon[i])
+            inside = False
+            for e in range(n):
+                yi, xi = polygon[e]
+                yj, xj = polygon[(e + 1) % n]
+                if (yi > y) != (yj > y) and \
+                        x < (xj - xi) * (y - yi) / (yj - yi) + xi:
+                    inside = not inside
+            if inside:
+                out.append(int(keys[i]))
+        return pa.table({"key": pa.array(out, type=pa.int64())})
+
+    t = (_read_keys(sf_dir, table, key)
+         .map_batches(f, batch_format="pyarrow")
+         .sort("key").limit(limit).to_arrow_refs())
+    import ray
+    parts = [ray.get(r) for r in t]
+    return pa.concat_tables([p for p in parts if p.num_rows]) \
+        if any(p.num_rows for p in parts) else parts[0]

@@ -1979,6 +1979,87 @@ scored AS (SELECT doc_id, CAST(n AS DOUBLE) AS score FROM spans)
 """
 
 
+# ---- geo point family (sandbox GeoPointInBBox/Distance/InPolygon over
+# key-derived deterministic coordinates; ops/geo.py) ----
+
+_GEO_POLY = [(0.0, 0.0), (40.0, 20.0), (10.0, 60.0), (-30.0, 45.0),
+             (-20.0, 5.0)]
+
+
+def _q_geo_bbox(sf_dir):
+    from ..ops.geo import geo_bbox
+
+    return geo_bbox(sf_dir, min_lat=10.0, max_lat=60.0,
+                    min_lon=-30.0, max_lon=40.0)
+
+
+def _geo_bbox_sql() -> str:
+    from ..ops.geo import latlon_sql
+
+    return f"""
+WITH pts AS ({latlon_sql()})
+SELECT key, CAST(floor(lat * 1000 + 0.5) AS BIGINT) AS lat_md,
+       CAST(floor(lon * 1000 + 0.5) AS BIGINT) AS lon_md
+FROM pts
+WHERE lat >= 10.0 AND lat <= 60.0 AND lon >= -30.0 AND lon <= 40.0
+ORDER BY key LIMIT 50
+"""
+
+
+def _q_geo_distance(sf_dir):
+    from ..ops.geo import geo_distance
+
+    return geo_distance(sf_dir, center_lat=10.0, center_lon=20.0,
+                        radius_m=2500000.0)
+
+
+def _geo_distance_sql() -> str:
+    from ..ops.geo import latlon_sql
+
+    d = ("2 * 6371008.7714 * asin(least(1, sqrt((("
+         "1 - cos(lat * pi() / 180 - 10.0 * pi() / 180))"
+         " + cos(lat * pi() / 180) * cos(10.0 * pi() / 180)"
+         " * (1 - cos((lon - 20.0) * pi() / 180))) / 2)))")
+    return f"""
+WITH pts AS ({latlon_sql()}),
+cand AS (SELECT key, {d} AS d FROM pts)
+SELECT key, CAST(floor(d * 100 + 0.5) AS BIGINT) AS dist_cm
+FROM cand WHERE d <= 2500000.0
+ORDER BY dist_cm, key LIMIT 50
+"""
+
+
+def _q_geo_polygon(sf_dir):
+    from ..ops.geo import geo_polygon
+
+    return geo_polygon(sf_dir, _GEO_POLY)
+
+
+def _geo_polygon_sql() -> str:
+    from ..ops.geo import latlon_sql
+
+    n = len(_GEO_POLY)
+    cases = []
+    for e in range(n):
+        yi, xi = _GEO_POLY[e]
+        yj, xj = _GEO_POLY[(e + 1) % n]
+        cases.append(
+            f"CASE WHEN (({yi!r} > y) != ({yj!r} > y)) AND "
+            f"x < ({xj!r} - {xi!r}) * (y - {yi!r}) / ({yj!r} - {yi!r})"
+            f" + {xi!r} THEN 1 ELSE 0 END")
+    total = " + ".join(cases)
+    ys = [p[0] for p in _GEO_POLY]
+    xs = [p[1] for p in _GEO_POLY]
+    return f"""
+WITH pts AS ({latlon_sql()}),
+cand AS (SELECT key, lat AS y, lon AS x FROM pts
+         WHERE lat >= {min(ys)!r} AND lat <= {max(ys)!r}
+           AND lon >= {min(xs)!r} AND lon <= {max(xs)!r})
+SELECT key FROM cand WHERE ({total}) % 2 = 1
+ORDER BY key LIMIT 50
+"""
+
+
 def _q_blended(terms, k=10):
     def run(sf_dir):
         return _topk_table(_searcher(sf_dir).search_blended(terms, k=k))
@@ -3740,6 +3821,9 @@ def build_queries() -> dict:
         "ft_span_containing": _q_span_containing("fast", "table", "scan", 6),
         "ft_span_within": _q_span_within("fast", "table", "scan", 6),
         "ft_span_position_range": _q_span_position_range("scan", 5, 15),
+        "geo_bbox": _q_geo_bbox,
+        "geo_distance": _q_geo_distance,
+        "geo_polygon": _q_geo_polygon,
         "ft_blended_term": _q_blended(["fast", "slow", "rapid"]),
         "ft_edge_ngram": _q_edge_ngram("tab"),
         "ft_shingle": _q_shingle("fast", "table"),
@@ -3983,6 +4067,9 @@ FROM bfs WHERE kind = 'c' AND node = 2
         "ft_span_within": _span_within_sql("fast", "table", "scan", 6, 20),
         "ft_span_position_range": _span_position_range_sql("scan", 5, 15,
                                                            20),
+        "geo_bbox": _geo_bbox_sql(),
+        "geo_distance": _geo_distance_sql(),
+        "geo_polygon": _geo_polygon_sql(),
         "ft_blended_term": _blended_sql(["fast", "slow", "rapid"], 10),
         "ft_edge_ngram": _edge_ngram_sql("tab", 10, 2, 4),
         "ft_shingle": _shingle_sql("fast", "table", 10),

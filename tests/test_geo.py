@@ -1,0 +1,83 @@
+"""Geo point family (ops/geo.py): exact haversine against closed-form
+spherical arcs, square-polygon degeneracy, bbox dateline wrap, and the
+derived-coordinate contract."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+from lucene_solr_ray.ops.geo import (EARTH_RADIUS_M, derive_latlon,
+                                     geo_bbox, geo_distance, geo_polygon,
+                                     haversine_m)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_derived_coordinates_contract():
+    keys = np.arange(1, 5001, dtype=np.int64)
+    lat, lon = derive_latlon(keys)
+    assert lat.min() >= -90 and lat.max() < 90
+    assert lon.min() >= -180 and lon.max() < 180
+    lat2, lon2 = derive_latlon(keys)
+    assert np.array_equal(lat, lat2) and np.array_equal(lon, lon2)
+    # the grid actually spreads (not a constant / degenerate mix)
+    assert len(np.unique(np.floor(lat / 10))) > 10
+
+
+def test_haversine_closed_forms():
+    # one degree of arc anywhere on a great circle = pi*R/180
+    deg = math.pi * EARTH_RADIUS_M / 180.0
+    assert abs(haversine_m(0.0, 0.0, 0.0, 1.0) - deg) < 1e-6
+    assert abs(haversine_m(0.0, 0.0, 1.0, 0.0) - deg) < 1e-6
+    # pole to pole = half circumference; identical points = 0
+    assert abs(haversine_m(-90.0, 0.0, 90.0, 0.0)
+               - math.pi * EARTH_RADIUS_M) < 1e-6
+    assert haversine_m(37.5, -122.3, 37.5, -122.3) == 0.0
+    # symmetry
+    assert haversine_m(10.0, 20.0, -35.0, 150.0) \
+        == haversine_m(-35.0, 150.0, 10.0, 20.0)
+
+
+def test_geo_distance_all_results_within_radius(ray_session):
+    r = 2500000.0
+    t = geo_distance(SF, center_lat=10.0, center_lon=20.0, radius_m=r)
+    assert t.num_rows > 0
+    dist = t["dist_cm"].to_pylist()
+    assert all(d <= r * 100 for d in dist)
+    assert dist == sorted(dist)  # nearest first
+    # spot-check one row against the scalar function
+    keys = np.asarray(t["key"], dtype=np.int64)
+    lat, lon = derive_latlon(keys)
+    d0 = haversine_m(float(lat[0]), float(lon[0]), 10.0, 20.0)
+    assert int(math.floor(d0 * 100 + 0.5)) == dist[0]
+
+
+def test_geo_bbox_matches_brute_force_and_wraps_dateline(ray_session):
+    import pyarrow.parquet as pq
+
+    keys = np.asarray(pq.read_table(f"{SF}/customer.parquet",
+                                    columns=["c_custkey"])["c_custkey"],
+                      dtype=np.int64)
+    lat, lon = derive_latlon(keys)
+    t = geo_bbox(SF, min_lat=10.0, max_lat=60.0, min_lon=-30.0,
+                 max_lon=40.0, limit=10**6)
+    brute = np.sort(keys[(lat >= 10) & (lat <= 60)
+                         & (lon >= -30) & (lon <= 40)])
+    assert t["key"].to_pylist() == brute.tolist()
+    # dateline wrap: min_lon > max_lon selects the complement band
+    w = geo_bbox(SF, min_lat=-90.0, max_lat=90.0, min_lon=150.0,
+                 max_lon=-150.0, limit=10**6)
+    bw = np.sort(keys[(lon >= 150) | (lon <= -150)])
+    assert w["key"].to_pylist() == bw.tolist()
+
+
+def test_geo_polygon_square_equals_bbox(ray_session):
+    """A rectangle polygon must agree with the bbox filter (boundary
+    points excluded — crossing-number is open on edges, and the hash
+    grid makes exact-boundary hits measure-zero)."""
+    square = [(-20.0, -30.0), (35.0, -30.0), (35.0, 25.0), (-20.0, 25.0)]
+    p = geo_polygon(SF, square, limit=10**6)
+    b = geo_bbox(SF, min_lat=-20.0, max_lat=35.0, min_lon=-30.0,
+                 max_lon=25.0, limit=10**6)
+    assert p["key"].to_pylist() == b["key"].to_pylist()
