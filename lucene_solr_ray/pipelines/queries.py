@@ -2878,6 +2878,55 @@ scored AS (SELECT doc_id, {score} AS score FROM clamped)
 """
 
 
+def _q_sweetspot(term, ln_min=30, ln_max=60, k=10):
+    """Term query scored with SweetSpotSimilarity (misc:
+    SweetSpotSimilarity.java): Classic TF-IDF with a plateau length
+    norm; float64 over exact doc lengths."""
+    def run(sf_dir):
+        from ..search.similarity import sweetspot_scores
+
+        s = _searcher(sf_dir)
+        p = s._decode_term_global(term)
+        if p is None:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "score_q": pa.array([], type=pa.int64()),
+                             "rank": pa.array([], type=pa.int64())})
+        docs, tfs = p[0], p[1]
+        ids, dls = s._global_dl()
+        dl = dls[np.searchsorted(ids, docs)]
+        df = s.term_stats([term])[term][0]
+        score = sweetspot_scores(tfs, dl, df, s.num_docs,
+                                 ln_min=ln_min, ln_max=ln_max)
+        order = np.lexsort((docs, -score))[:k]
+        return pa.table({
+            "doc_id": pa.array(docs[order], type=pa.int64()),
+            "score_q": pa.array(quantize_score(score[order]),
+                                type=pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1),
+                             type=pa.int64()),
+        })
+    return run
+
+
+def _sweetspot_sql(term: str, ln_min: int, ln_max: int, k: int) -> str:
+    idf = f"(1 + ln(s.n_docs / (dfx.df + 1.0)))"
+    norm = (f"1 / sqrt(0.5 * (abs(dl.dl - {ln_min}) + abs(dl.dl - {ln_max})"
+            f" - {ln_max - ln_min}) + 1.0)")
+    return f"""
+WITH {_tok_ctes()},
+tf AS (SELECT doc_id, count(*) AS tf FROM clean WHERE term = '{term}'
+       GROUP BY doc_id),
+dfx AS (SELECT count(DISTINCT doc_id) AS df FROM clean
+        WHERE term = '{term}'),
+scored AS (
+  SELECT tf.doc_id AS doc_id,
+         {idf} * {idf} * sqrt(tf.tf) * ({norm}) AS score
+  FROM tf JOIN dl USING (doc_id), stats s, dfx
+)
+{_sql_topk('scored', k)}
+"""
+
+
 # The DFR matrix combos exposed on the driver surface: together they
 # exercise basic models P/G/Ine/D/I(F) (In is ft_dfr_inl2), after-effects
 # L and B, and normalizations H1/H2/H3/Z (DFRSimilarity.java:110-114).
@@ -3781,6 +3830,7 @@ def build_queries() -> dict:
         "ft_lm_dirichlet": _q_lm_dirichlet("table"),
         "ft_lm_jelinek_mercer": _q_lm_jelinek_mercer("table"),
         "ft_dfr_inl2": _q_dfr_inl2("table"),
+        "ft_sweet_spot": _q_sweetspot("table"),
         "ft_dfr_pl2": _q_dfr_matrix("table", "pl2"),
         "ft_dfr_gb1": _q_dfr_matrix("table", "gb1"),
         "ft_dfr_ineb3": _q_dfr_matrix("table", "ineb3"),
@@ -4049,6 +4099,7 @@ FROM bfs WHERE kind = 'c' AND node = 2
         "ft_lm_dirichlet": _lm_dirichlet_sql("table", 2000.0, 10),
         "ft_lm_jelinek_mercer": _lm_jelinek_mercer_sql("table", 0.7, 10),
         "ft_dfr_inl2": _dfr_inl2_sql("table", 1.0, 10),
+        "ft_sweet_spot": _sweetspot_sql("table", 30, 60, 10),
         "ft_dfr_pl2": _dfr_matrix_sql("table", "pl2"),
         "ft_dfr_gb1": _dfr_matrix_sql("table", "gb1"),
         "ft_dfr_ineb3": _dfr_matrix_sql("table", "ineb3"),

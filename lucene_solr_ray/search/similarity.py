@@ -52,6 +52,77 @@ class ClassicSimilarity:
         return (w * tf32 * norm).astype(np.float32)
 
 
+class SweetSpotSimilarity(ClassicSimilarity):
+    """misc:SweetSpotSimilarity.java — ClassicSimilarity with a plateau
+    length norm (:137-152, 1/sqrt(steep·(|dl-min|+|dl-max|-(max-min))+1))
+    and a baseline tf (:178-181, freq ≤ min ? base : sqrt(freq+base²-min);
+    hyperbolic tf not wired — the reference's tf() delegates to
+    baselineTf too, :160-162).
+
+    Integration note: the index stores the CLASSIC norm byte
+    (1/sqrt(dl)); the reference instead encodes its own lengthNorm at
+    index time. We decode the byte back to the approximate dl
+    (dl̂ = 1/v², the same lossy roundtrip) and apply the plateau to
+    that — the float64 exact-dl twin is :func:`sweetspot_scores`."""
+
+    def __init__(self, doc_count: int, sum_total_term_freq: int, *,
+                 ln_min: int = 1, ln_max: int = 1, ln_steep: float = 0.5,
+                 tf_base: float = 0.0, tf_min: float = 0.0, **_):
+        super().__init__(doc_count, sum_total_term_freq)
+        self.ln_min, self.ln_max, self.ln_steep = ln_min, ln_max, ln_steep
+        self.tf_base, self.tf_min = tf_base, tf_min
+        v = self.norm_table.astype(np.float64)
+        with np.errstate(divide="ignore"):
+            dl_hat = 1.0 / (v * v)
+        self.plateau = (1.0 / np.sqrt(
+            ln_steep * (np.abs(dl_hat - ln_min) + np.abs(dl_hat - ln_max)
+                        - (ln_max - ln_min)) + 1.0)).astype(np.float32)
+
+    def _tf(self, tf: np.ndarray) -> np.ndarray:
+        tf32 = tf.astype(np.float32)
+        bl = np.where(
+            tf32 <= self.tf_min, np.float32(self.tf_base),
+            np.sqrt(tf32 + np.float32(self.tf_base * self.tf_base
+                                      - self.tf_min), dtype=np.float32))
+        return np.where(tf32 == 0.0, np.float32(0.0), bl)
+
+    def score_term(self, tf: np.ndarray, norm_bytes: np.ndarray,
+                   doc_freq: int, boost: float = 1.0) -> np.ndarray:
+        idf = self.idf(doc_freq)
+        w = np.float32(boost) * idf * idf
+        norm = self.plateau[np.asarray(norm_bytes, dtype=np.int64)]
+        return (w * self._tf(tf) * norm).astype(np.float32)
+
+    def score_with_idf(self, tf: np.ndarray, norm_bytes: np.ndarray,
+                       idf: float) -> np.ndarray:
+        w = np.float32(idf) * np.float32(idf)
+        norm = self.plateau[np.asarray(norm_bytes, dtype=np.int64)]
+        return (w * self._tf(tf) * norm).astype(np.float32)
+
+
+def sweetspot_scores(tf: np.ndarray, dl: np.ndarray, df: int,
+                     num_docs: int, *, ln_min: int = 20, ln_max: int = 80,
+                     ln_steep: float = 0.5) -> np.ndarray:
+    """Float64 exact-dl SweetSpot scoring (default tf factors, so
+    baselineTf = sqrt(tf)):
+
+        score = (1 + ln(N/(df+1)))² · sqrt(tf)
+                · 1/sqrt(steep·(|dl-min| + |dl-max| - (max-min)) + 1)
+
+    scalar math.log/sqrt — the oracle-mode discipline."""
+    out = np.empty(len(tf), dtype=np.float64)
+    tf64 = tf.astype(np.float64)
+    dl64 = dl.astype(np.float64)
+    idf = 1.0 + math.log(num_docs / (df + 1.0))
+    span = ln_max - ln_min
+    for i in range(len(out)):
+        norm = 1.0 / math.sqrt(
+            ln_steep * (abs(dl64[i] - ln_min) + abs(dl64[i] - ln_max)
+                        - span) + 1.0)
+        out[i] = idf * idf * math.sqrt(tf64[i]) * norm
+    return out
+
+
 class _DFRBaseNorm:
     """Shared state for searcher-integrated SimilarityBase subclasses:
     docLen comes from the LOSSY norm byte (SimilarityBase.decodeNormValue
@@ -140,6 +211,7 @@ class IBLLSimilarity(_DFRBaseNorm):
 SIMILARITIES = {
     "bm25": None,       # resolved to BM25Float32 by the searcher
     "classic": ClassicSimilarity,
+    "sweetspot": SweetSpotSimilarity,
     "dfr_inl2": DFRInL2Similarity,
     "ib_ll": IBLLSimilarity,
 }

@@ -237,6 +237,45 @@ def test_dfr_and_ib_similarities_integrated(tmp_path, ray_session):
         sd.search(q, k=5)["score"].to_pylist()
 
 
+def test_sweetspot_similarity(tmp_path, ray_session):
+    """SweetSpotSimilarity: default factors (min=max=1, steep=0.5,
+    baseline tf 0/0) degrade to ClassicSimilarity — the reference
+    documents both degenerations (SweetSpotSimilarity.java:125-127,
+    :170-172); the plateau norm is exactly 1 inside [min, max]."""
+    from lucene_solr_ray.search.similarity import (SweetSpotSimilarity,
+                                                   sweetspot_scores)
+
+    t = add_doc_keys(corpus_table(150))
+    out = str(tmp_path / "ss")
+    build_index(t, out, batch_rows=75)
+    sc = IndexSearcher(out, similarity="classic")
+    ss = IndexSearcher(out, similarity="sweetspot")
+    a = sc.search({"type": "term", "term": "data"}, k=15)
+    b = ss.search({"type": "term", "term": "data"}, k=15)
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    av = np.array(a["score"].to_pylist(), dtype=np.float32)
+    bv = np.array(b["score"].to_pylist(), dtype=np.float32)
+    # 1/sqrt(1/v^2) round-trips the norm byte to within an ulp
+    assert np.allclose(av, bv, rtol=2e-7)
+
+    # plateau: norm == 1 for dl inside [min, max], < 1 outside
+    s = sweetspot_scores(np.array([4]), np.array([45]), 10, 1000,
+                         ln_min=30, ln_max=60)
+    import math as m
+    idf = 1.0 + m.log(1000 / 11.0)
+    assert s[0] == idf * idf * 2.0
+    lo = sweetspot_scores(np.array([4]), np.array([10]), 10, 1000,
+                          ln_min=30, ln_max=60)
+    hi = sweetspot_scores(np.array([4]), np.array([90]), 10, 1000,
+                          ln_min=30, ln_max=60)
+    assert lo[0] < s[0] and hi[0] < s[0]
+    # explicit plateau instance is registered and scores every family
+    sim = SweetSpotSimilarity(ss.num_docs, ss.sum_dl, ln_min=30,
+                              ln_max=60)
+    docs, tfs, norms = ss._decode_term_global("data")
+    assert np.all(np.isfinite(sim.score_term(tfs, norms, 10)))
+
+
 def test_dfr_matrix_generic():
     """The pluggable DFR matrix (dfr_scores): the In·L·H2 combination is
     bit-identical to the dedicated dfr_inl2_scores; every basic model ×
