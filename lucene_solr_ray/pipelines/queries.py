@@ -2148,6 +2148,35 @@ def _q_classify(method, n_docs=20):
     return run
 
 
+def _q_classify_perceptron(n_train=100, n_probe=20):
+    """BooleanPerceptronClassifier over the index (lucene/classification/
+    BooleanPerceptronClassifier.java): ttf-seeded weights, one online
+    pass over the first n_train docs (label: lang == 'en'), then
+    deterministic predictions for the next n_probe. Rows-only
+    (mechanics + convergence bounded in tests/test_classify.py)."""
+    def run(sf_dir):
+        import pyarrow.parquet as pq
+
+        from ..search.classify import BooleanPerceptron
+
+        s = _searcher(sf_dir)
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text", "lang"])
+        order = np.argsort(np.asarray(t["doc_id"], dtype=np.int64))
+        train = t.take(pa.array(order[:n_train]))
+        probe = t.take(pa.array(order[n_train:n_train + n_probe]))
+        p = BooleanPerceptron(s)
+        labels = [v == "en" for v in train["lang"].to_pylist()]
+        p.train(train["text"].to_pylist(), labels)
+        preds = [p.assign(x)[0] for x in probe["text"].to_pylist()]
+        return pa.table({
+            "doc_id": probe["doc_id"],
+            "lang": probe["lang"],
+            "predicted_en": pa.array(preds, type=pa.bool_()),
+        })
+    return run
+
+
 def _q_suggest_weighted(prefix, n=10, context=("lang", "en")):
     """NRTSuggester with per-doc weights (n_chars doc value) and a
     context filter — the fork's signature completion surface."""
@@ -3910,6 +3939,7 @@ def build_queries() -> dict:
         "ft_dv_terms": _q_dv_terms("lang", ["de", "fr"]),
         "ft_classify_knn": _q_classify("knn"),      # rows-only
         "ft_classify_nb": _q_classify("nb"),        # rows-only
+        "ft_classify_perceptron": _q_classify_perceptron(),  # rows-only
         "ft_term_automaton": _q_automaton([["fast", "slow"], "*",
                                            ["scan"]]),
         # rows-only: cyclic general NFA — "fast (scan fast)*", no SQL

@@ -97,3 +97,72 @@ def classify_table(searcher, texts: list[str], *, method: str = "knn",
         "text_idx": pa.array(range(len(texts)), type=pa.int64()),
         "predicted": pa.array(out, type=pa.string()),
     })
+
+
+class BooleanPerceptron:
+    """BooleanPerceptronClassifier (lucene/classification/.../
+    BooleanPerceptronClassifier.java:82-147): a binary perceptron whose
+    weights live on the index vocabulary.
+
+    - initial weight of every analyzed term = its totalTermFreq (:109-112,
+      the FST seed);
+    - auto threshold = sumDocFreq / 2 (:92-97);
+    - online training (:125-147): docs in order; when the current model
+      misclassifies, every term of the doc gets
+      ``weight += modifier · tf(term, doc)`` with modifier = ±1
+      (correctClass.compareTo(assignedClass), :141);
+    - assignClass (:202-221): output = Σ weights over the analyzed
+      tokens (repeats counted, unknown terms contribute 0); class =
+      output ≥ threshold; score = 1 − exp(−|threshold − output| /
+      threshold).
+    """
+
+    def __init__(self, searcher, *, threshold: float | None = None):
+        terms_all, dfs_all, ttfs_all = [], [], []
+        for seg in searcher.segments:
+            t, df, ttf = seg.term_dict_arrays()
+            terms_all.append(np.asarray(t))
+            dfs_all.append(np.asarray(df, dtype=np.int64))
+            ttfs_all.append(np.asarray(ttf, dtype=np.int64))
+        terms = np.concatenate(terms_all)
+        df = np.concatenate(dfs_all)
+        ttf = np.concatenate(ttfs_all)
+        # analyzed namespace only (keyword fields are "field:value")
+        mask = np.array([":" not in t for t in terms])
+        uniq, inv = np.unique(terms[mask], return_inverse=True)
+        ttf_g = np.bincount(inv, weights=ttf[mask]).astype(np.float64)
+        df_g = np.bincount(inv, weights=df[mask]).astype(np.int64)
+        self.weights: dict[str, float] = dict(zip(uniq.tolist(),
+                                                  ttf_g.tolist()))
+        self.threshold = float(threshold) if threshold else \
+            float(df_g.sum()) / 2.0
+
+    def _output(self, tokens: list[str]) -> float:
+        return sum(self.weights.get(t, 0.0) for t in tokens)
+
+    def assign(self, text: str) -> tuple[bool, float]:
+        from ..analysis.analyzer import token_terms
+
+        out = self._output(token_terms(text))
+        score = 1.0 - math.exp(-abs(self.threshold - out) / self.threshold)
+        return out >= self.threshold, score
+
+    def train(self, texts: list[str], labels: list[bool]) -> int:
+        """One online pass in the given order; returns the number of
+        weight updates (misclassifications seen)."""
+        from ..analysis.analyzer import token_terms
+
+        updates = 0
+        for text, correct in zip(texts, labels):
+            toks = token_terms(text)
+            assigned = self._output(toks) >= self.threshold
+            modifier = (correct > assigned) - (correct < assigned)
+            if modifier:
+                updates += 1
+                tf: dict[str, int] = {}
+                for t in toks:
+                    tf[t] = tf.get(t, 0) + 1
+                for t, f in tf.items():
+                    if t in self.weights:  # index vocabulary only
+                        self.weights[t] += modifier * f
+        return updates

@@ -71,3 +71,67 @@ def test_classify_table_deterministic_on_corpus(ray_session):
     assert a.equals(b)
     assert set(a["predicted"].to_pylist()) <= {"en", "de", "fr", "es",
                                                "zh", None}
+
+
+def test_boolean_perceptron(sep_index):
+    """BooleanPerceptronClassifier mechanics: ttf-seeded weights,
+    sumDocFreq/2 auto threshold, the compareTo modifier update, the
+    1-exp(-|thr-out|/thr) confidence — and convergence on the separable
+    corpus ('db' = True)."""
+    import math
+
+    import numpy as np
+
+    from lucene_solr_ray.search.classify import BooleanPerceptron
+
+    s = IndexSearcher(sep_index, mode="exact64")
+    p = BooleanPerceptron(s)
+
+    # seed weights are the index ttfs; threshold is sumDocFreq/2
+    terms, dfs, ttfs = [], [], []
+    for seg in s.segments:
+        t, df, ttf = seg.term_dict_arrays()
+        for tt, d, f in zip(np.asarray(t), df, ttf):
+            if ":" not in tt:
+                terms.append(tt); dfs.append(int(d)); ttfs.append(int(f))
+    assert p.threshold == sum(dfs) / 2.0
+    agg = {}
+    for tt, f in zip(terms, ttfs):
+        agg[tt] = agg.get(tt, 0) + f
+    assert p.weights == {k: float(v) for k, v in agg.items()}
+
+    # assign arithmetic: output sums weights with repeats; unknown = 0
+    out = p.weights["tcp"] * 2 + p.weights["socket"]
+    cls, score = p.assign("tcp socket tcp zzz_unknown")
+    assert cls == (out >= p.threshold)
+    assert score == 1.0 - math.exp(-abs(p.threshold - out) / p.threshold)
+
+    # one misclassified doc moves exactly its terms by modifier*tf
+    before = dict(p.weights)
+    texts = ["socket socket packet"]
+    correct = [not (p._output(["socket", "socket", "packet"])
+                    >= p.threshold)]
+    assert p.train(texts, correct) == 1
+    mod = 1 if correct[0] else -1
+    assert p.weights["socket"] == before["socket"] + mod * 2
+    assert p.weights["packet"] == before["packet"] + mod * 1
+    assert sum(v != before[k] for k, v in p.weights.items()) == 2
+
+    # separable problem converges: db docs True, net docs False
+    db = ["btree index join merge scan rows",
+          "query planner join index statistics scan",
+          "vacuum analyze index btree pages rows",
+          "join hash merge sort rows buffer"]
+    net = ["socket packet tcp retransmit ack window",
+           "packet loss congestion tcp socket buffer",
+           "dns lookup socket packet roundtrip",
+           "tcp handshake ack socket packet"]
+    p2 = BooleanPerceptron(s)
+    texts = db + net
+    labels = [True] * 4 + [False] * 4
+    for _ in range(50):
+        if p2.train(texts, labels) == 0:
+            break
+    assert p2.train(texts, labels) == 0  # converged
+    assert p2.assign("index merge join scan")[0] is True
+    assert p2.assign("tcp socket packet ack")[0] is False
