@@ -168,6 +168,48 @@ def geo_distance(sf_dir: str, *, center_lat: float, center_lon: float,
     return pa.Table.from_pandas(df.head(limit), preserve_index=False)
 
 
+def geo_heatmap(sf_dir: str, *, min_lat: float, max_lat: float,
+                min_lon: float, max_lon: float, rows: int = 8,
+                cols: int = 8, table: str = "customer",
+                key: str = "c_custkey") -> pa.Table:
+    """facet.heatmap (solr:handler/component/SpatialHeatmapFacets.java):
+    2D grid counts over a bbox. Solr returns a dense counts_ints2D
+    grid; we return the SPARSE non-empty cells (cell_row, cell_col, n)
+    — the dense grid is a trivial reshape and sparse is what survives
+    a distributed aggregation at scale. Half-open box ([min, max) both
+    axes) so every point maps to exactly one cell; the per-batch
+    partial bincount keeps the shuffle at ≤ rows·cols rows per batch."""
+    cell_h_expr = (max_lat - min_lat) / rows
+    cell_w_expr = (max_lon - min_lon) / cols
+
+    def f(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch[key], dtype=np.int64)
+        lat, lon = derive_latlon(keys)
+        m = (lat >= min_lat) & (lat < max_lat) \
+            & (lon >= min_lon) & (lon < max_lon)
+        r = np.floor((lat[m] - min_lat) / cell_h_expr).astype(np.int64)
+        c = np.floor((lon[m] - min_lon) / cell_w_expr).astype(np.int64)
+        cell = r * cols + c
+        n = np.bincount(cell, minlength=rows * cols)
+        nz = np.flatnonzero(n)
+        return pa.table({
+            "cell": pa.array(nz, type=pa.int64()),
+            "n": pa.array(n[nz], type=pa.int64()),
+        })
+
+    agg = (_read_keys(sf_dir, table, key)
+           .map_batches(f, batch_format="pyarrow")
+           .groupby("cell").sum("n").to_pandas())
+    col = "sum(n)" if "sum(n)" in agg.columns else "n"
+    agg = agg.rename(columns={col: "n"}).sort_values("cell")
+    cells = agg["cell"].to_numpy(dtype=np.int64)
+    return pa.table({
+        "cell_row": pa.array(cells // cols, type=pa.int64()),
+        "cell_col": pa.array(cells % cols, type=pa.int64()),
+        "n": pa.array(agg["n"].to_numpy(dtype=np.int64)),
+    })
+
+
 def geo_polygon(sf_dir: str, polygon: list[tuple[float, float]], *,
                 table: str = "customer", key: str = "c_custkey",
                 limit: int = 50) -> pa.Table:

@@ -2029,6 +2029,28 @@ ORDER BY dist_cm, key LIMIT 50
 """
 
 
+def _q_geo_heatmap(sf_dir):
+    from ..ops.geo import geo_heatmap
+
+    return geo_heatmap(sf_dir, min_lat=-60.0, max_lat=60.0,
+                       min_lon=-120.0, max_lon=120.0, rows=8, cols=8)
+
+
+def _geo_heatmap_sql() -> str:
+    from ..ops.geo import latlon_sql
+
+    return f"""
+WITH pts AS ({latlon_sql()}),
+cells AS (SELECT
+    CAST(floor((lat - -60.0) / ((60.0 - -60.0) / 8)) AS BIGINT) AS r,
+    CAST(floor((lon - -120.0) / ((120.0 - -120.0) / 8)) AS BIGINT) AS c
+  FROM pts
+  WHERE lat >= -60.0 AND lat < 60.0 AND lon >= -120.0 AND lon < 120.0)
+SELECT r AS cell_row, c AS cell_col, count(*) AS n
+FROM cells GROUP BY r, c ORDER BY r, c
+"""
+
+
 def _q_geo_polygon(sf_dir):
     from ..ops.geo import geo_polygon
 
@@ -3903,6 +3925,7 @@ def build_queries() -> dict:
         "geo_bbox": _q_geo_bbox,
         "geo_distance": _q_geo_distance,
         "geo_polygon": _q_geo_polygon,
+        "geo_heatmap": _q_geo_heatmap,
         "ft_blended_term": _q_blended(["fast", "slow", "rapid"]),
         "ft_edge_ngram": _q_edge_ngram("tab"),
         "ft_shingle": _q_shingle("fast", "table"),
@@ -4151,6 +4174,7 @@ FROM bfs WHERE kind = 'c' AND node = 2
         "geo_bbox": _geo_bbox_sql(),
         "geo_distance": _geo_distance_sql(),
         "geo_polygon": _geo_polygon_sql(),
+        "geo_heatmap": _geo_heatmap_sql(),
         "ft_blended_term": _blended_sql(["fast", "slow", "rapid"], 10),
         "ft_edge_ngram": _edge_ngram_sql("tab", 10, 2, 4),
         "ft_shingle": _shingle_sql("fast", "table", 10),

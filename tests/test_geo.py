@@ -81,3 +81,27 @@ def test_geo_polygon_square_equals_bbox(ray_session):
     b = geo_bbox(SF, min_lat=-20.0, max_lat=35.0, min_lon=-30.0,
                  max_lon=25.0, limit=10**6)
     assert p["key"].to_pylist() == b["key"].to_pylist()
+
+
+def test_geo_heatmap_matches_brute_force(ray_session):
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.ops.geo import geo_heatmap
+
+    keys = np.asarray(pq.read_table(f"{SF}/customer.parquet",
+                                    columns=["c_custkey"])["c_custkey"],
+                      dtype=np.int64)
+    lat, lon = derive_latlon(keys)
+    t = geo_heatmap(SF, min_lat=-60.0, max_lat=60.0, min_lon=-120.0,
+                    max_lon=120.0, rows=8, cols=8)
+    m = (lat >= -60) & (lat < 60) & (lon >= -120) & (lon < 120)
+    assert sum(t["n"].to_pylist()) == int(m.sum())
+    grid = np.zeros((8, 8), dtype=np.int64)
+    r = np.floor((lat[m] + 60.0) / 15.0).astype(np.int64)
+    c = np.floor((lon[m] + 120.0) / 30.0).astype(np.int64)
+    np.add.at(grid, (r, c), 1)
+    for rr, cc, n in zip(t["cell_row"].to_pylist(),
+                         t["cell_col"].to_pylist(), t["n"].to_pylist()):
+        assert grid[rr][cc] == n
+        grid[rr][cc] = 0
+    assert grid.sum() == 0  # sparse rows covered every non-empty cell
