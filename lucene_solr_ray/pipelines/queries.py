@@ -2321,6 +2321,64 @@ def _q_parsed(qstr, k=10, default_operator="OR"):
     return run
 
 
+def _q_localparams(qs, k=10):
+    """A query through the local-params front door (QParser plugin
+    routing, solr:search/{Bool,Field,Switch}QParserPlugin.java): the
+    string resolves to a structured node the searcher executes."""
+    def run(sf_dir):
+        from ..search.localparams import resolve_query
+
+        return _topk_table(_searcher(sf_dir).search(resolve_query(qs),
+                                                    k=k))
+    return run
+
+
+def _q_boost_qparser(qs, k=10):
+    """{!boost b=<valuesource>}<subquery> (BoostQParserPlugin): resolve
+    the marker, then score = subquery × expression via the shared
+    expression machinery."""
+    def run(sf_dir):
+        from ..search.localparams import resolve_query
+
+        node = resolve_query(qs)
+        assert node["type"] == "boost_expr"
+        sub = node["q"]
+        assert sub["type"] == "term"
+        return _q_expr_boost(sub["term"], node["b"], k=k)(sf_dir)
+    return run
+
+
+def _bool_qparser_sql(must: str, should: str, must_not: str,
+                      lang: str, k: int) -> str:
+    """Twin of the {!bool} driver query: must+should scored, must_not
+    excluded, the keyword FILTER clause constrains without scoring."""
+    return f"""
+WITH {_tok_ctes()},
+per AS (SELECT doc_id, term, count(*) AS tf FROM clean
+        WHERE term IN ('{must}', '{should}') GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM per GROUP BY term),
+cs AS (SELECT per.doc_id, per.term,
+              {_bm25_expr('per.tf', 'dl.dl', 'dfs.df')} AS sc
+       FROM per JOIN dfs USING (term) JOIN dl USING (doc_id), stats s),
+scored AS (
+  SELECT doc_id,
+         COALESCE(max(CASE WHEN term = '{must}' THEN sc END), 0)
+         + COALESCE(max(CASE WHEN term = '{should}' THEN sc END), 0)
+           AS score
+  FROM cs GROUP BY doc_id
+  HAVING COALESCE(max(CASE WHEN term = '{must}' THEN 1 END), 0) = 1
+),
+scored2 AS (
+  SELECT scored.* FROM scored
+  JOIN documents d USING (doc_id)
+  WHERE d.lang = '{lang}'
+    AND doc_id NOT IN (SELECT DISTINCT doc_id FROM clean
+                       WHERE term = '{must_not}')
+)
+{_sql_topk('scored2', k)}
+"""
+
+
 def _q_complex_phrase(body, k=10):
     """Phrase with embedded wildcards/alternations through
     search.complexphrase (ComplexPhraseQueryParser.java:47-70)."""
@@ -3963,6 +4021,14 @@ def build_queries() -> dict:
         "ft_classify_knn": _q_classify("knn"),      # rows-only
         "ft_classify_nb": _q_classify("nb"),        # rows-only
         "ft_classify_perceptron": _q_classify_perceptron(),  # rows-only
+        "ft_bool_qparser": _q_localparams(
+            "{!bool must='{!term}table' should='{!term}fast' "
+            "must_not='{!term}slow' filter='{!term f=lang}en'}"),
+        "ft_switch_qparser": _q_localparams(
+            "{!switch case.a='{!term}table' default='{!term}scan'}a"),
+        "ft_field_qparser": _q_localparams("{!field f=text}Fast Table"),
+        "ft_boost_qparser": _q_boost_qparser(
+            "{!boost b=recip(dl,1,100,100)}{!term}table"),
         "ft_term_automaton": _q_automaton([["fast", "slow"], "*",
                                            ["scan"]]),
         # rows-only: cyclic general NFA — "fast (scan fast)*", no SQL
@@ -4175,6 +4241,12 @@ FROM bfs WHERE kind = 'c' AND node = 2
         "geo_distance": _geo_distance_sql(),
         "geo_polygon": _geo_polygon_sql(),
         "geo_heatmap": _geo_heatmap_sql(),
+        "ft_bool_qparser": _bool_qparser_sql("table", "fast", "slow",
+                                             "en", 10),
+        "ft_switch_qparser": ft_term_sql("table", 10),
+        "ft_field_qparser": ft_phrase_sql("fast", "table", 10),
+        "ft_boost_qparser": _expr_boost_sql("table",
+                                            "recip(dl,1,100,100)", 10),
         "ft_blended_term": _blended_sql(["fast", "slow", "rapid"], 10),
         "ft_edge_ngram": _edge_ngram_sql("tab", 10, 2, 4),
         "ft_shingle": _shingle_sql("fast", "table", 10),

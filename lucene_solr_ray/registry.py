@@ -177,6 +177,13 @@ def _localparams_parser():
     return resolve_query
 
 
+# the remaining QParserPlugin names route through localparams'
+# {!type ...} dispatch (solr:search/QParserPlugin.java standardPlugins)
+for _name in ("bool", "field", "raw", "switch", "boost", "term",
+              "prefix", "func", "frange", "join"):
+    register("qparser", _name)(_localparams_parser)
+
+
 @register("codec", "parquet_varint_v2")
 def _default_codec():
     from .index import encode

@@ -83,4 +83,80 @@ def resolve_query(q: str) -> dict:
     if ptype == "join":
         return {"type": "join", "from": params["from"],
                 "to": params["to"], "q": body}
+    if ptype == "bool":
+        # BoolQParserPlugin (solr:search/BoolQParserPlugin.java): each
+        # sub-param is itself a local-params query; filter clauses match
+        # without contributing score (BooleanClause.Occur.FILTER)
+        clauses = []
+        for pkey, occ in (("must", "MUST"), ("should", "SHOULD"),
+                          ("must_not", "MUST_NOT"), ("filter", "FILTER")):
+            if pkey in params:
+                clauses.append((occ, _tree_node(params[pkey])))
+        if not clauses:
+            raise ValueError("{!bool} needs at least one clause param")
+        return {"type": "tree",
+                "node": {"type": "bool", "clauses": clauses}}
+    if ptype == "field":
+        # FieldQParserPlugin: analyze the value against the field; a
+        # multi-token result is a phrase
+        f = params.get("f", "text")
+        if f != "text":
+            return {"type": "tree",
+                    "node": {"type": "field_term", "field": f,
+                             "value": body}}
+        from ..analysis.analyzer import token_terms
+
+        terms = token_terms(body)
+        if not terms:
+            return {"type": "tree", "node": {"type": "match_none"}}
+        if len(terms) == 1:
+            return {"type": "term", "term": terms[0]}
+        return {"type": "phrase", "terms": terms, "slop": 0}
+    if ptype == "raw":
+        # RawQParserPlugin: NO analysis — the body is the exact term
+        # bytes (a cased token can legitimately match nothing)
+        f = params.get("f", "text")
+        if f != "text":
+            return {"type": "tree",
+                    "node": {"type": "field_term", "field": f,
+                             "value": body}}
+        return {"type": "term", "term": body}
+    if ptype == "switch":
+        # SwitchQParserPlugin: route on the (trimmed) input text
+        key = f"case.{body}" if body else "case"
+        chosen = params.get(key, params.get("default"))
+        if chosen is None:
+            raise ValueError(f"{{!switch}}: no case for {body!r} and "
+                             "no default")
+        return resolve_query(chosen)
+    if ptype == "boost":
+        # BoostQParserPlugin: score = subquery score × value source b;
+        # a marker the pipeline layer executes through the expression
+        # machinery (like func/frange)
+        return {"type": "boost_expr", "b": params["b"],
+                "q": resolve_query(body)}
     raise ValueError(f"unknown query parser {ptype!r}")
+
+
+_TREE_TYPES = frozenset({"term", "phrase", "prefix", "wildcard",
+                         "regexp", "range", "fuzzy", "match_all",
+                         "match_none", "field_term", "span_near"})
+
+
+def _tree_node(qs: str) -> dict:
+    """Lower a local-params query string to an eval_node-executable
+    tree node (for {!bool} clause params)."""
+    node = resolve_query(qs)
+    t = node["type"]
+    if t == "parsed":
+        from .queryparser import parse_query
+
+        return parse_query(node["q"])
+    if t == "tree":
+        return node["node"]
+    if t in _TREE_TYPES:
+        return node
+    if t == "bool" and node.get("filters"):
+        f, v = node["filters"][0]
+        return {"type": "field_term", "field": f, "value": v}
+    raise ValueError(f"{{!bool}} clause cannot embed parser output {t!r}")

@@ -1931,9 +1931,14 @@ class IndexSearcher:
                   if occ == "SHOULD"]
         must_not = [self.eval_node(n) for occ, n in clauses
                     if occ == "MUST_NOT"]
-        if must:
-            cand = must[0][0]
-            for d, _ in must[1:]:
+        # FILTER (BooleanClause.Occur.FILTER): constrains candidates
+        # like MUST but contributes no score
+        filt = [self.eval_node(n) for occ, n in clauses
+                if occ == "FILTER"]
+        if must or filt:
+            req = must + filt
+            cand = req[0][0]
+            for d, _ in req[1:]:
                 cand = np.intersect1d(cand, d, assume_unique=True)
         elif should:
             cand = np.unique(np.concatenate([d for d, _ in should])) \

@@ -61,3 +61,63 @@ def test_end_to_end_through_searcher(ray_session, tmp_path):
     assert s.search(q2, k=10)["doc_id"].to_pylist() == [1]
     q3 = resolve_query("{!prefix}sc")
     assert sorted(s.search(q3, k=10)["doc_id"].to_pylist()) == [2, 3]
+
+
+def test_qparser_tail_routing():
+    """bool/field/raw/switch/boost QParser plugins."""
+    b = resolve_query("{!bool must='{!term}table' should='{!term}fast' "
+                      "must_not='{!term}slow' filter='{!term f=lang}en'}")
+    assert b["type"] == "tree"
+    occs = [o for o, _ in b["node"]["clauses"]]
+    assert occs == ["MUST", "SHOULD", "MUST_NOT", "FILTER"]
+    assert b["node"]["clauses"][3][1] == \
+        {"type": "field_term", "field": "lang", "value": "en"}
+
+    assert resolve_query("{!field f=text}Fast Table") == \
+        {"type": "phrase", "terms": ["fast", "table"], "slop": 0}
+    assert resolve_query("{!field f=text}Table") == \
+        {"type": "term", "term": "table"}
+    # raw skips analysis: case survives (and a cased token matches
+    # nothing in a lowercased index)
+    assert resolve_query("{!raw}Table") == {"type": "term",
+                                            "term": "Table"}
+    assert resolve_query("{!switch case.a='{!term}x' "
+                         "default='{!prefix}y'}a") == \
+        {"type": "term", "term": "x"}
+    assert resolve_query("{!switch case.a='{!term}x' "
+                         "default='{!prefix}y'}zz") == \
+        {"type": "prefix", "param": "y"}
+    with pytest.raises(ValueError):
+        resolve_query("{!switch case.a='{!term}x'}zz")
+    bo = resolve_query("{!boost b=recip(dl,1,100,100)}{!term}table")
+    assert bo == {"type": "boost_expr", "b": "recip(dl,1,100,100)",
+                  "q": {"type": "term", "term": "table"}}
+
+
+def test_bool_qparser_filter_semantics(ray_session, tmp_path):
+    """FILTER clauses constrain but do not score: the doc set narrows
+    while surviving docs keep the identical MUST+SHOULD scores."""
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.search.searcher import IndexSearcher
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "content": pa.array(["fast table", "table scan",
+                             "fast table join", "slow table"]),
+        "lang": pa.array(["en", "en", "de", "en"]),
+    })
+    idx = str(tmp_path / "idx")
+    build_index(docs, idx, keyword_cols=("lang",))
+    s = IndexSearcher(idx, mode="exact64")
+    plain = s.search(resolve_query("{!bool must='{!term}table'}"), k=10)
+    filt = s.search(resolve_query(
+        "{!bool must='{!term}table' filter='{!term f=lang}en'}"), k=10)
+    assert sorted(filt["doc_id"].to_pylist()) == [1, 2, 4]
+    sc_plain = dict(zip(plain["doc_id"].to_pylist(),
+                        plain["score"].to_pylist()))
+    for d, sc in zip(filt["doc_id"].to_pylist(),
+                     filt["score"].to_pylist()):
+        assert sc == sc_plain[d]  # filter never changes a kept score
+    # raw: cased token matches nothing in the lowercased index
+    assert s.search(resolve_query("{!raw}Table"), k=10).num_rows == 0
+    assert s.search(resolve_query("{!raw}table"), k=10).num_rows == 4
