@@ -2987,6 +2987,121 @@ scored AS (SELECT doc_id, {score} AS score FROM clamped)
 """
 
 
+def _classic_scores64(s, docs, tfs):
+    """ClassicSimilarity in the float64 exact-dl oracle mode:
+    (1 + ln(N/(df+1)))² · sqrt(tf) · (1/sqrt(dl))."""
+    import math
+
+    ids, dls = s._global_dl()
+    dl = dls[np.searchsorted(ids, docs)].astype(np.float64)
+    tf64 = tfs.astype(np.float64)
+    return docs, dl, tf64
+
+
+def _q_classic_tfidf(term, k=10):
+    """Term query scored with ClassicSimilarity (core:search/
+    similarities/ClassicSimilarity.java — the pre-6 TF-IDF default);
+    float64 over exact doc lengths (the searcher-integrated float32
+    norm-byte variant is pytest-covered)."""
+    def run(sf_dir):
+        import math
+
+        s = _searcher(sf_dir)
+        p = s._decode_term_global(term)
+        if p is None:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "score_q": pa.array([], type=pa.int64()),
+                             "rank": pa.array([], type=pa.int64())})
+        docs, dl, tf64 = _classic_scores64(s, p[0], p[1])
+        df = s.term_stats([term])[term][0]
+        idf = 1.0 + math.log(s.num_docs / (df + 1.0))
+        score = np.empty(len(docs), dtype=np.float64)
+        for i in range(len(score)):
+            score[i] = (idf * idf) * math.sqrt(tf64[i]) \
+                * (1.0 / math.sqrt(dl[i]))
+        order = np.lexsort((docs, -score))[:k]
+        return pa.table({
+            "doc_id": pa.array(docs[order], type=pa.int64()),
+            "score_q": pa.array(quantize_score(score[order]),
+                                type=pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1),
+                             type=pa.int64()),
+        })
+    return run
+
+
+def _classic_expr(tf: str, dl: str, df: str) -> str:
+    idf = f"(1 + ln(s.n_docs / ({df} + 1.0)))"
+    return f"({idf} * {idf}) * sqrt({tf}) * (1 / sqrt({dl}))"
+
+
+def _classic_tfidf_sql(term: str, k: int) -> str:
+    return f"""
+WITH {_tok_ctes()},
+tf AS (SELECT doc_id, count(*) AS tf FROM clean WHERE term = '{term}'
+       GROUP BY doc_id),
+dfx AS (SELECT count(DISTINCT doc_id) AS df FROM clean
+        WHERE term = '{term}'),
+scored AS (
+  SELECT tf.doc_id AS doc_id,
+         {_classic_expr('tf.tf', 'dl.dl', 'dfx.df')} AS score
+  FROM tf JOIN dl USING (doc_id), stats s, dfx
+)
+{_sql_topk('scored', k)}
+"""
+
+
+def _q_multi_sim(term, k=10):
+    """MultiSimilarity (core:search/similarities/MultiSimilarity.java:
+    78-83): the combined score is the SUM of the sub-similarities —
+    here BM25(exact64) + Classic(float64 exact dl)."""
+    def run(sf_dir):
+        import math
+
+        s = _searcher(sf_dir)
+        t = s.search({"type": "term", "term": term}, k=s.num_docs)
+        docs = np.asarray(t["doc_id"], dtype=np.int64)
+        bm25 = np.asarray(t["score"], dtype=np.float64)
+        p = s._decode_term_global(term)
+        pdocs, ptfs = p[0], p[1]
+        # align postings arrays to the search result's doc order
+        pos = np.searchsorted(pdocs, docs)
+        tfs = ptfs[pos]
+        _, dl, tf64 = _classic_scores64(s, docs, tfs)
+        df = s.term_stats([term])[term][0]
+        idf = 1.0 + math.log(s.num_docs / (df + 1.0))
+        score = np.empty(len(docs), dtype=np.float64)
+        for i in range(len(score)):
+            score[i] = bm25[i] + (idf * idf) * math.sqrt(tf64[i]) \
+                * (1.0 / math.sqrt(dl[i]))
+        order = np.lexsort((docs, -score))[:k]
+        return pa.table({
+            "doc_id": pa.array(docs[order], type=pa.int64()),
+            "score_q": pa.array(quantize_score(score[order]),
+                                type=pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1),
+                             type=pa.int64()),
+        })
+    return run
+
+
+def _multi_sim_sql(term: str, k: int) -> str:
+    return f"""
+WITH {_tok_ctes()},
+tf AS (SELECT doc_id, count(*) AS tf FROM clean WHERE term = '{term}'
+       GROUP BY doc_id),
+dfx AS (SELECT count(DISTINCT doc_id) AS df FROM clean
+        WHERE term = '{term}'),
+scored AS (
+  SELECT tf.doc_id AS doc_id,
+         {_bm25_expr('tf.tf', 'dl.dl', 'dfx.df')}
+         + {_classic_expr('tf.tf', 'dl.dl', 'dfx.df')} AS score
+  FROM tf JOIN dl USING (doc_id), stats s, dfx
+)
+{_sql_topk('scored', k)}
+"""
+
+
 def _q_sweetspot(term, ln_min=30, ln_max=60, k=10):
     """Term query scored with SweetSpotSimilarity (misc:
     SweetSpotSimilarity.java): Classic TF-IDF with a plateau length
@@ -3940,6 +4055,8 @@ def build_queries() -> dict:
         "ft_lm_jelinek_mercer": _q_lm_jelinek_mercer("table"),
         "ft_dfr_inl2": _q_dfr_inl2("table"),
         "ft_sweet_spot": _q_sweetspot("table"),
+        "ft_classic_tfidf": _q_classic_tfidf("table"),
+        "ft_multi_sim": _q_multi_sim("table"),
         "ft_dfr_pl2": _q_dfr_matrix("table", "pl2"),
         "ft_dfr_gb1": _q_dfr_matrix("table", "gb1"),
         "ft_dfr_ineb3": _q_dfr_matrix("table", "ineb3"),
@@ -4219,6 +4336,8 @@ FROM bfs WHERE kind = 'c' AND node = 2
         "ft_lm_jelinek_mercer": _lm_jelinek_mercer_sql("table", 0.7, 10),
         "ft_dfr_inl2": _dfr_inl2_sql("table", 1.0, 10),
         "ft_sweet_spot": _sweetspot_sql("table", 30, 60, 10),
+        "ft_classic_tfidf": _classic_tfidf_sql("table", 10),
+        "ft_multi_sim": _multi_sim_sql("table", 10),
         "ft_dfr_pl2": _dfr_matrix_sql("table", "pl2"),
         "ft_dfr_gb1": _dfr_matrix_sql("table", "gb1"),
         "ft_dfr_ineb3": _dfr_matrix_sql("table", "ineb3"),
