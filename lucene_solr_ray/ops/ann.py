@@ -208,6 +208,88 @@ ORDER BY a, b
 """
 
 
+def semdedup(sf_dir: str, *, threshold: float = 0.97, nlist: int = 8,
+             sample_mod: int = 4) -> pa.Table:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication at scale — k-means cluster the embeddings, then
+    deduplicate WITHIN each cluster only (the clustering bounds the
+    O(n²) pair space to O(Σ m_c²)).
+
+    Per the paper, within a cluster every pair with cosine ≥ threshold
+    is a semantic duplicate group, and the kept representative is the
+    one FARTHEST from the cluster centroid (keeps the diverse tail);
+    ties broken by vec_id asc for determinism. Greedy sweep in
+    (centroid-distance desc, vec_id asc) order: a point is dropped iff
+    it is ≥ threshold-similar to an already-kept point.
+
+    Scale shape: centroids train on a bounded deterministic sample
+    (vec_id % sample_mod == 0 pushed down to the parquet read), the
+    assign pass is a broadcast-centroids map_batches stream, and the
+    only shuffle is groupby(cluster). Returns per-cluster
+    (cluster, n, n_dropped) plus the dropped ids as a list column."""
+    import pyarrow.dataset as pads
+
+    import ray
+
+    # bounded sample via filter pushdown (never the full table on the
+    # driver)
+    import pyarrow.compute as pc
+
+    # power-of-two stride as a pushdown-able bitmask (pyarrow dataset
+    # expressions lack %)
+    assert sample_mod & (sample_mod - 1) == 0, "sample_mod: power of 2"
+    sample = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")) \
+        .to_table(columns=["vec_id", "embedding"],
+                  filter=pc.bit_wise_and(pc.field("vec_id"),
+                                         sample_mod - 1) == 0)
+    _, E_s = _emb_matrix(sample)
+    C = kmeans_centroids(E_s, nlist, iters=2)
+    ref = ray.put(C)
+
+    class Assign:
+        def __init__(self, r):
+            self.C = ray.get(r)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, B = _emb_matrix(batch)
+            sim = _cosine(B, self.C)
+            return batch.append_column(
+                "cluster", pa.array(np.argmax(sim, axis=1),
+                                    type=pa.int64()))
+
+    def dedup_group(g):
+        ids, B = _emb_matrix(pa.Table.from_pandas(g))
+        c = int(g["cluster"].iloc[0])
+        cent = _cosine(B, C[c:c + 1])[:, 0]
+        # farthest-from-centroid first, vec_id asc on ties
+        order = np.lexsort((ids, cent))
+        kept: list[int] = []
+        dropped: list[int] = []
+        S = _cosine(B, B)
+        for i in order:
+            if any(S[i][j] >= threshold for j in kept):
+                dropped.append(int(ids[i]))
+            else:
+                kept.append(i)
+        import pandas as pd
+
+        return pd.DataFrame({
+            "cluster": [c], "n": [len(ids)],
+            "n_dropped": [len(dropped)],
+            "dropped": [",".join(str(d) for d in sorted(dropped))],
+        })
+
+    df = (_read_emb(sf_dir)
+          .map_batches(Assign, fn_constructor_kwargs={"r": ref},
+                       batch_format="pyarrow", batch_size=256,
+                       concurrency=(1, 4))
+          .groupby("cluster").map_groups(dedup_group)
+          .to_pandas().sort_values("cluster").reset_index(drop=True))
+    for col in ("cluster", "n", "n_dropped"):
+        df[col] = df[col].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def kmeans_centroids(E: np.ndarray, nlist: int, seed: int = 42,
                      iters: int = 1) -> np.ndarray:
     """Deterministic coarse quantizer: seeded sample init + `iters` Lloyd

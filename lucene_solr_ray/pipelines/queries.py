@@ -4138,6 +4138,11 @@ def build_queries() -> dict:
         "ft_classify_knn": _q_classify("knn"),      # rows-only
         "ft_classify_nb": _q_classify("nb"),        # rows-only
         "ft_classify_perceptron": _q_classify_perceptron(),  # rows-only
+        # rows-only: k-means is not SQL-expressible; threshold matches
+        # dedup_embedding_cosine's corpus-calibrated 0.45
+        "dedup_semdedup": lambda sf_dir: __import__(
+            "lucene_solr_ray.ops.ann", fromlist=["semdedup"]).semdedup(
+                sf_dir, threshold=0.45),
         "ft_bool_qparser": _q_localparams(
             "{!bool must='{!term}table' should='{!term}fast' "
             "must_not='{!term}slow' filter='{!term f=lang}en'}"),

@@ -240,3 +240,41 @@ def test_chunk_documents_windows(ray_session, tmp_path):
     want_sha = hashlib.sha256(" ".join(ws[48:112]).encode()).hexdigest()
     row = out[(out.doc_id == 1) & (out.chunk_id == 1)].iloc[0]
     assert row.chunk_sha == want_sha
+
+
+def test_semdedup_drops_planted_duplicates(ray_session, tmp_path):
+    """SemDeDup: exact-duplicate vectors (cos = 1) land in the same
+    cluster and all but one survivor are dropped; with an impossible
+    threshold nothing drops; kept count + dropped count == corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.ops.ann import semdedup
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 8)).astype(np.float32)
+    # plant: vec 100..104 are identical; 200..201 identical
+    E = np.vstack([base, np.repeat(base[:1], 5, axis=0),
+                   np.repeat(base[1:2], 2, axis=0)])
+    ids = list(range(40)) + [100, 101, 102, 103, 104] + [200, 201]
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(ids, type=pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in E],
+                              type=pa.list_(pa.float32())),
+    }), f"{d}/embeddings.parquet")
+
+    t = semdedup(d, threshold=0.999999, nlist=4, sample_mod=2).to_pandas()
+    dropped = set()
+    for s in t["dropped"]:
+        if s:
+            dropped.update(int(x) for x in s.split(","))
+    # group {0,100..104}: one survivor, 5 dropped; {1,200,201}: 2 dropped
+    assert len(dropped & {0, 100, 101, 102, 103, 104}) == 5
+    assert len(dropped & {1, 200, 201}) == 2
+    assert int(t["n"].sum()) == 47
+    assert int(t["n_dropped"].sum()) == len(dropped)
+
+    # threshold above any cosine: nothing drops
+    t2 = semdedup(d, threshold=1.5, nlist=4, sample_mod=2).to_pandas()
+    assert int(t2["n_dropped"].sum()) == 0
