@@ -1155,6 +1155,25 @@ def _q_highlight_passages(terms, k=3):
     return run
 
 
+def _q_highlight_fvh(phrase, k=3):
+    """FastVectorHighlighter-style snippets: the phrase match is
+    wrapped as one unit (rows-only — presentation output)."""
+    def run(sf_dir):
+        from ..search.highlight import highlight_fvh
+
+        s = _searcher(sf_dir)
+        t = s.search({"type": "phrase", "terms": phrase}, k=k)
+        texts = _doc_texts(sf_dir, t["doc_id"].to_pylist())
+        snips = [highlight_fvh(texts[d], [phrase, [phrase[0]]])
+                 for d in t["doc_id"].to_pylist()]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "rank": t["rank"],
+            "snippet": pa.array(snips, type=pa.string()),
+        })
+    return run
+
+
 def _q_drill_sideways(term, drills):
     """DrillSideways (lucene/facet/.../DrillSideways.java:63): facet
     counts per dimension where each dimension's counts are computed
@@ -4031,6 +4050,7 @@ def build_queries() -> dict:
         "ft_term_vector": _q_term_vector(0),
         "ft_term_vector_positions": _q_term_vector_positions(0),
         "ft_highlight": _q_highlight("table"),       # rows-only
+        "ft_highlight_fvh": _q_highlight_fvh(["fast", "table"]),  # rows-only
         "ft_highlight_passages": _q_highlight_passages(
             ["table", "scan"]),                      # rows-only
         "ft_filter_lang": _q_filtered("table", "lang", "en"),

@@ -23,6 +23,73 @@ def highlight(text: str, terms: list[str], *, window: int = 40,
     return None
 
 
+def highlight_fvh(text: str, phrases: list[list[str]], *,
+                  frag_char_size: int = 100, max_frags: int = 2,
+                  pre: str = "<b>", post: str = "</b>") -> str | None:
+    """FastVectorHighlighter analogue (lucene/highlighter/.../
+    vectorhighlight/): the differentiator vs the term highlighters above
+    is that PHRASE matches are wrapped as ONE unit.
+
+    - FieldPhraseList.java: each query phrase matches where its terms
+      occur at consecutive token positions; the WeightedPhraseInfo
+      covers the whole phrase span, boost = number of clause terms.
+    - SimpleFragListBuilder.java (margin = fragCharSize/6): fragments
+      open margin chars before the first un-consumed match and span
+      fragCharSize chars, greedily absorbing every match that ends
+      inside.
+    - ScoreOrderFragmentsBuilder: the top max_frags fragments by total
+      boost (ties: offset asc), re-ordered by offset for display and
+      joined with "..."."""
+    toks = list(tokenize(text))
+    if not toks:
+        return None
+    infos: list[tuple[int, int, int]] = []  # (start_off, end_off, boost)
+    for i in range(len(toks)):
+        for ph in phrases:
+            if i + len(ph) <= len(toks) and \
+                    all(toks[i + j][0] == ph[j] for j in range(len(ph))):
+                infos.append((toks[i][2], toks[i + len(ph) - 1][3],
+                              len(ph)))
+    if not infos:
+        return None
+    # longest-first at equal starts, so the de-nesting below keeps the
+    # whole phrase rather than a clause term sharing its start offset
+    infos.sort(key=lambda x: (x[0], -x[1], -x[2]))
+    # drop matches nested inside an earlier (longer) match
+    flat: list[tuple[int, int, int]] = []
+    for s, e, b in infos:
+        if flat and s < flat[-1][1]:
+            continue
+        flat.append((s, e, b))
+    margin = frag_char_size // 6
+    frags = []  # (frag_start, frag_end, [matches], total_boost)
+    i = 0
+    while i < len(flat):
+        fs = max(0, flat[i][0] - margin)
+        fe = min(len(text), fs + frag_char_size)
+        group = []
+        while i < len(flat) and flat[i][1] <= fe:
+            group.append(flat[i])
+            i += 1
+        if not group:  # a match longer than the fragment: take it whole
+            group = [flat[i]]
+            fe = flat[i][1]
+            i += 1
+        frags.append((fs, fe, group, sum(g[2] for g in group)))
+    top = sorted(frags, key=lambda f: (-f[3], f[0]))[:max_frags]
+    top.sort(key=lambda f: f[0])
+    out_frags = []
+    for (fs, fe, group, _b) in top:
+        out, cur = [], fs
+        for (s, e, _bb) in group:
+            out.append(text[cur:s])
+            out.append(pre + text[s:e] + post)
+            cur = e
+        out.append(text[cur:fe])
+        out_frags.append("".join(out))
+    return "...".join(out_frags)
+
+
 def highlight_passages(text: str, terms: list[str], *,
                        max_passages: int = 3, k1: float = 1.2,
                        b: float = 0.75, pivot: float = 87.0,

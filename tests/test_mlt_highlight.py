@@ -89,3 +89,38 @@ def test_highlight_passages_multi_fragment():
     # beat one, norm favors the start)
     one = highlight_passages(text, ["table", "scan"], max_passages=1)
     assert "<em>scan</em>" in one and "..." not in one
+
+
+def test_fvh_phrase_as_unit():
+    """FastVectorHighlighter analogue: a phrase match wraps as ONE
+    unit; single-term clauses wrap individually; nested/overlapping
+    matches collapse to the first; fragments rank by total boost."""
+    from lucene_solr_ray.search.highlight import highlight_fvh
+
+    text = "the fast table scan beats a slow table walk every time"
+    out = highlight_fvh(text, [["fast", "table"], ["table"]],
+                        frag_char_size=200)
+    # the phrase wins at its position (nested "table" dropped); the
+    # second bare "table" still highlighted
+    assert "<b>fast table</b>" in out
+    assert out.count("<b>") == 2
+    assert "<b>table</b> walk" in out
+
+    # no match
+    assert highlight_fvh(text, [["zzz"]]) is None
+
+    # same-start clauses: the PHRASE must win over a clause term that
+    # shares its start offset (regression: shorter-first sort dropped
+    # the phrase)
+    same = highlight_fvh("a fast table here", [["fast", "table"],
+                                               ["fast"]])
+    assert "<b>fast table</b>" in same and same.count("<b>") == 1
+
+    # fragment selection: two far-apart matches, the 2-term phrase
+    # fragment outranks the 1-term one when max_frags=1
+    long_text = ("fast table " + "x " * 200 + "fast sort here")
+    got = highlight_fvh(long_text, [["fast", "table"], ["fast", "sort"]],
+                        frag_char_size=40, max_frags=1)
+    assert "<b>fast table</b>" in got or "<b>fast sort</b>" in got
+    # boost tie (both 2-term): offset asc wins → fast table
+    assert "<b>fast table</b>" in got
