@@ -1155,6 +1155,54 @@ def _q_highlight_passages(terms, k=3):
     return run
 
 
+_SORT_EXPR_JS = "floor(value * 100 + 0.5) * 7 + user_id % 5"
+
+
+def _q_sort_by_expr(k=500):
+    """Sort by a compiled expression (lucene/expressions
+    Expression.getSortField + SimpleBindings — the sort-binding half of
+    the module; the scoring half is ft_expr_*): the SAME parsed AST adds
+    a per-batch sort key in a streamed map_batches, then a distributed
+    sort consumes it."""
+    def run(sf_dir):
+        import ray.data as rd
+
+        from ..search.functionquery import evaluate, parse_js_expr
+
+        node = parse_js_expr(_SORT_EXPR_JS)
+
+        def add_key(batch: pa.Table) -> pa.Table:
+            fields = {
+                "value": np.asarray(batch["value"], dtype=np.float64),
+                "user_id": np.asarray(batch["user_id"],
+                                      dtype=np.float64),
+            }
+            key = np.asarray(evaluate(node, fields),
+                             dtype=np.float64).astype(np.int64)
+            return batch.append_column("sort_key",
+                                       pa.array(key, type=pa.int64()))
+
+        ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_id", "user_id", "value"])
+        out = (ds.map_batches(add_key, batch_format="pyarrow")
+               .sort(["sort_key", "event_id"],
+                     descending=[True, False]).limit(k))
+        df = out.to_pandas()[["event_id", "sort_key"]]
+        return pa.Table.from_pandas(df, preserve_index=False)
+    return run
+
+
+def _sort_by_expr_sql(k: int) -> str:
+    return f"""
+SELECT event_id,
+       CAST(floor(value * 100 + 0.5) * 7 + user_id % 5 AS BIGINT)
+         AS sort_key
+FROM events
+ORDER BY sort_key DESC, event_id ASC
+LIMIT {k}
+"""
+
+
 def _q_highlight_fvh(phrase, k=3):
     """FastVectorHighlighter-style snippets: the phrase match is
     wrapped as one unit (rows-only — presentation output)."""
@@ -3991,6 +4039,7 @@ def build_queries() -> dict:
         "rel_anti_join": R.anti_join,
         "rel_grouping_topk": R.grouping_top_k,
         "rel_sorted_export": R.sorted_export_top,
+        "rel_sort_by_expr": _q_sort_by_expr(),
         "rel_cursor_page": R.cursor_page,
         "rel_unique_stream": R.unique_stream,
         "rel_windowed_rollup": R.windowed_rollup,
@@ -4240,6 +4289,7 @@ def build_oracle_sql() -> dict:
         "rel_anti_join": RS.ANTI_JOIN,
         "rel_grouping_topk": RS.GROUPING_TOP_K,
         "rel_sorted_export": RS.SORTED_EXPORT_TOP,
+        "rel_sort_by_expr": _sort_by_expr_sql(500),
         "rel_cursor_page": RS.CURSOR_PAGE,
         "rel_unique_stream": RS.UNIQUE_STREAM,
         "rel_windowed_rollup": RS.WINDOWED_ROLLUP,
