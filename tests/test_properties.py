@@ -1,0 +1,112 @@
+"""Hypothesis property tests — the LuceneTestCase randomized-testing
+discipline (SURVEY §5): codec round-trips, analyzer algebra, geohash
+bounds, and quantization monotonicity hold for ARBITRARY inputs, not
+just the fixtures."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lucene_solr_ray.index.encode import (delta_decode, delta_encode,
+                                          grouped_delta_decode,
+                                          grouped_delta_encode,
+                                          varint_decode, varint_encode)
+
+u64s = st.lists(st.integers(min_value=0, max_value=2**63 - 1),
+                min_size=0, max_size=200)
+
+
+@settings(max_examples=200, deadline=None)
+@given(u64s)
+def test_varint_roundtrip(vals):
+    v = np.asarray(vals, dtype=np.int64)
+    assert varint_decode(varint_encode(v)).tolist() == vals
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**40),
+                min_size=1, max_size=200))
+def test_delta_roundtrip_sorted(vals):
+    v = np.asarray(sorted(vals), dtype=np.int64)
+    assert delta_decode(delta_encode(v)).tolist() == sorted(vals)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.lists(st.integers(min_value=0, max_value=2**30),
+                         min_size=1, max_size=20),
+                min_size=1, max_size=20))
+def test_grouped_delta_roundtrip(groups):
+    flat = np.asarray([x for g in groups for x in sorted(g)],
+                      dtype=np.int64)
+    counts = np.asarray([len(g) for g in groups], dtype=np.int64)
+    enc = grouped_delta_encode(flat, counts)
+    assert grouped_delta_decode(enc, counts).tolist() == flat.tolist()
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=300))
+def test_analyzer_terms_wellformed(text):
+    from lucene_solr_ray.analysis.analyzer import token_terms
+
+    terms = token_terms(text)
+    assert terms == token_terms(text)  # deterministic
+    for t in terms:
+        assert t and len(t) <= 255
+        assert all(c.islower() or c.isdigit() for c in t)
+        assert t.isascii()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32,
+                                      max_codepoint=126), max_size=120),
+       st.text(alphabet=st.characters(min_codepoint=32,
+                                      max_codepoint=126), max_size=120))
+def test_analyzer_concat_with_space_is_concat_of_tokens(a, b):
+    """Whitespace is always a boundary for the ascii tokenizer, so
+    tokenizing around an inserted space composes."""
+    from lucene_solr_ray.analysis.analyzer import token_terms
+
+    assert token_terms(a + " " + b) == token_terms(a) + token_terms(b)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.floats(min_value=-90, max_value=90, allow_nan=False),
+       st.floats(min_value=-180, max_value=179.999999, allow_nan=False))
+def test_geohash_roundtrip_error_bound(lat, lon):
+    """12-char geohash: decode lands within the cell (< ~2e-8 deg of
+    lat error, < ~4e-8 lon); prefixes decode to coarser cells that
+    still contain the point."""
+    from lucene_solr_ray.state.geohash import geohash_decode, geohash_encode
+
+    gh = geohash_encode(lat, lon, precision=12)
+    dl, dn = geohash_decode(gh)
+    assert abs(dl - lat) < 1e-6 and abs(dn - lon) < 1e-6
+    # prefix property: the 6-char cell shares its prefix
+    gh6 = geohash_encode(lat, lon, precision=6)
+    assert gh.startswith(gh6)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.floats(min_value=0, max_value=1e6,
+                          allow_nan=False), min_size=2, max_size=50))
+def test_quantize_monotone(scores):
+    from lucene_solr_ray.pipelines.queries import quantize_score
+
+    v = np.asarray(scores, dtype=np.float64)
+    q = quantize_score(v)
+    order = np.argsort(v)
+    assert np.all(np.diff(q[order]) >= 0)  # order-preserving
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.floats(min_value=-90, max_value=90, allow_nan=False),
+       st.floats(min_value=-180, max_value=180, allow_nan=False),
+       st.floats(min_value=-90, max_value=90, allow_nan=False),
+       st.floats(min_value=-180, max_value=180, allow_nan=False))
+def test_haversine_metric_properties(a1, o1, a2, o2):
+    from lucene_solr_ray.ops.geo import EARTH_RADIUS_M, haversine_m
+
+    d = haversine_m(a1, o1, a2, o2)
+    assert 0.0 <= d <= np.pi * EARTH_RADIUS_M + 1e-6
+    assert d == haversine_m(a2, o2, a1, o1)  # symmetric
+    assert haversine_m(a1, o1, a1, o1) == 0.0
