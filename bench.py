@@ -207,6 +207,44 @@ def run_bench() -> dict:
     p50 = float(np.percentile(all_lat, 50))
     p99 = float(np.percentile(all_lat, 99))
 
+    # ---------- concurrent query throughput (actor pool) ----------
+    # the north-star's query shape: an actor pool of warmed searchers
+    # over the same merged index, all firing concurrently
+    import ray
+
+    @ray.remote
+    class QueryActor:
+        def __init__(self, d):
+            from lucene_solr_ray.search.searcher import IndexSearcher
+            from lucene_solr_ray.util import tune_allocator
+
+            tune_allocator()
+            self.s = IndexSearcher(d, enable_caches=False).warm()
+
+        def run(self, queries, reps):
+            import time as _t
+
+            t0 = _t.perf_counter()
+            n = 0
+            for _ in range(reps):
+                for q in queries:
+                    self.s.search(q, k=10)
+                    n += 1
+            return n, _t.perf_counter() - t0
+
+    n_actors = max(2, min(8, num_cpus // 4))
+    actors = [QueryActor.remote(idx_dir) for _ in range(n_actors)]
+    qlist = list(qset.values())
+    ray.get([a.run.remote(qlist, 1) for a in actors])  # warm-up pass
+    t0 = time.perf_counter()
+    outs = ray.get([a.run.remote(qlist, QUERY_REPEATS) for a in actors])
+    qps_wall = time.perf_counter() - t0
+    for a in actors:
+        ray.kill(a)
+    results["query_pool_actors"] = n_actors
+    results["query_pool_qps"] = round(
+        sum(n for n, _ in outs) / qps_wall, 1)
+
     # ---------- documents-table pipeline at the requested sf ----------
     docs_idx = f"/tmp/lsr_bench_docs_idx_{num_cpus}"
     shutil.rmtree(docs_idx, ignore_errors=True)
@@ -229,6 +267,7 @@ def run_bench() -> dict:
         "files_per_sec": round(n_docs / build_sec, 1),
         "query_p50_ms": round(p50 * 1000, 2),
         "query_p99_ms": round(p99 * 1000, 2),
+        "query_pool_qps": results["query_pool_qps"],
         # the round-1 review's headline criterion: merge ≤ ~2× build
         "merge_over_build": round(results["merge_corpus"] / build_sec, 2),
     }

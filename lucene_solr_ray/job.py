@@ -1,0 +1,155 @@
+"""Ray-job entrypoint — the `ray job submit` front door of the engine
+(the reference's bin/solr + MapReduceIndexerTool roles:
+solr:bin/solr, solr/contrib/map-reduce/src/java/org/apache/solr/hadoop/
+MapReduceIndexerTool.java:88 argument surface).
+
+    ray job submit --working-dir . -- python -m lucene_solr_ray.job \
+        build --input /data/corpus --out /indexes/main --content-col content
+    ... merge --index /indexes/main
+    ... query --index /indexes/main --q '{!lucene}fast AND table' --k 10
+    ... check --index /indexes/main
+
+Each subcommand prints ONE JSON line on stdout (machine-parseable, the
+bench.py discipline). This module owns its Ray session when run as a
+script: it initialises from $RAY_ADDRESS (cluster address under
+`ray job submit`, "local" in this sandbox) only if Ray isn't already
+initialised, and shuts down what it started.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _ray_session():
+    import ray
+
+    if ray.is_initialized():
+        return False
+    ray.init(address=os.environ.get("RAY_ADDRESS", "auto"),
+             include_dashboard=False, logging_level="ERROR")
+    return True
+
+
+def cmd_build(args) -> dict:
+    import ray.data as rd
+
+    from .index.build import build_index
+    from .util import export_allocator_env
+
+    export_allocator_env()
+    t0 = time.perf_counter()
+    if args.resume:
+        import glob
+
+        from .index.build import build_index_resumable
+
+        files = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+        if not files:
+            files = [args.input]
+        man = build_index_resumable(files, args.out,
+                                    content_col=args.content_col)
+    else:
+        ds = rd.read_parquet(args.input)
+        man = build_index(ds, args.out, content_col=args.content_col,
+                          batch_rows=args.batch_rows)
+    return {
+        "cmd": "build", "out": args.out,
+        "num_docs": man["num_docs"], "sum_dl": man["sum_dl"],
+        "segments": len(man["segments"]),
+        "resumed_partitions": man.get("resumed_partitions", 0),
+        "sec": round(time.perf_counter() - t0, 3),
+    }
+
+
+def cmd_merge(args) -> dict:
+    from .index.merge import merge_segments
+
+    t0 = time.perf_counter()
+    man = merge_segments(args.index, max_parallelism=args.max_parallelism)
+    return {
+        "cmd": "merge", "index": args.index,
+        "segments": len([s for s in man["segments"]
+                         if s.get("kind", "postings") == "postings"]),
+        "sec": round(time.perf_counter() - t0, 3),
+    }
+
+
+def cmd_query(args) -> dict:
+    from .search.localparams import resolve_query
+    from .search.searcher import IndexSearcher
+
+    s = IndexSearcher(args.index, mode=args.mode)
+    t0 = time.perf_counter()
+    t = s.search(resolve_query(args.q), k=args.k)
+    return {
+        "cmd": "query", "q": args.q,
+        "hits": [{"doc_id": d, "score": float(sc)}
+                 for d, sc in zip(t["doc_id"].to_pylist(),
+                                  t["score"].to_pylist())],
+        "sec": round(time.perf_counter() - t0, 4),
+    }
+
+
+def cmd_check(args) -> dict:
+    from .index.check import check_index
+
+    t0 = time.perf_counter()
+    report = check_index(args.index)
+    report = dict(report)
+    report.update({"cmd": "check", "index": args.index,
+                   "sec": round(time.perf_counter() - t0, 3)})
+    return report
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="lucene_solr_ray.job")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build an index from parquet")
+    b.add_argument("--input", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--content-col", default="content")
+    b.add_argument("--batch-rows", type=int, default=1024)
+    b.add_argument("--resume", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    m = sub.add_parser("merge", help="merge segments (term-partitioned)")
+    m.add_argument("--index", required=True)
+    m.add_argument("--max-parallelism", type=int, default=None)
+    m.set_defaults(fn=cmd_merge)
+
+    q = sub.add_parser("query", help="run a query (local-params syntax)")
+    q.add_argument("--index", required=True)
+    q.add_argument("--q", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--mode", default="lucene32",
+                   choices=["lucene32", "exact64"])
+    q.set_defaults(fn=cmd_query)
+
+    c = sub.add_parser("check", help="CheckIndex invariants")
+    c.add_argument("--index", required=True)
+    c.set_defaults(fn=cmd_check)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    owns = _ray_session()
+    try:
+        out = args.fn(args)
+        print(json.dumps(out))
+        return 0
+    finally:
+        if owns:
+            import ray
+
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

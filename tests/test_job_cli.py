@@ -1,0 +1,68 @@
+"""The ray-job entrypoint (python -m lucene_solr_ray.job): build →
+merge → query → check as real subprocesses, each printing one JSON
+line — the `ray job submit` surface of the north rule."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _run(*args: str) -> dict:
+    env = dict(os.environ, RAY_ADDRESS="local")
+    out = subprocess.run(
+        [sys.executable, "-m", "lucene_solr_ray.job", *args],
+        capture_output=True, text=True, env=env, timeout=300,
+        cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("jobcorpus")
+    t = pa.table({
+        "doc_id": pa.array(range(1, 21), type=pa.int64()),
+        "content": pa.array(
+            [f"fast table scan number {i} with data rows" if i % 2
+             else f"slow merge sort pass {i} stream"
+             for i in range(1, 21)]),
+    })
+    pq.write_table(t.slice(0, 10), str(d / "a.parquet"))
+    pq.write_table(t.slice(10), str(d / "b.parquet"))
+    return str(d)
+
+
+def test_job_cli_lifecycle(corpus_dir, tmp_path):
+    idx = str(tmp_path / "idx")
+    b = _run("build", "--input", corpus_dir, "--out", idx)
+    assert b["num_docs"] == 20 and b["sum_dl"] > 0
+
+    m = _run("merge", "--index", idx)
+    assert m["segments"] >= 1
+
+    q = _run("query", "--index", idx, "--q", "{!lucene}fast AND table",
+             "--k", "3")
+    assert len(q["hits"]) == 3
+    assert all(h["score"] > 0 for h in q["hits"])
+    # odd doc_ids carry "fast table"
+    assert all(h["doc_id"] % 2 == 1 for h in q["hits"])
+
+    c = _run("check", "--index", idx)
+    assert c["ok"] and c["errors"] == [] and c["docs"] == 20
+
+
+def test_job_cli_resumable_build_skips_done_partitions(corpus_dir,
+                                                       tmp_path):
+    idx = str(tmp_path / "idx2")
+    first = _run("build", "--input", corpus_dir, "--out", idx,
+                 "--resume")
+    assert first["resumed_partitions"] == 0 and first["segments"] == 2
+    again = _run("build", "--input", corpus_dir, "--out", idx,
+                 "--resume")
+    assert again["resumed_partitions"] == 2
+    assert again["num_docs"] == 20
