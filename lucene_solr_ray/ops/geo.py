@@ -168,6 +168,47 @@ def geo_distance(sf_dir: str, *, center_lat: float, center_lon: float,
     return pa.Table.from_pandas(df.head(limit), preserve_index=False)
 
 
+def geo_bbox_rpt(sf_dir: str, *, min_lat: float, max_lat: float,
+                 min_lon: float, max_lon: float, precision: int = 3,
+                 table: str = "customer", key: str = "c_custkey",
+                 limit: int = 50) -> pa.Table:
+    """RecursivePrefixTreeStrategy-style bbox query (lucene/spatial
+    prefix-tree strategy): the box is covered by geohash CELLS at a
+    fixed precision; candidates are points whose cell is in the cover
+    (an O(1) hash-set probe per point — at scale, a keyword-postings
+    lookup or hive-partition prune on the geohash column), then the
+    exact bbox check verifies. Must return exactly geo_bbox's rows
+    (approximate-cover + verify ≡ exact filter)."""
+    from ..state.geohash import covering_cells, geohash_encode_batch
+
+    cover = set(covering_cells(min_lat=min_lat, max_lat=max_lat,
+                               min_lon=min_lon, max_lon=max_lon,
+                               precision=precision))
+
+    def f(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch[key], dtype=np.int64)
+        lat, lon = derive_latlon(keys)
+        cells = geohash_encode_batch(lat, lon, precision)
+        cand = np.array([c in cover for c in cells])
+        m = cand & (lat >= min_lat) & (lat <= max_lat) \
+            & (lon >= min_lon) & (lon <= max_lon)
+        return pa.table({
+            "key": pa.array(keys[m], type=pa.int64()),
+            "lat_md": pa.array(np.floor(lat[m] * 1000 + 0.5)
+                               .astype(np.int64)),
+            "lon_md": pa.array(np.floor(lon[m] * 1000 + 0.5)
+                               .astype(np.int64)),
+        })
+
+    t = (_read_keys(sf_dir, table, key)
+         .map_batches(f, batch_format="pyarrow")
+         .sort("key").limit(limit).to_arrow_refs())
+    import ray
+    parts = [ray.get(r) for r in t]
+    return pa.concat_tables([p for p in parts if p.num_rows]) \
+        if any(p.num_rows for p in parts) else parts[0]
+
+
 def geo_heatmap(sf_dir: str, *, min_lat: float, max_lat: float,
                 min_lon: float, max_lon: float, rows: int = 8,
                 cols: int = 8, table: str = "customer",

@@ -2096,6 +2096,13 @@ ORDER BY dist_cm, key LIMIT 50
 """
 
 
+def _q_geo_bbox_rpt(sf_dir):
+    from ..ops.geo import geo_bbox_rpt
+
+    return geo_bbox_rpt(sf_dir, min_lat=10.0, max_lat=60.0,
+                        min_lon=-30.0, max_lon=40.0, precision=3)
+
+
 def _q_geo_heatmap(sf_dir):
     from ..ops.geo import geo_heatmap
 
@@ -4170,6 +4177,7 @@ def build_queries() -> dict:
         "geo_distance": _q_geo_distance,
         "geo_polygon": _q_geo_polygon,
         "geo_heatmap": _q_geo_heatmap,
+        "geo_bbox_rpt": _q_geo_bbox_rpt,
         "ft_blended_term": _q_blended(["fast", "slow", "rapid"]),
         "ft_edge_ngram": _q_edge_ngram("tab"),
         "ft_shingle": _q_shingle("fast", "table"),
@@ -4435,6 +4443,9 @@ FROM bfs WHERE kind = 'c' AND node = 2
         "geo_distance": _geo_distance_sql(),
         "geo_polygon": _geo_polygon_sql(),
         "geo_heatmap": _geo_heatmap_sql(),
+        # the RPT cover+verify must equal the exact box filter, so it
+        # shares geo_bbox's oracle verbatim
+        "geo_bbox_rpt": _geo_bbox_sql(),
         "ft_bool_qparser": _bool_qparser_sql("table", "fast", "slow",
                                              "en", 10),
         "ft_switch_qparser": ft_term_sql("table", 10),

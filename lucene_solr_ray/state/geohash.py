@@ -85,3 +85,62 @@ def bbox_filter(lats: np.ndarray, lons: np.ndarray, *,
     else:  # crosses the antimeridian
         lon_ok = (lons >= min_lon) | (lons <= max_lon)
     return lat_ok & lon_ok
+
+
+def _cell_dims(precision: int) -> tuple[float, float]:
+    """(cell_height_deg, cell_width_deg) at a geohash precision: 5 bits
+    per char, alternating lon-first."""
+    total = precision * 5
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    return 180.0 / (1 << lat_bits), 360.0 / (1 << lon_bits)
+
+
+def geohash_encode_batch(lats: np.ndarray, lons: np.ndarray,
+                         precision: int = 5) -> np.ndarray:
+    """Vectorized geohash (identical output to geohash_encode): quantize
+    each axis to its bit budget, interleave lon-first with numpy bit
+    ops, then map 5-bit groups to base32. The hot-path encoder for
+    indexing a coordinate column as prefix-cell terms
+    (lucene/spatial RecursivePrefixTreeStrategy's cell tokens)."""
+    total = precision * 5
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    lat_q = np.minimum(
+        ((lats.astype(np.float64) + 90.0) / 180.0
+         * (1 << lat_bits)).astype(np.uint64), (1 << lat_bits) - 1)
+    lon_q = np.minimum(
+        ((lons.astype(np.float64) + 180.0) / 360.0
+         * (1 << lon_bits)).astype(np.uint64), (1 << lon_bits) - 1)
+    inter = np.zeros(len(lats), dtype=np.uint64)
+    for i in range(total):
+        # bit i of the geohash (MSB first): even index → lon, odd → lat
+        if i % 2 == 0:
+            src, nbits, k = lon_q, lon_bits, i // 2
+        else:
+            src, nbits, k = lat_q, lat_bits, i // 2
+        bit = (src >> np.uint64(nbits - 1 - k)) & np.uint64(1)
+        inter |= bit << np.uint64(total - 1 - i)
+    chars = np.empty((len(lats), precision), dtype="U1")
+    b32 = np.array(list(_BASE32))
+    for c in range(precision):
+        idx = (inter >> np.uint64(5 * (precision - 1 - c))) \
+            & np.uint64(31)
+        chars[:, c] = b32[idx.astype(np.int64)]
+    out = np.empty(len(lats), dtype=f"U{precision}")
+    for c in range(precision):
+        out = np.char.add(out, chars[:, c]) if c else chars[:, 0].copy()
+    return out
+
+
+def covering_cells(*, min_lat: float, max_lat: float, min_lon: float,
+                   max_lon: float, precision: int) -> list[str]:
+    """All geohash cells at ``precision`` intersecting the (non-wrapping)
+    box — the query-side cell cover of RecursivePrefixTreeStrategy
+    (approximate cover; candidates are post-verified exactly)."""
+    ch, cw = _cell_dims(precision)
+    lats = np.arange(min_lat, min(max_lat + ch, 90.0), ch)
+    lons = np.arange(min_lon, min(max_lon + cw, 180.0), cw)
+    la, lo = np.meshgrid(lats, lons, indexing="ij")
+    cells = geohash_encode_batch(la.ravel(), lo.ravel(), precision)
+    return sorted(set(cells.tolist()))

@@ -105,3 +105,83 @@ def test_geo_heatmap_matches_brute_force(ray_session):
         assert grid[rr][cc] == n
         grid[rr][cc] = 0
     assert grid.sum() == 0  # sparse rows covered every non-empty cell
+
+
+def test_geohash_vectorized_equals_scalar_and_cell_dims():
+    from lucene_solr_ray.state.geohash import (_cell_dims,
+                                               geohash_encode,
+                                               geohash_encode_batch)
+
+    rng = np.random.default_rng(11)
+    lats = rng.uniform(-90, 89.99, 500)
+    lons = rng.uniform(-180, 179.99, 500)
+    for p in (2, 4, 6):
+        got = geohash_encode_batch(lats, lons, p).tolist()
+        assert got == [geohash_encode(a, b, p)
+                       for a, b in zip(lats, lons)]
+    # published cell sizes: p=1 → 45°x45°? no: 5 bits = 3 lon + 2 lat
+    ch, cw = _cell_dims(1)
+    assert (ch, cw) == (45.0, 45.0)
+    ch, cw = _cell_dims(2)
+    assert (ch, cw) == (180.0 / 32, 360.0 / 32)
+
+
+def test_geo_bbox_rpt_equals_exact_and_prunes(ray_session):
+    """The prefix-cell cover + exact verify returns exactly the exact
+    filter's rows; the cover itself is a strict superset that PRUNES
+    (fewer candidate cells than the whole space)."""
+    from lucene_solr_ray.ops.geo import geo_bbox, geo_bbox_rpt
+    from lucene_solr_ray.state.geohash import covering_cells
+
+    a = geo_bbox(SF, min_lat=10.0, max_lat=60.0, min_lon=-30.0,
+                 max_lon=40.0, limit=10**6)
+    b = geo_bbox_rpt(SF, min_lat=10.0, max_lat=60.0, min_lon=-30.0,
+                     max_lon=40.0, precision=3, limit=10**6)
+    assert a.equals(b)
+    cells = covering_cells(min_lat=10.0, max_lat=60.0, min_lon=-30.0,
+                           max_lon=40.0, precision=3)
+    # 32768 level-3 cells cover the globe; the box cover must prune
+    assert 0 < len(cells) < 32768 / 4
+
+
+def test_geo_rpt_over_real_index(ray_session, tmp_path):
+    """The true RPT discipline: geohash cells indexed as KEYWORD terms,
+    bbox answered by an OR over the covering cells' postings + exact
+    verify — equal to the brute filter."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.ops.geo import derive_latlon
+    from lucene_solr_ray.search.searcher import IndexSearcher
+    from lucene_solr_ray.state.geohash import (covering_cells,
+                                               geohash_encode_batch)
+
+    keys = np.asarray(pq.read_table(f"{SF}/customer.parquet",
+                                    columns=["c_custkey"])["c_custkey"],
+                      dtype=np.int64)
+    lat, lon = derive_latlon(keys)
+    cells = geohash_encode_batch(lat, lon, 2)
+    t = pa.table({
+        "doc_id": pa.array(keys, type=pa.int64()),
+        "text": pa.array(["point"] * len(keys)),
+        "gh2": pa.array(cells.tolist(), type=pa.string()),
+    })
+    out = str(tmp_path / "rpt")
+    build_index(t, out, content_col="text", keyword_cols=("gh2",),
+                batch_rows=64)
+    s = IndexSearcher(out, mode="exact64")
+    box = dict(min_lat=-20.0, max_lat=35.0, min_lon=-30.0, max_lon=25.0)
+    cover = covering_cells(precision=2, **box)
+    cand = np.unique(np.concatenate(
+        [s.filter_docs("gh2", c) for c in cover] or
+        [np.empty(0, dtype=np.int64)]))
+    pos = np.searchsorted(keys, cand)
+    la, lo = lat[pos], lon[pos]
+    got = np.sort(cand[(la >= box["min_lat"]) & (la <= box["max_lat"])
+                       & (lo >= box["min_lon"]) & (lo <= box["max_lon"])])
+    brute = np.sort(keys[(lat >= box["min_lat"]) & (lat <= box["max_lat"])
+                         & (lon >= box["min_lon"])
+                         & (lon <= box["max_lon"])])
+    assert got.tolist() == brute.tolist()
+    # and the postings probe really pruned: candidates < corpus
+    assert len(cand) < len(keys)
