@@ -2103,6 +2103,51 @@ def _q_geo_bbox_rpt(sf_dir):
                         min_lon=-30.0, max_lon=40.0, precision=3)
 
 
+def _q_geo_sort(sf_dir, k=50):
+    """sort=geodist() asc (solr:search/function/distance/
+    GeoDistValueSourceParser + the sort binding): every point ranked by
+    haversine distance to the query point — no radius cut, pure
+    distance sort. Streaming per-batch distance column + distributed
+    sort."""
+    import math
+
+    import ray.data as rd
+
+    from ..ops.geo import derive_latlon, haversine_m
+
+    def add_dist(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch["c_custkey"], dtype=np.int64)
+        lat, lon = derive_latlon(keys)
+        d = np.empty(len(keys), dtype=np.int64)
+        for i in range(len(keys)):
+            d[i] = int(math.floor(
+                haversine_m(float(lat[i]), float(lon[i]), 10.0, 20.0)
+                * 100.0 + 0.5))
+        return pa.table({"key": pa.array(keys, type=pa.int64()),
+                         "dist_cm": pa.array(d, type=pa.int64())})
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey"])
+    out = (ds.map_batches(add_dist, batch_format="pyarrow")
+           .sort(["dist_cm", "key"]).limit(k))
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def _geo_sort_sql(k: int) -> str:
+    from ..ops.geo import latlon_sql
+
+    d = ("2 * 6371008.7714 * asin(least(1, sqrt((("
+         "1 - cos(lat * pi() / 180 - 10.0 * pi() / 180))"
+         " + cos(lat * pi() / 180) * cos(10.0 * pi() / 180)"
+         " * (1 - cos((lon - 20.0) * pi() / 180))) / 2)))")
+    return f"""
+WITH pts AS ({latlon_sql()})
+SELECT key, CAST(floor({d} * 100 + 0.5) AS BIGINT) AS dist_cm
+FROM pts
+ORDER BY dist_cm ASC, key ASC LIMIT {k}
+"""
+
+
 def _q_geo_heatmap(sf_dir):
     from ..ops.geo import geo_heatmap
 
@@ -4178,6 +4223,7 @@ def build_queries() -> dict:
         "geo_polygon": _q_geo_polygon,
         "geo_heatmap": _q_geo_heatmap,
         "geo_bbox_rpt": _q_geo_bbox_rpt,
+        "geo_sort_distance": _q_geo_sort,
         "ft_blended_term": _q_blended(["fast", "slow", "rapid"]),
         "ft_edge_ngram": _q_edge_ngram("tab"),
         "ft_shingle": _q_shingle("fast", "table"),
@@ -4446,6 +4492,7 @@ FROM bfs WHERE kind = 'c' AND node = 2
         # the RPT cover+verify must equal the exact box filter, so it
         # shares geo_bbox's oracle verbatim
         "geo_bbox_rpt": _geo_bbox_sql(),
+        "geo_sort_distance": _geo_sort_sql(50),
         "ft_bool_qparser": _bool_qparser_sql("table", "fast", "slow",
                                              "en", 10),
         "ft_switch_qparser": ft_term_sql("table", 10),
