@@ -1029,6 +1029,36 @@ def _q_more_like_this(doc_id=0, k=10, max_terms=5):
     return run
 
 
+def _mlt_sql(seed: int, max_terms: int, k: int) -> str:
+    """Twin of the FULL MoreLikeThis query (selection + bool-OR scoring):
+    the selection CTE reuses ft_mlt_terms' tf·idf_exact64 ranking; the
+    scoring half is ft_bool_sql's BM25 shape, with the float addition
+    order pinned to the engine's clause order (score desc, term asc)
+    via an ordered aggregate."""
+    idf = "ln(1 + (s.n_docs - df + 0.5) / (df + 0.5))"
+    return f"""
+WITH {_tok_ctes()},
+seedtf AS (SELECT term, count(*) AS f FROM clean WHERE doc_id = {seed}
+           GROUP BY term),
+gdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM clean
+        GROUP BY term),
+sel AS (SELECT term,
+               row_number() OVER (ORDER BY f * {idf} DESC, term ASC)
+                 AS r
+        FROM seedtf JOIN gdf USING (term), stats s
+        QUALIFY r <= {max_terms}),
+per AS (SELECT doc_id, term, count(*) AS tf FROM clean
+        WHERE term IN (SELECT term FROM sel) GROUP BY doc_id, term),
+cs AS (SELECT per.doc_id AS doc_id, sel.r AS r,
+              {_bm25_expr('per.tf', 'dl.dl', 'gdf.df')} AS sc
+       FROM per JOIN sel USING (term) JOIN gdf USING (term)
+            JOIN dl USING (doc_id), stats s),
+scored AS (SELECT doc_id, sum(sc ORDER BY r) AS score FROM cs
+           GROUP BY doc_id)
+{_sql_topk('scored', k)}
+"""
+
+
 def _q_mlt_terms(doc_id=0, max_terms=5):
     """mlt.interestingTerms=details: the MLT term selection itself,
     exposed with boosts — oracle-paired (pure tf·idf_exact64, the same
@@ -4142,7 +4172,7 @@ def build_queries() -> dict:
         "ft_suggest": _q_suggest("s"),
         "ft_suggest_fuzzy": _q_suggest_fuzzy("vectr"),
         "ft_function_boost": _q_function_boost("table"),
-        "ft_more_like_this": _q_more_like_this(0),   # rows-only
+        "ft_more_like_this": _q_more_like_this(0),
         "ft_mlt_terms": _q_mlt_terms(0),
         "ft_suggest_free_text": _q_free_text_suggest("fast"),
         "ft_frange": _q_frange("recip(dl,1,100,100)", 0.6, 0.65),
@@ -4424,6 +4454,9 @@ def build_oracle_sql() -> dict:
         "ft_ltr_rerank": _ltr_rerank_sql("table", 10),
         "ft_suggest_blended": _suggest_blended_sql("tab", 10),
         "ft_mlt_terms": _mlt_terms_sql(0, 5),
+        # round-1 rows-only, now fully paired: selection + ordered-sum
+        # BM25 scoring in one twin
+        "ft_more_like_this": _mlt_sql(0, 5, 10),
         "ft_suggest_free_text": _free_text_suggest_sql("fast", 10),
         "ft_frange": _frange_sql("recip(dl,1,100,100)", 0.6, 0.65, 10),
         "rel_date_range_facet": _date_range_facet_sql(
