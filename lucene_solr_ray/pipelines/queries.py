@@ -2348,6 +2348,104 @@ def _q_classify_perceptron(n_train=100, n_probe=20):
     return run
 
 
+def _classify_knn_sql(n_probe: int, max_terms: int = 5,
+                      k: int = 10) -> str:
+    """Twin of ft_classify_knn (KNearestNeighborClassifier.assignClass):
+    per probe doc — MLT term selection (tf·idf_exact64 top-5), BM25
+    bool-OR neighbors (ordered float sum, the proven MLT twin shape,
+    PARTITIONed per probe), then the majority lang among the top-k
+    neighbors with ties class asc."""
+    idf = "ln(1 + (s.n_docs - df + 0.5) / (df + 0.5))"
+    return f"""
+WITH {_tok_ctes()},
+probes AS (SELECT doc_id AS probe FROM documents
+           ORDER BY doc_id LIMIT {n_probe}),
+seedtf AS (SELECT c.doc_id AS probe, c.term, count(*) AS f
+           FROM clean c JOIN probes ON c.doc_id = probes.probe
+           GROUP BY c.doc_id, c.term),
+gdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM clean
+        GROUP BY term),
+sel AS (SELECT probe, term,
+               row_number() OVER (PARTITION BY probe
+                 ORDER BY f * {idf} DESC, term ASC) AS r
+        FROM seedtf JOIN gdf USING (term), stats s
+        QUALIFY r <= {max_terms}),
+per AS (SELECT sel.probe AS probe, c.doc_id AS doc_id, c.term AS term,
+               sel.r AS r, count(*) AS tf
+        FROM clean c JOIN sel ON c.term = sel.term
+        GROUP BY sel.probe, c.doc_id, c.term, sel.r),
+cs AS (SELECT per.probe AS probe, per.doc_id AS doc_id, per.r AS r,
+              {_bm25_expr('per.tf', 'dl.dl', 'gdf.df')} AS sc
+       FROM per JOIN gdf USING (term) JOIN dl USING (doc_id), stats s),
+scored AS (SELECT probe, doc_id, sum(sc ORDER BY r) AS score
+           FROM cs GROUP BY probe, doc_id),
+neigh AS (SELECT probe, doc_id,
+                 row_number() OVER (PARTITION BY probe
+                   ORDER BY score DESC, doc_id ASC) AS nr
+          FROM scored QUALIFY nr <= {k}),
+votes AS (SELECT neigh.probe AS probe, d.lang AS lang,
+                 count(*) AS n
+          FROM neigh JOIN documents d USING (doc_id)
+          GROUP BY neigh.probe, d.lang),
+best AS (SELECT probe, lang AS predicted,
+                row_number() OVER (PARTITION BY probe
+                  ORDER BY n DESC, lang ASC) AS vr
+         FROM votes QUALIFY vr = 1)
+SELECT p.probe AS doc_id, d.lang AS lang, b.predicted AS predicted
+FROM probes p JOIN documents d ON d.doc_id = p.probe
+JOIN best b ON b.probe = p.probe
+ORDER BY p.probe
+"""
+
+
+def _classify_nb_sql(n_probe: int) -> str:
+    """Twin of ft_classify_nb (SimpleNaiveBayesClassifier): per probe and
+    class, score = ln(prior) + Σ_w f·ln((tf_wc+1)/(tokens_c+V)) with the
+    engine's float addition order reproduced exactly — the prior enters
+    the ordered sum as the r=0 row (0.0 + ln_prior ≡ ln_prior), then
+    terms ascending (the engine iterates sorted(tf_text))."""
+    return f"""
+WITH {_tok_ctes()},
+probes AS (SELECT doc_id AS probe FROM documents
+           ORDER BY doc_id LIMIT {n_probe}),
+ptf AS (SELECT c.doc_id AS probe, c.term AS term, count(*) AS f
+        FROM clean c JOIN probes ON c.doc_id = probes.probe
+        GROUP BY c.doc_id, c.term),
+classes AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+ctok AS (SELECT d.lang AS lang, COALESCE(sum(dl.dl), 0) AS ntok
+         FROM documents d LEFT JOIN dl ON dl.doc_id = d.doc_id
+         GROUP BY d.lang),
+vocab AS (SELECT count(DISTINCT term) AS v FROM clean),
+cwf AS (SELECT d.lang AS lang, c.term AS term, count(*) AS tf_wc
+        FROM clean c JOIN documents d USING (doc_id)
+        GROUP BY d.lang, c.term),
+parts AS (
+  SELECT ptf.probe AS probe, cl.lang AS lang, 1 AS is_term,
+         ptf.term AS ord_term,
+         ptf.f * ln((COALESCE(cwf.tf_wc, 0) + 1)
+                    / (ctok.ntok + vocab.v)) AS sc
+  FROM ptf CROSS JOIN classes cl
+  LEFT JOIN cwf ON cwf.lang = cl.lang AND cwf.term = ptf.term
+  JOIN ctok ON ctok.lang = cl.lang, vocab
+  UNION ALL
+  SELECT probes.probe, cl.lang, 0 AS is_term, '' AS ord_term,
+         ln(cl.cnt / s.n_docs) AS sc
+  FROM probes CROSS JOIN classes cl, stats s
+),
+scores AS (SELECT probe, lang,
+                  sum(sc ORDER BY is_term, ord_term) AS score
+           FROM parts GROUP BY probe, lang),
+best AS (SELECT probe, lang AS predicted,
+                row_number() OVER (PARTITION BY probe
+                  ORDER BY score DESC, lang ASC) AS vr
+         FROM scores QUALIFY vr = 1)
+SELECT p.probe AS doc_id, d.lang AS lang, b.predicted AS predicted
+FROM probes p JOIN documents d ON d.doc_id = p.probe
+JOIN best b ON b.probe = p.probe
+ORDER BY p.probe
+"""
+
+
 def _q_suggest_weighted(prefix, n=10, context=("lang", "en")):
     """NRTSuggester with per-doc weights (n_chars doc value) and a
     context filter — the fork's signature completion surface."""
@@ -4288,8 +4386,8 @@ def build_queries() -> dict:
         "ft_suggest_weighted": _q_suggest_weighted("s"),
         "ft_dv_numbers": _q_dv_numbers("n_chars", [250, 300, 350]),
         "ft_dv_terms": _q_dv_terms("lang", ["de", "fr"]),
-        "ft_classify_knn": _q_classify("knn"),      # rows-only
-        "ft_classify_nb": _q_classify("nb"),        # rows-only
+        "ft_classify_knn": _q_classify("knn"),
+        "ft_classify_nb": _q_classify("nb"),
         "ft_classify_perceptron": _q_classify_perceptron(),  # rows-only
         # rows-only: k-means is not SQL-expressible; threshold matches
         # dedup_embedding_cosine's corpus-calibrated 0.45
@@ -4457,6 +4555,10 @@ def build_oracle_sql() -> dict:
         # round-1 rows-only, now fully paired: selection + ordered-sum
         # BM25 scoring in one twin
         "ft_more_like_this": _mlt_sql(0, 5, 10),
+        # round-1 rows-only classifiers, now exact twins (per-probe MLT
+        # neighbors / ordered-sum NB log-likelihoods + majority rules)
+        "ft_classify_knn": _classify_knn_sql(20),
+        "ft_classify_nb": _classify_nb_sql(20),
         "ft_suggest_free_text": _free_text_suggest_sql("fast", 10),
         "ft_frange": _frange_sql("recip(dl,1,100,100)", 0.6, 0.65, 10),
         "rel_date_range_facet": _date_range_facet_sql(
