@@ -1947,6 +1947,49 @@ scored AS (
 """
 
 
+def _automaton_nfa_cycle_sql(k: int = 10) -> str:
+    """Twin of the cyclic general-NFA driver query — the language
+    ``fast (scan fast)* table`` (states 4, accept {3}, cycle 1→2→1).
+    Unbounded repetition maps to a WITH RECURSIVE reach relation
+    (doc, start, q) = "state 1, about to consume position q"; a start
+    position accepts when `table` sits at q. freq = accepting starts;
+    idf sums the four concrete transition labels in engine order;
+    scored like MultiPhraseQuery (the _automaton_sql tail)."""
+    def df_sub(t: str) -> str:
+        return (f"(SELECT count(DISTINCT doc_id) FROM clean "
+                f"WHERE term = '{t}')")
+
+    idf = " + ".join(
+        f"ln(1 + (s.n_docs - {df_sub(t)} + 0.5) / ({df_sub(t)} + 0.5))"
+        for t in ["fast", "scan", "fast", "table"])
+    return f"""
+WITH RECURSIVE {_tok_ctes()},
+fastp AS (SELECT doc_id, pos FROM clean WHERE term = 'fast'),
+scanp AS (SELECT doc_id, pos FROM clean WHERE term = 'scan'),
+tablep AS (SELECT doc_id, pos FROM clean WHERE term = 'table'),
+reach(doc_id, start, q) AS (
+  SELECT doc_id, pos AS start, pos + 1 AS q FROM fastp
+  UNION
+  SELECT r.doc_id, r.start, r.q + 2 AS q
+  FROM reach r
+  JOIN scanp sc ON sc.doc_id = r.doc_id AND sc.pos = r.q
+  JOIN fastp f2 ON f2.doc_id = r.doc_id AND f2.pos = r.q + 1
+),
+accepted AS (SELECT DISTINCT r.doc_id, r.start
+             FROM reach r JOIN tablep t
+               ON t.doc_id = r.doc_id AND t.pos = r.q),
+pf AS (SELECT doc_id, count(*) AS pf FROM accepted GROUP BY doc_id),
+scored AS (
+  SELECT pf.doc_id AS doc_id,
+         ({idf}) * (pf.pf * ({K1_SQL} + 1))
+           / (pf.pf + {K1_SQL} * ((1 - {B_SQL}) + ({B_SQL} * dl.dl)
+              / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))) AS score
+  FROM pf JOIN dl USING (doc_id), stats s
+)
+{_sql_topk('scored', k)}
+"""
+
+
 def _q_span_first(term, end, k=20):
     def run(sf_dir):
         return _topk_table(_searcher(sf_dir).search_span_first(term, end, k=k))
@@ -4404,13 +4447,13 @@ def build_queries() -> dict:
             "{!boost b=recip(dl,1,100,100)}{!term}table"),
         "ft_term_automaton": _q_automaton([["fast", "slow"], "*",
                                            ["scan"]]),
-        # rows-only: cyclic general NFA — "fast (scan fast)*", no SQL
-        # twin for unbounded repetition; pytest holds the positional
-        # oracle (test_term_automaton_general_nfa)
+        # cyclic general NFA — "fast (scan fast)* table"; the unbounded
+        # repetition pairs with a WITH RECURSIVE twin (and the
+        # randomized pytest still covers arbitrary NFAs)
         "ft_term_automaton_nfa": _q_automaton(
-            {"states": 3, "accept": [1],
+            {"states": 4, "accept": [3],
              "transitions": [[0, 1, "fast"], [1, 2, "scan"],
-                             [2, 1, "fast"]]}),
+                             [2, 1, "fast"], [1, 3, "table"]]}),
         "ft_edismax": _q_edismax(
             "spark src13 merge scan -window",
             qf=(("text", 1.0), ("source", 1.5)),
@@ -4559,6 +4602,7 @@ def build_oracle_sql() -> dict:
         # neighbors / ordered-sum NB log-likelihoods + majority rules)
         "ft_classify_knn": _classify_knn_sql(20),
         "ft_classify_nb": _classify_nb_sql(20),
+        "ft_term_automaton_nfa": _automaton_nfa_cycle_sql(10),
         "ft_suggest_free_text": _free_text_suggest_sql("fast", 10),
         "ft_frange": _frange_sql("recip(dl,1,100,100)", 0.6, 0.65, 10),
         "rel_date_range_facet": _date_range_facet_sql(
