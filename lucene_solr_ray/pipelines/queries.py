@@ -1165,6 +1165,60 @@ def _q_highlight(term="table", k=3):
     return run
 
 
+def _highlight_sql(term: str, k: int = 3, window: int = 40) -> str:
+    """Byte-exact twin of ft_highlight: top-k BM25 docs for the term,
+    then the FIRST standalone lowercase-alnum-run match of the term in
+    each stored text (the tokenizer-offset discipline of
+    search.highlight.highlight), wrapped with the same ±window chars
+    and '...' flags. The char scan joins a shared 1..max(len) series —
+    bounded by k docs × text length."""
+    L = len(term)
+    return f"""
+WITH {_tok_ctes()},
+tf AS (SELECT doc_id, count(*) AS tf FROM clean WHERE term = '{term}'
+       GROUP BY doc_id),
+dfx AS (SELECT count(DISTINCT doc_id) AS df FROM clean
+        WHERE term = '{term}'),
+scored AS (
+  SELECT tf.doc_id AS doc_id,
+         {_bm25_expr('tf.tf', 'dl.dl', 'dfx.df')} AS score
+  FROM tf JOIN dl USING (doc_id), stats s, dfx
+),
+topk AS (
+  SELECT d.doc_id AS doc_id, d.text AS text,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+              AS BIGINT) AS rank
+  FROM scored JOIN documents d USING (doc_id)
+  ORDER BY score DESC, doc_id ASC LIMIT {k}
+),
+series AS (SELECT unnest(range(1, (SELECT max(length(text)) + 1
+                                   FROM topk))) AS i),
+firsts AS (
+  SELECT t.doc_id AS doc_id, min(series.i) AS i
+  FROM topk t JOIN series
+    ON series.i + {L} - 1 <= length(t.text)
+  WHERE lower(substr(t.text, series.i, {L})) = '{term}'
+    AND (series.i = 1 OR NOT regexp_matches(
+           lower(substr(t.text, series.i - 1, 1)), '[a-z0-9]'))
+    AND (series.i + {L} > length(t.text) OR NOT regexp_matches(
+           lower(substr(t.text, series.i + {L}, 1)), '[a-z0-9]'))
+  GROUP BY t.doc_id
+)
+SELECT t.doc_id AS doc_id, t.rank AS rank,
+       (CASE WHEN f.i > {window + 1} THEN '...' ELSE '' END)
+       || substr(t.text, greatest(1, f.i - {window}),
+                 f.i - greatest(1, f.i - {window}))
+       || '<em>' || substr(t.text, f.i, {L}) || '</em>'
+       || substr(t.text, f.i + {L},
+                 least(length(t.text), f.i + {L} - 1 + {window})
+                 - (f.i + {L} - 1))
+       || (CASE WHEN f.i + {L} - 1 + {window} < length(t.text)
+                THEN '...' ELSE '' END) AS snippet
+FROM topk t LEFT JOIN firsts f USING (doc_id)
+ORDER BY t.rank
+"""
+
+
 def _q_highlight_passages(terms, k=3):
     """Top-k hits with PostingsHighlighter-style multi-passage
     snippets (rows-only — presentation output)."""
@@ -4321,7 +4375,7 @@ def build_queries() -> dict:
             "NOW/DAY-30DAYS", "NOW/DAY", "+5DAYS"),
         "ft_term_vector": _q_term_vector(0),
         "ft_term_vector_positions": _q_term_vector_positions(0),
-        "ft_highlight": _q_highlight("table"),       # rows-only
+        "ft_highlight": _q_highlight("table"),
         "ft_highlight_fvh": _q_highlight_fvh(["fast", "table"]),  # rows-only
         "ft_highlight_passages": _q_highlight_passages(
             ["table", "scan"]),                      # rows-only
@@ -4603,6 +4657,8 @@ def build_oracle_sql() -> dict:
         "ft_classify_knn": _classify_knn_sql(20),
         "ft_classify_nb": _classify_nb_sql(20),
         "ft_term_automaton_nfa": _automaton_nfa_cycle_sql(10),
+        # byte-exact presentation twin: char-scan first-token match
+        "ft_highlight": _highlight_sql("table"),
         "ft_suggest_free_text": _free_text_suggest_sql("fast", 10),
         "ft_frange": _frange_sql("recip(dl,1,100,100)", 0.6, 0.65, 10),
         "rel_date_range_facet": _date_range_facet_sql(
