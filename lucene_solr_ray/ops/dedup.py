@@ -315,8 +315,11 @@ def minhash_lsh_pairs(sf_dir: str, *, verify: str = "join") -> pa.Table:
                                 preserve_index=False)
 
 
-def simhash64(texts: pa.Array) -> np.ndarray:
-    """64-bit Charikar simhash over token frequencies."""
+def simhash64(texts: pa.Array, hash: str = "blake2b") -> np.ndarray:
+    """64-bit Charikar simhash over token frequencies. hash="md5" uses
+    the low 8 md5 bytes little-endian — bit-identical to DuckDB's
+    md5_number_lower, which is what makes the oracle twin possible
+    (blake2b stays the default; the mixing quality is equivalent)."""
     from ..analysis.analyzer import analyze_batch
 
     ab = analyze_batch(texts, keep_stopwords=True)
@@ -324,21 +327,28 @@ def simhash64(texts: pa.Array) -> np.ndarray:
     starts = np.concatenate(([0], np.cumsum(ab.doc_lengths)))
     out = np.zeros(len(ab.doc_lengths), dtype=np.uint64)
     bitcols = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+    def h64(w: str) -> int:
+        if hash == "md5":
+            return int.from_bytes(hashlib.md5(w.encode()).digest()[8:],
+                                  "little")
+        return int.from_bytes(hashlib.blake2b(
+            w.encode(), digest_size=8).digest(), "big")
+
     for d in range(len(ab.doc_lengths)):
         ws = toks[starts[d]:starts[d + 1]]
         if not ws:
             continue
         uniq, counts = np.unique(ws, return_counts=True)
-        hs = np.array([int.from_bytes(hashlib.blake2b(
-            w.encode(), digest_size=8).digest(), "big") for w in uniq],
-            dtype=np.uint64)
+        hs = np.array([h64(w) for w in uniq], dtype=np.uint64)
         bits = ((hs[:, None] & bitcols[None, :]) != 0).astype(np.int64)
         acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
         out[d] = np.bitwise_or.reduce(bitcols[acc > 0]) if (acc > 0).any() else 0
     return out
 
 
-def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
+def simhash_pairs(sf_dir: str, max_hamming: int = 3,
+                  hash: str = "blake2b") -> pa.Table:
     """Near-dup pairs by simhash Hamming distance ≤ 3 using pigeonhole
     banding on four 16-bit chunks (any pair within distance 3 shares at
     least one exact chunk).
@@ -355,7 +365,7 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
 
     def band_stage(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch["doc_id"], dtype=np.int64)
-        sigs = simhash64(batch["text"])
+        sigs = simhash64(batch["text"], hash=hash)
         n = len(ids)
         chunk = np.repeat(np.arange(4, dtype=np.int32), n)
         val = np.concatenate([

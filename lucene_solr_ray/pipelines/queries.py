@@ -2044,6 +2044,40 @@ scored AS (
 """
 
 
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """Twin of dedup_simhash (md5 mode): per-term 64-bit hashes via
+    md5_number_lower (bit-identical to the engine's low-8-md5-bytes
+    little-endian), the Charikar bit-majority per doc over tf-weighted
+    ±1 contributions (stopwords KEPT — the tok CTE), signatures
+    re-assembled with bit_or, then the same 4×16-bit pigeonhole
+    banding self-join with bit_count hamming."""
+    return f"""
+WITH {_tok_ctes()},
+per AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        GROUP BY doc_id, term),
+h AS (SELECT doc_id, tf, md5_number_lower(term) AS hv FROM per),
+bits AS (SELECT doc_id, b.b AS b,
+                sum(tf * (CASE WHEN (hv >> b.b) & 1 = 1
+                               THEN 1 ELSE -1 END)) AS s
+         FROM h CROSS JOIN (SELECT unnest(range(64)) AS b) b
+         GROUP BY doc_id, b.b),
+sig AS (SELECT doc_id,
+               bit_or(CASE WHEN s > 0
+                           THEN (CAST(1 AS UBIGINT) << b)
+                           ELSE CAST(0 AS UBIGINT) END) AS sig
+        FROM bits GROUP BY doc_id),
+chunks AS (SELECT doc_id, sig, c.c AS c,
+                  (sig >> (16 * c.c)) & 65535 AS val
+           FROM sig CROSS JOIN (SELECT unnest(range(4)) AS c) c),
+pairs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+                 CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+          FROM chunks a JOIN chunks b
+            ON a.c = b.c AND a.val = b.val AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming})
+SELECT a, b, hamming FROM pairs ORDER BY a, b
+"""
+
+
 def _q_span_first(term, end, k=20):
     def run(sf_dir):
         return _topk_table(_searcher(sf_dir).search_span_first(term, end, k=k))
@@ -4286,7 +4320,10 @@ def build_queries() -> dict:
         "dedup_ngram_jaccard": D.ngram_jaccard_pairs,
         "dedup_substring": D.substring_dup_pairs,
         "dedup_apply": D.dedup_apply,
-        "dedup_simhash": D.simhash_pairs,          # rows-only (no SQL twin)
+        # md5 hash mode so the 64-bit bitwise twin can reproduce the
+        # signatures (md5_number_lower); blake2b stays the library default
+        "dedup_simhash": lambda sf_dir: D.simhash_pairs(sf_dir,
+                                                        hash="md5"),
         "dedup_clusters": D.dedup_clusters,
         "text_langid": T.lang_id,
         "text_quality": T.quality_score,
@@ -4657,6 +4694,7 @@ def build_oracle_sql() -> dict:
         "ft_classify_knn": _classify_knn_sql(20),
         "ft_classify_nb": _classify_nb_sql(20),
         "ft_term_automaton_nfa": _automaton_nfa_cycle_sql(10),
+        "dedup_simhash": _simhash_sql(),
         # byte-exact presentation twin: char-scan first-token match
         "ft_highlight": _highlight_sql("table"),
         "ft_suggest_free_text": _free_text_suggest_sql("fast", 10),
