@@ -118,10 +118,13 @@ FP_BASE = 1000003
 FP_MOD = (1 << 61) - 1
 
 
-def fingerprint(sf_dir: str) -> pa.Table:
+def fingerprint(sf_dir: str, hash: str = "blake2b") -> pa.Table:
     """Rolling polynomial fingerprint of the post-stop token stream
-    (document-level content signature; no SQL twin — rows-only check).
-    fp(doc) = Σ h(term_i)·B^i mod (2^61-1), h = blake2b-64."""
+    (document-level content signature).
+    fp(doc) = Σ h(term_i)·B^i mod (2^61-1), h = blake2b-64 by default;
+    hash="md5" (low 8 bytes little-endian == DuckDB md5_number_lower)
+    is the oracle-twin mode — the recursive-powers SQL twin reproduces
+    the Horner values exactly."""
     import hashlib
 
     M = np.uint64(FP_MOD)
@@ -140,9 +143,14 @@ def fingerprint(sf_dir: str) -> pa.Table:
         # pass per position across all docs — bit-identical to the
         # per-token (acc*B + h) % M recurrence
         denc = ab.terms.dictionary_encode()
-        vh = np.array([int.from_bytes(hashlib.blake2b(
-            w.encode(), digest_size=8).digest(), "big")
-            for w in denc.dictionary.to_pylist()], dtype=np.uint64)
+        if hash == "md5":
+            vh = np.array([int.from_bytes(
+                hashlib.md5(w.encode()).digest()[8:], "little")
+                for w in denc.dictionary.to_pylist()], dtype=np.uint64)
+        else:
+            vh = np.array([int.from_bytes(hashlib.blake2b(
+                w.encode(), digest_size=8).digest(), "big")
+                for w in denc.dictionary.to_pylist()], dtype=np.uint64)
         h_all = _fold(vh)[np.asarray(denc.indices, dtype=np.int64)] \
             if len(vh) else np.empty(0, dtype=np.uint64)
         lens = ab.doc_lengths

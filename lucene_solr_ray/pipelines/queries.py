@@ -2044,6 +2044,40 @@ scored AS (
 """
 
 
+def _fingerprint_sql() -> str:
+    """Twin of text_fingerprint (md5 mode): fp = Σ h_i·B^(n-1-i) mod
+    M=2^61-1 — Horner unrolled into per-position contributions against
+    a recursive powers-of-B table; every product runs in HUGEINT then
+    reduces mod M, exactly like the engine's Mersenne folds."""
+    from ..ops.text import FP_BASE, FP_MOD
+
+    return f"""
+WITH RECURSIVE {_tok_ctes()},
+mx AS (SELECT max(dl) AS m FROM dl),
+pows(k, v) AS (
+  SELECT 0 AS k, CAST(1 AS UBIGINT) AS v
+  UNION ALL
+  SELECT k + 1, CAST((CAST(v AS HUGEINT) * {FP_BASE}) % {FP_MOD}
+                     AS UBIGINT)
+  FROM pows, mx WHERE k + 1 < mx.m
+),
+seq AS (SELECT doc_id, term,
+               row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                 - 1 AS rn
+        FROM clean),
+contrib AS (SELECT seq.doc_id AS doc_id,
+                   (CAST(md5_number_lower(seq.term) % {FP_MOD}
+                         AS HUGEINT) * pows.v) % {FP_MOD} AS c
+            FROM seq JOIN dl USING (doc_id)
+            JOIN pows ON pows.k = dl.dl - 1 - seq.rn),
+fps AS (SELECT doc_id, CAST(sum(c) % {FP_MOD} AS BIGINT) AS fp
+        FROM contrib GROUP BY doc_id)
+SELECT d.doc_id AS doc_id, COALESCE(f.fp, 0) AS fp
+FROM documents d LEFT JOIN fps f USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def _simhash_sql(max_hamming: int = 3) -> str:
     """Twin of dedup_simhash (md5 mode): per-term 64-bit hashes via
     md5_number_lower (bit-identical to the engine's low-8-md5-bytes
@@ -4332,7 +4366,9 @@ def build_queries() -> dict:
         "text_stratified_sample": T.stratified_sample,
         "text_chunk_windows": T.chunk_documents,
         "text_token_totals": T.token_totals,
-        "text_fingerprint": T.fingerprint,         # rows-only (no SQL twin)
+        # md5 hash mode for the recursive-powers twin (blake2b default)
+        "text_fingerprint": lambda sf_dir: T.fingerprint(sf_dir,
+                                                         hash="md5"),
         "ann_brute_cosine": A.ann_brute_topk,
         "ann_ivf_cosine": A.ann_ivf_topk,          # approximate (no SQL twin)
         "ann_lsh_cosine": A.ann_lsh_topk,          # approximate (no SQL twin)
@@ -4695,6 +4731,7 @@ def build_oracle_sql() -> dict:
         "ft_classify_nb": _classify_nb_sql(20),
         "ft_term_automaton_nfa": _automaton_nfa_cycle_sql(10),
         "dedup_simhash": _simhash_sql(),
+        "text_fingerprint": _fingerprint_sql(),
         # byte-exact presentation twin: char-scan first-token match
         "ft_highlight": _highlight_sql("table"),
         "ft_suggest_free_text": _free_text_suggest_sql("fast", 10),
