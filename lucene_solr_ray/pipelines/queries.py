@@ -2078,6 +2078,53 @@ ORDER BY d.doc_id
 """
 
 
+def _hll_sql(table: str = "events", column: str = "user_id") -> str:
+    """Twin of sketch_hll_users: the ENTIRE HLL pipeline in SQL —
+    splitmix64 (the stratified-sample HUGEINT wrap pattern), 12-bit
+    register index, rank = 52 − floor(log2(w)) (exact: w < 2^53, same
+    libm log2 both sides), per-register max, then the Flajolet
+    estimator with the linear-counting correction. Duplicate keys are
+    idempotent under register max, so DISTINCT first. The only
+    cross-side float risk is the 4096-term harmonic sum's association
+    (numpy is pairwise, SQL sequential) — absorbed by the final
+    integer rounding."""
+    M64 = 18446744073709551616
+    A, B, C = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    W = (1 << 52) - 1
+
+    def wrap_mul(t: str, k: int) -> str:
+        # (t·k) mod 2^64 with a 32-bit split so no HUGEINT product
+        # exceeds 2^97 (a full 64×64 product overflows int128)
+        return (f"CAST((((CAST({t} >> 32 AS HUGEINT) * {k & 0xFFFFFFFF})"
+                f" % 4294967296) * 4294967296"
+                f" + CAST({t} & 4294967295 AS HUGEINT) * {k})"
+                f" % {M64} AS UBIGINT)")
+
+    return f"""
+WITH u AS (SELECT DISTINCT CAST({column} AS UBIGINT) AS x FROM {table}),
+z1 AS (SELECT CAST((CAST(x AS HUGEINT) + {A}) % {M64} AS UBIGINT) AS z
+       FROM u),
+z2 AS (SELECT {wrap_mul('xor(z, z >> 30)', B)} AS z FROM z1),
+z3 AS (SELECT {wrap_mul('xor(z, z >> 27)', C)} AS z FROM z2),
+h AS (SELECT xor(z, z >> 31) AS h FROM z3),
+reg AS (SELECT CAST(h >> 52 AS BIGINT) AS idx,
+               max(CASE WHEN (h & {W}) = 0 THEN 53
+                        ELSE 52 - CAST(floor(log2(
+                               CAST(h & {W} AS DOUBLE))) AS BIGINT)
+                   END) AS rho
+        FROM h GROUP BY idx),
+agg AS (SELECT sum(pow(2.0, -rho)) AS s, count(*) AS nobs FROM reg),
+est AS (SELECT (0.7213 / (1.0 + 1.079 / 4096)) * 4096 * 4096
+                 / (s + (4096 - nobs)) AS e,
+               4096 - nobs AS zeros
+        FROM agg)
+SELECT CAST(floor((CASE WHEN e <= 2.5 * 4096 AND zeros > 0
+                        THEN 4096 * ln(4096 / CAST(zeros AS DOUBLE))
+                        ELSE e END) + 0.5) AS BIGINT) AS approx_distinct
+FROM est
+"""
+
+
 def _simhash_sql(max_hamming: int = 3) -> str:
     """Twin of dedup_simhash (md5 mode): per-term 64-bit hashes via
     md5_number_lower (bit-identical to the engine's low-8-md5-bytes
@@ -4397,7 +4444,7 @@ def build_queries() -> dict:
         "rel_hierarchical_facet": R.hierarchical_facet,
         "rel_percentiles": R.percentiles,
         "rel_stats_extended": R.stats_extended,
-        "sketch_hll_users": _sketch_hll,           # rows-only (approximate)
+        "sketch_hll_users": _sketch_hll,
         "rel_sampled_facet": R.sampled_facet,
         "stream_expr_rollup": _q_stream_expr(STREAM_ROLLUP_EXPR),
         "stream_expr_join_top": _q_stream_expr(STREAM_JOIN_EXPR),
@@ -4732,6 +4779,9 @@ def build_oracle_sql() -> dict:
         "ft_term_automaton_nfa": _automaton_nfa_cycle_sql(10),
         "dedup_simhash": _simhash_sql(),
         "text_fingerprint": _fingerprint_sql(),
+        # the whole sketch reproduced in SQL — approximate vs the TRUE
+        # count, but deterministic and bit-matched vs the engine
+        "sketch_hll_users": _hll_sql(),
         # byte-exact presentation twin: char-scan first-token match
         "ft_highlight": _highlight_sql("table"),
         "ft_suggest_free_text": _free_text_suggest_sql("fast", 10),
