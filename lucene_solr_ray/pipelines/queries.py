@@ -4670,8 +4670,14 @@ def build_oracle_sql() -> dict:
         "text_token_totals": text_token_totals_sql(),
         "ann_brute_cosine": ann_brute_sql(),
         "dedup_embedding_cosine": embedding_near_dup_sql(),
-        # dedup_simhash / text_fingerprint / ann_ivf_cosine: deliberately no
-        # SQL twin (approximate or non-SQL-expressible) → rows-only check
+        # The 13 remaining rows-only entries each lack a twin for a
+        # PRINCIPLED reason: ann_ivf_* / ann_lsh / cluster_docs /
+        # dedup_semdedup (k-means or seeded-RNG hyperplanes),
+        # ft_classify_perceptron (sequential mutable weight state),
+        # ft_expr_strdist_jw (float32-exact loops), ft_highlight_fvh /
+        # _passages (sequential fragment grouping / float32 passage
+        # scoring), ft_{stemmed,snowball,kstem,phonetic}_term (stemmer
+        # UDFs SQL cannot express; held by spec-vector golden tests).
     }
     from . import relational_sql as RS
 
