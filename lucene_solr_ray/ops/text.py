@@ -394,3 +394,102 @@ def chunk_documents(sf_dir: str, chunk_tokens: int = 64,
           .to_pandas().sort_values(["doc_id", "chunk_id"])
           .reset_index(drop=True))
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def pack_sequences(sf_dir: str, window: int = 128,
+                   bucket_range: int = 4096) -> pa.Table:
+    """Sequence packing — the GPT-style pretraining discipline of
+    concatenating all documents (doc_id order, no padding) into one
+    token stream and chunking it into fixed ``window``-token training
+    sequences (the "concat-and-chunk" recipe of the GPT-2/3 and
+    RoBERTa FULL-SENTENCES data pipelines; the cross-document sibling
+    of :func:`chunk_documents`).
+
+    The global token offsets come from a DISTRIBUTED two-level prefix
+    sum — the 100 TB shape, no driver-side token table:
+      1. per-doc token counts in one map_batches pass (stopwords kept);
+      2. per-bucket (doc_id // bucket_range) sums via a tiny groupby;
+      3. one driver-side exclusive scan over the BUCKET sums (bounded
+         by #buckets, not #docs), broadcast via ray.put;
+      4. groupby(bucket).map_groups adds bucket offset + local cumsum
+         → every doc's exact global start offset, fully parallel.
+    Each doc then emits its overlapping windows (a flat map), and one
+    groupby(seq) aggregates the per-sequence report: first doc, offset
+    of the window inside it, docs touched, tokens covered (the last
+    window may be partial). Pure integer arithmetic end to end."""
+    import ray
+    import ray.data as rd
+
+    from ..analysis.analyzer import analyze_batch
+
+    def counts(batch: pa.Table) -> pa.Table:
+        ab = analyze_batch(batch["text"], keep_stopwords=True)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n": pa.array(ab.doc_lengths.astype(np.int64)),
+            "bucket": pa.array(
+                (np.asarray(batch["doc_id"], dtype=np.int64)
+                 // bucket_range), type=pa.int64()),
+        })
+
+    cds = _read_docs(sf_dir).map_batches(counts, batch_format="pyarrow")
+    bsums = cds.groupby("bucket").sum("n").to_pandas()
+    col = "sum(n)" if "sum(n)" in bsums.columns else "n"
+    bsums = bsums.sort_values("bucket")
+    offs, acc = {}, 0
+    for b, s in zip(bsums["bucket"].tolist(), bsums[col].tolist()):
+        offs[int(b)] = acc
+        acc += int(s)
+    ref = ray.put(offs)
+
+    def local_prefix(g):
+        import pandas as pd
+
+        base = ray.get(ref)[int(g["bucket"].iloc[0])]
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        n = g["n"].to_numpy(dtype=np.int64)
+        s = base + np.concatenate(([0], np.cumsum(n)[:-1]))
+        return pd.DataFrame({"doc_id": g["doc_id"], "n": n, "s": s})
+
+    def emit_windows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        n = np.asarray(batch["n"], dtype=np.int64)
+        s = np.asarray(batch["s"], dtype=np.int64)
+        rows = {"seq_id": [], "doc_id": [], "overlap": [], "s": []}
+        for i in range(len(ids)):
+            if n[i] == 0:
+                continue
+            w0 = int(s[i] // window)
+            w1 = int((s[i] + n[i] - 1) // window)
+            for w in range(w0, w1 + 1):
+                lo = max(int(s[i]), w * window)
+                hi = min(int(s[i] + n[i]), (w + 1) * window)
+                rows["seq_id"].append(w)
+                rows["doc_id"].append(int(ids[i]))
+                rows["overlap"].append(hi - lo)
+                rows["s"].append(int(s[i]))
+        return pa.table({k: pa.array(v, type=pa.int64())
+                         for k, v in rows.items()})
+
+    def fold_seq(g):
+        import pandas as pd
+
+        g = g.sort_values("doc_id")
+        w = int(g["seq_id"].iloc[0])
+        first_s = int(g["s"].iloc[0])
+        return pd.DataFrame({
+            "seq_id": [w],
+            "first_doc": [int(g["doc_id"].iloc[0])],
+            "first_off": [max(0, w * window - first_s)],
+            "n_docs": [len(g)],
+            "n_tokens": [int(g["overlap"].sum())],
+        })
+
+    df = (cds.groupby("bucket").map_groups(local_prefix,
+                                           batch_format="pandas")
+          .map_batches(emit_windows, batch_format="pyarrow")
+          .groupby("seq_id").map_groups(fold_seq, batch_format="pandas")
+          .to_pandas().sort_values("seq_id").reset_index(drop=True))
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)

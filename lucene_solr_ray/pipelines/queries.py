@@ -2078,6 +2078,38 @@ ORDER BY d.doc_id
 """
 
 
+def _pack_sequences_sql(window: int) -> str:
+    """Twin of ops.text.pack_sequences: the same concat-and-chunk
+    window report from a window-function prefix sum — all integers."""
+    return f"""
+WITH {_TOK_KEEPSTOP_CTE},
+counts AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+pref AS (SELECT doc_id, n,
+                COALESCE(sum(n) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS s
+         FROM counts),
+spans AS (SELECT p.doc_id AS doc_id, p.n AS n, p.s AS s, w.w AS seq_id,
+                 least(p.s + p.n, (w.w + 1) * {window})
+                   - greatest(p.s, w.w * {window}) AS overlap
+          FROM pref p
+          JOIN (SELECT unnest(range(0,
+                  (SELECT CAST(ceil(sum(n) / CAST({window} AS DOUBLE))
+                          AS BIGINT) FROM counts))) AS w) w
+            ON w.w BETWEEN p.s // {window}
+                   AND (p.s + p.n - 1) // {window}
+          WHERE p.n > 0)
+SELECT seq_id,
+       min(doc_id) AS first_doc,
+       -- s is monotone in doc_id, so min(s) belongs to min(doc_id)
+       CAST(greatest(0, seq_id * {window} - min(s)) AS BIGINT)
+         AS first_off,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(overlap) AS BIGINT) AS n_tokens
+FROM spans GROUP BY seq_id ORDER BY seq_id
+"""
+
+
 def _hll_sql(table: str = "events", column: str = "user_id") -> str:
     """Twin of sketch_hll_users: the ENTIRE HLL pipeline in SQL —
     splitmix64 (the stratified-sample HUGEINT wrap pattern), 12-bit
@@ -4416,6 +4448,7 @@ def build_queries() -> dict:
         # md5 hash mode for the recursive-powers twin (blake2b default)
         "text_fingerprint": lambda sf_dir: T.fingerprint(sf_dir,
                                                          hash="md5"),
+        "text_pack_sequences": lambda sf_dir: T.pack_sequences(sf_dir),
         "ann_brute_cosine": A.ann_brute_topk,
         "ann_ivf_cosine": A.ann_ivf_topk,          # approximate (no SQL twin)
         "ann_lsh_cosine": A.ann_lsh_topk,          # approximate (no SQL twin)
@@ -4788,6 +4821,7 @@ def build_oracle_sql() -> dict:
         # the whole sketch reproduced in SQL — approximate vs the TRUE
         # count, but deterministic and bit-matched vs the engine
         "sketch_hll_users": _hll_sql(),
+        "text_pack_sequences": _pack_sequences_sql(128),
         # byte-exact presentation twin: char-scan first-token match
         "ft_highlight": _highlight_sql("table"),
         "ft_suggest_free_text": _free_text_suggest_sql("fast", 10),

@@ -278,3 +278,41 @@ def test_semdedup_drops_planted_duplicates(ray_session, tmp_path):
     # threshold above any cosine: nothing drops
     t2 = semdedup(d, threshold=1.5, nlist=4, sample_mod=2).to_pandas()
     assert int(t2["n_dropped"].sum()) == 0
+
+
+def test_pack_sequences_invariants(ray_session):
+    """Sequence packing: full coverage (Σ n_tokens == corpus tokens),
+    every window except possibly the last is exactly full, windows
+    partition the stream (first_doc/first_off consistent with the
+    prefix sums), and the distributed two-level prefix matches a
+    single-threaded recomputation."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.analysis.analyzer import analyze_batch
+    from lucene_solr_ray.ops.text import pack_sequences
+
+    W = 128
+    t = pack_sequences(SF, window=W).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    ab = analyze_batch(pa.array(docs["text"]), keep_stopwords=True)
+    n = ab.doc_lengths.astype(np.int64)
+    total = int(n.sum())
+    assert int(t["n_tokens"].sum()) == total
+    assert (t["n_tokens"].iloc[:-1] == W).all()
+    assert int(t["n_tokens"].iloc[-1]) == total - W * (len(t) - 1)
+    assert t["seq_id"].tolist() == list(range(len(t)))
+    # single-threaded prefix recomputation
+    s = np.concatenate(([0], np.cumsum(n)[:-1]))
+    ids = docs["doc_id"].to_numpy(dtype=np.int64)
+    for row in t.itertuples():
+        w0 = row.seq_id * W
+        j = int(np.searchsorted(s, w0, side="right")) - 1
+        while n[j] == 0 or s[j] + n[j] <= w0:
+            j += 1
+        assert ids[j] == row.first_doc, row
+        assert max(0, w0 - int(s[j])) == row.first_off, row
+        hi = min(total, w0 + W)
+        overlap_docs = int(np.sum((s + n > w0) & (s < hi) & (n > 0)))
+        assert overlap_docs == row.n_docs, row
