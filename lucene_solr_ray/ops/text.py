@@ -91,20 +91,49 @@ def quality_score(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
-def token_totals(sf_dir: str) -> pa.Table:
-    """Corpus-level token accounting: total tokens, distinct terms
-    (stopwords kept) — partial counts per batch, tiny final merge."""
+# GPT-2's pre-tokenizer pattern MINUS the `\s+(?!\S)` lookahead branch
+# (RE2 — the DuckDB twin's engine — has no lookahead; both sides use
+# this identical variant, documented deviation from the exact GPT-2
+# split). Pre-token counts are the standard BPE-token-count proxy
+# before vocabulary merges.
+BPE_PRETOKEN_PAT = (r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+"
+                    r"| ?[^\s\p{L}\p{N}]+|\s+")
+
+
+def token_totals(sf_dir: str, mode: str = "analyzer") -> pa.Table:
+    """Corpus-level token accounting: total tokens, distinct terms —
+    partial counts per batch, tiny final merge. Modes: "analyzer" (the
+    index tokenizer, stopwords kept), "whitespace" (\\S+ runs), "bpe"
+    (the GPT-2-style pre-tokenizer above)."""
     ds = _read_docs(sf_dir)
 
-    def partial2(batch: pa.Table) -> pa.Table:
-        ab = analyze_batch(batch["text"], keep_stopwords=True)
-        terms = ab.terms.unique()
-        return pa.table({
-            "term": terms,
-            "n_tok_batch": pa.array(
-                [len(ab.doc_idx)] + [0] * (len(terms) - 1)
-                if len(terms) else [], type=pa.int64()),
-        })
+    if mode != "analyzer":
+        import regex as _rx
+
+        pat = _rx.compile(r"\S+" if mode == "whitespace"
+                          else BPE_PRETOKEN_PAT)
+
+        def partial2(batch: pa.Table) -> pa.Table:
+            toks: list[str] = []
+            for t in batch["text"].to_pylist():
+                toks.extend(pat.findall(t))
+            terms = pa.array(toks, type=pa.string()).unique()
+            return pa.table({
+                "term": terms,
+                "n_tok_batch": pa.array(
+                    [len(toks)] + [0] * (len(terms) - 1)
+                    if len(terms) else [], type=pa.int64()),
+            })
+    else:
+        def partial2(batch: pa.Table) -> pa.Table:
+            ab = analyze_batch(batch["text"], keep_stopwords=True)
+            terms = ab.terms.unique()
+            return pa.table({
+                "term": terms,
+                "n_tok_batch": pa.array(
+                    [len(ab.doc_idx)] + [0] * (len(terms) - 1)
+                    if len(terms) else [], type=pa.int64()),
+            })
 
     parts = ds.map_batches(partial2, batch_format="pyarrow")
     n_unique = parts.unique("term")

@@ -916,6 +916,18 @@ FROM tok
 """
 
 
+def _regex_token_totals_sql(pattern_sql: str) -> str:
+    """Twin of token_totals(mode="whitespace"/"bpe"): the identical
+    regex runs in RE2."""
+    return f"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(text, '{pattern_sql}')) AS term
+  FROM documents)
+SELECT count(*) AS total_tokens, count(DISTINCT term) AS distinct_terms
+FROM tok
+"""
+
+
 def _q_multiterm(qtype, param, k=10, **extra):
     def run(sf_dir):
         q = {"type": qtype, "param": param} | extra
@@ -4445,6 +4457,10 @@ def build_queries() -> dict:
         "text_stratified_sample": T.stratified_sample,
         "text_chunk_windows": T.chunk_documents,
         "text_token_totals": T.token_totals,
+        "text_token_totals_ws": lambda sf: T.token_totals(
+            sf, mode="whitespace"),
+        "text_token_totals_bpe": lambda sf: T.token_totals(
+            sf, mode="bpe"),
         # md5 hash mode for the recursive-powers twin (blake2b default)
         "text_fingerprint": lambda sf_dir: T.fingerprint(sf_dir,
                                                          hash="md5"),
@@ -4701,6 +4717,11 @@ def build_oracle_sql() -> dict:
         "text_stratified_sample": stratified_sample_sql(20),
         "text_chunk_windows": chunk_windows_sql(64, 48),
         "text_token_totals": text_token_totals_sql(),
+        "text_token_totals_ws": _regex_token_totals_sql(r"\S+"),
+        "text_token_totals_bpe": _regex_token_totals_sql(
+            __import__("lucene_solr_ray.ops.text",
+                       fromlist=["BPE_PRETOKEN_PAT"])
+            .BPE_PRETOKEN_PAT.replace("'", "''")),
         "ann_brute_cosine": ann_brute_sql(),
         "dedup_embedding_cosine": embedding_near_dup_sql(),
         # The 13 remaining rows-only entries each lack a twin for a
