@@ -4467,6 +4467,9 @@ def build_queries() -> dict:
         "text_pack_sequences": lambda sf_dir: T.pack_sequences(sf_dir),
         "ann_brute_cosine": A.ann_brute_topk,
         "ann_ivf_cosine": A.ann_ivf_topk,          # approximate (no SQL twin)
+        # full probe (nprobe = nlist) degenerates to exhaustive search,
+        # so the IVF machinery itself pairs with the brute oracle
+        "ann_ivf_full_probe": lambda sf: A.ann_ivf_topk(sf, nprobe=8),
         "ann_lsh_cosine": A.ann_lsh_topk,          # approximate (no SQL twin)
         "ann_ivf_persisted": A.ann_ivf_persisted_topk,  # rows-only; ==ivf
         "dedup_embedding_cosine": A.embedding_near_dup_pairs,
@@ -4723,6 +4726,7 @@ def build_oracle_sql() -> dict:
                        fromlist=["BPE_PRETOKEN_PAT"])
             .BPE_PRETOKEN_PAT.replace("'", "''")),
         "ann_brute_cosine": ann_brute_sql(),
+        "ann_ivf_full_probe": ann_brute_sql(),
         "dedup_embedding_cosine": embedding_near_dup_sql(),
         # The 13 remaining rows-only entries each lack a twin for a
         # PRINCIPLED reason: ann_ivf_* / ann_lsh / cluster_docs /
