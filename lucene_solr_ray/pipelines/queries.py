@@ -4470,6 +4470,10 @@ def build_queries() -> dict:
         # full probe (nprobe = nlist) degenerates to exhaustive search,
         # so the IVF machinery itself pairs with the brute oracle
         "ann_ivf_full_probe": lambda sf: A.ann_ivf_topk(sf, nprobe=8),
+        # 0 hyperplane bits → one bucket → the LSH machinery must also
+        # reproduce exhaustive search exactly
+        "ann_lsh_degenerate": lambda sf: A.ann_lsh_topk(sf, n_bits=0,
+                                                        n_tables=1),
         "ann_lsh_cosine": A.ann_lsh_topk,          # approximate (no SQL twin)
         "ann_ivf_persisted": A.ann_ivf_persisted_topk,  # rows-only; ==ivf
         "dedup_embedding_cosine": A.embedding_near_dup_pairs,
@@ -4727,6 +4731,7 @@ def build_oracle_sql() -> dict:
             .BPE_PRETOKEN_PAT.replace("'", "''")),
         "ann_brute_cosine": ann_brute_sql(),
         "ann_ivf_full_probe": ann_brute_sql(),
+        "ann_lsh_degenerate": ann_brute_sql(),
         "dedup_embedding_cosine": embedding_near_dup_sql(),
         # The 13 remaining rows-only entries each lack a twin for a
         # PRINCIPLED reason: ann_ivf_* / ann_lsh / cluster_docs /
