@@ -424,3 +424,54 @@ def test_term_automaton_nfa_randomized(index_dir, oracle):
             if f:
                 want[did] = f
         assert set(got["doc_id"].to_pylist()) == set(want), nfa
+
+
+def test_span_contain_family_randomized(tmp_path, ray_session):
+    """Randomized conformance: 30 random token streams vs a brute
+    positional simulator of the contain-family semantics (ordered
+    (b1,b2) pairs within slop; containment inclusive)."""
+    import random
+
+    rng = random.Random(77)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = [" ".join(rng.choice(vocab) for _ in range(rng.randint(4, 30)))
+             for _ in range(30)]
+    t = pa.table({
+        "doc_id": pa.array(range(1, len(texts) + 1), type=pa.int64()),
+        "text": pa.array(texts),
+    })
+    out = str(tmp_path / "rspan")
+    build_index(t, out, content_col="text", batch_rows=16)
+    s = IndexSearcher(out, mode="exact64")
+
+    def brute(texts, b1, b2, little, slop):
+        cont, within = {}, {}
+        for d, tx in enumerate(texts, start=1):
+            toks = tx.split()
+            big = [(i, j) for i, w in enumerate(toks) if w == b1
+                   for j in range(i + 1, min(i + slop, len(toks) - 1) + 1)
+                   if toks[j] == b2]
+            lits = [p for p, w in enumerate(toks) if w == little]
+            c = sum(1 for (i, j) in big
+                    if any(i <= p <= j for p in lits))
+            w_ = sum(1 for p in lits
+                     if any(i <= p <= j for (i, j) in big))
+            if c:
+                cont[d] = float(c)
+            if w_:
+                within[d] = float(w_)
+        return cont, within
+
+    for b1, b2, little, slop in [("aa", "bb", "cc", 3),
+                                 ("bb", "aa", "aa", 2),
+                                 ("cc", "cc", "dd", 4),
+                                 ("aa", "dd", "bb", 6)]:
+        want_c, want_w = brute(texts, b1, b2, little, slop)
+        got_c = s.search_span_containing(b1, b2, little, slop, k=100)
+        got_w = s.search_span_within(b1, b2, little, slop, k=100)
+        assert dict(zip(got_c["doc_id"].to_pylist(),
+                        got_c["score"].to_pylist())) == want_c, \
+            (b1, b2, little, slop)
+        assert dict(zip(got_w["doc_id"].to_pylist(),
+                        got_w["score"].to_pylist())) == want_w, \
+            (b1, b2, little, slop)
