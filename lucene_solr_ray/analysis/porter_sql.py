@@ -1,0 +1,166 @@
+"""Porter stemmer as generated DuckDB SQL — the oracle twin of
+``analysis.filters.porter_stem`` (PorterStemFilter /
+tartarus/PorterStemmer semantics).
+
+The "stemmer UDFs SQL cannot express" assumption was wrong: Porter 1980
+is a deterministic suffix-rule chain whose only helpers — the
+consonant/vowel classification (with the context-dependent ``y``), the
+measure *m*, ``*v*``, ``*d`` and ``*o`` conditions — all reduce to
+string kernels DuckDB has:
+
+- the c/v pattern of a word is three regexp passes: vowels → ``A``;
+  ``y`` after any non-``A`` char → ``A`` (RE2's global replace resumes
+  AFTER each match, which reproduces the alternation inside ``yy`` runs
+  exactly — verified against ``_is_cons`` over 20k random words);
+  everything else → ``c``; then ``A`` → ``v``.
+- the classification of char *i* depends only on chars ``<= i``, so the
+  pattern of any PREFIX of *w* is a prefix of the pattern of *w* — one
+  pattern per step serves every candidate stem in that step.
+- measure(stem) = count of ``vc`` in the pattern prefix
+  = (len - len(replace(p, 'vc', ''))) / 2.
+
+Each Porter step becomes one or two chained CTEs over the DISTINCT
+vocabulary (the same dictionary-encoding trick the engine itself uses in
+``analyze_batch``), so the whole stemmer runs once per distinct term,
+not once per token.
+"""
+
+from __future__ import annotations
+
+# step tables — copied from filters.porter_stem (order significant:
+# Python breaks on the FIRST endswith match, so the CASE preserves
+# list order; step 4 is sorted longest-first with stable ties there).
+_STEP2 = [("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+          ("anci", "ance"), ("izer", "ize"), ("abli", "able"),
+          ("alli", "al"), ("entli", "ent"), ("eli", "e"),
+          ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+          ("ator", "ate"), ("alism", "al"), ("iveness", "ive"),
+          ("fulness", "ful"), ("ousness", "ous"), ("aliti", "al"),
+          ("iviti", "ive"), ("biliti", "ble")]
+_STEP3 = [("icate", "ic"), ("ative", ""), ("alize", "al"),
+          ("iciti", "ic"), ("ical", "ic"), ("ful", ""), ("ness", "")]
+_STEP4 = sorted(["al", "ance", "ence", "er", "ic", "able", "ible",
+                 "ant", "ement", "ment", "ent", "ou", "ism", "ate",
+                 "iti", "ous", "ive", "ize"], key=len, reverse=True)
+
+
+def _pat(w: str) -> str:
+    """c/v pattern of expression ``w`` (verified bit-equal to
+    filters._is_cons over randomized words in test_filters)."""
+    return (f"replace(regexp_replace(regexp_replace(regexp_replace("
+            f"{w}, '[aeiou]', 'A', 'g'), '([^A])y', '\\1A', 'g'), "
+            f"'[^A]', 'c', 'g'), 'A', 'v')")
+
+
+def _m(p: str) -> str:
+    """Porter measure from a pattern expression."""
+    return f"((length({p}) - length(replace({p}, 'vc', ''))) // 2)"
+
+
+def _mstem(cut: int) -> str:
+    """measure of w with the last ``cut`` chars removed (uses the
+    step's precomputed pattern column ``p``)."""
+    return _m(f"left(p, length(w) - {cut})")
+
+
+def _hasv(cut: int) -> str:
+    """*v*: the stem (w minus last ``cut`` chars) contains a vowel."""
+    return f"contains(left(p, length(w) - {cut}), 'v')"
+
+
+def _cut(n: int, w: str = "w") -> str:
+    return f"left({w}, length({w}) - {n})"
+
+
+_DBL = ("(length(w) >= 2 AND right(w, 1) = substr(w, length(w)-1, 1) "
+        "AND right(p, 1) = 'c')")
+# *o on the full current w
+_CVC = ("(length(w) >= 3 AND right(p, 3) = 'cvc' "
+        "AND right(w, 1) NOT IN ('w', 'x', 'y'))")
+# *o on w[:-1] (step 5a): pattern prefix + the char before the final e
+_CVC_PREF = ("(length(w) >= 4 AND right(left(p, length(w)-1), 3) = 'cvc' "
+             "AND substr(w, length(w)-1, 1) NOT IN ('w', 'x', 'y'))")
+
+
+def _rule_case(rules, min_m: int) -> str:
+    """CASE chain for steps 2/3: first suffix match wins; replacement
+    applies only when measure(stem) > min_m (else w unchanged)."""
+    whens = []
+    for suf, rep in rules:
+        L = len(suf)
+        whens.append(
+            f"WHEN w LIKE '%{suf}' THEN (CASE WHEN {_mstem(L)} > {min_m} "
+            f"THEN {_cut(L)} || '{rep}' ELSE w END)")
+    return "CASE " + " ".join(whens) + " ELSE w END"
+
+
+def porter_ctes(vocab: str = "vocab") -> str:
+    """CTE chain ``<vocab>(term) -> stems(term, stem)`` implementing
+    filters.porter_stem verbatim (guard: words of length <= 2 or with a
+    digit pass through unstemmed, like word.isalpha() on ascii tokens)."""
+    step4 = " ".join(
+        f"WHEN w LIKE '%{suf}' THEN (CASE WHEN {_mstem(len(suf))} > 1 "
+        f"THEN {_cut(len(suf))} ELSE w END)"
+        for suf in _STEP4)
+    return f"""
+p0 AS (SELECT term, term AS w FROM {vocab}),
+p1a AS (SELECT term,
+  CASE WHEN w LIKE '%sses' THEN {_cut(2)}
+       WHEN w LIKE '%ies'  THEN {_cut(2)}
+       WHEN w LIKE '%ss'   THEN w
+       WHEN w LIKE '%s'    THEN {_cut(1)}
+       ELSE w END AS w
+  FROM p0),
+p1b0 AS (SELECT term, w, {_pat('w')} AS p FROM p1a),
+p1b1 AS (SELECT term,
+  CASE WHEN w LIKE '%eed' THEN
+         (CASE WHEN {_mstem(3)} > 0 THEN {_cut(1)} ELSE w END)
+       WHEN w LIKE '%ed'  AND {_hasv(2)} THEN {_cut(2)}
+       WHEN w LIKE '%ing' AND {_hasv(3)} THEN {_cut(3)}
+       ELSE w END AS w,
+  CASE WHEN w LIKE '%eed' THEN FALSE
+       WHEN w LIKE '%ed'  AND {_hasv(2)} THEN TRUE
+       WHEN w LIKE '%ing' AND {_hasv(3)} THEN TRUE
+       ELSE FALSE END AS flag
+  FROM p1b0),
+p1b2 AS (SELECT term, w, flag, {_pat('w')} AS p FROM p1b1),
+p1b AS (SELECT term,
+  CASE WHEN NOT flag THEN w
+       WHEN w LIKE '%at' OR w LIKE '%bl' OR w LIKE '%iz' THEN w || 'e'
+       WHEN {_DBL} AND right(w, 1) NOT IN ('l', 's', 'z') THEN {_cut(1)}
+       WHEN {_m('p')} = 1 AND {_CVC} THEN w || 'e'
+       ELSE w END AS w
+  FROM p1b2),
+p1c0 AS (SELECT term, w, {_pat('w')} AS p FROM p1b),
+p1c AS (SELECT term,
+  CASE WHEN w LIKE '%y' AND {_hasv(1)} THEN {_cut(1)} || 'i'
+       ELSE w END AS w
+  FROM p1c0),
+p20 AS (SELECT term, w, {_pat('w')} AS p FROM p1c),
+p2 AS (SELECT term, {_rule_case(_STEP2, 0)} AS w FROM p20),
+p30 AS (SELECT term, w, {_pat('w')} AS p FROM p2),
+p3 AS (SELECT term, {_rule_case(_STEP3, 0)} AS w FROM p30),
+p40 AS (SELECT term, w, {_pat('w')} AS p FROM p3),
+p4 AS (SELECT term,
+  CASE {step4}
+       WHEN w LIKE '%ion' AND length(w) > 4
+            AND substr(w, length(w)-3, 1) IN ('s', 't')
+            AND {_mstem(3)} > 1 THEN {_cut(3)}
+       ELSE w END AS w
+  FROM p40),
+p50 AS (SELECT term, w, {_pat('w')} AS p FROM p4),
+p5a AS (SELECT term,
+  CASE WHEN w LIKE '%e' AND ({_mstem(1)} > 1
+            OR ({_mstem(1)} = 1 AND NOT {_CVC_PREF})) THEN {_cut(1)}
+       ELSE w END AS w
+  FROM p50),
+p5b0 AS (SELECT term, w, {_pat('w')} AS p FROM p5a),
+p5b AS (SELECT term,
+  CASE WHEN {_DBL} AND right(w, 1) = 'l' AND {_m('p')} > 1
+       THEN {_cut(1)} ELSE w END AS w
+  FROM p5b0),
+stems AS (SELECT term,
+  CASE WHEN length(term) <= 2 OR regexp_matches(term, '[^a-z]')
+       THEN term ELSE w END AS stem
+  FROM p5b)
+"""

@@ -3212,7 +3212,8 @@ def _q_synonym_term(term, k=10):
 
 def _q_stemmed_term(word, k=10):
     """Term query over a Porter-stemmed index (PorterStemFilter); the
-    query word is stemmed with the same chain. Rows-only (no SQL stem)."""
+    query word is stemmed with the same chain. Oracle-paired: the twin
+    re-implements the full Porter algorithm in SQL (analysis/porter_sql)."""
     def run(sf_dir):
         from ..analysis.filters import porter_stem
         from ..search.searcher import IndexSearcher
@@ -3988,6 +3989,34 @@ scored AS (
 """
 
 
+def _stemmed_term_sql(word: str, k: int) -> str:
+    """Twin: the FULL Porter stemmer expressed as generated DuckDB SQL
+    (analysis/porter_sql.py) applied to the distinct vocabulary of the
+    token stream — including the query word itself, so the SQL side
+    stems both corpus and query with zero Python help — then the
+    ordinary one-term BM25 over the stemmed stream (doc lengths are
+    unchanged: the stemmer is a 1:1 term transform)."""
+    from ..analysis.porter_sql import porter_ctes
+
+    return f"""
+WITH {_tok_ctes()},
+vocab AS (SELECT DISTINCT term FROM clean UNION SELECT '{word}'),
+{porter_ctes('vocab')},
+stemmed AS (SELECT c.doc_id, s.stem AS term, c.pos
+            FROM clean c JOIN stems s USING (term)),
+tf AS (SELECT doc_id, count(*) AS tf FROM stemmed
+       WHERE term = (SELECT stem FROM stems WHERE term = '{word}')
+       GROUP BY doc_id),
+dfx AS (SELECT count(*) AS df FROM tf),
+scored AS (
+  SELECT tf.doc_id AS doc_id,
+         {_bm25_expr('tf.tf', 'dl.dl', 'dfx.df')} AS score
+  FROM tf JOIN dl USING (doc_id), dfx, stats s
+)
+{_sql_topk('scored', k)}
+"""
+
+
 def _wd_index(sf_dir: str) -> str:
     """Index over ``text || ' ' || source`` with WordDelimiterFilter
     (miscellaneous/WordDelimiterFilter.java): the srcNN source tags are
@@ -4587,7 +4616,7 @@ def build_queries() -> dict:
         "ft_ib_ll": _q_ib("table", dist="ll"),
         "ft_ib_spl": _q_ib("table", dist="spl"),
         "ft_rerank": _q_rerank("table", "vector"),
-        "ft_stemmed_term": _q_stemmed_term("query"),   # rows-only
+        "ft_stemmed_term": _q_stemmed_term("query"),
         "ft_snowball_term": _q_snowball_term("queries"),   # rows-only
         "ft_phonetic_term": _q_phonetic_term("tabel"),     # rows-only
         "ft_kstem_term": _q_kstem_term("tables"),          # rows-only
@@ -4733,14 +4762,15 @@ def build_oracle_sql() -> dict:
         "ann_ivf_full_probe": ann_brute_sql(),
         "ann_lsh_degenerate": ann_brute_sql(),
         "dedup_embedding_cosine": embedding_near_dup_sql(),
-        # The 13 remaining rows-only entries each lack a twin for a
+        # The remaining rows-only entries each lack a twin for a
         # PRINCIPLED reason: ann_ivf_* / ann_lsh / cluster_docs /
         # dedup_semdedup (k-means or seeded-RNG hyperplanes),
         # ft_classify_perceptron (sequential mutable weight state),
         # ft_expr_strdist_jw (float32-exact loops), ft_highlight_fvh /
         # _passages (sequential fragment grouping / float32 passage
-        # scoring), ft_{stemmed,snowball,kstem,phonetic}_term (stemmer
-        # UDFs SQL cannot express; held by spec-vector golden tests).
+        # scoring), ft_{snowball,kstem,phonetic}_term (Porter2/KStem/
+        # Double Metaphone; held by spec-vector golden tests —
+        # plain Porter IS paired via analysis/porter_sql.py).
     }
     from . import relational_sql as RS
 
@@ -4978,10 +5008,11 @@ FROM bfs WHERE kind = 'c' AND node = 2
         # the XML DSL reduces to the same tree as "+table +customer vector"
         "ft_xml_parsed": ft_bool_sql(["table", "customer"], ["vector"],
                                      [], 0, 10),
-        # ft_stemmed_term / ft_snowball_term / ft_kstem_term /
-        # ft_phonetic_term: no SQL twin (Porter/Porter2/KStem/Double
-        # Metaphone are not SQL-expressible); golden-vector + round-trip
-        # coverage in tests/test_{filters,snowball,kstem,metaphone}.py
+        # Porter IS SQL-expressible after all (analysis/porter_sql.py):
+        "ft_stemmed_term": _stemmed_term_sql("query", 10),
+        # ft_snowball_term / ft_kstem_term / ft_phonetic_term: no SQL
+        # twin yet (Porter2/KStem/Double Metaphone); golden-vector +
+        # round-trip coverage in tests/test_{snowball,kstem,metaphone}.py
     }
 
 

@@ -115,6 +115,7 @@ PARAMETRIZED = [
     "ft_surround_n", "ft_surround_expand", "ft_surround_expand_n",
     "ft_xml_parsed",
     "dih_full_import",
+    "ft_stemmed_term",
 ]
 
 

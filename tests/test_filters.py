@@ -50,6 +50,41 @@ def test_porter_idempotent_on_short():
         assert porter_stem(w) == w
 
 
+def test_porter_sql_conformance():
+    """The generated DuckDB Porter (analysis/porter_sql.py — the
+    ft_stemmed_term oracle twin) agrees with porter_stem on every word:
+    randomized words, suffix-stacked adversarial words, the golden
+    vectors, and guard-edge cases (short words, digits)."""
+    import random
+    import string
+
+    import duckdb
+
+    from lucene_solr_ray.analysis.porter_sql import porter_ctes
+
+    rng = random.Random(0xC0FFEE)
+    sufs = ["sses", "ies", "ss", "s", "eed", "ed", "ing", "y", "ational",
+            "ization", "ator", "iveness", "aliti", "icate", "ative",
+            "ful", "ness", "ance", "ible", "ement", "ion", "ate", "ous",
+            "ive", "ize", "e", "l", "ll"]
+    words = [''.join(rng.choices(string.ascii_lowercase,
+                                 k=rng.randint(1, 12)))
+             for _ in range(4000)]
+    words += [''.join(rng.choices(string.ascii_lowercase,
+                                  k=rng.randint(1, 6)))
+              + rng.choice(sufs) + rng.choice(sufs) for _ in range(4000)]
+    words += list(PORTER_GOLDEN) + ["a", "is", "x1", "42", "ivy", "syzygy"]
+    words = list(dict.fromkeys(words))
+    con = duckdb.connect()
+    con.register("vt", pa.table({"term": words}))
+    sql = (f"WITH vocab AS (SELECT term FROM vt), {porter_ctes('vocab')} "
+           f"SELECT term, stem FROM stems")
+    got = dict(con.execute(sql).fetchall())
+    bad = {w: (porter_stem(w), got[w])
+           for w in words if porter_stem(w) != got[w]}
+    assert not bad, dict(list(bad.items())[:10])
+
+
 def test_synonym_transform():
     t = make_synonym_transform({"group": "batch"})
     assert t("group") == "batch"
