@@ -1,0 +1,201 @@
+"""Snowball "english" (Porter2) as generated DuckDB SQL — the oracle
+twin of ``analysis.snowball.snowball_english``.
+
+Same construction as porter_sql.py (c/v classification via regexp
+passes, prefix-stable patterns, one CTE per step over the DISTINCT
+vocabulary) plus the Porter2-specific machinery:
+
+- consonant-``y`` marking: ``^y`` → ``Y``, then one global pass
+  ``([aeiouy])y → \\1Y`` — RE2 resumes scanning AFTER each match, which
+  reproduces the sequential left-to-right marking inside ``yy`` runs
+  (a marked ``Y`` never serves as the vowel context for the next ``y``).
+- R1/R2 as fixed offsets into the marked word (first ``vc`` in the
+  pattern; gener/commun/arsen prefix exceptions), computed once before
+  step 0 exactly like ``snowball._regions``.
+- the short-syllable test, the exceptional forms, and the post-1a
+  early-exit words, all as end-of-chain CASE overrides.
+"""
+
+from __future__ import annotations
+
+from .snowball import (_DOUBLES, _EXC_AFTER_1A, _EXCEPTIONS, _LI_END,
+                       _STEP2, _STEP3, _STEP4)
+
+
+def _cls(w: str) -> str:
+    """v/c pattern of a MARKED word: unmarked y is a vowel, marked Y and
+    everything else (digits, apostrophes) are consonants. The 'A'
+    intermediate avoids colliding with the literal letter v."""
+    return (f"replace(regexp_replace(regexp_replace({w}, '[aeiouy]', 'A', "
+            f"'g'), '[^A]', 'c', 'g'), 'A', 'v')")
+
+
+def _mark(w: str) -> str:
+    return (f"regexp_replace(regexp_replace({w}, '^y', 'Y'), "
+            f"'([aeiouy])y', '\\1Y', 'g')")
+
+
+def _cut(n: int, w: str = "w") -> str:
+    return f"left({w}, length({w}) - {n})"
+
+
+def _short_syllable(wc: str, qc: str, n: str) -> str:
+    """snowball._ends_short_syllable on the length-``n`` prefix of
+    ``wc`` (whose pattern is the prefix of ``qc``)."""
+    return (f"(({n}) = 2 AND left({qc}, 2) = 'vc' OR ({n}) >= 3 "
+            f"AND substr({qc}, ({n}) - 2, 3) = 'cvc' "
+            f"AND substr({wc}, ({n}), 1) NOT IN ('w', 'x', 'Y'))")
+
+
+def _in_list(expr: str, items) -> str:
+    return f"{expr} IN ({', '.join(repr(i) for i in items)})"
+
+
+def _step2_case() -> str:
+    whens = []
+    for suf, rep in _STEP2:
+        L = len(suf)
+        region = f"length(w) - {L} >= r1"
+        if suf == "ogi":
+            act = (f"CASE WHEN {region} AND ends_with(w, 'logi') "
+                   f"THEN {_cut(1)} ELSE w END")
+        elif suf == "li":
+            act = (f"CASE WHEN {region} AND length(w) >= 3 AND "
+                   f"{_in_list('substr(w, length(w) - 2, 1)', sorted(_LI_END))} "
+                   f"THEN {_cut(2)} ELSE w END")
+        else:
+            act = (f"CASE WHEN {region} THEN {_cut(L)} || '{rep}' "
+                   f"ELSE w END")
+        whens.append(f"WHEN ends_with(w, '{suf}') THEN ({act})")
+    return "CASE " + " ".join(whens) + " ELSE w END"
+
+
+def _step3_case() -> str:
+    whens = []
+    for suf, rep in _STEP3:
+        L = len(suf)
+        if suf == "ative":
+            act = (f"CASE WHEN length(w) - {L} >= r1 AND "
+                   f"length(w) - {L} >= r2 THEN {_cut(L)} ELSE w END")
+        else:
+            act = (f"CASE WHEN length(w) - {L} >= r1 "
+                   f"THEN {_cut(L)} || '{rep}' ELSE w END")
+        whens.append(f"WHEN ends_with(w, '{suf}') THEN ({act})")
+    return "CASE " + " ".join(whens) + " ELSE w END"
+
+
+def _step4_case() -> str:
+    whens = []
+    for suf in _STEP4:
+        L = len(suf)
+        if suf == "ion":
+            act = (f"CASE WHEN length(w) - 3 >= r2 AND length(w) >= 4 "
+                   f"AND substr(w, length(w) - 3, 1) IN ('s', 't') "
+                   f"THEN {_cut(3)} ELSE w END")
+        else:
+            act = (f"CASE WHEN length(w) - {L} >= r2 "
+                   f"THEN {_cut(L)} ELSE w END")
+        whens.append(f"WHEN ends_with(w, '{suf}') THEN ({act})")
+    return "CASE " + " ".join(whens) + " ELSE w END"
+
+
+def _step1b_cut_flag() -> tuple[str, str]:
+    """(new_w, fix_flag) CASE pair: eedly/eed region rules, then the
+    longest of ingly/edly/ing/ed with the *v* condition; the at/bl/iz //
+    double // short-word fixup runs in the next CTE when fix is true."""
+    w_whens, f_whens = [], []
+    w_whens.append("WHEN ends_with(w, 'eedly') THEN (CASE WHEN "
+                   f"length(w) - 5 >= r1 THEN {_cut(5)} || 'ee' "
+                   "ELSE w END)")
+    f_whens.append("WHEN ends_with(w, 'eedly') THEN FALSE")
+    w_whens.append("WHEN ends_with(w, 'eed') THEN (CASE WHEN "
+                   f"length(w) - 3 >= r1 THEN {_cut(3)} || 'ee' "
+                   "ELSE w END)")
+    f_whens.append("WHEN ends_with(w, 'eed') THEN FALSE")
+    for suf in ("ingly", "edly", "ing", "ed"):
+        L = len(suf)
+        hv = f"contains(left(q, length(w) - {L}), 'v')"
+        w_whens.append(f"WHEN ends_with(w, '{suf}') THEN (CASE WHEN {hv} "
+                       f"THEN {_cut(L)} ELSE w END)")
+        f_whens.append(f"WHEN ends_with(w, '{suf}') THEN {hv}")
+    return ("CASE " + " ".join(w_whens) + " ELSE w END",
+            "CASE " + " ".join(f_whens) + " ELSE FALSE END")
+
+
+def snowball_ctes(vocab: str = "vocab") -> str:
+    """CTE chain ``<vocab>(term) -> stems(term, stem)`` implementing
+    snowball.snowball_english verbatim."""
+    exc_case = " ".join(f"WHEN w0 = '{k}' THEN '{v}'"
+                        for k, v in _EXCEPTIONS.items())
+    w1b, f1b = _step1b_cut_flag()
+    dbl = ", ".join(f"'{d}'" for d in _DOUBLES)
+    exc1a = ", ".join(f"'{x}'" for x in sorted(_EXC_AFTER_1A))
+    apos = "chr(39)"
+    return f"""
+sb0 AS (SELECT term,
+  CASE WHEN starts_with(term, {apos}) THEN substr(term, 2)
+       ELSE term END AS w0
+  FROM {vocab}),
+sb1 AS (SELECT term, w0, {_mark('w0')} AS w FROM sb0),
+sb2 AS (SELECT term, w0, w, q,
+  CASE WHEN starts_with(w, 'gener') THEN 5
+       WHEN starts_with(w, 'commun') THEN 6
+       WHEN starts_with(w, 'arsen') THEN 5
+       WHEN strpos(q, 'vc') > 0 THEN strpos(q, 'vc') + 1
+       ELSE length(w) END AS r1
+  FROM (SELECT term, w0, w, {_cls('w')} AS q FROM sb1)),
+sb3 AS (SELECT term, w0, w, r1,
+  CASE WHEN strpos(substr(q, r1 + 1), 'vc') > 0
+       THEN r1 + strpos(substr(q, r1 + 1), 'vc') + 1
+       ELSE length(w) END AS r2
+  FROM sb2),
+sb4 AS (SELECT term, w0, r1, r2,
+  CASE WHEN ends_with(w, {apos} || 's' || {apos}) THEN {_cut(3)}
+       WHEN ends_with(w, {apos} || 's') THEN {_cut(2)}
+       WHEN ends_with(w, {apos}) THEN {_cut(1)}
+       ELSE w END AS w
+  FROM sb3),
+sb5 AS (SELECT term, w0, r1, r2,
+  CASE WHEN ends_with(w, 'sses') THEN {_cut(2)}
+       WHEN ends_with(w, 'ied') OR ends_with(w, 'ies') THEN
+         {_cut(3)} || (CASE WHEN length(w) > 4 THEN 'i' ELSE 'ie' END)
+       WHEN ends_with(w, 'us') OR ends_with(w, 'ss') THEN w
+       WHEN ends_with(w, 's')
+            AND contains(left(q, length(w) - 2), 'v') THEN {_cut(1)}
+       ELSE w END AS w
+  FROM (SELECT term, w0, r1, r2, w, {_cls('w')} AS q FROM sb4)),
+sb6 AS (SELECT term, w0, w AS w1a, r1, r2, {w1b} AS w2, {f1b} AS fix
+  FROM (SELECT term, w0, r1, r2, w, {_cls('w')} AS q FROM sb5)),
+sb7 AS (SELECT term, w0, w1a, r1, r2,
+  CASE WHEN NOT fix THEN w
+       WHEN ends_with(w, 'at') OR ends_with(w, 'bl')
+            OR ends_with(w, 'iz') THEN w || 'e'
+       WHEN right(w, 2) IN ({dbl}) THEN {_cut(1)}
+       WHEN r1 >= length(w)
+            AND {_short_syllable('w', 'q', 'length(w)')} THEN w || 'e'
+       ELSE w END AS w
+  FROM (SELECT term, w0, w1a, r1, r2, w2 AS w, fix, {_cls('w2')} AS q
+        FROM sb6)),
+sb8 AS (SELECT term, w0, w1a, r1, r2,
+  CASE WHEN length(w) > 2 AND right(w, 1) IN ('y', 'Y')
+            AND substr(q, length(w) - 1, 1) = 'c'
+       THEN {_cut(1)} || 'i' ELSE w END AS w
+  FROM (SELECT term, w0, w1a, r1, r2, w, {_cls('w')} AS q FROM sb7)),
+sb9 AS (SELECT term, w0, w1a, r1, r2, {_step2_case()} AS w FROM sb8),
+sb10 AS (SELECT term, w0, w1a, r1, r2, {_step3_case()} AS w FROM sb9),
+sb11 AS (SELECT term, w0, w1a, r1, r2, {_step4_case()} AS w FROM sb10),
+sb12 AS (SELECT term, w0, w1a,
+  CASE WHEN ends_with(w, 'e') AND (length(w) - 1 >= r2
+            OR (length(w) - 1 >= r1 AND NOT
+                {_short_syllable('w', 'q', 'length(w) - 1')}))
+       THEN {_cut(1)}
+       WHEN ends_with(w, 'll') AND length(w) - 1 >= r2 THEN {_cut(1)}
+       ELSE w END AS w
+  FROM (SELECT term, w0, w1a, r1, r2, w, {_cls('w')} AS q FROM sb11)),
+stems AS (SELECT term,
+  CASE WHEN length(w0) <= 2 THEN w0
+       {exc_case}
+       WHEN w1a IN ({exc1a}) THEN replace(w1a, 'Y', 'y')
+       ELSE replace(w, 'Y', 'y') END AS stem
+  FROM sb12)
+"""

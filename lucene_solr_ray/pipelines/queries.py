@@ -3228,7 +3228,8 @@ def _q_stemmed_term(word, k=10):
 def _q_snowball_term(word, k=10):
     """Term query over a Snowball-English (Porter2) stemmed index
     (snowball/SnowballFilter.java + EnglishStemmer); the query word is
-    stemmed with the same chain. Rows-only (no SQL stem)."""
+    stemmed with the same chain. Oracle-paired: the twin re-implements
+    full Porter2 in SQL (analysis/snowball_sql)."""
     def run(sf_dir):
         from ..analysis.snowball import snowball_english
         from ..search.searcher import IndexSearcher
@@ -4017,6 +4018,32 @@ scored AS (
 """
 
 
+def _snowball_term_sql(word: str, k: int) -> str:
+    """Twin: the full Snowball-English (Porter2) stemmer in generated
+    DuckDB SQL (analysis/snowball_sql.py) — y-marking, R1/R2 regions,
+    exceptional forms, short-syllable rule — applied to the distinct
+    vocabulary plus the query word, then the one-term BM25."""
+    from ..analysis.snowball_sql import snowball_ctes
+
+    return f"""
+WITH {_tok_ctes()},
+vocab AS (SELECT DISTINCT term FROM clean UNION SELECT '{word}'),
+{snowball_ctes('vocab')},
+stemmed AS (SELECT c.doc_id, s.stem AS term, c.pos
+            FROM clean c JOIN stems s USING (term)),
+tf AS (SELECT doc_id, count(*) AS tf FROM stemmed
+       WHERE term = (SELECT stem FROM stems WHERE term = '{word}')
+       GROUP BY doc_id),
+dfx AS (SELECT count(*) AS df FROM tf),
+scored AS (
+  SELECT tf.doc_id AS doc_id,
+         {_bm25_expr('tf.tf', 'dl.dl', 'dfx.df')} AS score
+  FROM tf JOIN dl USING (doc_id), dfx, stats s
+)
+{_sql_topk('scored', k)}
+"""
+
+
 def _wd_index(sf_dir: str) -> str:
     """Index over ``text || ' ' || source`` with WordDelimiterFilter
     (miscellaneous/WordDelimiterFilter.java): the srcNN source tags are
@@ -4617,7 +4644,7 @@ def build_queries() -> dict:
         "ft_ib_spl": _q_ib("table", dist="spl"),
         "ft_rerank": _q_rerank("table", "vector"),
         "ft_stemmed_term": _q_stemmed_term("query"),
-        "ft_snowball_term": _q_snowball_term("queries"),   # rows-only
+        "ft_snowball_term": _q_snowball_term("queries"),
         "ft_phonetic_term": _q_phonetic_term("tabel"),     # rows-only
         "ft_kstem_term": _q_kstem_term("tables"),          # rows-only
         "ft_payload_sum": _q_payload_score("table", "sum"),
@@ -4768,9 +4795,9 @@ def build_oracle_sql() -> dict:
         # ft_classify_perceptron (sequential mutable weight state),
         # ft_expr_strdist_jw (float32-exact loops), ft_highlight_fvh /
         # _passages (sequential fragment grouping / float32 passage
-        # scoring), ft_{snowball,kstem,phonetic}_term (Porter2/KStem/
-        # Double Metaphone; held by spec-vector golden tests —
-        # plain Porter IS paired via analysis/porter_sql.py).
+        # scoring), ft_{kstem,phonetic}_term (KStem / Double Metaphone;
+        # held by spec-vector golden tests — Porter and Porter2 ARE
+        # paired via analysis/{porter,snowball}_sql.py).
     }
     from . import relational_sql as RS
 
@@ -5008,11 +5035,13 @@ FROM bfs WHERE kind = 'c' AND node = 2
         # the XML DSL reduces to the same tree as "+table +customer vector"
         "ft_xml_parsed": ft_bool_sql(["table", "customer"], ["vector"],
                                      [], 0, 10),
-        # Porter IS SQL-expressible after all (analysis/porter_sql.py):
+        # Porter AND Porter2 ARE SQL-expressible after all
+        # (analysis/porter_sql.py, analysis/snowball_sql.py):
         "ft_stemmed_term": _stemmed_term_sql("query", 10),
-        # ft_snowball_term / ft_kstem_term / ft_phonetic_term: no SQL
-        # twin yet (Porter2/KStem/Double Metaphone); golden-vector +
-        # round-trip coverage in tests/test_{snowball,kstem,metaphone}.py
+        "ft_snowball_term": _snowball_term_sql("queries", 10),
+        # ft_kstem_term / ft_phonetic_term: no SQL twin yet (KStem /
+        # Double Metaphone); golden-vector + round-trip coverage in
+        # tests/test_{kstem,metaphone}.py
     }
 
 

@@ -116,6 +116,7 @@ PARAMETRIZED = [
     "ft_xml_parsed",
     "dih_full_import",
     "ft_stemmed_term",
+    "ft_snowball_term",
 ]
 
 

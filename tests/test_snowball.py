@@ -105,3 +105,43 @@ def test_snowball_through_index(ray_session, tmp_path, monkeypatch):
     t = s.search({"type": "term", "term": snowball_english("consigns")},
                  k=10)
     assert sorted(t["doc_id"].to_pylist()) == [1, 2, 3, 4]
+
+
+def test_snowball_sql_conformance():
+    """The generated DuckDB Porter2 (analysis/snowball_sql.py — the
+    ft_snowball_term oracle twin) agrees with snowball_english on
+    randomized, suffix-stacked, exceptional, and region-edge words."""
+    import random
+    import string
+
+    import duckdb
+    import pyarrow as pa
+
+    from lucene_solr_ray.analysis.snowball import _EXC_AFTER_1A, _EXCEPTIONS
+    from lucene_solr_ray.analysis.snowball_sql import snowball_ctes
+
+    rng = random.Random(0xBEEF)
+    sufs = ["sses", "ied", "ies", "us", "ss", "s", "eedly", "eed",
+            "ingly", "edly", "ing", "ed", "y", "ization", "ational",
+            "lessli", "biliti", "ation", "enci", "abli", "ogi", "li",
+            "ative", "ical", "ness", "ement", "ible", "ent", "ism",
+            "ion", "al", "er", "ic", "e", "ll", "'s'", "'s", "'"]
+    words = [''.join(rng.choices(string.ascii_lowercase,
+                                 k=rng.randint(1, 12)))
+             for _ in range(4000)]
+    words += [''.join(rng.choices(string.ascii_lowercase + 'y',
+                                  k=rng.randint(1, 6)))
+              + rng.choice(sufs) + rng.choice(sufs) for _ in range(4000)]
+    words += list(_EXCEPTIONS) + list(_EXC_AFTER_1A)
+    words += ["generous", "generate", "communism", "arsenic", "dying",
+              "ties", "cries", "gas", "exceed", "luxuriated", "hopping",
+              "hoping", "yyyy", "syzygy", "ayyya", "very", "conspicuous"]
+    words = list(dict.fromkeys(words))
+    con = duckdb.connect()
+    con.register("vt", pa.table({"term": words}))
+    sql = (f"WITH vocab AS (SELECT term FROM vt), "
+           f"{snowball_ctes('vocab')} SELECT term, stem FROM stems")
+    got = dict(con.execute(sql).fetchall())
+    bad = {w: (snowball_english(w), got[w])
+           for w in words if snowball_english(w) != got[w]}
+    assert not bad, dict(list(bad.items())[:10])
