@@ -1,0 +1,110 @@
+"""KStem (Krovetz) as generated DuckDB SQL — the oracle twin of
+``analysis.kstem.KStemmer`` with a corpus-derived lexicon.
+
+KStem is lexicon-GATED, not lexicon-free: a rewrite is accepted only if
+the result is a real word. That maps to relational algebra directly —
+generate every candidate the Python stemmer would probe, tagged with
+its probe order, semi-join against the lexicon, and take
+``arg_min(candidate, priority)`` per word:
+
+- any CHANGED output of the plural/past/aspect steps is in the lexicon
+  by construction (``_first`` only returns lexicon members), so
+  ``stem()``'s step loop reduces to a single COALESCE over the steps'
+  first-hit candidates in step order;
+- the three plural branches (ies/es/generic-s) are mutually exclusive
+  (each returns even on miss), encoded as disjoint WHERE clauses;
+- ``_derivational`` tries EVERY matching suffix in table order until a
+  hit, so all its candidates join with a (suffix, template) priority.
+
+The driver query's lexicon is the corpus's own term dictionary
+(``kstem.lexicon_from_index``), which in SQL is exactly the DISTINCT
+post-stop token vocabulary — so corpus terms stem to themselves (the
+"real words are never modified" rule) and the query word exercises the
+full cascade.
+"""
+
+from __future__ import annotations
+
+from .kstem import KStemmer
+
+_UND = "__UNDOUBLE__"
+
+
+def _undouble(b: str) -> str:
+    return (f"(CASE WHEN length({b}) >= 2 AND right({b}, 1) = "
+            f"substr({b}, length({b}) - 1, 1) AND right({b}, 1) NOT IN "
+            f"('a', 'e', 'i', 'o', 'u', 'y') "
+            f"THEN left({b}, length({b}) - 1) ELSE {b} END)")
+
+
+def _cand_rows() -> str:
+    """UNION ALL of candidate probes over kw(term, w), each row
+    (term, prio, cand) — prio encodes Python probe order."""
+    rows = []
+
+    def add(prio: int, cond: str, cand: str):
+        rows.append(f"SELECT term, {prio} AS prio, {cand} AS cand "
+                    f"FROM kw WHERE {cond}")
+
+    s_ok = ("ends_with(w, 's') AND NOT ends_with(w, 'ss') "
+            "AND NOT ends_with(w, 'us')")
+    ies = f"{s_ok} AND ends_with(w, 'ies') AND length(w) > 4"
+    es = (f"{s_ok} AND NOT (ends_with(w, 'ies') AND length(w) > 4) "
+          f"AND ends_with(w, 'es') AND length(w) > 3")
+    gen_s = (f"{s_ok} AND NOT (ends_with(w, 'ies') AND length(w) > 4) "
+             f"AND NOT (ends_with(w, 'es') AND length(w) > 3) "
+             f"AND length(w) > 3")
+    add(100, ies, "left(w, length(w) - 3) || 'y'")
+    add(101, ies, "left(w, length(w) - 1)")
+    add(100, es, "left(w, length(w) - 1)")
+    add(101, es, "left(w, length(w) - 2)")
+    add(100, gen_s, "left(w, length(w) - 1)")
+
+    ed = "ends_with(w, 'ed') AND length(w) > 4"
+    ied = f"{ed} AND ends_with(w, 'ied')"
+    ned = f"{ed} AND NOT ends_with(w, 'ied')"
+    add(200, ied, "left(w, length(w) - 3) || 'y'")
+    add(201, ied, "left(w, length(w) - 1)")
+    add(200, ned, "left(w, length(w) - 1)")
+    add(201, ned, "left(w, length(w) - 2)")
+    add(202, ned, _undouble("left(w, length(w) - 2)"))
+
+    ing = "ends_with(w, 'ing') AND length(w) > 5"
+    add(300, ing, "left(w, length(w) - 3) || 'e'")
+    add(301, ing, "left(w, length(w) - 3)")
+    add(302, ing, _undouble("left(w, length(w) - 3)"))
+
+    for si, (suf, templates) in enumerate(KStemmer._ENDINGS):
+        L = len(suf)
+        cond = f"ends_with(w, '{suf}') AND length(w) - {L} >= 3"
+        base = f"left(w, length(w) - {L})"
+        probes = [t.format(b="") for t in templates] + [_UND]
+        for ti, app in enumerate(probes):
+            cand = _undouble(base) if app == _UND else (
+                base if app == "" else f"{base} || '{app}'")
+            add(1000 + si * 10 + ti, cond, cand)
+    return "\n  UNION ALL ".join(rows)
+
+
+def kstem_ctes(words: str = "kwords", lexicon: str = "klex") -> str:
+    """CTE chain ``<words>(term) -> kstems(term, stem)`` implementing
+    KStemmer(lexicon=<lexicon>).stem (empty direct-conflation map, as
+    in the driver query)."""
+    return f"""
+kw AS (SELECT term, term AS w FROM {words}),
+kc AS (
+  {_cand_rows()}
+),
+khits AS (SELECT kc.term, kc.prio, kc.cand
+          FROM kc JOIN {lexicon} l ON kc.cand = l.term),
+kbest AS (SELECT term, arg_min(cand, prio) AS best
+          FROM khits GROUP BY term),
+kstems AS (SELECT kw.term,
+  CASE WHEN length(kw.term) <= 2
+            OR regexp_matches(kw.term, '[^a-z]') THEN kw.term
+       WHEN li.term IS NOT NULL THEN kw.term
+       ELSE COALESCE(kb.best, kw.term) END AS stem
+  FROM kw
+  LEFT JOIN {lexicon} li ON kw.term = li.term
+  LEFT JOIN kbest kb ON kw.term = kb.term)
+"""

@@ -3263,7 +3263,8 @@ def _q_kstem_term(word, k=10):
     """Term query over a KStem index whose validating lexicon is the
     corpus's own term dictionary (en/KStemFilter.java with
     lexicon_from_index — the honest stand-in for the bundled word
-    list). Rows-only (lexicon-gated rules are not SQL-expressible)."""
+    list). Oracle-paired: lexicon gating is candidate generation +
+    semi-join + arg_min in SQL (analysis/kstem_sql)."""
     def run(sf_dir):
         from ..analysis.kstem import kstem_transform, lexicon_from_index
         from ..search.searcher import IndexSearcher
@@ -4044,6 +4045,35 @@ scored AS (
 """
 
 
+def _kstem_term_sql(word: str, k: int) -> str:
+    """Twin: KStem with the corpus-term-dictionary lexicon in generated
+    DuckDB SQL (analysis/kstem_sql.py). The lexicon the engine builds
+    via kstem.lexicon_from_index IS the distinct post-stop vocabulary,
+    so in SQL it's one CTE; corpus terms stem to themselves (real words
+    are never modified) and the query word runs the candidate cascade
+    against the same lexicon."""
+    from ..analysis.kstem_sql import kstem_ctes
+
+    return f"""
+WITH {_tok_ctes()},
+klex AS (SELECT DISTINCT term FROM clean),
+kwords AS (SELECT term FROM klex UNION SELECT '{word}'),
+{kstem_ctes('kwords', 'klex')},
+stemmed AS (SELECT c.doc_id, s.stem AS term, c.pos
+            FROM clean c JOIN kstems s USING (term)),
+tf AS (SELECT doc_id, count(*) AS tf FROM stemmed
+       WHERE term = (SELECT stem FROM kstems WHERE term = '{word}')
+       GROUP BY doc_id),
+dfx AS (SELECT count(*) AS df FROM tf),
+scored AS (
+  SELECT tf.doc_id AS doc_id,
+         {_bm25_expr('tf.tf', 'dl.dl', 'dfx.df')} AS score
+  FROM tf JOIN dl USING (doc_id), dfx, stats s
+)
+{_sql_topk('scored', k)}
+"""
+
+
 def _wd_index(sf_dir: str) -> str:
     """Index over ``text || ' ' || source`` with WordDelimiterFilter
     (miscellaneous/WordDelimiterFilter.java): the srcNN source tags are
@@ -4646,7 +4676,7 @@ def build_queries() -> dict:
         "ft_stemmed_term": _q_stemmed_term("query"),
         "ft_snowball_term": _q_snowball_term("queries"),
         "ft_phonetic_term": _q_phonetic_term("tabel"),     # rows-only
-        "ft_kstem_term": _q_kstem_term("tables"),          # rows-only
+        "ft_kstem_term": _q_kstem_term("tables"),
         "ft_payload_sum": _q_payload_score("table", "sum"),
         "ft_payload_span": _q_payload_span("table", "avg"),
         "ft_explain_term": _q_explain_term(MID),
@@ -4795,9 +4825,9 @@ def build_oracle_sql() -> dict:
         # ft_classify_perceptron (sequential mutable weight state),
         # ft_expr_strdist_jw (float32-exact loops), ft_highlight_fvh /
         # _passages (sequential fragment grouping / float32 passage
-        # scoring), ft_{kstem,phonetic}_term (KStem / Double Metaphone;
-        # held by spec-vector golden tests — Porter and Porter2 ARE
-        # paired via analysis/{porter,snowball}_sql.py).
+        # scoring), ft_phonetic_term (Double Metaphone; held by
+        # spec-vector golden tests — Porter, Porter2 and KStem ARE
+        # paired via analysis/{porter,snowball,kstem}_sql.py).
     }
     from . import relational_sql as RS
 
@@ -5035,13 +5065,13 @@ FROM bfs WHERE kind = 'c' AND node = 2
         # the XML DSL reduces to the same tree as "+table +customer vector"
         "ft_xml_parsed": ft_bool_sql(["table", "customer"], ["vector"],
                                      [], 0, 10),
-        # Porter AND Porter2 ARE SQL-expressible after all
-        # (analysis/porter_sql.py, analysis/snowball_sql.py):
+        # The stemmers ARE SQL-expressible after all
+        # (analysis/{porter,snowball,kstem}_sql.py):
         "ft_stemmed_term": _stemmed_term_sql("query", 10),
         "ft_snowball_term": _snowball_term_sql("queries", 10),
-        # ft_kstem_term / ft_phonetic_term: no SQL twin yet (KStem /
-        # Double Metaphone); golden-vector + round-trip coverage in
-        # tests/test_{kstem,metaphone}.py
+        "ft_kstem_term": _kstem_term_sql("tables", 10),
+        # ft_phonetic_term: no SQL twin yet (Double Metaphone);
+        # golden-vector + round-trip coverage in tests/test_metaphone.py
     }
 
 

@@ -117,6 +117,7 @@ PARAMETRIZED = [
     "dih_full_import",
     "ft_stemmed_term",
     "ft_snowball_term",
+    "ft_kstem_term",
 ]
 
 

@@ -88,3 +88,49 @@ def test_lexicon_from_index(ray_session, tmp_path):
     assert {"quick", "brown", "fox", "den"} <= lex
     st = KStemmer(lex)
     assert st.stem("foxes") == "fox"
+
+
+def test_kstem_sql_conformance():
+    """The generated DuckDB KStem (analysis/kstem_sql.py — the
+    ft_kstem_term oracle twin) agrees with KStemmer over a random
+    lexicon: lexicon members (identity), suffixed forms of lexicon
+    bases (cascade hits), and random noise (cascade misses)."""
+    import random
+    import string
+
+    import duckdb
+    import pyarrow as pa
+
+    from lucene_solr_ray.analysis.kstem import KStemmer
+    from lucene_solr_ray.analysis.kstem_sql import kstem_ctes
+
+    rng = random.Random(0xD00D)
+    lex = {''.join(rng.choices(string.ascii_lowercase,
+                               k=rng.randint(3, 8)))
+           for _ in range(3000)}
+    lex |= {"move", "table", "query", "decision", "decide", "agree",
+            "creation", "create", "run", "hop", "stop"}
+    sufs = ["ies", "es", "s", "ied", "ed", "ing", "ization", "ation",
+            "ition", "ility", "ness", "ment", "able", "ible", "ence",
+            "ance", "ion", "ity", "ful", "ism", "ive", "ize", "ous",
+            "ish", "al", "ic", "ly", "er"]
+    vlist = sorted(lex)
+    words = [rng.choice(vlist) + rng.choice(sufs) for _ in range(4000)]
+    words += [rng.choice(vlist) + rng.choice(vlist)[-1] + s
+              for s in ("ed", "ing", "er") for _ in range(500)]
+    words += [''.join(rng.choices(string.ascii_lowercase,
+                                  k=rng.randint(1, 12)))
+              for _ in range(3000)]
+    words += vlist + ["tables", "queries", "running", "a", "x1", "42"]
+    words = list(dict.fromkeys(words))
+
+    st = KStemmer(lexicon=lex)
+    con = duckdb.connect()
+    con.register("wt", pa.table({"term": words}))
+    con.register("lt", pa.table({"term": vlist}))
+    sql = (f"WITH kwords AS (SELECT term FROM wt), "
+           f"klex AS (SELECT term FROM lt), "
+           f"{kstem_ctes('kwords', 'klex')} SELECT term, stem FROM kstems")
+    got = dict(con.execute(sql).fetchall())
+    bad = {w: (st.stem(w), got[w]) for w in words if st.stem(w) != got[w]}
+    assert not bad, dict(list(bad.items())[:10])
