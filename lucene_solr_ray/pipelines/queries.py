@@ -3245,7 +3245,9 @@ def _q_phonetic_term(word, k=10):
     """Term query over a Double-Metaphone phonetic index
     (phonetic/DoubleMetaphoneFilter.java): the misspelled query word
     matches docs spelling it right because both encode to the same
-    code ('tabel' and 'table' → TPL). Rows-only (no SQL metaphone)."""
+    code ('tabel' and 'table' → TPL). Oracle-paired: the full primary
+    Double Metaphone runs in SQL as a WITH RECURSIVE state machine
+    (analysis/metaphone_sql.py)."""
     def run(sf_dir):
         from ..analysis.metaphone import double_metaphone_transform
         from ..search.searcher import IndexSearcher
@@ -4074,6 +4076,35 @@ scored AS (
 """
 
 
+def _phonetic_term_sql(word: str, k: int) -> str:
+    """Twin: Double Metaphone (primary code) as a generated WITH
+    RECURSIVE walk over character positions (analysis/metaphone_sql.py)
+    applied to the distinct vocabulary plus the query word — the SQL
+    side encodes corpus and query with zero Python help — then the
+    ordinary one-term BM25 over the code stream (the filter is a 1:1
+    term transform, so doc lengths are unchanged; an empty code keeps
+    the term, matching double_metaphone_transform)."""
+    from ..analysis.metaphone_sql import metaphone_ctes
+
+    return f"""
+WITH RECURSIVE {_tok_ctes()},
+mwords AS (SELECT DISTINCT term FROM clean UNION SELECT '{word}'),
+{metaphone_ctes('mwords')},
+coded AS (SELECT c.doc_id, m.code AS term, c.pos
+          FROM clean c JOIN mcodes m USING (term)),
+tf AS (SELECT doc_id, count(*) AS tf FROM coded
+       WHERE term = (SELECT code FROM mcodes WHERE term = '{word}')
+       GROUP BY doc_id),
+dfx AS (SELECT count(*) AS df FROM tf),
+scored AS (
+  SELECT tf.doc_id AS doc_id,
+         {_bm25_expr('tf.tf', 'dl.dl', 'dfx.df')} AS score
+  FROM tf JOIN dl USING (doc_id), dfx, stats s
+)
+{_sql_topk('scored', k)}
+"""
+
+
 def _wd_index(sf_dir: str) -> str:
     """Index over ``text || ' ' || source`` with WordDelimiterFilter
     (miscellaneous/WordDelimiterFilter.java): the srcNN source tags are
@@ -4675,7 +4706,7 @@ def build_queries() -> dict:
         "ft_rerank": _q_rerank("table", "vector"),
         "ft_stemmed_term": _q_stemmed_term("query"),
         "ft_snowball_term": _q_snowball_term("queries"),
-        "ft_phonetic_term": _q_phonetic_term("tabel"),     # rows-only
+        "ft_phonetic_term": _q_phonetic_term("tabel"),
         "ft_kstem_term": _q_kstem_term("tables"),
         "ft_payload_sum": _q_payload_score("table", "sum"),
         "ft_payload_span": _q_payload_span("table", "avg"),
@@ -4825,9 +4856,8 @@ def build_oracle_sql() -> dict:
         # ft_classify_perceptron (sequential mutable weight state),
         # ft_expr_strdist_jw (float32-exact loops), ft_highlight_fvh /
         # _passages (sequential fragment grouping / float32 passage
-        # scoring), ft_phonetic_term (Double Metaphone; held by
-        # spec-vector golden tests — Porter, Porter2 and KStem ARE
-        # paired via analysis/{porter,snowball,kstem}_sql.py).
+        # scoring). Porter, Porter2, KStem AND Double Metaphone are
+        # paired via analysis/{porter,snowball,kstem,metaphone}_sql.py.
     }
     from . import relational_sql as RS
 
@@ -5070,8 +5100,8 @@ FROM bfs WHERE kind = 'c' AND node = 2
         "ft_stemmed_term": _stemmed_term_sql("query", 10),
         "ft_snowball_term": _snowball_term_sql("queries", 10),
         "ft_kstem_term": _kstem_term_sql("tables", 10),
-        # ft_phonetic_term: no SQL twin yet (Double Metaphone);
-        # golden-vector + round-trip coverage in tests/test_metaphone.py
+        # ... and so is Double Metaphone (analysis/metaphone_sql.py):
+        "ft_phonetic_term": _phonetic_term_sql("tabel", 10),
     }
 
 

@@ -118,6 +118,7 @@ PARAMETRIZED = [
     "ft_stemmed_term",
     "ft_snowball_term",
     "ft_kstem_term",
+    "ft_phonetic_term",
 ]
 
 
