@@ -2579,11 +2579,16 @@ def _q_classify_perceptron(n_train=100, n_probe=20):
     """BooleanPerceptronClassifier over the index (lucene/classification/
     BooleanPerceptronClassifier.java): ttf-seeded weights, one online
     pass over the first n_train docs (label: lang == 'en'), then
-    deterministic predictions for the next n_probe. Rows-only
-    (mechanics + convergence bounded in tests/test_classify.py)."""
+    deterministic predictions for the next n_probe. Oracle-paired: the
+    arithmetic is pure integers (ttf seeds, ±tf updates, 2·out ≥ Σdf
+    threshold), so the whole online pass runs in SQL as a WITH
+    RECURSIVE carry of the per-step update signs dotted against a
+    precomputed doc-pair gram matrix (_classify_perceptron_sql). The
+    raw integer ``output`` per probe pins all 100 sequential steps."""
     def run(sf_dir):
         import pyarrow.parquet as pq
 
+        from ..analysis.analyzer import token_terms
         from ..search.classify import BooleanPerceptron
 
         s = _searcher(sf_dir)
@@ -2595,13 +2600,83 @@ def _q_classify_perceptron(n_train=100, n_probe=20):
         p = BooleanPerceptron(s)
         labels = [v == "en" for v in train["lang"].to_pylist()]
         p.train(train["text"].to_pylist(), labels)
-        preds = [p.assign(x)[0] for x in probe["text"].to_pylist()]
+        preds, outs = [], []
+        for x in probe["text"].to_pylist():
+            out = p._output(token_terms(x))
+            preds.append(out >= p.threshold)
+            outs.append(int(out))  # integer-valued by construction
         return pa.table({
             "doc_id": probe["doc_id"],
             "lang": probe["lang"],
             "predicted_en": pa.array(preds, type=pa.bool_()),
+            "output": pa.array(outs, type=pa.int64()),
         })
     return run
+
+
+def _classify_perceptron_sql(n_train: int = 100, n_probe: int = 20) -> str:
+    """Twin of ft_classify_perceptron: the online pass is sequential
+    mutable state, but every quantity is an integer, so it unrolls
+    exactly — w_t = ttf(t) + Σ_j mod_j·tf(j,t) means the step-i output
+    is base_i + Σ_{j<i} mod_j·G(j,i) with G the train-doc gram matrix
+    (Σ_t tf_j·tf_i over shared terms; every probe/train token is corpus
+    vocabulary by construction, so the index-vocab mask is a no-op).
+    A WITH RECURSIVE carries the mod list (list_dot_product against the
+    sliced per-step gram row decides each update); `out ≥ sum_df/2.0`
+    is the exact integer test 2·out ≥ sum_df. DuckDB crashes on
+    empty-list list_dot_product, hence the i=0 guard."""
+    n_all = n_train + n_probe
+    return f"""
+WITH RECURSIVE {_tok_ctes()},
+ranked AS (SELECT doc_id, lang, row_number() OVER (ORDER BY doc_id) AS r
+           FROM documents),
+train AS (SELECT doc_id, (lang = 'en') AS correct, r FROM ranked
+          WHERE r <= {n_train}),
+probe AS (SELECT doc_id, lang, r FROM ranked
+          WHERE r > {n_train} AND r <= {n_all}),
+ttfs AS (SELECT term, count(*) AS ttf FROM clean GROUP BY term),
+sdf AS (SELECT count(*) AS sum_df
+        FROM (SELECT DISTINCT doc_id, term FROM clean)),
+tfv AS (SELECT doc_id, term, count(*) AS tf FROM clean
+        WHERE doc_id IN (SELECT doc_id FROM ranked WHERE r <= {n_all})
+        GROUP BY doc_id, term),
+pbase AS (SELECT t.doc_id, sum(t.tf * f.ttf)::BIGINT AS base
+          FROM tfv t JOIN ttfs f USING (term) GROUP BY t.doc_id),
+gram AS (SELECT a.doc_id AS d1, b.doc_id AS d2, sum(a.tf * b.tf)::BIGINT AS g
+         FROM tfv a JOIN tfv b USING (term)
+         WHERE a.doc_id IN (SELECT doc_id FROM train)
+         GROUP BY a.doc_id, b.doc_id),
+glist AS (SELECT tgt.doc_id,
+                 list(coalesce(g.g, 0) ORDER BY tr.r) AS gl
+          FROM (SELECT doc_id FROM ranked WHERE r <= {n_all}) tgt
+          CROSS JOIN train tr
+          LEFT JOIN gram g ON g.d1 = tr.doc_id AND g.d2 = tgt.doc_id
+          GROUP BY tgt.doc_id),
+steps AS (SELECT tr.r, tr.correct, b.base, gl.gl
+          FROM train tr JOIN pbase b USING (doc_id)
+          JOIN glist gl USING (doc_id)),
+rec AS (
+  SELECT 0 AS i, CAST([] AS BIGINT[]) AS mods
+  UNION ALL
+  SELECT r.i + 1,
+         list_append(r.mods, CASE
+           WHEN s.correct AND NOT (2 * (s.base + CASE WHEN r.i = 0 THEN 0
+                ELSE list_dot_product(r.mods, s.gl[1:r.i])::BIGINT END)
+                >= (SELECT sum_df FROM sdf)) THEN 1
+           WHEN (NOT s.correct) AND (2 * (s.base + CASE WHEN r.i = 0 THEN 0
+                ELSE list_dot_product(r.mods, s.gl[1:r.i])::BIGINT END)
+                >= (SELECT sum_df FROM sdf)) THEN -1
+           ELSE 0 END)
+  FROM rec r JOIN steps s ON s.r = r.i + 1
+),
+final AS (SELECT mods FROM rec WHERE i = {n_train})
+SELECT p.doc_id, p.lang,
+       2 * (b.base + list_dot_product(f.mods, gl.gl)::BIGINT)
+         >= (SELECT sum_df FROM sdf) AS predicted_en,
+       b.base + list_dot_product(f.mods, gl.gl)::BIGINT AS output
+FROM probe p JOIN pbase b USING (doc_id) JOIN glist gl USING (doc_id), final f
+ORDER BY p.r
+"""
 
 
 def _classify_knn_sql(n_probe: int, max_terms: int = 5,
@@ -4778,7 +4853,7 @@ def build_queries() -> dict:
         "ft_dv_terms": _q_dv_terms("lang", ["de", "fr"]),
         "ft_classify_knn": _q_classify("knn"),
         "ft_classify_nb": _q_classify("nb"),
-        "ft_classify_perceptron": _q_classify_perceptron(),  # rows-only
+        "ft_classify_perceptron": _q_classify_perceptron(),
         # rows-only: k-means is not SQL-expressible; threshold matches
         # dedup_embedding_cosine's corpus-calibrated 0.45
         "dedup_semdedup": lambda sf_dir: __import__(
@@ -4853,11 +4928,12 @@ def build_oracle_sql() -> dict:
         # The remaining rows-only entries each lack a twin for a
         # PRINCIPLED reason: ann_ivf_* / ann_lsh / cluster_docs /
         # dedup_semdedup (k-means or seeded-RNG hyperplanes),
-        # ft_classify_perceptron (sequential mutable weight state),
         # ft_expr_strdist_jw (float32-exact loops), ft_highlight_fvh /
         # _passages (sequential fragment grouping / float32 passage
         # scoring). Porter, Porter2, KStem AND Double Metaphone are
-        # paired via analysis/{porter,snowball,kstem,metaphone}_sql.py.
+        # paired via analysis/{porter,snowball,kstem,metaphone}_sql.py;
+        # the perceptron's sequential pass unrolls in integers
+        # (_classify_perceptron_sql).
     }
     from . import relational_sql as RS
 
@@ -4962,6 +5038,7 @@ def build_oracle_sql() -> dict:
         # neighbors / ordered-sum NB log-likelihoods + majority rules)
         "ft_classify_knn": _classify_knn_sql(20),
         "ft_classify_nb": _classify_nb_sql(20),
+        "ft_classify_perceptron": _classify_perceptron_sql(100, 20),
         "ft_term_automaton_nfa": _automaton_nfa_cycle_sql(10),
         "dedup_simhash": _simhash_sql(),
         "text_fingerprint": _fingerprint_sql(),

@@ -119,6 +119,7 @@ PARAMETRIZED = [
     "ft_snowball_term",
     "ft_kstem_term",
     "ft_phonetic_term",
+    "ft_classify_perceptron",
 ]
 
 
