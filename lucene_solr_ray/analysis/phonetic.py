@@ -1,0 +1,412 @@
+"""The PhoneticFilterFactory encoder registry (lucene/analysis/phonetic/
+PhoneticFilterFactory.java:79-85 registers commons-codec DoubleMetaphone,
+Metaphone, Soundex, RefinedSoundex, Caverphone (= Caverphone 2.0),
+ColognePhonetic and Nysiis; PhoneticFilter.java wraps one encoder and
+either REPLACES each token with its code or INJECTS the code at the same
+position, inject=true being the default).
+
+Double Metaphone lives in analysis/metaphone.py and Soundex in
+analysis/filters.py; this module adds the remaining five encoders as
+pure-Python ports of the published algorithms (Philips 1990 Metaphone,
+the US-English refined Soundex mapping, David Hood's Caverphone 2.0
+revision, the Kölner Phonetik table, and the NYSIIS rules with the
+commons-codec endings/truncation behavior), plus the generic
+inject/replace stream stage. Non-alphabetic tokens pass through
+unchanged, like the existing soundex term transform. Golden vectors in
+tests/test_phonetic.py come from the reference's own
+TestPhoneticFilter.java / TestPhoneticFilterFactory.java expectations.
+"""
+from __future__ import annotations
+
+import re
+
+# ---------------------------------------------------------------------------
+# Metaphone (Philips 1990, commons-codec semantics, maxCodeLen=4)
+# ---------------------------------------------------------------------------
+
+_VOWELS = "AEIOU"
+_FRONTV = "EIY"          # letters that make a preceding C/G soft
+_VARSON = "CSPTG"        # letters after which H is silent
+
+
+def metaphone(term: str, max_code_len: int = 4) -> str:
+    """Original Metaphone code of an alphabetic term (commons-codec
+    Metaphone with the default maxCodeLen=4, the PhoneticFilterFactory
+    "Metaphone" registry entry). Non-alpha terms pass through."""
+    if not term or not term.isalpha():
+        return term
+    w = term.upper()
+    if len(w) == 1:
+        return w
+    # initial-letter exceptions
+    if w[0] in "KGP" and w[1] == "N":
+        w = w[1:]
+    elif w[0] == "A" and w[1] == "E":
+        w = w[1:]
+    elif w[0] == "W" and w[1] == "R":
+        w = w[1:]
+    elif w[0] == "W" and w[1] == "H":
+        w = "W" + w[2:]
+    elif w[0] == "X":
+        w = "S" + w[1:]
+    n, wdsz = 0, len(w)
+    code: list[str] = []
+
+    def vowel(i: int) -> bool:
+        return 0 <= i < wdsz and w[i] in _VOWELS
+
+    while len(code) < max_code_len and n < wdsz:
+        c = w[n]
+        if c != "C" and n > 0 and w[n - 1] == c:
+            n += 1
+            continue  # collapse doubled letters except C
+        if c in _VOWELS:
+            if n == 0:
+                code.append(c)
+        elif c == "B":
+            if not (n == wdsz - 1 and n > 0 and w[n - 1] == "M"):
+                code.append("B")  # silent terminal MB
+        elif c == "C":
+            # nxt = "?" when past the end: "" is in every string
+            nxt = w[n + 1] if n + 1 < wdsz else "?"
+            if n > 0 and w[n - 1] == "S" and nxt in _FRONTV:
+                pass  # SCI / SCE / SCY: C dropped
+            elif w[n:n + 3] == "CIA":
+                code.append("X")
+            elif nxt in _FRONTV:
+                code.append("S")
+            elif n > 0 and w[n - 1] == "S" and nxt == "H":
+                code.append("K")  # SCH
+            elif nxt == "H":
+                if n == 0 and wdsz >= 3 and not vowel(2):
+                    code.append("K")  # CHR- etc.
+                else:
+                    code.append("X")
+            else:
+                code.append("K")
+        elif c == "D":
+            if n + 2 < wdsz and w[n + 1] == "G" and w[n + 2] in _FRONTV:
+                code.append("J")
+                n += 2
+            else:
+                code.append("T")
+        elif c == "G":
+            silent = False
+            if n + 1 < wdsz and w[n + 1] == "H":
+                # GH: silent unless the H is followed by a vowel
+                if n + 1 == wdsz - 1 or not vowel(n + 2):
+                    silent = True
+            if w[n:n + 2] == "GN" and (n + 1 == wdsz - 1 or
+                                       w[n + 1:] == "NED"):
+                silent = True  # terminal GN / GNED
+            if not silent:
+                hard = n > 0 and w[n - 1] == "G"
+                if n + 1 < wdsz and w[n + 1] in _FRONTV and not hard:
+                    code.append("J")
+                else:
+                    code.append("K")
+        elif c == "H":
+            if n == wdsz - 1:
+                pass  # terminal H silent
+            elif n > 0 and w[n - 1] in _VARSON:
+                pass  # CH/SH/PH/TH/GH consume their H
+            elif vowel(n + 1):
+                code.append("H")
+        elif c in "FJLMNR":
+            code.append(c)
+        elif c == "K":
+            if not (n > 0 and w[n - 1] == "C"):
+                code.append("K")
+        elif c == "P":
+            code.append("F" if n + 1 < wdsz and w[n + 1] == "H" else "P")
+        elif c == "Q":
+            code.append("K")
+        elif c == "S":
+            if w[n:n + 2] == "SH" or w[n:n + 3] in ("SIO", "SIA"):
+                code.append("X")
+            else:
+                code.append("S")
+        elif c == "T":
+            if w[n:n + 3] in ("TIA", "TIO"):
+                code.append("X")
+            elif w[n:n + 3] == "TCH":
+                pass  # silent in TCH
+            elif w[n:n + 2] == "TH":
+                code.append("0")
+            else:
+                code.append("T")
+        elif c == "V":
+            code.append("F")
+        elif c in "WY":
+            if vowel(n + 1):
+                code.append(c)
+        elif c == "X":
+            code.append("K")
+            if len(code) < max_code_len:
+                code.append("S")
+        elif c == "Z":
+            code.append("S")
+        n += 1
+    return "".join(code)
+
+
+# ---------------------------------------------------------------------------
+# Refined Soundex (commons-codec US-English mapping)
+# ---------------------------------------------------------------------------
+
+#                 ABCDEFGHIJKLMNOPQRSTUVWXYZ
+_REFINED_CODES = "01360240043788015936020505"
+
+
+def refined_soundex(term: str) -> str:
+    """Refined Soundex: first letter + one digit per letter (vowels
+    code 0 and ARE emitted), adjacent equal codes collapsed, no length
+    cap — e.g. 'easgasg' -> 'E034034'."""
+    if not term or not term.isalpha():
+        return term
+    w = term.upper()
+    out = [w[0]]
+    last = ""
+    for ch in w:
+        code = _REFINED_CODES[ord(ch) - 65]
+        if code != last:
+            out.append(code)
+        last = code
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# Caverphone 2.0 (David Hood, 2004 revision)
+# ---------------------------------------------------------------------------
+
+_CAVER2_RULES = [
+    # (pattern, replacement) applied in order over the whole string
+    (r"^cough", "cou2f"), (r"^rough", "rou2f"), (r"^tough", "tou2f"),
+    (r"^enough", "enou2f"), (r"^trough", "trou2f"), (r"^gn", "2n"),
+    (r"mb$", "m2"),
+    (r"cq", "2q"), (r"ci", "si"), (r"ce", "se"), (r"cy", "sy"),
+    (r"tch", "2ch"), (r"c", "k"), (r"q", "k"), (r"x", "k"), (r"v", "f"),
+    (r"dg", "2g"), (r"tio", "sio"), (r"tia", "sia"), (r"d", "t"),
+    (r"ph", "fh"), (r"b", "p"), (r"sh", "s2"), (r"z", "s"),
+    (r"^[aeiou]", "A"), (r"[aeiou]", "3"), (r"j", "y"),
+    (r"^y3", "Y3"), (r"^y", "A"), (r"y", "3"),
+    (r"3gh3", "3kh3"), (r"gh", "22"), (r"g", "k"),
+    (r"s+", "S"), (r"t+", "T"), (r"p+", "P"), (r"k+", "K"),
+    (r"f+", "F"), (r"m+", "M"), (r"n+", "N"),
+    (r"w3", "W3"), (r"wh3", "Wh3"), (r"w$", "3"), (r"w", "2"),
+    (r"^h", "A"), (r"h", "2"),
+    (r"r3", "R3"), (r"r$", "3"), (r"r", "2"),
+    (r"l3", "L3"), (r"l$", "3"), (r"l", "2"),
+    (r"2", ""), (r"3$", "A"), (r"3", ""),
+]
+_CAVER2_COMPILED = [(re.compile(p), r) for p, r in _CAVER2_RULES]
+
+
+def caverphone2(term: str) -> str:
+    """Caverphone 2.0: the ordered rewrite cascade, then right-pad with
+    '1' to exactly 10 characters — e.g. 'Darda'/'Datha' -> 'TTA1111111'."""
+    if not term or not term.isalpha():
+        return term
+    w = term.lower()
+    if w.endswith("e"):
+        w = w[:-1]
+    for pat, rep in _CAVER2_COMPILED:
+        w = pat.sub(rep, w)
+    return (w + "1" * 10)[:10]
+
+
+# ---------------------------------------------------------------------------
+# Kölner Phonetik (ColognePhonetic)
+# ---------------------------------------------------------------------------
+
+def cologne_phonetic(term: str) -> str:
+    """Kölner Phonetik over ASCII letters: context-coded digits, then
+    adjacent-duplicate collapse and non-leading '0' removal — e.g.
+    'Meier' -> '67', 'Schmidt' == 'Schmitt' -> '862'."""
+    if not term or not term.isalpha():
+        return term
+    w = term.upper()
+    n = len(w)
+    digits: list[str] = []
+    for i, ch in enumerate(w):
+        # "?" sentinels: "" is a member of every string
+        prev = w[i - 1] if i > 0 else "?"
+        nxt = w[i + 1] if i + 1 < n else "?"
+        if ch in "AEIJOUY":
+            d = "0"
+        elif ch == "H":
+            continue
+        elif ch == "B":
+            d = "1"
+        elif ch == "P":
+            d = "3" if nxt == "H" else "1"
+        elif ch in "DT":
+            d = "8" if nxt in "CSZ" else "2"
+        elif ch in "FVW":
+            d = "3"
+        elif ch in "GKQ":
+            d = "4"
+        elif ch == "C":
+            if i == 0:
+                d = "4" if nxt in "AHKLOQRUX" else "8"
+            elif prev in "SZ":
+                d = "8"
+            else:
+                d = "4" if nxt in "AHKOQUX" else "8"
+        elif ch == "X":
+            d = "8" if prev in "CKQ" else "48"
+        elif ch == "L":
+            d = "5"
+        elif ch in "MN":
+            d = "6"
+        elif ch == "R":
+            d = "7"
+        elif ch in "SZ":
+            d = "8"
+        else:
+            continue
+        digits.append(d)
+    flat = "".join(digits)
+    out: list[str] = []
+    for i, d in enumerate(flat):
+        if i > 0 and flat[i - 1] == d:
+            continue
+        if d == "0" and out:
+            continue
+        out.append(d)
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# NYSIIS (commons-codec behavior, strict=true -> 6-char truncation)
+# ---------------------------------------------------------------------------
+
+_NYSIIS_VOWELS = "AEIOU"
+
+
+def nysiis(term: str, strict: bool = True) -> str:
+    """NYSIIS key: start/end digraph rewrites, vowel flattening to A,
+    the Q/Z/M/KN/K/SCH/PH consonant folds, H/W context elisions,
+    append-time duplicate collapse, then the S / AY / A ending trims
+    and (strict) truncation to 6 — e.g. 'Macintosh' -> 'MCANT'."""
+    if not term or not term.isalpha():
+        return term
+    w = term.upper()
+    # first-character rewrites
+    if w.startswith("MAC"):
+        w = "MCC" + w[3:]
+    elif w.startswith("KN"):
+        w = "NN" + w[2:]
+    elif w.startswith("K"):
+        w = "C" + w[1:]
+    elif w.startswith(("PH", "PF")):
+        w = "FF" + w[2:]
+    elif w.startswith("SCH"):
+        w = "SSS" + w[3:]
+    # last-character rewrites
+    if w.endswith(("EE", "IE")):
+        w = w[:-2] + "Y"
+    elif w.endswith(("DT", "RT", "RD", "NT", "ND")):
+        w = w[:-2] + "D"
+    key = [w[0]]
+    chars = list(w)
+    for i in range(1, len(chars)):
+        nxt = chars[i + 1] if i + 1 < len(chars) else ""
+        prev = chars[i - 1]
+        c = chars[i]
+        if c == "E" and nxt == "V":
+            rep = "AF"
+        elif c in _NYSIIS_VOWELS:
+            rep = "A"
+        elif c == "Q":
+            rep = "G"
+        elif c == "Z":
+            rep = "S"
+        elif c == "M":
+            rep = "N"
+        elif c == "K":
+            rep = "N" if nxt == "N" else "C"
+        elif c == "S" and chars[i:i + 3] == ["S", "C", "H"]:
+            rep = "SSS"
+        elif c == "P" and nxt == "H":
+            rep = "FF"
+        elif c == "H" and (prev not in _NYSIIS_VOWELS or
+                           nxt not in _NYSIIS_VOWELS):
+            rep = prev  # nxt == "" (terminal H) counts as non-vowel
+        elif c == "W" and prev in _NYSIIS_VOWELS:
+            rep = prev
+        else:
+            rep = c
+        # write the replacement back so later context sees it
+        for j, rc in enumerate(rep):
+            if i + j < len(chars):
+                chars[i + j] = rc
+        if rep and rep[0] != key[-1]:
+            key.append(rep[0])
+    out = "".join(key)
+    if out.endswith("S") and len(out) > 1:
+        out = out[:-1]
+    if out.endswith("AY") and len(out) > 2:
+        out = out[:-2] + "Y"
+    if out.endswith("A") and len(out) > 1:
+        out = out[:-1]
+    return out[:6] if strict else out
+
+
+# ---------------------------------------------------------------------------
+# term transforms (filter-chain stages) + the inject stream stage
+# ---------------------------------------------------------------------------
+
+def _keep_original_if_empty(encode):
+    def transform(term: str) -> str:
+        code = encode(term)
+        return code if code else term
+    return transform
+
+
+metaphone_transform = _keep_original_if_empty(metaphone)
+refined_soundex_transform = _keep_original_if_empty(refined_soundex)
+caverphone2_transform = _keep_original_if_empty(caverphone2)
+cologne_transform = _keep_original_if_empty(cologne_phonetic)
+nysiis_transform = _keep_original_if_empty(nysiis)
+
+ENCODERS = {
+    "Metaphone": metaphone,
+    "RefinedSoundex": refined_soundex,
+    "Caverphone": caverphone2,
+    "ColognePhonetic": cologne_phonetic,
+    "Nysiis": nysiis,
+}
+
+
+def phonetic_stream(encode):
+    """PhoneticFilter with inject=true (the factory default,
+    PhoneticFilter.java:70-90): each position emits the ORIGINAL token
+    and, when different and non-empty, its phonetic code at the same
+    position (posInc 0) — searches match both surface and code. Same
+    dictionary-encode + lexsort shape as keyword_repeat_stream."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def transform(terms, doc_idx, positions):
+        from .filters import _as_array
+
+        terms = _as_array(terms)
+        if len(terms) == 0:
+            return terms, doc_idx, positions
+        d = terms.dictionary_encode()
+        uniq = d.dictionary.to_pylist()
+        coded = pa.array([encode(u) or u for u in uniq], type=pa.string())
+        ct = coded.take(d.indices)
+        diff = np.asarray(pc.not_equal(ct, terms))
+        t = pa.concat_arrays([terms, ct.filter(pa.array(diff))])
+        dx = np.concatenate([doc_idx, doc_idx[diff]])
+        p = np.concatenate([positions, positions[diff]])
+        flag = np.concatenate([np.zeros(len(terms), dtype=np.int64),
+                               np.ones(int(diff.sum()), dtype=np.int64)])
+        order = np.lexsort((flag, p, dx))
+        return t.take(pa.array(order)), dx[order], \
+            p[order].astype(np.int32)
+
+    return transform

@@ -135,6 +135,32 @@ def _dm_chain():
                              term_transform=double_metaphone_transform)
 
 
+def _phonetic_chain(transform_name):
+    """One factory per PhoneticFilterFactory encoder registry entry
+    (phonetic/PhoneticFilterFactory.java:79-85); replace mode — the
+    inject=true default is the phonetic_stream stage in
+    analysis/phonetic.py, composable via analyze_batch(
+    stream_transform=...)."""
+    def chain():
+        import functools
+
+        from .analysis import analyze_batch
+        from .analysis import phonetic as P
+
+        return functools.partial(analyze_batch,
+                                 term_transform=getattr(P, transform_name))
+    return chain
+
+
+for _name, _transform in [("phonetic_metaphone", "metaphone_transform"),
+                          ("phonetic_refined_soundex",
+                           "refined_soundex_transform"),
+                          ("phonetic_caverphone", "caverphone2_transform"),
+                          ("phonetic_cologne", "cologne_transform"),
+                          ("phonetic_nysiis", "nysiis_transform")]:
+    register("analyzer", _name)(_phonetic_chain(_transform))
+
+
 @register("qparser", "classic")
 def _classic_parser():
     from .search.queryparser import parse_query

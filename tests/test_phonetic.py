@@ -1,0 +1,101 @@
+"""The rest of the PhoneticFilterFactory encoder registry
+(analysis/phonetic.py): Metaphone, RefinedSoundex, Caverphone 2.0,
+ColognePhonetic, Nysiis — golden vectors from the reference's own
+TestPhoneticFilter.java:42-71 / TestPhoneticFilterFactory.java:133-171
+expectations plus the published commons-codec / algorithm-spec pairs —
+and the inject=true stream stage (PhoneticFilter.java:70-90)."""
+
+import numpy as np
+import pyarrow as pa
+
+from lucene_solr_ray.analysis.phonetic import (ENCODERS, caverphone2,
+                                               cologne_phonetic, metaphone,
+                                               nysiis, phonetic_stream,
+                                               refined_soundex)
+
+
+def test_metaphone_reference_vectors():
+    # TestPhoneticFilterFactory.java:134-137
+    assert [metaphone(w) for w in ["aaa", "bbb", "ccc", "easgasg"]] == \
+        ["A", "B", "KKK", "ESKS"]
+
+
+def test_metaphone_classic_vectors():
+    golden = {"howl": "HL", "testing": "TSTN", "the": "0", "quick": "KK",
+              "brown": "BRN", "fox": "FKS", "jumped": "JMPT", "over": "OFR",
+              "lazy": "LS", "dogs": "TKS", "knight": "NT", "wright": "RT",
+              "xavier": "SFR", "phone": "FN", "aero": "ER", "white": "WT",
+              "school": "SKL", "thumb": "0M", "judge": "JJ"}
+    assert {w: metaphone(w) for w in golden} == golden
+
+
+def test_refined_soundex_vectors():
+    # TestPhoneticFilterFactory.java:149-152: every letter coded
+    # (vowels as 0), adjacent equal codes collapsed, no length cap
+    assert [refined_soundex(w) for w in ["aaa", "bbb", "ccc", "easgasg"]] \
+        == ["A0", "B1", "C3", "E034034"]
+    assert refined_soundex("testing") == "T6036084"
+
+
+def test_caverphone2_vectors():
+    # TestPhoneticFilterFactory.java:154-158: homophones collide
+    assert caverphone2("darda") == caverphone2("datha") == "TTA1111111"
+    assert caverphone2("karleen") == caverphone2("carlene") == "KLN1111111"
+    # published Caverphone 2.0 spec examples
+    assert caverphone2("peter") == "PTA1111111"
+    assert caverphone2("stevenson") == "STFNSN1111"
+    assert len(caverphone2("x")) == 10  # always padded to 10
+
+
+def test_cologne_vectors():
+    # TestPhoneticFilterFactory.java:160-163
+    assert cologne_phonetic("meier") == cologne_phonetic("meir") == "67"
+    assert cologne_phonetic("schmitt") == cologne_phonetic("schmidt") == "862"
+    # Kölner Phonetik published example
+    assert cologne_phonetic("wikipedia") == "3412"
+
+
+def test_nysiis_vectors():
+    # TestPhoneticFilterFactory.java:166-169 + TestPhoneticFilter.java:69-71
+    assert [nysiis(w) for w in ["macintosh", "knuth", "bart", "hurd"]] == \
+        ["MCANT", "NAT", "BAD", "HAD"]
+    assert [nysiis(w) for w in ["aaa", "bbb", "ccc", "easgasg"]] == \
+        ["A", "B", "C", "EASGAS"]
+    assert nysiis("easgasg", strict=False) == "EASGASG"
+
+
+def test_non_alpha_terms_pass_through():
+    for enc in ENCODERS.values():
+        assert enc("1930") == "1930"
+        assert enc("") == ""
+
+
+def test_inject_stream_emits_both():
+    """inject=true (the factory default): original + code at the same
+    position; identical code (pure digits pass through) not repeated."""
+    transform = phonetic_stream(metaphone)
+    terms = pa.array(["knight", "1930", "fox"])
+    doc_idx = np.array([0, 0, 1], dtype=np.int64)
+    positions = np.array([0, 1, 0], dtype=np.int32)
+    t, dx, p = transform(terms, doc_idx, positions)
+    rows = list(zip(t.to_pylist(), dx.tolist(), p.tolist()))
+    assert rows == [("knight", 0, 0), ("NT", 0, 0),
+                    ("1930", 0, 1),
+                    ("fox", 1, 0), ("FKS", 1, 0)]
+
+
+def test_registry_analyzers_resolve_and_match():
+    """End-to-end: a registry phonetic analyzer makes a misspelling
+    share terms with the correct spelling."""
+    from lucene_solr_ray.registry import lookup
+
+    for name, probe, target in [
+            ("phonetic_metaphone", "nite", "knight"),
+            ("phonetic_refined_soundex", "smith", "smyth"),
+            ("phonetic_caverphone", "darda", "datha"),
+            ("phonetic_cologne", "meier", "meir"),
+            ("phonetic_nysiis", "knuth", "nooth")]:
+        analyze = lookup("analyzer", name)()
+        out = analyze(pa.array([probe, target]))
+        vals = out.terms.to_pylist()
+        assert len(vals) == 2 and vals[0] == vals[1], (name, vals)
