@@ -410,3 +410,192 @@ def phonetic_stream(encode):
             p[order].astype(np.int32)
 
     return transform
+
+
+# ---------------------------------------------------------------------------
+# Daitch-Mokotoff Soundex (DaitchMokotoffSoundexFilter.java — its own
+# factory, separate from PhoneticFilterFactory). Rule table = the
+# published Avotaynu coding chart; each entry is
+# (pattern, [alternatives]) with one (start, before_vowel, other) code
+# triple per alternative ("" = not coded); branching alternatives fork
+# the encoding (e.g. C as TS-4 or K-5), longest pattern wins at each
+# position, adjacent identical codes collapse unless a vowel separates
+# them, and every branch pads/truncates to 6 digits. Branch order is
+# pinned by the reference's TestDaitchMokotoffSoundexFilter.java:36
+# emission order for "ccc" (the 4-alternative explored first).
+# ---------------------------------------------------------------------------
+
+_DM_VOWEL_PATTERNS = frozenset([
+    "a", "e", "i", "o", "u", "y", "ai", "aj", "ay", "au", "ei", "ej",
+    "ey", "eu", "ia", "ie", "io", "iu", "oi", "oj", "oy", "ui", "uj",
+    "uy", "ue",
+])
+
+_DM_RULES: dict[str, list[tuple[str, str, str]]] = {
+    "ai": [("0", "1", "")], "aj": [("0", "1", "")], "ay": [("0", "1", "")],
+    "au": [("0", "7", "")],
+    "a": [("0", "", "")],
+    "b": [("7", "7", "7")],
+    "chs": [("5", "54", "54")],
+    "ch": [("4", "4", "4"), ("5", "5", "5")],
+    "ck": [("4", "4", "4"), ("45", "45", "45")],
+    "cz": [("4", "4", "4")], "cs": [("4", "4", "4")],
+    "csz": [("4", "4", "4")], "czs": [("4", "4", "4")],
+    "c": [("4", "4", "4"), ("5", "5", "5")],
+    "drz": [("4", "4", "4")], "drs": [("4", "4", "4")],
+    "ds": [("4", "4", "4")], "dsh": [("4", "4", "4")],
+    "dsz": [("4", "4", "4")],
+    "dz": [("4", "4", "4")], "dzh": [("4", "4", "4")],
+    "dzs": [("4", "4", "4")],
+    "d": [("3", "3", "3")], "dt": [("3", "3", "3")],
+    "ei": [("0", "1", "")], "ej": [("0", "1", "")], "ey": [("0", "1", "")],
+    "eu": [("1", "1", "")],
+    "e": [("0", "", "")],
+    "fb": [("7", "7", "7")],
+    "f": [("7", "7", "7")],
+    "g": [("5", "5", "5")],
+    "h": [("5", "5", "")],
+    "ia": [("1", "", "")], "ie": [("1", "", "")], "io": [("1", "", "")],
+    "iu": [("1", "", "")],
+    "i": [("0", "", "")],
+    "j": [("1", "", ""), ("4", "4", "4")],
+    "ks": [("5", "54", "54")],
+    "kh": [("5", "5", "5")],
+    "k": [("5", "5", "5")],
+    "l": [("8", "8", "8")],
+    "mn": [("66", "66", "66")],
+    "m": [("6", "6", "6")],
+    "nm": [("66", "66", "66")],
+    "n": [("6", "6", "6")],
+    "oi": [("0", "1", "")], "oj": [("0", "1", "")], "oy": [("0", "1", "")],
+    "o": [("0", "", "")],
+    "p": [("7", "7", "7")], "pf": [("7", "7", "7")], "ph": [("7", "7", "7")],
+    "q": [("5", "5", "5")],
+    "rz": [("94", "94", "94"), ("4", "4", "4")],
+    "rs": [("94", "94", "94"), ("4", "4", "4")],
+    "r": [("9", "9", "9")],
+    "schtsch": [("2", "4", "4")], "schtsh": [("2", "4", "4")],
+    "schtch": [("2", "4", "4")],
+    "sch": [("4", "4", "4")],
+    "schd": [("2", "43", "43")], "scht": [("2", "43", "43")],
+    "sc": [("2", "4", "4")],
+    "shtch": [("2", "4", "4")], "shch": [("2", "4", "4")],
+    "shtsh": [("2", "4", "4")],
+    "sht": [("2", "43", "43")], "shd": [("2", "43", "43")],
+    "sh": [("4", "4", "4")],
+    "stch": [("2", "4", "4")], "stsch": [("2", "4", "4")],
+    "stsh": [("2", "4", "4")],
+    "strz": [("2", "4", "4")], "strs": [("2", "4", "4")],
+    "st": [("2", "43", "43")],
+    "szcz": [("2", "4", "4")], "szcs": [("2", "4", "4")],
+    "szt": [("2", "43", "43")], "szd": [("2", "43", "43")],
+    "sd": [("2", "43", "43")],
+    "sz": [("4", "4", "4")],
+    "s": [("4", "4", "4")],
+    "tch": [("4", "4", "4")], "ttch": [("4", "4", "4")],
+    "ttsch": [("4", "4", "4")],
+    "th": [("3", "3", "3")],
+    "trz": [("4", "4", "4")], "trs": [("4", "4", "4")],
+    "tsch": [("4", "4", "4")], "tsh": [("4", "4", "4")],
+    "ts": [("4", "4", "4")], "tts": [("4", "4", "4")],
+    "ttsz": [("4", "4", "4")], "tc": [("4", "4", "4")],
+    "tz": [("4", "4", "4")], "ttz": [("4", "4", "4")],
+    "tzs": [("4", "4", "4")], "tsz": [("4", "4", "4")],
+    "t": [("3", "3", "3")],
+    "ui": [("0", "1", "")], "uj": [("0", "1", "")], "uy": [("0", "1", "")],
+    "ue": [("0", "", "")],
+    "u": [("0", "", "")],
+    "v": [("7", "7", "7")],
+    "w": [("7", "7", "7")],
+    "x": [("5", "54", "54")],
+    "y": [("1", "", "")],
+    "zdz": [("2", "4", "4")], "zdzh": [("2", "4", "4")],
+    "zhdzh": [("2", "4", "4")],
+    "zd": [("2", "43", "43")], "zhd": [("2", "43", "43")],
+    "zh": [("4", "4", "4")], "zs": [("4", "4", "4")],
+    "zsch": [("4", "4", "4")], "zsh": [("4", "4", "4")],
+    "z": [("4", "4", "4")],
+}
+
+_DM_MAXLEN = max(len(p) for p in _DM_RULES)
+
+
+def daitch_mokotoff(term: str) -> list[str]:
+    """All Daitch-Mokotoff branch codes of a term (6 digits each),
+    deduplicated in branch-generation order — e.g. 'ccc' yields
+    ['400000', '450000', '454000', '540000', '545000', '500000']."""
+    if not term or not term.isalpha():
+        return [term]
+    w = term.lower()
+    n = len(w)
+    # branches: (digits_so_far, last_appended_code_or_None)
+    branches: list[tuple[str, str | None]] = [("", None)]
+    i = 0
+    while i < n:
+        pat = None
+        for ln in range(min(_DM_MAXLEN, n - i), 0, -1):
+            cand = w[i:i + ln]
+            if cand in _DM_RULES:
+                pat = cand
+                break
+        assert pat is not None  # every a-z letter has a rule
+        nxt = i + len(pat)
+        ctx = 0 if i == 0 else (1 if nxt < n and w[nxt] in "aeiou" else 2)
+        is_vowel = pat in _DM_VOWEL_PATTERNS
+        out: list[tuple[str, str | None]] = []
+        for digits, last in branches:
+            for alt in _DM_RULES[pat]:
+                code = alt[ctx]
+                if not code:
+                    # uncoded; a vowel breaks the adjacent-code collapse
+                    out.append((digits, None if is_vowel else last))
+                elif code == last:
+                    out.append((digits, last))
+                else:
+                    out.append((digits + code, code))
+        # dedup identical branch states, first occurrence wins
+        seen: set[tuple[str, str | None]] = set()
+        branches = [b for b in out if not (b in seen or seen.add(b))]
+        i = nxt
+    codes: list[str] = []
+    for digits, _ in branches:
+        c = (digits + "000000")[:6]
+        if c not in codes:
+            codes.append(c)
+    return codes
+
+
+def daitch_mokotoff_stream(inject: bool = True):
+    """DaitchMokotoffSoundexFilter: at each position emit every branch
+    code (posInc 0 between them); inject=true keeps the original token
+    first, inject=false replaces it (DaitchMokotoffSoundexFilter.java:
+    the filter's only parameter)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def transform(terms, doc_idx, positions):
+        from .filters import _as_array
+
+        terms = _as_array(terms)
+        if len(terms) == 0:
+            return terms, doc_idx, positions
+        d = terms.dictionary_encode()
+        uniq = d.dictionary.to_pylist()
+        per_uniq = [daitch_mokotoff(u) for u in uniq]
+        out_t: list[str] = []
+        out_i: list[int] = []
+        idx = np.asarray(d.indices)
+        for row, u in enumerate(idx):
+            orig = uniq[u]
+            emitted = [orig] if inject else []
+            for c in per_uniq[u]:
+                if c not in emitted:
+                    emitted.append(c)
+            for tkn in emitted:
+                out_t.append(tkn)
+                out_i.append(row)
+        out_i = np.asarray(out_i, dtype=np.int64)
+        return (pa.array(out_t, type=pa.string()),
+                doc_idx[out_i], positions[out_i].astype(np.int32))
+
+    return transform

@@ -152,6 +152,19 @@ def _phonetic_chain(transform_name):
     return chain
 
 
+@register("analyzer", "phonetic_daitch_mokotoff")
+def _dm_soundex_chain():
+    """DaitchMokotoffSoundexFilterFactory (inject=true default): every
+    branch code joins the stream at the original token's position."""
+    import functools
+
+    from .analysis import analyze_batch
+    from .analysis.phonetic import daitch_mokotoff_stream
+
+    return functools.partial(
+        analyze_batch, stream_transform=daitch_mokotoff_stream(inject=True))
+
+
 for _name, _transform in [("phonetic_metaphone", "metaphone_transform"),
                           ("phonetic_refined_soundex",
                            "refined_soundex_transform"),

@@ -99,3 +99,53 @@ def test_registry_analyzers_resolve_and_match():
         out = analyze(pa.array([probe, target]))
         vals = out.terms.to_pylist()
         assert len(vals) == 2 and vals[0] == vals[1], (name, vals)
+
+
+def test_daitch_mokotoff_reference_vectors():
+    """TestDaitchMokotoffSoundexFilter.java:35-40 — branch codes in
+    generation order, including the 6-way C (TS|K) fork of 'ccc'."""
+    from lucene_solr_ray.analysis.phonetic import daitch_mokotoff
+
+    assert daitch_mokotoff("aaa") == ["000000"]
+    assert daitch_mokotoff("bbb") == ["700000"]
+    assert daitch_mokotoff("ccc") == ["400000", "450000", "454000",
+                                      "540000", "545000", "500000"]
+    assert daitch_mokotoff("easgasg") == ["045450"]
+
+
+def test_daitch_mokotoff_published_pairs():
+    """Classic D-M property: Moskowitz and Moskovitz collide (the
+    published motivating example for the system)."""
+    from lucene_solr_ray.analysis.phonetic import daitch_mokotoff
+
+    a = set(daitch_mokotoff("moskowitz"))
+    b = set(daitch_mokotoff("moskovitz"))
+    assert a & b, (a, b)
+    assert daitch_mokotoff("1930") == ["1930"]  # non-alpha passthrough
+
+
+def test_daitch_mokotoff_stream_inject():
+    from lucene_solr_ray.analysis.phonetic import daitch_mokotoff_stream
+
+    transform = daitch_mokotoff_stream(inject=True)
+    terms = pa.array(["ccc", "bbb"])
+    doc_idx = np.array([0, 1], dtype=np.int64)
+    positions = np.array([0, 0], dtype=np.int32)
+    t, dx, p = transform(terms, doc_idx, positions)
+    assert t.to_pylist() == ["ccc", "400000", "450000", "454000",
+                             "540000", "545000", "500000",
+                             "bbb", "700000"]
+    assert dx.tolist() == [0] * 7 + [1] * 2
+    assert p.tolist() == [0] * 9  # every code at the original position
+
+
+def test_daitch_mokotoff_registry_end_to_end():
+    from lucene_solr_ray.registry import lookup
+
+    analyze = lookup("analyzer", "phonetic_daitch_mokotoff")()
+    out = analyze(pa.array(["moskowitz", "moskovitz"]))
+    terms = out.terms.to_pylist()
+    dx = out.doc_idx.tolist()
+    codes0 = {t for t, d in zip(terms, dx) if d == 0 and t.isdigit()}
+    codes1 = {t for t, d in zip(terms, dx) if d == 1 and t.isdigit()}
+    assert codes0 & codes1  # the filter's purpose: variants collide
