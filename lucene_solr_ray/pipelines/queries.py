@@ -1660,9 +1660,23 @@ def _expr_boost_sql(term: str, expr_str: str, k: int,
         elif f == "strdist":
             fld = call.args[0].value
             const = call.args[1].value
-            col_of[key] = (
-                f"(1 - CAST(levenshtein(d.{fld}, '{const}') AS DOUBLE) "
-                f"/ greatest(length(d.{fld}), length('{const}')))")
+            measure = call.args[2].value if len(call.args) > 2 else "edit"
+            if measure == "jarowinkler":
+                # float32-exact JaroWinklerDistance rebuilt in SQL over
+                # the DISTINCT field values (strdistance_sql.py)
+                from ..search.strdistance_sql import jaro_winkler_value_sql
+
+                alias = f"jw{len(joins)}"
+                inner = jaro_winkler_value_sql(
+                    f"(SELECT DISTINCT {fld} AS val FROM documents)",
+                    const)
+                joins.append(f"LEFT JOIN ({inner}) {alias} "
+                             f"ON {alias}.val = d.{fld}")
+                col_of[key] = f"{alias}.jw"
+            else:
+                col_of[key] = (
+                    f"(1 - CAST(levenshtein(d.{fld}, '{const}') AS DOUBLE) "
+                    f"/ greatest(length(d.{fld}), length('{const}')))")
         elif f == "docfreq":
             t2 = call.args[1].value
             col_of[key] = (f"(SELECT count(DISTINCT doc_id) FROM clean "
@@ -4836,10 +4850,10 @@ def build_queries() -> dict:
             "customer", "div(ord(n_chars),sum(rord(n_chars),1))"),
         "ft_expr_strdist": _q_expr_boost(
             "table", "sum(1,strdist(lang,'en',edit))"),
-        # rows-only: Lucene's JaroWinklerDistance is float32 with an
-        # uncapped prefix and min(0.1, 1/maxlen) scaling — DuckDB's
-        # standard jaro_winkler cannot twin it (goldens in
-        # test_functionquery)
+        # Lucene's JaroWinklerDistance is float32 with an uncapped
+        # prefix and min(0.1, 1/maxlen) scaling — DuckDB's standard
+        # jaro_winkler cannot twin it, but a WITH RECURSIVE rebuild in
+        # pure FLOAT arithmetic can (search/strdistance_sql.py)
         "ft_expr_strdist_jw": _q_expr_boost(
             "table", "sum(1,strdist(lang,'en',jarowinkler))"),
         # lucene/expressions JavascriptCompiler syntax — same AST,
@@ -4928,12 +4942,14 @@ def build_oracle_sql() -> dict:
         # The remaining rows-only entries each lack a twin for a
         # PRINCIPLED reason: ann_ivf_* / ann_lsh / cluster_docs /
         # dedup_semdedup (k-means or seeded-RNG hyperplanes),
-        # ft_expr_strdist_jw (float32-exact loops), ft_highlight_fvh /
-        # _passages (sequential fragment grouping / float32 passage
-        # scoring). Porter, Porter2, KStem AND Double Metaphone are
-        # paired via analysis/{porter,snowball,kstem,metaphone}_sql.py;
-        # the perceptron's sequential pass unrolls in integers
-        # (_classify_perceptron_sql).
+        # ft_highlight_fvh / _passages (sequential fragment grouping /
+        # float32 passage scoring). Porter, Porter2, KStem AND Double
+        # Metaphone are paired via
+        # analysis/{porter,snowball,kstem,metaphone}_sql.py; the
+        # perceptron's sequential pass unrolls in integers
+        # (_classify_perceptron_sql); JaroWinkler's float32 loops run
+        # as pure-FLOAT recursive SQL (search/strdistance_sql.py —
+        # DuckDB FLOAT arithmetic is bit-identical to numpy float32).
     }
     from . import relational_sql as RS
 
@@ -5143,6 +5159,8 @@ FROM bfs WHERE kind = 'c' AND node = 2
             "customer", "div(ord(n_chars),sum(rord(n_chars),1))", 10),
         "ft_expr_strdist": _expr_boost_sql(
             "table", "sum(1,strdist(lang,'en',edit))", 10),
+        "ft_expr_strdist_jw": _expr_boost_sql(
+            "table", "sum(1,strdist(lang,'en',jarowinkler))", 10),
         "ft_expr_js": _expr_boost_sql(
             "table", "1 + sqrt(n_chars) * 0.25 - dl % 7", 10,
             syntax="js"),

@@ -5,9 +5,11 @@ lucene/suggest/.../spell/JaroWinklerDistance.java:38-105 — including
 its two deviations from Winkler's published form: the common prefix is
 NOT capped at 4, and the prefix scale is ``min(0.1f, 1f/maxlen)``
 instead of a constant 0.1. Every arithmetic step runs in numpy float32
-so the result is bit-equal to the Java float expression tree. There is
-no SQL twin (DuckDB implements standard Winkler), so strdist
-'jarowinkler' is golden-tested instead of oracle-paired.
+so the result is bit-equal to the Java float expression tree. The SQL
+twin is search/strdistance_sql.py — DuckDB's built-in jaro_winkler
+implements standard Winkler and cannot pair, but a WITH RECURSIVE
+rebuild in pure-FLOAT arithmetic is bit-identical (DuckDB FLOAT ops ==
+numpy float32 op-for-op), so strdist 'jarowinkler' is oracle-paired.
 """
 
 from __future__ import annotations

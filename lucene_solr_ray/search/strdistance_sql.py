@@ -1,0 +1,97 @@
+"""Float32-exact Jaro-Winkler in SQL — the DuckDB twin of
+search/strdistance.py (lucene/suggest/.../spell/JaroWinklerDistance.java
+:38-105, including its two deviations from Winkler's published form:
+uncapped common prefix and prefix scale ``min(0.1f, 1f/maxlen)``).
+
+DuckDB's built-in jaro_winkler_similarity implements STANDARD Winkler
+(capped prefix, constant scale) in double precision, so it cannot twin
+the reference; instead this module rebuilds the whole thing:
+
+- the greedy match loop (first unflagged window hit per mn-position) is
+  a WITH RECURSIVE walk carrying the mx match-flag BITMASK and the
+  per-position match-index list — one row per distinct field value,
+  advancing one character per iteration;
+- transpositions/prefix fall out of list comprehensions over the final
+  state;
+- the float math runs entirely in FLOAT: DuckDB FLOAT arithmetic is
+  bit-identical to numpy float32 op-for-op (verified exhaustively in
+  tests/test_functionquery.py), PROVIDED no operand promotes — LEAST()
+  promotes FLOAT to DOUBLE, hence the CASE WHEN min.
+
+The bitmask bounds the longer string to 63 characters — far above any
+keyword doc-value this is applied to (strdist runs over uninverted
+keyword fields).
+"""
+from __future__ import annotations
+
+
+def jaro_winkler_value_sql(vals_sql: str, const: str,
+                           threshold: float = 0.7) -> str:
+    """A (val, jw FLOAT) relation: the float32-exact JaroWinkler
+    similarity of every row of ``vals_sql`` (a subquery/CTE name
+    producing one VARCHAR column ``val``) against the constant.
+    Embed as ``LEFT JOIN (<this>) a ON a.val = <field>``."""
+    c = const.replace("'", "''")
+    return f"""
+WITH RECURSIVE
+jwsplit AS (SELECT val,
+    CASE WHEN length(val) > length('{c}') THEN val ELSE '{c}' END AS mx,
+    CASE WHEN length(val) > length('{c}') THEN '{c}' ELSE val END AS mn
+  FROM {vals_sql}),
+jwrec AS (
+  SELECT val, mx, mn, 0 AS mi, CAST(0 AS BIGINT) AS flags, 0 AS matches,
+         CAST([] AS INT[]) AS xis
+  FROM jwsplit
+  UNION ALL
+  SELECT val, mx, mn, mi + 1,
+         CASE WHEN xi >= 0 THEN flags | (CAST(1 AS BIGINT) << xi)
+              ELSE flags END,
+         matches + CASE WHEN xi >= 0 THEN 1 ELSE 0 END,
+         list_append(xis, xi)
+  FROM (
+    SELECT val, mx, mn, mi, flags, matches, xis,
+           COALESCE(list_min(
+             [x FOR x IN range(greatest(mi - rng, 0),
+                               least(mi + rng + 1, length(mx)))
+              IF ((flags >> x) & 1) = 0
+                 AND substr(mx, x + 1, 1) = substr(mn, mi + 1, 1)]),
+             -1) AS xi
+    FROM (SELECT *, greatest(length(mx) // 2 - 1, 0) AS rng FROM jwrec
+          WHERE mi < length(mn))
+  )
+),
+jwdone AS (SELECT * FROM jwrec WHERE mi = length(mn)),
+jwms AS (SELECT val, matches, mx, mn, flags, xis,
+   [substr(mn, k + 1, 1) FOR k IN range(0, length(mn))
+    IF xis[k + 1] >= 0] AS ms1,
+   [substr(mx, x + 1, 1) FOR x IN range(0, length(mx))
+    IF ((flags >> x) & 1) = 1] AS ms2
+  FROM jwdone),
+jwint AS (SELECT val, matches, length(mx) AS maxlen,
+   length([i FOR i IN range(1, len(ms1) + 1) IF ms1[i] <> ms2[i]]) // 2
+     AS tp,
+   COALESCE(list_min([i FOR i IN range(0, length(mn))
+                      IF substr(val, i + 1, 1)
+                         <> substr('{c}', i + 1, 1)]),
+            length(mn)) AS prefix
+  FROM jwms),
+jwf AS (SELECT val,
+   CASE WHEN matches = 0 THEN CAST(0.0 AS FLOAT) ELSE
+     (SELECT CASE WHEN j < CAST({threshold} AS FLOAT) THEN j
+             ELSE j + (CASE WHEN CAST(0.1 AS FLOAT)
+                                 < CAST(1.0 AS FLOAT)
+                                   / CAST(maxlen AS FLOAT)
+                       THEN CAST(0.1 AS FLOAT)
+                       ELSE CAST(1.0 AS FLOAT) / CAST(maxlen AS FLOAT)
+                       END)
+                      * CAST(prefix AS FLOAT)
+                      * (CAST(1.0 AS FLOAT) - j) END
+      FROM (SELECT ((CAST(matches AS FLOAT) / CAST(length(val) AS FLOAT))
+                  + (CAST(matches AS FLOAT) / CAST(length('{c}') AS FLOAT))
+                  + ((CAST(matches AS FLOAT) - CAST(tp AS FLOAT))
+                     / CAST(matches AS FLOAT)))
+                 / CAST(3.0 AS FLOAT) AS j))
+   END AS jw
+  FROM jwint)
+SELECT val, jw FROM jwf
+"""

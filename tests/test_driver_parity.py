@@ -120,6 +120,7 @@ PARAMETRIZED = [
     "ft_kstem_term",
     "ft_phonetic_term",
     "ft_classify_perceptron",
+    "ft_expr_strdist_jw",
 ]
 
 

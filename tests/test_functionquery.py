@@ -299,3 +299,32 @@ def test_js_infix_eval_matches_duckdb_bitwise():
         f"SELECT {to_sql(node, {'x': 'x', 'y': 'y'})} FROM t")
         .fetchnumpy().values()))
     assert np.array_equal(mine, theirs)
+
+
+def test_jaro_winkler_sql_twin_randomized():
+    """search/strdistance_sql.py vs the float32 Python reference on
+    random strings: DuckDB pure-FLOAT arithmetic must be bit-identical
+    to the numpy float32 expression tree for every (val, const) pair."""
+    import random
+    import string
+
+    import duckdb
+
+    from lucene_solr_ray.search.strdistance import jaro_winkler_distance
+    from lucene_solr_ray.search.strdistance_sql import jaro_winkler_value_sql
+
+    rng = random.Random(7)
+    vals = ["en", "fr", "zh", "english", "table", "tabel", "martha",
+            "marhta", "dixon", "dicksonx", "dwayne", "duane", "a"]
+    vals += ["".join(rng.choices(string.ascii_lowercase[:6],
+                                 k=rng.randint(1, 12))) for _ in range(150)]
+    vals = list(dict.fromkeys(vals))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE jwvals(val VARCHAR)")
+    con.executemany("INSERT INTO jwvals VALUES (?)", [(v,) for v in vals])
+    for const in ("en", "martha", "abcdef"):
+        got = dict(con.execute(
+            jaro_winkler_value_sql("jwvals", const)).fetchall())
+        for v in vals:
+            assert float(got[v]) == jaro_winkler_distance(v, const), \
+                (v, const)
