@@ -1233,7 +1233,10 @@ ORDER BY t.rank
 
 def _q_highlight_passages(terms, k=3):
     """Top-k hits with PostingsHighlighter-style multi-passage
-    snippets (rows-only — presentation output)."""
+    snippets. Oracle-paired: the whole passage pipeline — char-scan
+    token spans, greedy segmentation, the float32 PassageScorer —
+    rebuilds in SQL (_highlight_passages_sql), so the snippets are
+    byte-equal."""
     def run(sf_dir):
         from ..search.highlight import highlight_passages
 
@@ -1249,6 +1252,162 @@ def _q_highlight_passages(terms, k=3):
             "snippet": pa.array(snips, type=pa.string()),
         })
     return run
+
+
+def _highlight_passages_sql(terms: list[str], k: int = 3,
+                            pivot: int = 87, max_passages: int = 3) -> str:
+    """Twin of ft_highlight_passages: top-k bool-OR BM25 docs, then the
+    PostingsHighlighter passage pipeline rebuilt in SQL — token spans
+    via a char-scan series (the [A-Za-z0-9]+ discipline), stop/length
+    filtering, greedy ~pivot-char passage segmentation as a WITH
+    RECURSIVE jump walk, and the float32 PassageScorer reproduced in
+    pure FLOAT arithmetic (DuckDB FLOAT ops == numpy float32; the
+    per-term fold over sorted terms becomes a left-assoc sum of
+    COALESCE(...) pulls — adding +0.0f for absent terms is exact).
+    Snippets are byte-assembled exactly like the engine (gap/<em>-hit
+    segments per hit, '...'-joined passages in offset order)."""
+    inlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    clause_sum = " + ".join(
+        f"COALESCE(max(CASE WHEN term = '{t}' THEN sc END), 0)"
+        for t in terms)
+    f32 = "CAST({} AS FLOAT)"
+    wtf_sum = " + ".join(
+        f"COALESCE(max(CASE WHEN h.term = '{t}' THEN h.wtf END), "
+        f"{f32.format(0)})"
+        for t in sorted(set(terms)))
+    return f"""
+WITH RECURSIVE {_tok_ctes()},
+per AS (SELECT doc_id, term, count(*) AS tf FROM clean
+        WHERE term IN ({inlist}) GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM per GROUP BY term),
+cs AS (SELECT per.doc_id, per.term,
+              {_bm25_expr('per.tf', 'dl.dl', 'dfs.df')} AS sc
+       FROM per JOIN dfs USING (term) JOIN dl USING (doc_id), stats s),
+scored AS (SELECT doc_id, {clause_sum} AS score FROM cs GROUP BY doc_id),
+topk AS (
+  SELECT d.doc_id AS doc_id, d.text AS text,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+              AS BIGINT) AS rank
+  FROM scored JOIN documents d USING (doc_id)
+  ORDER BY score DESC, doc_id ASC LIMIT {k}
+),
+series AS (SELECT unnest(range(1, (SELECT max(length(text)) + 1
+                                   FROM topk))) AS i),
+chars AS (SELECT t.doc_id, s.i,
+                 regexp_matches(lower(substr(t.text, s.i, 1)),
+                                '[a-z0-9]') AS a
+          FROM topk t JOIN series s ON s.i <= length(t.text)),
+marked AS (SELECT doc_id, i, a,
+                  CASE WHEN a AND NOT COALESCE(lag(a) OVER
+                       (PARTITION BY doc_id ORDER BY i), FALSE)
+                       THEN 1 ELSE 0 END AS startflag
+           FROM chars),
+tokpos AS (SELECT doc_id, i,
+                  sum(startflag) OVER (PARTITION BY doc_id ORDER BY i)
+                    AS tok_id
+           FROM marked WHERE a),
+tokens AS (SELECT tp.doc_id, tp.tok_id, min(tp.i) AS s1, max(tp.i) AS e1
+           FROM tokpos tp GROUP BY tp.doc_id, tp.tok_id),
+surv AS (SELECT tk.doc_id,
+                lower(substr(t.text, tk.s1, tk.e1 - tk.s1 + 1)) AS term,
+                tk.s1, tk.e1,
+                row_number() OVER (PARTITION BY tk.doc_id
+                                   ORDER BY tk.s1) AS ord
+         FROM tokens tk JOIN topk t USING (doc_id)
+         WHERE tk.e1 - tk.s1 + 1 <= 255
+           AND lower(substr(t.text, tk.s1, tk.e1 - tk.s1 + 1))
+               NOT IN {_STOPLIST}),
+jmp AS (SELECT a.doc_id, a.ord, min(b.ord) AS nxt
+        FROM surv a LEFT JOIN surv b
+          ON b.doc_id = a.doc_id AND b.e1 >= a.s1 + {pivot} - 1
+        GROUP BY a.doc_id, a.ord),
+prec AS (
+  SELECT doc_id, 1 AS pno, CAST(1 AS BIGINT) AS i
+  FROM (SELECT DISTINCT doc_id FROM surv)
+  UNION ALL
+  SELECT p.doc_id, p.pno + 1, j.nxt
+  FROM prec p JOIN jmp j ON j.doc_id = p.doc_id AND j.ord = p.i
+  WHERE j.nxt IS NOT NULL
+),
+prange AS (SELECT p.doc_id, p.pno, p.i AS i0,
+                  COALESCE(j.nxt - 1, (SELECT max(ord) FROM surv s2
+                                       WHERE s2.doc_id = p.doc_id)) AS i1
+           FROM prec p LEFT JOIN jmp j
+             ON j.doc_id = p.doc_id AND j.ord = p.i),
+pspan AS (SELECT pr.doc_id, pr.pno, min(s.s1) - 1 AS pstart,
+                 max(s.e1) AS pend
+          FROM prange pr JOIN surv s
+            ON s.doc_id = pr.doc_id AND s.ord BETWEEN pr.i0 AND pr.i1
+          GROUP BY pr.doc_id, pr.pno),
+hits AS (SELECT pr.doc_id, pr.pno, s.term, s.s1, s.e1
+         FROM prange pr JOIN surv s
+           ON s.doc_id = pr.doc_id AND s.ord BETWEEN pr.i0 AND pr.i1
+         WHERE s.term IN ({inlist})),
+ttfq AS (SELECT doc_id, term, count(*) AS c FROM surv
+         WHERE term IN ({inlist}) GROUP BY doc_id, term),
+wq AS (SELECT tt.doc_id, tt.term,
+              (CAST(1.2 AS FLOAT) + CAST(1 AS FLOAT))
+              * CAST(ln(CAST(1 AS FLOAT)
+                        + ((CAST(1 AS FLOAT)
+                            + CAST(length(t.text) AS FLOAT)
+                              / CAST({pivot}.0 AS FLOAT))
+                           + CAST(0.5 AS FLOAT))
+                          / (CAST(tt.c AS FLOAT) + CAST(0.5 AS FLOAT)))
+                 AS FLOAT) AS w
+       FROM ttfq tt JOIN topk t USING (doc_id)),
+hterm AS (SELECT h.doc_id, h.pno, h.term, count(*) AS f
+          FROM hits h GROUP BY h.doc_id, h.pno, h.term),
+hwtf AS (SELECT ht.doc_id, ht.pno, ht.term,
+                wq.w * (CAST(ht.f AS FLOAT)
+                        / (CAST(ht.f AS FLOAT)
+                           + CAST(1.2 AS FLOAT)
+                             * ((CAST(1 AS FLOAT) - CAST(0.75 AS FLOAT))
+                                + CAST(0.75 AS FLOAT)
+                                  * (CAST(sp.pend - sp.pstart AS FLOAT)
+                                     / CAST({pivot}.0 AS FLOAT)))))
+                  AS wtf
+         FROM hterm ht
+         JOIN wq ON wq.doc_id = ht.doc_id AND wq.term = ht.term
+         JOIN pspan sp ON sp.doc_id = ht.doc_id AND sp.pno = ht.pno),
+pscore AS (SELECT h.doc_id, h.pno,
+                  ({wtf_sum})
+                  * (CAST(1 AS FLOAT)
+                     + CAST(1 AS FLOAT)
+                       / CAST(ln(CAST({pivot} AS DOUBLE)
+                                 + CAST(sp.pstart AS DOUBLE)) AS FLOAT))
+                    AS score
+           FROM hwtf h JOIN pspan sp
+             ON sp.doc_id = h.doc_id AND sp.pno = h.pno
+           GROUP BY h.doc_id, h.pno, sp.pstart),
+sel AS (SELECT ps.doc_id, ps.pno, sp.pstart, sp.pend
+        FROM pscore ps JOIN pspan sp
+          ON sp.doc_id = ps.doc_id AND sp.pno = ps.pno
+        QUALIFY row_number() OVER (PARTITION BY ps.doc_id
+                                   ORDER BY ps.score DESC,
+                                            sp.pstart ASC)
+                <= {max_passages}),
+hitseg AS (SELECT sel.doc_id, sel.pno, sel.pstart, sel.pend, h.s1, h.e1,
+                  COALESCE(lag(h.e1) OVER (PARTITION BY sel.doc_id,
+                                                        sel.pno
+                                           ORDER BY h.s1),
+                           sel.pstart) AS cur
+           FROM sel JOIN hits h
+             ON h.doc_id = sel.doc_id AND h.pno = sel.pno),
+frag AS (SELECT hs.doc_id, hs.pstart,
+  string_agg(
+    substr(t.text, hs.cur + 1, (hs.s1 - 1) - hs.cur)
+    || '<em>' || substr(t.text, hs.s1, hs.e1 - hs.s1 + 1) || '</em>',
+    '' ORDER BY hs.s1)
+  || substr(any_value(t.text), max(hs.e1) + 1, hs.pend - max(hs.e1))
+    AS fragment
+  FROM hitseg hs JOIN topk t USING (doc_id)
+  GROUP BY hs.doc_id, hs.pno, hs.pstart, hs.pend)
+SELECT t.doc_id AS doc_id, t.rank AS rank,
+       (SELECT string_agg(f.fragment, '...' ORDER BY f.pstart)
+        FROM frag f WHERE f.doc_id = t.doc_id) AS snippet
+FROM topk t
+ORDER BY t.rank
+"""
 
 
 _SORT_EXPR_JS = "floor(value * 100 + 0.5) * 7 + user_id % 5"
@@ -4760,7 +4919,7 @@ def build_queries() -> dict:
         "ft_highlight": _q_highlight("table"),
         "ft_highlight_fvh": _q_highlight_fvh(["fast", "table"]),  # rows-only
         "ft_highlight_passages": _q_highlight_passages(
-            ["table", "scan"]),                      # rows-only
+            ["table", "scan"]),
         "ft_filter_lang": _q_filtered("table", "lang", "en"),
         "ft_facet_lang": _q_result_facet("table", "lang"),
         "ft_drill_sideways": _q_drill_sideways(
@@ -4942,14 +5101,14 @@ def build_oracle_sql() -> dict:
         # The remaining rows-only entries each lack a twin for a
         # PRINCIPLED reason: ann_ivf_* / ann_lsh / cluster_docs /
         # dedup_semdedup (k-means or seeded-RNG hyperplanes),
-        # ft_highlight_fvh / _passages (sequential fragment grouping /
-        # float32 passage scoring). Porter, Porter2, KStem AND Double
-        # Metaphone are paired via
-        # analysis/{porter,snowball,kstem,metaphone}_sql.py; the
-        # perceptron's sequential pass unrolls in integers
-        # (_classify_perceptron_sql); JaroWinkler's float32 loops run
-        # as pure-FLOAT recursive SQL (search/strdistance_sql.py —
-        # DuckDB FLOAT arithmetic is bit-identical to numpy float32).
+        # ft_highlight_fvh (sequential longest-first fragment
+        # de-nesting). Porter, Porter2, KStem AND Double Metaphone are
+        # paired via analysis/{porter,snowball,kstem,metaphone}_sql.py;
+        # the perceptron's sequential pass unrolls in integers
+        # (_classify_perceptron_sql); JaroWinkler's float32 loops and
+        # the PostingsHighlighter passage scorer run as pure-FLOAT SQL
+        # (strdistance_sql.py, _highlight_passages_sql — DuckDB FLOAT
+        # arithmetic is bit-identical to numpy float32).
     }
     from . import relational_sql as RS
 
@@ -5064,6 +5223,7 @@ def build_oracle_sql() -> dict:
         "text_pack_sequences": _pack_sequences_sql(128),
         # byte-exact presentation twin: char-scan first-token match
         "ft_highlight": _highlight_sql("table"),
+        "ft_highlight_passages": _highlight_passages_sql(["table", "scan"]),
         "ft_suggest_free_text": _free_text_suggest_sql("fast", 10),
         "ft_frange": _frange_sql("recip(dl,1,100,100)", 0.6, 0.65, 10),
         "rel_date_range_facet": _date_range_facet_sql(

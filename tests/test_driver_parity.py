@@ -121,6 +121,7 @@ PARAMETRIZED = [
     "ft_phonetic_term",
     "ft_classify_perceptron",
     "ft_expr_strdist_jw",
+    "ft_highlight_passages",
 ]
 
 
