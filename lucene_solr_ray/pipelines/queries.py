@@ -1460,7 +1460,10 @@ LIMIT {k}
 
 def _q_highlight_fvh(phrase, k=3):
     """FastVectorHighlighter-style snippets: the phrase match is
-    wrapped as one unit (rows-only — presentation output)."""
+    wrapped as one unit. Oracle-paired: every step is integer logic,
+    so the de-nesting and fragment-grouping scans unroll as
+    precomputed-jump recursions in SQL (_highlight_fvh_sql) and the
+    snippets are byte-equal."""
     def run(sf_dir):
         from ..search.highlight import highlight_fvh
 
@@ -1475,6 +1478,167 @@ def _q_highlight_fvh(phrase, k=3):
             "snippet": pa.array(snips, type=pa.string()),
         })
     return run
+
+
+def _highlight_fvh_sql(phrase: list[str], k: int = 3,
+                       frag_char_size: int = 100,
+                       max_frags: int = 2) -> str:
+    """Twin of ft_highlight_fvh — every step is integer logic, so the
+    whole FastVectorHighlighter analogue rebuilds in SQL: phrase top-k
+    (the ft_phrase twin), char-scan token spans, phrase/term matches as
+    surviving-adjacency joins, longest-first de-nesting AND greedy
+    fragment grouping as precomputed-jump WITH RECURSIVE walks
+    (each jump depends only on the current row, so both sequential
+    scans unroll), integer boost sums, and byte-exact <b>-wrapped
+    fragment assembly."""
+    t1, t2 = phrase[0], phrase[1]
+    margin = frag_char_size // 6
+    return f"""
+WITH RECURSIVE {_tok_ctes()},
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM clean
+        WHERE term IN ('{t1}', '{t2}') GROUP BY term),
+pf AS (SELECT a.doc_id, count(*) AS pf
+       FROM clean a JOIN clean b
+         ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       WHERE a.term = '{t1}' AND b.term = '{t2}'
+       GROUP BY a.doc_id),
+idf AS (SELECT ln(1 + (s.n_docs - d1.df + 0.5) / (d1.df + 0.5))
+             + ln(1 + (s.n_docs - d2.df + 0.5) / (d2.df + 0.5)) AS v
+        FROM stats s,
+             (SELECT df FROM dfs WHERE term = '{t1}') d1,
+             (SELECT df FROM dfs WHERE term = '{t2}') d2),
+scored AS (
+  SELECT pf.doc_id AS doc_id,
+         idf.v * (pf.pf * ({K1_SQL} + 1))
+           / (pf.pf + {K1_SQL} * ((1 - {B_SQL}) + ({B_SQL} * dl.dl)
+              / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))) AS score
+  FROM pf JOIN dl USING (doc_id), idf, stats s
+),
+topk AS (
+  SELECT d.doc_id AS doc_id, d.text AS text,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+              AS BIGINT) AS rank
+  FROM scored JOIN documents d USING (doc_id)
+  ORDER BY score DESC, doc_id ASC LIMIT {k}
+),
+series AS (SELECT unnest(range(1, (SELECT max(length(text)) + 1
+                                   FROM topk))) AS i),
+chars AS (SELECT t.doc_id, s.i,
+                 regexp_matches(lower(substr(t.text, s.i, 1)),
+                                '[a-z0-9]') AS a
+          FROM topk t JOIN series s ON s.i <= length(t.text)),
+marked AS (SELECT doc_id, i, a,
+                  CASE WHEN a AND NOT COALESCE(lag(a) OVER
+                       (PARTITION BY doc_id ORDER BY i), FALSE)
+                       THEN 1 ELSE 0 END AS startflag
+           FROM chars),
+tokpos AS (SELECT doc_id, i,
+                  sum(startflag) OVER (PARTITION BY doc_id ORDER BY i)
+                    AS tok_id
+           FROM marked WHERE a),
+tokens AS (SELECT tp.doc_id, tp.tok_id, min(tp.i) AS s1, max(tp.i) AS e1
+           FROM tokpos tp GROUP BY tp.doc_id, tp.tok_id),
+surv AS (SELECT tk.doc_id,
+                lower(substr(t.text, tk.s1, tk.e1 - tk.s1 + 1)) AS term,
+                tk.s1, tk.e1,
+                row_number() OVER (PARTITION BY tk.doc_id
+                                   ORDER BY tk.s1) AS ord
+         FROM tokens tk JOIN topk t USING (doc_id)
+         WHERE tk.e1 - tk.s1 + 1 <= 255
+           AND lower(substr(t.text, tk.s1, tk.e1 - tk.s1 + 1))
+               NOT IN {_STOPLIST}),
+minfo AS (SELECT doc_id, s0, e0, boost,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY s0 ASC, e0 DESC, boost DESC)
+                   AS rid
+          FROM (
+            SELECT a.doc_id, a.s1 - 1 AS s0, b.e1 AS e0, 2 AS boost
+            FROM surv a JOIN surv b
+              ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+            WHERE a.term = '{t1}' AND b.term = '{t2}'
+            UNION ALL
+            SELECT doc_id, s1 - 1 AS s0, e1 AS e0, 1 AS boost
+            FROM surv WHERE term = '{t1}')),
+djmp AS (SELECT a.doc_id, a.rid, min(b.rid) AS nxt
+         FROM minfo a LEFT JOIN minfo b
+           ON b.doc_id = a.doc_id AND b.rid > a.rid AND b.s0 >= a.e0
+         GROUP BY a.doc_id, a.rid),
+drec AS (
+  SELECT doc_id, CAST(1 AS BIGINT) AS rid, 1 AS kidx
+  FROM (SELECT DISTINCT doc_id FROM minfo)
+  UNION ALL
+  SELECT d.doc_id, j.nxt, d.kidx + 1
+  FROM drec d JOIN djmp j ON j.doc_id = d.doc_id AND j.rid = d.rid
+  WHERE j.nxt IS NOT NULL
+),
+flat AS (SELECT d.doc_id, d.kidx, m.s0, m.e0, m.boost
+         FROM drec d JOIN minfo m
+           ON m.doc_id = d.doc_id AND m.rid = d.rid),
+maxk AS (SELECT doc_id, max(kidx) AS mk FROM flat GROUP BY doc_id),
+gj AS (SELECT f.doc_id, f.kidx, f.e0,
+              greatest(0, f.s0 - {margin}) AS fs,
+              least(length(t.text),
+                    greatest(0, f.s0 - {margin}) + {frag_char_size}) AS fe
+       FROM flat f JOIN topk t USING (doc_id)),
+gjmp AS (SELECT g.doc_id, g.kidx, g.fs, g.fe, g.e0, mx.mk,
+                min(b.kidx) AS nxt
+         FROM gj g
+         JOIN maxk mx ON mx.doc_id = g.doc_id
+         LEFT JOIN flat b
+           ON b.doc_id = g.doc_id AND b.kidx >= g.kidx AND b.e0 > g.fe
+         GROUP BY g.doc_id, g.kidx, g.fs, g.fe, g.e0, mx.mk),
+gnx AS (SELECT doc_id, kidx,
+               -- match longer than the fragment: take it whole, then
+               -- restart at the very next match
+               CASE WHEN nxt = kidx
+                    THEN (CASE WHEN kidx + 1 <= mk THEN kidx + 1 END)
+                    ELSE nxt END AS nxt,
+               CASE WHEN nxt = kidx THEN kidx ELSE COALESCE(nxt, mk + 1) - 1
+                    END AS i1,
+               fs,
+               CASE WHEN nxt = kidx THEN e0 ELSE fe END AS fe
+        FROM gjmp),
+grec AS (
+  SELECT doc_id, 1 AS fno, CAST(1 AS BIGINT) AS i
+  FROM (SELECT DISTINCT doc_id FROM flat)
+  UNION ALL
+  SELECT g.doc_id, g.fno + 1, x.nxt
+  FROM grec g JOIN gnx x ON x.doc_id = g.doc_id AND x.kidx = g.i
+  WHERE x.nxt IS NOT NULL
+),
+fragdef AS (SELECT g.doc_id, g.fno, x.fs, x.fe, g.i AS i0, x.i1
+            FROM grec g JOIN gnx x
+              ON x.doc_id = g.doc_id AND x.kidx = g.i),
+fragsel AS (SELECT fd.doc_id, fd.fno, fd.fs, fd.fe, fd.i0, fd.i1
+            FROM fragdef fd JOIN flat f
+              ON f.doc_id = fd.doc_id AND f.kidx BETWEEN fd.i0 AND fd.i1
+            GROUP BY fd.doc_id, fd.fno, fd.fs, fd.fe, fd.i0, fd.i1
+            QUALIFY row_number() OVER (PARTITION BY fd.doc_id
+                                       ORDER BY sum(f.boost) DESC,
+                                                fd.fs ASC, fd.fno ASC)
+                    <= {max_frags}),
+hitseg AS (SELECT fs.doc_id, fs.fno, fs.fs, fs.fe, f.s0, f.e0,
+                  COALESCE(lag(f.e0) OVER (PARTITION BY fs.doc_id,
+                                                        fs.fno
+                                           ORDER BY f.s0),
+                           fs.fs) AS cur
+           FROM fragsel fs JOIN flat f
+             ON f.doc_id = fs.doc_id AND f.kidx BETWEEN fs.i0 AND fs.i1),
+fragtxt AS (SELECT hs.doc_id, hs.fs,
+  string_agg(
+    substr(t.text, hs.cur + 1, hs.s0 - hs.cur)
+    || '<b>' || substr(t.text, hs.s0 + 1, hs.e0 - hs.s0) || '</b>',
+    '' ORDER BY hs.s0)
+  || substr(any_value(t.text), max(hs.e0) + 1, hs.fe - max(hs.e0))
+    AS fragment
+  FROM hitseg hs JOIN topk t USING (doc_id)
+  GROUP BY hs.doc_id, hs.fno, hs.fs, hs.fe)
+SELECT t.doc_id AS doc_id, t.rank AS rank,
+       (SELECT string_agg(f.fragment, '...' ORDER BY f.fs)
+        FROM fragtxt f WHERE f.doc_id = t.doc_id) AS snippet
+FROM topk t
+ORDER BY t.rank
+"""
 
 
 def _q_drill_sideways(term, drills):
@@ -4917,7 +5081,7 @@ def build_queries() -> dict:
         "ft_term_vector": _q_term_vector(0),
         "ft_term_vector_positions": _q_term_vector_positions(0),
         "ft_highlight": _q_highlight("table"),
-        "ft_highlight_fvh": _q_highlight_fvh(["fast", "table"]),  # rows-only
+        "ft_highlight_fvh": _q_highlight_fvh(["fast", "table"]),
         "ft_highlight_passages": _q_highlight_passages(
             ["table", "scan"]),
         "ft_filter_lang": _q_filtered("table", "lang", "en"),
@@ -5098,17 +5262,19 @@ def build_oracle_sql() -> dict:
         "ann_ivf_full_probe": ann_brute_sql(),
         "ann_lsh_degenerate": ann_brute_sql(),
         "dedup_embedding_cosine": embedding_near_dup_sql(),
-        # The remaining rows-only entries each lack a twin for a
-        # PRINCIPLED reason: ann_ivf_* / ann_lsh / cluster_docs /
-        # dedup_semdedup (k-means or seeded-RNG hyperplanes),
-        # ft_highlight_fvh (sequential longest-first fragment
-        # de-nesting). Porter, Porter2, KStem AND Double Metaphone are
-        # paired via analysis/{porter,snowball,kstem,metaphone}_sql.py;
-        # the perceptron's sequential pass unrolls in integers
-        # (_classify_perceptron_sql); JaroWinkler's float32 loops and
-        # the PostingsHighlighter passage scorer run as pure-FLOAT SQL
-        # (strdistance_sql.py, _highlight_passages_sql — DuckDB FLOAT
-        # arithmetic is bit-identical to numpy float32).
+        # The 5 remaining rows-only entries are ALL approximate-ANN /
+        # clustering by construction: ann_ivf_* / ann_lsh / cluster_docs
+        # / dedup_semdedup (k-means with order-sensitive float means, or
+        # seeded-RNG hyperplanes); each carries a pytest recall bound
+        # AND a degeneracy oracle pair (full-probe IVF / 0-bit LSH ==
+        # exhaustive search). Everything sequential or float32 is now
+        # paired: Porter/Porter2/KStem/Double Metaphone via
+        # analysis/*_sql.py, the perceptron via integer unrolling
+        # (_classify_perceptron_sql), JaroWinkler + the
+        # PostingsHighlighter passage scorer via pure-FLOAT SQL (DuckDB
+        # FLOAT arithmetic is bit-identical to numpy float32), and the
+        # FVH highlighter via precomputed-jump recursions
+        # (_highlight_fvh_sql).
     }
     from . import relational_sql as RS
 
@@ -5224,6 +5390,7 @@ def build_oracle_sql() -> dict:
         # byte-exact presentation twin: char-scan first-token match
         "ft_highlight": _highlight_sql("table"),
         "ft_highlight_passages": _highlight_passages_sql(["table", "scan"]),
+        "ft_highlight_fvh": _highlight_fvh_sql(["fast", "table"]),
         "ft_suggest_free_text": _free_text_suggest_sql("fast", 10),
         "ft_frange": _frange_sql("recip(dl,1,100,100)", 0.6, 0.65, 10),
         "rel_date_range_facet": _date_range_facet_sql(

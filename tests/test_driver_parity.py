@@ -122,6 +122,7 @@ PARAMETRIZED = [
     "ft_classify_perceptron",
     "ft_expr_strdist_jw",
     "ft_highlight_passages",
+    "ft_highlight_fvh",
 ]
 
 
