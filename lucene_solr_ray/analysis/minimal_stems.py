@@ -1,0 +1,164 @@
+"""The *MinimalStem* family (lucene/analysis/common): the least
+aggressive per-language stemmers — plural-only reduction.
+
+- French / German / Norwegian minimal stemmers follow Jacques Savoy's
+  published minimal-stemming judgments (the UniNE family; reference:
+  fr/FrenchMinimalStemmer.java, de/GermanMinimalStemmer.java,
+  no/NorwegianMinimalStemmer.java — each a dozen-line rule cascade).
+- Portuguese / Galician minimal stemmers are the "Plural" step of the
+  published RSLP algorithm (Orengo & Huyck, "A stemming algorithm for
+  the Portuguese language"; reference: pt/RSLPStemmerBase.java rule
+  semantics + the pt/portuguese.rslp and gl/galician.rslp rule data —
+  first matching rule fires; a rule needs stem length >= min after
+  stripping and must not hit its whole-word exception list).
+
+Golden vectors in tests/test_minimal_stems.py come from the
+reference's own Test*MinimalStemFilter.java expectations.
+"""
+from __future__ import annotations
+
+NYNORSK = "nynorsk"
+BOKMAAL = "bokmaal"
+
+
+def french_minimal_stem(term: str) -> str:
+    """fr/FrenchMinimalStemmer.java: plural x (with -aux -> -al),
+    then one each of trailing s/r/e/é, then a doubled final letter."""
+    s = term
+    if len(s) < 6:
+        return s
+    if s[-1] == "x":
+        if s[-3] == "a" and s[-2] == "u":
+            s = s[:-2] + "l"
+        else:
+            s = s[:-1]
+        return s
+    if s[-1] == "s":
+        s = s[:-1]
+    if s[-1] == "r":
+        s = s[:-1]
+    if s[-1] == "e":
+        s = s[:-1]
+    if s[-1] == "é":
+        s = s[:-1]
+    if len(s) >= 2 and s[-1] == s[-2]:
+        s = s[:-1]
+    return s
+
+
+def german_minimal_stem(term: str) -> str:
+    """de/GermanMinimalStemmer.java: umlaut fold, then -nen / -en -se
+    -es -er pairs / single n-e-s-r."""
+    s = term
+    if len(s) < 5:
+        return s
+    s = s.replace("ä", "a").replace("ö", "o").replace("ü", "u")
+    n = len(s)
+    if n > 6 and s.endswith("nen"):
+        return s[:-3]
+    if n > 5:
+        if s.endswith(("en", "se", "es", "er")):
+            return s[:-2]
+    if s[-1] in "nesr":
+        return s[:-1]
+    return s
+
+
+def norwegian_minimal_stem(term: str, flags: str = BOKMAAL) -> str:
+    """no/NorwegianMinimalStemmer.java: genitive s, -ene (-ane in
+    nynorsk), -er/-en/-et (-ar in nynorsk), final a/e."""
+    s = term
+    nyn = flags == NYNORSK
+    if len(s) > 4 and s[-1] == "s":
+        s = s[:-1]
+    if len(s) > 5 and (s.endswith("ene") or (nyn and s.endswith("ane"))):
+        return s[:-3]
+    if len(s) > 4 and (s.endswith(("er", "en", "et"))
+                       or (nyn and s.endswith("ar"))):
+        return s[:-2]
+    if len(s) > 3 and s[-1] in "ae":
+        return s[:-1]
+    return s
+
+
+# ---------------------------------------------------------------------------
+# RSLP "Plural" steps (rule = (suffix, min_stem_len, replacement,
+# whole-word exceptions); first match fires; step gated on word length
+# and a trailing-s precondition)
+# ---------------------------------------------------------------------------
+
+_PT_PLURAL = [
+    ("ns", 1, "m", ()),
+    ("ões", 3, "ão", ()),
+    ("ães", 1, "ão", ("mães",)),
+    ("ais", 1, "al", ("cais", "mais")),
+    ("éis", 2, "el", ()),
+    ("eis", 2, "el", ()),
+    ("óis", 2, "ol", ()),
+    ("is", 2, "il", ("lápis", "cais", "mais", "crúcis", "biquínis",
+                     "pois", "depois", "dois", "leis")),
+    ("les", 3, "l", ()),
+    ("res", 3, "r", ("árvores",)),
+    ("s", 2, "", ("aliás", "pires", "lápis", "cais", "mais", "mas",
+                  "menos", "férias", "fezes", "pêsames", "crúcis",
+                  "gás", "atrás", "moisés", "através", "convés", "ês",
+                  "país", "após", "ambas", "ambos", "messias",
+                  "depois")),
+]
+
+_GL_PLURAL = [
+    ("ns", 1, "n", ("luns", "furatapóns", "furatapons")),
+    ("ós", 3, "ón", ()),
+    ("ões", 3, "ón", ()),
+    ("ães", 1, "ão", ("mães", "magalhães")),
+    ("ais", 2, "al", ("cais", "tais", "mais", "pais", "ademais")),
+    ("áis", 2, "al", ("cáis", "táis", "máis", "páis", "ademáis")),
+    ("éis", 2, "el", ()),
+    ("eis", 2, "el", ()),
+    ("óis", 2, "ol", ("escornabóis",)),
+    ("ois", 2, "ol", ("escornabois",)),
+    ("ís", 2, "il", ("país",)),
+    ("is", 2, "il", ("menfis", "pais", "kinguis")),
+    ("les", 2, "l", ("ingles", "marselles", "montreales", "senegales",
+                     "manizales", "móstoles", "nápoles")),
+    ("res", 3, "r", ("petres", "henares", "cáceres", "baleares",
+                     "linares", "londres", "mieres", "miraflores",
+                     "mércores", "venres", "pires")),
+    ("ces", 2, "z", ()),
+    ("zes", 2, "z", ()),
+    ("ises", 3, "z", ()),
+    ("ás", 1, "al", ("más",)),
+    ("ses", 2, "s", ()),
+    ("s", 2, "", ("barbadés", "barcelonés", "cantonés", "gabonés",
+                  "llanés", "medinés", "escocés", "escocês", "francês",
+                  "barcelonês", "cantonês", "macramés", "reves",
+                  "barcelones", "cantones", "gabones", "llanes",
+                  "magallanes", "medines", "escoces", "frances",
+                  "xoves", "martes", "aliás", "pires", "lápis", "cais",
+                  "mais", "mas", "menos", "férias", "pêsames", "crúcis",
+                  "país", "cangas", "atenas", "asturias", "canarias",
+                  "filipinas", "honduras", "molucas", "caldas",
+                  "mascareñas", "micenas", "covarrubias", "psoas",
+                  "óculos", "nupcias", "xoves", "martes", "llanes")),
+]
+
+
+def _rslp_plural(term: str, rules, min_len: int = 3) -> str:
+    if len(term) < min_len or not term.endswith("s"):
+        return term
+    for suffix, min_stem, repl, exceptions in rules:
+        if (term.endswith(suffix)
+                and len(term) - len(suffix) >= min_stem
+                and term not in exceptions):
+            return term[:-len(suffix)] + repl
+    return term
+
+
+def portuguese_minimal_stem(term: str) -> str:
+    """pt/PortugueseMinimalStemmer.java: the RSLP Plural step only."""
+    return _rslp_plural(term, _PT_PLURAL)
+
+
+def galician_minimal_stem(term: str) -> str:
+    """gl/GalicianMinimalStemmer.java: the Galician RSLP Plural step."""
+    return _rslp_plural(term, _GL_PLURAL)

@@ -124,6 +124,28 @@ def _snowball_de_chain():
                              term_transform=snowball_german)
 
 
+def _minimal_chain(fn_name):
+    """One analyzer per *MinimalStemFilterFactory (fr/de/no/pt/gl) —
+    plural-only reduction composed onto the standard chain."""
+    def chain():
+        import functools
+
+        from .analysis import analyze_batch
+        from .analysis import minimal_stems as M
+
+        return functools.partial(analyze_batch,
+                                 term_transform=getattr(M, fn_name))
+    return chain
+
+
+for _name, _fn in [("french_minimal", "french_minimal_stem"),
+                   ("german_minimal", "german_minimal_stem"),
+                   ("norwegian_minimal", "norwegian_minimal_stem"),
+                   ("portuguese_minimal", "portuguese_minimal_stem"),
+                   ("galician_minimal", "galician_minimal_stem")]:
+    register("analyzer", _name)(_minimal_chain(_fn))
+
+
 @register("analyzer", "phonetic_double_metaphone")
 def _dm_chain():
     import functools

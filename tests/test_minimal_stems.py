@@ -1,0 +1,143 @@
+"""Golden vectors for the *MinimalStem* family, taken from the
+reference's own test expectations:
+
+- fr: TestFrenchMinimalStemFilter.java testExamples
+- de: TestGermanMinimalStemFilter.java testExamples
+- no: the full nb_minimal.txt / nn_minimal.txt vocabularies
+  (TestNorwegianMinimalStemFilter.java assertVocabulary)
+- pt: TestPortugueseMinimalStemFilter.java testExamples (the RSLP
+  paper sentence)
+- gl: TestGalicianMinimalStemFilter.java testPlural/testExceptions
+"""
+from lucene_solr_ray.analysis.minimal_stems import (
+    BOKMAAL,
+    NYNORSK,
+    french_minimal_stem,
+    galician_minimal_stem,
+    german_minimal_stem,
+    norwegian_minimal_stem,
+    portuguese_minimal_stem,
+)
+
+
+def _check(fn, cases):
+    bad = {w: (fn(w), want) for w, want in cases if fn(w) != want}
+    assert not bad, bad
+
+
+def test_french_minimal_golden():
+    _check(french_minimal_stem, [
+        ("chevaux", "cheval"), ("hiboux", "hibou"),
+        ("chantés", "chant"), ("chanter", "chant"), ("chante", "chant"),
+        ("baronnes", "baron"), ("barons", "baron"), ("baron", "baron"),
+    ])
+
+
+def test_german_minimal_golden():
+    _check(german_minimal_stem, [
+        ("sängerinnen", "sangerin"), ("frauen", "frau"),
+        ("kenntnisse", "kenntnis"), ("staates", "staat"),
+        ("bilder", "bild"), ("boote", "boot"),
+        ("götter", "gott"), ("äpfel", "apfel"),
+    ])
+
+
+# the reference nb_minimal.txt vocabulary, verbatim
+NB_VOCAB = [
+    ("bil", "bil"), ("bilen", "bil"), ("biler", "bil"), ("bilene", "bil"),
+    ("bilens", "bil"), ("bilenes", "bil"),
+    ("sekretæren", "sekretær"), ("sekretær", "sekretær"),
+    ("sekretærene", "sekretær"),
+    ("kaker", "kak"), ("kaken", "kak"), ("kakene", "kak"),
+    ("kakenes", "kak"),
+    ("bibliotekar", "bibliotekar"), ("bibliotekarer", "bibliotekar"),
+    ("bibliotekaren", "bibliotekar"), ("bibliotekarens", "bibliotekar"),
+    ("bibliotekarene", "bibliotekar"), ("bibliotekarenes", "bibliotekar"),
+    ("veske", "vesk"), ("veska", "vesk"), ("vesken", "vesk"),
+    ("veskene", "vesk"), ("veskas", "vesk"),
+    ("huset", "hus"), ("husene", "hus"), ("husets", "hus"), ("hus", "hus"),
+    ("husenes", "hus"),
+    ("flagg", "flagg"), ("flagga", "flagg"), ("flaggene", "flagg"),
+    ("flaggets", "flagg"), ("flaggenes", "flagg"),
+    ("politi", "politi"), ("politiet", "politi"), ("politiets", "politi"),
+    ("politienes", "politi"),
+    ("vaffel", "vaffel"), ("vafler", "vafl"), ("vaflene", "vafl"),
+    ("tittel", "tittel"), ("titler", "titl"), ("titlene", "titl"),
+    ("kam", "kam"), ("kammer", "kamm"), ("kammene", "kamm"),
+    ("kamrene", "kamr"),
+    ("ku", "ku"), ("kyr", "kyr"), ("kuer", "kuer"), ("kyrne", "kyrn"),
+    ("kuene", "kuen"),
+    ("datter", "datt"), ("døtre", "døtr"), ("døtrene", "døtr"),
+    ("abc", "abc"), ("123", "123"), ("Jens", "Jens"),
+    ("billig", "billig"), ("billigere", "billiger"),
+    ("billigst", "billigst"), ("billige", "billig"),
+    ("god", "god"), ("bedre", "bedr"), ("best", "best"),
+    ("godhet", "godh"), ("forelskelse", "forelskels"),
+    ("kristendom", "kristendom"),
+    ("føle", "føl"), ("følte", "følt"), ("følt", "følt"),
+    ("hemmelig", "hemmelig"), ("hemmelighet", "hemmeligh"),
+    ("hemmeligheten", "hemmelighet"),
+    ("kjærlig", "kjærlig"), ("kjærlighet", "kjærligh"),
+    ("kjærligheten", "kjærlighet"),
+]
+
+# the reference nn_minimal.txt vocabulary, verbatim
+NN_VOCAB = [
+    ("gut", "gut"), ("guten", "gut"), ("gutar", "gut"), ("gutane", "gut"),
+    ("gutens", "gut"), ("gutanes", "gut"),
+    ("søknad", "søknad"), ("søknaden", "søknad"), ("søknadar", "søknad"),
+    ("søknadane", "søknad"), ("søknadens", "søknad"),
+    ("søknadanes", "søknad"),
+    ("jente", "jent"), ("jenta", "jent"), ("jenter", "jent"),
+    ("jentene", "jent"), ("jentas", "jent"),
+    ("dyr", "dyr"), ("dyret", "dyr"), ("dyra", "dyr"), ("dyras", "dyr"),
+    ("prospekt", "prospekt"), ("prospektet", "prospekt"),
+    ("prospekta", "prospekt"), ("prospektas", "prospekt"),
+    ("innhald", "innhald"), ("innhaldet", "innhald"),
+    ("innhalda", "innhald"),
+    ("søner", "søn"), ("sønene", "søn"),
+    ("brør", "brør"), ("brørne", "brørn"),
+    ("dotter", "dott"), ("døtrer", "døtr"), ("døtrene", "døtr"),
+    ("klo", "klo"), ("klørne", "klørn"),
+    ("mor", "mor"), ("mødrer", "mødr"), ("mødrene", "mødr"),
+    ("vedunder", "vedund"),
+    ("abc", "abc"), ("123", "123"), ("Jens", "Jens"),
+    ("farleg", "farleg"), ("farlegare", "farlegar"),
+    ("farlegast", "farlegast"),
+    ("stor", "stor"), ("større", "størr"), ("størst", "størst"),
+    ("gammal", "gammal"), ("eldre", "eldr"), ("eldst", "eldst"),
+    ("sanning", "sanning"), ("sanninga", "sanning"),
+    ("syngje", "syngj"), ("syng", "syng"), ("song", "song"),
+    ("sunge", "sung"),
+]
+
+
+def test_norwegian_minimal_bokmaal_vocabulary():
+    _check(lambda w: norwegian_minimal_stem(w, BOKMAAL), NB_VOCAB)
+
+
+def test_norwegian_minimal_nynorsk_vocabulary():
+    _check(lambda w: norwegian_minimal_stem(w, NYNORSK), NN_VOCAB)
+
+
+def test_portuguese_minimal_paper_sentence():
+    # the RSLP paper sentence, tokenized; only the plural forms change
+    _check(portuguese_minimal_stem, [
+        ("debate", "debate"), ("político", "político"),
+        ("menos", "menos"), ("temas", "tema"), ("menores", "menor"),
+        ("mas", "mas"), ("grandes", "grande"), ("questões", "questão"),
+        ("nas", "na"), ("eleições", "eleição"),
+        ("aproximam", "aproximam"), ("surpreendente", "surpreendente"),
+    ])
+
+
+def test_galician_minimal_golden():
+    _check(galician_minimal_stem, [
+        ("elefantes", "elefante"), ("elefante", "elefante"),
+        ("kalóres", "kalór"), ("kalór", "kalór"),
+        # exceptions pass through (RuleWithSetExceptions: the excepted
+        # rule falls through to the NEXT rule, so "luns" still hits the
+        # generic -s rule — RSLPStemmerBase.java:141)
+        ("mas", "mas"), ("barcelonês", "barcelonês"),
+        ("luns", "lun"), ("país", "país"),
+    ])
