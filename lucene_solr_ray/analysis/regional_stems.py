@@ -1,0 +1,503 @@
+"""Per-language light stemmers and normalizers from
+lucene/analysis/common that are not part of the UniNE "light"/"minimal"
+families already in filters.py / minimal_stems.py:
+
+- Bulgarian (bg/BulgarianStemmer.java — the Savoy/BulStem-style light
+  algorithm: article, plural, e-deletion, ен→н, ъN→N)
+- Czech (cz/CzechStemmer.java — Dolamic & Savoy light stemmer: case,
+  possessive, consonant normalization)
+- Latvian (lv/LatvianStemmer.java — Kreslin's light noun/adjective
+  algorithm with palatalization reversal)
+- Indonesian (id/IndonesianStemmer.java — Tala's algorithm; stateful
+  REMOVED_* flags gate the suffix rules)
+- Hindi normalizer + stemmer (hi/HindiNormalizer.java per Ljiljana
+  Dolamic's normalization, hi/HindiStemmer.java per Ramanathan & Rao)
+- Persian normalizer (fa/PersianNormalizer.java)
+- Sorani Kurdish normalizer + stemmer (ckb/SoraniNormalizer.java,
+  ckb/SoraniStemmer.java)
+
+All are faithful ports of the published rule cascades; golden vectors
+in tests/test_regional_stems.py come from the reference's own test
+expectations.
+"""
+from __future__ import annotations
+
+import unicodedata
+
+# ---------------------------------------------------------------------------
+# Bulgarian
+# ---------------------------------------------------------------------------
+
+
+def _bg_remove_article(s: str) -> str:
+    if len(s) > 6 and s.endswith("ият"):
+        return s[:-3]
+    if len(s) > 5 and s.endswith(("ът", "то", "те", "та", "ия")):
+        return s[:-2]
+    if len(s) > 4 and s.endswith("ят"):
+        return s[:-2]
+    return s
+
+
+def _bg_remove_plural(s: str) -> str:
+    if len(s) > 6:
+        if s.endswith("овци"):
+            return s[:-3]          # -> о
+        if s.endswith("ове"):
+            return s[:-3]
+        if s.endswith("еве"):
+            return s[:-3] + "й"
+    if len(s) > 5:
+        if s.endswith("ища"):
+            return s[:-3]
+        if s.endswith("та"):
+            return s[:-2]
+        if s.endswith("ци"):
+            return s[:-2] + "к"
+        if s.endswith("зи"):
+            return s[:-2] + "г"
+        if s[-3] == "е" and s[-1] == "и":
+            return s[:-3] + "я" + s[-2]   # е..и -> я..
+    if len(s) > 4:
+        if s.endswith("си"):
+            return s[:-2] + "х"
+        if s.endswith("и"):
+            return s[:-1]
+    return s
+
+
+def bulgarian_stem(term: str) -> str:
+    """bg/BulgarianStemmer.java:40-73 (article → plural → vowel strip →
+    ен→н → ъN→N; the paper's duplicated ен rule fixed as in the perl
+    reference implementation)."""
+    s = term
+    if len(s) < 4:
+        return s
+    if len(s) > 5 and s.endswith("ища"):
+        return s[:-3]
+    s = _bg_remove_article(s)
+    s = _bg_remove_plural(s)
+    if len(s) > 3:
+        if s.endswith("я"):
+            s = s[:-1]
+        if s and s[-1] in "аое":
+            s = s[:-1]
+    if len(s) > 4 and s.endswith("ен"):
+        s = s[:-2] + "н"
+    if len(s) > 5 and s[-2] == "ъ":
+        s = s[:-2] + s[-1]
+    return s
+
+
+# ---------------------------------------------------------------------------
+# Czech
+# ---------------------------------------------------------------------------
+
+_CZ_CASE_5 = ("ech", "ich", "ích", "ého", "ěmi", "emi", "ému", "ěte",
+              "ete", "ěti", "eti", "ího", "iho", "ími", "ímu", "imu",
+              "ách", "ata", "aty", "ých", "ama", "ami", "ové", "ovi",
+              "ými")
+_CZ_CASE_4 = ("em", "es", "ém", "ím", "ům", "at", "ám", "os", "us",
+              "ým", "mi", "ou")
+_CZ_VOWELS = set("aeiouůyáéíýě")
+
+
+def _cz_remove_case(s: str) -> str:
+    if len(s) > 7 and s.endswith("atech"):
+        return s[:-5]
+    if len(s) > 6 and s.endswith(("ětem", "etem", "atům")):
+        return s[:-4]
+    if len(s) > 5 and s.endswith(_CZ_CASE_5):
+        return s[:-3]
+    if len(s) > 4 and s.endswith(_CZ_CASE_4):
+        return s[:-2]
+    if len(s) > 3 and s[-1] in _CZ_VOWELS:
+        return s[:-1]
+    return s
+
+
+def _cz_normalize(s: str) -> str:
+    if s.endswith("čt"):
+        return s[:-2] + "ck"
+    if s.endswith("št"):
+        return s[:-2] + "sk"
+    if s[-1] in "cč":
+        return s[:-1] + "k"
+    if s[-1] in "zž":
+        return s[:-1] + "h"
+    if len(s) > 1 and s[-2] == "e":
+        return s[:-2] + s[-1]      # e* > *
+    if len(s) > 2 and s[-2] == "ů":
+        return s[:-2] + "o" + s[-1]
+    return s
+
+
+def czech_stem(term: str) -> str:
+    """cz/CzechStemmer.java:44-51 (removeCase → removePossessives →
+    normalize); expects lowercase input with diacritics."""
+    s = _cz_remove_case(term)
+    if len(s) > 5 and s.endswith(("ov", "in", "ův")):
+        s = s[:-2]
+    if s:
+        s = _cz_normalize(s)
+    return s
+
+
+# ---------------------------------------------------------------------------
+# Latvian
+# ---------------------------------------------------------------------------
+
+# (affix, vowel-count threshold, fires palatalization reversal) —
+# scanned in order, first hit wins (LatvianStemmer.java:53-72)
+_LV_AFFIXES = [
+    ("ajiem", 3, False), ("ajai", 3, False), ("ajam", 2, False),
+    ("ajām", 2, False), ("ajos", 2, False), ("ajās", 2, False),
+    ("iem", 2, True), ("ajā", 2, False), ("ais", 2, False),
+    ("ai", 2, False), ("ei", 2, False), ("ām", 1, False),
+    ("am", 1, False), ("ēm", 1, False), ("īm", 1, False),
+    ("im", 1, False), ("um", 1, False), ("us", 1, True),
+    ("as", 1, False), ("ās", 1, False), ("es", 1, False),
+    ("os", 1, True), ("ij", 1, False), ("īs", 1, False),
+    ("ēs", 1, False), ("is", 1, False), ("ie", 1, False),
+    ("u", 1, True), ("a", 1, True), ("i", 1, True),
+    ("e", 1, False), ("ā", 1, False), ("ē", 1, False),
+    ("ī", 1, False), ("ū", 1, False), ("o", 1, False),
+    ("s", 0, False), ("š", 0, False),
+]
+_LV_VOWELS = set("aeiouāīēū")
+
+
+def _lv_unpalatalize(s: str, removed: str) -> str:
+    """Reverse the declension II/V/VI palatalization
+    (LatvianStemmer.java:88-146); `removed` is the first char of the
+    stripped affix (Java peeks at s[len])."""
+    if removed == "u":
+        if s.endswith("kš"):
+            return s[:-2] + "kst"
+        if s.endswith("ņņ"):
+            return s[:-2] + "nn"
+    if s.endswith(("pj", "bj", "mj", "vj")):
+        return s[:-1]
+    if s.endswith("šņ"):
+        return s[:-2] + "sn"
+    if s.endswith("žņ"):
+        return s[:-2] + "zn"
+    if s.endswith("šļ"):
+        return s[:-2] + "sl"
+    if s.endswith("žļ"):
+        return s[:-2] + "zl"
+    if s.endswith("ļņ"):
+        return s[:-2] + "ln"
+    if s.endswith("ļļ"):
+        return s[:-2] + "ll"
+    if s.endswith("č"):
+        return s[:-1] + "c"
+    if s.endswith("ļ"):
+        return s[:-1] + "l"
+    if s.endswith("ņ"):
+        return s[:-1] + "n"
+    return s
+
+
+def latvian_stem(term: str) -> str:
+    """lv/LatvianStemmer.java:39-50 — first affix whose vowel-count
+    threshold the WHOLE word beats (and leaves a ≥3-char stem) is
+    stripped; palatalizing affixes then reverse the mutation."""
+    num_vowels = sum(1 for c in term if c in _LV_VOWELS)
+    for affix, vc, palatalizes in _LV_AFFIXES:
+        if (num_vowels > vc and len(term) >= len(affix) + 3
+                and term.endswith(affix)):
+            s = term[:-len(affix)]
+            return _lv_unpalatalize(s, affix[0]) if palatalizes else s
+    return term
+
+
+# ---------------------------------------------------------------------------
+# Indonesian
+# ---------------------------------------------------------------------------
+
+_ID_VOWELS = set("aeiou")
+
+
+def indonesian_stem(term: str, derivational: bool = True) -> str:
+    """id/IndonesianStemmer.java:48-63 — Tala's algorithm. Particle and
+    possessive-pronoun stripping always run; `derivational=False` is
+    the filter's stemDerivational=false inflectional-only mode."""
+    s = term
+    syllables = sum(1 for c in s if c in _ID_VOWELS)
+    flags = set()
+
+    if syllables > 2 and s.endswith(("kah", "lah", "pun")):
+        syllables -= 1
+        s = s[:-3]
+    if syllables > 2:
+        if s.endswith(("ku", "mu")):
+            syllables -= 1
+            s = s[:-2]
+        elif s.endswith("nya"):
+            syllables -= 1
+            s = s[:-3]
+    if not derivational:
+        return s
+
+    def first_order_prefix(s):
+        nonlocal syllables
+        # (prefix, flag, chars removed, mutation) in Java rule order
+        if s.startswith("meng"):
+            flags.add("meng"); syllables -= 1; return s[4:]
+        if s.startswith("meny") and len(s) > 4 and s[4] in _ID_VOWELS:
+            flags.add("meng"); syllables -= 1; return "s" + s[4:]
+        if s.startswith(("men", "mem")):
+            flags.add("meng"); syllables -= 1; return s[3:]
+        if s.startswith("me"):
+            flags.add("meng"); syllables -= 1; return s[2:]
+        if s.startswith("peng"):
+            flags.add("peng"); syllables -= 1; return s[4:]
+        if s.startswith("peny") and len(s) > 4 and s[4] in _ID_VOWELS:
+            flags.add("peng"); syllables -= 1; return "s" + s[4:]
+        if s.startswith("peny"):
+            flags.add("peng"); syllables -= 1; return s[4:]
+        if s.startswith("pen") and len(s) > 3 and s[3] in _ID_VOWELS:
+            flags.add("peng"); syllables -= 1; return "t" + s[3:]
+        if s.startswith(("pen", "pem")):
+            flags.add("peng"); syllables -= 1; return s[3:]
+        if s.startswith("di"):
+            flags.add("di"); syllables -= 1; return s[2:]
+        if s.startswith("ter"):
+            flags.add("ter"); syllables -= 1; return s[3:]
+        if s.startswith("ke"):
+            flags.add("ke"); syllables -= 1; return s[2:]
+        return s
+
+    def second_order_prefix(s):
+        nonlocal syllables
+        if s.startswith("ber") or s == "belajar":
+            flags.add("ber"); syllables -= 1; return s[3:]
+        if (s.startswith("be") and len(s) > 4
+                and s[2] not in _ID_VOWELS and s[3] == "e" and s[4] == "r"):
+            flags.add("ber"); syllables -= 1; return s[2:]
+        if s.startswith("per") or s == "pelajar":
+            syllables -= 1; return s[3:]
+        if s.startswith("pe"):
+            flags.add("pe"); syllables -= 1; return s[2:]
+        return s
+
+    def suffix(s):
+        nonlocal syllables
+        if (s.endswith("kan") and "ke" not in flags
+                and "peng" not in flags and "pe" not in flags):
+            syllables -= 1; return s[:-3]
+        if (s.endswith("an") and "di" not in flags
+                and "meng" not in flags and "ter" not in flags):
+            syllables -= 1; return s[:-2]
+        if (s.endswith("i") and not s.endswith("si")
+                and "ber" not in flags and "ke" not in flags
+                and "peng" not in flags):
+            syllables -= 1; return s[:-1]
+        return s
+
+    before = s
+    if syllables > 2:
+        s = first_order_prefix(s)
+    if s != before:                    # a first-order rule fired
+        before = s
+        if syllables > 2:
+            s = suffix(s)
+        if s != before and syllables > 2:
+            s = second_order_prefix(s)
+    else:
+        if syllables > 2:
+            s = second_order_prefix(s)
+        if syllables > 2:
+            s = suffix(s)
+    return s
+
+
+# ---------------------------------------------------------------------------
+# Hindi
+# ---------------------------------------------------------------------------
+
+_HI_CHARMAP = {
+    "ँ": "ं",   # candrabindu -> bindu
+    "ऩ": "न", "ऱ": "र", "ऴ": "ळ",
+    "क़": "क", "ख़": "ख", "ग़": "ग",
+    "ज़": "ज", "ड़": "ड", "ढ़": "ढ",
+    "फ़": "फ", "य़": "य",
+    # chandra/short -> replacement vowels
+    "ॅ": "े", "ॆ": "े",
+    "ॉ": "ो", "ॊ": "ो",
+    "ऍ": "ए", "ऎ": "ए",
+    "ऑ": "ओ", "ऒ": "ओ",
+    "ॲ": "अ",
+    # long -> short independent vowels
+    "आ": "अ", "ई": "इ", "ऊ": "उ",
+    "ॠ": "ऋ", "ॡ": "ऌ",
+    "ऐ": "ए", "औ": "ओ",
+    # long -> short dependent vowels
+    "ी": "ि", "ू": "ु", "ॄ": "ृ",
+    "ॣ": "ॢ", "ै": "े", "ौ": "ो",
+}
+
+
+def hindi_normalize(term: str) -> str:
+    """hi/HindiNormalizer.java:50-180 — dead n→bindu, nukta/virama/
+    zwj/zwnj deletion, chandra and long→short vowel folding."""
+    s = list(term)
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "न" and i + 1 < len(s) and s[i + 1] == "्":
+            s[i] = "ं"          # dead n -> bindu
+            del s[i + 1]
+        elif c in ("़", "‍", "‌", "्"):
+            del s[i]                 # nukta / zwj / zwnj / virama
+            continue
+        elif c in _HI_CHARMAP:
+            s[i] = _HI_CHARMAP[c]
+        i += 1
+    return "".join(s)
+
+
+_HI_SUFFIXES = [
+    # (min word length exclusive, suffixes) — HindiStemmer.java:33-120
+    (6, ("ाएंगी", "ाएंगे", "ाऊंगी", "ाऊंगा", "ाइयाँ", "ाइयों", "ाइयां")),
+    (5, ("ाएगी", "ाएगा", "ाओगी", "ाओगे", "एंगी", "ेंगी", "एंगे", "ेंगे",
+         "ूंगी", "ूंगा", "ातीं", "नाओं", "नाएं", "ताओं", "ताएं", "ियाँ",
+         "ियों", "ियां")),
+    (4, ("ाकर", "ाइए", "ाईं", "ाया", "ेगी", "ेगा", "ोगी", "ोगे", "ाने",
+         "ाना", "ाते", "ाती", "ाता", "तीं", "ाओं", "ाएं", "ुओं", "ुएं",
+         "ुआं")),
+    (3, ("कर", "ाओ", "िए", "ाई", "ाए", "ने", "नी", "ना", "ते", "ीं",
+         "ती", "ता", "ाँ", "ां", "ों", "ें")),
+    (2, ("ो", "े", "ू", "ु", "ी", "ि", "ा")),
+]
+
+
+def hindi_stem(term: str) -> str:
+    """hi/HindiStemmer.java — Ramanathan & Rao's lightweight suffix
+    table, longest class first."""
+    for min_len, suffixes in _HI_SUFFIXES:
+        if len(term) > min_len:
+            for suf in suffixes:
+                if term.endswith(suf):
+                    return term[:-len(suf)]
+    return term
+
+
+# ---------------------------------------------------------------------------
+# Persian
+# ---------------------------------------------------------------------------
+
+_FA_CHARMAP = {
+    "ی": "ي",   # FARSI YEH -> YEH
+    "ے": "ي",   # YEH BARREE -> YEH
+    "ک": "ك",   # KEHEH -> KAF
+    "ۀ": "ه",   # HEH+YEH -> HEH
+    "ہ": "ه",   # HEH GOAL -> HEH
+}
+
+
+def persian_normalize(term: str) -> str:
+    """fa/PersianNormalizer.java:61-89 — yeh/kaf/heh folding, hamza
+    above deleted."""
+    out = []
+    for c in term:
+        if c == "ٔ":            # HAMZA ABOVE
+            continue
+        out.append(_FA_CHARMAP.get(c, c))
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# Sorani Kurdish
+# ---------------------------------------------------------------------------
+
+_CKB_HEH = "ه"
+_CKB_AE = "ە"
+_CKB_CHARMAP = {
+    "ي": "ی", "ى": "ی",   # yeh variants -> farsi yeh
+    "ك": "ک",                       # kaf -> keheh
+    "ة": _CKB_AE,                        # teh marbuta -> ae
+    "ھ": _CKB_HEH,                       # heh doachashmee -> heh
+    "ڒ": "ڕ",                       # rreh above -> rreh
+}
+_CKB_DELETE = set("ـًٌٍَُِّْ")
+
+
+def sorani_normalize(term: str) -> str:
+    """ckb/SoraniNormalizer.java:64-126 — yeh/kaf folding, final/ZWNJ
+    heh -> ae, initial reh -> rreh, harakat/tatweel/format deletion."""
+    s = list(term)
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c in _CKB_CHARMAP:
+            s[i] = _CKB_CHARMAP[c]
+        elif c == "‌":                    # ZWNJ
+            if i > 0 and s[i - 1] == _CKB_HEH:
+                s[i - 1] = _CKB_AE
+            del s[i]
+            continue
+        elif c == _CKB_HEH:
+            if i == len(s) - 1:
+                s[i] = _CKB_AE
+        elif c == "ر":                    # REH
+            if i == 0:
+                s[i] = "ڕ"
+        elif c in _CKB_DELETE or unicodedata.category(c) == "Cf":
+            del s[i]
+            continue
+        i += 1
+    return "".join(s)
+
+
+def sorani_stem(term: str) -> str:
+    """ckb/SoraniStemmer.java:34-104 — postposition, possessive
+    pronoun, then the ezafe/definite/plural/demonstrative chain."""
+    s = term
+    # postposition
+    if len(s) > 5 and s.endswith("دا"):
+        s = s[:-2]
+    elif len(s) > 4 and s.endswith("نا"):
+        s = s[:-1]
+    elif len(s) > 6 and s.endswith("ەوە"):
+        s = s[:-3]
+    # possessive pronoun
+    if len(s) > 6 and s.endswith(("مان", "یان", "تان")):
+        s = s[:-3]
+    # indefinite singular ezafe
+    if len(s) > 6 and s.endswith("ێکی"):
+        return s[:-3]
+    elif len(s) > 7 and s.endswith("یەکی"):
+        return s[:-4]
+    if len(s) > 5 and s.endswith("ێک"):          # indefinite singular
+        return s[:-2]
+    elif len(s) > 6 and s.endswith("یەک"):
+        return s[:-3]
+    elif len(s) > 6 and s.endswith("ەکە"):       # definite singular
+        return s[:-3]
+    elif len(s) > 5 and s.endswith("کە"):
+        return s[:-2]
+    elif len(s) > 7 and s.endswith("ەکان"):      # definite plural
+        return s[:-4]
+    elif len(s) > 6 and s.endswith("کان"):
+        return s[:-3]
+    elif len(s) > 7 and s.endswith("یانی"):      # indefinite plural ezafe
+        return s[:-4]
+    elif len(s) > 6 and s.endswith("انی"):
+        return s[:-3]
+    elif len(s) > 6 and s.endswith("یان"):       # indefinite plural
+        return s[:-3]
+    elif len(s) > 5 and s.endswith("ان"):
+        return s[:-2]
+    elif len(s) > 7 and s.endswith("یانە"):      # demonstrative plural
+        return s[:-4]
+    elif len(s) > 6 and s.endswith("انە"):
+        return s[:-3]
+    elif len(s) > 5 and s.endswith(("ایە", "ەیە")):   # demonstrative sing.
+        return s[:-2]
+    elif len(s) > 4 and s.endswith("ە"):
+        return s[:-1]
+    elif len(s) > 4 and s.endswith("ی"):         # absolute singular ezafe
+        return s[:-1]
+    return s

@@ -146,6 +146,39 @@ for _name, _fn in [("french_minimal", "french_minimal_stem"),
     register("analyzer", _name)(_minimal_chain(_fn))
 
 
+def _regional_chain(*fn_names):
+    """One analyzer per regional-language Analyzer (bg/cz/lv/id/hi/fa/
+    ckb) — the normalize→stem composition each *Analyzer.java applies."""
+    def chain():
+        import functools
+
+        from .analysis import analyze_batch
+        from .analysis import regional_stems as R
+
+        fns = [getattr(R, n) for n in fn_names]
+
+        def transform(term):
+            for fn in fns:
+                term = fn(term)
+            return term
+
+        # the unicode tokenizer: these languages are non-Latin or
+        # diacritic-heavy, so the ascii default would drop their tokens
+        return functools.partial(analyze_batch, term_transform=transform,
+                                 tokenizer="unicode")
+    return chain
+
+
+for _name, _fns in [("bulgarian", ("bulgarian_stem",)),
+                    ("czech", ("czech_stem",)),
+                    ("latvian", ("latvian_stem",)),
+                    ("indonesian", ("indonesian_stem",)),
+                    ("hindi", ("hindi_normalize", "hindi_stem")),
+                    ("persian", ("persian_normalize",)),
+                    ("sorani", ("sorani_normalize", "sorani_stem"))]:
+    register("analyzer", _name)(_regional_chain(*_fns))
+
+
 @register("analyzer", "phonetic_double_metaphone")
 def _dm_chain():
     import functools

@@ -1,0 +1,275 @@
+"""Golden vectors for the per-language regional stemmers/normalizers,
+from the reference's own tests:
+
+- bg: TestBulgarianStemmer.java (nouns, adjectives, the ят/ища/ци/зи
+  mutations, the мъжът exception)
+- cz: TestCzechStemmer.java (masculine/feminine/neuter paradigms,
+  possessives, the ž→h / c→k normalizations)
+- lv: TestLatvianStemmer.java (all seven declensions incl.
+  palatalization reversal)
+- id: TestIndonesianStemmer.java (particles, possessives, first/second
+  order prefixes, flag-gated suffixes, inflectional-only mode)
+- hi: TestHindiNormalizer.java / TestHindiStemmer.java
+- fa: TestPersianNormalizationFilter.java
+- ckb: TestSoraniNormalizationFilter.java / TestSoraniStemFilter.java
+"""
+from lucene_solr_ray.analysis.regional_stems import (
+    bulgarian_stem,
+    czech_stem,
+    hindi_normalize,
+    hindi_stem,
+    indonesian_stem,
+    latvian_stem,
+    persian_normalize,
+    sorani_normalize,
+    sorani_stem,
+)
+
+
+def _check(fn, cases):
+    bad = {w: (fn(w), want) for w, want in cases if fn(w) != want}
+    assert not bad, bad
+
+
+def test_bulgarian_golden():
+    _check(bulgarian_stem, [
+        ("град", "град"), ("града", "град"), ("градът", "град"),
+        ("градове", "град"), ("градовете", "град"),
+        ("народ", "народ"), ("народа", "народ"), ("народът", "народ"),
+        ("народи", "народ"), ("народите", "народ"), ("народе", "народ"),
+        ("път", "път"), ("пътя", "път"), ("пътят", "път"),
+        ("пътища", "път"), ("пътищата", "път"),
+        ("градец", "градец"), ("градеца", "градец"),
+        ("градецът", "градец"), ("градовце", "градовц"),
+        ("градовцете", "градовц"),
+        ("дядо", "дяд"), ("дядото", "дяд"), ("дядовци", "дяд"),
+        ("дядовците", "дяд"),
+        ("мъж", "мъж"), ("мъжа", "мъж"), ("мъже", "мъж"),
+        ("мъжете", "мъж"), ("мъжо", "мъж"),
+        ("мъжът", "мъжът"),     # the reference's own length-guard quirk
+        ("крак", "крак"), ("крака", "крак"), ("кракът", "крак"),
+        ("краката", "крак"),
+        ("брат", "брат"), ("братя", "брат"), ("братята", "брат"),
+        ("брате", "брат"),
+        ("вест", "вест"), ("вестта", "вест"), ("вести", "вест"),
+        ("вестите", "вест"),
+        ("дърво", "дърв"), ("дървото", "дърв"), ("дърва", "дърв"),
+        ("дървета", "дърв"), ("дървата", "дърв"), ("дърветата", "дърв"),
+        ("море", "мор"), ("морето", "мор"), ("морета", "мор"),
+        ("моретата", "мор"),
+        ("изключение", "изключени"), ("изключението", "изключени"),
+        ("изключенията", "изключени"), ("изключения", "изключн"),
+        ("красив", "красив"), ("красивия", "красив"),
+        ("красивият", "красив"), ("красива", "красив"),
+        ("красивата", "красив"), ("красиво", "красив"),
+        ("красивото", "красив"), ("красиви", "красив"),
+        ("красивите", "красив"),
+        ("собственик", "собственик"), ("собственика", "собственик"),
+        ("собственикът", "собственик"), ("собственици", "собственик"),
+        ("собствениците", "собственик"),
+        ("подлог", "подлог"), ("подлога", "подлог"),
+        ("подлогът", "подлог"), ("подлози", "подлог"),
+        ("подлозите", "подлог"),
+        ("кожух", "кожух"), ("кожуха", "кожух"),
+    ])
+
+
+def test_czech_golden():
+    _check(czech_stem, [
+        ("pán", "pán"), ("páni", "pán"), ("pánové", "pán"),
+        ("pána", "pán"), ("pánů", "pán"), ("pánovi", "pán"),
+        ("pánům", "pán"), ("pány", "pán"), ("páne", "pán"),
+        ("pánech", "pán"), ("pánem", "pán"),
+        ("hrad", "hrad"), ("hradu", "hrad"), ("hradem", "hrad"),
+        ("hrady", "hrad"), ("hradech", "hrad"), ("hradům", "hrad"),
+        ("hradů", "hrad"),
+        ("muž", "muh"), ("muži", "muh"), ("muže", "muh"),
+        ("mužů", "muh"), ("mužům", "muh"), ("mužích", "muh"),
+        ("mužem", "muh"),
+        ("stroj", "stroj"), ("stroje", "stroj"), ("strojů", "stroj"),
+        ("stroji", "stroj"), ("strojům", "stroj"),
+        ("strojích", "stroj"), ("strojem", "stroj"),
+        ("předseda", "předsd"), ("předsedové", "předsd"),
+        ("předsedy", "předsd"), ("předsedů", "předsd"),
+        ("předsedovi", "předsd"), ("předsedům", "předsd"),
+        ("předsedu", "předsd"), ("předsedo", "předsd"),
+        ("předsedech", "předsd"), ("předsedou", "předsd"),
+        ("soudce", "soudk"), ("soudci", "soudk"), ("soudců", "soudk"),
+        ("soudcům", "soudk"), ("soudcích", "soudk"),
+        ("soudcem", "soudk"),
+        ("kost", "kost"), ("kosti", "kost"), ("kostí", "kost"),
+        ("kostem", "kost"), ("kostech", "kost"), ("kostmi", "kost"),
+        ("píseň", "písň"), ("písně", "písn"), ("písni", "písn"),
+        ("písněmi", "písn"), ("písních", "písn"), ("písním", "písn"),
+        ("růže", "růh"), ("růží", "růh"), ("růžím", "růh"),
+        ("růžích", "růh"), ("růžemi", "růh"), ("růži", "růh"),
+        ("žena", "žn"), ("ženy", "žn"), ("žen", "žn"), ("ženě", "žn"),
+        ("ženám", "žn"), ("ženu", "žn"), ("ženo", "žn"),
+        ("ženách", "žn"), ("ženou", "žn"), ("ženami", "žn"),
+        ("město", "měst"), ("města", "měst"), ("měst", "měst"),
+        ("městu", "měst"), ("městům", "měst"), ("městě", "měst"),
+        ("městech", "měst"), ("městem", "měst"), ("městy", "měst"),
+        ("moře", "moř"), ("moří", "moř"), ("mořím", "moř"),
+        ("moři", "moř"),
+    ])
+
+
+def test_latvian_golden():
+    _check(latvian_stem, [
+        # decl. I masc.
+        ("tēvs", "tēv"), ("tēvi", "tēv"), ("tēva", "tēv"),
+        ("tēvu", "tēv"), ("tēvam", "tēv"), ("tēviem", "tēv"),
+        ("tēvus", "tēv"), ("tēvā", "tēv"), ("tēvos", "tēv"),
+        # decl. II with palatalization
+        ("lācis", "lāc"), ("lāči", "lāc"), ("lāča", "lāc"),
+        ("lāču", "lāc"), ("lācim", "lāc"), ("lāčiem", "lāc"),
+        ("lāci", "lāc"), ("lāčus", "lāc"), ("lācī", "lāc"),
+        ("lāčos", "lāc"),
+        ("akmens", "akmen"), ("akmeņi", "akmen"), ("akmeņu", "akmen"),
+        ("akmenim", "akmen"), ("akmeņiem", "akmen"),
+        ("akmeni", "akmen"), ("akmeņus", "akmen"), ("akmenī", "akmen"),
+        ("akmeņos", "akmen"),
+        ("kurmis", "kurm"), ("kurmji", "kurm"), ("kurmja", "kurm"),
+        ("kurmju", "kurm"), ("kurmim", "kurm"), ("kurmjiem", "kurm"),
+        ("kurmi", "kurm"), ("kurmjus", "kurm"), ("kurmī", "kurm"),
+        ("kurmjos", "kurm"),
+        # decl. III
+        ("lietus", "liet"), ("lieti", "liet"), ("lietu", "liet"),
+        ("lietum", "liet"), ("lietiem", "liet"), ("lietū", "liet"),
+        ("lietos", "liet"),
+        # decl. IV fem.
+        ("lapa", "lap"), ("lapas", "lap"), ("lapu", "lap"),
+        ("lapai", "lap"), ("lapām", "lap"), ("lapā", "lap"),
+        ("lapās", "lap"),
+        ("puika", "puik"), ("puikas", "puik"), ("puiku", "puik"),
+        ("puikam", "puik"), ("puikām", "puik"), ("puikā", "puik"),
+        ("puikās", "puik"),
+        # decl. V with palatalization
+        ("egle", "egl"), ("egles", "egl"), ("egļu", "egl"),
+        ("eglei", "egl"), ("eglēm", "egl"), ("egli", "egl"),
+        ("eglē", "egl"), ("eglēs", "egl"),
+        # decl. VI
+        ("govs", "gov"), ("govis", "gov"), ("govju", "gov"),
+    ])
+
+
+def test_indonesian_golden():
+    _check(indonesian_stem, [
+        ("bukukah", "buku"), ("adalah", "ada"), ("bukupun", "buku"),
+        ("bukuku", "buku"), ("bukumu", "buku"), ("bukunya", "buku"),
+        ("mengukur", "ukur"), ("menyapu", "sapu"), ("menduga", "duga"),
+        ("menuduh", "uduh"), ("membaca", "baca"), ("merusak", "rusak"),
+        ("pengukur", "ukur"), ("penyapu", "sapu"), ("penduga", "duga"),
+        ("pembaca", "baca"), ("diukur", "ukur"), ("tersapu", "sapu"),
+        ("kekasih", "kasih"), ("berlari", "lari"), ("belajar", "ajar"),
+        ("bekerja", "kerja"), ("perjelas", "jelas"),
+        ("pelajar", "ajar"), ("pekerja", "kerja"),
+        ("tarikkan", "tarik"), ("ambilkan", "ambil"),
+        ("mengambilkan", "ambil"), ("makanan", "makan"),
+        ("janjian", "janji"), ("perjanjian", "janji"),
+        ("tandai", "tanda"), ("dapati", "dapat"),
+        ("mendapati", "dapat"), ("pantai", "panta"),
+        ("penyalahgunaan", "salahguna"),
+        ("menyalahgunakan", "salahguna"),
+        ("disalahgunakan", "salahguna"),
+        ("pertanggungjawaban", "tanggungjawab"),
+        ("mempertanggungjawabkan", "tanggungjawab"),
+        ("dipertanggungjawabkan", "tanggungjawab"),
+        ("pelaksanaan", "laksana"), ("pelaksana", "laksana"),
+        ("melaksanakan", "laksana"), ("dilaksanakan", "laksana"),
+        ("melibatkan", "libat"), ("terlibat", "libat"),
+        ("penculikan", "culik"), ("menculik", "culik"),
+        ("diculik", "culik"), ("penculik", "culik"),
+        ("perubahan", "ubah"), ("peledakan", "ledak"),
+        ("penanganan", "tangan"), ("kepolisian", "polisi"),
+        ("kenaikan", "naik"), ("bersenjata", "senjata"),
+        ("penyelewengan", "seleweng"), ("kecelakaan", "celaka"),
+        ("gigi", "gigi"), ("", ""),
+    ])
+
+
+def test_indonesian_inflectional_only():
+    fn = lambda w: indonesian_stem(w, derivational=False)
+    _check(fn, [
+        ("bukunya", "buku"), ("bukukah", "buku"),
+        ("bukunyakah", "buku"), ("dibukukannya", "dibukukan"),
+    ])
+
+
+def test_hindi_stem_golden():
+    _check(hindi_stem, [
+        ("लडका", "लडक"), ("लडके", "लडक"), ("लडकों", "लडक"),
+        ("गुरु", "गुर"), ("गुरुओं", "गुर"),
+        ("दोस्त", "दोस्त"), ("दोस्तों", "दोस्त"),
+        ("लडकी", "लडक"), ("लडकियों", "लडक"),
+        ("किताब", "किताब"), ("किताबें", "किताब"), ("किताबों", "किताब"),
+        ("आध्यापीका", "आध्यापीक"), ("आध्यापीकाएं", "आध्यापीक"),
+        ("आध्यापीकाओं", "आध्यापीक"),
+        ("खाना", "खा"), ("खाता", "खा"), ("खाती", "खा"), ("खा", "खा"),
+        ("कठिनाइयां", "कठिन"), ("कठिन", "कठिन"),
+    ])
+
+
+def test_hindi_normalize_golden():
+    _check(hindi_normalize, [
+        ("अँगरेज़ी", "अंगरेजि"), ("अँगरेजी", "अंगरेजि"),
+        ("अँग्रेज़ी", "अंगरेजि"), ("अँग्रेजी", "अंगरेजि"),
+        ("अंगरेज़ी", "अंगरेजि"), ("अंगरेजी", "अंगरेजि"),
+        ("अंग्रेज़ी", "अंगरेजि"), ("अंग्रेजी", "अंगरेजि"),
+        ("क़िताब", "किताब"), ("फ़र्ज़", "फरज"), ("क़र्ज़", "करज"),
+        ("ऱऴख़ग़ड़ढ़य़", "रळखगडढय"),
+        ("शार्‍मा", "शारमा"), ("शार्‌मा", "शारमा"),
+        ("ॅॆॉॊऍऎऑऒॲ", "ेेोोएएओओअ"),
+        ("आईऊॠॡऐऔीूॄॣैौ", "अइउऋऌएओिुृॢेो"),
+    ])
+
+
+def test_persian_normalize_golden():
+    _check(persian_normalize, [
+        ("های", "هاي"), ("هاے", "هاي"), ("کشاندن", "كشاندن"),
+        ("كتابۀ", "كتابه"), ("كتابهٔ", "كتابه"), ("زادہ", "زاده"),
+    ])
+
+
+def test_sorani_normalize_golden():
+    _check(sorani_normalize, [
+        ("ي", "ی"), ("ى", "ی"),
+        ("ی", "ی"),
+        ("ك", "ک"), ("ک", "ک"),
+        ("ه‌", "ە"),
+        ("ه‌ک", "ەک"),
+        ("ھ", "ه"), ("ة", "ە"),
+        ("ههه", "ههە"),
+        ("ڒ", "ڕ"),
+        ("ررر", "ڕرر"),
+        ("ـ", ""), ("ً", ""), ("ٌ", ""),
+        ("ٍ", ""), ("َ", ""), ("ُ", ""),
+        ("", ""),
+    ])
+
+
+def test_sorani_stem_golden():
+    _check(sorani_stem, [
+        ("پیاوێک", "پیاو"),           # -ek
+        ("دەرگایەک", "دەرگا"),        # -yek
+        ("پیاوەكە".replace("ك", "ک"), "پیاو"),   # -aka (normalized kaf)
+        ("دەرگاكە".replace("ك", "ک"), "دەرگا"),  # -ka
+        ("کتاویە", "کتاوی"),          # -a
+        ("دەرگایە", "دەرگا"),         # -ya
+        ("پیاوان", "پیاو"),           # -An
+        ("دەرگایان", "دەرگا"),        # -yAn
+        ("پیاوەکان", "پیاو"),         # -akAn
+        ("دەرگاکان", "دەرگا"),        # -kAn
+        ("پیاوانە", "پیاو"),          # -Ana
+        ("دەرگایانە", "دەرگا"),       # -yAna
+        ("هۆتیلی", "هۆتیل"),          # singular ezafe
+        ("هۆتیلێکی", "هۆتیل"),        # indefinite ezafe
+        ("هۆتیلانی", "هۆتیل"),        # plural ezafe
+        ("دوورەوە", "دوور"),          # -awa
+        ("نیوەشەودا", "نیوەشەو"),     # -dA
+        ("سۆرانا", "سۆران"),          # -A
+        ("پارەمان", "پارە"),          # -mAn
+        ("پارەتان", "پارە"),          # -tAn
+        ("پارەیان", "پارە"),          # -yAn
+        ("", ""),
+    ])
