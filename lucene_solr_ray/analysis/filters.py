@@ -11,8 +11,10 @@ CapitalizationFilter, TrimFilter, DecimalDigitFilter,
 ApostropheFilter, ScandinavianFolding/NormalizationFilter,
 German/French/Spanish/Swedish/Norwegian/Portuguese/Italian/Russian/
 Hungarian light stemmers, KeywordRepeatFilter, CJKBigramFilter,
-multi-word SynonymFilter, Soundex PhoneticFilter, and the CharFilter
-stage: HTMLStrip/Mapping/PatternReplace).
+multi-word SynonymFilter, Soundex PhoneticFilter, IrishLowerCaseFilter,
+SerbianNormalizationFilter, GermanNormalizationFilter, CJKWidthFilter,
+DictionaryCompoundWordTokenFilter, and the CharFilter stage:
+HTMLStrip/Mapping/PatternReplace).
 
 Filters here are TERM TRANSFORMS: a callable str -> str applied to the
 analyzer's unique-term dictionary per batch (vectorized via Arrow
@@ -1738,5 +1740,187 @@ def pattern_capture_group_stream(patterns, preserve_original=True):
         new_terms = pa.array([x for t in tl for x in uniq[t]],
                              type=pa.string())
         return (new_terms, doc_idx[rep], positions[rep])
+
+    return transform
+
+
+# ---------------------------------------------------------------------------
+# per-language normalizers (ga/sr/de/cjk) + the dictionary decompounder
+# ---------------------------------------------------------------------------
+
+_GA_UPPER_VOWELS = set("AEIOUÁÉÍÓÚ")
+
+
+def irish_lowercase(term: str) -> str:
+    """IrishLowerCaseFilter (ga/IrishLowerCaseFilter.java:44-64): the
+    Irish replacement for LowerCaseFilter — an n/t prefix before an
+    uppercase (eclipsed/t-prothesis) vowel gains a hyphen before the
+    rest lowercases: nAthair -> n-athair. Apply to PRE-lowercase text
+    (e.g. via analyze_batch's char_filter or a custom chain)."""
+    if (len(term) > 1 and term[0] in "nt"
+            and term[1] in _GA_UPPER_VOWELS):
+        return term[0] + "-" + term[1:].lower()
+    return term.lower()
+
+
+_SR_MAP = {
+    "а": "a", "б": "b", "в": "v", "г": "g", "д": "d",
+    "ђ": "dj", "đ": "dj", "е": "e", "ж": "z", "з": "z", "ž": "z",
+    "и": "i", "ј": "j", "к": "k", "л": "l", "љ": "lj", "м": "m",
+    "н": "n", "њ": "nj", "о": "o", "п": "p", "р": "r", "с": "s",
+    "т": "t", "ћ": "c", "ц": "c", "ч": "c", "č": "c", "ć": "c",
+    "у": "u", "ф": "f", "х": "h", "џ": "dz", "ш": "s", "š": "s",
+}
+
+
+def serbian_normalize(term: str) -> str:
+    """SerbianNormalizationFilter (sr/SerbianNormalizationFilter.java:
+    44-172): Cyrillic -> Latin, diacritics stripped, đ/ђ -> dj,
+    љ -> lj, њ -> nj, џ -> dz. Expects lowercased input."""
+    return "".join(_SR_MAP.get(c, c) for c in term)
+
+
+def german_normalize(term: str) -> str:
+    """GermanNormalizationFilter (de/GermanNormalizationFilter.java:
+    41-106, the Snowball German2 normalization): ä/ö/ü fold, ß -> ss,
+    and 'e' deleted after a/o/first-u (ae/oe/ue umlaut spellings) via
+    the 3-state FSM."""
+    out: list[str] = []
+    state = 0                      # 0=N ordinary, 1=V blocks, 2=U umlaut
+    for c in term:
+        if c in "ao":
+            out.append(c)
+            state = 2
+        elif c == "u":
+            out.append(c)
+            state = 2 if state == 0 else 1
+        elif c == "e":
+            if state != 2:
+                out.append(c)      # in U state the e is deleted
+            state = 1
+        elif c in "iqy":
+            out.append(c)
+            state = 1
+        elif c == "ä":
+            out.append("a")
+            state = 1
+        elif c == "ö":
+            out.append("o")
+            state = 1
+        elif c == "ü":
+            out.append("u")
+            state = 1
+        elif c == "ß":
+            out.append("ss")
+            state = 0
+        else:
+            out.append(c)
+            state = 0
+    return "".join(out)
+
+
+# cjk/CJKWidthFilter.java:47-55 — normalized forms of U+FF65..U+FF9F
+_KANA_NORM = [
+    0x30fb, 0x30f2, 0x30a1, 0x30a3, 0x30a5, 0x30a7, 0x30a9, 0x30e3, 0x30e5,
+    0x30e7, 0x30c3, 0x30fc, 0x30a2, 0x30a4, 0x30a6, 0x30a8, 0x30aa, 0x30ab,
+    0x30ad, 0x30af, 0x30b1, 0x30b3, 0x30b5, 0x30b7, 0x30b9, 0x30bb, 0x30bd,
+    0x30bf, 0x30c1, 0x30c4, 0x30c6, 0x30c8, 0x30ca, 0x30cb, 0x30cc, 0x30cd,
+    0x30ce, 0x30cf, 0x30d2, 0x30d5, 0x30d8, 0x30db, 0x30de, 0x30df, 0x30e0,
+    0x30e1, 0x30e2, 0x30e4, 0x30e6, 0x30e8, 0x30e9, 0x30ea, 0x30eb, 0x30ec,
+    0x30ed, 0x30ef, 0x30f3, 0x3099, 0x309a,
+]
+# voice-mark combining diffs over base kana U+30A6..U+30FD
+_KANA_COMBINE_VOICED = [
+    78, 0, 0, 0, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1,
+    0, 1, 0, 1, 0, 0, 1, 0, 1, 0, 1, 0, 0, 0, 0, 0, 0, 1, 0, 0, 1, 0, 0, 1,
+    0, 0, 1, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 8, 8, 8, 8, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1,
+]
+_KANA_COMBINE_HALF_VOICED = [
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 2, 0, 0, 2, 0, 0, 2,
+    0, 0, 2, 0, 0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+]
+
+
+def cjk_width(term: str) -> str:
+    """CJKWidthFilter (cjk/CJKWidthFilter.java:62-111): fullwidth ASCII
+    -> halfwidth, halfwidth katakana -> standard katakana with voice
+    marks recombined onto the preceding base form."""
+    out: list[str] = []
+    for ch in term:
+        o = ord(ch)
+        if 0xFF01 <= o <= 0xFF5E:          # fullwidth ASCII variants
+            out.append(chr(o - 0xFEE0))
+        elif 0xFF65 <= o <= 0xFF9F:        # halfwidth katakana
+            if o in (0xFF9E, 0xFF9F) and out:
+                prev = ord(out[-1])
+                if 0x30A6 <= prev <= 0x30FD:
+                    table = (_KANA_COMBINE_HALF_VOICED if o == 0xFF9F
+                             else _KANA_COMBINE_VOICED)
+                    diff = table[prev - 0x30A6]
+                    if diff:
+                        out[-1] = chr(prev + diff)
+                        continue
+            out.append(chr(_KANA_NORM[o - 0xFF65]))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def dictionary_compound_stream(dictionary, min_word_size: int = 5,
+                               min_subword_size: int = 2,
+                               max_subword_size: int = 15,
+                               only_longest_match: bool = False):
+    """DictionaryCompoundWordTokenFilter (compound/
+    DictionaryCompoundWordTokenFilter.java:72-99 over
+    CompoundWordTokenFilterBase.java:86-113): brute-force Germanic
+    decompounding — each dictionary word found as a case-insensitive
+    substring of a long-enough token is emitted after the ORIGINAL
+    token at the same position (posInc 0). Subwords scan left-to-right,
+    shortest-first per start; only_longest_match keeps one per start."""
+    import numpy as np
+    import pyarrow as pa
+
+    words = {w.lower() for w in dictionary}
+
+    def decompose(term: str) -> list[str]:
+        tl = term.lower()
+        n = len(term)
+        subs: list[tuple[int, int]] = []
+        for i in range(0, n - min_subword_size + 1):
+            longest = None
+            for j in range(min_subword_size, max_subword_size + 1):
+                if i + j > n:
+                    break
+                if tl[i:i + j] in words:
+                    if only_longest_match:
+                        if longest is None or longest[1] < j:
+                            longest = (i, j)
+                    else:
+                        subs.append((i, j))
+            if only_longest_match and longest is not None:
+                subs.append(longest)
+        return [term[i:i + j] for i, j in subs]
+
+    def transform(terms, doc_idx, positions):
+        tl = _as_array(terms).to_pylist()
+        cache: dict[str, list[str]] = {}
+        out_t: list[str] = []
+        out_i: list[int] = []
+        for k, t in enumerate(tl):
+            out_t.append(t)
+            out_i.append(k)
+            if t is not None and len(t) >= min_word_size:
+                subs = cache.get(t)
+                if subs is None:
+                    subs = decompose(t)
+                    cache[t] = subs
+                out_t.extend(subs)
+                out_i.extend([k] * len(subs))
+        idx = np.asarray(out_i, dtype=np.int64)
+        return (pa.array(out_t, type=pa.string()),
+                doc_idx[idx], positions[idx])
 
     return transform

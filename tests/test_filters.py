@@ -726,3 +726,102 @@ def test_pattern_capture_group_stream():
                      np.array([0, 0]), np.array([0, 1]))
     assert nt4.to_pylist() == ["src13", "src", "13", "plain", "plain"]
     assert po4.tolist() == [0, 0, 0, 1, 1]
+
+
+def test_irish_lowercase_golden():
+    """ga/TestIrishLowerCaseFilter.java: n/t-prothesis hyphenation."""
+    from lucene_solr_ray.analysis.filters import irish_lowercase
+    cases = {"nAthair": "n-athair", "tUISCE": "t-uisce", "hARD": "hard",
+             "": ""}
+    bad = {w: (irish_lowercase(w), want) for w, want in cases.items()
+           if irish_lowercase(w) != want}
+    assert not bad, bad
+
+
+def test_serbian_normalize_golden():
+    """sr/TestSerbianNormalizationFilter.java: both scripts."""
+    from lucene_solr_ray.analysis.filters import serbian_normalize
+    assert serbian_normalize("абвгдђежзијклљмнњопрстћуфхцчџш") == \
+        "abvgddjezzijklljmnnjoprstcufhccdzs"
+    assert serbian_normalize("abcčćddžđefghijklljmnnjoprsštuvzž") == \
+        "abcccddzdjefghijklljmnnjoprsstuvzz"
+    assert serbian_normalize("") == ""
+
+
+def test_german_normalize_golden():
+    """de/TestGermanNormalizationFilter.java: umlaut/ae/ß FSM."""
+    from lucene_solr_ray.analysis.filters import german_normalize
+    cases = {"Schaltflächen": "Schaltflachen",
+             "Schaltflaechen": "Schaltflachen",
+             "dauer": "dauer", "weißbier": "weissbier", "": ""}
+    bad = {w: (german_normalize(w), want) for w, want in cases.items()
+           if german_normalize(w) != want}
+    assert not bad, bad
+
+
+def test_cjk_width_golden():
+    """cjk/TestCJKWidthFilter.java: fullwidth ASCII + halfwidth kana
+    with voice-mark recombination."""
+    from lucene_solr_ray.analysis.filters import cjk_width
+    cases = {"Ｔｅｓｔ": "Test", "１２３４": "1234",
+             "ｶﾀｶﾅ": "カタカナ", "ｳﾞｨｯﾂ": "ヴィッツ",
+             "ﾊﾟﾅｿﾆｯｸ": "パナソニック", "": ""}
+    bad = {w: (cjk_width(w), want) for w, want in cases.items()
+           if cjk_width(w) != want}
+    assert not bad, bad
+
+
+def test_dictionary_compound_golden():
+    """compound/TestCompoundWordTokenFilter.java testDumbCompoundWordsSE:
+    the full Swedish decompound stream with positions."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_solr_ray.analysis.filters import dictionary_compound_stream
+
+    dic = ["Bil", "Dörr", "Motor", "Tak", "Borr", "Slag", "Hammar",
+           "Pelar", "Glas", "Ögon", "Fodral", "Bas", "Fiol", "Makare",
+           "Gesäll", "Sko", "Vind", "Rute", "Torkare", "Blad"]
+    toks = ("Bildörr Bilmotor Biltak Slagborr Hammarborr Pelarborr "
+            "Glasögonfodral Basfiolsfodral Basfiolsfodralmakaregesäll "
+            "Skomakare Vindrutetorkare Vindrutetorkarblad abba").split()
+    terms = pa.array(toks)
+    doc_idx = np.zeros(len(toks), dtype=np.int64)
+    positions = np.arange(len(toks), dtype=np.int32)
+    t, d, p = dictionary_compound_stream(dic)(terms, doc_idx, positions)
+    expected = ["Bildörr", "Bil", "dörr", "Bilmotor", "Bil", "motor",
+                "Biltak", "Bil", "tak", "Slagborr", "Slag", "borr",
+                "Hammarborr", "Hammar", "borr", "Pelarborr", "Pelar",
+                "borr", "Glasögonfodral", "Glas", "ögon", "fodral",
+                "Basfiolsfodral", "Bas", "fiol", "fodral",
+                "Basfiolsfodralmakaregesäll", "Bas", "fiol", "fodral",
+                "makare", "gesäll", "Skomakare", "Sko", "makare",
+                "Vindrutetorkare", "Vind", "rute", "torkare",
+                "Vindrutetorkarblad", "Vind", "rute", "blad", "abba"]
+    assert t.to_pylist() == expected
+    # posInc 0: every subword shares its original's position
+    exp_pos = [1, 0, 0, 1, 0, 0, 1, 0, 0, 1, 0, 0, 1, 0, 0, 1, 0, 0,
+               1, 0, 0, 0, 1, 0, 0, 0, 1, 0, 0, 0, 0, 0, 1, 0, 0,
+               1, 0, 0, 0, 1, 0, 0, 0, 1]
+    # rebuild increments from shared positions
+    incs = [1] + [1 if p[i] != p[i - 1] else 0 for i in range(1, len(p))]
+    assert incs == exp_pos
+
+
+def test_dictionary_compound_longest_match():
+    """testDumbCompoundWordsSELongestMatch: one (longest) subword per
+    start offset."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_solr_ray.analysis.filters import dictionary_compound_stream
+
+    dic = ["Bil", "Dörr", "Motor", "Tak", "Borr", "Slag", "Hammar",
+           "Pelar", "Glas", "Ögon", "Fodral", "Bas", "Fiols", "Makare",
+           "Gesäll", "Sko", "Vind", "Rute", "Torkare", "Blad",
+           "Fiolsfodral"]
+    terms = pa.array(["Basfiolsfodralmakaregesäll"])
+    t, d, p = dictionary_compound_stream(dic, only_longest_match=True)(
+        terms, np.zeros(1, dtype=np.int64), np.zeros(1, dtype=np.int32))
+    assert t.to_pylist() == ["Basfiolsfodralmakaregesäll", "Bas",
+                             "fiolsfodral", "fodral", "makare", "gesäll"]
