@@ -1,0 +1,448 @@
+"""GreekStemmer (el/GreekStemmer.java) — the Ntais/Saroukos stemmer
+for Modern Greek as shipped by the reference: 20 "short" rules, the
+rule-21 long suffix list (only when nothing else fired), and the
+rule-22 comparative/superlative strip.
+
+The port keeps the Java char-buffer semantics exactly: removals only
+shorten the logical length, so "add back" re-exposes the ORIGINAL
+characters unless a rule explicitly overwrites them (rules 8/10/11/
+18/19). The reference's own operator-precedence quirks (e.g. rule 8's
+unguarded || alternatives) are reproduced, not fixed — parity over
+purity. Input must come through GreekLowerCaseFilter
+(filters.greek_lowercase): lowercased, accent-folded, final sigma
+folded to σ.
+
+Golden vectors in tests/test_greek_stem.py are the reference's own
+TestGreekStemmer.java expectations (343 terms).
+"""
+from __future__ import annotations
+
+_VOWELS = set("αεηιουω")
+_VOWELS_NO_Y = set("αεηιοω")
+
+_EXC4 = {"θ", "δ", "ελ", "γαλ", "ν", "π", "ιδ", "παρ"}
+_EXC6 = {"αλ", "αδ", "ενδ", "αμαν", "αμμοχαλ", "ηθ", "ανηθ", "αντιδ",
+         "φυσ", "βρωμ", "γερ", "εξωδ", "καλπ", "καλλιν", "καταδ",
+         "μουλ", "μπαν", "μπαγιατ", "μπολ", "μποσ", "νιτ", "ξικ",
+         "συνομηλ", "πετσ", "πιτσ", "πικαντ", "πλιατσ", "ποστελν",
+         "πρωτοδ", "σερτ", "συναδ", "τσαμ", "υποδ", "φιλον", "φυλοδ",
+         "χασ"}
+_EXC7 = {"αναπ", "αποθ", "αποκ", "αποστ", "βουβ", "ξεθ", "ουλ", "πεθ",
+         "πικρ", "ποτ", "σιχ", "χ"}
+_EXC8A = {"τρ", "τσ"}
+_EXC8B = {"βετερ", "βουλκ", "βραχμ", "γ", "δραδουμ", "θ", "καλπουζ",
+          "καστελ", "κορμορ", "λαοπλ", "μωαμεθ", "μ", "μουσουλμ", "ν",
+          "ουλ", "π", "πελεκ", "πλ", "πολισ", "πορτολ", "σαρακατσ",
+          "σουλτ", "τσαρλατ", "ορφ", "τσιγγ", "τσοπ", "φωτοστεφ", "χ",
+          "ψυχοπλ", "αγ", "γαλ", "γερ", "δεκ", "διπλ", "αμερικαν",
+          "ουρ", "πιθ", "πουριτ", "σ", "ζωντ", "ικ", "καστ", "κοπ",
+          "λιχ", "λουθηρ", "μαιντ", "μελ", "σιγ", "σπ", "στεγ",
+          "τραγ", "τσαγ", "φ", "ερ", "αδαπ", "αθιγγ", "αμηχ", "ανικ",
+          "ανοργ", "απηγ", "απιθ", "ατσιγγ", "βασ", "βασκ", "βαθυγαλ",
+          "βιομηχ", "βραχυκ", "διατ", "διαφ", "ενοργ", "θυσ",
+          "καπνοβιομηχ", "καταγαλ", "κλιβ", "κοιλαρφ", "λιβ",
+          "μεγλοβιομηχ", "μικροβιομηχ", "νταβ", "ξηροκλιβ", "ολιγοδαμ",
+          "ολογαλ", "πενταρφ", "περηφ", "περιτρ", "πλατ", "πολυδαπ",
+          "πολυμηχ", "στεφ", "ταβ", "τετ", "υπερηφ", "υποκοπ",
+          "χαμηλοδαπ", "ψηλοταβ"}
+_EXC9 = {"αβαρ", "βεν", "εναρ", "αβρ", "αδ", "αθ", "αν", "απλ",
+         "βαρον", "ντρ", "σκ", "κοπ", "μπορ", "νιφ", "παγ", "παρακαλ",
+         "σερπ", "σκελ", "συρφ", "τοκ", "υ", "δ", "εμ", "θαρρ", "θ"}
+_EXC12A = {"π", "απ", "συμπ", "ασυμπ", "ακαταπ", "αμεταμφ"}
+_EXC12B = {"αλ", "αρ", "εκτελ", "ζ", "μ", "ξ", "παρακαλ", "προ", "νισ"}
+_EXC13 = {"διαθ", "θ", "παρακαταθ", "προσθ", "συνθ"}
+_EXC14 = {"φαρμακ", "χαδ", "αγκ", "αναρρ", "βρομ", "εκλιπ", "λαμπιδ",
+          "λεχ", "μ", "πατ", "ρ", "λ", "μεδ", "μεσαζ", "υποτειν",
+          "αμ", "αιθ", "ανηκ", "δεσποζ", "ενδιαφερ", "δε", "δευτερευ",
+          "καθαρευ", "πλε", "τσα"}
+_EXC15A = {"αβαστ", "πολυφ", "αδηφ", "παμφ", "ρ", "ασπ", "αφ", "αμαλ",
+           "αμαλλι", "ανυστ", "απερ", "ασπαρ", "αχαρ", "δερβεν",
+           "δροσοπ", "ξεφ", "νεοπ", "νομοτ", "ολοπ", "ομοτ", "προστ",
+           "προσωποπ", "συμπ", "συντ", "τ", "υποτ", "χαρ", "αειπ",
+           "αιμοστ", "ανυπ", "αποτ", "αρτιπ", "διατ", "εν", "επιτ",
+           "κροκαλοπ", "σιδηροπ", "λ", "ναυ", "ουλαμ", "ουρ", "π",
+           "τρ", "μ"}
+_EXC15B = {"ψοφ", "ναυλοχ"}
+_EXC16 = {"ν", "χερσον", "δωδεκαν", "ερημον", "μεγαλον", "επταν"}
+_EXC17 = {"ασβ", "σβ", "αχρ", "χρ", "απλ", "αειμν", "δυσχρ", "ευχρ",
+          "κοινοχρ", "παλιμψ"}
+_EXC18 = {"ν", "ρ", "σπι", "στραβομουτσ", "κακομουτσ", "εξων"}
+_EXC19 = {"παρασουσ", "φ", "χ", "ωριοπλ", "αζ", "αλλοσουσ", "ασουσ"}
+
+
+def greek_stem(term: str) -> str:
+    """Stem one (lowercased, accent-folded) Greek term."""
+    if len(term) < 4:
+        return term
+
+    s = list(term)            # Java char buffer: mutations stay visible
+    ln = len(s)
+
+    def ew(length: int, suffix: str) -> bool:
+        k = len(suffix)
+        if k > length:
+            return False
+        return "".join(s[length - k:length]) == suffix
+
+    def stem_of(length: int) -> str:
+        return "".join(s[:length])
+
+    def ends_vowel(length: int) -> bool:
+        return length > 0 and s[length - 1] in _VOWELS
+
+    def ends_vowel_no_y(length: int) -> bool:
+        return length > 0 and s[length - 1] in _VOWELS_NO_Y
+
+    orig_len = ln
+
+    # rule 0 — irregular nouns (GreekStemmer.java:76-147; the
+    # σκαγιου group reproduces the reference's unguarded || chain)
+    def rule0(ln):
+        if ln > 9 and (ew(ln, "καθεστωτοσ") or ew(ln, "καθεστωτων")):
+            return ln - 4
+        if ln > 8 and (ew(ln, "γεγονοτοσ") or ew(ln, "γεγονοτων")):
+            return ln - 4
+        if ln > 8 and ew(ln, "καθεστωτα"):
+            return ln - 3
+        if ln > 7 and (ew(ln, "τατογιου") or ew(ln, "τατογιων")):
+            return ln - 4
+        if ln > 7 and ew(ln, "γεγονοτα"):
+            return ln - 3
+        if ln > 7 and ew(ln, "καθεστωσ"):
+            return ln - 2
+        if ((ln > 6 and ew(ln, "σκαγιου"))
+                or ew(ln, "σκαγιων") or ew(ln, "ολογιου")
+                or ew(ln, "ολογιων") or ew(ln, "κρεατοσ")
+                or ew(ln, "κρεατων") or ew(ln, "περατοσ")
+                or ew(ln, "περατων") or ew(ln, "τερατοσ")
+                or ew(ln, "τερατων")):
+            return ln - 4
+        if ln > 6 and ew(ln, "τατογια"):
+            return ln - 3
+        if ln > 6 and ew(ln, "γεγονοσ"):
+            return ln - 2
+        if ln > 5 and (ew(ln, "φαγιου") or ew(ln, "φαγιων")
+                       or ew(ln, "σογιου") or ew(ln, "σογιων")):
+            return ln - 4
+        if ln > 5 and (ew(ln, "σκαγια") or ew(ln, "ολογια")
+                       or ew(ln, "κρεατα") or ew(ln, "περατα")
+                       or ew(ln, "τερατα")):
+            return ln - 3
+        if ln > 4 and (ew(ln, "φαγια") or ew(ln, "σογια")
+                       or ew(ln, "φωτοσ") or ew(ln, "φωτων")):
+            return ln - 3
+        if ln > 4 and (ew(ln, "κρεασ") or ew(ln, "περασ")
+                       or ew(ln, "τερασ")):
+            return ln - 2
+        if ln > 3 and ew(ln, "φωτα"):
+            return ln - 2
+        if ln > 2 and ew(ln, "φωσ"):
+            return ln - 1
+        return ln
+
+    ln = rule0(ln)
+
+    # rule 1 — -αδεσ/-αδων
+    if ln > 4 and (ew(ln, "αδεσ") or ew(ln, "αδων")):
+        ln -= 4
+        if not (ew(ln, "οκ") or ew(ln, "μαμ") or ew(ln, "μαν")
+                or ew(ln, "μπαμπ") or ew(ln, "πατερ") or ew(ln, "γιαγι")
+                or ew(ln, "νταντ") or ew(ln, "κυρ") or ew(ln, "θει")
+                or ew(ln, "πεθερ")):
+            ln += 2        # add back -αδ
+
+    # rule 2 — -εδεσ/-εδων
+    if ln > 4 and (ew(ln, "εδεσ") or ew(ln, "εδων")):
+        ln -= 4
+        if (ew(ln, "οπ") or ew(ln, "ιπ") or ew(ln, "εμπ")
+                or ew(ln, "υπ") or ew(ln, "γηπ") or ew(ln, "δαπ")
+                or ew(ln, "κρασπ") or ew(ln, "μιλ")):
+            ln += 2        # add back -εδ
+
+    # rule 3 — -ουδεσ/-ουδων
+    if ln > 5 and (ew(ln, "ουδεσ") or ew(ln, "ουδων")):
+        ln -= 5
+        if (ew(ln, "αρκ") or ew(ln, "καλιακ") or ew(ln, "πεταλ")
+                or ew(ln, "λιχ") or ew(ln, "πλεξ") or ew(ln, "σκ")
+                or ew(ln, "σ") or ew(ln, "φλ") or ew(ln, "φρ")
+                or ew(ln, "βελ") or ew(ln, "λουλ") or ew(ln, "χν")
+                or ew(ln, "σπ") or ew(ln, "τραγ") or ew(ln, "φε")):
+            ln += 3        # add back -ουδ
+
+    # rule 4 — -εωσ/-εων
+    if ln > 3 and (ew(ln, "εωσ") or ew(ln, "εων")):
+        ln -= 3
+        if stem_of(ln) in _EXC4:
+            ln += 1        # add back -ε
+
+    # rule 5 — -ια / -ιου/-ιων
+    if ln > 2 and ew(ln, "ια"):
+        ln -= 2
+        if ends_vowel(ln):
+            ln += 1        # add back -ι
+    elif ln > 3 and (ew(ln, "ιου") or ew(ln, "ιων")):
+        ln -= 3
+        if ends_vowel(ln):
+            ln += 1        # add back -ι
+
+    # rule 6 — -ικα/-ικο / -ικου/-ικων
+    removed = False
+    if ln > 3 and (ew(ln, "ικα") or ew(ln, "ικο")):
+        ln -= 3
+        removed = True
+    elif ln > 4 and (ew(ln, "ικου") or ew(ln, "ικων")):
+        ln -= 4
+        removed = True
+    if removed and (ends_vowel(ln) or stem_of(ln) in _EXC6):
+        ln += 2            # add back -ικ
+
+    # rule 7 — -αγαμε/-ησαμε/... and -αμε
+    if ln == 5 and ew(ln, "αγαμε"):
+        ln -= 1
+    else:
+        if ln > 7 and ew(ln, "ηθηκαμε"):
+            ln -= 7
+        elif ln > 6 and ew(ln, "ουσαμε"):
+            ln -= 6
+        elif ln > 5 and (ew(ln, "αγαμε") or ew(ln, "ησαμε")
+                         or ew(ln, "ηκαμε")):
+            ln -= 5
+        if ln > 3 and ew(ln, "αμε"):
+            ln -= 3
+            if stem_of(ln) in _EXC7:
+                ln += 2    # add back -αμ
+
+    # rule 8 — -ανε family (unguarded || alternatives preserved)
+    removed = False
+    if ln > 8 and ew(ln, "ιουντανε"):
+        ln -= 8
+        removed = True
+    elif ((ln > 7 and ew(ln, "ιοντανε")) or ew(ln, "ουντανε")
+          or ew(ln, "ηθηκανε")):
+        ln -= 7
+        removed = True
+    elif ((ln > 6 and ew(ln, "ιοτανε")) or ew(ln, "οντανε")
+          or ew(ln, "ουσανε")):
+        ln -= 6
+        removed = True
+    elif ((ln > 5 and ew(ln, "αγανε")) or ew(ln, "ησανε")
+          or ew(ln, "οτανε") or ew(ln, "ηκανε")):
+        ln -= 5
+        removed = True
+    if removed and stem_of(ln) in _EXC8A:
+        ln += 4            # add -αγαν (explicit overwrite)
+        s[ln - 4:ln] = list("αγαν")
+    if ln > 3 and ew(ln, "ανε"):
+        ln -= 3
+        if ends_vowel_no_y(ln) or stem_of(ln) in _EXC8B:
+            ln += 2        # add back -αν
+
+    # rule 9 — -ησετε and -ετε
+    if ln > 5 and ew(ln, "ησετε"):
+        ln -= 5
+    if ln > 3 and ew(ln, "ετε"):
+        ln -= 3
+        if (stem_of(ln) in _EXC9 or ends_vowel_no_y(ln)
+                or ew(ln, "οδ") or ew(ln, "αιρ") or ew(ln, "φορ")
+                or ew(ln, "ταθ") or ew(ln, "διαθ") or ew(ln, "σχ")
+                or ew(ln, "ενδ") or ew(ln, "ευρ") or ew(ln, "τιθ")
+                or ew(ln, "υπερθ") or ew(ln, "ραθ") or ew(ln, "ενθ")
+                or ew(ln, "ροθ") or ew(ln, "σθ") or ew(ln, "πυρ")
+                or ew(ln, "αιν") or ew(ln, "συνδ") or ew(ln, "συν")
+                or ew(ln, "συνθ") or ew(ln, "χωρ") or ew(ln, "πον")
+                or ew(ln, "βρ") or ew(ln, "καθ") or ew(ln, "ευθ")
+                or ew(ln, "εκθ") or ew(ln, "νετ") or ew(ln, "ρον")
+                or ew(ln, "αρκ") or ew(ln, "βαρ") or ew(ln, "βολ")
+                or ew(ln, "ωφελ")):
+            ln += 2        # add back -ετ
+
+    # rule 10 — -οντασ/-ωντασ
+    if ln > 5 and (ew(ln, "οντασ") or ew(ln, "ωντασ")):
+        ln -= 5
+        if ln == 3 and ew(ln, "αρχ"):
+            ln += 3        # αρχοντασ -> αρχοντ
+            s[ln - 3] = "ο"
+        if ew(ln, "κρε"):
+            ln += 3        # κρεωντασ -> κρεωντ
+            s[ln - 3] = "ω"
+
+    # rule 11 — -ομαστε/-ιομαστε
+    if ln > 6 and ew(ln, "ομαστε"):
+        ln -= 6
+        if ln == 2 and ew(ln, "ον"):
+            ln += 5        # ονομαστε -> ονομαστ
+    elif ln > 7 and ew(ln, "ιομαστε"):
+        ln -= 7
+        if ln == 2 and ew(ln, "ον"):
+            ln += 5
+            s[ln - 5:ln] = list("ομαστ")
+
+    # rule 12 — -ιεστε / -εστε
+    if ln > 5 and ew(ln, "ιεστε"):
+        ln -= 5
+        if stem_of(ln) in _EXC12A:
+            ln += 4        # add back -ιεστ
+    if ln > 4 and ew(ln, "εστε"):
+        ln -= 4
+        if stem_of(ln) in _EXC12B:
+            ln += 3        # add back -εστ
+
+    # rule 13 — -ηθηκ.../-ηκ...
+    if ln > 6 and ew(ln, "ηθηκεσ"):
+        ln -= 6
+    elif ln > 5 and (ew(ln, "ηθηκα") or ew(ln, "ηθηκε")):
+        ln -= 5
+    removed = False
+    if ln > 4 and ew(ln, "ηκεσ"):
+        ln -= 4
+        removed = True
+    elif ln > 3 and (ew(ln, "ηκα") or ew(ln, "ηκε")):
+        ln -= 3
+        removed = True
+    if removed and (stem_of(ln) in _EXC13 or ew(ln, "σκωλ")
+                    or ew(ln, "σκουλ") or ew(ln, "ναρθ")
+                    or ew(ln, "σφ") or ew(ln, "οθ") or ew(ln, "πιθ")):
+        ln += 2            # add back -ηκ
+
+    # rule 14 — -ουσ...
+    removed = False
+    if ln > 5 and ew(ln, "ουσεσ"):
+        ln -= 5
+        removed = True
+    elif ln > 4 and (ew(ln, "ουσα") or ew(ln, "ουσε")):
+        ln -= 4
+        removed = True
+    if removed and (stem_of(ln) in _EXC14 or ends_vowel(ln)
+                    or ew(ln, "ποδαρ") or ew(ln, "βλεπ")
+                    or ew(ln, "πανταχ") or ew(ln, "φρυδ")
+                    or ew(ln, "μαντιλ") or ew(ln, "μαλλ")
+                    or ew(ln, "κυματ") or ew(ln, "λαχ")
+                    or ew(ln, "ληγ") or ew(ln, "φαγ")
+                    or ew(ln, "ομ") or ew(ln, "πρωτ")):
+        ln += 3            # add back -ουσ
+
+    # rule 15 — -αγ...
+    removed = False
+    if ln > 4 and ew(ln, "αγεσ"):
+        ln -= 4
+        removed = True
+    elif ln > 3 and (ew(ln, "αγα") or ew(ln, "αγε")):
+        ln -= 3
+        removed = True
+    if removed:
+        cond1 = (stem_of(ln) in _EXC15A or ew(ln, "οφ")
+                 or ew(ln, "πελ") or ew(ln, "χορτ") or ew(ln, "λλ")
+                 or ew(ln, "σφ") or ew(ln, "ρπ") or ew(ln, "φρ")
+                 or ew(ln, "πρ") or ew(ln, "λοχ") or ew(ln, "σμην"))
+        cond2 = stem_of(ln) in _EXC15B or ew(ln, "κολλ")
+        if cond1 and not cond2:
+            ln += 2        # add back -αγ
+
+    # rule 16 — -ησου/-ησε/-ησα
+    removed = False
+    if ln > 4 and ew(ln, "ησου"):
+        ln -= 4
+        removed = True
+    elif ln > 3 and (ew(ln, "ησε") or ew(ln, "ησα")):
+        ln -= 3
+        removed = True
+    if removed and stem_of(ln) in _EXC16:
+        ln += 2            # add back -ησ
+
+    # rule 17 — -ηστε
+    if ln > 4 and ew(ln, "ηστε"):
+        ln -= 4
+        if stem_of(ln) in _EXC17:
+            ln += 3        # add back -ηστ
+
+    # rule 18 — -ουνε family (overwrite adds -ουν)
+    removed = False
+    if ln > 6 and (ew(ln, "ησουνε") or ew(ln, "ηθουνε")):
+        ln -= 6
+        removed = True
+    elif ln > 4 and ew(ln, "ουνε"):
+        ln -= 4
+        removed = True
+    if removed and stem_of(ln) in _EXC18:
+        ln += 3
+        s[ln - 3:ln] = list("ουν")
+
+    # rule 19 — -ουμε family (overwrite adds -ουμ)
+    removed = False
+    if ln > 6 and (ew(ln, "ησουμε") or ew(ln, "ηθουμε")):
+        ln -= 6
+        removed = True
+    elif ln > 4 and ew(ln, "ουμε"):
+        ln -= 4
+        removed = True
+    if removed and stem_of(ln) in _EXC19:
+        ln += 3
+        s[ln - 3:ln] = list("ουμ")
+
+    # rule 20 — -ματων/-ματοσ / -ματα
+    if ln > 5 and (ew(ln, "ματων") or ew(ln, "ματοσ")):
+        ln -= 3
+    elif ln > 4 and ew(ln, "ματα"):
+        ln -= 2
+
+    # rule 21 — the long list, only if no short rule fired
+    if ln == orig_len:
+        ln = _rule21(s, ln, ew, ends_vowel)
+
+    # rule 22 — comparatives/superlatives
+    if ew(ln, "εστερ") or ew(ln, "εστατ"):
+        ln -= 5
+    elif (ew(ln, "οτερ") or ew(ln, "οτατ") or ew(ln, "υτερ")
+          or ew(ln, "υτατ") or ew(ln, "ωτερ") or ew(ln, "ωτατ")):
+        ln -= 4
+
+    return "".join(s[:ln])
+
+
+def _rule21(s, ln, ew, ends_vowel):
+    if ln > 9 and ew(ln, "ιοντουσαν"):
+        return ln - 9
+    if ln > 8 and (ew(ln, "ιομασταν") or ew(ln, "ιοσασταν")
+                   or ew(ln, "ιουμαστε") or ew(ln, "οντουσαν")):
+        return ln - 8
+    if ln > 7 and (ew(ln, "ιεμαστε") or ew(ln, "ιεσαστε")
+                   or ew(ln, "ιομουνα") or ew(ln, "ιοσαστε")
+                   or ew(ln, "ιοσουνα") or ew(ln, "ιουνται")
+                   or ew(ln, "ιουνταν") or ew(ln, "ηθηκατε")
+                   or ew(ln, "ομασταν") or ew(ln, "οσασταν")
+                   or ew(ln, "ουμαστε")):
+        return ln - 7
+    if ln > 6 and (ew(ln, "ιομουν") or ew(ln, "ιονταν")
+                   or ew(ln, "ιοσουν") or ew(ln, "ηθειτε")
+                   or ew(ln, "ηθηκαν") or ew(ln, "ομουνα")
+                   or ew(ln, "οσαστε") or ew(ln, "οσουνα")
+                   or ew(ln, "ουνται") or ew(ln, "ουνταν")
+                   or ew(ln, "ουσατε")):
+        return ln - 6
+    if ln > 5 and (ew(ln, "αγατε") or ew(ln, "ιεμαι") or ew(ln, "ιεται")
+                   or ew(ln, "ιεσαι") or ew(ln, "ιοταν")
+                   or ew(ln, "ιουμα") or ew(ln, "ηθεισ")
+                   or ew(ln, "ηθουν") or ew(ln, "ηκατε")
+                   or ew(ln, "ησατε") or ew(ln, "ησουν")
+                   or ew(ln, "ομουν") or ew(ln, "ονται")
+                   or ew(ln, "ονταν") or ew(ln, "οσουν")
+                   or ew(ln, "ουμαι") or ew(ln, "ουσαν")):
+        return ln - 5
+    if ln > 4 and (ew(ln, "αγαν") or ew(ln, "αμαι") or ew(ln, "ασαι")
+                   or ew(ln, "αται") or ew(ln, "ειτε") or ew(ln, "εσαι")
+                   or ew(ln, "εται") or ew(ln, "ηδεσ") or ew(ln, "ηδων")
+                   or ew(ln, "ηθει") or ew(ln, "ηκαν") or ew(ln, "ησαν")
+                   or ew(ln, "ησει") or ew(ln, "ησεσ") or ew(ln, "ομαι")
+                   or ew(ln, "οταν")):
+        return ln - 4
+    if ln > 3 and (ew(ln, "αει") or ew(ln, "εισ") or ew(ln, "ηθω")
+                   or ew(ln, "ησω") or ew(ln, "ουν") or ew(ln, "ουσ")):
+        return ln - 3
+    if ln > 2 and (ew(ln, "αν") or ew(ln, "ασ") or ew(ln, "αω")
+                   or ew(ln, "ει") or ew(ln, "εσ") or ew(ln, "ησ")
+                   or ew(ln, "οι") or ew(ln, "οσ") or ew(ln, "ου")
+                   or ew(ln, "υσ") or ew(ln, "ων")):
+        return ln - 2
+    if ln > 1 and ends_vowel(ln):
+        return ln - 1
+    return ln

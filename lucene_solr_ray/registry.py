@@ -179,6 +179,22 @@ for _name, _fns in [("bulgarian", ("bulgarian_stem",)),
     register("analyzer", _name)(_regional_chain(*_fns))
 
 
+@register("analyzer", "greek")
+def _greek_chain():
+    """GreekAnalyzer: GreekLowerCaseFilter -> GreekStemmer (stopwords
+    stay the standard set; the reference ships a Greek list as data)."""
+    import functools
+
+    from .analysis import analyze_batch
+    from .analysis.filters import greek_lowercase
+    from .analysis.greek import greek_stem
+
+    return functools.partial(
+        analyze_batch,
+        term_transform=lambda t: greek_stem(greek_lowercase(t)),
+        tokenizer="unicode")
+
+
 @register("analyzer", "phonetic_double_metaphone")
 def _dm_chain():
     import functools
