@@ -1,0 +1,258 @@
+"""BrazilianStemmer (br/BrazilianStemmer.java) — the reference's
+Orengo/RSLP-flavoured Portuguese stemmer producing a "discriminator":
+accent-fold (changeTerm), R1/R2/RV regions, standard-suffix step 1,
+verb-suffix step 2 over RV, then the residual steps 3/4/5.
+
+The port replicates the reference's own quirks bit-for-bit:
+- step1's "logias" branch computes the replacement and DISCARDS it
+  (the Java return value is never assigned) yet still reports
+  "altered", so step3 runs instead of step4;
+- step2's "ira" rule removes "ava" (a no-op on an -ira word) but also
+  reports altered.
+Golden vectors in tests/test_brazilian_stem.py come from the
+reference's TestBrazilianStemmer.java.
+"""
+from __future__ import annotations
+
+_VOWELS = set("aeiou")
+
+_ACCENT_MAP = str.maketrans({
+    "á": "a", "â": "a", "ã": "a",
+    "é": "e", "ê": "e",
+    "í": "i",
+    "ó": "o", "ô": "o", "õ": "o",
+    "ú": "u", "ü": "u",
+    "ç": "c", "ñ": "n",
+})
+
+_PUNCT = set("\"'-,;.?!")
+
+# step 2 — verb suffixes searched in RV, source order; removal applies
+# to CT. The ("ira", "ava") pair is the reference's own mismatch.
+_STEP2 = [
+    "issemos", "essemos", "assemos", "ariamos", "eriamos", "iriamos",
+    "iremos", "eremos", "aremos", "avamos", "iramos", "eramos",
+    "aramos", "asseis", "esseis", "isseis", "arieis", "erieis",
+    "irieis",
+    "irmos", "iamos", "armos", "ermos", "areis", "ereis", "ireis",
+    "asses", "esses", "isses", "astes", "assem", "essem", "issem",
+    "ardes", "erdes", "irdes", "ariam", "eriam", "iriam", "arias",
+    "erias", "irias", "estes", "istes", "areis", "aveis",
+    "aria", "eria", "iria", "asse", "esse", "isse", "aste", "este",
+    "iste", "arei", "erei", "irei", "aram", "eram", "iram", "avam",
+    "arem", "erem", "irem", "ando", "endo", "indo", "arao", "erao",
+    "irao", "adas", "idas", "aras", "eras", "iras", "avas", "ares",
+    "eres", "ires", "ados", "idos", "amos", "emos", "imos", "iras",
+    "ieis",
+    "ada", "ida", "ara", "era", ("ira", "ava"), "iam", "ado", "ido",
+    "ias", "ais", "eis", "ira", "ear",
+    "ia", "ei", "am", "em", "ar", "er", "ir", "as", "es", "is", "eu",
+    "iu", "iu", "ou",
+]
+
+
+def _suffix(value: str | None, suf: str) -> bool:
+    return value is not None and value.endswith(suf)
+
+
+def _remove(value: str, suf: str) -> str:
+    return value[:-len(suf)] if value.endswith(suf) else value
+
+
+def _replace(value: str, suf: str, changeto: str) -> str:
+    if not value.endswith(suf):
+        return value
+    return value[:-len(suf)] + changeto
+
+
+def _preceded(value: str | None, suf: str, pre: str) -> bool:
+    if value is None or not value.endswith(suf):
+        return False
+    return _remove(value, suf).endswith(pre)
+
+
+def _get_r1(value: str | None) -> str | None:
+    """Region after the first non-vowel following a vowel
+    (BrazilianStemmer.java:128-160)."""
+    if value is None:
+        return None
+    i = len(value) - 1
+    j = 0
+    while j < i:
+        if value[j] in _VOWELS:
+            break
+        j += 1
+    if not j < i:
+        return None
+    while j < i:
+        if value[j] not in _VOWELS:
+            break
+        j += 1
+    if not j < i:
+        return None
+    return value[j + 1:]
+
+
+def _get_rv(value: str | None) -> str | None:
+    """The Snowball RV region (BrazilianStemmer.java:178-228)."""
+    if value is None:
+        return None
+    i = len(value) - 1
+    if i > 0 and value[1] not in _VOWELS:
+        j = 2
+        while j < i:
+            if value[j] in _VOWELS:
+                break
+            j += 1
+        if j < i:
+            return value[j + 1:]
+    if i > 1 and value[0] in _VOWELS and value[1] in _VOWELS:
+        j = 2
+        while j < i:
+            if value[j] not in _VOWELS:
+                break
+            j += 1
+        if j < i:
+            return value[j + 1:]
+    if i > 2:
+        return value[3:]
+    return None
+
+
+def _create_ct(term: str) -> str:
+    ct = term.lower().translate(_ACCENT_MAP)
+    if len(ct) < 2:
+        return ct
+    if ct[0] in _PUNCT:
+        ct = ct[1:]
+    if len(ct) < 2:
+        return ct
+    if ct[-1] in _PUNCT:
+        ct = ct[:-1]
+    return ct
+
+
+def brazilian_stem(term: str) -> str | None:
+    """Stem one term to its discriminator; None when the (folded) term
+    is not indexable (len outside 3..29). Non-letter terms pass through
+    folded-but-unstemmed, as in the Java."""
+    ct = _create_ct(term)
+    if not (2 < len(ct) < 30):          # isIndexable
+        return None
+    if not all(c.isalpha() for c in ct):   # isStemmable
+        return ct
+
+    r1 = _get_r1(ct)
+    r2 = _get_r1(r1)
+    rv = _get_rv(ct)
+
+    altered, ct = _step1(ct, r1, r2, rv)
+    if not altered:
+        altered, ct = _step2(ct, rv)
+
+    if altered:
+        ct = _step3(ct, rv)
+    else:
+        ct = _step4(ct, rv)
+
+    ct = _step5(ct, rv)
+    return ct
+
+
+def _step1(ct, r1, r2, rv):
+    """Standard suffix removal (BrazilianStemmer.java:406-564)."""
+    if ct is None:
+        return False, ct
+    if _suffix(ct, "uciones") and _suffix(r2, "uciones"):
+        return True, _replace(ct, "uciones", "u")
+    if len(ct) >= 6:
+        for suf in ("imentos", "amentos", "adores", "adoras"):
+            if _suffix(ct, suf) and _suffix(r2, suf):
+                return True, _remove(ct, suf)
+        if _suffix(ct, "logias") and _suffix(r2, "logias"):
+            # the reference discards the replacement here (line 430)
+            return True, ct
+        if _suffix(ct, "encias") and _suffix(r2, "encias"):
+            return True, _replace(ct, "encias", "ente")
+        if _suffix(ct, "amente") and _suffix(r1, "amente"):
+            return True, _remove(ct, "amente")
+        if _suffix(ct, "idades") and _suffix(r2, "idades"):
+            return True, _remove(ct, "idades")
+    if len(ct) >= 5:
+        for suf in ("acoes", "imento", "amento", "adora", "ismos",
+                    "istas"):
+            if _suffix(ct, suf) and _suffix(r2, suf):
+                return True, _remove(ct, suf)
+        if _suffix(ct, "logia") and _suffix(r2, "logia"):
+            return True, _replace(ct, "logia", "log")
+        if _suffix(ct, "ucion") and _suffix(r2, "ucion"):
+            return True, _replace(ct, "ucion", "u")
+        if _suffix(ct, "encia") and _suffix(r2, "encia"):
+            return True, _replace(ct, "encia", "ente")
+        for suf in ("mente", "idade"):
+            if _suffix(ct, suf) and _suffix(r2, suf):
+                return True, _remove(ct, suf)
+    if len(ct) >= 4:
+        for suf in ("acao", "ezas", "icos", "icas", "ismo", "avel",
+                    "ivel", "ista", "osos", "osas", "ador", "ivas",
+                    "ivos"):
+            if _suffix(ct, suf) and _suffix(r2, suf):
+                return True, _remove(ct, suf)
+        if (_suffix(ct, "iras") and _suffix(rv, "iras")
+                and _preceded(ct, "iras", "e")):
+            return True, _replace(ct, "iras", "ir")
+    if len(ct) >= 3:
+        for suf in ("eza", "ico", "ica", "oso", "osa", "iva", "ivo"):
+            if _suffix(ct, suf) and _suffix(r2, suf):
+                return True, _remove(ct, suf)
+        if (_suffix(ct, "ira") and _suffix(rv, "ira")
+                and _preceded(ct, "ira", "e")):
+            return True, _replace(ct, "ira", "ir")
+    return False, ct
+
+
+def _step2(ct, rv):
+    """Verb suffixes searched in RV (BrazilianStemmer.java:573-947)."""
+    if rv is None:
+        return False, ct
+    for entry in _STEP2:
+        suf, rem = entry if isinstance(entry, tuple) else (entry, entry)
+        if _suffix(rv, suf):
+            return True, _remove(ct, rem)
+    return False, ct
+
+
+def _step3(ct, rv):
+    if rv is None:
+        return ct
+    if _suffix(rv, "i") and _preceded(rv, "i", "c"):
+        ct = _remove(ct, "i")
+    return ct
+
+
+def _step4(ct, rv):
+    if rv is None:
+        return ct
+    for suf in ("os", "a", "i", "o"):
+        if _suffix(rv, suf):
+            return _remove(ct, suf)
+    return ct
+
+
+def _step5(ct, rv):
+    if rv is None:
+        return ct
+    if _suffix(rv, "e"):
+        if _preceded(rv, "e", "gu"):
+            return _remove(_remove(ct, "e"), "u")
+        if _preceded(rv, "e", "ci"):
+            return _remove(_remove(ct, "e"), "i")
+        return _remove(ct, "e")
+    return ct
+
+
+def brazilian_stem_transform(term: str) -> str:
+    """BrazilianStemFilter.java:58-63: keep the original token when the
+    stemmer returns null or an identical discriminator."""
+    s = brazilian_stem(term)
+    return s if s is not None and s != term else term

@@ -179,6 +179,19 @@ for _name, _fns in [("bulgarian", ("bulgarian_stem",)),
     register("analyzer", _name)(_regional_chain(*_fns))
 
 
+@register("analyzer", "brazilian")
+def _brazilian_chain():
+    """BrazilianAnalyzer: standard chain + BrazilianStemFilter."""
+    import functools
+
+    from .analysis import analyze_batch
+    from .analysis.brazilian import brazilian_stem_transform
+
+    return functools.partial(analyze_batch,
+                             term_transform=brazilian_stem_transform,
+                             tokenizer="unicode")
+
+
 @register("analyzer", "greek")
 def _greek_chain():
     """GreekAnalyzer: GreekLowerCaseFilter -> GreekStemmer (stopwords

@@ -1,0 +1,108 @@
+"""TestBrazilianAnalyzer.java's check() vocabulary: input runs through
+the analyzer (lowercase tokenization) then BrazilianStemFilter."""
+from lucene_solr_ray.analysis.brazilian import brazilian_stem_transform
+
+GOLDEN = [
+    ("boa", "boa"),
+    ("boainain", "boainain"),
+    ("boas", "boas"),
+    ("bôas", "boas"),
+    ("boassu", "boassu"),
+    ("boataria", "boat"),
+    ("boate", "boat"),
+    ("boates", "boat"),
+    ("boatos", "boat"),
+    ("bob", "bob"),
+    ("boba", "bob"),
+    ("bobagem", "bobag"),
+    ("bobagens", "bobagens"),
+    ("bobalhões", "bobalho"),
+    ("bobear", "bob"),
+    ("bobeira", "bobeir"),
+    ("bobinho", "bobinh"),
+    ("bobinhos", "bobinh"),
+    ("bobo", "bob"),
+    ("bobs", "bobs"),
+    ("boca", "boc"),
+    ("bocadas", "boc"),
+    ("bocadinho", "bocadinh"),
+    ("bocado", "boc"),
+    ("bocaiúva", "bocaiuv"),
+    ("boçal", "bocal"),
+    ("bocarra", "bocarr"),
+    ("bocas", "boc"),
+    ("bode", "bod"),
+    ("bodoque", "bodoqu"),
+    ("body", "body"),
+    ("boeing", "boeing"),
+    ("boem", "boem"),
+    ("boemia", "boem"),
+    ("boêmio", "boemi"),
+    ("bogotá", "bogot"),
+    ("boi", "boi"),
+    ("bóia", "boi"),
+    ("boiando", "boi"),
+    ("quiabo", "quiab"),
+    ("quicaram", "quic"),
+    ("quickly", "quickly"),
+    ("quieto", "quiet"),
+    ("quietos", "quiet"),
+    ("quilate", "quilat"),
+    ("quilates", "quilat"),
+    ("quilinhos", "quilinh"),
+    ("quilo", "quil"),
+    ("quilombo", "quilomb"),
+    ("quilométricas", "quilometr"),
+    ("quilométricos", "quilometr"),
+    ("quilômetro", "quilometr"),
+    ("quilômetros", "quilometr"),
+    ("quilos", "quil"),
+    ("quimica", "quimic"),
+    ("quilos", "quil"),
+    ("quimica", "quimic"),
+    ("quimicas", "quimic"),
+    ("quimico", "quimic"),
+    ("quimicos", "quimic"),
+    ("quimioterapia", "quimioterap"),
+    ("quimioterápicos", "quimioterap"),
+    ("quimono", "quimon"),
+    ("quincas", "quinc"),
+    ("quinhão", "quinha"),
+    ("quinhentos", "quinhent"),
+    ("quinn", "quinn"),
+    ("quino", "quin"),
+    ("quinta", "quint"),
+    ("quintal", "quintal"),
+    ("quintana", "quintan"),
+    ("quintanilha", "quintanilh"),
+    ("quintão", "quinta"),
+    ("quintessência", "quintessente"),
+    ("quintino", "quintin"),
+    ("quinto", "quint"),
+    ("quintos", "quint"),
+    ("quintuplicou", "quintuplic"),
+    ("quinze", "quinz"),
+    ("quinzena", "quinzen"),
+    ("quiosque", "quiosqu"),
+    ("Brasil", "brasil"),
+    ("Brasília", "brasil"),
+    ("quimio5terápicos", "quimio5terapicos"),
+    ("áá", "áá"),
+    ("ááá", "aaa"),]
+
+
+def test_brazilian_reference_vocabulary():
+    bad = {}
+    for word, want in GOLDEN:
+        got = brazilian_stem_transform(word.lower())
+        if got != want:
+            bad[word] = (got, want)
+    assert not bad, (len(bad), dict(list(bad.items())[:15]))
+
+
+def test_brazilian_guards():
+    # too short / too long -> discriminator is None, token unchanged
+    assert brazilian_stem_transform("ab") == "ab"
+    assert brazilian_stem_transform("x" * 30) == "x" * 30
+    # non-letters pass through folded-but-unstemmed at the filter level
+    assert brazilian_stem_transform("abc123") == "abc123"
