@@ -1,0 +1,38 @@
+"""QueryAutoStopWordAnalyzer (lucene/analysis/common/.../query/
+QueryAutoStopWordAnalyzer.java:45-125) — derive query-time stopwords
+from the INDEX: any term whose document frequency exceeds maxDocFreq
+(or maxPercentDocs × numDocs, default 40%) is too common to be worth
+scoring and is dropped from query analysis.
+
+Engine shape: one vectorized pass over the per-segment term
+dictionaries (terms/df numpy views, no postings decode), df summed
+across segments — works on both doc-partitioned and merged
+term-partitioned generations, since a global sum is partitioning-
+agnostic. Pass the result as ``analyze_batch(stopwords=...)`` or a
+searcher's query-analysis stopword set.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def auto_stopwords(searcher, *, max_doc_freq: int | None = None,
+                   max_percent_docs: float = 0.4) -> frozenset[str]:
+    """Terms with global df > threshold, as the reference's
+    addStopWords(reader, maxDocFreq) — the percent form casts to int
+    exactly like QueryAutoStopWordAnalyzer.java:118."""
+    terms_all, df_all = [], []
+    for r in searcher.segments:
+        t, df, _ = r.term_dict_arrays()
+        terms_all.append(np.asarray(t))
+        df_all.append(np.asarray(df, dtype=np.int64))
+    if not terms_all:
+        return frozenset()
+    t = np.concatenate(terms_all)
+    d = np.concatenate(df_all)
+    uniq, inv = np.unique(t, return_inverse=True)
+    sums = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(sums, inv, d)
+    if max_doc_freq is None:
+        max_doc_freq = int(searcher.num_docs * max_percent_docs)
+    return frozenset(np.asarray(uniq[sums > max_doc_freq]).tolist())

@@ -1,0 +1,102 @@
+"""PathHierarchyTokenizer / ReversePathHierarchyTokenizer
+(lucene/analysis/common/.../path/) — hierarchy-prefix tokenization for
+path-like fields:
+
+    /a/b/c  ->  /a, /a/b, /a/b/c        (forward: ancestors)
+    /a/b/c  ->  /a/b/c, a/b/c, b/c, c   (reverse: suffixes, file-first)
+
+All tokens share one position (posInc 1,0,0,...), so a single term
+match finds every doc under/above that path. ``skip`` drops leading
+(forward) or trailing (reverse) components, exactly per the
+reference's counters — the forward port mirrors the
+PathHierarchyTokenizer.java:108-171 state machine char for char.
+
+These are TOKENIZERS, not filters: apply per path string (e.g. via
+flat_map over a path column, or as a keyword-field expansion before
+indexing). Returns [(token, start_offset, end_offset)].
+"""
+from __future__ import annotations
+
+
+def path_hierarchy_tokens(path: str, delimiter: str = "/",
+                          replacement: str | None = None,
+                          skip: int = 0) -> list[tuple[str, int, int]]:
+    """Forward hierarchy tokens (PathHierarchyTokenizer.java)."""
+    if replacement is None:
+        replacement = delimiter
+    tokens: list[tuple[str, int, int]] = []
+    result = ""                 # resultToken: the previous emitted token
+    end_delim = False
+    skipped = 0
+    start_position = 0
+    i, n = 0, len(path)
+    while True:
+        appended = ""
+        added = False
+        if end_delim:
+            appended += replacement
+            end_delim = False
+            added = True
+        eof = False
+        while True:
+            if i >= n:
+                if skipped > skip and added:
+                    term = result + appended
+                    tokens.append((term, start_position,
+                                   start_position + len(term)))
+                eof = True
+                break
+            c = path[i]
+            i += 1
+            if not added:
+                added = True
+                skipped += 1
+                if skipped > skip:
+                    appended += replacement if c == delimiter else c
+                else:
+                    start_position += 1
+            elif c == delimiter:
+                if skipped > skip:
+                    end_delim = True
+                    break
+                skipped += 1
+                if skipped > skip:
+                    appended += replacement
+                else:
+                    start_position += 1
+            else:
+                if skipped > skip:
+                    appended += c
+                else:
+                    start_position += 1
+        if eof:
+            return tokens
+        term = result + appended
+        tokens.append((term, start_position, start_position + len(term)))
+        result = term
+
+
+def reverse_path_hierarchy_tokens(path: str, delimiter: str = "/",
+                                  replacement: str | None = None,
+                                  skip: int = 0
+                                  ) -> list[tuple[str, int, int]]:
+    """Reverse (suffix) hierarchy tokens
+    (ReversePathHierarchyTokenizer.java:105-152): delimiter positions
+    collected once, tokens are buffer[pos_k:end] where end drops the
+    last ``skip`` components."""
+    if replacement is None:
+        replacement = delimiter
+    buf = path.replace(delimiter, replacement)
+    positions = [0]
+    for idx, c in enumerate(path):
+        if c == delimiter:
+            positions.append(idx + 1)
+    if positions[-1] < len(path):
+        positions.append(len(path))
+    count = len(positions)
+    idx = count - 1 - skip
+    if idx < 0:
+        return []
+    end = positions[idx]
+    return [(buf[positions[k]:end], positions[k], end)
+            for k in range(count - skip - 1)]

@@ -1,0 +1,88 @@
+"""PathHierarchyTokenizer / ReversePathHierarchyTokenizer goldens
+(the reference's Test*PathHierarchyTokenizer.java vectors, with
+offsets) and QueryAutoStopWordAnalyzer over a real index."""
+import pyarrow as pa
+import pytest
+
+from lucene_solr_ray.analysis.path_hierarchy import (
+    path_hierarchy_tokens,
+    reverse_path_hierarchy_tokens,
+)
+
+
+def test_path_hierarchy_forward_goldens():
+    assert path_hierarchy_tokens("/a/b/c") == [
+        ("/a", 0, 2), ("/a/b", 0, 4), ("/a/b/c", 0, 6)]
+    assert path_hierarchy_tokens("/a/b/c/") == [
+        ("/a", 0, 2), ("/a/b", 0, 4), ("/a/b/c", 0, 6),
+        ("/a/b/c/", 0, 7)]
+    assert path_hierarchy_tokens("a/b/c") == [
+        ("a", 0, 1), ("a/b", 0, 3), ("a/b/c", 0, 5)]
+    assert path_hierarchy_tokens("a/b/c/") == [
+        ("a", 0, 1), ("a/b", 0, 3), ("a/b/c", 0, 5), ("a/b/c/", 0, 6)]
+    assert path_hierarchy_tokens("/") == [("/", 0, 1)]
+    assert path_hierarchy_tokens("//") == [("/", 0, 1), ("//", 0, 2)]
+    assert path_hierarchy_tokens("c:/a/b/c") == [
+        ("c:", 0, 2), ("c:/a", 0, 4), ("c:/a/b", 0, 6),
+        ("c:/a/b/c", 0, 8)]
+
+
+def test_path_hierarchy_forward_skip():
+    assert path_hierarchy_tokens("/a/b/c", skip=1) == [
+        ("/b", 2, 4), ("/b/c", 2, 6)]
+    assert path_hierarchy_tokens("/a/b/c/", skip=1) == [
+        ("/b", 2, 4), ("/b/c", 2, 6), ("/b/c/", 2, 7)]
+    assert path_hierarchy_tokens("/", skip=1) == []
+    assert path_hierarchy_tokens("//", skip=1) == [("/", 1, 2)]
+
+
+def test_path_hierarchy_replacement():
+    # delimiter swapped for the replacement char in emitted tokens
+    assert path_hierarchy_tokens("/a/b/c", delimiter="/",
+                                 replacement="\\") == [
+        ("\\a", 0, 2), ("\\a\\b", 0, 4), ("\\a\\b\\c", 0, 6)]
+
+
+def test_path_hierarchy_reverse_goldens():
+    assert reverse_path_hierarchy_tokens("/a/b/c") == [
+        ("/a/b/c", 0, 6), ("a/b/c", 1, 6), ("b/c", 3, 6), ("c", 5, 6)]
+    assert reverse_path_hierarchy_tokens("/a/b/c/") == [
+        ("/a/b/c/", 0, 7), ("a/b/c/", 1, 7), ("b/c/", 3, 7),
+        ("c/", 5, 7)]
+    assert reverse_path_hierarchy_tokens("a/b/c") == [
+        ("a/b/c", 0, 5), ("b/c", 2, 5), ("c", 4, 5)]
+
+
+def test_path_hierarchy_reverse_skip():
+    assert reverse_path_hierarchy_tokens("/a/b/c/", skip=1) == [
+        ("/a/b/", 0, 5), ("a/b/", 1, 5), ("b/", 3, 5)]
+
+
+def test_query_auto_stopwords(tmp_path, ray_session):
+    from lucene_solr_ray.analysis.auto_stopwords import auto_stopwords
+    from lucene_solr_ray.index import build_index
+    from lucene_solr_ray.search import IndexSearcher
+
+    # 'common' is in every doc; 'rare<i>' in exactly one each
+    rows = [f"common rare{i} filler{i % 5}" for i in range(50)]
+    t = pa.table({"doc_id": pa.array(range(50), type=pa.int64()),
+                  "content": pa.array(rows)})
+    out = str(tmp_path / "idx")
+    build_index(t, out, batch_rows=16)
+    s = IndexSearcher(out)
+
+    stops = auto_stopwords(s, max_percent_docs=0.4)
+    assert "common" in stops                  # df 50 > 0.4*50
+    assert all(w not in stops for w in ("rare0", "rare49"))
+    # filler terms: df 10 each, threshold 20 -> kept
+    assert "filler0" not in stops
+
+    # absolute threshold form
+    stops9 = auto_stopwords(s, max_doc_freq=9)
+    assert "filler0" in stops9 and "common" in stops9
+    assert "rare1" not in stops9
+
+    # the wrapped-analyzer effect: the derived set drops the hot term
+    from lucene_solr_ray.analysis import analyze_batch
+    got = analyze_batch(pa.array(["common rare7"]), stopwords=stops)
+    assert got.terms.to_pylist() == ["rare7"]
