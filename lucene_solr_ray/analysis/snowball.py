@@ -307,3 +307,263 @@ def snowball_german(word: str) -> str:
     return (w.replace("U", "u").replace("Y", "y")
             .replace("ä", "a").replace("ö", "o")
             .replace("ü", "u"))
+
+
+# ---------------------------------------------------------------------------
+# Scandinavian Snowball stemmers (DanishStemmer / NorwegianStemmer /
+# SwedishStemmer — tartarus ext generated from the published specs at
+# snowballstem.org; conformance-tested against the reference's full
+# TestSnowballVocabData vocabularies)
+# ---------------------------------------------------------------------------
+
+_SCAND_VOWELS_DA = set("aeiouyæåø")
+_SCAND_VOWELS_SV = set("aeiouyäåö")
+
+
+def _r1_min3(w: str, vowels) -> int:
+    """R1 start (first non-vowel after a vowel, +1), adjusted so the
+    region before it has at least 3 letters."""
+    r1 = len(w)
+    for i in range(1, len(w)):
+        if w[i] not in vowels and w[i - 1] in vowels:
+            r1 = i + 1
+            break
+    return max(r1, 3)
+
+
+def _longest_in_r1(w: str, r1: int, suffixes) -> str | None:
+    best = None
+    for suf in suffixes:
+        if (w.endswith(suf) and len(w) - len(suf) >= r1
+                and (best is None or len(suf) > len(best))):
+            best = suf
+    return best
+
+
+_DA_STEP1 = ("hed", "ethed", "ered", "e", "erede", "ende", "erende",
+             "ene", "erne", "ere", "en", "heden", "eren", "er", "heder",
+             "erer", "heds", "es", "endes", "erendes", "enes", "ernes",
+             "eres", "ens", "hedens", "erens", "ers", "ets", "erets",
+             "et", "eret")
+_DA_S_ENDING = set("abcdfghjklmnoprtvyzå")
+
+
+def snowball_danish(word: str) -> str:
+    """Danish Snowball stemmer (http://snowballstem.org/algorithms/
+    danish/stemmer.html; tartarus ext/DanishStemmer.java)."""
+    w = word
+    r1 = _r1_min3(w, _SCAND_VOWELS_DA)
+
+    # step 1: longest suffix in R1, else s with a valid s-ending
+    suf = _longest_in_r1(w, r1, _DA_STEP1)
+    if suf is not None:
+        w = w[:-len(suf)]
+    elif (len(w) >= 1 and len(w) - 1 >= r1 and w[-1] == "s"
+          and len(w) >= 2 and w[-2] in _DA_S_ENDING):
+        w = w[:-1]
+
+    # step 2: consonant pair in R1 -> drop last letter
+    if (len(w) - 2 >= r1
+            and w.endswith(("gd", "dt", "gt", "kt"))):
+        w = w[:-1]
+
+    # step 3: igst -> drop st; then ig/lig/elig/els delete (+ step 2
+    # again); løst -> løs
+    if w.endswith("igst"):
+        w = w[:-2]
+    suf = _longest_in_r1(w, r1, ("ig", "lig", "elig", "els"))
+    if suf is not None:
+        w = w[:-len(suf)]
+        if (len(w) - 2 >= r1 and w.endswith(("gd", "dt", "gt", "kt"))):
+            w = w[:-1]
+    elif len(w) - 4 >= r1 and w.endswith("løst"):
+        w = w[:-1]
+
+    # step 4: undouble a final double consonant in R1
+    if (len(w) >= 2 and len(w) - 1 >= r1 and w[-1] == w[-2]
+            and w[-1] not in _SCAND_VOWELS_DA):
+        w = w[:-1]
+    return w
+
+
+_NO_STEP1 = ("a", "e", "ede", "ande", "ende", "ane", "ene", "hetene",
+             "en", "heten", "ar", "er", "heter", "as", "es", "edes",
+             "endes", "enes", "hetenes", "ens", "hetens", "ers", "ets",
+             "et", "het", "ast")
+_NO_S_ENDING = set("bcdfghjlmnoprtvyz")
+_NO_VOWELS = _SCAND_VOWELS_DA
+
+
+def snowball_norwegian(word: str) -> str:
+    """Norwegian Snowball stemmer (snowballstem.org/algorithms/
+    norwegian/stemmer.html; tartarus ext/NorwegianStemmer.java)."""
+    w = word
+    r1 = _r1_min3(w, _NO_VOWELS)
+
+    # step 1: longest of the plain suffixes, erte/ert -> er, or valid-s
+    best = _longest_in_r1(w, r1, _NO_STEP1)
+    ert = _longest_in_r1(w, r1, ("erte", "ert"))
+    if ert is not None and (best is None or len(ert) > len(best)):
+        w = w[:-len(ert)] + "er"
+    elif best is not None:
+        w = w[:-len(best)]
+    elif len(w) - 1 >= r1 and w.endswith("s") and len(w) >= 2 and (
+            w[-2] in _NO_S_ENDING
+            or (w[-2] == "k" and (len(w) < 3 or w[-3] not in _NO_VOWELS))):
+        w = w[:-1]
+
+    # step 2: dt/vt in R1 -> drop last letter
+    if len(w) - 2 >= r1 and w.endswith(("dt", "vt")):
+        w = w[:-1]
+
+    # step 3: derivational suffixes in R1 -> delete
+    suf = _longest_in_r1(w, r1, ("leg", "eleg", "ig", "eig", "lig",
+                                 "elig", "els", "lov", "elov", "slov",
+                                 "hetslov"))
+    if suf is not None:
+        w = w[:-len(suf)]
+    return w
+
+
+_SV_STEP1 = ("a", "arna", "erna", "heterna", "orna", "ad", "e", "ade",
+             "ande", "arne", "are", "aste", "en", "anden", "aren",
+             "heten", "ern", "ar", "er", "heter", "or", "as", "arnas",
+             "ernas", "ornas", "es", "ades", "andes", "ens", "arens",
+             "hetens", "erns", "at", "andet", "het", "ast")
+_SV_S_ENDING = set("bcdfghjklmnoprtvy")
+
+
+def snowball_swedish(word: str) -> str:
+    """Swedish Snowball stemmer (snowballstem.org/algorithms/swedish/
+    stemmer.html; tartarus ext/SwedishStemmer.java)."""
+    w = word
+    r1 = _r1_min3(w, _SCAND_VOWELS_SV)
+
+    suf = _longest_in_r1(w, r1, _SV_STEP1)
+    if suf is not None:
+        w = w[:-len(suf)]
+    elif (len(w) - 1 >= r1 and w.endswith("s") and len(w) >= 2
+          and w[-2] in _SV_S_ENDING):
+        w = w[:-1]
+
+    # step 2: consonant pair in R1 -> drop last letter
+    if len(w) - 2 >= r1 and w.endswith(("dd", "gd", "nn", "dt", "gt",
+                                        "kt", "tt")):
+        w = w[:-1]
+
+    # step 3
+    suf = _longest_in_r1(w, r1, ("lig", "ig", "els"))
+    if suf is not None:
+        w = w[:-len(suf)]
+    elif len(w) - 4 >= r1 and w.endswith("löst"):
+        w = w[:-1]
+    elif len(w) - 5 >= r1 and w.endswith("fullt"):
+        w = w[:-1]
+    return w
+
+
+_NL_VOWELS = set("aeiouyè")
+
+
+def _nl_undouble(w: str) -> str:
+    return w[:-1] if w.endswith(("kk", "dd", "tt")) else w
+
+
+def snowball_dutch(word: str) -> str:
+    """Dutch Snowball stemmer (snowballstem.org/algorithms/dutch/
+    stemmer.html; tartarus ext/DutchStemmer.java): umlaut/acute fold,
+    I/Y consonant marking, en/s suffix steps, e-removal, heid, the
+    d-suffixes, and the CVD vowel undoubling."""
+    w = word.translate(str.maketrans("äëïöüáéíóú", "aeiouaeiou"))
+
+    # mark y/i used as consonants
+    chars = list(w)
+    n = len(chars)
+    for i, c in enumerate(chars):
+        if c == "y" and (i == 0 or chars[i - 1] in _NL_VOWELS):
+            chars[i] = "Y"
+        elif (c == "i" and 0 < i < n - 1 and chars[i - 1] in _NL_VOWELS
+              and chars[i + 1] in _NL_VOWELS):
+            chars[i] = "I"
+    w = "".join(chars)
+
+    r1 = len(w)
+    for i in range(1, len(w)):
+        if w[i] not in _NL_VOWELS and w[i - 1] in _NL_VOWELS:
+            r1 = i + 1
+            break
+    r2 = len(w)
+    for i in range(r1 + 1, len(w)):
+        if w[i] not in _NL_VOWELS and w[i - 1] in _NL_VOWELS:
+            r2 = i + 1
+            break
+    r1 = max(r1, 3)
+
+    def valid_en(prefix: str) -> bool:
+        return (len(prefix) >= 1 and prefix[-1] not in _NL_VOWELS
+                and not prefix.endswith("gem"))
+
+    # step 1 — Snowball among: the LONGEST surface match is selected
+    # first, then its R1/ending conditions apply; a failed condition
+    # does NOT fall back to a shorter suffix
+    for suf in ("heden", "ene", "en", "se", "s"):
+        if not w.endswith(suf):
+            continue
+        if suf == "heden":
+            if len(w) - 5 >= r1:
+                w = w[:-5] + "heid"
+        elif suf in ("ene", "en"):
+            if len(w) - len(suf) >= r1 and valid_en(w[:-len(suf)]):
+                w = _nl_undouble(w[:-len(suf)])
+        else:
+            k = len(suf)
+            if (len(w) - k >= r1 and len(w) >= k + 1
+                    and w[-k - 1] not in _NL_VOWELS and w[-k - 1] != "j"):
+                w = w[:-k]
+        break
+
+    # step 2: e in R1 preceded by a non-vowel
+    e_found = False
+    if (w.endswith("e") and len(w) - 1 >= r1
+            and len(w) >= 2 and w[-2] not in _NL_VOWELS):
+        e_found = True
+        w = _nl_undouble(w[:-1])
+
+    # step 3a: heid (R2, not preceded by c), then en as in step 1
+    if (w.endswith("heid") and len(w) - 4 >= r2
+            and (len(w) < 5 or w[-5] != "c")):
+        w = w[:-4]
+        if w.endswith("ene") and len(w) - 3 >= r1 and valid_en(w[:-3]):
+            w = _nl_undouble(w[:-3])
+        elif w.endswith("en") and len(w) - 2 >= r1 and valid_en(w[:-2]):
+            w = _nl_undouble(w[:-2])
+
+    # step 3b: d-suffixes
+    if (w.endswith(("end", "ing")) and len(w) - 3 >= r2):
+        w = w[:-3]
+        if (w.endswith("ig") and len(w) - 2 >= r2
+                and (len(w) < 3 or w[-3] != "e")):
+            w = w[:-2]
+        else:
+            w = _nl_undouble(w)
+    elif (w.endswith("ig") and len(w) - 2 >= r2
+          and (len(w) < 3 or w[-3] != "e")):
+        w = w[:-2]
+    elif w.endswith("lijk") and len(w) - 4 >= r2:
+        w = w[:-4]
+        if (w.endswith("e") and len(w) - 1 >= r1
+                and len(w) >= 2 and w[-2] not in _NL_VOWELS):
+            w = _nl_undouble(w[:-1])
+    elif w.endswith("baar") and len(w) - 4 >= r2:
+        w = w[:-4]
+    elif w.endswith("bar") and len(w) - 3 >= r2 and e_found:
+        w = w[:-3]
+
+    # step 4: undouble vowel in C-VV-D
+    if len(w) >= 4:
+        c, v1, v2, d = w[-4], w[-3], w[-2], w[-1]
+        if (c not in _NL_VOWELS and d not in _NL_VOWELS and d != "I"
+                and v1 == v2 and v1 in "aeou"):
+            w = w[:-2] + w[-1]
+
+    return w.replace("I", "i").replace("Y", "y")

@@ -124,6 +124,28 @@ def _snowball_de_chain():
                              term_transform=snowball_german)
 
 
+def _snowball_chain(fn_name):
+    """One analyzer per remaining SnowballFilter language (da/no/sv/nl
+    — DanishAnalyzer etc. are StandardTokenizer + stop + snowball)."""
+    def chain():
+        import functools
+
+        from .analysis import analyze_batch
+        from .analysis import snowball as S
+
+        return functools.partial(analyze_batch,
+                                 term_transform=getattr(S, fn_name),
+                                 tokenizer="unicode")
+    return chain
+
+
+for _name, _fn in [("danish_snowball", "snowball_danish"),
+                   ("norwegian_snowball", "snowball_norwegian"),
+                   ("swedish_snowball", "snowball_swedish"),
+                   ("dutch_snowball", "snowball_dutch")]:
+    register("analyzer", _name)(_snowball_chain(_fn))
+
+
 def _minimal_chain(fn_name):
     """One analyzer per *MinimalStemFilterFactory (fr/de/no/pt/gl) —
     plural-only reduction composed onto the standard chain."""
