@@ -94,10 +94,12 @@ def snowball_english(word: str) -> str:
     """Porter2 / Snowball "english" stemmer (full spec, incl. exceptional
     forms, y-marking, R1 prefix exceptions and the short-word rule)."""
     w = word.lower()
-    if w and w[0] == "'":
-        w = w[1:]
+    # the spec's `not hop 3` guard applies BEFORE the prelude strips a
+    # leading apostrophe: 'a and 's stay unchanged, ''' stems to '
     if len(w) <= 2:
         return w
+    if w[0] == "'":
+        w = w[1:]
     if w in _EXCEPTIONS:
         return _EXCEPTIONS[w]
 
@@ -214,14 +216,14 @@ def _de_regions(w: str) -> tuple[int, int]:
         if w[i] not in _DE_VOWELS and w[i - 1] in _DE_VOWELS:
             r1 = i + 1
             break
-    # spec: R1 is adjusted so that the region before it is at least 3
-    # letters long
-    r1 = max(r1, min(3, len(w)))
+    # R2 is computed inside the RAW R1; only R1 itself is then
+    # adjusted so the region before it is at least 3 letters long
     r2 = len(w)
     for i in range(r1 + 1, len(w)):
         if w[i] not in _DE_VOWELS and w[i - 1] in _DE_VOWELS:
             r2 = i + 1
             break
+    r1 = max(r1, min(3, len(w)))
     return r1, r2
 
 
@@ -229,8 +231,7 @@ def snowball_german(word: str) -> str:
     """Snowball "german" stemmer (spec at snowballstem.org): ß→ss, u/y
     between vowels marked, three suffix steps in R1/R2, umlaut fold."""
     w = word.lower().replace("ß", "ss")
-    if len(w) <= 2:
-        return w
+    # (no short-word guard: the German spec folds umlauts regardless)
 
     # mark u and y between vowels (protects them from being treated as
     # vowels when computing regions / endings)
@@ -258,9 +259,8 @@ def snowball_german(word: str) -> str:
         suf = w[-2:] if w.endswith(("en", "es")) else "e"
         if in_r1(len(suf)):
             w = w[: -len(suf)]
-            # spec: if the word ends "niss", delete the final s
-            if w.endswith("niss"):
-                w = w[:-1]
+            # (the later spec's "niss -> nis" rule is absent from the
+            # reference's generated GermanStemmer.java — parity)
     elif w.endswith("s"):
         if in_r1(1) and len(w) >= 2 and w[-2] in _DE_S_END:
             w = w[:-1]

@@ -193,7 +193,7 @@ sb12 AS (SELECT term, w0, w1a,
        ELSE w END AS w
   FROM (SELECT term, w0, w1a, r1, r2, w, {_cls('w')} AS q FROM sb11)),
 stems AS (SELECT term,
-  CASE WHEN length(w0) <= 2 THEN w0
+  CASE WHEN length(term) <= 2 THEN term
        {exc_case}
        WHEN w1a IN ({exc1a}) THEN replace(w1a, 'Y', 'y')
        ELSE replace(w, 'Y', 'y') END AS stem
