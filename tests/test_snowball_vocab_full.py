@@ -1,0 +1,42 @@
+"""Full-vocabulary Snowball conformance for English and German.
+
+Runs every word of the official snowballstem.org conformance data
+(TestSnowballVocabData.zip, shipped inside the reference snapshot at
+lucene/analysis/common/src/test/.../snowball/) through our stemmers and
+requires zero mismatches.  Skips when the reference snapshot is absent
+(e.g. a standalone checkout) — the sampled goldens in test_snowball*.py
+still cover the algorithms there.
+"""
+import zipfile
+from pathlib import Path
+
+import pytest
+
+from lucene_solr_ray.analysis.snowball import (
+    snowball_english,
+    snowball_german,
+)
+
+_ZIP = Path(
+    "/root/reference/lucene/analysis/common/src/test/org/apache/lucene/"
+    "analysis/snowball/TestSnowballVocabData.zip"
+)
+
+
+def _pairs(lang):
+    if not _ZIP.exists():
+        pytest.skip("reference TestSnowballVocabData.zip not available")
+    z = zipfile.ZipFile(_ZIP)
+    voc = z.read(f"{lang}/voc.txt").decode("utf-8").splitlines()
+    out = z.read(f"{lang}/output.txt").decode("utf-8").splitlines()
+    assert len(voc) == len(out) and len(voc) > 10_000
+    return list(zip(voc, out))
+
+
+@pytest.mark.parametrize(
+    "lang,fn",
+    [("english", snowball_english), ("german", snowball_german)],
+)
+def test_full_vocabulary_exact(lang, fn):
+    bad = [(w, fn(w), want) for w, want in _pairs(lang) if fn(w) != want]
+    assert not bad, (len(bad), bad[:10])
