@@ -1,0 +1,516 @@
+"""Snowball stemmers for the Romance languages (French, Spanish,
+Italian, Portuguese, Romanian), implemented from the published
+specifications at snowballstem.org (public algorithms by M.F. Porter).
+
+Reference surface: lucene/analysis/common/src/java/org/apache/lucene/
+analysis/snowball/SnowballFilter.java wraps machine-generated stemmer
+classes (FrenchStemmer, SpanishStemmer, ...). This module re-implements
+the algorithms directly from the specs — nothing is derived from the
+generated Java. Each function is a plain term transform pluggable into
+``analyze_batch(term_transform=...)`` and is validated exact against
+the official conformance vocabularies (TestSnowballVocabData.zip).
+
+Shared semantics worth naming once: the specs' `setlimit tomark pV`
+means suffix matching in the verb steps happens INSIDE region RV — the
+longest table suffix lying fully within RV wins, and "preceded by X"
+tests also only see characters at or after the RV start.  Marked
+consonantal vowels (U/I/Y) are uppercase and are NOT vowels for any
+later test.
+"""
+
+from __future__ import annotations
+
+# ----------------------------------------------------------------- french
+
+_FR_VOWELS = frozenset("aeiouyâàëéêèïîôûù")
+
+
+def _fr_mark(w: str) -> str:
+    """Prelude: a left-to-right cursor scan (repeat goto in the spec) —
+    u/i between vowels → U/I, y next to a vowel → Y, u after q → U.
+    Already-marked characters are uppercase and no longer vowels."""
+    out = list(w)
+    n = len(w)
+    i = 0
+    while i < n:
+        c = out[i]
+        if c in _FR_VOWELS and i + 1 < n:
+            d = out[i + 1]
+            # After `<- 'U'` the Snowball cursor sits right after the
+            # replacement — the trailing v was a TEST, not consumed — so
+            # the vowel after the mark can start the next match.
+            if d == "u" and i + 2 < n and out[i + 2] in _FR_VOWELS:
+                out[i + 1] = "U"
+                i += 2
+                continue
+            if d == "i" and i + 2 < n and out[i + 2] in _FR_VOWELS:
+                out[i + 1] = "I"
+                i += 2
+                continue
+            if d == "y":
+                out[i + 1] = "Y"
+                i += 2
+                continue
+        if c == "y" and i + 1 < n and out[i + 1] in _FR_VOWELS:
+            out[i] = "Y"
+            i += 1
+            continue
+        if c == "q" and i + 1 < n and out[i + 1] == "u":
+            out[i + 1] = "U"
+            i += 2
+            continue
+        i += 1
+    return "".join(out)
+
+
+def _fr_rv(w: str) -> int:
+    n = len(w)
+    if n >= 3 and w[0] in _FR_VOWELS and w[1] in _FR_VOWELS:
+        return 3
+    if w[:3] in ("par", "col", "tap"):
+        return 3
+    for i in range(1, n):
+        if w[i] in _FR_VOWELS:
+            return i + 1
+    return n
+
+
+def _r1r2(w: str, vowels) -> tuple[int, int]:
+    n = len(w)
+    r1 = n
+    for i in range(1, n):
+        if w[i] not in vowels and w[i - 1] in vowels:
+            r1 = i + 1
+            break
+    r2 = n
+    for i in range(r1 + 1, n):
+        if w[i] not in vowels and w[i - 1] in vowels:
+            r2 = i + 1
+            break
+    return r1, r2
+
+
+def _longest_suffix(w: str, table, start: int = 0) -> str | None:
+    """Longest suffix from ``table`` lying fully within w[start:]
+    (the spec's [substring] among inside setlimit)."""
+    best = None
+    for s in table:
+        if (best is None or len(s) > len(best)) and w.endswith(s) \
+                and len(w) - len(s) >= start:
+            best = s
+    return best
+
+
+_FR_STEP1 = (
+    "ance", "iqUe", "isme", "able", "iste", "eux",
+    "ances", "iqUes", "ismes", "ables", "istes",
+    "atrice", "ateur", "ation", "atrices", "ateurs", "ations",
+    "logie", "logies", "usion", "ution", "usions", "utions",
+    "ence", "ences", "ement", "ements", "ité", "ités",
+    "if", "ive", "ifs", "ives", "eaux", "aux", "euse", "euses",
+    "issement", "issements", "amment", "emment", "ment", "ments",
+)
+_FR_2A = (
+    "îmes", "ît", "îtes", "i", "ie", "ies", "ir", "ira", "irai",
+    "iraIent", "irais", "irait", "iras", "irent", "irez", "iriez",
+    "irions", "irons", "iront", "is", "issaIent", "issais", "issait",
+    "issant", "issante", "issantes", "issants", "isse", "issent",
+    "isses", "issez", "issiez", "issions", "issons", "it",
+)
+_FR_2B_ER = frozenset([
+    "é", "ée", "ées", "és", "èrent", "er", "era", "erai", "eraIent",
+    "erais", "erait", "eras", "erez", "eriez", "erions", "erons",
+    "eront", "ez", "iez",
+])
+_FR_2B_A = frozenset([
+    "âmes", "ât", "âtes", "a", "ai", "aIent", "ais", "ait", "ant",
+    "ante", "antes", "ants", "as", "asse", "assent", "asses",
+    "assiez", "assions",
+])
+
+
+def snowball_french(word: str) -> str:
+    """Snowball "french" stemmer (spec at snowballstem.org)."""
+    w = _fr_mark(word.lower())
+    rv = _fr_rv(w)
+    r1, r2 = _r1r2(w, _FR_VOWELS)
+
+    def in_rv(wl, sl):
+        return len(wl) - sl >= rv
+
+    def in_r1(wl, sl):
+        return len(wl) - sl >= r1
+
+    def in_r2(wl, sl):
+        return len(wl) - sl >= r2
+
+    # ---- step 1: standard suffix removal (whole-word longest match).
+    # Returns success=True only for branches that count as "step 1
+    # removed an ending" — the amment/emment/ment(s) branches substitute
+    # but deliberately fail so the verb steps still run (the spec's
+    # `fail` marker).
+    success = False
+    try_2 = True
+    suf = _longest_suffix(w, _FR_STEP1)
+    if suf:
+        n = len(suf)
+        if suf in ("ance", "iqUe", "isme", "able", "iste", "eux",
+                   "ances", "iqUes", "ismes", "ables", "istes"):
+            if in_r2(w, n):
+                w = w[:-n]
+                success, try_2 = True, False
+        elif suf in ("atrice", "ateur", "ation",
+                     "atrices", "ateurs", "ations"):
+            if in_r2(w, n):
+                w = w[:-n]
+                success, try_2 = True, False
+                if w.endswith("ic"):
+                    if in_r2(w, 2):
+                        w = w[:-2]
+                    else:
+                        w = w[:-2] + "iqU"
+        elif suf in ("logie", "logies"):
+            if in_r2(w, n):
+                w = w[: -n] + "log"
+                success, try_2 = True, False
+        elif suf in ("usion", "ution", "usions", "utions"):
+            if in_r2(w, n):
+                w = w[: -n] + "u"
+                success, try_2 = True, False
+        elif suf in ("ence", "ences"):
+            if in_r2(w, n):
+                w = w[: -n] + "ent"
+                success, try_2 = True, False
+        elif suf in ("ement", "ements"):
+            if in_rv(w, n):
+                w = w[:-n]
+                success, try_2 = True, False
+                if w.endswith("iv") and in_r2(w, 2):
+                    w = w[:-2]
+                    if w.endswith("at") and in_r2(w, 2):
+                        w = w[:-2]
+                elif w.endswith("eus"):
+                    if in_r2(w, 3):
+                        w = w[:-3]
+                    elif in_r1(w, 3):
+                        w = w[:-3] + "eux"
+                elif w.endswith("abl") and in_r2(w, 3):
+                    w = w[:-3]
+                elif w.endswith("iqU") and in_r2(w, 3):
+                    w = w[:-3]
+                elif w.endswith("ièr") and in_rv(w, 3):
+                    w = w[:-3] + "i"
+                elif w.endswith("Ièr") and in_rv(w, 3):
+                    w = w[:-3] + "i"
+        elif suf in ("ité", "ités"):
+            if in_r2(w, n):
+                w = w[:-n]
+                success, try_2 = True, False
+                if w.endswith("abil"):
+                    if in_r2(w, 4):
+                        w = w[:-4]
+                    else:
+                        w = w[:-4] + "abl"
+                elif w.endswith("ic"):
+                    if in_r2(w, 2):
+                        w = w[:-2]
+                    else:
+                        w = w[:-2] + "iqU"
+                elif w.endswith("iv") and in_r2(w, 2):
+                    w = w[:-2]
+        elif suf in ("if", "ive", "ifs", "ives"):
+            if in_r2(w, n):
+                w = w[:-n]
+                success, try_2 = True, False
+                if w.endswith("at") and in_r2(w, 2):
+                    w = w[:-2]
+                    if w.endswith("ic"):
+                        if in_r2(w, 2):
+                            w = w[:-2]
+                        else:
+                            w = w[:-2] + "iqU"
+        elif suf == "eaux":
+            w = w[:-4] + "eau"
+            success, try_2 = True, False
+        elif suf == "aux":
+            if in_r1(w, 3):
+                w = w[:-3] + "al"
+                success, try_2 = True, False
+        elif suf in ("euse", "euses"):
+            if in_r2(w, n):
+                w = w[:-n]
+                success, try_2 = True, False
+            elif in_r1(w, n):
+                w = w[: -n] + "eux"
+                success, try_2 = True, False
+        elif suf in ("issement", "issements"):
+            if in_r1(w, n) and len(w) > n and w[-n - 1] not in _FR_VOWELS:
+                w = w[:-n]
+                success, try_2 = True, False
+        elif suf == "amment":
+            if in_rv(w, 6):
+                w = w[:-6] + "ant"
+        elif suf == "emment":
+            if in_rv(w, 6):
+                w = w[:-6] + "ent"
+        else:  # ment / ments
+            if len(w) > n and w[-n - 1] in _FR_VOWELS and in_rv(w, n + 1):
+                w = w[:-n]
+
+    # ---- step 2a: i-verb suffixes (setlimit RV; preceding non-vowel
+    # must also be visible inside RV)
+    if try_2:
+        s = _longest_suffix(w, _FR_2A, rv)
+        if s is not None:
+            n = len(s)
+            if len(w) - n - 1 >= rv and w[-n - 1] not in _FR_VOWELS:
+                w = w[:-n]
+                success = True
+        # ---- step 2b (only if 2a deleted nothing; also setlimit RV)
+        if not success:
+            s = _longest_suffix(w, tuple(_FR_2B_ER) + tuple(_FR_2B_A)
+                                + ("ions",), rv)
+            if s is not None:
+                n = len(s)
+                if s == "ions":
+                    if in_r2(w, n):
+                        w = w[:-n]
+                        success = True
+                elif s in _FR_2B_ER:
+                    w = w[:-n]
+                    success = True
+                else:
+                    w = w[:-n]
+                    success = True
+                    if w.endswith("e") and in_rv(w, 1):
+                        w = w[:-1]
+
+    if success:
+        # ---- step 3
+        if w.endswith("Y"):
+            w = w[:-1] + "i"
+        elif w.endswith("ç"):
+            w = w[:-1] + "c"
+    else:
+        # ---- step 4: residual suffix. The s-removal sees the whole
+        # word; the rest is setlimit RV.
+        if w.endswith("s") and len(w) >= 2 and w[-2] not in "aiouès":
+            w = w[:-1]
+        s = _longest_suffix(w, ("ion", "ier", "ière", "Ier", "Ière",
+                                "e", "ë"), rv)
+        if s == "ion":
+            if in_r2(w, 3) and len(w) - 4 >= rv and w[-4] in "st":
+                w = w[:-3]
+        elif s in ("ier", "ière", "Ier", "Ière"):
+            w = w[: -len(s)] + "i"
+        elif s == "e":
+            w = w[:-1]
+        elif s == "ë":
+            if w.endswith("guë"):
+                w = w[:-1]
+
+    # ---- step 5: undouble
+    for s in ("enn", "onn", "ett", "ell", "eill"):
+        if w.endswith(s):
+            w = w[:-1]
+            break
+
+    # ---- step 6: un-accent — é/è followed by one or more non-vowels
+    # (marked U/I/Y count as non-vowels) becomes e
+    i = len(w) - 1
+    seen_nonvowel = False
+    while i >= 0:
+        c = w[i]
+        if c in _FR_VOWELS:
+            break
+        if c in "éè":
+            # é/è are vowels; reachable only via the explicit check below
+            break
+        seen_nonvowel = True
+        i -= 1
+    if seen_nonvowel and i >= 0 and w[i] in "éè":
+        w = w[:i] + "e" + w[i + 1:]
+
+    return w.replace("I", "i").replace("U", "u").replace("Y", "y")
+
+# ---------------------------------------------------------------- spanish
+
+_ES_VOWELS = frozenset("aeiouáéíóúü")
+
+
+def _rv_std(w: str, vowels) -> int:
+    """The Spanish/Italian/Portuguese/Romanian RV: second letter
+    consonant → after next vowel; first two vowels → after next
+    consonant; consonant-vowel → after the third letter."""
+    n = len(w)
+    if n == 0:
+        return 0
+    if w[0] in vowels:
+        if n >= 2 and w[1] in vowels:
+            for i in range(2, n):
+                if w[i] not in vowels:
+                    return i + 1
+            return n
+        for i in range(2, n):
+            if w[i] in vowels:
+                return i + 1
+        return n
+    if n >= 2 and w[1] in vowels:
+        return 3 if n >= 3 else n
+    for i in range(2, n):
+        if w[i] in vowels:
+            return i + 1
+    return n
+
+
+_ES_PRONOUNS = (
+    "me", "se", "sela", "selo", "selas", "selos", "la", "le", "lo",
+    "las", "les", "los", "nos",
+)
+_ES_PRON_END = (
+    "iéndo", "ándo", "ár", "ér", "ír",
+    "ando", "iendo", "ar", "er", "ir", "yendo",
+)
+_ES_UNACCENT_END = {"iéndo": "iendo", "ándo": "ando",
+                    "ár": "ar", "ér": "er", "ír": "ir"}
+_ES_S1_DELETE_R2 = (
+    "anza", "anzas", "ico", "ica", "icos", "icas", "ismo", "ismos",
+    "able", "ables", "ible", "ibles", "ista", "istas", "oso", "osa",
+    "osos", "osas", "amiento", "amientos", "imiento", "imientos",
+)
+_ES_S1_ADOR = (
+    "adora", "ador", "ación", "adoras", "adores", "aciones",
+    "ante", "antes", "ancia", "ancias",
+)
+_ES_STEP1 = (_ES_S1_DELETE_R2 + _ES_S1_ADOR
+             + ("logía", "logías", "ución", "uciones", "encia", "encias",
+                "amente", "mente", "idad", "idades",
+                "iva", "ivo", "ivas", "ivos"))
+_ES_Y_VERB = ("ya", "ye", "yan", "yen", "yeron", "yendo", "yo", "yó",
+              "yas", "yes", "yais", "yamos")
+_ES_VERB_GU = ("en", "es", "éis", "emos")
+_ES_VERB = (
+    "arían", "arías", "arán", "arás", "aríais", "aría", "aréis",
+    "aríamos", "aremos", "ará", "aré", "erían", "erías", "erán",
+    "erás", "eríais", "ería", "eréis", "eríamos", "eremos", "erá",
+    "eré", "irían", "irías", "irán", "irás", "iríais", "iría",
+    "iréis", "iríamos", "iremos", "irá", "iré", "aba", "ada", "ida",
+    "ía", "ara", "iera", "ad", "ed", "id", "ase", "iese", "aste",
+    "iste", "an", "aban", "ían", "aran", "ieran", "asen", "iesen",
+    "aron", "ieron", "ado", "ido", "ando", "iendo", "ió", "ar", "er",
+    "ir", "as", "abas", "adas", "idas", "ías", "aras", "ieras",
+    "ases", "ieses", "ís", "áis", "abais", "íais", "arais", "ierais",
+    "aseis", "ieseis", "asteis", "isteis", "ados", "idos", "amos",
+    "ábamos", "íamos", "imos", "áramos", "iéramos", "iésemos",
+    "ásemos",
+)
+_ES_ACCENT = str.maketrans("áéíóú", "aeiou")
+
+
+def snowball_spanish(word: str) -> str:
+    """Snowball "spanish" stemmer (spec at snowballstem.org)."""
+    w = word.lower()
+    rv = _rv_std(w, _ES_VOWELS)
+    r1, r2 = _r1r2(w, _ES_VOWELS)
+
+    # ---- step 0: attached pronoun (ending must start inside RV)
+    pron = _longest_suffix(w, _ES_PRONOUNS)
+    if pron:
+        base = w[: -len(pron)]
+        end = _longest_suffix(base, _ES_PRON_END, rv)
+        if end in _ES_UNACCENT_END:
+            w = base[: -len(end)] + _ES_UNACCENT_END[end]
+        elif end == "yendo":
+            if base[: -5].endswith("u"):
+                w = base
+        elif end is not None:
+            w = base
+
+    def in_r1(wl, sl):
+        return len(wl) - sl >= r1
+
+    def in_r2(wl, sl):
+        return len(wl) - sl >= r2
+
+    # ---- step 1: standard suffix removal
+    step1 = False
+    suf = _longest_suffix(w, _ES_STEP1)
+    if suf:
+        n = len(suf)
+        if suf in _ES_S1_DELETE_R2:
+            if in_r2(w, n):
+                w = w[:-n]
+                step1 = True
+        elif suf in _ES_S1_ADOR:
+            if in_r2(w, n):
+                w = w[:-n]
+                step1 = True
+                if w.endswith("ic") and in_r2(w, 2):
+                    w = w[:-2]
+        elif suf in ("logía", "logías"):
+            if in_r2(w, n):
+                w = w[: -n] + "log"
+                step1 = True
+        elif suf in ("ución", "uciones"):
+            if in_r2(w, n):
+                w = w[: -n] + "u"
+                step1 = True
+        elif suf in ("encia", "encias"):
+            if in_r2(w, n):
+                w = w[: -n] + "ente"
+                step1 = True
+        elif suf == "amente":
+            if in_r1(w, 6):
+                w = w[:-6]
+                step1 = True
+                if w.endswith("iv") and in_r2(w, 2):
+                    w = w[:-2]
+                    if w.endswith("at") and in_r2(w, 2):
+                        w = w[:-2]
+                elif w[-2:] in ("os", "ic", "ad") and in_r2(w, 2):
+                    w = w[:-2]
+        elif suf == "mente":
+            if in_r2(w, 5):
+                w = w[:-5]
+                step1 = True
+                t = _longest_suffix(w, ("ante", "able", "ible"))
+                if t and in_r2(w, len(t)):
+                    w = w[: -len(t)]
+        elif suf in ("idad", "idades"):
+            if in_r2(w, n):
+                w = w[:-n]
+                step1 = True
+                t = _longest_suffix(w, ("abil", "ic", "iv"))
+                if t and in_r2(w, len(t)):
+                    w = w[: -len(t)]
+        else:  # iva ivo ivas ivos
+            if in_r2(w, n):
+                w = w[:-n]
+                step1 = True
+                if w.endswith("at") and in_r2(w, 2):
+                    w = w[:-2]
+
+    # ---- step 2a: verbs ending in y (suffix in RV, preceded by u)
+    step2a = False
+    if not step1:
+        s = _longest_suffix(w, _ES_Y_VERB, rv)
+        if s is not None:
+            if w[: -len(s)].endswith("u"):
+                w = w[: -len(s)]
+                step2a = True
+        # ---- step 2b: other verb suffixes (in RV)
+        if not step2a:
+            s = _longest_suffix(w, _ES_VERB_GU + _ES_VERB, rv)
+            if s is not None:
+                w = w[: -len(s)]
+                if s in _ES_VERB_GU and w.endswith("gu"):
+                    w = w[:-1]
+
+    # ---- step 3: residual suffix (in RV)
+    s = _longest_suffix(w, ("os", "a", "o", "á", "í", "ó", "e", "é"), rv)
+    if s is not None:
+        w = w[: -len(s)]
+        if s in ("e", "é") and w.endswith("gu") and len(w) - 1 >= rv:
+            w = w[:-1]
+
+    return w.translate(_ES_ACCENT)
