@@ -514,3 +514,450 @@ def snowball_spanish(word: str) -> str:
             w = w[:-1]
 
     return w.translate(_ES_ACCENT)
+
+# ---------------------------------------------------------------- italian
+
+_IT_VOWELS = frozenset("aeiouàèìòù")
+_IT_ACUTE = str.maketrans("áéíóú", "àèìòù")
+
+
+def _it_mark(w: str) -> str:
+    """Prelude: acute→grave + qu→qU (first pass), then u/i between
+    vowels → U/I (cursor scan as in French)."""
+    w = w.translate(_IT_ACUTE).replace("qu", "qU")
+    out = list(w)
+    n = len(w)
+    i = 0
+    while i < n:
+        if out[i] in _IT_VOWELS and i + 2 < n and out[i + 2] in _IT_VOWELS:
+            if out[i + 1] == "u":
+                out[i + 1] = "U"
+                i += 2
+                continue
+            if out[i + 1] == "i":
+                out[i + 1] = "I"
+                i += 2
+                continue
+        i += 1
+    return "".join(out)
+
+
+_IT_PRONOUNS = (
+    "ci", "gli", "la", "le", "li", "lo", "mi", "ne", "si", "ti", "vi",
+    "sene", "gliela", "gliele", "glieli", "glielo", "gliene",
+    "mela", "mele", "meli", "melo", "mene",
+    "tela", "tele", "teli", "telo", "tene",
+    "cela", "cele", "celi", "celo", "cene",
+    "vela", "vele", "veli", "velo", "vene",
+)
+_IT_S1_DELETE_R2 = (
+    "anza", "anze", "ico", "ici", "ica", "ice", "iche", "ichi",
+    "ismo", "ismi", "abile", "abili", "ibile", "ibili", "ista",
+    "iste", "isti", "istà", "istè", "istì", "oso", "osi", "osa",
+    "ose", "mente", "atrice", "atrici", "ante", "anti",
+)
+_IT_S1_ATORE = ("azione", "azioni", "atore", "atori")
+_IT_STEP1 = (_IT_S1_DELETE_R2 + _IT_S1_ATORE
+             + ("logia", "logie", "uzione", "uzioni", "usione", "usioni",
+                "enza", "enze", "amento", "amenti", "imento", "imenti",
+                "amente", "ità", "ivo", "ivi", "iva", "ive"))
+_IT_VERB = (
+    "ammo", "ando", "ano", "are", "ere", "ire", "arono", "asse",
+    "assero", "assi",
+    "assimo", "ata", "ate", "ati", "ato", "ava", "avamo", "avano",
+    "avate", "avi", "avo", "emmo", "enda", "ende", "endi", "endo",
+    "erà", "erai", "eranno", "erebbe", "erebbero", "erei", "eremmo",
+    "eremo", "ereste", "eresti", "erete", "erò", "erono", "essero",
+    "ete", "eva", "evamo", "evano", "evate", "evi", "evo", "Yamo",
+    "iamo", "immo", "irà", "irai", "iranno", "irebbe", "irebbero",
+    "irei", "iremmo", "iremo", "ireste", "iresti", "irete", "irò",
+    "irono", "isca", "iscano", "isce", "isci", "isco", "iscono",
+    "issero", "ita", "ite", "iti", "ito", "iva", "ivamo", "ivano",
+    "ivate", "ivi", "ivo", "ono", "uta", "ute", "uti", "uto",
+    "ar", "ir",
+)
+
+
+def snowball_italian(word: str) -> str:
+    """Snowball "italian" stemmer (spec at snowballstem.org)."""
+    w = _it_mark(word.lower())
+    rv = _rv_std(w, _IT_VOWELS)
+    r1, r2 = _r1r2(w, _IT_VOWELS)
+
+    def in_r1(wl, sl):
+        return len(wl) - sl >= r1
+
+    def in_r2(wl, sl):
+        return len(wl) - sl >= r2
+
+    # ---- step 0: attached pronoun (ending must start inside RV)
+    pron = _longest_suffix(w, _IT_PRONOUNS)
+    if pron:
+        base = w[: -len(pron)]
+        end = _longest_suffix(base, ("ando", "endo", "ar", "er", "ir"), rv)
+        if end in ("ando", "endo"):
+            w = base
+        elif end is not None:
+            w = base + "e"
+
+    # ---- step 1: standard suffix removal
+    step1 = False
+    suf = _longest_suffix(w, _IT_STEP1)
+    if suf:
+        n = len(suf)
+        if suf in _IT_S1_DELETE_R2:
+            if in_r2(w, n):
+                w = w[:-n]
+                step1 = True
+        elif suf in _IT_S1_ATORE:
+            if in_r2(w, n):
+                w = w[:-n]
+                step1 = True
+                if w.endswith("ic") and in_r2(w, 2):
+                    w = w[:-2]
+        elif suf in ("logia", "logie"):
+            if in_r2(w, n):
+                w = w[: -n] + "log"
+                step1 = True
+        elif suf in ("uzione", "uzioni", "usione", "usioni"):
+            if in_r2(w, n):
+                w = w[: -n] + "u"
+                step1 = True
+        elif suf in ("enza", "enze"):
+            if in_r2(w, n):
+                w = w[: -n] + "ente"
+                step1 = True
+        elif suf in ("amento", "amenti", "imento", "imenti"):
+            if len(w) - n >= rv:
+                w = w[:-n]
+                step1 = True
+        elif suf == "amente":
+            if in_r1(w, 6):
+                w = w[:-6]
+                step1 = True
+                if w.endswith("iv") and in_r2(w, 2):
+                    w = w[:-2]
+                    if w.endswith("at") and in_r2(w, 2):
+                        w = w[:-2]
+                else:
+                    t = _longest_suffix(w, ("os", "ic", "abil"))
+                    if t and in_r2(w, len(t)):
+                        w = w[: -len(t)]
+        elif suf == "ità":
+            if in_r2(w, 3):
+                w = w[:-3]
+                step1 = True
+                t = _longest_suffix(w, ("abil", "ic", "iv"))
+                if t and in_r2(w, len(t)):
+                    w = w[: -len(t)]
+        else:  # ivo ivi iva ive
+            if in_r2(w, n):
+                w = w[:-n]
+                step1 = True
+                if w.endswith("at") and in_r2(w, 2):
+                    w = w[:-2]
+                    if w.endswith("ic") and in_r2(w, 2):
+                        w = w[:-2]
+
+    # ---- step 2: verb suffixes (in RV), only if step 1 failed
+    if not step1:
+        s = _longest_suffix(w, _IT_VERB, rv)
+        if s is not None:
+            w = w[: -len(s)]
+
+    # ---- step 3a: vowel suffix (in RV), then a preceding i (in RV)
+    if w and w[-1] in "aeioàèìò" and len(w) - 1 >= rv:
+        w = w[:-1]
+        if w.endswith("i") and len(w) - 1 >= rv:
+            w = w[:-1]
+    # ---- step 3b: ch/gh → c/g (the whole digraph must lie in RV)
+    if (w.endswith(("ch", "gh"))) and len(w) - 2 >= rv:
+        w = w[:-1]
+
+    return w.replace("I", "i").replace("U", "u")
+
+# ------------------------------------------------------------- portuguese
+
+_PT_VOWELS = frozenset("aeiouáéíóúâêô")
+
+_PT_S1_DELETE_R2 = (
+    "eza", "ezas", "ico", "ica", "icos", "icas", "ismo", "ismos",
+    "ável", "ível", "ista", "istas", "oso", "osa", "osos", "osas",
+    "amento", "amentos", "imento", "imentos",
+    "adora", "ador", "aça~o", "adoras", "adores", "aço~es",
+    "ante", "antes", "ância",
+)
+_PT_STEP1 = (_PT_S1_DELETE_R2
+             + ("logia", "logias", "ência", "ências",
+                "amente", "mente", "idade", "idades",
+                "iva", "ivo", "ivas", "ivos", "ira", "iras"))
+_PT_VERB = (
+    "ada", "ida", "ia", "aria", "eria", "iria", "ará", "ara", "erá",
+    "era", "irá", "ava", "asse", "esse", "isse", "aste", "este",
+    "iste", "ei", "arei", "erei", "irei", "am", "iam", "ariam",
+    "eriam", "iriam", "aram", "eram", "iram", "avam", "em", "arem",
+    "erem", "irem", "assem", "essem", "issem", "ado", "ido", "ando",
+    "endo", "indo", "ara~o", "era~o", "ira~o", "ar", "er", "ir",
+    "as", "adas", "idas", "ias", "arias", "erias", "irias", "arás",
+    "aras", "erás", "eras", "irás", "avas", "es", "ardes", "erdes",
+    "irdes", "ares", "eres", "ires", "asses", "esses", "isses",
+    "astes", "estes", "istes", "is", "ais", "eis", "íeis", "aríeis",
+    "eríeis", "iríeis", "áveis", "íamos", "aríamos", "eríamos",
+    "iríamos", "ávamos", "emos", "aremos", "eremos", "iremos",
+    "ássemos", "êssemos", "íssemos", "imos", "armos", "ermos",
+    "irmos", "ámos", "amos", "ou", "eu", "iu", "ira", "iras",
+    "ados", "idos",
+)
+
+
+def snowball_portuguese(word: str) -> str:
+    """Snowball "portuguese" stemmer (spec at snowballstem.org)."""
+    w = word.lower().replace("ã", "a~").replace("õ", "o~")
+    rv = _rv_std(w, _PT_VOWELS)
+    r1, r2 = _r1r2(w, _PT_VOWELS)
+
+    def in_r1(wl, sl):
+        return len(wl) - sl >= r1
+
+    def in_r2(wl, sl):
+        return len(wl) - sl >= r2
+
+    # ---- step 1: standard suffix removal
+    step1 = False
+    suf = _longest_suffix(w, _PT_STEP1)
+    if suf:
+        n = len(suf)
+        if suf in _PT_S1_DELETE_R2:
+            if in_r2(w, n):
+                w = w[:-n]
+                step1 = True
+        elif suf in ("logia", "logias"):
+            if in_r2(w, n):
+                w = w[: -n] + "log"
+                step1 = True
+        # NOTE: the modern spec's uça~o→u rule postdates the reference's
+        # Snowball version (vocab shows -ução words are never reduced).
+        elif suf in ("ência", "ências"):
+            if in_r2(w, n):
+                w = w[: -n] + "ente"
+                step1 = True
+        elif suf == "amente":
+            if in_r1(w, 6):
+                w = w[:-6]
+                step1 = True
+                if w.endswith("iv") and in_r2(w, 2):
+                    w = w[:-2]
+                    if w.endswith("at") and in_r2(w, 2):
+                        w = w[:-2]
+                elif w[-2:] in ("os", "ic", "ad") and in_r2(w, 2):
+                    w = w[:-2]
+        elif suf == "mente":
+            if in_r2(w, 5):
+                w = w[:-5]
+                step1 = True
+                t = _longest_suffix(w, ("ante", "avel", "ível"))
+                if t and in_r2(w, len(t)):
+                    w = w[: -len(t)]
+        elif suf in ("idade", "idades"):
+            if in_r2(w, n):
+                w = w[:-n]
+                step1 = True
+                t = _longest_suffix(w, ("abil", "ic", "iv"))
+                if t and in_r2(w, len(t)):
+                    w = w[: -len(t)]
+        elif suf in ("iva", "ivo", "ivas", "ivos"):
+            if in_r2(w, n):
+                w = w[:-n]
+                step1 = True
+                if w.endswith("at") and in_r2(w, 2):
+                    w = w[:-2]
+        else:  # ira iras → ir if in RV and preceded by e
+            if len(w) - n >= rv and w[: -n].endswith("e"):
+                w = w[: -n] + "ir"
+                step1 = True
+
+    # ---- step 2: verb suffixes (in RV), only if step 1 failed
+    step2 = False
+    if not step1:
+        s = _longest_suffix(w, _PT_VERB, rv)
+        if s is not None:
+            w = w[: -len(s)]
+            step2 = True
+
+    # ---- step 3: delete i preceded by c (i in RV) — only if 1/2 acted
+    if (step1 or step2) and w.endswith("ci") and len(w) - 1 >= rv:
+        w = w[:-1]
+
+    # ---- step 4: residual suffix (only if neither step 1 nor 2 acted)
+    if not (step1 or step2):
+        s = _longest_suffix(w, ("os", "a", "i", "o", "á", "í", "ó"), rv)
+        if s is not None:
+            w = w[: -len(s)]
+
+    # ---- step 5: residual form
+    if w and w[-1] in "eéê":
+        if len(w) - 1 >= rv:
+            w = w[:-1]
+            if ((w.endswith("gu") or w.endswith("ci"))
+                    and len(w) - 1 >= rv):
+                w = w[:-1]
+    elif w.endswith("ç"):
+        w = w[:-1] + "c"
+
+    return w.replace("a~", "ã").replace("o~", "õ")
+
+# --------------------------------------------------------------- romanian
+# The reference-era spec spells ş/ţ with cedillas (U+015F/U+0163), as
+# does the conformance vocabulary.
+
+_RO_VOWELS = frozenset("aăâeiîou")
+
+
+def _ro_mark(w: str) -> str:
+    out = list(w)
+    n = len(w)
+    i = 0
+    while i < n:
+        if out[i] in _RO_VOWELS and i + 2 < n and out[i + 2] in _RO_VOWELS:
+            if out[i + 1] == "u":
+                out[i + 1] = "U"
+                i += 2
+                continue
+            if out[i + 1] == "i":
+                out[i + 1] = "I"
+                i += 2
+                continue
+        i += 1
+    return "".join(out)
+
+
+_RO_STEP0 = ("ul", "ului", "aua", "ea", "ele", "elor", "ii", "iua",
+             "iei", "iile", "iilor", "ilor", "ile", "atei",
+             "aţie", "aţia")
+_RO_COMBO = {}
+for _s in ("abilitate", "abilitati", "abilităi", "abilităţi"):
+    _RO_COMBO[_s] = "abil"
+_RO_COMBO["ibilitate"] = "ibil"
+for _s in ("ivitate", "ivitati", "ivităi", "ivităţi"):
+    _RO_COMBO[_s] = "iv"
+for _s in ("icitate", "icitati", "icităi", "icităţi",
+           "icator", "icatori", "iciv", "iciva", "icive", "icivi",
+           "icivă", "ical", "icala", "icale", "icali", "icală"):
+    _RO_COMBO[_s] = "ic"
+for _s in ("ativ", "ativa", "ative", "ativi", "ativă",
+           "aţiune", "atoare", "ator", "atori",
+           "ătoare", "ător", "ători"):
+    _RO_COMBO[_s] = "at"
+for _s in ("itiv", "itiva", "itive", "itivi", "itivă",
+           "iţiune", "itoare", "itor", "itori"):
+    _RO_COMBO[_s] = "it"
+
+_RO_S1_DELETE = (
+    "at", "ata", "ată", "ati", "ate",
+    "ut", "uta", "ută", "uti", "ute",
+    "it", "ita", "ită", "iti", "ite",
+    "ic", "ica", "ice", "ici", "ică",
+    "abil", "abila", "abile", "abili", "abilă",
+    "ibil", "ibila", "ibile", "ibili", "ibilă",
+    "oasa", "oasă", "oase", "os", "osi", "oşi",
+    "ant", "anta", "ante", "anti", "antă",
+    "ator", "atori",
+    "itate", "itati", "ităi", "ităţi",
+    "iv", "iva", "ive", "ivi", "ivă",
+)
+_RO_S1_IST = ("ism", "isme", "ist", "ista", "iste", "isti",
+              "istă", "işti")
+_RO_STEP1 = _RO_S1_DELETE + _RO_S1_IST + ("iune", "iuni")
+
+# Verb suffixes: group 1 deletes only when preceded (inside RV) by a
+# non-vowel or 'u'; group 2 deletes unconditionally.
+_RO_VERB_COND = (
+    "ea", "ia", "esc", "ăsc", "ind", "ând", "are", "ere", "ire",
+    "âre", "ase", "ise", "use", "âse", "eşte", "ăşte", "eze",
+    "ai", "eai", "iai", "eşti", "ăşti", "ui", "ezi", "âi", "aşi",
+    "aseşi", "iseşi", "useşi", "âseşi", "işi", "uşi", "âşi",
+    "eaţi", "iaţi", "arăţi", "aserăţi", "iserăţi", "userăţi",
+    "âserăţi", "irăţi", "urăţi", "ârăţi", "am", "eam", "iam",
+    "asem", "isem", "usem", "âsem", "arăm", "aserăm", "iserăm",
+    "userăm", "âserăm", "irăm", "urăm", "ârăm", "au", "eau", "iau",
+    "indu", "ându", "ez", "ească", "ară", "aseră", "iseră", "useră",
+    "âseră", "iră", "ură", "âră", "ează",
+)
+_RO_VERB_UNCOND = (
+    "se", "sese", "sei", "seşi", "seseşi", "aţi", "eţi", "iţi",
+    "âţi", "serăţi", "seserăţi", "em", "sesem", "im", "âm", "ăm",
+    "serăm", "seserăm", "seră", "seseră",
+)
+
+
+def snowball_romanian(word: str) -> str:
+    """Snowball "romanian" stemmer (spec at snowballstem.org).
+
+    Unlike the setlimit-ed verb step, the R1/R2/RV-conditioned steps
+    commit to the longest table suffix FIRST and then test the region —
+    a failed test aborts the step with no shorter-suffix retry.
+    """
+    w = _ro_mark(word.lower())
+    rv = _rv_std(w, _RO_VOWELS)
+    r1, r2 = _r1r2(w, _RO_VOWELS)
+
+    # ---- step 0: removal of plurals/articles (longest match, R1 test)
+    s = _longest_suffix(w, _RO_STEP0)
+    if s is not None and len(w) - len(s) >= r1:
+        if s in ("ul", "ului"):
+            w = w[: -len(s)]
+        elif s == "aua":
+            w = w[:-3] + "a"
+        elif s in ("ea", "ele", "elor"):
+            w = w[: -len(s)] + "e"
+        elif s in ("ii", "iua", "iei", "iile", "iilor", "ilor"):
+            w = w[: -len(s)] + "i"
+        elif s == "ile":
+            if not w[:-3].endswith("ab"):
+                w = w[:-3] + "i"
+        elif s == "atei":
+            w = w[:-4] + "at"
+        else:  # aţie / aţia
+            w = w[: -len(s)] + "aţi"
+
+    # ---- step 1: combined suffixes, repeated (longest match, R1 test)
+    removed = False
+    while True:
+        s = _longest_suffix(w, _RO_COMBO)
+        if s is None or len(w) - len(s) < r1:
+            break
+        w = w[: -len(s)] + _RO_COMBO[s]
+        removed = True
+
+    # ---- step 2: standard suffixes (longest match, R2 test)
+    s = _longest_suffix(w, _RO_STEP1)
+    if s is not None and len(w) - len(s) >= r2:
+        if s in _RO_S1_DELETE:
+            w = w[: -len(s)]
+            removed = True
+        elif s in _RO_S1_IST:
+            w = w[: -len(s)] + "ist"
+            removed = True
+        else:  # iune/iuni: must follow ţ, which becomes t
+            if w[: -len(s)].endswith("ţ"):
+                w = w[: -len(s) - 1] + "t"
+                removed = True
+
+    # ---- step 3: verb suffixes (setlimit RV), only if 1-2 did nothing
+    if not removed:
+        s = _longest_suffix(w, _RO_VERB_COND + _RO_VERB_UNCOND, rv)
+        if s is not None:
+            if s in _RO_VERB_UNCOND:
+                w = w[: -len(s)]
+            else:
+                prev = len(w) - len(s) - 1
+                if prev >= rv and (w[prev] not in _RO_VOWELS
+                                   or w[prev] == "u"):
+                    w = w[: -len(s)]
+
+    # ---- step 4: vowel suffix (longest match, RV test)
+    s = _longest_suffix(w, ("a", "e", "i", "ă", "ie"))
+    if s is not None and len(w) - len(s) >= rv:
+        w = w[: -len(s)]
+
+    return w.replace("I", "i").replace("U", "u")

@@ -146,6 +146,29 @@ for _name, _fn in [("danish_snowball", "snowball_danish"),
     register("analyzer", _name)(_snowball_chain(_fn))
 
 
+def _snowball_romance_chain(fn_name):
+    """FrenchAnalyzer etc.: StandardTokenizer + stop + SnowballFilter
+    (ref lucene/analysis/common/.../fr/FrenchAnalyzer.java:120)."""
+    def chain():
+        import functools
+
+        from .analysis import analyze_batch
+        from .analysis import snowball_romance as S
+
+        return functools.partial(analyze_batch,
+                                 term_transform=getattr(S, fn_name),
+                                 tokenizer="unicode")
+    return chain
+
+
+for _name, _fn in [("french_snowball", "snowball_french"),
+                   ("spanish_snowball", "snowball_spanish"),
+                   ("italian_snowball", "snowball_italian"),
+                   ("portuguese_snowball", "snowball_portuguese"),
+                   ("romanian_snowball", "snowball_romanian")]:
+    register("analyzer", _name)(_snowball_romance_chain(_fn))
+
+
 def _minimal_chain(fn_name):
     """One analyzer per *MinimalStemFilterFactory (fr/de/no/pt/gl) —
     plural-only reduction composed onto the standard chain."""

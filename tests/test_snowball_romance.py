@@ -1,0 +1,434 @@
+"""Sampled Snowball goldens for the Romance stemmers (standalone-safe).
+
+The full official vocabularies run in test_snowball_vocab_full.py when
+the reference snapshot is present; these embedded samples (drawn from
+those vocabularies) keep coverage in a standalone checkout and pin the
+trickiest rules: prelude cursor resets, among longest-match commit, the
+reference-era Portuguese spec lacking the u\u00e7a~o rule, and the
+Romanian verb-group conditions.
+"""
+import pytest
+
+from lucene_solr_ray.analysis import snowball_romance as m
+
+SAMPLES = {
+ "french": [
+  [
+   "jouaient",
+   "jou"
+  ],
+  [
+   "majestueusement",
+   "majestu"
+  ],
+  [
+   "continuité",
+   "continu"
+  ],
+  [
+   "a",
+   "a"
+  ],
+  [
+   "asseyez",
+   "assei"
+  ],
+  [
+   "casimir",
+   "casim"
+  ],
+  [
+   "convient",
+   "convient"
+  ],
+  [
+   "dînée",
+   "dîn"
+  ],
+  [
+   "envisager",
+   "envisag"
+  ],
+  [
+   "fronts",
+   "front"
+  ],
+  [
+   "injustices",
+   "injustic"
+  ],
+  [
+   "masculine",
+   "masculin"
+  ],
+  [
+   "ouverte",
+   "ouvert"
+  ],
+  [
+   "prescrivaient",
+   "prescriv"
+  ],
+  [
+   "renoncerais",
+   "renonc"
+  ],
+  [
+   "simonie",
+   "simon"
+  ],
+  [
+   "tristesses",
+   "tristess"
+  ]
+ ],
+ "spanish": [
+  [
+   "ayuntamiento",
+   "ayunt"
+  ],
+  [
+   "vergüenza",
+   "vergüenz"
+  ],
+  [
+   "a",
+   "a"
+  ],
+  [
+   "americanista",
+   "american"
+  ],
+  [
+   "avisaron",
+   "avis"
+  ],
+  [
+   "cariñosidad",
+   "cariñ"
+  ],
+  [
+   "comun",
+   "comun"
+  ],
+  [
+   "culebra",
+   "culebr"
+  ],
+  [
+   "dificultado",
+   "dificult"
+  ],
+  [
+   "entonado",
+   "enton"
+  ],
+  [
+   "felicitado",
+   "felicit"
+  ],
+  [
+   "halago",
+   "halag"
+  ],
+  [
+   "instrumentó",
+   "instrument"
+  ],
+  [
+   "llueve",
+   "lluev"
+  ],
+  [
+   "mordida",
+   "mord"
+  ],
+  [
+   "oxígeno",
+   "oxigen"
+  ],
+  [
+   "posiblemente",
+   "posibl"
+  ],
+  [
+   "realizarlo",
+   "realiz"
+  ]
+ ],
+ "italian": [
+  [
+   "abbattere",
+   "abbatt"
+  ],
+  [
+   "paghe",
+   "pagh"
+  ],
+  [
+   "accorgersene",
+   "accorg"
+  ],
+  [
+   "pronuncia",
+   "pronunc"
+  ],
+  [
+   "a",
+   "a"
+  ],
+  [
+   "alumix",
+   "alumix"
+  ],
+  [
+   "atroci",
+   "atroc"
+  ],
+  [
+   "bof",
+   "bof"
+  ],
+  [
+   "cercarne",
+   "cerc"
+  ],
+  [
+   "confetti",
+   "confett"
+  ],
+  [
+   "daniel",
+   "daniel"
+  ],
+  [
+   "divideva",
+   "divid"
+  ],
+  [
+   "facilissima",
+   "facilissim"
+  ],
+  [
+   "gambe",
+   "gamb"
+  ],
+  [
+   "immune",
+   "immun"
+  ],
+  [
+   "interrogava",
+   "interrog"
+  ],
+  [
+   "livelli",
+   "livell"
+  ],
+  [
+   "minoranza",
+   "minor"
+  ],
+  [
+   "omaggio",
+   "omagg"
+  ],
+  [
+   "perspicacia",
+   "perspicac"
+  ]
+ ],
+ "portuguese": [
+  [
+   "revolução",
+   "revoluçã"
+  ],
+  [
+   "abandonados",
+   "abandon"
+  ],
+  [
+   "quilométricas",
+   "quilométr"
+  ],
+  [
+   "coração",
+   "coraçã"
+  ],
+  [
+   "a",
+   "a"
+  ],
+  [
+   "ameaçando",
+   "ameac"
+  ],
+  [
+   "atrair",
+   "atra"
+  ],
+  [
+   "bumbum",
+   "bumbum"
+  ],
+  [
+   "cinzeiros",
+   "cinzeir"
+  ],
+  [
+   "conti",
+   "cont"
+  ],
+  [
+   "deon",
+   "deon"
+  ],
+  [
+   "doados",
+   "doad"
+  ],
+  [
+   "ermo",
+   "ermo"
+  ],
+  [
+   "falecido",
+   "falec"
+  ],
+  [
+   "geladeira",
+   "geladeir"
+  ],
+  [
+   "impossíveis",
+   "impossív"
+  ],
+  [
+   "juberli",
+   "juberl"
+  ],
+  [
+   "manhãs",
+   "manhãs"
+  ],
+  [
+   "multar",
+   "mult"
+  ],
+  [
+   "pampulha",
+   "pampulh"
+  ]
+ ],
+ "romanian": [
+  [
+   "agitate",
+   "agitat"
+  ],
+  [
+   "aceiaşi",
+   "acei"
+  ],
+  [
+   "annie",
+   "annie"
+  ],
+  [
+   "a",
+   "a"
+  ],
+  [
+   "asfinţitul",
+   "asfinţ"
+  ],
+  [
+   "călăuzitoare",
+   "călăuz"
+  ],
+  [
+   "corabule",
+   "corabul"
+  ],
+  [
+   "distribuise",
+   "distribu"
+  ],
+  [
+   "filosofi",
+   "filosof"
+  ],
+  [
+   "imutabilitatea",
+   "imut"
+  ],
+  [
+   "îngrăşa",
+   "îngrăş"
+  ],
+  [
+   "maşinăria",
+   "maşinăr"
+  ],
+  [
+   "nenorociri",
+   "nenorocir"
+  ],
+  [
+   "pentium",
+   "pentium"
+  ],
+  [
+   "protesta",
+   "protest"
+  ],
+  [
+   "ruşinoasă",
+   "ruşin"
+  ],
+  [
+   "stăruitor",
+   "stăruit"
+  ],
+  [
+   "treceam",
+   "trec"
+  ],
+  [
+   "ziegler",
+   "ziegler"
+  ]
+ ]
+}
+
+FNS = {"french": m.snowball_french, "spanish": m.snowball_spanish,
+       "italian": m.snowball_italian, "portuguese": m.snowball_portuguese,
+       "romanian": m.snowball_romanian}
+
+
+@pytest.mark.parametrize("lang", sorted(SAMPLES))
+def test_sampled_goldens(lang):
+    fn = FNS[lang]
+    bad = [(w, fn(w), want) for w, want in SAMPLES[lang] if fn(w) != want]
+    assert not bad, bad
+
+
+def test_edge_shapes():
+    for fn in FNS.values():
+        assert fn("") == ""
+        assert isinstance(fn("a"), str)
+
+
+def test_registered_analyzers():
+    import pyarrow as pa
+
+    from lucene_solr_ray.registry import lookup
+
+    for name, word, stem in [
+        ("french_snowball", "Majestueuses", "majestu"),
+        ("spanish_snowball", "Generosidades", "gener"),
+        ("italian_snowball", "abbattere", "abbatt"),
+        ("portuguese_snowball", "abandonados", "abandon"),
+        ("romanian_snowball", "abilitate", "abil"),
+    ]:
+        ab = lookup("analyzer", name)()(pa.array([word]))
+        assert ab.terms.to_pylist() == [stem], name

@@ -16,6 +16,13 @@ from lucene_solr_ray.analysis.snowball import (
     snowball_english,
     snowball_german,
 )
+from lucene_solr_ray.analysis.snowball_romance import (
+    snowball_french,
+    snowball_italian,
+    snowball_portuguese,
+    snowball_romanian,
+    snowball_spanish,
+)
 
 _ZIP = Path(
     "/root/reference/lucene/analysis/common/src/test/org/apache/lucene/"
@@ -35,7 +42,10 @@ def _pairs(lang):
 
 @pytest.mark.parametrize(
     "lang,fn",
-    [("english", snowball_english), ("german", snowball_german)],
+    [("english", snowball_english), ("german", snowball_german),
+     ("french", snowball_french), ("spanish", snowball_spanish),
+     ("italian", snowball_italian), ("portuguese", snowball_portuguese),
+     ("romanian", snowball_romanian)],
 )
 def test_full_vocabulary_exact(lang, fn):
     bad = [(w, fn(w), want) for w, want in _pairs(lang) if fn(w) != want]
