@@ -227,21 +227,27 @@ def _de_regions(w: str) -> tuple[int, int]:
     return r1, r2
 
 
-def snowball_german(word: str) -> str:
-    """Snowball "german" stemmer (spec at snowballstem.org): ß→ss, u/y
-    between vowels marked, three suffix steps in R1/R2, umlaut fold."""
-    w = word.lower().replace("ß", "ss")
-    # (no short-word guard: the German spec folds umlauts regardless)
-
-    # mark u and y between vowels (protects them from being treated as
-    # vowels when computing regions / endings)
+def _de_mark(w: str) -> str:
+    """Mark u and y between vowels (protects them from being treated
+    as vowels when computing regions / endings)."""
     cs = list(w)
     for i in range(1, len(cs) - 1):
         if cs[i] in "uy" and cs[i - 1] in _DE_VOWELS \
                 and cs[i + 1] in _DE_VOWELS:
             cs[i] = cs[i].upper()
         # (capital U/Y are not in _DE_VOWELS, so marking is stable)
-    w = "".join(cs)
+    return "".join(cs)
+
+
+def snowball_german(word: str) -> str:
+    """Snowball "german" stemmer (spec at snowballstem.org): ß→ss, u/y
+    between vowels marked, three suffix steps in R1/R2, umlaut fold."""
+    w = _de_mark(word.lower().replace("ß", "ss"))
+    # (no short-word guard: the German spec folds umlauts regardless)
+    return _german_steps(w)
+
+
+def _german_steps(w: str) -> str:
     r1, r2 = _de_regions(w)
 
     def in_r1(n: int) -> bool:

@@ -1,0 +1,164 @@
+"""Snowball stemmers for Russian (and later east-European languages),
+implemented from the published specifications at snowballstem.org.
+
+Reference surface: lucene/analysis/common/src/java/org/apache/lucene/
+analysis/snowball/SnowballFilter.java (RussianAnalyzer wires the
+"Russian" stemmer). Algorithms re-implemented from the public specs;
+validated exact against the official conformance vocabularies.
+
+The whole backwards section runs inside ``setlimit tomark pV`` — every
+suffix match AND every preceded-by test only sees characters at or
+after RV.
+"""
+
+from __future__ import annotations
+
+from .snowball_romance import _longest_suffix, _r1r2
+
+# ---------------------------------------------------------------- russian
+
+_RU_VOWELS = frozenset("аеиоуыэюя")
+
+_RU_GERUND_1 = ("в", "вши", "вшись")
+_RU_GERUND_2 = ("ив", "ыв", "ивши", "ывши", "ившись", "ывшись")
+_RU_ADJ = (
+    "ее", "ие", "ое", "ые", "ими", "ыми", "ей", "ий", "ой", "ый",
+    "ем", "им", "ом", "ым", "его", "ого", "ему", "ому", "их", "ых",
+    "ею", "ою", "ую", "юю", "ая", "яя",
+)
+_RU_PART_1 = ("ем", "нн", "вш", "щ", "ющ")
+_RU_PART_2 = ("ивш", "ывш", "ующ")
+_RU_VERB_1 = (
+    "ла", "на", "ете", "йте", "ли", "й", "л", "ем", "н", "ло", "но",
+    "ет", "ют", "ны", "ть", "ешь", "нно",
+)
+_RU_VERB_2 = (
+    "ила", "ыла", "ена", "ите", "ейте", "уйте", "или", "ыли", "ей",
+    "уй", "ил", "ыл", "им", "ым", "ен", "ило", "ыло", "ено", "ует",
+    "ит", "ыт", "уют", "ят", "ены", "ить", "ыть", "ишь", "ю", "ую",
+)
+_RU_NOUN = (
+    "а", "ев", "ов", "е", "ие", "ье", "и", "еи", "ии", "ами", "ями",
+    "иями", "й", "ей", "ией", "ий", "ой", "ам", "ем", "ием", "ом",
+    "ям", "иям", "о", "у", "ах", "ях", "иях", "ы", "ь", "ю", "ию",
+    "ью", "я", "ия", "ья",
+)
+
+
+def snowball_russian(word: str) -> str:
+    """Snowball "russian" stemmer (spec at snowballstem.org)."""
+    w = word.lower()
+    n = len(w)
+    rv = n
+    for i in range(n):
+        if w[i] in _RU_VOWELS:
+            rv = i + 1
+            break
+    r1, r2 = _r1r2(w, _RU_VOWELS)
+
+    def prec_aya(wl, sl):
+        p = len(wl) - sl - 1
+        return p >= rv and wl[p] in "ая"
+
+    # ---- step 1: perfective gerund, else (reflexive, then
+    # adjectival / verb / noun — first success wins)
+    done = False
+    s = _longest_suffix(w, _RU_GERUND_1 + _RU_GERUND_2, rv)
+    if s is not None and (s in _RU_GERUND_2 or prec_aya(w, len(s))):
+        w = w[: -len(s)]
+        done = True
+    if not done:
+        if _longest_suffix(w, ("ся", "сь"), rv):
+            w = w[:-2]
+        s = _longest_suffix(w, _RU_ADJ, rv)
+        if s is not None:
+            w = w[: -len(s)]
+            t = _longest_suffix(w, _RU_PART_1 + _RU_PART_2, rv)
+            if t is not None and (t in _RU_PART_2 or prec_aya(w, len(t))):
+                w = w[: -len(t)]
+        else:
+            s = _longest_suffix(w, _RU_VERB_1 + _RU_VERB_2, rv)
+            if s is not None and (s in _RU_VERB_2 or prec_aya(w, len(s))):
+                w = w[: -len(s)]
+            else:
+                t = _longest_suffix(w, _RU_NOUN, rv)
+                if t is not None:
+                    w = w[: -len(t)]
+
+    # ---- step 2: final и
+    if w.endswith("и") and len(w) - 1 >= rv:
+        w = w[:-1]
+
+    # ---- step 3: derivational (suffix in RV and in R2)
+    s = _longest_suffix(w, ("ост", "ость"), rv)
+    if s is not None and len(w) - len(s) >= r2:
+        w = w[: -len(s)]
+
+    # ---- step 4: tidy up (superlative, нн undouble, soft sign)
+    s = _longest_suffix(w, ("ейше", "ейш", "н", "ь"), rv)
+    if s in ("ейше", "ейш"):
+        w = w[: -len(s)]
+        if w.endswith("нн") and len(w) - 2 >= rv:
+            w = w[:-1]
+    elif s == "н":
+        if w[:-1].endswith("н") and len(w) - 2 >= rv:
+            w = w[:-1]
+    elif s == "ь":
+        w = w[:-1]
+
+    return w
+
+
+# ---------------------------------------------------------------- german2
+# Variant of the German stemmer that also accepts ae/oe/ue as umlaut
+# spellings (folded in the prelude, except u after q) — spec "german2".
+
+def snowball_german2(word: str) -> str:
+    from .snowball import _de_mark, _german_steps
+
+    # german2 marks u/y between vowels FIRST, so a marked U blocks the
+    # ue→ü fold (abenteuer keeps its u; aktuell folds).
+    w = _de_mark(word.lower())
+    out = []
+    i = 0
+    n = len(w)
+    while i < n:
+        two = w[i:i + 2]
+        if w[i] == "ß":
+            out.append("ss")
+            i += 1
+        elif two == "qu":
+            # the spec hops 2 more chars after qu, shielding them too
+            out.append(w[i:i + 4])
+            i += 4
+        elif two == "ae":
+            out.append("ä")
+            i += 2
+        elif two == "oe":
+            out.append("ö")
+            i += 2
+        elif two == "ue":
+            out.append("ü")
+            i += 2
+        else:
+            out.append(w[i])
+            i += 1
+    return _german_steps("".join(out))
+
+
+# ------------------------------------------------------- porter (snowball)
+# The Snowball rendering of the classic Porter algorithm; identical to
+# analysis.filters.porter_stem except it has no short-word guard, so
+# 1-2 letter words still get step 1a (s removal) and 1c (y→i).
+
+def snowball_porter(word: str) -> str:
+    from .filters import porter_stem
+
+    w = word.lower()
+    if len(w) > 2:
+        return porter_stem(w)
+    if w.endswith("s") and not w.endswith("ss"):
+        w = w[:-1]
+    if w.endswith("y") and any(c in "aeiou" for c in w[:-1]):
+        w = w[:-1] + "i"
+    return w

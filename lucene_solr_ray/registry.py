@@ -161,6 +161,27 @@ def _snowball_romance_chain(fn_name):
     return chain
 
 
+def _snowball_east_chain(fn_name):
+    """RussianAnalyzer etc. (ref .../ru/RussianAnalyzer.java) and the
+    German2/Porter Snowball variants of SnowballPorterFilterFactory."""
+    def chain():
+        import functools
+
+        from .analysis import analyze_batch
+        from .analysis import snowball_east as S
+
+        return functools.partial(analyze_batch,
+                                 term_transform=getattr(S, fn_name),
+                                 tokenizer="unicode")
+    return chain
+
+
+for _name, _fn in [("russian_snowball", "snowball_russian"),
+                   ("german2_snowball", "snowball_german2"),
+                   ("porter_snowball", "snowball_porter")]:
+    register("analyzer", _name)(_snowball_east_chain(_fn))
+
+
 for _name, _fn in [("french_snowball", "snowball_french"),
                    ("spanish_snowball", "snowball_spanish"),
                    ("italian_snowball", "snowball_italian"),

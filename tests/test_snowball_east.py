@@ -1,0 +1,33 @@
+"""Sampled goldens for the Russian / German2 / Snowball-Porter stemmers
+(drawn from the official vocabularies; standalone-safe — the full
+vocabularies run in test_snowball_vocab_full when the reference
+snapshot is present)."""
+import pytest
+
+from lucene_solr_ray.analysis.snowball_east import (
+    snowball_german2,
+    snowball_porter,
+    snowball_russian,
+)
+
+RU = [["вагоне", "вагон"], ["величайший", "величайш"], ["остановиться", "останов"], ["а", "а"], ["венок", "венок"], ["высказывалось", "высказыва"], ["допроситься", "допрос"], ["заржет", "заржет"], ["клюках", "клюк"], ["медля", "медл"], ["негодуя", "негоду"], ["одеяние", "одеян"], ["перегнувшись", "перегнувш"], ["полосой", "полос"], ["приковываться", "приковыва"]]
+DE2 = [["abenteuer", "abenteu"], ["aktuell", "aktull"], ["quae", "quae"], ["aufzuessen", "aufzuss"], ["a", "a"], ["auszuarbeiten", "auszuarbeit"], ["daraufstellen", "daraufstell"], ["erstattete", "erstattet"], ["gerichtes", "gericht"], ["himmelshöhen", "himmelshoh"], ["kurasch", "kurasch"], ["neulich", "neulich"], ["scharlach", "scharlach"], ["strömte", "stromt"], ["verbissen", "verbiss"], ["wichtige", "wichtig"]]
+PORTER = [["s", ""], ["as", "a"], ["ay", "ai"], ["a", "a"], ["bon", "bon"], ["corpus", "corpu"], ["enfeoff", "enfeoff"], ["grasshoppers", "grasshopp"], ["knuckling", "knuckl"], ["novi", "novi"], ["publication", "public"], ["shove", "shove"], ["titus", "titu"], ["withholds", "withhold"]]
+
+
+@pytest.mark.parametrize("fn,pairs", [
+    (snowball_russian, RU), (snowball_german2, DE2),
+    (snowball_porter, PORTER),
+])
+def test_sampled(fn, pairs):
+    bad = [(w, fn(w), want) for w, want in pairs if fn(w) != want]
+    assert not bad, bad
+
+
+def test_registered():
+    import pyarrow as pa
+
+    from lucene_solr_ray.registry import lookup
+
+    ab = lookup("analyzer", "russian_snowball")()(pa.array(["вагоне"]))
+    assert ab.terms.to_pylist() == ["вагон"]

@@ -16,6 +16,11 @@ from lucene_solr_ray.analysis.snowball import (
     snowball_english,
     snowball_german,
 )
+from lucene_solr_ray.analysis.snowball_east import (
+    snowball_german2,
+    snowball_porter,
+    snowball_russian,
+)
 from lucene_solr_ray.analysis.snowball_romance import (
     snowball_french,
     snowball_italian,
@@ -45,7 +50,8 @@ def _pairs(lang):
     [("english", snowball_english), ("german", snowball_german),
      ("french", snowball_french), ("spanish", snowball_spanish),
      ("italian", snowball_italian), ("portuguese", snowball_portuguese),
-     ("romanian", snowball_romanian)],
+     ("romanian", snowball_romanian), ("russian", snowball_russian),
+     ("german2", snowball_german2), ("porter", snowball_porter)],
 )
 def test_full_vocabulary_exact(lang, fn):
     bad = [(w, fn(w), want) for w, want in _pairs(lang) if fn(w) != want]
