@@ -1,0 +1,197 @@
+"""Snowball Finnish stemmer, implemented from the published
+specification at snowballstem.org (public algorithm).
+
+Reference surface: FinnishAnalyzer wires SnowballFilter("Finnish")
+(lucene/analysis/common/src/java/org/apache/lucene/analysis/fi/
+FinnishAnalyzer.java:100). Validated exact against the official
+conformance vocabulary.
+
+Semantics notes (they differ per step — decoded from the spec):
+- every step's suffix MATCH happens inside ``setlimit tomark p1`` (p2
+  for other_endings), but the limit is released before the
+  preceded-by tests, which therefore see the whole word;
+- the a_6 case-ending table carries per-entry context functions (VI /
+  LONG on den/seen/tten/siin) evaluated DURING the match, still under
+  the limit, and a failed context falls back to a shorter entry —
+  unlike the no-backtracking R-condition amongs.
+"""
+
+from __future__ import annotations
+
+_FI_V1 = frozenset("aeiouyäö")
+_FI_V2 = frozenset("aeiouäö")
+_FI_AEI = frozenset("aeiä")
+_FI_PARTICLE_END = _FI_V1 | {"n", "t"}
+_FI_LONG = ("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+
+_FI_PARTICLES = ("kin", "kaan", "kään", "ko", "kö", "han", "hän",
+                 "pa", "pä")
+_FI_POSS_A1 = ("lla", "na", "ssa", "ta", "lta", "sta")
+_FI_POSS_A2 = ("llä", "nä", "ssä", "tä", "ltä", "stä")
+_FI_CASE_PLAIN = _FI_POSS_A1 + _FI_POSS_A2 + ("lle", "ine", "ksi")
+_FI_CASE_H = {"han": "a", "hen": "e", "hin": "i", "hon": "o",
+              "hän": "ä", "hön": "ö"}
+_FI_OTHER_COND = ("mma", "mpa", "mmi", "mpi", "mmä", "mpä")
+_FI_OTHER_PLAIN = ("eja", "ejä", "imma", "impa", "immi", "impi",
+                   "immä", "impä")
+
+
+def _r1r2(w: str) -> tuple[int, int]:
+    n = len(w)
+    r1 = n
+    for i in range(1, n):
+        if w[i] not in _FI_V1 and w[i - 1] in _FI_V1:
+            r1 = i + 1
+            break
+    r2 = n
+    for i in range(r1 + 1, n):
+        if w[i] not in _FI_V1 and w[i - 1] in _FI_V1:
+            r2 = i + 1
+            break
+    return r1, r2
+
+
+def _vi(w: str, limit: int) -> bool:
+    """Preceded by V2-vowel + i, fully at/after ``limit``."""
+    return (len(w) >= 2 and w[-1] == "i" and w[-2] in _FI_V2
+            and len(w) - 2 >= limit)
+
+
+def _long(w: str, limit: int) -> bool:
+    return (len(w) >= 2 and w[-2:] in _FI_LONG
+            and len(w) - 2 >= limit)
+
+
+def snowball_finnish(word: str) -> str:
+    """Snowball "finnish" stemmer (spec at snowballstem.org)."""
+    # the Snowball program never case-folds: uppercase letters are
+    # opaque non-vowels (the analyzer chain lowercases upstream)
+    w = word
+    r1, r2 = _r1r2(w)
+
+    def match(table, limit):
+        best = None
+        for s in table:
+            if (best is None or len(s) > len(best)) and w.endswith(s) \
+                    and len(w) - len(s) >= limit:
+                best = s
+        return best
+
+    # ---- particle etc (match in R1)
+    s = match(_FI_PARTICLES + ("sti",), r1)
+    if s == "sti":
+        if len(w) - 3 >= r2:
+            w = w[:-3]
+    elif s is not None:
+        if len(w) > len(s) and w[-len(s) - 1] in _FI_PARTICLE_END:
+            w = w[: -len(s)]
+
+    # ---- possessive (match in R1)
+    s = match(("si", "ni", "nsa", "nsä", "mme", "nne", "an", "än",
+               "en"), r1)
+    if s == "si":
+        if not w[:-2].endswith("k"):
+            w = w[:-2]
+    elif s == "ni":
+        w = w[:-2]
+        if w.endswith("kse"):
+            w = w[:-1] + "i"
+    elif s in ("nsa", "nsä", "mme", "nne"):
+        w = w[:-3]
+    elif s == "an":
+        if w[:-2].endswith(_FI_POSS_A1):
+            w = w[:-2]
+    elif s == "än":
+        if w[:-2].endswith(_FI_POSS_A2):
+            w = w[:-2]
+    elif s == "en":
+        if w[:-2].endswith(("lle", "ine")):
+            w = w[:-2]
+
+    # ---- case ending (match in R1; den/seen/tten/siin carry context
+    # functions with shorter-entry fallback)
+    ending_removed = False
+    cands = sorted(
+        _FI_CASE_PLAIN + tuple(_FI_CASE_H) + ("a", "ä", "tta", "ttä",
+                                              "n", "den", "seen",
+                                              "tten", "siin"),
+        key=len, reverse=True)
+    for s in cands:
+        if not (w.endswith(s) and len(w) - len(s) >= r1):
+            continue
+        base = w[: -len(s)]
+        if s in ("den", "tten", "siin"):
+            if not _vi(base, r1):
+                continue  # context fails → fall back to shorter entry
+            w = base
+        elif s == "seen":
+            if not _long(base, r1):
+                continue
+            w = base
+        elif s in _FI_CASE_H:
+            if not base.endswith(_FI_CASE_H[s]):
+                break  # R-style condition: no fallback
+            w = base
+        elif s in ("tta", "ttä"):
+            if not base.endswith("e"):
+                break
+            w = base
+        elif s in ("a", "ä"):
+            # preceded by consonant + vowel
+            if not (len(base) >= 2 and base[-1] in _FI_V1
+                    and base[-2] not in _FI_V1):
+                break
+            w = base
+        elif s == "n":
+            w = base
+            if w.endswith(_FI_LONG) or w.endswith("ie"):
+                w = w[:-1]
+        else:
+            w = base
+        ending_removed = True
+        break
+
+    # ---- other endings (match in R2)
+    s = match(_FI_OTHER_COND + _FI_OTHER_PLAIN, r2)
+    if s is not None:
+        if s in _FI_OTHER_COND:
+            if not w[: -len(s)].endswith("po"):
+                w = w[: -len(s)]
+        else:
+            w = w[: -len(s)]
+
+    # ---- i/t plural
+    if ending_removed:
+        s = match(("i", "j"), r1)
+        if s is not None:
+            w = w[:-1]
+    else:
+        if w.endswith("t") and len(w) - 1 >= r1 \
+                and len(w) >= 2 and w[-2] in _FI_V1:
+            w = w[:-1]
+            s = match(("mma", "imma"), r2)
+            if s == "imma":
+                w = w[:-4]
+            elif s == "mma" and not w[:-3].endswith("po"):
+                w = w[:-3]
+
+    # ---- tidy (all four rules matched inside R1)
+    if w[-2:] in _FI_LONG and len(w) - 2 >= r1:
+        w = w[:-1]
+    if (w and w[-1] in _FI_AEI and len(w) - 1 >= r1
+            and len(w) >= 2 and w[-2] not in _FI_V1
+            and len(w) - 2 >= r1):
+        w = w[:-1]
+    if w.endswith("j") and len(w) - 2 >= r1 and w[-2:-1] in ("o", "u"):
+        w = w[:-1]
+    if w.endswith("o") and len(w) - 2 >= r1 and w[-2:-1] == "j":
+        w = w[:-1]
+    # undouble: last consonant (scanning back over trailing vowels)
+    # deleted when the same letter precedes it — unrestricted
+    for i in range(len(w) - 1, -1, -1):
+        if w[i] not in _FI_V1:
+            if i > 0 and w[i - 1] == w[i]:
+                w = w[:i] + w[i + 1:]
+            break
+
+    return w

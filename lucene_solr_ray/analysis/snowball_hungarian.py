@@ -1,0 +1,135 @@
+"""Snowball Hungarian stemmer, implemented from the published
+specification at snowballstem.org (public algorithm).
+
+Reference surface: HungarianAnalyzer wires SnowballFilter("Hungarian")
+(lucene/analysis/common/src/java/org/apache/lucene/analysis/hu/
+HungarianAnalyzer.java:100). Validated exact against the official
+conformance vocabulary (which, like the reference-era spec, spells
+ő/ű as õ/û).
+
+Every step is: longest unrestricted suffix match → R1 test (no
+shorter-entry fallback) → action. No case folding (upstream's job).
+"""
+
+from __future__ import annotations
+
+_HU_V = frozenset("aeiouáéíóõöúûü")
+_HU_DIGRAPHS = ("dzs", "cs", "gy", "ly", "ny", "sz", "ty", "zs")
+_HU_DOUBLE = (
+    "bb", "cc", "ccs", "dd", "ff", "gg", "ggy", "jj", "kk", "ll",
+    "lly", "mm", "nn", "nny", "pp", "rr", "ss", "ssz", "tt", "tty",
+    "vv", "zz", "zzs",
+)
+_HU_CASE = (
+    "ba", "ra", "be", "re", "ig", "nak", "nek", "val", "vel", "ul",
+    "nál", "nél", "ból", "ról", "tól", "bõl", "rõl", "tõl", "ül",
+    "n", "an", "ban", "en", "ben", "képpen", "on", "ön", "képp",
+    "kor", "t", "at", "et", "ként", "anként", "enként", "onként",
+    "ot", "ért", "öt", "hez", "hoz", "höz", "vá", "vé",
+)
+# each table maps suffix → replacement ("" = delete)
+_HU_CASE_SPECIAL = {"én": "e", "án": "a", "ánként": "a"}
+_HU_CASE_OTHER = {"stul": "", "stül": "", "astul": "", "estül": "",
+                  "ástul": "a", "éstül": "e"}
+_HU_PLURAL = {"ák": "a", "ék": "e", "ök": "", "ok": "", "ek": "",
+              "ak": "", "k": ""}
+_HU_OWNED = {"aké": "", "eké": "", "oké": "", "öké": "", "éké": "e",
+             "áké": "a", "ké": "", "ééi": "e", "áéi": "a", "éi": "",
+             "éé": "e", "é": ""}
+_HU_SING_OWNER = {
+    "unk": "", "ünk": "", "ánk": "a", "énk": "e", "nk": "",
+    "ájuk": "a", "éjük": "e", "juk": "", "jük": "", "uk": "",
+    "ük": "", "am": "", "em": "", "om": "", "ám": "a", "ém": "e",
+    "m": "", "ad": "", "ed": "", "od": "", "öd": "", "ád": "a",
+    "éd": "e", "d": "", "ja": "", "je": "", "a": "", "e": "",
+    "o": "", "á": "a", "é": "e",
+}
+_HU_PLUR_OWNER = {
+    "jaim": "", "jeim": "", "áim": "a", "éim": "e", "aim": "",
+    "eim": "", "im": "", "jaid": "", "jeid": "", "áid": "a",
+    "éid": "e", "aid": "", "eid": "", "id": "", "jai": "", "jei": "",
+    "ái": "a", "éi": "e", "ai": "", "ei": "", "i": "", "jaink": "",
+    "jeink": "", "áink": "a", "éink": "e", "aink": "", "eink": "",
+    "ink": "", "jaitok": "", "jeitek": "", "áitok": "a", "éitek": "e",
+    "aitok": "", "eitek": "", "itek": "", "jaik": "", "jeik": "",
+    "áik": "a", "éik": "e", "aik": "", "eik": "", "ik": "",
+}
+
+
+def _hu_r1(w: str) -> int:
+    n = len(w)
+    if n == 0:
+        return 0
+    if w[0] in _HU_V:
+        for i in range(1, n):
+            if w[i] not in _HU_V:
+                for d in _HU_DIGRAPHS:
+                    if w.startswith(d, i):
+                        return i + len(d)
+                return i + 1
+        return n
+    for i in range(1, n):
+        if w[i] in _HU_V:
+            return i + 1
+    return n
+
+
+def _longest(w: str, table):
+    best = None
+    for s in table:
+        if (best is None or len(s) > len(best)) and w.endswith(s):
+            best = s
+    return best
+
+
+def _undouble(w: str) -> str:
+    # the spec deletes the SECOND-TO-LAST char, so doubled digraphs
+    # collapse correctly (ssz→sz, lly→ly, zzs→zs)
+    return w[:-2] + w[-1]
+
+
+def snowball_hungarian(word: str) -> str:
+    """Snowball "hungarian" stemmer (spec at snowballstem.org)."""
+    w = word
+    r1 = _hu_r1(w)
+
+    def in_r1(wl, sl):
+        return len(wl) - sl >= r1
+
+    def subst(wl, table):
+        s = _longest(wl, table)
+        if s is not None and in_r1(wl, len(s)):
+            return wl[: -len(s)] + table[s], True
+        return wl, False
+
+    # ---- instrumental: al/el in R1 preceded by double cons, undouble
+    s = _longest(w, ("al", "el"))
+    if s is not None and in_r1(w, 2) and \
+            _longest(w[:-2], _HU_DOUBLE) is not None:
+        w = _undouble(w[:-2])
+
+    # ---- case ending (delete in R1), then final á/é → a/e
+    s = _longest(w, _HU_CASE)
+    if s is not None and in_r1(w, len(s)):
+        w = w[: -len(s)]
+        t = _longest(w, ("á", "é"))
+        if t is not None and in_r1(w, 1):
+            w = w[:-1] + ("a" if t == "á" else "e")
+
+    # ---- special / other case forms
+    w, _ = subst(w, _HU_CASE_SPECIAL)
+    w, _ = subst(w, _HU_CASE_OTHER)
+
+    # ---- factive vá/vé → á/é in R1 preceded by double cons, undouble
+    s = _longest(w, ("á", "é"))
+    if s is not None and in_r1(w, 1) and \
+            _longest(w[:-1], _HU_DOUBLE) is not None:
+        w = _undouble(w[:-1])
+
+    # ---- owned, singular owner, plural owner, plural
+    w, _ = subst(w, _HU_OWNED)
+    w, _ = subst(w, _HU_SING_OWNER)
+    w, _ = subst(w, _HU_PLUR_OWNER)
+    w, _ = subst(w, _HU_PLURAL)
+
+    return w

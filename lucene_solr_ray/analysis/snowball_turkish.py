@@ -1,0 +1,556 @@
+"""Snowball Turkish stemmer (Evren Kapusuz Cilden's published
+algorithm; spec at snowballstem.org), re-implemented from the spec.
+
+Reference surface: TurkishAnalyzer wires SnowballFilter("Turkish")
+(lucene/analysis/common/src/java/org/apache/lucene/analysis/tr/
+TurkishAnalyzer.java:96). Validated exact against the official
+conformance vocabulary.
+
+Faithful quirks worth naming:
+- Snowball never rolls back slices — a failed or-alternative that
+  already deleted keeps the deletion and the next alternative runs on
+  the mutated word;
+- stem() aborts (skipping the postlude) when the verb-suffix step
+  strips a plural -lAr, keeping the partial buffer;
+- suffix marks move a cursor; an explicit delete cuts [cursor, ket)
+  which can be MID-word inside the ki-chain;
+- the nominal chains run at most once each (no iteration).
+
+Every ``_mark_*`` takes ``(w, pos)`` — match a suffix of ``w[:pos]`` —
+and returns the new cursor or None.
+"""
+
+from __future__ import annotations
+
+_V = frozenset("aeıioöuü")
+_U = frozenset("ıiuü")
+# vowel-harmony classes: last vowel → allowed earlier vowels
+_HARM = {"a": "aıou", "e": "eiöü", "ı": "aı", "i": "ei",
+         "o": "ou", "ö": "öü", "u": "ou", "ü": "öü"}
+_APPEND = {"a": "ı", "ı": "ı", "e": "i", "i": "i",
+           "o": "u", "u": "u", "ö": "ü", "ü": "ü"}
+
+
+def _harmony(w, pos):
+    i = pos - 1
+    while i >= 0 and w[i] not in _V:
+        i -= 1
+    if i < 0:
+        return False
+    cls = _HARM[w[i]]
+    return any(c in cls for c in w[:i])
+
+
+def _opt_cons(w, pos, c):
+    """Optional n/s/y consonant before a matched suffix."""
+    if pos >= 1 and w[pos - 1] == c:
+        if pos >= 2 and w[pos - 2] in _V:
+            return pos - 1
+        return None
+    if pos >= 2 and w[pos - 2] in _V:
+        return pos
+    return None
+
+
+def _opt_u(w, pos):
+    """Optional U vowel (ı/i/u/ü) before a matched suffix."""
+    if pos >= 1 and w[pos - 1] in _U:
+        if pos >= 2 and w[pos - 2] not in _V:
+            return pos - 1
+        return None
+    if pos >= 2 and w[pos - 2] not in _V:
+        return pos
+    return None
+
+
+def _among(w, pos, table):
+    best = None
+    for s in table:
+        if (best is None or len(s) > len(best)) \
+                and w.startswith(s, pos - len(s)) and pos >= len(s):
+            best = s
+    return pos - len(best) if best else None
+
+
+_POSS = ("m", "n", "miz", "niz", "muz", "nuz", "müz", "nüz",
+         "mız", "nız")
+_LARI = ("leri", "ları")
+_NU = ("ni", "nu", "nü", "nı")
+_NUN = ("in", "un", "ün", "ın")
+_YA = ("a", "e")
+_NA = ("na", "ne")
+_DA = ("da", "ta", "de", "te")
+_NDA = ("nda", "nde")
+_DAN = ("dan", "tan", "den", "ten")
+_NDAN = ("ndan", "nden")
+_YLA = ("la", "le")
+_NCA = ("ca", "ce")
+_YUM = ("im", "um", "üm", "ım")
+_SUN = ("sin", "sun", "sün", "sın")
+_YUZ = ("iz", "uz", "üz", "ız")
+_SUNUZ = ("siniz", "sunuz", "sünüz", "sınız")
+_LAR = ("lar", "ler")
+_NUZ = ("niz", "nuz", "nüz", "nız")
+_DUR = ("dir", "tir", "dur", "tur", "dür", "tür", "dır", "tır")
+_CASINA = ("casına", "cesine")
+_YDU = ("di", "ti", "dik", "tik", "duk", "tuk", "dük", "tük", "dık",
+        "tık", "dim", "tim", "dum", "tum", "düm", "tüm", "dım",
+        "tım", "din", "tin", "dun", "tun", "dün", "tün", "dın",
+        "tın", "du", "tu", "dü", "tü", "dı", "tı")
+_YSA = ("sa", "se", "sak", "sek", "sam", "sem", "san", "sen")
+_YMUS = ("miş", "muş", "müş", "mış")
+
+
+def _m_possessives(w, pos):
+    p = _among(w, pos, _POSS)
+    return None if p is None else _opt_u(w, p)
+
+
+def _m_sU(w, pos):
+    if not _harmony(w, pos):
+        return None
+    if pos >= 1 and w[pos - 1] in _U:
+        return _opt_cons(w, pos - 1, "s")
+    return None
+
+
+def _m_lArI(w, pos):
+    return _among(w, pos, _LARI)
+
+
+def _m_yU(w, pos):
+    if not _harmony(w, pos):
+        return None
+    if pos >= 1 and w[pos - 1] in _U:
+        return _opt_cons(w, pos - 1, "y")
+    return None
+
+
+def _h_among(w, pos, table):
+    if not _harmony(w, pos):
+        return None
+    return _among(w, pos, table)
+
+
+def _h_among_opt(w, pos, table, c):
+    p = _h_among(w, pos, table)
+    return None if p is None else _opt_cons(w, p, c)
+
+
+def _m_nU(w, pos):
+    return _h_among(w, pos, _NU)
+
+
+def _m_nUn(w, pos):
+    return _h_among_opt(w, pos, _NUN, "n")
+
+
+def _m_yA(w, pos):
+    return _h_among_opt(w, pos, _YA, "y")
+
+
+def _m_nA(w, pos):
+    return _h_among(w, pos, _NA)
+
+
+def _m_DA(w, pos):
+    return _h_among(w, pos, _DA)
+
+
+def _m_ndA(w, pos):
+    return _h_among(w, pos, _NDA)
+
+
+def _m_DAn(w, pos):
+    return _h_among(w, pos, _DAN)
+
+
+def _m_ndAn(w, pos):
+    return _h_among(w, pos, _NDAN)
+
+
+def _m_ylA(w, pos):
+    return _h_among_opt(w, pos, _YLA, "y")
+
+
+def _m_ki(w, pos):
+    return pos - 2 if w.startswith("ki", pos - 2) and pos >= 2 else None
+
+
+def _m_ncA(w, pos):
+    return _h_among_opt(w, pos, _NCA, "n")
+
+
+def _m_yUm(w, pos):
+    return _h_among_opt(w, pos, _YUM, "y")
+
+
+def _m_sUn(w, pos):
+    return _h_among(w, pos, _SUN)
+
+
+def _m_yUz(w, pos):
+    return _h_among_opt(w, pos, _YUZ, "y")
+
+
+def _m_sUnUz(w, pos):
+    return _among(w, pos, _SUNUZ)
+
+
+def _m_lAr(w, pos):
+    return _h_among(w, pos, _LAR)
+
+
+def _m_nUz(w, pos):
+    return _h_among(w, pos, _NUZ)
+
+
+def _m_DUr(w, pos):
+    return _h_among(w, pos, _DUR)
+
+
+def _m_cAsInA(w, pos):
+    return _among(w, pos, _CASINA)
+
+
+def _m_yDU(w, pos):
+    return _h_among_opt(w, pos, _YDU, "y")
+
+
+def _m_ysA(w, pos):
+    p = _among(w, pos, _YSA)
+    return None if p is None else _opt_cons(w, p, "y")
+
+
+def _m_ymUs(w, pos):
+    return _h_among_opt(w, pos, _YMUS, "y")
+
+
+def _m_yken(w, pos):
+    if w.startswith("ken", pos - 3) and pos >= 3:
+        return _opt_cons(w, pos - 3, "y")
+    return None
+
+
+def _nominal_verb(w):
+    """Step 1; returns (w, continue_stemming_noun_suffixes)."""
+    n = len(w)
+    for f in (_m_ymUs, _m_yDU, _m_ysA, _m_yken):
+        p = f(w, n)
+        if p is not None:
+            return w[:p], True
+    # cAsInA (optional person suffix) ymUs_
+    p = _m_cAsInA(w, n)
+    if p is not None:
+        q = None
+        for f in (_m_sUnUz, _m_lAr, _m_yUm, _m_sUn, _m_yUz):
+            q = f(w, p)
+            if q is not None:
+                break
+        r = _m_ymUs(w, q if q is not None else p)
+        if r is not None:
+            return w[:r], True
+    # lAr, delete, optionally a copula — stops noun stemming
+    p = _m_lAr(w, n)
+    if p is not None:
+        w = w[:p]
+        q = None
+        for f in (_m_DUr, _m_yDU, _m_ysA, _m_ymUs):
+            q = f(w, len(w))
+            if q is not None:
+                break
+        if q is not None:
+            w = w[:q]
+        return w, False
+    # nUz (yDU or ysA)
+    p = _m_nUz(w, n)
+    if p is not None:
+        q = _m_yDU(w, p)
+        if q is None:
+            q = _m_ysA(w, p)
+        if q is not None:
+            return w[:q], True
+    # (sUnUz|yUz|sUn|yUm) delete try(ymUs_)
+    for f in (_m_sUnUz, _m_yUz, _m_sUn, _m_yUm):
+        p = f(w, n)
+        if p is not None:
+            w = w[:p]
+            q = _m_ymUs(w, len(w))
+            return (w[:q] if q is not None else w), True
+    # DUr delete try((optional person) ymUs_)
+    p = _m_DUr(w, n)
+    if p is not None:
+        w = w[:p]
+        m = len(w)
+        q = None
+        for f in (_m_sUnUz, _m_lAr, _m_yUm, _m_sUn, _m_yUz):
+            q = f(w, m)
+            if q is not None:
+                break
+        r = _m_ymUs(w, q if q is not None else m)
+        if r is not None:
+            w = w[:r]
+        return w, True
+    return w, True
+
+
+def _cut(w, pos, ket):
+    """slice_del of [pos, ket)."""
+    return w[:pos] + w[ket:]
+
+
+def _chain_ki(w, pos):
+    """stem_suffix_chain_before_ki — ket anchors at ``pos`` (possibly
+    mid-word); returns (w, success). Fails only without modification."""
+    p = _m_ki(w, pos)
+    if p is None:
+        return w, False
+    ket = pos
+    # --- DA ] delete try([ (lAr ] del try(chain)) or (poss ] del try([ lAr ] del chain)) )
+    q = _m_DA(w, p)
+    if q is not None:
+        w = _cut(w, q, ket)
+        cur = q
+        r = _m_lAr(w, cur)
+        if r is not None:
+            w = _cut(w, r, cur)
+            w, _ = _chain_ki(w, r)
+            return w, True
+        r = _m_possessives(w, cur)
+        if r is not None:
+            w = _cut(w, r, cur)
+            r2 = _m_lAr(w, r)
+            if r2 is not None:
+                w = _cut(w, r2, r)
+                w, _ = _chain_ki(w, r2)
+            return w, True
+        return w, True
+    # --- nUn ] delete try([ (lArI ] del) or ([ (poss|sU) ] del try([ lAr ] del chain)) or chain )
+    q = _m_nUn(w, p)
+    if q is not None:
+        w = _cut(w, q, ket)
+        cur = q
+        r = _m_lArI(w, cur)
+        if r is not None:
+            return _cut(w, r, cur), True
+        r = _m_possessives(w, cur)
+        if r is None:
+            r = _m_sU(w, cur)
+        if r is not None:
+            w = _cut(w, r, cur)
+            r2 = _m_lAr(w, r)
+            if r2 is not None:
+                w = _cut(w, r2, r)
+                w, _ = _chain_ki(w, r2)
+            return w, True
+        w, _ = _chain_ki(w, cur)
+        return w, True
+    # --- ndA ( (lArI ] del) or (sU ] del try([ lAr ] del chain)) or chain )
+    q = _m_ndA(w, p)
+    if q is not None:
+        r = _m_lArI(w, q)
+        if r is not None:
+            return _cut(w, r, ket), True
+        r = _m_sU(w, q)
+        if r is not None:
+            w = _cut(w, r, ket)
+            r2 = _m_lAr(w, r)
+            if r2 is not None:
+                w = _cut(w, r2, r)
+                w, _ = _chain_ki(w, r2)
+            return w, True
+        w2, ok = _chain_ki(w, q)
+        if ok:
+            return w2, True
+    return w, False
+
+
+def _noun(w):
+    """Step 2: stem_noun_suffixes (or-chain; failed alternatives keep
+    any slices they already made)."""
+    n = len(w)
+    # b1: lAr ] del try(chain)
+    p = _m_lAr(w, n)
+    if p is not None:
+        w = w[:p]
+        w, _ = _chain_ki(w, len(w))
+        return w
+    # b2: ncA ] del try( (lArI ] del) or ((poss|sU) ] del try(lAr ] del chain)) or (lAr ] del chain) )
+    p = _m_ncA(w, n)
+    if p is not None:
+        w = w[:p]
+        cur = len(w)
+        q = _m_lArI(w, cur)
+        if q is not None:
+            return w[:q]
+        q = _m_possessives(w, cur)
+        if q is None:
+            q = _m_sU(w, cur)
+        if q is not None:
+            w = w[:q]
+            r = _m_lAr(w, len(w))
+            if r is not None:
+                w = w[:r]
+                w, _ = _chain_ki(w, len(w))
+            return w
+        q = _m_lAr(w, cur)
+        if q is not None:
+            w = w[:q]
+            w, _ = _chain_ki(w, len(w))
+        return w
+    # b3: (ndA|nA) ( (lArI ] del) or (sU ] del try(lAr ] del chain)) or chain )
+    p = _m_ndA(w, n)
+    if p is None:
+        p = _m_nA(w, n)
+    if p is not None:
+        q = _m_lArI(w, p)
+        if q is not None:
+            return w[:q]
+        q = _m_sU(w, p)
+        if q is not None:
+            w = w[:q]
+            r = _m_lAr(w, len(w))
+            if r is not None:
+                w = w[:r]
+                w, _ = _chain_ki(w, len(w))
+            return w
+        w2, ok = _chain_ki(w, p)
+        if ok:
+            return w2
+        w = w2
+    # b4: (ndAn|nU) ( (sU ] del try(lAr ] del chain)) or lArI[no delete] )
+    p = _m_ndAn(w, len(w))
+    if p is None:
+        p = _m_nU(w, len(w))
+    if p is not None:
+        q = _m_sU(w, p)
+        if q is not None:
+            w = w[:q]
+            r = _m_lAr(w, len(w))
+            if r is not None:
+                w = w[:r]
+                w, _ = _chain_ki(w, len(w))
+            return w
+        if _m_lArI(w, p) is not None:
+            return w  # faithful: this alternative never deletes
+    # b5: DAn ] del try( (poss ] del try(lAr ] del chain)) or (lAr ] del try(chain)) or chain )
+    p = _m_DAn(w, len(w))
+    if p is not None:
+        w = w[:p]
+        cur = len(w)
+        q = _m_possessives(w, cur)
+        if q is not None:
+            w = w[:q]
+            r = _m_lAr(w, len(w))
+            if r is not None:
+                w = w[:r]
+                w, _ = _chain_ki(w, len(w))
+            return w
+        q = _m_lAr(w, cur)
+        if q is not None:
+            w = w[:q]
+            w, _ = _chain_ki(w, len(w))
+            return w
+        w, _ = _chain_ki(w, cur)
+        return w
+    # b6: (nUn|ylA) ] del try( (lAr ] del chain) or ((poss|sU) ] del try(lAr ] del chain)) or chain )
+    p = _m_nUn(w, len(w))
+    if p is None:
+        p = _m_ylA(w, len(w))
+    if p is not None:
+        w = w[:p]
+        cur = len(w)
+        q = _m_lAr(w, cur)
+        if q is not None:
+            w = w[:q]
+            w2, ok = _chain_ki(w, len(w))
+            if ok:
+                return w2
+            w = w2
+            cur = len(w)  # failed alternative kept its lAr deletion
+        q = _m_possessives(w, cur)
+        if q is None:
+            q = _m_sU(w, cur)
+        if q is not None:
+            w = w[:q]
+            r = _m_lAr(w, len(w))
+            if r is not None:
+                w = w[:r]
+                w, _ = _chain_ki(w, len(w))
+            return w
+        w, _ = _chain_ki(w, cur)
+        return w
+    # b7: lArI ] del
+    p = _m_lArI(w, len(w))
+    if p is not None:
+        return w[:p]
+    # b8: chain at word end
+    w2, ok = _chain_ki(w, len(w))
+    if ok:
+        return w2
+    w = w2
+    # b9: (DA|yU|yA) ] del try([ ((poss ] del try([ lAr)) or lAr) ] del [ chain )
+    n2 = len(w)
+    p = _m_DA(w, n2)
+    if p is None:
+        p = _m_yU(w, n2)
+    if p is None:
+        p = _m_yA(w, n2)
+    if p is not None:
+        w = w[:p]
+        cur = len(w)
+        q = _m_possessives(w, cur)
+        if q is not None:
+            w = w[:q]
+            cur = len(w)
+            r = _m_lAr(w, cur)
+            end = r if r is not None else cur
+            w = w[:end]
+        else:
+            q = _m_lAr(w, cur)
+            if q is not None:
+                w = w[:q]
+            else:
+                return w  # try aborts: chain only runs after poss/lAr
+        w, _ = _chain_ki(w, len(w))
+        return w
+    # b10: (poss|sU) ] del try([ lAr ] del chain)
+    p = _m_possessives(w, len(w))
+    if p is None:
+        p = _m_sU(w, len(w))
+    if p is not None:
+        w = w[:p]
+        q = _m_lAr(w, len(w))
+        if q is not None:
+            w = w[:q]
+            w, _ = _chain_ki(w, len(w))
+    return w
+
+
+def snowball_turkish(word: str) -> str:
+    """Snowball "turkish" stemmer (spec at snowballstem.org)."""
+    w = word
+    if sum(c in _V for c in w) < 2:
+        return w
+    w, cont = _nominal_verb(w)
+    if not cont:
+        # the buffer keeps the verb-suffix deletions; postlude skipped
+        return w
+    w = _noun(w)
+    # ---- postlude (skipped for the reserved words ad / soyad)
+    if w in ("ad", "soyad"):
+        return w
+    if w and w[-1] in "dg":
+        for c in reversed(w):
+            if c in _V:
+                w = w + _APPEND[c]
+                break
+    if w.endswith("b"):
+        w = w[:-1] + "p"
+    elif w.endswith("c"):
+        w = w[:-1] + "ç"
+    elif w.endswith("d"):
+        w = w[:-1] + "t"
+    elif w.endswith("ğ"):
+        w = w[:-1] + "k"
+    return w

@@ -176,6 +176,31 @@ def _snowball_east_chain(fn_name):
     return chain
 
 
+def _snowball_mod_chain(mod_name, fn_name):
+    """FinnishAnalyzer / HungarianAnalyzer / TurkishAnalyzer wire
+    SnowballFilter with their language (ref .../fi|hu|tr/*Analyzer)."""
+    def chain():
+        import functools
+        import importlib
+
+        from .analysis import analyze_batch
+
+        mod = importlib.import_module(
+            f"lucene_solr_ray.analysis.{mod_name}")
+        return functools.partial(analyze_batch,
+                                 term_transform=getattr(mod, fn_name),
+                                 tokenizer="unicode")
+    return chain
+
+
+for _name, _mod, _fn in [
+        ("finnish_snowball", "snowball_finnish", "snowball_finnish"),
+        ("hungarian_snowball", "snowball_hungarian",
+         "snowball_hungarian"),
+        ("turkish_snowball", "snowball_turkish", "snowball_turkish")]:
+    register("analyzer", _name)(_snowball_mod_chain(_mod, _fn))
+
+
 for _name, _fn in [("russian_snowball", "snowball_russian"),
                    ("german2_snowball", "snowball_german2"),
                    ("porter_snowball", "snowball_porter")]:

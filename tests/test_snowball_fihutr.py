@@ -1,0 +1,34 @@
+"""Sampled goldens for the Finnish / Hungarian / Turkish Snowball
+stemmers (drawn from the official vocabularies; standalone-safe — the
+full vocabularies run in test_snowball_vocab_full when the reference
+snapshot is present)."""
+import pytest
+
+from lucene_solr_ray.analysis.snowball_finnish import snowball_finnish
+from lucene_solr_ray.analysis.snowball_hungarian import snowball_hungarian
+from lucene_solr_ray.analysis.snowball_turkish import snowball_turkish
+
+FI = [["ajo", "ajo"], ["dijon", "dijo"], ["edeltäjiään", "edeltäjiä"], ["aa", "aa"], ["alentamisesta", "alentamis"], ["apulaispääjohtaja", "apulaispääjohtaj"], ["australialainen", "australialain"], ["bush", "bush"], ["eduskuntaryhmissä", "eduskuntaryhm"], ["ensivuonna", "ensivuon"], ["evakuoidaan", "evakuoid"], ["haetulta", "haetu"], ["hbc", "hbc"], ["hirsinen", "hirsin"], ["hykerrellä", "hyker"]]
+HU = [["abrosszal", "abrosz"], ["alapszabállyal", "alapszabály"], ["abazinok", "abazin"], ["bekövetkezõ", "bekövetkezõ"], ["jóízûen", "jóízû"], ["kirángattam", "kirángatt"], ["kéréssel", "kérés"], ["leplezetlen", "leplezetl"], ["meghívás", "meghívás"], ["május", "május"]]
+TR = [["kaltakiye", "kaltaki"], ["kitapları", "kitap"], ["a", "a"], ["aracılığıyla", "aracılık"], ["bakanlığımızdan", "bakanlık"], ["bindirdiği", "bindirdik"], ["cezalarda", "ceza"], ["direnişçinin", "direnişçi"], ["elaziğ", "elazik"], ["formatının", "format"], ["guevara'", "guevara'"], ["hayır'", "hayır'"], ["istenmiyorsa", "istenmiyor"], ["karşıladığı", "karşıladık"]]
+
+
+@pytest.mark.parametrize("fn,pairs", [
+    (snowball_finnish, FI), (snowball_hungarian, HU),
+    (snowball_turkish, TR),
+])
+def test_sampled(fn, pairs):
+    bad = [(w, fn(w), want) for w, want in pairs if fn(w) != want]
+    assert not bad, bad
+
+
+def test_registered():
+    import pyarrow as pa
+
+    from lucene_solr_ray.registry import lookup
+
+    for name, word in [("finnish_snowball", "taloissa"),
+                       ("hungarian_snowball", "házakban"),
+                       ("turkish_snowball", "kitaplardan")]:
+        ab = lookup("analyzer", name)()(pa.array([word]))
+        assert len(ab.terms) == 1, name

@@ -16,6 +16,9 @@ from lucene_solr_ray.analysis.snowball import (
     snowball_english,
     snowball_german,
 )
+from lucene_solr_ray.analysis.snowball_finnish import snowball_finnish
+from lucene_solr_ray.analysis.snowball_hungarian import snowball_hungarian
+from lucene_solr_ray.analysis.snowball_turkish import snowball_turkish
 from lucene_solr_ray.analysis.snowball_east import (
     snowball_german2,
     snowball_porter,
@@ -51,7 +54,9 @@ def _pairs(lang):
      ("french", snowball_french), ("spanish", snowball_spanish),
      ("italian", snowball_italian), ("portuguese", snowball_portuguese),
      ("romanian", snowball_romanian), ("russian", snowball_russian),
-     ("german2", snowball_german2), ("porter", snowball_porter)],
+     ("german2", snowball_german2), ("porter", snowball_porter),
+     ("finnish", snowball_finnish), ("hungarian", snowball_hungarian),
+     ("turkish", snowball_turkish)],
 )
 def test_full_vocabulary_exact(lang, fn):
     bad = [(w, fn(w), want) for w, want in _pairs(lang) if fn(w) != want]
