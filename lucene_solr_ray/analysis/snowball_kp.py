@@ -1,0 +1,389 @@
+"""The Kraaij-Pohlmann Dutch stemmer (Snowball "kp"), re-implemented
+from the published specification at snowballstem.org (W. Kraaij &
+R. Pohlmann, "Porter's stemming algorithm for Dutch", 1994).
+
+Reference surface: SnowballPorterFilterFactory(language="Kp")
+(lucene/analysis/common/src/java/org/apache/lucene/analysis/snowball/
+SnowballPorterFilterFactory.java:47). Validated exact against the
+official conformance vocabulary.
+
+Layout notes: y is a vowel unless marked (initial y and y after a
+vowel become Y for the duration); "ij" counts as one vowel unit in
+the syllable measure and the V conditions; lengthen_V doubles a short
+a/o/u/e in a newly-open final syllable; the ge- prefix/infix of past
+participles is removed when enough word remains.
+"""
+
+from __future__ import annotations
+
+_V = frozenset("aeiouy")
+_VWX = frozenset("aeiouywx")
+_AOU = frozenset("aou")
+_AIOU = frozenset("aiou")
+
+
+def _measure(w: str) -> tuple[int, int]:
+    n = len(w)
+    p1 = p2 = n
+    i = 0
+    while i < n and w[i] not in _V:
+        i += 1
+    c = 0
+    while i < n:
+        if w.startswith("ij", i):
+            i += 2
+        elif w[i] in _V:
+            i += 1
+        else:
+            break
+        c += 1
+    if c and i < n and w[i] not in _V:
+        i += 1
+        p1 = i
+        while i < n and w[i] not in _V:
+            i += 1
+        c = 0
+        while i < n:
+            if w.startswith("ij", i):
+                i += 2
+            elif w[i] in _V:
+                i += 1
+            else:
+                break
+            c += 1
+        if c and i < n and w[i] not in _V:
+            p2 = i + 1
+    return p1, p2
+
+
+def _cv(w, pos):
+    """Condition V: vowel or 'ij' just before ``pos``."""
+    return pos >= 1 and (w[pos - 1] in _V or w[pos - 2:pos] == "ij")
+
+
+def _cvx(w, pos):
+    """Condition VX: vowel or 'ij' one further back."""
+    return pos >= 2 and (w[pos - 2] in _V or w[pos - 3:pos - 1] == "ij")
+
+
+def _cc(w, pos):
+    """Condition C: consonant before ``pos`` and not an 'ij'."""
+    return (pos >= 1 and w[pos - 2:pos] != "ij"
+            and w[pos - 1] not in _V)
+
+
+def _lengthen(w: str) -> str:
+    """Double a short a/o/u/e left in an open final syllable."""
+    # marked Y is outside the lowercase group ranges → a consonant here
+    if len(w) < 2 or w[-1] in _VWX:
+        return w
+    v = w[-2]
+    if v in _AOU:
+        if len(w) == 2 or w[-3] not in _V:
+            return w[:-1] + v + w[-1]
+        return w
+    if v == "e":
+        if len(w) > 2 and w[-3] in _V:
+            return w
+        if len(w) >= 4 and w[-4] in _AIOU:
+            return w
+        if len(w) >= 6 and w[-5] in _AIOU and w[-6] not in _V:
+            return w
+        return w[:-1] + "e" + w[-1]
+    return w
+
+
+def _longest(w, table):
+    best = None
+    for s in table:
+        if (best is None or len(s) > len(best)) and w.endswith(s):
+            best = s
+    return best
+
+
+def _step1(w, p1):
+    def r1(pos):
+        return pos >= p1
+
+    s = _longest(w, ("nde", "en", "s", "'s", "es", "ies", "aus"))
+    if s is None:
+        return w, False
+    n = len(w)
+    if s == "'s":
+        return w[:-2], True
+    if s == "s":
+        if (r1(n - 1) and not (w[n - 2:n - 1] == "t" and r1(n - 2))
+                and _cc(w, n - 1)):
+            return w[:-1], True
+    elif s == "ies":
+        if r1(n - 3):
+            return w[:-1], True  # ies → ie
+    elif s == "es":
+        if w.endswith("ares") and r1(n - 4) and _cc(w, n - 4):
+            return _lengthen(w[:-4]), True
+        if w.endswith("eres") and r1(n - 4) and _cc(w, n - 4):
+            return w[:-4], True
+        if r1(n - 2) and _cc(w, n - 2):
+            return w[:-1], True  # es → e
+    elif s == "aus":
+        if r1(n - 3) and _cv(w, n - 3):
+            return w[:-1], True  # aus → au
+    elif s == "en":
+        if w.endswith("heden") and r1(n - 5):
+            return w[:-5] + "heid", True
+        if w.endswith("nden"):
+            return w[:-2], True
+        if w.endswith("den") and r1(n - 3) and _cc(w, n - 3):
+            return w[:-3], True
+        if w[n - 3:n - 2] in ("i", "j") and _cv(w, n - 3):
+            return w[:-2], True
+        if r1(n - 2) and _cc(w, n - 2):
+            return _lengthen(w[:-2]), True
+    else:  # nde
+        return w[:-1], True  # nde → nd
+    return w, False
+
+
+def _step2(w, p1):
+    def r1(pos):
+        return pos >= p1
+
+    s = _longest(w, ("de", "ge", "ische", "je", "lijke", "le", "ene",
+                     "re", "se", "te", "ieve"))
+    if s is None:
+        return w, False
+    n = len(w)
+    if s == "je":
+        if w.endswith("'tje"):
+            return w[:-4], True
+        if w.endswith("etje") and r1(n - 4) and _cc(w, n - 4):
+            return w[:-4], True
+        if w.endswith("rntje"):
+            return w[:-5] + "rn", True
+        if w.endswith("tje") and r1(n - 3) and _cvx(w, n - 3):
+            return w[:-3], True
+        if w.endswith("inkje"):
+            return w[:-5] + "ing", True
+        if w.endswith("mpje"):
+            return w[:-4] + "m", True
+        if w.endswith("'je") and r1(n - 3):
+            return w[:-3], True
+        if r1(n - 2) and _cc(w, n - 2):
+            return w[:-2], True
+    elif s == "ge":
+        if r1(n - 2):
+            return w[:-1], True  # ge → g
+    elif s == "lijke":
+        if r1(n - 5):
+            return w[:-1], True  # lijke → lijk
+    elif s == "ische":
+        if r1(n - 5):
+            return w[:-1], True  # ische → isch
+    elif s == "de":
+        if r1(n - 2) and _cc(w, n - 2):
+            return w[:-2], True
+    elif s in ("te", "se", "re"):
+        if r1(n - 2):
+            return w[:-1], True  # drop the e
+    elif s == "le":
+        if r1(n - 2):
+            # attach happens before lengthen_V sees the word
+            return _lengthen(w[:-2] + "l"), True
+    elif s == "ene":
+        if r1(n - 3) and _cc(w, n - 3):
+            return _lengthen(w[:-3] + "en"), True
+    else:  # ieve
+        if r1(n - 4) and _cc(w, n - 4):
+            return w[:-4] + "ief", True
+    return w, False
+
+
+def _step3(w, p1, p2):
+    def r1(pos):
+        return pos >= p1
+
+    s = _longest(w, ("heid", "fie", "gie", "atie", "isme", "ing",
+                     "arij", "erij", "sel", "rder", "ster", "iteit",
+                     "dst", "tst"))
+    if s is None:
+        return w, False
+    n = len(w)
+    m = len(s)
+    if s == "atie":
+        if r1(n - 4):
+            return w[:-4] + "eer", True
+    elif s == "iteit":
+        if r1(n - 5):
+            return _lengthen(w[:-5]), True
+    elif s in ("heid", "sel", "ster"):
+        if r1(n - m):
+            return w[: -m], True
+    elif s == "rder":
+        return w[:-3], True  # rder → r, unconditional
+    elif s in ("ing", "isme", "erij"):
+        if r1(n - m):
+            return _lengthen(w[: -m]), True
+    elif s == "arij":
+        if r1(n - 4) and _cc(w, n - 4):
+            return w[:-4] + "aar", True
+    elif s == "fie":
+        if n - 3 >= p2:
+            return _lengthen(w[:-3] + "f"), True
+    elif s == "gie":
+        if n - 3 >= p2:
+            return _lengthen(w[:-3] + "g"), True
+    elif s == "tst":
+        if r1(n - 3) and _cc(w, n - 3):
+            return w[:-2], True  # tst → t
+    else:  # dst
+        if r1(n - 3) and _cc(w, n - 3):
+            return w[:-2], True  # dst → d
+    return w, False
+
+
+def _step4(w, p1):
+    def r1(pos):
+        return pos >= p1
+
+    s = _longest(w, ("end", "atief", "erig", "achtig", "ioneel",
+                     "baar", "laar", "naar", "raar", "eriger",
+                     "achtiger", "lijker", "tant", "erigst",
+                     "achtigst", "lijkst"))
+    n = len(w)
+    if s is not None:
+        m = len(s)
+        if s == "ioneel":
+            if r1(n - 6):
+                return w[:-6] + "ie", True
+        elif s == "atief":
+            if r1(n - 5):
+                return w[:-5] + "eer", True
+        elif s == "baar":
+            if r1(n - 4):
+                return w[:-4], True
+        elif s in ("naar", "laar", "raar"):
+            if r1(n - 4) and _cv(w, n - 4):
+                return w[:-3], True  # keep the n/l/r
+        elif s == "tant":
+            if r1(n - 4):
+                return w[:-4] + "teer", True
+        elif s in ("lijker", "lijkst"):
+            if r1(n - 6):
+                return w[:-2], True  # → lijk
+        elif s in ("achtig", "achtiger", "achtigst"):
+            if r1(n - m):
+                return w[: -m], True
+        else:  # end / erig / eriger / erigst
+            if r1(n - m) and _cc(w, n - m):
+                return _lengthen(w[: -m]), True
+        # fall through to the ig-family when the condition failed
+    s = _longest(w, ("ig", "iger", "igst"))
+    if s is not None:
+        m = len(s)
+        if r1(n - m) and _cc(w, n - m):
+            return _lengthen(w[: -m]), True
+    return w, False
+
+
+def _step1c(w, p1):
+    def r1(pos):
+        return pos >= p1
+
+    n = len(w)
+    if w.endswith("d") and r1(n - 1) and _cc(w, n - 1):
+        if not (w[n - 2:n - 1] == "n" and r1(n - 2)):
+            return w[:-1]
+    elif w.endswith("t") and r1(n - 1) and _cc(w, n - 1):
+        if not (w[n - 2:n - 1] == "h" and r1(n - 2)):
+            return w[:-1]
+    return w
+
+
+_DOUBLES = ("bb", "cc", "dd", "ff", "gg", "hh", "jj", "kk", "ll",
+            "mm", "nn", "pp", "qq", "rr", "ss", "tt", "vv", "ww",
+            "xx", "zz")
+
+
+def _step6(w):
+    if w.endswith(_DOUBLES):
+        return w[:-1]
+    if w.endswith("v"):
+        return w[:-1] + "f"
+    if w.endswith("z"):
+        return w[:-1] + "s"
+    return w
+
+
+def _step7(w):
+    if w.endswith("kt"):
+        return w[:-2] + "k"
+    if w.endswith("ft"):
+        return w[:-2] + "f"
+    if w.endswith("pt"):
+        return w[:-2] + "p"
+    return w
+
+
+def _has_v_then_c(rest: str) -> bool:
+    i = 0
+    n = len(rest)
+    while i < n and rest[i] not in _V:
+        i += 1
+    while i < n and rest[i] in _V:
+        i += 1
+    return i < n
+
+
+def snowball_kp(word: str) -> str:
+    """Snowball "kp" (Kraaij-Pohlmann) Dutch stemmer."""
+    w = word
+    # mark y: initial, and after a vowel (marked Y is a consonant)
+    y_found = False
+    cs = list(w)
+    if cs and cs[0] == "y":
+        cs[0] = "Y"
+        y_found = True
+    for i in range(1, len(cs)):
+        if cs[i] == "y" and cs[i - 1] in _V:
+            cs[i] = "Y"
+            y_found = True
+    w = "".join(cs)
+    p1, p2 = _measure(w)
+
+    stemmed = False
+    w, ch = _step1(w, p1)
+    stemmed |= ch
+    w, ch = _step2(w, p1)
+    stemmed |= ch
+    w, ch = _step3(w, p1, p2)
+    stemmed |= ch
+    w, ch = _step4(w, p1)
+    stemmed |= ch
+
+    # lose the ge- prefix of past participles (keep enough stem)
+    if (w.startswith("ge") and len(w) >= 5
+            and _has_v_then_c(w[2:])):
+        w = w[2:]
+        p1, p2 = _measure(w)
+        w = _step1c(w, p1)
+    # lose an internal -ge- (same guard, first occurrence after pos 1)
+    idx = w.find("ge", 1)
+    if idx != -1 and len(w) - (idx + 2) >= 3 \
+            and _has_v_then_c(w[idx + 2:]):
+        w = w[:idx] + w[idx + 2:]
+        p1, p2 = _measure(w)
+        w = _step1c(w, p1)
+        ge_infix = True
+    else:
+        ge_infix = False
+
+    w2 = _step7(w)
+    if w2 != w:
+        stemmed = True
+        w = w2
+    if stemmed or ge_infix:
+        w = _step6(w)
+
+    if y_found:
+        w = w.replace("Y", "y")
+    return w

@@ -1,0 +1,203 @@
+"""The Lovins stemmer (J.B. Lovins, 1968, "Development of a stemming
+algorithm") as rendered by Snowball ("lovins"), re-implemented from the
+published algorithm: 294 endings gated by contextual conditions A-CC,
+an undoubling step, and 34 respelling rules.
+
+Reference surface: SnowballPorterFilterFactory(language="Lovins")
+(lucene/analysis/common/src/java/org/apache/lucene/analysis/snowball/
+SnowballPorterFilterFactory.java:47). Validated exact against the
+official conformance vocabulary.
+
+The ending among carries per-entry conditions evaluated during the
+match — a failed condition FALLS BACK to the next shorter ending
+(unlike the respell among, which commits to the longest match).
+"""
+
+from __future__ import annotations
+
+_ENDINGS = {
+    'A': ("s'", 'a', 'ia', 'ata', 'ic', 'aic', 'aric', 'istic', 'aristic',
+        'ivistic', 'enced', 'ished', 'ied', 'ioned', 'arized', 'oid',
+        'aroid', 'hood', 'ehood', 'ihood', 'ward', 'e', 'ae', 'icance',
+        'ence', 'icide', 'otide', 'able', 'atable', 'arizable', 'ible',
+        'encible', 'ese', 'wise', 'ate', 'entiate', 'inate', 'ive',
+        'ative', 'alize', 'icalize', 'ialize', 'entialize', 'ionalize',
+        'arize', 'encing', 'ioning', 'arizing', 'yish', 'i', 'ical',
+        'aical', 'istical', 'oidal', 'ial', 'ancial', 'arial', 'ential',
+        'ional', 'izational', 'ental', 'ful', 'eful', 'iful', 'icism',
+        'oidism', 'icalism', 'ionalism', 'ativism', 'ium', 'ian', 'ician',
+        'ogen', 'entiation', 'ination', 'isation', 'arisation',
+        'entation', 'arization', 'o', 'ier', 'ariser', 'arizer', 'ator',
+        "'s", 'ics', 'istics', 'ences', 'oides', 'acies', 'ancies',
+        'encies', 'aries', 'ities', 'alities', 'ivities', 'nesses',
+        'ates', 'atives', 'is', 'ials', 'entials', 'ionals', 'ians',
+        'icians', 'arisations', 'entations', 'izations', 'arizations',
+        'iers', 'ators', 'less', 'eless', 'ness', 'ableness', 'ibleness',
+        'ateness', 'iteness', 'iveness', 'ativeness', 'ingness',
+        'ishness', 'iness', 'alness', 'icalness', 'antialness',
+        'entialness', 'ionalness', 'fulness', 'lessness', 'ousness',
+        'eousness', 'iousness', 'itousness', 'entness', 'ists', 'icists',
+        'ous', 'eous', 'aceous', 'antaneous', 'ious', 'itous', 'icant',
+        'ement', 'izement', 'ist', 'icist', 'alist', 'icalist', 'ialist',
+        'ionist', 'entist', 'acy', 'ency', 'ably', 'ibly', 'iedly',
+        'ately', 'ively', 'atively', 'atingly', 'ily', 'lily', 'arily',
+        'ically', 'aically', 'istically', 'oidally', 'ially', 'entially',
+        'ionally', 'entally', 'fully', 'efully', 'ifully', 'lessly',
+        'ously', 'eously', 'iously', 'ently', 'icianry', 'atory', 'ity',
+        'acity', 'icity', 'eity', 'ality', 'icality', 'iality',
+        'antiality', 'entiality', 'ionality', 'elity', 'ability',
+        'izability', 'arizability', 'ibility', 'ivity',),
+    'AA': ('ite',),
+    'B': ('atic', 'alistic', 'anced', 'ance', 'age', 'ancing', 'aging',
+        'ying', 'ational', 'ism', 'alism', 'ation', 'as', 'ances', 'ages',
+        'isms', 'ions', 'ations', 'ants', 'acious', 'ant', 'y', 'ancy',
+        'ly', 'ingly', 'ally', 'alistically', 'ationally', 'izationally',
+        'arity',),
+    'BB': ('allic', 'al', 'als',),
+    'C': ('antic', 'ented', 'enting', 'ish', 'ent', 'allically',),
+    'CC': ('inity',),
+    'D': ('ionate',),
+    'E': ('ed', 'ened', 'elihood', 'izable', 'ene', 'ature', 'ening',
+        'es', 'eness', 'eableness', 'ariness', 'edly', 'ely', 'enly',
+        'ery',),
+    'F': ('ized', 'ize', 'izing', 'en', 'ization', 'izer', 'izers',
+        'ary',),
+    'G': ('ication', 'action',),
+    'H': ('itic',),
+    'I': ('ated', 'idine', 'ating',),
+    'J': ('inism',),
+    'K': ('arly',),
+    'L': ('ide', 'ides',),
+    'M': ('ine', 'ines',),
+    'N': ('ing', 'ings',),
+    'O': ('ars',),
+    'P': ('ies',),
+    'Q': ('ion',),
+    'R': ('one', 'yl',),
+    'S': ('on',),
+    'T': ('or',),
+    'U': ('um',),
+    'V': ('us',),
+    'W': ('s',),
+    'X': ('ar',),
+    'Y': ('eal', 'ear', 'ealy', 'early',),
+    'Z': ('eature',),
+}
+
+def _cond(code: str, stem: str) -> bool:
+    n = len(stem)
+    if code == "A":
+        return n >= 2
+    if code == "B":
+        return n >= 3
+    if code == "C":
+        return n >= 4
+    if code == "D":
+        return n >= 5
+    if code == "E":
+        return n >= 2 and not stem.endswith("e")
+    if code == "F":
+        return n >= 3 and not stem.endswith("e")
+    if code == "G":
+        return n >= 3 and stem.endswith("f")
+    if code == "H":
+        return n >= 2 and (stem.endswith("t") or stem.endswith("ll"))
+    if code == "I":
+        return n >= 2 and stem[-1] not in "oe"
+    if code == "J":
+        return n >= 2 and stem[-1] not in "ae"
+    if code == "K":
+        return n >= 3 and (stem[-1] in "li"
+                           or (stem[-1] == "e" and stem[-3] == "u"))
+    if code == "L":
+        if n < 2 or stem[-1] in "ux":
+            return False
+        return not (stem[-1] == "s" and not stem.endswith("os"))
+    if code == "M":
+        return n >= 2 and stem[-1] not in "acem"
+    if code == "N":
+        return n >= 3 and (stem[-3] != "s" or n >= 4)
+    if code == "O":
+        return n >= 2 and stem[-1] in "li"
+    if code == "P":
+        return n >= 2 and stem[-1] != "c"
+    if code == "Q":
+        return n >= 3 and stem[-1] not in "ln"
+    if code == "R":
+        return n >= 2 and stem[-1] in "nr"
+    if code == "S":
+        return n >= 2 and (stem.endswith("dr")
+                           or (stem[-1] == "t" and not stem.endswith("tt")))
+    if code == "T":
+        return n >= 2 and (stem[-1] == "s"
+                           or (stem[-1] == "t" and not stem.endswith("ot")))
+    if code == "U":
+        return n >= 2 and stem[-1] in "lmnr"
+    if code == "V":
+        return n >= 2 and stem[-1] == "c"
+    if code == "W":
+        return n >= 2 and stem[-1] not in "su"
+    if code == "X":
+        return n >= 2 and (stem[-1] in "li"
+                           or (n >= 3 and stem[-1] == "e"
+                               and stem[-3] == "u"))
+    if code == "Y":
+        return n >= 2 and stem.endswith("in")
+    if code == "Z":
+        return n >= 2 and stem[-1] != "f"
+    if code == "AA":
+        return n >= 2 and stem.endswith(
+            ("d", "f", "ph", "th", "l", "er", "or", "es", "t"))
+    if code == "BB":
+        return (n >= 3 and not stem.endswith("met")
+                and not stem.endswith("ryst"))
+    # CC
+    return stem.endswith("l")
+
+
+_BY_LEN = sorted(
+    ((e, c) for c, es in _ENDINGS.items() for e in es),
+    key=lambda t: len(t[0]), reverse=True)
+
+_DOUBLES = ("bb", "dd", "gg", "ll", "mm", "nn", "pp", "rr", "ss", "tt")
+
+_RESPELL = (
+    # (suffix, replacement, banned-preceding-letters)
+    ("iev", "ief", ""), ("uct", "uc", ""), ("umpt", "um", ""),
+    ("rpt", "rb", ""), ("urs", "ur", ""), ("istr", "ister", ""),
+    ("metr", "meter", ""), ("olv", "olut", ""), ("ul", "l", "aio"),
+    ("bex", "bic", ""), ("dex", "dic", ""), ("pex", "pic", ""),
+    ("tex", "tic", ""), ("ax", "ac", ""), ("ex", "ec", ""),
+    ("ix", "ic", ""), ("lux", "luc", ""), ("uad", "uas", ""),
+    ("vad", "vas", ""), ("cid", "cis", ""), ("lid", "lis", ""),
+    ("erid", "eris", ""), ("pand", "pans", ""), ("end", "ens", "s"),
+    ("ond", "ons", ""), ("lud", "lus", ""), ("rud", "rus", ""),
+    ("her", "hes", "pt"), ("mit", "mis", ""), ("ent", "ens", "m"),
+    ("ert", "ers", ""), ("et", "es", "n"), ("yt", "ys", ""),
+    ("yz", "ys", ""),
+)
+
+
+def snowball_lovins(word: str) -> str:
+    """Snowball "lovins" stemmer (Lovins 1968)."""
+    w = word
+    # ---- remove the longest ending whose condition holds (shorter
+    # endings are tried when a longer one's condition fails)
+    for e, c in _BY_LEN:
+        if w.endswith(e) and _cond(c, w[: -len(e)]):
+            w = w[: -len(e)]
+            break
+    # ---- undouble a final double consonant
+    if w.endswith(_DOUBLES):
+        w = w[:-1]
+    # ---- respell (longest match commits; a failed guard does nothing)
+    best = None
+    for s, repl, banned in _RESPELL:
+        if (best is None or len(s) > len(best[0])) and w.endswith(s):
+            best = (s, repl, banned)
+    if best is not None:
+        s, repl, banned = best
+        pre = w[: -len(s)]
+        if not (pre and pre[-1] in banned):
+            w = pre + repl
+    return w

@@ -194,6 +194,8 @@ def _snowball_mod_chain(mod_name, fn_name):
 
 
 for _name, _mod, _fn in [
+        ("lovins_snowball", "snowball_lovins", "snowball_lovins"),
+        ("kp_snowball", "snowball_kp", "snowball_kp"),
         ("finnish_snowball", "snowball_finnish", "snowball_finnish"),
         ("hungarian_snowball", "snowball_hungarian",
          "snowball_hungarian"),

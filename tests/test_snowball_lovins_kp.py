@@ -1,0 +1,28 @@
+"""Sampled goldens for the Lovins and Kraaij-Pohlmann stemmers
+(drawn from the official vocabularies; standalone-safe)."""
+import pytest
+
+from lucene_solr_ray.analysis.snowball_kp import snowball_kp
+from lucene_solr_ray.analysis.snowball_lovins import snowball_lovins
+
+LOVINS = [["abstraction", "abstract"], ["analyzed", "analys"], ["'", "'"], ["censure", "censur"], ["dramatist", "dramat"], ["handed", "hand"], ["martindale", "martindal"], ["prevents", "prevens"], ["snuffed", "snuff"], ["ventana", "ventan"]]
+KP = [["afvalcontrole", "afvalcontrool"], ["algemene", "almeen"], ["kayen", "kaay"], ["biotechnologie", "biotechnoloog"], ["gelopen", "loop"], ["a", "a"], ["benamen", "benaam"], ["cyprus", "cyprus"], ["foray", "foray"], ["heijmans", "heijman"], ["kommandeerde", "kommandeer"], ["miller", "miller"], ["opslagtanks", "opslagtank"], ["rioleringszorg", "rioleringszorg"], ["succesvol", "succesvol"], ["verlenging", "verleng"], ["wilton", "wilton"]]
+
+
+@pytest.mark.parametrize("fn,pairs", [
+    (snowball_lovins, LOVINS), (snowball_kp, KP),
+])
+def test_sampled(fn, pairs):
+    bad = [(w, fn(w), want) for w, want in pairs if fn(w) != want]
+    assert not bad, bad
+
+
+def test_registered():
+    import pyarrow as pa
+
+    from lucene_solr_ray.registry import lookup
+
+    ab = lookup("analyzer", "lovins_snowball")()(pa.array(["abstraction"]))
+    assert len(ab.terms) == 1
+    ab = lookup("analyzer", "kp_snowball")()(pa.array(["gelopen"]))
+    assert len(ab.terms) == 1

@@ -19,6 +19,8 @@ from lucene_solr_ray.analysis.snowball import (
 from lucene_solr_ray.analysis.snowball_finnish import snowball_finnish
 from lucene_solr_ray.analysis.snowball_hungarian import snowball_hungarian
 from lucene_solr_ray.analysis.snowball_turkish import snowball_turkish
+from lucene_solr_ray.analysis.snowball_kp import snowball_kp
+from lucene_solr_ray.analysis.snowball_lovins import snowball_lovins
 from lucene_solr_ray.analysis.snowball_east import (
     snowball_german2,
     snowball_porter,
@@ -56,7 +58,8 @@ def _pairs(lang):
      ("romanian", snowball_romanian), ("russian", snowball_russian),
      ("german2", snowball_german2), ("porter", snowball_porter),
      ("finnish", snowball_finnish), ("hungarian", snowball_hungarian),
-     ("turkish", snowball_turkish)],
+     ("turkish", snowball_turkish), ("lovins", snowball_lovins),
+     ("kraaij_pohlmann", snowball_kp)],
 )
 def test_full_vocabulary_exact(lang, fn):
     bad = [(w, fn(w), want) for w, want in _pairs(lang) if fn(w) != want]
