@@ -181,6 +181,15 @@ def analyze_batch(texts: pa.Array | pa.ChunkedArray, *,
         lower = pc.replace_substring_regex(
             lower, pattern=r"([\p{Han}])", replacement=r" \1 ")
         split_pattern = r"[^\p{L}\p{N}]+"
+    elif tokenizer == "whitespace":
+        # WhitespaceTokenizer (core/WhitespaceTokenizer.java): split on
+        # whitespace only, punctuation stays inside tokens (needed by
+        # hyphenated-words joining and delimited-payload parsing).
+        split_pattern = r"\s+"
+    elif tokenizer == "letter":
+        # LetterTokenizer (core/LetterTokenizer.java): maximal runs of
+        # Unicode letters; digits and punctuation split.
+        split_pattern = r"[^\p{L}]+"
     else:
         split_pattern = _SPLIT_PATTERN
     if tokenizer != "urlemail":
@@ -193,8 +202,10 @@ def analyze_batch(texts: pa.Array | pa.ChunkedArray, *,
     counts = np.diff(offsets)
     doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
 
-    lengths = np.asarray(pc.utf8_length(flat) if tokenizer == "unicode"
-                          else pc.binary_length(flat))  # cp vs byte len
+    lengths = np.asarray(
+        pc.utf8_length(flat)
+        if tokenizer in ("unicode", "whitespace", "letter")
+        else pc.binary_length(flat))  # cp vs byte len
     valid = (lengths > 0) & (lengths <= MAX_TOKEN_LENGTH)
     valid_pa = pa.array(valid)
     flat = flat.filter(valid_pa)

@@ -1924,3 +1924,270 @@ def dictionary_compound_stream(dictionary, min_word_size: int = 5,
                 doc_idx[idx], positions[idx])
 
     return transform
+
+
+def codepoint_count_stream(min_cp: int = 1, max_cp: int = 255):
+    """CodepointCountFilter (lucene/analysis/common/.../miscellaneous/
+    CodepointCountFilter.java:34): drop tokens whose CODEPOINT count is
+    outside [min_cp, max_cp]. Differs from LengthFilter only for
+    supplementary-plane text (Java counts UTF-16 units there); Python
+    strings are codepoints natively so utf8_length is exact here."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def transform(terms, doc_idx, positions):
+        terms = _as_array(terms)
+        lens = np.asarray(pc.utf8_length(terms))
+        keep = (lens >= min_cp) & (lens <= max_cp)
+        return _filter_stream(terms, doc_idx, positions, keep)
+
+    return transform
+
+
+def limit_token_position_stream(max_token_position: int):
+    """LimitTokenPositionFilter (lucene/analysis/common/.../
+    miscellaneous/LimitTokenPositionFilter.java:38,
+    consumeAllTokens=false): keep tokens whose (1-based) position is
+    <= maxTokenPosition. Our positions are 0-based serial indexes."""
+    def transform(terms, doc_idx, positions):
+        terms = _as_array(terms)
+        keep = positions + 1 <= max_token_position
+        return _filter_stream(terms, doc_idx, positions, keep)
+
+    return transform
+
+
+def hyphenated_words_stream():
+    """HyphenatedWordsFilter (lucene/analysis/common/.../miscellaneous/
+    HyphenatedWordsFilter.java:56): a token ending in '-' is joined
+    (hyphen dropped) with the following token of the same document,
+    chaining across runs; a stream-final dangling token keeps its
+    hyphen. Golden behavior from TestHyphenatedWordsFilter.java:35-65:
+    ``ecologi- cal`` → ``ecological``; trailing ``ecology-`` survives
+    as-is; ``1234- 5678-`` → ``12345678-``. Feed it a
+    ``tokenizer="whitespace"`` stream (hyphens survive only there)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def transform(terms, doc_idx, positions):
+        terms = _as_array(terms)
+        toks = terms.to_pylist()
+        n = len(toks)
+        out_t, out_d, out_p = [], [], []
+        buf = ""
+        buf_d = buf_p = -1
+        for i in range(n):
+            t = toks[i] or ""
+            d = int(doc_idx[i])
+            if buf and d != buf_d:
+                out_t.append(buf)  # doc ended while hyphenated: keep -
+                out_d.append(buf_d)
+                out_p.append(buf_p)
+                buf = ""
+            if buf:
+                t = buf[:-1] + t  # join, dropping the hyphen
+                buf = ""
+            else:
+                buf_d, buf_p = d, int(positions[i])
+            if t.endswith("-"):
+                buf = t  # hold; the joined token keeps the first
+                # fragment's doc/position already in buf_d/buf_p
+            else:
+                out_t.append(t)
+                out_d.append(buf_d)
+                out_p.append(buf_p)
+        if buf:
+            out_t.append(buf)
+            out_d.append(buf_d)
+            out_p.append(buf_p)
+        return (pa.array(out_t, type=pa.string()),
+                np.asarray(out_d, dtype=np.int64),
+                np.asarray(out_p, dtype=np.int32))
+
+    return transform
+
+
+def token_types(terms):
+    """StandardTokenizer type attribute for our ASCII token model:
+    all-digit runs are <NUM>, everything else <ALPHANUM>
+    (standard/StandardTokenizer.java:66-77 TOKEN_TYPES)."""
+    import pyarrow.compute as pc
+
+    is_num = pc.match_substring_regex(_as_array(terms), r"^[0-9]+$")
+    return pc.if_else(is_num, "<NUM>", "<ALPHANUM>")
+
+
+def type_token_stream(types, use_whitelist: bool = False):
+    """TypeTokenFilter (lucene/analysis/common/.../core/
+    TypeTokenFilter.java:33): drop tokens whose type is in ``types``
+    (or keep ONLY those, with useWhitelist). Types come from
+    ``token_types`` — the engine's tokenizer emits <NUM>/<ALPHANUM>."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    tset = pa.array(sorted(set(types)), type=pa.string())
+
+    def transform(terms, doc_idx, positions):
+        terms = _as_array(terms)
+        in_set = np.asarray(pc.is_in(token_types(terms), value_set=tset))
+        keep = in_set if use_whitelist else ~in_set
+        return _filter_stream(terms, doc_idx, positions, keep)
+
+    return transform
+
+
+def persian_chars():
+    """PersianCharFilter (lucene/analysis/common/.../fa/PersianCharFilter
+    .java:34): replace the zero-width non-joiner (U+200C) with a space
+    so half-space-joined Persian affixes tokenize apart."""
+    import pyarrow.compute as pc
+
+    def char_filter(texts):
+        return pc.replace_substring(texts, pattern="‌",
+                                    replacement=" ")
+
+    return char_filter
+
+
+def limit_token_offset_chars(max_start_offset: int):
+    """LimitTokenOffsetFilter (lucene/analysis/common/.../miscellaneous/
+    LimitTokenOffsetFilter.java:32, consumeAllTokens=false): keep tokens
+    whose start offset is <= maxStartOffset. Realized as a char filter:
+    cut the text right after the token straddling the limit (a token
+    starting at <= max survives whole; everything after is dropped)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def char_filter(texts):
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        head = pc.utf8_slice_codeunits(texts, 0, max_start_offset + 1)
+        tail = pc.utf8_slice_codeunits(texts, max_start_offset + 1,
+                                       2**31 - 1)
+        run = pc.extract_regex(tail, r"^(?P<r>[A-Za-z0-9]*)")
+        run = pc.struct_field(run, "r")
+        run = pc.fill_null(run, "")
+        return pc.binary_join_element_wise(head, run, "")
+
+    return char_filter
+
+
+class HyphenationPatterns:
+    """Liang's hyphenation algorithm (the public TeX algorithm; the
+    engine behind lucene/analysis/common/.../compound/hyphenation/
+    HyphenationTree.java). Patterns are the standard TeX strings with
+    interdigit weights, e.g. ``'a1bc'``; pattern DATA is pluggable
+    (the reference loads external OFFO XML files, not shipped either —
+    ``from_xml`` parses that format when the user supplies one)."""
+
+    def __init__(self, patterns):
+        self.table = {}
+        for p in patterns:
+            letters, weights = [], [0]
+            for ch in p:
+                if ch.isdigit():
+                    weights[-1] = int(ch)
+                else:
+                    letters.append(ch)
+                    weights.append(0)
+            self.table["".join(letters)] = weights
+
+    @classmethod
+    def from_xml(cls, text: str) -> "HyphenationPatterns":
+        import re as _re
+
+        pats = _re.search(r"<patterns>(.*?)</patterns>", text, _re.S)
+        return cls((pats.group(1) if pats else "").split())
+
+    def points(self, word: str, min_leading: int = 1,
+               min_trailing: int = 1) -> list[int]:
+        """Interior hyphenation points (odd accumulated weight),
+        clamped away from the first/last ``min_*`` characters."""
+        w = "." + word.lower() + "."
+        n = len(w)
+        vals = [0] * (n + 1)
+        for i in range(n):
+            for j in range(i + 1, n + 1):
+                wt = self.table.get(w[i:j])
+                if wt is not None:
+                    for k, v in enumerate(wt):
+                        if v > vals[i + k]:
+                            vals[i + k] = v
+        # vals index into the dotted word; interior letter boundaries
+        # of the raw word are dotted positions 2..len(word)
+        return [p - 1 for p in range(2, len(word) + 1)
+                if vals[p] % 2 == 1
+                and p - 1 >= min_leading
+                and len(word) - (p - 1) >= min_trailing]
+
+
+def hyphenation_compound_stream(patterns: HyphenationPatterns,
+                                dictionary=None,
+                                min_word_size: int = 5,
+                                min_subword_size: int = 2,
+                                max_subword_size: int = 15,
+                                only_longest_match: bool = False):
+    """HyphenationCompoundWordTokenFilter (compound/
+    HyphenationCompoundWordTokenFilter.java:123-176): candidate
+    subwords span hyphenation-point pairs; with a dictionary only
+    dictionary words (or words one binding-character shorter) are
+    emitted, without one every in-bounds span is. Subwords follow the
+    original token at the same position, as in the dictionary
+    decompounder."""
+    import numpy as np
+    import pyarrow as pa
+
+    words = {w.lower() for w in dictionary} if dictionary is not None \
+        else None
+
+    def decompose(term: str) -> list[str]:
+        tl = term.lower()
+        hyp = [0] + patterns.points(tl) + [len(tl)]
+        out: list[str] = []
+        for i in range(len(hyp)):
+            start = hyp[i]
+            longest = None
+            for j in range(1, len(hyp) - i):
+                plen = hyp[i + j] - start
+                if plen > max_subword_size:
+                    break
+                if plen < min_subword_size:
+                    continue
+                if words is None or tl[start:start + plen] in words:
+                    if only_longest_match:
+                        if longest is None or len(longest) < plen:
+                            longest = term[start:start + plen]
+                    else:
+                        out.append(term[start:start + plen])
+                elif tl[start:start + plen - 1] in words:
+                    # genitive-s / binding character: retry one shorter
+                    if only_longest_match:
+                        if longest is None or len(longest) < plen - 1:
+                            longest = term[start:start + plen - 1]
+                    else:
+                        out.append(term[start:start + plen - 1])
+            if only_longest_match and longest is not None:
+                out.append(longest)
+        return out
+
+    def transform(terms, doc_idx, positions):
+        tl = _as_array(terms).to_pylist()
+        cache: dict[str, list[str]] = {}
+        out_t: list[str] = []
+        out_i: list[int] = []
+        for k, t in enumerate(tl):
+            out_t.append(t)
+            out_i.append(k)
+            if t is not None and len(t) >= min_word_size:
+                subs = cache.get(t)
+                if subs is None:
+                    subs = decompose(t)
+                    cache[t] = subs
+                out_t.extend(subs)
+                out_i.extend([k] * len(subs))
+        idx = np.asarray(out_i, dtype=np.int64)
+        return (pa.array(out_t, type=pa.string()),
+                doc_idx[idx], positions[idx])
+
+    return transform

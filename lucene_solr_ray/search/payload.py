@@ -233,3 +233,75 @@ def payload_score(store_dir: str, term: str, func: str = "sum", *,
         "doc_id": pa.array(docs, type=pa.int64()),
         "score": pa.array(span * pay, type=pa.float64()),
     })
+
+
+def rule_payload_batch(batch: pa.Table, *, text_col: str = "text",
+                       rule: str = "numeric", payload: float = 1.0,
+                       types=("<NUM>",),
+                       n_buckets: int = N_BUCKETS) -> pa.Table:
+    """Dataset stage for the rule-driven payload TokenFilters — the
+    payload is computed, not parsed from the text:
+
+    - ``rule="numeric"``: NumericPayloadTokenFilter
+      (lucene/analysis/common/.../payloads/NumericPayloadTokenFilter
+      .java:31) — attach the constant ``payload`` to tokens whose type
+      is in ``types``; other tokens get 0.0 (no payload).
+    - ``rule="type"``: TypeAsPayloadTokenFilter (TypeAsPayloadToken
+      Filter.java:30) — payload encodes the token type (1.0 for <NUM>,
+      0.0 for <ALPHANUM>; a float rendering of the type attribute,
+      documented engine deviation from the raw-bytes payload).
+    - ``rule="offset"``: TokenOffsetPayloadTokenFilter (TokenOffset
+      PayloadTokenFilter.java:29) — payload packs the token's start
+      offset (the 4+4-byte start/end payload becomes ``start +
+      end/1e6``, lossless for docs under 1M chars).
+
+    Emits the same (bucket, term, doc_id, pos, payload) rows as
+    ``parse_delimited_batch`` so the payload store and
+    PayloadScoreQuery work unchanged on top.
+    """
+    from ..analysis import analyze_batch
+    from ..analysis.analyzer import tokenize
+    from ..analysis.filters import token_types
+
+    ids = np.asarray(batch["doc_id"]).astype(np.int64)
+    if rule == "offset":
+        # offsets need the per-token char spans: the per-string
+        # reference tokenizer supplies them (bounded per batch)
+        terms_l, docs_l, pos_l, pays_l = [], [], [], []
+        texts = batch[text_col].to_pylist()
+        for d, txt in enumerate(texts):
+            for term, pos, start, end in tokenize(txt or ""):
+                terms_l.append(term)
+                docs_l.append(ids[d])
+                pos_l.append(pos)
+                pays_l.append(start + end / 1e6)
+        term_arr = pa.array(terms_l, type=pa.string())
+        doc_of = np.asarray(docs_l, dtype=np.int64)
+        pos = np.asarray(pos_l, dtype=np.int64)
+        pays = np.asarray(pays_l, dtype=np.float64)
+    else:
+        ab = analyze_batch(batch[text_col], keep_stopwords=True)
+        term_arr = ab.terms
+        doc_of = ids[ab.doc_idx]
+        pos = ab.positions.astype(np.int64)
+        is_num = np.asarray(pc.equal(token_types(term_arr), "<NUM>"))
+        if rule == "numeric":
+            in_types = np.zeros(len(term_arr), dtype=bool)
+            if "<NUM>" in types:
+                in_types |= is_num
+            if "<ALPHANUM>" in types:
+                in_types |= ~is_num
+            pays = np.where(in_types, payload, 0.0)
+        elif rule == "type":
+            pays = is_num.astype(np.float64)
+        else:
+            raise ValueError(f"unknown payload rule: {rule}")
+    bucket = np.array([term_bucket(t, n_buckets)
+                       for t in term_arr.to_pylist()], dtype=np.int64)
+    return pa.table({
+        "bucket": pa.array(bucket),
+        "term": term_arr,
+        "doc_id": pa.array(doc_of),
+        "pos": pa.array(pos),
+        "payload": pa.array(pays, type=pa.float64()),
+    })

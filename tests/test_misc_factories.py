@@ -1,0 +1,122 @@
+"""The remaining small factory surfaces: hyphenated-words joining,
+codepoint/offset/position limits, token types, rule payloads, the
+Persian char filter, whitespace/letter tokenizers, and the
+hyphenation-pattern decompounder (goldens from the reference tests,
+e.g. TestHyphenatedWordsFilter.java:35-65)."""
+import numpy as np
+import pyarrow as pa
+
+from lucene_solr_ray.analysis.analyzer import analyze_batch
+from lucene_solr_ray.analysis.filters import (
+    HyphenationPatterns,
+    codepoint_count_stream,
+    hyphenated_words_stream,
+    hyphenation_compound_stream,
+    limit_token_offset_chars,
+    limit_token_position_stream,
+    persian_chars,
+    token_types,
+    type_token_stream,
+)
+
+
+def test_whitespace_and_letter_tokenizers():
+    ab = analyze_batch(pa.array(["foo-bar 12ab,cd"]),
+                       tokenizer="whitespace", keep_stopwords=True)
+    assert ab.terms.to_pylist() == ["foo-bar", "12ab,cd"]
+    ab = analyze_batch(pa.array(["foo-bar 12ab,cd"]),
+                       tokenizer="letter", keep_stopwords=True)
+    assert ab.terms.to_pylist() == ["foo", "bar", "ab", "cd"]
+
+
+def test_hyphenated_words_reference_goldens():
+    text = ("ecologi-\r\ncal devel-\r\n\r\nop compre-\thensive-hands-on "
+            "and ecologi-\ncal")
+    ab = analyze_batch(pa.array([text, "abc- def geh 1234- 5678-"]),
+                       tokenizer="whitespace", keep_stopwords=True,
+                       stream_transform=hyphenated_words_stream())
+    assert ab.terms.to_pylist() == [
+        "ecological", "develop", "comprehensive-hands-on", "and",
+        "ecological", "abcdef", "geh", "12345678-"]
+    assert ab.doc_idx.tolist() == [0, 0, 0, 0, 0, 1, 1, 1]
+    # trailing dangling hyphen kept (TestHyphenatedWordsFilter:48-54)
+    ab = analyze_batch(pa.array(["and ecology-"]),
+                       tokenizer="whitespace", keep_stopwords=True,
+                       stream_transform=hyphenated_words_stream())
+    assert ab.terms.to_pylist() == ["and", "ecology-"]
+
+
+def test_codepoint_and_position_limits():
+    ab = analyze_batch(pa.array(["a bb ccc dddd"]), keep_stopwords=True,
+                       stream_transform=codepoint_count_stream(2, 3))
+    assert ab.terms.to_pylist() == ["bb", "ccc"]
+    ab = analyze_batch(pa.array(["a bb ccc dddd"]), keep_stopwords=True,
+                       stream_transform=limit_token_position_stream(2))
+    assert ab.terms.to_pylist() == ["a", "bb"]
+
+
+def test_limit_token_offset():
+    cf = limit_token_offset_chars(3)
+    out = cf(pa.array(["ab cdefgh ij kl", "abcd efgh"]))
+    assert out.to_pylist() == ["ab cdefgh", "abcd"]
+
+
+def test_token_types_and_type_filter():
+    terms = pa.array(["abc", "123", "a1b"])
+    assert token_types(terms).to_pylist() == [
+        "<ALPHANUM>", "<NUM>", "<ALPHANUM>"]
+    ab = analyze_batch(pa.array(["one 22 three 4444"]),
+                       keep_stopwords=True,
+                       stream_transform=type_token_stream(["<NUM>"]))
+    assert ab.terms.to_pylist() == ["one", "three"]
+    ab = analyze_batch(pa.array(["one 22 three 4444"]),
+                       keep_stopwords=True,
+                       stream_transform=type_token_stream(
+                           ["<NUM>"], use_whitelist=True))
+    assert ab.terms.to_pylist() == ["22", "4444"]
+
+
+def test_persian_char_filter():
+    cf = persian_chars()
+    assert cf(pa.array(["می‌خواهم"])).to_pylist() == ["می خواهم"]
+
+
+def test_rule_payloads():
+    from lucene_solr_ray.search.payload import rule_payload_batch
+
+    b = pa.table({"doc_id": pa.array([7], pa.int64()),
+                  "text": ["alpha 42 beta 7"]})
+    t = rule_payload_batch(b, rule="numeric", payload=5.0)
+    assert t.column("payload").to_pylist() == [0.0, 5.0, 0.0, 5.0]
+    t = rule_payload_batch(b, rule="type")
+    assert t.column("payload").to_pylist() == [0.0, 1.0, 0.0, 1.0]
+    t = rule_payload_batch(b, rule="offset")
+    pays = t.column("payload").to_pylist()
+    assert [int(p) for p in pays] == [0, 6, 9, 14]  # start offsets
+
+
+def test_hyphenation_decompounder():
+    hp = HyphenationPatterns(["rind1fleisch", "fleisch1ueber",
+                              "ueber1wachung"])
+    assert hp.points("rindfleischueberwachung") == [4, 11, 16]
+    st = hyphenation_compound_stream(
+        hp, dictionary=["rind", "fleisch", "ueberwachung", "ueber",
+                        "wachung"], min_subword_size=4)
+    ab = analyze_batch(pa.array(["Rindfleischueberwachung"]),
+                       keep_stopwords=True, stream_transform=st)
+    assert ab.terms.to_pylist() == [
+        "rindfleischueberwachung", "rind", "fleisch", "ueber",
+        "ueberwachung", "wachung"]
+    # positions: subwords stack on the original token's position
+    assert set(ab.positions.tolist()) == {0}
+    # no dictionary → every in-bounds span between hyphen points
+    st = hyphenation_compound_stream(hp, min_subword_size=4,
+                                     max_subword_size=7)
+    ab = analyze_batch(pa.array(["rindfleisch"]), keep_stopwords=True,
+                       stream_transform=st)
+    assert ab.terms.to_pylist() == ["rindfleisch", "rind", "fleisch"]
+    # XML parsing of the OFFO format
+    hp2 = HyphenationPatterns.from_xml(
+        "<hyphenation-info><patterns>rind1fleisch</patterns>"
+        "</hyphenation-info>")
+    assert hp2.points("rindfleisch") == [4]
