@@ -1,0 +1,114 @@
+"""Lithuanian Snowball stemmer, implemented from the spec the
+reference itself ships (lucene/analysis/common/src/java/org/apache/
+lucene/analysis/lt/stem_ISO_8859_1.sbl — public Snowball source).
+
+Four stages: fix_conflicts (suffix respellings resolving ambiguous
+forms), step1 (case/verb endings, once, in R1), step2 (derivational
+suffixes, REPEATED, in R1), and the chdz/gd consonant fixes. p1 skips
+a leading 'a' prefix on words longer than 6 letters.
+"""
+
+from __future__ import annotations
+
+_LT_V = frozenset("aeiyouąęįųėū")
+
+_LT_STEP1 = (
+    "as", "ias", "is", "ys", "o", "io", "ui", "iui", "ą", "ią", "į",
+    "u", "iu", "e", "yje", "y", "au", "i", "an", "ai", "iai", "ų",
+    "ių", "ams", "am", "iams", "iam", "us", "ius", "ais", "iais",
+    "uose", "iuose", "uos", "iuos", "uosna", "iuosna", "ysna",
+    "asis", "aisi", "osi", "ųsi", "uisi", "ąsi", "usi", "esi", "uo",
+    "a", "ia", "os", "ios", "oj", "oje", "ioje", "osna", "iosna",
+    "om", "oms", "ioms", "omis", "iomis", "ose", "iose", "on", "ion",
+    "ė", "ės", "ei", "ę", "ėj", "ėje", "ėms", "es", "ėmis", "ėse",
+    "ėsna", "ėn", "aus", "iaus", "umi", "iumi", "uje", "iuje", "iau",
+    "ūs", "ums", "umis", "un", "iun", "ies", "ens", "enio", "ers",
+    "eniui", "eriai", "enį", "erį", "imi", "eniu", "erimi", "eria",
+    "enyje", "eryje", "ie", "enie", "erie", "enys", "erys", "erų",
+    "ims", "enims", "erims", "enis", "imis", "enimis", "yse",
+    "enyse", "eryse", "iem", "iems", "ame", "iame", "uosi", "iuosi",
+    "iesi", "asi", "iasi", "amės", "iamės", "at", "ate", "iat",
+    "iate", "atės", "iatės", "isi", "im", "imės", "it", "ite",
+    "ome", "omės", "ot", "ote", "otės", "ėjo", "ėjosi", "eisi",
+    "ėsi", "ėm", "ėme", "ėmės", "ėt", "ėte", "ėtės", "ausi", "siu",
+    "siuosi", "si", "siesi", "s", "ysis", "sim", "sime", "sit",
+    "site", "čiau", "čiausi", "tum", "tumei", "tumeis", "tumeisi",
+    "tųsi", "tumėm", "tumėme", "tumėmės", "tute", "tumėt", "tumėte",
+    "tumėtės", "k", "ki", "kimės", "uoti", "iuoti", "auti", "iauti",
+    "oti", "ioti", "ėti", "yti", "inti", "inėti", "enti", "telėti",
+    "terėti", "ti", "ąs", "iąs", "įs", "tųs", "simės", "sitės",
+    "kite",
+)
+_LT_STEP2 = (
+    "ing", "išk", "ėt", "ot", "uot", "iuot", "yt", "iuk", "iul",
+    "ėl", "yl", "učiuk", "uliuk", "utėlait", "ok", "iok", "sv",
+    "šv", "zgan", "op", "iop", "ain", "ykšt", "ykšč", "esn", "aus",
+    "iaus", "ias", "oj", "ioj", "aj", "iaj", "ąj", "iąj", "uoj",
+    "iuoj", "iej", "ųj", "iųj", "ies", "uos", "iuos", "ais", "iais",
+    "os", "ios", "ąs", "iąs", "dav", "ant", "iant", "int", "ėj",
+    "ę", "ėję", "ęs", "siant", "dam", "auj", "jam", "iau", "am",
+)
+_LT_CONFLICTS = {
+    "aite": "aitė", "aitės": "aitė", "uotės": "uotė", "uote": "uotė",
+    "ėjime": "ėjimas", "esiu": "esys", "asius": "asys",
+    "avime": "avimas", "ojime": "ojimas", "okatės": "okatė",
+    "okate": "okatė",
+}
+
+
+def _longest(w, table, start=0):
+    best = None
+    for s in table:
+        if (best is None or len(s) > len(best)) and w.endswith(s) \
+                and len(w) - len(s) >= start:
+            best = s
+    return best
+
+
+def snowball_lithuanian(word: str) -> str:
+    """Snowball "lithuanian" stemmer (spec shipped in the reference)."""
+    w = word
+    n = len(w)
+    # mark_regions with the a- prefix skip on words longer than 6
+    i = 1 if (w.startswith("a") and n > 6) else 0
+    p1 = n
+    while i < n and w[i] not in _LT_V:
+        i += 1
+    while i < n and w[i] in _LT_V:
+        i += 1
+    if i < n:
+        i += 1
+        p1 = i
+
+    # ---- fix_conflicts (unrestricted longest-match respell)
+    s = _longest(w, _LT_CONFLICTS)
+    if s is not None:
+        w = w[: -len(s)] + _LT_CONFLICTS[s]
+
+    # ---- step 1: endings (in R1, once)
+    s = _longest(w, _LT_STEP1, p1)
+    if s is not None:
+        w = w[: -len(s)]
+
+    # ---- fix_chdz
+    if w.endswith("č"):
+        w = w[:-1] + "t"
+    elif w.endswith("dž"):
+        w = w[:-2] + "d"
+
+    # ---- step 2: derivational suffixes (in R1, repeated)
+    while True:
+        s = _longest(w, _LT_STEP2, p1)
+        if s is None:
+            break
+        w = w[: -len(s)]
+
+    # ---- fix_chdz, fix_gd
+    if w.endswith("č"):
+        w = w[:-1] + "t"
+    elif w.endswith("dž"):
+        w = w[:-2] + "d"
+    if w.endswith("gd"):
+        w = w[:-1]
+
+    return w

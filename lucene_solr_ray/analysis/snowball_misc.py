@@ -1,0 +1,425 @@
+"""Snowball stemmers without official conformance vocabularies:
+Irish, Catalan, Basque, Armenian — implemented from the published
+specifications at snowballstem.org and validated against the golden
+assertions in the reference's own analyzer tests
+(lucene/analysis/common/src/test/.../{ga,ca,eu,hy}/Test*.java).
+"""
+
+from __future__ import annotations
+
+from .snowball_romance import _longest_suffix, _r1r2
+
+# ------------------------------------------------------------------ irish
+
+_GA_V = frozenset("aeiouáéíóú")
+_GA_PREFIX = {
+    "h-": "", "n-": "", "t-": "", "d'": "", "b'": "", "m'": "",
+    "d'fh": "f", "sh": "s", "mb": "b", "gc": "c", "nd": "d",
+    "bhf": "f", "ng": "g", "bp": "p", "ts": "s", "dt": "t",
+    "bh": "b", "ch": "c", "dh": "d", "fh": "f", "gh": "g",
+    "mh": "m", "ph": "p", "th": "t",
+}
+_GA_NOUN_R1 = ("íochta", "aíochta", "abh", "eabh", "ibh", "aibh",
+               "amh", "eamh", "imh", "aimh", "íocht", "aíocht")
+_GA_NOUN_R2 = ("ire", "aire", "irí", "airí")
+_GA_DERIV_R2 = ("achta", "eachta", "ach", "each", "achtúil",
+                "eachtúil", "acht", "eacht")
+_GA_DERIV_SUB = {}
+for _s in ("arcachta", "arcacht", "arcachtaí"):
+    _GA_DERIV_SUB[_s] = "arc"
+for _s in ("gineach", "gineas", "ginis"):
+    _GA_DERIV_SUB[_s] = "gin"
+for _s in ("grafaíochta", "grafaíoch", "grafaíocht", "grafaíochtaí"):
+    _GA_DERIV_SUB[_s] = "graf"
+for _s in ("patacha", "paite", "patach", "pataigh"):
+    _GA_DERIV_SUB[_s] = "paite"
+for _s in ("óideacha", "óideach", "óidigh"):
+    _GA_DERIV_SUB[_s] = "óid"
+_GA_VERB_RV = ("imid", "aimid", "ímid", "aímid", "faidh", "fidh")
+_GA_VERB_R1 = ("adh", "eadh", "áil", "ain", "tear", "tar")
+
+
+def snowball_irish(word: str) -> str:
+    """Snowball "irish" stemmer (spec at snowballstem.org)."""
+    w = word
+    # initial morphology: strip eclipsis / lenition prefixes (longest)
+    best = None
+    for p in _GA_PREFIX:
+        if w.startswith(p) and (best is None or len(p) > len(best)):
+            best = p
+    if best is not None:
+        w = _GA_PREFIX[best] + w[len(best):]
+    n = len(w)
+    pv = n
+    for i in range(n):
+        if w[i] in _GA_V:
+            pv = i + 1
+            break
+    r1, r2 = _r1r2(w, _GA_V)
+
+    s = _longest_suffix(w, _GA_NOUN_R1 + _GA_NOUN_R2)
+    if s is not None:
+        lim = r1 if s in _GA_NOUN_R1 else r2
+        if len(w) - len(s) >= lim:
+            w = w[: -len(s)]
+    s = _longest_suffix(w, _GA_DERIV_R2 + tuple(_GA_DERIV_SUB))
+    if s is not None:
+        if s in _GA_DERIV_SUB:
+            w = w[: -len(s)] + _GA_DERIV_SUB[s]
+        elif len(w) - len(s) >= r2:
+            w = w[: -len(s)]
+    s = _longest_suffix(w, _GA_VERB_RV + _GA_VERB_R1)
+    if s is not None:
+        lim = pv if s in _GA_VERB_RV else r1
+        if len(w) - len(s) >= lim:
+            w = w[: -len(s)]
+    return w
+
+
+# ----------------------------------------------------------------- catalan
+
+_CA_V = frozenset("aeiouàáèéíïòóúü")
+_CA_CLEAN = str.maketrans({"à": "a", "á": "a", "è": "e", "é": "e",
+                           "ì": "i", "í": "i", "ï": "i", "ò": "o",
+                           "ó": "o", "ú": "u", "ü": "u", "·": "."})
+
+_CA_PRON = {
+    1: ('la', '-la', 'sela', 'le', 'me', '-me', 'se', '-te', 'hi', "'hi",
+        'li', '-li', "'l", "'m", '-m', "'n", '-n', 'ho', "'ho", 'lo',
+        'selo', "'s", 'las', 'selas', 'les', '-les', "'ls", '-ls', "'ns",
+        '-ns', 'ens', 'los', 'selos', 'nos', '-nos', 'vos', 'us', '-us',
+        "'t",),
+}
+
+_CA_STD = {
+    1: ('enca', 'ancia', 'encia', 'ència', 'ícia', 'inia', 'íinia',
+        'eria', 'ària', 'atòria', 'alla', 'ella', 'ívola', 'ima',
+        'íssima', 'ana', 'ina', 'era', 'sfera', 'ora', 'dora', 'adora',
+        'adura', 'esa', 'osa', 'assa', 'essa', 'issa', 'eta', 'ita',
+        'ota', 'ista', 'ialista', 'ionista', 'iva', 'ativa', 'nça',
+        'ístic', 'enc', 'esc', 'ud', 'atge', 'ble', 'able', 'ible',
+        'isme', 'ialisme', 'ionisme', 'ivisme', 'aire', 'icte', 'iste',
+        'ici', 'íci', 'ari', 'tori', 'al', 'il', 'all', 'ell', 'ívol',
+        'isam', 'issem', 'ìssem', 'íssem', 'íssim', 'amen', 'ìssin', 'ar',
+        'ificar', 'egar', 'ejar', 'itar', 'itzar', 'fer', 'or', 'dor',
+        'dur', 'doras', 'uds', 'nces', 'ancies', 'encies', 'ències',
+        'ícies', 'inies', 'ínies', 'eries', 'àries', 'atòries', 'bles',
+        'ables', 'ibles', 'imes', 'íssimes', 'formes', 'ismes',
+        'ialismes', 'ines', 'eres', 'ores', 'dores', 'idores', 'dures',
+        'eses', 'oses', 'asses', 'ictes', 'ites', 'otes', 'istes',
+        'ialistes', 'ionistes', 'ives', 'atives', 'allengües', 'icis',
+        'ícis', 'aris', 'toris', 'ls', 'als', 'ells', 'ims', 'íssims',
+        'ions', 'cions', 'esos', 'osos', 'assos', 'issos', 'ers', 'ors',
+        'dors', 'adors', 'idors', 'ats', 'itats', 'bilitats', 'ivitats',
+        'ativitats', 'ïtats', 'ets', 'ants', 'ents', 'ments', 'aments',
+        'ots', 'uts', 'ius', 'trius', 'atius', 'ès', 'és', 'ís', 'dís',
+        'ós', 'itat', 'bilitat', 'ivitat', 'ativitat', 'ïtat', 'et',
+        'ant', 'ent', 'ient', 'ment', 'ament', 'isament', 'ot', 'isseu',
+        'ìsseu', 'ísseu', 'triu', 'íssiu', 'atiu', 'ó', 'ió', 'ció',
+        'ació',),
+    2: ('ada', 'ades', 'acions',),
+    3: ('lógica', 'logia', 'logía', 'logi', 'lógics', 'logies',
+        'lógiques', 'logíes', 'logis',),
+    4: ('ica', 'ic', 'ics', 'iques',),
+    5: ('quíssima', 'quíssim', 'quíssimes', 'quíssims',),
+}
+
+_CA_VERB = {
+    1: ('aba', 'esca', 'isca', 'ïsca', 'ada', 'ida', 'uda', 'ïda', 'ia',
+        'aria', 'iria', 'ara', 'iera', 'ira', 'adora', 'ïra', 'ava',
+        'ixa', 'itza', 'ía', 'aría', 'ería', 'iría', 'ïa', 'isc', 'ïsc',
+        'ad', 'ed', 'id', 'ie', 're', 'dre', 'ase', 'iese', 'aste',
+        'iste', 'ii', 'ini', 'esqui', 'eixi', 'itzi', 'am', 'em', 'arem',
+        'irem', 'àrem', 'írem', 'àssem', 'éssem', 'iguem', 'ïguem',
+        'avem', 'àvem', 'ávem', 'irìem', 'íem', 'aríem', 'iríem', 'assim',
+        'essim', 'issim', 'àssim', 'èssim', 'éssim', 'íssim', 'ïm', 'an',
+        'aban', 'arian', 'aran', 'ieran', 'iran', 'ían', 'arían', 'erían',
+        'irían', 'en', 'ien', 'arien', 'irien', 'aren', 'eren', 'iren',
+        'àren', 'ïren', 'asen', 'iesen', 'assen', 'essen', 'issen',
+        'éssen', 'ïssen', 'esquen', 'isquen', 'ïsquen', 'aven', 'ixen',
+        'eixen', 'ïxen', 'ïen', 'in', 'inin', 'sin', 'isin', 'assin',
+        'essin', 'issin', 'ïssin', 'esquin', 'eixin', 'aron', 'ieron',
+        'arán', 'erán', 'irán', 'iïn', 'ado', 'ido', 'iendo', 'io', 'ixo',
+        'eixo', 'ïxo', 'itzo', 'ar', 'tzar', 'er', 'eixer', 'ir', 'ador',
+        'as', 'abas', 'adas', 'idas', 'aras', 'ieras', 'ías', 'arías',
+        'erías', 'irías', 'ids', 'es', 'ades', 'ides', 'udes', 'ïdes',
+        'atges', 'ies', 'aries', 'iries', 'ares', 'ires', 'adores',
+        'ïres', 'ases', 'ieses', 'asses', 'esses', 'isses', 'ïsses',
+        'ques', 'esques', 'ïsques', 'aves', 'ixes', 'eixes', 'ïxes',
+        'ïes', 'abais', 'arais', 'ierais', 'íais', 'aríais', 'eríais',
+        'iríais', 'aseis', 'ieseis', 'asteis', 'isteis', 'inis', 'sis',
+        'isis', 'assis', 'essis', 'issis', 'ïssis', 'esquis', 'eixis',
+        'itzis', 'áis', 'aréis', 'eréis', 'iréis', 'ams', 'ados', 'idos',
+        'amos', 'ábamos', 'áramos', 'iéramos', 'íamos', 'aríamos',
+        'eríamos', 'iríamos', 'aremos', 'eremos', 'iremos', 'ásemos',
+        'iésemos', 'imos', 'adors', 'ass', 'erass', 'ess', 'ats', 'its',
+        'ents', 'às', 'aràs', 'iràs', 'arás', 'erás', 'irás', 'és',
+        'arés', 'ís', 'iïs', 'at', 'it', 'ant', 'ent', 'int', 'ut', 'ït',
+        'au', 'erau', 'ieu', 'ineu', 'areu', 'ireu', 'àreu', 'íreu',
+        'asseu', 'esseu', 'eresseu', 'àsseu', 'ésseu', 'igueu', 'ïgueu',
+        'àveu', 'áveu', 'itzeu', 'ìeu', 'irìeu', 'íeu', 'aríeu', 'iríeu',
+        'assiu', 'issiu', 'àssiu', 'èssiu', 'éssiu', 'íssiu', 'ïu', 'ix',
+        'eix', 'ïx', 'itz', 'ià', 'arà', 'irà', 'itzà', 'ará', 'erá',
+        'irá', 'irè', 'aré', 'eré', 'iré', 'í', 'iï', 'ió',),
+    2: ('ando',),
+}
+
+_CA_RESID = {
+    1: ('a', 'e', 'i', 'ïn', 'o', 'ir', 's', 'is', 'os', 'ïs', 'it', 'eu',
+        'iu', 'itz', 'à', 'á', 'é', 'ì', 'í', 'ï', 'ó',),
+    2: ('iqu',),
+}
+
+
+
+def snowball_catalan(word: str) -> str:
+    """Snowball "catalan" stemmer (spec at snowballstem.org):
+    attached pronoun (R1), standard OR verb suffix, residual suffix,
+    then an accent-folding cleanup."""
+    w = word
+
+    def tab(table):
+        best = None
+        for r, es in table.items():
+            for s in es:
+                if (best is None or len(s) > len(best[0])) \
+                        and w.endswith(s):
+                    best = (s, r)
+        return best
+
+    r1, r2 = _r1r2(w, _CA_V)
+    hit = tab(_CA_PRON)
+    if hit and len(w) - len(hit[0]) >= r1:
+        w = w[: -len(hit[0])]
+    done = False
+    hit = tab(_CA_STD)
+    if hit:
+        s, r = hit
+        pos = len(w) - len(s)
+        if r == 1 and pos >= r1:
+            w, done = w[:pos], True
+        elif r == 2 and pos >= r2:
+            w, done = w[:pos], True
+        elif r == 3 and pos >= r2:
+            w, done = w[:pos] + "log", True
+        elif r == 4 and pos >= r2:
+            w, done = w[:pos] + "ic", True
+        elif r == 5 and pos >= r1:
+            w, done = w[:pos] + "c", True
+    if not done:
+        hit = tab(_CA_VERB)
+        if hit:
+            s, r = hit
+            pos = len(w) - len(s)
+            if (r == 1 and pos >= r1) or (r == 2 and pos >= r2):
+                w = w[:pos]
+    hit = tab(_CA_RESID)
+    if hit:
+        s, r = hit
+        pos = len(w) - len(s)
+        if r == 1 and pos >= r1:
+            w = w[:pos]
+        elif r == 2 and pos >= r1:
+            w = w[:pos] + "ic"
+    return w.translate(_CA_CLEAN)
+
+
+# ------------------------------------------------------------------ basque
+
+_EU_V = frozenset("aeiou")
+
+_EU_ADITZAK = {
+    1: ('idea', 'bidea', 'kidea', 'pidea', 'kundea', 'galea', 'tailea',
+        'tzailea', 'gunea', 'kunea', 'tzaga', 'gaia', 'aldia', 'taldia',
+        'karia', 'karria', 'ka', 'tzaka', 'la', 'mena', 'pena', 'kina',
+        'ezina', 'tezina', 'kuna', 'tuna', 'kizuna', 'era', 'bera',
+        'kera', 'pera', 'orra', 'korra', 'dura', 'gura', 'kura', 'tura',
+        'eta', 'keta', 'gailua', 'eza', 'erreza', 'gaitza', 'kaitza',
+        'kuntza', 'ide', 'bide', 'kide', 'pide', 'kunde', 'tzake',
+        'tzeke', 'le', 'gale', 'taile', 'tzaile', 'gune', 'kune', 'tze',
+        'atze', 'gai', 'aldi', 'taldi', 'ki', 'ari', 'kari', 'lari',
+        'tari', 'etari', 'karri', 'arazi', 'tarazi', 'an', 'ean', 'rean',
+        'kan', 'etan', 'men', 'pen', 'kin', 'rekin', 'ezin', 'tezin',
+        'tun', 'kizun', 'go', 'ago', 'tio', 'dako', 'or', 'kor', 'tzat',
+        'du', 'gailu', 'tu', 'atu', 'aldatu', 'tatu', 'ez', 'errez',
+        'tzez', 'gaitz', 'kaitz',),
+    2: ('garria', 'tza', 'garri',),
+    3: ('atseden',),
+    4: ('arabera',),
+    5: ('baditu',),
+}
+
+_EU_IZENAK = {
+    1: ('ada', 'kada', 'anda', 'denda', 'gabea', 'kabea', 'aldea',
+        'kaldea', 'taldea', 'ordea', 'zalea', 'tzalea', 'gilea', 'emea',
+        'kumea', 'nea', 'enea', 'zionea', 'unea', 'gunea', 'pea',
+        'aurrea', 'tea', 'kotea', 'artea', 'ostea', 'etxea', 'ga', 'anga',
+        'gaia', 'aldia', 'taldia', 'handia', 'mendia', 'geia', 'egia',
+        'degia', 'tegia', 'nahia', 'ohia', 'kia', 'tokia', 'oia', 'koia',
+        'aria', 'karia', 'laria', 'taria', 'eria', 'keria', 'teria',
+        'larria', 'kirria', 'duria', 'asia', 'tia', 'ezia', 'bizia',
+        'ontzia', 'ka', 'ska', 'xka', 'zka', 'gibela', 'gela', 'kaila',
+        'skila', 'tila', 'ola', 'na', 'kana', 'ena', 'garrena', 'gerrena',
+        'urrena', 'zaina', 'tzaina', 'kina', 'mina', 'garna', 'una',
+        'duna', 'asuna', 'tasuna', 'ondoa', 'kondoa', 'ngoa', 'zioa',
+        'koa', 'takoa', 'zkoa', 'noa', 'zinoa', 'aroa', 'taroa', 'zaroa',
+        'eroa', 'oroa', 'osoa', 'toa', 'ttoa', 'ztoa', 'txoa', 'tzoa',
+        'ñoa', 'ra', 'ara', 'dara', 'liara', 'tiara', 'tara', 'etara',
+        'tzara', 'bera', 'kera', 'pera', 'tzarra', 'korra', 'tra', 'sa',
+        'osa', 'ta', 'eta', 'keta', 'sta', 'dua', 'mendua', 'ordua',
+        'lekua', 'burua', 'durua', 'tsua', 'tua', 'mentua', 'estua',
+        'txua', 'zua', 'tzua', 'za', 'eza', 'eroza', 'koitza', 'antza',
+        'gintza', 'kintza', 'kuntza', 'gabe', 'kabe', 'kide', 'alde',
+        'kalde', 'talde', 'orde', 'ge', 'zale', 'tzale', 'gile', 'eme',
+        'kume', 'ne', 'zione', 'une', 'gune', 'pe', 'aurre', 'te', 'kote',
+        'arte', 'oste', 'etxe', 'gai', 'di', 'aldi', 'taldi', 'handi',
+        'mendi', 'gei', 'egi', 'degi', 'tegi', 'nahi', 'ohi', 'ki',
+        'toki', 'oi', 'goi', 'koi', 'ari', 'kari', 'lari', 'tari',
+        'larri', 'kirri', 'duri', 'asi', 'ti', 'ontzi', 'ñi', 'ak', 'ek',
+        'tarik', 'gibel', 'ail', 'kail', 'kan', 'tan', 'etan', 'garren',
+        'gerren', 'urren', 'zain', 'tzain', 'kin', 'min', 'dun', 'asun',
+        'tasun', 'aizun', 'ondo', 'kondo', 'go', 'ngo', 'zio', 'ko',
+        'tako', 'etako', 'eko', 'tariko', 'sko', 'tuko', 'zko', 'no',
+        'zino', 'ro', 'aro', 'taro', 'zaro', 'ero', 'giro', 'oro', 'oso',
+        'to', 'tto', 'zto', 'txo', 'tzo', 'gintzo', 'ño', 'zp', 'ar',
+        'dar', 'behar', 'liar', 'tiar', 'tar', 'tzar', 'kor', 'os', 'ket',
+        'du', 'mendu', 'ordu', 'leku', 'duru', 'tsu', 'tu', 'mentu',
+        'estu', 'txu', 'zu', 'tzu', 'gintzu', 'z', 'ez', 'eroz', 'tz',
+        'koitz',),
+    2: ('garria', 'ora', 'tza', 'garri', 'ren', 'or', 'buru',),
+    3: ('joka',),
+    4: ('en', 'ten', 'tzen', 'tatu',),
+    5: ('trako',),
+    6: ('minutuko',),
+    7: ('zehar',),
+    8: ('geldi',),
+    9: ('igaro',),
+    10: ('aurka',),
+}
+
+_EU_ADJ = {
+    1: ('keria', 'la', 'era', 'dade', 'tade', 'date', 'tate', 'gi', 'ki',
+        'ik', 'lanik', 'rik', 'larik', 'ztik', 'go', 'ro', 'ero', 'to',),
+    2: ('zlea',),
+}
+
+
+
+def _eu_apply(w, pos, table, rv, r1, r2, repls):
+    """One among application anchored at ``pos``; returns
+    (w, newpos) or None. Deletes splice out [newpos, pos)."""
+    best = None
+    for r, es in table.items():
+        for s in es:
+            if (best is None or len(s) > len(best[0])) \
+                    and w.startswith(s, pos - len(s)) and pos >= len(s):
+                best = (s, r)
+    if best is None:
+        return None
+    s, r = best
+    newpos = pos - len(s)
+    if r == 1:
+        if newpos < rv:
+            return None
+        return w[:newpos] + w[pos:], newpos
+    if r == 2:
+        if newpos < r2:
+            return None
+        return w[:newpos] + w[pos:], newpos
+    if r == 4:
+        if newpos < r1:
+            return None
+        return w[:newpos] + w[pos:], newpos
+    repl = repls[r]
+    return w[:newpos] + repl + w[pos:], newpos
+
+
+def snowball_basque(word: str) -> str:
+    """Snowball "basque" stemmer (spec at snowballstem.org): repeat
+    the verb-suffix among, repeat the noun-suffix among, then one
+    adjective pass — each repeat walks leftward, splicing the matched
+    layer out (self-replacements protect exception words)."""
+    from .snowball_romance import _rv_std
+
+    w = word
+    rv = _rv_std(w, _EU_V)
+    r1, r2 = _r1r2(w, _EU_V)
+
+    def run(table, repls, repeat=True):
+        nonlocal w
+        pos = len(w)
+        while True:
+            res = _eu_apply(w, pos, table, rv, r1, r2, repls)
+            if res is None:
+                return
+            w, pos = res
+            if not repeat:
+                return
+
+    run(_EU_ADITZAK, {3: "atseden", 4: "arabera", 5: "baditu"})
+    run(_EU_IZENAK, {3: "jok", 5: "tra", 6: "minutu", 7: "zehar",
+                     8: "geldi", 9: "igaro", 10: "aurka"})
+    run(_EU_ADJ, {2: "z"}, repeat=False)
+    return w
+
+
+# ---------------------------------------------------------------- armenian
+
+_HY_V = frozenset("աեէըիուօ")
+
+_HY_ADJ = {
+    1: ('րորդ', 'երորդ', 'ալի', 'ակի', 'որակ', 'եղ', 'ական', 'արան', 'են',
+        'եկեն', 'երեն', 'որէն', 'ին', 'գին', 'ովին', 'լայն', 'վուն',
+        'պես', 'իվ', 'ատ', 'ավետ', 'կոտ', 'բար',),
+}
+
+_HY_VERB = {
+    1: ('ա', 'ացա', 'եցա', 'վե', 'ացրի', 'ացի', 'եցի', 'վեցի', 'ալ',
+        'ըալ', 'անալ', 'ենալ', 'ացնալ', 'ել', 'ըել', 'նել', 'ցնել',
+        'եցնել', 'չել', 'վել', 'ացվել', 'եցվել', 'տել', 'ատել', 'ոտել',
+        'կոտել', 'ված', 'ում', 'վում', 'ան', 'ցան', 'ացան', 'ացրին',
+        'ացին', 'եցին', 'վեցին', 'ալիս', 'ելիս', 'ավ', 'ացավ', 'եցավ',
+        'ալով', 'ելով', 'ար', 'ացար', 'եցար', 'ացրիր', 'ացիր', 'եցիր',
+        'վեցիր', 'աց', 'եց', 'ացրեց', 'ալուց', 'ելուց', 'ալու', 'ելու',
+        'աք', 'ցաք', 'ացաք', 'ացրիք', 'ացիք', 'եցիք', 'վեցիք', 'անք',
+        'ցանք', 'ացանք', 'ացրինք', 'ացինք', 'եցինք', 'վեցինք',),
+}
+
+_HY_NOUN = {
+    1: ('որդ', 'ույթ', 'ուհի', 'ցի', 'իլ', 'ակ', 'յակ', 'անակ', 'իկ',
+        'ուկ', 'ան', 'պան', 'ստան', 'արան', 'եղէն', 'յուն', 'ություն',
+        'ածո', 'իչ', 'ուս', 'ուստ', 'գար', 'վոր', 'ավոր', 'ոց', 'անօց',
+        'ու', 'ք', 'չեք', 'իք', 'ալիք', 'անիք', 'վածք', 'ույք', 'ենք',
+        'ոնք', 'ունք', 'մունք', 'իչք', 'արք',),
+}
+
+_HY_END = {
+    1: ('սա', 'վա', 'ամբ', 'դ', 'անդ', 'ությանդ', 'վանդ', 'ոջդ', 'երդ',
+        'ներդ', 'ուդ', 'ը', 'անը', 'ությանը', 'վանը', 'ոջը', 'երը',
+        'ները', 'ի', 'վի', 'երի', 'ների', 'անում', 'երում', 'ներում', 'ն',
+        'ան', 'ության', 'վան', 'ին', 'երին', 'ներին', 'ությանն', 'երն',
+        'ներն', 'ուն', 'ոջ', 'ությանս', 'վանս', 'ոջս', 'ով', 'անով',
+        'վով', 'երով', 'ներով', 'եր', 'ներ', 'ց', 'ից', 'վանից', 'ոջից',
+        'վից', 'երից', 'ներից', 'ցից', 'ոց', 'ուց',),
+}
+
+def snowball_armenian(word: str) -> str:
+    """Snowball "armenian" stemmer (spec at snowballstem.org): inside
+    RV — ending (R2-gated), verb, adjective, noun — each one pass."""
+    w = word
+    n = len(w)
+    pv = n
+    for i in range(n):
+        if w[i] in _HY_V:
+            pv = i + 1
+            break
+    r1, r2 = _r1r2(w, _HY_V)
+
+    s = _longest_suffix(w, _HY_END[1], pv)
+    if s is not None and len(w) - len(s) >= r2:
+        w = w[: -len(s)]
+    for table in (_HY_VERB, _HY_ADJ, _HY_NOUN):
+        s = _longest_suffix(w, table[1], pv)
+        if s is not None:
+            w = w[: -len(s)]
+    return w

@@ -199,7 +199,12 @@ for _name, _mod, _fn in [
         ("finnish_snowball", "snowball_finnish", "snowball_finnish"),
         ("hungarian_snowball", "snowball_hungarian",
          "snowball_hungarian"),
-        ("turkish_snowball", "snowball_turkish", "snowball_turkish")]:
+        ("turkish_snowball", "snowball_turkish", "snowball_turkish"),
+        ("lithuanian_snowball", "snowball_lt", "snowball_lithuanian"),
+        ("irish_snowball", "snowball_misc", "snowball_irish"),
+        ("catalan_snowball", "snowball_misc", "snowball_catalan"),
+        ("basque_snowball", "snowball_misc", "snowball_basque"),
+        ("armenian_snowball", "snowball_misc", "snowball_armenian")]:
     register("analyzer", _name)(_snowball_mod_chain(_mod, _fn))
 
 

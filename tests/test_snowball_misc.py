@@ -1,0 +1,75 @@
+"""Conformance for the last five Snowball languages — Lithuanian,
+Irish, Catalan, Basque, Armenian (no official vocabularies exist for
+these; the goldens are the reference's own analyzer assertions,
+lucene/analysis/common/src/test/.../{lt,ga,ca,eu,hy}/Test*.java).
+
+The Lithuanian set is the full 372-word TestLithuanianStemming.java
+table, loaded from the reference snapshot when present.
+"""
+import re
+from pathlib import Path
+
+import pytest
+
+from lucene_solr_ray.analysis.snowball_lt import snowball_lithuanian
+from lucene_solr_ray.analysis.snowball_misc import (
+    snowball_armenian,
+    snowball_basque,
+    snowball_catalan,
+    snowball_irish,
+)
+
+_LT_JAVA = Path(
+    "/root/reference/lucene/analysis/common/src/test/org/apache/lucene/"
+    "analysis/lt/TestLithuanianStemming.java"
+)
+
+# sampled from the same table — standalone-safe
+LT = [
+    ["vaikas", "vaik"], ["vaiko", "vaik"], ["vaikui", "vaik"],
+    ["vaiką", "vaik"], ["vaike", "vaik"], ["vaikų", "vaik"],
+    ["vaikams", "vaik"], ["vaikus", "vaik"], ["vaikuose", "vaik"],
+    ["Lietuvos", "Lietuv"], ["mokyklose", "mokykl"],
+    ["gerųjų", "ger"], ["geriausias", "ger"],
+]
+GA = [["siopadóireacht", "siopadóir"], ["síceapatacha", "síceapaite"],
+      ["n-athair", "athair"]]
+CA = [["llengües", "llengu"], ["llengua", "llengu"]]
+EU = [["zaldi", "zaldi"], ["zaldiak", "zaldi"], ["mendiari", "mendi"]]
+HY = [["արծիվ", "արծ"], ["արծիվներ", "արծ"], ["արծիվների", "արծ"]]
+
+
+@pytest.mark.parametrize("fn,pairs", [
+    (snowball_lithuanian, LT), (snowball_irish, GA),
+    (snowball_catalan, CA), (snowball_basque, EU),
+    (snowball_armenian, HY),
+])
+def test_sampled(fn, pairs):
+    bad = [(w, fn(w), want) for w, want in pairs if fn(w) != want]
+    assert not bad, bad
+
+
+@pytest.mark.skipif(not _LT_JAVA.exists(), reason="reference absent")
+def test_lithuanian_full_reference_table():
+    pairs = re.findall(
+        r'checkOneTerm\(a,\s*"([^"]+)",\s*"([^"]+)"\)',
+        _LT_JAVA.read_text())
+    assert len(pairs) >= 300
+    bad = [(w, snowball_lithuanian(w), g)
+           for w, g in pairs if snowball_lithuanian(w) != g]
+    assert not bad, (len(bad), bad[:10])
+
+
+def test_registered():
+    import pyarrow as pa
+
+    from lucene_solr_ray.registry import lookup
+
+    for name, word, want in [
+            ("lithuanian_snowball", "vaikams", "vaik"),
+            ("irish_snowball", "siopadóireacht", "siopadóir"),
+            ("catalan_snowball", "llengües", "llengu"),
+            ("basque_snowball", "zaldiak", "zaldi"),
+            ("armenian_snowball", "արծիվներ", "արծ")]:
+        ab = lookup("analyzer", name)()(pa.array([word]))
+        assert ab.terms.to_pylist() == [want], name
