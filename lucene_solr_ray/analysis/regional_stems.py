@@ -501,3 +501,109 @@ def sorani_stem(term: str) -> str:
     elif len(s) > 4 and s.endswith("ی"):         # absolute singular ezafe
         return s[:-1]
     return s
+
+
+# ------------------------------------------------------------- german (Caumanns)
+# GermanStemFilter's discriminator stemmer (ref lucene/analysis/common/
+# src/java/org/apache/lucene/analysis/de/GermanStemmer.java:52-100):
+# lowercase; substitute (umlaut fold, ß→ss, double-letter masking,
+# sch/ch/ei/ie/ig/st masking); strip the seven base suffixes
+# (nd/em/er/e/s/n/t) with length+substCount gates; optimize (erin*,
+# final z→x); resubstitute; drop one "gege"→"ge" particle.
+
+def _de_substitute(chars):
+    """In-place scan with the reference's index semantics: masked
+    pairs become sentinels so strip() never sees them; returns the
+    number of characters removed (substCount)."""
+    subst = 0
+    c = 0
+    while c < len(chars):
+        if c > 0 and chars[c] == chars[c - 1]:
+            chars[c] = "*"
+        elif chars[c] == "ä":
+            chars[c] = "a"
+        elif chars[c] == "ö":
+            chars[c] = "o"
+        elif chars[c] == "ü":
+            chars[c] = "u"
+        elif chars[c] == "ß":
+            chars[c] = "s"
+            chars.insert(c + 1, "s")
+            subst += 1
+        if c < len(chars) - 1:
+            if (c < len(chars) - 2 and chars[c] == "s"
+                    and chars[c + 1] == "c" and chars[c + 2] == "h"):
+                chars[c] = "$"
+                del chars[c + 1:c + 3]
+                subst += 2
+            elif chars[c] == "c" and chars[c + 1] == "h":
+                chars[c] = "§"
+                del chars[c + 1]
+                subst += 1
+            elif chars[c] == "e" and chars[c + 1] == "i":
+                chars[c] = "%"
+                del chars[c + 1]
+                subst += 1
+            elif chars[c] == "i" and chars[c + 1] == "e":
+                chars[c] = "&"
+                del chars[c + 1]
+                subst += 1
+            elif chars[c] == "i" and chars[c + 1] == "g":
+                chars[c] = "#"
+                del chars[c + 1]
+                subst += 1
+            elif chars[c] == "s" and chars[c + 1] == "t":
+                chars[c] = "!"
+                del chars[c + 1]
+                subst += 1
+        c += 1
+    return subst
+
+
+def _de_strip(chars, subst):
+    while len(chars) > 3:
+        n = len(chars)
+        if n + subst > 5 and chars[-2] == "n" and chars[-1] == "d":
+            del chars[-2:]
+        elif n + subst > 4 and chars[-2] == "e" and chars[-1] == "m":
+            del chars[-2:]
+        elif n + subst > 4 and chars[-2] == "e" and chars[-1] == "r":
+            del chars[-2:]
+        elif chars[-1] in "esnt":
+            del chars[-1]
+        else:
+            break
+
+
+_DE_RESUB = {"$": "sch", "§": "ch", "%": "ei", "&": "ie", "#": "ig",
+             "!": "st"}
+
+
+def german_stem(word: str) -> str:
+    """Caumanns discriminator stem (GermanStemmer.java:52)."""
+    term = word.lower()
+    if not term or not all(ch.isalpha() for ch in term):
+        return term
+    chars = list(term)
+    subst = _de_substitute(chars)
+    _de_strip(chars, subst)
+    # optimize: female-profession plural, then irregular z→x
+    if len(chars) > 5 and chars[-5:] == list("erin*"):
+        del chars[-1]
+        _de_strip(chars, subst)
+    if chars and chars[-1] == "z":
+        chars[-1] = "x"
+    # resubstitute
+    out = []
+    for i, ch in enumerate(chars):
+        if ch == "*":
+            out.append(out[-1])
+        else:
+            out.append(_DE_RESUB.get(ch, ch))
+    s = "".join(out)
+    # removeParticleDenotion: first "gege" loses its leading "ge"
+    if len(s) > 4:
+        i = s.find("gege", 0, len(s) - 2)
+        if i != -1:
+            s = s[:i] + s[i + 2:]
+    return s

@@ -273,8 +273,29 @@ for _name, _fns in [("bulgarian", ("bulgarian_stem",)),
                     ("indonesian", ("indonesian_stem",)),
                     ("hindi", ("hindi_normalize", "hindi_stem")),
                     ("persian", ("persian_normalize",)),
-                    ("sorani", ("sorani_normalize", "sorani_stem"))]:
+                    ("sorani", ("sorani_normalize", "sorani_stem")),
+                    ("german_caumanns", ("german_stem",))]:
     register("analyzer", _name)(_regional_chain(*_fns))
+
+
+def _rslp_chain(fn_name):
+    """PortugueseAnalyzer / GalicianAnalyzer wire the full RSLP(-G)
+    stemmer (ref pt/PortugueseStemFilter, gl/GalicianStemFilter)."""
+    def chain():
+        import functools
+
+        from .analysis import analyze_batch
+        from .analysis import rslp
+
+        return functools.partial(analyze_batch,
+                                 term_transform=getattr(rslp, fn_name),
+                                 tokenizer="unicode")
+    return chain
+
+
+for _name, _fn in [("portuguese_rslp", "portuguese_stem"),
+                   ("galician_rslp", "galician_stem")]:
+    register("analyzer", _name)(_rslp_chain(_fn))
 
 
 @register("analyzer", "brazilian")

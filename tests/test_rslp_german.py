@@ -1,0 +1,74 @@
+"""Full RSLP Portuguese / RSLG Galician stemmers and the Caumanns
+German stemmer — conformance against the reference's own test data
+(pt/ptrslptestdata.zip 32k words, gl/gltestdata.zip 9.4k words,
+de/data.txt), with standalone-safe samples."""
+import zipfile
+from pathlib import Path
+
+import pytest
+
+from lucene_solr_ray.analysis.regional_stems import german_stem
+from lucene_solr_ray.analysis.rslp import galician_stem, portuguese_stem
+
+_T = Path("/root/reference/lucene/analysis/common/src/test/org/apache/"
+          "lucene/analysis")
+
+PT = [["bons", "bom"], ["balões", "bal"], ["capitães", "capitao"],
+      ["felizmente", "feliz"], ["chefona", "chef"],
+      ["professora", "profes"], ["cansadíssimo", "cans"],
+      ["existencialista", "exist"], ["quiosque", "quiosqu"]]
+GL = [["abandonou", "abandon"], ["abatidos", "abat"]]
+DE = [["häufig", "haufig"], ["abschließender", "abschliess"],
+      ["Tischen", "tisch"], ["Häusern", "hau"], ["Dramen", "dram"],
+      ["Ausmaß", "ausmass"], ["Fischen", "fisch"], ["Matrizen", "matrix"],
+      ["Schaltflächen", "schaltflach"]]
+
+
+@pytest.mark.parametrize("fn,pairs", [
+    (portuguese_stem, PT), (galician_stem, GL), (german_stem, DE)])
+def test_sampled(fn, pairs):
+    bad = [(w, fn(w), want) for w, want in pairs if fn(w) != want]
+    assert not bad, bad
+
+
+def _vocab(zpath, inner):
+    with zipfile.ZipFile(zpath).open(inner) as f:
+        return [ln.split("\t") for ln in f.read().decode().splitlines()
+                if ln.strip()]
+
+
+@pytest.mark.skipif(not _T.exists(), reason="reference absent")
+@pytest.mark.parametrize("fn,zrel,inner,n", [
+    (portuguese_stem, "pt/ptrslptestdata.zip", "ptrslp.txt", 30000),
+    (galician_stem, "gl/gltestdata.zip", "gl.txt", 9000)])
+def test_full_vocabulary(fn, zrel, inner, n):
+    pairs = _vocab(_T / zrel, inner)
+    assert len(pairs) >= n
+    bad = [(w, fn(w), g) for w, g in pairs if fn(w) != g]
+    assert not bad, (len(bad), bad[:10])
+
+
+@pytest.mark.skipif(not _T.exists(), reason="reference absent")
+def test_german_reference_data():
+    pairs = []
+    for ln in (_T / "de/data.txt").read_text().splitlines():
+        ln = ln.strip()
+        if ln and not ln.startswith("#"):
+            w, g = ln.split("\t")
+            pairs.append((w.strip(), g.strip()))
+    assert len(pairs) >= 25
+    bad = [(w, german_stem(w), g) for w, g in pairs if german_stem(w) != g]
+    assert not bad, bad
+
+
+def test_registered():
+    import pyarrow as pa
+
+    from lucene_solr_ray.registry import lookup
+
+    for name, word, want in [
+            ("portuguese_rslp", "professora", "profes"),
+            ("galician_rslp", "abandonou", "abandon"),
+            ("german_caumanns", "abschließender", "abschliess")]:
+        ab = lookup("analyzer", name)()(pa.array([word]))
+        assert ab.terms.to_pylist() == [want], name
