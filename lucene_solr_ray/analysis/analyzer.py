@@ -162,7 +162,46 @@ def analyze_batch(texts: pa.Array | pa.ChunkedArray, *,
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
     lower = pc.utf8_lower(texts)
-    if tokenizer == "urlemail":
+    token_lists = None
+    if isinstance(tokenizer, tuple) and tokenizer[0] == "pattern":
+        # PatternTokenizer (lucene/analysis/common/.../pattern/
+        # PatternTokenizer.java:32-50): group=-1 splits on the pattern
+        # (delimiter semantics); group>=0 emits that capture group of
+        # every match. Opt-in mode; the extraction path is a per-doc
+        # C-level finditer, not the hot default.
+        pat = tokenizer[1]
+        group = tokenizer[2] if len(tokenizer) > 2 else -1
+        if group < 0:
+            split_pattern = pat
+        else:
+            import re as _re
+
+            rx = _re.compile(pat)
+            toks = [[m.group(group) for m in rx.finditer(t)
+                     if m.group(group)] if t is not None else []
+                    for t in lower.to_pylist()]
+            token_lists = pa.array(toks, type=pa.list_(pa.string()))
+    elif isinstance(tokenizer, tuple) and tokenizer[0] in ("ngram",
+                                                           "edge_ngram"):
+        # NGramTokenizer / EdgeNGramTokenizer (ngram/NGramTokenizer
+        # .java:30, EdgeNGramTokenizer.java:32): character grams over
+        # the WHOLE text (spaces included), position-major order
+        # ("a","ab","b","bc"…); edge grams anchor at offset 0.
+        mn, mx = int(tokenizer[1]), int(tokenizer[2])
+        edge = tokenizer[0] == "edge_ngram"
+        out = []
+        for t in lower.to_pylist():
+            if not t:
+                out.append([])
+            elif edge:
+                out.append([t[:k] for k in range(mn, mx + 1)
+                            if k <= len(t)])
+            else:
+                out.append([t[i:i + k] for i in range(len(t))
+                            for k in range(mn, mx + 1)
+                            if i + k <= len(t)])
+        token_lists = pa.array(out, type=pa.list_(pa.string()))
+    elif tokenizer == "urlemail":
         # UAX29URLEmailTokenizer (lucene/analysis/common/.../standard/
         # UAX29URLEmailTokenizer.java:47): URLs and emails survive as
         # SINGLE tokens; everything else splits like the ascii
@@ -186,13 +225,17 @@ def analyze_batch(texts: pa.Array | pa.ChunkedArray, *,
         # whitespace only, punctuation stays inside tokens (needed by
         # hyphenated-words joining and delimited-payload parsing).
         split_pattern = r"\s+"
-    elif tokenizer == "letter":
+    elif tokenizer in ("letter", "lowercase"):
         # LetterTokenizer (core/LetterTokenizer.java): maximal runs of
-        # Unicode letters; digits and punctuation split.
+        # Unicode letters; digits and punctuation split. "lowercase" is
+        # LowerCaseTokenizer (core/LowerCaseTokenizer.java) — identical
+        # here because this chain lowercases before tokenizing.
         split_pattern = r"[^\p{L}]+"
+    elif isinstance(tokenizer, tuple):
+        pass  # token_lists or split_pattern set above
     else:
         split_pattern = _SPLIT_PATTERN
-    if tokenizer != "urlemail":
+    if token_lists is None:
         token_lists = pc.split_pattern_regex(lower, pattern=split_pattern)
     if isinstance(token_lists, pa.ChunkedArray):
         token_lists = token_lists.combine_chunks()
@@ -204,7 +247,8 @@ def analyze_batch(texts: pa.Array | pa.ChunkedArray, *,
 
     lengths = np.asarray(
         pc.utf8_length(flat)
-        if tokenizer in ("unicode", "whitespace", "letter")
+        if (tokenizer in ("unicode", "whitespace", "letter", "lowercase")
+            or isinstance(tokenizer, tuple))
         else pc.binary_length(flat))  # cp vs byte len
     valid = (lengths > 0) & (lengths <= MAX_TOKEN_LENGTH)
     valid_pa = pa.array(valid)

@@ -2191,3 +2191,50 @@ def hyphenation_compound_stream(patterns: HyphenationPatterns,
                 doc_idx[idx], positions[idx])
 
     return transform
+
+
+def common_grams_query_stream(common_words, sep: str = "_"):
+    """CommonGramsQueryFilter (lucene/analysis/common/.../commongrams/
+    CommonGramsQueryFilter.java:82-113) composed over CommonGramsFilter:
+    emit bigrams whenever possible; a unigram survives only when it is
+    NOT the left member of a bigram, and a doc's trailing unigram is
+    dropped when the token emitted just before it was a bigram (the
+    reference's previousType bookkeeping — 'fox of the' → fox_of,
+    of_the; 'the rain in spain falls mainly' keeps spain/falls/mainly).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from .analyzer import _per_doc_serial_positions
+
+    inner = common_grams_stream(common_words, sep)
+
+    def transform(terms, doc_idx, positions):
+        terms, d, p = inner(terms, doc_idx, positions)
+        terms = _as_array(terms)
+        n = len(d)
+        if n == 0:
+            return terms, d, p
+        # a gram shares (doc, position) with the unigram before it
+        is_gram = np.zeros(n, dtype=bool)
+        is_gram[1:] = (d[1:] == d[:-1]) & (p[1:] == p[:-1])
+        # unigram that is a bigram's left member (its gram follows)
+        left = np.zeros(n, dtype=bool)
+        left[:-1] = is_gram[1:]
+        last_in_doc = np.ones(n, dtype=bool)
+        last_in_doc[:-1] = d[1:] != d[:-1]
+        prev_gram = np.zeros(n, dtype=bool)
+        prev_gram[1:] = is_gram[:-1] & (d[1:] == d[:-1])
+        keep = is_gram | (~left & ~(last_in_doc & prev_gram))
+        d = d[keep]
+        return (terms.filter(pa.array(keep)), d,
+                _per_doc_serial_positions(d))
+
+    return transform
+
+
+def upper_case(term: str) -> str:
+    """UpperCaseFilter (core/UpperCaseFilterFactory.java) as a term
+    transform. The reference's own javadoc warns it breaks
+    lowercase-assuming filters downstream — same caveat here."""
+    return term.upper()

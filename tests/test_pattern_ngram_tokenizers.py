@@ -1,0 +1,80 @@
+"""PatternTokenizer, NGram/EdgeNGram tokenizers, LowerCaseTokenizer,
+UpperCaseFilter, CommonGramsQueryFilter — goldens from the reference's
+tests (pattern/TestPatternTokenizer.java, ngram/NGramTokenizerTest.java
+:73-108, ngram/EdgeNGramTokenizerTest.java:77-97,
+commongrams/CommonGramsFilterTest.java:91-158)."""
+import pyarrow as pa
+import pytest
+
+from lucene_solr_ray.analysis.analyzer import analyze_batch
+from lucene_solr_ray.analysis.filters import (
+    common_grams_query_stream,
+    upper_case,
+)
+
+
+def _toks(text, tok, **kw):
+    return analyze_batch(pa.array([text]), keep_stopwords=True,
+                         tokenizer=tok, **kw).terms.to_pylist()
+
+
+@pytest.mark.parametrize("text,tok,want", [
+    ("abcde", ("ngram", 1, 1), ["a", "b", "c", "d", "e"]),
+    ("abcde", ("ngram", 2, 2), ["ab", "bc", "cd", "de"]),
+    ("abcde", ("ngram", 1, 3),
+     ["a", "ab", "abc", "b", "bc", "bcd", "c", "cd", "cde",
+      "d", "de", "e"]),
+    ("abcde", ("ngram", 6, 7), []),
+    ("abcde", ("edge_ngram", 1, 1), ["a"]),
+    ("abcde", ("edge_ngram", 1, 3), ["a", "ab", "abc"]),
+    # PatternTokenizer javadoc example (PatternTokenizer.java:43-50)
+    ("aaa 'bbb' 'ccc'", ("pattern", r"'([^']+)'", 1), ["bbb", "ccc"]),
+    ("aaa 'bbb' 'ccc'", ("pattern", r"'([^']+)'", 0),
+     ["'bbb'", "'ccc'"]),
+    ("one,two,three", ("pattern", r",", -1), ["one", "two", "three"]),
+    ("foo12 BAR", "lowercase", ["foo", "bar"]),
+])
+def test_tokenizers(text, tok, want):
+    assert _toks(text, tok) == want
+
+
+COMMON = {"the", "of", "s"}
+
+
+@pytest.mark.parametrize("text,want", [
+    # CommonGramsFilterTest.testCommonGramsQueryFilter:91-158
+    ("brown fox", ["brown", "fox"]),
+    ("the fox", ["the_fox"]),
+    ("fox of", ["fox_of"]),
+    ("of the", ["of_the"]),
+    ("the", ["the"]),
+    ("foo", ["foo"]),
+    ("quick brown fox", ["quick", "brown", "fox"]),
+    ("quick the brown", ["quick_the", "the_brown"]),
+    ("quick brown the", ["quick", "brown_the"]),
+    ("the quick brown", ["the_quick", "quick", "brown"]),
+    ("fox of the", ["fox_of", "of_the"]),
+    ("the fox of", ["the_fox", "fox_of"]),
+    ("of the fox", ["of_the", "the_fox"]),
+    ("of the of", ["of_the", "the_of"]),
+])
+def test_common_grams_query(text, want):
+    got = _toks(text, "whitespace",
+                stream_transform=common_grams_query_stream(COMMON))
+    assert got == want
+
+
+def test_common_grams_query_positions_and_multidoc():
+    ab = analyze_batch(pa.array(["fox of the", "brown fox"]),
+                       keep_stopwords=True, tokenizer="whitespace",
+                       stream_transform=common_grams_query_stream(COMMON))
+    assert ab.terms.to_pylist() == ["fox_of", "of_the", "brown", "fox"]
+    assert ab.doc_idx.tolist() == [0, 0, 1, 1]
+    assert ab.positions.tolist() == [0, 1, 0, 1]
+    assert ab.doc_lengths.tolist() == [2, 2]
+
+
+def test_upper_case():
+    ab = analyze_batch(pa.array(["foo bar"]), keep_stopwords=True,
+                       term_transform=upper_case)
+    assert ab.terms.to_pylist() == ["FOO", "BAR"]
