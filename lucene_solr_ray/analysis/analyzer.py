@@ -201,6 +201,20 @@ def analyze_batch(texts: pa.Array | pa.ChunkedArray, *,
                             for k in range(mn, mx + 1)
                             if i + k <= len(t)])
         token_lists = pa.array(out, type=pa.list_(pa.string()))
+    elif tokenizer == "wikipedia":
+        # WikipediaTokenizer TOKENS_ONLY mode (wikipedia/
+        # WikipediaTokenizer.java:96): markup-aware scan; categories,
+        # links, emphasis and citations tokenize, markup is consumed.
+        # Types/posIncs are available from the standalone
+        # analysis.wikipedia.wikipedia_tokenize; the chain keeps terms.
+        from .wikipedia import wikipedia_tokenize
+
+        # scan the ORIGINAL text (the [[Category:…]] grammar is
+        # case-sensitive), lowercase the surviving terms after —
+        # tokenizer-then-LowerCaseFilter order, as in the reference.
+        toks = [[t.lower() for t, _ty, _inc in wikipedia_tokenize(s)]
+                if s is not None else [] for s in texts.to_pylist()]
+        token_lists = pa.array(toks, type=pa.list_(pa.string()))
     elif tokenizer == "urlemail":
         # UAX29URLEmailTokenizer (lucene/analysis/common/.../standard/
         # UAX29URLEmailTokenizer.java:47): URLs and emails survive as
@@ -247,7 +261,8 @@ def analyze_batch(texts: pa.Array | pa.ChunkedArray, *,
 
     lengths = np.asarray(
         pc.utf8_length(flat)
-        if (tokenizer in ("unicode", "whitespace", "letter", "lowercase")
+        if (tokenizer in ("unicode", "whitespace", "letter", "lowercase",
+                          "wikipedia")
             or isinstance(tokenizer, tuple))
         else pc.binary_length(flat))  # cp vs byte len
     valid = (lengths > 0) & (lengths <= MAX_TOKEN_LENGTH)

@@ -1,0 +1,269 @@
+"""WikipediaTokenizer — wiki-markup-aware tokenization with token
+types (ref lucene/analysis/common/src/java/org/apache/lucene/analysis/
+wikipedia/{WikipediaTokenizer.java:40-96,WikipediaTokenizerImpl.jflex}).
+
+A faithful state-machine port of the JFlex grammar, TOKENS_ONLY mode:
+longest-match-wins (rule order breaks ties) over per-state rule lists.
+Categories, internal/external links, bold/italics runs, headings, and
+citations tag their words with the reference's type strings ("c",
+"il", "elu", "el", "b", "i", "bi", "h", "sh", "ci"); markup characters
+and HTML-ish tags are consumed silently.  Position increments follow
+the scanner's bookkeeping (the first word of an external link shares
+the URL's position).
+
+One documented nuance: the snapshot's .jflex lists a TAGS macro but
+its YYINITIAL ignore rule only names [^]; the shipped golden test
+(WikipediaTokenizerTest.testHandwritten) requires <sup>/<span …> tags
+to vanish entirely, so TAGS participates in the ignore set here.
+"""
+
+from __future__ import annotations
+
+import re
+
+# type strings (WikipediaTokenizer.java:40-50 + StandardTokenizer's)
+ALPHANUM = "<ALPHANUM>"
+APOSTROPHE = "<APOSTROPHE>"
+ACRONYM = "<ACRONYM>"
+COMPANY = "<COMPANY>"
+EMAIL = "<EMAIL>"
+HOST = "<HOST>"
+NUM = "<NUM>"
+CJ = "<CJ>"
+INTERNAL_LINK = "il"
+EXTERNAL_LINK = "el"
+EXTERNAL_LINK_URL = "elu"
+CITATION = "ci"
+CATEGORY = "c"
+BOLD = "b"
+ITALICS = "i"
+BOLD_ITALICS = "bi"
+HEADING = "h"
+SUB_HEADING = "sh"
+
+# character-class macros (WikipediaTokenizerImpl.jflex:150-163),
+# written as codepoint escapes to mirror the spec exactly
+_L = ("A-Za-zÀ-ÖØ-ö"
+      "ø-ÿĀ-῿ﾠ-ￜ")
+_D = ("0-9٠-٩۰-۹०-९"
+      "০-৯੦-੯૦-૯୦-୯"
+      "௧-௯౦-౯೦-೯൦-൯"
+      "๐-๙໐-໙၀-၉")
+_K = "가-힯ᄀ-ᇿ"
+_AN = rf"[{_L}{_D}{_K}]+"
+_ALPHA = rf"[{_L}]+"
+_P = r"[_\-/.,]"
+_HD = rf"[{_L}{_D}]*[{_D}][{_L}{_D}]*"
+_NUM = (rf"(?:{_AN}{_P}{_HD}(?:{_P}{_AN}{_P}{_HD})+"
+        rf"|{_HD}{_P}{_AN}(?:{_P}{_HD}{_P}{_AN})+"
+        rf"|{_AN}(?:{_P}{_HD}{_P}{_AN})+"
+        rf"|{_HD}(?:{_P}{_AN}{_P}{_HD})+"
+        rf"|{_AN}{_P}{_HD}"
+        rf"|[{_D}]+{_P}[{_D}]+"
+        rf"|{_HD}{_P}{_AN})")
+_CJ = (r"[぀-㆏㄀-ㄯ゠-ヿㇰ-ㇿ"
+       r"㌀-㍿㐀-䶿一-鿿豈-﫿"
+       r"･-ﾟ]")
+_WS = r"(?:\r\n|[ \r\n\t\f])"
+_TAGS = rf'</?{_AN}(?:{_WS}*{_AN}="{_AN}")*>'
+_URL = (rf"(?:http://|https://){_AN}(?:\.{_AN})+"
+        rf"(?:/?(?:{_AN}|{_P}|\?|&|=|#)*)*")
+
+_c = re.compile
+
+# (pattern, token_type_or_None, action_name) per state, in rule order;
+# matching is longest-wins with rule order breaking ties (JFlex).
+_INITIAL = [
+    (_c(rf"\[\[:?Category:"), None, "cat_open"),
+    (_c(r"\[\["), None, "ilink_open"),
+    (_c(r"\["), None, "elink_open"),
+    (_c(rf"{_ALPHA}(?:'{_ALPHA})+"), APOSTROPHE, "word"),
+    (_c(rf"{_ALPHA}\.(?:{_ALPHA}\.)+"), ACRONYM, "word"),
+    (_c(rf"{_ALPHA}[&@]{_ALPHA}"), COMPANY, "word"),
+    (_c(rf"{_AN}(?:[.\-_]{_AN})*@{_AN}(?:[.\-]{_AN})+"), EMAIL, "word"),
+    (_c(_NUM), NUM, "word"),
+    (_c(rf"{_AN}(?:\.{_AN})+"), HOST, "word"),
+    (_c(_AN), ALPHANUM, "word"),
+    (_c(_CJ), CJ, "word"),
+    (_c(r"''"), None, "two_quotes"),
+    (_c(r"=="), None, "dbl_equals"),
+    (_c(r"\{\{"), None, "dbl_brace"),
+    (_c(r"<ref>"), None, "citation_open"),
+    (_c(_TAGS), None, "skip"),
+    (_c(r"[\s\S]"), None, "skip"),
+]
+_IN_LINK = [
+    (_c(_AN), None, "emit_cur"),
+    (_c(r"\]\]"), None, "ilink_close"),
+    (_c(r"[\s\S]"), None, "skip_inc"),
+]
+_IN_CAT = [
+    (_c(_AN), None, "emit_cur"),
+    (_c(r"\]\]"), None, "to_initial"),
+    (_c(r"[\s\S]"), None, "skip_inc"),
+]
+_IN_ELINK = [
+    (_c(_URL), None, "emit_url"),
+    (_c(_AN), None, "elink_word"),
+    (_c(r"\]"), None, "elink_close"),
+    (_c(_WS), None, "skip_inc"),
+    (_c(r"[\s\S]"), None, "skip"),
+]
+_IN_2Q = [
+    (_c(r"'''"), None, "to_bold_italics"),
+    (_c(r"'"), None, "to_bold"),
+    (_c(rf"\[\[:?Category:"), None, "cat_enter"),
+    (_c(r"\[\["), None, "ilink_enter"),
+    (_c(r"\["), None, "elink_enter"),
+    (_c(_AN), None, "italics_word"),
+    (_c(r"[\s\S]"), None, "skip"),
+]
+_IN_QUOTED = [  # THREE_ and FIVE_SINGLE_QUOTES_STATE share shape
+    (_c(rf"\[\[:?Category:"), None, "cat_enter"),
+    (_c(r"\[\["), None, "ilink_enter"),
+    (_c(r"\["), None, "elink_enter"),
+    (_c(_AN), None, "emit_cur_string"),
+    (_c(r"[\s\S]"), None, "skip"),
+]
+_IN_EQUALS = [
+    (_c(r"=="), None, "to_initial"),
+    (_c(r"="), None, "to_sub_heading"),
+    (_c(_AN), None, "heading_word"),
+    (_c(r"[\s\S]"), None, "skip"),
+]
+_IN_BRACE = [
+    (_c(_AN), None, "emit_cur"),
+    (_c(r"\}\}"), None, "to_initial"),
+    (_c(r"</ref>"), None, "to_initial"),
+    (_c(r"[\s\S]"), None, "skip"),
+]
+_IN_STRING = [
+    (_c(r"'''''"), None, "string_end"),
+    (_c(r"'''"), None, "string_end"),
+    (_c(r"''"), None, "string_end"),
+    (_c(r"==="), None, "string_end"),
+    (_c(rf"\[\[:?Category:"), None, "cat_override"),
+    (_c(r"\[\["), None, "ilink_override"),
+    (_c(r"\["), None, "elink_override"),
+    (_c(_AN), None, "emit_cur_string"),
+    (_c(r"\|"), None, "emit_cur_string"),
+    (_c(r"[\s\S]"), None, "skip"),
+]
+
+_STATES = {
+    "initial": _INITIAL, "ilink": _IN_LINK, "cat": _IN_CAT,
+    "elink": _IN_ELINK, "2q": _IN_2Q, "3q": _IN_QUOTED,
+    "5q": _IN_QUOTED, "equals": _IN_EQUALS, "brace": _IN_BRACE,
+    "string": _IN_STRING,
+}
+
+
+def wikipedia_tokenize(text: str):
+    """TOKENS_ONLY scan: ``[(term, type, position_increment), ...]``."""
+    out = []
+    state = "initial"
+    cur = ALPHANUM
+    num_balanced = 0
+    num_link_toks = 0
+    pos_inc = 1
+    i, n = 0, len(text)
+    while i < n:
+        best = None
+        for rx, ttype, action in _STATES[state]:
+            m = rx.match(text, i)
+            if m and (best is None or m.end() > best[0].end()):
+                best = (m, ttype, action)
+        if best is None:
+            i += 1
+            continue
+        m, ttype, action = best
+        tok = m.group(0)
+        if action == "word":
+            pos_inc = 1
+            out.append((tok, ttype, 1))
+        elif action == "emit_cur":
+            out.append((tok, cur, pos_inc))
+            pos_inc = 1
+        elif action == "emit_cur_string":
+            out.append((tok, cur, pos_inc))
+            pos_inc = 1
+            state = "string"
+        elif action == "skip":
+            pass
+        elif action == "skip_inc":
+            pos_inc = 1
+        elif action in ("cat_open", "cat_override", "cat_enter"):
+            # only the STRING state's override resets the '' balance
+            # (WikipediaTokenizerImpl.jflex STRING vs *_QUOTES_STATE)
+            if action == "cat_override":
+                num_balanced = 0
+            elif action == "cat_open":
+                pos_inc = 1
+            cur, state = CATEGORY, "cat"
+        elif action in ("ilink_open", "ilink_override", "ilink_enter"):
+            if action == "ilink_override":
+                num_balanced = 0
+            elif action == "ilink_open":
+                pos_inc = 1
+            cur, state = INTERNAL_LINK, "ilink"
+        elif action == "elink_open":
+            pos_inc = 1
+            cur, state = EXTERNAL_LINK_URL, "elink"
+        elif action in ("elink_override", "elink_enter"):
+            if action == "elink_override":
+                num_balanced = 0
+            cur, state = EXTERNAL_LINK, "elink"
+        elif action == "ilink_close":
+            num_link_toks = 0
+            state = "initial"
+        elif action == "to_initial":
+            state = "initial"
+        elif action == "two_quotes":
+            pos_inc = 1
+            if num_balanced == 0:
+                num_balanced = 1
+                state = "2q"
+            else:
+                num_balanced = 0
+        elif action == "to_bold":
+            cur, state = BOLD, "3q"
+        elif action == "to_bold_italics":
+            cur, state = BOLD_ITALICS, "5q"
+        elif action == "italics_word":
+            cur = ITALICS
+            out.append((tok, cur, pos_inc))
+            pos_inc = 1
+            state = "string"
+        elif action == "dbl_equals":
+            pos_inc = 1
+            state = "equals"
+        elif action == "to_sub_heading":
+            cur, state = SUB_HEADING, "string"
+        elif action == "heading_word":
+            cur = HEADING
+            out.append((tok, cur, pos_inc))
+            pos_inc = 1
+        elif action == "dbl_brace" or action == "citation_open":
+            pos_inc = 1
+            cur, state = CITATION, "brace"
+        elif action == "emit_url":
+            pos_inc = 1
+            out.append((tok, cur, 1))
+            # subsequent plain words share the URL's position
+            num_link_toks = 0
+        elif action == "elink_word":
+            inc = 0 if num_link_toks == 0 else 1
+            cur = EXTERNAL_LINK
+            out.append((tok, cur, inc))
+            num_link_toks += 1
+            pos_inc = 1
+        elif action == "elink_close":
+            num_link_toks = 0
+            pos_inc = 0
+            state = "initial"
+        elif action == "string_end":
+            num_balanced = 0
+            cur = ALPHANUM
+            state = "initial"
+        i = m.end()
+    return out

@@ -298,6 +298,18 @@ for _name, _fn in [("portuguese_rslp", "portuguese_stem"),
     register("analyzer", _name)(_rslp_chain(_fn))
 
 
+@register("analyzer", "wikipedia")
+def _wikipedia_chain():
+    """WikipediaAnalyzer-style chain: markup-aware WikipediaTokenizer
+    + standard stop/lowercase handling (wikipedia/WikipediaTokenizer
+    .java TOKENS_ONLY)."""
+    import functools
+
+    from .analysis import analyze_batch
+
+    return functools.partial(analyze_batch, tokenizer="wikipedia")
+
+
 @register("analyzer", "brazilian")
 def _brazilian_chain():
     """BrazilianAnalyzer: standard chain + BrazilianStemFilter."""

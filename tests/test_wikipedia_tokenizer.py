@@ -1,0 +1,126 @@
+"""WikipediaTokenizer conformance — goldens are the reference's own
+WikipediaTokenizerTest.java (testSimple:44, checkLinkPhrases:115,
+testLinks:125, testHandwritten:54-105), TOKENS_ONLY mode."""
+import pyarrow as pa
+
+from lucene_solr_ray.analysis.wikipedia import (
+    ALPHANUM,
+    APOSTROPHE,
+    BOLD,
+    BOLD_ITALICS,
+    CATEGORY,
+    CITATION,
+    EXTERNAL_LINK,
+    EXTERNAL_LINK_URL,
+    HEADING,
+    INTERNAL_LINK,
+    ITALICS,
+    NUM,
+    SUB_HEADING,
+    wikipedia_tokenize,
+)
+
+HANDWRITTEN = (
+    "[[link]] This is a [[Category:foo]] Category  This is a linked "
+    "[[:Category:bar none withstanding]] "
+    "Category This is (parens) This is a [[link]]  This is an external "
+    "URL [http://lucene.apache.org] "
+    "Here is ''italics'' and ''more italics'', '''bold''' and "
+    "'''''five quotes''''' "
+    " This is a [[link|display info]]  This is a period.  Here is "
+    "$3.25 and here is 3.50.  Here's Johnny.  "
+    "==heading== ===sub head=== followed by some text  "
+    "[[Category:blah| ]] "
+    "''[[Category:ital_cat]]''  here is some that is ''italics "
+    "[[Category:foo]] but is never closed."
+    "'''same [[Category:foo]] goes for this '''''and2 "
+    "[[Category:foo]] and this"
+    " [http://foo.boo.com/test/test/ Test Test] "
+    "[http://foo.boo.com/test/test/test.html Test Test]"
+    " [http://foo.boo.com/test/test/test.html?g=b&c=d Test Test] "
+    "<ref>Citation</ref> <sup>martian</sup> "
+    '<span class="glue">code</span>')
+
+WANT_TERMS = [
+    "link", "This", "is", "a", "foo", "Category", "This", "is", "a",
+    "linked", "bar", "none", "withstanding", "Category", "This", "is",
+    "parens", "This", "is", "a", "link", "This", "is", "an",
+    "external", "URL", "http://lucene.apache.org", "Here", "is",
+    "italics", "and", "more", "italics", "bold", "and", "five",
+    "quotes", "This", "is", "a", "link", "display", "info", "This",
+    "is", "a", "period", "Here", "is", "3.25", "and", "here", "is",
+    "3.50", "Here's", "Johnny", "heading", "sub", "head", "followed",
+    "by", "some", "text", "blah", "ital", "cat", "here", "is", "some",
+    "that", "is", "italics", "foo", "but", "is", "never", "closed",
+    "same", "foo", "goes", "for", "this", "and2", "foo", "and", "this",
+    "http://foo.boo.com/test/test/", "Test", "Test",
+    "http://foo.boo.com/test/test/test.html", "Test", "Test",
+    "http://foo.boo.com/test/test/test.html?g=b&c=d", "Test", "Test",
+    "Citation", "martian", "code"]
+
+WANT_TYPES = [
+    INTERNAL_LINK, ALPHANUM, ALPHANUM, ALPHANUM, CATEGORY, ALPHANUM,
+    ALPHANUM, ALPHANUM, ALPHANUM, ALPHANUM, CATEGORY, CATEGORY,
+    CATEGORY, ALPHANUM, ALPHANUM, ALPHANUM, ALPHANUM, ALPHANUM,
+    ALPHANUM, ALPHANUM, INTERNAL_LINK, ALPHANUM, ALPHANUM, ALPHANUM,
+    ALPHANUM, ALPHANUM, EXTERNAL_LINK_URL, ALPHANUM, ALPHANUM,
+    ITALICS, ALPHANUM, ITALICS, ITALICS, BOLD, ALPHANUM, BOLD_ITALICS,
+    BOLD_ITALICS, ALPHANUM, ALPHANUM, ALPHANUM, INTERNAL_LINK,
+    INTERNAL_LINK, INTERNAL_LINK, ALPHANUM, ALPHANUM, ALPHANUM,
+    ALPHANUM, ALPHANUM, ALPHANUM, NUM, ALPHANUM, ALPHANUM, ALPHANUM,
+    NUM, APOSTROPHE, ALPHANUM, HEADING, SUB_HEADING, SUB_HEADING,
+    ALPHANUM, ALPHANUM, ALPHANUM, ALPHANUM, CATEGORY, CATEGORY,
+    CATEGORY, ALPHANUM, ALPHANUM, ALPHANUM, ALPHANUM, ALPHANUM,
+    ITALICS, CATEGORY, ALPHANUM, ALPHANUM, ALPHANUM, ALPHANUM, BOLD,
+    CATEGORY, ALPHANUM, ALPHANUM, ALPHANUM, BOLD_ITALICS, CATEGORY,
+    ALPHANUM, ALPHANUM, EXTERNAL_LINK_URL, EXTERNAL_LINK,
+    EXTERNAL_LINK, EXTERNAL_LINK_URL, EXTERNAL_LINK, EXTERNAL_LINK,
+    EXTERNAL_LINK_URL, EXTERNAL_LINK, EXTERNAL_LINK, CITATION,
+    ALPHANUM, ALPHANUM]
+
+
+def test_simple():
+    toks = wikipedia_tokenize("This is a [[Category:foo]]")
+    assert [t[0] for t in toks] == ["This", "is", "a", "foo"]
+    assert [t[1] for t in toks] == [ALPHANUM] * 3 + [CATEGORY]
+
+
+def test_link_phrases_position_increments():
+    toks = wikipedia_tokenize(
+        "click [[link here again]] click "
+        "[http://lucene.apache.org here again] [[Category:a b c d]]")
+    assert [t[0] for t in toks] == [
+        "click", "link", "here", "again", "click",
+        "http://lucene.apache.org", "here", "again", "a", "b", "c", "d"]
+    assert [t[2] for t in toks] == [1, 1, 1, 1, 1, 1, 0, 1, 1, 1, 1, 1]
+
+
+def test_links():
+    toks = wikipedia_tokenize(
+        "[http://lucene.apache.org/java/docs/index.html#news here] "
+        "[http://lucene.apache.org/java/docs/index.html?b=c here] "
+        "[https://lucene.apache.org/java/docs/index.html?b=c here]")
+    assert [t[0] for t in toks] == [
+        "http://lucene.apache.org/java/docs/index.html#news", "here",
+        "http://lucene.apache.org/java/docs/index.html?b=c", "here",
+        "https://lucene.apache.org/java/docs/index.html?b=c", "here"]
+    assert [t[1] for t in toks] == [EXTERNAL_LINK_URL,
+                                    EXTERNAL_LINK] * 3
+
+
+def test_handwritten():
+    toks = wikipedia_tokenize(HANDWRITTEN)
+    assert [t[0] for t in toks] == WANT_TERMS
+    assert [t[1] for t in toks] == WANT_TYPES
+
+
+def test_chain_and_registry():
+    from lucene_solr_ray.analysis.analyzer import analyze_batch
+    from lucene_solr_ray.registry import lookup
+
+    ab = analyze_batch(pa.array(["This is a [[Category:foo]]", None]),
+                       tokenizer="wikipedia")
+    assert ab.terms.to_pylist() == ["foo"]  # stopwords+a dropped
+    ab = lookup("analyzer", "wikipedia")()(
+        pa.array(["click [[link here again]]"]))
+    assert ab.terms.to_pylist() == ["click", "link", "here", "again"]
