@@ -215,6 +215,16 @@ def analyze_batch(texts: pa.Array | pa.ChunkedArray, *,
         toks = [[t.lower() for t, _ty, _inc in wikipedia_tokenize(s)]
                 if s is not None else [] for s in texts.to_pylist()]
         token_lists = pa.array(toks, type=pa.list_(pa.string()))
+    elif tokenizer == "thai":
+        # ThaiTokenizer analogue (th/ThaiTokenizer.java:30): lexicon
+        # maximal-matching for Thai runs (analysis.thai — pluggable
+        # lexicon, env-honest stand-in for the JRE BreakIterator
+        # dictionary), unicode-run splitting elsewhere.
+        from .thai import thai_tokenize
+
+        toks = [thai_tokenize(s) if s is not None else []
+                for s in lower.to_pylist()]
+        token_lists = pa.array(toks, type=pa.list_(pa.string()))
     elif tokenizer == "urlemail":
         # UAX29URLEmailTokenizer (lucene/analysis/common/.../standard/
         # UAX29URLEmailTokenizer.java:47): URLs and emails survive as
@@ -262,7 +272,7 @@ def analyze_batch(texts: pa.Array | pa.ChunkedArray, *,
     lengths = np.asarray(
         pc.utf8_length(flat)
         if (tokenizer in ("unicode", "whitespace", "letter", "lowercase",
-                          "wikipedia")
+                          "wikipedia", "thai")
             or isinstance(tokenizer, tuple))
         else pc.binary_length(flat))  # cp vs byte len
     valid = (lengths > 0) & (lengths <= MAX_TOKEN_LENGTH)

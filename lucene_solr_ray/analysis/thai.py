@@ -1,0 +1,66 @@
+"""ThaiTokenizer analogue — dictionary-driven Thai word segmentation
+(ref lucene/analysis/common/src/java/org/apache/lucene/analysis/th/
+ThaiTokenizer.java:30-42, which delegates to the JRE's dictionary-based
+``BreakIterator.getWordInstance(new Locale("th"))``).
+
+ENVIRONMENT-HONEST ANALOGUE: no ICU/JRE Thai dictionary exists in this
+environment, so segmentation is greedy maximal matching against a
+PLUGGABLE lexicon (same stance as the KStem lexicon — the algorithm is
+real and tested; production supplies a full word list).  The bundled
+seed lexicon covers the reference's own test sentences
+(th/TestThaiAnalyzer.java:44-121).  Thai character runs segment via
+the lexicon; unmatched spans accumulate into single unknown tokens,
+and non-Thai text is left to the surrounding tokenizer.
+"""
+
+from __future__ import annotations
+
+import re
+
+# seed lexicon: the words of the reference's test sentences
+SEED_LEXICON = frozenset([
+    "การ", "ที่", "ได้", "ต้อง", "แสดง", "ว่า", "งาน", "ดี",
+    "ภาษา", "ไทย", "บริษัท", "ชื่อ", "คุย", "กับ",
+])
+
+_THAI_RUN = re.compile(r"[ก-๛]+")
+
+
+def thai_segment(run: str, lexicon=SEED_LEXICON,
+                 max_word: int | None = None) -> list[str]:
+    """Greedy longest-match segmentation of one Thai character run."""
+    if max_word is None:
+        max_word = max(map(len, lexicon), default=1)
+    out: list[str] = []
+    unknown: list[str] = []
+    i, n = 0, len(run)
+    while i < n:
+        for ln in range(min(max_word, n - i), 0, -1):
+            w = run[i:i + ln]
+            if w in lexicon:
+                if unknown:
+                    out.append("".join(unknown))
+                    unknown.clear()
+                out.append(w)
+                i += ln
+                break
+        else:
+            unknown.append(run[i])
+            i += 1
+    if unknown:
+        out.append("".join(unknown))
+    return out
+
+
+def thai_tokenize(text: str, lexicon=SEED_LEXICON) -> list[str]:
+    """Thai runs segment by maximal matching; everything between them
+    splits on Unicode letter/number runs like the unicode tokenizer."""
+    max_word = max(map(len, lexicon), default=1)
+    out: list[str] = []
+    last = 0
+    for m in _THAI_RUN.finditer(text):
+        out.extend(re.findall(r"[^\W_]+", text[last:m.start()]))
+        out.extend(thai_segment(m.group(0), lexicon, max_word))
+        last = m.end()
+    out.extend(re.findall(r"[^\W_]+", text[last:]))
+    return out

@@ -298,6 +298,17 @@ for _name, _fn in [("portuguese_rslp", "portuguese_stem"),
     register("analyzer", _name)(_rslp_chain(_fn))
 
 
+@register("analyzer", "thai")
+def _thai_chain():
+    """ThaiAnalyzer: ThaiTokenizer analogue + standard stop handling
+    (th/ThaiAnalyzer.java; lexicon pluggable via analysis.thai)."""
+    import functools
+
+    from .analysis import analyze_batch
+
+    return functools.partial(analyze_batch, tokenizer="thai")
+
+
 @register("analyzer", "wikipedia")
 def _wikipedia_chain():
     """WikipediaAnalyzer-style chain: markup-aware WikipediaTokenizer

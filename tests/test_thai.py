@@ -1,0 +1,49 @@
+"""Thai segmentation analogue — goldens from the reference's
+th/TestThaiAnalyzer.java:44-128 (the JRE BreakIterator dictionary is
+replaced by pluggable-lexicon maximal matching, documented in
+analysis/thai.py)."""
+import pyarrow as pa
+
+from lucene_solr_ray.analysis.thai import (
+    SEED_LEXICON,
+    thai_segment,
+    thai_tokenize,
+)
+
+
+def test_reference_sentence():
+    assert thai_tokenize("การที่ได้ต้องแสดงว่างานดี") == [
+        "การ", "ที่", "ได้", "ต้อง", "แสดง", "ว่า", "งาน", "ดี"]
+
+
+def test_mixed_latin_thai():
+    assert thai_tokenize("การที่ได้ต้อง the แสดงว่างานดี") == [
+        "การ", "ที่", "ได้", "ต้อง", "the",
+        "แสดง", "ว่า", "งาน", "ดี"]
+    assert thai_tokenize("This is a test. การที่ได้ต้องแสดงว่างานดี") == [
+        "This", "is", "a", "test",
+        "การ", "ที่", "ได้", "ต้อง", "แสดง", "ว่า", "งาน", "ดี"]
+
+
+def test_reuse_and_unknown():
+    assert thai_tokenize("ภาษาไทย") == ["ภาษา", "ไทย"]
+    # an unmatched span becomes one unknown token, flanked words split
+    got = thai_segment("การฝฝฝดี", SEED_LEXICON)
+    assert got == ["การ", "ฝฝฝ", "ดี"]
+    assert thai_tokenize("") == []
+
+
+def test_custom_lexicon():
+    lex = frozenset(["ฝฝ", "ฝ"])
+    assert thai_segment("ฝฝฝ", lex) == ["ฝฝ", "ฝ"]  # greedy longest
+
+
+def test_chain_and_registry():
+    from lucene_solr_ray.registry import lookup
+
+    ab = lookup("analyzer", "thai")()(
+        pa.array(["การที่ได้ต้อง the แสดงว่างานดี", None]))
+    # "the" is an English stopword in the default chain
+    assert ab.terms.to_pylist() == [
+        "การ", "ที่", "ได้", "ต้อง", "แสดง", "ว่า", "งาน", "ดี"]
+    assert ab.doc_lengths.tolist() == [8, 0]
