@@ -163,3 +163,113 @@ def test_phash_invariance_and_near_dup(ray_session):
     assert all(a in (1, 2, 3) and b in (1, 2, 3) for a, b in got)
     # round-trip sanity of the raw decoder used by the stage
     assert np.array_equal(decode_rgb8(base.tobytes(), 96, 96), base)
+
+
+# --------------------------------------------------------- container codecs
+
+def _make_wav(samples, rate=16_000, channels=1, bits=16):
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(channels)
+    w.setsampwidth(bits // 8)
+    w.setframerate(rate)
+    x = (np.asarray(samples) * 32767).astype("<i2")
+    if channels > 1:
+        x = np.repeat(x[:, None], channels, axis=1)
+    w.writeframes(x.tobytes())
+    w.close()
+    return buf.getvalue()
+
+
+def _make_bmp(img):
+    """Minimal bottom-up 24-bit BMP writer (test-only twin)."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # RGB→BGR
+    body = rows.tobytes()
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(body), 2835, 2835, 0, 0))
+    return header + body
+
+
+def test_decode_wav_roundtrip():
+    import numpy as np
+
+    from lucene_solr_ray.ops.multimodal import decode_wav
+
+    t = np.arange(1600) / 16_000
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    x, rate = decode_wav(_make_wav(sig))
+    assert rate == 16_000 and len(x) == 1600
+    assert np.max(np.abs(x - sig)) < 1e-3
+    # stereo averages to mono
+    x2, _ = decode_wav(_make_wav(sig, channels=2))
+    assert np.max(np.abs(x2 - x)) < 1e-6
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_wav(b"not a wav")
+
+
+def test_decode_bmp_roundtrip():
+    import numpy as np
+
+    from lucene_solr_ray.ops.multimodal import decode_bmp
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    out = decode_bmp(_make_bmp(img))
+    assert out.shape == (5, 3, 3)
+    assert (out == img).all()
+
+
+def test_decode_ppm_pgm():
+    import numpy as np
+
+    from lucene_solr_ray.ops.multimodal import decode_ppm
+
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    payload = b"P6\n# comment\n6 4\n255\n" + img.tobytes()
+    assert (decode_ppm(payload) == img).all()
+    gray = rng.integers(0, 256, size=(4, 6), dtype=np.uint8)
+    assert (decode_ppm(b"P5 6 4 255 " + gray.tobytes()) == gray).all()
+
+
+def test_decode_stage_container_codecs(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from lucene_solr_ray.ops.multimodal import FEATURE_DIM, featurize
+
+    t = np.arange(800) / 16_000
+    wav = _make_wav(0.3 * np.sin(2 * np.pi * 220 * t))
+    img = (np.arange(48, dtype=np.uint8).reshape(4, 4, 3) * 5)
+    bmp = _make_bmp(img)
+    ppm = b"P6 4 4 255 " + img.tobytes()
+    tbl = pa.table({
+        "item_id": pa.array([0, 1, 2], type=pa.int64()),
+        "codec": pa.array(["wav", "bmp", "ppm"]),
+        "payload": pa.array([wav, bmp, ppm], type=pa.large_binary()),
+        "width": pa.array([0, 4, 4], type=pa.int32()),
+        "height": pa.array([0, 4, 4], type=pa.int32()),
+    })
+    out = featurize(ray.data.from_arrow(tbl)).take_all()
+    assert len(out) == 3
+    assert all(len(r["features"]) == FEATURE_DIM for r in out)
+    # bmp and ppm carry the same pixels → identical features
+    feats = {r["item_id"]: np.asarray(r["features"]) for r in out}
+    assert np.allclose(feats[1], feats[2])
+    assert not np.allclose(feats[0], feats[1])
