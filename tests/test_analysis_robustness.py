@@ -1,0 +1,55 @@
+"""Randomized robustness for the thirteenth-pass analysis surface:
+every new stemmer/tokenizer is total (no exception on arbitrary
+unicode), deterministic, and type-stable — the reference's
+checkRandomData() discipline (BaseTokenStreamTestCase)."""
+import hypothesis.strategies as st
+import pytest
+from hypothesis import given, settings
+
+from lucene_solr_ray.analysis.regional_stems import german_stem
+from lucene_solr_ray.analysis.rslp import galician_stem, portuguese_stem
+from lucene_solr_ray.analysis.snowball_lt import snowball_lithuanian
+from lucene_solr_ray.analysis.snowball_misc import (
+    snowball_armenian,
+    snowball_basque,
+    snowball_catalan,
+    snowball_irish,
+)
+from lucene_solr_ray.analysis.thai import thai_tokenize
+from lucene_solr_ray.analysis.wikipedia import wikipedia_tokenize
+
+_STEMMERS = [snowball_lithuanian, snowball_irish, snowball_catalan,
+             snowball_basque, snowball_armenian, portuguese_stem,
+             galician_stem, german_stem]
+
+_word = st.text(min_size=0, max_size=24)
+
+
+@pytest.mark.parametrize("fn", _STEMMERS,
+                         ids=lambda f: f.__name__)
+@settings(max_examples=150, deadline=None)
+@given(word=_word)
+def test_stemmer_total_and_deterministic(fn, word):
+    out = fn(word)
+    assert isinstance(out, str)
+    assert fn(word) == out
+
+
+@settings(max_examples=100, deadline=None)
+@given(text=st.text(max_size=200))
+def test_wikipedia_tokenizer_total(text):
+    toks = wikipedia_tokenize(text)
+    for term, ttype, inc in toks:
+        assert term and isinstance(term, str)
+        assert isinstance(ttype, str)
+        assert inc in (0, 1)
+    assert wikipedia_tokenize(text) == toks
+
+
+@settings(max_examples=100, deadline=None)
+@given(text=st.text(
+    alphabet=st.characters(codec="utf-8"), max_size=120))
+def test_thai_tokenizer_total(text):
+    toks = thai_tokenize(text)
+    assert all(isinstance(t, str) and t for t in toks)
+    assert thai_tokenize(text) == toks
