@@ -124,3 +124,40 @@ def test_chain_and_registry():
     ab = lookup("analyzer", "wikipedia")()(
         pa.array(["click [[link here again]]"]))
     assert ab.terms.to_pylist() == ["click", "link", "here", "again"]
+
+
+def test_wikipedia_index_end_to_end(tmp_path, ray_session):
+    """Markup corpus → wikipedia-tokenized index → search: category
+    words are findable, markup characters never become terms."""
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.search.searcher import IndexSearcher
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            "''Ray'' is a [[Category:Compute]] framework "
+            "[http://ray.io docs]",
+            "== Arrow == columnar [[memory|format]] data",
+            "plain prose about data",
+        ]),
+    })
+    out = str(tmp_path / "wiki")
+    build_index(t, out, content_col="text", tokenizer="wikipedia")
+    s = IndexSearcher(out, mode="exact64")
+    assert s.search({"type": "term", "term": "compute"},
+                    k=5)["doc_id"].to_pylist() == [1]
+    assert s.search({"type": "term", "term": "ray"},
+                    k=5)["doc_id"].to_pylist() == [1]
+    assert s.search({"type": "term", "term": "arrow"},
+                    k=5)["doc_id"].to_pylist() == [2]
+    assert s.search({"type": "term", "term": "format"},
+                    k=5)["doc_id"].to_pylist() == [2]
+    assert sorted(s.search({"type": "term", "term": "data"},
+                           k=5)["doc_id"].to_pylist()) == [2, 3]
+    # external-link display text indexes too
+    assert s.search({"type": "term", "term": "docs"},
+                    k=5)["doc_id"].to_pylist() == [1]
+    # markup never indexes
+    for junk in ("category", "http"):
+        assert s.search({"type": "term", "term": junk},
+                        k=5).num_rows == 0
