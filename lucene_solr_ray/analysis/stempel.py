@@ -1,0 +1,249 @@
+"""Stempel — the Egothor algorithmic stemmer used for Polish
+(ref lucene/analysis/stempel/src/java/org/apache/lucene/analysis/
+stempel/{StempelStemmer,StempelFilter}.java and org/egothor/stemmer/
+{Trie,MultiTrie,MultiTrie2,Row,Diff}.java).
+
+The stemmer is a trained trie of PATCH COMMANDS: walking the reversed
+word through the trie collects a diff script (delete/replace/insert/
+skip pairs) that rewrites the inflected form into its stem.  The
+trained table is DATA, not code — the reference ships
+``stemmer_20000.tbl`` (built from a 20k-word Polish sample); this
+module implements the serialization format (Java DataInput: modified
+UTF-8 strings, big-endian ints) and the exact walk/patch semantics, and
+loads any user-supplied ``.tbl``.  Like the KStem lexicon and the Thai
+dictionary, the table is pluggable: ``load_trie(path)`` →
+``StempelStemmer`` — no table is bundled here.
+
+Out-of-bounds tolerance is part of the reference semantics (Diff.apply
+and MultiTrie2.getLastOnPath catch index exceptions and return partial
+results) and is reproduced with explicit bounds checks — Python's
+negative indexing would otherwise silently diverge.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_EOM = "*"
+
+
+# ------------------------------------------------------- Java DataInput
+
+class _JavaDataInput:
+    def __init__(self, data: bytes):
+        self.b = data
+        self.pos = 0
+
+    def read_boolean(self) -> bool:
+        v = self.b[self.pos] != 0
+        self.pos += 1
+        return v
+
+    def read_int(self) -> int:
+        (v,) = struct.unpack_from(">i", self.b, self.pos)
+        self.pos += 4
+        return v
+
+    def read_char(self) -> str:
+        (v,) = struct.unpack_from(">H", self.b, self.pos)
+        self.pos += 2
+        return chr(v)
+
+    def read_utf(self) -> str:
+        (n,) = struct.unpack_from(">H", self.b, self.pos)
+        self.pos += 2
+        raw = self.b[self.pos:self.pos + n]
+        self.pos += n
+        # modified UTF-8: NUL is 0xC0 0x80, no 4-byte forms
+        out, i = [], 0
+        while i < n:
+            c = raw[i]
+            if c < 0x80:
+                out.append(chr(c))
+                i += 1
+            elif c >> 5 == 0b110:
+                out.append(chr(((c & 0x1F) << 6) | (raw[i + 1] & 0x3F)))
+                i += 2
+            else:
+                out.append(chr(((c & 0x0F) << 12)
+                               | ((raw[i + 1] & 0x3F) << 6)
+                               | (raw[i + 2] & 0x3F)))
+                i += 3
+        return "".join(out)
+
+
+# ----------------------------------------------------------------- trie
+
+class _Row:
+    __slots__ = ("cells",)
+
+    def __init__(self, din: _JavaDataInput):
+        self.cells = {}
+        for _ in range(din.read_int()):
+            ch = din.read_char()
+            cmd = din.read_int()
+            cnt = din.read_int()
+            ref = din.read_int()
+            skip = din.read_int()
+            self.cells[ch] = (cmd, ref)
+            del cnt, skip  # kept in the format, unused at stem time
+
+
+class Trie:
+    """One layer: reversed-word walk collecting the LAST command seen
+    on the path (Trie.java:274 getLastOnPath)."""
+
+    def __init__(self, din: _JavaDataInput):
+        self.forward = din.read_boolean()
+        self.root = din.read_int()
+        self.cmds = [din.read_utf() for _ in range(din.read_int())]
+        self.rows = [_Row(din) for _ in range(din.read_int())]
+
+    def get_last_on_path(self, key: str):
+        now = self.rows[self.root]
+        last = None
+        seq = key if self.forward else key[::-1]
+        for i in range(len(key) - 1):
+            cell = now.cells.get(seq[i])
+            if cell is None:
+                return last
+            cmd, ref = cell
+            if cmd >= 0:
+                last = self.cmds[cmd]
+            if ref >= 0:
+                now = self.rows[ref]
+            else:
+                return last
+        cell = now.cells.get(seq[len(key) - 1])
+        if cell is not None and cell[0] >= 0:
+            return self.cmds[cell[0]]
+        return last
+
+
+class MultiTrie2:
+    """Trie of tries with skip-delimited command parts
+    (MultiTrie2.java:140 getLastOnPath)."""
+
+    def __init__(self, din: _JavaDataInput):
+        self.forward = din.read_boolean()
+        self.by = din.read_int()
+        self.tries = [Trie(din) for _ in range(din.read_int())]
+
+    def _skip(self, s: str, count: int) -> str:
+        if count > len(s):
+            raise IndexError
+        return s[count:] if self.forward else s[: len(s) - count]
+
+    @staticmethod
+    def _length_pp(cmd: str) -> int:
+        length, i = 0, 0
+        while i < len(cmd):
+            c = cmd[i]
+            i += 1
+            if c in "-D":
+                length += ord(cmd[i]) - ord("a") + 1
+            elif c == "R":
+                length += 1
+            i += 1
+        return length
+
+    def get_last_on_path(self, key: str) -> str:
+        result = []
+        try:
+            lastkey = key
+            p = []
+            lastch = " "
+            for t in self.tries:
+                r = t.get_last_on_path(lastkey)
+                if r is None or (len(r) == 1 and r[0] == _EOM):
+                    return "".join(result)
+                if lastch in "-D" and r[0] == lastch:  # cannotFollow
+                    return "".join(result)
+                if len(r) < 2:
+                    raise IndexError  # Java charAt(length-2)
+                lastch = r[-2]
+                p.append(r)
+                if r[0] == "-":
+                    if len(p) > 1:
+                        key = self._skip(key, self._length_pp(p[-2]))
+                    key = self._skip(key, self._length_pp(r))
+                result.append(r)
+                if len(key) != 0:
+                    lastkey = key
+        except IndexError:
+            pass
+        return "".join(result)
+
+
+# ----------------------------------------------------------------- diff
+
+def diff_apply(dest: list[str], diff: str) -> None:
+    """Egothor Diff.apply (Diff.java:106): pairs of (command, param)
+    walked right-to-left over dest; out-of-bounds aborts mid-patch,
+    keeping the partial rewrite, exactly as the reference does."""
+    if not diff or not dest:
+        return
+    pos = len(dest) - 1
+    try:
+        for i in range(len(diff) // 2):
+            cmd, param = diff[2 * i], diff[2 * i + 1]
+            par_num = ord(param) - ord("a") + 1
+            if cmd == "-":
+                pos = pos - par_num + 1
+            elif cmd == "R":
+                if not 0 <= pos < len(dest):
+                    raise IndexError
+                dest[pos] = param
+            elif cmd == "D":
+                o = pos
+                pos -= par_num - 1
+                if not 0 <= pos <= o < len(dest):
+                    raise IndexError
+                del dest[pos:o + 1]
+            elif cmd == "I":
+                pos += 1
+                if not 0 <= pos <= len(dest):
+                    raise IndexError
+                dest.insert(pos, param)
+            pos -= 1
+    except IndexError:
+        pass
+
+
+# ------------------------------------------------------------- stemmer
+
+class StempelStemmer:
+    """StempelStemmer.java:63-99: trie walk → diff script → patch."""
+
+    def __init__(self, trie):
+        self.trie = trie
+
+    def stem(self, word: str):
+        cmd = self.trie.get_last_on_path(word)
+        if not cmd:
+            return None
+        buf = list(word)
+        diff_apply(buf, cmd)
+        return "".join(buf) if buf else None
+
+
+def load_trie(path: str) -> StempelStemmer:
+    """Load a stemmer table (e.g. the reference's stemmer_20000.tbl).
+    The leading modified-UTF string names the optimizer; an 'M' means
+    the multi-trie format (StempelStemmer.java:63-77)."""
+    with open(path, "rb") as f:
+        din = _JavaDataInput(f.read())
+    method = din.read_utf().upper()
+    trie = MultiTrie2(din) if "M" in method else Trie(din)
+    return StempelStemmer(trie)
+
+
+def stempel_transform(stemmer: StempelStemmer, min_length: int = 3):
+    """StempelFilter.java:43-80 as a term transform: words longer than
+    ``min_length`` stem; a null stem keeps the original term."""
+    def transform(term: str) -> str:
+        if len(term) <= min_length:
+            return term
+        out = stemmer.stem(term)
+        return out if out else term
+    return transform

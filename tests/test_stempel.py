@@ -1,0 +1,66 @@
+"""Stempel (Egothor) Polish stemmer — format reader + walk/patch
+semantics. Conformance runs against the reference's own trained table
+(stemmer_20000.tbl) and the TestPolishAnalyzer goldens; diff_apply has
+standalone vectors."""
+from pathlib import Path
+
+import pytest
+
+from lucene_solr_ray.analysis.stempel import (
+    diff_apply,
+    load_trie,
+    stempel_transform,
+)
+
+_TBL = Path("/root/reference/lucene/analysis/stempel/src/resources/"
+            "org/apache/lucene/analysis/pl/stemmer_20000.tbl")
+
+
+def test_diff_apply_vectors():
+    # R: replace at cursor; D: delete run; I: insert after; -: skip
+    buf = list("kota")
+    diff_apply(buf, "Da")          # delete last char
+    assert "".join(buf) == "kot"
+    buf = list("abc")
+    diff_apply(buf, "Rz")          # replace last char
+    assert "".join(buf) == "abz"
+    buf = list("abc")
+    diff_apply(buf, "-aDa")        # skip one, delete one
+    assert "".join(buf) == "ac"
+    buf = list("ab")
+    diff_apply(buf, "Iz")          # insert after last
+    assert "".join(buf) == "abz"
+    # out-of-bounds aborts mid-patch, keeping the partial rewrite
+    buf = list("ab")
+    diff_apply(buf, "DaDaDaDa")
+    assert "".join(buf) == ""
+
+
+@pytest.mark.skipif(not _TBL.exists(), reason="reference absent")
+def test_reference_table_goldens():
+    tr = stempel_transform(load_trie(str(_TBL)))
+    # TestPolishAnalyzer.java:37-38
+    assert tr("studenta") == "student"
+    assert tr("studenci") == "student"
+    # length gate: <=3 chars pass through (StempelFilter minLength)
+    assert tr("był") == "był"
+    assert tr("ab") == "ab"
+    # stemmer never raises over a broad sample and always returns str
+    import itertools
+
+    words = ["polskiej", "książki", "najlepszych", "xyzzy", "aaaa",
+             "zażółć", "gęślą", "jaźń"]
+    for w in itertools.chain(words, (w.upper() for w in words)):
+        assert isinstance(tr(w), str)
+
+
+@pytest.mark.skipif(not _TBL.exists(), reason="reference absent")
+def test_analyzer_chain_with_stempel():
+    import pyarrow as pa
+
+    from lucene_solr_ray.analysis.analyzer import analyze_batch
+
+    tr = stempel_transform(load_trie(str(_TBL)))
+    ab = analyze_batch(pa.array(["studenci studenta", None]),
+                       tokenizer="unicode", term_transform=tr)
+    assert ab.terms.to_pylist() == ["student", "student"]
