@@ -1,0 +1,365 @@
+"""Parallel SQL — the Solr 6.0 /sql front door (SQLHandler,
+solr/core/src/java/org/apache/solr/handler/SQLHandler.java:65).
+
+The reference compiles a SQL subset onto TupleStreams
+(SQLTupleStreamParser.parse, SQLHandler.java:124-147): a plain SELECT
+becomes a CloudSolrStream (+ LimitStream), GROUP BY becomes a
+RollupStream over a bucket-sorted stream with HavingStream /
+RankStream / LimitStream decorators (doGroupByWithAggregates,
+SQLHandler.java:149-233), SELECT DISTINCT becomes a UniqueStream, and
+an aggregate-only select becomes a StatsStream.
+
+The analogue performs the SAME two-hop compile: SQL text → the
+streaming-expression ``Stream`` tree of :mod:`.streaming_expr`
+(search / having / rollup / stats / sort / limit nodes) → a lazy
+``ray.data.Dataset``.  Nothing here executes eagerly; the Dataset
+streams through Ray's executor exactly like every other /stream
+pipeline, so GROUP BY is a distributed ``groupby`` and ORDER BY a
+distributed sort — the "parallel" in Parallel SQL.
+
+Supported grammar (the reference's documented 6.0 subset)::
+
+    SELECT [DISTINCT] item [, item]* FROM table
+      [WHERE pred] [GROUP BY f [, f]*] [HAVING pred]
+      [ORDER BY key [ASC|DESC] [, key ...]] [LIMIT n]
+
+    item  := field | agg | item AS alias
+    agg   := COUNT(*) | SUM(f) | MIN(f) | MAX(f) | AVG(f)
+    pred  := comparisons over =, <>, !=, <, >, <=, >= combined with
+             AND / OR / NOT and parentheses
+
+WHERE predicates evaluate over stored columns (the reference rewrites
+them into Solr query syntax against indexed fields — same semantics,
+different storage; comparison pushdown happens inside ``map_batches``
+on Arrow batches).  HAVING / ORDER BY may reference aggregates either
+by expression (``sum(f)``) or by their SELECT alias.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+from .streaming_expr import Stream, compile_stream
+
+_TOKEN = re.compile(r"""\s*(?:
+      (?P<str>'(?:[^']|'')*')
+    | (?P<num>-?\d+(?:\.\d+)?)
+    | (?P<id>[A-Za-z_][A-Za-z_0-9.]*)
+    | (?P<op><=|>=|<>|!=|=|<|>|\(|\)|,|\*)
+)""", re.VERBOSE)
+
+_KEYWORDS = {"select", "distinct", "from", "where", "group", "by",
+             "having", "order", "limit", "as", "asc", "desc",
+             "and", "or", "not"}
+_AGG_FNS = {"count", "sum", "min", "max", "avg"}
+
+
+def _tokenize(sql: str):
+    toks, pos = [], 0
+    while pos < len(sql):
+        m = _TOKEN.match(sql, pos)
+        if m is None:
+            if sql[pos:].strip() == "":
+                break
+            raise ValueError(f"bad SQL near {sql[pos:pos + 20]!r}")
+        pos = m.end()
+        if m.lastgroup == "str":
+            toks.append(("str", m.group("str")[1:-1].replace("''", "'")))
+        elif m.lastgroup == "num":
+            toks.append(("num", m.group("num")))
+        elif m.lastgroup == "id":
+            word = m.group("id")
+            toks.append(("kw", word.lower()) if word.lower() in
+                        (_KEYWORDS | _AGG_FNS) else ("id", word))
+        else:
+            toks.append(("op", m.group("op")))
+    return toks
+
+
+class SqlPlan:
+    """Parsed shape of one statement. ``select`` items are
+    ``("field", name, alias)`` or ``("agg", fn, arg, alias)``."""
+
+    __slots__ = ("distinct", "select", "table", "where", "group_by",
+                 "having", "order_by", "limit")
+
+    def __init__(self):
+        self.distinct = False
+        self.select = []
+        self.table = None
+        self.where = None
+        self.group_by = []
+        self.having = None
+        self.order_by = []   # [(item-without-alias, ascending)]
+        self.limit = None
+
+
+def parse_sql(sql: str) -> SqlPlan:
+    toks = _tokenize(sql)
+    i = 0
+
+    def peek(k=0):
+        return toks[i + k] if i + k < len(toks) else ("end", "")
+
+    def take(kind=None, value=None):
+        nonlocal i
+        t = peek()
+        if (kind and t[0] != kind) or (value and t[1] != value):
+            raise ValueError(f"expected {value or kind}, got {t}")
+        i += 1
+        return t
+
+    def item_no_alias():
+        t = peek()
+        if t == ("kw", "count") and peek(1) == ("op", "("):
+            take(); take("op", "(")
+            take("op", "*")
+            take("op", ")")
+            return ("agg", "count", "*", None)
+        if t[0] == "kw" and t[1] in _AGG_FNS and peek(1) == ("op", "("):
+            fn = take()[1]
+            take("op", "(")
+            arg = take("id")[1]
+            take("op", ")")
+            return ("agg", fn, arg, None)
+        return ("field", take("id")[1], None)
+
+    def select_item():
+        it = item_no_alias()
+        alias = None
+        if peek() == ("kw", "as"):
+            take()
+            alias = take("id")[1]
+        return it[:-1] + (alias,)
+
+    def comparison():
+        lhs = item_no_alias()
+        op = take("op")[1]
+        if op not in ("=", "<>", "!=", "<", ">", "<=", ">="):
+            raise ValueError(f"bad comparison operator {op!r}")
+        vt = take()
+        if vt[0] not in ("str", "num", "id"):
+            raise ValueError(f"bad literal {vt}")
+        node = ("cmp", {"=": "eq", "<": "lt", ">": "gt",
+                        "<=": "lteq", ">=": "gteq",
+                        "<>": "eq", "!=": "eq"}[op], lhs, vt[1])
+        return ("not", node) if op in ("<>", "!=") else node
+
+    def pred_primary():
+        if peek() == ("kw", "not"):
+            take()
+            return ("not", pred_primary())
+        if peek() == ("op", "("):
+            take()
+            p = pred_or()
+            take("op", ")")
+            return p
+        return comparison()
+
+    def pred_and():
+        subs = [pred_primary()]
+        while peek() == ("kw", "and"):
+            take()
+            subs.append(pred_primary())
+        return subs[0] if len(subs) == 1 else ("and", subs)
+
+    def pred_or():
+        subs = [pred_and()]
+        while peek() == ("kw", "or"):
+            take()
+            subs.append(pred_and())
+        return subs[0] if len(subs) == 1 else ("or", subs)
+
+    plan = SqlPlan()
+    take("kw", "select")
+    if peek() == ("kw", "distinct"):
+        take()
+        plan.distinct = True
+    plan.select.append(select_item())
+    while peek() == ("op", ","):
+        take()
+        plan.select.append(select_item())
+    take("kw", "from")
+    plan.table = take("id")[1]
+    if peek() == ("kw", "where"):
+        take()
+        plan.where = pred_or()
+    if peek() == ("kw", "group"):
+        take()
+        take("kw", "by")
+        plan.group_by.append(take("id")[1])
+        while peek() == ("op", ","):
+            take()
+            plan.group_by.append(take("id")[1])
+    if peek() == ("kw", "having"):
+        take()
+        plan.having = pred_or()
+    if peek() == ("kw", "order"):
+        take()
+        take("kw", "by")
+        while True:
+            it = item_no_alias()
+            asc = True
+            if peek() in (("kw", "asc"), ("kw", "desc")):
+                asc = take()[1] == "asc"
+            plan.order_by.append((it, asc))
+            if peek() != ("op", ","):
+                break
+            take()
+    if peek() == ("kw", "limit"):
+        take()
+        plan.limit = int(take("num")[1])
+    if peek()[0] != "end":
+        raise ValueError(f"trailing tokens at {peek()}")
+    return plan
+
+
+def _engine_name(item) -> str:
+    """The column name the rollup/stats stream emits for an item
+    (streaming_expr naming: sum_f / count_rows / the field itself)."""
+    if item[0] == "field":
+        return item[1]
+    fn, arg = item[1], item[2]
+    return "count_rows" if fn == "count" else f"{fn}_{arg}"
+
+
+def _out_name(item) -> str:
+    return item[-1] or _engine_name(item)
+
+
+def _resolve(item, alias_map):
+    """HAVING/ORDER BY reference: a bare identifier may be a SELECT
+    alias; map it back to the engine column it names."""
+    if item[0] == "field" and item[1] in alias_map:
+        return alias_map[item[1]]
+    return _engine_name(item)
+
+
+def _pred_fields(pred, out):
+    kind = pred[0]
+    if kind == "cmp":
+        if pred[2][0] == "field":
+            out.add(pred[2][1])
+    elif kind == "not":
+        _pred_fields(pred[1], out)
+    else:
+        for s in pred[1]:
+            _pred_fields(s, out)
+
+
+def _pred_aggs(pred, out):
+    kind = pred[0]
+    if kind == "cmp":
+        if pred[2][0] == "agg":
+            out.append(pred[2])
+    elif kind == "not":
+        _pred_aggs(pred[1], out)
+    else:
+        for s in pred[1]:
+            _pred_aggs(s, out)
+
+
+def _pred_to_stream(pred, name_of) -> Stream:
+    """Predicate tree → the boolean-evaluator Stream shape that
+    streaming_expr._compile_bool_eval understands (eq/gt/lt/gteq/
+    lteq/and/or/not over batch columns)."""
+    kind = pred[0]
+    if kind == "cmp":
+        return Stream(pred[1], [name_of(pred[2]), pred[3]], {})
+    if kind == "not":
+        return Stream("not", [_pred_to_stream(pred[1], name_of)], {})
+    return Stream(kind,
+                  [_pred_to_stream(s, name_of) for s in pred[1]], {})
+
+
+def _agg_stream(item) -> Stream:
+    return Stream(item[1], [] if item[2] == "*" else [item[2]], {})
+
+
+def sql_to_stream(plan: SqlPlan) -> tuple[Stream, list[tuple[str, str]]]:
+    """Plan → (Stream tree, final projection [(engine_col, alias)]).
+
+    Mirrors SQLTupleStreamParser.parse (SQLHandler.java:126-147): the
+    GROUP BY branch is doGroupByWithAggregates, the aggregate-only
+    branch doSelectDistinct/StatsStream, the plain branch doSelect.
+    """
+    sel_aggs = [it for it in plan.select if it[0] == "agg"]
+    alias_map = {it[-1]: _engine_name(it) for it in plan.select
+                 if it[-1]}
+    name_of = lambda item: _resolve(item, alias_map)  # noqa: E731
+
+    # every stored column the pipeline touches, pruned at the read
+    cols = {it[1] for it in plan.select if it[0] == "field"}
+    cols |= {it[2] for it in plan.select
+             if it[0] == "agg" and it[2] != "*"}
+    cols.update(plan.group_by)
+    if plan.where is not None:
+        _pred_fields(plan.where, cols)
+    node = Stream("search", [plan.table],
+                  {"q": "*:*", "fl": ",".join(sorted(cols))})
+    if plan.where is not None:
+        node = Stream("having",
+                      [node, _pred_to_stream(plan.where,
+                                             lambda it: it[1])], {})
+
+    if plan.group_by:
+        # rollup must compute every aggregate HAVING/ORDER BY touches,
+        # not only the selected ones
+        aggs = list(sel_aggs)
+        extra = []
+        if plan.having is not None:
+            _pred_aggs(plan.having, extra)
+        extra.extend(it for it, _ in plan.order_by if it[0] == "agg")
+        seen = {_engine_name(a) for a in aggs}
+        for a in extra:
+            if _engine_name(a) not in seen:
+                seen.add(_engine_name(a))
+                aggs.append(a)
+        node = Stream("rollup", [node] + [_agg_stream(a) for a in aggs],
+                      {"over": ",".join(plan.group_by)})
+        if plan.having is not None:
+            node = Stream("having",
+                          [node, _pred_to_stream(plan.having, name_of)],
+                          {})
+    elif sel_aggs:
+        if any(it[0] == "field" for it in plan.select):
+            raise ValueError("non-aggregated field without GROUP BY")
+        node = Stream("stats", [node] +
+                      [_agg_stream(a) for a in sel_aggs], {})
+    elif plan.distinct:
+        # UniqueStream over the selected fields (doSelectDistinct):
+        # a no-metric rollup; its count_rows lands outside the final
+        # projection and drops there
+        node = Stream("rollup", [node],
+                      {"over": ",".join(it[1] for it in plan.select)})
+
+    if plan.order_by:
+        spec = ", ".join(f"{name_of(it)} {'asc' if asc else 'desc'}"
+                         for it, asc in plan.order_by)
+        node = Stream("top" if plan.limit is not None else "sort",
+                      [node], {"sort": spec} if plan.limit is None else
+                      {"sort": spec, "n": str(plan.limit)})
+    elif plan.limit is not None:
+        node = Stream("limit", [node], {"n": str(plan.limit)})
+
+    projection = [(_engine_name(it), _out_name(it)) for it in plan.select]
+    return node, projection
+
+
+def run_sql(sql: str, sf_dir: str) -> pa.Table:
+    """Parse + compile + execute one statement; the /sql response
+    rows as one Arrow table (small final results only — the pipeline
+    itself streams)."""
+    plan = parse_sql(sql)
+    node, projection = sql_to_stream(plan)
+    ds = compile_stream(node, sf_dir)
+    parts = [b for b in ds.iter_batches(batch_format="pyarrow",
+                                        batch_size=None)
+             if b.num_rows > 0]
+    if not parts:
+        return pa.table({alias: [] for _, alias in projection})
+    t = pa.concat_tables(parts, promote_options="default")
+    t = t.select([src for src, _ in projection])
+    return t.rename_columns([alias for _, alias in projection])

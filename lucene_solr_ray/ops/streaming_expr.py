@@ -190,9 +190,17 @@ def compile_stream(node: Stream, sf_dir: str):
         return ds.map_batches(lambda b: b.rename_columns(out_names),
                               batch_format="pyarrow")
     if f in ("top", "sort"):
+        # RankStream/SortStream accept a LIST of sort items
+        # (solrj/io/stream/RankStream.java multi-comp); comma-separated
+        # "a desc, b asc" specs sort by all keys at once
         inner = compile_stream(node.args[0], sf_dir)
-        col, asc = _parse_sort(node.kwargs["sort"])
-        ds = inner.sort(col, descending=not asc)
+        keys, desc = [], []
+        for part in node.kwargs["sort"].split(","):
+            col, asc = _parse_sort(part.strip())
+            keys.append(col)
+            desc.append(not asc)
+        ds = inner.sort(keys if len(keys) > 1 else keys[0],
+                        descending=desc if len(keys) > 1 else desc[0])
         if f == "top":
             ds = ds.limit(int(node.kwargs["n"]))
         return ds

@@ -4892,6 +4892,39 @@ def _q_stream_expr(expr):
     return run
 
 
+def _q_sql(stmt):
+    """Parallel SQL front door (/sql, SQLHandler.java:65): the SQL
+    subset compiles onto the streaming-expression Stream tree exactly
+    like SQLTupleStreamParser maps SQL onto TupleStreams
+    (SQLHandler.java:124-147), then executes as a lazy Ray Dataset."""
+    def run(sf_dir):
+        from ..ops.sql import run_sql
+
+        return run_sql(stmt, sf_dir)
+    return run
+
+
+# the oracle twin of each Parallel SQL query IS the statement itself —
+# the engine's SQL dialect is an ANSI subset, so DuckDB runs the same
+# text; matching results validate parser + compiler + executor at once
+SQL_GROUP_BY = (
+    "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
+    "count(*) AS cnt FROM lineitem WHERE l_quantity > 25 "
+    "GROUP BY l_returnflag, l_linestatus HAVING sum(l_quantity) > 100 "
+    "ORDER BY l_returnflag ASC, l_linestatus ASC LIMIT 10")
+SQL_SELECT_ORDER = (
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+    "WHERE o_totalprice > 100000 AND NOT o_orderpriority = '1-URGENT' "
+    "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20")
+SQL_DISTINCT = (
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem "
+    "ORDER BY l_returnflag, l_linestatus")
+SQL_STATS = (
+    "SELECT count(*) AS cnt, min(o_totalprice) AS min_price, "
+    "max(o_totalprice) AS max_price FROM orders "
+    "WHERE o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'")
+
+
 STREAM_FACET_EXPR = ('facet(orders, q="*:*", buckets="o_orderpriority", '
                      'bucketSorts="count(*) desc", bucketSizeLimit=10, '
                      'count(*), max(o_totalprice))')
@@ -5037,6 +5070,10 @@ def build_queries() -> dict:
         "stream_expr_complement": _q_stream_expr(STREAM_COMPLEMENT_EXPR),
         "stream_expr_stats": _q_stream_expr(STREAM_STATS_EXPR),
         "stream_expr_facet": _q_stream_expr(STREAM_FACET_EXPR),
+        "sql_group_by": _q_sql(SQL_GROUP_BY),
+        "sql_select_order": _q_sql(SQL_SELECT_ORDER),
+        "sql_distinct": _q_sql(SQL_DISTINCT),
+        "sql_stats": _q_sql(SQL_STATS),
         # rows-only: k-means clustering (Carrot2 ClusteringComponent
         # analogue) has no SQL twin; fixture-verified in test_cluster
         "cluster_docs": _q_cluster_docs(),
@@ -5306,6 +5343,10 @@ def build_oracle_sql() -> dict:
         "stream_expr_complement": STREAM_COMPLEMENT_SQL,
         "stream_expr_stats": STREAM_STATS_SQL,
         "stream_expr_facet": STREAM_FACET_SQL,
+        "sql_group_by": SQL_GROUP_BY,
+        "sql_select_order": SQL_SELECT_ORDER,
+        "sql_distinct": SQL_DISTINCT,
+        "sql_stats": SQL_STATS,
         "dih_full_import": DIH_FULL_IMPORT_SQL,
         "rel_block_join_parent": RS.BLOCK_JOIN_PARENT,
         "rel_block_join_facet": RS.BLOCK_JOIN_FACET,

@@ -1,0 +1,125 @@
+"""Parallel SQL front door (ops/sql.py — SQLHandler.java analogue):
+parser shape, SQL→Stream compile, and end-to-end results vs DuckDB
+running the identical statement."""
+
+import duckdb
+import pytest
+
+from lucene_solr_ray.ops.sql import parse_sql, run_sql, sql_to_stream
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["lineitem", "orders", "customer"]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+# ---------------------------------------------------------------- parser
+
+def test_parse_full_shape():
+    p = parse_sql(
+        "SELECT a, sum(b) AS s, count(*) AS c FROM t "
+        "WHERE x > 3 AND y = 'ab''c' GROUP BY a HAVING sum(b) > 10 "
+        "ORDER BY s DESC, a ASC LIMIT 5")
+    assert p.table == "t" and not p.distinct
+    assert p.select == [("field", "a", None), ("agg", "sum", "b", "s"),
+                        ("agg", "count", "*", "c")]
+    assert p.where[0] == "and" and p.where[1][1][3] == "ab'c"
+    assert p.group_by == ["a"]
+    assert p.having == ("cmp", "gt", ("agg", "sum", "b", None), "10")
+    assert p.order_by == [(("field", "s", None), False),
+                          (("field", "a", None), True)]
+    assert p.limit == 5
+
+
+def test_parse_distinct_and_neq():
+    p = parse_sql("SELECT DISTINCT a, b FROM t WHERE c <> 'x'")
+    assert p.distinct and p.where[0] == "not"
+    assert p.where[1] == ("cmp", "eq", ("field", "c", None), "x")
+
+
+@pytest.mark.parametrize("bad", [
+    "SELECT FROM t",
+    "SELECT a FROM t WHERE a LIKE 'x'",
+    "SELECT a, sum(b) FROM t",           # bare field without GROUP BY
+    "SELECT a FROM t ORDER BY a ASC junk",
+])
+def test_parse_rejects(bad):
+    with pytest.raises(ValueError):
+        plan = parse_sql(bad)
+        sql_to_stream(plan)
+
+
+def test_compile_group_by_plan_shape():
+    node, proj = sql_to_stream(parse_sql(
+        "SELECT a, sum(b) AS s FROM t GROUP BY a "
+        "HAVING count(*) > 2 ORDER BY sum(b) DESC LIMIT 3"))
+    # top(having(rollup(search))) with count(*) added for HAVING
+    assert node.name == "top" and node.kwargs["n"] == "3"
+    having = node.args[0]
+    assert having.name == "having"
+    rollup = having.args[0]
+    assert rollup.name == "rollup"
+    assert {a.name for a in rollup.args[1:]} == {"sum", "count"}
+    assert proj == [("a", "a"), ("sum_b", "s")]
+
+
+# ------------------------------------------------------------- execution
+
+def _same(mine, ref):
+    mine = mine.to_pandas()
+    assert sorted(mine.columns) == sorted(ref.columns)
+    a = mine[sorted(mine.columns)].sort_values(
+        by=sorted(mine.columns)).reset_index(drop=True)
+    b = ref[sorted(ref.columns)].sort_values(
+        by=sorted(ref.columns)).reset_index(drop=True)
+    assert a.shape == b.shape
+    for c in a.columns:
+        assert a[c].tolist() == b[c].tolist(), c
+
+
+STATEMENTS = [
+    "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
+    "count(*) AS cnt FROM lineitem WHERE l_quantity > 25 "
+    "GROUP BY l_returnflag, l_linestatus HAVING sum(l_quantity) > 100 "
+    "ORDER BY l_returnflag ASC, l_linestatus ASC LIMIT 10",
+
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+    "WHERE o_totalprice > 100000 AND NOT o_orderpriority = '1-URGENT' "
+    "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20",
+
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem "
+    "ORDER BY l_returnflag, l_linestatus",
+
+    "SELECT count(*) AS cnt, min(o_totalprice) AS min_price, "
+    "max(o_totalprice) AS max_price FROM orders "
+    "WHERE o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'",
+
+    # ORDER BY an aggregate expression + avg; alias-free aggregates
+    "SELECT l_orderkey, avg(l_quantity) AS avg_qty FROM lineitem "
+    "WHERE l_discount <= 0.05 GROUP BY l_orderkey "
+    "ORDER BY avg(l_quantity) DESC, l_orderkey ASC LIMIT 7",
+
+    # HAVING referencing a SELECT alias
+    "SELECT l_returnflag, count(*) AS cnt FROM lineitem "
+    "GROUP BY l_returnflag HAVING cnt > 100 ORDER BY l_returnflag",
+]
+
+
+@pytest.mark.parametrize("stmt", STATEMENTS)
+def test_sql_matches_duckdb(stmt, con, ray_session):
+    duck = stmt.replace("HAVING cnt > 100", "HAVING count(*) > 100")
+    _same(run_sql(stmt, SF), con.execute(duck).fetchdf())
+
+
+def test_sql_empty_result_keeps_schema(con, ray_session):
+    t = run_sql("SELECT o_orderkey, o_totalprice FROM orders "
+                "WHERE o_totalprice > 99999999", SF)
+    assert t.num_rows == 0
+    assert t.column_names == ["o_orderkey", "o_totalprice"]
