@@ -25,7 +25,7 @@ from ..analysis.stopwords import stopwords_sql_list
 from ..search.bm25 import quantize_score
 
 INDEX_CACHE_ROOT = "/tmp/lsr_index_cache"
-FORMAT_VERSION = 4  # bump when the on-disk index format changes
+FORMAT_VERSION = 5  # bump when the on-disk index format changes
 
 K1_SQL = "1.2"
 B_SQL = "0.75"
@@ -99,7 +99,9 @@ def documents_index(sf_dir: str) -> str:
                                   "n_chars"])
     build_index(ds, out, content_col="text", batch_rows=256,
                 keyword_cols=("lang", "source"),
-                store_cols=("n_chars",))  # numeric doc values
+                # n_chars = NUMERIC doc values; lang also stored as
+                # SORTED (string) doc values for DocValuesRangeQuery
+                store_cols=("n_chars", "lang"))
     _memo[out] = out
     return out
 
@@ -2889,6 +2891,24 @@ ORDER BY doc_id ASC LIMIT {k}
 """
 
 
+def _q_dv_range(field, lo, hi, k=10):
+    """DocValuesRangeQuery.newBytesRefRange: lexicographic range over
+    SORTED string doc values, constant score."""
+    def run(sf_dir):
+        return _topk_table(_searcher(sf_dir).search_dv_range(
+            field, lo, hi, k=k))
+    return run
+
+
+def _dv_range_sql(field: str, lo: str, hi: str, k: int) -> str:
+    return f"""
+SELECT doc_id, CAST(10000 AS BIGINT) AS score_q,
+       CAST(row_number() OVER (ORDER BY doc_id ASC) AS BIGINT) AS rank
+FROM documents WHERE {field} >= '{lo}' AND {field} <= '{hi}'
+ORDER BY doc_id ASC LIMIT {k}
+"""
+
+
 def _q_classify(method, n_docs=20):
     """KNN / NaiveBayes classifier over the index (lucene/classification):
     predict each probe doc's lang from index stats alone. Rows-only
@@ -5225,6 +5245,7 @@ def build_queries() -> dict:
         "ft_suggest_weighted": _q_suggest_weighted("s"),
         "ft_dv_numbers": _q_dv_numbers("n_chars", [250, 300, 350]),
         "ft_dv_terms": _q_dv_terms("lang", ["de", "fr"]),
+        "ft_dv_range": _q_dv_range("lang", "de", "es"),
         "ft_classify_knn": _q_classify("knn"),
         "ft_classify_nb": _q_classify("nb"),
         "ft_classify_perceptron": _q_classify_perceptron(),
@@ -5537,6 +5558,7 @@ FROM bfs WHERE kind = 'c' AND node = 2
         "ft_suggest_weighted": _suggest_weighted_sql("s", 10, "lang", "en"),
         "ft_dv_numbers": _dv_numbers_sql("n_chars", [250, 300, 350], 10),
         "ft_dv_terms": _dv_terms_sql("lang", ["de", "fr"], 10),
+        "ft_dv_range": _dv_range_sql("lang", "de", "es", 10),
         "ft_term_automaton": _automaton_sql([["fast", "slow"], "*",
                                              ["scan"]], 10),
         "ft_edismax": _edismax_sql(

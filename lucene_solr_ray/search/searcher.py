@@ -1748,6 +1748,38 @@ class IndexSearcher:
         return self._finalize([docs], [np.full(len(docs), 1.0,
                                                dtype=dtype)], k)
 
+    def search_dv_range(self, field: str, lo, hi, k: int = 10, *,
+                        include_lo: bool = True,
+                        include_hi: bool = True) -> pa.Table:
+        """DocValuesRangeQuery (sandbox search/DocValuesRangeQuery.java:
+        58): a range filter evaluated against per-doc values instead of
+        the inverted index — newLongRange over NUMERIC columns and
+        newBytesRefRange over SORTED (string) columns, where comparisons
+        are lexicographic like BytesRef.compareTo. Constant score, ties
+        doc_id asc; ``None`` bounds are open-ended. The numeric branch
+        matches search_numeric_range doc-for-doc (the reference pair
+        NumericRangeQuery/DocValuesRangeQuery has the same contract).
+        Docs with NO value in the column never match (the reference
+        iterates the DocValues producer, which skips them)."""
+        ids, vals = self.global_doc_values(field)
+        if vals.dtype == object:
+            import pandas as pd
+
+            valid = pd.notna(vals)
+            ids, vals = ids[valid], vals[valid]
+        elif np.issubdtype(vals.dtype, np.floating):
+            valid = ~np.isnan(vals)
+            ids, vals = ids[valid], vals[valid]
+        m = np.ones(len(ids), dtype=bool)
+        if lo is not None:
+            m &= (vals >= lo) if include_lo else (vals > lo)
+        if hi is not None:
+            m &= (vals <= hi) if include_hi else (vals < hi)
+        docs = ids[m][: max(k, 0)]
+        dtype = np.float32 if self.mode == "lucene32" else np.float64
+        return self._finalize([docs], [np.full(len(docs), 1.0,
+                                               dtype=dtype)], k)
+
     def search_sort_by_field(self, query: dict, field: str, k: int = 10,
                              *, descending: bool = True) -> pa.Table:
         """Sort / TopFieldCollector (core:search/SortField.java:38-89):

@@ -475,3 +475,47 @@ def test_span_contain_family_randomized(tmp_path, ray_session):
         assert dict(zip(got_w["doc_id"].to_pylist(),
                         got_w["score"].to_pylist())) == want_w, \
             (b1, b2, little, slop)
+
+
+def test_dv_range_string_and_numeric(tmp_path, ray_session):
+    """DocValuesRangeQuery both branches: newLongRange over a NUMERIC
+    store col and newBytesRefRange (lexicographic) over a SORTED string
+    store col; open-ended and exclusive bounds."""
+    langs = ["de", "en", "es", "fr", "zh"]
+    t = pa.table({
+        "doc_id": pa.array(range(100, 120), type=pa.int64()),
+        "content": [f"doc number {i}" for i in range(20)],
+        "lang": [langs[i % 5] for i in range(20)],
+        "size": list(range(20)),
+    })
+    out = str(tmp_path / "idx")
+    build_index(t, out, store_cols=("size", "lang"), batch_rows=7)
+    s = IndexSearcher(out, mode="exact64")
+    by_id = dict(zip(t["doc_id"].to_pylist(), t["lang"].to_pylist()))
+    sizes = dict(zip(t["doc_id"].to_pylist(), t["size"].to_pylist()))
+
+    got = s.search_dv_range("lang", "de", "es", k=20)
+    want = sorted(d for d, v in by_id.items() if "de" <= v <= "es")
+    assert got["doc_id"].to_pylist() == want
+    # exclusive upper, open lower
+    got = s.search_dv_range("lang", None, "es", k=20, include_hi=False)
+    want = sorted(d for d, v in by_id.items() if v < "es")
+    assert got["doc_id"].to_pylist() == want
+    # numeric branch identical to search_numeric_range
+    a = s.search_dv_range("size", 5, 12, k=20)
+    b = s.search_numeric_range("size", 5, 12, k=20)
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist() == \
+        sorted(d for d, v in sizes.items() if 5 <= v <= 12)
+
+
+def test_dv_range_skips_missing_values(tmp_path, ray_session):
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "content": ["a b", "c d", "e f", "g h"],
+        "lang": pa.array(["de", None, "fr", "es"]),
+    })
+    out = str(tmp_path / "idx")
+    build_index(t, out, store_cols=("lang",), batch_rows=4)
+    s = IndexSearcher(out, mode="exact64")
+    got = s.search_dv_range("lang", "de", "es", k=10)
+    assert got["doc_id"].to_pylist() == [1, 4]
