@@ -1,0 +1,299 @@
+"""Geo3D — the lucene/spatial3d module re-expressed as streaming Ray
+Data filters over unit-sphere vectors.
+
+Reference surfaces (lucene/spatial3d/src/java/org/apache/lucene/geo3d):
+  - PlanetModel.SPHERE (PlanetModel.java:27) — this analogue implements
+    the SPHERE model (ab == c == 1); the WGS84 ellipsoid scaling
+    (PlanetModel.java:41-52) is out of scope and documented.
+  - GeoPoint (GeoPoint.java:73-75) — (lat, lon) → the unit vector
+    x = cos(lat)·cos(lon), y = cos(lat)·sin(lon), z = sin(lat);
+    arcDistance = safeAcos(dot) for unit magnitudes
+    (GeoPoint.java:123-125).
+  - GeoCircle (GeoCircle.java:43-54) — membership: arc distance from
+    the center ≤ cutoffAngle (a distance shape on the sphere).
+  - GeoPath (GeoPath.java:34-76, 93-164) — a polyline with a cutoff
+    angle: membership within any PathSegment's side planes at
+    perpendicular angle ≤ cutoff, or within a SegmentEndpoint circle.
+
+Float discipline (the repo's oracle-twin rule): candidate points are
+evaluated with SCALAR libm math in exactly the expression shape the
+DuckDB twin uses — degrees → radians as ``x * pi() / 180`` (never a
+radians() builtin), left-associated dot products, ``min/max`` clamps
+as ``least/greatest`` — so every double is bit-equal and the
+``d <= cutoff`` membership boundary can never disagree. Coordinates
+derive from integer keys via geo.derive_latlon (the splitmix mix shared
+with the SQL fragment geo.latlon_sql).
+
+Scale note (100 TB): both queries are one-pass ``map_batches`` filters
+— a conservative vectorized lat/lon window prunes each batch, scalar
+exact math touches only the survivors; no shuffle, no driver
+materialization beyond the radius-bounded result. At scale the window
+becomes geohash-partition pruning exactly like ops/geo.py.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from .geo import derive_latlon
+
+_DEG = 110_567.0  # conservative meters per degree of latitude
+
+
+def unit_xyz(lat_deg: float, lon_deg: float) -> tuple[float, float, float]:
+    """GeoPoint.java:73-75 on the SPHERE model, scalar libm."""
+    latr = lat_deg * math.pi / 180.0
+    lonr = lon_deg * math.pi / 180.0
+    return (math.cos(latr) * math.cos(lonr),
+            math.cos(latr) * math.sin(lonr),
+            math.sin(latr))
+
+
+def arc_distance(px, py, pz, qx, qy, qz) -> float:
+    """safeAcos(dot) between unit vectors (GeoPoint.java:123-125)."""
+    return math.acos(min(1.0, max(-1.0, px * qx + py * qy + pz * qz)))
+
+
+def _read_keys(sf_dir: str, table: str, key: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                           columns=[key])
+
+
+def _window_mask(lat, lon, boxes):
+    """Conservative union-of-windows prefilter (vectorized); each box is
+    (lat_lo, lat_hi, lon_lo, lon_hi) with lon possibly wrapping."""
+    m = np.zeros(len(lat), dtype=bool)
+    for lat_lo, lat_hi, lon_lo, lon_hi in boxes:
+        mm = (lat >= lat_lo) & (lat <= lat_hi)
+        if lon_hi - lon_lo >= 360.0:
+            pass
+        elif lon_lo >= -180.0 and lon_hi <= 180.0:
+            mm &= (lon >= lon_lo) & (lon <= lon_hi)
+        else:  # antimeridian wrap
+            mm &= (lon >= ((lon_lo + 540.0) % 360.0) - 180.0) \
+                | (lon <= ((lon_hi + 540.0) % 360.0) - 180.0)
+        m |= mm
+    return m
+
+
+def _point_window(lat: float, lon: float, cutoff_deg: float):
+    lat_lo = lat - cutoff_deg
+    lat_hi = lat + cutoff_deg
+    worst = min(90.0, max(abs(lat_lo), abs(lat_hi)))
+    coslat = math.cos(worst * math.pi / 180.0)
+    dlon = 360.0 if coslat <= 1e-9 else cutoff_deg / coslat
+    return (max(-90.0, lat_lo), min(90.0, lat_hi),
+            lon - dlon, lon + dlon)
+
+
+def _collect_sorted(ds, limit: int, columns):
+    df = ds.to_pandas()  # bounded by the cutoff's selectivity
+    df = df.sort_values(columns).reset_index(drop=True)
+    return pa.Table.from_pandas(df.head(limit), preserve_index=False)
+
+
+def geo3d_circle(sf_dir: str, *, center_lat: float, center_lon: float,
+                 cutoff_deg: float, table: str = "customer",
+                 key: str = "c_custkey", limit: int = 50) -> pa.Table:
+    """GeoCircle membership (GeoCircle.java:43-54): keys whose unit
+    vector lies within cutoffAngle of the center's, nearest first.
+    Returns (key, arc_nrad) with the arc angle nanoradian-quantized so
+    ordering ties are pinned."""
+    cx, cy, cz = unit_xyz(center_lat, center_lon)
+    cutoff_rad = cutoff_deg * math.pi / 180.0
+    box = _point_window(center_lat, center_lon, cutoff_deg + 1e-9)
+
+    def f(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch[key], dtype=np.int64)
+        lat, lon = derive_latlon(keys)
+        idx = np.flatnonzero(_window_mask(lat, lon, [box]))
+        out_k, out_d = [], []
+        for i in idx:
+            x, y, z = unit_xyz(float(lat[i]), float(lon[i]))
+            d = arc_distance(x, y, z, cx, cy, cz)
+            if d <= cutoff_rad:
+                out_k.append(int(keys[i]))
+                out_d.append(int(math.floor(d * 1e9 + 0.5)))
+        return pa.table({
+            "key": pa.array(out_k, type=pa.int64()),
+            "arc_nrad": pa.array(out_d, type=pa.int64()),
+        })
+
+    ds = _read_keys(sf_dir, table, key).map_batches(
+        f, batch_format="pyarrow")
+    return _collect_sorted(ds, limit, ["arc_nrad", "key"])
+
+
+class _Path:
+    """Precomputed SPHERE GeoPath geometry: per-segment great-circle
+    normals and side-plane tangents (GeoPath.done(),
+    GeoPath.java:93-164). All floats come from the same scalar ops the
+    SQL twin renders, so they embed as exact literals."""
+
+    def __init__(self, points_deg, cutoff_deg: float):
+        if len(points_deg) < 1:
+            raise ValueError("GeoPath needs at least one point")
+        self.cutoff_rad = cutoff_deg * math.pi / 180.0
+        self.pts = [unit_xyz(la, lo) for la, lo in points_deg]
+        self.segs = []
+        for (ax, ay, az), (bx, by, bz) in zip(self.pts, self.pts[1:]):
+            nx = ay * bz - az * by
+            ny = az * bx - ax * bz
+            nz = ax * by - ay * bx
+            mag = math.sqrt(nx * nx + ny * ny + nz * nz)
+            if mag == 0.0:  # coincident endpoints: no segment plane
+                continue
+            nx, ny, nz = nx / mag, ny / mag, nz / mag
+            # side-plane tangents: t_a = n × A points along the path,
+            # t_b = n × B points past the far end
+            ta = (ny * az - nz * ay, nz * ax - nx * az,
+                  nx * ay - ny * ax)
+            tb = (ny * bz - nz * by, nz * bx - nx * bz,
+                  nx * by - ny * bx)
+            self.segs.append(((nx, ny, nz), ta, tb))
+
+    def distance(self, x: float, y: float, z: float) -> float:
+        """Membership distance: the smallest of (a) each segment's
+        perpendicular angle when the point lies between its side
+        planes, (b) each endpoint's arc distance."""
+        best = math.inf
+        for (n, ta, tb) in self.segs:
+            along_a = x * ta[0] + y * ta[1] + z * ta[2]
+            along_b = x * tb[0] + y * tb[1] + z * tb[2]
+            if along_a >= 0.0 and along_b <= 0.0:
+                perp = math.asin(min(1.0, abs(
+                    x * n[0] + y * n[1] + z * n[2])))
+                if perp < best:
+                    best = perp
+        for (px, py, pz) in self.pts:
+            d = arc_distance(x, y, z, px, py, pz)
+            if d < best:
+                best = d
+        return best
+
+
+def geo3d_path(sf_dir: str, *, points: list[tuple[float, float]],
+               cutoff_deg: float, table: str = "customer",
+               key: str = "c_custkey", limit: int = 50) -> pa.Table:
+    """GeoPath membership (GeoPath.java:34-76): keys within cutoffAngle
+    of the polyline — inside a segment's side planes at perpendicular
+    angle ≤ cutoff, or inside an endpoint circle. Returns
+    (key, arc_nrad), nearest first."""
+    path = _Path(points, cutoff_deg)
+    boxes = [_point_window(la, lo, cutoff_deg + 1e-9)
+             for la, lo in points]
+    # widen between consecutive points: union of endpoint windows plus
+    # the lat/lon hull of each segment. A great-circle segment can
+    # bulge past its endpoint latitudes up to the circle's vertex
+    # latitude acos(|n_z|) (max |z| on the plane P·n=0 is
+    # sqrt(1-n_z²)); bounding both sides by ±vertex is conservative
+    # without locating the vertex. The lon margin scales by the
+    # worst-case latitude in the box.
+    for (la1, lo1), (la2, lo2) in zip(points, points[1:]):
+        a = unit_xyz(la1, lo1)
+        b = unit_xyz(la2, lo2)
+        cx_ = a[1] * b[2] - a[2] * b[1]
+        cy_ = a[2] * b[0] - a[0] * b[2]
+        cz_ = a[0] * b[1] - a[1] * b[0]
+        m = math.sqrt(cx_ * cx_ + cy_ * cy_ + cz_ * cz_)
+        vertex = 90.0 if m == 0.0 else \
+            math.degrees(math.acos(min(1.0, abs(cz_) / m)))
+        lat_lo = max(-90.0, -vertex - cutoff_deg - 1e-9)
+        lat_hi = min(90.0, vertex + cutoff_deg + 1e-9)
+        if abs(lo1 - lo2) > 180.0:
+            boxes.append((lat_lo, lat_hi, -180.0, 180.0))
+            continue
+        worst = min(90.0, max(abs(lat_lo), abs(lat_hi)))
+        coslat = math.cos(worst * math.pi / 180.0)
+        dlon = 360.0 if coslat <= 1e-9 else cutoff_deg / coslat
+        boxes.append((lat_lo, lat_hi,
+                      min(lo1, lo2) - dlon - 1e-9,
+                      max(lo1, lo2) + dlon + 1e-9))
+
+    def f(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch[key], dtype=np.int64)
+        lat, lon = derive_latlon(keys)
+        idx = np.flatnonzero(_window_mask(lat, lon, boxes))
+        out_k, out_d = [], []
+        for i in idx:
+            x, y, z = unit_xyz(float(lat[i]), float(lon[i]))
+            d = path.distance(x, y, z)
+            if d <= path.cutoff_rad:
+                out_k.append(int(keys[i]))
+                out_d.append(int(math.floor(d * 1e9 + 0.5)))
+        return pa.table({
+            "key": pa.array(out_k, type=pa.int64()),
+            "arc_nrad": pa.array(out_d, type=pa.int64()),
+        })
+
+    ds = _read_keys(sf_dir, table, key).map_batches(
+        f, batch_format="pyarrow")
+    return _collect_sorted(ds, limit, ["arc_nrad", "key"])
+
+
+# --------------------------------------------------------------- SQL twins
+
+def _xyz_sql() -> tuple[str, str, str]:
+    return ("cos(lat * pi() / 180) * cos(lon * pi() / 180)",
+            "cos(lat * pi() / 180) * sin(lon * pi() / 180)",
+            "sin(lat * pi() / 180)")
+
+
+def geo3d_circle_sql(*, center_lat: float, center_lon: float,
+                     cutoff_deg: float, limit: int = 50,
+                     key: str = "c_custkey") -> str:
+    """DuckDB twin: the identical unit-vector dot + safeAcos, constants
+    embedded at full precision (repr round-trips the double)."""
+    from .geo import latlon_sql
+
+    cx, cy, cz = unit_xyz(center_lat, center_lon)
+    cutoff_rad = cutoff_deg * math.pi / 180.0
+    x, y, z = _xyz_sql()
+    d = (f"acos(least(1.0, greatest(-1.0, "
+         f"{x} * {cx!r} + {y} * {cy!r} + {z} * {cz!r})))")
+    return f"""
+WITH pts AS ({latlon_sql(key)}),
+cand AS (SELECT key, {d} AS d FROM pts)
+SELECT key, CAST(floor(d * 1e9 + 0.5) AS BIGINT) AS arc_nrad
+FROM cand WHERE d <= {cutoff_rad!r}
+ORDER BY arc_nrad, key LIMIT {limit}
+"""
+
+
+def geo3d_path_sql(*, points: list[tuple[float, float]],
+                   cutoff_deg: float, limit: int = 50,
+                   key: str = "c_custkey") -> str:
+    """DuckDB twin of geo3d_path: per-segment CASE (side planes →
+    asin perpendicular) folded with the endpoint acos arcs through
+    least(); every constant and operation mirrors _Path bit-for-bit."""
+    from .geo import latlon_sql
+
+    path = _Path(points, cutoff_deg)
+    x, y, z = _xyz_sql()
+    parts = []
+    for (n, ta, tb) in path.segs:
+        along_a = f"px * {ta[0]!r} + py * {ta[1]!r} + pz * {ta[2]!r}"
+        along_b = f"px * {tb[0]!r} + py * {tb[1]!r} + pz * {tb[2]!r}"
+        perp = (f"asin(least(1.0, abs("
+                f"px * {n[0]!r} + py * {n[1]!r} + pz * {n[2]!r})))")
+        parts.append(f"CASE WHEN ({along_a}) >= 0.0 "
+                     f"AND ({along_b}) <= 0.0 THEN {perp} "
+                     f"ELSE 1e30 END")
+    for (px_, py_, pz_) in path.pts:
+        parts.append(f"acos(least(1.0, greatest(-1.0, "
+                     f"px * {px_!r} + py * {py_!r} + pz * {pz_!r})))")
+    dist = "least(" + ", ".join(parts) + ")"
+    return f"""
+WITH pts AS ({latlon_sql(key)}),
+vec AS (SELECT key, {x} AS px, {y} AS py, {z} AS pz FROM pts),
+cand AS (SELECT key, {dist} AS d FROM vec)
+SELECT key, CAST(floor(d * 1e9 + 0.5) AS BIGINT) AS arc_nrad
+FROM cand WHERE d <= {path.cutoff_rad!r}
+ORDER BY arc_nrad, key LIMIT {limit}
+"""

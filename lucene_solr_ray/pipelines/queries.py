@@ -2891,6 +2891,37 @@ ORDER BY doc_id ASC LIMIT {k}
 """
 
 
+_GEO3D_PATH = [(10.0, 20.0), (30.0, 60.0), (20.0, 100.0)]
+
+
+def _q_geo3d_circle(sf_dir):
+    """Geo3D GeoCircle membership (lucene/spatial3d, SPHERE model)."""
+    from ..ops.geo3d import geo3d_circle
+
+    return geo3d_circle(sf_dir, center_lat=10.0, center_lon=20.0,
+                        cutoff_deg=25.0)
+
+
+def _q_geo3d_path(sf_dir):
+    """Geo3D GeoPath membership (lucene/spatial3d, SPHERE model)."""
+    from ..ops.geo3d import geo3d_path
+
+    return geo3d_path(sf_dir, points=_GEO3D_PATH, cutoff_deg=8.0)
+
+
+def _geo3d_circle_oracle() -> str:
+    from ..ops.geo3d import geo3d_circle_sql
+
+    return geo3d_circle_sql(center_lat=10.0, center_lon=20.0,
+                            cutoff_deg=25.0)
+
+
+def _geo3d_path_oracle() -> str:
+    from ..ops.geo3d import geo3d_path_sql
+
+    return geo3d_path_sql(points=_GEO3D_PATH, cutoff_deg=8.0)
+
+
 def _q_dv_range(field, lo, hi, k=10):
     """DocValuesRangeQuery.newBytesRefRange: lexicographic range over
     SORTED string doc values, constant score."""
@@ -5206,6 +5237,8 @@ def build_queries() -> dict:
         "ft_span_within": _q_span_within("fast", "table", "scan", 6),
         "ft_span_position_range": _q_span_position_range("scan", 5, 15),
         "geo_bbox": _q_geo_bbox,
+        "geo3d_circle": _q_geo3d_circle,
+        "geo3d_path": _q_geo3d_path,
         "geo_distance": _q_geo_distance,
         "geo_polygon": _q_geo_polygon,
         "geo_heatmap": _q_geo_heatmap,
@@ -5515,6 +5548,8 @@ FROM bfs WHERE kind = 'c' AND node = 2
         "ft_span_position_range": _span_position_range_sql("scan", 5, 15,
                                                            20),
         "geo_bbox": _geo_bbox_sql(),
+        "geo3d_circle": _geo3d_circle_oracle(),
+        "geo3d_path": _geo3d_path_oracle(),
         "geo_distance": _geo_distance_sql(),
         "geo_polygon": _geo_polygon_sql(),
         "geo_heatmap": _geo_heatmap_sql(),

@@ -1,0 +1,95 @@
+"""Geo3D (lucene/spatial3d analogue, ops/geo3d.py): brute-force
+identity of the windowed streaming filters, circle/path degeneracies,
+and the great-circle vertex bulge the segment prefilter must cover."""
+
+import math
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_ray.ops.geo import derive_latlon
+from lucene_solr_ray.ops.geo3d import (_Path, arc_distance, geo3d_circle,
+                                       geo3d_path, unit_xyz)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _all_latlon():
+    keys = np.asarray(pq.read_table(
+        f"{SF}/customer.parquet", columns=["c_custkey"])["c_custkey"],
+        dtype=np.int64)
+    lat, lon = derive_latlon(keys)
+    return keys, lat, lon
+
+
+def _brute_path(points, cutoff_deg):
+    keys, lat, lon = _all_latlon()
+    p = _Path(points, cutoff_deg)
+    hits = []
+    for k, la, lo in zip(keys, lat, lon):
+        x, y, z = unit_xyz(float(la), float(lo))
+        d = p.distance(x, y, z)
+        if d <= p.cutoff_rad:
+            hits.append((int(math.floor(d * 1e9 + 0.5)), int(k)))
+    return sorted(hits)
+
+
+def test_unit_vectors_and_arc():
+    x, y, z = unit_xyz(0.0, 0.0)
+    assert (x, y, z) == (1.0, 0.0, 0.0)
+    assert unit_xyz(90.0, 0.0)[2] == 1.0
+    assert arc_distance(1, 0, 0, 0, 1, 0) == math.acos(0.0)
+    assert arc_distance(1, 0, 0, 1, 0, 0) == 0.0
+
+
+def test_circle_brute_force_identity(ray_session):
+    keys, lat, lon = _all_latlon()
+    cx, cy, cz = unit_xyz(10.0, 20.0)
+    cut = 25.0 * math.pi / 180.0
+    want = []
+    for k, la, lo in zip(keys, lat, lon):
+        x, y, z = unit_xyz(float(la), float(lo))
+        d = arc_distance(x, y, z, cx, cy, cz)
+        if d <= cut:
+            want.append((int(math.floor(d * 1e9 + 0.5)), int(k)))
+    want.sort()
+    got = geo3d_circle(SF, center_lat=10.0, center_lon=20.0,
+                       cutoff_deg=25.0, limit=10**9)
+    assert list(zip(got["arc_nrad"].to_pylist(),
+                    got["key"].to_pylist())) == want
+
+
+@pytest.mark.parametrize("points,cutoff", [
+    ([(10.0, 20.0), (30.0, 60.0), (20.0, 100.0)], 8.0),
+    # vertex bulge: both endpoints at lat 50 but the great circle
+    # rises to ~57 degrees between them — the prefilter must still
+    # cover hits near the vertex
+    ([(50.0, -40.0), (50.0, 40.0)], 6.0),
+    # antimeridian-crossing segment
+    ([(5.0, 170.0), (-5.0, -170.0)], 5.0),
+])
+def test_path_brute_force_identity(points, cutoff, ray_session):
+    got = geo3d_path(SF, points=points, cutoff_deg=cutoff, limit=10**9)
+    assert list(zip(got["arc_nrad"].to_pylist(),
+                    got["key"].to_pylist())) == _brute_path(points, cutoff)
+
+
+def test_single_point_path_degenerates_to_circle(ray_session):
+    """A one-point GeoPath has no segments — membership is exactly the
+    endpoint circle (GeoPath.java:144, the onlyEndpoint case)."""
+    a = geo3d_path(SF, points=[(10.0, 20.0)], cutoff_deg=25.0,
+                   limit=10**9)
+    b = geo3d_circle(SF, center_lat=10.0, center_lon=20.0,
+                     cutoff_deg=25.0, limit=10**9)
+    assert a.to_pydict() == b.to_pydict()
+
+
+def test_vertex_bulge_is_real():
+    """Sanity of the test above: the (50,-40)->(50,40) great circle
+    really does exceed lat 50 mid-segment."""
+    a = unit_xyz(50.0, -40.0)
+    b = unit_xyz(50.0, 40.0)
+    mid = [(p + q) / 2.0 for p, q in zip(a, b)]
+    m = math.sqrt(sum(v * v for v in mid))
+    assert math.degrees(math.asin(mid[2] / m)) > 56.0
