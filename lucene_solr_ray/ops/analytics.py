@@ -1,0 +1,446 @@
+"""Analytics contrib — the Solr `olap` AnalyticsComponent
+(solr/contrib/analytics, AnalyticsParams.java:32-82) re-expressed as
+two streaming aggregations.
+
+The reference computes named STATISTICS over VALUE SOURCES
+(statistic(valuesource) request strings, e.g. ``mean(add(a,b))``):
+count / missing / sum / sumofsquares / stddev / mean / unique /
+median / percentile / min / max (AnalyticsParams.ALL_STAT_LIST), with
+value-source math const_num / neg / abs / log / add / mult / div /
+pow (NUMERIC_OPERATION_SET), plus per-field-value facet breakdowns
+(FieldFacetRequest).
+
+Faithful numeric semantics:
+  - stddev is the POPULATION form ``sqrt(sumOfSquares/count − mean²)``
+    (NumericStatsCollector.java:65 — the contrib deliberately differs
+    from StatsComponent's sample stddev).
+  - median = v[floor(.5·(n−1))]·.5 + v[second]·.5 where second is the
+    next element when n−1 is odd (MedianCalculator.java:30-43).
+  - percentile(p) selects the element at index round(p·n − .5) =
+    floor(p·n) of the ascending sort — a selection, no interpolation
+    (PercentileCalculator.java:38-41).
+  - log(a, b) = ln(a)/ln(b) (LogDoubleFunction.java:39-41); add/mult
+    left-fold like MultiDoubleFunction.
+
+Execution shape (100 TB): two lazy passes, both shuffle-light.
+Moment stats (count/sum/sumsq/min/max/missing) fold per batch inside
+``map_batches`` into ONE partial row per batch; only those tiny rows
+reach the driver. Order-position stats (unique/median/percentile) ride
+an exact distributed value HISTOGRAM — ``groupby(value).count()``,
+the same discipline as relational.percentiles — so the driver sees one
+row per DISTINCT value, never the corpus. Facet requests group the
+same partials by the facet value. Float caveat: folded partial sums
+are order-sensitive for general doubles; the oracle-paired driver
+expressions keep every aggregate integer-exact (integer-valued columns
+and dyadic constants), the repo's standard twin discipline.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+
+_TOK = re.compile(r"\s*([A-Za-z_][A-Za-z_0-9]*|-?\d+(?:\.\d+)?|[(),])")
+
+STATS = ("count", "missing", "sum", "sumofsquares", "stddev", "mean",
+         "unique", "median", "percentile", "min", "max")
+_FUNCS = ("const_num", "neg", "abs", "log", "add", "mult", "div", "pow")
+
+
+def _parse(expr: str):
+    toks = _TOK.findall(expr)
+    pos = 0
+
+    def take():
+        nonlocal pos
+        if pos >= len(toks):
+            raise ValueError(f"unexpected end in {expr!r}")
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def node():
+        t = take()
+        if pos < len(toks) and toks[pos] == "(":
+            take()
+            args = []
+            while toks[pos] != ")":
+                args.append(node())
+                if toks[pos] == ",":
+                    take()
+            take()
+            return (t.lower(), args)
+        if re.fullmatch(r"-?\d+(?:\.\d+)?", t):
+            return ("lit", float(t))
+        return ("col", t)
+
+    out = node()
+    if pos != len(toks):
+        raise ValueError(f"trailing tokens in {expr!r}")
+    return out
+
+
+def parse_stat(expr: str):
+    """'stat(valuesource)' or 'percentile(p, valuesource)' →
+    (stat, p_or_None, value-source tree)."""
+    tree = _parse(expr)
+    if tree[0] not in STATS:
+        raise ValueError(f"unknown statistic {tree[0]!r}")
+    if tree[0] == "percentile":
+        p = tree[1][0]
+        if p[0] != "lit":
+            raise ValueError("percentile needs a numeric percentile")
+        pct = p[1] / 100.0 if p[1] > 1 else p[1]
+        return "percentile", pct, tree[1][1]
+    return tree[0], None, tree[1][0]
+
+
+def vs_columns(vs, out: set):
+    kind = vs[0]
+    if kind == "col":
+        out.add(vs[1])
+    elif kind != "lit":
+        for a in vs[1]:
+            vs_columns(a, out)
+    return out
+
+
+def eval_vs(vs, batch: dict[str, np.ndarray]) -> np.ndarray:
+    """Value-source tree → float64 vector over one batch."""
+    kind = vs[0]
+    if kind == "col":
+        return batch[vs[1]]
+    if kind == "lit":
+        return vs[1]
+    args = [eval_vs(a, batch) for a in vs[1]]
+    if kind == "const_num":
+        return args[0]
+    if kind == "neg":
+        return -args[0]
+    if kind == "abs":
+        return np.abs(args[0])
+    if kind == "log":
+        return np.log(args[0]) / np.log(args[1])
+    if kind == "add":
+        out = args[0]
+        for a in args[1:]:
+            out = out + a
+        return out
+    if kind == "mult":
+        out = args[0]
+        for a in args[1:]:
+            out = out * a
+        return out
+    if kind == "div":
+        return args[0] / args[1]
+    if kind == "pow":
+        return np.power(args[0], args[1])
+    raise ValueError(f"unknown value source {kind!r}")
+
+
+def vs_sql(vs) -> str:
+    """The identical value source as a DuckDB expression."""
+    kind = vs[0]
+    if kind == "col":
+        return vs[1]
+    if kind == "lit":
+        return repr(vs[1])
+    if kind == "const_num":
+        return vs_sql(vs[1][0])
+    if kind == "neg":
+        return f"(-{vs_sql(vs[1][0])})"
+    if kind == "abs":
+        return f"abs({vs_sql(vs[1][0])})"
+    if kind == "log":
+        return (f"(ln({vs_sql(vs[1][0])}) / "
+                f"ln({vs_sql(vs[1][1])}))")
+    if kind in ("add", "mult"):
+        op = " + " if kind == "add" else " * "
+        return "(" + op.join(vs_sql(a) for a in vs[1]) + ")"
+    if kind == "div":
+        return f"({vs_sql(vs[1][0])} / {vs_sql(vs[1][1])})"
+    if kind == "pow":
+        return f"pow({vs_sql(vs[1][0])}, {vs_sql(vs[1][1])})"
+    raise ValueError(kind)
+
+
+def _percentile_index(p: float, n: int) -> int:
+    # (int) Math.round(p * n - .5) == floor(p * n)
+    return int(math.floor(p * n))
+
+
+def _from_histogram(stat: str, p, values: np.ndarray,
+                    counts: np.ndarray) -> float:
+    """Order statistics from the exact (value, count) histogram."""
+    order = np.argsort(values, kind="stable")
+    values, counts = values[order], counts[order]
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    if stat == "unique":
+        return float(len(values))
+    if n == 0:
+        return 0.0
+    def at(i):
+        return float(values[np.searchsorted(cum, i, side="right")])
+    if stat == "median":
+        size = n - 1
+        first = int(math.floor(0.5 * size))
+        second = first + 1 if (first <= size and size % 2 == 1) else first
+        return at(first) * 0.5 + at(second) * 0.5
+    if stat == "percentile":
+        return at(_percentile_index(p, n))
+    raise ValueError(stat)
+
+
+def _run(sf_dir: str, table: str, specs, facet_field: str | None):
+    """One moments pass + one histogram pass, shared across all
+    requested expressions (both lazy Datasets)."""
+    import ray.data as rd
+
+    cols: set = set()
+    for _, (stat, p, vs) in specs.items():
+        vs_columns(vs, cols)
+    read_cols = sorted(cols) + ([facet_field] if facet_field else [])
+    ds = rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                         columns=read_cols)
+
+    needs_hist = [(name, s) for name, s in specs.items()
+                  if s[0] in ("unique", "median", "percentile")]
+    moment_specs = [(name, s) for name, s in specs.items()
+                    if s[0] not in ("unique", "median", "percentile")]
+
+    def partials(batch: pa.Table) -> pa.Table:
+        arrs = {c: np.asarray(batch[c], dtype=np.float64)
+                for c in cols}
+        out = {}
+        if facet_field is not None:
+            fv = np.asarray(batch[facet_field]).astype(object)
+            uniq, inv = np.unique(fv, return_inverse=True)
+        else:
+            uniq, inv = np.array(["*"], dtype=object), \
+                np.zeros(len(batch), dtype=np.int64)
+        out["facet"] = pa.array(list(uniq), type=pa.string())
+        for name, (stat, _, vs) in moment_specs:
+            v = eval_vs(vs, arrs)
+            if np.isscalar(v) or getattr(v, "ndim", 1) == 0:
+                v = np.full(len(batch), float(v))
+            miss = ~np.isfinite(v) | np.isnan(v)
+            sums = np.zeros(len(uniq))
+            sumsq = np.zeros(len(uniq))
+            cnt = np.zeros(len(uniq))
+            mn = np.full(len(uniq), np.inf)
+            mx = np.full(len(uniq), -np.inf)
+            nmiss = np.zeros(len(uniq))
+            for g in range(len(uniq)):
+                vg = v[(inv == g) & ~miss]
+                sums[g] = vg.sum()
+                sumsq[g] = (vg * vg).sum()
+                cnt[g] = len(vg)
+                if len(vg):
+                    mn[g] = vg.min()
+                    mx[g] = vg.max()
+                nmiss[g] = int(((inv == g) & miss).sum())
+            out[f"{name}__sum"] = sums
+            out[f"{name}__sumsq"] = sumsq
+            out[f"{name}__cnt"] = cnt
+            out[f"{name}__min"] = mn
+            out[f"{name}__max"] = mx
+            out[f"{name}__miss"] = nmiss
+        return pa.table(out)
+
+    moments = None
+    if moment_specs:
+        import pandas as pd
+
+        parts = [b.to_pandas() for b in
+                 ds.map_batches(partials, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow", batch_size=None)
+                 if b.num_rows]
+        df = pd.concat(parts, ignore_index=True)
+        agg = {}
+        for name, _ in moment_specs:
+            agg[f"{name}__sum"] = "sum"
+            agg[f"{name}__sumsq"] = "sum"
+            agg[f"{name}__cnt"] = "sum"
+            agg[f"{name}__min"] = "min"
+            agg[f"{name}__max"] = "max"
+            agg[f"{name}__miss"] = "sum"
+        moments = df.groupby("facet").agg(agg)
+
+    hists = {}
+    for name, (stat, p, vs) in needs_hist:
+        def hv(batch: pa.Table, _vs=vs) -> pa.Table:
+            arrs = {c: np.asarray(batch[c], dtype=np.float64)
+                    for c in cols}
+            v = eval_vs(_vs, arrs)
+            t = {"val": pa.array(np.asarray(v, dtype=np.float64))}
+            if facet_field is not None:
+                t["facet"] = batch[facet_field]
+            else:
+                t["facet"] = pa.array(["*"] * len(batch),
+                                      type=pa.string())
+            return pa.table(t)
+
+        h = (ds.map_batches(hv, batch_format="pyarrow")
+             .groupby(["facet", "val"]).count())
+        parts = [b for b in h.iter_batches(batch_format="pyarrow",
+                                           batch_size=None)
+                 if b.num_rows]
+        hists[name] = pa.concat_tables(
+            parts, promote_options="default").to_pandas()
+    return moments, hists
+
+
+def _finalize(specs, moments, hists, facets):
+    rows = {}
+    for fv in facets:
+        row = {}
+        for name, (stat, p, vs) in specs.items():
+            if stat in ("unique", "median", "percentile"):
+                h = hists[name]
+                hh = h[h["facet"] == fv]
+                row[name] = _from_histogram(
+                    stat, p, hh["val"].to_numpy(),
+                    hh["count()"].to_numpy())
+                continue
+            m = moments.loc[fv]
+            s, ss = m[f"{name}__sum"], m[f"{name}__sumsq"]
+            c = m[f"{name}__cnt"]
+            if stat == "count":
+                row[name] = float(c)
+            elif stat == "missing":
+                row[name] = float(m[f"{name}__miss"])
+            elif stat == "sum":
+                row[name] = float(s)
+            elif stat == "sumofsquares":
+                row[name] = float(ss)
+            elif stat == "mean":
+                row[name] = float(s / c) if c else 0.0
+            elif stat == "stddev":
+                # NumericStatsCollector.java:65 (population form)
+                mean = s / c if c else 0.0
+                row[name] = 0.0 if c <= 1 else \
+                    math.sqrt(ss / c - mean * mean)
+            elif stat == "min":
+                row[name] = float(m[f"{name}__min"])
+            elif stat == "max":
+                row[name] = float(m[f"{name}__max"])
+            else:
+                raise ValueError(stat)
+        rows[fv] = row
+    return rows
+
+
+def analytics_stats(sf_dir: str, *, table: str,
+                    expressions: dict[str, str]) -> pa.Table:
+    """Whole-collection statistics request: one row, one column per
+    named expression (the o.<name>.s.<stat> response shape)."""
+    specs = {n: parse_stat(e) for n, e in expressions.items()}
+    moments, hists = _run(sf_dir, table, specs, None)
+    rows = _finalize(specs, moments, hists, ["*"])
+    row = rows["*"]
+    return pa.table({n: pa.array([row[n]], type=pa.float64())
+                     for n in expressions})
+
+
+def analytics_field_facet(sf_dir: str, *, table: str, facet_field: str,
+                          expressions: dict[str, str]) -> pa.Table:
+    """FieldFacetRequest: every statistic broken down per facet value,
+    facet values ascending (the contrib's default sort)."""
+    specs = {n: parse_stat(e) for n, e in expressions.items()}
+    moments, hists = _run(sf_dir, table, specs, facet_field)
+    if moments is not None:
+        facets = sorted(moments.index)
+    else:
+        facets = sorted(set().union(
+            *[set(h["facet"]) for h in hists.values()]))
+    rows = _finalize(specs, moments, hists, facets)
+    cols = {facet_field: pa.array(facets, type=pa.string())}
+    for n in expressions:
+        cols[n] = pa.array([rows[f][n] for f in facets],
+                           type=pa.float64())
+    return pa.table(cols)
+
+
+# --------------------------------------------------------------- SQL twins
+
+def _stat_sql(stat: str, p, vs, where: str) -> str:
+    e = vs_sql(vs)
+    if stat == "count":
+        return f"(SELECT CAST(count({e}) AS DOUBLE) FROM src)"
+    if stat == "missing":
+        return (f"(SELECT CAST(count(*) - count({e}) AS DOUBLE) "
+                f"FROM src)")
+    if stat == "sum":
+        return f"(SELECT CAST(sum({e}) AS DOUBLE) FROM src)"
+    if stat == "sumofsquares":
+        return f"(SELECT CAST(sum({e} * {e}) AS DOUBLE) FROM src)"
+    if stat == "mean":
+        return (f"(SELECT CAST(sum({e}) AS DOUBLE) / count({e}) "
+                f"FROM src)")
+    if stat == "stddev":
+        return (f"(SELECT sqrt(CAST(sum({e} * {e}) AS DOUBLE) / "
+                f"count({e}) - (CAST(sum({e}) AS DOUBLE) / count({e}))"
+                f" * (CAST(sum({e}) AS DOUBLE) / count({e}))) "
+                f"FROM src)")
+    if stat == "min":
+        return f"(SELECT CAST(min({e}) AS DOUBLE) FROM src)"
+    if stat == "max":
+        return f"(SELECT CAST(max({e}) AS DOUBLE) FROM src)"
+    if stat == "unique":
+        return (f"(SELECT CAST(count(DISTINCT {e}) AS DOUBLE) "
+                f"FROM src)")
+    if stat == "median":
+        # MedianCalculator.java:30-43 over the ascending sort
+        return f"""(
+WITH s AS (SELECT CAST({e} AS DOUBLE) AS x,
+                  row_number() OVER (ORDER BY CAST({e} AS DOUBLE)) - 1
+                  AS r FROM src),
+n AS (SELECT count(*) AS c FROM src)
+SELECT (SELECT x FROM s WHERE r = CAST(floor(0.5 * (c - 1)) AS BIGINT))
+       * 0.5 +
+       (SELECT x FROM s WHERE r = CASE
+          WHEN (c - 1) % 2 = 1
+          THEN CAST(floor(0.5 * (c - 1)) AS BIGINT) + 1
+          ELSE CAST(floor(0.5 * (c - 1)) AS BIGINT) END) * 0.5
+FROM n)"""
+    if stat == "percentile":
+        # PercentileCalculator.java:38-41: element at floor(p*n)
+        return f"""(
+WITH s AS (SELECT CAST({e} AS DOUBLE) AS x,
+                  row_number() OVER (ORDER BY CAST({e} AS DOUBLE)) - 1
+                  AS r FROM src),
+n AS (SELECT count(*) AS c FROM src)
+SELECT (SELECT x FROM s WHERE r = CAST(floor({p!r} * c) AS BIGINT))
+FROM n)"""
+    raise ValueError(stat)
+
+
+def analytics_stats_sql(*, table: str,
+                        expressions: dict[str, str]) -> str:
+    specs = {n: parse_stat(e) for n, e in expressions.items()}
+    sel = ", ".join(f"{_stat_sql(s, p, vs, '')} AS {n}"
+                    for n, (s, p, vs) in specs.items())
+    return f"WITH src AS (SELECT * FROM {table}) SELECT {sel}"
+
+
+def analytics_field_facet_sql(*, table: str, facet_field: str,
+                              expressions: dict[str, str]) -> str:
+    """Per-facet twin: the same stat bodies, with src restricted per
+    facet value via a correlated lateral."""
+    specs = {n: parse_stat(e) for n, e in expressions.items()}
+    parts = []
+    for n, (s, p, vs) in specs.items():
+        body = _stat_sql(s, p, vs, "")
+        body = body.replace(
+            "FROM src", f"FROM (SELECT * FROM {table} t2 "
+            f"WHERE t2.{facet_field} = f.{facet_field}) src")
+        parts.append(f"{body} AS {n}")
+    sel = ", ".join(parts)
+    return (f"SELECT f.{facet_field}, {sel} FROM "
+            f"(SELECT DISTINCT {facet_field} FROM {table}) f "
+            f"ORDER BY f.{facet_field}")

@@ -2891,6 +2891,55 @@ ORDER BY doc_id ASC LIMIT {k}
 """
 
 
+_ANALYTICS_EX = {
+    "qty_count": "count(l_quantity)", "qty_sum": "sum(l_quantity)",
+    "qty_mean": "mean(l_quantity)", "qty_stddev": "stddev(l_quantity)",
+    "qty_median": "median(l_quantity)", "qty_unique": "unique(l_quantity)",
+    "qty_p25": "percentile(25, l_quantity)", "qty_min": "min(l_quantity)",
+    "qty_max": "max(l_quantity)",
+    # value-source math: dyadic constant keeps every aggregate exact
+    "qty_boost": "sum(mult(l_quantity, const_num(2.5)))",
+}
+_ANALYTICS_FEX = {
+    "qty_count": "count(l_quantity)", "qty_mean": "mean(l_quantity)",
+    "qty_median": "median(l_quantity)",
+    "qty_p75": "percentile(75, l_quantity)",
+}
+
+
+def _q_analytics_stats(sf_dir):
+    """AnalyticsComponent whole-collection statistics (solr/contrib/
+    analytics `olap` request: statistic(valuesource) expressions)."""
+    from ..ops.analytics import analytics_stats
+
+    return analytics_stats(sf_dir, table="lineitem",
+                           expressions=_ANALYTICS_EX)
+
+
+def _q_analytics_facet(sf_dir):
+    """AnalyticsComponent FieldFacetRequest: per-facet-value stats."""
+    from ..ops.analytics import analytics_field_facet
+
+    return analytics_field_facet(sf_dir, table="lineitem",
+                                 facet_field="l_returnflag",
+                                 expressions=_ANALYTICS_FEX)
+
+
+def _analytics_stats_oracle() -> str:
+    from ..ops.analytics import analytics_stats_sql
+
+    return analytics_stats_sql(table="lineitem",
+                               expressions=_ANALYTICS_EX)
+
+
+def _analytics_facet_oracle() -> str:
+    from ..ops.analytics import analytics_field_facet_sql
+
+    return analytics_field_facet_sql(table="lineitem",
+                                     facet_field="l_returnflag",
+                                     expressions=_ANALYTICS_FEX)
+
+
 _GEO3D_PATH = [(10.0, 20.0), (30.0, 60.0), (20.0, 100.0)]
 
 
@@ -5237,6 +5286,8 @@ def build_queries() -> dict:
         "ft_span_within": _q_span_within("fast", "table", "scan", 6),
         "ft_span_position_range": _q_span_position_range("scan", 5, 15),
         "geo_bbox": _q_geo_bbox,
+        "analytics_stats": _q_analytics_stats,
+        "analytics_facet": _q_analytics_facet,
         "geo3d_circle": _q_geo3d_circle,
         "geo3d_path": _q_geo3d_path,
         "geo_distance": _q_geo_distance,
@@ -5548,6 +5599,8 @@ FROM bfs WHERE kind = 'c' AND node = 2
         "ft_span_position_range": _span_position_range_sql("scan", 5, 15,
                                                            20),
         "geo_bbox": _geo_bbox_sql(),
+        "analytics_stats": _analytics_stats_oracle(),
+        "analytics_facet": _analytics_facet_oracle(),
         "geo3d_circle": _geo3d_circle_oracle(),
         "geo3d_path": _geo3d_path_oracle(),
         "geo_distance": _geo_distance_sql(),

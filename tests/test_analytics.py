@@ -1,0 +1,102 @@
+"""AnalyticsComponent analogue (ops/analytics.py): expression parser,
+reference numeric semantics (population stddev, selection median /
+percentile), value-source math, and DuckDB identity for stats + facet
+requests."""
+
+import math
+
+import duckdb
+import numpy as np
+import pytest
+
+from lucene_solr_ray.ops.analytics import (
+    _from_histogram, analytics_field_facet, analytics_field_facet_sql,
+    analytics_stats, analytics_stats_sql, eval_vs, parse_stat, vs_sql)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def test_parse_and_eval_value_sources():
+    stat, p, vs = parse_stat("sum(add(a, mult(b, const_num(2)), neg(c)))")
+    assert stat == "sum" and p is None
+    batch = {"a": np.array([1.0, 2.0]), "b": np.array([3.0, 4.0]),
+             "c": np.array([5.0, 6.0])}
+    assert eval_vs(vs, batch).tolist() == [1 + 6 - 5, 2 + 8 - 6]
+    assert vs_sql(vs) == "(a + (b * 2.0) + (-c))"
+    stat, p, vs = parse_stat("percentile(25, x)")
+    assert stat == "percentile" and p == 0.25
+    with pytest.raises(ValueError):
+        parse_stat("bogus(x)")
+
+
+def test_median_and_percentile_reference_semantics():
+    """MedianCalculator.java: n=4 sorted [1,2,3,5] → size=3,
+    first=1, second=2 → 2*.5+3*.5 = 2.5; n=5 [1,2,3,5,9] → size=4,
+    first=2, second=2 → 3. PercentileCalculator: idx = floor(p*n)."""
+    v = np.array([1.0, 2.0, 3.0, 5.0])
+    c = np.ones(4)
+    assert _from_histogram("median", None, v, c) == 2.5
+    v5 = np.array([1.0, 2.0, 3.0, 5.0, 9.0])
+    assert _from_histogram("median", None, v5, np.ones(5)) == 3.0
+    assert _from_histogram("percentile", 0.5, v5, np.ones(5)) == 3.0
+    assert _from_histogram("percentile", 0.8, v5, np.ones(5)) == 9.0
+    assert _from_histogram("unique", None, v, np.array([2, 1, 1, 4.0])) \
+        == 4.0
+
+
+def test_population_stddev(con, ray_session):
+    """NumericStatsCollector.java:65 — sqrt(ss/n - mean²), NOT the
+    sample form."""
+    t = analytics_stats(SF, table="lineitem",
+                        expressions={"sd": "stddev(l_quantity)"})
+    q = con.execute("SELECT stddev_pop(l_quantity) FROM lineitem") \
+        .fetchone()[0]
+    assert math.isclose(t["sd"][0].as_py(), q, rel_tol=1e-12)
+
+
+def test_stats_match_duckdb(con, ray_session):
+    ex = {"c": "count(l_quantity)", "s": "sum(l_quantity)",
+          "m": "mean(l_quantity)", "sd": "stddev(l_quantity)",
+          "md": "median(l_quantity)", "u": "unique(l_quantity)",
+          "p25": "percentile(25, l_quantity)", "mn": "min(l_quantity)",
+          "mx": "max(l_quantity)",
+          "b": "sum(mult(l_quantity, const_num(2.5)))"}
+    mine = analytics_stats(SF, table="lineitem", expressions=ex) \
+        .to_pandas()
+    ref = con.execute(
+        analytics_stats_sql(table="lineitem", expressions=ex)).fetchdf()
+    for c in ex:
+        assert mine[c][0] == ref[c][0], c
+
+
+def test_field_facet_matches_duckdb(con, ray_session):
+    ex = {"c": "count(l_quantity)", "m": "mean(l_quantity)",
+          "md": "median(l_quantity)",
+          "p75": "percentile(75, l_quantity)"}
+    mine = analytics_field_facet(
+        SF, table="lineitem", facet_field="l_returnflag",
+        expressions=ex).to_pandas()
+    ref = con.execute(analytics_field_facet_sql(
+        table="lineitem", facet_field="l_returnflag",
+        expressions=ex)).fetchdf()
+    assert list(mine["l_returnflag"]) == list(ref["l_returnflag"])
+    for c in ex:
+        assert mine[c].tolist() == ref[c].tolist(), c
+
+
+def test_histogram_only_facet_request(ray_session):
+    """A facet request with ONLY order statistics exercises the
+    moments=None path."""
+    t = analytics_field_facet(
+        SF, table="lineitem", facet_field="l_linestatus",
+        expressions={"md": "median(l_quantity)"})
+    assert t.num_rows >= 2 and t["md"][0].as_py() > 0
