@@ -2891,6 +2891,48 @@ ORDER BY doc_id ASC LIMIT {k}
 """
 
 
+def _q_maxscore(qstr, tie, k=10):
+    """{!maxscore} (MaxScoreQParserPlugin): flat classic disjunction
+    scored max() + tie, through the local-params front door."""
+    def run(sf_dir):
+        from ..search.localparams import resolve_query
+
+        return _topk_table(_searcher(sf_dir).search(
+            resolve_query(qstr), k=k))
+    return run
+
+
+def _q_collapse_qparser(term, field, k=10):
+    """{!collapse field=...}: best-scoring doc per doc-values group."""
+    def run(sf_dir):
+        from ..search.localparams import resolve_query
+
+        q = resolve_query(f"{{!collapse field={field}}}")
+        q["q"] = {"type": "term", "term": term}
+        return _topk_table(_searcher(sf_dir).search(q, k=k))
+    return run
+
+
+def _collapse_sql(term: str, field: str, k: int) -> str:
+    """Twin: BM25 per doc, then the (score desc, doc asc) head of each
+    group of the doc-values field."""
+    return f"""
+WITH {_tok_ctes()},
+tf AS (SELECT doc_id, count(*) AS tf FROM clean
+       WHERE term = '{term}' GROUP BY doc_id),
+dfx AS (SELECT count(*) AS df FROM tf),
+base AS (SELECT tf.doc_id AS doc_id,
+                {_bm25_expr('tf.tf', 'dl.dl', 'dfx.df')} AS score
+         FROM tf JOIN dl ON tf.doc_id = dl.doc_id, dfx, stats s),
+g AS (SELECT b.doc_id, b.score, d.{field} AS grp FROM base b
+      JOIN documents d ON b.doc_id = d.doc_id),
+scored AS (SELECT doc_id, score FROM g
+           QUALIFY row_number() OVER (PARTITION BY grp
+                    ORDER BY score DESC, doc_id ASC) = 1)
+{_sql_topk('scored', k)}
+"""
+
+
 _ANALYTICS_EX = {
     "qty_count": "count(l_quantity)", "qty_sum": "sum(l_quantity)",
     "qty_mean": "mean(l_quantity)", "qty_stddev": "stddev(l_quantity)",
@@ -5286,6 +5328,8 @@ def build_queries() -> dict:
         "ft_span_within": _q_span_within("fast", "table", "scan", 6),
         "ft_span_position_range": _q_span_position_range("scan", 5, 15),
         "geo_bbox": _q_geo_bbox,
+        "ft_maxscore": _q_maxscore("{!maxscore tie=0.3}table OR customer OR vector", 0.3),
+        "ft_collapse": _q_collapse_qparser("table", "lang"),
         "analytics_stats": _q_analytics_stats,
         "analytics_facet": _q_analytics_facet,
         "geo3d_circle": _q_geo3d_circle,
@@ -5599,6 +5643,8 @@ FROM bfs WHERE kind = 'c' AND node = 2
         "ft_span_position_range": _span_position_range_sql("scan", 5, 15,
                                                            20),
         "geo_bbox": _geo_bbox_sql(),
+        "ft_maxscore": _dismax_sql(["table", "customer", "vector"], 0.3, 10),
+        "ft_collapse": _collapse_sql("table", "lang", 10),
         "analytics_stats": _analytics_stats_oracle(),
         "analytics_facet": _analytics_facet_oracle(),
         "geo3d_circle": _geo3d_circle_oracle(),

@@ -58,10 +58,10 @@ def resolve_query(q: str) -> dict:
     marker dicts the pipeline layer executes)."""
     ptype, params, body = parse_local_params(q)
     if ptype in ("lucene", "edismax", "simple", "complexphrase",
-                 "surround"):
+                 "surround", "xml"):
         type_map = {"lucene": "parsed", "edismax": "edismax",
                     "simple": "simple", "complexphrase": "complex_phrase",
-                    "surround": "surround"}
+                    "surround": "surround", "xml": "xml"}
         return {"type": type_map[ptype], "q": body}
     if ptype == "term":
         f = params.get("f", "text")
@@ -134,6 +134,103 @@ def resolve_query(q: str) -> dict:
         # a marker the pipeline layer executes through the expression
         # machinery (like func/frange)
         return {"type": "boost_expr", "b": params["b"],
+                "q": resolve_query(body)}
+    if ptype == "lucenePlusSort":
+        # OldLuceneQParserPlugin: classic syntax with an embedded
+        # trailing ';sort' clause (legacy); the sort part is a marker
+        if ";" in body:
+            qpart, sort = body.split(";", 1)
+            return {"type": "parsed", "q": qpart.strip(),
+                    "sort": sort.strip()}
+        return {"type": "parsed", "q": body}
+    if ptype == "query":
+        # NestedQParserPlugin (NAME "query"): delegate to whatever
+        # parser the body (usually via v=$ref) selects
+        return resolve_query(body)
+    if ptype == "terms":
+        # TermsQParserPlugin: set membership, constant score
+        f = params.get("f", "text")
+        sep = params.get("separator", ",")
+        vals = [t.strip() for t in body.split(sep) if t.strip()]
+        if f == "text":
+            return {"type": "terms_set", "terms": vals}
+        return {"type": "tree", "node": {"type": "bool", "clauses": [
+            ("SHOULD", {"type": "field_term", "field": f, "value": v})
+            for v in vals]}}
+    if ptype == "dismax":
+        # DisMaxQParserPlugin: edismax is its superset — same qf/tie
+        # machinery without the extended syntax
+        q = {"type": "edismax", "q": body}
+        if "qf" in params:
+            qf = []
+            for part in params["qf"].split():
+                name, _, b = part.partition("^")
+                qf.append((name, float(b) if b else 1.0))
+            q["qf"] = qf
+        if "tie" in params:
+            q["tie"] = float(params["tie"])
+        if "mm" in params:
+            q["mm"] = params["mm"]
+        return q
+    if ptype == "maxscore":
+        # MaxScoreQParserPlugin: SHOULD clauses score max() not sum()
+        return {"type": "maxscore", "q": body,
+                "tie": float(params.get("tie", "0"))}
+    if ptype == "geofilt":
+        # SpatialFilterQParserPlugin: distance post-filter around pt;
+        # sfield names the lat,lon doc-values column pair
+        la, lo = (params.get("sfield", "lat,lon").split(",") + ["lon"])[:2]
+        plat, plon = (float(x) for x in params["pt"].split(","))
+        return {"type": "geofilt", "lat_field": la.strip(),
+                "lon_field": lo.strip(), "pt": (plat, plon),
+                "d": float(params["d"])}
+    if ptype == "bbox":
+        # SpatialBoxQParserPlugin: the bounding box of the same circle
+        la, lo = (params.get("sfield", "lat,lon").split(",") + ["lon"])[:2]
+        plat, plon = (float(x) for x in params["pt"].split(","))
+        return {"type": "geo_bbox", "lat_field": la.strip(),
+                "lon_field": lo.strip(), "pt": (plat, plon),
+                "d": float(params["d"])}
+    if ptype == "mlt":
+        # MLTQParserPlugin: the stream.body form — the body IS the seed
+        # content (the by-uniqueKey form needs the stored corpus and
+        # lives in the pipeline layer, _q_more_like_this)
+        return {"type": "mlt", "text": body,
+                "max_terms": int(params.get("maxqt", "5"))}
+    if ptype == "rerank":
+        # ReRankQParserPlugin (solr:search/ReRankQParserPlugin.java:48)
+        return {"type": "rerank", "q": resolve_query(body),
+                "rq": resolve_query(params["reRankQuery"]),
+                "docs": int(params.get("reRankDocs", "200")),
+                "weight": float(params.get("reRankWeight", "2.0"))}
+    if ptype == "export":
+        # ExportQParserPlugin: full sorted stream of every match
+        field, _, direction = params.get("sort", "doc_id asc") \
+            .partition(" ")
+        return {"type": "export", "q": resolve_query(body) if body
+                else {"type": "match_all"},
+                "field": field,
+                "descending": direction.strip() == "desc"}
+    if ptype == "hash":
+        # HashQParserPlugin: murmur3 partition filter (workers/worker)
+        return {"type": "hash", "workers": int(params["workers"]),
+                "worker": int(params["worker"]),
+                "q": resolve_query(body) if body
+                else {"type": "match_all"}}
+    if ptype == "collapse":
+        # CollapsingQParserPlugin: keep the best-scoring doc per group
+        # head (default sort: score desc, doc asc)
+        return {"type": "collapse", "field": params["field"]}
+    if ptype == "parent":
+        # BlockJoinParentQParserPlugin: which= identifies parents,
+        # body matches children; requires block-contiguous indexing
+        return {"type": "block_parent", "which": params["which"],
+                "q": resolve_query(body),
+                "score": params.get("score", "none")}
+    if ptype == "child":
+        # BlockJoinChildQParserPlugin: of= identifies parents, body
+        # matches parents; emits their children
+        return {"type": "block_child", "of": params["of"],
                 "q": resolve_query(body)}
     raise ValueError(f"unknown query parser {ptype!r}")
 

@@ -1780,6 +1780,212 @@ class IndexSearcher:
         return self._finalize([docs], [np.full(len(docs), 1.0,
                                                dtype=dtype)], k)
 
+    _EVAL_NODE_TYPES = frozenset({
+        "term", "phrase", "span_near", "span_near_multi", "match_all",
+        "field_term", "boost", "bool", "match_none"})
+
+    def _eval_any(self, query: dict):
+        """(sorted doc_ids, float64 scores) over ALL matches for ANY
+        dispatchable query: tree-executable nodes go straight through
+        eval_node, parser markers run the full dispatch uncapped."""
+        if query["type"] in self._EVAL_NODE_TYPES:
+            return self.eval_node(query)
+        t = self._search_uncached(query, k=self.num_docs)
+        d = np.asarray(t["doc_id"], dtype=np.int64)
+        s = np.asarray(t["score"], dtype=np.float64)
+        o = np.argsort(d)
+        return d[o], s[o]
+
+    def search_maxscore(self, q: str, k: int = 10,
+                        tie: float = 0.0) -> pa.Table:
+        """MaxScoreQParserPlugin (solr:search/MaxScoreQParserPlugin.java):
+        classic syntax whose SHOULD clauses score max() instead of
+        sum() — a flat disjunction rewrites to DisjunctionMax with the
+        given tie. Nested/MUST shapes are out of this parser's point
+        and rejected."""
+        from .queryparser import parse_query
+
+        node = parse_query(q)
+        if node["type"] == "term":
+            terms = [node["term"]]
+        elif node["type"] == "bool" and all(
+                occ == "SHOULD" and c["type"] == "term"
+                for occ, c in node.get("clauses", [])):
+            terms = [c["term"] for _, c in node["clauses"]]
+        else:
+            raise ValueError("{!maxscore} supports flat term "
+                             "disjunctions")
+        return self.search_dismax(terms, k, tiebreaker=tie)
+
+    def search_geo_box(self, lat_field: str, lon_field: str,
+                       lat: float, lon: float, radius_km: float,
+                       k: int = 10) -> pa.Table:
+        """SpatialBoxQParserPlugin ({!bbox}): the bounding box of the
+        {!geofilt} circle — doc-values lat/lon window test, constant
+        score, ties doc_id asc. Dateline-aware like the reference's
+        SpatialUtils.calcBoxByDistFromPtDEG."""
+        ids, lats = self.global_doc_values(lat_field)
+        _, lons = self.global_doc_values(lon_field)
+        dlat = radius_km / 110.567
+        lat_lo, lat_hi = lat - dlat, lat + dlat
+        worst = min(90.0, max(abs(lat_lo), abs(lat_hi)))
+        import math as _m
+
+        coslat = _m.cos(worst * _m.pi / 180.0)
+        dlon = 180.0 if coslat <= 1e-9 else radius_km / (110.567 * coslat)
+        m = (lats >= lat_lo) & (lats <= lat_hi)
+        if dlon < 180.0:
+            lo, hi = lon - dlon, lon + dlon
+            if lo >= -180.0 and hi <= 180.0:
+                m &= (lons >= lo) & (lons <= hi)
+            else:
+                m &= (lons >= ((lo + 540.0) % 360.0) - 180.0) \
+                    | (lons <= ((hi + 540.0) % 360.0) - 180.0)
+        docs = ids[m][: max(k, 0)]
+        dtype = np.float32 if self.mode == "lucene32" else np.float64
+        return self._finalize([docs], [np.full(len(docs), 1.0,
+                                               dtype=dtype)], k)
+
+    def search_rerank(self, base: dict, rq: dict, k: int = 10, *,
+                      rerank_docs: int = 200,
+                      weight: float = 2.0) -> pa.Table:
+        """ReRankQuery (solr:search/ReRankQParserPlugin.java:48,
+        ReRankCollector): top ``rerank_docs`` of the base query get
+        ``weight ×`` the rerank query's score added, then final
+        top-k."""
+        t = self.search(base, k=self.num_docs)
+        docs = np.asarray(t["doc_id"], dtype=np.int64)
+        bs = np.asarray(t["score"], dtype=np.float64)
+        cut = np.lexsort((docs, -bs))[:rerank_docs]
+        docs, bs = docs[cut], bs[cut]
+        o0 = np.argsort(docs)
+        docs, bs = docs[o0], bs[o0]
+        d2, s2 = self._eval_any(rq)
+        if len(d2):
+            idx = np.clip(np.searchsorted(d2, docs), 0, len(d2) - 1)
+            add = np.where(d2[idx] == docs, s2[idx], 0.0)
+        else:
+            add = np.zeros(len(docs))
+        score = bs + weight * add
+        order = np.lexsort((docs, -score))[:k]
+        dtype = np.float32 if self.mode == "lucene32" else np.float64
+        return self._finalize([docs[order]],
+                              [score[order].astype(dtype)], len(order))
+
+    def search_hash_partition(self, query: dict, workers: int,
+                              worker: int, k: int = 10) -> pa.Table:
+        """HashQParserPlugin: keep the subset of the query's matches
+        whose murmur3(uniqueKey) lands on this worker —
+        ``(hash & 0x7fffffff) % workers == worker``, the reference's
+        partitioning contract (every doc on exactly one worker)."""
+        from ..state.router import murmur3_x86_32
+
+        d, s = self._eval_any(query)
+        if len(d):
+            h = np.array([(murmur3_x86_32(str(int(i)).encode())
+                           & 0x7FFFFFFF) % workers for i in d])
+            keep = h == worker
+            d, s = d[keep], s[keep]
+        dtype = np.float32 if self.mode == "lucene32" else np.float64
+        return self._finalize([d], [s.astype(dtype)], k)
+
+    def search_collapse(self, query: dict, field: str,
+                        k: int = 10) -> pa.Table:
+        """CollapsingQParserPlugin (solr:search/CollapsingQParserPlugin
+        .java): one doc per group head — the best (score desc, doc asc)
+        match per value of a doc-values field; docs without a value
+        survive uncollapsed (nullPolicy=expand semantics)."""
+        d, s = self._eval_any(query)
+        if not len(d):
+            return self._finalize([], [], k)
+        ids, vals = self.global_doc_values(field)
+        pos = np.searchsorted(ids, d)
+        pos = np.clip(pos, 0, len(ids) - 1)
+        has = ids[pos] == d
+        gvals = np.where(has, vals[pos], None)
+        order = np.lexsort((d, -s))
+        seen = set()
+        keep = []
+        for i in order:
+            g = gvals[i]
+            if g is None:
+                keep.append(i)
+            elif g not in seen:
+                seen.add(g)
+                keep.append(i)
+        keep = np.array(sorted(keep, key=lambda i: (-s[i], d[i])),
+                        dtype=np.int64)[:k]
+        dtype = np.float32 if self.mode == "lucene32" else np.float64
+        return self._finalize([d[keep]], [s[keep].astype(dtype)],
+                              len(keep))
+
+    def _parents_of(self, which: str) -> np.ndarray:
+        field, _, value = which.partition(":")
+        return np.sort(self.filter_docs(field, value))
+
+    def search_block_join_parent(self, which: str, child_query: dict,
+                                 k: int = 10, *,
+                                 score_mode: str = "none") -> pa.Table:
+        """ToParentBlockJoinQuery (lucene/join/.../ToParentBlockJoinQuery
+        .java:82-110) over block-contiguous indexing: children are
+        indexed with ascending doc ids immediately BEFORE their parent
+        (the addDocuments block contract); ``which`` (field:value)
+        filters parents. Each matching child joins to the first parent
+        doc id greater than its own; ScoreMode none/total/max/avg fold
+        the children's scores."""
+        parents = self._parents_of(which)
+        if not len(parents):
+            return self._finalize([], [], k)
+        d, s = self._eval_any(child_query)
+        if len(d):
+            in_parent = np.isin(d, parents, assume_unique=True)
+            d, s = d[~in_parent], s[~in_parent]
+        if not len(d):
+            return self._finalize([], [], k)
+        slot = np.searchsorted(parents, d, side="right")
+        ok = slot < len(parents)
+        d, s, slot = d[ok], s[ok], slot[ok]
+        uniq, inv = np.unique(slot, return_inverse=True)
+        if score_mode == "none":
+            sc = np.ones(len(uniq))
+        elif score_mode == "total":
+            sc = np.bincount(inv, weights=s)
+        elif score_mode == "max":
+            sc = np.full(len(uniq), -np.inf)
+            np.maximum.at(sc, inv, s)
+        elif score_mode == "avg":
+            sc = np.bincount(inv, weights=s) / np.bincount(inv)
+        else:
+            raise ValueError(score_mode)
+        dtype = np.float32 if self.mode == "lucene32" else np.float64
+        return self._finalize([parents[uniq]], [sc.astype(dtype)], k)
+
+    def search_block_join_child(self, of: str, parent_query: dict,
+                                k: int = 10) -> pa.Table:
+        """ToChildBlockJoinQuery: parents matching the query emit their
+        block's children (docs between the previous parent and the
+        parent), each carrying the parent's score."""
+        parents = self._parents_of(of)
+        d, s = self._eval_any(parent_query)
+        if len(d):
+            keep = np.isin(d, parents, assume_unique=True)
+            d, s = d[keep], s[keep]
+        if not len(d):
+            return self._finalize([], [], k)
+        all_ids = self._global_dl()[0]
+        out_d, out_s = [], []
+        for pid, ps in zip(d, s):
+            i = np.searchsorted(parents, pid)
+            lo = parents[i - 1] if i > 0 else -1
+            kids = all_ids[(all_ids > lo) & (all_ids < pid)]
+            kids = kids[~np.isin(kids, parents, assume_unique=True)]
+            out_d.append(kids)
+            out_s.append(np.full(len(kids), ps))
+        dtype = np.float32 if self.mode == "lucene32" else np.float64
+        return self._finalize(
+            [np.concatenate(out_d)],
+            [np.concatenate(out_s).astype(dtype)], k)
+
     def search_sort_by_field(self, query: dict, field: str, k: int = 10,
                              *, descending: bool = True) -> pa.Table:
         """Sort / TopFieldCollector (core:search/SortField.java:38-89):
@@ -2225,6 +2431,50 @@ class IndexSearcher:
                 query["field"], query.get("lo"), query.get("hi"), k,
                 include_lo=query.get("include_lo", True),
                 include_hi=query.get("include_hi", True))
+        if qt == "maxscore":
+            return self.search_maxscore(query["q"], k,
+                                        tie=query.get("tie", 0.0))
+        if qt == "geofilt":
+            lat, lon = query["pt"]
+            return self.search_geo_distance(
+                query["lat_field"], query["lon_field"], lat, lon,
+                query["d"], k=k)
+        if qt == "geo_bbox":
+            lat, lon = query["pt"]
+            return self.search_geo_box(
+                query["lat_field"], query["lon_field"], lat, lon,
+                query["d"], k=k)
+        if qt == "mlt":
+            return self.search_more_like_this(
+                query["text"], k, max_terms=query.get("max_terms", 5))
+        if qt == "rerank":
+            return self.search_rerank(
+                query["q"], query["rq"], k,
+                rerank_docs=query.get("docs", 200),
+                weight=query.get("weight", 2.0))
+        if qt == "export":
+            return self.search_sort_by_field(
+                query["q"], query["field"], k=self.num_docs,
+                descending=query.get("descending", False))
+        if qt == "hash":
+            return self.search_hash_partition(
+                query["q"], query["workers"], query["worker"], k)
+        if qt == "collapse":
+            return self.search_collapse(
+                query.get("q", {"type": "match_all"}),
+                query["field"], k)
+        if qt == "block_parent":
+            return self.search_block_join_parent(
+                query["which"], query["q"], k,
+                score_mode=query.get("score", "none"))
+        if qt == "block_child":
+            return self.search_block_join_child(
+                query["of"], query["q"], k)
+        if qt == "match_all":
+            ids = self._global_dl()[0]
+            dtype = np.float32 if self.mode == "lucene32" else np.float64
+            return self._finalize(
+                [ids], [np.full(len(ids), 1.0, dtype=dtype)], k)
         raise ValueError(f"unknown query type {qt}")
 
     def _finalize(self, all_docs, all_scores, k: int) -> pa.Table:

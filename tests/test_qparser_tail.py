@@ -1,0 +1,230 @@
+"""The QParserPlugin.standardPlugins tail (QParserPlugin.java:44-76):
+every registered parser name now resolves through local params and
+executes — terms/query/dismax/maxscore/lucenePlusSort rewrite onto
+existing machinery; geofilt/bbox run over doc-values coordinates;
+rerank/export/hash/collapse and the block-join parent/child pair get
+dedicated searcher paths."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_solr_ray.index import build_index
+from lucene_solr_ray.search import IndexSearcher
+from lucene_solr_ray.search.localparams import resolve_query
+
+
+# ------------------------------------------------------------ resolution
+
+def test_all_standard_plugin_names_resolve():
+    cases = {
+        "{!lucene}fast table": "parsed",
+        "{!lucenePlusSort}fast table; score desc": "parsed",
+        "{!term f=text}fast": "term",
+        "{!prefix}fa": "prefix",
+        "{!func}recip(dl,1,100,100)": "func",
+        "{!frange l=0 u=1}recip(dl,1,100,100)": "frange",
+        "{!field f=text}Fast": "term",
+        "{!raw}Fast": "term",
+        "{!switch case.x='{!term}a' default='{!term}b'}x": "term",
+        "{!boost b=recip(dl,1,100,100)}{!term}fast": "boost_expr",
+        "{!bool must='{!term}fast'}": "tree",
+        "{!join from=a to=b}x": "join",
+        "{!terms f=text}a,b,c": "terms_set",
+        "{!query v='{!term}fast'}": "term",
+        "{!dismax qf='text^2'}fast": "edismax",
+        "{!maxscore tie=0.1}fast OR table": "maxscore",
+        "{!geofilt sfield=lat,lon pt=48.8,2.3 d=100}": "geofilt",
+        "{!bbox sfield=lat,lon pt=48.8,2.3 d=100}": "geo_bbox",
+        "{!mlt maxqt=3}seed text here": "mlt",
+        "{!rerank reRankQuery='{!term}fast' reRankDocs=10 "
+        "reRankWeight=2}{!term}table": "rerank",
+        "{!export sort='n_chars desc'}{!term}fast": "export",
+        "{!hash workers=2 worker=0}{!term}fast": "hash",
+        "{!collapse field=lang}": "collapse",
+        "{!parent which=kind:parent score=total}{!term}red":
+            "block_parent",
+        "{!child of=kind:parent}{!term}blue": "block_child",
+        "{!edismax}fast": "edismax", "{!simple}fast": "simple",
+        "{!complexphrase}\"fa* table\"": "complex_phrase",
+        "{!surround}fast 3w table": "surround",
+        "{!xml}<TermQuery>fast</TermQuery>": "xml",
+    }
+    for qs, want in cases.items():
+        assert resolve_query(qs)["type"] == want, qs
+
+
+def test_terms_and_dismax_resolution_details():
+    t = resolve_query("{!terms f=lang separator=';'}de;fr")
+    kinds = [c for _, c in t["node"]["clauses"]]
+    assert all(c["type"] == "field_term" for c in kinds)
+    assert [c["value"] for c in kinds] == ["de", "fr"]
+    d = resolve_query("{!dismax qf='text^2 title' tie=0.3}fast")
+    assert d["qf"] == [("text", 2.0), ("title", 1.0)]
+    assert d["tie"] == 0.3
+
+
+# ----------------------------------------------------------- block joins
+
+@pytest.fixture(scope="module")
+def block_index(tmp_path_factory, ray_session):
+    """addDocuments block contract: children first, parent LAST, all
+    contiguous. Block 1 = docs 1,2 + parent 3; block 2 = 4,5,6 + 7."""
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6, 7], type=pa.int64()),
+        "content": ["red apple", "green pear", "basket one",
+                    "red cherry", "red plum", "yellow lemon",
+                    "basket two"],
+        "kind": ["child", "child", "parent", "child", "child",
+                 "child", "parent"],
+    })
+    out = str(tmp_path_factory.mktemp("blocks") / "idx")
+    build_index(t, out, keyword_cols=("kind",), batch_rows=7)
+    return IndexSearcher(out, mode="exact64")
+
+
+def test_block_join_parent_modes(block_index):
+    s = block_index
+    r = s.search({"type": "block_parent", "which": "kind:parent",
+                  "q": {"type": "term", "term": "red"},
+                  "score": "none"}, k=10)
+    assert r["doc_id"].to_pylist() == [3, 7]
+    assert r["score"].to_pylist() == [1.0, 1.0]
+
+    d, sc = s._eval_any({"type": "term", "term": "red"})
+    by = dict(zip(d.tolist(), sc.tolist()))
+    total = s.search_block_join_parent(
+        "kind:parent", {"type": "term", "term": "red"}, score_mode="total")
+    got = dict(zip(total["doc_id"].to_pylist(),
+                   total["score"].to_pylist()))
+    assert got[3] == by[1] and got[7] == by[4] + by[5]
+    avg = s.search_block_join_parent(
+        "kind:parent", {"type": "term", "term": "red"}, score_mode="avg")
+    gota = dict(zip(avg["doc_id"].to_pylist(), avg["score"].to_pylist()))
+    assert gota[7] == (by[4] + by[5]) / 2
+
+
+def test_block_join_child(block_index):
+    s = block_index
+    r = s.search({"type": "block_child", "of": "kind:parent",
+                  "q": {"type": "term", "term": "one"}}, k=10)
+    assert r["doc_id"].to_pylist() == [1, 2]
+    # both children carry the parent's score
+    assert len(set(r["score"].to_pylist())) == 1
+
+
+# ------------------------------------------------- collapse/hash/export
+
+@pytest.fixture(scope="module")
+def store_index(tmp_path_factory, ray_session):
+    langs = ["de", "en", "de", "en", "fr", "fr", "de", "en"]
+    t = pa.table({
+        "doc_id": pa.array(range(1, 9), type=pa.int64()),
+        "content": [f"common word{i % 3} extra{i}" for i in range(8)],
+        "lang": langs,
+        "size": pa.array([10 * i for i in range(1, 9)],
+                         type=pa.int64()),
+    })
+    out = str(tmp_path_factory.mktemp("store") / "idx")
+    build_index(t, out, store_cols=("lang", "size"), batch_rows=8)
+    return IndexSearcher(out, mode="exact64")
+
+
+def test_collapse_one_head_per_group(store_index):
+    s = store_index
+    r = s.search({"type": "collapse", "field": "lang",
+                  "q": {"type": "term", "term": "common"}}, k=10)
+    d, sc = s._eval_any({"type": "term", "term": "common"})
+    ids, vals = s.global_doc_values("lang")
+    best = {}
+    for doc, score in sorted(zip(d.tolist(), sc.tolist()),
+                             key=lambda t2: (-t2[1], t2[0])):
+        g = vals[np.searchsorted(ids, doc)]
+        best.setdefault(g, doc)
+    assert sorted(r["doc_id"].to_pylist()) == sorted(best.values())
+
+
+def test_hash_partitions_are_disjoint_and_complete(store_index):
+    s = store_index
+    full = set(s._eval_any({"type": "term", "term": "common"})[0]
+               .tolist())
+    parts = []
+    for w in range(3):
+        r = s.search({"type": "hash", "workers": 3, "worker": w,
+                      "q": {"type": "term", "term": "common"}}, k=100)
+        parts.append(set(r["doc_id"].to_pylist()))
+    assert set().union(*parts) == full
+    assert sum(len(p) for p in parts) == len(full)
+
+
+def test_export_returns_all_sorted(store_index):
+    s = store_index
+    r = s.search({"type": "export",
+                  "q": {"type": "term", "term": "common"},
+                  "field": "size", "descending": True}, k=100)
+    sizes = r["size"].to_pylist()
+    assert sizes == sorted(sizes, reverse=True) and len(sizes) == 8
+
+
+def test_rerank_adds_weighted_secondary(store_index):
+    s = store_index
+    base = {"type": "term", "term": "common"}
+    rq = {"type": "term", "term": "word1"}
+    r = s.search({"type": "rerank", "q": base, "rq": rq,
+                  "docs": 100, "weight": 2.0}, k=8)
+    d, bs = s._eval_any(base)
+    d2, s2 = s._eval_any(rq)
+    add = dict(zip(d2.tolist(), s2.tolist()))
+    want = {doc: b + 2.0 * add.get(doc, 0.0)
+            for doc, b in zip(d.tolist(), bs.tolist())}
+    got = dict(zip(r["doc_id"].to_pylist(), r["score"].to_pylist()))
+    assert got == pytest.approx(want)
+
+
+def test_maxscore_equals_dismax(store_index):
+    s = store_index
+    a = s.search({"type": "maxscore", "q": "word1 OR word2",
+                  "tie": 0.0}, k=8)
+    b = s.search_dismax(["word1", "word2"], 8, tiebreaker=0.0)
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    assert a["score"].to_pylist() == b["score"].to_pylist()
+    with pytest.raises(ValueError):
+        s.search({"type": "maxscore", "q": "a AND b"}, k=2)
+
+
+# ------------------------------------------------------------------ geo
+
+@pytest.fixture(scope="module")
+def geo_index(tmp_path_factory, ray_session):
+    cities = [("paris point", 48.8566, 2.3522),
+              ("london point", 51.5074, -0.1278),
+              ("berlin point", 52.52, 13.405),
+              ("sydney point", -33.8688, 151.2093)]
+    t = pa.table({
+        "doc_id": pa.array(range(1, 5), type=pa.int64()),
+        "content": [c[0] for c in cities],
+        "lat": pa.array([c[1] for c in cities], type=pa.float64()),
+        "lon": pa.array([c[2] for c in cities], type=pa.float64()),
+    })
+    out = str(tmp_path_factory.mktemp("geo") / "idx")
+    build_index(t, out, store_cols=("lat", "lon"), batch_rows=4)
+    return IndexSearcher(out, mode="exact64")
+
+
+def test_geofilt_and_bbox_markers(geo_index):
+    s = geo_index
+    r = s.search(resolve_query("{!geofilt sfield=lat,lon "
+                               "pt=48.8566,2.3522 d=1000}"), k=10)
+    assert r["doc_id"].to_pylist() == [1, 2, 3]
+    # bbox is a superset of the circle
+    b = s.search(resolve_query("{!bbox sfield=lat,lon "
+                               "pt=48.8566,2.3522 d=1000}"), k=10)
+    assert set(r["doc_id"].to_pylist()) <= set(b["doc_id"].to_pylist())
+    assert 4 not in b["doc_id"].to_pylist()
+
+
+def test_mlt_stream_body_marker(store_index):
+    s = store_index
+    r = s.search(resolve_query("{!mlt maxqt=3}common word1 extra1"),
+                 k=5)
+    assert r.num_rows > 0
