@@ -228,22 +228,20 @@ def _run(sf_dir: str, table: str, specs, facet_field: str | None):
             v = eval_vs(vs, arrs)
             if np.isscalar(v) or getattr(v, "ndim", 1) == 0:
                 v = np.full(len(batch), float(v))
-            miss = ~np.isfinite(v) | np.isnan(v)
-            sums = np.zeros(len(uniq))
-            sumsq = np.zeros(len(uniq))
-            cnt = np.zeros(len(uniq))
-            mn = np.full(len(uniq), np.inf)
-            mx = np.full(len(uniq), -np.inf)
-            nmiss = np.zeros(len(uniq))
-            for g in range(len(uniq)):
-                vg = v[(inv == g) & ~miss]
-                sums[g] = vg.sum()
-                sumsq[g] = (vg * vg).sum()
-                cnt[g] = len(vg)
-                if len(vg):
-                    mn[g] = vg.min()
-                    mx[g] = vg.max()
-                nmiss[g] = int(((inv == g) & miss).sum())
+            miss = ~np.isfinite(v)
+            G = len(uniq)
+            vm = np.where(miss, 0.0, v)
+            sums = np.bincount(inv, weights=vm, minlength=G)
+            sumsq = np.bincount(inv, weights=vm * vm, minlength=G)
+            cnt = np.bincount(inv, weights=(~miss).astype(np.float64),
+                              minlength=G)
+            nmiss = np.bincount(inv, weights=miss.astype(np.float64),
+                                minlength=G)
+            mn = np.full(G, np.inf)
+            mx = np.full(G, -np.inf)
+            ok = ~miss
+            np.minimum.at(mn, inv[ok], v[ok])
+            np.maximum.at(mx, inv[ok], v[ok])
             out[f"{name}__sum"] = sums
             out[f"{name}__sumsq"] = sumsq
             out[f"{name}__cnt"] = cnt
