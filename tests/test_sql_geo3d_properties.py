@@ -1,0 +1,145 @@
+"""Property tests: the SQL front door round-trips randomized plans,
+and geo3d's vectorized window prefilter is CONSERVATIVE (it may pass
+extra candidates but can never drop a true match — the invariant the
+bit-exact oracle pairing rests on). Pure driver-side, no Ray."""
+
+import math
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lucene_solr_ray.ops.geo3d import (_Path, _point_window,
+                                       _window_mask, unit_xyz)
+from lucene_solr_ray.ops.sql import parse_sql
+
+# ------------------------------------------------------------- SQL plans
+
+_ident = st.sampled_from(["a", "b", "c", "l_quantity", "o_totalprice"])
+_agg = st.sampled_from(["sum", "min", "max", "avg", "count"])
+
+
+@st.composite
+def _plans(draw):
+    n_sel = draw(st.integers(1, 3))
+    group = draw(st.booleans())
+    items, sql_items = [], []
+    gb = sorted({draw(_ident) for _ in range(draw(st.integers(1, 2)))}) \
+        if group else []
+    for i in range(n_sel):
+        if group and i >= 1 or (group and draw(st.booleans())):
+            fn = draw(_agg)
+            arg = "*" if fn == "count" else draw(_ident)
+            alias = f"x{i}"
+            items.append(("agg", fn, arg, alias))
+            sql_items.append(
+                (f"count(*)" if fn == "count" else f"{fn}({arg})")
+                + f" AS {alias}")
+        else:
+            f = gb[i % len(gb)] if group else draw(_ident)
+            items.append(("field", f, None))
+            sql_items.append(f)
+    sql = "SELECT " + ", ".join(sql_items) + " FROM t"
+    where = draw(st.booleans())
+    if where:
+        f = draw(_ident)
+        op = draw(st.sampled_from(["=", "<", ">", "<=", ">=", "<>"]))
+        sql += f" WHERE {f} {op} 5"
+    if group:
+        sql += " GROUP BY " + ", ".join(gb)
+    limit = draw(st.one_of(st.none(), st.integers(1, 99)))
+    if limit is not None:
+        sql += f" LIMIT {limit}"
+    return sql, items, gb, where, limit
+
+
+@settings(max_examples=60, deadline=None)
+@given(_plans())
+def test_random_plans_round_trip(case):
+    sql, items, gb, where, limit = case
+    p = parse_sql(sql)
+    assert p.select == items
+    assert p.group_by == gb
+    assert (p.where is not None) == where
+    assert p.limit == limit
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(alphabet="SELCTabc*(),'= <>FROM", max_size=40))
+def test_parser_never_hangs_or_crashes_weirdly(s):
+    """Garbage either parses or raises ValueError — nothing else."""
+    try:
+        parse_sql(s)
+    except ValueError:
+        pass
+
+
+# --------------------------------------------------- geo3d window safety
+
+_lat = st.floats(min_value=-85.0, max_value=85.0)
+_lon = st.floats(min_value=-179.0, max_value=179.0)
+_cut = st.floats(min_value=0.5, max_value=30.0)
+
+
+def _path_boxes(points, cutoff_deg):
+    """Replicates geo3d_path's prefilter construction."""
+    boxes = [_point_window(la, lo, cutoff_deg + 1e-9)
+             for la, lo in points]
+    for (la1, lo1), (la2, lo2) in zip(points, points[1:]):
+        a = unit_xyz(la1, lo1)
+        b = unit_xyz(la2, lo2)
+        cx_ = a[1] * b[2] - a[2] * b[1]
+        cy_ = a[2] * b[0] - a[0] * b[2]
+        cz_ = a[0] * b[1] - a[1] * b[0]
+        m = math.sqrt(cx_ * cx_ + cy_ * cy_ + cz_ * cz_)
+        vertex = 90.0 if m == 0.0 else \
+            math.degrees(math.acos(min(1.0, abs(cz_) / m)))
+        lat_lo = max(-90.0, -vertex - cutoff_deg - 1e-9)
+        lat_hi = min(90.0, vertex + cutoff_deg + 1e-9)
+        if abs(lo1 - lo2) > 180.0:
+            boxes.append((lat_lo, lat_hi, -180.0, 180.0))
+            continue
+        worst = min(90.0, max(abs(lat_lo), abs(lat_hi)))
+        coslat = math.cos(worst * math.pi / 180.0)
+        dlon = 360.0 if coslat <= 1e-9 else cutoff_deg / coslat
+        boxes.append((lat_lo, lat_hi,
+                      min(lo1, lo2) - dlon - 1e-9,
+                      max(lo1, lo2) + dlon + 1e-9))
+    return boxes
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(_lat, _lon), min_size=1, max_size=3),
+       _cut, st.integers(0, 2**31 - 1))
+def test_path_window_never_drops_a_true_match(points, cutoff, seed):
+    path = _Path(points, cutoff)
+    boxes = _path_boxes(points, cutoff)
+    rng = np.random.default_rng(seed)
+    lat = rng.uniform(-90.0, 90.0, 300)
+    lon = rng.uniform(-180.0, 180.0, 300)
+    passed = _window_mask(lat, lon, boxes)
+    for la, lo, ok in zip(lat, lon, passed):
+        if ok:
+            continue  # the window may overshoot; only drops matter
+        x, y, z = unit_xyz(float(la), float(lo))
+        assert path.distance(x, y, z) > path.cutoff_rad, \
+            (points, cutoff, la, lo)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_lat, _lon, _cut, st.integers(0, 2**31 - 1))
+def test_circle_window_never_drops_a_true_match(clat, clon, cutoff,
+                                                seed):
+    box = _point_window(clat, clon, cutoff + 1e-9)
+    cx, cy, cz = unit_xyz(clat, clon)
+    cut_rad = cutoff * math.pi / 180.0
+    rng = np.random.default_rng(seed)
+    lat = rng.uniform(-90.0, 90.0, 300)
+    lon = rng.uniform(-180.0, 180.0, 300)
+    passed = _window_mask(lat, lon, [box])
+    for la, lo, ok in zip(lat, lon, passed):
+        if ok:
+            continue
+        x, y, z = unit_xyz(float(la), float(lo))
+        d = math.acos(min(1.0, max(-1.0, x * cx + y * cy + z * cz)))
+        assert d > cut_rad, (clat, clon, cutoff, la, lo)
