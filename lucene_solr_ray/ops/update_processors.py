@@ -127,3 +127,333 @@ def count_field_values(src: str, dst: str, pattern: str = "[a-z0-9]+"):
             return _replace(batch, dst, arr)
         return batch.append_column(dst, arr)
     return run
+
+
+def field_length(src: str, dst: str):
+    """FieldLengthUpdateProcessorFactory: replace/emit the CHARACTER
+    length of a string field as an int column."""
+    def run(batch: pa.Table) -> pa.Table:
+        arr = pc.cast(pc.utf8_length(batch[src]), pa.int64())
+        if dst in batch.column_names:
+            return _replace(batch, dst, arr)
+        return batch.append_column(dst, arr)
+    return run
+
+
+def field_name_mutating(pattern: str, replacement: str):
+    """FieldNameMutatingUpdateProcessorFactory: regex-rewrite COLUMN
+    NAMES (a schema-level mutation, zero data movement)."""
+    import re as _re
+
+    rx = _re.compile(pattern)
+
+    def run(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            [rx.sub(replacement, c) for c in batch.column_names])
+    return run
+
+
+def ignore_fields(pattern: str):
+    """IgnoreFieldUpdateProcessorFactory: drop every column whose name
+    matches the pattern."""
+    import re as _re
+
+    rx = _re.compile(pattern)
+
+    def run(batch: pa.Table) -> pa.Table:
+        keep = [c for c in batch.column_names if not rx.fullmatch(c)]
+        return batch.select(keep)
+    return run
+
+
+def _list_parts(col):
+    import numpy as np
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    offs = np.asarray(arr.offsets)
+    return arr, offs, arr.values
+
+
+def first_field_value(field: str):
+    """FirstFieldValueUpdateProcessorFactory: multiValued list → its
+    first value (null for empty lists); offsets-indexed, no row loop."""
+    import numpy as np
+
+    def run(batch: pa.Table) -> pa.Table:
+        arr, offs, values = _list_parts(batch[field])
+        lens = offs[1:] - offs[:-1]
+        idx = np.where(lens > 0, offs[:-1], 0)
+        taken = values.take(pa.array(idx, type=pa.int64()))
+        out = pc.if_else(pa.array(lens > 0), taken,
+                         pa.nulls(len(lens), type=values.type))
+        return _replace(batch, field, out)
+    return run
+
+
+def last_field_value(field: str):
+    """LastFieldValueUpdateProcessorFactory: keep only the last value."""
+    import numpy as np
+
+    def run(batch: pa.Table) -> pa.Table:
+        arr, offs, values = _list_parts(batch[field])
+        lens = offs[1:] - offs[:-1]
+        idx = np.where(lens > 0, offs[1:] - 1, 0)
+        taken = values.take(pa.array(idx, type=pa.int64()))
+        out = pc.if_else(pa.array(lens > 0), taken,
+                         pa.nulls(len(lens), type=values.type))
+        return _replace(batch, field, out)
+    return run
+
+
+def _reduceat(field: str, kind: str):
+    import numpy as np
+
+    def run(batch: pa.Table) -> pa.Table:
+        arr, offs, values = _list_parts(batch[field])
+        lens = offs[1:] - offs[:-1]
+        v = np.asarray(values)
+        fn = np.maximum if kind == "max" else np.minimum
+        # reduceat over the NON-EMPTY segments only (empty lists
+        # contribute zero values, so consecutive non-empty starts are
+        # strictly increasing and each segment ends where the next
+        # begins), then scatter back with nulls for empties
+        ne = lens > 0
+        starts_ne = offs[:-1][ne].astype(np.int64)
+        red_ne = fn.reduceat(v, starts_ne) if starts_ne.size else \
+            np.empty(0, v.dtype)
+        red = np.zeros(len(lens), dtype=v.dtype if v.size else np.float64)
+        red[ne] = red_ne
+        out = pc.if_else(pa.array(ne),
+                         pa.array(red, type=values.type),
+                         pa.nulls(len(lens), type=values.type))
+        return _replace(batch, field, out)
+    return run
+
+
+def max_field_value(field: str):
+    """MaxFieldValueUpdateProcessorFactory: numeric multiValued list →
+    its maximum (vectorized ufunc.reduceat over the list offsets)."""
+    return _reduceat(field, "max")
+
+
+def min_field_value(field: str):
+    """MinFieldValueUpdateProcessorFactory: the minimum."""
+    return _reduceat(field, "min")
+
+
+def uniq_field_values(field: str):
+    """UniqFieldsUpdateProcessorFactory: de-duplicate a multiValued
+    field keeping first-seen order. Per-list Python pass — bounded by
+    the multiValued cardinality of one document, not the corpus (the
+    reference's processor iterates the same values)."""
+    def run(batch: pa.Table) -> pa.Table:
+        col = batch[field]
+        rows = col.to_pylist()
+        out = [list(dict.fromkeys(r)) if r is not None else None
+               for r in rows]
+        return _replace(batch, field,
+                        pa.array(out, type=col.type))
+    return run
+
+
+def field_value_subset(field: str, pattern: str):
+    """FieldValueSubsetUpdateProcessorFactory (regex select): keep only
+    the list values matching the pattern."""
+    import re as _re
+
+    rx = _re.compile(pattern)
+
+    def run(batch: pa.Table) -> pa.Table:
+        col = batch[field]
+        rows = col.to_pylist()
+        out = [[v for v in r if rx.fullmatch(str(v))]
+               if r is not None else None for r in rows]
+        return _replace(batch, field, pa.array(out, type=col.type))
+    return run
+
+
+def _parse_typed(field: str, target: pa.DataType):
+    """ParseInt/Long/Float/DoubleFieldUpdateProcessorFactory with the
+    AllValuesOrNoneFieldMutatingUpdateProcessor contract: the column
+    mutates only if EVERY non-null value parses; otherwise it is left
+    untouched (AllValuesOrNoneFieldMutatingUpdateProcessor.java)."""
+    def run(batch: pa.Table) -> pa.Table:
+        col = batch[field]
+        try:
+            cast = pc.cast(col, target)
+        except pa.ArrowInvalid:
+            return batch
+        return _replace(batch, field, cast)
+    return run
+
+
+def parse_int_field(field: str):
+    return _parse_typed(field, pa.int32())
+
+
+def parse_long_field(field: str):
+    return _parse_typed(field, pa.int64())
+
+
+def parse_float_field(field: str):
+    return _parse_typed(field, pa.float32())
+
+
+def parse_double_field(field: str):
+    return _parse_typed(field, pa.float64())
+
+
+def parse_boolean_field(field: str, true_vals=("true", "1", "yes"),
+                        false_vals=("false", "0", "no")):
+    """ParseBooleanFieldUpdateProcessorFactory: configurable
+    caseInsensitive true/false value sets, all-or-none."""
+    def run(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch[field])
+        is_t = pc.is_in(low, value_set=pa.array(true_vals))
+        is_f = pc.is_in(low, value_set=pa.array(false_vals))
+        valid = pc.or_(pc.or_(is_t, is_f), pc.is_null(low))
+        if not pc.all(valid).as_py():
+            return batch
+        return _replace(batch, field, is_t)
+    return run
+
+
+def parse_date_field(field: str, fmt: str = "%Y-%m-%dT%H:%M:%S"):
+    """ParseDateFieldUpdateProcessorFactory: strptime against the
+    configured format, all-or-none."""
+    def run(batch: pa.Table) -> pa.Table:
+        try:
+            out = pc.strptime(batch[field], format=fmt, unit="us")
+        except pa.ArrowInvalid:
+            return batch
+        return _replace(batch, field, out)
+    return run
+
+
+def timestamp_field(dst: str, now: str):
+    """TimestampUpdateProcessorFactory: stamp every doc with the
+    request time (NOW is injected for determinism — the engine's
+    repeatable-build discipline)."""
+    import datetime as _dt
+
+    ts = _dt.datetime.fromisoformat(now)
+
+    def run(batch: pa.Table) -> pa.Table:
+        arr = pa.array([ts] * batch.num_rows,
+                       type=pa.timestamp("us"))
+        if dst in batch.column_names:
+            return _replace(batch, dst, arr)
+        return batch.append_column(dst, arr)
+    return run
+
+
+def uuid_field(dst: str, key: str):
+    """UUIDUpdateProcessorFactory, deterministic variant: name-based
+    UUIDv5 of the key column (the reference draws random UUIDs; a
+    content-derived id keeps builds repeatable and is the same
+    convention as the sha-derived doc ids)."""
+    import uuid as _uuid
+
+    NS = _uuid.UUID("6ba7b810-9dad-11d1-80b4-00c04fd430c8")
+
+    def run(batch: pa.Table) -> pa.Table:
+        vals = [str(_uuid.uuid5(NS, str(v)))
+                for v in batch[key].to_pylist()]
+        arr = pa.array(vals, type=pa.string())
+        if dst in batch.column_names:
+            return _replace(batch, dst, arr)
+        return batch.append_column(dst, arr)
+    return run
+
+
+def html_strip_field(field: str):
+    """HTMLStripFieldUpdateProcessorFactory: the HTMLStripCharFilter
+    applied as a stored-field mutation."""
+    from ..analysis.filters import html_strip_chars
+
+    strip = html_strip_chars()
+
+    def run(batch: pa.Table) -> pa.Table:
+        col = batch[field]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return _replace(batch, field, strip(col))
+    return run
+
+
+def url_classify(src: str, *, prefix: str = "url"):
+    """URLClassifyProcessor (solr:update/processor/URLClassifyProcessor
+    .java): derive <prefix>_domain, <prefix>_canonical, and
+    <prefix>_length columns from a URL field — vectorized regex
+    extraction."""
+    def run(batch: pa.Table) -> pa.Table:
+        col = pc.cast(batch[src], pa.string())
+        dom = pc.extract_regex(col,
+                               pattern=r"^[a-z]+://(?P<d>[^/:?#]+)")
+        domain = pc.struct_field(dom, "d")
+        lower = pc.utf8_lower(col)
+        canon = pc.replace_substring_regex(lower, pattern=r"/$",
+                                           replacement="")
+        out = batch
+        for name, arr in ((f"{prefix}_domain", domain),
+                          (f"{prefix}_canonical", canon),
+                          (f"{prefix}_length",
+                           pc.cast(pc.utf8_length(col), pa.int64()))):
+            if name in out.column_names:
+                out = _replace(out, name, arr)
+            else:
+                out = out.append_column(name, arr)
+        return out
+    return run
+
+
+def regexp_boost(src: str, dst: str, rules: list[tuple[str, float]]):
+    """RegexpBoostProcessor: multiply a boost column by each rule's
+    factor when the (url) field matches its regex — the reference's
+    boost-file semantics, vectorized one rule at a time."""
+    import numpy as np
+
+    def run(batch: pa.Table) -> pa.Table:
+        boost = np.ones(batch.num_rows, dtype=np.float64)
+        col = pc.cast(batch[src], pa.string())
+        for pattern, factor in rules:
+            m = np.asarray(pc.match_substring_regex(col, pattern=pattern),
+                           dtype=bool)
+            boost = np.where(m, boost * factor, boost)
+        arr = pa.array(boost)
+        if dst in batch.column_names:
+            return _replace(batch, dst, arr)
+        return batch.append_column(dst, arr)
+    return run
+
+
+def doc_expiration(ttl_field: str, dst: str, now: str):
+    """DocExpirationUpdateProcessorFactory: compute _expire_at_ from a
+    per-doc TTL (seconds); pair with ``expired_filter`` to sweep."""
+    import datetime as _dt
+
+    base = _dt.datetime.fromisoformat(now)
+
+    def run(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ttl = np.asarray(batch[ttl_field], dtype=np.float64)
+        exp = [base + _dt.timedelta(seconds=float(t)) for t in ttl]
+        arr = pa.array(exp, type=pa.timestamp("us"))
+        if dst in batch.column_names:
+            return _replace(batch, dst, arr)
+        return batch.append_column(dst, arr)
+    return run
+
+
+def expired_filter(dst: str, now: str):
+    """The deleteByQuery sweep DocExpiration schedules: drop docs whose
+    _expire_at_ has passed."""
+    import datetime as _dt
+
+    cut = _dt.datetime.fromisoformat(now)
+
+    def run(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch[dst],
+                                       pa.scalar(cut, type=pa.timestamp("us"))))
+    return run

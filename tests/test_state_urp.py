@@ -86,3 +86,77 @@ def test_urp_chain_in_map_batches(ray_session):
                                  U.lower_fields("text")),
                          batch_format="pyarrow").take_all()
     assert sorted(r["text"] for r in out) == ["a b", "c"]
+
+
+def test_urp_list_field_processors():
+    t = pa.table({
+        "tags": pa.array([["b", "a", "b", "c"], [], None, ["z"]],
+                         type=pa.list_(pa.string())),
+        "nums": pa.array([[3, 1, 7], [], None, [5]],
+                         type=pa.list_(pa.int64())),
+    })
+    first = U.first_field_value("tags")(t)
+    assert first["tags"].to_pylist() == ["b", None, None, "z"]
+    last = U.last_field_value("tags")(t)
+    assert last["tags"].to_pylist() == ["c", None, None, "z"]
+    mx = U.max_field_value("nums")(t)
+    assert mx["nums"].to_pylist() == [7, None, None, 5]
+    mn = U.min_field_value("nums")(t)
+    assert mn["nums"].to_pylist() == [1, None, None, 5]
+    uq = U.uniq_field_values("tags")(t)
+    assert uq["tags"].to_pylist() == [["b", "a", "c"], [], None, ["z"]]
+    sub = U.field_value_subset("tags", "[ab]")(t)
+    assert sub["tags"].to_pylist() == [["b", "a", "b"], [], None, []]
+
+
+def test_urp_all_or_none_parsing():
+    t = pa.table({"x": ["1", "2", "3"], "y": ["1", "oops", "3"],
+                  "b": ["true", "NO", "yes"],
+                  "d": ["2024-01-02T03:04:05", "2024-06-07T08:09:10",
+                        "2024-12-31T23:59:59"]})
+    out = U.parse_long_field("x")(t)
+    assert out["x"].to_pylist() == [1, 2, 3]
+    out = U.parse_long_field("y")(t)          # one bad value: untouched
+    assert out["y"].to_pylist() == ["1", "oops", "3"]
+    out = U.parse_boolean_field("b")(t)
+    assert out["b"].to_pylist() == [True, False, True]
+    bad = pa.table({"b": ["true", "maybe"]})
+    assert U.parse_boolean_field("b")(bad)["b"].to_pylist() \
+        == ["true", "maybe"]
+    out = U.parse_date_field("d")(t)
+    assert str(out["d"][0].as_py()) == "2024-01-02 03:04:05"
+    assert U.parse_date_field("x")(t)["x"].to_pylist() == ["1", "2", "3"]
+
+
+def test_urp_schema_and_derived_fields():
+    t = pa.table({"old_name": ["x"], "drop_me": ["y"],
+                  "url": ["https://Example.com/Path/"],
+                  "text": ["<p>Hello &amp; <b>world</b></p>"],
+                  "id": ["doc-1"], "ttl": [60.0]})
+    out = U.field_name_mutating(r"^old_", "new_")(t)
+    assert "new_name" in out.column_names
+    out = U.ignore_fields("drop_.*")(t)
+    assert "drop_me" not in out.column_names
+    out = U.field_length("id", "id_len")(t)
+    assert out["id_len"].to_pylist() == [5]
+    out = U.url_classify("url")(t)
+    assert out["url_domain"].to_pylist() == ["Example.com"]
+    assert out["url_canonical"].to_pylist() \
+        == ["https://example.com/path"]
+    out = U.html_strip_field("text")(t)
+    assert out["text"].to_pylist()[0].replace("  ", " ").strip() \
+        == "Hello & world"
+    out = U.uuid_field("uid", "id")(t)
+    u1 = out["uid"].to_pylist()[0]
+    assert len(u1) == 36
+    assert U.uuid_field("uid2", "id")(t)["uid2"].to_pylist()[0] == u1
+    out = U.regexp_boost("url", "boost",
+                         [(r"(?i)example", 2.0), (r"\.com", 3.0)])(t)
+    assert out["boost"].to_pylist() == [6.0]
+    out = U.timestamp_field("ts", "2026-01-01T00:00:00")(t)
+    exp = U.doc_expiration("ttl", "expire_at", "2026-01-01T00:00:00")(out)
+    assert str(exp["expire_at"][0].as_py()) == "2026-01-01 00:01:00"
+    alive = U.expired_filter("expire_at", "2026-01-01T00:00:30")(exp)
+    assert alive.num_rows == 1
+    gone = U.expired_filter("expire_at", "2026-01-01T00:02:00")(exp)
+    assert gone.num_rows == 0
