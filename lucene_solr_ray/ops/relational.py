@@ -235,6 +235,77 @@ def hierarchical_facet(sf_dir: str) -> pa.Table:
     })
 
 
+def association_facet(sf_dir: str) -> pa.Table:
+    """Taxonomy facet with per-doc association VALUES
+    (lucene/facet/.../taxonomy/TaxonomyFacetSumIntAssociations.java):
+    each customer contributes an integer association — its account
+    balance in cents, floor(c_acctbal·100 + 0.5) — to its nation path
+    and every ancestor, instead of a count of 1. Same
+    aggregate-then-rollup shape as hierarchical_facet: per-batch
+    bincount partials per nation ordinal, one tiny groupby, driver
+    rollup over the ordinal histogram only."""
+    import ray  # noqa: F401  (broadcast symmetry with hierarchical_facet)
+
+    nation = _read(sf_dir, "nation",
+                   ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nation = nation.merge(region, left_on="n_regionkey",
+                          right_on="r_regionkey")
+    path_of = dict(zip(nation["n_nationkey"],
+                       nation["r_name"] + "/" + nation["n_name"]))
+    region_of = dict(zip(nation["n_nationkey"], nation["r_name"]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nk = np.asarray(batch["c_nationkey"], dtype=np.int64)
+        assoc = np.floor(
+            np.asarray(batch["c_acctbal"], dtype=np.float64) * 100.0
+            + 0.5).astype(np.int64)
+        keys, inv = np.unique(nk, return_inverse=True)
+        sums = np.bincount(inv, weights=assoc).astype(np.int64)
+        return pa.table({"n_nationkey": pa.array(keys, type=pa.int64()),
+                         "assoc": pa.array(sums, type=pa.int64())})
+
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+    hist = (cust.map_batches(partial, batch_format="pyarrow")
+            .groupby("n_nationkey").sum("assoc").to_pandas())
+    hist = hist.rename(columns={"sum(assoc)": "assoc"})
+
+    rows = [(path_of[int(r["n_nationkey"])], 1, int(r["assoc"]))
+            for _, r in hist.iterrows()]
+    agg_region: dict[str, int] = {}
+    for _, r in hist.iterrows():
+        rg = region_of[int(r["n_nationkey"])]
+        agg_region[rg] = agg_region.get(rg, 0) + int(r["assoc"])
+    rows += [(p, 0, c) for p, c in agg_region.items()]
+    rows.sort()
+    return pa.table({
+        "path": pa.array([p for p, _, _ in rows], type=pa.string()),
+        "depth": pa.array([d for _, d, _ in rows], type=pa.int64()),
+        "assoc": pa.array([c for _, _, c in rows], type=pa.int64()),
+    })
+
+
+ASSOCIATION_FACET_SQL = """
+WITH paths AS (
+  SELECT n_nationkey, r_name || '/' || n_name AS path, r_name
+  FROM nation JOIN region ON n_regionkey = r_regionkey),
+assoc AS (
+  SELECT c_nationkey,
+         SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS a
+  FROM customer GROUP BY c_nationkey),
+leaf AS (SELECT p.path AS path, CAST(1 AS BIGINT) AS depth, a.a AS assoc
+         FROM assoc a JOIN paths p ON a.c_nationkey = p.n_nationkey),
+roots AS (SELECT p.r_name AS path, CAST(0 AS BIGINT) AS depth,
+                 SUM(a.a) AS assoc
+          FROM assoc a JOIN paths p ON a.c_nationkey = p.n_nationkey
+          GROUP BY p.r_name)
+SELECT path, depth, CAST(assoc AS BIGINT) AS assoc FROM leaf
+UNION ALL
+SELECT path, depth, CAST(assoc AS BIGINT) AS assoc FROM roots
+ORDER BY path, depth
+"""
+
+
 def percentiles(sf_dir: str) -> pa.Table:
     """Percentile aggregate over events.value (solr:search/facet/
     PercentileAgg.java semantics; the reference uses t-digest — here the

@@ -5202,6 +5202,7 @@ def build_queries() -> dict:
         "rel_windowed_rollup": R.windowed_rollup,
         "rel_join_rollup": R.join_rollup,
         "rel_hierarchical_facet": R.hierarchical_facet,
+        "rel_assoc_facet": R.association_facet,
         "rel_percentiles": R.percentiles,
         "rel_stats_extended": R.stats_extended,
         "sketch_hll_users": _sketch_hll,
@@ -5483,6 +5484,9 @@ def build_oracle_sql() -> dict:
         "rel_windowed_rollup": RS.WINDOWED_ROLLUP,
         "rel_join_rollup": RS.JOIN_ROLLUP,
         "rel_hierarchical_facet": RS.HIERARCHICAL_FACET,
+        "rel_assoc_facet": __import__(
+            "lucene_solr_ray.ops.relational",
+            fromlist=["ASSOCIATION_FACET_SQL"]).ASSOCIATION_FACET_SQL,
         "rel_percentiles": RS.PERCENTILES,
         "rel_stats_extended": RS.STATS_EXTENDED,
         "rel_sampled_facet": RS.SAMPLED_FACET,

@@ -1,0 +1,209 @@
+"""Managed resources — the Solr REST-managed analysis data
+(solr/rest/ManagedResource.java, ManagedResourceStorage.java,
+solr/rest/schema/analysis/ManagedWordSetResource.java and
+ManagedSynonymFilterFactory.java) plus the SchemaHandler read view
+(solr/handler/SchemaHandler.java).
+
+The reference stores each managed resource as one JSON file
+(`_schema_analysis_stopwords_<name>.json`, ManagedResourceStorage
+FileStorageIO) holding ``{initArgs, managedList|managedMap}``; REST
+PUT/DELETE mutate it and a core reload re-feeds the analyzer
+factories. The analogue keeps the same JSON shape in a directory
+store with atomic rename + a monotonically increasing ``version``
+(the ZK-znode version role), and hands the data straight to the
+analyzer extension points: a word set becomes ``analyze_batch
+(stopwords=...)``, a synonym map becomes the
+``make_synonym_transform`` / ``multiword_synonym_stream`` config.
+
+Scale note: managed resources are tiny control-plane data. The store
+lives on the driver; pipelines broadcast the resolved word set /
+synonym map into ``map_batches`` closures exactly like every other
+small side input (ray.put happens at the Dataset layer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+_SAFE = re.compile(r"[^A-Za-z0-9_.-]")
+
+
+class ManagedResourceStorage:
+    """Directory-backed JSON storage with atomic rename + version
+    counter (ManagedResourceStorage.FileStorageIO + the znode-version
+    optimistic-concurrency role)."""
+
+    def __init__(self, base_dir: str):
+        self.base_dir = base_dir
+        os.makedirs(base_dir, exist_ok=True)
+
+    def _path(self, resource_id: str) -> str:
+        return os.path.join(self.base_dir,
+                            _SAFE.sub("_", resource_id) + ".json")
+
+    def load(self, resource_id: str) -> dict | None:
+        p = self._path(resource_id)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def store(self, resource_id: str, data: dict,
+              *, expected_version: int | None = None) -> int:
+        prev = self.load(resource_id)
+        version = (prev or {}).get("version", -1) + 1
+        if expected_version is not None and prev is not None \
+                and prev.get("version") != expected_version:
+            raise ValueError(
+                f"version conflict on {resource_id}: "
+                f"have {prev.get('version')}, expected {expected_version}")
+        payload = dict(data)
+        payload["version"] = version
+        tmp = self._path(resource_id) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._path(resource_id))
+        return version
+
+
+class ManagedWordSet:
+    """ManagedWordSetResource: a REST-managed list of words (the
+    managed stopword sets), ignoreCase via initArgs."""
+
+    def __init__(self, storage: ManagedResourceStorage, name: str,
+                 *, ignore_case: bool = True):
+        self.storage = storage
+        self.resource_id = f"_schema_analysis_stopwords_{name}"
+        got = storage.load(self.resource_id)
+        if got is None:
+            self.init_args = {"ignoreCase": ignore_case}
+            self.words: list[str] = []
+            self._persist()
+        else:
+            self.init_args = got["initArgs"]
+            self.words = got["managedList"]
+
+    def _persist(self):
+        self.storage.store(self.resource_id, {
+            "initArgs": self.init_args, "managedList": sorted(self.words)})
+
+    def _norm(self, w: str) -> str:
+        return w.lower() if self.init_args.get("ignoreCase", True) else w
+
+    def add(self, *words: str):
+        have = set(self.words)
+        for w in words:
+            w = self._norm(w)
+            if w not in have:
+                have.add(w)
+        self.words = sorted(have)
+        self._persist()
+
+    def delete(self, word: str):
+        w = self._norm(word)
+        if w not in self.words:
+            raise KeyError(word)
+        self.words.remove(w)
+        self._persist()
+
+    def as_stopwords(self) -> frozenset[str]:
+        """Feed to analyze_batch(stopwords=...) — the StopFilterFactory
+        managed=... wiring."""
+        return frozenset(self.words)
+
+
+class ManagedSynonyms:
+    """ManagedSynonymFilterFactory.SynonymManager: a managed map of
+    term → [synonyms]."""
+
+    def __init__(self, storage: ManagedResourceStorage, name: str,
+                 *, ignore_case: bool = True):
+        self.storage = storage
+        self.resource_id = f"_schema_analysis_synonyms_{name}"
+        got = storage.load(self.resource_id)
+        if got is None:
+            self.init_args = {"ignoreCase": ignore_case}
+            self.mappings: dict[str, list[str]] = {}
+            self._persist()
+        else:
+            self.init_args = got["initArgs"]
+            self.mappings = got["managedMap"]
+
+    def _persist(self):
+        self.storage.store(self.resource_id, {
+            "initArgs": self.init_args,
+            "managedMap": {k: sorted(v)
+                           for k, v in sorted(self.mappings.items())}})
+
+    def _norm(self, w: str) -> str:
+        return w.lower() if self.init_args.get("ignoreCase", True) else w
+
+    def put(self, term: str, synonyms: list[str]):
+        self.mappings[self._norm(term)] = sorted(
+            {self._norm(s) for s in synonyms})
+        self._persist()
+
+    def delete(self, term: str):
+        t = self._norm(term)
+        if t not in self.mappings:
+            raise KeyError(term)
+        del self.mappings[t]
+        self._persist()
+
+    def as_canonical_transform(self):
+        """Single-token canonicalization (each synonym rewrites to its
+        head term) — analysis.filters.make_synonym_transform config."""
+        from ..analysis.filters import make_synonym_transform
+
+        flat = {}
+        for head, syns in self.mappings.items():
+            for s in syns:
+                flat[s] = head
+        return make_synonym_transform(flat)
+
+    def as_insert_stream(self):
+        """Insert-mode multi-token SynonymFilter rules (original kept,
+        synonyms added at the same position)."""
+        from ..analysis.filters import multiword_synonym_stream
+
+        rules = {}
+        for head, syns in self.mappings.items():
+            for s in syns:
+                rules[tuple(s.split())] = head
+        return multiword_synonym_stream(rules, keep_orig=True)
+
+
+def schema_info(index_dir: str) -> dict:
+    """SchemaHandler GET /schema view: the index's field layout from
+    its manifest + segment docs schema, and the registered analyzers /
+    similarities from the plugin registry (NamedSPILoader names)."""
+    import pyarrow.parquet as pq
+
+    from ..index.manifest import load_manifest
+    from ..index.segment import DOCS_FILE
+    from ..registry import _REGISTRIES
+
+    man = load_manifest(index_dir)
+    seg = next(s["segment"] for s in man["segments"]
+               if s.get("kind", "postings") == "postings")
+    docs_schema = pq.read_schema(os.path.join(
+        index_dir, "segments", seg, DOCS_FILE))
+    fields = [{"name": f.name, "type": str(f.type),
+               "docValues": f.name not in ("doc_id", "dl", "norm",
+                                           "sha256")}
+              for f in docs_schema]
+    return {
+        "schema": {
+            "uniqueKey": "doc_id",
+            "fields": fields,
+            "numDocs": man["num_docs"],
+            "generation": man.get("generation", 0),
+        },
+        "analyzers": sorted(_REGISTRIES.get("analyzer", {})),
+        "similarities": sorted(_REGISTRIES.get("similarity", {})),
+        "qparsers": sorted(_REGISTRIES.get("qparser", {})),
+    }

@@ -1,0 +1,88 @@
+"""Managed resources (state/managed.py): versioned JSON storage,
+word-set → stopword wiring, synonym-map → filter wiring, and the
+SchemaHandler read view."""
+
+import pyarrow as pa
+import pytest
+
+from lucene_solr_ray.index import build_index
+from lucene_solr_ray.search import IndexSearcher
+from lucene_solr_ray.state.managed import (ManagedResourceStorage,
+                                           ManagedSynonyms,
+                                           ManagedWordSet, schema_info)
+
+
+def test_storage_versioning_and_conflict(tmp_path):
+    st = ManagedResourceStorage(str(tmp_path / "managed"))
+    assert st.load("x") is None
+    v0 = st.store("x", {"a": 1})
+    v1 = st.store("x", {"a": 2})
+    assert (v0, v1) == (0, 1)
+    assert st.load("x")["a"] == 2 and st.load("x")["version"] == 1
+    with pytest.raises(ValueError):
+        st.store("x", {"a": 3}, expected_version=0)
+    assert st.store("x", {"a": 3}, expected_version=1) == 2
+
+
+def test_wordset_roundtrip_and_rest_shape(tmp_path):
+    st = ManagedResourceStorage(str(tmp_path / "m"))
+    ws = ManagedWordSet(st, "english")
+    ws.add("The", "And", "zebra")
+    assert ws.words == ["and", "the", "zebra"]
+    ws.delete("ZEBRA")
+    with pytest.raises(KeyError):
+        ws.delete("zebra")
+    # a fresh handle reloads the persisted JSON (core-reload semantics)
+    again = ManagedWordSet(st, "english")
+    assert again.as_stopwords() == frozenset({"and", "the"})
+    raw = st.load("_schema_analysis_stopwords_english")
+    assert raw["initArgs"]["ignoreCase"] is True
+    assert raw["managedList"] == ["and", "the"]
+
+
+def test_wordset_feeds_the_analyzer(tmp_path, ray_session):
+    st = ManagedResourceStorage(str(tmp_path / "m"))
+    ws = ManagedWordSet(st, "corpus")
+    ws.add("common")
+    t = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "content": ["common alpha", "common beta"],
+    })
+    plain = str(tmp_path / "plain")
+    managed = str(tmp_path / "managed_idx")
+    build_index(t, plain, batch_rows=2)
+    build_index(t, managed, batch_rows=2,
+                stopwords=ws.as_stopwords())
+    assert IndexSearcher(plain).search(
+        {"type": "term", "term": "common"}, k=5).num_rows == 2
+    assert IndexSearcher(managed).search(
+        {"type": "term", "term": "common"}, k=5).num_rows == 0
+
+
+def test_synonyms_roundtrip_and_transforms(tmp_path):
+    st = ManagedResourceStorage(str(tmp_path / "m"))
+    sy = ManagedSynonyms(st, "english")
+    sy.put("Happy", ["GLAD", "joyful"])
+    again = ManagedSynonyms(st, "english")
+    assert again.mappings == {"happy": ["glad", "joyful"]}
+    tr = again.as_canonical_transform()
+    assert tr("glad") == "happy" and tr("other") == "other"
+    sy.delete("happy")
+    with pytest.raises(KeyError):
+        sy.delete("happy")
+
+
+def test_schema_info_view(tmp_path, ray_session):
+    t = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "content": ["a b", "c d"],
+        "size": pa.array([1, 2], type=pa.int64()),
+    })
+    out = str(tmp_path / "idx")
+    build_index(t, out, store_cols=("size",), batch_rows=2)
+    info = schema_info(out)
+    names = {f["name"] for f in info["schema"]["fields"]}
+    assert {"doc_id", "dl", "norm", "sha256", "size"} <= names
+    assert info["schema"]["numDocs"] == 2
+    assert "bm25" in info["similarities"]
+    assert info["schema"]["uniqueKey"] == "doc_id"
