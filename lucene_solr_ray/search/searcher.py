@@ -1796,6 +1796,24 @@ class IndexSearcher:
         o = np.argsort(d)
         return d[o], s[o]
 
+    def search_field_value(self, field: str, k: int = 10) -> pa.Table:
+        """FieldValueQuery (core:search/FieldValueQuery.java:35): match
+        every doc that HAS a value for the doc-values field, constant
+        score, ties doc_id asc."""
+        ids, vals = self.global_doc_values(field)
+        if vals.dtype == object:
+            import pandas as pd
+
+            keep = pd.notna(vals)
+        elif np.issubdtype(vals.dtype, np.floating):
+            keep = ~np.isnan(vals)
+        else:
+            keep = np.ones(len(ids), dtype=bool)
+        docs = ids[keep][: max(k, 0)]
+        dtype = np.float32 if self.mode == "lucene32" else np.float64
+        return self._finalize([docs], [np.full(len(docs), 1.0,
+                                               dtype=dtype)], k)
+
     def search_maxscore(self, q: str, k: int = 10,
                         tie: float = 0.0) -> pa.Table:
         """MaxScoreQParserPlugin (solr:search/MaxScoreQParserPlugin.java):

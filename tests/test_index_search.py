@@ -519,3 +519,17 @@ def test_dv_range_skips_missing_values(tmp_path, ray_session):
     s = IndexSearcher(out, mode="exact64")
     got = s.search_dv_range("lang", "de", "es", k=10)
     assert got["doc_id"].to_pylist() == [1, 4]
+
+
+def test_field_value_query_matches_docs_with_values(tmp_path, ray_session):
+    """FieldValueQuery: only docs that HAVE a doc value match."""
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "content": ["a b", "c d", "e f"],
+        "tag": pa.array(["x", None, "y"]),
+    })
+    out = str(tmp_path / "idx")
+    build_index(t, out, store_cols=("tag",), batch_rows=3)
+    s = IndexSearcher(out, mode="exact64")
+    got = s.search_field_value("tag", k=10)
+    assert got["doc_id"].to_pylist() == [1, 3]
