@@ -346,9 +346,15 @@ def _compile_bool_eval(ev: Stream):
                 v = int(raw)
             elif pa.types.is_floating(col.type):
                 v = float(raw)
+            elif pa.types.is_timestamp(col.type):
+                import datetime as _dt
+
+                v = _dt.datetime.fromisoformat(raw)
             fn = {"eq": pc.equal, "gt": pc.greater, "lt": pc.less,
                   "gteq": pc.greater_equal, "lteq": pc.less_equal}[name]
-            return fn(col, pa.scalar(v))
+            return fn(col, pa.scalar(
+                v, type=col.type if pa.types.is_timestamp(col.type)
+                else None))
         return leaf
     if name in ("and", "or"):
         subs = [_compile_bool_eval(a) for a in ev.args]

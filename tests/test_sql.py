@@ -123,3 +123,11 @@ def test_sql_empty_result_keeps_schema(con, ray_session):
                 "WHERE o_totalprice > 99999999", SF)
     assert t.num_rows == 0
     assert t.column_names == ["o_orderkey", "o_totalprice"]
+
+
+def test_sql_timestamp_predicates(con, ray_session):
+    stmt = ("SELECT o_orderkey, o_orderdate FROM orders "
+            "WHERE o_orderdate >= '1996-01-01' "
+            "AND o_orderdate < '1996-03-01' "
+            "ORDER BY o_orderdate, o_orderkey LIMIT 15")
+    _same(run_sql(stmt, SF), con.execute(stmt).fetchdf())
