@@ -2933,6 +2933,48 @@ scored AS (SELECT doc_id, score FROM g
 """
 
 
+def _q_urp_pipeline(sf_dir):
+    """Update-request-processor chain as a driver pipeline
+    (solr:update/processor/*): a five-mutator chain streams the
+    documents table through map_batches; every mutator has an exact
+    SQL rendering so the whole chain is oracle-paired."""
+    import ray.data as rd
+
+    from ..ops import update_processors as U
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text", "lang", "source"])
+    chain = U.chain(
+        U.concat_fields("src_lang", ["source", "lang"], sep="/"),
+        U.field_length("text", "text_len"),
+        U.clone_field("text", "text_head"),
+        U.truncate_field("text_head", 16),
+        U.count_field_values("text", "n_tokens"),
+        U.regex_replace("lang", "^en$", "english"),
+    )
+    out = ds.map_batches(chain, batch_format="pyarrow").map_batches(
+        lambda b: b.select(["doc_id", "src_lang", "text_len",
+                            "text_head", "n_tokens", "lang"]),
+        batch_format="pyarrow")
+    t = pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow",
+                                     batch_size=None) if b.num_rows],
+        promote_options="default")
+    return t.sort_by("doc_id")
+
+
+URP_PIPELINE_SQL = """
+SELECT doc_id,
+       source || '/' || lang AS src_lang,
+       CAST(length(text) AS BIGINT) AS text_len,
+       substr(text, 1, 16) AS text_head,
+       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+           AS n_tokens,
+       regexp_replace(lang, '^en$', 'english') AS lang
+FROM documents ORDER BY doc_id
+"""
+
+
 _ANALYTICS_EX = {
     "qty_count": "count(l_quantity)", "qty_sum": "sum(l_quantity)",
     "qty_mean": "mean(l_quantity)", "qty_stddev": "stddev(l_quantity)",
@@ -5331,6 +5373,7 @@ def build_queries() -> dict:
         "geo_bbox": _q_geo_bbox,
         "ft_maxscore": _q_maxscore("{!maxscore tie=0.3}table OR customer OR vector", 0.3),
         "ft_collapse": _q_collapse_qparser("table", "lang"),
+        "urp_pipeline": _q_urp_pipeline,
         "analytics_stats": _q_analytics_stats,
         "analytics_facet": _q_analytics_facet,
         "geo3d_circle": _q_geo3d_circle,
@@ -5649,6 +5692,7 @@ FROM bfs WHERE kind = 'c' AND node = 2
         "geo_bbox": _geo_bbox_sql(),
         "ft_maxscore": _dismax_sql(["table", "customer", "vector"], 0.3, 10),
         "ft_collapse": _collapse_sql("table", "lang", 10),
+        "urp_pipeline": URP_PIPELINE_SQL,
         "analytics_stats": _analytics_stats_oracle(),
         "analytics_facet": _analytics_facet_oracle(),
         "geo3d_circle": _geo3d_circle_oracle(),
