@@ -2,12 +2,13 @@
 decoded / featurized by actor-pool map_batches stages.
 
 The image/audio/video codec libraries are not available in this
-environment, so COMPRESSED decodes are stubbed: ``codec="raw"`` is a
-real, deterministic payload format (the fake used by tests and bench),
-and the uncompressed containers WAV (RIFF/PCM), 24-bit BMP, and
-netpbm P5/P6 decode natively (decode_wav/decode_bmp/decode_ppm);
-jpeg/png/mp3/h264 raise NotImplementedError at the decode call.
-Everything
+environment, so decoders are written from scratch over stdlib only:
+``codec="raw"`` is a real, deterministic payload format (the fake used
+by tests and bench); WAV (RIFF/PCM), 24-bit BMP, netpbm P5/P6, PNG
+(zlib inflate + all five scanline filters), and GIF (variable-width
+LZW + interlace) decode natively (decode_wav/decode_bmp/decode_ppm/
+decode_png/decode_gif, unified by decode_image); jpeg/mp3/h264 raise
+NotImplementedError at the decode call. Everything
 around the stub — schema (binary column + metadata struct), Arrow
 batch handling, actor signature, batch sizing for large payloads, output
 layout — is real and tested, so swapping in a real decoder is a one-line
@@ -64,18 +65,18 @@ class DecodeStage:
         rng = np.random.default_rng(1234)
         self.projection = rng.standard_normal((256, FEATURE_DIM)).astype(np.float32)
 
-    def _decode_one(self, codec: str, payload: bytes) -> np.ndarray:
+    def _decode_one(self, codec: str, payload: bytes,
+                    width: int = 0, height: int = 0) -> np.ndarray:
         if codec == "raw":
             # deterministic fake decode: byte histogram as the "pixels"
             hist = np.bincount(np.frombuffer(payload, dtype=np.uint8),
                                minlength=256).astype(np.float32)
             return hist / max(1.0, hist.sum())
-        if codec in ("bmp", "ppm", "pgm"):
-            # real container decode (decode_bmp/decode_ppm below) →
-            # grayscale intensity histogram as the 256-dim intermediate
-            img = decode_bmp(payload) if codec == "bmp" \
-                else decode_ppm(payload)
-            gray = img.mean(axis=2) if img.ndim == 3 else img
+        if codec in ("rgb8", "bmp", "ppm", "pgm", "png", "gif"):
+            # real image decode (decode_image below) → grayscale
+            # intensity histogram as the 256-dim intermediate
+            img = decode_image(codec, payload, width, height)
+            gray = img.mean(axis=2)
             hist = np.bincount(gray.astype(np.uint8).ravel(),
                                minlength=256).astype(np.float32)
             return hist / max(1.0, hist.sum())
@@ -86,16 +87,21 @@ class DecodeStage:
             hist = np.bincount(q, minlength=256).astype(np.float32)
             return hist / max(1.0, hist.sum())
         raise NotImplementedError(
-            f"codec {codec!r}: compressed codecs (jpeg/png/mp3/h264) need "
-            f"libraries absent from this environment — plug one in here; "
-            f"wav/bmp/ppm/pgm containers decode natively")
+            f"codec {codec!r}: jpeg/mp3/h264 need libraries absent from "
+            f"this environment — plug one in here; wav/bmp/ppm/pgm/png/gif "
+            f"containers decode natively")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         codecs = batch["codec"].to_pylist()
         payloads = batch["payload"].to_pylist()
+        widths = (batch["width"].to_pylist()
+                  if "width" in batch.column_names else [0] * len(codecs))
+        heights = (batch["height"].to_pylist()
+                   if "height" in batch.column_names else [0] * len(codecs))
         feats = np.empty((len(codecs), FEATURE_DIM), dtype=np.float32)
-        for i, (c, p) in enumerate(zip(codecs, payloads)):
-            feats[i] = self._decode_one(c, p) @ self.projection
+        for i, (c, p, w, h) in enumerate(zip(codecs, payloads,
+                                             widths, heights)):
+            feats[i] = self._decode_one(c, p, w or 0, h or 0) @ self.projection
         out = batch.drop_columns(["payload"])
         flat = pa.array(feats.reshape(-1), type=pa.float32())
         offsets = pa.array(np.arange(0, (len(codecs) + 1) * FEATURE_DIM,
@@ -153,16 +159,14 @@ class ResizeStage:
                                         batch["payload"].to_pylist(),
                                         batch["width"].to_pylist(),
                                         batch["height"].to_pylist()):
-            if codec != "rgb8":
-                raise NotImplementedError(
-                    f"codec {codec!r}: only raw rgb8 resizes without "
-                    f"external image libraries")
-            img = decode_rgb8(payload, w, h)
+            img = decode_image(codec, payload, w, h)
             outs.append(resize_nearest(img, self.out_w,
                                        self.out_h).tobytes())
         n = len(outs)
-        batch = batch.drop_columns(["payload", "width", "height"])
+        batch = batch.drop_columns(["codec", "payload", "width", "height"])
         return (batch
+                .append_column("codec", pa.array(["rgb8"] * n,
+                                                 type=pa.string()))
                 .append_column("payload", pa.array(outs,
                                                    type=pa.large_binary()))
                 .append_column("width", pa.array([self.out_w] * n,
@@ -219,11 +223,7 @@ class ImagePHashStage:
                                         batch["payload"].to_pylist(),
                                         batch["width"].to_pylist(),
                                         batch["height"].to_pylist()):
-            if codec != "rgb8":
-                raise NotImplementedError(
-                    f"codec {codec!r}: only raw rgb8 hashes without "
-                    f"external image libraries")
-            hashes.append(phash64(decode_rgb8(payload, w, h)))
+            hashes.append(phash64(decode_image(codec, payload, w, h)))
         return pa.table({
             "item_id": batch["item_id"],
             "phash": pa.array(np.array(hashes, dtype=np.uint64)),
@@ -437,6 +437,241 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     if flip:
         img = img[::-1]
     return img[..., ::-1].copy()  # BGR → RGB
+
+
+def _png_paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec 9. Filtering, filter type 4)."""
+    p = a + b - c
+    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+    if pa_ <= pb_ and pa_ <= pc_:
+        return a
+    return b if pb_ <= pc_ else c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → uint8 array: gray → (h, w); RGB/palette → (h, w, 3);
+    gray+alpha → (h, w, 2); RGBA → (h, w, 4).
+
+    A from-scratch decoder over stdlib zlib only: chunk walk, IDAT
+    inflate, per-scanline unfilter (all five filter types — Up/None
+    vectorized, Sub/Average/Paeth sequential by spec). 8-bit depth,
+    non-interlaced images only; Adam7 and 1/2/4/16-bit depths raise.
+    """
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, n = 8, len(payload)
+    w = h = bit_depth = color_type = interlace = None
+    plte = None
+    idat = []
+    while pos + 8 <= n:
+        size, ctype = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8:pos + 8 + size]
+        if ctype == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = \
+                struct.unpack_from(">IIBBBBB", body, 0)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # length + type + body + crc
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    if bit_depth != 8:
+        raise NotImplementedError(f"{bit_depth}-bit PNG (8-bit only)")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"PNG color type {color_type}")
+    bpp = channels
+    stride = w * bpp
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    lines = np.frombuffer(raw, dtype=np.uint8,
+                          count=h * (stride + 1)).reshape(h, stride + 1)
+    recon = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f, cur = lines[y, 0], lines[y, 1:]
+        if f == 0:
+            row = cur.copy()
+        elif f == 2:
+            row = cur + prev  # uint8 wraps — the spec's mod-256 add
+        else:
+            # Sub/Average/Paeth depend on the just-reconstructed left
+            # pixel — sequential by definition (PNG spec 9.2)
+            row = np.empty(stride, dtype=np.uint8)
+            cur_l, prev_l, row_l = cur.tolist(), prev.tolist(), [0] * stride
+            for x in range(stride):
+                a = row_l[x - bpp] if x >= bpp else 0
+                b = prev_l[x]
+                if f == 1:
+                    v = cur_l[x] + a
+                elif f == 3:
+                    v = cur_l[x] + ((a + b) >> 1)
+                elif f == 4:
+                    c = prev_l[x - bpp] if x >= bpp else 0
+                    v = cur_l[x] + _png_paeth(a, b, c)
+                else:
+                    raise ValueError(f"PNG filter type {f}")
+                row_l[x] = v & 0xFF
+            row[:] = row_l
+        recon[y] = row
+        prev = recon[y]
+    img = recon.reshape(h, w, bpp) if bpp > 1 else recon.reshape(h, w)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        img = plte[img]  # (h, w) indexes → (h, w, 3)
+    return img
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """GIF's variable-width LZW (GIF89a spec appendix F)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    # bit reader: least-significant bit first within each byte
+    bits = 0
+    nbits = 0
+    pos = 0
+    code_size = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                return bytes(out)  # tolerate missing explicit end code
+            bits |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = bits & ((1 << code_size) - 1)
+        bits >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out += entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+        prev = entry
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a first frame → (h, w, 3) uint8 RGB.
+
+    From-scratch: logical screen descriptor, global/local color
+    tables, extension skip, sub-block reassembly, variable-width LZW
+    (_gif_lzw_decode), Adam-style 4-pass interlace reorder. Later
+    frames / transparency compositing are out of scope (first frame
+    only, like a thumbnailer)."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        gct_len = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, dtype=np.uint8, count=gct_len * 3,
+                            offset=pos).reshape(-1, 3)
+        pos += gct_len * 3
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _left, _top, w, h, iflags = struct.unpack_from("<HHHHB",
+                                                           payload, pos)
+            pos += 9
+            table = gct
+            if iflags & 0x80:
+                lct_len = 2 << (iflags & 0x07)
+                table = np.frombuffer(payload, dtype=np.uint8,
+                                      count=lct_len * 3,
+                                      offset=pos).reshape(-1, 3)
+                pos += lct_len * 3
+            if table is None:
+                raise ValueError("GIF frame without a color table")
+            min_code_size = payload[pos]
+            pos += 1
+            chunks = []
+            while payload[pos]:
+                size = payload[pos]
+                chunks.append(payload[pos + 1:pos + 1 + size])
+                pos += 1 + size
+            pos += 1
+            idx = np.frombuffer(
+                _gif_lzw_decode(b"".join(chunks), min_code_size),
+                dtype=np.uint8, count=w * h).reshape(h, w)
+            if iflags & 0x40:  # interlaced: rows in 4 passes
+                order = np.concatenate([np.arange(0, h, 8),
+                                        np.arange(4, h, 8),
+                                        np.arange(2, h, 4),
+                                        np.arange(1, h, 2)])
+                deinter = np.empty_like(idx)
+                deinter[order] = idx
+                idx = deinter
+            return table[idx]
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError(f"GIF with no image frame ({sw}x{sh} screen)")
+
+
+def decode_image(codec: str, payload: bytes,
+                 width: int = 0, height: int = 0) -> np.ndarray:
+    """Unified image decode → (h, w, 3) uint8 RGB for every natively
+    decodable image codec (rgb8 raw, bmp, ppm/pgm, png, gif).
+    Grayscale sources replicate to 3 channels; alpha is dropped."""
+    if codec == "rgb8":
+        img = decode_rgb8(payload, width, height)
+    elif codec == "bmp":
+        img = decode_bmp(payload)
+    elif codec in ("ppm", "pgm"):
+        img = decode_ppm(payload)
+    elif codec == "png":
+        img = decode_png(payload)
+    elif codec == "gif":
+        img = decode_gif(payload)
+    else:
+        raise NotImplementedError(
+            f"codec {codec!r}: jpeg/h264 need libraries absent from "
+            f"this environment; rgb8/bmp/ppm/pgm/png/gif decode natively")
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    elif img.shape[2] == 2:  # gray+alpha
+        img = np.repeat(img[:, :, :1], 3, axis=2)
+    elif img.shape[2] == 4:  # RGBA
+        img = img[:, :, :3]
+    return np.ascontiguousarray(img)
 
 
 def decode_ppm(payload: bytes) -> np.ndarray:

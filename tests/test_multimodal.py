@@ -273,3 +273,244 @@ def test_decode_stage_container_codecs(ray_session):
     feats = {r["item_id"]: np.asarray(r["features"]) for r in out}
     assert np.allclose(feats[1], feats[2])
     assert not np.allclose(feats[0], feats[1])
+
+
+# ---------------------------------------------------------------------------
+# PNG / GIF: encoders live here in the tests so the decoders round-trip
+# against ground-truth pixel arrays with zero library help.
+# ---------------------------------------------------------------------------
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body)))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+    if pa_ <= pb_ and pa_ <= pc_:
+        return a
+    return b if pb_ <= pc_ else c
+
+
+def _make_png(img, color_type: int, filters=None, palette=None) -> bytes:
+    """Minimal PNG encoder: 8-bit, non-interlaced, one filter per row
+    (defaults cycle 0..4 to exercise every unfilter branch)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h = img.shape[0]
+    w = img.shape[1]
+    bpp = 1 if img.ndim == 2 else img.shape[2]
+    flat = img.reshape(h, w * bpp).astype(np.int16)
+    if filters is None:
+        filters = [(y % 5) for y in range(h)]
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.int16)
+    for y in range(h):
+        cur = flat[y]
+        f = filters[y]
+        raw.append(f)
+        for x in range(w * bpp):
+            a = int(cur[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            v = int(cur[x])
+            if f == 0:
+                enc = v
+            elif f == 1:
+                enc = v - a
+            elif f == 2:
+                enc = v - b
+            elif f == 3:
+                enc = v - ((a + b) >> 1)
+            else:
+                enc = v - _paeth(a, b, c)
+            raw.append(enc & 0xFF)
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    out += _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+    return out + _png_chunk(b"IEND", b"")
+
+
+def test_decode_png_all_filters_and_color_types():
+    import numpy as np
+    import pytest
+
+    from lucene_solr_ray.ops.multimodal import decode_png
+
+    rng = np.random.default_rng(11)
+    # ≥5 rows so the default per-row filter cycle hits all 5 types
+    rgb = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    assert (decode_png(_make_png(rgb, 2)) == rgb).all()
+    gray = rng.integers(0, 256, size=(6, 4), dtype=np.uint8)
+    assert (decode_png(_make_png(gray, 0)) == gray).all()
+    rgba = rng.integers(0, 256, size=(5, 3, 4), dtype=np.uint8)
+    assert (decode_png(_make_png(rgba, 6)) == rgba).all()
+    # palette: indexes resolve through PLTE
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(5, 8), dtype=np.uint8)
+    out = decode_png(_make_png(idx, 3, palette=pal))
+    assert out.shape == (5, 8, 3)
+    assert (out == pal[idx]).all()
+    # each single filter type alone round-trips too
+    for f in range(5):
+        p = _make_png(rgb, 2, filters=[f] * rgb.shape[0])
+        assert (decode_png(p) == rgb).all(), f"filter {f}"
+    with pytest.raises(ValueError):
+        decode_png(b"not a png")
+
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """Textbook GIF LZW with clear/end codes and 12-bit cap."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    bits = 0
+    nbits = 0
+
+    def emit(code: int, size: int):
+        nonlocal bits, nbits
+        bits |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(bits & 0xFF)
+            bits >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    code_size = min_code_size + 1
+    emit(clear, code_size)
+    run = b""
+    for byte in indices:
+        cand = run + bytes([byte])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], code_size)
+        if next_code < 4096:
+            table[cand] = next_code
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+            next_code += 1
+        else:
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+        run = bytes([byte])
+    if run:
+        emit(table[run], code_size)
+    emit(end, code_size)
+    if nbits:
+        out.append(bits & 0xFF)
+    return bytes(out)
+
+
+def _make_gif(idx, palette, interlace: bool = False) -> bytes:
+    import struct
+
+    import numpy as np
+
+    h, w = idx.shape
+    n = len(palette)
+    ct_bits = max(1, int(np.ceil(np.log2(n))))
+    ct = np.zeros((2 ** ct_bits, 3), dtype=np.uint8)
+    ct[:n] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (ct_bits - 1), 0, 0)
+    out += ct.tobytes()
+    rows = idx
+    if interlace:
+        order = np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
+                                np.arange(2, h, 4), np.arange(1, h, 2)])
+        rows = idx[order]
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h,
+                       0x40 if interlace else 0)
+    mcs = max(2, ct_bits)
+    out.append(mcs)
+    data = _gif_lzw_encode(rows.astype(np.uint8).tobytes(), mcs)
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_decode_gif_roundtrip_and_interlace():
+    import numpy as np
+    import pytest
+
+    from lucene_solr_ray.ops.multimodal import decode_gif
+
+    rng = np.random.default_rng(12)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, size=(16, 9), dtype=np.uint8)
+    assert (decode_gif(_make_gif(idx, pal)) == pal[idx]).all()
+    assert (decode_gif(_make_gif(idx, pal, interlace=True))
+            == pal[idx]).all()
+    # long repetitive stream: exercises table growth + width bumps
+    big = np.tile(np.arange(8, dtype=np.uint8), 512).reshape(64, 64)
+    assert (decode_gif(_make_gif(big, pal)) == pal[big]).all()
+    with pytest.raises(ValueError):
+        decode_gif(b"not a gif")
+
+
+def test_compressed_image_codecs_through_stages(ray_session):
+    """PNG and GIF flow through DecodeStage, ResizeStage, and the pHash
+    near-dup path exactly like raw rgb8 — and produce IDENTICAL
+    features/hashes for identical pixels (codec invariance)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from lucene_solr_ray.ops.multimodal import (
+        ImagePHashStage, ResizeStage, decode_rgb8, featurize)
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    gif_idx = rng.integers(0, 4, size=(24, 24), dtype=np.uint8)
+    gif_rgb = pal[gif_idx]
+    tbl = pa.table({
+        "item_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "codec": pa.array(["rgb8", "png", "gif", "rgb8"]),
+        "payload": pa.array([img.tobytes(), _make_png(img, 2),
+                             _make_gif(gif_idx, pal), gif_rgb.tobytes()],
+                            type=pa.large_binary()),
+        "width": pa.array([24, 24, 24, 24], type=pa.int32()),
+        "height": pa.array([24, 24, 24, 24], type=pa.int32()),
+    })
+    feats = {r["item_id"]: np.asarray(r["features"])
+             for r in featurize(ray.data.from_arrow(tbl)).take_all()}
+    assert np.allclose(feats[0], feats[1])   # rgb8 == png of same pixels
+    assert np.allclose(feats[2], feats[3])   # gif == rgb8 of same pixels
+
+    out = (ray.data.from_arrow(tbl)
+           .map_batches(ResizeStage, fn_constructor_kwargs={
+               "out_w": 8, "out_h": 8},
+               batch_format="pyarrow", concurrency=1)
+           .take_all())
+    by_id = {r["item_id"]: r for r in out}
+    for i in range(4):
+        assert by_id[i]["codec"] == "rgb8"
+        small = decode_rgb8(by_id[i]["payload"], 8, 8)
+        assert small.shape == (8, 8, 3)
+    assert by_id[0]["payload"] == by_id[1]["payload"]
+
+    hashes = {r["item_id"]: r["phash"]
+              for r in (ray.data.from_arrow(tbl)
+                        .map_batches(ImagePHashStage,
+                                     batch_format="pyarrow", concurrency=1)
+                        .take_all())}
+    assert hashes[0] == hashes[1] and hashes[2] == hashes[3]
