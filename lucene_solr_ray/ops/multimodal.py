@@ -5,10 +5,12 @@ The image/audio/video codec libraries are not available in this
 environment, so decoders are written from scratch over stdlib only:
 ``codec="raw"`` is a real, deterministic payload format (the fake used
 by tests and bench); WAV (RIFF/PCM), 24-bit BMP, netpbm P5/P6, PNG
-(zlib inflate + all five scanline filters), and GIF (variable-width
-LZW + interlace) decode natively (decode_wav/decode_bmp/decode_ppm/
-decode_png/decode_gif, unified by decode_image); jpeg/mp3/h264 raise
-NotImplementedError at the decode call. Everything
+(zlib inflate + all five scanline filters), GIF (variable-width LZW +
+interlace), and baseline JPEG (canonical-Huffman entropy decode +
+IDCT + chroma upsample) decode natively (decode_wav/decode_bmp/
+decode_ppm/decode_png/decode_gif/decode_jpeg, unified by
+decode_image); mp3/h264 raise NotImplementedError at the decode call.
+Everything
 around the stub — schema (binary column + metadata struct), Arrow
 batch handling, actor signature, batch sizing for large payloads, output
 layout — is real and tested, so swapping in a real decoder is a one-line
@@ -72,7 +74,7 @@ class DecodeStage:
             hist = np.bincount(np.frombuffer(payload, dtype=np.uint8),
                                minlength=256).astype(np.float32)
             return hist / max(1.0, hist.sum())
-        if codec in ("rgb8", "bmp", "ppm", "pgm", "png", "gif"):
+        if codec in ("rgb8", "bmp", "ppm", "pgm", "png", "gif", "jpeg"):
             # real image decode (decode_image below) → grayscale
             # intensity histogram as the 256-dim intermediate
             img = decode_image(codec, payload, width, height)
@@ -87,9 +89,9 @@ class DecodeStage:
             hist = np.bincount(q, minlength=256).astype(np.float32)
             return hist / max(1.0, hist.sum())
         raise NotImplementedError(
-            f"codec {codec!r}: jpeg/mp3/h264 need libraries absent from "
-            f"this environment — plug one in here; wav/bmp/ppm/pgm/png/gif "
-            f"containers decode natively")
+            f"codec {codec!r}: mp3/h264 need libraries absent from "
+            f"this environment — plug one in here; wav/bmp/ppm/pgm/png/"
+            f"gif/jpeg containers decode natively")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         codecs = batch["codec"].to_pylist()
@@ -646,6 +648,242 @@ def decode_gif(payload: bytes) -> np.ndarray:
     raise ValueError(f"GIF with no image frame ({sw}x{sh} screen)")
 
 
+# -- baseline JPEG (ITU-T T.81) -- from scratch: marker walk, canonical
+# Huffman entropy decode, dequantize + dezigzag, vectorized float IDCT,
+# chroma upsample, JFIF YCbCr→RGB. Baseline sequential (SOF0/SOF1) only;
+# progressive (SOF2) and arithmetic coding raise. The bit-level Huffman
+# loop is per-byte Python — bounded per image, and images are decoded
+# inside bytes-bounded actor-pool batches.
+
+_JPEG_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int64)
+
+
+def _jpeg_idct_basis() -> np.ndarray:
+    u = np.arange(8)[:, None]
+    x = np.arange(8)[None, :]
+    a = np.cos((2 * x + 1) * u * np.pi / 16)
+    a[0] *= np.sqrt(0.125)
+    a[1:] *= 0.5
+    return a
+
+
+_JPEG_IDCT_A = _jpeg_idct_basis()
+
+
+class _JpegMarker(Exception):
+    pass
+
+
+class _JpegBits:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; raises _JpegMarker when a real marker interrupts."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1]
+                if nxt != 0x00:
+                    raise _JpegMarker(nxt)
+                self.pos += 2
+            else:
+                self.pos += 1
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, t: int) -> int:
+        v = 0
+        for _ in range(t):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self):
+        """Byte-align and consume the next RSTn marker."""
+        self.nbits = 0
+        if not (self.data[self.pos] == 0xFF
+                and 0xD0 <= self.data[self.pos + 1] <= 0xD7):
+            raise ValueError("expected JPEG restart marker")
+        self.pos += 2
+
+
+def _jpeg_build_huff(counts: bytes, vals: bytes) -> dict:
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            codes[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return codes
+
+
+def _jpeg_decode_huff(r: _JpegBits, codes: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.bit()
+        sym = codes.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG → (h, w, 3) uint8 RGB (or (h, w) grayscale)."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) → codes
+    frame = None  # (h, w, [(cid, hi, vi, tq)])
+    dri = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        size = struct.unpack_from(">H", payload, pos)[0]
+        body = payload[pos + 2:pos + size]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0xF
+                if pq:
+                    raise NotImplementedError("16-bit quant tables")
+                zz = np.frombuffer(body, dtype=np.uint8, count=64,
+                                   offset=p + 1).astype(np.int32)
+                nat = np.empty(64, dtype=np.int32)
+                nat[_JPEG_ZIGZAG] = zz
+                qtables[tq] = nat
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0xF
+                counts = body[p + 1:p + 17]
+                n = sum(counts)
+                huff[(tc, th)] = _jpeg_build_huff(counts,
+                                                  body[p + 17:p + 17 + n])
+                p += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
+            _prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
+            comps = [(body[6 + 3 * i], body[7 + 3 * i] >> 4,
+                      body[7 + 3 * i] & 0xF, body[8 + 3 * i])
+                     for i in range(nc)]
+            frame = (fh, fw, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0}: only baseline sequential "
+                f"(SOF0/SOF1) decodes here")
+        elif marker == 0xDD:  # DRI
+            dri = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scan = {body[1 + 2 * i]: (body[2 + 2 * i] >> 4,
+                                      body[2 + 2 * i] & 0xF)
+                    for i in range(ns)}
+            return _jpeg_scan(payload, pos + size, frame, scan,
+                              qtables, huff, dri)
+        pos += size
+    raise ValueError("JPEG with no scan")
+
+
+def _jpeg_scan(payload, pos, frame, scan, qtables, huff, dri):
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+    r = _JpegBits(payload, pos)
+    # per component: coefficient blocks in raster order
+    blocks = {cid: np.zeros((mcus_y * v, mcus_x * h, 64), dtype=np.float64)
+              for cid, h, v, _tq in comps}
+    dc_pred = {cid: 0 for cid, *_ in comps}
+    mcu = 0
+    total = mcus_x * mcus_y
+    while mcu < total:
+        if dri and mcu and mcu % dri == 0:
+            r.restart()
+            dc_pred = {cid: 0 for cid, *_ in comps}
+        my, mx = divmod(mcu, mcus_x)
+        try:
+            for cid, h, v, tq in comps:
+                dc_codes = huff[(0, scan[cid][0])]
+                ac_codes = huff[(1, scan[cid][1])]
+                q = qtables[tq]
+                for by in range(v):
+                    for bx in range(h):
+                        coef = np.zeros(64, dtype=np.int32)
+                        t = _jpeg_decode_huff(r, dc_codes)
+                        dc_pred[cid] += _jpeg_extend(r.receive(t), t)
+                        coef[0] = dc_pred[cid]
+                        k = 0
+                        while k < 63:
+                            rs = _jpeg_decode_huff(r, ac_codes)
+                            run, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if run != 15:
+                                    break  # EOB
+                                k += 16
+                                continue
+                            k += run + 1
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            coef[_JPEG_ZIGZAG[k]] = _jpeg_extend(
+                                r.receive(size), size)
+                        blocks[cid][my * v + by, mx * h + bx] = coef * q
+        except _JpegMarker as m:
+            raise ValueError(f"JPEG marker 0xFF{m.args[0]:02X} inside "
+                             f"scan at MCU {mcu}/{total}") from None
+        mcu += 1
+    # IDCT every block of every component at once (vectorized)
+    planes = {}
+    for cid, h, v, _tq in comps:
+        b = blocks[cid]
+        by, bx = b.shape[0], b.shape[1]
+        f = np.einsum("ux,nuv,vy->nxy", _JPEG_IDCT_A,
+                      b.reshape(-1, 8, 8), _JPEG_IDCT_A) + 128.0
+        plane = (f.reshape(by, bx, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(by * 8, bx * 8))
+        plane = np.repeat(np.repeat(plane, vmax // v, axis=0),
+                          hmax // h, axis=1)
+        planes[cid] = plane[:fh, :fw]
+    if len(comps) == 1:
+        return np.clip(planes[comps[0][0]].round(), 0, 255).astype(np.uint8)
+    y = planes[comps[0][0]]
+    cb = planes[comps[1][0]] - 128.0
+    cr = planes[comps[2][0]] - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=2)
+    return np.clip(rgb.round(), 0, 255).astype(np.uint8)
+
+
 def decode_image(codec: str, payload: bytes,
                  width: int = 0, height: int = 0) -> np.ndarray:
     """Unified image decode → (h, w, 3) uint8 RGB for every natively
@@ -661,10 +899,13 @@ def decode_image(codec: str, payload: bytes,
         img = decode_png(payload)
     elif codec == "gif":
         img = decode_gif(payload)
+    elif codec == "jpeg":
+        img = decode_jpeg(payload)
     else:
         raise NotImplementedError(
-            f"codec {codec!r}: jpeg/h264 need libraries absent from "
-            f"this environment; rgb8/bmp/ppm/pgm/png/gif decode natively")
+            f"codec {codec!r}: video codecs (h264…) need libraries absent "
+            f"from this environment; rgb8/bmp/ppm/pgm/png/gif/jpeg decode "
+            f"natively")
     if img.ndim == 2:
         img = np.repeat(img[:, :, None], 3, axis=2)
     elif img.shape[2] == 2:  # gray+alpha

@@ -36,12 +36,17 @@ def test_decode_stage_direct():
 
 def test_decode_unsupported_codec_raises():
     stage = DecodeStage()
-    t = pa.table({"item_id": [1], "codec": ["jpeg"],
-                  "payload": pa.array([b"\xff\xd8"], type=pa.large_binary()),
+    t = pa.table({"item_id": [1], "codec": ["h264"],
+                  "payload": pa.array([b"\x00\x00\x01"],
+                                      type=pa.large_binary()),
                   "width": pa.array([8], type=pa.int32()),
                   "height": pa.array([8], type=pa.int32())})
-    with pytest.raises(NotImplementedError, match="jpeg"):
+    with pytest.raises(NotImplementedError, match="h264"):
         stage(t)
+    # corrupt payloads for SUPPORTED codecs fail loudly too (ValueError)
+    t2 = t.set_column(1, "codec", pa.array(["jpeg"]))
+    with pytest.raises(ValueError):
+        stage(t2)
 
 
 def test_featurize_pipeline(ray_session):
@@ -514,3 +519,298 @@ def test_compressed_image_codecs_through_stages(ray_session):
                                      batch_format="pyarrow", concurrency=1)
                         .take_all())}
     assert hashes[0] == hashes[1] and hashes[2] == hashes[3]
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG: a minimal encoder lives here (flat-length canonical
+# Huffman tables built from the symbols actually emitted — any valid
+# DHT is legal JPEG), so decode_jpeg round-trips against ground truth
+# within quantization error, with zero library help.
+# ---------------------------------------------------------------------------
+
+class _JBits:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.put(1, 1)
+
+
+def _jpeg_cat(v: int):
+    """(category, appended-bits) for a DC diff / AC value."""
+    t = 0
+    a = abs(v)
+    while a:
+        t += 1
+        a >>= 1
+    return t, (v if v >= 0 else v + (1 << t) - 1)
+
+
+def _fdct_quant(block, q, A):
+    import numpy as np
+
+    f = A @ (block.astype(np.float64) - 128.0) @ A.T
+    return np.round(f / q).astype(np.int32)
+
+
+def _encode_blocks(planes_blocks, q_of_comp):
+    """Per component: list of quantized blocks in MCU emission order →
+    (symbol streams, per-block (dcsym,dcbits,[(acsym,acbits)...]))."""
+    from lucene_solr_ray.ops.multimodal import _JPEG_ZIGZAG
+
+    encoded = []
+    dc_syms, ac_syms = set(), set()
+    dc_pred = {}
+    for comp_i, blocks in planes_blocks:
+        dc_pred.setdefault(comp_i, 0)
+        for blk in blocks:
+            zz = blk[_JPEG_ZIGZAG]
+            t, bits = _jpeg_cat(int(zz[0]) - dc_pred[comp_i])
+            dc_pred[comp_i] = int(zz[0])
+            dc_syms.add((comp_i, t))
+            acs = []
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    acs.append((0xF0, 0, 0))
+                    ac_syms.add((comp_i, 0xF0))
+                    run -= 16
+                s, b = _jpeg_cat(v)
+                acs.append(((run << 4) | s, s, b))
+                ac_syms.add((comp_i, (run << 4) | s))
+                run = 0
+            if run:
+                acs.append((0x00, 0, 0))
+                ac_syms.add((comp_i, 0x00))
+            encoded.append((comp_i, t, bits, acs))
+    return encoded, dc_syms, ac_syms
+
+
+def _flat_huff(symbols):
+    """All symbols at one length L with 2^L > n: valid canonical DHT."""
+    import numpy as np
+
+    syms = sorted(symbols)
+    n = len(syms)
+    L = max(1, int(np.ceil(np.log2(n + 2))))
+    counts = [0] * 16
+    counts[L - 1] = n
+    code_of = {s: i for i, s in enumerate(syms)}
+    return bytes(counts), bytes(syms), code_of, L
+
+
+def _make_jpeg(img, subsample=False, dri=0):
+    """Baseline JPEG encoder: 4:4:4 (or 4:2:0), flat Huffman tables."""
+    import struct
+
+    import numpy as np
+
+    from lucene_solr_ray.ops.multimodal import _jpeg_idct_basis
+
+    A = _jpeg_idct_basis()  # orthonormal: forward DCT F = A f A.T
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    ql = np.full((8, 8), 10.0)
+    ql[0, 0] = 16.0
+    qc = np.full((8, 8), 12.0)
+    if gray:
+        ycc = [img.astype(np.float64)]
+        samp = [(1, 1)]
+        qids = [0]
+    else:
+        r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        ycc = [y, cb, cr]
+        samp = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
+        qids = [0, 1, 1]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = []
+    for (hs, vs), plane in zip(samp, ycc):
+        if (hs, vs) != (hmax, vmax):  # subsample by block mean
+            fy, fx = vmax // vs, hmax // hs
+            ph = -(-h // fy) * fy
+            px = -(-w // fx) * fx
+            pad = np.pad(plane, ((0, ph - h), (0, px - w)), mode="edge")
+            plane = pad.reshape(ph // fy, fy, px // fx, fx).mean(axis=(1, 3))
+        th, tw = mcus_y * vs * 8, mcus_x * hs * 8
+        plane = np.pad(plane, ((0, th - plane.shape[0]),
+                               (0, tw - plane.shape[1])), mode="edge")
+        planes.append(plane)
+    # quantized blocks in MCU emission order, per component stream
+    stream = []
+    for mcu in range(mcus_x * mcus_y):
+        my, mx = divmod(mcu, mcus_x)
+        for ci, ((hs, vs), plane) in enumerate(zip(samp, planes)):
+            q = ql if qids[ci] == 0 else qc
+            blocks = []
+            for by in range(vs):
+                for bx in range(hs):
+                    r0, c0 = (my * vs + by) * 8, (mx * hs + bx) * 8
+                    blocks.append(_fdct_quant(
+                        plane[r0:r0 + 8, c0:c0 + 8], q, A).reshape(64))
+            stream.append((ci, blocks))
+    # restart intervals: each dri-MCU segment encodes with fresh DC
+    # predictors (the decoder resets them at every RSTn)
+    if dri:
+        seg_len = dri * len(samp)
+        segments = [stream[i:i + seg_len]
+                    for i in range(0, len(stream), seg_len)]
+    else:
+        segments = [stream]
+    encoded_segs = []
+    dc_syms, ac_syms = set(), set()
+    for seg in segments:
+        enc, d, a = _encode_blocks(seg, qids)
+        encoded_segs.append(enc)
+        dc_syms |= d
+        ac_syms |= a
+    # one DC + one AC table per component class (luma=0, chroma=1)
+    tables = {}
+    for tc, syms_all in ((0, dc_syms), (1, ac_syms)):
+        for klass in (0, 1):
+            syms = {s for ci, s in syms_all if (0 if ci == 0 else 1) == klass}
+            if syms:
+                tables[(tc, klass)] = _flat_huff(syms)
+    out = bytearray(b"\xff\xd8")
+    for qid, q in ((0, ql), (1, qc)) if not gray else ((0, ql),):
+        zzq = np.empty(64, dtype=np.uint8)
+        from lucene_solr_ray.ops.multimodal import _JPEG_ZIGZAG
+        zzq = q.reshape(64)[_JPEG_ZIGZAG].astype(np.uint8)
+        body = bytes([qid]) + zzq.tobytes()
+        out += b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], qids[ci]])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    for (tc, klass), (counts, syms, _cof, _L) in tables.items():
+        body = bytes([(tc << 4) | klass]) + counts + syms
+        out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+    if dri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+    sos = bytes([nc])
+    for ci in range(nc):
+        klass = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (klass << 4) | klass])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    wtr = _JBits()
+    for si, enc in enumerate(encoded_segs):
+        if si:
+            wtr.flush()
+            wtr.out += bytes([0xFF, 0xD0 + ((si - 1) % 8)])
+        for ci, t, bits, acs in enc:
+            klass = 0 if ci == 0 else 1
+            _c, _s, dc_code, dcL = tables[(0, klass)]
+            wtr.put(dc_code[t], dcL)
+            if t:
+                wtr.put(bits, t)
+            _c, _s, ac_code, acL = tables[(1, klass)]
+            for sym, s, b in acs:
+                wtr.put(ac_code[sym], acL)
+                if s:
+                    wtr.put(b, s)
+    wtr.flush()
+    out += wtr.out + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_decode_jpeg_roundtrip_444():
+    import numpy as np
+    import pytest
+
+    from lucene_solr_ray.ops.multimodal import decode_jpeg
+
+    rng = np.random.default_rng(21)
+    # smooth image: quantization error stays small
+    yy, xx = np.mgrid[0:24, 0:16]
+    img = np.stack([(yy * 5 + 20) % 256, (xx * 7 + 50) % 256,
+                    ((yy + xx) * 3) % 256], axis=2).astype(np.uint8)
+    out = decode_jpeg(_make_jpeg(img))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int)).mean()
+    assert err < 6.0, f"mean abs error {err}"
+    # non-multiple-of-8 dims survive (pad + crop)
+    odd = img[:19, :13]
+    out2 = decode_jpeg(_make_jpeg(odd))
+    assert out2.shape == odd.shape
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+
+
+def test_decode_jpeg_grayscale_and_420():
+    import numpy as np
+
+    from lucene_solr_ray.ops.multimodal import decode_jpeg
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    gray = ((yy * 4 + xx * 2) % 256).astype(np.uint8)
+    out = decode_jpeg(_make_jpeg(gray))
+    assert out.shape == (32, 32)
+    assert np.abs(out.astype(int) - gray.astype(int)).mean() < 5.0
+
+    img = np.stack([gray, gray[::-1], gray.T], axis=2).astype(np.uint8)
+    out3 = decode_jpeg(_make_jpeg(img, subsample=True))
+    assert out3.shape == img.shape
+    # 4:2:0 chroma is lossier; luma-projected error stays bounded
+    luma = lambda a: (0.299 * a[..., 0] + 0.587 * a[..., 1]
+                      + 0.114 * a[..., 2])
+    assert np.abs(luma(out3) - luma(img)).mean() < 8.0
+
+
+def test_decode_jpeg_through_stages(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from lucene_solr_ray.ops.multimodal import featurize
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    img = np.stack([(yy * 9) % 256, (xx * 9) % 256,
+                    ((yy + xx) * 5) % 256], axis=2).astype(np.uint8)
+    tbl = pa.table({
+        "item_id": pa.array([0], type=pa.int64()),
+        "codec": pa.array(["jpeg"]),
+        "payload": pa.array([_make_jpeg(img)], type=pa.large_binary()),
+        "width": pa.array([16], type=pa.int32()),
+        "height": pa.array([16], type=pa.int32()),
+    })
+    rows = featurize(ray.data.from_arrow(tbl)).take_all()
+    assert len(rows) == 1 and len(rows[0]["features"]) == 32
+
+def test_decode_jpeg_restart_intervals():
+    """DRI + RSTn markers: decoder byte-aligns, consumes the marker, and
+    resets DC predictors — output identical to the unsegmented encode."""
+    import numpy as np
+
+    from lucene_solr_ray.ops.multimodal import decode_jpeg
+
+    yy, xx = np.mgrid[0:16, 0:40]  # 2x5 MCUs at 4:4:4
+    img = np.stack([(yy * 6 + 10) % 256, (xx * 4 + 90) % 256,
+                    ((yy * 2 + xx) * 3) % 256], axis=2).astype(np.uint8)
+    plain = decode_jpeg(_make_jpeg(img))
+    with_rst = decode_jpeg(_make_jpeg(img, dri=2))
+    assert (plain == with_rst).all()
