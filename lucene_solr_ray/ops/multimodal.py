@@ -5,11 +5,13 @@ The image/audio/video codec libraries are not available in this
 environment, so decoders are written from scratch over stdlib only:
 ``codec="raw"`` is a real, deterministic payload format (the fake used
 by tests and bench); WAV (RIFF/PCM), 24-bit BMP, netpbm P5/P6, PNG
-(zlib inflate + all five scanline filters), GIF (variable-width LZW +
-interlace), and baseline JPEG (canonical-Huffman entropy decode +
-IDCT + chroma upsample) decode natively (decode_wav/decode_bmp/
-decode_ppm/decode_png/decode_gif/decode_jpeg, unified by
-decode_image); mp3/h264 raise NotImplementedError at the decode call.
+(zlib inflate + all five scanline filters, every legal bit depth,
+Adam7 interlace), GIF (variable-width LZW + interlace), and JPEG —
+baseline AND progressive SOF2 (canonical-Huffman entropy decode,
+spectral selection, successive approximation, EOB runs, IDCT + chroma
+upsample) — decode natively (decode_wav/decode_bmp/decode_ppm/
+decode_png/decode_gif/decode_jpeg, unified by decode_image); mp3/h264
+raise NotImplementedError at the decode call.
 Everything
 around the stub — schema (binary column + metadata struct), Arrow
 batch handling, actor signature, batch sizing for large payloads, output
@@ -450,56 +452,23 @@ def _png_paeth(a: int, b: int, c: int) -> int:
     return b if pb_ <= pc_ else c
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """PNG → uint8 array: gray → (h, w); RGB/palette → (h, w, 3);
-    gray+alpha → (h, w, 2); RGBA → (h, w, 4).
+# Adam7 pass layout: (x0, y0, dx, dy) per pass (PNG spec 8.2)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
-    A from-scratch decoder over stdlib zlib only: chunk walk, IDAT
-    inflate, per-scanline unfilter (all five filter types — Up/None
-    vectorized, Sub/Average/Paeth sequential by spec). 8-bit depth,
-    non-interlaced images only; Adam7 and 1/2/4/16-bit depths raise.
-    """
-    import struct
-    import zlib
 
-    if payload[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG payload")
-    pos, n = 8, len(payload)
-    w = h = bit_depth = color_type = interlace = None
-    plte = None
-    idat = []
-    while pos + 8 <= n:
-        size, ctype = struct.unpack_from(">I4s", payload, pos)
-        body = payload[pos + 8:pos + 8 + size]
-        if ctype == b"IHDR":
-            w, h, bit_depth, color_type, _comp, _filt, interlace = \
-                struct.unpack_from(">IIBBBBB", body, 0)
-        elif ctype == b"PLTE":
-            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
-        elif ctype == b"IDAT":
-            idat.append(body)
-        elif ctype == b"IEND":
-            break
-        pos += 12 + size  # length + type + body + crc
-    if w is None or not idat:
-        raise ValueError("missing IHDR/IDAT chunk")
-    if bit_depth != 8:
-        raise NotImplementedError(f"{bit_depth}-bit PNG (8-bit only)")
-    if interlace:
-        raise NotImplementedError("Adam7-interlaced PNG")
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
-    if channels is None:
-        raise ValueError(f"PNG color type {color_type}")
-    bpp = channels
-    stride = w * bpp
-    raw = zlib.decompress(b"".join(idat))
-    if len(raw) < h * (stride + 1):
+def _png_unfilter(raw: bytes, offset: int, height: int, stride: int,
+                  bpp: int) -> tuple[np.ndarray, int]:
+    """Unfilter `height` scanlines of `stride` bytes starting at
+    `offset` (all five filter types — Up/None vectorized, Sub/Average/
+    Paeth sequential by spec). Returns (rows, new offset)."""
+    if len(raw) < offset + height * (stride + 1):
         raise ValueError("truncated PNG pixel data")
-    lines = np.frombuffer(raw, dtype=np.uint8,
-                          count=h * (stride + 1)).reshape(h, stride + 1)
-    recon = np.empty((h, stride), dtype=np.uint8)
+    lines = np.frombuffer(raw, dtype=np.uint8, count=height * (stride + 1),
+                          offset=offset).reshape(height, stride + 1)
+    recon = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
+    for y in range(height):
         f, cur = lines[y, 0], lines[y, 1:]
         if f == 0:
             row = cur.copy()
@@ -526,7 +495,87 @@ def decode_png(payload: bytes) -> np.ndarray:
             row[:] = row_l
         recon[y] = row
         prev = recon[y]
-    img = recon.reshape(h, w, bpp) if bpp > 1 else recon.reshape(h, w)
+    return recon, offset + height * (stride + 1)
+
+
+def _png_unpack(rows: np.ndarray, w: int, channels: int,
+                depth: int) -> np.ndarray:
+    """Filtered-byte rows → (h, w*channels) uint8 SAMPLES. Sub-byte
+    depths unpack MSB-first; 16-bit keeps the high byte (the standard
+    8-bit rendering of a 16-bit sample)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, :w * channels]
+    if depth == 16:
+        return rows.reshape(h, -1)[:, 0::2][:, :w * channels]
+    bits = np.unpackbits(rows, axis=1)
+    if depth == 1:
+        vals = bits
+    elif depth == 2:
+        vals = (bits[:, 0::2] << 1) | bits[:, 1::2]
+    else:  # 4
+        vals = ((bits[:, 0::4] << 3) | (bits[:, 1::4] << 2)
+                | (bits[:, 2::4] << 1) | bits[:, 3::4])
+    return vals[:, :w * channels].astype(np.uint8)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → uint8 array: gray → (h, w); RGB/palette → (h, w, 3);
+    gray+alpha → (h, w, 2); RGBA → (h, w, 4).
+
+    A from-scratch decoder over stdlib zlib only: chunk walk, IDAT
+    inflate, per-scanline unfilter, every legal bit depth (1/2/4/8/16 —
+    sub-byte grays scale to 8-bit, 16-bit keeps the high byte), both
+    interlace methods (none / Adam7 seven-pass).
+    """
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, n = 8, len(payload)
+    w = h = bit_depth = color_type = interlace = None
+    plte = None
+    idat = []
+    while pos + 8 <= n:
+        size, ctype = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8:pos + 8 + size]
+        if ctype == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = \
+                struct.unpack_from(">IIBBBBB", body, 0)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # length + type + body + crc
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"PNG color type {color_type}")
+    if bit_depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"PNG bit depth {bit_depth}")
+    if bit_depth < 8 and color_type not in (0, 3):
+        raise ValueError(f"sub-byte depth with color type {color_type}")
+    raw = zlib.decompress(b"".join(idat))
+    bpp = max(1, channels * bit_depth // 8)  # filter distance in bytes
+    img = np.zeros((h, w, channels), dtype=np.uint8)
+    passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
+    offset = 0
+    for x0, y0, dx, dy in passes:
+        pw = -(-(w - x0) // dx) if w > x0 else 0
+        ph = -(-(h - y0) // dy) if h > y0 else 0
+        if pw == 0 or ph == 0:
+            continue  # empty pass contributes no scanlines (spec 8.2)
+        stride = -(-pw * channels * bit_depth // 8)
+        rows, offset = _png_unfilter(raw, offset, ph, stride, bpp)
+        sub = _png_unpack(rows, pw, channels, bit_depth)
+        img[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+    if color_type == 0 and bit_depth < 8:
+        img = img * np.uint8(255 // ((1 << bit_depth) - 1))  # exact scale
+    img = img if channels > 1 else img.reshape(h, w)
     if color_type == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE")
@@ -648,12 +697,15 @@ def decode_gif(payload: bytes) -> np.ndarray:
     raise ValueError(f"GIF with no image frame ({sw}x{sh} screen)")
 
 
-# -- baseline JPEG (ITU-T T.81) -- from scratch: marker walk, canonical
-# Huffman entropy decode, dequantize + dezigzag, vectorized float IDCT,
-# chroma upsample, JFIF YCbCr→RGB. Baseline sequential (SOF0/SOF1) only;
-# progressive (SOF2) and arithmetic coding raise. The bit-level Huffman
-# loop is per-byte Python — bounded per image, and images are decoded
-# inside bytes-bounded actor-pool batches.
+# -- JPEG (ITU-T T.81) -- from scratch: marker walk, canonical Huffman
+# entropy decode, dequantize + dezigzag, vectorized float IDCT, chroma
+# upsample, JFIF YCbCr→RGB. Baseline sequential (SOF0/SOF1) AND
+# progressive (SOF2: spectral selection + successive approximation,
+# interleaved DC scans, non-interleaved AC scans with EOB runs,
+# DC/AC refinement per T.81 G.1.2); arithmetic coding and the
+# hierarchical/lossless SOF families raise. The bit-level Huffman loop
+# is per-byte Python — bounded per image, and images are decoded inside
+# bytes-bounded actor-pool batches.
 
 _JPEG_ZIGZAG = np.array([
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -747,7 +799,9 @@ def _jpeg_extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG → (h, w, 3) uint8 RGB (or (h, w) grayscale)."""
+    """JPEG (baseline SOF0/SOF1 or progressive SOF2) → (h, w, 3) uint8
+    RGB (or (h, w) grayscale). Coefficients accumulate raw across
+    scans and are dequantized once at the end (T.81 G.1.2)."""
     import struct
 
     if payload[:2] != b"\xff\xd8":
@@ -756,12 +810,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) → codes
     frame = None  # (h, w, [(cid, hi, vi, tq)])
+    coefs = None  # cid → (bh, bw, 64) int32, natural order, raw
     dri = 0
-    while pos + 4 <= len(payload):
+    saw_scan = False
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
         marker = payload[pos + 1]
         pos += 2
+        if marker == 0xD9:  # EOI
+            break
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         size = struct.unpack_from(">H", payload, pos)[0]
@@ -787,84 +845,239 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 huff[(tc, th)] = _jpeg_build_huff(counts,
                                                   body[p + 17:p + 17 + n])
                 p += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 baseline, SOF2 prog
             _prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
             comps = [(body[6 + 3 * i], body[7 + 3 * i] >> 4,
                       body[7 + 3 * i] & 0xF, body[8 + 3 * i])
                      for i in range(nc)]
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF{marker - 0xC0}: only baseline sequential "
-                f"(SOF0/SOF1) decodes here")
+                f"(SOF0/SOF1) and progressive (SOF2) decode here")
         elif marker == 0xDD:  # DRI
             dri = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS — entropy-coded data follows
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            fh, fw, comps = frame
+            if coefs is None:
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mx = -(-fw // (8 * hmax))
+                my = -(-fh // (8 * vmax))
+                coefs = {cid: np.zeros((my * v, mx * h, 64), dtype=np.int32)
+                         for cid, h, v, _tq in comps}
             ns = body[0]
             scan = {body[1 + 2 * i]: (body[2 + 2 * i] >> 4,
                                       body[2 + 2 * i] & 0xF)
                     for i in range(ns)}
-            return _jpeg_scan(payload, pos + size, frame, scan,
-                              qtables, huff, dri)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            pos = _jpeg_scan_pass(payload, pos + size, frame, scan,
+                                  ss, se, ahal >> 4, ahal & 0xF,
+                                  huff, dri, coefs)
+            saw_scan = True
+            continue
         pos += size
-    raise ValueError("JPEG with no scan")
+    if not saw_scan:
+        raise ValueError("JPEG with no scan")
+    return _jpeg_finish(frame, coefs, qtables)
 
 
-def _jpeg_scan(payload, pos, frame, scan, qtables, huff, dri):
+def _jpeg_block_full(r, coef, dc_codes, ac_codes, dc_pred, cid):
+    """Baseline DC+AC block decode (Ss=0, Se=63, Ah=Al=0)."""
+    t = _jpeg_decode_huff(r, dc_codes)
+    dc_pred[cid] += _jpeg_extend(r.receive(t), t)
+    coef[0] = dc_pred[cid]
+    k = 0
+    while k < 63:
+        rs = _jpeg_decode_huff(r, ac_codes)
+        run, size = rs >> 4, rs & 0xF
+        if size == 0:
+            if run != 15:
+                break  # EOB
+            k += 16
+            continue
+        k += run + 1
+        if k > 63:
+            raise ValueError("AC run past block end")
+        coef[_JPEG_ZIGZAG[k]] = _jpeg_extend(r.receive(size), size)
+
+
+def _jpeg_block_ac_first(r, coef, ac_codes, ss, se, al, eobrun):
+    """Progressive AC first scan (Ah=0): values at precision Al with
+    EOB-run codes (T.81 G.1.2.2)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _jpeg_decode_huff(r, ac_codes)
+        run, size = rs >> 4, rs & 0xF
+        if size == 0:
+            if run != 15:
+                eobrun = (1 << run) - 1
+                if run:
+                    eobrun += r.receive(run)
+                break
+            k += 16
+            continue
+        k += run
+        if k > se:
+            raise ValueError("AC run past spectral band end")
+        coef[_JPEG_ZIGZAG[k]] = _jpeg_extend(r.receive(size), size) << al
+        k += 1
+    return eobrun
+
+
+def _jpeg_block_ac_refine(r, coef, ac_codes, ss, se, al, eobrun):
+    """Progressive AC refinement (Ah>0): one new magnitude bit per
+    coefficient — newly-nonzero ±1<<Al insertions plus correction bits
+    for every already-nonzero coefficient passed (T.81 G.1.2.3)."""
+    p1 = 1 << al
+    m1 = -p1
+    zig = _JPEG_ZIGZAG
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _jpeg_decode_huff(r, ac_codes)
+            run, size = rs >> 4, rs & 0xF
+            val = 0
+            if size == 0:
+                if run != 15:
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += r.receive(run)
+                    break
+                # run of 16 zero-history coefficients, no insertion
+            else:
+                if size != 1:
+                    raise ValueError("AC refinement size != 1")
+                val = p1 if r.bit() else m1
+            while k <= se:
+                c = zig[k]
+                if coef[c] != 0:
+                    if r.bit() and (coef[c] & p1) == 0:
+                        coef[c] += p1 if coef[c] >= 0 else m1
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val and k <= se:
+                coef[zig[k]] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = zig[k]
+            if coef[c] != 0:
+                if r.bit() and (coef[c] & p1) == 0:
+                    coef[c] += p1 if coef[c] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_scan_pass(payload, pos, frame, scan, ss, se, ah, al,
+                    huff, dri, coefs):
+    """Decode ONE entropy-coded scan into the raw coefficient arrays;
+    returns the payload offset of the next marker. Interleaved when
+    ns>1 (MCU grid); non-interleaved when ns=1 (the component's own
+    ceil-dimension block grid, T.81 A.2.2)."""
     fh, fw, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = -(-fw // (8 * hmax))
     mcus_y = -(-fh // (8 * vmax))
     r = _JpegBits(payload, pos)
-    # per component: coefficient blocks in raster order
-    blocks = {cid: np.zeros((mcus_y * v, mcus_x * h, 64), dtype=np.float64)
-              for cid, h, v, _tq in comps}
-    dc_pred = {cid: 0 for cid, *_ in comps}
+    sc = [c for c in comps if c[0] in scan]
+    if len(sc) != len(scan):
+        raise ValueError("JPEG scan names an unknown component")
+    dc_pred = {c[0]: 0 for c in sc}
+    eobrun = 0
+    if ss == 0 and ah == 0 and se == 63:
+        kind = "full"
+    elif ss == 0 and se == 0:
+        kind = "dc_first" if ah == 0 else "dc_refine"
+    elif ss > 0 and se >= ss:
+        if len(sc) != 1:
+            raise ValueError("progressive AC scan must be non-interleaved")
+        kind = "ac_first" if ah == 0 else "ac_refine"
+    else:
+        raise ValueError(f"JPEG scan Ss={ss} Se={se} out of spec")
+
+    if len(sc) == 1:
+        # non-interleaved: one data unit per MCU over the component's
+        # own ceil(comp_dim/8) grid
+        cid, h, v, _tq = sc[0]
+        cw = -(-fw * h // hmax)
+        ch = -(-fh * v // vmax)
+        bw = -(-cw // 8)
+        bh = -(-ch // 8)
+        units = [(cid, by, bx) for by in range(bh) for bx in range(bw)]
+    else:
+        units = None  # interleaved MCU loop below
+    dc_codes = {c[0]: huff.get((0, scan[c[0]][0])) for c in sc}
+    ac_codes = {c[0]: huff.get((1, scan[c[0]][1])) for c in sc}
+
+    def one_unit(cid, by, bx):
+        nonlocal eobrun
+        coef = coefs[cid][by, bx]
+        if kind == "full":
+            _jpeg_block_full(r, coef, dc_codes[cid], ac_codes[cid],
+                             dc_pred, cid)
+        elif kind == "dc_first":
+            t = _jpeg_decode_huff(r, dc_codes[cid])
+            dc_pred[cid] += _jpeg_extend(r.receive(t), t)
+            coef[0] = dc_pred[cid] << al
+        elif kind == "dc_refine":
+            if r.bit():
+                coef[0] |= 1 << al
+        elif kind == "ac_first":
+            eobrun = _jpeg_block_ac_first(r, coef, ac_codes[cid],
+                                          ss, se, al, eobrun)
+        else:
+            eobrun = _jpeg_block_ac_refine(r, coef, ac_codes[cid],
+                                           ss, se, al, eobrun)
+
+    total = len(units) if units is not None else mcus_x * mcus_y
     mcu = 0
-    total = mcus_x * mcus_y
-    while mcu < total:
-        if dri and mcu and mcu % dri == 0:
-            r.restart()
-            dc_pred = {cid: 0 for cid, *_ in comps}
-        my, mx = divmod(mcu, mcus_x)
-        try:
-            for cid, h, v, tq in comps:
-                dc_codes = huff[(0, scan[cid][0])]
-                ac_codes = huff[(1, scan[cid][1])]
-                q = qtables[tq]
-                for by in range(v):
-                    for bx in range(h):
-                        coef = np.zeros(64, dtype=np.int32)
-                        t = _jpeg_decode_huff(r, dc_codes)
-                        dc_pred[cid] += _jpeg_extend(r.receive(t), t)
-                        coef[0] = dc_pred[cid]
-                        k = 0
-                        while k < 63:
-                            rs = _jpeg_decode_huff(r, ac_codes)
-                            run, size = rs >> 4, rs & 0xF
-                            if size == 0:
-                                if run != 15:
-                                    break  # EOB
-                                k += 16
-                                continue
-                            k += run + 1
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            coef[_JPEG_ZIGZAG[k]] = _jpeg_extend(
-                                r.receive(size), size)
-                        blocks[cid][my * v + by, mx * h + bx] = coef * q
-        except _JpegMarker as m:
-            raise ValueError(f"JPEG marker 0xFF{m.args[0]:02X} inside "
-                             f"scan at MCU {mcu}/{total}") from None
-        mcu += 1
-    # IDCT every block of every component at once (vectorized)
+    try:
+        while mcu < total:
+            if dri and mcu and mcu % dri == 0:
+                r.restart()
+                dc_pred = {c[0]: 0 for c in sc}
+                eobrun = 0
+            if units is not None:
+                one_unit(*units[mcu])
+            else:
+                my, mx = divmod(mcu, mcus_x)
+                for cid, h, v, _tq in sc:
+                    for by in range(v):
+                        for bx in range(h):
+                            one_unit(cid, my * v + by, mx * h + bx)
+            mcu += 1
+    except _JpegMarker as m:
+        raise ValueError(f"JPEG marker 0xFF{m.args[0]:02X} inside "
+                         f"scan at MCU {mcu}/{total}") from None
+    # skip any remaining padding bits / fill bytes to the next marker
+    p = r.pos
+    n = len(payload)
+    while p + 1 < n and not (payload[p] == 0xFF and payload[p + 1] != 0):
+        p += 1
+    return p
+
+
+def _jpeg_finish(frame, coefs, qtables):
+    """Dequantize accumulated coefficients, IDCT every block of every
+    component at once (vectorized), upsample, convert to RGB."""
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     planes = {}
-    for cid, h, v, _tq in comps:
-        b = blocks[cid]
+    for cid, h, v, tq in comps:
+        b = coefs[cid].astype(np.float64) * qtables[tq][None, None, :]
         by, bx = b.shape[0], b.shape[1]
         f = np.einsum("ux,nuv,vy->nxy", _JPEG_IDCT_A,
                       b.reshape(-1, 8, 8), _JPEG_IDCT_A) + 128.0

@@ -301,9 +301,28 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb_ <= pc_ else c
 
 
-def _make_png(img, color_type: int, filters=None, palette=None) -> bytes:
-    """Minimal PNG encoder: 8-bit, non-interlaced, one filter per row
-    (defaults cycle 0..4 to exercise every unfilter branch)."""
+def _png_pack_row(samples, depth):
+    """1-D sample vector → filtered-byte row (MSB-first sub-byte
+    packing; big-endian 16-bit)."""
+    import numpy as np
+
+    if depth == 8:
+        return samples.astype(np.uint8)
+    if depth == 16:
+        return samples.astype(">u2").view(np.uint8).reshape(-1)
+    per = 8 // depth
+    pad = (-len(samples)) % per
+    s = np.concatenate([samples.astype(np.int64), np.zeros(pad, np.int64)])
+    out = np.zeros(len(s) // per, dtype=np.int64)
+    for i in range(per):
+        out = (out << depth) | s[i::per]
+    return out.astype(np.uint8)
+
+
+def _make_png(img, color_type: int, filters=None, palette=None,
+              depth: int = 8, interlace: bool = False) -> bytes:
+    """Minimal PNG encoder: any legal depth, optional Adam7, one filter
+    per row (defaults cycle 0..4 to exercise every unfilter branch)."""
     import struct
     import zlib
 
@@ -311,34 +330,46 @@ def _make_png(img, color_type: int, filters=None, palette=None) -> bytes:
 
     h = img.shape[0]
     w = img.shape[1]
-    bpp = 1 if img.ndim == 2 else img.shape[2]
-    flat = img.reshape(h, w * bpp).astype(np.int16)
-    if filters is None:
-        filters = [(y % 5) for y in range(h)]
+    channels = 1 if img.ndim == 2 else img.shape[2]
+    img3 = img.reshape(h, w, channels)
+    bpp = max(1, channels * depth // 8)
+    passes = (((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+               (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+              if interlace else ((0, 0, 1, 1),))
     raw = bytearray()
-    prev = np.zeros(w * bpp, dtype=np.int16)
-    for y in range(h):
-        cur = flat[y]
-        f = filters[y]
-        raw.append(f)
-        for x in range(w * bpp):
-            a = int(cur[x - bpp]) if x >= bpp else 0
-            b = int(prev[x])
-            c = int(prev[x - bpp]) if x >= bpp else 0
-            v = int(cur[x])
-            if f == 0:
-                enc = v
-            elif f == 1:
-                enc = v - a
-            elif f == 2:
-                enc = v - b
-            elif f == 3:
-                enc = v - ((a + b) >> 1)
-            else:
-                enc = v - _paeth(a, b, c)
-            raw.append(enc & 0xFF)
-        prev = cur
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    fi = 0
+    for x0, y0, dx, dy in passes:
+        sub = img3[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        prev = None
+        for y in range(ph):
+            cur = _png_pack_row(sub[y].reshape(-1), depth).astype(np.int16)
+            if prev is None:
+                prev = np.zeros(len(cur), dtype=np.int16)
+            f = filters[fi] if filters is not None else (fi % 5)
+            fi += 1
+            raw.append(f)
+            for x in range(len(cur)):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                v = int(cur[x])
+                if f == 0:
+                    enc = v
+                elif f == 1:
+                    enc = v - a
+                elif f == 2:
+                    enc = v - b
+                elif f == 3:
+                    enc = v - ((a + b) >> 1)
+                else:
+                    enc = v - _paeth(a, b, c)
+                raw.append(enc & 0xFF)
+            prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0,
+                       1 if interlace else 0)
     out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
     if palette is not None:
         out += _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes())
@@ -372,6 +403,50 @@ def test_decode_png_all_filters_and_color_types():
         assert (decode_png(p) == rgb).all(), f"filter {f}"
     with pytest.raises(ValueError):
         decode_png(b"not a png")
+
+
+def test_decode_png_adam7_interlace():
+    import numpy as np
+
+    from lucene_solr_ray.ops.multimodal import decode_png
+
+    rng = np.random.default_rng(13)
+    # dims chosen to leave several passes ragged (non-multiples of 8)
+    for shape in ((13, 11, 3), (8, 8), (21, 5, 4), (3, 2)):
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        ct = 0 if len(shape) == 2 else (2 if shape[2] == 3 else 6)
+        out = decode_png(_make_png(img, ct, interlace=True))
+        assert (out == img).all(), f"shape {shape}"
+    # 1x1 image: six of the seven passes are empty
+    one = np.array([[200]], dtype=np.uint8)
+    assert (decode_png(_make_png(one, 0, interlace=True)) == one).all()
+
+
+def test_decode_png_bit_depths():
+    import numpy as np
+
+    from lucene_solr_ray.ops.multimodal import decode_png
+
+    rng = np.random.default_rng(17)
+    # sub-byte grayscale scales to 8-bit exactly (255/(2^d-1) is integer)
+    for d in (1, 2, 4):
+        g = rng.integers(0, 1 << d, size=(9, 7), dtype=np.uint8)
+        out = decode_png(_make_png(g, 0, depth=d))
+        assert (out == g * (255 // ((1 << d) - 1))).all(), f"depth {d}"
+        out_i = decode_png(_make_png(g, 0, depth=d, interlace=True))
+        assert (out_i == out).all(), f"depth {d} interlaced"
+    # sub-byte palette indexes resolve through PLTE unscaled
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(6, 9), dtype=np.uint8)
+    out = decode_png(_make_png(idx, 3, palette=pal, depth=4))
+    assert (out == pal[idx]).all()
+    # 16-bit keeps the high byte (RGB and gray, plain and interlaced)
+    rgb16 = rng.integers(0, 1 << 16, size=(7, 6, 3), dtype=np.uint16)
+    assert (decode_png(_make_png(rgb16, 2, depth=16))
+            == (rgb16 >> 8).astype(np.uint8)).all()
+    g16 = rng.integers(0, 1 << 16, size=(10, 3), dtype=np.uint16)
+    assert (decode_png(_make_png(g16, 0, depth=16, interlace=True))
+            == (g16 >> 8).astype(np.uint8)).all()
 
 
 def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
@@ -814,3 +889,363 @@ def test_decode_jpeg_restart_intervals():
     plain = decode_jpeg(_make_jpeg(img))
     with_rst = decode_jpeg(_make_jpeg(img, dri=2))
     assert (plain == with_rst).all()
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2): the encoder below mirrors libjpeg's jcphuff
+# scan script — interleaved DC first scan + DC refinement bits, then
+# per-component non-interleaved AC band scans with EOB-run coding and
+# AC successive-approximation refinement (ZRL folding, buffered
+# correction bits). Because baseline and progressive encode the SAME
+# quantized coefficients, decode_jpeg must produce BIT-IDENTICAL output
+# for both encodings of one image.
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_quantized_grids(img, subsample=False):
+    """Per component: padded MCU-grid quantized blocks, zigzag order.
+    Returns (samp, qids, qtables, grids, comp_grid_dims)."""
+    import numpy as np
+
+    from lucene_solr_ray.ops.multimodal import _JPEG_ZIGZAG, _jpeg_idct_basis
+
+    A = _jpeg_idct_basis()
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    ql = np.full((8, 8), 10.0)
+    ql[0, 0] = 16.0
+    qc = np.full((8, 8), 12.0)
+    if gray:
+        ycc = [img.astype(np.float64)]
+        samp = [(1, 1)]
+        qids = [0]
+    else:
+        r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+        ycc = [0.299 * r + 0.587 * g + 0.114 * b,
+               -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+               0.5 * r - 0.418688 * g - 0.081312 * b + 128.0]
+        samp = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
+        qids = [0, 1, 1]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    grids = []
+    comp_dims = []
+    for ci, ((hs, vs), plane) in enumerate(zip(samp, ycc)):
+        if (hs, vs) != (hmax, vmax):
+            fy, fx = vmax // vs, hmax // hs
+            ph = -(-h // fy) * fy
+            px = -(-w // fx) * fx
+            pad = np.pad(plane, ((0, ph - h), (0, px - w)), mode="edge")
+            plane = pad.reshape(ph // fy, fy, px // fx, fx).mean(axis=(1, 3))
+        th, tw = mcus_y * vs * 8, mcus_x * hs * 8
+        plane = np.pad(plane, ((0, th - plane.shape[0]),
+                               (0, tw - plane.shape[1])), mode="edge")
+        q = ql if qids[ci] == 0 else qc
+        bh, bw = th // 8, tw // 8
+        grid = np.zeros((bh, bw, 64), dtype=np.int32)
+        for by in range(bh):
+            for bx in range(bw):
+                blk = _fdct_quant(plane[by * 8:by * 8 + 8,
+                                        bx * 8:bx * 8 + 8], q, A)
+                grid[by, bx] = blk.reshape(64)[_JPEG_ZIGZAG]
+        grids.append(grid)
+        # the non-interleaved scan grid (T.81 A.2.2 ceil dims)
+        cw = -(-w * hs // hmax)
+        ch = -(-h * vs // vmax)
+        comp_dims.append((-(-ch // 8), -(-cw // 8)))
+    return samp, qids, (ql, qc), grids, comp_dims, (mcus_y, mcus_x)
+
+
+def _ops_dc_first(units, grids, al):
+    dc_pred = {}
+    ops = []
+    for ci, by, bx in units:
+        v = int(grids[ci][by, bx, 0]) >> al
+        t, bits = _jpeg_cat(v - dc_pred.get(ci, 0))
+        dc_pred[ci] = v
+        klass = 0 if ci == 0 else 1
+        ops.append(("sym", 0, klass, t))
+        if t:
+            ops.append(("bits", bits, t))
+    return ops
+
+
+def _ops_dc_refine(units, grids, al):
+    return [("bits", (int(grids[ci][by, bx, 0]) >> al) & 1, 1)
+            for ci, by, bx in units]
+
+
+def _ops_ac_first(units, grids, ss, se, al):
+    ops = []
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            ops.append(("sym", 1, klass, r << 4))
+            if r:
+                ops.append(("bits", eobrun - (1 << r), r))
+            eobrun = 0
+
+    for ci, by, bx in units:
+        klass = 0 if ci == 0 else 1
+        zz = grids[ci][by, bx]
+        va = [(abs(int(zz[k])) >> al) * (1 if zz[k] >= 0 else -1)
+              for k in range(ss, se + 1)]
+        if not any(va):
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        run = 0
+        for v in va:
+            if v == 0:
+                run += 1  # ZRL only when a later nonzero lands on it
+                continue
+            while run > 15:
+                ops.append(("sym", 1, klass, 0xF0))
+                run -= 16
+            s, b = _jpeg_cat(v)
+            ops.append(("sym", 1, klass, (run << 4) | s))
+            ops.append(("bits", b, s))
+            run = 0
+        if run:  # trailing zeros fold into an EOB run
+            eobrun += 1
+    flush()
+    return ops
+
+
+def _ops_ac_refine(units, grids, ss, se, al):
+    """libjpeg jcphuff encode_mcu_AC_refine: ZRL folding vs EOB,
+    buffered correction bits emitted after each symbol."""
+    ops = []
+    eobrun = 0
+    be = []  # correction bits buffered with the pending EOB run
+
+    def flush():
+        nonlocal eobrun, be
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            ops.append(("sym", 1, klass, r << 4))
+            if r:
+                ops.append(("bits", eobrun - (1 << r), r))
+            for bit in be:
+                ops.append(("bits", bit, 1))
+            eobrun = 0
+            be = []
+
+    for ci, by, bx in units:
+        klass = 0 if ci == 0 else 1
+        zz = grids[ci][by, bx]
+        t = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+        eob = -1
+        for i, v in enumerate(t):
+            if v == 1:
+                eob = i
+        run = 0
+        br = []
+        for i, v in enumerate(t):
+            if v == 0:
+                run += 1
+                continue
+            while run > 15 and i <= eob:
+                flush()
+                ops.append(("sym", 1, klass, 0xF0))
+                run -= 16
+                for bit in br:
+                    ops.append(("bits", bit, 1))
+                br = []
+            if v > 1:
+                br.append(v & 1)
+                continue
+            flush()
+            ops.append(("sym", 1, klass, (run << 4) | 1))
+            ops.append(("bits", 1 if zz[ss + i] >= 0 else 0, 1))
+            run = 0
+            for bit in br:
+                ops.append(("bits", bit, 1))
+            br = []
+        if run > 0 or br:
+            eobrun += 1
+            be.extend(br)
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+    return ops
+
+
+def _make_jpeg_progressive(img, subsample=False, dri=0, al=1):
+    """SOF2 encoder: DC first (interleaved, point transform Al) + DC
+    refinement scans, then per-component AC band scans (1-5, 6-63) at
+    Al with successive-approximation refinement scans down to 0."""
+    import struct
+
+    import numpy as np
+
+    from lucene_solr_ray.ops.multimodal import _JPEG_ZIGZAG
+
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    samp, qids, (ql, qc), grids, comp_dims, (mcus_y, mcus_x) = \
+        _jpeg_quantized_grids(img, subsample)
+    nc = len(samp)
+    # interleaved MCU unit order (decoder's loop)
+    mcu_units = []
+    for mcu in range(mcus_y * mcus_x):
+        my, mx = divmod(mcu, mcus_x)
+        for ci, (hs, vs) in enumerate(samp):
+            for by in range(vs):
+                for bx in range(hs):
+                    mcu_units.append((ci, my * vs + by, mx * hs + bx))
+    per_mcu = sum(hs * vs for hs, vs in samp)
+
+    def segmented(units, per_unit, op_fn, *args):
+        """Split the unit list into DRI segments; each segment encodes
+        with fresh DC predictors / EOB run state."""
+        if not dri:
+            return [op_fn(units, *args)]
+        step = dri * per_unit
+        return [op_fn(units[i:i + step], *args)
+                for i in range(0, len(units), step)]
+
+    scans = []  # (scan_comps, ss, se, ah, al, [segment ops])
+    all_comps = list(range(nc))
+    scans.append((all_comps, 0, 0, 0, al,
+                  segmented(mcu_units, per_mcu, _ops_dc_first, grids, al)))
+    for a in range(al - 1, -1, -1):
+        scans.append((all_comps, 0, 0, a + 1, a,
+                      segmented(mcu_units, per_mcu, _ops_dc_refine,
+                                grids, a)))
+    for ci in range(nc):
+        bh, bw = comp_dims[ci]
+        units = [(ci, by, bx) for by in range(bh) for bx in range(bw)]
+        for ss, se in ((1, 5), (6, 63)):
+            scans.append(([ci], ss, se, 0, al,
+                          segmented(units, 1, _ops_ac_first,
+                                    grids, ss, se, al)))
+    for a in range(al - 1, -1, -1):
+        for ci in range(nc):
+            bh, bw = comp_dims[ci]
+            units = [(ci, by, bx) for by in range(bh) for bx in range(bw)]
+            for ss, se in ((1, 5), (6, 63)):
+                scans.append(([ci], ss, se, a + 1, a,
+                              segmented(units, 1, _ops_ac_refine,
+                                        grids, ss, se, a)))
+
+    out = bytearray(b"\xff\xd8")
+    for qid, q in ((0, ql), (1, qc)) if not gray else ((0, ql),):
+        zzq = q.reshape(64)[_JPEG_ZIGZAG].astype(np.uint8)
+        body = bytes([qid]) + zzq.tobytes()
+        out += b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], qids[ci]])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    if dri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+    for scan_comps, ss, se, ah, a, segs in scans:
+        # per-scan flat Huffman tables from the symbols actually used
+        tables = {}
+        for tc in (0, 1):
+            for klass in (0, 1):
+                syms = {s for seg in segs for op in seg
+                        if op[0] == "sym" and op[1] == tc and op[2] == klass
+                        for s in (op[3],)}
+                if syms:
+                    tables[(tc, klass)] = _flat_huff(syms)
+                    counts, symbytes, _cof, _L = tables[(tc, klass)]
+                    body = bytes([(tc << 4) | klass]) + counts + symbytes
+                    out += (b"\xff\xc4"
+                            + struct.pack(">H", len(body) + 2) + body)
+        sos = bytes([len(scan_comps)])
+        for ci in scan_comps:
+            klass = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (klass << 4) | klass])
+        sos += bytes([ss, se, (ah << 4) | a])
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        wtr = _JBits()
+        for si, seg in enumerate(segs):
+            if si:
+                wtr.flush()
+                wtr.out += bytes([0xFF, 0xD0 + ((si - 1) % 8)])
+            for op in seg:
+                if op[0] == "sym":
+                    _tc, _klass, sym = op[1], op[2], op[3]
+                    _c, _s, code_of, L = tables[(op[1], op[2])]
+                    wtr.put(code_of[sym], L)
+                else:
+                    _v, _n = op[1], op[2]
+                    if _n:
+                        wtr.put(_v, _n)
+        wtr.flush()
+        out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_decode_jpeg_progressive_bit_identical_to_baseline():
+    """Baseline and progressive encode the SAME quantized coefficients,
+    so decode_jpeg must reconstruct bit-identical pixels from both."""
+    import numpy as np
+
+    from lucene_solr_ray.ops.multimodal import decode_jpeg
+
+    yy, xx = np.mgrid[0:24, 0:16]
+    img = np.stack([(yy * 5 + 20) % 256, (xx * 7 + 50) % 256,
+                    ((yy + xx) * 3) % 256], axis=2).astype(np.uint8)
+    base = decode_jpeg(_make_jpeg(img))
+    prog = decode_jpeg(_make_jpeg_progressive(img))
+    assert (base == prog).all()
+    # two successive-approximation levels (Al=2 → two refine rounds)
+    prog2 = decode_jpeg(_make_jpeg_progressive(img, al=2))
+    assert (base == prog2).all()
+    # non-multiple-of-8 dims
+    odd = img[:19, :13]
+    assert (decode_jpeg(_make_jpeg(odd))
+            == decode_jpeg(_make_jpeg_progressive(odd))).all()
+
+
+def test_decode_jpeg_progressive_subsampled_and_gray():
+    import numpy as np
+
+    from lucene_solr_ray.ops.multimodal import decode_jpeg
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    gray = ((yy * 4 + xx * 2) % 256).astype(np.uint8)
+    assert (decode_jpeg(_make_jpeg(gray))
+            == decode_jpeg(_make_jpeg_progressive(gray))).all()
+    img = np.stack([gray, gray[::-1], gray.T], axis=2).astype(np.uint8)
+    # 4:2:0: luma's non-interleaved grid differs from the padded MCU grid
+    assert (decode_jpeg(_make_jpeg(img, subsample=True))
+            == decode_jpeg(_make_jpeg_progressive(img,
+                                                  subsample=True))).all()
+
+
+def test_decode_jpeg_progressive_restarts_and_noise():
+    """RSTn inside every progressive scan kind, plus noise images that
+    stress EOB runs / ZRL / correction-bit interleaving."""
+    import numpy as np
+
+    from lucene_solr_ray.ops.multimodal import decode_jpeg
+
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:16, 0:40]
+    img = np.stack([(yy * 6 + 10) % 256, (xx * 4 + 90) % 256,
+                    ((yy * 2 + xx) * 3) % 256], axis=2).astype(np.uint8)
+    plain = decode_jpeg(_make_jpeg(img))
+    assert (plain == decode_jpeg(_make_jpeg_progressive(img, dri=2))).all()
+    for trial in range(4):
+        # sparse speckle over flat gray → long zero runs, dense EOB runs
+        noisy = np.full((24, 24, 3), 128, dtype=np.uint8)
+        pts = rng.integers(0, 24, size=(30, 2))
+        noisy[pts[:, 0], pts[:, 1]] = rng.integers(0, 256, size=(30, 3))
+        if trial % 2:
+            noisy = rng.integers(0, 256, size=(24, 24, 3),
+                                  dtype=np.uint8)  # full noise
+        b = decode_jpeg(_make_jpeg(noisy))
+        p = decode_jpeg(_make_jpeg_progressive(noisy, al=trial % 3))
+        assert (b == p).all(), f"trial {trial}"
