@@ -110,3 +110,83 @@ def pretrain_corpus_report(sf_dir: str, *,
     for c in ("kept", "total"):
         agg[c] = agg[c].astype("int64")
     return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+# -- sequence packing (GPT-style concat-and-chunk) ----------------------
+# Reference role: the training-data step after filtering — concatenate
+# every surviving document's token stream in a deterministic order with
+# one EOS separator after each document, then cut the global stream
+# into fixed-length training sequences. Per-doc placement (global start
+# offset, first/last pack) is what a loader needs to build packs
+# without ever materializing the concatenated stream.
+#
+# Scale shape: a distributed prefix sum. Token counts are a vectorized
+# RE2 count per batch; global offsets come from (1) a tiny per-bucket
+# total aggregate (buckets = contiguous doc_id ranges, so bucket sums
+# are one small groupby), (2) a driver-side cumsum over ≤ n_buckets
+# rows, (3) one groupby(bucket).map_groups pass that sorts each bucket
+# by doc_id and adds the broadcast bucket base. No stage ever holds
+# more than one bucket of rows; the corpus never reaches the driver.
+
+
+def pack_sequences(sf_dir: str, seq_len: int = 128,
+                   n_buckets: int = 64):
+    """Per-doc packing placement over the whitespace token stream
+    (tokens = RE2 ``\\S+`` runs — the oracle twin runs the identical
+    pattern): ``start_off`` = sum of (n_tokens + 1 EOS) over all lower
+    doc_ids; ``pack_first/pack_last`` = seq_len windows the document's
+    own tokens touch (an empty document occupies its EOS slot)."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    max_id = int(ds.max("doc_id"))
+    span = max(1, (max_id + n_buckets) // n_buckets)
+
+    def counts(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch["text"], r"\S+")
+        n = pc.cast(n, pa.int64())
+        ids = batch["doc_id"]
+        return pa.table({
+            "doc_id": ids,
+            "n_tokens": n,
+            "bucket": pc.divide(pc.cast(ids, pa.int64()), span),
+        })
+
+    counted = ds.map_batches(counts, batch_format="pyarrow")
+
+    # (1) tiny per-bucket totals, (2) driver cumsum -> base offsets
+    totals = (counted.groupby("bucket")
+              .aggregate(rd.aggregate.Sum("n_tokens", alias_name="tok"),
+                         rd.aggregate.Count(alias_name="ndocs"))
+              .to_pandas().sort_values("bucket"))
+    # every doc contributes its tokens plus one EOS separator
+    per_bucket = (totals["tok"].to_numpy(dtype=np.int64)
+                  + totals["ndocs"].to_numpy(dtype=np.int64))
+    bases = dict(zip(
+        totals["bucket"].to_numpy(dtype=np.int64).tolist(),
+        (np.cumsum(per_bucket) - per_bucket).tolist()))
+    bases_ref = ray.put(bases)
+
+    # (3) within-bucket cumsum in doc_id order + broadcast base
+    def place(group: pa.Table) -> pa.Table:
+        base_of = ray.get(bases_ref)
+        g = group.sort_by("doc_id")
+        n = g["n_tokens"].to_numpy(zero_copy_only=False)
+        bucket = int(g["bucket"][0].as_py())
+        cum = np.cumsum(n + 1)
+        start = base_of[bucket] + cum - (n + 1)
+        first = start // seq_len
+        last = (start + np.maximum(n, 1) - 1) // seq_len
+        return pa.table({
+            "doc_id": g["doc_id"],
+            "n_tokens": g["n_tokens"],
+            "start_off": pa.array(start, type=pa.int64()),
+            "pack_first": pa.array(first, type=pa.int64()),
+            "pack_last": pa.array(last, type=pa.int64()),
+        })
+
+    return (counted.groupby("bucket")
+            .map_groups(place, batch_format="pyarrow")
+            .sort("doc_id"))

@@ -5183,7 +5183,7 @@ def build_queries() -> dict:
     from ..ops import quality_filters as QF
     from ..ops import relational as R
     from ..ops import text as T
-    from ..ops.pretrain import pretrain_corpus_report
+    from ..ops.pretrain import pack_sequences, pretrain_corpus_report
 
     training = {
         "dedup_exact": D.exact_dedup,
@@ -5360,6 +5360,8 @@ def build_queries() -> dict:
         "text_repetition": QF.repetition_metrics,
         # the composite: every gate + dedup in one streaming pass
         "pipeline_pretrain": pretrain_corpus_report,
+        # GPT-style concat-and-chunk placement (distributed prefix sum)
+        "pipeline_pack_sequences": pack_sequences,
         "text_contamination": QF.contamination_hits,
         "text_unigram_lm": QF.unigram_logprob,
         "text_mixture_rebalance": QF.mixture_rebalance,
@@ -5662,6 +5664,26 @@ FROM bfs WHERE kind = 'c' AND node = 2
         "text_repetition": QF.repetition_metrics_sql(),
         "pipeline_pretrain": pretrain_report_sql(
             0.05, 4, JACCARD_THRESHOLD),
+        # twin of ops.pretrain.pack_sequences: the same \S+ RE2 token
+        # count, a window prefix sum over (n_tokens + 1 EOS) in doc_id
+        # order, seq_len=128 integer-division pack windows
+        "pipeline_pack_sequences": r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(coalesce(len(regexp_extract_all(text, '\S+')), 0)
+              AS BIGINT) AS n_tokens
+  FROM documents),
+o AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(SUM(n_tokens + 1) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_off
+  FROM t)
+SELECT doc_id, n_tokens, start_off,
+       start_off // 128 AS pack_first,
+       (start_off + GREATEST(n_tokens, 1) - 1) // 128 AS pack_last
+FROM o ORDER BY doc_id
+""",
         "text_contamination": QF.contamination_sql(),
         "text_unigram_lm": QF.unigram_logprob_sql(),
         "text_mixture_rebalance": QF.mixture_rebalance_sql(),

@@ -124,3 +124,30 @@ def test_pretrain_pipeline_gates(ray_session, tmp_path):
     assert got["srcA"] == (1, 3)
     # srcB: 4 not-english, 107 eval, 5 contaminated, 6 near-dup loser
     assert got["srcB"] == (0, 4)
+
+
+def test_pack_sequences_placement(ray_session, tmp_path):
+    """Concat-and-chunk placement: exact global offsets (EOS after
+    every doc), pack spans, empty docs, and docs crossing packs —
+    invariant to the bucket count (the distributed-prefix-sum knob)."""
+    from lucene_solr_ray.ops.pretrain import pack_sequences
+
+    rows = [
+        (0, "a b c"),                      # 3 tokens → [0, 2]
+        (1, ""),                           # empty: occupies its EOS slot
+        (2, " ".join(["w"] * 10)),         # crosses the pack boundary
+        (5, "x y"),                        # gap in doc ids
+        (9, "z"),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    t = pack_sequences(sf, seq_len=8, n_buckets=3).to_pandas()
+    assert t["doc_id"].tolist() == [0, 1, 2, 5, 9]
+    assert t["n_tokens"].tolist() == [3, 0, 10, 2, 1]
+    # starts: 0, 3+1=4, 4+0+1=5, 5+10+1=16, 16+2+1=19
+    assert t["start_off"].tolist() == [0, 4, 5, 16, 19]
+    assert t["pack_first"].tolist() == [0, 0, 0, 2, 2]
+    # doc 2 spans tokens [5, 14] → packs 0..1; empty doc stays in place
+    assert t["pack_last"].tolist() == [0, 0, 1, 2, 2]
+    # bucket count must not change placement
+    t2 = pack_sequences(sf, seq_len=8, n_buckets=1).to_pandas()
+    assert (t2.to_numpy() == t.to_numpy()).all()
