@@ -502,3 +502,119 @@ SELECT doc_id,
          AS keep
 FROM m ORDER BY doc_id
 """
+
+
+# -- DSIR importance weights (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling") ---------------------------
+# Hashed-unigram likelihood ratio between a TARGET distribution (here
+# the doc_id % EVAL_MOD == EVAL_REMAINDER slice stands in for the
+# curated target corpus) and the RAW source (every other doc). The
+# per-bucket log ratio ln(p_target/p_source) with add-one smoothing is
+# quantized to int BEFORE the per-doc sum — the same order-independence
+# discipline as unigram_logprob — so weights hash-match the SQL twin.
+# Bucket hash = low 8 md5 bytes little-endian == DuckDB
+# md5_number_lower (the simhash/fingerprint twin technique).
+
+
+def _md5_bucket(unique_terms, n_buckets: int) -> np.ndarray:
+    import hashlib
+
+    return np.array([int.from_bytes(hashlib.md5(t.encode())
+                                    .digest()[8:], "little") % n_buckets
+                     for t in unique_terms], dtype=np.int64)
+
+
+def dsir_weights(sf_dir: str, n_buckets: int = 4096) -> pa.Table:
+    """Per-doc DSIR importance weight (quantized integer sum of hashed
+    unigram log ratios) + token count; docs with no tokens are omitted
+    (they have no features to weigh).
+
+    Scale shape: pass 1 emits ≤ n_buckets partial rows per batch into a
+    tiny groupby (the bucket histogram is constant-size regardless of
+    corpus size); the B-entry log-ratio table broadcasts once via
+    ray.put; pass 2 is one streaming vectorized lookup."""
+    import ray
+
+    B = n_buckets
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ab = analyze_batch(batch["text"], keep_stopwords=True)
+        ids = batch["doc_id"].to_numpy()
+        tok = np.asarray(ab.terms)
+        uniq, inv = np.unique(tok, return_inverse=True)
+        bk = _md5_bucket(uniq, B)[inv] if len(uniq) else \
+            np.zeros(0, dtype=np.int64)
+        is_t = ((ids % EVAL_MOD) == EVAL_REMAINDER)[ab.doc_idx]
+        tc = np.bincount(bk[is_t], minlength=B)
+        sc = np.bincount(bk[~is_t], minlength=B)
+        nz = (tc + sc) > 0
+        return pa.table({
+            "bucket": pa.array(np.nonzero(nz)[0].astype(np.int64)),
+            "tc": pa.array(tc[nz].astype(np.int64)),
+            "sc": pa.array(sc[nz].astype(np.int64)),
+        })
+
+    cnt = (_read_docs(sf_dir).map_batches(partials, batch_format="pyarrow")
+           .groupby("bucket").sum(["tc", "sc"]).to_pandas())
+    tt = int(cnt["sum(tc)"].sum())
+    st = int(cnt["sum(sc)"].sum())
+    lr = np.zeros(B, dtype=np.int64)
+    for b_, t_, s_ in zip(cnt["bucket"].to_numpy(),
+                          cnt["sum(tc)"].to_numpy(),
+                          cnt["sum(sc)"].to_numpy()):
+        # scalar libm log with the EXACT expression shape of the twin
+        v = math.log(((int(t_) + 1.0) / (tt + B))
+                     / ((int(s_) + 1.0) / (st + B)))
+        lr[int(b_)] = math.floor(v * 10000 + 0.5)
+    ref = ray.put(lr)
+
+    def score(batch: pa.Table) -> pa.Table:
+        lrv = ray.get(ref)
+        ab = analyze_batch(batch["text"], keep_stopwords=True)
+        n = batch.num_rows
+        tok = np.asarray(ab.terms)
+        uniq, inv = np.unique(tok, return_inverse=True)
+        bk = _md5_bucket(uniq, B)[inv] if len(uniq) else \
+            np.zeros(0, dtype=np.int64)
+        w = np.bincount(ab.doc_idx, weights=lrv[bk].astype(np.float64),
+                        minlength=n).astype(np.int64)
+        ntok = np.bincount(ab.doc_idx, minlength=n).astype(np.int64)
+        keep = pa.array(ntok > 0)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(ntok, type=pa.int64()),
+            "w_sum": pa.array(w, type=pa.int64()),
+        }).filter(keep)
+
+    df = (_read_docs(sf_dir).map_batches(score, batch_format="pyarrow")
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def dsir_weights_sql(n_buckets: int = 4096) -> str:
+    return f"""
+WITH tokens AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                            t -> length(t) <= 255)) AS term
+  FROM documents),
+b AS (SELECT doc_id,
+             CAST(md5_number_lower(term) % {n_buckets} AS BIGINT) AS bucket
+      FROM tokens),
+cnt AS (SELECT bucket,
+          sum(CASE WHEN doc_id % {EVAL_MOD} = {EVAL_REMAINDER}
+              THEN 1 ELSE 0 END) AS tc,
+          sum(CASE WHEN doc_id % {EVAL_MOD} <> {EVAL_REMAINDER}
+              THEN 1 ELSE 0 END) AS sc
+        FROM b GROUP BY bucket),
+tot AS (SELECT sum(tc) AS tt, sum(sc) AS st FROM cnt),
+q AS (SELECT bucket,
+        CAST(floor(ln(((tc + 1.0) / (tt + {n_buckets}))
+                      / ((sc + 1.0) / (st + {n_buckets}))) * 10000 + 0.5)
+             AS BIGINT) AS lr
+      FROM cnt, tot)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(lr) AS BIGINT) AS w_sum
+FROM b JOIN q USING (bucket)
+GROUP BY doc_id ORDER BY doc_id
+"""

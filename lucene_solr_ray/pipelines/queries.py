@@ -5364,6 +5364,8 @@ def build_queries() -> dict:
         "pipeline_pack_sequences": pack_sequences,
         "text_contamination": QF.contamination_hits,
         "text_unigram_lm": QF.unigram_logprob,
+        # DSIR hashed-unigram importance weights (target/source ratio)
+        "text_dsir_weights": QF.dsir_weights,
         "text_mixture_rebalance": QF.mixture_rebalance,
         "ft_multi_phrase": _q_multi_phrase([["fast", "slow"], ["table"]]),
         "ft_span_first": _q_span_first("scan", 20),
@@ -5686,6 +5688,7 @@ FROM o ORDER BY doc_id
 """,
         "text_contamination": QF.contamination_sql(),
         "text_unigram_lm": QF.unigram_logprob_sql(),
+        "text_dsir_weights": QF.dsir_weights_sql(),
         "text_mixture_rebalance": QF.mixture_rebalance_sql(),
         "ft_lm_dirichlet": _lm_dirichlet_sql("table", 2000.0, 10),
         "ft_lm_jelinek_mercer": _lm_jelinek_mercer_sql("table", 0.7, 10),

@@ -151,3 +151,22 @@ def test_pack_sequences_placement(ray_session, tmp_path):
     # bucket count must not change placement
     t2 = pack_sequences(sf, seq_len=8, n_buckets=1).to_pandas()
     assert (t2.to_numpy() == t.to_numpy()).all()
+
+
+def test_dsir_weights_prefers_target_like_docs(ray_session, tmp_path):
+    """Docs sharing the target slice's vocabulary score higher than
+    off-distribution docs; weights are integer-exact."""
+    from lucene_solr_ray.ops.quality_filters import dsir_weights
+
+    # doc 7 is the target slice (doc_id % 100 == 7)
+    rows = [
+        (7, "solar panels convert sunlight into electricity daily"),
+        (1, "solar panels convert sunlight"),          # target-like
+        (2, "qqq zzz xxx vvv kkk jjj"),                # off-distribution
+        (3, ""),                                       # omitted (no tokens)
+    ]
+    sf = _write_docs(tmp_path, rows)
+    t = dsir_weights(sf, n_buckets=512).to_pandas()
+    assert t["doc_id"].tolist() == [1, 2, 7]  # empty doc omitted
+    w = dict(zip(t["doc_id"], t["w_sum"] / t["n_tokens"]))
+    assert w[1] > w[2], f"target-like doc must outweigh junk: {w}"
