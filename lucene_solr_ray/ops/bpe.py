@@ -1,0 +1,168 @@
+"""Distributed BPE tokenizer training + encoding (LLM-data op).
+
+Byte-pair encoding as in Sennrich et al. 2016 ("Neural Machine
+Translation of Rare Words with Subword Units"): start from characters,
+repeatedly merge the most frequent adjacent symbol pair. This is the
+training half of the pipeline whose counting half already exists
+(ops/text.py token_totals mode="bpe" counts GPT-2-style pre-tokens).
+
+Scale shape
+-----------
+The corpus is touched ONCE: a distributed word-frequency groupby
+reduces it to the distinct-word table (sublinear in corpus size), and
+every training round runs over that word table — per-batch weighted
+pair-count partials into a tiny groupby(pair).sum, a driver-side
+argmax over the pair histogram (bounded by the active vocabulary), and
+one map_batches pass applying the merge. The word table is
+materialized between rounds (it IS the bounded training state; the
+corpus never re-streams). Merge application is leftmost
+non-overlapping, the textbook BPE rule.
+
+Training is an iterative argmax — not SQL-expressible — so the driver
+entry is rows-only; correctness is pinned by a pure-Python reference
+implementation in tests plus the encode→concat round-trip invariant.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from ..analysis import analyze_batch
+from .text import _read_docs
+
+
+def _word_freq_table(sf_dir: str):
+    """Corpus → distributed (word, freq) table; symbols start as
+    single characters joined by spaces (analyzer terms are [a-z0-9]+,
+    so a space can never be part of a symbol)."""
+
+    def words(batch: pa.Table) -> pa.Table:
+        ab = analyze_batch(batch["text"], keep_stopwords=True)
+        return pa.table({"word": ab.terms})
+
+    wf = (_read_docs(sf_dir).map_batches(words, batch_format="pyarrow")
+          .groupby("word").count())
+
+    def spaced(batch: pa.Table) -> pa.Table:
+        w = batch["word"].to_pylist()
+        return pa.table({
+            "sym": pa.array([" ".join(x) for x in w]),
+            "freq": batch["count()"],
+        })
+
+    return wf.map_batches(spaced, batch_format="pyarrow")
+
+
+def _pair_partials(batch: pa.Table) -> pa.Table:
+    """Weighted adjacent-pair counts for one batch of spaced words —
+    partial aggregation before the tiny groupby."""
+    from collections import Counter
+
+    c: Counter = Counter()
+    freqs = batch["freq"].to_numpy()
+    for s, f in zip(batch["sym"].to_pylist(), freqs):
+        syms = s.split(" ")
+        f = int(f)
+        for a, b in zip(syms, syms[1:]):
+            c[(a, b)] += f
+    if not c:
+        return pa.table({"left": pa.array([], type=pa.string()),
+                         "right": pa.array([], type=pa.string()),
+                         "n": pa.array([], type=pa.int64())})
+    items = list(c.items())
+    return pa.table({
+        "left": pa.array([k[0] for k, _ in items]),
+        "right": pa.array([k[1] for k, _ in items]),
+        "n": pa.array([v for _, v in items], type=pa.int64()),
+    })
+
+
+def bpe_train(sf_dir: str, n_merges: int = 40) -> pa.Table:
+    """Learn `n_merges` BPE merges; returns (rank, left, right, freq)
+    in training order. Deterministic: ties on count break to the
+    lexicographically smallest (left, right)."""
+    words = _word_freq_table(sf_dir).materialize()
+    merges = []
+    for rank in range(n_merges):
+        hist = (words.map_batches(_pair_partials, batch_format="pyarrow")
+                .groupby(["left", "right"]).sum("n").to_pandas())
+        if hist.empty:
+            break
+        hist = hist.sort_values(["sum(n)", "left", "right"],
+                                ascending=[False, True, True])
+        best = hist.iloc[0]
+        left, right, freq = str(best["left"]), str(best["right"]), \
+            int(best["sum(n)"])
+        merges.append((rank, left, right, freq))
+        pat, rep = f"{left} {right}", f"{left}{right}"
+
+        # leftmost non-overlapping merge with NON-CONSUMING boundary
+        # checks — exactly Sennrich's reference apply (learn_bpe.py
+        # replace_pair). A plain " pat "-replace would consume the
+        # separating space and mis-merge runs like "a a a a a".
+        merge_re = re.compile(r"(?<!\S)" + re.escape(pat) + r"(?!\S)")
+
+        def apply(batch: pa.Table, rx=merge_re, rep=rep) -> pa.Table:
+            out = [rx.sub(rep, s) for s in batch["sym"].to_pylist()]
+            return pa.table({"sym": pa.array(out), "freq": batch["freq"]})
+
+        words = words.map_batches(apply,
+                                  batch_format="pyarrow").materialize()
+    return pa.table({
+        "rank": pa.array([m[0] for m in merges], type=pa.int64()),
+        "left": pa.array([m[1] for m in merges]),
+        "right": pa.array([m[2] for m in merges]),
+        "freq": pa.array([m[3] for m in merges], type=pa.int64()),
+    })
+
+
+def bpe_encode_word(word: str, ranks: dict) -> list[str]:
+    """Encode one word with trained merges: repeatedly apply the
+    lowest-rank applicable merge (the standard BPE encode loop)."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_i, best_r = -1, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_r is None or r < best_r):
+                best_i, best_r = i, r
+        if best_r is None:
+            break
+        syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_token_stats(sf_dir: str, merges: pa.Table) -> pa.Table:
+    """Corpus token statistics under a trained vocabulary: total BPE
+    tokens, total words, and the compression ratio ×10000 (tokens per
+    word). One streaming pass; the merges table broadcasts once."""
+    import ray
+
+    ranks = {(l, r): int(k) for k, l, r in zip(
+        merges["rank"].to_pylist(), merges["left"].to_pylist(),
+        merges["right"].to_pylist())}
+    ref = ray.put(ranks)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        rk = ray.get(ref)
+        ab = analyze_batch(batch["text"], keep_stopwords=True)
+        uniq, counts = np.unique(np.asarray(ab.terms), return_counts=True)
+        toks = sum(len(bpe_encode_word(w, rk)) * int(c)
+                   for w, c in zip(uniq.tolist(), counts.tolist()))
+        return pa.table({
+            "n_tokens": pa.array([int(toks)], type=pa.int64()),
+            "n_words": pa.array([int(len(ab.doc_idx))], type=pa.int64()),
+        })
+
+    agg = (_read_docs(sf_dir).map_batches(stats, batch_format="pyarrow")
+           .sum(["n_tokens", "n_words"]))
+    nt, nw = int(agg["sum(n_tokens)"]), int(agg["sum(n_words)"])
+    ratio_q = int(np.floor(nt / nw * 10000 + 0.5)) if nw else 0
+    return pa.table({
+        "n_tokens": pa.array([nt], type=pa.int64()),
+        "n_words": pa.array([nw], type=pa.int64()),
+        "tokens_per_word_q": pa.array([ratio_q], type=pa.int64()),
+    })

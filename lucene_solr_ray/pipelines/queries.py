@@ -5042,6 +5042,14 @@ def _q_gather_nodes(roots):
     return run
 
 
+def _q_bpe_train(sf_dir: str):
+    """Distributed BPE training, bounded to 12 merges for the driver
+    run (ops/bpe.py; Sennrich et al. 2016)."""
+    from ..ops.bpe import bpe_train
+
+    return bpe_train(sf_dir, n_merges=12)
+
+
 def _q_shortest_path(src, dst):
     """shortestPath(...) over the bipartite customer–supplier graph."""
     def run(sf_dir):
@@ -5366,6 +5374,10 @@ def build_queries() -> dict:
         "text_unigram_lm": QF.unigram_logprob,
         # DSIR hashed-unigram importance weights (target/source ratio)
         "text_dsir_weights": QF.dsir_weights,
+        # distributed BPE training (rows-only: iterative argmax is not
+        # SQL-expressible; pinned by the pure-Python reference twin in
+        # tests/test_bpe.py)
+        "bpe_train_merges": _q_bpe_train,
         "text_mixture_rebalance": QF.mixture_rebalance,
         "ft_multi_phrase": _q_multi_phrase([["fast", "slow"], ["table"]]),
         "ft_span_first": _q_span_first("scan", 20),

@@ -1,0 +1,97 @@
+"""Distributed BPE training (ops/bpe.py) vs a pure-Python reference
+implementation of Sennrich et al. 2016, plus encode invariants."""
+
+import re
+from collections import Counter
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from lucene_solr_ray.ops.bpe import (bpe_encode_word, bpe_token_stats,
+                                     bpe_train)
+
+
+def _write_docs(tmp_path, texts):
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts),
+    }), str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def _reference_bpe(texts, n_merges):
+    """Sennrich learn_bpe: word freqs → repeated argmax pair merge
+    (count desc, lexicographically smallest pair on ties)."""
+    wf = Counter()
+    for t in texts:
+        wf.update(re.findall(r"[a-z0-9]+", t.lower()))
+    vocab = {" ".join(w): f for w, f in wf.items()}
+    merges = []
+    for rank in range(n_merges):
+        pairs = Counter()
+        for w, f in vocab.items():
+            syms = w.split(" ")
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), freq = best
+        merges.append((rank, left, right, freq))
+        rx = re.compile(r"(?<!\S)" + re.escape(f"{left} {right}")
+                        + r"(?!\S)")
+        vocab = {rx.sub(left + right, w): f for w, f in vocab.items()}
+    return merges, vocab
+
+
+def test_bpe_train_matches_reference(ray_session, tmp_path):
+    texts = [
+        "the cat sat on the mat",
+        "the bat and the cat chat",
+        "matter chatter batter",
+        "aaaaa aa aaa a",        # merge-run parity (the a-a-a case)
+        "the the the the",
+    ]
+    sf = _write_docs(tmp_path, texts)
+    got = bpe_train(sf, n_merges=10).to_pandas()
+    want, _ = _reference_bpe(texts, 10)
+    assert len(got) == len(want)
+    for i, (rank, left, right, freq) in enumerate(want):
+        row = got.iloc[i]
+        assert (int(row["rank"]), row["left"], row["right"],
+                int(row["freq"])) == (rank, left, right, freq), i
+
+
+def test_bpe_train_deterministic(ray_session, tmp_path):
+    texts = ["zebra zebu zeal", "zebra zeal zone", "zone zebu"]
+    sf = _write_docs(tmp_path, texts)
+    a = bpe_train(sf, n_merges=6).to_pandas()
+    b = bpe_train(sf, n_merges=6).to_pandas()
+    assert (a.to_numpy() == b.to_numpy()).all()
+
+
+def test_bpe_encode_roundtrip_and_stats(ray_session, tmp_path):
+    texts = ["banana bandana banner", "ban bananas and bandanas"]
+    sf = _write_docs(tmp_path, texts)
+    merges = bpe_train(sf, n_merges=12)
+    ranks = {(l, r): int(k) for k, l, r in zip(
+        merges["rank"].to_pylist(), merges["left"].to_pylist(),
+        merges["right"].to_pylist())}
+    # concatenating encoded symbols reproduces every word exactly
+    for w in ("banana", "bandana", "bananas", "ban", "unseenword"):
+        assert "".join(bpe_encode_word(w, ranks)) == w
+    # trained vocab compresses: fewer tokens than characters, at least
+    # one token per word
+    stats = bpe_token_stats(sf, merges).to_pandas().iloc[0]
+    wf = Counter()
+    for t in texts:
+        wf.update(re.findall(r"[a-z0-9]+", t.lower()))
+    n_words = sum(wf.values())
+    n_chars = sum(len(w) * f for w, f in wf.items())
+    assert stats["n_words"] == n_words
+    assert n_words <= stats["n_tokens"] < n_chars
+    # encoding agrees with training-time segmentation on trained words
+    _, ref_vocab = _reference_bpe(texts, 12)
+    for spaced in ref_vocab:
+        word = spaced.replace(" ", "")
+        assert bpe_encode_word(word, ranks) == spaced.split(" "), word
