@@ -1,0 +1,109 @@
+"""Randomized query-tree differential fuzz: random Zipf corpora +
+random term/bool/phrase trees, engine vs the exhaustive oracle —
+doc order identical and float32 scores BIT-equal on every example.
+
+This generalizes test_index_search's fixed query list: random
+must/should/must_not/minShouldMatch combinations, phrases sampled from
+real document windows (guaranteed hits) AND from the vocabulary at
+random (mostly misses), nonexistent terms, empty documents, k ≫ hits.
+Seeded RNG (not hypothesis) because each corpus builds a real index;
+three corpora × 40 queries × 2 depths runs in seconds.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_solr_ray.index.build import add_doc_keys, build_index
+from lucene_solr_ray.search.oracle import ExhaustiveOracle
+from lucene_solr_ray.search.searcher import IndexSearcher
+
+VOCAB = [f"w{i}" for i in range(25)] + ["shared", "hot"]
+
+
+def _random_corpus(rng, n_docs):
+    texts = []
+    # Zipfian vocabulary; a few empty and single-token docs
+    probs = 1.0 / np.arange(1, len(VOCAB) + 1)
+    probs /= probs.sum()
+    for i in range(n_docs):
+        n = int(rng.integers(0, 30))
+        words = rng.choice(VOCAB, size=n, p=probs)
+        texts.append(" ".join(words))
+    t = pa.table({
+        "repo": pa.array(["fuzz"] * n_docs),
+        "path": pa.array([f"p{i}" for i in range(n_docs)]),
+        "commit": pa.array(["c0"] * n_docs),
+        "content": pa.array(texts),
+    })
+    return add_doc_keys(t)
+
+
+def _random_query(rng, oracle, texts):
+    kind = rng.choice(["term", "bool", "phrase", "phrase_hit"])
+    vocab = VOCAB + ["zz_missing"]
+    if kind == "term":
+        return {"type": "term", "term": str(rng.choice(vocab))}
+    if kind == "bool":
+        while True:
+            must = [str(t) for t in
+                    rng.choice(vocab, size=rng.integers(0, 3),
+                               replace=False)]
+            should = [str(t) for t in
+                      rng.choice(vocab, size=rng.integers(0, 4),
+                                 replace=False)]
+            if must or should:
+                break
+        must_not = [str(t) for t in
+                    rng.choice(vocab, size=rng.integers(0, 2),
+                               replace=False)]
+        q = {"type": "bool", "must": must, "should": should,
+             "must_not": must_not}
+        if should:
+            q["min_should_match"] = int(rng.integers(0, len(should) + 1))
+        return q
+    if kind == "phrase_hit":
+        # sample a real window so the phrase matches somewhere
+        doc_words = None
+        for _ in range(20):
+            t = texts[int(rng.integers(0, len(texts)))].split()
+            if len(t) >= 2:
+                doc_words = t
+                break
+        if doc_words is None:
+            return {"type": "term", "term": "hot"}
+        n = int(rng.integers(2, min(4, len(doc_words) + 1)))
+        start = int(rng.integers(0, len(doc_words) - n + 1))
+        return {"type": "phrase", "terms": doc_words[start:start + n]}
+    n = int(rng.integers(2, 4))
+    return {"type": "phrase",
+            "terms": [str(t) for t in rng.choice(vocab, size=n)]}
+
+
+@pytest.mark.parametrize("seed", [3, 17, 92])
+def test_random_query_trees_match_oracle(ray_session, tmp_path, seed):
+    rng = np.random.default_rng(seed)
+    corpus = _random_corpus(rng, n_docs=120)
+    texts = corpus["content"].to_pylist()
+    oracle = ExhaustiveOracle(corpus["doc_id"].to_pylist(), texts)
+    out = str(tmp_path / f"idx{seed}")
+    build_index(corpus, out, batch_rows=32)  # several segments
+    s32 = IndexSearcher(out, mode="lucene32")
+    s64 = IndexSearcher(out, mode="exact64")
+    for qi in range(40):
+        q = _random_query(rng, oracle, texts)
+        for k in (5, 50):
+            got = s32.search(q, k=k)
+            exp = oracle.search(q, k=k, mode="lucene32")
+            assert got["doc_id"].to_pylist() == [d for d, _ in exp], (q, k)
+            g = np.asarray(got["score"], dtype=np.float32)
+            e = np.array([sc for _, sc in exp], dtype=np.float32)
+            assert np.array_equal(g.view(np.int32), e.view(np.int32)), \
+                (q, k)
+        # exact64 on a subset (same docs, float64 scores)
+        if qi % 5 == 0:
+            got = s64.search(q, k=10)
+            exp = oracle.search(q, k=10, mode="exact64")
+            assert got["doc_id"].to_pylist() == [d for d, _ in exp], q
+            assert np.allclose(np.asarray(got["score"]),
+                               [sc for _, sc in exp], rtol=0, atol=0), q
