@@ -60,11 +60,18 @@ class DecodeStage:
     Arrow batch, vectorized over rows.
     """
 
-    def __init__(self, codec_whitelist: tuple[str, ...] = ("raw",)):
+    def __init__(self, codec_whitelist: tuple[str, ...] = ("raw",),
+                 on_error: str = "raise"):
         from ..util import tune_allocator
 
         tune_allocator()
         self.codec_whitelist = codec_whitelist
+        # "skip": a corrupt payload must not kill a 100-TB pipeline —
+        # zero features + decode_ok=False + decode_error message, and
+        # the stream keeps flowing; "raise": fail the task (tests/CI).
+        if on_error not in ("raise", "skip"):
+            raise ValueError(f"on_error {on_error!r}")
+        self.on_error = on_error
         # the "model": a fixed random projection, loaded once per actor
         rng = np.random.default_rng(1234)
         self.projection = rng.standard_normal((256, FEATURE_DIM)).astype(np.float32)
@@ -102,23 +109,42 @@ class DecodeStage:
                   if "width" in batch.column_names else [0] * len(codecs))
         heights = (batch["height"].to_pylist()
                    if "height" in batch.column_names else [0] * len(codecs))
-        feats = np.empty((len(codecs), FEATURE_DIM), dtype=np.float32)
+        feats = np.zeros((len(codecs), FEATURE_DIM), dtype=np.float32)
+        ok = np.ones(len(codecs), dtype=bool)
+        errs = [""] * len(codecs)
         for i, (c, p, w, h) in enumerate(zip(codecs, payloads,
                                              widths, heights)):
-            feats[i] = self._decode_one(c, p, w or 0, h or 0) @ self.projection
+            if self.on_error == "raise":
+                feats[i] = (self._decode_one(c, p, w or 0, h or 0)
+                            @ self.projection)
+                continue
+            try:
+                feats[i] = (self._decode_one(c, p, w or 0, h or 0)
+                            @ self.projection)
+            except Exception as exc:  # corrupt payload: tag, keep going
+                ok[i] = False
+                errs[i] = f"{type(exc).__name__}: {exc}"[:200]
         out = batch.drop_columns(["payload"])
         flat = pa.array(feats.reshape(-1), type=pa.float32())
         offsets = pa.array(np.arange(0, (len(codecs) + 1) * FEATURE_DIM,
                                      FEATURE_DIM, dtype=np.int32))
-        return out.append_column(
+        out = out.append_column(
             "features", pa.ListArray.from_arrays(offsets, flat))
+        if self.on_error == "skip":
+            out = out.append_column("decode_ok", pa.array(ok))
+            out = out.append_column("decode_error", pa.array(errs))
+        return out
 
 
-def featurize(ds, *, batch_size: int = 64, concurrency=(1, 4)):
+def featurize(ds, *, batch_size: int = 64, concurrency=(1, 4),
+              on_error: str = "raise"):
     """media Dataset → features Dataset (payloads dropped). Small
-    batch_size: payload batches are bytes-bounded, not row-bounded."""
+    batch_size: payload batches are bytes-bounded, not row-bounded.
+    on_error="skip" tags corrupt payloads (decode_ok/decode_error
+    columns, zero features) instead of failing the task."""
     return ds.map_batches(DecodeStage, batch_format="pyarrow",
-                          batch_size=batch_size, concurrency=concurrency)
+                          batch_size=batch_size, concurrency=concurrency,
+                          fn_constructor_kwargs={"on_error": on_error})
 
 
 # ---------------------------------------------------------------------------
@@ -823,6 +849,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         size = struct.unpack_from(">H", payload, pos)[0]
+        if size < 2:
+            raise ValueError("JPEG segment length < 2")  # no progress
         body = payload[pos + 2:pos + size]
         if marker == 0xDB:  # DQT
             p = 0

@@ -1249,3 +1249,85 @@ def test_decode_jpeg_progressive_restarts_and_noise():
         b = decode_jpeg(_make_jpeg(noisy))
         p = decode_jpeg(_make_jpeg_progressive(noisy, al=trial % 3))
         assert (b == p).all(), f"trial {trial}"
+
+
+def test_decoders_survive_corrupt_payloads():
+    """Adversarial bytes: random truncations and byte flips of valid
+    payloads must either decode to an array or raise — never hang.
+    (Every decoder loop must make progress on arbitrary input.)"""
+    import numpy as np
+
+    from lucene_solr_ray.ops.multimodal import decode_image
+
+    rng = np.random.default_rng(23)
+    yy, xx = np.mgrid[0:16, 0:16]
+    img = np.stack([(yy * 9) % 256, (xx * 9) % 256,
+                    ((yy + xx) * 5) % 256], axis=2).astype(np.uint8)
+    valid = {
+        "png": _make_png(img, 2),
+        "gif": _make_gif(np.zeros((8, 8), dtype=np.uint8),
+                         np.array([[10, 20, 30]], dtype=np.uint8)),
+        "jpeg": _make_jpeg(img),
+        "bmp": _make_bmp(img),
+        "ppm": b"P6\n16 16\n255\n" + img.tobytes(),
+    }
+    checked = 0
+    for codec, payload in valid.items():
+        buf = bytearray(payload)
+        for trial in range(40):
+            b = bytearray(buf)
+            if trial % 2 == 0:  # truncate
+                cut = int(rng.integers(1, len(b)))
+                b = b[:cut]
+            else:  # flip 1-4 bytes
+                for _ in range(int(rng.integers(1, 5))):
+                    i = int(rng.integers(0, len(b)))
+                    b[i] = int(rng.integers(0, 256))
+            try:
+                out = decode_image(codec, bytes(b))
+                assert out.dtype == np.uint8 and out.ndim == 3
+            except Exception:
+                pass  # any exception is acceptable; hangs are not
+            checked += 1
+    assert checked == 200
+
+
+def test_decode_stage_on_error_skip(ray_session):
+    """A poisoned batch flows through featurize(on_error='skip'):
+    corrupt rows get zero features + decode_ok=False, good rows are
+    bit-identical to the on_error='raise' path."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import pytest
+
+    from lucene_solr_ray.ops.multimodal import featurize
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    img = np.stack([(yy * 9) % 256, (xx * 9) % 256,
+                    ((yy + xx) * 5) % 256], axis=2).astype(np.uint8)
+    good = _make_jpeg(img)
+    rows = {
+        "item_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "codec": pa.array(["jpeg", "jpeg", "mp3", "png"]),
+        "payload": pa.array([good, b"\xff\xd8 garbage", b"ID3junk",
+                             b"not a png"], type=pa.large_binary()),
+        "width": pa.array([16] * 4, type=pa.int32()),
+        "height": pa.array([16] * 4, type=pa.int32()),
+    }
+    tbl = pa.table(rows)
+    out = (featurize(ray.data.from_arrow(tbl), on_error="skip")
+           .to_pandas().sort_values("item_id").reset_index(drop=True))
+    assert out["decode_ok"].tolist() == [True, False, False, False]
+    assert all(e == "" for e in out.loc[out["decode_ok"], "decode_error"])
+    assert all(e != "" for e in out.loc[~out["decode_ok"], "decode_error"])
+    for i in (1, 2, 3):
+        assert not any(out["features"][i])
+    # good row identical to the raise path
+    ok_only = pa.table({k: v.slice(0, 1) for k, v in
+                        zip(tbl.column_names, tbl.columns)})
+    strict = featurize(ray.data.from_arrow(ok_only)).take_all()
+    assert list(strict[0]["features"]) == list(out["features"][0])
+    # and the raise path still raises on the poisoned batch
+    with pytest.raises(Exception):
+        featurize(ray.data.from_arrow(tbl)).take_all()
