@@ -618,3 +618,106 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
 FROM b JOIN q USING (bucket)
 GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def bigram_logprob(sf_dir: str) -> pa.Table:
+    """KenLM-style LM quality scoring, exact BIGRAM form (the unigram
+    op's higher-order sibling): per-doc sum of quantized
+    ln((c(w1,w2)+1) / (cleft(w1)+V)) over adjacent in-doc token pairs,
+    add-one smoothed over the vocabulary V. Self-scoring means every
+    scored pair exists in the count table — no backoff branch. The
+    per-pair log-prob quantizes to int BEFORE the doc sum (order
+    independent, hash-matches the twin). Docs with <2 tokens have no
+    pairs and are omitted.
+
+    Scale shape: one pairs pass → groupby((w1,w2)).count (distinct
+    bigrams, sublinear); left-context sums and the quantized table are
+    derived from that; the score pass is one broadcast pandas hash
+    join per batch (at larger vocabularies it becomes a token⋈count
+    distributed join, the twin's own shape — same note as
+    unigram_logprob)."""
+    import pandas as pd
+    import ray
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ab = analyze_batch(batch["text"], keep_stopwords=True)
+        tok = np.asarray(ab.terms)
+        di = np.asarray(ab.doc_idx)
+        if len(tok) < 2:
+            return pa.table({"w1": pa.array([], type=pa.string()),
+                             "w2": pa.array([], type=pa.string())})
+        same = di[1:] == di[:-1]
+        return pa.table({"w1": pa.array(tok[:-1][same]),
+                         "w2": pa.array(tok[1:][same])})
+
+    ds = _read_docs(sf_dir)
+    c12 = (ds.map_batches(pairs, batch_format="pyarrow")
+           .groupby(["w1", "w2"]).count().to_pandas())
+    c12 = c12.rename(columns={"count()": "c"})
+
+    def terms(batch: pa.Table) -> pa.Table:
+        ab = analyze_batch(batch["text"], keep_stopwords=True)
+        return pa.table({"term": pa.array(np.unique(np.asarray(ab.terms)))})
+
+    vsz = len(ds.map_batches(terms, batch_format="pyarrow").unique("term"))
+
+    cleft = c12.groupby("w1")["c"].sum().rename("cl")
+    c12 = c12.join(cleft, on="w1")
+    # scalar libm log per DISTINCT bigram, exact twin expression shape
+    c12["lp"] = [math.floor(math.log((int(c) + 1.0) / (int(cl) + vsz))
+                            * 10000 + 0.5)
+                 for c, cl in zip(c12["c"], c12["cl"])]
+    ref = ray.put(c12[["w1", "w2", "lp"]])
+
+    def score(batch: pa.Table) -> pa.Table:
+        table = ray.get(ref)
+        ab = analyze_batch(batch["text"], keep_stopwords=True)
+        n = batch.num_rows
+        tok = np.asarray(ab.terms)
+        di = np.asarray(ab.doc_idx)
+        if len(tok) < 2:
+            same = np.zeros(0, dtype=bool)
+        else:
+            same = di[1:] == di[:-1]
+        dfp = pd.DataFrame({"w1": tok[:-1][same] if len(tok) > 1 else [],
+                            "w2": tok[1:][same] if len(tok) > 1 else [],
+                            "d": di[:-1][same] if len(tok) > 1 else []})
+        m = dfp.merge(table, on=["w1", "w2"], how="left")
+        lp_sum = np.bincount(m["d"], weights=m["lp"],
+                             minlength=n).astype(np.int64)
+        n_pairs = np.bincount(m["d"], minlength=n).astype(np.int64)
+        keep = pa.array(n_pairs > 0)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_pairs": pa.array(n_pairs, type=pa.int64()),
+            "lp_sum": pa.array(lp_sum, type=pa.int64()),
+        }).filter(keep)
+
+    df = (ds.map_batches(score, batch_format="pyarrow")
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def bigram_logprob_sql() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                     t -> length(t) <= 255) AS tk
+  FROM documents),
+v AS (SELECT count(DISTINCT t) AS vsz
+      FROM (SELECT unnest(tk) AS t FROM toks)),
+idx AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+        FROM toks WHERE len(tk) > 1),
+bg AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2 FROM idx),
+c12 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, sum(c) AS cl FROM c12 GROUP BY w1),
+q AS (SELECT w1, w2,
+             CAST(floor(ln((c + 1.0) / (cl + vsz)) * 10000 + 0.5)
+                  AS BIGINT) AS lp
+      FROM c12 JOIN c1 USING (w1), v)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(lp) AS BIGINT) AS lp_sum
+FROM bg JOIN q USING (w1, w2)
+GROUP BY doc_id ORDER BY doc_id
+"""

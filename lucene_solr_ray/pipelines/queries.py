@@ -5372,6 +5372,7 @@ def build_queries() -> dict:
         "pipeline_pack_sequences": pack_sequences,
         "text_contamination": QF.contamination_hits,
         "text_unigram_lm": QF.unigram_logprob,
+        "text_bigram_lm": QF.bigram_logprob,
         # DSIR hashed-unigram importance weights (target/source ratio)
         "text_dsir_weights": QF.dsir_weights,
         # distributed BPE training (rows-only: iterative argmax is not
@@ -5701,6 +5702,7 @@ FROM o ORDER BY doc_id
         "text_contamination": QF.contamination_sql(),
         "text_unigram_lm": QF.unigram_logprob_sql(),
         "text_dsir_weights": QF.dsir_weights_sql(),
+        "text_bigram_lm": QF.bigram_logprob_sql(),
         "text_mixture_rebalance": QF.mixture_rebalance_sql(),
         "ft_lm_dirichlet": _lm_dirichlet_sql("table", 2000.0, 10),
         "ft_lm_jelinek_mercer": _lm_jelinek_mercer_sql("table", 0.7, 10),

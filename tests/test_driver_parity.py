@@ -84,6 +84,7 @@ PARAMETRIZED = [
     "text_significant_terms", "text_pii_redact", "text_stratified_sample",
     "text_chunk_windows", "text_repetition", "text_gopher_rules",
     "pipeline_pretrain", "pipeline_pack_sequences", "text_dsir_weights",
+    "text_bigram_lm",
     "ann_brute_cosine",
     "ft_prefix", "ft_wildcard", "ft_regexp", "ft_term_range", "ft_fuzzy",
     "ft_dismax", "ft_span_near", "ft_suggest", "ft_suggest_fuzzy",

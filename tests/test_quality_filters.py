@@ -170,3 +170,23 @@ def test_dsir_weights_prefers_target_like_docs(ray_session, tmp_path):
     assert t["doc_id"].tolist() == [1, 2, 7]  # empty doc omitted
     w = dict(zip(t["doc_id"], t["w_sum"] / t["n_tokens"]))
     assert w[1] > w[2], f"target-like doc must outweigh junk: {w}"
+
+
+def test_bigram_logprob_scores_fluent_pairs_higher(ray_session, tmp_path):
+    """Repeated bigrams score higher than one-off pairs; docs with
+    fewer than two tokens are omitted."""
+    from lucene_solr_ray.ops.quality_filters import bigram_logprob
+
+    rows = [
+        (0, "the cat sat"), (1, "the cat ran"), (2, "the cat sat"),
+        (3, "xu qv"),      # every bigram unique
+        (4, "single"),     # no pairs → omitted
+        (5, ""),           # no pairs → omitted
+    ]
+    sf = _write_docs(tmp_path, rows)
+    t = bigram_logprob(sf).to_pandas()
+    assert t["doc_id"].tolist() == [0, 1, 2, 3]
+    per = dict(zip(t["doc_id"], t["lp_sum"] / t["n_pairs"]))
+    # "the cat" occurs 3x, "cat sat" 2x — fluent docs beat the one-off
+    assert per[0] > per[3] and per[2] > per[3]
+    assert per[0] == per[2]  # identical docs, identical scores
