@@ -1331,3 +1331,309 @@ def test_decode_stage_on_error_skip(ray_session):
     # and the raise path still raises on the poisoned batch
     with pytest.raises(Exception):
         featurize(ray.data.from_arrow(tbl)).take_all()
+
+
+# ---------------------------------------------------------------------------
+# FLAC: the encoder lives HERE (like the JPEG/PNG/GIF ones) and the
+# library decoder must reproduce the input PCM bit-exactly (FLAC is
+# lossless). CRCs are spec-anchored by known-answer vectors, so the
+# shared _crc8/_crc16 helpers can't drift with the decoder.
+# ---------------------------------------------------------------------------
+
+class _FlacW:
+    """MSB-first bit writer."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def w(self, v: int, n: int):
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.n += n
+        while self.n >= 8:
+            self.n -= 8
+            self.out.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    def align(self):
+        if self.n:
+            self.w(0, 8 - self.n)
+
+    def data(self) -> bytes:
+        assert self.n == 0
+        return bytes(self.out)
+
+
+def _flac_utf8(n: int) -> bytes:
+    if n < 0x80:
+        return bytes([n])
+    nbytes = 2
+    while n >= (1 << (nbytes * 5 + 1)) and nbytes < 7:
+        nbytes += 1
+    lead = (0xFF << (8 - nbytes)) & 0xFF
+    parts = [0x80 | ((n >> (6 * i)) & 0x3F) for i in range(nbytes - 1)]
+    return bytes([lead | (n >> (6 * (nbytes - 1)))] + parts[::-1])
+
+
+def _sbits(vals) -> int:
+    """Smallest signed width holding every value."""
+    m = 1
+    for v in vals:
+        m = max(m, (int(v) if v >= 0 else ~int(v)).bit_length() + 1)
+    return m
+
+
+def _rice_partitioned(bw, resid, blocksize, order, porder, params,
+                      escape_parts=()):
+    bw.w(0, 2)  # method 0: 4-bit params
+    bw.w(porder, 4)
+    nparts = 1 << porder
+    at = 0
+    for p in range(nparts):
+        cnt = (blocksize >> porder) - (order if p == 0 else 0)
+        chunk = resid[at:at + cnt]
+        if p in escape_parts:
+            bw.w(0xF, 4)
+            nraw = _sbits(chunk) if len(chunk) else 1
+            bw.w(nraw, 5)
+            for v in chunk:
+                bw.w(int(v), nraw)
+        else:
+            param = params[p % len(params)]
+            bw.w(param, 4)
+            for v in chunk:
+                u = (int(v) << 1) ^ (-1 if v < 0 else 0)
+                q = u >> param
+                bw.w(1, q + 1)  # q zeros then the terminating 1
+                bw.w(u, param)
+        at += cnt
+    assert at == len(resid)
+
+
+def _write_subframe(bw, s, bps, mode, wasted=0):
+    if wasted:
+        assert not np.any(np.asarray(s) & ((1 << wasted) - 1))
+        s = np.asarray(s) >> wasted
+        bps -= wasted
+    bw.w(0, 1)
+    kind = mode[0]
+    if kind == "constant":
+        bw.w(0, 6)
+        bw.w(1 if wasted else 0, 1)
+        if wasted:
+            bw.w(1, wasted)  # unary wasted-1 zeros + 1
+        bw.w(int(s[0]), bps)
+        return
+    if kind == "verbatim":
+        bw.w(1, 6)
+        bw.w(1 if wasted else 0, 1)
+        if wasted:
+            bw.w(1, wasted)
+        for v in s:
+            bw.w(int(v), bps)
+        return
+    if kind == "fixed":
+        _, order, porder, params, escape_parts = mode
+        bw.w(8 + order, 6)
+        bw.w(1 if wasted else 0, 1)
+        if wasted:
+            bw.w(1, wasted)
+        r = np.asarray(s, dtype=np.int64)
+        for _ in range(order):
+            r = np.diff(r)
+        for v in s[:order]:
+            bw.w(int(v), bps)
+        _rice_partitioned(bw, r, len(s), order, porder, params,
+                          escape_parts)
+        return
+    if kind == "lpc":
+        _, coef, shift, prec, porder, params = mode
+        order = len(coef)
+        bw.w(32 | (order - 1), 6)
+        bw.w(1 if wasted else 0, 1)
+        if wasted:
+            bw.w(1, wasted)
+        s64 = np.asarray(s, dtype=np.int64)
+        c = np.asarray(coef, dtype=np.int64)
+        for v in s[:order]:
+            bw.w(int(v), bps)
+        bw.w(prec - 1, 4)
+        bw.w(shift, 5)
+        for v in coef:
+            bw.w(int(v), prec)
+        r = np.array([int(s64[i]) -
+                      (int(np.dot(c, s64[i - 1::-1][:order])) >> shift)
+                      for i in range(order, len(s))], dtype=np.int64)
+        _rice_partitioned(bw, r, len(s), order, porder, params)
+        return
+    raise AssertionError(mode)
+
+
+_SS_CODE = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6}
+
+
+def _make_flac(pcm, rate, bits, blocksize=64, assign="indep",
+               mode=("verbatim",), wasted=0, frame_modes=None):
+    """pcm: (n, ch) ints. Emits STREAMINFO + fixed-blocksize frames."""
+    import hashlib
+    import struct
+
+    pcm = np.asarray(pcm, dtype=np.int64)
+    n, ch = pcm.shape
+    si = _FlacW()
+    si.w(blocksize, 16)
+    si.w(blocksize, 16)
+    si.w(0, 24)
+    si.w(0, 24)
+    si.w(rate, 20)
+    si.w(ch - 1, 3)
+    si.w(bits - 1, 5)
+    si.w(n, 36)
+    nbytes = (bits + 7) // 8
+    le = pcm.astype("<i8").view(np.uint8).reshape(n, ch, 8)
+    md5 = hashlib.md5(le[:, :, :nbytes].tobytes()).digest()
+    head = b"fLaC" + bytes([0x80]) + struct.pack(">I", 34)[1:] \
+        + si.data() + md5
+    out = bytearray(head)
+
+    for fi, start in enumerate(range(0, n, blocksize)):
+        blk = pcm[start:start + blocksize]
+        bs = len(blk)
+        hw = _FlacW()
+        hw.w(0x3FFE, 14)
+        hw.w(0, 1)
+        hw.w(0, 1)  # fixed blocksize strategy
+        hw.w(7, 4)  # 16-bit blocksize-1 follows
+        hw.w(0, 4)  # rate from STREAMINFO
+        if assign == "indep":
+            hw.w(ch - 1, 4)
+        else:
+            hw.w({"left_side": 8, "side_right": 9, "mid_side": 10}[assign], 4)
+        hw.w(_SS_CODE[bits], 3)
+        hw.w(0, 1)
+        hdr = hw.data() + _flac_utf8(fi) + struct.pack(">H", bs - 1)
+        fw = _FlacW()
+        from lucene_solr_ray.ops.multimodal import _crc8, _crc16
+        for b in hdr:
+            fw.w(b, 8)
+        fw.w(_crc8(hdr), 8)
+
+        if assign == "indep":
+            stored = [(blk[:, c], bits) for c in range(ch)]
+        else:
+            L, R = blk[:, 0], blk[:, 1]
+            side = L - R
+            if assign == "left_side":
+                stored = [(L, bits), (side, bits + 1)]
+            elif assign == "side_right":
+                stored = [(side, bits + 1), (R, bits)]
+            else:
+                stored = [((L + R) >> 1, bits), (side, bits + 1)]
+        fmode = frame_modes[fi % len(frame_modes)] if frame_modes else mode
+        for s, b in stored:
+            _write_subframe(fw, s, b, fmode, wasted=wasted)
+        fw.align()
+        frame = fw.data()
+        out += frame + struct.pack(">H", _crc16(frame))
+    return bytes(out)
+
+
+def test_flac_crc_known_answers():
+    from lucene_solr_ray.ops.multimodal import _crc8, _crc16
+    assert _crc8(b"123456789") == 0xF4
+    assert _crc16(b"123456789") == 0xFEE8
+
+
+def _flac_sig(n, ch, bits, seed=7):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n)[:, None]
+    smooth = (np.sin(2 * np.pi * 3 * t / n) * (1 << (bits - 3))
+              + rng.integers(-3, 4, size=(n, ch)))
+    return smooth.astype(np.int64)
+
+
+def test_decode_flac_roundtrip_subframe_modes():
+    from lucene_solr_ray.ops.multimodal import decode_flac_pcm
+
+    pcm = _flac_sig(272, 2, 16)  # 4 full 64-blocks + a 16-sample tail
+    modes = [("verbatim",),
+             ("fixed", 0, 0, [6], ()),
+             ("fixed", 1, 1, [4, 7], ()),
+             ("fixed", 2, 2, [3], (1,)),   # one escape partition
+             ("fixed", 4, 0, [2], (0,)),   # whole-block escape
+             ("fixed", 3, 1, [5, 0], ())]
+    payload = _make_flac(pcm, 44100, 16, frame_modes=modes)
+    got, rate, bits = decode_flac_pcm(payload)
+    assert rate == 44100 and bits == 16
+    assert np.array_equal(got, pcm)
+
+
+def test_decode_flac_channel_assignments_and_depths():
+    from lucene_solr_ray.ops.multimodal import decode_flac_pcm
+
+    pcm = _flac_sig(192, 2, 16, seed=11)
+    for assign in ("indep", "left_side", "side_right", "mid_side"):
+        payload = _make_flac(pcm, 32000, 16, assign=assign,
+                             mode=("fixed", 2, 1, [4], ()))
+        got, _, _ = decode_flac_pcm(payload)
+        assert np.array_equal(got, pcm), assign
+    # 8-bit mono, constant + wasted bits
+    mono = np.full((128, 1), 24, dtype=np.int64)
+    payload = _make_flac(mono, 8000, 8, mode=("constant",), wasted=3)
+    got, rate, bits = decode_flac_pcm(payload)
+    assert rate == 8000 and bits == 8
+    assert np.array_equal(got, mono)
+    # 24-bit verbatim with wasted bits
+    deep = _flac_sig(64, 1, 20, seed=3) << 2
+    payload = _make_flac(deep, 96000, 24, mode=("verbatim",), wasted=2)
+    got, _, bits = decode_flac_pcm(payload)
+    assert bits == 24 and np.array_equal(got, deep)
+
+
+def test_decode_flac_lpc():
+    from lucene_solr_ray.ops.multimodal import decode_flac_pcm
+
+    pcm = _flac_sig(256, 1, 16, seed=5)
+    payload = _make_flac(pcm, 48000, 16,
+                         mode=("lpc", [3, -2, 1], 1, 6, 1, [4, 8]))
+    got, _, _ = decode_flac_pcm(payload)
+    assert np.array_equal(got, pcm)
+    # order-8 with zero shift and an escape-free high param
+    payload = _make_flac(pcm, 48000, 16,
+                         mode=("lpc", [1, 0, 0, 0, 0, 0, 0, -1], 0, 3,
+                               0, [9]))
+    got, _, _ = decode_flac_pcm(payload)
+    assert np.array_equal(got, pcm)
+
+
+def test_decode_flac_rejects_corruption():
+    from lucene_solr_ray.ops.multimodal import decode_flac_pcm
+
+    pcm = _flac_sig(128, 2, 16, seed=9)
+    payload = bytearray(_make_flac(pcm, 44100, 16,
+                                   mode=("fixed", 1, 0, [5], ())))
+    decode_flac_pcm(bytes(payload))  # sanity: intact stream decodes
+    rng = np.random.default_rng(0)
+    for _ in range(40):
+        p = bytearray(payload)
+        i = int(rng.integers(42, len(p)))  # past the magic/STREAMINFO hdr
+        p[i] ^= 1 << int(rng.integers(8))
+        with pytest.raises((ValueError, NotImplementedError, IndexError)):
+            decode_flac_pcm(bytes(p))
+
+
+def test_decode_flac_through_stage():
+    from lucene_solr_ray.ops.multimodal import DecodeStage, decode_flac
+
+    pcm = _flac_sig(256, 1, 16, seed=13)
+    payload = _make_flac(pcm, 16000, 16, mode=("fixed", 2, 0, [4], ()))
+    x, rate = decode_flac(payload)
+    assert rate == 16000 and len(x) == 256
+    assert np.allclose(x, pcm[:, 0] / 32768.0)
+    t = pa.table({"item_id": [1], "codec": ["flac"],
+                  "payload": pa.array([payload], type=pa.large_binary()),
+                  "width": [0], "height": [0]})
+    out = DecodeStage(on_error="raise")(t)
+    feats = np.array(out["features"].to_pylist(), dtype=np.float32)
+    assert feats.shape == (1, FEATURE_DIM) and np.isfinite(feats).all()
