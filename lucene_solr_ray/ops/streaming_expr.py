@@ -259,6 +259,12 @@ def compile_stream(node: Stream, sf_dir: str):
                 names.append("count_rows")
             else:
                 raise ValueError(f"unsupported metric {a.name!r}")
+        if all(n == "count_rows" for n in names):
+            # Ray quirk: a GLOBAL aggregate(Count()) with no sibling
+            # aggregate returns 0 (the zero-row empty-schema block
+            # shape); Dataset.count() is the reliable row count
+            cnt = inner.count()
+            return rd.from_arrow(pa.table({n: [cnt] for n in names}))
         row = inner.aggregate(*aggs)
         return rd.from_arrow(pa.table(
             {n: [row[k]] for n, k in zip(names, row.keys())}))

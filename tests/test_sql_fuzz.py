@@ -1,0 +1,190 @@
+"""Randomized differential fuzz of the /sql front door: random
+statements drawn from the documented 6.0 grammar subset (SQLHandler.java
+SELECT/DISTINCT/WHERE/GROUP BY/HAVING/ORDER BY/LIMIT), executed by BOTH
+ops.sql.run_sql (parse → Stream tree → Ray Dataset) and DuckDB on the
+same statement TEXT — results compared as sorted multisets.
+
+This extends the fixed statement list in test_sql.py the same way
+test_query_fuzz.py extends test_index_search: the statement is the
+oracle, so one generator exercises tokenizer, parser, plan compiler,
+streaming executor, and the final projection at once.
+
+Determinism rules the generator enforces so both engines must agree:
+ - every aggregate is aliased (DuckDB would name it "sum(x)");
+ - LIMIT only appears under an ORDER BY whose last key is a unique
+   column (or the full GROUP BY key set), so the cut is total-ordered;
+ - aggregate args are integer columns (float sums are order-sensitive);
+ - HAVING/ORDER BY use explicit agg expressions, not aliases (portable
+   to DuckDB without rewriting).
+Seeded RNG (not hypothesis): each example is a full Ray pipeline run.
+"""
+
+import random
+
+import duckdb
+import pytest
+
+from lucene_solr_ray.ops.sql import run_sql
+
+SF = "/root/testdata/sf0.001"
+
+# (table, unique key, int cols, low-cardinality str cols, float cols,
+#  str sample values)
+TABLES = {
+    "customer": ("c_custkey", ["c_custkey", "c_nationkey"],
+                 ["c_mktsegment"], ["c_acctbal"],
+                 {"c_mktsegment": ["BUILDING", "AUTOMOBILE", "MACHINERY",
+                                   "HOUSEHOLD", "FURNITURE", "ZZ_MISSING"]}),
+    "orders": ("o_orderkey", ["o_orderkey", "o_custkey"],
+               ["o_orderstatus", "o_orderpriority"], ["o_totalprice"],
+               {"o_orderstatus": ["F", "O", "P", "X_MISSING"],
+                "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM",
+                                    "4-NOT SPECIFIED", "5-LOW"]}),
+}
+INT_RANGES = {"c_custkey": (1, 150), "c_nationkey": (0, 24),
+              "o_orderkey": (1, 6000), "o_custkey": (1, 150)}
+FLOAT_RANGES = {"c_acctbal": (-999.0, 9999.0),
+                "o_totalprice": (800.0, 500000.0)}
+
+
+def _comparison(rng: random.Random, table: str) -> str:
+    _, ints, strs, floats, samples = TABLES[table]
+    kind = rng.choice(["int", "str", "float"])
+    if kind == "int":
+        col = rng.choice(ints)
+        lo, hi = INT_RANGES[col]
+        op = rng.choice(["=", "<>", "!=", "<", ">", "<=", ">="])
+        return f"{col} {op} {rng.randint(lo, hi)}"
+    if kind == "float":
+        col = rng.choice(floats)
+        lo, hi = FLOAT_RANGES[col]
+        op = rng.choice(["<", ">", "<=", ">="])
+        return f"{col} {op} {round(rng.uniform(lo, hi), 2)}"
+    col = rng.choice(strs)
+    op = rng.choice(["=", "<>"])
+    return f"{col} {op} '{rng.choice(samples[col])}'"
+
+
+def _predicate(rng: random.Random, table: str, depth: int = 0) -> str:
+    r = rng.random()
+    if depth >= 2 or r < 0.45:
+        return _comparison(rng, table)
+    if r < 0.55:
+        return f"NOT ({_predicate(rng, table, depth + 1)})"
+    conj = rng.choice(["AND", "OR"])
+    return (f"({_predicate(rng, table, depth + 1)} {conj} "
+            f"{_predicate(rng, table, depth + 1)})")
+
+
+def _aggs(rng: random.Random, table: str, n: int):
+    """[(expr, alias)] — count(*) plus sum/min/max/avg over int cols."""
+    _, ints, _, _, _ = TABLES[table]
+    out = []
+    for i in range(n):
+        fn = rng.choice(["count", "sum", "min", "max", "avg"])
+        expr = "count(*)" if fn == "count" \
+            else f"{fn}({rng.choice(ints)})"
+        out.append((expr, f"a{i}"))
+    # de-dup expressions (two aliases for one agg collide in the plan)
+    seen, uniq = set(), []
+    for expr, alias in out:
+        if expr not in seen:
+            seen.add(expr)
+            uniq.append((expr, alias))
+    return uniq
+
+
+def _gen_statement(rng: random.Random) -> str:
+    table = rng.choice(sorted(TABLES))
+    key, ints, strs, _, _ = TABLES[table]
+    shape = rng.choice(["plain", "group", "distinct", "stats"])
+    where = f" WHERE {_predicate(rng, table)}" if rng.random() < 0.75 \
+        else ""
+
+    if shape == "plain":
+        cols = rng.sample(ints + strs, rng.randint(1, 3))
+        if key not in cols:
+            cols.append(key)
+        sel = ", ".join(cols)
+        order = ""
+        limit = ""
+        if rng.random() < 0.7:
+            keys = rng.sample(cols, rng.randint(1, len(cols)))
+            if key not in keys:
+                keys.append(key)  # unique tiebreak makes LIMIT total
+            order = " ORDER BY " + ", ".join(
+                f"{c} {rng.choice(['ASC', 'DESC'])}" for c in keys)
+            if rng.random() < 0.7:
+                limit = f" LIMIT {rng.randint(1, 40)}"
+        return f"SELECT {sel} FROM {table}{where}{order}{limit}"
+
+    if shape == "group":
+        gkeys = rng.sample(strs + [ints[-1]], rng.randint(1, 2))
+        aggs = _aggs(rng, table, rng.randint(1, 3))
+        sel = ", ".join(gkeys + [f"{e} AS {a}" for e, a in aggs])
+        having = ""
+        if rng.random() < 0.5:
+            expr, _ = rng.choice(aggs)
+            op = rng.choice(["<", ">", "<=", ">=", "=", "<>"])
+            having = f" HAVING {expr} {op} {rng.randint(0, 500)}"
+        order = ""
+        limit = ""
+        if rng.random() < 0.7:
+            first = [f"{rng.choice(aggs)[0]} "
+                     f"{rng.choice(['ASC', 'DESC'])}"] \
+                if rng.random() < 0.5 else []
+            order = " ORDER BY " + ", ".join(
+                first + [f"{k} {rng.choice(['ASC', 'DESC'])}"
+                         for k in gkeys])  # full key set = total order
+            if rng.random() < 0.6:
+                limit = f" LIMIT {rng.randint(1, 10)}"
+        return (f"SELECT {sel} FROM {table}{where} "
+                f"GROUP BY {', '.join(gkeys)}{having}{order}{limit}")
+
+    if shape == "distinct":
+        cols = rng.sample(strs + [ints[-1]], rng.randint(1, 2))
+        order = ""
+        limit = ""
+        if rng.random() < 0.6:
+            order = " ORDER BY " + ", ".join(
+                f"{c} {rng.choice(['ASC', 'DESC'])}" for c in cols)
+            if rng.random() < 0.5:
+                limit = f" LIMIT {rng.randint(1, 8)}"
+        return (f"SELECT DISTINCT {', '.join(cols)} FROM "
+                f"{table}{where}{order}{limit}")
+
+    aggs = _aggs(rng, table, rng.randint(1, 4))
+    sel = ", ".join(f"{e} AS {a}" for e, a in aggs)
+    return f"SELECT {sel} FROM {table}{where}"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _same(mine, ref, stmt):
+    mine = mine.to_pandas()
+    assert sorted(mine.columns) == sorted(ref.columns), stmt
+    a = mine[sorted(mine.columns)].sort_values(
+        by=sorted(mine.columns)).reset_index(drop=True)
+    b = ref[sorted(ref.columns)].sort_values(
+        by=sorted(ref.columns)).reset_index(drop=True)
+    assert a.shape == b.shape, f"{stmt}\n{a}\n{b}"
+    for c in a.columns:
+        # zero-row aggregates: engine None == DuckDB NaN (both NULL)
+        av = [None if v is None or v != v else v for v in a[c].tolist()]
+        bv = [None if v is None or v != v else v for v in b[c].tolist()]
+        assert av == bv, f"{stmt} column {c}"
+
+
+@pytest.mark.parametrize("seed", [11, 47, 202])
+def test_random_sql_matches_duckdb(ray_session, con, seed):
+    rng = random.Random(seed)
+    for _ in range(25):
+        stmt = _gen_statement(rng)
+        _same(run_sql(stmt, SF), con.execute(stmt).fetchdf(), stmt)
