@@ -244,6 +244,15 @@ def analyze_batch(texts: pa.Array | pa.ChunkedArray, *,
         lower = pc.replace_substring_regex(
             lower, pattern=r"([\p{Han}])", replacement=r" \1 ")
         split_pattern = r"[^\p{L}\p{N}]+"
+    elif tokenizer == "keyword":
+        # KeywordTokenizer (core/KeywordTokenizer.java): the ENTIRE
+        # input is one token; empty input emits nothing. (This chain
+        # lowercases before tokenizing, so the mode matches
+        # KeywordTokenizer + LowerCaseFilter; the 255-char standard cut
+        # below still applies — pair with a larger MAX via length_stream
+        # when whole-field tokens can exceed it.)
+        toks = [[t] if t else [] for t in lower.to_pylist()]
+        token_lists = pa.array(toks, type=pa.list_(pa.string()))
     elif tokenizer == "whitespace":
         # WhitespaceTokenizer (core/WhitespaceTokenizer.java): split on
         # whitespace only, punctuation stays inside tokens (needed by
@@ -272,7 +281,7 @@ def analyze_batch(texts: pa.Array | pa.ChunkedArray, *,
     lengths = np.asarray(
         pc.utf8_length(flat)
         if (tokenizer in ("unicode", "whitespace", "letter", "lowercase",
-                          "wikipedia", "thai")
+                          "wikipedia", "thai", "keyword")
             or isinstance(tokenizer, tuple))
         else pc.binary_length(flat))  # cp vs byte len
     valid = (lengths > 0) & (lengths <= MAX_TOKEN_LENGTH)

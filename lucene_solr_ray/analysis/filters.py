@@ -2238,3 +2238,170 @@ def upper_case(term: str) -> str:
     transform. The reference's own javadoc warns it breaks
     lowercase-assuming filters downstream — same caveat here."""
     return term.upper()
+
+
+def make_pattern_keyword_marker(pattern: str, inner):
+    """PatternKeywordMarkerFilter (lucene/analysis/common/.../
+    miscellaneous/PatternKeywordMarkerFilter.java:32): terms whose WHOLE
+    text matches the pattern (Matcher.matches semantics — anchored)
+    bypass ``inner`` untouched, like the set-based keyword marker."""
+    import re as _re
+
+    rx = _re.compile(pattern)
+
+    def transform(term: str) -> str:
+        return term if rx.fullmatch(term) else inner(term)
+    return transform
+
+
+def icu_normalize(form: str = "NFKC"):
+    """ICUNormalizer2Filter analogue (lucene/analysis/icu/.../
+    ICUNormalizer2Filter.java:43 — default nfkc_cf). ICU itself is not
+    in this environment; Python's unicodedata implements the same
+    Unicode normalization forms (NFC/NFD/NFKC/NFKD). The "_cf" (case
+    fold) variants compose str.casefold — full Unicode case folding —
+    with the compatibility normalization, which is nfkc_cf's defined
+    behavior (UAX #31). Env-honest analogue, documented deviation: ICU
+    tailorings beyond the standard forms are absent."""
+    import unicodedata as _ud
+
+    base = form.upper().replace("_CF", "")
+    fold = form.lower().endswith("_cf")
+
+    def transform(term: str) -> str:
+        t = _ud.normalize(base, term)
+        return _ud.normalize(base, t.casefold()) if fold else t
+    return transform
+
+
+def icu_fold(term: str) -> str:
+    """ICUFoldingFilter analogue (lucene/analysis/icu/.../
+    ICUFoldingFilter.java:55): NFKC → case fold → remove diacritics →
+    NFKC again (the reference applies UTR#30 foldings; accent removal
+    via NFKD + combining-mark strip covers its diacritic-folding core
+    — documented approximate analogue, same caveat as icu_normalize)."""
+    import unicodedata as _ud
+
+    t = _ud.normalize("NFKC", term).casefold()
+    t = "".join(c for c in _ud.normalize("NFKD", t)
+                if not _ud.combining(c))
+    return _ud.normalize("NFKC", t)
+
+
+# ---------------------------------------------------------------------------
+# TeeSinkTokenFilter + sink filters (lucene/analysis/common/.../sinks/)
+
+
+def tee_sink(terms, doc_idx, positions, sinks: dict):
+    """TeeSinkTokenFilter (sinks/TeeSinkTokenFilter.java:40): every
+    token flows to the main stream unchanged AND to each named sink
+    whose filter accepts it.  ``sinks`` maps name → accept predicate
+    built by the ``*_sink`` factories below; returns
+    ``(main_stream, {name: (terms, doc_idx, positions)})``.
+
+    Predicates receive vectorized columns ``(terms, doc_idx, positions,
+    ordinals)`` where ``ordinals`` is the per-document token ordinal
+    (the reference's per-stream token count — its SinkFilters reset per
+    field instance, i.e. per document here) and return a boolean mask."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .analyzer import _per_doc_serial_positions
+
+    terms = _as_array(terms)
+    ordinals = _per_doc_serial_positions(doc_idx)
+    captured = {}
+    for name, accept in sinks.items():
+        keep = np.asarray(accept(terms, doc_idx, positions, ordinals),
+                          dtype=bool)
+        captured[name] = (terms.filter(pa.array(keep)), doc_idx[keep],
+                          positions[keep])
+    return (terms, doc_idx, positions), captured
+
+
+def token_range_sink(lower: int, upper: int):
+    """TokenRangeSinkFilter (sinks/TokenRangeSinkFilter.java:28-47):
+    accept tokens whose running count is in [lower, upper) — count
+    starts at 0 and increments per token, so lower >= 1 skips that many
+    leading tokens (the reference requires lower >= 1)."""
+    if lower < 1:
+        raise ValueError("lower must be greater than zero")
+    if lower > upper:
+        raise ValueError("lower must not be greater than upper")
+
+    def accept(terms, doc_idx, positions, ordinals):
+        return (ordinals >= lower) & (ordinals < upper)
+    return accept
+
+
+def token_type_sink(token_type: str):
+    """TokenTypeSinkFilter (sinks/TokenTypeSinkFilter.java:27-36):
+    accept tokens whose type attribute equals ``token_type`` —
+    types from :func:`token_types` (<NUM>/<ALPHANUM>)."""
+    def accept(terms, doc_idx, positions, ordinals):
+        import numpy as np
+        import pyarrow.compute as pc
+
+        return np.asarray(pc.equal(token_types(terms), token_type))
+    return accept
+
+
+def date_recognizer_sink(formats=("%Y-%m-%d", "%m/%d/%Y")):
+    """DateRecognizerSinkFilter (sinks/DateRecognizerSinkFilter.java:33):
+    accept tokens parseable as a date. The reference delegates to a
+    java.text.DateFormat; here a tuple of strptime formats (tried in
+    order) plays that role."""
+    import numpy as np
+    from datetime import datetime as _dt
+
+    def parses(t: str) -> bool:
+        for f in formats:
+            try:
+                _dt.strptime(t, f)
+                return True
+            except ValueError:
+                continue
+        return False
+
+    def accept(terms, doc_idx, positions, ordinals):
+        return np.fromiter((parses(t) for t in terms.to_pylist()),
+                           dtype=bool, count=len(terms))
+    return accept
+
+
+def prefix_aware_concat(prefix, suffix):
+    """PrefixAwareTokenFilter (miscellaneous/PrefixAwareTokenFilter
+    .java:37): emit the prefix stream, then the suffix stream with
+    positions shifted to continue after each document's last prefix
+    token. Both args and the result are ``(terms, doc_idx, positions)``
+    over the same batch of documents. PrefixAndSuffixAwareTokenFilter
+    (:28) is two chained applications of this."""
+    import numpy as np
+    import pyarrow as pa
+
+    pt, pd, pp = prefix
+    st, sd, sp = suffix
+    pt, st = _as_array(pt), _as_array(st)
+    n_docs = int(max(pd.max() if len(pd) else -1,
+                     sd.max() if len(sd) else -1)) + 1
+    # next position per document in the prefix stream
+    nxt = np.zeros(n_docs, dtype=np.int64)
+    if len(pd):
+        np.maximum.at(nxt, pd, pp.astype(np.int64) + 1)
+    out_t, out_d, out_p = [], [], []
+    ptl, stl = pt.to_pylist(), st.to_pylist()
+    pi = si = 0
+    for doc in range(n_docs):
+        while pi < len(pd) and pd[pi] == doc:
+            out_t.append(ptl[pi])
+            out_d.append(doc)
+            out_p.append(int(pp[pi]))
+            pi += 1
+        while si < len(sd) and sd[si] == doc:
+            out_t.append(stl[si])
+            out_d.append(doc)
+            out_p.append(int(sp[si]) + int(nxt[doc]))
+            si += 1
+    return (pa.array(out_t, type=pa.string()),
+            np.asarray(out_d, dtype=np.int64),
+            np.asarray(out_p, dtype=np.int32))

@@ -1,0 +1,330 @@
+"""Japanese analysis — the dictionary-independent kuromoji filters.
+
+Reference semantics (areek/lucene-solr, lucene/analysis/kuromoji):
+
+- JapaneseNumberFilter.java:89-240 — normalizes Japanese numbers
+  (kansūji) written with any mix of kanji numerals, half/full-width
+  Arabic digits and numeric punctuation into plain half-width decimal
+  strings (〇〇七 → 7, 三千2百２十三 → 3223, ３．２千 → 3200,
+  1,000万 → 10000000).  The filter COMPOSES runs of consecutive
+  numeral tokens before normalizing (token composition scheme,
+  JapaneseNumberFilter.java:157-208): interior punctuation tokens
+  (． ，) join a run but a run never starts with punctuation.
+- JapaneseKatakanaStemFilter.java:44-62 — removes a trailing prolonged
+  sound mark (ー U+30FC) from all-katakana terms of at least
+  minimumLength (default 4).
+- JapaneseIterationMarkCharFilter.java:48-420 — a char filter replacing
+  iteration marks (々 kanji, ゝゞ hiragana, ヽヾ katakana) with the
+  character they repeat: a span of N marks repeats the N characters
+  immediately preceding the span, applying dakuten (voicing) for the
+  voiced marks and REMOVING it for the unvoiced ones (ゝ after a voiced
+  kana yields its unvoiced pair — JapaneseIterationMarkCharFilter
+  .java:309-314 ``c - 1``).
+
+The dakuten lookup table (h2d/k2d, JapaneseIterationMarkCharFilter
+.java:84-143) is not transcribed: Unicode canonical composition gives
+the identical mapping — NFC(c + U+3099 COMBINING VOICED SOUND MARK)
+composes exactly the kana the reference tables list, and falls back to
+``c`` for kana with no voiced pair (the table's identity rows).
+
+The dictionary-DRIVEN kuromoji surfaces (JapaneseTokenizer's Viterbi
+lattice, BaseForm/ReadingForm/PartOfSpeechStop) live in
+:mod:`.kuromoji` with a pluggable lexicon, mirroring how
+:mod:`.kstem` ships the algorithm with pluggable data.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from decimal import Decimal, InvalidOperation
+
+import numpy as np
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# JapaneseNumberFilter
+
+#: kanji digit values (JapaneseNumberFilter.java:113-123)
+_NUMERALS = {"〇": 0, "一": 1, "二": 2, "三": 3, "四": 4,
+             "五": 5, "六": 6, "七": 7, "八": 8, "九": 9}
+#: kanji power-of-ten exponents (JapaneseNumberFilter.java:125-137)
+_EXPONENTS = {"十": 1, "百": 2, "千": 3,
+              "万": 4, "億": 8, "兆": 12, "京": 16, "垓": 20}
+
+_DECIMAL_POINTS = {".", "．"}       # U+002E, U+FF0E
+_THOUSAND_SEPARATORS = {",", "，"}  # U+002C, U+FF0C
+
+
+def _is_arabic(c: str) -> bool:
+    return "0" <= c <= "9" or "０" <= c <= "９"
+
+
+def _arabic_value(c: str) -> int:
+    return ord(c) - (ord("0") if "0" <= c <= "9" else ord("０"))
+
+
+def _is_numeral_char(c: str) -> bool:
+    return _is_arabic(c) or c in _NUMERALS or c in _EXPONENTS
+
+
+def is_numeral(s: str) -> bool:
+    """True iff every char of ``s`` is a numeral (digit or kanji numeral,
+    JapaneseNumberFilter.isNumeral)."""
+    return bool(s) and all(_is_numeral_char(c) for c in s)
+
+
+def is_numeral_punctuation(s: str) -> bool:
+    """True iff every char is numeric punctuation (decimal point or
+    thousand separator)."""
+    return bool(s) and all(
+        c in _DECIMAL_POINTS or c in _THOUSAND_SEPARATORS for c in s)
+
+
+class _Buf:
+    """NumberBuffer (JapaneseNumberFilter.java:592-617)."""
+
+    __slots__ = ("s", "pos")
+
+    def __init__(self, s: str):
+        self.s = s
+        self.pos = 0
+
+
+def _parse_basic(buf: _Buf):
+    """Sequence of Arabic/kanji digits with decimal points; thousand
+    separators are skipped (parseBasicNumber, :357-392)."""
+    out = []
+    while buf.pos < len(buf.s):
+        c = buf.s[buf.pos]
+        if _is_arabic(c):
+            out.append(str(_arabic_value(c)))
+        elif c in _NUMERALS:
+            out.append(str(_NUMERALS[c]))
+        elif c in _DECIMAL_POINTS:
+            out.append(".")
+        elif c in _THOUSAND_SEPARATORS:
+            pass
+        else:
+            break
+        buf.pos += 1
+    if not out:
+        return None
+    return Decimal("".join(out))  # may raise InvalidOperation (e.g. "..")
+
+
+def _parse_kanji_power(buf: _Buf, large: bool):
+    """parseLargeKanjiNumeral (power>3) / parseMediumKanjiNumeral
+    (1<=power<=3), :399-440."""
+    if buf.pos >= len(buf.s):
+        return None
+    power = _EXPONENTS.get(buf.s[buf.pos], 0)
+    if (power > 3) if large else (1 <= power <= 3):
+        buf.pos += 1
+        return Decimal(10) ** power
+    return None
+
+
+def _parse_medium_pair(buf: _Buf):
+    first = _parse_basic(buf)
+    second = _parse_kanji_power(buf, large=False)
+    if first is None and second is None:
+        return None
+    if second is None:
+        return first
+    if first is None:
+        return second
+    return first * second
+
+
+def _parse_medium(buf: _Buf):
+    total, result = Decimal(0), _parse_medium_pair(buf)
+    if result is None:
+        return None
+    while result is not None:
+        total += result
+        result = _parse_medium_pair(buf)
+    return total
+
+
+def _parse_large_pair(buf: _Buf):
+    first = _parse_medium(buf)
+    second = _parse_kanji_power(buf, large=True)
+    if first is None and second is None:
+        return None
+    if second is None:
+        return first
+    if first is None:
+        return second
+    return first * second
+
+
+def kansuji_normalize(number: str) -> str:
+    """normalizeNumber (JapaneseNumberFilter.java:236-249): parse and
+    render as a plain decimal string with trailing fraction zeros
+    stripped (BigDecimal.stripTrailingZeros().toPlainString()); the
+    input comes back unchanged on any parse error."""
+    try:
+        buf = _Buf(number)
+        total, result = Decimal(0), _parse_large_pair(buf)
+        if result is None:
+            return number
+        while result is not None:
+            total += result
+            result = _parse_large_pair(buf)
+        # like the reference, any tail the grammar cannot consume is
+        # silently ignored (parseNumber, :257-271 — the composition
+        # stage only feeds all-numeral runs, so this never fires there)
+        total = total.normalize()
+        if total.as_tuple().exponent > 0:  # 1E+3 → 1000 (toPlainString)
+            total = total.quantize(Decimal(1))
+        return format(total, "f")
+    except (InvalidOperation, ValueError):
+        return number
+
+
+def japanese_number_stream():
+    """Stream stage composing consecutive numeral tokens per document and
+    normalizing each run (the token composition scheme,
+    JapaneseNumberFilter.java:157-232).  A run starts at a numeral
+    token; interior punctuation tokens (decimal point / thousand
+    separator) extend it; the composed token takes the FIRST token's
+    position (offsets collapse in the reference the same way).
+    Positions of later tokens shift down is NOT performed — like the
+    reference, downstream tokens keep their original positions."""
+
+    def transform(terms, doc_idx, positions):
+        tl = terms.to_pylist() if isinstance(
+            terms, (pa.Array, pa.ChunkedArray)) else list(terms)
+        n = len(tl)
+        out_t, out_d, out_p = [], [], []
+        i = 0
+        while i < n:
+            t = tl[i]
+            if t and is_numeral(t):
+                d = doc_idx[i]
+                j = i + 1
+                parts = [t]
+                # interior AND trailing punctuation tokens join the run
+                # (the reference appends the read-past term before
+                # re-testing, JapaneseNumberFilter.java:199-205)
+                while (j < n and doc_idx[j] == d and tl[j]
+                       and (is_numeral(tl[j])
+                            or is_numeral_punctuation(tl[j]))):
+                    parts.append(tl[j])
+                    j += 1
+                out_t.append(kansuji_normalize("".join(parts)))
+                out_d.append(d)
+                out_p.append(positions[i])
+                i = j
+            else:
+                out_t.append(t)
+                out_d.append(doc_idx[i])
+                out_p.append(positions[i])
+                i += 1
+        return (pa.array(out_t, type=pa.string()),
+                np.asarray(out_d, dtype=np.int64),
+                np.asarray(out_p, dtype=np.int32))
+
+    return transform
+
+
+# ---------------------------------------------------------------------------
+# JapaneseKatakanaStemFilter
+
+_PROLONGED = "ー"  # ー
+
+
+def _is_katakana_char(c: str) -> bool:
+    # isKatakana (JapaneseKatakanaStemFilter.java:89-97): the Katakana
+    # block U+30A0–U+30FF
+    return "゠" <= c <= "ヿ"
+
+
+def katakana_stem(term: str, minimum_length: int = 4) -> str:
+    """JapaneseKatakanaStemFilter.java:73-87: drop one trailing ー from
+    all-katakana terms of at least ``minimum_length`` chars."""
+    if len(term) < minimum_length:
+        return term
+    if not all(_is_katakana_char(c) for c in term):
+        return term
+    if term.endswith(_PROLONGED):
+        return term[:-1]
+    return term
+
+
+# ---------------------------------------------------------------------------
+# JapaneseIterationMarkCharFilter
+
+_KANJI_MARK = "々"       # 々
+_HIRA_MARKS = "ゝゞ"  # ゝ ゞ
+_KATA_MARKS = "ヽヾ"  # ヽ ヾ
+_VOICED_MARKS = {"ゞ", "ヾ"}
+_COMBINING_DAKUTEN = "゙"
+
+_HIRA_RANGE = ("か", "ぼ")  # か..ぼ — the h2d table span
+_KATA_RANGE = ("カ", "ボ")  # カ..ボ — the k2d table span
+
+
+def _dakuten(c: str) -> str:
+    """Voiced (dakuten) variant via Unicode canonical composition —
+    identical to the reference's h2d/k2d lookup tables including their
+    identity rows (lookupHiraganaDakuten, :406-409)."""
+    v = unicodedata.normalize("NFC", c + _COMBINING_DAKUTEN)
+    return v if len(v) == 1 else c
+
+
+def _normalize_repeat(c: str, mark: str) -> str:
+    """normalize(c, m) (JapaneseIterationMarkCharFilter.java:288-298)."""
+    if mark in _HIRA_MARKS:
+        lo, hi = _HIRA_RANGE
+    elif mark in _KATA_MARKS:
+        lo, hi = _KATA_RANGE
+    else:
+        return c  # kanji mark: repeat verbatim
+    if mark in _VOICED_MARKS:
+        return _dakuten(c) if lo <= c <= hi else c
+    # unvoiced mark: strip voicing — isDakuten(c) is "c equals its own
+    # dakuten lookup" (the table's identity rows INCLUDED, reproducing
+    # the reference's quirk for っ/な-row/handakuten, :309 ``c - 1``)
+    if lo <= c <= hi and _dakuten(c) == c:
+        return chr(ord(c) - 1)
+    return c
+
+
+def iteration_mark_chars(normalize_kanji: bool = True,
+                         normalize_kana: bool = True):
+    """CharFilter factory: pa.Array of text → pa.Array with iteration
+    marks replaced.  A maximal run of N marks repeats the N characters
+    immediately before it (sourceCharacter, :277-279); marks whose
+    source position falls before the start of the text pass through
+    unchanged (the reference leaves this case undefined)."""
+    marks = ""
+    if normalize_kanji:
+        marks += _KANJI_MARK
+    if normalize_kana:
+        marks += _HIRA_MARKS + _KATA_MARKS
+    if not marks:
+        return lambda texts: texts
+    run_re = re.compile("[" + marks + "]+")
+
+    def fix_one(text: str) -> str:
+        def repl(m: re.Match) -> str:
+            s, run = m.start(), m.group(0)
+            n = len(run)
+            out = []
+            for i, mk in enumerate(run):
+                src = s - n + i
+                out.append(_normalize_repeat(text[src], mk)
+                           if src >= 0 else mk)
+            return "".join(out)
+        return run_re.sub(repl, text)
+
+    def char_filter(texts: pa.Array) -> pa.Array:
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        return pa.array(
+            [fix_one(t) if t is not None and run_re.search(t) else t
+             for t in texts.to_pylist()], type=pa.string())
+
+    return char_filter

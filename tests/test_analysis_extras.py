@@ -1,0 +1,228 @@
+"""Golden tests for the Japanese algorithmic filters (kuromoji's
+dictionary-independent parts), the sinks family, prefix-aware stream
+concatenation, the keyword tokenizer mode, and the ICU normalization
+analogues.  Expected values follow the reference javadocs' own examples
+(JapaneseNumberFilter.java:51-62, JapaneseKatakanaStemFilter.java:28,
+JapaneseIterationMarkCharFilter.java:30-45)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_solr_ray.analysis.analyzer import analyze_batch
+from lucene_solr_ray.analysis.filters import (
+    date_recognizer_sink,
+    icu_fold,
+    icu_normalize,
+    make_pattern_keyword_marker,
+    prefix_aware_concat,
+    tee_sink,
+    token_range_sink,
+    token_type_sink,
+)
+from lucene_solr_ray.analysis.ja import (
+    iteration_mark_chars,
+    japanese_number_stream,
+    kansuji_normalize,
+    katakana_stem,
+)
+
+
+# ---------------------------------------------------------------------------
+# JapaneseNumberFilter
+
+
+@pytest.mark.parametrize("src,expected", [
+    # the reference javadoc's example table
+    ("〇〇七", "7"),
+    ("一〇〇〇", "1000"),
+    ("三千2百２十三", "3223"),
+    ("兆六百万五千一", "1000006005001"),
+    ("３．２千", "3200"),
+    ("１．２万３４５．６７", "12345.67"),
+    ("4,647.100", "4647.1"),
+    ("15,7", "157"),   # the documented weakness
+    # grammar corners
+    ("十", "10"),
+    ("二十", "20"),
+    ("百十一", "111"),
+    ("千九百四十五", "1945"),
+    ("万", "10000"),
+    ("0.5", "0.5"),
+    ("..", ".."),      # malformed → unchanged
+])
+def test_kansuji_normalize(src, expected):
+    assert kansuji_normalize(src) == expected
+
+
+def test_japanese_number_stream_composes_runs():
+    st = japanese_number_stream()
+    terms = pa.array(["価格", "は", "３", "．", "２", "千", "円",
+                      "一", "〇"])
+    doc_idx = np.array([0, 0, 0, 0, 0, 0, 0, 1, 1], dtype=np.int64)
+    pos = np.array([0, 1, 2, 3, 4, 5, 6, 0, 1], dtype=np.int32)
+    t, d, p = st(terms, doc_idx, pos)
+    assert t.to_pylist() == ["価格", "は", "3200", "円", "10"]
+    assert d.tolist() == [0, 0, 0, 0, 1]
+    # the composed token takes the FIRST token's position
+    assert p.tolist() == [0, 1, 2, 6, 0]
+
+
+def test_japanese_number_stream_run_never_starts_with_punctuation():
+    st = japanese_number_stream()
+    t, _, _ = st(pa.array(["．", "５"]), np.zeros(2, dtype=np.int64),
+                 np.arange(2, dtype=np.int32))
+    assert t.to_pylist() == ["．", "5"]
+
+
+# ---------------------------------------------------------------------------
+# JapaneseKatakanaStemFilter
+
+
+@pytest.mark.parametrize("src,expected", [
+    ("コーヒー", "コーヒ"),    # >= 4 katakana chars, trailing ー dropped
+    ("カー", "カー"),          # below minimum length
+    ("サッカー", "サッカ"),
+    ("タクシー", "タクシ"),
+    ("センター", "センタ"),
+    ("東京タワー", "東京タワー"),  # mixed script — not stemmed
+    ("apple", "apple"),
+])
+def test_katakana_stem(src, expected):
+    assert katakana_stem(src) == expected
+
+
+def test_katakana_stem_minimum_length_parameter():
+    assert katakana_stem("カー", minimum_length=2) == "カ"
+
+
+# ---------------------------------------------------------------------------
+# JapaneseIterationMarkCharFilter
+
+
+@pytest.mark.parametrize("src,expected", [
+    ("時々", "時時"),                # kanji mark
+    ("こゝろ", "こころ"),            # hiragana unvoiced
+    ("学生々々", "学生学生"),        # span of 2 repeats 2 chars
+    ("みすゞ", "みすず"),            # voiced mark applies dakuten
+    ("ところゞゝゝ", "ところどころ"),  # the reference javadoc example
+    ("馬鹿々々しい", "馬鹿馬鹿しい"),
+    ("ヿヽ", "ヿヽ"),                # no valid source → unchanged? (ヿ
+                                      # is katakana; span source exists)
+])
+def test_iteration_marks(src, expected):
+    cf = iteration_mark_chars()
+    got = cf(pa.array([src])).to_pylist()[0]
+    if src == "ヿヽ":
+        # ヽ repeats ヿ (katakana block, no dakuten pair) → ヿヿ
+        assert got == "ヿヿ"
+    else:
+        assert got == expected
+
+
+def test_iteration_mark_at_text_start_passes_through():
+    cf = iteration_mark_chars()
+    assert cf(pa.array(["々あ"])).to_pylist() == ["々あ"]
+
+
+def test_iteration_mark_flags():
+    kanji_only = iteration_mark_chars(normalize_kana=False)
+    assert kanji_only(pa.array(["時々こゝ"])).to_pylist() == ["時時こゝ"]
+    kana_only = iteration_mark_chars(normalize_kanji=False)
+    assert kana_only(pa.array(["時々こゝ"])).to_pylist() == ["時々ここ"]
+
+
+def test_iteration_marks_as_analyzer_char_filter():
+    batch = analyze_batch(pa.array(["時々 word"]),
+                          char_filter=iteration_mark_chars(),
+                          tokenizer="unicode")
+    assert "時時" in "".join(batch.terms.to_pylist())
+
+
+# ---------------------------------------------------------------------------
+# sinks
+
+
+def _stream(texts):
+    b = analyze_batch(pa.array(texts), keep_stopwords=True)
+    return b.terms, b.doc_idx, b.positions
+
+
+def test_tee_sink_token_range_and_type():
+    terms, d, p = _stream(["alpha 2024 beta 7 gamma"])
+    (mt, md, mp), sinks = tee_sink(terms, d, p, {
+        "head": token_range_sink(1, 3),
+        "nums": token_type_sink("<NUM>"),
+    })
+    # main stream unchanged
+    assert mt.to_pylist() == ["alpha", "2024", "beta", "7", "gamma"]
+    # count starts at 0; [1, 3) = 2nd and 3rd tokens
+    assert sinks["head"][0].to_pylist() == ["2024", "beta"]
+    assert sinks["nums"][0].to_pylist() == ["2024", "7"]
+
+
+def test_token_range_sink_resets_per_document():
+    terms, d, p = _stream(["a b c", "x y z"])
+    _, sinks = tee_sink(terms, d, p, {"r": token_range_sink(1, 2)})
+    assert sinks["r"][0].to_pylist() == ["b", "y"]
+
+
+def test_token_range_sink_validation():
+    with pytest.raises(ValueError):
+        token_range_sink(0, 5)
+    with pytest.raises(ValueError):
+        token_range_sink(5, 2)
+
+
+def test_date_recognizer_sink():
+    terms, d, p = _stream(["meeting 2024-03-15 notes 12/25/2023 x"])
+    _, sinks = tee_sink(terms, d, p, {"dates": date_recognizer_sink()})
+    # the ascii tokenizer splits on '-'/'/' — use whitespace mode for
+    # date-shaped tokens
+    b = analyze_batch(pa.array(["meeting 2024-03-15 notes 12/25/2023 x"]),
+                      tokenizer="whitespace", keep_stopwords=True)
+    _, sinks = tee_sink(b.terms, b.doc_idx, b.positions,
+                        {"dates": date_recognizer_sink()})
+    assert sinks["dates"][0].to_pylist() == ["2024-03-15", "12/25/2023"]
+
+
+# ---------------------------------------------------------------------------
+# prefix-aware concatenation
+
+
+def test_prefix_aware_concat():
+    pre = _stream(["one two", ""])
+    suf = _stream(["three", "alone"])
+    t, d, p = prefix_aware_concat(pre, suf)
+    assert t.to_pylist() == ["one", "two", "three", "alone"]
+    assert d.tolist() == [0, 0, 0, 1]
+    # suffix positions continue after each doc's last prefix token
+    assert p.tolist() == [0, 1, 2, 0]
+
+
+# ---------------------------------------------------------------------------
+# keyword tokenizer mode, pattern keyword marker, ICU analogues
+
+
+def test_keyword_tokenizer_mode():
+    b = analyze_batch(pa.array(["Hello World", "", None]),
+                      tokenizer="keyword", keep_stopwords=True)
+    assert b.terms.to_pylist() == ["hello world"]
+    assert b.doc_lengths.tolist() == [1, 0, 0]
+
+
+def test_pattern_keyword_marker():
+    from lucene_solr_ray.analysis.filters import porter_stem
+    t = make_pattern_keyword_marker(r".*ing", porter_stem)
+    assert t("running") == "running"   # protected by pattern
+    assert t("cats") == "cat"          # stemmed
+
+
+def test_icu_normalize_and_fold():
+    nfkc = icu_normalize("NFKC")
+    assert nfkc("ﬁle") == "file"          # ligature compatibility
+    assert nfkc("２０２４") == "2024"      # full-width digits
+    cf = icu_normalize("nfkc_cf")
+    assert cf("Straße") == "strasse"      # case folding
+    assert icu_fold("Ŕésumé") == "resume"  # diacritics removed
+    assert icu_fold("ＴＯＫＹＯ") == "tokyo"
