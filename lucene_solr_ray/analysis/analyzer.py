@@ -201,6 +201,20 @@ def analyze_batch(texts: pa.Array | pa.ChunkedArray, *,
                             for k in range(mn, mx + 1)
                             if i + k <= len(t)])
         token_lists = pa.array(out, type=pa.list_(pa.string()))
+    elif isinstance(tokenizer, tuple) and tokenizer[0] == "kuromoji":
+        # JapaneseTokenizer (kuromoji/.../ja/JapaneseTokenizer.java):
+        # Viterbi lattice segmentation over a pluggable lexicon —
+        # ("kuromoji", dict?, mode?); see analysis.kuromoji. The rich
+        # per-token attributes (POS, base form, reading) are available
+        # from the standalone japanese_tokenize; the chain keeps terms.
+        from .kuromoji import demo_dictionary, japanese_tokenize
+
+        jdic = tokenizer[1] if len(tokenizer) > 1 and tokenizer[1] \
+            else demo_dictionary()
+        jmode = tokenizer[2] if len(tokenizer) > 2 else "search"
+        toks = [[t.surface for t in japanese_tokenize(s, jdic, jmode)]
+                if s is not None else [] for s in lower.to_pylist()]
+        token_lists = pa.array(toks, type=pa.list_(pa.string()))
     elif tokenizer == "wikipedia":
         # WikipediaTokenizer TOKENS_ONLY mode (wikipedia/
         # WikipediaTokenizer.java:96): markup-aware scan; categories,

@@ -1,0 +1,398 @@
+"""JapaneseTokenizer — kuromoji's Viterbi lattice segmenter with a
+pluggable lexicon (reference: lucene/analysis/kuromoji/.../ja/
+JapaneseTokenizer.java).
+
+The reference walks the text position by position building a lattice:
+at every position it adds arcs for (a) every dictionary surface form
+starting there (an FST prefix walk, JapaneseTokenizer.java:768-802) and
+(b) one UNKNOWN arc spanning the maximal run of same-character-class
+characters (the mecab chardef "group" rule, :811-849; classes that
+"invoke" add the unknown arc even when dictionary matches exist). Each
+arc costs ``wordCost``; stitching arcs costs ``connectionCost(rightID
+of the previous arc, leftID of the next)``.  Viterbi keeps the cheapest
+path into every position and a final backtrace emits the tokens
+(:855-875).
+
+Modes (:99-131, :303-322):
+
+- NORMAL — plain least-cost segmentation.
+- SEARCH (the reference default) — adds a decompounding penalty to
+  long arcs so compounds split for recall: kanji runs longer than 2
+  cost ``(len-2)*3000`` extra, anything longer than 7 costs
+  ``(len-7)*1700`` (computePenalty, :303-322).
+- EXTENDED — search mode + unknown tokens emit as single-character
+  1-grams (:1191-1213).
+
+The reference's dictionary is a compiled MeCab-IPADIC (FST + cost
+matrix, ~MBs of data).  Like :mod:`.kstem` (30k-word lexicon) and
+:mod:`.thai`, the DATA is pluggable, the ALGORITHM is complete: a
+:class:`JapaneseDictionary` takes ``(surface, left_id, right_id,
+word_cost, pos, base_form, reading)`` rows plus a connection-cost
+matrix, and a small self-authored demo lexicon makes the tokenizer
+usable out of the box and testable (documented deviation: shipped
+vocabulary is tiny; real deployments load their own rows — the mecab
+CSV format maps 1:1 onto ``add_entry``).
+
+The three dictionary-attribute filters ride on the rich tokens:
+JapaneseBaseFormFilter.java:44-57 (term := baseForm),
+JapanesePartOfSpeechStopFilter.java:36-44 (drop stop POS tags),
+JapaneseReadingFormFilter.java:46-70 (term := reading, optionally
+romanized — Hepburn romanization as in ToStringUtil.getRomanization).
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from dataclasses import dataclass
+
+#: computePenalty constants (JapaneseTokenizer.java:123-129)
+SEARCH_MODE_KANJI_LENGTH = 2
+SEARCH_MODE_OTHER_LENGTH = 7
+SEARCH_MODE_KANJI_PENALTY = 3000
+SEARCH_MODE_OTHER_PENALTY = 1700
+MAX_UNKNOWN_WORD_LENGTH = 1024  # :132
+
+#: Unicode categories the reference treats as punctuation (:1255-1277)
+_PUNCT_CATEGORIES = frozenset(
+    "Zs Zl Zp Cc Cf Pd Ps Pe Pc Po Sm Sc Sk So Pi Pf".split())
+
+
+def _is_punct(ch: str) -> bool:
+    return unicodedata.category(ch) in _PUNCT_CATEGORIES
+
+
+def _char_class(ch: str) -> str:
+    """mecab chardef character classes (subset: the ones that matter
+    for segmentation behavior)."""
+    if "ぁ" <= ch <= "ゖ" or ch in "ゝゞ":
+        return "HIRAGANA"
+    if "゠" <= ch <= "ヿ" or ch == "ー":
+        return "KATAKANA"
+    o = ord(ch)
+    if 0x4E00 <= o <= 0x9FFF or ch == "々":
+        return "KANJI"
+    if ch.isascii() and ch.isalpha():
+        return "ALPHA"
+    if ch.isdigit():
+        return "NUMERIC"
+    if _is_punct(ch):
+        return "SYMBOL"
+    return "DEFAULT"
+
+
+#: chardef invoke/group flags (ipadic char.def defaults): ``invoke``
+#: classes add an unknown arc even when dictionary matches exist;
+#: ``group`` classes extend the unknown arc over the whole same-class
+#: run (non-group classes emit single-character unknowns).
+_CLASS_FLAGS = {
+    # class:      (invoke, group)
+    "KANJI":      (False, False),
+    "HIRAGANA":   (False, True),
+    "KATAKANA":   (True,  True),
+    "ALPHA":      (True,  True),
+    "NUMERIC":    (True,  True),
+    "SYMBOL":     (True,  True),
+    "DEFAULT":    (False, True),
+}
+
+
+@dataclass
+class Token:
+    """One lattice token with its dictionary attributes."""
+
+    surface: str
+    start: int            # char offset
+    end: int
+    pos: str              # part-of-speech tag (e.g. 名詞, 動詞, 助詞)
+    base_form: str | None  # dictionary form for inflected entries
+    reading: str | None    # katakana reading
+    type: str             # KNOWN | UNKNOWN
+
+
+class JapaneseDictionary:
+    """Pluggable MeCab-style lexicon: surface rows + connection costs +
+    per-character-class unknown-word costs."""
+
+    def __init__(self):
+        self.entries: dict[str, list[tuple]] = {}
+        self.max_len = 0
+        self.conn: dict[tuple[int, int], int] = {}
+        # unknown defs: class -> (left_id, right_id, word_cost, pos)
+        self.unknown = {
+            "KANJI": (10, 10, 15000, "名詞"),
+            "HIRAGANA": (11, 11, 13000, "名詞"),
+            "KATAKANA": (12, 12, 11000, "名詞"),
+            "ALPHA": (13, 13, 9000, "名詞"),
+            "NUMERIC": (14, 14, 9000, "名詞"),
+            "SYMBOL": (15, 15, 12000, "記号"),
+            "DEFAULT": (16, 16, 15000, "記号"),
+        }
+
+    def add_entry(self, surface: str, left_id: int, right_id: int,
+                  word_cost: int, pos: str, base_form: str | None = None,
+                  reading: str | None = None) -> None:
+        """One mecab CSV row: surface,leftId,rightId,wordCost,POS…"""
+        self.entries.setdefault(surface, []).append(
+            (left_id, right_id, word_cost, pos, base_form, reading))
+        self.max_len = max(self.max_len, len(surface))
+
+    def set_connection(self, right_id: int, left_id: int,
+                       cost: int) -> None:
+        self.conn[(right_id, left_id)] = cost
+
+    def connection_cost(self, right_id: int, left_id: int) -> int:
+        return self.conn.get((right_id, left_id), 0)
+
+
+def demo_dictionary() -> JapaneseDictionary:
+    """A small self-authored lexicon exercising the signature kuromoji
+    behaviors (compound decomposition, inflected base forms, readings).
+    Costs are hand-chosen so the compound beats its parts in NORMAL
+    mode but loses once the SEARCH decompounding penalty applies —
+    the same relationship the IPADIC costs encode for 関西国際空港."""
+    d = JapaneseDictionary()
+    rows = [
+        # surface, lid, rid, cost, pos, base, reading
+        ("関西国際空港", 1, 1, 2000, "名詞", None, "カンサイコクサイクウコウ"),
+        ("関西", 1, 1, 3000, "名詞", None, "カンサイ"),
+        ("国際", 1, 1, 3000, "名詞", None, "コクサイ"),
+        ("空港", 1, 1, 3000, "名詞", None, "クウコウ"),
+        ("日本", 1, 1, 2500, "名詞", None, "ニホン"),
+        ("日本経済新聞", 1, 1, 2200, "名詞", None, "ニホンケイザイシンブン"),
+        ("経済", 1, 1, 3000, "名詞", None, "ケイザイ"),
+        ("新聞", 1, 1, 3000, "名詞", None, "シンブン"),
+        ("東京", 1, 1, 2500, "名詞", None, "トウキョウ"),
+        ("大学", 1, 1, 2800, "名詞", None, "ダイガク"),
+        ("に", 2, 2, 1000, "助詞", None, "ニ"),
+        ("へ", 2, 2, 1000, "助詞", None, "ヘ"),
+        ("は", 2, 2, 1000, "助詞", None, "ハ"),
+        ("を", 2, 2, 1000, "助詞", None, "ヲ"),
+        ("が", 2, 2, 1000, "助詞", None, "ガ"),
+        ("行っ", 3, 4, 2500, "動詞", "行く", "イッ"),
+        ("行き", 3, 3, 2500, "動詞", "行く", "イキ"),
+        ("食べ", 3, 3, 2500, "動詞", "食べる", "タベ"),
+        ("た", 4, 2, 800, "助動詞", None, "タ"),
+        ("ます", 4, 2, 800, "助動詞", None, "マス"),
+        ("です", 4, 2, 900, "助動詞", None, "デス"),
+        ("。", 5, 5, 500, "記号", None, "。"),
+        ("、", 5, 5, 500, "記号", None, "、"),
+    ]
+    for r in rows:
+        d.add_entry(*r)
+    # a particle likes to follow a noun; auxiliaries follow verb stems
+    d.set_connection(1, 2, -500)
+    d.set_connection(4, 4, -800)   # 行っ(rid 4) + た(lid 4)
+    d.set_connection(3, 4, -800)   # 食べ(rid 3) + た/ます(lid 4)
+    return d
+
+
+def _penalty(length: int, all_kanji: bool) -> int:
+    """computePenalty (JapaneseTokenizer.java:303-322)."""
+    if all_kanji and length > SEARCH_MODE_KANJI_LENGTH:
+        return (length - SEARCH_MODE_KANJI_LENGTH) * SEARCH_MODE_KANJI_PENALTY
+    if not all_kanji and length > SEARCH_MODE_OTHER_LENGTH:
+        return (length - SEARCH_MODE_OTHER_LENGTH) * SEARCH_MODE_OTHER_PENALTY
+    return 0
+
+
+def japanese_tokenize(text: str, dic: JapaneseDictionary | None = None,
+                      mode: str = "search",
+                      discard_punctuation: bool = True) -> list[Token]:
+    """Viterbi least-cost segmentation (JapaneseTokenizer.parse).
+
+    ``mode``: ``"normal"`` | ``"search"`` | ``"extended"``.
+    """
+    if dic is None:
+        dic = demo_dictionary()
+    if mode not in ("normal", "search", "extended"):
+        raise ValueError(f"unknown mode {mode!r}")
+    search = mode in ("search", "extended")
+    extended = mode == "extended"
+    n = len(text)
+    if n == 0:
+        return []
+
+    # Lattice nodes keyed by (position, rightID) — the reference keeps
+    # multiple nodes per position (Position.count,
+    # JapaneseTokenizer.java:855-875) precisely because paths ending in
+    # different rightIDs pay different connection costs onward.
+    # nodes[pos][rid] = (cost, start_pos, prev_rid, entry, typ)
+    nodes: list[dict] = [dict() for _ in range(n + 1)]
+    nodes[0][0] = (0, -1, 0, None, "BOS")
+
+    for pos in range(n):
+        if not nodes[pos]:
+            continue
+        any_match = False
+
+        def relax(end: int, entry: tuple, typ: str) -> None:
+            lid, rid, wcost, _pt, _b, _r = entry
+            pen = 0
+            if search and typ != "USER":
+                frag = text[pos:end]
+                pen = _penalty(
+                    len(frag),
+                    all_kanji=all(_char_class(c) == "KANJI" for c in frag))
+            for prev_rid, (pcost, *_rest) in nodes[pos].items():
+                cost = pcost + dic.connection_cost(prev_rid, lid) \
+                    + wcost + pen
+                cur = nodes[end].get(rid)
+                if cur is None or cost < cur[0]:
+                    nodes[end][rid] = (cost, pos, prev_rid, entry, typ)
+
+        # (a) dictionary matches starting here
+        for ln in range(1, min(dic.max_len, n - pos) + 1):
+            surface = text[pos:pos + ln]
+            for e in dic.entries.get(surface, ()):
+                relax(pos + ln, e, "KNOWN")
+                any_match = True
+
+        # (b) unknown arc over the same-class run (UnknownDictionary
+        # .lookup semantics, :811-849)
+        first = text[pos]
+        cls = _char_class(first)
+        invoke, group = _CLASS_FLAGS[cls]
+        if not any_match or invoke:
+            if not group:
+                unk_len = 1
+            else:
+                is_p = _is_punct(first)
+                unk_len = 1
+                for ahead in range(pos + 1, n):
+                    if unk_len >= MAX_UNKNOWN_WORD_LENGTH:
+                        break
+                    c = text[ahead]
+                    if _char_class(c) == cls and _is_punct(c) == is_p:
+                        unk_len += 1
+                    else:
+                        break
+            lid, rid, wcost, pos_tag = dic.unknown[cls]
+            relax(pos + unk_len, (lid, rid, wcost, pos_tag, None, None),
+                  "UNKNOWN")
+
+    # EOS: pick the end node with the least cost + EOS connection
+    # (leftID 0, :862-869), then backtrace
+    if not nodes[n]:
+        return []
+    end_rid = min(nodes[n],
+                  key=lambda r: nodes[n][r][0] + dic.connection_cost(r, 0))
+    tokens: list[Token] = []
+    pos, rid = n, end_rid
+    while pos > 0:
+        cost, start, prev_rid, entry, typ = nodes[pos][rid]
+        _lid, _rid, _wc, pos_tag, base, reading = entry
+        surface = text[start:pos]
+        if extended and typ == "UNKNOWN":
+            # EXTENDED mode: unknown words emit as 1-grams (:1191-1213)
+            for i in range(len(surface) - 1, -1, -1):
+                ch = surface[i]
+                if discard_punctuation and _is_punct(ch):
+                    continue
+                tokens.append(Token(ch, start + i, start + i + 1,
+                                    pos_tag, None, None, "UNKNOWN"))
+        elif not (discard_punctuation
+                  and all(_is_punct(c) for c in surface)):
+            tokens.append(Token(surface, start, pos, pos_tag, base,
+                                reading, typ))
+        pos, rid = start, prev_rid
+    tokens.reverse()
+    return tokens
+
+
+# ---------------------------------------------------------------------------
+# token-attribute filters
+
+
+def base_form(tokens: list[Token]) -> list[str]:
+    """JapaneseBaseFormFilter.java:44-57: the term becomes the
+    dictionary form when the entry has one."""
+    return [t.base_form if t.base_form else t.surface for t in tokens]
+
+
+def pos_stop(tokens: list[Token], stoptags) -> list[Token]:
+    """JapanesePartOfSpeechStopFilter.java:36-44: drop tokens whose POS
+    is in the stop set (the reference ships stoptags.txt with 助詞/
+    助動詞/記号 groups — the caller picks)."""
+    stop = frozenset(stoptags)
+    return [t for t in tokens if t.pos not in stop]
+
+
+#: Hepburn romanization of the katakana syllabary (ToStringUtil
+#: .getRomanization — the table is the standard Hepburn chart)
+_ROMAJI_BASE = {
+    "ア": "a", "イ": "i", "ウ": "u", "エ": "e", "オ": "o",
+    "カ": "ka", "キ": "ki", "ク": "ku", "ケ": "ke", "コ": "ko",
+    "サ": "sa", "シ": "shi", "ス": "su", "セ": "se", "ソ": "so",
+    "タ": "ta", "チ": "chi", "ツ": "tsu", "テ": "te", "ト": "to",
+    "ナ": "na", "ニ": "ni", "ヌ": "nu", "ネ": "ne", "ノ": "no",
+    "ハ": "ha", "ヒ": "hi", "フ": "fu", "ヘ": "he", "ホ": "ho",
+    "マ": "ma", "ミ": "mi", "ム": "mu", "メ": "me", "モ": "mo",
+    "ヤ": "ya", "ユ": "yu", "ヨ": "yo",
+    "ラ": "ra", "リ": "ri", "ル": "ru", "レ": "re", "ロ": "ro",
+    "ワ": "wa", "ヰ": "i", "ヱ": "e", "ヲ": "o", "ン": "n",
+    "ガ": "ga", "ギ": "gi", "グ": "gu", "ゲ": "ge", "ゴ": "go",
+    "ザ": "za", "ジ": "ji", "ズ": "zu", "ゼ": "ze", "ゾ": "zo",
+    "ダ": "da", "ヂ": "ji", "ヅ": "zu", "デ": "de", "ド": "do",
+    "バ": "ba", "ビ": "bi", "ブ": "bu", "ベ": "be", "ボ": "bo",
+    "パ": "pa", "ピ": "pi", "プ": "pu", "ペ": "pe", "ポ": "po",
+    "ヴ": "v",
+}
+_SMALL_Y = {"ャ": "ya", "ュ": "yu", "ョ": "yo"}
+
+
+def romanize(katakana: str) -> str:
+    """Hepburn romanization (ToStringUtil.getRomanization analogue):
+    digraphs (キャ→kya, シャ→sha, チョ→cho), ッ gemination, ー doubles
+    the previous vowel (ASCII-safe rendering where the reference
+    prints macrons: コンピューター → konpyuutaa vs konpyūtā —
+    documented deviation). Unknown chars pass through."""
+    out = []
+    i, n = 0, len(katakana)
+    while i < n:
+        c = katakana[i]
+        nxt = katakana[i + 1] if i + 1 < n else ""
+        if c == "ッ" and nxt in _ROMAJI_BASE:
+            r = _ROMAJI_BASE[nxt]
+            out.append("t" if r.startswith("ch") else r[0])
+            i += 1
+            continue
+        if c == "ー":
+            if out and out[-1] and out[-1][-1] in "aiueo":
+                out.append(out[-1][-1])
+            i += 1
+            continue
+        base = _ROMAJI_BASE.get(c)
+        if base is None:
+            out.append(c)
+            i += 1
+            continue
+        if nxt in _SMALL_Y and base.endswith("i"):
+            y = _SMALL_Y[nxt]
+            stem = base[:-1]
+            # shi+ya→sha, chi+ya→cha, ji+ya→ja
+            if stem in ("sh", "ch", "j"):
+                out.append(stem + y[1:])
+            else:
+                out.append(stem + y)
+            i += 2
+            continue
+        out.append(base)
+        i += 1
+    return "".join(out)
+
+
+def reading_form(tokens: list[Token], use_romaji: bool = False) -> list[str]:
+    """JapaneseReadingFormFilter.java:46-70: the term becomes the
+    katakana reading (or its romanization). Tokens without a reading
+    keep their surface (the reference emits them unchanged when the
+    attribute is null)."""
+    out = []
+    for t in tokens:
+        r = t.reading
+        if r is None:
+            out.append(t.surface)
+        elif use_romaji:
+            out.append(romanize(r))
+        else:
+            out.append(r)
+    return out

@@ -226,3 +226,89 @@ def test_icu_normalize_and_fold():
     assert cf("Straße") == "strasse"      # case folding
     assert icu_fold("Ŕésumé") == "resume"  # diacritics removed
     assert icu_fold("ＴＯＫＹＯ") == "tokyo"
+
+
+# ---------------------------------------------------------------------------
+# JapaneseTokenizer (kuromoji) — Viterbi lattice over the pluggable demo
+# lexicon
+
+
+def test_kuromoji_normal_vs_search_mode():
+    from lucene_solr_ray.analysis.kuromoji import japanese_tokenize
+
+    # the signature kuromoji behavior (JapaneseTokenizer.java:99-131):
+    # NORMAL keeps the compound, SEARCH decompounds it via the
+    # (len-2)*3000 kanji penalty
+    normal = [t.surface for t in
+              japanese_tokenize("関西国際空港に行った。", mode="normal")]
+    search = [t.surface for t in
+              japanese_tokenize("関西国際空港に行った。", mode="search")]
+    assert normal == ["関西国際空港", "に", "行っ", "た"]
+    assert search == ["関西", "国際", "空港", "に", "行っ", "た"]
+
+
+def test_kuromoji_punctuation_and_unknowns():
+    from lucene_solr_ray.analysis.kuromoji import japanese_tokenize
+
+    toks = japanese_tokenize("東京大学!!", mode="search")
+    assert [t.surface for t in toks] == ["東京", "大学"]  # punct discarded
+    kept = japanese_tokenize("東京大学!!", mode="search",
+                             discard_punctuation=False)
+    assert [t.surface for t in kept] == ["東京", "大学", "!!"]
+    # unknown katakana groups into one run
+    unk = japanese_tokenize("ラーメン", mode="search")
+    assert [t.surface for t in unk] == ["ラーメン"]
+    assert unk[0].type == "UNKNOWN"
+
+
+def test_kuromoji_extended_mode_unigrams_unknowns():
+    from lucene_solr_ray.analysis.kuromoji import japanese_tokenize
+
+    toks = japanese_tokenize("ラーメン", mode="extended")
+    assert [t.surface for t in toks] == ["ラ", "ー", "メ", "ン"]
+
+
+def test_kuromoji_attribute_filters():
+    from lucene_solr_ray.analysis.kuromoji import (
+        base_form, japanese_tokenize, pos_stop, reading_form)
+
+    toks = japanese_tokenize("関西国際空港に行った", mode="search")
+    assert base_form(toks) == ["関西", "国際", "空港", "に", "行く", "た"]
+    assert [t.surface for t in pos_stop(toks, {"助詞", "助動詞"})] == \
+        ["関西", "国際", "空港", "行っ"]
+    assert reading_form(toks)[:3] == ["カンサイ", "コクサイ", "クウコウ"]
+    assert reading_form(toks, use_romaji=True)[:3] == \
+        ["kansai", "kokusai", "kuukou"]
+
+
+def test_kuromoji_romanize():
+    from lucene_solr_ray.analysis.kuromoji import romanize
+
+    assert romanize("キャンセル") == "kyanseru"
+    assert romanize("チョコレート") == "chokoreeto"
+    assert romanize("シャッター") == "shattaa"
+    assert romanize("ジャズ") == "jazu"
+
+
+def test_kuromoji_analyzer_mode():
+    b = analyze_batch(pa.array(["関西国際空港 search engine", None]),
+                      tokenizer=("kuromoji", None, "search"),
+                      keep_stopwords=True)
+    assert b.terms.to_pylist() == ["関西", "国際", "空港", "search",
+                                   "engine"]
+    assert b.doc_lengths.tolist() == [5, 0]
+
+
+def test_kuromoji_custom_dictionary():
+    from lucene_solr_ray.analysis.kuromoji import (JapaneseDictionary,
+                                                   japanese_tokenize)
+
+    d = JapaneseDictionary()
+    d.add_entry("すもも", 1, 1, 1000, "名詞", None, "スモモ")
+    d.add_entry("もも", 1, 1, 1000, "名詞", None, "モモ")
+    d.add_entry("も", 2, 2, 500, "助詞", None, "モ")
+    d.set_connection(1, 2, -300)
+    toks = japanese_tokenize("すもももももももものうち", d, mode="normal")
+    # the classic mecab example sentence segments through the lattice
+    assert [t.surface for t in toks][:5] == ["すもも", "も", "もも", "も",
+                                             "もも"]
