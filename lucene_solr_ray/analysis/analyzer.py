@@ -215,6 +215,18 @@ def analyze_batch(texts: pa.Array | pa.ChunkedArray, *,
         toks = [[t.surface for t in japanese_tokenize(s, jdic, jmode)]
                 if s is not None else [] for s in lower.to_pylist()]
         token_lists = pa.array(toks, type=pa.list_(pa.string()))
+    elif tokenizer == "smartcn" or (isinstance(tokenizer, tuple)
+                                    and tokenizer[0] == "smartcn"):
+        # HMMChineseTokenizer (smartcn/.../HMMChineseTokenizer.java):
+        # HHMM lattice word segmentation over a pluggable lexicon —
+        # "smartcn" or ("smartcn", lexicon); see analysis.smartcn.
+        from .smartcn import demo_lexicon, hmm_chinese_tokenize
+
+        clx = tokenizer[1] if isinstance(tokenizer, tuple) \
+            and len(tokenizer) > 1 and tokenizer[1] else demo_lexicon()
+        toks = [hmm_chinese_tokenize(s, clx) if s is not None else []
+                for s in lower.to_pylist()]
+        token_lists = pa.array(toks, type=pa.list_(pa.string()))
     elif tokenizer == "wikipedia":
         # WikipediaTokenizer TOKENS_ONLY mode (wikipedia/
         # WikipediaTokenizer.java:96): markup-aware scan; categories,

@@ -1,0 +1,247 @@
+"""HMMChineseTokenizer — smartcn's hidden-Markov-model word segmenter
+with a pluggable lexicon (reference: lucene/analysis/smartcn/.../cn/
+smart/{HMMChineseTokenizer,hhmm/*}.java).
+
+The reference segments a Chinese sentence in three steps:
+
+1. **SegGraph** (hhmm/HHMMSegmenter.java:46-170): a token lattice —
+   every single hanzi is a node (dictionary frequency), every
+   dictionary phrase starting at each position is a node, and runs of
+   letters / digits / delimiters collapse to one node each (letters
+   and digits look up the frequency of a class-placeholder entry;
+   delimiters get MAX_FREQUENCE).
+2. **BiSegGraph** (hhmm/BiSegGraph.java:50-115): edges connect each
+   token to every token starting where it ends, weighted by the
+   smoothed bigram transition cost
+
+   ``-log( smooth·(1+f₁)/MAX_FREQ + (1-smooth)·((1-tiny)·f₁₂/(1+f₁) + tiny) )``
+
+   with ``smooth = 0.1``, ``tiny = 1/MAX_FREQ``, ``MAX_FREQ = 2159997``
+   (Utility.java:52 — 2079997 + 80000), ``f₁`` the first token's
+   unigram frequency and ``f₁₂`` the frequency of the joined pair
+   (BigramDictionary keys on ``w1 + WORD_SEGMENT_CHAR + w2``; here the
+   pair is a plain tuple).
+3. **Shortest path** (BiSegGraph.getShortPath, :160-200): the
+   least-total-weight path through the lattice is the segmentation.
+
+The reference's dictionaries (coredict/bigramdict, ~400k entries) are
+compiled data files; as with :mod:`.kuromoji` and :mod:`.kstem`, the
+DATA is pluggable and a small self-authored demo lexicon ships for
+out-of-the-box use and tests (documented deviation: tiny shipped
+vocabulary; ``ChineseLexicon.add_word/add_bigram`` accept any corpus
+counts).
+
+Output normalization follows SegTokenFilter.java:40-65: full-width
+forms fold to half-width, letters lowercase; delimiter tokens are
+dropped by the tokenizer (HMMChineseTokenizer emits words only).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import unicodedata
+
+#: Utility.java:52
+MAX_FREQUENCE = 2079997 + 80000
+_SMOOTH = 0.1
+_TINY = 1.0 / MAX_FREQUENCE
+
+#: class-placeholder lexicon keys for letter/number runs
+#: (Utility.STRING_CHAR_ARRAY 未##串 / NUMBER_CHAR_ARRAY 未##数)
+STRING_KEY = "未##串"
+NUMBER_KEY = "未##数"
+
+_SENTENCE_RE = re.compile(r"[^。！？!?.;；\n]+")
+
+
+def _char_type(ch: str) -> str:
+    """CharType (cn/smart/CharType.java / Utility.getCharType)."""
+    if ch.isspace():
+        return "SPACE"
+    o = ord(ch)
+    if 0x4E00 <= o <= 0x9FFF:
+        return "HANZI"
+    if "a" <= ch <= "z" or "A" <= ch <= "Z":
+        return "LETTER"
+    if "ａ" <= ch <= "ｚ" or "Ａ" <= ch <= "Ｚ":
+        return "FULLWIDTH_LETTER"
+    if "0" <= ch <= "9":
+        return "DIGIT"
+    if "０" <= ch <= "９":
+        return "FULLWIDTH_DIGIT"
+    cat = unicodedata.category(ch)
+    if cat.startswith("P") or cat.startswith("S"):
+        return "DELIMITER"
+    return "OTHER"
+
+
+class ChineseLexicon:
+    """Pluggable word/bigram frequency tables (WordDictionary +
+    BigramDictionary roles)."""
+
+    def __init__(self):
+        self.words: dict[str, int] = {}
+        self.bigrams: dict[tuple[str, str], int] = {}
+        self.max_len = 1
+
+    def add_word(self, word: str, freq: int) -> None:
+        self.words[word] = freq
+        self.max_len = max(self.max_len, len(word))
+
+    def add_bigram(self, w1: str, w2: str, freq: int) -> None:
+        self.bigrams[(w1, w2)] = freq
+
+    def freq(self, word: str) -> int:
+        return self.words.get(word, 0)
+
+    def bigram_freq(self, w1: str, w2: str) -> int:
+        return self.bigrams.get((w1, w2), 0)
+
+
+def demo_lexicon() -> ChineseLexicon:
+    """Small self-authored lexicon for tests and out-of-the-box use;
+    frequencies are hand-chosen so phrases beat char-by-char paths,
+    as the real coredict counts do."""
+    lx = ChineseLexicon()
+    for w, f in [
+        ("中国", 50000), ("中", 8000), ("国", 6000),
+        ("人民", 30000), ("人", 20000), ("民", 2000),
+        ("共和国", 20000), ("共和", 5000), ("共", 1000), ("和", 15000),
+        ("北京", 40000), ("北", 3000), ("京", 2000),
+        ("大学", 30000), ("大", 12000), ("学", 8000),
+        ("我", 60000), ("们", 1000), ("我们", 45000),
+        ("喜欢", 20000), ("喜", 800), ("欢", 600),
+        ("天气", 15000), ("天", 9000), ("气", 3000),
+        ("很", 25000), ("好", 22000), ("很好", 9000),
+        (STRING_KEY, 5000), (NUMBER_KEY, 5000),
+    ]:
+        lx.add_word(w, f)
+    for a, b, f in [
+        ("中国", "人民", 8000),
+        ("人民", "共和国", 6000),
+        ("北京", "大学", 5000),
+        ("我们", "喜欢", 3000),
+        ("天气", "很好", 2000),
+    ]:
+        lx.add_bigram(a, b, f)
+    return lx
+
+
+def _edge_weight(f1: int, f12: int) -> float:
+    """BiSegGraph.java:100-106 — the smoothed -log transition cost."""
+    return -math.log(
+        _SMOOTH * (1.0 + f1) / MAX_FREQUENCE
+        + (1.0 - _SMOOTH) * ((1.0 - _TINY) * f12 / (1.0 + f1) + _TINY))
+
+
+def _seg_graph(sentence: str, lx: ChineseLexicon):
+    """HHMMSegmenter.createSegGraph: tokens as (start, end, text,
+    freq_key, type). freq_key is the lexicon lookup key (the class
+    placeholder for letter/number runs)."""
+    n = len(sentence)
+    tokens = []
+    i = 0
+    while i < n:
+        t = _char_type(sentence[i])
+        if t == "SPACE":
+            i += 1
+        elif t == "HANZI":
+            # single hanzi always enters the graph, then every
+            # dictionary phrase starting here
+            tokens.append((i, i + 1, sentence[i], sentence[i], "WORD"))
+            for ln in range(2, min(lx.max_len, n - i) + 1):
+                w = sentence[i:i + ln]
+                if any(_char_type(c) != "HANZI" for c in w):
+                    break
+                if w in lx.words:
+                    tokens.append((i, i + ln, w, w, "WORD"))
+            i += 1
+        elif t in ("LETTER", "FULLWIDTH_LETTER"):
+            j = i + 1
+            while j < n and _char_type(sentence[j]) in (
+                    "LETTER", "FULLWIDTH_LETTER"):
+                j += 1
+            tokens.append((i, j, sentence[i:j], STRING_KEY, "STRING"))
+            i = j
+        elif t in ("DIGIT", "FULLWIDTH_DIGIT"):
+            j = i + 1
+            while j < n and _char_type(sentence[j]) in (
+                    "DIGIT", "FULLWIDTH_DIGIT"):
+                j += 1
+            tokens.append((i, j, sentence[i:j], NUMBER_KEY, "NUMBER"))
+            i = j
+        elif t == "DELIMITER":
+            tokens.append((i, i + 1, sentence[i], None, "DELIMITER"))
+            i += 1
+        else:
+            tokens.append((i, i + 1, sentence[i], sentence[i], "OTHER"))
+            i += 1
+    return tokens
+
+
+def _segment_sentence(sentence: str, lx: ChineseLexicon) -> list[str]:
+    """SegGraph → BiSegGraph edges → least-weight path (BiSegGraph
+    .getShortPath) → normalized token texts."""
+    tokens = _seg_graph(sentence, lx)
+    if not tokens:
+        return []
+    # group token indexes by start offset; adjacency skips space gaps
+    # the way the reference does (next start >= this token's end)
+    by_start: dict[int, list[int]] = {}
+    for idx, tk in enumerate(tokens):
+        by_start.setdefault(tk[0], []).append(idx)
+    starts = sorted(by_start)
+    end_pos = max(tk[1] for tk in tokens)
+
+    INF = float("inf")
+    best = [INF] * len(tokens)
+    back = [-1] * len(tokens)
+    # entry tokens: those whose start is the first start
+    for idx in by_start[starts[0]]:
+        best[idx] = 0.0
+    order = sorted(range(len(tokens)), key=lambda k: tokens[k][0])
+    final_best, final_idx = INF, -1
+    for idx in order:
+        if best[idx] == INF:
+            continue
+        s, e, text, key, typ = tokens[idx]
+        f1 = MAX_FREQUENCE if typ == "DELIMITER" else lx.freq(key)
+        nxt = next((st for st in starts if st >= e), None)
+        if nxt is None:
+            if best[idx] < final_best:
+                final_best, final_idx = best[idx], idx
+            continue
+        for jdx in by_start[nxt]:
+            w = best[idx] + _edge_weight(
+                f1, lx.bigram_freq(key or text, tokens[jdx][3]
+                                   or tokens[jdx][2]))
+            if w < best[jdx]:
+                best[jdx] = w
+                back[jdx] = idx
+    if final_idx == -1:  # all tokens reach some next start — impossible
+        return []        # unless the lattice is empty
+    out = []
+    idx = final_idx
+    while idx != -1:
+        s, e, text, key, typ = tokens[idx]
+        if typ != "DELIMITER":
+            # SegTokenFilter.java:40-65: full-width → half-width,
+            # letters lowercase
+            out.append(unicodedata.normalize("NFKC", text).lower())
+        idx = back[idx]
+    out.reverse()
+    return out
+
+
+def hmm_chinese_tokenize(text: str,
+                         lx: ChineseLexicon | None = None) -> list[str]:
+    """HMMChineseTokenizer.java:44-70: split into sentences
+    (punctuation/newline boundaries), segment each through the HHMM
+    lattice, emit words only (delimiters dropped)."""
+    if lx is None:
+        lx = demo_lexicon()
+    out: list[str] = []
+    for m in _SENTENCE_RE.finditer(text):
+        out.extend(_segment_sentence(m.group(0), lx))
+    return out

@@ -312,3 +312,57 @@ def test_kuromoji_custom_dictionary():
     # the classic mecab example sentence segments through the lattice
     assert [t.surface for t in toks][:5] == ["すもも", "も", "もも", "も",
                                              "もも"]
+
+
+# ---------------------------------------------------------------------------
+# HMMChineseTokenizer (smartcn) — HHMM lattice over the pluggable demo
+# lexicon
+
+
+def test_smartcn_segments_phrases():
+    from lucene_solr_ray.analysis.smartcn import hmm_chinese_tokenize
+
+    assert hmm_chinese_tokenize("中国人民共和国") == ["中国", "人民",
+                                                      "共和国"]
+    # sentence split on 。/！, delimiters dropped
+    assert hmm_chinese_tokenize("我们喜欢北京大学。天气很好！") == \
+        ["我们", "喜欢", "北京", "大学", "天气", "很好"]
+
+
+def test_smartcn_letter_number_runs_and_width_fold():
+    from lucene_solr_ray.analysis.smartcn import hmm_chinese_tokenize
+
+    # full-width folds to half-width, letters lowercase
+    # (SegTokenFilter.java:40-65)
+    assert hmm_chinese_tokenize("ＡＢＣ 123 中国") == ["abc", "123",
+                                                       "中国"]
+
+
+def test_smartcn_unknown_words_fall_back_to_chars():
+    from lucene_solr_ray.analysis.smartcn import (ChineseLexicon,
+                                                  hmm_chinese_tokenize)
+
+    assert hmm_chinese_tokenize("hello 世界") == ["hello", "世", "界"]
+    # an empty lexicon still segments (single-hanzi nodes always enter
+    # the graph, HHMMSegmenter.java:72-77)
+    assert hmm_chinese_tokenize("中国", ChineseLexicon()) == ["中", "国"]
+
+
+def test_smartcn_bigram_steering():
+    from lucene_solr_ray.analysis.smartcn import (ChineseLexicon,
+                                                  hmm_chinese_tokenize)
+
+    # equal unigram costs — the bigram frequency decides the path
+    lx = ChineseLexicon()
+    for w, f in [("中国", 100), ("中", 100), ("国民", 100), ("国", 100),
+                 ("民", 100), ("人", 100)]:
+        lx.add_word(w, f)
+    lx.add_bigram("中", "国民", 100000)
+    assert hmm_chinese_tokenize("中国民", lx) == ["中", "国民"]
+
+
+def test_smartcn_analyzer_mode():
+    b = analyze_batch(pa.array(["中国人民 search engine", None, ""]),
+                      tokenizer="smartcn", keep_stopwords=True)
+    assert b.terms.to_pylist() == ["中国", "人民", "search", "engine"]
+    assert b.doc_lengths.tolist() == [4, 0, 0]
