@@ -1,0 +1,187 @@
+"""IndicNormalizationFilter — script-aware composition of alternate
+Unicode encodings for the nine Indic scripts (reference:
+lucene/analysis/common/.../in/{IndicNormalizer,
+IndicNormalizationFilter}.java).
+
+Indic text is frequently typed as base character + combining pieces
+(e.g. DEVANAGARI A + vowel-sign AA instead of LETTER AA, or a
+consonant + nukta instead of the precomposed qa/za letters); most of
+these sequences are NOT canonical decompositions, so NFC leaves them
+alone (the reference's own comment: "Most of these are not handled by
+unicode normalization anyway").  IndicNormalizer.java:52-222 carries a
+composition table — offsets into the 128-codepoint script block, with
+the scripts each row applies to — derived from Unicode 5.2 and the
+published LDC Indian-scripts mapping; the table below re-expresses
+those standard sequences (same public data, Python tuples).
+
+Matching semantics (IndicNormalizer.normalize/compose, :244-293): at
+each char whose block offset starts some table row for its script, try
+(ch1, ch2[, ch3]); ch2/ch3 must be in the SAME script block, except
+ch3 == ZWJ (U+200D, encoded 0xFF); on a match the run collapses to the
+single composed codepoint.
+"""
+
+from __future__ import annotations
+
+#: script base codepoints (IndicNormalizer.java:43-53)
+_SCRIPT_BASES = {
+    0x0900: "DEVANAGARI", 0x0980: "BENGALI", 0x0A00: "GURMUKHI",
+    0x0A80: "GUJARATI", 0x0B00: "ORIYA", 0x0B80: "TAMIL",
+    0x0C00: "TELUGU", 0x0C80: "KANNADA", 0x0D00: "MALAYALAM",
+}
+
+_ZWJ = 0xFF  # sentinel for U+200D in the ch3 slot
+
+# (ch1, ch2, ch3, res, scripts) — offsets into the script block;
+# ch3 == -1 means a 2-char rule (IndicNormalizer.java:56-222)
+_D, _B, _GM, _GJ, _O = "DEVANAGARI", "BENGALI", "GURMUKHI", "GUJARATI", "ORIYA"
+_T, _TE, _K, _M = "TAMIL", "TELUGU", "KANNADA", "MALAYALAM"
+_DECOMPOSITIONS = (
+    (0x05, 0x3E, 0x45, 0x11, (_D, _GJ)),       # vowel candra O
+    (0x05, 0x3E, 0x46, 0x12, (_D,)),           # short O
+    (0x05, 0x3E, 0x47, 0x13, (_D, _GJ)),       # letter O
+    (0x05, 0x3E, 0x48, 0x14, (_D, _GJ)),       # letter AI / AU
+    (0x05, 0x3E, -1, 0x06, (_D, _B, _GM, _GJ, _O)),  # AA
+    (0x05, 0x45, -1, 0x72, (_D,)),             # candra A
+    (0x05, 0x45, -1, 0x0D, (_GJ,)),            # vowel candra E
+    (0x05, 0x46, -1, 0x04, (_D,)),             # short A
+    (0x05, 0x47, -1, 0x0F, (_GJ,)),            # letter E
+    (0x05, 0x48, -1, 0x10, (_GM, _GJ)),        # letter AI
+    (0x05, 0x49, -1, 0x11, (_D, _GJ)),         # vowel candra O
+    (0x05, 0x4A, -1, 0x12, (_D,)),             # short O
+    (0x05, 0x4B, -1, 0x13, (_D, _GJ)),         # letter O
+    (0x05, 0x4C, -1, 0x14, (_D, _GM, _GJ)),    # letter AI / AU
+    (0x06, 0x45, -1, 0x11, (_D, _GJ)),         # vowel candra O
+    (0x06, 0x46, -1, 0x12, (_D,)),             # short O
+    (0x06, 0x47, -1, 0x13, (_D, _GJ)),         # letter O
+    (0x06, 0x48, -1, 0x14, (_D, _GJ)),         # letter AI / AU
+    (0x07, 0x57, -1, 0x08, (_M,)),             # letter II
+    (0x09, 0x41, -1, 0x0A, (_D,)),             # letter UU
+    (0x09, 0x57, -1, 0x0A, (_T, _M)),          # letter UU (some styles)
+    (0x0E, 0x46, -1, 0x10, (_M,)),             # letter AI
+    (0x0F, 0x45, -1, 0x0D, (_D,)),             # candra E
+    (0x0F, 0x46, -1, 0x0E, (_D,)),             # short E
+    (0x0F, 0x47, -1, 0x10, (_D,)),             # AI
+    (0x0F, 0x57, -1, 0x10, (_O,)),             # AI
+    (0x12, 0x3E, -1, 0x13, (_M,)),             # letter OO
+    (0x12, 0x4C, -1, 0x14, (_TE, _K)),         # letter AU
+    (0x12, 0x55, -1, 0x13, (_TE,)),            # letter OO
+    (0x12, 0x57, -1, 0x14, (_T, _M)),          # letter AU
+    (0x13, 0x57, -1, 0x14, (_O,)),             # letter AU
+    (0x15, 0x3C, -1, 0x58, (_D,)),             # qa
+    (0x16, 0x3C, -1, 0x59, (_D, _GM)),         # khha
+    (0x17, 0x3C, -1, 0x5A, (_D, _GM)),         # ghha
+    (0x1C, 0x3C, -1, 0x5B, (_D, _GM)),         # za
+    (0x21, 0x3C, -1, 0x5C, (_D, _B, _O)),      # dddha / rra
+    (0x22, 0x3C, -1, 0x5D, (_D, _B, _O)),      # rha
+    (0x23, 0x4D, _ZWJ, 0x7A, (_M,)),           # chillu nn
+    (0x24, 0x4D, _ZWJ, 0x4E, (_B,)),           # khanda ta
+    (0x28, 0x3C, -1, 0x29, (_D,)),             # nnna
+    (0x28, 0x4D, _ZWJ, 0x7B, (_M,)),           # chillu n
+    (0x2B, 0x3C, -1, 0x5E, (_D, _GM)),         # fa
+    (0x2F, 0x3C, -1, 0x5F, (_D, _B)),          # yya
+    (0x2C, 0x41, 0x41, 0x0B, (_TE,)),          # vocalic R
+    (0x30, 0x3C, -1, 0x31, (_D,)),             # rra
+    (0x30, 0x4D, _ZWJ, 0x7C, (_M,)),           # chillu rr
+    (0x32, 0x4D, _ZWJ, 0x7D, (_M,)),           # chillu l
+    (0x33, 0x3C, -1, 0x34, (_D,)),             # llla
+    (0x33, 0x4D, _ZWJ, 0x7E, (_M,)),           # chillu ll
+    (0x35, 0x41, -1, 0x2E, (_TE,)),            # letter MA
+    (0x3E, 0x45, -1, 0x49, (_D, _GJ)),         # vowel sign candra O
+    (0x3E, 0x46, -1, 0x4A, (_D,)),             # vowel sign short O
+    (0x3E, 0x47, -1, 0x4B, (_D, _GJ)),         # vowel sign O
+    (0x3E, 0x48, -1, 0x4C, (_D, _GJ)),         # vowel sign AU
+    (0x3F, 0x55, -1, 0x40, (_K,)),             # vowel sign II
+    (0x41, 0x41, -1, 0x42, (_GM,)),            # vowel sign UU
+    (0x46, 0x3E, -1, 0x4A, (_T, _M)),          # vowel sign O
+    (0x46, 0x42, 0x55, 0x4B, (_K,)),           # vowel sign OO
+    (0x46, 0x42, -1, 0x4A, (_K,)),             # vowel sign O
+    (0x46, 0x46, -1, 0x48, (_M,)),             # vowel sign AI (reordered)
+    (0x46, 0x55, -1, 0x47, (_TE, _K)),         # vowel sign EE
+    (0x46, 0x56, -1, 0x48, (_TE, _K)),         # vowel sign AI
+    (0x46, 0x57, -1, 0x4C, (_T, _M)),          # vowel sign AU
+    (0x47, 0x3E, -1, 0x4B, (_B, _O, _T, _M)),  # vowel sign O / OO
+    (0x47, 0x57, -1, 0x4C, (_B, _O)),          # vowel sign AU
+    (0x4A, 0x55, -1, 0x4B, (_K,)),             # vowel sign OO
+    (0x72, 0x3F, -1, 0x07, (_GM,)),            # letter I
+    (0x72, 0x40, -1, 0x08, (_GM,)),            # letter II
+    (0x72, 0x47, -1, 0x0F, (_GM,)),            # letter EE
+    (0x73, 0x41, -1, 0x09, (_GM,)),            # letter U
+    (0x73, 0x42, -1, 0x0A, (_GM,)),            # letter UU
+    (0x73, 0x4B, -1, 0x13, (_GM,)),            # letter OO
+)
+
+#: per-script set of first-char offsets (the decompMask BitSet,
+#: IndicNormalizer.java:224-233)
+_FIRST = {}
+for _row in _DECOMPOSITIONS:
+    for _s in _row[4]:
+        _FIRST.setdefault(_s, set()).add(_row[0])
+
+
+def _script_of(cp: int):
+    base = cp & ~0x7F
+    s = _SCRIPT_BASES.get(base)
+    return (s, base) if s else (None, None)
+
+
+def indic_normalize(term: str) -> str:
+    """IndicNormalizer.normalize (:244-261): scan left to right,
+    composing each matching 2- or 3-char sequence (3rd char may be
+    ZWJ) into its standard single codepoint."""
+    buf = list(term)
+    i = 0
+    while i < len(buf):
+        cp = ord(buf[i])
+        script, base = _script_of(cp)
+        if script is not None:
+            ch0 = cp - base
+            if ch0 in _FIRST.get(script, ()):
+                _compose(ch0, script, base, buf, i)
+        i += 1
+    return "".join(buf)
+
+
+def _compose(ch0: int, script: str, base: int, buf: list, pos: int) -> None:
+    """IndicNormalizer.compose (:263-293), mutating ``buf`` in place."""
+    if pos + 1 >= len(buf):
+        return
+    c1 = ord(buf[pos + 1])
+    if c1 & ~0x7F != base:  # same writing system required
+        return
+    ch1 = c1 - base
+    ch2 = -1
+    if pos + 2 < len(buf):
+        c2 = ord(buf[pos + 2])
+        if c2 == 0x200D:  # ZWJ
+            ch2 = _ZWJ
+        elif c2 & ~0x7F == base:
+            ch2 = c2 - base
+    for r0, r1, r2, res, scripts in _DECOMPOSITIONS:
+        if r0 == ch0 and script in scripts and r1 == ch1 \
+                and (r2 < 0 or r2 == ch2):
+            buf[pos] = chr(base + res)
+            del buf[pos + 1]
+            if r2 >= 0:
+                del buf[pos + 1]
+            return
+
+
+def indic_chars():
+    """CharFilter wrapper: apply :func:`indic_normalize` to whole
+    texts BEFORE tokenization. The reference runs the normalizer as a
+    TokenFilter behind a UAX#29 tokenizer that keeps combining marks
+    inside word tokens; this engine's regex tokenizer splits on
+    combining marks (they are Mn, not \\p{L}), so the composition must
+    happen pre-tokenizer — the rules are strictly local (2-3 adjacent
+    codepoints), so text-level application is equivalent."""
+    import pyarrow as pa
+
+    def char_filter(texts):
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        return pa.array(
+            [indic_normalize(t) if t is not None else None
+             for t in texts.to_pylist()], type=pa.string())
+
+    return char_filter

@@ -366,3 +366,33 @@ def test_smartcn_analyzer_mode():
                       tokenizer="smartcn", keep_stopwords=True)
     assert b.terms.to_pylist() == ["中国", "人民", "search", "engine"]
     assert b.doc_lengths.tolist() == [4, 0, 0]
+
+
+# ---------------------------------------------------------------------------
+# IndicNormalizationFilter
+
+
+def test_indic_normalize_reference_vectors():
+    from lucene_solr_ray.analysis.indic import indic_normalize
+
+    # TestIndicNormalizer.java:37-45 — the reference's own vectors
+    assert indic_normalize("अाॅअाॅ") == "ऑऑ"
+    assert indic_normalize("अाॆअाॆ") == "ऒऒ"
+    assert indic_normalize("अाेअाे") == "ओओ"
+    assert indic_normalize("अाैअाै") == "औऔ"
+    assert indic_normalize("अाअा") == "आआ"
+    assert indic_normalize("अाैर") == "और"
+    assert indic_normalize("ত্‍") == "ৎ"   # bengali khanda ta (ZWJ rule)
+    assert indic_normalize("") == ""
+    assert indic_normalize("latin text") == "latin text"
+
+
+def test_indic_normalize_script_isolation():
+    from lucene_solr_ray.analysis.indic import indic_normalize
+
+    # a Devanagari-only rule must not fire for the same offsets in
+    # another script block, and cross-block pairs never compose
+    deva_qa = "क़"       # क + nukta → क़ (Devanagari rule)
+    assert indic_normalize(deva_qa) == "क़"
+    mixed = "अা"         # Devanagari A + BENGALI sign AA
+    assert indic_normalize(mixed) == mixed
