@@ -661,3 +661,112 @@ def dedup_apply(sf_dir: str) -> pa.Table:
     for c in ("doc_id", "n_chars"):
         df[c] = df[c].astype("int64")
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def c4_line_dedup(sf_dir: str, min_chars: int = 30) -> pa.Table:
+    """C4 cross-corpus line deduplication (Raffel et al. 2020, §2.2 —
+    the "keep one of any span occurring more than once in the data set"
+    rule, applied at line granularity as in the public C4
+    reimplementations): explode documents into lines, keep only the
+    FIRST occurrence (smallest ``(doc_id, line_no)``) of every distinct
+    dedupable line, and reassemble each document from its surviving
+    lines. Lines shorter than ``min_chars`` are never deduped (the
+    reference rule targets content spans, not blank/short lines).
+
+    Ray pipeline (nothing reaches the driver until the final table):
+    map_batches explodes text into (doc_id, pos, line) with a packed
+    ``doc_id << 20 | pos`` key → groupby(line).min(packed) elects each
+    line's winner → hash-partitioned Dataset.join marks survivors →
+    groupby(doc_id) reassembles text in line order. Two shuffles, both
+    keyed on bounded rows (distinct lines / doc ids), no broadcast.
+
+    Returns (doc_id, text, n_kept) for every document retaining at
+    least one line, doc_id ascending.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        lines = pc.split_pattern(batch["text"], "\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        offs = np.asarray(lines.offsets)
+        counts = np.diff(offs)
+        doc = np.repeat(np.asarray(batch["doc_id"], dtype=np.int64),
+                        counts)
+        pos = (np.arange(offs[-1], dtype=np.int64)
+               - np.repeat(offs[:-1], counts)) + 1
+        flat = lines.flatten()
+        packed = (doc << np.int64(20)) | pos
+        dedupable = np.asarray(pc.utf8_length(flat)) >= min_chars
+        return pa.table({"doc_id": pa.array(doc), "pos": pa.array(pos),
+                         "line": flat, "packed": pa.array(packed),
+                         "dedupable": pa.array(dedupable)})
+
+    lines_ds = ds.map_batches(explode, batch_format="pyarrow",
+                              batch_size=1024).materialize()
+
+    short = lines_ds.filter(expr="dedupable == False")
+    longl = lines_ds.filter(expr="dedupable == True")
+    winners = longl.groupby("line").aggregate(Min("packed"))
+    surv_long = longl.join(winners, join_type="inner", num_partitions=8,
+                           on=("line",), right_suffix="_w")
+
+    def keep_winners(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.equal(batch["packed"], batch["min(packed)"])
+        return batch.filter(m).select(["doc_id", "pos", "line"])
+
+    kept = (surv_long.map_batches(keep_winners, batch_format="pyarrow")
+            .union(short.select_columns(["doc_id", "pos", "line"])))
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("pos")
+        return pd.DataFrame({
+            "doc_id": [int(g["doc_id"].iloc[0])],
+            "text": ["\n".join(g["line"].tolist())],
+            "n_kept": [len(g)],
+        })
+
+    out = (kept.groupby("doc_id").map_groups(reassemble)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    return pa.table({"doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                     "text": pa.array(out["text"], type=pa.string()),
+                     "n_kept": pa.array(out["n_kept"], type=pa.int64())})
+
+
+def c4_line_dedup_sql(min_chars: int = 30) -> str:
+    """DuckDB twin of :func:`c4_line_dedup` — same packed-key winner
+    election and line-order reassembly."""
+    return f"""
+WITH split AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+),
+lines AS (
+  SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line
+  FROM split
+),
+keyed AS (
+  SELECT doc_id, pos, line, (doc_id * 1048576 + pos) AS packed,
+         length(line) >= {min_chars} AS dedupable
+  FROM lines
+),
+winners AS (
+  SELECT line, min(packed) AS mn FROM keyed WHERE dedupable GROUP BY line
+),
+kept AS (
+  SELECT k.doc_id, k.pos, k.line FROM keyed k
+  LEFT JOIN winners w ON k.line = w.line
+  WHERE NOT k.dedupable OR k.packed = w.mn
+)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+       count(*) AS n_kept
+FROM kept GROUP BY doc_id ORDER BY doc_id
+"""

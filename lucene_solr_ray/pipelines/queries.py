@@ -5204,6 +5204,7 @@ def build_queries() -> dict:
         "dedup_simhash": lambda sf_dir: D.simhash_pairs(sf_dir,
                                                         hash="md5"),
         "dedup_clusters": D.dedup_clusters,
+        "dedup_c4_lines": D.c4_line_dedup,
         "text_langid": T.lang_id,
         "text_quality": T.quality_score,
         "text_significant_terms": T.significant_terms,
@@ -5484,7 +5485,7 @@ def build_queries() -> dict:
 def build_oracle_sql() -> dict:
     from ..ops import quality_filters as QF
     from ..ops.ann import ann_brute_sql, embedding_near_dup_sql
-    from ..ops.dedup import JACCARD_THRESHOLD
+    from ..ops.dedup import JACCARD_THRESHOLD, c4_line_dedup_sql
 
     training = {
         "dedup_exact": ft_dedup_exact_sql(),
@@ -5493,6 +5494,7 @@ def build_oracle_sql() -> dict:
         "dedup_substring": substring_dup_sql(8),
         "dedup_apply": dedup_apply_sql(JACCARD_THRESHOLD),
         "dedup_clusters": dedup_clusters_sql(JACCARD_THRESHOLD),
+        "dedup_c4_lines": c4_line_dedup_sql(),
         "text_langid": text_langid_sql(),
         "text_quality": text_quality_sql(),
         "text_significant_terms": significant_terms_sql("vector", 20, 3),

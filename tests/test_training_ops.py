@@ -316,3 +316,42 @@ def test_pack_sequences_invariants(ray_session):
         hi = min(total, w0 + W)
         overlap_docs = int(np.sum((s + n > w0) & (s < hi) & (n > 0)))
         assert overlap_docs == row.n_docs, row
+
+
+def test_c4_line_dedup_drops_duplicate_lines(ray_session, tmp_path):
+    """Synthetic corpus with a repeated long line: only the first
+    occurrence (smallest (doc_id, line_no)) survives; short lines are
+    never deduped; docs reassemble in line order."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.ops.dedup import c4_line_dedup, c4_line_dedup_sql
+
+    dup = "this exact sentence appears in more than one document here"
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            f"unique first line of doc one\n{dup}\nshort",
+            f"{dup}\nunique line of doc two that is long enough",
+            f"short\nshort\n{dup}",
+        ]),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+    out = c4_line_dedup(str(tmp_path)).to_pandas()
+    by_id = {int(r.doc_id): r for r in out.itertuples()}
+    # doc 1 holds the first occurrence → keeps everything
+    assert by_id[1].text == f"unique first line of doc one\n{dup}\nshort"
+    assert by_id[1].n_kept == 3
+    # docs 2 and 3 lose the duplicate but keep order
+    assert by_id[2].text == "unique line of doc two that is long enough"
+    assert by_id[3].text == "short\nshort"
+    # the DuckDB twin agrees on the same fixture
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    ref = con.execute(c4_line_dedup_sql()).fetchdf()
+    assert ref["text"].tolist() == out["text"].tolist()
+    assert ref["n_kept"].astype("int64").tolist() == \
+        out["n_kept"].tolist()
