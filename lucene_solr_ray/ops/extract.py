@@ -19,10 +19,27 @@ the format matrix is honest about what is real:
   ToTextContentHandler role).
 - **application/xml** — real: ``ElementTree`` itertext.
 - **text/plain** — real: lossy UTF-8 decode.
-- **application/pdf / zip-based Office / unknown binary** — detected
-  (magic bytes) but extraction raises ``NotImplementedError``; with
-  ``on_error="skip"`` (the ignoreTikaException analogue, the default)
-  such rows are dropped and counted instead.
+- **zip-based Office (docx/xlsx/pptx) and ODF (odt/ods/odp)** — real:
+  stdlib ``zipfile`` + ``ElementTree`` over the text-bearing entries
+  (``word/document.xml`` w:t runs with w:p paragraph breaks,
+  ``xl/sharedStrings.xml`` + inline sheet strings, ``ppt/slides/*`` a:t
+  runs, ODF ``content.xml`` itertext), with ``docProps/core.xml`` /
+  ``meta.xml`` metadata — the POI/ODF parser roles.
+- **application/pdf** — real for the common encodings: native xref /
+  xref-stream / object-stream parsing, Flate/LZW/ASCIIHex/ASCII85/
+  RunLength filters with PNG+TIFF predictors, BT..ET text operators
+  with Tj/TJ/'/" shows, and ToUnicode CMap decoding (see :mod:`.pdf`);
+  encrypted PDFs raise.
+- **application/rtf** — real: group-aware control-word walk
+  (destination skipping, ``\\'xx``/``\\uN`` decoding, ``{\\info}``
+  title/author capture).
+- **message/rfc822** — real: stdlib ``email`` MIME walk; text parts
+  concatenated, attachments recursively extracted (Tika's recursive
+  parse), subject → title, routing headers → metadata.
+- **unknown binary** — detected (magic bytes) but extraction raises
+  ``NotImplementedError``; with ``on_error="skip"`` (the
+  ignoreTikaException analogue, the default) such rows are dropped and
+  counted instead.
 
 Ray shape: ``read_rich_documents`` = ``read_binary_files(include_paths
 =True)`` → one vectorized ``map_batches`` parse stage; metadata rides
@@ -40,6 +57,11 @@ import pyarrow as pa
 
 _WS = re.compile(r"\s+")
 
+# an RFC-822 message: a recognized first header, then more header lines
+_RFC822_HEAD = re.compile(
+    rb"(?i)^(?:From |(?:Return-Path|Received|From|To|Subject|Date|"
+    rb"Message-ID|MIME-Version):[ \t])[^\n]*\r?\n[!-9;-~]+:[ \t]")
+
 
 def detect_content_type(data: bytes, path: str | None = None) -> str:
     """Magic-byte + extension detection (the Tika Detector role)."""
@@ -48,6 +70,11 @@ def detect_content_type(data: bytes, path: str | None = None) -> str:
         return "application/pdf"
     if data[:4] == b"PK\x03\x04":
         return "application/zip"
+    if data[:5] == b"{\\rtf":
+        return "application/rtf"
+    if (path and path.lower().endswith((".eml", ".mbox"))) or \
+            _RFC822_HEAD.match(head):
+        return "message/rfc822"
     low = head[:256].lower()
     if low.startswith(b"<!doctype html") or b"<html" in low:
         return "text/html"
@@ -136,9 +163,270 @@ def extract_document(data: bytes, path: str | None = None) -> dict:
     if ctype == "text/plain":
         return {"content": data.decode("utf-8", errors="replace").strip(),
                 "title": "", "content_type": ctype, "metadata": {}}
+    if ctype == "application/zip":
+        return _extract_office(data)
+    if ctype == "application/pdf":
+        from .pdf import extract_pdf
+
+        return extract_pdf(data)
+    if ctype == "application/rtf":
+        return _extract_rtf(data)
+    if ctype == "message/rfc822":
+        return _extract_eml(data)
     raise NotImplementedError(
-        f"no parser for {ctype} in this environment (PDF/Office codecs "
-        "are not installed; reference delegates these to Tika)")
+        f"no parser for {ctype} in this environment (reference "
+        "delegates these to Tika)")
+
+
+_XMLNS = re.compile(r"\{[^}]*\}")
+
+
+def _local(tag: str) -> str:
+    return _XMLNS.sub("", tag)
+
+
+def _core_props(zf) -> tuple[str, dict]:
+    """docProps/core.xml (OOXML) / meta.xml (ODF) → (title, metadata),
+    the Tika metadata role."""
+    import xml.etree.ElementTree as ET
+
+    title, meta = "", {}
+    for name in ("docProps/core.xml", "meta.xml"):
+        if name not in zf.namelist():
+            continue
+        try:
+            root = ET.fromstring(zf.read(name))
+        except ET.ParseError:
+            continue
+        for el in root.iter():
+            ln = _local(el.tag)
+            if el.text and el.text.strip():
+                if ln == "title":
+                    title = el.text.strip()
+                elif ln in ("creator", "subject", "description",
+                            "lastModifiedBy", "created", "modified"):
+                    meta[lowername(ln)] = el.text.strip()
+    return title, meta
+
+
+def _extract_office(data: bytes) -> dict:
+    """Zip-container documents: OOXML (docx/xlsx/pptx) and ODF
+    (odt/ods/odp) via stdlib zipfile + ElementTree — the POI / ODF
+    parser roles of the reference's Tika stack."""
+    import io
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    zf = zipfile.ZipFile(io.BytesIO(data))
+    names = set(zf.namelist())
+    title, meta = _core_props(zf)
+
+    def texts(entry: str, text_tag: str, para_tag: str | None) -> str:
+        root = ET.fromstring(zf.read(entry))
+        parts: list[str] = []
+        for el in root.iter():
+            ln = _local(el.tag)
+            if ln == text_tag and el.text:
+                parts.append(el.text)
+            elif para_tag and ln == para_tag and parts \
+                    and parts[-1] != "\n":
+                parts.append("\n")
+        return _WS.sub(" ", " ".join(p for p in parts if p != "\n")) \
+            .strip()
+
+    if "word/document.xml" in names:
+        ctype = ("application/vnd.openxmlformats-officedocument"
+                 ".wordprocessingml.document")
+        return {"content": texts("word/document.xml", "t", "p"),
+                "title": title, "content_type": ctype, "metadata": meta}
+    if any(n.startswith("ppt/slides/slide") for n in names):
+        ctype = ("application/vnd.openxmlformats-officedocument"
+                 ".presentationml.presentation")
+        slides = sorted(n for n in names
+                        if n.startswith("ppt/slides/slide")
+                        and n.endswith(".xml"))
+        body = " ".join(texts(s, "t", "p") for s in slides).strip()
+        return {"content": _WS.sub(" ", body), "title": title,
+                "content_type": ctype, "metadata": meta}
+    if any(n.startswith("xl/") for n in names):
+        ctype = ("application/vnd.openxmlformats-officedocument"
+                 ".spreadsheetml.sheet")
+        parts = []
+        if "xl/sharedStrings.xml" in names:
+            parts.append(texts("xl/sharedStrings.xml", "t", None))
+        for n in sorted(names):
+            # inline strings (<is><t>…) live in the sheets themselves
+            if n.startswith("xl/worksheets/") and n.endswith(".xml"):
+                root = ET.fromstring(zf.read(n))
+                for el in root.iter():
+                    if _local(el.tag) == "is":
+                        parts.extend(t.text for t in el.iter()
+                                     if _local(t.tag) == "t" and t.text)
+        return {"content": _WS.sub(" ", " ".join(parts)).strip(),
+                "title": title, "content_type": ctype, "metadata": meta}
+    if "content.xml" in names:
+        mimetype = zf.read("mimetype").decode("ascii", "replace").strip() \
+            if "mimetype" in names else "application/vnd.oasis.opendocument"
+        root = ET.fromstring(zf.read("content.xml"))
+        text = _WS.sub(" ", " ".join(root.itertext())).strip()
+        return {"content": text, "title": title, "content_type": mimetype,
+                "metadata": meta}
+    raise NotImplementedError(
+        "zip container without a known Office/ODF text entry "
+        "(reference Tika would recurse into archive members)")
+
+
+_RTF_TOKEN = re.compile(
+    rb"\\([a-z]+)(-?\d+)? ?|\\'([0-9a-fA-F]{2})|\\([^a-z])|([{}])",
+    re.S)
+# destination groups whose character content is not document text
+_RTF_SKIP = {
+    "fonttbl", "colortbl", "stylesheet", "pict", "object", "header",
+    "footer", "headerl", "headerr", "footerl", "footerr", "ftnsep",
+    "xe", "tc", "field", "themedata", "colorschememapping", "listtable",
+    "listoverridetable", "latentstyles", "rsidtbl", "generator",
+    "datastore", "template",
+}
+_RTF_BREAK = {"par": "\n", "line": "\n", "sect": "\n", "page": "\n",
+              "tab": " ", "cell": " ", "row": "\n", "emdash": "\u2014",
+              "endash": "\u2013", "lquote": "\u2018", "rquote": "\u2019",
+              "ldblquote": "\u201c", "rdblquote": "\u201d",
+              "bullet": "\u2022", "emspace": " ", "enspace": " ",
+              "qmspace": " "}
+
+
+def _extract_rtf(data: bytes) -> dict:
+    """RTF 1.x text extraction (the Tika RTFParser role) — group-aware
+    control-word walk: destination groups are skipped, ``\\uN``
+    unicode with ``\\ucN`` fallback-skip honored, ``\\'xx`` decoded in
+    the ``\\ansicpgN`` codepage, ``{\\info {\\title …}}`` captured."""
+    # character sinks by destination: "" = body, info fields by name
+    sinks: dict[str, list[str]] = {"": []}
+    out = sinks[""]
+    # group state: (skipping, uc_count, dest) — dest names info fields
+    stack: list[tuple[bool, int, str]] = []
+    skipping, uc, dest = False, 1, ""
+    codec = "cp1252"
+    pend_skip = False   # saw {\* — next control word decides
+    uni_skip = 0        # fallback bytes/tokens to swallow after \uN
+
+    def emit(s: str):
+        if dest == "info":
+            return  # bare chars directly inside {\info} are not text
+        sinks.setdefault(dest, []).append(s)
+
+    i = 0
+    n = len(data)
+    while i < n:
+        m = _RTF_TOKEN.match(data, i)
+        if m is None:
+            ch = data[i:i + 1]
+            i += 1
+            if ch in b"\r\n\x00":
+                continue
+            if uni_skip:
+                uni_skip -= 1
+                continue
+            if not skipping:
+                emit(ch.decode(codec, "replace"))
+            continue
+        i = m.end()
+        word, num, hexb, sym, brace = m.groups()
+        if brace == b"{":
+            stack.append((skipping, uc, dest))
+            if pend_skip:
+                pend_skip = False
+            continue
+        if brace == b"}":
+            if stack:
+                skipping, uc, dest = stack.pop()
+            continue
+        if sym is not None:
+            if sym == b"*":
+                pend_skip = True
+            elif not skipping and sym in (b"{", b"}", b"\\"):
+                emit(sym.decode("ascii"))
+            elif not skipping and sym == b"~":
+                emit(" ")
+            continue
+        if hexb is not None:
+            if uni_skip:
+                uni_skip -= 1
+            elif not skipping:
+                emit(bytes([int(hexb, 16)]).decode(codec, "replace"))
+            continue
+        w = word.decode("ascii")
+        if pend_skip:
+            pend_skip = False
+            if w not in ("ud",):  # \*\ud is still document text
+                skipping = True
+                continue
+        if w in _RTF_SKIP:
+            skipping = True
+        elif w == "ansicpg" and num:
+            try:
+                codec = f"cp{int(num)}"
+                "".encode(codec)
+            except LookupError:
+                codec = "cp1252"
+        elif w == "uc" and num:
+            uc = int(num)
+        elif w == "u" and num:
+            if not skipping:
+                cp = int(num)
+                emit(chr(cp + 65536 if cp < 0 else cp))
+            uni_skip = uc
+        elif w == "info":
+            dest = "info"
+        elif dest == "info" and w in ("title", "author", "subject",
+                                      "operator", "company"):
+            dest = w
+        elif not skipping and w in _RTF_BREAK:
+            emit(_RTF_BREAK[w])
+    text = _WS.sub(" ", "".join(out)).strip()
+    meta = {k: _WS.sub(" ", "".join(v)).strip()
+            for k, v in sinks.items() if k not in ("", "title") and v}
+    return {"content": text,
+            "title": _WS.sub(" ", "".join(sinks.get("title", []))).strip(),
+            "content_type": "application/rtf", "metadata": meta}
+
+
+def _extract_eml(data: bytes) -> dict:
+    """RFC-822 / MIME mail (the Tika RFC822Parser role): subject →
+    title, routing headers → metadata, text parts concatenated
+    (text/html through the HTML handler), non-text attachments
+    recursively extracted where a parser exists — Tika's recursive
+    parse — and skipped otherwise."""
+    import email
+    import email.policy
+
+    msg = email.message_from_bytes(data, policy=email.policy.default)
+    title = str(msg.get("Subject", "") or "")
+    meta = {lowername(k): str(msg[k]) for k in
+            ("From", "To", "Cc", "Date", "Message-ID") if msg[k]}
+    parts: list[str] = []
+    for part in msg.walk():
+        if part.is_multipart():
+            continue
+        ct = part.get_content_type()
+        try:
+            if ct == "text/plain":
+                parts.append(part.get_content())
+            elif ct == "text/html":
+                h = _TextHandler()
+                h.feed(part.get_content())
+                h.close()
+                parts.append(" ".join(h.parts))
+            else:
+                payload = part.get_payload(decode=True)
+                if payload:
+                    sub = extract_document(payload, part.get_filename())
+                    parts.append(sub["content"])
+        except Exception:
+            continue  # ignoreTikaException per attachment
+    content = _WS.sub(" ", " ".join(p for p in parts if p)).strip()
+    return {"content": content, "title": title,
+            "content_type": "message/rfc822", "metadata": meta}
 
 
 def extract_batch(batch: pa.Table, *, on_error: str = "skip") -> pa.Table:

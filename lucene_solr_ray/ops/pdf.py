@@ -1,0 +1,723 @@
+"""Native PDF text extraction — the Tika PDFParser role for
+:mod:`.extract` (reference: solr/contrib/extraction delegates PDFs to
+Tika/PDFBox; no PDF library ships in this environment, so the format is
+implemented from the published spec, ISO 32000-1 / PDF 1.7, like the
+PNG/JPEG/FLAC codecs in ops/multimodal.py).
+
+Scope (the encodings that cover the overwhelming majority of text
+PDFs):
+
+- **Object syntax** (ISO 32000-1 §7.3): dictionaries, arrays, literal
+  strings with all escapes, hex strings, names with #xx escapes,
+  numbers, booleans, null, indirect references, streams.
+- **File structure** (§7.5): objects are located by a full-file scan
+  for ``N G obj`` (robust against broken xref tables — the approach
+  taken by repair-mode extractors); object streams (/Type/ObjStm,
+  §7.5.7) are expanded so PDF 1.5+ compressed layouts work; trailers
+  (classic ``trailer`` dicts AND xref-stream dicts) supply /Root and
+  /Info.
+- **Filters** (§7.4): FlateDecode (stdlib zlib) and LZWDecode
+  (MSB-first TIFF-flavor LZW with EarlyChange), both with PNG
+  predictors 10-15 and TIFF predictor 2; ASCIIHexDecode,
+  ASCII85Decode, RunLengthDecode.  Encrypted files (trailer /Encrypt)
+  raise NotImplementedError — honestly out of scope.
+- **Text** (§9.4): BT..ET blocks; Tj / ' / " / TJ shows; Td/TD/T*/Tm
+  line tracking emits newlines; Tf tracks the active font.
+- **Font decoding** (§9.10): /ToUnicode CMaps (bfchar + bfrange, 1- and
+  2-byte codes, UTF-16BE targets) when present; otherwise
+  /WinAnsiEncoding → cp1252, /MacRomanEncoding → mac-roman, default
+  latin-1 (PDFDocEncoding's printable range coincides with latin-1).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Ref:
+    __slots__ = ("num", "gen")
+
+    def __init__(self, num: int, gen: int):
+        self.num = num
+        self.gen = gen
+
+    def __repr__(self):
+        return f"{self.num} {self.gen} R"
+
+
+class _Name(str):
+    """PDF name object — distinct from strings (which decode to bytes)."""
+
+
+class _Op(_Name):
+    """Bare keyword — a content-stream operator (or ``R``); distinct
+    from ``/slash`` names, which are operands."""
+
+
+def _skip_ws(buf: bytes, i: int) -> int:
+    n = len(buf)
+    while i < n:
+        c = buf[i]
+        if c in _WS:
+            i += 1
+        elif c == 0x25:  # '%' comment to EOL
+            while i < n and buf[i] not in (0x0A, 0x0D):
+                i += 1
+        else:
+            break
+    return i
+
+
+def _parse_name(buf: bytes, i: int):
+    # i points at '/'
+    i += 1
+    out = []
+    n = len(buf)
+    while i < n and buf[i] not in _WS and buf[i] not in _DELIM:
+        if buf[i] == 0x23 and i + 2 < n:  # '#xx'
+            out.append(int(buf[i + 1:i + 3], 16))
+            i += 3
+        else:
+            out.append(buf[i])
+            i += 1
+    return _Name(bytes(out).decode("latin-1")), i
+
+
+_ESCAPES = {0x6E: b"\n", 0x72: b"\r", 0x74: b"\t", 0x62: b"\b",
+            0x66: b"\f", 0x28: b"(", 0x29: b")", 0x5C: b"\\"}
+
+
+def _parse_literal_string(buf: bytes, i: int):
+    # i points at '('
+    i += 1
+    depth = 1
+    out = bytearray()
+    n = len(buf)
+    while i < n:
+        c = buf[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            e = buf[i]
+            if e in _ESCAPES:
+                out += _ESCAPES[e]
+                i += 1
+            elif 0x30 <= e <= 0x37:  # octal, up to 3 digits
+                j = i
+                while j < min(i + 3, n) and 0x30 <= buf[j] <= 0x37:
+                    j += 1
+                out.append(int(buf[i:j], 8) & 0xFF)
+                i = j
+            elif e in (0x0A, 0x0D):  # line continuation
+                i += 1
+                if e == 0x0D and i < n and buf[i] == 0x0A:
+                    i += 1
+            else:
+                out.append(e)
+                i += 1
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            i += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return bytes(out), i + 1
+            out.append(c)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return bytes(out), i
+
+
+def _parse_hex_string(buf: bytes, i: int):
+    # i points past '<'
+    j = buf.index(b">", i)
+    hx = re.sub(rb"[^0-9A-Fa-f]", b"", buf[i:j])
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode("ascii")), j + 1
+
+
+_NUM_RE = re.compile(rb"[+-]?\d*\.?\d+")
+
+
+def _parse_object(buf: bytes, i: int):
+    """One object at ``i`` → (obj, next_i); folds ``N G R`` refs inside
+    containers."""
+    i = _skip_ws(buf, i)
+    n = len(buf)
+    if i >= n:
+        raise ValueError("unexpected end of PDF data")
+    c = buf[i]
+    if c == 0x2F:  # '/'
+        return _parse_name(buf, i)
+    if c == 0x28:  # '('
+        return _parse_literal_string(buf, i)
+    if c == 0x3C:  # '<' — dict or hex string
+        if buf[i:i + 2] == b"<<":
+            i += 2
+            d = {}
+            pending: list = []
+            while True:
+                i = _skip_ws(buf, i)
+                if buf[i:i + 2] == b">>":
+                    i += 2
+                    break
+                obj, i = _parse_object(buf, i)
+                pending.append(obj)
+            # fold refs then pair key/value
+            folded = _fold_refs(pending)
+            for k in range(0, len(folded) - 1, 2):
+                d[str(folded[k])] = folded[k + 1]
+            return d, i
+        return _parse_hex_string(buf, i + 1)
+    if c == 0x5B:  # '['
+        i += 1
+        items: list = []
+        while True:
+            i = _skip_ws(buf, i)
+            if buf[i] == 0x5D:
+                i += 1
+                break
+            obj, i = _parse_object(buf, i)
+            items.append(obj)
+        return _fold_refs(items), i
+    if buf[i:i + 4] == b"true":
+        return True, i + 4
+    if buf[i:i + 5] == b"false":
+        return False, i + 5
+    if buf[i:i + 4] == b"null":
+        return None, i + 4
+    if c == 0x52:  # bare 'R' — consumed by _fold_refs via marker
+        return _Op("R"), i + 1
+    m = _NUM_RE.match(buf, i)
+    if m:
+        t = m.group(0)
+        return (float(t) if b"." in t else int(t)), m.end()
+    # bare keyword (operator in content streams)
+    j = i
+    while j < n and buf[j] not in _WS and buf[j] not in _DELIM:
+        j += 1
+    if j == i:
+        raise ValueError(f"cannot parse PDF object at offset {i}")
+    return _Op(buf[i:j].decode("latin-1")), j
+
+
+def _fold_refs(items: list) -> list:
+    """Rewrite ``int int R`` runs into :class:`_Ref`."""
+    out: list = []
+    k = 0
+    while k < len(items):
+        if (k + 2 < len(items) and isinstance(items[k], int)
+                and isinstance(items[k + 1], int)
+                and isinstance(items[k + 2], _Name)
+                and items[k + 2] == "R"):
+            out.append(_Ref(items[k], items[k + 1]))
+            k += 3
+        else:
+            out.append(items[k])
+            k += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# filters
+
+
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """PDF LZWDecode (ISO 32000-1 §7.4.4, the TIFF flavor): MSB-first
+    bit packing, 9-bit initial codes, 256=ClearTable, 257=EOD, width
+    bumps at ``2^w - EarlyChange`` entries, 12-bit cap.  (GIF's LZW in
+    ops/multimodal.py is LSB-first with a variable minimum code size —
+    a genuinely different wire format.)"""
+    CLEAR, EOD = 256, 257
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    out = bytearray()
+    bits = nbits = pos = 0
+    width = 9
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)  # tolerate missing EOD
+            bits = (bits << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        code = (bits >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code == EOD:
+            return bytes(out)
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream")
+        out += entry
+        prev = entry
+        if len(table) + early_change >= (1 << width) and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _tiff_unpredict(data: bytes, columns: int, colors: int,
+                    bpc: int) -> bytes:
+    """TIFF Predictor 2 — horizontal differencing, inverted per row."""
+    if bpc != 8:
+        raise NotImplementedError("TIFF predictor with BitsPerComponent"
+                                  f"={bpc}")
+    row = columns * colors
+    out = bytearray(data)
+    for r0 in range(0, len(out) - row + 1, row):
+        for x in range(colors, row):
+            out[r0 + x] = (out[r0 + x] + out[r0 + x - colors]) & 0xFF
+    return bytes(out)
+
+
+def _png_unpredict(data: bytes, columns: int, colors: int = 1,
+                   bpc: int = 8) -> bytes:
+    bpp = max(1, (colors * bpc) // 8)
+    row = columns * bpp
+    out = bytearray()
+    prev = bytearray(row)
+    i = 0
+    while i < len(data):
+        ft = data[i]
+        cur = bytearray(data[i + 1:i + 1 + row])
+        i += 1 + row
+        if ft == 1:  # Sub
+            for x in range(bpp, row):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for x in range(row):
+                cur[x] = (cur[x] + prev[x]) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(row):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(row):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                cc = prev[x - bpp] if x >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc_) else \
+                    (b if pb <= pc_ else cc)
+                cur[x] = (cur[x] + pred) & 0xFF
+        out += cur
+        prev = cur
+    return bytes(out)
+
+
+def _apply_filters(sdict: dict, raw: bytes, resolve) -> bytes:
+    filters = resolve(sdict.get("Filter"))
+    if filters is None:
+        return raw
+    if not isinstance(filters, list):
+        filters = [filters]
+    parms = resolve(sdict.get("DecodeParms"))
+    if not isinstance(parms, list):
+        parms = [parms] * len(filters)
+    data = raw
+    for f, pm in zip(filters, parms):
+        f = str(f)
+        pm = resolve(pm) or {}
+
+        def unpredict(d: bytes) -> bytes:
+            pred = resolve(pm.get("Predictor", 1)) or 1
+            cols = int(resolve(pm.get("Columns", 1)))
+            colors = int(resolve(pm.get("Colors", 1)))
+            bpc = int(resolve(pm.get("BitsPerComponent", 8)))
+            if pred >= 10:
+                return _png_unpredict(d, cols, colors, bpc)
+            if pred == 2:
+                return _tiff_unpredict(d, cols, colors, bpc)
+            return d
+
+        if f in ("FlateDecode", "Fl"):
+            data = unpredict(zlib.decompress(data))
+        elif f in ("LZWDecode", "LZW"):
+            data = unpredict(_lzw_decode(
+                data, int(resolve(pm.get("EarlyChange", 1)))))
+        elif f in ("ASCIIHexDecode", "AHx"):
+            data = bytes.fromhex(
+                re.sub(rb"[^0-9A-Fa-f]", b"",
+                       data.rstrip(b">")).decode("ascii"))
+        elif f in ("ASCII85Decode", "A85"):
+            import base64
+
+            body = data.strip()
+            if body.endswith(b"~>"):
+                body = body[:-2]
+            data = base64.a85decode(body)
+        elif f in ("RunLengthDecode", "RL"):
+            out = bytearray()
+            i = 0
+            while i < len(data):
+                ln = data[i]
+                if ln == 128:
+                    break
+                if ln < 128:
+                    out += data[i + 1:i + 2 + ln]
+                    i += 2 + ln
+                else:
+                    out += data[i + 1:i + 2] * (257 - ln)
+                    i += 2
+            data = bytes(out)
+        else:
+            raise NotImplementedError(f"PDF filter {f} not supported "
+                                      "in this environment")
+    return data
+
+
+# ---------------------------------------------------------------------------
+# document
+
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_TRAILER_RE = re.compile(rb"trailer\b")
+
+
+class PdfDocument:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.objects: dict[int, object] = {}
+        self._offsets: dict[int, int] = {}
+        for m in _OBJ_RE.finditer(data):
+            # later definitions win (incremental updates append)
+            self._offsets[int(m.group(1))] = m.start()
+        self.trailer = self._collect_trailers()
+        if self.trailer.get("Encrypt") is not None:
+            raise NotImplementedError("encrypted PDF")
+        self._expand_object_streams()
+
+    # -- object access ----------------------------------------------------
+
+    def resolve(self, obj):
+        seen = 0
+        while isinstance(obj, _Ref):
+            obj = self.get(obj.num)
+            seen += 1
+            if seen > 64:
+                raise ValueError("reference cycle")
+        return obj
+
+    def get(self, num: int):
+        if num in self.objects:
+            return self.objects[num]
+        off = self._offsets.get(num)
+        if off is None:
+            return None
+        obj = self._parse_indirect(off)
+        self.objects[num] = obj
+        return obj
+
+    def _parse_indirect(self, off: int):
+        m = _OBJ_RE.match(self.data, off)
+        i = m.end()
+        obj, i = _parse_object(self.data, i)
+        i = _skip_ws(self.data, i)
+        if self.data[i:i + 6] == b"stream":
+            i += 6
+            if self.data[i:i + 2] == b"\r\n":
+                i += 2
+            elif self.data[i:i + 1] in (b"\n", b"\r"):
+                i += 1
+            length = self.resolve(obj.get("Length"))
+            if isinstance(length, int) and \
+                    self.data[i + length:i + length + 32].lstrip()[:9] \
+                    .startswith(b"endstream"):
+                raw = self.data[i:i + length]
+            else:  # repair mode: scan for endstream
+                end = self.data.index(b"endstream", i)
+                raw = self.data[i:end].rstrip(b"\r\n")
+            return ("stream", obj, raw)
+        return obj
+
+    def stream_bytes(self, obj) -> bytes:
+        obj = self.resolve(obj)
+        if not (isinstance(obj, tuple) and obj[0] == "stream"):
+            raise ValueError("not a stream")
+        return _apply_filters(obj[1], obj[2], self.resolve)
+
+    # -- file structure ----------------------------------------------------
+
+    def _collect_trailers(self) -> dict:
+        merged: dict = {}
+        for m in _TRAILER_RE.finditer(self.data):
+            try:
+                d, _ = _parse_object(self.data, m.end())
+            except Exception:
+                continue
+            if isinstance(d, dict):
+                for k, v in d.items():
+                    merged.setdefault(k, v)
+        if "Root" not in merged:
+            # xref-stream layout: /Root lives in the XRef stream dict
+            for num in list(self._offsets):
+                try:
+                    obj = self.get(num)
+                except Exception:
+                    continue
+                if isinstance(obj, tuple) and obj[0] == "stream" \
+                        and str(obj[1].get("Type")) == "XRef":
+                    for k, v in obj[1].items():
+                        merged.setdefault(k, v)
+        return merged
+
+    def _expand_object_streams(self):
+        for num in list(self._offsets):
+            try:
+                obj = self.get(num)
+            except Exception:
+                continue
+            if not (isinstance(obj, tuple) and obj[0] == "stream"
+                    and str(obj[1].get("Type")) == "ObjStm"):
+                continue
+            body = self.stream_bytes(obj)
+            n = int(self.resolve(obj[1]["N"]))
+            first = int(self.resolve(obj[1]["First"]))
+            i = 0
+            pairs = []
+            for _ in range(n):
+                onum, i = _parse_object(body, i)
+                ooff, i = _parse_object(body, i)
+                pairs.append((int(onum), int(ooff)))
+            for onum, ooff in pairs:
+                if onum not in self._offsets:  # direct defs win
+                    o, _ = _parse_object(body, first + ooff)
+                    self.objects[onum] = o
+
+    # -- page tree ----------------------------------------------------------
+
+    def pages(self) -> list[tuple[dict, dict]]:
+        """[(page_dict, inherited_resources)] in document order."""
+        root = self.resolve(self.trailer.get("Root"))
+        if not isinstance(root, dict):
+            # repair mode: find the catalog by type
+            for num in list(self._offsets) + list(self.objects):
+                o = self.resolve(self.get(num))
+                if isinstance(o, dict) and str(o.get("Type")) == "Catalog":
+                    root = o
+                    break
+        if not isinstance(root, dict):
+            raise ValueError("no /Catalog found")
+        out: list[tuple[dict, dict]] = []
+
+        def walk(node, inherited_res):
+            node = self.resolve(node)
+            if not isinstance(node, dict):
+                return
+            res = self.resolve(node.get("Resources")) or inherited_res
+            if str(node.get("Type")) == "Page":
+                out.append((node, res if isinstance(res, dict) else {}))
+                return
+            for kid in self.resolve(node.get("Kids")) or []:
+                walk(kid, res)
+
+        walk(root.get("Pages"), {})
+        return out
+
+
+# ---------------------------------------------------------------------------
+# ToUnicode CMaps and font decoders
+
+
+def _parse_tounicode(cmap: bytes):
+    """bfchar/bfrange sections → (mapping, code_lengths). Values are
+    UTF-16BE strings (§9.10.3)."""
+    mapping: dict[bytes, str] = {}
+    lengths: set[int] = set()
+
+    def utf16(b: bytes) -> str:
+        return b.decode("utf-16-be", errors="replace")
+
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", cmap, re.S):
+        toks = re.findall(rb"<([0-9A-Fa-f]+)>", m.group(1))
+        for src, dst in zip(toks[0::2], toks[1::2]):
+            sb = bytes.fromhex(src.decode().zfill(len(src) + len(src) % 2))
+            mapping[sb] = utf16(bytes.fromhex(
+                dst.decode().zfill(len(dst) + len(dst) % 2)))
+            lengths.add(len(sb))
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", cmap, re.S):
+        body = m.group(1)
+        # <lo> <hi> <dst>  |  <lo> <hi> [<d0> <d1> …]
+        for r in re.finditer(
+                rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+                rb"(<[0-9A-Fa-f]+>|\[[^\]]*\])", body):
+            lo = int(r.group(1), 16)
+            hi = int(r.group(2), 16)
+            nbytes = (len(r.group(1)) + 1) // 2
+            lengths.add(nbytes)
+            tgt = r.group(3)
+            if tgt.startswith(b"["):
+                dsts = re.findall(rb"<([0-9A-Fa-f]+)>", tgt)
+                for k, d in enumerate(dsts):
+                    if lo + k > hi:
+                        break
+                    mapping[(lo + k).to_bytes(nbytes, "big")] = \
+                        utf16(bytes.fromhex(d.decode()))
+            else:
+                base = int(tgt[1:-1], 16)
+                width = (len(tgt) - 2 + 1) // 2
+                for k in range(hi - lo + 1):
+                    mapping[(lo + k).to_bytes(nbytes, "big")] = \
+                        utf16((base + k).to_bytes(max(width, 2), "big"))
+    return mapping, (lengths or {1})
+
+
+def _font_decoder(doc: PdfDocument, font) -> "callable":
+    font = doc.resolve(font)
+    if isinstance(font, dict):
+        tu = font.get("ToUnicode")
+        if tu is not None:
+            try:
+                mapping, lengths = _parse_tounicode(doc.stream_bytes(tu))
+                maxlen = max(lengths)
+
+                def decode(bs: bytes) -> str:
+                    out = []
+                    i = 0
+                    while i < len(bs):
+                        for ln in range(maxlen, 0, -1):
+                            if bs[i:i + ln] in mapping:
+                                out.append(mapping[bs[i:i + ln]])
+                                i += ln
+                                break
+                        else:
+                            out.append(chr(bs[i]))
+                            i += 1
+                    return "".join(out)
+
+                return decode
+            except NotImplementedError:
+                pass
+        enc = doc.resolve(font.get("Encoding"))
+        codec = {"WinAnsiEncoding": "cp1252",
+                 "MacRomanEncoding": "mac-roman"}.get(str(enc), "latin-1")
+        return lambda bs: bs.decode(codec, errors="replace")
+    return lambda bs: bs.decode("latin-1", errors="replace")
+
+
+# ---------------------------------------------------------------------------
+# text extraction
+
+
+def _page_text(doc: PdfDocument, page: dict, resources: dict) -> str:
+    contents = doc.resolve(page.get("Contents"))
+    if contents is None:
+        return ""
+    if not isinstance(contents, list):
+        contents = [contents]
+    body = b"\n".join(doc.stream_bytes(c) for c in contents)
+
+    fonts = doc.resolve(resources.get("Font")) or {}
+    decoders = {name: _font_decoder(doc, f) for name, f in fonts.items()}
+    default_decode = next(iter(decoders.values()),
+                          lambda bs: bs.decode("latin-1", "replace"))
+
+    out: list[str] = []
+    stack: list = []
+    decode = default_decode
+    i = 0
+    n = len(body)
+
+    def newline():
+        if out and out[-1] != "\n":
+            out.append("\n")
+
+    def show(s):
+        if isinstance(s, bytes):
+            out.append(decode(s))
+
+    while i < n:
+        i = _skip_ws(body, i)
+        if i >= n:
+            break
+        try:
+            obj, i = _parse_object(body, i)
+        except ValueError:
+            break
+        if not isinstance(obj, _Op):
+            stack.append(obj)  # operand (incl. /slash names like /F1)
+            continue
+        op = str(obj)
+        if op == "Tf" and len(stack) >= 2:
+            decode = decoders.get(str(stack[-2]), default_decode)
+        elif op == "Tj" and stack:
+            show(stack[-1])
+        elif op == "TJ" and stack and isinstance(stack[-1], list):
+            for el in stack[-1]:
+                if isinstance(el, bytes):
+                    show(el)
+        elif op == "'" and stack:
+            newline()
+            show(stack[-1])
+        elif op == '"' and len(stack) >= 3:
+            newline()
+            show(stack[-1])
+        elif op == "T*":
+            newline()
+        elif op in ("Td", "TD") and len(stack) >= 2:
+            ty = stack[-1]
+            if isinstance(ty, (int, float)) and ty != 0:
+                newline()
+            elif out and not out[-1].endswith((" ", "\n")):
+                out.append(" ")
+        elif op == "Tm" and len(stack) >= 6:
+            newline()
+        elif op == "BT":
+            newline()
+        if op == "BI":
+            # inline image: skip to EI (content is binary)
+            j = body.find(b"EI", i)
+            i = n if j < 0 else j + 2
+        # operators always clear their operands
+        stack.clear()
+    text = "".join(out)
+    text = re.sub(r"[ \t]+", " ", text)
+    return re.sub(r" ?\n ?", "\n", text).strip()
+
+
+def extract_pdf(data: bytes) -> dict:
+    """One PDF → the extract.py result shape
+    ``{content, title, content_type, metadata}``."""
+    doc = PdfDocument(data)
+    pages = doc.pages()
+    content = "\n".join(
+        t for t in (_page_text(doc, p, r) for p, r in pages) if t)
+    info = doc.resolve(doc.trailer.get("Info")) or {}
+    meta = {}
+    title = ""
+    if isinstance(info, dict):
+        for k, v in info.items():
+            v = doc.resolve(v)
+            if isinstance(v, bytes):
+                if v[:2] == b"\xfe\xff":
+                    v = v[2:].decode("utf-16-be", errors="replace")
+                else:
+                    v = v.decode("latin-1", errors="replace")
+            if k == "Title":
+                title = str(v)
+            else:
+                meta[k.lower()] = str(v)
+    meta["n_pages"] = str(len(pages))
+    return {"content": content, "title": title,
+            "content_type": "application/pdf", "metadata": meta}

@@ -3,9 +3,11 @@
 Mirrored semantics: catch-all content concatenation + title/metadata
 capture (SolrContentHandler.java:59-196), lowernames field mapping
 (ExtractingParams.java:29), skip-on-parse-failure
-(ExtractingDocumentLoader ignoreTikaException). PDF/Office extraction
-is honestly NotImplemented in this environment (no codec libraries) —
-detection still classifies them and the skip path drops them.
+(ExtractingDocumentLoader ignoreTikaException). PDF and zip-based
+Office extraction are native (ops/pdf.py, _extract_office — see
+tests/test_pdf.py); unknown binary is honestly NotImplemented, and
+malformed members of supported formats fail per-doc and are dropped by
+the skip path.
 """
 
 import pyarrow as pa
@@ -67,6 +69,9 @@ def test_xml_and_plain():
 
 def test_unsupported_raises_and_lowername():
     with pytest.raises(NotImplementedError):
+        extract_document(b"bin\x00ary blob with no codec")
+    # malformed PDF (no catalog) fails per-document, not silently
+    with pytest.raises(ValueError):
         extract_document(b"%PDF-1.4 binary pdf body")
     assert lowername("X-Parsed-By") == "x_parsed_by"
     assert lowername("Content Type") == "content_type"
@@ -79,7 +84,7 @@ def test_batch_skips_failures_but_raise_mode_raises():
     })
     out = extract_batch(batch, on_error="skip")
     assert out["stream_name"].to_pylist() == ["a.html", "c.txt"]
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         extract_batch(batch, on_error="raise")
 
 
@@ -111,3 +116,54 @@ def test_read_rich_documents_to_index(ray_session, tmp_path):
     assert s.search_term("fox", k=10).num_rows == 2   # html + txt
     assert s.search_term("embeddings", k=10).num_rows == 1
     assert s.search_term("scriptnoise", k=10).num_rows == 0
+
+
+RTF = (br"{\rtf1\ansi\ansicpg1252\deff0"
+       br"{\fonttbl{\f0\froman Times New Roman;}}"
+       br"{\colortbl;\red0\green0\blue0;}"
+       br"{\info{\title Fox Memo}{\author bob}}"
+       br"{\*\generator Msftedit 5.41;}"
+       b"\\uc1\\pard The quick fox \\'e9clair \\u8212? dash.\\par"
+       b"Second\\~line with \\{braces\\}.}")
+
+
+def test_rtf_extraction():
+    d = extract_document(RTF, "memo.rtf")
+    assert d["content_type"] == "application/rtf"
+    assert d["title"] == "Fox Memo"
+    assert d["metadata"]["author"] == "bob"
+    assert "The quick fox éclair — dash." in d["content"]
+    assert "Second line with {braces}." in d["content"]
+    assert "Times New Roman" not in d["content"]  # fonttbl skipped
+    assert "Msftedit" not in d["content"]         # \* destination skipped
+
+
+def test_eml_extraction_with_attachment():
+    eml = (b"From: alice <alice@example.com>\r\n"
+           b"To: bob@example.com\r\n"
+           b"Subject: weekly sync notes\r\n"
+           b"MIME-Version: 1.0\r\n"
+           b'Content-Type: multipart/mixed; boundary="B"\r\n'
+           b"\r\n--B\r\n"
+           b"Content-Type: text/plain; charset=utf-8\r\n"
+           b"\r\nplain body with osprey keyword\r\n"
+           b"--B\r\n"
+           b"Content-Type: text/html\r\n"
+           b"\r\n<html><body>html part <b>heron</b>"
+           b"<script>noise()</script></body></html>\r\n"
+           b"--B\r\n"
+           b'Content-Type: application/octet-stream; name="a.html"\r\n'
+           b"Content-Transfer-Encoding: base64\r\n"
+           b'Content-Disposition: attachment; filename="a.html"\r\n'
+           b"\r\nPGh0bWw+PGJvZHk+YXR0YWNoZWQgcGxvdmVyPC9ib2R5PjwvaHRtbD4=\r\n"
+           b"--B--\r\n")
+    assert detect_content_type(eml) == "message/rfc822"
+    d = extract_document(eml)
+    assert d["title"] == "weekly sync notes"
+    assert d["metadata"]["from"].endswith("<alice@example.com>")
+    assert "osprey keyword" in d["content"]
+    assert "heron" in d["content"]
+    assert "noise()" not in d["content"]
+    assert "attached plover" in d["content"]   # recursive Tika parse
+    # plain text is still plain text, not mail
+    assert detect_content_type(b"Note: buy milk\ntomorrow") == "text/plain"

@@ -1,0 +1,354 @@
+"""Native PDF / Office extraction (SURVEY.md §2.1 #6, Tika PDFBox/POI
+roles — ops/pdf.py + ops/extract.py zip-container parsers).
+
+Fixtures are real minimal files synthesized in-test from the published
+specs (ISO 32000-1, ECMA-376, ODF 1.2) — no external data, no codec
+libraries.
+"""
+
+import io
+import zipfile
+import zlib
+
+import pytest
+
+from lucene_solr_ray.ops.extract import extract_document
+from lucene_solr_ray.ops.pdf import extract_pdf
+
+
+def _mkpdf(objects: dict[int, bytes], trailer: bytes) -> bytes:
+    """Assemble `num → body` objects into a PDF byte-string (the parser
+    locates objects by scanning, so no xref table is required — the
+    repair-mode layout every real extractor supports)."""
+    out = [b"%PDF-1.4\n"]
+    for num, body in sorted(objects.items()):
+        out.append(b"%d 0 obj\n" % num)
+        out.append(body)
+        out.append(b"\nendobj\n")
+    out.append(b"trailer\n" + trailer + b"\n%%EOF\n")
+    return b"".join(out)
+
+
+def _stream(dct: bytes, data: bytes) -> bytes:
+    head = dct[:-2].rstrip() if dct.rstrip().endswith(b">>") else dct
+    return (head + b" /Length %d >>\nstream\n" % len(data)
+            + data + b"\nendstream")
+
+
+def _simple_pdf(content: bytes, *, compress=False, info=b"") -> bytes:
+    if compress:
+        body = zlib.compress(content)
+        sdict = b"<< /Filter /FlateDecode >>"
+    else:
+        body = content
+        sdict = b"<< >>"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R"
+            b" /Resources << /Font << /F1 4 0 R >> >> >>"),
+        4: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        5: _stream(sdict, body),
+    }
+    trailer = b"<< /Root 1 0 R /Size 6" + info + b" >>"
+    return _mkpdf(objs, trailer)
+
+
+def test_plain_tj():
+    pdf = _simple_pdf(b"BT /F1 12 Tf 72 720 Td (Hello zebrahippo) Tj ET")
+    d = extract_pdf(pdf)
+    assert d["content"] == "Hello zebrahippo"
+    assert d["content_type"] == "application/pdf"
+    assert d["metadata"]["n_pages"] == "1"
+
+
+def test_flate_tj_array_and_escapes():
+    # adjacent shows concatenate; a horizontal Td move inserts a space
+    content = (br"BT /F1 10 Tf (a \(paren\) b) Tj 10 0 Td"
+               br" [(kern)-120(ed)] TJ (\101\102) Tj ET")
+    d = extract_pdf(_simple_pdf(content, compress=True))
+    assert d["content"] == "a (paren) b kernedAB"
+
+
+def test_lines_and_pages():
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R 6 0 R] /Count 2 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R"
+            b" /Resources << /Font << /F1 4 0 R >> >> >>"),
+        4: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        5: _stream(b"<< >>", b"BT (line one) Tj 0 -14 Td (line two) Tj"
+                   b" T* (line three) Tj ET"),
+        6: (b"<< /Type /Page /Parent 2 0 R /Contents 7 0 R"
+            b" /Resources << /Font << /F1 4 0 R >> >> >>"),
+        7: _stream(b"<< >>", b"BT (page two) Tj ET"),
+    }
+    d = extract_pdf(_mkpdf(objs, b"<< /Root 1 0 R >>"))
+    assert d["content"].split("\n") == [
+        "line one", "line two", "line three", "page two"]
+    assert d["metadata"]["n_pages"] == "2"
+
+
+def test_hexstring_and_info_title():
+    pdf = _simple_pdf(b"BT <48656C6C6F> Tj ET",
+                      info=b" /Info 8 0 R")
+    pdf = pdf.replace(b"trailer",
+                      b"8 0 obj\n<< /Title (Annual Report)"
+                      b" /Author (jane) >>\nendobj\ntrailer")
+    d = extract_pdf(pdf)
+    assert d["content"] == "Hello"
+    assert d["title"] == "Annual Report"
+    assert d["metadata"]["author"] == "jane"
+
+
+def test_tounicode_cmap():
+    cmap = (b"/CIDInit /ProcSet findresource begin\n"
+            b"begincmap\n"
+            b"2 beginbfchar\n<0041> <0058>\n<0042> <00590059>\nendbfchar\n"
+            b"1 beginbfrange\n<0050> <0052> <0061>\nendbfrange\n"
+            b"endcmap\nend")
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R"
+            b" /Resources << /Font << /F1 4 0 R >> >> >>"),
+        4: b"<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>",
+        5: _stream(b"<< >>",
+                   b"BT /F1 12 Tf <0041> Tj <0042> Tj <005000510052> Tj ET"),
+        6: _stream(b"<< >>", cmap),
+    }
+    d = extract_pdf(_mkpdf(objs, b"<< /Root 1 0 R >>"))
+    # 0041→X, 0042→YY, 0050..0052 → a,b,c
+    assert d["content"] == "X YY abc".replace(" ", "")
+
+
+def test_object_stream_layout():
+    """PDF 1.5 compressed-objects layout: catalog/pages/page live inside
+    an /ObjStm; the trailer is an XRef stream dict (no classic
+    trailer)."""
+    inner = (b"1 0 4 44 5 96 "
+             b"<< /Type /Catalog /Pages 4 0 R >> "
+             b"<< /Type /Pages /Kids [5 0 R] /Count 1 >> "
+             b"<< /Type /Page /Parent 4 0 R /Contents 6 0 R >>")
+    first = inner.index(b"<<")
+    # patch offsets: recompute honestly
+    o1 = b"<< /Type /Catalog /Pages 4 0 R >>"
+    o4 = b"<< /Type /Pages /Kids [5 0 R] /Count 1 >>"
+    o5 = b"<< /Type /Page /Parent 4 0 R /Contents 6 0 R >>"
+    header = b"1 0 4 %d 5 %d " % (len(o1) + 1, len(o1) + len(o4) + 2)
+    body = header + o1 + b" " + o4 + b" " + o5
+    first = len(header)
+    objs = {
+        2: _stream(b"<< /Type /ObjStm /N 3 /First %d >>" % first, body),
+        3: _stream(b"<< /Type /XRef /Root 1 0 R /Size 7 >>", b""),
+        6: _stream(b"<< >>", b"BT (objstm text) Tj ET"),
+    }
+    data = b"%PDF-1.5\n" + b"".join(
+        b"%d 0 obj\n%s\nendobj\n" % (n, b) for n, b in sorted(objs.items())
+    ) + b"%%EOF\n"
+    d = extract_pdf(data)
+    assert d["content"] == "objstm text"
+
+
+def test_asciihex_filter_and_encrypted_raises():
+    hexed = b"BT (hexfiltered) Tj ET".hex().encode() + b">"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>",
+        5: _stream(b"<< /Filter /ASCIIHexDecode >>", hexed),
+    }
+    d = extract_pdf(_mkpdf(objs, b"<< /Root 1 0 R >>"))
+    assert d["content"] == "hexfiltered"
+    with pytest.raises(NotImplementedError):
+        extract_pdf(_mkpdf(objs, b"<< /Root 1 0 R /Encrypt 9 0 R >>"))
+
+
+# ---------------------------------------------------------------------------
+# zip-container Office / ODF
+
+
+def _zipbytes(entries: dict[str, bytes]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, data in entries.items():
+            zf.writestr(name, data)
+    return buf.getvalue()
+
+
+def test_docx():
+    doc = _zipbytes({
+        "word/document.xml":
+            b'<w:document xmlns:w="urn:w"><w:body>'
+            b"<w:p><w:r><w:t>First paragraph.</w:t></w:r></w:p>"
+            b"<w:p><w:r><w:t>Second</w:t></w:r>"
+            b"<w:r><w:t xml:space=\"preserve\"> half</w:t></w:r></w:p>"
+            b"</w:body></w:document>",
+        "docProps/core.xml":
+            b'<cp:coreProperties xmlns:cp="urn:c" xmlns:dc="urn:d">'
+            b"<dc:title>Zebra Deck</dc:title>"
+            b"<dc:creator>alice</dc:creator></cp:coreProperties>",
+    })
+    d = extract_document(doc, "report.docx")
+    assert "First paragraph." in d["content"]
+    assert "Second half" in d["content"]
+    assert d["title"] == "Zebra Deck"
+    assert d["metadata"]["creator"] == "alice"
+    assert d["content_type"].endswith("wordprocessingml.document")
+
+
+def test_xlsx_shared_and_inline_strings():
+    doc = _zipbytes({
+        "xl/workbook.xml": b"<workbook/>",
+        "xl/sharedStrings.xml":
+            b'<sst xmlns="urn:s"><si><t>alpha metric</t></si>'
+            b"<si><t>beta</t></si></sst>",
+        "xl/worksheets/sheet1.xml":
+            b'<worksheet xmlns="urn:s"><sheetData><row>'
+            b'<c t="inlineStr"><is><t>inline gamma</t></is></c>'
+            b"</row></sheetData></worksheet>",
+    })
+    d = extract_document(doc, "kpis.xlsx")
+    for tok in ("alpha metric", "beta", "inline gamma"):
+        assert tok in d["content"]
+    assert d["content_type"].endswith("spreadsheetml.sheet")
+
+
+def test_pptx_and_odt():
+    ppt = _zipbytes({
+        "ppt/slides/slide1.xml":
+            b'<p:sld xmlns:a="urn:a" xmlns:p="urn:p">'
+            b"<a:p><a:r><a:t>slide one words</a:t></a:r></a:p></p:sld>",
+        "ppt/slides/slide2.xml":
+            b'<p:sld xmlns:a="urn:a" xmlns:p="urn:p">'
+            b"<a:p><a:r><a:t>closing slide</a:t></a:r></a:p></p:sld>",
+    })
+    d = extract_document(ppt, "deck.pptx")
+    assert "slide one words" in d["content"]
+    assert "closing slide" in d["content"]
+
+    odt = _zipbytes({
+        "mimetype": b"application/vnd.oasis.opendocument.text",
+        "content.xml":
+            b'<office:document-content xmlns:office="urn:o" '
+            b'xmlns:text="urn:t"><office:body><text:p>odt body text'
+            b"</text:p></office:body></office:document-content>",
+        "meta.xml":
+            b'<office:document-meta xmlns:office="urn:o" '
+            b'xmlns:dc="urn:d"><office:meta><dc:title>Odt Title</dc:title>'
+            b"</office:meta></office:document-meta>",
+    })
+    d = extract_document(odt, "memo.odt")
+    assert d["content"] == "odt body text"
+    assert d["title"] == "Odt Title"
+    assert d["content_type"] == "application/vnd.oasis.opendocument.text"
+
+
+def test_opaque_zip_still_raises():
+    blob = _zipbytes({"random/file.bin": b"\x00\x01"})
+    with pytest.raises(NotImplementedError):
+        extract_document(blob, "archive.zip")
+
+
+# ---------------------------------------------------------------------------
+# LZWDecode / predictors / robustness
+
+
+def _lzw_encode(data: bytes, early_change: int = 1) -> bytes:
+    """Reference PDF/TIFF LZW encoder (test-side twin of
+    ops.pdf._lzw_decode): MSB-first, 9-bit start, 256/257 control
+    codes, width bump at 2^w - EarlyChange, table reset at 12 bits."""
+    out_bits: list[tuple[int, int]] = []
+    width = 9
+
+    def emit(code: int):
+        out_bits.append((code, width))
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    nxt = 258
+    emit(256)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = nxt
+        nxt += 1
+        if nxt + early_change - 1 >= (1 << width):
+            if width < 12:
+                width += 1
+            else:
+                emit(256)
+                table = {bytes([i]): i for i in range(256)}
+                nxt = 258
+                width = 9
+        w = bytes([ch])
+    if w:
+        emit(table[w])
+    emit(257)
+    # pack MSB-first
+    acc = nacc = 0
+    packed = bytearray()
+    for code, wd in out_bits:
+        acc = (acc << wd) | code
+        nacc += wd
+        while nacc >= 8:
+            packed.append((acc >> (nacc - 8)) & 0xFF)
+            nacc -= 8
+    if nacc:
+        packed.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(packed)
+
+
+def test_lzw_filter_roundtrip():
+    from lucene_solr_ray.ops.pdf import _lzw_decode
+
+    for payload in (b"", b"A", b"TOBEORNOTTOBEORTOBEORNOT",
+                    bytes(range(256)) * 5,
+                    b"aaaaaaaaaaaaaaaaaaaaaaaaab" * 40,
+                    bytes([i % 7 for i in range(5000)])):
+        assert _lzw_decode(_lzw_encode(payload)) == payload
+
+    content = b"BT (lzw compressed text) Tj ET"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>",
+        5: _stream(b"<< /Filter /LZWDecode >>", _lzw_encode(content)),
+    }
+    d = extract_pdf(_mkpdf(objs, b"<< /Root 1 0 R >>"))
+    assert d["content"] == "lzw compressed text"
+
+
+def test_tiff_predictor():
+    from lucene_solr_ray.ops.pdf import _tiff_unpredict
+
+    # rows of horizontally-differenced bytes invert to running sums
+    raw = bytes([10, 5, 5, 0, 7, 1, 1, 1])  # 2 rows, columns=4, colors=1
+    assert _tiff_unpredict(raw, 4, 1, 8) == bytes(
+        [10, 15, 20, 20, 7, 8, 9, 10])
+    # colors=2: components difference independently
+    raw2 = bytes([1, 2, 3, 4])  # one row, columns=2
+    assert _tiff_unpredict(raw2, 2, 2, 8) == bytes([1, 2, 4, 6])
+
+
+def test_pdf_corruption_never_hangs():
+    """Seeded truncations and byte flips: extract or raise, never hang
+    (the multimodal codecs' adversarial-input discipline)."""
+    import random
+
+    base = _simple_pdf(b"BT (stable text body here) Tj ET", compress=True)
+    rng = random.Random(7)
+    for _ in range(60):
+        blob = bytearray(base)
+        if rng.random() < 0.5:
+            blob = blob[:rng.randrange(8, len(blob))]
+        else:
+            for _ in range(rng.randrange(1, 4)):
+                blob[rng.randrange(len(blob))] = rng.randrange(256)
+        try:
+            extract_pdf(bytes(blob))
+        except Exception:
+            pass
