@@ -4890,6 +4890,69 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def _q_tika_pdf_roundtrip(sf_dir: str) -> pa.Table:
+    """Tika/ExtractingRequestHandler over PDFs (solr/contrib/extraction;
+    PDFBox delegate role): every documents.text row is rendered as a
+    real Flate-compressed PDF inside the first map_batches stage
+    (worker-side synthesis — doc_id rides in the /Info /Title), then
+    ops.extract.extract_batch parses the binaries back with the native
+    ISO-32000 parser in ops.pdf. The oracle asserts the text survives
+    the PDF container byte-for-byte (the corpus has no runs of
+    whitespace, so the extractor's normalization is the identity)."""
+    import ray.data as rd
+
+    from ..ops.extract import extract_batch
+
+    def synth(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        from ..util import tune_allocator
+
+        tune_allocator()
+        paths, blobs = [], []
+        for did, txt in zip(batch["doc_id"].to_pylist(),
+                            batch["text"].to_pylist()):
+            body = (txt or "").encode("latin-1", "replace") \
+                .replace(b"\\", b"\\\\").replace(b"(", b"\\(") \
+                .replace(b")", b"\\)")
+            content = zlib.compress(b"BT 36 770 Td (" + body + b") Tj ET")
+            objs = (
+                (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+                (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+                (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+                (4, b"<< /Filter /FlateDecode /Length %d >>\nstream\n"
+                    % len(content) + content + b"\nendstream"),
+                (5, b"<< /Title (%d) >>" % did),
+            )
+            pdf = b"%PDF-1.4\n" + b"".join(
+                b"%d 0 obj\n%s\nendobj\n" % (n, ob) for n, ob in objs
+            ) + b"trailer\n<< /Root 1 0 R /Info 5 0 R >>\n%%EOF\n"
+            paths.append(f"{did}.pdf")
+            blobs.append(pdf)
+        return pa.table({"path": pa.array(paths, pa.string()),
+                         "bytes": pa.array(blobs, pa.large_binary())})
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    out = (docs
+           .map_batches(synth, batch_format="pyarrow")
+           .map_batches(lambda t: extract_batch(t, on_error="raise"),
+                        batch_format="pyarrow")
+           .map_batches(lambda t: pa.table({
+               "doc_id": pc.cast(t["title"], pa.int64()),
+               "content": pc.cast(t["content"], pa.string())}),
+               batch_format="pyarrow"))
+    df = out.to_pandas()
+    return pa.Table.from_pandas(
+        df.sort_values("doc_id").reset_index(drop=True),
+        preserve_index=False)
+
+
+TIKA_PDF_ROUNDTRIP_SQL = """
+SELECT doc_id, text AS content FROM documents ORDER BY doc_id
+"""
+
+
 STREAM_ROLLUP_EXPR = ('rollup(search(lineitem, q="*:*", '
                       'fl="l_returnflag,l_quantity"), '
                       'over="l_returnflag", sum(l_quantity), count(*))')
@@ -5272,6 +5335,7 @@ def build_queries() -> dict:
         # analogue) has no SQL twin; fixture-verified in test_cluster
         "cluster_docs": _q_cluster_docs(),
         "dih_full_import": _q_dih_full_import,
+        "tika_pdf_roundtrip": _q_tika_pdf_roundtrip,
         "rel_block_join_parent": J.block_join_parent,
         "rel_block_join_facet": J.block_join_facet,
         "rel_block_join_child": J.block_join_child,
@@ -5563,6 +5627,7 @@ def build_oracle_sql() -> dict:
         "sql_distinct": SQL_DISTINCT,
         "sql_stats": SQL_STATS,
         "dih_full_import": DIH_FULL_IMPORT_SQL,
+        "tika_pdf_roundtrip": TIKA_PDF_ROUNDTRIP_SQL,
         "rel_block_join_parent": RS.BLOCK_JOIN_PARENT,
         "rel_block_join_facet": RS.BLOCK_JOIN_FACET,
         "rel_block_join_child": RS.BLOCK_JOIN_CHILD,
