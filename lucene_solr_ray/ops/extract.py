@@ -251,17 +251,40 @@ def _extract_office(data: bytes) -> dict:
     if any(n.startswith("xl/") for n in names):
         ctype = ("application/vnd.openxmlformats-officedocument"
                  ".spreadsheetml.sheet")
-        parts = []
+        shared: list[str] = []
         if "xl/sharedStrings.xml" in names:
-            parts.append(texts("xl/sharedStrings.xml", "t", None))
+            root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+            for si in root.iter():
+                if _local(si.tag) == "si":
+                    shared.append("".join(
+                        t.text for t in si.iter()
+                        if _local(t.tag) == "t" and t.text))
+        parts = []
         for n in sorted(names):
-            # inline strings (<is><t>…) live in the sheets themselves
+            # cells in document order: t="s" → shared-string ref,
+            # inlineStr → <is><t>, str/b/n → literal <v> (POI emits
+            # numbers as text too)
             if n.startswith("xl/worksheets/") and n.endswith(".xml"):
                 root = ET.fromstring(zf.read(n))
-                for el in root.iter():
-                    if _local(el.tag) == "is":
-                        parts.extend(t.text for t in el.iter()
+                for c in root.iter():
+                    if _local(c.tag) != "c":
+                        continue
+                    kind = c.get("t", "n")
+                    if kind == "inlineStr":
+                        parts.extend(t.text for t in c.iter()
                                      if _local(t.tag) == "t" and t.text)
+                        continue
+                    v = next((e.text for e in c.iter()
+                              if _local(e.tag) == "v"), None)
+                    if v is None:
+                        continue
+                    if kind == "s":
+                        try:
+                            parts.append(shared[int(v)])
+                        except (ValueError, IndexError):
+                            pass
+                    else:
+                        parts.append(v)
         return {"content": _WS.sub(" ", " ".join(parts)).strip(),
                 "title": title, "content_type": ctype, "metadata": meta}
     if "content.xml" in names:

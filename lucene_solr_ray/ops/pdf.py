@@ -24,9 +24,12 @@ PDFs):
 - **Text** (§9.4): BT..ET blocks; Tj / ' / " / TJ shows; Td/TD/T*/Tm
   line tracking emits newlines; Tf tracks the active font.
 - **Font decoding** (§9.10): /ToUnicode CMaps (bfchar + bfrange, 1- and
-  2-byte codes, UTF-16BE targets) when present; otherwise
-  /WinAnsiEncoding → cp1252, /MacRomanEncoding → mac-roman, default
-  latin-1 (PDFDocEncoding's printable range coincides with latin-1).
+  2-byte codes, UTF-16BE targets) when present; otherwise /Encoding —
+  name (/WinAnsiEncoding → cp1252, /MacRomanEncoding → mac-roman,
+  default latin-1: PDFDocEncoding's printable range coincides with
+  latin-1) or dict with /Differences arrays (§9.6.6.1), glyph names
+  resolved through an Adobe-Glyph-List subset derived from
+  ``unicodedata`` plus the systematic uniXXXX/uXXXX families.
 """
 
 from __future__ import annotations
@@ -583,6 +586,104 @@ def _parse_tounicode(cmap: bytes):
     return mapping, (lengths or {1})
 
 
+_GLYPHS: dict[str, str] | None = None
+
+_GLYPH_EXTRA = {
+    # names whose unicodedata lookup isn't systematic (AGL entries)
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "dagger": "†", "daggerdbl": "‡", "ellipsis": "…",
+    "fi": "ﬁ", "fl": "ﬂ", "germandbls": "ß",
+    "dotlessi": "ı", "cent": "¢", "sterling": "£",
+    "yen": "¥", "florin": "ƒ", "section": "§",
+    "currency": "¤", "copyright": "©", "registered": "®",
+    "trademark": "™", "degree": "°", "plusminus": "±",
+    "multiply": "×", "divide": "÷", "micro": "µ",
+    "paragraph": "¶", "periodcentered": "·",
+    "guillemotleft": "«", "guillemotright": "»",
+    "guilsinglleft": "‹", "guilsinglright": "›",
+    "questiondown": "¿", "exclamdown": "¡",
+    "perthousand": "‰", "minus": "−", "fraction": "⁄",
+    "Euro": "€", "brokenbar": "¦", "logicalnot": "¬",
+    "macron": "¯", "acute": "´", "cedilla": "¸",
+    "dieresis": "¨", "circumflex": "ˆ", "tilde": "˜",
+    "caron": "ˇ", "breve": "˘", "dotaccent": "˙",
+    "ring": "˚", "ogonek": "˛", "hungarumlaut": "˝",
+    "onequarter": "¼", "onehalf": "½",
+    "threequarters": "¾", "onesuperior": "¹",
+    "twosuperior": "²", "threesuperior": "³",
+    "ordfeminine": "ª", "ordmasculine": "º",
+    "ae": "æ", "AE": "Æ", "oe": "œ", "OE": "Œ",
+    "oslash": "ø", "Oslash": "Ø", "eth": "ð",
+    "Eth": "Ð", "thorn": "þ", "Thorn": "Þ",
+    "lslash": "ł", "Lslash": "Ł",
+}
+
+_DIGITS = ("zero", "one", "two", "three", "four", "five", "six",
+           "seven", "eight", "nine")
+_ACCENTS = {"acute": "ACUTE", "grave": "GRAVE",
+            "circumflex": "CIRCUMFLEX", "dieresis": "DIAERESIS",
+            "tilde": "TILDE", "ring": "RING ABOVE", "cedilla": "CEDILLA",
+            "caron": "CARON", "breve": "BREVE", "macron": "MACRON",
+            "ogonek": "OGONEK", "dotaccent": "DOT ABOVE",
+            "hungarumlaut": "DOUBLE ACUTE", "slash": "STROKE"}
+
+
+def _glyph_table() -> dict[str, str]:
+    """Adobe-Glyph-List subset, DERIVED from unicodedata rather than
+    transcribed: letters/digits, ASCII punctuation names, the WinAnsi
+    symbol set, and the systematic ``<letter><accent>`` /
+    ``uniXXXX`` / ``uXXXX`` families (§AGL specification)."""
+    global _GLYPHS
+    if _GLYPHS is not None:
+        return _GLYPHS
+    import string
+    import unicodedata
+
+    g = dict(_GLYPH_EXTRA)
+    for ch in string.ascii_letters:
+        g[ch] = ch
+    for i, name in enumerate(_DIGITS):
+        g[name] = str(i)
+    for ch in string.ascii_lowercase:
+        for suffix, uname in _ACCENTS.items():
+            for case, cased in (("SMALL", ch), ("CAPITAL", ch.upper())):
+                try:
+                    u = unicodedata.lookup(
+                        f"LATIN {case} LETTER {ch.upper()} WITH {uname}")
+                except KeyError:
+                    continue
+                g.setdefault(cased + suffix, u)
+    _GLYPHS = g
+    return g
+
+
+def _glyph_to_unicode(name: str) -> str | None:
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return "".join(chr(int(name[k:k + 4], 16))
+                           for k in range(3, len(name) - 3, 4))
+        except ValueError:
+            return None
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            return None
+    return _glyph_table().get(name)
+
+
 def _font_decoder(doc: PdfDocument, font) -> "callable":
     font = doc.resolve(font)
     if isinstance(font, dict):
@@ -610,8 +711,24 @@ def _font_decoder(doc: PdfDocument, font) -> "callable":
             except NotImplementedError:
                 pass
         enc = doc.resolve(font.get("Encoding"))
+        base = enc.get("BaseEncoding") if isinstance(enc, dict) else enc
         codec = {"WinAnsiEncoding": "cp1252",
-                 "MacRomanEncoding": "mac-roman"}.get(str(enc), "latin-1")
+                 "MacRomanEncoding": "mac-roman"}.get(str(base), "latin-1")
+        if isinstance(enc, dict) and enc.get("Differences") is not None:
+            # /Differences [code name name … code name …] (§9.6.6.1)
+            table = [bytes([i]).decode(codec, "replace")
+                     for i in range(256)]
+            code = 0
+            for item in doc.resolve(enc["Differences"]) or []:
+                item = doc.resolve(item)
+                if isinstance(item, (int, float)):
+                    code = int(item)
+                elif isinstance(item, _Name):
+                    u = _glyph_to_unicode(str(item))
+                    if code < 256:
+                        table[code] = u if u is not None else "�"
+                    code += 1
+            return lambda bs: "".join(table[b] for b in bs)
         return lambda bs: bs.decode(codec, errors="replace")
     return lambda bs: bs.decode("latin-1", errors="replace")
 

@@ -197,20 +197,26 @@ def test_docx():
     assert d["content_type"].endswith("wordprocessingml.document")
 
 
-def test_xlsx_shared_and_inline_strings():
+def test_xlsx_shared_inline_and_numeric_cells():
     doc = _zipbytes({
         "xl/workbook.xml": b"<workbook/>",
         "xl/sharedStrings.xml":
             b'<sst xmlns="urn:s"><si><t>alpha metric</t></si>'
-            b"<si><t>beta</t></si></sst>",
+            b"<si><r><t>be</t></r><r><t>ta</t></r></si></sst>",
         "xl/worksheets/sheet1.xml":
             b'<worksheet xmlns="urn:s"><sheetData><row>'
-            b'<c t="inlineStr"><is><t>inline gamma</t></is></c>'
+            b'<c r="A1" t="s"><v>1</v></c>'
+            b'<c r="B1"><v>42.5</v></c>'
+            b'<c r="C1" t="s"><v>0</v></c>'
+            b'<c r="D1" t="inlineStr"><is><t>inline gamma</t></is></c>'
+            b'<c r="E1" t="str"><v>formula out</v></c>'
+            b'<c r="F1"/>'
             b"</row></sheetData></worksheet>",
     })
     d = extract_document(doc, "kpis.xlsx")
-    for tok in ("alpha metric", "beta", "inline gamma"):
-        assert tok in d["content"]
+    # document order, shared refs resolved (incl. rich-text runs),
+    # numbers kept as text, empty cells skipped
+    assert d["content"] == "beta 42.5 alpha metric inline gamma formula out"
     assert d["content_type"].endswith("spreadsheetml.sheet")
 
 
@@ -352,3 +358,36 @@ def test_pdf_corruption_never_hangs():
             extract_pdf(bytes(blob))
         except Exception:
             pass
+
+
+def test_encoding_differences():
+    """Font /Encoding dict with /Differences — the LaTeX-style layout
+    where bytes are remapped to named glyphs."""
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R"
+            b" /Resources << /Font << /F1 4 0 R >> >> >>"),
+        4: (b"<< /Type /Font /Subtype /Type1 /Encoding"
+            b" << /BaseEncoding /WinAnsiEncoding /Differences"
+            b" [ 65 /eacute /emdash 97 /uni0058 /u0059 /fi ] >> >>"),
+        # bytes: A B a b c d-as-is
+        5: _stream(b"<< >>", b"BT /F1 9 Tf (ABabcd) Tj ET"),
+    }
+    d = extract_pdf(_mkpdf(objs, b"<< /Root 1 0 R >>"))
+    # 65→é 66→— 97→X 98→Y 99→ﬁ, 'd' passes through WinAnsi
+    assert d["content"] == "é—XYﬁd"
+
+
+def test_glyph_name_resolution():
+    from lucene_solr_ray.ops.pdf import _glyph_to_unicode
+
+    assert _glyph_to_unicode("eacute") == "é"
+    assert _glyph_to_unicode("Odieresis") == "Ö"
+    assert _glyph_to_unicode("ccedilla") == "ç"
+    assert _glyph_to_unicode("zcaron") == "ž"
+    assert _glyph_to_unicode("seven") == "7"
+    assert _glyph_to_unicode("quotedblright") == "”"
+    assert _glyph_to_unicode("uni004100420043") == "ABC"
+    assert _glyph_to_unicode("u1F600") == "\U0001F600"
+    assert _glyph_to_unicode("nonexistentglyph") is None
