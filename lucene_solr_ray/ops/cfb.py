@@ -1,0 +1,385 @@
+"""OLE2 Compound File Binary + legacy binary Office text extraction —
+the Tika POI-HWPF/HSLF roles for :mod:`.extract` (reference:
+solr/contrib/extraction delegates .doc/.ppt to Tika/POI; no Office
+library ships in this environment, so the formats are implemented from
+the published Microsoft Open Specifications, like the PDF parser in
+ops/pdf.py).
+
+- **[MS-CFB]** container: 512/4096-byte sectors, DIFAT (header +
+  chained sectors), FAT chains, directory tree (UTF-16 names, red-black
+  tree read as a flat list), mini-FAT streams through the root entry's
+  mini stream, cutoff 4096.
+- **[MS-DOC]** WordDocument text: FIB (wIdent 0xA5EC), fWhichTblStm →
+  0Table/1Table, Clx in the table stream (Prc skip + Pcdt), PlcPcd
+  piece table — per-piece fCompressed (cp1252, fc/2) vs UTF-16LE runs,
+  control-char folding (cell/row marks, field separators).
+- **[MS-PPT]** PowerPoint Document record walk: TextCharsAtom (UTF-16)
+  and TextBytesAtom (cp1252) payloads in container records.
+- **[MS-XLS]** Workbook BIFF8 record walk: SST shared strings
+  (XLUnicodeRichExtendedString with Continue-record grapheme splits),
+  NUMBER/RK cell values.
+- **[MS-OLEPS]** \\x05SummaryInformation property set: PIDSI_TITLE /
+  PIDSI_AUTHOR / PIDSI_SUBJECT (VT_LPSTR / VT_LPWSTR).
+
+Encrypted documents (FIB fEncrypted, FilePass records) raise
+NotImplementedError.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+_FREESECT = 0xFFFFFFFF
+_ENDOFCHAIN = 0xFFFFFFFE
+_FATSECT = 0xFFFFFFFD
+_DIFSECT = 0xFFFFFFFC
+
+
+class CfbFile:
+    """Minimal [MS-CFB] reader: directory listing + stream bytes."""
+
+    def __init__(self, data: bytes):
+        if data[:8] != _MAGIC:
+            raise ValueError("not an OLE2 compound file")
+        (sector_shift, mini_shift) = struct.unpack_from("<HH", data, 30)
+        self.ssz = 1 << sector_shift
+        self.mssz = 1 << mini_shift
+        (self.n_fat,) = struct.unpack_from("<I", data, 44)
+        (self.dir_start,) = struct.unpack_from("<I", data, 48)
+        (self.mini_cutoff,) = struct.unpack_from("<I", data, 56)
+        (self.minifat_start, self.n_minifat, self.difat_start,
+         self.n_difat) = struct.unpack_from("<IIII", data, 60)
+        self.data = data
+
+        # DIFAT: 109 header entries + chained DIFAT sectors
+        difat = list(struct.unpack_from("<109I", data, 76))
+        sect = self.difat_start
+        for _ in range(self.n_difat):
+            if sect in (_ENDOFCHAIN, _FREESECT):
+                break
+            raw = self._sector(sect)
+            ents = struct.unpack(f"<{self.ssz // 4}I", raw)
+            difat.extend(ents[:-1])
+            sect = ents[-1]
+        fat = bytearray()
+        for s in difat:
+            if s in (_FREESECT, _ENDOFCHAIN):
+                continue
+            fat += self._sector(s)
+        self.fat = struct.unpack(f"<{len(fat) // 4}I", bytes(fat))
+
+        # directory
+        dirbytes = self._chain_bytes(self.dir_start)
+        self.entries: list[dict] = []
+        for off in range(0, len(dirbytes) - 127, 128):
+            (name_len,) = struct.unpack_from("<H", dirbytes, off + 64)
+            if name_len < 2:
+                continue
+            name = dirbytes[off:off + name_len - 2].decode(
+                "utf-16-le", "replace")
+            etype = dirbytes[off + 66]
+            (start,) = struct.unpack_from("<I", dirbytes, off + 116)
+            (size,) = struct.unpack_from("<Q", dirbytes, off + 120)
+            self.entries.append({"name": name, "type": etype,
+                                 "start": start, "size": size})
+
+        # mini FAT + mini stream (root entry chain)
+        mfat = self._chain_bytes(self.minifat_start) \
+            if self.minifat_start != _ENDOFCHAIN else b""
+        self.minifat = struct.unpack(f"<{len(mfat) // 4}I", mfat)
+        root = next((e for e in self.entries if e["type"] == 5), None)
+        self.ministream = self._chain_bytes(root["start"]) if root else b""
+
+    def _sector(self, n: int) -> bytes:
+        off = 512 + n * self.ssz
+        return self.data[off:off + self.ssz]
+
+    def _chain_bytes(self, start: int, limit: int = 1 << 30) -> bytes:
+        out = bytearray()
+        sect = start
+        seen = 0
+        while sect not in (_ENDOFCHAIN, _FREESECT) and seen < len(self.fat):
+            out += self._sector(sect)
+            if sect >= len(self.fat):
+                break
+            sect = self.fat[sect]
+            seen += 1
+        return bytes(out)
+
+    def stream(self, name: str) -> bytes | None:
+        e = next((d for d in self.entries
+                  if d["name"] == name and d["type"] == 2), None)
+        if e is None:
+            return None
+        if e["size"] < self.mini_cutoff:
+            out = bytearray()
+            sect = e["start"]
+            seen = 0
+            while sect not in (_ENDOFCHAIN, _FREESECT) \
+                    and seen <= len(self.minifat):
+                off = sect * self.mssz
+                out += self.ministream[off:off + self.mssz]
+                if sect >= len(self.minifat):
+                    break
+                sect = self.minifat[sect]
+                seen += 1
+            return bytes(out[:e["size"]])
+        return self._chain_bytes(e["start"])[:e["size"]]
+
+
+# ---------------------------------------------------------------------------
+# [MS-DOC] WordDocument text via the Clx piece table
+
+
+def _doc_clean(text: str) -> str:
+    out = []
+    skip_field = 0
+    for ch in text:
+        o = ord(ch)
+        if o == 0x13:          # field begin: skip the instruction part
+            skip_field = 1
+            continue
+        if o == 0x14:          # field separator: result text follows
+            skip_field = 0
+            continue
+        if o == 0x15:          # field end
+            skip_field = 0
+            continue
+        if skip_field:
+            continue
+        if ch == "\r" or o == 0x0B:
+            out.append("\n")
+        elif o == 0x07:        # cell / row mark
+            out.append(" ")
+        elif o >= 0x20 or ch in "\t\n":
+            out.append(ch)
+    return "".join(out)
+
+
+def extract_doc_text(cfb: CfbFile) -> str:
+    word = cfb.stream("WordDocument")
+    if word is None:
+        raise ValueError("no WordDocument stream")
+    (w_ident,) = struct.unpack_from("<H", word, 0)
+    if w_ident != 0xA5EC:
+        raise ValueError("bad FIB wIdent")
+    (flags,) = struct.unpack_from("<H", word, 0x0A)
+    if flags & 0x0100:  # fEncrypted
+        raise NotImplementedError("encrypted .doc")
+    table = cfb.stream("1Table" if flags & 0x0200 else "0Table")
+    if table is None:
+        table = cfb.stream("0Table") or cfb.stream("1Table")
+    (fc_clx,) = struct.unpack_from("<I", word, 0x01A2)
+    (lcb_clx,) = struct.unpack_from("<I", word, 0x01A6)
+    if table is None or lcb_clx == 0:
+        raise ValueError("no Clx piece table")
+    clx = table[fc_clx:fc_clx + lcb_clx]
+
+    # Clx = Prc* Pcdt; Prc: 0x01 cbGrpprl(int16) data; Pcdt: 0x02 lcb
+    i = 0
+    while i < len(clx) and clx[i] == 0x01:
+        (cb,) = struct.unpack_from("<h", clx, i + 1)
+        i += 3 + cb
+    if i >= len(clx) or clx[i] != 0x02:
+        raise ValueError("malformed Clx")
+    (lcb,) = struct.unpack_from("<I", clx, i + 1)
+    plc = clx[i + 5:i + 5 + lcb]
+    n = (len(plc) - 4) // 12
+    cps = struct.unpack_from(f"<{n + 1}I", plc, 0)
+    parts: list[str] = []
+    for k in range(n):
+        pcd = plc[4 * (n + 1) + 8 * k: 4 * (n + 1) + 8 * k + 8]
+        (fc_raw,) = struct.unpack_from("<I", pcd, 2)
+        nchars = cps[k + 1] - cps[k]
+        if fc_raw & 0x40000000:  # fCompressed: cp1252, fc halved
+            fc = (fc_raw & 0x3FFFFFFF) >> 1
+            parts.append(word[fc:fc + nchars].decode("cp1252", "replace"))
+        else:
+            fc = fc_raw & 0x3FFFFFFF
+            parts.append(word[fc:fc + 2 * nchars].decode(
+                "utf-16-le", "replace"))
+    return _doc_clean("".join(parts))
+
+
+# ---------------------------------------------------------------------------
+# [MS-PPT] text atoms
+
+
+def extract_ppt_text(cfb: CfbFile) -> str:
+    doc = cfb.stream("PowerPoint Document")
+    if doc is None:
+        raise ValueError("no PowerPoint Document stream")
+    parts: list[str] = []
+
+    def walk(buf: bytes, lo: int, hi: int, depth: int = 0):
+        i = lo
+        while i + 8 <= hi and depth < 32:
+            ver_inst, rtype, rlen = struct.unpack_from("<HHI", buf, i)
+            i += 8
+            end = min(i + rlen, hi)
+            if (ver_inst & 0x0F) == 0x0F:      # container record
+                walk(buf, i, end, depth + 1)
+            elif rtype == 0x0FA0:              # TextCharsAtom (UTF-16)
+                parts.append(buf[i:end].decode("utf-16-le", "replace"))
+            elif rtype == 0x0FA8:              # TextBytesAtom (cp1252)
+                parts.append(buf[i:end].decode("cp1252", "replace"))
+            elif rtype == 0x0FBA:              # CString (titles etc.)
+                parts.append(buf[i:end].decode("utf-16-le", "replace"))
+            i = end
+    walk(doc, 0, len(doc))
+    text = "\n".join(p.replace("\r", "\n").strip()
+                     for p in parts if p.strip())
+    return text
+
+
+# ---------------------------------------------------------------------------
+# [MS-XLS] BIFF8 Workbook: SST strings + numeric cells
+
+
+def _xls_unicode_string(buf: bytes, i: int) -> tuple[str, int]:
+    """XLUnicodeRichExtendedString at i → (text, next_i). Continue-
+    record splits are pre-joined by the caller (grbit re-read is the
+    caller's concern; this handles the in-record layout)."""
+    (cch,) = struct.unpack_from("<H", buf, i)
+    grbit = buf[i + 2]
+    i += 3
+    crun = 0
+    cbext = 0
+    if grbit & 0x08:
+        (crun,) = struct.unpack_from("<H", buf, i)
+        i += 2
+    if grbit & 0x04:
+        (cbext,) = struct.unpack_from("<i", buf, i)
+        i += 4
+    if grbit & 0x01:
+        s = buf[i:i + 2 * cch].decode("utf-16-le", "replace")
+        i += 2 * cch
+    else:
+        s = buf[i:i + cch].decode("latin-1", "replace")
+        i += cch
+    i += 4 * crun + cbext
+    return s, i
+
+
+def extract_xls_text(cfb: CfbFile) -> str:
+    wb = cfb.stream("Workbook") or cfb.stream("Book")
+    if wb is None:
+        raise ValueError("no Workbook stream")
+    # record walk; join SST + its Continue records into one buffer
+    # (simple form: strings that do not straddle a Continue boundary)
+    parts: list[str] = []
+    i = 0
+    n = len(wb)
+    sst_buf: bytes | None = None
+    sst_count = 0
+    while i + 4 <= n:
+        rtype, rlen = struct.unpack_from("<HH", wb, i)
+        body = wb[i + 4:i + 4 + rlen]
+        i += 4 + rlen
+        if rtype == 0x002F:            # FilePass: encrypted
+            raise NotImplementedError("encrypted .xls")
+        if rtype == 0x00FC:            # SST
+            (_, sst_count) = struct.unpack_from("<II", body, 0)
+            sst_buf = body[8:]
+        elif rtype == 0x003C and sst_buf is not None:   # Continue
+            # drop the per-continue grbit byte (string data continues)
+            sst_buf += body[1:] if body else b""
+        elif rtype == 0x0203:          # NUMBER
+            (v,) = struct.unpack_from("<d", body, 6)
+            parts.append(_fmt_num(v))
+        elif rtype == 0x027E:          # RK
+            parts.append(_fmt_num(_rk_value(
+                struct.unpack_from("<I", body, 6)[0])))
+        elif rtype == 0x0204:          # LABEL (pre-SST inline)
+            s, _ = _xls_unicode_string(body, 6)
+            parts.append(s)
+    strings: list[str] = []
+    if sst_buf is not None:
+        j = 0
+        try:
+            for _ in range(sst_count):
+                s, j = _xls_unicode_string(sst_buf, j)
+                strings.append(s)
+        except (struct.error, IndexError):
+            pass  # strings straddling Continue boundaries: keep prefix
+    text = " ".join(s for s in strings + parts if s)
+    return text.strip()
+
+
+def _rk_value(rk: int) -> float:
+    val = rk >> 2
+    if rk & 0x02:   # integer
+        if val & (1 << 29):
+            val -= 1 << 30
+        f = float(val)
+    else:           # top 30 bits of an IEEE double
+        f = struct.unpack("<d", struct.pack("<Q", (rk & ~0x3) << 32))[0]
+    return f / 100.0 if rk & 0x01 else f
+
+
+def _fmt_num(v: float) -> str:
+    return str(int(v)) if float(v).is_integer() else repr(v)
+
+
+# ---------------------------------------------------------------------------
+# [MS-OLEPS] SummaryInformation
+
+
+def summary_info(cfb: CfbFile) -> tuple[str, dict]:
+    """\\x05SummaryInformation → (title, metadata)."""
+    blob = cfb.stream("\x05SummaryInformation")
+    if not blob:
+        return "", {}
+    try:
+        (n_sections,) = struct.unpack_from("<I", blob, 24)
+        if n_sections < 1:
+            return "", {}
+        (sec_off,) = struct.unpack_from("<I", blob, 44)
+        (sec_size, n_props) = struct.unpack_from("<II", blob, sec_off)
+        names = {2: "title", 3: "subject", 4: "author", 8: "last_author",
+                 18: "application"}
+        title, meta = "", {}
+        for k in range(n_props):
+            pid, off = struct.unpack_from("<II", blob, sec_off + 8 + 8 * k)
+            if pid not in names:
+                continue
+            p = sec_off + off
+            (vt,) = struct.unpack_from("<I", blob, p)
+            (cch,) = struct.unpack_from("<I", blob, p + 4)
+            if vt == 30:        # VT_LPSTR (NUL-terminated)
+                val = blob[p + 8:p + 8 + cch].split(b"\0")[0] \
+                    .decode("cp1252", "replace")
+            elif vt == 31:      # VT_LPWSTR
+                val = blob[p + 8:p + 8 + 2 * cch].decode(
+                    "utf-16-le", "replace").rstrip("\0")
+            else:
+                continue
+            if pid == 2:
+                title = val
+            else:
+                meta[names[pid]] = val
+        return title, meta
+    except (struct.error, IndexError):
+        return "", {}
+
+
+def extract_ole(data: bytes) -> dict:
+    """One OLE2 binary Office file → the extract.py result shape."""
+    cfb = CfbFile(data)
+    names = {e["name"] for e in cfb.entries if e["type"] == 2}
+    title, meta = summary_info(cfb)
+    if "WordDocument" in names:
+        return {"content": extract_doc_text(cfb), "title": title,
+                "content_type": "application/msword", "metadata": meta}
+    if "PowerPoint Document" in names:
+        return {"content": extract_ppt_text(cfb), "title": title,
+                "content_type": "application/vnd.ms-powerpoint",
+                "metadata": meta}
+    if "Workbook" in names or "Book" in names:
+        return {"content": extract_xls_text(cfb), "title": title,
+                "content_type": "application/vnd.ms-excel",
+                "metadata": meta}
+    raise NotImplementedError(
+        "OLE2 container without a known Office stream "
+        f"(streams: {sorted(names)[:8]})")

@@ -30,6 +30,11 @@ the format matrix is honest about what is real:
   RunLength filters with PNG+TIFF predictors, BT..ET text operators
   with Tj/TJ/'/" shows, and ToUnicode CMap decoding (see :mod:`.pdf`);
   encrypted PDFs raise.
+- **binary Office (doc/ppt/xls, OLE2)** — real: [MS-CFB] container
+  (FAT/mini-FAT chains, directory), [MS-DOC] piece-table text,
+  [MS-PPT] text atoms, [MS-XLS] BIFF8 SST + numeric cells,
+  [MS-OLEPS] SummaryInformation metadata (see :mod:`.cfb`); encrypted
+  documents raise.
 - **application/rtf** — real: group-aware control-word walk
   (destination skipping, ``\\'xx``/``\\uN`` decoding, ``{\\info}``
   title/author capture).
@@ -70,6 +75,8 @@ def detect_content_type(data: bytes, path: str | None = None) -> str:
         return "application/pdf"
     if data[:4] == b"PK\x03\x04":
         return "application/zip"
+    if data[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
+        return "application/x-ole-storage"
     if data[:5] == b"{\\rtf":
         return "application/rtf"
     if (path and path.lower().endswith((".eml", ".mbox"))) or \
@@ -173,6 +180,10 @@ def extract_document(data: bytes, path: str | None = None) -> dict:
         return _extract_rtf(data)
     if ctype == "message/rfc822":
         return _extract_eml(data)
+    if ctype == "application/x-ole-storage":
+        from .cfb import extract_ole
+
+        return extract_ole(data)
     raise NotImplementedError(
         f"no parser for {ctype} in this environment (reference "
         "delegates these to Tika)")

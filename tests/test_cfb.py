@@ -1,0 +1,244 @@
+"""Binary Office extraction ([MS-CFB]/[MS-DOC]/[MS-PPT]/[MS-XLS]/
+[MS-OLEPS] — ops/cfb.py, the Tika POI roles; SURVEY §2.1 #6).
+
+The CFB WRITER lives in this test (the repo's encoder-in-test
+discipline): fixtures are real compound files with FAT chains, a mini
+stream + mini FAT for small streams, directory entries, and
+spec-built WordDocument piece tables / PPT record trees / BIFF8
+workbooks."""
+
+import struct
+
+import pytest
+
+from lucene_solr_ray.ops.cfb import CfbFile, extract_ole
+from lucene_solr_ray.ops.extract import detect_content_type, extract_document
+
+ENDOFCHAIN, FREESECT, FATSECT = 0xFFFFFFFE, 0xFFFFFFFF, 0xFFFFFFFD
+SS, MS = 512, 64
+
+
+def make_cfb(streams: dict[str, bytes]) -> bytes:
+    """[MS-CFB] writer: v3 512-byte sectors, one FAT sector, mini
+    stream for sub-4096 streams, consecutive-sector chains."""
+    big = {n: d for n, d in streams.items() if len(d) >= 4096}
+    small = {n: d for n, d in streams.items() if len(d) < 4096}
+
+    mini_data = bytearray()
+    minifat: list[int] = []
+    mini_start: dict[str, int] = {}
+    for n, d in small.items():
+        nsec = max(1, -(-len(d) // MS))
+        start = len(minifat)
+        mini_start[n] = start
+        minifat.extend(range(start + 1, start + nsec))
+        minifat.append(ENDOFCHAIN)
+        mini_data += d.ljust(nsec * MS, b"\x00")
+
+    sectors: list[bytes | None] = []
+    fat: list[int] = []
+
+    def alloc(data: bytes) -> int:
+        nsec = max(1, -(-len(data) // SS))
+        start = len(sectors)
+        for k in range(nsec):
+            sectors.append(data[k * SS:(k + 1) * SS].ljust(SS, b"\x00"))
+            fat.append(start + k + 1 if k < nsec - 1 else ENDOFCHAIN)
+        return start
+
+    fat_idx = len(sectors)
+    sectors.append(None)
+    fat.append(FATSECT)
+    minifat_bytes = b"".join(struct.pack("<I", v) for v in minifat)
+    minifat_sec = alloc(minifat_bytes) if minifat else ENDOFCHAIN
+    mini_sec = alloc(bytes(mini_data)) if mini_data else ENDOFCHAIN
+    big_start = {n: alloc(d) for n, d in big.items()}
+
+    def dirent(name: str, etype: int, start: int, size: int) -> bytes:
+        nb = name.encode("utf-16-le")
+        e = bytearray(128)
+        e[0:len(nb)] = nb
+        struct.pack_into("<H", e, 64, len(nb) + 2)
+        e[66] = etype
+        e[67] = 1  # black
+        struct.pack_into("<III", e, 68, FREESECT, FREESECT, FREESECT)
+        struct.pack_into("<I", e, 116, start)
+        struct.pack_into("<Q", e, 120, size)
+        return bytes(e)
+
+    ents = [dirent("Root Entry", 5,
+                   mini_sec if mini_data else ENDOFCHAIN, len(mini_data))]
+    for n, d in streams.items():
+        st = mini_start[n] if n in small else big_start[n]
+        ents.append(dirent(n, 2, st, len(d)))
+    dir_sec = alloc(b"".join(ents))
+
+    assert len(fat) <= SS // 4, "one-FAT-sector writer limit"
+    fatbytes = b"".join(struct.pack("<I", v) for v in fat)
+    fatbytes = fatbytes.ljust(SS, b"\xff")
+    sectors[fat_idx] = fatbytes
+
+    hdr = bytearray(512)
+    hdr[0:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    struct.pack_into("<HH", hdr, 24, 0x003E, 0x0003)   # minor, major
+    struct.pack_into("<H", hdr, 28, 0xFFFE)            # little-endian
+    struct.pack_into("<HH", hdr, 30, 9, 6)             # 512 / 64
+    struct.pack_into("<I", hdr, 44, 1)                 # n FAT sectors
+    struct.pack_into("<I", hdr, 48, dir_sec)
+    struct.pack_into("<I", hdr, 56, 4096)              # mini cutoff
+    struct.pack_into("<IIII", hdr, 60, minifat_sec,
+                     1 if minifat else 0, ENDOFCHAIN, 0)
+    struct.pack_into("<109I", hdr, 76, fat_idx, *([FREESECT] * 108))
+    return bytes(hdr) + b"".join(sectors)
+
+
+def make_summary(title: str, author: str) -> bytes:
+    def lpstr(s: str) -> bytes:
+        b = s.encode("cp1252") + b"\x00"
+        return struct.pack("<II", 30, len(b)) + b
+
+    props = [(2, lpstr(title)), (4, lpstr(author))]
+    sec_off = 48  # 28-byte header + 20-byte (FMTID+offset)
+    body = bytearray()
+    offs = []
+    base = 8 + 8 * len(props)
+    for pid, blob in props:
+        offs.append((pid, base + len(body)))
+        body += blob
+    sec = struct.pack("<II", base + len(body), len(props))
+    for pid, off in offs:
+        sec += struct.pack("<II", pid, off)
+    sec += body
+    head = struct.pack("<HHI", 0xFFFE, 0, 0x0205) + b"\x00" * 16 \
+        + struct.pack("<I", 1) + b"\x11" * 16 + struct.pack("<I", sec_off)
+    return head + sec
+
+
+def make_doc(pieces: list[tuple[str, bool]], *, encrypted=False) -> bytes:
+    """WordDocument + 1Table with a real Clx piece table.
+    pieces: [(text, compressed?)] — compressed = cp1252, else UTF-16."""
+    word = bytearray(4608)  # > 4096: exercises the big-stream FAT path
+    struct.pack_into("<H", word, 0, 0xA5EC)
+    flags = 0x0200 | (0x0100 if encrypted else 0)
+    struct.pack_into("<H", word, 0x0A, flags)
+    text_at = 0x0800
+    cps = [0]
+    pcds = []
+    for text, comp in pieces:
+        cps.append(cps[-1] + len(text))
+        if comp:
+            raw = text.encode("cp1252")
+            fc = 0x40000000 | (text_at << 1)
+        else:
+            raw = text.encode("utf-16-le")
+            fc = text_at
+        word[text_at:text_at + len(raw)] = raw
+        pcds.append(struct.pack("<HIH", 0, fc, 0))
+        text_at += len(raw)
+    plc = b"".join(struct.pack("<I", c) for c in cps) + b"".join(pcds)
+    # prepend a Prc block the parser must skip
+    clx = b"\x01" + struct.pack("<h", 3) + b"\xAA\xBB\xCC" \
+        + b"\x02" + struct.pack("<I", len(plc)) + plc
+    table = bytearray(64)
+    fc_clx = 16
+    table[fc_clx:fc_clx + len(clx)] = clx
+    struct.pack_into("<I", word, 0x01A2, fc_clx)
+    struct.pack_into("<I", word, 0x01A6, len(clx))
+    return make_cfb({
+        "WordDocument": bytes(word),
+        "1Table": bytes(table),
+        "\x05SummaryInformation": make_summary("Doc Title", "dana"),
+    })
+
+
+def test_doc_pieces_and_summary():
+    blob = make_doc([("Hello piece one.\r", True),
+                     ("ünïcode piece twö\x07done", False)])
+    assert detect_content_type(blob) == "application/x-ole-storage"
+    d = extract_document(blob, "memo.doc")
+    assert d["content_type"] == "application/msword"
+    assert d["content"] == "Hello piece one.\nünïcode piece twö done"
+    assert d["title"] == "Doc Title"
+    assert d["metadata"]["author"] == "dana"
+
+
+def test_doc_field_skip_and_encrypted():
+    # {field begin}INSTR{sep}result{end} → only "result" survives
+    blob = make_doc([("a \x13HYPERLINK x\x14linktext\x15 b", True)])
+    assert extract_ole(blob)["content"] == "a linktext b"
+    with pytest.raises(NotImplementedError):
+        extract_ole(make_doc([("x", True)], encrypted=True))
+
+
+def _ppt_atom(rtype: int, payload: bytes, inst=0) -> bytes:
+    return struct.pack("<HHI", inst, rtype, len(payload)) + payload
+
+
+def test_ppt_text_atoms():
+    inner = (_ppt_atom(0x0FA0, "chars ålpha".encode("utf-16-le"))
+             + _ppt_atom(0x0FA8, b"bytes beta")
+             + _ppt_atom(0x1234, b"\x01\x02"))     # unknown atom skipped
+    container = struct.pack("<HHI", 0x000F, 0x03EE, len(inner)) + inner
+    blob = make_cfb({"PowerPoint Document": container,
+                     "\x05SummaryInformation": make_summary("Deck", "e")})
+    d = extract_ole(blob)
+    assert d["content_type"] == "application/vnd.ms-powerpoint"
+    assert "chars ålpha" in d["content"]
+    assert "bytes beta" in d["content"]
+    assert d["title"] == "Deck"
+
+
+def _sst_string(s: str, wide: bool) -> bytes:
+    raw = s.encode("utf-16-le" if wide else "latin-1")
+    return struct.pack("<HB", len(s), 0x01 if wide else 0x00) + raw
+
+
+def test_xls_sst_and_numbers():
+    sst = struct.pack("<II", 3, 3) + _sst_string("gamma cell", False) \
+        + _sst_string("δelta", True) + _sst_string("plain", False)
+    rec_sst = struct.pack("<HH", 0x00FC, len(sst)) + sst
+    num = struct.pack("<HHH", 0, 0, 0) + struct.pack("<d", 3.25)
+    rec_num = struct.pack("<HH", 0x0203, len(num)) + num
+    rk_int = struct.pack("<HHHI", 1, 0, 0, (7 << 2) | 0x02)
+    rec_rk = struct.pack("<HH", 0x027E, len(rk_int)) + rk_int
+    wb = rec_sst + rec_num + rec_rk
+    blob = make_cfb({"Workbook": wb})
+    d = extract_ole(blob)
+    assert d["content_type"] == "application/vnd.ms-excel"
+    for tok in ("gamma cell", "δelta", "plain", "3.25", "7"):
+        assert tok in d["content"], (tok, d["content"])
+
+
+def test_xls_encrypted_raises():
+    fp = struct.pack("<HH", 0x002F, 4) + b"\x01\x00\x00\x00"
+    with pytest.raises(NotImplementedError):
+        extract_ole(make_cfb({"Workbook": fp}))
+
+
+def test_cfb_container_roundtrip_and_unknown():
+    big = bytes(range(256)) * 20  # 5120 bytes → FAT path
+    blob = make_cfb({"BigStream": big, "Tiny": b"xy"})
+    cfb = CfbFile(blob)
+    assert cfb.stream("BigStream") == big
+    assert cfb.stream("Tiny") == b"xy"
+    assert cfb.stream("Nope") is None
+    with pytest.raises(NotImplementedError):
+        extract_ole(blob)  # no known Office stream
+
+
+def test_cfb_corruption_never_hangs():
+    import random
+
+    base = make_doc([("stable body text here", True)])
+    rng = random.Random(11)
+    for _ in range(50):
+        b = bytearray(base)
+        if rng.random() < 0.5:
+            b = b[:rng.randrange(16, len(b))]
+        else:
+            for _ in range(rng.randrange(1, 5)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            extract_ole(bytes(b))
+        except Exception:
+            pass
