@@ -41,6 +41,10 @@ the format matrix is honest about what is real:
 - **message/rfc822** — real: stdlib ``email`` MIME walk; text parts
   concatenated, attachments recursively extracted (Tika's recursive
   parse), subject → title, routing headers → metadata.
+- **archives (gzip / tar / non-Office zip)** — real: stdlib
+  decompression with recursive member extraction (the Tika
+  RecursiveParserWrapper role), nesting capped, unparseable members
+  skipped and counted.
 - **unknown binary** — detected (magic bytes) but extraction raises
   ``NotImplementedError``; with ``on_error="skip"`` (the
   ignoreTikaException analogue, the default) such rows are dropped and
@@ -77,6 +81,12 @@ def detect_content_type(data: bytes, path: str | None = None) -> str:
         return "application/zip"
     if data[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
         return "application/x-ole-storage"
+    if data[:2] == b"\x1f\x8b":
+        return "application/gzip"
+    if data[257:262] == b"ustar" or (
+            path and path.lower().endswith(".tar")
+            and len(data) >= 1024):
+        return "application/x-tar"
     if data[:5] == b"{\\rtf":
         return "application/rtf"
     if (path and path.lower().endswith((".eml", ".mbox"))) or \
@@ -145,10 +155,14 @@ def lowername(name: str) -> str:
     return re.sub(r"[^a-z0-9]+", "_", name.lower()).strip("_")
 
 
-def extract_document(data: bytes, path: str | None = None) -> dict:
+def extract_document(data: bytes, path: str | None = None,
+                     _depth: int = 0) -> dict:
     """One document → {content, title, content_type, metadata}.
-    Raises NotImplementedError for formats whose codecs don't exist in
-    this environment (PDF, zip-based Office, unknown binary)."""
+    Raises NotImplementedError for formats with no parser in this
+    environment (encrypted files, unknown binary). Archives (gzip/
+    tar/zip) recurse into members, nesting capped at 5."""
+    if _depth > 5:
+        raise NotImplementedError("archive nesting too deep")
     ctype = detect_content_type(data, path)
     if ctype == "text/html":
         h = _TextHandler()
@@ -170,8 +184,20 @@ def extract_document(data: bytes, path: str | None = None) -> dict:
     if ctype == "text/plain":
         return {"content": data.decode("utf-8", errors="replace").strip(),
                 "title": "", "content_type": ctype, "metadata": {}}
+    if ctype == "application/gzip":
+        import gzip
+
+        inner = path[:-3] if path and path.lower().endswith(".gz") else path
+        return extract_document(gzip.decompress(data), inner,
+                                _depth=_depth + 1)
+    if ctype == "application/x-tar":
+        return _extract_archive_members(data, _depth)
     if ctype == "application/zip":
-        return _extract_office(data)
+        try:
+            return _extract_office(data)
+        except NotImplementedError:
+            # plain archive, not an Office container: recurse members
+            return _extract_archive_members(data, _depth, kind="zip")
     if ctype == "application/pdf":
         from .pdf import extract_pdf
 
@@ -308,6 +334,50 @@ def _extract_office(data: bytes) -> dict:
     raise NotImplementedError(
         "zip container without a known Office/ODF text entry "
         "(reference Tika would recurse into archive members)")
+
+
+def _extract_archive_members(data: bytes, depth: int,
+                             kind: str = "tar") -> dict:
+    """Tar/zip archive → concatenated member extraction (the Tika
+    RecursiveParserWrapper role): every member that a parser exists
+    for contributes content; unparseable members are skipped and
+    counted."""
+    import io
+
+    members: list[tuple[str, bytes]] = []
+    if kind == "tar":
+        import tarfile
+
+        with tarfile.open(fileobj=io.BytesIO(data)) as tf:
+            for m in tf.getmembers():
+                if m.isfile():
+                    members.append((m.name, tf.extractfile(m).read()))
+        ctype = "application/x-tar"
+    else:
+        import zipfile
+
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            for n in zf.namelist():
+                if not n.endswith("/"):
+                    members.append((n, zf.read(n)))
+        ctype = "application/zip"
+    parts: list[str] = []
+    n_skipped = 0
+    for name, blob in members:
+        try:
+            parts.append(extract_document(blob, name, _depth=depth + 1)
+                         ["content"])
+        except Exception:
+            n_skipped += 1
+    if not parts:
+        raise NotImplementedError(
+            f"no parseable member in {ctype} archive "
+            f"({len(members)} members)")
+    return {"content": _WS.sub(" ", " ".join(p for p in parts if p))
+            .strip(),
+            "title": "", "content_type": ctype,
+            "metadata": {"n_members": str(len(members)),
+                         "n_skipped": str(n_skipped)}}
 
 
 _RTF_TOKEN = re.compile(

@@ -167,3 +167,48 @@ def test_eml_extraction_with_attachment():
     assert "attached plover" in d["content"]   # recursive Tika parse
     # plain text is still plain text, not mail
     assert detect_content_type(b"Note: buy milk\ntomorrow") == "text/plain"
+
+
+def test_archive_recursion():
+    import gzip
+    import io
+    import tarfile
+    import zipfile
+
+    # .txt.gz → inner plain text
+    gz = gzip.compress(b"gzipped ocelot notes")
+    d = extract_document(gz, "notes.txt.gz")
+    assert d["content"] == "gzipped ocelot notes"
+
+    # tar with html + binary junk member (skipped, counted)
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        def add(name, blob):
+            ti = tarfile.TarInfo(name)
+            ti.size = len(blob)
+            tf.addfile(ti, io.BytesIO(blob))
+        add("a.html", b"<html><body>tarred ibis report</body></html>")
+        add("junk.bin", b"\x00\x01\x02")
+    d = extract_document(buf.getvalue(), "bundle.tar")
+    assert d["content_type"] == "application/x-tar"
+    assert "tarred ibis report" in d["content"]
+    assert d["metadata"] == {"n_members": "2", "n_skipped": "1"}
+
+    # tar.gz nests: gzip → tar → member
+    d = extract_document(gzip.compress(buf.getvalue()), "bundle.tar.gz")
+    assert "tarred ibis report" in d["content"]
+
+    # plain zip (not Office) recurses into members
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w") as zf:
+        zf.writestr("readme.txt", "zipped dugong summary")
+    d = extract_document(zbuf.getvalue(), "archive.zip")
+    assert d["content"] == "zipped dugong summary"
+    assert d["content_type"] == "application/zip"
+
+    # nesting cap: 6-deep gzip chain raises rather than recursing forever
+    blob = b"deep text"
+    for _ in range(7):
+        blob = gzip.compress(blob)
+    with pytest.raises(Exception):
+        extract_document(blob, "deep.gz" + ".gz" * 6)
