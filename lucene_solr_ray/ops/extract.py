@@ -324,6 +324,21 @@ def _extract_office(data: bytes) -> dict:
                         parts.append(v)
         return {"content": _WS.sub(" ", " ".join(parts)).strip(),
                 "title": title, "content_type": ctype, "metadata": meta}
+    if "mimetype" in names and zf.read("mimetype").startswith(
+            b"application/epub+zip"):
+        parts = []
+        for n in sorted(names):
+            if n.lower().endswith((".xhtml", ".html", ".htm")):
+                h = _TextHandler()
+                h.feed(zf.read(n).decode("utf-8", "replace"))
+                h.close()
+                parts.append(" ".join(h.parts))
+                if not title and h.title_parts:
+                    title = _WS.sub(" ", " ".join(h.title_parts)).strip()
+        if parts:
+            return {"content": _WS.sub(" ", " ".join(parts)).strip(),
+                    "title": title, "content_type": "application/epub+zip",
+                    "metadata": meta}
     if "content.xml" in names:
         mimetype = zf.read("mimetype").decode("ascii", "replace").strip() \
             if "mimetype" in names else "application/vnd.oasis.opendocument"
@@ -495,6 +510,22 @@ def _extract_rtf(data: bytes) -> dict:
             "content_type": "application/rtf", "metadata": meta}
 
 
+_MBOX_SPLIT = re.compile(rb"(?:^|\r?\n)From [^\n]*\r?\n")
+
+
+def extract_mbox(data: bytes) -> list[dict]:
+    """One mbox file → one extraction result per message (the Tika
+    MboxParser role; ``read_rich_documents`` keeps one row per FILE, so
+    multi-message splitting is exposed separately for source-level
+    flat_map use)."""
+    out = []
+    bodies = _MBOX_SPLIT.split(data)
+    for body in bodies:
+        if body.strip():
+            out.append(_extract_eml(body))
+    return out
+
+
 def _extract_eml(data: bytes) -> dict:
     """RFC-822 / MIME mail (the Tika RFC822Parser role): subject →
     title, routing headers → metadata, text parts concatenated
@@ -562,6 +593,42 @@ def extract_batch(batch: pa.Table, *, on_error: str = "skip") -> pa.Table:
         "metadata_json": pa.array(metas, type=pa.string()),
         "content": pa.array(contents, type=pa.large_string()),
     })
+
+
+def read_mbox(paths, *, on_error: str = "skip"):
+    """Mbox source: one Dataset ROW PER MESSAGE (flat_map over files),
+    same output schema as :func:`extract_batch`."""
+    import ray.data as rd
+
+    def split(batch: pa.Table) -> pa.Table:
+        from ..util import tune_allocator
+
+        tune_allocator()
+        names, contents, titles, ctypes, metas = [], [], [], [], []
+        for p, b in zip(batch["path"].to_pylist(),
+                        batch["bytes"].to_pylist()):
+            try:
+                msgs = extract_mbox(b)
+            except Exception:
+                if on_error == "raise":
+                    raise
+                continue
+            for k, d in enumerate(msgs):
+                names.append(f"{p}#{k}")
+                contents.append(d["content"])
+                titles.append(d["title"])
+                ctypes.append(d["content_type"])
+                metas.append(json.dumps(d["metadata"], sort_keys=True))
+        return pa.table({
+            "stream_name": pa.array(names, type=pa.string()),
+            "title": pa.array(titles, type=pa.string()),
+            "content_type": pa.array(ctypes, type=pa.string()),
+            "metadata_json": pa.array(metas, type=pa.string()),
+            "content": pa.array(contents, type=pa.large_string()),
+        })
+
+    ds = rd.read_binary_files(paths, include_paths=True)
+    return ds.map_batches(split, batch_format="pyarrow")
 
 
 def read_rich_documents(paths, *, on_error: str = "skip"):

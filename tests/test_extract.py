@@ -212,3 +212,64 @@ def test_archive_recursion():
         blob = gzip.compress(blob)
     with pytest.raises(Exception):
         extract_document(blob, "deep.gz" + ".gz" * 6)
+
+
+def test_epub():
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype", "application/epub+zip")
+        zf.writestr("OEBPS/ch1.xhtml",
+                    "<html><head><title>Book One</title></head>"
+                    "<body>chapter markhor text</body></html>")
+        zf.writestr("OEBPS/ch2.xhtml",
+                    "<html><body>second chapter saola</body></html>")
+    d = extract_document(buf.getvalue(), "book.epub")
+    assert d["content_type"] == "application/epub+zip"
+    assert d["title"] == "Book One"
+    assert "chapter markhor text" in d["content"]
+    assert "second chapter saola" in d["content"]
+
+
+MBOX = (b"From alice@x.com Thu Jan  1 00:00:00 2026\n"
+        b"From: alice@x.com\nSubject: first\n\nbody one kakapo\n\n"
+        b"From bob@y.com Thu Jan  2 00:00:00 2026\n"
+        b"From: bob@y.com\nSubject: second\n\nbody two numbat\n")
+
+
+def test_mbox_split_and_source(ray_session, tmp_path):
+    from lucene_solr_ray.ops.extract import extract_mbox, read_mbox
+
+    msgs = extract_mbox(MBOX)
+    assert [m["title"] for m in msgs] == ["first", "second"]
+    assert "kakapo" in msgs[0]["content"]
+    assert "numbat" in msgs[1]["content"]
+
+    p = tmp_path / "in.mbox"
+    p.write_bytes(MBOX)
+    tab = pa.concat_tables(list(read_mbox(str(tmp_path))
+                                .iter_batches(batch_format="pyarrow")))
+    assert tab.num_rows == 2
+    assert tab["stream_name"].to_pylist()[0].endswith("in.mbox#0")
+    # a "From " inside a body must not split (needs the \n anchor)
+    one = extract_mbox(b"From a@b Thu\nSubject: s\n\nx From y z\n")
+    assert len(one) == 1
+
+
+def test_rtf_corruption_never_hangs():
+    import random
+
+    rng = random.Random(5)
+    for _ in range(60):
+        b = bytearray(RTF)
+        if rng.random() < 0.5:
+            b = b[:rng.randrange(6, len(b))]
+        else:
+            for _ in range(rng.randrange(1, 5)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            extract_document(bytes(b), "x.rtf")
+        except Exception:
+            pass
