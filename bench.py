@@ -255,6 +255,15 @@ def run_bench() -> dict:
                 concurrency=eff_par)
     results["build_documents"] = round(time.perf_counter() - t0, 3)
 
+    # ---------- rich-document extraction (Tika role: synth PDFs → parse)
+    from lucene_solr_ray.pipelines.queries import _q_tika_pdf_roundtrip
+
+    t0 = time.perf_counter()
+    n_extracted = _q_tika_pdf_roundtrip(sf_dir).num_rows
+    dt = time.perf_counter() - t0
+    results["extract_pdf_sec"] = round(dt, 3)
+    results["extract_pdf_docs_per_sec"] = round(n_extracted / dt, 1)
+
     headline = build_sec
     out = {
         "metric": "fulltext index build + BM25 query (headline: corpus build sec)",
