@@ -1,0 +1,169 @@
+"""Cross-format extraction round-trip property test: random text →
+render into each container format (test-side encoders) → extract with
+the production parsers → the text must survive.
+
+This is the extraction stack's analogue of the codec encoder-in-test
+discipline (PNG/JPEG/FLAC in test_multimodal): the renderers live
+here, the decoders are product code (ops/extract.py, ops/pdf.py,
+ops/cfb.py)."""
+
+import io
+import random
+import string
+import struct
+import zipfile
+import zlib
+
+from lucene_solr_ray.ops.extract import extract_document
+
+WORDS = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+         "juliet kilo lima mike november oscar papa quebec romeo "
+         "sierra tango uniform victor whiskey xray yankee zulu").split()
+
+
+def _rand_text(rng: random.Random, n_words: int) -> str:
+    out = []
+    for _ in range(n_words):
+        w = rng.choice(WORDS)
+        if rng.random() < 0.15:
+            w = w.capitalize()
+        if rng.random() < 0.10:
+            w += rng.choice("0123456789")
+        out.append(w)
+    return " ".join(out)
+
+
+# ---------------------------------------------------------------------------
+# renderers (test-side twins)
+
+
+def render_pdf(text: str, rng: random.Random) -> bytes:
+    body = text.encode("latin-1").replace(b"\\", b"\\\\") \
+        .replace(b"(", b"\\(").replace(b")", b"\\)")
+    content = b"BT 36 770 Td (" + body + b") Tj ET"
+    if rng.random() < 0.5:
+        content = zlib.compress(content)
+        sdict = b"<< /Filter /FlateDecode /Length %d >>" % len(content)
+    else:
+        sdict = b"<< /Length %d >>" % len(content)
+    objs = (
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+        (4, sdict + b"\nstream\n" + content + b"\nendstream"),
+    )
+    return b"%PDF-1.4\n" + b"".join(
+        b"%d 0 obj\n%s\nendobj\n" % (n, ob) for n, ob in objs
+    ) + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+
+
+def render_docx(text: str, rng: random.Random) -> bytes:
+    from xml.sax.saxutils import escape
+
+    runs = "".join(f"<w:r><w:t xml:space=\"preserve\">{escape(p)} </w:t>"
+                   "</w:r>" for p in text.split(" "))
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("word/document.xml",
+                    f'<w:document xmlns:w="u"><w:body><w:p>{runs}</w:p>'
+                    "</w:body></w:document>")
+    return buf.getvalue()
+
+
+def render_rtf(text: str, rng: random.Random) -> bytes:
+    # escape RTF specials; sprinkle \uN unicode escapes for some chars
+    def encodable(ch: str) -> bool:
+        try:
+            ch.encode("cp1252")
+            return True
+        except UnicodeEncodeError:
+            return False
+
+    out = []
+    for ch in text:
+        if ch in "\\{}":
+            out.append("\\" + ch)
+        elif not encodable(ch) or rng.random() < 0.05:
+            cp = ord(ch)
+            out.append(f"\\u{cp - 65536 if cp >= 32768 else cp}?")
+        else:
+            out.append(ch)
+    body = "".join(out)
+    return (r"{\rtf1\ansi\ansicpg1252{\fonttbl{\f0 X;}}\uc1\pard "
+            + body + "}").encode("cp1252")
+
+
+def render_eml(text: str, rng: random.Random) -> bytes:
+    return (b"From: t@example.com\r\nSubject: prop\r\n"
+            b"Content-Type: text/plain; charset=utf-8\r\n\r\n"
+            + text.encode() + b"\r\n")
+
+
+def render_html(text: str, rng: random.Random) -> bytes:
+    from xml.sax.saxutils import escape
+
+    return (f"<html><head><title>t</title></head><body><p>{escape(text)}"
+            "</p></body></html>").encode()
+
+
+def render_doc(text: str, rng: random.Random) -> bytes:
+    from test_cfb import make_doc
+
+    # split into 1-3 pieces, alternating compressed/unicode
+    words = text.split(" ")
+    cut = sorted(rng.sample(range(1, len(words)), k=min(2, len(words) - 1)))
+    pieces = []
+    prev = 0
+    for c in cut + [len(words)]:
+        seg = " ".join(words[prev:c])
+        if prev:
+            seg = " " + seg
+        pieces.append((seg, rng.random() < 0.5))
+        prev = c
+    return make_doc([p for p in pieces if p[0]])
+
+
+def render_tar_gz(text: str, rng: random.Random) -> bytes:
+    import gzip
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        blob = text.encode()
+        ti = tarfile.TarInfo("member.txt")
+        ti.size = len(blob)
+        tf.addfile(ti, io.BytesIO(blob))
+    return gzip.compress(buf.getvalue())
+
+
+RENDERERS = {
+    "x.pdf": render_pdf,
+    "x.docx": render_docx,
+    "x.rtf": render_rtf,
+    "x.eml": render_eml,
+    "x.html": render_html,
+    "x.doc": render_doc,
+    "x.tar.gz": render_tar_gz,
+}
+
+
+def test_random_roundtrip_all_formats():
+    rng = random.Random(42)
+    for trial in range(25):
+        text = _rand_text(rng, rng.randrange(3, 60))
+        for name, render in RENDERERS.items():
+            blob = render(text, rng)
+            d = extract_document(blob, name)
+            got = " ".join(d["content"].split())
+            assert got == text, (name, trial, got[:80], text[:80])
+
+
+def test_unicode_text_survives_where_supported():
+    rng = random.Random(7)
+    text = "naïve café über żółw — ガンマ €42"
+    for name in ("x.docx", "x.eml", "x.html"):
+        d = extract_document(RENDERERS[name](text, rng), name)
+        assert " ".join(d["content"].split()) == text, name
+    # cp1252-capable subset through RTF's \uN escapes
+    d = extract_document(render_rtf(text, rng), "x.rtf")
+    assert " ".join(d["content"].split()) == text
