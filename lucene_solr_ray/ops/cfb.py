@@ -238,41 +238,96 @@ def extract_ppt_text(cfb: CfbFile) -> str:
 
 
 def _xls_unicode_string(buf: bytes, i: int) -> tuple[str, int]:
-    """XLUnicodeRichExtendedString at i → (text, next_i). Continue-
-    record splits are pre-joined by the caller (grbit re-read is the
-    caller's concern; this handles the in-record layout)."""
-    (cch,) = struct.unpack_from("<H", buf, i)
-    grbit = buf[i + 2]
-    i += 3
-    crun = 0
-    cbext = 0
-    if grbit & 0x08:
-        (crun,) = struct.unpack_from("<H", buf, i)
-        i += 2
-    if grbit & 0x04:
-        (cbext,) = struct.unpack_from("<i", buf, i)
-        i += 4
-    if grbit & 0x01:
-        s = buf[i:i + 2 * cch].decode("utf-16-le", "replace")
-        i += 2 * cch
-    else:
-        s = buf[i:i + cch].decode("latin-1", "replace")
-        i += cch
-    i += 4 * crun + cbext
-    return s, i
+    """XLUnicodeRichExtendedString at i → (text, next_i), single
+    record (no Continue boundary inside — used for LABEL cells)."""
+    s, (si, off) = _SstReader([buf]).read_string_at(0, i)
+    return s, off
+
+
+class _SstReader:
+    """[MS-XLS] 2.5.293: SST strings may straddle Continue-record
+    boundaries. Character data resumes after a FRESH fHighByte flag
+    byte (which may switch the narrow/wide encoding mid-string);
+    headers, rgRun and ExtRst resume with no flag byte."""
+
+    def __init__(self, segments: list[bytes]):
+        self.segs = segments
+
+    def _norm(self, si: int, off: int) -> tuple[int, int]:
+        while si < len(self.segs) and off >= len(self.segs[si]):
+            off -= len(self.segs[si])  # always 0 in practice
+            off = 0
+            si += 1
+        return si, off
+
+    def _raw(self, si: int, off: int, n: int) -> tuple[bytes, int, int]:
+        """n bytes crossing boundaries with NO flag byte (headers,
+        rgRun, ExtRst)."""
+        out = bytearray()
+        while n:
+            si, off = self._norm(si, off)
+            take = min(n, len(self.segs[si]) - off)
+            out += self.segs[si][off:off + take]
+            off += take
+            n -= take
+        return bytes(out), si, off
+
+    def read_string_at(self, si: int, off: int) -> tuple[str, tuple]:
+        hdr, si, off = self._raw(si, off, 3)
+        (cch,) = struct.unpack_from("<H", hdr, 0)
+        grbit = hdr[2]
+        crun = cbext = 0
+        if grbit & 0x08:
+            b, si, off = self._raw(si, off, 2)
+            (crun,) = struct.unpack("<H", b)
+        if grbit & 0x04:
+            b, si, off = self._raw(si, off, 4)
+            (cbext,) = struct.unpack("<i", b)
+        wide = bool(grbit & 0x01)
+        parts: list[str] = []
+        left = cch
+        while left:
+            if off >= len(self.segs[si]):
+                # character data resumes in the next record after a
+                # FRESH fHighByte flag (may switch narrow/wide)
+                si += 1
+                off = 0
+                wide = bool(self.segs[si][0] & 0x01)
+                off = 1
+            avail = len(self.segs[si]) - off
+            width = 2 if wide else 1
+            take = min(left, avail // width)
+            if take == 0:
+                raise ValueError("SST split inside a character")
+            raw = self.segs[si][off:off + take * width]
+            parts.append(raw.decode(
+                "utf-16-le" if wide else "latin-1", "replace"))
+            off += take * width
+            left -= take
+        _, si, off = self._raw(si, off, 4 * crun + cbext)
+        return "".join(parts), (si, off)
+
+    def read_strings(self, count: int, start: tuple = (0, 0)) -> list[str]:
+        si, off = start
+        out = []
+        for _ in range(count):
+            s, (si, off) = self.read_string_at(si, off)
+            out.append(s)
+        return out
 
 
 def extract_xls_text(cfb: CfbFile) -> str:
     wb = cfb.stream("Workbook") or cfb.stream("Book")
     if wb is None:
         raise ValueError("no Workbook stream")
-    # record walk; join SST + its Continue records into one buffer
-    # (simple form: strings that do not straddle a Continue boundary)
+    # record walk; SST + its DIRECTLY-following Continue records form
+    # the segment list the straddle-aware _SstReader consumes
     parts: list[str] = []
     i = 0
     n = len(wb)
-    sst_buf: bytes | None = None
+    sst_segs: list[bytes] = []
     sst_count = 0
+    sst_open = False
     while i + 4 <= n:
         rtype, rlen = struct.unpack_from("<HH", wb, i)
         body = wb[i + 4:i + 4 + rlen]
@@ -281,11 +336,14 @@ def extract_xls_text(cfb: CfbFile) -> str:
             raise NotImplementedError("encrypted .xls")
         if rtype == 0x00FC:            # SST
             (_, sst_count) = struct.unpack_from("<II", body, 0)
-            sst_buf = body[8:]
-        elif rtype == 0x003C and sst_buf is not None:   # Continue
-            # drop the per-continue grbit byte (string data continues)
-            sst_buf += body[1:] if body else b""
-        elif rtype == 0x0203:          # NUMBER
+            sst_segs = [body[8:]]
+            sst_open = True
+            continue
+        if rtype == 0x003C and sst_open:   # Continue of the SST
+            sst_segs.append(body)
+            continue
+        sst_open = False
+        if rtype == 0x0203:            # NUMBER
             (v,) = struct.unpack_from("<d", body, 6)
             parts.append(_fmt_num(v))
         elif rtype == 0x027E:          # RK
@@ -295,14 +353,15 @@ def extract_xls_text(cfb: CfbFile) -> str:
             s, _ = _xls_unicode_string(body, 6)
             parts.append(s)
     strings: list[str] = []
-    if sst_buf is not None:
-        j = 0
-        try:
-            for _ in range(sst_count):
-                s, j = _xls_unicode_string(sst_buf, j)
-                strings.append(s)
-        except (struct.error, IndexError):
-            pass  # strings straddling Continue boundaries: keep prefix
+    if sst_segs:
+        reader = _SstReader(sst_segs)
+        pos = (0, 0)
+        for _ in range(sst_count):
+            try:
+                s, pos = reader.read_string_at(*pos)
+            except (struct.error, IndexError, ValueError):
+                break  # corrupt tail: keep what parsed
+            strings.append(s)
     text = " ".join(s for s in strings + parts if s)
     return text.strip()
 

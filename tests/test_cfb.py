@@ -242,3 +242,30 @@ def test_cfb_corruption_never_hangs():
             extract_ole(bytes(b))
         except Exception:
             pass
+
+
+def test_xls_sst_continue_straddle():
+    """A string split across SST→Continue (fresh fHighByte, narrow→wide
+    switch) plus a second Continue boundary BETWEEN strings (no flag
+    byte there — it belongs to the next string's header)."""
+    # string 1: cch=10, starts narrow in SST with "abcd", continues
+    # WIDE in Continue 1 with "efghij" (encoding switch mid-string)
+    s1_head = struct.pack("<HB", 10, 0x00) + b"abcd"
+    cont1 = b"\x01" + "efghij".encode("utf-16-le")
+    # string 2 lives entirely in Continue 2
+    s2 = struct.pack("<HB", 5, 0x00) + b"wren5"
+    sst = struct.pack("<II", 2, 2) + s1_head
+    wb = (struct.pack("<HH", 0x00FC, len(sst)) + sst
+          + struct.pack("<HH", 0x003C, len(cont1)) + cont1
+          + struct.pack("<HH", 0x003C, len(s2)) + s2)
+    d = extract_ole(make_cfb({"Workbook": wb}))
+    assert "abcdefghij" in d["content"]
+    assert "wren5" in d["content"]
+
+    # rgRun skipping: rich string with 2 runs, then a plain string
+    rich = struct.pack("<HBH", 3, 0x08, 2) + b"xyz" + b"\x00" * 8
+    plain = struct.pack("<HB", 4, 0x00) + b"tail"
+    sst2 = struct.pack("<II", 2, 2) + rich + plain
+    wb2 = struct.pack("<HH", 0x00FC, len(sst2)) + sst2
+    d2 = extract_ole(make_cfb({"Workbook": wb2}))
+    assert "xyz" in d2["content"] and "tail" in d2["content"]
