@@ -66,6 +66,9 @@ import pyarrow as pa
 
 _WS = re.compile(r"\s+")
 
+# decompressed-member ceiling for archive/gzip recursion (bomb guard)
+_MAX_MEMBER = 1 << 28  # 256 MB
+
 # an RFC-822 message: a recognized first header, then more header lines
 _RFC822_HEAD = re.compile(
     rb"(?i)^(?:From |(?:Return-Path|Received|From|To|Subject|Date|"
@@ -186,10 +189,17 @@ def extract_document(data: bytes, path: str | None = None,
                 "title": "", "content_type": ctype, "metadata": {}}
     if ctype == "application/gzip":
         import gzip
+        import io
 
+        # bounded decompression: a tiny gzip can expand unboundedly
+        # (decompression bomb) — a 100-TB ingest must never OOM a task
+        with gzip.GzipFile(fileobj=io.BytesIO(data)) as gz:
+            blob = gz.read(_MAX_MEMBER + 1)
+        if len(blob) > _MAX_MEMBER:
+            raise NotImplementedError(
+                f"gzip expands past {_MAX_MEMBER} bytes (bomb guard)")
         inner = path[:-3] if path and path.lower().endswith(".gz") else path
-        return extract_document(gzip.decompress(data), inner,
-                                _depth=_depth + 1)
+        return extract_document(blob, inner, _depth=_depth + 1)
     if ctype == "application/x-tar":
         return _extract_archive_members(data, _depth)
     if ctype == "application/zip":
@@ -205,7 +215,7 @@ def extract_document(data: bytes, path: str | None = None,
     if ctype == "application/rtf":
         return _extract_rtf(data)
     if ctype == "message/rfc822":
-        return _extract_eml(data)
+        return _extract_eml(data, _depth)
     if ctype == "application/x-ole-storage":
         from .cfb import extract_ole
 
@@ -365,16 +375,20 @@ def _extract_archive_members(data: bytes, depth: int,
 
         with tarfile.open(fileobj=io.BytesIO(data)) as tf:
             for m in tf.getmembers():
-                if m.isfile():
+                if m.isfile() and m.size <= _MAX_MEMBER:
                     members.append((m.name, tf.extractfile(m).read()))
         ctype = "application/x-tar"
     else:
         import zipfile
 
         with zipfile.ZipFile(io.BytesIO(data)) as zf:
-            for n in zf.namelist():
-                if not n.endswith("/"):
-                    members.append((n, zf.read(n)))
+            for zi in zf.infolist():
+                if zi.is_dir() or zi.file_size > _MAX_MEMBER:
+                    continue  # declared-size bomb guard
+                with zf.open(zi) as f:
+                    blob = f.read(_MAX_MEMBER + 1)
+                if len(blob) <= _MAX_MEMBER:  # lying header guard
+                    members.append((zi.filename, blob))
         ctype = "application/zip"
     parts: list[str] = []
     n_skipped = 0
@@ -526,7 +540,7 @@ def extract_mbox(data: bytes) -> list[dict]:
     return out
 
 
-def _extract_eml(data: bytes) -> dict:
+def _extract_eml(data: bytes, _depth: int = 0) -> dict:
     """RFC-822 / MIME mail (the Tika RFC822Parser role): subject →
     title, routing headers → metadata, text parts concatenated
     (text/html through the HTML handler), non-text attachments
@@ -555,7 +569,8 @@ def _extract_eml(data: bytes) -> dict:
             else:
                 payload = part.get_payload(decode=True)
                 if payload:
-                    sub = extract_document(payload, part.get_filename())
+                    sub = extract_document(payload, part.get_filename(),
+                                           _depth=_depth + 1)
                     parts.append(sub["content"])
         except Exception:
             continue  # ignoreTikaException per attachment

@@ -273,3 +273,19 @@ def test_rtf_corruption_never_hangs():
             extract_document(bytes(b), "x.rtf")
         except Exception:
             pass
+
+
+def test_gzip_bomb_guard(monkeypatch):
+    import gzip
+
+    import lucene_solr_ray.ops.extract as ex
+
+    monkeypatch.setattr(ex, "_MAX_MEMBER", 1024)
+    bomb = gzip.compress(b"\x41" * 100_000)  # tiny file, big expansion
+    assert len(bomb) < 1024
+    with pytest.raises(NotImplementedError):
+        ex.extract_document(bomb, "bomb.txt.gz")
+    # under the cap still works
+    ok = gzip.compress(b"small heron note")
+    assert ex.extract_document(ok, "a.txt.gz")["content"] == \
+        "small heron note"
