@@ -1,0 +1,122 @@
+"""Bloom-filtered term lookups — the BloomFilteringPostingsFormat
+analogue (reference: lucene/codecs/src/java/org/apache/lucene/codecs/
+bloom/BloomFilteringPostingsFormat.java:66 — a per-field bloom filter
+consulted before the delegate terms dictionary so primary-key-style
+lookups of ABSENT terms never touch the terms dict; FuzzySet.java:60
+is the bit-set core).
+
+Here the win is the same shape but bigger: a segment's term dictionary
+is a full parquet column (~tens of MB for a merged segment) that is
+lazily faulted in on first lookup — the cold-query cost documented in
+BASELINE.md.  ``bloom.bin`` is ~1.2 bytes/term; an absent-term lookup
+answers "definitely not here" from it without loading the term dict at
+all.
+
+Hashing: blake2b(term) split into two 64-bit halves combined as
+``h1 + i*h2 (mod m)`` — the standard double-hashing construction
+(Kirsch & Mitzenmacher 2006), k = m/n·ln2 probes at the classic
+``m = -n·ln(fpp)/ln²2`` sizing.
+
+The file is OPTIONAL per segment: readers treat a missing bloom.bin as
+"always maybe" (exactly how the reference wraps only configured fields
+and falls through to the delegate).  ``add_bloom_filters`` retrofits an
+existing index; ``write_segment(..., bloom_fpp=)`` writes it at flush.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import os
+
+import numpy as np
+
+BLOOM_FILE = "bloom.bin"
+_MAGIC = b"LSRBLOOM1\n"
+
+
+def _params(n: int, fpp: float) -> tuple[int, int]:
+    n = max(1, n)
+    m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    m = (m + 63) & ~63  # whole uint64 words
+    k = max(1, int(round(m / n * math.log(2))))
+    return m, min(k, 16)
+
+
+def _hashes(term: str) -> tuple[int, int]:
+    d = hashlib.blake2b(term.encode(), digest_size=16).digest()
+    return (int.from_bytes(d[:8], "little"),
+            int.from_bytes(d[8:], "little") | 1)
+
+
+def build_bloom_bytes(terms, fpp: float = 0.01) -> bytes:
+    """Terms iterable → serialized filter (header json + packed bits)."""
+    terms = list(terms)
+    m, k = _params(len(terms), fpp)
+    bits = np.zeros(m, dtype=bool)
+    for t in terms:
+        h1, h2 = _hashes(str(t))
+        for i in range(k):
+            bits[(h1 + i * h2) % m] = True
+    head = json.dumps({"n": len(terms), "m": m, "k": k,
+                       "fpp": fpp}).encode() + b"\n"
+    return _MAGIC + head + np.packbits(bits).tobytes()
+
+
+class BloomFilter:
+    def __init__(self, blob: bytes):
+        if not blob.startswith(_MAGIC):
+            raise ValueError("not a bloom filter file")
+        nl = blob.index(b"\n", len(_MAGIC))
+        meta = json.loads(blob[len(_MAGIC):nl])
+        self.m = int(meta["m"])
+        self.k = int(meta["k"])
+        self.n = int(meta["n"])
+        self._bits = np.unpackbits(
+            np.frombuffer(blob[nl + 1:], dtype=np.uint8))[:self.m] \
+            .astype(bool)
+
+    @classmethod
+    def load(cls, seg_dir: str) -> "BloomFilter | None":
+        p = os.path.join(seg_dir, BLOOM_FILE)
+        if not os.path.exists(p):
+            return None
+        with open(p, "rb") as f:
+            return cls(f.read())
+
+    def may_contain(self, term: str) -> bool:
+        h1, h2 = _hashes(term)
+        m = self.m
+        return all(self._bits[(h1 + i * h2) % m] for i in range(self.k))
+
+
+def write_bloom(seg_dir: str, terms, fpp: float = 0.01) -> str:
+    blob = build_bloom_bytes(terms, fpp)
+    tmp = os.path.join(seg_dir, BLOOM_FILE + ".tmp")
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, os.path.join(seg_dir, BLOOM_FILE))
+    return os.path.join(seg_dir, BLOOM_FILE)
+
+
+def add_bloom_filters(index_dir: str, fpp: float = 0.01) -> int:
+    """Retrofit bloom.bin onto every segment of an existing index
+    (idempotent; skips segments that already have one). Returns the
+    number of filters written."""
+    import pyarrow.parquet as pq
+
+    from .manifest import load_manifest
+
+    man = load_manifest(index_dir)
+    n = 0
+    for seg in man["segments"]:
+        seg_dir = os.path.join(index_dir, "segments", seg["segment"])
+        if os.path.exists(os.path.join(seg_dir, BLOOM_FILE)):
+            continue
+        terms = pq.read_table(os.path.join(seg_dir, "postings.parquet"),
+                              columns=["term"])["term"]
+        # salted hot terms repeat across rows; dedup for sizing
+        write_bloom(seg_dir, set(t.as_py() for t in terms), fpp)
+        n += 1
+    return n

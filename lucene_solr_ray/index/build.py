@@ -154,7 +154,8 @@ def build_index(ds, out_dir: str, *, content_col: str = "content",
                 batch_rows: int = DEFAULT_BATCH_ROWS,
                 concurrency=None, derive_doc_keys: bool = False,
                 use_actors: bool = False, _commit: bool = True,
-                stats_out: list | None = None):
+                stats_out: list | None = None,
+                bloom_fpp: float | None = None):
     """Streaming Dataset build: corpus → analyze+segment-write → manifest.
 
     ``ds`` is a ray.data.Dataset (or a pyarrow Table, wrapped for tests).
@@ -214,7 +215,14 @@ def build_index(ds, out_dir: str, *, content_col: str = "content",
     metas = _collect_metas(segments_root, names)
     if not _commit:
         return metas
-    return commit_manifest(out_dir, metas)
+    man = commit_manifest(out_dir, metas)
+    if bloom_fpp is not None:
+        # BloomFilteringPostingsFormat analogue (codecs/bloom): per-
+        # segment term filters so absent-term lookups skip the term dict
+        from .bloom import add_bloom_filters
+
+        add_bloom_filters(out_dir, bloom_fpp)
+    return man
 
 
 def append_documents(ds, index_dir: str, **build_kwargs) -> dict:

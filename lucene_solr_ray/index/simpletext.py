@@ -1,0 +1,174 @@
+"""SimpleText codec — the human-readable debugging format (reference:
+lucene/codecs/src/java/org/apache/lucene/codecs/simpletext/
+SimpleTextPostingsFormat.java:36 "FOR RECREATIONAL USE ONLY", plus the
+SimpleText{StoredFields,Norms,SegmentInfo}Format family): every
+structure of a segment rendered as plain text, round-trippable back to
+the default codec bit-for-bit.
+
+Layout (one dir per segment):
+
+``postings.txt``::
+
+    term "copper"
+      df 2 ttf 3
+      doc 42 tf 2 norm 117 pos 1,5
+      doc 99 tf 1 norm 109 pos 0
+
+  One ``term`` header per POSTINGS ROW (salted hot terms keep their
+  row split: the term line repeats, exactly like the parquet rows).
+
+``docs.txt`` — ``schema`` line (Arrow types by name) then one JSON
+array per document row; bytes columns base64.
+
+``meta.json`` — copied verbatim.
+
+Registered as ``codec: simpletext``; the round-trip invariant
+(default → text → default, logically equal tables and identical
+varint/block encodings) is what tests/test_codec_alt.py pins.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .encode import decode_postings, encode_postings
+
+_POSTINGS_COLS = ["term", "df", "ttf", "doc_data", "tf_data", "norm_data",
+                  "pos_data", "block_last_doc", "block_max_tf",
+                  "block_max_norm", "block_doc_off", "block_tf_off"]
+
+
+def _parse_type(t: str) -> pa.DataType:
+    if t.startswith("list<"):
+        inner = t[5:-1].split(": ", 1)[-1]
+        return pa.list_(_parse_type(inner))
+    return _ARROW_TYPES[t]
+
+
+def dump_segment_text(seg_dir: str, out_dir: str) -> str:
+    """Default-codec segment directory → SimpleText directory."""
+    os.makedirs(out_dir, exist_ok=True)
+    with_pos = json.load(open(os.path.join(seg_dir, "meta.json"))) \
+        .get("with_positions", False)
+
+    tab = pq.read_table(os.path.join(seg_dir, "postings.parquet"))
+    with open(os.path.join(out_dir, "postings.txt"), "w") as f:
+        f.write("schema " + json.dumps(
+            [[n, str(tab.schema.field(n).type)]
+             for n in tab.column_names]) + "\n")
+        for row in tab.to_pylist():
+            enc = {k: row[k] for k in _POSTINGS_COLS if k != "term"}
+            out = decode_postings(enc, with_positions=with_pos
+                                  and len(enc["pos_data"]) > 0)
+            docs, tfs, norms = out[0], out[1], out[2]
+            pos = out[3] if len(out) > 3 else None
+            f.write(f"term {json.dumps(row['term'])}\n")
+            f.write(f"  df {row['df']} ttf {row['ttf']}\n")
+            at = 0
+            for j in range(len(docs)):
+                line = (f"  doc {docs[j]} tf {tfs[j]} "
+                        f"norm {norms[j]}")
+                if pos is not None:
+                    ps = pos[at:at + tfs[j]]
+                    at += int(tfs[j])
+                    line += " pos " + ",".join(str(p) for p in ps)
+                f.write(line + "\n")
+
+    dtab = pq.read_table(os.path.join(seg_dir, "docs.parquet"))
+    with open(os.path.join(out_dir, "docs.txt"), "w") as f:
+        f.write("schema " + json.dumps(
+            [[n, str(dtab.schema.field(n).type)]
+             for n in dtab.column_names]) + "\n")
+        for row in dtab.to_pylist():
+            vals = [base64.b64encode(v).decode() if isinstance(v, bytes)
+                    else v for v in row.values()]
+            f.write(json.dumps(vals) + "\n")
+
+    shutil.copyfile(os.path.join(seg_dir, "meta.json"),
+                    os.path.join(out_dir, "meta.json"))
+    return out_dir
+
+
+_ARROW_TYPES = {
+    "int64": pa.int64(), "int32": pa.int32(), "uint8": pa.uint8(),
+    "string": pa.string(), "large_string": pa.large_string(),
+    "double": pa.float64(), "float": pa.float32(),
+    "large_binary": pa.large_binary(), "binary": pa.binary(),
+    "bool": pa.bool_(),
+}
+
+
+def load_segment_text(text_dir: str, out_dir: str) -> str:
+    """SimpleText directory → default-codec segment directory (the
+    exact inverse: varint/block structures re-encoded)."""
+    os.makedirs(out_dir, exist_ok=True)
+    rows: dict[str, list] = {c: [] for c in _POSTINGS_COLS}
+
+    def flush(term, docs, tfs, norms, pos, have_pos):
+        enc = encode_postings(
+            np.array(docs, dtype=np.int64), np.array(tfs, dtype=np.int64),
+            np.array(norms, dtype=np.uint8),
+            np.array(pos, dtype=np.int64) if have_pos else None)
+        rows["term"].append(term)
+        for k in _POSTINGS_COLS[1:]:
+            v = enc[k]
+            rows[k].append(v.tolist() if isinstance(v, np.ndarray) else v)
+
+    term = None
+    docs: list = []
+    tfs: list = []
+    norms: list = []
+    pos: list = []
+    have_pos = False
+    with open(os.path.join(text_dir, "postings.txt")) as f:
+        head = f.readline()
+        pfields = json.loads(head[len("schema "):])
+        for line in f:
+            s = line.strip()
+            if s.startswith("term "):
+                if term is not None:
+                    flush(term, docs, tfs, norms, pos, have_pos)
+                term = json.loads(s[5:])
+                docs, tfs, norms, pos = [], [], [], []
+                have_pos = False
+            elif s.startswith("doc "):
+                parts = s.split()
+                docs.append(int(parts[1]))
+                tfs.append(int(parts[3]))
+                norms.append(int(parts[5]))
+                if len(parts) > 6 and parts[6] == "pos":
+                    have_pos = True
+                    if len(parts) > 7:
+                        pos.extend(int(p) for p in parts[7].split(","))
+    if term is not None:
+        flush(term, docs, tfs, norms, pos, have_pos)
+    types = {n: _parse_type(t) for n, t in pfields}
+    pa_rows = {n: pa.array(rows[n], type=types[n])
+               for n in _POSTINGS_COLS}
+    pq.write_table(pa.table(pa_rows), os.path.join(
+        out_dir, "postings.parquet"))
+
+    with open(os.path.join(text_dir, "docs.txt")) as f:
+        head = f.readline()
+        fields = json.loads(head[len("schema "):])
+        cols: dict[str, list] = {n: [] for n, _ in fields}
+        for line in f:
+            vals = json.loads(line)
+            for (n, t), v in zip(fields, vals):
+                if t in ("large_binary", "binary") and v is not None:
+                    v = base64.b64decode(v)
+                cols[n].append(v)
+    dtab = pa.table({n: pa.array(cols[n], type=_parse_type(t))
+                     for n, t in fields})
+    pq.write_table(dtab, os.path.join(out_dir, "docs.parquet"))
+
+    shutil.copyfile(os.path.join(text_dir, "meta.json"),
+                    os.path.join(out_dir, "meta.json"))
+    return out_dir

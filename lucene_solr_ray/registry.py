@@ -454,3 +454,23 @@ def _default_codec():
     from .index import encode
 
     return encode
+
+
+@register("codec", "simpletext")
+def _simpletext_codec():
+    """SimpleTextCodec analogue (lucene/codecs/simpletext) —
+    human-readable segment dump/load, round-trippable to the default
+    codec (index/simpletext.py)."""
+    from .index import simpletext
+
+    return simpletext
+
+
+@register("codec", "bloom")
+def _bloom_codec():
+    """BloomFilteringPostingsFormat analogue (lucene/codecs/bloom) —
+    per-segment term bloom filters consulted before the term
+    dictionary (index/bloom.py)."""
+    from .index import bloom
+
+    return bloom

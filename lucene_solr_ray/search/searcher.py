@@ -72,6 +72,8 @@ class SegmentReader:
         self._ttf = None
         self._rg_cum = None       # cumulative row counts per row group
         self._row_cache: dict[tuple[str, bool], list[dict]] = {}
+        self._bloom = False       # False=unprobed, None=absent, or filter
+        self.bloom_skips = 0      # absent-term lookups answered by bloom
 
     def _file(self) -> pq.ParquetFile:
         if self._pf is None:
@@ -92,6 +94,18 @@ class SegmentReader:
         return self._terms
 
     def _term_range(self, term: str) -> tuple[int, int]:
+        if self._terms is None:
+            # BloomFilteringPostingsFormat fast path (index/bloom.py):
+            # an absent term answers from ~1.2 bytes/term without
+            # faulting in the full term-dictionary column
+            if self._bloom is False:
+                from ..index.bloom import BloomFilter
+
+                self._bloom = BloomFilter.load(self.seg_dir)
+            if self._bloom is not None and \
+                    not self._bloom.may_contain(term):
+                self.bloom_skips += 1
+                return (0, 0)
         terms = self._term_dict()
         if len(terms) == 0:
             return (0, 0)
@@ -117,7 +131,8 @@ class SegmentReader:
         return rows
 
     def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
-        self._term_dict()
+        # no eager _term_dict(): _term_range consults bloom.bin first,
+        # so an all-absent stats probe never faults the dictionary in
         out = {}
         for t in terms:
             lo, hi = self._term_range(t)

@@ -1,0 +1,127 @@
+"""Alternate codec families (lucene/codecs — SURVEY §2.11): the
+SimpleText debugging codec round-trip and the Bloom-filtered term
+lookup fast path."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_ray.index.bloom import (
+    BloomFilter,
+    add_bloom_filters,
+    build_bloom_bytes,
+)
+from lucene_solr_ray.index.build import build_index
+from lucene_solr_ray.index.simpletext import (
+    dump_segment_text,
+    load_segment_text,
+)
+from lucene_solr_ray.registry import lookup, names
+from lucene_solr_ray.search.searcher import IndexSearcher
+
+DOCS = pa.table({
+    "doc_id": pa.array([11, 22, 33, 44], type=pa.int64()),
+    "content": ["copper wire stock", "copper pipe", "wire the pipe pipe",
+                "unrelated gloss"],
+    "lang": ["en", "en", "de", "de"],
+})
+
+
+def _build(tmp_path, name="idx"):
+    import ray.data as rd
+
+    idx = str(tmp_path / name)
+    build_index(rd.from_arrow(DOCS), idx, content_col="content",
+                keyword_cols=("lang",))
+    return idx
+
+
+def _seg_dirs(idx):
+    root = os.path.join(idx, "segments")
+    return [os.path.join(root, d) for d in sorted(os.listdir(root))]
+
+
+def test_registry_names():
+    for n in ("parquet_varint_v2", "simpletext", "bloom"):
+        assert n in names("codec")
+        assert lookup("codec", n)() is not None
+
+
+def test_simpletext_roundtrip_bitexact(ray_session, tmp_path):
+    idx = _build(tmp_path)
+    for seg in _seg_dirs(idx):
+        txt = seg + ".text"
+        back = seg + ".back"
+        dump_segment_text(seg, txt)
+        # human-readable: the term and a doc line are greppable
+        body = open(os.path.join(txt, "postings.txt")).read()
+        assert 'term "copper"' in body
+        assert "doc " in body and " tf " in body and " pos " in body
+        load_segment_text(txt, back)
+        for f in ("postings.parquet", "docs.parquet"):
+            a = pq.read_table(os.path.join(seg, f))
+            b = pq.read_table(os.path.join(back, f))
+            assert a.schema == b.schema, f
+            assert a.equals(b), f  # logically identical, blob-for-blob
+        assert open(os.path.join(seg, "meta.json")).read() == \
+            open(os.path.join(back, "meta.json")).read()
+
+
+def test_simpletext_search_identical(ray_session, tmp_path):
+    """Swap every segment for its text→default round-trip: identical
+    search results (the codec-invariance contract)."""
+    idx = _build(tmp_path)
+    for seg in _seg_dirs(idx):
+        txt, back = seg + ".t", seg + ".b"
+        dump_segment_text(seg, txt)
+        load_segment_text(txt, back)
+        for f in os.listdir(back):
+            os.replace(os.path.join(back, f), os.path.join(seg, f))
+    s = IndexSearcher(idx)
+    r = s.search_term("copper", k=10)
+    assert r["doc_id"].to_pylist() == [11, 22] or r.num_rows == 2
+    assert s.search_phrase(["pipe", "pipe"], k=10).num_rows == 1
+
+
+def test_bloom_filter_core():
+    terms = [f"term{i}" for i in range(500)]
+    bf = BloomFilter(build_bloom_bytes(terms, fpp=0.01))
+    assert all(bf.may_contain(t) for t in terms)  # zero false negatives
+    fp = sum(bf.may_contain(f"absent{i}") for i in range(2000))
+    assert fp <= 2000 * 0.05  # ~1% target with slack
+
+
+def test_bloom_skips_term_dict(ray_session, tmp_path):
+    idx = _build(tmp_path)
+    assert add_bloom_filters(idx) == len(_seg_dirs(idx))
+    assert add_bloom_filters(idx) == 0  # idempotent
+
+    s = IndexSearcher(idx)
+    assert s.search_term("definitely-absent-term", k=10).num_rows == 0
+    segs = s.segments
+    assert sum(r.bloom_skips for r in segs) == len(segs)
+    # the term DICTIONARY was never faulted in for the miss
+    assert all(r._terms is None for r in segs)
+    # present terms unaffected
+    assert s.search_term("copper", k=10).num_rows == 2
+    # keyword-field terms are in the same bloom space
+    assert s.search_term("lang:en", k=10).num_rows == 2
+    # false-positive path still correct (falls through to term dict)
+    for i in range(50):
+        assert s.search_term(f"ghost{i}", k=5).num_rows == 0
+
+
+def test_build_index_bloom_option(ray_session, tmp_path):
+    import ray.data as rd
+
+    idx = str(tmp_path / "bidx")
+    build_index(rd.from_arrow(DOCS), idx, content_col="content",
+                bloom_fpp=0.02)
+    for seg in _seg_dirs(idx):
+        assert os.path.exists(os.path.join(seg, "bloom.bin"))
+    s = IndexSearcher(idx)
+    assert s.search_term("nope-term", k=5).num_rows == 0
+    assert sum(r.bloom_skips for r in s.segments) >= 1
