@@ -1637,3 +1637,127 @@ def test_decode_flac_through_stage():
     out = DecodeStage(on_error="raise")(t)
     feats = np.array(out["features"].to_pylist(), dtype=np.float32)
     assert feats.shape == (1, FEATURE_DIM) and np.isfinite(feats).all()
+
+
+# ---------------------------------------------------------------------------
+# AVI container + VideoFrameSampleStage (writer in test, decoder in product)
+
+
+def _avi_chunk(fourcc, body):
+    import struct
+
+    return fourcc + struct.pack("<I", len(body)) + body + \
+        (b"\x00" if len(body) & 1 else b"")
+
+
+def _make_avi(frame_bodies, w, h, codec=b"MJPG", scale=1, rate=10):
+    import struct
+
+    def lst(ltype, body):
+        return _avi_chunk(b"LIST", ltype + body)
+
+    avih = struct.pack("<14I", 100000, 0, 0, 0, len(frame_bodies),
+                       0, 1, 0, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + codec
+            + struct.pack("<IHH", 0, 0, 0)            # flags, pri, lang
+            + struct.pack("<IIIII", 0, scale, rate,   # init, scale, rate
+                          0, len(frame_bodies))        # start, length
+            + struct.pack("<III", 0, 0, 0) + b"\x00" * 8)
+    hdrl = lst(b"hdrl", _avi_chunk(b"avih", avih)
+               + lst(b"strl", _avi_chunk(b"strh", strh)
+                     + _avi_chunk(b"strf", b"\x00" * 40)))
+    tag = b"00dc" if codec == b"MJPG" else b"00db"
+    movi = lst(b"movi", b"".join(_avi_chunk(tag, f)
+                                 for f in frame_bodies))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _dib_body(img):
+    # bottom-up BGR rows padded to 4 bytes
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
+    return rows.tobytes()
+
+
+def test_avi_info_and_dib_frames():
+    from lucene_solr_ray.ops.multimodal import avi_info, decode_avi_frame
+
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+              for _ in range(7)]
+    avi = _make_avi([_dib_body(f) for f in frames], 5, 6,
+                    codec=b"DIB ", scale=1, rate=25)
+    info = avi_info(avi)
+    assert info["n_frames"] == 7 and len(info["frames"]) == 7
+    assert (info["width"], info["height"]) == (5, 6)
+    assert info["fps"] == 25.0 and info["codec"] == "dib"
+    for k in (0, 3, 6):
+        np.testing.assert_array_equal(decode_avi_frame(avi, info, k),
+                                      frames[k])
+
+
+def test_avi_mjpeg_frames_and_sampling_plans():
+    from lucene_solr_ray.ops.multimodal import (
+        avi_info,
+        decode_avi_frame,
+        sample_frame_indices,
+    )
+
+    frames = [np.full((16, 16, 3), 30 * i + 20, dtype=np.uint8)
+              for i in range(6)]
+    avi = _make_avi([_make_jpeg(f) for f in frames], 16, 16)
+    info = avi_info(avi)
+    assert info["codec"] == "mjpg" and len(info["frames"]) == 6
+    for k in range(6):
+        img = decode_avi_frame(avi, info, k)
+        assert img.shape == (16, 16, 3)
+        assert abs(float(img.mean()) - (30 * k + 20)) < 3.0  # lossy
+
+    assert sample_frame_indices(10, every=3) == [0, 3, 6, 9]
+    assert sample_frame_indices(100, count=4) == [12, 37, 62, 87]
+    assert sample_frame_indices(2, count=8) == [0, 1]
+    assert sample_frame_indices(0, count=8) == []
+
+
+def test_video_frame_sample_stage(ray_session):
+    import ray.data as rd
+
+    from lucene_solr_ray.ops.multimodal import (
+        VideoFrameSampleStage,
+        decode_image,
+    )
+
+    vids = []
+    truths = {}
+    for did in (1, 2):
+        rng = np.random.default_rng(did)
+        frames = [rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+                  for _ in range(5)]
+        truths[did] = frames
+        vids.append({"doc_id": did,
+                     "bytes": _make_avi([_dib_body(f) for f in frames],
+                                        4, 4, codec=b"DIB ")})
+    ds = rd.from_items(vids).map_batches(
+        VideoFrameSampleStage(every=2), batch_format="pyarrow",
+        batch_size=1)
+    tab = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    assert tab.num_rows == 6  # frames 0,2,4 per video
+    for i in range(tab.num_rows):
+        did = tab["doc_id"][i].as_py()
+        k = tab["frame_idx"][i].as_py()
+        img = decode_image("rgb8", tab["frame_rgb8"][i].as_py(),
+                           tab["width"][i].as_py(),
+                           tab["height"][i].as_py())
+        np.testing.assert_array_equal(img, truths[did][k])
+
+    # corrupt video: skip mode drops it, raise mode propagates
+    bad = [{"doc_id": 9, "bytes": b"RIFFxxxxAVI broken"}]
+    out = rd.from_items(vids + bad).map_batches(
+        VideoFrameSampleStage(every=2, on_error="skip"),
+        batch_format="pyarrow", batch_size=1)
+    t2 = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    assert t2.num_rows == 6
+    assert set(t2["doc_id"].to_pylist()) == {1, 2}
