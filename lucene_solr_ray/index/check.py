@@ -129,6 +129,22 @@ def check_index(index_dir: str, *, raise_on_error: bool = True,
                 report["terms"] += 1
                 report["postings"] += int(df)
 
+            # bloom sidecar (codecs/bloom analogue): a filter that
+            # denies a REAL term would silently hide postings — the
+            # one failure mode a bloom filter must never have
+            from .bloom import BloomFilter
+
+            bf = BloomFilter.load(seg_dir)
+            if bf is not None:
+                probe = terms if sample_terms is None else \
+                    terms[np.linspace(0, len(terms) - 1,
+                                      min(sample_terms, len(terms)),
+                                      dtype=int)]
+                for t_ in probe:
+                    _check(bf.may_contain(str(t_)),
+                           f"{name}: bloom false negative for {t_!r}",
+                           raise_on_error, report)
+
         docs_path = os.path.join(seg_dir, DOCS_FILE)
         if os.path.exists(docs_path) and seg.get("num_docs", 0) > 0:
             d = pq.read_table(docs_path, columns=["doc_id", "dl", "norm"])

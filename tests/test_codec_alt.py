@@ -125,3 +125,27 @@ def test_build_index_bloom_option(ray_session, tmp_path):
     s = IndexSearcher(idx)
     assert s.search_term("nope-term", k=5).num_rows == 0
     assert sum(r.bloom_skips for r in s.segments) >= 1
+
+
+def test_check_index_validates_bloom(ray_session, tmp_path):
+    from lucene_solr_ray.index.check import check_index
+
+    idx = _build(tmp_path, "cidx")
+    add_bloom_filters(idx)
+    rep = check_index(idx)
+    assert not rep["errors"]
+    # corrupt the filter: zero all bits → every real term is a false
+    # negative → CheckIndex must flag it
+    import json as _json
+
+    seg = _seg_dirs(idx)[0]
+    p = os.path.join(seg, "bloom.bin")
+    blob = bytearray(open(p, "rb").read())
+    nl = blob.index(b"\n", 10)  # magic is b"LSRBLOOM1\n" (10 bytes)
+    for i in range(nl + 1, len(blob)):
+        blob[i] = 0
+    open(p, "wb").write(bytes(blob))
+    with pytest.raises(Exception):
+        check_index(idx)
+    rep2 = check_index(idx, raise_on_error=False)
+    assert any("bloom false negative" in e for e in rep2["errors"])
