@@ -74,6 +74,9 @@ class SegmentReader:
         self._row_cache: dict[tuple[str, bool], list[dict]] = {}
         self._bloom = False       # False=unprobed, None=absent, or filter
         self.bloom_skips = 0      # absent-term lookups answered by bloom
+        self._rg_stats = False    # False=unprobed, None=absent, or (mins, maxs)
+        self._rg_terms: dict[int, np.ndarray] = {}  # per-group term cols
+        self.seek_lookups = 0     # cold lookups served by rg-stats seek
 
     def _file(self) -> pq.ParquetFile:
         if self._pf is None:
@@ -93,6 +96,52 @@ class SegmentReader:
             self._ttf = np.asarray(t["ttf"], dtype=np.int64)
         return self._terms
 
+    def _rg_term_stats(self):
+        """(mins, maxs) of the term column per row group from parquet
+        metadata, or None when any group lacks exact statistics."""
+        if self._rg_stats is False:
+            pf = self._file()
+            md = pf.metadata
+            ci = next(i for i in range(md.num_columns)
+                      if md.schema.column(i).name == "term")
+            mins, maxs = [], []
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    mins = None
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            self._rg_stats = (mins, maxs) if mins is not None else None
+        return self._rg_stats
+
+    def _group_terms(self, g: int) -> np.ndarray:
+        if g not in self._rg_terms:
+            self._rg_terms[g] = np.asarray(
+                self._file().read_row_group(g, columns=["term"])["term"])
+        return self._rg_terms[g]
+
+    def _term_range_seek(self, term: str) -> tuple[int, int] | None:
+        """BlockTree-style cold seek: locate one term's global row range
+        reading ONLY the row groups whose [min, max] statistics cover it
+        (terms are globally sorted, so the covering groups are the only
+        ones that can hold it). None = statistics unavailable."""
+        stats = self._rg_term_stats()
+        if stats is None:
+            return None
+        mins, maxs = stats
+        gs = [g for g in range(len(mins)) if mins[g] <= term <= maxs[g]]
+        if not gs:
+            return (0, 0)
+        t_first = self._group_terms(gs[0])
+        lo = int(self._rg_cum[gs[0]]) + \
+            int(np.searchsorted(t_first, term, side="left"))
+        t_last = self._group_terms(gs[-1])
+        hi = int(self._rg_cum[gs[-1]]) + \
+            int(np.searchsorted(t_last, term, side="right"))
+        self.seek_lookups += 1
+        return (lo, hi)
+
     def _term_range(self, term: str) -> tuple[int, int]:
         if self._terms is None:
             # BloomFilteringPostingsFormat fast path (index/bloom.py):
@@ -106,6 +155,11 @@ class SegmentReader:
                     not self._bloom.may_contain(term):
                 self.bloom_skips += 1
                 return (0, 0)
+            # cold single-term lookup: row-group-statistics seek (the
+            # BlockTree role) instead of faulting in the whole column
+            seek = self._term_range_seek(term)
+            if seek is not None:
+                return seek
         terms = self._term_dict()
         if len(terms) == 0:
             return (0, 0)
@@ -137,8 +191,14 @@ class SegmentReader:
         for t in terms:
             lo, hi = self._term_range(t)
             if hi > lo:
-                out[t] = (int(self._df[lo:hi].sum()),
-                          int(self._ttf[lo:hi].sum()))
+                if self._df is not None:
+                    out[t] = (int(self._df[lo:hi].sum()),
+                              int(self._ttf[lo:hi].sum()))
+                else:  # cold seek path: stats rows read per row group
+                    rows = [self._read_row(i, ["df", "ttf"])
+                            for i in range(lo, hi)]
+                    out[t] = (sum(r["df"] for r in rows),
+                              sum(r["ttf"] for r in rows))
         return out
 
     def term_dict_arrays(self):

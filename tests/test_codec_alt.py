@@ -149,3 +149,29 @@ def test_check_index_validates_bloom(ray_session, tmp_path):
         check_index(idx)
     rep2 = check_index(idx, raise_on_error=False)
     assert any("bloom false negative" in e for e in rep2["errors"])
+
+
+def test_rg_stats_seek_cold_lookup(ray_session, tmp_path):
+    """Cold single-term lookups resolve through row-group statistics
+    without loading the term dictionary, and agree with the full-dict
+    path for present, absent, first and last terms."""
+    import ray.data as rd
+
+    n = 500
+    tab = pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "content": [f"w{i:04d} shared" for i in range(n)],
+    })
+    idx = str(tmp_path / "seekidx")
+    build_index(rd.from_arrow(tab), idx, content_col="content",
+                batch_rows=n)
+    s = IndexSearcher(idx)
+    probes = ["w0000", f"w{n-1:04d}", "w0250", "shared", "absent-term"]
+    got = {p: s.search_term(p, k=5).to_pydict() for p in probes}
+    assert all(r._terms is None for r in s.segments)
+    assert sum(r.seek_lookups for r in s.segments) > 0
+    s2 = IndexSearcher(idx)
+    for r in s2.segments:
+        r._term_dict()
+    for p in probes:
+        assert s2.search_term(p, k=5).to_pydict() == got[p], p
