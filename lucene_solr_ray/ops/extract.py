@@ -215,6 +215,14 @@ def extract_document(data: bytes, path: str | None = None,
     if ctype == "application/rtf":
         return _extract_rtf(data)
     if ctype == "message/rfc822":
+        if data.startswith(b"From "):  # mbox From_ envelope: N messages
+            msgs = extract_mbox(data)
+            return {"content": _WS.sub(" ", " ".join(
+                        m["content"] for m in msgs if m["content"]))
+                    .strip(),
+                    "title": msgs[0]["title"] if msgs else "",
+                    "content_type": "application/mbox",
+                    "metadata": {"n_messages": str(len(msgs))}}
         return _extract_eml(data, _depth)
     if ctype == "application/x-ole-storage":
         from .cfb import extract_ole

@@ -289,3 +289,11 @@ def test_gzip_bomb_guard(monkeypatch):
     ok = gzip.compress(b"small heron note")
     assert ex.extract_document(ok, "a.txt.gz")["content"] == \
         "small heron note"
+
+
+def test_mbox_file_through_extract_document():
+    d = extract_document(MBOX, "all.mbox")
+    assert d["content_type"] == "application/mbox"
+    assert "kakapo" in d["content"] and "numbat" in d["content"]
+    assert d["metadata"]["n_messages"] == "2"
+    assert d["title"] == "first"
