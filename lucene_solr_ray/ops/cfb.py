@@ -254,8 +254,8 @@ class _SstReader:
         self.segs = segments
 
     def _norm(self, si: int, off: int) -> tuple[int, int]:
+        # reads only ever land exactly on a segment end
         while si < len(self.segs) and off >= len(self.segs[si]):
-            off -= len(self.segs[si])  # always 0 in practice
             off = 0
             si += 1
         return si, off

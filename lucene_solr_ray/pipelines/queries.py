@@ -4898,7 +4898,10 @@ def _q_tika_pdf_roundtrip(sf_dir: str) -> pa.Table:
     ops.extract.extract_batch parses the binaries back with the native
     ISO-32000 parser in ops.pdf. The oracle asserts the text survives
     the PDF container byte-for-byte (the corpus has no runs of
-    whitespace, so the extractor's normalization is the identity)."""
+    whitespace, so the extractor's normalization is the identity).
+    The final to_pandas collects the RESULT TABLE because the driver
+    contract compares it; a production run of this pipeline ends in
+    write_parquet instead and never materializes on the driver."""
     import ray.data as rd
 
     from ..ops.extract import extract_batch
