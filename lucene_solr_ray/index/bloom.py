@@ -111,6 +111,8 @@ def add_bloom_filters(index_dir: str, fpp: float = 0.01) -> int:
     man = load_manifest(index_dir)
     n = 0
     for seg in man["segments"]:
+        if seg.get("kind", "postings") != "postings":
+            continue  # docs_only: superseded postings never queried
         seg_dir = os.path.join(index_dir, "segments", seg["segment"])
         if os.path.exists(os.path.join(seg_dir, BLOOM_FILE)):
             continue

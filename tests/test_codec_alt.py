@@ -175,3 +175,28 @@ def test_rg_stats_seek_cold_lookup(ray_session, tmp_path):
         r._term_dict()
     for p in probes:
         assert s2.search_term(p, k=5).to_pydict() == got[p], p
+
+
+def test_bloom_on_merged_index(ray_session, tmp_path):
+    """Bloom retrofit on a MERGED index: only live postings segments get
+    filters; absent-term lookups skip, present terms identical."""
+    import ray.data as rd
+
+    from lucene_solr_ray.index.merge import merge_segments
+
+    idx = str(tmp_path / "midx")
+    n = 200
+    tab = pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "content": [f"tok{i % 37} common body" for i in range(n)],
+    })
+    build_index(rd.from_arrow(tab), idx, content_col="content",
+                batch_rows=50)
+    merge_segments(idx)
+    before = IndexSearcher(idx).search_term("tok5", k=20).to_pydict()
+    wrote = add_bloom_filters(idx)
+    assert wrote >= 1
+    s = IndexSearcher(idx)
+    assert s.search_term("neverseen", k=5).num_rows == 0
+    assert sum(r.bloom_skips for r in s.segments) == len(s.segments)
+    assert s.search_term("tok5", k=20).to_pydict() == before
