@@ -4956,6 +4956,60 @@ SELECT doc_id, text AS content FROM documents ORDER BY doc_id
 """
 
 
+def _q_tika_docx_roundtrip(sf_dir: str) -> pa.Table:
+    """OOXML flavor of the extraction round-trip: every documents.text
+    row rendered as a real docx (stdlib zipfile; doc_id in
+    docProps/core.xml dc:title) inside map_batches, parsed back by the
+    zip-container extractor. Same byte-exactness oracle."""
+    import ray.data as rd
+
+    from ..ops.extract import extract_batch
+
+    def synth(batch: pa.Table) -> pa.Table:
+        import io
+        import zipfile
+        from xml.sax.saxutils import escape
+
+        from ..util import tune_allocator
+
+        tune_allocator()
+        paths, blobs = [], []
+        for did, txt in zip(batch["doc_id"].to_pylist(),
+                            batch["text"].to_pylist()):
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w",
+                                 zipfile.ZIP_DEFLATED) as zf:
+                zf.writestr(
+                    "word/document.xml",
+                    '<w:document xmlns:w="u"><w:body><w:p><w:r>'
+                    '<w:t xml:space="preserve">'
+                    + escape(txt or "")
+                    + "</w:t></w:r></w:p></w:body></w:document>")
+                zf.writestr(
+                    "docProps/core.xml",
+                    '<cp:coreProperties xmlns:cp="c" xmlns:dc="d">'
+                    f"<dc:title>{did}</dc:title></cp:coreProperties>")
+            paths.append(f"{did}.docx")
+            blobs.append(buf.getvalue())
+        return pa.table({"path": pa.array(paths, pa.string()),
+                         "bytes": pa.array(blobs, pa.large_binary())})
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    out = (docs
+           .map_batches(synth, batch_format="pyarrow")
+           .map_batches(lambda t: extract_batch(t, on_error="raise"),
+                        batch_format="pyarrow")
+           .map_batches(lambda t: pa.table({
+               "doc_id": pc.cast(t["title"], pa.int64()),
+               "content": pc.cast(t["content"], pa.string())}),
+               batch_format="pyarrow"))
+    df = out.to_pandas()
+    return pa.Table.from_pandas(
+        df.sort_values("doc_id").reset_index(drop=True),
+        preserve_index=False)
+
+
 STREAM_ROLLUP_EXPR = ('rollup(search(lineitem, q="*:*", '
                       'fl="l_returnflag,l_quantity"), '
                       'over="l_returnflag", sum(l_quantity), count(*))')
@@ -5339,6 +5393,7 @@ def build_queries() -> dict:
         "cluster_docs": _q_cluster_docs(),
         "dih_full_import": _q_dih_full_import,
         "tika_pdf_roundtrip": _q_tika_pdf_roundtrip,
+        "tika_docx_roundtrip": _q_tika_docx_roundtrip,
         "rel_block_join_parent": J.block_join_parent,
         "rel_block_join_facet": J.block_join_facet,
         "rel_block_join_child": J.block_join_child,
@@ -5631,6 +5686,7 @@ def build_oracle_sql() -> dict:
         "sql_stats": SQL_STATS,
         "dih_full_import": DIH_FULL_IMPORT_SQL,
         "tika_pdf_roundtrip": TIKA_PDF_ROUNDTRIP_SQL,
+        "tika_docx_roundtrip": TIKA_PDF_ROUNDTRIP_SQL,
         "rel_block_join_parent": RS.BLOCK_JOIN_PARENT,
         "rel_block_join_facet": RS.BLOCK_JOIN_FACET,
         "rel_block_join_child": RS.BLOCK_JOIN_CHILD,
