@@ -813,28 +813,83 @@ def _page_text(doc: PdfDocument, page: dict, resources: dict) -> str:
     return re.sub(r" ?\n ?", "\n", text).strip()
 
 
+def _decode_pdf_string(v) -> str:
+    if isinstance(v, bytes):
+        if v[:2] == b"\xfe\xff":
+            return v[2:].decode("utf-16-be", errors="replace")
+        return v.decode("latin-1", errors="replace")
+    return str(v) if v is not None else ""
+
+
+def _annotation_text(doc: PdfDocument, page: dict) -> str:
+    """Annotation /Contents strings (§12.5.6.4 — the PDFBox
+    extractor includes FreeText/popup text)."""
+    out = []
+    for a in doc.resolve(page.get("Annots")) or []:
+        a = doc.resolve(a)
+        if isinstance(a, dict):
+            s = _decode_pdf_string(doc.resolve(a.get("Contents")))
+            if s.strip():
+                out.append(s.strip())
+    return "\n".join(out)
+
+
+def _acroform_text(doc: PdfDocument) -> str:
+    """Interactive form field values (§12.7 /AcroForm /Fields /V),
+    walking the field tree (Kids inherit)."""
+    root = doc.resolve(doc.trailer.get("Root"))
+    if not isinstance(root, dict):
+        return ""
+    form = doc.resolve(root.get("AcroForm"))
+    if not isinstance(form, dict):
+        return ""
+    out: list[str] = []
+
+    def walk(field, depth=0):
+        field = doc.resolve(field)
+        if not isinstance(field, dict) or depth > 16:
+            return
+        v = doc.resolve(field.get("V"))
+        if isinstance(v, (bytes, _Name)):
+            s = _decode_pdf_string(v)
+            if s.strip():
+                name = _decode_pdf_string(doc.resolve(field.get("T")))
+                out.append(f"{name}: {s}" if name else s)
+        for kid in doc.resolve(field.get("Kids")) or []:
+            walk(kid, depth + 1)
+
+    for f in doc.resolve(form.get("Fields")) or []:
+        walk(f)
+    return "\n".join(out)
+
+
 def extract_pdf(data: bytes) -> dict:
     """One PDF → the extract.py result shape
     ``{content, title, content_type, metadata}``."""
     doc = PdfDocument(data)
     pages = doc.pages()
-    content = "\n".join(
-        t for t in (_page_text(doc, p, r) for p, r in pages) if t)
+    parts = []
+    for p, r in pages:
+        t = _page_text(doc, p, r)
+        ann = _annotation_text(doc, p)
+        if ann:
+            t = (t + "\n" + ann).strip()
+        if t:
+            parts.append(t)
+    form = _acroform_text(doc)
+    if form:
+        parts.append(form)
+    content = "\n".join(parts)
     info = doc.resolve(doc.trailer.get("Info")) or {}
     meta = {}
     title = ""
     if isinstance(info, dict):
         for k, v in info.items():
-            v = doc.resolve(v)
-            if isinstance(v, bytes):
-                if v[:2] == b"\xfe\xff":
-                    v = v[2:].decode("utf-16-be", errors="replace")
-                else:
-                    v = v.decode("latin-1", errors="replace")
+            v = _decode_pdf_string(doc.resolve(v))
             if k == "Title":
-                title = str(v)
+                title = v
             else:
-                meta[k.lower()] = str(v)
+                meta[k.lower()] = v
     meta["n_pages"] = str(len(pages))
     return {"content": content, "title": title,
             "content_type": "application/pdf", "metadata": meta}

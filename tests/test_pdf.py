@@ -391,3 +391,24 @@ def test_glyph_name_resolution():
     assert _glyph_to_unicode("uni004100420043") == "ABC"
     assert _glyph_to_unicode("u1F600") == "\U0001F600"
     assert _glyph_to_unicode("nonexistentglyph") is None
+
+
+def test_annotations_and_acroform():
+    objs = {
+        1: (b"<< /Type /Catalog /Pages 2 0 R /AcroForm"
+            b" << /Fields [ 7 0 R ] >> >>"),
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R"
+            b" /Annots [ 6 0 R ] >>"),
+        5: _stream(b"<< >>", b"BT (page body) Tj ET"),
+        6: (b"<< /Type /Annot /Subtype /FreeText"
+            b" /Contents (sticky note text) >>"),
+        7: (b"<< /T (customer) /V (Acme Corp)"
+            b" /Kids [ 8 0 R ] >>"),
+        8: b"<< /T (region) /V (EMEA) >>",
+    }
+    d = extract_pdf(_mkpdf(objs, b"<< /Root 1 0 R >>"))
+    assert "page body" in d["content"]
+    assert "sticky note text" in d["content"]
+    assert "customer: Acme Corp" in d["content"]
+    assert "region: EMEA" in d["content"]
