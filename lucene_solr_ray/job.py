@@ -106,6 +106,37 @@ def cmd_check(args) -> dict:
     return report
 
 
+def cmd_extract(args) -> dict:
+    """Rich-document extraction job (the ExtractingRequestHandler front
+    door at ray-job scale): binary files → extracted text parquet,
+    optionally straight into an index build."""
+    import ray.data as rd
+
+    from .ops.extract import read_rich_documents
+
+    t0 = time.perf_counter()
+    ds = read_rich_documents(args.input, on_error=args.on_error)
+    if args.index_out:
+        from .dataimport import add_pk_doc_ids
+        from .index.build import build_index
+
+        ds = ds.map_batches(
+            lambda t: add_pk_doc_ids(t, pk="stream_name"),
+            batch_format="pyarrow")
+        man = build_index(ds, args.index_out, content_col="content",
+                          keyword_cols=("content_type",))
+        n = man["num_docs"]
+    else:
+        ds = ds.repartition(args.num_output_files)
+        ds.write_parquet(args.out)
+        import pyarrow.dataset as pads
+
+        n = pads.dataset(args.out).count_rows()
+    return {"cmd": "extract", "input": args.input,
+            "out": args.index_out or args.out, "docs": int(n),
+            "sec": round(time.perf_counter() - t0, 3)}
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="lucene_solr_ray.job")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -134,6 +165,19 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("check", help="CheckIndex invariants")
     c.add_argument("--index", required=True)
     c.set_defaults(fn=cmd_check)
+
+    e = sub.add_parser("extract",
+                       help="rich-document extraction (Tika analogue)")
+    e.add_argument("--input", required=True,
+                   help="directory of binary documents")
+    e.add_argument("--out", default=None,
+                   help="output parquet directory")
+    e.add_argument("--index-out", default=None,
+                   help="build a fulltext index instead of parquet")
+    e.add_argument("--on-error", default="skip",
+                   choices=["skip", "raise"])
+    e.add_argument("--num-output-files", type=int, default=8)
+    e.set_defaults(fn=cmd_extract)
     return p
 
 
