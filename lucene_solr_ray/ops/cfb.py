@@ -307,14 +307,6 @@ class _SstReader:
         _, si, off = self._raw(si, off, 4 * crun + cbext)
         return "".join(parts), (si, off)
 
-    def read_strings(self, count: int, start: tuple = (0, 0)) -> list[str]:
-        si, off = start
-        out = []
-        for _ in range(count):
-            s, (si, off) = self.read_string_at(si, off)
-            out.append(s)
-        return out
-
 
 def extract_xls_text(cfb: CfbFile) -> str:
     wb = cfb.stream("Workbook") or cfb.stream("Book")
