@@ -4,6 +4,8 @@ from .build import (
     build_index_resumable,
     plan_partitions,
 )
+from .bloom import BloomFilter, add_bloom_filters
 from .manifest import commit_manifest, load_manifest
+from .simpletext import dump_segment_text, load_segment_text
 from .segment import build_postings_table, write_segment
 from .smallfloat import NORM_TABLE, byte315_to_float, encode_norm, float_to_byte315
