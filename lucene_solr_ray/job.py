@@ -137,6 +137,21 @@ def cmd_extract(args) -> dict:
             "sec": round(time.perf_counter() - t0, 3)}
 
 
+def cmd_dump(args) -> dict:
+    """SimpleText debugging dump (lucene/codecs/simpletext role): a
+    segment directory rendered human-readable, or loaded back."""
+    from .index.simpletext import dump_segment_text, load_segment_text
+
+    t0 = time.perf_counter()
+    if args.load:
+        load_segment_text(args.segment, args.out)
+    else:
+        dump_segment_text(args.segment, args.out)
+    return {"cmd": "dump", "segment": args.segment, "out": args.out,
+            "load": bool(args.load),
+            "sec": round(time.perf_counter() - t0, 3)}
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="lucene_solr_ray.job")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -178,6 +193,13 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["skip", "raise"])
     e.add_argument("--num-output-files", type=int, default=8)
     e.set_defaults(fn=cmd_extract)
+
+    d = sub.add_parser("dump", help="SimpleText segment dump / load")
+    d.add_argument("--segment", required=True)
+    d.add_argument("--out", required=True)
+    d.add_argument("--load", action="store_true",
+                   help="reverse: text dir → default-codec segment")
+    d.set_defaults(fn=cmd_dump)
     return p
 
 

@@ -200,3 +200,18 @@ def test_bloom_on_merged_index(ray_session, tmp_path):
     assert s.search_term("neverseen", k=5).num_rows == 0
     assert sum(r.bloom_skips for r in s.segments) == len(s.segments)
     assert s.search_term("tok5", k=20).to_pydict() == before
+
+
+def test_job_cli_dump_roundtrip(ray_session, tmp_path):
+    from lucene_solr_ray.job import main
+
+    idx = _build(tmp_path, "dumpidx")
+    seg = _seg_dirs(idx)[0]
+    assert main(["dump", "--segment", seg,
+                 "--out", str(tmp_path / "txt")]) == 0
+    assert 'term "copper"' in open(tmp_path / "txt" / "postings.txt").read()
+    assert main(["dump", "--load", "--segment", str(tmp_path / "txt"),
+                 "--out", str(tmp_path / "back")]) == 0
+    a = pq.read_table(os.path.join(seg, "postings.parquet"))
+    b = pq.read_table(str(tmp_path / "back" / "postings.parquet"))
+    assert a.equals(b)
