@@ -167,3 +167,76 @@ def test_unicode_text_survives_where_supported():
     # cp1252-capable subset through RTF's \uN escapes
     d = extract_document(render_rtf(text, rng), "x.rtf")
     assert " ".join(d["content"].split()) == text
+
+
+def render_xlsx(text: str, rng: random.Random) -> bytes:
+    from xml.sax.saxutils import escape
+
+    words = text.split(" ")
+    # alternate shared-string refs and inline strings, in cell order
+    sis, cells = [], []
+    for w in words:
+        if rng.random() < 0.5:
+            cells.append(f'<c t="s"><v>{len(sis)}</v></c>')
+            sis.append(f"<si><t>{escape(w)}</t></si>")
+        else:
+            cells.append(f'<c t="inlineStr"><is><t>{escape(w)}</t></is></c>')
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/workbook.xml", "<workbook/>")
+        zf.writestr("xl/sharedStrings.xml",
+                    "<sst>" + "".join(sis) + "</sst>")
+        zf.writestr("xl/worksheets/sheet1.xml",
+                    "<worksheet><sheetData><row>" + "".join(cells)
+                    + "</row></sheetData></worksheet>")
+    return buf.getvalue()
+
+
+def render_pptx(text: str, rng: random.Random) -> bytes:
+    from xml.sax.saxutils import escape
+
+    words = text.split(" ")
+    half = max(1, len(words) // 2)
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for i, chunk in enumerate((words[:half], words[half:]), 1):
+            if not chunk:
+                continue
+            zf.writestr(
+                f"ppt/slides/slide{i}.xml",
+                '<p:sld xmlns:a="a" xmlns:p="p"><a:p><a:r><a:t>'
+                + escape(" ".join(chunk)) + "</a:t></a:r></a:p></p:sld>")
+    return buf.getvalue()
+
+
+def render_odt(text: str, rng: random.Random) -> bytes:
+    from xml.sax.saxutils import escape
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype", "application/vnd.oasis.opendocument.text")
+        zf.writestr("content.xml",
+                    '<o:d xmlns:o="o" xmlns:t="t"><o:body><t:p>'
+                    + escape(text) + "</t:p></o:body></o:d>")
+    return buf.getvalue()
+
+
+def render_ppt_binary(text: str, rng: random.Random) -> bytes:
+    from test_cfb import make_cfb
+
+    atom = struct.pack("<HHI", 0, 0x0FA0, len(text.encode("utf-16-le"))) \
+        + text.encode("utf-16-le")
+    container = struct.pack("<HHI", 0x000F, 0x03EE, len(atom)) + atom
+    return make_cfb({"PowerPoint Document": container})
+
+
+def test_random_roundtrip_office_formats():
+    renderers = {"x.xlsx": render_xlsx, "x.pptx": render_pptx,
+                 "x.odt": render_odt, "x.ppt": render_ppt_binary}
+    rng = random.Random(99)
+    for trial in range(20):
+        text = _rand_text(rng, rng.randrange(2, 50))
+        for name, render in renderers.items():
+            d = extract_document(render(text, rng), name)
+            got = " ".join(d["content"].split())
+            assert got == text, (name, trial, got[:80], text[:80])
