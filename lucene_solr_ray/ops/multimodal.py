@@ -1537,7 +1537,8 @@ def avi_info(payload: bytes) -> dict:
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI/RIFF file")
     info = {"n_frames": 0, "width": 0, "height": 0, "fps": 0.0,
-            "codec": "", "frames": []}
+            "codec": "", "frames": [], "audio": None}
+    state = {"strh": b""}  # last stream header type (strf follows strh)
 
     def walk(lo, hi):
         for fourcc, blo, bhi, ltype in _riff_chunks(payload, lo, hi):
@@ -1549,18 +1550,55 @@ def avi_info(payload: bytes) -> dict:
                 (info["width"],) = _le32(payload, blo + 32)
                 (info["height"],) = _le32(payload, blo + 36)
             elif fourcc == b"strh":
-                if payload[blo:blo + 4] == b"vids":
+                state["strh"] = payload[blo:blo + 4]
+                if state["strh"] == b"vids":
                     scale, rate = struct.unpack_from("<II", payload,
                                                      blo + 20)
                     info["fps"] = rate / scale if scale else 0.0
                     info["codec"] = payload[blo + 4:blo + 8] \
                         .decode("latin-1").strip().lower() or "dib"
+            elif fourcc == b"strf" and state["strh"] == b"auds":
+                # WAVEFORMATEX: tag, channels, rate, avg, align, bits
+                tag, nch, rate = struct.unpack_from("<HHI", payload, blo)
+                (bits,) = struct.unpack_from("<H", payload, blo + 14)
+                info["audio"] = {"format_tag": tag, "channels": nch,
+                                 "rate": rate, "bits": bits, "chunks": []}
             elif fourcc[2:4] in (b"db", b"dc") and fourcc[:2].isdigit():
                 info["frames"].append((blo, bhi))
+            elif fourcc[2:4] == b"wb" and fourcc[:2].isdigit():
+                if info["audio"] is not None:
+                    info["audio"]["chunks"].append((blo, bhi))
     walk(12, len(payload))
     if not info["codec"] and info["frames"]:
         info["codec"] = "dib"
     return info
+
+
+def avi_audio(payload: bytes, info: dict) -> tuple[np.ndarray, int]:
+    """The AVI's PCM audio track → (float64 mono in [-1, 1),
+    sample_rate) — the decode_wav surface, so AudioFeatureStage
+    composes. Only uncompressed PCM (WAVEFORMATEX tag 1) decodes;
+    compressed audio raises like the lossy video codecs."""
+    au = info.get("audio")
+    if not au or not au["chunks"]:
+        raise ValueError("AVI has no audio stream")
+    if au["format_tag"] != 1:
+        raise NotImplementedError(
+            f"AVI audio format {au['format_tag']:#x}: only PCM decodes "
+            "in this environment")
+    raw = b"".join(payload[lo:hi] for lo, hi in au["chunks"])
+    bits, nch = au["bits"], max(1, au["channels"])
+    if bits == 16:
+        x = np.frombuffer(raw[:len(raw) & ~1], dtype="<i2") \
+            .astype(np.float64) / 32768.0
+    elif bits == 8:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+             - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM in AVI")
+    if nch > 1:
+        x = x[:len(x) - len(x) % nch].reshape(-1, nch).mean(axis=1)
+    return x, int(au["rate"])
 
 
 def _decode_dib(body: bytes, width: int, height: int) -> np.ndarray:

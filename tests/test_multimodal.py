@@ -1761,3 +1761,58 @@ def test_video_frame_sample_stage(ray_session):
     t2 = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
     assert t2.num_rows == 6
     assert set(t2["doc_id"].to_pylist()) == {1, 2}
+
+
+def test_avi_audio_track():
+    import struct
+
+    from lucene_solr_ray.ops.multimodal import avi_audio, avi_info
+
+    # stereo 16-bit PCM sine split over two '01wb' chunks
+    rate = 8000
+    t = np.arange(1024) / rate
+    mono = np.sin(2 * np.pi * 440.0 * t)
+    pcm = (mono * 32000).astype("<i2")
+    stereo = np.repeat(pcm, 2).tobytes()  # L == R
+
+    def lst(ltype, body):
+        return _avi_chunk(b"LIST", ltype + body)
+
+    a_strh = (b"auds" + b"\x00" * 4 + struct.pack("<IHH", 0, 0, 0)
+              + struct.pack("<IIIII", 0, 1, rate, 0, len(pcm))
+              + struct.pack("<III", 0, 0, 0) + b"\x00" * 8)
+    wfx = struct.pack("<HHIIHH", 1, 2, rate, rate * 4, 4, 16)
+    v_frame = _dib_body(np.zeros((2, 2, 3), dtype=np.uint8))
+    v_strh = (b"vids" + b"DIB " + struct.pack("<IHH", 0, 0, 0)
+              + struct.pack("<IIIII", 0, 1, 10, 0, 1)
+              + struct.pack("<III", 0, 0, 0) + b"\x00" * 8)
+    avih = struct.pack("<14I", 100000, 0, 0, 0, 1, 0, 2, 0, 2, 2,
+                       0, 0, 0, 0)
+    hdrl = lst(b"hdrl", _avi_chunk(b"avih", avih)
+               + lst(b"strl", _avi_chunk(b"strh", v_strh)
+                     + _avi_chunk(b"strf", b"\x00" * 40))
+               + lst(b"strl", _avi_chunk(b"strh", a_strh)
+                     + _avi_chunk(b"strf", wfx)))
+    half = len(stereo) // 2
+    movi = lst(b"movi", _avi_chunk(b"00db", v_frame)
+               + _avi_chunk(b"01wb", stereo[:half])
+               + _avi_chunk(b"01wb", stereo[half:]))
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    info = avi_info(avi)
+    assert info["audio"]["channels"] == 2
+    assert info["audio"]["rate"] == rate
+    assert len(info["audio"]["chunks"]) == 2
+    x, r = avi_audio(avi, info)
+    assert r == rate and len(x) == 1024
+    np.testing.assert_allclose(x, pcm.astype(np.float64) / 32768.0,
+                               atol=1e-12)  # L==R mean == mono
+    assert len(info["frames"]) == 1  # video chunk untouched
+
+    # compressed audio tag raises honestly
+    bad = avi.replace(struct.pack("<HHIIHH", 1, 2, rate, rate * 4, 4, 16),
+                      struct.pack("<HHIIHH", 0x55, 2, rate, 0, 4, 16))
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        avi_audio(bad, avi_info(bad))
