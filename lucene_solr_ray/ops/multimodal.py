@@ -4,7 +4,10 @@ decoded / featurized by actor-pool map_batches stages.
 The image/audio/video codec libraries are not available in this
 environment, so decoders are written from scratch over stdlib only:
 ``codec="raw"`` is a real, deterministic payload format (the fake used
-by tests and bench); WAV (RIFF/PCM), 24-bit BMP, netpbm P5/P6, PNG
+by tests and bench); WAV (RIFF: integer PCM 8/16/24/32, IEEE float,
+G.711 µ-law/A-law, EXTENSIBLE), 24-bit BMP, netpbm P5/P6, baseline
+TIFF 6.0 (both byte orders, strips, LZW/Deflate/PackBits, Predictor 2,
+gray/RGB/palette), PNG
 (zlib inflate + all five scanline filters, every legal bit depth,
 Adam7 interlace), GIF (variable-width LZW + interlace), and JPEG —
 baseline AND progressive SOF2 (canonical-Huffman entropy decode,
@@ -87,7 +90,8 @@ class DecodeStage:
             hist = np.bincount(np.frombuffer(payload, dtype=np.uint8),
                                minlength=256).astype(np.float32)
             return hist / max(1.0, hist.sum())
-        if codec in ("rgb8", "bmp", "ppm", "pgm", "png", "gif", "jpeg"):
+        if codec in ("rgb8", "bmp", "ppm", "pgm", "png", "gif", "jpeg",
+                     "tiff"):
             # real image decode (decode_image below) → grayscale
             # intensity histogram as the 256-dim intermediate
             img = decode_image(codec, payload, width, height)
@@ -105,7 +109,7 @@ class DecodeStage:
         raise NotImplementedError(
             f"codec {codec!r}: mp3/h264 need libraries absent from "
             f"this environment — plug one in here; wav/flac/bmp/ppm/"
-            f"pgm/png/gif/jpeg containers decode natively")
+            f"pgm/png/gif/jpeg/tiff containers decode natively")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         codecs = batch["codec"].to_pylist()
@@ -406,41 +410,95 @@ def sample_frames(payload: bytes, width: int, height: int,
 # still raise in DecodeStage (library/table-bound).
 # ---------------------------------------------------------------------------
 
+def _g711_ulaw_table() -> np.ndarray:
+    """All 256 µ-law decodes (ITU-T G.711 µ-law expansion — the
+    CCITT reference algorithm: complement, rebias, shift by segment).
+    Formula-derived, no tabulated constants; tests assert equality
+    with the stdlib ``audioop.ulaw2lin`` table."""
+    u = ~np.arange(256) & 0xFF
+    t = ((((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)) - 0x84
+    return np.where(u & 0x80, -t, t).astype(np.int16)
+
+
+def _g711_alaw_table() -> np.ndarray:
+    """All 256 A-law decodes (ITU-T G.711 A-law expansion: XOR 0x55,
+    segment shift, half-step offset)."""
+    a = np.arange(256) ^ 0x55
+    seg = (a & 0x70) >> 4
+    t = (a & 0x0F) << 4
+    t = np.where(seg == 0, t + 8,
+                 np.where(seg == 1, t + 0x108,
+                          (t + 0x108) << np.maximum(seg - 1, 0)))
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAVE PCM → (float64 mono samples in [-1, 1), sample_rate).
-    Supports 8/16/32-bit integer PCM, any channel count (averaged)."""
+    """RIFF/WAVE → (float64 mono samples in [-1, 1), sample_rate).
+
+    Formats: integer PCM (8/16/24/32-bit), IEEE float (32/64-bit),
+    ITU-T G.711 µ-law and A-law (formula-derived expansion tables),
+    and WAVE_FORMAT_EXTENSIBLE wrapping any of those; any channel
+    count (averaged to mono). Everything here is algorithmic spec
+    math — no external audio library, no tabulated constants."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, n = 12, len(payload)
-    fmt = None
+    fmt_body = None
     data = None
     while pos + 8 <= n:
         cid, size = payload[pos:pos + 4], \
             struct.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
-            fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
-    if fmt is None or data is None:
+    if fmt_body is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    audio_format, channels, rate, _bps, _align, bits = fmt
-    if audio_format != 1:
-        raise NotImplementedError(
-            f"WAVE format {audio_format}: only PCM decodes without "
-            f"external audio libraries")
-    if bits == 16:
-        x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
-    elif bits == 8:
-        x = (np.frombuffer(data, dtype=np.uint8)
-             .astype(np.float64) - 128.0) / 128.0
-    elif bits == 32:
-        x = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2**31
+    audio_format, channels, rate, _bps, _align, bits = \
+        struct.unpack_from("<HHIIHH", fmt_body, 0)
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE (RFC 2361 GUIDs:
+        # the real format tag is the first 16 bits of SubFormat)
+        if len(fmt_body) < 26:
+            raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
+        audio_format = struct.unpack_from("<H", fmt_body, 24)[0]
+    if audio_format == 1:  # integer PCM
+        if bits == 16:
+            x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+        elif bits == 8:
+            x = (np.frombuffer(data, dtype=np.uint8)
+                 .astype(np.float64) - 128.0) / 128.0
+        elif bits == 24:
+            b = np.frombuffer(data, dtype=np.uint8)
+            b = b[: len(b) - len(b) % 3].reshape(-1, 3).astype(np.int32)
+            v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            v = (v << 8) >> 8  # sign-extend 24 → 32
+            x = v.astype(np.float64) / 2**23
+        elif bits == 32:
+            x = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2**31
+        else:
+            raise NotImplementedError(f"{bits}-bit PCM")
+    elif audio_format == 3:  # IEEE float
+        if bits == 32:
+            x = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            x = np.frombuffer(data, dtype="<f8").astype(np.float64)
+        else:
+            raise NotImplementedError(f"{bits}-bit IEEE float")
+    elif audio_format in (6, 7):  # G.711 A-law / µ-law
+        if bits != 8:
+            raise ValueError(f"G.711 requires 8-bit samples, got {bits}")
+        table = _g711_alaw_table() if audio_format == 6 \
+            else _g711_ulaw_table()
+        x = table[np.frombuffer(data, dtype=np.uint8)] \
+            .astype(np.float64) / 32768.0
     else:
-        raise NotImplementedError(f"{bits}-bit PCM")
+        raise NotImplementedError(
+            f"WAVE format {audio_format}: only PCM/IEEE-float/G.711 "
+            f"decode without external audio libraries")
     if channels > 1:
         x = x[: len(x) - len(x) % channels] \
             .reshape(-1, channels).mean(axis=1)
@@ -1147,11 +1205,13 @@ def decode_image(codec: str, payload: bytes,
         img = decode_gif(payload)
     elif codec == "jpeg":
         img = decode_jpeg(payload)
+    elif codec == "tiff":
+        img = decode_tiff(payload)
     else:
         raise NotImplementedError(
             f"codec {codec!r}: video codecs (h264…) need libraries absent "
-            f"from this environment; rgb8/bmp/ppm/pgm/png/gif/jpeg decode "
-            f"natively")
+            f"from this environment; rgb8/bmp/ppm/pgm/png/gif/jpeg/tiff "
+            f"decode natively")
     if img.ndim == 2:
         img = np.repeat(img[:, :, None], 3, axis=2)
     elif img.shape[2] == 2:  # gray+alpha
@@ -1187,6 +1247,172 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     img = np.frombuffer(payload, dtype=np.uint8, count=w * h * depth,
                         offset=pos)
     return img.reshape(h, w, 3) if depth == 3 else img.reshape(h, w)
+
+
+# ---------------------------------------------------------------------------
+# Native baseline TIFF 6.0 decode. Like PNG/GIF/FLAC — and unlike the
+# table-bound mp3/h264 — baseline TIFF is fully algorithmic: an IFD tag
+# walk plus compression schemes this repo already implements elsewhere
+# (TIFF-flavor MSB LZW shared with ops/pdf.py, zlib Deflate, PackBits
+# run-length). No constant tables, no external imaging library.
+# ---------------------------------------------------------------------------
+
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2,
+                   9: 4, 10: 8}
+
+
+def _tiff_read_ifd(payload: bytes, e: str, off: int) -> dict[int, list[int]]:
+    """One Image File Directory → {tag: [values]} (integer types only;
+    RATIONALs return numerators — none of the tags used here are
+    rational). Values ≤4 bytes live inline, else at the value offset."""
+    import struct
+
+    (count,) = struct.unpack_from(e + "H", payload, off)
+    tags: dict[int, list[int]] = {}
+    for i in range(count):
+        base = off + 2 + 12 * i
+        tag, typ, n = struct.unpack_from(e + "HHI", payload, base)
+        size = _TIFF_TYPE_SIZE.get(typ)
+        if size is None:
+            continue  # unknown field type: skip per TIFF 6.0 §2
+        total = size * n
+        vo = base + 8 if total <= 4 else \
+            struct.unpack_from(e + "I", payload, base + 8)[0]
+        fmt = {1: "B", 2: "B", 3: "H", 4: "I", 6: "b", 7: "B",
+               8: "h", 9: "i"}.get(typ)
+        if fmt is None:  # RATIONAL: keep numerators
+            vals = [struct.unpack_from(e + "II", payload, vo + 8 * k)[0]
+                    for k in range(n)]
+        else:
+            vals = list(struct.unpack_from(e + str(n) + fmt, payload, vo))
+        tags[tag] = vals
+    return tags
+
+
+def _tiff_packbits(data: bytes) -> bytes:
+    """PackBits run-length decode (TIFF 6.0 §9 / the Macintosh scheme):
+    n in 0..127 → copy n+1 literals; n in 129..255 → repeat next byte
+    257-n times; n == 128 → no-op."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c < 128:
+            out += data[i:i + c + 1]
+            i += c + 1
+        elif c > 128:
+            if i < n:
+                out += bytes([data[i]]) * (257 - c)
+                i += 1
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """Baseline TIFF 6.0 → uint8 array: gray → (h, w); RGB → (h, w, 3);
+    RGBA → (h, w, 4); palette → (h, w, 3).
+
+    Covers both byte orders (II/MM), strip-based layout with any
+    RowsPerStrip, Compression 1 (none) / 5 (TIFF LZW, MSB-first with
+    early change — shared with the PDF LZWDecode filter) / 8 and 32946
+    (Deflate) / 32773 (PackBits), horizontal-differencing Predictor 2,
+    PhotometricInterpretation 0/1 (gray incl. min-is-white) / 2 (RGB)
+    / 3 (palette, 16-bit ColorMap), and 1/4/8-bit samples (MSB fill
+    order). Tiles, planar configuration 2, and the tabulated fax/JPEG
+    compressions raise honestly."""
+    import struct
+    import zlib
+
+    from .pdf import _lzw_decode
+
+    if payload[:4] == b"II*\x00":
+        e = "<"
+    elif payload[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    (ifd_off,) = struct.unpack_from(e + "I", payload, 4)
+    tags = _tiff_read_ifd(payload, e, ifd_off)
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF")
+    if 273 not in tags or 256 not in tags or 257 not in tags:
+        raise ValueError("missing required TIFF tags")
+    w, h = tags[256][0], tags[257][0]
+    bps = tags.get(258, [1])
+    spp = tags.get(277, [1])[0]
+    comp = tags.get(259, [1])[0]
+    photo = tags.get(262, [1])[0]
+    planar = tags.get(284, [1])[0]
+    pred = tags.get(317, [1])[0]
+    rps = tags.get(278, [h])[0] or h
+    fill_order = tags.get(266, [1])[0]
+    offs, counts = tags[273], tags.get(279)
+    if counts is None:
+        if comp != 1 or len(offs) != 1:
+            raise ValueError("missing StripByteCounts")
+        counts = [len(payload) - offs[0]]
+    if planar != 1:
+        raise NotImplementedError("PlanarConfiguration 2 (separate planes)")
+    if fill_order != 1:
+        raise NotImplementedError("FillOrder 2 (LSB-first)")
+    if tags.get(339, [1])[0] != 1:
+        raise NotImplementedError("non-unsigned SampleFormat")
+    if len(set(bps)) != 1:
+        raise NotImplementedError(f"mixed BitsPerSample {bps}")
+    depth = bps[0]
+    if depth not in (1, 4, 8) or (depth != 8 and spp != 1):
+        raise NotImplementedError(
+            f"{depth}-bit × {spp}-sample TIFF (1/4-bit gray and "
+            f"8-bit gray/RGB/RGBA/palette decode)")
+    row_bytes = (w * spp * depth + 7) // 8
+    strips: list[np.ndarray] = []
+    for si, (o, c) in enumerate(zip(offs, counts)):
+        nrows = min(rps, h - si * rps)
+        if nrows <= 0:
+            break
+        data = payload[o:o + c]
+        if comp == 1:
+            raw = bytes(data)
+        elif comp == 5:
+            raw = _lzw_decode(data)
+        elif comp in (8, 32946):  # Adobe / "old" Deflate
+            raw = zlib.decompress(data)
+        elif comp == 32773:
+            raw = _tiff_packbits(data)
+        else:
+            raise NotImplementedError(
+                f"TIFF compression {comp}: CCITT fax and JPEG-in-TIFF "
+                f"are table-bound like the other lossy codecs")
+        if len(raw) < nrows * row_bytes:
+            raise ValueError("short TIFF strip")
+        a = np.frombuffer(raw, dtype=np.uint8,
+                          count=nrows * row_bytes).reshape(nrows, row_bytes)
+        if pred == 2:
+            if depth != 8:
+                raise NotImplementedError("Predictor 2 on sub-byte samples")
+            # invert horizontal differencing: wrapping cumsum per sample
+            a = np.cumsum(a.reshape(nrows, w, spp), axis=1,
+                          dtype=np.uint8).reshape(nrows, row_bytes)
+        strips.append(a)
+    rows = np.concatenate(strips, axis=0)
+    if rows.shape[0] != h:
+        raise ValueError("TIFF strips do not cover the image height")
+    samples = _png_unpack(rows, w, spp, depth)  # MSB-first, like PNG
+    if photo == 3:  # palette: ColorMap is 3 × 2^depth 16-bit values
+        cmap = tags.get(320)
+        if cmap is None or len(cmap) < 3 * (1 << depth):
+            raise ValueError("palette TIFF without a ColorMap")
+        lut = (np.array(cmap, dtype=np.uint16)
+               .reshape(3, -1).T >> 8).astype(np.uint8)
+        return lut[samples.reshape(h, w)]
+    if depth != 8:
+        samples = samples * np.uint8(255 // ((1 << depth) - 1))
+    if spp == 1:
+        img = samples.reshape(h, w)
+        return (255 - img) if photo == 0 else img  # 0 = WhiteIsZero
+    if photo != 2:
+        raise NotImplementedError(f"photometric {photo} with {spp} samples")
+    return samples.reshape(h, w, spp)[:, :, :4 if spp >= 4 else 3]
 
 
 # ---------------------------------------------------------------------------

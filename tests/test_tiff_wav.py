@@ -1,0 +1,408 @@
+"""Native TIFF 6.0 decode + extended WAV format tests.
+
+Like the PNG/GIF/JPEG/FLAC suites, the ENCODERS live in this test
+(IFD writer, TIFF-flavor MSB LZW compressor, PackBits run packer,
+WAV chunk writer) so every decode path is exercised by a synthetic
+round-trip with no imaging/audio library in the environment. The
+G.711 expansion tables are additionally cross-checked against the
+stdlib ``audioop`` implementation — an independent oracle.
+"""
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_solr_ray.ops.multimodal import (
+    DecodeStage,
+    _g711_alaw_table,
+    _g711_ulaw_table,
+    _tiff_packbits,
+    decode_image,
+    decode_tiff,
+    decode_wav,
+)
+
+# ---------------------------------------------------------------------------
+# test-side encoders
+# ---------------------------------------------------------------------------
+
+
+def _lzw_encode_msb(data: bytes) -> bytes:
+    """TIFF/PDF-flavor LZW compressor: 9-bit start, MSB-first packing,
+    ClearTable=256, EOD=257, early-change width bumps (the decoder adds
+    entries one code behind the encoder, so the encoder bumps when its
+    next_code reaches 2^w)."""
+    out = bytearray()
+    bitbuf = nbits = 0
+
+    def emit(code: int, w: int):
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << w) | code
+        nbits += w
+        while nbits >= 8:
+            out.append((bitbuf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        bitbuf &= (1 << nbits) - 1
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    emit(256, width)
+    prev = b""
+    for byte in data:
+        cur = prev + bytes([byte])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], width)
+        table[cur] = next_code
+        next_code += 1
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4094:  # reset before the 12-bit cap
+            emit(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        prev = bytes([byte])
+    if prev:
+        emit(table[prev], width)
+    emit(257, width)
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Greedy PackBits packer: repeat runs ≥3 as (257-n, byte), the
+    rest as literal runs of ≤128."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        start = i
+        i += run
+        while i < n and i - start < 128:
+            run = 1
+            while i + run < n and run < 3 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += 1
+        out += bytes([i - start - 1]) + data[start:i]
+    return bytes(out)
+
+
+def _pack_rows(samples: np.ndarray, depth: int) -> np.ndarray:
+    """(h, w*spp) sample values → (h, row_bytes) MSB-first packed."""
+    if depth == 8:
+        return samples.astype(np.uint8)
+    h, ws = samples.shape
+    bits = np.unpackbits(samples.astype(np.uint8)[:, :, None],
+                         axis=2)[:, :, 8 - depth:]
+    return np.packbits(bits.reshape(h, ws * depth), axis=1)
+
+
+def _write_tiff(samples: np.ndarray, *, endian: str = "<",
+                compression: int = 1, predictor: int = 1, depth: int = 8,
+                photometric: int | None = None, spp: int | None = None,
+                rows_per_strip: int | None = None,
+                colormap: list[int] | None = None) -> bytes:
+    """Minimal baseline TIFF writer. ``samples`` is (h, w) for gray /
+    palette indices or (h, w, spp) for RGB(A); sub-byte values are in
+    the sample domain (0..2^depth-1)."""
+    if samples.ndim == 2:
+        h, w = samples.shape
+        spp = spp or 1
+        flat = samples.reshape(h, w)
+    else:
+        h, w, spp = samples.shape
+        flat = samples.reshape(h, w * spp)
+    if photometric is None:
+        photometric = 3 if colormap is not None else (2 if spp >= 3 else 1)
+    rps = rows_per_strip or h
+    if predictor == 2:
+        assert depth == 8
+        s = samples.reshape(h, w, spp).astype(np.int16)
+        d = s.copy()
+        d[:, 1:] = (s[:, 1:] - s[:, :-1]) & 0xFF
+        flat = d.astype(np.uint8).reshape(h, w * spp)
+    rows = _pack_rows(flat, depth)
+    strips, counts = [], []
+    for r0 in range(0, h, rps):
+        raw = rows[r0:r0 + rps].tobytes()
+        if compression == 1:
+            body = raw
+        elif compression == 5:
+            body = _lzw_encode_msb(raw)
+        elif compression in (8, 32946):
+            import zlib
+            body = zlib.compress(raw)
+        elif compression == 32773:
+            body = _packbits_encode(raw)
+        else:
+            raise ValueError(compression)
+        strips.append(body)
+        counts.append(len(body))
+    e = endian
+    buf = bytearray(b"II*\x00\x00\x00\x00\x00" if e == "<"
+                    else b"MM\x00*\x00\x00\x00\x00")
+    offs = []
+    for s in strips:
+        offs.append(len(buf))
+        buf += s
+        if len(buf) % 2:
+            buf += b"\x00"
+    entries = [(256, 4, [w]), (257, 4, [h]), (258, 3, [depth] * spp),
+               (259, 3, [compression]), (262, 3, [photometric]),
+               (273, 4, offs), (277, 3, [spp]), (278, 4, [rps]),
+               (279, 4, counts)]
+    if predictor != 1:
+        entries.append((317, 3, [predictor]))
+    if colormap is not None:
+        entries.append((320, 3, colormap))
+    entries.sort()
+    ifd_off = len(buf)
+    struct.pack_into(e + "I", buf, 4, ifd_off)
+    n = len(entries)
+    ext_off = ifd_off + 2 + 12 * n + 4
+    ifd = bytearray(struct.pack(e + "H", n))
+    ext = bytearray()
+    fmt_of, size_of = {3: "H", 4: "I"}, {3: 2, 4: 4}
+    for tag, typ, vals in entries:
+        total = size_of[typ] * len(vals)
+        if total <= 4:
+            packed = struct.pack(e + str(len(vals)) + fmt_of[typ], *vals)
+            ifd += struct.pack(e + "HHI", tag, typ, len(vals))
+            ifd += packed + b"\x00" * (4 - total)
+        else:
+            ifd += struct.pack(e + "HHII", tag, typ, len(vals),
+                               ext_off + len(ext))
+            ext += struct.pack(e + str(len(vals)) + fmt_of[typ], *vals)
+    ifd += struct.pack(e + "I", 0)
+    return bytes(buf) + bytes(ifd) + bytes(ext)
+
+
+def _write_wav(data: bytes, *, audio_format: int = 1, channels: int = 1,
+               rate: int = 8000, bits: int = 16,
+               extensible: bool = False) -> bytes:
+    if extensible:
+        sub = struct.pack("<H", audio_format) + bytes(14)
+        fmt = struct.pack("<HHIIHHHHI", 0xFFFE, channels, rate,
+                          rate * channels * bits // 8,
+                          channels * bits // 8, bits, 22, bits, 0) + sub
+    else:
+        fmt = struct.pack("<HHIIHH", audio_format, channels, rate,
+                          rate * channels * bits // 8,
+                          channels * bits // 8, bits)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + (b"\x00" if len(fmt) % 2 else b"")
+            + b"data" + struct.pack("<I", len(data)) + data
+            + (b"\x00" if len(data) % 2 else b""))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
+# TIFF
+# ---------------------------------------------------------------------------
+
+
+def test_packbits_roundtrip():
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        n = int(rng.integers(1, 400))
+        # runs + noise so both literal and repeat branches fire
+        parts = []
+        while sum(map(len, parts)) < n:
+            if rng.random() < 0.5:
+                parts.append(bytes([int(rng.integers(256))])
+                             * int(rng.integers(1, 200)))
+            else:
+                parts.append(rng.integers(0, 256,
+                                          int(rng.integers(1, 50)))
+                             .astype(np.uint8).tobytes())
+        raw = b"".join(parts)[:n]
+        assert _tiff_packbits(_packbits_encode(raw)) == raw
+
+
+@pytest.mark.parametrize("endian", ["<", ">"])
+@pytest.mark.parametrize("compression", [1, 5, 8, 32773])
+def test_tiff_rgb_roundtrip(endian, compression):
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (13, 7, 3)).astype(np.uint8)
+    payload = _write_tiff(img, endian=endian, compression=compression,
+                          rows_per_strip=4)
+    assert np.array_equal(decode_tiff(payload), img)
+
+
+@pytest.mark.parametrize("compression", [5, 8])
+def test_tiff_predictor2(compression):
+    rng = np.random.default_rng(13)
+    rgb = rng.integers(0, 256, (9, 17, 3)).astype(np.uint8)
+    gray = rng.integers(0, 256, (9, 17)).astype(np.uint8)
+    for img in (rgb, gray):
+        payload = _write_tiff(img, compression=compression, predictor=2,
+                              rows_per_strip=3)
+        assert np.array_equal(decode_tiff(payload), img)
+
+
+def test_tiff_gray_depths_and_min_is_white():
+    rng = np.random.default_rng(17)
+    for depth in (1, 4):
+        maxval = (1 << depth) - 1
+        v = rng.integers(0, maxval + 1, (11, 13)).astype(np.uint8)
+        payload = _write_tiff(v, depth=depth, rows_per_strip=5)
+        assert np.array_equal(decode_tiff(payload),
+                              v * (255 // maxval))
+        inv = _write_tiff(v, depth=depth, photometric=0)
+        assert np.array_equal(decode_tiff(inv),
+                              255 - v * (255 // maxval))
+
+
+def test_tiff_palette():
+    rng = np.random.default_rng(19)
+    idx = rng.integers(0, 256, (6, 9)).astype(np.uint8)
+    cmap16 = rng.integers(0, 65536, 3 * 256).tolist()
+    payload = _write_tiff(idx, colormap=cmap16)
+    lut = (np.array(cmap16, dtype=np.uint16).reshape(3, -1).T >> 8) \
+        .astype(np.uint8)
+    assert np.array_equal(decode_tiff(payload), lut[idx])
+
+
+def test_tiff_rgba_and_decode_image():
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (5, 8, 4)).astype(np.uint8)
+    payload = _write_tiff(img, compression=32773)
+    out = decode_tiff(payload)
+    assert out.shape == (5, 8, 4)
+    assert np.array_equal(out, img)
+    # unified entry drops alpha
+    assert np.array_equal(decode_image("tiff", payload), img[:, :, :3])
+
+
+def test_tiff_uncovered_features_raise():
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, (4, 4, 3)).astype(np.uint8)
+    with pytest.raises(ValueError):
+        decode_tiff(b"ZZZZ" + bytes(16))
+    good = _write_tiff(img)
+    # flip Compression to CCITT G4 (tag 259 value 4) via re-encode
+    with pytest.raises(NotImplementedError):
+        decode_tiff(_write_tiff(img, compression=1).replace(
+            struct.pack("<HHI", 259, 3, 1) + struct.pack("<HH", 1, 0),
+            struct.pack("<HHI", 259, 3, 1) + struct.pack("<HH", 4, 0)))
+    assert np.array_equal(decode_tiff(good), img)  # control
+
+
+def test_tiff_through_decode_stage_matches_rgb8():
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    t = pa.table({
+        "item_id": pa.array([0, 1], type=pa.int64()),
+        "codec": pa.array(["rgb8", "tiff"]),
+        "payload": pa.array([img.tobytes(),
+                             _write_tiff(img, compression=5)],
+                            type=pa.large_binary()),
+        "width": pa.array([16, 0], type=pa.int32()),
+        "height": pa.array([16, 0], type=pa.int32()),
+    })
+    out = DecodeStage(on_error="raise")(t)
+    feats = np.array(out["features"].to_pylist(), dtype=np.float32)
+    assert np.array_equal(feats[0], feats[1])
+
+
+def test_tiff_corrupt_payload_skips_not_kills():
+    rng = np.random.default_rng(37)
+    img = rng.integers(0, 256, (8, 8, 3)).astype(np.uint8)
+    payload = bytearray(_write_tiff(img, compression=8))
+    payload[len(payload) // 2] ^= 0xFF  # poison the deflate strip
+    t = pa.table({
+        "item_id": pa.array([0], type=pa.int64()),
+        "codec": pa.array(["tiff"]),
+        "payload": pa.array([bytes(payload)], type=pa.large_binary()),
+    })
+    out = DecodeStage(on_error="skip")(t)
+    assert out["decode_ok"].to_pylist() in ([False], [True])
+    # strict mode must either decode or raise — never hang/garble shape
+    try:
+        img2 = decode_tiff(bytes(payload))
+        assert img2.shape[0] == 8
+    except Exception:
+        pass
+
+
+# ---------------------------------------------------------------------------
+# WAV formats
+# ---------------------------------------------------------------------------
+
+
+def test_g711_tables_match_audioop():
+    audioop = pytest.importorskip("audioop")
+    raw = bytes(range(256))
+    ulaw_ref = np.frombuffer(audioop.ulaw2lin(raw, 2), dtype="<i2")
+    alaw_ref = np.frombuffer(audioop.alaw2lin(raw, 2), dtype="<i2")
+    assert np.array_equal(_g711_ulaw_table(), ulaw_ref)
+    assert np.array_equal(_g711_alaw_table(), alaw_ref)
+
+
+def test_wav_g711_decode():
+    audioop = pytest.importorskip("audioop")
+    rng = np.random.default_rng(41)
+    pcm = (rng.integers(-32768, 32768, 500).astype("<i2")).tobytes()
+    for fmt_code, lin2, lin_back in (
+            (7, audioop.lin2ulaw, audioop.ulaw2lin),
+            (6, audioop.lin2alaw, audioop.alaw2lin)):
+        enc = lin2(pcm, 2)
+        x, rate = decode_wav(_write_wav(enc, audio_format=fmt_code,
+                                        bits=8))
+        ref = np.frombuffer(lin_back(enc, 2), dtype="<i2") \
+            .astype(np.float64) / 32768.0
+        assert rate == 8000
+        assert np.array_equal(x, ref)
+
+
+def test_wav_float_and_24bit():
+    rng = np.random.default_rng(43)
+    x = rng.uniform(-1, 1, 300)
+    f32 = x.astype("<f4")
+    out, _ = decode_wav(_write_wav(f32.tobytes(), audio_format=3,
+                                   bits=32))
+    assert np.array_equal(out, f32.astype(np.float64))
+    f64 = x.astype("<f8")
+    out, _ = decode_wav(_write_wav(f64.tobytes(), audio_format=3,
+                                   bits=64))
+    assert np.array_equal(out, x)
+    # 24-bit PCM: pack int32 values into 3 LE bytes
+    v = rng.integers(-(2**23), 2**23, 300).astype(np.int32)
+    b = np.zeros((300, 3), dtype=np.uint8)
+    b[:, 0] = v & 0xFF
+    b[:, 1] = (v >> 8) & 0xFF
+    b[:, 2] = (v >> 16) & 0xFF
+    out, _ = decode_wav(_write_wav(b.tobytes(), bits=24))
+    assert np.array_equal(out, v.astype(np.float64) / 2**23)
+
+
+def test_wav_extensible_and_channels():
+    rng = np.random.default_rng(47)
+    v = rng.integers(-32768, 32768, (200, 2)).astype("<i2")
+    payload = _write_wav(v.tobytes(), audio_format=3, bits=16,
+                         channels=2, extensible=True)
+    # extensible wrapping IEEE float with 16 bits is invalid → raise
+    with pytest.raises(NotImplementedError):
+        decode_wav(payload)
+    payload = _write_wav(v.tobytes(), audio_format=1, bits=16,
+                         channels=2, extensible=True)
+    out, rate = decode_wav(payload)
+    ref = (v.astype(np.float64) / 32768.0).mean(axis=1)
+    assert np.array_equal(out, ref)
+
+
+def test_wav_unknown_format_raises():
+    with pytest.raises(NotImplementedError):
+        decode_wav(_write_wav(b"\x00" * 16, audio_format=2, bits=4))
