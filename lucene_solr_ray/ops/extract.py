@@ -59,6 +59,7 @@ dynamic fields — documented deviation).
 from __future__ import annotations
 
 import json
+import os
 import re
 from html.parser import HTMLParser
 
@@ -663,3 +664,152 @@ def read_rich_documents(paths, *, on_error: str = "skip"):
     ds = rd.read_binary_files(paths, include_paths=True)
     return ds.map_batches(lambda t: extract_batch(t, on_error=on_error),
                           batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# embedded media (Tika RecursiveParserWrapper / EmbeddedDocumentExtractor
+# role): pull the image/audio streams out of rich documents so they can
+# flow into the multimodal decode/featurize stages.
+# ---------------------------------------------------------------------------
+
+# container-member extension → the native codec name decode_image /
+# DecodeStage understands (ops/multimodal.py)
+_MEDIA_EXT = {".png": "png", ".gif": "gif", ".jpg": "jpeg",
+              ".jpeg": "jpeg", ".jfif": "jpeg", ".tif": "tiff",
+              ".tiff": "tiff", ".bmp": "bmp", ".ppm": "ppm",
+              ".pgm": "pgm", ".wav": "wav", ".flac": "flac",
+              ".avi": "avi"}
+
+_MEDIA_MIME = {"image/png": "png", "image/gif": "gif",
+               "image/jpeg": "jpeg", "image/tiff": "tiff",
+               "image/bmp": "bmp", "audio/wav": "wav",
+               "audio/x-wav": "wav", "audio/flac": "flac",
+               "audio/x-flac": "flac", "video/avi": "avi",
+               "video/x-msvideo": "avi"}
+
+
+def extract_media(data: bytes, path: str | None = None) -> list[dict]:
+    """Embedded media streams of ONE document →
+    ``[{name, codec, payload, width, height}]``.
+
+    PDFs walk the page /XObject image tree (``ops.pdf.pdf_images`` —
+    DCTDecode JPEGs pass through intact, Flate/LZW rasters defilter to
+    rgb8; table-bound jpx/ccitt/jbig2 report codec with payload None).
+    Zip containers (docx/pptx/xlsx, ODF, epub) list media members by
+    extension under the 256 MB bomb guard. RFC-822 mail yields
+    image/audio MIME parts. Text formats have no embedded media."""
+    ctype = detect_content_type(data, path)
+    if ctype == "application/pdf":
+        from .pdf import pdf_images
+
+        return [{"name": f"page{r['page']}/{r['name']}",
+                 "codec": r["codec"], "payload": r["payload"],
+                 "width": r["width"], "height": r["height"]}
+                for r in pdf_images(data)]
+    if ctype == "application/zip":
+        import io
+        import zipfile
+
+        out: list[dict] = []
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            for zi in zf.infolist():
+                if zi.is_dir() or zi.file_size > _MAX_MEMBER:
+                    continue
+                ext = os.path.splitext(zi.filename.lower())[1]
+                codec = _MEDIA_EXT.get(ext)
+                if codec is None:
+                    continue
+                out.append({"name": zi.filename, "codec": codec,
+                            "payload": zf.read(zi),
+                            "width": 0, "height": 0})
+        return out
+    if ctype == "message/rfc822":
+        import email
+
+        out = []
+        msg = email.message_from_bytes(data)
+        for i, part in enumerate(msg.walk()):
+            codec = _MEDIA_MIME.get(part.get_content_type())
+            if codec is None:
+                continue
+            payload = part.get_payload(decode=True) or b""
+            if len(payload) > _MAX_MEMBER:
+                continue
+            out.append({"name": part.get_filename() or f"part{i}",
+                        "codec": codec, "payload": payload,
+                        "width": 0, "height": 0})
+        return out
+    return []
+
+
+class MediaExtractStage:
+    """map_batches stage: rich-document rows → one row per embedded
+    media stream, schema-compatible with ``multimodal.featurize``
+    (item_id, codec, payload, width, height + media_name).
+
+    ``decodable_only=True`` (default) drops streams whose payload
+    could not be materialized (encrypted, jpx/ccitt/jbig2) so the
+    output flows straight into DecodeStage; with False those rows
+    keep codec + empty payload for accounting."""
+
+    def __init__(self, id_col: str = "doc_id",
+                 payload_col: str = "payload",
+                 path_col: str | None = None,
+                 decodable_only: bool = True,
+                 on_error: str = "skip"):
+        from ..util import tune_allocator
+
+        tune_allocator()
+        self.id_col = id_col
+        self.payload_col = payload_col
+        self.path_col = path_col
+        self.decodable_only = decodable_only
+        if on_error not in ("raise", "skip"):
+            raise ValueError(f"on_error {on_error!r}")
+        self.on_error = on_error
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        blobs = batch[self.payload_col].to_pylist()
+        paths = (batch[self.path_col].to_pylist() if self.path_col
+                 else [None] * len(ids))
+        o_id, o_name, o_codec, o_pay, o_w, o_h = [], [], [], [], [], []
+        for did, blob, p in zip(ids, blobs, paths):
+            try:
+                media = extract_media(blob, p)
+            except Exception:
+                if self.on_error == "raise":
+                    raise
+                continue
+            for m in media:
+                if m["payload"] is None and self.decodable_only:
+                    continue
+                o_id.append(did)
+                o_name.append(m["name"])
+                o_codec.append(m["codec"] or "unsupported")
+                o_pay.append(m["payload"] or b"")
+                o_w.append(m["width"])
+                o_h.append(m["height"])
+        return pa.table({
+            "item_id": pa.array(o_id, type=batch[self.id_col].type),
+            "media_name": pa.array(o_name, type=pa.string()),
+            "codec": pa.array(o_codec, type=pa.string()),
+            "payload": pa.array(o_pay, type=pa.large_binary()),
+            "width": pa.array(o_w, type=pa.int32()),
+            "height": pa.array(o_h, type=pa.int32()),
+        })
+
+
+def extract_media_dataset(ds, *, id_col: str = "doc_id",
+                          payload_col: str = "payload",
+                          path_col: str | None = None,
+                          batch_size: int = 16,
+                          concurrency=(1, 4)):
+    """documents Dataset → embedded-media Dataset (actor pool, bytes-
+    bounded batches), ready for ``multimodal.featurize``."""
+    return ds.map_batches(
+        MediaExtractStage, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"id_col": id_col,
+                               "payload_col": payload_col,
+                               "path_col": path_col})

@@ -893,3 +893,152 @@ def extract_pdf(data: bytes) -> dict:
     meta["n_pages"] = str(len(pages))
     return {"content": content, "title": title,
             "content_type": "application/pdf", "metadata": meta}
+
+
+# ---------------------------------------------------------------------------
+# embedded images (the Tika extract-embedded-resources role, bridged to
+# the native decoders in ops/multimodal.py)
+
+
+def _resolve_colorspace(doc: "PdfDocument", cs):
+    """→ ("gray"|"rgb"|("indexed", base, lookup_bytes)| None). ICCBased
+    resolves by component count (§8.6.5.5 alternate behavior)."""
+    cs = doc.resolve(cs)
+    if isinstance(cs, str):
+        if cs in ("DeviceGray", "CalGray", "G"):
+            return "gray"
+        if cs in ("DeviceRGB", "CalRGB", "RGB"):
+            return "rgb"
+        return None
+    if isinstance(cs, list) and cs:
+        head = str(doc.resolve(cs[0]))
+        if head == "ICCBased" and len(cs) >= 2:
+            st = doc.resolve(cs[1])
+            n = int(doc.resolve(st[1].get("N", 3))) if \
+                isinstance(st, tuple) else 3
+            return "gray" if n == 1 else ("rgb" if n == 3 else None)
+        if head in ("Indexed", "I") and len(cs) >= 4:
+            base = _resolve_colorspace(doc, cs[1])
+            lookup = doc.resolve(cs[3])
+            if isinstance(lookup, tuple) and lookup[0] == "stream":
+                lookup = doc.stream_bytes(lookup)
+            elif isinstance(lookup, str):
+                lookup = lookup.encode("latin-1")
+            if base in ("gray", "rgb") and isinstance(lookup, bytes):
+                return ("indexed", base, lookup)
+    return None
+
+
+def _image_rgb8(doc: "PdfDocument", sdict: dict, raw: bytes,
+                w: int, h: int) -> bytes | None:
+    """Defiltered raster samples → interleaved rgb8 bytes, or None if
+    the shape isn't representable (exotic depth/colorspace)."""
+    import numpy as np
+
+    bpc = int(doc.resolve(sdict.get("BitsPerComponent", 8)))
+    cs = _resolve_colorspace(doc, sdict.get("ColorSpace"))
+    if cs is None:
+        return None
+    ncomp = 3 if cs == "rgb" else 1
+    row_bytes = (w * ncomp * bpc + 7) // 8  # rows are byte-aligned (§8.9.3)
+    if len(raw) < row_bytes * h:
+        return None
+    rows = np.frombuffer(raw, dtype=np.uint8,
+                         count=row_bytes * h).reshape(h, row_bytes)
+    if bpc == 8:
+        samples = rows[:, :w * ncomp]
+    elif bpc == 1 and ncomp == 1:
+        samples = np.unpackbits(rows, axis=1)[:, :w]
+    elif bpc == 4 and ncomp == 1:
+        bits = np.unpackbits(rows, axis=1)
+        samples = ((bits[:, 0::4] << 3) | (bits[:, 1::4] << 2)
+                   | (bits[:, 2::4] << 1) | bits[:, 3::4])[:, :w]
+    else:
+        return None
+    if isinstance(cs, tuple):  # indexed palette
+        _, base, lookup = cs
+        n = 3 if base == "rgb" else 1
+        lut = np.frombuffer(lookup, dtype=np.uint8)
+        lut = lut[: (len(lut) // n) * n].reshape(-1, n)
+        if lut.shape[0] == 0:
+            return None
+        idx = np.minimum(samples.astype(np.int64), lut.shape[0] - 1)
+        px = lut[idx]  # (h, w, n)
+        if n == 1:
+            px = np.repeat(px, 3, axis=2)
+        return np.ascontiguousarray(px.astype(np.uint8)).tobytes()
+    if bpc != 8:
+        samples = samples * np.uint8(255 // ((1 << bpc) - 1))
+    img = samples.reshape(h, w, ncomp)
+    if ncomp == 1:
+        img = np.repeat(img, 3, axis=2)
+    return np.ascontiguousarray(img.astype(np.uint8)).tobytes()
+
+
+def pdf_images(data: bytes) -> list[dict]:
+    """Embedded image XObjects in page order — Tika's
+    extract-embedded-resources role (RecursiveParserWrapper /
+    EmbeddedDocumentExtractor, tika:parser/pdf/PDF2XHTML extracts the
+    same /Resources → /XObject → /Subtype /Image tree).
+
+    One dict per image: ``{page, name, codec, payload, width,
+    height}``. DCTDecode streams keep their JPEG bytes untouched
+    (outer Flate/A85 layers removed) with ``codec="jpeg"`` — ready for
+    the native decoder in ops/multimodal.py; Flate/LZW/RL/uncompressed
+    rasters defilter to interleaved ``codec="rgb8"`` (gray/indexed
+    replicate to RGB). Table-bound compressions pass through undecoded
+    with their codec named (``jpx``/``ccitt``/``jbig2``) and payload
+    None, so a downstream skip policy can count them; inline BI..EI
+    images are out of scope (the reference's PDFBox also routes them
+    separately)."""
+    doc = PdfDocument(data)
+    out: list[dict] = []
+    seen: set[int] = set()
+    for pageno, (page, res) in enumerate(doc.pages()):
+        xobjs = doc.resolve(res.get("XObject")) if res else None
+        if not isinstance(xobjs, dict):
+            continue
+        for name, ref in xobjs.items():
+            key = id(doc.resolve(ref))
+            if key in seen:  # shared XObject reused across pages
+                continue
+            seen.add(key)
+            obj = doc.resolve(ref)
+            if not (isinstance(obj, tuple) and obj[0] == "stream"):
+                continue
+            sdict = obj[1]
+            if str(doc.resolve(sdict.get("Subtype"))) != "Image":
+                continue
+            w = int(doc.resolve(sdict.get("Width", 0)))
+            h = int(doc.resolve(sdict.get("Height", 0)))
+            filters = doc.resolve(sdict.get("Filter"))
+            if not isinstance(filters, list):
+                filters = [filters] if filters is not None else []
+            fnames = [str(doc.resolve(f)) for f in filters]
+            rec = {"page": pageno, "name": str(name), "width": w,
+                   "height": h, "codec": None, "payload": None}
+            if fnames and fnames[-1] in ("DCTDecode", "DCT"):
+                # strip outer layers only; the JPEG bytes stay intact
+                outer = dict(sdict)
+                outer["Filter"] = filters[:-1]
+                parms = doc.resolve(sdict.get("DecodeParms"))
+                if isinstance(parms, list):
+                    outer["DecodeParms"] = parms[:-1]
+                rec["codec"] = "jpeg"
+                rec["payload"] = _apply_filters(outer, obj[2], doc.resolve)
+            elif fnames and fnames[-1] in ("JPXDecode", "CCITTFaxDecode",
+                                           "JBIG2Decode"):
+                rec["codec"] = {"JPXDecode": "jpx",
+                                "CCITTFaxDecode": "ccitt",
+                                "JBIG2Decode": "jbig2"}[fnames[-1]]
+            else:
+                try:
+                    raw = doc.stream_bytes(obj)
+                    payload = _image_rgb8(doc, sdict, raw, w, h)
+                except Exception:
+                    payload = None
+                if payload is not None:
+                    rec["codec"] = "rgb8"
+                    rec["payload"] = payload
+            out.append(rec)
+    return out

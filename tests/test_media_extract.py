@@ -1,0 +1,210 @@
+"""Embedded-media extraction (the Tika EmbeddedDocumentExtractor role):
+PDF image XObjects, zip-container media members, mail attachments —
+flowing into the native multimodal decoders.
+"""
+
+import email.message
+import io
+import zipfile
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from test_pdf import _mkpdf, _stream
+from lucene_solr_ray.ops.extract import (
+    MediaExtractStage,
+    extract_media,
+    extract_media_dataset,
+)
+from lucene_solr_ray.ops.multimodal import DecodeStage, decode_image
+from lucene_solr_ray.ops.pdf import pdf_images
+
+
+def _pdf_with_images(images: dict[bytes, bytes], extra_objs=None) -> bytes:
+    """One-page PDF whose /XObject dict holds the given name→stream
+    objects (stream bodies already serialized via _stream)."""
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+    }
+    refs, num = [], 10
+    for name, body in images.items():
+        objs[num] = body
+        refs.append(b"/%s %d 0 R" % (name, num))
+        num += 1
+    objs[3] = (b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R"
+               b" /Resources << /XObject << " + b" ".join(refs)
+               + b" >> >> >>")
+    objs[5] = _stream(b"<< >>", b"BT (x) Tj ET")
+    if extra_objs:
+        objs.update(extra_objs)
+    return _mkpdf(objs, b"<< /Root 1 0 R /Size %d >>" % (num + 1))
+
+
+def _flate_image_obj(img: np.ndarray, colorspace: bytes = b"/DeviceRGB",
+                     bpc: int = 8) -> bytes:
+    h, w = img.shape[:2]
+    return _stream(
+        b"<< /Subtype /Image /Width %d /Height %d /ColorSpace %s"
+        b" /BitsPerComponent %d /Filter /FlateDecode >>"
+        % (w, h, colorspace, bpc),
+        zlib.compress(img.tobytes()))
+
+
+def test_pdf_flate_rgb_image():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (9, 7, 3)).astype(np.uint8)
+    pdf = _pdf_with_images({b"Im0": _flate_image_obj(img)})
+    media = pdf_images(pdf)
+    assert len(media) == 1
+    m = media[0]
+    assert (m["codec"], m["width"], m["height"]) == ("rgb8", 7, 9)
+    out = decode_image("rgb8", m["payload"], m["width"], m["height"])
+    assert np.array_equal(out, img)
+
+
+def test_pdf_gray_and_1bit_images():
+    rng = np.random.default_rng(5)
+    gray = rng.integers(0, 256, (6, 5)).astype(np.uint8)
+    pdf = _pdf_with_images(
+        {b"G": _flate_image_obj(gray, b"/DeviceGray")})
+    m = pdf_images(pdf)[0]
+    out = decode_image("rgb8", m["payload"], 5, 6)
+    assert np.array_equal(out, np.repeat(gray[:, :, None], 3, axis=2))
+    # 1-bit gray: rows byte-aligned, MSB-first
+    bits = rng.integers(0, 2, (4, 11)).astype(np.uint8)
+    packed = np.packbits(bits, axis=1).tobytes()
+    obj = _stream(
+        b"<< /Subtype /Image /Width 11 /Height 4 /ColorSpace /DeviceGray"
+        b" /BitsPerComponent 1 /Filter /FlateDecode >>",
+        zlib.compress(packed))
+    m = pdf_images(_pdf_with_images({b"B": obj}))[0]
+    out = decode_image("rgb8", m["payload"], 11, 4)
+    assert np.array_equal(out[:, :, 0], bits * 255)
+
+
+def test_pdf_indexed_palette_image():
+    rng = np.random.default_rng(7)
+    idx = rng.integers(0, 16, (5, 6)).astype(np.uint8)
+    lut = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    obj = _stream(
+        b"<< /Subtype /Image /Width 6 /Height 5"
+        b" /ColorSpace [/Indexed /DeviceRGB 15 20 0 R]"
+        b" /BitsPerComponent 8 /Filter /FlateDecode >>",
+        zlib.compress(idx.tobytes()))
+    lut_obj = _stream(b"<< >>", lut.tobytes())
+    pdf = _pdf_with_images({b"P": obj}, extra_objs={20: lut_obj})
+    m = pdf_images(pdf)[0]
+    out = decode_image("rgb8", m["payload"], 6, 5)
+    assert np.array_equal(out, lut[idx])
+
+
+def test_pdf_dct_passthrough_and_ccitt_tagging():
+    from test_multimodal import _make_jpeg
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    jpeg = _make_jpeg(img)
+    dct = _stream(
+        b"<< /Subtype /Image /Width 16 /Height 16 /ColorSpace /DeviceRGB"
+        b" /BitsPerComponent 8 /Filter /DCTDecode >>", jpeg)
+    # DCT under an outer A85 layer: outer strips, JPEG bytes intact
+    import base64
+    wrapped = base64.a85encode(jpeg) + b"~>"
+    dct_a85 = _stream(
+        b"<< /Subtype /Image /Width 16 /Height 16 /ColorSpace /DeviceRGB"
+        b" /BitsPerComponent 8 /Filter [/ASCII85Decode /DCTDecode] >>",
+        wrapped)
+    ccitt = _stream(
+        b"<< /Subtype /Image /Width 8 /Height 8 /ColorSpace /DeviceGray"
+        b" /BitsPerComponent 1 /Filter /CCITTFaxDecode >>", b"\x00" * 8)
+    media = pdf_images(_pdf_with_images(
+        {b"J": dct, b"W": dct_a85, b"C": ccitt}))
+    by = {m["name"]: m for m in media}
+    assert by["J"]["codec"] == "jpeg" and by["J"]["payload"] == jpeg
+    assert by["W"]["codec"] == "jpeg" and by["W"]["payload"] == jpeg
+    assert by["C"]["codec"] == "ccitt" and by["C"]["payload"] is None
+    # the passthrough decodes through the native JPEG decoder
+    dec = decode_image("jpeg", by["J"]["payload"])
+    assert dec.shape == (16, 16, 3)
+
+
+def test_extract_media_zip_and_eml():
+    # docx-shaped zip with one PNG-named member and one irrelevant file
+    ppm = b"P6\n3 2\n255\n" + bytes(range(18))
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("word/document.xml", "<w:document/>")
+        zf.writestr("word/media/image1.ppm", ppm)
+    media = extract_media(buf.getvalue())
+    assert [(m["name"], m["codec"]) for m in media] == \
+        [("word/media/image1.ppm", "ppm")]
+    assert media[0]["payload"] == ppm
+
+    msg = email.message.EmailMessage()
+    msg["From"] = "a@example.com"
+    msg["To"] = "b@example.com"
+    msg["Subject"] = "pic"
+    msg.set_content("see attachment")
+    msg.add_attachment(ppm, maintype="image", subtype="tiff",
+                       filename="x.tiff")
+    media = extract_media(bytes(msg))
+    assert [(m["name"], m["codec"]) for m in media] == [("x.tiff", "tiff")]
+    assert media[0]["payload"] == ppm
+
+    assert extract_media(b"plain text, no media") == []
+
+
+def test_media_stage_direct_and_featurize_parity():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (8, 8, 3)).astype(np.uint8)
+    pdf = _pdf_with_images({b"Im0": _flate_image_obj(img)})
+    batch = pa.table({
+        "doc_id": pa.array([42], type=pa.int64()),
+        "payload": pa.array([pdf], type=pa.large_binary()),
+    })
+    out = MediaExtractStage()(batch)
+    assert out["item_id"].to_pylist() == [42]
+    assert out["codec"].to_pylist() == ["rgb8"]
+    # embedded rgb8 featurizes identically to the direct payload
+    direct = pa.table({
+        "item_id": pa.array([0], type=pa.int64()),
+        "codec": pa.array(["rgb8"]),
+        "payload": pa.array([img.tobytes()], type=pa.large_binary()),
+        "width": pa.array([8], type=pa.int32()),
+        "height": pa.array([8], type=pa.int32()),
+    })
+    f_embedded = np.array(DecodeStage()(out)["features"].to_pylist())
+    f_direct = np.array(DecodeStage()(direct)["features"].to_pylist())
+    assert np.array_equal(f_embedded, f_direct)
+    # corrupt doc skips, good doc survives (100-TB poison policy)
+    bad = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "payload": pa.array([b"PK\x03\x04garbage", pdf],
+                            type=pa.large_binary()),
+    })
+    out = MediaExtractStage()(bad)
+    assert out["item_id"].to_pylist() == [2]
+    with pytest.raises(Exception):
+        MediaExtractStage(on_error="raise")(bad)
+
+
+def test_media_dataset_pipeline(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for i in range(4):
+        img = rng.integers(0, 256, (6, 6, 3)).astype(np.uint8)
+        rows.append({"doc_id": i,
+                     "payload": _pdf_with_images(
+                         {b"Im0": _flate_image_obj(img)})})
+    ds = rd.from_items(rows)
+    media = extract_media_dataset(ds)
+    from lucene_solr_ray.ops.multimodal import featurize
+
+    feats = featurize(media, batch_size=2).to_pandas()
+    assert sorted(feats["item_id"].tolist()) == [0, 1, 2, 3]
+    assert all(len(f) == 32 for f in feats["features"])
