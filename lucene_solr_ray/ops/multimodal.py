@@ -1308,18 +1308,41 @@ def _tiff_packbits(data: bytes) -> bytes:
     return bytes(out)
 
 
+_TIFF_BITREV: np.ndarray | None = None
+
+
+def _tiff_bitrev(raw: bytes) -> bytes:
+    """FillOrder 2 (TIFF 6.0 tag 266: bits packed LSB-first within each
+    byte) → the standard MSB-first order by reversing the bits of every
+    byte. Applied to the DECOMPRESSED segment bytes — FillOrder
+    describes the pixel-data bit order, and its real-world domain is
+    sub-byte (bilevel fax) data."""
+    global _TIFF_BITREV
+    if _TIFF_BITREV is None:
+        v = np.arange(256, dtype=np.uint8)
+        rev = np.zeros(256, dtype=np.uint8)
+        for _ in range(8):
+            rev = (rev << 1) | (v & 1)
+            v = v >> 1
+        _TIFF_BITREV = rev
+    return _TIFF_BITREV[np.frombuffer(raw, dtype=np.uint8)].tobytes()
+
+
 def decode_tiff(payload: bytes) -> np.ndarray:
     """Baseline TIFF 6.0 → uint8 array: gray → (h, w); RGB → (h, w, 3);
     RGBA → (h, w, 4); palette → (h, w, 3).
 
-    Covers both byte orders (II/MM), strip-based layout with any
-    RowsPerStrip, Compression 1 (none) / 5 (TIFF LZW, MSB-first with
-    early change — shared with the PDF LZWDecode filter) / 8 and 32946
-    (Deflate) / 32773 (PackBits), horizontal-differencing Predictor 2,
-    PhotometricInterpretation 0/1 (gray incl. min-is-white) / 2 (RGB)
-    / 3 (palette, 16-bit ColorMap), and 1/4/8-bit samples (MSB fill
-    order). Tiles, planar configuration 2, and the tabulated fax/JPEG
-    compressions raise honestly."""
+    Covers both byte orders (II/MM), strip layout with any RowsPerStrip
+    AND tile layout (tags 322-325, edge tiles padded to full tile dims
+    per TIFF 6.0 §15), PlanarConfiguration 1 (chunky) and 2 (one
+    strip/tile sequence per sample plane), Compression 1 (none) / 5
+    (TIFF LZW, MSB-first with early change — shared with the PDF
+    LZWDecode filter) / 8 and 32946 (Deflate) / 32773 (PackBits),
+    horizontal-differencing Predictor 2 (restarting at each segment's
+    left edge), PhotometricInterpretation 0/1 (gray incl. min-is-white)
+    / 2 (RGB) / 3 (palette, 16-bit ColorMap), 1/4/8-bit samples, and
+    both fill orders (FillOrder 2 bit-reverses decompressed sub-byte
+    data). The tabulated fax/JPEG compressions raise honestly."""
     import struct
     import zlib
 
@@ -1333,9 +1356,9 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         raise ValueError("not a TIFF payload")
     (ifd_off,) = struct.unpack_from(e + "I", payload, 4)
     tags = _tiff_read_ifd(payload, e, ifd_off)
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("tiled TIFF")
-    if 273 not in tags or 256 not in tags or 257 not in tags:
+    tiled = 324 in tags or 322 in tags
+    if 256 not in tags or 257 not in tags or (273 not in tags
+                                              and not tiled):
         raise ValueError("missing required TIFF tags")
     w, h = tags[256][0], tags[257][0]
     bps = tags.get(258, [1])
@@ -1344,17 +1367,9 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     photo = tags.get(262, [1])[0]
     planar = tags.get(284, [1])[0]
     pred = tags.get(317, [1])[0]
-    rps = tags.get(278, [h])[0] or h
     fill_order = tags.get(266, [1])[0]
-    offs, counts = tags[273], tags.get(279)
-    if counts is None:
-        if comp != 1 or len(offs) != 1:
-            raise ValueError("missing StripByteCounts")
-        counts = [len(payload) - offs[0]]
-    if planar != 1:
-        raise NotImplementedError("PlanarConfiguration 2 (separate planes)")
-    if fill_order != 1:
-        raise NotImplementedError("FillOrder 2 (LSB-first)")
+    if planar not in (1, 2):
+        raise ValueError(f"PlanarConfiguration {planar}")
     if tags.get(339, [1])[0] != 1:
         raise NotImplementedError("non-unsigned SampleFormat")
     if len(set(bps)) != 1:
@@ -1364,12 +1379,55 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         raise NotImplementedError(
             f"{depth}-bit × {spp}-sample TIFF (1/4-bit gray and "
             f"8-bit gray/RGB/RGBA/palette decode)")
-    row_bytes = (w * spp * depth + 7) // 8
-    strips: list[np.ndarray] = []
-    for si, (o, c) in enumerate(zip(offs, counts)):
-        nrows = min(rps, h - si * rps)
-        if nrows <= 0:
-            break
+    if pred == 2 and depth != 8:
+        raise NotImplementedError("Predictor 2 on sub-byte samples")
+    if fill_order == 2 and depth == 8:
+        raise NotImplementedError(
+            "FillOrder 2 with whole-byte samples (no defined meaning; "
+            "its domain is sub-byte bilevel data)")
+    planes = spp if planar == 2 else 1
+    seg_spp = 1 if planar == 2 else spp
+
+    # segment plan: (offset, nbytes, row0, col0, data_h, data_w, plane),
+    # plane-major order per TIFF 6.0 PlanarConfiguration 2
+    segs: list[tuple[int, int, int, int, int, int, int]] = []
+    if tiled:
+        if 322 not in tags or 323 not in tags or 324 not in tags \
+                or 325 not in tags:
+            raise ValueError("tiled TIFF missing tile tags")
+        tw, th = tags[322][0], tags[323][0]
+        if tw <= 0 or th <= 0:
+            raise ValueError("bad tile dimensions")
+        offs, counts = tags[324], tags[325]
+        across, down = -(-w // tw), -(-h // th)
+        if len(offs) < across * down * planes or len(counts) < len(offs):
+            raise ValueError("short TIFF tile table")
+        i = 0
+        for p in range(planes):
+            for ty in range(down):
+                for tx in range(across):
+                    segs.append((offs[i], counts[i], ty * th, tx * tw,
+                                 th, tw, p))
+                    i += 1
+    else:
+        rps = tags.get(278, [h])[0] or h
+        offs, counts = tags[273], tags.get(279)
+        if counts is None:
+            if comp != 1 or len(offs) != 1:
+                raise ValueError("missing StripByteCounts")
+            counts = [len(payload) - offs[0]]
+        per_plane = -(-h // rps)
+        if len(offs) < per_plane * planes or len(counts) < len(offs):
+            raise ValueError("TIFF strips do not cover the image height")
+        i = 0
+        for p in range(planes):
+            for si in range(per_plane):
+                segs.append((offs[i], counts[i], si * rps, 0,
+                             min(rps, h - si * rps), w, p))
+                i += 1
+
+    out = np.zeros((h, w, spp), dtype=np.uint8)
+    for o, c, row0, col0, dh, dw, p in segs:
         data = payload[o:o + c]
         if comp == 1:
             raw = bytes(data)
@@ -1383,36 +1441,43 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             raise NotImplementedError(
                 f"TIFF compression {comp}: CCITT fax and JPEG-in-TIFF "
                 f"are table-bound like the other lossy codecs")
-        if len(raw) < nrows * row_bytes:
+        if fill_order == 2:
+            raw = _tiff_bitrev(raw)
+        row_bytes = (dw * seg_spp * depth + 7) // 8
+        if len(raw) < dh * row_bytes:
             raise ValueError("short TIFF strip")
         a = np.frombuffer(raw, dtype=np.uint8,
-                          count=nrows * row_bytes).reshape(nrows, row_bytes)
+                          count=dh * row_bytes).reshape(dh, row_bytes)
         if pred == 2:
-            if depth != 8:
-                raise NotImplementedError("Predictor 2 on sub-byte samples")
-            # invert horizontal differencing: wrapping cumsum per sample
-            a = np.cumsum(a.reshape(nrows, w, spp), axis=1,
-                          dtype=np.uint8).reshape(nrows, row_bytes)
-        strips.append(a)
-    rows = np.concatenate(strips, axis=0)
-    if rows.shape[0] != h:
-        raise ValueError("TIFF strips do not cover the image height")
-    samples = _png_unpack(rows, w, spp, depth)  # MSB-first, like PNG
+            # invert horizontal differencing: wrapping cumsum per sample,
+            # restarting at this segment's left edge
+            a = np.cumsum(a.reshape(dh, dw, seg_spp), axis=1,
+                          dtype=np.uint8).reshape(dh, row_bytes)
+        seg = _png_unpack(a, dw, seg_spp, depth) \
+            .reshape(dh, dw, seg_spp)  # MSB-first, like PNG
+        vh, vw = min(dh, h - row0), min(dw, w - col0)
+        if vh <= 0 or vw <= 0:
+            continue
+        if planar == 2:
+            out[row0:row0 + vh, col0:col0 + vw, p] = seg[:vh, :vw, 0]
+        else:
+            out[row0:row0 + vh, col0:col0 + vw, :] = seg[:vh, :vw, :]
+
     if photo == 3:  # palette: ColorMap is 3 × 2^depth 16-bit values
         cmap = tags.get(320)
         if cmap is None or len(cmap) < 3 * (1 << depth):
             raise ValueError("palette TIFF without a ColorMap")
         lut = (np.array(cmap, dtype=np.uint16)
                .reshape(3, -1).T >> 8).astype(np.uint8)
-        return lut[samples.reshape(h, w)]
+        return lut[out[:, :, 0]]
     if depth != 8:
-        samples = samples * np.uint8(255 // ((1 << depth) - 1))
+        out = out * np.uint8(255 // ((1 << depth) - 1))
     if spp == 1:
-        img = samples.reshape(h, w)
+        img = out.reshape(h, w)
         return (255 - img) if photo == 0 else img  # 0 = WhiteIsZero
     if photo != 2:
         raise NotImplementedError(f"photometric {photo} with {spp} samples")
-    return samples.reshape(h, w, spp)[:, :, :4 if spp >= 4 else 3]
+    return out[:, :, :4 if spp >= 4 else 3]
 
 
 # ---------------------------------------------------------------------------

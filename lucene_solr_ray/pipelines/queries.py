@@ -5010,6 +5010,206 @@ def _q_tika_docx_roundtrip(sf_dir: str) -> pa.Table:
         preserve_index=False)
 
 
+def _q_tika_media_extract(sf_dir: str) -> pa.Table:
+    """Embedded-media extraction end-to-end (the Tika
+    EmbeddedDocumentExtractor role — the media analogue of the PDF text
+    round-trip): every documents.text row is rendered inside the first
+    map_batches stage as a PDF whose single page carries a
+    Flate-compressed 16-wide /DeviceGray Image XObject of the text's
+    ASCII bytes (space-padded to the last row);
+    ops.extract.extract_media_dataset (actor-pool MediaExtractStage →
+    ops.pdf.pdf_images) pulls the raster back out as interleaved rgb8,
+    and a final stage reduces every image to integer features: width,
+    height, and the red-channel pixel sum (== the gray byte sum, since
+    gray replicates to RGB). The oracle recomputes all three integers
+    from the text alone — byte-exact extraction is the only way the
+    sums can match."""
+    import ray.data as rd
+
+    from ..ops.extract import extract_media_dataset
+
+    W = 16
+
+    def synth(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        from ..util import tune_allocator
+
+        tune_allocator()
+        ids, blobs = [], []
+        for did, txt in zip(batch["doc_id"].to_pylist(),
+                            batch["text"].to_pylist()):
+            raw = (txt or "").encode("latin-1", "replace")
+            h = max(1, -(-len(raw) // W))
+            raw = raw + b" " * (W * h - len(raw))
+            content = zlib.compress(raw)
+            objs = (
+                (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+                (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+                (3, b"<< /Type /Page /Parent 2 0 R /Resources "
+                    b"<< /XObject << /Im0 4 0 R >> >> >>"),
+                (4, b"<< /Subtype /Image /Width %d /Height %d "
+                    b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+                    b"/Filter /FlateDecode /Length %d >>\nstream\n"
+                    % (W, h, len(content)) + content + b"\nendstream"),
+            )
+            pdf = b"%PDF-1.4\n" + b"".join(
+                b"%d 0 obj\n%s\nendobj\n" % (n, ob) for n, ob in objs
+            ) + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+            ids.append(did)
+            blobs.append(pdf)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "payload": pa.array(blobs, pa.large_binary())})
+
+    def feats(batch: pa.Table) -> pa.Table:
+        sums = [int(np.frombuffer(p, np.uint8)[0::3].sum(dtype=np.int64))
+                for p in batch["payload"].to_pylist()]
+        return pa.table({
+            "doc_id": pc.cast(batch["item_id"], pa.int64()),
+            "img_w": pc.cast(batch["width"], pa.int64()),
+            "img_h": pc.cast(batch["height"], pa.int64()),
+            "px_sum": pa.array(sums, pa.int64()),
+        })
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    media = extract_media_dataset(
+        docs.map_batches(synth, batch_format="pyarrow"),
+        id_col="doc_id", payload_col="payload")
+    df = media.map_batches(feats, batch_format="pyarrow").to_pandas()
+    return pa.Table.from_pandas(
+        df.sort_values("doc_id").reset_index(drop=True),
+        preserve_index=False)
+
+
+TIKA_MEDIA_EXTRACT_SQL = """
+WITH s AS (
+  SELECT d.doc_id, length(d.text) AS n, coalesce(c.tsum, 0) AS tsum
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, sum(ord(substring(text, i, 1))) AS tsum
+    FROM (SELECT doc_id, text,
+                 unnest(range(1, length(text) + 1)) AS i
+          FROM documents)
+    GROUP BY doc_id) c USING (doc_id)
+)
+SELECT doc_id, CAST(16 AS BIGINT) AS img_w,
+       CAST(greatest(1, (n + 15) // 16) AS BIGINT) AS img_h,
+       CAST(tsum + 32 * (16 * greatest(1, (n + 15) // 16) - n)
+            AS BIGINT) AS px_sum
+FROM s ORDER BY doc_id
+"""
+
+
+def _q_video_frame_sample(sf_dir: str) -> pa.Table:
+    """VideoFrameSampleStage end-to-end over worker-synthesized AVIs
+    (the sample-before-decode plan that matters at 100 TB): every
+    documents.text row becomes a 3-frame DIB AVI whose frame ``k``
+    grays each ASCII byte ``b`` to ``(b + 17k) mod 256`` (space-padded
+    16-wide raster, same shape as the media-extract twin); the stage
+    parses the container index, decodes ONLY the every-2nd sampled
+    frames (k = 0, 2) to rgb8, and a final stage reduces each sampled
+    frame to its red-channel pixel sum. The oracle recomputes the sums
+    from the text alone."""
+    import ray.data as rd
+
+    from ..ops.multimodal import VideoFrameSampleStage
+
+    W, N_FRAMES = 16, 3
+
+    def synth(batch: pa.Table) -> pa.Table:
+        import struct
+
+        from ..util import tune_allocator
+
+        tune_allocator()
+
+        def chunk(fourcc: bytes, body: bytes) -> bytes:
+            pad = b"\x00" if len(body) % 2 else b""
+            return fourcc + struct.pack("<I", len(body)) + body + pad
+
+        def lst(ltype: bytes, body: bytes) -> bytes:
+            return chunk(b"LIST", ltype + body)
+
+        ids, blobs = [], []
+        for did, txt in zip(batch["doc_id"].to_pylist(),
+                            batch["text"].to_pylist()):
+            raw = (txt or "").encode("latin-1", "replace")
+            h = max(1, -(-len(raw) // W))
+            base = np.frombuffer(raw + b" " * (W * h - len(raw)),
+                                 np.uint8).reshape(h, W)
+            frames = []
+            for k in range(N_FRAMES):
+                g = (base.astype(np.uint16) + 17 * k).astype(np.uint8)
+                # bottom-up BGR rows; stride W*3 = 48 is 4-aligned
+                bgr = np.repeat(g[::-1, :, None], 3, axis=2)
+                frames.append(chunk(b"00db", bgr.tobytes()))
+            avih = struct.pack("<14I", 40000, 0, 0, 0, N_FRAMES, 0, 1,
+                               0, W, h, 0, 0, 0, 0)
+            strh = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII",
+                    0, 0, 0, 0, 1, 25, 0, N_FRAMES, 0, 0, 0, 0))
+            strf = struct.pack("<IiiHHIIiiII", 40, W, h, 1, 24, 0,
+                               W * h * 3, 0, 0, 0, 0)
+            hdrl = lst(b"hdrl", chunk(b"avih", avih)
+                       + lst(b"strl", chunk(b"strh", strh)
+                             + chunk(b"strf", strf)))
+            movi = lst(b"movi", b"".join(frames))
+            body = b"AVI " + hdrl + movi
+            ids.append(did)
+            blobs.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "bytes": pa.array(blobs, pa.large_binary())})
+
+    def feats(batch: pa.Table) -> pa.Table:
+        sums = [int(np.frombuffer(p, np.uint8)[0::3].sum(dtype=np.int64))
+                for p in batch["frame_rgb8"].to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "frame_idx": batch["frame_idx"],
+            "n_frames": batch["n_frames"],
+            "img_w": batch["width"],
+            "img_h": batch["height"],
+            "px_sum": pa.array(sums, pa.int64()),
+        })
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    out = (docs.map_batches(synth, batch_format="pyarrow")
+           .map_batches(VideoFrameSampleStage, batch_format="pyarrow",
+                        batch_size=16, concurrency=(1, 4),
+                        fn_constructor_kwargs={"every": 2, "count": None})
+           .map_batches(feats, batch_format="pyarrow"))
+    df = out.to_pandas()
+    return pa.Table.from_pandas(
+        df.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True),
+        preserve_index=False)
+
+
+VIDEO_FRAME_SAMPLE_SQL = """
+WITH s AS (
+  SELECT d.doc_id, length(d.text) AS n, k.k,
+         coalesce(c.tsum, 0) AS tsum
+  FROM documents d
+  CROSS JOIN (VALUES (0), (2)) AS k(k)
+  LEFT JOIN (
+    SELECT doc_id, k.k,
+           sum((ord(substring(text, i, 1)) + 17 * k.k) % 256) AS tsum
+    FROM (SELECT doc_id, text,
+                 unnest(range(1, length(text) + 1)) AS i
+          FROM documents)
+    CROSS JOIN (VALUES (0), (2)) AS k(k)
+    GROUP BY doc_id, k.k) c ON c.doc_id = d.doc_id AND c.k = k.k
+)
+SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+       CAST(3 AS BIGINT) AS n_frames,
+       CAST(16 AS BIGINT) AS img_w,
+       CAST(greatest(1, (n + 15) // 16) AS BIGINT) AS img_h,
+       CAST(tsum + ((32 + 17 * k) % 256)
+                   * (16 * greatest(1, (n + 15) // 16) - n)
+            AS BIGINT) AS px_sum
+FROM s ORDER BY doc_id, frame_idx
+"""
+
+
 STREAM_ROLLUP_EXPR = ('rollup(search(lineitem, q="*:*", '
                       'fl="l_returnflag,l_quantity"), '
                       'over="l_returnflag", sum(l_quantity), count(*))')
@@ -5394,6 +5594,8 @@ def build_queries() -> dict:
         "dih_full_import": _q_dih_full_import,
         "tika_pdf_roundtrip": _q_tika_pdf_roundtrip,
         "tika_docx_roundtrip": _q_tika_docx_roundtrip,
+        "tika_media_extract": _q_tika_media_extract,
+        "video_frame_sample": _q_video_frame_sample,
         "rel_block_join_parent": J.block_join_parent,
         "rel_block_join_facet": J.block_join_facet,
         "rel_block_join_child": J.block_join_child,
@@ -5687,6 +5889,8 @@ def build_oracle_sql() -> dict:
         "dih_full_import": DIH_FULL_IMPORT_SQL,
         "tika_pdf_roundtrip": TIKA_PDF_ROUNDTRIP_SQL,
         "tika_docx_roundtrip": TIKA_PDF_ROUNDTRIP_SQL,
+        "tika_media_extract": TIKA_MEDIA_EXTRACT_SQL,
+        "video_frame_sample": VIDEO_FRAME_SAMPLE_SQL,
         "rel_block_join_parent": RS.BLOCK_JOIN_PARENT,
         "rel_block_join_facet": RS.BLOCK_JOIN_FACET,
         "rel_block_join_child": RS.BLOCK_JOIN_CHILD,

@@ -109,34 +109,68 @@ def _pack_rows(samples: np.ndarray, depth: int) -> np.ndarray:
     return np.packbits(bits.reshape(h, ws * depth), axis=1)
 
 
+# independent bit-reversal table (string construction, unlike the
+# library's shift loop — not a shared-code tautology)
+_BITREV = np.array([int(f"{i:08b}"[::-1], 2) for i in range(256)],
+                   dtype=np.uint8)
+
+
 def _write_tiff(samples: np.ndarray, *, endian: str = "<",
                 compression: int = 1, predictor: int = 1, depth: int = 8,
                 photometric: int | None = None, spp: int | None = None,
                 rows_per_strip: int | None = None,
-                colormap: list[int] | None = None) -> bytes:
+                colormap: list[int] | None = None,
+                tiles: tuple[int, int] | None = None, planar: int = 1,
+                fill_order: int = 1) -> bytes:
     """Minimal baseline TIFF writer. ``samples`` is (h, w) for gray /
     palette indices or (h, w, spp) for RGB(A); sub-byte values are in
-    the sample domain (0..2^depth-1)."""
+    the sample domain (0..2^depth-1). ``tiles=(tw, th)`` switches to
+    tile layout (edge tiles zero-padded to full tile dims), ``planar=2``
+    writes one segment sequence per sample plane, ``fill_order=2``
+    packs bits LSB-first within each byte."""
     if samples.ndim == 2:
         h, w = samples.shape
         spp = spp or 1
-        flat = samples.reshape(h, w)
+        cube = samples.reshape(h, w, spp)
     else:
         h, w, spp = samples.shape
-        flat = samples.reshape(h, w * spp)
+        cube = samples
     if photometric is None:
         photometric = 3 if colormap is not None else (2 if spp >= 3 else 1)
-    rps = rows_per_strip or h
-    if predictor == 2:
-        assert depth == 8
-        s = samples.reshape(h, w, spp).astype(np.int16)
-        d = s.copy()
-        d[:, 1:] = (s[:, 1:] - s[:, :-1]) & 0xFF
-        flat = d.astype(np.uint8).reshape(h, w * spp)
-    rows = _pack_rows(flat, depth)
+    planes = spp if planar == 2 else 1
+    sspp = 1 if planar == 2 else spp
+    # segment sample arrays, plane-major (TIFF 6.0 PlanarConfiguration 2)
+    segs: list[np.ndarray] = []
+    if tiles is not None:
+        tw, th = tiles
+        across, down = -(-w // tw), -(-h // th)
+        for p in range(planes):
+            pc = cube[:, :, p:p + 1] if planar == 2 else cube
+            pad = np.zeros((down * th, across * tw, sspp), dtype=np.uint8)
+            pad[:h, :w] = pc
+            for ty in range(down):
+                for tx in range(across):
+                    segs.append(pad[ty * th:(ty + 1) * th,
+                                    tx * tw:(tx + 1) * tw])
+    else:
+        rps = rows_per_strip or h
+        for p in range(planes):
+            pc = cube[:, :, p:p + 1] if planar == 2 else cube
+            for r0 in range(0, h, rps):
+                segs.append(pc[r0:r0 + rps])
     strips, counts = [], []
-    for r0 in range(0, h, rps):
-        raw = rows[r0:r0 + rps].tobytes()
+    for seg in segs:
+        sh, sw, _ = seg.shape
+        if predictor == 2:
+            assert depth == 8
+            s = seg.astype(np.int16)
+            d = s.copy()
+            d[:, 1:] = (s[:, 1:] - s[:, :-1]) & 0xFF
+            seg = d.astype(np.uint8)
+        rows = _pack_rows(seg.reshape(sh, sw * sspp), depth)
+        if fill_order == 2:
+            rows = _BITREV[rows]
+        raw = rows.tobytes()
         if compression == 1:
             body = raw
         elif compression == 5:
@@ -161,8 +195,17 @@ def _write_tiff(samples: np.ndarray, *, endian: str = "<",
             buf += b"\x00"
     entries = [(256, 4, [w]), (257, 4, [h]), (258, 3, [depth] * spp),
                (259, 3, [compression]), (262, 3, [photometric]),
-               (273, 4, offs), (277, 3, [spp]), (278, 4, [rps]),
-               (279, 4, counts)]
+               (277, 3, [spp])]
+    if tiles is not None:
+        entries += [(322, 4, [tiles[0]]), (323, 4, [tiles[1]]),
+                    (324, 4, offs), (325, 4, counts)]
+    else:
+        entries += [(273, 4, offs), (278, 4, [rows_per_strip or h]),
+                    (279, 4, counts)]
+    if planar != 1:
+        entries.append((284, 3, [planar]))
+    if fill_order != 1:
+        entries.append((266, 3, [fill_order]))
     if predictor != 1:
         entries.append((317, 3, [predictor]))
     if colormap is not None:
@@ -284,6 +327,60 @@ def test_tiff_rgba_and_decode_image():
     assert np.array_equal(out, img)
     # unified entry drops alpha
     assert np.array_equal(decode_image("tiff", payload), img[:, :, :3])
+
+
+@pytest.mark.parametrize("compression", [1, 5, 32773])
+def test_tiff_tiled_matches_striped(compression):
+    # tile layout (ragged edges: 13×7 image, 4×5 tiles) must reproduce
+    # the image AND agree with the already-trusted strip decode path
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (13, 7, 3)).astype(np.uint8)
+    tiled = _write_tiff(img, compression=compression, tiles=(4, 5))
+    striped = _write_tiff(img, compression=compression, rows_per_strip=3)
+    assert np.array_equal(decode_tiff(tiled), img)
+    assert np.array_equal(decode_tiff(tiled), decode_tiff(striped))
+
+
+def test_tiff_tiled_predictor_and_gray():
+    rng = np.random.default_rng(37)
+    rgb = rng.integers(0, 256, (10, 11, 3)).astype(np.uint8)
+    # predictor restarts at each tile's left edge — exercised because
+    # tile width 4 < image width 11
+    payload = _write_tiff(rgb, compression=8, predictor=2, tiles=(4, 3))
+    assert np.array_equal(decode_tiff(payload), rgb)
+    gray = rng.integers(0, 2, (9, 21)).astype(np.uint8)
+    bilevel = _write_tiff(gray, depth=1, tiles=(8, 4))
+    assert np.array_equal(decode_tiff(bilevel), gray * 255)
+
+
+@pytest.mark.parametrize("tiles", [None, (5, 4)])
+def test_tiff_planar_two(tiles):
+    rng = np.random.default_rng(41)
+    img = rng.integers(0, 256, (11, 6, 3)).astype(np.uint8)
+    kw = {"tiles": tiles} if tiles else {"rows_per_strip": 4}
+    payload = _write_tiff(img, compression=5, planar=2, **kw)
+    assert np.array_equal(decode_tiff(payload), img)
+    chunky = _write_tiff(img, compression=5, **kw)
+    assert np.array_equal(decode_tiff(payload), decode_tiff(chunky))
+    # planar RGBA with per-plane predictor
+    rgba = rng.integers(0, 256, (7, 9, 4)).astype(np.uint8)
+    p2 = _write_tiff(rgba, compression=8, predictor=2, planar=2,
+                     rows_per_strip=3)
+    assert np.array_equal(decode_tiff(p2), rgba)
+
+
+@pytest.mark.parametrize("depth", [1, 4])
+@pytest.mark.parametrize("compression", [1, 32773])
+def test_tiff_fill_order_two(depth, compression):
+    rng = np.random.default_rng(43)
+    maxval = (1 << depth) - 1
+    v = rng.integers(0, maxval + 1, (12, 19)).astype(np.uint8)
+    lsb = _write_tiff(v, depth=depth, compression=compression,
+                      fill_order=2, rows_per_strip=5)
+    msb = _write_tiff(v, depth=depth, compression=compression,
+                      rows_per_strip=5)
+    assert np.array_equal(decode_tiff(lsb), v * (255 // maxval))
+    assert np.array_equal(decode_tiff(lsb), decode_tiff(msb))
 
 
 def test_tiff_uncovered_features_raise():
