@@ -283,19 +283,23 @@ class PartitionBuilder:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import json
+        import time
 
         import pyarrow.parquet as pq
 
-        out = {"segment": [], "num_docs": [], "sum_dl": [], "resumed": []}
+        out = {"segment": [], "num_docs": [], "sum_dl": [],
+               "resumed": [], "elapsed_s": []}
         for pid, files in zip(batch["partition_id"].to_pylist(),
                               batch["files"].to_pylist()):
             name = f"part-{pid:06d}"
-            meta_path = os.path.join(self.segments_root, name, "meta.json")
+            seg_dir = os.path.join(self.segments_root, name)
+            meta_path = os.path.join(seg_dir, "meta.json")
             if os.path.exists(meta_path):
                 with open(meta_path) as f:
                     meta = json.load(f)
-                resumed = True
+                resumed, elapsed = True, 0.0
             else:
+                t0 = time.perf_counter()
                 cols = None
                 table = pa.concat_tables([pq.read_table(f, columns=cols)
                                           for f in files])
@@ -306,11 +310,24 @@ class PartitionBuilder:
                                      id_col=self.id_col,
                                      store_cols=self.store_cols,
                                      with_positions=self.with_positions)
-                resumed = False
+                resumed, elapsed = False, time.perf_counter() - t0
+                # per-partition lineage + metrics sidecar (atomic rename
+                # like the segment itself); never rewritten on resume, so
+                # it records the run that actually built the partition
+                mpath = os.path.join(seg_dir, "metrics.json")
+                tmp = mpath + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump({"partition_id": int(pid),
+                               "input_files": list(files),
+                               "num_docs": meta["num_docs"],
+                               "sum_dl": meta["sum_dl"],
+                               "elapsed_s": round(elapsed, 4)}, f)
+                os.replace(tmp, mpath)
             out["segment"].append(meta["segment"])
             out["num_docs"].append(meta["num_docs"])
             out["sum_dl"].append(meta["sum_dl"])
             out["resumed"].append(resumed)
+            out["elapsed_s"].append(elapsed)
         return pa.table(out)
 
 
@@ -336,5 +353,14 @@ def build_index_resumable(input_files: list[str], out_dir: str, *,
     ).take_all()
     names = [r["segment"] for r in stats]
     metas = _collect_metas(segments_root, names)
+    built = [r["elapsed_s"] for r in stats if not r["resumed"]]
     return commit_manifest(out_dir, metas, extra={
-        "resumed_partitions": int(sum(1 for r in stats if r["resumed"]))})
+        "resumed_partitions": int(sum(1 for r in stats if r["resumed"])),
+        # run-level metrics rollup (per-partition detail lives in each
+        # segment's metrics.json sidecar — constant-size manifest at any
+        # partition count)
+        "build_metrics": {
+            "partitions_built": len(built),
+            "elapsed_s_sum": round(sum(built), 4),
+            "elapsed_s_max": round(max(built), 4) if built else 0.0,
+        }})

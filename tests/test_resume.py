@@ -45,11 +45,26 @@ def test_resume_skips_completed_partitions(tmp_path, input_files, ray_session):
     assert m1["resumed_partitions"] == 0
     mt1 = _seg_mtimes(out)
 
+    # per-partition lineage + metrics sidecar (north-rule surface)
+    import json
+    assert m1["build_metrics"]["partitions_built"] == 4
+    assert m1["build_metrics"]["elapsed_s_sum"] >= \
+        m1["build_metrics"]["elapsed_s_max"] > 0
+    mpath = os.path.join(out, "segments", "part-000001", "metrics.json")
+    with open(mpath) as f:
+        metrics = json.load(f)
+    assert metrics["partition_id"] == 1
+    assert metrics["input_files"] == [input_files[1]]
+    assert metrics["num_docs"] == 50 and metrics["elapsed_s"] > 0
+
     # rerun: everything is a checkpoint hit
     m2 = build_index_resumable(input_files, out)
     assert m2["resumed_partitions"] == 4
+    assert m2["build_metrics"]["partitions_built"] == 0
     assert m2["generation"] == m1["generation"] + 1
     assert _seg_mtimes(out) == mt1  # nothing rewritten
+    with open(mpath) as f:  # sidecar records the run that BUILT it
+        assert json.load(f) == metrics
     assert m2["num_docs"] == m1["num_docs"]
     assert m2["sum_dl"] == m1["sum_dl"]
 
