@@ -1,0 +1,120 @@
+"""Morfologik lemmatizing filter (Polish) — the behavioral counterpart
+of lucene/analysis/morfologik (MorfologikFilter.java:44-150,
+MorfologikFilterFactory.java).
+
+Semantics mirrored from the reference:
+
+- every non-keyword token looks its SURFACE form up in the dictionary —
+  exact first, then lowercased (MorfologikFilter.java:139
+  ``lookupSurfaceForm(termAtt) || lookupSurfaceForm(toLowercase(...))``);
+- on a hit the token is REPLACED by its lemmas: the first lemma takes
+  the original token's slot and every further lemma emits at the same
+  position (posInc 0 — :132-143);
+- on a miss the surface form passes through unchanged (tags cleared);
+- each lemma carries morphosyntactic tags, split on ``+`` or ``|``
+  (the ``lemmaSplitter`` pattern, :97-116) — exposed here via
+  :meth:`MorfologikDictionary.tags_of`, the
+  MorphosyntacticTagsAttribute analogue.
+
+The Polish PoliMorf FSA dictionary is morfologik DATA, not code — like
+the KStem lexicon, the Thai lexicon and the kuromoji/smartcn tables it
+is PLUGGABLE, supplied in morfologik's plain-text build format
+(``inflected<TAB>lemma<TAB>tag`` lines, the documented
+DictionaryMetadata ``separator=TAB`` input that the binary FSA is
+compiled from)."""
+from __future__ import annotations
+
+import re
+
+_TAG_SPLIT = re.compile(r"\+|\|")  # MorfologikFilter.lemmaSplitter
+
+
+class MorfologikDictionary:
+    """surface form → list of (lemma, tag) — the DictionaryLookup /
+    WordData surface of morfologik-stemming."""
+
+    def __init__(self, entries: dict[str, list[tuple[str, str | None]]]):
+        self.entries = {k: list(v) for k, v in entries.items()}
+
+    @classmethod
+    def from_tsv(cls, text: str) -> "MorfologikDictionary":
+        """Parse ``inflected<TAB>lemma<TAB>tag`` lines (tag optional;
+        blank lines and ``#`` comments skipped)."""
+        entries: dict[str, list[tuple[str, str | None]]] = {}
+        for line in text.splitlines():
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split("\t")
+            if len(parts) < 2:
+                continue
+            form, lemma = parts[0], parts[1]
+            tag = parts[2] if len(parts) > 2 and parts[2] else None
+            entries.setdefault(form, []).append((lemma, tag))
+        return cls(entries)
+
+    def lookup(self, surface: str) -> list[tuple[str, str | None]]:
+        """Exact surface lookup (one WordData tuple per lemma)."""
+        return self.entries.get(surface, [])
+
+    def lookup_with_fallback(self,
+                             surface: str) -> list[tuple[str, str | None]]:
+        """The filter's probe order: exact, then lowercased."""
+        hit = self.entries.get(surface)
+        if hit is None:
+            hit = self.entries.get(surface.lower())
+        return list(hit) if hit else []
+
+    def tags_of(self, surface: str) -> list[list[str]]:
+        """Per-lemma tag lists for a surface form, split on ``+``/``|``
+        like MorphosyntacticTagsAttribute receives them."""
+        return [_TAG_SPLIT.split(tag) if tag else []
+                for _lemma, tag in self.lookup_with_fallback(surface)]
+
+
+def morfologik_stream(dictionary: MorfologikDictionary,
+                      keywords=frozenset()):
+    """One→many token-stream stage for
+    ``analyze_batch(stream_transform=...)``: dictionary hits are
+    replaced by their lemma set at the original position; misses pass
+    through; ``keywords`` bypass lookup (the KeywordAttribute
+    contract)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .filters import _as_array
+
+    kw = frozenset(keywords)
+
+    def transform(terms, doc_idx, positions):
+        terms = _as_array(terms)
+        if len(terms) == 0:
+            return terms, doc_idx, positions
+        d = terms.dictionary_encode()
+        uniq = d.dictionary.to_pylist()
+        # one lookup per DISTINCT surface form per batch
+        rep: list[list[str] | None] = []
+        for u in uniq:
+            if u in kw:
+                rep.append(None)
+                continue
+            lemmas = [lm for lm, _tag
+                      in dictionary.lookup_with_fallback(u)]
+            rep.append(lemmas or None)
+        idx = np.asarray(d.indices)
+        counts = np.fromiter(
+            (1 if rep[i] is None else len(rep[i]) for i in idx),
+            dtype=np.int64, count=len(idx))
+        out_terms: list[str] = []
+        src = terms.to_pylist()
+        for j, i in enumerate(idx):
+            r = rep[i]
+            if r is None:
+                out_terms.append(src[j])
+            else:
+                out_terms.extend(r)
+        dx = np.repeat(np.asarray(doc_idx, dtype=np.int64), counts)
+        p = np.repeat(np.asarray(positions), counts).astype(np.int32)
+        return pa.array(out_terms, type=pa.string()), dx, p
+
+    return transform

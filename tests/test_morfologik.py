@@ -1,0 +1,85 @@
+"""Morfologik lemmatizer analogue (lucene/analysis/morfologik).
+
+The reference's own tests run against the bundled PoliMorf FSA binary
+(data we do not ship — the dictionary is pluggable, like the KStem
+lexicon); these goldens use a self-authored Polish-flavored dictionary
+in morfologik's plain-text build format and assert the FILTER
+semantics traced from MorfologikFilter.java:128-146."""
+
+import numpy as np
+import pyarrow as pa
+
+from lucene_solr_ray.analysis import analyze_batch
+from lucene_solr_ray.analysis.morfologik import (MorfologikDictionary,
+                                                 morfologik_stream)
+
+DICT_TSV = """\
+# inflected<TAB>lemma<TAB>tag
+liście\tliść\tsubst:pl:nom:m3
+liście\tlist\tsubst:sg:loc:m3
+mają\tmieć\tverb:fin:pl:ter
+Warszawie\tWarszawa\tsubst:sg:loc:f
+warszawie\tWarszawa\tsubst:sg:loc:f
+kot\tkot\tsubst:sg:nom:m2+animal|pet
+"""
+
+
+def _dic():
+    return MorfologikDictionary.from_tsv(DICT_TSV)
+
+
+def test_lookup_and_tags():
+    d = _dic()
+    assert d.lookup("liście") == [("liść", "subst:pl:nom:m3"),
+                                  ("list", "subst:sg:loc:m3")]
+    assert d.lookup("nieznane") == []
+    # lemmaSplitter: tags split on + or | (MorfologikFilter.java:97-116)
+    assert d.tags_of("kot") == [["subst:sg:nom:m2", "animal", "pet"]]
+    assert d.tags_of("mają") == [["verb:fin:pl:ter"]]
+
+
+def test_exact_then_lowercase_fallback():
+    d = _dic()
+    # exact surface wins; a cased miss falls back to the lowercased form
+    assert d.lookup_with_fallback("Warszawie") == [("Warszawa",
+                                                    "subst:sg:loc:f")]
+    assert [lm for lm, _ in d.lookup_with_fallback("LIŚCIE")] \
+        == ["liść", "list"]
+    assert d.lookup_with_fallback("MAJĄ".lower()) == [("mieć",
+                                                       "verb:fin:pl:ter")]
+
+
+def test_stream_replace_multi_lemma_and_miss():
+    t = morfologik_stream(_dic())
+    terms = pa.array(["liście", "mają", "nieznane"])
+    doc_idx = np.zeros(3, dtype=np.int64)
+    positions = np.arange(3, dtype=np.int32)
+    out_t, out_d, out_p = t(terms, doc_idx, positions)
+    # hit with two lemmas: both at the original position (posInc 0);
+    # the surface form is REPLACED; misses pass through unchanged
+    assert out_t.to_pylist() == ["liść", "list", "mieć", "nieznane"]
+    assert list(out_p) == [0, 0, 1, 2]
+    assert list(out_d) == [0, 0, 0, 0]
+
+
+def test_stream_keyword_bypass():
+    t = morfologik_stream(_dic(), keywords={"mają"})
+    out_t, _, out_p = t(pa.array(["mają", "liście"]),
+                        np.zeros(2, dtype=np.int64),
+                        np.arange(2, dtype=np.int32))
+    assert out_t.to_pylist() == ["mają", "liść", "list"]
+    assert list(out_p) == [0, 1, 1]
+
+
+def test_analyze_batch_end_to_end():
+    # unicode tokenizer (Polish letters survive) → lemmatizer; norms
+    # count the EMITTED stream like every other stream stage
+    r = analyze_batch(pa.array(["liście mają kolor", "kot w Warszawie"]),
+                      tokenizer="unicode", stopwords=frozenset(),
+                      stream_transform=morfologik_stream(_dic()))
+    # the tokenizer lowercases before the filter (the dictionary carries
+    # lowercase surface rows, as PoliMorf does); lemmas emit AS-IS
+    assert r.terms.to_pylist() == ["liść", "list", "mieć", "kolor",
+                                   "kot", "w", "Warszawa"]
+    assert list(r.positions) == [0, 0, 1, 2, 0, 1, 2]
+    assert list(r.doc_lengths) == [4, 3]
