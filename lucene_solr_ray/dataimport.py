@@ -314,3 +314,53 @@ def delta_import_to_index(db_path: str, entity: SqlEntity, index_dir: str, *,
     store_properties(index_dir, {"last_index_time": index_time})
     return {"updated": n_upd, "deleted": n_del,
             "last_index_time": index_time}
+
+
+def tika_entity(*, payload_col: str, path_col: str | None = None,
+                text_col: str = "text", on_error: str = "raise"):
+    """TikaEntityProcessor (solr/contrib/dataimporthandler-extras,
+    TikaEntityProcessor.java — the nested ``<entity
+    processor="TikaEntityProcessor">`` under a SQL entity that parses a
+    parent row's binary document into text + metadata fields).
+
+    Returns a ``pa.Table → pa.Table`` transform for ``map_batches``
+    over the imported Dataset: the binary ``payload_col`` is parsed by
+    ``ops.extract`` (the environment's native PDF/Office/RTF/mail/
+    archive parsers playing the Tika role), appending ``text_col``
+    plus ``tika_title`` / ``tika_content_type`` columns; all parent-row
+    columns pass through, exactly like DIH merges the child entity's
+    fields into the parent document. ``on_error="skip"`` blanks the
+    extracted fields for unparseable payloads (the
+    ``ignoreTikaException`` analogue) instead of dropping the row —
+    the SQL parent row still imports."""
+    from .ops.extract import extract_document
+    from .util import tune_allocator
+
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error {on_error!r}")
+
+    def run(batch: pa.Table) -> pa.Table:
+        tune_allocator()
+        blobs = batch[payload_col].to_pylist()
+        paths = (batch[path_col].to_pylist() if path_col
+                 else [None] * len(blobs))
+        texts, titles, ctypes = [], [], []
+        for b, p in zip(blobs, paths):
+            try:
+                d = extract_document(b, p)
+                texts.append(d["content"])
+                titles.append(d["title"])
+                ctypes.append(d["content_type"])
+            except Exception:
+                if on_error == "raise":
+                    raise
+                texts.append(None)
+                titles.append(None)
+                ctypes.append(None)
+        out = batch.append_column(text_col,
+                                  pa.array(texts, type=pa.large_string()))
+        out = out.append_column("tika_title",
+                                pa.array(titles, type=pa.string()))
+        return out.append_column("tika_content_type",
+                                 pa.array(ctypes, type=pa.string()))
+    return run

@@ -457,3 +457,164 @@ def expired_filter(dst: str, now: str):
         return batch.filter(pc.greater(batch[dst],
                                        pa.scalar(cut, type=pa.timestamp("us"))))
     return run
+
+
+# ---------------------------------------------------------------------------
+# solr/contrib/langid — LanguageIdentifierUpdateProcessor
+# ---------------------------------------------------------------------------
+
+# deterministic marker-word sets for the latin-script languages the
+# detector distinguishes (the role of the Tika/LangDetect profiles —
+# external models absent from this environment, same stance as the
+# KStem lexicon; certainty = marker-hit fraction of the token stream)
+_LANGID_MARKERS = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for",
+           "with", "was", "this"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "mit", "ein",
+           "zu", "den", "von", "sich"),
+    "fr": ("le", "les", "et", "des", "est", "une", "dans", "que",
+           "pour", "qui", "sur", "pas"),
+    "es": ("el", "los", "que", "una", "por", "con", "para", "las",
+           "del", "se", "es", "como"),
+}
+
+# script-run languages: first-codepoint block of a token decides
+_LANGID_SCRIPTS = (
+    ((0x0400, 0x04FF), "ru"), ((0x0370, 0x03FF), "el"),
+    ((0x4E00, 0x9FFF), "zh"), ((0x0600, 0x06FF), "ar"),
+    ((0xAC00, 0xD7AF), "ko"), ((0x3040, 0x30FF), "ja"),
+    ((0x0900, 0x097F), "hi"),
+)
+
+
+def _langid_detect(texts: pa.Array):
+    """Per-row candidate list [(lang, certainty)] sorted by certainty
+    desc then lang asc (DetectedLanguage list order)."""
+    import numpy as np
+
+    from ..analysis.analyzer import analyze_batch
+
+    ab = analyze_batch(texts, keep_stopwords=True, tokenizer="unicode",
+                       stopwords=frozenset())
+    n = len(texts)
+    total = np.bincount(ab.doc_idx, minlength=n).astype(np.float64)
+    hits: dict[str, "np.ndarray"] = {}
+    for lang, markers in _LANGID_MARKERS.items():
+        m = np.asarray(pc.is_in(ab.terms,
+                                value_set=pa.array(markers)))
+        hits[lang] = np.bincount(ab.doc_idx[m], minlength=n) \
+            .astype(np.float64)
+    # script classes over the DISTINCT vocabulary (bounded per batch)
+    d = ab.terms.dictionary_encode()
+    uniq = d.dictionary.to_pylist()
+    cls = np.full(len(uniq), -1, dtype=np.int64)
+    for i, u in enumerate(uniq):
+        cp = ord(u[0]) if u else 0
+        for j, ((lo, hi), _lang) in enumerate(_LANGID_SCRIPTS):
+            if lo <= cp <= hi:
+                cls[i] = j
+                break
+    tok_cls = cls[np.asarray(d.indices)]
+    for j, (_rng, lang) in enumerate(_LANGID_SCRIPTS):
+        m = tok_cls == j
+        if m.any():
+            hits[lang] = hits.get(lang, np.zeros(n)) + \
+                np.bincount(ab.doc_idx[m], minlength=n).astype(np.float64)
+    out = []
+    for r in range(n):
+        cand = [(lang, h[r] / total[r]) for lang, h in sorted(hits.items())
+                if total[r] > 0 and h[r] > 0]
+        cand.sort(key=lambda t: (-t[1], t[0]))
+        out.append(cand)
+    return out
+
+
+def language_identify(input_fields, *, lang_field: str = "language",
+                      langs_field: str | None = None,
+                      threshold: float = 0.1, whitelist=(),
+                      lcmap: dict | None = None,
+                      fallback_fields=(), fallback: str = "",
+                      overwrite: bool = False,
+                      map_fields=(), map_langs=(),
+                      map_keep_orig: bool = True):
+    """LanguageIdentifierUpdateProcessor (solr/contrib/langid,
+    LanguageIdentifierUpdateProcessor.java:200-355): detect the document
+    language over ``input_fields``, resolve it against
+    whitelist/threshold with field-or-value fallback, write
+    ``lang_field`` (existing values win unless ``overwrite`` —
+    :220-237), optionally record all detected langs in ``langs_field``
+    and map content fields to ``{field}_{lang}`` columns
+    (:239-267; ``map_langs`` must enumerate the target languages so the
+    batch schema stays stable — the enforceSchema discipline).
+
+    The detector itself is a deterministic marker-word + script
+    heuristic standing in for the Tika/LangDetect profile models
+    (external data absent from this environment); ``resolveLanguage``
+    semantics — empty candidates → fallback, lcmap normalization,
+    whitelist miss → fallback, certainty < threshold → fallback,
+    null → "" — follow :314-355 exactly."""
+    import numpy as np
+
+    wl = frozenset(whitelist)
+    lc = dict(lcmap or {})
+
+    def _resolve(cands, fb):
+        if not cands:
+            lang = fb
+        else:
+            top, cert = cands[0]
+            norm = lc.get(top, top)
+            if wl and norm not in wl:
+                lang = fb
+            elif cert >= threshold:
+                lang = norm
+            else:
+                lang = fb
+        return lang if lang else ""
+
+    def run(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        joined = None
+        for f in input_fields:
+            col = pc.coalesce(pc.cast(batch[f], pa.string()),
+                              pa.scalar("", type=pa.string()))
+            joined = col if joined is None else \
+                pc.binary_join_element_wise(joined, col, " ")
+        cands = _langid_detect(joined)
+        fbs = []
+        fb_cols = [batch[f].to_pylist() for f in fallback_fields
+                   if f in batch.column_names]
+        for r in range(n):
+            fb = next((c[r] for c in fb_cols if c[r]), None)
+            fbs.append(fb if fb is not None else fallback)
+        existing = (batch[lang_field].to_pylist()
+                    if lang_field in batch.column_names and not overwrite
+                    else [None] * n)
+        doc_lang = [
+            _resolve([(ex, 1.0)], fbs[r]) if ex
+            else _resolve(cands[r], fbs[r])
+            for r, ex in enumerate(existing)]
+        arr = pa.array(doc_lang, type=pa.string())
+        batch = (_replace(batch, lang_field, arr)
+                 if lang_field in batch.column_names
+                 else batch.append_column(lang_field, arr))
+        if langs_field:
+            langs = pa.array([[d] if d else [] for d in doc_lang],
+                             type=pa.list_(pa.string()))
+            batch = (_replace(batch, langs_field, langs)
+                     if langs_field in batch.column_names
+                     else batch.append_column(langs_field, langs))
+        for f in map_fields:
+            src = batch[f]
+            for lang in map_langs:
+                mask = pa.array([d == lang for d in doc_lang])
+                mapped = pc.if_else(mask, src, pa.scalar(
+                    None, type=src.type))
+                name = f"{f}_{lang}"
+                batch = (_replace(batch, name, mapped)
+                         if name in batch.column_names
+                         else batch.append_column(name, mapped))
+            if not map_keep_orig:
+                batch = batch.drop_columns([f])
+        return batch
+    return run

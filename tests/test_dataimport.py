@@ -156,3 +156,51 @@ def test_delta_import_noop_when_nothing_changed(ray_session, db, tmp_path):
     assert _probe(idx, "table") == before
     assert load_properties(idx)["last_index_time"] == 11
     assert os.path.exists(os.path.join(idx, "dataimport.properties"))
+
+
+def test_tika_entity_nested_extraction(ray_session, tmp_path):
+    """TikaEntityProcessor analogue: SQL parent rows carrying binary
+    documents gain extracted text/metadata columns during import."""
+    import zlib
+
+    from lucene_solr_ray.dataimport import tika_entity
+
+    def pdf_of(txt: str) -> bytes:
+        body = txt.encode().replace(b"\\", b"\\\\") \
+            .replace(b"(", b"\\(").replace(b")", b"\\)")
+        content = zlib.compress(b"BT 36 770 Td (" + body + b") Tj ET")
+        objs = ((1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+                (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+                (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+                (4, b"<< /Filter /FlateDecode /Length %d >>\nstream\n"
+                    % len(content) + content + b"\nendstream"))
+        return (b"%PDF-1.4\n"
+                + b"".join(b"%d 0 obj\n%s\nendobj\n" % (n, ob)
+                           for n, ob in objs)
+                + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+
+    path = str(tmp_path / "blobs.duckdb")
+    con = duckdb.connect(path)
+    con.execute("CREATE TABLE files (id BIGINT, name VARCHAR, "
+                "payload BLOB)")
+    con.execute("INSERT INTO files VALUES (1, 'a.pdf', ?), "
+                "(2, 'b.pdf', ?), (3, 'opaque.bin', ?)",
+                [pdf_of("alpha beta"), pdf_of("gamma delta"),
+                 b"\x00\x01\x02\x03" * 8])
+    con.close()
+
+    ds = read_sql_entity(path, SqlEntity(query="SELECT * FROM files",
+                                         pk="id"), num_partitions=2)
+    out = ds.map_batches(
+        tika_entity(payload_col="payload", path_col="name",
+                    on_error="skip"),
+        batch_format="pyarrow").to_pandas().sort_values("id")
+    assert out["text"].tolist()[:2] == ["alpha beta", "gamma delta"]
+    assert out["text"].tolist()[2] is None  # skip blanks, row survives
+    assert out["tika_content_type"].tolist()[0] == "application/pdf"
+    assert out["name"].tolist() == ["a.pdf", "b.pdf", "opaque.bin"]
+
+    import pytest as _pt
+    strict = tika_entity(payload_col="payload", on_error="raise")
+    with _pt.raises(NotImplementedError):
+        strict(pa.table({"payload": [b"\x00\x01\x02\x03" * 8]}))

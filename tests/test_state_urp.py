@@ -160,3 +160,55 @@ def test_urp_schema_and_derived_fields():
     assert alive.num_rows == 1
     gone = U.expired_filter("expire_at", "2026-01-01T00:02:00")(exp)
     assert gone.num_rows == 0
+
+
+def test_urp_language_identify():
+    batch = pa.table({
+        "id": [1, 2, 3, 4, 5],
+        "text": [
+            "the cat sat on the mat and it was happy with that",
+            "der hund ist nicht mit der katze und das ist gut",
+            "Это русский текст про собаку и кошку",
+            "zzz qqq xxx www",          # no markers -> fallback
+            "le chat est dans la maison et il est content pour les gens",
+        ],
+        "hint": ["", "", "", "pt", ""],
+    })
+    run = U.language_identify(
+        ["text"], lang_field="language", langs_field="languages",
+        threshold=0.1, fallback_fields=["hint"], fallback="und")
+    out = run(batch)
+    assert out["language"].to_pylist() == ["en", "de", "ru", "pt", "fr"]
+    assert out["languages"].to_pylist()[3] == ["pt"]
+
+    # whitelist miss and lcmap normalization both route through fallback
+    run2 = U.language_identify(["text"], whitelist=("en", "de"),
+                               fallback="other", threshold=0.1)
+    assert run2(batch)["language"].to_pylist() == \
+        ["en", "de", "other", "other", "other"]
+    run3 = U.language_identify(["text"], lcmap={"ru": "ru-RU"},
+                               threshold=0.1, fallback="und")
+    assert run3(batch)["language"].to_pylist()[2] == "ru-RU"
+
+    # existing langField wins unless overwrite (sanity-checked against
+    # the whitelist exactly like the reference's :232-237 branch)
+    pre = batch.append_column("language",
+                              pa.array(["sv", "", "", "", ""]))
+    keep = U.language_identify(["text"], threshold=0.1, fallback="und")
+    assert keep(pre)["language"].to_pylist()[0] == "sv"
+    ow = U.language_identify(["text"], threshold=0.1, fallback="und",
+                             overwrite=True)
+    assert ow(pre)["language"].to_pylist()[0] == "en"
+    wl = U.language_identify(["text"], whitelist=("en",),
+                             threshold=0.1, fallback="und")
+    assert wl(pre)["language"].to_pylist()[0] == "und"  # sv not in wl
+
+    # field mapping: schema-stable {field}_{lang} columns
+    m = U.language_identify(["text"], threshold=0.1, fallback="und",
+                            map_fields=["text"], map_langs=("en", "de"),
+                            map_keep_orig=False)
+    mo = m(batch)
+    assert "text" not in mo.column_names
+    assert mo["text_en"].to_pylist()[0].startswith("the cat")
+    assert mo["text_en"].to_pylist()[1] is None
+    assert mo["text_de"].to_pylist()[1].startswith("der hund")
