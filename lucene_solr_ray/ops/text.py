@@ -143,6 +143,69 @@ def token_totals(sf_dir: str, mode: str = "analyzer") -> pa.Table:
                                                 type=pa.int64())})
 
 
+# Deterministic transliteration alphabet for the unicode-tokenizer
+# oracle pair: lowercase ASCII -> Greek / Cyrillic / Devanagari letters,
+# Devanagari digits, and ONE Han ideograph ('j' -> 中) so the
+# StandardTokenizer IDEOGRAPHIC single-char class (StandardTokenizerImpl
+# UAX#29 grammar) is genuinely exercised — every 'j' splits its word and
+# emits its own token. Shared verbatim with the DuckDB twin's
+# translate(); both sides then run the IDENTICAL RE2 patterns.
+TRANSLIT_FROM = "abcdefghijkl02"
+TRANSLIT_TO = "αβγδεфгхи" \
+              "中कल०२"
+assert len(TRANSLIT_FROM) == len(TRANSLIT_TO)
+HAN_CH = "中"
+
+
+def unicode_token_stats(sf_dir: str) -> pa.Table:
+    """Per-doc token stats through the "unicode" (UAX#29-ish) tokenizer
+    — Unicode letter/number runs with Han-ideograph isolation — over a
+    deterministic transliteration of the ASCII corpus (TRANSLIT_FROM ->
+    TRANSLIT_TO above). This gives the unicode tokenizer mode an
+    oracle pairing that actually exercises the non-ASCII classes: the
+    DuckDB twin is translate(lower(text), ...) + the same RE2 Han-split
+    and [\\p{L}\\p{N}]+ extraction (analyzer.py tokenizer="unicode"
+    documents the mapping to StandardTokenizer's JFlex grammar).
+
+    Columns per doc: n_tokens, n_unique, n_ideo (Han single-char
+    tokens == count of 'j' letters), sum_len (codepoint lengths)."""
+
+    def score(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = pc.utf8_lower(batch["text"])
+        for f, t in zip(TRANSLIT_FROM, TRANSLIT_TO):
+            s = pc.replace_substring(s, pattern=f, replacement=t)
+        ab = analyze_batch(s, keep_stopwords=True, tokenizer="unicode")
+        n = len(batch)
+        total = np.bincount(ab.doc_idx, minlength=n).astype(np.int64)
+        terms = ab.terms
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        enc = terms.dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        ndict = max(len(enc.dictionary), 1)
+        uniq = np.unique(ab.doc_idx.astype(np.int64) * ndict + codes)
+        n_unique = np.bincount(uniq // ndict, minlength=n).astype(np.int64) \
+            if len(uniq) else np.zeros(n, dtype=np.int64)
+        ideo = np.asarray(pc.equal(terms, HAN_CH)).astype(bool)
+        n_ideo = np.bincount(ab.doc_idx[ideo], minlength=n).astype(np.int64)
+        lens = np.asarray(pc.utf8_length(terms), dtype=np.int64)
+        sum_len = np.bincount(ab.doc_idx, weights=lens,
+                              minlength=n).astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(total, type=pa.int64()),
+            "n_unique": pa.array(n_unique, type=pa.int64()),
+            "n_ideo": pa.array(n_ideo, type=pa.int64()),
+            "sum_len": pa.array(sum_len, type=pa.int64()),
+        })
+
+    df = (_read_docs(sf_dir).map_batches(score, batch_format="pyarrow")
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 FP_BASE = 1000003
 FP_MOD = (1 << 61) - 1
 

@@ -918,6 +918,40 @@ FROM tok
 """
 
 
+def unicode_token_stats_sql() -> str:
+    """Twin of ops.text.unicode_token_stats: the identical per-codepoint
+    transliteration via translate(), then the SAME two RE2 patterns the
+    unicode tokenizer runs in Arrow (Han isolation + letter/number-run
+    extraction). sum() is cast back from HUGEINT."""
+    from ..ops.text import HAN_CH, TRANSLIT_FROM, TRANSLIT_TO
+
+    return f"""
+WITH t0 AS (
+  SELECT doc_id,
+         regexp_replace(translate(lower(text),
+                                  '{TRANSLIT_FROM}', '{TRANSLIT_TO}'),
+                        '([\\p{{Han}}])', ' \\1 ', 'g') AS s
+  FROM documents),
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(s, '[\\p{{L}}\\p{{N}}]+')) AS term
+  FROM t0),
+keep AS (SELECT doc_id, term FROM tok WHERE length(term) <= 255),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         count(DISTINCT term) AS n_unique,
+         count(*) FILTER (WHERE term = '{HAN_CH}') AS n_ideo,
+         sum(length(term)) AS sum_len
+  FROM keep GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(agg.n_unique, 0) AS BIGINT) AS n_unique,
+       CAST(COALESCE(agg.n_ideo, 0) AS BIGINT) AS n_ideo,
+       CAST(COALESCE(agg.sum_len, 0) AS BIGINT) AS sum_len
+FROM documents d LEFT JOIN agg USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def _regex_token_totals_sql(pattern_sql: str) -> str:
     """Twin of token_totals(mode="whitespace"/"bpe"): the identical
     regex runs in RE2."""
@@ -5536,6 +5570,7 @@ def build_queries() -> dict:
             sf, mode="whitespace"),
         "text_token_totals_bpe": lambda sf: T.token_totals(
             sf, mode="bpe"),
+        "text_unicode_tokens": T.unicode_token_stats,
         # md5 hash mode for the recursive-powers twin (blake2b default)
         "text_fingerprint": lambda sf_dir: T.fingerprint(sf_dir,
                                                          hash="md5"),
@@ -5831,6 +5866,7 @@ def build_oracle_sql() -> dict:
             __import__("lucene_solr_ray.ops.text",
                        fromlist=["BPE_PRETOKEN_PAT"])
             .BPE_PRETOKEN_PAT.replace("'", "''")),
+        "text_unicode_tokens": unicode_token_stats_sql(),
         "ann_brute_cosine": ann_brute_sql(),
         "ann_ivf_full_probe": ann_brute_sql(),
         "ann_lsh_degenerate": ann_brute_sql(),

@@ -355,3 +355,39 @@ def test_c4_line_dedup_drops_duplicate_lines(ray_session, tmp_path):
     assert ref["text"].tolist() == out["text"].tolist()
     assert ref["n_kept"].astype("int64").tolist() == \
         out["n_kept"].tolist()
+
+
+def test_unicode_token_stats_fixture(ray_session, tmp_path):
+    """Unicode tokenizer semantics on a hand-built doc set: letter/number
+    runs stay together across scripts, every Han ideograph ('j' after
+    transliteration) is isolated as its own single-char token, Devanagari
+    digits count as \\p{N}, and empty/ASCII-free docs yield zeros."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.ops.text import HAN_CH, unicode_token_stats
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        # doc 1: "jar jar" -> each 'j' is Han-isolated: 中 αr 中 αr
+        # doc 2: digits 0/2 transliterate to Devanagari, stay one token
+        # doc 3: punctuation only -> no tokens
+        "text": pa.array(["Jar jar", "x02y", "... !!"]),
+    })
+    d = tmp_path / "fixture"
+    d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+    out = unicode_token_stats(str(d)).to_pandas().set_index("doc_id")
+    # doc 1: tokens 中, αr, 中, αr
+    assert out.loc[1, "n_tokens"] == 4
+    assert out.loc[1, "n_unique"] == 2
+    assert out.loc[1, "n_ideo"] == 2
+    assert out.loc[1, "sum_len"] == 6
+    # doc 2: one mixed-script letter/number run "x०२y"
+    assert out.loc[2, "n_tokens"] == 1
+    assert out.loc[2, "n_unique"] == 1
+    assert out.loc[2, "n_ideo"] == 0
+    assert out.loc[2, "sum_len"] == 4
+    # doc 3: nothing survives
+    assert out.loc[3, "n_tokens"] == 0
+    assert out.loc[3, "sum_len"] == 0
+    assert HAN_CH == "中"
