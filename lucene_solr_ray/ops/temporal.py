@@ -1,0 +1,266 @@
+"""Temporal operators over the events stream: as-of join, session
+windows, and a banded range join — the classic stream/time-series
+operators a training-data pipeline needs that the reference engine has
+no counterpart for (its closest surface is the ReducerStream/RollupStream
+windowing family, solr/solrj/.../io/stream/ReducerStream.java:37-46,
+already mirrored by relational.windowed_rollup).
+
+Scale shape, per the custom-operator doctrine:
+- as-of join and session windows hash-partition by ``user_id`` — ONE
+  ``groupby(user_id).map_groups`` shuffle with vectorized numpy inside
+  each group (sort + searchsorted / diff + reduceat). The partitioning
+  assumption is that one user's event history fits a worker (true by
+  construction for bounded per-entity streams; a hot entity would be
+  salted by time range exactly like merge.py's hot terms).
+- the range join broadcasts the constant band table (np.searchsorted
+  per batch) and pre-aggregates partials per batch, so the shuffle
+  carries at most bands x event_types rows per batch.
+
+Float policy: ``value`` has 2 decimals; every sum quantizes PER ROW
+with the shared floor(x*10000+0.5) rule and sums as int64, so the
+accumulation order Ray picks can never perturb oracle hashes.
+
+All timestamps surface as integer epoch values derived from the
+microsecond representation (``us // 1_000_000``), matching the DuckDB
+twins' ``epoch_us(ts) // 1000000`` exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _read(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                           columns=columns)
+
+
+def _q4_scalar(v: np.ndarray) -> np.ndarray:
+    return np.floor(v * 10000 + 0.5).astype(np.int64)
+
+
+def _ts_us(col: pd.Series) -> np.ndarray:
+    return col.to_numpy(dtype="datetime64[us]").view("int64")
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+
+
+def asof_join(sf_dir: str, ref_type: str = "purchase") -> pa.Table:
+    """For every non-``ref_type`` event, the latest ``ref_type`` event of
+    the same user at-or-before its timestamp (the trade/quote as-of
+    pattern). Ties on the reference timestamp resolve to the highest
+    event_id; probes with no prior reference emit -1 sentinels (both
+    sides share the sentinel so the join stays BIGINT, never a nullable
+    float).
+
+    Distributed shape: one hash shuffle on user_id; inside a group the
+    match is sort + np.searchsorted(side="right") - 1, O(n log n) per
+    user and independent of every other user.
+    """
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        is_ref = (df["event_type"] == ref_type).to_numpy()
+        ref = df[is_ref].sort_values(["ts", "event_id"])
+        probe = df[~is_ref].sort_values(["ts", "event_id"])
+        p_us = _ts_us(probe["ts"])
+        out = pd.DataFrame({
+            "event_id": probe["event_id"].to_numpy(),
+            "user_id": probe["user_id"].to_numpy(),
+            "ts_s": p_us // 1_000_000,
+            "event_type": probe["event_type"].to_numpy(),
+        })
+        if len(ref):
+            r_us = _ts_us(ref["ts"])
+            idx = np.searchsorted(r_us, p_us, side="right") - 1
+            hit = idx >= 0
+            safe = np.maximum(idx, 0)
+            out["ref_event_id"] = np.where(
+                hit, ref["event_id"].to_numpy()[safe], -1)
+            out["ref_value_q"] = np.where(
+                hit, _q4_scalar(ref["value"].to_numpy())[safe], -1)
+            out["lag_s"] = np.where(hit, (p_us - r_us[safe]) // 1_000_000, -1)
+        else:
+            out["ref_event_id"] = np.int64(-1)
+            out["ref_value_q"] = np.int64(-1)
+            out["lag_s"] = np.int64(-1)
+        return out
+
+    ds = _read(sf_dir, ["event_id", "ts", "user_id", "event_type", "value"])
+    df = (ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+          .to_pandas())
+    for c in ("event_id", "user_id", "ts_s", "ref_event_id", "ref_value_q",
+              "lag_s"):
+        df[c] = df[c].astype("int64")
+    df = df.sort_values("event_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def asof_join_sql(ref_type: str = "purchase") -> str:
+    """DuckDB twin: explicit latest-at-or-before window (not the ASOF
+    keyword, whose tie order among equal timestamps is unspecified —
+    this one pins ties to max event_id, like the engine's
+    (ts, event_id) sort + side="right" search)."""
+    return f"""
+WITH probe AS (SELECT * FROM events WHERE event_type <> '{ref_type}'),
+ref AS (SELECT * FROM events WHERE event_type = '{ref_type}'),
+j AS (
+  SELECT p.event_id, p.user_id,
+         CAST(epoch_us(p.ts) // 1000000 AS BIGINT) AS ts_s,
+         p.event_type,
+         r.event_id AS r_id,
+         CAST(floor(r.value * 10000 + 0.5) AS BIGINT) AS r_vq,
+         (epoch_us(p.ts) - epoch_us(r.ts)) // 1000000 AS r_lag,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY r.ts DESC, r.event_id DESC) AS rn
+  FROM probe p LEFT JOIN ref r
+    ON r.user_id = p.user_id AND r.ts <= p.ts)
+SELECT event_id, user_id, ts_s, event_type,
+       CAST(COALESCE(r_id, -1) AS BIGINT) AS ref_event_id,
+       CAST(COALESCE(r_vq, -1) AS BIGINT) AS ref_value_q,
+       CAST(COALESCE(r_lag, -1) AS BIGINT) AS lag_s
+FROM j WHERE rn = 1
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# session windows
+
+
+SESSION_GAP_MIN = 720  # events average ~10h apart; 12h gives real multi-event sessions
+
+
+def session_windows(sf_dir: str, gap_minutes: int = SESSION_GAP_MIN) -> pa.Table:
+    """Gap-based sessionization: per user, events ordered by
+    (ts, event_id) start a new session when the gap from the previous
+    event exceeds ``gap_minutes``. Emits one row per session with the
+    event count, order-free quantized value sum, epoch-second bounds and
+    microsecond-exact duration.
+
+    Same single-shuffle shape as asof_join; per group the session ids
+    are a vectorized diff + cumsum and the aggregates are reduceat over
+    the session boundaries.
+    """
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        us = _ts_us(df["ts"])
+        n = len(us)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = (us[1:] - us[:-1]) > gap_us
+        starts = np.flatnonzero(new)
+        sid = np.cumsum(new) - 1
+        vq = _q4_scalar(df["value"].to_numpy())
+        ends = np.append(starts[1:], n) - 1
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy()[starts],
+            "session_idx": np.arange(len(starts), dtype=np.int64),
+            "n_events": np.add.reduceat(np.ones(n, dtype=np.int64), starts),
+            "sum_value_q": np.add.reduceat(vq, starts),
+            "start_s": us[starts] // 1_000_000,
+            "end_s": us[ends] // 1_000_000,
+            "duration_s": (us[ends] - us[starts]) // 1_000_000,
+        })
+
+    ds = _read(sf_dir, ["event_id", "ts", "user_id", "value"])
+    df = (ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+          .to_pandas())
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    df = df.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def session_windows_sql(gap_minutes: int = SESSION_GAP_MIN) -> str:
+    gap_us = int(gap_minutes) * 60 * 1_000_000  # one literal: INT32 * in SQL overflows
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vq,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                      > {gap_us}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) - 1 AS sid
+  FROM e)
+SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
+       count(*) AS n_events,
+       CAST(sum(vq) AS BIGINT) AS sum_value_q,
+       CAST(min(us) // 1000000 AS BIGINT) AS start_s,
+       CAST(max(us) // 1000000 AS BIGINT) AS end_s,
+       CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_s
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# banded range join
+
+
+#: (lo, hi, label); hi None = unbounded. Half-open [lo, hi).
+VALUE_BANDS = ((0.0, 50.0, "small"), (50.0, 150.0, "mid"),
+               (150.0, 300.0, "large"), (300.0, None, "huge"))
+
+
+def range_band_rollup(sf_dir: str) -> pa.Table:
+    """Range join of events.value against the constant band table, then
+    a (band, event_type) rollup. The band table is broadcast (a module
+    constant — at scale, ray.put once), membership is one vectorized
+    searchsorted per batch, and each batch ships at most
+    |bands| x |event_types| partial rows into the tiny final groupby.
+    """
+    edges = np.array([b[0] for b in VALUE_BANDS[1:]])
+    labels = np.array([b[2] for b in VALUE_BANDS])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch["value"].to_pandas(), dtype=np.float64)
+        band = np.searchsorted(edges, v, side="right")
+        et = batch["event_type"].to_pandas()
+        g = pd.DataFrame({
+            "band": labels[band], "event_type": et,
+            "vq": _q4_scalar(v), "n": np.int64(1),
+        }).groupby(["band", "event_type"], as_index=False).agg(
+            n=("n", "sum"), sum_value_q=("vq", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = _read(sf_dir, ["event_type", "value"])
+    df = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+          .groupby(["band", "event_type"], as_index=False)
+          .agg(n=("n", "sum"), sum_value_q=("sum_value_q", "sum")))
+    df["n"] = df["n"].astype("int64")
+    df["sum_value_q"] = df["sum_value_q"].astype("int64")
+    df = df.sort_values(["band", "event_type"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def range_band_rollup_sql() -> str:
+    rows = ", ".join(
+        f"({lo!r}, {('NULL' if hi is None else repr(hi))}, '{lab}')"
+        .replace("'NULL'", "NULL")
+        for lo, hi, lab in VALUE_BANDS)
+    return f"""
+WITH bands(lo, hi, band) AS (VALUES {rows})
+SELECT b.band, e.event_type,
+       count(*) AS n,
+       CAST(sum(CAST(floor(e.value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_value_q
+FROM events e JOIN bands b
+  ON e.value >= b.lo AND (b.hi IS NULL OR e.value < b.hi)
+GROUP BY b.band, e.event_type
+ORDER BY b.band, e.event_type
+"""

@@ -5544,6 +5544,7 @@ def build_queries() -> dict:
     from ..ops import joins as J
     from ..ops import quality_filters as QF
     from ..ops import relational as R
+    from ..ops import temporal as TMP
     from ..ops import text as T
     from ..ops.pretrain import pack_sequences, pretrain_corpus_report
 
@@ -5606,6 +5607,9 @@ def build_queries() -> dict:
         "rel_cursor_page": R.cursor_page,
         "rel_unique_stream": R.unique_stream,
         "rel_windowed_rollup": R.windowed_rollup,
+        "rel_asof_join": TMP.asof_join,
+        "rel_session_windows": TMP.session_windows,
+        "rel_range_band": TMP.range_band_rollup,
         "rel_join_rollup": R.join_rollup,
         "rel_hierarchical_facet": R.hierarchical_facet,
         "rel_assoc_facet": R.association_facet,
@@ -5904,6 +5908,15 @@ def build_oracle_sql() -> dict:
         "rel_cursor_page": RS.CURSOR_PAGE,
         "rel_unique_stream": RS.UNIQUE_STREAM,
         "rel_windowed_rollup": RS.WINDOWED_ROLLUP,
+        "rel_asof_join": __import__(
+            "lucene_solr_ray.ops.temporal",
+            fromlist=["asof_join_sql"]).asof_join_sql(),
+        "rel_session_windows": __import__(
+            "lucene_solr_ray.ops.temporal",
+            fromlist=["session_windows_sql"]).session_windows_sql(),
+        "rel_range_band": __import__(
+            "lucene_solr_ray.ops.temporal",
+            fromlist=["range_band_rollup_sql"]).range_band_rollup_sql(),
         "rel_join_rollup": RS.JOIN_ROLLUP,
         "rel_hierarchical_facet": RS.HIERARCHICAL_FACET,
         "rel_assoc_facet": __import__(

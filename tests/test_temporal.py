@@ -1,0 +1,101 @@
+"""Temporal operators (ops/temporal.py): as-of join tie/sentinel
+semantics, session-window gap boundaries, range-band edge inclusion —
+hand-built fixtures with exactly the ambiguous cases the oracle pins."""
+
+import datetime as dt
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from lucene_solr_ray.ops.temporal import (VALUE_BANDS, asof_join,
+                                          range_band_rollup,
+                                          session_windows)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _write(tmp_path, rows):
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([r[4] for r in rows], type=pa.float64()),
+    })
+    d = tmp_path / "fixture"
+    d.mkdir(exist_ok=True)
+    pq.write_table(t, str(d / "events.parquet"))
+    return str(d)
+
+
+def _m(minutes, seconds=0, us=0):
+    return T0 + dt.timedelta(minutes=minutes, seconds=seconds,
+                             microseconds=us)
+
+
+def test_asof_join_ties_and_sentinels(ray_session, tmp_path):
+    rows = [
+        # user 1: probe BEFORE any ref -> sentinels
+        (10, _m(0), 1, "click", 1.0),
+        # two refs at the SAME ts -> the higher event_id wins
+        (11, _m(5), 1, "purchase", 2.0),
+        (12, _m(5), 1, "purchase", 3.0),
+        # probe exactly AT the ref ts -> matches (<=, not <)
+        (13, _m(5), 1, "view", 4.0),
+        # later probe -> still the ts=5m pair's winner
+        (14, _m(9), 1, "view", 5.0),
+        # user 2 has no refs at all
+        (20, _m(1), 2, "click", 6.0),
+    ]
+    out = asof_join(_write(tmp_path, rows)).to_pandas().set_index("event_id")
+    assert out.loc[10, "ref_event_id"] == -1
+    assert out.loc[10, "lag_s"] == -1 and out.loc[10, "ref_value_q"] == -1
+    assert out.loc[13, "ref_event_id"] == 12          # tie -> max event_id
+    assert out.loc[13, "ref_value_q"] == 30000        # 3.0 quantized
+    assert out.loc[13, "lag_s"] == 0
+    assert out.loc[14, "ref_event_id"] == 12
+    assert out.loc[14, "lag_s"] == 4 * 60
+    assert out.loc[20, "ref_event_id"] == -1
+    # refs themselves never appear as probes
+    assert 11 not in out.index and 12 not in out.index
+
+
+def test_session_windows_gap_boundary(ray_session, tmp_path):
+    gap = 15  # minutes
+    rows = [
+        # user 1: second event exactly AT the gap -> SAME session;
+        # third event one microsecond past the gap -> NEW session
+        (1, _m(0), 1, "click", 1.0),
+        (2, _m(gap), 1, "click", 2.0),
+        (3, _m(2 * gap, us=1), 1, "click", 4.0),
+        # user 2: singleton
+        (4, _m(0), 2, "view", 8.0),
+    ]
+    out = session_windows(_write(tmp_path, rows), gap_minutes=gap) \
+        .to_pandas()
+    u1 = out[out.user_id == 1].set_index("session_idx")
+    assert len(u1) == 2
+    assert u1.loc[0, "n_events"] == 2
+    assert u1.loc[0, "sum_value_q"] == 30000
+    assert u1.loc[0, "duration_s"] == gap * 60
+    assert u1.loc[1, "n_events"] == 1
+    # the 1-us overhang floors away in epoch seconds
+    assert u1.loc[1, "start_s"] == u1.loc[0, "start_s"] + 2 * gap * 60
+    u2 = out[out.user_id == 2]
+    assert len(u2) == 1 and u2.iloc[0].n_events == 1
+    assert u2.iloc[0].duration_s == 0
+
+
+def test_range_band_edges(ray_session, tmp_path):
+    # values exactly on every band edge: [lo, hi) means the edge belongs
+    # to the HIGHER band; the top band is unbounded
+    edges = [b[0] for b in VALUE_BANDS[1:]]
+    rows = [(i, _m(i), 1, "click", float(v))
+            for i, v in enumerate(edges + [0.0, 1e6])]
+    out = range_band_rollup(_write(tmp_path, rows)).to_pandas()
+    got = dict(zip(out.band, out.n))
+    assert got == {"small": 1, "mid": 1, "large": 1, "huge": 2}
+    total_q = int(out.sum_value_q.sum())
+    assert total_q == int(sum(np.floor(np.array(edges + [0.0, 1e6])
+                                       * 10000 + 0.5)))
