@@ -113,14 +113,7 @@ def ann_brute_topk(sf_dir: str, k: int = TOP_K,
                             batch_format="pyarrow", batch_size=4096,
                             concurrency=(1, 4))
              .to_pandas())
-    parts = parts[parts["qid"] != parts["nid"]]  # exclude self
-    parts["score_q"] = _quant6(parts["score"].to_numpy())
-    parts = parts.sort_values(["qid", "score_q", "nid"],
-                              ascending=[True, False, True])
-    out = parts.groupby("qid", as_index=False).head(k).copy()
-    out["rank"] = out.groupby("qid").cumcount() + 1
-    out = out[["qid", "nid", "score_q", "rank"]].reset_index(drop=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return _finalize_topk(parts, k)
 
 
 def ann_brute_sql(k: int = TOP_K, n_queries: int = N_QUERIES) -> str:
@@ -131,6 +124,125 @@ WITH q AS (SELECT vec_id AS qid,
 b AS (SELECT vec_id AS nid,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS be
       FROM embeddings),
+scored AS (
+  SELECT qid, nid,
+         CAST(floor(list_cosine_similarity(qe, be) * 1000000 + 0.5) AS BIGINT)
+           AS score_q
+  FROM q, b WHERE qid <> nid
+),
+ranked AS (
+  SELECT qid, nid, score_q,
+         CAST(row_number() OVER (PARTITION BY qid
+                                 ORDER BY score_q DESC, nid ASC) AS BIGINT)
+           AS rank
+  FROM scored
+)
+SELECT qid, nid, score_q, rank FROM ranked WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
+FILTER_LANG = "en"
+
+
+def _finalize_topk(parts: pd.DataFrame, k: int) -> pa.Table:
+    """Driver-side final cut shared by the brute/filtered paths: quantize,
+    (score_q desc, nid asc) order, top-k per query, 1-based ranks."""
+    parts = parts[parts["qid"] != parts["nid"]]  # exclude self
+    parts = parts.copy()
+    parts["score_q"] = _quant6(parts["score"].to_numpy())
+    parts = parts.sort_values(["qid", "score_q", "nid"],
+                              ascending=[True, False, True])
+    out = parts.groupby("qid", as_index=False).head(k).copy()
+    out["rank"] = out.groupby("qid").cumcount() + 1
+    out = out[["qid", "nid", "score_q", "rank"]].reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def ann_filtered_topk(sf_dir: str, k: int = TOP_K,
+                      n_queries: int = N_QUERIES,
+                      lang: str = FILTER_LANG) -> pa.Table:
+    """Metadata-filtered vector search: top-k cosine among ONLY the
+    vectors whose document row passes the filter (documents.lang =
+    ``lang``; vec_id is doc_id-aligned). The filter is a dataset-side
+    inner JOIN — documents pruned at the read by parquet predicate
+    pushdown, then hash-joined to embeddings on the id — never a
+    driver-broadcast allowed-id set, so it holds when both sides are
+    100-TB-large (the two-large-sides pattern shared with
+    dedup.minhash verify="join"). The embedding list column rides the
+    join as a binary blob (Arrow hash joins reject list payloads).
+    Query vectors come from the UNfiltered set (pushdown read).
+    """
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data as rd
+
+    qids, Q = _load_query_vectors(sf_dir, n_queries)
+    q_ref = ray.put((qids, Q))
+
+    def to_bin(batch: pa.Table) -> pa.Table:
+        col = batch["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offs = np.asarray(col.offsets)
+        vals = np.asarray(col.values, dtype=np.float32)
+        blobs = [vals[offs[i]:offs[i + 1]].tobytes()
+                 for i in range(len(batch))]
+        return pa.table({"vec_id": batch["vec_id"],
+                         "emb_bin": pa.array(blobs, type=pa.large_binary())})
+
+    emb_bin = _read_emb(sf_dir).map_batches(to_bin, batch_format="pyarrow")
+    allowed = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"],
+        filter=(pads.field("lang") == lang))
+    j = emb_bin.join(allowed, join_type="inner", num_partitions=8,
+                     on=("vec_id",), right_on=("doc_id",))
+
+    class Score:
+        def __init__(self, ref):
+            self.qids, self.Q = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch["vec_id"], dtype=np.int64)
+            B = np.vstack([np.frombuffer(b, dtype=np.float32)
+                           for b in batch["emb_bin"].to_pylist()]
+                          ).astype(np.float64) if len(ids) else \
+                np.empty((0, self.Q.shape[1]))
+            if not len(ids):
+                return pa.table({"qid": pa.array([], type=pa.int64()),
+                                 "nid": pa.array([], type=pa.int64()),
+                                 "score": pa.array([], type=pa.float64())})
+            S = _cosine(self.Q, B)
+            rows_q, rows_n, rows_s = [], [], []
+            kk = min(k + 1, S.shape[1])
+            for qi in range(len(self.qids)):
+                part = _topk_keep_ties(S[qi], kk)
+                rows_q.extend([int(self.qids[qi])] * len(part))
+                rows_n.extend(ids[part].tolist())
+                rows_s.extend(S[qi][part].tolist())
+            return pa.table({
+                "qid": pa.array(rows_q, type=pa.int64()),
+                "nid": pa.array(rows_n, type=pa.int64()),
+                "score": pa.array(rows_s, type=pa.float64()),
+            })
+
+    parts = (j.map_batches(Score, fn_constructor_kwargs={"ref": q_ref},
+                           batch_format="pyarrow", batch_size=4096,
+                           concurrency=(1, 4))
+             .to_pandas())
+    return _finalize_topk(parts, k)
+
+
+def ann_filtered_sql(k: int = TOP_K, n_queries: int = N_QUERIES,
+                     lang: str = FILTER_LANG) -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS qid,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+           FROM embeddings WHERE vec_id < {n_queries}),
+b AS (SELECT e.vec_id AS nid,
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS be
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+      WHERE d.lang = '{lang}'),
 scored AS (
   SELECT qid, nid,
          CAST(floor(list_cosine_similarity(qe, be) * 1000000 + 0.5) AS BIGINT)

@@ -289,6 +289,94 @@ def _q_term(term, k=10):
     return run
 
 
+RRF_K = 60  # Cormack et al. 2009 reciprocal-rank-fusion constant
+
+
+def _q_hybrid_rrf(term=MID, k=10, depth=20):
+    """Hybrid retrieval: BM25 top-``depth`` for ``term`` fused with
+    cosine top-``depth`` for query vector 0 (vec_id is doc_id-aligned)
+    by reciprocal-rank fusion: rrf = Σ 1/(RRF_K + rank), absent list
+    contributes 0. Both component rankings are the already-oracle-paired
+    engines (exact64 BM25 topk + ann brute), so the fusion is pure
+    integer-rank arithmetic over bit-identical inputs; the final order
+    is (quantized rrf desc, doc_id asc)."""
+
+    def run(sf_dir):
+        import pandas as pd
+
+        from ..ops.ann import ann_brute_topk
+
+        bm = _topk_table(_searcher(sf_dir).search(
+            {"type": "term", "term": term}, k=depth)).to_pandas()
+        vec = ann_brute_topk(sf_dir, k=depth, n_queries=1).to_pandas()
+        fused = (bm[["doc_id", "rank"]].rename(columns={"rank": "bm25_rank"})
+                 .merge(vec[["nid", "rank"]]
+                        .rename(columns={"nid": "doc_id",
+                                         "rank": "vec_rank"}),
+                        on="doc_id", how="outer"))
+        bmr = fused["bm25_rank"].fillna(0).astype("int64").to_numpy()
+        vr = fused["vec_rank"].fillna(0).astype("int64").to_numpy()
+        # same expression shape + addition order as the SQL twin:
+        # COALESCE(1.0/(K+bm), 0) + COALESCE(1.0/(K+vec), 0)
+        rrf = (np.where(bmr > 0, 1.0 / (RRF_K + bmr), 0.0)
+               + np.where(vr > 0, 1.0 / (RRF_K + vr), 0.0))
+        out = pd.DataFrame({
+            "doc_id": fused["doc_id"].astype("int64"),
+            "rrf_q": np.floor(rrf * 1_000_000 + 0.5).astype(np.int64),
+            "bm25_rank": bmr, "vec_rank": vr,
+        }).sort_values(["rrf_q", "doc_id"], ascending=[False, True]) \
+          .head(k).reset_index(drop=True)
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return run
+
+
+def ft_hybrid_rrf_sql(term=MID, k=10, depth=20) -> str:
+    return f"""
+WITH {_tok_ctes()},
+tf AS (SELECT doc_id, count(*) AS tf FROM clean WHERE term = '{term}'
+       GROUP BY doc_id),
+dfx AS (SELECT count(*) AS df FROM tf),
+bm_scored AS (
+  SELECT tf.doc_id AS doc_id,
+         {_bm25_expr('tf.tf', 'dl.dl', 'dfx.df')} AS score
+  FROM tf JOIN dl USING (doc_id), dfx, stats s),
+bm AS (SELECT doc_id, r FROM (
+         SELECT doc_id, CAST(row_number() OVER (
+                  ORDER BY score DESC, doc_id ASC) AS BIGINT) AS r
+         FROM bm_scored) WHERE r <= {depth}),
+vq AS (SELECT vec_id AS qid,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+       FROM embeddings WHERE vec_id < 1),
+vb AS (SELECT vec_id AS nid,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS be
+       FROM embeddings),
+v_scored AS (
+  SELECT nid, CAST(floor(list_cosine_similarity(qe, be) * 1000000 + 0.5)
+                   AS BIGINT) AS sq
+  FROM vq, vb WHERE qid <> nid),
+vec AS (SELECT nid, r FROM (
+          SELECT nid, CAST(row_number() OVER (
+                   ORDER BY sq DESC, nid ASC) AS BIGINT) AS r
+          FROM v_scored) WHERE r <= {depth}),
+fused AS (
+  SELECT COALESCE(bm.doc_id, vec.nid) AS doc_id,
+         COALESCE(1.0 / ({RRF_K} + bm.r), 0)
+           + COALESCE(1.0 / ({RRF_K} + vec.r), 0) AS rrf,
+         COALESCE(bm.r, 0) AS bm25_rank,
+         COALESCE(vec.r, 0) AS vec_rank
+  FROM bm FULL OUTER JOIN vec ON vec.nid = bm.doc_id)
+SELECT doc_id, CAST(floor(rrf * 1000000 + 0.5) AS BIGINT) AS rrf_q,
+       bm25_rank, vec_rank,
+       CAST(row_number() OVER (
+         ORDER BY floor(rrf * 1000000 + 0.5) DESC, doc_id ASC) AS BIGINT)
+         AS rank
+FROM fused
+ORDER BY rrf_q DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def _q_bool(must=(), should=(), must_not=(), msm=0, k=10):
     def run(sf_dir):
         return _topk_table(_searcher(sf_dir).search(
@@ -5577,6 +5665,8 @@ def build_queries() -> dict:
                                                          hash="md5"),
         "text_pack_sequences": lambda sf_dir: T.pack_sequences(sf_dir),
         "ann_brute_cosine": A.ann_brute_topk,
+        "ann_filtered_cosine": A.ann_filtered_topk,
+        "ft_hybrid_rrf": _q_hybrid_rrf(),
         "ann_ivf_cosine": A.ann_ivf_topk,          # approximate (no SQL twin)
         # full probe (nprobe = nlist) degenerates to exhaustive search,
         # so the IVF machinery itself pairs with the brute oracle
@@ -5872,6 +5962,10 @@ def build_oracle_sql() -> dict:
             .BPE_PRETOKEN_PAT.replace("'", "''")),
         "text_unicode_tokens": unicode_token_stats_sql(),
         "ann_brute_cosine": ann_brute_sql(),
+        "ann_filtered_cosine": __import__(
+            "lucene_solr_ray.ops.ann",
+            fromlist=["ann_filtered_sql"]).ann_filtered_sql(),
+        "ft_hybrid_rrf": ft_hybrid_rrf_sql(),
         "ann_ivf_full_probe": ann_brute_sql(),
         "ann_lsh_degenerate": ann_brute_sql(),
         "dedup_embedding_cosine": embedding_near_dup_sql(),

@@ -391,3 +391,46 @@ def test_unicode_token_stats_fixture(ray_session, tmp_path):
     assert out.loc[3, "n_tokens"] == 0
     assert out.loc[3, "sum_len"] == 0
     assert HAN_CH == "中"
+
+
+def test_ann_filtered_respects_metadata(ray_session, tmp_path):
+    """Filtered vector search: the nearest neighbor by cosine is EXCLUDED
+    when its document row fails the lang filter, and every returned nid
+    passes it; with an all-pass filter the result equals brute."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.ops.ann import ann_brute_topk, ann_filtered_topk
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 8)).astype(np.float32)
+    base[1] = base[0] + 0.01 * rng.normal(size=8).astype(np.float32)  # twin of q0
+    base[2] = base[0] + 0.02 * rng.normal(size=8).astype(np.float32)  # 2nd twin
+    d = tmp_path / "fx"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(40), type=pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in base],
+                              type=pa.list_(pa.float32())),
+    }), str(d / "embeddings.parquet"))
+    # doc 1 (the nearest twin) is NOT 'en'; doc 2 is
+    langs = ["en"] * 40
+    langs[1] = "de"
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(40), type=pa.int64()),
+        "lang": pa.array(langs),
+    }), str(d / "documents.parquet"))
+
+    out = ann_filtered_topk(str(d), k=3, n_queries=1).to_pandas()
+    assert 1 not in set(out.nid)          # filtered out despite top cosine
+    assert out.iloc[0].nid == 2           # next-best allowed twin wins
+    allowed = {i for i in range(40) if langs[i] == "en"}
+    assert set(out.nid) <= allowed
+
+    # all-pass filter degenerates to brute
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(40), type=pa.int64()),
+        "lang": pa.array(["en"] * 40),
+    }), str(d / "documents.parquet"))
+    f = ann_filtered_topk(str(d), k=3, n_queries=1).to_pandas()
+    b = ann_brute_topk(str(d), k=3, n_queries=1).to_pandas()
+    assert f.values.tolist() == b.values.tolist()
