@@ -261,6 +261,100 @@ ORDER BY qid, rank
 """
 
 
+N_SUB = 8  # 64-dim embeddings viewed as 8 token-vectors of 8 dims
+
+
+def ann_maxsim_topk(sf_dir: str, k: int = TOP_K,
+                    n_sub: int = N_SUB) -> pa.Table:
+    """ColBERT-style late-interaction (MaxSim) top-k: each embedding is
+    viewed as ``n_sub`` contiguous sub-vectors ("token vectors"); the
+    score of a doc against query vector 0 is Σ_i max_j cos(q_i, d_j).
+    Every per-(i,j) cosine keeps the exact _cosine expression shape
+    (single division by the norm product) so it is bit-identical to the
+    twin's list_cosine_similarity; each per-i max is quantized BEFORE
+    the per-doc sum, making the accumulation an order-free int64 add.
+
+    Distributed shape: broadcast query sub-vectors, one einsum per
+    batch, per-batch int-score candidate cut — same streaming pattern
+    as ann_brute_topk.
+    """
+    import ray
+
+    qids, Q = _load_query_vectors(sf_dir, 1)
+    dim = Q.shape[1]
+    sub = dim // n_sub
+    q = Q[0].reshape(n_sub, sub)
+    qn = np.sqrt(np.einsum("ij,ij->i", q, q))
+    q_ref = ray.put((int(qids[0]), q, qn))
+
+    class Score:
+        def __init__(self, ref):
+            self.qid, self.q, self.qn = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, B = _emb_matrix(batch)
+            keep = ids != self.qid
+            ids, B = ids[keep], B[keep]
+            if not len(ids):
+                return pa.table({"nid": pa.array([], type=pa.int64()),
+                                 "score_q": pa.array([], type=pa.int64())})
+            D = B.reshape(len(ids), n_sub, sub)
+            dn = np.sqrt(np.einsum("bjd,bjd->bj", D, D))
+            M = np.einsum("id,bjd->bij", self.q, D)
+            M = M / (self.qn[None, :, None] * dn[:, None, :])
+            sq = _quant6(M.max(axis=2)).sum(axis=1)
+            n = len(ids)
+            if n > k:  # int-score cut, ties kept
+                thr = np.partition(sq, n - k)[n - k]
+                sel = np.flatnonzero(sq >= thr)
+                ids, sq = ids[sel], sq[sel]
+            return pa.table({"nid": pa.array(ids, type=pa.int64()),
+                             "score_q": pa.array(sq, type=pa.int64())})
+
+    parts = (_read_emb(sf_dir)
+             .map_batches(Score, fn_constructor_kwargs={"ref": q_ref},
+                          batch_format="pyarrow", batch_size=4096,
+                          concurrency=(1, 4))
+             .to_pandas())
+    parts = parts.sort_values(["score_q", "nid"], ascending=[False, True]) \
+        .head(k).reset_index(drop=True)
+    parts["rank"] = np.arange(1, len(parts) + 1, dtype=np.int64)
+    parts.insert(0, "qid", np.int64(0))
+    return pa.Table.from_pandas(parts, preserve_index=False)
+
+
+def ann_maxsim_sql(k: int = TOP_K, n_sub: int = N_SUB) -> str:
+    sub = 64 // n_sub
+    return f"""
+WITH q AS (
+  SELECT r.i,
+         list_transform(list_slice(embedding, 1 + {sub} * r.i,
+                                   {sub} * (r.i + 1)),
+                        x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings, (SELECT unnest(range({n_sub})) AS i) r
+  WHERE vec_id = 0),
+b AS (
+  SELECT vec_id AS nid, s.j,
+         list_transform(list_slice(embedding, 1 + {sub} * s.j,
+                                   {sub} * (s.j + 1)),
+                        x -> CAST(x AS DOUBLE)) AS dv
+  FROM embeddings, (SELECT unnest(range({n_sub})) AS j) s
+  WHERE vec_id <> 0),
+pair AS (
+  SELECT nid, i, max(list_cosine_similarity(qv, dv)) AS m
+  FROM q, b GROUP BY nid, i),
+per_doc AS (
+  SELECT nid,
+         sum(CAST(floor(m * 1000000 + 0.5) AS BIGINT)) AS score_q
+  FROM pair GROUP BY nid)
+SELECT CAST(0 AS BIGINT) AS qid, nid, CAST(score_q AS BIGINT) AS score_q,
+       CAST(row_number() OVER (ORDER BY score_q DESC, nid ASC) AS BIGINT)
+         AS rank
+FROM per_doc
+ORDER BY score_q DESC, nid ASC LIMIT {k}
+"""
+
+
 def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.45) -> pa.Table:
     """Embedding-cosine near-duplicate pairs: all (a < b) with
     cos(a, b) ≥ threshold — the dense-vector sibling of the MinHash

@@ -5666,6 +5666,7 @@ def build_queries() -> dict:
         "text_pack_sequences": lambda sf_dir: T.pack_sequences(sf_dir),
         "ann_brute_cosine": A.ann_brute_topk,
         "ann_filtered_cosine": A.ann_filtered_topk,
+        "ann_maxsim": A.ann_maxsim_topk,
         "ft_hybrid_rrf": _q_hybrid_rrf(),
         "ann_ivf_cosine": A.ann_ivf_topk,          # approximate (no SQL twin)
         # full probe (nprobe = nlist) degenerates to exhaustive search,
@@ -5965,6 +5966,9 @@ def build_oracle_sql() -> dict:
         "ann_filtered_cosine": __import__(
             "lucene_solr_ray.ops.ann",
             fromlist=["ann_filtered_sql"]).ann_filtered_sql(),
+        "ann_maxsim": __import__(
+            "lucene_solr_ray.ops.ann",
+            fromlist=["ann_maxsim_sql"]).ann_maxsim_sql(),
         "ft_hybrid_rrf": ft_hybrid_rrf_sql(),
         "ann_ivf_full_probe": ann_brute_sql(),
         "ann_lsh_degenerate": ann_brute_sql(),

@@ -434,3 +434,33 @@ def test_ann_filtered_respects_metadata(ray_session, tmp_path):
     f = ann_filtered_topk(str(d), k=3, n_queries=1).to_pandas()
     b = ann_brute_topk(str(d), k=3, n_queries=1).to_pandas()
     assert f.values.tolist() == b.values.tolist()
+
+
+def test_ann_maxsim_permutation_invariance(ray_session, tmp_path):
+    """MaxSim semantics: a doc whose 8 sub-vectors are a PERMUTATION of
+    the query's sub-vectors scores a perfect 8x quantized-1.0 (each
+    query token finds its twin wherever it sits), beating a doc that
+    matches on only half its sub-vectors; plain cosine would NOT rank
+    the permuted doc at similarity 1."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.ops.ann import ann_maxsim_topk
+
+    rng = np.random.default_rng(11)
+    q = rng.normal(size=(8, 8))
+    perm = q[::-1].reshape(64)               # reversed token order
+    half = np.vstack([q[:4], rng.normal(size=(4, 8))]).reshape(64)
+    noise = rng.normal(size=(2, 64))
+    vecs = np.vstack([q.reshape(64), perm, half, noise]).astype(np.float32)
+    d = tmp_path / "fx"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in vecs],
+                              type=pa.list_(pa.float32())),
+    }), str(d / "embeddings.parquet"))
+    out = ann_maxsim_topk(str(d), k=3).to_pandas()
+    assert out.iloc[0].nid == 1               # the permuted doc wins
+    assert out.iloc[0].score_q == 8 * 1_000_000
+    assert out.iloc[1].nid == 2               # half-match second
+    assert out.iloc[1].score_q < 8 * 1_000_000
