@@ -264,3 +264,72 @@ FROM events e JOIN bands b
 GROUP BY b.band, e.event_type
 ORDER BY b.band, e.event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# hopping (sliding) windows
+
+
+HOP_HOURS = 2
+WIN_HOURS = 6
+
+
+def hopping_window_rollup(sf_dir: str, hop_hours: int = HOP_HOURS,
+                          win_hours: int = WIN_HOURS) -> pa.Table:
+    """Hopping-window aggregate (the overlapping sibling of
+    relational.windowed_rollup's tumbling windows): every event lands in
+    exactly win/hop windows, assigned per batch by integer arithmetic
+    (flat repeat — no cross-batch state), partials pre-aggregated per
+    batch so the shuffle carries at most windows x types rows per batch.
+    Window starts are hop-aligned epoch seconds."""
+    assert win_hours % hop_hours == 0
+    n_k = win_hours // hop_hours
+    hop_us = hop_hours * 3600 * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_pandas()
+        us = ts.to_numpy(dtype="datetime64[us]").view("int64")
+        vq = _q4_scalar(np.asarray(batch["value"].to_pandas(),
+                                   dtype=np.float64))
+        et = batch["event_type"].to_pandas().to_numpy()
+        base = (us // hop_us)
+        ks = np.arange(n_k, dtype=np.int64)
+        # every event contributes to windows (base - k) * hop, k < win/hop
+        w_s = ((base[:, None] - ks[None, :]) * hop_us // 1_000_000) \
+            .reshape(-1)
+        g = pd.DataFrame({
+            "window_start_s": w_s,
+            "event_type": np.repeat(et, n_k),
+            "vq": np.repeat(vq, n_k),
+            "one": np.int64(1),
+        }).groupby(["window_start_s", "event_type"], as_index=False).agg(
+            n=("one", "sum"), sum_value_q=("vq", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = (_read(sf_dir, ["ts", "event_type", "value"])
+          .map_batches(partial, batch_format="pyarrow").to_pandas()
+          .groupby(["window_start_s", "event_type"], as_index=False)
+          .agg(n=("n", "sum"), sum_value_q=("sum_value_q", "sum")))
+    for c in ("window_start_s", "n", "sum_value_q"):
+        df[c] = df[c].astype("int64")
+    df = df.sort_values(["window_start_s", "event_type"]) \
+        .reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def hopping_window_rollup_sql(hop_hours: int = HOP_HOURS,
+                              win_hours: int = WIN_HOURS) -> str:
+    n_k = win_hours // hop_hours
+    hop_us = hop_hours * 3600 * 1_000_000
+    return f"""
+WITH x AS (
+  SELECT CAST(((epoch_us(ts) // {hop_us}) - k.k) * {hop_us} // 1000000
+              AS BIGINT) AS window_start_s,
+         event_type,
+         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vq
+  FROM events, (SELECT unnest(range({n_k})) AS k) k)
+SELECT window_start_s, event_type, count(*) AS n,
+       CAST(sum(vq) AS BIGINT) AS sum_value_q
+FROM x GROUP BY window_start_s, event_type
+ORDER BY window_start_s, event_type
+"""

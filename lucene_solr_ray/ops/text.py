@@ -585,3 +585,75 @@ def pack_sequences(sf_dir: str, window: int = 128,
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# weighted document sampling
+
+
+SAMPLE_RATE = 0.2
+
+
+def weighted_sample(sf_dir: str, rate: float = SAMPLE_RATE) -> pa.Table:
+    """Length-weighted Bernoulli subsampling: doc i is kept with
+    probability min(1, rate * N * w_i / W) (w = n_chars), so longer
+    documents are proportionally favored while the expected kept count
+    stays rate * N — the deterministic weighted counterpart of
+    stratified_sample. The coin is a 62-bit integer compare
+    (md5-low64(doc_id) >> 2 < floor(p * 2^62)), shared bit-for-bit with
+    the DuckDB twin's md5_number_lower, so acceptance is exact — no
+    float-boundary ambiguity ever reaches the comparison.
+
+    Two passes, both streaming: a constant-size (N, W) partial
+    aggregate, then one map_batches filter with the (N, W) scalars
+    broadcast into the predicate.
+    """
+    import hashlib
+
+    import pyarrow.compute as _pc
+
+    ds = _read_docs(sf_dir)
+
+    def nw(batch: pa.Table) -> pa.Table:
+        nc = _pc.utf8_length(batch["text"])
+        return pa.table({
+            "n": pa.array([len(batch)], type=pa.int64()),
+            "w": pa.array([int(_pc.sum(nc).as_py() or 0)], type=pa.int64()),
+        })
+
+    tots = ds.map_batches(nw, batch_format="pyarrow").to_pandas()
+    N, W = int(tots["n"].sum()), int(tots["w"].sum())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        nc = np.asarray(_pc.utf8_length(batch["text"]), dtype=np.float64)
+        p = np.minimum(1.0, rate * N * nc / W)
+        thr = np.floor(p * 2.0 ** 62).astype(np.int64)
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:],
+                            "little") >> 2 for i in ids),
+            dtype=np.int64, count=len(ids))
+        sel = h < thr
+        return pa.table({
+            "doc_id": pa.array(ids[sel], type=pa.int64()),
+            "n_chars": pa.array(nc[sel].astype(np.int64), type=pa.int64()),
+        })
+
+    df = (ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def weighted_sample_sql(rate: float = SAMPLE_RATE) -> str:
+    """Twin: identical expression shape (rate * N) * w / W, identical
+    floor(p * 2^62) threshold, md5_number_lower >> 2 coin."""
+    return f"""
+WITH tot AS (SELECT count(*) AS n,
+                    sum(length(text)) AS w FROM documents)
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+FROM documents, tot
+WHERE (md5_number_lower(CAST(doc_id AS VARCHAR)) // 4)
+      < CAST(floor(LEAST(1.0, {rate} * n * length(text) / w)
+                   * 4611686018427387904.0) AS BIGINT)
+ORDER BY doc_id
+"""

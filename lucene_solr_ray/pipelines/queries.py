@@ -5701,6 +5701,8 @@ def build_queries() -> dict:
         "rel_asof_join": TMP.asof_join,
         "rel_session_windows": TMP.session_windows,
         "rel_range_band": TMP.range_band_rollup,
+        "rel_hopping_window": TMP.hopping_window_rollup,
+        "text_weighted_sample": T.weighted_sample,
         "rel_join_rollup": R.join_rollup,
         "rel_hierarchical_facet": R.hierarchical_facet,
         "rel_assoc_facet": R.association_facet,
@@ -6015,6 +6017,12 @@ def build_oracle_sql() -> dict:
         "rel_range_band": __import__(
             "lucene_solr_ray.ops.temporal",
             fromlist=["range_band_rollup_sql"]).range_band_rollup_sql(),
+        "rel_hopping_window": __import__(
+            "lucene_solr_ray.ops.temporal",
+            fromlist=["hopping_window_rollup_sql"]).hopping_window_rollup_sql(),
+        "text_weighted_sample": __import__(
+            "lucene_solr_ray.ops.text",
+            fromlist=["weighted_sample_sql"]).weighted_sample_sql(),
         "rel_join_rollup": RS.JOIN_ROLLUP,
         "rel_hierarchical_facet": RS.HIERARCHICAL_FACET,
         "rel_assoc_facet": __import__(

@@ -99,3 +99,22 @@ def test_range_band_edges(ray_session, tmp_path):
     total_q = int(out.sum_value_q.sum())
     assert total_q == int(sum(np.floor(np.array(edges + [0.0, 1e6])
                                        * 10000 + 0.5)))
+
+
+def test_hopping_window_coverage(ray_session, tmp_path):
+    """Every event lands in exactly win/hop windows; window starts are
+    hop-aligned and cover the event."""
+    from lucene_solr_ray.ops.temporal import hopping_window_rollup
+
+    rows = [(1, _m(0), 1, "click", 1.0),
+            (2, _m(61), 1, "click", 2.0),       # next hop bucket
+            (3, _m(0, seconds=1), 2, "view", 4.0)]
+    out = hopping_window_rollup(_write(tmp_path, rows),
+                                hop_hours=1, win_hours=3).to_pandas()
+    assert int(out.n.sum()) == 3 * len(rows)
+    hop_s = 3600
+    assert (out.window_start_s % hop_s == 0).all()
+    # the T0 events appear in windows starting at T0, T0-1h, T0-2h
+    t0 = out[out.event_type == "click"].window_start_s.max()
+    clicks = out[out.event_type == "click"]
+    assert set(clicks.window_start_s) >= {t0, t0 - hop_s, t0 - 2 * hop_s}

@@ -464,3 +464,25 @@ def test_ann_maxsim_permutation_invariance(ray_session, tmp_path):
     assert out.iloc[0].score_q == 8 * 1_000_000
     assert out.iloc[1].nid == 2               # half-match second
     assert out.iloc[1].score_q < 8 * 1_000_000
+
+
+def test_weighted_sample_degenerate_rates(ray_session, tmp_path):
+    """Uniform lengths + rate=1 -> p=1 for every doc -> ALL kept (the
+    62-bit coin is always below the 2^62 threshold); tiny rate keeps a
+    strict subset, and the kept set is stable across calls."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.ops.text import weighted_sample
+
+    d = tmp_path / "fx"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(64), type=pa.int64()),
+        "text": pa.array(["x" * 100] * 64),
+    }), str(d / "documents.parquet"))
+    full = weighted_sample(str(d), rate=1.0).to_pandas()
+    assert len(full) == 64
+    some = weighted_sample(str(d), rate=0.25).to_pandas()
+    assert 0 < len(some) < 64
+    again = weighted_sample(str(d), rate=0.25).to_pandas()
+    assert some.doc_id.tolist() == again.doc_id.tolist()
