@@ -528,6 +528,63 @@ def unique_stream(sf_dir: str) -> pa.Table:
     return pa.table({"event_type": pa.array(vals, type=pa.string())})
 
 
+JSON_K_PATTERN = r'"k":\s*(\d+)'
+
+
+def json_field_rollup(sf_dir: str) -> pa.Table:
+    """Semi-structured extraction + rollup: pull the integer field ``k``
+    out of the events.props JSON string with ONE RE2 pattern (shared
+    verbatim with the DuckDB twin's regexp_extract — no JSON library on
+    either side, so the extraction semantics are identical by
+    construction), then aggregate min/max/sum/count per event_type.
+    Pre-aggregated per batch: the shuffle carries ≤ |event_types| rows
+    per batch; rows where the field is absent are counted separately."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vs = pc.extract_regex(batch["props"], pattern=r'"k":\s*(?P<v>\d+)')
+        ok = pc.is_valid(vs)
+        v = pc.cast(pc.struct_field(vs, "v"), pa.int64())
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pandas(),
+            "k": v.to_pandas(),
+            "has": np.asarray(ok, dtype=np.int64),
+            "one": np.int64(1),
+        })
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("one", "sum"), n_with_k=("has", "sum"),
+            k_min=("k", "min"), k_max=("k", "max"), k_sum=("k", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = (_read(sf_dir, "events", ["event_type", "props"])
+          .map_batches(partial, batch_format="pyarrow").to_pandas()
+          .groupby("event_type", as_index=False)
+          .agg(n=("n", "sum"), n_with_k=("n_with_k", "sum"),
+               k_min=("k_min", "min"), k_max=("k_max", "max"),
+               k_sum=("k_sum", "sum")))
+    for c in ("n", "n_with_k", "k_min", "k_max", "k_sum"):
+        df[c] = df[c].astype("int64")
+    df = df.sort_values("event_type").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def json_field_rollup_sql() -> str:
+    return f"""
+WITH x AS (
+  SELECT event_type,
+         CASE WHEN regexp_matches(props, '{JSON_K_PATTERN}')
+              THEN CAST(regexp_extract(props, '{JSON_K_PATTERN}', 1)
+                        AS BIGINT) END AS k
+  FROM events)
+SELECT event_type, count(*) AS n,
+       count(k) AS n_with_k,
+       CAST(min(k) AS BIGINT) AS k_min,
+       CAST(max(k) AS BIGINT) AS k_max,
+       CAST(sum(k) AS BIGINT) AS k_sum
+FROM x GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def windowed_rollup(sf_dir: str) -> pa.Table:
     """Streaming windowed aggregate analogue (ReducerStream over a stream
     sorted/partitioned by key, RollupStream buckets — solr/solrj/.../io/

@@ -657,3 +657,61 @@ WHERE (md5_number_lower(CAST(doc_id AS VARCHAR)) // 4)
                    * 4611686018427387904.0) AS BIGINT)
 ORDER BY doc_id
 """
+
+
+def balanced_sample(sf_dir: str, rate: float = SAMPLE_RATE) -> pa.Table:
+    """Domain-balanced subsampling (DoReMi-lite): every source gets an
+    equal share of the budget — doc in source s kept with probability
+    min(1, (rate * N / S) / n_s), so over-represented sources are
+    down-sampled toward rate * N / S docs each while rare sources keep
+    everything. Same exact 62-bit md5 coin as weighted_sample; the
+    per-source counts are a constant-size groupby broadcast into the
+    filter predicate."""
+    import hashlib
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "source"])
+    counts = docs.groupby("source").count().to_pandas()
+    cnt_col = "count()" if "count()" in counts.columns else "count"
+    per = dict(zip(counts["source"], counts[cnt_col].astype(int)))
+    N, S = sum(per.values()), len(per)
+    thr = {s: int(np.floor(min(1.0, rate * N / S / n_s) * 2.0 ** 62))
+           for s, n_s in per.items()}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        src = batch["source"].to_pylist()
+        t = np.fromiter((thr[s] for s in src), dtype=np.int64,
+                        count=len(src))
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:],
+                            "little") >> 2 for i in ids),
+            dtype=np.int64, count=len(ids))
+        sel = h < t
+        return pa.table({
+            "doc_id": pa.array(ids[sel], type=pa.int64()),
+            "source": pa.array([s for s, k in zip(src, sel) if k],
+                               type=pa.string()),
+        })
+
+    df = (docs.map_batches(keep, batch_format="pyarrow").to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def balanced_sample_sql(rate: float = SAMPLE_RATE) -> str:
+    """Twin: identical (rate * N / S) / n_s shape and floor(p * 2^62)
+    threshold against the md5_number_lower coin."""
+    return f"""
+WITH per AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+tot AS (SELECT (SELECT count(*) FROM documents) AS n,
+               (SELECT count(*) FROM per) AS s)
+SELECT d.doc_id, d.source
+FROM documents d JOIN per USING (source), tot
+WHERE (md5_number_lower(CAST(d.doc_id AS VARCHAR)) // 4)
+      < CAST(floor(LEAST(1.0, {rate} * n / s / n_s)
+                   * 4611686018427387904.0) AS BIGINT)
+ORDER BY d.doc_id
+"""

@@ -5702,7 +5702,9 @@ def build_queries() -> dict:
         "rel_session_windows": TMP.session_windows,
         "rel_range_band": TMP.range_band_rollup,
         "rel_hopping_window": TMP.hopping_window_rollup,
+        "rel_json_field": R.json_field_rollup,
         "text_weighted_sample": T.weighted_sample,
+        "text_balanced_sample": T.balanced_sample,
         "rel_join_rollup": R.join_rollup,
         "rel_hierarchical_facet": R.hierarchical_facet,
         "rel_assoc_facet": R.association_facet,
@@ -6023,6 +6025,12 @@ def build_oracle_sql() -> dict:
         "text_weighted_sample": __import__(
             "lucene_solr_ray.ops.text",
             fromlist=["weighted_sample_sql"]).weighted_sample_sql(),
+        "text_balanced_sample": __import__(
+            "lucene_solr_ray.ops.text",
+            fromlist=["balanced_sample_sql"]).balanced_sample_sql(),
+        "rel_json_field": __import__(
+            "lucene_solr_ray.ops.relational",
+            fromlist=["json_field_rollup_sql"]).json_field_rollup_sql(),
         "rel_join_rollup": RS.JOIN_ROLLUP,
         "rel_hierarchical_facet": RS.HIERARCHICAL_FACET,
         "rel_assoc_facet": __import__(

@@ -118,3 +118,25 @@ def test_hopping_window_coverage(ray_session, tmp_path):
     t0 = out[out.event_type == "click"].window_start_s.max()
     clicks = out[out.event_type == "click"]
     assert set(clicks.window_start_s) >= {t0, t0 - hop_s, t0 - 2 * hop_s}
+
+
+def test_json_field_rollup_absent_fields(ray_session, tmp_path):
+    """Rows whose props lack the field count in n but not n_with_k and
+    never perturb min/max/sum."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.ops.relational import json_field_rollup
+
+    t = pa.table({
+        "event_type": pa.array(["a", "a", "a", "b"]),
+        "props": pa.array(['{"k": 5}', '{"other": 1}', '{"k": 11}',
+                           '{"k": 0}']),
+    })
+    d = tmp_path / "fx2"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    out = json_field_rollup(str(d)).to_pandas().set_index("event_type")
+    assert out.loc["a", "n"] == 3 and out.loc["a", "n_with_k"] == 2
+    assert out.loc["a", "k_min"] == 5 and out.loc["a", "k_max"] == 11
+    assert out.loc["a", "k_sum"] == 16
+    assert out.loc["b", "k_sum"] == 0 and out.loc["b", "n_with_k"] == 1

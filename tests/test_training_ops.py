@@ -486,3 +486,26 @@ def test_weighted_sample_degenerate_rates(ray_session, tmp_path):
     assert 0 < len(some) < 64
     again = weighted_sample(str(d), rate=0.25).to_pandas()
     assert some.doc_id.tolist() == again.doc_id.tolist()
+
+
+def test_balanced_sample_equalizes_sources(ray_session, tmp_path):
+    """A source with 10x the docs is down-sampled toward the per-source
+    budget while a rare source keeps everything (p=1)."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.ops.text import balanced_sample
+
+    d = tmp_path / "fx"
+    d.mkdir()
+    n_big, n_small = 400, 20
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n_big + n_small), type=pa.int64()),
+        "source": pa.array(["big"] * n_big + ["small"] * n_small),
+    }), str(d / "documents.parquet"))
+    out = balanced_sample(str(d), rate=0.2).to_pandas()
+    # budget = 0.2 * 420 / 2 = 42 per source: small keeps ALL 20 (p=1),
+    # big is cut to ~42
+    small = out[out.source == "small"]
+    assert len(small) == n_small
+    big = out[out.source == "big"]
+    assert 15 <= len(big) <= 80  # ~42 expected, generous hash tolerance
