@@ -333,3 +333,118 @@ SELECT window_start_s, event_type, count(*) AS n,
 FROM x GROUP BY window_start_s, event_type
 ORDER BY window_start_s, event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# funnel analysis
+
+
+FUNNEL_STAGES = ("signup", "click", "purchase")
+
+
+def funnel_depths(sf_dir: str, stages=FUNNEL_STAGES) -> pa.Table:
+    """Ordered-funnel analysis: per user, how deep into the stage
+    sequence they got, where stage i+1 must occur STRICTLY after the
+    earliest completion of stage i (the product-analytics funnel).
+    Emits per user the depth and each completed stage's epoch-second
+    timestamp (-1 sentinels beyond the depth).
+
+    Same one-shuffle-by-user shape as asof_join; inside a group each
+    stage is a sorted-array searchsorted, O(n log n) per user."""
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        us = _ts_us(df["ts"])
+        et = df["event_type"].to_numpy()
+        t_prev = -1
+        depth = 0
+        ts_out = []
+        for stage in stages:
+            st = np.sort(us[et == stage])
+            # earliest occurrence strictly after t_prev
+            i = np.searchsorted(st, t_prev, side="right")
+            if i < len(st):
+                t_prev = int(st[i])
+                ts_out.append(t_prev // 1_000_000)
+                depth += 1
+            else:
+                break
+        ts_out += [-1] * (len(stages) - len(ts_out))
+        return pd.DataFrame({
+            "user_id": [int(df["user_id"].iloc[0])],
+            "depth": [depth],
+            **{f"t{i + 1}_s": [ts_out[i]] for i in range(len(stages))},
+        })
+
+    ds = _read(sf_dir, ["ts", "user_id", "event_type"])
+    df = (ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+          .to_pandas())
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    df = df.sort_values("user_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def funnel_depths_sql(stages=FUNNEL_STAGES) -> str:
+    return f"""
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = '{stages[0]}' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2
+       FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = '{stages[1]}' AND e.ts > s1.t1
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3
+       FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = '{stages[2]}' AND e.ts > s2.t2
+       GROUP BY e.user_id),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+       CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                 WHEN t2 IS NOT NULL THEN 2
+                 WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth,
+       CAST(COALESCE(epoch_us(t1) // 1000000, -1) AS BIGINT) AS t1_s,
+       CAST(COALESCE(epoch_us(t2) // 1000000, -1) AS BIGINT) AS t2_s,
+       CAST(COALESCE(epoch_us(t3) // 1000000, -1) AS BIGINT) AS t3_s
+FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+       LEFT JOIN s3 USING (user_id)
+ORDER BY u.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# cohort retention
+
+
+def cohort_retention(sf_dir: str) -> pa.Table:
+    """Cohort retention: a user's cohort day is their first active UTC
+    day; for every later active day they count once toward that day
+    offset. Output: (day_offset, n_users) — the classic retention curve,
+    aggregated from per-user distinct-offset partials (one shuffle by
+    user, then a tiny offset groupby)."""
+    day_us = 86_400 * 1_000_000
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        days = np.unique(_ts_us(df["ts"]) // day_us)
+        return pd.DataFrame({"day_offset": days - days[0],
+                             "one": np.int64(1)})
+
+    ds = _read(sf_dir, ["ts", "user_id"])
+    df = (ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+          .to_pandas()
+          .groupby("day_offset", as_index=False).agg(n_users=("one", "sum")))
+    df["day_offset"] = df["day_offset"].astype("int64")
+    df["n_users"] = df["n_users"].astype("int64")
+    df = df.sort_values("day_offset").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def cohort_retention_sql() -> str:
+    return """
+WITH d AS (SELECT DISTINCT user_id,
+                  epoch_us(ts) // 86400000000 AS day FROM events),
+c AS (SELECT user_id, min(day) AS day0 FROM d GROUP BY user_id)
+SELECT CAST(d.day - c.day0 AS BIGINT) AS day_offset,
+       count(*) AS n_users
+FROM d JOIN c USING (user_id)
+GROUP BY day_offset
+ORDER BY day_offset
+"""

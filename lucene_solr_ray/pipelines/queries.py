@@ -5703,6 +5703,8 @@ def build_queries() -> dict:
         "rel_range_band": TMP.range_band_rollup,
         "rel_hopping_window": TMP.hopping_window_rollup,
         "rel_json_field": R.json_field_rollup,
+        "rel_funnel": TMP.funnel_depths,
+        "rel_cohort_retention": TMP.cohort_retention,
         "text_weighted_sample": T.weighted_sample,
         "text_balanced_sample": T.balanced_sample,
         "rel_join_rollup": R.join_rollup,
@@ -6031,6 +6033,12 @@ def build_oracle_sql() -> dict:
         "rel_json_field": __import__(
             "lucene_solr_ray.ops.relational",
             fromlist=["json_field_rollup_sql"]).json_field_rollup_sql(),
+        "rel_funnel": __import__(
+            "lucene_solr_ray.ops.temporal",
+            fromlist=["funnel_depths_sql"]).funnel_depths_sql(),
+        "rel_cohort_retention": __import__(
+            "lucene_solr_ray.ops.temporal",
+            fromlist=["cohort_retention_sql"]).cohort_retention_sql(),
         "rel_join_rollup": RS.JOIN_ROLLUP,
         "rel_hierarchical_facet": RS.HIERARCHICAL_FACET,
         "rel_assoc_facet": __import__(

@@ -140,3 +140,52 @@ def test_json_field_rollup_absent_fields(ray_session, tmp_path):
     assert out.loc["a", "k_min"] == 5 and out.loc["a", "k_max"] == 11
     assert out.loc["a", "k_sum"] == 16
     assert out.loc["b", "k_sum"] == 0 and out.loc["b", "n_with_k"] == 1
+
+
+def test_funnel_strict_order(ray_session, tmp_path):
+    """Funnel stages must occur strictly AFTER the previous stage's
+    earliest completion: a click before the signup doesn't count, one
+    at the same microsecond doesn't either."""
+    from lucene_solr_ray.ops.temporal import funnel_depths
+
+    rows = [
+        # user 1: click BEFORE signup, another click at signup's exact
+        # ts -> depth 1; purchase without a valid click doesn't count
+        (1, _m(0), 1, "click", 1.0),
+        (2, _m(5), 1, "signup", 1.0),
+        (3, _m(5), 1, "click", 1.0),
+        (4, _m(9), 1, "purchase", 1.0),
+        # user 2: full ordered funnel
+        (5, _m(0), 2, "signup", 1.0),
+        (6, _m(1), 2, "click", 1.0),
+        (7, _m(2), 2, "purchase", 1.0),
+        # user 3: never signs up
+        (8, _m(0), 3, "purchase", 1.0),
+    ]
+    out = funnel_depths(_write(tmp_path, rows)).to_pandas() \
+        .set_index("user_id")
+    assert out.loc[1, "depth"] == 1
+    assert out.loc[1, "t2_s"] == -1 and out.loc[1, "t3_s"] == -1
+    assert out.loc[2, "depth"] == 3
+    assert out.loc[2, "t3_s"] - out.loc[2, "t1_s"] == 120
+    assert out.loc[3, "depth"] == 0
+
+
+def test_cohort_retention_offsets(ray_session, tmp_path):
+    """Each user counts once per distinct active day at (day - day0);
+    day0 itself is offset 0 for every user."""
+    from lucene_solr_ray.ops.temporal import cohort_retention
+
+    day = 24 * 60
+    rows = [
+        (1, _m(0), 1, "view", 1.0),
+        (2, _m(10), 1, "view", 1.0),          # same day, counted once
+        (3, _m(2 * day), 1, "view", 1.0),     # offset 2
+        (4, _m(day), 2, "view", 1.0),         # user 2 starts day 1
+        (5, _m(3 * day), 2, "view", 1.0),     # offset 2
+    ]
+    out = cohort_retention(_write(tmp_path, rows)).to_pandas() \
+        .set_index("day_offset")
+    assert out.loc[0, "n_users"] == 2
+    assert out.loc[2, "n_users"] == 2
+    assert 1 not in out.index
