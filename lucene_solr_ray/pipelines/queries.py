@@ -5707,6 +5707,12 @@ def build_queries() -> dict:
         "rel_cohort_retention": TMP.cohort_retention,
         "text_weighted_sample": T.weighted_sample,
         "text_balanced_sample": T.balanced_sample,
+        "code_secrets_scan": __import__(
+            "lucene_solr_ray.ops.code",
+            fromlist=["secrets_scan"]).secrets_scan,
+        "code_line_filters": __import__(
+            "lucene_solr_ray.ops.code",
+            fromlist=["line_filters"]).line_filters,
         "rel_join_rollup": R.join_rollup,
         "rel_hierarchical_facet": R.hierarchical_facet,
         "rel_assoc_facet": R.association_facet,
@@ -6030,6 +6036,12 @@ def build_oracle_sql() -> dict:
         "text_balanced_sample": __import__(
             "lucene_solr_ray.ops.text",
             fromlist=["balanced_sample_sql"]).balanced_sample_sql(),
+        "code_secrets_scan": __import__(
+            "lucene_solr_ray.ops.code",
+            fromlist=["secrets_scan_sql"]).secrets_scan_sql(),
+        "code_line_filters": __import__(
+            "lucene_solr_ray.ops.code",
+            fromlist=["line_filters_sql"]).line_filters_sql(),
         "rel_json_field": __import__(
             "lucene_solr_ray.ops.relational",
             fromlist=["json_field_rollup_sql"]).json_field_rollup_sql(),
