@@ -144,3 +144,125 @@ def shortest_path_hops(sf_dir: str, src_cust: int, dst_cust: int,
         frontier = nxt
     return pa.table({"found": pa.array([False]),
                      "hops": pa.array([-1], type=pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# PageRank — distributed power iteration (the web-graph quality signal a
+# crawl-scale training pipeline attaches to documents; same join+groupby
+# round shape as ops.dedup.connected_components).
+
+PAGERANK_ITERS = 5
+PR_SCALE = 1_000_000            # ranks live in int64 micro-units
+PR_BASE = 150_000               # (1 - d) * SCALE, d = 0.85
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
+
+
+def _event_edges(sf_dir: str):
+    """Symmetric bipartite edge list user↔event_type from events:
+    src/dst node labels 'u:<id>' / 'e:<type>', deduplicated by one
+    groupby. The symmetric closure guarantees every node has outdegree
+    ≥ 1 (no dangling-mass term needed)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        u = "u:" + df["user_id"].astype(np.int64).astype(str)
+        e = "e:" + df["event_type"].astype(str)
+        return pd.DataFrame({
+            "src": pd.concat([u, e], ignore_index=True),
+            "dst": pd.concat([e, u], ignore_index=True),
+        })
+
+    return (ds.map_batches(to_edges, batch_format="pandas")
+            .groupby(["src", "dst"]).count())
+
+
+def pagerank(sf_dir: str, iters: int = PAGERANK_ITERS,
+             num_partitions: int = 8, k: int = 20) -> pa.Table:
+    """Integer-exact PageRank over the user–event_type graph: r'(v) =
+    PR_BASE + (85 · Σ_{u→v} (r(u) // outdeg(u))) // 100, five rounds
+    from r(0) = PR_SCALE. Every per-edge contribution is an int64
+    floor division and every combine is an integer sum, so the result
+    is independent of batch/partition order — the property that lets
+    the DuckDB twin reproduce it hash-exactly. Each round is ONE hash
+    join (rank onto edge source) plus ONE groupby-sum; the edge table
+    never reaches the driver; only the final top-k does."""
+    import pandas as pd
+
+    edges = _event_edges(sf_dir)
+
+    def strip_cnt(t: pa.Table) -> pa.Table:
+        return t.select(["src", "dst"])
+
+    edges = edges.map_batches(strip_cnt, batch_format="pyarrow")
+
+    deg = edges.groupby("src").count()
+
+    def deg_cols(t: pa.Table) -> pa.Table:
+        return pa.table({"src_d": t["src"],
+                         "outdeg": pc.cast(t["count()"], pa.int64())})
+
+    # repartition scrubs 0-row empty-schema blocks (hash-shuffle
+    # artifacts) that would otherwise poison the join's key resolution
+    deg = (deg.map_batches(deg_cols, batch_format="pyarrow")
+           .repartition(num_partitions).materialize())
+    edges_deg = edges.join(deg, join_type="inner",
+                           num_partitions=num_partitions,
+                           on=("src",), right_on=("src_d",)) \
+                     .repartition(num_partitions).materialize()
+
+    def init_rank(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"node": t["src_d"],
+                         "rank_u": pa.array(
+                             np.full(n, PR_SCALE, dtype=np.int64))})
+
+    ranks = deg.map_batches(init_rank, batch_format="pyarrow") \
+               .repartition(num_partitions).materialize()
+
+    def contrib(t: pa.Table) -> pa.Table:
+        r = np.asarray(t["rank_u"], dtype=np.int64)
+        d = np.asarray(t["outdeg"], dtype=np.int64)
+        return pa.table({"dst": t["dst"], "c": r // d})
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["sum(c)"], dtype=np.int64)
+        new = PR_BASE + (PR_DAMP_NUM * s) // PR_DAMP_DEN
+        return pa.table({"node": t["dst"], "rank_u": new})
+
+    for _ in range(iters):
+        prop = edges_deg.join(ranks, join_type="inner",
+                              num_partitions=num_partitions,
+                              on=("src",), right_on=("node",))
+        ranks = (prop.map_batches(contrib, batch_format="pyarrow")
+                 .groupby("dst").sum("c")
+                 .map_batches(finish, batch_format="pyarrow")
+                 # scrub the 0-row empty-schema blocks hash shuffles
+                 # emit — they poison the next round's join
+                 .repartition(num_partitions).materialize())
+
+    top = (ranks.sort(["rank_u", "node"], descending=[True, False])
+           .limit(k).to_pandas())
+    return pa.Table.from_pandas(top, preserve_index=False)
+
+
+def pagerank_sql(iters: int = PAGERANK_ITERS, k: int = 20) -> str:
+    """Twin: the identical integer recurrence as chained CTEs (fixed
+    iteration count, so no recursion needed)."""
+    ctes = ["""e0 AS (SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src,
+                     'e:' || event_type AS dst FROM events),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT src AS node, CAST(%d AS BIGINT) AS r FROM deg)""" % PR_SCALE]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"r{i} AS (SELECT e.dst AS node, "
+            f"{PR_BASE} + ({PR_DAMP_NUM} * sum(r.r // deg.d))"
+            f" // {PR_DAMP_DEN} AS r "
+            f"FROM edges e JOIN r{i-1} r ON e.src = r.node "
+            f"JOIN deg ON deg.src = e.src GROUP BY e.dst)")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT node, CAST(r AS BIGINT) AS rank_u
+FROM r{iters} ORDER BY r DESC, node LIMIT {k}
+""")

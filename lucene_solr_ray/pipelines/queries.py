@@ -5713,6 +5713,9 @@ def build_queries() -> dict:
         "code_line_filters": __import__(
             "lucene_solr_ray.ops.code",
             fromlist=["line_filters"]).line_filters,
+        "graph_pagerank": __import__(
+            "lucene_solr_ray.ops.graph",
+            fromlist=["pagerank"]).pagerank,
         "rel_join_rollup": R.join_rollup,
         "rel_hierarchical_facet": R.hierarchical_facet,
         "rel_assoc_facet": R.association_facet,
@@ -6042,6 +6045,9 @@ def build_oracle_sql() -> dict:
         "code_line_filters": __import__(
             "lucene_solr_ray.ops.code",
             fromlist=["line_filters_sql"]).line_filters_sql(),
+        "graph_pagerank": __import__(
+            "lucene_solr_ray.ops.graph",
+            fromlist=["pagerank_sql"]).pagerank_sql(),
         "rel_json_field": __import__(
             "lucene_solr_ray.ops.relational",
             fromlist=["json_field_rollup_sql"]).json_field_rollup_sql(),

@@ -51,3 +51,56 @@ def test_shortest_path_chain(ray_session, tmp_path):
     t = shortest_path_hops(sf, 1, 4, max_hops=4)
     assert t["found"].to_pylist() == [False]
     assert t["hops"].to_pylist() == [-1]
+
+
+def test_pagerank_integer_recurrence(tmp_path, ray_session):
+    """PageRank over a crafted star-ish graph matches a single-threaded
+    NumPy run of the identical integer recurrence, and is invariant to
+    the partition count."""
+    import datetime as dt
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.ops.graph import (PR_BASE, PR_SCALE, pagerank)
+
+    # users 1..5 all emit 'hub'; user 1 also emits 'solo'
+    rows = [(i, 1 + (i - 1) % 5, "hub") for i in range(1, 11)]
+    rows += [(11, 1, "solo")]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([dt.datetime(2024, 1, 1)] * len(rows),
+                       type=pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[2] for r in rows]),
+        "value": pa.array([1.0] * len(rows), type=pa.float64()),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    d = tmp_path / "g"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+
+    # local reference on the same symmetric edge list
+    edges = {("u:%d" % u, "e:%s" % e) for _, u, e in rows}
+    edges |= {(b, a) for a, b in edges}
+    nodes = sorted({a for a, _ in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    deg = np.zeros(len(nodes), dtype=np.int64)
+    for a, _ in edges:
+        deg[idx[a]] += 1
+    r = np.full(len(nodes), PR_SCALE, dtype=np.int64)
+    for _ in range(5):
+        nxt = np.zeros(len(nodes), dtype=np.int64)
+        for a, b in edges:
+            nxt[idx[b]] += r[idx[a]] // deg[idx[a]]
+        r = PR_BASE + (85 * nxt) // 100
+    want = sorted(zip(nodes, r.tolist()),
+                  key=lambda x: (-x[1], x[0]))[:20]
+
+    for parts in (2, 5):
+        got = pagerank(str(d), num_partitions=parts).to_pandas()
+        assert list(zip(got["node"], got["rank_u"])) == want
+    # the hub (everyone's event) outranks the solo event type
+    ranks = dict(want)
+    assert ranks["e:hub"] > ranks["e:solo"]
