@@ -105,3 +105,130 @@ def hll_count_distinct(sf_dir: str, table: str = "events",
     return pa.table({
         "approx_distinct": pa.array([_estimate(regs)], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch — the k-minimum-values sketch (Beyer et al. 2007;
+# the DataSketches theta family's core). Unlike HLL it supports set
+# INTERSECTION estimates, which is what an audience-overlap /
+# cross-corpus-contamination question needs. Same distributed shape as
+# the HLL above: one ≤ 8k-byte partial per (group, batch), driver folds
+# the tiny partials. With k ≥ the true cardinality the sketch holds
+# every distinct hash, so estimates degenerate to EXACT counts — that
+# degenerate mode is the oracle-paired driver query; the small-k mode
+# is pytest error-bounded (the HLL discipline).
+
+THETA_K = 64
+_FULL_THETA = 1 << 64
+
+
+def _kmv_hashes(values: np.ndarray, k: int) -> np.ndarray:
+    """k smallest distinct splitmix64 hashes of a key batch (uint64)."""
+    h = np.unique(_splitmix64(values.astype(np.uint64)))
+    return h[:k]
+
+
+def kmv_group_partials(ds, key: str, column: str, k: int = THETA_K):
+    """map_batches stage: one (key, blob) partial row per group per
+    batch; blob = the group's ≤ k smallest distinct hashes (uint64 LE)."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "key": batch[key].to_pandas(),
+            "v": np.asarray(batch[column], dtype=np.int64),
+        })
+        keys, blobs = [], []
+        for g, sub in df.groupby("key", sort=False):
+            keys.append(g)
+            blobs.append(_kmv_hashes(sub["v"].to_numpy(), k).tobytes())
+        return pa.table({"key": pa.array(keys, type=pa.string()),
+                         "blob": pa.array(blobs, type=pa.binary())})
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def kmv_merge(blobs, k: int = THETA_K) -> np.ndarray:
+    """Union of KMV partials: distinct-merge, keep the k smallest."""
+    if not blobs:
+        return np.empty(0, dtype=np.uint64)
+    allh = np.unique(np.concatenate(
+        [np.frombuffer(b, dtype=np.uint64) for b in blobs]))
+    return allh[:k]
+
+
+def _theta_of(hashes: np.ndarray, k: int) -> int:
+    """Sampling threshold theta: the k-th smallest hash if the sketch is
+    full, else 2^64 (every hash retained → exact mode)."""
+    if len(hashes) < k:
+        return _FULL_THETA
+    return int(hashes[k - 1]) + 1
+
+
+def kmv_estimate(hashes: np.ndarray, k: int = THETA_K) -> int:
+    """Distinct-count estimate: exact when the sketch isn't full, else
+    (k-1) / normalized theta (the classic KMV estimator), computed in
+    exact integer arithmetic."""
+    if len(hashes) < k:
+        return int(len(hashes))
+    theta = int(hashes[k - 1])  # k-th smallest, 0-based k-1
+    return ((k - 1) * _FULL_THETA + theta // 2) // theta
+
+
+def kmv_intersect_estimate(a: np.ndarray, b: np.ndarray,
+                           k: int = THETA_K) -> int:
+    """Theta-sketch intersection: clip both samples to the smaller
+    theta, count common hashes, scale by 2^64/theta (integer-exact;
+    exact when both sketches are in exact mode)."""
+    theta = min(_theta_of(a, k), _theta_of(b, k))
+    sa = a[a < theta]
+    common = np.intersect1d(sa, b[b < theta])
+    if theta == _FULL_THETA:
+        return int(len(common))
+    return (len(common) * _FULL_THETA + theta // 2) // theta
+
+
+def theta_users_by_type(sf_dir: str, k: int = THETA_K,
+                        intersect: tuple[str, str] = ("click", "purchase"),
+                        ) -> pa.Table:
+    """Distinct users per event_type plus the overlap of two types, via
+    KMV sketches: per-batch per-group partials (≤ 8k bytes each) → one
+    tiny driver fold. Returns (set_name, est) sorted by set_name."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "user_id"])
+    parts = kmv_group_partials(ds, "event_type", "user_id", k).take_all()
+    by_key: dict[str, list[bytes]] = {}
+    for r in parts:
+        by_key.setdefault(r["key"], []).append(r["blob"])
+    sketches = {g: kmv_merge(bs, k) for g, bs in by_key.items()}
+    names = [f"type:{g}" for g in sketches]
+    ests = [kmv_estimate(sketches[g], k) for g in sketches]
+    ia, ib = intersect
+    if ia in sketches and ib in sketches:
+        names.append(f"overlap:{ia}&{ib}")
+        ests.append(kmv_intersect_estimate(sketches[ia], sketches[ib], k))
+    t = pa.table({"set_name": pa.array(names, type=pa.string()),
+                  "est": pa.array(ests, type=pa.int64())})
+    return t.sort_by("set_name")
+
+
+def theta_users_exact_sql(intersect: tuple[str, str] = ("click",
+                                                        "purchase")) -> str:
+    """Oracle for the DEGENERATE sketch (k ≥ distinct users): every
+    estimate is an exact distinct count."""
+    ia, ib = intersect
+    return f"""
+SELECT * FROM (
+  SELECT 'type:' || event_type AS set_name,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS est
+  FROM events GROUP BY event_type
+  UNION ALL
+  SELECT 'overlap:{ia}&{ib}' AS set_name,
+         CAST(count(*) AS BIGINT) AS est
+  FROM (SELECT DISTINCT user_id FROM events WHERE event_type = '{ia}'
+        INTERSECT
+        SELECT DISTINCT user_id FROM events WHERE event_type = '{ib}'))
+ORDER BY set_name
+"""

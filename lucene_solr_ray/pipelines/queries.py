@@ -5722,6 +5722,16 @@ def build_queries() -> dict:
         "rel_percentiles": R.percentiles,
         "rel_stats_extended": R.stats_extended,
         "sketch_hll_users": _sketch_hll,
+        # theta/KMV: k=64 is the real sketch (rows-only, pytest
+        # error-bounded); k ≥ |users| degenerates to exact counts and
+        # pairs with the DISTINCT/INTERSECT oracle
+        "sketch_theta_users": __import__(
+            "lucene_solr_ray.ops.sketches",
+            fromlist=["theta_users_by_type"]).theta_users_by_type,
+        "sketch_theta_exact": lambda sf: __import__(
+            "lucene_solr_ray.ops.sketches",
+            fromlist=["theta_users_by_type"]).theta_users_by_type(
+                sf, k=1 << 20),
         "rel_sampled_facet": R.sampled_facet,
         "stream_expr_rollup": _q_stream_expr(STREAM_ROLLUP_EXPR),
         "stream_expr_join_top": _q_stream_expr(STREAM_JOIN_EXPR),
@@ -6048,6 +6058,9 @@ def build_oracle_sql() -> dict:
         "graph_pagerank": __import__(
             "lucene_solr_ray.ops.graph",
             fromlist=["pagerank_sql"]).pagerank_sql(),
+        "sketch_theta_exact": __import__(
+            "lucene_solr_ray.ops.sketches",
+            fromlist=["theta_users_exact_sql"]).theta_users_exact_sql(),
         "rel_json_field": __import__(
             "lucene_solr_ray.ops.relational",
             fromlist=["json_field_rollup_sql"]).json_field_rollup_sql(),

@@ -41,3 +41,54 @@ def test_hll_partition_invariant():
     parts = [S._registers_of(c).tobytes()
              for c in np.array_split(vals, 13)]
     assert np.array_equal(S.merge_partials(parts), one)
+
+
+def test_kmv_partition_invariance_and_exact_mode():
+    """KMV merge is independent of how the key stream was split, and a
+    not-full sketch reports the exact distinct count."""
+    import numpy as np
+
+    from lucene_solr_ray.ops.sketches import (kmv_estimate, _kmv_hashes,
+                                              kmv_merge)
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 5000, size=20000, dtype=np.int64)
+    whole = _kmv_hashes(vals, 64)
+    # any 3-way split merges to the same sketch
+    parts = [
+        _kmv_hashes(c, 64).tobytes() for c in np.array_split(vals, 3)]
+    assert np.array_equal(kmv_merge(parts, 64), whole)
+    # exact mode: k above the true cardinality
+    exact_n = len(np.unique(vals))
+    big = _kmv_hashes(vals, 1 << 20)
+    assert kmv_estimate(big, 1 << 20) == exact_n
+
+
+def test_kmv_estimate_error_bound():
+    import numpy as np
+
+    from lucene_solr_ray.ops.sketches import kmv_estimate, _kmv_hashes
+
+    rng = np.random.default_rng(11)
+    for true_n in (500, 5000, 50000):
+        vals = rng.permutation(true_n).astype(np.int64)
+        est = kmv_estimate(_kmv_hashes(vals, 256), 256)
+        # KMV std err ~ 1/sqrt(k-2) ≈ 6.3% at k=256; allow 4 sigma
+        assert abs(est - true_n) / true_n < 0.25, (true_n, est)
+
+
+def test_kmv_intersection_exact_and_approx():
+    import numpy as np
+
+    from lucene_solr_ray.ops.sketches import (_kmv_hashes,
+                                              kmv_intersect_estimate)
+
+    a = np.arange(0, 3000, dtype=np.int64)
+    b = np.arange(2000, 5000, dtype=np.int64)   # true overlap 1000
+    # exact mode (both sketches not full)
+    sa, sb = _kmv_hashes(a, 1 << 20), _kmv_hashes(b, 1 << 20)
+    assert kmv_intersect_estimate(sa, sb, 1 << 20) == 1000
+    # sketch mode: 4-sigma bound on the clipped-sample estimator
+    sa, sb = _kmv_hashes(a, 512), _kmv_hashes(b, 512)
+    est = kmv_intersect_estimate(sa, sb, 512)
+    assert abs(est - 1000) / 1000 < 0.5, est
