@@ -232,3 +232,120 @@ SELECT * FROM (
         SELECT DISTINCT user_id FROM events WHERE event_type = '{ib}'))
 ORDER BY set_name
 """
+
+
+# ---------------------------------------------------------------------------
+# HDR-histogram quantile sketch (the DDSketch/PercentileAgg role for
+# unbounded domains): values quantized to cents, bucketed by
+# (exponent, 4 mantissa bits) — pure integer math, so the histogram is
+# deterministic, MERGE-ORDER INVARIANT (bucket-wise integer sums) and
+# bounded (≤ 16·41 buckets regardless of data volume). Relative error
+# of a reported quantile ≤ 2^-4 by construction. Per-batch bincount
+# partials → one tiny groupby → driver CDF walk; fully oracle-paired
+# (the SQL twin computes the identical buckets with integer shifts).
+
+HDR_M = 4                      # mantissa precision bits
+HDR_QS = (50, 90, 99)
+
+
+def _hdr_bucket(cents: np.ndarray) -> np.ndarray:
+    """Bucket index of nonneg int64 cents: identity below 2^m, else
+    ((e - m + 1) << m) + top-m mantissa bits (e = floor(log2))."""
+    v = cents.astype(np.int64)
+    small = v < (1 << HDR_M)
+    # exact exponent via frexp (v < 2^53 is exact in float64)
+    _, ex = np.frexp(v.astype(np.float64))
+    e = np.maximum(ex - 1, HDR_M)  # placate the small branch
+    sub = (v >> (e - HDR_M)) & ((1 << HDR_M) - 1)
+    bucket = ((e - HDR_M + 1) << HDR_M) + sub
+    return np.where(small, v, bucket).astype(np.int64)
+
+
+def _hdr_lo(bucket: np.ndarray) -> np.ndarray:
+    """Lower bound (cents) of a bucket — the reported quantile value."""
+    b = bucket.astype(np.int64)
+    small = b < (1 << HDR_M)
+    e = (b >> HDR_M) + HDR_M - 1
+    sub = b & ((1 << HDR_M) - 1)
+    lo = ((1 << HDR_M) + sub) << np.maximum(e - HDR_M, 0)
+    return np.where(small, b, lo).astype(np.int64)
+
+
+def hdr_quantiles(sf_dir: str, qs=HDR_QS) -> pa.Table:
+    """p50/p90/p99 of events.value per event_type through the HDR
+    sketch. Returns (event_type, q, est_cents): est = the lower bound
+    of the first bucket whose cumulative count reaches ceil(q·N/100)."""
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            np.asarray(batch["value"], dtype=np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        df = pd.DataFrame({"event_type": batch["event_type"].to_pandas(),
+                           "bucket": _hdr_bucket(cents)})
+        g = df.groupby(["event_type", "bucket"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n"}), preserve_index=False)
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "bucket"]).sum("n").to_pandas()
+            .rename(columns={"sum(n)": "n"})
+            .sort_values(["event_type", "bucket"]))
+    out = []
+    for et, sub in hist.groupby("event_type", sort=True):
+        cum = sub["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+        lo = _hdr_lo(sub["bucket"].to_numpy())
+        for q in qs:
+            rank = (q * total + 99) // 100
+            i = int(np.searchsorted(cum, rank, side="left"))
+            out.append((et, q, int(lo[i])))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in out], type=pa.string()),
+        "q": pa.array([r[1] for r in out], type=pa.int64()),
+        "est_cents": pa.array([r[2] for r in out], type=pa.int64()),
+    })
+
+
+def hdr_quantiles_sql(qs=HDR_QS) -> str:
+    """Twin: identical integer bucket/lower-bound math (exponent from a
+    powers-of-two join, shifts for the mantissa), window-CDF rank pick."""
+    m = HDR_M
+    qlist = ", ".join(str(q) for q in qs)
+    return f"""
+WITH x AS (SELECT event_type,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+powers AS (SELECT unnest(range(0, 41)) AS p),
+bx AS (SELECT event_type, cents,
+              CASE WHEN cents < {1 << m} THEN cents
+                   ELSE (((SELECT max(p) FROM powers
+                           WHERE (cents >> p) > 0) - {m}) << {m})
+                        + ((cents >> ((SELECT max(p) FROM powers
+                                       WHERE (cents >> p) > 0) - {m}))
+                           & {(1 << m) - 1}) + {1 << m}
+              END AS bucket
+       FROM x),
+hist AS (SELECT event_type, bucket, count(*) AS n
+         FROM bx GROUP BY event_type, bucket),
+cdf AS (SELECT event_type, bucket, n,
+               sum(n) OVER (PARTITION BY event_type ORDER BY bucket)
+                   AS cum,
+               sum(n) OVER (PARTITION BY event_type) AS total
+        FROM hist),
+lo AS (SELECT event_type, bucket, cum, total,
+              CASE WHEN bucket < {1 << m} THEN bucket
+                   ELSE (({1 << m} + (bucket & {(1 << m) - 1}))
+                         << ((bucket >> {m}) - 1))
+              END AS lo_cents
+       FROM cdf)
+SELECT event_type, q, CAST(min(lo_cents) AS BIGINT) AS est_cents
+FROM lo CROSS JOIN (SELECT unnest([{qlist}]) AS q) qs
+WHERE cum >= (q * total + 99) // 100
+GROUP BY event_type, q
+ORDER BY event_type, q
+"""

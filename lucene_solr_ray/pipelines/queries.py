@@ -5732,6 +5732,9 @@ def build_queries() -> dict:
             "lucene_solr_ray.ops.sketches",
             fromlist=["theta_users_by_type"]).theta_users_by_type(
                 sf, k=1 << 20),
+        "sketch_hdr_quantiles": __import__(
+            "lucene_solr_ray.ops.sketches",
+            fromlist=["hdr_quantiles"]).hdr_quantiles,
         "rel_sampled_facet": R.sampled_facet,
         "stream_expr_rollup": _q_stream_expr(STREAM_ROLLUP_EXPR),
         "stream_expr_join_top": _q_stream_expr(STREAM_JOIN_EXPR),
@@ -6061,6 +6064,9 @@ def build_oracle_sql() -> dict:
         "sketch_theta_exact": __import__(
             "lucene_solr_ray.ops.sketches",
             fromlist=["theta_users_exact_sql"]).theta_users_exact_sql(),
+        "sketch_hdr_quantiles": __import__(
+            "lucene_solr_ray.ops.sketches",
+            fromlist=["hdr_quantiles_sql"]).hdr_quantiles_sql(),
         "rel_json_field": __import__(
             "lucene_solr_ray.ops.relational",
             fromlist=["json_field_rollup_sql"]).json_field_rollup_sql(),

@@ -92,3 +92,44 @@ def test_kmv_intersection_exact_and_approx():
     sa, sb = _kmv_hashes(a, 512), _kmv_hashes(b, 512)
     est = kmv_intersect_estimate(sa, sb, 512)
     assert abs(est - 1000) / 1000 < 0.5, est
+
+
+def test_hdr_bucket_invariants():
+    """Bucket index is monotone, lower bound brackets the value, and the
+    relative error of the reported bound is within 2^-m."""
+    import numpy as np
+
+    from lucene_solr_ray.ops.sketches import HDR_M, _hdr_bucket, _hdr_lo
+
+    v = np.arange(0, 300000, dtype=np.int64)
+    b = _hdr_bucket(v)
+    assert (np.diff(b) >= 0).all()
+    lo = _hdr_lo(b)
+    assert (lo <= v).all()
+    big = v >= (1 << HDR_M)
+    rel = (v[big] - lo[big]) / v[big]
+    assert rel.max() < 2.0 ** -HDR_M
+
+
+def test_hdr_quantile_rank_error():
+    """Against exact quantiles of a skewed sample: the sketch answer's
+    RANK is within one bucket of the target (relative value error
+    ≤ 2^-m by construction)."""
+    import numpy as np
+
+    from lucene_solr_ray.ops.sketches import HDR_M, _hdr_bucket, _hdr_lo
+
+    rng = np.random.default_rng(3)
+    vals = (rng.lognormal(4.0, 1.0, size=50000) * 100).astype(np.int64)
+    b = _hdr_bucket(vals)
+    hist = np.bincount(b)
+    cum = np.cumsum(hist)
+    n = len(vals)
+    s = np.sort(vals)
+    for q in (50, 90, 99):
+        rank = (q * n + 99) // 100
+        bucket = int(np.searchsorted(cum, rank, side="left"))
+        est = int(_hdr_lo(np.array([bucket]))[0])
+        exact = int(s[rank - 1])
+        assert abs(est - exact) / exact < 2.0 ** -HDR_M + 0.01, (q, est,
+                                                                 exact)
