@@ -349,3 +349,84 @@ WHERE cum >= (q * total + 99) // 100
 GROUP BY event_type, q
 ORDER BY event_type, q
 """
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (the frequent-items summary; Agarwal et
+# al. 2012 showed the k-counter summaries are mergeable): each batch
+# reduces to ≤ k (term, count) counters with the classic decrement
+# rule; the driver folds the tiny partials with the same rule.
+# Guarantees: est ≤ true ≤ est + (N - M)/(k+1) (M = Σ retained
+# counters), and every term with frequency > N/(k+1) is retained.
+# k ≥ vocabulary size degenerates to EXACT counts — the oracle-paired
+# driver mode (the theta-sketch discipline).
+
+MG_K = 32
+
+
+def _mg_reduce(terms: np.ndarray, counts: np.ndarray, k: int):
+    """Reduce (term, count) pairs to ≤ k counters by subtracting the
+    (k+1)-th largest count from every counter and dropping ≤ 0."""
+    if len(terms) <= k:
+        return terms, counts
+    order = np.argsort(counts)[::-1]
+    d = counts[order[k]]
+    keep = counts > d
+    return terms[keep], counts[keep] - d
+
+
+def mg_partials(ds, k: int = MG_K):
+    """map_batches stage over (doc_id, text): whitespace terms → exact
+    in-batch counts → MG-reduce to ≤ k counter rows per batch."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern(batch["text"], pattern=" "))
+        arr = toks.to_numpy(zero_copy_only=False)
+        arr = arr[arr != ""]
+        terms, counts = np.unique(arr, return_counts=True)
+        terms, counts = _mg_reduce(terms, counts.astype(np.int64), k)
+        return pa.table({"term": pa.array(terms, type=pa.string()),
+                         "c": pa.array(counts, type=pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def mg_merge(terms: np.ndarray, counts: np.ndarray, k: int = MG_K):
+    """Fold partial counter sets: sum same-term counters, then one
+    MG-reduce back to ≤ k."""
+    import pandas as pd
+
+    df = pd.DataFrame({"term": terms, "c": counts}) \
+        .groupby("term", as_index=False)["c"].sum()
+    return _mg_reduce(df["term"].to_numpy(),
+                      df["c"].to_numpy().astype(np.int64), k)
+
+
+def topk_terms(sf_dir: str, k: int = MG_K, n: int = 20) -> pa.Table:
+    """Top-n corpus terms by the Misra-Gries summary: per-batch
+    constant-size partials, one tiny driver fold. Returns (term, est)
+    ordered (est desc, term asc)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text"], override_num_blocks=8)
+    parts = mg_partials(ds, k).to_pandas()
+    terms, counts = mg_merge(parts["term"].to_numpy(),
+                             parts["c"].to_numpy(), k)
+    order = np.lexsort((terms, -counts))[:n]
+    return pa.table({"term": pa.array(terms[order], type=pa.string()),
+                     "est": pa.array(counts[order], type=pa.int64())})
+
+
+def topk_terms_exact_sql(n: int = 20) -> str:
+    """Oracle for the degenerate summary (k ≥ vocabulary): estimates
+    are exact whitespace-token counts."""
+    return f"""
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term
+              FROM documents)
+SELECT term, CAST(count(*) AS BIGINT) AS est
+FROM toks WHERE term <> ''
+GROUP BY term ORDER BY est DESC, term LIMIT {n}
+"""

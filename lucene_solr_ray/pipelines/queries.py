@@ -5735,6 +5735,14 @@ def build_queries() -> dict:
         "sketch_hdr_quantiles": __import__(
             "lucene_solr_ray.ops.sketches",
             fromlist=["hdr_quantiles"]).hdr_quantiles,
+        # Misra-Gries heavy hitters: the real summary (k=32, rows-only,
+        # pytest-bounded) and the k ≥ vocab degenerate exact twin
+        "sketch_topk_terms": __import__(
+            "lucene_solr_ray.ops.sketches",
+            fromlist=["topk_terms"]).topk_terms,
+        "sketch_topk_exact": lambda sf: __import__(
+            "lucene_solr_ray.ops.sketches",
+            fromlist=["topk_terms"]).topk_terms(sf, k=1 << 16),
         "rel_sampled_facet": R.sampled_facet,
         "stream_expr_rollup": _q_stream_expr(STREAM_ROLLUP_EXPR),
         "stream_expr_join_top": _q_stream_expr(STREAM_JOIN_EXPR),
@@ -6067,6 +6075,9 @@ def build_oracle_sql() -> dict:
         "sketch_hdr_quantiles": __import__(
             "lucene_solr_ray.ops.sketches",
             fromlist=["hdr_quantiles_sql"]).hdr_quantiles_sql(),
+        "sketch_topk_exact": __import__(
+            "lucene_solr_ray.ops.sketches",
+            fromlist=["topk_terms_exact_sql"]).topk_terms_exact_sql(),
         "rel_json_field": __import__(
             "lucene_solr_ray.ops.relational",
             fromlist=["json_field_rollup_sql"]).json_field_rollup_sql(),

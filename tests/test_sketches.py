@@ -133,3 +133,56 @@ def test_hdr_quantile_rank_error():
         exact = int(s[rank - 1])
         assert abs(est - exact) / exact < 2.0 ** -HDR_M + 0.01, (q, est,
                                                                  exact)
+
+
+def test_misra_gries_guarantees():
+    """On a zipf stream split across partials: every estimate
+    underestimates, the error is ≤ (N - M)/(k+1), and every term with
+    frequency > N/(k+1) survives the fold."""
+    import numpy as np
+
+    from lucene_solr_ray.ops.sketches import _mg_reduce, mg_merge
+
+    rng = np.random.default_rng(5)
+    stream = rng.zipf(1.3, size=60000)
+    stream = stream[stream < 5000].astype(str)
+    n = len(stream)
+    true = {}
+    for t, c in zip(*np.unique(stream, return_counts=True)):
+        true[t] = int(c)
+
+    k = 16
+    parts_t, parts_c = [], []
+    for chunk in np.array_split(stream, 7):
+        t, c = np.unique(chunk, return_counts=True)
+        t, c = _mg_reduce(t, c.astype(np.int64), k)
+        parts_t.append(t)
+        parts_c.append(c)
+    terms, counts = mg_merge(np.concatenate(parts_t),
+                             np.concatenate(parts_c), k)
+    est = dict(zip(terms.tolist(), counts.tolist()))
+    m = int(counts.sum())
+    bound = (n - m) / (k + 1)
+    for t, e in est.items():
+        assert e <= true[t]
+        assert true[t] - e <= bound + 1e-9
+    for t, c in true.items():
+        if c > n / (k + 1):
+            assert t in est, (t, c)
+
+
+def test_topk_exact_mode_partition_invariant(tmp_path, ray_session):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.ops.sketches import topk_terms
+
+    texts = ["a b b c c c", "c d", "b c a", ""]
+    t = pa.table({"doc_id": pa.array(range(4), type=pa.int64()),
+                  "text": pa.array(texts)})
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    out = topk_terms(str(d), k=1 << 16, n=10).to_pandas()
+    assert list(zip(out["term"], out["est"])) == [
+        ("c", 5), ("b", 3), ("a", 2), ("d", 1)]
