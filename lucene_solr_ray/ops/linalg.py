@@ -1,0 +1,146 @@
+"""Distributed linear algebra over the embeddings table — the PCA /
+covariance building blocks an embedding-quality pipeline needs
+(whitening, top-component drift checks, SemDeDup-style preprocessing).
+
+Scale shape: each batch reduces to one d×d integer Gram partial
+(embeddings quantized to int64 so partial sums are EXACT and
+merge-order invariant — the HDR/theta discipline); the shuffle carries
+≤ d² rows per batch; the driver folds a d×d matrix and runs the tiny
+power iteration locally. The corpus never reaches the driver.
+
+Overflow budget: |q| ≤ 2^20 ⇒ |q_i·q_j| ≤ 2^40; int64 holds ~2^23
+row-contributions per (i,j) cell per batch and the final fold holds
+~2^23 batches — beyond that, promote the fold to Python ints (the
+driver-side matrix is tiny either way).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+Q_SCALE = 1 << 20
+
+
+def _read_emb(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                           columns=["vec_id", "embedding"],
+                           override_num_blocks=8)
+
+
+def _quantized(batch: pa.Table) -> np.ndarray:
+    """(n, d) int64 matrix: floor(float64(x)·2^20 + 0.5) — float32 →
+    float64 widening is exact, so the twin's CAST(x AS DOUBLE) path
+    produces identical integers."""
+    emb = batch["embedding"]
+    arr = emb.combine_chunks() if isinstance(emb, pa.ChunkedArray) else emb
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    d = len(flat) // n
+    return np.floor(flat * Q_SCALE + 0.5).astype(np.int64).reshape(n, d)
+
+
+def gram_matrix(sf_dir: str) -> pa.Table:
+    """Exact integer Gram matrix S = Σ_rows q qᵀ of the quantized
+    embeddings: one int64 matmul per batch, (i, j, sum_qq) partial rows,
+    one bounded groupby. Returns the d² rows ordered (i, j)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = _quantized(batch)
+        s = q.T @ q                      # exact int64
+        d = s.shape[0]
+        i, j = np.divmod(np.arange(d * d, dtype=np.int64), d)
+        return pa.table({"i": i, "j": j, "sum_qq": s.reshape(-1)})
+
+    df = (_read_emb(sf_dir).map_batches(partial, batch_format="pyarrow")
+          .groupby(["i", "j"]).sum("sum_qq").to_pandas()
+          .rename(columns={"sum(sum_qq)": "sum_qq"})
+          .sort_values(["i", "j"]).reset_index(drop=True))
+    for c in ("i", "j", "sum_qq"):
+        df[c] = df[c].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def gram_matrix_sql() -> str:
+    """Twin: lateral index expansion (1-based list subscripts), identical
+    quantization."""
+    return f"""
+WITH q AS (
+  SELECT vec_id, gs.i - 1 AS i,
+         CAST(floor(CAST(embedding[gs.i] AS DOUBLE) * {Q_SCALE} + 0.5)
+              AS BIGINT) AS qx
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+           gs)
+SELECT a.i AS i, b.i AS j,
+       CAST(sum(a.qx * b.qx) AS BIGINT) AS sum_qq
+FROM q a JOIN q b USING (vec_id)
+GROUP BY a.i, b.i
+ORDER BY i, j
+"""
+
+
+def _fold_stats(sf_dir: str):
+    """Driver-side fold of the per-batch (S, s, n) partials."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = _quantized(batch)
+        s = q.T @ q
+        return pa.table({
+            "S": pa.array([s.reshape(-1).tobytes()], type=pa.binary()),
+            "s1": pa.array([q.sum(axis=0).tobytes()], type=pa.binary()),
+            "n": pa.array([q.shape[0]], type=pa.int64()),
+        })
+
+    rows = (_read_emb(sf_dir)
+            .map_batches(partial, batch_format="pyarrow").take_all())
+    S = None
+    s1 = None
+    n = 0
+    for r in rows:
+        sp = np.frombuffer(r["S"], dtype=np.int64)
+        vp = np.frombuffer(r["s1"], dtype=np.int64)
+        S = sp if S is None else S + sp
+        s1 = vp if s1 is None else s1 + vp
+        n += int(r["n"])
+    d = len(s1)
+    return S.reshape(d, d), s1, n
+
+
+def pca_power(sf_dir: str, iters: int = 2000) -> pa.Table:
+    """Top principal component by power iteration on the folded
+    covariance n·S − s sᵀ (exact integers folded on the driver; the
+    iteration itself is float64 over the tiny d×d matrix). Returns
+    (dim, v_q) — the eigenvector quantized ×10⁶, sign-normalized so its
+    largest-|coefficient| entry is positive — plus row (-1, eigenvalue
+    share ×10⁶). Approximate by construction (iterative argmax), so
+    rows-only; tests/test_linalg.py bounds it against np.linalg.eigh."""
+    S, s1, n = _fold_stats(sf_dir)
+    cov = (n * S.astype(np.float64) - np.outer(s1, s1).astype(np.float64))
+    cov /= max(n, 1) ** 2
+    d = cov.shape[0]
+    v = np.ones(d, dtype=np.float64) / np.sqrt(d)
+    for _ in range(iters):
+        w = cov @ v
+        nrm = np.linalg.norm(w)
+        if nrm == 0:
+            break
+        v = w / nrm
+    lam = float(v @ cov @ v)
+    share = lam / max(np.trace(cov), 1e-300)
+    pivot = int(np.argmax(np.abs(v)))
+    if v[pivot] < 0:
+        v = -v
+    dims = np.arange(d, dtype=np.int64)
+    vq = np.floor(v * 1_000_000 + 0.5).astype(np.int64)
+    return pa.table({
+        "dim": pa.array(np.concatenate([dims, [-1]]), type=pa.int64()),
+        "v_q": pa.array(np.concatenate(
+            [vq, [np.int64(np.floor(share * 1_000_000 + 0.5))]]),
+            type=pa.int64()),
+    })

@@ -5743,6 +5743,14 @@ def build_queries() -> dict:
         "sketch_topk_exact": lambda sf: __import__(
             "lucene_solr_ray.ops.sketches",
             fromlist=["topk_terms"]).topk_terms(sf, k=1 << 16),
+        "embed_gram_matrix": __import__(
+            "lucene_solr_ray.ops.linalg",
+            fromlist=["gram_matrix"]).gram_matrix,
+        # rows-only: iterative power method (the k-means discipline);
+        # tests/test_linalg.py pins it against np.linalg.eigh
+        "embed_pca_power": __import__(
+            "lucene_solr_ray.ops.linalg",
+            fromlist=["pca_power"]).pca_power,
         "rel_sampled_facet": R.sampled_facet,
         "stream_expr_rollup": _q_stream_expr(STREAM_ROLLUP_EXPR),
         "stream_expr_join_top": _q_stream_expr(STREAM_JOIN_EXPR),
@@ -6078,6 +6086,9 @@ def build_oracle_sql() -> dict:
         "sketch_topk_exact": __import__(
             "lucene_solr_ray.ops.sketches",
             fromlist=["topk_terms_exact_sql"]).topk_terms_exact_sql(),
+        "embed_gram_matrix": __import__(
+            "lucene_solr_ray.ops.linalg",
+            fromlist=["gram_matrix_sql"]).gram_matrix_sql(),
         "rel_json_field": __import__(
             "lucene_solr_ray.ops.relational",
             fromlist=["json_field_rollup_sql"]).json_field_rollup_sql(),

@@ -1,0 +1,76 @@
+"""Distributed linear algebra (ops/linalg.py): integer Gram partials
+are partition-invariant and exact; power-iteration PCA recovers a
+planted dominant direction and meets the Rayleigh-quotient bound on
+near-isotropic data."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from lucene_solr_ray.ops.linalg import (Q_SCALE, _quantized, gram_matrix,
+                                        pca_power)
+
+
+def _emb_dir(tmp_path, X: np.ndarray):
+    t = pa.table({
+        "vec_id": pa.array(range(len(X)), type=pa.int64()),
+        "embedding": pa.array([row.astype(np.float32) for row in X],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([0] * len(X), type=pa.int32()),
+    })
+    d = tmp_path / "emb"
+    d.mkdir(exist_ok=True)
+    pq.write_table(t, str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_gram_matches_numpy_and_quantization(tmp_path, ray_session):
+    rng = np.random.default_rng(2)
+    X = rng.normal(size=(100, 8)).astype(np.float32)
+    sf = _emb_dir(tmp_path, X)
+    got = gram_matrix(sf).to_pandas()
+    Q = np.floor(X.astype(np.float64) * Q_SCALE + 0.5).astype(np.int64)
+    want = Q.T @ Q
+    assert got["sum_qq"].to_numpy().reshape(8, 8).tolist() \
+        == want.tolist()
+
+
+def test_quantized_batch_helper():
+    X = np.array([[0.5, -0.25], [1.0, 0.0]], dtype=np.float32)
+    batch = pa.table({"embedding": pa.array(list(X),
+                                            type=pa.list_(pa.float32()))})
+    q = _quantized(batch)
+    assert q.tolist() == [[Q_SCALE // 2, -(Q_SCALE // 4)], [Q_SCALE, 0]]
+
+
+def test_pca_recovers_planted_direction(tmp_path, ray_session):
+    rng = np.random.default_rng(4)
+    d = 16
+    u = np.zeros(d)
+    u[3] = 0.8
+    u[7] = -0.6
+    X = (rng.normal(size=(400, 1)) * 5.0) @ u[None, :] \
+        + rng.normal(scale=0.05, size=(400, d))
+    sf = _emb_dir(tmp_path, X.astype(np.float32))
+    out = pca_power(sf).to_pandas()
+    v = out[out["dim"] >= 0]["v_q"].to_numpy() / 1e6
+    cos = abs(float(v @ u)) / np.linalg.norm(v)
+    assert cos > 0.999, cos
+    share = int(out[out["dim"] == -1]["v_q"].iloc[0])
+    assert share > 900_000  # planted component dominates the variance
+
+
+def test_pca_rayleigh_quotient_on_isotropic(tmp_path, ray_session):
+    """Small eigengap: the eigenVECTOR may wander, but the quotient of
+    the returned direction must still reach the top eigenvalue."""
+    rng = np.random.default_rng(6)
+    X = rng.normal(size=(300, 12)).astype(np.float32)
+    sf = _emb_dir(tmp_path, X)
+    out = pca_power(sf).to_pandas()
+    v = out[out["dim"] >= 0]["v_q"].to_numpy() / 1e6
+    v = v / np.linalg.norm(v)
+    Q = np.floor(X.astype(np.float64) * Q_SCALE + 0.5)
+    n = len(Q)
+    cov = (n * (Q.T @ Q) - np.outer(Q.sum(0), Q.sum(0))) / n ** 2
+    lam1 = np.linalg.eigvalsh(cov)[-1]
+    assert float(v @ cov @ v) >= 0.999 * lam1
