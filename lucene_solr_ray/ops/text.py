@@ -715,3 +715,69 @@ WHERE (md5_number_lower(CAST(d.doc_id AS VARCHAR)) // 4)
                    * 4611686018427387904.0) AS BIGINT)
 ORDER BY d.doc_id
 """
+
+
+CAP_PER_SOURCE = 10
+
+
+def capped_sample(sf_dir: str, cap: int = CAP_PER_SOURCE) -> pa.Table:
+    """Per-domain cap — "at most k documents per source", the data-mixing
+    counterpart of balanced_sample when a hard ceiling (not a rate) is
+    wanted. Deterministic: each source keeps its ``cap`` docs with the
+    smallest (md5-low64(doc_id), doc_id) — a uniform hash-ranked draw
+    shared bit-for-bit with the twin's md5_number_lower ordering.
+
+    Mergeable top-k: every batch reduces to ≤ cap rows per source seen,
+    so the shuffle carries ≤ batches·|sources|·cap rows; one tiny
+    groupby(source) fold finishes the selection.
+    """
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "source"],
+                         override_num_blocks=8)
+
+    def hash_col(ids: np.ndarray) -> np.ndarray:
+        return np.fromiter(
+            (int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:],
+                            "little") for i in ids),
+            dtype=np.uint64, count=len(ids))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": batch["source"].to_pandas(),
+            "doc_id": np.asarray(batch["doc_id"], dtype=np.int64),
+        })
+        df["h"] = hash_col(df["doc_id"].to_numpy())
+        df = (df.sort_values(["h", "doc_id"])
+              .groupby("source", sort=False).head(cap))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(["h", "doc_id"]).head(cap)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("source").map_groups(fold, batch_format="pandas")
+           .to_pandas()
+           .sort_values(["source", "doc_id"]).reset_index(drop=True))
+    return pa.table({
+        "source": pa.array(out["source"], type=pa.string()),
+        "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+    })
+
+
+def capped_sample_sql(cap: int = CAP_PER_SOURCE) -> str:
+    return f"""
+WITH h AS (SELECT source, doc_id,
+                  md5_number_lower(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+r AS (SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY h, doc_id) AS rn
+      FROM h)
+SELECT source, doc_id FROM r WHERE rn <= {cap}
+ORDER BY source, doc_id
+"""

@@ -5707,6 +5707,7 @@ def build_queries() -> dict:
         "rel_cohort_retention": TMP.cohort_retention,
         "text_weighted_sample": T.weighted_sample,
         "text_balanced_sample": T.balanced_sample,
+        "text_capped_sample": T.capped_sample,
         "code_secrets_scan": __import__(
             "lucene_solr_ray.ops.code",
             fromlist=["secrets_scan"]).secrets_scan,
@@ -6068,6 +6069,9 @@ def build_oracle_sql() -> dict:
         "text_balanced_sample": __import__(
             "lucene_solr_ray.ops.text",
             fromlist=["balanced_sample_sql"]).balanced_sample_sql(),
+        "text_capped_sample": __import__(
+            "lucene_solr_ray.ops.text",
+            fromlist=["capped_sample_sql"]).capped_sample_sql(),
         "code_secrets_scan": __import__(
             "lucene_solr_ray.ops.code",
             fromlist=["secrets_scan_sql"]).secrets_scan_sql(),

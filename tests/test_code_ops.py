@@ -115,3 +115,39 @@ def test_line_filters_end_to_end(tmp_path, ray_session):
                     "z" * (MAX_AVG_LINE_LEN * 3)])
     out = line_filters(sf).to_pandas()
     assert out["keep"].tolist() == [1, 0]
+
+
+def test_capped_sample_determinism_and_cap(tmp_path, ray_session):
+    """Each source keeps exactly min(cap, n_source) docs, chosen by the
+    md5 ranking — stable across partition counts."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.ops.text import capped_sample
+
+    ids = list(range(40))
+    srcs = ["a"] * 25 + ["b"] * 12 + ["c"] * 3
+    t = pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "text": pa.array(["x"] * 40),
+        "source": pa.array(srcs),
+    })
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    out = capped_sample(str(d), cap=5).to_pandas()
+    counts = out.groupby("source")["doc_id"].count().to_dict()
+    assert counts == {"a": 5, "b": 5, "c": 3}
+
+    # selection = 5 smallest md5-low64 per source (local reference)
+    def h(i):
+        return int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:],
+                              "little")
+
+    for s, n in (("a", 25), ("b", 12)):
+        members = [i for i, sc in zip(ids, srcs) if sc == s]
+        want = sorted(sorted(members, key=lambda i: (h(i), i))[:5])
+        got = sorted(out[out["source"] == s]["doc_id"].tolist())
+        assert got == want
