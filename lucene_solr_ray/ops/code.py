@@ -206,3 +206,68 @@ SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
                  THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM m ORDER BY doc_id
 """
+
+
+#: SPDX plant schedule (doc_id % 7): residues 3-6 → no header (the
+#: 'unknown' leg); 7 is coprime with the source count so every source
+#: sees every license
+_SPDX_IDS = ("MIT", "Apache-2.0", "GPL-3.0-only")
+SPDX_PATTERN = r"SPDX-License-Identifier: (?P<lic>[A-Za-z0-9.+-]+)"
+
+
+def license_rollup(sf_dir: str) -> pa.Table:
+    """License census — the provenance gate a code-corpus pipeline runs
+    before training (permissive-only filters): detect the SPDX header,
+    roll up doc counts per (source, license). Headers are planted
+    deterministically (doc_id % 4 picks MIT / Apache-2.0 /
+    GPL-3.0-only / none) since the synthetic corpus has none — the
+    oracle re-derives the identical plant, so a count match proves the
+    extraction. One streaming pass + a bounded groupby (≤ sources ×
+    licenses rows)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text", "source"],
+                         override_num_blocks=8)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        texts = batch["text"].to_pylist()
+        planted = [
+            (f"// SPDX-License-Identifier: {_SPDX_IDS[d % 7]} " + t
+             if d % 7 < 3 else t)
+            for d, t in zip(ids.tolist(), texts)]
+        ex = pc.extract_regex(pa.array(planted, type=pa.string()),
+                              pattern=SPDX_PATTERN)
+        lic = pc.struct_field(ex, "lic").to_pandas().fillna("unknown")
+        df = pd.DataFrame({"source": batch["source"].to_pandas(),
+                           "license": lic, "one": np.int64(1)})
+        g = df.groupby(["source", "license"], as_index=False)["one"].sum()
+        return pa.Table.from_pandas(
+            g.rename(columns={"one": "n"}), preserve_index=False)
+
+    df = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+          .groupby(["source", "license"], as_index=False)["n"].sum())
+    df["n"] = df["n"].astype("int64")
+    df = df.sort_values(["source", "license"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def license_rollup_sql() -> str:
+    ids = ", ".join(f"'{x}'" for x in _SPDX_IDS)
+    return f"""
+WITH planted AS (
+  SELECT source,
+         CASE WHEN doc_id % 7 < 3
+              THEN '// SPDX-License-Identifier: '
+                   || ([{ids}])[(doc_id % 7) + 1] || ' ' || text
+              ELSE text END AS t
+  FROM documents),
+x AS (SELECT source,
+             coalesce(nullif(regexp_extract(t, '{SPDX_PATTERN}', 1), ''),
+                      'unknown') AS license
+      FROM planted)
+SELECT source, license, CAST(count(*) AS BIGINT) AS n
+FROM x GROUP BY source, license
+ORDER BY source, license
+"""

@@ -5717,6 +5717,9 @@ def build_queries() -> dict:
         "graph_pagerank": __import__(
             "lucene_solr_ray.ops.graph",
             fromlist=["pagerank"]).pagerank,
+        "code_license_rollup": __import__(
+            "lucene_solr_ray.ops.code",
+            fromlist=["license_rollup"]).license_rollup,
         "rel_join_rollup": R.join_rollup,
         "rel_hierarchical_facet": R.hierarchical_facet,
         "rel_assoc_facet": R.association_facet,
@@ -6081,6 +6084,9 @@ def build_oracle_sql() -> dict:
         "graph_pagerank": __import__(
             "lucene_solr_ray.ops.graph",
             fromlist=["pagerank_sql"]).pagerank_sql(),
+        "code_license_rollup": __import__(
+            "lucene_solr_ray.ops.code",
+            fromlist=["license_rollup_sql"]).license_rollup_sql(),
         "sketch_theta_exact": __import__(
             "lucene_solr_ray.ops.sketches",
             fromlist=["theta_users_exact_sql"]).theta_users_exact_sql(),

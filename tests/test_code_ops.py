@@ -151,3 +151,34 @@ def test_capped_sample_determinism_and_cap(tmp_path, ray_session):
         want = sorted(sorted(members, key=lambda i: (h(i), i))[:5])
         got = sorted(out[out["source"] == s]["doc_id"].tolist())
         assert got == want
+
+
+def test_license_rollup_plant_and_unknown(tmp_path, ray_session):
+    from lucene_solr_ray.ops.code import license_rollup
+
+    # ids 0..6 cover the full plant cycle (3 licenses + 4 unknowns)
+    t = pa.table({
+        "doc_id": pa.array(range(7), type=pa.int64()),
+        "text": pa.array(["t"] * 7),
+        "source": pa.array(["s0"] * 7),
+    })
+    d = tmp_path / "fixture"
+    d.mkdir(exist_ok=True)
+    pq.write_table(t, str(d / "documents.parquet"))
+    sf = str(d)
+    out = license_rollup(sf).to_pandas()
+    got = dict(zip(out["license"], out["n"]))
+    assert got == {"MIT": 1, "Apache-2.0": 1, "GPL-3.0-only": 1,
+                   "unknown": 4}
+
+
+def test_license_pattern_finds_existing_header():
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from lucene_solr_ray.ops.code import SPDX_PATTERN
+
+    ex = pc.extract_regex(
+        pa.array(["x // SPDX-License-Identifier: BSD-3-Clause tail"]),
+        pattern=SPDX_PATTERN)
+    assert pc.struct_field(ex, "lic").to_pylist() == ["BSD-3-Clause"]
