@@ -448,3 +448,63 @@ FROM d JOIN c USING (user_id)
 GROUP BY day_offset
 ORDER BY day_offset
 """
+
+
+def window_enrich(sf_dir: str) -> pa.Table:
+    """Per-user window functions (the SELECT ... OVER family a feature
+    pipeline derives from an event stream): row_number, gap to the
+    previous event, previous event type, and the running value sum —
+    all within one groupby(user_id) shuffle, vectorized per group.
+    The running sum is over per-row QUANTIZED values (int64 cumsum over
+    the (ts, event_id) order), so it is exact and the twin's integer
+    window SUM reproduces it bit for bit. First-event sentinels: -1 gap,
+    '' prev_type."""
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        us = _ts_us(df["ts"])
+        vq = _q4_scalar(df["value"].to_numpy())
+        gaps = np.empty(len(df), dtype=np.int64)
+        gaps[0] = -1
+        if len(df) > 1:
+            gaps[1:] = (us[1:] - us[:-1]) // 1_000_000
+        prev = np.empty(len(df), dtype=object)
+        prev[0] = ""
+        prev[1:] = df["event_type"].to_numpy()[:-1]
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            "user_id": df["user_id"].to_numpy(),
+            "rn": np.arange(1, len(df) + 1, dtype=np.int64),
+            "gap_s": gaps,
+            "prev_type": prev,
+            "run_value_q": np.cumsum(vq),
+        })
+
+    ds = _read(sf_dir, ["event_id", "ts", "user_id", "event_type",
+                        "value"])
+    df = (ds.groupby("user_id").map_groups(per_user,
+                                           batch_format="pandas")
+          .to_pandas())
+    for c in ("event_id", "user_id", "rn", "gap_s", "run_value_q"):
+        df[c] = df[c].astype("int64")
+    df = df.sort_values("event_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def window_enrich_sql() -> str:
+    return """
+WITH x AS (SELECT event_id, user_id, ts, event_type,
+                  CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v_q
+           FROM events)
+SELECT event_id, user_id,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(coalesce((epoch_us(ts) - lag(epoch_us(ts)) OVER w)
+                         // 1000000, -1) AS BIGINT) AS gap_s,
+       coalesce(lag(event_type) OVER w, '') AS prev_type,
+       CAST(sum(v_q) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS run_value_q
+FROM x
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id
+"""

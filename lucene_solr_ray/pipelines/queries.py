@@ -5705,6 +5705,7 @@ def build_queries() -> dict:
         "rel_json_field": R.json_field_rollup,
         "rel_funnel": TMP.funnel_depths,
         "rel_cohort_retention": TMP.cohort_retention,
+        "rel_window_enrich": TMP.window_enrich,
         "text_weighted_sample": T.weighted_sample,
         "text_balanced_sample": T.balanced_sample,
         "text_capped_sample": T.capped_sample,
@@ -6108,6 +6109,9 @@ def build_oracle_sql() -> dict:
         "rel_cohort_retention": __import__(
             "lucene_solr_ray.ops.temporal",
             fromlist=["cohort_retention_sql"]).cohort_retention_sql(),
+        "rel_window_enrich": __import__(
+            "lucene_solr_ray.ops.temporal",
+            fromlist=["window_enrich_sql"]).window_enrich_sql(),
         "rel_join_rollup": RS.JOIN_ROLLUP,
         "rel_hierarchical_facet": RS.HIERARCHICAL_FACET,
         "rel_assoc_facet": __import__(

@@ -189,3 +189,28 @@ def test_cohort_retention_offsets(ray_session, tmp_path):
     assert out.loc[0, "n_users"] == 2
     assert out.loc[2, "n_users"] == 2
     assert 1 not in out.index
+
+
+def test_window_enrich_sentinels_and_running_sum(tmp_path, ray_session):
+    """First event of a user gets gap=-1/prev=''; the running sum is the
+    cumulative quantized value in (ts, event_id) order, ties included."""
+    from lucene_solr_ray.ops.temporal import window_enrich
+
+    rows = [
+        (1, T0, 7, "view", 1.00),
+        (2, T0 + dt.timedelta(seconds=30), 7, "click", 2.50),
+        # same-timestamp tie → event_id orders them
+        (3, T0 + dt.timedelta(seconds=30), 7, "view", 0.25),
+        (4, T0, 9, "view", 9.99),
+    ]
+    sf = _write(tmp_path, rows)
+    out = window_enrich(sf).to_pandas().set_index("event_id")
+    assert out.loc[1, ["rn", "gap_s", "prev_type"]].tolist() \
+        == [1, -1, ""]
+    assert out.loc[2, ["rn", "gap_s", "prev_type"]].tolist() \
+        == [2, 30, "view"]
+    assert out.loc[3, ["rn", "gap_s", "prev_type"]].tolist() \
+        == [3, 0, "click"]
+    assert out.loc[4, ["rn", "gap_s", "prev_type"]].tolist() \
+        == [1, -1, ""]
+    assert out["run_value_q"].tolist() == [10000, 35000, 37500, 99900]
