@@ -430,3 +430,107 @@ SELECT term, CAST(count(*) AS BIGINT) AS est
 FROM toks WHERE term <> ''
 GROUP BY term ORDER BY est DESC, term LIMIT {n}
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005): d independent rows
+# of w counters; item -> row r increments counter md5low64(r:item) % w;
+# point estimate = min over rows. Deterministic buckets (the
+# md5_number_lower twin hash shared with the sampling coins) + integer
+# sums make the whole sketch MERGE-ORDER INVARIANT and fully
+# oracle-paired OUTRIGHT at the real width (the hdr_quantiles stance,
+# stronger than the theta/MG degenerate-mode pairing): the DuckDB twin
+# rebuilds the identical d x w table and takes the identical min.
+# Guarantees: est >= true always; est <= true + 2N/w with prob
+# >= 1 - 2^-d per query. Per batch the shuffle carries <= d*w partial
+# rows; the sketch itself is O(d*w) regardless of stream length --
+# the frequency-query companion to hll (cardinality), theta
+# (intersection), hdr (quantiles) and MG (heavy hitters).
+# Reference role: solr:search/facet sketch aggregates (HLLAgg.java
+# sibling); the reference bundles no CMS -- this is training-data
+# pipeline depth (per-key frequency estimation over unbounded keys).
+
+CMS_W = 256
+CMS_D = 4
+CMS_NQ = 10
+
+
+def _cms_buckets(ids: np.ndarray, w: int, d: int) -> np.ndarray:
+    """(d, len(ids)) bucket matrix, md5low64(f"{r}:{id}") % w per row —
+    bit-identical to DuckDB md5_number_lower(r || ':' || id) % w."""
+    import hashlib
+
+    out = np.empty((d, len(ids)), dtype=np.int64)
+    for j, i in enumerate(ids):
+        s = str(int(i))
+        for r in range(d):
+            h = int.from_bytes(
+                hashlib.md5(f"{r}:{s}".encode()).digest()[8:], "little")
+            out[r, j] = h % w
+    return out
+
+
+def cms_user_counts(sf_dir: str, w: int = CMS_W, d: int = CMS_D,
+                    nq: int = CMS_NQ) -> pa.Table:
+    """Estimate per-user event counts for the nq smallest user ids
+    through a d x w Count-Min sketch built in one streaming pass:
+    per-batch bincount partials (<= d*w rows each) -> one tiny
+    groupby(r, b) sum -> driver-side min over rows per query bucket.
+    Returns (user_id, est) ordered by user_id."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id"], override_num_blocks=8)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["user_id"], dtype=np.int64)
+        uniq, cnt = np.unique(ids, return_counts=True)
+        bk = _cms_buckets(uniq, w, d)
+        rows, buckets, ns = [], [], []
+        for r in range(d):
+            binc = np.bincount(bk[r], weights=cnt, minlength=w)
+            nz = np.nonzero(binc)[0]
+            rows.append(np.full(len(nz), r, dtype=np.int64))
+            buckets.append(nz.astype(np.int64))
+            ns.append(binc[nz].astype(np.int64))
+        # nq-smallest unique ids ride along as (r=-1, id, 0) partials
+        small = np.sort(uniq)[:nq]
+        rows.append(np.full(len(small), -1, dtype=np.int64))
+        buckets.append(small)
+        ns.append(np.zeros(len(small), dtype=np.int64))
+        return pa.table({"r": pa.array(np.concatenate(rows)),
+                         "b": pa.array(np.concatenate(buckets)),
+                         "n": pa.array(np.concatenate(ns))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["r", "b"]).sum("n").to_pandas())
+    cms = np.zeros((d, w), dtype=np.int64)
+    sk = agg[agg["r"] >= 0]
+    cms[sk["r"].to_numpy(), sk["b"].to_numpy()] = sk["sum(n)"].to_numpy()
+    qids = np.sort(agg.loc[agg["r"] < 0, "b"].unique())[:nq]
+    qb = _cms_buckets(qids, w, d)
+    est = cms[np.arange(d)[:, None], qb].min(axis=0)
+    return pa.table({"user_id": pa.array(qids, type=pa.int64()),
+                     "est": pa.array(est, type=pa.int64())})
+
+
+def cms_user_counts_sql(w: int = CMS_W, d: int = CMS_D,
+                        nq: int = CMS_NQ) -> str:
+    """Twin: the identical d x w integer sketch via md5_number_lower,
+    identical query buckets, identical min."""
+    return f"""
+WITH rws AS (SELECT unnest(range(0, {d})) AS r),
+h AS (SELECT r, CAST(md5_number_lower(r || ':' || user_id) % {w} AS BIGINT)
+             AS b
+      FROM events CROSS JOIN rws),
+cms AS (SELECT r, b, count(*) AS n FROM h GROUP BY r, b),
+qs AS (SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT {nq}),
+qb AS (SELECT q.user_id, rws.r,
+              CAST(md5_number_lower(rws.r || ':' || q.user_id) % {w}
+                   AS BIGINT) AS b
+       FROM qs q CROSS JOIN rws)
+SELECT qb.user_id, CAST(min(cms.n) AS BIGINT) AS est
+FROM qb JOIN cms ON qb.r = cms.r AND qb.b = cms.b
+GROUP BY qb.user_id
+ORDER BY qb.user_id
+"""

@@ -5740,6 +5740,12 @@ def build_queries() -> dict:
         "sketch_hdr_quantiles": __import__(
             "lucene_solr_ray.ops.sketches",
             fromlist=["hdr_quantiles"]).hdr_quantiles,
+        # Count-Min point-frequency sketch: like hdr, oracle-paired
+        # OUTRIGHT at the real width (the twin rebuilds the identical
+        # d×w integer table from the shared md5 bucket hash)
+        "sketch_cms_users": __import__(
+            "lucene_solr_ray.ops.sketches",
+            fromlist=["cms_user_counts"]).cms_user_counts,
         # Misra-Gries heavy hitters: the real summary (k=32, rows-only,
         # pytest-bounded) and the k ≥ vocab degenerate exact twin
         "sketch_topk_terms": __import__(
@@ -6094,6 +6100,9 @@ def build_oracle_sql() -> dict:
         "sketch_hdr_quantiles": __import__(
             "lucene_solr_ray.ops.sketches",
             fromlist=["hdr_quantiles_sql"]).hdr_quantiles_sql(),
+        "sketch_cms_users": __import__(
+            "lucene_solr_ray.ops.sketches",
+            fromlist=["cms_user_counts_sql"]).cms_user_counts_sql(),
         "sketch_topk_exact": __import__(
             "lucene_solr_ray.ops.sketches",
             fromlist=["topk_terms_exact_sql"]).topk_terms_exact_sql(),

@@ -124,6 +124,7 @@ PARAMETRIZED = [
     "ft_expr_strdist_jw",
     "ft_highlight_passages",
     "ft_highlight_fvh",
+    "sketch_cms_users",
 ]
 
 

@@ -186,3 +186,48 @@ def test_topk_exact_mode_partition_invariant(tmp_path, ray_session):
     out = topk_terms(str(d), k=1 << 16, n=10).to_pandas()
     assert list(zip(out["term"], out["est"])) == [
         ("c", 5), ("b", 3), ("a", 2), ("d", 1)]
+
+
+def test_cms_overestimates_and_degenerates_exact(tmp_path, ray_session):
+    """est >= true always; with w large enough that no two observed
+    users collide in any row, est == exact per-user counts."""
+    import collections
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.ops.sketches import cms_user_counts
+
+    rng = np.random.default_rng(7)
+    users = rng.integers(0, 40, size=2000)
+    t = pa.table({"user_id": pa.array(users, type=pa.int64())})
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    true = collections.Counter(users.tolist())
+
+    out = cms_user_counts(str(d), w=64, d=4, nq=10).to_pandas()
+    for uid, est in zip(out["user_id"], out["est"]):
+        assert est >= true[uid]
+
+    exact = cms_user_counts(str(d), w=1 << 16, d=4, nq=10).to_pandas()
+    for uid, est in zip(exact["user_id"], exact["est"]):
+        assert est == true[uid], (uid, est, true[uid])
+
+
+def test_cms_bucket_hash_matches_duckdb():
+    """The numpy bucket matrix is bit-identical to the twin's
+    md5_number_lower(r || ':' || id) % w."""
+    import duckdb
+
+    from lucene_solr_ray.ops.sketches import _cms_buckets
+
+    ids = np.array([0, 1, 17, 123456789, 2**40], dtype=np.int64)
+    bk = _cms_buckets(ids, 256, 4)
+    con = duckdb.connect()
+    for j, i in enumerate(ids):
+        for r in range(4):
+            v = con.sql(
+                f"SELECT md5_number_lower('{r}:{int(i)}') % 256"
+            ).fetchone()[0]
+            assert int(v) == bk[r, j]
