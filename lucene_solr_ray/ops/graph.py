@@ -266,3 +266,100 @@ r0 AS (SELECT src AS node, CAST(%d AS BIGINT) AS r FROM deg)""" % PR_SCALE]
 SELECT node, CAST(r AS BIGINT) AS rank_u
 FROM r{iters} ORDER BY r DESC, node LIMIT {k}
 """)
+
+
+# ---------------------------------------------------------------------------
+# Label propagation community detection (Raghavan et al. 2007, the
+# synchronous/Jacobi variant made deterministic): every node starts as
+# its own community, then for R fixed rounds simultaneously adopts the
+# label that is most frequent among its neighbors, ties broken by the
+# lexicographically smallest label. All counts are exact integers and
+# the tie-break is total, so the result is independent of batch and
+# partition order — the pagerank/connected_components discipline that
+# lets the DuckDB twin (chained CTEs with a row_number argmax)
+# reproduce it hash-exactly. Each round is ONE hash join (labels onto
+# edge sources) + per-batch (dst, lab) partial counts + ONE
+# groupby(dst) shuffle whose payload is bounded by distinct neighbor
+# labels, not edges. Same user↔event_type graph as pagerank.
+
+LP_ITERS = 3
+
+
+def label_propagation(sf_dir: str, iters: int = LP_ITERS,
+                      num_partitions: int = 8, k: int = 20) -> pa.Table:
+    """Community sizes after `iters` synchronous label-propagation
+    rounds: (community, n_nodes), largest first, ties by label."""
+    import pandas as pd
+
+    edges = _event_edges(sf_dir)
+
+    def strip_cnt(t: pa.Table) -> pa.Table:
+        return t.select(["src", "dst"])
+
+    edges = (edges.map_batches(strip_cnt, batch_format="pyarrow")
+             .repartition(num_partitions).materialize())
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["src"], "lab": t["src"]})
+
+    labels = (edges.groupby("src").count()
+              .map_batches(lambda t: pa.table({"node": t["src"],
+                                               "lab": t["src"]}),
+                           batch_format="pyarrow")
+              .repartition(num_partitions).materialize())
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["dst", "lab"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        return g
+
+    def argmax_label(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("lab", as_index=False)["n"].sum()
+             .sort_values(["n", "lab"], ascending=[False, True]))
+        return pd.DataFrame({"node": [df["dst"].iloc[0]],
+                             "lab": [g["lab"].iloc[0]]})
+
+    for _ in range(iters):
+        prop = edges.join(labels, join_type="inner",
+                          num_partitions=num_partitions,
+                          on=("src",), right_on=("node",))
+        labels = (prop.map_batches(partial_counts, batch_format="pandas")
+                  .groupby("dst")
+                  .map_groups(argmax_label, batch_format="pandas")
+                  # scrub hash-shuffle empty-schema blocks before the
+                  # next round's join (connected_components discipline)
+                  .repartition(num_partitions).materialize())
+
+    sizes = (labels.map_batches(
+                 lambda df: df.groupby("lab", as_index=False).size()
+                 .rename(columns={"size": "n"}),
+                 batch_format="pandas")
+             .groupby("lab").sum("n").to_pandas()
+             .rename(columns={"lab": "community", "sum(n)": "n_nodes"})
+             .sort_values(["n_nodes", "community"],
+                          ascending=[False, True]).head(k)
+             .reset_index(drop=True))
+    sizes["n_nodes"] = sizes["n_nodes"].astype(np.int64)
+    return pa.Table.from_pandas(sizes, preserve_index=False)
+
+
+def label_propagation_sql(iters: int = LP_ITERS, k: int = 20) -> str:
+    """Twin: identical synchronous rounds as chained CTEs; argmax =
+    row_number() over (count desc, label asc)."""
+    ctes = ["""e0 AS (SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src,
+                     'e:' || event_type AS dst FROM events),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""c{i} AS (SELECT e.dst AS node, l.lab, count(*) AS n
+       FROM edges e JOIN l{i-1} l ON e.src = l.node
+       GROUP BY e.dst, l.lab),
+l{i} AS (SELECT node, lab FROM
+         (SELECT node, lab, row_number() OVER
+              (PARTITION BY node ORDER BY n DESC, lab ASC) AS rn
+          FROM c{i}) WHERE rn = 1)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_nodes
+FROM l{iters} GROUP BY lab
+ORDER BY n_nodes DESC, community LIMIT {k}
+""")

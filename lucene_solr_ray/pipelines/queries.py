@@ -5718,6 +5718,9 @@ def build_queries() -> dict:
         "graph_pagerank": __import__(
             "lucene_solr_ray.ops.graph",
             fromlist=["pagerank"]).pagerank,
+        "graph_label_prop": __import__(
+            "lucene_solr_ray.ops.graph",
+            fromlist=["label_propagation"]).label_propagation,
         "code_license_rollup": __import__(
             "lucene_solr_ray.ops.code",
             fromlist=["license_rollup"]).license_rollup,
@@ -6091,6 +6094,9 @@ def build_oracle_sql() -> dict:
         "graph_pagerank": __import__(
             "lucene_solr_ray.ops.graph",
             fromlist=["pagerank_sql"]).pagerank_sql(),
+        "graph_label_prop": __import__(
+            "lucene_solr_ray.ops.graph",
+            fromlist=["label_propagation_sql"]).label_propagation_sql(),
         "code_license_rollup": __import__(
             "lucene_solr_ray.ops.code",
             fromlist=["license_rollup_sql"]).license_rollup_sql(),

@@ -125,6 +125,7 @@ PARAMETRIZED = [
     "ft_highlight_passages",
     "ft_highlight_fvh",
     "sketch_cms_users",
+    "graph_label_prop",
 ]
 
 

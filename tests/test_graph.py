@@ -104,3 +104,55 @@ def test_pagerank_integer_recurrence(tmp_path, ray_session):
     # the hub (everyone's event) outranks the solo event type
     ranks = dict(want)
     assert ranks["e:hub"] > ranks["e:solo"]
+
+
+def test_label_propagation_planted_communities(tmp_path, ray_session):
+    """Two disjoint bipartite blocks converge to two communities whose
+    sizes match; partition-count invariance; and the result equals a
+    single-threaded run of the identical synchronous recurrence."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.ops.graph import label_propagation
+
+    rows = []
+    eid = 0
+    # block A: users 0-4 x types a1/a2; block B: users 10-12 x type b1
+    for u in range(5):
+        for et in ("a1", "a2"):
+            rows.append((eid, u, et)); eid += 1
+    for u in (10, 11, 12):
+        rows.append((eid, u, "b1")); eid += 1
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], type=pa.string()),
+    })
+    d = tmp_path / "lp"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+
+    # single-threaded reference of the same synchronous rounds
+    edges = {("u:%d" % u, "e:%s" % e) for _, u, e in rows}
+    edges |= {(b, a) for a, b in edges}
+    lab = {n: n for n in {a for a, _ in edges}}
+    for _ in range(3):
+        import collections
+        cnt = collections.defaultdict(collections.Counter)
+        for a, b in edges:
+            cnt[b][lab[a]] += 1
+        lab = {n: min(c, key=lambda L: (-c[L], L))
+               for n, c in cnt.items()}
+    import collections
+    sizes = collections.Counter(lab.values())
+    want = sorted(((L, n) for L, n in sizes.items()),
+                  key=lambda x: (-x[1], x[0]))
+
+    for parts in (2, 5):
+        got = label_propagation(str(d), num_partitions=parts).to_pandas()
+        assert list(zip(got["community"], got["n_nodes"])) == want
+    # the two blocks never mix
+    a_lab = {L for n, L in lab.items() if n.endswith(("a1", "a2"))
+             or n.startswith("u:0")}
+    b_lab = {lab["e:b1"], lab["u:10"]}
+    assert not (a_lab & b_lab)
