@@ -721,3 +721,140 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
 FROM bg JOIN q USING (w1, w2)
 GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination — the CONSTANT-MEMORY broadcast variant
+# of contamination_hits. The exact recipe broadcasts the eval set's
+# full n-gram hash set, which grows with the benchmark suite; here the
+# eval grams are folded into a partitioned Bloom filter (BLOOM_K seed
+# rows x BLOOM_M bits = 24 KiB at the defaults, independent of eval
+# size), OR-merged from per-batch partial bitmaps and shipped once via
+# ray.put. A training n-gram "hits" iff all K seeded positions are
+# set, so bloom counts >= exact counts (no false negatives); the
+# false-positive rate is (set_bits/M)^K per absent gram. Positions use
+# the shared md5_number_lower twin hash, so the DuckDB oracle rebuilds
+# the IDENTICAL filter and the pairing is outright (the Count-Min
+# stance), FPs included.
+
+BLOOM_M = 1 << 16
+BLOOM_K = 3
+
+
+def _bloom_pos(gram: str, s: int, m: int = BLOOM_M) -> int:
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.md5(f"{s}|{gram}".encode()).digest()[8:],
+        "little") % m
+
+
+def bloom_contamination_hits(sf_dir: str, n: int = NGRAM_N,
+                             m: int = BLOOM_M,
+                             k: int = BLOOM_K) -> pa.Table:
+    """(doc_id, n_bloom_hits) for every training doc with >= 1 n-gram
+    whose K bloom positions are all set by the eval slice
+    (doc_id % EVAL_MOD == EVAL_REMAINDER)."""
+    import ray
+
+    def eval_bits(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        sel = (ids % EVAL_MOD) == EVAL_REMAINDER
+        bits = np.zeros((k, m // 8), dtype=np.uint8)
+        if sel.any():
+            sub = batch.filter(pa.array(sel))
+            ab = analyze_batch(sub["text"], keep_stopwords=True)
+            grams = set().union(*_doc_ngrams(ab, len(sub), n)) \
+                if len(sub) else set()
+            for g in grams:
+                for s in range(k):
+                    p = _bloom_pos(g, s, m)
+                    bits[s, p >> 3] |= 1 << (p & 7)
+        return pa.table({"bits": pa.array([bits.tobytes()],
+                                          type=pa.binary())})
+
+    parts = (_read_docs(sf_dir)
+             .map_batches(eval_bits, batch_format="pyarrow").to_pandas())
+    merged = np.zeros(k * (m // 8), dtype=np.uint8)
+    for blob in parts["bits"]:
+        merged |= np.frombuffer(blob, dtype=np.uint8)
+    ref = ray.put(merged.reshape(k, m // 8))
+
+    def hits(batch: pa.Table) -> pa.Table:
+        bits = ray.get(ref)
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        sel = (ids % EVAL_MOD) != EVAL_REMAINDER
+        sub = batch.filter(pa.array(sel))
+        if len(sub) == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "n_bloom_hits": pa.array([],
+                                                      type=pa.int64())})
+        ab = analyze_batch(sub["text"], keep_stopwords=True)
+        gram_sets = _doc_ngrams(ab, len(sub), n)
+        memo: dict[str, bool] = {}
+
+        def is_hit(g: str) -> bool:
+            v = memo.get(g)
+            if v is None:
+                v = all(bits[s, (p := _bloom_pos(g, s, m)) >> 3]
+                        >> (p & 7) & 1 for s in range(k))
+                memo[g] = v
+            return v
+
+        counts = [sum(is_hit(g) for g in gs) for gs in gram_sets]
+        t = pa.table({
+            "doc_id": sub["doc_id"],
+            "n_bloom_hits": pa.array(np.asarray(counts,
+                                                dtype=np.int64)),
+        })
+        return t.filter(pc.greater(t["n_bloom_hits"], 0))
+
+    ds = _read_docs(sf_dir).map_batches(hits, batch_format="pyarrow")
+    parts = [b for b in ds.iter_batches(batch_format="pyarrow",
+                                        batch_size=None)
+             if b.num_rows > 0]
+    if not parts:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "n_bloom_hits": pa.array([], type=pa.int64())})
+    df = pa.concat_tables(parts, promote_options="default") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def bloom_contamination_sql(n: int = NGRAM_N, m: int = BLOOM_M,
+                            k: int = BLOOM_K) -> str:
+    """Twin: rebuilds the identical partitioned Bloom filter (DISTINCT
+    (seed, position) rows) and the identical all-K membership test."""
+    leads = " || ' ' || ".join(
+        ["term"] + [f"lead(term, {i}) OVER w" for i in range(1, n)])
+    return f"""
+WITH tokens AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                            t -> length(t) <= 255)) AS term,
+         unnest(range(len(list_filter(regexp_extract_all(lower(text),
+                                                         '[a-z0-9]+'),
+                                      t -> length(t) <= 255)))) AS pos
+  FROM documents),
+g AS (SELECT doc_id, {leads} AS gram,
+             lead(term, {n - 1}) OVER w IS NOT NULL AS ok
+      FROM tokens WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+seeds AS (SELECT unnest(range(0, {k})) AS s),
+bits AS (SELECT DISTINCT s,
+                CAST(md5_number_lower(s || '|' || gram) % {m} AS BIGINT)
+                    AS p
+         FROM (SELECT DISTINCT gram FROM g
+               WHERE ok AND doc_id % {EVAL_MOD} = {EVAL_REMAINDER})
+         CROSS JOIN seeds),
+tg AS (SELECT DISTINCT doc_id, gram FROM g
+       WHERE ok AND doc_id % {EVAL_MOD} <> {EVAL_REMAINDER}),
+ch AS (SELECT t.doc_id, t.gram, count(*) AS mhit
+       FROM tg t CROSS JOIN seeds s
+       JOIN bits b ON b.s = s.s
+          AND b.p = CAST(md5_number_lower(s.s || '|' || t.gram) % {m}
+                         AS BIGINT)
+       GROUP BY t.doc_id, t.gram)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom_hits
+FROM ch WHERE mhit = {k}
+GROUP BY doc_id ORDER BY doc_id
+"""

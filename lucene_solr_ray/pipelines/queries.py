@@ -5884,6 +5884,9 @@ def build_queries() -> dict:
         # GPT-style concat-and-chunk placement (distributed prefix sum)
         "pipeline_pack_sequences": pack_sequences,
         "text_contamination": QF.contamination_hits,
+        # constant-memory Bloom variant: oracle-paired OUTRIGHT (the
+        # twin rebuilds the identical filter, false positives included)
+        "text_bloom_decontam": QF.bloom_contamination_hits,
         "text_unigram_lm": QF.unigram_logprob,
         "text_bigram_lm": QF.bigram_logprob,
         # DSIR hashed-unigram importance weights (target/source ratio)
@@ -6289,6 +6292,7 @@ SELECT doc_id, n_tokens, start_off,
 FROM o ORDER BY doc_id
 """,
         "text_contamination": QF.contamination_sql(),
+        "text_bloom_decontam": QF.bloom_contamination_sql(),
         "text_unigram_lm": QF.unigram_logprob_sql(),
         "text_dsir_weights": QF.dsir_weights_sql(),
         "text_bigram_lm": QF.bigram_logprob_sql(),

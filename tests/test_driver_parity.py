@@ -126,6 +126,7 @@ PARAMETRIZED = [
     "ft_highlight_fvh",
     "sketch_cms_users",
     "graph_label_prop",
+    "text_bloom_decontam",
 ]
 
 

@@ -190,3 +190,35 @@ def test_bigram_logprob_scores_fluent_pairs_higher(ray_session, tmp_path):
     # "the cat" occurs 3x, "cat sat" 2x — fluent docs beat the one-off
     assert per[0] > per[3] and per[2] > per[3]
     assert per[0] == per[2]  # identical docs, identical scores
+
+
+def test_bloom_decontam_superset_and_exact_at_large_m(ray_session,
+                                                      tmp_path):
+    """Bloom hits are a superset of exact hits (no false negatives);
+    with m large the FP chance vanishes and counts match exactly; with
+    a tiny filter FPs may appear but counts never drop below exact."""
+    from lucene_solr_ray.ops.quality_filters import \
+        bloom_contamination_hits
+
+    bench = "alpha beta gamma delta epsilon zeta eta theta"
+    sf = _write_docs(tmp_path, [
+        (7, bench),
+        (1, "training doc with " + bench + " copied inside"),
+        (2, "clean doc nothing shared with the benchmark text here"),
+        (107, "second eval member iota kappa lambda mu nu xi"),
+    ])
+    exact = contamination_hits(sf)
+    em = dict(zip(exact["doc_id"].to_pylist(),
+                  exact["n_hits"].to_pylist()))
+
+    big = bloom_contamination_hits(sf, m=1 << 20)
+    bm = dict(zip(big["doc_id"].to_pylist(),
+                  big["n_bloom_hits"].to_pylist()))
+    assert bm == em
+
+    tiny = bloom_contamination_hits(sf, m=64, k=2)
+    tm = dict(zip(tiny["doc_id"].to_pylist(),
+                  tiny["n_bloom_hits"].to_pylist()))
+    assert set(em) <= set(tm)
+    assert all(tm[d] >= c for d, c in em.items())
+    assert 7 not in tm and 107 not in tm
