@@ -1,0 +1,165 @@
+"""Z-order (Morton curve) data layout — multi-dimensional clustering
+for scan locality, the lakehouse-side counterpart of the index
+module's sorted segments (reference analogue: the early-termination
+sorted index, core:index/IndexWriterConfig setIndexSort — here the
+sort key is a space-filling curve so range predicates on EITHER
+dimension prune files).
+
+Interleaving the bits of two 16-bit keys gives a 32-bit curve
+position; sorting by it co-locates rows that are close in BOTH
+dimensions, so per-file (min, max) z-ranges let a reader skip files
+for a 2-D box predicate — the same pruning the searcher does with
+parquet row-group statistics (`searcher._term_range_seek`). All
+integer bit math, so the driver query pairs with a DuckDB twin that
+derives the identical curve position via a bits-table join.
+
+At 100 TB the shape is: one vectorized map_batches computing z, one
+distributed sort (Ray's range-partitioned shuffle), partitioned
+write; the pruning index is the constant-size per-file z-range table.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+Z_BITS = 16
+
+
+def _spread16(v: np.ndarray) -> np.ndarray:
+    """Interleave zeros between the low 16 bits of v (uint64 Morton
+    spread): bit i moves to bit 2i."""
+    x = v.astype(np.uint64) & np.uint64(0xFFFF)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x33333333)
+    x = (x | (x << np.uint64(1))) & np.uint64(0x55555555)
+    return x
+
+
+def zorder_key(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """int64 Morton code of two 16-bit coordinates: x on even bits,
+    y on odd bits."""
+    return (_spread16(x) | (_spread16(y) << np.uint64(1))) \
+        .astype(np.int64)
+
+
+def _event_xy(batch: pa.Table):
+    """The clustered dimensions: x = user_id & 0xFFFF, y = value in
+    cents clipped to 16 bits — both exact integer derivations shared
+    with the SQL twin."""
+    uid = np.asarray(batch["user_id"], dtype=np.int64)
+    cents = np.floor(
+        np.asarray(batch["value"], dtype=np.float64) * 100 + 0.5
+    ).astype(np.int64)
+    x = uid & 0xFFFF
+    y = np.clip(cents, 0, 0xFFFF)
+    return x, y
+
+
+def zorder_events(sf_dir: str, k: int = 50) -> pa.Table:
+    """Driver query: the first k events along the Morton curve —
+    (event_id, zkey), ordered by (zkey, event_id). One vectorized
+    pass + a top-k (the full-layout path is zorder_write)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "value"],
+                         override_num_blocks=8)
+
+    def zmap(batch: pa.Table) -> pa.Table:
+        x, y = _event_xy(batch)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "zkey": pa.array(zorder_key(x, y)),
+        })
+
+    df = (ds.map_batches(zmap, batch_format="pyarrow")
+          .sort(["zkey", "event_id"]).limit(k).to_pandas())
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def zorder_events_sql(k: int = 50) -> str:
+    """Twin: identical Morton code via a bits-table join — bit i of x
+    lands on bit 2i, bit i of y on bit 2i+1."""
+    return f"""
+WITH xy AS (SELECT event_id,
+                   CAST(user_id AS BIGINT) & 65535 AS x,
+                   greatest(0, least(
+                       CAST(floor(value * 100 + 0.5) AS BIGINT),
+                       65535)) AS y
+            FROM events),
+bits AS (SELECT unnest(range(0, {Z_BITS})) AS i),
+z AS (SELECT event_id,
+             sum((((x >> i) & 1) << (2 * i))
+                 + (((y >> i) & 1) << (2 * i + 1))) AS zkey
+      FROM xy CROSS JOIN bits GROUP BY event_id)
+SELECT event_id, CAST(zkey AS BIGINT) AS zkey
+FROM z ORDER BY zkey, event_id LIMIT {k}
+"""
+
+
+def zorder_write(sf_dir: str, out_dir: str,
+                 num_files: int = 8) -> list[dict]:
+    """Materialize the z-clustered layout: sort events by (zkey,
+    event_id), split into num_files equal-count files, and return the
+    per-file pruning index [{path, min_z, max_z, rows}]. The write is
+    partitioned (resumable layout: one file per curve range)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         override_num_blocks=8)
+
+    def zmap(batch: pa.Table) -> pa.Table:
+        x, y = _event_xy(batch)
+        return batch.append_column("zkey", pa.array(zorder_key(x, y)))
+
+    t = (ds.map_batches(zmap, batch_format="pyarrow")
+         .sort(["zkey", "event_id"])
+         # order-preserving split into the target file count; the
+         # write stays distributed (one file per sorted block) — the
+         # full table never reaches the driver
+         .repartition(num_files))
+    os.makedirs(out_dir, exist_ok=True)
+    for name in os.listdir(out_dir):   # the layout owns its dir
+        if name.endswith(".parquet"):
+            os.unlink(os.path.join(out_dir, name))
+    t.write_parquet(out_dir)
+    # constant-size pruning index from the written files' own parquet
+    # column statistics (the row-group-stats discipline of
+    # searcher._term_range_seek)
+    import pyarrow.parquet as pq
+
+    index = []
+    for name in sorted(os.listdir(out_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        path = os.path.join(out_dir, name)
+        md = pq.ParquetFile(path).metadata
+        if md.num_rows == 0:
+            continue
+        zi = next(i for i in range(len(md.schema))
+                  if md.schema.column(i).name == "zkey")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(zi).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        index.append({"path": path, "min_z": int(min(mins)),
+                      "max_z": int(max(maxs)),
+                      "rows": int(md.num_rows)})
+    return index
+
+
+def files_for_box(index: list[dict], x_lo: int, x_hi: int,
+                  y_lo: int, y_hi: int) -> list[str]:
+    """Prune the layout for a 2-D box query: a file can contain a row
+    in the box only if its [min_z, max_z] intersects the box's
+    [zmin, zmax] envelope (the coarse BIGMIN-free check — sound,
+    conservative)."""
+    zmin = int(zorder_key(np.array([x_lo]), np.array([y_lo]))[0])
+    zmax = int(zorder_key(np.array([x_hi]), np.array([y_hi]))[0])
+    return [e["path"] for e in index
+            if e["max_z"] >= zmin and e["min_z"] <= zmax]

@@ -5706,6 +5706,11 @@ def build_queries() -> dict:
         "rel_funnel": TMP.funnel_depths,
         "rel_cohort_retention": TMP.cohort_retention,
         "rel_window_enrich": TMP.window_enrich,
+        # Z-order layout: the curve-position query (the clustered
+        # write + file-pruning path is layout.zorder_write, pytest'd)
+        "rel_zorder_curve": __import__(
+            "lucene_solr_ray.ops.layout",
+            fromlist=["zorder_events"]).zorder_events,
         "text_weighted_sample": T.weighted_sample,
         "text_balanced_sample": T.balanced_sample,
         "text_capped_sample": T.capped_sample,
@@ -6130,6 +6135,9 @@ def build_oracle_sql() -> dict:
         "rel_window_enrich": __import__(
             "lucene_solr_ray.ops.temporal",
             fromlist=["window_enrich_sql"]).window_enrich_sql(),
+        "rel_zorder_curve": __import__(
+            "lucene_solr_ray.ops.layout",
+            fromlist=["zorder_events_sql"]).zorder_events_sql(),
         "rel_join_rollup": RS.JOIN_ROLLUP,
         "rel_hierarchical_facet": RS.HIERARCHICAL_FACET,
         "rel_assoc_facet": __import__(

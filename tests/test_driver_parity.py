@@ -127,6 +127,7 @@ PARAMETRIZED = [
     "sketch_cms_users",
     "graph_label_prop",
     "text_bloom_decontam",
+    "rel_zorder_curve",
 ]
 
 

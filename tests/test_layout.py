@@ -1,0 +1,81 @@
+"""Z-order layout (ops/layout.py): Morton-code correctness, clustered
+write + statistics-based file pruning; curve parity lives in
+test_driver_parity (rel_zorder_curve)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from lucene_solr_ray.ops.layout import (files_for_box, zorder_events,
+                                        zorder_key, zorder_write)
+
+
+def _interleave_ref(x: int, y: int) -> int:
+    z = 0
+    for i in range(16):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_key_matches_bitloop_reference():
+    rng = np.random.default_rng(3)
+    xs = rng.integers(0, 1 << 16, 200)
+    ys = rng.integers(0, 1 << 16, 200)
+    got = zorder_key(xs, ys)
+    for x, y, z in zip(xs, ys, got):
+        assert int(z) == _interleave_ref(int(x), int(y))
+    # extremes
+    assert int(zorder_key(np.array([0]), np.array([0]))[0]) == 0
+    assert int(zorder_key(np.array([0xFFFF]),
+                          np.array([0xFFFF]))[0]) == (1 << 32) - 1
+
+
+def _write_events(tmp_path, n=4000, seed=11):
+    rng = np.random.default_rng(seed)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "user_id": pa.array(rng.integers(0, 64, n), type=pa.int64()),
+        "value": pa.array(rng.uniform(0, 600, n).round(2)),
+    })
+    d = tmp_path / "src"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    return str(d)
+
+
+def test_zorder_write_clusters_and_prunes(ray_session, tmp_path):
+    sf = _write_events(tmp_path)
+    out = str(tmp_path / "layout")
+    idx = zorder_write(sf, out, num_files=8)
+    assert len(idx) == 8
+    assert sum(e["rows"] for e in idx) == 4000
+    # files cover disjoint, increasing z ranges (clustered layout)
+    idx_sorted = sorted(idx, key=lambda e: e["min_z"])
+    for a, b in zip(idx_sorted, idx_sorted[1:]):
+        assert a["max_z"] <= b["min_z"]
+
+    # a small 2-D box touches a strict subset of files, and reading
+    # only those files still yields every row in the box
+    pruned = files_for_box(idx, 0, 7, 0, 500)
+    assert 0 < len(pruned) < len(idx)
+    import pandas as pd
+    allz = pd.concat([pq.read_table(e["path"]).to_pandas()
+                      for e in idx])
+    cents = np.clip(np.floor(allz["value"] * 100 + 0.5), 0, 0xFFFF)
+    box = allz[((allz["user_id"] & 0xFFFF) <= 7) & (cents <= 500)]
+    got = pd.concat([pq.read_table(p).to_pandas() for p in pruned])
+    assert set(box["event_id"]) <= set(got["event_id"])
+
+    # re-running over a stale dir replaces the layout, not appends
+    idx2 = zorder_write(sf, out, num_files=4)
+    assert len(idx2) == 4
+    assert sum(e["rows"] for e in idx2) == 4000
+
+
+def test_zorder_events_order_is_curve_order(ray_session, tmp_path):
+    sf = _write_events(tmp_path, n=500)
+    t = zorder_events(sf, k=500).to_pandas()
+    z = t["zkey"].to_numpy()
+    assert (np.diff(z) >= 0).all()
+    assert len(t) == 500
