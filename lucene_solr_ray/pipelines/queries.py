@@ -5711,6 +5711,10 @@ def build_queries() -> dict:
         "rel_zorder_curve": __import__(
             "lucene_solr_ray.ops.layout",
             fromlist=["zorder_events"]).zorder_events,
+        # entity resolution: metaphone blocking + integer Levenshtein
+        "rel_entity_match": __import__(
+            "lucene_solr_ray.ops.entity",
+            fromlist=["entity_match_pairs"]).entity_match_pairs,
         "text_weighted_sample": T.weighted_sample,
         "text_balanced_sample": T.balanced_sample,
         "text_capped_sample": T.capped_sample,
@@ -6138,6 +6142,9 @@ def build_oracle_sql() -> dict:
         "rel_zorder_curve": __import__(
             "lucene_solr_ray.ops.layout",
             fromlist=["zorder_events_sql"]).zorder_events_sql(),
+        "rel_entity_match": __import__(
+            "lucene_solr_ray.ops.entity",
+            fromlist=["entity_match_pairs_sql"]).entity_match_pairs_sql(),
         "rel_join_rollup": RS.JOIN_ROLLUP,
         "rel_hierarchical_facet": RS.HIERARCHICAL_FACET,
         "rel_assoc_facet": __import__(

@@ -128,6 +128,7 @@ PARAMETRIZED = [
     "graph_label_prop",
     "text_bloom_decontam",
     "rel_zorder_curve",
+    "rel_entity_match",
 ]
 
 

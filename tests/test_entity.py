@@ -1,0 +1,59 @@
+"""Entity resolution (ops/entity.py): planted dirty duplicates,
+Levenshtein parity with DuckDB, hot-block guard; corpus parity lives
+in test_driver_parity (rel_entity_match)."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_ray.ops.entity import (_levenshtein,
+                                        entity_match_pairs)
+
+
+def test_levenshtein_matches_duckdb():
+    rng = np.random.default_rng(5)
+    letters = np.array(list("abcde"))
+    con = duckdb.connect()
+    for _ in range(60):
+        a = "".join(rng.choice(letters, rng.integers(0, 9)))
+        b = "".join(rng.choice(letters, rng.integers(0, 9)))
+        want = con.sql(
+            f"SELECT levenshtein('{a}', '{b}')").fetchone()[0]
+        assert _levenshtein(a, b) == want, (a, b)
+
+
+def _write_parts(tmp_path, names):
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(range(len(names)), type=pa.int64()),
+        "p_name": pa.array(names),
+    }), str(tmp_path / "part.parquet"))
+    return str(tmp_path)
+
+
+def test_planted_dirty_duplicates(ray_session, tmp_path):
+    sf = _write_parts(tmp_path, [
+        "jon smith", "john smith",     # lev 1, same phonetic block
+        "jon smith",                   # duplicate record -> support 3
+        "mary jones", "marie jones",   # lev 2
+        "zed qwerty",                  # no partner
+        "red anvil",                   # different block entirely
+    ])
+    t = entity_match_pairs(sf).to_pandas()
+    got = {(a, b): (l, s) for a, b, l, s in
+           zip(t["name_a"], t["name_b"], t["lev"], t["support"])}
+    assert got[("john smith", "jon smith")] == (1, 3)
+    assert got[("marie jones", "mary jones")] == (2, 2)
+    assert all("qwerty" not in a + b and "anvil" not in a + b
+               for a, b in got)
+
+
+def test_hot_block_guard(ray_session, tmp_path, monkeypatch):
+    import lucene_solr_ray.ops.entity as E
+
+    monkeypatch.setattr(E, "MAX_BLOCK", 3)
+    sf = _write_parts(tmp_path,
+                      [f"n{i} smith" for i in range(10)])
+    with pytest.raises(Exception):
+        E.entity_match_pairs(sf)
