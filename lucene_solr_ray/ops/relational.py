@@ -748,3 +748,152 @@ def json_facet_nested(sf_dir: str) -> pa.Table:
               "top_nation_cnt"):
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def cube_rollup(sf_dir: str) -> pa.Table:
+    """GROUP BY CUBE(l_returnflag, l_linestatus) — the OLAP
+    grouping-sets surface (the reference's pivot facets flattened to a
+    lattice; solr JSON Facet API nested-bucket analogue with totals).
+    One streaming pass: every batch pre-aggregates all FOUR grouping
+    sets locally (set id rides along as an int), one tiny groupby
+    merges the partials — the shuffle carries |sets| × |groups| rows
+    per batch, never data rows. '(all)' marks a rolled-up dimension
+    ('' is reserved: real keys are non-empty uppercase letters)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    ALLV = "(all)"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        outs = []
+        for sid, keys in enumerate((
+                ["l_returnflag", "l_linestatus"],
+                ["l_returnflag"], ["l_linestatus"], [])):
+            if keys:
+                g = df.groupby(keys, as_index=False).agg(
+                    sum_qty=("l_quantity", "sum"),
+                    n_rows=("l_quantity", "size"))
+            else:
+                g = pd.DataFrame({
+                    "sum_qty": [df["l_quantity"].sum()],
+                    "n_rows": [len(df)]})
+            for col in ("l_returnflag", "l_linestatus"):
+                if col not in g:
+                    g[col] = ALLV
+            g["set_id"] = sid
+            outs.append(g[["set_id", "l_returnflag", "l_linestatus",
+                           "sum_qty", "n_rows"]])
+        return pa.Table.from_pandas(pd.concat(outs, ignore_index=True),
+                                    preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["set_id", "l_returnflag", "l_linestatus"])
+           .sum(["sum_qty", "n_rows"]).to_pandas())
+    agg = agg.rename(columns={"sum(sum_qty)": "sum_qty",
+                              "sum(n_rows)": "n_rows"})
+    agg = agg.drop(columns=["set_id"]) \
+        .sort_values(["l_returnflag", "l_linestatus"]) \
+        .reset_index(drop=True)
+    agg["sum_qty"] = agg["sum_qty"].astype("int64")
+    agg["n_rows"] = agg["n_rows"].astype("int64")
+    return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+def cube_rollup_sql() -> str:
+    return """
+SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
+       COALESCE(l_linestatus, '(all)') AS l_linestatus,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def skyline(sf_dir: str) -> pa.Table:
+    """Skyline / Pareto frontier of orders on (o_totalprice max,
+    earliest o_orderdate): the rows no other row dominates on both
+    dimensions. The skyline operator is MERGEABLE — skyline(A ∪ B) =
+    skyline(skyline(A) ∪ skyline(B)) — so each batch reduces to its
+    local frontier (usually a handful of rows) and the driver folds
+    the tiny partials with the identical dominance rule; the corpus
+    never reaches the driver. Dominance uses integer cents and
+    integer epoch days, ties kept (only STRICT dominance on one
+    dimension with ≥ on the other removes a row)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def frontier(df: pd.DataFrame) -> pd.DataFrame:
+        price = np.floor(df["o_totalprice"].to_numpy(np.float64)
+                         * 100 + 0.5).astype(np.int64)
+        days = (pd.to_datetime(df["o_orderdate"])
+                - pd.Timestamp("1970-01-01")).dt.days.to_numpy(np.int64)
+        keep = _pareto_keep(price, -days)
+        out = df.loc[keep, ["o_orderkey"]].copy()
+        out["price_cents"] = price[keep]
+        out["epoch_day"] = days[keep]
+        return out
+
+    parts = (ds.map_batches(frontier, batch_format="pandas")
+             .to_pandas())
+    keep = _pareto_keep(parts["price_cents"].to_numpy(np.int64),
+                        -parts["epoch_day"].to_numpy(np.int64))
+    out = (parts.loc[keep]
+           .sort_values(["price_cents", "epoch_day", "o_orderkey"],
+                        ascending=[False, True, True])
+           .reset_index(drop=True))
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    return pa.Table.from_pandas(
+        out[["o_orderkey", "price_cents", "epoch_day"]],
+        preserve_index=False)
+
+
+def _pareto_keep(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Boolean mask of the maxima frontier: row i survives unless some
+    row dominates it (≥ on both, > on at least one). Sort by (x desc,
+    y desc); then a row is dominated iff a STRICTLY-greater-x
+    predecessor has y ≥ yi, or an equal-x predecessor has y > yi —
+    equivalently the running max of y over x-groups seen so far."""
+    order = np.lexsort((-y, -x))
+    xs, ys = x[order], y[order]
+    keep_sorted = np.ones(len(xs), dtype=bool)
+    best_prev = -np.inf   # max y among rows with STRICTLY greater x
+    best_cur = -np.inf    # max y within the current x-group
+    cur_x = None
+    for i in range(len(xs)):
+        if cur_x is None or xs[i] != cur_x:
+            best_prev = max(best_prev, best_cur)
+            best_cur = -np.inf
+            cur_x = xs[i]
+        keep_sorted[i] = not (best_prev >= ys[i]
+                              or best_cur > ys[i])
+        best_cur = max(best_cur, ys[i])
+    keep = np.zeros(len(xs), dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def skyline_sql() -> str:
+    """Twin: textbook NOT EXISTS dominance over the same integer
+    dimensions."""
+    return """
+WITH t AS (SELECT o_orderkey,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                      AS price_cents,
+                  datediff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) AS epoch_day
+           FROM orders)
+SELECT o_orderkey, price_cents, CAST(epoch_day AS BIGINT) AS epoch_day
+FROM t a
+WHERE NOT EXISTS (
+  SELECT 1 FROM t b
+  WHERE b.price_cents >= a.price_cents AND b.epoch_day <= a.epoch_day
+        AND (b.price_cents > a.price_cents OR b.epoch_day < a.epoch_day))
+ORDER BY price_cents DESC, epoch_day, o_orderkey
+"""

@@ -5715,6 +5715,8 @@ def build_queries() -> dict:
         "rel_entity_match": __import__(
             "lucene_solr_ray.ops.entity",
             fromlist=["entity_match_pairs"]).entity_match_pairs,
+        "rel_cube": R.cube_rollup,
+        "rel_skyline": R.skyline,
         "text_weighted_sample": T.weighted_sample,
         "text_balanced_sample": T.balanced_sample,
         "text_capped_sample": T.capped_sample,
@@ -6145,6 +6147,12 @@ def build_oracle_sql() -> dict:
         "rel_entity_match": __import__(
             "lucene_solr_ray.ops.entity",
             fromlist=["entity_match_pairs_sql"]).entity_match_pairs_sql(),
+        "rel_cube": __import__(
+            "lucene_solr_ray.ops.relational",
+            fromlist=["cube_rollup_sql"]).cube_rollup_sql(),
+        "rel_skyline": __import__(
+            "lucene_solr_ray.ops.relational",
+            fromlist=["skyline_sql"]).skyline_sql(),
         "rel_join_rollup": RS.JOIN_ROLLUP,
         "rel_hierarchical_facet": RS.HIERARCHICAL_FACET,
         "rel_assoc_facet": __import__(

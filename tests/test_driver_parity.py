@@ -129,6 +129,8 @@ PARAMETRIZED = [
     "text_bloom_decontam",
     "rel_zorder_curve",
     "rel_entity_match",
+    "rel_cube",
+    "rel_skyline",
 ]
 
 

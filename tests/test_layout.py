@@ -79,3 +79,64 @@ def test_zorder_events_order_is_curve_order(ray_session, tmp_path):
     z = t["zkey"].to_numpy()
     assert (np.diff(z) >= 0).all()
     assert len(t) == 500
+
+
+def test_skyline_merge_and_dominance(ray_session, tmp_path):
+    """Partition invariance (the mergeability the per-batch frontier
+    relies on) + the dominance definition itself on crafted rows."""
+    import pandas as pd
+
+    from lucene_solr_ray.ops.relational import _pareto_keep, skyline
+
+    rng = np.random.default_rng(9)
+    n = 3000
+    t = pa.table({
+        "o_orderkey": pa.array(np.arange(n), type=pa.int64()),
+        "o_orderdate": pa.array(
+            pd.to_datetime("1995-01-01")
+            + pd.to_timedelta(rng.integers(0, 2000, n), unit="D")),
+        "o_totalprice": pa.array(rng.uniform(1, 9e4, n).round(2)),
+    })
+    d1 = tmp_path / "a"; d1.mkdir()
+    pq.write_table(t, str(d1 / "orders.parquet"))
+    got = skyline(str(d1)).to_pandas()
+
+    # brute-force reference
+    price = np.floor(t["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+    days = (pd.to_datetime(t["o_orderdate"].to_pandas())
+            - pd.Timestamp("1970-01-01")).dt.days.to_numpy()
+    keep = np.ones(n, dtype=bool)
+    for i in range(n):
+        dom = (price >= price[i]) & (days <= days[i]) & \
+              ((price > price[i]) | (days < days[i]))
+        if dom.any():
+            keep[i] = False
+    want = set(np.nonzero(keep)[0].tolist())
+    assert set(got["o_orderkey"]) == want
+
+    # _pareto_keep keeps ties (two identical optimal rows both stay)
+    x = np.array([5, 5, 3]); y = np.array([7, 7, 9])
+    assert _pareto_keep(x, y).tolist() == [True, True, True]
+    x = np.array([5, 5, 5]); y = np.array([7, 7, 6])
+    assert _pareto_keep(x, y).tolist() == [True, True, False]
+
+
+def test_cube_totals_consistent(ray_session, tmp_path):
+    from lucene_solr_ray.ops.relational import cube_rollup
+
+    t = pa.table({
+        "l_returnflag": pa.array(["A", "A", "B", "B", "B"]),
+        "l_linestatus": pa.array(["X", "Y", "X", "X", "Y"]),
+        "l_quantity": pa.array([1.0, 2.0, 3.0, 4.0, 5.0]),
+    })
+    d = tmp_path / "li"; d.mkdir()
+    pq.write_table(t, str(d / "lineitem.parquet"))
+    got = cube_rollup(str(d)).to_pandas()
+    g = {(r, s): (q, n) for r, s, q, n in got.itertuples(index=False)}
+    assert g[("(all)", "(all)")] == (15, 5)
+    assert g[("A", "(all)")] == (3, 2)
+    assert g[("(all)", "X")] == (8, 3)
+    assert g[("B", "X")] == (7, 2)
+    # lattice consistency: children sum to each parent
+    assert g[("A", "(all)")][0] + g[("B", "(all)")][0] \
+        == g[("(all)", "(all)")][0]
