@@ -897,3 +897,153 @@ WHERE NOT EXISTS (
         AND (b.price_cents > a.price_cents OR b.epoch_day < a.epoch_day))
 ORDER BY price_cents DESC, epoch_day, o_orderkey
 """
+
+
+def table_stats(sf_dir: str) -> pa.Table:
+    """ANALYZE-style column statistics over events — the catalog
+    entries a planner's pruning/join-ordering needs: per column
+    (n_null, min, max, ndv). min/max/null partials fold per batch
+    (constant size); exact NDV is one distinct-shuffle whose volume is
+    the VOCABULARY, not the row count (the term-dictionary argument;
+    the HLL sketch is the approximate path when even that is too
+    big). Values render as strings — numerics through the shared
+    cents quantization, so the fold is integer-exact."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        rows = []
+        vals = []
+        for col in ("event_type", "user_id", "value"):
+            s = df[col]
+            nn = int(s.isna().sum())
+            sv = s.dropna()
+            if col == "value":
+                sv = np.floor(sv.to_numpy(np.float64) * 100
+                              + 0.5).astype(np.int64)
+                rend = [str(int(v)) for v in sv]
+                lo = str(int(sv.min())) if len(sv) else None
+                hi = str(int(sv.max())) if len(sv) else None
+            elif col == "user_id":
+                rend = [str(int(v)) for v in sv]
+                lo = str(int(sv.min())) if len(sv) else None
+                hi = str(int(sv.max())) if len(sv) else None
+            else:
+                rend = [str(v) for v in sv]
+                lo = min(rend) if rend else None
+                hi = max(rend) if rend else None
+            rows.append((col, nn, lo, hi))
+            vals.extend((col, v) for v in set(rend))
+        stats = pd.DataFrame(rows, columns=["col", "n_null",
+                                            "min_s", "max_s"])
+        dv = pd.DataFrame(vals, columns=["col", "val"])
+        stats["kind"] = "s"
+        dv["kind"] = "v"
+        out = pd.concat([stats, dv.assign(n_null=0, min_s=None,
+                                          max_s=None)],
+                        ignore_index=True)
+        return pa.Table.from_pandas(out[["kind", "col", "val",
+                                         "n_null", "min_s", "max_s"]]
+                                    if "val" in out else out,
+                                    preserve_index=False)
+
+    raw = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    st = raw[raw["kind"] == "s"]
+    dv = raw[raw["kind"] == "v"]
+    # numeric columns compare as ints; strings lexicographically
+    def fold(col):
+        sub = st[st["col"] == col]
+        lo = [x for x in sub["min_s"] if x is not None]
+        hi = [x for x in sub["max_s"] if x is not None]
+        if col in ("user_id", "value"):
+            mn = str(min(int(x) for x in lo)) if lo else ""
+            mx = str(max(int(x) for x in hi)) if hi else ""
+        else:
+            mn = min(lo) if lo else ""
+            mx = max(hi) if hi else ""
+        ndv = int(dv[dv["col"] == col]["val"].nunique())
+        return (col, int(sub["n_null"].sum()), mn, mx, ndv)
+
+    out = pd.DataFrame([fold(c) for c in
+                        ("event_type", "user_id", "value")],
+                       columns=["column", "n_null", "min_s", "max_s",
+                                "ndv"])
+    out["n_null"] = out["n_null"].astype("int64")
+    out["ndv"] = out["ndv"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def table_stats_sql() -> str:
+    return """
+SELECT 'event_type' AS "column",
+       CAST(count(*) FILTER (event_type IS NULL) AS BIGINT) AS n_null,
+       min(event_type) AS min_s, max(event_type) AS max_s,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS ndv
+FROM events
+UNION ALL
+SELECT 'user_id',
+       CAST(count(*) FILTER (user_id IS NULL) AS BIGINT),
+       CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR),
+       CAST(count(DISTINCT user_id) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'value',
+       CAST(count(*) FILTER (value IS NULL) AS BIGINT),
+       CAST(min(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS VARCHAR),
+       CAST(max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS VARCHAR),
+       CAST(count(DISTINCT CAST(floor(value * 100 + 0.5) AS BIGINT))
+            AS BIGINT)
+FROM events
+ORDER BY "column"
+"""
+
+
+def skew_report(sf_dir: str, k: int = 10) -> pa.Table:
+    """Shuffle-skew diagnostics over the groupby(user_id) key — the
+    pre-flight a 100-TB job runs before choosing salting: per-key
+    counts (one pre-aggregated groupby), the top-k hottest keys, and
+    an imbalance factor = hottest·nkeys / total, quantized ×10⁴
+    (1.0 = perfectly uniform). The report is constant-size; the count
+    table it folds is vocabulary-sized."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("user_id", as_index=False).size()
+                .rename(columns={"size": "n"}))
+
+    counts = (ds.map_batches(partial, batch_format="pandas")
+              .groupby("user_id").sum("n").to_pandas()
+              .rename(columns={"sum(n)": "n"}))
+    counts["n"] = counts["n"].astype("int64")
+    total = int(counts["n"].sum())
+    nkeys = len(counts)
+    top = (counts.sort_values(["n", "user_id"],
+                              ascending=[False, True]).head(k)
+           .reset_index(drop=True))
+    hottest = int(top["n"].iloc[0]) if len(top) else 0
+    imb = (hottest * nkeys * 10_000) // total if total else 0
+    top["total_rows"] = total
+    top["n_keys"] = nkeys
+    top["imbalance_q"] = imb
+    for c in ("total_rows", "n_keys", "imbalance_q"):
+        top[c] = top[c].astype("int64")
+    return pa.Table.from_pandas(top, preserve_index=False)
+
+
+def skew_report_sql(k: int = 10) -> str:
+    return f"""
+WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+tot AS (SELECT sum(n) AS total, count(*) AS nkeys,
+               max(n) AS hottest FROM c)
+SELECT c.user_id, CAST(c.n AS BIGINT) AS n,
+       CAST(tot.total AS BIGINT) AS total_rows,
+       CAST(tot.nkeys AS BIGINT) AS n_keys,
+       CAST((tot.hottest * tot.nkeys * 10000) // tot.total AS BIGINT)
+           AS imbalance_q
+FROM c, tot
+ORDER BY c.n DESC, c.user_id LIMIT {k}
+"""

@@ -781,3 +781,63 @@ r AS (SELECT source, doc_id,
 SELECT source, doc_id FROM r WHERE rn <= {cap}
 ORDER BY source, doc_id
 """
+
+
+def train_split(sf_dir: str) -> pa.Table:
+    """Deterministic train/validation/test assignment — the final
+    stage of every dataset build: doc i goes to the split chosen by
+    md5-low64(doc_id) % 100 (< 80 train, < 90 validation, else test),
+    the same exact md5 coin as the samplers, so membership is
+    reproducible at any scale, on any partitioning, with no RNG
+    state. Returns the per (source, split) census (n_docs, sum_chars)
+    — per-batch partials, one tiny groupby."""
+    import hashlib
+
+    import pyarrow.compute as _pc
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text", "source"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:],
+                            "little") % 100 for i in ids),
+            dtype=np.int64, count=len(ids))
+        split = np.where(h < 80, "train",
+                         np.where(h < 90, "validation", "test"))
+        nc = np.asarray(_pc.utf8_length(batch["text"]), dtype=np.int64)
+        df = pd.DataFrame({"source": batch["source"].to_pandas(),
+                           "split": split, "n_docs": 1, "sum_chars": nc})
+        g = df.groupby(["source", "split"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df = (ds.map_batches(assign, batch_format="pyarrow")
+          .groupby(["source", "split"]).sum(["n_docs", "sum_chars"])
+          .to_pandas()
+          .rename(columns={"sum(n_docs)": "n_docs",
+                           "sum(sum_chars)": "sum_chars"})
+          .sort_values(["source", "split"]).reset_index(drop=True))
+    df["n_docs"] = df["n_docs"].astype(np.int64)
+    df["sum_chars"] = df["sum_chars"].astype(np.int64)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def train_split_sql() -> str:
+    return """
+SELECT source,
+       CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 80
+                 THEN 'train'
+            WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 90
+                 THEN 'validation'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY source, split
+ORDER BY source, split
+"""

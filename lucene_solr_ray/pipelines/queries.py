@@ -5717,6 +5717,9 @@ def build_queries() -> dict:
             fromlist=["entity_match_pairs"]).entity_match_pairs,
         "rel_cube": R.cube_rollup,
         "rel_skyline": R.skyline,
+        "rel_table_stats": R.table_stats,
+        "rel_skew_report": R.skew_report,
+        "text_train_split": T.train_split,
         "text_weighted_sample": T.weighted_sample,
         "text_balanced_sample": T.balanced_sample,
         "text_capped_sample": T.capped_sample,
@@ -6153,6 +6156,15 @@ def build_oracle_sql() -> dict:
         "rel_skyline": __import__(
             "lucene_solr_ray.ops.relational",
             fromlist=["skyline_sql"]).skyline_sql(),
+        "rel_table_stats": __import__(
+            "lucene_solr_ray.ops.relational",
+            fromlist=["table_stats_sql"]).table_stats_sql(),
+        "rel_skew_report": __import__(
+            "lucene_solr_ray.ops.relational",
+            fromlist=["skew_report_sql"]).skew_report_sql(),
+        "text_train_split": __import__(
+            "lucene_solr_ray.ops.text",
+            fromlist=["train_split_sql"]).train_split_sql(),
         "rel_join_rollup": RS.JOIN_ROLLUP,
         "rel_hierarchical_facet": RS.HIERARCHICAL_FACET,
         "rel_assoc_facet": __import__(

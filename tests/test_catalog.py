@@ -1,0 +1,72 @@
+"""Catalog/diagnostics ops (table_stats, skew_report, train_split):
+crafted-fixture behavior; corpus parity lives in test_driver_parity."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from lucene_solr_ray.ops.relational import skew_report, table_stats
+from lucene_solr_ray.ops.text import train_split
+
+
+def test_table_stats_nulls_and_ndv(ray_session, tmp_path):
+    t = pa.table({
+        "event_type": pa.array(["a", "b", None, "a"]),
+        "user_id": pa.array([5, None, 2, 5], type=pa.int64()),
+        "value": pa.array([1.005, 2.0, None, 1.005]),
+    })
+    d = tmp_path / "ev"; d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    got = table_stats(str(d)).to_pandas().set_index("column")
+    assert got.loc["event_type"].tolist() == [1, "a", "b", 2]
+    assert got.loc["user_id"].tolist() == [1, "2", "5", 2]
+    # 1.005 is 1.00499...99 in float64, so floor(x*100+0.5) = 100 —
+    # the identical rounding DuckDB applies on the oracle side
+    assert got.loc["value"].tolist() == [1, "100", "200", 2]
+
+
+def test_skew_report_imbalance(ray_session, tmp_path):
+    # user 0 hot: 60 rows; users 1..4: 10 each -> total 100, 5 keys
+    uid = np.concatenate([np.zeros(60, dtype=np.int64),
+                          np.repeat(np.arange(1, 5), 10)])
+    t = pa.table({"user_id": pa.array(uid)})
+    d = tmp_path / "ev"; d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    got = skew_report(str(d), k=3).to_pandas()
+    assert got["user_id"].tolist() == [0, 1, 2]
+    assert got["n"].tolist() == [60, 10, 10]
+    assert got["total_rows"].iloc[0] == 100
+    assert got["n_keys"].iloc[0] == 5
+    # 60 * 5 * 10000 // 100 = 30000 (3x uniform)
+    assert got["imbalance_q"].iloc[0] == 30000
+
+
+def test_train_split_deterministic_partition(ray_session, tmp_path):
+    import hashlib
+
+    n = 500
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n), type=pa.int64()),
+        "text": pa.array(["x" * (i % 7 + 1) for i in range(n)]),
+        "source": pa.array(["s%d" % (i % 3) for i in range(n)]),
+    })
+    d = tmp_path / "docs"; d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    got = train_split(str(d)).to_pandas()
+    # census is complete and consistent
+    assert got["n_docs"].sum() == n
+    assert got["sum_chars"].sum() == sum(i % 7 + 1 for i in range(n))
+    # matches the per-doc md5 assignment exactly
+    import collections
+    want = collections.Counter()
+    for i in range(n):
+        h = int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:],
+                           "little") % 100
+        s = "train" if h < 80 else ("validation" if h < 90 else "test")
+        want[("s%d" % (i % 3), s)] += 1
+    gotc = {(r.source, r.split): r.n_docs
+            for r in got.itertuples(index=False)}
+    assert gotc == dict(want)
+    # roughly 80/10/10 overall
+    by = got.groupby("split")["n_docs"].sum()
+    assert by["train"] > by["validation"] and by["train"] > by["test"]

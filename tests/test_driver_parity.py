@@ -131,6 +131,9 @@ PARAMETRIZED = [
     "rel_entity_match",
     "rel_cube",
     "rel_skyline",
+    "rel_table_stats",
+    "rel_skew_report",
+    "text_train_split",
 ]
 
 
