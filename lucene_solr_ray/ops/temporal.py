@@ -508,3 +508,71 @@ FROM x
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ORDER BY event_id
 """
+
+
+EVENT_DEDUP_WINDOW_S = 300
+
+
+def event_window_dedup(sf_dir: str,
+                       window_s: int = EVENT_DEDUP_WINDOW_S) -> pa.Table:
+    """Windowed event deduplication — the at-least-once-delivery scrub
+    every event pipeline runs at ingest: within each (user_id,
+    event_type, window) bucket (window = epoch_s // window_s, the
+    tumbling alignment of windowed_rollup) keep only the earliest
+    event, ties to min event_id. Per-batch pre-aggregation reduces
+    every batch to ≤ one candidate row per touched bucket, so the ONE
+    groupby shuffle carries bucket rows, not events. Returns the per
+    event_type census (n_kept, n_dropped), n_dropped from a
+    constant-size total-count partial."""
+    ds = _read(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ep = (df["ts"].astype("int64") // 1_000_000)
+        df = df.assign(win=ep // window_s, ep=ep)
+        g = (df.sort_values(["ep", "event_id"])
+             .groupby(["user_id", "event_type", "win"],
+                      as_index=False)
+             .agg(ep=("ep", "min"), event_id=("event_id", "min"),
+                  n=("event_id", "size")))
+        return g
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby(["user_id", "event_type", "win"])
+           .map_groups(lambda df: df.sort_values(["ep", "event_id"])
+                       .assign(n=df["n"].sum()).head(1),
+                       batch_format="pandas"))
+
+    def census(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", as_index=False).agg(
+            n_kept=("event_id", "size"), n_total=("n", "sum"))
+        return g
+
+    out = (agg.map_batches(census, batch_format="pandas")
+           .groupby("event_type").sum(["n_kept", "n_total"])
+           .to_pandas()
+           .rename(columns={"sum(n_kept)": "n_kept",
+                            "sum(n_total)": "n_total"})
+           .sort_values("event_type").reset_index(drop=True))
+    out["n_dropped"] = (out["n_total"] - out["n_kept"]).astype(np.int64)
+    out["n_kept"] = out["n_kept"].astype(np.int64)
+    return pa.Table.from_pandas(out[["event_type", "n_kept",
+                                     "n_dropped"]],
+                                preserve_index=False)
+
+
+def event_window_dedup_sql(window_s: int = EVENT_DEDUP_WINDOW_S) -> str:
+    """Twin: row_number over the identical bucket/ordering."""
+    return f"""
+WITH x AS (SELECT event_id, user_id, event_type,
+                  epoch_us(ts) // 1000000 AS ep
+           FROM events),
+rn AS (SELECT event_type,
+              row_number() OVER (
+                  PARTITION BY user_id, event_type, ep // {window_s}
+                  ORDER BY ep, event_id) AS rn
+       FROM x)
+SELECT event_type,
+       CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (rn > 1) AS BIGINT) AS n_dropped
+FROM rn GROUP BY event_type ORDER BY event_type
+"""

@@ -5706,6 +5706,7 @@ def build_queries() -> dict:
         "rel_funnel": TMP.funnel_depths,
         "rel_cohort_retention": TMP.cohort_retention,
         "rel_window_enrich": TMP.window_enrich,
+        "rel_event_dedup": TMP.event_window_dedup,
         # Z-order layout: the curve-position query (the clustered
         # write + file-pruning path is layout.zorder_write, pytest'd)
         "rel_zorder_curve": __import__(
@@ -6147,6 +6148,9 @@ def build_oracle_sql() -> dict:
         "rel_zorder_curve": __import__(
             "lucene_solr_ray.ops.layout",
             fromlist=["zorder_events_sql"]).zorder_events_sql(),
+        "rel_event_dedup": __import__(
+            "lucene_solr_ray.ops.temporal",
+            fromlist=["event_window_dedup_sql"]).event_window_dedup_sql(),
         "rel_entity_match": __import__(
             "lucene_solr_ray.ops.entity",
             fromlist=["entity_match_pairs_sql"]).entity_match_pairs_sql(),

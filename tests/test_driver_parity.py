@@ -134,6 +134,7 @@ PARAMETRIZED = [
     "rel_table_stats",
     "rel_skew_report",
     "text_train_split",
+    "rel_event_dedup",
 ]
 
 

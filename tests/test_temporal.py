@@ -214,3 +214,42 @@ def test_window_enrich_sentinels_and_running_sum(tmp_path, ray_session):
     assert out.loc[4, ["rn", "gap_s", "prev_type"]].tolist() \
         == [1, -1, ""]
     assert out["run_value_q"].tolist() == [10000, 35000, 37500, 99900]
+
+
+def test_event_window_dedup_planted(ray_session, tmp_path):
+    """Duplicates inside one tumbling window collapse to the earliest
+    (ties to min event_id); the same pair a second past the window
+    boundary survives."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.ops.temporal import event_window_dedup
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        # three in the same 300s window for (1, click) -> keep 1
+        (10, base, 1, "click"),
+        (11, base + pd.Timedelta(seconds=10), 1, "click"),
+        (12, base + pd.Timedelta(seconds=299), 1, "click"),
+        # same instant, tie on ts -> min event_id wins; both counted
+        (21, base, 2, "view"),
+        (20, base, 2, "view"),
+        # next window -> survives
+        (13, base + pd.Timedelta(seconds=300), 1, "click"),
+        # different type same window -> separate bucket
+        (30, base, 1, "view"),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+    })
+    d = tmp_path / "ev"; d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    got = event_window_dedup(str(d)).to_pandas()
+    g = {r.event_type: (r.n_kept, r.n_dropped)
+         for r in got.itertuples(index=False)}
+    assert g["click"] == (2, 2)   # windows [0,300) and [300,600)
+    assert g["view"] == (2, 1)    # (2,view) pair deduped, (1,view) kept
