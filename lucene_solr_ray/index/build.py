@@ -364,3 +364,65 @@ def build_index_resumable(input_files: list[str], out_dir: str, *,
             "elapsed_s_sum": round(sum(built), 4),
             "elapsed_s_max": round(max(built), 4) if built else 0.0,
         }})
+
+
+def add_indexes(dst_dir: str, src_dir: str) -> dict:
+    """IndexWriter.addIndexes(Directory...) — import every segment of
+    the source index into the destination as ONE new commit generation
+    (core:index/IndexWriter.java:2539 addIndexes: segments are copied
+    as-is, no re-analysis, readers on the old generation unaffected).
+
+    Segment directories copy wholesale (postings + meta + any bloom
+    sidecar); names are content-derived (sha of the sorted doc ids),
+    so a collision means the same doc set — verified byte-identical
+    via meta.json and then shared rather than duplicated. Imported
+    segments are stamped with the NEW generation, so the destination's
+    existing generational deletes (added_gen ≤ del_gen rule,
+    index/deletes.py) never apply to them. A source carrying LIVE
+    deletes must be compacted first (merge_segments / tiered purge
+    reclaim them) — Lucene's Directory-variant copies per-segment .liv
+    files, but deletes here are index-global, so importing them could
+    delete identical-content docs the destination still wants."""
+    import filecmp
+    import shutil
+
+    from .manifest import load_manifest
+
+    src_man = load_manifest(src_dir)
+    if src_man.get("deleted_docs", 0) > 0:
+        raise ValueError(
+            "source index has live deletes; compact it first "
+            "(merge_segments or tiered merge purge)")
+    dst_man = load_manifest(dst_dir)
+    dst_names = {s["segment"] for s in dst_man["segments"]}
+
+    src_root = os.path.join(src_dir, SEGMENTS_DIRNAME)
+    dst_root = os.path.join(dst_dir, SEGMENTS_DIRNAME)
+    os.makedirs(dst_root, exist_ok=True)
+    imported = []
+    for seg in src_man["segments"]:
+        name = seg["segment"]
+        s_dir = os.path.join(src_root, name)
+        d_dir = os.path.join(dst_root, name)
+        if os.path.exists(d_dir):
+            if not filecmp.cmp(os.path.join(s_dir, "meta.json"),
+                               os.path.join(d_dir, "meta.json"),
+                               shallow=False):
+                raise ValueError(
+                    f"segment name collision with different content: "
+                    f"{name}")
+        else:
+            tmp = d_dir + ".importing"
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            shutil.copytree(s_dir, tmp)
+            os.rename(tmp, d_dir)  # atomic publish per segment
+        if name not in dst_names:
+            meta = {k: v for k, v in seg.items() if k != "added_gen"}
+            imported.append(meta)
+
+    extra = {k: dst_man[k] for k in ("deletes_file", "deleted_docs",
+                                     "deleted_sum_dl") if k in dst_man}
+    extra["imported_segments"] = len(imported)
+    return commit_manifest(dst_dir, dst_man["segments"] + imported,
+                           extra=extra)

@@ -262,3 +262,46 @@ def test_atomic_update_multivalued(ray_session, tmp_path):
     log = TransactionLog(idx)
     s = IndexSearcher(idx)
     assert log.realtime_get(2, searcher=s)["content"] == "beta words"
+
+
+def test_add_indexes_matches_combined_build(tmp_path, ray_session):
+    """addIndexes import: dst ∪ src answers every probe BIT-IDENTICALLY
+    to a fresh build of the union; idempotent re-import; a source with
+    live deletes is refused."""
+    from lucene_solr_ray.index.build import add_indexes
+
+    t = corpus_table()
+    a = t.slice(0, 4)
+    b = t.slice(4, 4)
+    dst = build(tmp_path, "dst", a)
+    src = build(tmp_path, "src", b)
+    man = add_indexes(dst, src)
+    assert man["imported_segments"] >= 1
+    combined = build(tmp_path, "combined", t)
+    for mode in ("exact64", "lucene32"):
+        assert_same_answers(dst, combined, mode)
+
+    # idempotent: importing the same source again changes nothing
+    man2 = add_indexes(dst, src)
+    assert man2["imported_segments"] == 0
+    assert man2["num_docs"] == man["num_docs"]
+    for mode in ("exact64", "lucene32"):
+        assert_same_answers(dst, combined, mode)
+
+    # destination deletes committed BEFORE the import stay scoped to
+    # the old segments: delete a dst doc, import a src doc with new
+    # content, survivors match a fresh build
+    dst2 = build(tmp_path, "dst2", a)
+    delete_docs(dst2, [1000])
+    src2 = build(tmp_path, "src2", b)
+    add_indexes(dst2, src2)
+    surv = t.filter(~np.isin(np.asarray(t["doc_id"]), [1000]))
+    fresh = build(tmp_path, "fresh2", surv)
+    for mode in ("exact64", "lucene32"):
+        assert_same_answers(dst2, fresh, mode)
+
+    # live deletes in the SOURCE are refused
+    srcdel = build(tmp_path, "srcdel", b)
+    delete_docs(srcdel, [5000])
+    with pytest.raises(ValueError):
+        add_indexes(dst, srcdel)
