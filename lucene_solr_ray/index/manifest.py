@@ -54,9 +54,20 @@ def commit_manifest(index_dir: str, segments: list[dict], extra: dict | None = N
     return manifest
 
 
-def load_manifest(index_dir: str) -> dict:
+def load_manifest(index_dir: str, generation: int | None = None) -> dict:
+    """Current manifest, or a specific committed GENERATION for
+    point-in-time reads — the IndexCommit surface
+    (core:index/DirectoryReader.java listCommits/open(IndexCommit):
+    every ``segments_N`` stays on disk, so a reader can open any past
+    commit and see exactly that view, deletes included/excluded as of
+    that generation)."""
     gens = list_generations(index_dir)
     if not gens:
         raise FileNotFoundError(f"no committed manifest in {index_dir}")
-    with open(os.path.join(index_dir, f"segments_{gens[-1]}.json")) as f:
+    gen = gens[-1] if generation is None else generation
+    if gen not in gens:
+        raise FileNotFoundError(
+            f"no committed generation {generation} in {index_dir} "
+            f"(have {gens})")
+    with open(os.path.join(index_dir, f"segments_{gen}.json")) as f:
         return json.load(f)

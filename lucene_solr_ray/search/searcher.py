@@ -338,7 +338,8 @@ class IndexSearcher:
                  similarity: str = "bm25",
                  segment_filter: set[str] | None = None,
                  enable_caches: bool = True,
-                 doc_range: tuple[int, int] | None = None):
+                 doc_range: tuple[int, int] | None = None,
+                 generation: int | None = None):
         # method: "auto" → block-max pruning for lucene32 term/OR queries,
         # exhaustive otherwise; "exhaustive" / "blockmax" force a path.
         # segment_filter: restrict postings to these segment names (a query
@@ -348,7 +349,10 @@ class IndexSearcher:
         self.method = method
         self.index_dir = index_dir
         self.stats_override: dict[str, tuple[int, int]] | None = None
-        self.manifest = load_manifest(index_dir)
+        # generation: open a PAST commit (point-in-time read — the
+        # IndexCommit surface; manifests are never rewritten, so the
+        # old view is exact, its delete state included)
+        self.manifest = load_manifest(index_dir, generation=generation)
         if segment_filter is not None:
             self.manifest = dict(self.manifest)
             self.manifest["segments"] = [

@@ -305,3 +305,35 @@ def test_add_indexes_matches_combined_build(tmp_path, ray_session):
     delete_docs(srcdel, [5000])
     with pytest.raises(ValueError):
         add_indexes(dst, srcdel)
+
+
+def test_point_in_time_generation_reads(tmp_path, ray_session):
+    """Opening a past commit generation (IndexCommit surface) sees
+    exactly that view: pre-append misses new docs, pre-delete still
+    sees deleted ones — each bit-identical to a snapshot build."""
+    import ray.data as rd
+
+    from lucene_solr_ray.index.build import append_documents
+
+    t = corpus_table()
+    a, b = t.slice(0, 5), t.slice(5, 3)
+    idx = build(tmp_path, "pit", a)
+    gen1 = 1
+    append_documents(rd.from_arrow(b), idx, content_col="text",
+                     batch_rows=3, keyword_cols=("kw",))
+    delete_docs(idx, [2000])
+
+    # latest view == fresh build of (a ∪ b) minus the delete
+    surv = t.filter(~np.isin(np.asarray(t["doc_id"]), [2000]))
+    assert_same_answers(idx, build(tmp_path, "pit_now", surv))
+
+    # generation 1 == fresh build of just `a`
+    sa = IndexSearcher(idx, mode="exact64", generation=gen1)
+    sb = IndexSearcher(build(tmp_path, "pit_old", a), mode="exact64")
+    assert sa.num_docs == sb.num_docs
+    for q in PROBES:
+        assert sa.search(q, k=20).equals(sb.search(q, k=20))
+
+    # unknown generation is a clean error
+    with pytest.raises(FileNotFoundError):
+        IndexSearcher(idx, generation=99)
