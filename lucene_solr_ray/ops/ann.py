@@ -776,3 +776,142 @@ def ann_lsh_topk(sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES,
     out["rank"] = out.groupby("qid").cumcount() + 1
     out = out[["qid", "nid", "score_q", "rank"]].reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011) — the MEMORY-compression ANN
+# scale path, completing brute (exact) / IVF (partition pruning) / LSH
+# (bucket pruning): each embedding is split into PQ_M aligned
+# sub-vectors; a per-subspace codebook (Lloyd on a bounded head sample,
+# the IVF discipline) maps every sub-vector to one of PQ_KS centroids,
+# so a 64-dim float32 vector stores as PQ_M bytes and scoring is a
+# table LOOKUP: the query precomputes quant6(cos(q_i, c)) for every
+# (subspace, centroid) once, each batch only encodes + gathers.
+# Similarity = Σ_i quant6(cos(q_i, ĉ_i(d))) — per-subspace cosines in
+# the exact maxsim _cosine shape, quantized BEFORE the order-free int64
+# sum. The ks→∞ limit (every sub-vector its own centroid) is the
+# aligned-sum similarity Σ_i quant6(cos(q_i, d_i)), computed directly
+# by exact=True — the oracle-paired degenerate twin (the theta/MG/PCA
+# discipline); the trained mode is rows-only with a pytest recall
+# bound.
+
+PQ_M = 8      # subspaces: 64-dim -> 8 x 8
+PQ_KS = 64    # centroids per subspace (1-byte codes at <= 256; 32x
+              # compression: 256 B float32 -> 8 code bytes)
+
+
+def pq_codebooks(E: np.ndarray, n_sub: int = PQ_M,
+                 ks: int = PQ_KS) -> list[np.ndarray]:
+    """Per-subspace codebooks via the shared deterministic Lloyd
+    (kmeans_centroids: seeded sample init + cosine assignment)."""
+    sub = E.shape[1] // n_sub
+    return [kmeans_centroids(E[:, i * sub:(i + 1) * sub], ks, iters=2)
+            for i in range(n_sub)]
+
+
+def ann_pq_topk(sf_dir: str, k: int = TOP_K, n_sub: int = PQ_M,
+                ks: int = PQ_KS, exact: bool = False) -> pa.Table:
+    """Top-k of the aligned-sum similarity against query vector 0
+    through PQ codes (or directly, exact=True — the degenerate
+    oracle-paired limit)."""
+    import ray
+
+    import pyarrow.dataset as pads
+
+    qids, Q = _load_query_vectors(sf_dir, 1)
+    dim = Q.shape[1]
+    sub = dim // n_sub
+    q = Q[0].reshape(n_sub, sub)
+    qn = np.sqrt(np.einsum("ij,ij->i", q, q))
+
+    if exact:
+        books = None
+        tables = None
+    else:
+        sample = pads.dataset(
+            os.path.join(sf_dir, "embeddings.parquet")) \
+            .head(KMEANS_SAMPLE, columns=["vec_id", "embedding"])
+        _, E_sample = _emb_matrix(sample)
+        books = pq_codebooks(E_sample, n_sub, ks)
+        # the PQ trick: all query-centroid similarities precomputed
+        tables = [
+            _quant6(_cosine(q[i:i + 1], books[i])[0])
+            for i in range(n_sub)]
+    ref = ray.put((int(qids[0]), q, qn, books, tables))
+
+    class Score:
+        def __init__(self, r):
+            (self.qid, self.q, self.qn,
+             self.books, self.tables) = ray.get(r)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, B = _emb_matrix(batch)
+            keep = ids != self.qid
+            ids, B = ids[keep], B[keep]
+            if not len(ids):
+                return pa.table({"nid": pa.array([], type=pa.int64()),
+                                 "score_q": pa.array([],
+                                                     type=pa.int64())})
+            D = B.reshape(len(ids), n_sub, sub)
+            if self.books is None:   # degenerate limit: d is its own code
+                dn = np.sqrt(np.einsum("bid,bid->bi", D, D))
+                M = np.einsum("id,bid->bi", self.q, D)
+                M = M / (self.qn[None, :] * dn)
+                sq = _quant6(M).sum(axis=1)
+            else:
+                sq = np.zeros(len(ids), dtype=np.int64)
+                for i in range(n_sub):
+                    codes = np.argmax(
+                        _cosine(D[:, i, :], self.books[i]), axis=1)
+                    sq += self.tables[i][codes]
+            n = len(ids)
+            if n > k:  # int-score cut, ties kept
+                thr = np.partition(sq, n - k)[n - k]
+                sel = np.flatnonzero(sq >= thr)
+                ids, sq = ids[sel], sq[sel]
+            return pa.table({"nid": pa.array(ids, type=pa.int64()),
+                             "score_q": pa.array(sq, type=pa.int64())})
+
+    parts = (_read_emb(sf_dir)
+             .map_batches(Score, fn_constructor_kwargs={"r": ref},
+                          batch_format="pyarrow", batch_size=4096,
+                          concurrency=(1, 4))
+             .to_pandas())
+    parts = parts.sort_values(["score_q", "nid"],
+                              ascending=[False, True]) \
+        .head(k).reset_index(drop=True)
+    parts["rank"] = np.arange(1, len(parts) + 1, dtype=np.int64)
+    parts.insert(0, "qid", np.int64(0))
+    return pa.Table.from_pandas(parts, preserve_index=False)
+
+
+def ann_pq_exact_sql(k: int = TOP_K, n_sub: int = PQ_M) -> str:
+    """Twin of the exact=True limit: the maxsim SQL with the ALIGNED
+    (i = j) pairing instead of the per-i max."""
+    sub = 64 // n_sub
+    return f"""
+WITH q AS (
+  SELECT r.i,
+         list_transform(list_slice(embedding, 1 + {sub} * r.i,
+                                   {sub} * (r.i + 1)),
+                        x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings, (SELECT unnest(range({n_sub})) AS i) r
+  WHERE vec_id = 0),
+b AS (
+  SELECT vec_id AS nid, s.i,
+         list_transform(list_slice(embedding, 1 + {sub} * s.i,
+                                   {sub} * (s.i + 1)),
+                        x -> CAST(x AS DOUBLE)) AS dv
+  FROM embeddings, (SELECT unnest(range({n_sub})) AS i) s
+  WHERE vec_id <> 0),
+per_doc AS (
+  SELECT nid,
+         sum(CAST(floor(list_cosine_similarity(qv, dv) * 1000000 + 0.5)
+                  AS BIGINT)) AS score_q
+  FROM q JOIN b USING (i) GROUP BY nid)
+SELECT CAST(0 AS BIGINT) AS qid, nid, CAST(score_q AS BIGINT) AS score_q,
+       CAST(row_number() OVER (ORDER BY score_q DESC, nid ASC) AS BIGINT)
+         AS rank
+FROM per_doc
+ORDER BY score_q DESC, nid ASC LIMIT {k}
+"""

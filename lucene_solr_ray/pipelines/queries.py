@@ -5667,6 +5667,11 @@ def build_queries() -> dict:
         "ann_brute_cosine": A.ann_brute_topk,
         "ann_filtered_cosine": A.ann_filtered_topk,
         "ann_maxsim": A.ann_maxsim_topk,
+        # product quantization: trained codebooks are rows-only
+        # (iterative Lloyd, pytest recall-bounded); the ks→∞ limit is
+        # the oracle-paired degenerate twin
+        "ann_pq_cosine": A.ann_pq_topk,
+        "ann_pq_exact": lambda sf: A.ann_pq_topk(sf, exact=True),
         "ft_hybrid_rrf": _q_hybrid_rrf(),
         "ann_ivf_cosine": A.ann_ivf_topk,          # approximate (no SQL twin)
         # full probe (nprobe = nlist) degenerates to exhaustive search,
@@ -6045,6 +6050,9 @@ def build_oracle_sql() -> dict:
         "ann_maxsim": __import__(
             "lucene_solr_ray.ops.ann",
             fromlist=["ann_maxsim_sql"]).ann_maxsim_sql(),
+        "ann_pq_exact": __import__(
+            "lucene_solr_ray.ops.ann",
+            fromlist=["ann_pq_exact_sql"]).ann_pq_exact_sql(),
         "ft_hybrid_rrf": ft_hybrid_rrf_sql(),
         "ann_ivf_full_probe": ann_brute_sql(),
         "ann_lsh_degenerate": ann_brute_sql(),

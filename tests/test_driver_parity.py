@@ -135,6 +135,7 @@ PARAMETRIZED = [
     "rel_skew_report",
     "text_train_split",
     "rel_event_dedup",
+    "ann_pq_exact",
 ]
 
 

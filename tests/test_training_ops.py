@@ -509,3 +509,69 @@ def test_balanced_sample_equalizes_sources(ray_session, tmp_path):
     assert len(small) == n_small
     big = out[out.source == "big"]
     assert 15 <= len(big) <= 80  # ~42 expected, generous hash tolerance
+
+
+def test_ann_pq_recall_on_clustered_fixture(ray_session, tmp_path):
+    """PQ with trained codebooks recovers the true neighborhood on
+    cluster-structured data (the regime PQ is built for): vectors =
+    one of 8 centroids + small noise; recall@10 vs the exact aligned
+    sum is high. On the degenerate path (exact=True) the result is
+    IDENTICAL to a direct numpy evaluation."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.ops.ann import _quant6, ann_pq_topk
+
+    rng = np.random.default_rng(17)
+    cents = rng.normal(size=(8, 64))
+    assign = rng.integers(0, 8, size=400)
+    E = cents[assign] + 0.05 * rng.normal(size=(400, 64))
+    E[0] = cents[0] + 0.05 * rng.normal(size=64)  # query in cluster 0
+    t = pa.table({
+        "vec_id": pa.array(np.arange(400), type=pa.int64()),
+        "embedding": pa.array([r.astype(np.float32).tolist()
+                               for r in E],
+                              type=pa.list_(pa.float32())),
+    })
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(t, str(d / "embeddings.parquet"))
+
+    exact = ann_pq_topk(str(d), k=10, exact=True).to_pandas()
+
+    # direct numpy reference of the aligned-sum similarity
+    Ef = np.asarray([np.asarray(r, dtype=np.float32)
+                     for r in t["embedding"].to_pylist()],
+                    dtype=np.float64)
+    q = Ef[0].reshape(8, 8)
+    qn = np.sqrt((q * q).sum(axis=1))
+    D = Ef[1:].reshape(399, 8, 8)
+    dn = np.sqrt(np.einsum("bid,bid->bi", D, D))
+    M = np.einsum("id,bid->bi", q, D) / (qn[None, :] * dn)
+    sq = _quant6(M).sum(axis=1)
+    order = np.lexsort((np.arange(1, 400), -sq))[:10]
+    want = [(int(i), int(sq[i - 1]))
+            for i in (order + 1)]
+    got = list(zip(exact["nid"], exact["score_q"]))
+    assert got == want
+
+    # Within a tight cluster the top-10 are near-ties, so exact
+    # rank overlap is the wrong metric for coded scores; the property
+    # PQ must deliver is the NEIGHBORHOOD: every returned neighbor
+    # comes from the query's cluster (the query was planted in
+    # cluster 0).
+    pq_res = ann_pq_topk(str(d), k=10).to_pandas()
+    same = sum(assign[n] == 0 for n in pq_res["nid"])
+    assert same >= 9, (same, pq_res["nid"].tolist())
+
+
+def test_ann_pq_corpus_recall_bound(ray_session):
+    """On the unstructured synthetic corpus (PQ's worst case) trained
+    codes still beat chance by a wide margin: recall@10 >= 0.4 vs the
+    exact aligned sum (chance = 10/500)."""
+    from lucene_solr_ray.ops.ann import ann_pq_topk
+
+    sf = "/root/testdata/sf0.01"
+    exact = ann_pq_topk(sf, k=10, exact=True).to_pandas()
+    pq_res = ann_pq_topk(sf, k=10).to_pandas()
+    recall = len(set(pq_res["nid"]) & set(exact["nid"])) / 10
+    assert recall >= 0.4, recall
