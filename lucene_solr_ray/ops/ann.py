@@ -915,3 +915,99 @@ SELECT CAST(0 AS BIGINT) AS qid, nid, CAST(score_q AS BIGINT) AS score_q,
 FROM per_doc
 ORDER BY score_q DESC, nid ASC LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training data prep, e.g. DPR /
+# sentence-transformers recipes): for each query vector, the top-k
+# most-similar vectors whose cosine falls INSIDE a band
+# [NEG_LO, NEG_HI] — similar enough to be informative negatives, but
+# below the near-duplicate ceiling that would make them false
+# negatives. Same streaming shape as ann_brute_topk (broadcast query
+# matrix, per-batch matmul, ties-kept candidate cut), with the band
+# test applied on QUANTIZED scores so the boundary is integer-exact on
+# both sides.
+
+NEG_LO = 0.20
+NEG_HI = 0.60
+
+
+def ann_hard_negatives(sf_dir: str, k: int = TOP_K,
+                       n_queries: int = N_QUERIES,
+                       lo: float = NEG_LO, hi: float = NEG_HI) -> pa.Table:
+    import ray
+
+    lo_q = int(np.floor(lo * 1_000_000 + 0.5))
+    hi_q = int(np.floor(hi * 1_000_000 + 0.5))
+    ds = _read_emb(sf_dir)
+    qids, Q = _load_query_vectors(sf_dir, n_queries)
+    q_ref = ray.put((qids, Q))
+
+    class Score:
+        def __init__(self, ref):
+            self.qids, self.Q = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, B = _emb_matrix(batch)
+            S = _cosine(self.Q, B)
+            Sq = _quant6(S)
+            rows_q, rows_n, rows_s = [], [], []
+            for qi in range(len(self.qids)):
+                band = (Sq[qi] >= lo_q) & (Sq[qi] <= hi_q) \
+                    & (ids != self.qids[qi])
+                if not band.any():
+                    continue
+                cand = np.flatnonzero(band)
+                sq = Sq[qi][cand]
+                kk = min(k, len(cand))
+                thr = np.partition(sq, len(sq) - kk)[len(sq) - kk]
+                sel = cand[sq >= thr]      # ties kept for the cut
+                rows_q.extend([int(self.qids[qi])] * len(sel))
+                rows_n.extend(ids[sel].tolist())
+                rows_s.extend(Sq[qi][sel].tolist())
+            return pa.table({
+                "qid": pa.array(rows_q, type=pa.int64()),
+                "nid": pa.array(rows_n, type=pa.int64()),
+                "score_q": pa.array(rows_s, type=pa.int64()),
+            })
+
+    parts = (ds.map_batches(Score, fn_constructor_kwargs={"ref": q_ref},
+                            batch_format="pyarrow", batch_size=4096,
+                            concurrency=(1, 4))
+             .to_pandas())
+    parts = parts.sort_values(["qid", "score_q", "nid"],
+                              ascending=[True, False, True])
+    out = parts.groupby("qid", as_index=False).head(k).copy()
+    out["rank"] = (out.groupby("qid").cumcount() + 1).astype(np.int64)
+    return pa.Table.from_pandas(out.reset_index(drop=True),
+                                preserve_index=False)
+
+
+def ann_hard_negatives_sql(k: int = TOP_K, n_queries: int = N_QUERIES,
+                           lo: float = NEG_LO,
+                           hi: float = NEG_HI) -> str:
+    lo_q = int(np.floor(lo * 1_000_000 + 0.5))
+    hi_q = int(np.floor(hi * 1_000_000 + 0.5))
+    return f"""
+WITH q AS (SELECT vec_id AS qid,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+           FROM embeddings WHERE vec_id < {n_queries}),
+b AS (SELECT vec_id AS nid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS be
+      FROM embeddings),
+scored AS (
+  SELECT qid, nid,
+         CAST(floor(list_cosine_similarity(qe, be) * 1000000 + 0.5)
+              AS BIGINT) AS score_q
+  FROM q, b WHERE qid <> nid
+),
+ranked AS (
+  SELECT qid, nid, score_q,
+         CAST(row_number() OVER (PARTITION BY qid
+                                 ORDER BY score_q DESC, nid ASC)
+              AS BIGINT) AS rank
+  FROM scored WHERE score_q BETWEEN {lo_q} AND {hi_q}
+)
+SELECT qid, nid, score_q, rank FROM ranked WHERE rank <= {k}
+ORDER BY qid, rank
+"""

@@ -5672,6 +5672,7 @@ def build_queries() -> dict:
         # the oracle-paired degenerate twin
         "ann_pq_cosine": A.ann_pq_topk,
         "ann_pq_exact": lambda sf: A.ann_pq_topk(sf, exact=True),
+        "ann_hard_negatives": A.ann_hard_negatives,
         "ft_hybrid_rrf": _q_hybrid_rrf(),
         "ann_ivf_cosine": A.ann_ivf_topk,          # approximate (no SQL twin)
         # full probe (nprobe = nlist) degenerates to exhaustive search,
@@ -6053,6 +6054,9 @@ def build_oracle_sql() -> dict:
         "ann_pq_exact": __import__(
             "lucene_solr_ray.ops.ann",
             fromlist=["ann_pq_exact_sql"]).ann_pq_exact_sql(),
+        "ann_hard_negatives": __import__(
+            "lucene_solr_ray.ops.ann",
+            fromlist=["ann_hard_negatives_sql"]).ann_hard_negatives_sql(),
         "ft_hybrid_rrf": ft_hybrid_rrf_sql(),
         "ann_ivf_full_probe": ann_brute_sql(),
         "ann_lsh_degenerate": ann_brute_sql(),

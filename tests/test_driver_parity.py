@@ -136,6 +136,7 @@ PARAMETRIZED = [
     "text_train_split",
     "rel_event_dedup",
     "ann_pq_exact",
+    "ann_hard_negatives",
 ]
 
 

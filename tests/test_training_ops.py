@@ -575,3 +575,38 @@ def test_ann_pq_corpus_recall_bound(ray_session):
     pq_res = ann_pq_topk(sf, k=10).to_pandas()
     recall = len(set(pq_res["nid"]) & set(exact["nid"])) / 10
     assert recall >= 0.4, recall
+
+
+def test_ann_hard_negatives_band(ray_session, tmp_path):
+    """Planted geometry: a near-duplicate (cos ~1) is EXCLUDED by the
+    band ceiling, an orthogonal vector (cos ~0) by the floor, and the
+    mid-similarity plants are returned in similarity order."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.ops.ann import ann_hard_negatives
+
+    rng = np.random.default_rng(23)
+    q = rng.normal(size=64)
+    q /= np.linalg.norm(q)
+
+    def at_cos(c):
+        r = rng.normal(size=64)
+        r -= (r @ q) * q
+        r /= np.linalg.norm(r)
+        return c * q + np.sqrt(1 - c * c) * r
+
+    rows = [q, at_cos(0.99), at_cos(0.55), at_cos(0.40), at_cos(0.25),
+            at_cos(0.01), at_cos(-0.3)]
+    t = pa.table({
+        "vec_id": pa.array(np.arange(len(rows)), type=pa.int64()),
+        "embedding": pa.array([np.asarray(r, dtype=np.float32).tolist()
+                               for r in rows],
+                              type=pa.list_(pa.float32())),
+    })
+    d = tmp_path / "hn"
+    d.mkdir()
+    pq.write_table(t, str(d / "embeddings.parquet"))
+    got = ann_hard_negatives(str(d), k=5, n_queries=1).to_pandas()
+    assert got["nid"].tolist() == [2, 3, 4]
+    assert (got["score_q"] >= 200000).all()
+    assert (got["score_q"] <= 600000).all()
