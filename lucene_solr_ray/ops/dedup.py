@@ -770,3 +770,54 @@ SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
        count(*) AS n_kept
 FROM kept GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def dedup_rep_quality(sf_dir: str) -> pa.Table:
+    """Quality-ranked representative selection — the refinement real
+    pipelines apply over keep-min-id (dedup_apply): each near-dup
+    cluster keeps the member with the best quality signal (max
+    type-token ratio, ties to max token count, then min doc_id), so
+    boilerplate-heavy variants lose to the information-dense one.
+    The cluster table is tiny (only docs inside components); its id
+    set broadcasts, quality metrics are computed ONLY for clustered
+    docs in one streaming pass (analyze-after-filter), and the
+    rep-pick folds on the driver over the tiny join. Returns
+    (cluster, rep_doc_id, n_members, rep_ttr_q) ordered by cluster."""
+    import ray
+    import ray.data as rd
+
+    from ..analysis import analyze_batch
+    from .text_quality_shim import quality_metrics_batch
+
+    clusters = dedup_clusters(sf_dir).to_pandas()
+    ids = np.sort(clusters["doc_id"].to_numpy(dtype=np.int64))
+    iref = ray.put(ids)
+
+    def quality(batch: pa.Table) -> pa.Table:
+        import ray as _r
+
+        want = _r.get(iref)
+        m = np.isin(np.asarray(batch["doc_id"], dtype=np.int64), want)
+        sub = batch.filter(pa.array(m))
+        if len(sub) == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "n_tokens": pa.array([], type=pa.int64()),
+                             "ttr_q": pa.array([], type=pa.int64())})
+        return quality_metrics_batch(sub)
+
+    q = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+         .map_batches(quality, batch_format="pyarrow").to_pandas())
+    j = clusters.merge(q, on="doc_id")
+    j = j.sort_values(["cluster", "ttr_q", "n_tokens", "doc_id"],
+                      ascending=[True, False, False, True])
+    rep = j.groupby("cluster", as_index=False).first()
+    sizes = clusters.groupby("cluster", as_index=False).size()
+    out = rep.merge(sizes, on="cluster").rename(
+        columns={"doc_id": "rep_doc_id", "size": "n_members",
+                 "ttr_q": "rep_ttr_q"})
+    out = out[["cluster", "rep_doc_id", "n_members", "rep_ttr_q"]] \
+        .sort_values("cluster").reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)

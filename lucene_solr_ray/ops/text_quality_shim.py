@@ -1,0 +1,31 @@
+"""Shared per-batch quality metrics (the quality_score kernel without
+the full-table pass) — used by dedup_rep_quality's analyze-after-filter
+path. Kept in its own module to avoid a text<->dedup import cycle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..analysis import analyze_batch
+
+
+def quality_metrics_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_tokens, ttr_q) for one batch — identical math to
+    ops.text.quality_score (shared _q4 quantization)."""
+    from .text import _q4
+
+    ab = analyze_batch(batch["text"], keep_stopwords=True)
+    n = len(batch)
+    total = np.bincount(ab.doc_idx, minlength=n).astype(np.int64)
+    codes = np.asarray(
+        pa.chunked_array([ab.terms]).combine_chunks()
+        .dictionary_encode().indices, dtype=np.int64)
+    keys = np.unique(ab.doc_idx.astype(np.int64) << 32 | codes)
+    n_unique = np.bincount(keys >> 32, minlength=n).astype(np.int64)
+    ttr = np.divide(n_unique, total, out=np.zeros(n), where=total > 0)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_tokens": pa.array(total, type=pa.int64()),
+        "ttr_q": pa.array(_q4(ttr), type=pa.int64()),
+    })

@@ -951,6 +951,55 @@ FROM closure GROUP BY u ORDER BY doc_id
 """
 
 
+def dedup_rep_quality_sql(threshold: float) -> str:
+    """Twin of ops.dedup.dedup_rep_quality: the dedup_clusters closure
+    + the text_quality aggregates over clustered docs only + a
+    row_number pick on the identical (ttr desc, tokens desc, id)
+    order."""
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                             t -> length(t) <= 255) AS tk
+  FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                             for i in range(1, len(tk) - 1)]) AS s
+       FROM toks WHERE len(tk) >= 3),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        >= {threshold}),
+edges AS (SELECT a AS u, b AS v FROM pairs
+          UNION SELECT b, a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+closure AS (SELECT u, v FROM reach UNION SELECT u, u FROM edges),
+clusters AS (SELECT u AS doc_id, min(v) AS cluster
+             FROM closure GROUP BY u),
+q AS (SELECT c.cluster, t.doc_id, len(t.tk) AS n_tokens,
+             CAST(floor(CAST(len(list_distinct(t.tk)) AS DOUBLE)
+                        / len(t.tk) * 10000 + 0.5) AS BIGINT) AS ttr_q
+      FROM clusters c JOIN toks t USING (doc_id)),
+pick AS (SELECT cluster, doc_id AS rep_doc_id, ttr_q,
+                row_number() OVER (PARTITION BY cluster
+                                   ORDER BY ttr_q DESC, n_tokens DESC,
+                                            doc_id ASC) AS rn
+         FROM q),
+sz AS (SELECT cluster, count(*) AS n_members FROM clusters
+       GROUP BY cluster)
+SELECT CAST(p.cluster AS BIGINT) AS cluster,
+       CAST(p.rep_doc_id AS BIGINT) AS rep_doc_id,
+       CAST(sz.n_members AS BIGINT) AS n_members,
+       CAST(p.ttr_q AS BIGINT) AS rep_ttr_q
+FROM pick p JOIN sz USING (cluster)
+WHERE p.rn = 1 ORDER BY cluster
+"""
+
+
 _TOK_KEEPSTOP_CTE = """
 tok AS (
   SELECT doc_id, unnest(toks) AS term
@@ -5642,6 +5691,7 @@ def build_queries() -> dict:
         "dedup_ngram_jaccard": D.ngram_jaccard_pairs,
         "dedup_substring": D.substring_dup_pairs,
         "dedup_apply": D.dedup_apply,
+        "dedup_rep_quality": D.dedup_rep_quality,
         # md5 hash mode so the 64-bit bitwise twin can reproduce the
         # signatures (md5_number_lower); blake2b stays the library default
         "dedup_simhash": lambda sf_dir: D.simhash_pairs(sf_dir,
@@ -6029,6 +6079,7 @@ def build_oracle_sql() -> dict:
         "dedup_ngram_jaccard": ft_jaccard_pairs_sql(JACCARD_THRESHOLD),
         "dedup_substring": substring_dup_sql(8),
         "dedup_apply": dedup_apply_sql(JACCARD_THRESHOLD),
+        "dedup_rep_quality": dedup_rep_quality_sql(JACCARD_THRESHOLD),
         "dedup_clusters": dedup_clusters_sql(JACCARD_THRESHOLD),
         "dedup_c4_lines": c4_line_dedup_sql(),
         "text_langid": text_langid_sql(),

@@ -137,6 +137,7 @@ PARAMETRIZED = [
     "rel_event_dedup",
     "ann_pq_exact",
     "ann_hard_negatives",
+    "dedup_rep_quality",
 ]
 
 

@@ -610,3 +610,31 @@ def test_ann_hard_negatives_band(ray_session, tmp_path):
     assert got["nid"].tolist() == [2, 3, 4]
     assert (got["score_q"] >= 200000).all()
     assert (got["score_q"] <= 600000).all()
+
+
+def test_dedup_rep_quality_prefers_dense_member(ray_session, tmp_path):
+    """In a planted near-dup cluster the repetitive (low-TTR) variant
+    loses to the information-dense one, regardless of id order."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.ops.dedup import dedup_rep_quality
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    dense = base + " unique1"      # one NEW word -> TTR = 1.0
+    sparse = base + " alpha"       # one REPEAT -> TTR < 1.0; J = 0.9
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 9], type=pa.int64()),
+        "text": pa.array([sparse, dense,
+                          "totally unrelated text with no overlap "
+                          "whatsoever in any shingle of this doc"]),
+    })
+    d = tmp_path / "repq"
+    d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+    out = dedup_rep_quality(str(d)).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["cluster"] == 1          # min-id labels the component
+    assert r["rep_doc_id"] == 2       # but the DENSE doc represents it
+    assert r["n_members"] == 2
