@@ -576,3 +576,54 @@ SELECT event_type,
        CAST(count(*) FILTER (rn > 1) AS BIGINT) AS n_dropped
 FROM rn GROUP BY event_type ORDER BY event_type
 """
+
+
+def ewma_per_user(sf_dir: str) -> pa.Table:
+    """Exponential smoothing over each user's event-value series — the
+    classic streaming-state operator (per-key running estimate). The
+    recurrence is INTEGER-exact with α = 1/2:
+    e_1 = c_1, e_t = (c_t + e_{t-1}) // 2 over cents, in strict
+    (ts, event_id) order, so the sequential fold has exactly one
+    answer and the DuckDB twin replays it with a WITH RECURSIVE walk.
+    ONE groupby(user_id).map_groups shuffle (the as-of/session-window
+    partitioning contract: one user's history fits a worker); the
+    output is one row per user."""
+    ds = _read(sf_dir, ["event_id", "ts", "user_id", "value"])
+
+    def smooth(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        c = np.floor(df["value"].to_numpy(np.float64) * 100
+                     + 0.5).astype(np.int64)
+        e = c[0]
+        for v in c[1:]:
+            e = (v + e) // 2
+        return pd.DataFrame({"user_id": [df["user_id"].iloc[0]],
+                             "n_events": [len(c)],
+                             "ewma_cents": [e]})
+
+    out = (ds.groupby("user_id")
+           .map_groups(smooth, batch_format="pandas")
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def ewma_per_user_sql() -> str:
+    """Twin: the identical integer recurrence replayed by a recursive
+    walk over the per-user row_number order."""
+    return """
+WITH RECURSIVE x AS (
+  SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+rec(user_id, rn, e) AS (
+  SELECT user_id, rn, c FROM x WHERE rn = 1
+  UNION ALL
+  SELECT x.user_id, x.rn, (x.c + rec.e) // 2
+  FROM rec JOIN x ON x.user_id = rec.user_id AND x.rn = rec.rn + 1)
+SELECT user_id, CAST(max(rn) AS BIGINT) AS n_events,
+       CAST(arg_max(e, rn) AS BIGINT) AS ewma_cents
+FROM rec GROUP BY user_id ORDER BY user_id
+"""

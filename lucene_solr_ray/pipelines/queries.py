@@ -5763,6 +5763,7 @@ def build_queries() -> dict:
         "rel_cohort_retention": TMP.cohort_retention,
         "rel_window_enrich": TMP.window_enrich,
         "rel_event_dedup": TMP.event_window_dedup,
+        "rel_ewma": TMP.ewma_per_user,
         # Z-order layout: the curve-position query (the clustered
         # write + file-pruning path is layout.zorder_write, pytest'd)
         "rel_zorder_curve": __import__(
@@ -6214,6 +6215,9 @@ def build_oracle_sql() -> dict:
         "rel_event_dedup": __import__(
             "lucene_solr_ray.ops.temporal",
             fromlist=["event_window_dedup_sql"]).event_window_dedup_sql(),
+        "rel_ewma": __import__(
+            "lucene_solr_ray.ops.temporal",
+            fromlist=["ewma_per_user_sql"]).ewma_per_user_sql(),
         "rel_entity_match": __import__(
             "lucene_solr_ray.ops.entity",
             fromlist=["entity_match_pairs_sql"]).entity_match_pairs_sql(),

@@ -253,3 +253,35 @@ def test_event_window_dedup_planted(ray_session, tmp_path):
          for r in got.itertuples(index=False)}
     assert g["click"] == (2, 2)   # windows [0,300) and [300,600)
     assert g["view"] == (2, 1)    # (2,view) pair deduped, (1,view) kept
+
+
+def test_ewma_exact_recurrence(ray_session, tmp_path):
+    """The fold is the exact integer recurrence in (ts, event_id)
+    order — verified against a hand-rolled replay, including a
+    same-timestamp tie broken by event_id."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.ops.temporal import ewma_per_user
+
+    base = pd.Timestamp("2024-03-01")
+    rows = [
+        (2, base, 7, 10.00),               # tie on ts: id 1 first
+        (1, base, 7, 2.00),
+        (3, base + pd.Timedelta(seconds=5), 7, 5.00),
+        (4, base, 8, 99.99),               # single-event user
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        "value": pa.array([r[3] for r in rows]),
+    })
+    d = tmp_path / "ew"; d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    got = ewma_per_user(str(d)).to_pandas().set_index("user_id")
+    # user 7: e = 200 -> (1000+200)//2 = 600 -> (500+600)//2 = 550
+    assert got.loc[7, "ewma_cents"] == 550
+    assert got.loc[7, "n_events"] == 3
+    assert got.loc[8, "ewma_cents"] == 9999
