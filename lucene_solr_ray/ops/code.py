@@ -271,3 +271,54 @@ SELECT source, license, CAST(count(*) AS BIGINT) AS n
 FROM x GROUP BY source, license
 ORDER BY source, license
 """
+
+
+PSEUDO_SALT = "graft-v1"
+
+
+def pseudonymize_rollup(sf_dir: str, salt: str = PSEUDO_SALT) -> pa.Table:
+    """Deterministic pseudonymization — the governance stage that lets
+    event analytics be shared without raw identifiers: user_id maps to
+    a salted one-way token (md5(salt|id) hex, the shared twin hash),
+    consistent across partitions and runs so joins/rollups still work
+    on the tokenized key. Returns the per-token census
+    (user_token, n_events, sum_cents) — per-batch partials, one tiny
+    groupby; the raw id never appears in the output."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "value"],
+                         override_num_blocks=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["value"].to_numpy(np.float64) * 100
+                         + 0.5).astype(np.int64)
+        tok = [hashlib.md5(f"{salt}|{int(u)}".encode()).hexdigest()
+               for u in df["user_id"]]
+        g = (pd.DataFrame({"user_token": tok, "n_events": 1,
+                           "sum_cents": cents})
+             .groupby("user_token", as_index=False).sum())
+        return g
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("user_token").sum(["n_events", "sum_cents"])
+           .to_pandas()
+           .rename(columns={"sum(n_events)": "n_events",
+                            "sum(sum_cents)": "sum_cents"})
+           .sort_values("user_token").reset_index(drop=True))
+    out["n_events"] = out["n_events"].astype(np.int64)
+    out["sum_cents"] = out["sum_cents"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def pseudonymize_rollup_sql(salt: str = PSEUDO_SALT) -> str:
+    return f"""
+SELECT md5('{salt}|' || user_id) AS user_token,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+FROM events GROUP BY user_token ORDER BY user_token
+"""

@@ -5796,6 +5796,9 @@ def build_queries() -> dict:
         "code_license_rollup": __import__(
             "lucene_solr_ray.ops.code",
             fromlist=["license_rollup"]).license_rollup,
+        "code_pseudonymize": __import__(
+            "lucene_solr_ray.ops.code",
+            fromlist=["pseudonymize_rollup"]).pseudonymize_rollup,
         "rel_join_rollup": R.join_rollup,
         "rel_hierarchical_facet": R.hierarchical_facet,
         "rel_assoc_facet": R.association_facet,
@@ -6182,6 +6185,9 @@ def build_oracle_sql() -> dict:
         "code_license_rollup": __import__(
             "lucene_solr_ray.ops.code",
             fromlist=["license_rollup_sql"]).license_rollup_sql(),
+        "code_pseudonymize": __import__(
+            "lucene_solr_ray.ops.code",
+            fromlist=["pseudonymize_rollup_sql"]).pseudonymize_rollup_sql(),
         "sketch_theta_exact": __import__(
             "lucene_solr_ray.ops.sketches",
             fromlist=["theta_users_exact_sql"]).theta_users_exact_sql(),

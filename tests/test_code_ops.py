@@ -182,3 +182,26 @@ def test_license_pattern_finds_existing_header():
         pa.array(["x // SPDX-License-Identifier: BSD-3-Clause tail"]),
         pattern=SPDX_PATTERN)
     assert pc.struct_field(ex, "lic").to_pylist() == ["BSD-3-Clause"]
+
+
+def test_pseudonymize_consistent_and_opaque(ray_session, tmp_path):
+    """Tokens are stable across runs and partitionings (joinable), raw
+    ids never appear, and distinct ids never collide on this domain."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.ops.code import pseudonymize_rollup
+
+    t = pa.table({
+        "user_id": pa.array([1, 2, 2, 3, 1, 1], type=pa.int64()),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0]),
+    })
+    d = tmp_path / "ev"; d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    a = pseudonymize_rollup(str(d)).to_pandas()
+    b = pseudonymize_rollup(str(d)).to_pandas()
+    assert a.values.tolist() == b.values.tolist()
+    assert len(a) == 3
+    assert a["n_events"].sum() == 6
+    assert not any(tok in ("1", "2", "3") for tok in a["user_token"])
+    assert a["user_token"].is_unique

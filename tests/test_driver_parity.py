@@ -139,6 +139,7 @@ PARAMETRIZED = [
     "ann_hard_negatives",
     "dedup_rep_quality",
     "rel_ewma",
+    "code_pseudonymize",
 ]
 
 
