@@ -312,3 +312,123 @@ def block_join_facet(sf_dir: str, min_qty: float = 45.0) -> pa.Table:
           .sort_values("o_orderpriority").reset_index(drop=True))
     df["cnt"] = df["cnt"].astype("int64")
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# Adaptive join strategy — the planner decision every distributed join
+# makes at 100 TB: if the build side fits a worker's heap, BROADCAST it
+# (ray.put once, per-batch vectorized probe, the map-side join — zero
+# shuffle of the big side); otherwise fall back to the hash-partitioned
+# Dataset.join (both sides shuffle once). The estimate comes from the
+# build side's own parquet FOOTER (serialized byte size + row count —
+# no data is read to decide), the table_stats/row-group-statistics
+# discipline. Both paths are exact, so the choice is invisible in the
+# result — the test pins that invariant by forcing each path.
+
+BROADCAST_LIMIT_BYTES = 64 << 20
+
+
+def estimate_parquet_size(path: str) -> dict:
+    """{bytes, rows} from footer metadata only."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    total = sum(md.row_group(i).total_byte_size
+                for i in range(md.num_row_groups))
+    return {"bytes": int(total), "rows": int(md.num_rows)}
+
+
+def choose_join_strategy(build_path: str,
+                         limit_bytes: int = BROADCAST_LIMIT_BYTES) -> dict:
+    est = estimate_parquet_size(build_path)
+    est["strategy"] = ("broadcast" if est["bytes"] <= limit_bytes
+                      else "shuffle")
+    return est
+
+
+def auto_join_rollup(sf_dir: str,
+                     limit_bytes: int = BROADCAST_LIMIT_BYTES) -> pa.Table:
+    """orders ⋈ customer rolled up per nation — (c_nationkey, n_orders,
+    sum_total_cents) — through whichever join strategy the footer
+    estimate picks. Identical output either way (pinned by
+    test_auto_join_paths_agree)."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    build_path = os.path.join(sf_dir, "customer.parquet")
+    plan = choose_join_strategy(build_path, limit_bytes)
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey", "o_totalprice"],
+                             override_num_blocks=8)
+
+    if plan["strategy"] == "broadcast":
+        import pyarrow.parquet as pq
+
+        cust = pq.read_table(build_path,
+                             columns=["c_custkey", "c_nationkey"])
+        ck = np.asarray(cust["c_custkey"], dtype=np.int64)
+        nk = np.asarray(cust["c_nationkey"], dtype=np.int64)
+        order = np.argsort(ck)
+        ref = ray.put((ck[order], nk[order]))
+
+        def probe(batch: pa.Table) -> pa.Table:
+            keys, nat = ray.get(ref)
+            ok = np.asarray(batch["o_custkey"], dtype=np.int64)
+            cents = np.floor(
+                np.asarray(batch["o_totalprice"], dtype=np.float64)
+                * 100 + 0.5).astype(np.int64)
+            pos = np.searchsorted(keys, ok)
+            pos_c = np.clip(pos, 0, len(keys) - 1)
+            hit = keys[pos_c] == ok
+            df = pd.DataFrame({"c_nationkey": nat[pos_c[hit]],
+                               "n_orders": 1,
+                               "sum_total_cents": cents[hit]})
+            return pa.Table.from_pandas(
+                df.groupby("c_nationkey", as_index=False).sum(),
+                preserve_index=False)
+
+        agg = orders.map_batches(probe, batch_format="pyarrow")
+    else:
+        cust_ds = rd.read_parquet(build_path,
+                                  columns=["c_custkey", "c_nationkey"],
+                                  override_num_blocks=8) \
+            .repartition(8).materialize()
+        joined = orders.join(cust_ds, join_type="inner",
+                             num_partitions=8,
+                             on=("o_custkey",), right_on=("c_custkey",))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            cents = np.floor(
+                np.asarray(batch["o_totalprice"], dtype=np.float64)
+                * 100 + 0.5).astype(np.int64)
+            df = pd.DataFrame({
+                "c_nationkey": np.asarray(batch["c_nationkey"],
+                                          dtype=np.int64),
+                "n_orders": 1, "sum_total_cents": cents})
+            return pa.Table.from_pandas(
+                df.groupby("c_nationkey", as_index=False).sum(),
+                preserve_index=False)
+
+        agg = joined.map_batches(partial, batch_format="pyarrow")
+
+    out = (agg.groupby("c_nationkey")
+           .sum(["n_orders", "sum_total_cents"]).to_pandas()
+           .rename(columns={"sum(n_orders)": "n_orders",
+                            "sum(sum_total_cents)": "sum_total_cents"})
+           .sort_values("c_nationkey").reset_index(drop=True))
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def auto_join_rollup_sql() -> str:
+    return """
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""

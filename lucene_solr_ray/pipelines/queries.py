@@ -5868,6 +5868,7 @@ def build_queries() -> dict:
         "rel_join_score_total":
             lambda sf: J.terms_including_score_mode(sf, "total"),
         "rel_collapse_expand": J.collapse_expand,
+        "rel_auto_join": J.auto_join_rollup,
     }
     return training | rel | {
         "ft_term_hot": _q_term(HOT),
@@ -6272,6 +6273,9 @@ def build_oracle_sql() -> dict:
         "rel_join_score_avg": RS.JOIN_SCORE_AVG,
         "rel_join_score_total": RS.JOIN_SCORE_TOTAL,
         "rel_collapse_expand": RS.COLLAPSE_EXPAND,
+        "rel_auto_join": __import__(
+            "lucene_solr_ray.ops.joins",
+            fromlist=["auto_join_rollup_sql"]).auto_join_rollup_sql(),
         # sketch_hll_users: no SQL twin (HLL approximate by construction);
         # tests/test_sketches.py bounds the error vs the exact count
     }

@@ -70,3 +70,41 @@ def test_train_split_deterministic_partition(ray_session, tmp_path):
     # roughly 80/10/10 overall
     by = got.groupby("split")["n_docs"].sum()
     assert by["train"] > by["validation"] and by["train"] > by["test"]
+
+
+def test_auto_join_paths_agree(ray_session, tmp_path):
+    """The footer-estimate strategy choice is invisible in the result:
+    broadcast and shuffle paths return identical rollups, and the
+    estimator reads only metadata (rows match the footer)."""
+    from lucene_solr_ray.ops.joins import (auto_join_rollup,
+                                           choose_join_strategy,
+                                           estimate_parquet_size)
+
+    rng = np.random.default_rng(31)
+    n_c, n_o = 50, 1200
+    cust = pa.table({
+        "c_custkey": pa.array(np.arange(n_c), type=pa.int64()),
+        "c_nationkey": pa.array(rng.integers(0, 5, n_c),
+                                type=pa.int64()),
+    })
+    orders = pa.table({
+        "o_custkey": pa.array(rng.integers(-5, n_c + 5, n_o),
+                              type=pa.int64()),   # some dangling keys
+        "o_totalprice": pa.array(rng.uniform(1, 9e3, n_o).round(2)),
+    })
+    d = tmp_path / "aj"; d.mkdir()
+    pq.write_table(cust, str(d / "customer.parquet"))
+    pq.write_table(orders, str(d / "orders.parquet"))
+
+    est = estimate_parquet_size(str(d / "customer.parquet"))
+    assert est["rows"] == n_c and est["bytes"] > 0
+    assert choose_join_strategy(str(d / "customer.parquet"))[
+        "strategy"] == "broadcast"
+    assert choose_join_strategy(str(d / "customer.parquet"), 0)[
+        "strategy"] == "shuffle"
+
+    a = auto_join_rollup(str(d)).to_pandas()
+    b = auto_join_rollup(str(d), limit_bytes=0).to_pandas()
+    assert a.values.tolist() == b.values.tolist()
+    # dangling order keys dropped by the inner join on both paths
+    assert a["n_orders"].sum() < n_o

@@ -140,6 +140,7 @@ PARAMETRIZED = [
     "dedup_rep_quality",
     "rel_ewma",
     "code_pseudonymize",
+    "rel_auto_join",
 ]
 
 
