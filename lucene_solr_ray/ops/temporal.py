@@ -627,3 +627,69 @@ SELECT user_id, CAST(max(rn) AS BIGINT) AS n_events,
        CAST(arg_max(e, rn) AS BIGINT) AS ewma_cents
 FROM rec GROUP BY user_id ORDER BY user_id
 """
+
+
+ATTR_WINDOW_S = 300
+
+
+def attribution_join(sf_dir: str,
+                     window_s: int = ATTR_WINDOW_S) -> pa.Table:
+    """Interval (stream-stream) self-join — the attribution question:
+    for every 'purchase', how many same-user 'click' events landed in
+    the preceding window, and how fresh was the last one? The classic
+    bounded-time join two event streams need; Ray-Data-first it is ONE
+    groupby(user_id).map_groups (the per-entity partitioning contract
+    of asof_join/session_windows) with two sorted arrays and a
+    searchsorted window probe per group — never an unbounded
+    cross-join. Returns (event_id, user_id, n_clicks, last_gap_s)
+    per purchase, last_gap_s = -1 when no click is in the window
+    (sentinel keeps the column BIGINT)."""
+    ds = _read(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        ep = (df["ts"].astype("int64") // 1_000_000).to_numpy()
+        et = df["event_type"].to_numpy()
+        eid = df["event_id"].to_numpy()
+        cl = np.sort(ep[et == "click"])
+        pm = et == "purchase"
+        if not pm.any():
+            return pd.DataFrame({"event_id": [], "user_id": [],
+                                 "n_clicks": [], "last_gap_s": []})
+        pts = ep[pm]
+        lo = np.searchsorted(cl, pts - window_s, side="left")
+        # side="left": clicks at EXACTLY the purchase second are out
+        # (the twin's strict c.ep < p.ep)
+        hi = np.searchsorted(cl, pts, side="left")
+        n = (hi - lo).astype(np.int64)
+        last = np.where(n > 0, pts - cl[np.maximum(hi - 1, 0)], -1) \
+            .astype(np.int64)
+        return pd.DataFrame({
+            "event_id": eid[pm].astype(np.int64),
+            "user_id": df["user_id"].to_numpy()[pm].astype(np.int64),
+            "n_clicks": n, "last_gap_s": last})
+
+    out = (ds.groupby("user_id").map_groups(probe, batch_format="pandas")
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def attribution_join_sql(window_s: int = ATTR_WINDOW_S) -> str:
+    """Twin: LEFT JOIN with the identical half-open window
+    (p - w <= c < p, epoch seconds)."""
+    return f"""
+WITH x AS (SELECT event_id, user_id, event_type,
+                  epoch_us(ts) // 1000000 AS ep FROM events),
+p AS (SELECT event_id, user_id, ep FROM x
+      WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ep FROM x WHERE event_type = 'click')
+SELECT p.event_id, p.user_id,
+       CAST(count(c.ep) AS BIGINT) AS n_clicks,
+       CAST(COALESCE(p.ep - max(c.ep), -1) AS BIGINT) AS last_gap_s
+FROM p LEFT JOIN c
+  ON c.user_id = p.user_id
+ AND c.ep >= p.ep - {window_s} AND c.ep < p.ep
+GROUP BY p.event_id, p.user_id, p.ep
+ORDER BY p.event_id
+"""

@@ -5764,6 +5764,7 @@ def build_queries() -> dict:
         "rel_window_enrich": TMP.window_enrich,
         "rel_event_dedup": TMP.event_window_dedup,
         "rel_ewma": TMP.ewma_per_user,
+        "rel_attribution": TMP.attribution_join,
         # Z-order layout: the curve-position query (the clustered
         # write + file-pruning path is layout.zorder_write, pytest'd)
         "rel_zorder_curve": __import__(
@@ -6225,6 +6226,9 @@ def build_oracle_sql() -> dict:
         "rel_ewma": __import__(
             "lucene_solr_ray.ops.temporal",
             fromlist=["ewma_per_user_sql"]).ewma_per_user_sql(),
+        "rel_attribution": __import__(
+            "lucene_solr_ray.ops.temporal",
+            fromlist=["attribution_join_sql"]).attribution_join_sql(),
         "rel_entity_match": __import__(
             "lucene_solr_ray.ops.entity",
             fromlist=["entity_match_pairs_sql"]).entity_match_pairs_sql(),

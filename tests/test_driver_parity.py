@@ -141,6 +141,7 @@ PARAMETRIZED = [
     "rel_ewma",
     "code_pseudonymize",
     "rel_auto_join",
+    "rel_attribution",
 ]
 
 

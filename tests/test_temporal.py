@@ -285,3 +285,37 @@ def test_ewma_exact_recurrence(ray_session, tmp_path):
     assert got.loc[7, "ewma_cents"] == 550
     assert got.loc[7, "n_events"] == 3
     assert got.loc[8, "ewma_cents"] == 9999
+
+
+def test_attribution_window_boundaries(ray_session, tmp_path):
+    """Clicks at exactly p-w are IN, at exactly p are OUT; other
+    users' clicks never attribute."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.ops.temporal import attribution_join
+
+    base = pd.Timestamp("2024-05-01 12:00:00")
+    s = lambda x: base + pd.Timedelta(seconds=x)
+    rows = [
+        (1, s(0), 7, "click"),      # exactly p-300 -> in
+        (2, s(100), 7, "click"),    # in
+        (3, s(300), 7, "click"),    # exactly p -> OUT
+        (4, s(300), 7, "purchase"),
+        (5, s(200), 8, "click"),    # other user -> never counted
+        (6, s(400), 8, "purchase"), # sees only its own click
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+    })
+    d = tmp_path / "attr"; d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    got = attribution_join(str(d)).to_pandas().set_index("event_id")
+    assert got.loc[4, "n_clicks"] == 2
+    assert got.loc[4, "last_gap_s"] == 200   # last in-window click @100
+    assert got.loc[6, "n_clicks"] == 1
+    assert got.loc[6, "last_gap_s"] == 200
