@@ -1,0 +1,41 @@
+"""Index snapshot diff — the replication/debugging companion of
+index/replicate.py's IndexFetcher: compare two index directories'
+CURRENT commits segment-by-segment (the file-list diff the fetcher
+computes internally, surfaced as a tool). Content-derived segment
+names mean "same name" is already "same doc set"; meta.json bytes
+decide changed-vs-identical (solr:handler/IndexFetcher.java's
+size-diff file comparison, without transferring data)."""
+
+from __future__ import annotations
+
+import filecmp
+import os
+
+from .manifest import load_manifest
+
+
+def diff_indexes(a_dir: str, b_dir: str) -> dict:
+    """{only_a, only_b, changed, common, a_generation, b_generation,
+    a_num_docs, b_num_docs, deletes_differ} — names sorted, metadata
+    only (no postings data is read)."""
+    ma = load_manifest(a_dir)
+    mb = load_manifest(b_dir)
+    sa = {s["segment"] for s in ma["segments"]}
+    sb = {s["segment"] for s in mb["segments"]}
+    changed = []
+    for name in sorted(sa & sb):
+        fa = os.path.join(a_dir, "segments", name, "meta.json")
+        fb = os.path.join(b_dir, "segments", name, "meta.json")
+        if not filecmp.cmp(fa, fb, shallow=False):
+            changed.append(name)
+    return {
+        "only_a": sorted(sa - sb),
+        "only_b": sorted(sb - sa),
+        "changed": changed,
+        "common": sorted(sa & sb),
+        "a_generation": ma["generation"],
+        "b_generation": mb["generation"],
+        "a_num_docs": ma["num_docs"],
+        "b_num_docs": mb["num_docs"],
+        "deletes_differ": ma.get("deletes_file") != mb.get("deletes_file"),
+    }

@@ -163,3 +163,64 @@ def files_for_box(index: list[dict], x_lo: int, x_hi: int,
     zmax = int(zorder_key(np.array([x_hi]), np.array([y_hi]))[0])
     return [e["path"] for e in index
             if e["max_z"] >= zmin and e["min_z"] <= zmax]
+
+
+def compact_parquet(in_dir: str, out_dir: str,
+                    target_mb: int = 128) -> list[dict]:
+    """Small-file compaction — the maintenance job every long-lived
+    table needs (streaming ingests leave thousands of KB-sized files;
+    at 100 TB the NAMENODE/listing cost and per-file read overhead
+    dominate). Files are bin-packed by their FOOTER byte size into
+    ~target_mb groups (metadata only — no data read to plan), then
+    each group is rewritten as one file by its own Ray task
+    (map_batches over a group-descriptor dataset: the plan is the
+    dataset, the IO runs distributed). Row order within a group
+    follows the sorted input file names, so reruns are deterministic.
+    Returns the plan [{out, files, bytes, rows}]."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    files = sorted(f for f in os.listdir(in_dir)
+                   if f.endswith(".parquet"))
+    plan, cur, cur_b, cur_r = [], [], 0, 0
+    limit = target_mb << 20
+    for f in files:
+        md = pq.ParquetFile(os.path.join(in_dir, f)).metadata
+        b = sum(md.row_group(i).total_byte_size
+                for i in range(md.num_row_groups))
+        if cur and cur_b + b > limit:
+            plan.append({"files": cur, "bytes": cur_b, "rows": cur_r})
+            cur, cur_b, cur_r = [], 0, 0
+        cur.append(f)
+        cur_b += b
+        cur_r += md.num_rows
+    if cur:
+        plan.append({"files": cur, "bytes": cur_b, "rows": cur_r})
+    os.makedirs(out_dir, exist_ok=True)
+    for i, g in enumerate(plan):
+        g["out"] = os.path.join(out_dir, f"compact-{i:05d}.parquet")
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        import json as _json
+
+        import pyarrow.parquet as _pq
+
+        done = []
+        for row in batch.to_pylist():
+            g = _json.loads(row["spec"])
+            t = pa.concat_tables(
+                [_pq.read_table(os.path.join(in_dir, f))
+                 for f in g["files"]], promote_options="default")
+            tmp = g["out"] + ".tmp"
+            _pq.write_table(t, tmp)
+            os.replace(tmp, g["out"])   # atomic per output file
+            done.append(t.num_rows)
+        return pa.table({"rows": pa.array(done, type=pa.int64())})
+
+    import json
+
+    specs = rd.from_items([{"spec": json.dumps(g)} for g in plan])
+    written = specs.map_batches(rewrite, batch_format="pyarrow",
+                                batch_size=1).to_pandas()
+    assert int(written["rows"].sum()) == sum(g["rows"] for g in plan)
+    return plan

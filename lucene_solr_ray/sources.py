@@ -214,3 +214,43 @@ def read_trec_feed(paths):
         })
 
     return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def read_documents_evolved(paths: list[str], columns: list[str],
+                           defaults: dict | None = None):
+    """Schema-evolution-tolerant parquet read — mixed-generation files
+    (a column added or dropped over the table's lifetime) unify to ONE
+    requested schema: missing columns fill with the declared default
+    (None → typed nulls) INSIDE map_batches, per file, so the
+    alignment is distributed and the files are read only once. Older
+    readers' extra columns are dropped. Returns a Dataset with exactly
+    ``columns`` in order."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    defaults = defaults or {}
+
+    def align(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        out = {}
+        for c in columns:
+            if c in batch.column_names:
+                out[c] = batch[c]
+            else:
+                d = defaults.get(c)
+                if d is None:
+                    out[c] = pa.nulls(n)
+                else:
+                    out[c] = pa.array([d] * n)
+        return pa.table(out)
+
+    # one Dataset per file so heterogenous schemas never meet before
+    # the align stage; union streams them as one logical table
+    parts = [rd.read_parquet(p).map_batches(align,
+                                            batch_format="pyarrow")
+             for p in paths]
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds

@@ -337,3 +337,32 @@ def test_point_in_time_generation_reads(tmp_path, ray_session):
     # unknown generation is a clean error
     with pytest.raises(FileNotFoundError):
         IndexSearcher(idx, generation=99)
+
+
+def test_diff_indexes_tracks_divergence(tmp_path, ray_session):
+    import shutil
+
+    import ray.data as rd
+
+    from lucene_solr_ray.index.build import append_documents
+    from lucene_solr_ray.index.diff import diff_indexes
+
+    t = corpus_table()
+    a = build(tmp_path, "diff_a", t.slice(0, 5))
+    b_dir = str(tmp_path / "diff_b")
+    shutil.copytree(a, b_dir)
+
+    d0 = diff_indexes(a, b_dir)
+    assert d0["only_a"] == d0["only_b"] == d0["changed"] == []
+    assert d0["a_num_docs"] == d0["b_num_docs"] == 5
+
+    append_documents(rd.from_arrow(t.slice(5, 3)), b_dir,
+                     content_col="text", batch_rows=3,
+                     keyword_cols=("kw",))
+    d1 = diff_indexes(a, b_dir)
+    assert d1["only_a"] == [] and len(d1["only_b"]) >= 1
+    assert d1["b_num_docs"] == 8 and d1["b_generation"] == 2
+
+    delete_docs(a, [1000])
+    d2 = diff_indexes(a, b_dir)
+    assert d2["deletes_differ"]

@@ -2,6 +2,7 @@
 write + statistics-based file pruning; curve parity lives in
 test_driver_parity (rel_zorder_curve)."""
 
+import os
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -140,3 +141,55 @@ def test_cube_totals_consistent(ray_session, tmp_path):
     # lattice consistency: children sum to each parent
     assert g[("A", "(all)")][0] + g[("B", "(all)")][0] \
         == g[("(all)", "(all)")][0]
+
+
+def test_compact_parquet_bin_packs_losslessly(ray_session, tmp_path):
+    import pandas as pd
+
+    from lucene_solr_ray.ops.layout import compact_parquet
+
+    src = tmp_path / "small"; src.mkdir()
+    rng = np.random.default_rng(41)
+    total = 0
+    for i in range(12):
+        n = int(rng.integers(50, 200))
+        pq.write_table(pa.table({
+            "k": pa.array(np.arange(total, total + n), type=pa.int64()),
+            "v": pa.array(rng.normal(size=n)),
+        }), str(src / f"part-{i:04d}.parquet"))
+        total += n
+    out = tmp_path / "compacted"
+    plan = compact_parquet(str(src), str(out), target_mb=1)
+    # 12 tiny files pack into far fewer outputs
+    outs = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(outs) == len(plan) < 12
+    # lossless: every key survives exactly once
+    allk = pd.concat([pq.read_table(str(out / f)).to_pandas()
+                      for f in outs])
+    assert sorted(allk["k"]) == list(range(total))
+    # plan was metadata-only and row counts agree per group
+    assert sum(g["rows"] for g in plan) == total
+
+
+def test_read_documents_evolved_aligns_schemas(ray_session, tmp_path):
+    from lucene_solr_ray.sources import read_documents_evolved
+
+    old = tmp_path / "old.parquet"
+    new = tmp_path / "new.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["a", "b"]),
+    }), str(old))
+    pq.write_table(pa.table({
+        "doc_id": pa.array([3], type=pa.int64()),
+        "text": pa.array(["c"]),
+        "lang": pa.array(["fr"]),          # column added later
+        "legacy": pa.array([9], type=pa.int64()),  # and one dropped
+    }), str(new))
+    ds = read_documents_evolved([str(old), str(new)],
+                                columns=["doc_id", "text", "lang"],
+                                defaults={"lang": "en"})
+    df = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert df.columns.tolist() == ["doc_id", "text", "lang"]
+    assert df["lang"].tolist() == ["en", "en", "fr"]
+    assert "legacy" not in df.columns
