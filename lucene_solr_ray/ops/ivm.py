@@ -1,0 +1,126 @@
+"""Incremental view maintenance — the standing-aggregate discipline a
+100-TB event table needs: a materialized rollup that REFRESHES from
+only the rows that arrived since the last high-water mark instead of
+rescanning history. The reference's closest surface is the tlog →
+soft-commit NRT pipeline (index/tlog.py); here the maintained object
+is an aggregate table.
+
+State = one parquet file (per event_type: n_events, sum_cents) + a
+high-water mark (max event_id folded in), both committed atomically
+via tmp+rename — a crash between refreshes replays idempotently
+because the mark and the aggregates move together. Deltas are read
+with event_id > hwm pushed down to the parquet scan (only matching
+row groups leave storage), pre-aggregated per batch, and folded into
+the tiny state on the driver. The invariant the tests and the driver
+oracle pin: ANY refresh schedule ends in the same state as one batch
+recompute.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+STATE_FILE = "rollup_state.parquet"
+MARK_FILE = "rollup_state.json"
+
+
+def _load_state(state_dir: str):
+    mark_p = os.path.join(state_dir, MARK_FILE)
+    if not os.path.exists(mark_p):
+        return pd.DataFrame(columns=["event_type", "n_events",
+                                     "sum_cents"]), -1
+    with open(mark_p) as f:
+        hwm = json.load(f)["hwm"]
+    st = pq.read_table(os.path.join(state_dir, STATE_FILE)).to_pandas()
+    return st, hwm
+
+
+def refresh_rollup(state_dir: str, sf_dir: str,
+                   upto_event_id: int | None = None) -> dict:
+    """Fold events with hwm < event_id (≤ upto_event_id, for test
+    schedules) into the materained per-type rollup. Returns
+    {n_new_rows, hwm}."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    os.makedirs(state_dir, exist_ok=True)
+    st, hwm = _load_state(state_dir)
+
+    flt = pads.field("event_id") > hwm
+    if upto_event_id is not None:
+        flt = flt & (pads.field("event_id") <= upto_event_id)
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "event_type", "value"],
+                         filter=flt, override_num_blocks=4)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["value"].to_numpy(np.float64) * 100
+                         + 0.5).astype(np.int64)
+        g = (pd.DataFrame({"event_type": df["event_type"],
+                           "n_events": 1, "sum_cents": cents,
+                           "max_id": df["event_id"]})
+             .groupby("event_type", as_index=False)
+             .agg(n_events=("n_events", "sum"),
+                  sum_cents=("sum_cents", "sum"),
+                  max_id=("max_id", "max")))
+        return g
+
+    delta = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if len(delta) == 0:
+        return {"n_new_rows": 0, "hwm": hwm}
+    delta_g = delta.groupby("event_type", as_index=False).agg(
+        n_events=("n_events", "sum"), sum_cents=("sum_cents", "sum"))
+    new_hwm = int(delta["max_id"].max())
+    n_new = int(delta["n_events"].sum())
+
+    merged = (pd.concat([st, delta_g], ignore_index=True)
+              .groupby("event_type", as_index=False).sum()
+              .sort_values("event_type").reset_index(drop=True))
+    for c in ("n_events", "sum_cents"):
+        merged[c] = merged[c].astype(np.int64)
+
+    tmp_p = os.path.join(state_dir, STATE_FILE + ".tmp")
+    pq.write_table(pa.Table.from_pandas(merged, preserve_index=False),
+                   tmp_p)
+    os.replace(tmp_p, os.path.join(state_dir, STATE_FILE))
+    tmp_m = os.path.join(state_dir, MARK_FILE + ".tmp")
+    with open(tmp_m, "w") as f:
+        json.dump({"hwm": new_hwm}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp_m, os.path.join(state_dir, MARK_FILE))
+    return {"n_new_rows": n_new, "hwm": new_hwm}
+
+
+def ivm_rollup(sf_dir: str) -> pa.Table:
+    """Driver query: maintain the rollup across a two-step refresh
+    schedule (first everything with event_id ≤ the midpoint, then the
+    rest) and return the final state — the oracle is the one-shot
+    GROUP BY, so the parity check IS the incremental==batch
+    invariant."""
+    import tempfile
+
+    md = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).metadata
+    n = md.num_rows
+    with tempfile.TemporaryDirectory(prefix="ivm-") as state:
+        refresh_rollup(state, sf_dir, upto_event_id=n // 2)
+        refresh_rollup(state, sf_dir)
+        again = refresh_rollup(state, sf_dir)   # no-op tail
+        assert again["n_new_rows"] == 0
+        st, _ = _load_state(state)
+    return pa.Table.from_pandas(st, preserve_index=False)
+
+
+def ivm_rollup_sql() -> str:
+    return """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+FROM events GROUP BY event_type ORDER BY event_type
+"""

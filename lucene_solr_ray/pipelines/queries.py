@@ -5765,6 +5765,11 @@ def build_queries() -> dict:
         "rel_event_dedup": TMP.event_window_dedup,
         "rel_ewma": TMP.ewma_per_user,
         "rel_attribution": TMP.attribution_join,
+        # incremental view maintenance: the oracle-parity check IS the
+        # incremental==batch invariant (two-step refresh schedule)
+        "rel_ivm_rollup": __import__(
+            "lucene_solr_ray.ops.ivm",
+            fromlist=["ivm_rollup"]).ivm_rollup,
         # Z-order layout: the curve-position query (the clustered
         # write + file-pruning path is layout.zorder_write, pytest'd)
         "rel_zorder_curve": __import__(
@@ -6229,6 +6234,9 @@ def build_oracle_sql() -> dict:
         "rel_attribution": __import__(
             "lucene_solr_ray.ops.temporal",
             fromlist=["attribution_join_sql"]).attribution_join_sql(),
+        "rel_ivm_rollup": __import__(
+            "lucene_solr_ray.ops.ivm",
+            fromlist=["ivm_rollup_sql"]).ivm_rollup_sql(),
         "rel_entity_match": __import__(
             "lucene_solr_ray.ops.entity",
             fromlist=["entity_match_pairs_sql"]).entity_match_pairs_sql(),

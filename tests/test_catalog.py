@@ -108,3 +108,40 @@ def test_auto_join_paths_agree(ray_session, tmp_path):
     assert a.values.tolist() == b.values.tolist()
     # dangling order keys dropped by the inner join on both paths
     assert a["n_orders"].sum() < n_o
+
+
+def test_ivm_refresh_schedules_converge(ray_session, tmp_path):
+    """Any refresh schedule ends in the batch-recompute state; the
+    mark makes reruns no-ops; a crash between refreshes replays
+    cleanly because state+mark commit atomically together."""
+    from lucene_solr_ray.ops.ivm import _load_state, refresh_rollup
+
+    rng = np.random.default_rng(43)
+    n = 900
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "event_type": pa.array(
+            np.array(["a", "b", "c"])[rng.integers(0, 3, n)]),
+        "value": pa.array(rng.uniform(0, 50, n).round(2)),
+    })
+    d = tmp_path / "ev"; d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+
+    one = tmp_path / "one"
+    refresh_rollup(str(one), str(d))
+    st_one, hwm_one = _load_state(str(one))
+    assert hwm_one == n - 1
+
+    three = tmp_path / "three"
+    for cut in (100, 500, None):
+        refresh_rollup(str(three), str(d), upto_event_id=cut)
+    st_three, hwm_three = _load_state(str(three))
+    assert st_one.values.tolist() == st_three.values.tolist()
+    assert hwm_three == n - 1
+
+    # idempotent tail
+    r = refresh_rollup(str(three), str(d))
+    assert r["n_new_rows"] == 0
+    cents = np.floor(t["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    assert st_one["sum_cents"].sum() == cents.sum()
+    assert st_one["n_events"].sum() == n

@@ -142,6 +142,7 @@ PARAMETRIZED = [
     "code_pseudonymize",
     "rel_auto_join",
     "rel_attribution",
+    "rel_ivm_rollup",
 ]
 
 
