@@ -1047,3 +1047,90 @@ SELECT c.user_id, CAST(c.n AS BIGINT) AS n,
 FROM c, tot
 ORDER BY c.n DESC, c.user_id LIMIT {k}
 """
+
+
+def mad_outliers(sf_dir: str) -> pa.Table:
+    """Robust outlier detection per event_type — the
+    median-absolute-deviation gate a training pipeline uses where
+    stddev is poisoned by the outliers themselves. Exact on the cents
+    domain via TWO bounded-cardinality histogram passes (the
+    percentiles discipline: groupby(value_c) carries the VOCABULARY,
+    never rows): pass 1 per-type median (inverted CDF, smallest v with
+    cum ≥ ceil(n/2)), pass 2 median of |v − med|; a row is an outlier
+    iff |v − med| > 3·MAD (all-integer compare, no scale constant).
+    Returns (event_type, median_c, mad_c, n, n_outliers)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pandas(),
+            "v": np.floor(np.asarray(batch["value"], dtype=np.float64)
+                          * 100 + 0.5).astype(np.int64)})
+        return pa.Table.from_pandas(
+            df.groupby(["event_type", "v"], as_index=False).size()
+            .rename(columns={"size": "c"}), preserve_index=False)
+
+    h = (ds.map_batches(hist, batch_format="pyarrow")
+         .groupby(["event_type", "v"]).sum("c").to_pandas()
+         .rename(columns={"sum(c)": "c"})
+         .sort_values(["event_type", "v"]))
+
+    def inv_cdf(vals, cnts, q_num, q_den):
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        target = -(-q_num * n // q_den)   # ceil(n*q) in integers
+        return int(vals[np.searchsorted(cum, target)]), n
+
+    rows = []
+    for et, sub in h.groupby("event_type", sort=True):
+        v = sub["v"].to_numpy(np.int64)
+        c = sub["c"].to_numpy(np.int64)
+        med, n = inv_cdf(v, c, 1, 2)
+        dev = np.abs(v - med)
+        order = np.argsort(dev, kind="stable")
+        mad, _ = inv_cdf(dev[order], c[order], 1, 2)
+        out = int(c[dev > 3 * mad].sum())
+        rows.append((et, med, mad, n, out))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], type=pa.string()),
+        "median_c": pa.array([r[1] for r in rows], type=pa.int64()),
+        "mad_c": pa.array([r[2] for r in rows], type=pa.int64()),
+        "n": pa.array([r[3] for r in rows], type=pa.int64()),
+        "n_outliers": pa.array([r[4] for r in rows], type=pa.int64()),
+    })
+
+
+def mad_outliers_sql() -> str:
+    """Twin: the identical inverted-CDF medians via window CDFs."""
+    return """
+WITH x AS (SELECT event_type,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+           FROM events),
+h AS (SELECT event_type, v, count(*) AS c FROM x
+      GROUP BY event_type, v),
+cdf AS (SELECT event_type, v, c,
+               sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+               sum(c) OVER (PARTITION BY event_type) AS n
+        FROM h),
+med AS (SELECT event_type, min(v) AS med, any_value(n) AS n
+        FROM cdf WHERE cum >= (n + 1) // 2 GROUP BY event_type),
+dev AS (SELECT h.event_type, abs(h.v - med.med) AS d, h.c, med.med,
+               med.n
+        FROM h JOIN med USING (event_type)),
+dcdf AS (SELECT event_type, d, c, med, n,
+                sum(c) OVER (PARTITION BY event_type ORDER BY d)
+                    AS cum
+         FROM dev),
+mad AS (SELECT event_type, min(d) AS mad, any_value(med) AS med,
+               any_value(n) AS n
+        FROM dcdf WHERE cum >= (n + 1) // 2 GROUP BY event_type)
+SELECT mad.event_type, CAST(mad.med AS BIGINT) AS median_c,
+       CAST(mad.mad AS BIGINT) AS mad_c, CAST(mad.n AS BIGINT) AS n,
+       CAST(COALESCE(sum(dev.c) FILTER (dev.d > 3 * mad.mad), 0)
+            AS BIGINT) AS n_outliers
+FROM mad JOIN dev ON dev.event_type = mad.event_type
+GROUP BY mad.event_type, mad.med, mad.mad, mad.n
+ORDER BY mad.event_type
+"""

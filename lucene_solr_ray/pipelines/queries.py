@@ -5782,6 +5782,7 @@ def build_queries() -> dict:
         "rel_cube": R.cube_rollup,
         "rel_skyline": R.skyline,
         "rel_table_stats": R.table_stats,
+        "rel_mad_outliers": R.mad_outliers,
         "rel_skew_report": R.skew_report,
         "text_train_split": T.train_split,
         "text_weighted_sample": T.weighted_sample,
@@ -6249,6 +6250,9 @@ def build_oracle_sql() -> dict:
         "rel_table_stats": __import__(
             "lucene_solr_ray.ops.relational",
             fromlist=["table_stats_sql"]).table_stats_sql(),
+        "rel_mad_outliers": __import__(
+            "lucene_solr_ray.ops.relational",
+            fromlist=["mad_outliers_sql"]).mad_outliers_sql(),
         "rel_skew_report": __import__(
             "lucene_solr_ray.ops.relational",
             fromlist=["skew_report_sql"]).skew_report_sql(),

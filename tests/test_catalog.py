@@ -145,3 +145,25 @@ def test_ivm_refresh_schedules_converge(ray_session, tmp_path):
     cents = np.floor(t["value"].to_numpy() * 100 + 0.5).astype(np.int64)
     assert st_one["sum_cents"].sum() == cents.sum()
     assert st_one["n_events"].sum() == n
+
+
+def test_mad_outliers_robust_to_contamination(ray_session, tmp_path):
+    """A 10%-contaminated series: MAD flags exactly the planted
+    spikes, and the median/MAD stay anchored to the clean mass (the
+    property a stddev gate loses)."""
+    from lucene_solr_ray.ops.relational import mad_outliers
+
+    clean = np.full(90, 10.00)
+    clean[::2] = 10.50   # a little genuine spread
+    spikes = np.full(10, 500.00)
+    vals = np.concatenate([clean, spikes])
+    t = pa.table({
+        "event_type": pa.array(["a"] * 100),
+        "value": pa.array(vals),
+    })
+    d = tmp_path / "ev"; d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    got = mad_outliers(str(d)).to_pandas().iloc[0]
+    assert got["median_c"] in (1000, 1050)
+    assert got["mad_c"] <= 50          # anchored to the clean spread
+    assert got["n_outliers"] == 10     # exactly the spikes

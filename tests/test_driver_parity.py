@@ -143,6 +143,7 @@ PARAMETRIZED = [
     "rel_auto_join",
     "rel_attribution",
     "rel_ivm_rollup",
+    "rel_mad_outliers",
 ]
 
 
