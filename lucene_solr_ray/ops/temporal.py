@@ -693,3 +693,52 @@ FROM p LEFT JOIN c
 GROUP BY p.event_id, p.user_id, p.ep
 ORDER BY p.event_id
 """
+
+
+def timeseries_daily(sf_dir: str) -> pa.Table:
+    """Gap-filled daily timeseries — the dashboard contract that a day
+    with zero events still appears as an explicit zero row (rate
+    math and downstream window functions break on missing rows).
+    Per-batch (day, n, cents) partials, one tiny groupby; the fill
+    happens on the CONSTANT-size day range [min_day, max_day] (driver
+    reindex — the range is calendar-bounded, never data-sized).
+    Returns (epoch_day, n_events, sum_cents)."""
+    ds = _read(sf_dir, ["ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["ts"].astype("int64") // 86_400_000_000)
+        cents = np.floor(df["value"].to_numpy(np.float64) * 100
+                         + 0.5).astype(np.int64)
+        return (pd.DataFrame({"epoch_day": day, "n_events": 1,
+                              "sum_cents": cents})
+                .groupby("epoch_day", as_index=False).sum())
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("epoch_day").sum(["n_events", "sum_cents"])
+           .to_pandas()
+           .rename(columns={"sum(n_events)": "n_events",
+                            "sum(sum_cents)": "sum_cents"})
+           .set_index("epoch_day").sort_index())
+    full = np.arange(agg.index.min(), agg.index.max() + 1)
+    agg = agg.reindex(full, fill_value=0).reset_index(names="epoch_day")
+    for c in agg.columns:
+        agg[c] = agg[c].astype(np.int64)
+    return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+def timeseries_daily_sql() -> str:
+    """Twin: generate_series over the same day span, LEFT JOIN fill."""
+    return """
+WITH x AS (SELECT epoch_us(ts) // 86400000000 AS d,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+           FROM events),
+agg AS (SELECT d, count(*) AS n, sum(c) AS s FROM x GROUP BY d),
+span AS (SELECT unnest(generate_series((SELECT min(d) FROM agg),
+                                       (SELECT max(d) FROM agg)))
+             AS epoch_day)
+SELECT span.epoch_day,
+       CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_events,
+       CAST(COALESCE(agg.s, 0) AS BIGINT) AS sum_cents
+FROM span LEFT JOIN agg ON agg.d = span.epoch_day
+ORDER BY span.epoch_day
+"""

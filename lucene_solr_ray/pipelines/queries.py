@@ -5765,6 +5765,7 @@ def build_queries() -> dict:
         "rel_event_dedup": TMP.event_window_dedup,
         "rel_ewma": TMP.ewma_per_user,
         "rel_attribution": TMP.attribution_join,
+        "rel_timeseries_daily": TMP.timeseries_daily,
         # incremental view maintenance: the oracle-parity check IS the
         # incremental==batch invariant (two-step refresh schedule)
         "rel_ivm_rollup": __import__(
@@ -6238,6 +6239,9 @@ def build_oracle_sql() -> dict:
         "rel_ivm_rollup": __import__(
             "lucene_solr_ray.ops.ivm",
             fromlist=["ivm_rollup_sql"]).ivm_rollup_sql(),
+        "rel_timeseries_daily": __import__(
+            "lucene_solr_ray.ops.temporal",
+            fromlist=["timeseries_daily_sql"]).timeseries_daily_sql(),
         "rel_entity_match": __import__(
             "lucene_solr_ray.ops.entity",
             fromlist=["entity_match_pairs_sql"]).entity_match_pairs_sql(),

@@ -144,6 +144,7 @@ PARAMETRIZED = [
     "rel_attribution",
     "rel_ivm_rollup",
     "rel_mad_outliers",
+    "rel_timeseries_daily",
 ]
 
 

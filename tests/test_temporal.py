@@ -319,3 +319,28 @@ def test_attribution_window_boundaries(ray_session, tmp_path):
     assert got.loc[4, "last_gap_s"] == 200   # last in-window click @100
     assert got.loc[6, "n_clicks"] == 1
     assert got.loc[6, "last_gap_s"] == 200
+
+
+def test_timeseries_gap_fill(ray_session, tmp_path):
+    """Days with no events appear as explicit zero rows spanning
+    exactly [min_day, max_day]."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.ops.temporal import timeseries_daily
+
+    days = [0, 0, 3, 7]   # gaps at 1,2,4,5,6
+    t = pa.table({
+        "ts": pa.array([pd.Timestamp("2024-01-01")
+                        + pd.Timedelta(days=d) for d in days],
+                       type=pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0]),
+    })
+    d = tmp_path / "ts"; d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    got = timeseries_daily(str(d)).to_pandas()
+    assert len(got) == 8
+    assert got["n_events"].tolist() == [2, 0, 0, 1, 0, 0, 0, 1]
+    assert got["sum_cents"].tolist() == [300, 0, 0, 300, 0, 0, 0, 400]
+    assert (np.diff(got["epoch_day"]) == 1).all()
