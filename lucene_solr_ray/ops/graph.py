@@ -363,3 +363,47 @@ SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_nodes
 FROM l{iters} GROUP BY lab
 ORDER BY n_nodes DESC, community LIMIT {k}
 """)
+
+
+def type_cooccurrence(sf_dir: str) -> pa.Table:
+    """Bipartite projection — the one-mode graph the user↔event_type
+    graph induces on event types: edge (a, b) weighted by the number
+    of users who performed BOTH. The projection is per-user local
+    (each user's distinct type set expands to its ≤ C(T,2) pairs
+    inside the group task), so the only shuffles are the user groupby
+    and the tiny pair-count fold — never a type×type×user
+    intermediate. Returns (type_a, type_b, n_users), a < b, ordered
+    by (n_users desc, type_a, type_b)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ts = sorted(set(df["event_type"]))
+        out_a, out_b = [], []
+        for i in range(len(ts)):
+            for j in range(i + 1, len(ts)):
+                out_a.append(ts[i])
+                out_b.append(ts[j])
+        return pd.DataFrame({"type_a": out_a, "type_b": out_b, "n": 1})
+
+    out = (ds.groupby("user_id").map_groups(pairs, batch_format="pandas")
+           .groupby(["type_a", "type_b"]).sum("n").to_pandas()
+           .rename(columns={"sum(n)": "n_users"})
+           .sort_values(["n_users", "type_a", "type_b"],
+                        ascending=[False, True, True])
+           .reset_index(drop=True))
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def type_cooccurrence_sql() -> str:
+    return """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ut a JOIN ut b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY type_a, type_b
+ORDER BY n_users DESC, type_a, type_b
+"""

@@ -5801,6 +5801,9 @@ def build_queries() -> dict:
         "graph_label_prop": __import__(
             "lucene_solr_ray.ops.graph",
             fromlist=["label_propagation"]).label_propagation,
+        "graph_type_cooccur": __import__(
+            "lucene_solr_ray.ops.graph",
+            fromlist=["type_cooccurrence"]).type_cooccurrence,
         "code_license_rollup": __import__(
             "lucene_solr_ray.ops.code",
             fromlist=["license_rollup"]).license_rollup,
@@ -6191,6 +6194,9 @@ def build_oracle_sql() -> dict:
         "graph_label_prop": __import__(
             "lucene_solr_ray.ops.graph",
             fromlist=["label_propagation_sql"]).label_propagation_sql(),
+        "graph_type_cooccur": __import__(
+            "lucene_solr_ray.ops.graph",
+            fromlist=["type_cooccurrence_sql"]).type_cooccurrence_sql(),
         "code_license_rollup": __import__(
             "lucene_solr_ray.ops.code",
             fromlist=["license_rollup_sql"]).license_rollup_sql(),

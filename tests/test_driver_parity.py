@@ -145,6 +145,7 @@ PARAMETRIZED = [
     "rel_ivm_rollup",
     "rel_mad_outliers",
     "rel_timeseries_daily",
+    "graph_type_cooccur",
 ]
 
 

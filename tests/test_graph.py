@@ -156,3 +156,24 @@ def test_label_propagation_planted_communities(tmp_path, ray_session):
              or n.startswith("u:0")}
     b_lab = {lab["e:b1"], lab["u:10"]}
     assert not (a_lab & b_lab)
+
+
+def test_type_cooccurrence_projection(ray_session, tmp_path):
+    """Weights count DISTINCT users, not events; types never
+    co-occurring get no edge."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.ops.graph import type_cooccurrence
+
+    rows = [(1, "a"), (1, "a"), (1, "b"),      # repeat event: still 1 user
+            (2, "a"), (2, "b"), (3, "a"), (4, "c")]
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[1] for r in rows]),
+    })
+    d = tmp_path / "co"; d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    got = type_cooccurrence(str(d)).to_pandas()
+    assert got.values.tolist() == [["a", "b", 2]]
