@@ -289,6 +289,88 @@ def _q_term(term, k=10):
     return run
 
 
+def _q_ltr_features(t_a=None, t_b=None):
+    """LTR TRAINING-DATA extraction (the feature-logging side of
+    solr/contrib/ltr — FeatureLogger/SolrFeature: ft_ltr_rerank
+    consumes a model, this emits the per-(query, doc) feature matrix
+    that trains it): for every doc matching either term, the raw
+    features (tf_a, tf_b, dl) and the per-term exact64 BM25 scores,
+    quantized. All postings decode through the same liveDocs-aware
+    path as queries."""
+
+    def run(sf_dir):
+        a = t_a or MID
+        b = t_b or HOT
+        s = _searcher(sf_dir)
+
+        def tf_of(term, docs):
+            p = s._decode_term_global(term)
+            if p is None:
+                return np.zeros(len(docs), dtype=np.int64)
+            d, tf = p[0], p[1]
+            idx = np.clip(np.searchsorted(d, docs), 0, len(d) - 1)
+            return np.where(d[idx] == docs, tf[idx], 0) \
+                .astype(np.int64)
+
+        def sc_of(term, docs):
+            d, sc = s.eval_node({"type": "term", "term": term})
+            if len(d) == 0:
+                return np.zeros(len(docs), dtype=np.float64)
+            idx = np.clip(np.searchsorted(d, docs), 0, len(d) - 1)
+            return np.where(d[idx] == docs, sc[idx], 0.0)
+
+        pa_ = s._decode_term_global(a)
+        pb = s._decode_term_global(b)
+        docs = np.unique(np.concatenate(
+            [p[0] for p in (pa_, pb) if p is not None]
+            or [np.array([], dtype=np.int64)]))
+        ids, dls = s._global_dl()
+        dl = dls[np.clip(np.searchsorted(ids, docs), 0,
+                         max(len(ids) - 1, 0))]
+        return pa.table({
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "tf_a": pa.array(tf_of(a, docs), type=pa.int64()),
+            "tf_b": pa.array(tf_of(b, docs), type=pa.int64()),
+            "dl": pa.array(dl.astype(np.int64), type=pa.int64()),
+            "score_a_q": pa.array(quantize_score(sc_of(a, docs)),
+                                  type=pa.int64()),
+            "score_b_q": pa.array(quantize_score(sc_of(b, docs)),
+                                  type=pa.int64()),
+        })
+
+    return run
+
+
+def ft_ltr_features_sql(t_a=None, t_b=None) -> str:
+    a = t_a or MID
+    b = t_b or HOT
+    qa = _QUANT.format(
+        expr=_bm25_expr("COALESCE(tfa.tf, 0)", "dl.dl", "dfa.df"))
+    qb = _QUANT.format(
+        expr=_bm25_expr("COALESCE(tfb.tf, 0)", "dl.dl", "dfb.df"))
+    return f"""
+WITH {_tok_ctes()},
+tfa AS (SELECT doc_id, count(*) AS tf FROM clean WHERE term = '{a}'
+        GROUP BY doc_id),
+dfa AS (SELECT count(*) AS df FROM tfa),
+tfb AS (SELECT doc_id, count(*) AS tf FROM clean WHERE term = '{b}'
+        GROUP BY doc_id),
+dfb AS (SELECT count(*) AS df FROM tfb),
+docs AS (SELECT doc_id FROM tfa UNION SELECT doc_id FROM tfb)
+SELECT docs.doc_id,
+       CAST(COALESCE(tfa.tf, 0) AS BIGINT) AS tf_a,
+       CAST(COALESCE(tfb.tf, 0) AS BIGINT) AS tf_b,
+       CAST(dl.dl AS BIGINT) AS dl,
+       {qa} AS score_a_q,
+       {qb} AS score_b_q
+FROM docs
+LEFT JOIN tfa USING (doc_id)
+LEFT JOIN tfb USING (doc_id)
+JOIN dl USING (doc_id), dfa, dfb, stats s
+ORDER BY docs.doc_id
+"""
+
+
 RRF_K = 60  # Cormack et al. 2009 reciprocal-rank-fusion constant
 
 
@@ -5959,6 +6041,7 @@ def build_queries() -> dict:
         "ft_word_breaks": _q_word_breaks("fasttable"),
         "ft_word_combos": _q_word_combos(["ta", "ble", "scan"]),
         "ft_ltr_rerank": _q_ltr_rerank("table"),
+        "ft_ltr_features": _q_ltr_features(),
         "ft_suggest_blended": _q_suggest_blended("tab"),
         "rel_facet_prefix": R.facet_prefix_counts,
         "rel_group_ngroups": R.group_ngroups,
@@ -6358,6 +6441,7 @@ def build_oracle_sql() -> dict:
         "ft_word_breaks": _word_breaks_sql("fasttable", 2, 5),
         "ft_word_combos": _word_combos_sql(["ta", "ble", "scan"], 5),
         "ft_ltr_rerank": _ltr_rerank_sql("table", 10),
+        "ft_ltr_features": ft_ltr_features_sql(),
         "ft_suggest_blended": _suggest_blended_sql("tab", 10),
         "ft_mlt_terms": _mlt_terms_sql(0, 5),
         # round-1 rows-only, now fully paired: selection + ordered-sum

@@ -146,6 +146,7 @@ PARAMETRIZED = [
     "rel_mad_outliers",
     "rel_timeseries_daily",
     "graph_type_cooccur",
+    "ft_ltr_features",
 ]
 
 
