@@ -2007,6 +2007,30 @@ def _q_terms_set(terms, k=10):
     return run
 
 
+def _q_graph_terms(terms, max_doc_freq=100, k=10):
+    """GraphTermsQuery: terms-set with a docFreq ceiling — hub terms
+    drop out of the frontier (solr:query/GraphTermsQueryParserPlugin)."""
+    def run(sf_dir):
+        return _topk_table(_searcher(sf_dir).search_graph_terms(
+            terms, k=k, max_doc_freq=max_doc_freq))
+    return run
+
+
+def _graph_terms_sql(terms, max_doc_freq=100, k=10) -> str:
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_tok_ctes()},
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM clean
+        WHERE term IN ({inlist}) GROUP BY term),
+keep AS (SELECT term FROM dfs WHERE df <= {max_doc_freq}),
+matched AS (SELECT DISTINCT doc_id FROM clean
+            WHERE term IN (SELECT term FROM keep))
+SELECT doc_id, CAST(10000 AS BIGINT) AS score_q,
+       CAST(row_number() OVER (ORDER BY doc_id ASC) AS BIGINT) AS rank
+FROM matched ORDER BY doc_id ASC LIMIT {k}
+"""
+
+
 def _q_common_terms(terms, k=10):
     """CommonTermsQuery: df-split required/optional clauses; the SQL
     twin (ft_common_terms_sql) recomputes the split dynamically."""
@@ -6001,6 +6025,8 @@ def build_queries() -> dict:
         "ft_drill_sideways": _q_drill_sideways(
             "table", {"lang": "en", "source": "src5"}),
         "ft_terms_set": _q_terms_set(["dup", "vector", "stream"]),
+        "ft_graph_terms": _q_graph_terms(
+            ["table", "vector", "dup", "stream"]),
         "ft_common_terms": _q_common_terms(["table", "dup"]),
         "ft_parsed_bool": _q_parsed("+table +customer vector"),
         "ft_parsed_grouped": _q_parsed("table AND (vector OR customer)"),
@@ -6419,6 +6445,8 @@ def build_oracle_sql() -> dict:
             "table", {"lang": "en", "source": "src5"}),
         "ft_terms_set": _multiterm_sql(
             "term IN ('dup', 'vector', 'stream')", 10),
+        "ft_graph_terms": _graph_terms_sql(
+            ["table", "vector", "dup", "stream"]),
         "ft_parsed_bool": ft_bool_sql(["table", "customer"], ["vector"],
                                       [], 0, 10),
         "ft_parsed_grouped": _parsed_grouped_sql(10),

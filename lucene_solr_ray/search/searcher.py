@@ -2588,3 +2588,23 @@ class IndexSearcher:
             "score": pa.array(s, type=score_type),
             "rank": pa.array(np.arange(1, len(d) + 1), type=pa.int64()),
         })
+
+    def search_graph_terms(self, terms: list[str], k: int = 10,
+                           max_doc_freq: int = 100) -> pa.Table:
+        """GraphTermsQuery (solr:query/GraphTermsQueryParserPlugin) —
+        the frontier query of gatherNodes traversals: a TermsQuery
+        that silently DROPS any term whose docFreq exceeds
+        max_doc_freq, so one hub term cannot explode a traversal
+        step. Gate decided from the same term stats the scorer uses;
+        surviving terms score as the usual constant-score set."""
+        stats = self.term_stats(terms)
+        keep = [t for t in terms
+                if 0 < stats.get(t, (0, 0))[0] <= max_doc_freq]
+        if not keep:
+            import pyarrow as _pa
+
+            return _pa.table({
+                "doc_id": _pa.array([], type=_pa.int64()),
+                "score": _pa.array([], type=_pa.float64()),
+                "rank": _pa.array([], type=_pa.int64())})
+        return self.search_constant(keep, k)

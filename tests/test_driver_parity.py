@@ -147,6 +147,7 @@ PARAMETRIZED = [
     "rel_timeseries_daily",
     "graph_type_cooccur",
     "ft_ltr_features",
+    "ft_graph_terms",
 ]
 
 

@@ -533,3 +533,34 @@ def test_field_value_query_matches_docs_with_values(tmp_path, ray_session):
     s = IndexSearcher(out, mode="exact64")
     got = s.search_field_value("tag", k=10)
     assert got["doc_id"].to_pylist() == [1, 3]
+
+
+def test_graph_terms_drops_hub_terms(ray_session, tmp_path):
+    """The df ceiling gates the frontier: a hub term matching most
+    docs is dropped, the rare term survives; ceiling high enough ==
+    plain terms_set."""
+    import pyarrow as pa
+
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.search.searcher import IndexSearcher
+
+    docs = pa.table({
+        "doc_id": pa.array(range(1, 7), type=pa.int64()),
+        "text": pa.array([
+            "hub filler one", "hub filler two", "hub filler three",
+            "hub filler four", "hub needle five", "plain other six",
+        ]),
+    })
+    idx = str(tmp_path / "gt")
+    build_index(docs, idx, content_col="text", batch_rows=3)
+    s = IndexSearcher(idx, mode="exact64")
+
+    gated = s.search_graph_terms(["hub", "needle"], max_doc_freq=2)
+    assert gated["doc_id"].to_pylist() == [5]      # only the needle doc
+
+    open_ = s.search_graph_terms(["hub", "needle"], max_doc_freq=100)
+    full = s.search_terms_set(["hub", "needle"])
+    assert open_.equals(full)
+
+    none = s.search_graph_terms(["hub"], max_doc_freq=1)
+    assert none.num_rows == 0
