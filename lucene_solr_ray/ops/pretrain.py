@@ -190,3 +190,106 @@ def pack_sequences(sf_dir: str, seq_len: int = 128,
     return (counted.groupby("bucket")
             .map_groups(place, batch_format="pyarrow")
             .sort("doc_id"))
+
+
+def binpack_sequences(sf_dir: str, seq_len: int = 128) -> pa.Table:
+    """Whole-document sequence packing by best-fit-decreasing — the
+    padding-minimizing alternative to the sequential concatenation of
+    pack_sequences (whole docs per sequence = no cross-document
+    attention contamination; BFD is the classic 11/9·OPT heuristic).
+
+    The distributed insight: BFD's outcome depends only on the
+    MULTISET of piece sizes, and bins with equal remaining capacity
+    are interchangeable — so the whole plan computes EXACTLY from a
+    constant-size histogram (sizes ≤ seq_len), built as per-batch
+    bincount partials + one tiny groupby. Docs longer than seq_len
+    pre-split into full chunks (immediately-full bins) + a remainder
+    piece. Driver fold: for each size descending, place each piece
+    into the fullest bin that still fits (capacity-histogram walk,
+    O(seq_len²) worst case). Returns one row: (n_bins, full_bins,
+    total_pieces, total_pad, util_q). Rows-only by construction
+    (sequential greedy; pytest pins it against a brute per-piece BFD
+    and the uniform-size closed form)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(batch["text"], r"\S+"),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        full = int((n // seq_len).sum())
+        rem = n % seq_len
+        rem = rem[rem > 0]
+        hist = np.bincount(rem, minlength=seq_len)
+        sizes = np.nonzero(hist)[0]
+        return pa.table({
+            "size": pa.array(np.concatenate(([0], sizes)),
+                             type=pa.int64()),
+            "cnt": pa.array(np.concatenate(([full], hist[sizes])),
+                            type=pa.int64()),
+        })
+
+    h = (ds.map_batches(partial, batch_format="pyarrow")
+         .groupby("size").sum("cnt").to_pandas()
+         .rename(columns={"sum(cnt)": "cnt"}).sort_values("size"))
+    full_bins = int(h.loc[h["size"] == 0, "cnt"].sum())
+    sizes = h.loc[h["size"] > 0, "size"].to_numpy(np.int64)
+    cnts = h.loc[h["size"] > 0, "cnt"].to_numpy(np.int64)
+
+    n_bins, pad = bfd_from_histogram(sizes, cnts, seq_len)
+    total_pieces = int(cnts.sum()) + full_bins
+    tokens = int((sizes * cnts).sum()) + full_bins * seq_len
+    bins_total = n_bins + full_bins
+    util_q = (tokens * 10_000) // (bins_total * seq_len) \
+        if bins_total else 0
+    return pa.table({
+        "n_bins": pa.array([bins_total], type=pa.int64()),
+        "full_bins": pa.array([full_bins], type=pa.int64()),
+        "total_pieces": pa.array([total_pieces], type=pa.int64()),
+        "total_pad": pa.array([pad], type=pa.int64()),
+        "util_q": pa.array([util_q], type=pa.int64()),
+    })
+
+
+def bfd_from_histogram(sizes: np.ndarray, cnts: np.ndarray,
+                       seq_len: int) -> tuple[int, int]:
+    """Exact best-fit-decreasing over a size multiset given as a
+    histogram: bins of equal remaining capacity are interchangeable,
+    so the state is a capacity→count map. Returns (n_bins,
+    total_pad)."""
+    caps: dict[int, int] = {}
+    n_bins = 0
+    order = np.argsort(-sizes)
+    for s, c in zip(sizes[order], cnts[order]):
+        s, c = int(s), int(c)
+        while c > 0:
+            fits = [r for r in caps if r >= s]
+            if not fits:
+                # open fresh bins; each absorbs q consecutive pieces
+                # (it stays the best fit until its remainder < s)
+                q = seq_len // s
+                nb = -(-c // q)
+                n_bins += nb
+                lo = c - (nb - 1) * q     # pieces in the last bin
+                if nb > 1:
+                    caps[seq_len - q * s] = \
+                        caps.get(seq_len - q * s, 0) + (nb - 1)
+                caps[seq_len - lo * s] = \
+                    caps.get(seq_len - lo * s, 0) + 1
+                c = 0
+                continue
+            r = min(fits)                 # fullest bin that fits; it
+            q = r // s                    # absorbs q chained pieces
+            nb = min(caps[r], -(-c // q))
+            lo = min(c - (nb - 1) * q, q)  # pieces in the last bin
+            caps[r] -= nb
+            if caps[r] == 0:
+                del caps[r]
+            if nb > 1:
+                caps[r - q * s] = caps.get(r - q * s, 0) + (nb - 1)
+            caps[r - lo * s] = caps.get(r - lo * s, 0) + 1
+            c -= (nb - 1) * q + lo
+    caps.pop(0, None)
+    pad = sum(r * k for r, k in caps.items())
+    return n_bins, pad

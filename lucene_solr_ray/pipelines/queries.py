@@ -5820,6 +5820,12 @@ def build_queries() -> dict:
         "text_fingerprint": lambda sf_dir: T.fingerprint(sf_dir,
                                                          hash="md5"),
         "text_pack_sequences": lambda sf_dir: T.pack_sequences(sf_dir),
+        # rows-only: best-fit-decreasing is a sequential greedy (no SQL
+        # twin); tests/test_pretrain pins the histogram fold against a
+        # brute per-piece BFD and the uniform closed form
+        "text_binpack": __import__(
+            "lucene_solr_ray.ops.pretrain",
+            fromlist=["binpack_sequences"]).binpack_sequences,
         "ann_brute_cosine": A.ann_brute_topk,
         "ann_filtered_cosine": A.ann_filtered_topk,
         "ann_maxsim": A.ann_maxsim_topk,

@@ -222,3 +222,51 @@ def test_bloom_decontam_superset_and_exact_at_large_m(ray_session,
     assert set(em) <= set(tm)
     assert all(tm[d] >= c for d, c in em.items())
     assert 7 not in tm and 107 not in tm
+
+
+def test_binpack_fold_equals_brute_bfd(ray_session, tmp_path):
+    """The histogram fold IS per-piece best-fit-decreasing; uniform
+    sizes hit the closed form; long docs split into full bins +
+    remainder pieces."""
+    import collections
+
+    import numpy as np
+
+    from lucene_solr_ray.ops.pretrain import (bfd_from_histogram,
+                                              binpack_sequences)
+
+    rng = np.random.default_rng(13)
+    sizes = rng.integers(1, 128, 300).tolist()
+    h = collections.Counter(sizes)
+    s = np.array(sorted(h))
+    c = np.array([h[x] for x in s])
+    bins = []
+    for x in sorted(sizes, reverse=True):
+        fits = [i for i, b in enumerate(bins) if b >= x]
+        if fits:
+            bins[min(fits, key=lambda i: bins[i])] -= x
+        else:
+            bins.append(128 - x)
+    assert bfd_from_histogram(s, c, 128) == (len(bins), sum(bins))
+
+    # uniform closed form: 60 docs of 30 tokens, seq_len 128 -> each
+    # bin takes 4 -> 15 bins, pad = 15*128 - 60*30 = 120
+    assert bfd_from_histogram(np.array([30]), np.array([60]), 128) \
+        == (15, 120)
+
+    # end-to-end with a long doc: 300 tokens = 2 full bins + rem 44;
+    # plus two 50-token docs -> BFD packs (50, 50) and (44) ->
+    # wait: 50+50 = 100 fits one bin, 44 rides with them (194 > 128 no)
+    # -> bins: [50+50+?] 100+44=144>128 so 44 alone: 2 full + 2 bins
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["w " * 300, "x " * 50, "y " * 50]),
+    })
+    d = tmp_path / "bp"
+    d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+    got = binpack_sequences(str(d)).to_pandas().iloc[0]
+    assert got["full_bins"] == 2
+    assert got["n_bins"] == 4
+    assert got["total_pieces"] == 5
+    assert got["total_pad"] == 2 * 128 - (44 + 100)
