@@ -1,0 +1,51 @@
+import sys; sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+"""Full driver-surface parity sweep — runs every queries() entry at
+sf0.01 against its oracle_sql() twin exactly like the driver
+(row count + schema + order-insensitive values). ~19 min at 16 cpus.
+Usage: python tools/parity_sweep.py"""
+import math, time, traceback
+import duckdb, pandas as pd, pyarrow as pa
+import ray
+ray.init(address='local', num_cpus=16, include_dashboard=False, logging_level='ERROR')
+import __ray_entry__ as e
+SF = "/root/testdata/sf0.01"
+TABLES = ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]
+qs, os_ = e.queries(), e.oracle_sql()
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+def to_df(x):
+    return x if isinstance(x, pd.DataFrame) else x.to_pandas()
+def canon(df):
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+fails = []
+t0 = time.time()
+for i, name in enumerate(sorted(qs)):
+    try:
+        eng = to_df(qs[name](SF))
+        if name in os_:
+            ora = con.sql(os_[name]).df()
+            assert sorted(eng.columns) == sorted(ora.columns), "schema"
+            assert len(eng) == len(ora), f"rows {len(eng)} vs {len(ora)}"
+            a, b = canon(eng), canon(ora)
+            for col in a.columns:
+                av, bv = a[col].tolist(), b[col].tolist()
+                if a[col].dtype.kind == "f":
+                    ok = all((isinstance(x,float) and isinstance(y,float) and
+                              ((math.isnan(x) and math.isnan(y)) or x == y))
+                             for x, y in zip(av, bv))
+                    assert ok, f"float col {col}"
+                else:
+                    assert av == bv, f"col {col}"
+            status = "pass"
+        else:
+            assert len(eng) >= 0
+            status = "rows-only"
+    except Exception as ex:
+        status = f"FAIL: {ex!r}"
+        fails.append(name)
+        traceback.print_exc()
+    print(f"[{i+1}/{len(qs)}] {name}: {status} ({time.time()-t0:.0f}s)", flush=True)
+print("FAILURES:", fails)
+ray.shutdown()
