@@ -1134,3 +1134,62 @@ FROM mad JOIN dev ON dev.event_type = mad.event_type
 GROUP BY mad.event_type, mad.med, mad.mad, mad.n
 ORDER BY mad.event_type
 """
+
+
+def rollup_hierarchy(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) — the prefix
+    lattice (full, per-flag, grand total; no per-status slice), the
+    drill-UP companion of cube_rollup. Same per-batch
+    all-sets-pre-aggregated shape; the shuffle carries ≤ 3 grouping
+    sets × groups rows per batch."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    ALLV = "(all)"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        outs = []
+        for keys in (["l_returnflag", "l_linestatus"],
+                     ["l_returnflag"], []):
+            if keys:
+                g = df.groupby(keys, as_index=False).agg(
+                    sum_qty=("l_quantity", "sum"),
+                    n_rows=("l_quantity", "size"))
+            else:
+                g = pd.DataFrame({"sum_qty": [df["l_quantity"].sum()],
+                                  "n_rows": [len(df)]})
+            for col in ("l_returnflag", "l_linestatus"):
+                if col not in g:
+                    g[col] = ALLV
+            g["set_id"] = len(keys)
+            outs.append(g[["set_id", "l_returnflag", "l_linestatus",
+                           "sum_qty", "n_rows"]])
+        return pa.Table.from_pandas(pd.concat(outs, ignore_index=True),
+                                    preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["set_id", "l_returnflag", "l_linestatus"])
+           .sum(["sum_qty", "n_rows"]).to_pandas()
+           .rename(columns={"sum(sum_qty)": "sum_qty",
+                            "sum(n_rows)": "n_rows"})
+           .drop(columns=["set_id"])
+           .sort_values(["l_returnflag", "l_linestatus"])
+           .reset_index(drop=True))
+    agg["sum_qty"] = agg["sum_qty"].astype("int64")
+    agg["n_rows"] = agg["n_rows"].astype("int64")
+    return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+def rollup_hierarchy_sql() -> str:
+    return """
+SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
+       COALESCE(l_linestatus, '(all)') AS l_linestatus,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""

@@ -5893,6 +5893,7 @@ def build_queries() -> dict:
             "lucene_solr_ray.ops.entity",
             fromlist=["entity_match_pairs"]).entity_match_pairs,
         "rel_cube": R.cube_rollup,
+        "rel_rollup_hierarchy": R.rollup_hierarchy,
         "rel_skyline": R.skyline,
         "rel_table_stats": R.table_stats,
         "rel_mad_outliers": R.mad_outliers,
@@ -6369,6 +6370,9 @@ def build_oracle_sql() -> dict:
         "rel_cube": __import__(
             "lucene_solr_ray.ops.relational",
             fromlist=["cube_rollup_sql"]).cube_rollup_sql(),
+        "rel_rollup_hierarchy": __import__(
+            "lucene_solr_ray.ops.relational",
+            fromlist=["rollup_hierarchy_sql"]).rollup_hierarchy_sql(),
         "rel_skyline": __import__(
             "lucene_solr_ray.ops.relational",
             fromlist=["skyline_sql"]).skyline_sql(),

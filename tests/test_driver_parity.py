@@ -148,6 +148,7 @@ PARAMETRIZED = [
     "graph_type_cooccur",
     "ft_ltr_features",
     "ft_graph_terms",
+    "rel_rollup_hierarchy",
 ]
 
 
