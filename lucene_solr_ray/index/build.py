@@ -374,8 +374,10 @@ def add_indexes(dst_dir: str, src_dir: str) -> dict:
 
     Segment directories copy wholesale (postings + meta + any bloom
     sidecar); names are content-derived (sha of the sorted doc ids),
-    so a collision means the same doc set — verified byte-identical
-    via meta.json and then shared rather than duplicated. Imported
+    so a collision means the same doc SET — but not necessarily the
+    same doc CONTENT, and meta.json holds only stats, so the collision
+    check digests EVERY file in both segment directories (names +
+    bytes) before sharing rather than duplicating. Imported
     segments are stamped with the NEW generation, so the destination's
     existing generational deletes (added_gen ≤ del_gen rule,
     index/deletes.py) never apply to them. A source carrying LIVE
@@ -383,10 +385,23 @@ def add_indexes(dst_dir: str, src_dir: str) -> dict:
     reclaim them) — Lucene's Directory-variant copies per-segment .liv
     files, but deletes here are index-global, so importing them could
     delete identical-content docs the destination still wants."""
-    import filecmp
+    import hashlib
     import shutil
 
     from .manifest import load_manifest
+
+    def _dir_digest(d: str) -> str:
+        # full-content digest: file names + bytes, deterministic order
+        h = hashlib.sha256()
+        for root, dirs, files in sorted(os.walk(d)):
+            dirs.sort()
+            for fn in sorted(files):
+                p = os.path.join(root, fn)
+                h.update(os.path.relpath(p, d).encode())
+                with open(p, "rb") as f:
+                    for chunk in iter(lambda: f.read(1 << 20), b""):
+                        h.update(chunk)
+        return h.hexdigest()
 
     src_man = load_manifest(src_dir)
     if src_man.get("deleted_docs", 0) > 0:
@@ -405,9 +420,7 @@ def add_indexes(dst_dir: str, src_dir: str) -> dict:
         s_dir = os.path.join(src_root, name)
         d_dir = os.path.join(dst_root, name)
         if os.path.exists(d_dir):
-            if not filecmp.cmp(os.path.join(s_dir, "meta.json"),
-                               os.path.join(d_dir, "meta.json"),
-                               shallow=False):
+            if _dir_digest(s_dir) != _dir_digest(d_dir):
                 raise ValueError(
                     f"segment name collision with different content: "
                     f"{name}")

@@ -5,10 +5,13 @@ rescanning history. The reference's closest surface is the tlog →
 soft-commit NRT pipeline (index/tlog.py); here the maintained object
 is an aggregate table.
 
-State = one parquet file (per event_type: n_events, sum_cents) + a
-high-water mark (max event_id folded in), both committed atomically
-via tmp+rename — a crash between refreshes replays idempotently
-because the mark and the aggregates move together. Deltas are read
+State = ONE parquet file (per event_type: n_events, sum_cents) whose
+key-value metadata carries the high-water mark (max event_id folded
+in) — aggregates and mark are published by a single os.replace, so a
+crash at any point replays idempotently because the mark and the
+aggregates genuinely move together (two separate renames would leave
+a window where the delta is folded but the mark is stale, and the
+next refresh would double-count it). Deltas are read
 with event_id > hwm pushed down to the parquet scan (only matching
 row groups leave storage), pre-aggregated per batch, and folded into
 the tiny state on the driver. The invariant the tests and the driver
@@ -18,7 +21,6 @@ recompute.
 
 from __future__ import annotations
 
-import json
 import os
 
 import numpy as np
@@ -27,18 +29,17 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 STATE_FILE = "rollup_state.parquet"
-MARK_FILE = "rollup_state.json"
+_HWM_KEY = b"lucene_solr_ray.ivm.hwm"
 
 
 def _load_state(state_dir: str):
-    mark_p = os.path.join(state_dir, MARK_FILE)
-    if not os.path.exists(mark_p):
+    state_p = os.path.join(state_dir, STATE_FILE)
+    if not os.path.exists(state_p):
         return pd.DataFrame(columns=["event_type", "n_events",
                                      "sum_cents"]), -1
-    with open(mark_p) as f:
-        hwm = json.load(f)["hwm"]
-    st = pq.read_table(os.path.join(state_dir, STATE_FILE)).to_pandas()
-    return st, hwm
+    t = pq.read_table(state_p)
+    hwm = int((t.schema.metadata or {})[_HWM_KEY])
+    return t.to_pandas(), hwm
 
 
 def refresh_rollup(state_dir: str, sf_dir: str,
@@ -85,16 +86,14 @@ def refresh_rollup(state_dir: str, sf_dir: str,
     for c in ("n_events", "sum_cents"):
         merged[c] = merged[c].astype(np.int64)
 
+    out = pa.Table.from_pandas(merged, preserve_index=False)
+    out = out.replace_schema_metadata(
+        {**(out.schema.metadata or {}), _HWM_KEY: str(new_hwm)})
     tmp_p = os.path.join(state_dir, STATE_FILE + ".tmp")
-    pq.write_table(pa.Table.from_pandas(merged, preserve_index=False),
-                   tmp_p)
-    os.replace(tmp_p, os.path.join(state_dir, STATE_FILE))
-    tmp_m = os.path.join(state_dir, MARK_FILE + ".tmp")
-    with open(tmp_m, "w") as f:
-        json.dump({"hwm": new_hwm}, f)
-        f.flush()
+    pq.write_table(out, tmp_p)
+    with open(tmp_p, "rb") as f:
         os.fsync(f.fileno())
-    os.replace(tmp_m, os.path.join(state_dir, MARK_FILE))
+    os.replace(tmp_p, os.path.join(state_dir, STATE_FILE))
     return {"n_new_rows": n_new, "hwm": new_hwm}
 
 

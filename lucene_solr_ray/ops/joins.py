@@ -383,6 +383,14 @@ def auto_join_rollup(sf_dir: str,
             pos = np.searchsorted(keys, ok)
             pos_c = np.clip(pos, 0, len(keys) - 1)
             hit = keys[pos_c] == ok
+            if not hit.any():
+                # all keys dangling: an empty pandas groupby would
+                # convert to a null-typed schema and poison downstream
+                # groupby/to_pandas (see CLAUDE.md empty-block note)
+                return pa.table({"c_nationkey": pa.array([], pa.int64()),
+                                 "n_orders": pa.array([], pa.int64()),
+                                 "sum_total_cents":
+                                     pa.array([], pa.int64())})
             df = pd.DataFrame({"c_nationkey": nat[pos_c[hit]],
                                "n_orders": 1,
                                "sum_total_cents": cents[hit]})
@@ -417,8 +425,12 @@ def auto_join_rollup(sf_dir: str,
     out = (agg.groupby("c_nationkey")
            .sum(["n_orders", "sum_total_cents"]).to_pandas()
            .rename(columns={"sum(n_orders)": "n_orders",
-                            "sum(sum_total_cents)": "sum_total_cents"})
-           .sort_values("c_nationkey").reset_index(drop=True))
+                            "sum(sum_total_cents)": "sum_total_cents"}))
+    if len(out) == 0:   # every key dangling: keep the typed shape
+        return pa.table({"c_nationkey": pa.array([], pa.int64()),
+                         "n_orders": pa.array([], pa.int64()),
+                         "sum_total_cents": pa.array([], pa.int64())})
+    out = out.sort_values("c_nationkey").reset_index(drop=True)
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return pa.Table.from_pandas(out, preserve_index=False)

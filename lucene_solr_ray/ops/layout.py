@@ -197,6 +197,14 @@ def compact_parquet(in_dir: str, out_dir: str,
     if cur:
         plan.append({"files": cur, "bytes": cur_b, "rows": cur_r})
     os.makedirs(out_dir, exist_ok=True)
+    # clear stale outputs from a prior run: if the input shrank, the
+    # new plan emits fewer groups and higher-numbered compact-*.parquet
+    # leftovers would duplicate/resurrect rows for directory readers
+    # (mirrors zorder_write's stale-dir replacement)
+    for f in os.listdir(out_dir):
+        if f.startswith("compact-") and f.endswith((".parquet",
+                                                    ".parquet.tmp")):
+            os.remove(os.path.join(out_dir, f))
     for i, g in enumerate(plan):
         g["out"] = os.path.join(out_dir, f"compact-{i:05d}.parquet")
 

@@ -167,3 +167,68 @@ def test_mad_outliers_robust_to_contamination(ray_session, tmp_path):
     assert got["median_c"] in (1000, 1050)
     assert got["mad_c"] <= 50          # anchored to the clean spread
     assert got["n_outliers"] == 10     # exactly the spikes
+
+
+def test_auto_join_all_dangling_keys_typed_empty(ray_session, tmp_path):
+    """A broadcast-probe batch whose keys are ALL dangling must emit a
+    typed empty block, not a null-schema one — the whole-table case
+    exercises every batch and the downstream groupby/to_pandas."""
+    from lucene_solr_ray.ops.joins import auto_join_rollup
+
+    rng = np.random.default_rng(7)
+    cust = pa.table({
+        "c_custkey": pa.array(np.arange(10), type=pa.int64()),
+        "c_nationkey": pa.array(np.zeros(10), type=pa.int64()),
+    })
+    orders = pa.table({
+        "o_custkey": pa.array(np.arange(100, 400), type=pa.int64()),
+        "o_totalprice": pa.array(rng.uniform(1, 9e3, 300).round(2)),
+    })
+    d = tmp_path / "dangle"; d.mkdir()
+    pq.write_table(cust, str(d / "customer.parquet"))
+    pq.write_table(orders, str(d / "orders.parquet"))
+    out = auto_join_rollup(str(d)).to_pandas()
+    assert len(out) == 0
+    assert out.columns.tolist() == ["c_nationkey", "n_orders",
+                                    "sum_total_cents"]
+
+
+def test_ivm_state_and_mark_publish_atomically(ray_session, tmp_path):
+    """The hwm rides inside the state parquet — ONE artifact, one
+    rename. Rolling the whole artifact back to any prior snapshot and
+    re-refreshing converges without double-counting (the failure mode
+    of a separate mark file committed second)."""
+    import os
+    import shutil
+
+    from lucene_solr_ray.ops.ivm import STATE_FILE, _load_state, \
+        refresh_rollup
+
+    rng = np.random.default_rng(11)
+    n = 400
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "event_type": pa.array(
+            np.array(["x", "y"])[rng.integers(0, 2, n)]),
+        "value": pa.array(rng.uniform(0, 50, n).round(2)),
+    })
+    d = tmp_path / "ev2"; d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+
+    state = tmp_path / "st"
+    refresh_rollup(str(state), str(d), upto_event_id=200)
+    assert os.listdir(str(state)) == [STATE_FILE]   # single artifact
+    snap = tmp_path / "snap.parquet"
+    shutil.copy(str(state / STATE_FILE), str(snap))
+
+    refresh_rollup(str(state), str(d))
+    final, hwm = _load_state(str(state))
+    assert hwm == n - 1
+
+    # crash-replay: the artifact reverts wholesale (state+mark
+    # together); a re-refresh re-folds the SAME delta exactly once
+    shutil.copy(str(snap), str(state / STATE_FILE))
+    refresh_rollup(str(state), str(d))
+    replayed, hwm2 = _load_state(str(state))
+    assert hwm2 == n - 1
+    assert replayed.values.tolist() == final.values.tolist()

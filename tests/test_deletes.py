@@ -366,3 +366,31 @@ def test_diff_indexes_tracks_divergence(tmp_path, ray_session):
     delete_docs(a, [1000])
     d2 = diff_indexes(a, b_dir)
     assert d2["deletes_differ"]
+
+
+def test_add_indexes_collision_checks_content_not_stats(tmp_path,
+                                                        ray_session):
+    """Segment names derive from the sorted doc-id set alone, and
+    meta.json holds only stats — two one-doc segments with the same id
+    and same-shaped text ("alpha beta" vs "alpha gamma": identical
+    num_docs/sum_dl/num_terms/num_postings/id range) collide on BOTH.
+    The import must still refuse: the collision check digests every
+    file in the segment directory, not the stats sidecar."""
+    from lucene_solr_ray.index.build import add_indexes
+
+    def one_doc(text):
+        return pa.table({
+            "doc_id": pa.array([1000], type=pa.int64()),
+            "text": pa.array([text], type=pa.string()),
+            "kw": pa.array(["even"], type=pa.string()),
+        })
+
+    dst = build(tmp_path, "coll_dst", one_doc("alpha beta"))
+    src = build(tmp_path, "coll_src", one_doc("alpha gamma"))
+    with pytest.raises(ValueError, match="collision"):
+        add_indexes(dst, src)
+
+    # byte-identical content with the same name is shared, not refused
+    same = build(tmp_path, "coll_same", one_doc("alpha beta"))
+    man = add_indexes(dst, same)
+    assert man["imported_segments"] == 0

@@ -193,3 +193,33 @@ def test_read_documents_evolved_aligns_schemas(ray_session, tmp_path):
     assert df.columns.tolist() == ["doc_id", "text", "lang"]
     assert df["lang"].tolist() == ["en", "en", "fr"]
     assert "legacy" not in df.columns
+
+
+def test_compact_parquet_clears_stale_outputs(ray_session, tmp_path):
+    """Re-running after the input shrank must not leave stale
+    higher-numbered compact-*.parquet files that resurrect rows for a
+    directory reader."""
+    import os
+
+    from lucene_solr_ray.ops.layout import compact_parquet
+
+    src = tmp_path / "shrink_src"; src.mkdir()
+    out = tmp_path / "shrink_out"
+    for i in range(6):
+        pq.write_table(pa.table({
+            "doc_id": pa.array(np.arange(i * 10, i * 10 + 10),
+                               type=pa.int64()),
+            "payload": pa.array([b"x" * 200_000] * 10),
+        }), str(src / f"part-{i:03d}.parquet"))
+    plan1 = compact_parquet(str(src), str(out), target_mb=1)
+    assert len(plan1) > 1
+
+    # shrink the input to one file and re-run
+    for f in sorted(os.listdir(src))[1:]:
+        os.remove(str(src / f))
+    plan2 = compact_parquet(str(src), str(out), target_mb=1)
+    outs = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+    assert outs == [os.path.basename(g["out"]) for g in plan2]
+    total = sum(pq.ParquetFile(str(out / f)).metadata.num_rows
+                for f in outs)
+    assert total == 10
