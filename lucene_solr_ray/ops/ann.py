@@ -21,6 +21,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..util import num_shuffle_partitions
+
 N_QUERIES = 10
 TOP_K = 5
 KMEANS_SAMPLE = 65_536  # coarse-quantizer training set bound (scale path)
@@ -195,7 +197,7 @@ def ann_filtered_topk(sf_dir: str, k: int = TOP_K,
     allowed = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"],
         filter=(pads.field("lang") == lang))
-    j = emb_bin.join(allowed, join_type="inner", num_partitions=8,
+    j = emb_bin.join(allowed, join_type="inner", num_partitions=num_shuffle_partitions(),
                      on=("vec_id",), right_on=("doc_id",))
 
     class Score:

@@ -30,13 +30,15 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..util import num_read_blocks
+
 
 def _read_docs(sf_dir: str, cols=("doc_id", "text")):
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                           columns=list(cols),
-                           override_num_blocks=8)
+    p = os.path.join(sf_dir, "documents.parquet")
+    return rd.read_parquet(p, columns=list(cols),
+                           override_num_blocks=num_read_blocks(p))
 
 
 #: secret patterns (RE2-safe; shared VERBATIM with the DuckDB twin —
@@ -226,9 +228,9 @@ def license_rollup(sf_dir: str) -> pa.Table:
     licenses rows)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text", "source"],
-                         override_num_blocks=8)
+    p = os.path.join(sf_dir, "documents.parquet")
+    ds = rd.read_parquet(p, columns=["doc_id", "text", "source"],
+                         override_num_blocks=num_read_blocks(p))
 
     def partial(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch["doc_id"], dtype=np.int64)
@@ -289,9 +291,9 @@ def pseudonymize_rollup(sf_dir: str, salt: str = PSEUDO_SALT) -> pa.Table:
     import pandas as pd
     import ray.data as rd
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                         columns=["user_id", "value"],
-                         override_num_blocks=8)
+    p = os.path.join(sf_dir, "events.parquet")
+    ds = rd.read_parquet(p, columns=["user_id", "value"],
+                         override_num_blocks=num_read_blocks(p))
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         cents = np.floor(df["value"].to_numpy(np.float64) * 100

@@ -30,13 +30,69 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..util import num_shuffle_partitions
+
 SHINGLE_K = 3
 N_PERM = 64
 BANDS = 16
 ROWS_PER_BAND = 4
 JACCARD_THRESHOLD = 0.9
 
+#: membership filters switch from ray.put broadcast + np.isin to a
+#: hash-partitioned Dataset join above this id-set size (~16 MB of
+#: int64 — safe to ship to every task; beyond it the set grows with
+#: the duplicate count, unbounded at corpus scale)
+ID_BROADCAST_LIMIT = 2_000_000
+#: the driver-side shingle store of verify="broadcast" holds the whole
+#: corpus's shingle sets — refuse beyond this many docs (use the
+#: default verify="join")
+BROADCAST_VERIFY_MAX_DOCS = 1_000_000
+#: ngram_jaccard_pairs is the all-pairs ORACLE TWIN (O(n²)); it must
+#: never silently run as production dedup
+ALL_PAIRS_MAX_DOCS = 20_000
+
 _P31 = (1 << 31) - 1
+
+
+def _filter_by_ids(ds, ids: np.ndarray, *, keep: bool,
+                   id_col: str = "doc_id",
+                   broadcast_limit: int = ID_BROADCAST_LIMIT):
+    """Membership filter whose strategy scales with the id-set size:
+    under ``broadcast_limit`` the sorted ids ship once via ray.put and
+    every batch probes with searchsorted (the small-side pattern);
+    above
+    it the ids become a Dataset and the filter is a hash-partitioned
+    left_semi / left_anti join — nothing driver-sized crosses the
+    cluster. Both paths return identical rows (pinned by
+    test_dedup_apply_join_path_matches_broadcast)."""
+    import ray
+    import ray.data as rd
+
+    ids = np.sort(np.asarray(ids, dtype=np.int64))
+    if len(ids) <= broadcast_limit:
+        ref = ray.put(ids)
+
+        def flt(batch: pa.Table) -> pa.Table:
+            want = ray.get(ref)
+            col = np.asarray(batch[id_col], dtype=np.int64)
+            if len(want):
+                idx = np.clip(np.searchsorted(want, col),
+                              0, len(want) - 1)
+                m = want[idx] == col
+            else:
+                m = np.zeros(len(col), dtype=bool)
+            return batch.filter(pa.array(m if keep else ~m))
+
+        return ds.map_batches(flt, batch_format="pyarrow")
+
+    idt = rd.from_arrow(pa.table({id_col: pa.array(ids, pa.int64())}))
+    nparts = num_shuffle_partitions()
+    j = ds.join(idt.repartition(nparts),
+                join_type="left_semi" if keep else "left_anti",
+                num_partitions=nparts, on=(id_col,))
+    # hash joins can emit 0-row empty-schema blocks (CLAUDE.md); scrub
+    # before anything downstream groups or converts
+    return j.repartition(nparts)
 
 
 def _perm_params(seed: int = 42):
@@ -192,9 +248,9 @@ def _verify_pairs_join(cand, sh_ds, threshold: float) -> pd.DataFrame:
                          "sh_bin": pa.array(blobs, type=pa.large_binary())})
 
     sh_bin = sh_ds.map_batches(to_bin, batch_format="pyarrow")
-    j1 = cand.join(sh_bin, join_type="inner", num_partitions=8,
+    j1 = cand.join(sh_bin, join_type="inner", num_partitions=num_shuffle_partitions(),
                    on=("a",), right_on=("doc_id",), right_suffix="_a")
-    j2 = j1.join(sh_bin, join_type="inner", num_partitions=8,
+    j2 = j1.join(sh_bin, join_type="inner", num_partitions=num_shuffle_partitions(),
                  on=("b",), right_on=("doc_id",), right_suffix="_b")
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -274,7 +330,15 @@ def minhash_lsh_pairs(sf_dir: str, *, verify: str = "join") -> pa.Table:
         return pa.Table.from_pandas(df.reset_index(drop=True),
                                     preserve_index=False)
 
-    # broadcast verification
+    # broadcast verification — a driver-side store of the WHOLE
+    # corpus's shingle sets; refuse outright where it can't fit (the
+    # default verify="join" has no such bound)
+    n_docs = sh_ds.count()
+    if n_docs > BROADCAST_VERIFY_MAX_DOCS:
+        raise ValueError(
+            f"verify='broadcast' materializes all {n_docs} shingle "
+            f"sets on the driver (limit {BROADCAST_VERIFY_MAX_DOCS}); "
+            f"use the default verify='join'")
     shingle_store: dict[int, np.ndarray] = {}
     for batch in sh_ds.iter_batches(batch_format="pyarrow",
                                     batch_size=4096):
@@ -483,12 +547,24 @@ def substring_dup_pairs(sf_dir: str, k: int = SUBSTRING_K) -> pa.Table:
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> pa.Table:
     """Exhaustive n-gram Jaccard pairs (the exact-dedup oracle semantics,
-    distributed as broadcast + per-batch pairwise — O(n²/p))."""
+    distributed as broadcast + per-batch pairwise — O(n²/p)).
+
+    This is the ORACLE TWIN for the LSH path, all-pairs BY DESIGN; the
+    guard keeps it from ever silently running as production dedup —
+    use minhash_lsh_pairs for that."""
     import ray
     import ray.data as rd
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text"])
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    n_docs = pq.ParquetFile(path).metadata.num_rows
+    if n_docs > ALL_PAIRS_MAX_DOCS:
+        raise ValueError(
+            f"ngram_jaccard_pairs is O(n²) all-pairs (the oracle twin); "
+            f"{n_docs} docs exceeds the {ALL_PAIRS_MAX_DOCS} guard — "
+            f"use minhash_lsh_pairs")
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
     # distributed shingling; broadcast the resulting hash sets for the
     # O(n²/p) pairwise stage
     sh_ds = ds.map_batches(_shingle_stage, batch_format="pyarrow",
@@ -630,34 +706,27 @@ def dedup_clusters(sf_dir: str) -> pa.Table:
     return connected_components(pairs)
 
 
-def dedup_apply(sf_dir: str) -> pa.Table:
+def dedup_apply(sf_dir: str, *,
+                broadcast_limit: int = ID_BROADCAST_LIMIT) -> pa.Table:
     """Apply the near-dup dedup to the corpus: keep one doc per cluster
     (the smallest doc_id), drop the rest — the last stage of the
-    production pipeline. The cluster table is tiny relative to the
-    corpus (only docs inside components appear), so the dropped-id set
-    broadcasts via ray.put and every batch filters locally; the corpus
-    itself streams, never shuffles. Returns the survivors'
-    (doc_id, n_chars)."""
-    import ray
+    production pipeline. The dropped-id filter is size-aware
+    (``_filter_by_ids``): a small set broadcasts via ray.put, but the
+    set grows with the DUPLICATE count — at a 30% dup rate on 100 TB
+    it is multi-GB — so above ``broadcast_limit`` it becomes a
+    hash-partitioned left_anti join; the corpus streams either way.
+    Returns the survivors' (doc_id, n_chars)."""
     import ray.data as rd
 
     clusters = dedup_clusters(sf_dir).to_pandas()
-    dropped = np.sort(clusters.loc[clusters["doc_id"]
-                                   != clusters["cluster"],
-                                   "doc_id"].to_numpy(dtype=np.int64))
-    dref = ray.put(dropped)
-
-    def keep(batch: pa.Table) -> pa.Table:
-        import ray as _r
-
-        dead = _r.get(dref)
-        ids = np.asarray(batch["doc_id"], dtype=np.int64)
-        return batch.filter(pa.array(~np.isin(ids, dead)))
-
-    df = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                          columns=["doc_id", "n_chars"])
-          .map_batches(keep, batch_format="pyarrow")
+    dropped = clusters.loc[clusters["doc_id"] != clusters["cluster"],
+                           "doc_id"].to_numpy(dtype=np.int64)
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "n_chars"])
+    df = (_filter_by_ids(ds, dropped, keep=False,
+                         broadcast_limit=broadcast_limit)
           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    df = df[["doc_id", "n_chars"]]
     for c in ("doc_id", "n_chars"):
         df[c] = df[c].astype("int64")
     return pa.Table.from_pandas(df, preserve_index=False)
@@ -715,7 +784,7 @@ def c4_line_dedup(sf_dir: str, min_chars: int = 30) -> pa.Table:
     short = lines_ds.filter(expr="dedupable == False")
     longl = lines_ds.filter(expr="dedupable == True")
     winners = longl.groupby("line").aggregate(Min("packed"))
-    surv_long = longl.join(winners, join_type="inner", num_partitions=8,
+    surv_long = longl.join(winners, join_type="inner", num_partitions=num_shuffle_partitions(),
                            on=("line",), right_suffix="_w")
 
     def keep_winners(batch: pa.Table) -> pa.Table:
@@ -781,32 +850,27 @@ def dedup_rep_quality(sf_dir: str) -> pa.Table:
     The cluster table is tiny (only docs inside components); its id
     set broadcasts, quality metrics are computed ONLY for clustered
     docs in one streaming pass (analyze-after-filter), and the
-    rep-pick folds on the driver over the tiny join. Returns
+    rep-pick folds on the driver over the tiny join. The member filter
+    is size-aware (``_filter_by_ids``): broadcast below the limit, a
+    hash-partitioned left_semi join above it. Returns
     (cluster, rep_doc_id, n_members, rep_ttr_q) ordered by cluster."""
-    import ray
     import ray.data as rd
 
-    from ..analysis import analyze_batch
     from .text_quality_shim import quality_metrics_batch
 
     clusters = dedup_clusters(sf_dir).to_pandas()
-    ids = np.sort(clusters["doc_id"].to_numpy(dtype=np.int64))
-    iref = ray.put(ids)
+    ids = clusters["doc_id"].to_numpy(dtype=np.int64)
 
     def quality(batch: pa.Table) -> pa.Table:
-        import ray as _r
-
-        want = _r.get(iref)
-        m = np.isin(np.asarray(batch["doc_id"], dtype=np.int64), want)
-        sub = batch.filter(pa.array(m))
-        if len(sub) == 0:
+        if len(batch) == 0:
             return pa.table({"doc_id": pa.array([], type=pa.int64()),
                              "n_tokens": pa.array([], type=pa.int64()),
                              "ttr_q": pa.array([], type=pa.int64())})
-        return quality_metrics_batch(sub)
+        return quality_metrics_batch(batch)
 
-    q = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
+    q = (_filter_by_ids(ds, ids, keep=True)
          .map_batches(quality, batch_format="pyarrow").to_pandas())
     j = clusters.merge(q, on="doc_id")
     j = j.sort_values(["cluster", "ttr_q", "n_tokens", "doc_id"],

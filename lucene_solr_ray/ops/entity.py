@@ -29,6 +29,8 @@ import pyarrow as pa
 
 from ..analysis.metaphone import double_metaphone_transform
 
+from ..util import num_read_blocks
+
 MAX_LEV = 2
 MAX_BLOCK = 10_000  # hot-block guard: fail loudly, never silently O(n²)
 
@@ -60,8 +62,9 @@ def entity_match_pairs(sf_dir: str, max_lev: int = MAX_LEV) -> pa.Table:
     either name, ordered by (name_a, name_b)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
-                         columns=["p_name"], override_num_blocks=8)
+    p = os.path.join(sf_dir, "part.parquet")
+    ds = rd.read_parquet(p, columns=["p_name"],
+                         override_num_blocks=num_read_blocks(p))
 
     def to_entities(df: pd.DataFrame) -> pd.DataFrame:
         g = (df.groupby("p_name", as_index=False).size()

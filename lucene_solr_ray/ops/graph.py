@@ -22,6 +22,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..util import num_shuffle_partitions
+
 
 def _read(sf_dir: str, table: str, cols):
     import ray.data as rd
@@ -86,7 +88,7 @@ def shortest_path_hops(sf_dir: str, src_cust: int, dst_cust: int,
     # edge list (c, s): one hash-join-shaped pass, distinct pairs
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
     lines = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
-    edges = (orders.join(lines, join_type="inner", num_partitions=8,
+    edges = (orders.join(lines, join_type="inner", num_partitions=num_shuffle_partitions(),
                          on=("o_orderkey",), right_on=("l_orderkey",))
              .groupby(["o_custkey", "l_suppkey"]).count())
 

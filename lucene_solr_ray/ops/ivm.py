@@ -28,6 +28,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from ..util import num_read_blocks
+
 STATE_FILE = "rollup_state.parquet"
 _HWM_KEY = b"lucene_solr_ray.ivm.hwm"
 
@@ -56,9 +58,10 @@ def refresh_rollup(state_dir: str, sf_dir: str,
     flt = pads.field("event_id") > hwm
     if upto_event_id is not None:
         flt = flt & (pads.field("event_id") <= upto_event_id)
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                         columns=["event_id", "event_type", "value"],
-                         filter=flt, override_num_blocks=4)
+    p = os.path.join(sf_dir, "events.parquet")
+    ds = rd.read_parquet(p, columns=["event_id", "event_type", "value"],
+                         filter=flt,
+                         override_num_blocks=num_read_blocks(p))
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         cents = np.floor(df["value"].to_numpy(np.float64) * 100

@@ -24,6 +24,8 @@ import pyarrow.compute as pc
 
 from .relational import _cents, _read
 
+from ..util import num_read_blocks, num_shuffle_partitions
+
 
 def _topk_scored(ds, key_col: str, score_col: str, k: int,
                  extra_cols=()) -> pd.DataFrame:
@@ -305,7 +307,7 @@ def block_join_facet(sf_dir: str, min_qty: float = 45.0) -> pa.Table:
                    lambda t: t.select(["l_orderkey"]),
                    batch_format="pyarrow"))
     parents = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    hit = parents.join(matched, join_type="left_semi", num_partitions=8,
+    hit = parents.join(matched, join_type="left_semi", num_partitions=num_shuffle_partitions(),
                        on=("o_orderkey",), right_on=("l_orderkey",))
     df = (hit.groupby("o_orderpriority").count().to_pandas()
           .rename(columns={"count()": "cnt"})
@@ -358,11 +360,12 @@ def auto_join_rollup(sf_dir: str,
     import ray.data as rd
 
     build_path = os.path.join(sf_dir, "customer.parquet")
+    orders_path = os.path.join(sf_dir, "orders.parquet")
     plan = choose_join_strategy(build_path, limit_bytes)
 
-    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
-                             columns=["o_custkey", "o_totalprice"],
-                             override_num_blocks=8)
+    orders = rd.read_parquet(
+        orders_path, columns=["o_custkey", "o_totalprice"],
+        override_num_blocks=num_read_blocks(orders_path))
 
     if plan["strategy"] == "broadcast":
         import pyarrow.parquet as pq
@@ -400,12 +403,13 @@ def auto_join_rollup(sf_dir: str,
 
         agg = orders.map_batches(probe, batch_format="pyarrow")
     else:
-        cust_ds = rd.read_parquet(build_path,
-                                  columns=["c_custkey", "c_nationkey"],
-                                  override_num_blocks=8) \
-            .repartition(8).materialize()
+        nparts = num_read_blocks([build_path, orders_path])
+        cust_ds = rd.read_parquet(
+            build_path, columns=["c_custkey", "c_nationkey"],
+            override_num_blocks=num_read_blocks(build_path)) \
+            .repartition(nparts).materialize()
         joined = orders.join(cust_ds, join_type="inner",
-                             num_partitions=8,
+                             num_partitions=nparts,
                              on=("o_custkey",), right_on=("c_custkey",))
 
         def partial(batch: pa.Table) -> pa.Table:

@@ -25,6 +25,8 @@ import os
 import numpy as np
 import pyarrow as pa
 
+from ..util import num_read_blocks
+
 Z_BITS = 16
 
 
@@ -65,9 +67,9 @@ def zorder_events(sf_dir: str, k: int = 50) -> pa.Table:
     pass + a top-k (the full-layout path is zorder_write)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                         columns=["event_id", "user_id", "value"],
-                         override_num_blocks=8)
+    p = os.path.join(sf_dir, "events.parquet")
+    ds = rd.read_parquet(p, columns=["event_id", "user_id", "value"],
+                         override_num_blocks=num_read_blocks(p))
 
     def zmap(batch: pa.Table) -> pa.Table:
         x, y = _event_xy(batch)
@@ -109,8 +111,8 @@ def zorder_write(sf_dir: str, out_dir: str,
     partitioned (resumable layout: one file per curve range)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                         override_num_blocks=8)
+    p = os.path.join(sf_dir, "events.parquet")
+    ds = rd.read_parquet(p, override_num_blocks=num_read_blocks(p))
 
     def zmap(batch: pa.Table) -> pa.Table:
         x, y = _event_xy(batch)

@@ -22,15 +22,17 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..util import num_read_blocks
+
 Q_SCALE = 1 << 20
 
 
 def _read_emb(sf_dir: str):
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                           columns=["vec_id", "embedding"],
-                           override_num_blocks=8)
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    return rd.read_parquet(p, columns=["vec_id", "embedding"],
+                           override_num_blocks=num_read_blocks(p))
 
 
 def _quantized(batch: pa.Table) -> np.ndarray:

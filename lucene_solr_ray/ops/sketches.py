@@ -27,6 +27,8 @@ import os
 import numpy as np
 import pyarrow as pa
 
+from ..util import num_read_blocks
+
 P = 12                 # 2^12 = 4096 registers -> ~1.6% standard error
 M = 1 << P
 
@@ -410,8 +412,9 @@ def topk_terms(sf_dir: str, k: int = MG_K, n: int = 20) -> pa.Table:
     ordered (est desc, term asc)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["text"], override_num_blocks=8)
+    p = os.path.join(sf_dir, "documents.parquet")
+    ds = rd.read_parquet(p, columns=["text"],
+                         override_num_blocks=num_read_blocks(p))
     parts = mg_partials(ds, k).to_pandas()
     terms, counts = mg_merge(parts["term"].to_numpy(),
                              parts["c"].to_numpy(), k)
@@ -479,8 +482,9 @@ def cms_user_counts(sf_dir: str, w: int = CMS_W, d: int = CMS_D,
     Returns (user_id, est) ordered by user_id."""
     import ray.data as rd
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                         columns=["user_id"], override_num_blocks=8)
+    p = os.path.join(sf_dir, "events.parquet")
+    ds = rd.read_parquet(p, columns=["user_id"],
+                         override_num_blocks=num_read_blocks(p))
 
     def partial(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch["user_id"], dtype=np.int64)

@@ -28,6 +28,8 @@ import re
 import numpy as np
 import pyarrow as pa
 
+from ..util import num_shuffle_partitions
+
 _TOK = re.compile(r'''\s*(\(|\)|,|"[^"]*"|[^\s(),"]+)''')
 
 
@@ -220,7 +222,7 @@ def compile_stream(node: Stream, sf_dir: str):
         jt = {"innerJoin": "inner", "hashJoin": "inner",
               "leftOuterJoin": "left_outer", "intersect": "left_semi",
               "complement": "left_anti"}[f]
-        return left.join(right, join_type=jt, num_partitions=8,
+        return left.join(right, join_type=jt, num_partitions=num_shuffle_partitions(),
                          on=(lkey,), right_on=(rkey,))
     if f == "fetch":
         # fetch(collection, stream, on="k=rk", fl="a,b"): enrich each
@@ -233,7 +235,7 @@ def compile_stream(node: Stream, sf_dir: str):
         fl = [c.strip() for c in node.kwargs["fl"].split(",")]
         right = rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
                                 columns=[rkey] + fl)
-        return inner.join(right, join_type="left_outer", num_partitions=8,
+        return inner.join(right, join_type="left_outer", num_partitions=num_shuffle_partitions(),
                           on=(lkey,), right_on=(rkey,))
     if f == "having":
         inner = compile_stream(node.args[0], sf_dir)

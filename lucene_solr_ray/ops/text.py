@@ -18,6 +18,8 @@ import pyarrow as pa
 from ..analysis.analyzer import analyze_batch
 from ..analysis.stopwords import ENGLISH_STOP_WORDS
 
+from ..util import num_read_blocks
+
 _STOP_PA = pa.array(ENGLISH_STOP_WORDS, type=pa.string())
 
 
@@ -736,9 +738,9 @@ def capped_sample(sf_dir: str, cap: int = CAP_PER_SOURCE) -> pa.Table:
     import pandas as pd
     import ray.data as rd
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "source"],
-                         override_num_blocks=8)
+    p = os.path.join(sf_dir, "documents.parquet")
+    ds = rd.read_parquet(p, columns=["doc_id", "source"],
+                         override_num_blocks=num_read_blocks(p))
 
     def hash_col(ids: np.ndarray) -> np.ndarray:
         return np.fromiter(

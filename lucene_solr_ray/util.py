@@ -61,3 +61,63 @@ def allocator_env(threshold: int = 1 << 30) -> dict[str, str]:
 def export_allocator_env() -> None:
     for k, v in allocator_env().items():
         os.environ.setdefault(k, v)
+
+
+def num_shuffle_partitions(*, per_cpu: int = 1,
+                           max_parts: int = 1024) -> int:
+    """Partition count for hash joins / repartitions: ~one partition
+    per cluster CPU (``ray.cluster_resources()``), capped. Derived from
+    the cluster, not a constant, so the same call sites fan out on a
+    multi-node cluster."""
+    return num_read_blocks(per_cpu=per_cpu, max_blocks=max_parts)
+
+
+def num_read_blocks(paths=None, *, per_cpu: int = 2,
+                    min_block_bytes: int = 1 << 20,
+                    max_blocks: int = 4096) -> int:
+    """Read-parallelism discipline (CLAUDE.md): Ray's parquet planner
+    often emits ONE read task and the whole pipeline serializes behind
+    it, so every read_parquet passes
+    ``override_num_blocks=num_read_blocks(path)``.
+
+    The count derives from the CLUSTER, not a constant: ~``per_cpu``
+    read tasks per cluster CPU (``ray.cluster_resources()``), so on a
+    256-node cluster the read fans out to thousands of tasks while the
+    same call sites stay correct single-node. Tiny inputs are capped at
+    one block per ``min_block_bytes`` so a 1 MB test file doesn't
+    shatter into dozens of near-empty blocks, and ``max_blocks`` bounds
+    driver-side task metadata.
+
+    ``paths`` may be a file path, a directory, or a list of either;
+    unknown/missing paths just skip the byte cap.
+    """
+    cpus = 0
+    try:
+        import ray
+
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 0))
+    except Exception:
+        pass
+    if cpus <= 0:
+        cpus = os.cpu_count() or 4
+    blocks = max(2, per_cpu * cpus)
+    nbytes = 0
+    if paths is not None:
+        if isinstance(paths, (str, os.PathLike)):
+            paths = [paths]
+        try:
+            for p in paths:
+                p = str(p)
+                if os.path.isdir(p):
+                    for root, _dirs, files in os.walk(p):
+                        nbytes += sum(
+                            os.path.getsize(os.path.join(root, f))
+                            for f in files)
+                elif os.path.exists(p):
+                    nbytes += os.path.getsize(p)
+        except OSError:
+            nbytes = 0
+    if nbytes > 0:
+        blocks = min(blocks, max(2, nbytes // min_block_bytes))
+    return int(min(blocks, max_blocks))

@@ -638,3 +638,31 @@ def test_dedup_rep_quality_prefers_dense_member(ray_session, tmp_path):
     assert r["cluster"] == 1          # min-id labels the component
     assert r["rep_doc_id"] == 2       # but the DENSE doc represents it
     assert r["n_members"] == 2
+
+
+def test_dedup_apply_join_path_matches_broadcast(ray_session):
+    """The size-aware id filter: forcing broadcast_limit=0 routes
+    dedup_apply through the hash-partitioned left_anti join; the
+    survivors are identical to the broadcast path."""
+    from lucene_solr_ray.ops.dedup import dedup_apply
+
+    sf = "/root/testdata/sf0.001"
+    a = dedup_apply(sf).to_pandas()
+    b = dedup_apply(sf, broadcast_limit=0).to_pandas()
+    assert a.values.tolist() == b.values.tolist()
+    assert a.columns.tolist() == b.columns.tolist()
+
+
+def test_dedup_scale_guards(ray_session, monkeypatch):
+    """verify='broadcast' refuses a corpus beyond the driver-store
+    bound; the all-pairs oracle twin refuses to run as production
+    dedup."""
+    import lucene_solr_ray.ops.dedup as dd
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setattr(dd, "BROADCAST_VERIFY_MAX_DOCS", 0)
+    with pytest.raises(ValueError, match="driver"):
+        dd.minhash_lsh_pairs(sf, verify="broadcast")
+    monkeypatch.setattr(dd, "ALL_PAIRS_MAX_DOCS", 0)
+    with pytest.raises(ValueError, match="all-pairs"):
+        dd.ngram_jaccard_pairs(sf)
