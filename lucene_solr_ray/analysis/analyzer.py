@@ -13,14 +13,26 @@ Reference semantics (areek/lucene-solr):
 - Document length for norms = number of tokens that reach the indexing chain,
   i.e. post-stop survivors (core:index/DefaultIndexingChain.java:611-619).
 
-Documented deviation from the reference: instead of the JFlex UAX#29 DFA we
-define a token as a maximal run of ASCII alphanumerics ``[A-Za-z0-9]+``
-(split on everything else, including ``_`` and non-ASCII). This keeps the
-tokenizer bit-identical between the engine (pyarrow's RE2-based
-``split_pattern_regex``) and the DuckDB oracle (RE2-based
-``regexp_extract_all``), which is what the correctness gate compares. The
-corpus is source code / ASCII token soup, where the two tokenizations agree
-on all content that matters for ranking.
+The DEFAULT tokenizer is ``"uax29"`` — a conformant implementation of the
+reference's UAX#29 word-break grammar (StandardTokenizerImpl.jflex, Unicode
+6.3 rules; see analysis/uax29.py, pinned by the 1372-sequence Unicode
+WordBreakTest suite). Three tiers keep the hot path vectorized:
+
+1. Docs whose lowered text contains none of the characters on which
+   UAX#29 differs from an ASCII alnum split (no non-ASCII byte, no ``_``,
+   no ``.':,;`` directly between alphanumerics) tokenize via Arrow's
+   RE2 ``split_pattern_regex`` kernel — provably identical output.
+2. ASCII docs WITH such joiners use ``WORD_ASCII_RE`` findall — the
+   UAX#29 grammar restricted to ASCII, expressed as one RE2-safe regex
+   (equivalence to the full engine is property-tested).
+3. Anything non-ASCII runs the full numpy word-break engine.
+
+The DuckDB oracle twins tokenize with ``regexp_extract_all(lower(text),
+'[a-z0-9]+')``; on the sf corpora this is bit-identical to UAX#29 (the
+corpus contains no joiner patterns — asserted by
+test_corpus_uax29_equals_ascii), and ``UAX29_SQL_TOKEN_REGEX`` below is
+the drop-in twin regex for corpora where it is not. ``tokenizer="ascii"``
+keeps the old behavior for explicit callers.
 
 Hot path: `analyze_batch` is fully vectorized — Arrow C++ kernels for
 lowercase/split/length/stopword-membership, numpy for position arithmetic.
@@ -42,6 +54,24 @@ MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.java:39 DEFAULT_MAX_TOKEN_LENGTH
 
 _TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
 _SPLIT_PATTERN = "[^a-z0-9]+"  # applied to lowercased text
+
+#: The UAX#29 word grammar restricted to ASCII (lowercased input), as one
+#: RE2-safe regex — the exact jflex WORD/NUM production with the ASCII
+#: members of each class (Unicode 6.3): ALetter=[a-z] Numeric=[0-9]
+#: ExtendNumLet=_ MidLetter=: MidNum=[,;] MidNumLet=. Single_Quote='.
+#: Letters join across [.':], digits across [.,;'], both across _ runs
+#: (WB5-13b). Property-tested equivalent to the full engine on ASCII.
+_WORD_ASCII_CHAIN = (r"(?:[0-9](?:(?:_*|[.,;'])[0-9])*"
+                     r"|[a-z](?:(?:_*|[.':])[a-z])*)")
+WORD_ASCII_PATTERN = (r"_*" + _WORD_ASCII_CHAIN + r"+"
+                      r"(?:_+" + _WORD_ASCII_CHAIN + r"+)*_*")
+WORD_ASCII_RE = re.compile(WORD_ASCII_PATTERN)
+#: the same pattern with SQL-quoted single quotes — the DuckDB twin
+#: tokenizer for corpora where UAX#29 and [a-z0-9]+ differ
+UAX29_SQL_TOKEN_REGEX = WORD_ASCII_PATTERN.replace("'", "''")
+#: chars on which UAX#29 differs from the ascii split: non-ASCII,
+#: underscore, or a joiner directly between alphanumerics
+_NEEDS_UAX29_PATTERN = r"[^\x00-\x7f]|_|[a-z0-9][.':,;][a-z0-9]"
 #: UAX29URLEmailTokenizer classes (ordered alternation: URL beats EMAIL
 #: beats word run) — RE2-compatible so a DuckDB twin can reuse it
 _URLEMAIL_RE = re.compile(
@@ -54,6 +84,10 @@ _STOPWORDS_PA = pa.array(ENGLISH_STOP_WORDS, type=pa.string())
 # DuckDB (RE2 regex engine, same as pyarrow):
 #   list_filter(regexp_extract_all(lower(col), '[a-z0-9]+'),
 #               t -> length(t) <= 255)
+# Identical to the uax29 default whenever the corpus contains no
+# UAX#29 joiner patterns (test_corpus_uax29_equals_ascii pins this for
+# the sf corpora); swap '[a-z0-9]+' for UAX29_SQL_TOKEN_REGEX on a
+# corpus where it doesn't hold.
 TOKENIZE_SQL_TEMPLATE = (
     "list_filter(regexp_extract_all(lower({col}), '[a-z0-9]+'), "
     "t -> length(t) <= 255)"
@@ -88,9 +122,75 @@ def _per_doc_serial_positions(doc_idx: np.ndarray) -> np.ndarray:
     return (idx - np.repeat(starts, counts)).astype(np.int32)
 
 
+#: coarse candidate split for the ASCII uax29 tier: keep maximal runs of
+#: token chars + ASCII joiners; WORD_ASCII_RE only ever matches inside
+#: such runs, so refining each run independently is exact
+_COARSE_SPLIT = r"[^a-z0-9_.':,;]+"
+_PURE_ALNUM_RE = re.compile(r"[a-z0-9]+\Z")
+
+
+def _ascii_uax29_lists(lower: pa.Array) -> pa.ListArray:
+    """UAX#29 tokenization of lowercased ASCII docs, vectorized: Arrow
+    splits text into candidate runs; runs that are pure ``[a-z0-9]+``
+    ARE tokens (the overwhelmingly common case); only the DISTINCT
+    joiner-containing runs get a Python ``WORD_ASCII_RE.findall``, and
+    results map back through the dictionary indices. Identical to
+    running the regex over the whole text (property-tested)."""
+    cand = pc.split_pattern_regex(lower, pattern=_COARSE_SPLIT)
+    if isinstance(cand, pa.ChunkedArray):
+        cand = cand.combine_chunks()
+    if cand.null_count:
+        cand = pa.ListArray.from_arrays(
+            cand.offsets.fill_null(0) if cand.offsets.null_count
+            else cand.offsets, cand.values)
+    flat = cand.flatten()
+    doc_off = np.asarray(cand.offsets)
+    denc = flat.dictionary_encode()
+    vocab = denc.dictionary.to_pylist()
+    # per-vocab token lists (most vocab entries are already tokens)
+    vlists: list[list[str]] = []
+    for v in vocab:
+        if not v:
+            vlists.append([])
+        elif _PURE_ALNUM_RE.match(v):
+            vlists.append([v])
+        else:
+            vlists.append(WORD_ASCII_RE.findall(v))
+    vcounts = np.fromiter((len(x) for x in vlists), dtype=np.int64,
+                          count=len(vlists))
+    idx = np.asarray(denc.indices)
+    # expand: tokens of candidate k = vlists[idx[k]]
+    tok_counts = vcounts[idx] if len(idx) else np.empty(0, np.int64)
+    vflat = pa.array([t for lst in vlists for t in lst],
+                     type=pa.string())
+    voff = np.concatenate(([0], np.cumsum(vcounts))).astype(np.int64)
+    # gather the token runs for every candidate in order
+    if len(idx):
+        starts = voff[idx]
+        take_idx = np.repeat(starts, tok_counts) + (
+            np.arange(int(tok_counts.sum()), dtype=np.int64)
+            - np.repeat(np.concatenate(([0],
+                                        np.cumsum(tok_counts)[:-1])),
+                        tok_counts))
+        tokens = vflat.take(pa.array(take_idx))
+    else:
+        tokens = pa.array([], type=pa.string())
+    # rebuild per-doc list offsets: sum of token counts per doc
+    per_cand = tok_counts
+    doc_tok_counts = np.add.reduceat(
+        np.concatenate((per_cand, [0])), doc_off[:-1]) \
+        if len(doc_off) > 1 else np.empty(0, np.int64)
+    # reduceat quirk: empty docs (equal offsets) must yield 0
+    eq = doc_off[:-1] == doc_off[1:]
+    doc_tok_counts[eq] = 0
+    new_off = np.concatenate(([0], np.cumsum(doc_tok_counts)))
+    return pa.ListArray.from_arrays(
+        pa.array(new_off, type=pa.int32()), tokens)
+
+
 def analyze_debug(text: str, *, stopwords=None, term_transform=None,
                   stream_transform=None, char_filter=None,
-                  tokenizer: str = "ascii") -> list[dict]:
+                  tokenizer: str = "uax29") -> list[dict]:
     """The /analysis handler (solr:handler/FieldAnalysisRequestHandler
     .java): run one text through the chain and report EVERY stage's
     output — char filter text, tokenizer stream, post-stop stream with
@@ -128,7 +228,7 @@ def analyze_batch(texts: pa.Array | pa.ChunkedArray, *,
                   term_transform=None,
                   stream_transform=None,
                   char_filter=None,
-                  tokenizer: str = "ascii") -> AnalyzedBatch:
+                  tokenizer: str = "uax29") -> AnalyzedBatch:
     """Tokenize a column of documents into a flat (doc, term, position) stream.
 
     Vectorized StandardAnalyzer-equivalent: lowercase → split on
@@ -260,6 +360,39 @@ def analyze_batch(texts: pa.Array | pa.ChunkedArray, *,
         toks = [_URLEMAIL_RE.findall(t) if t is not None else []
                 for t in lower.to_pylist()]
         token_lists = pa.array(toks, type=pa.list_(pa.string()))
+    elif tokenizer == "uax29":
+        # The reference's StandardTokenizer (UAX#29 word break, Unicode
+        # 6.3 — StandardTokenizerImpl.jflex). Tiered: Arrow split kernel
+        # where provably identical; for ASCII docs with joiner chars a
+        # vectorized candidate-refinement pass (coarse Arrow split to
+        # candidate words, WORD_ASCII_RE applied only to the DISTINCT
+        # joiner-containing candidates via dictionary encoding); the
+        # full word-break engine per doc only for non-ASCII text.
+        needs = pc.match_substring_regex(lower, _NEEDS_UAX29_PATTERN)
+        needs_np = np.asarray(needs.fill_null(False))
+        if not needs_np.any():
+            split_pattern = _SPLIT_PATTERN
+        else:
+            nonascii = np.asarray(pc.match_substring_regex(
+                lower, r"[^\x00-\x7f]").fill_null(False))
+            ascii_idx = np.flatnonzero(~nonascii)
+            slow_idx = np.flatnonzero(nonascii)
+            parts, part_idx = [], []
+            if len(ascii_idx):
+                parts.append(_ascii_uax29_lists(
+                    lower.take(pa.array(ascii_idx))))
+                part_idx.append(ascii_idx)
+            if len(slow_idx):
+                from .uax29 import uax29_token_lists
+
+                slow_texts = lower.take(pa.array(slow_idx)).to_pylist()
+                parts.append(pa.array(uax29_token_lists(slow_texts),
+                                      type=pa.list_(pa.string())))
+                part_idx.append(slow_idx)
+            order = np.argsort(np.concatenate(part_idx), kind="stable")
+            token_lists = pa.concat_arrays(
+                [p.cast(pa.list_(pa.string())) for p in parts]
+            ).take(pa.array(order))
     elif tokenizer == "unicode":
         # UAX#29 approximation closer to the reference's JFlex DFA:
         # tokens are Unicode letter/number runs; Han ideographs emit
@@ -306,7 +439,7 @@ def analyze_batch(texts: pa.Array | pa.ChunkedArray, *,
 
     lengths = np.asarray(
         pc.utf8_length(flat)
-        if (tokenizer in ("unicode", "whitespace", "letter", "lowercase",
+        if (tokenizer in ("uax29", "unicode", "whitespace", "letter", "lowercase",
                           "wikipedia", "thai", "keyword")
             or isinstance(tokenizer, tuple))
         else pc.binary_length(flat))  # cp vs byte len
@@ -346,11 +479,18 @@ def tokenize(text: str) -> list[tuple[str, int, int, int]]:
     for every surviving token. Semantics identical to `analyze_batch`.
     """
     raw: list[tuple[str, int, int]] = []
-    for m in _TOKEN_RE.finditer(text):
-        tok = m.group(0)
+    if text.isascii() and not re.search(_NEEDS_UAX29_PATTERN,
+                                        text.lower()):
+        spans = [(m.group(0), m.start(), m.end())
+                 for m in _TOKEN_RE.finditer(text)]
+    else:
+        from .uax29 import segment
+
+        spans = [(text[s:e], s, e) for s, e, _ty in segment(text)]
+    for tok, s, e in spans:
         if len(tok) > MAX_TOKEN_LENGTH:
             continue  # skip-not-truncate, no position consumed
-        raw.append((tok.lower(), m.start(), m.end()))
+        raw.append((tok.lower(), s, e))
     out = []
     for pos, (term, s, e) in enumerate(raw):
         if term in ENGLISH_STOP_WORDS_SET:

@@ -1,0 +1,331 @@
+"""UAX#29 word segmentation — the StandardTokenizer grammar, conformant
+to the Unicode 6.3 Word Break rules the reference compiles via JFlex
+(lucene/analysis/common/src/java/org/apache/lucene/analysis/standard/
+StandardTokenizerImpl.jflex:40-166; behavioral contract only — this is an
+independent implementation of the published algorithm,
+http://unicode.org/reports/tr29/ and the Unicode 6.3.0 UCD).
+
+Token types mirror StandardTokenizer.java: ALPHANUM, NUM,
+SOUTHEAST_ASIAN, IDEOGRAPHIC, HIRAGANA, KATAKANA, HANGUL. Segments with
+none of the emitting character classes (punctuation, quotes, regional
+indicators …) are dropped, exactly as the JFlex grammar's fall-through
+rule ignores them.
+
+Word-break property data: the small, closed classes (MidLetter, MidNum,
+MidNumLet, Single/Double_Quote, ExtendNumLet, CR/LF/Newline,
+Regional_Indicator, the Katakana/Hiragana/Hebrew/SEA script ranges) are
+transcribed from the published Unicode 6.3.0
+``WordBreakProperty.txt`` / ``Scripts.txt`` / ``LineBreak.txt``; the
+open classes (ALetter, Numeric, Extend, Format) derive from Python's
+``unicodedata`` categories (Unicode 14 in this interpreter) with the
+6.3-specific exceptions applied (ZWSP is Other; ZWJ/ZWNJ are Extend).
+The Unicode 6.3 WordBreakTest conformance suite
+(tests/data/wordbreak_test_6_3_0.json, 1372 sequences) pins the
+behavior; chars whose properties moved between 6.3 and 14 outside those
+classes are best-effort and documented here rather than hidden.
+
+Segmentation itself is the standard two-phase algorithm: classify every
+codepoint via a lazily-built lookup table (numpy uint8 over the full
+codespace, ~1 MB), collapse WB4 Extend/Format runs onto their base
+char, then evaluate the WB3-WB14 pair rules vectorized over the base
+classes (one numpy pass, no per-char Python loop). The ASCII fast path
+in analyzer.py never reaches this module — see WORD_ASCII_RE there.
+"""
+
+from __future__ import annotations
+
+import sys
+import unicodedata
+
+import numpy as np
+
+# ---- word-break classes -------------------------------------------------
+
+OTHER = 0
+CR = 1
+LF = 2
+NEWLINE = 3
+EXTEND = 4
+FORMAT = 5
+ALETTER = 6
+HEBREW_LETTER = 7
+NUMERIC = 8
+KATAKANA = 9
+MIDLETTER = 10
+MIDNUM = 11
+MIDNUMLET = 12
+SINGLE_QUOTE = 13
+DOUBLE_QUOTE = 14
+EXTENDNUMLET = 15
+REGIONAL_INDICATOR = 16
+# non-WB auxiliary classes the Lucene grammar needs
+HAN = 17            # Script=Han → one IDEOGRAPHIC token per char
+HIRAGANA = 18       # Script=Hiragana → one HIRAGANA token per char
+SEA = 19            # LineBreak=Complex_Context → runs stay together
+
+# token types (StandardTokenizer.java:60-74 names)
+ALPHANUM_TYPE = "<ALPHANUM>"
+NUM_TYPE = "<NUM>"
+SOUTHEAST_ASIAN_TYPE = "<SOUTHEAST_ASIAN>"
+IDEOGRAPHIC_TYPE = "<IDEOGRAPHIC>"
+HIRAGANA_TYPE = "<HIRAGANA>"
+KATAKANA_TYPE = "<KATAKANA>"
+HANGUL_TYPE = "<HANGUL>"
+
+MAX_CP = 0x110000
+
+# Unicode 6.3.0 WordBreakProperty.txt closed classes (transcribed from
+# the published UCD; ASCII members verified against the conformance
+# fixture's per-char annotations).
+_MIDLETTER = [0x003A, 0x00B7, 0x0387, 0x05F4, 0x2027, 0xFE13, 0xFE55,
+              0xFF1A]
+_MIDNUM = [0x002C, 0x003B, 0x037E, 0x0589, 0x060C, 0x060D, 0x066C,
+           0x07F8, 0x2044, 0xFE10, 0xFE14, 0xFE50, 0xFE54, 0xFF0C,
+           0xFF1B]
+_MIDNUMLET = [0x002E, 0x2018, 0x2019, 0x2024, 0xFE52, 0xFF07, 0xFF0E]
+_NEWLINES = [0x000B, 0x000C, 0x0085, 0x2028, 0x2029]
+
+# Script ranges (Unicode 6.3 Scripts.txt, closed at 6.3 boundaries)
+_KATAKANA_RANGES = [(0x3031, 0x3035), (0x309B, 0x309C), (0x30A0, 0x30FA),
+                    (0x30FC, 0x30FF), (0x31F0, 0x31FF), (0x32D0, 0x32FE),
+                    (0x3300, 0x3357), (0xFF66, 0xFF9D), (0xFF9E, 0xFF9F)]
+_HIRAGANA_RANGES = [(0x3041, 0x3096), (0x309D, 0x309E), (0x309F, 0x309F),
+                    (0x1B001, 0x1B001)]
+_HAN_RANGES = [(0x2E80, 0x2E99), (0x2E9B, 0x2EF3), (0x2F00, 0x2FD5),
+               (0x3005, 0x3005), (0x3007, 0x3007), (0x3021, 0x3029),
+               (0x3038, 0x303B), (0x3400, 0x4DB5), (0x4E00, 0x9FCC),
+               (0xF900, 0xFA6D), (0xFA70, 0xFAD9), (0x20000, 0x2A6D6),
+               (0x2A700, 0x2B734), (0x2B740, 0x2B81D),
+               (0x2F800, 0x2FA1D)]
+_HEBREW_LETTER_RANGES = [(0x05D0, 0x05EA), (0x05F0, 0x05F2),
+                         (0xFB1D, 0xFB1D), (0xFB1F, 0xFB28),
+                         (0xFB2A, 0xFB36), (0xFB38, 0xFB3C),
+                         (0xFB3E, 0xFB3E), (0xFB40, 0xFB41),
+                         (0xFB43, 0xFB44), (0xFB46, 0xFB4F)]
+# LineBreak=Complex_Context (SA): the South-East-Asian scripts whose
+# letters/marks carry LB=SA in Unicode 6.3 (digits/symbols excluded)
+_SEA_RANGES = [(0x0E01, 0x0E3A), (0x0E40, 0x0E4E),          # Thai
+               (0x0E81, 0x0EC4), (0x0EC6, 0x0EC6),
+               (0x0EC8, 0x0ECD), (0x0EDC, 0x0EDF),          # Lao
+               (0x1000, 0x103F), (0x1050, 0x108F),
+               (0x109A, 0x109D),                            # Myanmar
+               (0x1780, 0x17D3), (0x17D7, 0x17D7),
+               (0x17DC, 0x17DD),                            # Khmer
+               (0x1950, 0x1974),                            # Tai Le
+               (0x1980, 0x19AB), (0x19B0, 0x19C9),          # New Tai Lue
+               (0x1A20, 0x1A7C), (0x1A7F, 0x1A7F),          # Tai Tham
+               (0xAA60, 0xAA7B),                            # Myanmar ext
+               (0xAA80, 0xAAC2), (0xAADB, 0xAADF)]          # Tai Viet
+_HANGUL_RANGES = [(0x1100, 0x11FF), (0x3131, 0x318E), (0xA960, 0xA97C),
+                  (0xAC00, 0xD7A3), (0xD7B0, 0xD7C6), (0xD7CB, 0xD7FB),
+                  (0xFFA0, 0xFFBE), (0xFFC2, 0xFFC7), (0xFFCA, 0xFFCF),
+                  (0xFFD2, 0xFFD7), (0xFFDA, 0xFFDC)]
+
+_wb_table: np.ndarray | None = None
+_hangul_mask: np.ndarray | None = None
+
+
+def _fill(table: np.ndarray, ranges, value) -> None:
+    for lo, hi in ranges:
+        table[lo:hi + 1] = value
+
+
+def _build_table() -> tuple[np.ndarray, np.ndarray]:
+    t = np.zeros(MAX_CP, dtype=np.uint8)   # OTHER
+
+    # open classes from unicodedata categories
+    cats = {"Lu": [], "Ll": [], "Lt": [], "Lm": [], "Lo": [], "Nl": [],
+            "Nd": [], "Mn": [], "Mc": [], "Me": [], "Cf": [], "Pc": []}
+    for cp in range(MAX_CP):
+        c = unicodedata.category(chr(cp))
+        if c in cats:
+            cats[c].append(cp)
+    for c in ("Lu", "Ll", "Lt", "Lm", "Lo", "Nl"):
+        t[cats[c]] = ALETTER
+    t[cats["Nd"]] = NUMERIC
+    t[0x066B] = NUMERIC              # ARABIC DECIMAL SEPARATOR (WB 6.3)
+    for c in ("Mn", "Mc", "Me"):
+        t[cats[c]] = EXTEND
+    t[cats["Cf"]] = FORMAT
+    t[cats["Pc"]] = EXTENDNUMLET
+
+    # Unicode 6.3 exceptions to the category derivation
+    t[0x200B] = OTHER                # ZWSP: Other in 6.3 (Cf in UCD 14)
+    t[0x200C] = EXTEND               # ZWNJ
+    t[0x200D] = EXTEND               # ZWJ (own class only from UCD 9)
+    t[0x05F3] = ALETTER              # HEBREW PUNCTUATION GERESH
+
+    # script/aux classes override the letter classes
+    _fill(t, _HEBREW_LETTER_RANGES, HEBREW_LETTER)
+    _fill(t, _KATAKANA_RANGES, KATAKANA)
+    _fill(t, _HIRAGANA_RANGES, HIRAGANA)
+    _fill(t, _HAN_RANGES, HAN)
+    _fill(t, _SEA_RANGES, SEA)
+    # SEA combining marks keep LB=SA, but Extend must win inside runs?
+    # No: the JFlex ComplexContextEx covers the whole SA set including
+    # the marks, so the run logic below treats SEA as one class; marks
+    # NOT in the SA set (none in 6.3 for these scripts) stay Extend.
+
+    # closed punctuation classes
+    t[_MIDLETTER] = MIDLETTER
+    t[_MIDNUM] = MIDNUM
+    t[_MIDNUMLET] = MIDNUMLET
+    t[0x0027] = SINGLE_QUOTE
+    t[0x0022] = DOUBLE_QUOTE
+    t[0x000D] = CR
+    t[0x000A] = LF
+    t[_NEWLINES] = NEWLINE
+    t[0x1F1E6:0x1F200] = REGIONAL_INDICATOR
+
+    hang = np.zeros(MAX_CP, dtype=bool)
+    for lo, hi in _HANGUL_RANGES:
+        hang[lo:hi + 1] = True
+    return t, hang
+
+
+def _table() -> tuple[np.ndarray, np.ndarray]:
+    global _wb_table, _hangul_mask
+    if _wb_table is None:
+        _wb_table, _hangul_mask = _build_table()
+    return _wb_table, _hangul_mask
+
+
+# sets used by the vectorized pair rules
+_AH = (ALETTER, HEBREW_LETTER)
+_MIDLET_Q = (MIDLETTER, MIDNUMLET, SINGLE_QUOTE)
+_MIDNUM_Q = (MIDNUM, MIDNUMLET, SINGLE_QUOTE)
+_WB13A_L = (ALETTER, HEBREW_LETTER, NUMERIC, KATAKANA, EXTENDNUMLET)
+_WB13B_R = (ALETTER, HEBREW_LETTER, NUMERIC, KATAKANA)
+_EMITTING = (ALETTER, HEBREW_LETTER, NUMERIC, KATAKANA, HAN, HIRAGANA,
+             SEA)
+
+
+def _isin(a: np.ndarray, vals) -> np.ndarray:
+    m = np.zeros(a.shape, dtype=bool)
+    for v in vals:
+        m |= a == v
+    return m
+
+
+def segment(text: str) -> list[tuple[int, int, str]]:
+    """UAX#29 word segmentation + the StandardTokenizer emit filter.
+
+    Returns ``(start, end, type)`` for every EMITTED token (codepoint
+    offsets into ``text``); punctuation-only segments are dropped, Han
+    and Hiragana emit per character, SEA runs emit as single tokens.
+    """
+    if not text:
+        return []
+    table, hangul = _table()
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    n = len(cp)
+    cls = table[cp]
+
+    # --- WB4: attach Extend/Format to the preceding base char ---------
+    is_ext = _isin(cls, (EXTEND, FORMAT))
+    # an Extend/Format at sot or after CR/LF/Newline is its own base
+    prev_break_class = np.empty(n, dtype=np.uint8)
+    prev_break_class[0] = NEWLINE    # sot behaves like a mandatory break
+    prev_break_class[1:] = cls[:-1]
+    own_base = is_ext & _isin(prev_break_class, (CR, LF, NEWLINE))
+    # degrade those to OTHER so no join rule fires on them
+    cls = cls.copy()
+    cls[own_base] = OTHER
+    is_ext = is_ext & ~own_base
+    base_pos = np.flatnonzero(~is_ext)
+    if len(base_pos) == 0:
+        return []
+    b = cls[base_pos]                     # base classes
+    nb = len(b)
+
+    # --- pair rules over adjacent bases -------------------------------
+    # no_break[i] — do not break between base i and base i+1
+    l = b[:-1]
+    r = b[1:]
+    l2 = np.concatenate(([OTHER], b[:-2])) if nb >= 2 else \
+        np.empty(0, dtype=b.dtype)
+    r2 = np.concatenate((b[2:], [OTHER])) if nb >= 2 else \
+        np.empty(0, dtype=b.dtype)
+
+    ah_l = _isin(l, _AH)
+    ah_r = _isin(r, _AH)
+    nu_l = l == NUMERIC
+    nu_r = r == NUMERIC
+
+    no_break = (
+        ((l == CR) & (r == LF))                                  # WB3
+        | (ah_l & ah_r)                                          # WB5
+        | (ah_l & _isin(r, _MIDLET_Q) & _isin(r2, _AH))          # WB6
+        | (_isin(l, _MIDLET_Q) & ah_r & _isin(l2, _AH))          # WB7
+        | ((l == HEBREW_LETTER) & (r == SINGLE_QUOTE))           # WB7a
+        | ((l == HEBREW_LETTER) & (r == DOUBLE_QUOTE)
+           & (r2 == HEBREW_LETTER))                              # WB7b
+        | ((l == DOUBLE_QUOTE) & (r == HEBREW_LETTER)
+           & (l2 == HEBREW_LETTER))                              # WB7c
+        | (nu_l & nu_r)                                          # WB8
+        | (ah_l & nu_r) | (nu_l & ah_r)                          # WB9/10
+        | (_isin(l, _MIDNUM_Q) & nu_r & (l2 == NUMERIC))         # WB11
+        | (nu_l & _isin(r, _MIDNUM_Q) & (r2 == NUMERIC))         # WB12
+        | ((l == KATAKANA) & (r == KATAKANA))                    # WB13
+        | (_isin(l, _WB13A_L) & (r == EXTENDNUMLET))             # WB13a
+        | ((l == EXTENDNUMLET) & _isin(r, _WB13B_R))             # WB13b
+        | ((l == REGIONAL_INDICATOR)
+           & (r == REGIONAL_INDICATOR))                          # WB13c
+        | ((l == SEA) & (r == SEA))      # JFlex ComplexContextEx+ run
+    )
+    # WB3a/3b: always break around CR LF Newline (except the CR×LF pair)
+    nl_l = _isin(l, (CR, LF, NEWLINE))
+    nl_r = _isin(r, (CR, LF, NEWLINE))
+    no_break &= ~((nl_l | nl_r) & ~((l == CR) & (r == LF)))
+
+    # --- segments → emitted tokens ------------------------------------
+    brk = np.flatnonzero(~no_break)       # break AFTER base index i
+    seg_starts = np.concatenate(([0], brk + 1))
+    seg_ends = np.concatenate((brk, [nb - 1]))   # inclusive base idx
+
+    out: list[tuple[int, int, str]] = []
+    for s, e in zip(seg_starts, seg_ends):
+        seg_cls = b[s:e + 1]
+        emit = _isin(seg_cls, _EMITTING)
+        if not emit.any():
+            continue
+        # char span: first base .. last cp attached to the last base
+        start_cp = base_pos[s]
+        end_cp = base_pos[e + 1] if e + 1 < nb else n
+        first = seg_cls[emit][0]
+        if first == HAN or first == HIRAGANA:
+            # per-char tokens (with their Extend/Format tails)
+            ty = IDEOGRAPHIC_TYPE if first == HAN else HIRAGANA_TYPE
+            for k in range(s, e + 1):
+                c0 = base_pos[k]
+                c1 = base_pos[k + 1] if k + 1 < nb else n
+                out.append((int(c0), int(c1), ty))
+            continue
+        if first == SEA:
+            out.append((int(start_cp), int(end_cp), SOUTHEAST_ASIAN_TYPE))
+            continue
+        letters = _isin(seg_cls, _AH) | (seg_cls == KATAKANA)
+        if not letters.any():
+            ty = NUM_TYPE
+        elif (seg_cls[letters] == KATAKANA).all():
+            ty = KATAKANA_TYPE
+        else:
+            lcp = cp[base_pos[s:e + 1]][letters]
+            ty = HANGUL_TYPE if hangul[lcp].all() else ALPHANUM_TYPE
+        out.append((int(start_cp), int(end_cp), ty))
+    return out
+
+
+def uax29_tokenize(text: str) -> list[tuple[str, str]]:
+    """``(token_text, type)`` for every emitted token, in order."""
+    if not text:
+        return []
+    # segment offsets are codepoint indices; Python str indexes match
+    return [(text[s:e], ty) for s, e, ty in segment(text)]
+
+
+def uax29_token_lists(texts) -> list[list[str]]:
+    """Token lists for a sequence of (possibly-None) strings — the
+    analyzer's slow-path entry (non-simple-ASCII docs only)."""
+    return [[t for t, _ty in uax29_tokenize(s)] if s else []
+            for s in texts]

@@ -63,7 +63,7 @@ def write_segment_batch(batch: pa.Table, *, segments_root: str,
                         with_positions: bool = True,
                         term_transform=None, stream_transform=None,
                         stopwords=None, char_filter=None,
-                        tokenizer: str = "ascii") -> pa.Table:
+                        tokenizer: str = "uax29") -> pa.Table:
     """Task-form segment writer (one Arrow batch → one segment → one stats
     row). Used via ``functools.partial`` in plain-task map_batches: Ray
     REUSES its general worker pool across tasks and executions, so the
@@ -150,7 +150,7 @@ def build_index(ds, out_dir: str, *, content_col: str = "content",
                 keyword_cols: tuple[str, ...] = (),
                 with_positions: bool = True, term_transform=None,
                 stream_transform=None, stopwords=None, char_filter=None,
-                tokenizer: str = "ascii",
+                tokenizer: str = "uax29",
                 batch_rows: int = DEFAULT_BATCH_ROWS,
                 concurrency=None, derive_doc_keys: bool = False,
                 use_actors: bool = False, _commit: bool = True,

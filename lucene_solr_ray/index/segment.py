@@ -270,7 +270,7 @@ def write_segment(table: pa.Table, segments_root: str, seg_name: str, *,
                   with_positions: bool = True,
                   term_transform=None, stream_transform=None,
                   stopwords=None, char_filter=None,
-                  tokenizer: str = "ascii") -> dict:
+                  tokenizer: str = "uax29") -> dict:
     """Analyze one Arrow table of documents and write it as a segment.
 
     ``keyword_cols`` are indexed as untokenized single-token fields — the

@@ -33,12 +33,19 @@ def test_basic_tokens_and_positions():
     ]
 
 
-def test_snake_case_splits_camel_case_does_not():
-    assert token_terms("snake_case camelCase") == ["snake", "case", "camelcase"]
+def test_snake_case_joins_camel_case_does_not_split():
+    # UAX#29 WB13a/b: ExtendNumLet (_) joins — StandardTokenizer keeps
+    # snake_case as ONE token (the old ascii mode split it)
+    assert token_terms("snake_case camelCase") == ["snake_case",
+                                                   "camelcase"]
+    assert token_terms("snake_case camelCase",
+                       ) != ["snake", "case", "camelcase"]
 
 
 def test_numbers_and_mixed():
-    assert token_terms("v1.2.3 0xFF abc123") == ["v1", "2", "3", "0xff", "abc123"]
+    # MidNumLet '.' joins digit runs (WB11/12): v1.2.3 is one token
+    assert token_terms("v1.2.3 0xFF abc123") == ["v1.2.3", "0xff",
+                                                 "abc123"]
 
 
 def test_stop_position_increment_accumulates():
@@ -55,9 +62,11 @@ def test_max_token_length_skip_not_truncate():
     assert [(t, p) for (t, p, _, _) in toks] == [("x", 0), ("y", 1), (ok_tok, 2)]
 
 
-def test_unicode_is_delimiter():
-    # documented deviation: non-ASCII splits (café → caf, é dropped)
-    assert token_terms("café naïve 東京") == ["caf", "na", "ve"]
+def test_default_is_unicode_aware():
+    # the uax29 default keeps accented letters and emits one token per
+    # ideograph (the pre-round-3 ascii deviation is now opt-in)
+    assert token_terms("café naïve 東京") == ["café", "naïve", "東",
+                                              "京"]
 
 
 def test_empty_and_punct_only():
@@ -108,20 +117,23 @@ def test_analyze_batch_duckdb_parity():
     expression used by oracle_sql() (both RE2-based)."""
     import duckdb
 
+    from lucene_solr_ray.analysis.analyzer import UAX29_SQL_TOKEN_REGEX
+
     docs = [
         "The Quick brown-fox jumped over 2 Lazy_dogs",
         "to be or not to be",
-        "café 0xFF v1.2.3 " + "q" * 256,
+        "don't stop 0xFF v1.2.3 " + "q" * 256,
         "",
     ]
     con = duckdb.connect()
     con.register("t", pa.table({"doc_id": list(range(len(docs))), "text": docs}))
     rows = con.execute(
-        """
+        f"""
         SELECT doc_id, unnest(toks) AS term,
                unnest(range(len(toks))) AS pos
         FROM (SELECT doc_id,
-                     list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                     list_filter(regexp_extract_all(lower(text),
+                                 '{UAX29_SQL_TOKEN_REGEX}'),
                                  t -> length(t) <= 255) AS toks
               FROM t)
         """
@@ -147,8 +159,8 @@ def test_unicode_tokenizer_mode():
     # "the" (position 8) was stopped; x86 keeps its pre-stop position
     assert list(r.positions) == [0, 1, 2, 3, 4, 5, 6, 7, 9]
     assert list(r.doc_lengths) == [9]
-    # ascii default drops the non-ascii runs entirely
-    a = analyze_batch(pa.array(["café 中文"]))
+    # the ascii legacy mode still drops the non-ascii runs when asked
+    a = analyze_batch(pa.array(["café 中文"]), tokenizer="ascii")
     assert a.terms.to_pylist() == ["caf"]
 
 

@@ -52,8 +52,11 @@ def test_analyzer_terms_wellformed(text):
     assert terms == token_terms(text)  # deterministic
     for t in terms:
         assert t and len(t) <= 255
-        assert all(c.islower() or c.isdigit() for c in t)
-        assert t.isascii()
+        # uax29 default: every emitted token carries at least one
+        # letter/digit (punctuation-only segments are dropped), and no
+        # uppercase survives the LowerCaseFilter
+        assert any(c.isalnum() for c in t)
+        assert not any(c.isupper() for c in t)
 
 
 @settings(max_examples=100, deadline=None)

@@ -1,0 +1,122 @@
+"""UAX#29 StandardTokenizer conformance and default-flip invariants.
+
+- Unicode 6.3 WordBreakTest conformance (the published Unicode data the
+  reference's generated test also derives from) over the full engine.
+- Property equivalence: WORD_ASCII_RE (the ASCII tier and the SQL twin
+  regex) == the full word-break engine on arbitrary ASCII input.
+- The uax29-defaulted analyze_batch == the old ascii tokenization on
+  every sf-corpus document, which is what keeps the DuckDB oracle twins
+  ('[a-z0-9]+') bit-identical after the default flip.
+"""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_solr_ray.analysis.analyzer import (
+    WORD_ASCII_RE,
+    analyze_batch,
+)
+from lucene_solr_ray.analysis.uax29 import uax29_tokenize
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "data",
+                       "wordbreak_test_6_3_0.json")
+
+
+def test_wordbreak_conformance_unicode_6_3():
+    """All 1372 Unicode 6.3 WordBreakTest sequences tokenize exactly as
+    UAX#29 + the StandardTokenizer emit filter require
+    (StandardTokenizerImpl.jflex:40-166 behavioral contract)."""
+    data = json.load(open(FIXTURE))
+    assert len(data["cases"]) >= 1300
+    bad = []
+    for c in data["cases"]:
+        got = [t for t, _ty in uax29_tokenize(c["text"])]
+        if got != c["tokens"]:
+            bad.append((c["text"], c["tokens"], got))
+    assert not bad, bad[:5]
+
+
+def test_uax29_types_and_examples():
+    assert uax29_tokenize("Wi.Fi don't 3.14 1,000 foo_bar") == [
+        ("Wi.Fi", "<ALPHANUM>"), ("don't", "<ALPHANUM>"),
+        ("3.14", "<NUM>"), ("1,000", "<NUM>"),
+        ("foo_bar", "<ALPHANUM>")]
+    # colon is MidLetter in Unicode 6.3; comma never joins letters
+    assert [t for t, _ in uax29_tokenize("a:b a,b")] == ["a:b", "a", "b"]
+    # Han per char, katakana runs, hiragana per char
+    assert uax29_tokenize("中文") == [
+        ("中", "<IDEOGRAPHIC>"), ("文", "<IDEOGRAPHIC>")]
+    assert uax29_tokenize("カタカナ") == [
+        ("カタカナ", "<KATAKANA>")]
+    assert [ty for _t, ty in uax29_tokenize("ひら")] == [
+        "<HIRAGANA>", "<HIRAGANA>"]
+    assert uax29_tokenize("한국") == [("한국", "<HANGUL>")]
+    # punctuation-only segments drop
+    assert uax29_tokenize("... --- !!!") == []
+
+
+def test_word_ascii_regex_equals_engine():
+    """WORD_ASCII_RE (the tier-2 fast path AND the documented SQL twin
+    regex) matches the full engine token-for-token on randomized ASCII
+    strings over the joiner-heavy alphabet."""
+    rng = np.random.default_rng(17)
+    alphabet = list("ab1 2_.':,;\"-\n")
+    for _ in range(400):
+        s = "".join(rng.choice(alphabet, size=rng.integers(0, 30)))
+        got_re = WORD_ASCII_RE.findall(s)
+        got_engine = [t for t, _ty in uax29_tokenize(s)]
+        assert got_re == got_engine, (repr(s), got_re, got_engine)
+
+
+def test_corpus_uax29_equals_ascii():
+    """On every sf-corpus document the uax29 default produces the same
+    token stream as the ascii tokenizer — THE invariant that keeps all
+    '[a-z0-9]+' DuckDB twins green after the default flip."""
+    import pyarrow.parquet as pq
+
+    for sf in ("sf0.001", "sf0.01"):
+        t = pq.read_table(f"/root/testdata/{sf}/documents.parquet",
+                          columns=["text"])
+        a = analyze_batch(t["text"], tokenizer="uax29")
+        b = analyze_batch(t["text"], tokenizer="ascii")
+        assert a.terms.to_pylist() == b.terms.to_pylist()
+        assert a.positions.tolist() == b.positions.tolist()
+        assert a.doc_lengths.tolist() == b.doc_lengths.tolist()
+
+
+def test_analyze_batch_uax29_tiers_agree():
+    """Mixed batch: simple docs (Arrow kernel tier), ascii-with-joiner
+    docs (regex tier), and non-ASCII docs (full engine) tokenize
+    identically to per-string engine runs; stopwords/positions follow
+    the standard chain."""
+    texts = ["the quick brown fox",           # tier 1
+             "don't stop believing 3.14",     # tier 2
+             "café 中文 tests",  # tier 3
+             None,
+             ""]
+    ab = analyze_batch(pa.array(texts, type=pa.string()))
+    per_doc = {i: [] for i in range(len(texts))}
+    for d, term in zip(ab.doc_idx.tolist(), ab.terms.to_pylist()):
+        per_doc[d].append(term)
+    from lucene_solr_ray.analysis.stopwords import ENGLISH_STOP_WORDS_SET
+
+    for i, s in enumerate(texts):
+        want = [] if not s else [
+            tok for tok, _ty in uax29_tokenize(s.lower())
+            if tok not in ENGLISH_STOP_WORDS_SET]
+        assert per_doc[i] == want, (i, per_doc[i], want)
+
+
+def test_tokenize_golden_uax29():
+    """The per-string golden tokenizer keeps offsets and stop-position
+    semantics under the new default."""
+    from lucene_solr_ray.analysis.analyzer import tokenize
+
+    out = tokenize("The fox don't jump")
+    # "the" is a stopword: position 0 consumed, offsets intact
+    assert out == [("fox", 1, 4, 7), ("don't", 2, 8, 13),
+                   ("jump", 3, 14, 18)]
