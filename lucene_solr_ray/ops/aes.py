@@ -1,0 +1,159 @@
+"""AES-128 (FIPS-197) + CBC mode, pure Python — the primitive the PDF
+standard security handler's AESV2 crypt filter needs (ISO 32000-1
+§7.6.2; no crypto library is available in this environment). Table-based
+implementation of the published cipher; throughput is irrelevant here —
+it decrypts kilobyte-scale PDF strings/streams, and the RC4 path covers
+the bulk legacy corpus.
+"""
+
+from __future__ import annotations
+
+# S-box from FIPS-197 §5.1.1 (public specification constants)
+_SBOX = bytes.fromhex(
+    "637c777bf26b6fc53001672bfed7ab76ca82c97dfa5947f0add4a2af9ca472c0"
+    "b7fd9326363ff7cc34a5e5f171d8311504c723c31896059a071280e2eb27b275"
+    "09832c1a1b6e5aa0523bd6b329e32f8453d100ed20fcb15b6acbbe394a4c58cf"
+    "d0efaafb434d338545f9027f503c9fa851a3408f929d38f5bcb6da2110fff3d2"
+    "cd0c13ec5f974417c4a77e3d645d197360814fdc222a908846eeb814de5e0bdb"
+    "e0323a0a4906245cc2d3ac629195e479e7c8376d8dd54ea96c56f4ea657aae08"
+    "ba78252e1ca6b4c6e8dd741f4bbd8b8a703eb5664803f60e613557b986c11d9e"
+    "e1f8981169d98e949b1e87e9ce5528df8ca1890dbfe6426841992d0fb054bb16")
+_INV_SBOX = bytes(256)
+_inv = bytearray(256)
+for i, v in enumerate(_SBOX):
+    _inv[v] = i
+_INV_SBOX = bytes(_inv)
+_RCON = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36]
+
+
+def _xtime(a: int) -> int:
+    a <<= 1
+    return (a ^ 0x1B) & 0xFF if a & 0x100 else a
+
+
+_MUL = {}
+for c in (2, 3, 9, 11, 13, 14):
+    tab = bytearray(256)
+    for a in range(256):
+        r, x, b = 0, a, c
+        while b:
+            if b & 1:
+                r ^= x
+            x = _xtime(x)
+            b >>= 1
+        tab[a] = r
+    _MUL[c] = bytes(tab)
+
+
+def _expand_key(key: bytes) -> list[bytes]:
+    assert len(key) == 16
+    w = [key[i:i + 4] for i in range(0, 16, 4)]
+    for r in range(10):
+        t = w[-1]
+        t = bytes((_SBOX[t[1]] ^ _RCON[r], _SBOX[t[2]], _SBOX[t[3]],
+                   _SBOX[t[0]]))
+        for k in range(4):
+            t = bytes(a ^ b for a, b in zip(w[-4], t))
+            w.append(t)
+            if k < 3:
+                t = w[-1]
+    return [b"".join(w[4 * i:4 * i + 4]) for i in range(11)]
+
+
+def _add_round_key(s: bytearray, rk: bytes) -> None:
+    for i in range(16):
+        s[i] ^= rk[i]
+
+
+_SHIFT = [0, 5, 10, 15, 4, 9, 14, 3, 8, 13, 2, 7, 12, 1, 6, 11]
+_INV_SHIFT = [0, 13, 10, 7, 4, 1, 14, 11, 8, 5, 2, 15, 12, 9, 6, 3]
+
+
+def _encrypt_block(block: bytes, rks: list[bytes]) -> bytes:
+    s = bytearray(block)
+    _add_round_key(s, rks[0])
+    m2, m3 = _MUL[2], _MUL[3]
+    for rnd in range(1, 10):
+        s = bytearray(_SBOX[s[_SHIFT[i]]] for i in range(16))
+        t = bytearray(16)
+        for c in range(0, 16, 4):
+            a0, a1, a2, a3 = s[c], s[c + 1], s[c + 2], s[c + 3]
+            t[c] = m2[a0] ^ m3[a1] ^ a2 ^ a3
+            t[c + 1] = a0 ^ m2[a1] ^ m3[a2] ^ a3
+            t[c + 2] = a0 ^ a1 ^ m2[a2] ^ m3[a3]
+            t[c + 3] = m3[a0] ^ a1 ^ a2 ^ m2[a3]
+        s = t
+        _add_round_key(s, rks[rnd])
+    s = bytearray(_SBOX[s[_SHIFT[i]]] for i in range(16))
+    _add_round_key(s, rks[10])
+    return bytes(s)
+
+
+def _decrypt_block(block: bytes, rks: list[bytes]) -> bytes:
+    s = bytearray(block)
+    _add_round_key(s, rks[10])
+    m9, m11, m13, m14 = _MUL[9], _MUL[11], _MUL[13], _MUL[14]
+    for rnd in range(9, 0, -1):
+        s = bytearray(_INV_SBOX[s[_INV_SHIFT[i]]] for i in range(16))
+        _add_round_key(s, rks[rnd])
+        t = bytearray(16)
+        for c in range(0, 16, 4):
+            a0, a1, a2, a3 = s[c], s[c + 1], s[c + 2], s[c + 3]
+            t[c] = m14[a0] ^ m11[a1] ^ m13[a2] ^ m9[a3]
+            t[c + 1] = m9[a0] ^ m14[a1] ^ m11[a2] ^ m13[a3]
+            t[c + 2] = m13[a0] ^ m9[a1] ^ m14[a2] ^ m11[a3]
+            t[c + 3] = m11[a0] ^ m13[a1] ^ m9[a2] ^ m14[a3]
+        s = t
+    s = bytearray(_INV_SBOX[s[_INV_SHIFT[i]]] for i in range(16))
+    _add_round_key(s, rks[0])
+    return bytes(s)
+
+
+def aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """PDF AESV2 layout: the 16-byte IV is the first block; PKCS#5
+    padding is stripped (ISO 32000-1 §7.6.2 note 2)."""
+    if len(data) < 32 or len(data) % 16:
+        raise ValueError("bad AES-CBC payload")
+    rks = _expand_key(key)
+    iv, out = data[:16], bytearray()
+    for i in range(16, len(data), 16):
+        blk = data[i:i + 16]
+        out += bytes(a ^ b for a, b in zip(_decrypt_block(blk, rks), iv))
+        iv = blk
+    pad = out[-1]
+    if not 1 <= pad <= 16:
+        raise ValueError("bad CBC padding")
+    return bytes(out[:-pad])
+
+
+def aes128_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Forward direction (test-fixture synthesis): prepends the IV and
+    applies PKCS#5 padding, matching what aes128_cbc_decrypt strips."""
+    assert len(iv) == 16
+    rks = _expand_key(key)
+    pad = 16 - len(data) % 16
+    data = data + bytes([pad]) * pad
+    out = bytearray(iv)
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[i:i + 16], prev))
+        prev = _encrypt_block(blk, rks)
+        out += prev
+    return bytes(out)
+
+
+def rc4(key: bytes, data: bytes) -> bytes:
+    """RC4 stream cipher (the PDF V1/V2 crypt filter; symmetric)."""
+    S = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[n] = c ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)

@@ -19,8 +19,13 @@ PDFs):
 - **Filters** (§7.4): FlateDecode (stdlib zlib) and LZWDecode
   (MSB-first TIFF-flavor LZW with EarlyChange), both with PNG
   predictors 10-15 and TIFF predictor 2; ASCIIHexDecode,
-  ASCII85Decode, RunLengthDecode.  Encrypted files (trailer /Encrypt)
-  raise NotImplementedError — honestly out of scope.
+  ASCII85Decode, RunLengthDecode.
+- **Encryption** (§7.6): the standard security handler with an EMPTY
+  user password — the common crawler case Tika/PDFBox also decrypts
+  transparently — for RC4 (V1/V2, R2/R3) and AES-128 (V4 /AESV2 crypt
+  filters), with per-object keys, /Identity filters, and unencrypted
+  XRef streams.  Password-protected files and V5/R5+ (AES-256) raise
+  NotImplementedError — honestly out of scope.
 - **Text** (§9.4): BT..ET blocks; Tj / ' / " / TJ shows; Td/TD/T*/Tm
   line tracking emits newlines; Tf tracks the active font.
 - **Font decoding** (§9.10): /ToUnicode CMaps (bfchar + bfrange, 1- and
@@ -406,10 +411,128 @@ class PdfDocument:
         for m in _OBJ_RE.finditer(data):
             # later definitions win (incremental updates append)
             self._offsets[int(m.group(1))] = m.start()
+        self._crypt = None
+        self._encrypt_objnum = None
         self.trailer = self._collect_trailers()
-        if self.trailer.get("Encrypt") is not None:
-            raise NotImplementedError("encrypted PDF")
+        enc = self.trailer.get("Encrypt")
+        if enc is not None:
+            if isinstance(enc, _Ref):
+                self._encrypt_objnum = enc.num
+            self._setup_encryption(self.resolve(enc))
+            # objects parsed while locating trailers were cached
+            # undecrypted; re-parse on demand now the handler is live
+            self.objects.clear()
         self._expand_object_streams()
+
+    # -- standard security handler (ISO 32000-1 §7.6) ----------------------
+
+    _PAD = bytes.fromhex(
+        "28bf4e5e4e758a4164004e56fffa01082e2e00b6d0683e802f0ca9fe6453697a")
+
+    def _setup_encryption(self, enc: dict) -> None:
+        """Empty-user-password standard security handler (the common
+        crawler case — Tika/PDFBox decrypt it transparently). RC4
+        (V1/V2, R2/R3) and AES-128 (V4 AESV2, R4) per ISO 32000-1
+        §7.6.2-7.6.3; anything needing a real password, or V5/R5+
+        (AES-256, PDF 2.0), still raises honestly."""
+        import hashlib
+
+        if not isinstance(enc, dict) or str(enc.get("Filter")) != "Standard":
+            raise NotImplementedError("non-standard PDF security handler")
+        v = int(self.resolve(enc.get("V", 0)))
+        r = int(self.resolve(enc.get("R", 2)))
+        if v not in (1, 2, 4) or r not in (2, 3, 4):
+            raise NotImplementedError(f"PDF encryption V={v} R={r}")
+        o = self.resolve(enc.get("O")) or b""
+        u = self.resolve(enc.get("U")) or b""
+        p = int(self.resolve(enc.get("P", -1))) & 0xFFFFFFFF
+        length = int(self.resolve(enc.get("Length", 40))) // 8 \
+            if r >= 3 else 5
+        ids = self.resolve(self.trailer.get("ID")) or [b""]
+        id0 = self.resolve(ids[0]) if isinstance(ids, list) else b""
+        if not isinstance(id0, bytes):
+            id0 = b""
+        meta_encrypted = bool(self.resolve(enc.get("EncryptMetadata",
+                                                   True)))
+
+        # Algorithm 2: file key from the (empty) user password
+        h = hashlib.md5()
+        h.update(self._PAD)
+        h.update(o[:32])
+        h.update(p.to_bytes(4, "little"))
+        h.update(id0)
+        if r >= 4 and not meta_encrypted:
+            h.update(b"\xff\xff\xff\xff")
+        key = h.digest()
+        if r >= 3:
+            for _ in range(50):
+                key = hashlib.md5(key[:length]).digest()
+        key = key[:length]
+
+        # Algorithm 4/5: verify the empty USER password against /U
+        from .aes import rc4
+
+        if r == 2:
+            expect = rc4(key, self._PAD)
+            ok = expect == u[:32]
+        else:
+            step = hashlib.md5(self._PAD + id0).digest()
+            step = rc4(key, step)
+            for i in range(1, 20):
+                step = rc4(bytes(b ^ i for b in key), step)
+            ok = step == u[:16]
+        if not ok:
+            raise NotImplementedError(
+                "encrypted PDF (user password required)")
+
+        stm_cfm = str_cfm = "V2" if v < 4 else None
+        if v == 4:
+            cf = self.resolve(enc.get("CF")) or {}
+
+            def cfm_of(name):
+                name = str(name)
+                if name == "Identity":
+                    return "Identity"
+                f = self.resolve(cf.get(name)) or {}
+                return str(f.get("CFM", "V2"))
+
+            stm_cfm = cfm_of(enc.get("StmF", "Identity"))
+            str_cfm = cfm_of(enc.get("StrF", "Identity"))
+            if stm_cfm not in ("Identity", "V2", "AESV2") or \
+                    str_cfm not in ("Identity", "V2", "AESV2"):
+                raise NotImplementedError(
+                    f"crypt filter {stm_cfm}/{str_cfm}")
+        self._crypt = (key, stm_cfm, str_cfm)
+
+    def _object_key(self, num: int, gen: int, aes: bool) -> bytes:
+        import hashlib
+
+        key = self._crypt[0]
+        h = hashlib.md5(key + num.to_bytes(3, "little")
+                        + gen.to_bytes(2, "little")
+                        + (b"sAlT" if aes else b""))
+        return h.digest()[:min(len(key) + 5, 16)]
+
+    def _decrypt_bytes(self, data: bytes, num: int, gen: int,
+                       cfm: str) -> bytes:
+        from .aes import aes128_cbc_decrypt, rc4
+
+        if cfm == "Identity":
+            return data
+        if cfm == "AESV2":
+            return aes128_cbc_decrypt(self._object_key(num, gen, True),
+                                      data)
+        return rc4(self._object_key(num, gen, False), data)
+
+    def _decrypt_strings(self, obj, num: int, gen: int):
+        if isinstance(obj, bytes):
+            return self._decrypt_bytes(obj, num, gen, self._crypt[2])
+        if isinstance(obj, list):
+            return [self._decrypt_strings(x, num, gen) for x in obj]
+        if isinstance(obj, dict):
+            return {k: self._decrypt_strings(x, num, gen)
+                    for k, x in obj.items()}
+        return obj
 
     # -- object access ----------------------------------------------------
 
@@ -451,7 +574,20 @@ class PdfDocument:
             else:  # repair mode: scan for endstream
                 end = self.data.index(b"endstream", i)
                 raw = self.data[i:end].rstrip(b"\r\n")
+            if self._crypt is not None:
+                num, gen = int(m.group(1)), int(m.group(2))
+                if num != self._encrypt_objnum and \
+                        str(obj.get("Type")) != "XRef":
+                    # cross-reference streams are never encrypted
+                    # (§7.5.8.2); everything else is
+                    obj = self._decrypt_strings(obj, num, gen)
+                    raw = self._decrypt_bytes(raw, num, gen,
+                                              self._crypt[1])
             return ("stream", obj, raw)
+        if self._crypt is not None:
+            num, gen = int(m.group(1)), int(m.group(2))
+            if num != self._encrypt_objnum:
+                obj = self._decrypt_strings(obj, num, gen)
         return obj
 
     def stream_bytes(self, obj) -> bytes:
@@ -1042,3 +1178,73 @@ def pdf_images(data: bytes) -> list[dict]:
                     rec["payload"] = payload
             out.append(rec)
     return out
+
+
+# -- standard-security-handler fixture side (encryption) -------------------
+
+def make_standard_crypt(*, r: int = 3, v: int = 2, length_bits: int = 128,
+                        p: int = -3904, id0: bytes = b"") -> dict:
+    """Compute the /Encrypt entries (O, U, file key) for EMPTY user and
+    owner passwords — the fixture-synthesis counterpart of
+    ``PdfDocument._setup_encryption`` (ISO 32000-1 §7.6.3 algorithms
+    2-5). Returns {"O", "U", "key", "V", "R", "Length", "P"}."""
+    import hashlib
+
+    from .aes import rc4
+
+    pad = PdfDocument._PAD
+    nbytes = length_bits // 8 if r >= 3 else 5
+
+    # Algorithm 3: /O from the (empty) owner password
+    okey = hashlib.md5(pad).digest()
+    if r >= 3:
+        for _ in range(50):
+            okey = hashlib.md5(okey[:nbytes]).digest()
+    okey = okey[:nbytes]
+    o = rc4(okey, pad)
+    if r >= 3:
+        for i in range(1, 20):
+            o = rc4(bytes(b ^ i for b in okey), o)
+
+    # Algorithm 2: file key
+    h = hashlib.md5()
+    h.update(pad)
+    h.update(o[:32])
+    h.update((p & 0xFFFFFFFF).to_bytes(4, "little"))
+    h.update(id0)
+    key = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:nbytes]).digest()
+    key = key[:nbytes]
+
+    # Algorithm 4/5: /U
+    if r == 2:
+        u = rc4(key, pad)
+    else:
+        u = rc4(key, hashlib.md5(pad + id0).digest())
+        for i in range(1, 20):
+            u = rc4(bytes(b ^ i for b in key), u)
+        u = u + b"\x00" * 16   # 32-byte entry, tail arbitrary (§7.6.3.4)
+    return {"O": o, "U": u, "key": key, "V": v, "R": r,
+            "Length": length_bits, "P": p}
+
+
+def encrypt_object_bytes(key: bytes, num: int, gen: int, data: bytes,
+                         cfm: str = "V2", iv: bytes | None = None) -> bytes:
+    """Encrypt one string/stream payload with the per-object key
+    (Algorithm 1) — RC4 for cfm="V2", AES-128-CBC for "AESV2"."""
+    import hashlib
+
+    from .aes import aes128_cbc_encrypt, rc4
+
+    aes = cfm == "AESV2"
+    ok = hashlib.md5(key + num.to_bytes(3, "little")
+                     + gen.to_bytes(2, "little")
+                     + (b"sAlT" if aes else b"")).digest()
+    ok = ok[:min(len(key) + 5, 16)]
+    if aes:
+        if iv is None:
+            iv = hashlib.md5(data + b"iv").digest()   # deterministic
+        return aes128_cbc_encrypt(ok, iv, data)
+    return rc4(ok, data)

@@ -5233,6 +5233,80 @@ SELECT doc_id, text AS content FROM documents ORDER BY doc_id
 """
 
 
+def _q_tika_pdf_encrypted_roundtrip(sf_dir: str) -> pa.Table:
+    """Encrypted flavor of the PDF extraction round-trip: every
+    documents.text row renders as a standard-security-handler PDF
+    (ISO 32000-1 §7.6, RC4 V2/R3, EMPTY user password — the common
+    crawler case) inside the synth stage; ops.pdf decrypts with the
+    derived file key and per-object keys, and the same byte-exactness
+    oracle applies. The /Encrypt parameters are computed once on the
+    driver (a few constant bytes) and captured by the stage closure."""
+    import ray.data as rd
+
+    from ..ops.extract import extract_batch
+    from ..ops.pdf import encrypt_object_bytes, make_standard_crypt
+
+    id0 = b"\x13\x57fixture-id\x9b\xdf"
+    crypt = make_standard_crypt(r=3, v=2, length_bits=128, id0=id0)
+    key, o_hex, u_hex = crypt["key"], crypt["O"].hex(), crypt["U"].hex()
+
+    def synth(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        from ..util import tune_allocator
+
+        tune_allocator()
+        enc_dict = (
+            b"<< /Filter /Standard /V 2 /R 3 /Length 128 /P -3904"
+            b" /O <" + o_hex.encode() + b"> /U <" + u_hex.encode()
+            + b"> >>")
+        paths, blobs = [], []
+        for did, txt in zip(batch["doc_id"].to_pylist(),
+                            batch["text"].to_pylist()):
+            body = (txt or "").encode("latin-1", "replace") \
+                .replace(b"\\", b"\\\\").replace(b"(", b"\\(") \
+                .replace(b")", b"\\)")
+            content = encrypt_object_bytes(
+                key, 4, 0,
+                zlib.compress(b"BT 36 770 Td (" + body + b") Tj ET"),
+                "V2")
+            title = encrypt_object_bytes(key, 5, 0,
+                                         b"%d" % did, "V2")
+            objs = (
+                (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+                (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+                (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+                (4, b"<< /Filter /FlateDecode /Length %d >>\nstream\n"
+                    % len(content) + content + b"\nendstream"),
+                (5, b"<< /Title <" + title.hex().encode() + b"> >>"),
+                (6, enc_dict),
+            )
+            pdf = b"%PDF-1.4\n" + b"".join(
+                b"%d 0 obj\n%s\nendobj\n" % (n, ob) for n, ob in objs
+            ) + (b"trailer\n<< /Root 1 0 R /Info 5 0 R /Encrypt 6 0 R"
+                 b" /ID [<" + id0.hex().encode() + b"> <"
+                 + id0.hex().encode() + b">] >>\n%%EOF\n")
+            paths.append(f"{did}.pdf")
+            blobs.append(pdf)
+        return pa.table({"path": pa.array(paths, pa.string()),
+                         "bytes": pa.array(blobs, pa.large_binary())})
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    out = (docs
+           .map_batches(synth, batch_format="pyarrow")
+           .map_batches(lambda t: extract_batch(t, on_error="raise"),
+                        batch_format="pyarrow")
+           .map_batches(lambda t: pa.table({
+               "doc_id": pc.cast(t["title"], pa.int64()),
+               "content": pc.cast(t["content"], pa.string())}),
+               batch_format="pyarrow"))
+    df = out.to_pandas()
+    return pa.Table.from_pandas(
+        df.sort_values("doc_id").reset_index(drop=True),
+        preserve_index=False)
+
+
 def _q_tika_docx_roundtrip(sf_dir: str) -> pa.Table:
     """OOXML flavor of the extraction round-trip: every documents.text
     row rendered as a real docx (stdlib zipfile; doc_id in
@@ -5980,6 +6054,7 @@ def build_queries() -> dict:
         "cluster_docs": _q_cluster_docs(),
         "dih_full_import": _q_dih_full_import,
         "tika_pdf_roundtrip": _q_tika_pdf_roundtrip,
+        "tika_pdf_encrypted_roundtrip": _q_tika_pdf_encrypted_roundtrip,
         "tika_docx_roundtrip": _q_tika_docx_roundtrip,
         "tika_media_extract": _q_tika_media_extract,
         "video_frame_sample": _q_video_frame_sample,
@@ -6408,6 +6483,7 @@ def build_oracle_sql() -> dict:
         "sql_stats": SQL_STATS,
         "dih_full_import": DIH_FULL_IMPORT_SQL,
         "tika_pdf_roundtrip": TIKA_PDF_ROUNDTRIP_SQL,
+        "tika_pdf_encrypted_roundtrip": TIKA_PDF_ROUNDTRIP_SQL,
         "tika_docx_roundtrip": TIKA_PDF_ROUNDTRIP_SQL,
         "tika_media_extract": TIKA_MEDIA_EXTRACT_SQL,
         "video_frame_sample": VIDEO_FRAME_SAMPLE_SQL,

@@ -412,3 +412,95 @@ def test_annotations_and_acroform():
     assert "sticky note text" in d["content"]
     assert "customer: Acme Corp" in d["content"]
     assert "region: EMEA" in d["content"]
+
+
+# ---------------------------------------------------------------------------
+# standard security handler (ISO 32000-1 §7.6) — empty user password
+
+
+def _encrypted_pdf(content: bytes, *, cfm: str = "V2", r: int = 3,
+                   v: int = 2, title: bytes = b"secret-title") -> bytes:
+    """Encrypt the _simple_pdf layout with the standard handler: the
+    content stream and the /Info title string carry per-object crypt;
+    /O /U derive from EMPTY passwords."""
+    from lucene_solr_ray.ops.pdf import (encrypt_object_bytes,
+                                         make_standard_crypt)
+
+    id0 = b"\x01\x02fixture-id\xff\xfe"
+    if cfm == "AESV2":
+        r, v = 4, 4
+    crypt = make_standard_crypt(r=r, v=v,
+                                length_bits=40 if r == 2 else 128,
+                                id0=id0)
+    key = crypt["key"]
+    enc_stream = encrypt_object_bytes(key, 5, 0, content, cfm)
+    enc_title = encrypt_object_bytes(key, 6, 0, title, cfm)
+
+    def hexs(b: bytes) -> bytes:
+        return b"<" + b.hex().encode() + b">"
+
+    enc_dict = (b"<< /Filter /Standard /V %d /R %d /Length %d /P %d"
+                b" /O %s /U %s" % (crypt["V"], crypt["R"],
+                                   crypt["Length"], crypt["P"],
+                                   hexs(crypt["O"]), hexs(crypt["U"])))
+    if v == 4:
+        enc_dict += (b" /CF << /StdCF << /CFM /" + cfm.encode() +
+                     b" /AuthEvent /DocOpen >> >>"
+                     b" /StmF /StdCF /StrF /StdCF")
+    enc_dict += b" >>"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>",
+        5: _stream(b"<< >>", enc_stream),
+        6: b"<< /Title " + hexs(enc_title) + b" >>",
+        7: enc_dict,
+    }
+    trailer = (b"<< /Root 1 0 R /Info 6 0 R /Encrypt 7 0 R /ID ["
+               + hexs(id0) + b" " + hexs(id0) + b"] >>")
+    return _mkpdf(objs, trailer)
+
+
+@pytest.mark.parametrize("mode", [("V2", 2, 1), ("V2", 3, 2),
+                                  ("AESV2", 4, 4)])
+def test_encrypted_pdf_empty_user_password(mode):
+    cfm, r, v = mode
+    content = b"BT (decrypted body text) Tj ET"
+    pdf = _encrypted_pdf(content, cfm=cfm, r=r, v=v)
+    d = extract_pdf(pdf)
+    assert d["content"] == "decrypted body text"
+    assert d["title"] == "secret-title"
+
+
+def test_encrypted_pdf_flate_inside_crypt():
+    """Filters apply AFTER decryption (crypt is the outermost layer)."""
+    from lucene_solr_ray.ops.pdf import (encrypt_object_bytes,
+                                         make_standard_crypt)
+
+    id0 = b"idid"
+    crypt = make_standard_crypt(r=3, v=2, id0=id0)
+    body = zlib.compress(b"BT (flate under rc4) Tj ET")
+    enc = encrypt_object_bytes(crypt["key"], 5, 0, body, "V2")
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>",
+        5: _stream(b"<< /Filter /FlateDecode >>", enc),
+        7: (b"<< /Filter /Standard /V 2 /R 3 /Length 128 /P -3904"
+            b" /O <" + crypt["O"].hex().encode() + b">"
+            b" /U <" + crypt["U"].hex().encode() + b"> >>"),
+    }
+    pdf = _mkpdf(objs, b"<< /Root 1 0 R /Encrypt 7 0 R /ID [<"
+                 + id0.hex().encode() + b"> <" + id0.hex().encode()
+                 + b">] >>")
+    assert extract_pdf(pdf)["content"] == "flate under rc4"
+
+
+def test_encrypted_pdf_real_password_still_raises():
+    """A non-empty user password must keep raising (no guessing)."""
+    pdf = _encrypted_pdf(b"BT (x) Tj ET", cfm="V2", r=3)
+    # corrupt /U so the empty-password check fails — equivalent to a
+    # password-protected file from the handler's point of view
+    broken = pdf.replace(b"/U <", b"/U <ff", 1)
+    with pytest.raises(NotImplementedError, match="password"):
+        extract_pdf(broken)
