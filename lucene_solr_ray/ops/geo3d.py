@@ -2,13 +2,16 @@
 Data filters over unit-sphere vectors.
 
 Reference surfaces (lucene/spatial3d/src/java/org/apache/lucene/geo3d):
-  - PlanetModel.SPHERE (PlanetModel.java:27) — this analogue implements
-    the SPHERE model (ab == c == 1); the WGS84 ellipsoid scaling
-    (PlanetModel.java:41-52) is out of scope and documented.
-  - GeoPoint (GeoPoint.java:73-75) — (lat, lon) → the unit vector
-    x = cos(lat)·cos(lon), y = cos(lat)·sin(lon), z = sin(lat);
-    arcDistance = safeAcos(dot) for unit magnitudes
-    (GeoPoint.java:123-125).
+  - PlanetModel (PlanetModel.java:27-52) — BOTH models: SPHERE
+    (ab == c == 1) and WGS84 (ab = equatorial/mean, c = polar/mean;
+    surface x²/ab² + y²/ab² + z²/c² = 1). Points project onto the
+    ellipsoid with magnitude 1/sqrt(x²·invAb² + y²·invAb² + z²·invC²)
+    (Vector.java:340-342 computeDesiredEllipsoidMagnitude).
+  - GeoPoint (GeoPoint.java:51-75) — (lat, lon) → unit direction
+    x = cos(lat)·cos(lon), y = cos(lat)·sin(lon), z = sin(lat),
+    scaled by the ellipsoid magnitude; arcDistance =
+    safeAcos(dot / (|p|·|q|)) (GeoPoint.java:123-135) — magnitudes
+    are 1 on SPHERE, model-dependent on WGS84.
   - GeoCircle (GeoCircle.java:43-54) — membership: arc distance from
     the center ≤ cutoffAngle (a distance shape on the sphere).
   - GeoPath (GeoPath.java:34-76, 93-164) — a polyline with a cutoff
@@ -44,8 +47,31 @@ from .geo import derive_latlon
 _DEG = 110_567.0  # conservative meters per degree of latitude
 
 
+class PlanetModel:
+    """PlanetModel.java:27-52 — x/y scale ``ab`` and z scale ``c``;
+    geo3d only supports a == b. Constants are computed once and embed
+    in the SQL twins as repr literals, so only per-point expressions
+    need the shared scalar shape."""
+
+    def __init__(self, ab: float, c: float):
+        self.ab = ab
+        self.c = c
+        self.inverse_ab_squared = (1.0 / ab) * (1.0 / ab)
+        self.inverse_c_squared = (1.0 / c) * (1.0 / c)
+
+
+SPHERE = PlanetModel(1.0, 1.0)
+# PlanetModel.java:30-37 (this snapshot's WGS84_MEAN is 6371009.0)
+WGS84_MEAN = 6371009.0
+WGS84_POLAR = 6356752.314245
+WGS84_EQUATORIAL = 6378137.0
+WGS84 = PlanetModel(WGS84_EQUATORIAL / WGS84_MEAN,
+                    WGS84_POLAR / WGS84_MEAN)
+_MODELS = {"sphere": SPHERE, "wgs84": WGS84}
+
+
 def unit_xyz(lat_deg: float, lon_deg: float) -> tuple[float, float, float]:
-    """GeoPoint.java:73-75 on the SPHERE model, scalar libm."""
+    """GeoPoint.java:73-75 unit direction, scalar libm."""
     latr = lat_deg * math.pi / 180.0
     lonr = lon_deg * math.pi / 180.0
     return (math.cos(latr) * math.cos(lonr),
@@ -53,9 +79,31 @@ def unit_xyz(lat_deg: float, lon_deg: float) -> tuple[float, float, float]:
             math.sin(latr))
 
 
+def model_xyz(lat_deg: float, lon_deg: float,
+              pm: PlanetModel) -> tuple[float, float, float]:
+    """GeoPoint on the model surface: unit direction scaled by the
+    ellipsoid magnitude (Vector.java:340-342). On SPHERE the magnitude
+    multiplies through as exactly 1.0, so the sphere fast path and this
+    general path are float-identical."""
+    x, y, z = unit_xyz(lat_deg, lon_deg)
+    m = 1.0 / math.sqrt(x * x * pm.inverse_ab_squared
+                        + y * y * pm.inverse_ab_squared
+                        + z * z * pm.inverse_c_squared)
+    return (x * m, y * m, z * m)
+
+
 def arc_distance(px, py, pz, qx, qy, qz) -> float:
     """safeAcos(dot) between unit vectors (GeoPoint.java:123-125)."""
     return math.acos(min(1.0, max(-1.0, px * qx + py * qy + pz * qz)))
+
+
+def arc_distance_points(px, py, pz, qx, qy, qz) -> float:
+    """safeAcos(dot/(|p|·|q|)) between MODEL-surface points
+    (GeoPoint.java:133-135) — the general form the WGS84 paths use."""
+    dot = px * qx + py * qy + pz * qz
+    mp = math.sqrt(px * px + py * py + pz * pz)
+    mq = math.sqrt(qx * qx + qy * qy + qz * qz)
+    return math.acos(min(1.0, max(-1.0, dot / (mp * mq))))
 
 
 def _read_keys(sf_dir: str, table: str, key: str):
@@ -100,14 +148,25 @@ def _collect_sorted(ds, limit: int, columns):
 
 def geo3d_circle(sf_dir: str, *, center_lat: float, center_lon: float,
                  cutoff_deg: float, table: str = "customer",
-                 key: str = "c_custkey", limit: int = 50) -> pa.Table:
-    """GeoCircle membership (GeoCircle.java:43-54): keys whose unit
-    vector lies within cutoffAngle of the center's, nearest first.
-    Returns (key, arc_nrad) with the arc angle nanoradian-quantized so
+                 key: str = "c_custkey", limit: int = 50,
+                 model: str = "sphere") -> pa.Table:
+    """GeoCircle membership (GeoCircle.java:43-54): keys whose model
+    point lies within cutoffAngle of the center's, nearest first.
+    ``model="wgs84"`` projects points onto the WGS84 ellipsoid and uses
+    the magnitude-normalized arc (GeoPoint.java:133-135). Returns
+    (key, arc_nrad) with the arc angle nanoradian-quantized so
     ordering ties are pinned."""
-    cx, cy, cz = unit_xyz(center_lat, center_lon)
+    pm = _MODELS[model]
+    sphere = model == "sphere"
+    if sphere:
+        cx, cy, cz = unit_xyz(center_lat, center_lon)
+        cmag = 1.0
+    else:
+        cx, cy, cz = model_xyz(center_lat, center_lon, pm)
+        cmag = math.sqrt(cx * cx + cy * cy + cz * cz)
     cutoff_rad = cutoff_deg * math.pi / 180.0
-    box = _point_window(center_lat, center_lon, cutoff_deg + 1e-9)
+    box = _point_window(center_lat, center_lon,
+                        cutoff_deg * (1.0 if sphere else 1.01) + 1e-9)
 
     def f(batch: pa.Table) -> pa.Table:
         keys = np.asarray(batch[key], dtype=np.int64)
@@ -115,8 +174,14 @@ def geo3d_circle(sf_dir: str, *, center_lat: float, center_lon: float,
         idx = np.flatnonzero(_window_mask(lat, lon, [box]))
         out_k, out_d = [], []
         for i in idx:
-            x, y, z = unit_xyz(float(lat[i]), float(lon[i]))
-            d = arc_distance(x, y, z, cx, cy, cz)
+            if sphere:
+                x, y, z = unit_xyz(float(lat[i]), float(lon[i]))
+                d = arc_distance(x, y, z, cx, cy, cz)
+            else:
+                x, y, z = model_xyz(float(lat[i]), float(lon[i]), pm)
+                dot = x * cx + y * cy + z * cz
+                mp = math.sqrt(x * x + y * y + z * z)
+                d = math.acos(min(1.0, max(-1.0, dot / (mp * cmag))))
             if d <= cutoff_rad:
                 out_k.append(int(keys[i]))
                 out_d.append(int(math.floor(d * 1e9 + 0.5)))
@@ -136,11 +201,22 @@ class _Path:
     GeoPath.java:93-164). All floats come from the same scalar ops the
     SQL twin renders, so they embed as exact literals."""
 
-    def __init__(self, points_deg, cutoff_deg: float):
+    def __init__(self, points_deg, cutoff_deg: float,
+                 pm: PlanetModel = SPHERE):
         if len(points_deg) < 1:
             raise ValueError("GeoPath needs at least one point")
+        self.sphere = pm is SPHERE or (pm.ab == 1.0 and pm.c == 1.0)
         self.cutoff_rad = cutoff_deg * math.pi / 180.0
-        self.pts = [unit_xyz(la, lo) for la, lo in points_deg]
+        self.pts = [unit_xyz(la, lo) if self.sphere
+                    else model_xyz(la, lo, pm) for la, lo in points_deg]
+        # endpoint magnitudes (1.0 on SPHERE) for the normalized arcs
+        self.pt_mags = [math.sqrt(px * px + py * py + pz * pz)
+                        for px, py, pz in self.pts]
+        # GeoPath.java:104 — the bounding planes' LINEAR offset is
+        # sin(cutoff) × the model's minimum magnitude, and membership
+        # tests the UNNORMALIZED ellipsoid point against it: this is
+        # where WGS84 genuinely tightens the segment corridor vs SPHERE
+        self.plane_offset = math.sin(self.cutoff_rad) * min(pm.ab, pm.c)
         self.segs = []
         for (ax, ay, az), (bx, by, bz) in zip(self.pts, self.pts[1:]):
             nx = ay * bz - az * by
@@ -161,18 +237,36 @@ class _Path:
     def distance(self, x: float, y: float, z: float) -> float:
         """Membership distance: the smallest of (a) each segment's
         perpendicular angle when the point lies between its side
-        planes, (b) each endpoint's arc distance."""
+        planes, (b) each endpoint's arc distance. On WGS84 the point is
+        a model-surface point; angles normalize by its magnitude."""
+        if self.sphere:
+            mag = 1.0
+        else:
+            mag = math.sqrt(x * x + y * y + z * z)
         best = math.inf
         for (n, ta, tb) in self.segs:
             along_a = x * ta[0] + y * ta[1] + z * ta[2]
             along_b = x * tb[0] + y * tb[1] + z * tb[2]
             if along_a >= 0.0 and along_b <= 0.0:
-                perp = math.asin(min(1.0, abs(
-                    x * n[0] + y * n[1] + z * n[2])))
+                if self.sphere:
+                    perp = math.asin(min(1.0, abs(
+                        x * n[0] + y * n[1] + z * n[2])))
+                else:
+                    # the offset-plane corridor test on the raw
+                    # ellipsoid point (GeoPath.java:104,609-610);
+                    # passing it implies the normalized angle ≤ cutoff
+                    pn = abs(x * n[0] + y * n[1] + z * n[2])
+                    if pn > self.plane_offset:
+                        continue
+                    perp = math.asin(min(1.0, pn / mag))
                 if perp < best:
                     best = perp
-        for (px, py, pz) in self.pts:
-            d = arc_distance(x, y, z, px, py, pz)
+        for (px, py, pz), pmag in zip(self.pts, self.pt_mags):
+            if self.sphere:
+                d = arc_distance(x, y, z, px, py, pz)
+            else:
+                dot = x * px + y * py + z * pz
+                d = math.acos(min(1.0, max(-1.0, dot / (mag * pmag))))
             if d < best:
                 best = d
         return best
@@ -180,13 +274,19 @@ class _Path:
 
 def geo3d_path(sf_dir: str, *, points: list[tuple[float, float]],
                cutoff_deg: float, table: str = "customer",
-               key: str = "c_custkey", limit: int = 50) -> pa.Table:
+               key: str = "c_custkey", limit: int = 50,
+               model: str = "sphere") -> pa.Table:
     """GeoPath membership (GeoPath.java:34-76): keys within cutoffAngle
     of the polyline — inside a segment's side planes at perpendicular
-    angle ≤ cutoff, or inside an endpoint circle. Returns
-    (key, arc_nrad), nearest first."""
-    path = _Path(points, cutoff_deg)
-    boxes = [_point_window(la, lo, cutoff_deg + 1e-9)
+    angle ≤ cutoff, or inside an endpoint circle. ``model="wgs84"``
+    runs the same geometry over ellipsoid points with magnitude-
+    normalized angles. Returns (key, arc_nrad), nearest first."""
+    pm = _MODELS[model]
+    path = _Path(points, cutoff_deg, pm)
+    # window prefilter stays lat/lon based; widen by the flattening
+    # margin on the ellipsoid so normalization differences can't clip
+    win_cut = cutoff_deg * (1.0 if model == "sphere" else 1.01)
+    boxes = [_point_window(la, lo, win_cut + 1e-9)
              for la, lo in points]
     # widen between consecutive points: union of endpoint windows plus
     # the lat/lon hull of each segment. A great-circle segment can
@@ -204,14 +304,14 @@ def geo3d_path(sf_dir: str, *, points: list[tuple[float, float]],
         m = math.sqrt(cx_ * cx_ + cy_ * cy_ + cz_ * cz_)
         vertex = 90.0 if m == 0.0 else \
             math.degrees(math.acos(min(1.0, abs(cz_) / m)))
-        lat_lo = max(-90.0, -vertex - cutoff_deg - 1e-9)
-        lat_hi = min(90.0, vertex + cutoff_deg + 1e-9)
+        lat_lo = max(-90.0, -vertex - win_cut - 1e-9)
+        lat_hi = min(90.0, vertex + win_cut + 1e-9)
         if abs(lo1 - lo2) > 180.0:
             boxes.append((lat_lo, lat_hi, -180.0, 180.0))
             continue
         worst = min(90.0, max(abs(lat_lo), abs(lat_hi)))
         coslat = math.cos(worst * math.pi / 180.0)
-        dlon = 360.0 if coslat <= 1e-9 else cutoff_deg / coslat
+        dlon = 360.0 if coslat <= 1e-9 else win_cut / coslat
         boxes.append((lat_lo, lat_hi,
                       min(lo1, lo2) - dlon - 1e-9,
                       max(lo1, lo2) + dlon + 1e-9))
@@ -245,21 +345,51 @@ def _xyz_sql() -> tuple[str, str, str]:
             "sin(lat * pi() / 180)")
 
 
+def _model_vec_sql(pm: PlanetModel) -> str:
+    """SQL CTE fragment: unit direction → model-surface point (px, py,
+    pz) + magnitude mp, the exact scalar shapes of model_xyz."""
+    x, y, z = _xyz_sql()
+    iab2, ic2 = pm.inverse_ab_squared, pm.inverse_c_squared
+    return f"""
+u AS (SELECT key, {x} AS ux, {y} AS uy, {z} AS uz FROM pts),
+m AS (SELECT key, ux, uy, uz,
+             1.0 / sqrt(ux * ux * {iab2!r} + uy * uy * {iab2!r}
+                        + uz * uz * {ic2!r}) AS mm FROM u),
+vec AS (SELECT key, ux * mm AS px, uy * mm AS py, uz * mm AS pz,
+               sqrt((ux * mm) * (ux * mm) + (uy * mm) * (uy * mm)
+                    + (uz * mm) * (uz * mm)) AS mp FROM m)"""
+
+
 def geo3d_circle_sql(*, center_lat: float, center_lon: float,
                      cutoff_deg: float, limit: int = 50,
-                     key: str = "c_custkey") -> str:
-    """DuckDB twin: the identical unit-vector dot + safeAcos, constants
+                     key: str = "c_custkey",
+                     model: str = "sphere") -> str:
+    """DuckDB twin: the identical model-point dot + safeAcos, constants
     embedded at full precision (repr round-trips the double)."""
     from .geo import latlon_sql
 
-    cx, cy, cz = unit_xyz(center_lat, center_lon)
     cutoff_rad = cutoff_deg * math.pi / 180.0
-    x, y, z = _xyz_sql()
-    d = (f"acos(least(1.0, greatest(-1.0, "
-         f"{x} * {cx!r} + {y} * {cy!r} + {z} * {cz!r})))")
-    return f"""
+    if model == "sphere":
+        cx, cy, cz = unit_xyz(center_lat, center_lon)
+        x, y, z = _xyz_sql()
+        d = (f"acos(least(1.0, greatest(-1.0, "
+             f"{x} * {cx!r} + {y} * {cy!r} + {z} * {cz!r})))")
+        return f"""
 WITH pts AS ({latlon_sql(key)}),
 cand AS (SELECT key, {d} AS d FROM pts)
+SELECT key, CAST(floor(d * 1e9 + 0.5) AS BIGINT) AS arc_nrad
+FROM cand WHERE d <= {cutoff_rad!r}
+ORDER BY arc_nrad, key LIMIT {limit}
+"""
+    pm = _MODELS[model]
+    cx, cy, cz = model_xyz(center_lat, center_lon, pm)
+    cmag = math.sqrt(cx * cx + cy * cy + cz * cz)
+    d = (f"acos(least(1.0, greatest(-1.0, "
+         f"(px * {cx!r} + py * {cy!r} + pz * {cz!r})"
+         f" / (mp * {cmag!r}))))")
+    return f"""
+WITH pts AS ({latlon_sql(key)}),{_model_vec_sql(pm)},
+cand AS (SELECT key, {d} AS d FROM vec)
 SELECT key, CAST(floor(d * 1e9 + 0.5) AS BIGINT) AS arc_nrad
 FROM cand WHERE d <= {cutoff_rad!r}
 ORDER BY arc_nrad, key LIMIT {limit}
@@ -268,30 +398,52 @@ ORDER BY arc_nrad, key LIMIT {limit}
 
 def geo3d_path_sql(*, points: list[tuple[float, float]],
                    cutoff_deg: float, limit: int = 50,
-                   key: str = "c_custkey") -> str:
+                   key: str = "c_custkey",
+                   model: str = "sphere") -> str:
     """DuckDB twin of geo3d_path: per-segment CASE (side planes →
     asin perpendicular) folded with the endpoint acos arcs through
-    least(); every constant and operation mirrors _Path bit-for-bit."""
+    least(); every constant and operation mirrors _Path bit-for-bit.
+    On WGS84 the point CTE projects onto the ellipsoid and every angle
+    divides by the point magnitude, exactly as _Path.distance does."""
     from .geo import latlon_sql
 
-    path = _Path(points, cutoff_deg)
+    pm = _MODELS[model]
+    sphere = model == "sphere"
+    path = _Path(points, cutoff_deg, pm)
     x, y, z = _xyz_sql()
     parts = []
     for (n, ta, tb) in path.segs:
         along_a = f"px * {ta[0]!r} + py * {ta[1]!r} + pz * {ta[2]!r}"
         along_b = f"px * {tb[0]!r} + py * {tb[1]!r} + pz * {tb[2]!r}"
-        perp = (f"asin(least(1.0, abs("
-                f"px * {n[0]!r} + py * {n[1]!r} + pz * {n[2]!r})))")
-        parts.append(f"CASE WHEN ({along_a}) >= 0.0 "
-                     f"AND ({along_b}) <= 0.0 THEN {perp} "
-                     f"ELSE 1e30 END")
-    for (px_, py_, pz_) in path.pts:
-        parts.append(f"acos(least(1.0, greatest(-1.0, "
-                     f"px * {px_!r} + py * {py_!r} + pz * {pz_!r})))")
+        if sphere:
+            perp = (f"asin(least(1.0, abs("
+                    f"px * {n[0]!r} + py * {n[1]!r} + pz * {n[2]!r})))")
+            parts.append(f"CASE WHEN ({along_a}) >= 0.0 "
+                         f"AND ({along_b}) <= 0.0 THEN {perp} "
+                         f"ELSE 1e30 END")
+        else:
+            pn = f"abs(px * {n[0]!r} + py * {n[1]!r} + pz * {n[2]!r})"
+            perp = f"asin(least(1.0, {pn} / mp))"
+            parts.append(f"CASE WHEN ({along_a}) >= 0.0 "
+                         f"AND ({along_b}) <= 0.0 "
+                         f"AND {pn} <= {path.plane_offset!r} "
+                         f"THEN {perp} ELSE 1e30 END")
+    for (px_, py_, pz_), pmag in zip(path.pts, path.pt_mags):
+        if sphere:
+            parts.append(
+                f"acos(least(1.0, greatest(-1.0, "
+                f"px * {px_!r} + py * {py_!r} + pz * {pz_!r})))")
+        else:
+            parts.append(
+                f"acos(least(1.0, greatest(-1.0, "
+                f"(px * {px_!r} + py * {py_!r} + pz * {pz_!r})"
+                f" / (mp * {pmag!r}))))")
     dist = "least(" + ", ".join(parts) + ")"
+    vec_cte = (f"vec AS (SELECT key, {x} AS px, {y} AS py, {z} AS pz "
+               f"FROM pts)") if sphere else _model_vec_sql(pm).lstrip()
     return f"""
 WITH pts AS ({latlon_sql(key)}),
-vec AS (SELECT key, {x} AS px, {y} AS py, {z} AS pz FROM pts),
+{vec_cte},
 cand AS (SELECT key, {dist} AS d FROM vec)
 SELECT key, CAST(floor(d * 1e9 + 0.5) AS BIGINT) AS arc_nrad
 FROM cand WHERE d <= {path.cutoff_rad!r}

@@ -3319,6 +3319,23 @@ def _q_geo3d_path(sf_dir):
     return geo3d_path(sf_dir, points=_GEO3D_PATH, cutoff_deg=8.0)
 
 
+def _q_geo3d_circle_wgs84(sf_dir):
+    """Geo3D GeoCircle on the WGS84 PlanetModel (PlanetModel.java:30-37
+    ellipsoid scaling; magnitude-normalized arcs)."""
+    from ..ops.geo3d import geo3d_circle
+
+    return geo3d_circle(sf_dir, center_lat=10.0, center_lon=20.0,
+                        cutoff_deg=25.0, model="wgs84")
+
+
+def _q_geo3d_path_wgs84(sf_dir):
+    """Geo3D GeoPath on the WGS84 PlanetModel."""
+    from ..ops.geo3d import geo3d_path
+
+    return geo3d_path(sf_dir, points=_GEO3D_PATH, cutoff_deg=8.0,
+                      model="wgs84")
+
+
 def _geo3d_circle_oracle() -> str:
     from ..ops.geo3d import geo3d_circle_sql
 
@@ -3330,6 +3347,20 @@ def _geo3d_path_oracle() -> str:
     from ..ops.geo3d import geo3d_path_sql
 
     return geo3d_path_sql(points=_GEO3D_PATH, cutoff_deg=8.0)
+
+
+def _geo3d_circle_wgs84_oracle() -> str:
+    from ..ops.geo3d import geo3d_circle_sql
+
+    return geo3d_circle_sql(center_lat=10.0, center_lon=20.0,
+                            cutoff_deg=25.0, model="wgs84")
+
+
+def _geo3d_path_wgs84_oracle() -> str:
+    from ..ops.geo3d import geo3d_path_sql
+
+    return geo3d_path_sql(points=_GEO3D_PATH, cutoff_deg=8.0,
+                          model="wgs84")
 
 
 def _q_dv_range(field, lo, hi, k=10):
@@ -6189,6 +6220,8 @@ def build_queries() -> dict:
         "analytics_facet": _q_analytics_facet,
         "geo3d_circle": _q_geo3d_circle,
         "geo3d_path": _q_geo3d_path,
+        "geo3d_circle_wgs84": _q_geo3d_circle_wgs84,
+        "geo3d_path_wgs84": _q_geo3d_path_wgs84,
         "geo_distance": _q_geo_distance,
         "geo_polygon": _q_geo_polygon,
         "geo_heatmap": _q_geo_heatmap,
@@ -6669,6 +6702,8 @@ FROM o ORDER BY doc_id
         "analytics_facet": _analytics_facet_oracle(),
         "geo3d_circle": _geo3d_circle_oracle(),
         "geo3d_path": _geo3d_path_oracle(),
+        "geo3d_circle_wgs84": _geo3d_circle_wgs84_oracle(),
+        "geo3d_path_wgs84": _geo3d_path_wgs84_oracle(),
         "geo_distance": _geo_distance_sql(),
         "geo_polygon": _geo_polygon_sql(),
         "geo_heatmap": _geo_heatmap_sql(),

@@ -93,3 +93,42 @@ def test_vertex_bulge_is_real():
     mid = [(p + q) / 2.0 for p, q in zip(a, b)]
     m = math.sqrt(sum(v * v for v in mid))
     assert math.degrees(math.asin(mid[2] / m)) > 56.0
+
+
+def test_wgs84_model_changes_the_geometry(ray_session):
+    """The WGS84 ellipsoid is a real model, not a relabel: magnitudes
+    differ from 1, path membership angles shift vs SPHERE, and the two
+    models agree on membership only where the flattening is immaterial."""
+    import math
+
+    from lucene_solr_ray.ops.geo3d import (SPHERE, WGS84, model_xyz,
+                                           geo3d_path, unit_xyz)
+
+    x, y, z = model_xyz(45.0, 10.0, WGS84)
+    assert abs(math.sqrt(x * x + y * y + z * z) - 1.0) > 1e-4
+    sx, sy, sz = model_xyz(45.0, 10.0, SPHERE)
+    assert (sx, sy, sz) == unit_xyz(45.0, 10.0)
+
+    # The WGS84 segment corridor is STRICTLY tighter: the bounding
+    # planes offset by sin(cutoff)·minimumMagnitude and test the raw
+    # ellipsoid point (GeoPath.java:104). Near the corridor edge a
+    # point is inside on SPHERE but outside on WGS84.
+    from lucene_solr_ray.ops.geo3d import _Path
+
+    cutoff = 5.0
+    pts = [(60.0, 0.0), (60.0, 40.0)]
+    ps = _Path(pts, cutoff, SPHERE)
+    pw = _Path(pts, cutoff, WGS84)
+    cut = cutoff * math.pi / 180.0
+    flipped = in_both = 0
+    for k in range(10000):
+        lat = 60.0 + k * 0.001
+        lon = 20.0
+        in_s = ps.distance(*unit_xyz(lat, lon)) <= cut
+        in_w = pw.distance(*model_xyz(lat, lon, WGS84)) <= cut
+        if in_s and in_w:
+            in_both += 1
+        if in_s and not in_w:
+            flipped += 1
+        assert not (in_w and not in_s)   # WGS84 corridor is tighter
+    assert in_both > 0 and flipped > 0
