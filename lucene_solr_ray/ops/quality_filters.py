@@ -20,7 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..analysis import analyze_batch
-from .text import _q4, _read_docs
+from .text import _docs_ds, _emit, _q4, _read_docs, collect
 
 # Gopher-style thresholds, scaled to the synthetic corpus (docs are
 # ~40-80 words): the RULES are the reference recipe, the constants are
@@ -93,8 +93,9 @@ def gopher_metrics(batch: pa.Table):
     return wcounts, mean_wl, sym_ratio, distinct_stops, ok
 
 
-def gopher_rules(sf_dir: str) -> pa.Table:
-    """Per-doc rule metrics + the pass flag:
+def gopher_rules_ds(src, *, append: bool = False):
+    """Streaming core of :func:`gopher_rules` — per-doc rule metrics as
+    a Dataset stage over (doc_id, text).
 
     - n_words: whitespace-token count (C4's word count bound)
     - mean word length in [3, 10] (Gopher)
@@ -105,18 +106,21 @@ def gopher_rules(sf_dir: str) -> pa.Table:
     def score(batch: pa.Table) -> pa.Table:
         wcounts, mean_wl, sym_ratio, distinct_stops, ok = \
             gopher_metrics(batch)
-        return pa.table({
+        return _emit(batch, pa.table({
             "doc_id": batch["doc_id"],
             "n_words": pa.array(wcounts, type=pa.int64()),
             "mean_word_len_q": pa.array(_q4(mean_wl), type=pa.int64()),
             "symbol_ratio_q": pa.array(_q4(sym_ratio), type=pa.int64()),
             "distinct_stops": pa.array(distinct_stops, type=pa.int64()),
             "keep": pa.array(ok),
-        })
+        }), append)
 
-    df = (_read_docs(sf_dir).map_batches(score, batch_format="pyarrow")
-          .to_pandas().sort_values("doc_id").reset_index(drop=True))
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return _docs_ds(src).map_batches(score, batch_format="pyarrow")
+
+
+def gopher_rules(sf_dir: str) -> pa.Table:
+    """Driver wrapper: materialized, doc_id-sorted gopher_rules_ds."""
+    return collect(gopher_rules_ds(sf_dir))
 
 
 def gopher_rules_sql() -> str:
@@ -438,8 +442,8 @@ def repetition_fracs(batch: pa.Table):
     return top2, dup3, keep
 
 
-def repetition_metrics(sf_dir: str) -> pa.Table:
-    """Gopher's repetition rules over token n-grams:
+def repetition_metrics_ds(src, *, append: bool = False):
+    """Streaming core of :func:`repetition_metrics`.
 
     - top2gram_frac: characters covered by the MOST FREQUENT word
       2-gram (ties broken lexicographically) / total token characters
@@ -451,16 +455,20 @@ def repetition_metrics(sf_dir: str) -> pa.Table:
     repetition rules are N/A on this single-line corpus (documented)."""
     def score(batch: pa.Table) -> pa.Table:
         top2, dup3, keep = repetition_fracs(batch)
-        return pa.table({
+        return _emit(batch, pa.table({
             "doc_id": batch["doc_id"],
             "top2gram_frac_q": pa.array(_q4(top2), type=pa.int64()),
             "dup3gram_frac_q": pa.array(_q4(dup3), type=pa.int64()),
             "keep": pa.array(keep),
-        })
+        }), append)
 
-    df = (_read_docs(sf_dir).map_batches(score, batch_format="pyarrow")
-          .to_pandas().sort_values("doc_id").reset_index(drop=True))
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return _docs_ds(src).map_batches(score, batch_format="pyarrow")
+
+
+def repetition_metrics(sf_dir: str) -> pa.Table:
+    """Gopher's repetition rules over token n-grams (see
+    repetition_metrics_ds); driver wrapper for the oracle compare."""
+    return collect(repetition_metrics_ds(sf_dir))
 
 
 def repetition_metrics_sql() -> str:

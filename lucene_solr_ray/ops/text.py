@@ -30,13 +30,46 @@ def _read_docs(sf_dir: str):
                            columns=["doc_id", "text"])
 
 
+def _docs_ds(src):
+    """Accept either an sf_dir (str) or an existing (doc_id, text)
+    ray.data.Dataset — the streaming cores compose on Datasets."""
+    return _read_docs(src) if isinstance(src, str) else src
+
+
+def _emit(batch: pa.Table, out: pa.Table, append: bool) -> pa.Table:
+    """append=True: keep the input columns (text included) and add the
+    enrichment columns — the composition mode, so cores chain
+    core_a(docs, append=True).filter(...) → core_b(...) with no driver
+    materialization between stages."""
+    if not append:
+        return out
+    for name in out.schema.names:
+        if name not in batch.schema.names:
+            batch = batch.append_column(name, out[name])
+    return batch
+
+
+def collect(ds, sort_cols="doc_id") -> pa.Table:
+    """Thin driver-side wrapper for the oracle compare: materialize a
+    (bounded) result Dataset as a sorted Arrow table. Library cores
+    return the Dataset itself — production pipelines keep streaming
+    into write_parquet / further stages and never call this on big
+    data."""
+    if isinstance(sort_cols, str):
+        sort_cols = [sort_cols]
+    df = ds.to_pandas().sort_values(sort_cols).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def _q4(x: np.ndarray) -> np.ndarray:
     return np.floor(x * 10000 + 0.5).astype(np.int64)
 
 
-def lang_id(sf_dir: str, threshold: float = 0.05) -> pa.Table:
-    """N-gram-free heuristic language id: ratio of English stopword tokens
-    (solr/contrib/langid analogue). is_en = ratio >= threshold."""
+def lang_id_ds(src, threshold: float = 0.05, *, append: bool = False):
+    """Streaming core of :func:`lang_id` — one map_batches over a
+    (doc_id, text) Dataset, returns the enriched Dataset. With
+    ``append=True`` the input columns ride along so further text cores
+    chain directly."""
 
     def score(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -47,22 +80,26 @@ def lang_id(sf_dir: str, threshold: float = 0.05) -> pa.Table:
         is_stop = np.asarray(pc.is_in(ab.terms, value_set=_STOP_PA))
         stops = np.bincount(ab.doc_idx[is_stop], minlength=n).astype(np.int64)
         ratio = np.divide(stops, total, out=np.zeros(n), where=total > 0)
-        return pa.table({
+        return _emit(batch, pa.table({
             "doc_id": batch["doc_id"],
             "n_tokens": pa.array(total, type=pa.int64()),
             "n_stop": pa.array(stops, type=pa.int64()),
             "stop_ratio_q": pa.array(_q4(ratio), type=pa.int64()),
             "is_en": pa.array(ratio >= threshold),
-        })
+        }), append)
 
-    df = (_read_docs(sf_dir).map_batches(score, batch_format="pyarrow")
-          .to_pandas().sort_values("doc_id").reset_index(drop=True))
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return _docs_ds(src).map_batches(score, batch_format="pyarrow")
 
 
-def quality_score(sf_dir: str) -> pa.Table:
-    """Quality metrics per doc: token count, distinct terms, mean token
-    length (quantized), type-token ratio (quantized). Stopwords kept."""
+def lang_id(sf_dir: str, threshold: float = 0.05) -> pa.Table:
+    """N-gram-free heuristic language id: ratio of English stopword tokens
+    (solr/contrib/langid analogue). is_en = ratio >= threshold."""
+    return collect(lang_id_ds(sf_dir, threshold))
+
+
+def quality_score_ds(src, *, append: bool = False):
+    """Streaming core of :func:`quality_score` — per-doc metrics as a
+    Dataset stage; ``append=True`` keeps the input columns."""
 
     def score(batch: pa.Table) -> pa.Table:
         ab = analyze_batch(batch["text"], keep_stopwords=True)
@@ -80,17 +117,21 @@ def quality_score(sf_dir: str) -> pa.Table:
         n_unique = np.bincount(keys >> 32, minlength=n).astype(np.int64)
         mean_len = np.divide(sum_len, total, out=np.zeros(n), where=total > 0)
         ttr = np.divide(n_unique, total, out=np.zeros(n), where=total > 0)
-        return pa.table({
+        return _emit(batch, pa.table({
             "doc_id": batch["doc_id"],
             "n_tokens": pa.array(total, type=pa.int64()),
             "n_unique": pa.array(n_unique, type=pa.int64()),
             "mean_len_q": pa.array(_q4(mean_len), type=pa.int64()),
             "ttr_q": pa.array(_q4(ttr), type=pa.int64()),
-        })
+        }), append)
 
-    df = (_read_docs(sf_dir).map_batches(score, batch_format="pyarrow")
-          .to_pandas().sort_values("doc_id").reset_index(drop=True))
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return _docs_ds(src).map_batches(score, batch_format="pyarrow")
+
+
+def quality_score(sf_dir: str) -> pa.Table:
+    """Quality metrics per doc: token count, distinct terms, mean token
+    length (quantized), type-token ratio (quantized). Stopwords kept."""
+    return collect(quality_score_ds(sf_dir))
 
 
 # GPT-2's pre-tokenizer pattern MINUS the `\s+(?!\S)` lookahead branch
@@ -385,6 +426,17 @@ def redact_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def pii_redact_ds(src, *, append: bool = False):
+    """Streaming core of :func:`pii_redact`; ``append=True`` keeps the
+    input columns alongside (doc_id, n_redactions, clean_sha)."""
+    if not append:
+        return _docs_ds(src).map_batches(redact_batch,
+                                         batch_format="pyarrow")
+    return _docs_ds(src).map_batches(
+        lambda b: _emit(b, redact_batch(b), True),
+        batch_format="pyarrow")
+
+
 def pii_redact(sf_dir: str) -> pa.Table:
     """PII scrubbing — the redaction pass every training-data pipeline
     runs before tokenization: emails/phones/SSNs/IPs replaced by typed
@@ -392,10 +444,7 @@ def pii_redact(sf_dir: str) -> pa.Table:
     Returns (doc_id, n_redactions, clean_sha) — the redacted text's
     sha256, so the oracle can hash-match the full output without
     shipping the text."""
-    df = (_read_docs(sf_dir).map_batches(redact_batch,
-                                          batch_format="pyarrow")
-          .to_pandas().sort_values("doc_id").reset_index(drop=True))
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return collect(pii_redact_ds(sf_dir))
 
 
 def stratified_sample(sf_dir: str, rate_pct: int = 20) -> pa.Table:

@@ -270,3 +270,38 @@ def test_binpack_fold_equals_brute_bfd(ray_session, tmp_path):
     assert got["n_bins"] == 4
     assert got["total_pieces"] == 5
     assert got["total_pad"] == 2 * 128 - (44 + 100)
+
+
+def test_streaming_cores_compose_without_driver_materialization(
+        ray_session):
+    """The round-3 ops contract: per-doc ops expose Dataset cores that
+    CHAIN — read once, three enrichment/filter stages, one bounded
+    aggregate at the end. No to_pandas anywhere in the middle, and the
+    result equals the same composition done table-at-a-time."""
+    import ray.data
+
+    from lucene_solr_ray.ops.quality_filters import (gopher_rules,
+                                                     gopher_rules_ds)
+    from lucene_solr_ray.ops.text import (lang_id, lang_id_ds,
+                                          pii_redact, pii_redact_ds,
+                                          _read_docs)
+
+    sf = "/root/testdata/sf0.001"
+    chain = lang_id_ds(_read_docs(sf), append=True)
+    assert isinstance(chain, ray.data.Dataset)
+    chain = chain.filter(expr="is_en")
+    chain = gopher_rules_ds(chain, append=True).filter(expr="keep")
+    final = pii_redact_ds(chain)           # (doc_id, n_redactions, sha)
+    assert isinstance(final, ray.data.Dataset)
+    got = final.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    # table-at-a-time reference composition
+    li = lang_id(sf).to_pandas()
+    gr = gopher_rules(sf).to_pandas()
+    pr = pii_redact(sf).to_pandas()
+    keep_ids = set(li.loc[li["is_en"], "doc_id"]) \
+        & set(gr.loc[gr["keep"], "doc_id"])
+    want = pr[pr["doc_id"].isin(keep_ids)].reset_index(drop=True)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["clean_sha"].tolist() == want["clean_sha"].tolist()
+    assert len(got) > 0
