@@ -1,0 +1,226 @@
+"""Block k-d point index — the BKD tree re-expressed as a partitioned
+parquet layout (reference: lucene/sandbox bkdtree —
+``BKDTreeWriter.java`` builds a balanced k-d structure by recursively
+splitting on the widest dimension and packing points into leaf blocks;
+``BKDPointInBBoxQuery.java`` / ``BKDTreeReader.java`` answer box
+queries by descending only intersecting nodes; the same design became
+``core:util/bkd/BKDWriter.java`` in 6.0's dimensional points).
+
+Ray-Data-first shape:
+
+- The SPLIT TREE is computed on the driver from a deterministic,
+  bounded hash-sample of the points (medians of the widest dimension,
+  exactly BKDTreeWriter's split rule). The tree is tiny (≤ 2^depth
+  nodes) and ships to workers inside the stage closure.
+- LEAF ASSIGNMENT is one vectorized ``map_batches`` pass (a numpy
+  descent over the tree levels — no Python loop over rows).
+- Each leaf persists as ONE parquet file via ``groupby(leaf)`` +
+  per-group atomic writes (tmp+rename, resumable layout like
+  ops/layout.zorder_write), and the constant-size pruning index holds
+  each leaf's ACTUAL per-dimension min/max + row count (read back from
+  the parquet column statistics, the same discipline as
+  searcher._term_range_seek).
+- A box query prunes leaves by bounds intersection and reads ONLY the
+  covering files (``read_parquet`` over the survivor paths), applying
+  the exact filter inside ``map_batches``.
+
+Coordinates are int64 milli-degrees — exact integer splits, and the
+same quantization the doc-values geo path reports, so
+``geo_bbox_bkd`` is bit-identical to ``ops.geo.geo_bbox`` (pinned by
+test + the shared oracle).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+DEFAULT_LEAF_POINTS = 1024   # BKDTreeWriter.java maxPointsInLeafNode
+INDEX_FILE = "bkd_index.json"
+
+
+class _SplitTree:
+    """Flat array-encoded k-d split plan: node i splits dimension
+    dim[i] at value val[i]; children 2i+1 / 2i+2; leaves hold ids."""
+
+    def __init__(self, dims: list[np.ndarray], leaf_points: int):
+        n = len(dims[0])
+        depth = 0
+        while (n >> depth) > leaf_points and depth < 20:
+            depth += 1
+        self.depth = depth
+        self.dim = np.zeros((1 << depth) - 1, dtype=np.int8) \
+            if depth else np.zeros(0, dtype=np.int8)
+        self.val = np.zeros((1 << depth) - 1, dtype=np.int64) \
+            if depth else np.zeros(0, dtype=np.int64)
+        if depth:
+            self._build(dims, np.arange(n), 0, 0)
+
+    def _build(self, dims, idx, node, level):
+        if level >= self.depth:
+            return
+        # widest dimension of THIS cell (BKDTreeWriter split rule)
+        spans = [int(d[idx].max() - d[idx].min()) if len(idx) else 0
+                 for d in dims]
+        dim = int(np.argmax(spans))
+        vals = dims[dim][idx]
+        med = int(np.median(vals)) if len(vals) else 0
+        self.dim[node] = dim
+        self.val[node] = med
+        left = idx[vals <= med]
+        right = idx[vals > med]
+        self._build(dims, left, 2 * node + 1, level + 1)
+        self._build(dims, right, 2 * node + 2, level + 1)
+
+    def leaf_of(self, dims: list[np.ndarray]) -> np.ndarray:
+        """Vectorized descent: leaf id (0..2^depth-1) per point."""
+        n = len(dims[0])
+        node = np.zeros(n, dtype=np.int64)
+        for _ in range(self.depth):
+            d = self.dim[node]
+            v = self.val[node]
+            coord = np.where(d == 0, dims[0], dims[1])
+            go_right = coord > v
+            node = 2 * node + 1 + go_right
+        return node - ((1 << self.depth) - 1) if self.depth else node
+
+    def to_json(self) -> dict:
+        return {"depth": self.depth, "dim": self.dim.tolist(),
+                "val": self.val.tolist()}
+
+
+def bkd_write(points_ds, out_dir: str, *,
+              x_col: str, y_col: str,
+              leaf_points: int = DEFAULT_LEAF_POINTS,
+              sample_mod: int = 1) -> dict:
+    """Build the BKD layout from a Dataset with int64 point columns
+    ``x_col``/``y_col`` (+ any payload columns, which ride along into
+    the leaves). ``sample_mod`` keeps every k-th row for the driver
+    split sample (use >1 at scale; the sample only positions split
+    planes, correctness never depends on it). Returns the index dict
+    (also persisted as ``bkd_index.json``)."""
+    import ray.data as rd  # noqa: F401  (documents the dependency)
+
+    os.makedirs(out_dir, exist_ok=True)
+    for f in os.listdir(out_dir):
+        if f.startswith("leaf-") or f == INDEX_FILE:
+            os.remove(os.path.join(out_dir, f))
+
+    # driver-side bounded sample → split tree (deterministic)
+    def sample(batch: pa.Table) -> pa.Table:
+        t = batch.select([x_col, y_col])
+        if sample_mod > 1:
+            t = t.take(np.arange(0, len(t), sample_mod))
+        return t
+
+    samp = points_ds.map_batches(sample,
+                                 batch_format="pyarrow").to_pandas()
+    xs = samp[x_col].to_numpy(np.int64)
+    ys = samp[y_col].to_numpy(np.int64)
+    est_total = len(xs) * sample_mod
+    tree = _SplitTree([xs, ys],
+                      max(1, leaf_points // max(1, sample_mod)))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        bx = np.asarray(batch[x_col], dtype=np.int64)
+        by = np.asarray(batch[y_col], dtype=np.int64)
+        leaf = tree.leaf_of([bx, by])
+        return batch.append_column("bkd_leaf",
+                                   pa.array(leaf, type=pa.int64()))
+
+    def write_leaf(df) -> "pa.Table":
+        leaf = int(df["bkd_leaf"].iloc[0])
+        t = pa.Table.from_pandas(
+            df.sort_values([x_col, y_col]).drop(columns=["bkd_leaf"]),
+            preserve_index=False)
+        path = os.path.join(out_dir, f"leaf-{leaf:05d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)   # atomic, resumable layout
+        return pa.table({"leaf": pa.array([leaf], pa.int64()),
+                         "rows": pa.array([t.num_rows], pa.int64())})
+
+    (points_ds.map_batches(assign, batch_format="pyarrow")
+     .groupby("bkd_leaf").map_groups(write_leaf, batch_format="pandas")
+     .materialize())
+
+    # constant-size pruning index from the written files' OWN stats
+    leaves = []
+    for name in sorted(os.listdir(out_dir)):
+        if not (name.startswith("leaf-") and name.endswith(".parquet")):
+            continue
+        path = os.path.join(out_dir, name)
+        md = pq.ParquetFile(path).metadata
+        cols = {md.schema.column(i).name: i
+                for i in range(len(md.schema))}
+        bounds = {}
+        for cname in (x_col, y_col):
+            ci = cols[cname]
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            bounds[cname] = (int(min(mins)), int(max(maxs)))
+        leaves.append({"path": path,
+                       "min_x": bounds[x_col][0],
+                       "max_x": bounds[x_col][1],
+                       "min_y": bounds[y_col][0],
+                       "max_y": bounds[y_col][1],
+                       "rows": int(md.num_rows)})
+    index = {"x_col": x_col, "y_col": y_col,
+             "leaf_points": leaf_points, "est_total": est_total,
+             "tree": tree.to_json(), "leaves": leaves}
+    tmp = os.path.join(out_dir, INDEX_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(index, f)
+    os.replace(tmp, os.path.join(out_dir, INDEX_FILE))
+    return index
+
+
+def load_index(out_dir: str) -> dict:
+    with open(os.path.join(out_dir, INDEX_FILE)) as f:
+        return json.load(f)
+
+
+def leaves_for_box(index: dict, x_lo: int, x_hi: int,
+                   y_lo: int, y_hi: int) -> list[str]:
+    """BKDTreeReader's intersect: a leaf can hold a matching point only
+    if its bounds rectangle intersects the query box."""
+    return [e["path"] for e in index["leaves"]
+            if e["max_x"] >= x_lo and e["min_x"] <= x_hi
+            and e["max_y"] >= y_lo and e["min_y"] <= y_hi]
+
+
+def bkd_query_bbox(out_dir_or_index, x_lo: int, x_hi: int,
+                   y_lo: int, y_hi: int, *,
+                   columns: list[str] | None = None):
+    """Box query over the layout: prune leaves, read ONLY the covering
+    parquet files, exact-filter inside map_batches. Returns
+    (Dataset, n_leaves_read, n_leaves_total)."""
+    import ray.data as rd
+
+    index = (load_index(out_dir_or_index)
+             if isinstance(out_dir_or_index, str) else out_dir_or_index)
+    x_col, y_col = index["x_col"], index["y_col"]
+    paths = leaves_for_box(index, x_lo, x_hi, y_lo, y_hi)
+    total = len(index["leaves"])
+    if not paths:
+        empty = rd.from_arrow(pa.table({x_col: pa.array([], pa.int64()),
+                                        y_col: pa.array([], pa.int64())}))
+        return empty.filter(lambda r: False), 0, total
+
+    ds = rd.read_parquet(paths, columns=columns)
+
+    def exact(batch: pa.Table) -> pa.Table:
+        bx = np.asarray(batch[x_col], dtype=np.int64)
+        by = np.asarray(batch[y_col], dtype=np.int64)
+        m = (bx >= x_lo) & (bx <= x_hi) & (by >= y_lo) & (by <= y_hi)
+        return batch.filter(pa.array(m))
+
+    return ds.map_batches(exact, batch_format="pyarrow"), len(paths), \
+        total

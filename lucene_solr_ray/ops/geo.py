@@ -290,3 +290,95 @@ def geo_polygon(sf_dir: str, polygon: list[tuple[float, float]], *,
     parts = [ray.get(r) for r in t]
     return pa.concat_tables([p for p in parts if p.num_rows]) \
         if any(p.num_rows for p in parts) else parts[0]
+
+
+def build_point_index(sf_dir: str, out_dir: str, *,
+                      table: str = "customer", key: str = "c_custkey",
+                      leaf_points: int = 2048) -> dict:
+    """Persist the table's derived points as a BKD layout (index/bkd.py
+    — the lucene/sandbox bkdtree / 6.0 dimensional-points structure):
+    leaves are parquet files of (key, lat_md, lon_md) bounded by the
+    k-d split planes; the constant-size pruning index carries each
+    leaf's actual bounds."""
+    from ..index.bkd import bkd_write
+
+    def pts(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch[key], dtype=np.int64)
+        lat, lon = derive_latlon(keys)
+        return pa.table({
+            "key": pa.array(keys, type=pa.int64()),
+            "lat_md": pa.array(np.floor(lat * 1000 + 0.5)
+                               .astype(np.int64)),
+            "lon_md": pa.array(np.floor(lon * 1000 + 0.5)
+                               .astype(np.int64)),
+        })
+
+    ds = _read_keys(sf_dir, table, key).map_batches(
+        pts, batch_format="pyarrow")
+    return bkd_write(ds, out_dir, x_col="lat_md", y_col="lon_md",
+                     leaf_points=leaf_points)
+
+
+def geo_bbox_bkd(sf_dir: str, *, min_lat: float, max_lat: float,
+                 min_lon: float, max_lon: float,
+                 index_dir: str | None = None,
+                 table: str = "customer", key: str = "c_custkey",
+                 limit: int = 50, _stats: dict | None = None) -> pa.Table:
+    """GeoPointInBBoxQuery served from the BKD point index
+    (BKDPointInBBoxQuery.java:40 / BKDTreeReader.java intersect):
+    leaf pruning by bounds intersection, exact verification with THE
+    SAME float predicate as geo_bbox (bbox_filter over re-derived
+    lat/lon), so results are bit-identical to the doc-values path —
+    only the amount of data READ changes. Milli-degree leaf bounds
+    prune conservatively (±1 md margin around the float box).
+    ``_stats`` (if a dict) receives leaves_read/leaves_total."""
+    import math as _math
+    import tempfile
+
+    from ..index.bkd import bkd_query_bbox, load_index
+    from ..state.geohash import bbox_filter
+
+    if index_dir is None:
+        index_dir = os.path.join(
+            tempfile.gettempdir(),
+            f"bkd_{table}_{os.path.basename(os.path.normpath(sf_dir))}")
+    if not os.path.exists(os.path.join(index_dir, "bkd_index.json")):
+        build_point_index(sf_dir, index_dir, table=table, key=key)
+    index = load_index(index_dir)
+
+    x_lo = int(_math.floor(min_lat * 1000)) - 1
+    x_hi = int(_math.ceil(max_lat * 1000)) + 1
+    boxes = []
+    if min_lon <= max_lon:
+        boxes.append((int(_math.floor(min_lon * 1000)) - 1,
+                      int(_math.ceil(max_lon * 1000)) + 1))
+    else:  # dateline wrap: two pruning boxes, one exact predicate
+        boxes.append((int(_math.floor(min_lon * 1000)) - 1, 180001))
+        boxes.append((-180001, int(_math.ceil(max_lon * 1000)) + 1))
+
+    def exact(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch["key"], dtype=np.int64)
+        lat, lon = derive_latlon(keys)
+        m = bbox_filter(lat, lon, min_lat=min_lat, max_lat=max_lat,
+                        min_lon=min_lon, max_lon=max_lon)
+        return batch.filter(pa.array(m))
+
+    parts, read = [], 0
+    total = len(index["leaves"])
+    for (y_lo, y_hi) in boxes:
+        ds, n_read, _tot = bkd_query_bbox(index, x_lo, x_hi, y_lo, y_hi)
+        read += n_read
+        parts.append(ds.map_batches(exact, batch_format="pyarrow")
+                     .to_pandas())
+    if isinstance(_stats, dict):
+        _stats.update({"leaves_read": read, "leaves_total": total})
+    import pandas as pd
+
+    df = (pd.concat(parts, ignore_index=True)
+          .drop_duplicates("key").sort_values("key")
+          .reset_index(drop=True).head(limit))
+    df = df[["key", "lat_md", "lon_md"]]
+    for c in df.columns:
+        df[c] = df[c].astype(np.int64)
+    return pa.Table.from_pandas(df.reset_index(drop=True),
+                                preserve_index=False)

@@ -2998,6 +2998,18 @@ ORDER BY dist_cm, key LIMIT 50
 """
 
 
+def _q_geo_bbox_bkd(sf_dir):
+    """geo_bbox served from the BKD point index (index/bkd.py) — same
+    exact predicate, leaf-pruned reads; shares geo_bbox's oracle."""
+    import tempfile
+
+    from ..ops.geo import geo_bbox_bkd
+
+    idx = tempfile.mkdtemp(prefix="bkd_drv_")
+    return geo_bbox_bkd(sf_dir, min_lat=10.0, max_lat=60.0,
+                        min_lon=-30.0, max_lon=40.0, index_dir=idx)
+
+
 def _q_geo_bbox_rpt(sf_dir):
     from ..ops.geo import geo_bbox_rpt
 
@@ -6226,6 +6238,7 @@ def build_queries() -> dict:
         "geo_polygon": _q_geo_polygon,
         "geo_heatmap": _q_geo_heatmap,
         "geo_bbox_rpt": _q_geo_bbox_rpt,
+        "geo_bbox_bkd": _q_geo_bbox_bkd,
         "geo_sort_distance": _q_geo_sort,
         "ft_blended_term": _q_blended(["fast", "slow", "rapid"]),
         "ft_edge_ngram": _q_edge_ngram("tab"),
@@ -6710,6 +6723,8 @@ FROM o ORDER BY doc_id
         # the RPT cover+verify must equal the exact box filter, so it
         # shares geo_bbox's oracle verbatim
         "geo_bbox_rpt": _geo_bbox_sql(),
+        # BKD leaf pruning + the same exact predicate == the box filter
+        "geo_bbox_bkd": _geo_bbox_sql(),
         "geo_sort_distance": _geo_sort_sql(50),
         "ft_bool_qparser": _bool_qparser_sql("table", "fast", "slow",
                                              "en", 10),

@@ -185,3 +185,39 @@ def test_geo_rpt_over_real_index(ray_session, tmp_path):
     assert got.tolist() == brute.tolist()
     # and the postings probe really pruned: candidates < corpus
     assert len(cand) < len(keys)
+
+
+def test_bkd_point_index_serves_bbox_bit_identically(ray_session,
+                                                     tmp_path):
+    """BKD layout (index/bkd.py): geo_bbox served from the point index
+    equals the doc-values-path result EXACTLY, while reading only the
+    leaves whose bounds intersect the box (pruning ratio asserted).
+    Dateline-wrapping boxes prune as two ranges."""
+    from lucene_solr_ray.index.bkd import load_index
+    from lucene_solr_ray.ops.geo import (build_point_index, geo_bbox,
+                                         geo_bbox_bkd)
+
+    sf = "/root/testdata/sf0.01"
+    idx_dir = str(tmp_path / "bkd")
+    index = build_point_index(sf, idx_dir, leaf_points=256)
+    assert len(index["leaves"]) >= 8
+    # leaves partition the rows exactly
+    assert sum(e["rows"] for e in index["leaves"]) \
+        == sum(e["rows"] for e in load_index(idx_dir)["leaves"])
+
+    box = dict(min_lat=10.0, max_lat=60.0, min_lon=20.0, max_lon=80.0)
+    stats: dict = {}
+    a = geo_bbox(sf, **box).to_pandas()
+    b = geo_bbox_bkd(sf, **box, index_dir=idx_dir,
+                     _stats=stats).to_pandas()
+    assert a.values.tolist() == b.values.tolist()
+    assert a.columns.tolist() == b.columns.tolist()
+    # the index must actually prune: the box covers ~28% of lat range
+    # and ~17% of lon range
+    assert 0 < stats["leaves_read"] < stats["leaves_total"]
+
+    wrap = dict(min_lat=-30.0, max_lat=30.0, min_lon=150.0,
+                max_lon=-150.0)
+    aw = geo_bbox(sf, **wrap).to_pandas()
+    bw = geo_bbox_bkd(sf, **wrap, index_dir=idx_dir).to_pandas()
+    assert aw.values.tolist() == bw.values.tolist()
