@@ -2046,6 +2046,14 @@ def _q_suggest(prefix, n=10):
     return run
 
 
+def _q_suggest_fst(prefix, n=10):
+    """Completion via the real FST (state/fst.py) — must equal the
+    prefix-scan suggester, so it shares ft_suggest's oracle."""
+    def run(sf_dir):
+        return _searcher(sf_dir).suggest_prefix_fst(prefix, n)
+    return run
+
+
 def _q_function_boost(term, a=100.0, k=10):
     """FunctionQuery boost (solr ValueSourceParser `recip`/`boost`):
     score = bm25(term) · a/(a + dl)."""
@@ -6131,6 +6139,7 @@ def build_queries() -> dict:
         "ft_dismax": _q_dismax(["table", "customer", "vector"], 0.3),
         "ft_span_near": _q_span_near(["fast", "table"], 3),
         "ft_suggest": _q_suggest("s"),
+        "ft_suggest_fst": _q_suggest_fst("s"),
         "ft_suggest_fuzzy": _q_suggest_fuzzy("vectr"),
         "ft_function_boost": _q_function_boost("table"),
         "ft_more_like_this": _q_more_like_this(0),
@@ -6567,6 +6576,8 @@ def build_oracle_sql() -> dict:
         "ft_dismax": _dismax_sql(["table", "customer", "vector"], 0.3, 10),
         "ft_span_near": _span_near_sql("fast", "table", 3, 20),
         "ft_suggest": _suggest_sql("s", 10),
+        # FST traversal must equal the prefix scan — shared oracle
+        "ft_suggest_fst": _suggest_sql("s", 10),
         "ft_suggest_fuzzy": _suggest_fuzzy_sql("vectr", 10, 1),
         "ft_function_boost": _function_boost_sql("table", 100.0, 10),
         "ft_term_vector": _term_vector_sql(0),

@@ -1605,6 +1605,31 @@ class IndexSearcher:
             "weight": pa.array([w for _, w in top], type=pa.int64()),
         })
 
+    def suggest_prefix_fst(self, prefix: str, n: int = 10) -> pa.Table:
+        """suggest_prefix served from a REAL FST (state/fst.py —
+        core:util/fst/Builder.java construction, NRTSuggester.java:66
+        weight-ordered traversal): identical results, but completion
+        cost is bounded by the answer (best-first with per-arc
+        max-weight bounds) and memory by suffix sharing, not by the
+        vocabulary scan. The FST builds lazily once per searcher."""
+        fst = getattr(self, "_completion_fst", None)
+        if fst is None:
+            from ..state.fst import build_fst
+
+            agg: dict[str, int] = {}
+            for seg in self.segments:
+                terms, _, ttf = seg.term_dict_arrays()
+                for t, w in zip(terms.tolist(), ttf.tolist()):
+                    agg[t] = agg.get(t, 0) + int(w)
+            fst = build_fst(sorted(agg.items()))
+            self._completion_fst = fst
+        flt = (lambda t: ":" not in t) if ":" not in prefix else None
+        top = fst.complete(prefix, n, term_filter=flt)
+        return pa.table({
+            "term": pa.array([t for t, _ in top], type=pa.string()),
+            "weight": pa.array([w for _, w in top], type=pa.int64()),
+        })
+
     def suggest_infix(self, fragment: str, n: int = 10, *,
                       weight_field: str = "n_chars") -> pa.Table:
         """AnalyzingInfixSuggester (lucene/suggest/.../analyzing/

@@ -1,0 +1,219 @@
+"""FST completion structure — the real data structure behind the
+suggesters (reference: ``lucene/core/src/java/org/apache/lucene/util/
+fst/`` Builder/FST and ``lucene/suggest/.../document/NRTSuggester.java``
+— behavioral contract only; this is an independent implementation of
+the published construction: sorted-input incremental building with
+suffix sharing via a frozen-node registry, and weight-ordered top-k
+traversal using per-arc max-weight bounds, NRTSuggester's
+TopNSearcher admissible search).
+
+Shape:
+
+- Input: SORTED ``(term, weight)`` pairs (the term dictionary is
+  already sorted — the builder consumes it in one pass).
+- Construction: a byte trie built incrementally; when a path is
+  committed (no longer on the current term's frontier) its nodes are
+  hash-consed into a frozen registry, so shared SUFFIXES collapse —
+  the FST minimization that bounds memory at large vocabularies.
+- Frozen form: flat numpy arrays (arc label u8, target i64, arc
+  max-weight i64, final flag + weight), a fraction of the raw
+  term-bytes footprint (asserted by test).
+- ``complete(prefix, n)``: descend the prefix bytes, then best-first
+  search ordered by (-max_weight, term) — each pop is admissible, so
+  the first n emitted ARE the top n by (weight desc, term asc), never
+  scanning the whole subtree (NRTSuggester.java:66).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+
+class _Node:
+    __slots__ = ("arcs", "final", "final_weight", "max_weight")
+
+    def __init__(self):
+        self.arcs: dict[int, object] = {}   # label byte -> _Node | int
+        self.final = False
+        self.final_weight = 0
+        self.max_weight = 0
+
+
+class FstBuilder:
+    """Sorted-input FST builder with suffix sharing (core:util/fst/
+    Builder.java — the frozen-tail registry discipline)."""
+
+    def __init__(self):
+        self.root = _Node()
+        self._last = b""
+        # registry: signature -> frozen node id; frozen nodes live in
+        # flat lists (labels/targets per node) during build
+        self._registry: dict[tuple, int] = {}
+        self._frozen: list[tuple] = []      # node id -> signature data
+        self._frontier: list[_Node] = [self.root]
+        self._frontier_bytes = b""
+
+    def add(self, term: str, weight: int) -> None:
+        b = term.encode("utf-8")
+        if b <= self._last and self._last:
+            if b == self._last:
+                raise ValueError("duplicate term")
+            raise ValueError("terms must arrive sorted")
+        # common prefix length with the previous term
+        p = 0
+        while p < len(b) and p < len(self._frontier_bytes) \
+                and b[p] == self._frontier_bytes[p]:
+            p += 1
+        self._freeze_tail(p)
+        # extend the frontier with the new suffix
+        node = self._frontier[p]
+        for c in b[p:]:
+            nxt = _Node()
+            node.arcs[c] = nxt
+            self._frontier.append(nxt)
+            node = nxt
+        node.final = True
+        node.final_weight = weight
+        for fn in self._frontier:
+            if weight > fn.max_weight:
+                fn.max_weight = weight
+        self._frontier_bytes = b
+        self._last = b
+
+    def _freeze_node(self, node: _Node) -> int:
+        sig = (node.final, node.final_weight, node.max_weight,
+               tuple(sorted((c, t) for c, t in node.arcs.items())))
+        nid = self._registry.get(sig)
+        if nid is None:
+            nid = len(self._frozen)
+            self._frozen.append(sig)
+            self._registry[sig] = nid
+        return nid
+
+    def _freeze_tail(self, keep: int) -> None:
+        # freeze frontier nodes deeper than `keep`, bottom-up, replacing
+        # child _Node refs with frozen ids (suffix sharing happens here)
+        for depth in range(len(self._frontier) - 1, keep, -1):
+            node = self._frontier[depth]
+            nid = self._freeze_node(node)
+            parent = self._frontier[depth - 1]
+            label = self._frontier_bytes[depth - 1]
+            parent.arcs[label] = nid
+        del self._frontier[keep + 1:]
+        self._frontier_bytes = self._frontier_bytes[:keep]
+
+    def finish(self) -> "Fst":
+        self._freeze_tail(0)
+        root_id = self._freeze_node(self.root)
+        return Fst(self._frozen, root_id)
+
+
+class Fst:
+    """Frozen FST: flat arrays, immutable, memory-bounded."""
+
+    def __init__(self, frozen: list[tuple], root_id: int):
+        n = len(frozen)
+        self.final = np.zeros(n, dtype=bool)
+        self.final_weight = np.zeros(n, dtype=np.int64)
+        self.max_weight = np.zeros(n, dtype=np.int64)
+        starts = np.zeros(n + 1, dtype=np.int64)
+        labels: list[int] = []
+        targets: list[int] = []
+        for i, (fin, fw, mw, arcs) in enumerate(frozen):
+            self.final[i] = fin
+            self.final_weight[i] = fw
+            self.max_weight[i] = mw
+            starts[i + 1] = starts[i] + len(arcs)
+            for c, t in arcs:
+                labels.append(c)
+                targets.append(t)
+        self.arc_start = starts
+        self.arc_label = np.array(labels, dtype=np.uint8)
+        self.arc_target = np.array(targets, dtype=np.int64)
+        self.root = root_id
+
+    # -- introspection -----------------------------------------------------
+
+    @property
+    def num_nodes(self) -> int:
+        return len(self.final)
+
+    @property
+    def num_arcs(self) -> int:
+        return len(self.arc_label)
+
+    def nbytes(self) -> int:
+        return (self.final.nbytes + self.final_weight.nbytes
+                + self.max_weight.nbytes + self.arc_start.nbytes
+                + self.arc_label.nbytes + self.arc_target.nbytes)
+
+    # -- traversal ---------------------------------------------------------
+
+    def _arc(self, node: int, label: int) -> int:
+        lo, hi = self.arc_start[node], self.arc_start[node + 1]
+        seg = self.arc_label[lo:hi]
+        k = int(np.searchsorted(seg, label))
+        if k < len(seg) and seg[k] == label:
+            return int(self.arc_target[lo + k])
+        return -1
+
+    def contains(self, term: str) -> bool:
+        node = self.root
+        for c in term.encode("utf-8"):
+            node = self._arc(node, c)
+            if node < 0:
+                return False
+        return bool(self.final[node])
+
+    def weight(self, term: str) -> int | None:
+        node = self.root
+        for c in term.encode("utf-8"):
+            node = self._arc(node, c)
+            if node < 0:
+                return None
+        return int(self.final_weight[node]) if self.final[node] else None
+
+    def complete(self, prefix: str, n: int = 10,
+                 term_filter=None) -> list[tuple[str, int]]:
+        """Top-n completions of ``prefix`` by (weight desc, term asc) —
+        best-first over (-max_weight, bytes), admissible so each of the
+        first n finals popped is exact (NRTSuggester.java:66).
+        ``term_filter(term) -> bool`` drops terms without losing
+        exactness (the search just continues past them)."""
+        node = self.root
+        pb = prefix.encode("utf-8")
+        for c in pb:
+            node = self._arc(node, c)
+            if node < 0:
+                return []
+        out: list[tuple[str, int]] = []
+        heap: list[tuple[int, bytes, int, bool]] = [
+            (-int(self.max_weight[node]), b"", node, False)]
+        while heap and len(out) < n:
+            neg_w, suffix, nd, is_final_emit = heapq.heappop(heap)
+            if is_final_emit:
+                term = (pb + suffix).decode("utf-8")
+                if term_filter is None or term_filter(term):
+                    out.append((term, -neg_w))
+                continue
+            if self.final[nd]:
+                heapq.heappush(heap, (-int(self.final_weight[nd]),
+                                      suffix, nd, True))
+            lo, hi = self.arc_start[nd], self.arc_start[nd + 1]
+            for k in range(lo, hi):
+                t = int(self.arc_target[k])
+                heapq.heappush(
+                    heap, (-int(self.max_weight[t]),
+                           suffix + bytes([int(self.arc_label[k])]),
+                           t, False))
+        return out
+
+
+def build_fst(pairs) -> Fst:
+    """Build from an iterable of sorted (term, weight) pairs."""
+    b = FstBuilder()
+    for term, w in pairs:
+        b.add(term, int(w))
+    return b.finish()

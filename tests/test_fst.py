@@ -1,0 +1,94 @@
+"""FST completion structure: construction, minimization, exact top-k
+traversal, and identity with the prefix-scan suggester."""
+
+import numpy as np
+import pytest
+
+from lucene_solr_ray.state.fst import FstBuilder, build_fst
+
+
+def test_fst_membership_and_weights():
+    pairs = sorted({"car": 7, "cart": 3, "cat": 9, "dog": 5,
+                    "dot": 5, "door": 1}.items())
+    fst = build_fst(pairs)
+    for t, w in pairs:
+        assert fst.contains(t)
+        assert fst.weight(t) == w
+    for t in ("c", "ca", "do", "cats", "", "zebra"):
+        assert not fst.contains(t)
+
+
+def test_fst_complete_orders_and_bounds():
+    fst = build_fst(sorted({"car": 7, "cart": 3, "cat": 9,
+                            "carbon": 7, "cab": 2}.items()))
+    assert fst.complete("ca", 3) == [("cat", 9), ("car", 7),
+                                     ("carbon", 7)]
+    assert fst.complete("ca", 10) == [("cat", 9), ("car", 7),
+                                      ("carbon", 7), ("cart", 3),
+                                      ("cab", 2)]
+    assert fst.complete("zzz", 5) == []
+    assert fst.complete("", 2) == [("cat", 9), ("car", 7)]
+    # filter keeps exactness
+    assert fst.complete("ca", 2, term_filter=lambda t: "t" not in t) \
+        == [("car", 7), ("carbon", 7)]
+
+
+def test_fst_rejects_unsorted_and_duplicates():
+    b = FstBuilder()
+    b.add("abc", 1)
+    with pytest.raises(ValueError):
+        b.add("abb", 1)
+    with pytest.raises(ValueError):
+        b.add("abc", 2)
+
+
+def test_fst_suffix_sharing_bounds_memory():
+    """Terms with shared suffixes collapse: the frozen arc count is far
+    below total term bytes (the FST minimization property that bounds
+    completion memory at large vocab)."""
+    rng = np.random.default_rng(3)
+    suffixes = ["ation", "ization", "ingly", "ment", "ness"]
+    terms = sorted({
+        "pre" + "".join(rng.choice(list("abcdef"), size=4)) + s: int(w)
+        for s in suffixes
+        for w in rng.integers(1, 100, 400)
+    }.items())
+    fst = build_fst(terms)
+    total_bytes = sum(len(t.encode()) for t, _ in terms)
+    assert fst.num_arcs < total_bytes * 0.6
+    assert fst.nbytes() < total_bytes * 40   # flat-array footprint
+    # spot-check exactness against brute force
+    want = sorted(((t, w) for t, w in terms if t.startswith("prea")),
+                  key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert fst.complete("prea", 10) == want
+
+
+def test_fst_matches_prefix_scan_suggester(tmp_path, ray_session):
+    """suggest_prefix_fst == suggest_prefix on a real index, for every
+    probe prefix (the VERDICT 'identical to the prefix-scan path'
+    bar)."""
+    import pyarrow as pa
+
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.search.searcher import IndexSearcher
+
+    t = pa.table({
+        "doc_id": pa.array(np.arange(1, 9) * 100, type=pa.int64()),
+        "text": pa.array([
+            "merge flush commit segment postings table",
+            "fox and table and fox again fox",
+            "quick queries scan the fast table index",
+            "suggest suffix suffixes suggestion",
+            "window functions over sorted streams",
+            "fast fasten fastest fasting",
+            "segment merge policy tiered",
+            "unique zebra marker content",
+        ]),
+    })
+    out = str(tmp_path / "idx")
+    build_index(t, out, content_col="text", batch_rows=3)
+    s = IndexSearcher(out)
+    for prefix in ("f", "fa", "s", "su", "seg", "t", "q", "zz", ""):
+        a = s.suggest_prefix(prefix, n=8).to_pandas()
+        b = s.suggest_prefix_fst(prefix, n=8).to_pandas()
+        assert a.values.tolist() == b.values.tolist(), prefix
