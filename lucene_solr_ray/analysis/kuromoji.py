@@ -117,6 +117,10 @@ class JapaneseDictionary:
         self.entries: dict[str, list[tuple]] = {}
         self.max_len = 0
         self.conn: dict[tuple[int, int], int] = {}
+        # optional char.def overrides (build_mecab_dictionary fills
+        # these from a real dictionary source; None -> module defaults)
+        self.class_flags: dict[str, tuple[bool, bool]] | None = None
+        self.char_ranges: list[tuple[int, int, str]] | None = None
         # unknown defs: class -> (left_id, right_id, word_cost, pos)
         self.unknown = {
             "KANJI": (10, 10, 15000, "名詞"),
@@ -208,6 +212,17 @@ def japanese_tokenize(text: str, dic: JapaneseDictionary | None = None,
         raise ValueError(f"unknown mode {mode!r}")
     search = mode in ("search", "extended")
     extended = mode == "extended"
+    flags = {**_CLASS_FLAGS, **(dic.class_flags or {})}
+
+    if dic.char_ranges:
+        def cclass(c: str) -> str:
+            o = ord(c)
+            for lo, hi, cls in dic.char_ranges:
+                if lo <= o <= hi:
+                    return cls
+            return "DEFAULT"
+    else:
+        cclass = _char_class
     n = len(text)
     if n == 0:
         return []
@@ -232,7 +247,7 @@ def japanese_tokenize(text: str, dic: JapaneseDictionary | None = None,
                 frag = text[pos:end]
                 pen = _penalty(
                     len(frag),
-                    all_kanji=all(_char_class(c) == "KANJI" for c in frag))
+                    all_kanji=all(cclass(c) == "KANJI" for c in frag))
             for prev_rid, (pcost, *_rest) in nodes[pos].items():
                 cost = pcost + dic.connection_cost(prev_rid, lid) \
                     + wcost + pen
@@ -250,8 +265,8 @@ def japanese_tokenize(text: str, dic: JapaneseDictionary | None = None,
         # (b) unknown arc over the same-class run (UnknownDictionary
         # .lookup semantics, :811-849)
         first = text[pos]
-        cls = _char_class(first)
-        invoke, group = _CLASS_FLAGS[cls]
+        cls = cclass(first)
+        invoke, group = flags.get(cls, _CLASS_FLAGS["DEFAULT"])
         if not any_match or invoke:
             if not group:
                 unk_len = 1
@@ -262,11 +277,12 @@ def japanese_tokenize(text: str, dic: JapaneseDictionary | None = None,
                     if unk_len >= MAX_UNKNOWN_WORD_LENGTH:
                         break
                     c = text[ahead]
-                    if _char_class(c) == cls and _is_punct(c) == is_p:
+                    if cclass(c) == cls and _is_punct(c) == is_p:
                         unk_len += 1
                     else:
                         break
-            lid, rid, wcost, pos_tag = dic.unknown[cls]
+            lid, rid, wcost, pos_tag = dic.unknown.get(
+                cls, dic.unknown["DEFAULT"])
             relax(pos + unk_len, (lid, rid, wcost, pos_tag, None, None),
                   "UNKNOWN")
 
@@ -396,3 +412,147 @@ def reading_form(tokens: list[Token], use_romaji: bool = False) -> list[str]:
         else:
             out.append(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# MeCab dictionary builder (the reference ships
+# kuromoji/src/tools/.../DictionaryBuilder.java; the SOURCE format —
+# MeCab-IPADIC CSVs + matrix.def + unk.def + char.def — is public, so a
+# real dictionary drops straight in)
+
+
+def _mecab_csv_parse(line: str) -> list[str]:
+    """MeCab CSV rules (tools CSVUtil.java behavioral contract): comma
+    separated; a field may be quoted with '\"' and embedded quotes
+    double ('\"\"')."""
+    out: list[str] = []
+    i, n = 0, len(line)
+    while i <= n:
+        if i < n and line[i] == '"':
+            buf = []
+            i += 1
+            while i < n:
+                if line[i] == '"':
+                    if i + 1 < n and line[i + 1] == '"':
+                        buf.append('"')
+                        i += 2
+                        continue
+                    i += 1
+                    break
+                buf.append(line[i])
+                i += 1
+            out.append("".join(buf))
+            i += 1  # skip the comma
+        else:
+            j = line.find(",", i)
+            if j < 0:
+                out.append(line[i:])
+                break
+            out.append(line[i:j])
+            i = j + 1
+    return out
+
+
+def _entry_from_csv(e: list[str]) -> tuple[str, tuple]:
+    """IPADIC 13-field row → add_entry args
+    (TokenInfoDictionaryBuilder.java:98-126,195-230 field layout:
+    0 surface, 1 leftId, 2 rightId, 3 wordCost, 4-7 POS hierarchy,
+    8-9 conjugation, 10 base form, 11 reading, 12 pronunciation)."""
+    surface = e[0]
+    pos = "-".join(x for x in e[4:8] if x and x != "*") or e[4]
+    base = e[10] if len(e) > 10 and e[10] not in ("", "*") else None
+    reading = e[11] if len(e) > 11 and e[11] not in ("", "*") else None
+    return surface, (int(e[1]), int(e[2]), int(e[3]), pos, base,
+                     reading)
+
+
+def build_mecab_dictionary(dirname: str, *, encoding: str = "euc-jp",
+                           normalize: bool = False) -> JapaneseDictionary:
+    """Compile a MeCab-IPADIC source directory (``*.csv`` lexicon
+    files, ``matrix.def`` connection costs, ``unk.def`` unknown-word
+    costs, ``char.def`` character classes) into a
+    :class:`JapaneseDictionary` — the role of the reference's
+    DictionaryBuilder tool chain (TokenInfoDictionaryBuilder /
+    ConnectionCostsBuilder / UnknownDictionaryBuilder /
+    CharacterDefinitionWriter). ``normalize=True`` mirrors the
+    builder's NFKC option: entries whose surface is not NFKC-normal
+    are ALSO added in normalized form."""
+    import os
+    import unicodedata as _ud
+
+    d = JapaneseDictionary()
+
+    for name in sorted(os.listdir(dirname)):
+        if not name.endswith(".csv"):
+            continue
+        with open(os.path.join(dirname, name), encoding=encoding) as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                e = _mecab_csv_parse(line)
+                if len(e) < 13:
+                    continue
+                surface, args = _entry_from_csv(e)
+                d.add_entry(surface, *args)
+                if normalize and not _ud.is_normalized("NFKC", surface):
+                    ne = [_ud.normalize("NFKC", x) for x in e]
+                    nsurf, nargs = _entry_from_csv(ne)
+                    d.add_entry(nsurf, *nargs)
+
+    matrix = os.path.join(dirname, "matrix.def")
+    if os.path.exists(matrix):
+        with open(matrix, encoding="ascii") as f:
+            header = f.readline()  # "forward backward" sizes
+            assert len(header.split()) == 2
+            for line in f:
+                parts = line.split()
+                if len(parts) == 3:
+                    # rcAttr(prev word) lcAttr(next word) cost
+                    d.set_connection(int(parts[0]), int(parts[1]),
+                                     int(parts[2]))
+
+    unk = os.path.join(dirname, "unk.def")
+    if os.path.exists(unk):
+        best: dict[str, tuple] = {}
+        with open(unk, encoding=encoding) as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                e = _mecab_csv_parse(line)
+                if len(e) < 5:
+                    continue
+                cls = e[0]
+                row = (int(e[1]), int(e[2]), int(e[3]),
+                       "-".join(x for x in e[4:8]
+                                if x and x != "*") or e[4])
+                # keep the cheapest row per class (the reference keeps
+                # all; one suffices for the single-arc unknown model)
+                if cls not in best or row[2] < best[cls][2]:
+                    best[cls] = row
+        if best:
+            d.unknown = {**d.unknown, **best}
+
+    chardef = os.path.join(dirname, "char.def")
+    if os.path.exists(chardef):
+        flags: dict[str, tuple[bool, bool]] = {}
+        ranges: list[tuple[int, int, str]] = []
+        with open(chardef, encoding=encoding) as f:
+            for line in f:
+                line = line.split("#", 1)[0].strip()
+                if not line:
+                    continue
+                parts = line.split()
+                if parts[0].startswith("0x"):
+                    span = parts[0].split("..")
+                    lo = int(span[0], 16)
+                    hi = int(span[1], 16) if len(span) > 1 else lo
+                    ranges.append((lo, hi, parts[1]))
+                elif len(parts) >= 4 and parts[1] in ("0", "1"):
+                    flags[parts[0]] = (parts[1] == "1", parts[2] == "1")
+        if flags:
+            d.class_flags = flags
+        if ranges:
+            d.char_ranges = sorted(ranges)
+    return d

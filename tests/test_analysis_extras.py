@@ -396,3 +396,69 @@ def test_indic_normalize_script_isolation():
     assert indic_normalize(deva_qa) == "क़"
     mixed = "अা"         # Devanagari A + BENGALI sign AA
     assert indic_normalize(mixed) == mixed
+
+
+def test_mecab_dictionary_builder_roundtrip(tmp_path):
+    """build_mecab_dictionary compiles a MeCab-IPADIC source dir (the
+    public CSV/matrix.def/unk.def/char.def format the reference's
+    DictionaryBuilder tool consumes) and the tokenizer reproduces the
+    reference's classic test segmentations with it."""
+    from lucene_solr_ray.analysis.kuromoji import (
+        build_mecab_dictionary, japanese_tokenize)
+
+    d = tmp_path / "ipadic"
+    d.mkdir()
+    # IPADIC 13-field rows; one quoted field with an embedded comma
+    (d / "Noun.csv").write_text(
+        "関西国際空港,1,1,2000,名詞,固有名詞,*,*,*,*,*,"
+        "カンサイコクサイクウコウ,カンサイコクサイクーコー\n"
+        "関西,1,1,3000,名詞,一般,*,*,*,*,*,カンサイ,カンサイ\n"
+        "国際,1,1,3000,名詞,一般,*,*,*,*,*,コクサイ,コクサイ\n"
+        "空港,1,1,3000,名詞,一般,*,*,*,*,*,クウコウ,クーコー\n"
+        '"te,st",1,1,9000,名詞,一般,*,*,*,*,*,*,*\n',
+        encoding="utf-8")
+    (d / "Verb.csv").write_text(
+        "行っ,3,4,2500,動詞,自立,*,*,五段・カ行促音便,連用タ接続,"
+        "行く,イッ,イッ\n",
+        encoding="utf-8")
+    (d / "Aux.csv").write_text(
+        "た,4,2,800,助動詞,*,*,*,特殊・タ,基本形,た,タ,タ\n"
+        "に,2,2,1000,助詞,格助詞,*,*,*,*,に,ニ,ニ\n",
+        encoding="utf-8")
+    (d / "matrix.def").write_text(
+        "6 6\n4 4 -800\n1 2 -500\n", encoding="ascii")
+    (d / "unk.def").write_text(
+        "KANJI,10,10,15000,名詞,一般,*,*,*,*,*,*,*\n"
+        "KATAKANA,12,12,11000,名詞,一般,*,*,*,*,*,*,*\n"
+        "DEFAULT,16,16,15000,記号,一般,*,*,*,*,*,*,*\n",
+        encoding="utf-8")
+    (d / "char.def").write_text(
+        "KANJI 0 0 2\nKATAKANA 1 1 2\nDEFAULT 0 1 0\n"
+        "0x4E00..0x9FFF KANJI\n0x30A1..0x30FF KATAKANA\n",
+        encoding="utf-8")
+
+    dic = build_mecab_dictionary(str(d), encoding="utf-8")
+    assert dic.max_len == len("関西国際空港")
+    assert "te,st" in dic.entries          # quoted-comma CSV field
+    assert dic.connection_cost(4, 4) == -800
+    assert dic.class_flags["KATAKANA"] == (True, True)
+
+    # the reference's signature segmentation pair: NORMAL keeps the
+    # compound, SEARCH mode decompounds it
+    # (TestJapaneseTokenizer.testDecomposition semantics)
+    normal = [t.surface for t in japanese_tokenize(
+        "関西国際空港", dic, mode="normal")]
+    assert normal == ["関西国際空港"]
+    search = [t.surface for t in japanese_tokenize(
+        "関西国際空港", dic, mode="search")]
+    assert search == ["関西", "国際", "空港"]
+
+    # inflected verb + auxiliary via matrix costs, base form attribute
+    toks = japanese_tokenize("行った", dic, mode="search")
+    assert [t.surface for t in toks] == ["行っ", "た"]
+    assert toks[0].base_form == "行く"
+
+    # unknown katakana run groups via the compiled char.def
+    unk = japanese_tokenize("グーグル", dic, mode="search")
+    assert [t.surface for t in unk] == ["グーグル"]
+    assert unk[0].type == "UNKNOWN"
