@@ -538,18 +538,34 @@ def ann_ivf_topk(sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES,
 
     class Score:
         def __init__(self, ref):
-            self.C, self.qids, self.Q, self.probe = ray.get(ref)
+            self.C, self.qids, self.Q, probe = ray.get(ref)
+            # (n_q, nlist) probe membership — applied as one mask
+            # gather instead of per-query np.isin
+            pm = np.zeros((len(self.qids), len(self.C)), dtype=bool)
+            for qi, lists in enumerate(probe):
+                pm[qi, lists] = True
+            self.probe_mask = pm
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids, B = _emb_matrix(batch)
+            if len(ids) == 0:
+                return pa.table({
+                    "qid": pa.array([], type=pa.int64()),
+                    "nid": pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.float64())})
             assign = np.argmax(_cosine(B, self.C), axis=1)
+            # ONE matmul for every query against the batch; the probed
+            # subset is a mask gather (the per-query matmul loop the
+            # round-2 review flagged is gone)
+            S_all = _cosine(self.Q, B)
+            in_probe = self.probe_mask[:, assign]     # (n_q, n_b)
             rows_q, rows_n, rows_s = [], [], []
             for qi in range(len(self.qids)):
-                mask = np.isin(assign, self.probe[qi])
-                if not mask.any():
+                sel = np.flatnonzero(in_probe[qi])
+                if not len(sel):
                     continue
-                S = _cosine(self.Q[qi:qi + 1], B[mask])[0]
-                cand_ids = ids[mask]
+                S = S_all[qi, sel]
+                cand_ids = ids[sel]
                 kk = min(k + 1, len(S))
                 part = _topk_keep_ties(S, kk)
                 rows_q.extend([int(self.qids[qi])] * len(part))

@@ -1,0 +1,52 @@
+"""Synthesize an sf1-scale dataset (10x sf0.1) under /tmp/sf1 by
+concatenating key-shifted copies — deterministic, foreign keys stay
+consistent (shifted copies reference shifted parents; the dimension
+tables region/nation keep their original keys)."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/sf1"
+COPIES = 10
+
+SHIFTS = {
+    "customer": {"c_custkey": 1_000_000},
+    "supplier": {"s_suppkey": 1_000_000},
+    "part": {"p_partkey": 1_000_000},
+    "orders": {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
+    "lineitem": {"l_orderkey": 10_000_000, "l_partkey": 1_000_000,
+                 "l_suppkey": 1_000_000},
+    "events": {"event_id": 10_000_000, "user_id": 1_000_000},
+    "documents": {"doc_id": 10_000_000},
+    "embeddings": {"vec_id": 10_000_000},
+}
+
+
+def main():
+    os.makedirs(DST, exist_ok=True)
+    for t in ("region", "nation"):
+        pq.write_table(pq.read_table(f"{SRC}/{t}.parquet"),
+                       f"{DST}/{t}.parquet")
+    for t, shifts in SHIFTS.items():
+        src = pq.read_table(f"{SRC}/{t}.parquet")
+        parts = []
+        for i in range(COPIES):
+            tab = src
+            for col, step in shifts.items():
+                idx = tab.schema.get_field_index(col)
+                shifted = pc.add(tab[col], pa.scalar(i * step,
+                                                     tab[col].type))
+                tab = tab.set_column(idx, col, shifted)
+            parts.append(tab)
+        out = pa.concat_tables(parts)
+        pq.write_table(out, f"{DST}/{t}.parquet")
+        print(t, out.num_rows)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+"""sf1 soak: run EVERY queries() entry against the 10x-scaled dataset,
+record per-entry wall seconds, flag slow/failed entries. Results land
+in SOAK path given by argv[2] (default SOAK_sf1_r03.json)."""
+
+import json
+import os
+import signal
+import sys
+import time
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "SOAK_sf1_r03.json"
+    limit_s = int(os.environ.get("SOAK_LIMIT_S", "360"))
+
+    import ray
+    ray.init(address="local",
+             num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "16")),
+             include_dashboard=False, logging_level="ERROR")
+    import __ray_entry__ as e
+    qs = e.queries()
+
+    class Timeout(Exception):
+        pass
+
+    def alarm(_sig, _frm):
+        raise Timeout()
+
+    signal.signal(signal.SIGALRM, alarm)
+    results = {}
+    names = sorted(qs)
+    for i, name in enumerate(names):
+        t0 = time.time()
+        status = "ok"
+        rows = -1
+        try:
+            signal.alarm(limit_s)
+            r = qs[name](sf)
+            if hasattr(r, "to_pandas"):
+                r = r.to_pandas()
+            rows = len(r)
+        except Timeout:
+            status = f"timeout>{limit_s}s"
+        except Exception as ex:
+            status = f"err:{type(ex).__name__}:{str(ex)[:120]}"
+        finally:
+            signal.alarm(0)
+        dt = round(time.time() - t0, 2)
+        results[name] = {"sec": dt, "rows": rows, "status": status}
+        print(f"[{i+1}/{len(names)}] {name}: {dt}s rows={rows} "
+              f"{status}", flush=True)
+        with open(out_path, "w") as f:
+            json.dump({"sf_dir": sf, "limit_s": limit_s,
+                       "results": results}, f, indent=1)
+    slow = {k: v for k, v in results.items() if v["sec"] > 300}
+    bad = {k: v for k, v in results.items() if v["status"] != "ok"}
+    print("SLOW(>300s):", json.dumps(slow))
+    print("NON-OK:", json.dumps(bad))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
