@@ -276,8 +276,13 @@ def write_segment(table: pa.Table, segments_root: str, seg_name: str, *,
     ``keyword_cols`` are indexed as untokenized single-token fields — the
     StringField discipline (core:document/StringField, omitNorms, a single
     position) — as field-prefixed terms ``"<col>:<value>"`` in the same
-    postings table (':' cannot occur in analyzed tokens, so the namespaces
-    are disjoint and per-field statistics fall out of per-term stats).
+    postings table. Under the ascii tokenizer ':' could never occur in
+    analyzed tokens; the uax29 default CAN emit mid-letter colons
+    (UAX#29 WB6/7, e.g. "a:b"), so the namespaces collide only if a
+    document literally contains ``<keyword-col-name>:<value>`` with no
+    surrounding spaces — acceptable and documented (Lucene field
+    separation is structural; this engine's single-table encoding trades
+    that corner for one postings layout).
     They serve FILTER clauses and result facets; their postings' norm
     bytes carry the doc's content norm and are not used for scoring.
 
