@@ -309,21 +309,90 @@ def minhash_lsh_pairs(sf_dir: str, *, verify: str = "join") -> pa.Table:
     bands_ds = sh_ds.map_batches(_band_stage, batch_format="pyarrow")
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].tolist())
-        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
-        if not out:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64")})
-        return pd.DataFrame(out, columns=["a", "b"])
+        ids = np.sort(g["doc_id"].to_numpy(np.int64))
+        iu = np.triu_indices(len(ids), 1)
+        return pd.DataFrame({"a": ids[iu[0]], "b": ids[iu[1]]})
+
+    def partial_dedup(t: pa.Table) -> pa.Table:
+        # per-block pair dedup BEFORE the global groupby — a pair can
+        # repeat once per band (16×); shrinking blocks first keeps the
+        # two-column sort shuffle from blowing up on a dup-heavy corpus
+        # (measured at sf1: the un-shrunk shuffle was the scale cliff)
+        arr = np.stack([np.asarray(t["a"], dtype=np.int64),
+                        np.asarray(t["b"], dtype=np.int64)], axis=1)
+        u = np.unique(arr, axis=0)
+        return pa.table({"a": pa.array(u[:, 0], pa.int64()),
+                         "b": pa.array(u[:, 1], pa.int64())})
 
     cand = (bands_ds.groupby(["band", "bh"])
-            .map_groups(emit_pairs, batch_format="pandas"))
+            .map_groups(emit_pairs, batch_format="pandas")
+            .map_batches(partial_dedup, batch_format="pyarrow"))
 
     if verify == "join":
         # dedup candidate pairs via a tiny groupby, then two hash joins
         uniq = cand.groupby(["a", "b"]).count().map_batches(
             lambda t: t.select(["a", "b"]), batch_format="pyarrow")
-        df = _verify_pairs_join(uniq, sh_ds, JACCARD_THRESHOLD)
+        # identical-set shortcut: docs whose shingle SETS are equal
+        # (digest-equal) have Jaccard EXACTLY 1 — on a dup-heavy corpus
+        # most candidate pairs are such, and they skip the shingle join
+        # entirely. The digest map broadcasts only under the usual
+        # id-broadcast bound; beyond it everything takes the join path.
+        dig_ref = None
+        n_docs = sh_ds.count()
+        if n_docs <= ID_BROADCAST_LIMIT:
+            import ray
+
+            def digests(t: pa.Table) -> pa.Table:
+                col = t["shingles"]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                offs = np.asarray(col.offsets)
+                vals = np.asarray(col.values, dtype=np.uint64)
+                out = np.empty(len(t), dtype=np.int64)
+                for i in range(len(t)):
+                    h = hashlib.blake2b(
+                        vals[offs[i]:offs[i + 1]].tobytes(),
+                        digest_size=8).digest()
+                    out[i] = int.from_bytes(h, "little", signed=True)
+                return pa.table({"doc_id": t["doc_id"],
+                                 "dg": pa.array(out, pa.int64())})
+
+            dmap = (sh_ds.map_batches(digests, batch_format="pyarrow")
+                    .to_pandas())
+            dids = dmap["doc_id"].to_numpy(np.int64)
+            order = np.argsort(dids)
+            dig_ref = ray.put((dids[order],
+                               dmap["dg"].to_numpy(np.int64)[order]))
+
+        if dig_ref is not None:
+            import ray as _ray
+
+            def split_identical(t: pa.Table) -> pa.Table:
+                ids_s, dgs = _ray.get(dig_ref)
+                a = np.asarray(t["a"], dtype=np.int64)
+                b = np.asarray(t["b"], dtype=np.int64)
+                da = dgs[np.searchsorted(ids_s, a)]
+                db = dgs[np.searchsorted(ids_s, b)]
+                same = da == db
+                return pa.table({"a": t["a"], "b": t["b"],
+                                 "identical": pa.array(same)})
+
+            # materialize the (bounded) marked pair set once — both
+            # filters below consume it, and leaving it lazy would
+            # re-execute the banding groupby per consumer
+            marked = uniq.map_batches(split_identical,
+                                      batch_format="pyarrow") \
+                .materialize()
+            ident_df = (marked.filter(expr="identical")
+                        .map_batches(lambda t: t.select(["a", "b"]),
+                                     batch_format="pyarrow").to_pandas())
+            ident_df["j_q"] = 10000
+            rest = marked.filter(expr="identical == False").map_batches(
+                lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+            ver_df = _verify_pairs_join(rest, sh_ds, JACCARD_THRESHOLD)
+            df = pd.concat([ident_df, ver_df], ignore_index=True)
+        else:
+            df = _verify_pairs_join(uniq, sh_ds, JACCARD_THRESHOLD)
         df = df.sort_values(["a", "b"])
         for c in ("a", "b", "j_q"):
             df[c] = df[c].astype("int64")
