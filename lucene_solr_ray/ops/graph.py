@@ -159,25 +159,52 @@ PR_BASE = 150_000               # (1 - d) * SCALE, d = 0.85
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
 
 
-def _event_edges(sf_dir: str):
-    """Symmetric bipartite edge list user↔event_type from events:
-    src/dst node labels 'u:<id>' / 'e:<type>', deduplicated by one
-    groupby. The symmetric closure guarantees every node has outdegree
-    ≥ 1 (no dangling-mass term needed)."""
+def _event_types(sf_dir: str) -> list[str]:
+    """Sorted distinct event types — a tiny constant-size artifact
+    (one cheap column scan with per-batch dedup)."""
     import pandas as pd
 
+    ds = _read(sf_dir, "events", ["event_type"])
+    t = (ds.map_batches(
+        lambda b: pa.table({"event_type": pa.array(
+            pd.unique(b["event_type"].to_pandas()))}),
+        batch_format="pyarrow").to_pandas())
+    return sorted(t["event_type"].drop_duplicates())
+
+
+def _event_edges_int(sf_dir: str):
+    """Symmetric bipartite edge list user↔event_type from events as
+    INT64 node ids — user node = user_id (≥ 0), event-type node =
+    -(sorted-rank+1) — deduplicated by one groupby. The symmetric
+    closure guarantees every node has outdegree ≥ 1 (no dangling-mass
+    term). All-int Arrow blocks by design: the sf1 soak measured Ray's
+    sort shuffle ~25x slower with string keys and ~10x slower again on
+    pandas-format blocks, so graph rounds keep both out of every
+    shuffle; labels are reattached only at the driver-sized tail.
+    Returns (edges_ds, types) with types the sorted distinct
+    event-type list (code -(i+1) ↔ types[i])."""
+    types = _event_types(sf_dir)
+    code_of = {t: -(i + 1) for i, t in enumerate(types)}
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
 
-    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
-        u = "u:" + df["user_id"].astype(np.int64).astype(str)
-        e = "e:" + df["event_type"].astype(str)
-        return pd.DataFrame({
-            "src": pd.concat([u, e], ignore_index=True),
-            "dst": pd.concat([e, u], ignore_index=True),
+    def to_edges(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        u = batch["user_id"].to_numpy()
+        et = pd.Series(batch["event_type"].to_pandas()).map(code_of) \
+            .to_numpy(np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate([u, et]), pa.int64()),
+            "dst": pa.array(np.concatenate([et, u]), pa.int64()),
         })
 
-    return (ds.map_batches(to_edges, batch_format="pandas")
-            .groupby(["src", "dst"]).count())
+    edges = (ds.map_batches(to_edges, batch_format="pyarrow")
+             .groupby(["src", "dst"]).count())
+    return edges, types
+
+
+def _node_label(ids: np.ndarray, types: list[str]) -> list[str]:
+    return [f"u:{i}" if i >= 0 else f"e:{types[-i - 1]}" for i in ids]
 
 
 def pagerank(sf_dir: str, iters: int = PAGERANK_ITERS,
@@ -188,16 +215,23 @@ def pagerank(sf_dir: str, iters: int = PAGERANK_ITERS,
     floor division and every combine is an integer sum, so the result
     is independent of batch/partition order — the property that lets
     the DuckDB twin reproduce it hash-exactly. Each round is ONE hash
-    join (rank onto edge source) plus ONE groupby-sum; the edge table
-    never reaches the driver; only the final top-k does."""
+    join (rank onto edge source) plus ONE groupby-sum over ALL-INT64
+    Arrow blocks (see _event_edges_int); the edge table never reaches
+    the driver; only the final top-k (plus its rank ties) does, where
+    node codes map back to labels. Ordering: (rank desc, node code
+    asc) — event-type nodes, coded negative, sort before users."""
     import pandas as pd
 
-    edges = _event_edges(sf_dir)
+    edges, types = _event_edges_int(sf_dir)
 
     def strip_cnt(t: pa.Table) -> pa.Table:
         return t.select(["src", "dst"])
 
-    edges = edges.map_batches(strip_cnt, batch_format="pyarrow")
+    # pin the deduplicated edge list: it feeds the degree groupby AND
+    # the join below, and Ray's sort re-executes a lazy upstream per
+    # consumer (sf1-measured multi-x)
+    edges = edges.map_batches(strip_cnt, batch_format="pyarrow") \
+        .materialize()
 
     deg = edges.groupby("src").count()
 
@@ -246,15 +280,29 @@ def pagerank(sf_dir: str, iters: int = PAGERANK_ITERS,
 
     top = (ranks.sort(["rank_u", "node"], descending=[True, False])
            .limit(k).to_pandas())
+    top["node"] = _node_label(top["node"].to_numpy(np.int64), types)
     return pa.Table.from_pandas(top, preserve_index=False)
+
+
+_INT_NODE_CTES = """types AS (SELECT event_type,
+             -CAST(row_number() OVER (ORDER BY event_type) AS BIGINT)
+                 AS code
+      FROM (SELECT DISTINCT event_type FROM events)),
+e0 AS (SELECT DISTINCT CAST(ev.user_id AS BIGINT) AS src,
+                       t.code AS dst
+       FROM events ev JOIN types t ON ev.event_type = t.event_type),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)"""
+
+_NODE_LABEL_SQL = ("CASE WHEN {c} >= 0 THEN 'u:' || CAST({c} AS VARCHAR) "
+                   "ELSE 'e:' || (SELECT event_type FROM types "
+                   "WHERE code = {c}) END")
 
 
 def pagerank_sql(iters: int = PAGERANK_ITERS, k: int = 20) -> str:
     """Twin: the identical integer recurrence as chained CTEs (fixed
-    iteration count, so no recursion needed)."""
-    ctes = ["""e0 AS (SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src,
-                     'e:' || event_type AS dst FROM events),
-edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    iteration count, so no recursion needed) over the SAME int64 node
+    codes (user_id / negative type rank), labels mapped at the tail."""
+    ctes = [_INT_NODE_CTES + """,
 deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
 r0 AS (SELECT src AS node, CAST(%d AS BIGINT) AS r FROM deg)""" % PR_SCALE]
     for i in range(1, iters + 1):
@@ -264,9 +312,10 @@ r0 AS (SELECT src AS node, CAST(%d AS BIGINT) AS r FROM deg)""" % PR_SCALE]
             f" // {PR_DAMP_DEN} AS r "
             f"FROM edges e JOIN r{i-1} r ON e.src = r.node "
             f"JOIN deg ON deg.src = e.src GROUP BY e.dst)")
+    label = _NODE_LABEL_SQL.format(c=f"r{iters}.node")
     return ("WITH " + ",\n".join(ctes) + f"""
-SELECT node, CAST(r AS BIGINT) AS rank_u
-FROM r{iters} ORDER BY r DESC, node LIMIT {k}
+SELECT {label} AS node, CAST(r AS BIGINT) AS rank_u
+FROM r{iters} ORDER BY r DESC, r{iters}.node LIMIT {k}
 """)
 
 
@@ -287,13 +336,26 @@ FROM r{iters} ORDER BY r DESC, node LIMIT {k}
 LP_ITERS = 3
 
 
+#: packed-argmax bounds: count < 2^31 and |label code| < 2^31 — the
+#: per-node neighbor-label argmax rides ONE int64 max aggregate
+#: (count-major, then smallest label), so every round is two all-int
+#: shuffles with no per-group Python. Document the bound: beyond 2^31
+#: nodes per community the pack must widen to a two-stage argmax.
+_LP_LAB_OFF = np.int64(1) << np.int64(31)
+
+
 def label_propagation(sf_dir: str, iters: int = LP_ITERS,
                       num_partitions: int = 8, k: int = 20) -> pa.Table:
     """Community sizes after `iters` synchronous label-propagation
-    rounds: (community, n_nodes), largest first, ties by label."""
+    rounds: (community, n_nodes), largest first, ties by label CODE
+    (event-type nodes, coded negative, before users — the int-node
+    discipline of _event_edges_int; the twin derives identical codes).
+    Each round: one hash join + groupby((dst,lab)).sum + a packed
+    int64 max per node — all-int Arrow shuffles, no per-group
+    Python (the sf1 soak cliffs)."""
     import pandas as pd
 
-    edges = _event_edges(sf_dir)
+    edges, types = _event_edges_int(sf_dir)
 
     def strip_cnt(t: pa.Table) -> pa.Table:
         return t.select(["src", "dst"])
@@ -301,56 +363,76 @@ def label_propagation(sf_dir: str, iters: int = LP_ITERS,
     edges = (edges.map_batches(strip_cnt, batch_format="pyarrow")
              .repartition(num_partitions).materialize())
 
-    def init_labels(t: pa.Table) -> pa.Table:
-        return pa.table({"node": t["src"], "lab": t["src"]})
-
     labels = (edges.groupby("src").count()
               .map_batches(lambda t: pa.table({"node": t["src"],
                                                "lab": t["src"]}),
                            batch_format="pyarrow")
               .repartition(num_partitions).materialize())
 
-    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+    def partial_counts(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"dst": np.asarray(t["dst"], dtype=np.int64),
+                           "lab": np.asarray(t["lab"], dtype=np.int64)})
         g = (df.groupby(["dst", "lab"], as_index=False).size()
              .rename(columns={"size": "n"}))
-        return g
+        return pa.table({
+            "dst": pa.array(g["dst"].to_numpy(np.int64), pa.int64()),
+            "lab": pa.array(g["lab"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64())})
 
-    def argmax_label(df: pd.DataFrame) -> pd.DataFrame:
-        g = (df.groupby("lab", as_index=False)["n"].sum()
-             .sort_values(["n", "lab"], ascending=[False, True]))
-        return pd.DataFrame({"node": [df["dst"].iloc[0]],
-                             "lab": [g["lab"].iloc[0]]})
+    def pack(t: pa.Table) -> pa.Table:
+        # rename_columns-free: groupby sum emits 'sum(n)'
+        n = np.asarray(t["sum(n)"], dtype=np.int64)
+        lab = np.asarray(t["lab"], dtype=np.int64)
+        packed = (n << np.int64(32)) | (_LP_LAB_OFF - lab)
+        return pa.table({
+            "node": t["dst"],
+            "p": pa.array(packed, pa.int64())})
+
+    def unpack(t: pa.Table) -> pa.Table:
+        p = np.asarray(t["max(p)"], dtype=np.int64)
+        lab = _LP_LAB_OFF - (p & ((np.int64(1) << np.int64(32)) - 1))
+        return pa.table({"node": t["node"],
+                         "lab": pa.array(lab, pa.int64())})
 
     for _ in range(iters):
         prop = edges.join(labels, join_type="inner",
                           num_partitions=num_partitions,
                           on=("src",), right_on=("node",))
-        labels = (prop.map_batches(partial_counts, batch_format="pandas")
-                  .groupby("dst")
-                  .map_groups(argmax_label, batch_format="pandas")
+        labels = (prop.map_batches(partial_counts,
+                                   batch_format="pyarrow")
+                  .groupby(["dst", "lab"]).sum("n")
+                  .map_batches(pack, batch_format="pyarrow")
+                  .groupby("node").max("p")
+                  .map_batches(unpack, batch_format="pyarrow")
                   # scrub hash-shuffle empty-schema blocks before the
                   # next round's join (connected_components discipline)
                   .repartition(num_partitions).materialize())
 
+    # per-batch (lab, n) partials, one int groupby
     sizes = (labels.map_batches(
-                 lambda df: df.groupby("lab", as_index=False).size()
-                 .rename(columns={"size": "n"}),
-                 batch_format="pandas")
-             .groupby("lab").sum("n").to_pandas()
-             .rename(columns={"lab": "community", "sum(n)": "n_nodes"})
-             .sort_values(["n_nodes", "community"],
-                          ascending=[False, True]).head(k)
-             .reset_index(drop=True))
+        lambda t: (lambda u, c: pa.table({
+            "lab": pa.array(u, pa.int64()),
+            "n": pa.array(c.astype(np.int64), pa.int64())}))(
+            *np.unique(np.asarray(t["lab"], dtype=np.int64),
+                       return_counts=True)),
+        batch_format="pyarrow")
+        .groupby("lab").sum("n").to_pandas()
+        .rename(columns={"sum(n)": "n_nodes"})
+        .sort_values(["n_nodes", "lab"],
+                     ascending=[False, True]).head(k)
+        .reset_index(drop=True))
+    sizes["community"] = _node_label(sizes["lab"].to_numpy(np.int64),
+                                     types)
+    sizes = sizes[["community", "n_nodes"]]
     sizes["n_nodes"] = sizes["n_nodes"].astype(np.int64)
     return pa.Table.from_pandas(sizes, preserve_index=False)
 
 
 def label_propagation_sql(iters: int = LP_ITERS, k: int = 20) -> str:
-    """Twin: identical synchronous rounds as chained CTEs; argmax =
-    row_number() over (count desc, label asc)."""
-    ctes = ["""e0 AS (SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src,
-                     'e:' || event_type AS dst FROM events),
-edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    """Twin: identical synchronous rounds as chained CTEs over the
+    SAME int64 node codes; argmax = row_number() over (count desc,
+    label-code asc); labels mapped to strings at the tail."""
+    ctes = [_INT_NODE_CTES + """,
 l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges)"""]
     for i in range(1, iters + 1):
         ctes.append(f"""c{i} AS (SELECT e.dst AS node, l.lab, count(*) AS n
@@ -360,10 +442,11 @@ l{i} AS (SELECT node, lab FROM
          (SELECT node, lab, row_number() OVER
               (PARTITION BY node ORDER BY n DESC, lab ASC) AS rn
           FROM c{i}) WHERE rn = 1)""")
+    label = _NODE_LABEL_SQL.format(c="g.lab")
     return ("WITH " + ",\n".join(ctes) + f"""
-SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_nodes
-FROM l{iters} GROUP BY lab
-ORDER BY n_nodes DESC, community LIMIT {k}
+SELECT {label} AS community, CAST(g.n_nodes AS BIGINT) AS n_nodes
+FROM (SELECT lab, count(*) AS n_nodes FROM l{iters} GROUP BY lab) g
+ORDER BY g.n_nodes DESC, g.lab LIMIT {k}
 """)
 
 

@@ -524,34 +524,78 @@ def event_window_dedup(sf_dir: str,
     groupby shuffle carries bucket rows, not events. Returns the per
     event_type census (n_kept, n_dropped), n_dropped from a
     constant-size total-count partial."""
+    import hashlib as _hl
+
     ds = _read(sf_dir, ["event_id", "ts", "user_id", "event_type"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def _eth(s: str) -> int:
+        return int.from_bytes(_hl.blake2b(s.encode(),
+                                          digest_size=8).digest(),
+                              "little", signed=True)
+
+    # The global bucket combine carries ONLY int64 columns in ARROW
+    # blocks: the census needs just the distinct-bucket count and
+    # summed event count per type (the surviving row's identity never
+    # leaves this op). The sf1 soak exposed three cliffs here, each a
+    # general discipline now: (1) a per-group Python map_groups over
+    # ~1M singleton buckets; (2) ANY string column riding Ray's sort
+    # shuffle (~25x slower than int-only at 1M rows); (3) PANDAS-format
+    # blocks feeding a groupby (~10x slower than Arrow blocks — always
+    # return pa.Table from the stage before a shuffle). Buckets key on
+    # one mixed int64 h; event_type travels as its 64-bit hash and is
+    # joined back to strings from a tiny distinct-type scan.
+    def partial(df: pd.DataFrame) -> pa.Table:
         ep = (df["ts"].astype("int64") // 1_000_000)
-        df = df.assign(win=ep // window_s, ep=ep)
-        g = (df.sort_values(["ep", "event_id"])
-             .groupby(["user_id", "event_type", "win"],
-                      as_index=False)
-             .agg(ep=("ep", "min"), event_id=("event_id", "min"),
-                  n=("event_id", "size")))
-        return g
+        df = df.assign(win=ep // window_s)
+        g = (df.groupby(["user_id", "event_type", "win"],
+                        as_index=False)
+             .agg(n=("event_id", "size")))
+        codes, uniq = pd.factorize(g["event_type"])
+        hcodes = np.array([_eth(s) for s in uniq], dtype=np.int64)
+        eth = hcodes[codes]
+        h = (g["user_id"].to_numpy(np.int64) * np.int64(0x9E3779B1)
+             ^ g["win"].to_numpy(np.int64) * np.int64(0x85EBCA77)
+             ^ eth)
+        return pa.table({"h": pa.array(h, pa.int64()),
+                         "eth": pa.array(eth, pa.int64()),
+                         "n": pa.array(g["n"].to_numpy(np.int64),
+                                       pa.int64())})
 
-    agg = (ds.map_batches(partial, batch_format="pandas")
-           .groupby(["user_id", "event_type", "win"])
-           .map_groups(lambda df: df.sort_values(["ep", "event_id"])
-                       .assign(n=df["n"].sum()).head(1),
-                       batch_format="pandas"))
+    from ray.data.aggregate import Min, Sum
 
-    def census(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("event_type", as_index=False).agg(
-            n_kept=("event_id", "size"), n_total=("n", "sum"))
-        return g
+    # Min(eth) is exact (every partial row of a bucket carries the same
+    # eth) and keeps the combine all-int64. The partial table (already
+    # shrunk to ≤ one row per touched bucket per block) MATERIALIZES
+    # before the groupby: Ray's sort re-executes a lazy upstream while
+    # sampling boundaries, which re-ran the whole read+partial (~6x
+    # wall at sf1); the pinned table is a few MB per million buckets.
+    agg2 = (ds.map_batches(partial, batch_format="pandas")
+            .materialize()
+            .groupby("h").aggregate(Min("eth"), Sum("n")))
+    agg2 = agg2.map_batches(
+        lambda t: t.rename_columns(["h", "eth", "n"]),
+        batch_format="pyarrow")
 
-    out = (agg.map_batches(census, batch_format="pandas")
-           .groupby("event_type").sum(["n_kept", "n_total"])
-           .to_pandas()
+    def census2(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby("eth", as_index=False).agg(
+            n_kept=("n", "size"), n_total=("n", "sum"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cen = (agg2.map_batches(census2, batch_format="pyarrow")
+           .groupby("eth").sum(["n_kept", "n_total"]).to_pandas()
            .rename(columns={"sum(n_kept)": "n_kept",
-                            "sum(n_total)": "n_total"})
+                            "sum(n_total)": "n_total"}))
+
+    # tiny distinct-type scan maps eth back to the string
+    types = (ds.map_batches(
+        lambda t: pa.table({"event_type":
+                            pa.array(pd.unique(
+                                t["event_type"].to_pandas()))}),
+        batch_format="pyarrow").to_pandas()
+        .drop_duplicates("event_type"))
+    types["eth"] = [_eth(s) for s in types["event_type"]]
+    out = (cen.merge(types, on="eth")[["event_type", "n_kept",
+                                       "n_total"]]
            .sort_values("event_type").reset_index(drop=True))
     out["n_dropped"] = (out["n_total"] - out["n_kept"]).astype(np.int64)
     out["n_kept"] = out["n_kept"].astype(np.int64)

@@ -81,8 +81,12 @@ def test_pagerank_integer_recurrence(tmp_path, ray_session):
     d.mkdir()
     pq.write_table(t, str(d / "events.parquet"))
 
-    # local reference on the same symmetric edge list
-    edges = {("u:%d" % u, "e:%s" % e) for _, u, e in rows}
+    # local reference on the same symmetric edge list, with the
+    # engine's int node codes (user_id >= 0, event types negative by
+    # sorted rank) and its (rank desc, code asc) ordering
+    etypes = sorted({e for _, _, e in rows})
+    ecode = {e: -(i + 1) for i, e in enumerate(etypes)}
+    edges = {(u, ecode[e]) for _, u, e in rows}
     edges |= {(b, a) for a, b in edges}
     nodes = sorted({a for a, _ in edges})
     idx = {n: i for i, n in enumerate(nodes)}
@@ -95,8 +99,12 @@ def test_pagerank_integer_recurrence(tmp_path, ray_session):
         for a, b in edges:
             nxt[idx[b]] += r[idx[a]] // deg[idx[a]]
         r = PR_BASE + (85 * nxt) // 100
-    want = sorted(zip(nodes, r.tolist()),
-                  key=lambda x: (-x[1], x[0]))[:20]
+    def lbl(n):
+        return "u:%d" % n if n >= 0 else "e:%s" % etypes[-n - 1]
+
+    want = [(lbl(n), rv) for n, rv in
+            sorted(zip(nodes, r.tolist()),
+                   key=lambda x: (-x[1], x[0]))[:20]]
 
     for parts in (2, 5):
         got = pagerank(str(d), num_partitions=parts).to_pandas()
@@ -132,8 +140,11 @@ def test_label_propagation_planted_communities(tmp_path, ray_session):
     d.mkdir()
     pq.write_table(t, str(d / "events.parquet"))
 
-    # single-threaded reference of the same synchronous rounds
-    edges = {("u:%d" % u, "e:%s" % e) for _, u, e in rows}
+    # single-threaded reference of the same synchronous rounds over
+    # the engine's int node codes
+    etypes = sorted({e for _, _, e in rows})
+    ecode = {e: -(i + 1) for i, e in enumerate(etypes)}
+    edges = {(u, ecode[e]) for _, u, e in rows}
     edges |= {(b, a) for a, b in edges}
     lab = {n: n for n in {a for a, _ in edges}}
     for _ in range(3):
@@ -145,16 +156,19 @@ def test_label_propagation_planted_communities(tmp_path, ray_session):
                for n, c in cnt.items()}
     import collections
     sizes = collections.Counter(lab.values())
-    want = sorted(((L, n) for L, n in sizes.items()),
-                  key=lambda x: (-x[1], x[0]))
+
+    def lbl(n):
+        return "u:%d" % n if n >= 0 else "e:%s" % etypes[-n - 1]
+
+    want = [(lbl(L), n) for L, n in
+            sorted(sizes.items(), key=lambda x: (-x[1], x[0]))]
 
     for parts in (2, 5):
         got = label_propagation(str(d), num_partitions=parts).to_pandas()
         assert list(zip(got["community"], got["n_nodes"])) == want
     # the two blocks never mix
-    a_lab = {L for n, L in lab.items() if n.endswith(("a1", "a2"))
-             or n.startswith("u:0")}
-    b_lab = {lab["e:b1"], lab["u:10"]}
+    a_lab = {lab[ecode["a1"]], lab[ecode["a2"]], lab[0]}
+    b_lab = {lab[ecode["b1"]], lab[10]}
     assert not (a_lab & b_lab)
 
 
