@@ -212,12 +212,22 @@ def exact_dedup(sf_dir: str) -> pa.Table:
                          columns=["doc_id", "text"])
 
     def sig(batch: pa.Table) -> pa.Table:
-        hs = [hashlib.sha256(t.encode()).hexdigest()
-              for t in batch["text"].to_pylist()]
-        return pa.table({"sig": pa.array(hs), "doc_id": batch["doc_id"]})
+        # content identity = sha256, shuffled as TWO int64 columns (the
+        # first 128 bits) — string shuffle keys are a measured ~25x
+        # cliff, and a 128-bit collision is cryptographically
+        # negligible at any corpus size
+        n = len(batch)
+        h1 = np.empty(n, dtype=np.int64)
+        h2 = np.empty(n, dtype=np.int64)
+        for i, t in enumerate(batch["text"].to_pylist()):
+            d = hashlib.sha256(t.encode()).digest()
+            h1[i] = int.from_bytes(d[:8], "little", signed=True)
+            h2[i] = int.from_bytes(d[8:16], "little", signed=True)
+        return pa.table({"s1": pa.array(h1), "s2": pa.array(h2),
+                         "doc_id": batch["doc_id"]})
 
     agg = (ds.map_batches(sig, batch_format="pyarrow")
-           .groupby("sig").aggregate(Min("doc_id"), Count()))
+           .groupby(["s1", "s2"]).aggregate(Min("doc_id"), Count()))
     df = agg.to_pandas().rename(columns={"min(doc_id)": "keep_id",
                                          "count()": "n"})
     df = df[["keep_id", "n"]].sort_values("keep_id")
@@ -843,8 +853,20 @@ def c4_line_dedup(sf_dir: str, min_chars: int = 30) -> pa.Table:
         flat = lines.flatten()
         packed = (doc << np.int64(20)) | pos
         dedupable = np.asarray(pc.utf8_length(flat)) >= min_chars
+        # 128-bit line identity as two int64 columns: line equality
+        # rides INT shuffle keys (the string-key shuffle is a measured
+        # ~25x cliff); blake2b-16 collisions are cryptographically
+        # negligible at any corpus size — the same stance as the
+        # 64-bit shingle hashes, with double the width
+        lh1 = np.empty(len(flat), dtype=np.int64)
+        lh2 = np.empty(len(flat), dtype=np.int64)
+        for i, s in enumerate(flat.to_pylist()):
+            d = hashlib.blake2b(s.encode(), digest_size=16).digest()
+            lh1[i] = int.from_bytes(d[:8], "little", signed=True)
+            lh2[i] = int.from_bytes(d[8:], "little", signed=True)
         return pa.table({"doc_id": pa.array(doc), "pos": pa.array(pos),
                          "line": flat, "packed": pa.array(packed),
+                         "lh1": pa.array(lh1), "lh2": pa.array(lh2),
                          "dedupable": pa.array(dedupable)})
 
     lines_ds = ds.map_batches(explode, batch_format="pyarrow",
@@ -852,18 +874,21 @@ def c4_line_dedup(sf_dir: str, min_chars: int = 30) -> pa.Table:
 
     short = lines_ds.filter(expr="dedupable == False")
     longl = lines_ds.filter(expr="dedupable == True")
-    winners = longl.groupby("line").aggregate(Min("packed"))
-    surv_long = longl.join(winners, join_type="inner", num_partitions=num_shuffle_partitions(),
-                           on=("line",), right_suffix="_w")
+    # winner election and the survivor filter both key on INTs only;
+    # the line text stays a payload column of lines_ds and never
+    # enters a shuffle key
+    winners = (longl.groupby(["lh1", "lh2"]).aggregate(Min("packed"))
+               .map_batches(lambda t: pa.table(
+                   {"packed_w": t["min(packed)"]}),
+                   batch_format="pyarrow"))
+    surv_long = longl.join(winners, join_type="inner",
+                           num_partitions=num_shuffle_partitions(),
+                           on=("packed",), right_on=("packed_w",))
 
-    def keep_winners(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        m = pc.equal(batch["packed"], batch["min(packed)"])
-        return batch.filter(m).select(["doc_id", "pos", "line"])
-
-    kept = (surv_long.map_batches(keep_winners, batch_format="pyarrow")
-            .union(short.select_columns(["doc_id", "pos", "line"])))
+    kept = (surv_long.map_batches(
+        lambda t: t.select(["doc_id", "pos", "line"]),
+        batch_format="pyarrow")
+        .union(short.select_columns(["doc_id", "pos", "line"])))
 
     def reassemble(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("pos")
