@@ -46,18 +46,23 @@ for c in (2, 3, 9, 11, 13, 14):
 
 
 def _expand_key(key: bytes) -> list[bytes]:
-    assert len(key) == 16
-    w = [key[i:i + 4] for i in range(0, 16, 4)]
-    for r in range(10):
+    """FIPS-197 §5.2 key expansion for AES-128 (Nk=4, 10 rounds) and
+    AES-256 (Nk=8, 14 rounds)."""
+    nk = len(key) // 4
+    assert nk in (4, 8)
+    rounds = {4: 10, 8: 14}[nk]
+    w = [key[i:i + 4] for i in range(0, len(key), 4)]
+    i = nk
+    while len(w) < 4 * (rounds + 1):
         t = w[-1]
-        t = bytes((_SBOX[t[1]] ^ _RCON[r], _SBOX[t[2]], _SBOX[t[3]],
-                   _SBOX[t[0]]))
-        for k in range(4):
-            t = bytes(a ^ b for a, b in zip(w[-4], t))
-            w.append(t)
-            if k < 3:
-                t = w[-1]
-    return [b"".join(w[4 * i:4 * i + 4]) for i in range(11)]
+        if i % nk == 0:
+            t = bytes((_SBOX[t[1]] ^ _RCON[i // nk - 1], _SBOX[t[2]],
+                       _SBOX[t[3]], _SBOX[t[0]]))
+        elif nk == 8 and i % nk == 4:
+            t = bytes(_SBOX[b] for b in t)
+        w.append(bytes(a ^ b for a, b in zip(w[-nk], t)))
+        i += 1
+    return [b"".join(w[4 * r:4 * r + 4]) for r in range(rounds + 1)]
 
 
 def _add_round_key(s: bytearray, rk: bytes) -> None:
@@ -73,7 +78,7 @@ def _encrypt_block(block: bytes, rks: list[bytes]) -> bytes:
     s = bytearray(block)
     _add_round_key(s, rks[0])
     m2, m3 = _MUL[2], _MUL[3]
-    for rnd in range(1, 10):
+    for rnd in range(1, len(rks) - 1):
         s = bytearray(_SBOX[s[_SHIFT[i]]] for i in range(16))
         t = bytearray(16)
         for c in range(0, 16, 4):
@@ -85,15 +90,15 @@ def _encrypt_block(block: bytes, rks: list[bytes]) -> bytes:
         s = t
         _add_round_key(s, rks[rnd])
     s = bytearray(_SBOX[s[_SHIFT[i]]] for i in range(16))
-    _add_round_key(s, rks[10])
+    _add_round_key(s, rks[-1])
     return bytes(s)
 
 
 def _decrypt_block(block: bytes, rks: list[bytes]) -> bytes:
     s = bytearray(block)
-    _add_round_key(s, rks[10])
+    _add_round_key(s, rks[-1])
     m9, m11, m13, m14 = _MUL[9], _MUL[11], _MUL[13], _MUL[14]
-    for rnd in range(9, 0, -1):
+    for rnd in range(len(rks) - 2, 0, -1):
         s = bytearray(_INV_SBOX[s[_INV_SHIFT[i]]] for i in range(16))
         _add_round_key(s, rks[rnd])
         t = bytearray(16)
@@ -110,8 +115,10 @@ def _decrypt_block(block: bytes, rks: list[bytes]) -> bytes:
 
 
 def aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes:
-    """PDF AESV2 layout: the 16-byte IV is the first block; PKCS#5
-    padding is stripped (ISO 32000-1 §7.6.2 note 2)."""
+    """PDF AESV2/AESV3 layout: the 16-byte IV is the first block;
+    PKCS#5 padding is stripped (ISO 32000 §7.6.2 note 2). Accepts
+    16- or 32-byte keys (AES-128 / AES-256 — the round count follows
+    the key length)."""
     if len(data) < 32 or len(data) % 16:
         raise ValueError("bad AES-CBC payload")
     rks = _expand_key(key)
@@ -128,7 +135,8 @@ def aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes:
 
 def aes128_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     """Forward direction (test-fixture synthesis): prepends the IV and
-    applies PKCS#5 padding, matching what aes128_cbc_decrypt strips."""
+    applies PKCS#5 padding, matching what aes128_cbc_decrypt strips.
+    16- or 32-byte keys."""
     assert len(iv) == 16
     rks = _expand_key(key)
     pad = 16 - len(data) % 16
@@ -156,4 +164,31 @@ def rc4(key: bytes, data: bytes) -> bytes:
         j = (j + S[i]) & 0xFF
         S[i], S[j] = S[j], S[i]
         out[n] = c ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+def aes_cbc_nopad_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Raw CBC without IV-prepend or padding — the PDF 2.0 hardened-
+    hash (Algorithm 2.B) and /UE //OE file-key wrapping use this."""
+    assert len(data) % 16 == 0
+    rks = _expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[i:i + 16], prev))
+        prev = _encrypt_block(blk, rks)
+        out += prev
+    return bytes(out)
+
+
+def aes_cbc_nopad_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    assert len(data) % 16 == 0
+    rks = _expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = data[i:i + 16]
+        out += bytes(a ^ b for a, b in zip(_decrypt_block(blk, rks),
+                                           prev))
+        prev = blk
     return bytes(out)

@@ -20,12 +20,14 @@ PDFs):
   (MSB-first TIFF-flavor LZW with EarlyChange), both with PNG
   predictors 10-15 and TIFF predictor 2; ASCIIHexDecode,
   ASCII85Decode, RunLengthDecode.
-- **Encryption** (§7.6): the standard security handler with an EMPTY
-  user password — the common crawler case Tika/PDFBox also decrypts
-  transparently — for RC4 (V1/V2, R2/R3) and AES-128 (V4 /AESV2 crypt
-  filters), with per-object keys, /Identity filters, and unencrypted
-  XRef streams.  Password-protected files and V5/R5+ (AES-256) raise
-  NotImplementedError — honestly out of scope.
+- **Encryption** (§7.6; ISO 32000-2 §7.6.4): the standard security
+  handler with an EMPTY user password — the common crawler case
+  Tika/PDFBox also decrypts transparently — for RC4 (V1/V2, R2/R3),
+  AES-128 (V4 /AESV2) with per-object keys, AND AES-256 (V5 R5/R6,
+  /AESV3: SHA-256 or Algorithm-2.B hardened-hash validation, /UE file
+  key unwrap, file-key CBC), plus /Identity filters and unencrypted
+  XRef streams.  Password-protected files raise NotImplementedError —
+  honestly out of scope (no guessing).
 - **Text** (§9.4): BT..ET blocks; Tj / ' / " / TJ shows; Td/TD/T*/Tm
   line tracking emits newlines; Tf tracks the active font.
 - **Font decoding** (§9.10): /ToUnicode CMaps (bfchar + bfrange, 1- and
@@ -441,6 +443,8 @@ class PdfDocument:
             raise NotImplementedError("non-standard PDF security handler")
         v = int(self.resolve(enc.get("V", 0)))
         r = int(self.resolve(enc.get("R", 2)))
+        if v == 5 and r in (5, 6):
+            return self._setup_encryption_v5(enc, r)
         if v not in (1, 2, 4) or r not in (2, 3, 4):
             raise NotImplementedError(f"PDF encryption V={v} R={r}")
         o = self.resolve(enc.get("O")) or b""
@@ -504,6 +508,77 @@ class PdfDocument:
                     f"crypt filter {stm_cfm}/{str_cfm}")
         self._crypt = (key, stm_cfm, str_cfm)
 
+    @staticmethod
+    def _hash_2b(pw: bytes, salt: bytes, udata: bytes) -> bytes:
+        """ISO 32000-2 Algorithm 2.B (the R6 'hardened' hash):
+        SHA-256 seeded, then rounds of 64×(pw+K+udata) encrypted with
+        AES-128-CBC(K[:16], K[16:32]) selecting SHA-256/384/512 by the
+        first-16-bytes mod 3, until round ≥ 64 and E[-1] ≤ round-32."""
+        import hashlib
+
+        from .aes import aes_cbc_nopad_encrypt
+
+        K = hashlib.sha256(pw + salt + udata).digest()
+        i = 0
+        while True:
+            k1 = (pw + K + udata) * 64
+            e = aes_cbc_nopad_encrypt(K[:16], K[16:32], k1)
+            mod = sum(e[:16]) % 3  # 256 ≡ 1 (mod 3): byte sum works
+            K = (hashlib.sha256, hashlib.sha384,
+                 hashlib.sha512)[mod](e).digest()
+            i += 1
+            if i >= 64 and e[-1] <= i - 32:
+                return K[:32]
+
+    def _setup_encryption_v5(self, enc: dict, r: int) -> None:
+        """AES-256 revisions (V5: R5 per Adobe ExtensionLevel 3, R6 per
+        ISO 32000-2 §7.6.4), EMPTY user password: validate against the
+        /U hash+validation salt, unwrap the file key from /UE with the
+        key-salt-derived intermediate key; strings and streams then
+        decrypt with AES-256-CBC under the FILE key directly (no
+        per-object keys in V5)."""
+        import hashlib
+
+        from .aes import aes_cbc_nopad_decrypt
+
+        u = self.resolve(enc.get("U")) or b""
+        ue = self.resolve(enc.get("UE")) or b""
+        if len(u) < 48 or len(ue) < 32:
+            raise NotImplementedError("malformed V5 /U //UE entries")
+        vsalt, ksalt = u[32:40], u[40:48]
+        pw = b""
+        if r == 5:
+            hval = hashlib.sha256(pw + vsalt).digest()
+        else:
+            hval = self._hash_2b(pw, vsalt, b"")
+        if hval != u[:32]:
+            raise NotImplementedError(
+                "encrypted PDF (user password required)")
+        if r == 5:
+            ikey = hashlib.sha256(pw + ksalt).digest()
+        else:
+            ikey = self._hash_2b(pw, ksalt, b"")
+        key = aes_cbc_nopad_decrypt(ikey, b"\x00" * 16, ue[:32])
+
+        stm_cfm = str_cfm = "AESV3"
+        cf = self.resolve(enc.get("CF")) or {}
+
+        def cfm_of(name, default="AESV3"):
+            name = str(name) if name is not None else "StdCF"
+            if name == "Identity":
+                return "Identity"
+            f = self.resolve(cf.get(name)) or {}
+            return str(f.get("CFM", default))
+
+        if "StmF" in enc or "StrF" in enc or cf:
+            stm_cfm = cfm_of(enc.get("StmF", "StdCF"))
+            str_cfm = cfm_of(enc.get("StrF", "StdCF"))
+        if stm_cfm not in ("Identity", "AESV3") or \
+                str_cfm not in ("Identity", "AESV3"):
+            raise NotImplementedError(
+                f"V5 crypt filter {stm_cfm}/{str_cfm}")
+        self._crypt = (key, stm_cfm, str_cfm)
+
     def _object_key(self, num: int, gen: int, aes: bool) -> bytes:
         import hashlib
 
@@ -519,6 +594,9 @@ class PdfDocument:
 
         if cfm == "Identity":
             return data
+        if cfm == "AESV3":
+            # V5: the 256-bit FILE key directly, no per-object key
+            return aes128_cbc_decrypt(self._crypt[0], data)
         if cfm == "AESV2":
             return aes128_cbc_decrypt(self._object_key(num, gen, True),
                                       data)
@@ -1187,7 +1265,8 @@ def make_standard_crypt(*, r: int = 3, v: int = 2, length_bits: int = 128,
     """Compute the /Encrypt entries (O, U, file key) for EMPTY user and
     owner passwords — the fixture-synthesis counterpart of
     ``PdfDocument._setup_encryption`` (ISO 32000-1 §7.6.3 algorithms
-    2-5). Returns {"O", "U", "key", "V", "R", "Length", "P"}."""
+    2-5). Returns {"O", "U", "key", "V", "R", "Length", "P"}. The V5
+    AES-256 counterpart is :func:`make_standard_crypt_v5`."""
     import hashlib
 
     from .aes import rc4
@@ -1230,14 +1309,55 @@ def make_standard_crypt(*, r: int = 3, v: int = 2, length_bits: int = 128,
             "Length": length_bits, "P": p}
 
 
+def make_standard_crypt_v5(*, r: int = 6,
+                           file_key: bytes | None = None) -> dict:
+    """Fixture-side /Encrypt entries for the AES-256 revisions (V5
+    R5/R6), empty passwords: /U = hash+validation/key salts, /UE = the
+    AES-wrapped file key; /O //OE computed over the U string per the
+    spec's owner variant."""
+    import hashlib
+
+    from .aes import aes_cbc_nopad_encrypt
+
+    key = file_key or hashlib.blake2b(b"fixture-file-key",
+                                      digest_size=32).digest()
+    pw = b""
+    vsalt, ksalt = b"VALSALT0", b"KEYSALT0"
+    if r == 5:
+        uhash = hashlib.sha256(pw + vsalt).digest()
+        ikey = hashlib.sha256(pw + ksalt).digest()
+    else:
+        uhash = PdfDocument._hash_2b(pw, vsalt, b"")
+        ikey = PdfDocument._hash_2b(pw, ksalt, b"")
+    u = uhash + vsalt + ksalt
+    ue = aes_cbc_nopad_encrypt(ikey, b"\x00" * 16, key)
+    ovs, oks = b"OVSALT00", b"OKSALT00"
+    if r == 5:
+        ohash = hashlib.sha256(pw + ovs + u).digest()
+        oikey = hashlib.sha256(pw + oks + u).digest()
+    else:
+        ohash = PdfDocument._hash_2b(pw, ovs, u)
+        oikey = PdfDocument._hash_2b(pw, oks, u)
+    o = ohash + ovs + oks
+    oe = aes_cbc_nopad_encrypt(oikey, b"\x00" * 16, key)
+    return {"U": u, "UE": ue, "O": o, "OE": oe, "key": key,
+            "V": 5, "R": r, "Length": 256, "P": -3904}
+
+
 def encrypt_object_bytes(key: bytes, num: int, gen: int, data: bytes,
                          cfm: str = "V2", iv: bytes | None = None) -> bytes:
     """Encrypt one string/stream payload with the per-object key
-    (Algorithm 1) — RC4 for cfm="V2", AES-128-CBC for "AESV2"."""
+    (Algorithm 1) — RC4 for cfm="V2", AES-128-CBC for "AESV2",
+    AES-256-CBC under the FILE key for "AESV3" (V5 has no per-object
+    keys)."""
     import hashlib
 
     from .aes import aes128_cbc_encrypt, rc4
 
+    if cfm == "AESV3":
+        if iv is None:
+            iv = hashlib.md5(data + b"iv").digest()
+        return aes128_cbc_encrypt(key, iv, data)
     aes = cfm == "AESV2"
     ok = hashlib.md5(key + num.to_bytes(3, "little")
                      + gen.to_bytes(2, "little")

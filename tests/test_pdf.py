@@ -504,3 +504,51 @@ def test_encrypted_pdf_real_password_still_raises():
     broken = pdf.replace(b"/U <", b"/U <ff", 1)
     with pytest.raises(NotImplementedError, match="password"):
         extract_pdf(broken)
+
+
+def _encrypted_pdf_v5(content: bytes, *, r: int = 6,
+                      title: bytes = b"secret-title") -> bytes:
+    """AES-256 (V5 R5/R6) fixture: content stream and /Info title
+    encrypted with the file key (no per-object keys in V5)."""
+    from lucene_solr_ray.ops.pdf import (encrypt_object_bytes,
+                                         make_standard_crypt_v5)
+
+    crypt = make_standard_crypt_v5(r=r)
+    key = crypt["key"]
+    enc_stream = encrypt_object_bytes(key, 5, 0, content, "AESV3")
+    enc_title = encrypt_object_bytes(key, 6, 0, title, "AESV3")
+
+    def hexs(b: bytes) -> bytes:
+        return b"<" + b.hex().encode() + b">"
+
+    enc_dict = (b"<< /Filter /Standard /V 5 /R %d /Length 256 /P %d"
+                b" /O %s /U %s /OE %s /UE %s"
+                b" /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen"
+                b" /Length 32 >> >> /StmF /StdCF /StrF /StdCF >>"
+                % (crypt["R"], crypt["P"], hexs(crypt["O"]),
+                   hexs(crypt["U"]), hexs(crypt["OE"]),
+                   hexs(crypt["UE"])))
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>",
+        5: _stream(b"<< >>", enc_stream),
+        6: b"<< /Title " + hexs(enc_title) + b" >>",
+        7: enc_dict,
+    }
+    return _mkpdf(objs, b"<< /Root 1 0 R /Info 6 0 R /Encrypt 7 0 R >>")
+
+
+@pytest.mark.parametrize("r", [5, 6])
+def test_encrypted_pdf_aes256(r):
+    pdf = _encrypted_pdf_v5(b"BT (aes256 body text) Tj ET", r=r)
+    d = extract_pdf(pdf)
+    assert d["content"] == "aes256 body text"
+    assert d["title"] == "secret-title"
+
+
+def test_encrypted_pdf_aes256_wrong_password_raises():
+    pdf = _encrypted_pdf_v5(b"BT (x) Tj ET", r=6)
+    broken = pdf.replace(b"/U <", b"/U <ff", 1)
+    with pytest.raises(NotImplementedError, match="password"):
+        extract_pdf(broken)
