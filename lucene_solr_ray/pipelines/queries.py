@@ -5284,6 +5284,78 @@ SELECT doc_id, text AS content FROM documents ORDER BY doc_id
 """
 
 
+def _q_tika_pdf_aes256_roundtrip(sf_dir: str) -> pa.Table:
+    """AES-256 (V5 R6, ISO 32000-2) flavor of the encrypted PDF
+    round-trip: hardened-hash /U validation and /UE key unwrap computed
+    ONCE on the driver; each worker-synthesized PDF encrypts its
+    content stream and /Info title with the file key (/AESV3 — no
+    per-object keys in V5). Same byte-exactness oracle."""
+    import ray.data as rd
+
+    from ..ops.extract import extract_batch
+    from ..ops.pdf import encrypt_object_bytes, make_standard_crypt_v5
+
+    crypt = make_standard_crypt_v5(r=6)
+    key = crypt["key"]
+    hexes = {k: crypt[k].hex() for k in ("O", "U", "OE", "UE")}
+
+    def synth(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        from ..util import tune_allocator
+
+        tune_allocator()
+        enc_dict = (
+            b"<< /Filter /Standard /V 5 /R 6 /Length 256 /P -3904"
+            b" /O <" + hexes["O"].encode() + b"> /U <"
+            + hexes["U"].encode() + b"> /OE <" + hexes["OE"].encode()
+            + b"> /UE <" + hexes["UE"].encode() + b">"
+            b" /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen"
+            b" /Length 32 >> >> /StmF /StdCF /StrF /StdCF >>")
+        paths, blobs = [], []
+        for did, txt in zip(batch["doc_id"].to_pylist(),
+                            batch["text"].to_pylist()):
+            body = (txt or "").encode("latin-1", "replace")                 .replace(b"\\", b"\\\\").replace(b"(", b"\\(")                 .replace(b")", b"\\)")
+            content = encrypt_object_bytes(
+                key, 4, 0,
+                zlib.compress(b"BT 36 770 Td (" + body + b") Tj ET"),
+                "AESV3")
+            title = encrypt_object_bytes(key, 5, 0, b"%d" % did,
+                                         "AESV3")
+            objs = (
+                (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+                (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+                (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+                (4, b"<< /Filter /FlateDecode /Length %d >>\nstream\n"
+                    % len(content) + content + b"\nendstream"),
+                (5, b"<< /Title <" + title.hex().encode() + b"> >>"),
+                (6, enc_dict),
+            )
+            pdf = b"%PDF-2.0\n" + b"".join(
+                b"%d 0 obj\n%s\nendobj\n" % (n, ob) for n, ob in objs
+            ) + (b"trailer\n<< /Root 1 0 R /Info 5 0 R"
+                 b" /Encrypt 6 0 R >>\n%%EOF\n")
+            paths.append(f"{did}.pdf")
+            blobs.append(pdf)
+        return pa.table({"path": pa.array(paths, pa.string()),
+                         "bytes": pa.array(blobs, pa.large_binary())})
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    out = (docs
+           .map_batches(synth, batch_format="pyarrow")
+           .map_batches(lambda t: extract_batch(t, on_error="raise"),
+                        batch_format="pyarrow")
+           .map_batches(lambda t: pa.table({
+               "doc_id": pc.cast(t["title"], pa.int64()),
+               "content": pc.cast(t["content"], pa.string())}),
+               batch_format="pyarrow"))
+    df = out.to_pandas()
+    return pa.Table.from_pandas(
+        df.sort_values("doc_id").reset_index(drop=True),
+        preserve_index=False)
+
+
 def _q_tika_pdf_encrypted_roundtrip(sf_dir: str) -> pa.Table:
     """Encrypted flavor of the PDF extraction round-trip: every
     documents.text row renders as a standard-security-handler PDF
@@ -6106,6 +6178,7 @@ def build_queries() -> dict:
         "dih_full_import": _q_dih_full_import,
         "tika_pdf_roundtrip": _q_tika_pdf_roundtrip,
         "tika_pdf_encrypted_roundtrip": _q_tika_pdf_encrypted_roundtrip,
+        "tika_pdf_aes256_roundtrip": _q_tika_pdf_aes256_roundtrip,
         "tika_docx_roundtrip": _q_tika_docx_roundtrip,
         "tika_media_extract": _q_tika_media_extract,
         "video_frame_sample": _q_video_frame_sample,
@@ -6539,6 +6612,7 @@ def build_oracle_sql() -> dict:
         "dih_full_import": DIH_FULL_IMPORT_SQL,
         "tika_pdf_roundtrip": TIKA_PDF_ROUNDTRIP_SQL,
         "tika_pdf_encrypted_roundtrip": TIKA_PDF_ROUNDTRIP_SQL,
+        "tika_pdf_aes256_roundtrip": TIKA_PDF_ROUNDTRIP_SQL,
         "tika_docx_roundtrip": TIKA_PDF_ROUNDTRIP_SQL,
         "tika_media_extract": TIKA_MEDIA_EXTRACT_SQL,
         "video_frame_sample": VIDEO_FRAME_SAMPLE_SQL,
