@@ -249,6 +249,52 @@ def unicode_token_stats(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def uax29_token_stats(sf_dir: str) -> pa.Table:
+    """The SAME transliterated-corpus stats through the DEFAULT (fully
+    conformant UAX#29) tokenizer. On this corpus every transliteration
+    target is ALetter/Numeric/Han with no mid/extend characters, so
+    UAX#29 segmentation provably coincides with the letter/number-run
+    twin — which oracle-pairs the real default on genuinely non-ASCII
+    content (Greek/Cyrillic/Devanagari + Han), closing the loop the
+    WordBreakTest conformance suite opens."""
+
+    def score(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = pc.utf8_lower(batch["text"])
+        for f, t in zip(TRANSLIT_FROM, TRANSLIT_TO):
+            s = pc.replace_substring(s, pattern=f, replacement=t)
+        ab = analyze_batch(s, keep_stopwords=True)   # uax29 default
+        n = len(batch)
+        total = np.bincount(ab.doc_idx, minlength=n).astype(np.int64)
+        terms = ab.terms
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        enc = terms.dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        ndict = max(len(enc.dictionary), 1)
+        uniq = np.unique(ab.doc_idx.astype(np.int64) * ndict + codes)
+        n_unique = np.bincount(uniq // ndict,
+                               minlength=n).astype(np.int64)             if len(uniq) else np.zeros(n, dtype=np.int64)
+        ideo = np.asarray(pc.equal(terms, HAN_CH)).astype(bool)
+        n_ideo = np.bincount(ab.doc_idx[ideo],
+                             minlength=n).astype(np.int64)
+        lens = np.asarray(pc.utf8_length(terms), dtype=np.int64)
+        sum_len = np.bincount(ab.doc_idx, weights=lens,
+                              minlength=n).astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(total, type=pa.int64()),
+            "n_unique": pa.array(n_unique, type=pa.int64()),
+            "n_ideo": pa.array(n_ideo, type=pa.int64()),
+            "sum_len": pa.array(sum_len, type=pa.int64()),
+        })
+
+    df = (_read_docs(sf_dir).map_batches(score, batch_format="pyarrow")
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 FP_BASE = 1000003
 FP_MOD = (1 << 61) - 1
 

@@ -6013,6 +6013,7 @@ def build_queries() -> dict:
         "text_token_totals_bpe": lambda sf: T.token_totals(
             sf, mode="bpe"),
         "text_unicode_tokens": T.unicode_token_stats,
+        "text_uax29_tokens": T.uax29_token_stats,
         # md5 hash mode for the recursive-powers twin (blake2b default)
         "text_fingerprint": lambda sf_dir: T.fingerprint(sf_dir,
                                                          hash="md5"),
@@ -6430,6 +6431,9 @@ def build_oracle_sql() -> dict:
                        fromlist=["BPE_PRETOKEN_PAT"])
             .BPE_PRETOKEN_PAT.replace("'", "''")),
         "text_unicode_tokens": unicode_token_stats_sql(),
+        # the conformant uax29 DEFAULT provably coincides with the
+        # letter/number-run twin on the transliterated corpus
+        "text_uax29_tokens": unicode_token_stats_sql(),
         "ann_brute_cosine": ann_brute_sql(),
         "ann_filtered_cosine": __import__(
             "lucene_solr_ray.ops.ann",
