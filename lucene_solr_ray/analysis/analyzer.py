@@ -486,7 +486,16 @@ def tokenize(text: str) -> list[tuple[str, int, int, int]]:
     else:
         from .uax29 import segment
 
-        spans = [(text[s:e], s, e) for s, e, _ty in segment(text)]
+        # Segment the LOWERED text, matching analyze_batch (which
+        # lowercases the whole column before word-break): for case-fold
+        # -unstable codepoints ('İ' → 'i' + COMBINING DOT ABOVE, which
+        # is Extend) segmenting before vs after lowering yields
+        # different boundaries.  When lowering changes the string
+        # length, offsets refer to the lowered text (best-effort — the
+        # ascii fast path above is always length-stable).
+        lowered = text.lower()
+        base = text if len(lowered) == len(text) else lowered
+        spans = [(base[s:e], s, e) for s, e, _ty in segment(lowered)]
     for tok, s, e in spans:
         if len(tok) > MAX_TOKEN_LENGTH:
             continue  # skip-not-truncate, no position consumed

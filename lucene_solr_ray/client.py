@@ -131,10 +131,12 @@ class Client:
         import numpy as np
 
         counts: collections.Counter = collections.Counter()
-        for t in s.expand_terms("prefix", f"{field}:"):
+        from .index.segment import KW_SEP
+
+        for t in s.expand_terms("prefix", f"{field}{KW_SEP}"):
             p = s._decode_term_global(t)
             if p is not None and len(p[0]):
-                counts[t.split(":", 1)[1]] = int(len(p[0]))
+                counts[t.split(KW_SEP, 1)[1]] = int(len(p[0]))
         keys = sorted(counts)
         return pa.table({
             field: pa.array(keys, type=pa.string()),

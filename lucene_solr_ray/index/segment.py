@@ -52,6 +52,13 @@ POSTINGS_FILE = "postings.parquet"
 DOCS_FILE = "docs.parquet"
 META_FILE = "meta.json"
 
+# Keyword-field term namespace separator: "<field>\x1f<value>".  U+001F
+# UNIT SEPARATOR is a C0 control — UAX#29 word segmentation always
+# breaks on it and the tokenizer drops it, so no analyzed content token
+# can ever contain it (structural namespace disjointness, the analogue
+# of Lucene's per-field term dictionaries).
+KW_SEP = "\x1f"
+
 
 def _varint_nbytes(v: np.ndarray) -> np.ndarray:
     v = v.astype(np.uint64)
@@ -275,14 +282,15 @@ def write_segment(table: pa.Table, segments_root: str, seg_name: str, *,
 
     ``keyword_cols`` are indexed as untokenized single-token fields — the
     StringField discipline (core:document/StringField, omitNorms, a single
-    position) — as field-prefixed terms ``"<col>:<value>"`` in the same
-    postings table. Under the ascii tokenizer ':' could never occur in
-    analyzed tokens; the uax29 default CAN emit mid-letter colons
-    (UAX#29 WB6/7, e.g. "a:b"), so the namespaces collide only if a
-    document literally contains ``<keyword-col-name>:<value>`` with no
-    surrounding spaces — acceptable and documented (Lucene field
-    separation is structural; this engine's single-table encoding trades
-    that corner for one postings layout).
+    position) — as field-prefixed terms ``"<col>\\x1f<value>"`` in the
+    same postings table. The separator is ``KW_SEP`` (U+001F UNIT
+    SEPARATOR): a C0 control the UAX#29 tokenizer can NEVER emit inside
+    an analyzed token (it is neither ALetter/Numeric/Katakana nor
+    MidLetter/MidNum/ExtendNumLet — control characters always break and
+    are dropped), so the keyword namespace is structurally disjoint from
+    content tokens, matching Lucene's per-field term separation. (An
+    earlier ':' separator collided with UAX#29 WB6/7 mid-letter colons,
+    e.g. a document containing ``lang:en`` verbatim.)
     They serve FILTER clauses and result facets; their postings' norm
     bytes carry the doc's content norm and are not used for scoring.
 
@@ -325,9 +333,9 @@ def write_segment(table: pa.Table, segments_root: str, seg_name: str, *,
                 col = col.combine_chunks()
             kw = pc.binary_join_element_wise(
                 pa.array([c] * n, type=pa.string()), pc.cast(col, pa.string()),
-                ":")
+                KW_SEP)
             # binary_join_element_wise joins with separator LAST arg:
-            # produces "<col>:<value>"; match the analyzer's term type
+            # produces "<col>\x1f<value>"; match the analyzer's term type
             # (large_string content → large_string tokens)
             kw = pc.cast(kw, flat_terms.type)
             extra_terms.append(kw)

@@ -53,6 +53,18 @@ ALL_PAIRS_MAX_DOCS = 20_000
 
 _P31 = (1 << 31) - 1
 
+#: byte-wise popcount table — vectorized Hamming distance without
+#: numpy>=2's bitwise_count
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                      axis=1).sum(axis=1).astype(np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Per-element popcount of a uint64 array (one table lookup per
+    byte; no Python loop)."""
+    return _POP8[x.view(np.uint8)].reshape(len(x), 8) \
+        .sum(axis=1).astype(np.int64)
+
 
 def _filter_by_ids(ds, ids: np.ndarray, *, keep: bool,
                    id_col: str = "doc_id",
@@ -93,6 +105,84 @@ def _filter_by_ids(ds, ids: np.ndarray, *, keep: bool,
     # hash joins can emit 0-row empty-schema blocks (CLAUDE.md); scrub
     # before anything downstream groups or converts
     return j.repartition(nparts)
+
+
+def _drop_empty_blocks(ds):
+    """Remove 0-row blocks BEFORE a Dataset.join input.
+
+    Ray's hash-shuffle join broadcasts each input's schema to the
+    aggregators only with the FIRST block it receives, and the shuffle
+    task early-returns on a 0-row block without disseminating anything
+    — so a 0-row first block (hash shuffles and filters emit them
+    freely) permanently starves empty partitions of the schema and
+    finalize dies with 'No match for FieldRef' (CLAUDE.md). A
+    map_batches scrub can NOT fix this (Ray emits a 0-row output block
+    for a task that yields nothing); the only reliable scrub is to
+    pin the blocks and rebuild the dataset from the non-empty block
+    REFS (metadata-only — nothing is fetched to the driver). Callers
+    pass join inputs that are candidate-pair-sized, so the pin is
+    bounded."""
+    import ray.data as rd
+
+    m = ds.materialize()
+    keep = []
+    for bundle in m.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows:
+                keep.append(ref)
+    if not keep:
+        return m  # fully empty: keep the (schema-bearing) original
+    return rd.from_arrow_refs(keep)
+
+
+def _bucket_pairs_selfjoin(ds, keys, *, payload: str | None = None):
+    """Unordered co-bucket (a, b) pair emission WITHOUT per-group
+    Python: a hash-partitioned SELF-JOIN of the (bucket-keys, doc_id)
+    rows on the bucket keys, filtered to ``a < b``.  A bucket of size m
+    emits exactly its m(m-1)/2 triu pairs, but through the vectorized
+    join kernel instead of one Python ``map_groups`` call per bucket —
+    the sf1-measured cliff #4 shape (~1M mostly-tiny buckets is a
+    wall; CLAUDE.md shuffle discipline).  ``payload`` names one column
+    carried from each side as ``<payload>_a`` / ``<payload>_b`` (e.g.
+    the simhash signature for the post-join Hamming check).  Duplicate
+    (a, b) across buckets survive — callers roll up, exactly as with
+    the per-group emitters this replaces.
+
+    The input is pinned once (``_drop_empty_blocks`` materializes):
+    both join sides read the SAME blocks instead of re-executing the
+    upstream pipeline twice, and a 0-row first block can't starve the
+    join's schema broadcast.  The pinned table is (bucket-key, doc_id
+    [, payload]) ints only — a few tens of bytes per row at any
+    corpus size, spillable."""
+    nparts = num_shuffle_partitions()
+    ds = _drop_empty_blocks(ds)
+
+    def rename(side):
+        mapping = {"doc_id": side}
+        if payload is not None:
+            mapping[payload] = f"{payload}_{side}"
+
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns(
+                [mapping.get(c, c) for c in t.column_names])
+        return f
+
+    left = ds.map_batches(rename("a"), batch_format="pyarrow")
+    right = ds.map_batches(rename("b"), batch_format="pyarrow")
+    j = left.join(right, join_type="inner", num_partitions=nparts,
+                  on=tuple(keys))
+
+    def lt(t: pa.Table):
+        # drop 0-row EMPTY-SCHEMA join blocks at the stage boundary
+        # (CLAUDE.md: hash shuffles emit them; they poison later
+        # groupbys) — yield nothing rather than forward them
+        if t.num_columns == 0 or len(t) == 0:
+            return
+        a = np.asarray(t["a"], dtype=np.int64)
+        b = np.asarray(t["b"], dtype=np.int64)
+        yield t.filter(pa.array(a < b))
+
+    return j.map_batches(lt, batch_format="pyarrow")
 
 
 def _perm_params(seed: int = 42):
@@ -258,6 +348,7 @@ def _verify_pairs_join(cand, sh_ds, threshold: float) -> pd.DataFrame:
                          "sh_bin": pa.array(blobs, type=pa.large_binary())})
 
     sh_bin = sh_ds.map_batches(to_bin, batch_format="pyarrow")
+    cand = _drop_empty_blocks(cand)
     j1 = cand.join(sh_bin, join_type="inner", num_partitions=num_shuffle_partitions(),
                    on=("a",), right_on=("doc_id",), right_suffix="_a")
     j2 = j1.join(sh_bin, join_type="inner", num_partitions=num_shuffle_partitions(),
@@ -318,11 +409,6 @@ def minhash_lsh_pairs(sf_dir: str, *, verify: str = "join") -> pa.Table:
     # stage 2 (distributed): minhash → band hash rows
     bands_ds = sh_ds.map_batches(_band_stage, batch_format="pyarrow")
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy(np.int64))
-        iu = np.triu_indices(len(ids), 1)
-        return pd.DataFrame({"a": ids[iu[0]], "b": ids[iu[1]]})
-
     def partial_dedup(t: pa.Table) -> pa.Table:
         # per-block pair dedup BEFORE the global groupby — a pair can
         # repeat once per band (16×); shrinking blocks first keeps the
@@ -334,8 +420,7 @@ def minhash_lsh_pairs(sf_dir: str, *, verify: str = "join") -> pa.Table:
         return pa.table({"a": pa.array(u[:, 0], pa.int64()),
                          "b": pa.array(u[:, 1], pa.int64())})
 
-    cand = (bands_ds.groupby(["band", "bh"])
-            .map_groups(emit_pairs, batch_format="pandas")
+    cand = (_bucket_pairs_selfjoin(bands_ds, ("band", "bh"))
             .map_batches(partial_dedup, batch_format="pyarrow"))
 
     if verify == "join":
@@ -524,23 +609,21 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3,
     cand_ds = ds.map_batches(band_stage, batch_format="pyarrow",
                              batch_size=1024)
 
-    def emit(g: pd.DataFrame) -> pd.DataFrame:
-        order = np.argsort(g["doc_id"].to_numpy())
-        ids_ = g["doc_id"].to_numpy()[order]
-        sigs_ = g["sig"].to_numpy().astype(np.uint64)[order]
-        out = []
-        for i in range(len(ids_)):
-            for jj in range(i + 1, len(ids_)):
-                d = int(bin(int(sigs_[i]) ^ int(sigs_[jj])).count("1"))
-                if d <= max_hamming:
-                    out.append((int(ids_[i]), int(ids_[jj]), d))
-        return pd.DataFrame(out, columns=["a", "b", "hamming"]) if out else \
-            pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                          "b": pd.Series([], dtype="int64"),
-                          "hamming": pd.Series([], dtype="int64")})
+    def hamming_filter(t: pa.Table) -> pa.Table:
+        # vectorized XOR + byte-table popcount over the joined pairs;
+        # each side's signature rode the join as a payload column
+        sa = np.asarray(t["sig_a"]).astype(np.uint64)
+        sb = np.asarray(t["sig_b"]).astype(np.uint64)
+        d = _popcount64(sa ^ sb)
+        keep = d <= max_hamming
+        return pa.table({
+            "a": t["a"], "b": t["b"],
+            "hamming": pa.array(d, pa.int64()),
+        }).filter(pa.array(keep))
 
-    df = (cand_ds.groupby(["chunk", "val"])
-          .map_groups(emit, batch_format="pandas")
+    pairs = _bucket_pairs_selfjoin(cand_ds, ("chunk", "val"),
+                                   payload="sig")
+    df = (pairs.map_batches(hamming_filter, batch_format="pyarrow")
           .to_pandas().drop_duplicates(["a", "b"]).sort_values(["a", "b"]))
     for c in ("a", "b", "hamming"):
         df[c] = df[c].astype("int64")
@@ -559,55 +642,76 @@ def substring_dup_pairs(sf_dir: str, k: int = SUBSTRING_K) -> pa.Table:
 
     Scale shape — the candidate generator the paper's suffix-array pass
     reduces to at fixed k: per-batch distinct gram emission (map_batches,
-    same tokenizer contract as the shingle oracle) → groupby(gram) pair
-    emission (co-grouped docs only, never all-pairs) → pair rollup.
-    Grams enter the shuffle as 64-bit blake2b hashes, not strings (~8×
-    smaller exchange; collision-free at these scales, the same argument
-    the MinHash shingle contract documents — the string-joining DuckDB
-    twin stays value-identical). A gram shared by m docs emits m(m-1)/2
-    pairs — the hot-gram skew consideration is the same as LSH
-    banding's and is bounded by k being long enough that ubiquitous
-    short phrases never qualify."""
+    same tokenizer contract as the shingle oracle) → self-join on gram
+    pair emission (co-grouped docs only, never all-pairs; vectorized —
+    no per-gram Python) → pair rollup. Grams enter the shuffle as
+    61-bit Horner rolling hashes over per-token 64-bit hashes (the
+    text_fingerprint polynomial, k vectorized numpy passes per batch —
+    no per-window hashlib call), not strings (~8× smaller exchange;
+    collision-free at these scales, the same argument the MinHash
+    shingle contract documents — the string-joining DuckDB twin stays
+    value-identical). A gram shared by m docs emits m(m-1)/2 pairs —
+    the hot-gram skew consideration is the same as LSH banding's and
+    is bounded by k being long enough that ubiquitous short phrases
+    never qualify."""
     import ray.data as rd
+
+    from .text import FP_BASE, FP_MOD
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
 
+    M = np.uint64(FP_MOD)
+    B = np.uint64(FP_BASE)
+
+    def _fold(y: np.ndarray) -> np.ndarray:
+        y = (y & M) + (y >> np.uint64(61))
+        y = (y & M) + (y >> np.uint64(61))
+        return np.where(y >= M, y - M, y)
+
+    def _mul_b(a: np.ndarray) -> np.ndarray:
+        # a*B mod M via 41/20-bit split (every product fits uint64)
+        a_hi = a >> np.uint64(41)
+        a_lo = a & np.uint64((1 << 41) - 1)
+        x = a_hi * B
+        t1 = _fold(((x & np.uint64((1 << 20) - 1)) << np.uint64(41))
+                   + (x >> np.uint64(20)))
+        return _fold(t1 + _fold(a_lo * B))
+
     def grams(batch: pa.Table) -> pa.Table:
         ab = _tokenize_keep_stops(batch["text"])
-        toks = ab.terms.to_pylist()
-        starts = np.concatenate(([0], np.cumsum(ab.doc_lengths)))
-        out_doc: list[int] = []
-        out_gram: list[int] = []
-        for d, did in enumerate(batch["doc_id"].to_pylist()):
-            ws = toks[starts[d]:starts[d + 1]]
-            if len(ws) < k:
-                continue
-            seen = {int.from_bytes(hashlib.blake2b(
-                " ".join(ws[i:i + k]).encode(),
-                digest_size=8).digest(), "big")
-                for i in range(len(ws) - k + 1)}
-            out_doc.extend([did] * len(seen))
-            out_gram.extend(seen)
+        n_tok = int(ab.doc_lengths.sum())
+        if n_tok < k:
+            return pa.table({"gram": pa.array([], type=pa.uint64()),
+                             "doc_id": pa.array([], type=pa.int64())})
+        # hash each DISTINCT term once (the only Python loop is over
+        # the batch vocabulary — the fingerprint discipline), then a
+        # k-pass vectorized Horner over the whole flat token stream
+        denc = ab.terms.dictionary_encode()
+        vh = np.array([int.from_bytes(hashlib.blake2b(
+            w.encode(), digest_size=8).digest(), "big")
+            for w in denc.dictionary.to_pylist()], dtype=np.uint64)
+        h = _fold(vh)[np.asarray(denc.indices, dtype=np.int64)]
+        nw = n_tok - k + 1
+        acc = np.zeros(nw, dtype=np.uint64)
+        for j in range(k):
+            acc = _fold(_mul_b(acc) + h[j:j + nw])
+        # windows must not straddle documents
+        doc_of = np.repeat(np.arange(len(ab.doc_lengths),
+                                     dtype=np.int64), ab.doc_lengths)
+        valid = doc_of[:nw] == doc_of[k - 1:]
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        pairs = np.stack([ids[doc_of[:nw][valid]],
+                          acc[valid].astype(np.int64)], axis=1)
+        u = np.unique(pairs, axis=0)  # distinct (doc, gram)
         return pa.table({
-            "gram": pa.array(out_gram, type=pa.uint64()),
-            "doc_id": pa.array(out_doc, type=pa.int64()),
+            "gram": pa.array(u[:, 1].astype(np.uint64), pa.uint64()),
+            "doc_id": pa.array(u[:, 0], type=pa.int64()),
         })
 
-    def emit(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group["doc_id"].to_pylist()))
-        if len(ids) < 2:
-            return pa.table({"a": pa.array([], type=pa.int64()),
-                             "b": pa.array([], type=pa.int64())})
-        a_, b_ = zip(*[(x, y) for i, x in enumerate(ids)
-                       for y in ids[i + 1:]])
-        return pa.table({"a": pa.array(a_, type=pa.int64()),
-                         "b": pa.array(b_, type=pa.int64())})
-
-    pair_ds = (ds.map_batches(grams, batch_format="pyarrow",
-                              batch_size=1024)
-               .groupby("gram").map_groups(emit,
-                                           batch_format="pyarrow"))
+    pair_ds = _bucket_pairs_selfjoin(
+        ds.map_batches(grams, batch_format="pyarrow", batch_size=1024),
+        ("gram",))
     # distributed pair rollup; only the final (a, b, n_shared) rows —
     # the query's actual result — reach the driver
     agg = pair_ds.groupby(["a", "b"]).count()
@@ -890,19 +994,55 @@ def c4_line_dedup(sf_dir: str, min_chars: int = 30) -> pa.Table:
         batch_format="pyarrow")
         .union(short.select_columns(["doc_id", "pos", "line"])))
 
-    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("pos")
-        return pd.DataFrame({
-            "doc_id": [int(g["doc_id"].iloc[0])],
-            "text": ["\n".join(g["line"].tolist())],
-            "n_kept": [len(g)],
+    # Reassembly without one-Python-call-per-document (sf1 cliff #4):
+    # global sort on the two int keys, then each block joins its
+    # contiguous doc runs with ONE zero-copy ListArray + C++
+    # binary_join per block. A document straddling two sorted blocks
+    # yields two fragments; only those few (≤ #block boundaries) are
+    # stitched in Python at the driver — every other doc passes
+    # through vectorized.
+    import pyarrow.compute as _pc
+
+    def join_runs(t: pa.Table):
+        if t.num_columns == 0 or len(t) == 0:
+            return
+        doc = np.asarray(t["doc_id"], dtype=np.int64)
+        pos = np.asarray(t["pos"], dtype=np.int64)
+        breaks = np.flatnonzero(np.diff(doc)) + 1
+        starts = np.concatenate(([0], breaks))
+        ends = np.concatenate((breaks, [len(doc)]))
+        lines = t["line"]
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        offs = np.concatenate((starts, [len(doc)])).astype(np.int64)
+        la = pa.LargeListArray.from_arrays(
+            pa.array(offs, type=pa.int64()),
+            lines.cast(pa.large_string()))
+        frag = _pc.binary_join(
+            la, pa.scalar("\n", type=pa.large_string()))
+        yield pa.table({
+            "doc_id": pa.array(doc[starts], pa.int64()),
+            "first_pos": pa.array(pos[starts], pa.int64()),
+            "frag": frag,
+            "n": pa.array(ends - starts, pa.int64()),
         })
 
-    out = (kept.groupby("doc_id").map_groups(reassemble)
-           .to_pandas().sort_values("doc_id").reset_index(drop=True))
-    return pa.table({"doc_id": pa.array(out["doc_id"], type=pa.int64()),
-                     "text": pa.array(out["text"], type=pa.string()),
-                     "n_kept": pa.array(out["n_kept"], type=pa.int64())})
+    frags = (kept.sort(["doc_id", "pos"])
+             .map_batches(join_runs, batch_format="pyarrow")
+             .to_pandas())
+    sizes = frags.groupby("doc_id")["frag"].transform("size")
+    single = frags[sizes == 1]
+    multi = frags[sizes > 1].sort_values(["doc_id", "first_pos"])
+    rows = {int(d): (t, int(n)) for d, t, n in
+            zip(single["doc_id"], single["frag"], single["n"])}
+    for did, g in multi.groupby("doc_id"):
+        rows[int(did)] = ("\n".join(g["frag"]), int(g["n"].sum()))
+    order = sorted(rows)
+    return pa.table({"doc_id": pa.array(order, type=pa.int64()),
+                     "text": pa.array([rows[d][0] for d in order],
+                                      type=pa.string()),
+                     "n_kept": pa.array([rows[d][1] for d in order],
+                                        type=pa.int64())})
 
 
 def c4_line_dedup_sql(min_chars: int = 30) -> str:

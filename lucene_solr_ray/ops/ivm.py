@@ -40,8 +40,32 @@ def _load_state(state_dir: str):
         return pd.DataFrame(columns=["event_type", "n_events",
                                      "sum_cents"]), -1
     t = pq.read_table(state_p)
-    hwm = int((t.schema.metadata or {})[_HWM_KEY])
-    return t.to_pandas(), hwm
+    meta = t.schema.metadata or {}
+    if _HWM_KEY in meta:
+        return t.to_pandas(), int(meta[_HWM_KEY])
+    # Legacy layout (pre single-rename fix): the mark lived in a
+    # sidecar rollup_state.json.  Read it once; the next refresh
+    # rewrites in the new format and the sidecar is deleted so the
+    # stale mark can never shadow the metadata one.
+    legacy_p = os.path.join(state_dir, "rollup_state.json")
+    if os.path.exists(legacy_p):
+        import json
+
+        with open(legacy_p) as f:
+            hwm = int(json.load(f)["hwm"])
+        # Upgrade in place FIRST (atomic rename), then drop the sidecar:
+        # a crash between the two steps leaves both marks equal, never
+        # a markless state file.
+        up = t.replace_schema_metadata(
+            {**(t.schema.metadata or {}), _HWM_KEY: str(hwm)})
+        tmp_p = state_p + ".tmp"
+        pq.write_table(up, tmp_p)
+        os.replace(tmp_p, state_p)
+        os.remove(legacy_p)
+        return t.to_pandas(), hwm
+    raise ValueError(
+        f"incompatible IVM state format: {state_p} has no "
+        f"{_HWM_KEY.decode()} metadata and no rollup_state.json sidecar")
 
 
 def refresh_rollup(state_dir: str, sf_dir: str,

@@ -604,7 +604,14 @@ class PdfDocument:
 
     def _decrypt_strings(self, obj, num: int, gen: int):
         if isinstance(obj, bytes):
-            return self._decrypt_bytes(obj, num, gen, self._crypt[2])
+            cfm = self._crypt[2]
+            if cfm in ("AESV2", "AESV3") and len(obj) < 32:
+                # Producers routinely leave empty/short literal strings
+                # unencrypted (no room for IV+block); PDFBox passes them
+                # through rather than failing the document.  Streams keep
+                # the strict length check in aes128_cbc_decrypt.
+                return obj
+            return self._decrypt_bytes(obj, num, gen, cfm)
         if isinstance(obj, list):
             return [self._decrypt_strings(x, num, gen) for x in obj]
         if isinstance(obj, dict):

@@ -34,6 +34,53 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _map_user_blocks(ds, fn, key: str = "user_id"):
+    """Apply ``fn`` (pandas in/out) once per KEY-COMPLETE partition —
+    the shuffle ``groupby(key).map_groups`` performs, WITHOUT the
+    one-Python-call-per-group tail (sf1 cliff #4: ~1M tiny groups is a
+    wall). The key is coarsened to a mixed hash modulo the cluster
+    partition count BEFORE the shuffle, so map_groups sees ~one group
+    per partition and ``fn`` processes every user in it with one
+    vectorized pass (lexsort + run offsets; same memory contract as
+    any hash shuffle: a partition fits a worker). Works under both of
+    Ray's shuffle strategies (repartition(keys=...) needs
+    HASH_SHUFFLE; a groupby tolerates either)."""
+    from ..util import num_shuffle_partitions
+
+    nparts = num_shuffle_partitions()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = np.asarray(t[key], dtype=np.int64)
+        # 64-bit odd-constant mix so sequential ids spread over parts
+        h = (u * np.int64(-7046029254386353131)).astype(np.uint64)
+        part = (h >> np.uint64(33)).astype(np.int64) % nparts
+        return t.append_column("_part", pa.array(part, pa.int64()))
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        return fn(df.drop(columns=["_part"]))
+
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(run, batch_format="pandas"))
+
+
+def _user_runs(df: pd.DataFrame, order=("ts", "event_id")):
+    """Lexsort a user-complete block by (user_id, *order) and return
+    (sorted df, us array, run starts, run lengths) — the shared
+    sorted-run prologue of every per-user kernel."""
+    cols = [df[c].to_numpy() for c in reversed(order)]
+    uid = df["user_id"].to_numpy()
+    idx = np.lexsort((*cols, uid))
+    df = df.iloc[idx]
+    uid = uid[idx]
+    new = np.ones(len(uid), dtype=bool)
+    if len(uid) > 1:
+        new[1:] = uid[1:] != uid[:-1]
+    starts = np.flatnonzero(new)
+    lens = np.diff(np.append(starts, len(uid)))
+    return df, starts, lens
+
+
 def _read(sf_dir: str, columns=None):
     import ray.data as rd
 
@@ -61,41 +108,68 @@ def asof_join(sf_dir: str, ref_type: str = "purchase") -> pa.Table:
     sides share the sentinel so the join stays BIGINT, never a nullable
     float).
 
-    Distributed shape: one hash shuffle on user_id; inside a group the
-    match is sort + np.searchsorted(side="right") - 1, O(n log n) per
-    user and independent of every other user.
+    Distributed shape: one hash shuffle on user_id into user-complete
+    blocks; inside a block the match is ONE ``pd.merge_asof(by=
+    "user_id")`` — the C groupwise backward as-of — over every user at
+    once (no per-user Python call). With the reference side sorted by
+    (ts, event_id), merge_asof's last-match-wins reproduces the
+    ties-to-highest-event_id rule of the former per-user
+    searchsorted(side="right") - 1 kernel exactly.
     """
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        is_ref = (df["event_type"] == ref_type).to_numpy()
-        ref = df[is_ref].sort_values(["ts", "event_id"])
-        probe = df[~is_ref].sort_values(["ts", "event_id"])
-        p_us = _ts_us(probe["ts"])
-        out = pd.DataFrame({
-            "event_id": probe["event_id"].to_numpy(),
-            "user_id": probe["user_id"].to_numpy(),
-            "ts_s": p_us // 1_000_000,
-            "event_type": probe["event_type"].to_numpy(),
+    def all_users(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ("event_id", "user_id", "ts_s", "event_type",
+                "ref_event_id", "ref_value_q", "lag_s")
+        if len(df) == 0:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "ts_s": pd.Series([], dtype="int64"),
+                "event_type": pd.Series([], dtype="object"),
+                "ref_event_id": pd.Series([], dtype="int64"),
+                "ref_value_q": pd.Series([], dtype="int64"),
+                "lag_s": pd.Series([], dtype="int64")})
+        us = _ts_us(df["ts"])
+        d2 = pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            "user_id": df["user_id"].to_numpy(),
+            "us": us,
+            "event_type": df["event_type"].to_numpy(),
+            "vq": _q4_scalar(df["value"].to_numpy()),
         })
-        if len(ref):
-            r_us = _ts_us(ref["ts"])
-            idx = np.searchsorted(r_us, p_us, side="right") - 1
-            hit = idx >= 0
-            safe = np.maximum(idx, 0)
-            out["ref_event_id"] = np.where(
-                hit, ref["event_id"].to_numpy()[safe], -1)
-            out["ref_value_q"] = np.where(
-                hit, _q4_scalar(ref["value"].to_numpy())[safe], -1)
-            out["lag_s"] = np.where(hit, (p_us - r_us[safe]) // 1_000_000, -1)
-        else:
-            out["ref_event_id"] = np.int64(-1)
-            out["ref_value_q"] = np.int64(-1)
-            out["lag_s"] = np.int64(-1)
-        return out
+        is_ref = (d2["event_type"] == ref_type).to_numpy()
+        # merge_asof wants both sides sorted by the ON key; sorting by
+        # (us, event_id) additionally makes last-match == max event_id
+        ref = (d2[is_ref].sort_values(["us", "event_id"])
+               [["user_id", "us", "event_id", "vq"]]
+               .rename(columns={"event_id": "ref_event_id",
+                                "us": "ref_us", "vq": "ref_value_q"}))
+        probe = d2[~is_ref].sort_values(["us", "event_id"])
+        j = pd.merge_asof(probe, ref, left_on="us", right_on="ref_us",
+                          by="user_id", direction="backward",
+                          allow_exact_matches=True)
+        hit = j["ref_event_id"].notna().to_numpy()
+        out = pd.DataFrame({
+            "event_id": j["event_id"].to_numpy(),
+            "user_id": j["user_id"].to_numpy(),
+            "ts_s": j["us"].to_numpy() // 1_000_000,
+            "event_type": j["event_type"].to_numpy(),
+            "ref_event_id": np.where(
+                hit, j["ref_event_id"].fillna(-1).to_numpy(np.int64),
+                -1),
+            "ref_value_q": np.where(
+                hit, j["ref_value_q"].fillna(-1).to_numpy(np.int64),
+                -1),
+            "lag_s": np.where(
+                hit,
+                (j["us"].to_numpy()
+                 - j["ref_us"].fillna(0).to_numpy(np.int64))
+                // 1_000_000, -1),
+        })
+        return out[list(cols)]
 
     ds = _read(sf_dir, ["event_id", "ts", "user_id", "event_type", "value"])
-    df = (ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
-          .to_pandas())
+    df = _map_user_blocks(ds, all_users).to_pandas()
     for c in ("event_id", "user_id", "ts_s", "ref_event_id", "ref_value_q",
               "lag_s"):
         df[c] = df[c].astype("int64")
@@ -145,26 +219,40 @@ def session_windows(sf_dir: str, gap_minutes: int = SESSION_GAP_MIN) -> pa.Table
     event count, order-free quantized value sum, epoch-second bounds and
     microsecond-exact duration.
 
-    Same single-shuffle shape as asof_join; per group the session ids
-    are a vectorized diff + cumsum and the aggregates are reduceat over
-    the session boundaries.
+    Same single-shuffle shape as asof_join; the whole block's sessions
+    fall out of ONE vectorized pass (lexsort + diff + cumsum +
+    reduceat over every user run at once — no per-user Python call).
     """
     gap_us = int(gap_minutes) * 60 * 1_000_000
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"])
+    def all_users(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ("user_id", "session_idx",
+                                           "n_events", "sum_value_q",
+                                           "start_s", "end_s",
+                                           "duration_s")})
+        df, ustarts, _ = _user_runs(df)
         us = _ts_us(df["ts"])
         n = len(us)
         new = np.ones(n, dtype=bool)
         if n > 1:
             new[1:] = (us[1:] - us[:-1]) > gap_us
+        new[ustarts] = True  # a new user always opens a session
         starts = np.flatnonzero(new)
-        sid = np.cumsum(new) - 1
-        vq = _q4_scalar(df["value"].to_numpy())
         ends = np.append(starts[1:], n) - 1
+        vq = _q4_scalar(df["value"].to_numpy())
+        run_user = df["user_id"].to_numpy()[starts]
+        # session_idx within user: position among this user's session
+        # starts (global arange minus the user's first session ordinal)
+        first = np.ones(len(starts), dtype=bool)
+        if len(starts) > 1:
+            first[1:] = run_user[1:] != run_user[:-1]
+        seq = np.arange(len(starts), dtype=np.int64)
+        session_idx = seq - seq[first][np.cumsum(first) - 1]
         return pd.DataFrame({
-            "user_id": df["user_id"].to_numpy()[starts],
-            "session_idx": np.arange(len(starts), dtype=np.int64),
+            "user_id": run_user,
+            "session_idx": session_idx,
             "n_events": np.add.reduceat(np.ones(n, dtype=np.int64), starts),
             "sum_value_q": np.add.reduceat(vq, starts),
             "start_s": us[starts] // 1_000_000,
@@ -173,8 +261,7 @@ def session_windows(sf_dir: str, gap_minutes: int = SESSION_GAP_MIN) -> pa.Table
         })
 
     ds = _read(sf_dir, ["event_id", "ts", "user_id", "value"])
-    df = (ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
-          .to_pandas())
+    df = _map_user_blocks(ds, all_users).to_pandas()
     for c in df.columns:
         df[c] = df[c].astype("int64")
     df = df.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
@@ -349,35 +436,52 @@ def funnel_depths(sf_dir: str, stages=FUNNEL_STAGES) -> pa.Table:
     Emits per user the depth and each completed stage's epoch-second
     timestamp (-1 sentinels beyond the depth).
 
-    Same one-shuffle-by-user shape as asof_join; inside a group each
-    stage is a sorted-array searchsorted, O(n log n) per user."""
+    Same one-shuffle-by-user shape as asof_join; the per-stage
+    earliest-after-previous scan runs as ONE pandas groupby-min per
+    stage over ALL users in the block (the Python loop is over the
+    constant stage list, never over users)."""
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+    def all_users(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "depth"] + [f"t{i + 1}_s"
+                                       for i in range(len(stages))]
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
         us = _ts_us(df["ts"])
         et = df["event_type"].to_numpy()
-        t_prev = -1
-        depth = 0
-        ts_out = []
+        uid = df["user_id"].to_numpy(np.int64)
+        users = np.unique(uid)
+        # t_prev per user; -1 sentinel ⇒ any occurrence qualifies
+        t_prev = pd.Series(np.int64(-1), index=users)
+        alive = pd.Series(True, index=users)
+        stage_ts = []
         for stage in stages:
-            st = np.sort(us[et == stage])
-            # earliest occurrence strictly after t_prev
-            i = np.searchsorted(st, t_prev, side="right")
-            if i < len(st):
-                t_prev = int(st[i])
-                ts_out.append(t_prev // 1_000_000)
-                depth += 1
-            else:
-                break
-        ts_out += [-1] * (len(stages) - len(ts_out))
+            m = et == stage
+            sdf = pd.DataFrame({"u": uid[m], "t": us[m]})
+            sdf["prev"] = t_prev.reindex(sdf["u"]).to_numpy()
+            sdf = sdf[(sdf["t"] > sdf["prev"])
+                      & alive.reindex(sdf["u"]).to_numpy()]
+            tmin = sdf.groupby("u")["t"].min()
+            hit = t_prev.index.isin(tmin.index)
+            alive &= hit
+            t_prev = t_prev.where(
+                ~alive,
+                tmin.reindex(t_prev.index).fillna(-1)
+                .astype(np.int64))
+            stage_ts.append(pd.Series(
+                np.where(alive, t_prev // 1_000_000, -1),
+                index=users))
+        depth = sum((s.to_numpy() != -1).astype(np.int64)
+                    for s in stage_ts)
         return pd.DataFrame({
-            "user_id": [int(df["user_id"].iloc[0])],
-            "depth": [depth],
-            **{f"t{i + 1}_s": [ts_out[i]] for i in range(len(stages))},
+            "user_id": users,
+            "depth": depth,
+            **{f"t{i + 1}_s": stage_ts[i].to_numpy(np.int64)
+               for i in range(len(stages))},
         })
 
     ds = _read(sf_dir, ["ts", "user_id", "event_type"])
-    df = (ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
-          .to_pandas())
+    df = _map_user_blocks(ds, all_users).to_pandas()
     for c in df.columns:
         df[c] = df[c].astype("int64")
     df = df.sort_values("user_id").reset_index(drop=True)
@@ -422,14 +526,29 @@ def cohort_retention(sf_dir: str) -> pa.Table:
     user, then a tiny offset groupby)."""
     day_us = 86_400 * 1_000_000
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        days = np.unique(_ts_us(df["ts"]) // day_us)
-        return pd.DataFrame({"day_offset": days - days[0],
-                             "one": np.int64(1)})
+    def all_users(df: pd.DataFrame) -> pd.DataFrame:
+        # distinct (user, day) rows, sorted → each user run's first day
+        # is the cohort day; one np.unique pass over the whole block
+        if len(df) == 0:
+            return pd.DataFrame({
+                "day_offset": pd.Series([], dtype="int64"),
+                "one": pd.Series([], dtype="int64")})
+        uid = df["user_id"].to_numpy(np.int64)
+        day = _ts_us(df["ts"]) // day_us
+        pairs = np.unique(np.stack([uid, day], axis=1), axis=0)
+        u, d = pairs[:, 0], pairs[:, 1]
+        new = np.ones(len(u), dtype=bool)
+        if len(u) > 1:
+            new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(u)))
+        offs = d - np.repeat(d[starts], lens)
+        ou, oc = np.unique(offs, return_counts=True)
+        return pd.DataFrame({"day_offset": ou,
+                             "one": oc.astype(np.int64)})
 
     ds = _read(sf_dir, ["ts", "user_id"])
-    df = (ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
-          .to_pandas()
+    df = (_map_user_blocks(ds, all_users).to_pandas()
           .groupby("day_offset", as_index=False).agg(n_users=("one", "sum")))
     df["day_offset"] = df["day_offset"].astype("int64")
     df["n_users"] = df["n_users"].astype("int64")
@@ -460,31 +579,47 @@ def window_enrich(sf_dir: str) -> pa.Table:
     window SUM reproduces it bit for bit. First-event sentinels: -1 gap,
     '' prev_type."""
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"])
+    def all_users(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "rn": pd.Series([], dtype="int64"),
+                "gap_s": pd.Series([], dtype="int64"),
+                "prev_type": pd.Series([], dtype="object"),
+                "run_value_q": pd.Series([], dtype="int64")})
+        df, starts, lens = _user_runs(df)
+        n = len(df)
         us = _ts_us(df["ts"])
         vq = _q4_scalar(df["value"].to_numpy())
-        gaps = np.empty(len(df), dtype=np.int64)
+        firsts = np.zeros(n, dtype=bool)
+        firsts[starts] = True
+        gaps = np.empty(n, dtype=np.int64)
         gaps[0] = -1
-        if len(df) > 1:
+        if n > 1:
             gaps[1:] = (us[1:] - us[:-1]) // 1_000_000
-        prev = np.empty(len(df), dtype=object)
+        gaps[firsts] = -1
+        prev = np.empty(n, dtype=object)
         prev[0] = ""
         prev[1:] = df["event_type"].to_numpy()[:-1]
+        prev[firsts] = ""
+        # segmented arange / cumsum: global minus the run-start offset
+        rn = (np.arange(n, dtype=np.int64)
+              - np.repeat(starts, lens) + 1)
+        cum = np.cumsum(vq)
+        run_q = cum - np.repeat(cum[starts] - vq[starts], lens)
         return pd.DataFrame({
             "event_id": df["event_id"].to_numpy(),
             "user_id": df["user_id"].to_numpy(),
-            "rn": np.arange(1, len(df) + 1, dtype=np.int64),
+            "rn": rn,
             "gap_s": gaps,
             "prev_type": prev,
-            "run_value_q": np.cumsum(vq),
+            "run_value_q": run_q,
         })
 
     ds = _read(sf_dir, ["event_id", "ts", "user_id", "event_type",
                         "value"])
-    df = (ds.groupby("user_id").map_groups(per_user,
-                                           batch_format="pandas")
-          .to_pandas())
+    df = _map_user_blocks(ds, all_users).to_pandas()
     for c in ("event_id", "user_id", "rn", "gap_s", "run_value_q"):
         df[c] = df[c].astype("int64")
     df = df.sort_values("event_id").reset_index(drop=True)
@@ -542,8 +677,11 @@ def event_window_dedup(sf_dir: str,
     # shuffle (~25x slower than int-only at 1M rows); (3) PANDAS-format
     # blocks feeding a groupby (~10x slower than Arrow blocks — always
     # return pa.Table from the stage before a shuffle). Buckets key on
-    # one mixed int64 h; event_type travels as its 64-bit hash and is
-    # joined back to strings from a tiny distinct-type scan.
+    # the THREE int64 columns directly (the measured cliff was strings/
+    # pandas blocks, not multi-column int keys — a single mixed-int64
+    # key risks silent collisions merging distinct buckets); event_type
+    # travels as its 64-bit hash and is joined back to strings from a
+    # tiny distinct-type scan.
     def partial(df: pd.DataFrame) -> pa.Table:
         ep = (df["ts"].astype("int64") // 1_000_000)
         df = df.assign(win=ep // window_s)
@@ -553,27 +691,27 @@ def event_window_dedup(sf_dir: str,
         codes, uniq = pd.factorize(g["event_type"])
         hcodes = np.array([_eth(s) for s in uniq], dtype=np.int64)
         eth = hcodes[codes]
-        h = (g["user_id"].to_numpy(np.int64) * np.int64(0x9E3779B1)
-             ^ g["win"].to_numpy(np.int64) * np.int64(0x85EBCA77)
-             ^ eth)
-        return pa.table({"h": pa.array(h, pa.int64()),
+        return pa.table({"user_id": pa.array(
+                             g["user_id"].to_numpy(np.int64), pa.int64()),
+                         "win": pa.array(g["win"].to_numpy(np.int64),
+                                         pa.int64()),
                          "eth": pa.array(eth, pa.int64()),
                          "n": pa.array(g["n"].to_numpy(np.int64),
                                        pa.int64())})
 
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Sum
 
-    # Min(eth) is exact (every partial row of a bucket carries the same
-    # eth) and keeps the combine all-int64. The partial table (already
-    # shrunk to ≤ one row per touched bucket per block) MATERIALIZES
-    # before the groupby: Ray's sort re-executes a lazy upstream while
-    # sampling boundaries, which re-ran the whole read+partial (~6x
-    # wall at sf1); the pinned table is a few MB per million buckets.
+    # The partial table (already shrunk to ≤ one row per touched bucket
+    # per block) MATERIALIZES before the groupby: Ray's sort re-executes
+    # a lazy upstream while sampling boundaries, which re-ran the whole
+    # read+partial (~6x wall at sf1); the pinned table is a few MB per
+    # million buckets.
     agg2 = (ds.map_batches(partial, batch_format="pandas")
             .materialize()
-            .groupby("h").aggregate(Min("eth"), Sum("n")))
+            .groupby(["user_id", "win", "eth"]).aggregate(Sum("n")))
     agg2 = agg2.map_batches(
-        lambda t: t.rename_columns(["h", "eth", "n"]),
+        lambda t: t.select(["eth", "sum(n)"]).rename_columns(
+            ["eth", "n"]),
         batch_format="pyarrow")
 
     def census2(t: pa.Table) -> pa.Table:
@@ -629,24 +767,33 @@ def ewma_per_user(sf_dir: str) -> pa.Table:
     e_1 = c_1, e_t = (c_t + e_{t-1}) // 2 over cents, in strict
     (ts, event_id) order, so the sequential fold has exactly one
     answer and the DuckDB twin replays it with a WITH RECURSIVE walk.
-    ONE groupby(user_id).map_groups shuffle (the as-of/session-window
-    partitioning contract: one user's history fits a worker); the
-    output is one row per user."""
+    ONE hash shuffle into user-complete blocks (the as-of/session-
+    window partitioning contract: one user's history fits a worker);
+    the output is one row per user. The fold is sequential per user
+    but runs ROUND-SYNCHRONOUSLY across all users in a block (the
+    fingerprint Horner discipline): round j folds every user's j-th
+    event in one vectorized op, so the Python loop length is the
+    longest user history, never the user count."""
     ds = _read(sf_dir, ["event_id", "ts", "user_id", "value"])
 
     def smooth(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"])
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ("user_id", "n_events",
+                                           "ewma_cents")})
+        df, starts, lens = _user_runs(df)
         c = np.floor(df["value"].to_numpy(np.float64) * 100
                      + 0.5).astype(np.int64)
-        e = c[0]
-        for v in c[1:]:
-            e = (v + e) // 2
-        return pd.DataFrame({"user_id": [df["user_id"].iloc[0]],
-                             "n_events": [len(c)],
-                             "ewma_cents": [e]})
+        e = c[starts].copy()
+        for j in range(1, int(lens.max())):
+            active = lens > j
+            e[active] = (c[starts[active] + j] + e[active]) // 2
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64)[starts],
+            "n_events": lens.astype(np.int64),
+            "ewma_cents": e})
 
-    out = (ds.groupby("user_id")
-           .map_groups(smooth, batch_format="pandas")
+    out = (_map_user_blocks(ds, smooth)
            .to_pandas().sort_values("user_id").reset_index(drop=True))
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
@@ -684,35 +831,50 @@ def attribution_join(sf_dir: str,
     bounded-time join two event streams need; Ray-Data-first it is ONE
     groupby(user_id).map_groups (the per-entity partitioning contract
     of asof_join/session_windows) with two sorted arrays and a
-    searchsorted window probe per group — never an unbounded
-    cross-join. Returns (event_id, user_id, n_clicks, last_gap_s)
-    per purchase, last_gap_s = -1 when no click is in the window
-    (sentinel keeps the column BIGINT)."""
+    searchsorted window probe — never an unbounded cross-join. The
+    probe runs over ALL users of a block at once: clicks sort by a
+    packed (user_code << 33 | ep) key (dense per-block user codes;
+    epoch seconds < 2^33 until year 2242), so ONE searchsorted pair
+    answers every user's window without a per-user Python call —
+    packing is strictly monotonic within a user and codes are
+    disjoint, hence bit-identical to the former per-group kernel.
+    Returns (event_id, user_id, n_clicks, last_gap_s) per purchase,
+    last_gap_s = -1 when no click is in the window (sentinel keeps
+    the column BIGINT)."""
     ds = _read(sf_dir, ["event_id", "ts", "user_id", "event_type"])
 
     def probe(df: pd.DataFrame) -> pd.DataFrame:
         ep = (df["ts"].astype("int64") // 1_000_000).to_numpy()
         et = df["event_type"].to_numpy()
         eid = df["event_id"].to_numpy()
-        cl = np.sort(ep[et == "click"])
+        uid = df["user_id"].to_numpy(np.int64)
         pm = et == "purchase"
         if not pm.any():
-            return pd.DataFrame({"event_id": [], "user_id": [],
-                                 "n_clicks": [], "last_gap_s": []})
-        pts = ep[pm]
-        lo = np.searchsorted(cl, pts - window_s, side="left")
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "n_clicks": pd.Series([], dtype="int64"),
+                "last_gap_s": pd.Series([], dtype="int64")})
+        codes, _ = pd.factorize(uid)
+        assert ep.min() >= 0 and ep.max() < (1 << 33)
+        key = (codes.astype(np.int64) << np.int64(33)) | ep
+        cm = et == "click"
+        ck = np.sort(key[cm])
+        pk = key[pm]
+        lo = np.searchsorted(ck, pk - window_s, side="left")
         # side="left": clicks at EXACTLY the purchase second are out
-        # (the twin's strict c.ep < p.ep)
-        hi = np.searchsorted(cl, pts, side="left")
+        # (the twin's strict c.ep < p.ep); window start pk - w stays
+        # inside the same user's code block (ep ≥ w for epoch data)
+        hi = np.searchsorted(ck, pk, side="left")
         n = (hi - lo).astype(np.int64)
-        last = np.where(n > 0, pts - cl[np.maximum(hi - 1, 0)], -1) \
+        last = np.where(n > 0, pk - ck[np.maximum(hi - 1, 0)], -1) \
             .astype(np.int64)
         return pd.DataFrame({
             "event_id": eid[pm].astype(np.int64),
-            "user_id": df["user_id"].to_numpy()[pm].astype(np.int64),
+            "user_id": uid[pm],
             "n_clicks": n, "last_gap_s": last})
 
-    out = (ds.groupby("user_id").map_groups(probe, batch_format="pandas")
+    out = (_map_user_blocks(ds, probe)
            .to_pandas().sort_values("event_id").reset_index(drop=True))
     for c in out.columns:
         out[c] = out[c].astype(np.int64)

@@ -22,10 +22,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..analysis.stopwords import stopwords_sql_list
+from ..index.segment import KW_SEP as _KW_SEP
 from ..search.bm25 import quantize_score
 
 INDEX_CACHE_ROOT = "/tmp/lsr_index_cache"
-FORMAT_VERSION = 5  # bump when the on-disk index format changes
+FORMAT_VERSION = 6  # bump when the on-disk index format changes (v6: KW_SEP)
 
 K1_SQL = "1.2"
 B_SQL = "0.75"
@@ -512,7 +513,8 @@ def _q_top_terms(n=20):
         ds = rd.read_parquet(files, columns=["term", "df"])
         # keyword-field terms ("lang:en") are not corpus terms
         ds = ds.map_batches(
-            lambda t: t.filter(_pc.invert(_pc.match_substring(t["term"], ":"))),
+            lambda t: t.filter(_pc.invert(
+                _pc.match_substring(t["term"], _KW_SEP))),
             batch_format="pyarrow")
         agg = ds.groupby("term").sum("df")
         out = agg.sort(["sum(df)", "term"], descending=[True, False]).limit(n)
@@ -541,7 +543,7 @@ def _q_terms_component(prefix: str | None = None,
         ds = rd.read_parquet(files, columns=["term", "df"])
 
         def keep(t: pa.Table) -> pa.Table:
-            m = pc.invert(pc.match_substring(t["term"], ":"))
+            m = pc.invert(pc.match_substring(t["term"], _KW_SEP))
             if prefix is not None:
                 m = pc.and_(m, pc.starts_with(t["term"], prefix))
             if regex is not None:
@@ -1915,8 +1917,9 @@ def _q_drill_sideways(term, drills):
                 if f != dim:
                     cand = np.intersect1d(cand, fdocs[f],
                                           assume_unique=True)
-            for t in sorted(s.expand_terms("prefix", f"{dim}:")):
-                val = t.split(":", 1)[1]
+            for t in sorted(s.expand_terms(
+                    "prefix", f"{dim}{_KW_SEP}")):
+                val = t.split(_KW_SEP, 1)[1]
                 pd_ = s._decode_term_global(t)
                 if pd_ is None:
                     continue
@@ -2150,8 +2153,10 @@ class _ExprCtx:
         from ..search.strdistance import jaro_winkler_distance
 
         sims = np.zeros(len(self.docs), dtype=np.float64)
-        for t in self.s.expand_terms("prefix", f"{field}:"):
-            v = t.split(":", 1)[1]
+        from ..index.segment import KW_SEP as _sep
+
+        for t in self.s.expand_terms("prefix", f"{field}{_sep}"):
+            v = t.split(_sep, 1)[1]
             p = self.s._decode_term_global(t)
             if p is None or not len(p[0]):
                 continue

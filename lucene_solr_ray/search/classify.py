@@ -24,9 +24,11 @@ import pyarrow as pa
 
 
 def _class_values(searcher, class_field: str) -> list[str]:
-    return sorted({t.split(":", 1)[1]
-                   for t in searcher.expand_terms("prefix",
-                                                  f"{class_field}:")})
+    from ..index.segment import KW_SEP
+
+    return sorted({t.split(KW_SEP, 1)[1]
+                   for t in searcher.expand_terms(
+                       "prefix", f"{class_field}{KW_SEP}")})
 
 
 def knn_classify(searcher, text: str, *, class_field: str = "lang",
@@ -64,8 +66,10 @@ def naive_bayes_classify(searcher, text: str, *,
 
     ids, dls = searcher._global_dl()
     # vocabulary size: analyzed terms only (keyword namespace excluded)
+    from ..index.segment import KW_SEP
+
     vocab = sum(1 for t in searcher.expand_terms("prefix", "")
-                if ":" not in t)
+                if KW_SEP not in t)
     best = None
     for v in _class_values(searcher, class_field):
         members = searcher.filter_docs(class_field, v)
@@ -127,8 +131,10 @@ class BooleanPerceptron:
         terms = np.concatenate(terms_all)
         df = np.concatenate(dfs_all)
         ttf = np.concatenate(ttfs_all)
-        # analyzed namespace only (keyword fields are "field:value")
-        mask = np.array([":" not in t for t in terms])
+        # analyzed namespace only (keyword fields carry KW_SEP)
+        from ..index.segment import KW_SEP
+
+        mask = np.array([KW_SEP not in t for t in terms])
         uniq, inv = np.unique(terms[mask], return_inverse=True)
         ttf_g = np.bincount(inv, weights=ttf[mask]).astype(np.float64)
         df_g = np.bincount(inv, weights=df[mask]).astype(np.int64)

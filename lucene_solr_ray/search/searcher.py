@@ -40,7 +40,7 @@ import pyarrow.parquet as pq
 
 from ..index.encode import decode_postings
 from ..index.manifest import load_manifest
-from ..index.segment import DOCS_FILE, META_FILE, POSTINGS_FILE
+from ..index.segment import DOCS_FILE, KW_SEP, META_FILE, POSTINGS_FILE
 from .bm25 import BM25Float32, idf_exact64, idf_float32
 
 POSTING_COLS = ["term", "df", "ttf", "doc_data", "tf_data", "norm_data",
@@ -604,7 +604,7 @@ class IndexSearcher:
             got = self._filter_cache.get(key)
             if got is not None:
                 return got
-        p = self._decode_term_global(f"{field}:{value}")
+        p = self._decode_term_global(f"{field}{KW_SEP}{value}")
         out = p[0] if p is not None else np.empty(0, dtype=np.int64)
         if self.caches_enabled:
             self._filter_cache.put(key, out)
@@ -620,8 +620,9 @@ class IndexSearcher:
         field value among matching docs (solr:request/SimpleFacets.java)."""
         matching = self.search(query, k=self.num_docs)
         docs = np.sort(np.asarray(matching["doc_id"], dtype=np.int64))
-        values = sorted({t.split(":", 1)[1]
-                         for t in self.expand_terms("prefix", f"{field}:")})
+        values = sorted({t.split(KW_SEP, 1)[1]
+                         for t in self.expand_terms(
+                             "prefix", f"{field}{KW_SEP}")})
         out_v, out_c = [], []
         for v in values:
             fd = self.filter_docs(field, v)
@@ -890,8 +891,8 @@ class IndexSearcher:
         # keyword-field terms ("lang:en") live in a separate namespace;
         # only match them when the pattern addresses it explicitly
         pat = param if isinstance(param, str) else ""
-        if ":" not in pat:
-            out = {t for t in out if ":" not in t}
+        if KW_SEP not in pat:
+            out = {t for t in out if KW_SEP not in t}
         return sorted(out)
 
     def search_constant(self, terms: list[str], k: int = 10,
@@ -1596,7 +1597,7 @@ class IndexSearcher:
             lo = int(np.searchsorted(terms, prefix, side="left"))
             hi = int(np.searchsorted(terms, prefix + "￿", side="right"))
             for t, w in zip(terms[lo:hi].tolist(), ttf[lo:hi].tolist()):
-                if ":" in t and ":" not in prefix:
+                if KW_SEP in t and KW_SEP not in prefix:
                     continue  # keyword-field namespace
                 agg[t] = agg.get(t, 0) + int(w)
         top = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[:n]
@@ -1623,7 +1624,7 @@ class IndexSearcher:
                     agg[t] = agg.get(t, 0) + int(w)
             fst = build_fst(sorted(agg.items()))
             self._completion_fst = fst
-        flt = (lambda t: ":" not in t) if ":" not in prefix else None
+        flt = (lambda t: KW_SEP not in t) if KW_SEP not in prefix else None
         top = fst.complete(prefix, n, term_filter=flt)
         return pa.table({
             "term": pa.array([t for t, _ in top], type=pa.string()),
@@ -1638,7 +1639,7 @@ class IndexSearcher:
         level infix, not string infix), ranked by the suggestion's
         weight (a numeric doc value), ties doc_id asc."""
         terms = [t for t in self.expand_terms("prefix", fragment)
-                 if ":" not in t]
+                 if KW_SEP not in t]
         arrays = []
         for t in terms:
             p = self._decode_term_global(t)
@@ -1664,7 +1665,7 @@ class IndexSearcher:
         with the FIRST match position — score = weight · 1/(1+minpos),
         so suggestions whose match sits earlier rank higher."""
         terms = [t for t in self.expand_terms("prefix", fragment)
-                 if ":" not in t]
+                 if KW_SEP not in t]
         minpos: dict[int, int] = {}
         for t in terms:
             p = self._decode_term_global(t, positions=True)
@@ -1704,7 +1705,7 @@ class IndexSearcher:
         for seg in self.segments:
             terms, _, ttf = seg.term_dict_arrays()
             for t, w in zip(terms.tolist(), ttf.tolist()):
-                if ":" in t and ":" not in prefix:
+                if KW_SEP in t and KW_SEP not in prefix:
                     continue
                 if min(_levenshtein_dist(prefix, t[:L], max_edits)
                        for L in cuts) <= max_edits:
@@ -1729,7 +1730,7 @@ class IndexSearcher:
         the FST's role (shared-prefix ordered traversal); ranking is
         (weight desc, term asc, doc asc)."""
         terms = self.expand_terms("prefix", prefix)
-        terms = [t for t in terms if ":" not in t or ":" in prefix]
+        terms = [t for t in terms if KW_SEP not in t or KW_SEP in prefix]
         ids, weights = self.global_doc_values(weight_field)
         ctx_docs = None
         if context_field is not None:
@@ -2389,7 +2390,7 @@ class IndexSearcher:
         for seg in self.segments:
             terms, df, _ = seg.term_dict_arrays()
             for t, d in zip(terms.tolist(), df.tolist()):
-                if t == term or ":" in t:
+                if t == term or KW_SEP in t:
                     continue
                 if _levenshtein_leq(term, t, max_edits):
                     agg[t] = agg.get(t, 0) + int(d)

@@ -3,6 +3,7 @@ crafted-fixture behavior; corpus parity lives in test_driver_parity."""
 
 import numpy as np
 import pyarrow as pa
+import pytest
 import pyarrow.parquet as pq
 
 from lucene_solr_ray.ops.relational import skew_report, table_stats
@@ -145,6 +146,32 @@ def test_ivm_refresh_schedules_converge(ray_session, tmp_path):
     cents = np.floor(t["value"].to_numpy() * 100 + 0.5).astype(np.int64)
     assert st_one["sum_cents"].sum() == cents.sum()
     assert st_one["n_events"].sum() == n
+
+    # legacy state layout (pre single-rename fix): mark in a sidecar
+    # rollup_state.json — read once, upgraded in place, sidecar removed
+    import json
+
+    from lucene_solr_ray.ops.ivm import STATE_FILE
+
+    legacy = tmp_path / "legacy"; legacy.mkdir()
+    st_tbl = pq.read_table(str(one / STATE_FILE))
+    pq.write_table(st_tbl.replace_schema_metadata(None),
+                   str(legacy / STATE_FILE))
+    (legacy / "rollup_state.json").write_text(
+        json.dumps({"hwm": hwm_one}))
+    st_l, hwm_l = _load_state(str(legacy))
+    assert hwm_l == hwm_one
+    assert not (legacy / "rollup_state.json").exists()
+    st_l2, hwm_l2 = _load_state(str(legacy))  # upgraded in place
+    assert hwm_l2 == hwm_one
+    r = refresh_rollup(str(legacy), str(d))
+    assert r["n_new_rows"] == 0  # mark carried over: nothing replays
+    # no mark anywhere is a clear error, not a silent full recompute
+    bad = tmp_path / "bad"; bad.mkdir()
+    pq.write_table(st_tbl.replace_schema_metadata(None),
+                   str(bad / STATE_FILE))
+    with pytest.raises(ValueError, match="incompatible"):
+        _load_state(str(bad))
 
 
 def test_mad_outliers_robust_to_contamination(ray_session, tmp_path):

@@ -92,7 +92,8 @@ def test_boolean_perceptron(sep_index):
     for seg in s.segments:
         t, df, ttf = seg.term_dict_arrays()
         for tt, d, f in zip(np.asarray(t), df, ttf):
-            if ":" not in tt:
+            from lucene_solr_ray.index.segment import KW_SEP
+            if KW_SEP not in tt:
                 terms.append(tt); dfs.append(int(d)); ttfs.append(int(f))
     assert p.threshold == sum(dfs) / 2.0
     agg = {}

@@ -108,7 +108,8 @@ def test_bloom_skips_term_dict(ray_session, tmp_path):
     # present terms unaffected
     assert s.search_term("copper", k=10).num_rows == 2
     # keyword-field terms are in the same bloom space
-    assert s.search_term("lang:en", k=10).num_rows == 2
+    from lucene_solr_ray.index.segment import KW_SEP
+    assert s.search_term(f"lang{KW_SEP}en", k=10).num_rows == 2
     # false-positive path still correct (falls through to term dict)
     for i in range(50):
         assert s.search_term(f"ghost{i}", k=5).num_rows == 0

@@ -552,3 +552,22 @@ def test_encrypted_pdf_aes256_wrong_password_raises():
     broken = pdf.replace(b"/U <", b"/U <ff", 1)
     with pytest.raises(NotImplementedError, match="password"):
         extract_pdf(broken)
+
+
+@pytest.mark.parametrize("make", [
+    lambda c: _encrypted_pdf(c, cfm="AESV2", r=4, v=4),
+    lambda c: _encrypted_pdf_v5(c, r=6),
+])
+def test_encrypted_pdf_aes_tolerates_short_unencrypted_strings(make):
+    """Producers routinely leave empty/short literal strings ()
+    unencrypted in AES documents (no room for IV + block); a lenient
+    reader passes them through instead of failing the whole parse
+    (PDFBox behavior)."""
+    pdf = make(b"BT (lenient body) Tj ET")
+    # splice raw short strings into the /Info dict — under the strict
+    # rule either one aborted the document with 'bad AES-CBC payload'
+    pdf = pdf.replace(b"<< /Title ",
+                      b"<< /Subject () /Keywords (ab) /Title ", 1)
+    d = extract_pdf(pdf)
+    assert d["content"] == "lenient body"
+    assert d["title"] == "secret-title"
