@@ -200,89 +200,97 @@ def _permute_grouped(flat: np.ndarray, counts: np.ndarray,
 CHUNK_POSTINGS = 262_144  # per-chunk decode/sort/encode working set bound
 
 
-def _make_reducer(segments_root: str, generation: int):
-    def reduce_partition(g: pa.Table) -> pa.Table:
-        """One VECTORIZED merge per reduce partition, Arrow end-to-end:
-        blobs sliced zero-copy from the column buffers, then the partition
-        is processed in TERM-RANGE CHUNKS of ~CHUNK_POSTINGS postings —
-        batched varint decode, one lexsort by (term, salt, doc), re-encode
-        — so the decode/sort temporaries stay a few MB regardless of
-        partition size (bounded reducer memory; on this host, small
-        working sets also stay inside the already-faulted-in allocator
-        arena — see util.tune_allocator). Each reducer writes its own
-        shard and emits its meta."""
-        from ..util import tune_allocator
+def _reduce_rows(g: pa.Table, *, with_positions: bool = True) -> pa.Table:
+    """The VECTORIZED merge kernel shared by the bulk merge reducers and
+    the tiered subset merge: fold one partition's (term, salt, blobs)
+    rows into merged, term-sorted, re-encoded postings rows — Arrow
+    end-to-end, blobs sliced zero-copy from the column buffers, the
+    partition processed in TERM-RANGE CHUNKS of ~CHUNK_POSTINGS
+    postings (batched varint decode, one lexsort by (term, salt, doc),
+    re-encode) so the decode/sort temporaries stay a few MB regardless
+    of partition size."""
+    from ..util import tune_allocator
 
-        tune_allocator()
-        part = int(g["part"][0].as_py())
-        g = g.sort_by([("term", "ascending"), ("salt", "ascending")])
-        dfs_rows = np.asarray(g["df"], dtype=np.int64)
-        n_rows = g.num_rows
+    tune_allocator()
+    g = g.sort_by([("term", "ascending"), ("salt", "ascending")])
+    dfs_rows = np.asarray(g["df"], dtype=np.int64)
+    n_rows = g.num_rows
 
-        # blobs are contiguous after sort_by's take — slice them straight
-        # out of the Arrow buffers (no Python join), with per-row bounds
-        doc_blob, doc_off = _binary_blob(g["doc_data"])
-        tf_blob, tf_off = _binary_blob(g["tf_data"])
-        norm_blob, norm_off = _binary_blob(g["norm_data"])
-        pos_blob, pos_off = _binary_blob(g["pos_data"])
+    # blobs are contiguous after sort_by's take — slice them straight
+    # out of the Arrow buffers (no Python join), with per-row bounds
+    doc_blob, doc_off = _binary_blob(g["doc_data"])
+    tf_blob, tf_off = _binary_blob(g["tf_data"])
+    norm_blob, norm_off = _binary_blob(g["norm_data"])
+    pos_blob, pos_off = _binary_blob(g["pos_data"])
 
-        # (term, salt) run codes per source row — g is sorted, so runs are
-        # contiguous; boundaries via dictionary codes + salt, no string
-        # concatenation (pandas string concat silently drops NUL bytes)
-        term_col = g["term"]
-        if isinstance(term_col, pa.ChunkedArray):
-            term_col = term_col.combine_chunks()
-        denc = term_col.dictionary_encode()
-        t_codes = np.asarray(denc.indices).astype(np.int64)
-        salts = np.asarray(g["salt"], dtype=np.int64)
-        change = np.empty(n_rows, dtype=bool)
-        change[0] = True
-        np.not_equal(t_codes[1:], t_codes[:-1], out=change[1:])
-        change[1:] |= salts[1:] != salts[:-1]
-        row_codes = np.cumsum(change) - 1
-        run_starts = np.flatnonzero(change)
+    # (term, salt) run codes per source row — g is sorted, so runs are
+    # contiguous; boundaries via dictionary codes + salt, no string
+    # concatenation (pandas string concat silently drops NUL bytes)
+    term_col = g["term"]
+    if isinstance(term_col, pa.ChunkedArray):
+        term_col = term_col.combine_chunks()
+    denc = term_col.dictionary_encode()
+    t_codes = np.asarray(denc.indices).astype(np.int64)
+    salts = np.asarray(g["salt"], dtype=np.int64)
+    change = np.empty(n_rows, dtype=bool)
+    change[0] = True
+    np.not_equal(t_codes[1:], t_codes[:-1], out=change[1:])
+    change[1:] |= salts[1:] != salts[:-1]
+    row_codes = np.cumsum(change) - 1
+    run_starts = np.flatnonzero(change)
 
-        # chunk boundaries: walk (term,salt) runs, cut when the chunk
-        # reaches CHUNK_POSTINGS; a run never spans chunks
-        df_cum = np.concatenate(([0], np.cumsum(dfs_rows)))
-        run_ends = np.concatenate((run_starts[1:], [n_rows]))
-        chunk_bounds = [0]
-        acc = 0
-        for ri in range(len(run_starts)):
-            acc += int(df_cum[run_ends[ri]] - df_cum[run_starts[ri]])
-            if acc >= CHUNK_POSTINGS:
-                chunk_bounds.append(int(run_ends[ri]))
-                acc = 0
-        if chunk_bounds[-1] != n_rows:
-            chunk_bounds.append(n_rows)
+    # chunk boundaries: walk (term,salt) runs, cut when the chunk
+    # reaches CHUNK_POSTINGS; a run never spans chunks
+    df_cum = np.concatenate(([0], np.cumsum(dfs_rows)))
+    run_ends = np.concatenate((run_starts[1:], [n_rows]))
+    chunk_bounds = [0]
+    acc = 0
+    for ri in range(len(run_starts)):
+        acc += int(df_cum[run_ends[ri]] - df_cum[run_starts[ri]])
+        if acc >= CHUNK_POSTINGS:
+            chunk_bounds.append(int(run_ends[ri]))
+            acc = 0
+    if chunk_bounds[-1] != n_rows:
+        chunk_bounds.append(n_rows)
 
-        tables = []
-        for rs, re_ in zip(chunk_bounds[:-1], chunk_bounds[1:]):
-            c_dfs = dfs_rows[rs:re_]
-            blk_counts = np.concatenate([block_sizes(d) for d in c_dfs])
-            docs = grouped_delta_decode(
-                varint_decode(doc_blob[doc_off[rs]:doc_off[re_]])
-                .astype(np.int64), blk_counts)
-            tfs = varint_decode(tf_blob[tf_off[rs]:tf_off[re_]]) \
-                .astype(np.int64)
-            norms = np.frombuffer(
-                norm_blob[norm_off[rs]:norm_off[re_]], dtype=np.uint8)
+    tables = []
+    for rs, re_ in zip(chunk_bounds[:-1], chunk_bounds[1:]):
+        c_dfs = dfs_rows[rs:re_]
+        blk_counts = np.concatenate([block_sizes(d) for d in c_dfs])
+        docs = grouped_delta_decode(
+            varint_decode(doc_blob[doc_off[rs]:doc_off[re_]])
+            .astype(np.int64), blk_counts)
+        tfs = varint_decode(tf_blob[tf_off[rs]:tf_off[re_]]) \
+            .astype(np.int64)
+        norms = np.frombuffer(
+            norm_blob[norm_off[rs]:norm_off[re_]], dtype=np.uint8)
+        if with_positions:
             pos = grouped_delta_decode(
                 varint_decode(pos_blob[pos_off[rs]:pos_off[re_]])
                 .astype(np.int64), tfs)
 
-            codes_chunk = row_codes[rs:re_] - row_codes[rs]
-            p_codes = np.repeat(codes_chunk, c_dfs)
-            perm = np.lexsort((docs, p_codes))
-            runs_in = run_starts[(run_starts >= rs) & (run_starts < re_)]
-            code_terms = term_col.take(pa.array(runs_in))
-            tbl, _ = encode_sorted_postings(
-                p_codes[perm], pc.cast(code_terms, pa.string()),
-                docs[perm], tfs[perm], norms[perm],
-                _permute_grouped(pos, tfs, perm), with_positions=True)
-            tables.append(tbl)
+        codes_chunk = row_codes[rs:re_] - row_codes[rs]
+        p_codes = np.repeat(codes_chunk, c_dfs)
+        perm = np.lexsort((docs, p_codes))
+        runs_in = run_starts[(run_starts >= rs) & (run_starts < re_)]
+        code_terms = term_col.take(pa.array(runs_in))
+        tbl, _ = encode_sorted_postings(
+            p_codes[perm], pc.cast(code_terms, pa.string()),
+            docs[perm], tfs[perm], norms[perm],
+            _permute_grouped(pos, tfs, perm) if with_positions else None,
+            with_positions=with_positions)
+        tables.append(tbl)
 
-        table = pa.concat_tables(tables)
+    return pa.concat_tables(tables)
+
+
+def _make_reducer(segments_root: str, generation: int):
+    def reduce_partition(g: pa.Table) -> pa.Table:
+        """One call of the shared _reduce_rows kernel per reduce
+        partition; each reducer writes its own shard atomically and
+        emits its meta (fully distributed writes, no driver funnel)."""
+        part = int(g["part"][0].as_py())
+        table = _reduce_rows(g, with_positions=True)
 
         name = f"merged-{generation:03d}-{part:05d}"
         tmp = os.path.join(segments_root, name + ".tmp")
@@ -317,7 +325,7 @@ def choose_num_shards(files: list[str], *,
     return int(min(MAX_NUM_SHARDS, max(MIN_NUM_SHARDS, n)))
 
 
-def make_purge_fn(dels_ref):
+def make_purge_fn(dels_ref, with_positions: bool = True):
     """map_batches stage applied to one source segment's postings when
     unmerged deletes cover it: decode each row, drop the segment's deleted
     docs, re-encode (SegmentMerger dropping liveDocs-dead docs)."""
@@ -331,13 +339,15 @@ def make_purge_fn(dels_ref):
         dels = ray.get(dels_ref)
         out = {c: [] for c in SHUFFLE_COLS}
         for row in batch.to_pylist():
-            docs, tfs, norms, pos = decode_postings(row,
-                                                    with_positions=True)
+            decoded = decode_postings(row, with_positions=with_positions)
+            docs, tfs, norms = decoded[0], decoded[1], decoded[2]
+            pos = decoded[3] if with_positions else None
             keep = ~np.isin(docs, dels, assume_unique=True)
             if not keep.any():
                 continue  # the whole row was deleted docs
             if not keep.all():
-                pos = pos[np.repeat(keep, tfs)]
+                if with_positions:
+                    pos = pos[np.repeat(keep, tfs)]
                 docs, tfs, norms = docs[keep], tfs[keep], norms[keep]
                 enc = encode_postings(docs, tfs, norms, pos)
                 row = {"term": row["term"], "df": enc["df"],
@@ -466,13 +476,71 @@ def merge_segments(index_dir: str, *, hot_df_threshold: int = HOT_DF_THRESHOLD,
                        batch_format="pyarrow")
                    .to_pandas())
     else:
-        big = (df_ds
-               .groupby("term").sum("df")
-               .map_batches(
-                   lambda t: t.filter(pc.greater(t["sum(df)"],
-                                                 hot_df_threshold)),
-                   batch_format="pyarrow")
-               .to_pandas())
+        # full-vocab fallback WITHOUT a string-keyed vocab shuffle (the
+        # measured ~25× cliff): per-batch pre-agg keyed by 64-bit term
+        # hashes rides the groupby as int64; the handful of hot hashes
+        # map back to term strings in one pruned second pass
+        def _th_counts(t: pa.Table) -> pa.Table:
+            terms = t["term"]
+            if isinstance(terms, pa.ChunkedArray):
+                terms = terms.combine_chunks()
+            denc = terms.dictionary_encode()
+            idx = np.asarray(denc.indices, dtype=np.int64)
+            dfs = np.asarray(t["df"], dtype=np.int64)
+            th = np.array([int.from_bytes(
+                hashlib.blake2b(w.encode(), digest_size=8).digest(),
+                "big", signed=False)
+                for w in denc.dictionary.to_pylist()],
+                dtype=np.uint64).view(np.int64)
+            return pa.table({
+                "th": pa.array(th, pa.int64()),
+                "df": pa.array(np.bincount(
+                    idx, weights=dfs,
+                    minlength=len(th)).astype(np.int64), pa.int64()),
+            })
+
+        big_h = (df_ds.map_batches(_th_counts, batch_format="pyarrow")
+                 .groupby("th").sum("df")
+                 .map_batches(
+                     lambda t: t.filter(pc.greater(t["sum(df)"],
+                                                   hot_df_threshold)),
+                     batch_format="pyarrow")
+                 .to_pandas())
+        if len(big_h) == 0 or "th" not in big_h.columns:
+            big = big_h.iloc[:0]
+        else:
+            hot_th = np.sort(big_h["th"].to_numpy(np.int64))
+            th_df = dict(zip(big_h["th"].tolist(),
+                             big_h["sum(df)"].tolist()))
+
+            def _hot_terms(t: pa.Table) -> pa.Table:
+                terms = t["term"]
+                if isinstance(terms, pa.ChunkedArray):
+                    terms = terms.combine_chunks()
+                denc = terms.dictionary_encode()
+                vocab = denc.dictionary.to_pylist()
+                th = np.array([int.from_bytes(
+                    hashlib.blake2b(w.encode(), digest_size=8)
+                    .digest(), "big", signed=False) for w in vocab],
+                    dtype=np.uint64).view(np.int64)
+                pos = np.clip(np.searchsorted(hot_th, th), 0,
+                              len(hot_th) - 1)
+                m = hot_th[pos] == th
+                return pa.table({
+                    "term": pa.array(
+                        [w for w, k in zip(vocab, m) if k],
+                        type=pa.string()),
+                    "th": pa.array(th[m], pa.int64())})
+
+            hot_map = (rd.read_parquet(files, columns=["term"],
+                                       override_num_blocks=nblocks)
+                       .map_batches(_hot_terms, batch_format="pyarrow")
+                       .to_pandas().drop_duplicates("term"))
+            import pandas as _pd
+
+            big = _pd.DataFrame({
+                "term": hot_map["term"],
+                "sum(df)": [th_df[h] for h in hot_map["th"]]})
     hot = {} if len(big) == 0 or "term" not in big.columns else \
         dict(zip(big["term"].tolist(),
                  np.ceil(big["sum(df)"].to_numpy()

@@ -81,28 +81,35 @@ def entity_match_pairs(sf_dir: str, max_lev: int = MAX_LEV) -> pa.Table:
         return df
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) > MAX_BLOCK:
-            raise ValueError(
-                f"entity block {df['block'].iloc[0]!r} has {len(df)} "
-                f"keys (> {MAX_BLOCK}); refine the blocking key")
-        sub = df.sort_values("nm").reset_index(drop=True)
-        names = sub["nm"].tolist()
-        nrec = sub["nrec"].to_numpy()
+        # one call per block-COMPLETE partition: the outer grouping is
+        # pandas C-level (no Ray per-block dispatch — sf1 cliff #4);
+        # Python survives only in the per-pair Levenshtein DP, the
+        # actual match compute
         out_a, out_b, out_l, out_s = [], [], [], []
-        for i in range(len(names)):
-            for j in range(i + 1, len(names)):
-                d = _levenshtein(names[i], names[j])
-                if d <= max_lev:
-                    out_a.append(names[i])
-                    out_b.append(names[j])
-                    out_l.append(d)
-                    out_s.append(int(nrec[i] + nrec[j]))
+        for blk, sub in df.groupby("block", sort=False):
+            if len(sub) > MAX_BLOCK:
+                raise ValueError(
+                    f"entity block {blk!r} has {len(sub)} "
+                    f"keys (> {MAX_BLOCK}); refine the blocking key")
+            sub = sub.sort_values("nm").reset_index(drop=True)
+            names = sub["nm"].tolist()
+            nrec = sub["nrec"].to_numpy()
+            for i in range(len(names)):
+                for j in range(i + 1, len(names)):
+                    d = _levenshtein(names[i], names[j])
+                    if d <= max_lev:
+                        out_a.append(names[i])
+                        out_b.append(names[j])
+                        out_l.append(d)
+                        out_s.append(int(nrec[i] + nrec[j]))
         return pd.DataFrame({"name_a": out_a, "name_b": out_b,
                              "lev": out_l, "support": out_s})
 
-    matched = (ents.map_batches(add_block, batch_format="pandas")
-               .groupby("block")
-               .map_groups(pairs, batch_format="pandas"))
+    from .temporal import _map_user_blocks
+
+    matched = _map_user_blocks(
+        ents.map_batches(add_block, batch_format="pandas"),
+        pairs, key="block")
     parts = [b for b in matched.iter_batches(batch_format="pyarrow",
                                              batch_size=None)
              if b.num_rows > 0]

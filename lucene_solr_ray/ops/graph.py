@@ -453,26 +453,40 @@ ORDER BY g.n_nodes DESC, g.lab LIMIT {k}
 def type_cooccurrence(sf_dir: str) -> pa.Table:
     """Bipartite projection — the one-mode graph the user↔event_type
     graph induces on event types: edge (a, b) weighted by the number
-    of users who performed BOTH. The projection is per-user local
-    (each user's distinct type set expands to its ≤ C(T,2) pairs
-    inside the group task), so the only shuffles are the user groupby
-    and the tiny pair-count fold — never a type×type×user
-    intermediate. Returns (type_a, type_b, n_users), a < b, ordered
-    by (n_users desc, type_a, type_b)."""
+    of users who performed BOTH. Per user-complete partition the
+    projection is ONE incidence gram matrix I^T·I (U×T boolean to
+    T×T int — T is the tiny type vocabulary), so each partition emits
+    at most C(T,2) partial rows and the only shuffles are the user
+    co-location and the tiny pair-count fold — never a per-user
+    Python call (sf1 cliff #4), never a type×type×user intermediate.
+    Returns (type_a, type_b, n_users), a < b, ordered by
+    (n_users desc, type_a, type_b)."""
     import pandas as pd
+
+    from .temporal import _map_user_blocks
 
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ts = sorted(set(df["event_type"]))
-        out_a, out_b = [], []
-        for i in range(len(ts)):
-            for j in range(i + 1, len(ts)):
-                out_a.append(ts[i])
-                out_b.append(ts[j])
-        return pd.DataFrame({"type_a": out_a, "type_b": out_b, "n": 1})
+    def gram(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "type_a": pd.Series([], dtype="object"),
+                "type_b": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64")})
+        codes, types = pd.factorize(df["event_type"], sort=True)
+        ucodes, _ = pd.factorize(df["user_id"])
+        inc = np.zeros((ucodes.max() + 1, len(types)), dtype=bool)
+        inc[ucodes, codes] = True
+        m = inc.T.astype(np.int64) @ inc.astype(np.int64)
+        iu = np.triu_indices(len(types), 1)
+        n = m[iu]
+        keep = n > 0
+        return pd.DataFrame({
+            "type_a": np.asarray(types)[iu[0]][keep],
+            "type_b": np.asarray(types)[iu[1]][keep],
+            "n": n[keep]})
 
-    out = (ds.groupby("user_id").map_groups(pairs, batch_format="pandas")
+    out = (_map_user_blocks(ds, gram)
            .groupby(["type_a", "type_b"]).sum("n").to_pandas()
            .rename(columns={"sum(n)": "n_users"})
            .sort_values(["n_users", "type_a", "type_b"],

@@ -268,19 +268,14 @@ def collapse_expand(sf_dir: str, n_expand: int = 2) -> pa.Table:
     solr:handler/component/ExpandComponent.java:66): collapse orders on
     o_custkey keeping the top order per customer ('head'), and expand
     each collapsed group with its next ``n_expand`` orders ('expand').
-    One groupby + per-group head, exactly the grouping shuffle."""
-    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    Same shuffle as the grouping top-k, with the head/expand role
+    falling out of the vectorized within-key rank (no per-group
+    Python)."""
+    from .relational import grouped_topk_orders
 
-    def head_expand(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_totalprice", "o_orderkey"],
-                          ascending=[False, True]).head(1 + n_expand)
-        g = g.assign(role=np.where(np.arange(len(g)) == 0,
-                                   "head", "expand"))
-        return g
-
-    df = (ds.groupby("o_custkey").map_groups(head_expand,
-                                             batch_format="pandas")
-          .to_pandas())
+    df = grouped_topk_orders(sf_dir, 1 + n_expand).to_pandas()
+    df["role"] = np.where(df["_rank"].to_numpy() == 0, "head", "expand")
+    df = df.drop(columns=["_rank"])
     df["price_c"] = (df["o_totalprice"] * 100).round().astype("int64")
     df = df[["o_custkey", "o_orderkey", "price_c", "role"]].sort_values(
         ["o_custkey", "o_orderkey"]).reset_index(drop=True)

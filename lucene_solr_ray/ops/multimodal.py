@@ -302,32 +302,25 @@ def phash_near_dup_pairs(ds, *, max_hamming: int = 6,
             "phash": pa.array(np.concatenate(out_h)),
         })
 
-    def emit_pairs(group: pa.Table) -> pa.Table:
-        ids = np.asarray(group["item_id"], dtype=np.int64)
-        hv = np.asarray(group["phash"], dtype=np.uint64)
-        order = np.argsort(ids)
-        ids, hv = ids[order], hv[order]
-        a_l, b_l, d_l = [], [], []
-        for i in range(len(ids)):
-            x = hv[i] ^ hv[i + 1:]
-            # vectorized popcount over the bucket's suffix
-            d = np.zeros(len(x), dtype=np.int64)
-            while x.any():
-                d += (x & np.uint64(1)).astype(np.int64)
-                x = x >> np.uint64(1)
-            hit = np.flatnonzero(d <= max_hamming)
-            a_l.extend([int(ids[i])] * len(hit))
-            b_l.extend(ids[i + 1 + hit].tolist())
-            d_l.extend(d[hit].tolist())
-        return pa.table({
-            "a": pa.array(a_l, type=pa.int64()),
-            "b": pa.array(b_l, type=pa.int64()),
-            "hamming": pa.array(d_l, type=pa.int64()),
-        })
+    from .dedup import _bucket_pairs_selfjoin, _popcount64
 
-    pairs = (hashed.map_batches(bands, batch_format="pyarrow")
-             .groupby(["chunk", "val"])
-             .map_groups(emit_pairs, batch_format="pyarrow"))
+    def hamming_filter(t: pa.Table) -> pa.Table:
+        # vectorized XOR + byte-table popcount over the joined pairs
+        sa = np.asarray(t["phash_a"]).astype(np.uint64)
+        sb = np.asarray(t["phash_b"]).astype(np.uint64)
+        d = _popcount64(sa ^ sb)
+        return pa.table({
+            "a": t["a"], "b": t["b"],
+            "hamming": pa.array(d, pa.int64()),
+        }).filter(pa.array(d <= max_hamming))
+
+    band_rows = hashed.map_batches(
+        lambda t: bands(t).rename_columns(
+            ["chunk", "val", "doc_id", "phash"]),
+        batch_format="pyarrow")
+    pairs = (_bucket_pairs_selfjoin(band_rows, ("chunk", "val"),
+                                    payload="phash")
+             .map_batches(hamming_filter, batch_format="pyarrow"))
     parts = [b for b in pairs.iter_batches(batch_format="pyarrow",
                                            batch_size=None)
              if b.num_rows > 0]

@@ -12,6 +12,7 @@ reproduces the metric definitions token for token.
 
 from __future__ import annotations
 
+import hashlib
 import math
 import os
 
@@ -267,33 +268,56 @@ def unigram_logprob(sf_dir: str) -> pa.Table:
     log-prob quantized to int BEFORE the per-doc sum, so the doc score
     (lp_sum, n_tokens) is integer-exact and order-independent — the
     float-summation-order trap the oracle comparison would otherwise
-    hit. Pass 1: one distributed term count; pass 2: per-batch lookup
-    (vocabulary is sublinear in corpus size; the count table broadcasts
-    once via ray.put — at larger vocabularies this becomes a token⋈count
-    hash join, same as the SQL twin's shape)."""
+    hit. Pass 1: per-batch pre-aggregated term counts keyed by 64-bit
+    term HASHES — the raw token stream never rides a shuffle and the
+    shuffle key is int64, not the term string (the measured ~25×
+    string-key cliff; terms themselves never need to leave the
+    workers, because pass 2 looks tokens up by the same hash). Pass 2:
+    per-batch lookup (vocabulary is sublinear in corpus size; the
+    hash→logprob table broadcasts once via ray.put — at larger
+    vocabularies this becomes a hash⋈count join, same as the SQL
+    twin's shape)."""
     import ray
 
-    def toks(batch: pa.Table) -> pa.Table:
-        ab = analyze_batch(batch["text"], keep_stopwords=True)
-        return pa.table({"term": ab.terms})
+    def _th(vocab) -> np.ndarray:
+        # one blake2b per batch-DISTINCT term (the fingerprint
+        # discipline); 64-bit collisions are the shingle-contract
+        # stance
+        return np.array([int.from_bytes(
+            hashlib.blake2b(w.encode(), digest_size=8).digest(),
+            "big", signed=False) for w in vocab.to_pylist()],
+            dtype=np.uint64).view(np.int64)
 
-    counts = (_read_docs(sf_dir).map_batches(toks, batch_format="pyarrow")
-              .groupby("term").count().to_pandas())
-    total = int(counts["count()"].sum())
-    terms = counts["term"].to_numpy()
-    order = np.argsort(terms)
-    terms = terms[order]
-    c = counts["count()"].to_numpy()[order].astype(np.int64)
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        ab = analyze_batch(batch["text"], keep_stopwords=True)
+        denc = ab.terms.dictionary_encode()
+        n = np.bincount(np.asarray(denc.indices, dtype=np.int64),
+                        minlength=len(denc.dictionary)).astype(np.int64)
+        return pa.table({"th": pa.array(_th(denc.dictionary),
+                                        pa.int64()),
+                         "n": pa.array(n, pa.int64())})
+
+    counts = (_read_docs(sf_dir)
+              .map_batches(tok_counts, batch_format="pyarrow")
+              .groupby("th").sum("n").to_pandas())
+    total = int(counts["sum(n)"].sum())
+    ths = counts["th"].to_numpy(np.int64)
+    order = np.argsort(ths)
+    ths = ths[order]
+    c = counts["sum(n)"].to_numpy()[order].astype(np.int64)
     # scalar math.log per UNIQUE term: libm log, bit-equal to DuckDB ln
     lp = np.array([math.floor(math.log(int(x) / total) * 10000 + 0.5)
                    for x in c], dtype=np.int64)
-    ref = ray.put((terms, lp))
+    ref = ray.put((ths, lp))
 
     def score(batch: pa.Table) -> pa.Table:
         ts, lps = ray.get(ref)
         ab = analyze_batch(batch["text"], keep_stopwords=True)
         n = len(batch)
-        tok = np.asarray(ab.terms)
+        denc = ab.terms.dictionary_encode()
+        vh = _th(denc.dictionary)
+        tok = vh[np.asarray(denc.indices, dtype=np.int64)] \
+            if len(vh) else np.empty(0, dtype=np.int64)
         idx = np.searchsorted(ts, tok)
         idx = np.clip(idx, 0, len(ts) - 1)
         val = lps[idx]

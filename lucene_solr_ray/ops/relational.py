@@ -474,19 +474,51 @@ def anti_join(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def _order_topk_rows(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Top-k orders per customer by (totalprice desc, orderkey asc),
+    vectorized over EVERY customer run at once (lexsort + rank-within-
+    run mask — no per-key Python; sf1 cliff #4). Attaches the
+    within-key rank as ``_rank``."""
+    if len(df) == 0:
+        return df.assign(_rank=pd.Series([], dtype="int64"))
+    key = df["o_custkey"].to_numpy(np.int64)
+    idx = np.lexsort((df["o_orderkey"].to_numpy(np.int64),
+                      -df["o_totalprice"].to_numpy(np.float64),
+                      key))
+    df = df.iloc[idx]
+    key = key[idx]
+    new = np.ones(len(key), dtype=bool)
+    if len(key) > 1:
+        new[1:] = key[1:] != key[:-1]
+    starts = np.flatnonzero(new)
+    lens = np.diff(np.append(starts, len(key)))
+    rank = np.arange(len(key), dtype=np.int64) - np.repeat(starts, lens)
+    df = df.assign(_rank=rank)
+    return df[rank < k]
+
+
+def grouped_topk_orders(sf_dir: str, k: int):
+    """Distributed grouped top-k over orders: per-batch vectorized
+    prune to ≤k rows per touched customer (shrinks the shuffle), one
+    coarse-key co-location shuffle, then the identical kernel per
+    customer-complete partition — exact and map_groups-free."""
+    from .temporal import _map_user_blocks
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    pruned = ds.map_batches(
+        lambda df: _order_topk_rows(df, k).drop(columns=["_rank"]),
+        batch_format="pandas")
+    return _map_user_blocks(pruned, lambda df: _order_topk_rows(df, k),
+                            key="o_custkey")
+
+
 def grouping_top_k(sf_dir: str) -> pa.Table:
     """Grouped top-k: top-2 orders per customer by totalprice
     (lucene/grouping/.../GroupingSearch.java two-pass collectors;
-    solr CollapsingQParserPlugin for k=1) = groupby().map_groups(head)."""
-    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-
-    def top2(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_totalprice", "o_orderkey"],
-                          ascending=[False, True]).head(2)
-        return g
-
-    df = (ds.groupby("o_custkey").map_groups(top2, batch_format="pandas")
-          .to_pandas())
+    solr CollapsingQParserPlugin for k=1) — vectorized rank-within-run
+    kernel, see grouped_topk_orders."""
+    df = (grouped_topk_orders(sf_dir, 2).to_pandas()
+          .drop(columns=["_rank"]))
     df["price_c"] = (df["o_totalprice"] * 100).round().astype("int64")
     df = df[["o_custkey", "o_orderkey", "price_c"]].sort_values(
         ["o_custkey", "o_orderkey"]).reset_index(drop=True)

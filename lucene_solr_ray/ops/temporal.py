@@ -50,9 +50,13 @@ def _map_user_blocks(ds, fn, key: str = "user_id"):
     nparts = num_shuffle_partitions()
 
     def add_part(t: pa.Table) -> pa.Table:
-        u = np.asarray(t[key], dtype=np.int64)
-        # 64-bit odd-constant mix so sequential ids spread over parts
-        h = (u * np.int64(-7046029254386353131)).astype(np.uint64)
+        col = t[key]
+        if pa.types.is_integer(col.type):
+            u = np.asarray(col, dtype=np.int64)
+            # 64-bit odd-constant mix so sequential ids spread
+            h = (u * np.int64(-7046029254386353131)).astype(np.uint64)
+        else:  # string keys: stable vectorized siphash
+            h = pd.util.hash_array(np.asarray(col.to_pandas()))
         part = (h >> np.uint64(33)).astype(np.int64) % nparts
         return t.append_column("_part", pa.array(part, pa.int64()))
 

@@ -600,12 +600,16 @@ def pack_sequences(sf_dir: str, window: int = 128,
       2. per-bucket (doc_id // bucket_range) sums via a tiny groupby;
       3. one driver-side exclusive scan over the BUCKET sums (bounded
          by #buckets, not #docs), broadcast via ray.put;
-      4. groupby(bucket).map_groups adds bucket offset + local cumsum
-         → every doc's exact global start offset, fully parallel.
-    Each doc then emits its overlapping windows (a flat map), and one
-    groupby(seq) aggregates the per-sequence report: first doc, offset
-    of the window inside it, docs touched, tokens covered (the last
-    window may be partial). Pure integer arithmetic end to end."""
+      4. a bucket-complete-partition kernel adds bucket offset +
+         segmented cumsum → every doc's exact global start offset,
+         fully parallel and vectorized over all buckets in a block.
+    Each doc then emits its overlapping windows (one vectorized
+    repeat/arange expansion per batch), and one groupby(seq) reduces
+    the per-sequence report with NATIVE min/count/sum aggregates
+    (first_s = min(s) because global offsets are doc_id-monotone) —
+    no per-sequence Python call anywhere (sf1 cliff #4: sequence
+    count is corpus-proportional). Pure integer arithmetic end to
+    end."""
     import ray
     import ray.data as rd
 
@@ -632,53 +636,77 @@ def pack_sequences(sf_dir: str, window: int = 128,
     ref = ray.put(offs)
 
     def local_prefix(g):
+        # segmented exclusive cumsum over ALL bucket runs in the
+        # partition at once (lexsort + run offsets; the bucket base
+        # comes from the broadcast exclusive scan)
         import pandas as pd
 
-        base = ray.get(ref)[int(g["bucket"].iloc[0])]
-        g = g.sort_values("doc_id").reset_index(drop=True)
-        n = g["n"].to_numpy(dtype=np.int64)
-        s = base + np.concatenate(([0], np.cumsum(n)[:-1]))
-        return pd.DataFrame({"doc_id": g["doc_id"], "n": n, "s": s})
+        if len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ("doc_id", "n", "s")})
+        offs_map = ray.get(ref)
+        b = g["bucket"].to_numpy(np.int64)
+        d = g["doc_id"].to_numpy(np.int64)
+        idx = np.lexsort((d, b))
+        b, d = b[idx], d[idx]
+        n = g["n"].to_numpy(np.int64)[idx]
+        new = np.ones(len(b), dtype=bool)
+        if len(b) > 1:
+            new[1:] = b[1:] != b[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(b)))
+        cum = np.cumsum(n)
+        excl = cum - n - np.repeat(cum[starts] - n[starts], lens)
+        base = np.array([offs_map[int(x)] for x in b[starts]],
+                        dtype=np.int64)  # loop over buckets, not docs
+        s = np.repeat(base, lens) + excl
+        return pd.DataFrame({"doc_id": d, "n": n, "s": s})
 
     def emit_windows(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch["doc_id"], dtype=np.int64)
         n = np.asarray(batch["n"], dtype=np.int64)
         s = np.asarray(batch["s"], dtype=np.int64)
-        rows = {"seq_id": [], "doc_id": [], "overlap": [], "s": []}
-        for i in range(len(ids)):
-            if n[i] == 0:
-                continue
-            w0 = int(s[i] // window)
-            w1 = int((s[i] + n[i] - 1) // window)
-            for w in range(w0, w1 + 1):
-                lo = max(int(s[i]), w * window)
-                hi = min(int(s[i] + n[i]), (w + 1) * window)
-                rows["seq_id"].append(w)
-                rows["doc_id"].append(int(ids[i]))
-                rows["overlap"].append(hi - lo)
-                rows["s"].append(int(s[i]))
-        return pa.table({k: pa.array(v, type=pa.int64())
-                         for k, v in rows.items()})
-
-    def fold_seq(g):
-        import pandas as pd
-
-        g = g.sort_values("doc_id")
-        w = int(g["seq_id"].iloc[0])
-        first_s = int(g["s"].iloc[0])
-        return pd.DataFrame({
-            "seq_id": [w],
-            "first_doc": [int(g["doc_id"].iloc[0])],
-            "first_off": [max(0, w * window - first_s)],
-            "n_docs": [len(g)],
-            "n_tokens": [int(g["overlap"].sum())],
+        nz = n > 0
+        ids, n, s = ids[nz], n[nz], s[nz]
+        if len(ids) == 0:
+            return pa.table({k: pa.array([], type=pa.int64())
+                             for k in ("seq_id", "doc_id", "overlap",
+                                       "s")})
+        w0 = s // window
+        w1 = (s + n - 1) // window
+        counts = (w1 - w0 + 1).astype(np.int64)
+        # one repeat/arange expansion: row r of doc i is window w0_i+r
+        rep = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+        local = (np.arange(counts.sum(), dtype=np.int64)
+                 - np.repeat(np.cumsum(counts) - counts, counts))
+        w = w0[rep] + local
+        lo = np.maximum(s[rep], w * window)
+        hi = np.minimum(s[rep] + n[rep], (w + 1) * window)
+        return pa.table({
+            "seq_id": pa.array(w, type=pa.int64()),
+            "doc_id": pa.array(ids[rep], type=pa.int64()),
+            "overlap": pa.array(hi - lo, type=pa.int64()),
+            "s": pa.array(s[rep], type=pa.int64()),
         })
 
-    df = (cds.groupby("bucket").map_groups(local_prefix,
-                                           batch_format="pandas")
-          .map_batches(emit_windows, batch_format="pyarrow")
-          .groupby("seq_id").map_groups(fold_seq, batch_format="pandas")
-          .to_pandas().sort_values("seq_id").reset_index(drop=True))
+    from ray.data.aggregate import Count, Min, Sum
+
+    from .temporal import _map_user_blocks
+
+    agg = (_map_user_blocks(cds, local_prefix, key="bucket")
+           .map_batches(emit_windows, batch_format="pyarrow")
+           .groupby("seq_id")
+           .aggregate(Min("doc_id"), Min("s"), Count(), Sum("overlap")))
+    df = agg.to_pandas().rename(columns={
+        "min(doc_id)": "first_doc", "count()": "n_docs",
+        "sum(overlap)": "n_tokens"})
+    # global offsets are doc_id-monotone, so the min-doc row of a
+    # sequence also carries min(s): first_off falls out arithmetically
+    df["first_off"] = np.maximum(
+        0, df["seq_id"].to_numpy(np.int64) * window
+        - df["min(s)"].to_numpy(np.int64))
+    df = (df[["seq_id", "first_doc", "first_off", "n_docs", "n_tokens"]]
+          .sort_values("seq_id").reset_index(drop=True))
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return pa.Table.from_pandas(df, preserve_index=False)

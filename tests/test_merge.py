@@ -74,3 +74,26 @@ def test_merged_term_stats_match(merged_pair):
     sp, sm = IndexSearcher(plain), IndexSearcher(merged)
     terms = ["data", "doc", "merge", "queryscore", "nosuchterm"]
     assert sp.term_stats(terms) == sm.term_stats(terms)
+
+
+def test_fallback_df_prepass_matches_pigeonhole(tmp_path, ray_session):
+    """hot_df_threshold low enough that the pigeonhole local floor
+    filters nothing (floor < 2) exercises the full-vocab fallback —
+    which now rides the shuffle on int64 term HASHES and maps the hot
+    hashes back to strings in a pruned second pass. Same hot set, same
+    search results as the pigeonhole path."""
+    t = add_doc_keys(corpus_table(400))
+    a = str(tmp_path / "pigeon")
+    build_index(t, a, batch_rows=100)
+    man_a = merge_segments(a, hot_df_threshold=50, bucket_postings=64)
+
+    b = str(tmp_path / "fallback")
+    build_index(t, b, batch_rows=100)
+    # 4 segments -> floor_local = 7 // 4 = 1 < 2: fallback branch
+    man_b = merge_segments(b, hot_df_threshold=7, bucket_postings=64)
+    assert man_b["hot_terms"] >= man_a["hot_terms"] > 0
+
+    sa, sb = IndexSearcher(a), IndexSearcher(b)
+    for q in _queries():
+        ra, rb = sa.search(q, k=20), sb.search(q, k=20)
+        assert ra.to_pydict() == rb.to_pydict()
