@@ -828,10 +828,21 @@ def pq_codebooks(E: np.ndarray, n_sub: int = PQ_M,
 
 
 def ann_pq_topk(sf_dir: str, k: int = TOP_K, n_sub: int = PQ_M,
-                ks: int = PQ_KS, exact: bool = False) -> pa.Table:
+                ks: int = PQ_KS, exact: bool = False,
+                codebook: str = "kmeans") -> pa.Table:
     """Top-k of the aligned-sum similarity against query vector 0
     through PQ codes (or directly, exact=True — the degenerate
-    oracle-paired limit)."""
+    oracle-paired limit).
+
+    ``codebook``:
+    - ``"kmeans"``: Lloyd-trained per-subspace centroids over the
+      bounded head sample (the classic Jégou et al. 2011 training;
+      iterative — rows-only, degeneracy-paired via exact=True).
+    - ``"sample"``: the first ``ks`` vectors' subvectors ARE the
+      centroids (coreset-as-codebook — the cheap deterministic
+      construction); REAL quantization with a full DuckDB twin
+      (ann_pq_sample_sql), since assignment is one argmax over a
+      fixed, SQL-expressible centroid set."""
     import ray
 
     import pyarrow.dataset as pads
@@ -846,11 +857,21 @@ def ann_pq_topk(sf_dir: str, k: int = TOP_K, n_sub: int = PQ_M,
         books = None
         tables = None
     else:
-        sample = pads.dataset(
-            os.path.join(sf_dir, "embeddings.parquet")) \
-            .head(KMEANS_SAMPLE, columns=["vec_id", "embedding"])
-        _, E_sample = _emb_matrix(sample)
-        books = pq_codebooks(E_sample, n_sub, ks)
+        if codebook == "sample":
+            dset = pads.dataset(
+                os.path.join(sf_dir, "embeddings.parquet"))
+            t = dset.to_table(filter=pads.field("vec_id") < ks,
+                              columns=["vec_id", "embedding"])
+            ids_s, E_s = _emb_matrix(t)
+            E_s = E_s[np.argsort(ids_s)]
+            books = [np.ascontiguousarray(E_s[:, i * sub:(i + 1) * sub])
+                     for i in range(n_sub)]
+        else:
+            sample = pads.dataset(
+                os.path.join(sf_dir, "embeddings.parquet")) \
+                .head(KMEANS_SAMPLE, columns=["vec_id", "embedding"])
+            _, E_sample = _emb_matrix(sample)
+            books = pq_codebooks(E_sample, n_sub, ks)
         # the PQ trick: all query-centroid similarities precomputed
         tables = [
             _quant6(_cosine(q[i:i + 1], books[i])[0])
@@ -901,6 +922,60 @@ def ann_pq_topk(sf_dir: str, k: int = TOP_K, n_sub: int = PQ_M,
     parts["rank"] = np.arange(1, len(parts) + 1, dtype=np.int64)
     parts.insert(0, "qid", np.int64(0))
     return pa.Table.from_pandas(parts, preserve_index=False)
+
+
+def ann_pq_sample_sql(k: int = TOP_K, n_sub: int = PQ_M,
+                      ks: int = PQ_KS) -> str:
+    """Twin of codebook="sample": centroids are the first ``ks``
+    vectors' subvectors; assignment is the per-(doc, subspace) argmax
+    cosine (row_number over sim DESC, centroid ASC — np.argmax's
+    first-max rule); the doc score is the sum of the query-centroid
+    lookup table over the assigned codes, quantized exactly like the
+    engine's precomputed table."""
+    sub = 64 // n_sub
+    return f"""
+WITH sl AS (SELECT unnest(range({n_sub})) AS i),
+c AS (
+  SELECT vec_id AS j, sl.i,
+         list_transform(list_slice(embedding, 1 + {sub} * sl.i,
+                                   {sub} * (sl.i + 1)),
+                        x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings, sl WHERE vec_id < {ks}),
+q AS (
+  SELECT sl.i,
+         list_transform(list_slice(embedding, 1 + {sub} * sl.i,
+                                   {sub} * (sl.i + 1)),
+                        x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings, sl WHERE vec_id = 0),
+tbl AS (
+  SELECT c.i, c.j,
+         CAST(floor(list_cosine_similarity(q.qv, c.cv) * 1000000 + 0.5)
+              AS BIGINT) AS tq
+  FROM q JOIN c USING (i)),
+b AS (
+  SELECT vec_id AS nid, sl.i,
+         list_transform(list_slice(embedding, 1 + {sub} * sl.i,
+                                   {sub} * (sl.i + 1)),
+                        x -> CAST(x AS DOUBLE)) AS dv
+  FROM embeddings, sl WHERE vec_id <> 0),
+codes AS (
+  SELECT nid, i, j FROM (
+    SELECT b.nid, b.i, c.j,
+           row_number() OVER (
+               PARTITION BY b.nid, b.i
+               ORDER BY list_cosine_similarity(b.dv, c.cv) DESC,
+                        c.j ASC) AS rn
+    FROM b JOIN c USING (i))
+  WHERE rn = 1),
+per_doc AS (
+  SELECT nid, sum(tq) AS score_q
+  FROM codes JOIN tbl USING (i, j) GROUP BY nid)
+SELECT CAST(0 AS BIGINT) AS qid, nid, CAST(score_q AS BIGINT) AS score_q,
+       CAST(row_number() OVER (ORDER BY score_q DESC, nid ASC) AS BIGINT)
+         AS rank
+FROM per_doc
+ORDER BY score_q DESC, nid ASC LIMIT {k}
+"""
 
 
 def ann_pq_exact_sql(k: int = TOP_K, n_sub: int = PQ_M) -> str:

@@ -160,11 +160,15 @@ def lowername(name: str) -> str:
 
 
 def extract_document(data: bytes, path: str | None = None,
-                     _depth: int = 0) -> dict:
+                     _depth: int = 0, *,
+                     password: bytes | str = b"") -> dict:
     """One document → {content, title, content_type, metadata}.
     Raises NotImplementedError for formats with no parser in this
-    environment (encrypted files, unknown binary). Archives (gzip/
-    tar/zip) recurse into members, nesting capped at 5."""
+    environment (encrypted files with no/unsupported password, unknown
+    binary). ``password`` is a per-corpus USER password forwarded to
+    encrypted PDFs (the Tika PasswordProvider surface of
+    solr/contrib/extraction); encrypted OLE2 still raises. Archives
+    (gzip/tar/zip) recurse into members, nesting capped at 5."""
     if _depth > 5:
         raise NotImplementedError("archive nesting too deep")
     ctype = detect_content_type(data, path)
@@ -212,7 +216,7 @@ def extract_document(data: bytes, path: str | None = None,
     if ctype == "application/pdf":
         from .pdf import extract_pdf
 
-        return extract_pdf(data)
+        return extract_pdf(data, password=password)
     if ctype == "application/rtf":
         return _extract_rtf(data)
     if ctype == "message/rfc822":

@@ -26,8 +26,11 @@ PDFs):
   AES-128 (V4 /AESV2) with per-object keys, AND AES-256 (V5 R5/R6,
   /AESV3: SHA-256 or Algorithm-2.B hardened-hash validation, /UE file
   key unwrap, file-key CBC), plus /Identity filters and unencrypted
-  XRef streams.  Password-protected files raise NotImplementedError —
-  honestly out of scope (no guessing).
+  XRef streams.  A USER password can be supplied per call
+  (``PdfDocument(data, password=...)`` / ``extract_pdf(...,
+  password=...)`` — the Tika PasswordProvider analogue); without one,
+  password-protected files raise NotImplementedError (no guessing),
+  and a wrong password raises ValueError.
 - **Text** (§9.4): BT..ET blocks; Tj / ' / " / TJ shows; Td/TD/T*/Tm
   line tracking emits newlines; Tf tracks the active font.
 - **Font decoding** (§9.10): /ToUnicode CMaps (bfchar + bfrange, 1- and
@@ -406,7 +409,10 @@ _TRAILER_RE = re.compile(rb"trailer\b")
 
 
 class PdfDocument:
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes, password: bytes | str = b""):
+        if isinstance(password, str):
+            password = password.encode("utf-8")
+        self._password = password
         self.data = data
         self.objects: dict[int, object] = {}
         self._offsets: dict[int, int] = {}
@@ -459,9 +465,11 @@ class PdfDocument:
         meta_encrypted = bool(self.resolve(enc.get("EncryptMetadata",
                                                    True)))
 
-        # Algorithm 2: file key from the (empty) user password
+        # Algorithm 2: file key from the user password (padded/
+        # truncated to 32 bytes with the spec padding string; the
+        # common crawler case is the empty password = bare padding)
         h = hashlib.md5()
-        h.update(self._PAD)
+        h.update((self._password + self._PAD)[:32])
         h.update(o[:32])
         h.update(p.to_bytes(4, "little"))
         h.update(id0)
@@ -486,6 +494,8 @@ class PdfDocument:
                 step = rc4(bytes(b ^ i for b in key), step)
             ok = step == u[:16]
         if not ok:
+            if self._password:
+                raise ValueError("wrong PDF user password")
             raise NotImplementedError(
                 "encrypted PDF (user password required)")
 
@@ -546,12 +556,14 @@ class PdfDocument:
         if len(u) < 48 or len(ue) < 32:
             raise NotImplementedError("malformed V5 /U //UE entries")
         vsalt, ksalt = u[32:40], u[40:48]
-        pw = b""
+        pw = self._password[:127]
         if r == 5:
             hval = hashlib.sha256(pw + vsalt).digest()
         else:
             hval = self._hash_2b(pw, vsalt, b"")
         if hval != u[:32]:
+            if pw:
+                raise ValueError("wrong PDF user password")
             raise NotImplementedError(
                 "encrypted PDF (user password required)")
         if r == 5:
@@ -1084,10 +1096,12 @@ def _acroform_text(doc: PdfDocument) -> str:
     return "\n".join(out)
 
 
-def extract_pdf(data: bytes) -> dict:
+def extract_pdf(data: bytes, password: bytes | str = b"") -> dict:
     """One PDF → the extract.py result shape
-    ``{content, title, content_type, metadata}``."""
-    doc = PdfDocument(data)
+    ``{content, title, content_type, metadata}``. ``password`` is the
+    USER password for encrypted documents (Tika PasswordProvider
+    analogue; default empty — the common crawler case)."""
+    doc = PdfDocument(data, password=password)
     pages = doc.pages()
     parts = []
     for p, r in pages:
@@ -1268,9 +1282,11 @@ def pdf_images(data: bytes) -> list[dict]:
 # -- standard-security-handler fixture side (encryption) -------------------
 
 def make_standard_crypt(*, r: int = 3, v: int = 2, length_bits: int = 128,
-                        p: int = -3904, id0: bytes = b"") -> dict:
-    """Compute the /Encrypt entries (O, U, file key) for EMPTY user and
-    owner passwords — the fixture-synthesis counterpart of
+                        p: int = -3904, id0: bytes = b"",
+                        user_pw: bytes = b"") -> dict:
+    """Compute the /Encrypt entries (O, U, file key) for the given user
+    password (default empty) and an empty owner password — the
+    fixture-synthesis counterpart of
     ``PdfDocument._setup_encryption`` (ISO 32000-1 §7.6.3 algorithms
     2-5). Returns {"O", "U", "key", "V", "R", "Length", "P"}. The V5
     AES-256 counterpart is :func:`make_standard_crypt_v5`."""
@@ -1279,22 +1295,23 @@ def make_standard_crypt(*, r: int = 3, v: int = 2, length_bits: int = 128,
     from .aes import rc4
 
     pad = PdfDocument._PAD
+    upad = (user_pw + pad)[:32]
     nbytes = length_bits // 8 if r >= 3 else 5
 
-    # Algorithm 3: /O from the (empty) owner password
+    # Algorithm 3: /O — owner key from the (empty) owner password
     okey = hashlib.md5(pad).digest()
     if r >= 3:
         for _ in range(50):
             okey = hashlib.md5(okey[:nbytes]).digest()
     okey = okey[:nbytes]
-    o = rc4(okey, pad)
+    o = rc4(okey, upad)  # Algorithm 3 step f: the PADDED USER password
     if r >= 3:
         for i in range(1, 20):
             o = rc4(bytes(b ^ i for b in okey), o)
 
     # Algorithm 2: file key
     h = hashlib.md5()
-    h.update(pad)
+    h.update(upad)
     h.update(o[:32])
     h.update((p & 0xFFFFFFFF).to_bytes(4, "little"))
     h.update(id0)
@@ -1317,7 +1334,8 @@ def make_standard_crypt(*, r: int = 3, v: int = 2, length_bits: int = 128,
 
 
 def make_standard_crypt_v5(*, r: int = 6,
-                           file_key: bytes | None = None) -> dict:
+                           file_key: bytes | None = None,
+                           user_pw: bytes = b"") -> dict:
     """Fixture-side /Encrypt entries for the AES-256 revisions (V5
     R5/R6), empty passwords: /U = hash+validation/key salts, /UE = the
     AES-wrapped file key; /O //OE computed over the U string per the
@@ -1328,7 +1346,7 @@ def make_standard_crypt_v5(*, r: int = 6,
 
     key = file_key or hashlib.blake2b(b"fixture-file-key",
                                       digest_size=32).digest()
-    pw = b""
+    pw = user_pw[:127]
     vsalt, ksalt = b"VALSALT0", b"KEYSALT0"
     if r == 5:
         uhash = hashlib.sha256(pw + vsalt).digest()

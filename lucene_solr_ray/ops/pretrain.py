@@ -293,3 +293,100 @@ def bfd_from_histogram(sizes: np.ndarray, cnts: np.ndarray,
     caps.pop(0, None)
     pad = sum(r * k for r, k in caps.items())
     return n_bins, pad
+
+
+def binpack_sql(seq_len: int = 128) -> str:
+    """DuckDB twin of :func:`binpack_sequences` — the BFD
+    capacity-histogram fold replayed move-for-move by a WITH RECURSIVE
+    walk: the state row carries (current size index, remaining count,
+    the 129-slot capacity histogram as a LIST, open-bin count); each
+    recursive step applies exactly one iteration of the engine's
+    while-loop arithmetic (best-fit r = min capacity ≥ s, chained
+    absorption q = r // s, bounded batch nb, last-bin lo), so the twin
+    is value-identical for ANY corpus — the same
+    sequential-state-in-SQL technique as the perceptron twin
+    (CLAUDE.md tenth pass). Fixed seq_len=128 (the literal the driver
+    runs)."""
+    assert seq_len == 128, "twin is generated for the driver's 128"
+    return r"""
+WITH RECURSIVE
+n_tok AS (
+  SELECT len(regexp_extract_all(text, '\S+')) AS n FROM documents),
+hist AS (
+  SELECT (n % 128) AS size, count(*) AS cnt FROM n_tok
+  WHERE n % 128 > 0 GROUP BY 1),
+fullb AS (SELECT COALESCE(sum(n // 128), 0) AS full_bins FROM n_tok),
+sizes AS (
+  SELECT CAST(row_number() OVER (ORDER BY size DESC) AS BIGINT) AS idx,
+         CAST(size AS BIGINT) AS s, CAST(cnt AS BIGINT) AS c
+  FROM hist),
+nsizes AS (SELECT count(*) AS n FROM sizes),
+bfd(idx, c, caps, n_bins) AS (
+  SELECT CAST(1 AS BIGINT), (SELECT c FROM sizes WHERE idx = 1),
+         list_transform(range(129), x -> CAST(0 AS BIGINT)),
+         CAST(0 AS BIGINT)
+  WHERE EXISTS (SELECT 1 FROM sizes)
+  UNION ALL
+  SELECT
+    CASE WHEN st.c2 = 0 THEN st.idx + 1 ELSE st.idx END,
+    CASE WHEN st.c2 = 0 THEN COALESCE(st.c_next, 0) ELSE st.c2 END,
+    st.caps2,
+    st.n_bins2
+  FROM (
+    SELECT bfd.idx AS idx, sz.s AS s, nxt.c AS c_next,
+           list_min(list_filter(
+               list_transform(bfd.caps,
+                              (k, i) -> CASE WHEN k > 0 AND i - 1 >= sz.s
+                                        THEN i - 1 END),
+               v -> v IS NOT NULL)) AS rmin,
+           CASE WHEN rmin IS NULL THEN 128 // sz.s
+                ELSE rmin // sz.s END AS q,
+           CASE WHEN rmin IS NULL THEN (bfd.c + q - 1) // q
+                ELSE least(bfd.caps[rmin + 1],
+                           (bfd.c + q - 1) // q) END AS nb,
+           CASE WHEN rmin IS NULL THEN bfd.c - (nb - 1) * q
+                ELSE least(bfd.c - (nb - 1) * q, q) END AS lo,
+           CASE WHEN rmin IS NULL THEN 0
+                ELSE (bfd.c - ((nb - 1) * q + lo)) END AS c2,
+           CASE WHEN rmin IS NULL THEN bfd.n_bins + nb
+                ELSE bfd.n_bins END AS n_bins2,
+           list_transform(bfd.caps, (k, i) -> k
+             + CASE WHEN rmin IS NOT NULL AND i - 1 = rmin
+                    THEN -nb ELSE 0 END
+             + CASE WHEN i - 1 = COALESCE(rmin, 128) - q * sz.s
+                    THEN nb - 1 ELSE 0 END
+             + CASE WHEN i - 1 = COALESCE(rmin, 128) - lo * sz.s
+                    THEN 1 ELSE 0 END) AS caps2
+    FROM bfd
+    JOIN sizes sz ON sz.idx = bfd.idx
+    LEFT JOIN sizes nxt ON nxt.idx = bfd.idx + 1
+  ) st
+),
+final AS (
+  SELECT caps, n_bins FROM bfd
+  WHERE idx = (SELECT n FROM nsizes) + 1
+  UNION ALL
+  SELECT list_transform(range(129), x -> CAST(0 AS BIGINT)),
+         CAST(0 AS BIGINT)
+  WHERE NOT EXISTS (SELECT 1 FROM sizes)),
+pad AS (
+  SELECT COALESCE(list_sum(list_transform(final.caps,
+             (k, i) -> CASE WHEN i > 1 THEN (i - 1) * k ELSE 0 END)),
+         0) AS p
+  FROM final),
+agg AS (
+  SELECT (SELECT full_bins FROM fullb) AS full_bins,
+         (SELECT n_bins FROM final) AS open_bins,
+         (SELECT COALESCE(sum(c), 0) FROM sizes) AS n_rem,
+         (SELECT COALESCE(sum(s * c), 0) FROM sizes) AS rem_tokens,
+         (SELECT p FROM pad) AS total_pad)
+SELECT CAST(open_bins + full_bins AS BIGINT) AS n_bins,
+       CAST(full_bins AS BIGINT) AS full_bins,
+       CAST(n_rem + full_bins AS BIGINT) AS total_pieces,
+       CAST(total_pad AS BIGINT) AS total_pad,
+       CAST(CASE WHEN open_bins + full_bins > 0
+                 THEN ((rem_tokens + full_bins * 128) * 10000)
+                      // ((open_bins + full_bins) * 128)
+                 ELSE 0 END AS BIGINT) AS util_q
+FROM agg
+"""

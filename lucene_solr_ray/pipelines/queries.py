@@ -6023,19 +6023,26 @@ def build_queries() -> dict:
         "text_fingerprint": lambda sf_dir: T.fingerprint(sf_dir,
                                                          hash="md5"),
         "text_pack_sequences": lambda sf_dir: T.pack_sequences(sf_dir),
-        # rows-only: best-fit-decreasing is a sequential greedy (no SQL
-        # twin); tests/test_pretrain pins the histogram fold against a
-        # brute per-piece BFD and the uniform closed form
+        # oracle-paired since round 4: the BFD histogram fold unrolls
+        # in SQL (WITH RECURSIVE over the capacity-histogram state —
+        # ops/pretrain.binpack_sql); tests/test_pretrain additionally
+        # pins it against a brute per-piece BFD and the uniform closed
+        # form
         "text_binpack": __import__(
             "lucene_solr_ray.ops.pretrain",
             fromlist=["binpack_sequences"]).binpack_sequences,
         "ann_brute_cosine": A.ann_brute_topk,
         "ann_filtered_cosine": A.ann_filtered_topk,
         "ann_maxsim": A.ann_maxsim_topk,
-        # product quantization: trained codebooks are rows-only
-        # (iterative Lloyd, pytest recall-bounded); the ks→∞ limit is
-        # the oracle-paired degenerate twin
-        "ann_pq_cosine": A.ann_pq_topk,
+        # product quantization. ann_pq_cosine = the deterministic
+        # sample-codebook construction (first-ks subvectors ARE the
+        # centroids): REAL quantization, fully oracle-paired
+        # (ann_pq_sample_sql). The Lloyd-trained variant stays under
+        # ann_pq_kmeans (iterative — rows-only, pytest recall-bounded);
+        # the ks→∞ limit is the oracle-paired degenerate twin
+        "ann_pq_cosine": lambda sf: A.ann_pq_topk(sf,
+                                                  codebook="sample"),
+        "ann_pq_kmeans": A.ann_pq_topk,
         "ann_pq_exact": lambda sf: A.ann_pq_topk(sf, exact=True),
         "ann_hard_negatives": A.ann_hard_negatives,
         "ft_hybrid_rrf": _q_hybrid_rrf(),
@@ -6454,6 +6461,12 @@ def build_oracle_sql() -> dict:
             fromlist=["ann_hard_negatives_sql"]).ann_hard_negatives_sql(),
         "ft_hybrid_rrf": ft_hybrid_rrf_sql(),
         "ann_ivf_full_probe": ann_brute_sql(),
+        "ann_pq_cosine": __import__(
+            "lucene_solr_ray.ops.ann",
+            fromlist=["ann_pq_sample_sql"]).ann_pq_sample_sql(),
+        "text_binpack": __import__(
+            "lucene_solr_ray.ops.pretrain",
+            fromlist=["binpack_sql"]).binpack_sql(),
         "ann_lsh_degenerate": ann_brute_sql(),
         "dedup_embedding_cosine": embedding_near_dup_sql(),
         # The 5 remaining rows-only entries are ALL approximate-ANN /

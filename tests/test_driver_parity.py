@@ -136,6 +136,8 @@ PARAMETRIZED = [
     "text_train_split",
     "rel_event_dedup",
     "ann_pq_exact",
+    "ann_pq_cosine",
+    "text_binpack",
     "ann_hard_negatives",
     "dedup_rep_quality",
     "rel_ewma",

@@ -571,3 +571,74 @@ def test_encrypted_pdf_aes_tolerates_short_unencrypted_strings(make):
     d = extract_pdf(pdf)
     assert d["content"] == "lenient body"
     assert d["title"] == "secret-title"
+
+
+def test_encrypted_pdf_with_user_password():
+    """A real (non-empty) user password decrypts when supplied —
+    RC4 R3, AES-128 R4 and AES-256 R6 — and fails loudly when wrong
+    (Tika PasswordProvider surface; solr/contrib/extraction)."""
+    from lucene_solr_ray.ops.pdf import (PdfDocument,
+                                         encrypt_object_bytes,
+                                         make_standard_crypt,
+                                         make_standard_crypt_v5)
+
+    pw = b"s3cret-pw"
+
+    def build_r(cfm, r, v):
+        id0 = b"pwfix"
+        crypt = make_standard_crypt(r=r, v=v, id0=id0, user_pw=pw)
+        enc_stream = encrypt_object_bytes(
+            crypt["key"], 5, 0, b"BT (locked body) Tj ET", cfm)
+        enc_dict = (b"<< /Filter /Standard /V %d /R %d /Length %d /P %d"
+                    b" /O <%s> /U <%s>"
+                    % (crypt["V"], crypt["R"], crypt["Length"],
+                       crypt["P"], crypt["O"].hex().encode(),
+                       crypt["U"].hex().encode()))
+        if v == 4:
+            enc_dict += (b" /CF << /StdCF << /CFM /" + cfm.encode()
+                         + b" /AuthEvent /DocOpen >> >>"
+                         b" /StmF /StdCF /StrF /StdCF")
+        enc_dict += b" >>"
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>",
+            5: _stream(b"<< >>", enc_stream),
+            7: enc_dict,
+        }
+        return _mkpdf(objs, b"<< /Root 1 0 R /Encrypt 7 0 R /ID [<"
+                      + id0.hex().encode() + b"> <"
+                      + id0.hex().encode() + b">] >>")
+
+    def build_v5():
+        crypt = make_standard_crypt_v5(r=6, user_pw=pw)
+        enc_stream = encrypt_object_bytes(
+            crypt["key"], 5, 0, b"BT (locked body) Tj ET", "AESV3")
+        enc_dict = (b"<< /Filter /Standard /V 5 /R 6 /Length 256"
+                    b" /P %d /O <%s> /U <%s> /OE <%s> /UE <%s>"
+                    b" /CF << /StdCF << /CFM /AESV3 /AuthEvent"
+                    b" /DocOpen /Length 32 >> >>"
+                    b" /StmF /StdCF /StrF /StdCF >>"
+                    % (crypt["P"], crypt["O"].hex().encode(),
+                       crypt["U"].hex().encode(),
+                       crypt["OE"].hex().encode(),
+                       crypt["UE"].hex().encode()))
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>",
+            5: _stream(b"<< >>", enc_stream),
+            7: enc_dict,
+        }
+        return _mkpdf(objs, b"<< /Root 1 0 R /Encrypt 7 0 R >>")
+
+    for pdf in (build_r("V2", 3, 2), build_r("AESV2", 4, 4),
+                build_v5()):
+        assert extract_pdf(pdf, password=pw)["content"] == "locked body"
+        # str passwords work too
+        assert extract_pdf(pdf, password=pw.decode())[
+            "content"] == "locked body"
+        with pytest.raises(NotImplementedError, match="password"):
+            extract_pdf(pdf)  # no password: honest raise
+        with pytest.raises(ValueError, match="wrong"):
+            PdfDocument(pdf, password=b"not-it")
