@@ -83,7 +83,8 @@ class _SplitTree:
         for _ in range(self.depth):
             d = self.dim[node]
             v = self.val[node]
-            coord = np.where(d == 0, dims[0], dims[1])
+            coord = dims[0] if len(dims) == 1 else \
+                np.where(d == 0, dims[0], dims[1])
             go_right = coord > v
             node = 2 * node + 1 + go_right
         return node - ((1 << self.depth) - 1) if self.depth else node
@@ -221,6 +222,115 @@ def bkd_query_bbox(out_dir_or_index, x_lo: int, x_hi: int,
         by = np.asarray(batch[y_col], dtype=np.int64)
         m = (bx >= x_lo) & (bx <= x_hi) & (by >= y_lo) & (by <= y_hi)
         return batch.filter(pa.array(m))
+
+    return ds.map_batches(exact, batch_format="pyarrow"), len(paths), \
+        total
+
+
+# ---------------------------------------------------------------------------
+# 1-D numeric points — 6.0's dimensional-points direction
+# (core:util/bkd/BKDWriter.java handles numDims=1 as the primary case;
+# NumericRangeQuery's successor PointRangeQuery reads it). Same layout
+# discipline as the 2-D geo tree: driver-sampled split plan, vectorized
+# leaf assignment, one parquet file per leaf with its own column
+# statistics as the constant-size pruning index.
+
+
+def bkd_write_1d(points_ds, out_dir: str, *, col: str,
+                 leaf_points: int = DEFAULT_LEAF_POINTS,
+                 sample_mod: int = 1) -> dict:
+    """1-D BKD build over int64 column ``col`` (+ payload columns).
+    Split planes are sampled medians (the widest-dimension rule
+    degenerates to the only dimension)."""
+    import ray.data as rd  # noqa: F401
+
+    os.makedirs(out_dir, exist_ok=True)
+    for f in os.listdir(out_dir):
+        if f.startswith("leaf-") or f == INDEX_FILE:
+            os.remove(os.path.join(out_dir, f))
+
+    def sample(batch: pa.Table) -> pa.Table:
+        t = batch.select([col])
+        if sample_mod > 1:
+            t = t.take(np.arange(0, len(t), sample_mod))
+        return t
+
+    samp = points_ds.map_batches(sample,
+                                 batch_format="pyarrow").to_pandas()
+    vs = samp[col].to_numpy(np.int64)
+    tree = _SplitTree([vs], max(1, leaf_points // max(1, sample_mod)))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        bv = np.asarray(batch[col], dtype=np.int64)
+        return batch.append_column(
+            "bkd_leaf", pa.array(tree.leaf_of([bv]), type=pa.int64()))
+
+    def write_leaf(df) -> "pa.Table":
+        leaf = int(df["bkd_leaf"].iloc[0])
+        t = pa.Table.from_pandas(
+            df.sort_values(col).drop(columns=["bkd_leaf"]),
+            preserve_index=False)
+        path = os.path.join(out_dir, f"leaf-{leaf:05d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        return pa.table({"leaf": pa.array([leaf], pa.int64()),
+                         "rows": pa.array([t.num_rows], pa.int64())})
+
+    (points_ds.map_batches(assign, batch_format="pyarrow")
+     .groupby("bkd_leaf").map_groups(write_leaf, batch_format="pandas")
+     .materialize())
+
+    leaves = []
+    for name in sorted(os.listdir(out_dir)):
+        if not (name.startswith("leaf-") and name.endswith(".parquet")):
+            continue
+        path = os.path.join(out_dir, name)
+        md = pq.ParquetFile(path).metadata
+        cols = {md.schema.column(i).name: i
+                for i in range(len(md.schema))}
+        ci = cols[col]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        leaves.append({"path": path,
+                       "min_v": int(min(mins)), "max_v": int(max(maxs)),
+                       "rows": int(md.num_rows)})
+    index = {"col": col, "leaf_points": leaf_points,
+             "tree": tree.to_json(), "leaves": leaves}
+    tmp = os.path.join(out_dir, INDEX_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(index, f)
+    os.replace(tmp, os.path.join(out_dir, INDEX_FILE))
+    return index
+
+
+def bkd_query_range(out_dir_or_index, lo: int, hi: int, *,
+                    columns: list[str] | None = None):
+    """PointRangeQuery over the 1-D layout: prune leaves by bound
+    intersection, read ONLY covering files, exact-filter per batch.
+    Returns (Dataset, n_leaves_read, n_leaves_total)."""
+    import ray.data as rd
+
+    index = (load_index(out_dir_or_index)
+             if isinstance(out_dir_or_index, str) else out_dir_or_index)
+    col = index["col"]
+    paths = [e["path"] for e in index["leaves"]
+             if e["max_v"] >= lo and e["min_v"] <= hi]
+    total = len(index["leaves"])
+    if not paths:
+        empty = rd.from_arrow(pa.table({
+            c: pa.array([], pa.int64())
+            for c in (columns or [col])}))
+        return empty, 0, total
+
+    ds = rd.read_parquet(paths, columns=columns)
+
+    def exact(batch: pa.Table) -> pa.Table:
+        bv = np.asarray(batch[col], dtype=np.int64)
+        return batch.filter(pa.array((bv >= lo) & (bv <= hi)))
 
     return ds.map_batches(exact, batch_format="pyarrow"), len(paths), \
         total

@@ -5143,6 +5143,44 @@ def _q_numeric_range(field, lo, hi, k=10):
     return run
 
 
+def _q_numeric_range_bkd(field, lo, hi, k=10):
+    """ft_numeric_range served from a 1-D BKD point layout
+    (index/bkd.bkd_write_1d — core:util/bkd/BKDWriter.java's
+    dimensional-points direction): leaf-pruned reads + exact filter,
+    bit-identical to the doc-values path and sharing its oracle. The
+    layout builds once per corpus (cached like the fulltext index);
+    the pruning ratio is asserted so the entry actually exercises the
+    skip machinery."""
+    def run(sf_dir):
+        import ray.data as rd
+
+        from ..index.bkd import bkd_query_range, bkd_write_1d, load_index
+
+        key = hashlib.sha256(
+            f"{sf_dir}|bkd1d-{field}|v{FORMAT_VERSION}".encode()) \
+            .hexdigest()[:12]
+        out = os.path.join(INDEX_CACHE_ROOT, f"bkd1d-{key}")
+        try:
+            idx = load_index(out)
+        except FileNotFoundError:
+            ds = rd.read_parquet(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", field])
+            idx = bkd_write_1d(ds, out, col=field, leaf_points=64)
+        res, n_read, n_total = bkd_query_range(idx, lo, hi,
+                                               columns=["doc_id", field])
+        assert n_total > 1 and n_read < n_total, \
+            (n_read, n_total)  # the range must actually prune leaves
+        docs = np.sort(res.to_pandas()["doc_id"].to_numpy(np.int64))[:k]
+        return pa.table({
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "score_q": pa.array(np.full(len(docs), 10000, np.int64)),
+            "rank": pa.array(np.arange(1, len(docs) + 1,
+                                       dtype=np.int64)),
+        })
+    return run
+
+
 def _q_sort_by_field(term, field, k=10, descending=True):
     """Sort/TopFieldCollector: matches of a term query ranked by a
     numeric doc value (core:search/SortField.java:38-89)."""
@@ -6255,6 +6293,8 @@ def build_queries() -> dict:
         "ft_parsed_not": _q_parsed("table -dup"),
         "ft_phrase_slop": _q_phrase_slop("fast", "table", 2),
         "ft_numeric_range": _q_numeric_range("n_chars", 250, 350),
+        "ft_numeric_range_bkd": _q_numeric_range_bkd("n_chars", 250,
+                                                     350),
         "ft_sort_by_field": _q_sort_by_field("table", "n_chars"),
         "ft_spellcheck": _q_spellcheck("ort"),
         "ft_spellcheck_collate": _q_spellcheck_collate("fast tble scan"),
@@ -6694,6 +6734,8 @@ def build_oracle_sql() -> dict:
         "ft_parsed_not": _parsed_not_sql("table", "dup", 10),
         "ft_phrase_slop": ft_phrase_slop_sql("fast", "table", 2, 10),
         "ft_numeric_range": _numeric_range_sql("n_chars", 250, 350, 10),
+        "ft_numeric_range_bkd": _numeric_range_sql("n_chars", 250, 350,
+                                                   10),
         "ft_sort_by_field": _sort_by_field_sql("table", "n_chars", 10),
         "ft_spellcheck": _spellcheck_sql("ort", 2, 5),
         "ft_spellcheck_collate": _spellcheck_collate_sql(
