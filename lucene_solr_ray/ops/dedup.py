@@ -153,9 +153,13 @@ def _bucket_pairs_selfjoin(ds, keys, *, payload: str | None = None):
     upstream pipeline twice, and a 0-row first block can't starve the
     join's schema broadcast.  The pinned table is (bucket-key, doc_id
     [, payload]) ints only — a few tens of bytes per row at any
-    corpus size, spillable."""
-    nparts = num_shuffle_partitions()
+    corpus size, spillable. Join partition count is input-size aware
+    (sized_shuffle_partitions) so a partition's bucket rows fit a
+    worker at any scale."""
+    from ..util import sized_shuffle_partitions
+
     ds = _drop_empty_blocks(ds)
+    nparts = sized_shuffle_partitions(ds)
 
     def rename(side):
         mapping = {"doc_id": side}

@@ -72,6 +72,25 @@ def num_shuffle_partitions(*, per_cpu: int = 1,
     return num_read_blocks(per_cpu=per_cpu, max_blocks=max_parts)
 
 
+def sized_shuffle_partitions(ds, *, target_bytes: int = 256 << 20,
+                             max_parts: int = 8192) -> int:
+    """Partition count for shuffles whose per-partition output must fit
+    a worker (key-complete map_groups partitions, self-join buckets):
+    at least one per cluster CPU, but grown so a partition holds about
+    ``target_bytes`` of the INPUT — the cpu-derived count alone caps at
+    ~1024, which at 100-TB inputs would mean ~100 GB partitions.
+    Falls back to the cpu count when Ray can't estimate the size
+    (non-materialized lazy graphs estimate from the read plan)."""
+    n = num_shuffle_partitions()
+    try:
+        sz = ds.size_bytes()
+        if sz:
+            n = max(n, min(max_parts, int(sz // target_bytes) + 1))
+    except Exception:
+        pass
+    return n
+
+
 def num_read_blocks(paths=None, *, per_cpu: int = 2,
                     min_block_bytes: int = 1 << 20,
                     max_blocks: int = 4096) -> int:
