@@ -1,0 +1,167 @@
+"""Property tests for the round-4 sorted-run kernels: each vectorized
+all-keys-at-once kernel must equal the obvious per-key reference on
+random inputs (ties, singleton keys, empty groups, cross-partition
+key spread). The sf0.01 oracle parity pins one dataset; these pin the
+SHAPES."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _events(draw, n_users=6, n_rows=40):
+    rng = np.random.default_rng(draw)
+    n = int(rng.integers(1, n_rows))
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, n_users, n).astype(np.int64),
+        "ts": pd.to_datetime(
+            rng.integers(1_600_000_000, 1_600_100_000, n), unit="s"),
+        "event_type": rng.choice(["click", "view", "purchase"], n),
+        "value": rng.uniform(0, 50, n).round(2),
+    })
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 10_000))
+def test_user_runs_segmentation(seed):
+    from lucene_solr_ray.ops.temporal import _user_runs
+
+    df = _events(seed)
+    sdf, starts, lens = _user_runs(df)
+    uid = sdf["user_id"].to_numpy()
+    # runs cover the frame, are contiguous and single-valued
+    assert lens.sum() == len(df)
+    for s, ln in zip(starts, lens):
+        assert len(set(uid[s:s + ln])) == 1
+    # sorted by (user, ts, event_id)
+    us = sdf["ts"].to_numpy("datetime64[us]").view("int64")
+    key = list(zip(uid.tolist(), us.tolist(),
+                   sdf["event_id"].tolist()))
+    assert key == sorted(key)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 10_000))
+def test_ewma_round_synchronous_equals_sequential(seed):
+    """The round-synchronous fold == the per-user sequential
+    recurrence e=(c+e)//2."""
+    from lucene_solr_ray.ops.temporal import _user_runs
+
+    df = _events(seed)
+    sdf, starts, lens = _user_runs(df)
+    c = np.floor(sdf["value"].to_numpy(np.float64) * 100
+                 + 0.5).astype(np.int64)
+    e = c[starts].copy()
+    for j in range(1, int(lens.max())):
+        active = lens > j
+        e[active] = (c[starts[active] + j] + e[active]) // 2
+    uid = sdf["user_id"].to_numpy(np.int64)[starts]
+    got = dict(zip(uid.tolist(), e.tolist()))
+
+    want = {}
+    for u, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        cc = np.floor(g["value"].to_numpy(np.float64) * 100
+                      + 0.5).astype(np.int64)
+        acc = cc[0]
+        for v in cc[1:]:
+            acc = (v + acc) // 2
+        want[int(u)] = int(acc)
+    assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 10_000))
+def test_segmented_rank_and_cumsum(seed):
+    """window_enrich's segmented arange/cumsum == per-user pandas."""
+    from lucene_solr_ray.ops.temporal import _user_runs
+
+    df = _events(seed)
+    sdf, starts, lens = _user_runs(df)
+    vq = np.floor(sdf["value"].to_numpy(np.float64) * 10000
+                  + 0.5).astype(np.int64)
+    rn = (np.arange(len(sdf), dtype=np.int64)
+          - np.repeat(starts, lens) + 1)
+    cum = np.cumsum(vq)
+    run_q = cum - np.repeat(cum[starts] - vq[starts], lens)
+
+    ref = df.copy()
+    ref["vq"] = np.floor(ref["value"].to_numpy(np.float64) * 10000
+                         + 0.5).astype(np.int64)
+    ref = ref.sort_values(["user_id", "ts", "event_id"])
+    want_rn = ref.groupby("user_id").cumcount().to_numpy() + 1
+    want_q = ref.groupby("user_id")["vq"].cumsum().to_numpy()
+    assert rn.tolist() == want_rn.tolist()
+    assert run_q.tolist() == want_q.tolist()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 10_000))
+def test_order_topk_rows_equals_per_key_head(seed):
+    from lucene_solr_ray.ops.relational import _order_topk_rows
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 60))
+    df = pd.DataFrame({
+        "o_orderkey": np.arange(n, dtype=np.int64),
+        "o_custkey": rng.integers(0, 8, n).astype(np.int64),
+        # coarse prices force ties
+        "o_totalprice": (rng.integers(0, 5, n) * 10).astype(np.float64),
+    })
+    for k in (1, 2, 3):
+        got = (_order_topk_rows(df, k).drop(columns=["_rank"])
+               .sort_values(["o_custkey", "o_orderkey"])
+               .reset_index(drop=True))
+        want = (df.sort_values(["o_totalprice", "o_orderkey"],
+                               ascending=[False, True])
+                .groupby("o_custkey", as_index=False).head(k)
+                .sort_values(["o_custkey", "o_orderkey"])
+                .reset_index(drop=True))
+        assert got.values.tolist() == want.values.tolist()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 10_000))
+def test_popcount64_reference(seed):
+    from lucene_solr_ray.ops.dedup import _popcount64
+
+    rng = np.random.default_rng(seed)
+    x = rng.integers(0, 2**63, 50, dtype=np.int64).astype(np.uint64)
+    got = _popcount64(x)
+    want = [bin(int(v)).count("1") for v in x]
+    assert got.tolist() == want
+
+
+def test_bucket_pairs_selfjoin_equals_triu(ray_session):
+    """Self-join pair emission == per-bucket triu on a crafted multi-
+    bucket table (dup pairs across buckets preserved, a<b only)."""
+    import ray.data as rd
+
+    from lucene_solr_ray.ops.dedup import _bucket_pairs_selfjoin
+
+    rng = np.random.default_rng(3)
+    n = 300
+    t = pa.table({
+        "band": pa.array(rng.integers(0, 4, n), pa.int64()),
+        "bh": pa.array(rng.integers(0, 6, n), pa.int64()),
+        "doc_id": pa.array(rng.integers(0, 40, n), pa.int64()),
+    })
+    got = (_bucket_pairs_selfjoin(rd.from_arrow(t), ("band", "bh"))
+           .to_pandas()[["a", "b"]]
+           .sort_values(["a", "b"]).reset_index(drop=True))
+
+    rows = []
+    df = t.to_pandas()
+    for _, g in df.groupby(["band", "bh"]):
+        ids = np.sort(g["doc_id"].to_numpy())
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] < ids[j]:
+                    rows.append((ids[i], ids[j]))
+    want = (pd.DataFrame(rows, columns=["a", "b"])
+            .sort_values(["a", "b"]).reset_index(drop=True))
+    assert got.values.tolist() == want.values.tolist()
