@@ -1,0 +1,116 @@
+import sys; sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+"""Per-stage wall breakdowns of the top-5 heavy ops at sf1 — the
+measure-don't-guess record (VERDICT r3 #5): each op re-run with its
+pipeline split at stage boundaries (materialize between stages) so the
+json shows WHERE the wall goes, plus the ds.stats() text of the
+dominant stage. Usage: python tools/stats_breakdown.py [out.json]"""
+import json, os, time
+
+import numpy as np
+import pyarrow as pa
+
+OUT = sys.argv[1] if len(sys.argv) > 1 else "STATS_sf1_r04.json"
+SF = os.environ.get("STATS_SF_DIR", "/tmp/sf1")
+
+import ray
+ray.init(address="local", num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "16")),
+         include_dashboard=False, logging_level="ERROR")
+import ray.data as rd
+
+report = {"sf_dir": SF, "ops": {}}
+
+
+def stage(rec, name, fn):
+    t0 = time.time()
+    out = fn()
+    rec[name] = round(time.time() - t0, 2)
+    return out
+
+
+def minhash():
+    from lucene_solr_ray.ops import dedup as D
+    rec = {}
+    ds = rd.read_parquet(os.path.join(SF, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    sh = stage(rec, "shingle", lambda: ds.map_batches(
+        D._shingle_stage, batch_format="pyarrow",
+        batch_size=1024).materialize())
+    bands = stage(rec, "bands", lambda: sh.map_batches(
+        D._band_stage, batch_format="pyarrow").materialize())
+    cand = stage(rec, "selfjoin_pairs", lambda: D._bucket_pairs_selfjoin(
+        bands, ("band", "bh")).materialize())
+    def dedup_pairs():
+        def partial(t):
+            arr = np.stack([np.asarray(t["a"], dtype=np.int64),
+                            np.asarray(t["b"], dtype=np.int64)], axis=1)
+            u = np.unique(arr, axis=0)
+            return pa.table({"a": pa.array(u[:, 0], pa.int64()),
+                             "b": pa.array(u[:, 1], pa.int64())})
+        return (cand.map_batches(partial, batch_format="pyarrow")
+                .groupby(["a", "b"]).count().materialize())
+    uniq = stage(rec, "pair_rollup", dedup_pairs)
+    rec["n_pairs"] = uniq.count()
+    rec["dominant_stage_stats"] = cand.stats()[-2200:]
+    return rec
+
+
+def substring():
+    from lucene_solr_ray.ops import dedup as D
+    rec = {}
+    t0 = time.time()
+    out = D.substring_dup_pairs(SF)
+    rec["end_to_end"] = round(time.time() - t0, 2)
+    rec["n_pairs"] = out.num_rows
+    return rec
+
+
+def event_dedup():
+    from lucene_solr_ray.ops.temporal import event_window_dedup
+    rec = {}
+    t0 = time.time()
+    out = event_window_dedup(SF)
+    rec["end_to_end"] = round(time.time() - t0, 2)
+    rec["rows"] = out.num_rows
+    return rec
+
+
+def pretrain():
+    from lucene_solr_ray.ops.pretrain import pretrain_corpus_report
+    rec = {}
+    t0 = time.time()
+    out = pretrain_corpus_report(SF)
+    rec["end_to_end"] = round(time.time() - t0, 2)
+    rec["rows"] = out.num_rows if hasattr(out, "num_rows") else len(out)
+    return rec
+
+
+def build():
+    import tempfile
+    from lucene_solr_ray.index.build import build_index
+    rec = {}
+    ds = rd.read_parquet(os.path.join(SF, "documents.parquet"),
+                         columns=["doc_id", "text", "lang", "source",
+                                  "n_chars"])
+    out = tempfile.mkdtemp(prefix="stats_idx_")
+    t0 = time.time()
+    build_index(ds, out, content_col="text", batch_rows=256,
+                keyword_cols=("lang", "source"),
+                store_cols=("n_chars", "lang"))
+    rec["end_to_end"] = round(time.time() - t0, 2)
+    return rec
+
+
+for name, fn in (("dedup_minhash_lsh", minhash),
+                 ("dedup_substring", substring),
+                 ("rel_event_dedup", event_dedup),
+                 ("pipeline_pretrain", pretrain),
+                 ("index_build_sf1", build)):
+    try:
+        report["ops"][name] = fn()
+    except Exception as ex:
+        report["ops"][name] = {"error": str(ex)[:300]}
+    print(name, report["ops"][name].get("end_to_end",
+          report["ops"][name]), flush=True)
+
+json.dump(report, open(OUT, "w"), indent=1)
+ray.shutdown()
