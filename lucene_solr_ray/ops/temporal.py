@@ -34,29 +34,48 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _map_user_blocks(ds, fn, key: str = "user_id"):
+def _map_user_blocks(ds, fn, key="user_id"):
     """Apply ``fn`` (pandas in/out) once per KEY-COMPLETE partition —
     the shuffle ``groupby(key).map_groups`` performs, WITHOUT the
     one-Python-call-per-group tail (sf1 cliff #4: ~1M tiny groups is a
-    wall). The key is coarsened to a mixed hash modulo the cluster
-    partition count BEFORE the shuffle, so map_groups sees ~one group
-    per partition and ``fn`` processes every user in it with one
-    vectorized pass (lexsort + run offsets; same memory contract as
-    any hash shuffle: a partition fits a worker). Works under both of
+    wall). The key (one column name or a list) is coarsened to a mixed
+    hash modulo the cluster partition count BEFORE the shuffle, so
+    map_groups sees ~one group per partition and ``fn`` processes
+    every key group in it with one vectorized pass (lexsort + run
+    offsets, or a C-level pandas groupby; same memory contract as any
+    hash shuffle: a partition fits a worker). Works under both of
     Ray's shuffle strategies (repartition(keys=...) needs
-    HASH_SHUFFLE; a groupby tolerates either)."""
-    from ..util import num_shuffle_partitions
+    HASH_SHUFFLE; a groupby tolerates either). The partition count is
+    INPUT-SIZE aware (util.sized_shuffle_partitions): a key-complete
+    partition must fit a worker, so it grows past the cpu-derived
+    count on large inputs instead of ballooning at 100 TB.
 
-    nparts = num_shuffle_partitions()
+    This is ALSO the replacement for Ray's Aggregate operator on
+    large inputs: groupby(keys).sum/min/count over millions of rows
+    costs ~8 s per million rows in the operator itself (measured
+    round 4 — regardless of key count or dtype; 4M 2-int-col rows:
+    45 s aggregate vs 0.7 s coarse-part + per-partition pandas),
+    while the coarse-part sort is pennies and the per-partition
+    pandas groupby is C."""
+    from ..util import sized_shuffle_partitions
 
-    def add_part(t: pa.Table) -> pa.Table:
-        col = t[key]
+    keys = [key] if isinstance(key, str) else list(key)
+    nparts = sized_shuffle_partitions(ds)
+
+    def _hash_col(col) -> np.ndarray:
         if pa.types.is_integer(col.type):
             u = np.asarray(col, dtype=np.int64)
             # 64-bit odd-constant mix so sequential ids spread
-            h = (u * np.int64(-7046029254386353131)).astype(np.uint64)
-        else:  # string keys: stable vectorized siphash
-            h = pd.util.hash_array(np.asarray(col.to_pandas()))
+            return (u * np.int64(-7046029254386353131)).astype(np.uint64)
+        # string keys: stable vectorized siphash
+        return pd.util.hash_array(np.asarray(col.to_pandas()))
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = _hash_col(t[keys[0]])
+        for k in keys[1:]:
+            # rotate-and-mix so (a, b) and (b, a) separate
+            h = ((h << np.uint64(13)) | (h >> np.uint64(51))) \
+                ^ _hash_col(t[k])
         part = (h >> np.uint64(33)).astype(np.int64) % nparts
         return t.append_column("_part", pa.array(part, pa.int64()))
 
@@ -66,6 +85,15 @@ def _map_user_blocks(ds, fn, key: str = "user_id"):
     return (ds.map_batches(add_part, batch_format="pyarrow")
             .groupby("_part")
             .map_groups(run, batch_format="pandas"))
+
+
+def grouped_agg_blocks(ds, keys, agg_fn):
+    """Exact grouped aggregation through key-complete partitions —
+    ``agg_fn`` is a pandas kernel receiving ONE partition with every
+    row of its keys co-located (so a per-partition groupby IS the
+    global groupby). The drop-in replacement for Ray's Aggregate
+    operator cliff (see _map_user_blocks)."""
+    return _map_user_blocks(ds, agg_fn, key=keys)
 
 
 def _user_runs(df: pd.DataFrame, order=("ts", "event_id")):
@@ -703,30 +731,27 @@ def event_window_dedup(sf_dir: str,
                          "n": pa.array(g["n"].to_numpy(np.int64),
                                        pa.int64())})
 
-    from ray.data.aggregate import Sum
-
     # The partial table (already shrunk to ≤ one row per touched bucket
-    # per block) MATERIALIZES before the groupby: Ray's sort re-executes
+    # per block) MATERIALIZES before the shuffle: Ray's sort re-executes
     # a lazy upstream while sampling boundaries, which re-ran the whole
     # read+partial (~6x wall at sf1); the pinned table is a few MB per
-    # million buckets.
-    agg2 = (ds.map_batches(partial, batch_format="pandas")
-            .materialize()
-            .groupby(["user_id", "win", "eth"]).aggregate(Sum("n")))
-    agg2 = agg2.map_batches(
-        lambda t: t.select(["eth", "sum(n)"]).rename_columns(
-            ["eth", "n"]),
-        batch_format="pyarrow")
+    # million buckets. The bucket fold itself goes through the
+    # key-complete-partition kernel (grouped_agg_blocks): Ray's
+    # Aggregate operator costs ~8 s/M rows regardless of key shape
+    # (round-4 measurement), the pandas fold is C. Within a partition
+    # the groupby keys are the THREE real int columns — the coarse
+    # hash only places rows, so bucket identity can't collide.
+    def fold_census(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["user_id", "win", "eth"], as_index=False)
+             ["n"].sum())
+        return (g.groupby("eth", as_index=False)
+                .agg(n_kept=("n", "size"), n_total=("n", "sum")))
 
-    def census2(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().groupby("eth", as_index=False).agg(
-            n_kept=("n", "size"), n_total=("n", "sum"))
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    cen = (agg2.map_batches(census2, batch_format="pyarrow")
-           .groupby("eth").sum(["n_kept", "n_total"]).to_pandas()
-           .rename(columns={"sum(n_kept)": "n_kept",
-                            "sum(n_total)": "n_total"}))
+    parts = ds.map_batches(partial, batch_format="pandas").materialize()
+    cen = (grouped_agg_blocks(parts, ["user_id", "win", "eth"],
+                              fold_census)
+           .to_pandas()
+           .groupby("eth", as_index=False).sum())
 
     # tiny distinct-type scan maps eth back to the string
     types = (ds.map_batches(
