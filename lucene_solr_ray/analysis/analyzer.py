@@ -490,12 +490,25 @@ def tokenize(text: str) -> list[tuple[str, int, int, int]]:
         # lowercases the whole column before word-break): for case-fold
         # -unstable codepoints ('İ' → 'i' + COMBINING DOT ABOVE, which
         # is Extend) segmenting before vs after lowering yields
-        # different boundaries.  When lowering changes the string
-        # length, offsets refer to the lowered text (best-effort — the
-        # ascii fast path above is always length-stable).
+        # different boundaries.  When lowering EXPANDS the string
+        # ('İ' is 1 cp, its lowering 2), segment offsets index the
+        # lowered text — map them back through a per-codepoint
+        # expansion table so emitted start/end offsets always index
+        # the ORIGINAL input (the reference's offset contract that
+        # highlighting consumers rely on; Python str.lower() is
+        # per-codepoint and never contracts, so the cumulative map is
+        # exact).
         lowered = text.lower()
-        base = text if len(lowered) == len(text) else lowered
-        spans = [(base[s:e], s, e) for s, e, _ty in segment(lowered)]
+        if len(lowered) == len(text):
+            spans = [(text[s:e], s, e) for s, e, _ty in segment(lowered)]
+        else:
+            orig_of: list[int] = []
+            for i, c in enumerate(text):
+                orig_of.extend([i] * max(1, len(c.lower())))
+            orig_of.append(len(text))  # end sentinel
+            spans = [(lowered[s:e], orig_of[s],
+                      orig_of[e - 1] + 1 if e > s else orig_of[s])
+                     for s, e, _ty in segment(lowered)]
     for tok, s, e in spans:
         if len(tok) > MAX_TOKEN_LENGTH:
             continue  # skip-not-truncate, no position consumed

@@ -36,8 +36,11 @@ def commit_manifest(index_dir: str, segments: list[dict], extra: dict | None = N
     # (the sequence-number scope generational deletes check against)
     segments = [s if "added_gen" in s else {**s, "added_gen": gen}
                 for s in segments]
+    from .segment import INDEX_FORMAT_VERSION
+
     manifest = {
         "generation": gen,
+        "format_version": INDEX_FORMAT_VERSION,
         "num_docs": sum(s["num_docs"] for s in segments),
         "sum_dl": sum(s["sum_dl"] for s in segments),
         "num_segments": len(segments),
@@ -70,4 +73,16 @@ def load_manifest(index_dir: str, generation: int | None = None) -> dict:
             f"no committed generation {generation} in {index_dir} "
             f"(have {gens})")
     with open(os.path.join(index_dir, f"segments_{gen}.json")) as f:
-        return json.load(f)
+        man = json.load(f)
+    from .segment import INDEX_FORMAT_VERSION
+
+    # Manifests written before the stamp (pre-v6) carry no marker; a
+    # pre-v6 postings vocabulary read by a newer searcher would
+    # silently return empty keyword filters/facets — fail loudly.
+    found = man.get("format_version", 5)
+    if found != INDEX_FORMAT_VERSION:
+        raise ValueError(
+            f"index format mismatch in {index_dir}: manifest is "
+            f"v{found}, this reader requires "
+            f"v{INDEX_FORMAT_VERSION} — rebuild the index")
+    return man

@@ -52,6 +52,13 @@ POSTINGS_FILE = "postings.parquet"
 DOCS_FILE = "docs.parquet"
 META_FILE = "meta.json"
 
+#: On-disk index format version, stamped into every committed manifest
+#: (manifest.commit_manifest) and checked on load — a pre-v6 index
+#: opened by a newer reader would silently return empty keyword
+#: filters/facets (the ':'→KW_SEP vocabulary change), so mismatches
+#: raise loudly instead.  v6: KW_SEP U+001F keyword-term namespace.
+INDEX_FORMAT_VERSION = 6
+
 # Keyword-field term namespace separator: "<field>\x1f<value>".  U+001F
 # UNIT SEPARATOR is a C0 control — UAX#29 word segmentation always
 # breaks on it and the tokenizer drops it, so no analyzed content token

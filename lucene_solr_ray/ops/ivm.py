@@ -21,6 +21,7 @@ recompute.
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 import numpy as np
@@ -61,7 +62,11 @@ def _load_state(state_dir: str):
         tmp_p = state_p + ".tmp"
         pq.write_table(up, tmp_p)
         os.replace(tmp_p, state_p)
-        os.remove(legacy_p)
+        # Two concurrent readers can both take this upgrade path; the
+        # loser's sidecar delete must not raise (both wrote the SAME
+        # upgraded state, so either ordering is safe).
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(legacy_p)
         return t.to_pandas(), hwm
     raise ValueError(
         f"incompatible IVM state format: {state_p} has no "

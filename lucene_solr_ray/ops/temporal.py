@@ -885,15 +885,24 @@ def attribution_join(sf_dir: str,
                 "n_clicks": pd.Series([], dtype="int64"),
                 "last_gap_s": pd.Series([], dtype="int64")})
         codes, _ = pd.factorize(uid)
-        assert ep.min() >= 0 and ep.max() < (1 << 33)
+        if ep.min() < 0 or ep.max() >= (1 << 33):
+            raise ValueError(
+                f"epoch seconds out of packed-key range "
+                f"[0, 2^33): min={ep.min()} max={ep.max()}")
         key = (codes.astype(np.int64) << np.int64(33)) | ep
         cm = et == "click"
         ck = np.sort(key[cm])
         pk = key[pm]
         lo = np.searchsorted(ck, pk - window_s, side="left")
+        # window start pk - w can cross into the PREVIOUS user's code
+        # block when a user's epoch seconds are < window_s — clamp lo
+        # to each purchase's own code-block start so another user's
+        # clicks are never counted
+        codes_pm = codes[pm].astype(np.int64)
+        lo = np.maximum(lo, np.searchsorted(
+            ck, codes_pm << np.int64(33), side="left"))
         # side="left": clicks at EXACTLY the purchase second are out
-        # (the twin's strict c.ep < p.ep); window start pk - w stays
-        # inside the same user's code block (ep ≥ w for epoch data)
+        # (the twin's strict c.ep < p.ep)
         hi = np.searchsorted(ck, pk, side="left")
         n = (hi - lo).astype(np.int64)
         last = np.where(n > 0, pk - ck[np.maximum(hi - 1, 0)], -1) \

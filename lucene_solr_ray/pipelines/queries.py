@@ -22,11 +22,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..analysis.stopwords import stopwords_sql_list
+from ..index.segment import INDEX_FORMAT_VERSION as FORMAT_VERSION
 from ..index.segment import KW_SEP as _KW_SEP
 from ..search.bm25 import quantize_score
 
 INDEX_CACHE_ROOT = "/tmp/lsr_index_cache"
-FORMAT_VERSION = 6  # bump when the on-disk index format changes (v6: KW_SEP)
 
 K1_SQL = "1.2"
 B_SQL = "0.75"
@@ -93,6 +93,11 @@ def documents_index(sf_dir: str) -> str:
         return out
     except FileNotFoundError:
         pass
+    except ValueError:
+        # unstamped/mismatched format in a /tmp cache dir — disposable
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
     import ray.data as rd
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
@@ -3993,6 +3998,10 @@ def documents_index_variant(sf_dir: str, tag: str, term_transform=None,
         return out
     except FileNotFoundError:
         pass
+    except ValueError:
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
     import ray.data as rd
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
@@ -5054,6 +5063,10 @@ def _wd_index(sf_dir: str) -> str:
         return out
     except FileNotFoundError:
         pass
+    except ValueError:
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
     import pyarrow.compute as pc
     import ray.data as rd
 

@@ -212,3 +212,20 @@ def test_urlemail_tokenizer():
     r2 = analyze_batch(pa.array(["see https://x.io/a b@c.de!"]),
                        tokenizer="urlemail", stopwords=frozenset())
     assert got == r2.terms.to_pylist()
+
+
+def test_tokenize_offsets_index_original_text_under_expansion():
+    """Offsets must index the ORIGINAL input even when lower() expands
+    codepoints ('İ' U+0130 lowers to 'i' + COMBINING DOT ABOVE) — the
+    reference's offset contract for highlighting (ADVICE r4)."""
+    from lucene_solr_ray.analysis.analyzer import tokenize
+
+    text = "İstanbul Blues"
+    toks = tokenize(text)
+    # term text comes from the lowered stream (matches analyze_batch)
+    assert [t for t, _, _, _ in toks] == ["i̇stanbul", "blues"]
+    spans = [(s, e) for _, _, s, e in toks]
+    assert spans == [(0, 8), (9, 14)]
+    # spans slice the ORIGINAL text to the surface forms
+    assert text[spans[0][0]:spans[0][1]] == "İstanbul"
+    assert text[spans[1][0]:spans[1][1]] == "Blues"

@@ -61,6 +61,29 @@ def test_manifest_totals(index_dir, corpus, oracle):
     assert m["num_segments"] > 1  # small batch_rows → many segments
 
 
+def test_manifest_format_version_guard(index_dir, tmp_path):
+    """A pre-v6 manifest (no format_version stamp) must fail LOUDLY on
+    load — the KW_SEP vocabulary change would otherwise silently
+    return empty keyword filters/facets (ADVICE r4)."""
+    import json
+
+    from lucene_solr_ray.index.segment import INDEX_FORMAT_VERSION
+
+    m = load_manifest(index_dir)
+    assert m["format_version"] == INDEX_FORMAT_VERSION
+
+    old = tmp_path / "old_index"
+    old.mkdir()
+    legacy = {k: v for k, v in m.items() if k != "format_version"}
+    with open(old / "segments_1.json", "w") as f:
+        json.dump(legacy, f)
+    try:
+        load_manifest(str(old))
+        raise AssertionError("expected ValueError on pre-v6 manifest")
+    except ValueError as e:
+        assert "format" in str(e)
+
+
 def test_global_term_stats_match_oracle(index_dir, oracle):
     s = IndexSearcher(index_dir)
     terms = list(oracle.df)[:50] + ["zzz_does_not_exist"]

@@ -45,6 +45,7 @@ def test_grouped_delta_roundtrip(groups):
 
 @settings(max_examples=150, deadline=None)
 @example('𝙰')  # U+1D670: category Lu with NO lowercase mapping — survives
+@example('឴')  # KHMER VOWEL INHERENT AQ: lone SA-class Mn token
 @given(st.text(max_size=300))
 def test_analyzer_terms_wellformed(text):
     from lucene_solr_ray.analysis.analyzer import token_terms
@@ -61,7 +62,15 @@ def test_analyzer_terms_wellformed(text):
         # lowercase mapping; str.lower() and Java Character.toLowerCase
         # both return them unchanged, so 'no isupper() survives' is too
         # strong.
-        assert any(c.isalnum() for c in t)
+        # ... EXCEPT <SOUTHEAST_ASIAN> segments: LineBreak=Complex_Context
+        # runs are emitted whole (the JFlex ComplexContextEx+ rule), and
+        # lone SA-class combining marks like U+17B4 KHMER VOWEL INHERENT
+        # AQ are category Mn (isalnum() False) yet legitimately tokens —
+        # the reference's StandardTokenizer emits them identically.
+        from lucene_solr_ray.analysis.uax29 import SEA, _table
+        wb, _ = _table()
+        cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+        assert any(c.isalnum() for c in t) or (wb[cp] == SEA).all()
         assert t == t.lower()
 
 
