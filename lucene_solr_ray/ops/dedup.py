@@ -15,10 +15,25 @@ training-data-pipeline extensions).
 
 Shingling contract (shared with the DuckDB oracle): tokens =
 ``regexp_extract_all(lower(text), '[a-z0-9]+')`` (≤255 chars, stopwords
-KEPT), shingles = distinct space-joined word 3-grams. Jaccard is computed
-on 64-bit blake2b shingle hashes (collision-free at these scales) as a
-ratio of exact ints, so engine and SQL agree bit-for-bit after the shared
-``floor(j*10000+0.5)`` quantization.
+KEPT), shingles = distinct word 3-grams. Jaccard is computed on 61-bit
+Horner rolling hashes over per-token 64-bit blake2b hashes
+(collision-free at these scales — the text_fingerprint polynomial, so
+no per-window hashlib call survives in the hot path) as a ratio of
+exact ints, so engine and SQL agree bit-for-bit after the shared
+``floor(j*10000+0.5)`` quantization (the string-shingle DuckDB twin is
+hash-agnostic: it counts distinct string 3-grams, which the injective
+hash reproduces exactly).
+
+Representative contraction (round 5 — the dup-dense-corpus discipline):
+docs whose shingle SETS are identical (equal set digest ``dg``) form a
+group; only the group REPRESENTATIVE (min doc_id) enters candidate
+generation and verification, and member-level pairs are reconstructed
+by joins afterwards. A 40-way duplicate clique therefore costs ONE doc
+in the LSH/verify pipeline instead of C(40,2) shuffled pair rows
+(SignatureUpdateProcessorFactory keeps only signature→first the same
+way). ``dedup_clusters`` never materializes within-clique pairs at
+all: connected components run on the contracted graph (rep-rep
+verified pairs + member→rep star edges).
 """
 
 from __future__ import annotations
@@ -29,8 +44,10 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..util import num_shuffle_partitions
+from .text import FP_BASE, FP_MOD
 
 SHINGLE_K = 3
 N_PERM = 64
@@ -58,6 +75,9 @@ _P31 = (1 << 31) - 1
 _POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
                       axis=1).sum(axis=1).astype(np.uint8)
 
+_M61 = np.uint64(FP_MOD)
+_B61 = np.uint64(FP_BASE)  # < 2^20, enabling the split multiply below
+
 
 def _popcount64(x: np.ndarray) -> np.ndarray:
     """Per-element popcount of a uint64 array (one table lookup per
@@ -65,6 +85,85 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     return _POP8[x.view(np.uint8)].reshape(len(x), 8) \
         .sum(axis=1).astype(np.int64)
 
+
+# ---------------------------------------------------------------------------
+# vectorized Horner rolling-hash kernel (shared with ops.text fingerprint)
+# ---------------------------------------------------------------------------
+
+def _fold61(y: np.ndarray) -> np.ndarray:
+    """y mod 2^61-1 for y < 2^62 (Mersenne reduction, 2^61 ≡ 1)."""
+    y = (y & _M61) + (y >> np.uint64(61))
+    y = (y & _M61) + (y >> np.uint64(61))
+    return np.where(y >= _M61, y - _M61, y)
+
+
+def _mulB61(a: np.ndarray) -> np.ndarray:
+    """a·FP_BASE mod 2^61-1 via a 41/20-bit split (every partial
+    product fits uint64)."""
+    a_hi = a >> np.uint64(41)
+    a_lo = a & np.uint64((1 << 41) - 1)
+    x = a_hi * _B61
+    t1 = _fold61(((x & np.uint64((1 << 20) - 1)) << np.uint64(41))
+                 + (x >> np.uint64(20)))
+    return _fold61(t1 + _fold61(a_lo * _B61))
+
+
+def _vocab_hash64(dictionary: pa.Array, algo: str = "blake2b") -> np.ndarray:
+    """64-bit hash per DISTINCT term — the only Python loop in any
+    signature stage runs over the batch vocabulary, never per token
+    occurrence (the fingerprint discipline). algo="md5" is the
+    DuckDB-twin mode (low 8 md5 bytes little-endian ==
+    md5_number_lower)."""
+    words = dictionary.to_pylist()
+    if algo == "md5":
+        return np.asarray([int.from_bytes(
+            hashlib.md5(w.encode()).digest()[8:], "little")
+            for w in words], dtype=np.uint64)
+    return np.asarray([int.from_bytes(hashlib.blake2b(
+        w.encode(), digest_size=8).digest(), "big")
+        for w in words], dtype=np.uint64)
+
+
+def _tokenize_keep_stops(texts: pa.Array):
+    from ..analysis.analyzer import analyze_batch
+
+    return analyze_batch(texts, keep_stopwords=True)
+
+
+def _token_hash_stream(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(61-bit folded per-token hashes of the flat token stream,
+    per-doc token counts)."""
+    ab = _tokenize_keep_stops(texts)
+    denc = ab.terms.dictionary_encode()
+    if len(denc.dictionary):
+        vh = _fold61(_vocab_hash64(denc.dictionary))
+        h = vh[np.asarray(denc.indices, dtype=np.int64)]
+    else:
+        h = np.empty(0, dtype=np.uint64)
+    return h, np.asarray(ab.doc_lengths, dtype=np.int64)
+
+
+def _window_hashes(h: np.ndarray, doc_lengths: np.ndarray,
+                   k: int) -> tuple[np.ndarray, np.ndarray]:
+    """k-token-window Horner hashes over the flat stream, windows never
+    straddling documents: (window values, doc index per window)."""
+    n_tok = len(h)
+    if n_tok < k:
+        return (np.empty(0, dtype=np.uint64),
+                np.empty(0, dtype=np.int64))
+    nw = n_tok - k + 1
+    acc = np.zeros(nw, dtype=np.uint64)
+    for j in range(k):
+        acc = _fold61(_mulB61(acc) + h[j:j + nw])
+    doc_of = np.repeat(np.arange(len(doc_lengths), dtype=np.int64),
+                       doc_lengths)
+    valid = doc_of[:nw] == doc_of[k - 1:]
+    return acc[valid], doc_of[:nw][valid]
+
+
+# ---------------------------------------------------------------------------
+# building blocks: id filters, empty-block scrubs, self-join pair emission
+# ---------------------------------------------------------------------------
 
 def _filter_by_ids(ds, ids: np.ndarray, *, keep: bool,
                    id_col: str = "doc_id",
@@ -189,6 +288,23 @@ def _bucket_pairs_selfjoin(ds, keys, *, payload: str | None = None):
     return j.map_batches(lt, batch_format="pyarrow")
 
 
+def _grouped_blocks(ds, keys, kern):
+    """Exact grouped aggregation through key-complete coarse-hash
+    partitions — the drop-in for Ray's Aggregate operator cliff
+    (~8 s per MILLION groups regardless of key shape, measured round
+    4; ops/temporal.py:90 grouped_agg_blocks). ``kern`` is a pandas
+    kernel whose per-partition groupby IS the global groupby; it may
+    return a pandas frame or a pa.Table (return pa.Table when the
+    result feeds another shuffle — CLAUDE.md discipline #1)."""
+    from .temporal import grouped_agg_blocks
+
+    return grouped_agg_blocks(ds, keys, kern)
+
+
+# ---------------------------------------------------------------------------
+# minhash signatures (vectorized)
+# ---------------------------------------------------------------------------
+
 def _perm_params(seed: int = 42):
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _P31, size=N_PERM, dtype=np.uint64)
@@ -199,32 +315,43 @@ def _perm_params(seed: int = 42):
 _A, _B = _perm_params()
 
 
-def _tokenize_keep_stops(texts: pa.Array):
-    from ..analysis.analyzer import analyze_batch
-
-    return analyze_batch(texts, keep_stopwords=True)
-
-
 def shingle_hashes(texts: pa.Array) -> list[np.ndarray]:
-    """Per doc: sorted distinct uint64 hashes of word 3-shingles."""
-    ab = _tokenize_keep_stops(texts)
-    toks = ab.terms.to_pylist()
-    out: list[np.ndarray] = []
-    n_docs = int(ab.doc_lengths.shape[0])
-    starts = np.concatenate(([0], np.cumsum(ab.doc_lengths)))
-    for d in range(n_docs):
-        ws = toks[starts[d]:starts[d + 1]]
-        if len(ws) < SHINGLE_K:
-            out.append(np.empty(0, dtype=np.uint64))
-            continue
-        hs = {
-            int.from_bytes(hashlib.blake2b(
-                " ".join(ws[i:i + SHINGLE_K]).encode(),
-                digest_size=8).digest(), "big")
-            for i in range(len(ws) - SHINGLE_K + 1)
-        }
-        out.append(np.array(sorted(hs), dtype=np.uint64))
-    return out
+    """Per doc: sorted distinct uint64 hashes of word 3-shingles
+    (convenience wrapper over the vectorized stage kernel)."""
+    flat, counts, _dg = _shingle_sets(texts)
+    offs = np.concatenate(([0], np.cumsum(counts)))
+    return [flat[offs[i]:offs[i + 1]] for i in range(len(counts))]
+
+
+def _shingle_sets(texts: pa.Array) -> tuple[np.ndarray, np.ndarray,
+                                            np.ndarray]:
+    """Vectorized per-doc sorted distinct shingle-hash sets:
+    (flat sorted values, per-doc counts, per-doc set digest).
+
+    The set digest ``dg`` (blake2b-8 over the sorted distinct hash
+    bytes — one C call per doc over contiguous memory, not per
+    window) keys the representative-contraction groups: equal dg ⟺
+    equal shingle set, up to cryptographically-negligible collisions."""
+    h, lens = _token_hash_stream(texts)
+    n_docs = len(lens)
+    vals, doc_of = _window_hashes(h, lens, SHINGLE_K)
+    if len(vals):
+        order = np.lexsort((vals, doc_of))
+        d_s, v_s = doc_of[order], vals[order]
+        keep = np.ones(len(v_s), dtype=bool)
+        keep[1:] = (d_s[1:] != d_s[:-1]) | (v_s[1:] != v_s[:-1])
+        d_s, v_s = d_s[keep], v_s[keep]
+    else:
+        d_s = np.empty(0, dtype=np.int64)
+        v_s = np.empty(0, dtype=np.uint64)
+    counts = np.bincount(d_s, minlength=n_docs).astype(np.int64)
+    offs = np.concatenate(([0], np.cumsum(counts)))
+    dg = np.empty(n_docs, dtype=np.int64)
+    for i in range(n_docs):
+        dg[i] = int.from_bytes(hashlib.blake2b(
+            v_s[offs[i]:offs[i + 1]].tobytes(),
+            digest_size=8).digest(), "little", signed=True)
+    return v_s, counts, dg
 
 
 def minhash_signature(sh: np.ndarray) -> np.ndarray:
@@ -250,80 +377,210 @@ def _band_hashes(sig: np.ndarray) -> np.ndarray:
 
 def _shingle_stage(batch: pa.Table) -> pa.Table:
     """map_batches stage: per-doc sorted distinct shingle hashes as a
-    list<uint64> column (runs inside Ray tasks — no driver loop)."""
-    shs = shingle_hashes(batch["text"])
-    counts = np.array([len(s) for s in shs], dtype=np.int32)
-    flat = np.concatenate(shs) if shs else np.empty(0, dtype=np.uint64)
-    offsets = pa.array(np.concatenate(([0], np.cumsum(counts))).astype(np.int32))
+    list<uint64> column plus the set digest ``dg`` and set size
+    ``n_sh`` (runs inside Ray tasks — no driver loop)."""
+    flat, counts, dg = _shingle_sets(batch["text"])
+    offsets = pa.array(
+        np.concatenate(([0], np.cumsum(counts))).astype(np.int32))
     return pa.table({
         "doc_id": batch["doc_id"],
         "shingles": pa.ListArray.from_arrays(
             offsets, pa.array(flat, type=pa.uint64())),
+        "dg": pa.array(dg, type=pa.int64()),
+        "n_sh": pa.array(counts, type=pa.int64()),
     })
 
 
 def _band_stage(batch: pa.Table) -> pa.Table:
-    """map_batches stage: (band, band_hash, doc_id) rows per doc."""
+    """map_batches stage: (band, band_hash, doc_id, dg) rows per
+    nonempty doc — fully vectorized: one modular pass + min.reduceat
+    per permutation over the whole batch's flat shingle array (no
+    per-doc Python loop)."""
     col = batch["shingles"]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    offs = np.asarray(col.offsets)
+    offs = np.asarray(col.offsets, dtype=np.int64)
     vals = np.asarray(col.values, dtype=np.uint64)
-    bands, bhs, dids = [], [], []
-    for i, did in enumerate(batch["doc_id"].to_pylist()):
-        if offs[i + 1] == offs[i]:
-            # empty shingle set (doc shorter than SHINGLE_K tokens): its
-            # Jaccard with anything is 0, but its all-identical signature
-            # would bucket EVERY such doc together and emit O(n²) doomed
-            # candidate pairs — emit no band rows instead
-            continue
-        bh = _band_hashes(minhash_signature(vals[offs[i]:offs[i + 1]]))
-        bands.extend(range(BANDS))
-        bhs.extend(bh.tolist())
-        dids.extend([did] * BANDS)
+    n = len(batch)
+    lens = np.diff(offs)
+    nz = lens > 0
+    # empty shingle set (doc shorter than SHINGLE_K tokens): its
+    # Jaccard with anything is 0, but its all-identical signature
+    # would bucket EVERY such doc together and emit O(n²) doomed
+    # candidate pairs — emit no band rows instead
+    if len(vals) == 0 or not nz.any():
+        return pa.table({
+            "band": pa.array([], type=pa.int32()),
+            "bh": pa.array([], type=pa.uint64()),
+            "doc_id": pa.array([], type=pa.int64()),
+            "dg": pa.array([], type=pa.int64()),
+        })
+    x = vals & np.uint64(_P31)
+    starts = np.minimum(offs[:-1], len(x) - 1)  # reduceat-safe starts
+    sig = np.empty((N_PERM, n), dtype=np.uint64)
+    p31 = np.uint64(_P31)
+    for p in range(N_PERM):
+        hv = (_A[p] * x + _B[p]) % p31
+        sig[p] = np.minimum.reduceat(hv, starts)
+    # band combine: Horner over the ROWS_PER_BAND rows of each band
+    C = np.uint64(0x9E3779B97F4A7C15)
+    sig = sig.reshape(BANDS, ROWS_PER_BAND, n)
+    bh = np.zeros((BANDS, n), dtype=np.uint64)
+    for r in range(ROWS_PER_BAND):
+        bh = bh * C + sig[:, r, :]
+    ids = np.asarray(batch["doc_id"], dtype=np.int64)[nz]
+    dg = np.asarray(batch["dg"], dtype=np.int64)[nz]
+    bh = bh[:, nz]
+    m = len(ids)
     return pa.table({
-        "band": pa.array(bands, type=pa.int32()),
-        "bh": pa.array(bhs, type=pa.uint64()),
-        "doc_id": pa.array(dids, type=pa.int64()),
+        "band": pa.array(np.repeat(np.arange(BANDS, dtype=np.int32), m)),
+        "bh": pa.array(bh.reshape(-1), type=pa.uint64()),
+        "doc_id": pa.array(np.tile(ids, BANDS), type=pa.int64()),
+        "dg": pa.array(np.tile(dg, BANDS), type=pa.int64()),
     })
 
 
-def _jaccard_q(a: np.ndarray, b: np.ndarray) -> tuple[float, int]:
-    inter = len(np.intersect1d(a, b, assume_unique=True))
-    union = len(a) + len(b) - inter
-    j = inter / union if union else 0.0
-    return j, int(np.floor(j * 10000 + 0.5))
+# ---------------------------------------------------------------------------
+# vectorized exact-Jaccard verification
+# ---------------------------------------------------------------------------
+
+def _flat_binary_u64(col) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy view of a large_binary column of uint64 blobs:
+    (flat uint64 values, per-row ELEMENT offsets)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    bufs = col.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int64)[
+        col.offset:col.offset + len(col) + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
+        else np.empty(0, dtype=np.uint8)
+    flat = data[offs[0]:offs[-1]].view(np.uint64)
+    return flat, (offs - offs[0]) // 8
 
 
-def exact_dedup(sf_dir: str) -> pa.Table:
-    """Exact dedup by content hash: keep the minimum doc_id per distinct
-    text (groupby(signature).first). ONE corpus scan: both aggregates
-    (min doc_id, group count) ride the same groupby."""
+def _segment_intersections(flat_a, offs_a, flat_b, offs_b) -> np.ndarray:
+    """|A_i ∩ B_i| for every pair i, vectorized: tag each element with
+    its pair id, lexsort ONCE over (pair, value), count adjacent
+    duplicates (each (pair, value) appears at most once per side since
+    sets are distinct-valued). No per-pair Python."""
+    npairs = len(offs_a) - 1
+    na = np.diff(offs_a)
+    nb = np.diff(offs_b)
+    pid = np.concatenate([
+        np.repeat(np.arange(npairs, dtype=np.int64), na),
+        np.repeat(np.arange(npairs, dtype=np.int64), nb)])
+    val = np.concatenate([flat_a, flat_b])
+    order = np.lexsort((val, pid))
+    pv, vv = pid[order], val[order]
+    if len(pv) < 2:
+        return np.zeros(npairs, dtype=np.int64)
+    dup = (pv[1:] == pv[:-1]) & (vv[1:] == vv[:-1])
+    return np.bincount(pv[:-1][dup], minlength=npairs).astype(np.int64)
+
+
+def _verify_pairs_join(cand, sh_ds, threshold: float):
+    """Scale-path verification: hash-partitioned joins of candidate pairs
+    against the shingle table on each side (no broadcast; Ray Dataset.join
+    — the two-large-sides pattern). Each join moves only candidate rows +
+    the shingle sets they reference. Returns the verified (a, b, j_q)
+    Dataset — nothing materializes on the driver here."""
+
+    def to_bin(batch: pa.Table) -> pa.Table:
+        # Arrow hash joins reject list payload columns; carry the shingle
+        # set as a binary blob instead (zero-copy reslice of the list
+        # child buffer)
+        col = batch["shingles"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offs = np.asarray(col.offsets, dtype=np.int64) * 8
+        vals = np.asarray(col.values, dtype=np.uint64)
+        blob = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), len(batch),
+            [None, pa.py_buffer(offs.tobytes()),
+             pa.py_buffer(vals.tobytes())])
+        return pa.table({"doc_id": batch["doc_id"], "sh_bin": blob})
+
+    sh_bin = sh_ds.map_batches(to_bin, batch_format="pyarrow")
+    cand = _drop_empty_blocks(cand)
+    j1 = cand.join(sh_bin, join_type="inner",
+                   num_partitions=num_shuffle_partitions(),
+                   on=("a",), right_on=("doc_id",), right_suffix="_a")
+    j2 = j1.join(sh_bin, join_type="inner",
+                 num_partitions=num_shuffle_partitions(),
+                 on=("b",), right_on=("doc_id",), right_suffix="_b")
+
+    def verify(batch: pa.Table):
+        if batch.num_columns == 0 or len(batch) == 0:
+            return
+        cols = batch.column_names
+        sa_col = "sh_bin" if "sh_bin" in cols else "sh_bin_a"
+        fa, oa = _flat_binary_u64(batch[sa_col])
+        fb, ob = _flat_binary_u64(batch["sh_bin_b"])
+        inter = _segment_intersections(fa, oa, fb, ob)
+        union = np.diff(oa) + np.diff(ob) - inter
+        j = np.divide(inter, union,
+                      out=np.zeros(len(inter), dtype=np.float64),
+                      where=union > 0)
+        keep = j >= threshold
+        jq = np.floor(j * 10000 + 0.5).astype(np.int64)
+        yield pa.table({
+            "a": pa.array(np.asarray(batch["a"], np.int64)[keep],
+                          pa.int64()),
+            "b": pa.array(np.asarray(batch["b"], np.int64)[keep],
+                          pa.int64()),
+            "j_q": pa.array(jq[keep], pa.int64()),
+        })
+
+    return j2.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def _text_sig_stage(batch: pa.Table) -> pa.Table:
+    """(s1, s2, doc_id): content identity = sha256, shuffled as TWO
+    int64 columns (the first 128 bits) — string shuffle keys are a
+    measured ~25x cliff, and a 128-bit collision is cryptographically
+    negligible at any corpus size."""
+    n = len(batch)
+    h1 = np.empty(n, dtype=np.int64)
+    h2 = np.empty(n, dtype=np.int64)
+    for i, t in enumerate(batch["text"].to_pylist()):
+        d = hashlib.sha256(t.encode()).digest()
+        h1[i] = int.from_bytes(d[:8], "little", signed=True)
+        h2[i] = int.from_bytes(d[8:16], "little", signed=True)
+    return pa.table({"s1": pa.array(h1), "s2": pa.array(h2),
+                     "doc_id": batch["doc_id"]})
+
+
+def exact_dedup_ds(sf_dir: str):
+    """Streaming core of exact dedup: (keep_id, n) per distinct text as
+    a Dataset. The corpus-cardinality groupby runs through
+    key-complete coarse partitions + a C-level pandas groupby instead
+    of Ray's Aggregate operator (measured ~8 s per million groups —
+    the round-4 cliff #4 family)."""
     import ray.data as rd
-    from ray.data.aggregate import Count, Min
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
 
-    def sig(batch: pa.Table) -> pa.Table:
-        # content identity = sha256, shuffled as TWO int64 columns (the
-        # first 128 bits) — string shuffle keys are a measured ~25x
-        # cliff, and a 128-bit collision is cryptographically
-        # negligible at any corpus size
-        n = len(batch)
-        h1 = np.empty(n, dtype=np.int64)
-        h2 = np.empty(n, dtype=np.int64)
-        for i, t in enumerate(batch["text"].to_pylist()):
-            d = hashlib.sha256(t.encode()).digest()
-            h1[i] = int.from_bytes(d[:8], "little", signed=True)
-            h2[i] = int.from_bytes(d[8:16], "little", signed=True)
-        return pa.table({"s1": pa.array(h1), "s2": pa.array(h2),
-                         "doc_id": batch["doc_id"]})
+    def kern(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["s1", "s2"], as_index=False, sort=False) \
+            .agg(keep_id=("doc_id", "min"), n=("doc_id", "size"))
+        return pa.table({"keep_id": pa.array(g["keep_id"], pa.int64()),
+                         "n": pa.array(g["n"], pa.int64())})
 
-    agg = (ds.map_batches(sig, batch_format="pyarrow")
-           .groupby(["s1", "s2"]).aggregate(Min("doc_id"), Count()))
-    df = agg.to_pandas().rename(columns={"min(doc_id)": "keep_id",
-                                         "count()": "n"})
+    return _grouped_blocks(
+        ds.map_batches(_text_sig_stage, batch_format="pyarrow"),
+        ["s1", "s2"], kern)
+
+
+def exact_dedup(sf_dir: str) -> pa.Table:
+    """Exact dedup by content hash: keep the minimum doc_id per distinct
+    text (groupby(signature).first) — thin collect() over
+    :func:`exact_dedup_ds` for the driver contract."""
+    df = exact_dedup_ds(sf_dir).to_pandas()
     df = df[["keep_id", "n"]].sort_values("keep_id")
     df["keep_id"] = df["keep_id"].astype("int64")
     df["n"] = df["n"].astype("int64")
@@ -331,172 +588,104 @@ def exact_dedup(sf_dir: str) -> pa.Table:
                                 preserve_index=False)
 
 
-def _verify_pairs_join(cand, sh_ds, threshold: float) -> pd.DataFrame:
-    """Scale-path verification: hash-partitioned joins of candidate pairs
-    against the shingle table on each side (no broadcast; Ray Dataset.join
-    — the two-large-sides pattern). Each join moves only candidate rows +
-    the shingle sets they reference."""
-    import numpy as np
+# ---------------------------------------------------------------------------
+# MinHash + LSH with representative contraction
+# ---------------------------------------------------------------------------
 
-    def to_bin(batch: pa.Table) -> pa.Table:
-        # Arrow hash joins reject list payload columns; carry the shingle
-        # set as a binary blob instead
-        col = batch["shingles"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        offs = np.asarray(col.offsets)
-        vals = np.asarray(col.values, dtype=np.uint64)
-        blobs = [vals[offs[i]:offs[i + 1]].tobytes()
-                 for i in range(len(batch))]
-        return pa.table({"doc_id": batch["doc_id"],
-                         "sh_bin": pa.array(blobs, type=pa.large_binary())})
+def _dup_members(sh_ds):
+    """(doc_id, rep) for docs in identical-shingle-set groups of size
+    ≥ 2 (rep = group min doc_id). Empty-set docs are excluded — their
+    pairwise Jaccard is 0, never 1. Key-complete partitions keyed on
+    the set digest; the per-partition transform IS the global one."""
+    base = sh_ds.map_batches(
+        lambda t: t.select(["doc_id", "dg"]).filter(
+            pc.greater(t["n_sh"], 0)),
+        batch_format="pyarrow")
 
-    sh_bin = sh_ds.map_batches(to_bin, batch_format="pyarrow")
-    cand = _drop_empty_blocks(cand)
-    j1 = cand.join(sh_bin, join_type="inner", num_partitions=num_shuffle_partitions(),
-                   on=("a",), right_on=("doc_id",), right_suffix="_a")
-    j2 = j1.join(sh_bin, join_type="inner", num_partitions=num_shuffle_partitions(),
-                 on=("b",), right_on=("doc_id",), right_suffix="_b")
+    def kern(df: pd.DataFrame) -> pa.Table:
+        rep = df.groupby("dg")["doc_id"].transform("min")
+        sz = df.groupby("dg")["doc_id"].transform("size")
+        m = (sz >= 2).to_numpy()
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy()[m], pa.int64()),
+            "rep": pa.array(rep.to_numpy()[m], pa.int64()),
+        })
 
-    def verify(batch: pa.Table) -> pa.Table:
-        cols = batch.column_names
-        sa_col = "sh_bin" if "sh_bin" in cols else "sh_bin_a"
-        sb_col = "sh_bin_b"
-        rows = []
-        sa_list = batch[sa_col].to_pylist()
-        sb_list = batch[sb_col].to_pylist()
-        for a, b, sa, sb in zip(batch["a"].to_pylist(),
-                                batch["b"].to_pylist(), sa_list, sb_list):
-            j, jq = _jaccard_q(np.frombuffer(sa, dtype=np.uint64),
-                               np.frombuffer(sb, dtype=np.uint64))
-            if j >= threshold:
-                rows.append((a, b, jq))
-        if not rows:
-            return pa.table({"a": pa.array([], type=pa.int64()),
-                             "b": pa.array([], type=pa.int64()),
-                             "j_q": pa.array([], type=pa.int64())})
-        a_, b_, q_ = zip(*rows)
-        return pa.table({"a": pa.array(a_, type=pa.int64()),
-                         "b": pa.array(b_, type=pa.int64()),
-                         "j_q": pa.array(q_, type=pa.int64())})
-
-    return (j2.map_batches(verify, batch_format="pyarrow")
-            .to_pandas().drop_duplicates(["a", "b"]))
+    return _grouped_blocks(base, ["dg"], kern)
 
 
-def minhash_lsh_pairs(sf_dir: str, *, verify: str = "join") -> pa.Table:
-    """Near-duplicate pairs via MinHash+LSH with exact-Jaccard verification.
+def _contract_bands(bands_ds):
+    """One row per (band, bh, dg) keeping the MIN doc_id — identical-set
+    docs share ALL their band rows, so the per-bucket min is the
+    group's GLOBAL representative. This is where a 40-way duplicate
+    clique collapses to one doc before any pair is emitted."""
+    def kern(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["band", "bh", "dg"], as_index=False,
+                       sort=False)["doc_id"].min()
+        return pa.table({
+            "band": pa.array(g["band"].to_numpy(np.int32), pa.int32()),
+            "bh": pa.array(g["bh"].to_numpy(np.uint64), pa.uint64()),
+            "doc_id": pa.array(g["doc_id"].to_numpy(np.int64),
+                               pa.int64()),
+        })
 
-    Ray pipeline: map_batches computes signatures and emits
-    (band, band_hash, doc_id) rows; groupby((band, band_hash)) buckets
-    candidates; pairs are verified with exact Jaccard on the shingle sets.
-    With 16 bands × 4 rows the miss probability at J=0.9 is (1-0.9⁴)¹⁶ ≈
-    4e-8, so the verified output equals the exhaustive-pair oracle.
+    return _grouped_blocks(bands_ds, ["bh", "dg"], kern)
 
-    ``verify``:
-    - ``"join"`` (default — the 100 TB path): hash-partitioned
-      Dataset.join of candidate pairs against the shingle table on each
-      side; nothing is ever materialized on the driver.
-    - ``"broadcast"``: ship the shingle-set dict via ray.put — the
-      small-side pattern, acceptable only ≤ ≈1M docs. Both modes return
-      identical results (tested)."""
+
+def _partial_dedup(t: pa.Table) -> pa.Table:
+    # per-block pair dedup BEFORE the global rollup — a pair can
+    # repeat once per band (16×); shrinking blocks first keeps the
+    # two-column shuffle from blowing up on a dup-heavy corpus
+    # (measured at sf1: the un-shrunk shuffle was the scale cliff)
+    arr = np.stack([np.asarray(t["a"], dtype=np.int64),
+                    np.asarray(t["b"], dtype=np.int64)], axis=1)
+    u = np.unique(arr, axis=0)
+    return pa.table({"a": pa.array(u[:, 0], pa.int64()),
+                     "b": pa.array(u[:, 1], pa.int64())})
+
+
+def _uniq_pairs(pair_ds):
+    """Distinct (a, b) through key-complete partitions (the Aggregate-
+    operator replacement; duplicates only repeat ≤ BANDS times after
+    the per-block partial dedup)."""
+    def kern(df: pd.DataFrame) -> pa.Table:
+        u = df.drop_duplicates(["a", "b"])
+        return pa.table({"a": pa.array(u["a"].to_numpy(np.int64)),
+                         "b": pa.array(u["b"].to_numpy(np.int64))})
+
+    return _grouped_blocks(pair_ds, ["a", "b"], kern)
+
+
+def _minhash_rep_verified(sf_dir: str, *, verify: str = "join"):
+    """Shared head of the MinHash family: returns (sh_ds, verified
+    rep-pair Dataset (a, b, j_q), dup-members Dataset, n_members).
+
+    Candidate generation and verification run over REPRESENTATIVES
+    only (one per distinct shingle set); callers expand to member
+    level or contract further to clusters."""
     import ray
     import ray.data as rd
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
-
-    # stage 1 (distributed): shingle sets per doc, materialized for reuse
-    # by both the banding stage and verification
+    # stage 1 (distributed): shingle sets per doc, materialized for
+    # reuse by banding, membership, and verification
     sh_ds = ds.map_batches(_shingle_stage, batch_format="pyarrow",
                            batch_size=1024).materialize()
-    # stage 2 (distributed): minhash → band hash rows
+    members = _drop_empty_blocks(_dup_members(sh_ds))
+    n_members = members.count()
+
     bands_ds = sh_ds.map_batches(_band_stage, batch_format="pyarrow")
-
-    def partial_dedup(t: pa.Table) -> pa.Table:
-        # per-block pair dedup BEFORE the global groupby — a pair can
-        # repeat once per band (16×); shrinking blocks first keeps the
-        # two-column sort shuffle from blowing up on a dup-heavy corpus
-        # (measured at sf1: the un-shrunk shuffle was the scale cliff)
-        arr = np.stack([np.asarray(t["a"], dtype=np.int64),
-                        np.asarray(t["b"], dtype=np.int64)], axis=1)
-        u = np.unique(arr, axis=0)
-        return pa.table({"a": pa.array(u[:, 0], pa.int64()),
-                         "b": pa.array(u[:, 1], pa.int64())})
-
-    cand = (_bucket_pairs_selfjoin(bands_ds, ("band", "bh"))
-            .map_batches(partial_dedup, batch_format="pyarrow"))
+    contracted = _contract_bands(bands_ds).map_batches(
+        lambda t: t.select(["band", "bh", "doc_id"]),
+        batch_format="pyarrow")
+    cand = (_bucket_pairs_selfjoin(contracted, ("band", "bh"))
+            .map_batches(_partial_dedup, batch_format="pyarrow"))
+    uniq = _uniq_pairs(cand)
 
     if verify == "join":
-        # dedup candidate pairs via a tiny groupby, then two hash joins
-        uniq = cand.groupby(["a", "b"]).count().map_batches(
-            lambda t: t.select(["a", "b"]), batch_format="pyarrow")
-        # identical-set shortcut: docs whose shingle SETS are equal
-        # (digest-equal) have Jaccard EXACTLY 1 — on a dup-heavy corpus
-        # most candidate pairs are such, and they skip the shingle join
-        # entirely. The digest map broadcasts only under the usual
-        # id-broadcast bound; beyond it everything takes the join path.
-        dig_ref = None
-        n_docs = sh_ds.count()
-        if n_docs <= ID_BROADCAST_LIMIT:
-            import ray
-
-            def digests(t: pa.Table) -> pa.Table:
-                col = t["shingles"]
-                if isinstance(col, pa.ChunkedArray):
-                    col = col.combine_chunks()
-                offs = np.asarray(col.offsets)
-                vals = np.asarray(col.values, dtype=np.uint64)
-                out = np.empty(len(t), dtype=np.int64)
-                for i in range(len(t)):
-                    h = hashlib.blake2b(
-                        vals[offs[i]:offs[i + 1]].tobytes(),
-                        digest_size=8).digest()
-                    out[i] = int.from_bytes(h, "little", signed=True)
-                return pa.table({"doc_id": t["doc_id"],
-                                 "dg": pa.array(out, pa.int64())})
-
-            dmap = (sh_ds.map_batches(digests, batch_format="pyarrow")
-                    .to_pandas())
-            dids = dmap["doc_id"].to_numpy(np.int64)
-            order = np.argsort(dids)
-            dig_ref = ray.put((dids[order],
-                               dmap["dg"].to_numpy(np.int64)[order]))
-
-        if dig_ref is not None:
-            import ray as _ray
-
-            def split_identical(t: pa.Table) -> pa.Table:
-                ids_s, dgs = _ray.get(dig_ref)
-                a = np.asarray(t["a"], dtype=np.int64)
-                b = np.asarray(t["b"], dtype=np.int64)
-                da = dgs[np.searchsorted(ids_s, a)]
-                db = dgs[np.searchsorted(ids_s, b)]
-                same = da == db
-                return pa.table({"a": t["a"], "b": t["b"],
-                                 "identical": pa.array(same)})
-
-            # materialize the (bounded) marked pair set once — both
-            # filters below consume it, and leaving it lazy would
-            # re-execute the banding groupby per consumer
-            marked = uniq.map_batches(split_identical,
-                                      batch_format="pyarrow") \
-                .materialize()
-            ident_df = (marked.filter(expr="identical")
-                        .map_batches(lambda t: t.select(["a", "b"]),
-                                     batch_format="pyarrow").to_pandas())
-            ident_df["j_q"] = 10000
-            rest = marked.filter(expr="identical == False").map_batches(
-                lambda t: t.select(["a", "b"]), batch_format="pyarrow")
-            ver_df = _verify_pairs_join(rest, sh_ds, JACCARD_THRESHOLD)
-            df = pd.concat([ident_df, ver_df], ignore_index=True)
-        else:
-            df = _verify_pairs_join(uniq, sh_ds, JACCARD_THRESHOLD)
-        df = df.sort_values(["a", "b"])
-        for c in ("a", "b", "j_q"):
-            df[c] = df[c].astype("int64")
-        return pa.Table.from_pandas(df.reset_index(drop=True),
-                                    preserve_index=False)
+        ver = _verify_pairs_join(uniq, sh_ds, JACCARD_THRESHOLD)
+        return sh_ds, ver, members, n_members
 
     # broadcast verification — a driver-side store of the WHOLE
     # corpus's shingle sets; refuse outright where it can't fit (the
@@ -523,59 +712,203 @@ def minhash_lsh_pairs(sf_dir: str, *, verify: str = "join") -> pa.Table:
         def __init__(self, ref):
             self.store = ray.get(ref)
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        def __call__(self, t: pa.Table) -> pa.Table:
             rows = []
-            seen = set()
-            for a, b in zip(df["a"], df["b"]):
-                if (a, b) in seen:
-                    continue
-                seen.add((a, b))
-                j, jq = _jaccard_q(self.store[a], self.store[b])
+            for a, b in zip(t["a"].to_pylist(), t["b"].to_pylist()):
+                sa, sb = self.store[a], self.store[b]
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                union = len(sa) + len(sb) - inter
+                j = inter / union if union else 0.0
                 if j >= JACCARD_THRESHOLD:
-                    rows.append((a, b, jq))
-            return pd.DataFrame(rows, columns=["a", "b", "j_q"]) if rows else \
-                pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                              "b": pd.Series([], dtype="int64"),
-                              "j_q": pd.Series([], dtype="int64")})
+                    rows.append((a, b, int(np.floor(j * 10000 + 0.5))))
+            a_ = [r[0] for r in rows]
+            b_ = [r[1] for r in rows]
+            q_ = [r[2] for r in rows]
+            return pa.table({"a": pa.array(a_, type=pa.int64()),
+                             "b": pa.array(b_, type=pa.int64()),
+                             "j_q": pa.array(q_, type=pa.int64())})
 
-    ver = cand.map_batches(Verify, fn_constructor_kwargs={"ref": store_ref},
-                           batch_format="pandas", concurrency=(1, 4))
-    df = ver.to_pandas().drop_duplicates(["a", "b"]).sort_values(["a", "b"])
+    ver = uniq.map_batches(Verify, fn_constructor_kwargs={"ref": store_ref},
+                           batch_format="pyarrow", concurrency=(1, 4))
+    return sh_ds, ver, members, n_members
+
+
+def _expand_rep_pairs(ver_ds, members, n_members, val_col: str,
+                      internal_val):
+    """Member-level pair reconstruction from rep-level verified pairs:
+    cross pairs inherit the rep pair's value (identical sets ⇒
+    identical similarity), internal pairs (within one identical-set
+    group) get ``internal_val`` — either a constant or a per-rep
+    Dataset (doc_id, <val_col>) to join. All joins are sized by the
+    DUPLICATE count, never the corpus."""
+    nparts = num_shuffle_partitions()
+
+    if n_members == 0:
+        return ver_ds
+
+    ver_ds = _drop_empty_blocks(ver_ds)
+    if ver_ds.count() == 0:
+        # no verified cross-group pairs: only the internal (identical-
+        # set) pairs exist; skip the joins so an all-0-row left side
+        # can never starve the join's schema broadcast
+        return _expand_internal(members, val_col, internal_val)
+
+    # --- cross pairs: expand each side through the dup members -------
+    ja = ver_ds.join(members, join_type="left_outer",
+                     num_partitions=nparts,
+                     on=("a",), right_on=("rep",), right_suffix="_ma")
+
+    def sub_a(t: pa.Table):
+        if t.num_columns == 0 or len(t) == 0:
+            return
+        a = np.asarray(t["a"], dtype=np.int64)
+        mem = t["doc_id"].combine_chunks() if \
+            isinstance(t["doc_id"], pa.ChunkedArray) else t["doc_id"]
+        m = np.asarray(mem.is_valid())
+        a2 = np.where(m, np.asarray(mem.fill_null(0), dtype=np.int64), a)
+        yield pa.table({"a": pa.array(a2, pa.int64()), "b": t["b"],
+                        val_col: t[val_col]})
+
+    jb = ja.map_batches(sub_a, batch_format="pyarrow") \
+        .join(members, join_type="left_outer", num_partitions=nparts,
+              on=("b",), right_on=("rep",), right_suffix="_mb")
+
+    def sub_b(t: pa.Table):
+        if t.num_columns == 0 or len(t) == 0:
+            return
+        a = np.asarray(t["a"], dtype=np.int64)
+        b = np.asarray(t["b"], dtype=np.int64)
+        mem = t["doc_id"].combine_chunks() if \
+            isinstance(t["doc_id"], pa.ChunkedArray) else t["doc_id"]
+        m = np.asarray(mem.is_valid())
+        b2 = np.where(m, np.asarray(mem.fill_null(0), dtype=np.int64), b)
+        lo = np.minimum(a, b2)
+        hi = np.maximum(a, b2)
+        yield pa.table({"a": pa.array(lo, pa.int64()),
+                        "b": pa.array(hi, pa.int64()),
+                        val_col: t[val_col]})
+
+    cross = jb.map_batches(sub_b, batch_format="pyarrow")
+    return cross.union(_expand_internal(members, val_col, internal_val))
+
+
+def _expand_internal(members, val_col: str, internal_val):
+    """All member pairs WITHIN each identical-content group (the
+    C(m,2) rows the contraction kept out of the shuffle pipeline —
+    they are emitted here because they ARE part of the pair answer,
+    through the vectorized self-join, not per-group Python)."""
+    nparts = num_shuffle_partitions()
+    mem_rows = members.map_batches(
+        lambda t: pa.table({"rep": t["rep"], "doc_id": t["doc_id"]}),
+        batch_format="pyarrow")
+    internal = _bucket_pairs_selfjoin(mem_rows, ("rep",))
+    if isinstance(internal_val, (int, np.integer)):
+        iv = int(internal_val)
+
+        def tag(t: pa.Table):
+            if t.num_columns == 0 or len(t) == 0:
+                return
+            yield pa.table({
+                "a": t["a"], "b": t["b"],
+                val_col: pa.array(np.full(len(t), iv, np.int64)),
+            })
+
+        return internal.map_batches(tag, batch_format="pyarrow")
+    # per-rep value table (doc_id, <val_col>): inner join — groups
+    # whose rep has no value row emit no internal pairs
+    internal = _drop_empty_blocks(
+        internal.map_batches(
+            lambda t: t.select(["a", "b", "rep"]),
+            batch_format="pyarrow")) \
+        .join(_drop_empty_blocks(internal_val), join_type="inner",
+              num_partitions=nparts,
+              on=("rep",), right_on=("doc_id",), right_suffix="_v")
+
+    def strip(t: pa.Table):
+        if t.num_columns == 0 or len(t) == 0:
+            return
+        yield t.select(["a", "b", val_col])
+
+    return internal.map_batches(strip, batch_format="pyarrow")
+
+
+def minhash_lsh_pairs_ds(sf_dir: str, *, verify: str = "join"):
+    """Streaming core of :func:`minhash_lsh_pairs`: the full verified
+    member-level (a, b, j_q) pair Dataset with distributed rollup —
+    nothing reaches the driver."""
+    sh_ds, ver, members, n_members = _minhash_rep_verified(
+        sf_dir, verify=verify)
+    # internal pairs are identical sets: Jaccard exactly 1 → j_q 10000
+    return _expand_rep_pairs(ver, members, n_members, "j_q", 10000)
+
+
+def minhash_lsh_pairs(sf_dir: str, *, verify: str = "join") -> pa.Table:
+    """Near-duplicate pairs via MinHash+LSH with exact-Jaccard
+    verification and representative contraction.
+
+    Ray pipeline: map_batches computes shingle sets + set digests;
+    identical-set groups contract to their min-doc representative
+    BEFORE banding (`_contract_bands`), so candidate generation,
+    the pair self-join and verification all run over distinct sets
+    only; member-level pairs are reconstructed by joins afterwards
+    (`_expand_rep_pairs`). With 16 bands × 4 rows the miss
+    probability at J=0.9 is (1-0.9⁴)¹⁶ ≈ 4e-8, so the verified output
+    equals the exhaustive-pair oracle.
+
+    ``verify``:
+    - ``"join"`` (default — the 100 TB path): hash-partitioned
+      Dataset.join of candidate rep pairs against the shingle table
+      with a vectorized segment-intersection Jaccard kernel; nothing
+      is ever materialized on the driver.
+    - ``"broadcast"``: ship the shingle-set dict via ray.put — the
+      small-side pattern, acceptable only ≤ ≈1M docs. Both modes
+      return identical results (tested)."""
+    df = (minhash_lsh_pairs_ds(sf_dir, verify=verify)
+          .to_pandas().drop_duplicates(["a", "b"])
+          .sort_values(["a", "b"]))
     for c in ("a", "b", "j_q"):
         df[c] = df[c].astype("int64")
     return pa.Table.from_pandas(df.reset_index(drop=True),
                                 preserve_index=False)
 
 
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
 def simhash64(texts: pa.Array, hash: str = "blake2b") -> np.ndarray:
-    """64-bit Charikar simhash over token frequencies. hash="md5" uses
-    the low 8 md5 bytes little-endian — bit-identical to DuckDB's
-    md5_number_lower, which is what makes the oracle twin possible
-    (blake2b stays the default; the mixing quality is equivalent)."""
-    from ..analysis.analyzer import analyze_batch
-
-    ab = analyze_batch(texts, keep_stopwords=True)
-    toks = ab.terms.to_pylist()
-    starts = np.concatenate(([0], np.cumsum(ab.doc_lengths)))
-    out = np.zeros(len(ab.doc_lengths), dtype=np.uint64)
-    bitcols = (np.uint64(1) << np.arange(64, dtype=np.uint64))
-
-    def h64(w: str) -> int:
-        if hash == "md5":
-            return int.from_bytes(hashlib.md5(w.encode()).digest()[8:],
-                                  "little")
-        return int.from_bytes(hashlib.blake2b(
-            w.encode(), digest_size=8).digest(), "big")
-
-    for d in range(len(ab.doc_lengths)):
-        ws = toks[starts[d]:starts[d + 1]]
-        if not ws:
-            continue
-        uniq, counts = np.unique(ws, return_counts=True)
-        hs = np.array([h64(w) for w in uniq], dtype=np.uint64)
-        bits = ((hs[:, None] & bitcols[None, :]) != 0).astype(np.int64)
-        acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
-        out[d] = np.bitwise_or.reduce(bitcols[acc > 0]) if (acc > 0).any() else 0
+    """64-bit Charikar simhash over token frequencies, vectorized: the
+    only Python loop hashes the batch VOCABULARY once
+    (dictionary-encode → per-distinct-term hash), then bit sign
+    accumulation is one ±1 matrix + add.reduceat over doc segments.
+    hash="md5" uses the low 8 md5 bytes little-endian — bit-identical
+    to DuckDB's md5_number_lower, which is what makes the oracle twin
+    possible (blake2b stays the default; the mixing quality is
+    equivalent)."""
+    ab = _tokenize_keep_stops(texts)
+    lens = np.asarray(ab.doc_lengths, dtype=np.int64)
+    n_docs = len(lens)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if lens.sum() == 0:
+        return out
+    denc = ab.terms.dictionary_encode()
+    vh = _vocab_hash64(denc.dictionary, algo=hash)
+    h = vh[np.asarray(denc.indices, dtype=np.int64)]
+    # signs (n_tok, 64): +1 where the hash bit is set, else -1; summing
+    # over a doc's token OCCURRENCES equals the per-unique-term
+    # count-weighted sum of the classic formulation. unpackbits with
+    # bitorder='little' puts bit k of the uint64 in column k (1 byte
+    # per bit — an order of magnitude lighter than shift broadcasting)
+    bits8 = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1,
+                          bitorder="little")
+    signs = bits8.astype(np.int32) * 2 - 1
+    starts = np.minimum(np.concatenate(([0], np.cumsum(lens)))[:-1],
+                        max(len(h) - 1, 0))
+    acc = np.add.reduceat(signs, starts, axis=0)
+    acc[lens == 0] = 0  # reduceat emits garbage rows for empty slices
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = (acc > 0).astype(np.uint64)
+    out = (bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
     return out
 
 
@@ -638,6 +971,126 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3,
 SUBSTRING_K = 8
 
 
+def substring_dup_pairs_ds(sf_dir: str, k: int = SUBSTRING_K):
+    """Streaming core of :func:`substring_dup_pairs`: the (a, b,
+    n_shared) pair Dataset with distributed rollup and exact-text
+    representative contraction.
+
+    Contraction: byte-identical documents share ALL k-token windows,
+    so only one copy per distinct text enters gram emission and the
+    gram self-join (on a dup-dense corpus — the 40-way-duplicate
+    shape — this removes the C(40,2)-per-gram blowup outright);
+    member-level pairs are reconstructed afterwards, internal pairs
+    carrying the doc's own distinct-window count (what the oracle's
+    self-overlap count equals for identical texts)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+
+    sig_ds = ds.map_batches(_text_sig_stage, batch_format="pyarrow")
+
+    def mem_kern(df: pd.DataFrame) -> pa.Table:
+        rep = df.groupby(["s1", "s2"])["doc_id"].transform("min")
+        sz = df.groupby(["s1", "s2"])["doc_id"].transform("size")
+        m = (sz >= 2).to_numpy()
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy()[m], pa.int64()),
+            "rep": pa.array(rep.to_numpy()[m], pa.int64()),
+        })
+
+    members = _drop_empty_blocks(
+        _grouped_blocks(sig_ds, ["s1", "s2"], mem_kern))
+    n_members = members.count()
+
+    if n_members:
+        nonrep = _drop_empty_blocks(members.map_batches(
+            lambda t: pa.table({"doc_id": t["doc_id"]}).filter(
+                pc.not_equal(t["doc_id"], t["rep"])),
+            batch_format="pyarrow"))
+        n_nonrep = nonrep.count()
+        if n_nonrep <= ID_BROADCAST_LIMIT:
+            # broadcast the dropped ids — the corpus TEXT never enters
+            # a shuffle (string payloads in shuffles are the measured
+            # ~25x cliff)
+            ids = nonrep.to_pandas()["doc_id"].to_numpy(np.int64)
+            rep_docs = _filter_by_ids(ds, ids, keep=False)
+        else:
+            # dup-DOMINATED regime: one anti-join text shuffle beats
+            # recomputing grams (and their self-join pairs) for every
+            # duplicate copy
+            nparts = num_shuffle_partitions()
+            rep_docs = _drop_empty_blocks(ds).join(
+                nonrep, join_type="left_anti",
+                num_partitions=nparts, on=("doc_id",)) \
+                .repartition(nparts)
+    else:
+        rep_docs = ds
+
+    def grams(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"gram": pa.array([], type=pa.uint64()),
+                             "doc_id": pa.array([], type=pa.int64())})
+        h, lens = _token_hash_stream(batch["text"])
+        vals, doc_of = _window_hashes(h, lens, k)
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        if len(vals) == 0:
+            return pa.table({"gram": pa.array([], type=pa.uint64()),
+                             "doc_id": pa.array([], type=pa.int64())})
+        pairs = np.stack([ids[doc_of], vals.astype(np.int64)], axis=1)
+        u = np.unique(pairs, axis=0)  # distinct (doc, gram)
+        return pa.table({
+            "gram": pa.array(u[:, 1].astype(np.uint64), pa.uint64()),
+            "doc_id": pa.array(u[:, 0], type=pa.int64()),
+        })
+
+    gram_ds = rep_docs.map_batches(grams, batch_format="pyarrow",
+                                   batch_size=1024)
+
+    pair_ds = _bucket_pairs_selfjoin(gram_ds, ("gram",))
+
+    # distributed pair rollup: per-block partial counts, then exact
+    # totals through key-complete partitions — never a driver-side
+    # pair table
+    def partial_counts(t: pa.Table) -> pa.Table:
+        arr = np.stack([np.asarray(t["a"], dtype=np.int64),
+                        np.asarray(t["b"], dtype=np.int64)], axis=1)
+        u, c = np.unique(arr, axis=0, return_counts=True)
+        return pa.table({"a": pa.array(u[:, 0], pa.int64()),
+                         "b": pa.array(u[:, 1], pa.int64()),
+                         "n_shared": pa.array(c.astype(np.int64))})
+
+    def total_kern(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["a", "b"], as_index=False,
+                       sort=False)["n_shared"].sum()
+        return pa.table({"a": pa.array(g["a"].to_numpy(np.int64)),
+                         "b": pa.array(g["b"].to_numpy(np.int64)),
+                         "n_shared": pa.array(
+                             g["n_shared"].to_numpy(np.int64))})
+
+    rep_pairs = _grouped_blocks(
+        pair_ds.map_batches(partial_counts, batch_format="pyarrow"),
+        ["a", "b"], total_kern)
+
+    if n_members == 0:
+        return rep_pairs
+
+    # per-rep distinct-window counts (internal-pair n_shared); reps
+    # with <k tokens have no grams and therefore no internal pairs
+    def count_kern(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("doc_id", as_index=False, sort=False).size()
+        return pa.table({"doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+                         "n_shared": pa.array(g["size"].to_numpy(np.int64))})
+
+    gram_counts = _grouped_blocks(
+        gram_ds.map_batches(
+            lambda t: t.select(["doc_id"]), batch_format="pyarrow"),
+        ["doc_id"], count_kern)
+
+    return _expand_rep_pairs(rep_pairs, members, n_members,
+                             "n_shared", gram_counts)
+
+
 def substring_dup_pairs(sf_dir: str, k: int = SUBSTRING_K) -> pa.Table:
     """Exact-substring dedup (Lee et al. 2022, "Deduplicating Training
     Data Makes Language Models Better", arXiv:2107.06499): two docs are
@@ -645,88 +1098,24 @@ def substring_dup_pairs(sf_dir: str, k: int = SUBSTRING_K) -> pa.Table:
     tokens; ``n_shared`` counts the distinct shared k-token windows.
 
     Scale shape — the candidate generator the paper's suffix-array pass
-    reduces to at fixed k: per-batch distinct gram emission (map_batches,
-    same tokenizer contract as the shingle oracle) → self-join on gram
-    pair emission (co-grouped docs only, never all-pairs; vectorized —
-    no per-gram Python) → pair rollup. Grams enter the shuffle as
-    61-bit Horner rolling hashes over per-token 64-bit hashes (the
-    text_fingerprint polynomial, k vectorized numpy passes per batch —
-    no per-window hashlib call), not strings (~8× smaller exchange;
-    collision-free at these scales, the same argument the MinHash
-    shingle contract documents — the string-joining DuckDB twin stays
-    value-identical). A gram shared by m docs emits m(m-1)/2 pairs —
-    the hot-gram skew consideration is the same as LSH banding's and
-    is bounded by k being long enough that ubiquitous short phrases
-    never qualify."""
-    import ray.data as rd
-
-    from .text import FP_BASE, FP_MOD
-
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text"])
-
-    M = np.uint64(FP_MOD)
-    B = np.uint64(FP_BASE)
-
-    def _fold(y: np.ndarray) -> np.ndarray:
-        y = (y & M) + (y >> np.uint64(61))
-        y = (y & M) + (y >> np.uint64(61))
-        return np.where(y >= M, y - M, y)
-
-    def _mul_b(a: np.ndarray) -> np.ndarray:
-        # a*B mod M via 41/20-bit split (every product fits uint64)
-        a_hi = a >> np.uint64(41)
-        a_lo = a & np.uint64((1 << 41) - 1)
-        x = a_hi * B
-        t1 = _fold(((x & np.uint64((1 << 20) - 1)) << np.uint64(41))
-                   + (x >> np.uint64(20)))
-        return _fold(t1 + _fold(a_lo * B))
-
-    def grams(batch: pa.Table) -> pa.Table:
-        ab = _tokenize_keep_stops(batch["text"])
-        n_tok = int(ab.doc_lengths.sum())
-        if n_tok < k:
-            return pa.table({"gram": pa.array([], type=pa.uint64()),
-                             "doc_id": pa.array([], type=pa.int64())})
-        # hash each DISTINCT term once (the only Python loop is over
-        # the batch vocabulary — the fingerprint discipline), then a
-        # k-pass vectorized Horner over the whole flat token stream
-        denc = ab.terms.dictionary_encode()
-        vh = np.array([int.from_bytes(hashlib.blake2b(
-            w.encode(), digest_size=8).digest(), "big")
-            for w in denc.dictionary.to_pylist()], dtype=np.uint64)
-        h = _fold(vh)[np.asarray(denc.indices, dtype=np.int64)]
-        nw = n_tok - k + 1
-        acc = np.zeros(nw, dtype=np.uint64)
-        for j in range(k):
-            acc = _fold(_mul_b(acc) + h[j:j + nw])
-        # windows must not straddle documents
-        doc_of = np.repeat(np.arange(len(ab.doc_lengths),
-                                     dtype=np.int64), ab.doc_lengths)
-        valid = doc_of[:nw] == doc_of[k - 1:]
-        ids = np.asarray(batch["doc_id"], dtype=np.int64)
-        pairs = np.stack([ids[doc_of[:nw][valid]],
-                          acc[valid].astype(np.int64)], axis=1)
-        u = np.unique(pairs, axis=0)  # distinct (doc, gram)
-        return pa.table({
-            "gram": pa.array(u[:, 1].astype(np.uint64), pa.uint64()),
-            "doc_id": pa.array(u[:, 0], type=pa.int64()),
-        })
-
-    pair_ds = _bucket_pairs_selfjoin(
-        ds.map_batches(grams, batch_format="pyarrow", batch_size=1024),
-        ("gram",))
-    # distributed pair rollup; only the final (a, b, n_shared) rows —
-    # the query's actual result — reach the driver
-    agg = pair_ds.groupby(["a", "b"]).count()
-    df = agg.to_pandas()
+    reduces to at fixed k: exact-text contraction → per-batch distinct
+    gram emission (map_batches, same tokenizer contract as the shingle
+    oracle) → self-join on gram (co-grouped docs only, never
+    all-pairs; vectorized — no per-gram Python) → distributed pair
+    rollup → member expansion. Grams enter the shuffle as 61-bit
+    Horner rolling hashes over per-token 64-bit hashes (the
+    text_fingerprint polynomial — no per-window hashlib call), not
+    strings (~8× smaller exchange; collision-free at these scales —
+    the string-joining DuckDB twin stays value-identical). A gram
+    shared by m distinct texts emits m(m-1)/2 pairs — the hot-gram
+    skew consideration is the same as LSH banding's and is bounded by
+    k being long enough that ubiquitous short phrases never qualify."""
+    df = substring_dup_pairs_ds(sf_dir, k).to_pandas()
     if len(df) == 0:
         return pa.table({"a": pa.array([], type=pa.int64()),
                          "b": pa.array([], type=pa.int64()),
                          "n_shared": pa.array([], type=pa.int64())})
-    cnt = [c for c in df.columns if c not in ("a", "b")][0]
-    df = (df.rename(columns={cnt: "n_shared"})
-          .sort_values(["a", "b"]).reset_index(drop=True))
+    df = df.sort_values(["a", "b"]).reset_index(drop=True)
     for c in ("a", "b", "n_shared"):
         df[c] = df[c].astype("int64")
     return pa.Table.from_pandas(df, preserve_index=False)
@@ -767,7 +1156,6 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> pa
         for i, did in enumerate(batch["doc_id"].to_pylist()):
             store[did] = vals[offs[i]:offs[i + 1]]
     store_ref = ray.put(store)
-    all_ids = sorted(store)
 
     class Pairwise:
         def __init__(self, ref):
@@ -783,9 +1171,14 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> pa
                 for b in self.all_ids:
                     if b <= a:
                         continue
-                    j, jq = _jaccard_q(sa, self.store[b])
+                    sb = self.store[b]
+                    inter = len(np.intersect1d(sa, sb,
+                                               assume_unique=True))
+                    union = len(sa) + len(sb) - inter
+                    j = inter / union if union else 0.0
                     if j >= threshold:
-                        rows.append((a, b, jq))
+                        rows.append((a, b,
+                                     int(np.floor(j * 10000 + 0.5))))
             if not rows:
                 return pa.table({"a": pa.array([], type=pa.int64()),
                                  "b": pa.array([], type=pa.int64()),
@@ -838,8 +1231,10 @@ def connected_components(pairs, *, max_iters: int = 64,
         return pa.table({"node": np.concatenate([a, b]),
                          "nbr": np.concatenate([b, a])})
 
-    edges = pairs_ds.map_batches(both_dirs,
-                                 batch_format="pyarrow").materialize()
+    edges = _drop_empty_blocks(
+        pairs_ds.map_batches(both_dirs, batch_format="pyarrow"))
+    if not isinstance(pairs, pa.Table) and edges.count() == 0:
+        return empty
 
     def init_label(t: pa.Table) -> pa.Table:
         node = np.asarray(t["node"], dtype=np.int64)
@@ -886,11 +1281,31 @@ def dedup_clusters(sf_dir: str) -> pa.Table:
     """Near-duplicate CLUSTERS: MinHash-LSH verified pairs →
     connected components → (doc_id, cluster) with cluster = the
     component's smallest doc_id (the survivor a keep-one-per-cluster
-    dedup would retain). The end-to-end shape of a production
-    dedup: candidate generation, verification, and transitive
-    closure are all groupby/join stages."""
-    pairs = minhash_lsh_pairs(sf_dir, verify="join")
-    return connected_components(pairs)
+    dedup would retain).
+
+    Runs on the CONTRACTED graph: verified rep-rep pairs plus
+    member→rep star edges — a clique of 40 identical docs contributes
+    39 star edges, never its C(40,2) pairs (connectivity and
+    min-labels are invariant under the contraction, since every
+    member is joined to its rep). The end-to-end shape of a
+    production dedup: candidate generation, verification, and
+    transitive closure are all groupby/join stages."""
+    _sh, ver, members, n_members = _minhash_rep_verified(sf_dir)
+
+    def ab_only(t: pa.Table):
+        if t.num_columns == 0 or len(t) == 0:
+            return
+        yield t.select(["a", "b"])
+
+    edges = ver.map_batches(ab_only, batch_format="pyarrow")
+    if n_members:
+        stars = members.map_batches(
+            lambda t: pa.table({
+                "a": t["rep"], "b": t["doc_id"]}).filter(
+                pa.compute.not_equal(t["rep"], t["doc_id"])),
+            batch_format="pyarrow")
+        edges = edges.union(stars)
+    return connected_components(edges)
 
 
 def dedup_apply(sf_dir: str, *,
@@ -931,16 +1346,16 @@ def c4_line_dedup(sf_dir: str, min_chars: int = 30) -> pa.Table:
 
     Ray pipeline (nothing reaches the driver until the final table):
     map_batches explodes text into (doc_id, pos, line) with a packed
-    ``doc_id << 20 | pos`` key → groupby(line).min(packed) elects each
-    line's winner → hash-partitioned Dataset.join marks survivors →
-    groupby(doc_id) reassembles text in line order. Two shuffles, both
-    keyed on bounded rows (distinct lines / doc ids), no broadcast.
+    ``doc_id << 20 | pos`` key → winner election through key-complete
+    coarse partitions (the Aggregate-operator replacement; groups ≈
+    distinct lines — corpus cardinality) → hash-partitioned
+    Dataset.join marks survivors → sorted-run reassembly. Two
+    shuffles, both keyed on bounded rows, no broadcast.
 
     Returns (doc_id, text, n_kept) for every document retaining at
     least one line, doc_id ascending.
     """
     import ray.data as rd
-    from ray.data.aggregate import Min
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
@@ -982,13 +1397,22 @@ def c4_line_dedup(sf_dir: str, min_chars: int = 30) -> pa.Table:
 
     short = lines_ds.filter(expr="dedupable == False")
     longl = lines_ds.filter(expr="dedupable == True")
-    # winner election and the survivor filter both key on INTs only;
-    # the line text stays a payload column of lines_ds and never
-    # enters a shuffle key
-    winners = (longl.groupby(["lh1", "lh2"]).aggregate(Min("packed"))
-               .map_batches(lambda t: pa.table(
-                   {"packed_w": t["min(packed)"]}),
-                   batch_format="pyarrow"))
+    # winner election keys on INTs only; the line text stays a payload
+    # column of lines_ds and never enters a shuffle key. Groups ≈
+    # distinct lines — corpus cardinality — so the election runs
+    # through key-complete partitions, not the Aggregate operator
+    # (measured ~8 s per million groups, round-4 cliff #4)
+    def win_kern(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["lh1", "lh2"], as_index=False,
+                       sort=False)["packed"].min()
+        return pa.table({"packed_w": pa.array(
+            g["packed"].to_numpy(np.int64), pa.int64())})
+
+    winners = _grouped_blocks(
+        longl.map_batches(
+            lambda t: t.select(["lh1", "lh2", "packed"]),
+            batch_format="pyarrow"),
+        ["lh1", "lh2"], win_kern)
     surv_long = longl.join(winners, join_type="inner",
                            num_partitions=num_shuffle_partitions(),
                            on=("packed",), right_on=("packed_w",))

@@ -689,22 +689,33 @@ def pack_sequences(sf_dir: str, window: int = 128,
             "s": pa.array(s[rep], type=pa.int64()),
         })
 
-    from ray.data.aggregate import Count, Min, Sum
+    from .temporal import _map_user_blocks, grouped_agg_blocks
 
-    from .temporal import _map_user_blocks
+    def seq_kern(sdf):
+        # per-sequence report through key-complete partitions — groups
+        # ≈ corpus_tokens/window (corpus cardinality), the Aggregate-
+        # operator cliff shape (~8 s per million groups, round 4)
+        g = sdf.groupby("seq_id", as_index=False, sort=False).agg(
+            first_doc=("doc_id", "min"), min_s=("s", "min"),
+            n_docs=("doc_id", "size"), n_tokens=("overlap", "sum"))
+        return pa.table({
+            "seq_id": pa.array(g["seq_id"].to_numpy(np.int64)),
+            "first_doc": pa.array(g["first_doc"].to_numpy(np.int64)),
+            "min_s": pa.array(g["min_s"].to_numpy(np.int64)),
+            "n_docs": pa.array(g["n_docs"].to_numpy(np.int64)),
+            "n_tokens": pa.array(g["n_tokens"].to_numpy(np.int64)),
+        })
 
-    agg = (_map_user_blocks(cds, local_prefix, key="bucket")
-           .map_batches(emit_windows, batch_format="pyarrow")
-           .groupby("seq_id")
-           .aggregate(Min("doc_id"), Min("s"), Count(), Sum("overlap")))
-    df = agg.to_pandas().rename(columns={
-        "min(doc_id)": "first_doc", "count()": "n_docs",
-        "sum(overlap)": "n_tokens"})
+    agg = grouped_agg_blocks(
+        _map_user_blocks(cds, local_prefix, key="bucket")
+        .map_batches(emit_windows, batch_format="pyarrow"),
+        ["seq_id"], seq_kern)
+    df = agg.to_pandas()
     # global offsets are doc_id-monotone, so the min-doc row of a
     # sequence also carries min(s): first_off falls out arithmetically
     df["first_off"] = np.maximum(
         0, df["seq_id"].to_numpy(np.int64) * window
-        - df["min(s)"].to_numpy(np.int64))
+        - df["min_s"].to_numpy(np.int64))
     df = (df[["seq_id", "first_doc", "first_off", "n_docs", "n_tokens"]]
           .sort_values("seq_id").reset_index(drop=True))
     for c in df.columns:

@@ -28,6 +28,9 @@ def stage(rec, name, fn):
 
 
 def minhash():
+    # round-5 pipeline: shingle(+digest) → dup members → bands →
+    # (band,bh,dg) contraction → rep self-join → rollup → vectorized
+    # verify → member expansion
     from lucene_solr_ray.ops import dedup as D
     rec = {}
     ds = rd.read_parquet(os.path.join(SF, "documents.parquet"),
@@ -35,21 +38,27 @@ def minhash():
     sh = stage(rec, "shingle", lambda: ds.map_batches(
         D._shingle_stage, batch_format="pyarrow",
         batch_size=1024).materialize())
+    members = stage(rec, "dup_members", lambda: D._drop_empty_blocks(
+        D._dup_members(sh)))
+    n_members = members.count()
+    rec["n_dup_members"] = n_members
     bands = stage(rec, "bands", lambda: sh.map_batches(
         D._band_stage, batch_format="pyarrow").materialize())
+    contracted = stage(rec, "contract", lambda: D._contract_bands(bands)
+                       .map_batches(lambda t: t.select(
+                           ["band", "bh", "doc_id"]),
+                           batch_format="pyarrow").materialize())
     cand = stage(rec, "selfjoin_pairs", lambda: D._bucket_pairs_selfjoin(
-        bands, ("band", "bh")).materialize())
-    def dedup_pairs():
-        def partial(t):
-            arr = np.stack([np.asarray(t["a"], dtype=np.int64),
-                            np.asarray(t["b"], dtype=np.int64)], axis=1)
-            u = np.unique(arr, axis=0)
-            return pa.table({"a": pa.array(u[:, 0], pa.int64()),
-                             "b": pa.array(u[:, 1], pa.int64())})
-        return (cand.map_batches(partial, batch_format="pyarrow")
-                .groupby(["a", "b"]).count().materialize())
-    uniq = stage(rec, "pair_rollup", dedup_pairs)
-    rec["n_pairs"] = uniq.count()
+        contracted, ("band", "bh")).map_batches(
+            D._partial_dedup, batch_format="pyarrow").materialize())
+    uniq = stage(rec, "pair_rollup", lambda: D._uniq_pairs(cand)
+                 .materialize())
+    rec["n_rep_cand"] = uniq.count()
+    ver = stage(rec, "verify", lambda: D._drop_empty_blocks(
+        D._verify_pairs_join(uniq, sh, D.JACCARD_THRESHOLD)))
+    out = stage(rec, "expand", lambda: D._expand_rep_pairs(
+        ver, members, n_members, "j_q", 10000).materialize())
+    rec["n_pairs"] = out.count()
     rec["dominant_stage_stats"] = cand.stats()[-2200:]
     return rec
 
