@@ -9,20 +9,29 @@ queries by descending only intersecting nodes; the same design became
 Ray-Data-first shape:
 
 - The SPLIT TREE is computed on the driver from a deterministic,
-  bounded hash-sample of the points (medians of the widest dimension,
-  exactly BKDTreeWriter's split rule). The tree is tiny (≤ 2^depth
-  nodes) and ships to workers inside the stage closure.
+  bounded every-k-th sample of the points (medians of the widest
+  dimension, exactly BKDTreeWriter's split rule). The stride is
+  derived from the materialized input's row count so the driver
+  sample never exceeds ~256k points regardless of corpus size; the
+  tree is tiny (≤ 2^depth nodes) and ships to workers inside the
+  stage closure.
 - LEAF ASSIGNMENT is one vectorized ``map_batches`` pass (a numpy
   descent over the tree levels — no Python loop over rows).
-- Each leaf persists as ONE parquet file via ``groupby(leaf)`` +
-  per-group atomic writes (tmp+rename, resumable layout like
-  ops/layout.zorder_write), and the constant-size pruning index holds
-  each leaf's ACTUAL per-dimension min/max + row count (read back from
-  the parquet column statistics, the same discipline as
-  searcher._term_range_seek).
-- A box query prunes leaves by bounds intersection and reads ONLY the
-  covering files (``read_parquet`` over the survivor paths), applying
-  the exact filter inside ``map_batches``.
+- Leaves persist through LEAF-COMPLETE partitions: a contiguous range
+  of leaves maps to one partition, and each partition writes ONE
+  parquet file with one ROW GROUP per leaf (mirroring how
+  BKDWriter.java packs every leaf into a single .kdd file) — file
+  count = partition count, never points/leaf_points tiny files, and
+  no per-leaf Python map_groups call (the round-4 cliff-#4 shape).
+  Writes are atomic (tmp+rename, resumable layout like
+  ops/layout.zorder_write); the constant-size pruning index holds
+  each leaf's ACTUAL per-dimension min/max + row count, computed
+  in the writer from the leaf slice itself.
+- A box query prunes leaves by bounds intersection, reads ONLY files
+  containing a covering leaf, and pushes the range filter into
+  ``read_parquet`` so the parquet scanner's row-group statistics
+  (one row group per leaf, tight bounds) skip non-covering leaves
+  inside each file; the exact filter applies inside ``map_batches``.
 
 Coordinates are int64 milli-degrees — exact integer splits, and the
 same quantization the doc-values geo path reports, so
@@ -41,6 +50,10 @@ import pyarrow.parquet as pq
 
 DEFAULT_LEAF_POINTS = 1024   # BKDTreeWriter.java maxPointsInLeafNode
 INDEX_FILE = "bkd_index.json"
+#: driver split-sample budget: the every-k-th stride is chosen so at
+#: most this many points reach the driver (ADVICE r4 — sample_mod=1
+#: used to pull the ENTIRE key column)
+MAX_SPLIT_SAMPLE = 1 << 18
 
 
 class _SplitTree:
@@ -94,87 +107,148 @@ class _SplitTree:
                 "val": self.val.tolist()}
 
 
+def _split_sample(points_ds, cols: list[str],
+                  sample_mod: int | None,
+                  leaf_points: int):
+    """Materialize the input once (both the sample pass and the write
+    pass read the SAME pinned blocks), derive a bounded every-k-th
+    stride, and build the driver split tree. Returns
+    (materialized ds, tree, n_total, stride)."""
+    mds = points_ds.materialize()
+    n_total = mds.count()
+    stride = sample_mod if sample_mod is not None else \
+        max(1, n_total // MAX_SPLIT_SAMPLE)
+
+    def sample(batch: pa.Table) -> pa.Table:
+        t = batch.select(cols)
+        if stride > 1:
+            t = t.take(np.arange(0, len(t), stride))
+        return t
+
+    samp = mds.map_batches(sample, batch_format="pyarrow").to_pandas()
+    dims = [samp[c].to_numpy(np.int64) for c in cols]
+    # the sample sees ~n/stride points, so the depth rule scales the
+    # leaf budget down by the same factor
+    tree = _SplitTree(dims, max(1, leaf_points // max(1, stride)))
+    return mds, tree, n_total, stride
+
+
+def _write_leaf_partitions(mds, out_dir: str, tree: _SplitTree,
+                           cols: list[str]) -> list[dict]:
+    """Leaf-complete partition writer: contiguous leaf ranges map to
+    one partition each; every partition writes ONE parquet file with
+    one ROW GROUP per leaf and returns the per-leaf stats rows the
+    pruning index is built from (no post-hoc file rescan)."""
+    from ..util import sized_shuffle_partitions
+
+    n_leaves = 1 << tree.depth
+    nparts = max(1, min(sized_shuffle_partitions(mds), n_leaves))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        dims = [np.asarray(batch[c], dtype=np.int64) for c in cols]
+        leaf = tree.leaf_of(dims)
+        part = leaf * nparts // n_leaves
+        return (batch
+                .append_column("bkd_leaf", pa.array(leaf, pa.int64()))
+                .append_column("_part", pa.array(part, pa.int64())))
+
+    def write_part(df) -> pa.Table:
+        part = int(df["_part"].iloc[0])
+        df = df.sort_values(["bkd_leaf", *cols])
+        leaf_vals = df["bkd_leaf"].to_numpy(np.int64)
+        dims = {c: df[c].to_numpy(np.int64) for c in cols}
+        t = pa.Table.from_pandas(
+            df.drop(columns=["bkd_leaf", "_part"]),
+            preserve_index=False)
+        path = os.path.join(out_dir, f"leaves-{part:05d}.parquet")
+        tmp = path + ".tmp"
+        breaks = np.flatnonzero(np.diff(leaf_vals)) + 1
+        starts = np.concatenate(([0], breaks, [len(leaf_vals)]))
+        rows = {"leaf": [], "rg": [], "rows": [], "part": []}
+        for c in cols:
+            rows[f"min_{c}"] = []
+            rows[f"max_{c}"] = []
+        with pq.ParquetWriter(tmp, t.schema) as w:
+            for i in range(len(starts) - 1):
+                lo, hi = int(starts[i]), int(starts[i + 1])
+                w.write_table(t.slice(lo, hi - lo),
+                              row_group_size=hi - lo)
+                rows["leaf"].append(int(leaf_vals[lo]))
+                rows["rg"].append(i)
+                rows["rows"].append(hi - lo)
+                rows["part"].append(part)
+                for c in cols:
+                    seg = dims[c][lo:hi]
+                    rows[f"min_{c}"].append(int(seg.min()))
+                    rows[f"max_{c}"].append(int(seg.max()))
+        os.replace(tmp, path)   # atomic, resumable layout
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in rows.items()})
+
+    stats = (mds.map_batches(assign, batch_format="pyarrow")
+             .groupby("_part").map_groups(write_part,
+                                          batch_format="pandas")
+             .to_pandas())
+    entries = []
+    for r in stats.sort_values(["part", "rg"]).itertuples():
+        e = {"path": os.path.join(out_dir,
+                                  f"leaves-{int(r.part):05d}.parquet"),
+             "rg": int(r.rg), "leaf": int(r.leaf),
+             "rows": int(r.rows)}
+        for c in cols:
+            e[f"min_{c}"] = int(getattr(r, f"min_{c}"))
+            e[f"max_{c}"] = int(getattr(r, f"max_{c}"))
+        entries.append(e)
+    return entries
+
+
+def _clean_layout(out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for f in os.listdir(out_dir):
+        if f.startswith(("leaf-", "leaves-")) or f == INDEX_FILE:
+            os.remove(os.path.join(out_dir, f))
+
+
+def _empty_like_layout(index: dict, columns: list[str] | None,
+                       fallback_cols: list[str]):
+    """0-row Dataset carrying the layout's REAL schema (ADVICE r4: the
+    old path fabricated all-int64 regardless of the payload columns'
+    actual types)."""
+    import ray.data as rd
+
+    leaves = index.get("leaves") or []
+    if leaves:
+        schema = pq.read_schema(leaves[0]["path"])
+        names = columns if columns is not None else schema.names
+        return rd.from_arrow(pa.table({
+            n: pa.array([], schema.field(n).type) for n in names}))
+    return rd.from_arrow(pa.table({
+        n: pa.array([], pa.int64())
+        for n in (columns or fallback_cols)}))
+
+
 def bkd_write(points_ds, out_dir: str, *,
               x_col: str, y_col: str,
               leaf_points: int = DEFAULT_LEAF_POINTS,
-              sample_mod: int = 1) -> dict:
+              sample_mod: int | None = None) -> dict:
     """Build the BKD layout from a Dataset with int64 point columns
     ``x_col``/``y_col`` (+ any payload columns, which ride along into
-    the leaves). ``sample_mod`` keeps every k-th row for the driver
-    split sample (use >1 at scale; the sample only positions split
+    the leaves). ``sample_mod`` overrides the auto-derived every-k-th
+    driver split-sample stride (the default bounds the sample at
+    ``MAX_SPLIT_SAMPLE`` points; the sample only positions split
     planes, correctness never depends on it). Returns the index dict
     (also persisted as ``bkd_index.json``)."""
-    import ray.data as rd  # noqa: F401  (documents the dependency)
-
-    os.makedirs(out_dir, exist_ok=True)
-    for f in os.listdir(out_dir):
-        if f.startswith("leaf-") or f == INDEX_FILE:
-            os.remove(os.path.join(out_dir, f))
-
-    # driver-side bounded sample → split tree (deterministic)
-    def sample(batch: pa.Table) -> pa.Table:
-        t = batch.select([x_col, y_col])
-        if sample_mod > 1:
-            t = t.take(np.arange(0, len(t), sample_mod))
-        return t
-
-    samp = points_ds.map_batches(sample,
-                                 batch_format="pyarrow").to_pandas()
-    xs = samp[x_col].to_numpy(np.int64)
-    ys = samp[y_col].to_numpy(np.int64)
-    est_total = len(xs) * sample_mod
-    tree = _SplitTree([xs, ys],
-                      max(1, leaf_points // max(1, sample_mod)))
-
-    def assign(batch: pa.Table) -> pa.Table:
-        bx = np.asarray(batch[x_col], dtype=np.int64)
-        by = np.asarray(batch[y_col], dtype=np.int64)
-        leaf = tree.leaf_of([bx, by])
-        return batch.append_column("bkd_leaf",
-                                   pa.array(leaf, type=pa.int64()))
-
-    def write_leaf(df) -> "pa.Table":
-        leaf = int(df["bkd_leaf"].iloc[0])
-        t = pa.Table.from_pandas(
-            df.sort_values([x_col, y_col]).drop(columns=["bkd_leaf"]),
-            preserve_index=False)
-        path = os.path.join(out_dir, f"leaf-{leaf:05d}.parquet")
-        tmp = path + ".tmp"
-        pq.write_table(t, tmp)
-        os.replace(tmp, path)   # atomic, resumable layout
-        return pa.table({"leaf": pa.array([leaf], pa.int64()),
-                         "rows": pa.array([t.num_rows], pa.int64())})
-
-    (points_ds.map_batches(assign, batch_format="pyarrow")
-     .groupby("bkd_leaf").map_groups(write_leaf, batch_format="pandas")
-     .materialize())
-
-    # constant-size pruning index from the written files' OWN stats
-    leaves = []
-    for name in sorted(os.listdir(out_dir)):
-        if not (name.startswith("leaf-") and name.endswith(".parquet")):
-            continue
-        path = os.path.join(out_dir, name)
-        md = pq.ParquetFile(path).metadata
-        cols = {md.schema.column(i).name: i
-                for i in range(len(md.schema))}
-        bounds = {}
-        for cname in (x_col, y_col):
-            ci = cols[cname]
-            mins, maxs = [], []
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(ci).statistics
-                mins.append(st.min)
-                maxs.append(st.max)
-            bounds[cname] = (int(min(mins)), int(max(maxs)))
-        leaves.append({"path": path,
-                       "min_x": bounds[x_col][0],
-                       "max_x": bounds[x_col][1],
-                       "min_y": bounds[y_col][0],
-                       "max_y": bounds[y_col][1],
-                       "rows": int(md.num_rows)})
+    _clean_layout(out_dir)
+    cols = [x_col, y_col]
+    mds, tree, n_total, _stride = _split_sample(
+        points_ds, cols, sample_mod, leaf_points)
+    entries = _write_leaf_partitions(mds, out_dir, tree, cols)
+    leaves = [{"path": e["path"], "rg": e["rg"], "rows": e["rows"],
+               "min_x": e[f"min_{x_col}"], "max_x": e[f"max_{x_col}"],
+               "min_y": e[f"min_{y_col}"], "max_y": e[f"max_{y_col}"]}
+              for e in entries]
     index = {"x_col": x_col, "y_col": y_col,
-             "leaf_points": leaf_points, "est_total": est_total,
+             "leaf_points": leaf_points, "est_total": n_total,
              "tree": tree.to_json(), "leaves": leaves}
     tmp = os.path.join(out_dir, INDEX_FILE + ".tmp")
     with open(tmp, "w") as f:
@@ -189,10 +263,10 @@ def load_index(out_dir: str) -> dict:
 
 
 def leaves_for_box(index: dict, x_lo: int, x_hi: int,
-                   y_lo: int, y_hi: int) -> list[str]:
+                   y_lo: int, y_hi: int) -> list[dict]:
     """BKDTreeReader's intersect: a leaf can hold a matching point only
     if its bounds rectangle intersects the query box."""
-    return [e["path"] for e in index["leaves"]
+    return [e for e in index["leaves"]
             if e["max_x"] >= x_lo and e["min_x"] <= x_hi
             and e["max_y"] >= y_lo and e["min_y"] <= y_hi]
 
@@ -200,22 +274,27 @@ def leaves_for_box(index: dict, x_lo: int, x_hi: int,
 def bkd_query_bbox(out_dir_or_index, x_lo: int, x_hi: int,
                    y_lo: int, y_hi: int, *,
                    columns: list[str] | None = None):
-    """Box query over the layout: prune leaves, read ONLY the covering
-    parquet files, exact-filter inside map_batches. Returns
+    """Box query over the layout: prune leaves, read ONLY files holding
+    a covering leaf (the pushed-down range filter lets the parquet
+    scanner's per-leaf row-group statistics skip the rest of each
+    file), exact-filter inside map_batches. Returns
     (Dataset, n_leaves_read, n_leaves_total)."""
+    import pyarrow.dataset as pads
     import ray.data as rd
 
     index = (load_index(out_dir_or_index)
              if isinstance(out_dir_or_index, str) else out_dir_or_index)
     x_col, y_col = index["x_col"], index["y_col"]
-    paths = leaves_for_box(index, x_lo, x_hi, y_lo, y_hi)
+    covering = leaves_for_box(index, x_lo, x_hi, y_lo, y_hi)
     total = len(index["leaves"])
-    if not paths:
-        empty = rd.from_arrow(pa.table({x_col: pa.array([], pa.int64()),
-                                        y_col: pa.array([], pa.int64())}))
-        return empty.filter(lambda r: False), 0, total
+    if not covering:
+        return (_empty_like_layout(index, columns, [x_col, y_col]),
+                0, total)
 
-    ds = rd.read_parquet(paths, columns=columns)
+    paths = sorted({e["path"] for e in covering})
+    flt = ((pads.field(x_col) >= x_lo) & (pads.field(x_col) <= x_hi)
+           & (pads.field(y_col) >= y_lo) & (pads.field(y_col) <= y_hi))
+    ds = rd.read_parquet(paths, columns=columns, filter=flt)
 
     def exact(batch: pa.Table) -> pa.Table:
         bx = np.asarray(batch[x_col], dtype=np.int64)
@@ -223,83 +302,35 @@ def bkd_query_bbox(out_dir_or_index, x_lo: int, x_hi: int,
         m = (bx >= x_lo) & (bx <= x_hi) & (by >= y_lo) & (by <= y_hi)
         return batch.filter(pa.array(m))
 
-    return ds.map_batches(exact, batch_format="pyarrow"), len(paths), \
-        total
+    return (ds.map_batches(exact, batch_format="pyarrow"),
+            len(covering), total)
 
 
 # ---------------------------------------------------------------------------
 # 1-D numeric points — 6.0's dimensional-points direction
 # (core:util/bkd/BKDWriter.java handles numDims=1 as the primary case;
 # NumericRangeQuery's successor PointRangeQuery reads it). Same layout
-# discipline as the 2-D geo tree: driver-sampled split plan, vectorized
-# leaf assignment, one parquet file per leaf with its own column
-# statistics as the constant-size pruning index.
+# discipline as the 2-D geo tree: bounded driver-sampled split plan,
+# vectorized leaf assignment, leaf-complete partition files with one
+# row group per leaf as the constant-size pruning index.
 
 
 def bkd_write_1d(points_ds, out_dir: str, *, col: str,
                  leaf_points: int = DEFAULT_LEAF_POINTS,
-                 sample_mod: int = 1) -> dict:
+                 sample_mod: int | None = None) -> dict:
     """1-D BKD build over int64 column ``col`` (+ payload columns).
     Split planes are sampled medians (the widest-dimension rule
     degenerates to the only dimension)."""
-    import ray.data as rd  # noqa: F401
-
-    os.makedirs(out_dir, exist_ok=True)
-    for f in os.listdir(out_dir):
-        if f.startswith("leaf-") or f == INDEX_FILE:
-            os.remove(os.path.join(out_dir, f))
-
-    def sample(batch: pa.Table) -> pa.Table:
-        t = batch.select([col])
-        if sample_mod > 1:
-            t = t.take(np.arange(0, len(t), sample_mod))
-        return t
-
-    samp = points_ds.map_batches(sample,
-                                 batch_format="pyarrow").to_pandas()
-    vs = samp[col].to_numpy(np.int64)
-    tree = _SplitTree([vs], max(1, leaf_points // max(1, sample_mod)))
-
-    def assign(batch: pa.Table) -> pa.Table:
-        bv = np.asarray(batch[col], dtype=np.int64)
-        return batch.append_column(
-            "bkd_leaf", pa.array(tree.leaf_of([bv]), type=pa.int64()))
-
-    def write_leaf(df) -> "pa.Table":
-        leaf = int(df["bkd_leaf"].iloc[0])
-        t = pa.Table.from_pandas(
-            df.sort_values(col).drop(columns=["bkd_leaf"]),
-            preserve_index=False)
-        path = os.path.join(out_dir, f"leaf-{leaf:05d}.parquet")
-        tmp = path + ".tmp"
-        pq.write_table(t, tmp)
-        os.replace(tmp, path)
-        return pa.table({"leaf": pa.array([leaf], pa.int64()),
-                         "rows": pa.array([t.num_rows], pa.int64())})
-
-    (points_ds.map_batches(assign, batch_format="pyarrow")
-     .groupby("bkd_leaf").map_groups(write_leaf, batch_format="pandas")
-     .materialize())
-
-    leaves = []
-    for name in sorted(os.listdir(out_dir)):
-        if not (name.startswith("leaf-") and name.endswith(".parquet")):
-            continue
-        path = os.path.join(out_dir, name)
-        md = pq.ParquetFile(path).metadata
-        cols = {md.schema.column(i).name: i
-                for i in range(len(md.schema))}
-        ci = cols[col]
-        mins, maxs = [], []
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(ci).statistics
-            mins.append(st.min)
-            maxs.append(st.max)
-        leaves.append({"path": path,
-                       "min_v": int(min(mins)), "max_v": int(max(maxs)),
-                       "rows": int(md.num_rows)})
+    _clean_layout(out_dir)
+    mds, tree, n_total, _stride = _split_sample(
+        points_ds, [col], sample_mod, leaf_points)
+    entries = _write_leaf_partitions(mds, out_dir, tree, [col])
+    leaves = [{"path": e["path"], "rg": e["rg"], "rows": e["rows"],
+               "min_v": e[f"min_{col}"], "max_v": e[f"max_{col}"]}
+              for e in entries]
     index = {"col": col, "leaf_points": leaf_points,
-             "tree": tree.to_json(), "leaves": leaves}
+             "est_total": n_total, "tree": tree.to_json(),
+             "leaves": leaves}
     tmp = os.path.join(out_dir, INDEX_FILE + ".tmp")
     with open(tmp, "w") as f:
         json.dump(index, f)
@@ -310,27 +341,28 @@ def bkd_write_1d(points_ds, out_dir: str, *, col: str,
 def bkd_query_range(out_dir_or_index, lo: int, hi: int, *,
                     columns: list[str] | None = None):
     """PointRangeQuery over the 1-D layout: prune leaves by bound
-    intersection, read ONLY covering files, exact-filter per batch.
+    intersection, read ONLY files holding a covering leaf (per-leaf
+    row-group statistics skip the rest), exact-filter per batch.
     Returns (Dataset, n_leaves_read, n_leaves_total)."""
+    import pyarrow.dataset as pads
     import ray.data as rd
 
     index = (load_index(out_dir_or_index)
              if isinstance(out_dir_or_index, str) else out_dir_or_index)
     col = index["col"]
-    paths = [e["path"] for e in index["leaves"]
-             if e["max_v"] >= lo and e["min_v"] <= hi]
+    covering = [e for e in index["leaves"]
+                if e["max_v"] >= lo and e["min_v"] <= hi]
     total = len(index["leaves"])
-    if not paths:
-        empty = rd.from_arrow(pa.table({
-            c: pa.array([], pa.int64())
-            for c in (columns or [col])}))
-        return empty, 0, total
+    if not covering:
+        return _empty_like_layout(index, columns, [col]), 0, total
 
-    ds = rd.read_parquet(paths, columns=columns)
+    paths = sorted({e["path"] for e in covering})
+    flt = (pads.field(col) >= lo) & (pads.field(col) <= hi)
+    ds = rd.read_parquet(paths, columns=columns, filter=flt)
 
     def exact(batch: pa.Table) -> pa.Table:
         bv = np.asarray(batch[col], dtype=np.int64)
         return batch.filter(pa.array((bv >= lo) & (bv <= hi)))
 
-    return ds.map_batches(exact, batch_format="pyarrow"), len(paths), \
-        total
+    return (ds.map_batches(exact, batch_format="pyarrow"),
+            len(covering), total)
