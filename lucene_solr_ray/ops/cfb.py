@@ -21,12 +21,30 @@ ops/pdf.py).
 - **[MS-OLEPS]** \\x05SummaryInformation property set: PIDSI_TITLE /
   PIDSI_AUTHOR / PIDSI_SUBJECT (VT_LPSTR / VT_LPWSTR).
 
-Encrypted documents (FIB fEncrypted, FilePass records) raise
-NotImplementedError.
+Encrypted documents decrypt with a user-supplied ``password=`` through
+the two **[MS-OFFCRYPTO]** binary RC4 schemes (mirroring the round-4
+PDF password plumbing; Tika's surface is PasswordProvider via
+solr/contrib/extraction):
+
+- §2.3.6 "Office Binary Document RC4": MD5 key ladder
+  (MD5(pw)[:5]+salt ×16 → MD5 → 5-byte base; per-block key =
+  MD5(base + LE32(block)), full 16 bytes), MD5 verifier.
+- §2.3.5 "RC4 CryptoAPI": SHA1(salt+pw) → per-block key =
+  SHA1(H0 + LE32(block))[:keylen] (40-bit keys zero-pad to 128 bits),
+  SHA1 verifier.
+
+Blocks are counted from the beginning of each stream (DOC: 512-byte
+blocks, FibBase plaintext, Table-stream EncryptionHeader plaintext;
+XLS: 1024-byte blocks, record headers and the BIFF8 exclusion list
+plaintext but still consuming keystream positions). No password →
+NotImplementedError; wrong password (verifier mismatch) → ValueError.
+PPT's persist-object encryption layer is NOT implemented (honest
+raise). XOR obfuscation (wEncryptionType 0) is likewise out of scope.
 """
 
 from __future__ import annotations
 
+import hashlib
 import struct
 
 _MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
@@ -129,6 +147,118 @@ class CfbFile:
 
 
 # ---------------------------------------------------------------------------
+# [MS-OFFCRYPTO] binary RC4 decryption (2.3.6 and 2.3.5 RC4 CryptoAPI)
+
+
+class _OffCrypto:
+    """Positional block-rekeyed RC4 for the two binary-Office schemes.
+
+    The keystream is a pure function of (block number, offset in
+    block), so any byte range decrypts independently — no statefulness
+    to thread through record walks. ``block_size`` is 512 for DOC
+    ([MS-DOC] 2.2.6.2/2.2.6.3) and 1024 for XLS ([MS-XLS] 2.2.10)."""
+
+    def __init__(self, kind: str, salt: bytes, key_bits: int,
+                 password, block_size: int):
+        self.kind = kind  # "rc4" | "cryptoapi"
+        self.block = block_size
+        pw = password.decode("utf-8") if isinstance(password, bytes) \
+            else password
+        pwb = pw.encode("utf-16-le")
+        if kind == "rc4":
+            trunc = hashlib.md5(pwb).digest()[:5]
+            self.base = hashlib.md5((trunc + salt) * 16).digest()[:5]
+        else:
+            self.h0 = hashlib.sha1(salt + pwb).digest()
+            self.nkey = max(5, key_bits // 8)
+
+    def key(self, block: int) -> bytes:
+        if self.kind == "rc4":
+            return hashlib.md5(self.base
+                               + struct.pack("<I", block)).digest()
+        hf = hashlib.sha1(self.h0 + struct.pack("<I", block)).digest()
+        if self.nkey == 5:      # 40-bit keys zero-pad to 128 bits
+            return hf[:5] + b"\x00" * 11
+        return hf[:self.nkey]
+
+    def verify(self, enc_verifier: bytes, enc_verifier_hash: bytes,
+               hash_len: int) -> bool:
+        from .aes import rc4
+
+        dec = rc4(self.key(0), enc_verifier + enc_verifier_hash)
+        ver, vh = dec[:16], dec[16:16 + hash_len]
+        digest = (hashlib.md5 if self.kind == "rc4"
+                  else hashlib.sha1)(ver).digest()
+        return digest == vh
+
+    def crypt_at(self, pos: int, data: bytes) -> bytes:
+        """XOR ``data`` (located at absolute stream offset ``pos``)
+        with the block-rekeyed keystream — its own inverse, so the
+        tests' encrypt side is this same function."""
+        from .aes import rc4
+
+        out = bytearray()
+        i = 0
+        while i < len(data):
+            b, off = divmod(pos + i, self.block)
+            take = min(len(data) - i, self.block - off)
+            ks = rc4(self.key(b), b"\x00" * (off + take))[off:]
+            chunk = data[i:i + take]
+            out += (int.from_bytes(chunk, "little")
+                    ^ int.from_bytes(ks, "little")) \
+                .to_bytes(take, "little")
+            i += take
+        return bytes(out)
+
+
+def _parse_encryption_info(buf: bytes, off: int):
+    """EncryptionVersionInfo + scheme header at ``buf[off:]`` →
+    (kind, salt, key_bits, enc_verifier, enc_verifier_hash,
+    verifier_hash_len, end_offset)."""
+    vmaj, vmin = struct.unpack_from("<HH", buf, off)
+    if (vmaj, vmin) == (1, 1):      # [MS-OFFCRYPTO] 2.3.6
+        salt = bytes(buf[off + 4:off + 20])
+        ev = bytes(buf[off + 20:off + 36])
+        evh = bytes(buf[off + 36:off + 52])
+        return "rc4", salt, 0, ev, evh, 16, off + 52
+    if vmin == 2 and vmaj in (2, 3, 4):   # 2.3.5 RC4 CryptoAPI
+        (hsize,) = struct.unpack_from("<I", buf, off + 8)
+        h = off + 12
+        (alg_id, _alg_hash, key_size) = struct.unpack_from(
+            "<III", buf, h + 8)
+        if alg_id not in (0x00006801, 0):  # CALG_RC4 (0: from flags)
+            raise NotImplementedError(
+                f"OLE2 CryptoAPI algorithm 0x{alg_id:08x} "
+                f"(only RC4 is table-free)")
+        v = h + hsize
+        (salt_size,) = struct.unpack_from("<I", buf, v)
+        salt = bytes(buf[v + 4:v + 4 + salt_size])
+        ev = bytes(buf[v + 4 + salt_size:v + 20 + salt_size])
+        evh = bytes(buf[v + 24 + salt_size:v + 44 + salt_size])
+        return ("cryptoapi", salt, key_size or 40, ev, evh, 20,
+                v + 44 + salt_size)
+    raise NotImplementedError(
+        f"OLE2 encryption version {vmaj}.{vmin} (binary RC4 and RC4 "
+        f"CryptoAPI only; AES Standard/Agile live in OOXML containers)")
+
+
+def _offcrypto_from_header(buf: bytes, off: int, password,
+                           block_size: int, what: str) -> tuple:
+    """Parse + key-derive + verifier-check: returns
+    (decryptor, header_end). No password → NotImplementedError;
+    verifier mismatch → ValueError (the PDF password contract)."""
+    if not password:
+        raise NotImplementedError(
+            f"encrypted {what} (no password= provided)")
+    kind, salt, bits, ev, evh, hlen, end = \
+        _parse_encryption_info(buf, off)
+    oc = _OffCrypto(kind, salt, bits, password, block_size)
+    if not oc.verify(ev, evh, hlen):
+        raise ValueError(f"wrong password for encrypted {what}")
+    return oc, end
+
+
+# ---------------------------------------------------------------------------
 # [MS-DOC] WordDocument text via the Clx piece table
 
 
@@ -157,7 +287,7 @@ def _doc_clean(text: str) -> str:
     return "".join(out)
 
 
-def extract_doc_text(cfb: CfbFile) -> str:
+def extract_doc_text(cfb: CfbFile, password=b"") -> str:
     word = cfb.stream("WordDocument")
     if word is None:
         raise ValueError("no WordDocument stream")
@@ -165,11 +295,25 @@ def extract_doc_text(cfb: CfbFile) -> str:
     if w_ident != 0xA5EC:
         raise ValueError("bad FIB wIdent")
     (flags,) = struct.unpack_from("<H", word, 0x0A)
-    if flags & 0x0100:  # fEncrypted
-        raise NotImplementedError("encrypted .doc")
     table = cfb.stream("1Table" if flags & 0x0200 else "0Table")
     if table is None:
         table = cfb.stream("0Table") or cfb.stream("1Table")
+    if flags & 0x0100:  # fEncrypted
+        if flags & 0x8000:
+            raise NotImplementedError(
+                "XOR-obfuscated .doc (fObfuscation)")
+        if table is None:
+            raise ValueError("encrypted .doc without a Table stream")
+        # [MS-DOC] 2.2.6.2/2.2.6.3: the EncryptionHeader sits plaintext
+        # at the START of the Table stream; FibBase (first 0x44 bytes
+        # of WordDocument) is plaintext; everything else in the
+        # WordDocument/Table/Data streams is RC4-encrypted in 512-byte
+        # blocks counted from each stream's OFFSET 0 (plaintext
+        # regions consume keystream positions)
+        oc, hdr_end = _offcrypto_from_header(table, 0, password, 512,
+                                             ".doc")
+        word = word[:0x44] + oc.crypt_at(0x44, word[0x44:])
+        table = table[:hdr_end] + oc.crypt_at(hdr_end, table[hdr_end:])
     (fc_clx,) = struct.unpack_from("<I", word, 0x01A2)
     (lcb_clx,) = struct.unpack_from("<I", word, 0x01A6)
     if table is None or lcb_clx == 0:
@@ -308,7 +452,51 @@ class _SstReader:
         return "".join(parts), (si, off)
 
 
-def extract_xls_text(cfb: CfbFile) -> str:
+#: BIFF8 records whose bodies stay PLAINTEXT in an encrypted Workbook
+#: stream ([MS-XLS] 2.2.10): BOF, FilePass, UsrExcl, FileLock,
+#: InterfaceHdr, RRDInfo, RRDHeadInfo
+_XLS_PLAINTEXT_RECORDS = frozenset(
+    {0x0809, 0x002F, 0x0194, 0x0195, 0x00E1, 0x0196, 0x0138})
+
+
+def _xls_decrypt(wb: bytes, password) -> bytes:
+    """Decrypt a BIFF8 Workbook stream in place of its FilePass record
+    ([MS-XLS] 2.2.10): 1024-byte keystream blocks over ABSOLUTE stream
+    positions; record headers, the exclusion-list record bodies and
+    BoundSheet8.lbPlyPos stay plaintext but still consume keystream."""
+    out = bytearray(wb)
+    # locate FilePass (its body holds the EncryptionInfo)
+    i, n = 0, len(wb)
+    oc = None
+    while i + 4 <= n:
+        rtype, rlen = struct.unpack_from("<HH", wb, i)
+        if rtype == 0x002F:
+            (w_type,) = struct.unpack_from("<H", wb, i + 4)
+            if w_type != 1:
+                raise NotImplementedError(
+                    "XOR-obfuscated .xls (wEncryptionType 0)")
+            oc, _end = _offcrypto_from_header(wb, i + 6, password,
+                                              1024, ".xls")
+            break
+        i += 4 + rlen
+    if oc is None:
+        return wb
+    i = 0
+    while i + 4 <= n:
+        rtype, rlen = struct.unpack_from("<HH", wb, i)
+        body_at = i + 4
+        i = body_at + rlen
+        if rtype in _XLS_PLAINTEXT_RECORDS or rlen == 0:
+            continue
+        start = body_at
+        if rtype == 0x0085:   # BoundSheet8: lbPlyPos plaintext
+            start += 4
+        if start < i:
+            out[start:i] = oc.crypt_at(start, bytes(wb[start:i]))
+    return bytes(out)
+
+
+def extract_xls_text(cfb: CfbFile, password=b"") -> str:
     wb = cfb.stream("Workbook") or cfb.stream("Book")
     if wb is None:
         raise ValueError("no Workbook stream")
@@ -320,12 +508,18 @@ def extract_xls_text(cfb: CfbFile) -> str:
     sst_segs: list[bytes] = []
     sst_count = 0
     sst_open = False
+    decrypted = False
     while i + 4 <= n:
         rtype, rlen = struct.unpack_from("<HH", wb, i)
         body = wb[i + 4:i + 4 + rlen]
         i += 4 + rlen
-        if rtype == 0x002F:            # FilePass: encrypted
-            raise NotImplementedError("encrypted .xls")
+        if rtype == 0x002F and not decrypted:   # FilePass: encrypted
+            wb = _xls_decrypt(wb, password)
+            decrypted = True
+            # restart the walk over the decrypted stream
+            i = 0
+            parts, sst_segs, sst_count, sst_open = [], [], 0, False
+            continue
         if rtype == 0x00FC:            # SST
             (_, sst_count) = struct.unpack_from("<II", body, 0)
             sst_segs = [body[8:]]
@@ -415,20 +609,24 @@ def summary_info(cfb: CfbFile) -> tuple[str, dict]:
         return "", {}
 
 
-def extract_ole(data: bytes) -> dict:
-    """One OLE2 binary Office file → the extract.py result shape."""
+def extract_ole(data: bytes, password=b"") -> dict:
+    """One OLE2 binary Office file → the extract.py result shape.
+    ``password`` unlocks [MS-OFFCRYPTO] binary-RC4 / RC4-CryptoAPI
+    encrypted .doc/.xls (the PDF password= contract)."""
     cfb = CfbFile(data)
     names = {e["name"] for e in cfb.entries if e["type"] == 2}
     title, meta = summary_info(cfb)
     if "WordDocument" in names:
-        return {"content": extract_doc_text(cfb), "title": title,
+        return {"content": extract_doc_text(cfb, password=password),
+                "title": title,
                 "content_type": "application/msword", "metadata": meta}
     if "PowerPoint Document" in names:
         return {"content": extract_ppt_text(cfb), "title": title,
                 "content_type": "application/vnd.ms-powerpoint",
                 "metadata": meta}
     if "Workbook" in names or "Book" in names:
-        return {"content": extract_xls_text(cfb), "title": title,
+        return {"content": extract_xls_text(cfb, password=password),
+                "title": title,
                 "content_type": "application/vnd.ms-excel",
                 "metadata": meta}
     raise NotImplementedError(

@@ -232,7 +232,7 @@ def extract_document(data: bytes, path: str | None = None,
     if ctype == "application/x-ole-storage":
         from .cfb import extract_ole
 
-        return extract_ole(data)
+        return extract_ole(data, password=password)
     raise NotImplementedError(
         f"no parser for {ctype} in this environment (reference "
         "delegates these to Tika)")

@@ -269,3 +269,116 @@ def test_xls_sst_continue_straddle():
     wb2 = struct.pack("<HH", 0x00FC, len(sst2)) + sst2
     d2 = extract_ole(make_cfb({"Workbook": wb2}))
     assert "xyz" in d2["content"] and "tail" in d2["content"]
+
+
+# ---------------------------------------------------------------------------
+# [MS-OFFCRYPTO] binary RC4 / RC4 CryptoAPI round-trips (round 5):
+# encrypt with the module's own positional XOR (its own inverse) +
+# spec-shaped headers, then extract back through the public surface.
+
+
+def _rc4_verifier(oc, hash_mod):
+    from lucene_solr_ray.ops.aes import rc4
+
+    verifier = bytes(range(16))
+    vh = hash_mod(verifier).digest()
+    enc = rc4(oc.key(0), verifier + vh)
+    return enc[:16], enc[16:16 + len(vh)]
+
+
+def _rc4_11_header(password: str, block: int):
+    """(header bytes, decryptor) for the 1.1 'Office Binary Document
+    RC4' scheme."""
+    import hashlib
+
+    from lucene_solr_ray.ops.cfb import _OffCrypto
+
+    salt = bytes(range(100, 116))
+    oc = _OffCrypto("rc4", salt, 0, password, block)
+    ev, evh = _rc4_verifier(oc, hashlib.md5)
+    return struct.pack("<HH", 1, 1) + salt + ev + evh, oc
+
+
+def _cryptoapi_header(password: str, block: int, key_bits=128):
+    """(header bytes, decryptor) for the 2.x/3.x RC4 CryptoAPI
+    scheme, CSP name included."""
+    import hashlib
+
+    from lucene_solr_ray.ops.cfb import _OffCrypto
+
+    salt = bytes(range(16))
+    oc = _OffCrypto("cryptoapi", salt, key_bits, password, block)
+    ev, evh = _rc4_verifier(oc, hashlib.sha1)
+    csp = "Microsoft Base Cryptographic Provider v1.0\0" \
+        .encode("utf-16-le")
+    hdr = struct.pack("<8I", 0x04, 0, 0x6801, 0x8004, key_bits, 1,
+                      0, 0) + csp
+    return (struct.pack("<HHII", 3, 2, 0x04, len(hdr)) + hdr
+            + struct.pack("<I", 16) + salt + ev
+            + struct.pack("<I", 20) + evh), oc
+
+
+def make_encrypted_doc(text: str, password: str, scheme: str) -> bytes:
+    """A real fEncrypted .doc: plaintext FibBase + EncryptionHeader,
+    everything else RC4'd in 512-byte stream-offset blocks."""
+    word = bytearray(2048)
+    struct.pack_into("<H", word, 0, 0xA5EC)
+    struct.pack_into("<H", word, 0x0A, 0x0200 | 0x0100)
+    raw = text.encode("cp1252")
+    text_at = 0x0400
+    word[text_at:text_at + len(raw)] = raw
+    plc = struct.pack("<II", 0, len(text)) \
+        + struct.pack("<HIH", 0, 0x40000000 | (text_at << 1), 0)
+    clx = b"\x02" + struct.pack("<I", len(plc)) + plc
+    hdr, oc = (_rc4_11_header if scheme == "rc4"
+               else _cryptoapi_header)(password, 512)
+    fc_clx = len(hdr) + 12
+    table = bytearray(hdr) + bytes(12) + clx
+    struct.pack_into("<I", word, 0x01A2, fc_clx)
+    struct.pack_into("<I", word, 0x01A6, len(clx))
+    word_enc = bytes(word[:0x44]) + oc.crypt_at(0x44, bytes(word[0x44:]))
+    table_enc = bytes(table[:len(hdr)]) \
+        + oc.crypt_at(len(hdr), bytes(table[len(hdr):]))
+    return make_cfb({"WordDocument": word_enc, "1Table": table_enc})
+
+
+@pytest.mark.parametrize("scheme", ["rc4", "cryptoapi"])
+def test_encrypted_doc_roundtrip(scheme):
+    blob = make_encrypted_doc("secret agenda item 42.", "hunter2",
+                              scheme)
+    d = extract_ole(blob, password="hunter2")
+    assert d["content"] == "secret agenda item 42."
+    with pytest.raises(ValueError, match="wrong password"):
+        extract_ole(blob, password="nope")
+    with pytest.raises(NotImplementedError):
+        extract_ole(blob)
+
+
+def test_encrypted_xls_roundtrip():
+    from lucene_solr_ray.ops.cfb import _xls_decrypt
+
+    password = "s3cret"
+    hdr, _oc = _cryptoapi_header(password, 1024, key_bits=40)
+    fp_body = struct.pack("<H", 1) + hdr
+    recs = [
+        struct.pack("<HH", 0x0809, 4) + b"\x00\x06\x05\x00",   # BOF
+        struct.pack("<HH", 0x002F, len(fp_body)) + fp_body,    # FilePass
+        # BoundSheet8: lbPlyPos stays plaintext, the name does not
+        struct.pack("<HH", 0x0085, 12) + struct.pack("<I", 77)
+        + b"\x00\x00" + _sst_string("Sheet", False)[2:],
+        struct.pack("<HH", 0x00FC, 8 + len(_sst_string("kappa row", True)))
+        + struct.pack("<II", 1, 1) + _sst_string("kappa row", True),
+        struct.pack("<HH", 0x0203, 14) + bytes(6)
+        + struct.pack("<d", 12.5),
+    ]
+    plain = b"".join(recs)
+    # the positional XOR walk is its own inverse: applying the
+    # decryptor to the PLAINTEXT stream yields the ciphertext
+    cipher = _xls_decrypt(plain, password)
+    assert cipher != plain
+    d = extract_ole(make_cfb({"Workbook": cipher}), password=password)
+    assert "kappa row" in d["content"] and "12.5" in d["content"]
+    with pytest.raises(ValueError, match="wrong password"):
+        extract_ole(make_cfb({"Workbook": cipher}), password="bad")
+    with pytest.raises(NotImplementedError):
+        extract_ole(make_cfb({"Workbook": cipher}))
