@@ -161,3 +161,563 @@ def lexicon_from_index(index_dir: str) -> set[str]:
             t = pads.dataset(p).to_table(columns=["term"])
             terms.update(t["term"].to_pylist())
     return terms
+
+
+# ---------------------------------------------------------------------------
+# Reference-conformant Krovetz stemmer (round 5). The paper-based
+# KStemmer above stays the oracle-paired production engine (its DuckDB
+# twin in analysis/kstem_sql.py mirrors it rule for rule); this class
+# reproduces the REFERENCE's exact behavior — KStemmer.java's step
+# sequence, buffer mutations and dictionary-entry semantics
+# (analysis/common en/KStemmer.java:264-1521) — and passes the
+# reference's own 12k-pair golden file verbatim when fed the real
+# lexicon (tests/test_kstem_conformance.py). The ~30k-word lexicon and
+# the four exception tables are DATA, mined at runtime from a Lucene
+# source drop (`tables_from_lucene_source`), never bundled.
+
+MAX_WORD_LEN = 50   # KStemmer.java:72
+
+
+class KStemTables:
+    """word → (root | None, is_exception): the DictEntry map.
+
+    Build order matches KStemmer.initializeDictHash (first insert
+    wins): exception words (root = themselves, exception flag),
+    direct conflations, country/nationality, the main lexicon,
+    supplement words, proper nouns (root None = word is its own
+    stem)."""
+
+    def __init__(self, lexicon=(), exception_words=(),
+                 direct_conflations=(), country_nationality=(),
+                 supplement=(), proper=()):
+        d: dict[str, tuple[str | None, bool]] = {}
+        for w in exception_words:
+            d.setdefault(w, (w, True))
+        for w, root in direct_conflations:
+            d.setdefault(w, (root, False))
+        for w, root in country_nationality:
+            d.setdefault(w, (root, False))
+        for w in lexicon:
+            d.setdefault(w, (None, False))
+        for w in supplement:
+            d.setdefault(w, (None, False))
+        for w in proper:
+            d.setdefault(w, (None, False))
+        self.d = d
+
+
+def tables_from_lucene_source(en_dir: str) -> KStemTables:
+    """Acquisition flow (the kuromoji LSR_IPADIC_DIR pattern): point at
+    a Lucene source drop's ``.../org/apache/lucene/analysis/en``
+    directory; the lexicon (KStemData1-8.java) and the four exception
+    tables (KStemmer.java) are parsed out of the Java string literals
+    at load time."""
+    import os
+    import re
+
+    def literals(text: str) -> list[str]:
+        return re.findall(r'"([^"]*)"', text)
+
+    lexicon: list[str] = []
+    for i in range(1, 9):
+        with open(os.path.join(en_dir, f"KStemData{i}.java")) as f:
+            src = f.read()
+        lexicon.extend(literals(src[src.index("data"):]))
+
+    with open(os.path.join(en_dir, "KStemmer.java")) as f:
+        src = f.read()
+
+    def array(name: str) -> list[str]:
+        i = src.index(name)
+        return literals(src[i:src.index(";", src.index("{", i))])
+
+    def pairs(name: str) -> list[tuple[str, str]]:
+        flat = array(name)
+        return list(zip(flat[::2], flat[1::2]))
+
+    return KStemTables(
+        lexicon=lexicon,
+        exception_words=array("exceptionWords"),
+        direct_conflations=pairs("directConflations"),
+        country_nationality=pairs("countryNationality"),
+        supplement=array("supplementDict"),
+        proper=array("properNouns"))
+
+
+class KrovetzStemmer:
+    """Behavioral twin of the reference KStemmer (KStemmer.java): the
+    17-step suffix pipeline where each step mutates the working word —
+    sometimes even without a dictionary hit — and the first dictionary
+    match anywhere stops the pipeline; a matched entry's root (direct
+    conflations, nationalities, exception words) overrides the buffer.
+    """
+
+    def __init__(self, tables: KStemTables):
+        self.d = tables.d
+
+    # ------------------------------------------------------------ state
+    # self.w = working buffer; self.j = index of the char BEFORE the
+    # last matched suffix (endsIn contract); self.m = matchedEntry
+
+    def _ends(self, s: str) -> bool:
+        if len(s) > len(self.w) - 1:
+            return False
+        if self.w.endswith(s):
+            self.j = len(self.w) - len(s) - 1
+            return True
+        return False
+
+    def _lookup(self) -> bool:
+        self.m = self.d.get(self.w)
+        return self.m is not None
+
+    def _word_in_dict(self):
+        # wordInDict(): cache only non-exception entries
+        if self.m is not None:
+            return self.m
+        e = self.d.get(self.w)
+        if e is not None and not e[1]:
+            self.m = e
+        return e
+
+    def _cons(self, i: int) -> bool:
+        ch = self.w[i]
+        if ch in "aeiou":
+            return False
+        if ch != "y" or i == 0:
+            return True
+        return not self._cons(i - 1)
+
+    def _vowel_in_stem(self) -> bool:
+        return any(not self._cons(i) for i in range(self.j + 1))
+
+    def _doublec(self, i: int) -> bool:
+        return i >= 1 and self.w[i] == self.w[i - 1] and self._cons(i)
+
+    # ------------------------------------------------------------ steps
+
+    def _plural(self):
+        w = self.w
+        if w[-1] != "s":
+            return
+        if self._ends("ies"):
+            base = w[: self.j + 1]
+            self.w = base + "ie"
+            if self._lookup():
+                return
+            self.w = base + "y"
+            self._lookup()
+            return
+        if self._ends("es"):
+            base = w[: self.j + 1]
+            j = self.j
+            self.w = base + "e"
+            try_e = j > 0 and not (base[-1] == "s" and base[-2] == "s")
+            if try_e and self._lookup():
+                return
+            self.w = base
+            if self._lookup():
+                return
+            self.w = base + "e"
+            if not try_e:
+                self._lookup()
+            return
+        if len(w) > 3 and w[-2] != "s" and not w.endswith("ous"):
+            self.w = w[:-1]
+            self._lookup()
+
+    def _past_tense(self):
+        if len(self.w) <= 4:
+            return
+        if self._ends("ied"):
+            base = self.w[: self.j + 1]
+            self.w = base + "ie"
+            if self._lookup():
+                return
+            self.w = base + "y"
+            self._lookup()
+            return
+        if self._ends("ed") and self._vowel_in_stem():
+            base = self.w[: self.j + 1]
+            self.w = base + "e"
+            e = self._word_in_dict()
+            if e is not None and not e[1]:
+                return
+            self.w = base
+            if self._lookup():
+                return
+            if self._doublec(len(self.w) - 1):
+                self.w = self.w[:-1]
+                if self._lookup():
+                    return
+                self.w += self.w[-1]
+                self._lookup()
+                return
+            if self.w[:2] == "un":
+                self.w = base + "ed"
+                return
+            self.w = base + "e"
+
+    def _aspect(self):
+        if len(self.w) <= 5:
+            return
+        if self._ends("ing") and self._vowel_in_stem():
+            base = self.w[: self.j + 1]
+            j = self.j
+            self.w = base + "e"
+            e = self._word_in_dict()
+            if e is not None and not e[1]:
+                return
+            self.w = base
+            if self._lookup():
+                return
+            if self._doublec(len(self.w) - 1):
+                self.w = self.w[:-1]
+                if self._lookup():
+                    return
+                self.w += self.w[-1]
+                self._lookup()
+                return
+            if j > 0 and self._cons(j) and self._cons(j - 1):
+                self.w = base
+                return
+            self.w = base + "e"
+
+    def _ity(self):
+        if not self._ends("ity"):
+            return
+        base = self.w[: self.j + 1]
+        j = self.j
+        w = self.w
+        self.w = base
+        if self._lookup():
+            return
+        self.w = base + "e"
+        if self._lookup():
+            return
+        self.w = w
+        if j > 0 and base[-2:] == "il":
+            self.w = base[:-2] + "le"
+            self._lookup()
+            return
+        if j > 0 and base[-2:] == "iv":
+            self.w = base + "e"
+            self._lookup()
+            return
+        if j > 0 and base[-2:] == "al":
+            self.w = base
+            self._lookup()
+            return
+        if self._lookup():
+            return
+        self.w = base
+
+    def _nce(self):
+        if not self._ends("nce"):
+            return
+        w = self.w
+        c = w[self.j]
+        if c not in "ea":
+            return
+        self.w = w[: self.j] + "e"
+        if self._lookup():
+            return
+        self.w = w[: self.j]
+        if self._lookup():
+            return
+        self.w = w
+
+    def _ness(self):
+        if self._ends("ness"):
+            base = self.w[: self.j + 1]
+            if base[-1] == "i":
+                base = base[:-1] + "y"
+            self.w = base
+            self._lookup()
+
+    def _ism(self):
+        if self._ends("ism"):
+            self.w = self.w[: self.j + 1]
+            self._lookup()
+
+    def _ment(self):
+        if self._ends("ment"):
+            w = self.w
+            self.w = w[: self.j + 1]
+            if self._lookup():
+                return
+            self.w = w
+
+    def _ize(self):
+        if not self._ends("ize"):
+            return
+        w = self.w
+        base = w[: self.j + 1]
+        self.w = base
+        if self._lookup():
+            return
+        if self._doublec(self.j):
+            self.w = base[:-1]
+            if self._lookup():
+                return
+        self.w = base + "e"
+        if self._lookup():
+            return
+        self.w = w
+
+    def _ncy(self):
+        if not self._ends("ncy"):
+            return
+        w = self.w
+        if w[self.j] not in "ea":
+            return
+        self.w = w[: self.j + 2] + "t"
+        if self._lookup():
+            return
+        self.w = w[: self.j + 2] + "ce"
+        self._lookup()
+
+    def _ble(self):
+        if not self._ends("ble"):
+            return
+        w = self.w
+        c = w[self.j]
+        if c not in "ai":
+            return
+        stem_ = w[: self.j]
+        self.w = stem_
+        if self._lookup():
+            return
+        if self._doublec(len(self.w) - 1):
+            self.w = stem_[:-1]
+            if self._lookup():
+                return
+            self.w = stem_
+        self.w = stem_ + "e"
+        if self._lookup():
+            return
+        self.w = stem_ + "ate"
+        if self._lookup():
+            return
+        self.w = w
+
+    def _ic(self):
+        if not self._ends("ic"):
+            return
+        w = self.w
+        base = w[: self.j + 1]
+        self.w = base + "ical"
+        if self._lookup():
+            return
+        self.w = base + "y"
+        if self._lookup():
+            return
+        self.w = base + "e"
+        if self._lookup():
+            return
+        self.w = base
+        if self._lookup():
+            return
+        self.w = w
+
+    def _ion(self):
+        if not self._ends("ion"):
+            return
+        w = self.w
+        if self._ends("ization"):
+            self.w = w[: self.j + 3] + "e"
+            self._lookup()
+            return
+        if self._ends("ition"):
+            self.w = w[: self.j + 1] + "e"
+            if self._lookup():
+                return
+            self.w = w
+        elif self._ends("ation"):
+            j = self.j
+            self.w = w[: j + 3] + "e"
+            if self._lookup():
+                return
+            self.w = w[: j + 1] + "e"
+            if self._lookup():
+                return
+            self.w = w[: j + 1]
+            if self._lookup():
+                return
+            self.w = w
+        if self._ends("ication"):
+            self.w = w[: self.j + 1] + "y"
+            if self._lookup():
+                return
+            self.w = w
+        j = len(self.w) - 4
+        self.w = w[: j + 1] + "e"
+        if self._lookup():
+            return
+        self.w = w[: j + 1]
+        if self._lookup():
+            return
+        self.w = w
+
+    def _er_or(self):
+        if self.w[-1] != "r":
+            return
+        w = self.w
+        if self._ends("izer"):
+            self.w = w[: self.j + 4]
+            self._lookup()
+            return
+        if self._ends("er") or self._ends("or"):
+            base = w[: self.j + 1]
+            c = w[self.j + 1]
+            if self._doublec(self.j):
+                self.w = base[:-1]
+                if self._lookup():
+                    return
+                self.w = base
+            if base[-1] == "i":     # -ier → -y
+                self.w = base[:-1] + "y"
+                if self._lookup():
+                    return
+            if base[-1] == "e":     # -eer
+                self.w = base[:-1]
+                if self._lookup():
+                    return
+            self.w = base + c       # remove the -r
+            if self._lookup():
+                return
+            self.w = base           # remove -er/-or
+            if self._lookup():
+                return
+            self.w = base + "e"     # -or → -e
+            if self._lookup():
+                return
+            self.w = w
+
+    def _ly(self):
+        if not self._ends("ly"):
+            return
+        w = self.w
+        base = w[: self.j + 1]
+        j = self.j
+        self.w = base + "le"
+        if self._lookup():
+            return
+        self.w = base
+        if self._lookup():
+            return
+        if j > 0 and base[-2:] == "al":
+            return                  # -ally → -al (word stays = base)
+        if j > 0 and base[-2:] == "ab":
+            self.w = base + "le"    # -ably → -able
+            return
+        self.w = w
+        if base[-1] == "i":         # militarily → military
+            self.w = base[:-1] + "y"
+            if self._lookup():
+                return
+            self.w = w
+        self.w = base               # default: remove -ly
+
+    def _al(self):
+        if len(self.w) < 4:
+            return
+        if not self._ends("al"):
+            return
+        w = self.w
+        base = w[: self.j + 1]
+        j = self.j
+        self.w = base
+        if self._lookup():
+            return
+        if self._doublec(j):
+            self.w = base[:-1]
+            if self._lookup():
+                return
+            self.w = base
+        self.w = base + "e"
+        if self._lookup():
+            return
+        self.w = base + "um"
+        if self._lookup():
+            return
+        self.w = w
+        if j > 0 and base[-2:] == "ic":
+            self.w = base[:-2]      # remove -ical
+            if self._lookup():
+                return
+            self.w = base[:-2] + "y"
+            if self._lookup():
+                return
+            self.w = base[:-2] + "ic"
+            self._lookup()          # KStemmer.java:1297 "// ERROR"
+            return
+        if base[-1] == "i":         # -ial
+            self.w = base[:-1]
+            if self._lookup():
+                return
+            self.w = w
+            self._lookup()
+
+    def _ive(self):
+        # KStemmer.java:1474 runs wordInDict() between alEndings and
+        # iveEndings with NO matched() gate in between — the caching
+        # lookup happens whether or not the word ends in -ive
+        self._word_in_dict()
+        if not self._ends("ive"):
+            return
+        w = self.w
+        base = w[: self.j + 1]
+        j = self.j
+        self.w = base
+        if self._lookup():
+            return
+        self.w = base + "e"
+        if self._lookup():
+            return
+        self.w = w
+        if j > 0 and base[-2:] == "at":
+            self.w = base[:-2] + "e"    # -ative → -e
+            if self._lookup():
+                return
+            self.w = base[:-2]          # remove -ative
+            if self._lookup():
+                return
+            self.w = w
+        self.w = base + "ion"           # -ive → -ion
+        if self._lookup():
+            return
+        self.w = w
+
+    # ------------------------------------------------------------ entry
+
+    def stem(self, term: str) -> str:
+        k = len(term) - 1
+        if k <= 1 or k >= MAX_WORD_LEN - 1:
+            return term
+        e = self.d.get(term)
+        if e is not None:
+            return e[0] if e[0] is not None else term
+        if not all("a" <= c <= "z" for c in term):
+            return term
+        self.w = term
+        self.m = None
+        for step in (self._plural, self._past_tense, self._aspect,
+                     self._ity, self._ness, self._ion, self._er_or,
+                     self._ly, self._al,
+                     self._ive, self._ize, self._ment, self._ble,
+                     self._ism, self._ic, self._ncy, self._nce):
+            step()
+            if self.m is not None:
+                break
+        if self.m is not None and self.m[0] is not None:
+            return self.m[0]
+        return self.w
+
+
+def krovetz_transform(en_dir: str):
+    """Analyzer-chain term transform backed by the reference-conformant
+    stemmer + a Lucene source drop's real lexicon (KStemFilter shape;
+    see tests/test_kstem_conformance.py for the acquisition flow)."""
+    st = KrovetzStemmer(tables_from_lucene_source(en_dir))
+    return st.stem

@@ -64,3 +64,19 @@ def thai_tokenize(text: str, lexicon=SEED_LEXICON) -> list[str]:
         last = m.end()
     out.extend(re.findall(r"[^\W_]+", text[last:]))
     return out
+
+
+def thai_lexicon_from_file(path: str) -> frozenset[str]:
+    """Acquisition flow (the kuromoji LSR_IPADIC_DIR pattern): load a
+    production Thai word list — one word per line, ``#`` comments
+    ignored — e.g. ICU4C's ``thaidict.txt`` source or libthai's
+    ``tdict-*.txt`` word lists. The reference delegates to the JRE's
+    built-in dictionary BreakIterator (ThaiTokenizer.java:30-42); a
+    user-supplied list gives this engine the same coverage."""
+    words = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            w = line.strip()
+            if w and not w.startswith("#"):
+                words.append(w)
+    return frozenset(words)

@@ -1,0 +1,79 @@
+"""KStem conformance — the reference's OWN golden file
+(analysis/common src/test .../en/kstemTestData.zip: 12,130 word→stem
+pairs from TestKStemmer.java) run against the reference-conformant
+KrovetzStemmer with the REAL ~30k lexicon.
+
+Acquisition flow (the kuromoji LSR_IPADIC_DIR pattern): the lexicon
+and exception tables are DATA parsed at load time from a Lucene
+source drop's ``.../org/apache/lucene/analysis/en`` directory
+(KStemData1-8.java string literals + KStemmer.java's four exception
+arrays) — nothing is bundled. ``LSR_KSTEM_DIR`` points at the drop;
+it defaults to the read-only reference snapshot when present, so the
+suite runs out of the box here and skips cleanly elsewhere."""
+
+import os
+import zipfile
+
+import pytest
+
+_DEFAULT = ("/root/reference/lucene/analysis/common/src/java/"
+            "org/apache/lucene/analysis/en")
+_TEST_ZIP = ("/root/reference/lucene/analysis/common/src/test/"
+             "org/apache/lucene/analysis/en/kstemTestData.zip")
+
+
+@pytest.fixture(scope="module")
+def stemmer():
+    d = os.environ.get("LSR_KSTEM_DIR", _DEFAULT)
+    if not os.path.isdir(d):
+        pytest.skip("set LSR_KSTEM_DIR to a Lucene source drop's "
+                    "analysis/en directory for real-lexicon "
+                    "conformance")
+    from lucene_solr_ray.analysis.kstem import (KrovetzStemmer,
+                                                tables_from_lucene_source)
+
+    return KrovetzStemmer(tables_from_lucene_source(d))
+
+
+def test_full_golden_file_conformance(stemmer):
+    """Every pair of the reference's kstem_examples.txt must match —
+    100%, not a similarity floor."""
+    if not os.path.exists(_TEST_ZIP):
+        pytest.skip("reference kstemTestData.zip not available")
+    z = zipfile.ZipFile(_TEST_ZIP)
+    pairs = [ln.split("\t") for ln in
+             z.read("kstem_examples.txt").decode().splitlines()
+             if "\t" in ln]
+    assert len(pairs) > 12_000
+    bad = [(w, stemmer.stem(w), want) for w, want in pairs
+           if stemmer.stem(w) != want]
+    assert bad == [], f"{len(bad)} mismatches, first 10: {bad[:10]}"
+
+
+def test_exception_table_semantics(stemmer):
+    # direct conflations + nationalities resolve through entry roots
+    assert stemmer.stem("american") == "america"
+    assert stemmer.stem("aging") == "age"
+    assert stemmer.stem("fled") == "flee"
+    # exception words block the -e stripping paths
+    assert stemmer.stem("aides") == "aide"
+    # proper nouns are their own stems
+    assert stemmer.stem("adams") == "adams"
+
+
+def test_mechanics_without_external_data():
+    """Data-free check of the step machinery over a toy table set (the
+    suite's always-run half — the golden test above needs the drop)."""
+    from lucene_solr_ray.analysis.kstem import (KrovetzStemmer,
+                                                KStemTables)
+
+    t = KStemTables(lexicon=["walk", "index", "happy", "decide",
+                             "decision"],
+                    direct_conflations=[("does", "do")])
+    st = KrovetzStemmer(t)
+    assert st.stem("walked") == "walk"
+    assert st.stem("walking") == "walk"
+    assert st.stem("indexes") == "index"
+    assert st.stem("happiness") == "happy"
+    assert st.stem("does") == "do"
+    assert st.stem("xyzzy") == "xyzzy"   # untouched unknowns

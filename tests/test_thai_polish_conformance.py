@@ -1,0 +1,75 @@
+"""Thai + Polish (morfologik) real-dictionary conformance — the
+kuromoji LSR_IPADIC_DIR acquisition pattern for the two remaining
+demo-lexicon languages (VERDICT r4 #9).
+
+- ``LSR_THAI_DICT``: path to a production Thai word list (one word per
+  line — ICU4C ``thaidict.txt`` or libthai ``tdict-*.txt``); loaded by
+  analysis/thai.thai_lexicon_from_file. The reference's ThaiTokenizer
+  delegates to the JRE dictionary BreakIterator
+  (th/ThaiTokenizer.java:30-42); with a real list the greedy
+  longest-match engine must reproduce the reference's own golden
+  segmentation (th/TestThaiAnalyzer.java:44-47).
+- ``LSR_POLIMORF_TSV``: path to a PoliMorf/morfologik plain-text
+  dictionary (``inflected<TAB>lemma<TAB>tag`` lines, the format the
+  binary FSA is compiled from); loaded by
+  MorfologikDictionary.from_tsv. Goldens from
+  TestMorfologikAnalyzer.java:46-47.
+
+Without the env vars the real-dict cases SKIP and the pinned
+seed-lexicon fallbacks run (the documented out-of-box behavior)."""
+
+import os
+
+import pytest
+
+THAI_GOLDEN = ("การที่ได้ต้องแสดงว่างานดี",
+               ["การ", "ที่", "ได้", "ต้อง", "แสดง", "ว่า", "งาน", "ดี"])
+
+
+def test_thai_seed_fallback_pinned():
+    from lucene_solr_ray.analysis.thai import thai_tokenize
+
+    text, want = THAI_GOLDEN
+    assert thai_tokenize(text) == want
+
+
+def test_thai_real_dictionary_conformance():
+    p = os.environ.get("LSR_THAI_DICT")
+    if not p:
+        pytest.skip("set LSR_THAI_DICT to a Thai word list "
+                    "(ICU thaidict.txt / libthai tdict) for "
+                    "real-dictionary conformance")
+    from lucene_solr_ray.analysis.thai import (thai_lexicon_from_file,
+                                               thai_tokenize)
+
+    lex = thai_lexicon_from_file(p)
+    assert len(lex) > 10_000   # a real list, not a stub
+    text, want = THAI_GOLDEN
+    assert thai_tokenize(text, lexicon=lex) == want
+
+
+def test_morfologik_seed_mechanics():
+    """Data-free mechanics: from_tsv + lemma replacement semantics
+    (MorfologikFilter.java:132-143)."""
+    from lucene_solr_ray.analysis.morfologik import MorfologikDictionary
+
+    d = MorfologikDictionary.from_tsv(
+        "liście\tliść\tsubst\nliście\tlist\tsubst\n"
+        "danych\tdany\tadj\n")
+    assert {l for l, _t in d.lookup("liście")} == {"liść", "list"}
+
+
+def test_morfologik_real_polimorf_conformance():
+    p = os.environ.get("LSR_POLIMORF_TSV")
+    if not p:
+        pytest.skip("set LSR_POLIMORF_TSV to a PoliMorf plain-text "
+                    "dictionary for real-dictionary conformance")
+    from lucene_solr_ray.analysis.morfologik import MorfologikDictionary
+
+    with open(p, encoding="utf-8") as f:
+        d = MorfologikDictionary.from_tsv(f.read())
+    # TestMorfologikAnalyzer.java:46-47
+    got = {l for l, _t in d.lookup_with_fallback("liście")}
+    assert {"liść", "list", "lista"} <= got
+    got = {l for l, _t in d.lookup_with_fallback("danych")}
+    assert {"dany", "dana", "dane", "dać"} <= got
