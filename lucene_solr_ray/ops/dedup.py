@@ -912,30 +912,63 @@ def simhash64(texts: pa.Array, hash: str = "blake2b") -> np.ndarray:
     return out
 
 
-def simhash_pairs(sf_dir: str, max_hamming: int = 3,
-                  hash: str = "blake2b") -> pa.Table:
-    """Near-dup pairs by simhash Hamming distance ≤ 3 using pigeonhole
-    banding on four 16-bit chunks (any pair within distance 3 shares at
-    least one exact chunk).
-
-    Fully dataset-side: the signature stage emits the four (chunk, val)
-    band rows per doc WITH the doc's own signature, so the banding
-    groupby's group payload already carries everything the pairwise
-    Hamming check needs — no driver-side signature table, no broadcast
-    dict (the 100 TB shape)."""
+def simhash_pairs_ds(sf_dir: str, max_hamming: int = 3,
+                     hash: str = "blake2b"):
+    """Streaming core of :func:`simhash_pairs` with SIGNATURE
+    contraction: docs sharing the exact 64-bit simhash (identical or
+    near-identical token multisets — all exact duplicates land here)
+    form a group; only the group's min-doc representative enters the
+    pigeonhole banding and the pair self-join, and member-level pairs
+    are reconstructed afterwards (internal pairs are Hamming 0, cross
+    pairs inherit the rep pair's distance — both exact, since every
+    member carries the same signature)."""
     import ray.data as rd
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
 
-    def band_stage(batch: pa.Table) -> pa.Table:
+    def sig_stage(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch["doc_id"], dtype=np.int64)
         sigs = simhash64(batch["text"], hash=hash)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "sig": pa.array(sigs, type=pa.uint64()),
+        })
+
+    sig_ds = ds.map_batches(sig_stage, batch_format="pyarrow",
+                            batch_size=1024).materialize()
+
+    def mem_kern(df: pd.DataFrame) -> pa.Table:
+        rep = df.groupby("sig")["doc_id"].transform("min")
+        sz = df.groupby("sig")["doc_id"].transform("size")
+        m = (sz >= 2).to_numpy()
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy()[m], pa.int64()),
+            "rep": pa.array(rep.to_numpy()[m], pa.int64()),
+        })
+
+    members = _drop_empty_blocks(_grouped_blocks(sig_ds, ["sig"],
+                                                 mem_kern))
+    n_members = members.count()
+
+    def contract_kern(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("sig", as_index=False, sort=False)["doc_id"] \
+            .min()
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+            "sig": pa.array(g["sig"].to_numpy(np.uint64), pa.uint64()),
+        })
+
+    reps = _grouped_blocks(sig_ds, ["sig"], contract_kern)
+
+    def band_stage(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        sigs = np.asarray(batch["sig"]).astype(np.uint64)
         n = len(ids)
         chunk = np.repeat(np.arange(4, dtype=np.int32), n)
         val = np.concatenate([
-            ((sigs >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
-            for c in range(4)])
+            ((sigs >> np.uint64(16 * c)) & np.uint64(0xFFFF))
+            .astype(np.int64) for c in range(4)])
         return pa.table({
             "chunk": pa.array(chunk, type=pa.int32()),
             "val": pa.array(val, type=pa.int64()),
@@ -943,25 +976,47 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3,
             "sig": pa.array(np.tile(sigs, 4), type=pa.uint64()),
         })
 
-    cand_ds = ds.map_batches(band_stage, batch_format="pyarrow",
-                             batch_size=1024)
+    cand_ds = reps.map_batches(band_stage, batch_format="pyarrow")
 
-    def hamming_filter(t: pa.Table) -> pa.Table:
+    def hamming_filter(t: pa.Table):
         # vectorized XOR + byte-table popcount over the joined pairs;
         # each side's signature rode the join as a payload column
+        if t.num_columns == 0 or len(t) == 0:
+            return
         sa = np.asarray(t["sig_a"]).astype(np.uint64)
         sb = np.asarray(t["sig_b"]).astype(np.uint64)
         d = _popcount64(sa ^ sb)
         keep = d <= max_hamming
-        return pa.table({
+        yield pa.table({
             "a": t["a"], "b": t["b"],
             "hamming": pa.array(d, pa.int64()),
         }).filter(pa.array(keep))
 
-    pairs = _bucket_pairs_selfjoin(cand_ds, ("chunk", "val"),
-                                   payload="sig")
-    df = (pairs.map_batches(hamming_filter, batch_format="pyarrow")
-          .to_pandas().drop_duplicates(["a", "b"]).sort_values(["a", "b"]))
+    def uniq_kern(df: pd.DataFrame) -> pa.Table:
+        # hamming is a pure function of the (a, b) signatures, so
+        # drop_duplicates keeps one consistent value per pair
+        u = df.drop_duplicates(["a", "b"])
+        return pa.table({c: pa.array(u[c].to_numpy(np.int64))
+                         for c in ("a", "b", "hamming")})
+
+    rep_pairs = _grouped_blocks(
+        _bucket_pairs_selfjoin(cand_ds, ("chunk", "val"), payload="sig")
+        .map_batches(hamming_filter, batch_format="pyarrow"),
+        ["a", "b"], uniq_kern)
+
+    return _expand_rep_pairs(rep_pairs, members, n_members,
+                             "hamming", 0)
+
+
+def simhash_pairs(sf_dir: str, max_hamming: int = 3,
+                  hash: str = "blake2b") -> pa.Table:
+    """Near-dup pairs by simhash Hamming distance ≤ 3 using pigeonhole
+    banding on four 16-bit chunks (any pair within distance 3 shares at
+    least one exact chunk); signature-contracted (see
+    :func:`simhash_pairs_ds`), fully dataset-side."""
+    df = (simhash_pairs_ds(sf_dir, max_hamming, hash)
+          .to_pandas().drop_duplicates(["a", "b"])
+          .sort_values(["a", "b"]))
     for c in ("a", "b", "hamming"):
         df[c] = df[c].astype("int64")
     return pa.Table.from_pandas(df.reset_index(drop=True),

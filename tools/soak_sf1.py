@@ -8,6 +8,9 @@ import signal
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
@@ -30,6 +33,10 @@ def main():
     signal.signal(signal.SIGALRM, alarm)
     results = {}
     names = sorted(qs)
+    only = os.environ.get("SOAK_ONLY")
+    if only:
+        want = [n for n in only.split(",") if n]
+        names = [n for n in want if n in qs]
     for i, name in enumerate(names):
         t0 = time.time()
         status = "ok"
