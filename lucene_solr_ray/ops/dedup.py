@@ -902,13 +902,16 @@ def simhash64(texts: pa.Array, hash: str = "blake2b") -> np.ndarray:
     bits8 = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1,
                           bitorder="little")
     signs = bits8.astype(np.int32) * 2 - 1
-    starts = np.minimum(np.concatenate(([0], np.cumsum(lens)))[:-1],
-                        max(len(h) - 1, 0))
-    acc = np.add.reduceat(signs, starts, axis=0)
-    acc[lens == 0] = 0  # reduceat emits garbage rows for empty slices
+    # reduceat over NONEMPTY docs only: their starts are all < len(h),
+    # and consecutive nonempty starts bound exactly one doc's tokens
+    # (empty docs in between contribute no rows) — clipping trailing
+    # empty-doc starts instead would truncate the last doc's segment
+    nz = lens > 0
+    starts_nz = np.concatenate(([0], np.cumsum(lens)))[:-1][nz]
+    acc = np.add.reduceat(signs, starts_nz, axis=0)
     shifts = np.arange(64, dtype=np.uint64)
     bits = (acc > 0).astype(np.uint64)
-    out = (bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    out[nz] = (bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
     return out
 
 

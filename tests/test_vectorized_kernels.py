@@ -165,3 +165,94 @@ def test_bucket_pairs_selfjoin_equals_triu(ray_session):
     want = (pd.DataFrame(rows, columns=["a", "b"])
             .sort_values(["a", "b"]).reset_index(drop=True))
     assert got.values.tolist() == want.values.tolist()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=0, max_value=2**32))
+def test_segment_intersections_equals_per_pair(seed):
+    """Round-5 verify kernel: the lexsort adjacent-duplicate count must
+    equal per-pair np.intersect1d for arbitrary distinct-valued
+    segments (including empties)."""
+    from lucene_solr_ray.ops.dedup import _segment_intersections
+
+    rng = np.random.default_rng(seed)
+    offs_a, offs_b, fa, fb, truth = [0], [0], [], [], []
+    for _ in range(rng.integers(1, 40)):
+        A = np.unique(rng.integers(0, 60,
+                                   rng.integers(0, 25)).astype(np.uint64))
+        B = np.unique(rng.integers(0, 60,
+                                   rng.integers(0, 25)).astype(np.uint64))
+        fa.append(A)
+        fb.append(B)
+        offs_a.append(offs_a[-1] + len(A))
+        offs_b.append(offs_b[-1] + len(B))
+        truth.append(len(np.intersect1d(A, B)))
+    got = _segment_intersections(
+        np.concatenate(fa) if fa else np.empty(0, np.uint64),
+        np.asarray(offs_a),
+        np.concatenate(fb) if fb else np.empty(0, np.uint64),
+        np.asarray(offs_b))
+    assert got.tolist() == truth
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=0, max_value=2**32))
+def test_simhash_vectorized_equals_classic_formulation(seed):
+    """The unpackbits + add.reduceat simhash must equal the classic
+    per-doc unique-term count-weighted sign sum."""
+    import hashlib
+
+    from lucene_solr_ray.ops.dedup import simhash64
+
+    rng = np.random.default_rng(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "x1", "y2"]
+    texts = [" ".join(rng.choice(vocab, rng.integers(0, 30)))
+             for _ in range(5)] + [""]
+    got = simhash64(pa.array(texts))
+
+    from lucene_solr_ray.analysis.analyzer import analyze_batch
+
+    ab = analyze_batch(pa.array(texts), keep_stopwords=True)
+    toks = ab.terms.to_pylist()
+    starts = np.concatenate(([0], np.cumsum(ab.doc_lengths)))
+    bitcols = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    for d in range(len(texts)):
+        ws = toks[starts[d]:starts[d + 1]]
+        if not ws:
+            assert got[d] == 0
+            continue
+        uniq, counts = np.unique(ws, return_counts=True)
+        hs = np.array([int.from_bytes(hashlib.blake2b(
+            w.encode(), digest_size=8).digest(), "big")
+            for w in uniq], dtype=np.uint64)
+        bits = ((hs[:, None] & bitcols[None, :]) != 0).astype(np.int64)
+        acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+        want = np.bitwise_or.reduce(bitcols[acc > 0]) \
+            if (acc > 0).any() else np.uint64(0)
+        assert got[d] == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=0, max_value=2**32))
+def test_shingle_sets_match_string_shingles(seed):
+    """Horner shingle-hash sets must be injective over the string
+    3-grams (per-doc counts equal the distinct string-shingle counts,
+    and identical docs get identical sets + digests)."""
+    from lucene_solr_ray.ops.dedup import SHINGLE_K, _shingle_sets
+
+    rng = np.random.default_rng(seed)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    docs = [" ".join(rng.choice(vocab, rng.integers(0, 12)))
+            for _ in range(6)]
+    docs.append(docs[0])   # planted duplicate
+    flat, counts, dg = _shingle_sets(pa.array(docs))
+    offs = np.concatenate(([0], np.cumsum(counts)))
+    for i, d in enumerate(docs):
+        ws = d.split()
+        want = {" ".join(ws[j:j + SHINGLE_K])
+                for j in range(max(0, len(ws) - SHINGLE_K + 1))}
+        assert counts[i] == len(want), (d, counts[i], want)
+        seg = flat[offs[i]:offs[i + 1]]
+        assert (np.diff(seg.astype(np.int64)) > 0).all() if len(seg) > 1 \
+            else True
+    assert dg[-1] == dg[0] and counts[-1] == counts[0]
