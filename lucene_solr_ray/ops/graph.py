@@ -198,8 +198,19 @@ def _event_edges_int(sf_dir: str):
             "dst": pa.array(np.concatenate([et, u]), pa.int64()),
         })
 
-    edges = (ds.map_batches(to_edges, batch_format="pyarrow")
-             .groupby(["src", "dst"]).count())
+    from .temporal import grouped_agg_blocks
+
+    def distinct_kern(df) -> pa.Table:
+        u = df.drop_duplicates(["src", "dst"])
+        return pa.table({"src": pa.array(u["src"].to_numpy(np.int64)),
+                         "dst": pa.array(u["dst"].to_numpy(np.int64))})
+
+    # distinct over edge-cardinality rows through key-complete
+    # partitions (the Ray Aggregate operator costs ~8 s per million
+    # groups regardless of key shape — round-4 measurement)
+    edges = grouped_agg_blocks(
+        ds.map_batches(to_edges, batch_format="pyarrow"),
+        ["src", "dst"], distinct_kern)
     return edges, types
 
 
@@ -222,31 +233,31 @@ def pagerank(sf_dir: str, iters: int = PAGERANK_ITERS,
     asc) — event-type nodes, coded negative, sort before users."""
     import pandas as pd
 
-    edges, types = _event_edges_int(sf_dir)
+    from .dedup import _drop_empty_blocks
+    from .temporal import grouped_agg_blocks
 
-    def strip_cnt(t: pa.Table) -> pa.Table:
-        return t.select(["src", "dst"])
+    edges, types = _event_edges_int(sf_dir)
 
     # pin the deduplicated edge list: it feeds the degree groupby AND
     # the join below, and Ray's sort re-executes a lazy upstream per
-    # consumer (sf1-measured multi-x)
-    edges = edges.map_batches(strip_cnt, batch_format="pyarrow") \
-        .materialize()
+    # consumer (sf1-measured multi-x). _drop_empty_blocks (not plain
+    # materialize): the grouped distinct can emit 0-row empty-schema
+    # blocks, and a join whose input's FIRST block is 0-row loses its
+    # schema broadcast (CLAUDE.md)
+    edges = _drop_empty_blocks(edges)
 
-    deg = edges.groupby("src").count()
+    def deg_kern(df) -> pa.Table:
+        g = df.groupby("src", as_index=False, sort=False).size()
+        return pa.table({
+            "src_d": pa.array(g["src"].to_numpy(np.int64)),
+            "outdeg": pa.array(g["size"].to_numpy(np.int64))})
 
-    def deg_cols(t: pa.Table) -> pa.Table:
-        return pa.table({"src_d": t["src"],
-                         "outdeg": pc.cast(t["count()"], pa.int64())})
-
-    # repartition scrubs 0-row empty-schema blocks (hash-shuffle
-    # artifacts) that would otherwise poison the join's key resolution
-    deg = (deg.map_batches(deg_cols, batch_format="pyarrow")
-           .repartition(num_partitions).materialize())
-    edges_deg = edges.join(deg, join_type="inner",
-                           num_partitions=num_partitions,
-                           on=("src",), right_on=("src_d",)) \
-                     .repartition(num_partitions).materialize()
+    deg = _drop_empty_blocks(grouped_agg_blocks(edges, ["src"],
+                                                deg_kern))
+    edges_deg = _drop_empty_blocks(
+        edges.join(deg, join_type="inner",
+                   num_partitions=num_partitions,
+                   on=("src",), right_on=("src_d",)))
 
     def init_rank(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -254,29 +265,47 @@ def pagerank(sf_dir: str, iters: int = PAGERANK_ITERS,
                          "rank_u": pa.array(
                              np.full(n, PR_SCALE, dtype=np.int64))})
 
-    ranks = deg.map_batches(init_rank, batch_format="pyarrow") \
-               .repartition(num_partitions).materialize()
+    ranks = _drop_empty_blocks(
+        deg.map_batches(init_rank, batch_format="pyarrow"))
 
-    def contrib(t: pa.Table) -> pa.Table:
+    def contrib(t: pa.Table):
+        # ALWAYS yield the full schema (grouped_agg_blocks indexes the
+        # key columns of every block)
+        if t.num_columns == 0 or len(t) == 0:
+            z = pa.array([], pa.int64())
+            yield pa.table({"dst": z, "c": z})
+            return
         r = np.asarray(t["rank_u"], dtype=np.int64)
         d = np.asarray(t["outdeg"], dtype=np.int64)
-        return pa.table({"dst": t["dst"], "c": r // d})
+        # per-block partial sums (combiner): the shuffle carries at
+        # most (distinct dst per block) rows, never the edge list
+        dst = np.asarray(t["dst"], dtype=np.int64)
+        c = r // d
+        order = np.argsort(dst, kind="stable")
+        ds_, cs = dst[order], c[order]
+        new = np.ones(len(ds_), dtype=bool)
+        new[1:] = ds_[1:] != ds_[:-1]
+        starts = np.flatnonzero(new)
+        sums = np.add.reduceat(cs, starts)
+        yield pa.table({"dst": pa.array(ds_[starts], pa.int64()),
+                        "c": pa.array(sums, pa.int64())})
 
-    def finish(t: pa.Table) -> pa.Table:
-        s = np.asarray(t["sum(c)"], dtype=np.int64)
+    def sum_kern(df) -> pa.Table:
+        g = df.groupby("dst", as_index=False, sort=False)["c"].sum()
+        s = g["c"].to_numpy(np.int64)
         new = PR_BASE + (PR_DAMP_NUM * s) // PR_DAMP_DEN
-        return pa.table({"node": t["dst"], "rank_u": new})
+        return pa.table({"node": pa.array(g["dst"].to_numpy(np.int64)),
+                         "rank_u": pa.array(new, pa.int64())})
 
     for _ in range(iters):
         prop = edges_deg.join(ranks, join_type="inner",
                               num_partitions=num_partitions,
                               on=("src",), right_on=("node",))
-        ranks = (prop.map_batches(contrib, batch_format="pyarrow")
-                 .groupby("dst").sum("c")
-                 .map_batches(finish, batch_format="pyarrow")
-                 # scrub the 0-row empty-schema blocks hash shuffles
-                 # emit — they poison the next round's join
-                 .repartition(num_partitions).materialize())
+        # _drop_empty_blocks: the next round joins on ranks — a 0-row
+        # first block would starve the join's schema broadcast
+        ranks = _drop_empty_blocks(grouped_agg_blocks(
+            prop.map_batches(contrib, batch_format="pyarrow"),
+            ["dst"], sum_kern))
 
     top = (ranks.sort(["rank_u", "node"], descending=[True, False])
            .limit(k).to_pandas())
@@ -355,21 +384,28 @@ def label_propagation(sf_dir: str, iters: int = LP_ITERS,
     Python (the sf1 soak cliffs)."""
     import pandas as pd
 
+    from .dedup import _drop_empty_blocks
+    from .temporal import grouped_agg_blocks
+
     edges, types = _event_edges_int(sf_dir)
 
-    def strip_cnt(t: pa.Table) -> pa.Table:
-        return t.select(["src", "dst"])
+    edges = _drop_empty_blocks(edges)
 
-    edges = (edges.map_batches(strip_cnt, batch_format="pyarrow")
-             .repartition(num_partitions).materialize())
+    def init_kern(df) -> pa.Table:
+        u = df["src"].drop_duplicates().to_numpy(np.int64)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "lab": pa.array(u, pa.int64())})
 
-    labels = (edges.groupby("src").count()
-              .map_batches(lambda t: pa.table({"node": t["src"],
-                                               "lab": t["src"]}),
-                           batch_format="pyarrow")
-              .repartition(num_partitions).materialize())
+    labels = _drop_empty_blocks(
+        grouped_agg_blocks(edges, ["src"], init_kern))
 
     def partial_counts(t: pa.Table) -> pa.Table:
+        # ALWAYS return the full schema (0-row on empty/empty-schema
+        # join blocks) — grouped_agg_blocks' partition stage indexes
+        # the key columns of every block it receives
+        if t.num_columns == 0 or len(t) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"dst": z, "lab": z, "n": z})
         df = pd.DataFrame({"dst": np.asarray(t["dst"], dtype=np.int64),
                            "lab": np.asarray(t["lab"], dtype=np.int64)})
         g = (df.groupby(["dst", "lab"], as_index=False).size()
@@ -379,34 +415,33 @@ def label_propagation(sf_dir: str, iters: int = LP_ITERS,
             "lab": pa.array(g["lab"].to_numpy(np.int64), pa.int64()),
             "n": pa.array(g["n"].to_numpy(np.int64), pa.int64())})
 
-    def pack(t: pa.Table) -> pa.Table:
-        # rename_columns-free: groupby sum emits 'sum(n)'
-        n = np.asarray(t["sum(n)"], dtype=np.int64)
-        lab = np.asarray(t["lab"], dtype=np.int64)
+    def argmax_kern(df) -> pa.Table:
+        # dst-complete partition: the global (dst, lab) count sum AND
+        # the per-dst packed argmax (count-major, then smallest label)
+        # in one C-level pass — one shuffle per round instead of the
+        # former sum + max pair of Aggregate operators
+        g = df.groupby(["dst", "lab"], as_index=False,
+                       sort=False)["n"].sum()
+        n = g["n"].to_numpy(np.int64)
+        lab = g["lab"].to_numpy(np.int64)
         packed = (n << np.int64(32)) | (_LP_LAB_OFF - lab)
+        h = pd.DataFrame({"node": g["dst"].to_numpy(np.int64),
+                          "p": packed})
+        m = h.groupby("node", as_index=False, sort=False)["p"].max()
+        out_lab = _LP_LAB_OFF - (m["p"].to_numpy(np.int64)
+                                 & ((np.int64(1) << np.int64(32)) - 1))
         return pa.table({
-            "node": t["dst"],
-            "p": pa.array(packed, pa.int64())})
-
-    def unpack(t: pa.Table) -> pa.Table:
-        p = np.asarray(t["max(p)"], dtype=np.int64)
-        lab = _LP_LAB_OFF - (p & ((np.int64(1) << np.int64(32)) - 1))
-        return pa.table({"node": t["node"],
-                         "lab": pa.array(lab, pa.int64())})
+            "node": pa.array(m["node"].to_numpy(np.int64), pa.int64()),
+            "lab": pa.array(out_lab, pa.int64())})
 
     for _ in range(iters):
         prop = edges.join(labels, join_type="inner",
                           num_partitions=num_partitions,
                           on=("src",), right_on=("node",))
-        labels = (prop.map_batches(partial_counts,
-                                   batch_format="pyarrow")
-                  .groupby(["dst", "lab"]).sum("n")
-                  .map_batches(pack, batch_format="pyarrow")
-                  .groupby("node").max("p")
-                  .map_batches(unpack, batch_format="pyarrow")
-                  # scrub hash-shuffle empty-schema blocks before the
-                  # next round's join (connected_components discipline)
-                  .repartition(num_partitions).materialize())
+        # _drop_empty_blocks: the next round's join reads labels
+        labels = _drop_empty_blocks(grouped_agg_blocks(
+            prop.map_batches(partial_counts, batch_format="pyarrow"),
+            ["dst"], argmax_kern))
 
     # per-batch (lab, n) partials, one int groupby
     sizes = (labels.map_batches(
