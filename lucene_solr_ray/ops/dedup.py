@@ -511,6 +511,8 @@ def _verify_pairs_join(cand, sh_ds, threshold: float):
 
     def verify(batch: pa.Table):
         if batch.num_columns == 0 or len(batch) == 0:
+            z = pa.array([], pa.int64())
+            yield pa.table({"a": z, "b": z, "j_q": z})
             return
         cols = batch.column_names
         sa_col = "sh_bin" if "sh_bin" in cols else "sh_bin_a"
@@ -636,7 +638,12 @@ def _partial_dedup(t: pa.Table) -> pa.Table:
     # per-block pair dedup BEFORE the global rollup — a pair can
     # repeat once per band (16×); shrinking blocks first keeps the
     # two-column shuffle from blowing up on a dup-heavy corpus
-    # (measured at sf1: the un-shrunk shuffle was the scale cliff)
+    # (measured at sf1: the un-shrunk shuffle was the scale cliff).
+    # ALWAYS return the full schema — empty-schema 0-row blocks from
+    # yield-nothing upstream tasks would otherwise KeyError here
+    if t.num_columns == 0 or len(t) == 0:
+        z = pa.array([], pa.int64())
+        return pa.table({"a": z, "b": z})
     arr = np.stack([np.asarray(t["a"], dtype=np.int64),
                     np.asarray(t["b"], dtype=np.int64)], axis=1)
     u = np.unique(arr, axis=0)
@@ -681,7 +688,18 @@ def _minhash_rep_verified(sf_dir: str, *, verify: str = "join"):
         batch_format="pyarrow")
     cand = (_bucket_pairs_selfjoin(contracted, ("band", "bh"))
             .map_batches(_partial_dedup, batch_format="pyarrow"))
-    uniq = _uniq_pairs(cand)
+    uniq = _drop_empty_blocks(_uniq_pairs(cand))
+    if uniq.count() == 0:
+        # all duplicates are exact (distinct sets never co-bucket):
+        # skip the verify joins outright — an all-0-row left side
+        # would starve the join's schema broadcast (CLAUDE.md)
+        import ray.data as rd
+
+        empty = rd.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "j_q": pa.array([], pa.int64())}))
+        return sh_ds, empty, members, n_members
 
     if verify == "join":
         ver = _verify_pairs_join(uniq, sh_ds, JACCARD_THRESHOLD)
@@ -760,6 +778,8 @@ def _expand_rep_pairs(ver_ds, members, n_members, val_col: str,
 
     def sub_a(t: pa.Table):
         if t.num_columns == 0 or len(t) == 0:
+            z = pa.array([], pa.int64())
+            yield pa.table({"a": z, "b": z, val_col: z})
             return
         a = np.asarray(t["a"], dtype=np.int64)
         mem = t["doc_id"].combine_chunks() if \
@@ -769,12 +789,19 @@ def _expand_rep_pairs(ver_ds, members, n_members, val_col: str,
         yield pa.table({"a": pa.array(a2, pa.int64()), "b": t["b"],
                         val_col: t[val_col]})
 
-    jb = ja.map_batches(sub_a, batch_format="pyarrow") \
+    # scrub between the joins: the first join emits 0-row blocks
+    # freely, and the SECOND join's left side would lose its schema
+    # broadcast on them (the shuffle task early-returns on 0-row
+    # blocks without disseminating — CLAUDE.md)
+    jb = _drop_empty_blocks(
+        ja.map_batches(sub_a, batch_format="pyarrow")) \
         .join(members, join_type="left_outer", num_partitions=nparts,
               on=("b",), right_on=("rep",), right_suffix="_mb")
 
     def sub_b(t: pa.Table):
         if t.num_columns == 0 or len(t) == 0:
+            z = pa.array([], pa.int64())
+            yield pa.table({"a": z, "b": z, val_col: z})
             return
         a = np.asarray(t["a"], dtype=np.int64)
         b = np.asarray(t["b"], dtype=np.int64)
@@ -807,6 +834,8 @@ def _expand_internal(members, val_col: str, internal_val):
 
         def tag(t: pa.Table):
             if t.num_columns == 0 or len(t) == 0:
+                z = pa.array([], pa.int64())
+                yield pa.table({"a": z, "b": z, val_col: z})
                 return
             yield pa.table({
                 "a": t["a"], "b": t["b"],
@@ -826,6 +855,8 @@ def _expand_internal(members, val_col: str, internal_val):
 
     def strip(t: pa.Table):
         if t.num_columns == 0 or len(t) == 0:
+            z = pa.array([], pa.int64())
+            yield pa.table({"a": z, "b": z, val_col: z})
             return
         yield t.select(["a", "b", val_col])
 
@@ -983,8 +1014,12 @@ def simhash_pairs_ds(sf_dir: str, max_hamming: int = 3,
 
     def hamming_filter(t: pa.Table):
         # vectorized XOR + byte-table popcount over the joined pairs;
-        # each side's signature rode the join as a payload column
+        # each side's signature rode the join as a payload column.
+        # ALWAYS yield the full schema (feeds a key-complete-partition
+        # rollup that indexes the key columns of every block)
         if t.num_columns == 0 or len(t) == 0:
+            z = pa.array([], pa.int64())
+            yield pa.table({"a": z, "b": z, "hamming": z})
             return
         sa = np.asarray(t["sig_a"]).astype(np.uint64)
         sb = np.asarray(t["sig_b"]).astype(np.uint64)
@@ -1111,6 +1146,9 @@ def substring_dup_pairs_ds(sf_dir: str, k: int = SUBSTRING_K):
     # totals through key-complete partitions — never a driver-side
     # pair table
     def partial_counts(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"a": z, "b": z, "n_shared": z})
         arr = np.stack([np.asarray(t["a"], dtype=np.int64),
                         np.asarray(t["b"], dtype=np.int64)], axis=1)
         u, c = np.unique(arr, axis=0, return_counts=True)
@@ -1352,6 +1390,8 @@ def dedup_clusters(sf_dir: str) -> pa.Table:
 
     def ab_only(t: pa.Table):
         if t.num_columns == 0 or len(t) == 0:
+            z = pa.array([], pa.int64())
+            yield pa.table({"a": z, "b": z})
             return
         yield t.select(["a", "b"])
 

@@ -666,3 +666,36 @@ def test_dedup_scale_guards(ray_session, monkeypatch):
     monkeypatch.setattr(dd, "ALL_PAIRS_MAX_DOCS", 0)
     with pytest.raises(ValueError, match="all-pairs"):
         dd.ngram_jaccard_pairs(sf)
+
+
+def test_minhash_contraction_all_exact_duplicates(ray_session, tmp_path):
+    """A corpus where EVERY near-dup group is an exact-duplicate set:
+    rep contraction yields zero cross-group candidate pairs, and the
+    pipeline must still emit all within-group pairs (J=1) and cluster
+    them — without the verify join ever seeing an all-empty side."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.ops.dedup import (dedup_clusters,
+                                           minhash_lsh_pairs)
+
+    texts = ["the quick brown fox jumps over the lazy dog again",
+             "completely different content about database engines"]
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 10, 11], type=pa.int64()),
+        "text": pa.array([texts[0], texts[0], texts[0],
+                          texts[1], texts[1]]),
+        "n_chars": pa.array([len(texts[0])] * 3 + [len(texts[1])] * 2,
+                            type=pa.int64()),
+    })
+    d = tmp_path / "fixture"
+    d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+
+    pairs = minhash_lsh_pairs(str(d)).to_pandas()
+    got = set(zip(pairs["a"], pairs["b"]))
+    assert got == {(1, 2), (1, 3), (2, 3), (10, 11)}
+    assert (pairs["j_q"] == 10000).all()
+
+    cl = dedup_clusters(str(d)).to_pandas().set_index("doc_id")
+    assert cl.loc[[1, 2, 3], "cluster"].tolist() == [1, 1, 1]
+    assert cl.loc[[10, 11], "cluster"].tolist() == [10, 10]

@@ -11,6 +11,9 @@ import __ray_entry__ as e
 SF = "/root/testdata/sf0.01"
 TABLES = ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]
 qs, os_ = e.queries(), e.oracle_sql()
+if len(sys.argv) > 1:   # optional comma-separated entry filter
+    want = set(sys.argv[1].split(","))
+    qs = {k: v for k, v in qs.items() if k in want}
 con = duckdb.connect()
 for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
@@ -44,7 +47,7 @@ for i, name in enumerate(sorted(qs)):
             status = "rows-only"
     except Exception as ex:
         status = f"FAIL: {ex!r}"
-        fails.append(name)
+        fails.append(f"{name}: {ex!r}"[:300])
         traceback.print_exc()
     print(f"[{i+1}/{len(qs)}] {name}: {status} ({time.time()-t0:.0f}s)", flush=True)
 print("FAILURES:", fails)
