@@ -1476,15 +1476,17 @@ def c4_line_dedup(sf_dir: str, min_chars: int = 30) -> pa.Table:
         dedupable = np.asarray(pc.utf8_length(flat)) >= min_chars
         # 128-bit line identity as two int64 columns: line equality
         # rides INT shuffle keys (the string-key shuffle is a measured
-        # ~25x cliff); blake2b-16 collisions are cryptographically
-        # negligible at any corpus size — the same stance as the
-        # 64-bit shingle hashes, with double the width
-        lh1 = np.empty(len(flat), dtype=np.int64)
-        lh2 = np.empty(len(flat), dtype=np.int64)
-        for i, s in enumerate(flat.to_pylist()):
-            d = hashlib.blake2b(s.encode(), digest_size=16).digest()
-            lh1[i] = int.from_bytes(d[:8], "little", signed=True)
-            lh2[i] = int.from_bytes(d[8:], "little", signed=True)
+        # ~25x cliff). Two independently-keyed vectorized 64-bit
+        # siphashes (pandas' C kernel — no per-line Python loop, the
+        # round-5 discipline) give the same 128-bit
+        # collisions-negligible stance as the former blake2b-16.
+        import pandas as pd
+
+        svals = flat.to_pandas().to_numpy(dtype=object)
+        lh1 = pd.util.hash_array(
+            svals, hash_key="c4line_identity0").view(np.int64)
+        lh2 = pd.util.hash_array(
+            svals, hash_key="c4line_identity1").view(np.int64)
         return pa.table({"doc_id": pa.array(doc), "pos": pa.array(pos),
                          "line": flat, "packed": pa.array(packed),
                          "lh1": pa.array(lh1), "lh2": pa.array(lh2),
