@@ -138,6 +138,7 @@ PARAMETRIZED = [
     "ann_pq_exact",
     "ann_pq_cosine",
     "text_binpack",
+    "dedup_simhash",
     "ann_hard_negatives",
     "dedup_rep_quality",
     "rel_ewma",
