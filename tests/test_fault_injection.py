@@ -1,0 +1,249 @@
+"""Fault-injection evidence for the 100-TB operability story.
+
+Two failure classes a fixed-size multi-node cluster actually sees:
+
+1. TRANSIENT TASK FAILURES (spot preemption, OOM-kill, flaky storage):
+   a map_batches stage whose UDF raises once per block must converge to
+   EXACTLY the clean run's output under Ray's task retry
+   (``retry_exceptions=True``) — no lost and no
+   duplicated rows. Reference discipline: Lucene leaves a failed flush's
+   files unreferenced and re-flushes (IndexWriter.java:4545
+   tragedy/rollback paths); here the block re-executes from the
+   deterministic upstream lineage.
+
+2. DRIVER/NODE DEATH MID-BUILD (SIGKILL, not a polite exception): the
+   resumable build must come back from whatever the filesystem happens
+   to hold — completed segments (meta.json present) are skipped
+   byte-identically, torn ``.tmp`` segment dirs are invisible to
+   readers and silently rebuilt (the pending_segments_N → atomic-rename
+   discipline of IndexWriter.java:2767-2928), and the final manifest
+   equals a never-crashed build's.
+
+The existing tests/test_resume.py covers CURATED losses (rm -rf of one
+segment); this file covers ARBITRARY-POINT losses via a real SIGKILL of
+a subprocess running its own Ray session.
+"""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from lucene_solr_ray.corpus import corpus_table
+from lucene_solr_ray.index import build_index_resumable, load_manifest
+from lucene_solr_ray.index.build import add_doc_keys
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+# ---------------------------------------------------------------------------
+# 1. transient task exceptions → exactly-once output
+# ---------------------------------------------------------------------------
+
+def _flaky_count(marker_dir):
+    """A per-batch transform that fails the FIRST time it sees each
+    block (filesystem marker keyed by the block's min doc_id — stable
+    across retries because the upstream read is deterministic)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        key = int(pc.min(batch["doc_id"]).as_py())
+        marker = os.path.join(marker_dir, f"seen-{key}")
+        if not os.path.exists(marker):
+            with open(marker, "w") as f:
+                f.write("1")
+            raise RuntimeError(f"injected transient failure for block {key}")
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_chars": pc.utf8_length(batch["content"]),
+        })
+    return fn
+
+
+def test_transient_exception_task_pool_exactly_once(tmp_path, ray_session):
+    import ray.data as rd
+
+    t = add_doc_keys(corpus_table(400))
+    marker_dir = str(tmp_path / "markers")
+    os.makedirs(marker_dir)
+
+    clean = (rd.from_arrow(t)
+             .map_batches(lambda b: pa.table({
+                 "doc_id": b["doc_id"],
+                 "n_chars": pc.utf8_length(b["content"])}),
+                 batch_format="pyarrow")
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    # one batch per block so each task fails exactly once (task retry is
+    # per-TASK: a multi-failure task would exhaust default max_retries)
+    flaky = (rd.from_arrow(t).repartition(8)
+             .map_batches(_flaky_count(marker_dir), batch_format="pyarrow",
+                          batch_size=None,
+                          retry_exceptions=True)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    n_failures = len(os.listdir(marker_dir))
+    assert n_failures >= 1, "injection never fired — test is vacuous"
+    assert flaky.equals(clean)  # no lost rows, no duplicated rows
+
+
+def test_actor_death_exactly_once(tmp_path, ray_session):
+    """Same invariant through an actor-pool stage (the stateful-stage
+    shape: __init__ once per actor, __call__ per batch), under a HARDER
+    fault than an exception: the worker process dies outright
+    (``os._exit`` — an OOM-kill / preemption stand-in). With
+    ``max_restarts``/``max_task_retries`` the pool restarts the actor
+    and re-drives the in-flight block on a fresh actor."""
+    import ray.data as rd
+
+    t = add_doc_keys(corpus_table(400))
+    marker_dir = str(tmp_path / "markers_actor")
+    os.makedirs(marker_dir)
+
+    class Flaky:
+        def __init__(self):
+            self.calls = 0
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            key = int(pc.min(batch["doc_id"]).as_py())
+            marker = os.path.join(marker_dir, f"seen-{key}")
+            if not os.path.exists(marker):
+                with open(marker, "w") as f:
+                    f.write("1")
+                os._exit(1)  # hard worker death, no unwinding
+            self.calls += 1
+            return pa.table({
+                "doc_id": batch["doc_id"],
+                "n_chars": pc.utf8_length(batch["content"]),
+            })
+
+    clean = (rd.from_arrow(t)
+             .map_batches(lambda b: pa.table({
+                 "doc_id": b["doc_id"],
+                 "n_chars": pc.utf8_length(b["content"])}),
+                 batch_format="pyarrow")
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    flaky = (rd.from_arrow(t).repartition(8)
+             .map_batches(Flaky, batch_format="pyarrow", batch_size=None,
+                          concurrency=2,
+                          max_restarts=-1, max_task_retries=-1)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    assert len(os.listdir(marker_dir)) >= 1
+    assert flaky.equals(clean)
+
+
+# ---------------------------------------------------------------------------
+# 2. SIGKILL mid-build → resume to a byte-identical index
+# ---------------------------------------------------------------------------
+
+_KILL_SCRIPT = """
+import sys
+sys.path.insert(0, {root!r})
+import ray
+ray.init(address="local", num_cpus=2, include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from lucene_solr_ray.index import build_index_resumable
+build_index_resumable({files!r}, {out!r}, concurrency=2)
+"""
+
+
+def _posting_digests(out_dir):
+    """sha256 of every data file in every COMMITTED segment (meta.json
+    excluded from the digest only where it embeds timings — it doesn't;
+    metrics.json excluded: it records the run that built the partition)."""
+    import hashlib
+
+    root = os.path.join(out_dir, "segments")
+    digests = {}
+    for seg in sorted(os.listdir(root)):
+        if seg.endswith(".tmp"):
+            continue
+        h = hashlib.sha256()
+        for fn in sorted(os.listdir(os.path.join(root, seg))):
+            if fn == "metrics.json":
+                continue
+            with open(os.path.join(root, seg, fn), "rb") as f:
+                h.update(fn.encode())
+                h.update(f.read())
+        digests[seg] = h.hexdigest()
+    return digests
+
+
+def test_sigkill_midbuild_resumes_byte_identical(tmp_path, ray_session):
+    # ~12 partitions of inflated docs so each takes long enough that a
+    # kill lands mid-run (content repeated 20x; doc keys derive from
+    # (repo, path, commit) so inflation doesn't change identity)
+    t = corpus_table(1200)
+    t = t.set_column(t.schema.get_field_index("content"), "content",
+                     pc.binary_repeat(t["content"], 20))
+    t = add_doc_keys(t)
+    d = tmp_path / "parts"
+    d.mkdir()
+    files = []
+    for i in range(12):
+        f = str(d / f"part{i:02d}.parquet")
+        pq.write_table(t.slice(i * 100, 100), f)
+        files.append(f)
+
+    out_killed = str(tmp_path / "idx_killed")
+    out_clean = str(tmp_path / "idx_clean")
+
+    script = _KILL_SCRIPT.format(root=REPO_ROOT, files=files, out=out_killed)
+    proc = subprocess.Popen([sys.executable, "-c", script],
+                            stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL,
+                            start_new_session=True)
+    seg_root = os.path.join(out_killed, "segments")
+
+    def n_done():
+        if not os.path.isdir(seg_root):
+            return 0
+        return sum(1 for s in os.listdir(seg_root)
+                   if not s.endswith(".tmp")
+                   and os.path.exists(os.path.join(seg_root, s, "meta.json")))
+
+    try:
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            if n_done() >= 1 or proc.poll() is not None:
+                break
+            time.sleep(0.05)
+        assert proc.poll() is None, \
+            "subprocess finished before the kill — inflate the corpus more"
+        # node death: SIGKILL the whole process group (driver + raylet +
+        # workers), no cleanup handlers run
+        os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+        proc.wait(timeout=30)
+    finally:
+        if proc.poll() is None:
+            os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+
+    done_after_kill = n_done()
+    assert done_after_kill < 12, "kill landed after the build finished"
+
+    # resume in THIS session: completed partitions skip, the rest build
+    m = build_index_resumable(files, out_killed, concurrency=2)
+    assert m["num_segments"] == 12
+    assert m["resumed_partitions"] == done_after_kill
+    assert m["build_metrics"]["partitions_built"] == 12 - done_after_kill
+
+    # equality against a never-crashed build: same stats, same bytes
+    m_clean = build_index_resumable(files, out_clean, concurrency=2)
+    assert m["num_docs"] == m_clean["num_docs"] == 1200
+    assert m["sum_dl"] == m_clean["sum_dl"]
+    assert _posting_digests(out_killed) == _posting_digests(out_clean)
+
+    # no manifest generation references a torn segment
+    man = load_manifest(out_killed)
+    for seg in man["segments"]:
+        mp = os.path.join(out_killed, "segments", seg["segment"], "meta.json")
+        with open(mp) as f:
+            assert json.load(f)["num_docs"] == seg["num_docs"]
