@@ -47,7 +47,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..util import num_shuffle_partitions
-from .text import FP_BASE, FP_MOD
+# the Horner rolling-hash kernel is SHARED with ops.text's fingerprint
+# (one implementation — both families' DuckDB twins reproduce it)
+from .text import fold61 as _fold61
+from .text import mul_base61 as _mulB61
+from .text import vocab_hash64 as _vocab_hash64
 
 SHINGLE_K = 3
 N_PERM = 64
@@ -75,53 +79,11 @@ _P31 = (1 << 31) - 1
 _POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
                       axis=1).sum(axis=1).astype(np.uint8)
 
-_M61 = np.uint64(FP_MOD)
-_B61 = np.uint64(FP_BASE)  # < 2^20, enabling the split multiply below
-
-
 def _popcount64(x: np.ndarray) -> np.ndarray:
     """Per-element popcount of a uint64 array (one table lookup per
     byte; no Python loop)."""
     return _POP8[x.view(np.uint8)].reshape(len(x), 8) \
         .sum(axis=1).astype(np.int64)
-
-
-# ---------------------------------------------------------------------------
-# vectorized Horner rolling-hash kernel (shared with ops.text fingerprint)
-# ---------------------------------------------------------------------------
-
-def _fold61(y: np.ndarray) -> np.ndarray:
-    """y mod 2^61-1 for y < 2^62 (Mersenne reduction, 2^61 ≡ 1)."""
-    y = (y & _M61) + (y >> np.uint64(61))
-    y = (y & _M61) + (y >> np.uint64(61))
-    return np.where(y >= _M61, y - _M61, y)
-
-
-def _mulB61(a: np.ndarray) -> np.ndarray:
-    """a·FP_BASE mod 2^61-1 via a 41/20-bit split (every partial
-    product fits uint64)."""
-    a_hi = a >> np.uint64(41)
-    a_lo = a & np.uint64((1 << 41) - 1)
-    x = a_hi * _B61
-    t1 = _fold61(((x & np.uint64((1 << 20) - 1)) << np.uint64(41))
-                 + (x >> np.uint64(20)))
-    return _fold61(t1 + _fold61(a_lo * _B61))
-
-
-def _vocab_hash64(dictionary: pa.Array, algo: str = "blake2b") -> np.ndarray:
-    """64-bit hash per DISTINCT term — the only Python loop in any
-    signature stage runs over the batch vocabulary, never per token
-    occurrence (the fingerprint discipline). algo="md5" is the
-    DuckDB-twin mode (low 8 md5 bytes little-endian ==
-    md5_number_lower)."""
-    words = dictionary.to_pylist()
-    if algo == "md5":
-        return np.asarray([int.from_bytes(
-            hashlib.md5(w.encode()).digest()[8:], "little")
-            for w in words], dtype=np.uint64)
-    return np.asarray([int.from_bytes(hashlib.blake2b(
-        w.encode(), digest_size=8).digest(), "big")
-        for w in words], dtype=np.uint64)
 
 
 def _tokenize_keep_stops(texts: pa.Array):
@@ -401,7 +363,6 @@ def _band_stage(batch: pa.Table) -> pa.Table:
         col = col.combine_chunks()
     offs = np.asarray(col.offsets, dtype=np.int64)
     vals = np.asarray(col.values, dtype=np.uint64)
-    n = len(batch)
     lens = np.diff(offs)
     nz = lens > 0
     # empty shingle set (doc shorter than SHINGLE_K tokens): its
@@ -416,22 +377,27 @@ def _band_stage(batch: pa.Table) -> pa.Table:
             "dg": pa.array([], type=pa.int64()),
         })
     x = vals & np.uint64(_P31)
-    starts = np.minimum(offs[:-1], len(x) - 1)  # reduceat-safe starts
-    sig = np.empty((N_PERM, n), dtype=np.uint64)
+    # reduceat over NONEMPTY docs only: every start is < len(x), and
+    # consecutive nonempty starts bound exactly one doc's segment
+    # (empty docs contribute no values). The former clipped-starts
+    # variant (min(offs, len-1)) truncated the LAST nonempty doc's
+    # segment whenever trailing docs in the batch had empty shingle
+    # sets — the same trailing-empty-doc bug fixed in simhash64.
+    starts = offs[:-1][nz]
+    m = int(nz.sum())
+    sig = np.empty((N_PERM, m), dtype=np.uint64)
     p31 = np.uint64(_P31)
     for p in range(N_PERM):
         hv = (_A[p] * x + _B[p]) % p31
         sig[p] = np.minimum.reduceat(hv, starts)
     # band combine: Horner over the ROWS_PER_BAND rows of each band
     C = np.uint64(0x9E3779B97F4A7C15)
-    sig = sig.reshape(BANDS, ROWS_PER_BAND, n)
-    bh = np.zeros((BANDS, n), dtype=np.uint64)
+    sig = sig.reshape(BANDS, ROWS_PER_BAND, m)
+    bh = np.zeros((BANDS, m), dtype=np.uint64)
     for r in range(ROWS_PER_BAND):
         bh = bh * C + sig[:, r, :]
     ids = np.asarray(batch["doc_id"], dtype=np.int64)[nz]
     dg = np.asarray(batch["dg"], dtype=np.int64)[nz]
-    bh = bh[:, nz]
-    m = len(ids)
     return pa.table({
         "band": pa.array(np.repeat(np.arange(BANDS, dtype=np.int32), m)),
         "bh": pa.array(bh.reshape(-1), type=pa.uint64()),
@@ -683,9 +649,20 @@ def _minhash_rep_verified(sf_dir: str, *, verify: str = "join"):
     n_members = members.count()
 
     bands_ds = sh_ds.map_batches(_band_stage, batch_format="pyarrow")
+
+    def _sel_bands(t: pa.Table):
+        # grouped output can carry 0-row EMPTY-SCHEMA blocks (an empty
+        # partition's map_groups task yields nothing) — select() would
+        # KeyError on them
+        if t.num_columns == 0 or len(t) == 0:
+            yield pa.table({"band": pa.array([], pa.int32()),
+                            "bh": pa.array([], pa.uint64()),
+                            "doc_id": pa.array([], pa.int64())})
+            return
+        yield t.select(["band", "bh", "doc_id"])
+
     contracted = _contract_bands(bands_ds).map_batches(
-        lambda t: t.select(["band", "bh", "doc_id"]),
-        batch_format="pyarrow")
+        _sel_bands, batch_format="pyarrow")
     cand = (_bucket_pairs_selfjoin(contracted, ("band", "bh"))
             .map_batches(_partial_dedup, batch_format="pyarrow"))
     uniq = _drop_empty_blocks(_uniq_pairs(cand))
@@ -996,6 +973,15 @@ def simhash_pairs_ds(sf_dir: str, max_hamming: int = 3,
     reps = _grouped_blocks(sig_ds, ["sig"], contract_kern)
 
     def band_stage(batch: pa.Table) -> pa.Table:
+        # reps comes from a grouped shuffle: guard the 0-row
+        # empty-schema blocks its empty partitions can emit
+        if batch.num_columns == 0 or len(batch) == 0:
+            return pa.table({
+                "chunk": pa.array([], pa.int32()),
+                "val": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "sig": pa.array([], pa.uint64()),
+            })
         ids = np.asarray(batch["doc_id"], dtype=np.int64)
         sigs = np.asarray(batch["sig"]).astype(np.uint64)
         n = len(ids)
@@ -1137,8 +1123,12 @@ def substring_dup_pairs_ds(sf_dir: str, k: int = SUBSTRING_K):
             "doc_id": pa.array(u[:, 0], type=pa.int64()),
         })
 
-    gram_ds = rep_docs.map_batches(grams, batch_format="pyarrow",
-                                   batch_size=1024)
+    # pin ONCE: gram_ds feeds both the self-join and gram_counts —
+    # left lazy, the second consumer would re-run the whole tokenize +
+    # gram pass (CLAUDE.md discipline #3: materialize before reuse)
+    gram_ds = _drop_empty_blocks(
+        rep_docs.map_batches(grams, batch_format="pyarrow",
+                             batch_size=1024))
 
     pair_ds = _bucket_pairs_selfjoin(gram_ds, ("gram",))
 
@@ -1513,9 +1503,13 @@ def c4_line_dedup(sf_dir: str, min_chars: int = 30) -> pa.Table:
             lambda t: t.select(["lh1", "lh2", "packed"]),
             batch_format="pyarrow"),
         ["lh1", "lh2"], win_kern)
-    surv_long = longl.join(winners, join_type="inner",
-                           num_partitions=num_shuffle_partitions(),
-                           on=("packed",), right_on=("packed_w",))
+    # scrub BOTH join inputs: a 0-row first block on either side
+    # starves the join's schema broadcast (grouped output for
+    # winners; an all-short-lines block filters to 0 rows on longl)
+    surv_long = _drop_empty_blocks(longl).join(
+        _drop_empty_blocks(winners), join_type="inner",
+        num_partitions=num_shuffle_partitions(),
+        on=("packed",), right_on=("packed_w",))
 
     kept = (surv_long.map_batches(
         lambda t: t.select(["doc_id", "pos", "line"]),

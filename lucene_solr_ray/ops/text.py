@@ -298,6 +298,51 @@ def uax29_token_stats(sf_dir: str) -> pa.Table:
 FP_BASE = 1000003
 FP_MOD = (1 << 61) - 1
 
+_M61 = np.uint64(FP_MOD)
+_B61 = np.uint64(FP_BASE)  # < 2^20, enabling the split multiply below
+
+
+def fold61(y: np.ndarray) -> np.ndarray:
+    """y mod 2^61-1 for y < 2^62 (Mersenne reduction, 2^61 ≡ 1).
+
+    THE shared rolling-hash primitive: ops.dedup's shingle / gram /
+    substring kernels and this module's fingerprint Horner pass both
+    ride it, and every DuckDB twin reproduces its values through the
+    recursive-powers SQL — change it in ONE place or the engines
+    silently diverge from their oracles."""
+    y = (y & _M61) + (y >> np.uint64(61))
+    y = (y & _M61) + (y >> np.uint64(61))
+    return np.where(y >= _M61, y - _M61, y)
+
+
+def mul_base61(a: np.ndarray) -> np.ndarray:
+    """a·FP_BASE mod 2^61-1 via a 41/20-bit split (every partial
+    product fits uint64)."""
+    a_hi = a >> np.uint64(41)
+    a_lo = a & np.uint64((1 << 41) - 1)
+    x = a_hi * _B61
+    t1 = fold61(((x & np.uint64((1 << 20) - 1)) << np.uint64(41))
+                + (x >> np.uint64(20)))
+    return fold61(t1 + fold61(a_lo * _B61))
+
+
+def vocab_hash64(dictionary: pa.Array, algo: str = "blake2b") -> np.ndarray:
+    """64-bit hash per DISTINCT term — the only Python loop in any
+    signature stage runs over the batch vocabulary, never per token
+    occurrence (the fingerprint discipline). algo="md5" is the
+    DuckDB-twin mode (low 8 md5 bytes little-endian ==
+    md5_number_lower)."""
+    import hashlib
+
+    words = dictionary.to_pylist()
+    if algo == "md5":
+        return np.asarray([int.from_bytes(
+            hashlib.md5(w.encode()).digest()[8:], "little")
+            for w in words], dtype=np.uint64)
+    return np.asarray([int.from_bytes(hashlib.blake2b(
+        w.encode(), digest_size=8).digest(), "big")
+        for w in words], dtype=np.uint64)
+
 
 def fingerprint(sf_dir: str, hash: str = "blake2b") -> pa.Table:
     """Rolling polynomial fingerprint of the post-stop token stream
@@ -306,49 +351,22 @@ def fingerprint(sf_dir: str, hash: str = "blake2b") -> pa.Table:
     hash="md5" (low 8 bytes little-endian == DuckDB md5_number_lower)
     is the oracle-twin mode — the recursive-powers SQL twin reproduces
     the Horner values exactly."""
-    import hashlib
-
-    M = np.uint64(FP_MOD)
-    B = np.uint64(FP_BASE)  # < 2^20, enabling the split multiply below
-
-    def _fold(y: np.ndarray) -> np.ndarray:
-        """y mod M for y < 2^62, Mersenne reduction (2^61 ≡ 1 mod M)."""
-        y = (y & M) + (y >> np.uint64(61))
-        y = (y & M) + (y >> np.uint64(61))
-        return np.where(y >= M, y - M, y)
-
     def fp(batch: pa.Table) -> pa.Table:
         ab = analyze_batch(batch["text"])
-        # hash each DISTINCT term once per batch (the only Python loop
-        # is over the batch vocabulary), then a masked vectorized Horner
-        # pass per position across all docs — bit-identical to the
-        # per-token (acc*B + h) % M recurrence
+        # hash each DISTINCT term once per batch (vocab_hash64), then a
+        # masked vectorized Horner pass per position across all docs —
+        # bit-identical to the per-token (acc*B + h) % M recurrence
         denc = ab.terms.dictionary_encode()
-        if hash == "md5":
-            vh = np.array([int.from_bytes(
-                hashlib.md5(w.encode()).digest()[8:], "little")
-                for w in denc.dictionary.to_pylist()], dtype=np.uint64)
-        else:
-            vh = np.array([int.from_bytes(hashlib.blake2b(
-                w.encode(), digest_size=8).digest(), "big")
-                for w in denc.dictionary.to_pylist()], dtype=np.uint64)
-        h_all = _fold(vh)[np.asarray(denc.indices, dtype=np.int64)] \
+        vh = vocab_hash64(denc.dictionary, algo=hash)
+        h_all = fold61(vh)[np.asarray(denc.indices, dtype=np.int64)] \
             if len(vh) else np.empty(0, dtype=np.uint64)
         lens = ab.doc_lengths
         starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
         acc = np.zeros(len(lens), dtype=np.uint64)
         for j in range(int(lens.max()) if len(lens) else 0):
             active = lens > j
-            a = acc[active]
-            # a*B mod M via 41/20-bit split (every product fits uint64)
-            a_hi = a >> np.uint64(41)
-            a_lo = a & np.uint64((1 << 41) - 1)
-            x = a_hi * B
-            t1 = _fold(((x & np.uint64((1 << 20) - 1)) << np.uint64(41))
-                       + (x >> np.uint64(20)))
-            t2 = _fold(a_lo * B)
-            prod = _fold(t1 + t2)
-            acc[active] = _fold(prod + h_all[starts[active] + j])
+            acc[active] = fold61(mul_base61(acc[active])
+                                 + h_all[starts[active] + j])
         return pa.table({"doc_id": batch["doc_id"],
                          "fp": pa.array(acc.astype(np.int64),
                                         type=pa.int64())})

@@ -256,3 +256,41 @@ def test_shingle_sets_match_string_shingles(seed):
         assert (np.diff(seg.astype(np.int64)) > 0).all() if len(seg) > 1 \
             else True
     assert dg[-1] == dg[0] and counts[-1] == counts[0]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=0, max_value=2**32))
+def test_band_stage_batch_position_invariance(seed):
+    """A doc's LSH band hashes must not depend on its batch context —
+    in particular, trailing EMPTY-shingle docs must not truncate the
+    last nonempty doc's reduceat segment (the clipped-starts bug: same
+    text, same dg, different band hashes depending on batch layout).
+    Mirrors the simhash64 trailing-empty pin."""
+    from lucene_solr_ray.ops.dedup import _band_stage, _shingle_stage
+
+    rng = np.random.default_rng(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    docs, ids = [], []
+    for i in range(rng.integers(1, 7)):
+        # mix real docs with sub-shingle (<3 token) ones, anywhere in
+        # the batch — including the trailing position that triggered
+        # the truncation
+        n_tok = int(rng.choice([0, 1, 2, 5, 12, 30]))
+        docs.append(" ".join(rng.choice(vocab, n_tok)))
+        ids.append(100 + i)
+    batch = _shingle_stage(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(docs)}))
+    got = _band_stage(batch)
+    by_doc = {}
+    for band, bh, did in zip(got["band"].to_pylist(),
+                             got["bh"].to_pylist(),
+                             got["doc_id"].to_pylist()):
+        by_doc.setdefault(did, set()).add((band, bh))
+
+    for i, (d, did) in enumerate(zip(docs, ids)):
+        solo = _band_stage(_shingle_stage(pa.table({
+            "doc_id": pa.array([did], pa.int64()),
+            "text": pa.array([d])})))
+        want = set(zip(solo["band"].to_pylist(), solo["bh"].to_pylist()))
+        assert by_doc.get(did, set()) == want, (i, d)
