@@ -408,6 +408,39 @@ _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _TRAILER_RE = re.compile(rb"trailer\b")
 
 
+def _hash_2b_impl(pw: bytes, salt: bytes, udata: bytes) -> bytes:
+    """ISO 32000-2 Algorithm 2.B (the R6 'hardened' hash): SHA-256
+    seeded, then rounds of 64×(pw+K+udata) encrypted with
+    AES-128-CBC(K[:16], K[16:32]) selecting SHA-256/384/512 by the
+    first-16-bytes mod 3, until round ≥ 64 and E[-1] ≤ round-32."""
+    import hashlib
+
+    from .aes import aes_cbc_nopad_encrypt
+
+    K = hashlib.sha256(pw + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (pw + K + udata) * 64
+        e = aes_cbc_nopad_encrypt(K[:16], K[16:32], k1)
+        mod = sum(e[:16]) % 3  # 256 ≡ 1 (mod 3): byte sum works
+        K = (hashlib.sha256, hashlib.sha384,
+             hashlib.sha512)[mod](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return K[:32]
+
+
+# Memoized: 2.B costs ≥64 chained AES-CBC rounds (~0.5 s pure Python)
+# and its inputs are (password, 8-byte salt, key-owner U data) — a
+# corpus whose files share one security handler (every page of a
+# split document, a synthesized test corpus) would otherwise pay it
+# once PER FILE during /U validation. Pure memoization on the exact
+# inputs: always correct, one dict probe when keys are unique.
+import functools as _functools
+
+_hash_2b_cached = _functools.lru_cache(maxsize=256)(_hash_2b_impl)
+
+
 class PdfDocument:
     def __init__(self, data: bytes, password: bytes | str = b""):
         if isinstance(password, str):
@@ -520,25 +553,7 @@ class PdfDocument:
 
     @staticmethod
     def _hash_2b(pw: bytes, salt: bytes, udata: bytes) -> bytes:
-        """ISO 32000-2 Algorithm 2.B (the R6 'hardened' hash):
-        SHA-256 seeded, then rounds of 64×(pw+K+udata) encrypted with
-        AES-128-CBC(K[:16], K[16:32]) selecting SHA-256/384/512 by the
-        first-16-bytes mod 3, until round ≥ 64 and E[-1] ≤ round-32."""
-        import hashlib
-
-        from .aes import aes_cbc_nopad_encrypt
-
-        K = hashlib.sha256(pw + salt + udata).digest()
-        i = 0
-        while True:
-            k1 = (pw + K + udata) * 64
-            e = aes_cbc_nopad_encrypt(K[:16], K[16:32], k1)
-            mod = sum(e[:16]) % 3  # 256 ≡ 1 (mod 3): byte sum works
-            K = (hashlib.sha256, hashlib.sha384,
-                 hashlib.sha512)[mod](e).digest()
-            i += 1
-            if i >= 64 and e[-1] <= i - 32:
-                return K[:32]
+        return _hash_2b_cached(pw, salt, udata)
 
     def _setup_encryption_v5(self, enc: dict, r: int) -> None:
         """AES-256 revisions (V5: R5 per Adobe ExtensionLevel 3, R6 per
