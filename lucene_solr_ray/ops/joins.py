@@ -71,11 +71,22 @@ def block_join_parent(sf_dir: str, min_qty: float = 45.0,
                                 type=pa.int64()),
         })
 
-    agg = (ds.map_batches(partial, batch_format="pyarrow")
-           .groupby("o_orderkey").sum(["score_qty", "n_child"]))
-    agg = agg.map_batches(
-        lambda b: b.rename_columns(["o_orderkey", "score_qty", "n_child"]),
-        batch_format="pyarrow")
+    # key-complete partitions, not the Aggregate operator: groups ≈
+    # parent-key cardinality (order-of-the-corpus at 100 TB), int64
+    # sums are partition-order-free
+    from .temporal import grouped_agg_blocks
+
+    def sum_kern(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("o_orderkey", as_index=False,
+                       sort=False)[["score_qty", "n_child"]].sum()
+        return pa.table({
+            "o_orderkey": pa.array(g["o_orderkey"].to_numpy(np.int64)),
+            "score_qty": pa.array(g["score_qty"].to_numpy(np.int64)),
+            "n_child": pa.array(g["n_child"].to_numpy(np.int64))})
+
+    agg = grouped_agg_blocks(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["o_orderkey"], sum_kern)
     top = _topk_scored(agg, "o_orderkey", "score_qty", k,
                        extra_cols=("n_child",))
     return pa.Table.from_pandas(
@@ -146,11 +157,21 @@ def terms_including_score(sf_dir: str, k: int = 20) -> pa.Table:
         return pa.table({"o_custkey": pa.array(keys, type=pa.int64()),
                          "score_c": pa.array(mx, type=pa.int64())})
 
-    agg = (orders.map_batches(partial, batch_format="pyarrow")
-           .groupby("o_custkey").max("score_c"))
-    agg = agg.map_batches(
-        lambda b: b.rename_columns(["o_custkey", "score_c"]),
-        batch_format="pyarrow")
+    def max_kern(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("o_custkey", as_index=False,
+                       sort=False)["score_c"].max()
+        return pa.table({
+            "o_custkey": pa.array(g["o_custkey"].to_numpy(np.int64)),
+            "score_c": pa.array(g["score_c"].to_numpy(np.int64))})
+
+    # key-complete partitions, not the Aggregate operator: groups ≈
+    # join-key cardinality (corpus-scale at 100 TB; the measured
+    # ~8 s/M-groups cliff), and an int64 max is partition-order-free
+    from .temporal import grouped_agg_blocks
+
+    agg = grouped_agg_blocks(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        ["o_custkey"], max_kern)
     top = _topk_scored(agg, "o_custkey", "score_c", k)
     score_of = dict(zip(top["o_custkey"], top["score_c"]))
     want_ref = ray.put(np.array(sorted(score_of), dtype=np.int64))
@@ -207,28 +228,33 @@ def terms_including_score_mode(sf_dir: str, mode: str = "avg",
                          "acc": pa.array(acc, type=pa.int64()),
                          "n": pa.array(n, type=pa.int64())})
 
-    g = orders.map_batches(partial, batch_format="pyarrow") \
-        .groupby("o_custkey")
-    agg = (g.min("acc") if mode == "min"
-           else g.aggregate(*_sum_aggs()))
+    # same key-complete-partition discipline as terms_including_score:
+    # int64 min/sum folds are partition-order-free, so the per-
+    # partition pandas groupby IS the global fold
+    from .temporal import grouped_agg_blocks
 
-    def finalize(batch: pa.Table) -> pa.Table:
-        ck = np.asarray(batch["o_custkey"], dtype=np.int64)
+    def fold_kern(df: pd.DataFrame) -> pa.Table:
+        gb = df.groupby("o_custkey", as_index=False, sort=False)
         if mode == "min":
-            score = np.asarray(batch["min(acc)"], dtype=np.int64)
+            g = gb["acc"].min()
+            score = g["acc"].to_numpy(np.int64)
         else:
-            s = np.asarray(batch["sum(acc)"], dtype=np.int64)
+            g = gb[["acc", "n"]].sum()
+            s = g["acc"].to_numpy(np.int64)
             if mode == "avg":
-                n = np.asarray(batch["sum(n)"], dtype=np.int64)
+                n = g["n"].to_numpy(np.int64)
                 # floor of the float64 ratio — the SQL twin's shape
                 score = np.floor(s.astype(np.float64) / n) \
                     .astype(np.int64)
             else:
                 score = s
-        return pa.table({"o_custkey": pa.array(ck, type=pa.int64()),
-                         "score_c": pa.array(score, type=pa.int64())})
+        return pa.table({
+            "o_custkey": pa.array(g["o_custkey"].to_numpy(np.int64)),
+            "score_c": pa.array(score, type=pa.int64())})
 
-    scored = agg.map_batches(finalize, batch_format="pyarrow")
+    scored = grouped_agg_blocks(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        ["o_custkey"], fold_kern)
     top = _topk_scored(scored, "o_custkey", "score_c", k)
     score_of = dict(zip(top["o_custkey"], top["score_c"]))
     want_ref = ray.put(np.array(sorted(score_of), dtype=np.int64))
@@ -254,12 +280,6 @@ def terms_including_score_mode(sf_dir: str, mode: str = "avg",
         .reset_index(drop=True)
     return pa.Table.from_pandas(
         names[["c_custkey", "c_name", "score_c"]], preserve_index=False)
-
-
-def _sum_aggs():
-    from ray.data.aggregate import Sum
-
-    return (Sum("acc"), Sum("n"))
 
 
 def collapse_expand(sf_dir: str, n_expand: int = 2) -> pa.Table:
