@@ -43,10 +43,24 @@ def _word_freq_table(sf_dir: str):
         ab = analyze_batch(batch["text"], keep_stopwords=True)
         return pa.table({"word": ab.terms})
 
-    wf = (_read_docs(sf_dir).map_batches(words, batch_format="pyarrow")
-          .groupby("word").count())
+    # vocab-cardinality count through key-complete partitions, not the
+    # Aggregate operator (~8 s/M groups at corpus vocab sizes)
+    from .temporal import grouped_agg_blocks
+
+    def count_kern(df) -> pa.Table:
+        g = df.groupby("word", as_index=False, sort=False).size()
+        return pa.table({
+            "word": pa.array(g["word"], pa.string()),
+            "count()": pa.array(g["size"].to_numpy(np.int64))})
+
+    wf = grouped_agg_blocks(
+        _read_docs(sf_dir).map_batches(words, batch_format="pyarrow"),
+        ["word"], count_kern)
 
     def spaced(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            return pa.table({"sym": pa.array([], pa.string()),
+                             "freq": pa.array([], pa.int64())})
         w = batch["word"].to_pylist()
         return pa.table({
             "sym": pa.array([" ".join(x) for x in w]),

@@ -305,12 +305,18 @@ def pseudonymize_rollup(sf_dir: str, salt: str = PSEUDO_SALT) -> pa.Table:
              .groupby("user_token", as_index=False).sum())
         return g
 
-    out = (ds.map_batches(partial, batch_format="pandas")
-           .groupby("user_token").sum(["n_events", "sum_cents"])
-           .to_pandas()
-           .rename(columns={"sum(n_events)": "n_events",
-                            "sum(sum_cents)": "sum_cents"})
-           .sort_values("user_token").reset_index(drop=True))
+    # user-cardinality groups off the Aggregate operator (key-complete
+    # partitions; int64 sums are partition-order-free)
+    from .temporal import grouped_agg_blocks
+
+    def sum_kern(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("user_token", as_index=False)
+                [["n_events", "sum_cents"]].sum())
+
+    out = (grouped_agg_blocks(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_token"], sum_kern).to_pandas()
+        .sort_values("user_token").reset_index(drop=True))
     out["n_events"] = out["n_events"].astype(np.int64)
     out["sum_cents"] = out["sum_cents"].astype(np.int64)
     return pa.Table.from_pandas(out, preserve_index=False)

@@ -1322,22 +1322,28 @@ def connected_components(pairs, *, max_iters: int = 64,
     if not isinstance(pairs, pa.Table) and edges.count() == 0:
         return empty
 
-    def init_label(t: pa.Table) -> pa.Table:
-        node = np.asarray(t["node"], dtype=np.int64)
-        nbr = np.asarray(t["min(nbr)"], dtype=np.int64)
-        return pa.table({"node": node, "label": np.minimum(node, nbr)})
+    # node-cardinality folds run through key-complete partitions, not
+    # the Aggregate operator (~8 s/M groups; node count is the dup-
+    # member count — corpus-order on a dup-dense web crawl)
+    def init_kern(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("node", as_index=False, sort=False)["nbr"].min()
+        node = g["node"].to_numpy(np.int64)
+        return pa.table({
+            "node": pa.array(node),
+            "label": pa.array(np.minimum(node,
+                                         g["nbr"].to_numpy(np.int64)))})
 
-    labels = (edges.groupby("node").min("nbr")
-              .map_batches(init_label, batch_format="pyarrow")
-              .materialize())
+    labels = _grouped_blocks(edges, ["node"], init_kern).materialize()
     label_sum = labels.sum("label")
 
     def strip(t: pa.Table) -> pa.Table:
         return t.select(["node", "label"])
 
-    def fin(t: pa.Table) -> pa.Table:
-        return pa.table({"node": t["node"],
-                         "label": t["min(label)"]})
+    def min_kern(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("node", as_index=False, sort=False)["label"].min()
+        return pa.table({
+            "node": pa.array(g["node"].to_numpy(np.int64)),
+            "label": pa.array(g["label"].to_numpy(np.int64))})
 
     for _ in range(max_iters):
         prop = edges.join(labels, join_type="inner",
@@ -1345,13 +1351,14 @@ def connected_components(pairs, *, max_iters: int = 64,
                           on=("nbr",), right_on=("node",),
                           right_suffix="_l")
         prop = prop.map_batches(strip, batch_format="pyarrow")
-        # repartition scrubs the 0-row empty-SCHEMA blocks that hash
+        # the scrubs kill the 0-row empty-SCHEMA blocks that hash
         # shuffles emit for empty partitions — those blocks poison the
-        # next round's join ("no match for FieldRef node")
-        new_labels = (prop.union(labels).groupby("node").min("label")
-                      .map_batches(fin, batch_format="pyarrow")
-                      .repartition(num_partitions)
-                      .materialize())
+        # next round's join ("no match for FieldRef node") and would
+        # KeyError the partition-key stage
+        new_labels = (_grouped_blocks(
+            _drop_empty_blocks(prop.union(labels)), ["node"], min_kern)
+            .repartition(num_partitions)
+            .materialize())
         new_sum = new_labels.sum("label")
         labels = new_labels
         if new_sum == label_sum:

@@ -71,8 +71,17 @@ def entity_match_pairs(sf_dir: str, max_lev: int = MAX_LEV) -> pa.Table:
              .rename(columns={"p_name": "nm", "size": "nrec"}))
         return g
 
-    ents = (ds.map_batches(to_entities, batch_format="pandas")
-            .groupby("nm").sum("nrec"))
+    # distinct-name cardinality grows with the corpus: key-complete
+    # partitions instead of the Aggregate operator
+    from .temporal import grouped_agg_blocks
+
+    def sum_kern(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("nm", as_index=False)["nrec"].sum() \
+            .rename(columns={"nrec": "sum(nrec)"})
+
+    ents = grouped_agg_blocks(
+        ds.map_batches(to_entities, batch_format="pandas"),
+        ["nm"], sum_kern)
 
     def add_block(df: pd.DataFrame) -> pd.DataFrame:
         nouns = df["nm"].str.split(" ").str[-1]

@@ -443,16 +443,21 @@ def label_propagation(sf_dir: str, iters: int = LP_ITERS,
             prop.map_batches(partial_counts, batch_format="pyarrow"),
             ["dst"], argmax_kern))
 
-    # per-batch (lab, n) partials, one int groupby
-    sizes = (labels.map_batches(
-        lambda t: (lambda u, c: pa.table({
-            "lab": pa.array(u, pa.int64()),
-            "n": pa.array(c.astype(np.int64), pa.int64())}))(
-            *np.unique(np.asarray(t["lab"], dtype=np.int64),
-                       return_counts=True)),
-        batch_format="pyarrow")
-        .groupby("lab").sum("n").to_pandas()
-        .rename(columns={"sum(n)": "n_nodes"})
+    # per-batch (lab, n) partials, then key-complete partitions (label
+    # cardinality is node-order worst case — the Aggregate cliff)
+    def size_kern(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lab", as_index=False)["n"].sum()
+        return g.rename(columns={"n": "n_nodes"})
+
+    sizes = (grouped_agg_blocks(
+        labels.map_batches(
+            lambda t: (lambda u, c: pa.table({
+                "lab": pa.array(u, pa.int64()),
+                "n": pa.array(c.astype(np.int64), pa.int64())}))(
+                *np.unique(np.asarray(t["lab"], dtype=np.int64),
+                           return_counts=True)),
+            batch_format="pyarrow"),
+        ["lab"], size_kern).to_pandas()
         .sort_values(["n_nodes", "lab"],
                      ascending=[False, True]).head(k)
         .reset_index(drop=True))

@@ -317,10 +317,18 @@ def block_join_facet(sf_dir: str, min_qty: float = 45.0) -> pa.Table:
                                   dtype=np.int64))
         return pa.table({"l_orderkey": pa.array(ok, type=pa.int64())})
 
-    matched = (children.map_batches(keys, batch_format="pyarrow")
-               .groupby("l_orderkey").count().map_batches(
-                   lambda t: t.select(["l_orderkey"]),
-                   batch_format="pyarrow"))
+    # distinct over parent-key cardinality: key-complete partitions,
+    # not the Aggregate operator; scrubbed because a 0-row first block
+    # on a join input starves its schema broadcast
+    from .dedup import _drop_empty_blocks
+    from .temporal import grouped_agg_blocks
+
+    def distinct_kern(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["l_orderkey"])
+
+    matched = _drop_empty_blocks(grouped_agg_blocks(
+        children.map_batches(keys, batch_format="pyarrow"),
+        ["l_orderkey"], distinct_kern))
     parents = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     hit = parents.join(matched, join_type="left_semi", num_partitions=num_shuffle_partitions(),
                        on=("o_orderkey",), right_on=("l_orderkey",))

@@ -107,10 +107,23 @@ def group_ngroups(sf_dir: str, min_rows: int = 2) -> pa.Table:
     """group.ngroups (solr:search/Grouping.java getNGroups): the total
     number of groups, plus how many clear a row-count threshold — a
     two-level aggregate (groupby count, then a count over the counts)."""
+    from .temporal import grouped_agg_blocks
+
     ds = _read(sf_dir, "orders", ["o_custkey"])
-    counts = ds.groupby("o_custkey").count()
+
+    def count_kern(df):
+        g = (df.groupby("o_custkey", as_index=False).size()
+             .rename(columns={"size": "count()"}))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # key-complete partitions: groups ≈ customer cardinality (the
+    # ~8 s/M-groups Aggregate-operator cliff at corpus scale)
+    counts = grouped_agg_blocks(ds, ["o_custkey"], count_kern)
 
     def fold(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            z = pa.array([0], pa.int64())
+            return pa.table({"ngroups": z, "matching": z})
         n = np.asarray(batch["count()"], dtype=np.int64)
         return pa.table({
             "ngroups": pa.array([len(n)], type=pa.int64()),
@@ -320,9 +333,17 @@ def percentiles(sf_dir: str) -> pa.Table:
                                          pa.scalar(100.0))), pa.int64())
         return pa.table({"v": v})
 
-    hist = (ds.map_batches(cents, batch_format="pyarrow")
-            .groupby("v").count().to_pandas()
-            .rename(columns={"count()": "c"}).sort_values("v"))
+    from .temporal import grouped_agg_blocks
+
+    def vcount_kern(df):
+        return (df.groupby("v", as_index=False).size()
+                .rename(columns={"size": "c"}))
+
+    # distinct-value cardinality grows with the corpus: key-complete
+    # partitions instead of the Aggregate operator
+    hist = (grouped_agg_blocks(
+        ds.map_batches(cents, batch_format="pyarrow"), ["v"],
+        vcount_kern).to_pandas().sort_values("v"))
     v = hist["v"].to_numpy(dtype=np.int64)
     c = hist["c"].to_numpy(dtype=np.int64)
     cum = np.cumsum(c)
@@ -1047,9 +1068,15 @@ def skew_report(sf_dir: str, k: int = 10) -> pa.Table:
         return (df.groupby("user_id", as_index=False).size()
                 .rename(columns={"size": "n"}))
 
-    counts = (ds.map_batches(partial, batch_format="pandas")
-              .groupby("user_id").sum("n").to_pandas()
-              .rename(columns={"sum(n)": "n"}))
+    from .temporal import grouped_agg_blocks
+
+    def sum_kern(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", as_index=False)["n"].sum()
+
+    # user-cardinality groups off the Aggregate operator
+    counts = grouped_agg_blocks(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_id"], sum_kern).to_pandas()
     counts["n"] = counts["n"].astype("int64")
     total = int(counts["n"].sum())
     nkeys = len(counts)
