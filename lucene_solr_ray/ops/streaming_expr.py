@@ -158,8 +158,15 @@ def compile_stream(node: Stream, sf_dir: str):
     if f == "unique":
         inner = compile_stream(node.args[0], sf_dir)
         over = node.kwargs["over"]
-        return inner.groupby(over).count().map_batches(
-            lambda b: b.select([over]), batch_format="pyarrow")
+        # distinct via key-complete partitions (UniqueStream keys are
+        # unbounded — doc ids, join keys — the Aggregate-operator
+        # cliff shape; a distinct has no fold values, so the swap is
+        # order-free by construction)
+        from .temporal import grouped_agg_blocks
+
+        return grouped_agg_blocks(
+            inner, [over],
+            lambda df: df[[over]].drop_duplicates())
     if f == "rollup":
         inner = compile_stream(node.args[0], sf_dir)
         # over may name SEVERAL group fields (RollupStream buckets)
@@ -188,6 +195,12 @@ def compile_stream(node: Stream, sf_dir: str):
                 raise ValueError(f"unsupported aggregate {a.name!r}")
         if not aggs:
             aggs, out_names = [Count()], list(over_keys) + ["count_rows"]
+        # stays on Ray's Aggregate operator DELIBERATELY: sum/avg over
+        # float columns are order-sensitive, and the DuckDB twins pin
+        # the operator's accumulation order — a grouped_agg_blocks
+        # swap is only safe for provably order-free folds (see the
+        # unique branch above). Scale note: rollup over an unbounded
+        # key therefore pays the ~8 s/M-groups operator cost.
         ds = inner.groupby(over).aggregate(*aggs)
         return ds.map_batches(lambda b: b.rename_columns(out_names),
                               batch_format="pyarrow")
