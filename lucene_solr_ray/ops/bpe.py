@@ -45,17 +45,11 @@ def _word_freq_table(sf_dir: str):
 
     # vocab-cardinality count through key-complete partitions, not the
     # Aggregate operator (~8 s/M groups at corpus vocab sizes)
-    from .temporal import grouped_agg_blocks
+    from .temporal import grouped_fold
 
-    def count_kern(df) -> pa.Table:
-        g = df.groupby("word", as_index=False, sort=False).size()
-        return pa.table({
-            "word": pa.array(g["word"], pa.string()),
-            "count()": pa.array(g["size"].to_numpy(np.int64))})
-
-    wf = grouped_agg_blocks(
+    wf = grouped_fold(
         _read_docs(sf_dir).map_batches(words, batch_format="pyarrow"),
-        ["word"], count_kern)
+        ["word"], {"count()": ("word", "size")})
 
     def spaced(batch: pa.Table) -> pa.Table:
         if batch.num_columns == 0:

@@ -307,15 +307,12 @@ def pseudonymize_rollup(sf_dir: str, salt: str = PSEUDO_SALT) -> pa.Table:
 
     # user-cardinality groups off the Aggregate operator (key-complete
     # partitions; int64 sums are partition-order-free)
-    from .temporal import grouped_agg_blocks
+    from .temporal import grouped_fold
 
-    def sum_kern(df: pd.DataFrame) -> pd.DataFrame:
-        return (df.groupby("user_token", as_index=False)
-                [["n_events", "sum_cents"]].sum())
-
-    out = (grouped_agg_blocks(
+    out = (grouped_fold(
         ds.map_batches(partial, batch_format="pandas"),
-        ["user_token"], sum_kern).to_pandas()
+        ["user_token"], {"n_events": ("n_events", "sum"),
+                         "sum_cents": ("sum_cents", "sum")}).to_pandas()
         .sort_values("user_token").reset_index(drop=True))
     out["n_events"] = out["n_events"].astype(np.int64)
     out["sum_cents"] = out["sum_cents"].astype(np.int64)

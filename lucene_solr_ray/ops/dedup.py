@@ -168,32 +168,10 @@ def _filter_by_ids(ds, ids: np.ndarray, *, keep: bool,
     return j.repartition(nparts)
 
 
-def _drop_empty_blocks(ds):
-    """Remove 0-row blocks BEFORE a Dataset.join input.
-
-    Ray's hash-shuffle join broadcasts each input's schema to the
-    aggregators only with the FIRST block it receives, and the shuffle
-    task early-returns on a 0-row block without disseminating anything
-    — so a 0-row first block (hash shuffles and filters emit them
-    freely) permanently starves empty partitions of the schema and
-    finalize dies with 'No match for FieldRef' (CLAUDE.md). A
-    map_batches scrub can NOT fix this (Ray emits a 0-row output block
-    for a task that yields nothing); the only reliable scrub is to
-    pin the blocks and rebuild the dataset from the non-empty block
-    REFS (metadata-only — nothing is fetched to the driver). Callers
-    pass join inputs that are candidate-pair-sized, so the pin is
-    bounded."""
-    import ray.data as rd
-
-    m = ds.materialize()
-    keep = []
-    for bundle in m.iter_internal_ref_bundles():
-        for ref, meta in bundle.blocks:
-            if meta.num_rows:
-                keep.append(ref)
-    if not keep:
-        return m  # fully empty: keep the (schema-bearing) original
-    return rd.from_arrow_refs(keep)
+# _drop_empty_blocks moved to util.drop_empty_blocks (shared by the
+# grouped_fold family); the alias keeps this module's many call sites
+# and the tests stable.
+from ..util import drop_empty_blocks as _drop_empty_blocks  # noqa: E402
 
 
 def _bucket_pairs_selfjoin(ds, keys, *, payload: str | None = None):
@@ -1333,7 +1311,12 @@ def connected_components(pairs, *, max_iters: int = 64,
             "label": pa.array(np.minimum(node,
                                          g["nbr"].to_numpy(np.int64)))})
 
-    labels = _grouped_blocks(edges, ["node"], init_kern).materialize()
+    # scrub BEFORE the first-iteration join: grouped output emits
+    # 0-row empty-schema blocks for empty partitions, and a sparse
+    # node set over many partitions would starve the join's schema
+    # broadcast (reproduced: few pairs across 16 blocks)
+    labels = _drop_empty_blocks(
+        _grouped_blocks(edges, ["node"], init_kern))
     label_sum = labels.sum("label")
 
     def strip(t: pa.Table) -> pa.Table:

@@ -73,15 +73,11 @@ def entity_match_pairs(sf_dir: str, max_lev: int = MAX_LEV) -> pa.Table:
 
     # distinct-name cardinality grows with the corpus: key-complete
     # partitions instead of the Aggregate operator
-    from .temporal import grouped_agg_blocks
+    from .temporal import grouped_fold
 
-    def sum_kern(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("nm", as_index=False)["nrec"].sum() \
-            .rename(columns={"nrec": "sum(nrec)"})
-
-    ents = grouped_agg_blocks(
+    ents = grouped_fold(
         ds.map_batches(to_entities, batch_format="pandas"),
-        ["nm"], sum_kern)
+        ["nm"], {"sum(nrec)": ("nrec", "sum")})
 
     def add_block(df: pd.DataFrame) -> pd.DataFrame:
         nouns = df["nm"].str.split(" ").str[-1]

@@ -445,11 +445,9 @@ def label_propagation(sf_dir: str, iters: int = LP_ITERS,
 
     # per-batch (lab, n) partials, then key-complete partitions (label
     # cardinality is node-order worst case — the Aggregate cliff)
-    def size_kern(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("lab", as_index=False)["n"].sum()
-        return g.rename(columns={"n": "n_nodes"})
+    from .temporal import grouped_fold
 
-    sizes = (grouped_agg_blocks(
+    sizes = (grouped_fold(
         labels.map_batches(
             lambda t: (lambda u, c: pa.table({
                 "lab": pa.array(u, pa.int64()),
@@ -457,7 +455,7 @@ def label_propagation(sf_dir: str, iters: int = LP_ITERS,
                 *np.unique(np.asarray(t["lab"], dtype=np.int64),
                            return_counts=True)),
             batch_format="pyarrow"),
-        ["lab"], size_kern).to_pandas()
+        ["lab"], {"n_nodes": ("n", "sum")}).to_pandas()
         .sort_values(["n_nodes", "lab"],
                      ascending=[False, True]).head(k)
         .reset_index(drop=True))

@@ -74,19 +74,12 @@ def block_join_parent(sf_dir: str, min_qty: float = 45.0,
     # key-complete partitions, not the Aggregate operator: groups ≈
     # parent-key cardinality (order-of-the-corpus at 100 TB), int64
     # sums are partition-order-free
-    from .temporal import grouped_agg_blocks
+    from .temporal import grouped_fold
 
-    def sum_kern(df: pd.DataFrame) -> pa.Table:
-        g = df.groupby("o_orderkey", as_index=False,
-                       sort=False)[["score_qty", "n_child"]].sum()
-        return pa.table({
-            "o_orderkey": pa.array(g["o_orderkey"].to_numpy(np.int64)),
-            "score_qty": pa.array(g["score_qty"].to_numpy(np.int64)),
-            "n_child": pa.array(g["n_child"].to_numpy(np.int64))})
-
-    agg = grouped_agg_blocks(
+    agg = grouped_fold(
         ds.map_batches(partial, batch_format="pyarrow"),
-        ["o_orderkey"], sum_kern)
+        ["o_orderkey"], {"score_qty": ("score_qty", "sum"),
+                         "n_child": ("n_child", "sum")})
     top = _topk_scored(agg, "o_orderkey", "score_qty", k,
                        extra_cols=("n_child",))
     return pa.Table.from_pandas(
@@ -157,21 +150,14 @@ def terms_including_score(sf_dir: str, k: int = 20) -> pa.Table:
         return pa.table({"o_custkey": pa.array(keys, type=pa.int64()),
                          "score_c": pa.array(mx, type=pa.int64())})
 
-    def max_kern(df: pd.DataFrame) -> pa.Table:
-        g = df.groupby("o_custkey", as_index=False,
-                       sort=False)["score_c"].max()
-        return pa.table({
-            "o_custkey": pa.array(g["o_custkey"].to_numpy(np.int64)),
-            "score_c": pa.array(g["score_c"].to_numpy(np.int64))})
-
     # key-complete partitions, not the Aggregate operator: groups ≈
     # join-key cardinality (corpus-scale at 100 TB; the measured
     # ~8 s/M-groups cliff), and an int64 max is partition-order-free
-    from .temporal import grouped_agg_blocks
+    from .temporal import grouped_fold
 
-    agg = grouped_agg_blocks(
+    agg = grouped_fold(
         orders.map_batches(partial, batch_format="pyarrow"),
-        ["o_custkey"], max_kern)
+        ["o_custkey"], {"score_c": ("score_c", "max")})
     top = _topk_scored(agg, "o_custkey", "score_c", k)
     score_of = dict(zip(top["o_custkey"], top["score_c"]))
     want_ref = ray.put(np.array(sorted(score_of), dtype=np.int64))
@@ -318,17 +304,13 @@ def block_join_facet(sf_dir: str, min_qty: float = 45.0) -> pa.Table:
         return pa.table({"l_orderkey": pa.array(ok, type=pa.int64())})
 
     # distinct over parent-key cardinality: key-complete partitions,
-    # not the Aggregate operator; scrubbed because a 0-row first block
-    # on a join input starves its schema broadcast
-    from .dedup import _drop_empty_blocks
-    from .temporal import grouped_agg_blocks
+    # not the Aggregate operator; scrub=True because the result feeds
+    # a join input (0-row first block starves its schema broadcast)
+    from .temporal import grouped_fold
 
-    def distinct_kern(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["l_orderkey"])
-
-    matched = _drop_empty_blocks(grouped_agg_blocks(
+    matched = grouped_fold(
         children.map_batches(keys, batch_format="pyarrow"),
-        ["l_orderkey"], distinct_kern))
+        ["l_orderkey"], "distinct", scrub=True)
     parents = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     hit = parents.join(matched, join_type="left_semi", num_partitions=num_shuffle_partitions(),
                        on=("o_orderkey",), right_on=("l_orderkey",))

@@ -107,18 +107,14 @@ def group_ngroups(sf_dir: str, min_rows: int = 2) -> pa.Table:
     """group.ngroups (solr:search/Grouping.java getNGroups): the total
     number of groups, plus how many clear a row-count threshold — a
     two-level aggregate (groupby count, then a count over the counts)."""
-    from .temporal import grouped_agg_blocks
+    from .temporal import grouped_fold
 
     ds = _read(sf_dir, "orders", ["o_custkey"])
 
-    def count_kern(df):
-        g = (df.groupby("o_custkey", as_index=False).size()
-             .rename(columns={"size": "count()"}))
-        return pa.Table.from_pandas(g, preserve_index=False)
-
     # key-complete partitions: groups ≈ customer cardinality (the
     # ~8 s/M-groups Aggregate-operator cliff at corpus scale)
-    counts = grouped_agg_blocks(ds, ["o_custkey"], count_kern)
+    counts = grouped_fold(ds, ["o_custkey"],
+                          {"count()": ("o_custkey", "size")})
 
     def fold(batch: pa.Table) -> pa.Table:
         if batch.num_columns == 0:
@@ -333,17 +329,13 @@ def percentiles(sf_dir: str) -> pa.Table:
                                          pa.scalar(100.0))), pa.int64())
         return pa.table({"v": v})
 
-    from .temporal import grouped_agg_blocks
-
-    def vcount_kern(df):
-        return (df.groupby("v", as_index=False).size()
-                .rename(columns={"size": "c"}))
+    from .temporal import grouped_fold
 
     # distinct-value cardinality grows with the corpus: key-complete
     # partitions instead of the Aggregate operator
-    hist = (grouped_agg_blocks(
+    hist = (grouped_fold(
         ds.map_batches(cents, batch_format="pyarrow"), ["v"],
-        vcount_kern).to_pandas().sort_values("v"))
+        {"c": ("v", "size")}).to_pandas().sort_values("v"))
     v = hist["v"].to_numpy(dtype=np.int64)
     c = hist["c"].to_numpy(dtype=np.int64)
     cum = np.cumsum(c)
@@ -1068,15 +1060,12 @@ def skew_report(sf_dir: str, k: int = 10) -> pa.Table:
         return (df.groupby("user_id", as_index=False).size()
                 .rename(columns={"size": "n"}))
 
-    from .temporal import grouped_agg_blocks
-
-    def sum_kern(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("user_id", as_index=False)["n"].sum()
+    from .temporal import grouped_fold
 
     # user-cardinality groups off the Aggregate operator
-    counts = grouped_agg_blocks(
+    counts = grouped_fold(
         ds.map_batches(partial, batch_format="pandas"),
-        ["user_id"], sum_kern).to_pandas()
+        ["user_id"], {"n": ("n", "sum")}).to_pandas()
     counts["n"] = counts["n"].astype("int64")
     total = int(counts["n"].sum())
     nkeys = len(counts)

@@ -160,13 +160,12 @@ def compile_stream(node: Stream, sf_dir: str):
         over = node.kwargs["over"]
         # distinct via key-complete partitions (UniqueStream keys are
         # unbounded — doc ids, join keys — the Aggregate-operator
-        # cliff shape; a distinct has no fold values, so the swap is
-        # order-free by construction)
-        from .temporal import grouped_agg_blocks
+        # cliff shape; no fold values, so order-free by construction).
+        # scrub=True: a unique() may feed a parent join/rollup stream,
+        # and grouped output's empty-schema blocks starve join inputs
+        from .temporal import grouped_fold
 
-        return grouped_agg_blocks(
-            inner, [over],
-            lambda df: df[[over]].drop_duplicates())
+        return grouped_fold(inner, [over], "distinct", scrub=True)
     if f == "rollup":
         inner = compile_stream(node.args[0], sf_dir)
         # over may name SEVERAL group fields (RollupStream buckets)

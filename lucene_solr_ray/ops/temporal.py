@@ -96,6 +96,48 @@ def grouped_agg_blocks(ds, keys, agg_fn):
     return _map_user_blocks(ds, agg_fn, key=keys)
 
 
+def grouped_fold(ds, keys, spec, *, scrub=False):
+    """The common grouped-fold shape over key-complete partitions in
+    ONE place: ``spec`` is either the string ``"distinct"`` (pure
+    distinct over ``keys`` — no fold values, order-free by
+    construction) or a dict ``{out_name: (col, op)}`` with op in
+    ``sum|min|max|size`` — ONLY partition-order-free folds belong
+    here (int sums/mins/maxes/counts; float sums are order-sensitive
+    and must stay wherever their oracle pinned the accumulation
+    order).
+
+    The kernel always emits ARROW tables (grouped output feeds
+    shuffles — CLAUDE.md discipline #1). ``scrub=True`` drops the
+    0-row empty-schema blocks grouped output can emit — REQUIRED
+    whenever the result feeds a ``Dataset.join`` input (schema-
+    broadcast starvation; see util.drop_empty_blocks)."""
+    from ..util import drop_empty_blocks
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    if spec == "distinct":
+        def kern(df: pd.DataFrame):
+            return pa.Table.from_pandas(
+                df[keys].drop_duplicates(), preserve_index=False)
+    else:
+        items = list(spec.items())
+
+        def kern(df: pd.DataFrame):
+            gb = df.groupby(keys, as_index=False, sort=False)
+            cols = {}
+            for out, (col, op) in items:
+                g = (gb.size() if op == "size"
+                     else getattr(gb[[col]], op)())
+                cols[out] = g["size" if op == "size" else col]
+            head = g[keys]
+            out_tbl = pd.DataFrame({**{k: head[k] for k in keys},
+                                    **cols})
+            return pa.Table.from_pandas(out_tbl, preserve_index=False)
+
+    out = grouped_agg_blocks(ds, keys, kern)
+    return drop_empty_blocks(out) if scrub else out
+
+
 def _user_runs(df: pd.DataFrame, order=("ts", "event_id")):
     """Lexsort a user-complete block by (user_id, *order) and return
     (sorted df, us array, run starts, run lengths) — the shared

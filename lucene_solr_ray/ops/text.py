@@ -421,19 +421,12 @@ def significant_terms(sf_dir: str, fg_term: str = "vector",
     # partitions (int _part shuffle key over the hashed term), not the
     # Aggregate operator — vocab-cardinality groups are the measured
     # ~8 s/M-groups cliff
-    from .temporal import grouped_agg_blocks
+    from .temporal import grouped_fold
 
-    def term_kern(df) -> pa.Table:
-        g = df.groupby("term", as_index=False,
-                       sort=False)[["fg", "one"]].sum()
-        return pa.table({
-            "term": pa.array(g["term"], pa.string()),
-            "sum(fg)": pa.array(g["fg"].to_numpy(np.int64)),
-            "sum(one)": pa.array(g["one"].to_numpy(np.int64))})
-
-    agg_ds = grouped_agg_blocks(
+    agg_ds = grouped_fold(
         ds.map_batches(pairs, batch_format="pyarrow"),
-        ["term"], term_kern).materialize()
+        ["term"], {"sum(fg)": ("fg", "sum"),
+                   "sum(one)": ("one", "sum")}).materialize()
 
     def only_sentinel(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

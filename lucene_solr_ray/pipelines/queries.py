@@ -501,18 +501,6 @@ def _q_collection_stats():
     return run
 
 
-def _term_df_kern(df) -> pa.Table:
-    """Per-partition (term, sum df) fold for the term-enumeration
-    pipelines — int64 sums are partition-order-free, so the
-    key-complete-partition groupby IS the global one."""
-    import numpy as _np
-
-    g = df.groupby("term", as_index=False, sort=False)["df"].sum()
-    return pa.table({
-        "term": pa.array(g["term"], pa.string()),
-        "sum(df)": pa.array(g["df"].to_numpy(_np.int64))})
-
-
 def _q_top_terms(n=20):
     def run(sf_dir):
         """HighFreqTerms analogue as a Ray Data pipeline over segment term
@@ -535,11 +523,10 @@ def _q_top_terms(n=20):
             batch_format="pyarrow")
         # vocab-cardinality sum via key-complete partitions (the
         # Aggregate-operator cliff); scrubbed before the sort
-        from ..ops.dedup import _drop_empty_blocks
-        from ..ops.temporal import grouped_agg_blocks
+        from ..ops.temporal import grouped_fold
 
-        agg = _drop_empty_blocks(
-            grouped_agg_blocks(ds, ["term"], _term_df_kern))
+        agg = grouped_fold(ds, ["term"], {"sum(df)": ("df", "sum")},
+                           scrub=True)
         out = agg.sort(["sum(df)", "term"], descending=[True, False]).limit(n)
         t = out.to_pandas()
         return pa.table({"term": pa.array(t["term"], type=pa.string()),
@@ -574,12 +561,11 @@ def _q_terms_component(prefix: str | None = None,
                     t["term"], f"^(?:{regex})$"))
             return t.filter(m)
 
-        from ..ops.dedup import _drop_empty_blocks
-        from ..ops.temporal import grouped_agg_blocks
+        from ..ops.temporal import grouped_fold
 
-        agg = _drop_empty_blocks(grouped_agg_blocks(
+        agg = grouped_fold(
             ds.map_batches(keep, batch_format="pyarrow"),
-            ["term"], _term_df_kern))
+            ["term"], {"sum(df)": ("df", "sum")}, scrub=True)
         if mincount > 1:
             agg = agg.map_batches(
                 lambda t: t.filter(pc.greater_equal(t["sum(df)"],

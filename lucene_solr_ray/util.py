@@ -140,3 +140,31 @@ def num_read_blocks(paths=None, *, per_cpu: int = 2,
     if nbytes > 0:
         blocks = min(blocks, max(2, nbytes // min_block_bytes))
     return int(min(blocks, max_blocks))
+
+
+def drop_empty_blocks(ds):
+    """Remove 0-row blocks BEFORE a Dataset.join input.
+
+    Ray's hash-shuffle join broadcasts each input's schema to the
+    aggregators only with the FIRST block it receives, and the shuffle
+    task early-returns on a 0-row block without disseminating anything
+    — so a 0-row first block (hash shuffles, filters, and grouped
+    map_groups output emit them freely) permanently starves empty
+    partitions of the schema and finalize dies with 'No match for
+    FieldRef' (CLAUDE.md). A map_batches scrub can NOT fix this (Ray
+    emits a 0-row output block for a task that yields nothing); the
+    only reliable scrub is to pin the blocks and rebuild the dataset
+    from the non-empty block REFS (metadata-only — nothing is fetched
+    to the driver). Callers pass join inputs that are bounded
+    (candidate-pair-sized or pre-aggregated), so the pin is bounded."""
+    import ray.data as rd
+
+    m = ds.materialize()
+    keep = []
+    for bundle in m.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows:
+                keep.append(ref)
+    if not keep:
+        return m  # fully empty: keep the (schema-bearing) original
+    return rd.from_arrow_refs(keep)

@@ -294,3 +294,56 @@ def test_band_stage_batch_position_invariance(seed):
             "text": pa.array([d])})))
         want = set(zip(solo["band"].to_pylist(), solo["bh"].to_pylist()))
         assert by_doc.get(did, set()) == want, (i, d)
+
+
+def test_connected_components_sparse_multiblock(ray_session):
+    """A sparse pair set spread over many blocks must not crash the
+    first-iteration join: grouped output emits 0-row EMPTY-SCHEMA
+    blocks for empty partitions, and an unscrubbed initial-labels
+    Dataset starved the join's schema broadcast (reproduced crash:
+    'No match for FieldRef node')."""
+    import ray.data as rd
+
+    from lucene_solr_ray.ops.dedup import connected_components
+
+    pairs = pa.table({"a": pa.array([1, 2, 10], pa.int64()),
+                      "b": pa.array([2, 3, 11], pa.int64())})
+    out = connected_components(rd.from_arrow(pairs).repartition(16))
+    got = dict(zip(out["doc_id"].to_pylist(),
+                   out["cluster"].to_pylist()))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_grouped_fold_matches_pandas(ray_session):
+    """grouped_fold (sum/min/max/size/distinct over key-complete
+    partitions) must equal a global pandas groupby, emit Arrow blocks,
+    and tolerate sparse keys over many partitions."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from lucene_solr_ray.ops.temporal import grouped_fold
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 9, 300),
+        "s": [f"u{u}" for u in rng.integers(0, 5, 300)],
+        "v": rng.integers(-50, 50, 300),
+    })
+    ds = rd.from_pandas(df).repartition(16)
+
+    got = (grouped_fold(ds, ["k"], {
+        "sum_v": ("v", "sum"), "min_v": ("v", "min"),
+        "max_v": ("v", "max"), "n": ("v", "size")})
+        .to_pandas().sort_values("k").reset_index(drop=True))
+    want = (df.groupby("k", as_index=False)
+            .agg(sum_v=("v", "sum"), min_v=("v", "min"),
+                 max_v=("v", "max"), n=("v", "size"))
+            .sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"n": "int64"}), want.astype({"n": "int64"}))
+
+    # string keys + distinct, scrubbed for join use
+    dis = (grouped_fold(ds, ["s"], "distinct", scrub=True)
+           .to_pandas().sort_values("s").reset_index(drop=True))
+    assert dis["s"].tolist() == sorted(df["s"].unique())
