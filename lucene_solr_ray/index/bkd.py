@@ -294,13 +294,19 @@ def bkd_query_bbox(out_dir_or_index, x_lo: int, x_hi: int,
     paths = sorted({e["path"] for e in covering})
     flt = ((pads.field(x_col) >= x_lo) & (pads.field(x_col) <= x_hi)
            & (pads.field(y_col) >= y_lo) & (pads.field(y_col) <= y_hi))
-    ds = rd.read_parquet(paths, columns=columns, filter=flt)
+    # the exact filter needs the point columns even when the caller's
+    # projection omits them — read them, drop after filtering
+    read_cols = columns if columns is None else list(
+        dict.fromkeys([*columns, x_col, y_col]))
+    drop = [] if columns is None else \
+        [c for c in (x_col, y_col) if c not in columns]
+    ds = rd.read_parquet(paths, columns=read_cols, filter=flt)
 
     def exact(batch: pa.Table) -> pa.Table:
         bx = np.asarray(batch[x_col], dtype=np.int64)
         by = np.asarray(batch[y_col], dtype=np.int64)
         m = (bx >= x_lo) & (bx <= x_hi) & (by >= y_lo) & (by <= y_hi)
-        return batch.filter(pa.array(m))
+        return batch.filter(pa.array(m)).drop_columns(drop)
 
     return (ds.map_batches(exact, batch_format="pyarrow"),
             len(covering), total)
@@ -358,11 +364,17 @@ def bkd_query_range(out_dir_or_index, lo: int, hi: int, *,
 
     paths = sorted({e["path"] for e in covering})
     flt = (pads.field(col) >= lo) & (pads.field(col) <= hi)
-    ds = rd.read_parquet(paths, columns=columns, filter=flt)
+    # same projection contract as bkd_query_bbox: the point column is
+    # read for the exact filter, dropped if the caller didn't ask
+    read_cols = columns if columns is None else list(
+        dict.fromkeys([*columns, col]))
+    drop = [] if columns is None or col in columns else [col]
+    ds = rd.read_parquet(paths, columns=read_cols, filter=flt)
 
     def exact(batch: pa.Table) -> pa.Table:
         bv = np.asarray(batch[col], dtype=np.int64)
-        return batch.filter(pa.array((bv >= lo) & (bv <= hi)))
+        return (batch.filter(pa.array((bv >= lo) & (bv <= hi)))
+                .drop_columns(drop))
 
     return (ds.map_batches(exact, batch_format="pyarrow"),
             len(covering), total)

@@ -256,3 +256,34 @@ def test_bkd_1d_numeric_range_bit_identical_and_prunes(ray_session,
         want = np.sort(np.flatnonzero((vals >= lo) & (vals <= hi)))
         assert got.tolist() == want.tolist()
         assert n_read < n_total  # a narrow range must skip leaves
+
+
+def test_bkd_projection_excluding_point_columns(ray_session, tmp_path):
+    """columns= that omits the point column(s) must still filter
+    exactly (the point column is read internally, then dropped) —
+    both on hits and on the no-covering-leaves miss path."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucene_solr_ray.index.bkd import bkd_query_range, bkd_write_1d
+
+    rng = np.random.default_rng(23)
+    n = 3000
+    vals = rng.integers(0, 1_000, n)
+    t = pa.table({"doc_id": pa.array(np.arange(n), type=pa.int64()),
+                  "v": pa.array(vals, type=pa.int64())})
+    out = str(tmp_path / "bkd1d-proj")
+    bkd_write_1d(rd.from_arrow(t), out, col="v", leaf_points=128)
+
+    ds, n_read, _ = bkd_query_range(out, 100, 200, columns=["doc_id"])
+    df = ds.to_pandas()
+    assert df.columns.tolist() == ["doc_id"]
+    want = np.sort(np.flatnonzero((vals >= 100) & (vals <= 200)))
+    assert np.sort(df["doc_id"].to_numpy(np.int64)).tolist() \
+        == want.tolist()
+    assert n_read > 0
+
+    miss, n_read, _ = bkd_query_range(out, 5_000, 6_000,
+                                      columns=["doc_id"])
+    assert n_read == 0 and miss.count() == 0
