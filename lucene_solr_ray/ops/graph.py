@@ -85,12 +85,30 @@ def shortest_path_hops(sf_dir: str, src_cust: int, dst_cust: int,
     customer→supplier→customer = 2."""
     import ray
 
-    # edge list (c, s): one hash-join-shaped pass, distinct pairs
+    # edge list (c, s): one hash-join-shaped pass, distinct pairs.
+    # Per-batch partial dedup shrinks the shuffle, then the global
+    # distinct runs through key-complete partitions (grouped_fold) —
+    # distinct (c, s) cardinality is corpus-scale, the measured
+    # ~8 s/M-groups Ray Aggregate-operator cliff
+    from .temporal import grouped_fold
+
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
     lines = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
-    edges = (orders.join(lines, join_type="inner", num_partitions=num_shuffle_partitions(),
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        c = np.asarray(b["o_custkey"], dtype=np.int64)
+        s = np.asarray(b["l_suppkey"], dtype=np.int64)
+        u = np.unique(np.stack([c, s], axis=1), axis=0) \
+            if len(c) else np.empty((0, 2), dtype=np.int64)
+        return pa.table({"o_custkey": pa.array(u[:, 0], pa.int64()),
+                         "l_suppkey": pa.array(u[:, 1], pa.int64())})
+
+    joined = orders.join(lines, join_type="inner",
+                         num_partitions=num_shuffle_partitions(),
                          on=("o_orderkey",), right_on=("l_orderkey",))
-             .groupby(["o_custkey", "l_suppkey"]).count())
+    edges = grouped_fold(
+        joined.map_batches(pair_partial, batch_format="pyarrow"),
+        ["o_custkey", "l_suppkey"], "distinct")
 
     def _collect(ds, cols):
         parts = [b.select(cols) for b in
