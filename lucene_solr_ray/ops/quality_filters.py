@@ -671,27 +671,49 @@ def bigram_logprob(sf_dir: str) -> pa.Table:
     import pandas as pd
     import ray
 
-    def pairs(batch: pa.Table) -> pa.Table:
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        # per-batch partial count: the shuffle carries one row per
+        # DISTINCT in-batch bigram, not the raw token-pair stream
         ab = analyze_batch(batch["text"], keep_stopwords=True)
         tok = np.asarray(ab.terms)
         di = np.asarray(ab.doc_idx)
         if len(tok) < 2:
             return pa.table({"w1": pa.array([], type=pa.string()),
-                             "w2": pa.array([], type=pa.string())})
+                             "w2": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
         same = di[1:] == di[:-1]
-        return pa.table({"w1": pa.array(tok[:-1][same]),
-                         "w2": pa.array(tok[1:][same])})
+        w1, w2 = tok[:-1][same], tok[1:][same]
+        if len(w1) == 0:    # every doc in the batch was <2 tokens
+            return pa.table({"w1": pa.array([], type=pa.string()),
+                             "w2": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        # factorize both sides once, count packed code pairs (C path,
+        # ~3x a two-column string groupby)
+        c1, u1 = pd.factorize(w1)
+        c2, u2 = pd.factorize(w2)
+        packed, n = np.unique(
+            c1.astype(np.int64) * len(u2) + c2, return_counts=True)
+        return pa.table({
+            "w1": pa.array(u1[packed // len(u2)]),
+            "w2": pa.array(u2[packed % len(u2)]),
+            "n": pa.array(n.astype(np.int64))})
+
+    # distinct-bigram cardinality is corpus-scale: key-complete
+    # partitions, not the Ray Aggregate operator
+    from .temporal import grouped_fold
 
     ds = _read_docs(sf_dir)
-    c12 = (ds.map_batches(pairs, batch_format="pyarrow")
-           .groupby(["w1", "w2"]).count().to_pandas())
-    c12 = c12.rename(columns={"count()": "c"})
+    c12 = (grouped_fold(
+        ds.map_batches(pair_partial, batch_format="pyarrow"),
+        ["w1", "w2"], {"c": ("n", "sum")}).to_pandas())
+    c12["c"] = c12["c"].astype(np.int64)
 
     def terms(batch: pa.Table) -> pa.Table:
         ab = analyze_batch(batch["text"], keep_stopwords=True)
         return pa.table({"term": pa.array(np.unique(np.asarray(ab.terms)))})
 
-    vsz = len(ds.map_batches(terms, batch_format="pyarrow").unique("term"))
+    vsz = (grouped_fold(ds.map_batches(terms, batch_format="pyarrow"),
+                        ["term"], "distinct").count())
 
     cleft = c12.groupby("w1")["c"].sum().rename("cl")
     c12 = c12.join(cleft, on="w1")
