@@ -178,11 +178,17 @@ def token_totals(sf_dir: str, mode: str = "analyzer") -> pa.Table:
                     if len(terms) else [], type=pa.int64()),
             })
 
-    parts = ds.map_batches(partial2, batch_format="pyarrow")
-    n_unique = parts.unique("term")
+    # distinct-term cardinality is vocab-scale: count through grouped
+    # key-complete partitions; only the COUNT reaches the driver (the
+    # old .unique() materialized the whole vocabulary driver-side)
+    from .temporal import grouped_fold
+
+    parts = ds.map_batches(partial2, batch_format="pyarrow") \
+        .materialize()
+    n_unique = grouped_fold(parts, ["term"], "distinct").count()
     total = parts.sum("n_tok_batch")
     return pa.table({"total_tokens": pa.array([int(total)], type=pa.int64()),
-                     "distinct_terms": pa.array([len(n_unique)],
+                     "distinct_terms": pa.array([int(n_unique)],
                                                 type=pa.int64())})
 
 
