@@ -347,3 +347,30 @@ def test_grouped_fold_matches_pandas(ray_session):
     dis = (grouped_fold(ds, ["s"], "distinct", scrub=True)
            .to_pandas().sort_values("s").reset_index(drop=True))
     assert dis["s"].tolist() == sorted(df["s"].unique())
+
+
+def test_grouped_fold_scrubbed_output_joins_under_any_layout(ray_session):
+    """The pass-4 bug class, generalized: a scrubbed grouped_fold
+    output must survive as a Dataset.join input under ANY sparse block
+    layout (few keys spread over many partitions used to leave 0-row
+    first blocks that permanently starved the join's schema
+    broadcast)."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from lucene_solr_ray.ops.temporal import grouped_fold
+
+    for nkeys, nparts in ((2, 16), (1, 32), (5, 64)):
+        df = pd.DataFrame({"k": np.arange(nkeys).repeat(3),
+                           "v": np.ones(3 * nkeys, dtype=np.int64)})
+        folded = grouped_fold(
+            rd.from_pandas(df).repartition(nparts), ["k"],
+            {"n": ("v", "sum")}, scrub=True)
+        right = rd.from_pandas(
+            pd.DataFrame({"k": np.arange(nkeys),
+                          "lbl": np.arange(nkeys) * 10}))
+        out = folded.join(right, join_type="inner", num_partitions=4,
+                          on=("k",)).to_pandas()
+        assert len(out) == nkeys
+        assert sorted(out["n"].tolist()) == [3] * nkeys
