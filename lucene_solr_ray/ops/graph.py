@@ -96,6 +96,10 @@ def shortest_path_hops(sf_dir: str, src_cust: int, dst_cust: int,
     lines = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
 
     def pair_partial(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or len(b) == 0:
+            # join outputs can emit 0-row / empty-schema blocks
+            return pa.table({"o_custkey": pa.array([], pa.int64()),
+                             "l_suppkey": pa.array([], pa.int64())})
         c = np.asarray(b["o_custkey"], dtype=np.int64)
         s = np.asarray(b["l_suppkey"], dtype=np.int64)
         u = np.unique(np.stack([c, s], axis=1), axis=0) \
